@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Dev-only local oracle check (mimics the driver's correctness gate).
+
+NOT part of the shipped library. Runs after `graft.Verify` has dumped
+query results: for each <outDir>/<name> parquet dir, executes the
+corresponding oracle SQL from oracle_sql.json in DuckDB over the same
+sf parquet tables, canonicalizes both frames (columns sorted by name,
+rows sorted by all columns) and diffs values exactly.
+
+Usage: oracle_check.py <sfDir> <outDir> [query ...]
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # normalize ints (duckdb may give int32 vs spark int64 etc.)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        try:
+            exp = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_bad += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            n_bad += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            n_bad += 1
+            continue
+        bad_cols = []
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if pd.api.types.is_float_dtype(g):
+                ok = np.allclose(g.fillna(1.2345e300), e.fillna(1.2345e300),
+                                 rtol=0, atol=0, equal_nan=True)
+                exact = (g.fillna(1.2345e300) == e.fillna(1.2345e300)).all()
+                if not exact:
+                    ok = False
+            else:
+                ok = g.fillna("<NA>").astype(str).equals(e.fillna("<NA>").astype(str))
+            if not ok:
+                bad_cols.append(c)
+        if bad_cols:
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:2]:
+                m = got[c] != exp[c]
+                print("  got:", got[m][c].head(3).tolist(),
+                      " exp:", exp[m][c].head(3).tolist())
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} failed ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

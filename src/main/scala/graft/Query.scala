@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query: a Spark implementation plus (when the semantics
+  * are SQL-expressible) an equivalent DuckDB oracle SQL over the same
+  * parquet tables. The driver hash-compares the two at sf0.01.
+  *
+  * Column-name contract: every computed column is aliased identically in
+  * the Spark plan and the oracle SQL (driver sorts columns by name before
+  * hashing). Floating-point aggregates are rounded on BOTH sides so
+  * summation-order differences between engines can't flip the hash.
+  */
+final case class Query(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+trait QueryPack {
+  def queries: Seq[Query]
+}

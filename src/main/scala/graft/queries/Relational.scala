@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Query, QueryPack}
+import graft.core.Tables
+
+/** Relational operator coverage: scan/filter/project with pushdown,
+  * broadcast + shuffle joins, semi/anti joins, distinct, set ops, window
+  * functions, top-k, time-bucketed aggregation, string/regex extraction.
+  *
+  * These are the Spark-native operators coffea gets "for free" in our
+  * engine (SURVEY.md §2.3 notes inter-dataset joins are absent in the
+  * reference but free in Spark) plus the aggregation/sort/limit surface
+  * of §2.5-2.7.
+  *
+  * Scale notes (100 TB): dimension joins (`nation`, `region`) are
+  * explicitly `broadcast()`; fact-fact joins (orders ⋈ lineitem) shuffle
+  * on the join key — with AQE enabled the skew-join and coalesce rules
+  * re-plan at runtime. Filters/projections are pushed into the parquet
+  * scan (verified via `.explain` — PushedFilters/ReadSchema).
+  */
+object Relational extends QueryPack {
+
+  def queries: Seq[Query] = Seq(
+    Query(
+      "q1_agg",
+      "TPC-H Q1 style full-scan aggregate: the histogram-fill shape of coffea's accumulator contract (partial agg map-side, final merge reduce-side).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            cents(sum($"l_quantity")).as("sum_qty_c"),
+            cents(sum($"l_extendedprice")).as("sum_base_price_c"),
+            cents(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price_c"),
+            e4(avg($"l_quantity")).as("avg_qty_e4"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_c,
+             |CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_price_c,
+             |CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_price_c,
+             |CAST(floor(avg(l_quantity) * 10000 + 0.5) AS BIGINT) AS avg_qty_e4,
+             |count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Query(
+      "q2_filter_project",
+      "Selective filter + narrow projection: exercises parquet predicate pushdown and column pruning (ReadSchema lists exactly the used columns). Per-row products are bit-identical IEEE doubles — no quantization needed.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_quantity" > 45.0 && $"l_discount" >= 0.05)
+          .select($"l_orderkey", $"l_linenumber",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |l_extendedprice * (1.0 - l_discount) AS net_price
+             |FROM lineitem WHERE l_quantity > 45.0 AND l_discount >= 0.05""".stripMargin)),
+
+    Query(
+      "q3_join_broadcast",
+      "Star-schema dimension join: customer ⋈ nation ⋈ region with explicit broadcast of the bounded dims — no shuffle of the fact side at any SF.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(count(lit(1)).as("n_customers"),
+            cents(sum($"c_acctbal")).as("total_acctbal_c"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+             |CAST(floor(sum(c_acctbal) * 100 + 0.5) AS BIGINT) AS total_acctbal_c
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin)),
+
+    Query(
+      "q4_join_shuffle",
+      "Fact-fact join: orders ⋈ lineitem on orderkey. Shuffles both sides on the key; AQE handles skew/coalesce at scale. Aggregates revenue per order priority.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            cents(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_c
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    Query(
+      "q5_topk",
+      "Top-k: 10 highest-revenue customers. Spark plans TakeOrderedAndProject (per-partition heap + driver merge) — no global sort materialization.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_custkey")
+          .agg(cents(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+          .orderBy($"revenue_c".desc, $"o_custkey".asc)
+          .limit(10)
+      },
+      Some("""SELECT o_custkey, CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_c
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_custkey
+             |ORDER BY revenue_c DESC, o_custkey ASC LIMIT 10""".stripMargin)),
+
+    Query(
+      "q6_window",
+      "Window functions: per-customer order ranking + running total (rank, cumulative sum). The SQL-window surface absent from the reference (SURVEY §2.6).",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        Tables.orders(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .withColumn("running_total_c",
+            cents(sum($"o_totalprice").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .filter($"rk" <= 3)
+          .select($"o_custkey", $"o_orderkey", $"rk", $"running_total_c")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rk, running_total_c FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER w AS rk,
+             |    CAST(floor(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) AS BIGINT) AS running_total_c
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+             |) WHERE rk <= 3""".stripMargin)),
+
+    Query(
+      "q7_distinct",
+      "Distinct + count-distinct per group: suppliers/parts per return flag. Map-side partial distinct keeps the shuffle narrow.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_suppkey").as("n_supp"),
+            countDistinct($"l_partkey").as("n_part"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+             |count(DISTINCT l_partkey) AS n_part
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Query(
+      "q8_setops",
+      "Set operations (INTERSECT/EXCEPT, §2.7): customers having both open and finished orders vs only-open. Spark plans these as aggregates/joins.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        val open = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+        val fin = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+        val both = open.intersect(fin).agg(count(lit(1)).as("n")).withColumn("setop", lit("both"))
+        val onlyOpen = open.except(fin).agg(count(lit(1)).as("n")).withColumn("setop", lit("only_open"))
+        both.unionByName(onlyOpen).select($"setop", $"n")
+      },
+      Some("""SELECT 'both' AS setop, count(*) AS n FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |UNION ALL
+             |SELECT 'only_open' AS setop, count(*) AS n FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin)),
+
+    Query(
+      "q9_anti_join",
+      "Left-anti join (NOT EXISTS): orders that have no lineitems, counted per status. Broadcast-able at low SF; shuffles as a null-aware-free anti hash join at scale.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir).select($"l_orderkey"),
+            $"o_orderkey" === $"l_orderkey", "left_anti")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_empty_orders"),
+            cents(sum($"o_totalprice")).as("total_c"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_empty_orders,
+             |CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_c
+             |FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    Query(
+      "q12_semi_join",
+      "Left-semi join (EXISTS): customers with at least one high-value order, per market segment.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter($"o_totalprice" > 300000.0).select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    Query(
+      "q10_time_window",
+      "Event-time tumbling-window aggregation (batch form of the Structured Streaming windowed agg): events per type per day. ts arrives as nanos-epoch long (parquet TIMESTAMP(NANOS)).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("t", nanosToTs($"ts"))
+          .groupBy(date_format(date_trunc("day", $"t"), "yyyy-MM-dd").as("day"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            cents(sum($"value")).as("total_value_c"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             |count(*) AS n, CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS total_value_c
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q11_string_extract",
+      "String/regex surface: extract the numeric field from the JSON-ish props string, bucket it, aggregate. regexp_extract is codegen'd — no UDF.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("k", regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long"))
+          .groupBy(($"k" % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+      },
+      Some("""SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
+             |count(*) AS n, CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+             |FROM events GROUP BY 1""".stripMargin))
+  )
+}

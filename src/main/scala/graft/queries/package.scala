@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+package object queries {
+
+  /** Quantize a float aggregate to integer "cents" with half-up rounding,
+    * using only primitive IEEE ops (`*`, `+`, `floor`) that are
+    * bit-identical between Spark and DuckDB. `round()` is NOT safe across
+    * engines: Spark routes doubles through BigDecimal(shortest-repr,
+    * HALF_UP) while DuckDB rounds the binary value, so exact-half cents
+    * diverge. Aggregated doubles additionally differ in final ulps between
+    * engines (summation order), so raw float aggregates must never be
+    * hash-compared — quantize them.
+    *
+    * SQL twin: `CAST(floor(x * 100 + 0.5) AS BIGINT)`.
+    */
+  def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast("long")
+
+  /** Same at 1e-4 resolution (for averages/ratios).
+    * SQL twin: `CAST(floor(x * 10000 + 0.5) AS BIGINT)`. */
+  def e4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)).cast("long")
+
+  /** Nanosecond-epoch long (parquet TIMESTAMP(NANOS) read with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) → Spark timestamp. */
+  def nanosToTs(c: Column): Column = timestamp_micros((c / lit(1000L)).cast("long"))
+}

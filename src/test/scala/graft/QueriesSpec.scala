@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Every registered query must run at sf0.001, produce rows, and have
+  * distinct, stable column names (driver hashes by sorted column name). */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("registry has no duplicate names and entry() returns rows") {
+    assert(SparkEntry.queries.nonEmpty)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.packs.flatMap(_.queries)) {
+    test(s"${q.name} runs and returns rows at sf0.001") {
+      val df = q.run(spark, sf)
+      val cols = df.columns
+      assert(cols.distinct.length == cols.length, s"duplicate columns in ${q.name}")
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+}
