@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def packs: Seq[QueryPack] = Seq(
-    _root_.graft.queries.Relational
+    _root_.graft.queries.Relational,
+    _root_.graft.queries.JaggedQueries
   )
 
   private lazy val registry: Seq[Query] = {

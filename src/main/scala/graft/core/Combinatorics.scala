@@ -1,0 +1,103 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-event combinatorics and index-gather "joins" (SURVEY.md §2.3).
+  *
+  * Every coffea join is intra-event — the event row is the join group and
+  * the data is co-partitioned by construction — so none of these shuffle:
+  * they are array expressions inside one row, running inside the scan
+  * stage at any data scale. This is the key structural win over a
+  * relational translation (a self-join per event pair would shuffle
+  * O(events × multiplicity)).
+  */
+object Combinatorics {
+
+  /** ak.combinations(coll, 2): all unordered element pairs per event,
+    * as structs `{_1, _2}` in local-index order (reference use:
+    * `processor/test_items/NanoEventsProcessor.py:79-82`). */
+  def combinations2(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), greatest(size(arr) - i - 1, lit(0))),
+        y => struct(x.as("_1"), y.as("_2")))))
+
+  /** ak.combinations(coll, 3): unordered triples `{_1, _2, _3}` in
+    * local-index order. y sits at absolute 0-based index i+1+j, so the
+    * z-slice starts at 1-based position i+j+3. */
+  def combinations3(arr: Column): Column =
+    flatten(flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), greatest(size(arr) - i - 1, lit(0))), (y, j) =>
+        transform(
+          slice(arr, i + j + lit(3), greatest(size(arr) - i - j - 2, lit(0))),
+          z => struct(x.as("_1"), y.as("_2"), z.as("_3")))))))
+
+  /** ak.cartesian([a, b]): per-event cross product `{_1, _2}` (reference
+    * `methods/vector.py:371-379` uses it for metric_table). */
+  def cartesian(a: Column, b: Column): Column =
+    flatten(transform(a, x => transform(b, y => struct(x.as("_1"), y.as("_2")))))
+
+  /** metric_table(a, b): nested ΔR-style metric matrix — for each element
+    * of `a`, the metric against every element of `b` (reference
+    * `vector.py:479-517`). Returns array-of-array aligned with `a`. */
+  def metricTable(a: Column, b: Column, metric: (Column, Column) => Column): Column =
+    transform(a, x => transform(b, y => metric(x, y)))
+
+  /** nearest(a → b): for each element of `a`, the element of `b`
+    * minimizing the metric (with a unique tiebreak projection of `b`
+    * elements for determinism), optionally thresholded; null when `b` is
+    * empty or no candidate passes (reference `vector.py:519-561`). */
+  def nearest(
+      a: Column,
+      b: Column,
+      metric: (Column, Column) => Column,
+      tiebreak: Column => Column,
+      threshold: Option[Double] = None): Column =
+    transform(a, x => {
+      val candidates = threshold match {
+        case Some(t) => filter(b, y => metric(x, y) < lit(t))
+        case None => b
+      }
+      Jagged.minBy(candidates, y => metric(x, y), tiebreak)
+    })
+
+  /** `_apply_global_index` analogue (reference `methods/base.py:313-346`)
+    * with event-local indexes: gather `target[idx]` per index element;
+    * negative or out-of-range indexes → null. The `matched_*`
+    * cross-reference accessors (`methods/nanoaod.py:113-188`) are this
+    * applied to FK index arrays. */
+  def applyLocalIndex(target: Column, indexes: Column): Column =
+    transform(indexes, i => when(i >= 0, get(target, i)))
+
+  /** nestedindex (reference `transforms.py:434-475`): stack k index
+    * columns into a per-element list, then gather — Jet→[ele1, ele2]. */
+  def nestedIndex(target: Column, indexCols: Seq[Column]): Column = {
+    val stacked = transform(indexCols.head, (_, i) =>
+      array(indexCols.map(c => get(c, i)): _*))
+    transform(stacked, idxs => applyLocalIndex(target, idxs))
+  }
+
+  /** counts2nestedindex / segmented slice (reference
+    * `transforms.py:145-179`): partition `target` into consecutive blocks
+    * of the given per-source counts (e.g. Jet → its PFCands block).
+    * Running offsets via a scan fold, then `slice` per block. */
+  def segmentedByCounts(target: Column, counts: Column): Column = {
+    // offsets[i] = sum(counts[0..i-1]); build with a fold accumulating
+    // (runningTotal, offsets[])
+    val offsets = aggregate(
+      counts,
+      struct(lit(0L).as("tot"), array().cast("array<bigint>").as("offs")),
+      (acc, c) => struct(
+        (acc("tot") + c.cast("bigint")).as("tot"),
+        concat(acc("offs"), array(acc("tot"))).as("offs")),
+      acc => acc("offs"))
+    zip_with(offsets, counts, (off, cnt) =>
+      slice(target, (off + lit(1L)).cast("int"), cnt.cast("int")))
+  }
+
+  /** EDM4HEP-style (begin, end) range adjacency (reference
+    * `transforms.py:647-760`): per element slice target[begin, end). */
+  def rangeGather(target: Column, begins: Column, ends: Column): Column =
+    zip_with(begins, ends, (b, e) =>
+      slice(target, (b + lit(1)).cast("int"), greatest(e - b, lit(0)).cast("int")))
+}

@@ -1,0 +1,109 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Jagged-array (awkward-style) operations over `ArrayType` columns.
+  *
+  * Reproduces the awkward-array indexing/reduction vocabulary coffea
+  * exposes (SURVEY.md §2.2, §2.8): per-event multiplicity `ak.num`
+  * (reference `src/coffea/analysis_tools.py:105`), inner masks
+  * `muons[muons.pt > 20]` (`tests/test_nanoevents.py:92`), keep-shape
+  * masks `ak.mask` (`src/coffea/nanoevents/methods/base.py:326`),
+  * `ak.local_index` (`src/coffea/nanoevents/transforms.py:689`),
+  * axis=1 reductions, `pad_none`/`fill_none`, `firsts`.
+  *
+  * Everything here is a pure `Column => Column` composition of Spark
+  * higher-order functions — codegen'd, no UDFs, no shuffle. At 100 TB
+  * these run inside the scan's WholeStageCodegen span.
+  *
+  * Spark 4 runs in ANSI mode: out-of-bounds `element_at` throws, so all
+  * positional access here goes through the null-safe 0-based `get`.
+  */
+object Jagged {
+
+  /** ak.num(coll, axis=1): per-event multiplicity. */
+  def num(arr: Column): Column = coalesce(size(arr), lit(0))
+
+  /** muons[muons.pt > 20]: drop elements failing the predicate. */
+  def innerFilter(arr: Column, p: Column => Column): Column = filter(arr, p)
+
+  /** ak.mask: keep-shape mask — failing elements become null. */
+  def innerMask(arr: Column, p: Column => Column): Column =
+    transform(arr, x => when(p(x), x))
+
+  /** ak.local_index(coll, axis=1): 0-based index within each sublist. */
+  def localIndex(arr: Column): Column = transform(arr, (_, i) => i)
+
+  /** Elementwise map. */
+  def innerMap(arr: Column, f: Column => Column): Column = transform(arr, f)
+
+  /** Map with the 0-based local index. */
+  def innerMapIndexed(arr: Column, f: (Column, Column) => Column): Column =
+    transform(arr, f)
+
+  /** ak.firsts: first element or null when empty. */
+  def firsts(arr: Column): Column = get(arr, lit(0))
+
+  /** Null-safe 0-based element access (negative / OOB index → null). */
+  def at(arr: Column, idx: Column): Column = get(arr, idx)
+
+  /** ak.sum(axis=1) over a numeric array (empty → 0.0). */
+  def innerSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
+
+  /** ak.sum(axis=1) over a projected field of an array-of-structs. */
+  def innerSumOf(arr: Column, f: Column => Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + f(x).cast("double"))
+
+  /** ak.max(axis=1) (null when empty). */
+  def innerMax(arr: Column): Column = array_max(arr)
+
+  /** ak.min(axis=1) (null when empty). */
+  def innerMin(arr: Column): Column = array_min(arr)
+
+  /** ak.any(mask, axis=1). */
+  def innerAny(arr: Column, p: Column => Column): Column = exists(arr, p)
+
+  /** ak.all(mask, axis=1). */
+  def innerAll(arr: Column, p: Column => Column): Column = forall(arr, p)
+
+  /** ak.count_nonzero(axis=1) of a predicate. */
+  def innerCount(arr: Column, p: Column => Column): Column = size(filter(arr, p))
+
+  /** ak.pad_none(coll, n, clip=True): pad with nulls to exactly n. */
+  def padNone(arr: Column, n: Int): Column =
+    slice(concat(arr, array_repeat(lit(null), n)), 1, n)
+
+  /** ak.fill_none at axis=1: replace null elements. */
+  def fillNone(arr: Column, value: Column): Column =
+    transform(arr, x => coalesce(x, value))
+
+  /** Sort array by a key projection (ascending). Supply a unique
+    * tiebreak component inside the key when stability matters. */
+  def sortBy(arr: Column, key: Column => Column): Column =
+    array_sort(arr, (l, r) =>
+      when(key(l) < key(r), lit(-1)).when(key(l) > key(r), lit(1)).otherwise(lit(0)))
+
+  /** argmin element: minimizes (key, tiebreak); null for empty input.
+    * O(n) fold — the accumulator is a 0/1-element array so the zero is
+    * typed without naming the element schema. */
+  def minBy(arr: Column, key: Column => Column, tiebreak: Column => Column): Column = {
+    val folded = aggregate(
+      arr,
+      slice(arr, 1, 0), // empty, same element type
+      (acc, x) => {
+        val cur = get(acc, lit(0))
+        when(size(acc) === 0, array(x))
+          .when(
+            key(x) < key(cur) || (key(x) === key(cur) && tiebreak(x) < tiebreak(cur)),
+            array(x))
+          .otherwise(acc)
+      })
+    get(folded, lit(0))
+  }
+
+  /** Running fold over array elements with an explicit zero. */
+  def fold(arr: Column, zero: Column, merge: (Column, Column) => Column): Column =
+    aggregate(arr, zero, merge)
+}

@@ -1,0 +1,108 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Lorentz-vector algebra as pure `Column` expressions.
+  *
+  * The physics expression library of the reference (SURVEY.md §2.4):
+  * coordinate conversions, Δφ/ΔR metrics, 4-vector addition and invariant
+  * mass over `struct(pt, eta, phi, mass)` columns — the native NanoAOD
+  * coordinate system (reference `src/coffea/nanoevents/methods/
+  * vector.py:583-672` stores pt/eta/phi/m and derives x,y,z,t).
+  *
+  * All functions compose built-in codegen'd math (`sin/cos/sinh/atan2/
+  * hypot/sqrt`); no UDFs, so they inline into WholeStageCodegen and
+  * vectorize over jagged arrays via `transform` lambdas.
+  */
+object Kinematics {
+
+  /** Δφ wrapped to (−π, π] (reference `vector.py:204-209`). */
+  def deltaPhi(phi1: Column, phi2: Column): Column =
+    atan2(sin(phi1 - phi2), cos(phi1 - phi2))
+
+  /** ΔR² = Δη² + Δφ² (reference `vector.py:438-447`). */
+  def deltaR2(eta1: Column, phi1: Column, eta2: Column, phi2: Column): Column = {
+    val dphi = deltaPhi(phi1, phi2)
+    val deta = eta1 - eta2
+    deta * deta + dphi * dphi
+  }
+
+  def deltaR(eta1: Column, phi1: Column, eta2: Column, phi2: Column): Column =
+    sqrt(deltaR2(eta1, phi1, eta2, phi2))
+
+  /** ΔR between two `struct(.., eta, phi, ..)` vectors. */
+  def deltaR(a: Column, b: Column): Column =
+    deltaR(a("eta"), a("phi"), b("eta"), b("phi"))
+
+  // --- coordinate conversions (polar → cartesian), vector.py:583-672 ---
+  def px(v: Column): Column = v("pt") * cos(v("phi"))
+  def py(v: Column): Column = v("pt") * sin(v("phi"))
+  def pz(v: Column): Column = v("pt") * sinh(v("eta"))
+  def p2(v: Column): Column = v("pt") * v("pt") + pz(v) * pz(v)
+  def energy(v: Column): Column = sqrt(v("mass") * v("mass") + p2(v))
+
+  /** Build a pt/eta/phi/mass 4-vector struct. */
+  def ptEtaPhiM(pt: Column, eta: Column, phi: Column, mass: Column): Column =
+    struct(pt.as("pt"), eta.as("eta"), phi.as("phi"), mass.as("mass"))
+
+  /** 4-vector sum in native coordinates (reference `vector.py:675-690`;
+    * `Candidate.add` charge handling is [[addCandidate]]). */
+  def add4(a: Column, b: Column): Column = {
+    val sx = px(a) + px(b)
+    val sy = py(a) + py(b)
+    val sz = pz(a) + pz(b)
+    val se = energy(a) + energy(b)
+    fromCartesian(sx, sy, sz, se)
+  }
+
+  /** Cartesian (px,py,pz,E) → pt/eta/phi/mass struct. */
+  def fromCartesian(x: Column, y: Column, z: Column, e: Column): Column = {
+    val pt = hypot(x, y)
+    val eta = asinh(z / pt) // null/inf-safe enough for pt>0 physics objects
+    val phi = atan2(y, x)
+    val m = sqrt(greatest(e * e - (x * x + y * y + z * z), lit(0.0)))
+    ptEtaPhiM(pt, eta, phi, m)
+  }
+
+  /** Invariant mass of two 4-vectors without materializing the sum:
+    * m² = m1² + m2² + 2(E1·E2 − p1·p2). */
+  def invariantMass(a: Column, b: Column): Column = {
+    val dot = px(a) * px(b) + py(a) * py(b) + pz(a) * pz(b)
+    val m2 = a("mass") * a("mass") + b("mass") * b("mass") +
+      lit(2.0) * (energy(a) * energy(b) - dot)
+    sqrt(greatest(m2, lit(0.0)))
+  }
+
+  /** `Candidate.add`: 4-vector sum that also sums charge (reference
+    * `src/coffea/nanoevents/methods/candidate.py:16-57`). */
+  def addCandidate(a: Column, b: Column): Column = {
+    val v = add4(a, b)
+    struct(v("pt").as("pt"), v("eta").as("eta"), v("phi").as("phi"),
+      v("mass").as("mass"), (a("charge") + b("charge")).as("charge"))
+  }
+
+  /** Componentwise jagged sum of an array of 4-vectors → one 4-vector
+    * (reference `vector.py:181-190` sum(axis=1)). */
+  def sum4(arr: Column): Column = {
+    val zero = struct(lit(0.0).as("x"), lit(0.0).as("y"), lit(0.0).as("z"), lit(0.0).as("e"))
+    val folded = aggregate(arr, zero, (acc, v) => struct(
+      (acc("x") + px(v)).as("x"),
+      (acc("y") + py(v)).as("y"),
+      (acc("z") + pz(v)).as("z"),
+      (acc("e") + energy(v)).as("e")))
+    fromCartesian(folded("x"), folded("y"), folded("z"), folded("e"))
+  }
+
+  /** Scalar multiply in polar coordinates (closed-form fast path,
+    * reference `vector.py:234-252`: scales pt and mass, keeps direction;
+    * negative scale flips φ and η). */
+  def scale(v: Column, k: Column): Column = {
+    val flip = k < 0
+    ptEtaPhiM(
+      abs(k) * v("pt"),
+      when(flip, -v("eta")).otherwise(v("eta")),
+      when(flip, deltaPhi(v("phi") + lit(math.Pi), lit(0.0))).otherwise(v("phi")),
+      abs(k) * v("mass"))
+  }
+}

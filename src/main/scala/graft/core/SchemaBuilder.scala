@@ -1,0 +1,84 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema building: turn flat columnar layouts into the nested
+  * "jagged event record" model (SURVEY.md §1.1-1.3).
+  *
+  * The reference infers a nested schema from flat branch names —
+  * `Muon_pt`, `Muon_eta`, `nMuon` → `Muon: list<struct{pt, eta}>`
+  * (`zip_forms`, reference `src/coffea/nanoevents/schemas/base.py:24-80`;
+  * `NanoAODSchema` prefix grouping, `schemas/nanoaod.py:265-311`). In
+  * Spark the same rewrite is one `select` of `arrays_zip` expressions —
+  * pure projection, zero shuffle, and Catalyst still prunes unused
+  * struct fields down to the parquet scan.
+  *
+  * [[nestRows]] covers the other direction of arriving at jagged events:
+  * grouping a flat row-per-element table by an event key (one shuffle,
+  * after which all intra-event operators in [[Jagged]]/[[Combinatorics]]
+  * are shuffle-free).
+  */
+object SchemaBuilder {
+
+  /** Columns named `<collection>_<field>` (with every field an array of
+    * the same length per row) → one `collection: array<struct>` column
+    * via arrays_zip. Mirrors `auto_schema` (reference
+    * `schemas/auto.py:37`) / `zip_forms`. Non-prefixed columns pass
+    * through; an optional `n<collection>` count column is dropped
+    * (offsets live in the array — `nMuon` ⇒ `size(Muon)`).
+    */
+  def zipCollections(df: DataFrame): DataFrame = {
+    val arrayCols = df.schema.fields.collect {
+      case StructField(name, ArrayType(_, _), _, _) if name.contains("_") => name
+    }
+    val groups = arrayCols
+      .groupBy(n => n.substring(0, n.indexOf('_')))
+      .filter(_._2.length >= 1)
+    val grouped = groups.keySet
+    val countCols = grouped.map(g => s"n$g")
+    val passthrough = df.columns.filterNot(c =>
+      arrayCols.contains(c) || countCols.contains(c))
+    val zipped: Seq[Column] = groups.toSeq.sortBy(_._1).map { case (coll, cols) =>
+      val renamed = cols.sorted.map(c => col(c).as(c.stripPrefix(s"${coll}_")))
+      arrays_zip(renamed: _*).as(coll)
+    }
+    df.select(passthrough.map(col) ++ zipped: _*)
+  }
+
+  /** Group a flat row-per-element table into a jagged event table:
+    * one output row per `key`, with `collection` = array of
+    * `struct(fields)` sorted by `sortField` (deterministic layout —
+    * array order must be stable for downstream local-index gathers).
+    *
+    * This is the one shuffle of the jagged pipeline; everything after it
+    * is per-row. At scale, sizing `spark.sql.shuffle.partitions` (or AQE)
+    * governs it like any groupBy.
+    */
+  def nestRows(
+      df: DataFrame,
+      key: Seq[String],
+      collection: String,
+      fields: Seq[String],
+      sortFields: Seq[String]): DataFrame = {
+    val item = struct(fields.map(col): _*)
+    // collect_list order is nondeterministic (shuffle arrival order) —
+    // sortFields must be unique per group to pin the array layout
+    // (struct comparison is lexicographic).
+    df.groupBy(key.map(col): _*)
+      .agg(collect_list(item).as("__unsorted"))
+      .withColumn(collection,
+        Jagged.sortBy(col("__unsorted"),
+          x => struct(sortFields.map(f => x(f)): _*)))
+      .drop("__unsorted")
+  }
+
+  /** Validate that required event-id columns exist (reference requires
+    * run/luminosityBlock/event — `schemas/nanoaod.py:49-51`). */
+  def requireColumns(df: DataFrame, names: Seq[String]): DataFrame = {
+    val missing = names.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing required event-id columns: ${missing.mkString(",")}")
+    df
+  }
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Query, QueryPack}
+import graft.core.{Combinatorics, Jagged, Kinematics, SchemaBuilder, Tables}
+
+/** The coffea-semantics core exercised on the star schema: build jagged
+  * event records (order → items, user → events), then run the intra-event
+  * operator vocabulary — multiplicity, inner filters, combinations,
+  * index-gathers, nearest — all shuffle-free after the single nesting
+  * groupBy. Oracles express the same semantics relationally (self-joins /
+  * window functions) in DuckDB.
+  */
+object JaggedQueries extends QueryPack {
+
+  private def ordersNested(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SchemaBuilder.nestRows(
+      Tables.lineitem(s, dir),
+      key = Seq("l_orderkey"),
+      collection = "items",
+      fields = Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"),
+      // (l_linenumber, l_extendedprice) is unique within an order in this
+      // dataset (l_linenumber alone is NOT) — pins the array layout.
+      sortFields = Seq("l_linenumber", "l_extendedprice"))
+
+  def queries: Seq[Query] = Seq(
+    Query(
+      "q20_jagged_build",
+      "SchemaBuilder.nestRows + ak.num + ak.sum(axis=1): flat lineitem → jagged order.items, per-order multiplicity and quantity sum, filter on multiplicity.",
+      (s, dir) => {
+        import s.implicits._
+        ordersNested(s, dir)
+          .select($"l_orderkey",
+            Jagged.num($"items").cast("long").as("n_items"),
+            cents(Jagged.innerSumOf($"items", _("l_quantity"))).as("sum_qty_c"))
+          .filter($"n_items" >= 5)
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_items,
+             |CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_c
+             |FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5""".stripMargin)),
+
+    Query(
+      "q21_inner_filter",
+      "Particle-level mask muons[muons.pt > 20] analogue: count items with qty > 25 inside each order (no explode), histogram the multiplicities.",
+      (s, dir) => {
+        import s.implicits._
+        ordersNested(s, dir)
+          .select(Jagged.innerCount($"items", _("l_quantity") > 25.0)
+            .cast("long").as("n_high"))
+          .groupBy($"n_high")
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT n_high, count(*) AS n_orders FROM (
+             |  SELECT count(*) FILTER (WHERE l_quantity > 25.0) AS n_high
+             |  FROM lineitem GROUP BY l_orderkey
+             |) GROUP BY n_high""".stripMargin)),
+
+    Query(
+      "q22_combinations",
+      "ak.combinations(items, 2) — the dimuon idiom: all unordered per-order item pairs, aggregated by the pair's returnflag combination. Relationally a self-join; here a per-row array expression with zero shuffle.",
+      (s, dir) => {
+        import s.implicits._
+        ordersNested(s, dir)
+          .select(explode(Combinatorics.combinations2($"items")).as("p"))
+          .groupBy($"p._1.l_returnflag".as("rf1"), $"p._2.l_returnflag".as("rf2"))
+          .agg(count(lit(1)).as("n_pairs"),
+            cents(sum($"p._1.l_quantity" * $"p._2.l_quantity")).as("sum_qq_c"))
+      },
+      Some("""SELECT a.l_returnflag AS rf1, b.l_returnflag AS rf2,
+             |count(*) AS n_pairs,
+             |CAST(floor(sum(a.l_quantity * b.l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qq_c
+             |FROM lineitem a JOIN lineitem b
+             |  ON a.l_orderkey = b.l_orderkey
+             | AND (a.l_linenumber, a.l_extendedprice) < (b.l_linenumber, b.l_extendedprice)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q23_gather_join",
+      "applyLocalIndex gather (the matched_* cross-reference join, methods/base.py:313-346): within each user's time-sorted event list, every event gathers its predecessor — LAG as an intra-row index gather.",
+      (s, dir) => {
+        import s.implicits._
+        val nested = SchemaBuilder.nestRows(
+          Tables.events(s, dir).select($"event_id", $"ts", $"user_id", $"value"),
+          key = Seq("user_id"),
+          collection = "evs",
+          fields = Seq("ts", "event_id", "value"),
+          sortFields = Seq("ts", "event_id"))
+        val prevIdx = Jagged.localIndex($"evs")
+        val gathered = Combinatorics.applyLocalIndex($"evs",
+          transform(prevIdx, i => i - 1))
+        nested
+          .select(explode(zip_with($"evs", gathered, (ev, prev) =>
+            struct(ev("event_id").as("event_id"),
+              prev("value").as("prev_value")))).as("r"))
+          .select($"r.event_id", $"r.prev_value")
+      },
+      Some("""SELECT event_id,
+             |lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+             |FROM events""".stripMargin)),
+
+    Query(
+      "q24_nearest",
+      "nearest() metric argmin (vector.py:519-561): for every item, the other item in its order with the closest extendedprice; per-row array fold, no self-join shuffle.",
+      (s, dir) => {
+        import s.implicits._
+        val nn = Combinatorics.nearest(
+          $"items", $"items",
+          metric = (x, y) => when(
+            x("l_linenumber") === y("l_linenumber") &&
+              x("l_extendedprice") === y("l_extendedprice"), lit(Double.MaxValue))
+            .otherwise(abs(x("l_extendedprice") - y("l_extendedprice"))),
+          tiebreak = y => struct(y("l_linenumber"), y("l_extendedprice")))
+        ordersNested(s, dir)
+          .filter(size($"items") >= 2)
+          .select($"l_orderkey", explode(zip_with($"items", nn, (x, b) =>
+            struct(x("l_linenumber").as("l_linenumber"),
+              b("l_linenumber").as("nn_linenumber")))).as("r"))
+          .select($"l_orderkey", $"r.l_linenumber", $"r.nn_linenumber")
+      },
+      Some("""SELECT a.l_orderkey, a.l_linenumber, b.l_linenumber AS nn_linenumber
+             |FROM lineitem a JOIN lineitem b
+             |  ON a.l_orderkey = b.l_orderkey
+             | AND (a.l_linenumber, a.l_extendedprice) <> (b.l_linenumber, b.l_extendedprice)
+             |QUALIFY row_number() OVER (
+             |  PARTITION BY a.l_orderkey, a.l_linenumber, a.l_extendedprice
+             |  ORDER BY abs(a.l_extendedprice - b.l_extendedprice), b.l_linenumber, b.l_extendedprice) = 1""".stripMargin)),
+
+    Query(
+      "q25_kinematics",
+      "Lorentz-vector algebra (vector.py §2.4): ΔR and two-body invariant mass over 4-vectors fabricated from lineitem columns, aggregated per returnflag. Validates deltaPhi/deltaR/invariantMass against DuckDB's independent libm.",
+      (s, dir) => {
+        import s.implicits._
+        val v1 = Kinematics.ptEtaPhiM($"l_quantity", $"l_discount" * 20.0 - 1.0,
+          $"l_tax" * 40.0 - 3.0, $"l_quantity" * 0.1)
+        val v2 = Kinematics.ptEtaPhiM($"l_extendedprice" / 1000.0, $"l_discount" * 10.0 - 0.5,
+          lit(3.0) - $"l_tax" * 40.0, $"l_extendedprice" / 10000.0)
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag",
+            Kinematics.deltaR(v1, v2).as("dr"),
+            Kinematics.invariantMass(v1, v2).as("m"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg($"dr")).as("avg_dr_e4"),
+            cents(sum($"m")).as("sum_m_c"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag,
+             |    l_quantity AS pt1, l_discount*20.0 - 1.0 AS eta1,
+             |    l_tax*40.0 - 3.0 AS phi1, l_quantity*0.1 AS m1,
+             |    l_extendedprice/1000.0 AS pt2, l_discount*10.0 - 0.5 AS eta2,
+             |    3.0 - l_tax*40.0 AS phi2, l_extendedprice/10000.0 AS m2
+             |  FROM lineitem),
+             |k AS (
+             |  SELECT l_returnflag,
+             |    sqrt((eta1-eta2)*(eta1-eta2) +
+             |         atan2(sin(phi1-phi2), cos(phi1-phi2))*atan2(sin(phi1-phi2), cos(phi1-phi2))) AS dr,
+             |    sqrt(greatest(
+             |      m1*m1 + m2*m2 + 2.0 * (
+             |        sqrt(m1*m1 + pt1*pt1 + pt1*(exp(eta1)-exp(-eta1))/2*pt1*(exp(eta1)-exp(-eta1))/2) *
+             |        sqrt(m2*m2 + pt2*pt2 + pt2*(exp(eta2)-exp(-eta2))/2*pt2*(exp(eta2)-exp(-eta2))/2) -
+             |        (pt1*cos(phi1)*pt2*cos(phi2) + pt1*sin(phi1)*pt2*sin(phi2) +
+             |         pt1*(exp(eta1)-exp(-eta1))/2*pt2*(exp(eta2)-exp(-eta2))/2)), 0.0)) AS m
+             |  FROM v)
+             |SELECT l_returnflag, count(*) AS n,
+             |CAST(floor(avg(dr) * 10000 + 0.5) AS BIGINT) AS avg_dr_e4,
+             |CAST(floor(sum(m) * 100 + 0.5) AS BIGINT) AS sum_m_c
+             |FROM k GROUP BY l_returnflag""".stripMargin))
+  )
+}

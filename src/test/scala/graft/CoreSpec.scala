@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Combinatorics, Jagged, Kinematics}
+
+/** Closed-form unit checks on the jagged/kinematics core, mirroring the
+  * reference's inline golden assertions (tests/test_nanoevents_vector.py,
+  * tests/test_analysis_tools.py style). */
+class CoreSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def arr1 = Seq((1, Seq(5.0, 1.0, 3.0)), (2, Seq.empty[Double])).toDF("id", "xs")
+
+  test("Jagged num/sum/min/max/firsts") {
+    val r = arr1.select(
+      Jagged.num($"xs").as("n"),
+      Jagged.innerSum($"xs").as("s"),
+      Jagged.firsts($"xs").as("f"),
+      Jagged.innerMax($"xs").as("mx")).orderBy("n").collect()
+    assert(r(0).getInt(0) == 0 && r(0).getDouble(1) == 0.0 && r(0).isNullAt(2))
+    assert(r(1).getInt(0) == 3 && r(1).getDouble(1) == 9.0 && r(1).getDouble(2) == 5.0 && r(1).getDouble(3) == 5.0)
+  }
+
+  test("Jagged innerFilter / innerMask / localIndex / padNone") {
+    val r = arr1.filter($"id" === 1).select(
+      Jagged.innerFilter($"xs", _ > 2.0).as("f"),
+      Jagged.innerMask($"xs", _ > 2.0).as("m"),
+      Jagged.localIndex($"xs").as("li"),
+      Jagged.padNone($"xs", 5).as("p5"),
+      Jagged.padNone($"xs", 2).as("p2")).head()
+    assert(r.getSeq[Double](0) == Seq(5.0, 3.0))
+    assert(r.getSeq[Any](1) == Seq(5.0, null, 3.0))
+    assert(r.getSeq[Int](2) == Seq(0, 1, 2))
+    assert(r.getSeq[Any](3) == Seq(5.0, 1.0, 3.0, null, null))
+    assert(r.getSeq[Any](4) == Seq(5.0, 1.0))
+  }
+
+  test("combinations2 yields nC2 ordered pairs; combinations3 yields nC3") {
+    val df = Seq(Seq(1, 2, 3, 4)).toDF("xs")
+    val pairs = df.select(Combinatorics.combinations2($"xs").as("p")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(pairs.size == 6)
+    assert(pairs.map(r => (r.getInt(0), r.getInt(1))) ==
+      Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)))
+    val triples = df.select(Combinatorics.combinations3($"xs").as("t")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(triples.size == 4)
+    assert(triples.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))) ==
+      Seq((1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)))
+  }
+
+  test("applyLocalIndex gathers with null for negative/OOB") {
+    val df = Seq((Seq(10.0, 20.0, 30.0), Seq(2, -1, 0, 99))).toDF("t", "i")
+    val r = df.select(Combinatorics.applyLocalIndex($"t", $"i").as("g")).head().getSeq[Any](0)
+    assert(r == Seq(30.0, null, 10.0, null))
+  }
+
+  test("segmentedByCounts partitions a flat target by counts") {
+    val df = Seq((Seq(1, 2, 3, 4, 5, 6), Seq(2, 0, 3, 1))).toDF("t", "c")
+    val r = df.select(Combinatorics.segmentedByCounts($"t", $"c").as("s")).head().getSeq[Seq[Int]](0)
+    assert(r == Seq(Seq(1, 2), Seq(), Seq(3, 4, 5), Seq(6)))
+  }
+
+  test("deltaPhi wraps across ±π") {
+    val df = Seq((3.0, -3.0)).toDF("a", "b")
+    val got = df.select(Kinematics.deltaPhi($"a", $"b")).head().getDouble(0)
+    assert(math.abs(got - (6.0 - 2 * math.Pi)) < 1e-12)
+  }
+
+  test("invariantMass of back-to-back massless vectors = 2E") {
+    // pt=10 at phi=0 and phi=pi, eta=0, m=0 → m12 = 2*10
+    val df = Seq(1).toDF("x").select(
+      Kinematics.ptEtaPhiM(lit(10.0), lit(0.0), lit(0.0), lit(0.0)).as("a"),
+      Kinematics.ptEtaPhiM(lit(10.0), lit(0.0), lit(math.Pi), lit(0.0)).as("b"))
+    val m = df.select(Kinematics.invariantMass($"a", $"b")).head().getDouble(0)
+    assert(math.abs(m - 20.0) < 1e-9)
+    val viaAdd = df.select(Kinematics.add4($"a", $"b")("mass")).head().getDouble(0)
+    assert(math.abs(viaAdd - 20.0) < 1e-9)
+  }
+
+  test("sum4 equals iterated add4") {
+    val df = Seq(1).toDF("x").select(array(
+      Kinematics.ptEtaPhiM(lit(30.0), lit(0.5), lit(1.0), lit(5.0)),
+      Kinematics.ptEtaPhiM(lit(20.0), lit(-1.2), lit(-2.0), lit(3.0)),
+      Kinematics.ptEtaPhiM(lit(10.0), lit(0.1), lit(3.0), lit(1.0))).as("vs"))
+    val s = df.select(Kinematics.sum4($"vs").as("s")).select($"s.pt", $"s.mass").head()
+    val ab = df.select(
+      Kinematics.add4(Kinematics.add4(element_at($"vs", 1), element_at($"vs", 2)),
+        element_at($"vs", 3)).as("s")).select($"s.pt", $"s.mass").head()
+    assert(math.abs(s.getDouble(0) - ab.getDouble(0)) < 1e-9)
+    assert(math.abs(s.getDouble(1) - ab.getDouble(1)) < 1e-9)
+  }
+
+  test("nearest finds closest by metric with threshold") {
+    val df = Seq((Seq(1.0, 10.0), Seq(2.0, 8.0, 100.0))).toDF("a", "b")
+    val nn = df.select(Combinatorics.nearest(
+      $"a", $"b", (x, y) => abs(x - y), tiebreak = identity).as("nn"))
+      .head().getSeq[Double](0)
+    assert(nn == Seq(2.0, 8.0))
+    val thr = df.select(Combinatorics.nearest(
+      $"a", $"b", (x, y) => abs(x - y), tiebreak = identity, threshold = Some(1.5)).as("nn"))
+      .head().getSeq[Any](0)
+    assert(thr == Seq(2.0, null))
+  }
+}
