@@ -11,7 +11,9 @@ object SparkEntry {
 
   def packs: Seq[QueryPack] = Seq(
     _root_.graft.queries.Relational,
-    _root_.graft.queries.JaggedQueries
+    _root_.graft.queries.JaggedQueries,
+    _root_.graft.queries.AnalysisQueries,
+    _root_.graft.queries.CorrectionsQueries
   )
 
   private lazy val registry: Seq[Query] = {

@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weighted-histogram aggregation (reference: `hist.Hist(axes).fill(x,
+  * weight)` with Weight storage — sumw and sumw², used throughout e.g.
+  * `processor/test_items/NanoEventsProcessor.py:25-48`).
+  *
+  * The sparse form — `groupBy(bucket(x), categories).agg(sum(w),
+  * sum(w*w), count)` — is the scalable default: partial aggregation
+  * combines map-side so the shuffle carries at most (#occupied bins ×
+  * #partitions) rows regardless of input size. A dense
+  * TypedImperativeAggregate variant (one bins-array per group) is the
+  * planned optimization for very high bin counts (SURVEY §4 custom #2).
+  */
+object Histogram {
+
+  /** Regular binning with under/overflow flow bins, matching the
+    * reference's axis semantics: returns -1 for x < lo, n for x >= hi,
+    * else floor((x-lo)/width). Pure arithmetic — identical in any
+    * engine (`width_bucket` is NOT portable).
+    * SQL twin: see [[bucketSql]]. */
+  def bucket(x: Column, lo: Double, hi: Double, n: Int): Column = {
+    val width = (hi - lo) / n
+    when(x < lo, lit(-1L))
+      .when(x >= hi, lit(n.toLong))
+      .otherwise(floor((x - lit(lo)) / lit(width)).cast("long"))
+  }
+
+  /** DuckDB-equivalent SQL text for [[bucket]]. */
+  def bucketSql(x: String, lo: Double, hi: Double, n: Int): String = {
+    val width = (hi - lo) / n
+    s"(CASE WHEN $x < $lo THEN -1 WHEN $x >= $hi THEN $n " +
+      s"ELSE CAST(floor(($x - $lo) / $width) AS BIGINT) END)"
+  }
+
+  /** Fill a weighted histogram: one shuffle of pre-aggregated partials.
+    * Output: axes columns + sumw, sumw2, n. */
+  def fill(df: DataFrame, axes: Seq[(String, Column)], weight: Column): DataFrame =
+    df.groupBy(axes.map { case (n, c) => c.as(n) }: _*)
+      .agg(sum(weight).as("sumw"),
+        sum(weight * weight).as("sumw2"),
+        count(lit(1)).as("n"))
+}

@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Systematic-variation fan-out (reference `src/coffea/nanoevents/
+  * methods/base.py:54-259` attaches named up/down variations;
+  * `UpDownSystematic` materializes varied copies).
+  *
+  * Two evaluation strategies, both one-scan:
+  *  - [[withVariationColumns]]: wide format — one extra column per
+  *    variation (reference semantics, good for few variations).
+  *  - [[explodeVariations]]: long format — a `variation` dimension via
+  *    explode, turning N re-plans into one plan with an N-row generator.
+  *    This is the 100 TB-safe shape: downstream groupBys add `variation`
+  *    as a key and all variations share every scan/shuffle (SURVEY §7.4
+  *    risk 5: naive re-planning is O(N) plans).
+  */
+object Systematics {
+
+  def withVariationColumns(df: DataFrame, variations: Seq[(String, Column)]): DataFrame =
+    variations.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
+  /** A column that explodes to one row per named variation:
+    * `struct(variation: string, value)`. */
+  def explodeVariations(variations: Seq[(String, Column)]): Column =
+    explode(array(variations.map { case (n, c) =>
+      struct(lit(n).as("variation"), c.as("value"))
+    }: _*))
+}

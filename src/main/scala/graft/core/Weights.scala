@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multiplicative event weights with named up/down systematic modifiers
+  * (reference `src/coffea/analysis_tools.py:292-637`).
+  *
+  * Weights are plain columns; the total is the product of nominals and a
+  * variation is `total * (varied_i / nominal_i)` — the reference stores
+  * modifiers as ratios to nominal (`weightUp /= weight`,
+  * `analysis_tools.py:483-552`) for exactly this algebra. Pure column
+  * arithmetic: N variations share one scan, no re-read.
+  */
+final case class Weights(
+    entries: Seq[(String, Column)] = Nil,
+    modifiers: Seq[(String, Column)] = Nil) {
+
+  /** Register a weight; optional up/down become `{name}Up`/`{name}Down`
+    * modifiers stored as ratios to nominal. */
+  def add(name: String, w: Column, up: Option[Column] = None, down: Option[Column] = None): Weights = {
+    val mods = Seq(
+      up.map(u => s"${name}Up" -> u / w),
+      down.map(d => s"${name}Down" -> d / w)).flatten
+    copy(entries = entries :+ (name -> w), modifiers = modifiers ++ mods)
+  }
+
+  /** One weight with k named up/down variation pairs (reference
+    * `add_multivariation`). */
+  def addMultivariation(
+      name: String,
+      w: Column,
+      variations: Seq[(String, Column, Column)]): Weights = {
+    val mods = variations.flatMap { case (vn, up, down) =>
+      Seq(s"${name}_${vn}Up" -> up / w, s"${name}_${vn}Down" -> down / w)
+    }
+    copy(entries = entries :+ (name -> w), modifiers = modifiers ++ mods)
+  }
+
+  def modifierNames: Seq[String] = modifiers.map(_._1)
+
+  /** Total nominal weight (product). */
+  def weight: Column = entries.map(_._2).reduceOption(_ * _).getOrElse(lit(1.0))
+
+  /** Total weight under a named variation. */
+  def weight(modifier: String): Column = {
+    val m = modifiers.collectFirst { case (n, c) if n == modifier => c }
+    require(m.nonEmpty, s"unknown modifier: $modifier (have ${modifierNames.mkString(",")})")
+    weight * m.get
+  }
+
+  /** Product of a subset of weights (reference `partial_weight`). */
+  def partialWeight(include: Seq[String] = Nil, exclude: Seq[String] = Nil): Column = {
+    require(include.isEmpty ^ exclude.isEmpty, "pass exactly one of include/exclude")
+    val keep = if (include.nonEmpty) entries.filter(e => include.contains(e._1))
+    else entries.filterNot(e => exclude.contains(e._1))
+    keep.map(_._2).reduceOption(_ * _).getOrElse(lit(1.0))
+  }
+
+  /** WeightStatistics aggregate columns (reference
+    * `analysis_tools.py:138-193`): sumw, sumw2, min, max, n. */
+  def statistics: Seq[Column] = {
+    val w = weight
+    Seq(sum(w).as("sumw"), sum(w * w).as("sumw2"),
+      min(w).as("minw"), max(w).as("maxw"), count(w).as("n"))
+  }
+}

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, data-seeded randomness (reference `rand_gauss` seeds
+  * normals from jet data so JER stochastic smearing is reproducible —
+  * `src/coffea/jetmet_tools/CorrectedJetsFactory.py:36-62`).
+  *
+  * `randn(seed)` is NOT replay-safe under task retries / AQE re-execution
+  * (row order changes); hashing the row's own identity columns is. Two
+  * independent xxhash64 streams → Box-Muller.
+  */
+object DeterministicRandom {
+
+  /** Uniform in (0, 1), seeded by the given columns + a stream tag. */
+  def uniformFromHash(tag: Int, cols: Column*): Column = {
+    // top 53 bits of xxhash64 → [0,1); offset by 2^-54 to avoid exact 0
+    val h = xxhash64((lit(tag) +: cols): _*)
+    (shiftrightunsigned(h, 11).cast("double") * lit(1.1102230246251565e-16)) +
+      lit(5.551115123125783e-17)
+  }
+
+  /** Standard normal via Box-Muller, deterministic in the seed columns.
+    * `rand_gauss` analogue for JER smearing. */
+  def gaussianFromHash(cols: Column*): Column = {
+    val u1 = uniformFromHash(1, cols: _*)
+    val u2 = uniformFromHash(2, cols: _*)
+    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+}

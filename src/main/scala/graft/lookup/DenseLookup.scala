@@ -1,0 +1,63 @@
+package graft.lookup
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** N-dim binned histogram lookups — the corrections workhorse (reference
+  * `src/coffea/lookup_tools/dense_lookup.py:8-71`: searchsorted per
+  * axis, clip to edge bins, index into the payload).
+  *
+  * Payloads are small (10s-1000s of bins) driver-side arrays baked into
+  * the plan as literals — the Spark analogue of broadcasting the
+  * evaluator: every executor evaluates pure codegen'd arithmetic, no
+  * join, no shuffle, no per-row interpretation.
+  */
+object DenseLookup {
+
+  /** searchsorted-with-clip bin index for non-uniform `edges`
+    * (length k+1 → k bins): values below/above clamp to the first/last
+    * bin, mirroring the reference's clip behavior. Emits a when-chain —
+    * O(k) comparisons, codegen'd; fine for correction-table axis sizes. */
+  def binIndex(x: Column, edges: Seq[Double]): Column = {
+    require(edges.length >= 2, "need at least one bin")
+    val k = edges.length - 1
+    // idx = number of inner edges strictly <= x, clamped to [0, k-1]
+    edges.slice(1, k).zipWithIndex.foldLeft(lit(0)) { case (acc, (e, i)) =>
+      when(x >= e, lit(i + 1)).otherwise(acc)
+    }
+  }
+
+  /** SQL twin of [[binIndex]] for oracle queries. */
+  def binIndexSql(x: String, edges: Seq[Double]): String = {
+    val k = edges.length - 1
+    val cases = edges.slice(1, k).zipWithIndex.reverse
+      .map { case (e, i) => s"WHEN $x >= $e THEN ${i + 1}" }
+      .mkString(" ")
+    s"(CASE $cases ELSE 0 END)"
+  }
+
+  /** 1-D lookup: `values(binIndex(x))`. */
+  def lookup1d(x: Column, edges: Seq[Double], values: Seq[Double]): Column = {
+    require(values.length == edges.length - 1, "one value per bin")
+    get(lit(values.toArray), binIndex(x, edges))
+  }
+
+  /** SQL twin of [[lookup1d]]. */
+  def lookup1dSql(x: String, edges: Seq[Double], values: Seq[Double]): String = {
+    val k = edges.length - 1
+    val cases = edges.slice(1, k).zipWithIndex.reverse
+      .map { case (e, i) => s"WHEN $x >= $e THEN ${values(i + 1)}" }
+      .mkString(" ")
+    s"(CASE $cases ELSE ${values(0)} END)"
+  }
+
+  /** 2-D lookup over a row-major payload: `values(ix * ny + iy)`. */
+  def lookup2d(
+      x: Column, y: Column,
+      xEdges: Seq[Double], yEdges: Seq[Double],
+      values: Seq[Double]): Column = {
+    val ny = yEdges.length - 1
+    require(values.length == (xEdges.length - 1) * ny, "row-major (nx*ny) payload")
+    get(lit(values.toArray), binIndex(x, xEdges) * ny + binIndex(y, yEdges))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.lookup
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Golden-JSON / LumiMask analogue (reference `src/coffea/lumi_tools/
+  * lumi_tools.py:188-278`: (run, lumi) → bool via search into certified
+  * ranges).
+  *
+  * Ranges are driver-side config broadcast as a literal array; membership
+  * is an `exists` over it — codegen'd, no join. For range counts beyond
+  * a few thousand, a sorted-edges binary search `Expression` is the
+  * upgrade path (SURVEY §4 custom #1, `inLumiRanges`).
+  */
+object RangeMask {
+
+  /** value ∈ any [start, end] (inclusive) range. */
+  def inRanges(v: Column, ranges: Seq[(Long, Long)]): Column = {
+    val rangeLits = array(ranges.map { case (a, b) =>
+      struct(lit(a).as("start"), lit(b).as("end"))
+    }: _*)
+    exists(rangeLits, r => v >= r("start") && v <= r("end"))
+  }
+
+  /** SQL twin for oracles. */
+  def inRangesSql(v: String, ranges: Seq[(Long, Long)]): String =
+    ranges.map { case (a, b) => s"($v BETWEEN $a AND $b)" }.mkString("(", " OR ", ")")
+
+  /** Two-level (run, lumi) mask like the reference: run-keyed lumi
+    * ranges. */
+  def lumiMask(run: Column, lumi: Column, table: Map[Long, Seq[(Long, Long)]]): Column =
+    table.toSeq.sortBy(_._1).foldLeft(lit(false)) { case (acc, (r, ranges)) =>
+      when(run === lit(r), inRanges(lumi, ranges)).otherwise(acc)
+    }
+}

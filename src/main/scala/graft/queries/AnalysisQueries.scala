@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Query, QueryPack}
+import graft.core.{Histogram, PackedSelection, Tables, Weights}
+
+/** coffea analysis_tools surface (SURVEY §2.5, §2.10, §2.11): packed
+  * bitmask selections with cutflow / N−1 one-pass reports, multiplicative
+  * weights with systematic variations, WeightStatistics, and weighted
+  * histogram filling. All single-scan aggregation shapes.
+  */
+object AnalysisQueries extends QueryPack {
+
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+  private def cuts(s: SparkSession): Seq[(String, Column)] = {
+    import s.implicits._
+    Seq(
+      "qty" -> ($"l_quantity" < 30.0),
+      "disc" -> ($"l_discount" >= 0.02 && $"l_discount" <= 0.08),
+      "ship" -> ($"l_shipdate" < lit("1997-01-01").cast("timestamp")),
+      "tax" -> ($"l_tax" < 0.05))
+  }
+
+  private val cutSql = Map(
+    "qty" -> "l_quantity < 30.0",
+    "disc" -> "(l_discount >= 0.02 AND l_discount <= 0.08)",
+    "ship" -> "l_shipdate < TIMESTAMP '1997-01-01'",
+    "tax" -> "l_tax < 0.05")
+
+  def queries: Seq[Query] = Seq(
+    Query(
+      "q30_packed_selection",
+      "PackedSelection bitmask algebra (analysis_tools.py:2120-2384): per-cut counts plus all/any/none combinations from ONE packed LongType column in one scan.",
+      (s, dir) => {
+        val sel = PackedSelection(cuts(s))
+        val one = sel.names.zipWithIndex.map { case (n, i) =>
+          sum(when(cuts(s)(i)._2, 1L).otherwise(0L)).as(s"__n_$i")
+        }
+        val combos = Seq(
+          sum(when(sel.all(), 1L).otherwise(0L)).as("__all"),
+          sum(when(sel.any(), 1L).otherwise(0L)).as("__any"),
+          sum(when(sel.noneOf(), 1L).otherwise(0L)).as("__none"))
+        val aggs = one ++ combos
+        val stackArgs = (sel.names.zipWithIndex.map { case (n, i) => s"'$n', __n_$i" } ++
+          Seq("'all', __all", "'any', __any", "'none', __none")).mkString(", ")
+        Tables.lineitem(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${aggs.size}, $stackArgs) as (cut, n_pass)")
+      },
+      Some {
+        val rows = cutSql.toSeq.map { case (n, c) =>
+          s"SELECT '$n' AS cut, count(*) FILTER (WHERE $c) AS n_pass FROM lineitem"
+        } ++ Seq(
+          s"SELECT 'all' AS cut, count(*) FILTER (WHERE ${cutSql.values.mkString(" AND ")}) AS n_pass FROM lineitem",
+          s"SELECT 'any' AS cut, count(*) FILTER (WHERE ${cutSql.values.mkString(" OR ")}) AS n_pass FROM lineitem",
+          s"SELECT 'none' AS cut, count(*) FILTER (WHERE NOT (${cutSql.values.mkString(" OR ")})) AS n_pass FROM lineitem")
+        rows.mkString("\n UNION ALL \n")
+      }),
+
+    Query(
+      "q31_cutflow",
+      "Cutflow (analysis_tools.py:2483-2608): per-cut-alone and cumulative counts, k cuts in one aggregation pass via conditional sums over the packed mask.",
+      (s, dir) => PackedSelection(cuts(s)).cutflow(Tables.lineitem(s, dir)),
+      Some {
+        val names = Seq("qty", "disc", "ship", "tax")
+        names.zipWithIndex.map { case (n, i) =>
+          val cum = names.take(i + 1).map(cutSql).mkString(" AND ")
+          s"SELECT '$n' AS cut, count(*) FILTER (WHERE ${cutSql(n)}) AS n_onecut, " +
+            s"count(*) FILTER (WHERE $cum) AS n_cumulative FROM lineitem"
+        }.mkString("\n UNION ALL \n")
+      }),
+
+    Query(
+      "q32_nminusone",
+      "N−1 report (analysis_tools.py:2386-2481): for each cut, events passing all other cuts — the standard HEP selection-diagnostic — one pass.",
+      (s, dir) => PackedSelection(cuts(s)).nminusone(Tables.lineitem(s, dir)),
+      Some {
+        val names = Seq("qty", "disc", "ship", "tax")
+        (names.zipWithIndex.map { case (n, i) =>
+          val others = names.patch(i, Nil, 1).map(cutSql).mkString(" AND ")
+          s"SELECT '$n' AS excluded_cut, count(*) FILTER (WHERE $others) AS n_pass FROM lineitem"
+        } :+ s"SELECT 'none' AS excluded_cut, count(*) FILTER (WHERE ${names.map(cutSql).mkString(" AND ")}) AS n_pass FROM lineitem")
+          .mkString("\n UNION ALL \n")
+      }),
+
+    Query(
+      "q33_weights",
+      "Weights with systematic variations (analysis_tools.py:292-552): total = product of nominals; variation = total × (varied/nominal) ratio — N variations share one scan.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Weights()
+          .add("disc", lit(1.0) - $"l_discount",
+            up = Some(lit(1.0) - $"l_discount" * 0.5),
+            down = Some(lit(1.0) - $"l_discount" * 1.5))
+          .add("tax", lit(1.0) + $"l_tax")
+        val variations = Seq("nominal" -> w.weight) ++
+          w.modifierNames.map(m => m -> w.weight(m))
+        val aggs = variations.zipWithIndex.map { case ((_, c), i) => cents(sum(c)).as(s"__v_$i") }
+        val stackArgs = variations.zipWithIndex
+          .map { case ((n, _), i) => s"'$n', __v_$i" }.mkString(", ")
+        Tables.lineitem(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${variations.size}, $stackArgs) as (variation, sum_w_c)")
+      },
+      Some("""SELECT 'nominal' AS variation, CAST(floor(sum((1.0 - l_discount) * (1.0 + l_tax)) * 100 + 0.5) AS BIGINT) AS sum_w_c FROM lineitem
+             | UNION ALL
+             |SELECT 'discUp', CAST(floor(sum((1.0 - l_discount) * (1.0 + l_tax) * ((1.0 - l_discount * 0.5) / (1.0 - l_discount))) * 100 + 0.5) AS BIGINT) FROM lineitem
+             | UNION ALL
+             |SELECT 'discDown', CAST(floor(sum((1.0 - l_discount) * (1.0 + l_tax) * ((1.0 - l_discount * 1.5) / (1.0 - l_discount))) * 100 + 0.5) AS BIGINT) FROM lineitem""".stripMargin)),
+
+    Query(
+      "q34_weight_stats",
+      "WeightStatistics (analysis_tools.py:138-193): sumw, sumw², min, max, n per dataset-like category in one agg.",
+      (s, dir) => {
+        import s.implicits._
+        val w = ((lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            cents(sum(w)).as("sumw_c"),
+            e4(sum(w * w)).as("sumw2_e4"),
+            min(w).as("minw"),
+            max(w).as("maxw"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(floor(sum((1.0 - l_discount) * (1.0 + l_tax)) * 100 + 0.5) AS BIGINT) AS sumw_c,
+             |CAST(floor(sum(((1.0 - l_discount) * (1.0 + l_tax)) * ((1.0 - l_discount) * (1.0 + l_tax))) * 10000 + 0.5) AS BIGINT) AS sumw2_e4,
+             |min((1.0 - l_discount) * (1.0 + l_tax)) AS minw,
+             |max((1.0 - l_discount) * (1.0 + l_tax)) AS maxw,
+             |count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Query(
+      "q35_histogram",
+      "Weighted histogram fill (the hist.Hist(axes).fill contract): regular binning with flow bins × a category axis, Weight storage (sumw, sumw²). Sparse groupBy form — shuffle carries only occupied bins.",
+      (s, dir) => {
+        import s.implicits._
+        val w = lit(1.0) - $"l_discount"
+        Histogram.fill(
+          Tables.lineitem(s, dir),
+          axes = Seq(
+            "bin" -> Histogram.bucket($"l_extendedprice", 0.0, 110000.0, 55),
+            "l_returnflag" -> $"l_returnflag"),
+          weight = w)
+          .select($"bin", $"l_returnflag",
+            cents($"sumw").as("sumw_c"), e4($"sumw2").as("sumw2_e4"), $"n")
+      },
+      Some(s"""SELECT ${Histogram.bucketSql("l_extendedprice", 0.0, 110000.0, 55)} AS bin,
+              |l_returnflag,
+              |CAST(floor(sum(1.0 - l_discount) * 100 + 0.5) AS BIGINT) AS sumw_c,
+              |CAST(floor(sum((1.0 - l_discount) * (1.0 - l_discount)) * 10000 + 0.5) AS BIGINT) AS sumw2_e4,
+              |count(*) AS n
+              |FROM lineitem GROUP BY 1, 2""".stripMargin))
+  )
+}

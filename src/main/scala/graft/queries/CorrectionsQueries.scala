@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Query, QueryPack}
+import graft.core.{Jagged, SchemaBuilder, Systematics, Tables}
+import graft.lookup.{DenseLookup, FormulaCompiler, RangeMask}
+
+/** Corrections-as-lookups surface (SURVEY §2.9-2.10): dense binned
+  * lookups, compiled-formula corrections (JEC analogue) applied flat and
+  * inside jagged collections, certified-range masks (LumiMask), and the
+  * systematic-variation explode. All broadcast-free scalar pipelines —
+  * payloads are plan literals, so 1000 executors each evaluate pure
+  * codegen'd arithmetic.
+  */
+object CorrectionsQueries extends QueryPack {
+
+  private val sizeEdges = Seq(1.0, 10.0, 20.0, 35.0, 50.0)
+  private val sizeSF = Seq(1.10, 0.95, 1.02, 0.90)
+
+  private val jecFormula = "max(0.85,[0]+[1]/(log10(x)+[2]))"
+  private val jecParams = Seq(0.9, 0.3, 1.5)
+  private val jecSql = "greatest(0.85, 0.9 + 0.3/(log10(l_quantity) + 1.5))"
+
+  private val idRanges: Seq[(Long, Long)] =
+    Seq((100L, 200L), (1000L, 1200L), (5000L, 5999L), (8000L, 8100L))
+
+  def queries: Seq[Query] = Seq(
+    Query(
+      "q36_dense_lookup",
+      "dense_lookup (dense_lookup.py:8-71): non-uniform binned SF by p_size (searchsorted+clip as codegen'd when-chain over a literal payload), applied to retailprice, aggregated per brand.",
+      (s, dir) => {
+        import s.implicits._
+        val sf = DenseLookup.lookup1d($"p_size", sizeEdges, sizeSF)
+        Tables.part(s, dir)
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"),
+            cents(sum($"p_retailprice" * sf)).as("corrected_total_c"))
+      },
+      Some(s"""SELECT p_brand, count(*) AS n,
+              |CAST(floor(sum(p_retailprice * ${DenseLookup.lookup1dSql("p_size", sizeEdges, sizeSF)}) * 100 + 0.5) AS BIGINT) AS corrected_total_c
+              |FROM part GROUP BY p_brand""".stripMargin)),
+
+    Query(
+      "q37_formula_jec",
+      "jme_standard_function (jme_standard_function.py:80-200): TFormula string compiled once on the driver into a Catalyst expression; per-row evaluation is pure codegen arithmetic.",
+      (s, dir) => {
+        import s.implicits._
+        val corr = FormulaCompiler.compile(jecFormula, jecParams, Map("x" -> $"l_quantity"))
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            cents(sum($"l_extendedprice" * corr)).as("corrected_price_c"),
+            e4(avg(corr)).as("avg_corr_e4"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+              |CAST(floor(sum(l_extendedprice * $jecSql) * 100 + 0.5) AS BIGINT) AS corrected_price_c,
+              |CAST(floor(avg($jecSql) * 10000 + 0.5) AS BIGINT) AS avg_corr_e4
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Query(
+      "q38_corrected_jets",
+      "CorrectedJetsFactory.build analogue (CorrectedJetsFactory.py:125-503): formula correction applied INSIDE the jagged collection (transform lambda), per-event corrected sum, histogrammed — no explode, no shuffle beyond the nesting.",
+      (s, dir) => {
+        import s.implicits._
+        val nested = SchemaBuilder.nestRows(
+          Tables.lineitem(s, dir),
+          key = Seq("l_orderkey"), collection = "items",
+          fields = Seq("l_linenumber", "l_quantity", "l_extendedprice"),
+          sortFields = Seq("l_linenumber", "l_extendedprice"))
+        val correctedSum = Jagged.innerSumOf($"items", it =>
+          it("l_quantity") * FormulaCompiler.compile(
+            jecFormula, jecParams, Map("x" -> it("l_quantity"))))
+        nested
+          .select(floor(correctedSum / 25.0).cast("long").as("bin"))
+          .groupBy($"bin").agg(count(lit(1)).as("n_orders"))
+      },
+      Some(s"""SELECT CAST(floor(corrected_sum / 25.0) AS BIGINT) AS bin, count(*) AS n_orders
+              |FROM (SELECT l_orderkey, sum(l_quantity * $jecSql) AS corrected_sum
+              |      FROM lineitem GROUP BY l_orderkey)
+              |GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q39_range_mask",
+      "LumiMask analogue (lumi_tools.py:188-278): certified-range membership as a literal-array exists() — no join; counts per event type inside the mask.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter(RangeMask.inRanges($"event_id", idRanges))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), cents(sum($"value")).as("total_c"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+              |CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS total_c
+              |FROM events WHERE ${RangeMask.inRangesSql("event_id", idRanges)}
+              |GROUP BY event_type""".stripMargin)),
+
+    Query(
+      "q40_systematics_explode",
+      "Variation dimension (methods/base.py:54-259 re-expressed for scale): nominal/up/down weights exploded into a long-format `variation` key — N systematics share ONE scan and ONE shuffle instead of N plans.",
+      (s, dir) => {
+        import s.implicits._
+        val v = Systematics.explodeVariations(Seq(
+          "nominal" -> (lit(1.0) - $"l_discount"),
+          "discUp" -> (lit(1.0) - $"l_discount" * 0.5),
+          "discDown" -> (lit(1.0) - $"l_discount" * 1.5)))
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag", $"l_extendedprice", v.as("v"))
+          .groupBy($"l_returnflag", $"v.variation".as("variation"))
+          .agg(cents(sum($"l_extendedprice" * $"v.value")).as("revenue_c"))
+      },
+      Some("""SELECT l_returnflag, 'nominal' AS variation, CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_c FROM lineitem GROUP BY l_returnflag
+             | UNION ALL
+             |SELECT l_returnflag, 'discUp', CAST(floor(sum(l_extendedprice * (1.0 - l_discount * 0.5)) * 100 + 0.5) AS BIGINT) FROM lineitem GROUP BY l_returnflag
+             | UNION ALL
+             |SELECT l_returnflag, 'discDown', CAST(floor(sum(l_extendedprice * (1.0 - l_discount * 1.5)) * 100 + 0.5) AS BIGINT) FROM lineitem GROUP BY l_returnflag""".stripMargin))
+  )
+}

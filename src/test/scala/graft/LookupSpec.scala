@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{PackedSelection, Weights}
+import graft.functions.DeterministicRandom
+import graft.lookup.{DenseLookup, FormulaCompiler, RangeMask}
+
+class LookupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("FormulaCompiler: precedence, params, functions") {
+    val df = Seq(2.0).toDF("x")
+    def eval(f: String, ps: Seq[Double] = Nil): Double =
+      df.select(FormulaCompiler.compile(f, ps, Map("x" -> $"x"))).head().getDouble(0)
+    assert(eval("1+2*3") == 7.0)
+    assert(eval("(1+2)*3") == 9.0)
+    assert(eval("2^3^1") == 8.0)
+    assert(eval("-x*x") == -4.0)
+    assert(eval("[0]+[1]*x", Seq(10.0, 0.5)) == 11.0)
+    assert(math.abs(eval("max(0.85,0.9+0.3/(log10(x)+1.5))") -
+      math.max(0.85, 0.9 + 0.3 / (math.log10(2.0) + 1.5))) < 1e-12)
+    assert(eval("min(3,max(1,2))") == 2.0)
+    assert(math.abs(eval("exp(log(x))") - 2.0) < 1e-12)
+    intercept[IllegalArgumentException](FormulaCompiler.compile("foo(1)"))
+    intercept[IllegalArgumentException](FormulaCompiler.compile("y+1"))
+  }
+
+  test("DenseLookup binIndex clips and selects correct bin") {
+    val df = Seq(0.5, 1.0, 9.9, 10.0, 34.9, 49.0, 99.0).toDF("x")
+    val edges = Seq(1.0, 10.0, 20.0, 35.0, 50.0)
+    val idx = df.select(DenseLookup.binIndex($"x", edges)).collect().map(_.getInt(0)).toSeq
+    assert(idx == Seq(0, 0, 0, 1, 2, 3, 3)) // below-range and above-range clip
+    val v = df.select(DenseLookup.lookup1d($"x", edges, Seq(1.1, 0.95, 1.02, 0.9)))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(v == Seq(1.1, 1.1, 1.1, 0.95, 1.02, 0.9, 0.9))
+  }
+
+  test("DenseLookup 2d row-major indexing") {
+    val df = Seq((15.0, 2.5)).toDF("x", "y")
+    // x in bin 1 of [0,10,20], y in bin 0 of [0,5,10]; payload row-major 2x2
+    val v = df.select(DenseLookup.lookup2d($"x", $"y", Seq(0.0, 10.0, 20.0),
+      Seq(0.0, 5.0, 10.0), Seq(11.0, 12.0, 21.0, 22.0))).head().getDouble(0)
+    assert(v == 21.0)
+  }
+
+  test("RangeMask membership") {
+    val df = Seq(50L, 100L, 150L, 201L, 1100L).toDF("v")
+    val got = df.select(RangeMask.inRanges($"v", Seq((100L, 200L), (1000L, 1200L))))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(false, true, true, false, true))
+  }
+
+  test("PackedSelection require/all/any/none algebra") {
+    val df = Seq((1, true, false), (2, true, true), (3, false, false)).toDF("id", "a", "b")
+    val sel = PackedSelection(Seq("a" -> $"a", "b" -> $"b"))
+    val r = df.select($"id", sel.all().as("all"), sel.any().as("any"),
+      sel.noneOf().as("none"), sel.requireCuts("a" -> true, "b" -> false).as("aNotB"))
+      .orderBy("id").collect()
+    assert(r.map(_.getBoolean(1)).toSeq == Seq(false, true, false))
+    assert(r.map(_.getBoolean(2)).toSeq == Seq(true, true, false))
+    assert(r.map(_.getBoolean(3)).toSeq == Seq(false, false, true))
+    assert(r.map(_.getBoolean(4)).toSeq == Seq(true, false, false))
+  }
+
+  test("Weights variation algebra") {
+    val df = Seq((2.0, 3.0)).toDF("w1", "w2")
+    val w = Weights()
+      .add("w1", $"w1", up = Some($"w1" * 1.1), down = Some($"w1" * 0.9))
+      .add("w2", $"w2")
+    val r = df.select(w.weight.as("nom"), w.weight("w1Up").as("up"),
+      w.partialWeight(include = Seq("w2")).as("pw")).head()
+    assert(math.abs(r.getDouble(0) - 6.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 6.6) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-12)
+  }
+
+  test("DeterministicRandom: reproducible, roughly standard normal") {
+    val df = spark.range(20000).toDF("id")
+    val g = DeterministicRandom.gaussianFromHash($"id")
+    val stats = df.select(avg(g).as("m"), stddev(g).as("s")).head()
+    assert(math.abs(stats.getDouble(0)) < 0.02)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 0.02)
+    val a = df.select(g).collect().map(_.getDouble(0))
+    val b = df.select(g).collect().map(_.getDouble(0))
+    assert(a.toSeq == b.toSeq) // replay-stable
+  }
+}
