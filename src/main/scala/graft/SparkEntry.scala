@@ -13,7 +13,8 @@ object SparkEntry {
     _root_.graft.queries.Relational,
     _root_.graft.queries.JaggedQueries,
     _root_.graft.queries.AnalysisQueries,
-    _root_.graft.queries.CorrectionsQueries
+    _root_.graft.queries.CorrectionsQueries,
+    _root_.graft.queries.PipelineQueries
   )
 
   private lazy val registry: Seq[Query] = {

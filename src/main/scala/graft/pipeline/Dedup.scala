@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact (fingerprint
+  * groupBy), MinHash+LSH banding, SimHash with pigeonhole chunk
+  * blocking, and exact n-gram Jaccard verification.
+  *
+  * Scale design (100 TB): every near-dup pipeline here follows
+  * candidate-generation-then-verify — candidates come from equality
+  * joins on short signatures (LSH band / simhash chunk / shared
+  * shingle), so the shuffle key is always a small hash, never the
+  * document, and no stage is O(n²).
+  *
+  * Hash-cost design: shingles are exploded to rows so md5 runs ONCE per
+  * (doc, shingle); the k MinHash functions derive from one digest via
+  * Kirsch-Mitzenmacher double hashing `h_j = (h1 + j·h2) mod P` —
+  * engine-portable 64-bit arithmetic, reproducible in the DuckDB oracle.
+  */
+object Dedup {
+
+  /** 2^58 — keeps `j * h2mod + h1` below 2^63 for j ≤ 16. */
+  val H2Mod: Long = 288230376151711744L
+
+  /** Mersenne prime 2^61 − 1. */
+  val P61: Long = 2305843009213693951L
+
+  /** Exact dedup summary over a fingerprint column: total docs, distinct
+    * contents, duplicate groups, removable rows. */
+  def exactStats(df: DataFrame, fp: Column): DataFrame =
+    df.groupBy(fp.as("fp")).agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_groups"),
+        sum(when(col("c") > 1, col("c") - 1L).otherwise(0L)).cast("long").as("n_removable"))
+
+  /** Two independent 60-bit hashes from ONE md5 digest: hex chars
+    * [1,15] and [17,31]. SQL twins in [[hashPairSql]]. */
+  def hashPair(unit: Column): Column = {
+    val digest = md5(unit)
+    struct(
+      conv(substring(digest, 1, 15), 16, 10).cast("long").as("h1"),
+      (conv(substring(digest, 17, 15), 16, 10).cast("long") % H2Mod).as("h2"))
+  }
+
+  def hashPairSql(unit: String): (String, String) = (
+    s"(('0x' || substr(md5($unit), 1, 15))::BIGINT)",
+    s"((('0x' || substr(md5($unit), 17, 15))::BIGINT) % ${H2Mod})")
+
+  /** Exploded (id, h1, h2) hash rows for the distinct shingles of each
+    * document — md5 runs exactly once per (doc, shingle) row. A flat
+    * relational layout (not a nested lambda) because Catalyst's
+    * CollapseProject would otherwise inline the md5 into every one of
+    * the k downstream minhash lambdas, multiplying the digest cost ×k
+    * (measured: 315 s → seconds at sf0.1). */
+  def hashRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.shingles(col(textCol), shingleN)).as("u"))
+      .select(col("id"), hashPair(col("u")).as("hp"))
+      .select(col("id"), col("hp.h1").as("h1"), col("hp.h2").as("h2"))
+
+  /** k MinHash signatures via ONE aggregation pass over the hash rows:
+    * k min-aggregates with map-side partial aggregation — the 100 TB
+    * shape (shuffle carries k longs per doc, not shingles). */
+  def minhashTable(hashRows: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(j =>
+      min((col("h1") + lit(j.toLong) * col("h2")) % P61).as(s"__m$j"))
+    hashRows.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(j => col(s"__m$j")): _*).as("mh"))
+  }
+
+  /** LSH banding: split the k-signature into `bands` equal bands; docs
+    * sharing any band signature are candidates. */
+  def bandSignatures(mh: Column, bands: Int, rowsPerBand: Int): Column =
+    explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        concat_ws("_", slice(mh, b * rowsPerBand + 1, lit(rowsPerBand))).as("sig"))))
+
+  /** Candidate pairs from LSH buckets with their estimated Jaccard
+    * (fraction of equal minhashes). Emits (id_a, id_b, est_jaccard_e4)
+    * with id_a < id_b, est >= minEst.
+    *
+    * Bucket pair expansion happens AFTER a groupBy on (band, sig) — the
+    * shuffle carries signatures, and collect_list per bucket is bounded
+    * by bucket size (hash bucket, not key skew).
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, minEst: Double, shingleN: Int = 2): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, "bands must divide k")
+    val withMh = minhashTable(hashRows(df, idCol, textCol, shingleN), k)
+    val buckets = withMh
+      .select(col("id"), bandSignatures(col("mh"), bands, rowsPerBand).as("b"))
+      .groupBy(col("b.band"), col("b.sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = buckets
+      .select(explode(graft.core.Combinatorics.combinations2(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    val mhA = withMh.select(col("id").as("id_a"), col("mh").as("mh_a"))
+    val mhB = withMh.select(col("id").as("id_b"), col("mh").as("mh_b"))
+    pairs.join(mhA, "id_a").join(mhB, "id_b")
+      .withColumn("n_eq",
+        size(filter(zip_with(col("mh_a"), col("mh_b"), (a, b) => a === b), (x: Column) => x)))
+      .withColumn("est_jaccard_e4", floor(col("n_eq") * 10000.0 / k).cast("long"))
+      .filter(col("est_jaccard_e4") >= (minEst * 10000).toLong)
+      .select(col("id_a"), col("id_b"), col("est_jaccard_e4"))
+  }
+
+  /** 64-bit SimHash as 4×16-bit chunks via ONE aggregation pass over
+    * hash rows: 64 conditional-sum "bit vote" aggregates, then chunk
+    * assembly in a projection. Hamming ≤ 3 implies a shared chunk
+    * (pigeonhole) — chunk equality is the blocking key. Only 60 of 64
+    * bits carry entropy (60-bit hash); consistent across engines. */
+  def simhashTable(hashRows: DataFrame): DataFrame = {
+    val voteAggs = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h1"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__v$i"))
+    val voted = hashRows.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val chunks = (0 until 4).map { c =>
+      (0 until 16).map { i =>
+        when(col(s"__v${c * 16 + i}") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"__c$c")
+    }
+    voted.select(col("id") +: chunks: _*)
+      .select(col("id"), array((0 until 4).map(c => col(s"__c$c")): _*).as("sh"))
+  }
+
+  /** Hamming distance between two chunk arrays. */
+  def hammingChunks(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))), lit(0),
+      (acc, d) => acc + d)
+
+  /** SimHash near-dup pairs: block on equal chunks, verify Hamming ≤
+    * maxDist. Emits (id_a, id_b, hamming). */
+  def simhashCandidates(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int,
+      shingleN: Int = 2): DataFrame = {
+    val withSh = simhashTable(hashRows(df, idCol, textCol, shingleN))
+    val blocked = withSh
+      .select(col("id"), posexplode(col("sh")).as(Seq("chunk_idx", "chunk")))
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = blocked
+      .select(explode(graft.core.Combinatorics.combinations2(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("hamming", hammingChunks(col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity via shingle inverted index:
+    * explode distinct shingles → equality join on shingle → common
+    * count per pair → |A∩B| / (|A|+|B|−|A∩B|). Emits pairs ≥ threshold
+    * as (id_a, id_b, jaccard_e4).
+    *
+    * Use n ≥ 3 on small-vocabulary corpora — the join fan-out is the
+    * square of per-shingle document frequency.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    val counts = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard_e4",
+        floor(col("n_common") * 10000.0 / (col("na") + col("nb") - col("n_common")) + 0.5)
+          .cast("long"))
+      .filter(col("jaccard_e4") >= (threshold * 10000).toLong)
+      .select(col("id_a"), col("id_b"), col("jaccard_e4"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing: opaque `binary`
+  * payloads + typed metadata, with decode/feature-extraction as
+  * partition-mapped batch functions.
+  *
+  * The Spark-side contract is real — binary columns, schema, batched
+  * per-partition processing with a lazily-initialized per-executor
+  * "decoder" (the standard pattern for non-serializable native handles,
+  * mirroring the reference's ml_tools lazy wrappers,
+  * `src/coffea/ml_tools/helper.py:10-75`). The codec itself is a
+  * deterministic STUB (this container ships no image/audio libs): it
+  * derives a 16-bin byte histogram "feature vector" from the payload.
+  * Swapping in a real JNI/ONNX decoder changes only [[StubDecoder]].
+  */
+object Multimodal {
+
+  final case class MediaFeature(media_id: Long, n_bytes: Long, features: Array[Double])
+
+  /** Deterministic fake decoder standing in for the native lib. One
+    * instance per executor thread via lazy init in mapPartitions. */
+  final class StubDecoder {
+    def features(payload: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](16)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) >> 4) += 1.0
+        i += 1
+      }
+      if (payload.length > 0) {
+        var j = 0
+        while (j < 16) { hist(j) /= payload.length; j += 1 }
+      }
+      hist
+    }
+  }
+
+  /** Attach a binary payload column (here: utf-8 of a text column —
+    * stands in for image bytes read from storage). */
+  def withBinaryPayload(df: DataFrame, src: Column): DataFrame =
+    df.withColumn("payload", encode(src, "UTF-8"))
+
+  /** Batched decode/feature-extract over partitions. The decoder is
+    * created once per partition (not per row, not serialized from the
+    * driver) — the per-executor lazy-handle pattern. */
+  def extractFeatures(df: DataFrame, idCol: String): Dataset[MediaFeature] = {
+    implicit val enc = Encoders.product[MediaFeature]
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        val decoder = new StubDecoder // per-partition init
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          MediaFeature(r.getLong(0), payload.length.toLong, decoder.features(payload))
+        }
+      }
+  }
+}

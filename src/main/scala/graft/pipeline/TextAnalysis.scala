@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, n-gram language ID, document
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs) —
+  * at 100 TB these run inside the scan stage.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped (split keeps trailing
+    * empties in both Spark and DuckDB — filter them in both). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length (0 for empty docs). */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0.0), (a, t) => a + length(t).cast("double")) / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens found in `vocab` (stopword ratio when vocab is a
+    * stopword list — the classic quality heuristic). */
+  def vocabHitRatio(text: Column, vocab: Seq[String]): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      size(filter(ts, t => t.isin(vocab.map(lit): _*))).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Number of tokens present in `vocab`. */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(vocab.map(lit): _*)))
+
+  /** Composite quality score in [0,1]: token-count band + word-length
+    * band + stopword presence (the length/punct/stopword-ratio recipe). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenOk = when(nTok >= 5 && nTok <= 1000, lit(1.0)).otherwise(lit(0.0))
+    val wordLen = avgTokenLen(text)
+    val wordOk = when(wordLen >= 2.0 && wordLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    val stopR = vocabHitRatio(text, stopwords)
+    (lenOk + wordOk + least(stopR * lit(4.0), lit(1.0))) / lit(3.0)
+  }
+
+  /** Stopword-hit language ID: argmax of per-language vocabulary hits,
+    * ties broken by the declared language order (deterministic). */
+  def langId(text: Column, vocabs: Seq[(String, Seq[String])]): Column = {
+    val scores = vocabs.map { case (lang, vocab) => lang -> vocabHits(text, vocab) }
+    // fold keeping (bestLang, bestScore); strict > keeps earlier on tie
+    scores.tail.foldLeft(
+      struct(lit(scores.head._1).as("lang"), scores.head._2.as("score"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc("score"), struct(lit(lang).as("lang"), score.as("score")))
+          .otherwise(acc)
+    }("lang")
+  }
+
+  /** Normalization + md5 document fingerprint (content-defined identity
+    * for exact dedup): lowercase, collapse whitespace, trim. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Word n-gram shingles (distinct), the unit of Jaccard similarity. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) >= n,
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as BIGINT —
+    * reproducible in any engine with md5 (the cross-engine contract for
+    * MinHash/SimHash oracles). `stream` selects an independent hash
+    * function. */
+  def portableHash(s: Column, stream: Column): Column =
+    conv(substring(md5(concat(s, lit("#"), stream.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** SQL twin of [[portableHash]] for DuckDB oracles. */
+  def portableHashSql(s: String, stream: String): String =
+    s"(('0x' || substr(md5($s || '#' || CAST($stream AS VARCHAR)), 1, 15))::BIGINT)"
+}

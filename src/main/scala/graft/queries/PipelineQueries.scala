@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Query, QueryPack}
+import graft.core.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators over documents/embeddings:
+  * text statistics, language ID, exact + near dedup (fingerprint,
+  * n-gram Jaccard, MinHash LSH, SimHash), cosine top-k similarity, and
+  * multimodal binary plumbing. Hashes are md5-derived so every signature
+  * is bit-reproducible in the DuckDB oracle.
+  */
+object PipelineQueries extends QueryPack {
+
+  // SQL fragments shared by the oracles
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private def hashSql(tok: String, stream: String) =
+    s"(('0x' || substr(md5($tok || '#' || CAST($stream AS VARCHAR)), 1, 15))::BIGINT)"
+
+  private val langVocabs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "key"),
+    "de" -> Seq("der", "die", "und", "merge"),
+    "es" -> Seq("el", "la", "data", "join"),
+    "fr" -> Seq("le", "les", "row", "sort"),
+    "zh" -> Seq("scan", "group", "hash"))
+
+  def queries: Seq[Query] = Seq(
+    Query(
+      "q50_text_stats",
+      "Text statistics (token counting + quality components) per language: pure codegen'd HOF arithmetic over the scan, no UDFs.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount($"text")).cast("long").as("total_tokens"),
+            e4(avg(TextAnalysis.avgTokenLen($"text"))).as("avg_tok_len_e4"),
+            sum($"n_chars").cast("long").as("total_chars"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+              |CAST(floor(avg(CASE WHEN len($toksSql) > 0
+              |  THEN list_aggregate(list_transform($toksSql, t -> len(t)), 'sum') * 1.0 / len($toksSql)
+              |  ELSE 0.0 END) * 10000 + 0.5) AS BIGINT) AS avg_tok_len_e4,
+              |CAST(sum(n_chars) AS BIGINT) AS total_chars
+              |FROM documents GROUP BY lang""".stripMargin)),
+
+    Query(
+      "q51_langid",
+      "Heuristic language ID (stopword-hit argmax with deterministic tie order) vs the labeled lang column — a confusion matrix.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("pred_lang", TextAnalysis.langId($"text", langVocabs))
+          .groupBy($"lang", $"pred_lang")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some {
+        val scores = langVocabs.map { case (lang, vocab) =>
+          val inList = vocab.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter($toksSql, t -> t IN ($inList))) AS s_$lang"
+        }.mkString(",\n  ")
+        val names = langVocabs.map(_._1)
+        val mx = s"greatest(${names.map("s_" + _).mkString(", ")})"
+        val pred = names.map(l => s"WHEN s_$l = __mx THEN '$l'").mkString(" ")
+        s"""WITH sc AS (SELECT lang, $scores FROM documents),
+           |p AS (SELECT lang, CASE $pred END AS pred_lang
+           |      FROM (SELECT *, $mx AS __mx FROM sc))
+           |SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2""".stripMargin
+      }),
+
+    Query(
+      "q52_fingerprint_dedup",
+      "Exact dedup via normalized-md5 fingerprint over a corpus with injected duplicates (documents ∪ copies of every 7th doc): total/unique/dup-group/removable counts.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.select($"doc_id", $"text")
+          .unionByName(docs.filter($"doc_id" % 7 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        Dedup.exactStats(corpus, TextAnalysis.fingerprint($"text"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+             |g AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fp,
+             |      count(*) c FROM corpus GROUP BY 1)
+             |SELECT CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_unique,
+             |CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+             |CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_removable
+             |FROM g""".stripMargin)),
+
+    Query(
+      "q53_ngram_jaccard",
+      "Exact word-3gram Jaccard near-dup pairs via shingle inverted index (explode → equality join → verify) — candidate-then-verify, never O(n²).",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.25),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 2),
+              |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+              |com AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+              |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |        GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |CAST(floor(c * 10000.0 / (x.n + y.n - c) + 0.5) AS BIGINT) AS jaccard_e4
+              |FROM com JOIN cnt x ON id_a = x.doc_id JOIN cnt y ON id_b = y.doc_id
+              |WHERE floor(c * 10000.0 / (x.n + y.n - c) + 0.5) >= 2500""".stripMargin)),
+
+    Query(
+      "q54_minhash_lsh",
+      "MinHash (k=16, md5-derived portable hashes) + LSH banding (8 bands × 2): bucket-join candidates, estimated Jaccard = equal-signature fraction.",
+      (s, dir) => Dedup.minhashCandidates(
+        Tables.documents(s, dir), "doc_id", "text", k = 16, bands = 8, minEst = 0.25),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |td AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS tok
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+              |hp AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h1,
+              |       ((('0x' || substr(md5(tok), 17, 15))::BIGINT) % 288230376151711744) AS h2 FROM td),
+              |mh AS (SELECT doc_id, j, min((h1 + j * h2) % 2305843009213693951) AS m
+              |       FROM hp, generate_series(0, 15) g(j) GROUP BY 1, 2),
+              |bands AS (SELECT doc_id, j // 2 AS band,
+              |          string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS sig
+              |          FROM mh GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              |est AS (SELECT c.id_a, c.id_b,
+              |        count(*) FILTER (WHERE x.m = y.m) AS neq
+              |        FROM cand c
+              |        JOIN mh x ON x.doc_id = c.id_a
+              |        JOIN mh y ON y.doc_id = c.id_b AND x.j = y.j
+              |        GROUP BY 1, 2)
+              |SELECT id_a, id_b, CAST(floor(neq * 10000.0 / 16) AS BIGINT) AS est_jaccard_e4
+              |FROM est WHERE floor(neq * 10000.0 / 16) >= 2500""".stripMargin)),
+
+    Query(
+      "q55_simhash",
+      "SimHash near-dup: 64-bit sign-vector fingerprint in 4×16-bit chunks; Hamming ≤ 3 implies a shared chunk (pigeonhole) → chunk equality is the blocking key, then exact Hamming verify.",
+      (s, dir) => Dedup.simhashCandidates(
+        Tables.documents(s, dir), "doc_id", "text", maxDist = 3),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |td AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS tok
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+              |h AS (SELECT doc_id, tok, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hv FROM td),
+              |bits AS (SELECT doc_id, i,
+              |         CASE WHEN sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              |              THEN 1 ELSE 0 END AS bit
+              |         FROM h, generate_series(0, 63) g(i) GROUP BY 1, 2),
+              |chunks AS (SELECT doc_id, i // 16 AS ci,
+              |           CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << (i % 16)) ELSE 0 END) AS BIGINT) AS chunk
+              |           FROM bits GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              |         FROM chunks a JOIN chunks b
+              |           ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+              |ham AS (SELECT c.id_a, c.id_b,
+              |        count(*) FILTER (WHERE x.bit != y.bit) AS hamming
+              |        FROM cand c
+              |        JOIN bits x ON x.doc_id = c.id_a
+              |        JOIN bits y ON y.doc_id = c.id_b AND x.i = y.i
+              |        GROUP BY 1, 2)
+              |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+              |FROM ham WHERE hamming <= 3""".stripMargin)),
+
+    Query(
+      "q56_cosine_topk",
+      "Brute-force cosine top-k ANN baseline: 10 query vectors (broadcast) × corpus scan, per-query top-5 by (quantized cosine, id) — one pass, TakeOrdered per group.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+          corpus = emb, idCol = "vec_id", vecCol = "embedding",
+          queries = emb.filter($"vec_id" < 10), qIdCol = "vec_id", qVecCol = "embedding",
+          k = 5)
+      },
+      Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+             |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+             |d AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+             |      sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dt
+             |      FROM embeddings q, embeddings c, generate_series(1, 64) g(i)
+             |      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+             |      GROUP BY 1, 2),
+             |r AS (SELECT query_id, nn_id,
+             |      CAST(floor(dt / (nq.nrm * nc.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+             |      FROM d JOIN n nq ON query_id = nq.vec_id JOIN n nc ON nn_id = nc.vec_id)
+             |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, nn_id) AS BIGINT) AS rk,
+             |       nn_id, cos_e6
+             |FROM r QUALIFY rk <= 5""".stripMargin)),
+
+    Query(
+      "q57_cosine_neardup",
+      "Embedding-cosine near-dup pairs (threshold 0.45). Brute-force all-pairs with a broadcast side at this corpus size; the LSH-bucketed path (Similarity.lshBuckets) is the 100 TB route.",
+      (s, dir) => Similarity.cosinePairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", minCosE6 = 450000L),
+      Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+             |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+             |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |      sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dt
+             |      FROM embeddings a, embeddings b, generate_series(1, 64) g(i)
+             |      WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |CAST(floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+             |FROM d JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id
+             |WHERE floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) >= 450000""".stripMargin)),
+
+    Query(
+      "q58_multimodal",
+      "Multimodal binary plumbing: opaque payload column + per-partition lazily-initialized decode (stubbed deterministic featurizer), aggregated per source. Oracle checks the binary metadata path.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val withPayload = Multimodal.withBinaryPayload(docs, $"text")
+        val feats = Multimodal.extractFeatures(withPayload, "doc_id")
+        feats.toDF()
+          .join(docs.select($"doc_id".as("media_id"), $"source"), "media_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_bytes").cast("long").as("total_bytes"),
+            e4(avg(element_at($"features", 7))).as("avg_f6_e4"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, source, strlen(text) AS nb,
+             |    count(*) FILTER (WHERE ord(substr(text, i, 1)) // 16 = 6) * 1.0
+             |      / greatest(len(text), 1) AS f6
+             |  FROM documents, generate_series(1, 600) g(i) WHERE i <= len(text)
+             |  GROUP BY doc_id, source, text)
+             |SELECT source, count(*) AS n_docs,
+             |CAST(sum(nb) AS BIGINT) AS total_bytes,
+             |CAST(floor(avg(f6) * 10000 + 0.5) AS BIGINT) AS avg_f6_e4
+             |FROM f GROUP BY source""".stripMargin))
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("shingles produce distinct ordered n-grams") {
+    val df = Seq("a b c a b").toDF("text")
+    val sh = df.select(TextAnalysis.shingles($"text", 2)).head().getSeq[String](0)
+    assert(sh.toSet == Set("a b", "b c", "c a"))
+    val short = Seq("solo").toDF("text")
+      .select(TextAnalysis.shingles($"text", 2)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("identical texts: minhash signatures equal, simhash hamming 0, jaccard 1") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val mh = Dedup.minhashCandidates(df, "doc_id", "text", k = 16, bands = 8, minEst = 0.9)
+      .collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 10000L)))
+    val sim = Dedup.simhashCandidates(df, "doc_id", "text", maxDist = 0).collect()
+    assert(sim.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = 0.9).collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 10000L)))
+  }
+
+  test("langId prefers the language with most vocabulary hits") {
+    val vocabs = Seq("en" -> Seq("the", "dog"), "de" -> Seq("der", "hund"))
+    val df = Seq("der hund ist gut", "the dog is good", "nothing matches").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text", vocabs)).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("de", "en", "en")) // tie → first declared
+  }
+
+  test("cosine similarity of identical and orthogonal vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f))).toDF("a", "b", "c")
+    val r = df.select(Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("multimodal stub features: deterministic, normalized byte histogram") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val withP = Multimodal.withBinaryPayload(df, $"text")
+    val f = Multimodal.extractFeatures(withP, "doc_id").collect().sortBy(_.media_id)
+    assert(f(0).n_bytes == 3 && f(1).n_bytes == 0)
+    // 'a','b','c' = 0x61-0x63 → all in nibble-6 bin
+    assert(f(0).features(6) == 1.0 && f(0).features.sum == 1.0)
+    val f2 = Multimodal.extractFeatures(withP, "doc_id").collect().sortBy(_.media_id)
+    assert(f(0).features.toSeq == f2(0).features.toSeq)
+  }
+
+  test("lsh signature buckets identical vectors together") {
+    val df = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),
+      (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(df, "vec_id", "embedding", nBits = 8, dim = 8)
+      .select($"id", $"bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L))
+  }
+}
