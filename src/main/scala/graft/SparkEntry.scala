@@ -14,7 +14,8 @@ object SparkEntry {
     _root_.graft.queries.JaggedQueries,
     _root_.graft.queries.AnalysisQueries,
     _root_.graft.queries.CorrectionsQueries,
-    _root_.graft.queries.PipelineQueries
+    _root_.graft.queries.PipelineQueries,
+    _root_.graft.queries.TreeLumiQueries
   )
 
   private lazy val registry: Seq[Query] = {

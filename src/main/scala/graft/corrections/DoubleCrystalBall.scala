@@ -1,0 +1,60 @@
+package graft.corrections
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Double-sided Crystal Ball distribution (reference `src/coffea/
+  * lookup_tools/doublecrystalball.py:26-245`): Gaussian core with
+  * power-law tails on both sides — used by the Rochester muon
+  * corrections.
+  *
+  * Tail/normalization constants fold on the driver; the per-row math is
+  * closed-form column arithmetic plus an exact `erf` (commons-math3,
+  * shipped with Spark) for the Gaussian core cdf.
+  */
+object DoubleCrystalBall {
+
+  private val erfUdf = udf((x: Double) => org.apache.commons.math3.special.Erf.erf(x))
+
+  private def stdNormCdf(x: Column): Column =
+    (lit(1.0) + erfUdf(x / math.sqrt(2.0))) / 2.0
+
+  private def stdNormCdf(x: Double): Double =
+    0.5 * (1.0 + org.apache.commons.math3.special.Erf.erf(x / math.sqrt(2.0)))
+
+  /** Tail coefficient A, integral-to-edge I, and slope B per side. */
+  private final case class Side(a: Double, n: Double) {
+    require(n > 1, "tail exponent must exceed 1 for a normalizable pdf")
+    val A: Double = math.pow(n / a, n) * math.exp(-a * a / 2)
+    val B: Double = n / a - a
+    /** ∫ tail beyond the matching point. */
+    val I: Double = A * math.pow(n / a, 1 - n) / (n - 1)
+  }
+
+  /** Normalization constant N = 1/(IL + core + IR). */
+  def norm(aL: Double, nL: Double, aR: Double, nR: Double): Double = {
+    val (l, r) = (Side(aL, nL), Side(aR, nR))
+    val core = math.sqrt(2 * math.Pi) * (stdNormCdf(aR) - stdNormCdf(-aL))
+    1.0 / (l.I + core + r.I)
+  }
+
+  /** pdf(t; αL, nL, αR, nR) of the standardized variable. */
+  def pdf(t: Column, aL: Double, nL: Double, aR: Double, nR: Double): Column = {
+    val (l, r) = (Side(aL, nL), Side(aR, nR))
+    lit(norm(aL, nL, aR, nR)) * when(t < -aL, lit(l.A) * pow(lit(l.B) - t, -nL))
+      .when(t > aR, lit(r.A) * pow(lit(r.B) + t, -nR))
+      .otherwise(exp(t * t * -0.5))
+  }
+
+  /** cdf(t; αL, nL, αR, nR). */
+  def cdf(t: Column, aL: Double, nL: Double, aR: Double, nR: Double): Column = {
+    val (l, r) = (Side(aL, nL), Side(aR, nR))
+    val n = norm(aL, nL, aR, nR)
+    val leftInt = lit(l.A / (nL - 1)) * pow(lit(l.B) - t, -(nL - 1))
+    val rightInt = lit(r.A / (nR - 1)) * pow(lit(r.B) + t, -(nR - 1))
+    val coreInt = lit(math.sqrt(2 * math.Pi)) * (stdNormCdf(t) - lit(stdNormCdf(-aL)))
+    when(t < -aL, lit(n) * leftInt)
+      .when(t <= aR, lit(n) * (lit(l.I) + coreInt))
+      .otherwise(lit(1.0) - lit(n) * rightInt)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.corrections
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.Kinematics
+import graft.functions.DeterministicRandom
+import graft.lookup.FormulaCompiler
+
+/** JEC/JER correction factories (reference `src/coffea/jetmet_tools/`):
+  * `FactorizedJetCorrector` (level composition, `FactorizedJetCorrector
+  * .py:32-240`), `CorrectedJetsFactory.build` (raw→corrected staging +
+  * JER smear + JES variations, `CorrectedJetsFactory.py:125-503`,
+  * smear math 65-122) and `CorrectedMETFactory` (delta propagation,
+  * `CorrectedMETFactory.py:7-19`).
+  *
+  * All pure column transforms over jagged jet collections: formulas are
+  * compiled once on the driver (no per-row interpretation), the smear's
+  * randomness is data-seeded (replay-safe under retries/AQE), and
+  * variations ride along as extra struct fields — one scan for
+  * nominal + all variations.
+  */
+object JetCorrections {
+
+  final case class JecLevel(name: String, formula: String, params: Seq[Double])
+
+  /** FactorizedJetCorrector: levels applied sequentially (each sees the
+    * previously-corrected pt, canonical L1→L2→L3 order); returns the
+    * total multiplicative correction. */
+  def factorizedCorrection(levels: Seq[JecLevel], pt: Column): Column =
+    levels.foldLeft((lit(1.0), pt)) { case ((total, cur), lvl) =>
+      val c = FormulaCompiler.compile(lvl.formula, lvl.params, Map("x" -> cur))
+      (total * c, cur * c)
+    }._1
+
+  /** CorrectedJetsFactory.build: jagged jets → same-shape collection
+    * with `pt_raw` (staging column, reference keeps `_orig`), corrected
+    * `pt`, and optional JES up/down variants from a fractional
+    * uncertainty formula. */
+  def correctJets(
+      jets: Column,
+      levels: Seq[JecLevel],
+      uncFormula: Option[(String, Seq[Double])] = None): Column =
+    transform(jets, j => {
+      val raw = j("pt")
+      val corr = factorizedCorrection(levels, raw)
+      val pt = raw * corr
+      val base = Seq(
+        pt.as("pt"), j("eta").as("eta"), j("phi").as("phi"),
+        (j("mass") * corr).as("mass"), raw.as("pt_raw"))
+      val varied = uncFormula.toSeq.flatMap { case (f, ps) =>
+        val unc = FormulaCompiler.compile(f, ps, Map("x" -> pt))
+        Seq((pt * (lit(1.0) + unc)).as("pt_jes_up"),
+          (pt * (lit(1.0) - unc)).as("pt_jes_down"))
+      }
+      struct(base ++ varied: _*)
+    })
+
+  /** Stochastic JER smear (reference `jer_smear` hybrid method,
+    * `CorrectedJetsFactory.py:65-122`): pt *= max(0, 1 + (sf−1)·g·σ)
+    * with g a data-seeded standard normal — deterministic under replay.
+    * `seed` columns must identify the jet (event id + local index). */
+  def jerSmearFactor(sf: Column, resolution: Column, seed: Seq[Column]): Column =
+    greatest(lit(0.0),
+      lit(1.0) + (sf - lit(1.0)) * DeterministicRandom.gaussianFromHash(seed: _*) * resolution)
+
+  /** CorrectedMETFactory: propagate per-jet pt deltas into MET —
+    * met' = met − Σ(corrected − raw) componentwise. Takes the corrected
+    * collection from [[correctJets]] (which stages pt_raw) and the MET
+    * struct {pt, phi}; returns the corrected {pt, phi}. */
+  def correctedMet(met: Column, correctedJets: Column): Column = {
+    val dx = aggregate(correctedJets, lit(0.0),
+      (acc, j) => acc + (j("pt") - j("pt_raw")) * cos(j("phi")))
+    val dy = aggregate(correctedJets, lit(0.0),
+      (acc, j) => acc + (j("pt") - j("pt_raw")) * sin(j("phi")))
+    val mx = met("pt") * cos(met("phi")) - dx
+    val my = met("pt") * sin(met("phi")) - dy
+    struct(hypot(mx, my).as("pt"), atan2(my, mx).as("phi"))
+  }
+}

@@ -1,0 +1,30 @@
+package graft.corrections
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Luminosity bookkeeping (reference `src/coffea/lumi_tools/
+  * lumi_tools.py`): `LumiList` — mergeable distinct (run, lumi) pairs
+  * (281-405, dask tree-reduced) — and `LumiData.get_lumi` — total
+  * integrated luminosity over DISTINCT pairs via a small lookup table
+  * (57-186).
+  *
+  * Spark shapes: distinct() partial-aggregates map-side (the tree
+  * reduction is built in); the lumi table is broadcast-joined.
+  */
+object LumiTools {
+
+  /** LumiList: the distinct (run, lumi)-style pair set. */
+  def lumiList(df: DataFrame, runCol: String, lumiCol: String): DataFrame =
+    df.select(col(runCol).as("run"), col(lumiCol).as("lumi")).distinct()
+
+  /** LumiData.get_lumi: sum a per-pair luminosity over the DISTINCT
+    * pairs (duplicate events must not double-count) via broadcast join
+    * against the (small) lumi table with columns (run, lumi, lumival). */
+  def getLumi(
+      df: DataFrame, runCol: String, lumiCol: String,
+      lumiTable: DataFrame): DataFrame =
+    lumiList(df, runCol, lumiCol)
+      .join(broadcast(lumiTable), Seq("run", "lumi"), "left")
+      .agg(sum(coalesce(col("lumival"), lit(0.0))).as("total_lumi"))
+}

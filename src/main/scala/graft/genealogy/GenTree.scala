@@ -1,0 +1,84 @@
+package graft.genealogy
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Gen-particle tree walks (reference `src/coffea/nanoevents/
+  * transforms.py`: `distinct_parent` 182-231, `children` 234-299,
+  * `distinct_children_deep` 302-431 — numba-JIT kernels over
+  * chunk-global indexes).
+  *
+  * Here the tree lives inside one event row (parent indexes are
+  * event-local, SURVEY §7.4 risk 2), so the kernels become plain Scala
+  * UDFs over `(parentIdx: Seq[Int], pdgId: Seq[Int])` — already
+  * JVM-compiled, no JIT warmup, distributed for free. The loops are
+  * irreducibly imperative (pointer chases), which is exactly the case
+  * where a UDF beats any expression encoding.
+  */
+object GenTree {
+
+  /** For each particle, walk parent links until the pdg id differs from
+    * the particle's own — the "distinct parent" (skips radiation chains
+    * like q → q γ). −1 when no such ancestor. */
+  val distinctParent =
+    udf { (parents: Seq[Int], pdg: Seq[Int]) =>
+      val n = parents.length
+      Array.tabulate(n) { i =>
+        var p = parents(i)
+        var guard = 0
+        while (p >= 0 && p < n && pdg(p) == pdg(i) && guard <= n) {
+          p = parents(p)
+          guard += 1
+        }
+        if (p >= 0 && p < n) p else -1
+      }.toSeq
+    }
+
+  /** Invert the parent-index array: children[i] = sorted local indexes
+    * with parent i. */
+  val children =
+    udf { (parents: Seq[Int]) =>
+      val n = parents.length
+      val buf = Array.fill(n)(List.empty[Int])
+      var i = n - 1
+      while (i >= 0) {
+        val p = parents(i)
+        if (p >= 0 && p < n) buf(p) = i :: buf(p)
+        i -= 1
+      }
+      buf.map(_.toSeq).toSeq
+    }
+
+  /** Transitive children, collapsing same-pdg chains: descend through
+    * children with the same pdg id, collecting the first different-pdg
+    * (or terminal same-pdg) descendants. */
+  val distinctChildrenDeep =
+    udf { (parents: Seq[Int], pdg: Seq[Int]) =>
+      val n = parents.length
+      val kids = Array.fill(n)(List.empty[Int])
+      var i = n - 1
+      while (i >= 0) {
+        val p = parents(i)
+        if (p >= 0 && p < n) kids(p) = i :: kids(p)
+        i -= 1
+      }
+      Array.tabulate(n) { root =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var stack = kids(root)
+        var guard = 0
+        while (stack.nonEmpty && guard <= n * 2) {
+          val c = stack.head
+          stack = stack.tail
+          if (pdg(c) == pdg(root)) stack = kids(c) ::: stack
+          else out += c
+          guard += 1
+        }
+        out.sorted.toSeq
+      }.toSeq
+    }
+
+  def distinctParentCol(parents: Column, pdg: Column): Column = distinctParent(parents, pdg)
+  def childrenCol(parents: Column): Column = children(parents)
+  def distinctChildrenDeepCol(parents: Column, pdg: Column): Column =
+    distinctChildrenDeep(parents, pdg)
+}

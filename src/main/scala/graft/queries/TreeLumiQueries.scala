@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Query, QueryPack}
+import graft.core.{Jagged, SchemaBuilder, Tables}
+import graft.corrections.{JetCorrections, LumiTools}
+import graft.genealogy.GenTree
+
+/** Gen-tree walks (UDF kernels over event-local parent indexes), lumi
+  * bookkeeping, and the composed JEC correction stack. The synthetic
+  * gen tree is a binary heap over each order's items (parent(i) =
+  * (i−1)/2) with returnflag as the "pdg id" — deterministic, and
+  * expressible in the DuckDB oracle by unrolling the walk (depth ≤ 5
+  * covers 63 items; max observed is 17).
+  */
+object TreeLumiQueries extends QueryPack {
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  private def nested(s: SparkSession, dir: String): DataFrame =
+    SchemaBuilder.nestRows(
+      Tables.lineitem(s, dir),
+      key = Seq("l_orderkey"), collection = "items",
+      fields = Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag"),
+      sortFields = Seq("l_linenumber", "l_extendedprice"))
+
+  /** it CTE shared by the tree oracles: 0-based heap index per item. */
+  private val itSql =
+    """it AS (SELECT l_orderkey AS ok,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_extendedprice) - 1 AS idx,
+      |  l_returnflag AS rf FROM lineitem)""".stripMargin
+
+  def queries: Seq[Query] = Seq(
+    Query(
+      "q60_gentree_distinct_parent",
+      "distinctParent gen-tree walk (transforms.py:182-231): per item, first ancestor with a different returnflag over the heap-shaped parent links — imperative pointer chase as a Scala UDF over event-local arrays.",
+      (s, dir) => {
+        import s.implicits._
+        val parents = transform(sequence(lit(0), size($"items") - 1),
+          i => when(i === 0, lit(-1)).otherwise(floor((i - 1) / 2).cast("int")))
+        val pdg = transform($"items", it => ascii(it("l_returnflag")))
+        nested(s, dir)
+          .select($"l_orderkey",
+            posexplode(GenTree.distinctParentCol(parents, pdg)).as(Seq("idx", "dp")))
+          .select($"l_orderkey", $"idx".cast("long").as("idx"), $"dp".cast("long").as("dp"))
+      },
+      Some(s"""WITH $itSql,
+              |s1 AS (SELECT ok, idx, rf,
+              |  CASE WHEN idx = 0 THEN -1 ELSE (idx - 1) // 2 END AS p1 FROM it),
+              |s2 AS (SELECT *, CASE WHEN p1 <= 0 THEN -1 ELSE (p1 - 1) // 2 END AS p2 FROM s1),
+              |s3 AS (SELECT *, CASE WHEN p2 <= 0 THEN -1 ELSE (p2 - 1) // 2 END AS p3 FROM s2),
+              |s4 AS (SELECT *, CASE WHEN p3 <= 0 THEN -1 ELSE (p3 - 1) // 2 END AS p4 FROM s3),
+              |s5 AS (SELECT *, CASE WHEN p4 <= 0 THEN -1 ELSE (p4 - 1) // 2 END AS p5 FROM s4),
+              |j AS (SELECT a.*, r1.rf AS rf1, r2.rf AS rf2, r3.rf AS rf3, r4.rf AS rf4, r5.rf AS rf5
+              |  FROM s5 a
+              |  LEFT JOIN it r1 ON r1.ok = a.ok AND r1.idx = a.p1
+              |  LEFT JOIN it r2 ON r2.ok = a.ok AND r2.idx = a.p2
+              |  LEFT JOIN it r3 ON r3.ok = a.ok AND r3.idx = a.p3
+              |  LEFT JOIN it r4 ON r4.ok = a.ok AND r4.idx = a.p4
+              |  LEFT JOIN it r5 ON r5.ok = a.ok AND r5.idx = a.p5)
+              |SELECT ok AS l_orderkey, CAST(idx AS BIGINT) AS idx,
+              |CAST(CASE
+              |  WHEN p1 = -1 THEN -1 WHEN rf1 <> rf THEN p1
+              |  WHEN p2 = -1 THEN -1 WHEN rf2 <> rf THEN p2
+              |  WHEN p3 = -1 THEN -1 WHEN rf3 <> rf THEN p3
+              |  WHEN p4 = -1 THEN -1 WHEN rf4 <> rf THEN p4
+              |  WHEN p5 = -1 THEN -1 WHEN rf5 <> rf THEN p5
+              |  ELSE -1 END AS BIGINT) AS dp
+              |FROM j""".stripMargin)),
+
+    Query(
+      "q61_gentree_children",
+      "children inverse-adjacency (transforms.py:234-299): child multiplicity histogram over the heap tree, via the UDF that inverts parent links within each event.",
+      (s, dir) => {
+        import s.implicits._
+        val parents = transform(sequence(lit(0), size($"items") - 1),
+          i => when(i === 0, lit(-1)).otherwise(floor((i - 1) / 2).cast("int")))
+        nested(s, dir)
+          .select(explode(GenTree.childrenCol(parents)).as("kids"))
+          .groupBy(size($"kids").cast("long").as("n_children"))
+          .agg(count(lit(1)).as("n_items"))
+      },
+      Some(s"""WITH $itSql,
+              |n AS (SELECT ok, count(*) AS n_items FROM it GROUP BY ok)
+              |SELECT CAST((CASE WHEN 2*idx+1 < n_items THEN 1 ELSE 0 END +
+              |             CASE WHEN 2*idx+2 < n_items THEN 1 ELSE 0 END) AS BIGINT) AS n_children,
+              |count(*) AS n_items
+              |FROM it JOIN n USING (ok) GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q62_lumilist",
+      "LumiList + LumiData.get_lumi (lumi_tools.py:57-405): distinct (user, day) pairs, then a per-pair luminosity summed over the DISTINCT set only — dedup before weighting.",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = LumiTools.lumiList(
+          Tables.events(s, dir).withColumn("day",
+            date_trunc("day", nanosToTs($"ts"))),
+          "user_id", "day")
+        pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          cents(sum(lit(1.0) + (dayofmonth($"lumi") % 5).cast("double") * 0.1))
+            .as("total_lumi_c"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+             |SELECT count(*) AS n_pairs,
+             |CAST(floor(sum(1.0 + (extract(day FROM day) % 5) * 0.1) * 100 + 0.5) AS BIGINT) AS total_lumi_c
+             |FROM d""".stripMargin)),
+
+    Query(
+      "q63_jec_stack",
+      "FactorizedJetCorrector + CorrectedJetsFactory + CorrectedMETFactory: two JEC levels applied sequentially inside the jagged collection, JES up/down variations riding along, MET re-derived from per-jet deltas — one scan for all of it.",
+      (s, dir) => {
+        import s.implicits._
+        val levels = Seq(
+          JetCorrections.JecLevel("L1", "max(0.9,[0]+[1]/(log10(x)+1))", Seq(0.95, 0.1)),
+          JetCorrections.JecLevel("L2", "min(1.1,[0]+[1]*log10(x))", Seq(0.98, 0.01)))
+        val jets = transform($"items", it => struct(
+          it("l_quantity").as("pt"),
+          (it("l_discount") * 2.0).as("eta"),
+          (it("l_tax") * 40.0 - 3.0).as("phi"),
+          (it("l_quantity") * 0.05).as("mass")))
+        val corrected = JetCorrections.correctJets(jets, levels,
+          uncFormula = Some(("min(0.2,[0]+[1]/x)", Seq(0.02, 0.5))))
+        val metRaw = struct(
+          (Jagged.innerSumOf($"items", _("l_extendedprice")) / 1000.0).as("pt"),
+          lit(0.3).as("phi"))
+        nested(s, dir)
+          .select(corrected.as("jets"), JetCorrections.correctedMet(metRaw, corrected).as("met"))
+          .agg(
+            cents(sum(Jagged.innerSumOf($"jets", _("pt")))).as("sum_pt_c"),
+            cents(sum(Jagged.innerSumOf($"jets", _("pt_jes_up")))).as("sum_pt_up_c"),
+            cents(sum(Jagged.innerSumOf($"jets", _("pt_jes_down")))).as("sum_pt_down_c"),
+            cents(sum($"met.pt")).as("sum_met_c"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH j AS (
+             |  SELECT l_orderkey, l_extendedprice, l_tax * 40.0 - 3.0 AS phi, l_quantity AS pt0,
+             |    l_quantity * greatest(0.9, 0.95 + 0.1/(log10(l_quantity) + 1)) AS pt1
+             |  FROM lineitem),
+             |c AS (SELECT l_orderkey, l_extendedprice, phi, pt0,
+             |    pt1 * least(1.1, 0.98 + 0.01*log10(pt1)) AS ptc FROM j),
+             |u AS (SELECT *, least(0.2, 0.02 + 0.5/ptc) AS unc FROM c),
+             |ev AS (SELECT l_orderkey,
+             |    sum(ptc) AS sum_pt, sum(ptc*(1+unc)) AS sum_up, sum(ptc*(1-unc)) AS sum_down,
+             |    sum(l_extendedprice)/1000.0 AS met_pt,
+             |    sum((ptc - pt0) * cos(phi)) AS dx, sum((ptc - pt0) * sin(phi)) AS dy
+             |  FROM u GROUP BY l_orderkey)
+             |SELECT
+             |CAST(floor(sum(sum_pt) * 100 + 0.5) AS BIGINT) AS sum_pt_c,
+             |CAST(floor(sum(sum_up) * 100 + 0.5) AS BIGINT) AS sum_pt_up_c,
+             |CAST(floor(sum(sum_down) * 100 + 0.5) AS BIGINT) AS sum_pt_down_c,
+             |CAST(floor(sum(sqrt((met_pt*cos(0.3) - dx)*(met_pt*cos(0.3) - dx) +
+             |  (met_pt*sin(0.3) - dy)*(met_pt*sin(0.3) - dy))) * 100 + 0.5) AS BIGINT) AS sum_met_c,
+             |count(*) AS n_events
+             |FROM ev""".stripMargin))
+  )
+}

@@ -1,0 +1,61 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The map-reduce harness (reference `src/coffea/processor/`): a
+  * [[Processor]] is the user's per-dataset transform
+  * (`ProcessorABC.process`, `processor.py:4-52`); [[Runner
+  * .applyToDatasets]] is `apply_to_fileset` (`dataset_tools/
+  * apply_processor.py:31-136`) — one lazy plan per dataset, merged
+  * long-format with a `dataset` key column.
+  *
+  * Everything the reference's executors implement by hand — chunking,
+  * retries, compression, tree-reduction, speculation — is Spark's
+  * scheduler (SURVEY §2.12): the "accumulator" merge is a groupBy over
+  * (dataset, output keys), partial-aggregated map-side.
+  */
+trait Processor {
+  /** Per-dataset transform: events in, named result tables out. Results
+    * must be aggregation-shaped (mergeable by further groupBy). */
+  def process(events: DataFrame): Map[String, DataFrame]
+
+  /** Driver-side fixup after all datasets merge. */
+  def postprocess(merged: Map[String, DataFrame]): Map[String, DataFrame] = merged
+}
+
+object Runner {
+
+  /** Apply a processor to each named dataset and union each output
+    * across datasets under a `dataset` column — the long-format
+    * equivalent of coffea's nested dict accumulator (dict key ⇒ group
+    * key, SURVEY §2.5). All plans stay lazy; one action executes
+    * everything with shared scans where Spark finds them. */
+  def applyToDatasets(
+      processor: Processor,
+      datasets: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val perDataset = datasets.toSeq.map { case (name, df) =>
+      processor.process(df).map { case (out, res) =>
+        out -> res.withColumn("dataset", lit(name))
+      }
+    }
+    val outputs = perDataset.flatMap(_.keys).distinct
+    val merged = outputs.map { out =>
+      out -> perDataset.flatMap(_.get(out)).reduce(_ unionByName _)
+    }.toMap
+    processor.postprocess(merged)
+  }
+
+  /** Fileset application: dataset name → parquet paths. `skipBadFiles`
+    * maps to spark.sql.files.ignoreCorruptFiles (reference
+    * `automatic_retries`/`skipbadfiles`, `executor.py:202-273`). */
+  def applyToFileset(
+      spark: SparkSession,
+      processor: Processor,
+      fileset: Map[String, Seq[String]],
+      skipBadFiles: Boolean = false): Map[String, DataFrame] = {
+    if (skipBadFiles) spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    applyToDatasets(processor,
+      fileset.map { case (name, paths) => name -> spark.read.parquet(paths: _*) })
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY
+  * §7.4 note 7); its map-reduce accumulator contract (chunk → partial →
+  * merge) is exactly Spark's streaming aggregation model, so the same
+  * engine operators run incrementally: `readStream` → transforms →
+  * watermarked windowed aggs → sink, with
+  * `flatMapGroupsWithState` for custom session state.
+  */
+object EventStream {
+
+  /** File-source stream over a parquet directory (schema must be
+    * supplied — streaming sources don't infer). */
+  def fromParquetDir(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Watermarked tumbling-window aggregation: events per type per
+    * window with value sums — the streaming form of q10_time_window. */
+  def windowedStats(events: DataFrame, tsCol: String, windowLen: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  final case class Ev(user_id: Long, ts_ms: Long, value: Double)
+  final case class SessionState(lastTs: Long, nSessions: Int, nEvents: Int)
+  final case class UserSessions(user_id: Long, n_sessions: Int, n_events: Int)
+
+  /** Custom sessionization state machine via flatMapGroupsWithState:
+    * counts per-user sessions split at `gapMs` inactivity. The
+    * `KeyValueGroupedDataset` state API is the Spark analogue of a
+    * per-key streaming accumulator. */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[UserSessions] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts_ms))
+      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))
+      for (e <- sorted) {
+        val newSession = st.lastTs == Long.MinValue || e.ts_ms - st.lastTs > gapMs
+        st = SessionState(e.ts_ms, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+      }
+      state.update(st)
+      Iterator.single(UserSessions(userId, st.nSessions, st.nEvents))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Batch twin of [[sessionize]] (same gap semantics, single pass) —
+    * used to cross-check the stateful streaming path, mirroring the
+    * reference's cross-backend equality axiom (SURVEY §5). */
+  def sessionizeBatch(events: Dataset[Ev], gapMs: Long): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).mapGroups { (uid, it) =>
+      val sorted = it.toSeq.sortBy(_.ts_ms)
+      var last = Long.MinValue
+      var n = 0
+      for (e <- sorted) {
+        if (last == Long.MinValue || e.ts_ms - last > gapMs) n += 1
+        last = e.ts_ms
+      }
+      UserSessions(uid, n, sorted.size)
+    }
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Histogram
+import graft.corrections.{DoubleCrystalBall, JetCorrections, LumiTools}
+import graft.genealogy.GenTree
+import graft.runner.{Processor, Runner}
+import graft.streaming.EventStream
+
+class AdvancedSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("GenTree distinctParent walks past same-pdg chains") {
+    //      0(a)
+    //    1(a)  2(b)
+    //  3(a) 4(b)
+    val df = Seq((Seq(-1, 0, 0, 1, 1), Seq(1, 1, 2, 1, 2))).toDF("par", "pdg")
+    val dp = df.select(GenTree.distinctParentCol($"par", $"pdg")).head().getSeq[Int](0)
+    // 0: root → -1; 1: parent 0 same pdg → its parent -1 → -1
+    // 2: parent 0 differs → 0; 3: 1 same, 0 same → -1; 4: parent 1 differs → 1
+    assert(dp == Seq(-1, -1, 0, -1, 1))
+  }
+
+  test("GenTree children inverts parents; distinctChildrenDeep skips same-pdg") {
+    val df = Seq((Seq(-1, 0, 0, 1, 1), Seq(1, 1, 2, 1, 2))).toDF("par", "pdg")
+    val kids = df.select(GenTree.childrenCol($"par")).head().getSeq[Seq[Int]](0)
+    assert(kids == Seq(Seq(1, 2), Seq(3, 4), Seq(), Seq(), Seq()))
+    val deep = df.select(GenTree.distinctChildrenDeepCol($"par", $"pdg")).head().getSeq[Seq[Int]](0)
+    // from 0(pdg 1): child 1 same pdg → descend {3 same→terminal? 3 has no kids;
+    // per kernel same-pdg leaf yields nothing}, child 2 differs → [2], 4 differs → [4]
+    assert(deep(0).toSet == Set(2, 4))
+  }
+
+  test("FactorizedJetCorrector composes levels sequentially") {
+    val df = Seq(100.0).toDF("pt")
+    val levels = Seq(
+      JetCorrections.JecLevel("L1", "[0]", Seq(1.1)),
+      JetCorrections.JecLevel("L2", "[0]*x/x", Seq(1.05)))
+    val c = df.select(JetCorrections.factorizedCorrection(levels, $"pt")).head().getDouble(0)
+    assert(math.abs(c - 1.1 * 1.05) < 1e-12)
+  }
+
+  test("correctJets stages pt_raw and JES variations bracket nominal") {
+    val df = Seq(Seq((50.0, 0.1, 0.2, 1.0))).toDF("jets")
+      .select(transform($"jets", j => struct(j("_1").as("pt"), j("_2").as("eta"),
+        j("_3").as("phi"), j("_4").as("mass"))).as("jets"))
+    val corrected = JetCorrections.correctJets($"jets",
+      Seq(JetCorrections.JecLevel("L1", "[0]", Seq(1.2))),
+      uncFormula = Some(("[0]", Seq(0.1))))
+    val r = df.select(corrected.as("c")).select(
+      element_at($"c", 1)("pt"), element_at($"c", 1)("pt_raw"),
+      element_at($"c", 1)("pt_jes_up"), element_at($"c", 1)("pt_jes_down")).head()
+    assert(math.abs(r.getDouble(0) - 60.0) < 1e-9)
+    assert(r.getDouble(1) == 50.0)
+    assert(math.abs(r.getDouble(2) - 66.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 54.0) < 1e-9)
+  }
+
+  test("correctedMet shifts against jet deltas") {
+    // one jet at phi=0 corrected +10 → MET (pt 20, phi π) gains 10 along -x?
+    val df = Seq(1).toDF("x").select(
+      array(struct(lit(30.0).as("pt"), lit(0.0).as("eta"), lit(0.0).as("phi"),
+        lit(1.0).as("mass"), lit(20.0).as("pt_raw"))).as("jets"),
+      struct(lit(20.0).as("pt"), lit(math.Pi).as("phi")).as("met"))
+    val m = df.select(JetCorrections.correctedMet($"met", $"jets").as("m"))
+      .select($"m.pt", $"m.phi").head()
+    assert(math.abs(m.getDouble(0) - 30.0) < 1e-9) // -20 along x, minus delta 10 → -30
+  }
+
+  test("jerSmearFactor is deterministic and non-negative") {
+    val df = spark.range(1000).toDF("id")
+    val f = JetCorrections.jerSmearFactor(lit(1.2), lit(0.3), Seq($"id"))
+    val a = df.select(f).collect().map(_.getDouble(0))
+    val b = df.select(f).collect().map(_.getDouble(0))
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_ >= 0.0))
+    assert(a.distinct.length > 100)
+  }
+
+  test("DoubleCrystalBall cdf is monotone, bounded, continuous at tail joins") {
+    val (aL, nL, aR, nR) = (1.5, 3.0, 2.0, 4.0)
+    val xs = (-400 to 400).map(_ / 50.0)
+    val df = xs.toDF("x")
+    val vals = df.select(DoubleCrystalBall.cdf($"x", aL, nL, aR, nR)).collect().map(_.getDouble(0))
+    assert(vals.head < 0.02 && vals.last > 0.98)
+    assert(vals.forall(v => v >= 0.0 && v <= 1.0))
+    assert(vals.sliding(2).forall(p => p(1) >= p(0) - 1e-12))
+    // pdf trapezoid integral over [-8,8] must match the cdf mass there
+    val pdfVals = df.select(DoubleCrystalBall.pdf($"x", aL, nL, aR, nR)).collect().map(_.getDouble(0))
+    val integral = pdfVals.sliding(2).map(p => (p(0) + p(1)) / 2 * 0.02).sum
+    assert(math.abs(integral - (vals.last - vals.head)) < 0.005)
+  }
+
+  test("LumiTools getLumi sums over distinct pairs only") {
+    val ev = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L)).toDF("run", "lumi")
+    val table = Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (2L, 10L, 1.0), (9L, 9L, 100.0))
+      .toDF("run", "lumi", "lumival")
+    val total = LumiTools.getLumi(ev, "run", "lumi", table).head().getDouble(0)
+    assert(total == 13.0)
+  }
+
+  test("Runner merges per-dataset outputs long-format") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val proc = new Processor {
+      def process(events: org.apache.spark.sql.DataFrame) = Map(
+        "hist" -> Histogram.fill(events,
+          Seq("bin" -> Histogram.bucket(col("l_quantity"), 0, 50, 5)),
+          weight = lit(1.0) - col("l_discount")))
+    }
+    val out = Runner.applyToDatasets(proc, Map(
+      "dsA" -> li.filter($"l_orderkey" % 2 === 0),
+      "dsB" -> li.filter($"l_orderkey" % 2 === 1)))
+    val hist = out("hist")
+    assert(hist.columns.contains("dataset"))
+    val total = hist.agg(sum($"n")).head().getLong(0)
+    assert(total == li.count())
+    assert(hist.select($"dataset").distinct().count() == 2)
+  }
+
+  test("streaming windowed agg matches batch aggregation") {
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", graft.queries.nanosToTs($"ts").as("t"), $"value")
+    // streaming file source needs a DIRECTORY: stage the single file
+    val dir = java.nio.file.Files.createTempDirectory("ev_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = EventStream.fromParquetDir(spark, dir.toString,
+      spark.read.parquet(s"$sf/events.parquet").schema)
+      .select($"event_type", graft.queries.nanosToTs($"ts").as("t"), $"value")
+    val q = EventStream.windowedStats(stream, "t", "1 hour")
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .agg(sum($"n"), count(lit(1))).head()
+      val expWindows = batch.groupBy(window($"t", "1 hour"), $"event_type").count()
+      assert(got.getLong(0) == batch.count())
+      assert(got.getLong(1) == expWindows.count())
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization counts gap-split sessions") {
+    import EventStream._
+    val evs = Seq(
+      Ev(1, 0, 1.0), Ev(1, 1000, 1.0), Ev(1, 100000, 1.0), // 2 sessions (gap 30s)
+      Ev(2, 0, 1.0)).toDS()
+    // batch Dataset path: use the same state function via groupByKey.mapGroups equivalence
+    val got = EventStream.sessionizeBatch(evs, gapMs = 30000).collect()
+      .map(u => u.user_id -> (u.n_sessions, u.n_events)).toMap
+    assert(got(1L) == (2, 3) && got(2L) == (1, 1))
+  }
+}
