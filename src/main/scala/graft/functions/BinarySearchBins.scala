@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Custom Catalyst expression (SURVEY §4 custom #1, `binarySearchBins`):
+  * searchsorted-with-clip over NON-uniform bin edges — the O(log k)
+  * upgrade of `DenseLookup.binIndex`'s O(k) when-chain for large
+  * correction tables. The edges array is driver-baked into the plan
+  * (`addReferenceObj`) and the search participates in whole-stage
+  * codegen via [[BinarySearchBins.search]].
+  */
+case class BinarySearchBins(child: Expression, edges: Array[Double])
+    extends UnaryExpression {
+  require(edges.length >= 2 && edges.sliding(2).forall(p => p(0) < p(1)),
+    "edges must be sorted, length >= 2")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    BinarySearchBins.search(edges, input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val edgesRef = ctx.addReferenceObj("edges", edges, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BinarySearchBins.search($edgesRef, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BinarySearchBins {
+
+  /** Number of inner edges ≤ x, clamped to [0, k−1] — identical
+    * semantics to `DenseLookup.binIndex` (clip below/above to the
+    * first/last bin). */
+  def search(edges: Array[Double], x: Double): Int = {
+    var lo = 1
+    var hi = edges.length - 2 // inner edges: edges(1) .. edges(k-1)
+    var res = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (x >= edges(mid)) { res = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    res
+  }
+
+  def apply(x: Column, edges: Seq[Double]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BinarySearchBins(org.apache.spark.sql.graft.ColumnBridge.expression(x),
+        edges.toArray))
+}

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Dense weighted-histogram aggregate (SURVEY §4 custom #2): one
+  * `(sumw[], sumw2[])` buffer per group instead of one output row per
+  * occupied bin.
+  *
+  * Scale rationale: the sparse `groupBy(bucket)` form shuffles one row
+  * per (partition × occupied bin); with 30k-bin axes (reference
+  * `NanoEventsProcessor.py:28-31`) × many categories that dominates the
+  * shuffle. This aggregate ships ONE fixed-size buffer per group per
+  * partition (map-side combined), so shuffle volume is independent of
+  * input rows — the histogramming shape that survives 100 TB.
+  *
+  * Buffer layout: `Array[Double]` of length 2(n+2): [sumw | sumw2] with
+  * under/overflow at slots 0 and n+1 per half.
+  */
+case class DenseHistogramAgg(
+    x: Expression,
+    w: Expression,
+    lo: Double,
+    hi: Double,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+
+  private val nSlots = n + 2
+  private val width = (hi - lo) / n
+
+  override def children: Seq[Expression] = Seq(x, w)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("sumw", ArrayType(DoubleType, containsNull = false)),
+    StructField("sumw2", ArrayType(DoubleType, containsNull = false))))
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](2 * nSlots)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val xv = x.eval(input)
+    val wv = w.eval(input)
+    if (xv != null && wv != null) {
+      val xd = xv.asInstanceOf[Double]
+      val wd = wv.asInstanceOf[Double]
+      val slot =
+        if (xd < lo) 0
+        else if (xd >= hi) nSlots - 1
+        else 1 + math.floor((xd - lo) / width).toInt
+      buf(slot) += wd
+      buf(nSlots + slot) += wd * wd
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    InternalRow(
+      ArrayData.toArrayData(java.util.Arrays.copyOfRange(buf, 0, nSlots)),
+      ArrayData.toArrayData(java.util.Arrays.copyOfRange(buf, nSlots, 2 * nSlots)))
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DenseHistogramAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DenseHistogramAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(x = newChildren(0), w = newChildren(1))
+}
+
+object DenseHistogramAgg {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Column API: `denseHistogram(x, w, lo, hi, n)` →
+    * `struct(sumw: array, sumw2: array)` of length n+2 (flow bins at the
+    * ends). Use inside `agg(...)`. */
+  def apply(x: Column, w: Column, lo: Double, hi: Double, n: Int): Column =
+    ColumnBridge.column(
+      DenseHistogramAgg(ColumnBridge.expression(x), ColumnBridge.expression(w), lo, hi, n)
+        .toAggregateExpression())
+}

@@ -36,10 +36,19 @@ object DenseLookup {
     s"(CASE $cases ELSE 0 END)"
   }
 
-  /** 1-D lookup: `values(binIndex(x))`. */
+  /** O(log k) variant of [[binIndex]] backed by the custom Catalyst
+    * expression [[graft.functions.BinarySearchBins]] (codegen'd binary
+    * search over a plan-baked edges array) — same clip semantics;
+    * preferred for large axes. */
+  def binIndexFast(x: Column, edges: Seq[Double]): Column =
+    graft.functions.BinarySearchBins(x, edges)
+
+  /** 1-D lookup: `values(binIndexFast(x))` — driven by the custom
+    * codegen'd binary-search expression; clip semantics identical to
+    * [[binIndex]]. */
   def lookup1d(x: Column, edges: Seq[Double], values: Seq[Double]): Column = {
     require(values.length == edges.length - 1, "one value per bin")
-    get(lit(values.toArray), binIndex(x, edges))
+    get(lit(values.toArray), binIndexFast(x, edges))
   }
 
   /** SQL twin of [[lookup1d]]. */

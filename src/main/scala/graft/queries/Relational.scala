@@ -210,6 +210,53 @@ object Relational extends QueryPack {
              |GROUP BY c_mktsegment""".stripMargin)),
 
     Query(
+      "q13_rollup",
+      "GROUPING SETS/ROLLUP (beyond the reference's per-dataset dict accumulators, SURVEY §2.5 note): revenue at (flag,status), (flag), and grand-total levels in one pass.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            cents(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+          .select(
+            coalesce($"l_returnflag", lit("ALL")).as("rf"),
+            coalesce($"l_linestatus", lit("ALL")).as("ls"),
+            $"n", $"revenue_c")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |count(*) AS n,
+             |CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_c
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    Query(
+      "q14_multijoin",
+      "TPC-H Q5 shape: region→nation→customer→orders→lineitem star join with a date-range filter pushed to the orders scan; dims broadcast, facts shuffle once each.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.region(s, dir).filter($"r_name" === "ASIA")
+          .join(Tables.nation(s, dir), $"r_regionkey" === $"n_regionkey")
+          .join(Tables.customer(s, dir), $"n_nationkey" === $"c_nationkey")
+          .join(Tables.orders(s, dir)
+            .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+            $"c_custkey" === $"o_custkey")
+          .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_items"),
+            cents(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+      },
+      Some("""SELECT n_name, count(*) AS n_items,
+             |CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_c
+             |FROM region
+             |JOIN nation ON r_regionkey = n_regionkey
+             |JOIN customer ON n_nationkey = c_nationkey
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
+    Query(
       "q10_time_window",
       "Event-time tumbling-window aggregation (batch form of the Structured Streaming windowed agg): events per type per day. ts arrives as nanos-epoch long (parquet TIMESTAMP(NANOS)).",
       (s, dir) => {

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's `private[sql]` Column ↔ Expression converters —
+  * the supported extension-point technique for registering custom
+  * Catalyst expressions as user-facing `Column` functions (the public
+  * `functions._` API offers no constructor from an `Expression`).
+  * Lives under `org.apache.spark.sql` solely for package-private
+  * access; contains no logic.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

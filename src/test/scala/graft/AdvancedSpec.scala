@@ -119,6 +119,39 @@ class AdvancedSpec extends AnyFunSuite {
     assert(hist.select($"dataset").distinct().count() == 2)
   }
 
+  test("fillDense TypedImperativeAggregate matches sparse fill") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val w = lit(1.0) - col("l_discount")
+    val dense = Histogram.fillDense(li, Seq("rf" -> col("l_returnflag")),
+      x = col("l_quantity"), weight = w, lo = 0.0, hi = 50.0, n = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    val sparse = Histogram.fill(li,
+      Seq("bin" -> Histogram.bucket(col("l_quantity"), 0.0, 50.0, 10),
+        "rf" -> col("l_returnflag")), w)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (((bin, rf), sumw) <- sparse) {
+      val slot = (bin + 1).toInt // dense slot 0 = underflow
+      assert(math.abs(dense(rf)._1(slot) - sumw) < 1e-9,
+        s"bin $bin rf $rf dense=${dense(rf)._1(slot)} sparse=$sumw")
+    }
+    // total weights agree
+    val totalDense = dense.values.map(_._1.sum).sum
+    val totalSparse = sparse.values.sum
+    assert(math.abs(totalDense - totalSparse) < 1e-6)
+  }
+
+  test("SchemaBuilder.zipCollections zips prefixed flat arrays into collections") {
+    val flat = Seq((1L, Seq(10.0, 20.0), Seq(0.1, 0.2), Seq(5.0))).toDF(
+      "event", "Muon_pt", "Muon_eta", "Jet_pt")
+    val nested = graft.core.SchemaBuilder.zipCollections(flat)
+    assert(nested.columns.sorted.toSeq == Seq("Jet", "Muon", "event"))
+    val r = nested.select($"Muon.pt", $"Muon.eta", $"Jet.pt").head()
+    assert(r.getSeq[Double](0) == Seq(10.0, 20.0))
+    assert(r.getSeq[Double](1) == Seq(0.1, 0.2))
+    assert(r.getSeq[Double](2) == Seq(5.0))
+  }
+
   test("streaming windowed agg matches batch aggregation") {
     val batch = spark.read.parquet(s"$sf/events.parquet")
       .select($"event_type", graft.queries.nanosToTs($"ts").as("t"), $"value")

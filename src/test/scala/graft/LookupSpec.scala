@@ -45,6 +45,20 @@ class LookupSpec extends AnyFunSuite {
     assert(v == 21.0)
   }
 
+  test("BinarySearchBins custom expression matches the when-chain binIndex") {
+    val edges = Seq(1.0, 10.0, 20.0, 35.0, 50.0, 80.0, 120.0)
+    val df = spark.range(0, 2000).select(($"id" * 0.07 - 5.0).as("x"))
+    val mismatches = df.select(
+      DenseLookup.binIndex($"x", edges).as("slow"),
+      DenseLookup.binIndexFast($"x", edges).as("fast"))
+      .filter($"slow" =!= $"fast").count()
+    assert(mismatches == 0)
+    // exact edge values land in the upper bin; far out-of-range clips
+    val r = Seq(-99.0, 1.0, 10.0, 119.9, 999.0).toDF("x")
+      .select(DenseLookup.binIndexFast($"x", edges)).collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(0, 0, 1, 5, 5))
+  }
+
   test("RangeMask membership") {
     val df = Seq(50L, 100L, 150L, 201L, 1100L).toDF("v")
     val got = df.select(RangeMask.inRanges($"v", Seq((100L, 200L), (1000L, 1200L))))
