@@ -74,6 +74,21 @@ object SchemaBuilder {
       .drop("__unsorted")
   }
 
+  /** Inverse of [[zipCollections]] — the `uproot_writeable` sink shape
+    * (reference `schemas/base.py:136-178`): each `coll:
+    * array<struct<...>>` column becomes flat `coll_field` array columns
+    * plus an `ncoll` count, ready for `df.write.parquet` in
+    * branch-per-column layout. */
+  def flattenCollections(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.flatMap {
+      case StructField(name, ArrayType(st: StructType, _), _, _) =>
+        size(col(name)).as(s"n$name") +:
+          st.fieldNames.map(f => col(name).getField(f).as(s"${name}_$f")).toSeq
+      case f => Seq(col(f.name))
+    }
+    df.select(cols.toSeq: _*)
+  }
+
   /** Validate that required event-id columns exist (reference requires
     * run/luminosityBlock/event — `schemas/nanoaod.py:49-51`). */
   def requireColumns(df: DataFrame, names: Seq[String]): DataFrame = {

@@ -76,6 +76,25 @@ final case class PackedSelection(cuts: Seq[(String, Column)]) {
     wide.selectExpr(s"stack(${cuts.size}, $stackArgs) as (cut, n_onecut, n_cumulative)")
   }
 
+  /** Weighted cutflow (reference `Cutflow` weighted variants,
+    * `analysis_tools.py:2483-2608`): per-cut-alone and cumulative
+    * weight sums in one pass. Columns (cut, sumw_onecut, sumw_cumulative).
+    */
+  def cutflowWeighted(df: DataFrame, weight: Column): DataFrame = {
+    val aggs = cuts.zipWithIndex.flatMap { case ((n, c), i) =>
+      val cum = all(names.take(i + 1): _*)
+      Seq(
+        sum(when(coalesce(c, lit(false)), weight).otherwise(lit(0.0))).as(s"__wone_$i"),
+        sum(when(cum, weight).otherwise(lit(0.0))).as(s"__wcum_$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cuts.zipWithIndex
+      .map { case ((n, _), i) => s"'$n', __wone_$i, __wcum_$i" }
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cuts.size}, $stackArgs) as (cut, sumw_onecut, sumw_cumulative)")
+  }
+
   /** N−1: for each cut, events passing all OTHER cuts, plus the all-cuts
     * count — one aggregation pass (reference `nminusone`). Columns
     * (excluded_cut, n_pass); excluded_cut = "none" row = all cuts. */

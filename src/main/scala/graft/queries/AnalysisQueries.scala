@@ -72,6 +72,27 @@ object AnalysisQueries extends QueryPack {
       }),
 
     Query(
+      "q41_weighted_cutflow",
+      "Weighted cutflow: per-cut and cumulative WEIGHT sums (not counts) in one pass — the Weights × PackedSelection composition the reference reports.",
+      (s, dir) => {
+        import s.implicits._
+        val flow = PackedSelection(cuts(s)).cutflowWeighted(
+          Tables.lineitem(s, dir), lit(1.0) - $"l_discount")
+        flow.select($"cut",
+          cents($"sumw_onecut").as("sumw_onecut_c"),
+          cents($"sumw_cumulative").as("sumw_cumulative_c"))
+      },
+      Some {
+        val names = Seq("qty", "disc", "ship", "tax")
+        names.zipWithIndex.map { case (n, i) =>
+          val cum = names.take(i + 1).map(cutSql).mkString(" AND ")
+          s"SELECT '$n' AS cut, " +
+            s"CAST(floor(sum(CASE WHEN ${cutSql(n)} THEN 1.0 - l_discount ELSE 0.0 END) * 100 + 0.5) AS BIGINT) AS sumw_onecut_c, " +
+            s"CAST(floor(sum(CASE WHEN $cum THEN 1.0 - l_discount ELSE 0.0 END) * 100 + 0.5) AS BIGINT) AS sumw_cumulative_c FROM lineitem"
+        }.mkString("\n UNION ALL \n")
+      }),
+
+    Query(
       "q32_nminusone",
       "N−1 report (analysis_tools.py:2386-2481): for each cut, events passing all other cuts — the standard HEP selection-diagnostic — one pass.",
       (s, dir) => PackedSelection(cuts(s)).nminusone(Tables.lineitem(s, dir)),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core.{Combinatorics, Jagged, Kinematics, SchemaBuilder}
+
+/** Property-based checks over the jagged core (the reference has no
+  * property tests — SURVEY §5 — so this strengthens the port). Uses raw
+  * ScalaCheck generators with fixed seeds (the scalatest bridge isn't in
+  * the offline cache). */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("combinations2 emits n(n-1)/2 ordered pairs for arbitrary arrays") {
+    val lists = samples(Gen.listOf(Gen.chooseNum(-100, 100)), 40)
+    val df = lists.map(_.toSeq).toDF("xs")
+    df.select(size(Combinatorics.combinations2($"xs")).as("np"), size($"xs").as("n"))
+      .collect().foreach { r =>
+        val (np, n) = (r.getInt(0).max(0), r.getInt(1))
+        assert(np == n * (n - 1) / 2)
+      }
+  }
+
+  test("deltaPhi stays within (-pi, pi] for arbitrary angles") {
+    val phis = samples(Gen.chooseNum(-50.0, 50.0), 200)
+    val df = phis.zip(phis.reverse).toDF("a", "b")
+    val vals = df.select(Kinematics.deltaPhi($"a", $"b")).collect().map(_.getDouble(0))
+    assert(vals.forall(v => v > -math.Pi - 1e-9 && v <= math.Pi + 1e-9))
+  }
+
+  test("invariantMass is symmetric and non-negative") {
+    val gen = for {
+      pt1 <- Gen.chooseNum(0.1, 500.0); eta1 <- Gen.chooseNum(-3.0, 3.0)
+      phi1 <- Gen.chooseNum(-3.1, 3.1); m1 <- Gen.chooseNum(0.0, 50.0)
+      pt2 <- Gen.chooseNum(0.1, 500.0); eta2 <- Gen.chooseNum(-3.0, 3.0)
+      phi2 <- Gen.chooseNum(-3.1, 3.1); m2 <- Gen.chooseNum(0.0, 50.0)
+    } yield (pt1, eta1, phi1, m1, pt2, eta2, phi2, m2)
+    val df = samples(gen, 100).toDF("pt1", "eta1", "phi1", "m1", "pt2", "eta2", "phi2", "m2")
+    val a = Kinematics.ptEtaPhiM($"pt1", $"eta1", $"phi1", $"m1")
+    val b = Kinematics.ptEtaPhiM($"pt2", $"eta2", $"phi2", $"m2")
+    df.select(Kinematics.invariantMass(a, b).as("mab"),
+      Kinematics.invariantMass(b, a).as("mba")).collect().foreach { r =>
+      assert(r.getDouble(0) >= 0.0)
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("zipCollections/flattenCollections round-trip") {
+    val flat = Seq(
+      (1L, Seq(10.0, 20.0), Seq(0.1, 0.2), Seq("x")),
+      (2L, Seq.empty[Double], Seq.empty[Double], Seq.empty[String]))
+      .toDF("event", "Muon_pt", "Muon_eta", "Jet_tag")
+    val nested = SchemaBuilder.zipCollections(flat)
+    val back = SchemaBuilder.flattenCollections(nested)
+    assert(back.columns.toSet ==
+      Set("event", "nJet", "Jet_tag", "nMuon", "Muon_pt", "Muon_eta"))
+    val proj = back.orderBy("event").select($"Muon_pt", $"nMuon").collect()
+    assert(proj(0).getSeq[Double](0) == Seq(10.0, 20.0))
+    assert(proj(0).getInt(1) == 2)
+    assert(proj(1).getInt(1) == 0)
+  }
+
+  test("padNone clip semantics: non-null count = min(size, n)") {
+    val lists = samples(Gen.listOf(Gen.chooseNum(0.0, 9.0)), 40)
+    val df = lists.map(_.toSeq).toDF("xs")
+    df.select(size(filter(Jagged.padNone($"xs", 5), x => x.isNotNull)).as("nn"),
+      size($"xs").as("n")).collect().foreach { r =>
+      assert(r.getInt(0) == math.min(r.getInt(1), 5))
+    }
+  }
+}
