@@ -49,16 +49,33 @@ object Dedup {
     s"(('0x' || substr(md5($unit), 1, 15))::BIGINT)",
     s"((('0x' || substr(md5($unit), 17, 15))::BIGINT) % ${H2Mod})")
 
-  /** Exploded (id, h1, h2) hash rows for the distinct shingles of each
-    * document — md5 runs exactly once per (doc, shingle) row. A flat
-    * relational layout (not a nested lambda) because Catalyst's
-    * CollapseProject would otherwise inline the md5 into every one of
-    * the k downstream minhash lambdas, multiplying the digest cost ×k
-    * (measured: 315 s → seconds at sf0.1). */
+  /** Distinct (id, s) shingle rows, built relationally: posexplode the
+    * token array ONCE, then assemble n-grams with window `lead`.
+    * The array-lambda form (`TextAnalysis.shingles` inside an explode)
+    * re-evaluates the tokenization for every shingle index — Spark does
+    * not hoist lambda-invariant subexpressions — which measured 5× the
+    * cost of the whole join downstream. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = (0 until n).map(k => if (k == 0) col("tok") else lead(col("tok"), k).over(w))
+    toks
+      .select(col("id"), concat_ws(" ", parts: _*).as("s"),
+        parts.last.isNotNull.as("__complete"))
+      .filter(col("__complete"))
+      .select(col("id"), col("s"))
+      .distinct()
+  }
+
+  /** (id, h1, h2) hash rows over the distinct shingles — md5 runs
+    * exactly once per (doc, shingle) row, flat relational layout
+    * (CollapseProject would inline the digest into every one of the k
+    * minhash lambdas otherwise; measured 315 s → seconds at sf0.1). */
   def hashRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(TextAnalysis.shingles(col(textCol), shingleN)).as("u"))
-      .select(col("id"), hashPair(col("u")).as("hp"))
+    shingleRows(df, idCol, textCol, shingleN)
+      .select(col("id"), hashPair(col("s")).as("hp"))
       .select(col("id"), col("hp.h1").as("h1"), col("hp.h2").as("h2"))
 
   /** k MinHash signatures via ONE aggregation pass over the hash rows:
@@ -170,10 +187,8 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), n).as("sh"))
-    val counts = sh.select(col("id"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val inv = shingleRows(df, idCol, textCol, n)
+    val counts = inv.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

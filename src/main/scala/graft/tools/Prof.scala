@@ -1,0 +1,27 @@
+// temp profiling main (dev-only)
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.pipeline._
+    val df = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-20s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
+    }
+    time("warm")(spark.read.parquet("/root/testdata/sf0.1/documents.parquet").count())
+    time("shingleRows1")(Dedup.shingleRows(df, "doc_id", "text", 3).count())
+    time("shingleRows2")(Dedup.shingleRows(df, "doc_id", "text", 3).count())
+    time("tokensOnly")(df.select(col("doc_id"), posexplode(graft.pipeline.TextAnalysis.tokens(col("text")))).count())
+    time("full_q53")(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.25).count())
+    time("full_q54")(Dedup.minhashCandidates(df, "doc_id", "text", 16, 8, 0.25).count())
+    time("full_q55")(Dedup.simhashCandidates(df, "doc_id", "text", 3).count())
+    spark.stop()
+  }
+}
