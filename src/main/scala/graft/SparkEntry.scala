@@ -25,9 +25,29 @@ object SparkEntry {
     qs
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    registry.head.run(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The canonical end-to-end slice of SURVEY §7.2 — the dimuon
+    * idiom: nest → combinations(2) → 4-vector add → invariant-mass
+    * histogram, one shuffle to nest + one to fill. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import _root_.graft.core.{Combinatorics, Histogram, Kinematics, SchemaBuilder, Tables}
+    val dir = "/root/testdata/sf0.001"
+    val nested = SchemaBuilder.nestRows(
+      Tables.lineitem(spark, dir),
+      key = Seq("l_orderkey"), collection = "items",
+      fields = Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      sortFields = Seq("l_linenumber", "l_extendedprice"))
+    val vecs = transform(col("items"), it => Kinematics.ptEtaPhiM(
+      it("l_quantity"), it("l_discount") * 20.0 - 1.0,
+      it("l_tax") * 40.0 - 3.0, it("l_quantity") * 0.1))
+    val mass = transform(Combinatorics.combinations2(vecs),
+      p => Kinematics.invariantMass(p("_1"), p("_2")))
+    Histogram.fill(
+      nested.select(explode(mass).as("m")),
+      axes = Seq("bin" -> Histogram.bucket(col("m"), 0.0, 200.0, 100)),
+      weight = lit(1.0))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

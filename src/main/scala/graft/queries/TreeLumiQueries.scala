@@ -17,13 +17,19 @@ object TreeLumiQueries extends QueryPack {
 
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
-  private def nested(s: SparkSession, dir: String): DataFrame =
+  /** Nest only the fields a query touches — the collect_list shuffle
+    * carries exactly the projected struct, so field lists are per-query
+    * (verified via Explain: 7-col vs 3-col shuffle payloads). */
+  private def nested(s: SparkSession, dir: String, fields: Seq[String]): DataFrame =
     SchemaBuilder.nestRows(
       Tables.lineitem(s, dir),
       key = Seq("l_orderkey"), collection = "items",
-      fields = Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
-        "l_tax", "l_returnflag"),
+      fields = fields,
       sortFields = Seq("l_linenumber", "l_extendedprice"))
+
+  private val treeFields = Seq("l_linenumber", "l_extendedprice", "l_returnflag")
+  private val jecFields = Seq("l_linenumber", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax")
 
   /** it CTE shared by the tree oracles: 0-based heap index per item. */
   private val itSql =
@@ -41,7 +47,7 @@ object TreeLumiQueries extends QueryPack {
         val parents = transform(sequence(lit(0), size($"items") - 1),
           i => when(i === 0, lit(-1)).otherwise(floor((i - 1) / 2).cast("int")))
         val pdg = transform($"items", it => ascii(it("l_returnflag")))
-        nested(s, dir)
+        nested(s, dir, treeFields)
           .select($"l_orderkey",
             posexplode(GenTree.distinctParentCol(parents, pdg)).as(Seq("idx", "dp")))
           .select($"l_orderkey", $"idx".cast("long").as("idx"), $"dp".cast("long").as("dp"))
@@ -77,7 +83,7 @@ object TreeLumiQueries extends QueryPack {
         import s.implicits._
         val parents = transform(sequence(lit(0), size($"items") - 1),
           i => when(i === 0, lit(-1)).otherwise(floor((i - 1) / 2).cast("int")))
-        nested(s, dir)
+        nested(s, dir, treeFields)
           .select(explode(GenTree.childrenCol(parents)).as("kids"))
           .groupBy(size($"kids").cast("long").as("n_children"))
           .agg(count(lit(1)).as("n_items"))
@@ -126,7 +132,7 @@ object TreeLumiQueries extends QueryPack {
         val metRaw = struct(
           (Jagged.innerSumOf($"items", _("l_extendedprice")) / 1000.0).as("pt"),
           lit(0.3).as("phi"))
-        nested(s, dir)
+        nested(s, dir, jecFields)
           .select(corrected.as("jets"), JetCorrections.correctedMet(metRaw, corrected).as("met"))
           .agg(
             cents(sum(Jagged.innerSumOf($"jets", _("pt")))).as("sum_pt_c"),
