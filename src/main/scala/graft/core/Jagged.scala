@@ -106,4 +106,22 @@ object Jagged {
   /** Running fold over array elements with an explicit zero. */
   def fold(arr: Column, zero: Column, merge: (Column, Column) => Column): Column =
     aggregate(arr, zero, merge)
+
+  /** ak.concatenate(axis=1): per-event concatenation of collections
+    * (reference use `analysis_tools.py:128-130`). */
+  def concatenate(arrs: Column*): Column = concat(arrs: _*)
+
+  /** eventindex transform (reference `transforms.py:484-487`): broadcast
+    * an event-scalar column to the jagged shape of `arr`. */
+  def broadcastToJagged(scalar: Column, arr: Column): Column =
+    transform(arr, _ => scalar)
+
+  /** boolean_masks_to_categorical_integers (reference
+    * `analysis_tools.py:80-135`): indexes of the masks that are true,
+    * as a ragged int list per event. */
+  def masksToCategories(masks: Seq[Column]): Column =
+    filter(
+      transform(array(masks.map(m => coalesce(m, lit(false))): _*),
+        (m, i) => when(m, i)),
+      _.isNotNull)
 }

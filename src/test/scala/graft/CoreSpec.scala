@@ -61,6 +61,17 @@ class CoreSpec extends AnyFunSuite {
     assert(r == Seq(Seq(1, 2), Seq(), Seq(3, 4, 5), Seq(6)))
   }
 
+  test("concatenate / broadcastToJagged / masksToCategories") {
+    val df = Seq((7L, Seq(1.0, 2.0), Seq(3.0))).toDF("ev", "a", "b")
+    val r = df.select(
+      Jagged.concatenate($"a", $"b").as("c"),
+      Jagged.broadcastToJagged($"ev", $"a").as("e"),
+      Jagged.masksToCategories(Seq(lit(true), lit(false), lit(true))).as("m")).head()
+    assert(r.getSeq[Double](0) == Seq(1.0, 2.0, 3.0))
+    assert(r.getSeq[Long](1) == Seq(7L, 7L))
+    assert(r.getSeq[Int](2) == Seq(0, 2))
+  }
+
   test("deltaPhi wraps across ±π") {
     val df = Seq((3.0, -3.0)).toDF("a", "b")
     val got = df.select(Kinematics.deltaPhi($"a", $"b")).head().getDouble(0)
