@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Backward as-of (point-in-time) join: for each left row, the most
+  * recent right row with `rightTs <= leftTs` on the same key — the
+  * temporal analogue of the reference's metric-space `nearest`
+  * (SURVEY §2.3 notes threshold-nearest is the closest as-of shape).
+  *
+  * Implementation is the union + window trick rather than a custom
+  * `SparkPlan`: tag both sides, union, and take `last(rightPayload,
+  * ignoreNulls)` over a (key, time)-ordered running window; left rows
+  * then carry the latest prior right payload. ONE shuffle on the key,
+  * no range-join pair explosion, AQE-friendly — at 100 TB this behaves
+  * like any keyed window, whereas a range join degenerates on hot keys.
+  *
+  * Ties: a right row at exactly leftTs is visible (sorts before the
+  * left row). (key, ts) must be unique per side for determinism —
+  * pre-dedup otherwise.
+  */
+object AsOfJoin {
+
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      suffix: String = "_asof"): DataFrame = {
+    val lrowType = StructType(left.schema.fields)
+    val rvType = StructType(right.select(rightVals.map(col): _*).schema.fields)
+
+    val lUnion = left.select(
+      struct(left.columns.map(col): _*).as("__lrow") +:
+        key.map(col) :+
+        col(leftTs).as("__ts") :+
+        lit(1).as("__side") :+
+        lit(null).cast(rvType).as("__rv"): _*)
+    val rUnion = right.select(
+      lit(null).cast(lrowType).as("__lrow") +:
+        key.map(col) :+
+        col(rightTs).as("__ts") :+
+        lit(0).as("__side") :+
+        struct(rightVals.map(col): _*).as("__rv"): _*)
+
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lUnion.unionByName(rUnion)
+      .withColumn("__last_rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        left.columns.map(c => col("__lrow")(c).as(c)).toSeq ++
+          rightVals.map(v => col("__last_rv")(v).as(s"$v$suffix")): _*)
+  }
+}

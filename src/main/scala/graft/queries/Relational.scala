@@ -257,6 +257,33 @@ object Relational extends QueryPack {
              |GROUP BY n_name""".stripMargin)),
 
     Query(
+      "q15_asof_join",
+      "Backward as-of join (union+window, one shuffle, no range explosion): each purchase gathers the user's most recent prior click — DuckDB's native ASOF JOIN is the oracle.",
+      (s, dir) => {
+        import s.implicits._
+        // µs precision on both sides: this DuckDB truncates parquet
+        // TIMESTAMP(NANOS) to µs on read. Integer `div` — these epochs
+        // exceed 2^53, double division would round.
+        val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts_us", $"value")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts_us", $"value".as("click_value"),
+            $"ts_us".as("click_ts"))
+        graft.operators.AsOfJoin.asofBackward(
+          purchases, clicks, key = Seq("user_id"),
+          leftTs = "ts_us", rightTs = "ts_us",
+          rightVals = Seq("click_value", "click_ts"), suffix = "")
+          .select($"event_id", $"click_value",
+            ($"ts_us" - $"click_ts").as("gap_us"))
+      },
+      Some("""SELECT l.event_id, r.value AS click_value,
+             |epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin)),
+
+    Query(
       "q10_time_window",
       "Event-time tumbling-window aggregation (batch form of the Structured Streaming windowed agg): events per type per day. ts arrives as nanos-epoch long (parquet TIMESTAMP(NANOS)).",
       (s, dir) => {

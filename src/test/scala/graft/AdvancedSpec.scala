@@ -119,6 +119,17 @@ class AdvancedSpec extends AnyFunSuite {
     assert(hist.select($"dataset").distinct().count() == 2)
   }
 
+  test("asofBackward picks latest prior right row, inclusive at equal ts") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3")).toDF("u", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0)).toDF("u", "t", "v")
+    val got = graft.operators.AsOfJoin.asofBackward(
+      left, right, key = Seq("u"), leftTs = "t", rightTs = "t", rightVals = Seq("v"))
+      .select($"tag", $"v_asof").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("p1") == Some(100.0)) // equal ts visible
+    assert(got("p2") == Some(150.0)) // latest prior
+    assert(got("p3") == None)        // no right rows for key 2
+  }
+
   test("fillDense TypedImperativeAggregate matches sparse fill") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val w = lit(1.0) - col("l_discount")
