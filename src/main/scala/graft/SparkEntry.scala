@@ -36,7 +36,7 @@ object SparkEntry {
     val nested = SchemaBuilder.nestRows(
       Tables.lineitem(spark, dir),
       key = Seq("l_orderkey"), collection = "items",
-      fields = Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      fields = Seq("l_linenumber", "l_extendedprice", "l_quantity", "l_discount", "l_tax"),
       sortFields = Seq("l_linenumber", "l_extendedprice"))
     val vecs = transform(col("items"), it => Kinematics.ptEtaPhiM(
       it("l_quantity"), it("l_discount") * 20.0 - 1.0,

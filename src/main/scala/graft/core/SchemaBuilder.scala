@@ -62,15 +62,22 @@ object SchemaBuilder {
       collection: String,
       fields: Seq[String],
       sortFields: Seq[String]): DataFrame = {
-    val item = struct(fields.map(col): _*)
     // collect_list order is nondeterministic (shuffle arrival order) —
-    // sortFields must be unique per group to pin the array layout
-    // (struct comparison is lexicographic).
+    // sortFields must be unique per group to pin the array layout.
+    // Building the struct with sortFields FIRST lets sort_array's native
+    // lexicographic struct ordering do the job (measurably faster than
+    // an array_sort comparator lambda, which re-binds lambda variables
+    // per comparison); a final per-row transform restores the requested
+    // field order only when it differs.
+    val ordered = (sortFields ++ fields.filterNot(sortFields.contains)).distinct
+    val item = struct(ordered.map(col): _*)
+    val sorted = sort_array(col("__unsorted"))
+    val laidOut =
+      if (ordered == fields) sorted
+      else transform(sorted, x => struct(fields.map(f => x(f).as(f)): _*))
     df.groupBy(key.map(col): _*)
       .agg(collect_list(item).as("__unsorted"))
-      .withColumn(collection,
-        Jagged.sortBy(col("__unsorted"),
-          x => struct(sortFields.map(f => x(f)): _*)))
+      .withColumn(collection, laidOut)
       .drop("__unsorted")
   }
 

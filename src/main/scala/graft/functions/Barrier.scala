@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.DataType
+
+/** Identity pass-through that reports itself non-deterministic so the
+  * optimizer's CollapseProject will NOT inline the child expression into
+  * downstream consumers.
+  *
+  * Why it exists: Spark evaluates lambda-invariant subexpressions inside
+  * higher-order-function lambdas once PER ELEMENT, and CollapseProject
+  * merges adjacent projections by substituting the defining expression
+  * into every use site. An expensive expression (tokenization, md5)
+  * defined in one `select` and consumed by k lambdas is therefore
+  * recomputed k × |array| times. Wrapping the definition in `barrier`
+  * keeps it in its own projection, evaluated once per row.
+  *
+  * The value is in fact deterministic — marking it otherwise is purely
+  * an optimizer fence (same trick as Spark's own `AssertTrue` fences).
+  * Consequences to be aware of: predicates won't push through it, and it
+  * may only appear in Project/Filter/Window — apply it in a `select`
+  * BEFORE any groupBy that consumes the result.
+  */
+case class Barrier(child: Expression) extends UnaryExpression {
+
+  override lazy val deterministic: Boolean = false
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = childGen.code, isNull = childGen.isNull, value = childGen.value)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Barrier {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      Barrier(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+}

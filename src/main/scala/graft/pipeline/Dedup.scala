@@ -49,32 +49,40 @@ object Dedup {
     s"(('0x' || substr(md5($unit), 1, 15))::BIGINT)",
     s"((('0x' || substr(md5($unit), 17, 15))::BIGINT) % ${H2Mod})")
 
-  /** Distinct (id, s) shingle rows, built relationally: posexplode the
-    * token array ONCE, then assemble n-grams with window `lead`.
-    * The array-lambda form (`TextAnalysis.shingles` inside an explode)
-    * re-evaluates the tokenization for every shingle index — Spark does
-    * not hoist lambda-invariant subexpressions — which measured 5× the
-    * cost of the whole join downstream. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val parts = (0 until n).map(k => if (k == 0) col("tok") else lead(col("tok"), k).over(w))
-    toks
-      .select(col("id"), concat_ws(" ", parts: _*).as("s"),
-        parts.last.isNotNull.as("__complete"))
-      .filter(col("__complete"))
-      .select(col("id"), col("s"))
-      .distinct()
+  /** (id, s) shingle rows, generated per-row from the token array and
+    * exploded — NO shuffle (the earlier window-`lead` formulation paid a
+    * partitionBy(id) shuffle + sort before the explode).
+    *
+    * The tokenization sits behind [[graft.functions.Barrier]]: Spark
+    * evaluates lambda-invariant subexpressions once per ELEMENT, and
+    * CollapseProject would inline `tokens(text)` into the shingle lambda
+    * (measured 5× the cost of the whole downstream join in round 1) —
+    * the barrier pins it to one evaluation per row. Elements are read
+    * with null-safe `get` (no per-shingle `slice` array copies).
+    *
+    * `distinct = false` skips the dedup shuffle for consumers that are
+    * insensitive to shingle multiplicity (MinHash: `min` is idempotent).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+      distinct: Boolean = true): DataFrame = {
+    val toked = df.select(col(idCol).as("id"),
+      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+    val t = col("__t")
+    val sh = toked.select(col("id"), explode(
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(k => get(t, i + lit(k))): _*)))
+        .otherwise(array().cast("array<string>"))).as("s"))
+    if (distinct) sh.distinct() else sh
   }
 
-  /** (id, h1, h2) hash rows over the distinct shingles — md5 runs
-    * exactly once per (doc, shingle) row, flat relational layout
-    * (CollapseProject would inline the digest into every one of the k
-    * minhash lambdas otherwise; measured 315 s → seconds at sf0.1). */
-  def hashRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    shingleRows(df, idCol, textCol, shingleN)
+  /** (id, h1, h2) hash rows over the shingles — md5 runs exactly once
+    * per (doc, shingle) row, flat relational layout (CollapseProject
+    * would inline the digest into every one of the k minhash lambdas
+    * otherwise; measured 315 s → seconds at sf0.1). */
+  def hashRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      distinct: Boolean = true): DataFrame =
+    shingleRows(df, idCol, textCol, shingleN, distinct)
       .select(col("id"), hashPair(col("s")).as("hp"))
       .select(col("id"), col("hp.h1").as("h1"), col("hp.h2").as("h2"))
 
@@ -109,7 +117,10 @@ object Dedup {
       k: Int, bands: Int, minEst: Double, shingleN: Int = 2): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "bands must divide k")
-    val withMh = minhashTable(hashRows(df, idCol, textCol, shingleN), k)
+    // distinct=false: min is idempotent, so shingle multiplicity cannot
+    // change the signature — skips a whole dedup shuffle; the minhash
+    // groupBy partial-aggregates map-side (k longs per doc on the wire).
+    val withMh = minhashTable(hashRows(df, idCol, textCol, shingleN, distinct = false), k)
     val buckets = withMh
       .select(col("id"), bandSignatures(col("mh"), bands, rowsPerBand).as("b"))
       .groupBy(col("b.band"), col("b.sig"))

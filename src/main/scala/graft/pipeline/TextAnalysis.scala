@@ -36,7 +36,13 @@ object TextAnalysis {
 
   /** Number of tokens present in `vocab`. */
   def vocabHits(text: Column, vocab: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(vocab.map(lit): _*)))
+    vocabHitsIn(tokens(text), vocab)
+
+  /** [[vocabHits]] over an already-tokenized array — use with
+    * [[graft.functions.Barrier]] when several vocabularies score the
+    * same document, so tokenization runs once, not per vocabulary. */
+  def vocabHitsIn(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab.map(lit): _*)))
 
   /** Composite quality score in [0,1]: token-count band + word-length
     * band + stopword presence (the length/punct/stopword-ratio recipe). */
@@ -50,9 +56,15 @@ object TextAnalysis {
   }
 
   /** Stopword-hit language ID: argmax of per-language vocabulary hits,
-    * ties broken by the declared language order (deterministic). */
-  def langId(text: Column, vocabs: Seq[(String, Seq[String])]): Column = {
-    val scores = vocabs.map { case (lang, vocab) => lang -> vocabHits(text, vocab) }
+    * ties broken by the declared language order (deterministic).
+    * Prefer [[langIdFromTokens]] behind a barrier — this form tokenizes
+    * once per vocabulary. */
+  def langId(text: Column, vocabs: Seq[(String, Seq[String])]): Column =
+    langIdFromTokens(tokens(text), vocabs)
+
+  /** [[langId]] over an already-tokenized array. */
+  def langIdFromTokens(toks: Column, vocabs: Seq[(String, Seq[String])]): Column = {
+    val scores = vocabs.map { case (lang, vocab) => lang -> vocabHitsIn(toks, vocab) }
     // fold keeping (bestLang, bestScore); strict > keeps earlier on tie
     scores.tail.foldLeft(
       struct(lit(scores.head._1).as("lang"), scores.head._2.as("score"))) {

@@ -65,7 +65,7 @@ object CorrectionsQueries extends QueryPack {
         val nested = SchemaBuilder.nestRows(
           Tables.lineitem(s, dir),
           key = Seq("l_orderkey"), collection = "items",
-          fields = Seq("l_linenumber", "l_quantity", "l_extendedprice"),
+          fields = Seq("l_linenumber", "l_extendedprice", "l_quantity"),
           sortFields = Seq("l_linenumber", "l_extendedprice"))
         val correctedSum = Jagged.innerSumOf($"items", it =>
           it("l_quantity") * FormulaCompiler.compile(

@@ -18,7 +18,9 @@ object JaggedQueries extends QueryPack {
       Tables.lineitem(s, dir),
       key = Seq("l_orderkey"),
       collection = "items",
-      fields = Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"),
+      // sortFields lead the struct so nestRows sorts with the native
+      // struct ordering (no reprojection pass).
+      fields = Seq("l_linenumber", "l_extendedprice", "l_quantity", "l_discount", "l_returnflag"),
       // (l_linenumber, l_extendedprice) is unique within an order in this
       // dataset (l_linenumber alone is NOT) — pins the array layout.
       sortFields = Seq("l_linenumber", "l_extendedprice"))

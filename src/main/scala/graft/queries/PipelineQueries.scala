@@ -53,7 +53,9 @@ object PipelineQueries extends QueryPack {
       (s, dir) => {
         import s.implicits._
         Tables.documents(s, dir)
-          .withColumn("pred_lang", TextAnalysis.langId($"text", langVocabs))
+          // barrier: tokenize once per row, not once per vocabulary
+          .select($"lang", graft.functions.Barrier(TextAnalysis.tokens($"text")).as("__t"))
+          .select($"lang", TextAnalysis.langIdFromTokens($"__t", langVocabs).as("pred_lang"))
           .groupBy($"lang", $"pred_lang")
           .agg(count(lit(1)).as("n"))
       },

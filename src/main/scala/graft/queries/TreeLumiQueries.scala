@@ -28,7 +28,7 @@ object TreeLumiQueries extends QueryPack {
       sortFields = Seq("l_linenumber", "l_extendedprice"))
 
   private val treeFields = Seq("l_linenumber", "l_extendedprice", "l_returnflag")
-  private val jecFields = Seq("l_linenumber", "l_quantity", "l_extendedprice",
+  private val jecFields = Seq("l_linenumber", "l_extendedprice", "l_quantity",
     "l_discount", "l_tax")
 
   /** it CTE shared by the tree oracles: 0-based heap index per item. */

@@ -4,24 +4,42 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object Prof {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.pipeline._
-    val df = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+    val dir = "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"$name%-20s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
+      println(f"$name%-24s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
     }
-    time("warm")(spark.read.parquet("/root/testdata/sf0.1/documents.parquet").count())
-    time("shingleRows1")(Dedup.shingleRows(df, "doc_id", "text", 3).count())
-    time("shingleRows2")(Dedup.shingleRows(df, "doc_id", "text", 3).count())
-    time("tokensOnly")(df.select(col("doc_id"), posexplode(graft.pipeline.TextAnalysis.tokens(col("text")))).count())
-    time("full_q53")(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.25).count())
-    time("full_q54")(Dedup.minhashCandidates(df, "doc_id", "text", 16, 8, 0.25).count())
-    time("full_q55")(Dedup.simhashCandidates(df, "doc_id", "text", 3).count())
+    val qs = graft.SparkEntry.queries
+    def q(name: String): Unit = { time(name + "/1")(qs(name)(spark, dir).count())
+      time(name + "/2")(qs(name)(spark, dir).count()) }
+    time("warm")(spark.read.parquet(s"$dir/lineitem.parquet").count())
+    // changed paths
+    q("q51_langid")
+    q("q53_ngram_jaccard")
+    q("q54_minhash_lsh")
+    q("q55_simhash")
+    q("q20_jagged_build")
+    q("q21_inner_filter")
+    q("q22_combinations")
+    q("q24_nearest")
+    q("q60_gentree_distinct_parent")
+    q("q61_gentree_children")
+    // stage splits
+    time("nest_only")(graft.core.SchemaBuilder.nestRows(
+      graft.core.Tables.lineitem(spark, dir),
+      key = Seq("l_orderkey"), collection = "items",
+      fields = Seq("l_linenumber", "l_extendedprice", "l_quantity"),
+      sortFields = Seq("l_linenumber", "l_extendedprice")).count())
+    time("shingleRows3")(graft.pipeline.Dedup.shingleRows(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text", 3).count())
+    time("hashRows2_nodist")(graft.pipeline.Dedup.hashRows(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text", 2, distinct = false).count())
     spark.stop()
   }
 }
