@@ -49,8 +49,13 @@ object SchemaBuilder {
 
   /** Group a flat row-per-element table into a jagged event table:
     * one output row per `key`, with `collection` = array of
-    * `struct(fields)` sorted by `sortField` (deterministic layout —
+    * `struct(fields)` sorted by `sortFields` (deterministic layout —
     * array order must be stable for downstream local-index gathers).
+    * `sortFields` must be unique within each group; because the sort
+    * compares the full struct, any remaining fields act as implicit
+    * tiebreakers — if the precondition is violated the layout silently
+    * diverges from a SQL `ORDER BY sortFields` rather than being
+    * merely unstable.
     *
     * This is the one shuffle of the jagged pipeline; everything after it
     * is per-row. At scale, sizing `spark.sql.shuffle.partitions` (or AQE)

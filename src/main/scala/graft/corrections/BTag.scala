@@ -1,0 +1,83 @@
+package graft.corrections
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.lookup.FormulaCompiler
+
+/** b-tag scale factors from the public CSV payload format (reference
+  * `src/coffea/btag_tools/btagscalefactor.py:7-232`): rows keyed by
+  * (operating point, measurement type, systematic, jet flavor) with
+  * (eta, pt, discr) validity ranges and a per-row formula in `x`.
+  *
+  * The selected (op, measurement, syst) slice is small (tens of rows),
+  * so evaluation is a per-flavor when-chain of formulas compiled once
+  * on the driver — pure codegen'd arithmetic, broadcast-free. `x` is
+  * the discriminant for the reshape operating point and pt otherwise
+  * (`btagscalefactor.py:52-118`); pt/discr are clamped to the slice's
+  * covered range, mirroring the reference's bounds clip.
+  */
+object BTag {
+
+  final case class Row(
+      op: Int, measurement: String, syst: String, flavor: Int,
+      etaMin: Double, etaMax: Double, ptMin: Double, ptMax: Double,
+      discrMin: Double, discrMax: Double, formula: String)
+
+  final case class Table(tagger: String, rows: Seq[Row])
+
+  val Reshape = 3
+
+  /** Parse the CSV payload (`<tagger>;<columns>` header then rows;
+    * formulas quoted). */
+  def parseCsv(text: String): Table = {
+    val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val tagger = lines.head.takeWhile(_ != ';')
+    val rows = lines.tail.map { line =>
+      // split on commas outside quotes
+      val fields = line.split(",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)").map(_.trim.stripPrefix("\"").stripSuffix("\"").trim)
+      Row(fields(0).toInt, fields(1), fields(2), fields(3).toInt,
+        fields(4).toDouble, fields(5).toDouble, fields(6).toDouble, fields(7).toDouble,
+        fields(8).toDouble, fields(9).toDouble,
+        fields(10).stripPrefix("\"").stripSuffix("\""))
+    }
+    Table(tagger, rows)
+  }
+
+  /** Scale factor for every jet: when-chain over the (op, measurement,
+    * syst) slice, matching flavor and eta, with pt (or discr for the
+    * reshape WP) clamped into the covered range. Jets outside every
+    * bin get SF = 1 (reference returns 1 for uncovered regions). */
+  def scaleFactor(
+      table: Table, op: Int, measurement: String, syst: String,
+      flavor: Column, eta: Column, pt: Column, discr: Column): Column = {
+    val slice = table.rows.filter(r => r.op == op && r.measurement == measurement && r.syst == syst)
+    require(slice.nonEmpty,
+      s"${table.tagger}: no rows for op=$op measurement=$measurement syst=$syst")
+    val useDiscr = op == Reshape
+    val branches = slice.map { r =>
+      val lo = if (useDiscr) r.discrMin else r.ptMin
+      val hi = if (useDiscr) r.discrMax else r.ptMax
+      val raw = (if (useDiscr) discr else pt).cast("double")
+      val x = greatest(lit(lo), least(lit(hi), raw))
+      val cond = flavor === r.flavor && eta >= r.etaMin && eta < r.etaMax
+      when(cond, FormulaCompiler.compile(r.formula, Nil, Map("x" -> x)))
+    }
+    coalesce(branches :+ lit(1.0): _*)
+  }
+
+  /** DuckDB SQL mirror of [[scaleFactor]] for oracle queries. */
+  def scaleFactorSql(
+      table: Table, op: Int, measurement: String, syst: String,
+      flavorSql: String, etaSql: String, ptSql: String, discrSql: String): String = {
+    val slice = table.rows.filter(r => r.op == op && r.measurement == measurement && r.syst == syst)
+    val useDiscr = op == Reshape
+    val cases = slice.map { r =>
+      val lo = if (useDiscr) r.discrMin else r.ptMin
+      val hi = if (useDiscr) r.discrMax else r.ptMax
+      val xSql = s"greatest($lo, least($hi, ${if (useDiscr) discrSql else ptSql}))"
+      val f = FormulaCompiler.toSql(r.formula, Nil, Map("x" -> xSql))
+      s"WHEN $flavorSql = ${r.flavor} AND $etaSql >= ${r.etaMin} AND $etaSql < ${r.etaMax} THEN $f"
+    }
+    s"(CASE ${cases.mkString(" ")} ELSE 1.0 END)"
+  }
+}

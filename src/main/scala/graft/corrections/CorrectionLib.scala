@@ -1,0 +1,149 @@
+package graft.corrections
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.functions.BinarySearchBins
+import graft.lookup.FormulaCompiler
+
+/** Compiler for the correctionlib JSON schema subset the reference
+  * delegates to (`src/coffea/lookup_tools/correctionlib_wrapper.py:4`,
+  * `jetmet_tools/correctionlib_adapters.py:20-318`; schema v2 is
+  * public). Supported nodes: scalar, `binning` (clamp flow),
+  * `category` (int/string keys + default), `formula` (TFormula).
+  *
+  * Compilation happens once on the driver; the result is a single
+  * Catalyst expression per correction. All-scalar binnings collapse to
+  * a literal payload array indexed by [[BinarySearchBins]] (O(log k)
+  * per row at any table size); mixed content falls back to a per-bin
+  * when-chain. A parallel SQL renderer emits the DuckDB oracle mirror.
+  */
+object CorrectionLib {
+
+  final case class Correction(name: String, inputs: Seq[String], data: JValue)
+
+  /** Parse a correction-set JSON into name -> correction. */
+  def parseSet(text: String): Map[String, Correction] = {
+    val root = JsonMethods.parse(text)
+    (root \ "corrections").children.map { c =>
+      val name = (c \ "name").values.toString
+      val inputs = (c \ "inputs").children.map(i => (i \ "name").values.toString)
+      name -> Correction(name, inputs, c \ "data")
+    }.toMap
+  }
+
+  /** Compile a correction against bound input columns. */
+  def compile(corr: Correction, inputs: Map[String, Column]): Column = {
+    def go(node: JValue): Column = node match {
+      case JDouble(v) => lit(v)
+      case JInt(v) => lit(v.toDouble)
+      case JLong(v) => lit(v.toDouble)
+      case obj: JObject => (obj \ "nodetype").values.toString match {
+        case "binning" =>
+          val in = input(obj, inputs)
+          val edges = (obj \ "edges").children.map(jNum)
+          val content = (obj \ "content").children
+          require((obj \ "flow").values.toString == "clamp",
+            s"${corr.name}: only flow=clamp supported")
+          val idx = BinarySearchBins(in.cast("double"), edges)
+          if (content.forall(isNum))
+            element_at(typedLit(content.map(jNum).toArray), idx + 1)
+          else
+            coalesce(content.zipWithIndex.map { case (c, i) => when(idx === i, go(c)) }: _*)
+        case "category" =>
+          val in = input(obj, inputs)
+          val branches = (obj \ "content").children.map { kv =>
+            val cond = kv \ "key" match {
+              case JString(s) => in === s
+              case k => in === jNum(k)
+            }
+            when(cond, go(kv \ "value"))
+          }
+          val default = obj \ "default" match {
+            case JNothing | JNull => Nil
+            case d => Seq(go(d))
+          }
+          coalesce(branches ++ default: _*)
+        case "formula" =>
+          val exprStr = (obj \ "expression").values.toString
+          val vars = (obj \ "variables").children.map(_.values.toString)
+          val params = obj \ "parameters" match {
+            case JNothing | JNull => Nil
+            case p => p.children.map(jNum)
+          }
+          // TFormula positional letters alias the declared variables
+          FormulaCompiler.compile(exprStr, params,
+            (vars.map(v => v -> inputs(v).cast("double")) ++
+              vars.zip(Seq("x", "y", "z", "t")).map { case (v, l) => l -> inputs(v).cast("double") }).toMap)
+        case nt => throw new IllegalArgumentException(s"${corr.name}: nodetype '$nt' unsupported")
+      }
+      case other => throw new IllegalArgumentException(s"${corr.name}: bad node $other")
+    }
+    go(corr.data)
+  }
+
+  /** DuckDB SQL mirror of [[compile]] for oracle queries. */
+  def toSql(corr: Correction, inputs: Map[String, String]): String = {
+    def go(node: JValue): String = node match {
+      case n if isNum(n) => jNum(n).toString
+      case obj: JObject => (obj \ "nodetype").values.toString match {
+        case "binning" =>
+          val in = inputs(( obj \ "input").values.toString)
+          val edges = (obj \ "edges").children.map(jNum)
+          val content = (obj \ "content").children
+          // clamp flow: value below/above range takes the edge bin
+          val branches = content.zipWithIndex.map { case (c, i) =>
+            if (i == content.size - 1) s"ELSE ${go(c)}"
+            else s"WHEN $in < ${edges(i + 1)} THEN ${go(c)}"
+          }
+          s"(CASE ${branches.mkString(" ")} END)"
+        case "category" =>
+          val in = inputs((obj \ "input").values.toString)
+          val branches = (obj \ "content").children.map { kv =>
+            val key = kv \ "key" match {
+              case JString(s) => s"'$s'"
+              case k => jNum(k).toString
+            }
+            s"WHEN $in = $key THEN ${go(kv \ "value")}"
+          }
+          val default = obj \ "default" match {
+            case JNothing | JNull => ""
+            case d => s" ELSE ${go(d)}"
+          }
+          s"(CASE ${branches.mkString(" ")}$default END)"
+        case "formula" =>
+          val exprStr = (obj \ "expression").values.toString
+          val vars = (obj \ "variables").children.map(_.values.toString)
+          val params = obj \ "parameters" match {
+            case JNothing | JNull => Nil
+            case p => p.children.map(jNum)
+          }
+          FormulaCompiler.toSql(exprStr, params,
+            (vars.map(v => v -> inputs(v)) ++
+              vars.zip(Seq("x", "y", "z", "t")).map { case (v, l) => l -> inputs(v) }).toMap)
+        case nt => throw new IllegalArgumentException(s"nodetype '$nt' unsupported")
+      }
+      case other => throw new IllegalArgumentException(s"bad node $other")
+    }
+    go(corr.data)
+  }
+
+  private def input(obj: JValue, inputs: Map[String, Column]): Column = {
+    val name = (obj \ "input").values.toString
+    inputs.getOrElse(name, throw new IllegalArgumentException(s"unbound input '$name'"))
+  }
+
+  private def isNum(v: JValue): Boolean = v match {
+    case JDouble(_) | JInt(_) | JLong(_) | JDecimal(_) => true
+    case _ => false
+  }
+
+  private def jNum(v: JValue): Double = v match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+}

@@ -46,6 +46,26 @@ object DoubleCrystalBall {
       .otherwise(exp(t * t * -0.5))
   }
 
+  /** Scalar ppf (inverse cdf) — closed form: the power tails invert
+    * algebraically and the Gaussian core via `erfInv` (commons-math3).
+    * Used per-row by the Rochester smear where the tail parameters vary
+    * per muon (reference `doublecrystalball.py` ppf +
+    * `rochester_lookup.py:219-258`). */
+  def ppf(u: Double, aL: Double, nL: Double, aR: Double, nR: Double): Double = {
+    require(u > 0.0 && u < 1.0, s"ppf domain (0,1), got $u")
+    val (l, r) = (Side(aL, nL), Side(aR, nR))
+    val n = norm(aL, nL, aR, nR)
+    if (u <= n * l.I) {
+      // N*A/(n-1)*(B-t)^-(n-1) = u  =>  t = B - (u(n-1)/(N A))^(-1/(n-1))
+      l.B - math.pow(u * (nL - 1) / (n * l.A), -1.0 / (nL - 1))
+    } else if (u >= 1.0 - n * r.I) {
+      -r.B + math.pow((1.0 - u) * (nR - 1) / (n * r.A), -1.0 / (nR - 1))
+    } else {
+      val phi = stdNormCdf(-aL) + (u / n - l.I) / math.sqrt(2 * math.Pi)
+      math.sqrt(2.0) * org.apache.commons.math3.special.Erf.erfInv(2.0 * phi - 1.0)
+    }
+  }
+
   /** cdf(t; αL, nL, αR, nR). */
   def cdf(t: Column, aL: Double, nL: Double, aR: Double, nR: Double): Column = {
     val (l, r) = (Side(aL, nL), Side(aR, nR))

@@ -1,0 +1,226 @@
+package graft.corrections
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.{BinarySearchArray, BinarySearchBins}
+import graft.lookup.FormulaCompiler
+
+/** Correction-file extractor/evaluator (reference
+  * `src/coffea/lookup_tools/extractor.py:19-218`, `evaluator.py:9-80`,
+  * txt parsing `txt_converters.py`): driver-side parsers that turn
+  * JME-format text payloads into binned lookup objects evaluated as
+  * pure Catalyst expressions.
+  *
+  * Scale design: a parsed table becomes ONE compiled expression per
+  * evaluation site — bin edges, clamp ranges and parameter vectors are
+  * plan-literal arrays indexed by a binary-searched bin id
+  * (`BinarySearchBins` for the outer dimension, [[BinarySearchArray]]
+  * for per-bin jagged sub-edges), and the formula is compiled once with
+  * `element_at` parameter columns ([[FormulaCompiler.compileParams]]).
+  * A 10k-cell JEC table therefore costs O(log bins) + one formula per
+  * row at 100 TB — never a join, never N formula copies, never a UDF.
+  *
+  * Format notes (public CMS JME text layout, e.g.
+  * the `.jec.txt` samples under the reference's `tests/samples`): header
+  * `{nBin binVars... nVar formulaVars... formula kind}`; each row =
+  * 2*nBin bin edges, a float count, then 2*nVar clamp bounds followed
+  * by formula parameters (JEC) or payload values (JERSF's
+  * sf/down/up triple when nVar=0).
+  */
+object Extractor {
+
+  /** One parsed JME-format table (1 or 2 binned dimensions). */
+  final case class JmeTable(
+      name: String,
+      binVars: Seq[String],
+      formulaVars: Seq[String],
+      formula: String,
+      kind: String,
+      rows: Seq[JmeRow]) {
+    require(binVars.nonEmpty && binVars.size <= 2, s"$name: 1 or 2 bin dims supported")
+  }
+
+  final case class JmeRow(
+      edges: Seq[(Double, Double)], // per bin dim
+      clamps: Seq[(Double, Double)], // per formula var
+      params: Seq[Double])
+
+  /** Parse one JME txt payload (single-section file). */
+  def parseJmeTxt(name: String, text: String): JmeTable = {
+    val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val (header, rows) = (lines.head, lines.tail)
+    require(header.startsWith("{") && header.endsWith("}"), s"$name: bad header '$header'")
+    val toks = header.drop(1).dropRight(1).trim.split("\\s+").toSeq
+    val nBin = toks.head.toInt
+    val binVars = toks.slice(1, 1 + nBin)
+    val nVar = toks(1 + nBin).toInt
+    val formulaVars = toks.slice(2 + nBin, 2 + nBin + nVar)
+    val rawFormula = if (nVar == 0) "" else toks(2 + nBin + nVar)
+    val kind = toks.drop(2 + nBin + nVar + (if (nVar == 0) 1 else 0)).lastOption.getOrElse("")
+    // Uncertainty payloads ("" formula, kind Uncertainty/JECSource) carry
+    // knot triples with NO clamp bounds; formula tables lead each row's
+    // float block with (lo, hi) clamps per formula variable.
+    val isUnc = rawFormula == "\"\"" || kind.contains("Uncertainty") || kind.contains("JECSource")
+    val formula = if (nVar == 0 || isUnc) "" else rawFormula
+    val nClampVars = if (isUnc) 0 else nVar
+    val parsed = rows.map { line =>
+      val fs = line.split("\\s+").map(_.toDouble).toSeq
+      val edges = (0 until nBin).map(i => (fs(2 * i), fs(2 * i + 1)))
+      val count = fs(2 * nBin).toInt
+      val rest = fs.slice(2 * nBin + 1, 2 * nBin + 1 + count)
+      require(rest.size == count, s"$name: row float count mismatch: '$line'")
+      val clamps = (0 until nClampVars).map(v => (rest(2 * v), rest(2 * v + 1)))
+      JmeRow(edges, clamps, rest.drop(2 * nClampVars))
+    }
+    JmeTable(name, binVars, formulaVars, formula, kind, parsed)
+  }
+
+  /** Parse a multi-section uncertainty-sources payload
+    * (`[SourceName]` section markers) into name -> table. */
+  def parseSections(name: String, text: String): Map[String, JmeTable] = {
+    val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val starts = lines.zipWithIndex.collect {
+      case (l, i) if l.startsWith("[") && l.endsWith("]") => (l.drop(1).dropRight(1), i)
+    }
+    if (starts.isEmpty) Map(name -> parseJmeTxt(name, text))
+    else starts.zipAll(starts.drop(1).map(_._2), ("", 0), lines.size).collect {
+      case ((src, i), end) if src.nonEmpty =>
+        src -> parseJmeTxt(s"$name/$src", lines.slice(i + 1, end).mkString("\n"))
+    }.toMap
+  }
+
+  // ---- Binned evaluation (shared machinery) ----
+
+  /** Bin geometry compiled to expressions: outer binary search + jagged
+    * inner search; yields (flat row index, per-dim clamped inputs). */
+  private final class Geometry(t: JmeTable) {
+    // Outer dimension: contiguous distinct (lo, hi) in row order.
+    private val outerPairs = t.rows.map(_.edges.head).distinct
+    val outerEdges: Seq[Double] = outerPairs.map(_._1) :+ outerPairs.last._2
+    require(outerPairs.sliding(2).forall(p => p.size < 2 || p(0)._2 == p(1)._1),
+      s"${t.name}: outer bins not contiguous")
+
+    private val byOuter: Seq[Seq[(JmeRow, Int)]] = {
+      val idx = outerPairs.zipWithIndex.toMap
+      t.rows.zipWithIndex.groupBy(r => idx(r._1.edges.head)).toSeq.sortBy(_._1).map(_._2)
+    }
+    val offsets: Seq[Int] = byOuter.map(_.head._2)
+    val subEdges: Seq[Seq[Double]] =
+      if (t.binVars.size < 2) Nil
+      else byOuter.map(g => g.map(_._1.edges(1)._1) :+ g.last._1.edges(1)._2)
+
+    /** Flat row index as a Column given the binned inputs. */
+    def rowIndex(binInputs: Seq[Column]): Column = {
+      val i = BinarySearchBins(binInputs.head.cast("double"), outerEdges)
+      if (t.binVars.size == 1) i
+      else {
+        val sub = element_at(typedLit(subEdges.map(_.toArray).toArray), i + 1)
+        val j = BinarySearchArray(binInputs(1).cast("double"), sub)
+        element_at(typedLit(offsets.toArray), i + 1) + j
+      }
+    }
+  }
+
+  /** `jme_standard_function` over a parsed table
+    * (`lookup_tools/jme_standard_function.py:80-200`): bin -> clamp ->
+    * formula with per-bin parameters. `binInputs` and `formulaInputs`
+    * are keyed positionally against the table's header variables (the
+    * same variable may appear in both, e.g. JetPt binned and used in
+    * the formula). */
+  def jmeStandardFunction(t: JmeTable, binInputs: Seq[Column], formulaInputs: Seq[Column]): Column = {
+    require(t.formula.nonEmpty, s"${t.name}: no formula (payload table?)")
+    require(binInputs.size == t.binVars.size && formulaInputs.size == t.formulaVars.size)
+    val geo = new Geometry(t)
+    val row = geo.rowIndex(binInputs)
+    val nP = t.rows.head.params.size
+    require(t.rows.forall(_.params.size == nP), s"${t.name}: ragged parameter rows")
+    val paramsM = typedLit(t.rows.map(_.params.toArray).toArray)
+    val paramCols = (0 until nP).map(p => element_at(element_at(paramsM, row + 1), p + 1))
+    val clampLoM = typedLit(t.rows.map(_.clamps.map(_._1).toArray).toArray)
+    val clampHiM = typedLit(t.rows.map(_.clamps.map(_._2).toArray).toArray)
+    // TFormula convention: positional letters x,y,z,t alias the declared
+    // formula variables in order — bind both spellings.
+    val letters = Seq("x", "y", "z", "t")
+    val vars = t.formulaVars.zip(formulaInputs).zipWithIndex.flatMap { case ((name, c), v) =>
+      val lo = element_at(element_at(clampLoM, row + 1), v + 1)
+      val hi = element_at(element_at(clampHiM, row + 1), v + 1)
+      val clamped = greatest(lo, least(hi, c.cast("double")))
+      Seq(name -> clamped, letters(v) -> clamped)
+    }.toMap
+    FormulaCompiler.compileParams(t.formula, paramCols, vars)
+  }
+
+  /** `jersf_lookup` (`lookup_tools/jersf_lookup.py:20`): payload rows
+    * carry the (sf, down, up) triple; returns
+    * `struct(nom, up, down)`. */
+  def jersfLookup(t: JmeTable, binInputs: Seq[Column]): Column = {
+    require(t.rows.forall(_.params.size >= 3), s"${t.name}: expected sf/down/up triples")
+    val geo = new Geometry(t)
+    val row = geo.rowIndex(binInputs)
+    def v(i: Int) = element_at(element_at(typedLit(t.rows.map(_.params.toArray).toArray), row + 1), i)
+    struct(v(1).as("nom"), v(3).as("up"), v(2).as("down"))
+  }
+
+  /** `jec_uncertainty_lookup` (`lookup_tools/jec_uncertainty_lookup
+    * .py:21`): per outer bin a knot grid of (pt, up, down); linear
+    * interpolation between knots, clamped at the grid ends. Returns
+    * `struct(up, down)` fractional uncertainties. */
+  def jecUncertaintyLookup(t: JmeTable, binInput: Column, pt: Column): Column = {
+    require(t.rows.forall(_.params.size % 3 == 0), s"${t.name}: knots must be (pt,up,down) triples")
+    val knotsM = typedLit(t.rows.map(_.params.grouped(3).map(_.head).toArray).toArray)
+    val upsM = typedLit(t.rows.map(_.params.grouped(3).map(_(1)).toArray).toArray)
+    val downsM = typedLit(t.rows.map(_.params.grouped(3).map(_(2)).toArray).toArray)
+    val geo = new Geometry(t)
+    val row = geo.rowIndex(Seq(binInput)) + 1 // 1-based for element_at
+    val knots = element_at(knotsM, row)
+    val x = greatest(element_at(knots, 1),
+      least(element_at(knots, size(knots)), pt.cast("double")))
+    val i = BinarySearchArray(x, knots) + 1
+    val x0 = element_at(knots, i)
+    val x1 = element_at(knots, i + 1)
+    val f = when(x1 > x0, (x - x0) / (x1 - x0)).otherwise(lit(0.0))
+    def lerp(m: Column): Column = {
+      val r = element_at(m, row)
+      element_at(r, i) + f * (element_at(r, i + 1) - element_at(r, i))
+    }
+    struct(lerp(upsM).as("up"), lerp(downsM).as("down"))
+  }
+
+  /** DuckDB SQL mirror of [[jecUncertaintyLookup]] (1-dim outer bins)
+    * for oracle queries: outer CASE over bins, inner CASE over knot
+    * segments with clamped linear interpolation. */
+  def jecUncertaintySql(t: JmeTable, binSql: String, ptSql: String, up: Boolean): String = {
+    require(t.binVars.size == 1, "SQL mirror supports 1 outer dim")
+    val branches = t.rows.zipWithIndex.map { case (r, i) =>
+      val knots = r.params.grouped(3).map(_.head).toSeq
+      val vals = r.params.grouped(3).map(g => if (up) g(1) else g(2)).toSeq
+      val x = s"greatest(${knots.head}, least(${knots.last}, $ptSql))"
+      val segs = knots.indices.dropRight(1).map { j =>
+        val lerp = s"(${vals(j)} + (${vals(j + 1)} - ${vals(j)}) * ($x - ${knots(j)}) / (${knots(j + 1)} - ${knots(j)}))"
+        if (j == knots.size - 2) s"ELSE $lerp" else s"WHEN $x < ${knots(j + 1)} THEN $lerp"
+      }
+      val inner = s"(CASE ${segs.mkString(" ")} END)"
+      if (i == t.rows.size - 1) s"ELSE $inner"
+      else s"WHEN $binSql < ${r.edges.head._2} THEN $inner"
+    }
+    s"(CASE ${branches.mkString(" ")} END)"
+  }
+
+  /** Evaluator registry (reference `evaluator.py:9-80`): named handle
+    * per parsed payload. */
+  final class Evaluator(tables: Map[String, JmeTable]) {
+    def keys: Set[String] = tables.keySet
+    def apply(name: String): JmeTable =
+      tables.getOrElse(name, throw new NoSuchElementException(
+        s"no lookup '$name'; have ${tables.keys.mkString(", ")}"))
+  }
+
+  /** Build an evaluator from (name, kind, text) payloads; kind "junc"
+    * expands multi-section files as `name/<source>`. */
+  def evaluator(payloads: Seq[(String, String)]): Evaluator =
+    new Evaluator(payloads.flatMap { case (name, text) =>
+      if (text.linesIterator.exists(l => l.trim.startsWith("[")))
+        parseSections(name, text)
+      else Map(name -> parseJmeTxt(name, text))
+    }.toMap)
+}

@@ -1,0 +1,88 @@
+package graft.corrections
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.lookup.DenseLookup
+
+/** Rochester muon momentum corrections (reference
+  * `src/coffea/lookup_tools/rochester_lookup.py:13-320`): scale
+  * corrections for data/MC in (eta, phi) bins, resolution spread vs a
+  * matched gen muon, and the stochastic smear for unmatched muons via
+  * the double-Crystal-Ball inverse CDF.
+  *
+  * All lookups are plan-literal dense tables ([[DenseLookup]]) — no
+  * joins, no broadcast payloads. The one non-codegen piece is the DCB
+  * ppf with PER-MUON tail parameters, a scalar UDF on already-looked-up
+  * doubles (same tier as the gen-tree kernels; the closed-form inversion
+  * is [[DoubleCrystalBall.ppf]]).
+  */
+object Rochester {
+
+  /** Parsed correction set. M/A are row-major (eta × phi); kRes is
+    * |eta|-binned (data, mc); resolution/CB tables are row-major
+    * (|eta| × nTrackerLayers). */
+  final case class Tables(
+      etaEdges: Seq[Double], phiEdges: Seq[Double],
+      mData: Seq[Double], aData: Seq[Double],
+      mMc: Seq[Double], aMc: Seq[Double],
+      kResEdges: Seq[Double], kResData: Seq[Double], kResMc: Seq[Double],
+      absEtaEdges: Seq[Double], nlEdges: Seq[Double],
+      rsPars: (Seq[Double], Seq[Double], Seq[Double]),
+      cbA: Seq[Double], cbN: Seq[Double], cbS: Seq[Double])
+
+  /** Data momentum scale: 1 / (M(eta,phi) + charge * A(eta,phi) * pt)
+    * (`rochester_lookup.py:89-104`). */
+  def kScaleDT(t: Tables, charge: Column, pt: Column, eta: Column, phi: Column): Column =
+    kScale(t.mData, t.aData, t, charge, pt, eta, phi)
+
+  /** MC momentum scale (`rochester_lookup.py:112-128`). */
+  def kScaleMC(t: Tables, charge: Column, pt: Column, eta: Column, phi: Column): Column =
+    kScale(t.mMc, t.aMc, t, charge, pt, eta, phi)
+
+  private def kScale(m: Seq[Double], a: Seq[Double], t: Tables,
+      charge: Column, pt: Column, eta: Column, phi: Column): Column = {
+    val mC = DenseLookup.lookup2d(eta, phi, t.etaEdges, t.phiEdges, m)
+    val aC = DenseLookup.lookup2d(eta, phi, t.etaEdges, t.phiEdges, a)
+    lit(1.0) / (mC + charge * aC * pt)
+  }
+
+  /** MC scale+spread when the matched gen pt is available
+    * (`kSpreadMC`, `rochester_lookup.py:140-171`):
+    * k * x / (1 + (x - 1) * kRes_data/kRes_mc), x = genPt / (k pt). */
+  def kSpreadMC(t: Tables, charge: Column, pt: Column, eta: Column, phi: Column,
+      genPt: Column): Column = {
+    val k = kScaleMC(t, charge, pt, eta, phi)
+    val x = genPt / (k * pt)
+    val kData = DenseLookup.lookup1d(abs(eta), t.kResEdges, t.kResData)
+    val kMc = DenseLookup.lookup1d(abs(eta), t.kResEdges, t.kResMc)
+    k * x / (lit(1.0) + (x - lit(1.0)) * kData / kMc)
+  }
+
+  private val ppfUdf = udf((u: Double, a: Double, n: Double, s: Double) =>
+    s * DoubleCrystalBall.ppf(u, a, n, a, n))
+
+  /** MC stochastic smear for gen-unmatched muons (`kSmearMC` +
+    * `_kExtra`, `rochester_lookup.py:174-258`): extra resolution drawn
+    * through the per-muon DCB inverse CDF. `u` must be uniform(0,1) —
+    * pass a data-seeded [[graft.functions.DeterministicRandom]] draw so
+    * retries/AQE replay identically. */
+  def kSmearMC(t: Tables, charge: Column, pt: Column, eta: Column, phi: Column,
+      nl: Column, u: Column): Column = {
+    val k = kScaleMC(t, charge, pt, eta, phi)
+    val kpt = k * pt
+    val abseta = abs(eta)
+    val kData = DenseLookup.lookup1d(abseta, t.kResEdges, t.kResData)
+    val kMc = DenseLookup.lookup1d(abseta, t.kResEdges, t.kResMc)
+    val dpt = kpt - lit(45.0)
+    def rs(v: Seq[Double]) = DenseLookup.lookup2d(abseta, nl, t.absEtaEdges, t.nlEdges, v)
+    val sigma = rs(t.rsPars._1) + rs(t.rsPars._2) * dpt + rs(t.rsPars._3) * dpt * dpt
+    val invcdf = ppfUdf(u,
+      DenseLookup.lookup2d(abseta, nl, t.absEtaEdges, t.nlEdges, t.cbA),
+      DenseLookup.lookup2d(abseta, nl, t.absEtaEdges, t.nlEdges, t.cbN),
+      DenseLookup.lookup2d(abseta, nl, t.absEtaEdges, t.nlEdges, t.cbS))
+    val x = when(kData > kMc,
+      sqrt(greatest(kData * kData - kMc * kMc, lit(0.0))) * sigma * invcdf)
+      .otherwise(lit(0.0))
+    k * when(x > -1.0, lit(1.0) / (lit(1.0) + x)).otherwise(lit(1.0))
+  }
+}

@@ -19,7 +19,13 @@ import org.apache.spark.sql.types.DataType
   *
   * The value is in fact deterministic — marking it otherwise is purely
   * an optimizer fence (same trick as Spark's own `AssertTrue` fences).
-  * Consequences to be aware of: predicates won't push through it, and it
+  * Consequences to be aware of: predicate/filter pushdown (including
+  * dynamic partition pruning) stops at the Barrier projection — any
+  * selective filter on sibling columns (e.g. an id filter that should
+  * reach the parquet scan) must be applied BEFORE the Barrier select.
+  * Nondeterministic expressions are also excluded from common-
+  * subexpression elimination, so never wrap two copies of the same
+  * expression — bind it once and reference the bound column. Barrier
   * may only appear in Project/Filter/Window — apply it in a `select`
   * BEFORE any groupBy that consumes the result.
   */

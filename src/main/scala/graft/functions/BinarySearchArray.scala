@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** searchsorted-with-clip where the edges are a PER-ROW
+  * `array<double>` column rather than a plan literal — the dynamic
+  * companion of [[BinarySearchBins]]. Used by jagged binned tables
+  * (per-eta-bin pt sub-edges, per-bin uncertainty knot grids) where
+  * each row selects its own edge vector via `element_at` on a literal
+  * matrix: a single expression serves every bin, O(log k) per row,
+  * inside whole-stage codegen.
+  *
+  * Returns the number of inner edges <= x, clamped to [0, size-2]
+  * (same clip convention as [[BinarySearchBins.search]]). Null if
+  * either input is null.
+  */
+case class BinarySearchArray(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(x: Any, edges: Any): Any =
+    BinarySearchArray.search(edges.asInstanceOf[ArrayData], x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, e) =>
+      s"graft.functions.BinarySearchArray.search($e, $x)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object BinarySearchArray {
+
+  def search(edges: ArrayData, x: Double): Int = {
+    val n = edges.numElements()
+    var lo = 1
+    var hi = n - 2
+    var res = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (x >= edges.getDouble(mid)) { res = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    res
+  }
+
+  def apply(x: Column, edges: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BinarySearchArray(
+        org.apache.spark.sql.graft.ColumnBridge.expression(x),
+        org.apache.spark.sql.graft.ColumnBridge.expression(edges)))
+}

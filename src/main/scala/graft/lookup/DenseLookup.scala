@@ -69,4 +69,29 @@ object DenseLookup {
     require(values.length == (xEdges.length - 1) * ny, "row-major (nx*ny) payload")
     get(lit(values.toArray), binIndex(x, xEdges) * ny + binIndex(y, yEdges))
   }
+
+  /** `dense_evaluated_lookup` (reference `lookup_tools/
+    * dense_evaluated_lookup.py:31`): a binned lookup whose per-bin
+    * payload is a FORMULA evaluated at a second input — when-chain on
+    * the bin index over formulas compiled once on the driver. */
+  def lookup1dEvaluated(
+      binOn: Column, edges: Seq[Double], formulas: Seq[String],
+      formulaVar: String, at: Column): Column = {
+    require(formulas.length == edges.length - 1, "one formula per bin")
+    val idx = binIndexFast(binOn, edges)
+    coalesce(formulas.zipWithIndex.map { case (f, i) =>
+      when(idx === i, FormulaCompiler.compile(f, Nil, Map(formulaVar -> at)))
+    }: _*)
+  }
+
+  /** SQL twin of [[lookup1dEvaluated]]. */
+  def lookup1dEvaluatedSql(
+      binOn: String, edges: Seq[Double], formulas: Seq[String],
+      formulaVar: String, at: String): String = {
+    val idx = binIndexSql(binOn, edges)
+    val cases = formulas.zipWithIndex.map { case (f, i) =>
+      s"WHEN $idx = $i THEN ${FormulaCompiler.toSql(f, Nil, Map(formulaVar -> at))}"
+    }
+    s"(CASE ${cases.mkString(" ")} END)"
+  }
 }

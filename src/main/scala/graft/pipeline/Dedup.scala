@@ -120,6 +120,10 @@ object Dedup {
     // distinct=false: min is idempotent, so shingle multiplicity cannot
     // change the signature — skips a whole dedup shuffle; the minhash
     // groupBy partial-aggregates map-side (k longs per doc on the wire).
+    // Trade-off: md5/hashPair now runs once per duplicate (id, shingle)
+    // occurrence instead of once per distinct shingle. On highly
+    // repetitive corpora the extra per-row md5 CPU could exceed the
+    // saved shuffle — re-measure there before keeping this default.
     val withMh = minhashTable(hashRows(df, idCol, textCol, shingleN, distinct = false), k)
     val buckets = withMh
       .select(col("id"), bandSignatures(col("mh"), bands, rowsPerBand).as("b"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.{Jagged, SchemaBuilder, Systematics, Tables}
+import graft.corrections.{BTag, CorrectionLib, Extractor}
 import graft.lookup.{DenseLookup, FormulaCompiler, RangeMask}
 
 /** Corrections-as-lookups surface (SURVEY §2.9-2.10): dense binned
@@ -23,6 +24,40 @@ object CorrectionsQueries extends QueryPack {
 
   private val idRanges: Seq[(Long, Long)] =
     Seq((100L, 200L), (1000L, 1200L), (5000L, 5999L), (8000L, 8100L))
+
+  // Synthetic payloads in the public correction-file formats (parsed by
+  // the extractor at plan-build time; FIXTURES.md §B). Linear formulas
+  // keep the two engines bit-identical before quantization.
+  private val btagTable = BTag.parseCsv(
+    """TestTag;OperatingPoint, measurementType, sysType, jetFlavor, etaMin, etaMax, ptMin, ptMax, discrMin, discrMax, formula
+      |0, comb, central, 0, -2.5, 2.5, 20, 1000, 0, 1, "0.9+0.001*x"
+      |0, comb, central, 1, -2.5, 2.5, 20, 1000, 0, 1, "0.8+0.002*x"
+      |""".stripMargin)
+
+  private val jersfTable = Extractor.parseJmeTxt("sf",
+    """{1 JetEta 0 None ScaleFactor}
+      |-2.0  0.0  3  1.10 1.05 1.15
+      | 0.0  2.0  3  1.20 1.12 1.30
+      |""".stripMargin)
+
+  private val juncTable = Extractor.parseJmeTxt("unc",
+    """{1 JetEta 1 JetPt "" Correction Uncertainty}
+      |-2.0  0.0  9  10.0 0.10 0.10  100.0 0.05 0.05  1000.0 0.02 0.02
+      | 0.0  2.0  9  10.0 0.20 0.20  100.0 0.08 0.08  1000.0 0.04 0.04
+      |""".stripMargin)
+
+  private val clibCorr = CorrectionLib.parseSet(
+    """{"schema_version": 2, "corrections": [
+      |  {"name": "sf", "version": 1,
+      |   "inputs": [{"name": "pt", "type": "real"}, {"name": "flav", "type": "int"}],
+      |   "output": {"name": "w", "type": "real"},
+      |   "data": {"nodetype": "category", "input": "flav", "content": [
+      |     {"key": 0, "value": {"nodetype": "binning", "input": "pt", "flow": "clamp",
+      |        "edges": [10.0, 120.0, 200.0], "content": [1.05, 1.01]}},
+      |     {"key": 5, "value": {"nodetype": "formula", "parser": "TFormula",
+      |        "expression": "[0]+[1]*x", "variables": ["pt"], "parameters": [0.9, 0.001]}}
+      |   ], "default": 1.0}}
+      |]}""".stripMargin)("sf")
 
   def queries: Seq[Query] = Seq(
     Query(
@@ -112,6 +147,108 @@ object CorrectionsQueries extends QueryPack {
              | UNION ALL
              |SELECT l_returnflag, 'discUp', CAST(floor(sum(l_extendedprice * (1.0 - l_discount * 0.5)) * 100 + 0.5) AS BIGINT) FROM lineitem GROUP BY l_returnflag
              | UNION ALL
-             |SELECT l_returnflag, 'discDown', CAST(floor(sum(l_extendedprice * (1.0 - l_discount * 1.5)) * 100 + 0.5) AS BIGINT) FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |SELECT l_returnflag, 'discDown', CAST(floor(sum(l_extendedprice * (1.0 - l_discount * 1.5)) * 100 + 0.5) AS BIGINT) FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Query(
+      "q64_btag_sf",
+      "BTagScaleFactor (btag_tools/btagscalefactor.py:7-232): CSV payload parsed on the driver into per-(flavor, eta, pt) piecewise formulas compiled to ONE coalesce/when chain — codegen'd, broadcast-free; uncovered regions get SF=1.",
+      (s, dir) => {
+        import s.implicits._
+        val flav = ($"p_size" % 3).cast("int")
+        val eta = ($"p_retailprice" % 6.0) - lit(3.0)
+        val pt = $"p_retailprice" % 1200.0
+        val sf = BTag.scaleFactor(btagTable, 0, "comb", "central",
+          flav, eta, pt, lit(0.5))
+        Tables.part(s, dir)
+          .groupBy($"p_type")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(sf)).as("avg_sf_e4"),
+            cents(sum($"p_retailprice" * sf)).as("weighted_c"))
+      },
+      Some {
+        val sfSql = BTag.scaleFactorSql(btagTable, 0, "comb", "central",
+          "(CAST(p_size % 3 AS INT))", "((p_retailprice % 6.0) - 3.0)",
+          "(p_retailprice % 1200.0)", "0.5")
+        s"""SELECT p_type, count(*) AS n,
+           |CAST(floor(avg($sfSql) * 10000 + 0.5) AS BIGINT) AS avg_sf_e4,
+           |CAST(floor(sum(p_retailprice * $sfSql) * 100 + 0.5) AS BIGINT) AS weighted_c
+           |FROM part GROUP BY p_type""".stripMargin
+      }),
+
+    Query(
+      "q65_jersf_triple",
+      "jersf_lookup (lookup_tools/jersf_lookup.py:20): eta-binned (nom, up, down) scale-factor triple from a parsed JERSF payload, exploded into the long-format variation dimension — one scan serves all three.",
+      (s, dir) => {
+        import s.implicits._
+        val eta = ($"l_quantity" - lit(25.0)) / 12.5
+        val sf = Extractor.jersfLookup(jersfTable, Seq(eta))
+        val v = Systematics.explodeVariations(Seq(
+          "nom" -> sf.getField("nom"), "up" -> sf.getField("up"),
+          "down" -> sf.getField("down")))
+        Tables.lineitem(s, dir)
+          .select($"l_extendedprice", v.as("v"))
+          .groupBy($"v.variation".as("variation"))
+          .agg(count(lit(1)).as("n"),
+            cents(sum($"l_extendedprice" * $"v.value")).as("scaled_c"))
+      },
+      Some {
+        val etaSql = "((l_quantity - 25.0) / 12.5)"
+        val edges = Seq(-2.0, 0.0, 2.0)
+        def one(name: String, idx: Int) = {
+          val vals = jersfTable.rows.map(_.params(idx))
+          s"""SELECT '$name' AS variation, count(*) AS n,
+             |CAST(floor(sum(l_extendedprice * ${DenseLookup.lookup1dSql(etaSql, edges, vals)}) * 100 + 0.5) AS BIGINT) AS scaled_c
+             |FROM lineitem""".stripMargin
+        }
+        Seq(one("nom", 0), one("up", 2), one("down", 1)).mkString("\nUNION ALL\n")
+      }),
+
+    Query(
+      "q66_junc_interp",
+      "jec_uncertainty_lookup (lookup_tools/jec_uncertainty_lookup.py:21): per-eta-bin pt knot grids with clamped linear interpolation — knots live in plan-literal jagged matrices searched by the BinarySearchArray custom expression.",
+      (s, dir) => {
+        import s.implicits._
+        val eta = ($"l_quantity" - lit(25.0)) / 12.5
+        val pt = $"l_extendedprice" / 1000.0
+        val unc = Extractor.jecUncertaintyLookup(juncTable, eta, pt)
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag", unc.getField("up").as("up"), unc.getField("down").as("down"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg($"up")).as("avg_up_e4"),
+            e4(avg($"down")).as("avg_down_e4"))
+      },
+      Some {
+        val etaSql = "((l_quantity - 25.0) / 12.5)"
+        val ptSql = "(l_extendedprice / 1000.0)"
+        val upSql = Extractor.jecUncertaintySql(juncTable, etaSql, ptSql, up = true)
+        val downSql = Extractor.jecUncertaintySql(juncTable, etaSql, ptSql, up = false)
+        s"""SELECT l_returnflag, count(*) AS n,
+           |CAST(floor(avg($upSql) * 10000 + 0.5) AS BIGINT) AS avg_up_e4,
+           |CAST(floor(avg($downSql) * 10000 + 0.5) AS BIGINT) AS avg_down_e4
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      }),
+
+    Query(
+      "q67_correctionlib",
+      "correctionlib JSON subset (lookup_tools/correctionlib_wrapper.py:4): category/binning/formula tree compiled once on the driver into a single expression; all-scalar binnings collapse to a literal array + O(log k) binary search.",
+      (s, dir) => {
+        import s.implicits._
+        val w = CorrectionLib.compile(clibCorr, Map(
+          "pt" -> ($"p_retailprice" / 10.0), "flav" -> ($"p_size" % 10)))
+        Tables.part(s, dir)
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(w)).as("avg_w_e4"),
+            cents(sum($"p_retailprice" * w)).as("weighted_c"))
+      },
+      Some {
+        val wSql = CorrectionLib.toSql(clibCorr, Map(
+          "pt" -> "(p_retailprice / 10.0)", "flav" -> "(p_size % 10)"))
+        s"""SELECT p_brand, count(*) AS n,
+           |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
+           |CAST(floor(sum(p_retailprice * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c
+           |FROM part GROUP BY p_brand""".stripMargin
+      })
   )
 }

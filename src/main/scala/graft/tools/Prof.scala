@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object Prof {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // Parallelism tracks the machine (or GRAFT_PAR) so timings aren't skewed by
+    // core oversubscription on smaller hosts.
+    val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()

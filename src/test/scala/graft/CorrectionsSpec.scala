@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corrections.{BTag, CorrectionLib, DoubleCrystalBall, Extractor, Rochester}
+import graft.lookup.{DenseLookup, FormulaCompiler}
+
+/** Round-3 corrections surface: file extractor/evaluator, JERSF/JUNC
+  * lookups, b-tag CSV scale factors, correctionlib JSON subset,
+  * Rochester scale/smear. Fixtures are synthetic payloads in the public
+  * formats (FIXTURES.md §B). */
+class CorrectionsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- fixtures (synthetic, reference formats) ----
+
+  // 2 eta bins x 2 pt sub-bins, linear formula in clamped pt.
+  private val jecTxt =
+    """{2 JetEta JetPt 1 JetPt [0]+[1]*x Correction L2Relative}
+      |-2.0  0.0    10.0   50.0  4  10.0   50.0  1.00  0.010
+      |-2.0  0.0    50.0  200.0  4  50.0  200.0  1.10  0.001
+      | 0.0  2.0    10.0   50.0  4  10.0   50.0  0.90  0.020
+      | 0.0  2.0    50.0  200.0  4  50.0  200.0  1.20  0.002
+      |""".stripMargin
+
+  private val jersfTxt =
+    """{1 JetEta 0 None ScaleFactor}
+      |-2.0  0.0  3  1.10 1.05 1.15
+      | 0.0  2.0  3  1.20 1.12 1.30
+      |""".stripMargin
+
+  private val juncTxt =
+    """{1 JetEta 1 JetPt "" Correction Uncertainty}
+      |-2.0  0.0  9  10.0 0.10 0.10  100.0 0.05 0.05  1000.0 0.02 0.02
+      | 0.0  2.0  9  10.0 0.20 0.20  100.0 0.08 0.08  1000.0 0.04 0.04
+      |""".stripMargin
+
+  private val juncSections =
+    s"""[Absolute]
+       |$juncTxt
+       |[FlavorQCD]
+       |{1 JetEta 1 JetPt "" Correction JECSource}
+       |-2.0  2.0  6  10.0 0.01 0.01  1000.0 0.01 0.01
+       |""".stripMargin
+
+  private val btagCsv =
+    """TestTag;OperatingPoint, measurementType, sysType, jetFlavor, etaMin, etaMax, ptMin, ptMax, discrMin, discrMax, formula
+      |0, comb, central, 0, -2.5, 2.5, 20, 1000, 0, 1, "0.9+0.001*x"
+      |0, comb, central, 1, -2.5, 2.5, 20, 1000, 0, 1, "0.8+0.002*x"
+      |0, comb, up, 0, -2.5, 2.5, 20, 1000, 0, 1, "0.95+0.001*x"
+      |3, iterativefit, central, 0, -2.5, 2.5, 20, 1000, 0, 1, "1.0-0.1*x"
+      |""".stripMargin
+
+  private val clibJson =
+    """{"schema_version": 2, "corrections": [
+      |  {"name": "sf", "version": 1,
+      |   "inputs": [{"name": "pt", "type": "real"}, {"name": "flav", "type": "int"}],
+      |   "output": {"name": "w", "type": "real"},
+      |   "data": {"nodetype": "category", "input": "flav", "content": [
+      |     {"key": 0, "value": {"nodetype": "binning", "input": "pt", "flow": "clamp",
+      |        "edges": [10.0, 50.0, 200.0], "content": [1.05, 1.01]}},
+      |     {"key": 5, "value": {"nodetype": "formula", "parser": "TFormula",
+      |        "expression": "[0]+[1]*x", "variables": ["pt"], "parameters": [0.9, 0.001]}}
+      |   ], "default": 1.0}}
+      |]}""".stripMargin
+
+  test("Extractor parses JEC txt: header, clamps, params") {
+    val t = Extractor.parseJmeTxt("l2", jecTxt)
+    assert(t.binVars == Seq("JetEta", "JetPt") && t.formulaVars == Seq("JetPt"))
+    assert(t.formula == "[0]+[1]*x".replace("x", "x") && t.rows.size == 4)
+    assert(t.rows.head.edges == Seq((-2.0, 0.0), (10.0, 50.0)))
+    assert(t.rows.head.clamps == Seq((10.0, 50.0)))
+    assert(t.rows.head.params == Seq(1.00, 0.010))
+  }
+
+  test("jmeStandardFunction: 2-dim binning, per-bin params, clamping") {
+    val t = Extractor.parseJmeTxt("l2", jecTxt)
+    val df = Seq(
+      (-1.0, 20.0), // bin (0,0): 1.00 + 0.010*20 = 1.2
+      (-1.0, 60.0), // bin (0,1): 1.10 + 0.001*60 = 1.16
+      (1.0, 20.0), // bin (1,0): 0.90 + 0.020*20 = 1.3
+      (1.0, 500.0), // bin (1,1) clamped pt->200: 1.20 + 0.002*200 = 1.6
+      (-5.0, 5.0) // clips to bin (0,0), pt clamped to 10 -> 1.1
+    ).toDF("eta", "pt")
+    val got = df.select(Extractor.jmeStandardFunction(t,
+      Seq($"eta", $"pt"), Seq($"pt")).as("c")).collect().map(_.getDouble(0)).toSeq
+    val want = Seq(1.2, 1.16, 1.3, 1.6, 1.1)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12, s"$got vs $want") }
+  }
+
+  test("jersfLookup returns (nom, up, down) with CMS column order") {
+    val t = Extractor.parseJmeTxt("sf", jersfTxt)
+    val r = Seq(-1.0, 1.0).toDF("eta")
+      .select(Extractor.jersfLookup(t, Seq($"eta")).as("s"))
+      .select($"s.nom", $"s.up", $"s.down").collect()
+    assert(r(0).getDouble(0) == 1.10 && r(0).getDouble(1) == 1.15 && r(0).getDouble(2) == 1.05)
+    assert(r(1).getDouble(0) == 1.20 && r(1).getDouble(1) == 1.30 && r(1).getDouble(2) == 1.12)
+  }
+
+  test("jecUncertaintyLookup interpolates knots and clamps ends") {
+    val t = Extractor.parseJmeTxt("unc", juncTxt)
+    val df = Seq((-1.0, 55.0), (-1.0, 5.0), (-1.0, 5000.0), (1.0, 550.0)).toDF("eta", "pt")
+    val got = df.select(Extractor.jecUncertaintyLookup(t, $"eta", $"pt").getField("up"))
+      .collect().map(_.getDouble(0)).toSeq
+    // eta<0, pt=55: between knots 10 (0.10) and 100 (0.05): 0.10 - 0.05*45/90 = 0.075
+    assert(math.abs(got(0) - 0.075) < 1e-12)
+    assert(got(1) == 0.10 && got(2) == 0.02) // clamped to first/last knot
+    // eta>0, pt=550: between 100 (0.08) and 1000 (0.04): 0.08 - 0.04*450/900 = 0.06
+    assert(math.abs(got(3) - 0.06) < 1e-12)
+  }
+
+  test("multi-section junc file splits into named sources") {
+    val m = Extractor.parseSections("unc", juncSections)
+    assert(m.keySet == Set("Absolute", "FlavorQCD"))
+    assert(m("FlavorQCD").rows.size == 1)
+    val ev = Extractor.evaluator(Seq("unc" -> juncSections))
+    assert(ev.keys == Set("Absolute", "FlavorQCD"))
+    intercept[NoSuchElementException](ev("nope"))
+  }
+
+  test("BTag CSV: per-flavor formulas, clamping, uncovered -> 1.0") {
+    val t = BTag.parseCsv(btagCsv)
+    assert(t.tagger == "TestTag" && t.rows.size == 4)
+    val df = Seq(
+      (0, 0.0, 100.0, 0.5), // flav 0: 0.9 + 0.001*100 = 1.0
+      (1, 0.0, 100.0, 0.5), // flav 1: 0.8 + 0.002*100 = 1.0
+      (0, 0.0, 5000.0, 0.5), // pt clamped to 1000: 0.9 + 1.0 = 1.9
+      (2, 0.0, 100.0, 0.5), // flavor uncovered -> 1.0
+      (0, 3.0, 100.0, 0.5) // eta out of range -> 1.0
+    ).toDF("flav", "eta", "pt", "discr")
+    val got = df.select(BTag.scaleFactor(t, 0, "comb", "central",
+      $"flav", $"eta", $"pt", $"discr").as("sf")).collect().map(_.getDouble(0)).toSeq
+    assert(got.map(v => math.round(v * 1e9) / 1e9) == Seq(1.0, 1.0, 1.9, 1.0, 1.0))
+    // reshape WP evaluates in the discriminant
+    val rs = df.limit(1).select(BTag.scaleFactor(t, 3, "iterativefit", "central",
+      $"flav", $"eta", $"pt", $"discr")).head().getDouble(0)
+    assert(math.abs(rs - 0.95) < 1e-12)
+    // SQL mirror agrees
+    val sql = BTag.scaleFactorSql(t, 0, "comb", "central", "flav", "eta", "pt", "discr")
+    assert(sql.contains("CASE") && sql.contains("greatest(20.0, least(1000.0, pt))"))
+  }
+
+  test("CorrectionLib: category + binning + formula + default") {
+    val corrs = CorrectionLib.parseSet(clibJson)
+    val c = corrs("sf")
+    assert(c.inputs == Seq("pt", "flav"))
+    val df = Seq((20.0, 0), (100.0, 0), (300.0, 0), (100.0, 5), (100.0, 7))
+      .toDF("pt", "flav")
+    val got = df.select(CorrectionLib.compile(c,
+      Map("pt" -> $"pt", "flav" -> $"flav")).as("w")).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.05, 1.01, 1.01, 1.0, 1.0))
+    val sql = CorrectionLib.toSql(c, Map("pt" -> "pt", "flav" -> "flav"))
+    assert(sql.contains("CASE") && sql.contains("ELSE 1.0"))
+  }
+
+  test("DoubleCrystalBall ppf inverts cdf in all three regions") {
+    val (aL, nL, aR, nR) = (1.5, 3.0, 2.0, 4.0)
+    for (u <- Seq(0.01, 0.2, 0.5, 0.8, 0.99)) {
+      val t = DoubleCrystalBall.ppf(u, aL, nL, aR, nR)
+      val back = Seq(t).toDF("t")
+        .select(DoubleCrystalBall.cdf($"t", aL, nL, aR, nR)).head().getDouble(0)
+      assert(math.abs(back - u) < 1e-9, s"u=$u t=$t back=$back")
+    }
+  }
+
+  test("dense_evaluated_lookup: per-bin formula evaluation") {
+    val got = Seq((5.0, 2.0), (15.0, 2.0)).toDF("b", "x")
+      .select(DenseLookup.lookup1dEvaluated($"b", Seq(0.0, 10.0, 20.0),
+        Seq("1+x", "10*x"), "x", $"x")).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(3.0, 20.0))
+  }
+
+  test("FormulaCompiler.toSql mirrors compile (DuckDB dialect quirks)") {
+    assert(FormulaCompiler.toSql("log(x)", Nil, Map("x" -> "v")) == "ln(v)")
+    assert(FormulaCompiler.toSql("[0]+[1]*x", Seq(1.5, 2.0), Map("x" -> "v")) == "(1.5 + (2.0 * v))")
+    assert(FormulaCompiler.toSql("sinh(x)", Nil, Map("x" -> "v")).contains("exp"))
+    assert(FormulaCompiler.toSql("max(1,min(x,2))", Nil, Map("x" -> "v")) ==
+      "greatest(1.0, least(v, 2.0))")
+  }
+
+  test("Extractor handles real-world JME payloads (format validation)") {
+    // Behavior check against the public sample payloads shipped with the
+    // reference test suite (read-only; skipped when unavailable).
+    val dir = new java.io.File("/root/reference/tests/samples")
+    assume(dir.isDirectory, "reference samples not available")
+    def read(f: String): String = {
+      val src = scala.io.Source.fromFile(new java.io.File(dir, f))
+      try src.mkString finally src.close()
+    }
+    val jersf = Extractor.parseJmeTxt("sf", read("Spring16_25nsV10_MC_SF_AK4PFPuppi.jersf.txt"))
+    assert(jersf.rows.nonEmpty && jersf.rows.forall(_.params.size == 3))
+    val nom = Seq(0.5).toDF("eta")
+      .select(Extractor.jersfLookup(jersf, Seq($"eta")).getField("nom")).head().getDouble(0)
+    assert(nom > 0.5 && nom < 2.0)
+
+    val jec = Extractor.parseJmeTxt("l2",
+      read("Fall17_17Nov2017_V32_MC_L2Relative_AK4PFPuppi.jec.txt"))
+    assert(jec.binVars == Seq("JetEta", "JetPt") && jec.formulaVars == Seq("JetPt"))
+    val corr = Seq((0.5, 30.0), (1.5, 100.0)).toDF("eta", "pt")
+      .select(Extractor.jmeStandardFunction(jec, Seq($"eta", $"pt"), Seq($"pt")))
+      .collect().map(_.getDouble(0))
+    assert(corr.forall(c => c > 0.2 && c < 5.0), corr.toSeq)
+
+    val junc = Extractor.parseJmeTxt("unc",
+      read("Fall17_17Nov2017_V32_MC_Uncertainty_AK4PFPuppi.junc.txt"))
+    val u = Seq((0.0, 50.0)).toDF("eta", "pt")
+      .select(Extractor.jecUncertaintyLookup(junc, $"eta", $"pt").getField("up"))
+      .head().getDouble(0)
+    assert(u > 0.0 && u < 0.5, s"unc=$u")
+
+    val sections = Extractor.parseSections("srcs",
+      read("Regrouped_Fall17_17Nov2017_V32_MC_UncertaintySources_AK4PFchs.junc.txt"))
+    assert(sections.contains("FlavorQCD") && sections.size > 3)
+  }
+
+  test("Rochester: scale is closed-form over 2d lookups; smear deterministic") {
+    val t = Rochester.Tables(
+      etaEdges = Seq(-2.4, 0.0, 2.4), phiEdges = Seq(-math.Pi, 0.0, math.Pi),
+      mData = Seq(1.01, 1.02, 0.99, 1.00), aData = Seq(1e-4, -1e-4, 2e-4, 0.0),
+      mMc = Seq(1.00, 1.00, 1.00, 1.00), aMc = Seq(0.0, 0.0, 0.0, 0.0),
+      kResEdges = Seq(0.0, 1.2, 2.4), kResData = Seq(1.2, 1.4), kResMc = Seq(1.0, 1.1),
+      absEtaEdges = Seq(0.0, 1.2, 2.4), nlEdges = Seq(0.0, 10.0, 20.0),
+      rsPars = (Seq(0.01, 0.02, 0.015, 0.025), Seq(1e-4, 1e-4, 1e-4, 1e-4),
+        Seq(1e-7, 1e-7, 1e-7, 1e-7)),
+      cbA = Seq(1.5, 1.6, 1.4, 1.7), cbN = Seq(3.0, 3.5, 4.0, 2.5),
+      cbS = Seq(1.0, 1.1, 0.9, 1.2))
+    val df = Seq((1, 40.0, -1.0, 1.0), (-1, 60.0, 1.0, -1.0)).toDF("q", "pt", "eta", "phi")
+    val k = df.select(Rochester.kScaleDT(t, $"q", $"pt", $"eta", $"phi"))
+      .collect().map(_.getDouble(0))
+    // row 0: eta bin 0, phi bin 1: M=1.02, A=-1e-4 -> 1/(1.02 - 1e-4*40)
+    assert(math.abs(k(0) - 1.0 / (1.02 - 1e-4 * 40)) < 1e-12)
+    assert(math.abs(k(1) - 1.0 / (0.99 - 2e-4 * 60)) < 1e-12)
+    // spread: kScaleMC = 1 (M=1, A=0); x = genpt/pt
+    val spread = df.select(Rochester.kSpreadMC(t, $"q", $"pt", $"eta", $"phi", lit(42.0)))
+      .head().getDouble(0)
+    val x = 42.0 / 40.0
+    assert(math.abs(spread - x / (1.0 + (x - 1.0) * 1.2 / 1.0)) < 1e-12)
+    // smear: deterministic under replay, stays positive
+    val u = graft.functions.DeterministicRandom.uniformFromHash(7, $"pt", $"eta")
+    val s1 = df.select(Rochester.kSmearMC(t, $"q", $"pt", $"eta", $"phi", lit(12.0), u))
+      .collect().map(_.getDouble(0)).toSeq
+    val s2 = df.select(Rochester.kSmearMC(t, $"q", $"pt", $"eta", $"phi", lit(12.0), u))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(s1 == s2 && s1.forall(_ > 0.0))
+  }
+}
