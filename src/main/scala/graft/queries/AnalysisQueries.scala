@@ -173,6 +173,44 @@ object AnalysisQueries extends QueryPack {
               |CAST(floor(sum(1.0 - l_discount) * 100 + 0.5) AS BIGINT) AS sumw_c,
               |CAST(floor(sum((1.0 - l_discount) * (1.0 - l_discount)) * 10000 + 0.5) AS BIGINT) AS sumw2_e4,
               |count(*) AS n
-              |FROM lineitem GROUP BY 1, 2""".stripMargin))
+              |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q42_partial_multivariation",
+      "Weights.add_multivariation + partial_weight (analysis_tools.py:337-481,574-637): one weight carrying k up/down variation pairs plus an include-subset partial product — all ratio algebra on one scan, stacked into the long-format variation dimension.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Weights()
+          .add("disc", lit(1.0) - $"l_discount")
+          .add("qty", lit(0.9) + $"l_quantity" * 0.001)
+          .addMultivariation("tax", lit(1.0) + $"l_tax", Seq(
+            ("a", lit(1.0) + $"l_tax" * 2.0, lit(1.0) + $"l_tax" * 0.5),
+            ("b", lit(1.0) + $"l_tax" + lit(0.01), lit(1.0) + $"l_tax" - lit(0.01))))
+        val variations = Seq(
+          "nominal" -> w.weight,
+          "partial_disc_qty" -> w.partialWeight(include = Seq("disc", "qty")),
+          "no_qty" -> w.partialWeight(exclude = Seq("qty"))) ++
+          w.modifierNames.map(m => m -> w.weight(m))
+        val aggs = variations.zipWithIndex.map { case ((_, c), i) => cents(sum(c)).as(s"__v_$i") }
+        val stackArgs = variations.zipWithIndex
+          .map { case ((n, _), i) => s"'$n', __v_$i" }.mkString(", ")
+        Tables.lineitem(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${variations.size}, $stackArgs) as (variation, sum_w_c)")
+      },
+      Some {
+        val nom = "((1.0 - l_discount) * (0.9 + l_quantity * 0.001) * (1.0 + l_tax))"
+        def row(name: String, expr: String) =
+          s"SELECT '$name' AS variation, CAST(floor(sum($expr) * 100 + 0.5) AS BIGINT) AS sum_w_c FROM lineitem"
+        Seq(
+          row("nominal", nom),
+          row("partial_disc_qty", "((1.0 - l_discount) * (0.9 + l_quantity * 0.001))"),
+          row("no_qty", "((1.0 - l_discount) * (1.0 + l_tax))"),
+          row("tax_aUp", s"($nom * ((1.0 + l_tax * 2.0) / (1.0 + l_tax)))"),
+          row("tax_aDown", s"($nom * ((1.0 + l_tax * 0.5) / (1.0 + l_tax)))"),
+          row("tax_bUp", s"($nom * ((1.0 + l_tax + 0.01) / (1.0 + l_tax)))"),
+          row("tax_bDown", s"($nom * ((1.0 + l_tax - 0.01) / (1.0 + l_tax)))")
+        ).mkString("\nUNION ALL\n")
+      })
   )
 }

@@ -166,6 +166,98 @@ object JaggedQueries extends QueryPack {
              |SELECT l_returnflag, count(*) AS n,
              |CAST(floor(avg(dr) * 10000 + 0.5) AS BIGINT) AS avg_dr_e4,
              |CAST(floor(sum(m) * 100 + 0.5) AS BIGINT) AS sum_m_c
-             |FROM k GROUP BY l_returnflag""".stripMargin))
+             |FROM k GROUP BY l_returnflag""".stripMargin)),
+
+    Query(
+      "q26_segmented_slices",
+      "counts2nestedindex / segmentedByCounts (transforms.py:145-179) and the EDM4HEP (begin,end) rangeGather (transforms.py:647-998): partition each order's sorted items into [low-quantity prefix | rest] blocks two ways, reduce per block — all per-row array ops, zero extra shuffle.",
+      (s, dir) => {
+        import s.implicits._
+        val n = size($"items").cast("bigint")
+        val cntLow = size(filter($"items", it => it("l_quantity") < 25.0)).cast("bigint")
+        // blocks by per-source counts (counts2nestedindex semantics)
+        val blocks = Combinatorics.segmentedByCounts($"items", array(cntLow, n - cntLow))
+        // the same partition expressed as (begin, end) links (EDM4HEP style)
+        val ranges = Combinatorics.rangeGather($"items", array(lit(0L), cntLow), array(cntLow, n))
+        ordersNested(s, dir)
+          .select($"l_orderkey",
+            cents(Jagged.innerSumOf(element_at(blocks, 1), _("l_extendedprice"))).as("b0_sum_c"),
+            size(element_at(blocks, 2)).cast("long").as("b1_n"),
+            cents(Jagged.innerSumOf(element_at(ranges, 2), _("l_extendedprice"))).as("b1_sum_c"))
+      },
+      Some("""WITH r AS (
+             |  SELECT l_orderkey, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice) AS rn,
+             |    sum(CASE WHEN l_quantity < 25.0 THEN 1 ELSE 0 END) OVER (PARTITION BY l_orderkey) AS cnt_low
+             |  FROM lineitem)
+             |SELECT l_orderkey,
+             |CAST(floor(sum(CASE WHEN rn <= cnt_low THEN l_extendedprice ELSE 0.0 END) * 100 + 0.5) AS BIGINT) AS b0_sum_c,
+             |CAST(sum(CASE WHEN rn > cnt_low THEN 1 ELSE 0 END) AS BIGINT) AS b1_n,
+             |CAST(floor(sum(CASE WHEN rn > cnt_low THEN l_extendedprice ELSE 0.0 END) * 100 + 0.5) AS BIGINT) AS b1_sum_c
+             |FROM r GROUP BY l_orderkey""".stripMargin)),
+
+    Query(
+      "q27_candidate_pairs",
+      "Candidate.add (candidate.py:16-57) over ak.combinations(2): charge-aware 4-vector pair sums inside each order, opposite-sign mass spectrum — the dimuon idiom as a pure per-row pipeline (pairs never leave the row; one groupBy for the histogram).",
+      (s, dir) => {
+        import s.implicits._
+        def cand(it: org.apache.spark.sql.Column) = struct(
+          it("l_quantity").as("pt"),
+          (it("l_discount") * 20.0 - 1.0).as("eta"),
+          (it("l_tax") * 40.0 - 3.0).as("phi"),
+          (it("l_quantity") * 0.1).as("mass"),
+          (it("l_linenumber") % 2 * 2 - 1).cast("int").as("charge"))
+        val nested = SchemaBuilder.nestRows(
+          Tables.lineitem(s, dir),
+          key = Seq("l_orderkey"), collection = "items",
+          fields = Seq("l_linenumber", "l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+          sortFields = Seq("l_linenumber", "l_extendedprice"))
+        val pairs = Combinatorics.combinations2($"items")
+        val sums = transform(pairs, p => Kinematics.addCandidate(cand(p("_1")), cand(p("_2"))))
+        nested
+          .select(explode(filter(sums, v => v("charge") === 0)).as("v"))
+          .select(floor($"v.mass" / 20.0).cast("long").as("bin"))
+          .groupBy($"bin").agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH it AS (
+             |  SELECT l_orderkey,
+             |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice) AS rn,
+             |    l_quantity AS pt, (l_discount*20.0 - 1.0) AS eta, (l_tax*40.0 - 3.0) AS phi,
+             |    (l_quantity*0.1) AS mass, (l_linenumber % 2 * 2 - 1) AS charge
+             |  FROM lineitem),
+             |v AS (
+             |  SELECT l_orderkey, rn, charge,
+             |    pt*cos(phi) AS px, pt*sin(phi) AS py, pt*((exp(eta)-exp(-(eta)))/2) AS pz,
+             |    sqrt(mass*mass + (pt*pt + (pt*((exp(eta)-exp(-(eta)))/2))*(pt*((exp(eta)-exp(-(eta)))/2)))) AS e
+             |  FROM it),
+             |p AS (
+             |  SELECT sqrt(greatest((a.e+b.e)*(a.e+b.e) -
+             |    ((a.px+b.px)*(a.px+b.px) + (a.py+b.py)*(a.py+b.py) + (a.pz+b.pz)*(a.pz+b.pz)), 0.0)) AS m
+             |  FROM v a JOIN v b ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn
+             |  WHERE a.charge + b.charge = 0)
+             |SELECT CAST(floor(m / 20.0) AS BIGINT) AS bin, count(*) AS n_pairs
+             |FROM p GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q28_nested_links",
+      "nestedindex (transforms.py:434-475): stack k index columns into per-element link lists and gather — each item links [prev, next] neighbors in its order's sorted items; −1/out-of-range resolve to null like the reference's masked indexes.",
+      (s, dir) => {
+        import s.implicits._
+        val idx = Jagged.localIndex($"items")
+        val linked = Combinatorics.nestedIndex($"items",
+          Seq(transform(idx, i => i - 1), transform(idx, i => i + 1)))
+        ordersNested(s, dir)
+          .select($"l_orderkey", explode(zip_with($"items", linked, (it, nb) =>
+            struct(it("l_linenumber").as("l_linenumber"),
+              it("l_extendedprice").as("l_extendedprice"),
+              cents(coalesce(get(nb, lit(0))("l_extendedprice"), lit(0.0)) +
+                coalesce(get(nb, lit(1))("l_extendedprice"), lit(0.0))).as("nb_sum_c")))).as("r"))
+          .select($"l_orderkey", $"r.l_linenumber", $"r.l_extendedprice", $"r.nb_sum_c")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice,
+             |CAST(floor((coalesce(lag(l_extendedprice) OVER w, 0.0) +
+             |            coalesce(lead(l_extendedprice) OVER w, 0.0)) * 100 + 0.5) AS BIGINT) AS nb_sum_c
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice)""".stripMargin))
   )
 }
