@@ -82,6 +82,26 @@ object Kinematics {
       v("mass").as("mass"), (a("charge") + b("charge")).as("charge"))
   }
 
+  /** Cartesian staging for pair loops: compute (px, py, pz, E, charge)
+    * ONCE per candidate so `combinations` pair math costs only adds and
+    * multiplies — O(n) trig + O(n²) cheap ops per event instead of
+    * O(n²) trig. The pair-loop companion is [[pairMassCharge]]. */
+  def cartesianCandidate(v: Column, charge: Column): Column =
+    struct(px(v).as("px"), py(v).as("py"), pz(v).as("pz"),
+      energy(v).as("e"), charge.as("charge"))
+
+  /** Invariant mass + summed charge of a pair of [[cartesianCandidate]]
+    * structs (the `Candidate.add` result fields pair loops consume). */
+  def pairMassCharge(a: Column, b: Column): Column = {
+    val se = a("e") + b("e")
+    val sx = a("px") + b("px")
+    val sy = a("py") + b("py")
+    val sz = a("pz") + b("pz")
+    struct(
+      sqrt(greatest(se * se - (sx * sx + sy * sy + sz * sz), lit(0.0))).as("mass"),
+      (a("charge") + b("charge")).as("charge"))
+  }
+
   /** Componentwise jagged sum of an array of 4-vectors → one 4-vector
     * (reference `vector.py:181-190` sum(axis=1)). */
   def sum4(arr: Column): Column = {

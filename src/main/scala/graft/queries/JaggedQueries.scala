@@ -13,14 +13,20 @@ import graft.core.{Combinatorics, Jagged, Kinematics, SchemaBuilder, Tables}
   */
 object JaggedQueries extends QueryPack {
 
-  private def ordersNested(s: org.apache.spark.sql.SparkSession, dir: String) =
+  /** Order → items nest with a per-query-trimmed payload: the nest is
+    * the one shuffle of these pipelines, so each query ships only the
+    * fields it reads (shuffle bytes scale with payload width). */
+  private def ordersNested(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      fields: Seq[String] = Seq("l_linenumber", "l_extendedprice", "l_quantity",
+        "l_discount", "l_returnflag")) =
     SchemaBuilder.nestRows(
       Tables.lineitem(s, dir),
       key = Seq("l_orderkey"),
       collection = "items",
       // sortFields lead the struct so nestRows sorts with the native
       // struct ordering (no reprojection pass).
-      fields = Seq("l_linenumber", "l_extendedprice", "l_quantity", "l_discount", "l_returnflag"),
+      fields = fields,
       // (l_linenumber, l_extendedprice) is unique within an order in this
       // dataset (l_linenumber alone is NOT) — pins the array layout.
       sortFields = Seq("l_linenumber", "l_extendedprice"))
@@ -31,7 +37,7 @@ object JaggedQueries extends QueryPack {
       "SchemaBuilder.nestRows + ak.num + ak.sum(axis=1): flat lineitem → jagged order.items, per-order multiplicity and quantity sum, filter on multiplicity.",
       (s, dir) => {
         import s.implicits._
-        ordersNested(s, dir)
+        ordersNested(s, dir, Seq("l_linenumber", "l_extendedprice", "l_quantity"))
           .select($"l_orderkey",
             Jagged.num($"items").cast("long").as("n_items"),
             cents(Jagged.innerSumOf($"items", _("l_quantity"))).as("sum_qty_c"))
@@ -46,7 +52,7 @@ object JaggedQueries extends QueryPack {
       "Particle-level mask muons[muons.pt > 20] analogue: count items with qty > 25 inside each order (no explode), histogram the multiplicities.",
       (s, dir) => {
         import s.implicits._
-        ordersNested(s, dir)
+        ordersNested(s, dir, Seq("l_linenumber", "l_extendedprice", "l_quantity"))
           .select(Jagged.innerCount($"items", _("l_quantity") > 25.0)
             .cast("long").as("n_high"))
           .groupBy($"n_high")
@@ -62,7 +68,8 @@ object JaggedQueries extends QueryPack {
       "ak.combinations(items, 2) — the dimuon idiom: all unordered per-order item pairs, aggregated by the pair's returnflag combination. Relationally a self-join; here a per-row array expression with zero shuffle.",
       (s, dir) => {
         import s.implicits._
-        ordersNested(s, dir)
+        ordersNested(s, dir,
+          Seq("l_linenumber", "l_extendedprice", "l_returnflag", "l_quantity"))
           .select(explode(Combinatorics.combinations2($"items")).as("p"))
           .groupBy($"p._1.l_returnflag".as("rf1"), $"p._2.l_returnflag".as("rf2"))
           .agg(count(lit(1)).as("n_pairs"),
@@ -179,7 +186,7 @@ object JaggedQueries extends QueryPack {
         val blocks = Combinatorics.segmentedByCounts($"items", array(cntLow, n - cntLow))
         // the same partition expressed as (begin, end) links (EDM4HEP style)
         val ranges = Combinatorics.rangeGather($"items", array(lit(0L), cntLow), array(cntLow, n))
-        ordersNested(s, dir)
+        ordersNested(s, dir, Seq("l_linenumber", "l_extendedprice", "l_quantity"))
           .select($"l_orderkey",
             cents(Jagged.innerSumOf(element_at(blocks, 1), _("l_extendedprice"))).as("b0_sum_c"),
             size(element_at(blocks, 2)).cast("long").as("b1_n"),
@@ -201,22 +208,22 @@ object JaggedQueries extends QueryPack {
       "Candidate.add (candidate.py:16-57) over ak.combinations(2): charge-aware 4-vector pair sums inside each order, opposite-sign mass spectrum — the dimuon idiom as a pure per-row pipeline (pairs never leave the row; one groupBy for the histogram).",
       (s, dir) => {
         import s.implicits._
-        def cand(it: org.apache.spark.sql.Column) = struct(
-          it("l_quantity").as("pt"),
-          (it("l_discount") * 20.0 - 1.0).as("eta"),
-          (it("l_tax") * 40.0 - 3.0).as("phi"),
-          (it("l_quantity") * 0.1).as("mass"),
-          (it("l_linenumber") % 2 * 2 - 1).cast("int").as("charge"))
         val nested = SchemaBuilder.nestRows(
           Tables.lineitem(s, dir),
           key = Seq("l_orderkey"), collection = "items",
           fields = Seq("l_linenumber", "l_extendedprice", "l_quantity", "l_discount", "l_tax"),
           sortFields = Seq("l_linenumber", "l_extendedprice"))
-        val pairs = Combinatorics.combinations2($"items")
-        val sums = transform(pairs, p => Kinematics.addCandidate(cand(p("_1")), cand(p("_2"))))
+        // cartesian staging: trig once per ITEM, pair loop is pure +/*
+        val vecs = transform($"items", it => Kinematics.cartesianCandidate(
+          Kinematics.ptEtaPhiM(it("l_quantity"), it("l_discount") * 20.0 - 1.0,
+            it("l_tax") * 40.0 - 3.0, it("l_quantity") * 0.1),
+          (it("l_linenumber") % 2 * 2 - 1).cast("int")))
+        val os = filter(Combinatorics.combinations2(vecs),
+          p => p("_1")("charge") + p("_2")("charge") === 0)
         nested
-          .select(explode(filter(sums, v => v("charge") === 0)).as("v"))
-          .select(floor($"v.mass" / 20.0).cast("long").as("bin"))
+          .select(explode(transform(os,
+            p => Kinematics.pairMassCharge(p("_1"), p("_2"))("mass"))).as("m"))
+          .select(floor($"m" / 20.0).cast("long").as("bin"))
           .groupBy($"bin").agg(count(lit(1)).as("n_pairs"))
       },
       Some("""WITH it AS (
@@ -246,7 +253,7 @@ object JaggedQueries extends QueryPack {
         val idx = Jagged.localIndex($"items")
         val linked = Combinatorics.nestedIndex($"items",
           Seq(transform(idx, i => i - 1), transform(idx, i => i + 1)))
-        ordersNested(s, dir)
+        ordersNested(s, dir, Seq("l_linenumber", "l_extendedprice"))
           .select($"l_orderkey", explode(zip_with($"items", linked, (it, nb) =>
             struct(it("l_linenumber").as("l_linenumber"),
               it("l_extendedprice").as("l_extendedprice"),
