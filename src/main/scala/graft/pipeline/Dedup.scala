@@ -7,16 +7,29 @@ import org.apache.spark.sql.functions._
   * groupBy), MinHash+LSH banding, SimHash with pigeonhole chunk
   * blocking, and exact n-gram Jaccard verification.
   *
-  * Scale design (100 TB): every near-dup pipeline here follows
-  * candidate-generation-then-verify — candidates come from equality
-  * joins on short signatures (LSH band / simhash chunk / shared
-  * shingle), so the shuffle key is always a small hash, never the
-  * document, and no stage is O(n²).
+  * Scale design (100 TB):
+  *  - Signatures are computed PER ROW (map-only): shingling, hashing and
+  *    the k-minhash / 64-bit-vote loops never leave the document's row,
+  *    so the signature stage shuffles nothing — it scales linearly with
+  *    executors and is bounded by parquet scan throughput.
+  *  - Candidate generation is an equality join on short signatures (LSH
+  *    band / simhash chunk / shared shingle hash): the shuffle key is a
+  *    small hash, never the document text, and no stage is O(n²) in the
+  *    corpus.
+  *  - Verification rides along with blocking: buckets carry (id,
+  *    signature) structs (16–128 bytes/doc), so candidate pairs are
+  *    verified inline from the bucket itself — no join back to the
+  *    signature table (measured 2× on the whole pipeline: the join-back
+  *    recomputed the signature subtree per side, exchange reuse does not
+  *    fire across self-join aliases).
   *
-  * Hash-cost design: shingles are exploded to rows so md5 runs ONCE per
-  * (doc, shingle); the k MinHash functions derive from one digest via
-  * Kirsch-Mitzenmacher double hashing `h_j = (h1 + j·h2) mod P` —
-  * engine-portable 64-bit arithmetic, reproducible in the DuckDB oracle.
+  * Hash-cost design: md5 runs ONCE per (doc, shingle) inside a single
+  * transform lambda; the k MinHash functions derive from one digest via
+  * Kirsch-Mitzenmacher double hashing `h_j = (h1 + j·h2) mod P` in a
+  * tight JVM loop — engine-portable 64-bit arithmetic, reproducible in
+  * the DuckDB oracle (reference analogue: coffea's content-defined
+  * chunking has no dedup; this follows Broder '97 / Charikar '02 as in
+  * the SURVEY §2 extension list).
   */
 object Dedup {
 
@@ -49,9 +62,16 @@ object Dedup {
     s"(('0x' || substr(md5($unit), 1, 15))::BIGINT)",
     s"((('0x' || substr(md5($unit), 17, 15))::BIGINT) % ${H2Mod})")
 
-  /** (id, s) shingle rows, generated per-row from the token array and
-    * exploded — NO shuffle (the earlier window-`lead` formulation paid a
-    * partitionBy(id) shuffle + sort before the explode).
+  /** First 60-bit md5 hash alone (simhash / join keys). */
+  def hash60(unit: Column): Column =
+    conv(substring(md5(unit), 1, 15), 16, 10).cast("long")
+
+  /** (id, sh: array<string>) — per-row shingle array from the token
+    * array; NO shuffle. With `distinct = true` the array is
+    * de-duplicated per row (`array_distinct`), which is equivalent to a
+    * global `SELECT DISTINCT id, s` since id keys the row — the round-1
+    * formulation paid a full (id, shingle-string) exchange for the same
+    * result.
     *
     * The tokenization sits behind [[graft.functions.Barrier]]: Spark
     * evaluates lambda-invariant subexpressions once per ELEMENT, and
@@ -59,142 +79,253 @@ object Dedup {
     * (measured 5× the cost of the whole downstream join in round 1) —
     * the barrier pins it to one evaluation per row. Elements are read
     * with null-safe `get` (no per-shingle `slice` array copies).
-    *
-    * `distinct = false` skips the dedup shuffle for consumers that are
-    * insensitive to shingle multiplicity (MinHash: `min` is idempotent).
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int,
       distinct: Boolean = true): DataFrame = {
     val toked = df.select(col(idCol).as("id"),
       graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
     val t = col("__t")
-    val sh = toked.select(col("id"), explode(
+    val raw =
       when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", (0 until n).map(k => get(t, i + lit(k))): _*)))
-        .otherwise(array().cast("array<string>"))).as("s"))
-    if (distinct) sh.distinct() else sh
+        .otherwise(array().cast("array<string>"))
+    // the array itself is Barrier-pinned too: consumers like
+    // `filter(size(sh) > 0)` + a downstream transform would otherwise
+    // each inline (rebuild) the whole shingle array per row.
+    toked.select(col("id"), graft.functions.Barrier(
+      if (distinct) array_distinct(raw) else raw).as("sh"))
   }
 
+  /** (id, s) shingle rows — [[shingleArrays]] exploded (inverted-index
+    * layout for equality joins on the shingle). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+      distinct: Boolean = true): DataFrame =
+    shingleArrays(df, idCol, textCol, n, distinct)
+      .select(col("id"), explode(col("sh")).as("s"))
+
   /** (id, h1, h2) hash rows over the shingles — md5 runs exactly once
-    * per (doc, shingle) row, flat relational layout (CollapseProject
-    * would inline the digest into every one of the k minhash lambdas
-    * otherwise; measured 315 s → seconds at sf0.1). */
+    * per (doc, shingle) row, flat relational layout. Kept for consumers
+    * that want the inverted-index shape; the signature builders below
+    * stay per-row instead. */
   def hashRows(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
       distinct: Boolean = true): DataFrame =
     shingleRows(df, idCol, textCol, shingleN, distinct)
       .select(col("id"), hashPair(col("s")).as("hp"))
       .select(col("id"), col("hp.h1").as("h1"), col("hp.h2").as("h2"))
 
-  /** k MinHash signatures via ONE aggregation pass over the hash rows:
-    * k min-aggregates with map-side partial aggregation — the 100 TB
-    * shape (shuffle carries k longs per doc, not shingles). */
-  def minhashTable(hashRows: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(j =>
-      min((col("h1") + lit(j.toLong) * col("h2")) % P61).as(s"__m$j"))
-    hashRows.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until k).map(j => col(s"__m$j")): _*).as("mh"))
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** LSH banding: split the k-signature into `bands` equal bands; docs
-    * sharing any band signature are candidates. */
+  /** (h1, h2) of [[hashPair]] from raw digest bytes: hex chars [1,15] =
+    * big-endian bytes [0,8) >>> 4; hex chars [17,31] = bytes [8,16) >>>
+    * 4, mod 2^58 — byte arithmetic, no hex-string round-trip (the
+    * Catalyst `conv(substring(md5(s)))` formulation parses two 15-char
+    * hex strings per shingle; measured ~2× the whole signature stage). */
+  private def digestPair(md: java.security.MessageDigest, s: String): (Long, Long) = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); lo = (lo << 8) | (d(i + 8) & 0xffL); i += 1 }
+    ((hi >>> 4, (lo >>> 4) % H2Mod))
+  }
+
+  /** k MinHash values straight from the token array: per shingle, one
+    * JVM md5 + Kirsch-Mitzenmacher k-loop — a tight loop instead of HOF
+    * lambdas (a HOF `aggregate(zip_with(...))` formulation costs
+    * ~7µs/pair in array allocations; the loop is ~20× cheaper). min is
+    * idempotent so duplicate shingles need no dedup. Returns null for
+    * shingle-less docs (dropped by the caller). */
+  private def minhashUdf(k: Int, n: Int) =
+    udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < n) null
+      else {
+        val md = md5Local.get()
+        val m = Array.fill(k)(P61)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var t = 0
+          while (t < n) { if (t > 0) sb.append(' '); sb.append(toks(i + t)); t += 1 }
+          val (a, b) = digestPair(md, sb.toString)
+          var j = 0
+          while (j < k) {
+            val v = (a + j * b) % P61
+            if (v < m(j)) m(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        m
+      }
+    }
+
+  /** 64 sign-votes over DISTINCT shingles → 4×16-bit simhash chunks
+    * (votes are multiplicity-sensitive, matching `SELECT DISTINCT id,
+    * tok`; distinctness via an in-row hash set of the shingle strings,
+    * which also skips md5 on duplicates). Returns null for shingle-less
+    * docs. */
+  private def simhashUdf(n: Int) =
+    udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < n) null
+      else {
+        val md = md5Local.get()
+        val seen = new java.util.HashSet[String](128)
+        val votes = new Array[Int](64)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var t = 0
+          while (t < n) { if (t > 0) sb.append(' '); sb.append(toks(i + t)); t += 1 }
+          val s = sb.toString
+          if (seen.add(s)) {
+            val h = digestPair(md, s)._1
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+          }
+          i += 1
+        }
+        Array.tabulate(4) { c =>
+          var chunk = 0L
+          var b = 0
+          while (b < 16) {
+            if (votes(c * 16 + b) > 0) chunk |= (1L << b)
+            b += 1
+          }
+          chunk
+        }
+      }
+    }
+
+  /** (id, mh: array<long>[k]) MinHash signature table — map-only (the
+    * whole signature is computed inside the row; zero shuffles).
+    * Documents with no shingles are dropped (they have no minhash — and
+    * would otherwise all share the degenerate empty signature).
+    *
+    * `distinct` on shingles is skipped: min is idempotent, so shingle
+    * multiplicity cannot change the signature. Trade-off: md5 runs once
+    * per duplicate (id, shingle) occurrence instead of once per distinct
+    * shingle — on highly repetitive corpora the extra md5 CPU could
+    * exceed the saved `array_distinct`; re-measure there.
+    *
+    * The md5 digest array sits behind a Barrier: h1s and h2s each
+    * consume it in their own lambda, and CollapseProject would otherwise
+    * inline the digest computation into BOTH (md5 ×2 per shingle). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int): DataFrame = {
+    val arrays = shingleArrays(df, idCol, textCol, shingleN, distinct = false)
+      .filter(size(col("sh")) > 0)
+    val digests = arrays.select(col("id"),
+      graft.functions.Barrier(transform(col("sh"), s => md5(s))).as("__d"))
+    digests.select(
+      col("id"),
+      minhashUdf(k)(
+        transform(col("__d"), d => conv(substring(d, 1, 15), 16, 10).cast("long")),
+        transform(col("__d"), d =>
+          conv(substring(d, 17, 15), 16, 10).cast("long") % H2Mod)).as("mh"))
+  }
+
+  /** (id, sig: array<long>[4]) SimHash chunk table — map-only, per-row
+    * distinct shingles (votes are multiplicity-sensitive, matching
+    * `SELECT DISTINCT id, tok`). Shingle-less documents are dropped
+    * (all-zero signatures would cross-block every empty doc). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    shingleArrays(df, idCol, textCol, shingleN, distinct = true)
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        simhashUdf(transform(col("sh"), s => hash60(s))).as("sig"))
+
+  /** Banded keys for LSH blocking: band index + the band's signature
+    * slice rendered as a join key. */
   def bandSignatures(mh: Column, bands: Int, rowsPerBand: Int): Column =
     explode(transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
         concat_ws("_", slice(mh, b * rowsPerBand + 1, lit(rowsPerBand))).as("sig"))))
 
+  /** Equal-count UDF for signature agreement (est. Jaccard numerator). */
+  private val eqCountUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var n = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) n += 1; i += 1 }
+    n
+  }
+
+  /** Hamming distance over chunk arrays — popcount loop. */
+  private val hammingUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var d = 0; var i = 0
+    while (i < a.length) { d += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    d
+  }
+
   /** Candidate pairs from LSH buckets with their estimated Jaccard
     * (fraction of equal minhashes). Emits (id_a, id_b, est_jaccard_e4)
     * with id_a < id_b, est >= minEst.
     *
-    * Bucket pair expansion happens AFTER a groupBy on (band, sig) — the
-    * shuffle carries signatures, and collect_list per bucket is bounded
-    * by bucket size (hash bucket, not key skew).
-    */
+    * Buckets carry (id, mh) structs so the estimate is verified inline
+    * from the bucket — no join back to the signature table. A pair
+    * sharing b bands is scored b times (cheap eq-count loop) and
+    * de-duplicated at the end, where the row is already 24 bytes.
+    * The blocking shuffle carries k longs per (doc, band); bucket
+    * collect_list is bounded by bucket size (hash bucket, not key
+    * skew) — cap pathological buckets upstream if a corpus produces
+    * giant identical-signature groups. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, minEst: Double, shingleN: Int = 2): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "bands must divide k")
-    // distinct=false: min is idempotent, so shingle multiplicity cannot
-    // change the signature — skips a whole dedup shuffle; the minhash
-    // groupBy partial-aggregates map-side (k longs per doc on the wire).
-    // Trade-off: md5/hashPair now runs once per duplicate (id, shingle)
-    // occurrence instead of once per distinct shingle. On highly
-    // repetitive corpora the extra per-row md5 CPU could exceed the
-    // saved shuffle — re-measure there before keeping this default.
-    val withMh = minhashTable(hashRows(df, idCol, textCol, shingleN, distinct = false), k)
+    val withMh = minhashSignatures(df, idCol, textCol, k, shingleN)
     val buckets = withMh
-      .select(col("id"), bandSignatures(col("mh"), bands, rowsPerBand).as("b"))
+      .select(bandSignatures(col("mh"), bands, rowsPerBand).as("b"),
+        struct(col("id"), col("mh")).as("m"))
       .groupBy(col("b.band"), col("b.sig"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = buckets
-      .select(explode(graft.core.Combinatorics.combinations2(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
-    val mhA = withMh.select(col("id").as("id_a"), col("mh").as("mh_a"))
-    val mhB = withMh.select(col("id").as("id_b"), col("mh").as("mh_b"))
-    pairs.join(mhA, "id_a").join(mhB, "id_b")
-      .withColumn("n_eq",
-        size(filter(zip_with(col("mh_a"), col("mh_b"), (a, b) => a === b), (x: Column) => x)))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets
+      .select(explode(graft.core.Combinatorics.combinations2(col("ms"))).as("p"))
+      .select(col("p._1.id").as("id_a"), col("p._2.id").as("id_b"),
+        eqCountUdf(col("p._1.mh"), col("p._2.mh")).as("n_eq"))
       .withColumn("est_jaccard_e4", floor(col("n_eq") * 10000.0 / k).cast("long"))
       .filter(col("est_jaccard_e4") >= (minEst * 10000).toLong)
       .select(col("id_a"), col("id_b"), col("est_jaccard_e4"))
+      .distinct()
   }
 
-  /** 64-bit SimHash as 4×16-bit chunks via ONE aggregation pass over
-    * hash rows: 64 conditional-sum "bit vote" aggregates, then chunk
-    * assembly in a projection. Hamming ≤ 3 implies a shared chunk
-    * (pigeonhole) — chunk equality is the blocking key. Only 60 of 64
-    * bits carry entropy (60-bit hash); consistent across engines. */
-  def simhashTable(hashRows: DataFrame): DataFrame = {
-    val voteAggs = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("h1"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"__v$i"))
-    val voted = hashRows.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
-    val chunks = (0 until 4).map { c =>
-      (0 until 16).map { i =>
-        when(col(s"__v${c * 16 + i}") > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"__c$c")
-    }
-    voted.select(col("id") +: chunks: _*)
-      .select(col("id"), array((0 until 4).map(c => col(s"__c$c")): _*).as("sh"))
-  }
-
-  /** Hamming distance between two chunk arrays. */
-  def hammingChunks(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))), lit(0),
-      (acc, d) => acc + d)
-
-  /** SimHash near-dup pairs: block on equal chunks, verify Hamming ≤
-    * maxDist. Emits (id_a, id_b, hamming). */
+  /** SimHash near-dup pairs: block on equal chunks (Hamming ≤ 3 implies
+    * a shared 16-bit chunk by pigeonhole), verify Hamming inline from
+    * the bucket. Emits (id_a, id_b, hamming), id_a < id_b. */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int,
       shingleN: Int = 2): DataFrame = {
-    val withSh = simhashTable(hashRows(df, idCol, textCol, shingleN))
-    val blocked = withSh
-      .select(col("id"), posexplode(col("sh")).as(Seq("chunk_idx", "chunk")))
+    val withSig = simhashSignatures(df, idCol, textCol, shingleN)
+    val blocked = withSig
+      .select(posexplode(col("sig")).as(Seq("chunk_idx", "chunk")),
+        struct(col("id"), col("sig")).as("m"))
       .groupBy(col("chunk_idx"), col("chunk"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = blocked
-      .select(explode(graft.core.Combinatorics.combinations2(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
-    val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    pairs.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("hamming", hammingChunks(col("sh_a"), col("sh_b")).cast("long"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    blocked
+      .select(explode(graft.core.Combinatorics.combinations2(col("ms"))).as("p"))
+      .select(col("p._1.id").as("id_a"), col("p._2.id").as("id_b"),
+        hammingUdf(col("p._1.sig"), col("p._2.sig")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity via shingle inverted index:
-    * explode distinct shingles → equality join on shingle → common
-    * count per pair → |A∩B| / (|A|+|B|−|A∩B|). Emits pairs ≥ threshold
-    * as (id_a, id_b, jaccard_e4).
+    * explode per-row-distinct shingles → equality join on the 60-bit
+    * shingle HASH (longs shuffle and compare ~3× cheaper than shingle
+    * strings; a collision among distinct shingles is ~2^-61·n² — nil) →
+    * common count per pair → |A∩B| / (|A|+|B|−|A∩B|). Per-document
+    * shingle counts come from the per-row array size (no groupBy).
+    * Emits pairs ≥ threshold as (id_a, id_b, jaccard_e4).
     *
     * Use n ≥ 3 on small-vocabulary corpora — the join fan-out is the
     * square of per-shingle document frequency.
@@ -202,15 +333,17 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val inv = shingleRows(df, idCol, textCol, n)
-    val counts = inv.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val arrays = shingleArrays(df, idCol, textCol, n, distinct = true)
+    // per-doc shingle count rides along on every inverted-index row
+    // (8 bytes) — no count groupBy, no join back to a counts table.
+    val inv = arrays.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
     val common = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_common"),
+        min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
     common
-      .join(counts.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(counts.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
       .withColumn("jaccard_e4",
         floor(col("n_common") * 10000.0 / (col("na") + col("nb") - col("n_common")) + 0.5)
           .cast("long"))

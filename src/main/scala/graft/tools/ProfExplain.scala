@@ -1,0 +1,23 @@
+// temp profiling main (dev-only)
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+object ProfExplain {
+  def main(args: Array[String]): Unit = {
+    val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val docs = graft.core.Tables.documents(spark, dir)
+    val q = Dedup.simhashCandidates(docs, "doc_id", "text", 3)
+    q.count()  // execute so AQE final plan is available
+    println("=== FINAL PLAN ===")
+    println(q.queryExecution.executedPlan.toString.take(12000))
+    spark.stop()
+  }
+}

@@ -1,0 +1,32 @@
+// temp profiling main (dev-only)
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+object ProfPairs {
+  def main(args: Array[String]): Unit = {
+    val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-24s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
+    }
+    val docs = graft.core.Tables.documents(spark, dir)
+    time("warm")(docs.count())
+    time("mh_sigs")(Dedup.minhashSignatures(docs, "doc_id", "text", 16, 2).count())
+    time("sh_sigs")(Dedup.simhashSignatures(docs, "doc_id", "text", 2).count())
+    time("sh_full")(Dedup.simhashCandidates(docs, "doc_id", "text", 3).count())
+    time("sh_full2")(Dedup.simhashCandidates(docs, "doc_id", "text", 3).count())
+    time("mh_full")(Dedup.minhashCandidates(docs, "doc_id", "text", k = 16, bands = 8, minEst = 0.25).count())
+    time("mh_full2")(Dedup.minhashCandidates(docs, "doc_id", "text", k = 16, bands = 8, minEst = 0.25).count())
+    time("jc_full")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.25).count())
+    time("jc_full2")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.25).count())
+    spark.stop()
+  }
+}
