@@ -205,43 +205,36 @@ object Dedup {
     }
 
   /** (id, mh: array<long>[k]) MinHash signature table — map-only (the
-    * whole signature is computed inside the row; zero shuffles).
-    * Documents with no shingles are dropped (they have no minhash — and
-    * would otherwise all share the degenerate empty signature).
+    * whole signature is computed inside the row; zero shuffles). The
+    * UDF shingles + digests + runs the k-loop in one pass over the
+    * token array, so no Catalyst shingle/digest staging (and no
+    * Barrier) is needed — md5 runs once per (doc, shingle) inside the
+    * tight JVM loop. Documents with fewer than `shingleN` tokens have
+    * no shingles and are dropped (UDF returns null — they would
+    * otherwise all share the degenerate empty signature).
     *
-    * `distinct` on shingles is skipped: min is idempotent, so shingle
+    * Distinctness on shingles is skipped: min is idempotent, so shingle
     * multiplicity cannot change the signature. Trade-off: md5 runs once
     * per duplicate (id, shingle) occurrence instead of once per distinct
     * shingle — on highly repetitive corpora the extra md5 CPU could
-    * exceed the saved `array_distinct`; re-measure there.
-    *
-    * The md5 digest array sits behind a Barrier: h1s and h2s each
-    * consume it in their own lambda, and CollapseProject would otherwise
-    * inline the digest computation into BOTH (md5 ×2 per shingle). */
+    * exceed a dedup pre-pass; re-measure there. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int): DataFrame = {
-    val arrays = shingleArrays(df, idCol, textCol, shingleN, distinct = false)
-      .filter(size(col("sh")) > 0)
-    val digests = arrays.select(col("id"),
-      graft.functions.Barrier(transform(col("sh"), s => md5(s))).as("__d"))
-    digests.select(
-      col("id"),
-      minhashUdf(k)(
-        transform(col("__d"), d => conv(substring(d, 1, 15), 16, 10).cast("long")),
-        transform(col("__d"), d =>
-          conv(substring(d, 17, 15), 16, 10).cast("long") % H2Mod)).as("mh"))
-  }
+      k: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        minhashUdf(k, shingleN)(TextAnalysis.tokens(col(textCol))).as("mh"))
+      .filter(col("mh").isNotNull)
 
-  /** (id, sig: array<long>[4]) SimHash chunk table — map-only, per-row
-    * distinct shingles (votes are multiplicity-sensitive, matching
-    * `SELECT DISTINCT id, tok`). Shingle-less documents are dropped
-    * (all-zero signatures would cross-block every empty doc). */
+  /** (id, sig: array<long>[4]) SimHash chunk table — map-only; the UDF
+    * shingles from the token array and keeps a per-row hash set so
+    * votes run over DISTINCT shingles (multiplicity-sensitive votes
+    * would break the `SELECT DISTINCT id, tok` oracle equivalence).
+    * Shingle-less documents are dropped (UDF returns null — all-zero
+    * signatures would cross-block every empty doc). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
-    shingleArrays(df, idCol, textCol, shingleN, distinct = true)
-      .filter(size(col("sh")) > 0)
-      .select(col("id"),
-        simhashUdf(transform(col("sh"), s => hash60(s))).as("sig"))
+    df.select(col(idCol).as("id"),
+        simhashUdf(shingleN)(TextAnalysis.tokens(col(textCol))).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Banded keys for LSH blocking: band index + the band's signature
     * slice rendered as a join key. */
