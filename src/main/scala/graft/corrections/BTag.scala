@@ -10,11 +10,23 @@ import graft.lookup.FormulaCompiler
   * (eta, pt, discr) validity ranges and a per-row formula in `x`.
   *
   * The selected (op, measurement, syst) slice is small (tens of rows),
-  * so evaluation is a per-flavor when-chain of formulas compiled once
-  * on the driver — pure codegen'd arithmetic, broadcast-free. `x` is
-  * the discriminant for the reshape operating point and pt otherwise
-  * (`btagscalefactor.py:52-118`); pt/discr are clamped to the slice's
-  * covered range, mirroring the reference's bounds clip.
+  * so evaluation is a when-chain of formulas compiled once on the
+  * driver — pure codegen'd arithmetic, broadcast-free. Semantics match
+  * the reference's dense-grid mapping (`btagscalefactor.py:140-190`,
+  * `dense_mapped_lookup.py:37-70`):
+  *
+  *  - a row is selected by flavor AND `ebin[0] <= eta < ebin[1]` AND
+  *    `pbin[0] <= pt < pbin[1]` (AND the discr bin for the reshape WP);
+  *  - values outside the covered grid clip into the nearest covered
+  *    bin (searchsorted clip) — realized here by widening the
+  *    conditions of edge bins to ±∞;
+  *  - payloads covering only `eta >= 0` are symmetrized: negative eta
+  *    falls back to the mirrored bin `-ebin[1] <= eta < -ebin[0]`
+  *    (`btagscalefactor.py:160-170`);
+  *  - `x` (pt, or discr for reshape) is clamped to the GLOBAL covered
+  *    range of its axis (`dense_mapped_lookup.py:63-68`);
+  *  - grid cells no row covers yield SF = 1 (reference
+  *    `ignore_missing=True`).
   */
 object BTag {
 
@@ -26,6 +38,12 @@ object BTag {
   final case class Table(tagger: String, rows: Seq[Row])
 
   val Reshape = 3
+
+  /** Hadron flavor (0/4/5) → BTV flavor (2/1/0) with the reference's
+    * searchsorted-clip behavior on the fixed [0,4,5,6] flavor axis
+    * (`btagscalefactor.py:34-35,150`). */
+  def fromHadronFlavor(f: Column): Column =
+    when(f >= 5, 0).when(f >= 4, 1).otherwise(2)
 
   /** Parse the CSV payload (`<tagger>;<columns>` header then rows;
     * formulas quoted). */
@@ -43,41 +61,121 @@ object BTag {
     Table(tagger, rows)
   }
 
-  /** Scale factor for every jet: when-chain over the (op, measurement,
-    * syst) slice, matching flavor and eta, with pt (or discr for the
-    * reshape WP) clamped into the covered range. Jets outside every
-    * bin get SF = 1 (reference returns 1 for uncovered regions). */
+  /** Driver-side geometry of one (op, measurement, syst) slice: sorted
+    * rows, global axis edges, and whether the eta axis is symmetrized
+    * (payload covers only eta >= 0 → abs-eta mirror fallback). */
+  private final case class SliceGeom(
+      rows: Seq[Row], useDiscr: Boolean, symmetric: Boolean,
+      etaLo: Double, etaHi: Double,
+      ptLo: Double, ptHi: Double,
+      discrLo: Double, discrHi: Double,
+      xLo: Double, xHi: Double)
+
+  private def geometry(table: Table, op: Int, measurement: String, syst: String): SliceGeom = {
+    val slice0 = table.rows.filter(r => r.op == op && r.measurement == measurement && r.syst == syst)
+    require(slice0.nonEmpty,
+      s"${table.tagger}: no rows for op=$op measurement=$measurement syst=$syst")
+    // reference sorts the MultiIndex (flavor, etaBin, ptBin, discrBin);
+    // first match in that order wins for overlapping rows.
+    val slice = slice0.sortBy(r =>
+      (r.flavor, r.etaMin, r.etaMax, r.ptMin, r.ptMax, r.discrMin, r.discrMax))
+    val etaEdges = slice.flatMap(r => Seq(r.etaMin, r.etaMax)).distinct.sorted
+    val ptEdges = slice.flatMap(r => Seq(r.ptMin, r.ptMax)).distinct.sorted
+    val discrEdges = slice.flatMap(r => Seq(r.discrMin, r.discrMax)).distinct.sorted
+    val symmetric = etaEdges.head >= 0.0
+    if (symmetric) require(etaEdges.head == 0.0,
+      s"${table.tagger}: positive-eta payload must start at 0 (got ${etaEdges.head})")
+    val useDiscr = op == Reshape
+    val (xLo, xHi) =
+      if (useDiscr) (discrEdges.head, discrEdges.last) else (ptEdges.head, ptEdges.last)
+    SliceGeom(slice, useDiscr, symmetric,
+      etaEdges.head, etaEdges.last, ptEdges.head, ptEdges.last,
+      discrEdges.head, discrEdges.last, xLo, xHi)
+  }
+
+  /** Interval condition with clip semantics: edge bins widen to ±∞ so
+    * out-of-range values land in the nearest covered bin. `None` means
+    * "always true" (the whole axis is one widened bin). */
+  private def binCond(v: Column, lo: Double, hi: Double,
+      globalLo: Double, globalHi: Double): Option[Column] = {
+    val lower = if (lo == globalLo) None else Some(v >= lo)
+    val upper = if (hi == globalHi) None else Some(v < hi)
+    (lower, upper) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (Some(a), None) => Some(a)
+      case (None, Some(b)) => Some(b)
+      case (None, None) => None
+    }
+  }
+
+  private def andAll(conds: Seq[Option[Column]], base: Column): Column =
+    conds.flatten.foldLeft(base)(_ && _)
+
+  /** Scale factor for every jet. Jets in grid cells no row covers get
+    * SF = 1 (reference `ignore_missing=True`). `flavor` is the BTV
+    * flavor (0=b, 1=c, 2=udsg) — see [[fromHadronFlavor]]. */
   def scaleFactor(
       table: Table, op: Int, measurement: String, syst: String,
       flavor: Column, eta: Column, pt: Column, discr: Column): Column = {
-    val slice = table.rows.filter(r => r.op == op && r.measurement == measurement && r.syst == syst)
-    require(slice.nonEmpty,
-      s"${table.tagger}: no rows for op=$op measurement=$measurement syst=$syst")
-    val useDiscr = op == Reshape
-    val branches = slice.map { r =>
-      val lo = if (useDiscr) r.discrMin else r.ptMin
-      val hi = if (useDiscr) r.discrMax else r.ptMax
-      val raw = (if (useDiscr) discr else pt).cast("double")
-      val x = greatest(lit(lo), least(lit(hi), raw))
-      val cond = flavor === r.flavor && eta >= r.etaMin && eta < r.etaMax
+    val g = geometry(table, op, measurement, syst)
+    val raw = (if (g.useDiscr) discr else pt).cast("double")
+    val x = greatest(lit(g.xLo), least(lit(g.xHi), raw))
+    def ptCond(r: Row) = binCond(pt, r.ptMin, r.ptMax, g.ptLo, g.ptHi)
+    def discrCond(r: Row) =
+      if (g.useDiscr) binCond(discr, r.discrMin, r.discrMax, g.discrLo, g.discrHi) else None
+    val direct = g.rows.map { r =>
+      // with a symmetric payload the global grid extends to -etaHi, so
+      // the direct lower edge (eta >= 0 bins) must NOT widen — negative
+      // eta is served by the mirror branches below.
+      val etaLower =
+        if (!g.symmetric && r.etaMin == g.etaLo) None else Some(eta >= r.etaMin)
+      val etaUpper = if (r.etaMax == g.etaHi) None else Some(eta < r.etaMax)
+      val cond = andAll(Seq(etaLower, etaUpper, ptCond(r), discrCond(r)),
+        flavor === r.flavor)
       when(cond, FormulaCompiler.compile(r.formula, Nil, Map("x" -> x)))
     }
-    coalesce(branches :+ lit(1.0): _*)
+    val mirrored = if (!g.symmetric) Nil else g.rows.map { r =>
+      // abs-eta fallback: -ebin[1] <= eta < -ebin[0]; the most-negative
+      // bin widens to -∞ (clip), the upper stays (< -etaMin ≤ 0 keeps
+      // it disjoint from the direct branches).
+      val lower = if (r.etaMax == g.etaHi) None else Some(eta >= -r.etaMax)
+      val upper = Some(eta < -r.etaMin)
+      val cond = andAll(Seq(lower, upper, ptCond(r), discrCond(r)),
+        flavor === r.flavor)
+      when(cond, FormulaCompiler.compile(r.formula, Nil, Map("x" -> x)))
+    }
+    coalesce((direct ++ mirrored) :+ lit(1.0): _*)
   }
 
   /** DuckDB SQL mirror of [[scaleFactor]] for oracle queries. */
   def scaleFactorSql(
       table: Table, op: Int, measurement: String, syst: String,
       flavorSql: String, etaSql: String, ptSql: String, discrSql: String): String = {
-    val slice = table.rows.filter(r => r.op == op && r.measurement == measurement && r.syst == syst)
-    val useDiscr = op == Reshape
-    val cases = slice.map { r =>
-      val lo = if (useDiscr) r.discrMin else r.ptMin
-      val hi = if (useDiscr) r.discrMax else r.ptMax
-      val xSql = s"greatest($lo, least($hi, ${if (useDiscr) discrSql else ptSql}))"
+    val g = geometry(table, op, measurement, syst)
+    val xSql = s"greatest(${g.xLo}, least(${g.xHi}, ${if (g.useDiscr) discrSql else ptSql}))"
+    def ptCond(r: Row): Seq[String] =
+      (if (r.ptMin == g.ptLo) Nil else Seq(s"$ptSql >= ${r.ptMin}")) ++
+        (if (r.ptMax == g.ptHi) Nil else Seq(s"$ptSql < ${r.ptMax}"))
+    def discrCond(r: Row): Seq[String] =
+      if (!g.useDiscr) Nil
+      else (if (r.discrMin == g.discrLo) Nil else Seq(s"$discrSql >= ${r.discrMin}")) ++
+        (if (r.discrMax == g.discrHi) Nil else Seq(s"$discrSql < ${r.discrMax}"))
+    val direct = g.rows.map { r =>
+      val etaConds =
+        (if (!g.symmetric && r.etaMin == g.etaLo) Nil else Seq(s"$etaSql >= ${r.etaMin}")) ++
+          (if (r.etaMax == g.etaHi) Nil else Seq(s"$etaSql < ${r.etaMax}"))
+      val conds = Seq(s"$flavorSql = ${r.flavor}") ++ etaConds ++ ptCond(r) ++ discrCond(r)
       val f = FormulaCompiler.toSql(r.formula, Nil, Map("x" -> xSql))
-      s"WHEN $flavorSql = ${r.flavor} AND $etaSql >= ${r.etaMin} AND $etaSql < ${r.etaMax} THEN $f"
+      s"WHEN ${conds.mkString(" AND ")} THEN $f"
     }
-    s"(CASE ${cases.mkString(" ")} ELSE 1.0 END)"
+    val mirrored = if (!g.symmetric) Nil else g.rows.map { r =>
+      val etaConds =
+        (if (r.etaMax == g.etaHi) Nil else Seq(s"$etaSql >= ${-r.etaMax}")) ++
+          Seq(s"$etaSql < ${-r.etaMin}")
+      val conds = Seq(s"$flavorSql = ${r.flavor}") ++ etaConds ++ ptCond(r) ++ discrCond(r)
+      val f = FormulaCompiler.toSql(r.formula, Nil, Map("x" -> xSql))
+      s"WHEN ${conds.mkString(" AND ")} THEN $f"
+    }
+    s"(CASE ${(direct ++ mirrored).mkString(" ")} ELSE 1.0 END)"
   }
 }

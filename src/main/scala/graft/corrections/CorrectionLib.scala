@@ -47,8 +47,12 @@ object CorrectionLib {
           require((obj \ "flow").values.toString == "clamp",
             s"${corr.name}: only flow=clamp supported")
           val idx = BinarySearchBins(in.cast("double"), edges)
+          // `element_at` over a literal primitive array is (wrongly)
+          // non-nullable in Spark 4 — a NULL index yields 0.0, not
+          // NULL. Guard on the input so NULL propagates.
           if (content.forall(isNum))
-            element_at(typedLit(content.map(jNum).toArray), idx + 1)
+            when(in.isNotNull,
+              element_at(typedLit(content.map(jNum).toArray), idx + 1))
           else
             coalesce(content.zipWithIndex.map { case (c, i) => when(idx === i, go(c)) }: _*)
         case "category" =>
@@ -72,10 +76,14 @@ object CorrectionLib {
             case JNothing | JNull => Nil
             case p => p.children.map(jNum)
           }
-          // TFormula positional letters alias the declared variables
+          // TFormula positional letters alias the declared variables —
+          // but a variable literally named x/y/z/t keeps its own
+          // binding (the positional alias must not shadow it).
+          val letters = vars.zip(Seq("x", "y", "z", "t")).collect {
+            case (v, l) if !vars.contains(l) => l -> inputs(v).cast("double")
+          }
           FormulaCompiler.compile(exprStr, params,
-            (vars.map(v => v -> inputs(v).cast("double")) ++
-              vars.zip(Seq("x", "y", "z", "t")).map { case (v, l) => l -> inputs(v).cast("double") }).toMap)
+            (letters ++ vars.map(v => v -> inputs(v).cast("double"))).toMap)
         case nt => throw new IllegalArgumentException(s"${corr.name}: nodetype '$nt' unsupported")
       }
       case other => throw new IllegalArgumentException(s"${corr.name}: bad node $other")
@@ -92,12 +100,15 @@ object CorrectionLib {
           val in = inputs(( obj \ "input").values.toString)
           val edges = (obj \ "edges").children.map(jNum)
           val content = (obj \ "content").children
-          // clamp flow: value below/above range takes the edge bin
+          // clamp flow: value below/above range takes the edge bin.
+          // A NULL input must yield NULL (the Catalyst side
+          // null-propagates through BinarySearchBins); without the
+          // explicit branch DuckDB would route NULL to the ELSE bin.
           val branches = content.zipWithIndex.map { case (c, i) =>
             if (i == content.size - 1) s"ELSE ${go(c)}"
             else s"WHEN $in < ${edges(i + 1)} THEN ${go(c)}"
           }
-          s"(CASE ${branches.mkString(" ")} END)"
+          s"(CASE WHEN $in IS NULL THEN NULL ${branches.mkString(" ")} END)"
         case "category" =>
           val in = inputs((obj \ "input").values.toString)
           val branches = (obj \ "content").children.map { kv =>
@@ -119,9 +130,11 @@ object CorrectionLib {
             case JNothing | JNull => Nil
             case p => p.children.map(jNum)
           }
+          val letters = vars.zip(Seq("x", "y", "z", "t")).collect {
+            case (v, l) if !vars.contains(l) => l -> inputs(v)
+          }
           FormulaCompiler.toSql(exprStr, params,
-            (vars.map(v => v -> inputs(v)) ++
-              vars.zip(Seq("x", "y", "z", "t")).map { case (v, l) => l -> inputs(v) }).toMap)
+            (letters ++ vars.map(v => v -> inputs(v))).toMap)
         case nt => throw new IllegalArgumentException(s"nodetype '$nt' unsupported")
       }
       case other => throw new IllegalArgumentException(s"bad node $other")

@@ -91,6 +91,13 @@ object Extractor {
 
   // ---- Binned evaluation (shared machinery) ----
 
+  /** NULL-propagation guard for literal-matrix lookups: Spark 4 marks
+    * `element_at` over a literal primitive array non-nullable, so a
+    * NULL row index yields the primitive default (0.0) instead of
+    * NULL. Evaluate `result` only when every bin input is non-null. */
+  private def guardBins(binInputs: Seq[Column], result: Column): Column =
+    when(binInputs.map(_.isNotNull).reduce(_ && _), result)
+
   /** Bin geometry compiled to expressions: outer binary search + jagged
     * inner search; yields (flat row index, per-dim clamped inputs). */
   private final class Geometry(t: JmeTable) {
@@ -100,14 +107,35 @@ object Extractor {
     require(outerPairs.sliding(2).forall(p => p.size < 2 || p(0)._2 == p(1)._1),
       s"${t.name}: outer bins not contiguous")
 
+    require(outerEdges.sliding(2).forall(p => p.size < 2 || p(0) < p(1)),
+      s"${t.name}: outer bin edges not strictly increasing")
+
     private val byOuter: Seq[Seq[(JmeRow, Int)]] = {
       val idx = outerPairs.zipWithIndex.toMap
       t.rows.zipWithIndex.groupBy(r => idx(r._1.edges.head)).toSeq.sortBy(_._1).map(_._2)
     }
+    // `rowIndex` computes offsets(i) + j over FILE row order, so each
+    // outer bin's rows must sit contiguously in the file: a payload
+    // that interleaves outer bins would pass the distinct-pair
+    // contiguity check above yet silently index the wrong row.
+    byOuter.foreach { g =>
+      val ids = g.map(_._2)
+      require(ids == (ids.head until ids.head + ids.size),
+        s"${t.name}: rows of outer bin ${g.head._1.edges.head} not contiguous in file " +
+          s"(row indices ${ids.mkString(",")})")
+    }
     val offsets: Seq[Int] = byOuter.map(_.head._2)
     val subEdges: Seq[Seq[Double]] =
       if (t.binVars.size < 2) Nil
-      else byOuter.map(g => g.map(_._1.edges(1)._1) :+ g.last._1.edges(1)._2)
+      else byOuter.map { g =>
+        val e = g.map(_._1.edges(1)._1) :+ g.last._1.edges(1)._2
+        require(e.sliding(2).forall(p => p.size < 2 || p(0) < p(1)),
+          s"${t.name}: inner sub-edges not strictly increasing in outer bin " +
+            s"${g.head._1.edges.head}: ${e.mkString(",")}")
+        require(g.map(_._1.edges(1)).sliding(2).forall(p => p.size < 2 || p(0)._2 == p(1)._1),
+          s"${t.name}: inner bins not contiguous in outer bin ${g.head._1.edges.head}")
+        e
+      }
 
     /** Flat row index as a Column given the binned inputs. */
     def rowIndex(binInputs: Seq[Column]): Column = {
@@ -139,15 +167,18 @@ object Extractor {
     val clampLoM = typedLit(t.rows.map(_.clamps.map(_._1).toArray).toArray)
     val clampHiM = typedLit(t.rows.map(_.clamps.map(_._2).toArray).toArray)
     // TFormula convention: positional letters x,y,z,t alias the declared
-    // formula variables in order — bind both spellings.
+    // formula variables in order — bind both spellings, except a
+    // positional letter that collides with a DECLARED variable name
+    // elsewhere in the list (the name binding must win).
     val letters = Seq("x", "y", "z", "t")
     val vars = t.formulaVars.zip(formulaInputs).zipWithIndex.flatMap { case ((name, c), v) =>
       val lo = element_at(element_at(clampLoM, row + 1), v + 1)
       val hi = element_at(element_at(clampHiM, row + 1), v + 1)
       val clamped = greatest(lo, least(hi, c.cast("double")))
-      Seq(name -> clamped, letters(v) -> clamped)
+      (name -> clamped) +:
+        (if (t.formulaVars.contains(letters(v))) Nil else Seq(letters(v) -> clamped))
     }.toMap
-    FormulaCompiler.compileParams(t.formula, paramCols, vars)
+    guardBins(binInputs, FormulaCompiler.compileParams(t.formula, paramCols, vars))
   }
 
   /** `jersf_lookup` (`lookup_tools/jersf_lookup.py:20`): payload rows
@@ -158,7 +189,7 @@ object Extractor {
     val geo = new Geometry(t)
     val row = geo.rowIndex(binInputs)
     def v(i: Int) = element_at(element_at(typedLit(t.rows.map(_.params.toArray).toArray), row + 1), i)
-    struct(v(1).as("nom"), v(3).as("up"), v(2).as("down"))
+    guardBins(binInputs, struct(v(1).as("nom"), v(3).as("up"), v(2).as("down")))
   }
 
   /** `jec_uncertainty_lookup` (`lookup_tools/jec_uncertainty_lookup
@@ -183,7 +214,7 @@ object Extractor {
       val r = element_at(m, row)
       element_at(r, i) + f * (element_at(r, i + 1) - element_at(r, i))
     }
-    struct(lerp(upsM).as("up"), lerp(downsM).as("down"))
+    guardBins(Seq(binInput, pt), struct(lerp(upsM).as("up"), lerp(downsM).as("down")))
   }
 
   /** DuckDB SQL mirror of [[jecUncertaintyLookup]] (1-dim outer bins)

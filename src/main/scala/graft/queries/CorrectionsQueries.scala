@@ -28,10 +28,14 @@ object CorrectionsQueries extends QueryPack {
   // Synthetic payloads in the public correction-file formats (parsed by
   // the extractor at plan-build time; FIXTURES.md §B). Linear formulas
   // keep the two engines bit-identical before quantization.
+  // positive-eta payload (exercises the abs-eta mirror) with multiple
+  // pt bins per (flavor, eta) so pt participates in row selection.
   private val btagTable = BTag.parseCsv(
     """TestTag;OperatingPoint, measurementType, sysType, jetFlavor, etaMin, etaMax, ptMin, ptMax, discrMin, discrMax, formula
-      |0, comb, central, 0, -2.5, 2.5, 20, 1000, 0, 1, "0.9+0.001*x"
-      |0, comb, central, 1, -2.5, 2.5, 20, 1000, 0, 1, "0.8+0.002*x"
+      |0, comb, central, 0, 0, 1.5, 20, 100, 0, 1, "0.9+0.001*x"
+      |0, comb, central, 0, 0, 1.5, 100, 1000, 0, 1, "1.05-0.0002*x"
+      |0, comb, central, 0, 1.5, 2.5, 20, 1000, 0, 1, "0.85+0.0005*x"
+      |0, comb, central, 1, 0, 2.5, 20, 1000, 0, 1, "0.8+0.002*x"
       |""".stripMargin)
 
   private val jersfTable = Extractor.parseJmeTxt("sf",
@@ -151,7 +155,7 @@ object CorrectionsQueries extends QueryPack {
 
     Query(
       "q64_btag_sf",
-      "BTagScaleFactor (btag_tools/btagscalefactor.py:7-232): CSV payload parsed on the driver into per-(flavor, eta, pt) piecewise formulas compiled to ONE coalesce/when chain — codegen'd, broadcast-free; uncovered regions get SF=1.",
+      "BTagScaleFactor (btag_tools/btagscalefactor.py:7-232): CSV payload parsed on the driver into per-(flavor, eta, pt) piecewise formulas compiled to ONE coalesce/when chain — codegen'd, broadcast-free; out-of-range inputs clip into the nearest covered bin, negative eta mirrors positive-only payloads, uncovered flavors get SF=1.",
       (s, dir) => {
         import s.implicits._
         val flav = ($"p_size" % 3).cast("int")

@@ -125,13 +125,14 @@ class CorrectionsSpec extends AnyFunSuite {
     val df = Seq(
       (0, 0.0, 100.0, 0.5), // flav 0: 0.9 + 0.001*100 = 1.0
       (1, 0.0, 100.0, 0.5), // flav 1: 0.8 + 0.002*100 = 1.0
-      (0, 0.0, 5000.0, 0.5), // pt clamped to 1000: 0.9 + 1.0 = 1.9
+      (0, 0.0, 5000.0, 0.5), // pt clips into top bin, x clamped: 0.9 + 1.0 = 1.9
       (2, 0.0, 100.0, 0.5), // flavor uncovered -> 1.0
-      (0, 3.0, 100.0, 0.5) // eta out of range -> 1.0
+      (0, 3.0, 100.0, 0.5), // eta clips into the edge eta bin -> 1.0
+      (0, -1.0, 100.0, 0.5) // negative eta mirrors the [-2.5, 2.5) coverage
     ).toDF("flav", "eta", "pt", "discr")
     val got = df.select(BTag.scaleFactor(t, 0, "comb", "central",
       $"flav", $"eta", $"pt", $"discr").as("sf")).collect().map(_.getDouble(0)).toSeq
-    assert(got.map(v => math.round(v * 1e9) / 1e9) == Seq(1.0, 1.0, 1.9, 1.0, 1.0))
+    assert(got.map(v => math.round(v * 1e9) / 1e9) == Seq(1.0, 1.0, 1.9, 1.0, 1.0, 1.0))
     // reshape WP evaluates in the discriminant
     val rs = df.limit(1).select(BTag.scaleFactor(t, 3, "iterativefit", "central",
       $"flav", $"eta", $"pt", $"discr")).head().getDouble(0)
@@ -139,6 +140,106 @@ class CorrectionsSpec extends AnyFunSuite {
     // SQL mirror agrees
     val sql = BTag.scaleFactorSql(t, 0, "comb", "central", "flav", "eta", "pt", "discr")
     assert(sql.contains("CASE") && sql.contains("greatest(20.0, least(1000.0, pt))"))
+  }
+
+  // multi-pt-bin, positive-eta payload: pt participates in row
+  // selection (ADVICE r3: the single-bin fixture hid pt entirely),
+  // out-of-range values clip into edge bins, negative eta mirrors.
+  private val btagMultiCsv =
+    """MultiTag;OperatingPoint, measurementType, sysType, jetFlavor, etaMin, etaMax, ptMin, ptMax, discrMin, discrMax, formula
+      |0, comb, central, 0, 0, 1.5, 20, 100, 0, 1, "2.0"
+      |0, comb, central, 0, 0, 1.5, 100, 1000, 0, 1, "3.0"
+      |0, comb, central, 0, 1.5, 2.5, 20, 1000, 0, 1, "5.0"
+      |0, comb, central, 1, 0, 2.5, 20, 1000, 0, 1, "7.0"
+      |""".stripMargin
+
+  test("BTag: pt-bin selection, edge-bin clipping, abs-eta mirror") {
+    val t = BTag.parseCsv(btagMultiCsv)
+    val df = Seq(
+      (0, 0.5, 50.0), // low pt bin -> 2.0
+      (0, 0.5, 500.0), // high pt bin -> 3.0 (old impl: first row's formula)
+      (0, 0.5, 5.0), // pt below coverage clips into low bin -> 2.0
+      (0, 0.5, 2000.0), // pt above coverage clips into high bin -> 3.0
+      (0, 2.0, 500.0), // outer eta bin -> 5.0
+      (0, -2.0, 500.0), // mirrored outer eta bin -> 5.0
+      (0, -0.5, 50.0), // mirrored inner bin, low pt -> 2.0
+      (0, -9.0, 50.0), // eta below -2.5 clips into the most-negative (mirrored outer) bin -> 5.0
+      (0, 9.0, 50.0), // eta above 2.5 clips into outermost bin -> 5.0
+      (1, -1.0, 500.0), // flavor 1 mirrored -> 7.0
+      (2, 0.5, 50.0) // uncovered flavor -> 1.0
+    ).toDF("flav", "eta", "pt")
+    val got = df.select(BTag.scaleFactor(t, 0, "comb", "central",
+      $"flav", $"eta", $"pt", lit(0.5)).as("sf")).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(2.0, 3.0, 2.0, 3.0, 5.0, 5.0, 2.0, 5.0, 5.0, 7.0, 1.0))
+    // hadron-flavor mapping: 5 -> b(0), 4 -> c(1), 0 and 3 -> udsg(2)
+    val hf = Seq(5, 4, 0, 3).toDF("hf")
+      .select(BTag.fromHadronFlavor($"hf").as("f")).collect().map(_.getInt(0)).toSeq
+    assert(hf == Seq(0, 1, 2, 2))
+  }
+
+  test("Extractor rejects interleaved outer bins and unsorted sub-edges") {
+    // same bins as jecTxt but outer bins interleaved in file order:
+    // distinct-pair contiguity still holds, yet offsets(i)+j indexing
+    // would hit the wrong row — must fail at parse/compile time.
+    val interleaved =
+      """{2 JetEta JetPt 1 JetPt [0]+[1]*x Correction L2Relative}
+        |-2.0  0.0    10.0   50.0  4  10.0   50.0  1.00  0.010
+        | 0.0  2.0    10.0   50.0  4  10.0   50.0  0.90  0.020
+        |-2.0  0.0    50.0  200.0  4  50.0  200.0  1.10  0.001
+        | 0.0  2.0    50.0  200.0  4  50.0  200.0  1.20  0.002
+        |""".stripMargin
+    val t = Extractor.parseJmeTxt("bad", interleaved)
+    val e = intercept[IllegalArgumentException](
+      Extractor.jmeStandardFunction(t, Seq(lit(1.0), lit(30.0)), Seq(lit(30.0))))
+    assert(e.getMessage.contains("not contiguous in file"))
+    // inner sub-edges out of order within an outer bin
+    val unsorted =
+      """{2 JetEta JetPt 1 JetPt [0]+[1]*x Correction L2Relative}
+        |-2.0  0.0    50.0  200.0  4  50.0  200.0  1.10  0.001
+        |-2.0  0.0    10.0   50.0  4  10.0   50.0  1.00  0.010
+        |""".stripMargin
+    val t2 = Extractor.parseJmeTxt("bad2", unsorted)
+    val e2 = intercept[IllegalArgumentException](
+      Extractor.jmeStandardFunction(t2, Seq(lit(-1.0), lit(30.0)), Seq(lit(30.0))))
+    assert(e2.getMessage.contains("increasing"))
+  }
+
+  test("CorrectionLib: declared variable named x beats positional alias") {
+    val json =
+      """{"schema_version": 2, "corrections": [
+        |  {"name": "c", "version": 1,
+        |   "inputs": [{"name": "a", "type": "real"}, {"name": "x", "type": "real"}],
+        |   "output": {"name": "w", "type": "real"},
+        |   "data": {"nodetype": "formula", "expression": "x",
+        |            "variables": ["a", "x"], "parameters": []}}]}""".stripMargin
+    val c = CorrectionLib.parseSet(json)("c")
+    // positionally, letter 'x' aliases variable 'a' — but the DECLARED
+    // name 'x' must win: expression "x" reads the x input (20), not a.
+    val got = Seq((10.0, 20.0)).toDF("a", "x")
+      .select(CorrectionLib.compile(c, Map("a" -> $"a", "x" -> $"x")).as("w"))
+      .head().getDouble(0)
+    assert(got == 20.0)
+    val sql = CorrectionLib.toSql(c, Map("a" -> "in_a", "x" -> "in_x"))
+    assert(sql.contains("in_x") && !sql.contains("in_a"))
+  }
+
+  test("CorrectionLib SQL binning mirror null-propagates") {
+    val json =
+      """{"schema_version": 2, "corrections": [
+        |  {"name": "b", "version": 1,
+        |   "inputs": [{"name": "pt", "type": "real"}],
+        |   "output": {"name": "w", "type": "real"},
+        |   "data": {"nodetype": "binning", "input": "pt",
+        |            "edges": [0, 50, 100], "content": [1.5, 2.5],
+        |            "flow": "clamp"}}]}""".stripMargin
+    val c = CorrectionLib.parseSet(json)("b")
+    val sql = CorrectionLib.toSql(c, Map("pt" -> "pt"))
+    assert(sql.contains("WHEN pt IS NULL THEN NULL"))
+    // Catalyst side yields NULL for NULL input (must agree with SQL)
+    val got = Seq(Some(60.0), None).toDF("pt")
+      .select(CorrectionLib.compile(c, Map("pt" -> $"pt")).as("w"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(Some(2.5), None))
   }
 
   test("CorrectionLib: category + binning + formula + default") {
