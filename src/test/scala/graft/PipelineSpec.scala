@@ -60,8 +60,33 @@ class PipelineSpec extends AnyFunSuite {
   test("lsh signature buckets identical vectors together") {
     val df = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),
       (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")
-    val b = Similarity.lshBuckets(df, "vec_id", "embedding", nBits = 8, dim = 8)
-      .select($"id", $"bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(b(1L) == b(2L))
+    val b = Similarity.lshBuckets(df, "vec_id", "embedding",
+        bitsPerBand = 4, bands = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(b((1L, 0)) == b((2L, 0)) && b((1L, 1)) == b((2L, 1)))
+  }
+
+  test("cosineCandidates matches brute-force pairs (recall 1.0 here)") {
+    // 3 near-identical clusters + noise directions; threshold high.
+    val base = Seq.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    def jitter(s: Int) = base.zipWithIndex.map { case (v, i) =>
+      v + 0.01f * math.cos(s * 31 + i).toFloat }
+    val df = (Seq((1L, jitter(1)), (2L, jitter(2)), (3L, jitter(3))) ++
+      Seq.tabulate(12)(j => (10L + j, Seq.tabulate(16)(i =>
+        math.cos(i * (j + 2) * 0.9).toFloat)))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosinePairs(df, "vec_id", "embedding", 990000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = Similarity.cosineCandidates(df, "vec_id", "embedding",
+        dim = 16, bitsPerBand = 4, bands = 48, minCosE6 = 990000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
+  test("cosinePairs guard rejects oversized corpus") {
+    val df = Seq.tabulate(10)(i => (i.toLong, Seq.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.cosinePairs(df, "vec_id", "embedding", 0L, maxBroadcastRows = 5L))
+    assert(e.getMessage.contains("cosineCandidates"))
   }
 }
