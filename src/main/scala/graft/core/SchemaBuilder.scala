@@ -101,6 +101,79 @@ object SchemaBuilder {
     df.select(cols.toSeq: _*)
   }
 
+  /** Derived accessor name for a cross-reference index field — the
+    * `Idx` marker is dropped, casing kept: `jetIdx` → `matched_jet`,
+    * `genPartIdx` → `matched_genPart`, `subJetIdx1` → `matched_subJet1`. */
+  private def matchedName(indexField: String): String =
+    "matched_" + indexField.replaceAll("Idx(?=\\d*$)", "")
+
+  /** NanoAOD-style declarative cross-reference pass (reference table
+    * `schemas/nanoaod.py:95-126`, applied at `nanoaod.py:291-311`;
+    * gather semantics `methods/base.py:313-346`): each entry
+    * `"Source_fooIdx" -> "Target"` adds a `matched_foo` field to every
+    * element of the `Source` collection — the `Target` element of the
+    * same event at that local index, or NULL when the index is
+    * negative or out of range (the reference's masked-index rule).
+    *
+    * MUST run while source and target are the UNSLICED collections of
+    * the event row (right after [[zipCollections]] / [[nestRows]],
+    * before any inner filter): indices are positions in the original
+    * target array (SURVEY §7.4 risk 2). Event-level filters stay safe
+    * afterwards (whole rows drop together); an inner filter on the
+    * target BEFORE this pass would silently shift positions.
+    *
+    * Entries whose source collection, index field, or target column is
+    * absent are skipped (the reference warns and continues —
+    * `nanoaod.py:296-309`). Cost: pure per-row projection — zero
+    * shuffle; unread `matched_*` fields prune out of the scan.
+    */
+  def applyCrossRefs(df: DataFrame, refs: Map[String, String]): DataFrame = {
+    val parsed = refs.toSeq.flatMap { case (key, target) =>
+      val i = key.indexOf('_')
+      if (i <= 0) None else Some((key.substring(0, i), key.substring(i + 1), target))
+    }
+    parsed.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(df) { case (d, (src, list)) =>
+      d.schema.fields.find(_.name == src) match {
+        case Some(StructField(_, ArrayType(st: StructType, _), _, _)) =>
+          val applicable = list.filter { case (_, idxField, target) =>
+            st.fieldNames.contains(idxField) && d.columns.contains(target)
+          }.sortBy(_._2)
+          if (applicable.isEmpty) d
+          else d.withColumn(src, transform(col(src), m =>
+            struct(st.fieldNames.map(f => m(f).as(f)) ++
+              applicable.map { case (_, idxField, target) =>
+                when(m(idxField) >= 0, get(col(target), m(idxField).cast("int")))
+                  .as(matchedName(idxField))
+              }: _*)))
+        case _ => d
+      }
+    }
+  }
+
+  /** Nested cross-references (reference `nested_items`,
+    * `nanoaod.py:127-134` + `transforms.py:434-475`): each entry
+    * `"Source_name" -> (Seq(idxField1, idxField2, ...), "Target")`
+    * adds field `name` to every `Source` element — the fixed-length
+    * list of `Target` gathers (NULL where an index is masked), e.g.
+    * Jet → [muon1, muon2]. Same unsliced-collection precondition as
+    * [[applyCrossRefs]]. */
+  def applyNestedRefs(df: DataFrame,
+      refs: Map[String, (Seq[String], String)]): DataFrame =
+    refs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (key, (idxFields, target))) =>
+      val i = key.indexOf('_')
+      require(i > 0, s"nested ref key '$key' must be Source_name")
+      val (src, name) = (key.substring(0, i), key.substring(i + 1))
+      d.schema.fields.find(_.name == src) match {
+        case Some(StructField(_, ArrayType(st: StructType, _), _, _))
+            if idxFields.forall(st.fieldNames.contains) && d.columns.contains(target) =>
+          d.withColumn(src, transform(col(src), m =>
+            struct((st.fieldNames.map(f => m(f).as(f)) :+
+              array(idxFields.map(f =>
+                when(m(f) >= 0, get(col(target), m(f).cast("int")))): _*).as(name)).toSeq: _*)))
+        case _ => d
+      }
+    }
+
   /** Validate that required event-id columns exist (reference requires
     * run/luminosityBlock/event — `schemas/nanoaod.py:49-51`). */
   def requireColumns(df: DataFrame, names: Seq[String]): DataFrame = {

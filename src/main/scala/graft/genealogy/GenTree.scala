@@ -49,9 +49,17 @@ object GenTree {
       buf.map(_.toSeq).toSeq
     }
 
-  /** Transitive children, collapsing same-pdg chains: descend through
-    * children with the same pdg id, collecting the first different-pdg
-    * (or terminal same-pdg) descendants. */
+  /** Transitive children, collapsing same-pdg decay chains (reference
+    * kernel `transforms.py:302-431`):
+    *  - the deep lookup runs ONLY for chain heads — particles whose
+    *    parent exists and has a DIFFERENT pdg id; chain members and
+    *    parentless roots get an empty list (`transforms.py:319-322`);
+    *  - descending from the head, a descendant with a different pdg id
+    *    is collected; a same-pdg descendant is walked through, except
+    *    a CHILDLESS same-pdg descendant, which is collected as the
+    *    chain's terminal state (`transforms.py:363-370`).
+    * Output indexes are sorted (the reference emits scan order with
+    * terminals appended; the set is identical). */
   val distinctChildrenDeep =
     udf { (parents: Seq[Int], pdg: Seq[Int]) =>
       val n = parents.length
@@ -63,17 +71,23 @@ object GenTree {
         i -= 1
       }
       Array.tabulate(n) { root =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var stack = kids(root)
-        var guard = 0
-        while (stack.nonEmpty && guard <= n * 2) {
-          val c = stack.head
-          stack = stack.tail
-          if (pdg(c) == pdg(root)) stack = kids(c) ::: stack
-          else out += c
-          guard += 1
+        val pr = parents(root)
+        val isChainHead = pr >= 0 && pr < n && pdg(pr) != pdg(root)
+        if (!isChainHead) Seq.empty[Int]
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var stack = kids(root)
+          var guard = 0
+          while (stack.nonEmpty && guard <= n * 2) {
+            val c = stack.head
+            stack = stack.tail
+            if (pdg(c) != pdg(root)) out += c
+            else if (kids(c).isEmpty) out += c // terminal same-pdg state
+            else stack = kids(c) ::: stack
+            guard += 1
+          }
+          out.sorted.toSeq
         }
-        out.sorted.toSeq
       }.toSeq
     }
 

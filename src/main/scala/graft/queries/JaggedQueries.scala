@@ -246,6 +246,59 @@ object JaggedQueries extends QueryPack {
              |FROM p GROUP BY 1""".stripMargin)),
 
     Query(
+      "q29_crossref_schema",
+      "Declarative NanoAOD cross-reference pass (schemas/nanoaod.py:95-126 applied at :291-311): SchemaBuilder.applyCrossRefs expands 'items_parentIdx' -> 'items' (the GenPart_genPartIdxMother self-ref pattern) and 'items_highIdx' -> 'high' (cross-collection) into auto-generated matched_* gather fields; -1 indexes resolve to NULL (methods/base.py:313-346). Pure per-row projection after the one nest shuffle.",
+      (s, dir) => {
+        import s.implicits._
+        // Simulate raw NanoAOD index branches: every item carries a
+        // heap-parent index into its own collection (root = -1) and an
+        // index into the 'high' (quantity >= 25) sub-collection (-1 if
+        // not high). The schema pass then materializes the gathers.
+        val idx = Jagged.localIndex($"items")
+        val isHigh = (it: org.apache.spark.sql.Column) => it("l_quantity") >= 25.0
+        val withIdx = ordersNested(s, dir,
+          Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+          .withColumn("high", filter($"items", isHigh))
+          .withColumn("items", zip_with($"items", idx, (it, i) => struct(
+            it("l_linenumber").as("l_linenumber"),
+            it("l_extendedprice").as("l_extendedprice"),
+            it("l_quantity").as("l_quantity"),
+            when(i > 0, ((i - 1) / 2).cast("int")).otherwise(lit(-1)).as("parentIdx"),
+            when(isHigh(it),
+              size(filter(slice($"items", lit(1), i.cast("int")), isHigh)).cast("int"))
+              .otherwise(lit(-1)).as("highIdx"))))
+        val resolved = SchemaBuilder.applyCrossRefs(withIdx, Map(
+          "items_parentIdx" -> "items",
+          "items_highIdx" -> "high"))
+        resolved
+          .select($"l_orderkey", explode($"items").as("it"))
+          .select($"l_orderkey",
+            $"it.l_linenumber".as("l_linenumber"),
+            $"it.l_extendedprice".as("l_extendedprice"),
+            cents($"it.matched_parent.l_extendedprice").as("parent_price_c"),
+            cents($"it.matched_high.l_quantity").as("high_qty_c"))
+      },
+      Some("""WITH r AS (
+             |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+             |    row_number() OVER w - 1 AS i,
+             |    count(*) FILTER (WHERE l_quantity >= 25.0)
+             |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_high_before
+             |  FROM lineitem
+             |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice)),
+             |h AS (
+             |  SELECT l_orderkey, l_quantity,
+             |    row_number() OVER (PARTITION BY l_orderkey ORDER BY i) - 1 AS hi
+             |  FROM r WHERE l_quantity >= 25.0)
+             |SELECT a.l_orderkey, a.l_linenumber, a.l_extendedprice,
+             |  CAST(floor(p.l_extendedprice * 100 + 0.5) AS BIGINT) AS parent_price_c,
+             |  CAST(floor(hh.l_quantity * 100 + 0.5) AS BIGINT) AS high_qty_c
+             |FROM r a
+             |LEFT JOIN r p ON a.l_orderkey = p.l_orderkey AND a.i > 0 AND p.i = (a.i - 1) // 2
+             |LEFT JOIN h hh ON a.l_orderkey = hh.l_orderkey AND a.l_quantity >= 25.0
+             |  AND hh.hi = coalesce(a.n_high_before, 0)
+             |""".stripMargin)),
+
+    Query(
       "q28_nested_links",
       "nestedindex (transforms.py:434-475): stack k index columns into per-element link lists and gather — each item links [prev, next] neighbors in its order's sorted items; −1/out-of-range resolve to null like the reference's masked indexes.",
       (s, dir) => {

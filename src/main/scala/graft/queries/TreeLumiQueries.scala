@@ -96,6 +96,44 @@ object TreeLumiQueries extends QueryPack {
               |FROM it JOIN n USING (ok) GROUP BY 1""".stripMargin)),
 
     Query(
+      "q68_gentree_deep_children",
+      "distinctChildrenDeep (transforms.py:302-431): per chain head (item whose heap parent has a different returnflag), the transitive different-flag descendants plus childless same-flag terminals — the UDF walk mirrored by a DuckDB recursive CTE over the same heap links.",
+      (s, dir) => {
+        import s.implicits._
+        val parents = transform(sequence(lit(0), size($"items") - 1),
+          i => when(i === 0, lit(-1)).otherwise(floor((i - 1) / 2).cast("int")))
+        val pdg = transform($"items", it => ascii(it("l_returnflag")))
+        nested(s, dir, treeFields)
+          .select($"l_orderkey",
+            posexplode(GenTree.distinctChildrenDeepCol(parents, pdg)).as(Seq("idx", "dc")))
+          .select($"l_orderkey", $"idx".cast("long").as("idx"),
+            explode($"dc").as("child"))
+          .select($"l_orderkey", $"idx", $"child".cast("long").as("child"))
+      },
+      Some(s"""WITH RECURSIVE $itSql,
+              |n AS (SELECT ok, count(*) AS cnt FROM it GROUP BY ok),
+              |heads AS (
+              |  SELECT c.ok, c.idx AS root, c.rf
+              |  FROM it c JOIN it p ON p.ok = c.ok AND p.idx = (c.idx - 1) // 2
+              |  WHERE c.idx > 0 AND p.rf <> c.rf),
+              |walk(ok, root, rootrf, node) AS (
+              |  SELECT h.ok, h.root, h.rf, k.idx
+              |  FROM heads h JOIN it k ON k.ok = h.ok
+              |    AND (k.idx = 2 * h.root + 1 OR k.idx = 2 * h.root + 2)
+              |  UNION ALL
+              |  SELECT w.ok, w.root, w.rootrf, k.idx
+              |  FROM walk w
+              |  JOIN it cur ON cur.ok = w.ok AND cur.idx = w.node AND cur.rf = w.rootrf
+              |  JOIN it k ON k.ok = w.ok
+              |    AND (k.idx = 2 * w.node + 1 OR k.idx = 2 * w.node + 2))
+              |SELECT w.ok AS l_orderkey, CAST(w.root AS BIGINT) AS idx,
+              |       CAST(w.node AS BIGINT) AS child
+              |FROM walk w
+              |JOIN it cur ON cur.ok = w.ok AND cur.idx = w.node
+              |JOIN n ON n.ok = w.ok
+              |WHERE cur.rf <> w.rootrf OR 2 * w.node + 1 >= n.cnt""".stripMargin)),
+
+    Query(
       "q62_lumilist",
       "LumiList + LumiData.get_lumi (lumi_tools.py:57-405): distinct (user, day) pairs, then a per-pair luminosity summed over the DISTINCT set only — dedup before weighting.",
       (s, dir) => {

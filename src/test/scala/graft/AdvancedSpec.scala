@@ -27,10 +27,14 @@ class AdvancedSpec extends AnyFunSuite {
     val df = Seq((Seq(-1, 0, 0, 1, 1), Seq(1, 1, 2, 1, 2))).toDF("par", "pdg")
     val kids = df.select(GenTree.childrenCol($"par")).head().getSeq[Seq[Int]](0)
     assert(kids == Seq(Seq(1, 2), Seq(3, 4), Seq(), Seq(), Seq()))
-    val deep = df.select(GenTree.distinctChildrenDeepCol($"par", $"pdg")).head().getSeq[Seq[Int]](0)
-    // from 0(pdg 1): child 1 same pdg → descend {3 same→terminal? 3 has no kids;
-    // per kernel same-pdg leaf yields nothing}, child 2 differs → [2], 4 differs → [4]
-    assert(deep(0).toSet == Set(2, 4))
+    // reference kernel (transforms.py:319-370): only CHAIN HEADS (parent
+    // exists with different pdg) get a deep walk; same-pdg chain members
+    // descend, childless same-pdg members are collected as terminals.
+    val df2 = Seq((Seq(-1, 0, 1, 1, 2, 2), Seq(1, 2, 2, 3, 2, 4))).toDF("par", "pdg")
+    val deep = df2.select(GenTree.distinctChildrenDeepCol($"par", $"pdg")).head().getSeq[Seq[Int]](0)
+    // head 1 (pdg 2 under root pdg 1): 2 same-pdg w/ kids → descend,
+    // 3 differs → collect, 4 same-pdg childless → terminal, 5 differs.
+    assert(deep == Seq(Seq(), Seq(3, 4, 5), Seq(), Seq(), Seq(), Seq()))
   }
 
   test("FactorizedJetCorrector composes levels sequentially") {

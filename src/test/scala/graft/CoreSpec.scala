@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.core.{Combinatorics, Jagged, Kinematics}
+import graft.core.{Combinatorics, Jagged, Kinematics, SchemaBuilder}
 
 /** Closed-form unit checks on the jagged/kinematics core, mirroring the
   * reference's inline golden assertions (tests/test_nanoevents_vector.py,
@@ -53,6 +53,31 @@ class CoreSpec extends AnyFunSuite {
     val df = Seq((Seq(10.0, 20.0, 30.0), Seq(2, -1, 0, 99))).toDF("t", "i")
     val r = df.select(Combinatorics.applyLocalIndex($"t", $"i").as("g")).head().getSeq[Any](0)
     assert(r == Seq(30.0, null, 10.0, null))
+  }
+
+  test("applyCrossRefs expands declarative refs into matched_* fields") {
+    // Muon.jetIdx -> Jet; one -1 (masked) and one out-of-range index
+    // must gather NULL (reference methods/base.py:313-346).
+    val df = Seq((
+      Seq((25.0, 0), (11.0, -1), (17.0, 99)), // Muon: (pt, jetIdx)
+      Seq(42.0, 43.0) // Jet: pt
+    )).toDF("MuonRaw", "Jet")
+      .select(transform($"MuonRaw", m =>
+        struct(m("_1").as("pt"), m("_2").as("jetIdx"))).as("Muon"), $"Jet")
+    val out = SchemaBuilder.applyCrossRefs(df, Map(
+      "Muon_jetIdx" -> "Jet",
+      "Muon_missingIdx" -> "Jet", // absent index field: skipped
+      "Muon_fooIdx" -> "NoSuchColl")) // absent target: skipped
+    val muons = out.select($"Muon").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(muons.head.schema.fieldNames.toSeq == Seq("pt", "jetIdx", "matched_jet"))
+    assert(muons(0).getAs[Double]("matched_jet") == 42.0)
+    assert(muons(1).isNullAt(2) && muons(2).isNullAt(2))
+    // nested refs: fixed-length link lists with masked slots
+    val nested = SchemaBuilder.applyNestedRefs(df,
+      Map("Muon_jets" -> (Seq("jetIdx", "jetIdx"), "Jet")))
+    val m0 = nested.select($"Muon").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(m0(0).getSeq[Any](2) == Seq(42.0, 42.0))
+    assert(m0(1).getSeq[Any](2) == Seq(null, null))
   }
 
   test("segmentedByCounts partitions a flat target by counts") {
