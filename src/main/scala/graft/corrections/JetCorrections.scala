@@ -9,7 +9,7 @@ import graft.lookup.FormulaCompiler
 /** JEC/JER correction factories (reference `src/coffea/jetmet_tools/`):
   * `FactorizedJetCorrector` (level composition, `FactorizedJetCorrector
   * .py:32-240`), `CorrectedJetsFactory.build` (raw→corrected staging +
-  * JER smear + JES variations, `CorrectedJetsFactory.py:125-503`,
+  * hybrid JER smear + variations, `CorrectedJetsFactory.py:125-503`,
   * smear math 65-122) and `CorrectedMETFactory` (delta propagation,
   * `CorrectedMETFactory.py:7-19`).
   *
@@ -17,9 +17,16 @@ import graft.lookup.FormulaCompiler
   * compiled once on the driver (no per-row interpretation), the smear's
   * randomness is data-seeded (replay-safe under retries/AQE), and
   * variations ride along as extra struct fields — one scan for
-  * nominal + all variations.
+  * nominal + all variations. Corrected jets keep EVERY input field
+  * (`withField` rebuild, mirroring `build`'s dict passthrough at
+  * `CorrectedJetsFactory.py:240-247`), so downstream selections on
+  * jetId / btag / matched_* refs keep working after correction.
   */
 object JetCorrections {
+
+  /** reference `CorrectedJetsFactory.py:15` — smeared jets may not drop
+    * below this energy; the clamp keeps the smear factor positive. */
+  val MinJetEnergy = 1e-2
 
   final case class JecLevel(name: String, formula: String, params: Seq[Double])
 
@@ -32,10 +39,54 @@ object JetCorrections {
       (total * c, cur * c)
     }._1
 
-  /** CorrectedJetsFactory.build: jagged jets → same-shape collection
-    * with `pt_raw` (staging column, reference keeps `_orig`), corrected
-    * `pt`, and optional JES up/down variants from a fractional
-    * uncertainty formula. */
+  /** Hybrid JER smear factor (reference `jer_smear`,
+    * `CorrectedJetsFactory.py:65-122`):
+    *
+    *  - scaling method when a gen-jet match exists — `ptGen > 0` and
+    *    `|pt − ptGen|/pt < 3·σ` — giving the deterministic
+    *    `1 + (sf−1)·(pt−ptGen)/pt`;
+    *  - stochastic otherwise: `1 + sqrt(max(sf²−1, 0))·σ·g` with `g`
+    *    the data-seeded standard normal;
+    *  - finally clamped so the smeared jet keeps at least
+    *    [[MinJetEnergy]]: if `f·pt < Emin/cosh(eta)` the factor becomes
+    *    `Emin/cosh(eta)/pt` (reference `:90-95`).
+    *
+    * A NULL `ptGen` falls through to the stochastic branch (the gate
+    * predicate is NULL → not-hybrid), matching the reference's
+    * zeros-like substitution for unmatched jets.
+    */
+  def jerSmearFactor(
+      pt: Column,
+      eta: Column,
+      ptGen: Column,
+      resolution: Column,
+      sf: Column,
+      gauss: Column,
+      forceStochastic: Boolean = false): Column = {
+    val deltaPtRel = (pt - ptGen) / pt
+    val doHybrid =
+      if (forceStochastic) lit(false)
+      else (ptGen > lit(0.0)) && (abs(deltaPtRel) < lit(3.0) * resolution)
+    val detSmear = lit(1.0) + (sf - lit(1.0)) * deltaPtRel
+    val stochSmear = lit(1.0) +
+      sqrt(greatest(sf * sf - lit(1.0), lit(0.0))) * resolution * gauss
+    val smear = when(doHybrid, detSmear).otherwise(stochSmear)
+    val minPt = lit(MinJetEnergy) / cosh(eta)
+    when(smear * pt < minPt, minPt / pt).otherwise(smear)
+  }
+
+  /** Seed-column convenience: builds the gaussian from the jet's own
+    * identity columns (replay-safe; see [[DeterministicRandom]]). */
+  def jerSmearFactorSeeded(
+      pt: Column, eta: Column, ptGen: Column,
+      resolution: Column, sf: Column, seed: Seq[Column]): Column =
+    jerSmearFactor(pt, eta, ptGen, resolution, sf,
+      DeterministicRandom.gaussianFromHash(seed: _*))
+
+  /** CorrectedJetsFactory.build (JEC-only path): jagged jets → same-shape
+    * collection where every input field is preserved and `pt_raw`/
+    * `mass_raw` staging plus corrected `pt`/`mass` (and optional JES
+    * up/down variants) are layered on with `withField`. */
   def correctJets(
       jets: Column,
       levels: Seq[JecLevel],
@@ -44,24 +95,80 @@ object JetCorrections {
       val raw = j("pt")
       val corr = factorizedCorrection(levels, raw)
       val pt = raw * corr
-      val base = Seq(
-        pt.as("pt"), j("eta").as("eta"), j("phi").as("phi"),
-        (j("mass") * corr).as("mass"), raw.as("pt_raw"))
-      val varied = uncFormula.toSeq.flatMap { case (f, ps) =>
+      val base = j
+        .withField("pt_raw", raw)
+        .withField("mass_raw", j("mass"))
+        .withField("pt", pt)
+        .withField("mass", j("mass") * corr)
+      uncFormula.fold(base) { case (f, ps) =>
         val unc = FormulaCompiler.compile(f, ps, Map("x" -> pt))
-        Seq((pt * (lit(1.0) + unc)).as("pt_jes_up"),
-          (pt * (lit(1.0) - unc)).as("pt_jes_down"))
+        base
+          .withField("pt_jes_up", pt * (lit(1.0) + unc))
+          .withField("pt_jes_down", pt * (lit(1.0) - unc))
       }
-      struct(base ++ varied: _*)
     })
 
-  /** Stochastic JER smear (reference `jer_smear` hybrid method,
-    * `CorrectedJetsFactory.py:65-122`): pt *= max(0, 1 + (sf−1)·g·σ)
-    * with g a data-seeded standard normal — deterministic under replay.
-    * `seed` columns must identify the jet (event id + local index). */
-  def jerSmearFactor(sf: Column, resolution: Column, seed: Seq[Column]): Column =
-    greatest(lit(0.0),
-      lit(1.0) + (sf - lit(1.0)) * DeterministicRandom.gaussianFromHash(seed: _*) * resolution)
+  /** Full CorrectedJetsFactory.build analogue: JEC staging, then the
+    * hybrid JER smear (nominal + up/down riding along), then optional
+    * JES uncertainty variants — one transform, one scan, all fields
+    * preserved.
+    *
+    * `resolution` and `jersf` are evaluated against the JEC-staged jet
+    * (reference re-binds `JetPt → pt_jec` before the JER lookups,
+    * `CorrectedJetsFactory.py:281-297`); `jersf` must return a struct
+    * with `nom`/`up`/`down` fields (e.g. `Extractor.jersfLookup`).
+    * `ptGenField` names the gen-match pt field inside the jet struct;
+    * `seed` builds the deterministic-gaussian seed columns from the
+    * staged jet. Staged fields: `pt_raw`, `mass_raw`, `pt_jec`,
+    * `mass_jec`, `pt_jer(_up/_down)`, `mass_jer(_up/_down)`, and final
+    * `pt`/`mass` carry the nominal JER-smeared values.
+    */
+  def correctJetsWithJer(
+      jets: Column,
+      levels: Seq[JecLevel],
+      resolution: Column => Column,
+      jersf: Column => Column,
+      ptGenField: String,
+      seed: Column => Seq[Column],
+      uncFormula: Option[(String, Seq[Double])] = None,
+      forceStochastic: Boolean = false): Column =
+    transform(jets, j => {
+      val raw = j("pt")
+      val corr = factorizedCorrection(levels, raw)
+      val ptJec = raw * corr
+      val massJec = j("mass") * corr
+      val staged = j
+        .withField("pt_raw", raw)
+        .withField("mass_raw", j("mass"))
+        .withField("pt", ptJec)
+        .withField("mass", massJec)
+        .withField("pt_jec", ptJec)
+        .withField("mass_jec", massJec)
+      val res = resolution(staged)
+      val sf = jersf(staged)
+      val g = DeterministicRandom.gaussianFromHash(seed(staged): _*)
+      def smear(s: Column): Column =
+        jerSmearFactor(ptJec, j("eta"), j(ptGenField), res, s, g, forceStochastic)
+      val fNom = smear(sf("nom"))
+      val fUp = smear(sf("up"))
+      val fDown = smear(sf("down"))
+      val ptNom = ptJec * fNom
+      val out = staged
+        .withField("pt", ptNom)
+        .withField("mass", massJec * fNom)
+        .withField("pt_jer", ptNom)
+        .withField("mass_jer", massJec * fNom)
+        .withField("pt_jer_up", ptJec * fUp)
+        .withField("pt_jer_down", ptJec * fDown)
+        .withField("mass_jer_up", massJec * fUp)
+        .withField("mass_jer_down", massJec * fDown)
+      uncFormula.fold(out) { case (f, ps) =>
+        val unc = FormulaCompiler.compile(f, ps, Map("x" -> ptNom))
+        out
+          .withField("pt_jes_up", ptNom * (lit(1.0) + unc))
+          .withField("pt_jes_down", ptNom * (lit(1.0) - unc))
+      }
+    })
 
   /** CorrectedMETFactory: propagate per-jet pt deltas into MET —
     * met' = met − Σ(corrected − raw) componentwise. Takes the corrected

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.{Jagged, SchemaBuilder, Tables}
-import graft.corrections.{JetCorrections, LumiTools}
+import graft.corrections.{Extractor, JetCorrections, LumiTools}
 import graft.genealogy.GenTree
+import graft.lookup.DenseLookup
 
 /** Gen-tree walks (UDF kernels over event-local parent indexes), lumi
   * bookkeeping, and the composed JEC correction stack. The synthetic
@@ -30,6 +31,21 @@ object TreeLumiQueries extends QueryPack {
   private val treeFields = Seq("l_linenumber", "l_extendedprice", "l_returnflag")
   private val jecFields = Seq("l_linenumber", "l_extendedprice", "l_quantity",
     "l_discount", "l_tax")
+  private val jerFields = Seq("l_linenumber", "l_extendedprice", "l_quantity", "l_tax")
+
+  // Hybrid-JER fixture (q69). All scale factors < 1 make the stochastic
+  // branch's sqrt(max(sf²−1,0)) exactly 0, so unmatched jets smear by
+  // exactly 1.0 — deterministic on both engines — while gen-matched jets
+  // take the scaling branch 1+(sf−1)·Δ ≠ 1. The JEC level is LINEAR
+  // ([0]+[1]*x): only exactly-rounded IEEE ops feed the 3σ gate, so the
+  // hybrid/stochastic branch decision is bit-identical in DuckDB.
+  private val jerResEdges = Seq(-2.0, 0.0, 1.7)
+  private val jerResVals = Seq(0.04, 0.06)
+  private val jerSfTable = Extractor.parseJmeTxt("jersf_q69",
+    """{1 JetEta 0 None ScaleFactor}
+      |-2.0  0.0  3  0.90 0.85 0.95
+      | 0.0  1.7  3  0.85 0.80 0.92
+      |""".stripMargin)
 
   /** it CTE shared by the tree oracles: 0-based heap index per item. */
   private val itSql =
@@ -198,6 +214,81 @@ object TreeLumiQueries extends QueryPack {
              |CAST(floor(sum(sqrt((met_pt*cos(0.3) - dx)*(met_pt*cos(0.3) - dx) +
              |  (met_pt*sin(0.3) - dy)*(met_pt*sin(0.3) - dy))) * 100 + 0.5) AS BIGINT) AS sum_met_c,
              |count(*) AS n_events
-             |FROM ev""".stripMargin))
+             |FROM ev""".stripMargin)),
+
+    Query(
+      "q69_hybrid_jer",
+      "Hybrid JER smear (CorrectedJetsFactory.py:65-122): gen-matched jets take the deterministic scaling branch 1+(sf-1)(pt-ptGen)/pt gated on ptGen>0 and |dPt/pt|<3sigma; unmatched or 3sigma-violating jets fall to the stochastic branch, which the sf<1 fixture pins to exactly 1.0 — hybrid vs stochastic observably differ (n_hybrid), all inside one transform with full field passthrough.",
+      (s, dir) => {
+        import s.implicits._
+        val jets = transform($"items", it => struct(
+          it("l_quantity").cast("double").as("pt"),
+          (it("l_tax") * 45.0 - 2.0).as("eta"),
+          (it("l_quantity") * 0.05).as("mass"),
+          when(it("l_linenumber") % 3 === 1, it("l_quantity") * 0.96)
+            .when(it("l_linenumber") % 3 === 2, it("l_quantity") * 0.5)
+            .otherwise(lit(0.0)).as("pt_gen"),
+          it("l_linenumber").as("jet_id")))
+        val corrected = JetCorrections.correctJetsWithJer(
+          jets,
+          Seq(JetCorrections.JecLevel("L1", "[0]+[1]*x", Seq(0.95, 0.001))),
+          resolution = j => DenseLookup.lookup1d(j("eta"), jerResEdges, jerResVals),
+          jersf = j => Extractor.jersfLookup(jerSfTable, Seq(j("eta"))),
+          ptGenField = "pt_gen",
+          seed = j => Seq(j("jet_id"), j("pt_raw")))
+        nested(s, dir, jerFields)
+          .select(corrected.as("jets"))
+          .agg(
+            cents(sum(Jagged.innerSumOf($"jets", _("pt")))).as("sum_pt_c"),
+            cents(sum(Jagged.innerSumOf($"jets", _("pt_jer_up")))).as("sum_pt_up_c"),
+            cents(sum(Jagged.innerSumOf($"jets", _("pt_jer_down")))).as("sum_pt_down_c"),
+            sum(Jagged.innerSumOf($"jets",
+              j => when(j("pt") =!= j("pt_jec"), 1.0).otherwise(0.0)))
+              .cast("long").as("n_hybrid"),
+            count(lit(1)).as("n_events"))
+      },
+      Some {
+        val etaSql = "(l_tax * 45.0 - 2.0)"
+        val resSql = DenseLookup.lookup1dSql("eta", jerResEdges, jerResVals)
+        def sfSql(idx: Int) =
+          DenseLookup.lookup1dSql("eta", Seq(-2.0, 0.0, 1.7),
+            jerSfTable.rows.map(_.params(idx)))
+        def smearSql(sfCol: String) =
+          s"""(CASE WHEN ptgen > 0.0 AND abs((ptj - ptgen) / ptj) < 3.0 * res
+             | THEN 1.0 + ($sfCol - 1.0) * ((ptj - ptgen) / ptj) ELSE 1.0 END)""".stripMargin.replace("\n", "")
+        // DuckDB has no cosh; exp-based identity. The clamp branch is
+        // never taken on this data (margin ~100×), so the ulp difference
+        // vs Spark's cosh cannot flip the comparison.
+        val coshSql = "((exp(eta) + exp(-eta)) * 0.5)"
+        def clampSql(f: String) =
+          s"(CASE WHEN $f * ptj < 0.01 / $coshSql THEN (0.01 / $coshSql) / ptj ELSE $f END)"
+        s"""WITH j AS (
+           |  SELECT l_orderkey,
+           |    CAST(l_quantity AS DOUBLE) * (0.95 + 0.001 * CAST(l_quantity AS DOUBLE)) AS ptj,
+           |    $etaSql AS eta,
+           |    CASE WHEN l_linenumber % 3 = 1 THEN l_quantity * 0.96
+           |         WHEN l_linenumber % 3 = 2 THEN l_quantity * 0.5
+           |         ELSE 0.0 END AS ptgen
+           |  FROM lineitem),
+           |b AS (SELECT l_orderkey, ptj, eta, ptgen, $resSql AS res,
+           |    ${sfSql(0)} AS sfn, ${sfSql(2)} AS sfu, ${sfSql(1)} AS sfd
+           |  FROM j),
+           |f AS (SELECT l_orderkey, ptj,
+           |    ${clampSql(smearSql("sfn"))} AS fn,
+           |    ${clampSql(smearSql("sfu"))} AS fu,
+           |    ${clampSql(smearSql("sfd"))} AS fd
+           |  FROM b),
+           |ev AS (SELECT l_orderkey,
+           |    sum(ptj * fn) AS sn, sum(ptj * fu) AS su, sum(ptj * fd) AS sd,
+           |    sum(CASE WHEN fn <> 1.0 THEN 1.0 ELSE 0.0 END) AS nh
+           |  FROM f GROUP BY l_orderkey)
+           |SELECT
+           |CAST(floor(sum(sn) * 100 + 0.5) AS BIGINT) AS sum_pt_c,
+           |CAST(floor(sum(su) * 100 + 0.5) AS BIGINT) AS sum_pt_up_c,
+           |CAST(floor(sum(sd) * 100 + 0.5) AS BIGINT) AS sum_pt_down_c,
+           |CAST(sum(nh) AS BIGINT) AS n_hybrid,
+           |count(*) AS n_events
+           |FROM ev""".stripMargin
+      })
   )
 }

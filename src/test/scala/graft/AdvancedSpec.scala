@@ -73,14 +73,58 @@ class AdvancedSpec extends AnyFunSuite {
     assert(math.abs(m.getDouble(0) - 30.0) < 1e-9) // -20 along x, minus delta 10 → -30
   }
 
-  test("jerSmearFactor is deterministic and non-negative") {
+  test("jerSmearFactor stochastic branch is deterministic and energy-clamped positive") {
     val df = spark.range(1000).toDF("id")
-    val f = JetCorrections.jerSmearFactor(lit(1.2), lit(0.3), Seq($"id"))
+    // unmatched (ptGen = 0) → stochastic: 1 + sqrt(1.2²−1)·σ·g
+    val f = JetCorrections.jerSmearFactorSeeded(
+      lit(100.0), lit(0.0), lit(0.0), lit(0.3), lit(1.2), Seq($"id"))
     val a = df.select(f).collect().map(_.getDouble(0))
     val b = df.select(f).collect().map(_.getDouble(0))
     assert(a.toSeq == b.toSeq)
-    assert(a.forall(_ >= 0.0))
+    // min-jet-energy clamp keeps every factor strictly positive
+    assert(a.forall(_ > 0.0))
     assert(a.distinct.length > 100)
+  }
+
+  test("jerSmearFactor hybrid branch is the deterministic scaling method") {
+    val df = Seq((100.0, 97.0), (100.0, 0.0), (100.0, 50.0)).toDF("pt", "ptGen")
+    // σ=0.05 → 3σ gate 0.15: (100,97) hybrid; (100,0) unmatched; (100,50)
+    // matched but Δ=0.5 > 3σ → stochastic. sf=0.9 < 1 pins stochastic to 1.
+    val f = JetCorrections.jerSmearFactorSeeded(
+      $"pt", lit(0.0), $"ptGen", lit(0.05), lit(0.9), Seq($"pt", $"ptGen"))
+    val r = df.select(f).collect().map(_.getDouble(0))
+    assert(math.abs(r(0) - (1.0 + (0.9 - 1.0) * 0.03)) < 1e-12) // scaling branch
+    assert(r(1) == 1.0 && r(2) == 1.0) // stochastic, sf<1 → exactly 1
+  }
+
+  test("jerSmearFactor clamps to the minimum jet energy") {
+    // hybrid factor would be 1+(0.5-1)*[(10-30)/10] = 2.0 → fine; force a
+    // tiny result instead: sf huge downward via ptGen > pt
+    val df = Seq((0.02, 0.019)).toDF("pt", "ptGen")
+    // Δ = 0.05, gate needs 3σ > 0.05 → σ=0.02; sf=0 → det smear 1-(-1)*...
+    // det = 1 + (0-1)*0.05 = 0.95 → pt·f = 0.019 > 1e-2 → no clamp. Use
+    // eta=5 to shrink minPt? Instead drive factor below: sf = -30 → det =
+    // 1 + (-31)(0.05) = -0.55 → clamp to (1e-2/cosh(0))/0.02 = 0.5.
+    val f = JetCorrections.jerSmearFactorSeeded(
+      $"pt", lit(0.0), $"ptGen", lit(0.02), lit(-30.0), Seq($"pt"))
+    val r = df.select(f).head().getDouble(0)
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("correctJets preserves every input field (passthrough contract)") {
+    val df = Seq(1).toDF("x").select(array(struct(
+      lit(50.0).as("pt"), lit(0.1).as("eta"), lit(0.2).as("phi"),
+      lit(1.0).as("mass"), lit(7).as("jetId"), lit(0.93).as("btagDeepB"))).as("jets"))
+    val corrected = JetCorrections.correctJets($"jets",
+      Seq(JetCorrections.JecLevel("L1", "[0]", Seq(1.2))))
+    val r = df.select(corrected.as("c"))
+      .select(element_at($"c", 1)("pt"), element_at($"c", 1)("jetId"),
+        element_at($"c", 1)("btagDeepB"), element_at($"c", 1)("pt_raw"),
+        element_at($"c", 1)("mass_raw")).head()
+    assert(math.abs(r.getDouble(0) - 60.0) < 1e-9)
+    assert(r.getInt(1) == 7) // untouched fields survive correction
+    assert(r.getDouble(2) == 0.93)
+    assert(r.getDouble(3) == 50.0 && r.getDouble(4) == 1.0)
   }
 
   test("DoubleCrystalBall cdf is monotone, bounded, continuous at tail joins") {
