@@ -80,17 +80,11 @@ object Combinatorics {
   /** counts2nestedindex / segmented slice (reference
     * `transforms.py:145-179`): partition `target` into consecutive blocks
     * of the given per-source counts (e.g. Jet → its PFCands block).
-    * Running offsets via a scan fold, then `slice` per block. */
+    * Offsets come from the O(k) [[graft.functions.ArrayPrefixSum]] scan
+    * (one pass, one allocation — survives PFCands-scale block counts),
+    * then `slice` per block. */
   def segmentedByCounts(target: Column, counts: Column): Column = {
-    // offsets[i] = sum(counts[0..i-1]); build with a fold accumulating
-    // (runningTotal, offsets[])
-    val offsets = aggregate(
-      counts,
-      struct(lit(0L).as("tot"), array().cast("array<bigint>").as("offs")),
-      (acc, c) => struct(
-        (acc("tot") + c.cast("bigint")).as("tot"),
-        concat(acc("offs"), array(acc("tot"))).as("offs")),
-      acc => acc("offs"))
+    val offsets = graft.functions.ArrayPrefixSum(counts)
     zip_with(offsets, counts, (off, cnt) =>
       slice(target, (off + lit(1L)).cast("int"), cnt.cast("int")))
   }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Exclusive prefix sum over an `array<bigint>` column: out[i] =
+  * sum(in[0..i-1]), out[0] = 0 — the offsets vector of a counts vector
+  * (reference `counts2nestedindex`, `src/coffea/nanoevents/transforms
+  * .py:145-179`).
+  *
+  * SQL HOFs can't express an O(k) scan: `transform` carries no
+  * accumulator and an `aggregate` building the array via `concat` copies
+  * the prefix every step (O(k²) — a scale-killer at PFCands-style block
+  * counts of hundreds per event). This single-pass codegen expression is
+  * O(k) with one allocation, and stays inside whole-stage codegen.
+  *
+  * Null input array → null; null elements count as 0.
+  */
+case class ArrayPrefixSum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(arr: Any): Any =
+    ArrayPrefixSum.scan(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ArrayPrefixSum.scan($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object ArrayPrefixSum {
+
+  def scan(counts: ArrayData): ArrayData = {
+    val n = counts.numElements()
+    val out = new Array[Long](n)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      out(i) = tot
+      if (!counts.isNullAt(i)) tot += counts.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exclusive prefix sum of `counts` (cast to bigint elements). */
+  def apply(counts: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ArrayPrefixSum(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          counts.cast("array<bigint>"))))
+}

@@ -86,6 +86,19 @@ class CoreSpec extends AnyFunSuite {
     assert(r == Seq(Seq(1, 2), Seq(), Seq(3, 4, 5), Seq(6)))
   }
 
+  test("segmentedByCounts handles PFCands-scale block counts (O(k) offsets)") {
+    // 200 blocks of sizes 0..k%5 — the prefix-sum path must reproduce the
+    // exact block decomposition (the old concat-fold was O(k²) here)
+    val counts = (0 until 200).map(_ % 5).toList
+    val target = (0 until counts.sum).toList
+    val df = Seq((target, counts)).toDF("t", "c")
+    val r = df.select(Combinatorics.segmentedByCounts($"t", $"c").as("s"))
+      .head().getSeq[scala.collection.Seq[Int]](0)
+    assert(r.size == 200)
+    assert(r.map(_.size).toList == counts)
+    assert(r.flatMap(_.toList).toList == target)
+  }
+
   test("concatenate / broadcastToJagged / masksToCategories") {
     val df = Seq((7L, Seq(1.0, 2.0), Seq(3.0))).toDF("ev", "a", "b")
     val r = df.select(
