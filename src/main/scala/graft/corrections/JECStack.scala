@@ -1,0 +1,231 @@
+package graft.corrections
+
+import org.apache.spark.sql.Column
+import graft.corrections.Extractor.JmeTable
+
+/** Named JEC-stack wrapper layer (reference `jetmet_tools/JECStack.py:
+  * 10-180`, `JetResolution.py`, `JetResolutionScaleFactor.py`,
+  * `JetCorrectionUncertainty.py`, `FactorizedJetCorrector.py:40-140`).
+  *
+  * These classes add the reference's CONSTRUCTION-TIME contract on top of
+  * the already-working [[Extractor]] lookups: payload names are parsed as
+  * `<campaign>_<dataera>_<datatype>_<level>_<jettype>`, campaign/era/
+  * datatype/jettype must be consistent within (and, for a stack, across)
+  * correctors, JEC levels are reordered canonically L1→L2→L3→L2L3→…, at
+  * most one resolution and one scale-factor payload may be present, and
+  * JER and JERSF must come as a pair. Evaluation stays pure-Catalyst:
+  * every `get*` returns a Column compiled from plan-literal payloads.
+  */
+object JecNames {
+
+  /** Parsed `<campaign>_<dataera>_<datatype>_<level>_<jettype>` corrector
+    * name (the era may carry one extra `_` token, reference
+    * `JetResolution.py:71-81`). */
+  final case class CorrectorName(
+      campaign: String, dataera: String, datatype: String,
+      level: String, jettype: String) {
+    override def toString =
+      s"${campaign}_${dataera}_${datatype}_${level}_$jettype"
+  }
+
+  def parse(name: String): CorrectorName = {
+    val info = name.split("_")
+    require(info.length >= 5 && info.length <= 6,
+      s"Corrector name is not properly formatted: '$name'")
+    val off = info.length - 5
+    CorrectorName(info(0), info.slice(1, 2 + off).mkString("_"),
+      info(2 + off), info(3 + off), info(4 + off))
+  }
+
+  /** Canonical JEC level order (reference `_level_order`,
+    * `FactorizedJetCorrector.py:32`). */
+  val LevelOrder: Seq[String] = Seq("L1", "L2", "L3", "L2L3", "L4", "L5", "L6", "L7")
+
+  private val levelRe = "[L1-7]+".r
+
+  /** Extract the canonical level token (L1FastJet → L1, L2L3Residual →
+    * L2L3); malformed names with multiple tokens are rejected
+    * (reference `_getLevel`). */
+  def jecLevel(levelName: String): String = {
+    val m = levelRe.findAllIn(levelName).toSeq
+    require(m.size == 1, s"Malformed JEC level name: $levelName")
+    m.head
+  }
+
+  /** Uniformity check across bundled correctors (reference
+    * `_checkConsistency`). */
+  def checkConsistent(names: Seq[CorrectorName], what: String): Unit = {
+    def uniq(label: String, f: CorrectorName => String): Unit = {
+      val vs = names.map(f).distinct
+      require(vs.size <= 1,
+        s"$what: corrector for ${vs.lift(1).getOrElse("")} is mixed with " +
+          s"correctors for ${vs.head} ($label)")
+    }
+    uniq("campaign", _.campaign)
+    uniq("dataera", _.dataera)
+    uniq("datatype", _.datatype)
+    uniq("jettype", _.jettype)
+  }
+}
+
+/** Level-composed JEC (reference `FactorizedJetCorrector.py:40-240`):
+  * levels are canonically ordered at construction; each level's formula
+  * sees the previously-corrected `JetPt`. */
+final case class FactorizedJetCorrector private (
+    levels: Seq[(JecNames.CorrectorName, JmeTable)]) {
+
+  def levelNames: Seq[String] = levels.map(_._1.level)
+
+  /** Union of variables the bundled tables consume. */
+  def signature: Seq[String] =
+    levels.flatMap { case (_, t) => t.binVars ++ t.formulaVars }.distinct
+
+  /** Total multiplicative correction. `inputs` maps variable names
+    * (JetPt, JetEta, Rho, …) to Columns; `JetPt` is rebound to the
+    * running corrected pt between levels. */
+  def getCorrection(inputs: Map[String, Column]): Column = {
+    val missing = signature.filterNot(inputs.contains)
+    require(missing.isEmpty, s"missing inputs: ${missing.mkString(",")}")
+    val (total, _) = levels.foldLeft(
+      (org.apache.spark.sql.functions.lit(1.0), inputs("JetPt"))) {
+      case ((tot, pt), (_, t)) =>
+        val in = inputs + ("JetPt" -> pt)
+        val c = Extractor.jmeStandardFunction(t,
+          t.binVars.map(in), t.formulaVars.map(in))
+        (tot * c, pt * c)
+    }
+    total
+  }
+}
+
+object FactorizedJetCorrector {
+  def apply(corrections: Map[String, JmeTable]): FactorizedJetCorrector = {
+    require(corrections.nonEmpty, "No levels provided?")
+    val named = corrections.toSeq.map { case (n, t) =>
+      require(t.formula.nonEmpty,
+        s"$n is a payload table, not a jme_standard_function!")
+      (JecNames.parse(n), t)
+    }
+    JecNames.checkConsistent(named.map(_._1), "FactorizedJetCorrector")
+    // key levels eagerly — sortBy alone may never evaluate the key
+    val keyed = named.map { case (cn, t) =>
+      val idx = JecNames.LevelOrder.indexOf(JecNames.jecLevel(cn.level))
+      require(idx >= 0, s"unknown JEC level ${cn.level}")
+      (idx, cn, t)
+    }
+    val ordered = keyed.sortBy(_._1).map { case (_, cn, t) => (cn, t) }
+    new FactorizedJetCorrector(ordered)
+  }
+}
+
+/** Jet energy resolution σ(pt) lookup (reference `JetResolution.py`):
+  * exactly one `*Resolution*` jme_standard_function payload. */
+final case class JetResolution private (
+    name: JecNames.CorrectorName, table: JmeTable) {
+  def signature: Seq[String] = (table.binVars ++ table.formulaVars).distinct
+  def getResolution(inputs: Map[String, Column]): Column =
+    Extractor.jmeStandardFunction(table,
+      table.binVars.map(inputs), table.formulaVars.map(inputs))
+}
+
+object JetResolution {
+  def apply(name: String, table: JmeTable): JetResolution = {
+    val cn = JecNames.parse(name)
+    require(cn.level.contains("Resolution") && !cn.level.contains("SF"),
+      s"$name is not a resolution payload")
+    require(table.formula.nonEmpty,
+      s"$name is a payload table, not a jme_standard_function!")
+    new JetResolution(cn, table)
+  }
+}
+
+/** JER scale-factor triple lookup (reference
+  * `JetResolutionScaleFactor.py`): exactly one `*SF*` payload carrying
+  * (nom, down, up) triples. */
+final case class JetResolutionScaleFactor private (
+    name: JecNames.CorrectorName, table: JmeTable) {
+  def signature: Seq[String] = table.binVars
+  /** struct(nom, up, down) — feed `JetCorrections.correctJetsWithJer`. */
+  def getScaleFactor(binInputs: Seq[Column]): Column =
+    Extractor.jersfLookup(table, binInputs)
+}
+
+object JetResolutionScaleFactor {
+  def apply(name: String, table: JmeTable): JetResolutionScaleFactor = {
+    val cn = JecNames.parse(name)
+    require(cn.level.contains("SF"), s"$name is not a scale-factor payload")
+    require(table.formula.isEmpty && table.rows.forall(_.params.size >= 3),
+      s"$name does not carry (sf, down, up) triples")
+    new JetResolutionScaleFactor(cn, table)
+  }
+}
+
+/** JES uncertainty knot-grid lookup (reference
+  * `JetCorrectionUncertainty.py`): `*Uncertainty*` payloads of
+  * (pt, up, down) knots. */
+final case class JetCorrectionUncertainty private (
+    name: JecNames.CorrectorName, table: JmeTable) {
+  /** struct(up, down) fractional uncertainties. */
+  def getUncertainty(binInput: Column, pt: Column): Column =
+    Extractor.jecUncertaintyLookup(table, binInput, pt)
+}
+
+object JetCorrectionUncertainty {
+  def apply(name: String, table: JmeTable): JetCorrectionUncertainty = {
+    val cn = JecNames.parse(name)
+    require(cn.level.contains("Uncertainty"), s"$name is not an uncertainty payload")
+    require(table.rows.forall(_.params.size % 3 == 0),
+      s"$name does not carry (pt, up, down) knot triples")
+    new JetCorrectionUncertainty(cn, table)
+  }
+}
+
+/** The assembled stack (reference `JECStack.py:10-180`): routes payloads
+  * by level name, enforces the singleton rules and the JER↔JERSF
+  * pairing, and checks campaign/era/datatype/jettype consistency across
+  * every bundled corrector. */
+final case class JECStack(
+    jec: Option[FactorizedJetCorrector],
+    junc: Option[JetCorrectionUncertainty],
+    jer: Option[JetResolution],
+    jersf: Option[JetResolutionScaleFactor]) {
+  require(jer.isDefined == jersf.isDefined,
+    "Cannot apply JER-SF without an input JER, and vice-versa!")
+  JecNames.checkConsistent(
+    jec.toSeq.flatMap(_.levels.map(_._1)) ++ junc.map(_.name) ++
+      jer.map(_.name) ++ jersf.map(_.name), "JECStack")
+
+  /** All keys a CorrectedJetsFactory name map must cover, mapped to None
+    * (reference `blank_name_map`, `JECStack.py:123-152`). */
+  def blankNameMap: Map[String, Option[String]] = {
+    val base = Set("massRaw", "ptRaw", "JetMass", "JetPt", "METpt", "METphi",
+      "JetPhi", "UnClusteredEnergyDeltaX", "UnClusteredEnergyDeltaY")
+    val sigs = jec.toSeq.flatMap(_.signature) ++
+      jer.toSeq.flatMap(_.signature) ++ jersf.toSeq.flatMap(_.signature)
+    (base ++ sigs).map(_ -> None).toMap
+  }
+}
+
+object JECStack {
+
+  /** Assemble from a bag of named payloads, routing each by its level
+    * token (reference `JECStack.py:46-58`): `*Uncertainty*` → junc,
+    * `*SF*` → jersf, `*Resolution*` → jer, `L[1-7]*` → jec. */
+  def apply(corrections: Map[String, JmeTable]): JECStack = {
+    val (unc, rest1) = corrections.partition(_._1.contains("Uncertainty"))
+    val (sf, rest2) = rest1.partition(_._1.contains("SF"))
+    val (res, rest3) = rest2.partition(_._1.contains("Resolution"))
+    val jecs = rest3.filter(kv => JecNames.parse(kv._1).level.nonEmpty)
+    require(res.size <= 1,
+      s"JEC Stack has at most one Jet Resolution Calculator, ${res.size} are present")
+    require(sf.size <= 1,
+      s"JEC Stack has at most one Jet Resolution Scale Factor Calculator, ${sf.size} are present")
+    require(unc.size <= 1, // our jecUncertaintyLookup takes one payload
+      s"one uncertainty payload supported, ${unc.size} present")
+    JECStack(
+      jec = if (jecs.isEmpty) None else Some(FactorizedJetCorrector(jecs)),
+      junc = unc.headOption.map { case (n, t) => JetCorrectionUncertainty(n, t) },
+      jer = res.headOption.map { case (n, t) => JetResolution(n, t) },
+      jersf = sf.headOption.map { case (n, t) => JetResolutionScaleFactor(n, t) })
+  }
+}

@@ -315,6 +315,69 @@ class CorrectionsSpec extends AnyFunSuite {
     assert(sections.contains("FlavorQCD") && sections.size > 3)
   }
 
+  test("JECStack assembles and validates the named corrector bundle") {
+    import graft.corrections.{FactorizedJetCorrector, JECStack, JecNames}
+    val jecT = Extractor.parseJmeTxt("l2", jecTxt)
+    val sfT = Extractor.parseJmeTxt("sf", jersfTxt)
+    val uncT = Extractor.parseJmeTxt("unc", juncTxt)
+    // out-of-order jec levels + jer/jersf pair + junc, one campaign/jettype
+    val stack = JECStack(Map(
+      "Fall17_17Nov2017_V32_MC_L2Relative_AK4PFPuppi" -> jecT,
+      "Fall17_17Nov2017_V32_MC_L1FastJet_AK4PFPuppi" -> jecT,
+      "Fall17_17Nov2017_V32_MC_Uncertainty_AK4PFPuppi" -> uncT,
+      "Fall17_17Nov2017_V32_MC_PtResolution_AK4PFPuppi" -> jecT,
+      "Fall17_17Nov2017_V32_MC_SF_AK4PFPuppi" -> sfT))
+    assert(stack.jec.get.levelNames == Seq("L1FastJet", "L2Relative")) // canonical order
+    assert(stack.jec.get.signature.toSet == Set("JetEta", "JetPt"))
+    assert(stack.jer.isDefined && stack.jersf.isDefined && stack.junc.isDefined)
+    assert(stack.blankNameMap.keySet.contains("ptRaw"))
+    assert(stack.blankNameMap.values.forall(_.isEmpty))
+
+    // two-level composition: each level sees the previously-corrected pt
+    val in = Map("JetEta" -> lit(-1.0), "JetPt" -> lit(20.0))
+    val got = Seq(1).toDF("x")
+      .select(stack.jec.get.getCorrection(in)).head().getDouble(0)
+    val c1 = 1.00 + 0.010 * 20.0 // bin (eta<0, pt in [10,50)): 1.2
+    val pt1 = 20.0 * c1 // 24 → same bin
+    val c2 = 1.00 + 0.010 * pt1
+    assert(math.abs(got - c1 * c2) < 1e-12)
+
+    // jersf rides through the wrapper
+    val nom = Seq(1).toDF("x")
+      .select(stack.jersf.get.getScaleFactor(Seq(lit(-1.0))).getField("nom"))
+      .head().getDouble(0)
+    assert(nom == 1.10)
+
+    // mismatched jettype across the bundle is rejected
+    val mixed = intercept[IllegalArgumentException](JECStack(Map(
+      "Fall17_17Nov2017_V32_MC_L2Relative_AK4PFPuppi" -> jecT,
+      "Fall17_17Nov2017_V32_MC_L1FastJet_AK4PFchs" -> jecT)))
+    assert(mixed.getMessage.contains("mixed"))
+
+    // JER without JERSF (and vice versa) is rejected
+    val unpaired = intercept[IllegalArgumentException](JECStack(Map(
+      "Fall17_17Nov2017_V32_MC_PtResolution_AK4PFPuppi" -> jecT)))
+    assert(unpaired.getMessage.contains("JER"))
+
+    // at most one scale-factor calculator
+    val doubled = intercept[IllegalArgumentException](JECStack(Map(
+      "Fall17_17Nov2017_V32_MC_SF_AK4PFPuppi" -> sfT,
+      "Spring16_25nsV10_MC_SF_AK4PFPuppi" -> sfT)))
+    assert(doubled.getMessage.contains("at most one"))
+
+    // payload-kind validation: a formula table is not a jersf payload
+    val wrongKind = intercept[IllegalArgumentException](JECStack(Map(
+      "Fall17_17Nov2017_V32_MC_SF_AK4PFPuppi" -> jecT,
+      "Fall17_17Nov2017_V32_MC_PtResolution_AK4PFPuppi" -> jecT)))
+    assert(wrongKind.getMessage.contains("triples"))
+
+    // name parsing: 6-token era and malformed names
+    assert(JecNames.parse("Summer19UL17_RunB_V5_DATA_L1FastJet_AK4PFchs").dataera == "RunB_V5")
+    intercept[IllegalArgumentException](JecNames.parse("OnlyThree_Tokens_Here"))
+    intercept[IllegalArgumentException](
+      FactorizedJetCorrector(Map("Fall17_17Nov2017_V32_MC_NotALevel_AK4PFPuppi" -> jecT)))
+  }
+
   test("Rochester: scale is closed-form over 2d lookups; smear deterministic") {
     val t = Rochester.Tables(
       etaEdges = Seq(-2.4, 0.0, 2.4), phiEdges = Seq(-math.Pi, 0.0, math.Pi),
