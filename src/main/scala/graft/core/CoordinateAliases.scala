@@ -1,0 +1,101 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+/** Coordinate alias canonicalization and conflict validation (reference
+  * `src/coffea/nanoevents/methods/vector.py:84-142`): each vector
+  * coordinate has one internal slot, so a record carrying two aliases of
+  * the same group (both `x` and `px`), mixed azimuthal representations
+  * (cartesian x/y next to polar rho/phi), or mixed longitudinal
+  * representations (z vs theta vs eta) is ambiguous — one alias would be
+  * silently ignored. The reference flags this at behavior-validation
+  * time; here it is a SchemaBuilder-style pass run ONCE at load on the
+  * driver (schemas are plan metadata — zero per-row cost at any scale).
+  */
+object CoordinateAliases {
+
+  /** Alias groups (reference `_ALIAS_GROUPS`, `vector.py:92-99`). */
+  val aliasGroups: Seq[(String, Set[String])] = Seq(
+    "x-component" -> Set("x", "px"),
+    "y-component" -> Set("y", "py"),
+    "z-component" -> Set("z", "pz"),
+    "azimuthal radial" -> Set("rho", "pt"),
+    "temporal" -> Set("t", "tau", "E", "e", "energy", "M", "m", "mass"))
+
+  private val azimuthalPolar = Set("rho", "pt", "phi")
+  private val azimuthalCartesian = Set("x", "px", "y", "py")
+  private val xComponent = Set("x", "px")
+  private val yComponent = Set("y", "py")
+  private val zComponent = Set("z", "pz")
+
+  /** Canonical spelling per alias (identity for everything else). */
+  val canonical: Map[String, String] = Map(
+    "px" -> "x", "py" -> "y", "pz" -> "z", "rho" -> "pt",
+    "m" -> "mass", "M" -> "mass", "e" -> "energy", "E" -> "energy")
+
+  /** The reference's `_coordinate_validation` truth table
+    * (`vector.py:102-142`): returns the error list (empty = valid). */
+  def validate(fieldNames: Seq[String]): Seq[String] = {
+    val fields = fieldNames.toSet
+    val dupErrors = aliasGroups.flatMap { case (label, aliases) =>
+      val overlap = fields & aliases
+      if (overlap.size > 1)
+        Some(s"multiple $label aliases present: ${overlap.toSeq.sorted.mkString(",")}")
+      else None
+    }
+    val hasXY = (fields & xComponent).nonEmpty && (fields & yComponent).nonEmpty
+    val hasRhoPhi = (fields & Set("rho", "pt")).nonEmpty && fields("phi")
+    val azErrors =
+      if ((hasXY && (fields & azimuthalPolar).nonEmpty) ||
+        (hasRhoPhi && (fields & azimuthalCartesian).nonEmpty))
+        Seq("conflicting azimuthal coordinate representations present: " +
+          s"cartesian=${(fields & azimuthalCartesian).toSeq.sorted.mkString(",")}, " +
+          s"polar=${(fields & azimuthalPolar).toSeq.sorted.mkString(",")}")
+      else Nil
+    val longitudinal =
+      Seq((fields & zComponent).nonEmpty, fields("theta"), fields("eta"))
+    val longErrors =
+      if (longitudinal.count(identity) > 1)
+        Seq("conflicting longitudinal coordinate representations present")
+      else Nil
+    dupErrors ++ azErrors ++ longErrors
+  }
+
+  /** Canonical rename of one field list; fails on conflicts. */
+  def canonicalizeFields(fieldNames: Seq[String], where: String): Seq[String] = {
+    val errs = validate(fieldNames)
+    require(errs.isEmpty, s"$where: ${errs.mkString("; ")}")
+    val renamed = fieldNames.map(f => canonical.getOrElse(f, f))
+    val dup = renamed.groupBy(identity).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"$where: canonicalization collides on ${dup.mkString(",")}")
+    renamed
+  }
+
+  /** SchemaBuilder pass: canonicalize coordinate aliases inside every
+    * struct and array-of-struct column (px→x, rho→pt, M/m→mass, …),
+    * failing fast on conflicting representations. Run once at load,
+    * before kinematics helpers — which then only ever see canonical
+    * names. */
+  def canonicalize(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case ArrayType(st: StructType, _) =>
+          val names = canonicalizeFields(st.fieldNames.toSeq, f.name)
+          if (names == st.fieldNames.toSeq) acc
+          else acc.withColumn(f.name, transform(col(f.name), el =>
+            struct(st.fieldNames.toSeq.zip(names).map {
+              case (old, nw) => el(old).as(nw)
+            }: _*)))
+        case st: StructType =>
+          val names = canonicalizeFields(st.fieldNames.toSeq, f.name)
+          if (names == st.fieldNames.toSeq) acc
+          else acc.withColumn(f.name,
+            struct(st.fieldNames.toSeq.zip(names).map {
+              case (old, nw) => col(f.name)(old).as(nw)
+            }: _*))
+        case _ => acc
+      }
+    }
+}

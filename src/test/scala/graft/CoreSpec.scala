@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.core.{Combinatorics, Jagged, Kinematics, SchemaBuilder}
+import graft.core.{Combinatorics, CoordinateAliases, Jagged, Kinematics, SchemaBuilder}
 
 /** Closed-form unit checks on the jagged/kinematics core, mirroring the
   * reference's inline golden assertions (tests/test_nanoevents_vector.py,
@@ -150,5 +150,47 @@ class CoreSpec extends AnyFunSuite {
       $"a", $"b", (x, y) => abs(x - y), tiebreak = identity, threshold = Some(1.5)).as("nn"))
       .head().getSeq[Any](0)
     assert(thr == Seq(2.0, null))
+  }
+
+  test("coordinate alias validation matches the reference truth table") {
+    import CoordinateAliases.validate
+    // reference vector.py:102-142 conflict cases
+    assert(validate(Seq("pt", "eta", "phi", "mass")).isEmpty)
+    assert(validate(Seq("x", "y", "z", "t")).isEmpty)
+    assert(validate(Seq("px", "py", "pz", "energy")).isEmpty)
+    assert(validate(Seq("rho", "phi", "eta", "tau")).isEmpty)
+    // a lone x next to pt (no y, no phi) is NOT an azimuthal conflict
+    assert(validate(Seq("x", "pt")).isEmpty)
+    assert(validate(Seq("x", "px")).exists(_.contains("x-component")))
+    assert(validate(Seq("pt", "rho")).exists(_.contains("azimuthal radial")))
+    assert(validate(Seq("mass", "energy")).exists(_.contains("temporal")))
+    assert(validate(Seq("x", "y", "pt", "phi")).exists(_.contains("azimuthal")))
+    assert(validate(Seq("pt", "phi", "px")).exists(_.contains("azimuthal")))
+    assert(validate(Seq("z", "eta")).exists(_.contains("longitudinal")))
+    assert(validate(Seq("pz", "theta")).exists(_.contains("longitudinal")))
+    assert(validate(Seq("theta", "eta")).exists(_.contains("longitudinal")))
+  }
+
+  test("canonicalize renames aliases once at load and fails on conflicts") {
+    val df = Seq((Seq((1.0, 2.0, 3.0, 4.0)), (10.0, 0.5))).toDF("parts", "met")
+      .select(
+        transform($"parts", p => struct(p("_1").as("px"), p("_2").as("py"),
+          p("_3").as("pz"), p("_4").as("M"))).as("parts"),
+        struct($"met._1".as("rho"), $"met._2".as("phi")).as("met"))
+    val out = CoordinateAliases.canonicalize(df)
+    val partFields = out.schema("parts").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(partFields == Seq("x", "y", "z", "mass"))
+    val metFields = out.schema("met").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(metFields == Seq("pt", "phi"))
+    val r = out.select(element_at($"parts", 1)("mass"), $"met.pt").head()
+    assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 10.0)
+
+    val bad = Seq((1.0, 2.0)).toDF("a", "b")
+      .select(struct($"a".as("x"), $"b".as("px")).as("v"))
+    val e = intercept[IllegalArgumentException](CoordinateAliases.canonicalize(bad))
+    assert(e.getMessage.contains("x-component"))
   }
 }
