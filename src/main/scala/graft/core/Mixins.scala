@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** Mixin/behavior kind tags for collections (reference
+  * `schemas/nanoaod.py:53-90` `mixins` table + the behavior classes in
+  * `methods/nanoaod.py`): each collection carries a "kind" describing
+  * the geometric/physics shape its fields support, so helpers can
+  * fail fast when a 4-vector operation is applied to a 2-vector
+  * collection instead of silently computing nonsense.
+  *
+  * Spark-first mapping: the kind rides in the column's schema METADATA
+  * (`Metadata`, plan-level only — zero bytes per row, survives
+  * projections that keep the column). Validation is opt-in: untagged
+  * collections stay permissive, tagged ones are enforced.
+  */
+object Mixins {
+
+  val MetadataKey = "mixin"
+
+  /** Default NanoAOD collection-name → mixin kind table (reference
+    * `schemas/nanoaod.py:53-90`). */
+  val nanoAod: Map[String, String] = Map(
+    "CaloMET" -> "MissingET", "ChsMET" -> "MissingET", "GenMET" -> "MissingET",
+    "MET" -> "MissingET", "METFixEE2017" -> "MissingET", "PuppiMET" -> "MissingET",
+    "RawMET" -> "MissingET", "RawPuppiMET" -> "MissingET", "TkMET" -> "MissingET",
+    "IsoTrack" -> "PtEtaPhiMCollection", "SoftActivityJet" -> "PtEtaPhiMCollection",
+    "TrigObj" -> "PtEtaPhiMCollection",
+    "FatJet" -> "FatJet", "GenDressedLepton" -> "PtEtaPhiMCollection",
+    "GenIsolatedPhoton" -> "PtEtaPhiMCollection", "GenJet" -> "PtEtaPhiMCollection",
+    "GenJetAK8" -> "PtEtaPhiMCollection", "Jet" -> "Jet",
+    "LHEPart" -> "PtEtaPhiMCollection", "SubGenJetAK8" -> "PtEtaPhiMCollection",
+    "SubJet" -> "PtEtaPhiMCollection", "CorrT1METJet" -> "PtEtaPhiMCollection",
+    "Electron" -> "Electron", "LowPtElectron" -> "LowPtElectron",
+    "Muon" -> "Muon", "Photon" -> "Photon", "FsrPhoton" -> "FsrPhoton",
+    "Tau" -> "Tau", "GenVisTau" -> "GenVisTau",
+    "GenPart" -> "GenParticle", "PV" -> "Vertex", "SV" -> "SecondaryVertex")
+
+  /** Vector rank per kind: 2 = polar 2-vector (pt, phi), 3 = spatial
+    * point, 4 = full Lorentz vector. */
+  val vectorRank: Map[String, Int] = Map(
+    "MissingET" -> 2,
+    "Vertex" -> 3, "SecondaryVertex" -> 3,
+    "PtEtaPhiMCollection" -> 4, "Jet" -> 4, "FatJet" -> 4,
+    "Electron" -> 4, "LowPtElectron" -> 4, "Muon" -> 4, "Photon" -> 4,
+    "FsrPhoton" -> 4, "Tau" -> 4, "GenVisTau" -> 4, "GenParticle" -> 4)
+
+  /** Kinds that additionally carry charge (reference `Candidate`
+    * behavior — supports charge-aware `Candidate.add`). */
+  val candidateKinds: Set[String] = Set(
+    "Electron", "LowPtElectron", "Muon", "Photon", "FsrPhoton",
+    "Tau", "GenVisTau", "GenParticle")
+
+  /** Attach a mixin kind to a collection column (schema metadata only). */
+  def tag(df: DataFrame, collection: String, kind: String): DataFrame =
+    df.withMetadata(collection, new MetadataBuilder()
+      .withMetadata(df.schema(collection).metadata)
+      .putString(MetadataKey, kind).build())
+
+  /** The collection's tagged kind, if any. */
+  def kindOf(df: DataFrame, collection: String): Option[String] = {
+    val md = df.schema(collection).metadata
+    if (md.contains(MetadataKey)) Some(md.getString(MetadataKey)) else None
+  }
+
+  /** Fail fast if `collection` is tagged with a kind of insufficient
+    * vector rank for `op` (untagged or unknown kinds pass — validation
+    * is opt-in). */
+  def requireRank(df: DataFrame, collection: String, atLeast: Int, op: String): Unit =
+    for {
+      kind <- kindOf(df, collection)
+      rank <- vectorRank.get(kind)
+    } require(rank >= atLeast,
+      s"$op needs a rank-$atLeast vector collection but '$collection' " +
+        s"is tagged $kind (rank $rank)")
+
+  /** Fail fast if `collection` is tagged and not a charge-carrying
+    * Candidate kind (for `Candidate.add`-style ops). */
+  def requireCandidate(df: DataFrame, collection: String, op: String): Unit =
+    kindOf(df, collection).foreach(kind =>
+      require(candidateKinds(kind),
+        s"$op needs a charge-carrying Candidate collection but " +
+          s"'$collection' is tagged $kind"))
+}

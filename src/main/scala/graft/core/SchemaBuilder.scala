@@ -29,7 +29,9 @@ object SchemaBuilder {
     * through; an optional `n<collection>` count column is dropped
     * (offsets live in the array — `nMuon` ⇒ `size(Muon)`).
     */
-  def zipCollections(df: DataFrame): DataFrame = {
+  def zipCollections(
+      df: DataFrame,
+      mixins: Map[String, String] = Mixins.nanoAod): DataFrame = {
     val arrayCols = df.schema.fields.collect {
       case StructField(name, ArrayType(_, _), _, _) if name.contains("_") => name
     }
@@ -44,7 +46,12 @@ object SchemaBuilder {
       val renamed = cols.sorted.map(c => col(c).as(c.stripPrefix(s"${coll}_")))
       arrays_zip(renamed: _*).as(coll)
     }
-    df.select(passthrough.map(col) ++ zipped: _*)
+    val out = df.select(passthrough.map(col) ++ zipped: _*)
+    // behavior kind tags ride in schema metadata (reference mixin table,
+    // schemas/nanoaod.py:53-90) — plan-level only, zero per-row cost
+    groups.keySet.foldLeft(out) { (acc, coll) =>
+      mixins.get(coll).fold(acc)(kind => Mixins.tag(acc, coll, kind))
+    }
   }
 
   /** Group a flat row-per-element table into a jagged event table:
@@ -66,7 +73,8 @@ object SchemaBuilder {
       key: Seq[String],
       collection: String,
       fields: Seq[String],
-      sortFields: Seq[String]): DataFrame = {
+      sortFields: Seq[String],
+      mixin: Option[String] = None): DataFrame = {
     // collect_list order is nondeterministic (shuffle arrival order) —
     // sortFields must be unique per group to pin the array layout.
     // Building the struct with sortFields FIRST lets sort_array's native
@@ -80,10 +88,11 @@ object SchemaBuilder {
     val laidOut =
       if (ordered == fields) sorted
       else transform(sorted, x => struct(fields.map(f => x(f).as(f)): _*))
-    df.groupBy(key.map(col): _*)
+    val nested = df.groupBy(key.map(col): _*)
       .agg(collect_list(item).as("__unsorted"))
       .withColumn(collection, laidOut)
       .drop("__unsorted")
+    mixin.fold(nested)(kind => Mixins.tag(nested, collection, kind))
   }
 
   /** Inverse of [[zipCollections]] — the `uproot_writeable` sink shape

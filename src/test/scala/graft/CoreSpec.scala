@@ -193,4 +193,35 @@ class CoreSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](CoordinateAliases.canonicalize(bad))
     assert(e.getMessage.contains("x-component"))
   }
+
+  test("mixin kind tags gate vector-rank mismatches fail-fast") {
+    import graft.core.Mixins
+    // zipCollections auto-tags known NanoAOD collections
+    val flat = Seq((Seq(10.0, 20.0), Seq(0.1, -0.2), Seq(5.0)))
+      .toDF("Muon_pt", "Muon_eta", "MET_pt")
+    val evts = SchemaBuilder.zipCollections(flat)
+    assert(Mixins.kindOf(evts, "Muon").contains("Muon"))
+    assert(Mixins.kindOf(evts, "MET").contains("MissingET"))
+    // 4-vector op on a Candidate collection: fine
+    Mixins.requireRank(evts, "Muon", 4, "add4")
+    Mixins.requireCandidate(evts, "Muon", "Candidate.add")
+    // 4-vector op on a 2-vector MissingET collection: fails fast
+    val e4v = intercept[IllegalArgumentException](
+      Mixins.requireRank(evts, "MET", 4, "invariantMass"))
+    assert(e4v.getMessage.contains("rank"))
+    val eCand = intercept[IllegalArgumentException](
+      Mixins.requireCandidate(evts, "MET", "Candidate.add"))
+    assert(eCand.getMessage.contains("Candidate"))
+    // nestRows carries an explicit tag through the shuffle
+    val rows = Seq((1L, 3.0, 1), (1L, 4.0, 2)).toDF("ev", "pt", "i")
+    val nested = SchemaBuilder.nestRows(rows, Seq("ev"), "parts",
+      Seq("pt", "i"), Seq("i"), mixin = Some("MissingET"))
+    assert(Mixins.kindOf(nested, "parts").contains("MissingET"))
+    intercept[IllegalArgumentException](
+      Mixins.requireRank(nested, "parts", 4, "add4"))
+    // untagged collections stay permissive (opt-in validation)
+    val untagged = SchemaBuilder.nestRows(rows, Seq("ev"), "parts",
+      Seq("pt", "i"), Seq("i"))
+    Mixins.requireRank(untagged, "parts", 4, "add4")
+  }
 }
