@@ -70,6 +70,21 @@ object DenseLookup {
     get(lit(values.toArray), binIndex(x, xEdges) * ny + binIndex(y, yEdges))
   }
 
+  /** SQL twin of [[lookup2d]]: outer CASE over x bins, each selecting a
+    * 1-D CASE over the row's y-slice of the row-major payload. */
+  def lookup2dSql(
+      x: String, y: String,
+      xEdges: Seq[Double], yEdges: Seq[Double],
+      values: Seq[Double]): String = {
+    val ny = yEdges.length - 1
+    require(values.length == (xEdges.length - 1) * ny, "row-major (nx*ny) payload")
+    val rows = values.grouped(ny).toSeq
+    val cases = xEdges.slice(1, xEdges.length - 1).zipWithIndex.reverse
+      .map { case (e, i) => s"WHEN $x >= $e THEN ${lookup1dSql(y, yEdges, rows(i + 1))}" }
+      .mkString(" ")
+    s"(CASE $cases ELSE ${lookup1dSql(y, yEdges, rows(0))} END)"
+  }
+
   /** `dense_evaluated_lookup` (reference `lookup_tools/
     * dense_evaluated_lookup.py:31`): a binned lookup whose per-bin
     * payload is a FORMULA evaluated at a second input — when-chain on

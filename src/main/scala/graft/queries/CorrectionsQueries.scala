@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.{Jagged, SchemaBuilder, Systematics, Tables}
-import graft.corrections.{BTag, CorrectionLib, Extractor}
+import graft.corrections.{BTag, CorrectionLib, Extractor, Rochester}
 import graft.lookup.{DenseLookup, FormulaCompiler, RangeMask}
 
 /** Corrections-as-lookups surface (SURVEY §2.9-2.10): dense binned
@@ -62,6 +62,25 @@ object CorrectionsQueries extends QueryPack {
       |        "expression": "[0]+[1]*x", "variables": ["pt"], "parameters": [0.9, 0.001]}}
       |   ], "default": 1.0}}
       |]}""".stripMargin)("sf")
+
+  // Rochester fixture (q70): synthetic (eta × phi) M/A scale tables and
+  // |eta|-binned resolution ratios in the public format's shape. The
+  // closed-form scale/spread paths are pure lookups + exactly-rounded
+  // IEEE arithmetic — SQL-expressible; only the DCB-ppf smear is not.
+  private val rocT = Rochester.Tables(
+    etaEdges = Seq(-2.4, 0.0, 2.4), phiEdges = Seq(-math.Pi, 0.0, math.Pi),
+    mData = Seq(1.01, 1.02, 0.99, 1.00), aData = Seq(1e-4, -1e-4, 2e-4, 0.0),
+    mMc = Seq(1.002, 0.998, 1.001, 0.999), aMc = Seq(5e-5, -5e-5, 1e-4, 0.0),
+    kResEdges = Seq(0.0, 1.2, 2.4), kResData = Seq(1.2, 1.4), kResMc = Seq(1.0, 1.1),
+    absEtaEdges = Seq(0.0, 1.2, 2.4), nlEdges = Seq(0.0, 10.0, 20.0),
+    rsPars = (Seq(0.01, 0.02, 0.015, 0.025), Seq(1e-4, 1e-4, 1e-4, 1e-4),
+      Seq(1e-7, 1e-7, 1e-7, 1e-7)),
+    cbA = Seq(1.5, 1.6, 1.4, 1.7), cbN = Seq(3.0, 3.5, 4.0, 2.5),
+    cbS = Seq(1.0, 1.1, 0.9, 1.2))
+
+  // dense_evaluated fixture (q71): per-bin formulas over p_size bins.
+  private val evalEdges = Seq(1.0, 10.0, 25.0, 50.0)
+  private val evalFormulas = Seq("1.0+0.01*x", "0.95+0.002*x", "1.1-0.001*x")
 
   def queries: Seq[Query] = Seq(
     Query(
@@ -253,6 +272,75 @@ object CorrectionsQueries extends QueryPack {
            |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
            |CAST(floor(sum(p_retailprice * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c
            |FROM part GROUP BY p_brand""".stripMargin
+      }),
+
+    Query(
+      "q70_rochester_scale",
+      "rochester_lookup closed-form scale paths (rochester_lookup.py:89-171): kScaleDT = 1/(M+qA·pt) over (eta,phi) 2-d lookups and kSpreadMC = kx/(1+(x-1)kD/kM) for gen-matched muons — all plan-literal dense lookups, no joins.",
+      (s, dir) => {
+        import s.implicits._
+        val q = when($"l_linenumber" % 2 === 0, 1.0).otherwise(-1.0)
+        val pt = $"l_quantity" + 20.0
+        val eta = $"l_discount" * 44.0 - 2.2
+        val phi = $"l_tax" * 75.0 - 3.0
+        val kDt = Rochester.kScaleDT(rocT, q, pt, eta, phi)
+        val kSpread = Rochester.kSpreadMC(rocT, q, pt, eta, phi, genPt = pt * 0.98)
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(kDt)).as("avg_kdt_e4"),
+            cents(sum(pt * kDt)).as("scaled_pt_c"),
+            e4(avg(kSpread)).as("avg_kspread_e4"))
+      },
+      Some {
+        import graft.lookup.DenseLookup.{lookup1dSql, lookup2dSql}
+        def m2(v: Seq[Double]) =
+          lookup2dSql("eta", "phi", rocT.etaEdges, rocT.phiEdges, v)
+        val kd = lookup1dSql("abs(eta)", rocT.kResEdges, rocT.kResData)
+        val km = lookup1dSql("abs(eta)", rocT.kResEdges, rocT.kResMc)
+        s"""WITH m AS (
+           |  SELECT l_returnflag,
+           |    CASE WHEN l_linenumber % 2 = 0 THEN 1.0 ELSE -1.0 END AS q,
+           |    (l_quantity + 20.0) AS pt,
+           |    (l_discount * 44.0 - 2.2) AS eta,
+           |    (l_tax * 75.0 - 3.0) AS phi
+           |  FROM lineitem),
+           |k AS (SELECT l_returnflag, pt,
+           |    (1.0 / (${m2(rocT.mData)} + q * ${m2(rocT.aData)} * pt)) AS kdt,
+           |    (1.0 / (${m2(rocT.mMc)} + q * ${m2(rocT.aMc)} * pt)) AS kmc,
+           |    $kd AS kd, $km AS km
+           |  FROM m),
+           |f AS (SELECT l_returnflag, pt, kdt, kmc, kd, km,
+           |    ((pt * 0.98) / (kmc * pt)) AS x FROM k),
+           |g AS (SELECT l_returnflag, pt, kdt,
+           |    ((kmc * x) / (1.0 + (((x - 1.0) * kd) / km))) AS kspread FROM f)
+           |SELECT l_returnflag, count(*) AS n,
+           |CAST(floor(avg(kdt) * 10000 + 0.5) AS BIGINT) AS avg_kdt_e4,
+           |CAST(floor(sum(pt * kdt) * 100 + 0.5) AS BIGINT) AS scaled_pt_c,
+           |CAST(floor(avg(kspread) * 10000 + 0.5) AS BIGINT) AS avg_kspread_e4
+           |FROM g GROUP BY l_returnflag""".stripMargin
+      }),
+
+    Query(
+      "q71_dense_evaluated",
+      "dense_evaluated_lookup (lookup_tools/dense_evaluated_lookup.py:31): per-bin FORMULA payloads selected by a binned input and evaluated at a second input — when-chain over driver-compiled formulas, all codegen.",
+      (s, dir) => {
+        import s.implicits._
+        val w = DenseLookup.lookup1dEvaluated(
+          $"p_size", evalEdges, evalFormulas, "x", $"p_retailprice" / 100.0)
+        Tables.part(s, dir)
+          .groupBy($"p_type")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(w)).as("avg_w_e4"),
+            cents(sum($"p_retailprice" * w)).as("weighted_c"))
+      },
+      Some {
+        val wSql = DenseLookup.lookup1dEvaluatedSql(
+          "p_size", evalEdges, evalFormulas, "x", "(p_retailprice / 100.0)")
+        s"""SELECT p_type, count(*) AS n,
+           |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
+           |CAST(floor(sum(p_retailprice * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c
+           |FROM part GROUP BY p_type""".stripMargin
       })
   )
 }
