@@ -257,6 +257,19 @@ object Dedup {
     d
   }
 
+  /** Bucket members → candidate pairs, with the giant-bucket cap: up to
+    * `maxBucket` members the bucket emits all pairs; above it, a STAR —
+    * every member paired with the (sorted) bucket representative. A
+    * 10k-copy duplicate cluster then costs O(m) pairs per band instead
+    * of O(m²), while transitive dedup connectivity is preserved (every
+    * member still links to the representative; near-identical docs that
+    * lose a direct pair remain candidates via their other bands). */
+  private def bucketPairs(ms: Column, maxBucket: Int): Column =
+    when(size(ms) > lit(maxBucket),
+      transform(slice(ms, lit(2), size(ms) - 1), x =>
+        struct(element_at(ms, 1).as("_1"), x.as("_2"))))
+      .otherwise(graft.core.Combinatorics.combinations2(ms))
+
   /** Candidate pairs from LSH buckets with their estimated Jaccard
     * (fraction of equal minhashes). Emits (id_a, id_b, est_jaccard_e4)
     * with id_a < id_b, est >= minEst.
@@ -265,13 +278,13 @@ object Dedup {
     * from the bucket — no join back to the signature table. A pair
     * sharing b bands is scored b times (cheap eq-count loop) and
     * de-duplicated at the end, where the row is already 24 bytes.
-    * The blocking shuffle carries k longs per (doc, band); bucket
-    * collect_list is bounded by bucket size (hash bucket, not key
-    * skew) — cap pathological buckets upstream if a corpus produces
-    * giant identical-signature groups. */
+    * The blocking shuffle carries k longs per (doc, band); buckets
+    * larger than `maxBucket` (giant identical-signature clusters)
+    * degrade to the O(m) star of [[bucketPairs]]. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, minEst: Double, shingleN: Int = 2): DataFrame = {
+      k: Int, bands: Int, minEst: Double, shingleN: Int = 2,
+      maxBucket: Int = 1024): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "bands must divide k")
     val withMh = minhashSignatures(df, idCol, textCol, k, shingleN)
@@ -282,7 +295,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("m"))).as("ms"))
       .filter(size(col("ms")) > 1)
     buckets
-      .select(explode(graft.core.Combinatorics.combinations2(col("ms"))).as("p"))
+      .select(explode(bucketPairs(col("ms"), maxBucket)).as("p"))
       .select(col("p._1.id").as("id_a"), col("p._2.id").as("id_b"),
         eqCountUdf(col("p._1.mh"), col("p._2.mh")).as("n_eq"))
       .withColumn("est_jaccard_e4", floor(col("n_eq") * 10000.0 / k).cast("long"))
@@ -293,10 +306,11 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on equal chunks (Hamming ≤ 3 implies
     * a shared 16-bit chunk by pigeonhole), verify Hamming inline from
-    * the bucket. Emits (id_a, id_b, hamming), id_a < id_b. */
+    * the bucket; giant buckets degrade to the [[bucketPairs]] star.
+    * Emits (id_a, id_b, hamming), id_a < id_b. */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int,
-      shingleN: Int = 2): DataFrame = {
+      shingleN: Int = 2, maxBucket: Int = 1024): DataFrame = {
     val withSig = simhashSignatures(df, idCol, textCol, shingleN)
     val blocked = withSig
       .select(posexplode(col("sig")).as(Seq("chunk_idx", "chunk")),
@@ -305,7 +319,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("m"))).as("ms"))
       .filter(size(col("ms")) > 1)
     blocked
-      .select(explode(graft.core.Combinatorics.combinations2(col("ms"))).as("p"))
+      .select(explode(bucketPairs(col("ms"), maxBucket)).as("p"))
       .select(col("p._1.id").as("id_a"), col("p._2.id").as("id_b"),
         hammingUdf(col("p._1.sig"), col("p._2.sig")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)

@@ -32,6 +32,27 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, 2L, 10000L)))
   }
 
+  test("giant identical-signature buckets cap to O(m) star pairs") {
+    // 10k copies of one document: all-pairs would explode to ~50M rows
+    // per band; the star cap bounds it to m-1 distinct pairs while every
+    // member stays connected to the cluster representative.
+    val docs = (1L to 10000L).map(i => (i, "all these documents are exactly the same text")) ++
+      Seq((20001L, "an entirely different document lives here alone"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text",
+      k = 16, bands = 8, minEst = 0.9, shingleN = 2, maxBucket = 64)
+      .collect()
+    assert(pairs.length == 9999) // star: (1, i) for i in 2..10000
+    assert(pairs.forall(r => r.getLong(0) == 1L && r.getLong(2) == 10000L))
+    // below the cap, all-pairs semantics are untouched
+    val small = Dedup.minhashCandidates(df.limit(4), "doc_id", "text",
+      k = 16, bands = 8, minEst = 0.9, shingleN = 2, maxBucket = 64).collect()
+    assert(small.length == 6) // C(4,2) identical docs
+    val sim = Dedup.simhashCandidates(df, "doc_id", "text", maxDist = 3,
+      shingleN = 2, maxBucket = 64).collect()
+    assert(sim.length == 9999 && sim.forall(_.getLong(0) == 1L))
+  }
+
   test("langId prefers the language with most vocabulary hits") {
     val vocabs = Seq("en" -> Seq("the", "dog"), "de" -> Seq("der", "hund"))
     val df = Seq("der hund ist gut", "the dog is good", "nothing matches").toDF("text")
