@@ -81,9 +81,10 @@ object Similarity {
     * linear algebra is the one place `mapPartitions` beats every
     * declarative encoding (a BNLJ spends ~7 µs/pair on row machinery vs
     * ~60 ns/pair here). The corpus side must fit on the driver
-    * (~dim×8 bytes×n): the guard fails fast at `maxBroadcastRows`
-    * (LocalLimit early-terminates, so the check is cheap) instead of
-    * OOMing mid-collect. Beyond that, use [[cosineCandidates]].
+    * (~dim×8 bytes×n): the guard is folded into the collect itself —
+    * ONE job collects at most `maxBroadcastRows`+1 rows (LocalLimit
+    * early-terminates) and fails fast on overflow instead of OOMing on
+    * an unbounded collect. Beyond that, use [[cosineCandidates]].
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       minCosE6: Long, maxBroadcastRows: Long = 2000000L): DataFrame = {
@@ -92,10 +93,11 @@ object Similarity {
     val prepared = df.select(col(idCol).cast("long").as("id"),
       widen(col(vecCol)).as("v"), norm(col(vecCol)).as("n"))
       .as[(Long, Seq[Double], Double)]
-    require(prepared.limit((maxBroadcastRows + 1).toInt).count() <= maxBroadcastRows,
+    val collected = prepared.limit((maxBroadcastRows + 1).toInt).collect()
+    require(collected.length <= maxBroadcastRows,
       s"corpus exceeds $maxBroadcastRows rows — broadcast all-pairs would OOM the " +
         "driver; use cosineCandidates (LSH blocking) instead")
-    val corpus = prepared.collect().sortBy(_._1)
+    val corpus = collected.sortBy(_._1)
       .map { case (i, v, n) => (i, v.toArray, n) }
     val bc = spark.sparkContext.broadcast(corpus)
     prepared.flatMap { case (ida, va0, na) =>
