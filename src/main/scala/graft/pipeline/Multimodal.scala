@@ -5,36 +5,55 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing: opaque `binary`
   * payloads + typed metadata, with decode/feature-extraction as
-  * partition-mapped batch functions.
+  * partition-mapped batch inference.
   *
   * The Spark-side contract is real — binary columns, schema, batched
-  * per-partition processing with a lazily-initialized per-executor
-  * "decoder" (the standard pattern for non-serializable native handles,
-  * mirroring the reference's ml_tools lazy wrappers,
-  * `src/coffea/ml_tools/helper.py:10-75`). The codec itself is a
-  * deterministic STUB (this container ships no image/audio libs): it
-  * derives a 16-bin byte histogram "feature vector" from the payload.
-  * Swapping in a real JNI/ONNX decoder changes only [[StubDecoder]].
+  * per-partition processing with a lazily-opened per-executor backend
+  * handle (the standard pattern for non-serializable native handles,
+  * mirroring the reference's ml_tools lazy wrappers:
+  * `src/coffea/ml_tools/helper.py:10-386` defines the abstract
+  * lazy-instantiation + prepare/postprocess seam that
+  * `torch_wrapper`/`triton_wrapper`/`xgboost_wrapper` plug into).
+  * [[InferenceBackend]] is that seam here: only [[StubBackend]] is fake
+  * (this container ships no image/audio/ONNX libs — it derives a 16-bin
+  * byte histogram); a JNI/ONNX/Triton client implements the same trait
+  * without touching the Spark plumbing.
   */
 object Multimodal {
 
   final case class MediaFeature(media_id: Long, n_bytes: Long, features: Array[Double])
 
-  /** Deterministic fake decoder standing in for the native lib. One
-    * instance per executor thread via lazy init in mapPartitions. */
-  final class StubDecoder {
-    def features(payload: Array[Byte]): Array[Double] = {
-      val hist = new Array[Double](16)
-      var i = 0
-      while (i < payload.length) {
-        hist((payload(i) & 0xff) >> 4) += 1.0
-        i += 1
+  /** The inference seam (reference `ml_tools/helper.py` lazy wrapper
+    * contract): `open()` runs ONCE per partition on the executor and
+    * returns the batch function — the place a real backend loads its
+    * model / dials its endpoint. The returned function maps a BATCH of
+    * payloads to one feature vector each (batching amortizes native
+    * dispatch, exactly like the reference's prepare_awkward →
+    * numpy_call batching). Implementations must be Serializable
+    * CONFIGURATION — the handle itself lives only on the executor. */
+  trait InferenceBackend extends Serializable {
+    def open(): Array[Array[Byte]] => Array[Array[Double]]
+  }
+
+  /** Deterministic fake backend standing in for the native lib: 16-bin
+    * byte histogram, normalized. Swap for a real decoder by
+    * implementing [[InferenceBackend]] — nothing else changes. */
+  final case class StubBackend() extends InferenceBackend {
+    def open(): Array[Array[Byte]] => Array[Array[Double]] = {
+      // a real backend would create its non-serializable session here
+      batch => batch.map { payload =>
+        val hist = new Array[Double](16)
+        var i = 0
+        while (i < payload.length) {
+          hist((payload(i) & 0xff) >> 4) += 1.0
+          i += 1
+        }
+        if (payload.length > 0) {
+          var j = 0
+          while (j < 16) { hist(j) /= payload.length; j += 1 }
+        }
+        hist
       }
-      if (payload.length > 0) {
-        var j = 0
-        while (j < 16) { hist(j) /= payload.length; j += 1 }
-      }
-      hist
     }
   }
 
@@ -43,18 +62,31 @@ object Multimodal {
   def withBinaryPayload(df: DataFrame, src: Column): DataFrame =
     df.withColumn("payload", encode(src, "UTF-8"))
 
-  /** Batched decode/feature-extract over partitions. The decoder is
-    * created once per partition (not per row, not serialized from the
-    * driver) — the per-executor lazy-handle pattern. */
-  def extractFeatures(df: DataFrame, idCol: String): Dataset[MediaFeature] = {
+  /** Batched decode/feature-extract over partitions: the backend handle
+    * is opened once per partition (not per row, never serialized from
+    * the driver), rows stream through in `batchSize` groups, and each
+    * batch makes ONE backend call — the executor-side shape a Triton/
+    * ONNX client needs. */
+  def inferFeatures(
+      df: DataFrame, idCol: String,
+      backend: InferenceBackend = StubBackend(),
+      batchSize: Int = 256): Dataset[MediaFeature] = {
     implicit val enc = Encoders.product[MediaFeature]
     df.select(col(idCol).cast("long"), col("payload"))
       .mapPartitions { rows =>
-        val decoder = new StubDecoder // per-partition init
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]](1)
-          MediaFeature(r.getLong(0), payload.length.toLong, decoder.features(payload))
+        val infer = backend.open() // per-partition lazy handle
+        rows.grouped(batchSize).flatMap { chunk =>
+          val ids = chunk.map(_.getLong(0))
+          val payloads = chunk.map(_.getAs[Array[Byte]](1)).toArray
+          val feats = infer(payloads)
+          ids.lazyZip(payloads).lazyZip(feats).map { (id, p, f) =>
+            MediaFeature(id, p.length.toLong, f)
+          }
         }
       }
   }
+
+  /** Back-compat alias for the stub-backed path. */
+  def extractFeatures(df: DataFrame, idCol: String): Dataset[MediaFeature] =
+    inferFeatures(df, idCol)
 }

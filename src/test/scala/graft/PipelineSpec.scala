@@ -4,6 +4,14 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
+/** Fake "model" recording batch sizes — proves the per-partition open()
+  * + one-call-per-batch shape a real ONNX/Triton client needs. Top-level
+  * so the closure does not capture the (non-serializable) suite. */
+case class CountingBackend() extends Multimodal.InferenceBackend {
+  def open(): Array[Array[Byte]] => Array[Array[Double]] =
+    batch => batch.map(p => Array(p.length.toDouble, batch.length.toDouble))
+}
+
 class PipelineSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
@@ -76,6 +84,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(f(0).features(6) == 1.0 && f(0).features.sum == 1.0)
     val f2 = Multimodal.extractFeatures(withP, "doc_id").collect().sortBy(_.media_id)
     assert(f(0).features.toSeq == f2(0).features.toSeq)
+  }
+
+  test("inference backend seam: custom backend plugs in, calls are batched") {
+    val df = (1L to 10L).map(i => (i, "x" * i.toInt)).toDF("doc_id", "text")
+      .repartition(1)
+    val withP = Multimodal.withBinaryPayload(df, $"text")
+    val out = Multimodal.inferFeatures(withP, "doc_id", CountingBackend(), batchSize = 4)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.features(0).toLong).toSeq == (1L to 10L)) // payload routed per row
+    // 10 rows in one partition at batchSize 4 → batches of 4, 4, 2
+    assert(out.map(_.features(1).toLong).sorted.toSeq ==
+      Seq(2L, 2L, 4L, 4L, 4L, 4L, 4L, 4L, 4L, 4L))
   }
 
   test("lsh signature buckets identical vectors together") {
