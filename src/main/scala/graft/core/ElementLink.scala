@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PHYSLITE-style ElementLink resolution (reference
+  * `src/coffea/nanoevents/methods/physlite.py:37-100`): links are
+  * `{m_persKey, m_persIndex}` records where the key selects the target
+  * collection (a hash → collection-name table, `physlite.py:20-35`) and
+  * `key == 0` marks a null link. The reference turns the per-event index
+  * into a global index (`_get_global_index`, offsets + index) and
+  * gathers; in the jagged event-row model the event IS the row, so the
+  * local index gathers directly — pure array expressions inside the
+  * scan stage, zero shuffle at any scale.
+  */
+object ElementLink {
+
+  /** Single-target `_element_link` (`physlite.py:37-51`): gather
+    * `target[m_persIndex]` per link; `m_persKey == 0` (the reference's
+    * null-key convention) and out-of-range indexes resolve to null. */
+  def resolve(target: Column, links: Column): Column =
+    transform(links, l =>
+      when(l("m_persKey") =!= 0, get(target, l("m_persIndex"))))
+
+  /** Multi-target `_element_link_multiple` (`physlite.py:73-100`): the
+    * key dispatches each link to its target collection (all targets
+    * must share one element schema — the reference's union of Particle
+    * records); unknown or zero keys resolve to null. */
+  def resolveMultiple(targets: Seq[(Long, Column)], links: Column): Column =
+    transform(links, l => {
+      // distinct keys → at most one branch matches; a matched-but-out-
+      // of-range gather yields null, and every unmatched branch is null,
+      // so coalesce returns exactly the dispatched element (or null)
+      val branches = targets.map { case (k, t) =>
+        when(l("m_persKey") === k, get(t, l("m_persIndex")))
+      }
+      coalesce(branches: _*)
+    })
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
-import graft.core.{Combinatorics, Jagged, Kinematics, SchemaBuilder, Tables}
+import graft.core.{Combinatorics, ElementLink, Jagged, Kinematics, SchemaBuilder, Tables}
 
 /** The coffea-semantics core exercised on the star schema: build jagged
   * event records (order → items, user → events), then run the intra-event
@@ -318,6 +318,50 @@ object JaggedQueries extends QueryPack {
              |CAST(floor((coalesce(lag(l_extendedprice) OVER w, 0.0) +
              |            coalesce(lead(l_extendedprice) OVER w, 0.0)) * 100 + 0.5) AS BIGINT) AS nb_sum_c
              |FROM lineitem
-             |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice)""".stripMargin))
+             |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice)""".stripMargin)),
+
+    Query(
+      "q72_element_link",
+      "PHYSLITE ElementLink resolution (methods/physlite.py:37-100): {m_persKey, m_persIndex} links dispatch per-key to a target collection inside the event (even/odd item split), key 0 and out-of-range indexes resolve null — pure array expressions, zero shuffle beyond the nest.",
+      (s, dir) => {
+        import s.implicits._
+        val evens = filter($"items", it => it("l_linenumber") % 2 === 0)
+        val odds = filter($"items", it => it("l_linenumber") % 2 === 1)
+        val links = transform($"items", it => struct(
+          when(it("l_quantity") > 25.0, lit(1001L))
+            .when(it("l_quantity") > 10.0, lit(1002L))
+            .otherwise(lit(0L)).as("m_persKey"),
+          (it("l_quantity") % 7.0).cast("int").as("m_persIndex")))
+        val resolved = ElementLink.resolveMultiple(
+          Seq(1001L -> evens, 1002L -> odds), links)
+        val sumRes = aggregate(resolved, lit(0.0),
+          (a, x) => a + coalesce(x("l_extendedprice"), lit(0.0)))
+        ordersNested(s, dir, Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+          .select(size($"items").as("nl"),
+            size(filter(resolved, x => x.isNotNull)).as("nr"),
+            sumRes.as("sr"))
+          .agg(sum($"nl").as("n_links"), sum($"nr").as("n_resolved"),
+            cents(sum($"sr")).as("resolved_sum_c"))
+      },
+      Some("""WITH it AS (
+             |  SELECT l_orderkey AS ok, l_linenumber % 2 AS par, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber % 2
+             |      ORDER BY l_linenumber, l_extendedprice) - 1 AS pos
+             |  FROM lineitem),
+             |lk AS (
+             |  SELECT l_orderkey AS ok,
+             |    CASE WHEN l_quantity > 25.0 THEN 1001
+             |         WHEN l_quantity > 10.0 THEN 1002 ELSE 0 END AS key,
+             |    CAST(l_quantity % 7.0 AS INT) AS idx
+             |  FROM lineitem),
+             |res AS (
+             |  SELECT lk.ok, lk.key, t.l_extendedprice AS val
+             |  FROM lk LEFT JOIN it t
+             |    ON t.ok = lk.ok AND t.pos = lk.idx
+             |    AND t.par = CASE lk.key WHEN 1001 THEN 0 WHEN 1002 THEN 1 END)
+             |SELECT CAST(count(*) AS BIGINT) AS n_links,
+             |  CAST(count(val) AS BIGINT) AS n_resolved,
+             |  CAST(floor(sum(coalesce(val, 0.0)) * 100 + 0.5) AS BIGINT) AS resolved_sum_c
+             |FROM res""".stripMargin))
   )
 }

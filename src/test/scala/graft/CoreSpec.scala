@@ -194,6 +194,27 @@ class CoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("x-component"))
   }
 
+  test("ElementLink resolves per-key targets, nulls key-0 and out-of-range") {
+    import graft.core.ElementLink
+    val df = Seq(1).toDF("x").select(
+      array(lit(10.0), lit(11.0)).as("ele"),
+      array(lit(20.0)).as("mu"),
+      array(
+        struct(lit(1001L).as("m_persKey"), lit(1).as("m_persIndex")),
+        struct(lit(1002L).as("m_persKey"), lit(0).as("m_persIndex")),
+        struct(lit(0L).as("m_persKey"), lit(0).as("m_persIndex")),   // null link
+        struct(lit(1002L).as("m_persKey"), lit(5).as("m_persIndex")), // out of range
+        struct(lit(9999L).as("m_persKey"), lit(0).as("m_persIndex")) // unknown key
+      ).as("links"))
+    val r = df.select(ElementLink.resolveMultiple(
+      Seq(1001L -> col("ele"), 1002L -> col("mu")), col("links")).as("r"))
+      .head().getSeq[Any](0)
+    assert(r == Seq(11.0, 20.0, null, null, null))
+    val single = df.select(ElementLink.resolve(col("ele"), col("links")).as("r"))
+      .head().getSeq[Any](0)
+    assert(single == Seq(11.0, 10.0, null, null, 10.0))
+  }
+
   test("mixin kind tags gate vector-rank mismatches fail-fast") {
     import graft.core.Mixins
     // zipCollections auto-tags known NanoAOD collections
