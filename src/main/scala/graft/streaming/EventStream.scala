@@ -35,21 +35,35 @@ object EventStream {
   /** Custom sessionization state machine via flatMapGroupsWithState:
     * counts per-user sessions split at `gapMs` inactivity. The
     * `KeyValueGroupedDataset` state API is the Spark analogue of a
-    * per-key streaming accumulator. */
-  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[UserSessions] = {
+    * per-key streaming accumulator.
+    *
+    * State is BOUNDED for unbounded key spaces: each key arms a
+    * processing-time timeout (`idleTimeout`); keys idle past it emit
+    * their final counts and evict their state — without this, per-key
+    * state grows monotonically with distinct users and a 100 TB stream
+    * eventually OOMs the state store. */
+  def sessionize(events: Dataset[Ev], gapMs: Long,
+      idleTimeout: String = "30 minutes"): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[UserSessions] = {
-      val sorted = evs.toSeq.sortBy(e => (e.ts_ms))
-      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))
-      for (e <- sorted) {
-        val newSession = st.lastTs == Long.MinValue || e.ts_ms - st.lastTs > gapMs
-        st = SessionState(e.ts_ms, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove() // final emit + eviction — state stays bounded
+        Iterator.single(UserSessions(userId, st.nSessions, st.nEvents))
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts_ms))
+        var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))
+        for (e <- sorted) {
+          val newSession = st.lastTs == Long.MinValue || e.ts_ms - st.lastTs > gapMs
+          st = SessionState(e.ts_ms, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+        }
+        state.update(st)
+        state.setTimeoutDuration(idleTimeout)
+        Iterator.single(UserSessions(userId, st.nSessions, st.nEvents))
       }
-      state.update(st)
-      Iterator.single(UserSessions(userId, st.nSessions, st.nEvents))
     }
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(fn)
   }
 
   /** Batch twin of [[sessionize]] (same gap semantics, single pass) —
