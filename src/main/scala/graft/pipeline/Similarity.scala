@@ -181,9 +181,17 @@ object Similarity {
     * cos_e6 ≥ minCosE6 (same contract as [[cosinePairs]]).
     *
     * Stages (all relational):
-    *  1. signatures: map-only UDF, `bands` 64-bit keys per row;
+    *  1. signatures: map-only UDF, `bands` 64-bit keys per row —
+    *     computed ONCE: the self-join is hinted `shuffle_hash`, so both
+    *     branches hash-partition on (band, sig) and Catalyst's
+    *     ReuseExchange collapses the two identical subplans into one
+    *     (a broadcast build side cannot reuse the stream side's
+    *     exchange, which re-ran the plane-dot UDF on both branches; a
+    *     bucket collect_list + in-row pair enumeration was measured
+    *     ~1.6× slower — combinations materialize m² structs per row);
     *  2. blocking: self-equality-join on (band, sig) — shuffles
-    *     (id, band, sig) rows (24 B), never vectors; `distinct`
+    *     (id, band, sig) rows (24 B), never vectors; pairs stream out
+    *     of the join (never materialized per bucket); `distinct`
     *     dedups pairs that collide in several bands;
     *  3. verify: join candidate ids back to the (id, v, n) projection
     *     and keep exact quantized cosine ≥ threshold. The join-back
@@ -206,6 +214,7 @@ object Similarity {
       widen(col(vecCol)).as("v"), norm(col(vecCol)).as("n"))
     val keys = lshBuckets(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
       idCol, vecCol, bitsPerBand, bands, dim, seed)
+      .hint("shuffle_hash")
     val pairs = keys.as("a").join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
