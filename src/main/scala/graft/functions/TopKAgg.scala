@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Bounded-heap top-k aggregate: per group, keep the k best
+  * (score desc, id asc) pairs and emit them best-first as
+  * `array<struct<id, score>>`.
+  *
+  * Scale rationale (SURVEY §4, the q56 ANN baseline): ranking with
+  * `row_number().over(Window.partitionBy(group))` shuffles EVERY input
+  * row into one task per group and sorts it there — at a 1B-row corpus
+  * that is one reducer sorting 1B rows per query. This aggregate is
+  * map-side combined: each partition ships at most k 16-byte entries
+  * per group, so shuffle volume is k×partitions per group independent
+  * of corpus size, and no single task ever holds more than k entries
+  * per group. Buffer is a bounded binary min-heap on the "worst" end
+  * (O(log k) update, O(k) memory).
+  */
+case class TopKAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKAgg.Heap] {
+
+  require(k > 0, s"top-k needs k > 0 (got $k)")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
+
+  override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
+    val sv = score.eval(input)
+    val iv = id.eval(input)
+    if (sv != null && iv != null)
+      buf.offer(sv.asInstanceOf[Long], iv.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKAgg.Heap, b: TopKAgg.Heap): TopKAgg.Heap = {
+    b.foreach((s, i) => a.offer(s, i))
+    a
+  }
+
+  override def eval(buf: TopKAgg.Heap): Any = {
+    val sorted = buf.sortedBestFirst()
+    new GenericArrayData(sorted.map { case (s, i) => InternalRow(i, s) })
+  }
+
+  override def serialize(buf: TopKAgg.Heap): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): TopKAgg.Heap =
+    TopKAgg.Heap.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKAgg {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Bounded min-heap over (score, id) where the heap top is the WORST
+    * kept entry — worst = smaller score, then larger id. Primitive
+    * parallel arrays; no boxing. */
+  final class Heap(k: Int) {
+    private val scores = new Array[Long](k)
+    private val ids = new Array[Long](k)
+    private var n = 0
+
+    // a is worse than b: lower score, or same score and higher id
+    // (ranking is score desc, id asc — higher id loses the tie).
+    @inline private def worse(sa: Long, ia: Long, sb: Long, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+
+    def size: Int = n
+
+    def offer(s: Long, i: Long): Unit = {
+      if (n < k) {
+        var c = n
+        scores(c) = s; ids(c) = i
+        n += 1
+        // sift up: parent must be worse-or-equal than child
+        while (c > 0 && worse(scores(c), ids(c), scores((c - 1) / 2), ids((c - 1) / 2))) {
+          val p = (c - 1) / 2
+          swap(c, p); c = p
+        }
+      } else if (worse(scores(0), ids(0), s, i)) {
+        scores(0) = s; ids(0) = i
+        siftDown(0)
+      }
+    }
+
+    @inline private def swap(a: Int, b: Int): Unit = {
+      val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+
+    private def siftDown(i0: Int): Unit = {
+      var c = i0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1
+        val r = l + 1
+        var w = c
+        if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == c) done = true
+        else { swap(c, w); c = w }
+      }
+    }
+
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(scores(i), ids(i)); i += 1 }
+    }
+
+    /** (score, id) best-first: score desc, id asc. */
+    def sortedBestFirst(): Array[(Long, Long)] = {
+      val out = new Array[(Long, Long)](n)
+      var i = 0
+      while (i < n) { out(i) = (scores(i), ids(i)); i += 1 }
+      scala.util.Sorting.stableSort(out,
+        (a: (Long, Long), b: (Long, Long)) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      out
+    }
+
+    def toBytes: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * n)
+      bb.putInt(n)
+      var i = 0
+      while (i < n) { bb.putLong(scores(i)); bb.putLong(ids(i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  object Heap {
+    def fromBytes(k: Int, bytes: Array[Byte]): Heap = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val m = bb.getInt()
+      val h = new Heap(k)
+      var i = 0
+      while (i < m) {
+        val s = bb.getLong(); val id = bb.getLong()
+        h.offer(s, id)
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** Column API: `TopKAgg(score, id, k)` → `array<struct<id,score>>`
+    * best-first (score desc, id asc). Use inside `agg(...)`; ids and
+    * scores must be LongType. */
+  def apply(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+}

@@ -50,27 +50,32 @@ object Similarity {
 
   /** Brute-force top-k: for each query vector (small set, broadcast),
     * the k nearest corpus vectors by cosine. Deterministic: ranking on
-    * (quantized cosine desc, corpus id asc). */
+    * (quantized cosine desc, corpus id asc).
+    *
+    * Ranking is a map-side-combined bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]), NOT a per-query window: a window
+    * would shuffle the full corpus×query cross product into one task
+    * per query and sort it there (a scale-killer at a 1B-row corpus).
+    * The aggregate ships at most k 16-byte entries per (query,
+    * partition), so shuffle volume is k×partitions per query,
+    * independent of corpus size. */
   def bruteForceTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("nn_id"), widen(col(vecCol)).as("v"),
-      norm(col(vecCol)).as("vn"))
-    val q = queries.select(col(qIdCol).as("query_id"), widen(col(qVecCol)).as("qv"),
-      norm(col(qVecCol)).as("qn"))
-    val joined = c.crossJoin(broadcast(q))
+    val c = corpus.select(col(idCol).cast("long").as("nn_id"),
+      widen(col(vecCol)).as("v"), norm(col(vecCol)).as("vn"))
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      widen(col(qVecCol)).as("qv"), norm(col(qVecCol)).as("qn"))
+    c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("cos_e6",
         floor(dot(col("qv"), col("v")) / (col("qn") * col("vn")) * 1e6 + 0.5).cast("long"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_e6").desc, col("nn_id").asc)
-    joined
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
-        col("nn_id"), col("cos_e6"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg(col("cos_e6"), col("nn_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nn_id"), col("e.score").as("cos_e6"))
   }
 
   /** All-pairs cosine above a threshold (quantized to e6), emitted as
@@ -88,6 +93,9 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       minCosE6: Long, maxBroadcastRows: Long = 2000000L): DataFrame = {
+    require(maxBroadcastRows > 0 && maxBroadcastRows < Int.MaxValue,
+      s"maxBroadcastRows must be in (0, Int.MaxValue) — got $maxBroadcastRows " +
+        "(the guard collects bound+1 rows into an Int-sized limit)")
     val spark = df.sparkSession
     import spark.implicits._
     val prepared = df.select(col(idCol).cast("long").as("id"),

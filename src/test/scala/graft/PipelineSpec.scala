@@ -129,5 +129,55 @@ class PipelineSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Similarity.cosinePairs(df, "vec_id", "embedding", 0L, maxBroadcastRows = 5L))
     assert(e.getMessage.contains("cosineCandidates"))
+    // bound at/above Int.MaxValue would overflow the limit — fail fast
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.cosinePairs(df, "vec_id", "embedding", 0L,
+        maxBroadcastRows = Int.MaxValue.toLong))
+    assert(e2.getMessage.contains("Int.MaxValue"))
+  }
+
+  test("TopKAgg keeps k best by (score desc, id asc) across partitions") {
+    // 1000 rows scattered over 16 partitions, with a score tie at the
+    // k-boundary: ids 100 and 200 both score 990; id asc wins.
+    val rows = (1L to 1000L).map { i =>
+      val score = if (i == 100L || i == 200L) 990L else i % 900L
+      (1L, i, score)
+    }
+    val df = rows.toDF("g", "id", "score").repartition(16)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.TopKAgg($"score", $"id", 3).as("tk"))
+      .select(posexplode($"tk").as(Seq("pos", "e")))
+      .select($"pos", $"e.id", $"e.score")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // best: score 899 at ids 899 (899%900) — wait: scores are i%900, so
+    // 899 appears at i=899; 898 at i=898 and i=... only < 1000 → i=898.
+    // Ties at 990: ids 100 then 200.
+    assert(got == Seq((0, 100L, 990L), (1, 200L, 990L), (2, 899L, 899L)))
+  }
+
+  test("TopKAgg with fewer rows than k returns all, sorted") {
+    val df = Seq((1L, 5L, 10L), (1L, 3L, 30L), (1L, 4L, 20L)).toDF("g", "id", "score")
+    val got = df.groupBy($"g")
+      .agg(graft.functions.TopKAgg($"score", $"id", 10).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.id", $"e.score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((3L, 30L), (4L, 20L), (5L, 10L)))
+  }
+
+  test("bruteForceTopK ranks by quantized cosine then id, no window in plan") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      df.filter($"vec_id" === 0L), "vec_id", "embedding", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "top-k must not use a global window")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "top-k should be a partial/final aggregate")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
   }
 }
