@@ -1,0 +1,230 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** One configurable schema-preset pass: the declarative tables a
+  * NanoAOD-family layout needs to become an analysis-ready event record
+  * (reference `schemas/nanoaod.py` class attributes). All maps are
+  * keyed on FLAT branch names (`Coll_field`), matching the public CMS
+  * naming contract.
+  *
+  *  - `crossRefs`: `"Source_fooIdx" -> "Target"` → `matched_foo` gather
+  *    fields ([[SchemaBuilder.applyCrossRefs]])
+  *  - `nestedRefs`: `"Source_name" -> (idxFields, "Target")` →
+  *    fixed-length link lists ([[SchemaBuilder.applyNestedRefs]])
+  *  - `segmentedItems`: `"Source_name" -> (countsField, "Target")` →
+  *    per-element block slices ([[SchemaBuilder.applySegmentedRefs]])
+  *  - `fullLike`: branches synthesized as constant arrays when the
+  *    collection exists (4-vector completeness, e.g. `Photon_mass`)
+  *  - `renames` (`new -> old`) and `aliases` (`alias -> original`):
+  *    flat-branch fixups applied before zipping
+  */
+final case class NanoPreset(
+    name: String,
+    mixins: Map[String, String],
+    crossRefs: Map[String, String],
+    nestedRefs: Map[String, (Seq[String], String)],
+    segmentedItems: Map[String, (String, String)],
+    fullLike: Map[String, Double],
+    renames: Map[String, String],
+    aliases: Map[String, String],
+    eventIds: Seq[String] = Seq("run", "luminosityBlock", "event"))
+
+/** One-call NanoAOD schema presets (reference `schemas/nanoaod.py`):
+  * versioned `NanoAODSchema` variants (v5/v6/v7/latest —
+  * `nanoaod.py:202-253`), `PFNanoAODSchema` (`:467-510`) and
+  * `ScoutingNanoAODSchema` (`:512-557`), assembled over the existing
+  * building blocks ([[SchemaBuilder.zipCollections]] /
+  * `applyCrossRefs` / `applyNestedRefs` / `applySegmentedRefs`,
+  * [[Mixins]]).
+  *
+  * The whole pass is plan-level: pure per-row projections after the
+  * parquet scan — zero shuffles, and Catalyst still prunes unread
+  * collections (and unread `matched_*` fields) out of the scan, so an
+  * analysis touching 2 collections of a 40-collection file reads 2.
+  *
+  * Entries whose branches are absent are skipped, mirroring the
+  * reference's warn-and-drop rule (`nanoaod.py:292-309`) — one preset
+  * serves data (no Gen collections) and MC.
+  */
+object NanoAODPresets {
+
+  /** Cross-reference index table (reference `nanoaod.py:95-126`). */
+  private val crossRefsLatest: Map[String, String] = Map(
+    "Electron_genPartIdx" -> "GenPart",
+    "Electron_jetIdx" -> "Jet",
+    "Electron_photonIdx" -> "Photon",
+    "LowPtElectron_electronIdx" -> "Electron",
+    "LowPtElectron_genPartIdx" -> "GenPart",
+    "LowPtElectron_photonIdx" -> "Photon",
+    "FatJet_genJetAK8Idx" -> "GenJetAK8",
+    "FatJet_subJetIdx1" -> "SubJet",
+    "FatJet_subJetIdx2" -> "SubJet",
+    "FsrPhoton_muonIdx" -> "Muon",
+    "GenPart_genPartIdxMother" -> "GenPart",
+    "GenVisTau_genPartIdxMother" -> "GenPart",
+    "Jet_electronIdx1" -> "Electron",
+    "Jet_electronIdx2" -> "Electron",
+    "Jet_genJetIdx" -> "GenJet",
+    "Jet_muonIdx1" -> "Muon",
+    "Jet_muonIdx2" -> "Muon",
+    "Muon_fsrPhotonIdx" -> "FsrPhoton",
+    "Muon_genPartIdx" -> "GenPart",
+    "Muon_jetIdx" -> "Jet",
+    "Photon_electronIdx" -> "Electron",
+    "Photon_genPartIdx" -> "GenPart",
+    "Photon_jetIdx" -> "Jet",
+    "Tau_genPartIdx" -> "GenPart",
+    "Tau_jetIdx" -> "Jet")
+
+  /** Fixed-length nested links (reference `nested_items`,
+    * `nanoaod.py:127-134`), named as the accessors they power. */
+  private val nestedRefsLatest: Map[String, (Seq[String], String)] = Map(
+    "FatJet_subjets" -> (Seq("subJetIdx1", "subJetIdx2"), "SubJet"),
+    "Jet_matched_muons" -> (Seq("muonIdx1", "muonIdx2"), "Muon"),
+    "Jet_matched_electrons" -> (Seq("electronIdx1", "electronIdx2"), "Electron"))
+
+  /** Counts-segmented constituent tables (reference
+    * `nested_index_items`, `nanoaod.py:133-139`) — targets only exist
+    * in PFNano-extended files; absent targets skip. */
+  private val segmentedLatest: Map[String, (String, String)] = Map(
+    "Jet_constituents" -> (("nConstituents", "JetPFCands")),
+    "FatJet_constituents" -> (("nConstituents", "FatJetPFCands")),
+    "GenJet_constituents" -> (("nConstituents", "GenJetCands")),
+    "GenJetAK8_constituents" -> (("nConstituents", "GenFatJetCands")))
+
+  /** 4-vector completeness fills (reference `full_like_items`,
+    * `nanoaod.py:169-191`). */
+  private val fullLikeLatest: Map[String, Double] = Map(
+    "Photon_mass" -> 0.0, "Photon_charge" -> 0.0,
+    "Jet_charge" -> 0.0, "FatJet_charge" -> 0.0,
+    "TrigObj_mass" -> 0.0,
+    "FsrPhoton_mass" -> 0.0, "FsrPhoton_charge" -> 0.0,
+    "CorrT1METJet_mass" -> 0.0, "IsoTrack_mass" -> 0.0,
+    "SoftActivityJet_mass" -> 0.0)
+
+  val latest: NanoPreset = NanoPreset(
+    name = "nanoaod",
+    mixins = Mixins.nanoAod,
+    crossRefs = crossRefsLatest,
+    nestedRefs = nestedRefsLatest,
+    segmentedItems = segmentedLatest,
+    fullLike = fullLikeLatest,
+    renames = Map(
+      "Electron_energy" -> "Electron_regrEnergy",
+      "Photon_energy" -> "Photon_regrEnergy"),
+    aliases = Map(
+      "CorrT1METJet_pt" -> "CorrT1METJet_rawPt",
+      "CorrT1METJet_mass" -> "CorrT1METJet_rawMass"))
+
+  /** Versioned variants (reference `nanoaod.py:206-253`): v7 carries
+    * the full cross-ref table; v6 predates `FatJet_genJetAK8Idx`; v5
+    * additionally predates the FsrPhoton↔Muon links. */
+  val v7: NanoPreset = latest.copy(name = "nanoaod_v7")
+  val v6: NanoPreset = v7.copy(name = "nanoaod_v6",
+    crossRefs = v7.crossRefs - "FatJet_genJetAK8Idx")
+  val v5: NanoPreset = v6.copy(name = "nanoaod_v5",
+    crossRefs = v6.crossRefs - "FsrPhoton_muonIdx" - "Muon_fsrPhotonIdx")
+
+  /** PFNano (reference `PFNanoAODSchema`, `nanoaod.py:467-510`): PF
+    * candidate + secondary-vertex association tables on top of the base
+    * schema. */
+  val pfNano: NanoPreset = latest.copy(
+    name = "pfnano",
+    mixins = latest.mixins ++ Map(
+      "JetSVs" -> "AssociatedSV", "FatJetSVs" -> "AssociatedSV",
+      "GenJetSVs" -> "AssociatedSV", "GenFatJetSVs" -> "AssociatedSV",
+      "JetPFCands" -> "AssociatedPFCand", "FatJetPFCands" -> "AssociatedPFCand",
+      "GenJetCands" -> "AssociatedPFCand", "GenFatJetCands" -> "AssociatedPFCand",
+      "PFCands" -> "PFCand", "GenCands" -> "PFCand"),
+    crossRefs = latest.crossRefs ++ Map(
+      "FatJetPFCands_jetIdx" -> "FatJet",
+      "FatJetPFCands_pFCandsIdx" -> "PFCands",
+      "FatJetSVs_jetIdx" -> "FatJet",
+      "FatJetSVs_sVIdx" -> "SV",
+      "FatJet_electronIdx3SJ" -> "Electron",
+      "FatJet_muonIdx3SJ" -> "Muon",
+      "GenFatJetCands_jetIdx" -> "GenJetAK8",
+      "GenFatJetCands_pFCandsIdx" -> "GenCands",
+      "GenFatJetSVs_jetIdx" -> "GenJetAK8",
+      "GenFatJetSVs_sVIdx" -> "SV",
+      "GenJetCands_jetIdx" -> "GenJet",
+      "GenJetCands_pFCandsIdx" -> "GenCands",
+      "GenJetSVs_jetIdx" -> "GenJet",
+      "GenJetSVs_sVIdx" -> "SV",
+      "JetPFCands_jetIdx" -> "Jet",
+      "JetPFCands_pFCandsIdx" -> "PFCands",
+      "JetSVs_jetIdx" -> "Jet",
+      "JetSVs_sVIdx" -> "SV",
+      "SubJet_subGenJetAK8Idx" -> "SubGenJetAK8"))
+
+  /** ScoutingNano (reference `ScoutingNanoAODSchema`,
+    * `nanoaod.py:512-557`): scouting-object collections mapped onto the
+    * standard mixins, plus their 4-vector fills and the fiducial-MET
+    * aliases. */
+  val scoutingNano: NanoPreset = latest.copy(
+    name = "scoutingnano",
+    mixins = latest.mixins ++ Map(
+      "ScoutingJet" -> "Jet", "ScoutingFatJet" -> "FatJet",
+      "ScoutingMET" -> "MissingET",
+      "ScoutingMuonNoVtxDisplacedVertex" -> "Vertex",
+      "ScoutingMuonVtxDisplacedVertex" -> "Vertex",
+      "ScoutingPrimaryVertex" -> "Vertex",
+      "ScoutingElectron" -> "Electron", "ScoutingPhoton" -> "Photon",
+      "ScoutingMuonNoVtx" -> "Muon", "ScoutingMuonVtx" -> "Muon"),
+    fullLike = latest.fullLike ++ Map(
+      "ScoutingJet_charge" -> 0.0, "ScoutingFatJet_charge" -> 0.0,
+      "ScoutingPhoton_m" -> 0.0, "ScoutingPhoton_charge" -> 0.0),
+    aliases = latest.aliases ++ Map(
+      "MET_pt" -> "MET_fiducialGenPt",
+      "MET_phi" -> "MET_fiducialGenPhi"))
+
+  /** Run the full preset pass over a flat-branch DataFrame. Stages
+    * mirror the reference build order (`nanoaod.py:292-362`): flat
+    * fixups (full-like fills, renames, aliases) → zip into collections
+    * with mixin tags → cross-refs → nested links → segmented blocks.
+    *
+    * `requireEventIds` mirrors `error_missing_event_ids` —
+    * run/luminosityBlock/event must be present (corrections and
+    * data/MC matching key on them); pass false for bare fixtures. */
+  def apply(df: DataFrame, preset: NanoPreset,
+      requireEventIds: Boolean = true): DataFrame = {
+    if (requireEventIds) SchemaBuilder.requireColumns(df, preset.eventIds)
+
+    // full-like fills: synthesize (or overwrite — reference warns then
+    // replaces) a constant branch shaped like its collection, when the
+    // collection exists.
+    val filled = preset.fullLike.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (name, value)) =>
+        val coll = name.substring(0, name.indexOf('_'))
+        val donor = d.schema.fields.find(f =>
+          f.name != name && f.name.startsWith(coll + "_") &&
+            f.dataType.isInstanceOf[ArrayType])
+          .orElse(d.schema.fields.find(f =>
+            f.name == name && f.dataType.isInstanceOf[ArrayType]))
+        donor.fold(d)(don =>
+          d.withColumn(name, transform(col(don.name), _ => lit(value))))
+    }
+    // renames (new <- old): old branch becomes new, replacing any
+    // existing new (reference `rename_items`, nanoaod.py:343-352).
+    val renamed = preset.renames.toSeq.sortBy(_._1).foldLeft(filled) {
+      case (d, (newName, oldName)) =>
+        if (!d.columns.contains(oldName)) d
+        else (if (d.columns.contains(newName)) d.drop(newName) else d)
+          .withColumnRenamed(oldName, newName)
+    }
+    // aliases (alias <- original): alias gets the original's content
+    // (reference `alias_items`, nanoaod.py:354-362).
+    val aliased = preset.aliases.toSeq.sortBy(_._1).foldLeft(renamed) {
+      case (d, (aliasName, orig)) =>
+        if (d.columns.contains(orig)) d.withColumn(aliasName, col(orig)) else d
+    }
+    val zipped = SchemaBuilder.zipCollections(aliased, preset.mixins,
+      zipScalars = true)
+    val withRefs = SchemaBuilder.applyCrossRefs(zipped, preset.crossRefs)
+    val withNested = SchemaBuilder.applyNestedRefs(withRefs, preset.nestedRefs)
+    SchemaBuilder.applySegmentedRefs(withNested, preset.segmentedItems)
+  }
+}

@@ -31,7 +31,8 @@ object SchemaBuilder {
     */
   def zipCollections(
       df: DataFrame,
-      mixins: Map[String, String] = Mixins.nanoAod): DataFrame = {
+      mixins: Map[String, String] = Mixins.nanoAod,
+      zipScalars: Boolean = false): DataFrame = {
     val arrayCols = df.schema.fields.collect {
       case StructField(name, ArrayType(_, _), _, _) if name.contains("_") => name
     }
@@ -39,17 +40,32 @@ object SchemaBuilder {
       .groupBy(n => n.substring(0, n.indexOf('_')))
       .filter(_._2.length >= 1)
     val grouped = groups.keySet
+    // singleton collections (reference "simple collection" branch,
+    // schemas/nanoaod.py:398-411): scalar `Coll_field` branches zip
+    // into a plain struct (MET_pt, MET_phi → MET.{pt, phi}). Opt-in —
+    // non-NanoAOD layouts use underscored scalar names (l_orderkey).
+    val scalarGroups: Map[String, Array[String]] =
+      if (!zipScalars) Map.empty
+      else df.schema.fields.collect {
+        case StructField(name, dt, _, _)
+            if !dt.isInstanceOf[ArrayType] && name.contains("_") &&
+              !grouped.contains(name.substring(0, name.indexOf('_'))) => name
+      }.groupBy(n => n.substring(0, n.indexOf('_')))
     val countCols = grouped.map(g => s"n$g")
     val passthrough = df.columns.filterNot(c =>
-      arrayCols.contains(c) || countCols.contains(c))
+      arrayCols.contains(c) || countCols.contains(c) ||
+        scalarGroups.valuesIterator.exists(_.contains(c)))
     val zipped: Seq[Column] = groups.toSeq.sortBy(_._1).map { case (coll, cols) =>
       val renamed = cols.sorted.map(c => col(c).as(c.stripPrefix(s"${coll}_")))
       arrays_zip(renamed: _*).as(coll)
+    } ++ scalarGroups.toSeq.sortBy(_._1).map { case (coll, cols) =>
+      struct(cols.sorted.map(c =>
+        col(c).as(c.stripPrefix(s"${coll}_"))): _*).as(coll)
     }
     val out = df.select(passthrough.map(col) ++ zipped: _*)
     // behavior kind tags ride in schema metadata (reference mixin table,
     // schemas/nanoaod.py:53-90) — plan-level only, zero per-row cost
-    groups.keySet.foldLeft(out) { (acc, coll) =>
+    (groups.keySet ++ scalarGroups.keySet).foldLeft(out) { (acc, coll) =>
       mixins.get(coll).fold(acc)(kind => Mixins.tag(acc, coll, kind))
     }
   }
@@ -110,6 +126,11 @@ object SchemaBuilder {
     df.select(cols.toSeq: _*)
   }
 
+  /** Replace a collection column, keeping its schema metadata (the
+    * mixin kind tag) — a bare `withColumn` would silently drop it. */
+  private def replaceKeepingMetadata(d: DataFrame, name: String, c: Column): DataFrame =
+    d.withColumn(name, c.as(name, d.schema(name).metadata))
+
   /** Derived accessor name for a cross-reference index field — the
     * `Idx` marker is dropped, casing kept: `jetIdx` → `matched_jet`,
     * `genPartIdx` → `matched_genPart`, `subJetIdx1` → `matched_subJet1`. */
@@ -148,7 +169,7 @@ object SchemaBuilder {
             st.fieldNames.contains(idxField) && d.columns.contains(target)
           }.sortBy(_._2)
           if (applicable.isEmpty) d
-          else d.withColumn(src, transform(col(src), m =>
+          else replaceKeepingMetadata(d, src, transform(col(src), m =>
             struct(st.fieldNames.map(f => m(f).as(f)) ++
               applicable.map { case (_, idxField, target) =>
                 when(m(idxField) >= 0, get(col(target), m(idxField).cast("int")))
@@ -175,10 +196,40 @@ object SchemaBuilder {
       d.schema.fields.find(_.name == src) match {
         case Some(StructField(_, ArrayType(st: StructType, _), _, _))
             if idxFields.forall(st.fieldNames.contains) && d.columns.contains(target) =>
-          d.withColumn(src, transform(col(src), m =>
+          replaceKeepingMetadata(d, src, transform(col(src), m =>
             struct((st.fieldNames.map(f => m(f).as(f)) :+
               array(idxFields.map(f =>
                 when(m(f) >= 0, get(col(target), m(f).cast("int")))): _*).as(name)).toSeq: _*)))
+        case _ => d
+      }
+    }
+
+  /** Counts-segmented nested references (reference `nested_index_items`
+    * `nanoaod.py:133-139` + `counts2nestedindex`,
+    * `transforms.py:145-179`): each entry
+    * `"Source_name" -> (countsField, "Target")` adds field `name` to
+    * every `Source` element — its consecutive block of the `Target`
+    * collection, partitioned by the source's per-element counts (e.g.
+    * Jet.nConstituents → Jet.constituents slices of JetPFCands).
+    * Offsets come from the O(k) [[graft.functions.ArrayPrefixSum]]
+    * scan. Entries with an absent source, counts field, or target are
+    * skipped (the reference's warn-and-drop rule). Same
+    * unsliced-collection precondition as [[applyCrossRefs]]. */
+  def applySegmentedRefs(df: DataFrame,
+      refs: Map[String, (String, String)]): DataFrame =
+    refs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (key, (countsField, target))) =>
+      val i = key.indexOf('_')
+      require(i > 0, s"segmented ref key '$key' must be Source_name")
+      val (src, name) = (key.substring(0, i), key.substring(i + 1))
+      d.schema.fields.find(_.name == src) match {
+        case Some(StructField(_, ArrayType(st: StructType, _), _, _))
+            if st.fieldNames.contains(countsField) &&
+              d.schema.fields.exists(f => f.name == target &&
+                f.dataType.isInstanceOf[ArrayType]) =>
+          val counts = transform(col(src), m => m(countsField).cast("long"))
+          val blocks = Combinatorics.segmentedByCounts(col(target), counts)
+          replaceKeepingMetadata(d, src, zip_with(col(src), blocks, (m, blk) =>
+            struct(st.fieldNames.map(f => m(f).as(f)) :+ blk.as(name): _*)))
         case _ => d
       }
     }

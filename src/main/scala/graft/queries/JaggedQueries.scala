@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
-import graft.core.{Combinatorics, ElementLink, Jagged, Kinematics, SchemaBuilder, Tables}
+import graft.core.{Combinatorics, ElementLink, Jagged, Kinematics, NanoAODPresets, SchemaBuilder, Tables}
 
 /** The coffea-semantics core exercised on the star schema: build jagged
   * event records (order → items, user → events), then run the intra-event
@@ -362,6 +362,67 @@ object JaggedQueries extends QueryPack {
              |SELECT CAST(count(*) AS BIGINT) AS n_links,
              |  CAST(count(val) AS BIGINT) AS n_resolved,
              |  CAST(floor(sum(coalesce(val, 0.0)) * 100 + 0.5) AS BIGINT) AS resolved_sum_c
-             |FROM res""".stripMargin))
+             |FROM res""".stripMargin)),
+
+    Query(
+      "q73_pfnano_preset",
+      "One-call PFNanoAODSchema preset (schemas/nanoaod.py:467-510 over the v-latest base :202-253): flat Jet_*/JetPFCands_* branches → zipped collections with full-like Jet_charge fill, JetPFCands_jetIdx cross-ref (matched_jet) and nConstituents-segmented Jet.constituents blocks — the full schema pass is pure projection, zero shuffle beyond the fixture nest.",
+      (s, dir) => {
+        import s.implicits._
+        // PFNano-shaped fixture from lineitem: each order is an event;
+        // its sorted items are Jets; jet i contributes (qty % 3) PF
+        // candidates with pt = jet_pt * (j+1), laid out in consecutive
+        // jet-order blocks (the PFNano association-table layout).
+        val nested = ordersNested(s, dir,
+          Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+        val idx = Jagged.localIndex($"items")
+        val cnt = (it: org.apache.spark.sql.Column) =>
+          (it("l_quantity") % 3.0).cast("int")
+        val seq12 = sequence(lit(1), lit(2))
+        val flat = nested.select(
+          $"l_orderkey".as("event"), lit(1L).as("run"),
+          lit(1L).as("luminosityBlock"),
+          transform($"items", _("l_extendedprice")).as("Jet_pt"),
+          transform($"items", it => cnt(it)).as("Jet_nConstituents"),
+          flatten(transform($"items", it =>
+            transform(slice(seq12, lit(1), cnt(it)),
+              j => it("l_extendedprice") * j))).as("JetPFCands_pt"),
+          flatten(zip_with($"items", idx, (it, i) =>
+            transform(slice(seq12, lit(1), cnt(it)),
+              _ => i.cast("int")))).as("JetPFCands_jetIdx"))
+        val ev = NanoAODPresets(flat, NanoAODPresets.pfNano)
+        ev.select(
+            size($"Jet").cast("long").as("n_jets"),
+            size($"JetPFCands").cast("long").as("n_cands_i"),
+            cents(aggregate($"Jet", lit(0.0), (a, j) =>
+              a + aggregate(j("constituents"), lit(0.0),
+                (b, c) => b + c("pt")))).as("const_c_i"),
+            cents(aggregate($"JetPFCands", lit(0.0), (a, c) =>
+              a + c("matched_jet")("pt"))).as("matched_c_i"),
+            cents(aggregate($"Jet", lit(0.0), (a, j) =>
+              a + j("charge"))).as("charge_c_i"))
+          .groupBy($"n_jets")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"n_cands_i").as("n_cands"),
+            sum($"const_c_i").as("const_pt_c"),
+            sum($"matched_c_i").as("matched_pt_c"),
+            sum($"charge_c_i").as("charge_c"))
+      },
+      Some("""WITH it AS (
+             |  SELECT l_orderkey, l_extendedprice AS pt,
+             |    CAST(l_quantity % 3 AS INT) AS cnt
+             |  FROM lineitem),
+             |ord AS (
+             |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_jets,
+             |    CAST(sum(cnt) AS BIGINT) AS n_cands_i,
+             |    CAST(floor(sum(pt * cnt * (cnt + 1) / 2) * 100 + 0.5) AS BIGINT) AS const_c_i,
+             |    CAST(floor(sum(pt * cnt) * 100 + 0.5) AS BIGINT) AS matched_c_i
+             |  FROM it GROUP BY 1)
+             |SELECT n_jets, count(*) AS n_orders,
+             |  CAST(sum(n_cands_i) AS BIGINT) AS n_cands,
+             |  CAST(sum(const_c_i) AS BIGINT) AS const_pt_c,
+             |  CAST(sum(matched_c_i) AS BIGINT) AS matched_pt_c,
+             |  CAST(0 AS BIGINT) AS charge_c
+             |FROM ord GROUP BY 1""".stripMargin))
   )
 }

@@ -245,4 +245,100 @@ class CoreSpec extends AnyFunSuite {
       Seq("pt", "i"), Seq("i"))
     Mixins.requireRank(untagged, "parts", 4, "add4")
   }
+
+  // Shared NanoAOD-shaped fixture for the preset truth table: FatJet
+  // with a genJetAK8 cross-ref (v7+), Muon with an fsrPhoton cross-ref
+  // (v6+), plus the GenJetAK8/FsrPhoton targets.
+  private def nanoFixture = Seq(1).toDF("x").select(
+    lit(1L).as("run"), lit(1L).as("luminosityBlock"), lit(42L).as("event"),
+    array(lit(100.0), lit(200.0)).as("FatJet_pt"),
+    array(lit(0), lit(1)).as("FatJet_genJetAK8Idx"),
+    array(lit(95.0), lit(190.0)).as("GenJetAK8_pt"),
+    array(lit(30.0)).as("Muon_pt"),
+    array(lit(0)).as("Muon_fsrPhotonIdx"),
+    array(lit(5.0)).as("FsrPhoton_pt"),
+    array(lit(0)).as("FsrPhoton_muonIdx")).drop("x")
+
+  private def fatJetFields(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    df.schema("FatJet").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq
+  }
+
+  test("NanoAOD preset version truth table: v5/v6/v7 cross-ref gating") {
+    import graft.core.NanoAODPresets
+    def muonFields(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.types._
+      df.schema("Muon").dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType].fieldNames.toSeq
+    }
+    val v7 = NanoAODPresets(nanoFixture, NanoAODPresets.v7)
+    assert(fatJetFields(v7).contains("matched_genJetAK8"))
+    assert(muonFields(v7).contains("matched_fsrPhoton"))
+    // v6: FatJet_genJetAK8Idx predates the format — no gather field
+    val v6 = NanoAODPresets(nanoFixture, NanoAODPresets.v6)
+    assert(!fatJetFields(v6).contains("matched_genJetAK8"))
+    assert(muonFields(v6).contains("matched_fsrPhoton"))
+    // v5: FsrPhoton links gone too
+    val v5 = NanoAODPresets(nanoFixture, NanoAODPresets.v5)
+    assert(!fatJetFields(v5).contains("matched_genJetAK8"))
+    assert(!muonFields(v5).contains("matched_fsrPhoton"))
+    // gather values resolve within the event
+    val r = v7.select(explode(col("FatJet")).as("j"))
+      .select(col("j.matched_genJetAK8.pt")).collect().map(_.getDouble(0))
+    assert(r.toSeq == Seq(95.0, 190.0))
+    // mixin kinds land from the preset table
+    assert(graft.core.Mixins.kindOf(v7, "FatJet").contains("FatJet"))
+  }
+
+  test("NanoAOD preset: event-id gate, full-like fills, singleton zip") {
+    import graft.core.NanoAODPresets
+    val e = intercept[IllegalArgumentException](
+      NanoAODPresets(nanoFixture.drop("event"), NanoAODPresets.latest))
+    assert(e.getMessage.contains("event"))
+    // FatJet_charge synthesized as 0.0 shaped like the collection;
+    // scalar MET_pt/MET_phi zip into a singleton struct with its mixin
+    val withMet = nanoFixture
+      .withColumn("MET_pt", lit(55.5)).withColumn("MET_phi", lit(0.25))
+    val ev = NanoAODPresets(withMet, NanoAODPresets.latest)
+    assert(fatJetFields(ev).contains("charge"))
+    val r = ev.select(col("FatJet.charge"), col("MET.pt"), col("MET.phi")).head()
+    assert(r.getSeq[Double](0) == Seq(0.0, 0.0))
+    assert(r.getDouble(1) == 55.5 && r.getDouble(2) == 0.25)
+    assert(graft.core.Mixins.kindOf(ev, "MET").contains("MissingET"))
+  }
+
+  test("Scouting preset aliases MET to the fiducial branches") {
+    import graft.core.NanoAODPresets
+    val df = nanoFixture
+      .withColumn("MET_pt", lit(1.0)).withColumn("MET_phi", lit(2.0))
+      .withColumn("MET_fiducialGenPt", lit(77.0))
+      .withColumn("MET_fiducialGenPhi", lit(0.5))
+      .withColumn("ScoutingJet_pt", array(lit(10.0)))
+    val ev = NanoAODPresets(df, NanoAODPresets.scoutingNano)
+    val r = ev.select(col("MET.pt"), col("MET.phi"),
+      col("ScoutingJet.charge")).head()
+    assert(r.getDouble(0) == 77.0 && r.getDouble(1) == 0.5)
+    assert(r.getSeq[Double](2) == Seq(0.0))
+    assert(graft.core.Mixins.kindOf(ev, "ScoutingJet").contains("Jet"))
+  }
+
+  test("applySegmentedRefs partitions the target by per-element counts") {
+    val df = Seq(1).toDF("x").select(
+      array(
+        struct(lit(10.0).as("pt"), lit(2).as("nConstituents")),
+        struct(lit(20.0).as("pt"), lit(0).as("nConstituents")),
+        struct(lit(30.0).as("pt"), lit(1).as("nConstituents"))).as("Jet"),
+      array(lit(1.0), lit(2.0), lit(3.0)).as("JetPFCands")).drop("x")
+    val out = SchemaBuilder.applySegmentedRefs(df,
+      Map("Jet_constituents" -> (("nConstituents", "JetPFCands"))))
+    val blocks = out.select(transform(col("Jet"), j => j("constituents")))
+      .head().getSeq[Seq[Double]](0)
+    assert(blocks == Seq(Seq(1.0, 2.0), Seq(), Seq(3.0)))
+    // absent target or counts field: entry skipped, frame unchanged
+    val skipped = SchemaBuilder.applySegmentedRefs(df,
+      Map("Jet_constituents" -> (("nMissing", "JetPFCands")),
+        "FatJet_constituents" -> (("nConstituents", "Nope"))))
+    assert(skipped.schema == df.schema)
+  }
 }
