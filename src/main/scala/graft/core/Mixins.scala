@@ -44,13 +44,16 @@ object Mixins {
     "Vertex" -> 3, "SecondaryVertex" -> 3,
     "PtEtaPhiMCollection" -> 4, "Jet" -> 4, "FatJet" -> 4,
     "Electron" -> 4, "LowPtElectron" -> 4, "Muon" -> 4, "Photon" -> 4,
-    "FsrPhoton" -> 4, "Tau" -> 4, "GenVisTau" -> 4, "GenParticle" -> 4)
+    "FsrPhoton" -> 4, "Tau" -> 4, "GenVisTau" -> 4, "GenParticle" -> 4,
+    // auto_schema inferred kinds (reference schemas/auto.py:74-90)
+    "PtEtaPhiMCandidate" -> 4, "PtEtaPhiECandidate" -> 4)
 
   /** Kinds that additionally carry charge (reference `Candidate`
     * behavior — supports charge-aware `Candidate.add`). */
   val candidateKinds: Set[String] = Set(
     "Electron", "LowPtElectron", "Muon", "Photon", "FsrPhoton",
-    "Tau", "GenVisTau", "GenParticle")
+    "Tau", "GenVisTau", "GenParticle",
+    "PtEtaPhiMCandidate", "PtEtaPhiECandidate")
 
   /** Attach a mixin kind to a collection column (schema metadata only). */
   def tag(df: DataFrame, collection: String, kind: String): DataFrame =

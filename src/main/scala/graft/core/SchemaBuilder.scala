@@ -70,6 +70,30 @@ object SchemaBuilder {
     }
   }
 
+  /** `auto_schema` generic zipper (reference `schemas/auto.py:37-107`):
+    * group `<collection>_<member>` branches with NO experiment table,
+    * inferring the behavior kind from the members present —
+    * pt/eta/phi/charge + mass → `PtEtaPhiMCandidate`, + energy →
+    * `PtEtaPhiECandidate`, anything else → `NanoCollection`
+    * (permissive). Unblocks arbitrary non-CMS parquet layouts; scalar
+    * `Coll_field` branches zip into singleton structs by default
+    * (`auto.py` treats every `_` as one nesting level). */
+  def autoSchema(df: DataFrame, zipScalars: Boolean = true): DataFrame = {
+    val groups = df.schema.fields.collect {
+      case StructField(name, ArrayType(_, _), _, _) if name.contains("_") => name
+    }.groupBy(n => n.substring(0, n.indexOf('_')))
+    val base = Set("pt", "eta", "phi", "charge")
+    val inferred: Map[String, String] = groups.map { case (coll, cols) =>
+      val members = cols.map(_.stripPrefix(s"${coll}_")).toSet
+      val kind =
+        if (base.subsetOf(members) && members.contains("mass")) "PtEtaPhiMCandidate"
+        else if (base.subsetOf(members) && members.contains("energy")) "PtEtaPhiECandidate"
+        else "NanoCollection"
+      coll -> kind
+    }
+    zipCollections(df, inferred, zipScalars)
+  }
+
   /** Group a flat row-per-element table into a jagged event table:
     * one output row per `key`, with `collection` = array of
     * `struct(fields)` sorted by `sortFields` (deterministic layout —

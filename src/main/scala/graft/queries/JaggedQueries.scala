@@ -423,6 +423,54 @@ object JaggedQueries extends QueryPack {
              |  CAST(sum(const_c_i) AS BIGINT) AS const_pt_c,
              |  CAST(sum(matched_c_i) AS BIGINT) AS matched_pt_c,
              |  CAST(0 AS BIGINT) AS charge_c
+             |FROM ord GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q74_auto_schema",
+      "auto_schema generic zipper (schemas/auto.py:37-107): flat cand_pt/eta/phi/mass/charge branches with no experiment table zip into a collection with the inferred PtEtaPhiMCandidate kind; per-event candidate reductions follow — zero shuffle beyond the fixture nest.",
+      (s, dir) => {
+        import s.implicits._
+        val nested = ordersNested(s, dir,
+          Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+        val flat = nested.select(
+          $"l_orderkey".as("event"),
+          transform($"items", it => it("l_extendedprice") / 1000.0).as("cand_pt"),
+          transform($"items", it => (it("l_quantity") - 25.0) / 10.0).as("cand_eta"),
+          transform($"items", it =>
+            (it("l_linenumber") % 7).cast("double") - 3.0).as("cand_phi"),
+          transform($"items", _ => lit(0.105)).as("cand_mass"),
+          transform($"items", it =>
+            when(it("l_linenumber") % 2 === 0, 1.0).otherwise(-1.0)).as("cand_charge"))
+        val ev = SchemaBuilder.autoSchema(flat)
+        // the inferred Candidate kind must admit charge-aware 4-vector ops
+        graft.core.Mixins.requireCandidate(ev, "cand", "q74")
+        graft.core.Mixins.requireRank(ev, "cand", 4, "q74")
+        ev.select(
+            size($"cand").cast("long").as("n_cand_i"),
+            cents(aggregate($"cand", lit(0.0), (a, c) =>
+              a + c("pt") * (lit(1.0) + c("eta") * c("eta")))).as("p_c_i"),
+            aggregate($"cand", lit(0.0), (a, c) =>
+              a + c("charge")).cast("long").as("q_sum"))
+          .groupBy($"q_sum")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"n_cand_i").as("n_cand"),
+            sum($"p_c_i").as("p_sum_c"))
+      },
+      Some("""WITH it AS (
+             |  SELECT l_orderkey,
+             |    l_extendedprice / 1000.0 AS pt,
+             |    (l_quantity - 25.0) / 10.0 AS eta,
+             |    CASE WHEN l_linenumber % 2 = 0 THEN 1.0 ELSE -1.0 END AS charge
+             |  FROM lineitem),
+             |ord AS (
+             |  SELECT l_orderkey,
+             |    CAST(count(*) AS BIGINT) AS n_cand_i,
+             |    CAST(floor(sum(pt * (1 + eta * eta)) * 100 + 0.5) AS BIGINT) AS p_c_i,
+             |    CAST(sum(charge) AS BIGINT) AS q_sum
+             |  FROM it GROUP BY 1)
+             |SELECT q_sum, count(*) AS n_orders,
+             |  CAST(sum(n_cand_i) AS BIGINT) AS n_cand,
+             |  CAST(sum(p_c_i) AS BIGINT) AS p_sum_c
              |FROM ord GROUP BY 1""".stripMargin))
   )
 }

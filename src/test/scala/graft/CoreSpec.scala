@@ -323,6 +323,34 @@ class CoreSpec extends AnyFunSuite {
     assert(graft.core.Mixins.kindOf(ev, "ScoutingJet").contains("Jet"))
   }
 
+  test("autoSchema infers candidate kinds from member names") {
+    import graft.core.Mixins
+    val df = Seq(1).toDF("x").select(
+      lit(7L).as("eventNumber"),
+      array(lit(10.0)).as("mu_pt"), array(lit(0.5)).as("mu_eta"),
+      array(lit(0.1)).as("mu_phi"), array(lit(0.105)).as("mu_mass"),
+      array(lit(-1.0)).as("mu_charge"),
+      array(lit(20.0)).as("el_pt"), array(lit(1.5)).as("el_eta"),
+      array(lit(0.2)).as("el_phi"), array(lit(25.0)).as("el_energy"),
+      array(lit(1.0)).as("el_charge"),
+      array(lit(99.0)).as("trk_d0"),
+      lit(3.5).as("met_pt"), lit(0.7).as("met_phi")).drop("x")
+    val ev = SchemaBuilder.autoSchema(df)
+    assert(Mixins.kindOf(ev, "mu").contains("PtEtaPhiMCandidate"))
+    assert(Mixins.kindOf(ev, "el").contains("PtEtaPhiECandidate"))
+    assert(Mixins.kindOf(ev, "trk").contains("NanoCollection"))
+    Mixins.requireCandidate(ev, "mu", "add")
+    Mixins.requireRank(ev, "el", 4, "mass")
+    // NanoCollection is permissive (no rank claim)
+    Mixins.requireRank(ev, "trk", 4, "mass")
+    // singletons zip too; plain scalars pass through
+    val r = ev.select(col("met.pt"), col("eventNumber")).head()
+    assert(r.getDouble(0) == 3.5 && r.getLong(1) == 7L)
+    // members land renamed inside the struct
+    val mu = ev.select(explode(col("mu")).as("m")).select(col("m.pt")).head()
+    assert(mu.getDouble(0) == 10.0)
+  }
+
   test("applySegmentedRefs partitions the target by per-element counts") {
     val df = Seq(1).toDF("x").select(
       array(
