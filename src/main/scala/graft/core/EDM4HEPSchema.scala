@@ -1,0 +1,161 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** EDM4HEP / FCC schema pass (reference `schemas/edm4hep.py:101-190`,
+  * `schemas/fcc.py:34-530`): assemble flat per-event array branches
+  * into the EDM4HEP event model —
+  *
+  *  - collections zip by branch prefix ([[SchemaBuilder.zipCollections]]);
+  *  - `momentum.x/y/z` (+ `energy`) rename to `px/py/pz/E` so the
+  *    collection carries LorentzVector behavior (`edm4hep.py:131-137`);
+  *  - `f.x/f.y/f.z` component triplets nest into ThreeVector
+  *    sub-structs (`fcc.py:515-529` `_create_subcollections`);
+  *  - `(name_begin, name_end)` pairs resolve into per-element blocks
+  *    of a target collection via [[Combinatorics.rangeGather]]
+  *    (`fcc.py:433-495`), optionally through an ObjectID index
+  *    collection (`Coll#0.index` → `CollIdx.index`) — the reference's
+  *    `begin_end_mapping` parents/daughters indirection
+  *    (`transforms.py:647-760`).
+  *
+  * The whole pass is plan-level projection: zero shuffles, prunable by
+  * Catalyst. Version differences between EDM4HEP releases live in the
+  * reference's YAML datatype tables (member inventories), not in the
+  * assembly semantics — declare the per-version relation maps at the
+  * call site like the reference's daughter classes do.
+  *
+  * Flat-branch naming: dots become underscores in parquet
+  * (`Jet.clusters_begin` → `Jet_clusters_begin`), matching the
+  * reference's own square-brace/python-name normalization
+  * (`fcc.py:426-431`).
+  */
+object EDM4HEPSchema {
+
+  /** Component kinds (reference `_components_mixins`,
+    * `edm4hep.py:112-125`) — tagged on nested sub-structs is not
+    * expressible in Spark metadata (field-level), so the kind table is
+    * exposed for callers instead. */
+  val componentMixins: Map[String, String] = Map(
+    "Vector4f" -> "LorentzVector", "Vector3f" -> "ThreeVector",
+    "Vector3d" -> "ThreeVector", "Vector2i" -> "TwoVector",
+    "Vector2f" -> "TwoVector", "TrackState" -> "TrackState")
+
+  private def collections(df: DataFrame): Seq[(String, StructType)] =
+    df.schema.fields.collect {
+      case StructField(name, ArrayType(st: StructType, _), _, _) => (name, st)
+    }.toSeq
+
+  private def rebuild(d: DataFrame, src: String, c: Column): DataFrame =
+    d.withColumn(src, c.as(src, d.schema(src).metadata))
+
+  /** Rename flat momentum branches to vector-behavior names
+    * (`momentum_x/y/z` → `px/py/pz`, plus `energy` → `E` when the full
+    * momentum triplet is present — reference `_momentum_fields_e`,
+    * `edm4hep.py:131-137`). Runs on FLAT branch names, before zipping. */
+  def renameMomentum(df: DataFrame): DataFrame = {
+    val names = df.columns.toSet
+    val prefixes = names.collect {
+      case n if n.endsWith("_momentum_x") => n.stripSuffix("_momentum_x")
+    }.filter(p => names(s"${p}_momentum_y") && names(s"${p}_momentum_z"))
+    prefixes.foldLeft(df) { (d, p) =>
+      val renamed = d
+        .withColumnRenamed(s"${p}_momentum_x", s"${p}_px")
+        .withColumnRenamed(s"${p}_momentum_y", s"${p}_py")
+        .withColumnRenamed(s"${p}_momentum_z", s"${p}_pz")
+      if (names(s"${p}_energy")) renamed.withColumnRenamed(s"${p}_energy", s"${p}_E")
+      else renamed
+    }
+  }
+
+  /** Nest `f_x/f_y/f_z` member triplets of every collection into
+    * `f: struct{x,y,z}` sub-structs (ThreeVector shape — reference
+    * `fcc.py:515-529`). Momentum components are exempt: they stay flat
+    * `px/py/pz` for 4-vector behavior. */
+  def nestComponents(df: DataFrame): DataFrame =
+    collections(df).foldLeft(df) { case (d, (src, st)) =>
+      val names = st.fieldNames.toSeq
+      val triplets = names.filter(_.endsWith("_x")).map(_.dropRight(2))
+        .filter(p => names.contains(s"${p}_y") && names.contains(s"${p}_z"))
+      if (triplets.isEmpty) d
+      else {
+        val member = triplets.flatMap(p => Seq(s"${p}_x", s"${p}_y", s"${p}_z")).toSet
+        rebuild(d, src, transform(col(src), m =>
+          struct(names.filterNot(member).map(f => m(f).as(f)) ++
+            triplets.map(p => struct(m(s"${p}_x").as("x"), m(s"${p}_y").as("y"),
+              m(s"${p}_z").as("z")).as(p)): _*)))
+      }
+    }
+
+  /** Resolve `(name_begin, name_end)` range adjacencies: each entry
+    * `"Source_name" -> "Target"` adds field `name` to every `Source`
+    * element — its `Target[begin, end)` block ([[Combinatorics
+    * .rangeGather]]; reference `fcc.py:433-495`). Absent sources,
+    * member pairs, or targets skip. */
+  def resolveRanges(df: DataFrame, refs: Map[String, String]): DataFrame =
+    refs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (key, target)) =>
+      val i = key.indexOf('_')
+      require(i > 0, s"range ref key '$key' must be Source_name")
+      val (src, name) = (key.substring(0, i), key.substring(i + 1))
+      d.schema.fields.find(_.name == src) match {
+        case Some(StructField(_, ArrayType(st: StructType, _), _, _))
+            if st.fieldNames.contains(s"${name}_begin") &&
+              st.fieldNames.contains(s"${name}_end") &&
+              d.schema.fields.exists(f => f.name == target &&
+                f.dataType.isInstanceOf[ArrayType]) =>
+          val begins = transform(col(src), m => m(s"${name}_begin").cast("int"))
+          val ends = transform(col(src), m => m(s"${name}_end").cast("int"))
+          val blocks = Combinatorics.rangeGather(col(target), begins, ends)
+          rebuild(d, src, zip_with(col(src), blocks, (m, blk) =>
+            struct(st.fieldNames.map(f => m(f).as(f)) :+ blk.as(name): _*)))
+        case _ => d
+      }
+    }
+
+  /** Resolve ranges THROUGH an ObjectID index collection (the
+    * mc_relations parents/daughters indirection, `fcc.py:478-491` +
+    * `begin_end_mapping`, reference `transforms.py:647-760`): entry
+    * `"Source_name" -> (ViaCollection, viaField, Target)` adds field
+    * `name` — for each element, `via[begin, end)` yields target
+    * indices, which gather `Target` elements (negative / out-of-range
+    * → null, the masked-index rule). */
+  def resolveRangesVia(df: DataFrame,
+      refs: Map[String, (String, String, String)]): DataFrame =
+    refs.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (key, (viaColl, viaField, target))) =>
+        val i = key.indexOf('_')
+        require(i > 0, s"range ref key '$key' must be Source_name")
+        val (src, name) = (key.substring(0, i), key.substring(i + 1))
+        val viaOk = d.schema.fields.exists {
+          case StructField(n, ArrayType(st: StructType, _), _, _) =>
+            n == viaColl && st.fieldNames.contains(viaField)
+          case _ => false
+        }
+        d.schema.fields.find(_.name == src) match {
+          case Some(StructField(_, ArrayType(st: StructType, _), _, _))
+              if st.fieldNames.contains(s"${name}_begin") &&
+                st.fieldNames.contains(s"${name}_end") && viaOk &&
+                d.schema.fields.exists(f => f.name == target &&
+                  f.dataType.isInstanceOf[ArrayType]) =>
+            val begins = transform(col(src), m => m(s"${name}_begin").cast("int"))
+            val ends = transform(col(src), m => m(s"${name}_end").cast("int"))
+            val viaIdx = transform(col(viaColl), v => v(viaField).cast("int"))
+            val idxBlocks = Combinatorics.rangeGather(viaIdx, begins, ends)
+            val blocks = transform(idxBlocks, idxs =>
+              Combinatorics.applyLocalIndex(col(target), idxs))
+            rebuild(d, src, zip_with(col(src), blocks, (m, blk) =>
+              struct(st.fieldNames.map(f => m(f).as(f)) :+ blk.as(name): _*)))
+          case _ => d
+        }
+    }
+
+  /** Full assembly: momentum renames → collection zip (with caller
+    * mixin tags) → component nesting. Range adjacencies are declared
+    * separately ([[resolveRanges]] / [[resolveRangesVia]]) because the
+    * relation targets are per-version, per-experiment knowledge (the
+    * reference's daughter-class `mc_relations` / `_datatype_priority`). */
+  def assemble(df: DataFrame, mixins: Map[String, String] = Map.empty): DataFrame =
+    nestComponents(SchemaBuilder.zipCollections(renameMomentum(df), mixins,
+      zipScalars = true))
+}
