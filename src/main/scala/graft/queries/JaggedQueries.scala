@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
-import graft.core.{Combinatorics, ElementLink, Jagged, Kinematics, NanoAODPresets, SchemaBuilder, Tables}
+import graft.core.{Combinatorics, EDM4HEPSchema, ElementLink, Jagged, Kinematics, NanoAODPresets, SchemaBuilder, Tables}
 
 /** The coffea-semantics core exercised on the star schema: build jagged
   * event records (order → items, user → events), then run the intra-event
@@ -471,6 +471,84 @@ object JaggedQueries extends QueryPack {
              |SELECT q_sum, count(*) AS n_orders,
              |  CAST(sum(n_cand_i) AS BIGINT) AS n_cand,
              |  CAST(sum(p_c_i) AS BIGINT) AS p_sum_c
-             |FROM ord GROUP BY 1""".stripMargin))
+             |FROM ord GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q75_edm4hep_schema",
+      "EDM4HEPSchema full assembly (schemas/edm4hep.py:101-190, fcc.py:34-530): flat Jet_momentum_x/y/z+energy branches rename to px/py/pz/E, referencePoint_x/y/z nests into a ThreeVector sub-struct, Jet_clusters_(begin,end) resolves direct Cluster blocks, and Jet_hits_(begin,end) resolves THROUGH the ClusterIdx ObjectID collection (the mc_relations parents/daughters indirection, transforms.py:647-760) — the whole pass is per-row projection, zero shuffle beyond the fixture nest.",
+      (s, dir) => {
+        import s.implicits._
+        // EDM4HEP-shaped fixture from lineitem: each order is an event;
+        // its sorted items are both the Jet and the Cluster collection.
+        // Jet i's clusters block is [i, min(i+2, n)); its hits block has
+        // the same bounds but routes through ClusterIdx, whose ObjectID
+        // index REVERSES the clusters (idx[p] = n-1-p), so hits resolve
+        // mirrored Cluster elements — direct and via paths give
+        // different sums, both oracle-checkable.
+        val nested = ordersNested(s, dir,
+          Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+        val idx = Jagged.localIndex($"items")
+        val n = size($"items")
+        val flat = nested.select(
+          $"l_orderkey".as("event"),
+          transform($"items", _("l_quantity")).as("Jet_momentum_x"),
+          transform($"items", it => it("l_quantity") * 0.5).as("Jet_momentum_y"),
+          transform($"items", it => it("l_quantity") * 0.25).as("Jet_momentum_z"),
+          transform($"items", it => it("l_quantity") * 2.0).as("Jet_energy"),
+          transform($"items", it => it("l_quantity") + 1.0).as("Jet_referencePoint_x"),
+          transform($"items", it => it("l_quantity") + 2.0).as("Jet_referencePoint_y"),
+          transform($"items", it => it("l_quantity") + 3.0).as("Jet_referencePoint_z"),
+          idx.as("Jet_clusters_begin"),
+          transform(idx, i => least(i + 2, n)).as("Jet_clusters_end"),
+          idx.as("Jet_hits_begin"),
+          transform(idx, i => least(i + 2, n)).as("Jet_hits_end"),
+          transform(idx, i => n - 1 - i).as("ClusterIdx_index"),
+          transform($"items", _("l_extendedprice")).as("Cluster_energy"))
+        val ev = EDM4HEPSchema.resolveRangesVia(
+          EDM4HEPSchema.resolveRanges(
+            EDM4HEPSchema.assemble(flat),
+            Map("Jet_clusters" -> "Cluster")),
+          Map("Jet_hits" -> (("ClusterIdx", "index", "Cluster"))))
+        ev.select(
+          $"event".as("l_orderkey"),
+          size($"Jet").cast("long").as("n_jets"),
+          cents(aggregate($"Jet", lit(0.0), (a, j) => a + j("px"))).as("px_sum_c"),
+          cents(aggregate($"Jet", lit(0.0), (a, j) =>
+            a + j("referencePoint")("x"))).as("ref_sum_c"),
+          cents(aggregate($"Jet", lit(0.0), (a, j) =>
+            a + aggregate(j("clusters"), lit(0.0),
+              (b, c) => b + c("energy")))).as("clus_sum_c"),
+          cents(aggregate($"Jet", lit(0.0), (a, j) =>
+            a + aggregate(j("hits"), lit(0.0),
+              (b, c) => b + c("energy")))).as("hits_sum_c"))
+      },
+      Some("""WITH it AS (
+             |  SELECT l_orderkey, l_extendedprice AS e, l_quantity AS q,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_linenumber, l_extendedprice) AS rn,
+             |    count(*) OVER (PARTITION BY l_orderkey) AS n
+             |  FROM lineitem),
+             |ev AS (
+             |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_jets,
+             |    sum(q) AS pxs, sum(q + 1.0) AS refs
+             |  FROM it GROUP BY 1),
+             |clus AS (
+             |  SELECT a.l_orderkey, sum(b.e) AS s
+             |  FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+             |    AND b.rn >= a.rn AND b.rn <= least(a.rn + 1, a.n)
+             |  GROUP BY 1),
+             |hits AS (
+             |  SELECT a.l_orderkey, sum(b.e) AS s
+             |  FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+             |    AND (b.rn = a.n - a.rn + 1
+             |      OR (a.rn <= a.n - 1 AND b.rn = a.n - a.rn))
+             |  GROUP BY 1)
+             |SELECT ev.l_orderkey, ev.n_jets,
+             |  CAST(floor(ev.pxs * 100 + 0.5) AS BIGINT) AS px_sum_c,
+             |  CAST(floor(ev.refs * 100 + 0.5) AS BIGINT) AS ref_sum_c,
+             |  CAST(floor(c.s * 100 + 0.5) AS BIGINT) AS clus_sum_c,
+             |  CAST(floor(h.s * 100 + 0.5) AS BIGINT) AS hits_sum_c
+             |FROM ev JOIN clus c ON ev.l_orderkey = c.l_orderkey
+             |JOIN hits h ON ev.l_orderkey = h.l_orderkey""".stripMargin))
   )
 }
