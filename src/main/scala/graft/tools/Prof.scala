@@ -1,48 +1,28 @@
-// temp profiling main (dev-only)
+// temp profiling main (dev-only): time named queries n times each.
+// Usage: sbt "runMain graft.tools.Prof q59_lsh_neardup q38_corrected_jets"
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 object Prof {
   def main(args: Array[String]): Unit = {
     // Parallelism tracks the machine (or GRAFT_PAR) so timings aren't skewed by
     // core oversubscription on smaller hosts.
     val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val reps = sys.env.getOrElse("GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder().master(s"local[$par]")
       .config("spark.sql.shuffle.partitions", par)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"$name%-24s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
+      println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
     }
     val qs = graft.SparkEntry.queries
-    def q(name: String): Unit = { time(name + "/1")(qs(name)(spark, dir).count())
-      time(name + "/2")(qs(name)(spark, dir).count()) }
     time("warm")(spark.read.parquet(s"$dir/lineitem.parquet").count())
-    // changed paths
-    q("q51_langid")
-    q("q53_ngram_jaccard")
-    q("q54_minhash_lsh")
-    q("q55_simhash")
-    q("q20_jagged_build")
-    q("q21_inner_filter")
-    q("q22_combinations")
-    q("q24_nearest")
-    q("q60_gentree_distinct_parent")
-    q("q61_gentree_children")
-    // stage splits
-    time("nest_only")(graft.core.SchemaBuilder.nestRows(
-      graft.core.Tables.lineitem(spark, dir),
-      key = Seq("l_orderkey"), collection = "items",
-      fields = Seq("l_linenumber", "l_extendedprice", "l_quantity"),
-      sortFields = Seq("l_linenumber", "l_extendedprice")).count())
-    time("shingleRows3")(graft.pipeline.Dedup.shingleRows(
-      graft.core.Tables.documents(spark, dir), "doc_id", "text", 3).count())
-    time("hashRows2_nodist")(graft.pipeline.Dedup.hashRows(
-      graft.core.Tables.documents(spark, dir), "doc_id", "text", 2, distinct = false).count())
+    for (name <- args; r <- 1 to reps)
+      time(s"$name/$r")(qs(name)(spark, dir).count())
     spark.stop()
   }
 }

@@ -1,8 +1,7 @@
-// temp profiling main (dev-only)
+// temp profiling main (dev-only): execute a registered query and print
+// the AQE FINAL plan (stage reuse only shows post-execution).
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.pipeline.Dedup
 object ProfExplain {
   def main(args: Array[String]): Unit = {
     val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
@@ -12,12 +11,15 @@ object ProfExplain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    val docs = graft.core.Tables.documents(spark, dir)
-    val q = Dedup.simhashCandidates(docs, "doc_id", "text", 3)
-    q.count()  // execute so AQE final plan is available
-    println("=== FINAL PLAN ===")
-    println(q.queryExecution.executedPlan.toString.take(12000))
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    for (name <- args) {
+      val q = graft.SparkEntry.queries(name)(spark, dir)
+      // execute THIS plan: q.count() would build a separate QueryExecution
+      // and leave q's adaptive plan in its initial (pre-reuse) state
+      q.queryExecution.executedPlan.execute().count()
+      println(s"=== FINAL PLAN: $name ===")
+      println(q.queryExecution.executedPlan.toString.take(16000))
+    }
     spark.stop()
   }
 }

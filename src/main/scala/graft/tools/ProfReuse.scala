@@ -1,0 +1,53 @@
+// temp dev main: isolate why AQE exchange reuse does not fire on the
+// q59 self-join (UDF vs builtin signature subplans).
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ProfReuse {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def report(name: String, q: org.apache.spark.sql.DataFrame): Unit = {
+      // execute THIS plan (q.count() would build a separate QueryExecution
+      // and leave q's adaptive plan in its initial state)
+      q.queryExecution.executedPlan.execute().count()
+      val s = q.queryExecution.executedPlan.toString
+      val reused = s.contains("ReusedExchange") || s.contains("ReusedQueryStage") ||
+        "TableCacheQueryStage".r.findAllIn(s).size > 0
+      println(s"=== $name: reuse=${s.contains("Reused")} " +
+        s"exchanges=${"Exchange hashpartitioning".r.findAllIn(s).size} " +
+        s"shuffleStages=${"ShuffleQueryStage".r.findAllIn(s).size}")
+    }
+
+    // variant 1: builtin signature (no UDF)
+    val k1 = df.select(col("vec_id").as("id"),
+      posexplode(array(pmod(hash(col("vec_id")), lit(5)),
+        pmod(hash(col("vec_id"), lit(1)), lit(5)))).as(Seq("band", "sig")))
+      .hint("shuffle_hash")
+    report("builtin", k1.as("a").join(k1.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id")))
+
+    // variant 2: UDF signature (q59 shape)
+    val sig = udf { (v: Seq[Float]) => Array(v.length.toLong % 5, v.length.toLong % 3) }
+    val k2 = df.select(col("vec_id").as("id"),
+      posexplode(sig(col("embedding"))).as(Seq("band", "sig")))
+      .hint("shuffle_hash")
+    report("udf", k2.as("a").join(k2.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id")))
+
+    // variant 3: UDF signature without shuffle_hash hint (SMJ)
+    val k3 = df.select(col("vec_id").as("id"),
+      posexplode(sig(col("embedding"))).as(Seq("band", "sig")))
+    report("udf-smj", k3.as("a").join(k3.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id")))
+    spark.stop()
+  }
+}
