@@ -57,6 +57,54 @@ object Multimodal {
     }
   }
 
+  /** REAL backend over a library the JVM ships: javax.imageio decode
+    * (PNG/BMP/GIF/JPEG) → [width, height, meanR, meanG, meanB,
+    * 8-bin luminance histogram] (13 doubles). Proves the
+    * [[InferenceBackend]] seam end-to-end with an actual decoder —
+    * the ImageReader pool is the non-serializable "model handle" a
+    * Triton/ONNX client would own; payloads that don't decode yield
+    * the all-zero vector (the reference wrappers' masked-row rule).
+    *
+    * Scale note: decode is pure per-row CPU on executors — the
+    * partition-mapped batching shape is identical to [[StubBackend]],
+    * so everything measured about the plumbing transfers. */
+  final case class ImageIoBackend() extends InferenceBackend {
+    val dim = 13
+    def open(): Array[Array[Byte]] => Array[Array[Double]] = {
+      // executor-side handle: nothing to pre-load for ImageIO, but the
+      // closure is where a real model session would be created
+      batch => batch.map { payload =>
+        val out = new Array[Double](dim)
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          if (img != null) {
+            val (w, h) = (img.getWidth, img.getHeight)
+            out(0) = w.toDouble; out(1) = h.toDouble
+            var (sr, sg, sb) = (0.0, 0.0, 0.0)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                sr += r; sg += g; sb += b
+                // integer Rec.601 luma, binned to 8
+                out(5 + ((r * 299 + g * 587 + b * 114) / 1000) / 32) += 1.0
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            out(2) = sr / n; out(3) = sg / n; out(4) = sb / n
+            var j = 5
+            while (j < dim) { out(j) /= n; j += 1 }
+          }
+        } catch { case _: java.io.IOException => () } // undecodable → zeros
+        out
+      }
+    }
+  }
+
   /** Attach a binary payload column (here: utf-8 of a text column —
     * stands in for image bytes read from storage). */
   def withBinaryPayload(df: DataFrame, src: Column): DataFrame =

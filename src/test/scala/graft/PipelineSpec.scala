@@ -98,6 +98,33 @@ class PipelineSpec extends AnyFunSuite {
       Seq(2L, 2L, 4L, 4L, 4L, 4L, 4L, 4L, 4L, 4L))
   }
 
+  test("ImageIoBackend decodes real PNG bytes through inferFeatures") {
+    // two real images written by the JDK encoder: 4x2 solid red, 3x3
+    // mid-gray — plus one undecodable payload
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq((1L, png(4, 2, 0xff0000)), (2L, png(3, 3, 0x808080)),
+      (3L, Array[Byte](1, 2, 3)))
+    val df = rows.toDF("doc_id", "payload")
+    val out = Multimodal.inferFeatures(df, "doc_id", Multimodal.ImageIoBackend())
+      .collect().sortBy(_.media_id)
+    val red = out(0).features
+    assert((red(0), red(1)) == (4.0, 2.0))
+    assert((red(2), red(3), red(4)) == (255.0, 0.0, 0.0))
+    assert(red(5 + (255 * 299 / 1000) / 32) == 1.0) // all pixels in one luma bin
+    val gray = out(1).features
+    assert((gray(0), gray(1)) == (3.0, 3.0))
+    assert(gray(2) == 128.0 && gray(3) == 128.0 && gray(4) == 128.0)
+    assert(gray(5 + 128 / 32) == 1.0)
+    assert(out(2).features.forall(_ == 0.0)) // undecodable → zeros
+  }
+
   test("lsh signature buckets identical vectors together") {
     val df = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),
       (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")
