@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.{Jagged, SchemaBuilder, Systematics, Tables}
-import graft.corrections.{BTag, CorrectionLib, Extractor, Rochester}
+import graft.corrections.{BTag, CorrectionLib, DoubleCrystalBall, Extractor, Rochester}
 import graft.lookup.{DenseLookup, FormulaCompiler, RangeMask}
 
 /** Corrections-as-lookups surface (SURVEY §2.9-2.10): dense binned
@@ -341,6 +341,81 @@ object CorrectionsQueries extends QueryPack {
            |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
            |CAST(floor(sum(p_retailprice * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c
            |FROM part GROUP BY p_type""".stripMargin
+      }),
+
+    Query(
+      "q76_rochester_smear",
+      "rochester_lookup kSmearMC (rochester_lookup.py:174-258): stochastic smear for gen-unmatched muons through the per-muon double-Crystal-Ball inverse CDF. The ppf is not SQL-expressible, so the uniform draw is pinned to 5 values and the oracle gets driver-precomputed s*ppf(u) literals per (|eta| bin, nL bin, u index) — DuckDB evaluates the exact numbers the Spark UDF computes, closing the smear path cross-engine.",
+      (s, dir) => {
+        import s.implicits._
+        val q = when($"l_linenumber" % 2 === 0, 1.0).otherwise(-1.0)
+        val pt = $"l_quantity" + 20.0
+        val eta = $"l_discount" * 44.0 - 2.2
+        val phi = $"l_tax" * 75.0 - 3.0
+        val nl = ($"l_quantity" % 20.0).cast("double")
+        val u = ($"l_linenumber" % 5) * 0.2 + 0.1
+        val kSmear = Rochester.kSmearMC(rocT, q, pt, eta, phi, nl, u)
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(kSmear)).as("avg_ksmear_e4"),
+            cents(sum(pt * kSmear)).as("smeared_pt_c"))
+      },
+      Some {
+        import graft.lookup.DenseLookup.{lookup1dSql, lookup2dSql}
+        def m2(v: Seq[Double]) =
+          lookup2dSql("eta", "phi", rocT.etaEdges, rocT.phiEdges, v)
+        def rs(v: Seq[Double]) =
+          lookup2dSql("abs(eta)", "nl", rocT.absEtaEdges, rocT.nlEdges, v)
+        val kd = lookup1dSql("abs(eta)", rocT.kResEdges, rocT.kResData)
+        val km = lookup1dSql("abs(eta)", rocT.kResEdges, rocT.kResMc)
+        // driver-precomputed s*ppf(u) per (|eta| bin e, nL bin l, u idx i):
+        // the exact scalars Rochester.ppfUdf produces for the pinned draw
+        val invcdf = (for {
+          e <- 0 to 1; l <- 0 to 1; i <- 0 to 4
+        } yield {
+          val cell = e * 2 + l
+          val v = rocT.cbS(cell) * DoubleCrystalBall.ppf(
+            i * 0.2 + 0.1, rocT.cbA(cell), rocT.cbN(cell),
+            rocT.cbA(cell), rocT.cbN(cell))
+          s"WHEN ebin = $e AND lbin = $l AND uidx = $i THEN $v"
+        }).mkString("CASE ", " ", " END")
+        s"""WITH m AS (
+           |  SELECT l_returnflag,
+           |    CASE WHEN l_linenumber % 2 = 0 THEN 1.0 ELSE -1.0 END AS q,
+           |    (l_quantity + 20.0) AS pt,
+           |    (l_discount * 44.0 - 2.2) AS eta,
+           |    (l_tax * 75.0 - 3.0) AS phi,
+           |    CAST(l_quantity % 20.0 AS DOUBLE) AS nl,
+           |    CASE WHEN abs(l_discount * 44.0 - 2.2) < ${rocT.absEtaEdges(1)}
+           |      THEN 0 ELSE 1 END AS ebin,
+           |    CASE WHEN CAST(l_quantity % 20.0 AS DOUBLE) < ${rocT.nlEdges(1)}
+           |      THEN 0 ELSE 1 END AS lbin,
+           |    (l_linenumber % 5) AS uidx
+           |  FROM lineitem),
+           |k AS (SELECT l_returnflag, pt,
+           |    (1.0 / (${m2(rocT.mMc)} + q * ${m2(rocT.aMc)} * pt)) AS kmc,
+           |    $kd AS kd, $km AS km,
+           |    ${rs(rocT.rsPars._1)} AS rs0, ${rs(rocT.rsPars._2)} AS rs1,
+           |    ${rs(rocT.rsPars._3)} AS rs2,
+           |    $invcdf AS invcdf
+           |  FROM m),
+           |f AS (SELECT l_returnflag, pt, kmc, kd, km, invcdf,
+           |    (rs0 + rs1 * (kmc * pt - 45.0) +
+           |     rs2 * (kmc * pt - 45.0) * (kmc * pt - 45.0)) AS sigma
+           |  FROM k),
+           |g AS (SELECT l_returnflag, pt, kmc,
+           |    CASE WHEN kd > km
+           |      THEN sqrt(greatest(kd * kd - km * km, 0.0)) * sigma * invcdf
+           |      ELSE 0.0 END AS x
+           |  FROM f),
+           |z AS (SELECT l_returnflag, pt,
+           |    kmc * (CASE WHEN x > -1.0 THEN 1.0 / (1.0 + x) ELSE 1.0 END) AS ks
+           |  FROM g)
+           |SELECT l_returnflag, count(*) AS n,
+           |CAST(floor(avg(ks) * 10000 + 0.5) AS BIGINT) AS avg_ksmear_e4,
+           |CAST(floor(sum(pt * ks) * 100 + 0.5) AS BIGINT) AS smeared_pt_c
+           |FROM z GROUP BY l_returnflag""".stripMargin
       })
   )
 }
