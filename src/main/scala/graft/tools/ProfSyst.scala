@@ -1,0 +1,59 @@
+// temp dev main: systematics fan-out strategies at N variations
+// (SURVEY §4 candidate rule / round-5 VERDICT item 8). Compares:
+//   naive    — N separately-planned scan+agg jobs (the anti-pattern)
+//   wide     — withVariationColumns, one scan, N agg columns
+//   long     — explodeVariations, one scan, variation as a group key
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Systematics
+object ProfSyst {
+  def main(args: Array[String]): Unit = {
+    val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val n = sys.env.getOrElse("GRAFT_NVAR", "10").toInt
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val li = graft.core.Tables.lineitem(spark, dir)
+    // N multiplicative weight variations of a derived quantity
+    val vars: Seq[(String, org.apache.spark.sql.Column)] =
+      (1 to n).map(i => s"var$i" ->
+        ($"l_extendedprice" * (lit(1.0) + lit(i) * 0.01) * (lit(1.0) - $"l_discount")))
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name%-10s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    for (rep <- 1 to 3) {
+      time(s"naive/$rep") {
+        vars.foreach { case (nm, c) =>
+          li.groupBy($"l_returnflag").agg(sum(c).as(nm)).count()
+        }
+      }
+      time(s"wide/$rep") {
+        li.groupBy($"l_returnflag")
+          .agg(sum(vars.head._2).as(vars.head._1),
+            vars.tail.map(v => sum(v._2).as(v._1)): _*)
+          .count()
+      }
+      time(s"long/$rep") {
+        li.select($"l_returnflag", Systematics.explodeVariations(vars).as("v"))
+          .groupBy($"l_returnflag", $"v.variation")
+          .agg(sum($"v.value"))
+          .count()
+      }
+    }
+    // plan audit: the long format must show exactly ONE parquet scan
+    val q = li.select($"l_returnflag", Systematics.explodeVariations(vars).as("v"))
+      .groupBy($"l_returnflag", $"v.variation").agg(sum($"v.value"))
+    q.queryExecution.executedPlan.execute().count()
+    val scans = "FileScan parquet".r
+      .findAllIn(q.queryExecution.executedPlan.toString).size
+    println(s"long-format FileScan count: $scans")
+    spark.stop()
+  }
+}
