@@ -1,0 +1,120 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delphes fast-sim schema pass (reference
+  * `src/coffea/nanoevents/schemas/delphes.py:5-369`): assemble flat
+  * `<Collection>_<Member>` branches into the Delphes event model —
+  *
+  *  - `<Collection>_size` count branches drop (the count is
+  *    `size(Collection)` once zipped — `delphes.py:267-272`);
+  *  - collections zip by prefix with the Delphes mixin table
+  *    (`delphes.py:18-73`: many collection names map to few behavior
+  *    kinds — CaloJet02/GenJet/JetPUPPI/… are all "Jet");
+  *  - scikit-hep/vector aliases per kind (`delphes.py:286-322`):
+  *    Particle/Jet/Track get `pt/eta/phi/mass` from `PT/Eta/Phi/Mass`;
+  *    Photon/Electron/Muon/Tower get `PT`-or-`ET` and a zero mass;
+  *    MissingET gets `rho = MET * cosh(Eta)` (`transforms.py:637-640`)
+  *    plus lowercase eta/phi; Vertex gets `x/y/z/t`;
+  *  - singleton collections (`delphes.py:77-84`: stored as length-1
+  *    vectors) flatten to one struct, hiding the useless nesting.
+  *
+  * Pure plan-level projection — zero shuffles, fully prunable. The
+  * TLorentzVector RecordArray preprocessing (`delphes.py:236-253`) is a
+  * ROOT-serialization concern with no parquet analog; columnar files
+  * carry the components flat, which is the layout this pass consumes.
+  */
+object DelphesSchema {
+
+  /** Collection → behavior kind (reference `delphes.py:18-73`). */
+  val mixins: Map[String, String] = Map(
+    "CaloJet02" -> "Jet", "CaloJet04" -> "Jet", "CaloJet08" -> "Jet",
+    "CaloJet15" -> "Jet", "EFlowNeutralHadron" -> "Tower",
+    "EFlowPhoton" -> "Photon", "EFlowTrack" -> "Track",
+    "Electron" -> "Electron", "ElectronCHS" -> "Electron",
+    "GenJet" -> "Jet", "GenJet02" -> "Jet", "GenJet04" -> "Jet",
+    "GenJet08" -> "Jet", "GenJetAK8" -> "Jet", "GenJet15" -> "Jet",
+    "GenMissingET" -> "MissingET", "GenPileUpMissingET" -> "MissingET",
+    "Jet" -> "Jet", "JetAK8" -> "Jet", "JetPUPPI" -> "Jet",
+    "FatJet" -> "Jet", "JetPUPPIAK8" -> "Jet", "MissingET" -> "MissingET",
+    "PuppiMissingET" -> "MissingET", "Muon" -> "Muon",
+    "MuonTight" -> "Muon", "MuonLoose" -> "Muon",
+    "MuonTightCHS" -> "Muon", "MuonLooseCHS" -> "Muon",
+    "Particle" -> "Particle", "ParticleFlowJet02" -> "Jet",
+    "ParticleFlowJet04" -> "Jet", "ParticleFlowJet08" -> "Jet",
+    "ParticleFlowJet15" -> "Jet", "Photon" -> "Photon",
+    "PhotonCHS" -> "Photon", "Tower" -> "Tower", "Track" -> "Track",
+    "TrackJet02" -> "Jet", "TrackJet04" -> "Jet", "TrackJet08" -> "Jet",
+    "TrackJet15" -> "Jet", "Weight" -> "Weight", "WeightLHEF" -> "WeightLHEF",
+    "Event" -> "Event", "EventLHEF" -> "EventLHEF",
+    "HepMCEvent" -> "HepMCEvent", "LHCOEvent" -> "LHCOEvent",
+    "Rho" -> "Rho", "ScalarHT" -> "ScalarHT", "Vertex" -> "Vertex")
+
+  /** Length-1-vector collections flattened to one struct
+    * (`delphes.py:77-84`). */
+  val singletons: Set[String] = Set("Event", "EventLHEF", "HepMCEvent",
+    "LHCOEvent", "Rho", "ScalarHT", "MissingET")
+
+  private def withFields(coll: Column, st: StructType,
+      extra: Seq[(String, Column => Column)], drop: Set[String] = Set.empty): Column =
+    transform(coll, m => struct(
+      st.fieldNames.filterNot(drop).map(f => m(f).as(f)) ++
+        extra.map { case (n, mk) => mk(m).as(n) }: _*))
+
+  /** Per-kind scikit-hep/vector aliases (`delphes.py:286-322`). Kinds
+    * with no alias rule pass through. Unlike the reference (case-
+    * sensitive awkward keeps `PT` AND `pt`), the source fields are
+    * RENAMED: Spark's default-case-insensitive field resolution would
+    * make a struct with both `PT` and `pt` ambiguous to access. */
+  private def aliased(kind: String, coll: Column, st: StructType): Column = {
+    val names = st.fieldNames.toSet
+    def has(req: String*) = req.forall(names)
+    kind match {
+      case "Particle" | "Jet" | "Track" if has("PT", "Eta", "Phi", "Mass") =>
+        withFields(coll, st, Seq(
+          "pt" -> (_("PT")), "eta" -> (_("Eta")), "phi" -> (_("Phi")),
+          "mass" -> (_("Mass"))), drop = Set("E", "PT", "Eta", "Phi", "Mass"))
+      case "Photon" | "Electron" | "Muon" | "Tower" | "MasslessParticle"
+          if (has("PT") || has("ET")) && has("Eta", "Phi") =>
+        val pt = (m: Column) => if (names("PT")) m("PT") else m("ET")
+        withFields(coll, st, Seq(
+          "pt" -> pt, "eta" -> (_("Eta")), "phi" -> (_("Phi")),
+          "mass" -> (_ => lit(0.0))), drop = Set("E", "PT", "ET", "Eta", "Phi"))
+      case "MissingET" if has("MET", "Eta", "Phi") =>
+        withFields(coll, st, Seq(
+          "rho" -> (m => m("MET") * cosh(m("Eta"))),
+          "eta" -> (_("Eta")), "phi" -> (_("Phi"))), drop = Set("Eta", "Phi"))
+      case "Vertex" if has("X", "Y", "Z", "T") =>
+        withFields(coll, st, Seq(
+          "x" -> (_("X")), "y" -> (_("Y")), "z" -> (_("Z")), "t" -> (_("T"))),
+          drop = Set("X", "Y", "Z", "T"))
+      case _ => coll
+    }
+  }
+
+  /** Full pass: drop `_size` counts → zip with kind tags → vector
+    * aliases → flatten singletons. */
+  def assemble(df: DataFrame): DataFrame = {
+    val collNames = df.columns.collect {
+      case n if n.contains("_") => n.substring(0, n.indexOf('_'))
+    }.toSet
+    val dropped = df.drop(df.columns.filter(n =>
+      n.endsWith("_size") && collNames(n.stripSuffix("_size"))): _*)
+    val zipped = SchemaBuilder.zipCollections(dropped, mixins)
+    val withAliases = zipped.schema.fields.foldLeft(zipped) {
+      case (d, StructField(name, ArrayType(st: StructType, _), _, _))
+          if mixins.contains(name) =>
+        d.withColumn(name, aliased(mixins(name), col(name), st)
+          .as(name, d.schema(name).metadata))
+      case (d, _) => d
+    }
+    withAliases.schema.fields.foldLeft(withAliases) {
+      case (d, StructField(name, ArrayType(_: StructType, _), _, _))
+          if singletons.contains(name) =>
+        d.withColumn(name, element_at(col(name), 1).as(name, d.schema(name).metadata))
+      case (d, _) => d
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft.core
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ProtoDUNE schema pass (reference
+  * `src/coffea/nanoevents/schemas/pdune.py:11-239`): flat
+  * `<top>_<seg>_..._<leafVec>` branches assemble into HIERARCHICAL
+  * per-object records —
+  *
+  *  - a top-object table maps branch prefixes to record names
+  *    (`pdune.py:28-33`: `reco_beam` → RecoBeam, `reco_daughter_allTrack`
+  *    → Tracks, …);
+  *  - remaining underscore segments nest recursively
+  *    (`pdune.py:47-57` `_recursion`: `RecoBeam.calo.startX` becomes a
+  *    sub-record path);
+  *  - sibling leaves `<base>X/Y/Z` group into a `<base>3D {x,y,z}`
+  *    ThreeVector and `<base>Px/Py/Pz/E` into a `<base>4D
+  *    {px,py,pz,energy}` LorentzVector (`pdune.py:93-131`
+  *    `_type_dictionary_builder` + the 3D/4D leaf rewrite at
+  *    `:171-189`; member naming cleaned up — the reference's
+  *    half-finished key munging collides `Px/Py/Pz` onto one key);
+  *  - scalar-branch objects (the beam) become one struct; array-branch
+  *    objects (daughter tracks/showers) become `array<struct>` via a
+  *    single `arrays_zip` + element restructuring.
+  *
+  * Pure plan-level projection — zero shuffles, prunable by Catalyst.
+  */
+object PDUNESchema {
+
+  /** Default top-object table (`pdune.py:28-33`). */
+  val topObjects: ListMap[String, String] = ListMap(
+    "reco_beam" -> "RecoBeam",
+    "reco_daughter_allTrack" -> "Tracks",
+    "reco_daughter_allShower" -> "Showers",
+    "true_beam" -> "TrueBeam")
+
+  /** Record-name → behavior kind (`pdune.py:13-26`). */
+  val mixins: Map[String, String] = Map(
+    "RecoBeam" -> "RecoBeam", "Tracks" -> "Tracks", "Showers" -> "Showers",
+    "TrueBeam" -> "TrueBeam")
+
+  private sealed trait Node
+  private final case class Leaf(colName: String) extends Node
+  private final case class Branch(var children: ListMap[String, Node]) extends Node
+
+  private def insert(root: Branch, path: Seq[String], colName: String): Unit =
+    path match {
+      case Seq(last) => root.children = root.children.updated(last, Leaf(colName))
+      case head +: rest =>
+        val child = root.children.get(head) match {
+          case Some(b: Branch) => b
+          case _ => val b = Branch(ListMap.empty); root.children = root.children.updated(head, b); b
+        }
+        insert(child, rest, colName)
+      case _ => ()
+    }
+
+  /** Rewrite sibling vector leaves: `<base>Px/Py/Pz/E` → `<base>4D`
+    * then `<base>X/Y/Z` → `<base>3D` (4D first — its members are not
+    * uppercase-X/Y/Z suffixed, but a payload with both `startPx` and
+    * `startX` must resolve the 4D quartet before the 3D triplet eats
+    * the shared `startE`-less remainder). */
+  private def groupVectors(b: Branch): Unit = {
+    b.children.valuesIterator.foreach { case c: Branch => groupVectors(c); case _ => () }
+    val names = b.children.keySet
+    val quads = names.collect {
+      case n if n.endsWith("Px") && n.length > 2 => n.dropRight(2)
+    }.filter(p => names(s"${p}Py") && names(s"${p}Pz") && names(s"${p}E") &&
+      Seq(s"${p}Px", s"${p}Py", s"${p}Pz", s"${p}E").forall(b.children(_).isInstanceOf[Leaf]))
+    quads.foreach { p =>
+      val sub = Branch(ListMap(
+        "px" -> b.children(s"${p}Px"), "py" -> b.children(s"${p}Py"),
+        "pz" -> b.children(s"${p}Pz"), "energy" -> b.children(s"${p}E")))
+      b.children = (b.children -- Seq(s"${p}Px", s"${p}Py", s"${p}Pz", s"${p}E"))
+        .updated(s"${p}4D", sub)
+    }
+    val names2 = b.children.keySet
+    val triples = names2.collect {
+      case n if n.endsWith("X") && n.length > 1 => n.dropRight(1)
+    }.filter(p => names2(s"${p}Y") && names2(s"${p}Z") &&
+      Seq(s"${p}X", s"${p}Y", s"${p}Z").forall(b.children(_).isInstanceOf[Leaf]))
+    triples.foreach { p =>
+      val sub = Branch(ListMap(
+        "x" -> b.children(s"${p}X"), "y" -> b.children(s"${p}Y"),
+        "z" -> b.children(s"${p}Z")))
+      b.children = (b.children -- Seq(s"${p}X", s"${p}Y", s"${p}Z"))
+        .updated(s"${p}3D", sub)
+    }
+  }
+
+  private def leaves(n: Node): Seq[String] = n match {
+    case Leaf(c) => Seq(c)
+    case b: Branch => b.children.valuesIterator.flatMap(leaves).toSeq
+  }
+
+  private def build(n: Node, get: String => Column): Column = n match {
+    case Leaf(c) => get(c)
+    case b: Branch => struct(b.children.toSeq.map {
+      case (name, child) => build(child, get).as(name)
+    }: _*)
+  }
+
+  /** Full pass: group each top-object's branches, nest segments, fold
+    * vector leaves, zip. Branches under no top object pass through. */
+  def assemble(df: DataFrame,
+      tops: ListMap[String, String] = topObjects,
+      kinds: Map[String, String] = mixins): DataFrame = {
+    // longest prefix wins (reco_daughter_allTrack before reco_beam-style overlaps)
+    val byLen = tops.toSeq.sortBy(-_._1.length)
+    val assigned: Seq[(String, String, Seq[String])] = df.columns.toSeq.flatMap { c =>
+      byLen.collectFirst {
+        case (prefix, obj) if c.startsWith(prefix + "_") =>
+          (obj, c, c.stripPrefix(prefix + "_").split('_').toSeq)
+      }
+    }
+    val consumed = assigned.map(_._2).toSet
+    val objCols: Seq[(String, Column)] = assigned.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (obj, cols) =>
+        val root = Branch(ListMap.empty)
+        cols.foreach { case (_, colName, path) => insert(root, path, colName) }
+        groupVectors(root)
+        val ls = leaves(root)
+        val arrayLeaves = ls.filter(l => df.schema(l).dataType.isInstanceOf[ArrayType])
+        require(arrayLeaves.isEmpty || arrayLeaves.size == ls.size,
+          s"$obj mixes array and scalar branches: ${ls.mkString(",")}")
+        val c =
+          if (arrayLeaves.isEmpty) build(root, col)
+          else transform(arrays_zip(ls.map(l => col(l).as(l)): _*),
+            m => build(root, l => m(l)))
+        obj -> c
+      }
+    val out = df.select(
+      df.columns.filterNot(consumed).map(col).toSeq ++
+        objCols.map { case (n, c) => c.as(n) }: _*)
+    objCols.foldLeft(out) { case (d, (n, _)) =>
+      kinds.get(n).fold(d)(k => Mixins.tag(d, n, k))
+    }
+  }
+}

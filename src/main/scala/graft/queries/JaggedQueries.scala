@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
-import graft.core.{Combinatorics, EDM4HEPSchema, ElementLink, Jagged, Kinematics, NanoAODPresets, SchemaBuilder, Tables}
+import graft.core.{Combinatorics, DelphesSchema, EDM4HEPSchema, ElementLink, Jagged, Kinematics, NanoAODPresets, PDUNESchema, SchemaBuilder, Tables}
 
 /** The coffea-semantics core exercised on the star schema: build jagged
   * event records (order → items, user → events), then run the intra-event
@@ -549,6 +549,127 @@ object JaggedQueries extends QueryPack {
              |  CAST(floor(c.s * 100 + 0.5) AS BIGINT) AS clus_sum_c,
              |  CAST(floor(h.s * 100 + 0.5) AS BIGINT) AS hits_sum_c
              |FROM ev JOIN clus c ON ev.l_orderkey = c.l_orderkey
-             |JOIN hits h ON ev.l_orderkey = h.l_orderkey""".stripMargin))
+             |JOIN hits h ON ev.l_orderkey = h.l_orderkey""".stripMargin)),
+
+    Query(
+      "q77_delphes_schema",
+      "DelphesSchema pass (schemas/delphes.py:5-369): <Coll>_size count branches drop, collections zip with the Delphes mixin table, vector aliases land per kind (Jet pt/eta/phi/mass from PT/Eta/Phi/Mass with E dropped; Muon pt falls back to ET with zero mass; MissingET rho = MET*cosh(Eta)), and length-1-vector singletons flatten to one struct — all per-row projection, zero shuffle beyond the fixture nest.",
+      (s, dir) => {
+        import s.implicits._
+        val nested = ordersNested(s, dir,
+          Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+        val flat = nested.select(
+          $"l_orderkey".as("event"),
+          // PT/Mass keep the source's 2-decimal scale: a finer scale
+          // (price/100, qty*0.1) makes cents() land exactly on .5
+          // floor boundaries where Spark/DuckDB fp noise flips the bit
+          transform($"items", _("l_extendedprice")).as("Jet_PT"),
+          transform($"items", it => it("l_quantity") / 25.0 - 1.0).as("Jet_Eta"),
+          transform($"items", it => (it("l_linenumber") % 7).cast("double")).as("Jet_Phi"),
+          transform($"items", _("l_quantity")).as("Jet_Mass"),
+          transform($"items", _("l_quantity")).as("Jet_E"),
+          size($"items").as("Jet_size"),
+          transform($"items", it => it("l_quantity") + 5.0).as("Muon_ET"),
+          transform($"items", it => it("l_quantity") / 50.0).as("Muon_Eta"),
+          transform($"items", it => (it("l_linenumber") % 3).cast("double")).as("Muon_Phi"),
+          array(aggregate($"items", lit(0.0), (a, it) =>
+            a + it("l_quantity"))).as("MissingET_MET"),
+          array(lit(1.1)).as("MissingET_Eta"),
+          array(lit(0.5)).as("MissingET_Phi"),
+          array(aggregate($"items", lit(0.0), (a, it) =>
+            a + it("l_extendedprice"))).as("ScalarHT_HT"))
+        val ev = DelphesSchema.assemble(flat)
+        ev.select(
+          $"event".as("l_orderkey"),
+          size($"Jet").cast("long").as("n_jets"),
+          cents(aggregate($"Jet", lit(0.0), (a, j) => a + j("pt"))).as("jet_pt_c"),
+          cents(aggregate($"Jet", lit(0.0), (a, j) => a + j("mass"))).as("jet_mass_c"),
+          cents(aggregate($"Muon", lit(0.0), (a, m) =>
+            a + m("pt") + m("mass"))).as("muon_pt_c"),
+          e4($"MissingET.rho").as("met_rho_e4"),
+          cents($"ScalarHT.HT").as("ht_c"))
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_jets,
+             |CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS jet_pt_c,
+             |CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS jet_mass_c,
+             |CAST(floor(sum(l_quantity + 5.0) * 100 + 0.5) AS BIGINT) AS muon_pt_c,
+             |CAST(floor(sum(l_quantity) * ((exp(1.1) + exp(-1.1)) / 2.0) * 10000 + 0.5) AS BIGINT) AS met_rho_e4,
+             |CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS ht_c
+             |FROM lineitem GROUP BY l_orderkey""".stripMargin)),
+
+    Query(
+      "q78_pdune_schema",
+      "PDUNESchema hierarchical pass (schemas/pdune.py:11-239): reco_beam_* scalar branches nest into one RecoBeam record with startX/Y/Z folded into a start3D ThreeVector; reco_daughter_allTrack_* array branches zip into Tracks with startPx/Py/Pz/E folded into a start4D LorentzVector — multi-level record assembly as pure projection, zero shuffle beyond the fixture nest.",
+      (s, dir) => {
+        import s.implicits._
+        val nested = ordersNested(s, dir,
+          Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+        val flat = nested.select(
+          $"l_orderkey".as("event"),
+          element_at($"items", 1)("l_quantity").as("reco_beam_startX"),
+          size($"items").cast("double").as("reco_beam_startY"),
+          aggregate($"items", lit(0.0), (a, it) =>
+            a + it("l_quantity")).as("reco_beam_startZ"),
+          element_at($"items", -1)("l_quantity").as("reco_beam_endX"),
+          (size($"items") * 2).cast("double").as("reco_beam_endY"),
+          aggregate($"items", lit(0.0), (a, it) =>
+            a + it("l_extendedprice") / 100.0).as("reco_beam_endZ"),
+          aggregate($"items", lit(0.0), (a, it) =>
+            a + it("l_quantity") * 0.5).as("reco_beam_len"),
+          transform($"items", _("l_quantity")).as("reco_daughter_allTrack_startPx"),
+          transform($"items", it => it("l_quantity") * 0.5).as("reco_daughter_allTrack_startPy"),
+          transform($"items", it => it("l_quantity") * 0.25).as("reco_daughter_allTrack_startPz"),
+          transform($"items", it => it("l_quantity") * 2.0).as("reco_daughter_allTrack_startE"),
+          transform($"items", _("l_linenumber")).as("reco_daughter_allTrack_ID"))
+        val ev = PDUNESchema.assemble(flat)
+        val d3 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          sqrt((a("x") - b("x")) * (a("x") - b("x")) +
+            (a("y") - b("y")) * (a("y") - b("y")) +
+            (a("z") - b("z")) * (a("z") - b("z")))
+        ev.select(
+          $"event".as("l_orderkey"),
+          cents($"RecoBeam.len").as("beam_len_c"),
+          cents(d3($"RecoBeam.end3D", $"RecoBeam.start3D")).as("beam_disp_c"),
+          size($"Tracks").cast("long").as("n_tracks"),
+          cents(aggregate($"Tracks", lit(0.0), (a, t) =>
+            a + sqrt(t("start4D")("px") * t("start4D")("px") +
+              t("start4D")("py") * t("start4D")("py") +
+              t("start4D")("pz") * t("start4D")("pz")))).as("trk_p_c"),
+          cents(aggregate($"Tracks", lit(0.0), (a, t) =>
+            a + t("start4D")("energy"))).as("trk_e_c"),
+          aggregate($"Tracks", lit(0L), (a, t) =>
+            a + t("ID").cast("bigint")).as("id_sum"))
+      },
+      Some("""WITH it AS (
+             |  SELECT l_orderkey, l_quantity, l_extendedprice, l_linenumber,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_linenumber, l_extendedprice) AS rn,
+             |    count(*) OVER (PARTITION BY l_orderkey) AS n
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT l_orderkey,
+             |    max(CASE WHEN rn = 1 THEN l_quantity END) AS sx,
+             |    CAST(max(n) AS DOUBLE) AS sy,
+             |    sum(l_quantity) AS sz,
+             |    max(CASE WHEN rn = n THEN l_quantity END) AS ex,
+             |    CAST(max(n) * 2 AS DOUBLE) AS ey,
+             |    sum(l_extendedprice / 100.0) AS ez,
+             |    sum(l_quantity * 0.5) AS len,
+             |    CAST(count(*) AS BIGINT) AS n_tracks,
+             |    sum(sqrt(l_quantity * l_quantity +
+             |      (l_quantity * 0.5) * (l_quantity * 0.5) +
+             |      (l_quantity * 0.25) * (l_quantity * 0.25))) AS trk_p,
+             |    sum(l_quantity * 2.0) AS trk_e,
+             |    CAST(sum(l_linenumber) AS BIGINT) AS id_sum
+             |  FROM it GROUP BY 1)
+             |SELECT l_orderkey,
+             |CAST(floor(len * 100 + 0.5) AS BIGINT) AS beam_len_c,
+             |CAST(floor(sqrt((ex - sx) * (ex - sx) + (ey - sy) * (ey - sy) +
+             |  (ez - sz) * (ez - sz)) * 100 + 0.5) AS BIGINT) AS beam_disp_c,
+             |n_tracks,
+             |CAST(floor(trk_p * 100 + 0.5) AS BIGINT) AS trk_p_c,
+             |CAST(floor(trk_e * 100 + 0.5) AS BIGINT) AS trk_e_c,
+             |id_sum
+             |FROM b""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.core.{Combinatorics, CoordinateAliases, Jagged, Kinematics, SchemaBuilder}
+import graft.core.{Combinatorics, CoordinateAliases, DelphesSchema, Jagged, Kinematics, PDUNESchema, SchemaBuilder}
 
 /** Closed-form unit checks on the jagged/kinematics core, mirroring the
   * reference's inline golden assertions (tests/test_nanoevents_vector.py,
@@ -368,5 +368,64 @@ class CoreSpec extends AnyFunSuite {
       Map("Jet_constituents" -> (("nMissing", "JetPFCands")),
         "FatJet_constituents" -> (("nConstituents", "Nope"))))
     assert(skipped.schema == df.schema)
+  }
+
+  test("DelphesSchema: size drop, per-kind aliases, ET fallback, singleton flatten") {
+    val df = Seq(1).toDF("x").select(
+      lit(42L).as("event"),
+      array(lit(10.0), lit(20.0)).as("Jet_PT"),
+      array(lit(0.5), lit(-0.5)).as("Jet_Eta"),
+      array(lit(1.0), lit(2.0)).as("Jet_Phi"),
+      array(lit(3.0), lit(4.0)).as("Jet_Mass"),
+      array(lit(99.0), lit(98.0)).as("Jet_E"),
+      lit(2).as("Jet_size"),
+      array(lit(7.0)).as("Tower_ET"),
+      array(lit(0.1)).as("Tower_Eta"),
+      array(lit(0.2)).as("Tower_Phi"),
+      array(lit(100.0)).as("MissingET_MET"),
+      array(lit(0.0)).as("MissingET_Eta"),
+      array(lit(0.3)).as("MissingET_Phi")).drop("x")
+    val ev = DelphesSchema.assemble(df)
+    assert(!ev.columns.contains("Jet_size"))
+    val jetFields = ev.schema("Jet").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(jetFields == Set("pt", "eta", "phi", "mass")) // renamed, E dropped
+    val r = ev.select(
+      element_at(col("Jet"), 1)("pt"), element_at(col("Jet"), 2)("mass"),
+      element_at(col("Tower"), 1)("pt"), element_at(col("Tower"), 1)("mass"),
+      col("MissingET.rho"), col("event")).head()
+    assert(r.getDouble(0) == 10.0 && r.getDouble(1) == 4.0)
+    assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 0.0) // ET fallback + zero mass
+    assert(r.getDouble(4) == 100.0 * math.cosh(0.0)) // singleton flattened, rho
+    assert(r.getLong(5) == 42L) // passthrough
+    assert(graft.core.Mixins.kindOf(ev, "Jet").contains("Jet"))
+  }
+
+  test("PDUNESchema: hierarchical nesting, 3D/4D vector folds, mixed-type guard") {
+    val df = Seq(1).toDF("x").select(
+      lit(7L).as("run"),
+      lit(1.0).as("reco_beam_startX"), lit(2.0).as("reco_beam_startY"),
+      lit(3.0).as("reco_beam_startZ"), lit(9.0).as("reco_beam_len"),
+      lit(0.5).as("reco_beam_calo_endX"), lit(0.6).as("reco_beam_calo_endY"),
+      lit(0.7).as("reco_beam_calo_endZ"),
+      array(lit(1.0), lit(2.0)).as("reco_daughter_allTrack_startPx"),
+      array(lit(3.0), lit(4.0)).as("reco_daughter_allTrack_startPy"),
+      array(lit(5.0), lit(6.0)).as("reco_daughter_allTrack_startPz"),
+      array(lit(7.0), lit(8.0)).as("reco_daughter_allTrack_startE"),
+      array(lit(11), lit(12)).as("reco_daughter_allTrack_ID")).drop("x")
+    val ev = PDUNESchema.assemble(df)
+    val r = ev.select(
+      col("RecoBeam.start3D.x"), col("RecoBeam.start3D.z"),
+      col("RecoBeam.len"), col("RecoBeam.calo.end3D.y"),
+      element_at(col("Tracks"), 2)("start4D")("energy"),
+      element_at(col("Tracks"), 1)("ID"), col("run")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 9.0 && r.getDouble(3) == 0.6)
+    assert(r.getDouble(4) == 8.0 && r.getInt(5) == 11 && r.getLong(6) == 7L)
+    assert(graft.core.Mixins.kindOf(ev, "Tracks").contains("Tracks"))
+    // an object mixing scalar and array branches fails fast
+    val bad = df.withColumn("reco_beam_hits", array(lit(1.0)))
+    assertThrows[IllegalArgumentException](PDUNESchema.assemble(bad))
   }
 }
