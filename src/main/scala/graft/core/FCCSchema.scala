@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** FCC schema preset (reference `src/coffea/nanoevents/schemas/fcc.py:34-676`):
+  * the FCC event model is the EDM4HEP assembly plus a pinned set of
+  * Monte-Carlo relations — `Particle.parents` / `Particle.daughters`
+  * resolve THROUGH the `Particle#0` / `Particle#1` ObjectID index
+  * collections (`fcc.py:116` `mc_relations`; the `#`-suffixed ROOT
+  * names arrive in parquet as `ParticleIdx0`/`ParticleIdx1`).
+  *
+  * One call bundles: momentum renames (`fcc.py:80-86`), collection zip,
+  * component-triplet nesting (`fcc.py:96-100` momentumAtEndpoint &c. —
+  * [[EDM4HEPSchema.nestComponents]] folds any `f.x/f.y/f.z`), direct
+  * `(begin,end)` ranges, and the mc-relations via-dispatch
+  * ([[EDM4HEPSchema.resolveRangesVia]], oracle-covered by q75's hits
+  * path). Pure plan-level projection — zero shuffles.
+  */
+object FCCSchema {
+
+  /** `fcc.py:116`: parents/daughters routed through the ObjectID index
+    * collections (`Particle#0.index` / `Particle#1.index`). */
+  val mcRelations: Map[String, (String, String, String)] = Map(
+    "Particle_parents" -> (("ParticleIdx0", "index", "Particle")),
+    "Particle_daughters" -> (("ParticleIdx1", "index", "Particle")))
+
+  /** Full FCC pass. `ranges` declares direct `(begin,end)` adjacencies
+    * (e.g. `"Jet_clusters" -> "Cluster"`); `via` defaults to the FCC
+    * mc-relations and accepts experiment overrides. */
+  def assemble(df: DataFrame,
+      ranges: Map[String, String] = Map.empty,
+      via: Map[String, (String, String, String)] = mcRelations,
+      mixins: Map[String, String] = Map.empty): DataFrame =
+    EDM4HEPSchema.resolveRangesVia(
+      EDM4HEPSchema.resolveRanges(
+        EDM4HEPSchema.assemble(df, mixins), ranges), via)
+}

@@ -370,6 +370,37 @@ class CoreSpec extends AnyFunSuite {
     assert(skipped.schema == df.schema)
   }
 
+  test("FCCSchema preset resolves mc parents/daughters through ObjectID collections") {
+    // 1 event, 3 particles; parents/daughters blocks route through the
+    // ParticleIdx0/1 index collections (FCC mc_relations): particle 1's
+    // parent block [0,1) -> ParticleIdx0[0] = 0 -> Particle 0; its
+    // daughter block [0,2) -> ParticleIdx1[0,1] = [2, 0]
+    val df = Seq(1).toDF("x").select(
+      array(lit(11), lit(22), lit(33)).as("Particle_PDG"),
+      array(lit(1.0), lit(2.0), lit(3.0)).as("Particle_momentum_x"),
+      array(lit(0.0), lit(0.0), lit(0.0)).as("Particle_momentum_y"),
+      array(lit(0.0), lit(0.0), lit(0.0)).as("Particle_momentum_z"),
+      array(lit(5.0), lit(6.0), lit(7.0)).as("Particle_energy"),
+      array(lit(0), lit(0), lit(1)).as("Particle_parents_begin"),
+      array(lit(0), lit(1), lit(2)).as("Particle_parents_end"),
+      array(lit(0), lit(0), lit(2)).as("Particle_daughters_begin"),
+      array(lit(0), lit(2), lit(2)).as("Particle_daughters_end"),
+      array(lit(0), lit(1)).as("ParticleIdx0_index"),
+      array(lit(2), lit(0)).as("ParticleIdx1_index")).drop("x")
+    val ev = graft.core.FCCSchema.assemble(df)
+    val p1 = ev.select(element_at(col("Particle"), 2).as("p")).select(
+      col("p.px"), col("p.E"),
+      transform(col("p.parents"), _("PDG")),
+      transform(col("p.daughters"), _("PDG"))).head()
+    assert(p1.getDouble(0) == 2.0 && p1.getDouble(1) == 6.0) // momentum renamed
+    assert(p1.getSeq[Int](2) == Seq(11)) // parent via Idx0[0]=0
+    assert(p1.getSeq[Int](3) == Seq(33, 11)) // daughters via Idx1=[2,0]
+    // particle 0 has empty blocks
+    val p0 = ev.select(element_at(col("Particle"), 1).as("p"))
+      .select(size(col("p.parents")), size(col("p.daughters"))).head()
+    assert(p0.getInt(0) == 0 && p0.getInt(1) == 0)
+  }
+
   test("DelphesSchema: size drop, per-kind aliases, ET fallback, singleton flatten") {
     val df = Seq(1).toDF("x").select(
       lit(42L).as("event"),
