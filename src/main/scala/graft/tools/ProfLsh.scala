@@ -1,0 +1,35 @@
+// temp dev main: break q59 (cosineCandidates) into stage timings.
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+object ProfLsh {
+  def main(args: Array[String]): Unit = {
+    val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    println(s"embeddings rows=${emb.count()} dim=${emb.selectExpr("size(embedding)").head.getInt(0)}")
+    def time(name: String)(f: => Long): Unit = {
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime(); val n = f
+        println(f"$name/$r%-24s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
+      }
+    }
+    // stage 1: signatures only (map-only UDF + explode)
+    time("signatures") {
+      Similarity.lshBuckets(emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", 4, 48, 64).count()
+    }
+    // stage 2: + self-join + distinct (blocking)
+    time("full") {
+      Similarity.cosineCandidates(emb, "vec_id", "embedding",
+        dim = 64, bitsPerBand = 4, bands = 48, minCosE6 = 450000L).count()
+    }
+    spark.stop()
+  }
+}
