@@ -78,6 +78,112 @@ object Similarity {
         col("e.id").as("nn_id"), col("e.score").as("cos_e6"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the trained-coarse-quantizer
+    * scale path beside [[lshBuckets]]' training-free one:
+    *
+    *  1. quantizer: `nCells` spherical centroids — a deterministic
+    *     hash-ordered sample of the corpus (ONE bounded collect of
+    *     nCells rows), refined by `lloydIters` spherical-Lloyd steps
+    *     computed ON the cluster (assign → per-(cell,dim) mean via
+    *     posexplode → bounded nCells×dim collect). Centroids are plan
+    *     literals inside the assignment UDF — no join, no broadcast
+    *     variable plumbing.
+    *  2. assignment: map-only argmax-cosine per corpus row → `cell`.
+    *  3. probe: each query explodes to its `nProbe` nearest cells.
+    *  4. search: equality join on cell against the BROADCAST probe
+    *     table, exact quantized cosine, [[graft.functions.TopKAgg]]
+    *     bounded-heap per query — shuffle is k×partitions rows per
+    *     query, never corpus rows.
+    *
+    * At `nProbe = nCells` the result is EXACTLY [[bruteForceTopK]]
+    * (every cell probed; identical ranking) — the oracle-checkable
+    * configuration. `nProbe < nCells` trades recall for a
+    * 1/nCells-per-probe scan fraction: a neighbor is missed iff its
+    * cell is outside the query's probe set (recall measured in
+    * PipelineSpec on a separated corpus). At 100 TB the corpus is
+    * written partitioned by `cell` once (step 2 is a map-only column —
+    * bucketing key), so each query reads only nProbe/nCells of the
+    * data: that scan pruning is the entire point of IVF. */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nCells: Int, nProbe: Int,
+      seed: Long = 42L, lloydIters: Int = 1): DataFrame = {
+    require(nCells > 0 && nProbe > 0 && nProbe <= nCells,
+      s"need 0 < nProbe <= nCells (got nProbe=$nProbe nCells=$nCells)")
+    val c0 = corpus.select(col(idCol).cast("long").as("nn_id"),
+      widen(col(vecCol)).as("v"), norm(col(vecCol)).as("vn"))
+    def normalized(rows: Array[(Array[Double], Long)]): Array[Array[Double]] =
+      rows.map { case (v, _) => v }.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    // deterministic seeded sample: ONE job, nCells rows
+    var centroids = normalized(
+      c0.orderBy(xxhash64(col("nn_id"), lit(seed)), col("nn_id"))
+        .limit(nCells).select(col("v"), col("nn_id")).collect()
+        .map(r => (r.getSeq[Double](0).toArray, r.getLong(1))))
+    def assignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      val n = math.sqrt(v.map(x => x * x).sum)
+      var ci = 0
+      while (ci < cents.length) {
+        val cv = cents(ci)
+        var s = 0.0; var i = 0
+        val d = math.min(v.length, cv.length)
+        while (i < d) { s += v(i) * cv(i); i += 1 }
+        if (n > 0) s /= n
+        if (s > bestDot) { bestDot = s; best = ci }
+        ci += 1
+      }
+      best
+    }
+    // spherical Lloyd refinement on the cluster; per-(cell,dim) means
+    // come back as nCells x dim rows (bounded), empty cells keep their
+    // previous centroid
+    for (_ <- 1 to lloydIters) {
+      val cents = centroids
+      val means = c0
+        .select(assignUdf(cents)(col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+        byCell.get(ci).fold(old) { rows =>
+          val m = old.clone()
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) old else m.map(_ / n)
+        }
+      }
+    }
+    val cents = centroids
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      cents.indices.map { ci =>
+        val cv = cents(ci)
+        var s = 0.0; var i = 0
+        val d = math.min(v.length, cv.length)
+        while (i < d) { s += v(i) * cv(i); i += 1 }
+        (if (n > 0) s / n else s, ci)
+      }.sortBy { case (s, ci) => (-s, ci) }.take(nProbe).map(_._2).toArray
+    }
+    val assigned = c0.withColumn("cell", assignUdf(cents)(col("v")))
+    val probes = queries.select(col(qIdCol).cast("long").as("query_id"),
+        widen(col(qVecCol)).as("qv"), norm(col(qVecCol)).as("qn"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(probeUdf(col("qv"))).as("cell"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cos_e6",
+        floor(dot(col("qv"), col("v")) / (col("qn") * col("vn")) * 1e6 + 0.5).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg(col("cos_e6"), col("nn_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nn_id"), col("e.score").as("cos_e6"))
+  }
+
   /** All-pairs cosine above a threshold (quantized to e6), emitted as
     * (id_a, id_b, cos_e6) with id_a < id_b — SMALL-CORPUS exact path.
     *

@@ -193,6 +193,31 @@ object PipelineQueries extends QueryPack {
              |FROM r QUALIFY rk <= 5""".stripMargin)),
 
     Query(
+      "q79_ivf_topk",
+      "IVF ANN top-k: spherical k-means coarse quantizer (deterministic seeded init + one cluster-side Lloyd step, centroids as plan literals), map-only cell assignment, per-query nProbe cell probing, bounded-heap TopKAgg merge. Probing ALL cells here makes the result exactly brute force (the oracle-checkable configuration); nProbe < nCells is the documented recall/scan-fraction knob (PipelineSpec).",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(
+          corpus = emb, idCol = "vec_id", vecCol = "embedding",
+          queries = emb.filter($"vec_id" < 6), qIdCol = "vec_id", qVecCol = "embedding",
+          k = 7, nCells = 8, nProbe = 8)
+      },
+      Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+             |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+             |d AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+             |      sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dt
+             |      FROM embeddings q, embeddings c, generate_series(1, 64) g(i)
+             |      WHERE q.vec_id < 6 AND c.vec_id != q.vec_id
+             |      GROUP BY 1, 2),
+             |r AS (SELECT query_id, nn_id,
+             |      CAST(floor(dt / (nq.nrm * nc.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+             |      FROM d JOIN n nq ON query_id = nq.vec_id JOIN n nc ON nn_id = nc.vec_id)
+             |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, nn_id) AS BIGINT) AS rk,
+             |       nn_id, cos_e6
+             |FROM r QUALIFY rk <= 7""".stripMargin)),
+
+    Query(
       "q57_cosine_neardup",
       "Embedding-cosine near-dup pairs (threshold 0.45), small-corpus exact path: broadcast all-pairs behind a row-count guard. q59 runs the same contract through the scale path (LSH blocking, no driver collect).",
       (s, dir) => Similarity.cosinePairs(

@@ -30,6 +30,12 @@ object ProfLsh {
       Similarity.cosineCandidates(emb, "vec_id", "embedding",
         dim = 64, bitsPerBand = 4, bands = 48, minCosE6 = 450000L).count()
     }
+    // NOTE (measured, do not "optimize" this away): deferring the
+    // pair-distinct until after the verify filter is ~10x SLOWER —
+    // without it the two verify joins materialize the dim x 8-byte
+    // vectors for every duplicate band collision (~3x the distinct
+    // pair count here), and that row width dwarfs the saved exchange.
+    // The pre-verify distinct is load-bearing.
     spark.stop()
   }
 }

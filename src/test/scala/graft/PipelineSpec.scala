@@ -98,6 +98,36 @@ class PipelineSpec extends AnyFunSuite {
       Seq(2L, 2L, 4L, 4L, 4L, 4L, 4L, 4L, 4L, 4L))
   }
 
+  test("ivfTopK: full probe is exactly brute force; nProbe=1 prunes to the query's cluster") {
+    // two well-separated clusters along axes 0 and 1 (32-dim)
+    def vec(axis: Int, jitterAxis: Int, jitter: Float): Seq[Float] = {
+      val a = Array.fill(32)(0.0f); a(axis) = 1.0f; a(jitterAxis) = jitter; a.toSeq
+    }
+    val rows =
+      (0L to 4L).map(i => (i, vec(0, 5 + i.toInt, 0.1f * (i + 1)))) ++
+        (10L to 14L).map(i => (i, vec(1, 5 + i.toInt % 5, 0.1f * (i - 9))))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0L || $"vec_id" === 10L)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // nProbe = nCells: identical to brute force
+    val full = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nCells = 4, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full == brute)
+    // nProbe = 1 with separated clusters: each query's neighbors all come
+    // from its own cluster and match brute force (the pruned scan loses
+    // nothing when the quantizer separates the data)
+    val pruned = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nCells = 2, nProbe = 1,
+      lloydIters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pruned == brute)
+    val cluster0 = (0L to 4L).toSet
+    pruned.filter(_._1 == 0L).foreach(r => assert(cluster0.contains(r._3)))
+  }
+
   test("ImageIoBackend decodes real PNG bytes through inferFeatures") {
     // two real images written by the JDK encoder: 4x2 solid red, 3x3
     // mid-gray — plus one undecodable payload
