@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a candidate-pair edge list, and the dedup
+  * cluster resolution built on it (component → keep one canonical doc).
+  *
+  * This is the end cap of the near-dup suite: [[Dedup]] /
+  * [[Similarity]] emit verified candidate PAIRS (q53–q57, q59); turning
+  * pairs into per-document keep/drop decisions needs the transitive
+  * closure — "A≈B and B≈C" must drop two of {A,B,C} even when (A,C)
+  * itself never passed the verifier.
+  *
+  * Algorithm: the alternating large-star / small-star map-reduce
+  * rounds of Kiveris et al., "Connected Components in MapReduce and
+  * Beyond" (SoCC'14) — the same algorithm GraphFrames ships — rather
+  * than naive min-label propagation:
+  *
+  *  - large-star: per node u, hook every LARGER neighbor to the
+  *    minimum m of Γ(u) ∪ {u};
+  *  - small-star: per node u, hook every smaller-or-equal neighbor
+  *    (and u itself) to that minimum.
+  *
+  * Both steps are a groupBy-min plus a re-join — pure keyed shuffles on
+  * 16-byte edges, no driver materialization — and the alternation
+  * converges in O(log n) rounds even on path graphs, where plain label
+  * propagation needs O(diameter) = O(n). Each round localCheckpoints
+  * the shrinking edge set (lineage truncation — iterative DataFrame
+  * algorithms otherwise accumulate one plan tree per round); on a real
+  * cluster with executor loss concerns, set a reliable checkpoint dir
+  * and swap `localCheckpoint` for `checkpoint`.
+  *
+  * Convergence is detected by SET EQUALITY with the previous round
+  * (count + anti-join emptiness on the canonicalized edge set) — not a
+  * hashed proxy, so a collision can never end the loop early with a
+  * wrong answer. At the fixpoint the edge set IS the component map:
+  * every edge points directly at its component's minimum id.
+  */
+object Components {
+
+  /** (node, comp) for every node appearing in `edges`; `comp` is the
+    * smallest node id in the component. Self-loops are dropped; edge
+    * direction and duplicates are irrelevant. Nodes with no edge do
+    * not appear (their component is trivially themselves — see
+    * [[resolveDuplicates]] for the left-join that restores them). */
+  def connectedComponents(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    // canonical orientation: (x, p) with p < x ("node → smaller parent")
+    var cur = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(greatest(col("a"), col("b")).as("x"), least(col("a"), col("b")).as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged && rounds < maxRounds) {
+      // large-star over the symmetric neighborhood: m = min(Γ(u) ∪ {u}),
+      // emit (v, m) for the strictly larger neighbors v
+      val sym = cur.select(col("x").as("u"), col("p").as("v"))
+        .union(cur.select(col("p").as("u"), col("x").as("v")))
+      val lmin = sym.groupBy("u")
+        .agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("p"))
+        .distinct()
+      // small-star on the canonical orientation (all parents < x):
+      // m = min(Γ(x)), re-hook the other parents and x itself to m
+      val smin = large.groupBy("x").agg(min("p").as("m"))
+      val next = large.join(smin, "x").filter(col("p") =!= col("m"))
+        .select(col("p").as("x"), col("m").as("p"))
+        .union(smin.select(col("x"), col("m").as("p")))
+        .distinct()
+        .localCheckpoint(true)
+      // set equality: same count and no edge of next outside cur
+      converged = next.count() == cur.count() &&
+        next.join(cur, Seq("x", "p"), "left_anti").isEmpty
+      cur.unpersist(false)
+      cur = next
+      rounds += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // fixpoint edges are (node → component min); centers map to themselves
+    cur.select(col("x").as("node"), col("p").as("comp"))
+      .union(cur.select(col("p").as("node"), col("p").as("comp")))
+      .distinct()
+  }
+
+  /** Per-document dedup resolution: every row of `docs` gains `comp`
+    * (component id, = own id for docs with no near-dup edge) and `keep`
+    * (true for exactly one doc per component — the one minimizing
+    * `keepOrder` columns lexicographically, ties broken by smallest
+    * id). Pass e.g. `Seq(-length(col("text")))` to keep the longest
+    * variant.
+    *
+    * Winner selection is a map-side-combinable `min(struct(...))` per
+    * component — no per-component window sort, so a pathological
+    * million-doc duplicate cluster costs one partial aggregate, not a
+    * single-task sort. */
+  def resolveDuplicates(
+      docs: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      keepOrder: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val cc = connectedComponents(edges, aCol, bCol)
+    val withComp = docs.join(cc, docs(idCol) === cc("node"), "left")
+      .drop("node")
+      .withColumn("comp", coalesce(col("comp"), col(idCol).cast("long")))
+    val key = struct(
+      keepOrder.zipWithIndex.map { case (c, i) => c.as(s"k$i") } :+
+        col(idCol).cast("long").as("kid"): _*)
+    val winners = withComp.groupBy(col("comp").as("__wc"))
+      .agg(min(key).as("__wk"))
+    withComp.join(winners, col("comp") === col("__wc"))
+      .withColumn("keep", col(idCol).cast("long") === col("__wk.kid"))
+      .drop("__wc", "__wk")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over documents/embeddings:
   * text statistics, language ID, exact + near dedup (fingerprint,
@@ -17,6 +17,24 @@ object PipelineQueries extends QueryPack {
   private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
   private def hashSql(tok: String, stream: String) =
     s"(('0x' || substr(md5($tok || '#' || CAST($stream AS VARCHAR)), 1, 15))::BIGINT)"
+
+  /** Shared q80/q81 oracle prelude: the q53-style 3-gram Jaccard pair
+    * set at threshold 0.03, then min-label reachability as a recursive
+    * CTE → `cc(n, comp)`. */
+  private val ccSqlPrefix =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 2),
+       |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |com AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b
+       |          FROM com JOIN cnt x ON id_a = x.doc_id JOIN cnt y ON id_b = y.doc_id
+       |          WHERE floor(c * 10000.0 / (x.n + y.n - c) + 0.5) >= 300),
+       |sym AS (SELECT id_a a, id_b b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+       |walk(n, r) AS (SELECT DISTINCT a, a FROM sym
+       |               UNION SELECT s.b, w.r FROM walk w JOIN sym s ON s.a = w.n),
+       |cc AS (SELECT n, CAST(min(r) AS BIGINT) AS comp FROM walk GROUP BY 1)""".stripMargin
 
   private val langVocabs: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "fast", "slow", "key"),
@@ -216,6 +234,36 @@ object PipelineQueries extends QueryPack {
              |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, nn_id) AS BIGINT) AS rk,
              |       nn_id, cos_e6
              |FROM r QUALIFY rk <= 7""".stripMargin)),
+
+    Query(
+      "q80_components",
+      "Connected components over word-3gram Jaccard near-dup pairs (threshold 0.03): alternating large-star/small-star rounds (Kiveris SoCC'14) — transitive closure of the candidate-pair graph with O(log n) keyed-shuffle rounds, no driver materialization. Oracle is a DuckDB recursive CTE over the same pair set.",
+      (s, dir) => {
+        val edges = Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.03)
+        Components.connectedComponents(edges, "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("comp"))
+      },
+      Some(s"""$ccSqlPrefix
+              |SELECT n AS doc_id, comp FROM cc""".stripMargin)),
+
+    Query(
+      "q81_dedup_resolve",
+      "End-to-end dedup resolution: near-dup pairs → components → one keep per cluster (longest text, ties to smallest id). Winner selection is a map-side-combinable min(struct) per component — no per-cluster window sort, so a pathological giant duplicate cluster cannot create a single-task straggler.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val edges = Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.03)
+        Components.resolveDuplicates(docs, "doc_id", edges, "id_a", "id_b",
+            keepOrder = Seq(-length(col("text"))))
+          .select(col("doc_id"), col("comp"), col("keep"))
+      },
+      Some(s"""$ccSqlPrefix,
+              |d AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS comp, len(d.text) AS len
+              |      FROM documents d LEFT JOIN cc ON d.doc_id = cc.n)
+              |SELECT doc_id, comp,
+              |       (row_number() OVER (PARTITION BY comp ORDER BY len DESC, doc_id)) = 1 AS keep
+              |FROM d""".stripMargin)),
 
     Query(
       "q57_cosine_neardup",

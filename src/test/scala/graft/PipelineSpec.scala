@@ -98,6 +98,54 @@ class PipelineSpec extends AnyFunSuite {
       Seq(2L, 2L, 4L, 4L, 4L, 4L, 4L, 4L, 4L, 4L))
   }
 
+  test("connectedComponents matches union-find on a random graph; handles paths and empties") {
+    import graft.pipeline.Components
+    // brute-force union-find oracle
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(i: Int): Int = if (parent(i) == i) i else { parent(i) = find(parent(i)); parent(i) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(n, edges)
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(got.keySet == touched)
+    got.foreach { case (node, comp) => assert(comp == want(node)) }
+    // path graph: worst case for plain label propagation, O(log n) here
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val pathCc = Components.connectedComponents(path, "a", "b").collect()
+    assert(pathCc.length == 64 && pathCc.forall(_.getLong(1) == 0L))
+    // no edges at all
+    assert(Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
+  }
+
+  test("resolveDuplicates keeps one doc per component by keepOrder, singletons kept") {
+    import graft.pipeline.Components
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest text of all here"), (3L, "medium text"),
+      (10L, "isolated doc"), (20L, "tied"), (21L, "tied")).toDF("doc_id", "text")
+    // 1-2-3 is one near-dup chain (no direct 1-3 edge); 20-21 tie on length
+    val edges = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("a", "b")
+    val out = Components.resolveDuplicates(docs, "doc_id", edges, "a", "b",
+        keepOrder = Seq(-length(col("text"))))
+      .select($"doc_id", $"comp", $"keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false), // longest wins the chain
+      (10L, 10L, true), // singleton: own comp, kept
+      (20L, 20L, true), (21L, 20L, false))) // tie -> min id
+  }
+
   test("ivfTopK: full probe is exactly brute force; nProbe=1 prunes to the query's cluster") {
     // two well-separated clusters along axes 0 and 1 (32-dim)
     def vec(axis: Int, jitterAxis: Int, jitter: Float): Seq[Float] = {
