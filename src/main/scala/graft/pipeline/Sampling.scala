@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data curation.
+  *
+  * Everything here keys on a content-stable hash of an ID column, not
+  * on `rand()`: at 100 TB the split must be (a) reproducible across
+  * re-runs and cluster sizes, (b) stable under partial re-processing
+  * (a re-ingested document lands in the same split), and (c) free of
+  * coordination — a map-only filter, no shuffle, no sampled-rows
+  * state. That is exactly how production corpus pipelines pin their
+  * train/val/test membership.
+  *
+  * The hash is the repo's engine-portable 60-bit md5 prefix (same
+  * construction as [[Dedup.hashRows]]'s oracle mirror): md5 of
+  * `key#salt`, first 15 hex chars → BIGINT. Uniform enough for
+  * splitting, and bit-identical in DuckDB for the correctness oracle —
+  * `xxhash64` would be faster but is Spark-private, and split
+  * assignment is never the bottleneck of a scan.
+  */
+object Sampling {
+
+  /** Engine-portable deterministic hash in [0, 2^60): DuckDB mirror is
+    * `('0x' || substr(md5(key || '#salt'), 1, 15))::BIGINT`. */
+  def portableHash(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("#" + salt))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Ten-thousandths bucket in [0, 10000) — the split granularity. */
+  def hashBucket(key: Column, salt: String): Column =
+    pmod(portableHash(key, salt), lit(10000L))
+
+  /** Named-split assignment from cumulative fractions, e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. The LAST split
+    * absorbs any rounding remainder (it is the `otherwise` branch), so
+    * fractions need only sum to ~1. Map-only; changing `salt` redraws
+    * every assignment, adding rows never moves existing ones. */
+  def splitAssign(key: Column, salt: String, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.forall(_._2 > 0), s"fractions must be positive: $fractions")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6, s"fractions must sum to 1 (got $total)")
+    val b = hashBucket(key, salt)
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 10000).toLong)
+    fractions.init.zip(cuts).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), cut)) => acc.when(b < cut, name)
+    }.otherwise(fractions.last._1)
+  }
+
+  /** Keep a deterministic `fraction` of rows — map-only filter on the
+    * hash bucket; a row's fate depends only on (key, salt). */
+  def sampleByHash(df: DataFrame, key: Column, salt: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.filter(hashBucket(key, salt) < math.round(fraction * 10000))
+  }
+
+  /** Cap each group at `n` rows, selected deterministically by hash
+    * order (ties by key): the standard per-domain / per-language quota
+    * pass. One keyed shuffle on the group columns; the per-group sort
+    * is bounded by the group's row count — for pathological giant
+    * groups pre-filter with [[sampleByHash]] to an overshoot fraction
+    * first, then cap exactly. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[Column], key: Column,
+      salt: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"cap must be positive: $n")
+    val w = Window.partitionBy(groupCols: _*)
+      .orderBy(portableHash(key, salt), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.Tables
-import graft.pipeline.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Components, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over documents/embeddings:
   * text statistics, language ID, exact + near dedup (fingerprint,
@@ -264,6 +264,38 @@ object PipelineQueries extends QueryPack {
               |SELECT doc_id, comp,
               |       (row_number() OVER (PARTITION BY comp ORDER BY len DESC, doc_id)) = 1 AS keep
               |FROM d""".stripMargin)),
+
+    Query(
+      "q82_hash_split",
+      "Deterministic train/val/test split (80/10/10) by engine-portable md5 bucket of doc_id: map-only, reproducible across re-runs and cluster sizes, new rows never move old ones. Split × language counts.",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            Sampling.splitAssign(col("doc_id"), "r7",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+            col("lang"), col("n_chars"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars")),
+      Some("""WITH h AS (SELECT lang, n_chars,
+             |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#r7'), 1, 15))::BIGINT % 10000 AS b
+             |  FROM documents)
+             |SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+             |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM h GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q83_stratified_cap",
+      "Per-language quota: cap each language at 25 docs selected deterministically by hash order — the stratified down-sampling pass of a corpus-mixing pipeline.",
+      (s, dir) =>
+        Sampling.capPerGroup(
+          Tables.documents(s, dir).select(col("lang"), col("doc_id")),
+          Seq(col("lang")), col("doc_id"), "cap7", n = 25),
+      Some("""WITH h AS (SELECT lang, doc_id,
+             |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cap7'), 1, 15))::BIGINT AS hv
+             |  FROM documents)
+             |SELECT lang, doc_id FROM
+             |  (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h)
+             |WHERE rk <= 25""".stripMargin)),
 
     Query(
       "q57_cosine_neardup",

@@ -146,6 +146,48 @@ class PipelineSpec extends AnyFunSuite {
       (20L, 20L, true), (21L, 20L, false))) // tie -> min id
   }
 
+  test("hash split: total partition, rough proportions, membership stable under corpus growth") {
+    import graft.pipeline.Sampling
+    val small = (0L until 400L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = small.select($"id", Sampling.splitAssign($"id", "s", splits).as("sp"))
+    val counts = assigned.groupBy("sp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 400L)
+    assert(counts("train") > 280 && counts("train") < 360) // ~320
+    // determinism + stability: the same ids get the same split in a bigger corpus
+    val bigger = (0L until 800L).toDF("id")
+      .select($"id", Sampling.splitAssign($"id", "s", splits).as("sp"))
+    val joined = assigned.as("a").join(bigger.as("b"), "id")
+      .filter($"a.sp" =!= $"b.sp").count()
+    assert(joined == 0L)
+    // different salt redraws
+    val redrawn = small.select($"id", Sampling.splitAssign($"id", "t", splits).as("sp"))
+      .as("b").join(assigned.as("a"), "id").filter($"a.sp" =!= $"b.sp").count()
+    assert(redrawn > 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign($"id", "s", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("sampleByHash is a stable subset; capPerGroup enforces the quota deterministically") {
+    import graft.pipeline.Sampling
+    val df = (0L until 300L).map(i => (i, (i % 3).toString)).toDF("id", "g")
+    val s1 = Sampling.sampleByHash(df, $"id", "x", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s1.size > 50 && s1.size < 130) // ~90
+    val s2 = Sampling.sampleByHash(df, $"id", "x", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // fraction monotonicity: 0.3-sample is a subset of the 0.6-sample
+    val s3 = Sampling.sampleByHash(df, $"id", "x", 0.6).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+    val capped = Sampling.capPerGroup(df, Seq($"g"), $"id", "x", n = 10)
+    val byG = capped.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.values.forall(_ == 10L))
+    val again = Sampling.capPerGroup(df, Seq($"g"), $"id", "x", n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == capped.collect().map(_.getLong(0)).toSet)
+  }
+
   test("ivfTopK: full probe is exactly brute force; nProbe=1 prunes to the query's cluster") {
     // two well-separated clusters along axes 0 and 1 (32-dim)
     def vec(axis: Int, jitterAxis: Int, jitter: Float): Seq[Float] = {
