@@ -1,0 +1,57 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a codegen'd expression —
+  * the first pass of any text-cleaning pipeline (composed chars vs
+  * combining marks, compatibility ligatures/width variants) so that
+  * downstream fingerprints, shingles and equality joins see one
+  * canonical byte sequence per logical string.
+  *
+  * Spark has no built-in for this; a Scala UDF would force
+  * serialize/deserialize per row and break whole-stage codegen. This
+  * expression stays inside the generated loop — the only per-row cost is
+  * the `java.text.Normalizer` call itself (which fast-paths
+  * already-normalized ASCII via `isNormalized`).
+  */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+
+  private val f = Normalizer.Form.valueOf(form)
+  require(f != null)
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any): Any =
+    UnicodeNormalize.normalize(s.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"""graft.functions.UnicodeNormalize.normalize($s, "$form")""")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object UnicodeNormalize {
+
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val str = s.toString
+    val f = Normalizer.Form.valueOf(form)
+    if (Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(Normalizer.normalize(str, f))
+  }
+
+  def apply(text: Column, form: String = "NFC"): Column = {
+    // validate eagerly on the driver, not per task
+    Normalizer.Form.valueOf(form)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      UnicodeNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text.cast("string")), form))
+  }
+}

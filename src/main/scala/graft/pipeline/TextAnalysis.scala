@@ -79,6 +79,36 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Remove control characters (except \t\n\r, which are whitespace and
+    * handled by [[foldWhitespace]]). */
+  def stripControl(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+
+  /** Collapse any whitespace run to one space and trim the ends. */
+  def foldWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Remove unicode punctuation (category P). */
+  def stripPunct(text: Column): Column =
+    regexp_replace(text, "\\p{P}", "")
+
+  /** Strip accents: canonical decomposition, then drop combining marks
+    * ("Café" → "Cafe"). NFD runs in codegen via
+    * [[graft.functions.UnicodeNormalize]]. */
+  def stripAccents(text: Column): Column =
+    regexp_replace(graft.functions.UnicodeNormalize(text, "NFD"), "\\p{Mn}", "")
+
+  /** The standard cleaning pass before dedup/fingerprinting: unicode
+    * NFC (one canonical byte sequence per logical string — combining
+    * marks compose, so "Café" and "Café" collide as they must),
+    * control-char strip, whitespace fold, lowercase. Pure codegen —
+    * built-in regexp/lower plus the codegen'd normalizer; no UDFs, runs
+    * inside the scan stage at 100 TB. Use `form = "NFKC"` to also fold
+    * compatibility forms (ligatures, full-width, superscripts). */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    lower(foldWhitespace(stripControl(
+      graft.functions.UnicodeNormalize(text, form))))
+
   /** Word n-gram shingles (distinct), the unit of Jaccard similarity. */
   def shingles(text: Column, n: Int): Column = {
     val ts = tokens(text)

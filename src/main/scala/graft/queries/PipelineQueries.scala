@@ -298,6 +298,36 @@ object PipelineQueries extends QueryPack {
              |WHERE rk <= 25""".stripMargin)),
 
     Query(
+      "q84_normalize",
+      "Text normalization pass (unicode NFC via the codegen'd UnicodeNormalize expression, control-char strip, whitespace fold, lowercase) over documents plus injected unicode fixtures: combining-mark vs precomposed 'Café' rows must collide after NFC. Pure codegen — runs inside the scan stage.",
+      (s, dir) => {
+        import s.implicits._
+        val fix = Seq(
+          (9000001L, "Café  au   lait"), // combining acute + whitespace runs
+          (9000002L, "Café au lait"), // precomposed: identical after NFC+fold+lower
+          (9000003L, "\tTabsandctrl chars\r\n"),
+          (9000004L, "  MIXED Case   TEXT  "),
+          (9000005L, "straße ligature ﬁne")). // ß and ﬁ survive NFC
+          toDF("doc_id", "text")
+        Tables.documents(s, dir).select($"doc_id", $"text").unionByName(fix)
+          .select($"doc_id", TextAnalysis.normalizeText($"text").as("norm"))
+          .withColumn("n_norm_chars", length($"norm").cast("long"))
+      },
+      Some("""WITH fix(doc_id, text) AS (VALUES
+             |  (9000001, 'Cafe' || chr(769) || '  au   lait'),
+             |  (9000002, 'Caf' || chr(233) || ' au lait'),
+             |  (9000003, chr(9) || 'Tabs' || chr(1) || 'and' || chr(31) || 'ctrl' || chr(127) || ' chars' || chr(13) || chr(10)),
+             |  (9000004, '  MIXED Case   TEXT  '),
+             |  (9000005, 'stra' || chr(223) || 'e ligature ' || chr(64257) || 'ne')),
+             |corpus AS (SELECT doc_id, text FROM documents
+             |           UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM fix),
+             |n AS (SELECT doc_id,
+             |  lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             |    '[\x01-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g'))) AS norm
+             |  FROM corpus)
+             |SELECT doc_id, norm, CAST(len(norm) AS BIGINT) AS n_norm_chars FROM n""".stripMargin)),
+
+    Query(
       "q57_cosine_neardup",
       "Embedding-cosine near-dup pairs (threshold 0.45), small-corpus exact path: broadcast all-pairs behind a row-count guard. q59 runs the same contract through the scale path (LSH blocking, no driver collect).",
       (s, dir) => Similarity.cosinePairs(

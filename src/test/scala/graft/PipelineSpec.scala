@@ -146,6 +146,26 @@ class PipelineSpec extends AnyFunSuite {
       (20L, 20L, true), (21L, 20L, false))) // tie -> min id
   }
 
+  test("normalizeText: NFC collides combining vs precomposed; NFKC folds ligatures; accents strip") {
+    val df = Seq(
+      ("combining", "Café  au   lait"),
+      ("precomposed", "Café au lait"),
+      ("ligature", "ﬁne Ａwide"),
+      ("ctrl", "abc\r\n d"),
+      ("nullrow", null)).toDF("k", "text")
+    val out = df.select($"k", TextAnalysis.normalizeText($"text").as("n"),
+        TextAnalysis.normalizeText($"text", "NFKC").as("nk"),
+        TextAnalysis.stripAccents($"text").as("na"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(out("combining")._1 == "café au lait")
+    assert(out("combining")._1 == out("precomposed")._1) // NFC canonical collision
+    assert(out("ligature")._1 == "ﬁne Ａwide".toLowerCase) // NFC keeps compat chars
+    assert(out("ligature")._2 == "fine awide") // NFKC folds ligature + full-width
+    assert(out("ctrl")._1 == "abc d")
+    assert(out("combining")._3 == "Cafe  au   lait") // accents stripped, rest untouched
+    assert(out("nullrow") == ((null, null, null)))
+  }
+
   test("hash split: total partition, rough proportions, membership stable under corpus growth") {
     import graft.pipeline.Sampling
     val small = (0L until 400L).toDF("id")
