@@ -125,4 +125,112 @@ object Kinematics {
       when(flip, deltaPhi(v("phi") + lit(math.Pi), lit(0.0))).otherwise(v("phi")),
       abs(k) * v("mass"))
   }
+
+  // --- derived scalars (reference vector.py properties via the
+  // scikit-hep vector momentum mixins) ---
+
+  /** Momentum magnitude |p|. */
+  def p(v: Column): Column = sqrt(p2(v))
+
+  def mass2(v: Column): Column = v("mass") * v("mass")
+
+  /** Polar angle θ = atan2(pt, pz) ∈ [0, π). */
+  def theta(v: Column): Column = atan2(v("pt"), pz(v))
+
+  /** True rapidity y = ½ ln((E+pz)/(E−pz)) (reference exposes
+    * `rapidity` beside pseudorapidity `eta`). */
+  def rapidity(v: Column): Column = {
+    val e = energy(v)
+    val z = pz(v)
+    lit(0.5) * log((e + z) / (e - z))
+  }
+
+  /** β = |p|/E. */
+  def beta(v: Column): Column = p(v) / energy(v)
+
+  /** γ = E/m (diverges for massless vectors, as in the reference). */
+  def gamma(v: Column): Column = energy(v) / v("mass")
+
+  def deltaEta(a: Column, b: Column): Column = a("eta") - b("eta")
+
+  /** Minkowski inner product a·b = Ea·Eb − pa·pb ((+,−,−,−) metric,
+    * reference `vector.py:398-402`). */
+  def dot4(a: Column, b: Column): Column =
+    energy(a) * energy(b) -
+      (px(a) * px(b) + py(a) * py(b) + pz(a) * pz(b))
+
+  /** Negation in native coordinates (reference `vector.py:608-620`:
+    * pt and mass kept, η negated, φ rotated by π into [−π, π)). */
+  def negative(v: Column): Column = scale(v, lit(-1.0))
+
+  /** Difference a − b of two 4-vectors. */
+  def subtract4(a: Column, b: Column): Column = {
+    val sx = px(a) - px(b)
+    val sy = py(a) - py(b)
+    val sz = pz(a) - pz(b)
+    val se = energy(a) - energy(b)
+    fromCartesian(sx, sy, sz, se)
+  }
+
+  // --- cartesian 3-vectors: struct(x, y, z) (reference ThreeVector,
+  // vector.py:256-340) ---
+
+  def xyz(x: Column, y: Column, z: Column): Column =
+    struct(x.as("x"), y.as("y"), z.as("z"))
+
+  /** The momentum components as a 3-vector (reference `pvec`,
+    * vector.py:461-468). */
+  def pvec(v: Column): Column = xyz(px(v), py(v), pz(v))
+
+  /** p/E — the velocity 3-vector usable with [[boost]] (reference
+    * `boostvec`, vector.py:470-478). */
+  def boostvec(v: Column): Column = {
+    val e = energy(v)
+    xyz(px(v) / e, py(v) / e, pz(v) / e)
+  }
+
+  def dot3(a: Column, b: Column): Column =
+    a("x") * b("x") + a("y") * b("y") + a("z") * b("z")
+
+  def cross3(a: Column, b: Column): Column = xyz(
+    a("y") * b("z") - a("z") * b("y"),
+    a("z") * b("x") - a("x") * b("z"),
+    a("x") * b("y") - a("y") * b("x"))
+
+  def norm3(a: Column): Column = sqrt(dot3(a, a))
+
+  /** Unit 3-vector (reference `unit`, vector.py:319-322). */
+  def unit3(a: Column): Column = {
+    val n = norm3(a)
+    xyz(a("x") / n, a("y") / n, a("z") / n)
+  }
+
+  /** Active Lorentz boost of `v` by velocity 3-vector `b` (|b| < 1):
+    * p′ = p + ((γ−1)(p·b)/b² + γE)·b, E′ = γ(E + p·b). Boosting by
+    * `negative`-scaled [[boostvec]] of a vector takes that vector to
+    * its rest frame (pt′ = 0, E′ = m) — the center-of-mass transform
+    * of a combinatoric pair. Zero boost is the identity.
+    *
+    * Column expressions have no let-binding: `v` and `b` are re-expanded
+    * at every use site, so pass ATTRIBUTE REFERENCES (columns staged
+    * with a `select`, behind [[graft.functions.Barrier]] if derived),
+    * not deep derived trees — `boost(derived1, derived2)` inlines the
+    * full derivation ~10× and can blow the plan up multiplicatively
+    * (see q85's staging). */
+  def boost(v: Column, b: Column): Column = {
+    val b2 = dot3(b, b)
+    val g = lit(1.0) / sqrt(lit(1.0) - b2)
+    // (γ−1)/b² with a finite b²→0 limit (the factor multiplies b, so
+    // the ½ placeholder is inert at b = 0)
+    val g2 = when(b2 > 0, (g - lit(1.0)) / b2).otherwise(lit(0.5))
+    val pv = pvec(v)
+    val e = energy(v)
+    val pb = dot3(pv, b)
+    val f = g2 * pb + g * e
+    fromCartesian(
+      pv("x") + f * b("x"),
+      pv("y") + f * b("y"),
+      pv("z") + f * b("z"),
+      g * (e + pb))
+  }
 }

@@ -176,6 +176,80 @@ object JaggedQueries extends QueryPack {
              |FROM k GROUP BY l_returnflag""".stripMargin)),
 
     Query(
+      "q85_vector_ops",
+      "Extended vector algebra (vector.py via the scikit-hep vector mixins): rapidity, polar angle, Minkowski dot, Δη, and an active Lorentz boost of the leading vector into the pair's center-of-mass frame (boostvec of the sum, negated) — all closed-form codegen'd Column math, re-derived independently in DuckDB.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.Barrier
+        val v1 = Kinematics.ptEtaPhiM($"l_quantity", $"l_discount" * 20.0 - 1.0,
+          $"l_tax" * 40.0 - 3.0, $"l_quantity" * 0.1)
+        val v2 = Kinematics.ptEtaPhiM($"l_extendedprice" / 1000.0, $"l_discount" * 10.0 - 0.5,
+          lit(3.0) - $"l_tax" * 40.0, $"l_extendedprice" / 10000.0)
+        // stage the vector structs behind Barriers: the boost-of-sum
+        // chain otherwise re-expands each struct's full expression tree
+        // at every use site (CollapseProject), exploding the plan
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag", Barrier(v1).as("v1"), Barrier(v2).as("v2"))
+          .select($"l_returnflag", $"v1", $"v2",
+            Barrier(Kinematics.boostvec(Kinematics.add4($"v1", $"v2"))).as("bv"))
+          .select($"l_returnflag",
+            Kinematics.rapidity($"v1").as("y1"),
+            Kinematics.theta($"v1").as("th1"),
+            Kinematics.dot4($"v1", $"v2").as("d12"),
+            Kinematics.boost($"v1",
+              Kinematics.xyz(-$"bv.x", -$"bv.y", -$"bv.z"))("pt").as("cm_pt"),
+            Kinematics.deltaEta($"v1", $"v2").as("deta"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg($"y1")).as("avg_y1_e4"),
+            e4(avg($"th1")).as("avg_th1_e4"),
+            cents(avg($"d12")).as("avg_d12_c"),
+            e4(avg($"cm_pt")).as("avg_cm_pt_e4"),
+            e4(avg($"deta")).as("avg_deta_e4"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag,
+             |    l_quantity AS pt1, l_discount*20.0 - 1.0 AS eta1,
+             |    l_tax*40.0 - 3.0 AS phi1, l_quantity*0.1 AS m1,
+             |    l_extendedprice/1000.0 AS pt2, l_discount*10.0 - 0.5 AS eta2,
+             |    3.0 - l_tax*40.0 AS phi2, l_extendedprice/10000.0 AS m2
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT l_returnflag, pt1, eta1, eta2,
+             |    pt1*cos(phi1) AS px1, pt1*sin(phi1) AS py1,
+             |    pt1*(exp(eta1)-exp(-eta1))/2 AS pz1,
+             |    sqrt(m1*m1 + pt1*pt1 + pt1*(exp(eta1)-exp(-eta1))/2 * pt1*(exp(eta1)-exp(-eta1))/2) AS e1,
+             |    pt2*cos(phi2) AS px2, pt2*sin(phi2) AS py2,
+             |    pt2*(exp(eta2)-exp(-eta2))/2 AS pz2,
+             |    sqrt(m2*m2 + pt2*pt2 + pt2*(exp(eta2)-exp(-eta2))/2 * pt2*(exp(eta2)-exp(-eta2))/2) AS e2
+             |  FROM v),
+             |s AS (
+             |  SELECT *, px1+px2 AS sx, py1+py2 AS sy, pz1+pz2 AS sz, e1+e2 AS se FROM c),
+             |b AS (
+             |  SELECT *, -sx/se AS bx, -sy/se AS by, -sz/se AS bz,
+             |    (sx*sx+sy*sy+sz*sz)/(se*se) AS b2 FROM s),
+             |g AS (
+             |  SELECT *, 1.0/sqrt(1.0-b2) AS gam,
+             |    (1.0/sqrt(1.0-b2) - 1.0)/b2 AS gam2,
+             |    px1*bx + py1*by + pz1*bz AS pb FROM b),
+             |k AS (
+             |  SELECT l_returnflag,
+             |    0.5*ln((e1+pz1)/(e1-pz1)) AS y1,
+             |    atan2(pt1, pz1) AS th1,
+             |    e1*e2 - (px1*px2 + py1*py2 + pz1*pz2) AS d12,
+             |    sqrt((px1 + (gam2*pb + gam*e1)*bx)*(px1 + (gam2*pb + gam*e1)*bx) +
+             |         (py1 + (gam2*pb + gam*e1)*by)*(py1 + (gam2*pb + gam*e1)*by)) AS cm_pt,
+             |    eta1 - eta2 AS deta
+             |  FROM g)
+             |SELECT l_returnflag, count(*) AS n,
+             |  CAST(floor(avg(y1) * 10000 + 0.5) AS BIGINT) AS avg_y1_e4,
+             |  CAST(floor(avg(th1) * 10000 + 0.5) AS BIGINT) AS avg_th1_e4,
+             |  CAST(floor(avg(d12) * 100 + 0.5) AS BIGINT) AS avg_d12_c,
+             |  CAST(floor(avg(cm_pt) * 10000 + 0.5) AS BIGINT) AS avg_cm_pt_e4,
+             |  CAST(floor(avg(deta) * 10000 + 0.5) AS BIGINT) AS avg_deta_e4
+             |FROM k GROUP BY l_returnflag""".stripMargin)),
+
+    Query(
       "q26_segmented_slices",
       "counts2nestedindex / segmentedByCounts (transforms.py:145-179) and the EDM4HEP (begin,end) rangeGather (transforms.py:647-998): partition each order's sorted items into [low-quantity prefix | rest] blocks two ways, reduce per block — all per-row array ops, zero extra shuffle.",
       (s, dir) => {

@@ -140,6 +140,59 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(s.getDouble(1) - ab.getDouble(1)) < 1e-9)
   }
 
+  test("boost to the CM frame brings a vector to rest; zero boost is identity") {
+    val df = Seq(1).toDF("x").select(
+      Kinematics.ptEtaPhiM(lit(50.0), lit(1.2), lit(0.7), lit(3.0)).as("v"))
+    // boost by the negated boostvec → rest frame: pt' ~ 0, E' = mass
+    val rest = df.select(Kinematics.boost($"v",
+        Kinematics.xyz(-Kinematics.boostvec($"v")("x"),
+          -Kinematics.boostvec($"v")("y"),
+          -Kinematics.boostvec($"v")("z"))).as("r"))
+      .select($"r.pt", $"r.mass").head()
+    assert(math.abs(rest.getDouble(0)) < 1e-6)
+    assert(math.abs(rest.getDouble(1) - 3.0) < 1e-6)
+    val same = df.select(
+      Kinematics.boost($"v", Kinematics.xyz(lit(0.0), lit(0.0), lit(0.0)))("pt")).head()
+    assert(math.abs(same.getDouble(0) - 50.0) < 1e-9)
+  }
+
+  test("derived scalars: rapidity vs eta, dot4 = m2, beta*gamma, theta, cross/unit") {
+    val df = Seq(1).toDF("x").select(
+      Kinematics.ptEtaPhiM(lit(40.0), lit(0.8), lit(-1.1), lit(10.0)).as("v"),
+      Kinematics.ptEtaPhiM(lit(40.0), lit(0.8), lit(-1.1), lit(0.0)).as("m0"))
+    val r = df.select(
+      Kinematics.rapidity($"v"), Kinematics.rapidity($"m0"),
+      Kinematics.dot4($"v", $"v"), Kinematics.mass2($"v"),
+      Kinematics.beta($"v") * Kinematics.gamma($"v") * $"v.mass", Kinematics.p($"v"),
+      Kinematics.theta($"v"), atan2(lit(40.0), Kinematics.pz($"v"))).head()
+    assert(r.getDouble(0) < 0.8) // massive: |y| < |eta|
+    assert(math.abs(r.getDouble(1) - 0.8) < 1e-12) // massless: y = eta
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6) // v·v = m²
+    assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-9) // βγm = |p|
+    assert(math.abs(r.getDouble(6) - r.getDouble(7)) < 1e-12)
+    val c = df.select(
+      Kinematics.dot3(Kinematics.cross3(Kinematics.pvec($"v"), Kinematics.xyz(lit(1.0), lit(2.0), lit(3.0))),
+        Kinematics.pvec($"v")),
+      Kinematics.norm3(Kinematics.unit3(Kinematics.pvec($"v")))).head()
+    assert(math.abs(c.getDouble(0)) < 1e-6) // cross ⟂ operand
+    assert(math.abs(c.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("subtract4 inverts add4; negative wraps phi into [-pi, pi)") {
+    val df = Seq(1).toDF("x").select(
+      Kinematics.ptEtaPhiM(lit(30.0), lit(0.5), lit(1.0), lit(5.0)).as("a"),
+      Kinematics.ptEtaPhiM(lit(20.0), lit(-1.2), lit(-2.0), lit(3.0)).as("b"))
+    val r = df.select(Kinematics.subtract4(Kinematics.add4($"a", $"b"), $"b").as("r"))
+      .select($"r.pt", $"r.eta", $"r.phi", $"r.mass").head()
+    assert(math.abs(r.getDouble(0) - 30.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-6)
+    val n = df.select(Kinematics.negative($"a").as("n")).select($"n.phi", $"n.eta").head()
+    assert(math.abs(n.getDouble(0) - (1.0 - math.Pi)) < 1e-12)
+    assert(math.abs(n.getDouble(1) + 0.5) < 1e-12)
+  }
+
   test("nearest finds closest by metric with threshold") {
     val df = Seq((Seq(1.0, 10.0), Seq(2.0, 8.0, 100.0))).toDF("a", "b")
     val nn = df.select(Combinatorics.nearest(
