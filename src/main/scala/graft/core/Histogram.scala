@@ -43,6 +43,43 @@ object Histogram {
         sum(weight * weight).as("sumw2"),
         count(lit(1)).as("n"))
 
+  /** Mean ("profile") storage fill — the reference's `hist` Mean
+    * storage: per bin, the COUNT, MEAN and sample VARIANCE of a sampled
+    * value rather than a weight sum (boost-histogram Mean accumulator).
+    * Merged from the distributive (n, Σx, Σx²) triple, so partial
+    * aggregation combines map-side exactly like [[fill]]; variance is
+    * null for bins with fewer than 2 samples. */
+  def fillMean(df: DataFrame, axes: Seq[(String, Column)], x: Column): DataFrame = {
+    val xd = x.cast("double")
+    df.groupBy(axes.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(xd).as("n"), sum(xd).as("__sx"), sum(xd * xd).as("__sxx"))
+      .withColumn("mean", col("__sx") / col("n"))
+      .withColumn("variance",
+        when(col("n") > 1,
+          (col("__sxx") - col("__sx") * col("__sx") / col("n")) / (col("n") - 1)))
+      .drop("__sx", "__sxx")
+  }
+
+  /** WeightedMean storage fill (boost-histogram WeightedMean
+    * accumulator): per bin, Σw, Σw², the weighted mean Σwx/Σw and the
+    * frequency-weights variance estimate
+    * (Σwx² − (Σwx)²/Σw) / (Σw − Σw²/Σw), null when the effective
+    * count is ≤ 1 sample. Same one-shuffle partial-aggregation shape. */
+  def fillWeightedMean(df: DataFrame, axes: Seq[(String, Column)],
+      x: Column, weight: Column): DataFrame = {
+    val xd = x.cast("double")
+    val wd = weight.cast("double")
+    df.groupBy(axes.map { case (n, c) => c.as(n) }: _*)
+      .agg(sum(wd).as("sumw"), sum(wd * wd).as("sumw2"),
+        sum(wd * xd).as("__swx"), sum(wd * xd * xd).as("__swxx"))
+      .withColumn("value", col("__swx") / col("sumw"))
+      .withColumn("variance",
+        when(col("sumw") * col("sumw") > col("sumw2"),
+          (col("__swxx") - col("__swx") * col("__swx") / col("sumw")) /
+            (col("sumw") - col("sumw2") / col("sumw"))))
+      .drop("__swx", "__swxx")
+  }
+
   /** Dense fill via the custom TypedImperativeAggregate: per category
     * group, ONE `(sumw[], sumw2[])` buffer of n+2 slots (flow bins at
     * the ends) — shuffle volume independent of row count; the right

@@ -176,6 +176,40 @@ object AnalysisQueries extends QueryPack {
               |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
     Query(
+      "q86_profile_hist",
+      "Profile histogram (hist Mean + WeightedMean storages): per (price-bin × returnflag), the count/mean/sample-variance of quantity, and the weighted mean/variance under w = 1−discount — merged from distributive (n, Σx, Σx²)/(Σw, Σw², Σwx, Σwx²) partials, one shuffle, map-side combine.",
+      (s, dir) => {
+        import s.implicits._
+        val axes = Seq(
+          "bin" -> Histogram.bucket($"l_extendedprice", 0.0, 110000.0, 11),
+          "l_returnflag" -> $"l_returnflag")
+        val m = Histogram.fillMean(Tables.lineitem(s, dir), axes, $"l_quantity")
+        val wm = Histogram.fillWeightedMean(Tables.lineitem(s, dir), axes,
+            $"l_quantity", lit(1.0) - $"l_discount")
+          .withColumnRenamed("variance", "wvariance")
+        m.join(wm, Seq("bin", "l_returnflag"))
+          .select($"bin", $"l_returnflag", $"n",
+            e4($"mean").as("mean_e4"), cents($"variance").as("var_c"),
+            cents($"sumw").as("sumw_c"),
+            e4($"value").as("wmean_e4"), cents($"wvariance").as("wvar_c"))
+      },
+      Some(s"""WITH b AS (SELECT ${Histogram.bucketSql("l_extendedprice", 0.0, 110000.0, 11)} AS bin,
+              |  l_returnflag, CAST(l_quantity AS DOUBLE) AS x, 1.0 - l_discount AS w
+              |  FROM lineitem),
+              |g AS (SELECT bin, l_returnflag, count(*) AS n,
+              |  sum(x) AS sx, sum(x*x) AS sxx,
+              |  sum(w) AS sumw, sum(w*w) AS sumw2, sum(w*x) AS swx, sum(w*x*x) AS swxx
+              |  FROM b GROUP BY 1, 2)
+              |SELECT bin, l_returnflag, n,
+              |  CAST(floor(sx / n * 10000 + 0.5) AS BIGINT) AS mean_e4,
+              |  CASE WHEN n > 1 THEN CAST(floor((sxx - sx*sx/n) / (n - 1) * 100 + 0.5) AS BIGINT) END AS var_c,
+              |  CAST(floor(sumw * 100 + 0.5) AS BIGINT) AS sumw_c,
+              |  CAST(floor(swx / sumw * 10000 + 0.5) AS BIGINT) AS wmean_e4,
+              |  CASE WHEN sumw * sumw > sumw2
+              |    THEN CAST(floor((swxx - swx*swx/sumw) / (sumw - sumw2/sumw) * 100 + 0.5) AS BIGINT) END AS wvar_c
+              |FROM g""".stripMargin)),
+
+    Query(
       "q42_partial_multivariation",
       "Weights.add_multivariation + partial_weight (analysis_tools.py:337-481,574-637): one weight carrying k up/down variation pairs plus an include-subset partial product — all ratio algebra on one scan, stacked into the long-format variation dimension.",
       (s, dir) => {

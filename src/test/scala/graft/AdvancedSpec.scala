@@ -178,6 +178,31 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got("p3") == None)        // no right rows for key 2
   }
 
+  test("fillMean/fillWeightedMean profile storages: known values, unit weights degenerate to Mean") {
+    import spark.implicits._
+    val df = Seq((0L, 2.0, 1.0), (0L, 4.0, 3.0), (0L, 9.0, 1.0), (1L, 5.0, 2.0))
+      .toDF("b", "x", "w")
+    val m = Histogram.fillMean(df, Seq("b" -> $"b"), $"x")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), Option(r.get(3)))).toMap
+    assert(m(0L)._1 == 3L && math.abs(m(0L)._2 - 5.0) < 1e-12)
+    assert(math.abs(m(0L)._3.get.asInstanceOf[Double] - 13.0) < 1e-9) // ((2-5)²+(4-5)²+(9-5)²)/2
+    assert(m(1L) == ((1L, 5.0, None))) // single sample: variance null
+    val wm = Histogram.fillWeightedMean(df, Seq("b" -> $"b"), $"x", $"w")
+      .select($"b", $"sumw", $"value", $"variance")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), Option(r.get(3)))).toMap
+    // b=0: sumw=5, wmean=(2+12+9)/5=4.6
+    assert(math.abs(wm(0L)._1 - 5.0) < 1e-12 && math.abs(wm(0L)._2 - 4.6) < 1e-12)
+    // frequency-weights variance: (Σwx² − (Σwx)²/Σw)/(Σw − Σw²/Σw) = (133−105.8)/(5−11/5)
+    assert(math.abs(wm(0L)._3.get.asInstanceOf[Double] - 27.2 / 2.8) < 1e-9)
+    assert(wm(1L)._3.isEmpty) // sumw² = sumw2 → effective count 1 → null
+    // unit weights degenerate to Mean: denominator Σw − Σw²/Σw = n − 1,
+    // so value == mean and variance == the sample variance
+    val unit = Histogram.fillWeightedMean(df.filter($"b" === 0L), Seq("b" -> $"b"), $"x", lit(1.0))
+      .select($"value", $"variance").head()
+    assert(math.abs(unit.getDouble(0) - 5.0) < 1e-12)
+    assert(math.abs(unit.getDouble(1) - 13.0) < 1e-9)
+  }
+
   test("fillDense TypedImperativeAggregate matches sparse fill") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val w = lit(1.0) - col("l_discount")
