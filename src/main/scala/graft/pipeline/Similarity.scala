@@ -111,40 +111,83 @@ object Similarity {
       seed: Long = 42L, lloydIters: Int = 1): DataFrame = {
     require(nCells > 0 && nProbe > 0 && nProbe <= nCells,
       s"need 0 < nProbe <= nCells (got nProbe=$nProbe nCells=$nCells)")
-    val c0 = corpus.select(col(idCol).cast("long").as("nn_id"),
+    val c0 = prepCorpus(corpus, idCol, vecCol)
+    val cents = trainCentroids(c0, nCells, seed, lloydIters)
+    val assigned = c0.withColumn("cell", ivfAssignUdf(cents)(col("v")))
+    ivfSearch(assigned, queries, qIdCol, qVecCol, cents, k, nProbe)
+  }
+
+  /** Train the quantizer and PERSIST the index: the corpus rewritten as
+    * parquet `partitionBy("cell")` (one directory per cell — the
+    * physical layout that makes nProbe/nCells scan pruning real) plus a
+    * `centroids/` parquet sidecar. At 100 TB this is the one-time
+    * clustering pass; [[ivfTopKIndexed]] then serves any query set by
+    * reading ONLY the probed cell directories. */
+  def ivfWriteIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int, seed: Long = 42L, lloydIters: Int = 1): Unit = {
+    require(nCells > 0, s"need nCells > 0 (got $nCells)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = prepCorpus(corpus, idCol, vecCol)
+    val cents = trainCentroids(c0, nCells, seed, lloydIters)
+    c0.withColumn("cell", ivfAssignUdf(cents)(col("v")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Serve top-k from a persisted [[ivfWriteIndex]] index. The probed
+    * cells of the (bounded, collected) query set become a STATIC
+    * `cell IN (...)` predicate, so the scan's PartitionFilters prune
+    * unprobed cell directories at file-listing time — the query reads
+    * ~nProbe/nCells of the corpus bytes, which is the entire point of
+    * the persisted layout. Search semantics are identical to
+    * [[ivfTopK]] with the same centroids. */
+  def ivfTopKIndexed(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      path: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(nProbe > 0 && nProbe <= cents.length,
+      s"need 0 < nProbe <= ${cents.length} (got $nProbe)")
+    // bounded query set (same contract as bruteForceTopK's broadcast):
+    // collect the union of probed cells for the static pruning predicate
+    val probeU = ivfProbeUdf(cents, nProbe)
+    val needed = queries.select(explode(probeU(widen(col(qVecCol)))).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(s"$path/data")
+      .filter(col("cell").isin(needed.map(Integer.valueOf): _*))
+    ivfSearch(pruned, queries, qIdCol, qVecCol, cents, k, nProbe)
+  }
+
+  private def prepCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("nn_id"),
       widen(col(vecCol)).as("v"), norm(col(vecCol)).as("vn"))
-    def normalized(rows: Array[(Array[Double], Long)]): Array[Array[Double]] =
-      rows.map { case (v, _) => v }.map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n == 0.0) v else v.map(_ / n)
-      }
-    // deterministic seeded sample: ONE job, nCells rows
-    var centroids = normalized(
-      c0.orderBy(xxhash64(col("nn_id"), lit(seed)), col("nn_id"))
-        .limit(nCells).select(col("v"), col("nn_id")).collect()
-        .map(r => (r.getSeq[Double](0).toArray, r.getLong(1))))
-    def assignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
-      var best = 0; var bestDot = Double.NegativeInfinity
+
+  /** Spherical k-means quantizer: deterministic hash-ordered seed
+    * sample (ONE bounded collect of nCells rows), then `lloydIters`
+    * cluster-side refinement steps (assign → per-(cell,dim) mean via
+    * posexplode → bounded nCells×dim collect). Empty cells keep their
+    * previous centroid. */
+  private def trainCentroids(
+      c0: DataFrame, nCells: Int, seed: Long, lloydIters: Int): Array[Array[Double]] = {
+    def renorm(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
-      var ci = 0
-      while (ci < cents.length) {
-        val cv = cents(ci)
-        var s = 0.0; var i = 0
-        val d = math.min(v.length, cv.length)
-        while (i < d) { s += v(i) * cv(i); i += 1 }
-        if (n > 0) s /= n
-        if (s > bestDot) { bestDot = s; best = ci }
-        ci += 1
-      }
-      best
+      if (n == 0.0) v else v.map(_ / n)
     }
-    // spherical Lloyd refinement on the cluster; per-(cell,dim) means
-    // come back as nCells x dim rows (bounded), empty cells keep their
-    // previous centroid
+    var centroids = c0
+      .orderBy(xxhash64(col("nn_id"), lit(seed)), col("nn_id"))
+      .limit(nCells).select(col("v")).collect()
+      .map(r => renorm(r.getSeq[Double](0).toArray))
     for (_ <- 1 to lloydIters) {
       val cents = centroids
       val means = c0
-        .select(assignUdf(cents)(col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(ivfAssignUdf(cents)(col("v")).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
       val byCell = means.groupBy(_.getInt(0))
@@ -152,27 +195,55 @@ object Similarity {
         byCell.get(ci).fold(old) { rows =>
           val m = old.clone()
           rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
-          val n = math.sqrt(m.map(x => x * x).sum)
-          if (n == 0.0) old else m.map(_ / n)
+          renorm(m)
         }
       }
     }
-    val cents = centroids
-    val probeUdf = udf { (v: Seq[Double]) =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      cents.indices.map { ci =>
-        val cv = cents(ci)
-        var s = 0.0; var i = 0
-        val d = math.min(v.length, cv.length)
-        while (i < d) { s += v(i) * cv(i); i += 1 }
-        (if (n > 0) s / n else s, ci)
-      }.sortBy { case (s, ci) => (-s, ci) }.take(nProbe).map(_._2).toArray
+    centroids
+  }
+
+  /** Map-only argmax-cosine cell assignment; centroids are plan
+    * literals inside the UDF closure — no join, no broadcast plumbing. */
+  private def ivfAssignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    var best = 0; var bestDot = Double.NegativeInfinity
+    val n = math.sqrt(v.map(x => x * x).sum)
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      var s = 0.0; var i = 0
+      val d = math.min(v.length, cv.length)
+      while (i < d) { s += v(i) * cv(i); i += 1 }
+      if (n > 0) s /= n
+      if (s > bestDot) { bestDot = s; best = ci }
+      ci += 1
     }
-    val assigned = c0.withColumn("cell", assignUdf(cents)(col("v")))
+    best
+  }
+
+  /** The query's `nProbe` nearest cells, by cosine then cell id. */
+  private def ivfProbeUdf(cents: Array[Array[Double]], nProbe: Int) = udf { (v: Seq[Double]) =>
+    val n = math.sqrt(v.map(x => x * x).sum)
+    cents.indices.map { ci =>
+      val cv = cents(ci)
+      var s = 0.0; var i = 0
+      val d = math.min(v.length, cv.length)
+      while (i < d) { s += v(i) * cv(i); i += 1 }
+      (if (n > 0) s / n else s, ci)
+    }.sortBy { case (s, ci) => (-s, ci) }.take(nProbe).map(_._2).toArray
+  }
+
+  /** Probe + search over an assigned corpus: equality join on cell
+    * against the BROADCAST probe table, exact quantized cosine,
+    * bounded-heap [[graft.functions.TopKAgg]] per query — shuffle is
+    * k×partitions rows per query, never corpus rows. */
+  private def ivfSearch(
+      assigned: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
+      cents: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    val probeU = ivfProbeUdf(cents, nProbe)
     val probes = queries.select(col(qIdCol).cast("long").as("query_id"),
         widen(col(qVecCol)).as("qv"), norm(col(qVecCol)).as("qn"))
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(probeUdf(col("qv"))).as("cell"))
+        explode(probeU(col("qv"))).as("cell"))
     assigned.join(broadcast(probes), "cell")
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("cos_e6",

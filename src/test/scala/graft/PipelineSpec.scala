@@ -238,6 +238,50 @@ class PipelineSpec extends AnyFunSuite {
     pruned.filter(_._1 == 0L).foreach(r => assert(cluster0.contains(r._3)))
   }
 
+  test("persisted IVF index: indexed search equals in-memory; scan prunes unprobed cells") {
+    def vec(axis: Int, jitterAxis: Int, jitter: Float): Seq[Float] = {
+      val a = Array.fill(32)(0.0f); a(axis) = 1.0f; a(jitterAxis) = jitter; a.toSeq
+    }
+    val rows =
+      (0L to 4L).map(i => (i, vec(0, 5 + i.toInt, 0.1f * (i + 1)))) ++
+        (10L to 14L).map(i => (i, vec(1, 5 + i.toInt % 5, 0.1f * (i - 9))))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0L || $"vec_id" === 10L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 2, lloydIters = 2)
+    val fromIndex = Similarity.ivfTopKIndexed(queries, "vec_id", "embedding",
+      dir, k = 3, nProbe = 2)
+    val inMemory = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nCells = 2, nProbe = 2, lloydIters = 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(key(fromIndex) == key(inMemory))
+    // nProbe=1 on separated clusters: the static IN predicate reaches the
+    // scan as a PartitionFilter pruning the unprobed cell directory
+    val pruned = Similarity.ivfTopKIndexed(
+      queries.filter($"vec_id" === 0L), "vec_id", "embedding", dir, k = 3, nProbe = 1)
+    val prunedRows = key(pruned) // run it, then read the scan's numFiles metric
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(2000))
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val dataScans = scans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("data")))
+    assert(dataScans.nonEmpty)
+    val filesRead = dataScans.map(_.metrics("numFiles").value).sum
+    val filesTotal = spark.read.parquet(s"$dir/data").inputFiles.length
+    assert(filesRead < filesTotal, s"expected pruning: read $filesRead of $filesTotal files")
+    // and the results only come from the query's own cluster
+    assert(prunedRows.forall(r => (0L to 4L).contains(r._3)))
+  }
+
   test("ImageIoBackend decodes real PNG bytes through inferFeatures") {
     // two real images written by the JDK encoder: 4x2 solid red, 3x3
     // mid-gray — plus one undecodable payload
