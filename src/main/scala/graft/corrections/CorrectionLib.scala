@@ -11,6 +11,7 @@ import graft.lookup.FormulaCompiler
   * delegates to (`src/coffea/lookup_tools/correctionlib_wrapper.py:4`,
   * `jetmet_tools/correctionlib_adapters.py:20-318`; schema v2 is
   * public). Supported nodes: scalar, `binning` (clamp flow),
+  * `multibinning` (N-dim grid, C-order flattened content, clamp flow),
   * `category` (int/string keys + default), `formula` (TFormula).
   *
   * Compilation happens once on the driver; the result is a single
@@ -55,6 +56,31 @@ object CorrectionLib {
               element_at(typedLit(content.map(jNum).toArray), idx + 1))
           else
             coalesce(content.zipWithIndex.map { case (c, i) => when(idx === i, go(c)) }: _*)
+        case "multibinning" =>
+          // N-dim grid, flattened C-order (last input fastest):
+          // flat = ((i0·n1 + i1)·n2 + i2)·…  (correctionlib schema v2)
+          val inNames = (obj \ "inputs").children.map(_.values.toString)
+          val ins = inNames.map(n => inputs.getOrElse(n,
+            throw new IllegalArgumentException(s"unbound input '$n'")).cast("double"))
+          val edges = (obj \ "edges").children.map(_.children.map(jNum))
+          require(ins.nonEmpty && edges.size == ins.size,
+            s"${corr.name}: multibinning inputs/edges mismatch")
+          require((obj \ "flow").values.toString == "clamp",
+            s"${corr.name}: only flow=clamp supported")
+          val nbins = edges.map(_.size - 1)
+          val content = (obj \ "content").children
+          require(content.size == nbins.product,
+            s"${corr.name}: content size ${content.size} != ${nbins.product}")
+          val idxs = ins.zip(edges).map { case (in, e) => BinarySearchBins(in, e) }
+          val flat = (1 until idxs.size).foldLeft(idxs.head: Column) {
+            (acc, k) => acc * nbins(k) + idxs(k)
+          }
+          val allSet = ins.map(_.isNotNull).reduce(_ && _)
+          if (content.forall(isNum))
+            when(allSet, element_at(typedLit(content.map(jNum).toArray), flat + 1))
+          else
+            when(allSet,
+              coalesce(content.zipWithIndex.map { case (c, i) => when(flat === i, go(c)) }: _*))
         case "category" =>
           val in = input(obj, inputs)
           val branches = (obj \ "content").children.map { kv =>
@@ -109,6 +135,29 @@ object CorrectionLib {
             else s"WHEN $in < ${edges(i + 1)} THEN ${go(c)}"
           }
           s"(CASE WHEN $in IS NULL THEN NULL ${branches.mkString(" ")} END)"
+        case "multibinning" =>
+          val inNames = (obj \ "inputs").children.map(_.values.toString)
+          val ins = inNames.map(inputs)
+          val edges = (obj \ "edges").children.map(_.children.map(jNum))
+          val nbins = edges.map(_.size - 1)
+          val content = (obj \ "content").children
+          // per-dim clamped bin index (same semantics as BinarySearchBins)
+          val idxSqls = ins.zip(edges).map { case (in, e) =>
+            val inner = e.slice(1, e.size - 1)
+            if (inner.isEmpty) "0"
+            else {
+              val cases = inner.zipWithIndex
+                .map { case (edge, i) => s"WHEN $in < $edge THEN $i" }
+              s"(CASE ${cases.mkString(" ")} ELSE ${inner.size} END)"
+            }
+          }
+          val flat = (1 until idxSqls.size).foldLeft(idxSqls.head) {
+            (acc, k) => s"(($acc) * ${nbins(k)} + ${idxSqls(k)})"
+          }
+          val values = content.zipWithIndex
+            .map { case (c, i) => s"WHEN $i THEN ${go(c)}" }
+          val anyNull = ins.map(in => s"$in IS NULL").mkString(" OR ")
+          s"(CASE WHEN $anyNull THEN NULL ELSE (CASE $flat ${values.mkString(" ")} END) END)"
         case "category" =>
           val in = inputs((obj \ "input").values.toString)
           val branches = (obj \ "content").children.map { kv =>

@@ -63,6 +63,23 @@ object CorrectionsQueries extends QueryPack {
       |   ], "default": 1.0}}
       |]}""".stripMargin)("sf")
 
+  // multibinning fixture (q87): 2-d (|eta| × pt) SF grid with a formula
+  // cell — exercises C-order flattening, per-dim clamp, mixed content.
+  private val clibMulti = CorrectionLib.parseSet(
+    """{"schema_version": 2, "corrections": [
+      |  {"name": "sf2d", "version": 1,
+      |   "inputs": [{"name": "abseta", "type": "real"}, {"name": "pt", "type": "real"}],
+      |   "output": {"name": "w", "type": "real"},
+      |   "data": {"nodetype": "multibinning",
+      |     "inputs": ["abseta", "pt"],
+      |     "edges": [[0.0, 1.2, 2.4], [20.0, 50.0, 100.0, 200.0]],
+      |     "content": [1.01, 1.02, 1.03,
+      |                 1.04, {"nodetype": "formula", "parser": "TFormula",
+      |                        "expression": "[0]+[1]*y", "variables": ["abseta", "pt"],
+      |                        "parameters": [1.0, 0.0002]}, 1.06],
+      |     "flow": "clamp"}}
+      |]}""".stripMargin)("sf2d")
+
   // Rochester fixture (q70): synthetic (eta × phi) M/A scale tables and
   // |eta|-binned resolution ratios in the public format's shape. The
   // closed-form scale/spread paths are pure lookups + exactly-rounded
@@ -272,6 +289,28 @@ object CorrectionsQueries extends QueryPack {
            |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
            |CAST(floor(sum(p_retailprice * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c
            |FROM part GROUP BY p_brand""".stripMargin
+      }),
+
+    Query(
+      "q87_clib_multibinning",
+      "correctionlib multibinning node: 2-d (|eta| × pt) grid, C-order flattened content with a nested TFormula cell, per-dim clamp flow — compiled to per-dim BinarySearchBins + flat-index dispatch, one expression, no joins.",
+      (s, dir) => {
+        import s.implicits._
+        val w = CorrectionLib.compile(clibMulti, Map(
+          "abseta" -> ($"l_discount" * 30.0), "pt" -> ($"l_quantity" * 6.0)))
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(w)).as("avg_w_e4"),
+            cents(sum($"l_extendedprice" / 1000.0 * w)).as("weighted_c"))
+      },
+      Some {
+        val wSql = CorrectionLib.toSql(clibMulti, Map(
+          "abseta" -> "(l_discount * 30.0)", "pt" -> "(l_quantity * 6.0)"))
+        s"""SELECT l_returnflag, count(*) AS n,
+           |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
+           |CAST(floor(sum(l_extendedprice / 1000.0 * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
       }),
 
     Query(

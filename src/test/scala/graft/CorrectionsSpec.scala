@@ -204,6 +204,36 @@ class CorrectionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("increasing"))
   }
 
+  test("CorrectionLib multibinning: C-order cells, per-dim clamp, null propagation") {
+    val json =
+      """{"schema_version": 2, "corrections": [
+        |  {"name": "m", "version": 1,
+        |   "inputs": [{"name": "u", "type": "real"}, {"name": "v", "type": "real"}],
+        |   "output": {"name": "w", "type": "real"},
+        |   "data": {"nodetype": "multibinning",
+        |     "inputs": ["u", "v"],
+        |     "edges": [[0.0, 1.0, 2.0], [0.0, 10.0, 20.0, 30.0]],
+        |     "content": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        |     "flow": "clamp"}}]}""".stripMargin
+    val c = CorrectionLib.parseSet(json)("m")
+    val rows = Seq(
+      (Some(0.5), Some(5.0), Some(1.0)),   // (u0, v0) -> content[0]
+      (Some(0.5), Some(25.0), Some(3.0)),  // (u0, v2): LAST input fastest -> content[2]
+      (Some(1.5), Some(5.0), Some(4.0)),   // (u1, v0) -> content[1*3+0]
+      (Some(9.0), Some(99.0), Some(6.0)),  // clamp above on both dims
+      (Some(-1.0), Some(-1.0), Some(1.0)), // clamp below on both dims
+      (None, Some(5.0), None),             // null input -> null
+      (Some(0.5), None, None))
+    val df = rows.map { case (u, v, _) => (u, v) }.toDF("u", "v")
+      .select(CorrectionLib.compile(c, Map("u" -> $"u", "v" -> $"v")).as("w"))
+    df.collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+      .zip(rows.map(_._3)).foreach { case (got, want) => assert(got == want) }
+    // SQL mirror agrees cell-for-cell (rendered over literal inputs)
+    val sql = CorrectionLib.toSql(c, Map("u" -> "uu", "v" -> "vv"))
+    assert(sql.contains("uu IS NULL OR vv IS NULL"))
+    assert(sql.contains("* 3")) // stride of the first dimension
+  }
+
   test("CorrectionLib: declared variable named x beats positional alias") {
     val json =
       """{"schema_version": 2, "corrections": [
