@@ -66,6 +66,35 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(fn)
   }
 
+  /** Streaming ingestion dedup on the normalized content fingerprint —
+    * the streaming twin of the batch exact-dedup pass (q52): documents
+    * whose [[graft.pipeline.TextAnalysis.normalizeText]] fingerprints
+    * collide within the watermark window are emitted once (first
+    * arrival wins).
+    *
+    * `dropDuplicatesWithinWatermark` keys the state store on the
+    * 32-char fingerprint only, and evicts entries once the watermark
+    * passes them — state is bounded by (dedup horizon × ingest rate),
+    * not by total corpus size, which is what makes exact dedup runnable
+    * on an unbounded 100 TB/day ingest. Cross-batch duplicates beyond
+    * the horizon are left to the periodic batch dedup pass (the
+    * standard lambda split). */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", md5(graft.pipeline.TextAnalysis.normalizeText(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /** Batch twin of [[dedupStream]]: same normalize→fingerprint key,
+    * plain dropDuplicates. */
+  def dedupBatch(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("__fp", md5(graft.pipeline.TextAnalysis.normalizeText(col(textCol))))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   /** Batch twin of [[sessionize]] (same gap semantics, single pass) —
     * used to cross-check the stateful streaming path, mirroring the
     * reference's cross-backend equality axiom (SURVEY §5). */

@@ -259,6 +259,37 @@ class AdvancedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup: normalized dups collapse within the watermark, batch twin agrees") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long, String)]
+    val docs = src.toDF().toDF("t", "doc_id", "text")
+    val q = EventStream.dedupStream(docs, "t", "text", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val t0 = new Timestamp(1700000000000L)
+      src.addData(
+        (t0, 1L, "The  Quick Fox"),
+        (t0, 2L, "Café au lait"), // precomposed
+        (t0, 3L, "unique one"))
+      q.processAllAvailable()
+      src.addData(
+        (new Timestamp(1700000060000L), 4L, "the quick fox"), // ws+case dup of 1
+        (new Timestamp(1700000060000L), 5L, "Café au lait"), // combining-mark dup of 2
+        (new Timestamp(1700000060000L), 6L, "another unique"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").collect().map(_.getLong(1)).toSet
+      assert(kept == Set(1L, 2L, 3L, 6L)) // dups 4,5 dropped; originals kept
+      // batch twin over the full corpus keeps one per class
+      val all = Seq(
+        (t0, 1L, "The  Quick Fox"), (t0, 2L, "Café au lait"), (t0, 3L, "unique one"),
+        (t0, 4L, "the quick fox"), (t0, 5L, "Café au lait"), (t0, 6L, "another unique"))
+        .toDF("t", "doc_id", "text")
+      assert(EventStream.dedupBatch(all, "text").count() == 4)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization counts gap-split sessions") {
     import EventStream._
     val evs = Seq(
