@@ -1,0 +1,27 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ProfCc {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name%-22s ${(System.nanoTime()-t0)/1e9}%6.2f s"); r
+    }
+    val docs = graft.core.Tables.documents(spark, dir)
+    val edges = t("edges (jaccard)") {
+      val e = graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.03).localCheckpoint(true)
+      println("  n_edges=" + e.count()); e
+    }
+    val cc = t("cc total") {
+      val c = graft.pipeline.Components.connectedComponents(edges, "id_a", "id_b")
+      println("  n_nodes=" + c.count()); c
+    }
+    spark.stop()
+  }
+}

@@ -114,19 +114,28 @@ class PipelineSpec extends AnyFunSuite {
     val n = 60
     val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter { case (a, b) => a != b }
-    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    // distributed large-star/small-star path (forced via maxDriverEdges=0)
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        maxDriverEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = unionFind(n, edges)
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
     assert(got.keySet == touched)
     got.foreach { case (node, comp) => assert(comp == want(node)) }
+    // driver fast path (default threshold): identical output
+    val drv = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv == got)
     // path graph: worst case for plain label propagation, O(log n) here
     val path = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
-    val pathCc = Components.connectedComponents(path, "a", "b").collect()
+    val pathCc = Components.connectedComponents(path, "a", "b",
+      maxDriverEdges = 0).collect()
     assert(pathCc.length == 64 && pathCc.forall(_.getLong(1) == 0L))
-    // no edges at all
+    // no edges at all (both paths)
     assert(Components.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
+    assert(Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", maxDriverEdges = 0).isEmpty)
   }
 
   test("resolveDuplicates keeps one doc per component by keepOrder, singletons kept") {
