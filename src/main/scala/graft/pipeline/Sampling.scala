@@ -58,19 +58,32 @@ object Sampling {
   }
 
   /** Cap each group at `n` rows, selected deterministically by hash
-    * order (ties by key): the standard per-domain / per-language quota
-    * pass. One keyed shuffle on the group columns; the per-group sort
-    * is bounded by the group's row count — for pathological giant
-    * groups pre-filter with [[sampleByHash]] to an overshoot fraction
-    * first, then cap exactly. */
+    * order (ties by key, which must be group-unique and long-castable):
+    * the standard per-domain / per-language quota pass.
+    *
+    * Selection is a map-side-combined bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]] on the negated hash), NOT a
+    * `row_number` window: a window shuffles every row of a group into
+    * one task and sorts it there, so one billion-row spam domain
+    * becomes a single-reducer straggler. The heap ships ≤ n entries
+    * per (group, partition); the winner set (#groups × n ids) is then
+    * broadcast back as a semi-join — for quota-sized n the full data
+    * never shuffles at all. */
   def capPerGroup(df: DataFrame, groupCols: Seq[Column], key: Column,
       salt: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n > 0, s"cap must be positive: $n")
-    val w = Window.partitionBy(groupCols: _*)
-      .orderBy(portableHash(key, salt), key)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n)
-      .drop("__rk")
+    val gs = groupCols.zipWithIndex.map { case (c, i) => c.as(s"__g$i") }
+    val gRefs = gs.indices.map(i => col(s"__g$i"))
+    // TopKAgg keeps (score desc, id asc): negate the hash so the
+    // SMALLEST (hash, key) pairs win, matching deterministic hash order
+    val winners = df
+      .select(gs :+ (-portableHash(key, salt)).as("__negh") :+ key.cast("long").as("__k"): _*)
+      .groupBy(gRefs: _*)
+      .agg(graft.functions.TopKAgg(col("__negh"), col("__k"), n).as("__tk"))
+      .select(gRefs :+ explode(col("__tk.id")).as("__k"): _*)
+    df.join(broadcast(winners),
+      groupCols.zip(gRefs).map { case (c, g) => c <=> g }
+        .reduce(_ && _) && key.cast("long") === col("__k"),
+      "left_semi")
   }
 }
