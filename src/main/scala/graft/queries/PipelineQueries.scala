@@ -328,6 +328,45 @@ object PipelineQueries extends QueryPack {
              |SELECT doc_id, norm, CAST(len(norm) AS BIGINT) AS n_norm_chars FROM n""".stripMargin)),
 
     Query(
+      "q88_length_percentiles",
+      "Per-source length distribution: exact p50/p90/p99 of token count and char count — the corpus-profiling pass that sizes filtering thresholds. Exact percentile (interpolated) on both engines; at 100 TB swap for approx_percentile with a documented error bound.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"source", TextAnalysis.tokenCount($"text").as("nt"), $"n_chars")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            e4(element_at(percentile($"nt", typedLit(Seq(0.5, 0.9, 0.99))), 1)).as("tok_p50_e4"),
+            e4(element_at(percentile($"nt", typedLit(Seq(0.5, 0.9, 0.99))), 2)).as("tok_p90_e4"),
+            e4(element_at(percentile($"n_chars", typedLit(Seq(0.5, 0.9, 0.99))), 3)).as("chars_p99_e4"))
+      },
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |CAST(floor(quantile_cont(len($toksSql), 0.5) * 10000 + 0.5) AS BIGINT) AS tok_p50_e4,
+              |CAST(floor(quantile_cont(len($toksSql), 0.9) * 10000 + 0.5) AS BIGINT) AS tok_p90_e4,
+              |CAST(floor(quantile_cont(n_chars, 0.99) * 10000 + 0.5) AS BIGINT) AS chars_p99_e4
+              |FROM documents GROUP BY source""".stripMargin)),
+
+    Query(
+      "q89_top_tokens",
+      "Top-5 tokens per language by frequency (ties lexicographic): explode → count → rank. The ranking window runs over the AGGREGATED vocabulary table (langs × distinct tokens), not corpus rows — at 100 TB the count groupBy is the only corpus-sized shuffle.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, dir)
+          .select($"lang", explode(TextAnalysis.tokens($"text")).as("tok"))
+          .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"lang").orderBy($"n".desc, $"tok")
+        counts.withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 5)
+          .select($"lang", $"rk", $"tok", $"n")
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+              |c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2)
+              |SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rk,
+              |       tok, n
+              |FROM c QUALIFY rk <= 5""".stripMargin)),
+
+    Query(
       "q57_cosine_neardup",
       "Embedding-cosine near-dup pairs (threshold 0.45), small-corpus exact path: broadcast all-pairs behind a row-count guard. q59 runs the same contract through the scale path (LSH blocking, no driver collect).",
       (s, dir) => Similarity.cosinePairs(
