@@ -1,0 +1,127 @@
+package graft.corrections
+
+import org.apache.spark.sql.Column
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.lookup.DenseLookup
+
+/** Parser for the nested-JSON histogram scale-factor format (reference
+  * `lookup_tools/json_converters.py:13-96` `convert_histo_json_file`):
+  *
+  * {{{
+  * {"dir": {"hist": {"eta:[0,1.2]": {"pt:[20,50]": {"value": v, "error": e}, ...}, ...}}}
+  * }}}
+  *
+  * Axis names come from the key prefixes, bin edges from the sorted
+  * distinct `[lo,hi]` bounds per nesting level, and every leaf value
+  * name ("value", "error", …) becomes its own dense lookup named
+  * `dir/hist_<valname>` — the same naming the reference's extractor
+  * registry produces. Evaluation delegates to [[DenseLookup]]
+  * (searchsorted-clip per axis), so the compiled column is the usual
+  * plan-literal when-chain: no joins, no UDFs, 100 TB-safe.
+  */
+object HistoJson {
+
+  /** One parsed histogram: ordered axes (name → edges) and, per leaf
+    * value name, the payload flattened row-major (last axis fastest). */
+  final case class Histo(axes: Seq[(String, Seq[Double])], values: Map[String, Seq[Double]])
+
+  /** Parse a whole file: "dir/hist_valname" → lookup table. */
+  def parse(text: String): Map[String, Histo] = {
+    val root = JsonMethods.parse(text) match {
+      case o: JObject => o
+      case other => throw new IllegalArgumentException(s"expected object root, got $other")
+    }
+    (for {
+      (dir, dval) <- root.obj
+      (hist, hval) <- asObj(dval, s"dir '$dir'").obj
+    } yield {
+      val hobj = asObj(hval, s"histogram '$dir/$hist'")
+      val axes = structure(hobj)
+      require(axes.nonEmpty, s"$dir/$hist: no binned axes found")
+      val leaves = collectLeaves(hobj, Nil)
+      val valNames = leaves.headOption.map(_._2.keySet).getOrElse(Set.empty)
+      // row-major cell order: cartesian of bin indices, last axis fastest
+      val lowsPerAxis = axes.map(_._2.dropRight(1))
+      val cells = lowsPerAxis.foldLeft(Seq(List.empty[Double])) {
+        (acc, lows) => acc.flatMap(prefix => lows.map(l => prefix :+ l))
+      }
+      val values = valNames.map { vn =>
+        vn -> cells.map { lows =>
+          leaves.getOrElse(lows,
+            throw new IllegalArgumentException(
+              s"$dir/$hist: no leaf for bin lows ${lows.mkString(",")}"))(vn)
+        }
+      }.toMap
+      s"$dir/$hist" -> Histo(axes, values)
+    }).toMap
+  }
+
+  /** Compile `histo`'s `valName` payload against input columns (one per
+    * axis, in axis order). 1-d and 2-d grids supported. */
+  def lookup(histo: Histo, valName: String, inputs: Seq[Column]): Column = {
+    val vals = payload(histo, valName, inputs.size)
+    histo.axes match {
+      case Seq((_, e)) => DenseLookup.lookup1d(inputs.head, e, vals)
+      case Seq((_, ex), (_, ey)) =>
+        DenseLookup.lookup2d(inputs(0), inputs(1), ex, ey, vals)
+      case a => throw new IllegalArgumentException(s"${a.size}-d histo JSON not supported")
+    }
+  }
+
+  /** DuckDB SQL twin of [[lookup]]. */
+  def lookupSql(histo: Histo, valName: String, inputs: Seq[String]): String = {
+    val vals = payload(histo, valName, inputs.size)
+    histo.axes match {
+      case Seq((_, e)) => DenseLookup.lookup1dSql(inputs.head, e, vals)
+      case Seq((_, ex), (_, ey)) =>
+        DenseLookup.lookup2dSql(inputs(0), inputs(1), ex, ey, vals)
+      case a => throw new IllegalArgumentException(s"${a.size}-d histo JSON not supported")
+    }
+  }
+
+  private def payload(histo: Histo, valName: String, nInputs: Int): Seq[Double] = {
+    require(nInputs == histo.axes.size,
+      s"need ${histo.axes.size} inputs for axes ${histo.axes.map(_._1)}, got $nInputs")
+    histo.values.getOrElse(valName, throw new IllegalArgumentException(
+      s"no value '$valName' (have ${histo.values.keySet.mkString(", ")})"))
+  }
+
+  // --- nested-structure walkers (reference json_converters.py:13-44) ---
+
+  private def isLeaf(o: JObject): Boolean = o.obj.exists(_._1 == "value")
+
+  private def structure(level: JObject): List[(String, Seq[Double])] =
+    if (isLeaf(level)) Nil
+    else {
+      val name = level.obj.head._1.split(":")(0)
+      val edges = level.obj.flatMap { case (k, _) => keyBounds(k) }.distinct.sorted
+      (name, edges) :: structure(asObj(level.obj.head._2, s"axis '$name'"))
+    }
+
+  private def collectLeaves(
+      level: JObject, lows: List[Double]): Map[List[Double], Map[String, Double]] =
+    if (isLeaf(level))
+      Map(lows -> level.obj.map { case (k, v) => k -> num(v) }.toMap)
+    else
+      level.obj.flatMap { case (k, sub) =>
+        collectLeaves(asObj(sub, s"key '$k'"), lows :+ keyBounds(k).head)
+      }.toMap
+
+  private def keyBounds(key: String): Seq[Double] =
+    key.split(":").last.stripPrefix("[").stripSuffix("]").split(",").toSeq
+      .map(_.trim.toDouble)
+
+  private def asObj(v: JValue, what: String): JObject = v match {
+    case o: JObject => o
+    case other => throw new IllegalArgumentException(s"$what: expected object, got $other")
+  }
+
+  private def num(v: JValue): Double = v match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.{Jagged, SchemaBuilder, Systematics, Tables}
-import graft.corrections.{BTag, CorrectionLib, DoubleCrystalBall, Extractor, Rochester}
+import graft.corrections.{BTag, CorrectionLib, DoubleCrystalBall, Extractor, HistoJson, Rochester}
 import graft.lookup.{DenseLookup, FormulaCompiler, RangeMask}
 
 /** Corrections-as-lookups surface (SURVEY §2.9-2.10): dense binned
@@ -94,6 +94,16 @@ object CorrectionsQueries extends QueryPack {
       Seq(1e-7, 1e-7, 1e-7, 1e-7)),
     cbA = Seq(1.5, 1.6, 1.4, 1.7), cbN = Seq(3.0, 3.5, 4.0, 2.5),
     cbS = Seq(1.0, 1.1, 0.9, 1.2))
+
+  // JSON-histogram fixture (q90): the nested `name:[lo,hi]` SF format
+  // of json_converters.convert_histo_json_file.
+  private val histoJson = HistoJson.parse(
+    """{"sf": {"ele": {
+      |  "eta:[0.0,1.1]": {"pt:[10.0,35.0]": {"value": 1.012, "error": 0.021},
+      |                    "pt:[35.0,80.0]": {"value": 1.024, "error": 0.018}},
+      |  "eta:[1.1,2.5]": {"pt:[10.0,35.0]": {"value": 0.983, "error": 0.034},
+      |                    "pt:[35.0,80.0]": {"value": 0.968, "error": 0.041}}
+      |}}}""".stripMargin)("sf/ele")
 
   // dense_evaluated fixture (q71): per-bin formulas over p_size bins.
   private val evalEdges = Seq(1.0, 10.0, 25.0, 50.0)
@@ -310,6 +320,34 @@ object CorrectionsQueries extends QueryPack {
         s"""SELECT l_returnflag, count(*) AS n,
            |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
            |CAST(floor(sum(l_extendedprice / 1000.0 * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      }),
+
+    Query(
+      "q90_histo_json",
+      "JSON-histogram converter (json_converters.py:47-96): nested name:[lo,hi] scale-factor file parsed into 2-d dense lookups (value + error planes), applied as plan-literal when-chains and combined into a weighted total with a sumw2-style error accumulation.",
+      (s, dir) => {
+        import s.implicits._
+        val eta = $"l_discount" * 28.0
+        val pt = $"l_quantity" * 1.8
+        val v = HistoJson.lookup(histoJson, "value", Seq(eta, pt))
+        val e = HistoJson.lookup(histoJson, "error", Seq(eta, pt))
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(v)).as("avg_sf_e4"),
+            e4(sum(e * e)).as("sum_err2_e4"),
+            cents(sum($"l_extendedprice" / 100.0 * v)).as("weighted_c"))
+      },
+      Some {
+        val vSql = HistoJson.lookupSql(histoJson, "value",
+          Seq("(l_discount * 28.0)", "(l_quantity * 1.8)"))
+        val eSql = HistoJson.lookupSql(histoJson, "error",
+          Seq("(l_discount * 28.0)", "(l_quantity * 1.8)"))
+        s"""SELECT l_returnflag, count(*) AS n,
+           |CAST(floor(avg($vSql) * 10000 + 0.5) AS BIGINT) AS avg_sf_e4,
+           |CAST(floor(sum($eSql * $eSql) * 10000 + 0.5) AS BIGINT) AS sum_err2_e4,
+           |CAST(floor(sum(l_extendedprice / 100.0 * $vSql) * 100 + 0.5) AS BIGINT) AS weighted_c
            |FROM lineitem GROUP BY l_returnflag""".stripMargin
       }),
 

@@ -204,6 +204,32 @@ class CorrectionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("increasing"))
   }
 
+  test("HistoJson: nested 2-d histogram parses to dense lookups, clamp semantics") {
+    import graft.corrections.HistoJson
+    val json =
+      """{"sf": {"ele": {
+        |  "eta:[0.0,1.2]": {"pt:[20.0,50.0]": {"value": 1.01, "error": 0.02},
+        |                    "pt:[50.0,100.0]": {"value": 1.02, "error": 0.03}},
+        |  "eta:[1.2,2.4]": {"pt:[20.0,50.0]": {"value": 0.98, "error": 0.04},
+        |                    "pt:[50.0,100.0]": {"value": 0.97, "error": 0.05}}
+        |}}}""".stripMargin
+    val h = HistoJson.parse(json)("sf/ele")
+    assert(h.axes.map(_._1) == Seq("eta", "pt"))
+    assert(h.axes.head._2 == Seq(0.0, 1.2, 2.4))
+    assert(h.values("value") == Seq(1.01, 1.02, 0.98, 0.97)) // row-major
+    val df = Seq((0.5, 30.0), (1.5, 70.0), (5.0, 300.0), (0.5, 5.0)).toDF("eta", "pt")
+    val got = df.select(
+        HistoJson.lookup(h, "value", Seq($"eta", $"pt")).as("v"),
+        HistoJson.lookup(h, "error", Seq($"eta", $"pt")).as("e"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got(0) == ((1.01, 0.02)))
+    assert(got(1) == ((0.97, 0.05)))
+    assert(got(2) == ((0.97, 0.05))) // clamp above on both axes
+    assert(got(3) == ((1.01, 0.02))) // clamp below on pt
+    intercept[IllegalArgumentException](HistoJson.lookup(h, "nope", Seq($"eta", $"pt")))
+    intercept[IllegalArgumentException](HistoJson.lookup(h, "value", Seq($"eta")))
+  }
+
   test("CorrectionLib multibinning: C-order cells, per-dim clamp, null propagation") {
     val json =
       """{"schema_version": 2, "corrections": [
