@@ -1,0 +1,59 @@
+package graft.corrections
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Parser for the pileup-JSON format (reference
+  * `lookup_tools/json_converters.py:105-121`
+  * `convert_pileup_json_file`): `{"<run>": [[lumisection, x, y, value],
+  * ...], ...}` — a per-(run, lumisection) scalar, looked up by the
+  * reference's `json_lookup` on (run, lumi) key pairs.
+  *
+  * Spark mapping: the parsed table is a broadcast dimension joined on
+  * (run, lumi) — a real payload is O(100k) rows of 24 bytes, far under
+  * any broadcast threshold, and the equality join stays map-side at
+  * any event-table scale. (A literal map expression would also work
+  * but bloats the plan past the codegen constant-pool limit at real
+  * payload sizes.)
+  */
+object PileupJson {
+
+  /** (run, lumisection, value) rows; index 3 of each lumi entry is the
+    * value, matching the reference converter. */
+  def parse(text: String): Seq[(Long, Long, Double)] = {
+    val root = JsonMethods.parse(text) match {
+      case o: JObject => o
+      case other => throw new IllegalArgumentException(s"expected object root, got $other")
+    }
+    root.obj.flatMap { case (run, entries) =>
+      entries.children.map { e =>
+        val fields = e.children
+        require(fields.size >= 4, s"run $run: lumi entry needs >= 4 fields, got $fields")
+        (run.toLong, num(fields.head).toLong, num(fields(3)))
+      }
+    }
+  }
+
+  /** Left-join the pileup value onto `df` by (run, lumi); events with
+    * no payload entry get null (the reference returns 0 only via its
+    * dense default — callers coalesce as policy dictates). */
+  def attach(df: DataFrame, runCol: Column, lumiCol: Column,
+      parsed: Seq[(Long, Long, Double)], valueName: String = "pu"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tbl = parsed.toDF("__pu_run", "__pu_lumi", valueName)
+    df.join(broadcast(tbl),
+        runCol === col("__pu_run") && lumiCol === col("__pu_lumi"), "left")
+      .drop("__pu_run", "__pu_lumi")
+  }
+
+  private def num(v: JValue): Double = v match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.{Jagged, SchemaBuilder, Tables}
-import graft.corrections.{Extractor, JetCorrections, LumiTools}
+import graft.corrections.{Extractor, JetCorrections, LumiTools, PileupJson}
 import graft.genealogy.GenTree
 import graft.lookup.DenseLookup
 
@@ -27,6 +27,13 @@ object TreeLumiQueries extends QueryPack {
       key = Seq("l_orderkey"), collection = "items",
       fields = fields,
       sortFields = Seq("l_linenumber", "l_extendedprice"))
+
+  // pileup fixture (q91): parsed from the reference JSON shape; covers
+  // runs 100-102 x lumis 0-3 (lumi 4 intentionally unmatched).
+  private val puFixture = PileupJson.parse(
+    """{"100": [[0, 0, 0, 12.5], [1, 0, 0, 13.0], [2, 0, 0, 14.25], [3, 0, 0, 11.0]],
+      | "101": [[0, 0, 0, 22.5], [1, 0, 0, 21.0], [2, 0, 0, 20.75], [3, 0, 0, 23.5]],
+      | "102": [[0, 0, 0, 31.5], [1, 0, 0, 30.0], [2, 0, 0, 33.25], [3, 0, 0, 32.0]]}""".stripMargin)
 
   private val treeFields = Seq("l_linenumber", "l_extendedprice", "l_returnflag")
   private val jecFields = Seq("l_linenumber", "l_extendedprice", "l_quantity",
@@ -148,6 +155,33 @@ object TreeLumiQueries extends QueryPack {
               |JOIN it cur ON cur.ok = w.ok AND cur.idx = w.node
               |JOIN n ON n.ok = w.ok
               |WHERE cur.rf <> w.rootrf OR 2 * w.node + 1 >= n.cnt""".stripMargin)),
+
+    Query(
+      "q91_pileup_json",
+      "Pileup-JSON lookup (json_converters.py:105-121): {run: [[lumi,_,_,value],...]} parsed to a broadcast (run, lumi) dimension, left-joined onto events with fabricated run/lumi coordinates; unmatched sections stay null and are excluded from the weighted sum.",
+      (s, dir) => {
+        import s.implicits._
+        val withPu = PileupJson.attach(
+          Tables.events(s, dir)
+            .withColumn("run", $"user_id" % 3 + 100)
+            .withColumn("lumi", $"event_id" % 5),
+          col("run"), col("lumi"), puFixture)
+        withPu.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"pu".isNotNull, 1L).otherwise(0L)).cast("long").as("n_matched"),
+            cents(sum($"pu" * $"value")).as("weighted_c"))
+      },
+      Some {
+        val rows = puFixture.map { case (r, l, v) => s"($r, $l, $v)" }.mkString(", ")
+        s"""WITH pu(run, lumi, pu) AS (VALUES $rows),
+           |e AS (SELECT event_type, value, user_id % 3 + 100 AS run, event_id % 5 AS lumi
+           |      FROM events)
+           |SELECT event_type, count(*) AS n,
+           |CAST(sum(CASE WHEN pu.pu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           |CAST(floor(sum(pu.pu * e.value) * 100 + 0.5) AS BIGINT) AS weighted_c
+           |FROM e LEFT JOIN pu ON e.run = pu.run AND e.lumi = pu.lumi
+           |GROUP BY event_type""".stripMargin
+      }),
 
     Query(
       "q62_lumilist",

@@ -204,6 +204,20 @@ class CorrectionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("increasing"))
   }
 
+  test("PileupJson: run/lumi table parses and attaches by broadcast join, unmatched null") {
+    import graft.corrections.PileupJson
+    val parsed = PileupJson.parse(
+      """{"1": [[10, 0, 0, 2.5], [11, 0, 0, 3.5]], "2": [[10, 0, 0, 4.0]]}""")
+    assert(parsed.toSet == Set((1L, 10L, 2.5), (1L, 11L, 3.5), (2L, 10L, 4.0)))
+    val df = Seq((1L, 10L), (1L, 12L), (2L, 10L)).toDF("run", "lumi")
+    val got = PileupJson.attach(df, $"run", $"lumi", parsed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(got((1L, 10L)) == Some(2.5))
+    assert(got((1L, 12L)).isEmpty)
+    assert(got((2L, 10L)) == Some(4.0))
+    intercept[IllegalArgumentException](PileupJson.parse("""{"1": [[10, 0]]}"""))
+  }
+
   test("HistoJson: nested 2-d histogram parses to dense lookups, clamp semantics") {
     import graft.corrections.HistoJson
     val json =
