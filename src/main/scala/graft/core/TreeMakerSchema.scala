@@ -1,0 +1,111 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TreeMaker n-tuple schema pass (reference
+  * `src/coffea/nanoevents/schemas/treemaker.py:4-168`):
+  *
+  *  1. ROOT maximum-split vector classes arrive as per-component
+  *     columns `<Obj>/fPt, <Obj>/fEta, <Obj>/fPhi, <Obj>/fE`
+  *     (PtEtaPhiEVector) or `<Obj>/fX, <Obj>/fY, <Obj>/fZ` (XYZPoint) —
+  *     zipped into one collection with the scikit-hep vector field
+  *     names (`pt/eta/phi/energy`, `x/y/z`; `treemaker.py:66-101`).
+  *     Unrecognized component sets fail fast, as in the reference.
+  *  2. Extended quantities `<Obj>_<var>` merge into `<Obj>` — appended
+  *     element-wise when the collection exists from step 1, zipped into
+  *     a new collection otherwise (`treemaker.py:104-157`). Branch
+  *     names starting with `n` and per-event `_AK8` variants are left
+  *     alone, deeper collections merge first (underscore-count order).
+  *  3. `<Col>_<Sub>Counts` declares a double-jagged nesting: the flat
+  *     `<Col>_<Sub>` collection is segmented by the per-element counts
+  *     and nested as `<Col>.<sub>` (`nest_jagged_forms`,
+  *     `schemas/base.py:83-97`) via the O(k) prefix-sum segmented
+  *     slice.
+  *
+  * Pure plan-level projection — zero shuffles, fully column-prunable.
+  */
+object TreeMakerSchema {
+
+  def assemble(df: DataFrame): DataFrame = {
+    val (merged, nests) = mergeExtensions(zipSplitVectors(df))
+    nests.foldLeft(merged) { case (d, (cname, subcol, countField, subName)) =>
+      val st = elementStruct(d, cname)
+      val seg = Combinatorics.segmentedByCounts(
+        col(subcol), transform(col(cname), _(countField)))
+      d.withColumn(cname, zip_with(col(cname), seg, (m, block) =>
+          struct(st.fieldNames.map(f => m(f).as(f)) :+ block.as(subName): _*)))
+        .drop(subcol)
+    }
+  }
+
+  /** Step 1: zip `<Obj>/fPt`-style split-class components. */
+  private def zipSplitVectors(df: DataFrame): DataFrame = {
+    val groups = df.columns.filter(_.contains("/")).groupBy(_.split("/")(0))
+    groups.foldLeft(df) { case (d, (obj, cols)) =>
+      val comps = cols.map(c => c.split("[/.]").last -> c).toMap
+      val fields: Seq[(String, String)] = comps.keySet match {
+        case s if s == Set("fPt", "fEta", "fPhi", "fE") =>
+          Seq("pt" -> comps("fPt"), "eta" -> comps("fEta"),
+            "phi" -> comps("fPhi"), "energy" -> comps("fE"))
+        case s if s == Set("fX", "fY", "fZ") =>
+          Seq("x" -> comps("fX"), "y" -> comps("fY"), "z" -> comps("fZ"))
+        case other => throw new IllegalArgumentException(
+          s"unrecognized split components for '$obj': ${other.mkString(", ")}")
+      }
+      val zipped = arrays_zip(fields.map { case (f, src) => col(s"`$src`").as(f) }: _*)
+      d.withColumn(obj, zipped).drop(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** Step 2: merge `<Obj>_<var>` extension branches; returns the frame
+    * plus the (col, subcolColumn, countField, subName) nests for step 3. */
+  private def mergeExtensions(df0: DataFrame): (DataFrame, Seq[(String, String, String, String)]) = {
+    var out = df0
+    val nests = scala.collection.mutable.ListBuffer[(String, String, String, String)]()
+    val collNames = df0.columns
+      .filter(c => c.contains("_") && !c.startsWith("n") && !c.endsWith("_AK8"))
+      .map(c => c.substring(0, c.lastIndexOf('_')))
+      .distinct.filter(_.nonEmpty)
+      .sortBy(c => -c.count(_ == '_'))
+    for (cname <- collNames) {
+      val items = out.columns.filter(_.startsWith(cname + "_")).sorted
+      if (items.nonEmpty) {
+        val subcols = items.filter(_.endsWith("Counts")).map(_.dropRight(6))
+          .filter(out.columns.contains) // only nest when the child collection exists
+        val kept = items.filter(k =>
+          !subcols.exists(sc => k.startsWith(sc)) || k.endsWith("Counts"))
+        nests ++= subcols.map { sc =>
+          val subName = sc.substring(cname.length + 1)
+          (cname, sc, subName + "Counts", subName)
+        }
+        if (!out.columns.contains(cname)) {
+          val zipped = arrays_zip(kept.map(c =>
+            col(c).as(c.stripPrefix(s"${cname}_"))): _*)
+          out = out.withColumn(cname, zipped).drop(kept: _*)
+        } else {
+          val st = elementStruct(out, cname)
+          out = out.withColumn(cname,
+            zip_with_index(col(cname), (m, i) => struct(
+              st.fieldNames.map(f => m(f).as(f)) ++
+                kept.map(c => element_at(col(c), i + 1)
+                  .as(c.stripPrefix(s"${cname}_"))): _*)))
+            .drop(kept: _*)
+        }
+      }
+    }
+    (out, nests.toList)
+  }
+
+  /** transform with the element index available. */
+  private def zip_with_index(arr: Column, f: (Column, Column) => Column): Column =
+    transform(arr, (m, i) => f(m, i))
+
+  private def elementStruct(d: DataFrame, name: String): StructType =
+    d.schema(name).dataType match {
+      case ArrayType(st: StructType, _) => st
+      case other => throw new IllegalArgumentException(
+        s"'$name' is not a collection (got $other)")
+    }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
-import graft.core.{Combinatorics, DelphesSchema, EDM4HEPSchema, ElementLink, Jagged, Kinematics, NanoAODPresets, PDUNESchema, SchemaBuilder, Tables}
+import graft.core.{Combinatorics, DelphesSchema, EDM4HEPSchema, ElementLink, Jagged, Kinematics, NanoAODPresets, PDUNESchema, SchemaBuilder, Tables, TreeMakerSchema}
 
 /** The coffea-semantics core exercised on the star schema: build jagged
   * event records (order → items, user → events), then run the intra-event
@@ -624,6 +624,47 @@ object JaggedQueries extends QueryPack {
              |  CAST(floor(h.s * 100 + 0.5) AS BIGINT) AS hits_sum_c
              |FROM ev JOIN clus c ON ev.l_orderkey = c.l_orderkey
              |JOIN hits h ON ev.l_orderkey = h.l_orderkey""".stripMargin)),
+
+    Query(
+      "q92_treemaker_schema",
+      "TreeMakerSchema pass (schemas/treemaker.py:4-168): ROOT-split PtEtaPhiEVector components (Jets/fPt...) zip to pt/eta/phi/energy, <Obj>_<var> extensions merge element-wise, and <Col>_<Sub>Counts declares the double-jagged nest (flat subjets segmented by per-jet counts via the O(k) prefix-sum slice). The jec x subjet-sum output is alignment-sensitive: a mis-segmented nest changes per-jet products, not just totals.",
+      (s, dir) => {
+        import s.implicits._
+        val nested = ordersNested(s, dir,
+          Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+        def cnt(it: org.apache.spark.sql.Column) = (it("l_linenumber") % 3).cast("int")
+        val flat = nested.select(
+          $"l_orderkey".as("event"),
+          transform($"items", _("l_extendedprice")).as("Jets/fPt"),
+          transform($"items", it => it("l_quantity") / 25.0 - 1.0).as("Jets/fEta"),
+          transform($"items", it => (it("l_linenumber") % 7).cast("double")).as("Jets/fPhi"),
+          transform($"items", it => it("l_extendedprice") + it("l_quantity")).as("Jets/fE"),
+          transform($"items", it => lit(0.9) + it("l_quantity") / 1000.0).as("Jets_jecFactor"),
+          transform($"items", it => cnt(it).cast("long")).as("Jets_subjetsCounts"),
+          flatten(transform($"items", it =>
+            when(cnt(it) >= 1,
+              transform(sequence(lit(1), cnt(it)), k => it("l_quantity") * 0.5 + k.cast("double")))
+              .otherwise(array().cast("array<double>")))).as("Jets_subjets_pt"))
+        val ev = TreeMakerSchema.assemble(flat)
+        ev.select(
+          $"event".as("l_orderkey"),
+          size($"Jets").cast("long").as("n_jets"),
+          cents(aggregate($"Jets", lit(0.0), (a, j) => a + j("pt") + j("energy"))).as("pt_e_c"),
+          // quantize per jet, then sum integers: a whole-sum cents() flips
+          // at floor boundaries under engine-different fp addition order
+          aggregate($"Jets", lit(0L), (a, j) =>
+            a + cents(j("jecFactor") *
+              aggregate(j("subjets"), lit(0.0), (b, sj) => b + sj("pt"))))
+            .as("jec_subjet_c"),
+          aggregate($"Jets", lit(0L), (a, j) => a + j("subjetsCounts")).as("n_subjets"))
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_jets,
+             |CAST(floor(sum(l_extendedprice + l_extendedprice + l_quantity) * 100 + 0.5) AS BIGINT) AS pt_e_c,
+             |CAST(sum(CAST(floor((0.9 + l_quantity / 1000.0) *
+             |  ((l_linenumber % 3) * l_quantity * 0.5 +
+             |   (l_linenumber % 3) * ((l_linenumber % 3) + 1) / 2.0) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS jec_subjet_c,
+             |CAST(sum(l_linenumber % 3) AS BIGINT) AS n_subjets
+             |FROM lineitem GROUP BY l_orderkey""".stripMargin)),
 
     Query(
       "q77_delphes_schema",

@@ -140,6 +140,37 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(s.getDouble(1) - ab.getDouble(1)) < 1e-9)
   }
 
+  test("TreeMakerSchema: split vectors zip, extensions merge, Counts nest double-jagged") {
+    import graft.core.TreeMakerSchema
+    val df = Seq((
+      Seq(10.0, 20.0), Seq(0.1, 0.2), Seq(1.0, 2.0), Seq(15.0, 25.0), // Jets/f*
+      Seq(0.99, 1.01), // Jets_jecFactor
+      Seq(2L, 1L), Seq(5.0, 6.0, 7.0), // Jets_subjetsCounts + flat Jets_subjets_pt
+      Seq(0.5), Seq(0.6), Seq(0.7), // PrimaryVertices/fX,fY,fZ
+      3L, 42.0 // nJets passthrough, MT_AK8 excluded per-event var
+    )).toDF("Jets/fPt", "Jets/fEta", "Jets/fPhi", "Jets/fE",
+      "Jets_jecFactor", "Jets_subjetsCounts", "Jets_subjets_pt",
+      "PrimaryVertices/fX", "PrimaryVertices/fY", "PrimaryVertices/fZ",
+      "nJets", "MT_AK8")
+    val ev = TreeMakerSchema.assemble(df)
+    assert(ev.columns.toSet == Set("Jets", "PrimaryVertices", "nJets", "MT_AK8"))
+    val jets = ev.select($"Jets").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(jets.map(_.getAs[Double]("pt")) == Seq(10.0, 20.0))
+    assert(jets.map(_.getAs[Double]("energy")) == Seq(15.0, 25.0))
+    assert(jets.map(_.getAs[Double]("jecFactor")) == Seq(0.99, 1.01))
+    // double-jagged: first jet gets subjets [5,6], second [7]
+    val subs = jets.map(_.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("subjets")
+      .map(_.getAs[Double]("pt")).toSeq)
+    assert(subs == Seq(Seq(5.0, 6.0), Seq(7.0)))
+    assert(jets.map(_.getAs[Long]("subjetsCounts")) == Seq(2L, 1L))
+    val pv = ev.select($"PrimaryVertices").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(pv.map(_.getAs[Double]("x")) == Seq(0.5))
+    // unrecognized split-component sets fail fast
+    intercept[IllegalArgumentException] {
+      TreeMakerSchema.assemble(Seq((Seq(1.0), Seq(2.0))).toDF("Bad/fPt", "Bad/fQ"))
+    }
+  }
+
   test("boost to the CM frame brings a vector to rest; zero boost is identity") {
     val df = Seq(1).toDF("x").select(
       Kinematics.ptEtaPhiM(lit(50.0), lit(1.2), lit(0.7), lit(3.0)).as("v"))
