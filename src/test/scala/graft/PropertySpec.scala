@@ -74,4 +74,94 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getInt(0) == math.min(r.getInt(1), 5))
     }
   }
+
+  test("connectedComponents (distributed) == union-find for random graphs") {
+    import graft.pipeline.Components
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(i: Long): Long = {
+        var r = i; while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = i; while (parent.getOrElse(c, c) != c) { val x = parent(c); parent(c) = r; c = x }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    }
+    val genGraph = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
+    } yield es.filter { case (a, b) => a != b }
+    samples(genGraph, 6).filter(_.nonEmpty).foreach { edges =>
+      val got = Components.connectedComponents(
+          edges.toDF("a", "b"), "a", "b", maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges))
+    }
+  }
+
+  test("TopKAgg == sort-take for random scored rows, any k") {
+    val gen = for {
+      rows <- Gen.listOf(Gen.zip(Gen.chooseNum(-1000L, 1000L), Gen.chooseNum(0L, 500L)))
+      k <- Gen.chooseNum(1, 12)
+    } yield (rows.distinct, k)
+    samples(gen, 8).filter(_._1.nonEmpty).foreach { case (rows, k) =>
+      val got = rows.toDF("score", "id")
+        .agg(graft.functions.TopKAgg(col("score"), col("id"), k).as("tk"))
+        .select(explode(col("tk"))).select("col.id", "col.score")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = rows.map { case (s, i) => (i, s) }
+        .sortBy { case (i, s) => (-s, i) }.distinct.take(k)
+      assert(got.toSeq == want)
+    }
+  }
+
+  test("boost(v, b) then boost(back, -b) recovers v for random vectors") {
+    val gen = for {
+      pt <- Gen.chooseNum(1.0, 200.0); eta <- Gen.chooseNum(-3.0, 3.0)
+      phi <- Gen.chooseNum(-3.0, 3.0); m <- Gen.chooseNum(0.1, 50.0)
+      bx <- Gen.chooseNum(-0.5, 0.5); by <- Gen.chooseNum(-0.5, 0.5)
+      bz <- Gen.chooseNum(-0.5, 0.5)
+    } yield (pt, eta, phi, m, bx, by, bz)
+    val rows = samples(gen, 30)
+    val df = rows.toDF("pt", "eta", "phi", "m", "bx", "by", "bz")
+    val v = Kinematics.ptEtaPhiM($"pt", $"eta", $"phi", $"m")
+    val fwd = Kinematics.boost(v, Kinematics.xyz($"bx", $"by", $"bz"))
+    df.select($"pt", $"eta", $"phi", $"m",
+        Kinematics.boost(fwd, Kinematics.xyz(-$"bx", -$"by", -$"bz")).as("r"))
+      .select($"pt", $"eta", $"phi", $"m", $"r.pt", $"r.eta", $"r.phi", $"r.mass")
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(4)) < 1e-6 * (1 + r.getDouble(0)))
+        assert(math.abs(r.getDouble(1) - r.getDouble(5)) < 1e-6)
+        assert(math.abs(r.getDouble(2) - r.getDouble(6)) < 1e-6)
+        assert(math.abs(r.getDouble(3) - r.getDouble(7)) < 1e-5 * (1 + r.getDouble(3)))
+      }
+  }
+
+  test("normalizeText is idempotent on arbitrary unicode strings") {
+    import graft.pipeline.TextAnalysis
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', 'é', '́', 'ﬁ', 'ß', '大', 'Ω')
+    )).map(_.mkString)
+    val strs = samples(gen, 60)
+    val df = strs.toDF("s")
+    val bad = df.select(
+        TextAnalysis.normalizeText($"s").as("once"),
+        TextAnalysis.normalizeText(TextAnalysis.normalizeText($"s")).as("twice"))
+      .filter($"once" =!= $"twice").count()
+    assert(bad == 0L)
+  }
+
+  test("ArrayPrefixSum matches scanLeft for arbitrary count vectors") {
+    val lists = samples(Gen.listOf(Gen.chooseNum(0L, 50L)), 40)
+    val df = lists.map(_.toSeq).toDF("xs")
+    df.select($"xs", graft.functions.ArrayPrefixSum($"xs").as("ps"))
+      .collect().foreach { r =>
+        val xs = r.getSeq[Long](0)
+        assert(r.getSeq[Long](1) == xs.scanLeft(0L)(_ + _).dropRight(1))
+      }
+  }
 }
