@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ATLAS DAOD_PHYSLITE schema pass (reference
+  * `src/coffea/nanoevents/schemas/physlite.py:10-180`): xAOD stores
+  * collections as dotted `<TopKey>.<member>` columns where the top key
+  * carries `Analysis`/`Aux`/`AuxDyn` decorations —
+  * `AnalysisElectronsAuxDyn.pt` belongs to collection `Electrons`.
+  *
+  *  - Columns group by the STRIPPED top key and zip element-wise into
+  *    one `array<struct>` collection per object
+  *    (`physlite.py:77-135`), tagged from the PHYSLITE mixin table.
+  *  - `ElementLink` members arrive component-split
+  *    (`<link>.m_persKey` + `<link>.m_persIndex`, single links as
+  *    `array<long>` and link lists as `array<array<long>>`) and are
+  *    reconstituted into `{m_persKey, m_persIndex}` structs
+  *    (`physlite.py:115-127`) ready for
+  *    [[ElementLink.resolve]]/[[ElementLink.resolveMultiple]].
+  *  - An `_eventindex` field (the reference's global-index hook,
+  *    `physlite.py:95-103`) is attached per element when an event id
+  *    column is supplied.
+  *
+  * Pure plan-level projection — zero shuffles, fully column-prunable.
+  */
+object PHYSLITESchema {
+
+  /** Collection → behavior kind (reference `physlite.py:47-66`). */
+  val mixins: Map[String, String] = Map(
+    "Photons" -> "Particle", "Electrons" -> "Electron", "Muons" -> "Muon",
+    "Jets" -> "Particle", "TauJets" -> "Particle",
+    "CombinedMuonTrackParticles" -> "TrackParticle",
+    "ExtrapolatedMuonTrackParticles" -> "TrackParticle",
+    "GSFTrackParticles" -> "TrackParticle",
+    "InDetTrackParticles" -> "TrackParticle",
+    "MuonSpectrometerTrackParticles" -> "TrackParticle",
+    "egammaClusters" -> "NanoCollection") ++
+    Seq("TruthPhotons", "TruthMuons", "TruthNeutrinos", "TruthTaus",
+      "TruthElectrons", "TruthBoson", "TruthBottom", "TruthTop")
+      .map(_ -> "TruthParticle")
+
+  /** Strip the xAOD decorations from a top key (`physlite.py:88-90`). */
+  def collectionName(topKey: String): String =
+    topKey.replace("Analysis", "").replace("AuxDyn", "").replace("Aux", "")
+
+  def assemble(df: DataFrame, eventIdCol: Option[String] = None): DataFrame = {
+    val dotted = df.columns.filter(_.contains("."))
+    val groups = dotted.groupBy(c => collectionName(c.substring(0, c.indexOf('.'))))
+    val out = groups.toSeq.sortBy(_._1).foldLeft(df) { case (d, (objname, cols)) =>
+      val members = cols.map(c => c.substring(c.indexOf('.') + 1) -> c)
+      val direct = members.filter(!_._1.contains("."))
+        .map { case (sub, c) => col(s"`$c`").as(sub) }
+      // component-split link members: <link>.m_persKey / .m_persIndex
+      val nested = members.filter(_._1.contains("."))
+        .groupBy(_._1.split("\\.")(0))
+        .toSeq.sortBy(_._1)
+        .map { case (linkName, comps) =>
+          val byComp = comps.map { case (sub, c) => sub.split("\\.", 2)(1) -> c }.toMap
+          require(byComp.keySet == Set("m_persKey", "m_persIndex"),
+            s"$objname.$linkName: unsupported split members ${byComp.keySet.mkString(", ")}" +
+              " (only ElementLink {m_persKey, m_persIndex} components)")
+          linkZip(df, byComp("m_persKey"), byComp("m_persIndex")).as(linkName)
+        }
+      val eventindex = eventIdCol.toSeq.map { ev =>
+        transform(col(s"`${cols.head}`"), _ => col(ev).cast("long")).as("_eventindex")
+      }
+      d.withColumn(objname, arrays_zip(direct ++ nested ++ eventindex: _*))
+        .drop(cols.toIndexedSeq: _*)
+    }
+    groups.keySet.foldLeft(out) { (acc, coll) =>
+      mixins.get(coll).fold(acc)(kind => Mixins.tag(acc, coll, kind))
+    }
+  }
+
+  /** Zip key/index component columns back into link structs: one level
+    * for single links (`array<long>`), two for link lists
+    * (`array<array<long>>`). */
+  private def linkZip(df: DataFrame, keyCol: String, idxCol: String): Column = {
+    def link(k: Column, i: Column) =
+      struct(k.as("m_persKey"), i.as("m_persIndex"))
+    df.schema(keyCol).dataType match {
+      case ArrayType(ArrayType(_, _), _) =>
+        zip_with(col(s"`$keyCol`"), col(s"`$idxCol`"),
+          (ks, is) => zip_with(ks, is, link))
+      case ArrayType(_, _) =>
+        zip_with(col(s"`$keyCol`"), col(s"`$idxCol`"), link)
+      case other => throw new IllegalArgumentException(
+        s"$keyCol: expected array link components, got $other")
+    }
+  }
+}

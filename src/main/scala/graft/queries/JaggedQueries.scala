@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
-import graft.core.{Combinatorics, DelphesSchema, EDM4HEPSchema, ElementLink, Jagged, Kinematics, NanoAODPresets, PDUNESchema, SchemaBuilder, Tables, TreeMakerSchema}
+import graft.core.{Combinatorics, DelphesSchema, EDM4HEPSchema, ElementLink, Jagged, Kinematics, NanoAODPresets, PDUNESchema, PHYSLITESchema, SchemaBuilder, Tables, TreeMakerSchema}
 
 /** The coffea-semantics core exercised on the star schema: build jagged
   * event records (order → items, user → events), then run the intra-event
@@ -436,6 +436,55 @@ object JaggedQueries extends QueryPack {
              |SELECT CAST(count(*) AS BIGINT) AS n_links,
              |  CAST(count(val) AS BIGINT) AS n_resolved,
              |  CAST(floor(sum(coalesce(val, 0.0)) * 100 + 0.5) AS BIGINT) AS resolved_sum_c
+             |FROM res""".stripMargin)),
+
+    Query(
+      "q93_physlite_schema",
+      "PHYSLITESchema pass (schemas/physlite.py:10-180): Analysis/Aux/AuxDyn decorations strip off dotted xAOD columns, collections zip with an _eventindex hook, and component-split ElementLinks ({m_persKey}/{m_persIndex} arrays) reconstitute into link structs resolved in-event against GSFTrackParticles — the q72 link semantics flowing through the one-call schema pass.",
+      (s, dir) => {
+        import s.implicits._
+        val nested = ordersNested(s, dir,
+          Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+        val flat = nested.select(
+          $"l_orderkey".as("event"),
+          transform($"items", _("l_extendedprice")).as("AnalysisElectronsAuxDyn.pt"),
+          transform($"items", it => when(it("l_quantity") > 10.0, lit(7L)).otherwise(lit(0L)))
+            .as("AnalysisElectronsAuxDyn.trackParticleLink.m_persKey"),
+          transform($"items", it => (it("l_quantity") % 5.0).cast("long"))
+            .as("AnalysisElectronsAuxDyn.trackParticleLink.m_persIndex"),
+          transform($"items", it => it("l_quantity") * 2.0)
+            .as("GSFTrackParticlesAuxDyn.z0"))
+        val ev = PHYSLITESchema.assemble(flat, eventIdCol = Some("event"))
+        val z0 = transform($"GSFTrackParticles", _("z0"))
+        val resolved = ElementLink.resolve(z0,
+          transform($"Electrons", _("trackParticleLink")))
+        ev.select(
+            size($"Electrons").as("nl"),
+            size(filter(resolved, x => x.isNotNull)).as("nr"),
+            aggregate(resolved, lit(0.0), (a, x) => a + coalesce(x, lit(0.0))).as("sr"),
+            aggregate(transform($"Electrons", _("_eventindex")), lit(0L), _ + _).as("ei"))
+          .agg(sum($"nl").as("n_links"), sum($"nr").as("n_resolved"),
+            cents(sum($"sr")).as("resolved_sum_c"),
+            sum($"ei").as("eventindex_sum"))
+      },
+      Some("""WITH it AS (
+             |  SELECT l_orderkey AS ok, l_quantity,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_linenumber, l_extendedprice) - 1 AS pos
+             |  FROM lineitem),
+             |lk AS (
+             |  SELECT l_orderkey AS ok,
+             |    CASE WHEN l_quantity > 10.0 THEN 7 ELSE 0 END AS key,
+             |    CAST(l_quantity % 5.0 AS BIGINT) AS idx
+             |  FROM lineitem),
+             |res AS (
+             |  SELECT lk.ok, t.l_quantity * 2.0 AS z0
+             |  FROM lk LEFT JOIN it t
+             |    ON t.ok = lk.ok AND t.pos = lk.idx AND lk.key = 7)
+             |SELECT CAST(count(*) AS BIGINT) AS n_links,
+             |  CAST(count(z0) AS BIGINT) AS n_resolved,
+             |  CAST(floor(sum(coalesce(z0, 0.0)) * 100 + 0.5) AS BIGINT) AS resolved_sum_c,
+             |  CAST(sum(ok) AS BIGINT) AS eventindex_sum
              |FROM res""".stripMargin)),
 
     Query(

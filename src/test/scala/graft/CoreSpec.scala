@@ -140,6 +140,45 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(s.getDouble(1) - ab.getDouble(1)) < 1e-9)
   }
 
+  test("PHYSLITESchema: decorations strip, links reconstitute, resolve through the pass") {
+    import graft.core.{ElementLink, PHYSLITESchema}
+    val df = Seq((
+      1L,
+      Seq(25.0, 40.0), // AnalysisElectronsAuxDyn.pt
+      Seq(Seq(7L, 0L), Seq(7L)), // trackParticleLinks.m_persKey (multi)
+      Seq(Seq(0L, 9L), Seq(1L)), // trackParticleLinks.m_persIndex
+      Seq(7L, 0L), // MuonsAux.inDetTrackParticleLink.m_persKey (single)
+      Seq(1L, 0L),
+      Seq(1.5, 2.5) // GSFTrackParticlesAuxDyn.z0
+    )).toDF("event",
+      "AnalysisElectronsAuxDyn.pt",
+      "AnalysisElectronsAuxDyn.trackParticleLinks.m_persKey",
+      "AnalysisElectronsAuxDyn.trackParticleLinks.m_persIndex",
+      "AnalysisMuonsAux.inDetTrackParticleLink.m_persKey",
+      "AnalysisMuonsAux.inDetTrackParticleLink.m_persIndex",
+      "GSFTrackParticlesAuxDyn.z0")
+    val ev = PHYSLITESchema.assemble(df, eventIdCol = Some("event"))
+    assert(ev.columns.toSet == Set("event", "Electrons", "Muons", "GSFTrackParticles"))
+    val z0 = transform($"GSFTrackParticles", _("z0"))
+    // per electron, resolve its link list against the track collection
+    val res = ev.select(flatten(transform($"Electrons",
+        e => ElementLink.resolve(z0, e("trackParticleLinks")))).as("r"))
+      .head().getSeq[Any](0)
+    assert(res == Seq(1.5, null, 2.5)) // key 0 and in-range links
+    val evIdx = ev.select(transform($"Electrons", _("_eventindex")).as("i"))
+      .head().getSeq[Long](0)
+    assert(evIdx == Seq(1L, 1L))
+    // single-link members zip one level deep
+    val muLink = ev.select(transform($"Muons",
+        m => m("inDetTrackParticleLink")("m_persIndex")).as("i"))
+      .head().getSeq[Long](0)
+    assert(muLink == Seq(1L, 0L))
+    intercept[IllegalArgumentException] {
+      PHYSLITESchema.assemble(Seq((Seq(1L), Seq(2L)))
+        .toDF("XAuxDyn.lnk.m_persKey", "XAuxDyn.lnk.other"))
+    }
+  }
+
   test("TreeMakerSchema: split vectors zip, extensions merge, Counts nest double-jagged") {
     import graft.core.TreeMakerSchema
     val df = Seq((
