@@ -137,4 +137,63 @@ object Multimodal {
   /** Back-compat alias for the stub-backed path. */
   def extractFeatures(df: DataFrame, idCol: String): Dataset[MediaFeature] =
     inferFeatures(df, idCol)
+
+  final case class ResizedImage(
+      media_id: Long, image: Array[Byte], width: Int, height: Int,
+      orig_width: Int, orig_height: Int)
+
+  /** Batched image resize — REAL in-JVM path (javax.imageio decode →
+    * bilinear AWT rescale → PNG re-encode), the standard normalization
+    * step before a vision encoder. Same executor shape as
+    * [[inferFeatures]]: per-partition work, no driver round-trip, the
+    * output is again an opaque binary column ready for the next stage.
+    * Undecodable payloads are dropped (count the delta to monitor). */
+  def resizeImages(
+      df: DataFrame, idCol: String, bytesCol: String,
+      width: Int, height: Int): Dataset[ResizedImage] = {
+    require(width > 0 && height > 0, s"bad target ${width}x$height")
+    implicit val enc = Encoders.product[ResizedImage]
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val out = new java.awt.image.BufferedImage(
+                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, width, height, null)
+              g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              Some(ResizedImage(id, buf.toByteArray, width, height,
+                img.getWidth, img.getHeight))
+            }
+          } catch { case _: java.io.IOException => None }
+        }
+      }
+  }
+
+  /** Fixed-size frame sampling over an opaque binary payload — keep
+    * every `everyK`-th `frameSize`-byte frame. Pure codegen'd binary
+    * slicing (`substring` on binary), so it runs inside the scan stage
+    * with zero UDF cost; a real container format (mp4 GOPs, audio
+    * windows) swaps this arithmetic for codec index lookups at the
+    * [[InferenceBackend]] seam, with the same Spark-side shape. The
+    * final short frame is kept (substring clips), zero-length payloads
+    * yield no frames. */
+  def sampleFrames(payload: Column, frameSize: Int, everyK: Int): Column = {
+    require(frameSize > 0 && everyK > 0, s"bad frameSize=$frameSize everyK=$everyK")
+    val nFrames = ceil(length(payload).cast("double") / frameSize).cast("int")
+    filter(
+      transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+        i => when(i < nFrames, struct(i.as("frame_idx"),
+          payload.substr(i * frameSize + 1, lit(frameSize)).as("frame")))),
+      (f, i) => f.isNotNull && i % everyK === 0)
+  }
 }

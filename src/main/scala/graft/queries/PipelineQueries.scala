@@ -367,6 +367,27 @@ object PipelineQueries extends QueryPack {
               |FROM c QUALIFY rk <= 5""".stripMargin)),
 
     Query(
+      "q94_frame_sample",
+      "Multimodal frame sampling: fixed-size binary frames, keep every 3rd — pure codegen'd binary slicing inside the scan stage (the mp4-GOP/audio-window analogue; a real codec swaps in at the InferenceBackend seam with the same Spark-side shape). Oracle slices the VARCHAR twin (corpus is pure ASCII, bytes == chars).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+          .select($"doc_id",
+            explode(Multimodal.sampleFrames($"payload", frameSize = 32, everyK = 3)).as("f"))
+          .select($"doc_id", $"f.frame_idx".cast("long").as("frame_idx"),
+            md5($"f.frame").as("frame_md5"),
+            length($"f.frame").cast("long").as("n_bytes"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, i AS frame_idx, substring(text, i*32 + 1, 32) AS frame
+             |  FROM documents, generate_series(0, 499) g(i)
+             |  WHERE i*32 < length(text) AND i % 3 = 0)
+             |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |       md5(frame) AS frame_md5, CAST(length(frame) AS BIGINT) AS n_bytes
+             |FROM f""".stripMargin)),
+
+    Query(
       "q57_cosine_neardup",
       "Embedding-cosine near-dup pairs (threshold 0.45), small-corpus exact path: broadcast all-pairs behind a row-count guard. q59 runs the same contract through the scale path (LSH blocking, no driver collect).",
       (s, dir) => Similarity.cosinePairs(

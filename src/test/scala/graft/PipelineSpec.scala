@@ -291,6 +291,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(prunedRows.forall(r => (0L to 4L).contains(r._3)))
   }
 
+  test("resizeImages rescales real PNGs in-JVM; undecodable payloads drop") {
+    // render a 8x4 PNG with the JDK encoder
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val df = Seq((1L, png(8, 4, 0xff0000)), (2L, png(3, 3, 0x00ff00)),
+      (3L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val out = Multimodal.resizeImages(df, "media_id", "payload", width = 4, height = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // id 3 undecodable, dropped
+    assert(out(1L).orig_width == 8 && out(1L).orig_height == 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).image))
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xff0000) // solid color survives
+  }
+
+  test("sampleFrames slices binary payloads; short tail kept; empty yields none") {
+    val df = Seq(
+      (1L, "abcdefghij"), // 4 frames of 3 (tail "j"), keep idx 0 and 2
+      (2L, "")).toDF("id", "t")
+      .select($"id", encode($"t", "UTF-8").as("payload"))
+    val out = df.select($"id",
+        Multimodal.sampleFrames($"payload", frameSize = 3, everyK = 2).as("fs"))
+      .select($"id", explode($"fs").as("f"))
+      .select($"id", $"f.frame_idx", $"f.frame".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 0, "abc"), (1L, 2, "ghi")))
+  }
+
   test("ImageIoBackend decodes real PNG bytes through inferFeatures") {
     // two real images written by the JDK encoder: 4x2 solid red, 3x3
     // mid-gray — plus one undecodable payload
