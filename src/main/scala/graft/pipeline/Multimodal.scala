@@ -105,6 +105,34 @@ object Multimodal {
     }
   }
 
+  /** REAL audio backend: 16-bit little-endian mono PCM → [rms, zero-
+    * crossing rate, peak, duration_ms] — the classic cheap audio
+    * quality/VAD features, computed in a tight JVM loop with no
+    * external codec. Second real [[InferenceBackend]] beside
+    * [[ImageIoBackend]]: payloads that are not an even byte count
+    * are truncated to the last whole sample (codecs would reject —
+    * raw PCM has no framing to validate). */
+  final case class PcmBackend(sampleRate: Int = 16000) extends InferenceBackend {
+    require(sampleRate > 0)
+    def open(): Array[Array[Byte]] => Array[Array[Double]] = batch => batch.map { bytes =>
+      val n = bytes.length / 2
+      var i = 0; var sum2 = 0.0; var zc = 0; var peak = 0.0; var prev = 0
+      while (i < n) {
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+        val x = s / 32768.0
+        sum2 += x * x
+        val ax = math.abs(x); if (ax > peak) peak = ax
+        if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+        prev = s; i += 1
+      }
+      Array(
+        if (n > 0) math.sqrt(sum2 / n) else 0.0,
+        if (n > 1) zc.toDouble / (n - 1) else 0.0,
+        peak,
+        n * 1000.0 / sampleRate)
+    }
+  }
+
   /** Attach a binary payload column (here: utf-8 of a text column —
     * stands in for image bytes read from storage). */
   def withBinaryPayload(df: DataFrame, src: Column): DataFrame =

@@ -325,6 +325,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0, "abc"), (1L, 2, "ghi")))
   }
 
+  test("PcmBackend extracts sine-wave audio features through inferFeatures") {
+    // 0.1s of a 440 Hz sine at 16 kHz, amplitude 0.5, 16-bit LE PCM
+    def sinePcm(freq: Double, amp: Double, sr: Int, nSamples: Int): Array[Byte] = {
+      val out = new Array[Byte](nSamples * 2)
+      for (i <- 0 until nSamples) {
+        val s = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt
+        out(2 * i) = (s & 0xff).toByte
+        out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      out
+    }
+    val pcm = sinePcm(440.0, 0.5, 16000, 1600)
+    val df = Seq((1L, pcm), (2L, Array.empty[Byte])).toDF("media_id", "payload")
+    val feats = Multimodal.inferFeatures(df, "media_id", Multimodal.PcmBackend(16000))
+      .collect().map(f => f.media_id -> f.features).toMap
+    val Array(rms, zcr, peak, durMs) = feats(1L)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01) // sine rms = A/sqrt(2)
+    assert(math.abs(zcr - 2 * 440.0 / 16000) < 0.01) // 2 crossings per cycle
+    assert(peak > 0.49 && peak <= 0.5)
+    assert(math.abs(durMs - 100.0) < 1e-9)
+    assert(feats(2L).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("ImageIoBackend decodes real PNG bytes through inferFeatures") {
     // two real images written by the JDK encoder: 4x2 solid red, 3x3
     // mid-gray — plus one undecodable payload
