@@ -15,6 +15,7 @@ object SparkEntry {
     _root_.graft.queries.AnalysisQueries,
     _root_.graft.queries.CorrectionsQueries,
     _root_.graft.queries.PipelineQueries,
+    _root_.graft.queries.CurationQueries,
     _root_.graft.queries.TreeLumiQueries
   )
 

@@ -1,0 +1,237 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines:
+  * benchmark decontamination, repetition/quality signals, PII
+  * redaction, URL/domain filtering, and sequence packing.
+  *
+  * These extend the reference's analysis surface the way a production
+  * pretraining pipeline would (the reference itself stops at event
+  * analysis — see SURVEY §8.2 for the extension charter). Every
+  * operator here is shaped for the 100 TB path:
+  *
+  *  - per-document signals are map-only codegen'd HOF arithmetic over
+  *    the scan (no UDFs, no shuffle);
+  *  - the only shuffles are partial-aggregated `groupBy`s on the
+  *    document key (one output row per doc) or on low-cardinality
+  *    group keys;
+  *  - reference sets (benchmark shingles, domain blocklists) are
+  *    broadcast — they are bounded by the benchmark/blocklist size,
+  *    not the corpus;
+  *  - sequence packing is a per-stream prefix sum: each (stream)
+  *    partition packs independently, so parallelism = number of
+  *    streams and a straggler stream is bounded by how the caller
+  *    shards (see [[packOffsets]]).
+  */
+object Curation {
+
+  // ---- benchmark decontamination ----
+
+  /** Per-document n-gram overlap against a benchmark set — the
+    * standard "remove eval contamination from the training corpus"
+    * pass. Returns (id, n_shingles, n_contaminated, contam_e4) for
+    * documents with at least one overlapping shingle.
+    *
+    * Plan shape: both sides shingle map-side ([[Dedup.shingleArrays]],
+    * distinct within doc); the benchmark collapses to a DISTINCT
+    * shingle set that is broadcast (benchmark suites are tiny next to
+    * the corpus — MMLU-scale is ~10^5 shingles); the corpus side
+    * explodes and hits the broadcast hash set, then partial-aggregates
+    * per doc. Corpus rows are never shuffled except as (doc, count)
+    * partials — one row per contaminated doc. Set `broadcastBench =
+    * false` if the reference set is itself huge (flips to a shuffle
+    * join on the shingle string).
+    */
+  def contaminationStats(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int, broadcastBench: Boolean = true): DataFrame = {
+    val cs = Dedup.shingleArrays(corpus, idCol, textCol, n)
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("s"))
+    val bs0 = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n)
+      .select(col("s")).distinct()
+    val bs = if (broadcastBench) broadcast(bs0) else bs0
+    cs.join(bs, "s")
+      .groupBy(col("id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("id"), col("n_shingles"), col("n_contaminated"),
+        graft.queries.e4(col("n_contaminated") / col("n_shingles")).as("contam_e4"))
+  }
+
+  // ---- repetition / quality signals (Gopher-style) ----
+
+  /** Map-only duplicate-fraction components over the token array:
+    * (n_tokens, n_distinct_tokens, n_2grams, n_distinct_2grams). Pure
+    * HOF arithmetic (array_distinct is linear) — runs inside the scan
+    * stage. `toks` must be Barrier-pinned by the caller if reused. */
+  private def dupCounts(toks: Column): Seq[Column] = {
+    val grams2 = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", get(toks, i), get(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Seq(size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(grams2).as("n_2grams"),
+      size(array_distinct(grams2)).as("n_distinct_2grams"))
+  }
+
+  /** Per-document repetition signals, the Gopher/C4 quality-filter
+    * family: duplicate-token fraction, duplicate-2gram fraction, and
+    * top-token fraction (most frequent token's share). Returns
+    * (id, n_tokens, dup_token_e4, dup_2gram_e4, top_token_e4) for
+    * non-empty documents.
+    *
+    * The duplicate fractions are map-only HOFs; the top-token share
+    * needs per-token counts, which is the relational explode →
+    * two-level aggregate (both keyed on the doc id, both map-side
+    * partial-aggregated — the shuffle carries one row per (doc,
+    * distinct token), not per token occurrence). At 100 TB that is the
+    * scale-correct layout: no per-row O(distinct × len) lambda scan.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = df.select(col(idCol).as("id"),
+      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .filter(size(col("__t")) > 0)
+    val hof = toked.select(col("id") +: dupCounts(col("__t")): _*)
+    val top = toked.select(col("id"), explode(col("__t")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as("top_cnt"))
+    hof.join(top, "id")
+      .select(col("id"), col("n_tokens"),
+        graft.queries.e4(lit(1.0) - col("n_distinct_tokens") / col("n_tokens"))
+          .as("dup_token_e4"),
+        graft.queries.e4(when(col("n_2grams") > 0,
+          lit(1.0) - col("n_distinct_2grams") / col("n_2grams")).otherwise(0.0))
+          .as("dup_2gram_e4"),
+        graft.queries.e4(col("top_cnt") / col("n_tokens")).as("top_token_e4"))
+  }
+
+  // ---- PII redaction ----
+
+  /** Patterns chosen to be portable between Java regex (Spark codegen)
+    * and RE2 (DuckDB oracle): no backrefs, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Scrub emails / IPv4 addresses / international-format phone
+    * numbers, in that order (phone before ip is irrelevant as they
+    * cannot overlap; email first so an address inside a mailto URL is
+    * one replacement). Map-only codegen'd regexp_replace chain. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-row PII match counts (email, ipv4, phone) — codegen'd
+    * regexp_count, zero shuffles; aggregate downstream as needed. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).as("n_emails"),
+    regexp_count(text, lit(Ipv4Re)).as("n_ips"),
+    regexp_count(text, lit(PhoneRe)).as("n_phones"))
+
+  // ---- URL / domain operators ----
+
+  /** Host part of a URL (empty string when the pattern misses —
+    * regexp_extract's miss value; callers filter). */
+  def extractHost(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Host with any leading `www.` label dropped. */
+  def stripWww(host: Column): Column =
+    regexp_replace(host, "^www\\.", "")
+
+  /** Last label of the host — the TLD. */
+  def tld(host: Column): Column =
+    regexp_extract(host, "\\.([A-Za-z0-9-]+)$", 1)
+
+  /** Registrable domain approximation: last two labels (public-suffix
+    * lists are a broadcast-table refinement at deploy time). */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+
+  /** Keep rows whose registered domain is NOT in the blocklist — a
+    * broadcast anti-join (blocklists are bounded; the corpus side never
+    * shuffles). `urlCol` may be any column expression producing a URL.
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: Column,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val dom = registeredDomain(stripWww(extractHost(urlCol)))
+    df.withColumn("__dom", dom)
+      .join(broadcast(blocklist.select(col(domainCol).as("__dom")).distinct()),
+        Seq("__dom"), "left_anti")
+      .drop("__dom")
+  }
+
+  // ---- sequence packing ----
+
+  /** GPT-style sequence packing by stream concatenation: documents in
+    * each stream are laid head-to-tail in `orderCol` order and the
+    * token stream is cut every `capacity` tokens. Returns the input
+    * plus (start_tok, first_bin, last_bin, n_bins_spanned) — pure
+    * BIGINT prefix-sum arithmetic, bit-identical in any engine.
+    *
+    * Scale contract: one window partition per stream, so the caller
+    * chooses parallelism by sharding (e.g. stream = (source,
+    * hash(doc) % nShards) — each shard packs independently, which is
+    * semantically free for training since bins are shuffled again
+    * before batching). A single stream is a sorted prefix sum — Spark
+    * executes it as one sort + linear pass per partition; no stream
+    * may exceed one task's disk-backed sort, the same bound any
+    * sort-within-partition carries.
+    */
+  def packOffsets(df: DataFrame, streamCols: Seq[Column], orderCol: Column,
+      nTokens: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(streamCols: _*)
+      .orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val endTok = sum(nTokens.cast("long")).over(w)
+    val startTok = endTok - nTokens
+    df.withColumn("start_tok", startTok)
+      .withColumn("first_bin", floor(col("start_tok") / capacity).cast("long"))
+      .withColumn("last_bin",
+        floor((col("start_tok") + greatest(nTokens.cast("long"), lit(1L)) - 1) / capacity)
+          .cast("long"))
+      .withColumn("n_bins_spanned", col("last_bin") - col("first_bin") + 1)
+  }
+
+  /** Exact greedy packing (no document splitting): walk each stream in
+    * order, open a new bin whenever the next document would overflow
+    * `capacity`; oversized documents get a bin of their own. Returns
+    * (stream key columns, id, n_tokens, bin) — bin ids are local to the
+    * stream. Implemented as a per-partition linear walk after a
+    * partition-and-sort by stream (the same execution shape as the
+    * window in [[packOffsets]], with a mapPartitions kernel instead of
+    * a prefix sum because the open-bin recurrence is inherently
+    * sequential — this is the one operator in this module with a
+    * non-HOF kernel, and it is O(1) state per row). */
+  def packGreedy(df: DataFrame, streamCol: Column, idCol: Column,
+      nTokens: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepped = df.select(streamCol.cast("string").as("stream"),
+        idCol.cast("long").as("id"), nTokens.cast("long").as("n_tokens"))
+      .repartition(col("stream"))
+      .sortWithinPartitions(col("stream"), col("id"))
+      .as[(String, Long, Long)]
+    prepped.mapPartitions { it =>
+      var stream: String = null
+      var bin = -1L
+      var used = 0L
+      it.map { case (s, id, nt) =>
+        if (s != stream) { stream = s; bin = -1L; used = 0L }
+        if (bin < 0 || used + nt > capacity) { bin += 1; used = 0L }
+        used += nt
+        (s, id, nt, bin)
+      }
+    }.toDF("stream", "id", "n_tokens", "bin")
+  }
+}

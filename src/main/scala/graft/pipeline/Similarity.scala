@@ -413,4 +413,26 @@ object Similarity {
       .filter(col("cos_e6") >= minCosE6)
       .select(col("id_a"), col("id_b"), col("cos_e6"))
   }
+
+  // ---- int8 scalar quantization ----
+
+  /** Per-vector symmetric int8 quantization scale: 127 / max|v_i|
+    * (0.0 for an all-zero vector). One division per row — every
+    * downstream op is multiply/floor, all IEEE-exact and portable. */
+  def int8Scale(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, v => abs(v.cast("double"))))
+    when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+  }
+
+  /** Symmetric int8 quantized vector: q_i = floor(v_i·scale + 0.5)
+    * (half-up, deterministic in every engine — `round()` is not; see
+    * `graft.queries.cents`). A 4× memory cut for ANN serving; pair
+    * with [[dequantize]] or integer dot products downstream. */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, v => floor(v.cast("double") * scale + 0.5).cast("int"))
+
+  /** Dequantized vector (all-zero when scale is 0). */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q =>
+      when(scale > 0.0, q.cast("double") / scale).otherwise(lit(0.0)))
 }

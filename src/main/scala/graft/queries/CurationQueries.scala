@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Query, QueryPack}
+import graft.core.Tables
+import graft.pipeline.{Curation, Similarity, TextAnalysis}
+
+/** Corpus-curation operators (SURVEY §8.2 extension charter):
+  * benchmark decontamination, Gopher-style repetition signals, PII
+  * redaction, URL/domain blocklisting, sequence packing, and int8
+  * embedding quantization. PII/URL fixtures are synthesized
+  * deterministically from doc_id arithmetic so both engines build the
+  * identical corpus.
+  */
+object CurationQueries extends QueryPack {
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  def queries: Seq[Query] = Seq(
+    Query(
+      "q95_decontaminate",
+      "Benchmark decontamination: word-3gram overlap of every corpus doc (source != src0) against the benchmark shingle set (source = src0). Benchmark side collapses to a DISTINCT broadcast set; corpus side is map-only + one per-doc partial aggregate — the corpus never shuffles row-wise.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.contaminationStats(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text",
+            docs.filter(col("source") === "src0"), "doc_id", "text",
+            n = 3)
+          .select(col("id").as("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+            col("n_contaminated"), col("contam_e4"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+              |csh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |        FROM toks, generate_series(1, 200) g(i)
+              |        WHERE source != 'src0' AND i <= len(t) - 2),
+              |bsh AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |        FROM toks, generate_series(1, 200) g(i)
+              |        WHERE source = 'src0' AND i <= len(t) - 2),
+              |cnt AS (SELECT doc_id, count(*) n FROM csh GROUP BY 1),
+              |hits AS (SELECT doc_id, count(*) c FROM csh JOIN bsh USING (s) GROUP BY 1)
+              |SELECT h.doc_id, CAST(n AS BIGINT) AS n_shingles,
+              |CAST(c AS BIGINT) AS n_contaminated,
+              |CAST(floor((c * 1.0 / n) * 10000 + 0.5) AS BIGINT) AS contam_e4
+              |FROM hits h JOIN cnt USING (doc_id)""".stripMargin)),
+
+    Query(
+      "q96_repetition",
+      "Per-document repetition signals (the Gopher/C4 quality-filter family): duplicate-token fraction, duplicate-2gram fraction (map-only HOFs), and top-token share (explode → two partial-aggregated groupBys on the doc key).",
+      (s, dir) =>
+        Curation.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("dup_token_e4"), col("dup_2gram_e4"), col("top_token_e4")),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |base AS (SELECT doc_id, len(t) nt, len(list_distinct(t)) nd
+              |         FROM toks WHERE len(t) > 0),
+              |g2r AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS s
+              |        FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+              |g2 AS (SELECT doc_id, count(*) n2, count(DISTINCT s) d2 FROM g2r GROUP BY 1),
+              |tc AS (SELECT doc_id, max(c) AS top_cnt FROM
+              |       (SELECT doc_id, tok, count(*) AS c FROM
+              |        (SELECT doc_id, unnest(t) AS tok FROM toks)
+              |        GROUP BY doc_id, tok) GROUP BY doc_id)
+              |SELECT b.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+              |CAST(floor((1.0 - nd * 1.0 / nt) * 10000 + 0.5) AS BIGINT) AS dup_token_e4,
+              |CAST(floor((CASE WHEN n2 > 0 THEN 1.0 - d2 * 1.0 / n2 ELSE 0.0 END) * 10000 + 0.5) AS BIGINT) AS dup_2gram_e4,
+              |CAST(floor(top_cnt * 1.0 / nt * 10000 + 0.5) AS BIGINT) AS top_token_e4
+              |FROM base b LEFT JOIN g2 USING (doc_id) JOIN tc USING (doc_id)""".stripMargin)),
+
+    Query(
+      "q97_pii_redact",
+      "PII redaction over a corpus with deterministically injected emails/IPv4s/phones (doc_id arithmetic — both engines build the identical fixture): per source, match counts and chars removed by the codegen'd regexp_replace chain. Map-only + one tiny groupBy.",
+      (s, dir) => {
+        val injected = Tables.documents(s, dir).withColumn("text2",
+          graft.functions.Barrier(concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" reach user"), col("doc_id"), lit("@mail-"),
+                col("doc_id") % 7, lit(".org"))).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" via 10."), col("doc_id") % 256, lit(".0."),
+                col("doc_id") % 100)).otherwise(lit("")),
+            when(col("doc_id") % 6 === 0,
+              concat(lit(" call +1-202-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")))))
+        injected
+          .select(Seq(col("source"), col("text2")) ++
+            Curation.piiCounts(col("text2")): _*)
+          .withColumn("removed",
+            length(col("text2")) - length(Curation.redactPii(col("text2"))))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("n_emails") + col("n_ips") + col("n_phones") > 0)
+              .cast("long")).as("docs_with_pii"),
+            sum("n_emails").cast("long").as("n_emails"),
+            sum("n_ips").cast("long").as("n_ips"),
+            sum("n_phones").cast("long").as("n_phones"),
+            sum("removed").cast("long").as("chars_removed"))
+      },
+      Some("""WITH inj AS (SELECT source, text ||
+             |  (CASE WHEN doc_id % 5 = 0 THEN ' reach user' || doc_id || '@mail-' || (doc_id % 7) || '.org' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 4 = 0 THEN ' via 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END) ||
+             |  (CASE WHEN doc_id % 6 = 0 THEN ' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+             |  AS text2 FROM documents),
+             |c AS (SELECT source, text2,
+             |  len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+             |  len(regexp_extract_all(text2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS ni,
+             |  len(regexp_extract_all(text2, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np,
+             |  len(text2) - len(regexp_replace(regexp_replace(regexp_replace(text2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS rm
+             |  FROM inj)
+             |SELECT source, count(*) AS n_docs,
+             |CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             |CAST(sum(ne) AS BIGINT) AS n_emails, CAST(sum(ni) AS BIGINT) AS n_ips,
+             |CAST(sum(np) AS BIGINT) AS n_phones, CAST(sum(rm) AS BIGINT) AS chars_removed
+             |FROM c GROUP BY source""".stripMargin)),
+
+    Query(
+      "q98_url_domains",
+      "URL curation: synthesize a deterministic URL per doc, extract host/registered-domain/TLD with portable regexes, drop blocklisted domains via broadcast anti-join, report per-TLD survivor counts. The corpus side never shuffles row-wise.",
+      (s, dir) => {
+        val tldOf = element_at(
+          typedLit(Seq("com", "org", "net", "io")), (col("doc_id") % 4).cast("int") + 1)
+        val url = graft.functions.Barrier(concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+          col("source"), col("doc_id") % 5, lit("."), tldOf,
+          lit("/page/"), col("doc_id")))
+        val withUrl = Tables.documents(s, dir).withColumn("url", url)
+        val block = {
+          import s.implicits._
+          Seq("src00.com", "src13.net", "src21.org", "src32.io").toDF("domain")
+        }
+        Curation.filterBlockedDomains(withUrl, col("url"), block, "domain")
+          .select(Curation.tld(Curation.stripWww(Curation.extractHost(col("url"))))
+            .as("tld_out"),
+            Curation.registeredDomain(Curation.stripWww(Curation.extractHost(col("url"))))
+              .as("dom"))
+          .groupBy("tld_out")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("dom")).as("n_domains"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+             |  source || (doc_id % 5) || '.' ||
+             |  (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'io' END) ||
+             |  '/page/' || doc_id AS url FROM documents),
+             |h AS (SELECT regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^www\.', '') AS host FROM u),
+             |d AS (SELECT regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS dom,
+             |             regexp_extract(host, '\.([A-Za-z0-9-]+)$', 1) AS tld_out FROM h)
+             |SELECT tld_out, count(*) AS n_docs, count(DISTINCT dom) AS n_domains
+             |FROM d WHERE dom NOT IN ('src00.com', 'src13.net', 'src21.org', 'src32.io')
+             |GROUP BY tld_out""".stripMargin)),
+
+    Query(
+      "q99_seq_pack",
+      "GPT-style sequence packing: per-source token streams laid head-to-tail (doc_id order) and cut every 2048 tokens — a per-stream BIGINT prefix sum (window), aggregated to per-source bin/straddle counts. Parallelism = streams; shard the stream key to scale.",
+      (s, dir) => {
+        val packed = Curation.packOffsets(
+          Tables.documents(s, dir)
+            .select(col("source"), col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("nt")),
+          streamCols = Seq(col("source")), orderCol = col("doc_id"),
+          nTokens = col("nt"), capacity = 2048L)
+        packed.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nt").cast("long").as("total_tokens"),
+            (max("last_bin") + 1).as("n_bins"),
+            sum((col("n_bins_spanned") > 1).cast("long")).as("n_straddle"))
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id, len($toksSql) AS nt FROM documents),
+              |w AS (SELECT source, doc_id, nt,
+              |      sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+              |                    ROWS UNBOUNDED PRECEDING) - nt AS st FROM t)
+              |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+              |CAST(max((st + greatest(nt, 1) - 1) // 2048) + 1 AS BIGINT) AS n_bins,
+              |CAST(sum(CASE WHEN (st + greatest(nt, 1) - 1) // 2048 > st // 2048
+              |         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+              |FROM w GROUP BY source""".stripMargin)),
+
+    Query(
+      "q100_int8_quant",
+      "Symmetric int8 embedding quantization (4x memory cut for ANN serving): per-vector scale 127/max|v|, half-up quantize, dequantized fidelity — per-label sums of quantized cosine(v, dq), max reconstruction error, and the exact integer component sum.",
+      (s, dir) => {
+        import graft.functions.Barrier
+        val v0 = Tables.embeddings(s, dir)
+          .select(col("label"), Barrier(Similarity.widen(col("embedding"))).as("v"))
+          .withColumn("scale", Similarity.int8Scale(col("v")))
+          .filter(col("scale") > 0.0)
+          .withColumn("q", Barrier(Similarity.quantizeInt8(col("v"), col("scale"))))
+          .withColumn("dq", Barrier(Similarity.dequantize(col("q"), col("scale"))))
+        v0.select(col("label"),
+            floor(Similarity.dotHof(col("v"), col("dq")) /
+              (Similarity.norm(col("v")) * Similarity.norm(col("dq"))) * 1e6 + 0.5)
+              .cast("long").as("cos_e6"),
+            floor(array_max(zip_with(col("v"), col("dq"), (a, b) => abs(a - b))) * 1e6 + 0.5)
+              .cast("long").as("maxerr_e6"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("sum_q"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum("cos_e6").cast("long").as("sum_cos_e6"),
+            sum("maxerr_e6").cast("long").as("sum_maxerr_e6"),
+            sum("sum_q").cast("long").as("sum_q"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+             |s AS (SELECT vec_id, label, vv,
+             |      list_max(list_transform(vv, x -> abs(x))) AS ma FROM v),
+             |sc AS (SELECT vec_id, label, vv, 127.0 / ma AS scale FROM s WHERE ma > 0),
+             |q AS (SELECT vec_id, label, vv, scale,
+             |      list_transform(vv, x -> floor(x * scale + 0.5)) AS qv FROM sc),
+             |d AS (SELECT vec_id, label, vv, qv,
+             |      list_transform(qv, x -> x / scale) AS dq FROM q),
+             |m AS (SELECT vec_id, label,
+             |      sum(vv[i] * dq[i]) AS dt, sum(vv[i] * vv[i]) AS n2a,
+             |      sum(dq[i] * dq[i]) AS n2b, max(abs(vv[i] - dq[i])) AS mx,
+             |      sum(qv[i]) AS sq
+             |      FROM d, generate_series(1, 64) g(i) GROUP BY 1, 2),
+             |r AS (SELECT label,
+             |      CAST(floor(dt / (sqrt(n2a) * sqrt(n2b)) * 1e6 + 0.5) AS BIGINT) AS cos_e6,
+             |      CAST(floor(mx * 1e6 + 0.5) AS BIGINT) AS maxerr_e6,
+             |      CAST(sq AS BIGINT) AS sum_q FROM m)
+             |SELECT label, count(*) AS n_vecs, CAST(sum(cos_e6) AS BIGINT) AS sum_cos_e6,
+             |CAST(sum(maxerr_e6) AS BIGINT) AS sum_maxerr_e6, CAST(sum(sum_q) AS BIGINT) AS sum_q
+             |FROM r GROUP BY label""".stripMargin)))
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Curation, Similarity}
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("contaminationStats flags only docs sharing benchmark n-grams") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),          // contains 'alpha beta gamma'
+      (2L, "zeta eta theta iota kappa"),       // clean
+      (3L, "alpha beta gamma beta gamma delta")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Curation.contaminationStats(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // doc 1: shingles {abg, bgd} -> 1 hit of 2; doc 3: {abg, bgb, gbg, bgd} -> 1 of 4
+    assert(out.toSeq == Seq((1L, 2, 1L, 5000L), (3L, 4, 1L, 2500L)))
+  }
+
+  test("repetitionStats: dup fractions and top-token share") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // doc 1: 4 toks, 2 distinct -> dup .5; 2grams {aa,aa,ab} 3 total 2 distinct -> 1/3; top 3/4
+    assert(out(0) == ((1L, 4, 5000L, 3333L, 7500L)))
+    // doc 2: all unique -> 0, 0, 1/4
+    assert(out(1) == ((2L, 4, 0L, 0L, 2500L)))
+  }
+
+  test("redactPii scrubs emails, phones, ipv4 and counts match") {
+    val df = Seq("mail a.b+c@x-1.org and 192.168.0.1 and +44-123-456-7890 end")
+      .toDF("text")
+    val red = df.select(Curation.redactPii($"text").as("r")).head().getString(0)
+    assert(red == "mail <EMAIL> and <IP> and <PHONE> end")
+    val counts = df.select(Curation.piiCounts($"text"): _*).head()
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) == ((1, 1, 1)))
+  }
+
+  test("url helpers: host, www strip, tld, registered domain; blocklist filter") {
+    val df = Seq(
+      (1L, "https://www.news.example.com/a/b?q=1"),
+      (2L, "http://blocked.io/x"),
+      (3L, "ftp://files.archive.net/y")).toDF("id", "url")
+    val parts = df.select(
+      Curation.extractHost($"url").as("h"),
+      Curation.stripWww(Curation.extractHost($"url")).as("s"),
+      Curation.tld(Curation.stripWww(Curation.extractHost($"url"))).as("t"),
+      Curation.registeredDomain(Curation.stripWww(Curation.extractHost($"url"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(parts(0) == (("www.news.example.com", "news.example.com", "com", "example.com")))
+    assert(parts(1) == (("blocked.io", "blocked.io", "io", "blocked.io")))
+    assert(parts(2) == (("files.archive.net", "files.archive.net", "net", "archive.net")))
+    val kept = Curation.filterBlockedDomains(df, $"url",
+        Seq("blocked.io").toDF("domain"), "domain")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("packOffsets: bin spans from the stream prefix sum") {
+    val df = Seq(
+      ("s", 1L, 6L), ("s", 2L, 3L), ("s", 3L, 5L), ("s", 4L, 0L)
+    ).toDF("src", "id", "nt")
+    val out = Curation.packOffsets(df, Seq($"src"), $"id", $"nt", capacity = 8L)
+      .orderBy("id")
+      .select("id", "start_tok", "first_bin", "last_bin", "n_bins_spanned")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // stream: [0,6) bin0; [6,9) straddles bins 0-1; [9,14) bin 1; zero-len doc at 14 -> bin 1
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L), (2L, 6L, 0L, 1L, 2L), (3L, 9L, 1L, 1L, 1L),
+      (4L, 14L, 1L, 1L, 1L)))
+  }
+
+  test("packGreedy: no doc splits, overflow opens a new bin, oversized gets own bin") {
+    val df = Seq(
+      ("a", 1L, 6L), ("a", 2L, 3L), ("a", 3L, 5L), ("a", 4L, 20L), ("a", 5L, 1L),
+      ("b", 10L, 2L)
+    ).toDF("src", "id", "nt")
+    val out = Curation.packGreedy(df, $"src", $"id", $"nt", capacity = 8L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    // a: 6 -> bin0; 3 overflows -> bin1; 5 fits bin1; 20 oversized -> bin2; 1 -> bin3
+    assert(out(("a", 1L)) == 0L && out(("a", 2L)) == 1L && out(("a", 3L)) == 1L)
+    assert(out(("a", 4L)) == 2L && out(("a", 5L)) == 3L)
+    assert(out(("b", 10L)) == 0L) // bins are stream-local
+  }
+
+  test("int8 quantize round-trips within 1/scale and preserves cosine") {
+    val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f, 0.0f))).toDF("id", "v")
+    val row = df.select(
+        Similarity.int8Scale(Similarity.widen($"v")).as("sc"),
+        Similarity.quantizeInt8(Similarity.widen($"v"),
+          Similarity.int8Scale(Similarity.widen($"v"))).as("q"))
+      .head()
+    assert(row.getDouble(0) == 127.0)
+    assert(row.getSeq[Int](1) == Seq(64, -127, 32, 0)) // floor(x*127+0.5)
+    val fid = df.select(
+      floor(Similarity.cosine(Similarity.widen($"v"),
+        Similarity.dequantize(
+          Similarity.quantizeInt8(Similarity.widen($"v"), Similarity.int8Scale(Similarity.widen($"v"))),
+          Similarity.int8Scale(Similarity.widen($"v")))) * 1e6 + 0.5).cast("long"))
+      .head().getLong(0)
+    assert(fid >= 999900L, s"cosine fidelity degraded: $fid")
+    // all-zero vector: scale 0, quantized zeros, dequantized zeros
+    val z = Seq((1L, Seq(0.0f, 0.0f))).toDF("id", "v")
+      .select(Similarity.int8Scale(Similarity.widen($"v")).as("sc"),
+        Similarity.dequantize(
+          Similarity.quantizeInt8(Similarity.widen($"v"), Similarity.int8Scale(Similarity.widen($"v"))),
+          Similarity.int8Scale(Similarity.widen($"v"))).as("dq"))
+      .head()
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Double](1) == Seq(0.0, 0.0))
+  }
+}
