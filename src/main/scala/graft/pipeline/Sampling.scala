@@ -86,4 +86,36 @@ object Sampling {
         .reduce(_ && _) && key.cast("long") === col("__k"),
       "left_semi")
   }
+
+  /** Proportional corpus mixing: down-sample each source so the kept
+    * corpus matches target proportions `targets` (name → weight,
+    * weights sum to ~1), keeping as many rows as the proportions
+    * allow — total T = min_s(n_s / w_s), per-source acceptance
+    * f_s = T·w_s / n_s (the binding source keeps everything).
+    *
+    * Two jobs: one tiny count aggregate (one row per source —
+    * bounded by the mixture spec, the standard driver-side mixture
+    * solve), then a map-only hash filter against per-source literal
+    * thresholds — no shuffle of the data itself, same determinism
+    * contract as [[sampleByHash]]. Sources absent from `targets` are
+    * dropped.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: Column, key: Column, salt: String,
+      targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "need at least one target source")
+    require(targets.forall(_._2 > 0), s"weights must be positive: $targets")
+    val counts = df.groupBy(sourceCol.as("__s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = targets.map { case (s, w) => counts.getOrElse(s, 0L) / w }.min
+    // threshold on the 60-bit hash; f = 1 (the binding source) accepts all
+    val thresholds = targets.map { case (s, w) =>
+      val n = counts.getOrElse(s, 0L)
+      val f = if (n == 0) 0.0 else total * w / n
+      s -> math.floor(f * 1152921504606846976.0).toLong // 2^60, exact double
+    }
+    val thr = thresholds.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, t)) => when(sourceCol === s, lit(t)).otherwise(acc)
+    }
+    df.filter(portableHash(key, salt) < thr)
+  }
 }

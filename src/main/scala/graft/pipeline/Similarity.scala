@@ -435,4 +435,56 @@ object Similarity {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q =>
       when(scale > 0.0, q.cast("double") / scale).otherwise(lit(0.0)))
+
+  private val idotArr = udf { (a: Seq[Int], b: Seq[Int]) =>
+    var s = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toLong * b(i); i += 1 }
+    s
+  }
+
+  /** Integer dot product of two int-array columns — EXACT (long
+    * accumulation, order-free), the cross-engine-portable core of
+    * quantized serving. */
+  def intDot(a: Column, b: Column): Column = idotArr(a, b)
+
+  /** Top-k over int8-quantized vectors — the serving path after
+    * [[quantizeInt8]]: cosine in the quantized domain is
+    * idot / (sqrt(n2_a)·sqrt(n2_b)) where every input is an EXACT
+    * integer (the dot and both norm² accumulate in long), so the
+    * score is bit-identical in any engine and any partitioning —
+    * unlike float dots there is no summation-order hazard at all.
+    * Same plan shape as [[bruteForceTopK]]: broadcast query set,
+    * one corpus scan at 1/4 the vector bytes, bounded-heap
+    * [[graft.functions.TopKAgg]] ranking (k×partitions rows per
+    * query shuffled, never the corpus). */
+  def int8TopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, vec: String, idName: String,
+        qName: String, nName: String): DataFrame = {
+      val b = graft.functions.Barrier
+      df.select(col(id).cast("long").as(idName), b(widen(col(vec))).as("__v"))
+        .withColumn("__sc", int8Scale(col("__v")))
+        .filter(col("__sc") > 0.0)
+        .select(col(idName), b(quantizeInt8(col("__v"), col("__sc"))).as(qName))
+        .withColumn(nName,
+          aggregate(col(qName), lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long")))
+    }
+    val c = prep(corpus, idCol, vecCol, "nn_id", "qc", "n2c")
+    val q = prep(queries, qIdCol, qVecCol, "query_id", "qq", "n2q")
+    c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cos_e6",
+        floor(intDot(col("qq"), col("qc")) /
+          (sqrt(col("n2q").cast("double")) * sqrt(col("n2c").cast("double"))) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg(col("cos_e6"), col("nn_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nn_id"), col("e.score").as("cos_e6"))
+  }
 }

@@ -17,6 +17,20 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Simplified GPT-2 pre-tokenizer (ASCII subset): contraction
+    * suffixes, space-prefixed letter/digit runs, punctuation runs,
+    * whitespace runs. Both Java regex and RE2 use leftmost-first
+    * alternation, so the split is engine-portable; the full unicode
+    * `\p{L}`/lookahead form is NOT RE2-safe and deliberately avoided.
+    * Pre-token counts are the standard proxy for BPE token budgets in
+    * corpus accounting (within a few % of a real tokenizer). */
+  val BpePretokenRe: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+
+  /** Number of BPE-style pre-tokens — codegen'd regexp_count. */
+  def bpePreTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePretokenRe))
+
   /** Mean token length (0 for empty docs). */
   def avgTokenLen(text: Column): Column = {
     val ts = tokens(text)

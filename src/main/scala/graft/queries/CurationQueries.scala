@@ -222,5 +222,83 @@ object CurationQueries extends QueryPack {
              |      CAST(sq AS BIGINT) AS sum_q FROM m)
              |SELECT label, count(*) AS n_vecs, CAST(sum(cos_e6) AS BIGINT) AS sum_cos_e6,
              |CAST(sum(maxerr_e6) AS BIGINT) AS sum_maxerr_e6, CAST(sum(sum_q) AS BIGINT) AS sum_q
-             |FROM r GROUP BY label""".stripMargin)))
+             |FROM r GROUP BY label""".stripMargin)),
+
+    Query(
+      "q101_int8_topk",
+      "Quantized ANN serving: top-5 neighbors over int8-quantized vectors. The dot and both norms accumulate EXACT integers (long), so the quantized cosine has zero summation-order hazard in any engine or partitioning; corpus scan reads 1/4 the vector bytes; ranking is the bounded-heap TopKAgg, never a window.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        Similarity.int8TopK(
+          corpus = emb, idCol = "vec_id", vecCol = "embedding",
+          queries = emb.filter($"vec_id" < 8), qIdCol = "vec_id", qVecCol = "embedding",
+          k = 5)
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+             |s AS (SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS ma FROM v),
+             |sc AS (SELECT vec_id, vv, 127.0 / ma AS scale FROM s WHERE ma > 0),
+             |q AS (SELECT vec_id, list_transform(vv, x -> floor(x * scale + 0.5)) AS qv FROM sc),
+             |n AS (SELECT vec_id, sum(qv[i] * qv[i]) AS n2 FROM q, generate_series(1, 64) g(i) GROUP BY 1),
+             |d AS (SELECT a.vec_id AS query_id, b.vec_id AS nn_id, sum(a.qv[i] * b.qv[i]) AS dt
+             |      FROM q a, q b, generate_series(1, 64) g(i)
+             |      WHERE a.vec_id < 8 AND b.vec_id != a.vec_id GROUP BY 1, 2),
+             |r AS (SELECT query_id, nn_id,
+             |      CAST(floor(dt / (sqrt(nq.n2) * sqrt(nc.n2)) * 1e6 + 0.5) AS BIGINT) AS cos_e6
+             |      FROM d JOIN n nq ON query_id = nq.vec_id JOIN n nc ON nn_id = nc.vec_id)
+             |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, nn_id) AS BIGINT) AS rk,
+             |       nn_id, cos_e6
+             |FROM r QUALIFY rk <= 5""".stripMargin)),
+
+    Query(
+      "q102_mixture",
+      "Proportional corpus mixing: down-sample five sources to a 40/25/20/10/5 target mixture keeping the max total the proportions allow (T = min n_s/w_s, binding source keeps all). One tiny count job solves the mixture; the data pass is a map-only portable-hash filter against literal thresholds.",
+      (s, dir) => {
+        val targets = Seq("src0" -> 0.4, "src1" -> 0.25, "src2" -> 0.2,
+          "src3" -> 0.1, "src4" -> 0.05)
+        val docs = Tables.documents(s, dir)
+        val kept = graft.pipeline.Sampling.mixtureSample(
+            docs, col("source"), col("doc_id"), "mix7", targets)
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        docs.filter(col("source").isin(targets.map(_._1): _*))
+          .groupBy("source").agg(count(lit(1)).as("n_total"))
+          .join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_total"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      },
+      Some("""WITH w(source, wt) AS (VALUES ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+             |  ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)), ('src4', CAST(0.05 AS DOUBLE))),
+             |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |t AS (SELECT min(n / wt) AS tt FROM cnt JOIN w USING (source)),
+             |f AS (SELECT source, n,
+             |      CAST(floor(((SELECT tt FROM t) * wt / n) * 1152921504606846976.0) AS BIGINT) AS thr
+             |      FROM cnt JOIN w USING (source)),
+             |k AS (SELECT d.source, count(*) AS nk FROM documents d JOIN f USING (source)
+             |      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix7'), 1, 15))::BIGINT < thr
+             |      GROUP BY 1)
+             |SELECT f.source, CAST(n AS BIGINT) AS n_total, CAST(coalesce(nk, 0) AS BIGINT) AS n_kept
+             |FROM f LEFT JOIN k ON f.source = k.source""".stripMargin)),
+
+    Query(
+      "q103_bpe_pretokens",
+      "BPE-style token accounting: pre-tokenizer regex counts (the standard proxy for tokenizer budgets) vs whitespace tokens, per source — map-only codegen'd regexp_count plus one tiny aggregate.",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("source"),
+            TextAnalysis.bpePreTokenCount(col("text")).cast("long").as("np"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("nw"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("np").cast("long").as("total_pretokens"),
+            sum("nw").cast("long").as("total_ws_tokens"))
+          .select(col("source"), col("n_docs"), col("total_pretokens"),
+            col("total_ws_tokens"),
+            e4(col("total_pretokens") / col("n_docs")).as("avg_pretok_e4")),
+      Some(s"""WITH c AS (SELECT source,
+              |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +')) AS np,
+              |  len($toksSql) AS nw FROM documents)
+              |SELECT source, count(*) AS n_docs, CAST(sum(np) AS BIGINT) AS total_pretokens,
+              |CAST(sum(nw) AS BIGINT) AS total_ws_tokens,
+              |CAST(floor(sum(np) * 1.0 / count(*) * 10000 + 0.5) AS BIGINT) AS avg_pretok_e4
+              |FROM c GROUP BY source""".stripMargin)))
 }

@@ -89,6 +89,47 @@ class CurationSpec extends AnyFunSuite {
     assert(out(("b", 10L)) == 0L) // bins are stream-local
   }
 
+  test("mixtureSample: binding source keeps all, others down-sample, unknown dropped") {
+    val rows = (0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b")) ++
+      (200 until 205).map(i => (i.toLong, "zz"))
+    val df = rows.toDF("id", "src")
+    val kept = graft.pipeline.Sampling.mixtureSample(
+      df, $"src", $"id", "t1", Seq("a" -> 0.5, "b" -> 0.5))
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(40/.5, 10/.5) = 20 -> b keeps all 10, a targets 10 of 40
+    assert(bySrc("b") == 10L)
+    assert(bySrc("a") <= 40L && bySrc("a") > 0L)
+    assert(!bySrc.contains("zz"))
+    // deterministic: second run identical
+    val again = graft.pipeline.Sampling.mixtureSample(
+      df, $"src", $"id", "t1", Seq("a" -> 0.5, "b" -> 0.5))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("int8TopK ranks by exact quantized cosine") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.int8TopK(corpus, "vec_id", "embedding",
+        corpus.filter($"vec_id" === 1L), "vec_id", "embedding", k = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 4L))
+    assert(out.head._1 == 1L)
+  }
+
+  test("bpePreTokenCount splits contractions, words, digits, punct") {
+    val n = Seq("it's a test-case 123").toDF("text")
+      .select(graft.pipeline.TextAnalysis.bpePreTokenCount($"text"))
+      .head().getInt(0)
+    assert(n == 7) // it | 's | _a | _test | - | case | _123
+  }
+
   test("int8 quantize round-trips within 1/scale and preserves cosine") {
     val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f, 0.0f))).toDF("id", "v")
     val row = df.select(
