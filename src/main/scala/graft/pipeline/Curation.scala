@@ -234,4 +234,125 @@ object Curation {
       }
     }.toDF("stream", "id", "n_tokens", "bin")
   }
+
+  // ---- span-level exact substring dedup ----
+
+  /** Per-document duplicated-span coverage — the relational analogue of
+    * suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): a token position is
+    * *duplicated* when the word-`k`-gram starting there occurs ≥ 2 times
+    * anywhere in the corpus (cross-doc or within-doc); overlapping
+    * duplicated k-grams merge into maximal spans. Returns
+    * (id, n_tokens, n_spans, dup_tokens, dup_frac_e4) for documents with
+    * at least one duplicated span.
+    *
+    * Plan shape (100 TB): positions shingle map-side (one md5 per
+    * (doc, pos), same kernel family as [[Dedup.shingleArrays]]); the
+    * duplicated-hash set comes from one partial-aggregated groupBy on
+    * the 60-bit shingle hash; the join back is an equality join on that
+    * 8-byte key; span merging is a per-document HOF fold over the
+    * sorted position array (one groupBy on the doc key, O(positions)
+    * per row) — no window, no driver state, nothing O(n²) in the
+    * corpus. k bounds the span *resolution* (spans shorter than k
+    * tokens are invisible), which is exactly the suffix-array
+    * threshold parameter of the reference method.
+    */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span k-gram length must be >= 2 (got $k)")
+    val toked = df.select(col(idCol).as("id"),
+      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+    val t = col("__t")
+    val sh =
+      when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => concat_ws(" ", (0 until k).map(j => get(t, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>"))
+    val pos = toked
+      .select(col("id"), size(t).as("nt"), posexplode(graft.functions.Barrier(sh)))
+      .select(col("id"), col("nt"), col("pos"), Dedup.hash60(col("col")).as("h"))
+    val dupH = pos.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("h")
+    // Sorted duplicated positions per doc; fold merges interval
+    // [p, p+k-1] coverage: gap <= k extends the open span by `gap`
+    // tokens, a larger gap opens a new span of k tokens.
+    val acc0 = struct(lit(0L).as("ns"), lit(0L).as("dt"), lit(Long.MinValue / 2).as("prev"))
+    val folded = pos.join(dupH, "h")
+      .groupBy("id").agg(
+        first(col("nt")).as("n_tokens"),
+        array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
+        aggregate(col("ps"), acc0, (a, p) =>
+          struct(
+            when(p - a("prev") <= k, a("ns")).otherwise(a("ns") + 1L).as("ns"),
+            (a("dt") + least(p - a("prev"), lit(k.toLong))).as("dt"),
+            p.cast("long").as("prev"))).as("sp"))
+    folded.select(col("id"), col("n_tokens"),
+      col("sp.ns").as("n_spans"), col("sp.dt").as("dup_tokens"),
+      floor(col("sp.dt") * lit(10000.0) / col("n_tokens") + lit(0.5))
+        .cast("long").as("dup_frac_e4"))
+  }
+
+  // ---- corpus-LM bigram rarity signals ----
+
+  /** Per-document rarity signals against the corpus's own bigram table
+    * (the integer-exact core of a CCNet-style LM quality filter): for
+    * each doc, the number of word bigrams, the fraction whose corpus
+    * frequency is 1 (hapax — text unlike anything else in the corpus),
+    * and the mean corpus frequency of its bigrams. High hapax fraction
+    * flags OCR garbage / boilerplate-free unique text; very low flags
+    * templated spam. All ratios are exact integer arithmetic rounded at
+    * the end — no log-space summation-order hazard.
+    *
+    * Plan shape: bigram rows are map-side ([[Dedup.shingleRows]]);
+    * corpus counts are one partial-aggregated groupBy on the 60-bit
+    * bigram hash; the join back is an equality join on that key
+    * followed by one per-doc partial aggregate. Both shuffles carry
+    * 8-byte keys + counts — never document text.
+    */
+  def bigramRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = Dedup.shingleRows(df, idCol, textCol, n = 2, distinct = false)
+      .select(col("id"), Dedup.hash60(col("s")).as("h"))
+    val counts = bg.groupBy("h").agg(count(lit(1)).as("c"))
+    bg.join(counts, "h")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c")).as("csum"))
+      .select(col("id"), col("n_bigrams").cast("long").as("n_bigrams"),
+        col("n_hapax").cast("long").as("n_hapax"),
+        floor(col("n_hapax") * lit(10000.0) / col("n_bigrams") + lit(0.5))
+          .cast("long").as("hapax_e4"),
+        floor(col("csum") * lit(100.0) / col("n_bigrams") + lit(0.5))
+          .cast("long").as("mean_count_e2"))
+  }
+
+  // ---- BPE merge-pair counting ----
+
+  /** Global adjacent character-pair frequencies within BPE pre-tokens —
+    * the counting kernel of a BPE tokenizer-training iteration (the
+    * highest-count pair is the next merge; pairs never cross pre-token
+    * boundaries, mirroring the GPT-2 trainer's contract). Returns the
+    * top `topN` (pair, cnt) rows ranked by (count desc, pair).
+    *
+    * Plan shape: pre-tokens and pairs explode map-side from the scan;
+    * the only shuffle is the partial-aggregated groupBy on the pair
+    * string (key space is bounded by the character-bigram vocabulary,
+    * a few thousand — map-side combine collapses the row explosion
+    * before the exchange), then a tiny driver-sized top-N.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val tok = df.select(
+      explode(regexp_extract_all(col(textCol), lit(TextAnalysis.BpePretokenRe), lit(0))).as("tok"))
+    val pairs = tok.select(explode(
+      when(length(col("tok")) >= 2,
+        transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topN)
+      .select(col("pair"), col("cnt").cast("long").as("cnt"))
+  }
 }

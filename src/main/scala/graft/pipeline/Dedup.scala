@@ -310,8 +310,21 @@ object Dedup {
     * Emits (id_a, id_b, hamming), id_a < id_b. */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int,
-      shingleN: Int = 2, maxBucket: Int = 1024): DataFrame = {
-    val withSig = simhashSignatures(df, idCol, textCol, shingleN)
+      shingleN: Int = 2, maxBucket: Int = 1024): DataFrame =
+    signatureCandidates(
+      simhashSignatures(df, idCol, textCol, shingleN), maxDist, maxBucket)
+
+  /** Hamming-bounded candidate pairs over ANY chunked-signature table
+    * (id, sig: array<long> of equal-width hash chunks) — the generic
+    * pigeonhole blocking behind [[simhashCandidates]], reused for image
+    * aHash near-dup (`Multimodal.imageAHash`). Signatures sharing a
+    * (chunk index, chunk value) land in one bucket; Hamming is verified
+    * inline from the bucket; giant buckets degrade to the
+    * [[bucketPairs]] star. With c chunks of w bits each, Hamming ≤ c−1
+    * guarantees a shared chunk. Emits (id_a, id_b, hamming), id_a <
+    * id_b. */
+  def signatureCandidates(
+      withSig: DataFrame, maxDist: Int, maxBucket: Int): DataFrame = {
     val blocked = withSig
       .select(posexplode(col("sig")).as(Seq("chunk_idx", "chunk")),
         struct(col("id"), col("sig")).as("m"))
@@ -356,5 +369,38 @@ object Dedup {
           .cast("long"))
       .filter(col("jaccard_e4") >= (threshold * 10000).toLong)
       .select(col("id_a"), col("id_b"), col("jaccard_e4"))
+  }
+
+  /** Near-dup by n-gram CONTAINMENT — the asymmetric companion of
+    * [[ngramJaccardPairs]]: containment(A in B) = |A∩B| / |A| over the
+    * distinct shingle sets. Catches quote / subset duplication where a
+    * short document sits inside a long one and symmetric Jaccard stays
+    * low (Lee et al. 2022 track both signals; the reference exact-dedup
+    * pipeline is span-level, see `Curation.duplicatedSpanStats`). Emits
+    * (id_a, id_b, cont_ab_e4, cont_ba_e4) with id_a < id_b for pairs
+    * whose LARGER direction reaches `minCont`.
+    *
+    * Same inverted-index plan shape as Jaccard: per-doc shingle counts
+    * ride along on the index rows (no join back to a counts table); the
+    * only wide operation is the equality self-join on the 64-bit
+    * shingle hash. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCont: Double): DataFrame = {
+    val arrays = shingleArrays(df, idCol, textCol, n, distinct = true)
+    val inv = arrays.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
+    common
+      .withColumn("cont_ab_e4",
+        floor(col("n_common") * 10000.0 / col("na") + 0.5).cast("long"))
+      .withColumn("cont_ba_e4",
+        floor(col("n_common") * 10000.0 / col("nb") + 0.5).cast("long"))
+      .filter(greatest(col("cont_ab_e4"), col("cont_ba_e4")) >= (minCont * 10000).toLong)
+      .select(col("id_a"), col("id_b"), col("cont_ab_e4"), col("cont_ba_e4"))
   }
 }

@@ -207,6 +207,73 @@ object Multimodal {
       }
   }
 
+  final case class ImageHash(media_id: Long, sig: Array[Long])
+
+  /** 64-bit perceptual average-hash (aHash) per image: decode
+    * (javax.imageio), bilinear-downscale to 8×8, integer Rec.601 luma
+    * per cell, threshold each cell against the 64-cell mean. Bit i is
+    * set when cell i is at least as bright as the mean — near-duplicate
+    * images (re-encodes, small crops/brightness shifts) land within a
+    * few bits of Hamming distance. The hash is returned as 4×16-bit
+    * chunks (`sig: array<long>`) so [[Dedup.signatureCandidates]]'s
+    * pigeonhole blocking applies unchanged: Hamming ≤ 3 guarantees a
+    * shared chunk. Undecodable payloads are dropped.
+    *
+    * Same executor shape as [[resizeImages]]: per-partition decode
+    * loops, no driver round-trip; at 100 TB the hash table is a
+    * map-only projection of the image scan and only (id, 32-byte sig)
+    * rows ever shuffle. */
+  def imageAHash(df: DataFrame, idCol: String, bytesCol: String): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val small = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = small.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, 8, 8, null)
+              g.dispose()
+              val luma = new Array[Int](64)
+              var i = 0; var sum = 0L
+              while (i < 64) {
+                val rgb = small.getRGB(i % 8, i / 8)
+                val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                luma(i) = l; sum += l; i += 1
+              }
+              var hash = 0L
+              i = 0
+              // compare in 1/64ths to stay in exact integer arithmetic
+              while (i < 64) { if (luma(i).toLong * 64 >= sum) hash |= (1L << i); i += 1 }
+              Some(ImageHash(id, Array(
+                (hash >>> 48) & 0xffffL, (hash >>> 32) & 0xffffL,
+                (hash >>> 16) & 0xffffL, hash & 0xffffL)))
+            }
+          } catch { case _: java.io.IOException => None }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs: [[imageAHash]] signatures through the
+    * generic chunk-blocked Hamming verify ([[Dedup.signatureCandidates]]
+    * — one groupBy on (chunk idx, 16-bit chunk), inline verify, giant
+    * buckets star-capped). Emits (id_a, id_b, hamming), id_a < id_b,
+    * hamming ≤ `maxDist`. */
+  def imageNearDup(df: DataFrame, idCol: String, bytesCol: String,
+      maxDist: Int, maxBucket: Int = 1024): DataFrame =
+    Dedup.signatureCandidates(
+      imageAHash(df, idCol, bytesCol).toDF().select(
+        col("media_id").as("id"), col("sig")),
+      maxDist, maxBucket)
+
   /** Fixed-size frame sampling over an opaque binary payload — keep
     * every `everyK`-th `frameSize`-byte frame. Pure codegen'd binary
     * slicing (`substring` on binary), so it runs inside the scan stage

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval primitives: inverted-index postings, conjunctive
+  * keyword search, and integer-exact TF-IDF relevance — the *mining*
+  * side of a training-data pipeline (topic probes, quality-subcorpus
+  * selection, debugging what a 100 TB corpus actually contains).
+  *
+  * Everything here is relational: postings explode map-side from the
+  * scan, the only shuffles are partial-aggregated groupBys on small
+  * keys, and ranking is per-group array sorting — no windows over
+  * unbounded partitions, no driver materialization.
+  */
+object Retrieval {
+
+  /** (tok, id, len, tf) postings — one row per distinct (document,
+    * token) with the in-document term frequency and document length.
+    * The classic word-count shape: tokens explode map-side and the
+    * groupBy's partial aggregation collapses within-partition
+    * duplicates before the exchange, so shuffle volume is bounded by
+    * (distinct tokens per doc) × docs, not token occurrences. */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = df.select(col(idCol).as("id"),
+      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+    toked
+      .select(col("id"), size(col("__t")).as("len"), explode(col("__t")).as("tok"))
+      .groupBy("tok", "id", "len").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Documents containing ALL `terms` (conjunctive inverted-index
+    * intersection), with the total occurrence count as a relevance
+    * proxy. Returns (id, n_hits).
+    *
+    * Scale: the term filter runs map-side BEFORE the only shuffle —
+    * the exchange carries one row per (matching doc, query term
+    * occurrence), proportional to the hit set, not the corpus. The
+    * distinct-term check is a count over ≤ |terms| values per group. */
+  def searchAll(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toked = df.select(col(idCol).as("id"),
+      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+    val hits = toked.select(col("id"),
+      explode(filter(col("__t"), t => t.isin(terms.map(lit): _*))).as("tok"))
+    hits.groupBy("id")
+      .agg(count_distinct(col("tok")).as("n_terms"), count(lit(1)).as("n_hits"))
+      .filter(col("n_terms") === terms.distinct.size)
+      .select(col("id"), col("n_hits"))
+  }
+
+  /** Top-`k` TF-IDF terms per document with a RATIONAL idf (N/df
+    * instead of ln(N/df)): the per-document term ranking is identical
+    * (x ↦ ln x is monotone), but every arithmetic step is a product /
+    * quotient of exact integers evaluated as single IEEE double ops —
+    * `ln` is not correctly-rounded across math libraries and would make
+    * a cross-engine comparison flaky. Returns (id, rank, tok, score_e4)
+    * with score_e4 = round(tf·1e4·N / (len·df)).
+    *
+    * Plan: term counts = one partial-aggregated groupBy on (tok, id);
+    * document frequencies = one groupBy on tok over those (already
+    * distinct) rows; the corpus size N rides in as a 1-row broadcast
+    * cross join; top-k is a per-doc `array_sort` over collected
+    * (−score, tok) structs — no window over the corpus, ties break on
+    * the term string. The collected list is bounded by the per-doc
+    * distinct-token count (vocabulary ∩ doc), not the corpus. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tc = postings(df, idCol, textCol)
+    val dfreq = tc.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tc.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("score_e4",
+        floor(col("tf") * 10000.0 * col("n_docs") / (col("len") * col("df")) + 0.5)
+          .cast("long"))
+    scored.groupBy("id")
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score_e4")).as("neg"), col("tok")))), 1, k).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.tok").as("tok"), (-col("col.neg")).as("score_e4"))
+  }
+}

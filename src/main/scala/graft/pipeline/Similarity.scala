@@ -255,6 +255,62 @@ object Similarity {
         col("e.id").as("nn_id"), col("e.score").as("cos_e6"))
   }
 
+  /** Raw-dot argmax cell assignment (no norm division — the argmax is
+    * scale-invariant, and skipping the divide keeps the comparison
+    * bit-identical to an oracle that ranks raw dot products). Ties
+    * break to the lowest cell index. */
+  private def argmaxCellUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      var s = 0.0; var i = 0
+      val d = math.min(v.length, cv.length)
+      while (i < d) { s += v(i) * cv(i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** SemDeDup-style embedding dedup (Abbas et al. 2023): partition the
+    * corpus into `nCells` cells with a deterministic seeded
+    * random-projection codebook ([[hyperplanes]] rows, argmax dot),
+    * then find exact cosine near-dup pairs ONLY within each cell —
+    * the cluster step bounds the quadratic verify at (n/nCells)² per
+    * cell instead of n² global. Returns (cell, id_a, id_b, cos_e6)
+    * with id_a < id_b and cos_e6 ≥ `minCosE6`.
+    *
+    * Scale: assignment is map-only (codebook is a plan literal in the
+    * UDF closure); the self-join shuffles each side once on the cell
+    * key and the pair loop is the cells' job — `nCells` is THE knob
+    * and must grow with the corpus (SemDeDup runs ~100k clusters at
+    * LAION scale; cell skew is bounded because random projections
+    * split isotropically). A trained quantizer upgrade is a drop-in:
+    * pass [[ivfTopK]]'s spherical-k-means centroids instead of the
+    * seeded codebook (kept seeded here so the cross-engine oracle can
+    * mirror the codebook as literals). Near-dups that straddle a cell
+    * boundary are missed by design — that is SemDeDup's documented
+    * recall trade; [[cosineCandidates]] is the recall-tunable
+    * alternative. */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCells: Int, seed: Long, minCosE6: Long): DataFrame = {
+    require(nCells > 0, "nCells must be positive")
+    val cents = hyperplanes(nCells, dim, seed)
+    val c = prepCorpus(df, idCol, vecCol)
+      .withColumn("cell", argmaxCellUdf(cents)(col("v")))
+    val a = c.select(col("cell"), col("nn_id").as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = c.select(col("cell"), col("nn_id").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_e6",
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6 + 0.5).cast("long"))
+      .filter(col("cos_e6") >= minCosE6)
+      .select(col("cell").cast("long").as("cell"), col("id_a"), col("id_b"), col("cos_e6"))
+  }
+
   /** All-pairs cosine above a threshold (quantized to e6), emitted as
     * (id_a, id_b, cos_e6) with id_a < id_b — SMALL-CORPUS exact path.
     *

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.Tables
-import graft.pipeline.{Curation, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Retrieval, Similarity, TextAnalysis}
 
 /** Corpus-curation operators (SURVEY §8.2 extension charter):
   * benchmark decontamination, Gopher-style repetition signals, PII
@@ -300,5 +300,133 @@ object CurationQueries extends QueryPack {
               |SELECT source, count(*) AS n_docs, CAST(sum(np) AS BIGINT) AS total_pretokens,
               |CAST(sum(nw) AS BIGINT) AS total_ws_tokens,
               |CAST(floor(sum(np) * 1.0 / count(*) * 10000 + 0.5) AS BIGINT) AS avg_pretok_e4
-              |FROM c GROUP BY source""".stripMargin)))
+              |FROM c GROUP BY source""".stripMargin)),
+
+    Query(
+      "q104_span_dedup",
+      "Span-level exact substring dedup (Lee et al. 2022, relationally): a token position is duplicated when its word-3gram occurs >= 2 times anywhere in the corpus; overlapping duplicated 3-grams merge into maximal spans via a per-doc HOF fold over the sorted position array (one groupBy on the doc key — no window). Shuffles carry only 8-byte shingle hashes and int positions.",
+      (s, dir) => Curation.duplicatedSpanStats(
+          Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans"),
+          col("dup_tokens"), col("dup_frac_e4")),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |pos AS (SELECT doc_id, len(t) AS nt, i AS pos,
+              |        (('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 15))::BIGINT) AS h
+              |        FROM toks, generate_series(0, 199) g(i) WHERE i <= len(t) - 3),
+              |dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+              |dp AS (SELECT doc_id, nt, pos FROM pos JOIN dup USING (h)),
+              |m AS (SELECT doc_id, nt, pos,
+              |      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3 THEN 0 ELSE 1 END AS brk FROM dp),
+              |g AS (SELECT doc_id, nt, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+              |sp AS (SELECT doc_id, nt, grp, min(pos) AS st, max(pos) AS en FROM g GROUP BY 1, 2, 3)
+              |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_spans,
+              |CAST(sum(en - st + 3) AS BIGINT) AS dup_tokens,
+              |CAST(floor(sum(en - st + 3) * 10000.0 / nt + 0.5) AS BIGINT) AS dup_frac_e4
+              |FROM sp GROUP BY doc_id, nt""".stripMargin)),
+
+    Query(
+      "q105_rare_bigrams",
+      "Corpus-LM bigram rarity (the integer-exact core of a CCNet-style quality filter): per doc, bigram count, hapax fraction (corpus frequency 1) and mean corpus frequency of its bigrams — all exact integer ratios rounded at the end, no log-space summation hazard. One groupBy on the 60-bit bigram hash, one join back, one per-doc aggregate.",
+      (s, dir) => Curation.bigramRarity(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("n_hapax"),
+          col("hapax_e4"), col("mean_count_e2")),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |bg AS (SELECT doc_id, (('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT) AS h
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+              |cnt AS (SELECT h, count(*) AS c FROM bg GROUP BY 1)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+              |CAST(floor(count(*) FILTER (WHERE c = 1) * 10000.0 / count(*) + 0.5) AS BIGINT) AS hapax_e4,
+              |CAST(floor(sum(c) * 100.0 / count(*) + 0.5) AS BIGINT) AS mean_count_e2
+              |FROM bg JOIN cnt USING (h) GROUP BY doc_id""".stripMargin)),
+
+    Query(
+      "q106_bpe_pairs",
+      "BPE tokenizer-training kernel: global adjacent character-pair counts within pre-tokens (the argmax pair is the next BPE merge; pairs never cross pre-token boundaries). Pairs explode map-side; the only shuffle is a partial-aggregated groupBy on a char-bigram key space of a few thousand, then a driver-sized top-50.",
+      (s, dir) => Curation.bpePairCounts(Tables.documents(s, dir), "text", topN = 50),
+      Some("""WITH pt AS (SELECT unnest(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +')) AS tok FROM documents),
+             |pr AS (SELECT substr(tok, i, 2) AS pair FROM pt, generate_series(1, 30) g(i) WHERE i <= len(tok) - 1)
+             |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1
+             |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
+
+    Query(
+      "q107_semdedup",
+      "SemDeDup (Abbas et al. 2023): cluster embeddings with a deterministic seeded random-projection codebook (argmax raw dot over 8 literal centroids), then exact cosine near-dup pairs ONLY within each cell — the cluster step bounds the quadratic verify at (n/nCells)^2 per cell. The oracle mirrors the codebook as 512 literal doubles.",
+      (s, dir) => Similarity.semDedupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nCells = 8, seed = 7L, minCosE6 = 350000L),
+      Some {
+        val cents = Similarity.hyperplanes(nPlanes = 8, dim = 64, seed = 7L)
+        val vals = cents.zipWithIndex.flatMap { case (row, ci) =>
+          row.zipWithIndex.map { case (v, j) => s"($ci,${j + 1},CAST($v AS DOUBLE))" }
+        }.mkString(",")
+        s"""WITH cents(cell, j, v) AS (VALUES $vals),
+           |d AS (SELECT e.vec_id, c.cell, sum(CAST(e.embedding[c.j] AS DOUBLE) * c.v) AS dt
+           |      FROM embeddings e, cents c GROUP BY 1, 2),
+           |a AS (SELECT vec_id, cell FROM
+           |      (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell) AS rn FROM d)
+           |      WHERE rn = 1),
+           |n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+           |      FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+           |p AS (SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b
+           |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+           |dd AS (SELECT p.cell, p.id_a, p.id_b,
+           |       sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dt
+           |       FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
+           |       JOIN embeddings eb ON eb.vec_id = p.id_b, generate_series(1, 64) g(i)
+           |       GROUP BY 1, 2, 3)
+           |SELECT CAST(dd.cell AS BIGINT) AS cell, id_a, id_b,
+           |CAST(floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+           |FROM dd JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id
+           |WHERE floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) >= 350000""".stripMargin
+      }),
+
+    Query(
+      "q108_containment",
+      "Asymmetric n-gram CONTAINMENT near-dup (|A inter B| / |A| over distinct 3-gram shingle sets) — catches quote/subset duplication where a short doc sits inside a long one and symmetric Jaccard stays low. Same inverted-index plan as q53: per-doc counts ride the index rows, one equality self-join on the 64-bit shingle hash.",
+      (s, dir) => Dedup.containmentPairs(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, minCont = 0.5),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 2),
+              |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+              |com AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+              |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |        GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |CAST(floor(c * 10000.0 / x.n + 0.5) AS BIGINT) AS cont_ab_e4,
+              |CAST(floor(c * 10000.0 / y.n + 0.5) AS BIGINT) AS cont_ba_e4
+              |FROM com JOIN cnt x ON id_a = x.doc_id JOIN cnt y ON id_b = y.doc_id
+              |WHERE greatest(floor(c * 10000.0 / x.n + 0.5), floor(c * 10000.0 / y.n + 0.5)) >= 5000""".stripMargin)),
+
+    Query(
+      "q109_search",
+      "Conjunctive inverted-index keyword search (docs containing ALL of 'dup', 'window', 'merge', with total occurrences as relevance). The term filter runs map-side BEFORE the only shuffle — the exchange carries one row per matching (doc, term occurrence), proportional to the hit set, not the corpus.",
+      (s, dir) => Retrieval.searchAll(
+          Tables.documents(s, dir), "doc_id", "text",
+          Seq("dup", "window", "merge"))
+        .select(col("id").as("doc_id"), col("n_hits")),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |h AS (SELECT doc_id, x AS tok FROM toks, unnest(t) u(x)
+              |      WHERE x IN ('dup', 'window', 'merge'))
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM h
+              |GROUP BY doc_id HAVING count(DISTINCT tok) = 3""".stripMargin)),
+
+    Query(
+      "q110_tfidf",
+      "Top-3 TF-IDF terms per document with a RATIONAL idf (N/df — same ranking as ln(N/df) by monotonicity, but every step is integer products through single IEEE double ops; ln is not correctly-rounded across engines). Term counts and doc frequencies are partial-aggregated groupBys; top-k is a per-doc array_sort over collected (-score, tok) structs — no window over the corpus.",
+      (s, dir) => Retrieval.tfidfTopTerms(
+          Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("rank"), col("tok"), col("score_e4")),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |tc AS (SELECT doc_id, len(t) AS len, x AS tok, count(*) AS tf
+              |       FROM toks, unnest(t) u(x) GROUP BY 1, 2, 3),
+              |dfreq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+              |n AS (SELECT count(*) AS n_docs FROM documents),
+              |sc AS (SELECT doc_id, tok,
+              |       CAST(floor(tf * 10000.0 * n_docs / (len * df) + 0.5) AS BIGINT) AS score_e4
+              |       FROM tc JOIN dfreq USING (tok), n),
+              |r AS (SELECT doc_id, tok, score_e4,
+              |      row_number() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, tok) AS rank FROM sc)
+              |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, score_e4 FROM r WHERE rank <= 3""".stripMargin)))
 }

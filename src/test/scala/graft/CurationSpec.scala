@@ -155,4 +155,74 @@ class CurationSpec extends AnyFunSuite {
       .head()
     assert(z.getDouble(0) == 0.0 && z.getSeq[Double](1) == Seq(0.0, 0.0))
   }
+
+  test("duplicatedSpanStats merges overlapping dup 3-grams into maximal spans") {
+    // 'a b c d' occurs in docs 1 and 2 -> dup 3-gram positions 0,1 in both
+    // -> ONE merged span covering 4 tokens. Doc 1 additionally repeats
+    // 'x y z' at positions 5..7 and 9..11 of its own text (within-doc dup).
+    val df = Seq(
+      (1L, "a b c d q x y z q2 x y z"), // 12 toks
+      (2L, "p a b c d r"),              // 6 toks
+      (3L, "u v w only once here")).toDF("doc_id", "text")
+    val out = Curation.duplicatedSpanStats(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // doc 1: dup positions {0,1} ('a b c','b c d') + {5,9} ('x y z' twice)
+    //   -> spans [0,3] (4 toks), [5,7] (3), [9,11] (3) = 3 spans, 10 tokens
+    // doc 2: positions {1,2} -> one span of 4 tokens
+    assert(out.toSeq == Seq((1L, 12L, 3L, 10L), (2L, 6L, 1L, 4L)))
+  }
+
+  test("duplicatedSpanStats: adjacent-but-gapped positions split at gap > k") {
+    // dup 2-grams at positions 0 and 3: gap 3 > k=2 -> two separate spans
+    val df = Seq(
+      (1L, "m n o p m n"),
+      (2L, "m n z z z z"),
+      (3L, "z m n q q q")).toDF("doc_id", "text")
+    val out = Curation.duplicatedSpanStats(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // doc 1: 'm n' dup at 0 and 4 -> two 2-token spans
+    assert(out.contains((1L, 2L, 4L)))
+  }
+
+  test("bigramRarity: hapax fraction and mean corpus count are exact") {
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams: ab, ba, ab -> ab count 2(+1 from doc2)=3, ba 1
+      (2L, "a b c")).toDF("doc_id", "text") // ab, bc
+    val out = Curation.bigramRarity(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // corpus: ab->3, ba->1, bc->1
+    // doc1: [ab,ba,ab] n=3 hapax=1 (ba) -> 3333; mean=(3+1+3)/3=2.3333 -> 233
+    // doc2: [ab,bc]    n=2 hapax=1 (bc) -> 5000; mean=(3+1)/2=2 -> 200
+    assert(out.toSeq == Seq((1L, 3L, 1L, 3333L, 233L), (2L, 2L, 1L, 5000L, 200L)))
+  }
+
+  test("bpePairCounts counts char pairs within pre-tokens only") {
+    val df = Seq("the cat", "the hat").toDF("text")
+    // pre-tokens: [the][ cat] / [the][ hat] — note the leading-space form
+    val out = Curation.bpePairCounts(df, "text", topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 'th' 2, 'he' 2, ' c'/' h'/'at' ... 'at' appears twice
+    assert(out.take(3).toSeq == Seq(("at", 2L), ("he", 2L), ("th", 2L)))
+  }
+
+  test("semDedupPairs finds only same-cell pairs and matches exact cosine") {
+    // 40 vectors in 8 dims: 20 base vectors plus near-identical twins.
+    val base = (0 until 20).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 8 + d + 1.0))
+      (i.toLong, v.toSeq)
+    }
+    val twins = base.map { case (id, v) =>
+      (id + 100L, v.zipWithIndex.map { case (x, d) => x + (if (d == 0) 1e-3 else 0.0) })
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupPairs(df, "vec_id", "embedding",
+        dim = 8, nCells = 4, seed = 11L, minCosE6 = 999900L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // every twin pair has cosine ~1 -> identical argmax cell -> all 20 found
+    assert((0 until 20).forall(i => out.contains((i.toLong, i + 100L))), s"missing twins: $out")
+    // and nothing else at this threshold
+    assert(out.size == 20, s"unexpected pairs: $out")
+  }
 }

@@ -457,4 +457,37 @@ class PipelineSpec extends AnyFunSuite {
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
   }
+
+  test("imageAHash: scale-invariant hash, near-dup blocking finds re-encodes") {
+    // structured test image: left half black, right half white, with an
+    // optional white->black flip of ONE 8x8-grid cell (top-right corner)
+    def png(side: Int, flipCorner: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val cell = side / 8
+      for (y <- 0 until side; x <- 0 until side) {
+        val inFlip = flipCorner && x >= side - cell && y < cell
+        val white = x >= side / 2 && !inFlip
+        img.setRGB(x, y, if (white) 0xffffff else 0x000000)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(16, flipCorner = false)),
+      (2L, png(32, flipCorner = false)), // same content, different size
+      (3L, png(32, flipCorner = true)),  // one 8x8 cell differs
+      (4L, Array[Byte](9, 9, 9))         // undecodable -> dropped
+    ).toDF("media_id", "payload")
+    val hashes = pipeline.Multimodal.imageAHash(df, "media_id", "payload")
+      .collect().map(h => h.media_id -> h.sig.toSeq).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    assert(hashes(1L) == hashes(2L), "same content at 2 sizes must hash equal")
+    val pairs = pipeline.Multimodal.imageNearDup(df, "media_id", "payload", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs((1L, 3L)) >= 1L && pairs((1L, 3L)) <= 3L)
+    assert(pairs((2L, 3L)) == pairs((1L, 3L)))
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Dedup, Retrieval}
+
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("postings emits distinct (tok, doc) rows with tf and doc length") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Retrieval.postings(df, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._1))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 3, 2L), ("b", 1L, 3, 1L), ("b", 2L, 2, 1L), ("c", 2L, 2, 1L)))
+  }
+
+  test("searchAll is conjunctive and counts total occurrences") {
+    val df = Seq(
+      (1L, "x y z x"), // both terms, 3 total hits
+      (2L, "x y"),     // missing z
+      (3L, "y z z")    // missing x
+    ).toDF("doc_id", "text")
+    val out = Retrieval.searchAll(df, "doc_id", "text", Seq("x", "z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L)))
+  }
+
+  test("tfidfTopTerms: rational-idf scores, tie-break on token, k-slice") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c c")).toDF("doc_id", "text")
+    // N=3, df: a=2 b=1 c=2; score_e4 = round(tf*1e4*N/(len*df))
+    val out = Retrieval.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", 10000L), (1L, 2L, "b", 10000L), // tie -> token order
+      (2L, 1L, "a", 7500L), (2L, 2L, "c", 7500L),
+      (3L, 1L, "c", 15000L)))
+  }
+
+  test("containmentPairs: subset doc scores full containment one way") {
+    val df = Seq(
+      (1L, "p q r s t u"),        // 4 distinct 3-shingles, all inside doc 2
+      (2L, "p q r s t u v w"),    // 6 distinct 3-shingles
+      (3L, "m n o m n o m")       // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", n = 3, minCont = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // |A inter B| = 4: A-in-B = 4/4 = 1.0, B-in-A = 4/6 = .6667
+    assert(out.toSeq == Seq((1L, 2L, 10000L, 6667L)))
+    // symmetric Jaccard on the same pair is only 4/6 — below a .9 bar
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.9)
+    assert(jac.count() == 0)
+  }
+}
