@@ -35,6 +35,31 @@ object Histogram {
       s"ELSE CAST(floor(($x - $lo) / $width) AS BIGINT) END)"
   }
 
+  /** Variable (non-uniform) bin edges with flow bins — the reference's
+    * `hist.axis.Variable`: -1 for x < edges.head, (#bins) for
+    * x >= edges.last, else the searchsorted bin index. The inner search
+    * is the codegen'd O(log k) [[graft.functions.BinarySearchBins]]
+    * expression with the edges baked into the plan.
+    * SQL twin: [[bucketEdgesSql]]. */
+  def bucketEdges(x: Column, edges: Seq[Double]): Column = {
+    require(edges.size >= 2 && edges.sliding(2).forall(p => p(0) < p(1)),
+      "edges must be strictly increasing, length >= 2")
+    val n = edges.size - 1
+    when(x < edges.head, lit(-1L))
+      .when(x >= edges.last, lit(n.toLong))
+      .otherwise(
+        graft.functions.BinarySearchBins(x.cast("double"), edges).cast("long"))
+  }
+
+  /** DuckDB-equivalent SQL text for [[bucketEdges]] (a CASE chain —
+    * variable axes are small, the O(k) text is oracle-only). */
+  def bucketEdgesSql(x: String, edges: Seq[Double]): String = {
+    val n = edges.size - 1
+    val inner = (1 until n).map(i => s"WHEN $x < ${edges(i)} THEN ${i - 1}").mkString(" ")
+    s"(CASE WHEN $x IS NULL THEN NULL WHEN $x < ${edges.head} THEN -1 " +
+      s"WHEN $x >= ${edges.last} THEN $n $inner ELSE ${n - 1} END)"
+  }
+
   /** Fill a weighted histogram: one shuffle of pre-aggregated partials.
     * Output: axes columns + sumw, sumw2, n. */
   def fill(df: DataFrame, axes: Seq[(String, Column)], weight: Column): DataFrame =

@@ -95,6 +95,47 @@ final case class PackedSelection(cuts: Seq[(String, Column)]) {
       s"stack(${cuts.size}, $stackArgs) as (cut, sumw_onecut, sumw_cumulative)")
   }
 
+  /** Cutflow stage masks: "initial" (no cuts) then each cumulative
+    * prefix — the stage list of the reference's `Cutflow.plot_vars`
+    * (`analysis_tools.py:1369,1417-1457`). */
+  def cutflowStages: Seq[(String, Column)] =
+    ("initial" -> lit(true)) +: names.zipWithIndex.map { case (n, i) =>
+      n -> all(names.take(i + 1): _*)
+    }
+
+  /** N−1 stage masks: "initial", each "N - cut" (all cuts except one),
+    * then "N" (all cuts) — the stage list of `NminusOne.plot_vars`
+    * (`analysis_tools.py:996,1267-1366`). */
+  def nminusoneStages: Seq[(String, Column)] =
+    ("initial" -> lit(true)) +:
+      (names.zipWithIndex.map { case (n, i) =>
+        s"N - $n" -> all(names.patch(i, Nil, 1): _*)
+      } :+ ("N" -> all()))
+
+  /** Per-stage weighted histogram of `v` — the reference's `plot_vars`
+    * for either stage family ([[cutflowStages]] / [[nminusoneStages]]),
+    * in ONE scan: each event emits one map-side row per stage it passes
+    * (a filtered explode of the stage-struct array — at most #stages
+    * structs per event, no second pass over the data), then a single
+    * histogram-fill groupBy. At 100 TB this is 1 scan + 1 exchange of
+    * (#stages × #occupied bins) pre-aggregated groups, where the
+    * reference fills one histogram per stage over the same masks.
+    * Columns (stage_idx, stage, bin, sumw, sumw2, n). */
+  def plotVar(df: DataFrame, stages: Seq[(String, Column)], v: Column,
+      lo: Double, hi: Double, nBins: Int, weight: Column = lit(1.0)): DataFrame = {
+    val stageArr = array(stages.zipWithIndex.map { case ((n, c), i) =>
+      struct(lit(i.toLong).as("stage_idx"), lit(n).as("stage"),
+        coalesce(c, lit(false)).as("pass"))
+    }: _*)
+    val rows = df.select(
+      explode(filter(stageArr, s => s("pass"))).as("s"),
+      Histogram.bucket(v, lo, hi, nBins).as("__bin"), weight.as("__w"))
+    Histogram.fill(rows,
+      Seq("stage_idx" -> col("s.stage_idx"), "stage" -> col("s.stage"),
+        "bin" -> col("__bin")),
+      col("__w"))
+  }
+
   /** N−1: for each cut, events passing all OTHER cuts, plus the all-cuts
     * count — one aggregation pass (reference `nminusone`). Columns
     * (excluded_cut, n_pass); excluded_cut = "none" row = all cuts. */

@@ -403,4 +403,53 @@ object Dedup {
       .filter(greatest(col("cont_ab_e4"), col("cont_ba_e4")) >= (minCont * 10000).toLong)
       .select(col("id_a"), col("id_b"), col("cont_ab_e4"), col("cont_ba_e4"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS algorithm): per document, the DISTINCT minima of the k-gram
+    * hash sequence over every window of `w` consecutive positions.
+    * Guarantee: two documents sharing a token run of at least w+k−1
+    * share a fingerprint; expected index density is 2/(w+1) of the full
+    * shingle index — the knob that keeps an inverted-index join
+    * feasible when full shingling (q53-style) is too wide. Documents
+    * with fewer than w k-grams fingerprint as min of all their hashes;
+    * shingle-less documents are dropped. Returns (id, fp) rows.
+    *
+    * All map-only: hashing and window minima run inside the row (the
+    * O(m·w) HOF window scan is codegen'd; at the typical w ≤ 64 the
+    * per-row cost is dwarfed by the md5 per (doc, position), the same
+    * kernel family as the span-dedup shingler). Hashes use the portable
+    * 60-bit md5 ([[hash60]]) so a DuckDB oracle reproduces fingerprints
+    * exactly. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(w >= 1, s"window w must be >= 1 (got $w)")
+    val hs = shingleArrays(df, idCol, textCol, k, distinct = false)
+      .select(col("id"), graft.functions.Barrier(
+        transform(col("sh"), s => hash60(s))).as("__h"))
+    val m = size(col("__h"))
+    val fps =
+      when(m >= w,
+        array_distinct(transform(sequence(lit(0), m - w),
+          i => array_min(slice(col("__h"), i + 1, lit(w))))))
+        .when(m > 0, array(array_min(col("__h"))))
+        .otherwise(array().cast("array<bigint>"))
+    hs.select(col("id"), explode(fps).as("fp"))
+  }
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints:
+    * equality self-join on the 60-bit fingerprint (the same
+    * inverted-index shape as [[ngramJaccardPairs]] but over the
+    * 2/(w+1)-density winnowed index), pairs ranked by the number of
+    * shared fingerprints. Emits (id_a, id_b, n_shared) with id_a <
+    * id_b, n_shared ≥ `minShared`. Verify with [[ngramJaccardPairs]]
+    * or `Curation.duplicatedSpanStats` on the candidates. */
+  def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long): DataFrame = {
+    val fp = winnowedFingerprints(df, idCol, textCol, k, w)
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -245,6 +245,53 @@ object AnalysisQueries extends QueryPack {
           row("tax_bUp", s"($nom * ((1.0 + l_tax + 0.01) / (1.0 + l_tax)))"),
           row("tax_bDown", s"($nom * ((1.0 + l_tax - 0.01) / (1.0 + l_tax)))")
         ).mkString("\nUNION ALL\n")
+      }),
+
+    Query(
+      "q111_cutflow_hist",
+      "Cutflow plot_vars (analysis_tools.py:1369,1417-1457): the weighted histogram of a variable at EVERY cutflow stage ('initial' + each cumulative cut) in ONE scan — each event map-side-emits one row per stage it passes, then a single fill groupBy of (#stages x bins) pre-aggregated groups (the reference fills one histogram per stage over the same masks).",
+      (s, dir) => {
+        import s.implicits._
+        val sel = PackedSelection(cuts(s))
+        sel.plotVar(Tables.lineitem(s, dir), sel.cutflowStages,
+            $"l_extendedprice", 0.0, 110000.0, 11, lit(1.0) - $"l_discount")
+          .select($"stage_idx", $"stage", $"bin",
+            cents($"sumw").as("sumw_c"), $"n")
+      },
+      Some {
+        val names = Seq("qty", "disc", "ship", "tax")
+        val stages = ("initial", "TRUE") +: names.zipWithIndex.map { case (n, i) =>
+          n -> names.take(i + 1).map(cutSql).mkString(" AND ")
+        }
+        stages.zipWithIndex.map { case ((label, cond), i) =>
+          s"SELECT $i AS stage_idx, '$label' AS stage, " +
+            s"${Histogram.bucketSql("l_extendedprice", 0.0, 110000.0, 11)} AS bin, " +
+            s"CAST(floor(sum(1.0 - l_discount) * 100 + 0.5) AS BIGINT) AS sumw_c, " +
+            s"count(*) AS n FROM lineitem WHERE $cond GROUP BY 3"
+        }.mkString("\n UNION ALL \n")
+      }),
+
+    Query(
+      "q112_variable_hist",
+      "Variable-edge histogram axis (hist.axis.Variable): non-uniform price bins with flow, the bin index from the codegen'd O(log k) BinarySearchBins expression (edges baked into the plan) — same sparse one-shuffle fill as q35.",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Seq(0.0, 1000.0, 5000.0, 20000.0, 50000.0, 100000.0)
+        Histogram.fill(
+          Tables.lineitem(s, dir),
+          axes = Seq(
+            "bin" -> Histogram.bucketEdges($"l_extendedprice", edges),
+            "l_linestatus" -> $"l_linestatus"),
+          weight = $"l_quantity")
+          .select($"bin", $"l_linestatus", cents($"sumw").as("sumw_c"), $"n")
+      },
+      Some {
+        val edges = Seq(0.0, 1000.0, 5000.0, 20000.0, 50000.0, 100000.0)
+        s"""SELECT ${Histogram.bucketEdgesSql("l_extendedprice", edges)} AS bin,
+           |l_linestatus,
+           |CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sumw_c,
+           |count(*) AS n
+           |FROM lineitem GROUP BY 1, 2""".stripMargin
       })
   )
 }

@@ -131,6 +131,26 @@ object PipelineQueries extends QueryPack {
               |WHERE floor(c * 10000.0 / (x.n + y.n - c) + 0.5) >= 2500""".stripMargin)),
 
     Query(
+      "q113_winnowing",
+      "Winnowing fingerprint near-dup (Schleimer et al. 2003, MOSS): per doc, the distinct minima of the 3-gram md5-hash sequence over every window of 4 positions (docs sharing a >= 6-token run share a fingerprint; index density ~2/(w+1) of full shingling) — then the q53-style equality self-join on the 60-bit fingerprint, pairs ranked by shared-fingerprint count. Fingerprinting is entirely map-side.",
+      (s, dir) => Dedup.winnowedPairs(
+        Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4, minShared = 3L),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |pos AS (SELECT doc_id, len(t) - 2 AS m, i - 1 AS pos,
+              |        (('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT) AS h
+              |        FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 2),
+              |wmin AS (SELECT doc_id, m, pos,
+              |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              |         FROM pos),
+              |fp AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE m >= 4 AND pos <= m - 4
+              |       UNION SELECT doc_id, min(h) AS fp FROM pos WHERE m < 4 GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+              |          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT id_a, id_b, CAST(c AS BIGINT) AS n_shared FROM pairs WHERE c >= 3""".stripMargin)),
+
+    Query(
       "q54_minhash_lsh",
       "MinHash (k=16, md5-derived portable hashes) + LSH banding (8 bands × 2): bucket-join candidates, estimated Jaccard = equal-signature fraction.",
       (s, dir) => Dedup.minhashCandidates(

@@ -100,4 +100,44 @@ class LookupSpec extends AnyFunSuite {
     val b = df.select(g).collect().map(_.getDouble(0))
     assert(a.toSeq == b.toSeq) // replay-stable
   }
+
+  test("plotVar: per-stage histograms from one scan, initial + cumulative") {
+    import graft.core.PackedSelection
+    val df = Seq(
+      (1.0, 10.0), // passes a, passes b
+      (3.0, 10.0), // passes a, passes b
+      (7.0, 20.0), // fails a, fails b
+      (4.0, 30.0)  // passes a, fails b
+    ).toDF("x", "y")
+    val sel = PackedSelection(Seq(
+      "a" -> (col("x") < 5.0),
+      "b" -> (col("y") < 15.0)))
+    val out = sel.plotVar(df, sel.cutflowStages, col("x"), 0.0, 10.0, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getLong(5)).toMap
+    // stage 0 "initial": x bins — [0,5): {1,3,4} = 3 rows, [5,10): {7} = 1
+    assert(out((0L, "initial", 0L)) == 3L && out((0L, "initial", 1L)) == 1L)
+    // stage 1 "a" (x<5): bin0 = 3 rows, no bin1 row
+    assert(out((1L, "a", 0L)) == 3L && !out.contains((1L, "a", 1L)))
+    // stage 2 "a AND b" (y<15 too): only x=1 and x=3
+    assert(out((2L, "b", 0L)) == 2L)
+    // n-1 stages: "N - a" = y<15 alone -> {1,3}; "N - b" = x<5 -> 3 rows; "N" = 2
+    val nmo = sel.plotVar(df, sel.nminusoneStages, col("x"), 0.0, 10.0, 1)
+      .collect().map(r => r.getString(1) -> r.getLong(5)).toMap
+    assert(nmo("N - a") == 2L && nmo("N - b") == 3L && nmo("N") == 2L)
+  }
+
+  test("bucketEdges: flow bins and non-uniform inner search") {
+    import graft.core.Histogram
+    val edges = Seq(0.0, 1.0, 10.0, 100.0)
+    val df = Seq(-5.0, 0.0, 0.5, 1.0, 9.9, 10.0, 99.0, 100.0, 1e9)
+      .toDF("x").withColumn("b", Histogram.bucketEdges(col("x"), edges))
+    val got = df.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got(-5.0) == -1L && got(0.0) == 0L && got(0.5) == 0L)
+    assert(got(1.0) == 1L && got(9.9) == 1L && got(10.0) == 2L)
+    assert(got(99.0) == 2L && got(100.0) == 3L && got(1e9) == 3L)
+    // null propagates
+    val n = Seq[Option[Double]](None).toDF("x")
+      .select(Histogram.bucketEdges(col("x"), edges)).head()
+    assert(n.isNullAt(0))
+  }
 }

@@ -458,6 +458,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
   }
 
+  test("winnowing: shared-run guarantee, short-doc fallback, index density") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),          // 6 3-gram positions
+      (2L, "x y a b c d e f q r s t"),  // shares the 6-token run "a b c d e f"
+      (3L, "m n o p q"),                // unrelated
+      (4L, "u v w")                     // 1 shingle -> short-doc fallback
+    ).toDF("doc_id", "text")
+    val fp = pipeline.Dedup.winnowedFingerprints(df, "doc_id", "text", k = 3, w = 4)
+    val byDoc = fp.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: docs 1,2 share a run of length 6 = w+k-1 -> share a fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // short doc fingerprints as min of its single hash
+    assert(byDoc(4L).size == 1)
+    // density: winnowed index is smaller than the full shingle index
+    val full = pipeline.Dedup.shingleRows(df, "doc_id", "text", n = 3).count()
+    assert(fp.count() < full)
+    // pairs: 1-2 share at least one fingerprint
+    val pairs = pipeline.Dedup.winnowedPairs(df, "doc_id", "text", 3, 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("imageAHash: scale-invariant hash, near-dup blocking finds re-encodes") {
     // structured test image: left half black, right half white, with an
     // optional white->black flip of ONE 8x8-grid cell (top-right corner)
