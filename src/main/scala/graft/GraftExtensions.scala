@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** SQL-function surface of the engine: the kinematics / hashing /
+  * normalization kernels registered into Spark's FunctionRegistry so
+  * `spark.sql("SELECT graft_delta_r(...)")` works without touching the
+  * Scala API — the idiomatic way a Spark library ships an expression
+  * vocabulary (same registration path as built-ins, so everything stays
+  * inside whole-stage codegen; none of these are UDFs).
+  *
+  * Two entry points:
+  *  - config-driven: `spark.sql.extensions=graft.GraftExtensions`
+  *    (cluster-wide, applied at session build);
+  *  - imperative: `GraftFunctions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { f =>
+      ext.injectFunction((f.ident, f.info, f.builder))
+    }
+}
+
+object GraftFunctions {
+  import graft.core.Kinematics
+  import graft.pipeline.{Dedup, TextAnalysis}
+
+  final case class GraftFn(name: String, arity: Int, usage: String,
+      make: Seq[Column] => Column) {
+    def ident: FunctionIdentifier = FunctionIdentifier(name)
+    def info: ExpressionInfo = new ExpressionInfo("graft", name, usage)
+    def builder: Seq[Expression] => Expression = { es =>
+      require(es.size == arity, s"$name expects $arity arguments, got ${es.size}")
+      // eager node->Catalyst conversion: the lazy wrapper never crosses
+      // a DataFrame boundary from inside a FunctionRegistry builder
+      ColumnBridge.resolvedExpression(make(es.map(ColumnBridge.column)))
+    }
+  }
+
+  /** The registered vocabulary. All pure compositions of codegen'd
+    * expressions (Catalyst built-ins + the custom expressions in
+    * `graft.functions`). */
+  val all: Seq[GraftFn] = Seq(
+    GraftFn("graft_delta_phi", 2,
+      "graft_delta_phi(phi1, phi2) - angle difference wrapped to [-pi, pi)",
+      cs => Kinematics.deltaPhi(cs(0), cs(1))),
+    GraftFn("graft_delta_r", 4,
+      "graft_delta_r(eta1, phi1, eta2, phi2) - sqrt(dEta^2 + dPhi^2)",
+      cs => Kinematics.deltaR(cs(0), cs(1), cs(2), cs(3))),
+    GraftFn("graft_inv_mass", 8,
+      "graft_inv_mass(pt1, eta1, phi1, m1, pt2, eta2, phi2, m2) - two-body invariant mass",
+      cs => Kinematics.invariantMass(
+        Kinematics.ptEtaPhiM(cs(0), cs(1), cs(2), cs(3)),
+        Kinematics.ptEtaPhiM(cs(4), cs(5), cs(6), cs(7)))),
+    GraftFn("graft_hash60", 1,
+      "graft_hash60(s) - portable 60-bit md5 hash as BIGINT (engine-reproducible)",
+      cs => Dedup.hash60(cs(0))),
+    GraftFn("graft_nfc", 1,
+      "graft_nfc(text) - unicode NFC normalization (codegen'd)",
+      cs => graft.functions.UnicodeNormalize(cs(0), "NFC")),
+    GraftFn("graft_normalize_text", 1,
+      "graft_normalize_text(text) - NFC + control strip + whitespace fold + lowercase",
+      cs => TextAnalysis.normalizeText(cs(0))),
+    GraftFn("graft_prefix_sum", 1,
+      "graft_prefix_sum(counts) - exclusive prefix sum offsets of an int array",
+      cs => graft.functions.ArrayPrefixSum(cs(0))),
+    GraftFn("graft_searchsorted", 2,
+      // SQL literals arrive as DECIMAL — cast here because the raw
+      // FunctionRegistry builder path skips implicit-cast resolution
+      // for expressions that don't declare ExpectsInputTypes
+      "graft_searchsorted(x, edges) - clamped bin index of x in a sorted edges array",
+      cs => graft.functions.BinarySearchArray(
+        cs(0).cast("double"), cs(1).cast("array<double>"))))
+
+  /** Imperative registration on a live session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { f =>
+      spark.sessionState.functionRegistry
+        .registerFunction(f.ident, f.info, f.builder)
+    }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.{Query, QueryPack}
+import graft.{GraftFunctions, Query, QueryPack}
 import graft.core.{Histogram, PackedSelection, Tables, Weights}
 
 /** coffea analysis_tools surface (SURVEY §2.5, §2.10, §2.11): packed
@@ -292,6 +292,40 @@ object AnalysisQueries extends QueryPack {
            |CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sumw_c,
            |count(*) AS n
            |FROM lineitem GROUP BY 1, 2""".stripMargin
-      })
+      }),
+
+    Query(
+      "q114_sql_functions",
+      "The registered SQL-function surface (GraftFunctions/GraftExtensions): a pure spark.sql() text query using graft_delta_phi / graft_delta_r / graft_hash60 — the FunctionRegistry path every built-in uses, so the kernels stay codegen'd with zero UDF boundary. The oracle mirrors the math (atan2-wrapped angles) and the portable md5 hash in DuckDB.",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT l_returnflag,
+                 CAST(floor(sum(graft_delta_r(
+                   l_discount * 40.0 - 2.0, l_tax * 60.0 - 3.0,
+                   0.5, -1.0)) * 10000 + 0.5) AS BIGINT) AS sum_dr_e4,
+                 CAST(floor(sum(abs(graft_delta_phi(l_tax * 60.0, 1.0))) * 10000 + 0.5) AS BIGINT) AS sum_dphi_e4,
+                 CAST(sum(graft_hash60(CAST(l_orderkey AS STRING)) % 97) AS BIGINT) AS hash_mod_sum
+          FROM lineitem_v GROUP BY l_returnflag""")
+      },
+      Some("""WITH d AS (
+             |  SELECT l_returnflag,
+             |    (l_discount * 40.0 - 2.0) - 0.5 AS deta,
+             |    atan2(sin((l_tax * 60.0 - 3.0) - (-1.0)), cos((l_tax * 60.0 - 3.0) - (-1.0))) AS dphi1,
+             |    atan2(sin(l_tax * 60.0 - 1.0), cos(l_tax * 60.0 - 1.0)) AS dphi2,
+             |    (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT) % 97 AS hm
+             |  FROM lineitem),
+             |t AS (
+             |  SELECT l_returnflag,
+             |    sqrt(deta * deta + dphi1 * dphi1) AS dr,
+             |    abs(dphi2) AS dphi,
+             |    hm
+             |  FROM d)
+             |SELECT l_returnflag,
+             |CAST(floor(sum(dr) * 10000 + 0.5) AS BIGINT) AS sum_dr_e4,
+             |CAST(floor(sum(dphi) * 10000 + 0.5) AS BIGINT) AS sum_dphi_e4,
+             |CAST(sum(hm) AS BIGINT) AS hash_mod_sum
+             |FROM t GROUP BY l_returnflag""".stripMargin))
   )
 }

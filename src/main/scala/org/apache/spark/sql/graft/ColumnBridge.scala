@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → Catalyst conversion. [[expression]] wraps the
+    * column's node LAZILY (`ColumnNodeExpression`), which only converts
+    * at DataFrame API boundaries — an expression returned from a
+    * `FunctionRegistry` builder (see `graft.GraftFunctions`) never
+    * crosses one, reaches codegen unconverted and dies with
+    * `Cannot generate code for columnnodeexpression`. This converts
+    * immediately; nested `UnresolvedFunction`s then resolve in the
+    * analyzer like any SQL-authored expression. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

