@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for the corpus tables — the storage-side
+  * answer to "minimize shuffles" at 100 TB: a table written with
+  * `bucketBy(n, keys)` carries its hash-partitioning in the catalog, so
+  * every equality join / groupBy / dedup keyed on the bucket columns
+  * runs WITHOUT an Exchange on that side (Spark's FileSourceScanExec
+  * reports `outputPartitioning = HashPartitioning(keys, n)` and the
+  * planner drops the shuffle). For a corpus that is deduplicated,
+  * joined, and re-scored repeatedly on the same document key, one
+  * bucketed write amortizes the per-job shuffle forever after.
+  *
+  * Guidance for 100 TB: pick bucket counts so one bucket ≈ one task's
+  * worth of data (e.g. 100 TB / 256 MB ≈ 400k buckets is too many
+  * files — shard the table by date/source partitions FIRST, then ~1k
+  * buckets per partition); both sides of a planned join need the SAME
+  * bucket count (or a multiple, with
+  * `spark.sql.bucketing.coalesceBucketsInJoin.enabled`).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (and per-file sorted) external parquet
+    * table registered under `tableName` at `path`. Joins/aggregations
+    * keyed on `keys` against this table skip their Exchange; the
+    * per-file `sortBy` additionally lets sort-merge join skip the Sort
+    * when files-per-bucket is 1 (`maxRecordsPerFile` unset). */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      buckets: Int, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucket keys must be non-empty")
+    require(buckets > 0, "bucket count must be positive")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /** Read a bucketed table back (by catalog name — the bucket spec
+    * lives in the catalog, a plain `read.parquet(path)` of the same
+    * files would NOT carry the partitioning). */
+  def readBucketed(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Bucketing
+
+class BucketingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("bucketed tables: id-keyed join and groupBy run without Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val docs = (0L until 200L).map(i => (i, s"doc $i text", i % 7)).toDF("doc_id", "text", "grp")
+    Bucketing.writeBucketed(docs, "bdocs", s"$dir/bdocs", buckets = 4, keys = Seq("doc_id"))
+    val scores = (0L until 200L).map(i => (i, i * 0.5)).toDF("doc_id", "score")
+    Bucketing.writeBucketed(scores, "bscores", s"$dir/bscores", buckets = 4, keys = Seq("doc_id"))
+
+    val a = Bucketing.readBucketed(spark, "bdocs")
+    val b = Bucketing.readBucketed(spark, "bscores")
+
+    // a 200-row side would broadcast (hiding the bucketed SMJ this spec
+    // proves); at real scale both sides exceed the threshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // both sides bucketed on the join key with equal counts -> no Exchange
+      val joined = a.join(b, "doc_id")
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"), s"bucketed join must not shuffle:\n$joinPlan")
+      assert(joinPlan.contains("Bucketed: true"), s"scan must be bucketed:\n$joinPlan")
+      assert(joined.count() == 200L)
+
+      // groupBy on the bucket key -> partial agg feeds the final directly
+      val agg = a.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucketed groupBy must not shuffle:\n$aggPlan")
+      assert(agg.count() == 200L)
+
+      // control: the same files read WITHOUT the catalog shuffle as usual
+      val flat = spark.read.parquet(s"$dir/bdocs")
+      val controlPlan = flat.join(b, "doc_id").queryExecution.executedPlan.toString
+      assert(controlPlan.contains("Exchange"),
+        "path-read control should shuffle — bucket spec lives in the catalog")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bdocs")
+      spark.sql("DROP TABLE IF EXISTS bscores")
+    }
+  }
+}
