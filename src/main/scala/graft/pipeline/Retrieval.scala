@@ -51,12 +51,18 @@ object Retrieval {
   }
 
   /** Top-`k` TF-IDF terms per document with a RATIONAL idf (N/df
-    * instead of ln(N/df)): the per-document term ranking is identical
-    * (x ↦ ln x is monotone), but every arithmetic step is a product /
-    * quotient of exact integers evaluated as single IEEE double ops —
-    * `ln` is not correctly-rounded across math libraries and would make
-    * a cross-engine comparison flaky. Returns (id, rank, tok, score_e4)
-    * with score_e4 = round(tf·1e4·N / (len·df)).
+    * instead of the classical ln(N/df)). The rational form is a
+    * standard idf variant that weights rare terms more aggressively
+    * than the log (the two can rank tf×idf products differently when a
+    * high-tf common term competes with a low-tf rare one — monotonicity
+    * of ln covers idf alone, not the product); it is chosen here
+    * because every arithmetic step is a product / quotient of exact
+    * integers evaluated as single IEEE double ops — `ln` is not
+    * correctly-rounded across math libraries and would make a
+    * cross-engine comparison flaky. Swap the scoring line for
+    * `log(N/df)` if classical damping is wanted and bit-exact oracles
+    * are not. Returns (id, rank, tok, score_e4) with
+    * score_e4 = round(tf·1e4·N / (len·df)).
     *
     * Plan: term counts = one partial-aggregated groupBy on (tok, id);
     * document frequencies = one groupBy on tok over those (already

@@ -414,7 +414,7 @@ object CurationQueries extends QueryPack {
 
     Query(
       "q110_tfidf",
-      "Top-3 TF-IDF terms per document with a RATIONAL idf (N/df — same ranking as ln(N/df) by monotonicity, but every step is integer products through single IEEE double ops; ln is not correctly-rounded across engines). Term counts and doc frequencies are partial-aggregated groupBys; top-k is a per-doc array_sort over collected (-score, tok) structs — no window over the corpus.",
+      "Top-3 TF-IDF terms per document with a RATIONAL idf (N/df — a standard idf variant that weights rare terms harder than ln(N/df); chosen because every step is integer products through single IEEE double ops, where ln is not correctly-rounded across engines). Term counts and doc frequencies are partial-aggregated groupBys; top-k is a per-doc array_sort over collected (-score, tok) structs — no window over the corpus.",
       (s, dir) => Retrieval.tfidfTopTerms(
           Tables.documents(s, dir), "doc_id", "text", k = 3)
         .select(col("id").as("doc_id"), col("rank"), col("tok"), col("score_e4")),

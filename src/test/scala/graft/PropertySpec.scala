@@ -164,4 +164,64 @@ class PropertySpec extends AnyFunSuite {
         assert(r.getSeq[Long](1) == xs.scanLeft(0L)(_ + _).dropRight(1))
       }
   }
+
+  // random word-documents over a small vocabulary (collision-rich)
+  private def docGen(maxLen: Int): Gen[String] = for {
+    n <- Gen.chooseNum(0, maxLen)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+  } yield ws.mkString(" ")
+
+  test("containment dominates Jaccard and both directions are <= 1") {
+    val docs = samples(docGen(30), 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val jac = graft.pipeline.Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cont = graft.pipeline.Dedup.containmentPairs(df, "doc_id", "text", n = 2, minCont = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(jac.keySet == cont.keySet)
+    cont.foreach { case (pair, (ab, ba)) =>
+      assert(ab <= 10000L && ba <= 10000L)
+      // |A∩B|/|A| >= |A∩B|/|A∪B| (and same for B) — up to the ±1 from
+      // independent round-half-up quantization of each ratio
+      assert(math.max(ab, ba) + 1 >= jac(pair), s"$pair: cont=($ab,$ba) jac=${jac(pair)}")
+    }
+  }
+
+  test("winnowing fingerprints are a subset of the shingle hash set") {
+    val docs = samples(docGen(40), 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val fps = graft.pipeline.Dedup.winnowedFingerprints(df, "doc_id", "text", k = 2, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = graft.pipeline.Dedup.shingleRows(df, "doc_id", "text", n = 2, distinct = false)
+      .select($"id", graft.pipeline.Dedup.hash60($"s").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fps.subsetOf(all), "every fingerprint must be one of the doc's own k-gram hashes")
+    // every doc with at least one shingle has at least one fingerprint
+    assert(all.map(_._1) == fps.map(_._1))
+  }
+
+  test("tfidf top-k matches a local rational-score recomputation") {
+    val docs = samples(docGen(25), 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .filter(_._2.trim.nonEmpty)
+    val df = docs.toDF("doc_id", "text")
+    val n = docs.size.toLong
+    val got = graft.pipeline.Retrieval.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    val tokd = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val dfreq = tokd.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    tokd.foreach { case (id, toks) =>
+      val scored = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case (w, tf) =>
+          (w, math.floor(tf * 10000.0 * n / (toks.size * dfreq(w)) + 0.5).toLong)
+        }
+        .sortBy { case (w, s) => (-s, w) } // score desc, token asc — the engine's tie-break
+      scored.take(2).zipWithIndex.foreach { case ((w, s), i) =>
+        assert(got((id, i + 1L)) == ((w, s)),
+          s"doc $id rank ${i + 1}: engine=${got((id, i + 1L))} local=($w,$s)")
+      }
+    }
+  }
 }
