@@ -151,6 +151,26 @@ object PipelineQueries extends QueryPack {
               |SELECT id_a, id_b, CAST(c AS BIGINT) AS n_shared FROM pairs WHERE c >= 3""".stripMargin)),
 
     Query(
+      "q115_nearest_dup",
+      "Canonical nearest-duplicate assignment (the cluster-free dedup step: each vector points at its best match >= 0.45 cosine): q59's LSH candidate pairs enter in both orientations, then a k=1 bounded-heap TopKAgg per vector id picks the winner (cos desc, id asc) — <= 1 entry per (id, partition) shuffles, never a per-id window. Oracle is the exact all-pairs argmax (LSH recall 1.0 at this threshold on this corpus, the q59 contract).",
+      (s, dir) => Similarity.nearestDuplicate(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, bitsPerBand = 4, bands = 48, minCosE6 = 450000L),
+      Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+             |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+             |d AS (SELECT a.vec_id AS vid, b.vec_id AS nid,
+             |      sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dt
+             |      FROM embeddings a, embeddings b, generate_series(1, 64) g(i)
+             |      WHERE a.vec_id != b.vec_id GROUP BY 1, 2),
+             |c AS (SELECT vid, nid,
+             |      CAST(floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+             |      FROM d JOIN n na ON vid = na.vec_id JOIN n nb ON nid = nb.vec_id),
+             |r AS (SELECT vid, nid, cos_e6,
+             |      row_number() OVER (PARTITION BY vid ORDER BY cos_e6 DESC, nid) AS rn
+             |      FROM c WHERE cos_e6 >= 450000)
+             |SELECT vid AS vec_id, nid AS nn_id, cos_e6 FROM r WHERE rn = 1""".stripMargin)),
+
+    Query(
       "q54_minhash_lsh",
       "MinHash (k=16, md5-derived portable hashes) + LSH banding (8 bands × 2): bucket-join candidates, estimated Jaccard = equal-signature fraction.",
       (s, dir) => Dedup.minhashCandidates(

@@ -458,6 +458,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
   }
 
+  test("nearestDuplicate assigns each member of a twin pair to the other") {
+    // 10 well-separated base vectors, each with one near-identical twin
+    val base = (0 until 10).map { i =>
+      val v = Array.tabulate(8)(d => if (d == i % 8) 10.0 + i else 0.1 * d)
+      (i.toLong, v.toSeq)
+    }
+    val twins = base.map { case (id, v) => (id + 100L, v.map(_ + 1e-4)) }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val out = pipeline.Similarity.nearestDuplicate(df, "vec_id", "embedding",
+        dim = 8, bitsPerBand = 2, bands = 24, minCosE6 = 999000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 10).foreach { i =>
+      assert(out(i.toLong) == i + 100L, s"base $i should point at its twin")
+      assert(out(i + 100L) == i.toLong, s"twin ${i + 100} should point back")
+    }
+    assert(out.size == 20)
+  }
+
   test("winnowing: shared-run guarantee, short-doc fallback, index density") {
     val df = Seq(
       (1L, "a b c d e f g h"),          // 6 3-gram positions
