@@ -1,0 +1,94 @@
+package graft.runner
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Run metrics and column tracing — the library-surface twin of the
+  * reference's `savemetrics` (per-chunk bytesread / columns / entries /
+  * processtime, `processor/executor.py:1692-1706`) and of the
+  * typetracer column trace (`nanoevents/trace.py:19-277`, used to
+  * learn the preload set at `executor.py:1488-1550`).
+  *
+  * Both come for free from Catalyst — the trace IS the optimized
+  * plan's pruned scan schema (no dry-run needed), and the metrics ARE
+  * the executed plan's SQL metrics — this object just exposes them as
+  * data instead of UI screens.
+  */
+object Metrics {
+
+  /** One parquet scan of a plan: root paths, the PRUNED column set
+    * that will actually be read, and the filters pushed to the reader. */
+  final case class ScanInfo(
+      paths: Seq[String], readColumns: Seq[String], pushedFilters: String)
+
+  // plan.collect alone misses two AQE indirections: AdaptiveSparkPlanExec
+  // holds its tree via executedPlan, and QueryStageExec via plan — both
+  // are invisible to children-based traversal
+  private def scans(plan: SparkPlan): Seq[FileSourceScanExec] = plan.collect {
+    case s: FileSourceScanExec => Seq(s)
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case q: QueryStageExec => scans(q.plan)
+  }.flatten
+
+  /** Plan-time column trace: which columns each scan will read for
+    * this DataFrame — the answer the reference dry-runs a typetracer to
+    * get. Works BEFORE execution (uses the planned physical tree). */
+  def scanInfo(df: DataFrame): Seq[ScanInfo] =
+    scans(df.queryExecution.executedPlan).map { s =>
+      ScanInfo(
+        s.relation.location.rootPaths.map(_.toString),
+        s.requiredSchema.fieldNames.toSeq,
+        s.metadata.getOrElse("PushedFilters", "[]"))
+    }
+
+  /** Flat set of all columns any scan reads (the "touched branches"). */
+  def touchedColumns(df: DataFrame): Set[String] =
+    scanInfo(df).flatMap(_.readColumns).toSet
+
+  /** One executed query: name, wall time, and the scan-side totals
+    * (the reference's metrics dict: bytesread / entries / processtime). */
+  final case class QueryReport(
+      name: String, wallMs: Double, filesRead: Long, bytesRead: Long,
+      rowsScanned: Long)
+
+  /** Register on `spark.listenerManager`; every successful action adds
+    * a [[QueryReport]]. Reports are delivered asynchronously — use
+    * [[awaitReports]] in tests. */
+  final class MetricsListener extends QueryExecutionListener {
+    private val queue = new ConcurrentLinkedQueue[QueryReport]()
+
+    def reports: Seq[QueryReport] = queue.asScala.toSeq
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = {
+      val ss = scans(qe.executedPlan)
+      def total(metric: String): Long =
+        ss.map(_.metrics.get(metric).map(_.value).getOrElse(0L)).sum
+      queue.add(QueryReport(funcName, durationNs / 1e6,
+        total("numFiles"), total("filesSize"), total("numOutputRows")))
+    }
+
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
+  /** Attach a fresh listener to the session. */
+  def attach(spark: SparkSession): MetricsListener = {
+    val l = new MetricsListener
+    spark.listenerManager.register(l)
+    l
+  }
+
+  /** Poll until the listener has at least `n` reports (listener-bus
+    * delivery is asynchronous) or `timeoutMs` passes. */
+  def awaitReports(l: MetricsListener, n: Int, timeoutMs: Long = 10000L): Seq[QueryReport] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (l.reports.size < n && System.nanoTime() < deadline) Thread.sleep(20)
+    l.reports
+  }
+}

@@ -300,4 +300,35 @@ class AdvancedSpec extends AnyFunSuite {
       .map(u => u.user_id -> (u.n_sessions, u.n_events)).toMap
     assert(got(1L) == (2, 3) && got(2L) == (1, 1))
   }
+
+  test("Metrics: plan-time column trace equals the pruned scan schema") {
+    import graft.runner.Metrics
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+    Seq((1L, "a", 2.0, 3.0), (2L, "b", 4.0, 5.0))
+      .toDF("id", "name", "x", "y").write.mode("overwrite").parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+      .filter($"x" > 1.0).select($"id", $"x")
+    // the trace is the optimized plan's read schema — no dry-run needed
+    assert(Metrics.touchedColumns(df) == Set("id", "x"))
+    val info = Metrics.scanInfo(df)
+    assert(info.size == 1 && info.head.pushedFilters.contains("GreaterThan(x,1.0)"),
+      s"filter must reach the reader: ${info.head.pushedFilters}")
+  }
+
+  test("MetricsListener reports files/bytes/rows per executed query") {
+    import graft.runner.Metrics
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics2").toString
+    (0L until 500L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val listener = Metrics.attach(spark)
+    try {
+      spark.read.parquet(s"$dir/t").filter($"id" >= 0L).agg(sum($"v")).collect()
+      val reports = Metrics.awaitReports(listener, 1)
+      assert(reports.nonEmpty, "listener must capture the action")
+      val r = reports.last
+      assert(r.filesRead >= 1L && r.bytesRead > 0L && r.rowsScanned == 500L,
+        s"unexpected report: $r")
+      assert(r.wallMs > 0.0)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
