@@ -204,6 +204,12 @@ object Dedup {
       }
     }
 
+  /** MinHash signature of a token array as a Column (array<long>[k]) —
+    * the column-level form of [[minhashSignatures]] for composition
+    * (e.g. the streaming fuzzy-dedup key). Null for shingle-less rows. */
+  def minhashSignature(tokens: Column, k: Int, shingleN: Int): Column =
+    minhashUdf(k, shingleN)(tokens)
+
   /** (id, mh: array<long>[k]) MinHash signature table — map-only (the
     * whole signature is computed inside the row; zero shuffles). The
     * UDF shingles + digests + runs the k-loop in one pass over the

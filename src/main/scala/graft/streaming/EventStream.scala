@@ -95,6 +95,46 @@ object EventStream {
       .dropDuplicates("__fp")
       .drop("__fp")
 
+  /** FUZZY streaming dedup key: the full k-value MinHash signature of
+    * the normalized text, rendered as one string. Documents collide
+    * when every one of the k shingle-set minima agrees — i.e. the
+    * estimated Jaccard is 1 at 1/k resolution — so edits that leave the
+    * shingle-set minima untouched (punctuation/whitespace noise via the
+    * normalization, shingle-multiplicity changes, reorders that
+    * preserve the shingle set) collapse where the exact fingerprint
+    * would not. Shingle-less documents (< shingleN
+    * tokens) fall back to the exact [[dedupStream]] fingerprint (a
+    * null signature key would alias every short doc together). */
+  private def fuzzyKey(textCol: String, k: Int, shingleN: Int) = {
+    val normalized = graft.pipeline.TextAnalysis.normalizeText(col(textCol))
+    val sig = graft.pipeline.Dedup.minhashSignature(
+      graft.pipeline.TextAnalysis.tokens(normalized), k, shingleN)
+    // explicit null branch: concat_ws never null-propagates (a null
+    // array renders as ""), which would alias every short doc together
+    when(sig.isNotNull, concat_ws("_", sig)).otherwise(md5(normalized))
+  }
+
+  /** [[dedupStream]] with the fuzzy MinHash-signature key — the
+    * ingestion-time near-dup filter for arriving crawl data. Same
+    * watermark-bounded state store; precision is governed by k
+    * (identical signatures at k=16 ≈ Jaccard ≥ ~0.94 w.h.p.), recall by
+    * the normalization pass. The batch twin is [[fuzzyDedupBatch]]. */
+  def fuzzyDedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour", k: Int = 16, shingleN: Int = 2): DataFrame =
+    docs
+      .withColumn("__fk", fuzzyKey(textCol, k, shingleN))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fk")
+      .drop("__fk")
+
+  /** Batch twin of [[fuzzyDedupStream]]. */
+  def fuzzyDedupBatch(docs: DataFrame, textCol: String,
+      k: Int = 16, shingleN: Int = 2): DataFrame =
+    docs
+      .withColumn("__fk", fuzzyKey(textCol, k, shingleN))
+      .dropDuplicates("__fk")
+      .drop("__fk")
+
   /** Batch twin of [[sessionize]] (same gap semantics, single pass) —
     * used to cross-check the stateful streaming path, mirroring the
     * reference's cross-backend equality axiom (SURVEY §5). */

@@ -301,6 +301,46 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got(1L) == (2, 3) && got(2L) == (1, 1))
   }
 
+  test("fuzzyDedupBatch collapses shingle-set twins, keeps true distinct docs") {
+    val docs = Seq(
+      // 1 and 2 are 2-gram shingle-SET twins: both produce exactly
+      // {xy, yx, xz, zx}, so all k minima agree deterministically
+      (1L, "x y x z x y"),
+      (2L, "x z x y x y"),
+      (3L, "a completely different document body"),
+      (4L, "tiny"), // shingle-less -> exact-fingerprint fallback
+      (5L, "tiny"), // exact dup of 4
+      (6L, "small") // distinct short doc
+    ).toDF("doc_id", "text")
+    val kept = graft.streaming.EventStream.fuzzyDedupBatch(docs, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == 4, s"kept=$kept")
+    assert(kept.contains(3L) && kept.contains(6L))
+    assert(kept.intersect(Set(1L, 2L)).size == 1, "shingle-set twins collapse")
+    assert(kept.intersect(Set(4L, 5L)).size == 1, "short docs dedup on exact key")
+    // streaming twin: same key, watermark-bounded state
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long, String)]
+    val stream = src.toDF().toDF("t", "doc_id", "text")
+    val q = graft.streaming.EventStream.fuzzyDedupStream(stream, "t", "text",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("fuzzy_out").outputMode("append").start()
+    try {
+      val t0 = new Timestamp(1700000000000L)
+      src.addData(
+        (t0, 1L, "x y x z x y"),
+        (t0, 3L, "a completely different document body"))
+      q.processAllAvailable()
+      src.addData(
+        (new Timestamp(1700000060000L), 2L, "x z x y x y"))
+      q.processAllAvailable()
+      val streamed = spark.table("fuzzy_out").collect().map(_.getLong(1)).toSet
+      assert(streamed == Set(1L, 3L), s"doc 2 must collapse onto 1: $streamed")
+    } finally q.stop()
+  }
+
   test("Metrics: plan-time column trace equals the pruned scan schema") {
     import graft.runner.Metrics
     val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
