@@ -118,4 +118,30 @@ object Sampling {
     }
     df.filter(portableHash(key, salt) < thr)
   }
+
+  /** Deterministic global corpus shuffle written as sharded parquet —
+    * the training-data ORDERING step: every row gets a portable hash
+    * shuffle key from (id, salt), shard = key mod `nShards`, and each
+    * shard directory (`shard=<i>/`) holds its rows sorted by the key.
+    * A dataloader streaming shard dirs in order therefore sees a
+    * reproducible pseudo-random permutation of the corpus; changing
+    * `salt` reshuffles for the next epoch without touching the source
+    * data; adding rows never reorders existing ones relative to each
+    * other.
+    *
+    * Plan: map-only key/shard derivation → ONE hash exchange on the
+    * shard value → per-partition sort → `partitionBy(shard)` write.
+    * Keys are uniform hashes so shards are balanced; at 100 TB pick
+    * nShards so one shard ≈ one dataloader worker's slice. The
+    * `__shuffle_key` column rides along in the output (dataloaders
+    * ignore it; it is what makes the order verifiable). */
+  def writeShuffledShards(df: DataFrame, idCol: String, salt: String,
+      path: String, nShards: Int): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("__shuffle_key", portableHash(col(idCol), salt))
+      .withColumn("__shard", pmod(col("__shuffle_key"), lit(nShards.toLong)))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__shuffle_key"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(path)
+  }
 }

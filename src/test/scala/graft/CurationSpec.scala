@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.pipeline.{Curation, Similarity}
+import graft.pipeline.{Curation, Sampling, Similarity}
 
 class CurationSpec extends AnyFunSuite {
   import TestSpark._
@@ -205,6 +205,30 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // 'th' 2, 'he' 2, ' c'/' h'/'at' ... 'at' appears twice
     assert(out.take(3).toSeq == Seq(("at", 2L), ("he", 2L), ("th", 2L)))
+  }
+
+  test("writeShuffledShards: reproducible permutation, sorted shards, salt reshuffles") {
+    val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shuffle").toString
+    Sampling.writeShuffledShards(df, "doc_id", salt = "epoch0", s"$dir/e0", nShards = 4)
+    val back = spark.read.parquet(s"$dir/e0")
+    assert(back.count() == 200L)
+    // each shard holds exactly the ids whose key mod 4 == shard, sorted
+    val rows = back.select("__shard", "__shuffle_key", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      rs.foreach { case (_, k, _) => assert(k % 4 == shard) }
+    }
+    // reproducible: same salt -> identical (shard, key) per doc
+    Sampling.writeShuffledShards(df, "doc_id", salt = "epoch0", s"$dir/e0b", nShards = 4)
+    val again = spark.read.parquet(s"$dir/e0b")
+      .select("doc_id", "__shuffle_key").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (_, k, id) => assert(again(id) == k) }
+    // new salt -> a different permutation (some key changes)
+    Sampling.writeShuffledShards(df, "doc_id", salt = "epoch1", s"$dir/e1", nShards = 4)
+    val e1 = spark.read.parquet(s"$dir/e1")
+      .select("doc_id", "__shuffle_key").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.count { case (_, k, id) => e1(id) != k } > 150, "salt must reshuffle")
   }
 
   test("semDedupPairs finds only same-cell pairs and matches exact cosine") {
