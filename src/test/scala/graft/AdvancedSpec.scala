@@ -363,12 +363,15 @@ class AdvancedSpec extends AnyFunSuite {
     val listener = Metrics.attach(spark)
     try {
       spark.read.parquet(s"$dir/t").filter($"id" >= 0L).agg(sum($"v")).collect()
-      val reports = Metrics.awaitReports(listener, 1)
-      assert(reports.nonEmpty, "listener must capture the action")
-      val r = reports.last
-      assert(r.filesRead >= 1L && r.bytesRead > 0L && r.rowsScanned == 500L,
-        s"unexpected report: $r")
-      assert(r.wallMs > 0.0)
+      // suites share the session and run in parallel, so the listener
+      // also captures concurrent queries — find OUR scan by its row
+      // count instead of asserting on the latest report
+      def mine = Metrics.awaitReports(listener, 1)
+        .find(r => r.rowsScanned == 500L && r.filesRead >= 1L)
+      val deadline = System.nanoTime() + 10000000000L
+      while (mine.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      val r = mine.getOrElse(fail(s"no report for this query: ${listener.reports}"))
+      assert(r.bytesRead > 0L && r.wallMs > 0.0, s"unexpected report: $r")
     } finally spark.listenerManager.unregister(listener)
   }
 }
