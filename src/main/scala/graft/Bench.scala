@@ -14,8 +14,32 @@ import org.apache.spark.sql.SparkSession
   * showed up to 5x run-to-run outliers (GC pauses landing inside one
   * query). Min-of-n is the steady-state throughput the 100 TB contract
   * is about.
+  *
+  * Crash-survivability: one `{"query":...,"sec":...,"err":...}` JSON
+  * line is printed (and flushed) the moment each query completes, so a
+  * mid-run JVM death still leaves every finished timing on stdout and
+  * names the query that killed it (the last "start" line without a
+  * matching result). The final aggregate line keeps the original
+  * driver contract format. A query whose every rep throws reports
+  * sec=-1 with the exception in "err" instead of masquerading as a
+  * fast pass. Heartbeat/network timeouts are sized for this host's
+  * documented contention stalls (PLANS.md: identical plans swing 2.2x;
+  * the r7 driver bench died of 60 missed 10s heartbeats), and the
+  * catalog cache is cleared periodically to bound session-lifetime GC
+  * pressure across a 100+ query registry.
   */
 object Bench {
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,6 +50,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Ride out neighbor-container stalls: 10s heartbeats with a 60-miss
+      // limit killed the r7 run; a 60s interval under a 600s timeout
+      // tolerates ~10min of scheduler starvation without an executor kill.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
     // optional conf overrides for profiling runs: "k1=v1,k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(',')).map(_.split('=')).collect {
@@ -36,18 +65,39 @@ object Bench {
     // session warmup: scheduler + codegen + parquet footer caches
     // (guarded — a bad SF dir must still produce the JSON line)
     scala.util.Try(spark.read.parquet(s"$sfDir/nation.parquet").count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+    val only = args.toSet // optional positional filter for local probes
+    val registry = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = registry.zipWithIndex.map { case ((name, fn), i) =>
+      println(s"""{"start":${jsonStr(name)}}""")
+      Console.out.flush()
+      var err: Option[String] = None
+      val runs = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            None
+        }
       }
-      name -> runs.min
+      val sec = if (runs.nonEmpty) runs.min else -1.0
+      val errJson = err.filter(_ => runs.isEmpty).map(jsonStr).getOrElse("null")
+      println(s"""{"query":${jsonStr(name)},"sec":$sec,"err":$errJson}""")
+      Console.out.flush()
+      // Bound accumulated relation/codegen cache state across the long
+      // registry — the GC window is what plausibly starved r7 heartbeats.
+      if ((i + 1) % 20 == 0) spark.catalog.clearCache()
+      (name, sec, err.isDefined && runs.isEmpty)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filterNot(_._3)
+    val total = ok.map(_._2).sum
+    val errs = results.filter(_._3).map(r => jsonStr(r._1)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}""")
     spark.stop()
   }
 }

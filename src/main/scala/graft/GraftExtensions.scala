@@ -33,7 +33,17 @@ object GraftFunctions {
     def ident: FunctionIdentifier = FunctionIdentifier(name)
     def info: ExpressionInfo = new ExpressionInfo("graft", name, usage)
     def builder: Seq[Expression] => Expression = { es =>
-      require(es.size == arity, s"$name expects $arity arguments, got ${es.size}")
+      if (es.size != arity)
+        // the same WRONG_NUM_ARGS AnalysisException built-ins raise, so SQL
+        // clients see a 42605 compilation error, not an internal require()
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> arity.toString,
+            "actualNum" -> es.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"),
+          cause = None)
       // eager node->Catalyst conversion: the lazy wrapper never crosses
       // a DataFrame boundary from inside a FunctionRegistry builder
       ColumnBridge.resolvedExpression(make(es.map(ColumnBridge.column)))

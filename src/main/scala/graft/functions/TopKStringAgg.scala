@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded-heap top-k aggregate over STRING-keyed items: per group,
+  * keep the k best (score desc, id lexicographic asc on binary UTF-8
+  * order) pairs and emit them best-first as
+  * `array<struct<id: string, score: long>>`.
+  *
+  * The string sibling of [[TopKAgg]] (same scale rationale — see its
+  * scaladoc): ranking string-keyed vocabularies with
+  * `row_number().over(Window.partitionBy(group))` ships a group's
+  * ENTIRE distinct-key table into one task (at 100 TB a language's
+  * token vocabulary is easily 1e8 rows of OCR/unicode junk → a
+  * single-reducer sort). This aggregate is map-side combined: each
+  * partition contributes at most k entries per group, so shuffle
+  * volume is k×partitions per group regardless of vocabulary size.
+  *
+  * UTF8String inputs are cloned on retention — eval-time values may
+  * point into reused row buffers.
+  */
+case class TopKStringAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKStringAgg.Heap] {
+
+  require(k > 0, s"top-k needs k > 0 (got $k)")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("score", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKStringAgg.Heap = new TopKStringAgg.Heap(k)
+
+  override def update(buf: TopKStringAgg.Heap, input: InternalRow): TopKStringAgg.Heap = {
+    val sv = score.eval(input)
+    val iv = id.eval(input)
+    if (sv != null && iv != null)
+      buf.offer(sv.asInstanceOf[Long], iv.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(a: TopKStringAgg.Heap, b: TopKStringAgg.Heap): TopKStringAgg.Heap = {
+    b.foreach((s, i) => a.offer(s, i))
+    a
+  }
+
+  override def eval(buf: TopKStringAgg.Heap): Any = {
+    val sorted = buf.sortedBestFirst()
+    new GenericArrayData(sorted.map { case (s, i) => InternalRow(i, s) })
+  }
+
+  override def serialize(buf: TopKStringAgg.Heap): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): TopKStringAgg.Heap =
+    TopKStringAgg.Heap.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStringAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStringAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKStringAgg {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Bounded min-heap over (score, id) where the heap top is the WORST
+    * kept entry — worst = smaller score, then lexicographically LARGER
+    * id (ranking is score desc, id asc). */
+  final class Heap(k: Int) {
+    private val scores = new Array[Long](k)
+    private val ids = new Array[UTF8String](k)
+    private var n = 0
+
+    @inline private def worse(sa: Long, ia: UTF8String, sb: Long, ib: UTF8String): Boolean =
+      sa < sb || (sa == sb && ia.compareTo(ib) > 0)
+
+    def size: Int = n
+
+    def offer(s: Long, i0: UTF8String): Unit = {
+      if (n < k) {
+        val i = i0.clone()
+        var c = n
+        scores(c) = s; ids(c) = i
+        n += 1
+        while (c > 0 && worse(scores(c), ids(c), scores((c - 1) / 2), ids((c - 1) / 2))) {
+          val p = (c - 1) / 2
+          swap(c, p); c = p
+        }
+      } else if (worse(scores(0), ids(0), s, i0)) {
+        scores(0) = s; ids(0) = i0.clone()
+        siftDown(0)
+      }
+    }
+
+    @inline private def swap(a: Int, b: Int): Unit = {
+      val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+
+    private def siftDown(i0: Int): Unit = {
+      var c = i0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1
+        val r = l + 1
+        var w = c
+        if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == c) done = true
+        else { swap(c, w); c = w }
+      }
+    }
+
+    def foreach(f: (Long, UTF8String) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(scores(i), ids(i)); i += 1 }
+    }
+
+    /** (score, id) best-first: score desc, id asc. */
+    def sortedBestFirst(): Array[(Long, UTF8String)] = {
+      val out = new Array[(Long, UTF8String)](n)
+      var i = 0
+      while (i < n) { out(i) = (scores(i), ids(i)); i += 1 }
+      scala.util.Sorting.stableSort(out,
+        (a: (Long, UTF8String), b: (Long, UTF8String)) =>
+          a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0))
+      out
+    }
+
+    def toBytes: Array[Byte] = {
+      var bytes = 4
+      foreach((_, i) => bytes += 12 + i.numBytes())
+      val bb = java.nio.ByteBuffer.allocate(bytes)
+      bb.putInt(n)
+      foreach { (s, i) =>
+        bb.putLong(s)
+        val b = i.getBytes
+        bb.putInt(b.length)
+        bb.put(b)
+      }
+      bb.array()
+    }
+  }
+
+  object Heap {
+    def fromBytes(k: Int, bytes: Array[Byte]): Heap = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val m = bb.getInt()
+      val h = new Heap(k)
+      var i = 0
+      while (i < m) {
+        val s = bb.getLong()
+        val len = bb.getInt()
+        val b = new Array[Byte](len)
+        bb.get(b)
+        h.offer(s, UTF8String.fromBytes(b))
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** Column API: `TopKStringAgg(score, id, k)` →
+    * `array<struct<id: string, score: long>>` best-first (score desc,
+    * id asc). Use inside `agg(...)`; score must be LongType, id
+    * StringType. */
+  def apply(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKStringAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+}

@@ -28,9 +28,12 @@ import org.apache.spark.storage.StorageLevel
   * converges in O(log n) rounds even on path graphs, where plain label
   * propagation needs O(diameter) = O(n). Each round localCheckpoints
   * the shrinking edge set (lineage truncation — iterative DataFrame
-  * algorithms otherwise accumulate one plan tree per round); on a real
-  * cluster with executor loss concerns, set a reliable checkpoint dir
-  * and swap `localCheckpoint` for `checkpoint`.
+  * algorithms otherwise accumulate one plan tree per round).
+  * `localCheckpoint` is executor-memory-resident: an executor loss
+  * mid-job loses the blocks and fails the job. On a real cluster pass
+  * `checkpointDir = Some(hdfsPath)` and each round uses RELIABLE
+  * `checkpoint` instead — fault-tolerant at the cost of one
+  * write-to-storage per round.
   *
   * Convergence is detected by SET EQUALITY with the previous round
   * (count + anti-join emptiness on the canonicalized edge set) — not a
@@ -56,14 +59,22 @@ object Components {
     * (PipelineSpec forces and cross-checks the distributed path). */
   def connectedComponents(
       edges: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50, maxDriverEdges: Long = 1L << 22): DataFrame = {
+      maxRounds: Int = 50, maxDriverEdges: Long = 1L << 22,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // reliable (storage-backed) lineage truncation when a checkpoint dir
+    // is given — survives executor loss; default stays localCheckpoint
+    checkpointDir.foreach { d =>
+      val sc = edges.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     // canonical orientation: (x, p) with p < x ("node → smaller parent")
-    var cur = edges
+    var cur = truncate(edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .select(greatest(col("a"), col("b")).as("x"), least(col("a"), col("b")).as("p"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val nEdges = cur.count()
     if (nEdges <= maxDriverEdges) return driverComponents(cur, nEdges)
     var rounds = 0
@@ -86,11 +97,10 @@ object Components {
       // small-star on the canonical orientation (all parents < x):
       // m = min(Γ(x)), re-hook the other parents and x itself to m
       val smin = large.groupBy("x").agg(min("p").as("m"))
-      val next = large.join(smin, "x").filter(col("p") =!= col("m"))
+      val next = truncate(large.join(smin, "x").filter(col("p") =!= col("m"))
         .select(col("p").as("x"), col("m").as("p"))
         .union(smin.select(col("x"), col("m").as("p")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // set equality: same count and no edge of next outside cur
       converged = next.count() == cur.count() &&
         next.join(cur, Seq("x", "p"), "left_anti").isEmpty

@@ -76,7 +76,13 @@ object Multimodal {
       batch => batch.map { payload =>
         val out = new Array[Double](dim)
         try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          // ImageIO plugin decoders throw RuntimeExceptions (IAE, AIOOBE)
+          // on truncated/malformed crawl payloads, not just IOException —
+          // NonFatal keeps one bad image from failing the task (and, after
+          // retries, the job); a null cell decodes to the zero vector.
+          val img =
+            if (payload == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           if (img != null) {
             val (w, h) = (img.getWidth, img.getHeight)
             out(0) = w.toDouble; out(1) = h.toDouble
@@ -99,7 +105,7 @@ object Multimodal {
             var j = 5
             while (j < dim) { out(j) /= n; j += 1 }
           }
-        } catch { case _: java.io.IOException => () } // undecodable → zeros
+        } catch { case scala.util.control.NonFatal(_) => () } // undecodable → zeros
         out
       }
     }
@@ -115,7 +121,7 @@ object Multimodal {
   final case class PcmBackend(sampleRate: Int = 16000) extends InferenceBackend {
     require(sampleRate > 0)
     def open(): Array[Array[Byte]] => Array[Array[Double]] = batch => batch.map { bytes =>
-      val n = bytes.length / 2
+      val n = if (bytes == null) 0 else bytes.length / 2
       var i = 0; var sum2 = 0.0; var zc = 0; var peak = 0.0; var prev = 0
       while (i < n) {
         val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
@@ -187,7 +193,11 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            // null payloads and RuntimeExceptions from plugin decoders
+            // (truncated crawl images) drop the row, not the task
+            val img =
+              if (bytes == null) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             if (img == null) None
             else {
               val out = new java.awt.image.BufferedImage(
@@ -202,7 +212,7 @@ object Multimodal {
               Some(ResizedImage(id, buf.toByteArray, width, height,
                 img.getWidth, img.getHeight))
             }
-          } catch { case _: java.io.IOException => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
       }
   }
@@ -231,7 +241,10 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            // same malformed-payload guard as resizeImages
+            val img =
+              if (bytes == null) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             if (img == null) None
             else {
               val small = new java.awt.image.BufferedImage(
@@ -257,7 +270,7 @@ object Multimodal {
                 (hash >>> 48) & 0xffffL, (hash >>> 32) & 0xffffL,
                 (hash >>> 16) & 0xffffL, hash & 0xffffL)))
             }
-          } catch { case _: java.io.IOException => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
       }
   }

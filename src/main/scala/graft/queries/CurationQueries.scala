@@ -309,6 +309,9 @@ object CurationQueries extends QueryPack {
           Tables.documents(s, dir), "doc_id", "text", k = 3)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans"),
           col("dup_tokens"), col("dup_frac_e4")),
+      // ORACLE SERIES BOUND: series 0..199 caps oracle docs at ~203 tokens;
+      // the generated corpus maxes at 100 tokens/doc (sf0.001-0.1), so the
+      // engine side (unbounded) and oracle agree with 2x headroom.
       Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
               |pos AS (SELECT doc_id, len(t) AS nt, i AS pos,
               |        (('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 15))::BIGINT) AS h
@@ -344,8 +347,13 @@ object CurationQueries extends QueryPack {
       "q106_bpe_pairs",
       "BPE tokenizer-training kernel: global adjacent character-pair counts within pre-tokens (the argmax pair is the next BPE merge; pairs never cross pre-token boundaries). Pairs explode map-side; the only shuffle is a partial-aggregated groupBy on a char-bigram key space of a few thousand, then a driver-sized top-50.",
       (s, dir) => Curation.bpePairCounts(Tables.documents(s, dir), "text", topN = 50),
+      // ORACLE SERIES BOUND: the engine side is unbounded; the DuckDB
+      // series caps pre-tokens at 64 chars (longest observed in the
+      // generated corpus: a whitespace run well under 32 — docs max out at
+      // 577 chars / 100 tokens across sf0.001-0.1). If the generator ever
+      // emits longer runs the oracle, not the engine, would be wrong.
       Some("""WITH pt AS (SELECT unnest(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +')) AS tok FROM documents),
-             |pr AS (SELECT substr(tok, i, 2) AS pair FROM pt, generate_series(1, 30) g(i) WHERE i <= len(tok) - 1)
+             |pr AS (SELECT substr(tok, i, 2) AS pair FROM pt, generate_series(1, 64) g(i) WHERE i <= len(tok) - 1)
              |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1
              |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
 

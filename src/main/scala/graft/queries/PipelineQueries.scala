@@ -388,17 +388,17 @@ object PipelineQueries extends QueryPack {
 
     Query(
       "q89_top_tokens",
-      "Top-5 tokens per language by frequency (ties lexicographic): explode → count → rank. The ranking window runs over the AGGREGATED vocabulary table (langs × distinct tokens), not corpus rows — at 100 TB the count groupBy is the only corpus-sized shuffle.",
+      "Top-5 tokens per language by frequency (ties lexicographic): explode → count → bounded-heap TopKStringAgg per lang. No ranking window: a window over the vocabulary table would ship each language's ENTIRE distinct-token set (1e8 rows of OCR/unicode junk at 100 TB) into one task; the map-side-combined heap ships at most k entries per partition per lang, so the count groupBy stays the only corpus-sized shuffle.",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val counts = Tables.documents(s, dir)
           .select($"lang", explode(TextAnalysis.tokens($"text")).as("tok"))
           .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy($"lang").orderBy($"n".desc, $"tok")
-        counts.withColumn("rk", row_number().over(w).cast("long"))
-          .filter($"rk" <= 5)
-          .select($"lang", $"rk", $"tok", $"n")
+        counts.groupBy($"lang")
+          .agg(graft.functions.TopKStringAgg($"n", $"tok", 5).as("tk"))
+          .select($"lang", posexplode($"tk"))
+          .select($"lang", ($"pos" + 1).cast("long").as("rk"),
+            $"col.id".as("tok"), $"col.score".as("n"))
       },
       Some(s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
               |c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2)

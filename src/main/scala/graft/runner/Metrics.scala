@@ -64,6 +64,17 @@ object Metrics {
 
     def reports: Seq[QueryReport] = queue.asScala.toSeq
 
+    /** Remove and return everything accumulated so far. The queue grows
+      * by one [[QueryReport]] per action for the listener's lifetime —
+      * long-running sessions must either drain periodically or
+      * [[Metrics.detach]] the listener when done. */
+    def drain(): Seq[QueryReport] = {
+      val out = Seq.newBuilder[QueryReport]
+      var r = queue.poll()
+      while (r != null) { out += r; r = queue.poll() }
+      out.result()
+    }
+
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit = {
       val ss = scans(qe.executedPlan)
@@ -77,12 +88,19 @@ object Metrics {
         exception: Exception): Unit = ()
   }
 
-  /** Attach a fresh listener to the session. */
+  /** Attach a fresh listener to the session. The listener accumulates
+    * one report per action until [[detach]]ed (or [[MetricsListener.drain]]ed) —
+    * callers owning a long-lived session must pair attach with detach
+    * or the reports leak for the session lifetime. */
   def attach(spark: SparkSession): MetricsListener = {
     val l = new MetricsListener
     spark.listenerManager.register(l)
     l
   }
+
+  /** Unregister a listener attached with [[attach]]. */
+  def detach(spark: SparkSession, l: MetricsListener): Unit =
+    spark.listenerManager.unregister(l)
 
   /** Poll until the listener has at least `n` reports (listener-bus
     * delivery is asynchronous) or `timeoutMs` passes. */

@@ -5,23 +5,26 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Bucketing
 
 class BucketingSpec extends AnyFunSuite {
-  import TestSpark._
-  import spark.implicits._
+  import TestSpark.spark
 
   test("bucketed tables: id-keyed join and groupBy run without Exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    // isolated session: this spec disables auto-broadcast (a 200-row side
+    // would broadcast and hide the bucketed SMJ being proven); mutating the
+    // shared TestSpark conf races concurrently-running plan-asserting
+    // suites. newSession() shares the SparkContext and the catalog (so the
+    // bucketed table metadata is visible) but gets its own SQLConf.
+    val s = spark.newSession()
+    import s.implicits._
     val docs = (0L until 200L).map(i => (i, s"doc $i text", i % 7)).toDF("doc_id", "text", "grp")
     Bucketing.writeBucketed(docs, "bdocs", s"$dir/bdocs", buckets = 4, keys = Seq("doc_id"))
     val scores = (0L until 200L).map(i => (i, i * 0.5)).toDF("doc_id", "score")
     Bucketing.writeBucketed(scores, "bscores", s"$dir/bscores", buckets = 4, keys = Seq("doc_id"))
 
-    val a = Bucketing.readBucketed(spark, "bdocs")
-    val b = Bucketing.readBucketed(spark, "bscores")
+    val a = Bucketing.readBucketed(s, "bdocs")
+    val b = Bucketing.readBucketed(s, "bscores")
 
-    // a 200-row side would broadcast (hiding the bucketed SMJ this spec
-    // proves); at real scale both sides exceed the threshold
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       // both sides bucketed on the join key with equal counts -> no Exchange
       val joined = a.join(b, "doc_id")
@@ -37,14 +40,13 @@ class BucketingSpec extends AnyFunSuite {
       assert(agg.count() == 200L)
 
       // control: the same files read WITHOUT the catalog shuffle as usual
-      val flat = spark.read.parquet(s"$dir/bdocs")
+      val flat = s.read.parquet(s"$dir/bdocs")
       val controlPlan = flat.join(b, "doc_id").queryExecution.executedPlan.toString
       assert(controlPlan.contains("Exchange"),
         "path-read control should shuffle — bucket spec lives in the catalog")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS bdocs")
-      spark.sql("DROP TABLE IF EXISTS bscores")
+      s.sql("DROP TABLE IF EXISTS bdocs")
+      s.sql("DROP TABLE IF EXISTS bscores")
     }
   }
 }

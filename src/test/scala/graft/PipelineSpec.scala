@@ -136,6 +136,15 @@ class PipelineSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
     assert(Components.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", maxDriverEdges = 0).isEmpty)
+    // reliable (storage-backed) checkpoint path: identical output — the
+    // 100 TB fault-tolerance story must not depend on a scaladoc note
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val rel = Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        maxDriverEdges = 0, checkpointDir = Some(ckDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == got)
+    assert(new java.io.File(ckDir).listFiles != null &&
+      new java.io.File(ckDir).listFiles.nonEmpty, "reliable checkpoint must write to the dir")
   }
 
   test("resolveDuplicates keeps one doc per component by keepOrder, singletons kept") {
@@ -439,6 +448,43 @@ class PipelineSpec extends AnyFunSuite {
       .select(explode($"tk").as("e")).select($"e.id", $"e.score")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((3L, 30L), (4L, 20L), (5L, 10L)))
+  }
+
+  test("TopKStringAgg keeps k best by (score desc, id lexicographic asc) across partitions") {
+    // string keys with a tie at the k-boundary: "apple" and "berry" both
+    // score 990; lexicographic asc wins. Heap must clone UTF8Strings out
+    // of reused row buffers — scattering over 16 partitions exercises
+    // serialize/merge too.
+    val rows = (1L to 1000L).map { i =>
+      val tok = if (i == 100L) "berry" else if (i == 200L) "apple" else f"tok$i%04d"
+      val score = if (i == 100L || i == 200L) 990L else i % 900L
+      (1L, tok, score)
+    }
+    val df = rows.toDF("g", "tok", "score").repartition(16)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.TopKStringAgg($"score", $"tok", 3).as("tk"))
+      .select(posexplode($"tk").as(Seq("pos", "e")))
+      .select($"pos", $"e.id", $"e.score")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, "apple", 990L), (1, "berry", 990L), (2, "tok0899", 899L)))
+  }
+
+  test("q89 top-tokens plan has no Window over the vocabulary") {
+    val docs = Seq((1L, "en", "a a b"), (2L, "en", "a c"), (3L, "de", "x y x"))
+      .toDF("doc_id", "lang", "text")
+    val counts = docs
+      .select($"lang", explode(graft.pipeline.TextAnalysis.tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+    val out = counts.groupBy($"lang")
+      .agg(graft.functions.TopKStringAgg($"n", $"tok", 5).as("tk"))
+      .select($"lang", posexplode($"tk"))
+      .select($"lang", ($"pos" + 1).cast("long").as("rk"),
+        $"col.id".as("tok"), $"col.score".as("n"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"vocab ranking must not window:\n$plan")
+    val en = out.filter($"lang" === "en").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(en == Seq((1L, "a", 3L), (2L, "b", 1L), (3L, "c", 1L)))
   }
 
   test("bruteForceTopK ranks by quantized cosine then id, no window in plan") {
