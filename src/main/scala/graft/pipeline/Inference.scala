@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure-JVM model inference: a gradient-boosted-decision-tree scorer
+  * that runs the SAME model three ways —
+  *
+  *  1. as a codegen'd Catalyst expression tree ([[GbdtModel.margin]]):
+  *     each tree compiles to nested `CASE WHEN feature < thr` built-ins,
+  *     so batch scoring of precomputed feature columns stays inside
+  *     whole-stage codegen with zero UDF/serialization cost — the right
+  *     shape for scoring 100 TB of embedding/feature rows;
+  *  2. as a tight JVM loop ([[GbdtModel.score]]) behind the
+  *     [[Multimodal.InferenceBackend]] seam ([[GbdtBackend]]), chained
+  *     after a real decoder — decode → featurize → model in ONE batched
+  *     per-partition pass, the reference's xgboost-wrapper contract
+  *     (`src/coffea/ml_tools/xgboost_wrapper.py:14-79`: lazy model
+  *     handle + prepare → predict over awkward batches);
+  *  3. as generated ANSI SQL ([[GbdtModel.toSql]]) so an external
+  *     engine (the DuckDB oracle) can verify the scores bit-exactly.
+  *
+  * Thresholds and leaf weights in the shipped models are exact binary
+  * fractions, so margins are exactly representable doubles and the
+  * Spark/DuckDB comparison is equality, not tolerance. Missing/null
+  * features route to the RIGHT child in all three paths (`x < thr`
+  * false/NULL → right), matching XGBoost's default-direction rule.
+  */
+object Inference {
+
+  /** One node of a flat binary tree. `feature < 0` marks a leaf whose
+    * `value` is the tree's contribution; interior nodes route
+    * `x(feature) < threshold` to `left`, else (including NULL/NaN) to
+    * `right`. Children are indices into the same array. */
+  final case class Node(
+      feature: Int, threshold: Double, left: Int, right: Int, value: Double)
+
+  def leaf(v: Double): Node = Node(-1, 0.0, -1, -1, v)
+  def split(feature: Int, thr: Double, left: Int, right: Int): Node =
+    Node(feature, thr, left, right, 0.0)
+
+  /** An additive ensemble: margin(x) = bias + Σ tree(x). */
+  final case class GbdtModel(trees: Seq[Array[Node]], bias: Double)
+      extends Serializable {
+    trees.foreach(t => require(t.nonEmpty, "empty tree"))
+
+    /** JVM scorer (the [[GbdtBackend]] hot loop). */
+    def score(x: Array[Double]): Double = {
+      var m = bias
+      var t = 0
+      while (t < trees.length) {
+        val nodes = trees(t)
+        var i = 0
+        while (nodes(i).feature >= 0) {
+          val n = nodes(i)
+          val v = if (n.feature < x.length) x(n.feature) else Double.NaN
+          i = if (v < n.threshold) n.left else n.right
+        }
+        m += nodes(i).value
+        t += 1
+      }
+      m
+    }
+
+    private def treeColumn(nodes: Array[Node], feat: Int => Column, i: Int): Column = {
+      val n = nodes(i)
+      if (n.feature < 0) lit(n.value)
+      else when(feat(n.feature) < lit(n.threshold), treeColumn(nodes, feat, n.left))
+        .otherwise(treeColumn(nodes, feat, n.right))
+    }
+
+    /** Codegen'd Catalyst margin over a 1-based array column of
+      * features (float or double — cast per element). Pure built-in
+      * `CASE WHEN` nesting: whole-stage codegen, no UDF.
+      * `try_element_at`, not `element_at`: a short vector must route to
+      * the default (right) child, not raise ANSI INVALID_ARRAY_INDEX. */
+    def margin(features: Column): Column =
+      marginWith(f => try_element_at(features, lit(f + 1)).cast("double"))
+
+    /** Margin with an arbitrary feature-index → Column mapping (e.g.
+      * struct fields or separate columns). */
+    def marginWith(feat: Int => Column): Column =
+      trees.map(treeColumn(_, feat, 0)).foldLeft(lit(bias))(_ + _)
+
+    /** Binary decision at margin 0 (sign of the boosted sum). */
+    def predict(features: Column): Column = (margin(features) > lit(0.0)).cast("long")
+
+    private def treeSql(nodes: Array[Node], feat: Int => String, i: Int): String = {
+      val n = nodes(i)
+      if (n.feature < 0) s"CAST(${n.value} AS DOUBLE)"
+      else s"(CASE WHEN ${feat(n.feature)} < CAST(${n.threshold} AS DOUBLE) " +
+        s"THEN ${treeSql(nodes, feat, n.left)} ELSE ${treeSql(nodes, feat, n.right)} END)"
+    }
+
+    /** The same margin as ANSI SQL, for external verification. `feat`
+      * maps a 0-based feature index to a SQL expression (NULL-free —
+      * SQL `<` with NULL would pick the right child like the other
+      * paths, but keep oracle inputs non-null for bit-exactness). */
+    def toSql(feat: Int => String): String =
+      (s"CAST($bias AS DOUBLE)" +: trees.map(t => treeSql(t, feat, 0))).mkString("(", " + ", ")")
+  }
+
+  /** [[Multimodal.InferenceBackend]] that chains a decoder backend into
+    * the GBDT head: one batched per-partition pass does decode →
+    * featurize → score, emitting [margin, prediction]. The model rides
+    * the closure as plain serializable configuration; the decoder's
+    * non-serializable handle still lives only on the executor. */
+  final case class GbdtBackend(
+      inner: Multimodal.InferenceBackend, model: GbdtModel)
+      extends Multimodal.InferenceBackend {
+    def open(): Array[Array[Byte]] => Array[Array[Double]] = {
+      val decode = inner.open()
+      batch => decode(batch).map { x =>
+        val m = model.score(x)
+        Array(m, if (m > 0.0) 1.0 else 0.0)
+      }
+    }
+  }
+
+  /** A small pretrained quality head over [[Multimodal.ImageIoBackend]]
+    * features ([w, h, meanR, meanG, meanB, luma0..7]): boosts three
+    * stumps — "big enough", "not washed out" (extreme luma bins), "has
+    * color spread". Weights are hand-set exact binary fractions; a real
+    * deployment would export these arrays from an offline trainer —
+    * the structure, traversal, and all three execution paths are what
+    * this module proves. */
+  val imageQualityModel: GbdtModel = GbdtModel(
+    trees = Seq(
+      // tree 0: tiny images score down (w*h proxy via width then height)
+      Array(
+        split(0, 8.0, 1, 2), // width < 8 ?
+        leaf(-0.5),
+        split(1, 8.0, 3, 4), // height < 8 ?
+        leaf(-0.25),
+        leaf(0.5)),
+      // tree 1: all-dark or all-bright (luma mass in the extreme bins)
+      Array(
+        split(5, 0.5, 1, 2), // darkest-bin fraction < 0.5 ?
+        split(12, 0.5, 3, 4), // brightest-bin fraction < 0.5 ?
+        leaf(-0.75),
+        leaf(0.25),
+        leaf(-0.75)),
+      // tree 2: some channel variation (meanR vs meanB split pair)
+      Array(
+        split(2, 16.0, 1, 2), // meanR < 16 ?
+        leaf(-0.125),
+        leaf(0.125))),
+    bias = 0.0625)
+
+  /** A pretrained gate over the 64-dim `embeddings` table (exact
+    * binary-fraction thresholds on the first dims — the shape of a
+    * relevance/quality filter head running over precomputed embedding
+    * columns at corpus scale). */
+  val embeddingGateModel: GbdtModel = GbdtModel(
+    trees = Seq(
+      Array(
+        split(0, 0.0, 1, 2), // e[0] < 0 ?
+        split(1, 0.125, 3, 4),
+        split(2, -0.0625, 5, 6),
+        leaf(-0.25), leaf(0.375),
+        leaf(-0.5), leaf(0.25)),
+      Array(
+        split(3, 0.03125, 1, 2),
+        leaf(-0.125),
+        split(0, 0.25, 3, 4),
+        leaf(0.1875), leaf(0.4375)),
+      Array(
+        split(4, -0.125, 1, 2),
+        split(5, 0.0, 3, 4),
+        leaf(0.0625),
+        leaf(-0.1875), leaf(0.3125))),
+    bias = -0.03125)
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.Tables
-import graft.pipeline.{Components, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Components, Dedup, Inference, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over documents/embeddings:
   * text statistics, language ID, exact + near dedup (fingerprint,
@@ -459,6 +459,25 @@ object PipelineQueries extends QueryPack {
              |CAST(floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
              |FROM d JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id
              |WHERE floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) >= 450000""".stripMargin)),
+
+    Query(
+      "q116_gbdt_margin",
+      "Model inference over precomputed features: a pretrained GBDT gate (3 trees, exact binary-fraction weights) scores every embedding row as a codegen'd Catalyst CASE-WHEN cascade — batch model inference with zero UDF cost, the scale path for running a relevance/quality head over 100 TB of embedding columns. The oracle runs the SAME model via its generated ANSI SQL (Inference.GbdtModel.toSql), so scores are compared bit-exactly, not against a tolerance.",
+      (s, dir) => {
+        import s.implicits._
+        val m = Inference.embeddingGateModel
+        Tables.embeddings(s, dir).select($"vec_id",
+          e4(m.margin($"embedding")).as("margin_e4"),
+          m.predict($"embedding").as("pred"))
+      },
+      Some {
+        val marginSql = Inference.embeddingGateModel
+          .toSql(i => s"CAST(embedding[${i + 1}] AS DOUBLE)")
+        s"""WITH m AS (SELECT vec_id, $marginSql AS mg FROM embeddings)
+           |SELECT vec_id, CAST(floor(mg * 10000 + 0.5) AS BIGINT) AS margin_e4,
+           |CAST(CASE WHEN mg > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+           |FROM m""".stripMargin
+      }),
 
     Query(
       "q58_multimodal",

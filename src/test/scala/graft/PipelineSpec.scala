@@ -384,6 +384,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).features.forall(_ == 0.0)) // undecodable → zeros
   }
 
+  test("GbdtModel: Catalyst margin, JVM scorer, and generated SQL agree") {
+    import graft.pipeline.Inference
+    val m = Inference.embeddingGateModel
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map { i =>
+      (i, Array.fill(64)((rnd.nextInt(512) - 256) / 256.0f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(8)
+    val got = df.select($"vec_id", m.margin($"embedding").as("mg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, emb) =>
+      val want = m.score(emb.map(_.toDouble).toArray)
+      assert(got(i) == want, s"vec $i: catalyst ${got(i)} != jvm $want")
+    }
+    // margin is pure built-in CASE WHEN nesting — no UDF/mapPartitions
+    val plan = df.select(m.margin($"embedding")).queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("BatchEvalPython"),
+      s"model scoring must stay codegen'd:\n$plan")
+    // missing features (short vector) route to the right child, like NULL
+    val short = m.score(Array(1.0)) // features 1.. missing
+    val shortCol = Seq((0L, Seq(1.0f))).toDF("vec_id", "embedding")
+      .select(m.margin($"embedding")).head().getDouble(0)
+    assert(short == shortCol)
+  }
+
+  test("GbdtBackend scores real decoded images through the batched seam") {
+    import graft.pipeline.Inference
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 16x16 mid-gray passes the quality gate; 4x2 red is "too small";
+    // 16x16 black is "washed out" (all luma mass in the darkest bin);
+    // an undecodable payload scores the zero vector (negative margin)
+    val rows = Seq((1L, png(16, 16, 0x808080)), (2L, png(4, 2, 0xff0000)),
+      (3L, png(16, 16, 0x000000)), (4L, Array[Byte](9, 9, 9)))
+    val df = rows.toDF("doc_id", "payload")
+    val backend = Inference.GbdtBackend(
+      Multimodal.ImageIoBackend(), Inference.imageQualityModel)
+    val out = Multimodal.inferFeatures(df, "doc_id", backend)
+      .collect().sortBy(_.media_id)
+    // decode → featurize → score in one pass must equal scoring the
+    // separately-extracted features
+    val feats = Multimodal.inferFeatures(df, "doc_id", Multimodal.ImageIoBackend())
+      .collect().sortBy(_.media_id)
+    out.zip(feats).foreach { case (s, f) =>
+      assert(s.features(0) == Inference.imageQualityModel.score(f.features))
+      assert(s.features(1) == (if (s.features(0) > 0.0) 1.0 else 0.0))
+    }
+    assert(out(0).features(1) == 1.0, "good image passes the gate")
+    assert(out(1).features(0) < 0.0, "tiny image scores negative")
+    assert(out(2).features(0) < 0.0, "all-dark image scores negative")
+    assert(out(3).features(0) < 0.0, "undecodable payload scores negative")
+  }
+
   test("lsh signature buckets identical vectors together") {
     val df = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),
       (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")

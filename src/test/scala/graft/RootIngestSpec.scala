@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Combinatorics, Kinematics, SchemaBuilder}
+
+/** Round-trip contract for the ROOT→Parquet ingestion recipe
+  * (`scripts/root_to_parquet.py`): the fixture
+  * `nano_dy_flat.parquet` is the exact layout the converter emits
+  * from a NanoAOD-style TTree (written via the same pyarrow writer
+  * path the script uses) — jagged branches as `Coll_field:
+  * list<primitive>`, scalar branches flat, `nColl` counts dropped.
+  * This spec proves the engine ingests that layout end-to-end:
+  * zipCollections nesting, count reconstruction, kinematics over the
+  * nested collections, and scan pruning of untouched collections.
+  */
+class RootIngestSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val path = getClass.getResource("/nano_dy_flat.parquet").getPath
+
+  test("converter layout zips to nested NanoAOD-style events") {
+    val flat = spark.read.parquet(path)
+    val events = SchemaBuilder.zipCollections(flat, zipScalars = true)
+    val muon = events.schema("Muon").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType]
+    val fields = muon.elementType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(fields == Set("pt", "eta", "phi", "mass", "charge"))
+    // zipScalars groups MET_pt/MET_phi into a singleton struct
+    val met = events.schema("MET").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(met == Set("pt", "phi"))
+    // scalars pass through; counts reconstruct from offsets
+    assert(events.columns.toSet.intersect(Set("run", "event", "luminosityBlock"))
+      == Set("run", "event", "luminosityBlock"))
+    assert(events.count() == 40L)
+    val nMuons = events.select(sum(size($"Muon"))).head().getLong(0)
+    assert(nMuons == 79L)
+  }
+
+  test("nested collections drive kinematics: opposite-sign dimuon mass") {
+    val events = SchemaBuilder.zipCollections(
+      spark.read.parquet(path), zipScalars = true)
+    val vecs = transform($"Muon", m => Kinematics.ptEtaPhiM(
+      m("pt").cast("double"), m("eta").cast("double"),
+      m("phi").cast("double"), m("mass").cast("double")))
+    val charges = transform($"Muon", m => m("charge"))
+    val pairs = events
+      .filter(size($"Muon") >= 2)
+      .select($"event", Combinatorics.combinations2(vecs).as("pp"),
+        Combinatorics.combinations2(charges).as("qq"))
+      .select($"event", explode(arrays_zip($"pp", $"qq")).as("c"))
+      .filter($"c.qq._1" + $"c.qq._2" === 0) // opposite sign
+      .select($"event",
+        Kinematics.invariantMass($"c.pp._1", $"c.pp._2").as("mass"))
+    val got = pairs.collect()
+    assert(got.nonEmpty, "fixture must contain opposite-sign dimuon events")
+    assert(got.forall(r => r.getDouble(1) > 0.2 && !r.getDouble(1).isNaN))
+  }
+
+  test("untouched collections prune out of the parquet scan") {
+    val events = SchemaBuilder.zipCollections(
+      spark.read.parquet(path), zipScalars = true)
+    // touching only Muon.pt must not scan the Jet_* or MET_* branches
+    val q = events.select(explode($"Muon.pt").as("pt"))
+    val scan = q.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("Muon_pt"), s"scan must read Muon_pt: $readSchema")
+    assert(!readSchema.contains("Jet_pt") && !readSchema.contains("MET_pt"),
+      s"unused branches must prune from the scan: $readSchema")
+  }
+}
