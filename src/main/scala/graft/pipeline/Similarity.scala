@@ -383,6 +383,48 @@ object Similarity {
       }
     }
 
+  /** LSH parameter plan: (bitsPerBand, bands) sized for a corpus of
+    * `n` vectors at a cosine threshold, from the EXACT sign-LSH recall
+    * math — the scale knob the sf0.1→sf1 probe showed is mandatory
+    * (PLANS.md r8: fixed b=4 means 2^4 buckets per band, so bucket
+    * occupancy grows with n and candidate pairs grow QUADRATICALLY —
+    * q115 went 14 s → >10 min on 10× the vectors).
+    *
+    *  - a pair at cosine c agrees per bit with p = 1 − arccos(c)/π;
+    *  - bits b makes expected bucket occupancy n/2^b: we pick the
+    *    smallest b with occupancy ≤ `targetOccupancy`, which bounds
+    *    per-band candidate pairs at ~n·occupancy/2 — LINEAR in n for
+    *    fixed occupancy (the quadratic term is spent on 2^b, not n);
+    *  - bands L restores recall: miss = (1 − p^b)^L ≤ 1 − recall.
+    *
+    * Candidate volume is then ~L·n·occupancy/2 (LINEAR in n for fixed
+    * occupancy and L): measured on the 10× probe corpus at c=0.9,
+    * auto went 4.4 s → 11.1 s while fixed b=4 went 5.8 s → 526 s.
+    * At real dedup thresholds (c ≥ 0.9, p ≥ 0.856) bands stay modest
+    * (n=1e9, occ=64: b=24, L=282 — a few hundred index entries per
+    * vector, linear). At low thresholds (c ≈ 0.45, p ≈ 0.65) L grows
+    * similarly (n=20k: L=337) but every bucket is dense with TRUE
+    * near-threshold pairs — the LSH exponent ρ approaches 1 and the
+    * right scale tool is partition-first ([[ivfTopK]] /
+    * [[semDedupPairs]]) rather than pair-first. The helper returns the
+    * honest cost either way; callers trade recall vs signature work
+    * explicitly via `targetRecall` / `maxBands`. */
+  def lshPlan(n: Long, cosThreshold: Double, targetOccupancy: Int = 64,
+      targetRecall: Double = 0.999, maxBits: Int = 30,
+      maxBands: Int = 512): (Int, Int) = {
+    require(n > 0 && cosThreshold > -1.0 && cosThreshold < 1.0)
+    require(targetOccupancy > 0 && targetRecall > 0.0 && targetRecall < 1.0)
+    val p = 1.0 - math.acos(cosThreshold) / math.Pi
+    val bits = math.max(1, math.min(maxBits,
+      math.ceil(log2(n.toDouble / targetOccupancy)).toInt))
+    val pBand = math.pow(p, bits)
+    val bands = math.max(1, math.min(maxBands,
+      math.ceil(math.log(1.0 - targetRecall) / math.log1p(-pBand)).toInt))
+    (bits, bands)
+  }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
   /** Per-row banded sign-LSH signatures: `bands` longs, each packing
     * `bitsPerBand` sign bits of plane dot products — map-only tight
     * loop (bands×bitsPerBand×dim multiplies per row). */
@@ -404,6 +446,19 @@ object Similarity {
         sig
       }
     }
+
+  /** [[cosineCandidates]] with [[lshPlan]]-sized parameters: one cheap
+    * `count()` action sizes bits/bands to the ACTUAL corpus, keeping
+    * bucket occupancy (and so per-band candidate volume) bounded as
+    * the corpus grows — the self-tuning entry point for the 100 TB
+    * path, where any fixed (bits, bands) is wrong at some scale. */
+  def cosineCandidatesAuto(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosE6: Long, seed: Long = 42L,
+      targetOccupancy: Int = 64, targetRecall: Double = 0.999): DataFrame = {
+    val n = math.max(1L, df.count())
+    val (bits, bands) = lshPlan(n, minCosE6.toDouble / 1e6, targetOccupancy, targetRecall)
+    cosineCandidates(df, idCol, vecCol, dim, bits, bands, minCosE6, seed)
+  }
 
   /** (id, band, sig) rows — banded sign-LSH blocking keys over the
     * embedding column (the [[cosineCandidates]] blocking stage, exposed

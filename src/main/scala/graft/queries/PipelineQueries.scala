@@ -152,7 +152,7 @@ object PipelineQueries extends QueryPack {
 
     Query(
       "q115_nearest_dup",
-      "Canonical nearest-duplicate assignment (the cluster-free dedup step: each vector points at its best match >= 0.45 cosine): q59's LSH candidate pairs enter in both orientations, then a k=1 bounded-heap TopKAgg per vector id picks the winner (cos desc, id asc) — <= 1 entry per (id, partition) shuffles, never a per-id window. Oracle is the exact all-pairs argmax (LSH recall 1.0 at this threshold on this corpus, the q59 contract).",
+      "Canonical nearest-duplicate assignment (the cluster-free dedup step: each vector points at its best match >= 0.45 cosine): q59's LSH candidate pairs enter in both orientations, then a k=1 bounded-heap TopKAgg per vector id picks the winner (cos desc, id asc) — <= 1 entry per (id, partition) shuffles, never a per-id window. Oracle is the exact all-pairs argmax (LSH recall 1.0 at this threshold on this corpus, the q59 contract). Same fixed-b/L small-corpus caveat as q59: the scale entry is cosineCandidatesAuto + lshPlan (PLANS.md r8 probe).",
       (s, dir) => Similarity.nearestDuplicate(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, bitsPerBand = 4, bands = 48, minCosE6 = 450000L),
@@ -445,7 +445,7 @@ object PipelineQueries extends QueryPack {
 
     Query(
       "q59_lsh_neardup",
-      "Scale path for cosine near-dup: banded sign-LSH blocking (driver-literal hyperplanes, map-only signature UDF) + equality self-join on (band, sig) + exact-cosine verify via join-back — no driver collect, no all-pairs stage. b=4/L=48/seed=42 gives measured recall 1.0 on this corpus, so the oracle is the exact all-pairs result.",
+      "Cosine near-dup via banded sign-LSH blocking (driver-literal hyperplanes, map-only signature UDF) + equality self-join on (band, sig) + exact-cosine verify via join-back — no driver collect, no all-pairs stage. b=4/L=48/seed=42 gives measured recall 1.0 on this corpus, so the oracle is the exact all-pairs result. FIXED b/L is a small-corpus setting: bucket occupancy is n/2^b, so candidates grow quadratically with n (measured 120x on the 10x probe, PLANS.md r8) — at scale use cosineCandidatesAuto/lshPlan, which bound occupancy and re-buy recall with bands.",
       (s, dir) => Similarity.cosineCandidates(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, bitsPerBand = 4, bands = 48, minCosE6 = 450000L),

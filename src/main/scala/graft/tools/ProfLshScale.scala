@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.Similarity
+
+/** Scale probe for the LSH parameter plan (PLANS.md r8): times
+  * fixed-parameter [[Similarity.cosineCandidates]] (b=4/L=48, the q59
+  * registry contract tuned on the small corpus) against the
+  * [[Similarity.cosineCandidatesAuto]] occupancy-bounded plan on the
+  * SAME corpus, at the 0.45 registry threshold and at a realistic
+  * near-dup threshold (0.9). Usage:
+  *   SPARK_GRAFT_SF_DIR=... runMain graft.tools.ProfLshScale [fixed45]
+  * (pass `fixed45` to also run the known-quadratic fixed plan at 0.45 —
+  * skipped by default because it is the >10 min cliff being fixed).
+  */
+object ProfLshScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = mk.count()
+      println(f"$tag%-28s n=$n%7d rows=$rows%9d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    for (thrE6 <- Seq(450000L, 900000L)) {
+      val c = thrE6 / 1e6
+      val (bits, bands) = Similarity.lshPlan(n, c)
+      println(s"lshPlan(n=$n, c=$c) -> bits=$bits bands=$bands")
+      time(s"auto   c=$c")(
+        Similarity.cosineCandidatesAuto(emb, "vec_id", "embedding", 64, thrE6))
+      if (thrE6 == 900000L)
+        time(s"fixed  c=$c b=4 L=48")(
+          Similarity.cosineCandidates(emb, "vec_id", "embedding", 64, 4, 48, thrE6))
+    }
+    if (args.contains("fixed45"))
+      time("fixed  c=0.45 b=4 L=48")(
+        Similarity.cosineCandidates(emb, "vec_id", "embedding", 64, 4, 48, 450000L))
+    spark.stop()
+  }
+}

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.Similarity
+
+/** Scale probe for SemDeDup's nCells knob (PLANS.md r8): the within-
+  * cell verify is (n/nCells)² per cell BY CONTRACT, so a 10× corpus at
+  * FIXED nCells runs ~100× the pair work (measured 63× wall in the r8
+  * probe) — while raising nCells ∝ n keeps per-cell occupancy (and so
+  * total verify work per vector) constant. This main measures both on
+  * SPARK_GRAFT_SF_DIR's embeddings: fixed nCells=8 (the q107 registry
+  * contract) vs nCells scaled to keep n/nCells at the sf0.1 registry
+  * occupancy (2000/8 = 250).
+  */
+object ProfSemDedupScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val scaledCells = math.max(8, (n / 250L).toInt)
+    def time(tag: String, cells: Int): Unit = {
+      val t0 = System.nanoTime()
+      val rows = Similarity.semDedupPairs(
+        emb, "vec_id", "embedding", dim = 64, nCells = cells,
+        seed = 7L, minCosE6 = 450000L).count()
+      println(f"$tag%-22s n=$n%7d nCells=$cells%5d rows=$rows%9d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    time("fixed nCells", 8)
+    if (scaledCells != 8) time("occupancy-scaled", scaledCells)
+    spark.stop()
+  }
+}

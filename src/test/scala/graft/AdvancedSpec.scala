@@ -374,4 +374,23 @@ class AdvancedSpec extends AnyFunSuite {
       assert(r.bytesRead > 0L && r.wallMs > 0.0, s"unexpected report: $r")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("MetricsListener.drain empties the queue; detach stops collection") {
+    import graft.runner.Metrics
+    // own session: listenerManager is session-scoped, so concurrent
+    // suites can't race the emptiness assertions
+    val s = spark.newSession()
+    import s.implicits._
+    val listener = Metrics.attach(s)
+    Seq((1, 2)).toDF("a", "b").agg(sum($"b")).collect()
+    val got = Metrics.awaitReports(listener, 1)
+    assert(got.nonEmpty)
+    assert(listener.drain().size == got.size)
+    assert(listener.reports.isEmpty, "drain must remove everything")
+    Metrics.detach(s, listener)
+    Seq((3, 4)).toDF("a", "b").agg(sum($"b")).collect()
+    // delivery is async — a short await that stays empty is the check
+    assert(Metrics.awaitReports(listener, 1, timeoutMs = 500).isEmpty,
+      "detached listener must not collect")
+  }
 }

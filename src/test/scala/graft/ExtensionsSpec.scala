@@ -25,9 +25,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(4) == "Café") // NFC composes the combining accent
     assert(r.getSeq[Long](5) == Seq(0L, 2L, 5L))
     assert(r.getInt(6) == 1) // 5.0 lands in [1.0, 10.0)
-    // arity is validated at registration-builder level
-    val e = intercept[Exception](spark.sql("SELECT graft_delta_phi(1.0)").head())
-    assert(e.getMessage.contains("2 arguments") || e.getMessage.toLowerCase.contains("argument"))
+    // arity mismatch raises the same WRONG_NUM_ARGS AnalysisException
+    // built-ins do (SQLSTATE 42605), not an internal require()
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_delta_phi(1.0)").head())
+    assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", e.getMessage)
+    assert(e.getMessage.contains("graft_delta_phi"))
   }
 
   test("GraftExtensions injects the same vocabulary via the config path") {

@@ -452,6 +452,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(b((1L, 0)) == b((2L, 0)) && b((1L, 1)) == b((2L, 1)))
   }
 
+  test("lshPlan sizes bits to bucket occupancy and bands to recall") {
+    import graft.pipeline.Similarity.lshPlan
+    // occupancy bound: smallest b with n/2^b <= target
+    assert(lshPlan(2000, 0.45, targetOccupancy = 64)._1 == 5)
+    assert(lshPlan(20000, 0.45, targetOccupancy = 64)._1 == 9)
+    assert(lshPlan(1L << 30, 0.9, targetOccupancy = 64)._1 == 24)
+    // recall math: miss = (1-p^b)^L <= 1-recall with p = 1-acos(c)/pi
+    val (b, l) = lshPlan(20000, 0.9, targetOccupancy = 64, targetRecall = 0.999)
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    assert(math.pow(1.0 - math.pow(p, b), l) <= 0.001 + 1e-12)
+    // high thresholds keep bands in the low hundreds even at 1e9 rows
+    // (linear index size: a few hundred entries per vector)
+    assert(lshPlan(1L << 30, 0.9) == ((24, 282)))
+    // low thresholds honestly report the rho->1 cost blowup
+    assert(lshPlan(20000, 0.45)._2 > 100)
+  }
+
+  test("cosineCandidatesAuto finds planted near-dup pairs with bounded buckets") {
+    // corpus: 512 random vectors + 8 planted high-cosine twins; the
+    // auto plan must recover every twin pair (recall target 0.999)
+    // without any all-pairs stage
+    val rnd = new scala.util.Random(5)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextGaussian()).toFloat)
+    val base = (0L until 512L).map(i => (i, vec()))
+    val twins = base.take(8).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ twins).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineCandidatesAuto(df, "vec_id", "embedding",
+        dim = 64, minCosE6 = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 8L).foreach { i =>
+      assert(got.contains((i, 1000L + i)), s"planted twin $i must be found")
+    }
+  }
+
   test("cosineCandidates matches brute-force pairs (recall 1.0 here)") {
     // 3 near-identical clusters + noise directions; threshold high.
     val base = Seq.tabulate(16)(i => math.sin(i * 1.7).toFloat)
