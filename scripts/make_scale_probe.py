@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Build the R-times scale-probe corpus used by the PLANS.md r8 probe.
+
+Replicates sf0.1 tables with structure-preserving, overlap-free
+transforms so measured scaling ratios are attributable to the ENGINE,
+not to replica artifacts:
+
+  * documents ×R with a per-replica TOKEN BIJECTION (suffix `~r` on
+    every token): within-replica shingle/Jaccard/winnowing structure is
+    preserved EXACTLY (shingle sets map bijectively), cross-replica
+    shingle overlap is zero — so inverted-index volumes and near-dup
+    pair counts scale exactly R× (verified in DuckDB: join-pairs
+    1.266M → 12.658M at R=10, max bucket unchanged);
+  * embeddings ×R with a per-replica DIMENSION PERMUTATION: all
+    within-replica cosines are exactly preserved (norms invariant).
+    Caveat (measured): permutation does NOT fully decorrelate these
+    synthetic vectors at LOW thresholds — pairs ≥0.45 grew 116× at
+    R=10 (shared per-dim structure), while at ≥0.9 cross-replica pairs
+    are exactly 0. Interpret low-threshold timings accordingly;
+  * lineitem ×R with shifted `l_orderkey`: per-event combinatorics
+    replicate exactly linearly;
+  * every other table copied unchanged (bench warmup + side lookups).
+
+Usage: python3 scripts/make_scale_probe.py [--src /root/testdata/sf0.1]
+           [--dst target/sf1] [-R 10]
+Then:  SPARK_GRAFT_SF_DIR=$PWD/target/sf1 sbt "runMain graft.Bench q59_lsh_neardup ..."
+"""
+import argparse
+import os
+import random
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OFF = 10_000_000
+
+
+def replicate_documents(src, dst, R):
+    t = pq.read_table(f"{src}/documents.parquet")
+    data = t.to_pydict()
+    parts = []
+    for r in range(R):
+        d = {}
+        for c in t.column_names:
+            if c == "doc_id":
+                d[c] = [x + r * OFF for x in data[c]]
+            elif c == "text" and r > 0:
+                suf = f"~{r}"
+                d[c] = [" ".join(w + suf for w in x.split()) if x else x
+                        for x in data["text"]]
+            else:
+                d[c] = data[c]
+        parts.append(pa.Table.from_pydict(d, schema=t.schema))
+    pq.write_table(pa.concat_tables(parts), f"{dst}/documents.parquet",
+                   compression="zstd")
+
+
+def replicate_embeddings(src, dst, R):
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    data = t.to_pydict()
+    dim = len(data["embedding"][0])
+    parts = []
+    for r in range(R):
+        rnd = random.Random(1000 + r)
+        perm = list(range(dim))
+        if r > 0:
+            rnd.shuffle(perm)
+        d = {"vec_id": [x + r * OFF for x in data["vec_id"]],
+             "embedding": [[v[i] for i in perm] if v is not None else None
+                           for v in data["embedding"]],
+             "label": data["label"]}
+        parts.append(pa.Table.from_pydict(d, schema=t.schema))
+    pq.write_table(pa.concat_tables(parts), f"{dst}/embeddings.parquet",
+                   compression="zstd")
+
+
+def replicate_lineitem(src, dst, R):
+    t = pq.read_table(f"{src}/lineitem.parquet")
+    data = t.to_pydict()
+    parts = []
+    for r in range(R):
+        d = dict(data)
+        d["l_orderkey"] = [x + r * OFF for x in data["l_orderkey"]]
+        parts.append(pa.Table.from_pydict(d, schema=t.schema))
+    pq.write_table(pa.concat_tables(parts), f"{dst}/lineitem.parquet",
+                   compression="zstd")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--src", default="/root/testdata/sf0.1")
+    p.add_argument("--dst", default="target/sf1")
+    p.add_argument("-R", type=int, default=10)
+    a = p.parse_args()
+    os.makedirs(a.dst, exist_ok=True)
+    replicate_documents(a.src, a.dst, a.R)
+    replicate_embeddings(a.src, a.dst, a.R)
+    replicate_lineitem(a.src, a.dst, a.R)
+    for f in ["region", "nation", "customer", "supplier", "part",
+              "orders", "events"]:
+        shutil.copy(f"{a.src}/{f}.parquet", f"{a.dst}/{f}.parquet")
+    print(f"probe corpus at {a.dst} (R={a.R})")
+
+
+if __name__ == "__main__":
+    main()

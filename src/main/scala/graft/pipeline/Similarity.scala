@@ -460,6 +460,24 @@ object Similarity {
     cosineCandidates(df, idCol, vecCol, dim, bits, bands, minCosE6, seed)
   }
 
+  /** [[nearestDuplicate]] over [[cosineCandidatesAuto]]'s occupancy-
+    * bounded candidates — the scale entry point for canonical
+    * nearest-duplicate assignment (q115's operator at 100 TB). */
+  def nearestDuplicateAuto(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosE6: Long, seed: Long = 42L,
+      targetOccupancy: Int = 64, targetRecall: Double = 0.999): DataFrame = {
+    val pairs = cosineCandidatesAuto(df, idCol, vecCol, dim, minCosE6, seed,
+      targetOccupancy, targetRecall)
+    val directed = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"), col("cos_e6"))
+      .unionAll(pairs
+        .select(col("id_b").as("vec_id"), col("id_a").as("nn_id"), col("cos_e6")))
+    directed.groupBy("vec_id")
+      .agg(graft.functions.TopKAgg(col("cos_e6"), col("nn_id"), 1).as("tk"))
+      .select(col("vec_id"),
+        col("tk")(0)("id").as("nn_id"), col("tk")(0)("score").as("cos_e6"))
+  }
+
   /** (id, band, sig) rows — banded sign-LSH blocking keys over the
     * embedding column (the [[cosineCandidates]] blocking stage, exposed
     * for custom pipelines). */

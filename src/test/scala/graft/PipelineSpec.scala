@@ -487,6 +487,13 @@ class PipelineSpec extends AnyFunSuite {
     (0L until 8L).foreach { i =>
       assert(got.contains((i, 1000L + i)), s"planted twin $i must be found")
     }
+    // the auto nearest-duplicate assignment points each twin at its pair
+    val nn = Similarity.nearestDuplicateAuto(df, "vec_id", "embedding",
+        dim = 64, minCosE6 = 900000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 8L).foreach { i =>
+      assert(nn(i) == 1000L + i && nn(1000L + i) == i, s"twin $i mutual nearest")
+    }
   }
 
   test("cosineCandidates matches brute-force pairs (recall 1.0 here)") {
