@@ -147,6 +147,32 @@ object Inference {
         leaf(0.125))),
     bias = 0.0625)
 
+  /** A pretrained gate over [[Multimodal.StubBackend]]'s 16-bin byte
+    * histogram (fraction of payload bytes in each 16-value bucket) —
+    * the shape of a "is this texty?" content filter: bin 2 holds
+    * space/punctuation (0x20-0x2f), bins 6/7 hold lowercase letters
+    * (0x60-0x7f). Thresholds are exact binary fractions and the bin
+    * fractions are single IEEE divisions, so both the margin AND every
+    * split decision reproduce bit-exactly from SQL — which lets the
+    * DuckDB oracle verify the whole decode→featurize→score seam
+    * (q118). */
+  val byteHistogramGateModel: GbdtModel = GbdtModel(
+    trees = Seq(
+      Array(
+        split(6, 0.125, 1, 2), // lowercase a-o fraction < 1/8 ?
+        leaf(-0.5),
+        split(2, 0.0625, 3, 4), // space/punct fraction < 1/16 ?
+        leaf(-0.25), leaf(0.5)),
+      Array(
+        split(7, 0.03125, 1, 2), // p-z fraction < 1/32 ?
+        leaf(-0.125),
+        leaf(0.1875)),
+      Array(
+        split(0, 0.0078125, 1, 2), // control bytes < 1/128 ?
+        leaf(0.0625),
+        leaf(-0.4375))),
+    bias = 0.03125)
+
   /** A pretrained gate over the 64-dim `embeddings` table (exact
     * binary-fraction thresholds on the first dims — the shape of a
     * relevance/quality filter head running over precomputed embedding

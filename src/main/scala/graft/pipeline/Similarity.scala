@@ -454,10 +454,11 @@ object Similarity {
     * path, where any fixed (bits, bands) is wrong at some scale. */
   def cosineCandidatesAuto(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosE6: Long, seed: Long = 42L,
-      targetOccupancy: Int = 64, targetRecall: Double = 0.999): DataFrame = {
+      targetOccupancy: Int = 64, targetRecall: Double = 0.999,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val n = math.max(1L, df.count())
     val (bits, bands) = lshPlan(n, minCosE6.toDouble / 1e6, targetOccupancy, targetRecall)
-    cosineCandidates(df, idCol, vecCol, dim, bits, bands, minCosE6, seed)
+    cosineCandidates(df, idCol, vecCol, dim, bits, bands, minCosE6, seed, maxBucket)
   }
 
   /** [[nearestDuplicate]] over [[cosineCandidatesAuto]]'s occupancy-
@@ -523,17 +524,40 @@ object Similarity {
     */
   def cosineCandidates(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, bitsPerBand: Int, bands: Int, minCosE6: Long,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = Int.MaxValue): DataFrame = {
     val prepared = df.select(col(idCol).cast("long").as("id"),
       widen(col(vecCol)).as("v"), norm(col(vecCol)).as("n"))
     val keys = lshBuckets(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
       idCol, vecCol, bitsPerBand, bands, dim, seed)
       .hint("shuffle_hash")
-    val pairs = keys.as("a").join(keys.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // skew guard (off by default — zero plan change at MaxValue): a flood
+    // of IDENTICAL vectors shares every band signature, so one bucket
+    // emits m² pairs no matter how lshPlan sized the bands. Buckets over
+    // `maxBucket` degrade to the O(m) star on the bucket's min id (the
+    // Dedup.bucketPairs rule): the flood still verifies cos=1 against its
+    // star center, and transitive closure (Components) recovers the
+    // cluster — only redundant intra-flood edges are dropped.
+    val pairs =
+      if (maxBucket == Int.MaxValue) {
+        keys.as("a").join(keys.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+      } else {
+        val sizes = keys.groupBy("band", "sig")
+          .agg(count(lit(1)).as("m"), min(col("id")).as("mid"))
+        val sized = keys.join(sizes.hint("shuffle_hash"), Seq("band", "sig"))
+        val small = sized.filter(col("m") <= maxBucket)
+          .select(col("band"), col("sig"), col("id"))
+        small.as("a").join(small.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .unionAll(sized.filter(col("m") > maxBucket && col("id") =!= col("mid"))
+            .select(col("mid").as("id_a"), col("id").as("id_b")))
+          .distinct()
+      }
     pairs
       .join(prepared.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
       .join(prepared.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")

@@ -480,6 +480,51 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q117_lsh_auto",
+      "The occupancy-bounded auto LSH plan (lshPlan + cosineCandidatesAuto, the 100 TB scale entry added after the r8 probe) on the same near-dup contract as q59: one count() sizes bits so bucket occupancy stays bounded (candidates LINEAR in n) and bands restore recall ((1-p^b)^L <= 1e-4). Oracle is the exact all-pairs result — measured recall 1.0 on this corpus at these planned parameters.",
+      (s, dir) => Similarity.cosineCandidatesAuto(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, minCosE6 = 450000L, targetRecall = 0.9999),
+      Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+             |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+             |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |      sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dt
+             |      FROM embeddings a, embeddings b, generate_series(1, 64) g(i)
+             |      WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |CAST(floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+             |FROM d JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id
+             |WHERE floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) >= 450000""".stripMargin)),
+
+    Query(
+      "q118_gbdt_seam",
+      "The ENTIRE batched inference seam under the oracle: binary payload -> per-partition lazily-opened backend -> 16-bin byte-histogram featurizer -> GBDT head, scored in ONE mapPartitions pass (GbdtBackend chaining StubBackend — the xgboost-wrapper contract). Every split threshold is an exact binary fraction and every histogram bin is a single IEEE division, so DuckDB reproduces each tree decision and the margin bit-exactly from the model's generated SQL.",
+      (s, dir) => {
+        import s.implicits._
+        val withPayload = Multimodal.withBinaryPayload(Tables.documents(s, dir), $"text")
+        Multimodal.inferFeatures(withPayload, "doc_id",
+            Inference.GbdtBackend(Multimodal.StubBackend(), Inference.byteHistogramGateModel))
+          .toDF().select($"media_id".as("doc_id"),
+            e4($"features"(0)).as("margin_e4"),
+            $"features"(1).cast("long").as("pred"))
+      },
+      Some {
+        val marginSql = Inference.byteHistogramGateModel.toSql(i => s"f$i")
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    count(*) FILTER (WHERE ord(substr(text, i, 1)) // 16 = 0) * 1.0 / greatest(len(text), 1) AS f0,
+           |    count(*) FILTER (WHERE ord(substr(text, i, 1)) // 16 = 2) * 1.0 / greatest(len(text), 1) AS f2,
+           |    count(*) FILTER (WHERE ord(substr(text, i, 1)) // 16 = 6) * 1.0 / greatest(len(text), 1) AS f6,
+           |    count(*) FILTER (WHERE ord(substr(text, i, 1)) // 16 = 7) * 1.0 / greatest(len(text), 1) AS f7
+           |  FROM documents, generate_series(1, 600) g(i) WHERE i <= len(text)
+           |  GROUP BY doc_id, text),
+           |m AS (SELECT doc_id, $marginSql AS mg FROM f)
+           |SELECT doc_id, CAST(floor(mg * 10000 + 0.5) AS BIGINT) AS margin_e4,
+           |CAST(CASE WHEN mg > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+           |FROM m""".stripMargin
+      }),
+
+    Query(
       "q58_multimodal",
       "Multimodal binary plumbing: opaque payload column + per-partition lazily-initialized decode (stubbed deterministic featurizer), aggregated per source. Oracle checks the binary metadata path.",
       (s, dir) => {

@@ -496,6 +496,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineCandidates maxBucket star-caps identical-vector floods") {
+    // 200 identical vectors share EVERY band signature: uncapped that is
+    // 19 900 pairs from one bucket per band; capped, the flood degrades
+    // to the O(m) star on its min id while distinct pairs still verify
+    val flood = (0L until 200L).map(i => (i, Seq.fill(8)(1.0f)))
+    val others = Seq(
+      (500L, Seq(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 0.9f)), // near the flood
+      (600L, Seq(-1.0f, 0.5f, -0.5f, 1.0f, -1.0f, 0.5f, -0.5f, 1.0f)))
+    val df = (flood ++ others).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineCandidates(df, "vec_id", "embedding",
+        dim = 8, bitsPerBand = 4, bands = 8, minCosE6 = 900000L, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every flood member connects to the star center (id 0) — transitive
+    // closure recovers the full cluster from these edges alone
+    (1L until 200L).foreach { i =>
+      assert(capped.contains((0L, i)), s"flood member $i must reach the star center")
+    }
+    // intra-flood edges are star-only: far fewer than the 19 900 all-pairs
+    assert(capped.size < 500, s"capped candidate set must be O(m): ${capped.size}")
+  }
+
   test("cosineCandidates matches brute-force pairs (recall 1.0 here)") {
     // 3 near-identical clusters + noise directions; threshold high.
     val base = Seq.tabulate(16)(i => math.sin(i * 1.7).toFloat)
