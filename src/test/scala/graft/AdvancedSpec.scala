@@ -259,6 +259,32 @@ class AdvancedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming GBDT inference: codegen'd margin scores a stream, matches batch") {
+    import graft.pipeline.Inference
+    // the Catalyst margin is a pure Column, so model inference composes
+    // with Structured Streaming with no extra machinery — the online-
+    // scoring twin of q116 (a quality gate on an ingest stream)
+    val m = Inference.embeddingGateModel
+    val batch = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("emb_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      dir.resolve("part-0.parquet"))
+    val scored = spark.readStream.schema(batch.schema).parquet(dir.toString)
+      .select($"vec_id", m.margin($"embedding").as("mg"), m.predict($"embedding").as("pred"))
+    val q = scored.writeStream.format("memory")
+      .queryName("gbdt_stream_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gbdt_stream_out")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val want = batch
+        .select($"vec_id", m.margin($"embedding"), m.predict($"embedding"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streaming fingerprint dedup: normalized dups collapse within the watermark, batch twin agrees") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
