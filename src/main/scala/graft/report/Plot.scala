@@ -1,0 +1,108 @@
+package graft.report
+
+import org.apache.spark.sql.DataFrame
+
+/** Dependency-free SVG rendering for the selection-bookkeeping report
+  * surface — the JVM-native equivalent of the reference's matplotlib
+  * plots (`analysis_tools.py:1138` `Cutflow.yieldhist`/`plot`, `:1719`
+  * `NminusOne.yieldhist`, `:1267/:1904` `plot_vars`): per-cut yield
+  * bars and per-stage variable histograms, emitted as standalone SVG
+  * strings (writable next to the aggregates, viewable anywhere, no
+  * native or Python dependency).
+  *
+  * Scale note: every renderer consumes an ALREADY-AGGREGATED DataFrame
+  * (cuts ≤ 64 rows, histograms ≤ #bins rows) — the one place a driver
+  * collect is the correct design, exactly like the reference which
+  * plots driver-side numpy yields. The 100 TB work happened upstream in
+  * `Selection.cutflow`/`nminusone`/`plotVars`' single-scan aggregates.
+  */
+object Plot {
+
+  /** One bar series → standalone SVG. Bars are laid left-to-right in
+    * input order with value annotations and a y-axis scaled to the max
+    * value (log-ready values should be pre-transformed by the caller,
+    * matching the reference's `log=True` option doing the same). */
+  def svgBars(title: String, labels: Seq[String], values: Seq[Double],
+      width: Int = 640, height: Int = 360): String = {
+    require(labels.length == values.length, "labels and values must align")
+    require(values.forall(v => !v.isNaN && v >= 0.0), "bar values must be >= 0")
+    val n = math.max(1, values.length)
+    val (mL, mR, mT, mB) = (50, 10, 30, 70)
+    val plotW = width - mL - mR
+    val plotH = height - mT - mB
+    val vMax = math.max(values.foldLeft(0.0)(math.max), 1e-300)
+    val slot = plotW.toDouble / n
+    val barW = slot * 0.8
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">"""
+    sb ++= s"""<rect width="$width" height="$height" fill="white"/>"""
+    sb ++= s"""<text x="${width / 2}" y="20" text-anchor="middle" font-family="sans-serif" font-size="14">${esc(title)}</text>"""
+    // y axis + 4 gridline ticks
+    sb ++= s"""<line x1="$mL" y1="$mT" x2="$mL" y2="${mT + plotH}" stroke="black"/>"""
+    sb ++= s"""<line x1="$mL" y1="${mT + plotH}" x2="${mL + plotW}" y2="${mT + plotH}" stroke="black"/>"""
+    (0 to 4).foreach { t =>
+      val v = vMax * t / 4
+      val y = mT + plotH - plotH * t / 4
+      sb ++= s"""<line x1="${mL - 4}" y1="$y" x2="$mL" y2="$y" stroke="black"/>"""
+      sb ++= s"""<text x="${mL - 6}" y="${y + 4}" text-anchor="end" font-family="sans-serif" font-size="10">${fmt(v)}</text>"""
+    }
+    values.zip(labels).zipWithIndex.foreach { case ((v, label), i) =>
+      val h = plotH * v / vMax
+      val x = mL + slot * i + (slot - barW) / 2
+      val y = mT + plotH - h
+      sb ++= f"""<rect x="$x%.1f" y="$y%.1f" width="$barW%.1f" height="$h%.1f" fill="#4878a8"/>"""
+      sb ++= f"""<text x="${x + barW / 2}%.1f" y="${y - 3}%.1f" text-anchor="middle" font-family="sans-serif" font-size="10">${fmt(v)}</text>"""
+      // rotated cut label under the axis
+      val lx = mL + slot * i + slot / 2
+      val ly = mT + plotH + 12
+      sb ++= f"""<text x="$lx%.1f" y="$ly%.1f" text-anchor="end" font-family="sans-serif" font-size="10" transform="rotate(-40 $lx%.1f $ly%.1f)">${esc(label)}</text>"""
+    }
+    sb ++= "</svg>"
+    sb.result()
+  }
+
+  /** `Cutflow.yieldhist`-equivalent: two bar charts (per-cut-alone and
+    * cumulative) from `Selection.cutflow`'s output
+    * `(cut, n_onecut, n_cumulative)`. Row order is preserved — it IS
+    * the cut order. */
+  def cutflowSvg(cutflow: DataFrame, title: String = "cutflow"): (String, String) = {
+    val rows = cutflow.select("cut", "n_onecut", "n_cumulative").collect()
+    val labels = rows.map(_.getString(0)).toSeq
+    val one = rows.map(_.getLong(1).toDouble).toSeq
+    val cum = rows.map(_.getLong(2).toDouble).toSeq
+    (svgBars(s"$title — one cut", labels, one),
+      svgBars(s"$title — cumulative", labels, cum))
+  }
+
+  /** `NminusOne.yieldhist`-equivalent from `Selection.nminusone`'s
+    * output `(excluded_cut, n_pass)` — one bar per excluded cut plus
+    * the trailing "none" (all cuts) row. */
+  def nminusOneSvg(nmo: DataFrame, title: String = "N-1"): String = {
+    val rows = nmo.select("excluded_cut", "n_pass").collect()
+    svgBars(title, rows.map(r => s"N - ${r.getString(0)}").toSeq,
+      rows.map(_.getLong(1).toDouble).toSeq)
+  }
+
+  /** `plot_vars`-equivalent: one bar chart per stage from
+    * `Selection.plotVars`' long-format output
+    * `(stage, bin, sumw)` — stages keyed in `stageOrder` order. */
+  def plotVarsSvg(plotVars: DataFrame, stageOrder: Seq[String],
+      binCol: String = "bin", sumwCol: String = "sumw"): Seq[(String, String)] = {
+    val rows = plotVars.select("stage", binCol, sumwCol).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byStage = rows.groupBy(_._1)
+    stageOrder.flatMap { st =>
+      byStage.get(st).map { rs =>
+        val sorted = rs.sortBy(_._2)
+        st -> svgBars(st, sorted.map(_._2.toString).toSeq, sorted.map(_._3).toSeq)
+      }
+    }
+  }
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def fmt(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else f"$v%.3g"
+}

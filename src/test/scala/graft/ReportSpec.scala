@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.PackedSelection
+import graft.report.Plot
+
+/** The SVG report surface (reference `Cutflow.yieldhist`/`plot`,
+  * `NminusOne.yieldhist`, `plot_vars` — `analysis_tools.py:1138,1719`):
+  * renders the already-aggregated selection outputs as standalone,
+  * well-formed SVG with one bar per cut/stage and value annotations.
+  */
+class ReportSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def parseSvg(svg: String): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+  }
+
+  private def bars(doc: org.w3c.dom.Document): Seq[Double] = {
+    val rects = doc.getElementsByTagName("rect")
+    (0 until rects.getLength).map(rects.item(_).asInstanceOf[org.w3c.dom.Element])
+      .filter(_.getAttribute("fill") == "#4878a8") // data bars, not background
+      .map(_.getAttribute("height").toDouble)
+  }
+
+  private val df = (1 to 100).map(i => (i.toLong, i % 2 == 0, i % 3 == 0, i <= 50))
+    .toDF("id", "even", "div3", "low")
+
+  private val sel = PackedSelection(Seq(
+    "even" -> col("even"), "div3" -> col("div3"), "low" -> col("low")))
+
+  test("cutflowSvg: well-formed, one bar per cut, heights track yields") {
+    val (oneSvg, cumSvg) = Plot.cutflowSvg(sel.cutflow(df))
+    val one = parseSvg(oneSvg)
+    val cum = parseSvg(cumSvg)
+    assert(one.getDocumentElement.getTagName == "svg")
+    assert(bars(one).length == 3 && bars(cum).length == 3)
+    // cumulative yields are monotone non-increasing -> so are bar heights
+    val hs = bars(cum)
+    assert(hs == hs.sorted.reverse, s"cumulative bars must not grow: $hs")
+    // yields 50 (even), 33 (div3 alone), 50 (low alone): the one-cut
+    // chart's tallest bars are the 50s, and height ratio ~= 33/50
+    val ho = bars(one)
+    assert(ho(0) == ho.max && math.abs(ho(1) / ho(0) - 0.66) < 0.01)
+    // labels and annotations present
+    assert(oneSvg.contains(">even<") && oneSvg.contains(">div3<") && oneSvg.contains(">low<"))
+    assert(cumSvg.contains(">50<")) // first cumulative yield annotated
+  }
+
+  test("nminusOneSvg: excluded-cut labels and the all-cuts row render") {
+    val svg = Plot.nminusOneSvg(sel.nminusone(df))
+    val doc = parseSvg(svg)
+    assert(bars(doc).length == 4) // 3 excluded-cut bars + "none" (all)
+    assert(svg.contains("N - even") && svg.contains("N - none"))
+    // all-cuts yield: even && div3 && low -> multiples of 6 up to 50 -> 8
+    assert(svg.contains(">8<"))
+  }
+
+  test("plotVarsSvg: one chart per stage in stage order, escaped title") {
+    val pv = sel.plotVar(df, sel.cutflowStages, col("id"), 0.0, 100.0, 4)
+    val charts = Plot.plotVarsSvg(pv, sel.cutflowStages.map(_._1))
+    assert(charts.map(_._1) == Seq("initial", "even", "div3", "low"))
+    charts.foreach { case (_, svg) => parseSvg(svg) }
+    // "initial" has all 100 events: ids 1..100 over [0,100)x4 fill
+    // bins (24,25,25,25) plus id=100 in the overflow bin
+    val init = parseSvg(charts.head._2)
+    val hs = bars(init)
+    assert(hs.length == 5)
+    val units = hs.map(h => h / hs.max * 25)
+    Seq(24.0, 25.0, 25.0, 25.0, 1.0).zip(units).foreach { case (want, got) =>
+      assert(math.abs(got - want) < 0.05, s"bar units $units")
+    }
+    // XML escaping: a title with markup characters still parses
+    parseSvg(Plot.svgBars("a < b & c", Seq("x<y"), Seq(1.0)))
+  }
+}
