@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{PackedSelection, Tables}
+import graft.report.Plot
+
+/** End-to-end driver for the SVG report surface: runs the q30-family
+  * selection over lineitem at a given SF dir and writes the full
+  * report set (cutflow one-cut + cumulative, N−1 yields, per-stage
+  * plot_vars histograms) as standalone .svg files.
+  *
+  *   sbt "runMain graft.tools.Report /root/testdata/sf0.01 /tmp/report"
+  */
+object Report {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_report")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val sel = PackedSelection(Seq(
+      "qty" -> ($"l_quantity" < 30.0),
+      "disc" -> ($"l_discount" >= 0.02 && $"l_discount" <= 0.08),
+      "ship" -> ($"l_shipdate" < lit("1997-01-01").cast("timestamp")),
+      "tax" -> ($"l_tax" < 0.05)))
+    val li = Tables.lineitem(spark, sfDir)
+    val dir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    def write(name: String, svg: String): Unit = {
+      java.nio.file.Files.write(dir.resolve(s"$name.svg"), svg.getBytes("UTF-8"))
+      println(s"wrote $outDir/$name.svg")
+    }
+    val (one, cum) = Plot.cutflowSvg(sel.cutflow(li))
+    write("cutflow_onecut", one)
+    write("cutflow_cumulative", cum)
+    write("nminusone", Plot.nminusOneSvg(sel.nminusone(li)))
+    val pv = sel.plotVar(li, sel.cutflowStages, $"l_extendedprice", 0.0, 110000.0, 11)
+    Plot.plotVarsSvg(pv, sel.cutflowStages.map(_._1)).foreach { case (stage, svg) =>
+      write(s"plotvars_${stage.replaceAll("[^A-Za-z0-9]+", "_")}", svg)
+    }
+    spark.stop()
+  }
+}
