@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Column surface over Spark's internal bloom-filter sketch pair
+  * (`BloomFilterAggregate` / `BloomFilterMightContain`) — the same
+  * machinery Catalyst's runtime row-group filtering injects, exposed
+  * here for explicit set-membership prefilters (benchmark
+  * decontamination, blocklist probes) where the reference set is too
+  * large for an exact broadcast set but compresses to a few MB of
+  * bloom bits.
+  *
+  * Both sides hash through `XxHash64` (seed 42), so any input type
+  * Spark can hash is accepted and insert/probe are consistent by
+  * construction. The probe against a `Literal` sketch is codegen'd —
+  * no UDF, stays inside WholeStageCodegen.
+  *
+  * Scale note: the sketch for 10^9 distinct items at fpp=0.01 is
+  * ~1.2 GB — past broadcastable. The intended regime is 10^5–10^8
+  * reference items (KBs–120 MB); beyond that, fall back to a shuffle
+  * semi-join. `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+  * `maxNumBits` caps (4M / 67M defaults) apply to the aggregate —
+  * raise them in the session conf for larger sketches.
+  */
+object BloomSketch {
+
+  /** Optimal bit count m = -n·ln(p)/ln(2)^2 for `expectedItems`
+    * distinct inserts at false-positive rate `fpp`. */
+  def optimalNumBits(expectedItems: Long, fpp: Double): Long = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+  }
+
+  /** Aggregate column: one serialized bloom filter (binary) over the
+    * XxHash64 of `values`. Drive with `df.agg(...)` — the result row
+    * is bounded by the sketch size, not the data. */
+  def sketch(values: Column, expectedItems: Long, fpp: Double): Column =
+    ColumnBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.resolvedExpression(values))),
+        Literal(expectedItems),
+        Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression())
+
+  /** Codegen'd membership probe of `value` against a driver-held
+    * serialized sketch (embedded as a binary literal). False positives
+    * at the configured fpp; NO false negatives — callers using this as
+    * a prefilter keep exactness by re-verifying survivors. */
+  def mightContain(sketchBytes: Array[Byte], value: Column): Column =
+    ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(sketchBytes, BinaryType),
+        new XxHash64(Seq(ColumnBridge.resolvedExpression(value)))))
+}

@@ -355,4 +355,134 @@ object Curation {
       .limit(topN)
       .select(col("pair"), col("cnt").cast("long").as("cnt"))
   }
+
+  // ---- bloom-prefiltered decontamination ----
+
+  /** Exact benchmark decontamination with a bloom-sketch prefilter —
+    * returns the corpus rows (full schema preserved) whose word
+    * `n`-gram set does NOT intersect the benchmark's. The result is
+    * EXACT regardless of `fpp`: the sketch only prefilters, and every
+    * surviving shingle is re-verified by an exact join, so bloom false
+    * positives are removed and false negatives are impossible.
+    *
+    * This is the middle tier between [[contaminationStats]]'s two
+    * paths. Broadcasting the exact benchmark shingle set stops being
+    * possible somewhere around 10^7 strings; a full shuffle semi-join
+    * of 100 TB of corpus shingles against the benchmark is the
+    * expensive last resort. The sketch splits the difference: one
+    * scan of the benchmark produces a bounded binary (1.2 MB per 10^6
+    * shingles at fpp=0.01) embedded as a literal in a codegen'd
+    * map-side probe, which drops ~(1-fpp) of clean corpus shingles
+    * BEFORE the exact verify join — whose input is then only the
+    * contaminated rows plus an fpp-sized sliver, small enough to
+    * shuffle no matter the corpus size.
+    *
+    * `expectedBenchShingles` sizes the sketch (overestimating is
+    * cheap; underestimating raises the realized fpp). Scale knobs in
+    * [[graft.functions.BloomSketch]].
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int, expectedBenchShingles: Long = 1L << 16,
+      fpp: Double = 0.01): DataFrame = {
+    val bsh = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n)
+      .select(col("s")).distinct()
+    // Job 1: the benchmark collapses to one bounded sketch row.
+    val sketchBytes = bsh
+      .agg(graft.functions.BloomSketch.sketch(col("s"), expectedBenchShingles, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val contaminated =
+      if (sketchBytes == null) { // empty benchmark: nothing to remove
+        corpus.sparkSession.emptyDataFrame
+          .select(lit(null).cast("long").as("id")).limit(0)
+      } else {
+        Dedup.shingleRows(corpus, idCol, textCol, n)
+          .filter(graft.functions.BloomSketch.mightContain(sketchBytes, col("s")))
+          .join(bsh, "s") // exact verify: kills bloom false positives
+          .select(col("id")).distinct()
+      }
+    corpus.join(contaminated, corpus(idCol) === contaminated("id"), "left_anti")
+  }
+
+  // ---- LM-perplexity quality filter (CCNet-style) ----
+
+  /** CCNet-style language-model quality bucketing: train a pruned
+    * bigram LM with stupid backoff on the corpus itself, score every
+    * document's per-token average negative log-likelihood, and bucket
+    * into head/middle/tail by fixed thresholds (CCNet cuts at corpus
+    * perplexity percentiles — compute them once per corpus and pass
+    * them in, so the scoring pass stays deterministic and single-scan).
+    * Returns (id, n_tok, nll_e6, bucket).
+    *
+    * Model (Brants et al. 2007, "stupid backoff" — THE distributed LM
+    * smoothing, chosen over Kneser-Ney because it needs no
+    * normalization pass): for token w after prev,
+    *   P = c(prev,w) / c(prev)        if c(prev,w) >= minBigramCount
+    *   P = 0.4 * c(w) / T             otherwise (backoff)
+    * and the unigram P = c(w)/T for the document-initial token. The LM
+    * is trained on the scored corpus so there is no OOV case; to score
+    * against a held-out LM, the count tables swap in unchanged.
+    *
+    * Determinism contract: each per-token surprisal is quantized
+    * INDEPENDENTLY — s = floor(1e6·ln(P) + 0.5) — before the per-doc
+    * integer sum, so cross-engine comparison never sums unrounded
+    * doubles (ln is within 1 ulp across math libraries; a flip would
+    * need a quantization boundary within that ulp). nll_e6 =
+    * floor(-Σs / n_tok) is then integer-exact arithmetic.
+    *
+    * Plan shape: (tok, prev) pairs build map-side inside the scan
+    * (zip with the shifted array — no window, no per-doc sort); the
+    * LM is two partial-aggregated groupBys bounded by vocabulary /
+    * pruned-bigram cardinality, not corpus rows; scoring joins the
+    * token stream against the (broadcast) LM tables map-side; the one
+    * corpus-sized shuffle is the final per-doc aggregate keyed on the
+    * doc id. At 100 TB with a 10^8-row vocab, set `broadcastLm=false`
+    * to flip the LM joins to shuffle joins (AQE handles the skew of
+    * Zipfian head tokens).
+    */
+  def lmPerplexity(
+      docs: DataFrame, idCol: String, textCol: String,
+      minBigramCount: Int = 2,
+      headNllE6: Long, tailNllE6: Long,
+      broadcastLm: Boolean = true): DataFrame = {
+    require(minBigramCount >= 1, "minBigramCount must be >= 1")
+    require(headNllE6 <= tailNllE6, "head threshold must be <= tail threshold")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .filter(size(col("__t")) > 0)
+    val prevArr = concat(array(lit(null).cast("string")),
+      slice(col("__t"), lit(1), size(col("__t")) - 1))
+    val pos = toks
+      .select(col("id"),
+        explode(zip_with(col("__t"), prevArr,
+          (t, p) => struct(t.as("tok"), p.as("prev")))).as("tp"))
+      .select(col("id"), col("tp.tok").as("tok"), col("tp.prev").as("prev"))
+    val uni = pos.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = pos.agg(count(lit(1)).as("tt"))
+    val big = pos.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minBigramCount)
+    val prevUni = uni.select(col("tok").as("prev"), col("c").as("c_prev"))
+    def lm(df: DataFrame) = if (broadcastLm) broadcast(df) else df
+    val scored = pos
+      .join(lm(uni), "tok")
+      .join(lm(prevUni), Seq("prev"), "left")
+      .join(lm(big), Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(tot))
+    val p = when(col("c2").isNotNull, col("c2").cast("double") / col("c_prev"))
+      .when(col("prev").isNotNull, lit(0.4) * (col("c").cast("double") / col("tt")))
+      .otherwise(col("c").cast("double") / col("tt"))
+    val s = floor(log(p) * lit(1000000.0) + lit(0.5)).cast("long")
+    scored.select(col("id"), s.as("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("s")).as("ssum"))
+      .select(col("id"), col("n_tok"),
+        floor((-col("ssum")).cast("double") / col("n_tok")).cast("long").as("nll_e6"))
+      .withColumn("bucket",
+        when(col("nll_e6") < headNllE6, "head")
+          .when(col("nll_e6") < tailNllE6, "middle")
+          .otherwise("tail"))
+  }
 }

@@ -436,5 +436,58 @@ object CurationQueries extends QueryPack {
               |       FROM tc JOIN dfreq USING (tok), n),
               |r AS (SELECT doc_id, tok, score_e4,
               |      row_number() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, tok) AS rank FROM sc)
-              |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, score_e4 FROM r WHERE rank <= 3""".stripMargin)))
+              |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, score_e4 FROM r WHERE rank <= 3""".stripMargin)),
+
+    Query(
+      "q119_lm_perplexity",
+      "CCNet-style LM quality bucketing (Wenzek et al. 2020): a pruned bigram LM with stupid backoff (Brants et al. 2007) trained on the corpus scores each doc's mean token NLL, bucketed head/middle/tail at fixed thresholds. Each per-token surprisal quantizes to an integer BEFORE the per-doc sum (floor(1e6*ln(P)+0.5)), so no unrounded doubles are ever summed cross-engine. (tok,prev) pairs build map-side from the shifted token array — no window; the LM is two vocab-bounded groupBys joined back broadcast; the one corpus shuffle is the final per-doc aggregate.",
+      (s, dir) => Curation.lmPerplexity(
+          Tables.documents(s, dir), "doc_id", "text",
+          minBigramCount = 2, headNllE6 = 3390000L, tailNllE6 = 3416000L)
+        .select(col("id").as("doc_id"), col("n_tok"), col("nll_e6"), col("bucket")),
+      // ORACLE SERIES BOUND: series cap 200 vs max 99 tokens/doc in the
+      // sf0.01 corpus (2x headroom; engine side is unbounded).
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |pos AS (SELECT doc_id, i, t[i] AS tok, CASE WHEN i > 1 THEN t[i-1] END AS prev
+              |        FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t)),
+              |uni AS (SELECT tok, count(*) AS c FROM pos GROUP BY 1),
+              |tot AS (SELECT count(*) AS tt FROM pos),
+              |big AS (SELECT prev, tok, count(*) AS c2 FROM pos WHERE prev IS NOT NULL
+              |        GROUP BY 1, 2 HAVING count(*) >= 2),
+              |sc AS (SELECT p.doc_id,
+              |         CAST(floor(1000000.0 * ln(
+              |           CASE WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / pu.c
+              |                WHEN p.prev IS NOT NULL THEN 0.4 * (CAST(u.c AS DOUBLE) / tt)
+              |                ELSE CAST(u.c AS DOUBLE) / tt END) + 0.5) AS BIGINT) AS s
+              |       FROM pos p JOIN uni u ON u.tok = p.tok
+              |       LEFT JOIN uni pu ON pu.tok = p.prev
+              |       LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok, tot)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              |       CAST(floor(-sum(s) * 1.0 / count(*)) AS BIGINT) AS nll_e6,
+              |       CASE WHEN floor(-sum(s) * 1.0 / count(*)) < 3390000 THEN 'head'
+              |            WHEN floor(-sum(s) * 1.0 / count(*)) < 3416000 THEN 'middle'
+              |            ELSE 'tail' END AS bucket
+              |FROM sc GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q120_bloom_decontaminate",
+      "Bloom-prefiltered benchmark decontamination: corpus docs (source != src0) with NO word-3gram overlap against the benchmark (source = src0). The benchmark collapses to one bloom sketch (codegen'd literal probe, no UDF) that drops clean corpus shingles map-side; only survivors reach the exact verify join, so the result is EXACT at any fpp and neither side needs a full broadcast — the middle tier between q95's broadcast set and a full shuffle semi-join.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.decontaminateBloom(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text",
+            docs.filter(col("source") === "src0"), "doc_id", "text",
+            n = 3)
+          .select(col("doc_id"), col("source"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+              |csh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |        FROM toks, generate_series(1, 200) g(i)
+              |        WHERE source != 'src0' AND i <= len(t) - 2),
+              |bsh AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |        FROM toks, generate_series(1, 200) g(i)
+              |        WHERE source = 'src0' AND i <= len(t) - 2),
+              |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s))
+              |SELECT d.doc_id, d.source FROM documents d LEFT JOIN bad b USING (doc_id)
+              |WHERE d.source != 'src0' AND b.doc_id IS NULL""".stripMargin)))
 }

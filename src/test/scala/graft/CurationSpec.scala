@@ -249,4 +249,81 @@ class CurationSpec extends AnyFunSuite {
     // and nothing else at this threshold
     assert(out.size == 20, s"unexpected pairs: $out")
   }
+
+  test("lmPerplexity: hand-computed stupid-backoff NLL and bucketing") {
+    // corpus: "a b a b" and "z". unigrams a:2 b:2 z:1, T=5;
+    // bigram (a,b) count 2 kept at minBigramCount=2, (b,a) count 1 pruned.
+    val df = Seq((1L, "a b a b"), (2L, "z")).toDF("doc_id", "text")
+    val out = Curation.lmPerplexity(df, "doc_id", "text",
+        minBigramCount = 2, headNllE6 = 700000L, tailNllE6 = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // doc 1: a P=2/5 -> s=floor(1e6*ln(.4)+.5) = -916291; a->b P=2/2 -> 0;
+    //        b->a backoff P=.4*2/5=.16 -> -1832581; a->b -> 0.
+    //        nll = floor(2748872/4) = 687218 -> head
+    // doc 2: z P=1/5 -> s=-1609438; nll = 1609438 -> tail
+    assert(out.toSeq == Seq((1L, 4L, 687218L, "head"), (2L, 1L, 1609438L, "tail")))
+    // plan shape: LM tables join back broadcast; no Window anywhere
+    // (pairs come from the shifted array, ranking never sorts the corpus)
+    val plan = Curation.lmPerplexity(df, "doc_id", "text",
+        minBigramCount = 2, headNllE6 = 0L, tailNllE6 = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "LM joins should broadcast by default")
+  }
+
+  test("lmPerplexity: repeated common text scores lower NLL than rare-token text") {
+    val common = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val rare = Seq((100L, "zq wv xk jy qn pz"))
+    val df = (common ++ rare).toDF("doc_id", "text")
+    val nll = Curation.lmPerplexity(df, "doc_id", "text",
+        minBigramCount = 2, headNllE6 = 0L, tailNllE6 = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nll(1L) < nll(100L),
+      s"common-text NLL ${nll(1L)} should beat rare-token NLL ${nll(100L)}")
+  }
+
+  test("decontaminateBloom matches the exact anti-join at any fpp, preserving schema") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", "web"),
+      (2L, "zeta eta theta iota kappa", "web"),
+      (3L, "alpha beta gamma beta gamma delta", "book"),
+      (4L, "mu nu", "book")) // < 3 tokens: no shingles -> trivially clean
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    for (fpp <- Seq(0.01, 0.5)) { // exactness must not depend on sketch quality
+      val out = Curation.decontaminateBloom(corpus, "doc_id", "text",
+          bench, "doc_id", "text", n = 3, expectedBenchShingles = 16, fpp = fpp)
+      assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
+      assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    }
+  }
+
+  test("decontaminateBloom: empty benchmark keeps the whole corpus; probe is codegen'd") {
+    val corpus = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curation.decontaminateBloom(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3)
+    assert(out.count() == 2)
+    // non-empty path: the bloom probe must be the Catalyst expression
+    // (codegen'd literal might_contain), not a UDF
+    val plan = Curation.decontaminateBloom(corpus, "doc_id", "text",
+        Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected might_contain in plan:\n$plan")
+    assert(!plan.contains("UDF"), "bloom probe must not be a UDF")
+  }
+
+  test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
+    val items = (0 until 2000).map(i => s"item_$i")
+    val df = items.toDF("s")
+    val bytes = df.agg(graft.functions.BloomSketch.sketch($"s", 4096, 0.01).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = (items ++ (0 until 2000).map(i => s"other_$i")).toDF("s")
+    val hits = probe.filter(graft.functions.BloomSketch.mightContain(bytes, $"s"))
+      .collect().map(_.getString(0)).toSet
+    assert(items.forall(hits.contains), "bloom must have zero false negatives")
+    val fp = hits.count(_.startsWith("other_"))
+    assert(fp < 200, s"false-positive count $fp far above the 1% design point")
+  }
 }
