@@ -386,23 +386,42 @@ object Curation {
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int, expectedBenchShingles: Long = 1L << 16,
       fpp: Double = 0.01): DataFrame = {
+    val contaminated = bloomContaminationIds(corpus, idCol, textCol,
+      bench, benchIdCol, benchTextCol, n, expectedBenchShingles, fpp)
+    corpus.join(contaminated, corpus(idCol) === contaminated("id"), "left_anti")
+  }
+
+  /** The contaminated-id subplan of [[decontaminateBloom]]: ids of
+    * corpus docs with at least one exact-verified benchmark shingle
+    * hit. Every corpus-side operator is stateless (shingle explode,
+    * literal-sketch probe) or a supported stream-static join /
+    * streaming aggregate, so this runs unchanged over a `readStream`
+    * corpus against a static benchmark — the decontamination gate at
+    * ingest (CurationSpec asserts stream ≡ batch). */
+  def bloomContaminationIds(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int, expectedBenchShingles: Long = 1L << 16,
+      fpp: Double = 0.01): DataFrame = {
     val bsh = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n)
       .select(col("s")).distinct()
     // Job 1: the benchmark collapses to one bounded sketch row.
     val sketchBytes = bsh
       .agg(graft.functions.BloomSketch.sketch(col("s"), expectedBenchShingles, fpp).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val contaminated =
-      if (sketchBytes == null) { // empty benchmark: nothing to remove
-        corpus.sparkSession.emptyDataFrame
-          .select(lit(null).cast("long").as("id")).limit(0)
-      } else {
-        Dedup.shingleRows(corpus, idCol, textCol, n)
-          .filter(graft.functions.BloomSketch.mightContain(sketchBytes, col("s")))
-          .join(bsh, "s") // exact verify: kills bloom false positives
-          .select(col("id")).distinct()
-      }
-    corpus.join(contaminated, corpus(idCol) === contaminated("id"), "left_anti")
+    if (sketchBytes == null) { // empty benchmark: nothing to remove
+      corpus.sparkSession.emptyDataFrame
+        .select(lit(null).cast("long").as("id")).limit(0)
+    } else {
+      Dedup.shingleRows(corpus, idCol, textCol, n)
+        .filter(graft.functions.BloomSketch.mightContain(sketchBytes, col("s")))
+        .join(bsh, "s") // exact verify: kills bloom false positives
+        // groupBy, not distinct(): same batch plan class, but a
+        // streaming AGGREGATION (complete/update-mode composable) where
+        // streaming Deduplicate would reject complete mode
+        .groupBy(col("id")).agg(count(lit(1)).as("n_hit_shingles"))
+        .select(col("id"))
+    }
   }
 
   // ---- LM-perplexity quality filter (CCNet-style) ----
@@ -445,35 +464,75 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       minBigramCount: Int = 2,
       headNllE6: Long, tailNllE6: Long,
-      broadcastLm: Boolean = true): DataFrame = {
-    require(minBigramCount >= 1, "minBigramCount must be >= 1")
-    require(headNllE6 <= tailNllE6, "head threshold must be <= tail threshold")
+      broadcastLm: Boolean = true): DataFrame =
+    lmScore(docs, idCol, textCol,
+      lmTrain(docs, idCol, textCol, minBigramCount),
+      headNllE6, tailNllE6, broadcastLm)
+
+  /** A trained stupid-backoff bigram LM: the unigram and (pruned)
+    * bigram count tables plus the total token count. `uni`/`big` are
+    * unevaluated plans — persist them when scoring many corpora
+    * against one LM. */
+  final case class BigramLm(uni: DataFrame, big: DataFrame, totalTokens: Long)
+
+  /** (id, tok, prev) token stream — prev pairs build map-side by
+    * zipping the token array with its own shift: no window, no
+    * per-doc sort, stateless (streaming-safe). */
+  private def lmTokenPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"),
         graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
       .filter(size(col("__t")) > 0)
     val prevArr = concat(array(lit(null).cast("string")),
       slice(col("__t"), lit(1), size(col("__t")) - 1))
-    val pos = toks
+    toks
       .select(col("id"),
         explode(zip_with(col("__t"), prevArr,
           (t, p) => struct(t.as("tok"), p.as("prev")))).as("tp"))
       .select(col("id"), col("tp.tok").as("tok"), col("tp.prev").as("prev"))
+  }
+
+  /** Train the [[BigramLm]] count tables on `docs`: two
+    * partial-aggregated groupBys bounded by vocabulary / pruned-bigram
+    * cardinality (not corpus rows) plus one count action for the
+    * total. */
+  def lmTrain(docs: DataFrame, idCol: String, textCol: String,
+      minBigramCount: Int = 2): BigramLm = {
+    require(minBigramCount >= 1, "minBigramCount must be >= 1")
+    val pos = lmTokenPairs(docs, idCol, textCol)
     val uni = pos.groupBy("tok").agg(count(lit(1)).as("c"))
-    val tot = pos.agg(count(lit(1)).as("tt"))
     val big = pos.filter(col("prev").isNotNull)
       .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minBigramCount)
-    val prevUni = uni.select(col("tok").as("prev"), col("c").as("c_prev"))
-    def lm(df: DataFrame) = if (broadcastLm) broadcast(df) else df
-    val scored = pos
-      .join(lm(uni), "tok")
-      .join(lm(prevUni), Seq("prev"), "left")
-      .join(lm(big), Seq("prev", "tok"), "left")
-      .crossJoin(broadcast(tot))
+    BigramLm(uni, big, pos.count())
+  }
+
+  /** Score `docs` against a trained (possibly held-out) [[BigramLm]].
+    * Tokens absent from the LM vocabulary would make P null — a
+    * held-out LM should be trained with an OOV floor upstream; scoring
+    * the training corpus (the [[lmPerplexity]] wrapper) has no OOV
+    * case by construction.
+    *
+    * The score path is stateless joins + one per-doc aggregate, so it
+    * composes with Structured Streaming as-is: a document stream
+    * scored against static LM tables is a stream-static join (the
+    * online quality gate at ingest — see the CurationSpec streaming
+    * twin). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm, headNllE6: Long, tailNllE6: Long,
+      broadcastLm: Boolean = true): DataFrame = {
+    require(headNllE6 <= tailNllE6, "head threshold must be <= tail threshold")
+    require(lm.totalTokens > 0, "LM has no tokens")
+    def side(df: DataFrame) = if (broadcastLm) broadcast(df) else df
+    val prevUni = lm.uni.select(col("tok").as("prev"), col("c").as("c_prev"))
+    val tt = lit(lm.totalTokens)
+    val scored = lmTokenPairs(docs, idCol, textCol)
+      .join(side(lm.uni), "tok")
+      .join(side(prevUni), Seq("prev"), "left")
+      .join(side(lm.big), Seq("prev", "tok"), "left")
     val p = when(col("c2").isNotNull, col("c2").cast("double") / col("c_prev"))
-      .when(col("prev").isNotNull, lit(0.4) * (col("c").cast("double") / col("tt")))
-      .otherwise(col("c").cast("double") / col("tt"))
+      .when(col("prev").isNotNull, lit(0.4) * (col("c").cast("double") / tt))
+      .otherwise(col("c").cast("double") / tt)
     val s = floor(log(p) * lit(1000000.0) + lit(0.5)).cast("long")
     scored.select(col("id"), s.as("s"))
       .groupBy("id")

@@ -314,6 +314,52 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), "bloom probe must not be a UDF")
   }
 
+  test("streaming curation gate: lmScore and bloom decontamination match batch") {
+    // curation at ingest: the score path is stateless joins + one
+    // aggregate, so a document stream scored against a static LM (and
+    // probed against a static benchmark sketch) is plain stream-static
+    // composition — asserted row-identical to the batch twins.
+    val docs = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat", "web")) ++
+      Seq((100L, "zq wv xk jy qn pz", "web"), (200L, "the cat sat on zz qq", "bench")))
+      .toDF("doc_id", "text", "source")
+    val corpus = docs.filter($"source" === "web")
+    val bench = docs.filter($"source" === "bench")
+    val dir = java.nio.file.Files.createTempDirectory("cur_stream").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+
+    // sequential queries: two concurrent starts on one session race
+    // Spark's active-session propagation inside stateful-operator
+    // planning (NPE in StateStoreSaveExec's metric init)
+    val lm = Curation.lmTrain(corpus, "doc_id", "text", minBigramCount = 2)
+    val sq = Curation.lmScore(stream, "doc_id", "text", lm,
+        headNllE6 = 700000L, tailNllE6 = 1500000L)
+      .writeStream.format("memory").queryName("lm_stream_out")
+      .outputMode("complete").start()
+    try {
+      sq.processAllAvailable()
+      val gotLm = spark.table("lm_stream_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val wantLm = Curation.lmScore(corpus, "doc_id", "text", lm,
+          headNllE6 = 700000L, tailNllE6 = 1500000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(gotLm.nonEmpty && gotLm == wantLm)
+    } finally sq.stop()
+    val bq = Curation.bloomContaminationIds(stream, "doc_id", "text",
+        bench, "doc_id", "text", n = 3)
+      .writeStream.format("memory").queryName("bloom_stream_out")
+      .outputMode("complete").start()
+    try {
+      bq.processAllAvailable()
+      val gotBad = spark.table("bloom_stream_out").collect().map(_.getLong(0)).toSet
+      val wantBad = Curation.bloomContaminationIds(corpus, "doc_id", "text",
+          bench, "doc_id", "text", n = 3)
+        .collect().map(_.getLong(0)).toSet
+      // 'the cat sat' docs share a 3-gram with the benchmark doc
+      assert(gotBad == wantBad && wantBad == (1 to 20).map(_.toLong).toSet)
+    } finally bq.stop()
+  }
+
   test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
     val items = (0 until 2000).map(i => s"item_$i")
     val df = items.toDF("s")
