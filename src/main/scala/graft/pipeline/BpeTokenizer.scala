@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: training and application, completing
+  * the tokenizer story started by [[TextAnalysis.bpePreTokenCount]]
+  * (q103, the pre-token budget proxy) and [[Curation.bpePairCounts]]
+  * (q106, one training iteration's counting kernel).
+  *
+  * Simplified to character-level BPE over the ASCII pre-token split
+  * ([[TextAnalysis.BpePretokenRe]]) — the GPT-2 byte-level unicode
+  * mapping is an encoding detail orthogonal to the pipeline shape.
+  *
+  * Scale design (this is how production BPE trainers work):
+  *
+  *  - **Training never loops over the corpus.** One distributed
+  *    partial-aggregated groupBy collapses 100 TB of text to the
+  *    (pre-token → count) frequency table, capped at `maxVocabWords`
+  *    rows by frequency (Zipf: the cap loses a vanishing mass tail).
+  *    The classic merge loop then runs driver-side over that bounded
+  *    table — O(numMerges × words × word-length), seconds at the
+  *    10^5–10^6-word scale that covers real corpora, zero further
+  *    cluster I/O.
+  *  - **Encoding is map-only.** The learned merge ranks broadcast
+  *    inside a UDF closure (the documented loopy-kernel exception: a
+  *    data-dependent merge loop per pre-token, with a per-executor
+  *    memo cache — real corpora repeat pre-tokens heavily, so the
+  *    amortized cost per token is a hash probe). No shuffle anywhere.
+  */
+object BpeTokenizer {
+
+  /** Learned merge list, in rank order (rank 0 = first, most frequent
+    * merge). Pair symbols concatenate into the merged symbol. */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  /** Merge every (non-overlapping, left-to-right) occurrence of `pair`
+    * in the symbol sequence — the shared kernel of training and
+    * encoding, so the two sides agree by construction. */
+  private def mergeAll(syms: List[String], pair: (String, String)): List[String] = syms match {
+    case a :: b :: rest if (a, b) == pair => (a + b) :: mergeAll(rest, pair)
+    case a :: rest => a :: mergeAll(rest, pair)
+    case Nil => Nil
+  }
+
+  /** Train `numMerges` BPE merges on the corpus. One distributed
+    * aggregation (pre-token frequencies, `maxVocabWords` cap by
+    * (count desc, token) for determinism), then the driver-local
+    * merge loop. Tie-break at equal pair count: lexicographic pair —
+    * deterministic across partitionings by construction (counts are
+    * exact integers). */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 1 << 20): BpeModel = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val wordCounts: Array[(String, Long)] = df
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(TextAnalysis.BpePretokenRe), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(List[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val pairCounts = collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.lazyZip(syms.tail).foreach { (a, b) =>
+          val p = (a, b); pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) => (mergeAll(syms, best), c) }
+        k += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** Encode one pre-token: repeatedly merge the present pair with the
+    * lowest rank until none remains (the GPT-2 application order). */
+  private def encodeWord(w: String, ranks: Map[(String, String), Int]): List[String] = {
+    var syms = w.map(_.toString).toList
+    var done = syms.lengthCompare(2) < 0
+    while (!done) {
+      val present = syms.lazyZip(syms.tail).map((a, b) => (a, b))
+        .filter(ranks.contains).toSeq
+      if (present.isEmpty) done = true
+      else {
+        syms = mergeAll(syms, present.minBy(ranks))
+        done = syms.lengthCompare(2) < 0
+      }
+    }
+    syms
+  }
+
+  /** Map-only BPE encoding of `text` to the token array. The model
+    * rides the UDF closure (shipped once per task by the closure
+    * serializer); the memo cache is also a closure field, so each task
+    * deserializes a private (thread-confined) copy — repeated
+    * pre-tokens cost one hash probe, and the cap bounds task memory
+    * against adversarial vocabularies. */
+  def encode(model: BpeModel, text: Column): Column = {
+    val re = TextAnalysis.BpePretokenRe.r
+    val ranks = model.ranks
+    val cache = collection.mutable.HashMap.empty[String, List[String]]
+    val enc = udf { (s: String) =>
+      if (s == null) null
+      else re.findAllIn(s).flatMap { w =>
+        if (cache.size > (1 << 16)) cache.clear()
+        cache.getOrElseUpdate(w, encodeWord(w, ranks))
+      }.toArray
+    }
+    enc(text)
+  }
+
+  /** Exact BPE token count under `model` — the precise form of the
+    * q103 pre-token budget proxy. */
+  def tokenCount(model: BpeModel, text: Column): Column =
+    size(encode(model, text))
+}

@@ -314,6 +314,39 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), "bloom probe must not be a UDF")
   }
 
+  test("BpeTokenizer: learns textbook merges, encodes consistently, reconstructs text") {
+    import graft.pipeline.BpeTokenizer
+    val df = Seq("ab ab ab cd").toDF("text")
+    // pre-tokens: "ab", " ab", " ab", " cd" -> pair counts (a,b)=3,
+    // ( ,a)=2, ( ,c)=1, (c,d)=1 -> merge 1 = (a,b); then ( ,ab)=2 wins
+    val m = BpeTokenizer.train(df, "text", numMerges = 2)
+    assert(m.merges == Seq(("a", "b"), (" ", "ab")))
+    val enc = Seq("ab ab cd").toDF("text")
+      .select(BpeTokenizer.encode(m, $"text").as("toks"))
+      .head().getSeq[String](0)
+    assert(enc == Seq("ab", " ab", " ", "c", "d"))
+    // token concatenation reconstructs the input exactly (the pre-token
+    // regex partitions ASCII text; merges only concatenate)
+    val texts = Seq("the quick brown fox, 42 times!", "don't stop-believing")
+    val back = texts.toDF("text")
+      .select($"text", array_join(BpeTokenizer.encode(m, $"text"), "").as("r"))
+      .collect()
+    back.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("BpeTokenizer: merge exhaustion stops early; training is partitioning-invariant") {
+    import graft.pipeline.BpeTokenizer
+    val tiny = Seq("aa").toDF("text")
+    val m = BpeTokenizer.train(tiny, "text", numMerges = 10)
+    assert(m.merges == Seq(("a", "a"))) // one merge possible, then no pairs remain
+    val docs = (1 to 50).map(i => s"doc $i has some repeated text tokens tokens tokens").toDF("text")
+    val m1 = BpeTokenizer.train(docs, "text", numMerges = 8)
+    val m7 = BpeTokenizer.train(docs.repartition(7), "text", numMerges = 8)
+    assert(m1.merges == m7.merges) // exact counts + total-order tie-break
+    val n = docs.select(BpeTokenizer.tokenCount(m1, $"text").as("n")).head().getInt(0)
+    assert(n > 0)
+  }
+
   test("streaming curation gate: lmScore and bloom decontamination match batch") {
     // curation at ingest: the score path is stateless joins + one
     // aggregate, so a document stream scored against a static LM (and
