@@ -508,10 +508,11 @@ object Curation {
   }
 
   /** Score `docs` against a trained (possibly held-out) [[BigramLm]].
-    * Tokens absent from the LM vocabulary would make P null — a
-    * held-out LM should be trained with an OOV floor upstream; scoring
-    * the training corpus (the [[lmPerplexity]] wrapper) has no OOV
-    * case by construction.
+    * Tokens absent from the LM vocabulary take the deterministic OOV
+    * floor P = 0.5/T (a half pseudo-count — Laplace-style, exactly
+    * representable so both engines compute the identical ratio);
+    * scoring the training corpus (the [[lmPerplexity]] wrapper) never
+    * hits it by construction.
     *
     * The score path is stateless joins + one per-doc aggregate, so it
     * composes with Structured Streaming as-is: a document stream
@@ -527,12 +528,13 @@ object Curation {
     val prevUni = lm.uni.select(col("tok").as("prev"), col("c").as("c_prev"))
     val tt = lit(lm.totalTokens)
     val scored = lmTokenPairs(docs, idCol, textCol)
-      .join(side(lm.uni), "tok")
+      .join(side(lm.uni), Seq("tok"), "left")
       .join(side(prevUni), Seq("prev"), "left")
       .join(side(lm.big), Seq("prev", "tok"), "left")
+    val pUni = coalesce(col("c").cast("double"), lit(0.5)) / tt
     val p = when(col("c2").isNotNull, col("c2").cast("double") / col("c_prev"))
-      .when(col("prev").isNotNull, lit(0.4) * (col("c").cast("double") / tt))
-      .otherwise(col("c").cast("double") / tt)
+      .when(col("prev").isNotNull, lit(0.4) * pUni)
+      .otherwise(pUni)
     val s = floor(log(p) * lit(1000000.0) + lit(0.5)).cast("long")
     scored.select(col("id"), s.as("s"))
       .groupBy("id")

@@ -470,6 +470,44 @@ object CurationQueries extends QueryPack {
               |FROM sc GROUP BY 1""".stripMargin)),
 
     Query(
+      "q121_lm_heldout",
+      "Held-out LM scoring (the real CCNet deployment shape: the quality LM is trained on trusted text, not the corpus it filters): a stupid-backoff bigram LM trained on sources != src0 scores the src0 documents. OOV tokens take the deterministic half-pseudo-count floor P = 0.5/T. Same window-free plan as q119; the LM tables swap in unchanged through the lmTrain/lmScore seam.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.lmScore(
+            docs.filter(col("source") === "src0"), "doc_id", "text",
+            Curation.lmTrain(docs.filter(col("source") =!= "src0"), "doc_id", "text",
+              minBigramCount = 2),
+            headNllE6 = 3425000L, tailNllE6 = 3451000L)
+          .select(col("id").as("doc_id"), col("n_tok"), col("nll_e6"), col("bucket"))
+      },
+      // ORACLE SERIES BOUND: series cap 200 vs max 99 tokens/doc in the
+      // sf0.01 corpus (2x headroom; engine side is unbounded).
+      Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+              |tpos AS (SELECT doc_id, i, t[i] AS tok, CASE WHEN i > 1 THEN t[i-1] END AS prev
+              |        FROM toks, generate_series(1, 200) g(i) WHERE source != 'src0' AND i <= len(t)),
+              |uni AS (SELECT tok, count(*) AS c FROM tpos GROUP BY 1),
+              |tot AS (SELECT count(*) AS tt FROM tpos),
+              |big AS (SELECT prev, tok, count(*) AS c2 FROM tpos WHERE prev IS NOT NULL
+              |        GROUP BY 1, 2 HAVING count(*) >= 2),
+              |spos AS (SELECT doc_id, i, t[i] AS tok, CASE WHEN i > 1 THEN t[i-1] END AS prev
+              |        FROM toks, generate_series(1, 200) g(i) WHERE source = 'src0' AND i <= len(t)),
+              |sc AS (SELECT p.doc_id,
+              |         CAST(floor(1000000.0 * ln(
+              |           CASE WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / pu.c
+              |                WHEN p.prev IS NOT NULL THEN 0.4 * (coalesce(CAST(u.c AS DOUBLE), 0.5) / tt)
+              |                ELSE coalesce(CAST(u.c AS DOUBLE), 0.5) / tt END) + 0.5) AS BIGINT) AS s
+              |       FROM spos p LEFT JOIN uni u ON u.tok = p.tok
+              |       LEFT JOIN uni pu ON pu.tok = p.prev
+              |       LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok, tot)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              |       CAST(floor(-sum(s) * 1.0 / count(*)) AS BIGINT) AS nll_e6,
+              |       CASE WHEN floor(-sum(s) * 1.0 / count(*)) < 3425000 THEN 'head'
+              |            WHEN floor(-sum(s) * 1.0 / count(*)) < 3451000 THEN 'middle'
+              |            ELSE 'tail' END AS bucket
+              |FROM sc GROUP BY 1""".stripMargin)),
+
+    Query(
       "q120_bloom_decontaminate",
       "Bloom-prefiltered benchmark decontamination: corpus docs (source != src0) with NO word-3gram overlap against the benchmark (source = src0). The benchmark collapses to one bloom sketch (codegen'd literal probe, no UDF) that drops clean corpus shingles map-side; only survivors reach the exact verify join, so the result is EXACT at any fpp and neither side needs a full broadcast — the middle tier between q95's broadcast set and a full shuffle semi-join.",
       (s, dir) => {

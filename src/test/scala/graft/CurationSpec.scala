@@ -272,6 +272,16 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "LM joins should broadcast by default")
   }
 
+  test("lmScore held-out: OOV tokens take the half-pseudo-count floor") {
+    // LM trained on "a b" (T=2); scoring "qq" hits pure OOV:
+    // P = 0.5/2 = 0.25 -> s = floor(1e6*ln(0.25)+0.5) = -1386294
+    val lm = Curation.lmTrain(Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Curation.lmScore(Seq((9L, "qq")).toDF("doc_id", "text"), "doc_id", "text",
+        lm, headNllE6 = 0L, tailNllE6 = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((9L, 1L, 1386294L)))
+  }
+
   test("lmPerplexity: repeated common text scores lower NLL than rare-token text") {
     val common = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
     val rare = Seq((100L, "zq wv xk jy qn pz"))
