@@ -83,7 +83,40 @@ object GraftFunctions {
       // for expressions that don't declare ExpectsInputTypes
       "graft_searchsorted(x, edges) - clamped bin index of x in a sorted edges array",
       cs => graft.functions.BinarySearchArray(
-        cs(0).cast("double"), cs(1).cast("array<double>"))))
+        cs(0).cast("double"), cs(1).cast("array<double>"))),
+    GraftFn("graft_bloom_agg", 3,
+      "graft_bloom_agg(value, expectedItems, fpp) - aggregate to a serialized bloom sketch (expectedItems/fpp must be literals)",
+      cs => {
+        // sketch sizing happens at plan time, so both sizing args must
+        // be foldable; surface the standard analysis error if not
+        def lit(i: Int, name: String): Double = {
+          val e = ColumnBridge.resolvedExpression(cs(i))
+          if (!e.foldable)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map(
+                "funcName" -> "`graft_bloom_agg`",
+                "paramName" -> s"`$name`",
+                "paramType" -> "\"NUMERIC\""))
+          e.eval() match {
+            case n: java.lang.Number => n.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case other => throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map(
+                "funcName" -> "`graft_bloom_agg`",
+                "paramName" -> s"`$name`",
+                "paramType" -> "\"NUMERIC\""))
+          }
+        }
+        // return the RAW AggregateFunction (analyzer wraps it) so SQL
+        // DISTINCT/FILTER handling sees the same shape as built-ins
+        ColumnBridge.column(graft.functions.BloomSketch.sketchAgg(
+          cs(0), lit(1, "expectedItems").toLong, lit(2, "fpp")))
+      }),
+    GraftFn("graft_bloom_contains", 2,
+      "graft_bloom_contains(sketch, value) - codegen'd membership probe of value against a bloom sketch (binary literal or scalar subquery)",
+      cs => graft.functions.BloomSketch.mightContain(cs(0), cs(1))))
 
   /** Imperative registration on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

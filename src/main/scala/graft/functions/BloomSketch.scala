@@ -40,19 +40,36 @@ object BloomSketch {
     * XxHash64 of `values`. Drive with `df.agg(...)` — the result row
     * is bounded by the sketch size, not the data. */
   def sketch(values: Column, expectedItems: Long, fpp: Double): Column =
-    ColumnBridge.column(
-      new BloomFilterAggregate(
-        new XxHash64(Seq(ColumnBridge.resolvedExpression(values))),
-        Literal(expectedItems),
-        Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression())
+    ColumnBridge.column(sketchAgg(values, expectedItems, fpp).toAggregateExpression())
+
+  /** The raw aggregate function — what a FunctionRegistry builder must
+    * return (the analyzer wraps bare AggregateFunctions itself; see
+    * `GraftFunctions`). */
+  private[graft] def sketchAgg(values: Column, expectedItems: Long,
+      fpp: Double): BloomFilterAggregate =
+    new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.resolvedExpression(values))),
+      Literal(expectedItems),
+      Literal(optimalNumBits(expectedItems, fpp)))
 
   /** Codegen'd membership probe of `value` against a driver-held
     * serialized sketch (embedded as a binary literal). False positives
     * at the configured fpp; NO false negatives — callers using this as
     * a prefilter keep exactness by re-verifying survivors. */
   def mightContain(sketchBytes: Array[Byte], value: Column): Column =
+    mightContainExpr(Literal(sketchBytes, BinaryType), value)
+
+  /** Probe variant taking the sketch as a Column — a binary literal or
+    * a scalar subquery over [[sketch]] (the form SQL clients produce);
+    * Catalyst rejects any non-constant sketch side at analysis. */
+  def mightContain(sketchCol: Column, value: Column): Column =
+    mightContainExpr(ColumnBridge.resolvedExpression(sketchCol), value)
+
+  private def mightContainExpr(
+      sketch: org.apache.spark.sql.catalyst.expressions.Expression,
+      value: Column): Column =
     ColumnBridge.column(
       BloomFilterMightContain(
-        Literal(sketchBytes, BinaryType),
+        sketch,
         new XxHash64(Seq(ColumnBridge.resolvedExpression(value)))))
 }

@@ -33,6 +33,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_delta_phi"))
   }
 
+  test("SQL bloom pair: sketch via scalar subquery, probe keeps exactness") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("a", "b", "c").toDF("s").createOrReplaceTempView("bloom_bench")
+    (Seq("a", "c") ++ (1 to 50).map(i => s"x$i")).toDF("s")
+      .createOrReplaceTempView("bloom_corpus")
+    // pure-SQL decontamination shape: aggregate the benchmark to one
+    // sketch row, probe it as a scalar subquery, exact-verify survivors
+    val hits = spark.sql("""
+      SELECT c.s FROM bloom_corpus c
+      WHERE graft_bloom_contains(
+              (SELECT graft_bloom_agg(s, 100, 0.01) FROM bloom_bench), c.s)
+        AND c.s IN (SELECT s FROM bloom_bench)
+    """).collect().map(_.getString(0)).sorted.toSeq
+    assert(hits == Seq("a", "c"))
+    // sizing args must be literals - the standard analysis error if not
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_bloom_agg(s, length(s), 0.01) FROM bloom_bench").head())
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getMessage)
+  }
+
   test("GraftExtensions injects the same vocabulary via the config path") {
     // the class must be constructible by Spark's extension loader and
     // inject every function without touching a live session
