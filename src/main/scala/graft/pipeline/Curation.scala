@@ -356,6 +356,40 @@ object Curation {
       .select(col("pair"), col("cnt").cast("long").as("cnt"))
   }
 
+  // ---- context-length chunking ----
+
+  /** Sliding-window chunking of long documents into training-context
+    * slices: windows of at most `maxTokens` whitespace tokens starting
+    * every `stride` tokens (stride < maxTokens ⇒ overlapping windows,
+    * the standard long-document pretraining treatment; the final
+    * window is the ragged tail). The complementary operator to
+    * [[packGreedy]]: packing concatenates SHORT docs up to the context
+    * length, chunking splits LONG docs down to it. Returns
+    * (id, chunk_idx, n_chunk_tokens, chunk_text).
+    *
+    * Map-only: the window-start sequence and each slice are array
+    * expressions inside the scan stage — no shuffle, no window
+    * function, no state; trivially streaming-composable. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(stride >= 1 && stride <= maxTokens,
+      "stride must be in [1, maxTokens]")
+    val toked = docs.select(col(idCol).as("id"),
+      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .filter(size(col("__t")) > 0)
+    // starts: 1, 1+stride, 1+2*stride, ... while start <= n
+    val starts = sequence(lit(1), size(col("__t")), lit(stride))
+    toked
+      .select(col("id"), col("__t"),
+        posexplode(starts).as(Seq("k", "start")))
+      .select(col("id"), col("k").cast("long").as("chunk_idx"),
+        slice(col("__t"), col("start"), lit(maxTokens)).as("__c"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   // ---- bloom-prefiltered decontamination ----
 
   /** Exact benchmark decontamination with a bloom-sketch prefilter —
@@ -505,6 +539,27 @@ object Curation {
       .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minBigramCount)
     BigramLm(uni, big, pos.count())
+  }
+
+  /** CCNet threshold trainer: the head/tail nll cut points as corpus
+    * percentiles of an already-scored sample (CCNet cuts at the 33rd /
+    * 67th perplexity percentiles of a held-out slice). One aggregate
+    * action over `scored` (a [[lmScore]] output or any frame with an
+    * `nll_e6` column); pass the result into the scoring run's
+    * thresholds so the big pass stays single-scan. `exact = false`
+    * switches to `approx_percentile` (t-digest sketch, mergeable —
+    * the 100 TB path where an exact percentile would sort). */
+  def lmThresholds(scored: DataFrame, pHead: Double = 1.0 / 3,
+      pTail: Double = 2.0 / 3, exact: Boolean = true): (Long, Long) = {
+    require(0 < pHead && pHead <= pTail && pTail < 1, "need 0 < pHead <= pTail < 1")
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val r = scored.agg(
+      expr(s"$fn(nll_e6, array(${pHead}D, ${pTail}D))").as("q")).head()
+    val q = r.getSeq[Any](0).map {
+      case d: java.lang.Double => math.ceil(d).toLong
+      case l: java.lang.Long => l.longValue()
+    }
+    (q(0), q(1))
   }
 
   /** Score `docs` against a trained (possibly held-out) [[BigramLm]].

@@ -470,6 +470,23 @@ object CurationQueries extends QueryPack {
               |FROM sc GROUP BY 1""".stripMargin)),
 
     Query(
+      "q122_chunking",
+      "Sliding-window context-length chunking (the long-document half of the packing story, complement of q99): windows of <= 32 tokens starting every 16 (50% overlap, the standard pretraining treatment; final window is the ragged tail). Entirely map-only - the start sequence and each slice are array expressions inside the scan; no shuffle, no window function.",
+      (s, dir) => Curation.chunkDocuments(
+          Tables.documents(s, dir), "doc_id", "text", maxTokens = 32, stride = 16)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text")),
+      // ORACLE SERIES BOUND: k <= 50 windows/doc vs <= ceil(99/16) = 7
+      // in the sf0.01 corpus (7x headroom; engine side is unbounded).
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |ch AS (SELECT doc_id, k, 1 + (k-1) * 16 AS start, len(t) AS n, t
+              |       FROM toks, generate_series(1, 50) g(k)
+              |       WHERE len(t) > 0 AND 1 + (k-1) * 16 <= len(t))
+              |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+              |       CAST(least(32, n - start + 1) AS BIGINT) AS n_chunk_tokens,
+              |       array_to_string(list_slice(t, start, least(start + 31, n)), ' ') AS chunk_text
+              |FROM ch""".stripMargin)),
+
+    Query(
       "q121_lm_heldout",
       "Held-out LM scoring (the real CCNet deployment shape: the quality LM is trained on trusted text, not the corpus it filters): a stupid-backoff bigram LM trained on sources != src0 scores the src0 documents. OOV tokens take the deterministic half-pseudo-count floor P = 0.5/T. Same window-free plan as q119; the LM tables swap in unchanged through the lmTrain/lmScore seam.",
       (s, dir) => {

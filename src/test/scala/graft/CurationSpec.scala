@@ -272,6 +272,32 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "LM joins should broadcast by default")
   }
 
+  test("chunkDocuments: overlapping windows, ragged tail, map-only reconstruction") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", maxTokens = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1 (10 toks): starts 1,5,9 -> [t1..t8], [t5..t10], [t9,t10]
+    assert(out.toSeq == Seq(
+      (1L, 0L, 8L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1L, 6L, (5 to 10).map(i => s"t$i").mkString(" ")),
+      (1L, 2L, 2L, "t9 t10"),
+      (2L, 0L, 1L, "a")))
+    // every token position is covered by at least one window
+    val covered = out.filter(_._1 == 1L).map(_._4.split(" ").toSet).reduce(_ ++ _)
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("lmThresholds: exact percentiles of a scored frame; approx path runs") {
+    val scored = (1 to 100).map(i => (i.toLong, i * 1000L)).toDF("id", "nll_e6")
+    val (h, t) = Curation.lmThresholds(scored, pHead = 0.25, pTail = 0.75)
+    // exact interpolated percentiles of 1000..100000: index 24.75 ->
+    // 25750, index 74.25 -> 75250 (both FP-exact)
+    assert(h == 25750L && t == 75250L, s"got ($h, $t)")
+    val (ha, ta) = Curation.lmThresholds(scored, exact = false)
+    assert(ha > 0 && ta >= ha)
+  }
+
   test("lmScore held-out: OOV tokens take the half-pseudo-count floor") {
     // LM trained on "a b" (T=2); scoring "qq" hits pure OOV:
     // P = 0.5/2 = 0.25 -> s = floor(1e6*ln(0.25)+0.5) = -1386294
@@ -369,21 +395,26 @@ class CurationSpec extends AnyFunSuite {
     val bench = docs.filter($"source" === "bench")
     val dir = java.nio.file.Files.createTempDirectory("cur_stream").toString
     corpus.write.mode("overwrite").parquet(dir)
-    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    // own session: AdvancedSpec's streaming tests can run concurrently in
+    // a parallel suite, and concurrent streaming planning on one session
+    // races active-session propagation (see the sequential-start note)
+    val s2 = spark.newSession()
+    val stream = s2.readStream.schema(corpus.schema).parquet(dir)
 
     // sequential queries: two concurrent starts on one session race
     // Spark's active-session propagation inside stateful-operator
     // planning (NPE in StateStoreSaveExec's metric init)
-    val lm = Curation.lmTrain(corpus, "doc_id", "text", minBigramCount = 2)
+    val corpus2 = s2.read.parquet(dir)
+    val lm = Curation.lmTrain(corpus2, "doc_id", "text", minBigramCount = 2)
     val sq = Curation.lmScore(stream, "doc_id", "text", lm,
         headNllE6 = 700000L, tailNllE6 = 1500000L)
       .writeStream.format("memory").queryName("lm_stream_out")
       .outputMode("complete").start()
     try {
       sq.processAllAvailable()
-      val gotLm = spark.table("lm_stream_out")
+      val gotLm = s2.table("lm_stream_out")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
-      val wantLm = Curation.lmScore(corpus, "doc_id", "text", lm,
+      val wantLm = Curation.lmScore(corpus2, "doc_id", "text", lm,
           headNllE6 = 700000L, tailNllE6 = 1500000L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
       assert(gotLm.nonEmpty && gotLm == wantLm)
@@ -394,8 +425,8 @@ class CurationSpec extends AnyFunSuite {
       .outputMode("complete").start()
     try {
       bq.processAllAvailable()
-      val gotBad = spark.table("bloom_stream_out").collect().map(_.getLong(0)).toSet
-      val wantBad = Curation.bloomContaminationIds(corpus, "doc_id", "text",
+      val gotBad = s2.table("bloom_stream_out").collect().map(_.getLong(0)).toSet
+      val wantBad = Curation.bloomContaminationIds(corpus2, "doc_id", "text",
           bench, "doc_id", "text", n = 3)
         .collect().map(_.getLong(0)).toSet
       // 'the cat sat' docs share a 3-gram with the benchmark doc
