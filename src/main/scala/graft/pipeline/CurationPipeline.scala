@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation chain, composing the suite's
+  * operators in the order production pretraining pipelines run them
+  * (the CCNet / RefinedWeb / FineWeb recipe):
+  *
+  *   normalize → quality gate → exact dedup → MinHash near-dedup
+  *   → benchmark decontamination → LM-perplexity bucketing
+  *
+  * Each stage is one of the already-specced operators; this module
+  * only sequences them, so the composed plan inherits every per-stage
+  * scale property (map-only signals, signature-blocked dedup,
+  * bloom-prefiltered exact decontamination, window-free LM scoring).
+  * The output keeps the input schema plus the diagnostics columns
+  * (`quality_e4`, `nll_e6`, `bucket`), ready for
+  * [[Sampling.writeShuffledShards]] / [[Curation.packGreedy]].
+  *
+  * Stage boundaries are lazy DataFrames — nothing materializes until
+  * the caller acts. `runCounted` additionally reports per-stage
+  * survivor counts (one count() action per stage — diagnostics for
+  * samples/CI, not for the 100 TB pass; there, write the final frame
+  * and read stage counts off the metrics listener instead).
+  */
+object CurationPipeline {
+
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is"),
+      minQualityE4: Long = 3000,
+      minhashK: Int = 32,
+      minhashBands: Int = 8,
+      minJaccard: Double = 0.8,
+      shingleN: Int = 2,
+      decontamShingleN: Int = 3,
+      lmMinBigramCount: Int = 2,
+      dropLmTail: Boolean = true)
+
+  /** The composed chain. `bench` (when given) is the evaluation corpus
+    * to decontaminate against. Returns the curated frame. */
+  def run(docs: DataFrame, bench: Option[DataFrame], cfg: Config = Config()): DataFrame =
+    stages(docs, bench, cfg).last._2
+
+  /** [[run]] plus per-stage survivor counts for diagnostics. */
+  def runCounted(docs: DataFrame, bench: Option[DataFrame],
+      cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
+    val st = stages(docs, bench, cfg)
+    (st.last._2, st.map { case (name, df) => (name, df.count()) })
+  }
+
+  private def stages(docs: DataFrame, bench: Option[DataFrame],
+      cfg: Config): Seq[(String, DataFrame)] = {
+    val id = col(cfg.idCol)
+
+    // 1. normalization (map-only): NFC + control strip + case fold
+    val normalized = docs.withColumn(cfg.textCol,
+      TextAnalysis.normalizeText(col(cfg.textCol)))
+
+    // 2. quality gate (map-only HOF arithmetic inside the scan)
+    val scored = normalized.withColumn("quality_e4",
+      graft.queries.e4(TextAnalysis.qualityScore(col(cfg.textCol), cfg.stopwords)))
+    val quality = scored.filter(col("quality_e4") >= cfg.minQualityE4)
+
+    // 3. exact dedup: md5 fingerprint groupBy, keep the min id per
+    //    content (no window — min(struct) partial aggregate)
+    val fp = Dedup.hash60(col(cfg.textCol))
+    val keepIds = quality
+      .select(fp.as("__fp"), id.cast("long").as("__id"))
+      .groupBy("__fp").agg(min(col("__id")).as("__keep"))
+      .select(col("__keep"))
+    val exact = quality.join(keepIds, id.cast("long") === col("__keep"), "left_semi")
+
+    // 4. near-dedup: banded MinHash candidates → connected components →
+    //    canonical winner per duplicate cluster (quality-first ordering)
+    val cand = Dedup.minhashCandidates(exact, cfg.idCol, cfg.textCol,
+      k = cfg.minhashK, bands = cfg.minhashBands, minEst = cfg.minJaccard,
+      shingleN = cfg.shingleN)
+    val resolved = Components.resolveDuplicates(exact, cfg.idCol,
+      cand, "id_a", "id_b", keepOrder = Seq((-col("quality_e4")).cast("long")))
+    val nearDeduped = resolved.filter(col("keep")).drop("keep", "comp")
+
+    // 5. benchmark decontamination (bloom prefilter + exact verify)
+    val decontaminated = bench match {
+      case Some(b) => Curation.decontaminateBloom(nearDeduped, cfg.idCol, cfg.textCol,
+        b, cfg.idCol, cfg.textCol, n = cfg.decontamShingleN)
+      case None => nearDeduped
+    }
+
+    // 6. LM-perplexity bucketing: train on the surviving corpus, cut at
+    //    the CCNet tercile thresholds, optionally drop the tail
+    val lm = Curation.lmTrain(decontaminated, cfg.idCol, cfg.textCol,
+      cfg.lmMinBigramCount)
+    val nll = Curation.lmScore(decontaminated, cfg.idCol, cfg.textCol, lm,
+      headNllE6 = 0L, tailNllE6 = Long.MaxValue)
+      .select(col("id").as("__lmid"), col("nll_e6"))
+    val (headT, tailT) = Curation.lmThresholds(nll)
+    val bucketed = decontaminated
+      .join(nll, id.cast("long") === col("__lmid"), "left")
+      .drop("__lmid")
+      .withColumn("bucket",
+        when(col("nll_e6").isNull, "tail") // docs with zero tokens
+          .when(col("nll_e6") < headT, "head")
+          .when(col("nll_e6") < tailT, "middle")
+          .otherwise("tail"))
+    val curated =
+      if (cfg.dropLmTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
+
+    Seq(
+      "input" -> docs,
+      "quality" -> quality,
+      "exact_dedup" -> exact,
+      "near_dedup" -> nearDeduped,
+      "decontaminated" -> decontaminated,
+      "curated" -> curated)
+  }
+}

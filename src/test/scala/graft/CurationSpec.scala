@@ -286,6 +286,10 @@ class CurationSpec extends AnyFunSuite {
     // every token position is covered by at least one window
     val covered = out.filter(_._1 == 1L).map(_._4.split(" ").toSet).reduce(_ ++ _)
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    // map-only claim: zero exchanges anywhere in the plan
+    val plan = Curation.chunkDocuments(df, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected Exchange in plan:\n$plan")
   }
 
   test("lmThresholds: exact percentiles of a scored frame; approx path runs") {
@@ -432,6 +436,32 @@ class CurationSpec extends AnyFunSuite {
       // 'the cat sat' docs share a 3-gram with the benchmark doc
       assert(gotBad == wantBad && wantBad == (1 to 20).map(_.toLong).toSet)
     } finally bq.stop()
+  }
+
+  test("CurationPipeline: planted junk/dup/near-dup/contaminated docs fall out at the right stages") {
+    import graft.pipeline.CurationPipeline
+    val base = "the cat sat on the mat and the dog ran to the park with a ball in the sun today"
+    val nearDup = base.dropRight(5) + "night" // one trailing token changed
+    val docs = Seq(
+      (1L, base, "web"),
+      (2L, base.toUpperCase, "web"), // exact dup of 1 after normalization
+      (3L, nearDup, "web"),          // near dup of 1 (bigram jaccard 0.9)
+      (4L, "zz qq", "web"),          // too short: fails the quality gate
+      (5L, "completely different text about quantum flux capacitors and the physics of time travel machines", "web"),
+      (6L, "the secret benchmark question about unicorn migration patterns in the north", "web"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((100L, "benchmark question about unicorn migration")).toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minQualityE4 = 5000L, minJaccard = 0.7, dropLmTail = false)
+    val (out, counts) = CurationPipeline.runCounted(docs, Some(bench), cfg)
+    assert(counts == Seq(
+      "input" -> 6L, "quality" -> 5L, "exact_dedup" -> 4L,
+      "near_dedup" -> 3L, "decontaminated" -> 2L, "curated" -> 2L), counts.toString)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+    // diagnostics ride along on the surviving rows
+    assert(out.columns.toSeq.containsSlice(Seq("doc_id", "text", "source")))
+    assert(rows.forall(r => !r.isNullAt(out.columns.indexOf("nll_e6"))))
+    assert(rows.forall(r => Set("head", "middle", "tail")(r.getString(out.columns.indexOf("bucket")))))
   }
 
   test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
