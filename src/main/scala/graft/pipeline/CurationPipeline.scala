@@ -90,21 +90,30 @@ object CurationPipeline {
     }
 
     // 6. LM-perplexity bucketing: train on the surviving corpus, cut at
-    //    the CCNet tercile thresholds, optionally drop the tail
+    //    the CCNet tercile thresholds, optionally drop the tail. A
+    //    degenerate surviving corpus (empty, or all-empty texts — a bad
+    //    sample at a 100 TB gate is legitimate) has no LM: tag 'tail'
+    //    rather than crash, so upstream counts still flow.
     val lm = Curation.lmTrain(decontaminated, cfg.idCol, cfg.textCol,
       cfg.lmMinBigramCount)
-    val nll = Curation.lmScore(decontaminated, cfg.idCol, cfg.textCol, lm,
-      headNllE6 = 0L, tailNllE6 = Long.MaxValue)
-      .select(col("id").as("__lmid"), col("nll_e6"))
-    val (headT, tailT) = Curation.lmThresholds(nll)
-    val bucketed = decontaminated
-      .join(nll, id.cast("long") === col("__lmid"), "left")
-      .drop("__lmid")
-      .withColumn("bucket",
-        when(col("nll_e6").isNull, "tail") // docs with zero tokens
-          .when(col("nll_e6") < headT, "head")
-          .when(col("nll_e6") < tailT, "middle")
-          .otherwise("tail"))
+    val bucketed = if (lm.totalTokens == 0) {
+      decontaminated
+        .withColumn("nll_e6", lit(null).cast("long"))
+        .withColumn("bucket", lit("tail"))
+    } else {
+      val nll = Curation.lmScore(decontaminated, cfg.idCol, cfg.textCol, lm,
+        headNllE6 = 0L, tailNllE6 = Long.MaxValue)
+        .select(col("id").as("__lmid"), col("nll_e6"))
+      val (headT, tailT) = Curation.lmThresholds(nll)
+      decontaminated
+        .join(nll, id.cast("long") === col("__lmid"), "left")
+        .drop("__lmid")
+        .withColumn("bucket",
+          when(col("nll_e6").isNull, "tail") // docs with zero tokens
+            .when(col("nll_e6") < headT, "head")
+            .when(col("nll_e6") < tailT, "middle")
+            .otherwise("tail"))
+    }
     val curated =
       if (cfg.dropLmTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
 

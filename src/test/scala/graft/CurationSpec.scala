@@ -464,6 +464,15 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(r => Set("head", "middle", "tail")(r.getString(out.columns.indexOf("bucket")))))
   }
 
+  test("CurationPipeline: a corpus that empties at the quality gate flows through without error") {
+    import graft.pipeline.CurationPipeline
+    val junk = Seq((1L, "zz qq", "web")).toDF("doc_id", "text", "source")
+    val (out, counts) = CurationPipeline.runCounted(junk, None,
+      CurationPipeline.Config(minQualityE4 = 5000L))
+    assert(out.count() == 0)
+    assert(counts.head == ("input" -> 1L) && counts.last == ("curated" -> 0L))
+  }
+
   test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
     val items = (0 until 2000).map(i => s"item_$i")
     val df = items.toDF("s")
