@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.Tables
-import graft.pipeline.{Curation, Dedup, Retrieval, Similarity, TextAnalysis}
+import graft.pipeline.{BpeTokenizer, Curation, Dedup, Retrieval, Similarity, TextAnalysis}
 
 /** Corpus-curation operators (SURVEY §8.2 extension charter):
   * benchmark decontamination, Gopher-style repetition signals, PII
@@ -544,5 +544,53 @@ object CurationQueries extends QueryPack {
               |        WHERE source = 'src0' AND i <= len(t) - 2),
               |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s))
               |SELECT d.doc_id, d.source FROM documents d LEFT JOIN bad b USING (doc_id)
-              |WHERE d.source != 'src0' AND b.doc_id IS NULL""".stripMargin)))
+              |WHERE d.source != 'src0' AND b.doc_id IS NULL""".stripMargin)),
+
+    Query(
+      "q123_bpe_encode",
+      "Full BPE encoding under the oracle: every document encodes map-only with the pinned 60-merge model (trained once, deterministically, by BpeTokenizer.train on the sf0.01 corpus — provenance spec-checked); the output is the global token-frequency table. The oracle replays the SAME merges as sequential per-rank non-overlapping string replaces over a '|sym||sym|' separator encoding, which equals the engine's iterative min-rank encoder because merge k's components are always products of merges < k (rank monotonicity of any trained model — property-spec'd). Token key space is structurally capped at |charset| + numMerges symbols, so the one shuffle is a broadcast-sized partial aggregate.",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(BpeTokenizer.encode(pinnedBpe, col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token")),
+      Some(bpeEncodeOracle)))
+
+  /** 60 merges from `BpeTokenizer.train(documents@sf0.01, "text", 60)` —
+    * pinned as literals because the oracle SQL must be data-independent
+    * (training itself is oracle-covered by the q106 pair-count kernel;
+    * CurationSpec re-derives this list from the corpus to pin provenance). */
+  private[graft] val pinnedBpeMerges: Seq[(String, String)] = Seq(
+    (" ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("m", "er"),
+    ("a", "t"), ("l", "u"), (" ", "c"), ("a", "s"), (" ", "b"), (" ", "v"),
+    ("a", "r"), ("p", "ar"), (" ", "f"), (" ", "a"), (" ", "t"), ("j", "o"),
+    ("jo", "in"), ("as", "h"), ("h", "ash"), (" ", "join"), ("s", "t"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("a", "n"), ("c", "an"),
+    ("lu", "m"), ("lum", "n"), ("o", "lumn"), ("o", "mer"), ("st", "omer"),
+    ("u", "stomer"), ("i", "l"), ("il", "t"), ("ilt", "er"), (" ", "hash"),
+    ("a", "l"), ("al", "l"), ("m", "all"), (" ", "row"), (" s", "can"),
+    (" ", "d"), (" s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+    (" b", "atch"), (" c", "olumn"), (" f", "ilter"), ("c", "t"),
+    ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
+    (" c", "ustomer"), ("in", "e"), ("l", "ine"), ("a", "b"))
+
+  private[graft] val pinnedBpe = BpeTokenizer.BpeModel(pinnedBpeMerges)
+
+  /** The oracle twin of [[BpeTokenizer.encode]] under [[pinnedBpe]]:
+    * '|'-delimit every char of a pre-token (safe: the corpus charset is
+    * [a-z ] — spec-checked), then one non-overlapping replace per merge
+    * in rank order. Left-to-right `replace` matches `mergeAll`'s
+    * non-overlap semantics; rank order matches min-rank iteration by
+    * the monotonicity argument above. */
+  private def bpeEncodeOracle: String = {
+    def sq(x: String) = x.replace("'", "''")
+    val enc = pinnedBpeMerges.foldLeft("regexp_replace(tok, '(.)', '|\\1|', 'g')") {
+      case (e, (a, b)) => s"replace($e, '|${sq(a)}||${sq(b)}|', '|${sq(a + b)}|')"
+    }
+    s"""WITH pt AS (SELECT unnest(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +')) AS tok FROM documents),
+       |enc AS (SELECT $enc AS s FROM pt),
+       |tk AS (SELECT unnest(string_split(trim(s, '|'), '||')) AS token FROM enc)
+       |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tk
+       |GROUP BY 1 ORDER BY cnt DESC, token""".stripMargin
+  }
 }

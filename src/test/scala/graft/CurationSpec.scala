@@ -387,6 +387,48 @@ class CurationSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("q123 provenance: the pinned merge list IS train() on the sf0.01 corpus (and '|' is charset-safe)") {
+    import graft.pipeline.BpeTokenizer
+    import graft.queries.CurationQueries
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val m = BpeTokenizer.train(docs, "text", numMerges = 60)
+    assert(m.merges == CurationQueries.pinnedBpeMerges)
+    // the oracle's '|sym|' separator encoding requires '|' absent from text
+    assert(docs.filter($"text".contains("|")).isEmpty, "oracle separator '|' occurs in corpus text")
+  }
+
+  test("q123 lemma: sequential rank-order replay equals the iterative min-rank encoder") {
+    // The DuckDB oracle applies merges once each, in rank order; the
+    // engine iterates lowest-rank-present. Equal for any TRAINED model:
+    // merge k's components are products of merges < k, so firing merge k
+    // can never create an occurrence of a lower-ranked pair.
+    import graft.pipeline.{BpeTokenizer, TextAnalysis}
+    import graft.queries.CurationQueries
+    val m = CurationQueries.pinnedBpe
+    def mergeAll(syms: List[String], pair: (String, String)): List[String] = syms match {
+      case a :: b :: rest if (a, b) == pair => (a + b) :: mergeAll(rest, pair)
+      case a :: rest => a :: mergeAll(rest, pair)
+      case Nil => Nil
+    }
+    val re = TextAnalysis.BpePretokenRe.r
+    def sequential(text: String): Seq[String] =
+      re.findAllIn(text).toSeq.flatMap(w =>
+        m.merges.foldLeft(w.map(_.toString).toList)(mergeAll))
+    // overlap runs, multi-level merges ( c+ustomer), partial words, ties
+    val texts = Seq(
+      "scan customer filter hash join order merge batch column",
+      "sss aaa bbb  scan scan",
+      "custom customer customers scanner",
+      "row rows lower slow small smaller all ball",
+      "a", " ", "ab", "join join join")
+    val got = texts.toDF("text")
+      .select($"text", BpeTokenizer.encode(m, $"text").as("toks")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == sequential(r.getString(0)),
+        s"divergence on '${r.getString(0)}'")
+    }
+  }
+
   test("streaming curation gate: lmScore and bloom decontamination match batch") {
     // curation at ingest: the score path is stateless joins + one
     // aggregate, so a document stream scored against a static LM (and
