@@ -50,6 +50,53 @@ object Retrieval {
       .select(col("id"), col("n_hits"))
   }
 
+  /** BM25 document ranking (Robertson/Lucene variant) for a fixed query
+    * term set: idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation
+    * k1, length normalization b against the corpus-wide average doc
+    * length. Returns the global top-`k` docs as (rank, id, bm25_e6).
+    *
+    * Cross-engine exactness: each per-(doc, term) score quantizes to an
+    * integer INDEPENDENTLY (floor(1e6·idf·tfpart + 0.5)) before the
+    * per-doc sum — summing unrounded doubles is what flips oracle
+    * hashes, not ln's 1-ulp variance (the q119/q121 pattern). Every
+    * other step is single IEEE ops over exact integers, written in the
+    * same operand order as the SQL twin.
+    *
+    * Plan shape: the term filter runs map-side BEFORE the only corpus
+    * shuffle (exchange ∝ hit set, like [[searchAll]]); df and the
+    * (N, total_len) corpus stats ride in as broadcasts; the global
+    * top-k is a bounded-heap [[graft.functions.TopKAgg]] — map-side
+    * combined, k×partitions shuffle rows, no window over the hit set. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, "k must be positive")
+    val toked = df.select(col(idCol).as("id"),
+      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+    val stats = toked.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("__t"))).as("total_len"))
+    val hits = toked
+      .select(col("id"), size(col("__t")).as("len"),
+        explode(filter(col("__t"), t => t.isin(terms.map(lit): _*))).as("tok"))
+      .groupBy("id", "len", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    // operand order mirrors the oracle SQL exactly:
+    //   1e6 * ln(1 + (N - df + 0.5) / (df + 0.5))
+    //       * ((tf * (k1+1)) / (tf + k1 * ((1-b) + b * (len / (total_len / N)))))
+    val sE6 = floor(lit(1000000.0)
+      * log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      * ((col("tf") * lit(k1 + 1.0)) / (col("tf") + lit(k1)
+        * (lit(1.0 - b) + lit(b) * (col("len") / (col("total_len") / col("n_docs"))))))
+      + lit(0.5)).cast("long")
+    hits.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+      .select(col("id"), sE6.as("s_e6"))
+      .groupBy("id").agg(sum("s_e6").as("bm25_e6"))
+      .agg(graft.functions.TopKAgg(col("bm25_e6"), col("id"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("bm25_e6"))
+  }
+
   /** Top-`k` TF-IDF terms per document with a RATIONAL idf (N/df
     * instead of the classical ln(N/df)). The rational form is a
     * standard idf variant that weights rare terms more aggressively

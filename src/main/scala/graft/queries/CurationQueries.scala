@@ -554,7 +554,27 @@ object CurationQueries extends QueryPack {
           .select(explode(BpeTokenizer.encode(pinnedBpe, col("text"))).as("token"))
           .groupBy("token").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("token")),
-      Some(bpeEncodeOracle)))
+      Some(bpeEncodeOracle)),
+
+    Query(
+      "q124_bm25",
+      "BM25 document ranking (Robertson idf, k1=1.2 tf saturation, b=0.75 length normalization) for the query {hash, join, scan}: global top-20 docs. Per-(doc,term) scores quantize to integers independently BEFORE the per-doc sum (the q119/q121 ln pattern — unrounded double summation is the cross-engine hazard, not ln itself). Term filter runs map-side before the only corpus shuffle; df and corpus stats broadcast; the global top-k is the bounded-heap TopKAgg, not a window.",
+      (s, dir) => Retrieval.bm25(
+          Tables.documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "scan"), k = 20)
+        .select(col("rank"), col("id").as("doc_id"), col("bm25_e6")),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_len FROM toks),
+              |tc AS (SELECT doc_id, len(t) AS len, x AS tok, count(*) AS tf
+              |       FROM toks, unnest(t) u(x) WHERE x IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+              |dfreq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+              |sc AS (SELECT doc_id, CAST(floor(1000000.0
+              |         * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              |         * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len / (total_len / n_docs))))) + 0.5) AS BIGINT) AS s_e6
+              |       FROM tc JOIN dfreq USING (tok), stats),
+              |d AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6 FROM sc GROUP BY 1),
+              |r AS (SELECT row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rank, doc_id, bm25_e6 FROM d)
+              |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_e6 FROM r WHERE rank <= 20""".stripMargin)))
 
   /** 60 merges from `BpeTokenizer.train(documents@sf0.01, "text", 60)` —
     * pinned as literals because the oracle SQL must be data-independent

@@ -53,4 +53,27 @@ class RetrievalSpec extends AnyFunSuite {
     val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.9)
     assert(jac.count() == 0)
   }
+
+  test("bm25: rare-term idf and length normalization rank as the textbook says; no window") {
+    val df = Seq(
+      (1L, "x x x y"), // high tf of the common term, longest doc
+      (2L, "x y y"),   // one common-term hit, near-average length
+      (3L, "z z"),     // the only doc with the rare term, short
+      (4L, "w w w"),   // no query terms — must not appear
+      (5L, "x w")      // one common-term hit, short
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25(df, "doc_id", "text", Seq("x", "z"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // idf(z)=ln(1+4.5/1.5) dominates idf(x)=ln(1+2.5/3.5); within x-docs
+    // tf saturation beats the length penalty for doc 1, and the shorter
+    // doc 5 outranks doc 2 at equal tf (b-normalization).
+    assert(out.map(_._2).toSeq == Seq(3L, 1L, 5L, 2L))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // dense ranks
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.reverse.toSeq)
+    // k truncates, best-first
+    val top2 = Retrieval.bm25(df, "doc_id", "text", Seq("x", "z"), k = 2)
+    assert(top2.collect().map(_.getLong(1)).toSeq == Seq(3L, 1L))
+    val plan = top2.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global top-k must not window:\n$plan")
+  }
 }
