@@ -48,6 +48,29 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotHof(a, b) / (norm(a) * norm(b))
 
+  /** Per-group embedding centroids, integer-exact: each element
+    * quantizes to e6 INDEPENDENTLY (one widen + one multiply + one
+    * floor, all single IEEE ops) before the integer sum, so the result
+    * hash-matches any engine — summing unquantized floats/doubles is
+    * order-dependent and never cross-engine stable. Returns
+    * (group, pos, n, sum_e6, mean_e6) with mean_e6 = floor(sum_e6 / n).
+    *
+    * The class-centroid / embedding-drift op of a training pipeline
+    * (per-source or per-label corpus monitoring, nearest-class-mean
+    * classification, codebook seeding). Plan: one posexplode (dim rows
+    * per vector, map-side) into ONE partial-aggregated groupBy on the
+    * (group × dim) key space — bounded by |groups|·dim, independent of
+    * corpus size; no window, no collect. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode(col(vecCol)))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        floor(col("col").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy("grp", "pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_e6"))
+      .select(col("grp"), col("pos"), col("n"), col("sum_e6"),
+        floor(col("sum_e6") / col("n")).cast("long").as("mean_e6"))
+
   /** Brute-force top-k: for each query vector (small set, broadcast),
     * the k nearest corpus vectors by cosine. Deterministic: ranking on
     * (quantized cosine desc, corpus id asc).

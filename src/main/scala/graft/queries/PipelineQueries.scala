@@ -548,6 +548,22 @@ object PipelineQueries extends QueryPack {
              |SELECT source, count(*) AS n_docs,
              |CAST(sum(nb) AS BIGINT) AS total_bytes,
              |CAST(floor(avg(f6) * 10000 + 0.5) AS BIGINT) AS avg_f6_e4
-             |FROM f GROUP BY source""".stripMargin))
+             |FROM f GROUP BY source""".stripMargin)),
+
+    Query(
+      "q125_centroids",
+      "Per-label embedding centroids (the class-centroid / embedding-drift monitor): each element quantizes to e6 independently BEFORE the integer sum, so the centroid is cross-engine exact (summing raw floats is order-dependent). One map-side posexplode into ONE partial-aggregated groupBy on the (label x dim) key space — bounded by |labels|*64 regardless of corpus size.",
+      (s, dir) => Similarity.groupCentroids(
+          Tables.embeddings(s, dir), "label", "embedding")
+        .select(col("grp").cast("long").as("label"), col("pos"), col("n"),
+          col("sum_e6"), col("mean_e6")),
+      Some("""WITH q AS (SELECT label, i - 1 AS pos,
+             |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+             |  FROM embeddings, generate_series(1, 64) g(i)),
+             |a AS (SELECT label, pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_e6
+             |      FROM q GROUP BY 1, 2)
+             |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+             |CAST(n AS BIGINT) AS n, sum_e6,
+             |CAST(floor(sum_e6 / n) AS BIGINT) AS mean_e6 FROM a""".stripMargin))
   )
 }

@@ -546,6 +546,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("Int.MaxValue"))
   }
 
+  test("groupCentroids: per-element e6 quantization precedes the sum; floor mean; single aggregate") {
+    val df = Seq((0, Seq(0.5f, -0.5f)), (0, Seq(1.0f, 0.25f)), (1, Seq(2.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.groupCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // q(-0.5) = floor(-499999.5) = -500000 (round-half-up, not toward 0)
+    assert(got == Seq(
+      (0, 0L, 2L, 1500000L, 750000L),
+      (0, 1L, 2L, -250000L, -125000L),
+      (1, 0L, 1L, 2000000L, 2000000L),
+      (1, 1L, 1L, 0L, 0L)))
+    val plan = Similarity.groupCentroids(df, "label", "embedding")
+      .queryExecution.executedPlan.toString
+    // one partial-aggregated exchange on (label, dim); nothing else moves
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+  }
+
   test("TopKAgg keeps k best by (score desc, id asc) across partitions") {
     // 1000 rows scattered over 16 partitions, with a score tie at the
     // k-boundary: ids 100 and 200 both score 990; id asc wins.
