@@ -564,6 +564,56 @@ object PipelineQueries extends QueryPack {
              |      FROM q GROUP BY 1, 2)
              |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
              |CAST(n AS BIGINT) AS n, sum_e6,
-             |CAST(floor(sum_e6 / n) AS BIGINT) AS mean_e6 FROM a""".stripMargin))
+             |CAST(floor(sum_e6 / n) AS BIGINT) AS mean_e6 FROM a""".stripMargin)),
+
+    Query(
+      "q126_audio_fingerprint",
+      "Acoustic fingerprint dedup (Haitsma-Kalker energy-delta bits): per-clip 32-bit fingerprint from framed sample energies — entirely codegen'd HOFs inside the scan (frame energies, delta signs, Horner bit-pack; no UDF) — then exact dedup = ONE groupBy on the fingerprint. Samples fabricate from ASCII text (q94 convention); PcmBackend feeds real decoded PCM through the identical downstream shape. Exact integer arithmetic, cross-engine stable by construction.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            Multimodal.audioFingerprint(Multimodal.textPcm($"text")).as("fp"))
+          .groupBy($"fp")
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      },
+      Some("""WITH s AS (SELECT doc_id, i, ascii(substring(text, i, 1)) AS c
+             |           FROM documents, generate_series(1, 264) g(i) WHERE i <= length(text)),
+             |e0 AS (SELECT doc_id, CAST(floor((i - 1) / 8) AS INT) AS f, sum(c * c) AS en
+             |       FROM s GROUP BY 1, 2),
+             |g AS (SELECT doc_id, f FROM documents, generate_series(0, 32) t(f)),
+             |e AS (SELECT g.doc_id, g.f, COALESCE(e0.en, 0) AS en
+             |      FROM g LEFT JOIN e0 ON g.doc_id = e0.doc_id AND g.f = e0.f),
+             |fp AS (SELECT a.doc_id,
+             |       CAST(COALESCE(sum(CASE WHEN b.en > a.en THEN CAST(power(2, a.f) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS fp
+             |       FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+             |       WHERE a.f < 32 GROUP BY 1)
+             |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+             |FROM fp GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q127_audio_neardup",
+      "Audio near-dup pairs (Hamming <= 3 over a 56-bit energy-delta fingerprint) through the GENERIC pigeonhole blocking (Dedup.signatureCandidates, the same operator behind SimHash and image aHash): 4x14-bit chunks, a shared chunk is guaranteed at Hamming <= 3, so recall is 1 and the oracle is the exact all-pairs result. Chunk cardinality is the scale knob (2^14 values bounds bucket occupancy at n/16384; 8-bit chunks went quadratic on the 10x probe). A minimum-duration gate (>= 228 samples = the fingerprint span) drops short clips whose zero-tail bits would all collide — the standard acoustic-dedup precondition.",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.audioNearDup(
+          Tables.documents(s, dir), "doc_id", Multimodal.textPcm($"text"))
+      },
+      Some("""WITH s AS (SELECT doc_id, i, ascii(substring(text, i, 1)) AS c
+             |           FROM documents, generate_series(1, 228) g(i) WHERE i <= length(text)),
+             |e0 AS (SELECT doc_id, CAST(floor((i - 1) / 4) AS INT) AS f, sum(c * c) AS en
+             |       FROM s GROUP BY 1, 2),
+             |g AS (SELECT doc_id FROM documents WHERE length(text) >= 228),
+             |grid AS (SELECT doc_id, f FROM g, generate_series(0, 56) t(f)),
+             |e AS (SELECT grid.doc_id, grid.f, COALESCE(e0.en, 0) AS en
+             |      FROM grid LEFT JOIN e0 ON grid.doc_id = e0.doc_id AND grid.f = e0.f),
+             |fp AS (SELECT a.doc_id,
+             |       CAST(COALESCE(sum(CASE WHEN b.en > a.en THEN CAST(power(2, a.f) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS fp
+             |       FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+             |       WHERE a.f < 56 GROUP BY 1)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin))
   )
 }

@@ -564,6 +564,36 @@ class PipelineSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
   }
 
+  test("audioFingerprint: hand-computed energy-delta bits; empty text; chunking; near-dup gate") {
+    // frameSize=2, nBits=4. "abcz": E = [97^2+98^2, 99^2+122^2, 0, 0, 0]
+    // = [19013, 24685, 0, 0, 0]; bits = [1,0,0,0] -> fp = 1.
+    // "ab cz zz": E = [19013, 10825, 15908, 29768, 0]; bits = [0,1,1,0] -> fp = 6.
+    val df = Seq((1L, "abcz"), (2L, "ab cz zz"), (3L, "")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+        Multimodal.audioFingerprint(Multimodal.textPcm($"text"), frameSize = 2, nBits = 4).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fps == Seq((1L, 1L), (2L, 6L), (3L, 0L)))
+
+    // textPcm guards sequence(1, 0)'s descending step: empty -> empty array
+    val pcm = df.filter($"doc_id" === 3L)
+      .select(Multimodal.textPcm($"text")).collect()(0).getSeq[Int](0)
+    assert(pcm.isEmpty)
+
+    // LSB chunk first: 0x12345678 -> [0x78, 0x56, 0x34, 0x12]
+    val ch = df.limit(1).select(Multimodal.fingerprintChunks(lit(0x12345678L), 8, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(ch == Seq(0x78L, 0x56L, 0x34L, 0x12L))
+
+    // near-dup: identical long clips pair at hamming 0; the short clip is
+    // gated out by minSamples even though its fingerprint (0) would
+    // otherwise collide with nothing meaningful
+    val longText = "ab" * 150
+    val clips = Seq((1L, longText), (2L, longText), (3L, "abcz")).toDF("doc_id", "text")
+    val pairs = Multimodal.audioNearDup(clips, "doc_id", Multimodal.textPcm($"text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0L)))
+  }
+
   test("TopKAgg keeps k best by (score desc, id asc) across partitions") {
     // 1000 rows scattered over 16 partitions, with a score tie at the
     // k-boundary: ids 100 and 200 both score 990; id asc wins.
