@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Jagged {
 
+  /** Let-binding for array-valued subexpressions. HOF lambdas have no
+    * cross-tree CSE: an array expression referenced N times (e.g. fed
+    * to several `aggregate`/`slice` calls) is recomputed N times per
+    * row. `bindArray(e)(body)` materializes `e` exactly once per row
+    * and hands `body` a lambda variable — a 100× win on the
+    * audio-fingerprint bring-up (PLANS.md round-8e). Nesting is fine;
+    * inner bindings shadow outer ones. */
+  def bindArray(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
+
   /** ak.num(coll, axis=1): per-event multiplicity. */
   def num(arr: Column): Column = coalesce(size(arr), lit(0))
 

@@ -309,15 +309,11 @@ object Multimodal {
     * near-dup matching. The bit string packs LSB-first via a Horner
     * fold (no variable shifts). Exact integer arithmetic throughout —
     * cross-engine stable by construction. */
-  /** Let-binding idiom: HOF lambdas have no CSE across the expression
-    * tree, so an array-valued subexpression referenced N times is
-    * recomputed N times per row (the fingerprint references the sample
-    * array 33× and the energy array 2× — inlining naively is O(33·len²)
-    * per row, measured 73 s → 0.6 s at sf0.1). `transform(array(e), x
-    * -> body)` materializes `e` exactly once per row and binds it to a
-    * lambda variable. */
+  // Let-binding via Jagged.bindArray: the fingerprint references the
+  // sample array 33x and the energy array 2x — inlining naively
+  // recomputes them per reference (measured 73 s -> 0.6 s at sf0.1).
   private def bindArray(e: Column)(body: Column => Column): Column =
-    element_at(transform(array(e), body), 1)
+    graft.core.Jagged.bindArray(e)(body)
 
   def audioFingerprint(samples: Column, frameSize: Int = 8, nBits: Int = 32): Column = {
     require(frameSize > 0 && nBits > 0 && nBits <= 62, s"bad frameSize=$frameSize nBits=$nBits")
