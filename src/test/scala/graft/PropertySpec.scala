@@ -224,4 +224,54 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("audioNearDup == local all-pairs Hamming for clustered random sample arrays") {
+    import graft.pipeline.Multimodal
+    val frameSize = 4; val nBits = 56
+    def localFp(s: Seq[Int]): Long = {
+      val e = (0 to nBits).map(f =>
+        s.slice(f * frameSize, f * frameSize + frameSize).map(x => x.toLong * x).sum)
+      (0 until nBits).foldLeft(0L)((acc, f) =>
+        acc | (if (e(f + 1) > e(f)) 1L << f else 0L))
+    }
+    // clusters: a base clip plus light perturbations (±1 on a few
+    // samples flips at most a few energy-delta bits), so Hamming<=3
+    // pairs actually exist; unrelated bases land far apart
+    val baseGen = Gen.listOfN(240, Gen.chooseNum(32, 126))
+    val bases = samples(baseGen, 12)
+    val clips = bases.zipWithIndex.flatMap { case (b, i) =>
+      val v = b.toVector
+      Seq(
+        (i * 3 + 0).toLong -> v,
+        (i * 3 + 1).toLong -> v.updated(7, v(7) + 1),
+        (i * 3 + 2).toLong -> v.updated(11, v(11) - 1).updated(100, v(100) + 1))
+    }
+    val expected = (for {
+      (ia, sa) <- clips; (ib, sb) <- clips if ia < ib
+      h = java.lang.Long.bitCount(localFp(sa) ^ localFp(sb)) if h <= 3
+    } yield (ia, ib, h.toLong)).sorted
+    val got = Multimodal.audioNearDup(
+        clips.toDF("id", "samples"), "id", $"samples")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expected, s"engine=${got.size} local=${expected.size} pairs")
+    assert(expected.size >= bases.size, "perturbed clusters must produce pairs")
+  }
+
+  test("groupCentroids == local quantize-then-sum for random float vectors") {
+    import graft.pipeline.Similarity
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-2.0, 2.0).map(_.toFloat))
+    val rows = samples(Gen.zip(Gen.chooseNum(0, 3), vecGen), 60)
+    val df = rows.map { case (g, v) => (g, v.toSeq) }.toDF("label", "embedding")
+    val got = Similarity.groupCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val local = rows.flatMap { case (g, v) =>
+      v.zipWithIndex.map { case (x, pos) =>
+        (g, pos.toLong) -> math.floor(x.toDouble * 1000000.0 + 0.5).toLong
+      }
+    }.groupBy(_._1).view.mapValues { qs =>
+      val n = qs.size.toLong; val s = qs.map(_._2).sum
+      (n, s, math.floor(s.toDouble / n).toLong)
+    }.toMap
+    assert(got == local)
+  }
 }
