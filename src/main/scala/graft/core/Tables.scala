@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Dataset catalog over the driver-provided parquet star schema.
   *
@@ -30,7 +32,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** Events stream table, with `ts` normalized to the engine contract of
+    * nanos-since-epoch LongType regardless of the file's physical type.
+    * Driver-generated data has shipped `ts` both as parquet
+    * TIMESTAMP(NANOS) (arrives as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and as TIMESTAMP(MICROS)
+    * (arrives as TimestampNTZType) — downstream operators and oracles
+    * (`ts div 1000` = µs, [[graft.queries.nanosToTs]]) assume nanos-long,
+    * so the micros form converts here, at the catalog boundary. Sessions
+    * run in UTC, so the NTZ→instant cast is exact. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** The `ts`-normalization step of [[events]], reusable on any frame
+    * with the events schema (e.g. a streaming source over the same
+    * files, where the physical type follows the file, not the catalog). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -133,6 +133,60 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Tunable thresholds for [[gopherSignals]] — defaults are the
+    * published MassiveText values (Rae et al. 2021, A1.1), except the
+    * word-count floor which callers size to their corpus. */
+  final case class GopherRules(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8,
+      maxSymbolRatio: Double = 0.1,
+      minStopwordHits: Int = 2)
+
+  /** Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1):
+    * the published repetition-free subset of the ruleset — word-count
+    * band, mean-word-length band, alphabetic-word ratio, #/ellipsis
+    * symbol-to-word ratio, and minimum stopword hits — as one struct of
+    * per-document signals plus the conjunction `pass` flag. (The
+    * line-shape rules — bullet/ellipsis line ratios — need line
+    * boundaries and live with the caller; the repetition rules are
+    * [[graft.pipeline.Curation.repetitionStats]].)
+    *
+    * Pure codegen'd HOF arithmetic over a pre-bound token array (bind
+    * with [[graft.functions.Barrier]] so tokenization runs once), so at
+    * 100 TB the filter runs inside the scan stage — map-only, no
+    * shuffle, streaming-composable. Ratios are single IEEE divisions of
+    * integer counts (exactly rounded, engine-portable); quantize with
+    * [[graft.queries.e4]] before hash-comparing aggregates.
+    *
+    * Fields: `n_words, mean_word_len, alpha_ratio, symbol_ratio,
+    * stop_hits, pass`. */
+  def gopherSignals(toks: Column, stopwords: Seq[String],
+      rules: GopherRules = GopherRules()): Column = {
+    val n = size(toks)
+    val nD = n.cast("double")
+    val meanLen = when(n > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+        .cast("double") / nD).otherwise(lit(0.0))
+    val alphaRatio = when(n > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nD)
+      .otherwise(lit(0.0))
+    val symbolRatio = when(n > 0,
+      size(filter(toks, t => t.contains("#") || t.contains("...")))
+        .cast("double") / nD).otherwise(lit(0.0))
+    val stopHits = vocabHitsIn(toks, stopwords)
+    val pass = n >= rules.minWords && n <= rules.maxWords &&
+      meanLen >= rules.minMeanLen && meanLen <= rules.maxMeanLen &&
+      alphaRatio >= rules.minAlphaRatio &&
+      symbolRatio <= rules.maxSymbolRatio &&
+      stopHits >= rules.minStopwordHits
+    struct(n.as("n_words"), meanLen.as("mean_word_len"),
+      alphaRatio.as("alpha_ratio"), symbolRatio.as("symbol_ratio"),
+      stopHits.as("stop_hits"), pass.as("pass"))
+  }
+
   /** Portable 60-bit hash: first 15 hex chars of md5, as BIGINT —
     * reproducible in any engine with md5 (the cross-engine contract for
     * MinHash/SimHash oracles). `stream` selects an independent hash

@@ -574,7 +574,44 @@ object CurationQueries extends QueryPack {
               |       FROM tc JOIN dfreq USING (tok), stats),
               |d AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6 FROM sc GROUP BY 1),
               |r AS (SELECT row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rank, doc_id, bm25_e6 FROM d)
-              |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_e6 FROM r WHERE rank <= 20""".stripMargin)))
+              |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_e6 FROM r WHERE rank <= 20""".stripMargin)),
+
+    Query(
+      "q128_gopher_quality",
+      "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
+      (s, dir) => {
+        val g = TextAnalysis.gopherSignals(col("__t"), gopherStops)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.Barrier(TextAnalysis.tokens(col("text"))).as("__t"))
+          .select(col("doc_id"), g.as("g"))
+          .select(col("doc_id"),
+            col("g.n_words").cast("long").as("n_words"),
+            e4(col("g.mean_word_len")).as("mean_len_e4"),
+            e4(col("g.alpha_ratio")).as("alpha_e4"),
+            e4(col("g.symbol_ratio")).as("symbol_e4"),
+            col("g.stop_hits").cast("long").as("stop_hits"),
+            col("g.pass").cast("long").as("pass"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |sig AS (SELECT doc_id, len(t) AS n,
+              |  CASE WHEN len(t) > 0 THEN list_aggregate(list_transform(t, x -> len(x)), 'sum') * 1.0 / len(t) ELSE 0.0 END AS ml,
+              |  CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(t) ELSE 0.0 END AS ar,
+              |  CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> contains(x, '#') OR contains(x, '...'))) * 1.0 / len(t) ELSE 0.0 END AS sr,
+              |  len(list_filter(t, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS sh
+              |  FROM toks)
+              |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+              |CAST(floor(ml * 10000 + 0.5) AS BIGINT) AS mean_len_e4,
+              |CAST(floor(ar * 10000 + 0.5) AS BIGINT) AS alpha_e4,
+              |CAST(floor(sr * 10000 + 0.5) AS BIGINT) AS symbol_e4,
+              |CAST(sh AS BIGINT) AS stop_hits,
+              |CAST(CASE WHEN n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+              |  AND ar >= 0.8 AND sr <= 0.1 AND sh >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+              |FROM sig""".stripMargin)))
+
+  /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
+    * rule (q128) — must match the IN-list literal in the oracle SQL. */
+  private val gopherStops = Seq("the", "a", "and", "of", "to")
 
   /** 60 merges from `BpeTokenizer.train(documents@sf0.01, "text", 60)` —
     * pinned as literals because the oracle SQL must be data-independent

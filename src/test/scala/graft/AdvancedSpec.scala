@@ -237,15 +237,17 @@ class AdvancedSpec extends AnyFunSuite {
   }
 
   test("streaming windowed agg matches batch aggregation") {
-    val batch = spark.read.parquet(s"$sf/events.parquet")
+    val batch = graft.core.Tables.normalizeEventTs(
+        spark.read.parquet(s"$sf/events.parquet"))
       .select($"event_type", graft.queries.nanosToTs($"ts").as("t"), $"value")
     // streaming file source needs a DIRECTORY: stage the single file
     val dir = java.nio.file.Files.createTempDirectory("ev_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("part-0.parquet"))
-    val stream = EventStream.fromParquetDir(spark, dir.toString,
-      spark.read.parquet(s"$sf/events.parquet").schema)
+    val stream = graft.core.Tables.normalizeEventTs(
+        EventStream.fromParquetDir(spark, dir.toString,
+          spark.read.parquet(s"$sf/events.parquet").schema))
       .select($"event_type", graft.queries.nanosToTs($"ts").as("t"), $"value")
     val q = EventStream.windowedStats(stream, "t", "1 hour")
       .writeStream.format("memory").queryName("win_out").outputMode("complete").start()

@@ -515,6 +515,31 @@ class CurationSpec extends AnyFunSuite {
     assert(counts.head == ("input" -> 1L) && counts.last == ("curated" -> 0L))
   }
 
+  test("gopherSignals: per-rule signals and the conjunction pass flag") {
+    import graft.pipeline.TextAnalysis
+    val rules = TextAnalysis.GopherRules(minWords = 3, maxWords = 10,
+      minMeanLen = 2.0, maxMeanLen = 6.0, minAlphaRatio = 0.5,
+      maxSymbolRatio = 0.25, minStopwordHits = 1)
+    val df = Seq(
+      (1L, "the cat sat on mat"), // all rules pass
+      (2L, "## ## ##"),           // alpha 0, symbol 1.0 -> fail
+      (3L, "a b"),                // under the word floor -> fail
+      (4L, "")                    // empty doc: zeros, fail
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.gopherSignals(TextAnalysis.tokens($"text"),
+          Seq("the", "on"), rules).as("g"))
+      .select($"doc_id", $"g.n_words", $"g.mean_word_len", $"g.alpha_ratio",
+        $"g.symbol_ratio", $"g.stop_hits", $"g.pass")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 5, 2.8, 1.0, 0.0, 2, true)))
+    assert(out(1) == ((2L, 3, 2.0, 0.0, 1.0, 0, false)))
+    assert(out(2) == ((3L, 2, 1.0, 1.0, 0.0, 0, false)))
+    assert(out(3) == ((4L, 0, 0.0, 0.0, 0.0, 0, false)))
+  }
+
   test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
     val items = (0 until 2000).map(i => s"item_$i")
     val df = items.toDF("s")
