@@ -187,6 +187,50 @@ object TextAnalysis {
       stopHits.as("stop_hits"), pass.as("pass"))
   }
 
+  /** Tunable thresholds for [[lineSignals]] — defaults are the published
+    * MassiveText values (Rae et al. 2021, A1.1: drop docs with > 90%
+    * bullet lines or > 30% ellipsis-terminated lines) plus C4's
+    * code-line exclusion (Raffel et al. 2020, §2.2: drop docs with curly
+    * braces). */
+  final case class LineRules(
+      maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3,
+      allowCodeLines: Boolean = false)
+
+  /** Line-shape quality signals — the half of the Gopher ruleset that
+    * needs line boundaries ([[gopherSignals]] covers the token-level
+    * half): fraction of non-blank lines starting with a bullet
+    * (`- `/`* `/`•`), fraction ending in an ellipsis, any line
+    * containing curly braces (the C4 code filter), and the conjunction
+    * `pass` flag.
+    *
+    * Pure codegen'd HOF arithmetic over one `split` — map-only inside
+    * the scan, no shuffle, streaming-composable. Ratios are single IEEE
+    * divisions of integer counts (cross-engine exact).
+    *
+    * Fields: `n_lines, bullet_ratio, ellipsis_ratio, has_code_line,
+    * pass`. */
+  def lineSignals(text: Column, rules: LineRules = LineRules()): Column = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val n = size(lines)
+    val nD = n.cast("double")
+    val bulletRatio = when(n > 0,
+      size(filter(lines, l => trim(l).startsWith("- ") ||
+        trim(l).startsWith("* ") || trim(l).startsWith("•")))
+        .cast("double") / nD).otherwise(lit(0.0))
+    val ellipsisRatio = when(n > 0,
+      size(filter(lines, l => trim(l).endsWith("...")))
+        .cast("double") / nD).otherwise(lit(0.0))
+    val hasCode = size(filter(lines,
+      l => l.contains("{") || l.contains("}"))) > 0
+    val pass = n > 0 && bulletRatio <= rules.maxBulletRatio &&
+      ellipsisRatio <= rules.maxEllipsisRatio &&
+      (if (rules.allowCodeLines) lit(true) else !hasCode)
+    struct(n.as("n_lines"), bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"), hasCode.as("has_code_line"),
+      pass.as("pass"))
+  }
+
   /** Portable 60-bit hash: first 15 hex chars of md5, as BIGINT —
     * reproducible in any engine with md5 (the cross-engine contract for
     * MinHash/SimHash oracles). `stream` selects an independent hash

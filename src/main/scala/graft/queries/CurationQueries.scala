@@ -607,7 +607,48 @@ object CurationQueries extends QueryPack {
               |CAST(sh AS BIGINT) AS stop_hits,
               |CAST(CASE WHEN n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
               |  AND ar >= 0.8 AND sr <= 0.1 AND sh >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
-              |FROM sig""".stripMargin)))
+              |FROM sig""".stripMargin)),
+
+    Query(
+      "q129_line_rules",
+      "Line-shape quality rules (Gopher A1.1 bullet/ellipsis line ratios + the C4 curly-brace code filter) over a corpus with deterministically injected multi-line structure (doc_id arithmetic builds bullet/ellipsis/code lines identically in both engines; concat_ws skips NULL parts in both). Pure codegen'd HOF arithmetic over one split — map-only inside the scan, no shuffle; pass compares unquantized IEEE doubles, e4 only on report columns.",
+      (s, dir) => {
+        val injected = Tables.documents(s, dir).withColumn("text2",
+          graft.functions.Barrier(concat_ws("\n",
+            when(col("doc_id") % 3 === 0, lit("- injected bullet")),
+            col("text"),
+            when(col("doc_id") % 4 === 0, lit("to be continued...")),
+            when(col("doc_id") % 5 === 0, lit("* second bullet")),
+            when(col("doc_id") % 6 === 0, lit("if (x) { return y; }")))))
+        injected
+          .select(col("doc_id"), TextAnalysis.lineSignals(col("text2")).as("g"))
+          .select(col("doc_id"),
+            col("g.n_lines").cast("long").as("n_lines"),
+            e4(col("g.bullet_ratio")).as("bullet_e4"),
+            e4(col("g.ellipsis_ratio")).as("ellipsis_e4"),
+            col("g.has_code_line").cast("long").as("has_code_line"),
+            col("g.pass").cast("long").as("pass"))
+      },
+      Some("""WITH inj AS (SELECT doc_id, concat_ws(chr(10),
+             |  CASE WHEN doc_id % 3 = 0 THEN '- injected bullet' END,
+             |  text,
+             |  CASE WHEN doc_id % 4 = 0 THEN 'to be continued...' END,
+             |  CASE WHEN doc_id % 5 = 0 THEN '* second bullet' END,
+             |  CASE WHEN doc_id % 6 = 0 THEN 'if (x) { return y; }' END) AS text2
+             |  FROM documents),
+             |ln AS (SELECT doc_id, list_filter(string_split(text2, chr(10)), l -> trim(l) != '') AS ls FROM inj),
+             |sig AS (SELECT doc_id, len(ls) AS n,
+             |  CASE WHEN len(ls) > 0 THEN len(list_filter(ls, l -> starts_with(trim(l), '- ')
+             |    OR starts_with(trim(l), '* ') OR starts_with(trim(l), chr(8226)))) * 1.0 / len(ls) ELSE 0.0 END AS br,
+             |  CASE WHEN len(ls) > 0 THEN len(list_filter(ls, l -> ends_with(trim(l), '...'))) * 1.0 / len(ls) ELSE 0.0 END AS er,
+             |  CASE WHEN len(list_filter(ls, l -> contains(l, '{') OR contains(l, '}'))) > 0 THEN 1 ELSE 0 END AS hc
+             |  FROM ln)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+             |CAST(floor(br * 10000 + 0.5) AS BIGINT) AS bullet_e4,
+             |CAST(floor(er * 10000 + 0.5) AS BIGINT) AS ellipsis_e4,
+             |CAST(hc AS BIGINT) AS has_code_line,
+             |CAST(CASE WHEN n > 0 AND br <= 0.9 AND er <= 0.3 AND hc = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+             |FROM sig""".stripMargin)))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

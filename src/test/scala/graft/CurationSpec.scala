@@ -540,6 +540,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3) == ((4L, 0, 0.0, 0.0, 0.0, 0, false)))
   }
 
+  test("lineSignals: bullet/ellipsis ratios, C4 code-line flag, pass conjunction") {
+    import graft.pipeline.TextAnalysis
+    val df = Seq(
+      (1L, "- a\nplain text line\nend..."), // ellipsis 1/3 > 0.3 -> fail
+      (2L, "just one line"),                // pass
+      (3L, "x { y }"),                      // code line -> fail
+      (4L, ""),                             // no lines -> fail
+      (5L, "- a\n- b")                      // bullets 1.0 > 0.9 -> fail
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextAnalysis.lineSignals($"text").as("g"))
+      .select($"doc_id", $"g.n_lines", $"g.bullet_ratio", $"g.ellipsis_ratio",
+        $"g.has_code_line", $"g.pass")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 3, 1.0 / 3, 1.0 / 3, false, false)))
+    assert(out(1) == ((2L, 1, 0.0, 0.0, false, true)))
+    assert(out(2) == ((3L, 1, 0.0, 0.0, true, false)))
+    assert(out(3) == ((4L, 0, 0.0, 0.0, false, false)))
+    assert(out(4) == ((5L, 2, 1.0, 0.0, false, false)))
+  }
+
   test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
     val items = (0 until 2000).map(i => s"item_$i")
     val df = items.toDF("s")
