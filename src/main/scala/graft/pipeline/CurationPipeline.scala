@@ -31,6 +31,13 @@ object CurationPipeline {
       textCol: String = "text",
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is"),
       minQualityE4: Long = 3000,
+      // Optional published rulesets folded into the quality gate. Line
+      // rules run on the RAW text BEFORE normalization (foldWhitespace
+      // collapses the newlines they need); Gopher token rules run on the
+      // normalized text alongside the composite score. Both are map-only
+      // scan-stage filters — they add no stage cost beyond the row drop.
+      lineRules: Option[TextAnalysis.LineRules] = None,
+      gopherRules: Option[TextAnalysis.GopherRules] = None,
       minhashK: Int = 32,
       minhashBands: Int = 8,
       minJaccard: Double = 0.8,
@@ -55,14 +62,27 @@ object CurationPipeline {
       cfg: Config): Seq[(String, DataFrame)] = {
     val id = col(cfg.idCol)
 
+    // 0. line-shape rules on the raw text (normalization folds newlines)
+    val lineGated = cfg.lineRules match {
+      case Some(r) => docs.filter(
+        TextAnalysis.lineSignals(col(cfg.textCol), r).getField("pass"))
+      case None => docs
+    }
+
     // 1. normalization (map-only): NFC + control strip + case fold
-    val normalized = docs.withColumn(cfg.textCol,
+    val normalized = lineGated.withColumn(cfg.textCol,
       TextAnalysis.normalizeText(col(cfg.textCol)))
 
     // 2. quality gate (map-only HOF arithmetic inside the scan)
     val scored = normalized.withColumn("quality_e4",
       graft.queries.e4(TextAnalysis.qualityScore(col(cfg.textCol), cfg.stopwords)))
-    val quality = scored.filter(col("quality_e4") >= cfg.minQualityE4)
+    val compositeOk = scored.filter(col("quality_e4") >= cfg.minQualityE4)
+    val quality = cfg.gopherRules match {
+      case Some(r) => compositeOk.filter(
+        TextAnalysis.gopherSignals(TextAnalysis.tokens(col(cfg.textCol)),
+          cfg.stopwords, r).getField("pass"))
+      case None => compositeOk
+    }
 
     // 3. exact dedup: md5 fingerprint groupBy, keep the min id per
     //    content (no window — min(struct) partial aggregate)
@@ -119,6 +139,7 @@ object CurationPipeline {
 
     Seq(
       "input" -> docs,
+      "line_rules" -> lineGated,
       "quality" -> quality,
       "exact_dedup" -> exact,
       "near_dedup" -> nearDeduped,

@@ -496,7 +496,7 @@ class CurationSpec extends AnyFunSuite {
     val cfg = CurationPipeline.Config(minQualityE4 = 5000L, minJaccard = 0.7, dropLmTail = false)
     val (out, counts) = CurationPipeline.runCounted(docs, Some(bench), cfg)
     assert(counts == Seq(
-      "input" -> 6L, "quality" -> 5L, "exact_dedup" -> 4L,
+      "input" -> 6L, "line_rules" -> 6L, "quality" -> 5L, "exact_dedup" -> 4L,
       "near_dedup" -> 3L, "decontaminated" -> 2L, "curated" -> 2L), counts.toString)
     val rows = out.collect()
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
@@ -504,6 +504,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out.columns.toSeq.containsSlice(Seq("doc_id", "text", "source")))
     assert(rows.forall(r => !r.isNullAt(out.columns.indexOf("nll_e6"))))
     assert(rows.forall(r => Set("head", "middle", "tail")(r.getString(out.columns.indexOf("bucket")))))
+  }
+
+  test("CurationPipeline: optional Gopher/line rules drop docs at their own gates") {
+    import graft.pipeline.{CurationPipeline, TextAnalysis}
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran to the park today", "web"),
+      (2L, "int main() {\nreturn 0;\n}", "web"),           // code lines -> line_rules
+      (3L, "the ### cat ### sat ### on ### the mat", "web") // symbol-heavy -> gopher
+    ).toDF("doc_id", "text", "source")
+    val cfg = CurationPipeline.Config(
+      minQualityE4 = 0L, dropLmTail = false,
+      lineRules = Some(TextAnalysis.LineRules()),
+      gopherRules = Some(TextAnalysis.GopherRules(
+        minWords = 3, minMeanLen = 0.0, maxSymbolRatio = 0.1,
+        minStopwordHits = 1)))
+    val (out, counts) = CurationPipeline.runCounted(docs, None, cfg)
+    assert(counts.take(3) == Seq("input" -> 3L, "line_rules" -> 2L, "quality" -> 1L),
+      counts.toString)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("CurationPipeline: a corpus that empties at the quality gate flows through without error") {
