@@ -601,4 +601,107 @@ object Curation {
           .when(col("nll_e6") < tailNllE6, "middle")
           .otherwise("tail"))
   }
+
+  // ---- DSIR importance resampling (Xie et al. 2023) ----
+
+  /** Hashed-bigram bucket ids per document, WITH multiplicity — the
+    * DSIR feature map (hashed n-gram bag). Map-only codegen: tokens →
+    * space-joined bigrams → portable 60-bit hash mod `nBuckets`, so
+    * both engines bucket identically. The token array is let-bound
+    * ([[graft.core.Jagged.bindArray]]): referencing it directly inside
+    * the bigram lambda would re-tokenize the document once per bigram
+    * (the HOF no-CSE hazard — O(len²) per row, measured 2× on this
+    * query's scan). */
+  def dsirBuckets(text: Column, nBuckets: Int): Column =
+    graft.core.Jagged.bindArray(TextAnalysis.tokens(text)) { ts =>
+      val bigrams = when(size(ts) >= 2,
+        transform(sequence(lit(0), size(ts) - 2),
+          i => concat_ws(" ", slice(ts, i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      transform(bigrams,
+        s => pmod(TextAnalysis.portableHash(s, lit(0)), lit(nBuckets.toLong)))
+    }
+
+  /** A fitted DSIR scorer: the e6-quantized per-bucket log importance
+    * ratio, indexed by bucket id — a bounded model artifact (8 bytes ×
+    * nBuckets) exactly like the IVF codebook or the GBDT literal. */
+  final case class DsirModel(nBuckets: Int, scoreE6: Array[Long])
+
+  /** Fit the DSIR bucket-score table: hashed-bigram bag-of-ngrams
+    * distributions of `target` (the distribution you want more of) and
+    * `raw` (the corpus you select from), combined as
+    * `e6⌊ln p̂_target(b) − ln p̂_raw(b)⌉` under add-`smoothing`
+    * estimates.
+    *
+    * EAGER: runs two aggregation jobs whose results are bounded by
+    * `nBuckets` (NOT corpus size) — the same bounded-collect contract
+    * as the IVF trainer. Quantization happens per bucket at fit time,
+    * BEFORE any per-doc summation (the q119/q124 ln determinism
+    * contract); driver-side `math.log` is the same `java.lang.Math.log`
+    * the executors would use. */
+  def dsirFit(raw: DataFrame, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      nBuckets: Int = 1024, smoothing: Double = 0.5): DsirModel = {
+    require(nBuckets > 0 && nBuckets <= (1 << 22),
+      "nBuckets must be in (0, 4M] — the score table collects to the driver")
+    require(smoothing > 0, "smoothing must be positive (unseen buckets need mass)")
+    def dist(df: DataFrame, c: String): (Map[Long, Long], Long) = {
+      val m = df.select(explode(dsirBuckets(col(c), nBuckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (m, m.valuesIterator.sum)
+    }
+    val (rc, tr) = dist(raw, textCol)
+    val (tc, tt) = dist(target, targetTextCol)
+    val sB = smoothing * nBuckets
+    // operand order mirrors the oracle SQL exactly:
+    //   1e6 * (ln((ct + s) / (tt + s*nB)) - ln((cr + s) / (tr + s*nB)))
+    val arr = Array.tabulate(nBuckets) { b =>
+      math.floor(1000000.0 * (
+          math.log((tc.getOrElse(b.toLong, 0L) + smoothing) / (tt + sB))
+        - math.log((rc.getOrElse(b.toLong, 0L) + smoothing) / (tr + sB))) + 0.5)
+        .toLong
+    }
+    DsirModel(nBuckets, arr)
+  }
+
+  /** Score docs under a fitted [[DsirModel]]: `(id, dsir_e6)` where
+    * `dsir_e6 = Σ_bigram occurrences scoreE6(bucket)`; docs with no
+    * bigrams weigh 0. Entirely map-only — the score table is a literal
+    * array (`element_at` inside codegen), so scoring runs inside the
+    * scan stage with zero joins/shuffles and composes with Structured
+    * Streaming unchanged. */
+  def dsirScore(model: DsirModel, df: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val table = typedLit(model.scoreE6.toSeq)
+    val scores = transform(dsirBuckets(col(textCol), model.nBuckets),
+      b => element_at(table, (b + lit(1L)).cast("int")))
+    df.select(col(idCol).cast("long").as("id"),
+      aggregate(scores, lit(0L), (a, x) => a + x).as("dsir_e6"))
+  }
+
+  /** [[dsirFit]] + [[dsirScore]] in one call (EAGER — fit runs its two
+    * bounded jobs immediately). Returns `(id, dsir_e6)`. */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      nBuckets: Int = 1024, smoothing: Double = 0.5): DataFrame =
+    dsirScore(dsirFit(raw, textCol, target, targetTextCol, nBuckets, smoothing),
+      raw, idCol, textCol)
+
+  /** Top-`k` raw docs by DSIR weight — deterministic selection (rank by
+    * weight; the paper's Gumbel resampling adds noise for diversity,
+    * which a seeded [[Sampling.portableHash]] jitter can supply if
+    * wanted). Global top-k is the bounded-heap [[graft.functions.TopKAgg]]
+    * — k×partitions shuffle rows, no window. Returns
+    * `(rank, id, dsir_e6)`. */
+  def dsirSelect(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      nBuckets: Int = 1024, smoothing: Double = 0.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    dsirWeights(raw, idCol, textCol, target, targetTextCol, nBuckets, smoothing)
+      .agg(graft.functions.TopKAgg(col("dsir_e6"), col("id"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("dsir_e6"))
+  }
 }

@@ -648,7 +648,41 @@ object CurationQueries extends QueryPack {
              |CAST(floor(er * 10000 + 0.5) AS BIGINT) AS ellipsis_e4,
              |CAST(hc AS BIGINT) AS has_code_line,
              |CAST(CASE WHEN n > 0 AND br <= 0.9 AND er <= 0.3 AND hc = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
-             |FROM sig""".stripMargin)))
+             |FROM sig""".stripMargin)),
+
+    Query(
+      "q130_dsir",
+      "DSIR importance resampling (Xie et al. 2023): top-20 corpus docs (source != src0) by hashed-bigram log importance ratio against the target distribution (source = src0). Feature hashing is map-only (portable md5 buckets, mod 256); both distributions are nBuckets-bounded partial aggregates; the <= nBuckets score table broadcast-joins onto the occurrence stream; per-bucket ln ratios quantize to e6 integers BEFORE the per-doc sum (the q119/q124 contract); global top-k is the bounded-heap TopKAgg, window-free.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.dsirSelect(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text",
+            docs.filter(col("source") === "src0"), "text",
+            k = 20, nBuckets = 256)
+          .select(col("rank"), col("id").as("doc_id"), col("dsir_e6"))
+      },
+      Some {
+        val h = TextAnalysis.portableHashSql("t[i] || ' ' || t[i+1]", "0")
+        s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+           |rb AS (SELECT doc_id, $h % 256 AS b
+           |       FROM toks, generate_series(1, 200) g(i)
+           |       WHERE source != 'src0' AND i <= len(t) - 1),
+           |tb AS (SELECT $h % 256 AS b
+           |       FROM toks, generate_series(1, 200) g(i)
+           |       WHERE source = 'src0' AND i <= len(t) - 1),
+           |rc AS (SELECT b, count(*) cr FROM rb GROUP BY 1),
+           |tc AS (SELECT b, count(*) ct FROM tb GROUP BY 1),
+           |tot AS (SELECT (SELECT count(*) FROM rb) AS tr, (SELECT count(*) FROM tb) AS tt),
+           |sc AS (SELECT rc.b, CAST(floor(1000000.0 * (ln((coalesce(ct, 0) + 0.5) / (tt + 128.0))
+           |         - ln((cr + 0.5) / (tr + 128.0))) + 0.5) AS BIGINT) AS s_e6
+           |       FROM rc LEFT JOIN tc USING (b), tot),
+           |ds AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS dsir_e6 FROM rb JOIN sc USING (b) GROUP BY 1),
+           |alld AS (SELECT d.doc_id, coalesce(ds.dsir_e6, 0) AS dsir_e6
+           |         FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+           |         LEFT JOIN ds USING (doc_id)),
+           |r AS (SELECT row_number() OVER (ORDER BY dsir_e6 DESC, doc_id) AS rank, doc_id, dsir_e6 FROM alld)
+           |SELECT CAST(rank AS BIGINT) AS rank, doc_id, dsir_e6 FROM r WHERE rank <= 20""".stripMargin
+      }))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

@@ -581,6 +581,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4) == ((5L, 2, 1.0, 0.0, false, false)))
   }
 
+  test("dsirWeights: target-overlapping docs outrank disjoint ones; empty docs weigh 0") {
+    import graft.pipeline.Curation
+    val target = Seq((100L, "quantum flux physics of quantum flux machines"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "quantum flux physics again quantum flux"), // shares target bigrams
+      (2L, "the cat sat on the mat in the sun"),       // disjoint
+      (3L, "one"))                                     // no bigrams -> weight 0
+      .toDF("doc_id", "text")
+    val w = Curation.dsirWeights(raw, "doc_id", "text", target, "text",
+        nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(3L) == 0L)
+    assert(w(1L) > w(2L), s"overlap doc must outrank disjoint doc: $w")
+    assert(w(2L) < 0L, s"target-absent doc must weigh negative: $w")
+    // dsirSelect ranks exactly by (weight desc, id)
+    val sel = Curation.dsirSelect(raw, "doc_id", "text", target, "text",
+        k = 3, nBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sel.map(_._2).toSeq == Seq(1L, 2L, 3L).sortBy(id => (-w(id), id)))
+    assert(sel.forall { case (_, id, s) => w(id) == s })
+  }
+
   test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
     val items = (0 until 2000).map(i => s"item_$i")
     val df = items.toDF("s")
