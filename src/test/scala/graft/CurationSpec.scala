@@ -604,6 +604,35 @@ class CurationSpec extends AnyFunSuite {
     assert(sel.forall { case (_, id, s) => w(id) == s })
   }
 
+  test("dsirScore is map-only and scores a structured stream identically to batch") {
+    import graft.pipeline.Curation
+    val target = Seq((100L, "quantum flux physics")).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (1L, "quantum flux physics again"),
+      (2L, "the cat sat on the mat"),
+      (3L, "one")).toDF("doc_id", "text")
+    val model = Curation.dsirFit(batchDocs, "text", target, "text", nBuckets = 64)
+    // the score table is a literal: serving shuffles nothing
+    val plan = Curation.dsirScore(model, batchDocs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"dsirScore must be map-only:\n$plan")
+    // streaming twin: same literal-model Column scores an ingest stream
+    val dir = java.nio.file.Files.createTempDirectory("dsir_stream")
+    batchDocs.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(dir.toString)
+    val q = Curation.dsirScore(model, stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("dsir_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Curation.dsirScore(model, batchDocs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
     val items = (0 until 2000).map(i => s"item_$i")
     val df = items.toDF("s")
