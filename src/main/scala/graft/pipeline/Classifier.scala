@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-based quality filtering — the modern curation recipe
+  * (FineWeb-Edu's educational-quality classifier, DCLM's fastText
+  * filter): train a linear classifier to separate a curated positive
+  * set from the raw corpus, then gate the corpus on its score.
+  *
+  * Both halves are built 100 TB-first:
+  *
+  *   - '''Training''' is full-batch logistic regression over hashed
+  *     bigram features ([[Curation.dsirBuckets]]): each iteration is ONE
+  *     map-only pass over the (persisted) feature frame followed by a
+  *     gradient aggregate BOUNDED BY nBuckets — the corpus never
+  *     shuffles row-wise, and the driver holds only the (nBuckets+1)
+  *     weight vector (the same bounded-collect contract as the IVF
+  *     trainer / BPE trainer).
+  *   - '''Serving''' is map-only: the trained weights are e6-quantized
+  *     integer literals (`element_at` inside codegen), so scoring runs
+  *     inside the scan stage with zero joins and composes with
+  *     Structured Streaming unchanged — exactly the GBDT/DSIR model-
+  *     artifact pattern.
+  *
+  * Determinism (the oracle contract): per-doc residuals quantize to e9
+  * integers BEFORE the gradient sum, so gradients are exact integer
+  * sums — associative, hence invariant to partitioning and task order.
+  * Given deterministic gradients, the driver-side weight updates (and
+  * therefore the final model) are bit-reproducible run to run. The
+  * serving margin is an integer sum of e6 weights — order-free, exact
+  * in any engine.
+  */
+object Classifier {
+
+  /** A trained logistic gate. `margin_e6(doc) = biasE6 + Σ_occurrences
+    * wE6(bucket)`; classify positive when the margin is > 0. */
+  final case class LogisticModel(nBuckets: Int, biasE6: Long, wE6: Array[Long]) {
+    require(wE6.length == nBuckets, "weight table must have nBuckets entries")
+  }
+
+  /** Train by full-batch gradient descent: `pos` is the curated
+    * positive set (label 1), `neg` the raw/contrast set (label 0).
+    * Internal weights are doubles; only the final model quantizes.
+    *
+    * One Spark job per iteration: margin + residual are computed
+    * map-only from the current weights as literals, and the gradient is
+    * a single groupBy bounded by nBuckets+1 (a sentinel bucket −1
+    * carries the bias gradient, so there is no second pass). The
+    * feature frame is persisted for the duration of training and
+    * unpersisted before returning. */
+  def train(pos: DataFrame, posTextCol: String,
+      neg: DataFrame, negTextCol: String,
+      nBuckets: Int = 256, iters: Int = 20, lr: Double = 0.5): LogisticModel = {
+    require(nBuckets > 0 && nBuckets <= (1 << 22),
+      "nBuckets must be in (0, 4M] — gradients collect to the driver")
+    require(iters > 0, "iters must be positive")
+    val feats = pos.select(lit(1.0).as("y"),
+        Curation.dsirBuckets(col(posTextCol), nBuckets).as("__b"))
+      .unionByName(neg.select(lit(0.0).as("y"),
+        Curation.dsirBuckets(col(negTextCol), nBuckets).as("__b")))
+      .persist()
+    try {
+      val n = feats.count().toDouble
+      require(n > 0, "training corpus is empty")
+      var bias = 0.0
+      var w = new Array[Double](nBuckets)
+      for (_ <- 1 to iters) {
+        val wLit = typedLit(w.toSeq)
+        val margin = lit(bias) + aggregate(
+          transform(col("__b"), b => element_at(wLit, (b + lit(1L)).cast("int"))),
+          lit(0.0), (a, x) => a + x)
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        // e9-quantized residual: gradient sums become exact integer
+        // sums — deterministic under any partitioning
+        val rE9 = floor((p - col("y")) * lit(1e9) + lit(0.5)).cast("long")
+        val grad = feats
+          .select(rE9.as("r"), explode(concat(col("__b"),
+            array(lit(-1L)))).as("b"))
+          .groupBy("b").agg(sum("r").as("g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val scale = lr / (1e9 * n)
+        bias -= scale * grad.getOrElse(-1L, 0L)
+        w = Array.tabulate(nBuckets)(b => w(b) - scale * grad.getOrElse(b.toLong, 0L))
+      }
+      def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+      LogisticModel(nBuckets, e6(bias), w.map(e6))
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Score docs under a trained model: `(id, margin_e6, pred)` with
+    * `pred = 1` when the margin is positive. Map-only — weights are a
+    * literal array, the margin an exact integer sum (order-free, the
+    * cross-engine contract); composes with Structured Streaming. */
+  def score(model: LogisticModel, df: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val wLit = typedLit(model.wE6.toSeq)
+    val margin = lit(model.biasE6) + aggregate(
+      transform(Curation.dsirBuckets(col(textCol), model.nBuckets),
+        b => element_at(wLit, (b + lit(1L)).cast("int"))),
+      lit(0L), (a, x) => a + x)
+    df.select(col(idCol).cast("long").as("id"), margin.as("margin_e6"))
+      .withColumn("pred", (col("margin_e6") > 0L).cast("long"))
+  }
+
+  /** The serving margin as a reusable Column (for composing into a
+    * [[CurationPipeline]]-style gate or a streaming select). */
+  def marginE6(model: LogisticModel, text: Column): Column = {
+    val wLit = typedLit(model.wE6.toSeq)
+    lit(model.biasE6) + aggregate(
+      transform(Curation.dsirBuckets(text, model.nBuckets),
+        b => element_at(wLit, (b + lit(1L)).cast("int"))),
+      lit(0L), (a, x) => a + x)
+  }
+}

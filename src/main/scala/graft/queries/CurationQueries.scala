@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.Tables
-import graft.pipeline.{BpeTokenizer, Curation, Dedup, Retrieval, Similarity, TextAnalysis}
+import graft.pipeline.{BpeTokenizer, Classifier, Curation, Dedup, Retrieval, Similarity, TextAnalysis}
 
 /** Corpus-curation operators (SURVEY §8.2 extension charter):
   * benchmark decontamination, Gopher-style repetition signals, PII
@@ -682,11 +682,68 @@ object CurationQueries extends QueryPack {
            |         LEFT JOIN ds USING (doc_id)),
            |r AS (SELECT row_number() OVER (ORDER BY dsir_e6 DESC, doc_id) AS rank, doc_id, dsir_e6 FROM alld)
            |SELECT CAST(rank AS BIGINT) AS rank, doc_id, dsir_e6 FROM r WHERE rank <= 20""".stripMargin
+      }),
+
+    Query(
+      "q131_quality_classifier",
+      "Classifier-based quality gate (the FineWeb-Edu/DCLM recipe): every document scored under the pinned logistic model (trained once, deterministically, by Classifier.train on the sf0.01 corpus, src0 positives vs the rest — provenance spec-checked; training gradients are e9-integer sums, so the model is bit-reproducible). Serving is map-only: e6 weight literals + exact integer margin sum inside the scan (order-free, the cross-engine contract); pred = margin > 0. The oracle replays the same literal weight table.",
+      (s, dir) =>
+        Classifier.score(pinnedLr, Tables.documents(s, dir), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("margin_e6"), col("pred")),
+      Some {
+        val h = TextAnalysis.portableHashSql("t[i] || ' ' || t[i+1]", "0")
+        val wlist = pinnedLrWeightsE6.mkString("[", ", ", "]")
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |occ AS (SELECT doc_id, $h % 256 AS b
+           |        FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+           |wt AS (SELECT $wlist AS w),
+           |s AS (SELECT doc_id, CAST(sum(w[b + 1]) AS BIGINT) AS ws FROM occ, wt GROUP BY doc_id)
+           |SELECT d.doc_id, CAST($pinnedLrBiasE6 + coalesce(ws, 0) AS BIGINT) AS margin_e6,
+           |CAST(CASE WHEN $pinnedLrBiasE6 + coalesce(ws, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+           |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
       }))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */
   private val gopherStops = Seq("the", "a", "and", "of", "to")
+
+  /** The q131 quality gate: `Classifier.train(documents@sf0.01, src0 vs
+    * rest, nBuckets=256, iters=20, lr=0.5)` — pinned as literals because
+    * the oracle SQL must be data-independent (training determinism is
+    * the e9-integer-gradient contract; CurationSpec re-derives this
+    * exact model from the corpus to pin provenance — regenerate with
+    * `runMain graft.tools.PinClassifier`). */
+  private[graft] val pinnedLrBiasE6: Long = -527871L
+  private[graft] val pinnedLrWeightsE6: Seq[Long] = Seq(
+    -1154L, -38895L, -68613L, 0L, -35929L, -92182L, 19228L, -23565L, -28988L, 49132L,
+    -112191L, 30605L, -81101L, -87596L, -68916L, -48444L, -81770L, -32105L, -26621L, -8009L,
+    -30474L, -50956L, -85755L, -12917L, -45998L, -20295L, -61838L, -58098L, -7766L, -55153L,
+    -4037L, -8683L, 4007L, -86734L, -13547L, -39014L, -65698L, -46535L, -7456L, -57569L,
+    -73512L, -120495L, 13772L, -43884L, 1006L, -22567L, -624L, -30018L, 0L, -6185L,
+    -38104L, -79455L, -7089L, 1301L, -19312L, -30017L, -58644L, 11132L, -18378L, -46352L,
+    -81508L, -45013L, -39176L, -97215L, -56872L, -86171L, -58061L, 63098L, -83133L, -79896L,
+    3869L, -24244L, -112412L, -19549L, -42245L, -14045L, -58735L, -40418L, -74293L, -13778L,
+    -7883L, -8606L, 861L, -83744L, -86258L, -32686L, 12195L, 27902L, 1816L, 34982L,
+    -55305L, -64668L, -74880L, -17236L, -96337L, 52641L, -58341L, -35470L, -51185L, -81994L,
+    -77773L, 47727L, 0L, -37970L, 44132L, -72392L, -79281L, -62562L, 33927L, -48735L,
+    -27685L, 57196L, -33199L, 33241L, -79653L, -75437L, -45549L, -21676L, 9457L, -119277L,
+    50340L, -34347L, -5567L, -18019L, -81709L, -81117L, -66509L, -65804L, -62522L, -112227L,
+    15744L, -101943L, -1545L, -56595L, -10394L, 7722L, -38041L, 13228L, -32770L, -14822L,
+    -40968L, -103377L, 416L, -27269L, -41089L, -41959L, -36956L, -83126L, -117152L, -54610L,
+    1796L, -55303L, -85597L, -9713L, -90545L, 26222L, 14407L, -103700L, -47983L, -49011L,
+    -58586L, -107820L, -109661L, -48512L, -62504L, 11069L, -25805L, -116802L, -15407L, -63211L,
+    -110383L, -33659L, -3852L, -45365L, 0L, -32832L, 0L, -53724L, 33719L, -33464L,
+    -119505L, -93232L, 31829L, -36533L, -71418L, -99016L, -24639L, 0L, 3677L, -27796L,
+    1046L, 5950L, -8458L, -122823L, -35658L, -18376L, -41984L, -73353L, -155519L, -38779L,
+    -23245L, -29251L, 15508L, 36657L, -61694L, -14269L, 37952L, 21688L, -28083L, 48998L,
+    38591L, -90619L, 2886L, -74864L, -105622L, 6560L, -74994L, -55174L, -56544L, 29936L,
+    -103555L, -76776L, -56177L, -26875L, -30693L, 9627L, -89764L, 10349L, -13288L, 3453L,
+    -76118L, -14487L, -16610L, -161710L, 7320L, 12475L, -18278L, 21524L, -57785L, -71320L,
+    -13132L, -63106L, -84711L, 36030L, -91306L, -62603L, 0L, -33589L, -44455L, -6367L,
+    -58420L, -114454L, -101378L, -53369L, -55560L, 13881L)
+
+  private[graft] val pinnedLr =
+    Classifier.LogisticModel(256, pinnedLrBiasE6, pinnedLrWeightsE6.toArray)
 
   /** 60 merges from `BpeTokenizer.train(documents@sf0.01, "text", 60)` —
     * pinned as literals because the oracle SQL must be data-independent

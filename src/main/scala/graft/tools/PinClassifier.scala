@@ -1,0 +1,30 @@
+// Dev-only: (re)derive the pinned q131 quality-gate model from the
+// sf0.01 corpus and print it as Scala literals (the CurationSpec
+// provenance test asserts the committed literals equal this output).
+// Usage: sbt "runMain graft.tools.PinClassifier [sfDir]"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object PinClassifier {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val m = graft.pipeline.Classifier.train(
+      docs.filter(col("source") === "src0"), "text",
+      docs.filter(col("source") =!= "src0"), "text",
+      nBuckets = 256, iters = 20, lr = 0.5)
+    println(s"biasE6 = ${m.biasE6}L")
+    println(m.wE6.grouped(10).map(_.map(_ + "L").mkString(", "))
+      .mkString("wE6 = Seq(\n  ", ",\n  ", ")"))
+    spark.stop()
+  }
+}

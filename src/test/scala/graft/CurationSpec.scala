@@ -633,6 +633,39 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Classifier.train separates planted vocabularies; training is deterministic") {
+    import graft.pipeline.Classifier
+    val pos = Seq.tabulate(8)(i => s"excellent prose $i with careful structure")
+      .toDF("text")
+    val neg = Seq.tabulate(8)(i => s"spam junk $i buy now click here")
+      .toDF("text")
+    val m = Classifier.train(pos, "text", neg, "text",
+      nBuckets = 64, iters = 30, lr = 1.0)
+    val scored = Classifier.score(m,
+      Seq((1L, "excellent prose with careful structure"),
+          (2L, "spam junk buy now click here")).toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scored(1L)._1 > scored(2L)._1, s"positive text must outscore spam: $scored")
+    assert(scored(1L)._2 == 1L && scored(2L)._2 == 0L, scored.toString)
+    // e9-integer gradients make training invariant to partitioning:
+    // a differently-partitioned run yields the identical model
+    val m2 = Classifier.train(pos.repartition(7), "text",
+      neg.repartition(3), "text", nBuckets = 64, iters = 30, lr = 1.0)
+    assert(m2.biasE6 == m.biasE6 && m2.wE6.toSeq == m.wE6.toSeq)
+  }
+
+  test("q131 provenance: the pinned model IS Classifier.train on the sf0.01 corpus") {
+    import graft.pipeline.Classifier
+    import graft.queries.CurationQueries
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val m = Classifier.train(
+      docs.filter($"source" === "src0"), "text",
+      docs.filter($"source" =!= "src0"), "text",
+      nBuckets = 256, iters = 20, lr = 0.5)
+    assert(m.biasE6 == CurationQueries.pinnedLrBiasE6)
+    assert(m.wE6.toSeq == CurationQueries.pinnedLrWeightsE6)
+  }
+
   test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
     val items = (0 until 2000).map(i => s"item_$i")
     val df = items.toDF("s")
