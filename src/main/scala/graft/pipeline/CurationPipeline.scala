@@ -38,6 +38,10 @@ object CurationPipeline {
       // scan-stage filters — they add no stage cost beyond the row drop.
       lineRules: Option[TextAnalysis.LineRules] = None,
       gopherRules: Option[TextAnalysis.GopherRules] = None,
+      // Optional trained quality classifier (FineWeb-Edu/DCLM gate):
+      // keep docs with margin_e6 >= the threshold. Map-only serving
+      // (literal weights), so it rides the same scan as the other gates.
+      classifierGate: Option[(Classifier.LogisticModel, Long)] = None,
       minhashK: Int = 32,
       minhashBands: Int = 8,
       minJaccard: Double = 0.8,
@@ -77,11 +81,16 @@ object CurationPipeline {
     val scored = normalized.withColumn("quality_e4",
       graft.queries.e4(TextAnalysis.qualityScore(col(cfg.textCol), cfg.stopwords)))
     val compositeOk = scored.filter(col("quality_e4") >= cfg.minQualityE4)
-    val quality = cfg.gopherRules match {
+    val gopherOk = cfg.gopherRules match {
       case Some(r) => compositeOk.filter(
         TextAnalysis.gopherSignals(TextAnalysis.tokens(col(cfg.textCol)),
           cfg.stopwords, r).getField("pass"))
       case None => compositeOk
+    }
+    val quality = cfg.classifierGate match {
+      case Some((model, minMargin)) => gopherOk.filter(
+        Classifier.marginE6(model, col(cfg.textCol)) >= minMargin)
+      case None => gopherOk
     }
 
     // 3. exact dedup: md5 fingerprint groupBy, keep the min id per

@@ -506,21 +506,27 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(r => Set("head", "middle", "tail")(r.getString(out.columns.indexOf("bucket")))))
   }
 
-  test("CurationPipeline: optional Gopher/line rules drop docs at their own gates") {
-    import graft.pipeline.{CurationPipeline, TextAnalysis}
+  test("CurationPipeline: optional Gopher/line/classifier rules drop docs at their own gates") {
+    import graft.pipeline.{Classifier, CurationPipeline, TextAnalysis}
+    val gate = Classifier.train(
+      Seq.tabulate(6)(i => s"the good dog ran to the park $i").toDF("text"), "text",
+      Seq.tabulate(6)(i => s"the spam spam buy now offer $i").toDF("text"), "text",
+      nBuckets = 64, iters = 20, lr = 1.0)
     val docs = Seq(
-      (1L, "the cat sat on the mat and the dog ran to the park today", "web"),
-      (2L, "int main() {\nreturn 0;\n}", "web"),           // code lines -> line_rules
-      (3L, "the ### cat ### sat ### on ### the mat", "web") // symbol-heavy -> gopher
+      (1L, "the good dog ran to the park today", "web"),
+      (2L, "int main() {\nreturn 0;\n}", "web"),            // code lines -> line_rules
+      (3L, "the ### dog ### ran ### to ### the park", "web"), // symbol-heavy -> gopher
+      (4L, "the spam spam buy now offer today", "web")       // classifier gate
     ).toDF("doc_id", "text", "source")
     val cfg = CurationPipeline.Config(
       minQualityE4 = 0L, dropLmTail = false,
       lineRules = Some(TextAnalysis.LineRules()),
       gopherRules = Some(TextAnalysis.GopherRules(
         minWords = 3, minMeanLen = 0.0, maxSymbolRatio = 0.1,
-        minStopwordHits = 1)))
+        minStopwordHits = 1)),
+      classifierGate = Some((gate, 0L)))
     val (out, counts) = CurationPipeline.runCounted(docs, None, cfg)
-    assert(counts.take(3) == Seq("input" -> 3L, "line_rules" -> 2L, "quality" -> 1L),
+    assert(counts.take(3) == Seq("input" -> 4L, "line_rules" -> 3L, "quality" -> 1L),
       counts.toString)
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
