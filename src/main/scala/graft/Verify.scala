@@ -18,8 +18,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); Spark 4 only reads it via
-      // this legacy flag (as nanos-since-epoch LongType).
+      // Driver-generated events.parquet has shipped ts as TIMESTAMP(NANOS),
+      // which Spark 4 only reads under this legacy flag (as nanos-epoch
+      // LongType). Current drops use TIMESTAMP(MICROS); Tables.events
+      // normalizes either form — the flag stays for older layouts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

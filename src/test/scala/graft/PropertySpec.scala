@@ -171,6 +171,40 @@ class PropertySpec extends AnyFunSuite {
     ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
   } yield ws.mkString(" ")
 
+  test("dsirWeights == local hash+fit+score recomputation for arbitrary corpora") {
+    import graft.pipeline.Curation
+    val nB = 32
+    def localHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((s + "#0").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def buckets(text: String): Seq[Long] =
+      text.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(p => localHash(p.mkString(" ")) % nB).toSeq
+    val raw = samples(docGen(20), 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val tgt = samples(docGen(20), 8)
+    val got = Curation.dsirWeights(raw.toDF("doc_id", "text"), "doc_id", "text",
+        tgt.map(Tuple1(_)).toDF("text"), "text", nBuckets = nB)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local twin: identical formula, identical operand order
+    val rocc = raw.flatMap(d => buckets(d._2))
+    val tocc = tgt.flatMap(buckets)
+    val rc = rocc.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tc = tocc.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tr, tt) = (rocc.size.toLong, tocc.size.toLong)
+    val sB = 0.5 * nB
+    val arr = Array.tabulate(nB) { b =>
+      math.floor(1000000.0 * (
+          math.log((tc.getOrElse(b.toLong, 0L) + 0.5) / (tt + sB))
+        - math.log((rc.getOrElse(b.toLong, 0L) + 0.5) / (tr + sB))) + 0.5).toLong
+    }
+    raw.foreach { case (id, t) =>
+      val want = buckets(t).map(b => arr(b.toInt)).sum
+      assert(got(id) == want, s"doc $id: engine=${got(id)} local=$want")
+    }
+  }
+
   test("containment dominates Jaccard and both directions are <= 1") {
     val docs = samples(docGen(30), 60).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
