@@ -205,6 +205,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Classifier.score == local margin twin under any model weights") {
+    import graft.pipeline.Classifier
+    val nB = 32
+    def localHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((s + "#0").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def buckets(text: String): Seq[Long] =
+      text.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(p => localHash(p.mkString(" ")) % nB).toSeq
+    // arbitrary weights — scoring must be exact for ANY model, trained or not
+    val w = samples(Gen.chooseNum(-200000L, 200000L), nB).toArray
+    val model = Classifier.LogisticModel(nB, biasE6 = -12345L, wE6 = w)
+    val docs = samples(docGen(20), 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = Classifier.score(model, docs.toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.foreach { case (id, t) =>
+      val margin = model.biasE6 + buckets(t).map(b => w(b.toInt)).sum
+      assert(got(id) == ((margin, if (margin > 0) 1L else 0L)),
+        s"doc $id: engine=${got(id)} local=$margin")
+    }
+  }
+
   test("containment dominates Jaccard and both directions are <= 1") {
     val docs = samples(docGen(30), 60).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
