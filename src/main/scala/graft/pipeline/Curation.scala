@@ -688,12 +688,11 @@ object Curation {
     dsirScore(dsirFit(raw, textCol, target, targetTextCol, nBuckets, smoothing),
       raw, idCol, textCol)
 
-  /** Top-`k` raw docs by DSIR weight — deterministic selection (rank by
-    * weight; the paper's Gumbel resampling adds noise for diversity,
-    * which a seeded [[Sampling.portableHash]] jitter can supply if
-    * wanted). Global top-k is the bounded-heap [[graft.functions.TopKAgg]]
-    * — k×partitions shuffle rows, no window. Returns
-    * `(rank, id, dsir_e6)`. */
+  /** Top-`k` raw docs by DSIR weight — deterministic greedy selection
+    * (rank by weight; for the paper's sampling-without-replacement see
+    * [[dsirResample]]). Global top-k is the bounded-heap
+    * [[graft.functions.TopKAgg]] — k×partitions shuffle rows, no
+    * window. Returns `(rank, id, dsir_e6)`. */
   def dsirSelect(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, k: Int,
       nBuckets: Int = 1024, smoothing: Double = 0.5): DataFrame = {
@@ -703,5 +702,41 @@ object Curation {
       .select(posexplode(col("tk")))
       .select((col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("id"), col("col.score").as("dsir_e6"))
+  }
+
+  /** DSIR's actual selection device: Gumbel-top-k resampling — sample
+    * `k` docs WITHOUT replacement with probability ∝
+    * `exp(w / temperature)` by ranking on `w/T + Gumbel` (the Gumbel
+    * top-k trick). The noise is hash-seeded
+    * (`u = (portableHash(id, seed) mod 1e9 + 0.5) / 1e9`,
+    * `g = −ln(−ln u)`), so the draw is deterministic, reproducible in
+    * any engine, and a different `seed` gives an independent draw.
+    * `temperature → 0` recovers [[dsirSelect]]'s greedy ranking;
+    * large `temperature` approaches uniform sampling. The combined key
+    * quantizes to e6 BEFORE ranking (the ln contract); ranking is the
+    * bounded-heap [[graft.functions.TopKAgg]], window-free. Map-only on
+    * top of [[dsirScore]] — the noise is scan-stage arithmetic.
+    * Returns `(rank, id, key_e6)`. */
+  def dsirResample(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      temperature: Double = 1.0, seed: Long = 7L,
+      nBuckets: Int = 1024, smoothing: Double = 0.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val w = dsirWeights(raw, idCol, textCol, target, targetTextCol,
+      nBuckets, smoothing)
+    // operand order mirrors the oracle SQL exactly:
+    //   u = (hash(id, seed) % 1e9 + 0.5) / 1e9 ; g = -ln(-ln(u))
+    //   key_e6 = floor(dsir_e6 / T + 1e6 * g + 0.5)
+    val u = (pmod(TextAnalysis.portableHash(col("id").cast("string"), lit(seed)),
+      lit(1000000000L)).cast("double") + lit(0.5)) / lit(1000000000.0)
+    val g = -log(-log(u))
+    val key = floor(col("dsir_e6").cast("double") / lit(temperature)
+      + lit(1000000.0) * g + lit(0.5)).cast("long")
+    w.select(col("id"), key.as("key_e6"))
+      .agg(graft.functions.TopKAgg(col("key_e6"), col("id"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("key_e6"))
   }
 }

@@ -685,6 +685,44 @@ object CurationQueries extends QueryPack {
       }),
 
     Query(
+      "q132_dsir_resample",
+      "DSIR Gumbel-top-k resampling (the paper's sampling-without-replacement device): draw 20 docs with probability proportional to exp(weight/T) by ranking on weight/T + hash-seeded Gumbel noise — deterministic, engine-portable randomness (u from the portable md5 hash of the doc id; the same seed reproduces the draw in DuckDB). Noise is map-only scan arithmetic on top of the q130 weight pass; the combined key quantizes to e6 before ranking; top-k is the bounded-heap TopKAgg.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.dsirResample(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text",
+            docs.filter(col("source") === "src0"), "text",
+            k = 20, temperature = 1.0, seed = 7L, nBuckets = 256)
+          .select(col("rank"), col("id").as("doc_id"), col("key_e6"))
+      },
+      Some {
+        val h = TextAnalysis.portableHashSql("t[i] || ' ' || t[i+1]", "0")
+        val hid = TextAnalysis.portableHashSql("CAST(doc_id AS VARCHAR)", "7")
+        s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+           |rb AS (SELECT doc_id, $h % 256 AS b
+           |       FROM toks, generate_series(1, 200) g(i)
+           |       WHERE source != 'src0' AND i <= len(t) - 1),
+           |tb AS (SELECT $h % 256 AS b
+           |       FROM toks, generate_series(1, 200) g(i)
+           |       WHERE source = 'src0' AND i <= len(t) - 1),
+           |rc AS (SELECT b, count(*) cr FROM rb GROUP BY 1),
+           |tc AS (SELECT b, count(*) ct FROM tb GROUP BY 1),
+           |tot AS (SELECT (SELECT count(*) FROM rb) AS tr, (SELECT count(*) FROM tb) AS tt),
+           |sc AS (SELECT rc.b, CAST(floor(1000000.0 * (ln((coalesce(ct, 0) + 0.5) / (tt + 128.0))
+           |         - ln((cr + 0.5) / (tr + 128.0))) + 0.5) AS BIGINT) AS s_e6
+           |       FROM rc LEFT JOIN tc USING (b), tot),
+           |ds AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS dsir_e6 FROM rb JOIN sc USING (b) GROUP BY 1),
+           |alld AS (SELECT d.doc_id, coalesce(ds.dsir_e6, 0) AS dsir_e6
+           |         FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+           |         LEFT JOIN ds USING (doc_id)),
+           |gk AS (SELECT doc_id, CAST(floor(dsir_e6 / 1.0
+           |         + 1000000.0 * (-ln(-ln(($hid % 1000000000 + 0.5) / 1000000000.0))) + 0.5) AS BIGINT) AS key_e6
+           |       FROM alld),
+           |r AS (SELECT row_number() OVER (ORDER BY key_e6 DESC, doc_id) AS rank, doc_id, key_e6 FROM gk)
+           |SELECT CAST(rank AS BIGINT) AS rank, doc_id, key_e6 FROM r WHERE rank <= 20""".stripMargin
+      }),
+
+    Query(
       "q131_quality_classifier",
       "Classifier-based quality gate (the FineWeb-Edu/DCLM recipe): every document scored under the pinned logistic model (trained once, deterministically, by Classifier.train on the sf0.01 corpus, src0 positives vs the rest — provenance spec-checked; training gradients are e9-integer sums, so the model is bit-reproducible). Serving is map-only: e6 weight literals + exact integer margin sum inside the scan (order-free, the cross-engine contract); pred = margin > 0. The oracle replays the same literal weight table.",
       (s, dir) =>

@@ -672,6 +672,27 @@ class CurationSpec extends AnyFunSuite {
     assert(m.wE6.toSeq == CurationQueries.pinnedLrWeightsE6)
   }
 
+  test("dsirResample: T->0 recovers greedy selection; the seed varies the draw deterministically") {
+    import graft.pipeline.Curation
+    val target = Seq((100L, "quantum flux physics of quantum machines"))
+      .toDF("doc_id", "text")
+    val raw = Seq.tabulate(12)(i =>
+        (i.toLong, if (i % 3 == 0) s"quantum flux physics $i" else s"plain filler text $i"))
+      .toDF("doc_id", "text")
+    def draw(t: Double, seed: Long) =
+      Curation.dsirResample(raw, "doc_id", "text", target, "text",
+        k = 4, temperature = t, seed = seed, nBuckets = 64)
+        .collect().map(_.getLong(1)).toSeq
+    // tiny temperature: weight/T dominates the noise -> greedy top-k
+    val greedy = Curation.dsirSelect(raw, "doc_id", "text", target, "text",
+        k = 4, nBuckets = 64).collect().map(_.getLong(1)).toSeq
+    assert(draw(1e-4, 7L) == greedy)
+    // same seed reproduces the draw; a different seed is an independent one
+    assert(draw(1.0, 7L) == draw(1.0, 7L))
+    assert(draw(1e9, 7L) != draw(1e9, 8L),
+      "at near-uniform temperature, different seeds should give different draws")
+  }
+
   test("BloomSketch: no false negatives; fpp roughly honored on disjoint probes") {
     val items = (0 until 2000).map(i => s"item_$i")
     val df = items.toDF("s")
