@@ -85,19 +85,53 @@ object Bench {
       }
       val sec = if (runs.nonEmpty) runs.min else -1.0
       val errJson = err.filter(_ => runs.isEmpty).map(jsonStr).getOrElse("null")
-      println(s"""{"query":${jsonStr(name)},"sec":$sec,"err":$errJson}""")
+      println(s"""{"query":${jsonStr(name)},"sec":${fmt(sec)},"err":$errJson}""")
       Console.out.flush()
       // Bound accumulated relation/codegen cache state across the long
       // registry — the GC window is what plausibly starved r7 heartbeats.
       if ((i + 1) % 20 == 0) spark.catalog.clearCache()
       (name, sec, err.isDefined && runs.isEmpty)
     }
-    val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + v }
+    val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val ok = results.filterNot(_._3)
     val total = ok.map(_._2).sum
     val errs = results.filter(_._3).map(r => jsonStr(r._1)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}""")
+    val aggregate =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}"""
+    // Duplicate the aggregate to a file so a machine consumer never
+    // depends on stdout tail capture (BENCH_r08 lost the line to a 2 KB
+    // tail window + sbt log decoration). Path override: SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (aggregate + "\n").getBytes("UTF-8"))
+    }
+    // Stop the session BEFORE the aggregate line so no executor/session
+    // teardown logging can interleave after it — the aggregate is the
+    // final bytes this process writes to stdout.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(aggregate)
+    // A 121-query map (~3 KB) cannot fit a 2000-byte stdout tail window
+    // (BENCH_r08: the driver's capture began mid-line → parsed: null).
+    // When the full line risks front-truncation, follow it with a
+    // SHORT aggregate that a tail-window line parser always gets whole:
+    // same contract keys, queries map restricted to the slowest 20
+    // (the entries a perf reader wants first), plus the full-map file
+    // pointer. Printed LAST so "last parseable JSON line" == this one.
+    if (aggregate.length > 1800) {
+      val slow = results.filterNot(_._3).sortBy(-_._2).take(20)
+        .map { case (k, v, _) => jsonStr(k) + ":" + fmt(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","errors":$errs,"n_queries":${results.length},"queries_shown":"slowest20","full_queries_file":${jsonStr(outPath)}}""")
+    }
+    Console.out.flush()
   }
+
+  /** Compact fixed 3-decimal seconds (locale-pinned) — keeps the
+    * 121-query aggregate line small enough for tail-capture consumers. */
+  private def fmt(sec: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
 }

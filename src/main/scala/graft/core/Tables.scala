@@ -50,8 +50,20 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df
-      case _ => df.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ =>
+        // The NTZ→instant cast interprets the wall-clock in the SESSION
+        // time zone; the files carry UTC wall-clocks, so any other
+        // session TZ would silently shift every timestamp. Enforce the
+        // engine's UTC contract rather than assume it (a TZ-arithmetic
+        // round-trip would instead hit DST-ambiguity edge cases).
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "Z",
+          s"events.ts normalization requires an UTC session " +
+            s"(spark.sql.session.timeZone=$tz): the NTZ wall-clocks in the " +
+            "files are UTC and the cast localizes in the session zone — " +
+            "set spark.sql.session.timeZone=UTC")
+        df.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp")) * 1000L)
     }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -72,16 +72,25 @@ object Classifier {
           lit(0.0), (a, x) => a + x)
         val p = lit(1.0) / (lit(1.0) + exp(-margin))
         // e9-quantized residual: gradient sums become exact integer
-        // sums — deterministic under any partitioning
-        val rE9 = floor((p - col("y")) * lit(1e9) + lit(0.5)).cast("long")
+        // sums — deterministic under any partitioning. Accumulate in
+        // DECIMAL(38,0): a signed-long sum silently wraps once a bucket
+        // sees ~9.2e9 occurrences (|r| ≤ 1e9 each), which a 100 TB
+        // corpus exceeds by orders of magnitude; decimal keeps the sum
+        // exact to 1e29 occurrences per bucket, and the one
+        // decimal→double rounding below is a deterministic function of
+        // the exact sum.
+        val rE9 = floor((p - col("y")) * lit(1e9) + lit(0.5))
+          .cast("decimal(38,0)")
         val grad = feats
           .select(rE9.as("r"), explode(concat(col("__b"),
             array(lit(-1L)))).as("b"))
           .groupBy("b").agg(sum("r").as("g"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+        val zero = BigDecimal(0)
         val scale = lr / (1e9 * n)
-        bias -= scale * grad.getOrElse(-1L, 0L)
-        w = Array.tabulate(nBuckets)(b => w(b) - scale * grad.getOrElse(b.toLong, 0L))
+        bias -= scale * grad.getOrElse(-1L, zero).toDouble
+        w = Array.tabulate(nBuckets)(b =>
+          w(b) - scale * grad.getOrElse(b.toLong, zero).toDouble)
       }
       def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
       LogisticModel(nBuckets, e6(bias), w.map(e6))
@@ -89,27 +98,21 @@ object Classifier {
   }
 
   /** Score docs under a trained model: `(id, margin_e6, pred)` with
-    * `pred = 1` when the margin is positive. Map-only — weights are a
-    * literal array, the margin an exact integer sum (order-free, the
-    * cross-engine contract); composes with Structured Streaming. */
+    * `pred = 1` when the margin is positive. Map-only — the margin is
+    * an exact integer sum (order-free, the cross-engine contract);
+    * below [[Curation.BroadcastTableThreshold]] buckets the weights are
+    * a codegen'd plan-literal array, above it they ride an executor
+    * broadcast (a 1M-entry literal would be re-serialized into every
+    * task). Composes with Structured Streaming. */
   def score(model: LogisticModel, df: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val wLit = typedLit(model.wE6.toSeq)
-    val margin = lit(model.biasE6) + aggregate(
-      transform(Curation.dsirBuckets(col(textCol), model.nBuckets),
-        b => element_at(wLit, (b + lit(1L)).cast("int"))),
-      lit(0L), (a, x) => a + x)
-    df.select(col(idCol).cast("long").as("id"), margin.as("margin_e6"))
+      idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        marginE6(model, col(textCol)).as("margin_e6"))
       .withColumn("pred", (col("margin_e6") > 0L).cast("long"))
-  }
 
   /** The serving margin as a reusable Column (for composing into a
     * [[CurationPipeline]]-style gate or a streaming select). */
-  def marginE6(model: LogisticModel, text: Column): Column = {
-    val wLit = typedLit(model.wE6.toSeq)
-    lit(model.biasE6) + aggregate(
-      transform(Curation.dsirBuckets(text, model.nBuckets),
-        b => element_at(wLit, (b + lit(1L)).cast("int"))),
-      lit(0L), (a, x) => a + x)
-  }
+  def marginE6(model: LogisticModel, text: Column): Column =
+    Curation.bucketTableSum(model.biasE6, model.wE6,
+      Curation.dsirBuckets(text, model.nBuckets))
 }

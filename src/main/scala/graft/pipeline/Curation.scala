@@ -665,20 +665,54 @@ object Curation {
     DsirModel(nBuckets, arr)
   }
 
+  /** Above this table size, model serving switches from a plan-literal
+    * array to a broadcast variable: a 1M-entry `typedLit` is re-encoded
+    * into EVERY serialized task binary and inflates the codegen'd plan,
+    * while a broadcast ships the table once per executor and the UDF
+    * closure carries only the handle. Below it, the literal + HOF path
+    * wins (whole-stage codegen, zero SerDe). Measured at nBuckets=1M:
+    * see PLANS.md round-9 probe. */
+  private[graft] val BroadcastTableThreshold = 100000
+
+  /** `biasE6 + Σ_b table(bucket b)` as one Column — the shared serving
+    * kernel of [[dsirScore]] and [[graft.pipeline.Classifier]]. Exact
+    * integer arithmetic (order-free, cross-engine portable) on BOTH
+    * execution paths; which path runs is invisible in the result (the
+    * equivalence is spec-pinned via the `threshold` override). */
+  private[graft] def bucketTableSum(
+      biasE6: Long, tableE6: Array[Long], buckets: Column,
+      threshold: Int = BroadcastTableThreshold): Column =
+    if (tableE6.length <= threshold) {
+      val t = typedLit(tableE6.toSeq)
+      lit(biasE6) + aggregate(
+        transform(buckets, b => element_at(t, (b + lit(1L)).cast("int"))),
+        lit(0L), (a, x) => a + x)
+    } else {
+      val bc = org.apache.spark.sql.SparkSession.active
+        .sparkContext.broadcast(tableE6)
+      val f = udf { (bs: Seq[Long]) =>
+        val w = bc.value
+        var s = biasE6
+        val it = bs.iterator
+        while (it.hasNext) s += w(it.next().toInt)
+        s
+      }
+      f(buckets)
+    }
+
   /** Score docs under a fitted [[DsirModel]]: `(id, dsir_e6)` where
     * `dsir_e6 = Σ_bigram occurrences scoreE6(bucket)`; docs with no
-    * bigrams weigh 0. Entirely map-only — the score table is a literal
-    * array (`element_at` inside codegen), so scoring runs inside the
-    * scan stage with zero joins/shuffles and composes with Structured
-    * Streaming unchanged. */
+    * bigrams weigh 0. Entirely map-only — below
+    * [[BroadcastTableThreshold]] buckets the score table is a literal
+    * array (`element_at` inside codegen) so scoring runs inside the
+    * scan stage with zero joins/shuffles; above it the table rides an
+    * executor broadcast instead of bloating every task's serialized
+    * plan. Composes with Structured Streaming unchanged. */
   def dsirScore(model: DsirModel, df: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val table = typedLit(model.scoreE6.toSeq)
-    val scores = transform(dsirBuckets(col(textCol), model.nBuckets),
-      b => element_at(table, (b + lit(1L)).cast("int")))
+      idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-      aggregate(scores, lit(0L), (a, x) => a + x).as("dsir_e6"))
-  }
+      bucketTableSum(0L, model.scoreE6,
+        dsirBuckets(col(textCol), model.nBuckets)).as("dsir_e6"))
 
   /** [[dsirFit]] + [[dsirScore]] in one call (EAGER — fit runs its two
     * bounded jobs immediately). Returns `(id, dsir_e6)`. */

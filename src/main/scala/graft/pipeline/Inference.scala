@@ -30,10 +30,15 @@ object Inference {
 
   /** One node of a flat binary tree. `feature < 0` marks a leaf whose
     * `value` is the tree's contribution; interior nodes route
-    * `x(feature) < threshold` to `left`, else (including NULL/NaN) to
-    * `right`. Children are indices into the same array. */
+    * `x(feature) < threshold` to `left`, else to `right`. Children are
+    * indices into the same array. `missingLeft` is XGBoost's
+    * default-direction bit: a NULL/NaN feature routes left when set,
+    * right otherwise (the shipped hand-built models keep the right
+    * default; [[XgbJson]]-loaded boosters carry whatever the trainer
+    * learned). */
   final case class Node(
-      feature: Int, threshold: Double, left: Int, right: Int, value: Double)
+      feature: Int, threshold: Double, left: Int, right: Int, value: Double,
+      missingLeft: Boolean = false)
 
   def leaf(v: Double): Node = Node(-1, 0.0, -1, -1, v)
   def split(feature: Int, thr: Double, left: Int, right: Int): Node =
@@ -54,7 +59,8 @@ object Inference {
         while (nodes(i).feature >= 0) {
           val n = nodes(i)
           val v = if (n.feature < x.length) x(n.feature) else Double.NaN
-          i = if (v < n.threshold) n.left else n.right
+          i = if (v.isNaN) { if (n.missingLeft) n.left else n.right }
+          else if (v < n.threshold) n.left else n.right
         }
         m += nodes(i).value
         t += 1
@@ -65,7 +71,16 @@ object Inference {
     private def treeColumn(nodes: Array[Node], feat: Int => Column, i: Int): Column = {
       val n = nodes(i)
       if (n.feature < 0) lit(n.value)
-      else when(feat(n.feature) < lit(n.threshold), treeColumn(nodes, feat, n.left))
+      else if (n.missingLeft) {
+        // Route NULL AND NaN left: fold NaN into NULL once (Spark's
+        // comparison semantics order NaN above every value, so a plain
+        // `< thr` would send NaN right), then let `>= thr` pick right
+        // ONLY on a definite true — NULL falls to the left otherwise.
+        val f0 = feat(n.feature)
+        val f = when(!isnan(f0), f0)
+        when(f >= lit(n.threshold), treeColumn(nodes, feat, n.right))
+          .otherwise(treeColumn(nodes, feat, n.left))
+      } else when(feat(n.feature) < lit(n.threshold), treeColumn(nodes, feat, n.left))
         .otherwise(treeColumn(nodes, feat, n.right))
     }
 
@@ -95,7 +110,9 @@ object Inference {
     /** The same margin as ANSI SQL, for external verification. `feat`
       * maps a 0-based feature index to a SQL expression (NULL-free —
       * SQL `<` with NULL would pick the right child like the other
-      * paths, but keep oracle inputs non-null for bit-exactness). */
+      * paths, but keep oracle inputs non-null for bit-exactness; with
+      * non-null, non-NaN inputs the `missingLeft` bit is unreachable,
+      * so the generated SQL needs no default-direction branch). */
     def toSql(feat: Int => String): String =
       (s"CAST($bias AS DOUBLE)" +: trees.map(t => treeSql(t, feat, 0))).mkString("(", " + ", ")")
   }

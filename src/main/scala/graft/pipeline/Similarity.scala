@@ -319,7 +319,15 @@ object Similarity {
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nCells: Int, seed: Long, minCosE6: Long): DataFrame = {
     require(nCells > 0, "nCells must be positive")
-    val cents = hyperplanes(nCells, dim, seed)
+    semDedupPairsWith(df, idCol, vecCol, hyperplanes(nCells, dim, seed), minCosE6)
+  }
+
+  /** [[semDedupPairs]] with an explicit codebook — the shared
+    * cell-assign + within-cell verify plan (a trained quantizer's
+    * centroids drop in here unchanged). */
+  def semDedupPairsWith(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], minCosE6: Long): DataFrame = {
+    require(cents.nonEmpty, "codebook must be non-empty")
     val c = prepCorpus(df, idCol, vecCol)
       .withColumn("cell", argmaxCellUdf(cents)(col("v")))
     val a = c.select(col("cell"), col("nn_id").as("id_a"),
@@ -332,6 +340,49 @@ object Similarity {
         floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6 + 0.5).cast("long"))
       .filter(col("cos_e6") >= minCosE6)
       .select(col("cell").cast("long").as("cell"), col("id_a"), col("id_b"), col("cos_e6"))
+  }
+
+  /** SemDeDup cell-count plan: nCells = ⌈n / targetOccupancy⌉, the
+    * scaladoc knob made mandatory — within-cell verify work is
+    * nCells·occupancy² = n·occupancy, LINEAR in n for fixed occupancy,
+    * while any FIXED nCells is (n/nCells)²-quadratic at some scale
+    * (measured: nCells=8 at 10× the corpus = 163.9 s vs 23.9 s with
+    * occupancy preserved, PLANS.md r8). Abbas et al. 2023 do the same
+    * at LAION scale (~100k clusters for 1B rows ≈ occupancy 10⁴). */
+  def semDedupCells(n: Long, targetOccupancy: Int = 250): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    math.max(1L, math.ceil(n.toDouble / targetOccupancy).toLong).toInt
+  }
+
+  /** Portable md5-derived codebook: component (c, j) maps the first 13
+    * hex chars (52 bits — exactly representable in a double, so the
+    * int→double conversion is lossless in EVERY engine) of
+    * md5("sd_<c>_<j+1>") to U[-1, 1). Unlike [[hyperplanes]] (splitmix64,
+    * unsigned 64-bit multiplies) this is expressible in ANSI SQL, so an
+    * oracle can re-derive a corpus-sized codebook dynamically instead of
+    * pinning literals to one nCells. */
+  def md5Centroids(nCells: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nCells) { c =>
+      Array.tabulate(dim) { j =>
+        val hex = md.digest(s"sd_${c}_${j + 1}".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 13)
+        2.0 * java.lang.Long.parseLong(hex, 16).toDouble / (1L << 52).toDouble - 1.0
+      }
+    }
+  }
+
+  /** [[semDedupPairs]] with a corpus-derived cell count
+    * ([[semDedupCells]]) and the portable [[md5Centroids]] codebook —
+    * the self-tuning scale entry point: one count() action sizes the
+    * codebook so within-cell verify stays LINEAR in n as the corpus
+    * grows (the registered-query shape; a fixed nCells is only safe
+    * when the caller owns the corpus size). */
+  def semDedupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosE6: Long, targetOccupancy: Int = 250): DataFrame = {
+    val n = math.max(1L, df.count())
+    semDedupPairsWith(df, idCol, vecCol,
+      md5Centroids(semDedupCells(n, targetOccupancy), dim), minCosE6)
   }
 
   /** All-pairs cosine above a threshold (quantized to e6), emitted as

@@ -154,17 +154,29 @@ object TextAnalysis {
     * boundaries and live with the caller; the repetition rules are
     * [[graft.pipeline.Curation.repetitionStats]].)
     *
-    * Pure codegen'd HOF arithmetic over a pre-bound token array (bind
-    * with [[graft.functions.Barrier]] so tokenization runs once), so at
-    * 100 TB the filter runs inside the scan stage — map-only, no
-    * shuffle, streaming-composable. Ratios are single IEEE divisions of
+    * Pure codegen'd HOF arithmetic; the token expression is let-bound
+    * internally ([[graft.core.Jagged.bindArray]]) so tokenization runs
+    * exactly once per row however the caller passes it, and at 100 TB
+    * the filter runs inside the scan stage — map-only, no shuffle,
+    * streaming-composable. Ratios are single IEEE divisions of
     * integer counts (exactly rounded, engine-portable); quantize with
     * [[graft.queries.e4]] before hash-comparing aggregates.
     *
     * Fields: `n_words, mean_word_len, alpha_ratio, symbol_ratio,
     * stop_hits, pass`. */
   def gopherSignals(toks: Column, stopwords: Seq[String],
-      rules: GopherRules = GopherRules()): Column = {
+      rules: GopherRules = GopherRules()): Column =
+    // Bind the token array ONCE per row regardless of what the caller
+    // passes: HOF lambdas have no cross-tree CSE, so an unbound
+    // tokenize expression would otherwise be re-evaluated by each of
+    // the ~6 signal fields (the documented bindArray hazard — this
+    // used to be the caller's job, which CurationPipeline itself got
+    // wrong).
+    graft.core.Jagged.bindArray(toks)(ts =>
+      gopherSignalsBound(ts, stopwords, rules))
+
+  private def gopherSignalsBound(toks: Column, stopwords: Seq[String],
+      rules: GopherRules): Column = {
     val n = size(toks)
     val nD = n.cast("double")
     val meanLen = when(n > 0,
@@ -210,8 +222,15 @@ object TextAnalysis {
     *
     * Fields: `n_lines, bullet_ratio, ellipsis_ratio, has_code_line,
     * pass`. */
-  def lineSignals(text: Column, rules: LineRules = LineRules()): Column = {
-    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+  def lineSignals(text: Column, rules: LineRules = LineRules()): Column =
+    // Bind the split-and-filtered line array once per row (same
+    // no-cross-tree-CSE hazard as gopherSignals: each ratio field would
+    // otherwise re-split the document).
+    graft.core.Jagged.bindArray(
+      filter(split(text, "\n"), l => trim(l) =!= ""))(ls =>
+      lineSignalsBound(ls, rules))
+
+  private def lineSignalsBound(lines: Column, rules: LineRules): Column = {
     val n = size(lines)
     val nD = n.cast("double")
     val bulletRatio = when(n > 0,

@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.pipeline.Inference.{GbdtModel, Node}
+
+/** Loaders for the two PUBLIC XGBoost JSON formats, so externally-trained
+  * boosters run on all three [[Inference.GbdtModel]] execution paths
+  * (codegen'd Catalyst CASE-WHEN cascade, JVM hot loop behind the
+  * multimodal seam, generated ANSI SQL for cross-engine verification) —
+  * the reference's xgboost-wrapper contract
+  * (`src/coffea/ml_tools/xgboost_wrapper.py:14-79`: lazy model handle,
+  * prepare → predict over batches) without any native runtime:
+  *
+  *  1. [[fromDump]] — the per-tree nested-dict array that
+  *     `Booster.dump_model(..., dump_format="json")` /
+  *     `get_dump(dump_format="json")` emits: each node
+  *     `{"nodeid":…,"split":"f3","split_condition":…,"yes":…,"no":…,
+  *     "missing":…,"children":[…]}`, leaves `{"nodeid":…,"leaf":…}`.
+  *  2. [[fromModelJson]] — the full `Booster.save_model("m.json")`
+  *     document (xgboost's versioned model schema): flat per-tree
+  *     arrays `split_indices` / `split_conditions` / `left_children` /
+  *     `right_children` / `default_left`, leaf values stored in
+  *     `split_conditions` where `left_children == -1`.
+  *
+  * Both produce MARGIN models: the objective's inverse-link (sigmoid
+  * for `binary:logistic`) is intentionally NOT baked into the trees —
+  * margins compare bit-exactly across engines, probabilities don't.
+  * [[fromModelJson]] converts the stored `base_score` to the margin
+  * scale for the objectives where that conversion is well-defined
+  * (logit for logistic objectives, identity for squared-error
+  * families) and refuses otherwise rather than guess; `dump_model`
+  * output famously does NOT carry `base_score`, so [[fromDump]] takes
+  * it as a parameter (xgboost's own dumps ignore the intercept too).
+  *
+  * XGBoost's default-direction ("missing") bit maps onto
+  * [[Inference.Node.missingLeft]]; thresholds route `x < thr` left,
+  * `missing` routes NULL/NaN — identical decision semantics on every
+  * path. Categorical splits and multi-class/vector-leaf boosters are
+  * out of scope and rejected explicitly.
+  */
+object XgbJson {
+
+  /** Parse `dump_model(dump_format="json")` output (a JSON ARRAY of
+    * trees). `featureIndex` maps the dump's `split` field to a 0-based
+    * feature index — defaults to the `"f<N>"` convention xgboost uses
+    * when no feature names were attached; pass a map lookup when the
+    * dump carries real names. `baseScoreMargin` is the intercept on the
+    * margin scale (dumps don't store it; 0.0 matches xgboost's own
+    * treatment of dumps). */
+  def fromDump(json: String, baseScoreMargin: Double = 0.0,
+      featureIndex: String => Int = defaultFeatureIndex): GbdtModel = {
+    val root = JsonMethods.parse(json) match {
+      case JArray(trees) => trees
+      case other => throw new IllegalArgumentException(
+        s"dump_model JSON must be an array of trees, got ${other.getClass.getSimpleName}")
+    }
+    require(root.nonEmpty, "dump contains no trees")
+    GbdtModel(root.map(t => flattenDumpTree(t, featureIndex)), baseScoreMargin)
+  }
+
+  /** Flatten one nested dump tree into the flat array-of-[[Node]]
+    * encoding (children become array indices, pre-order). */
+  private def flattenDumpTree(tree: JValue, featureIndex: String => Int): Array[Node] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Node]
+    def insert(v: JValue): Int = {
+      val at = out.length
+      v \ "leaf" match {
+        case leafV if leafV != JNothing =>
+          out += Inference.leaf(num(leafV, "leaf"))
+          at
+        case _ =>
+          val split = v \ "split" match {
+            case JString(s) => s
+            case other => throw new IllegalArgumentException(s"split must be a string, got $other")
+          }
+          val thr = num(v \ "split_condition", "split_condition")
+          val yes = int(v \ "yes", "yes")
+          val no = int(v \ "no", "no")
+          val missing = v \ "missing" match {
+            case JNothing => no // absent → xgboost's right/no default
+            case m => int(m, "missing")
+          }
+          require(missing == yes || missing == no,
+            s"missing=$missing must point at yes=$yes or no=$no (no third branch exists)")
+          val children = v \ "children" match {
+            case JArray(cs) => cs
+            case other => throw new IllegalArgumentException(s"children must be an array, got $other")
+          }
+          def childById(id: Int): JValue = children.find(c => int(c \ "nodeid", "nodeid") == id)
+            .getOrElse(throw new IllegalArgumentException(s"child nodeid=$id not found"))
+          out += null // reserve the slot; children indices are known only after recursion
+          val li = insert(childById(yes))
+          val ri = insert(childById(no))
+          out(at) = Node(featureIndex(split), thr, li, ri, 0.0,
+            missingLeft = missing == yes)
+          at
+      }
+    }
+    insert(tree)
+    out.toArray
+  }
+
+  /** Parse a full `save_model("model.json")` document. Trees come from
+    * `learner.gradient_booster.model.trees` (flat arrays — already this
+    * encoding's shape); the stored `base_score` converts to a margin
+    * intercept per the objective (see object doc). Rejects multi-class
+    * (`num_class > 1`), vector-leaf, and categorical-split models. */
+  def fromModelJson(json: String): GbdtModel = {
+    val root = JsonMethods.parse(json)
+    val learner = root \ "learner"
+    require(learner != JNothing, "not a save_model document: no 'learner' key")
+    val numClass = learner \ "learner_model_param" \ "num_class" match {
+      case JString(s) => s.toInt
+      case _ => 0
+    }
+    require(numClass <= 1, s"multi-class boosters (num_class=$numClass) are out of scope")
+    val objective = learner \ "objective" \ "name" match {
+      case JString(s) => s
+      case _ => "reg:squarederror"
+    }
+    val baseScore = learner \ "learner_model_param" \ "base_score" match {
+      case JString(s) => s.toDouble
+      case JDouble(d) => d
+      case _ => 0.5
+    }
+    val bias = objective match {
+      case "binary:logistic" | "reg:logistic" | "binary:logitraw" =>
+        if (baseScore == 0.5) 0.0 else math.log(baseScore / (1.0 - baseScore))
+      case o if o.startsWith("reg:") || o.startsWith("rank:") => baseScore
+      case o => throw new IllegalArgumentException(
+        s"objective '$o': base_score→margin conversion is not well-defined here — " +
+          "load via fromDump with an explicit baseScoreMargin instead")
+    }
+    val trees = learner \ "gradient_booster" \ "model" \ "trees" match {
+      case JArray(ts) => ts
+      case other => throw new IllegalArgumentException(
+        s"no gradient_booster.model.trees array (gblinear or truncated document?): $other")
+    }
+    require(trees.nonEmpty, "model contains no trees")
+    GbdtModel(trees.map(flattenModelTree), bias)
+  }
+
+  private def flattenModelTree(t: JValue): Array[Node] = {
+    def longs(key: String): Array[Long] = t \ key match {
+      case JArray(vs) => vs.map(v => num(v, key).toLong).toArray
+      case _ => throw new IllegalArgumentException(s"tree is missing array '$key'")
+    }
+    def doubles(key: String): Array[Double] = t \ key match {
+      case JArray(vs) => vs.map(v => num(v, key)).toArray
+      case _ => throw new IllegalArgumentException(s"tree is missing array '$key'")
+    }
+    t \ "categories" match {
+      case JArray(cs) if cs.nonEmpty =>
+        throw new IllegalArgumentException("categorical splits are out of scope")
+      case _ =>
+    }
+    val left = longs("left_children").map(_.toInt)
+    val right = longs("right_children").map(_.toInt)
+    val splitIdx = longs("split_indices").map(_.toInt)
+    val cond = doubles("split_conditions")
+    val defaultLeft = longs("default_left")
+    val n = left.length
+    require(Seq(right.length, splitIdx.length, cond.length, defaultLeft.length).forall(_ == n),
+      "tree arrays disagree on node count")
+    Array.tabulate(n) { i =>
+      if (left(i) == -1) Inference.leaf(cond(i)) // leaf value rides split_conditions
+      else Node(splitIdx(i), cond(i), left(i), right(i), 0.0,
+        missingLeft = defaultLeft(i) != 0L)
+    }
+  }
+
+  /** The `"f<N>"` naming xgboost uses for unnamed features (plain
+    * integers also accepted). */
+  def defaultFeatureIndex(split: String): Int = {
+    val digits = if (split.startsWith("f")) split.drop(1) else split
+    try digits.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"split '$split' is not f<N>/<N> — pass a featureIndex mapping for named features")
+    }
+  }
+
+  private def num(v: JValue, key: String): Double = v match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => throw new IllegalArgumentException(s"expected number at '$key', got $other")
+  }
+
+  private def int(v: JValue, key: String): Int = v match {
+    case JInt(i) => i.toInt
+    case JLong(l) => l.toInt
+    case JDouble(d) if d == d.floor => d.toInt
+    case other => throw new IllegalArgumentException(s"expected integer at '$key', got $other")
+  }
+}

@@ -359,16 +359,15 @@ object CurationQueries extends QueryPack {
 
     Query(
       "q107_semdedup",
-      "SemDeDup (Abbas et al. 2023): cluster embeddings with a deterministic seeded random-projection codebook (argmax raw dot over 8 literal centroids), then exact cosine near-dup pairs ONLY within each cell — the cluster step bounds the quadratic verify at (n/nCells)^2 per cell. The oracle mirrors the codebook as 512 literal doubles.",
-      (s, dir) => Similarity.semDedupPairs(
+      "SemDeDup (Abbas et al. 2023) with the cell count DERIVED from the corpus (nCells = ceil(n/250), one count() action): cluster embeddings with the portable md5 codebook (argmax raw dot), then exact cosine near-dup pairs ONLY within each cell. Deriving nCells keeps within-cell verify LINEAR in n (n*occupancy total work); the r8 probe measured fixed nCells=8 at 163.9 s vs 23.9 s occupancy-preserved on 10x the corpus. The oracle re-derives the SAME codebook in SQL: cell ids come from row_number over the corpus (floor((rn-1)/250) enumerates exactly 0..ceil(n/250)-1) and each component maps 13 md5 hex chars (52 bits, losslessly double-representable) to U[-1,1).",
+      (s, dir) => Similarity.semDedupPairsAuto(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = 64, nCells = 8, seed = 7L, minCosE6 = 350000L),
+        dim = 64, minCosE6 = 350000L, targetOccupancy = 250),
       Some {
-        val cents = Similarity.hyperplanes(nPlanes = 8, dim = 64, seed = 7L)
-        val vals = cents.zipWithIndex.flatMap { case (row, ci) =>
-          row.zipWithIndex.map { case (v, j) => s"($ci,${j + 1},CAST($v AS DOUBLE))" }
-        }.mkString(",")
-        s"""WITH cents(cell, j, v) AS (VALUES $vals),
+        s"""WITH cl AS (SELECT DISTINCT CAST(floor((row_number() OVER (ORDER BY vec_id) - 1) / 250.0) AS BIGINT) AS ci FROM embeddings),
+           |cents AS (SELECT cl.ci AS cell, h.j AS j,
+           |      2.0 * ((('0x' || substr(md5('sd_' || cl.ci || '_' || h.j), 1, 13))::BIGINT)::DOUBLE) / 4503599627370496.0 - 1.0 AS v
+           |      FROM cl, generate_series(1, 64) h(j)),
            |d AS (SELECT e.vec_id, c.cell, sum(CAST(e.embedding[c.j] AS DOUBLE) * c.v) AS dt
            |      FROM embeddings e, cents c GROUP BY 1, 2),
            |a AS (SELECT vec_id, cell FROM

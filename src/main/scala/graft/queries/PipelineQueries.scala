@@ -152,10 +152,10 @@ object PipelineQueries extends QueryPack {
 
     Query(
       "q115_nearest_dup",
-      "Canonical nearest-duplicate assignment (the cluster-free dedup step: each vector points at its best match >= 0.45 cosine): q59's LSH candidate pairs enter in both orientations, then a k=1 bounded-heap TopKAgg per vector id picks the winner (cos desc, id asc) — <= 1 entry per (id, partition) shuffles, never a per-id window. Oracle is the exact all-pairs argmax (LSH recall 1.0 at this threshold on this corpus, the q59 contract). Same fixed-b/L small-corpus caveat as q59: the scale entry is cosineCandidatesAuto + lshPlan (PLANS.md r8 probe).",
-      (s, dir) => Similarity.nearestDuplicate(
+      "Canonical nearest-duplicate assignment (the cluster-free dedup step: each vector points at its best match >= 0.45 cosine): occupancy-bounded auto-LSH candidate pairs (lshPlan sizes bits/bands from one count() — the 100 TB-safe plan; the old fixed b=4/L=48 entry measured >64x on the 10x probe) enter in both orientations, then a k=1 bounded-heap TopKAgg per vector id picks the winner (cos desc, id asc) — <= 1 entry per (id, partition) shuffles, never a per-id window. Oracle is the exact all-pairs argmax (planned-parameter recall is 1.0 on this corpus, the q59/q117 contract).",
+      (s, dir) => Similarity.nearestDuplicateAuto(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = 64, bitsPerBand = 4, bands = 48, minCosE6 = 450000L),
+        dim = 64, minCosE6 = 450000L, targetRecall = 0.9999),
       Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
              |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
              |d AS (SELECT a.vec_id AS vid, b.vec_id AS nid,
@@ -445,10 +445,10 @@ object PipelineQueries extends QueryPack {
 
     Query(
       "q59_lsh_neardup",
-      "Cosine near-dup via banded sign-LSH blocking (driver-literal hyperplanes, map-only signature UDF) + equality self-join on (band, sig) + exact-cosine verify via join-back — no driver collect, no all-pairs stage. b=4/L=48/seed=42 gives measured recall 1.0 on this corpus, so the oracle is the exact all-pairs result. FIXED b/L is a small-corpus setting: bucket occupancy is n/2^b, so candidates grow quadratically with n (measured 120x on the 10x probe, PLANS.md r8) — at scale use cosineCandidatesAuto/lshPlan, which bound occupancy and re-buy recall with bands.",
-      (s, dir) => Similarity.cosineCandidates(
+      "Cosine near-dup via banded sign-LSH blocking (driver-literal hyperplanes, map-only signature UDF) + equality self-join on (band, sig) + exact-cosine verify via join-back — no driver collect, no all-pairs stage. Parameters come from lshPlan (one count() action sizes bits so bucket occupancy stays bounded — candidates LINEAR in n — and bands restore recall): the registered plan is the 100 TB-safe one; the r8 probe measured the old fixed b=4/L=48 at 90-120x on 10x the corpus. targetOccupancy=32 plans b=4/L=48 on THIS corpus (n=500), where measured recall is 1.0, so the oracle stays the exact all-pairs result.",
+      (s, dir) => Similarity.cosineCandidatesAuto(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = 64, bitsPerBand = 4, bands = 48, minCosE6 = 450000L),
+        dim = 64, minCosE6 = 450000L, targetOccupancy = 32, targetRecall = 0.9999),
       Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
              |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
              |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -614,6 +614,45 @@ object PipelineQueries extends QueryPack {
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin))
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin)),
+
+    Query(
+      "q133_xgb_load",
+      "Externally-trained booster inference: an XGBoost dump_model(dump_format=json) document (nested yes/no/missing dicts — the PUBLIC dump format, reference contract ml_tools/xgboost_wrapper.py:14-79) loads through XgbJson.fromDump into the same GbdtModel that drives q116, then scores every embedding row as a codegen'd Catalyst CASE-WHEN cascade. Thresholds/leaves are exact binary fractions so margins are exactly representable and the oracle (the model's OWN generated SQL, toSql) compares bit-exactly. The model carries default-direction (missing) bits — unreachable on this non-null corpus, exercised in PipelineSpec.",
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.pipeline.XgbJson.fromDump(xgbDumpFixture)
+        Tables.embeddings(s, dir).select($"vec_id",
+          e4(m.margin($"embedding")).as("margin_e4"),
+          m.predict($"embedding").as("pred"))
+      },
+      Some {
+        val marginSql = graft.pipeline.XgbJson.fromDump(xgbDumpFixture)
+          .toSql(i => s"CAST(embedding[${i + 1}] AS DOUBLE)")
+        s"""WITH m AS (SELECT vec_id, $marginSql AS mg FROM embeddings)
+           |SELECT vec_id, CAST(floor(mg * 10000 + 0.5) AS BIGINT) AS margin_e4,
+           |CAST(CASE WHEN mg > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+           |FROM m""".stripMargin
+      })
   )
+
+  /** A booster in the exact shape `Booster.dump_model(...,
+    * dump_format="json")` emits (nested dicts, explicit
+    * yes/no/missing). Stands in for a real exported model file —
+    * binary-fraction thresholds/leaves keep the q133 oracle comparison
+    * exact. */
+  private[graft] val xgbDumpFixture: String = """[
+    {"nodeid":0,"depth":0,"split":"f0","split_condition":0.125,"yes":1,"no":2,"missing":1,"children":[
+      {"nodeid":1,"depth":1,"split":"f7","split_condition":-0.25,"yes":3,"no":4,"missing":4,"children":[
+        {"nodeid":3,"leaf":-0.3125},
+        {"nodeid":4,"leaf":0.1875}]},
+      {"nodeid":2,"leaf":0.375}]},
+    {"nodeid":0,"depth":0,"split":"f12","split_condition":0.0,"yes":1,"no":2,"missing":2,"children":[
+      {"nodeid":1,"leaf":-0.0625},
+      {"nodeid":2,"depth":1,"split":"f3","split_condition":0.5,"yes":3,"no":4,"missing":3,"children":[
+        {"nodeid":3,"leaf":0.25},
+        {"nodeid":4,"leaf":-0.125}]}]},
+    {"nodeid":0,"depth":0,"split":"f33","split_condition":-0.0625,"yes":1,"no":2,"missing":1,"children":[
+      {"nodeid":1,"leaf":0.09375},
+      {"nodeid":2,"leaf":-0.15625}]}]"""
 }

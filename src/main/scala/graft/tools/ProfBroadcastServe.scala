@@ -1,0 +1,49 @@
+// temp profiling main (dev-only): plan-literal vs broadcast model
+// serving at nBuckets=1M (the Curation.BroadcastTableThreshold
+// rationale). Times plan construction+codegen (first count) and
+// steady-state (min of later reps) for both paths on the sf0.1
+// documents corpus, and prints the serialized-plan footprint proxy
+// (executedPlan string length).
+// Usage: sbt "runMain graft.tools.ProfBroadcastServe"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object ProfBroadcastServe {
+  def main(args: Array[String]): Unit = {
+    val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val reps = sys.env.getOrElse("GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.count() // warm scan
+
+    val nBuckets = 1 << 20
+    val table = Array.tabulate(nBuckets)(i => (i * 2654435761L) % 2000001L - 1000000L)
+
+    def run(label: String, threshold: Int): Long = {
+      val out = docs.select(
+        graft.pipeline.Curation.bucketTableSum(
+          42L, table,
+          graft.pipeline.Curation.dsirBuckets(col("text"), nBuckets),
+          threshold = threshold).as("m"))
+      println(s"$label planLen=${out.queryExecution.executedPlan.toString.length}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); out.agg(sum("m")).collect(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-10s first=${times.head}%6.2f s  steady=${times.drop(1).minOption.getOrElse(times.head)}%6.2f s")
+      out.agg(sum("m")).collect()(0).getLong(0)
+    }
+
+    val a = run("literal", Int.MaxValue)
+    val b = run("broadcast", 0)
+    println(s"checksums equal: ${a == b} ($a)")
+    spark.stop()
+  }
+}

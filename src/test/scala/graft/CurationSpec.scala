@@ -660,6 +660,26 @@ class CurationSpec extends AnyFunSuite {
     assert(m2.biasE6 == m.biasE6 && m2.wE6.toSeq == m.wE6.toSeq)
   }
 
+  test("bucketTableSum: broadcast serving path is bit-identical to the plan-literal path") {
+    import graft.pipeline.Curation
+    val docs = Seq((1L, "aa bb cc dd ee"), (2L, "bb cc"), (3L, ""),
+      (4L, "zz yy xx ww vv uu tt")).toDF("id", "text")
+    val table = Array.tabulate(64)(i => (i.toLong * 37L - 1000L))
+    def serve(threshold: Int): Map[Long, Long] =
+      docs.select(col("id"),
+          Curation.bucketTableSum(7L, table,
+            Curation.dsirBuckets(col("text"), 64), threshold = threshold).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLiteral = serve(Int.MaxValue)
+    val viaBroadcast = serve(0) // force the broadcast-UDF path
+    assert(viaLiteral == viaBroadcast, s"$viaLiteral != $viaBroadcast")
+    // the broadcast plan must NOT embed the table as a literal
+    val bcPlan = docs.select(Curation.bucketTableSum(7L, table,
+        Curation.dsirBuckets(col("text"), 64), threshold = 0))
+      .queryExecution.analyzed.toString
+    assert(!bcPlan.contains("-963"), s"table literal leaked into plan: $bcPlan") // 1*37-1000
+  }
+
   test("q131 provenance: the pinned model IS Classifier.train on the sf0.01 corpus") {
     import graft.pipeline.Classifier
     import graft.queries.CurationQueries
@@ -668,8 +688,13 @@ class CurationSpec extends AnyFunSuite {
       docs.filter($"source" === "src0"), "text",
       docs.filter($"source" =!= "src0"), "text",
       nBuckets = 256, iters = 20, lr = 0.5)
-    assert(m.biasE6 == CurationQueries.pinnedLrBiasE6)
-    assert(m.wE6.toSeq == CurationQueries.pinnedLrWeightsE6)
+    val regenHint = "pinned literals are coupled to the exact bytes of " +
+      "/root/testdata/sf0.01/documents.parquet — if the driver regenerated " +
+      "testdata, re-pin with `sbt \"runMain graft.tools.PinClassifier\"` " +
+      "and paste the emitted literals into CurationQueries (q131 oracle " +
+      "fails for the same reason until then)"
+    assert(m.biasE6 == CurationQueries.pinnedLrBiasE6, regenHint)
+    assert(m.wE6.toSeq == CurationQueries.pinnedLrWeightsE6, regenHint)
   }
 
   test("dsirResample: T->0 recovers greedy selection; the seed varies the draw deterministically") {

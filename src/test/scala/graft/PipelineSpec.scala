@@ -409,6 +409,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(short == shortCol)
   }
 
+  test("XgbJson: dump_model and save_model formats load to the same booster; all paths agree") {
+    import graft.pipeline.{Inference, XgbJson}
+    // dump_model(dump_format="json") shape: nested dicts, explicit
+    // yes/no/missing node ids, leaves carry "leaf".
+    val dump = """[
+      {"nodeid":0,"depth":0,"split":"f0","split_condition":0.25,"yes":1,"no":2,"missing":1,"children":[
+        {"nodeid":1,"depth":1,"split":"f3","split_condition":-0.5,"yes":3,"no":4,"missing":4,"children":[
+          {"nodeid":3,"leaf":-0.1875},
+          {"nodeid":4,"leaf":0.3125}]},
+        {"nodeid":2,"leaf":0.0625}]},
+      {"nodeid":0,"depth":0,"split":"f1","split_condition":0.0,"yes":1,"no":2,"missing":2,"children":[
+        {"nodeid":1,"leaf":-0.25},
+        {"nodeid":2,"leaf":0.5}]}]"""
+    val m = XgbJson.fromDump(dump)
+    // save_model("m.json") shape: flat per-tree arrays, leaf values in
+    // split_conditions, default_left bits; logistic base_score 0.5 → margin 0.
+    val modelJson = """{"learner":{
+      "learner_model_param":{"base_score":"5E-1","num_class":"0"},
+      "objective":{"name":"binary:logistic"},
+      "gradient_booster":{"model":{"trees":[
+        {"left_children":[1,3,-1,-1,-1],"right_children":[2,4,-1,-1,-1],
+         "split_indices":[0,3,0,0,0],"split_conditions":[0.25,-0.5,0.0625,-0.1875,0.3125],
+         "default_left":[1,0,0,0,0]},
+        {"left_children":[1,-1,-1],"right_children":[2,-1,-1],
+         "split_indices":[1,0,0],"split_conditions":[0.0,-0.25,0.5],
+         "default_left":[0,0,0]}]}}}}"""
+    val m2 = XgbJson.fromModelJson(modelJson)
+    assert(m2.bias == 0.0)
+    val rnd = new scala.util.Random(23)
+    val vecs = Seq.tabulate(100)(i =>
+      (i.toLong, Array.fill(4)((rnd.nextInt(512) - 256) / 256.0).toSeq))
+    // the two formats load the SAME function
+    vecs.foreach { case (_, v) =>
+      assert(m.score(v.toArray) == m2.score(v.toArray) + m2.bias)
+    }
+    // Catalyst margin == JVM scorer, including the default-direction
+    // (missing) routing: a 1-element vector leaves f3 missing (→ right,
+    // default_left=0), an EMPTY vector leaves f0 missing (→ left,
+    // default_left=1).
+    val df = (vecs :+ (100L, Seq(0.1)) :+ (101L, Seq.empty[Double]))
+      .toDF("vec_id", "v").repartition(5)
+    val got = df.select($"vec_id", m.margin($"v").as("mg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (vecs :+ (100L, Seq(0.1)) :+ (101L, Seq.empty[Double])).foreach { case (i, v) =>
+      val want = m.score(v.toArray)
+      assert(got(i) == want, s"vec $i: catalyst ${got(i)} != jvm $want")
+    }
+    // the empty vector really exercises missingLeft: tree1 routes the
+    // missing f0 LEFT (default_left) then the missing f3 right → 0.3125;
+    // tree2 routes the missing f1 right → 0.5.
+    assert(m.score(Array.empty[Double]) == 0.3125 + 0.5)
+    // guard rails
+    intercept[IllegalArgumentException](XgbJson.fromDump("{}"))
+    intercept[IllegalArgumentException](
+      XgbJson.fromModelJson(modelJson.replace("\"num_class\":\"0\"", "\"num_class\":\"3\"")))
+    intercept[IllegalArgumentException](XgbJson.defaultFeatureIndex("petal_width"))
+  }
+
   test("GbdtBackend scores real decoded images through the batched seam") {
     import graft.pipeline.Inference
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
