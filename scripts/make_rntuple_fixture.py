@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Build the RNTuple-layout test fixture (dev-side, pyarrow only).
+
+RNTuple delivers collections as NESTED records — `Muon:
+list<struct{pt, eta, ...}>`, singletons as plain structs — where a
+TTree delivers flat `Muon_pt` branches. This script materializes that
+event model from the existing flat fixture:
+
+  1. nests `src/test/resources/nano_dy_flat.parquet` into the RNTuple
+     shape -> `nano_dy_rntuple.parquet` (same 40 physical events);
+  2. runs the converter's ACTUAL `flatten_records` lowering
+     (scripts/root_to_parquet.py) on the nested table and asserts the
+     result is byte-identical to the flat fixture — proving the
+     RNTuple path of the converter emits exactly the layout
+     `SchemaBuilder.zipCollections` / RootIngestSpec already pin;
+  3. rewrites `nano_dy_flat.parquet` from that lowered output, so the
+     checked-in flat fixture is literally the converter's
+     RNTuple-path product.
+
+No uproot in this container — the nested table stands in for what
+`uproot.open(...)["Events"].arrays()` yields from an RNTuple file
+(reference parity: src/coffea/nanoevents/factory.py:268-480 opens both
+containers into one event model).
+"""
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from root_to_parquet import flatten_records  # noqa: E402
+
+FLAT = "src/test/resources/nano_dy_flat.parquet"
+NESTED = "src/test/resources/nano_dy_rntuple.parquet"
+
+
+def nest(table):
+    """Group `Coll_field` list columns into list<struct>, multi-field
+    scalar prefixes into struct — the RNTuple event model."""
+    groups = {}
+    for name in table.column_names:
+        key = name.split("_", 1)[0] if "_" in name else name
+        groups.setdefault(key, []).append(name)
+    names, cols = [], []
+    for key, members in groups.items():
+        if len(members) == 1 and "_" not in members[0]:
+            names.append(key)
+            cols.append(table[members[0]].combine_chunks())
+            continue
+        subarrays = [table[m].combine_chunks() for m in members]
+        subnames = [m.split("_", 1)[1] for m in members]
+        if pa.types.is_list(subarrays[0].type):
+            offsets = subarrays[0].offsets
+            struct = pa.StructArray.from_arrays(
+                [a.values for a in subarrays], names=subnames)
+            names.append(key)
+            cols.append(pa.ListArray.from_arrays(offsets, struct))
+        else:
+            names.append(key)
+            cols.append(pa.StructArray.from_arrays(subarrays, names=subnames))
+    return pa.Table.from_arrays(cols, names=names)
+
+
+def main():
+    flat = pq.read_table(FLAT)
+    nested = nest(flat)
+    pq.write_table(nested, NESTED, compression="zstd")
+    lowered = flatten_records(nested)
+    assert lowered.column_names == flat.column_names, (
+        lowered.column_names, flat.column_names)
+    for name in flat.column_names:
+        assert lowered[name].combine_chunks() == flat[name].combine_chunks(), name
+    pq.write_table(lowered, FLAT, compression="zstd")
+    print(f"{NESTED}: {nested.num_rows} events, schema:\n{nested.schema}")
+    print(f"flatten_records(nested) == flat fixture: OK; {FLAT} rewritten")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""ROOT TTree -> Spark-ready flat-array Parquet converter (driver-side).
+"""ROOT TTree/RNTuple -> Spark-ready flat-array Parquet converter (driver-side).
 
 The graft engine ingests Parquet only; every real HEP analysis starts
 from ROOT. This one-shot converter closes that gap WITHOUT porting a
@@ -39,6 +39,20 @@ Typical use against the reference's own test sample:
     #   val events = SchemaBuilder.zipCollections(
     #     spark.read.parquet("/data/nano_dy.parquet"), zipScalars = true)
 
+Both ROOT event containers are accepted (reference parity:
+src/coffea/nanoevents/factory.py:268-480 opens TTree AND RNTuple into
+the same event model):
+
+  * TTree: branches arrive flat (`Muon_pt`), passed through;
+  * RNTuple: collections arrive as NESTED records
+    (`Muon: list<struct{pt, eta, ...}>`, singletons as plain structs) —
+    `flatten_records` lowers them to the same `Coll_field`
+    list<primitive> layout at the ARROW level (offset re-wrap, no data
+    copy), so the engine-side contract is identical for both sources.
+    `--object` picks the container by name; by default the first
+    TTree/RNTuple in the file is used (`--tree Events` kept for
+    backward compatibility).
+
 Semantics follow the reference's uproot mapping
 (src/coffea/nanoevents/mapping/uproot.py:115-284 — branch iteration,
 jagged offsets, name interpretation) re-expressed as a plain
@@ -51,6 +65,66 @@ import re
 import sys
 
 
+def flatten_records(table):
+    """Lower RNTuple-style nested columns to the flat layout contract:
+    `Coll: list<struct{f1, f2}>` -> `Coll_f1, Coll_f2: list<primitive>`
+    (re-wrapping each struct child with the parent's offsets — zero
+    data copy) and singleton `Rec: struct{f}` -> `Rec_f` plain columns.
+    Already-flat columns (the TTree path) pass through unchanged, so
+    this runs unconditionally on every batch. Pure pyarrow: testable
+    (and tested, RootIngestSpec fixture) without uproot installed."""
+    import pyarrow as pa
+    names, cols = [], []
+    for name, col in zip(table.column_names, table.columns):
+        t = col.type
+        if pa.types.is_list(t) and pa.types.is_struct(t.value_type):
+            arr = col.combine_chunks()
+            values = arr.values
+            for fi in range(t.value_type.num_fields):
+                sub = t.value_type.field(fi)
+                names.append(f"{name}_{sub.name}")
+                cols.append(pa.ListArray.from_arrays(
+                    arr.offsets, values.field(fi)))
+        elif pa.types.is_struct(t):
+            arr = col.combine_chunks()
+            for fi in range(t.num_fields):
+                names.append(f"{name}_{t.field(fi).name}")
+                cols.append(arr.field(fi))
+        else:
+            names.append(name)
+            cols.append(col)
+    return pa.Table.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in cols], names=names)
+
+
+def open_events(rootfile, name):
+    """Resolve the event container: an explicit `name`, else the first
+    TTree or RNTuple in the file (classname-based, uproot's own
+    detection — reference factory.py does the same dispatch)."""
+    if name:
+        return rootfile[name]
+    for key, classname in rootfile.classnames().items():
+        if classname == "TTree" or "RNTuple" in classname:
+            return rootfile[key]
+    raise SystemExit(f"no TTree/RNTuple found in {rootfile.file_path}; "
+                     f"contents: {rootfile.classnames()}")
+
+
+def iterate_batches(obj, names, step_size):
+    """Uniform batch iteration over TTree and RNTuple handles: use the
+    object's own `iterate` when present (TTree always; RNTuple in
+    current uproot), else fall back to entry-range `arrays` calls."""
+    if hasattr(obj, "iterate"):
+        yield from obj.iterate(names, step_size=step_size, library="ak")
+        return
+    n = obj.num_entries
+    step = step_size if isinstance(step_size, int) else 100_000
+    for start in range(0, n, step):
+        yield obj.arrays(names, entry_start=start,
+                         entry_stop=min(n, start + step), library="ak")
+
+
 def convert(in_path, out_path, tree_name, step_size, row_group_mb,
             branch_filter, drop_counts=True):
     import uproot
@@ -58,19 +132,23 @@ def convert(in_path, out_path, tree_name, step_size, row_group_mb,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tree = uproot.open(in_path)[tree_name]
-    names = [b for b in tree.keys()
-             if branch_filter is None or re.search(branch_filter, b)]
+    tree = open_events(uproot.open(in_path), tree_name)
+    # top-level fields only: RNTuple keys() may enumerate nested
+    # subfields as dotted paths — the record structure rides the
+    # top-level array and flatten_records lowers it
+    names = [b for b in tree.keys() if "." not in b
+             and (branch_filter is None or re.search(branch_filter, b))]
     if drop_counts:
         colls = {n.split("_", 1)[0] for n in names if "_" in n}
         names = [n for n in names
                  if not (n.startswith("n") and n[1:] in colls)]
     writer = None
     total = 0
-    for batch in tree.iterate(names, step_size=step_size, library="ak"):
-        # one flat arrow column per branch; jagged -> list<primitive>
-        table = pa.Table.from_pydict(
-            {n: ak.to_arrow(batch[n], extensionarray=False) for n in names})
+    for batch in iterate_batches(tree, names, step_size):
+        # one arrow column per field (TTree: already-flat branches;
+        # RNTuple: nested records, lowered next)
+        table = flatten_records(pa.Table.from_pydict(
+            {n: ak.to_arrow(batch[n], extensionarray=False) for n in names}))
         if writer is None:
             writer = pq.ParquetWriter(
                 out_path, table.schema, compression="zstd")
@@ -91,7 +169,9 @@ def main():
     p.add_argument("input", nargs="+", help="input .root file(s)")
     p.add_argument("-o", "--output", required=True,
                    help="output parquet file (single input) or directory")
-    p.add_argument("--tree", default="Events", help="TTree name")
+    p.add_argument("--tree", "--object", dest="tree", default=None,
+                   help="TTree/RNTuple name (default: first event "
+                        "container found in the file)")
     p.add_argument("--step-size", default="100 MB",
                    help="uproot batch size (events or memory string)")
     p.add_argument("--row-group-mb", type=int, default=128,

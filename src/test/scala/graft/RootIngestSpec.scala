@@ -60,6 +60,46 @@ class RootIngestSpec extends AnyFunSuite {
     assert(got.forall(r => r.getDouble(1) > 0.2 && !r.getDouble(1).isNaN))
   }
 
+  private val rntuplePath =
+    getClass.getResource("/nano_dy_rntuple.parquet").getPath
+
+  test("RNTuple event model ingests directly: nested records, same physics") {
+    // RNTuple delivers collections ALREADY nested (list<struct>) — the
+    // fixture is that event model (scripts/make_rntuple_fixture.py; the
+    // flat fixture is the converter's flatten_records lowering of THIS
+    // table, asserted byte-identical at generation). The engine reads
+    // it with no zip step at all — nested parquet IS Spark's native
+    // layout, which is why the converter's two source paths converge.
+    val events = spark.read.parquet(rntuplePath)
+    val muon = events.schema("Muon").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType]
+    val fields = muon.elementType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(fields == Set("pt", "eta", "phi", "mass", "charge"))
+    assert(events.schema("MET").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSet == Set("pt", "phi"))
+    assert(events.count() == 40L)
+    assert(events.select(sum(size($"Muon"))).head().getLong(0) == 79L)
+    // identical dimuon spectrum from both source layouts
+    def dimuonMasses(ev: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] = {
+      val vecs = transform($"Muon", m => Kinematics.ptEtaPhiM(
+        m("pt").cast("double"), m("eta").cast("double"),
+        m("phi").cast("double"), m("mass").cast("double")))
+      val charges = transform($"Muon", m => m("charge"))
+      ev.filter(size($"Muon") >= 2)
+        .select($"event", Combinatorics.combinations2(vecs).as("pp"),
+          Combinatorics.combinations2(charges).as("qq"))
+        .select($"event", explode(arrays_zip($"pp", $"qq")).as("c"))
+        .filter($"c.qq._1" + $"c.qq._2" === 0)
+        .select($"event", Kinematics.invariantMass($"c.pp._1", $"c.pp._2"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    }
+    val fromRntuple = dimuonMasses(events)
+    val fromTTree = dimuonMasses(
+      SchemaBuilder.zipCollections(spark.read.parquet(path), zipScalars = true))
+    assert(fromRntuple.nonEmpty && fromRntuple == fromTTree)
+  }
+
   test("untouched collections prune out of the parquet scan") {
     val events = SchemaBuilder.zipCollections(
       spark.read.parquet(path), zipScalars = true)
