@@ -458,4 +458,76 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Persist the banded MinHash LSH index for INCREMENTAL dedup — the
+    * continuous-crawl-ingest shape at 100 TB: cluster the one-time cost
+    * of signing the corpus into a parquet layout that later batches
+    * probe WITHOUT rescanning the corpus. Rows are
+    * (band, sp, sig, id, mh) written `partitionBy("band", "sp")` where
+    * `sp = xxhash64(sig) mod nSigParts` — the directory grid
+    * (bands × nSigParts) is what makes batch-time scan pruning real:
+    * a new batch touches only the (band, sp) directories its own
+    * signatures hash into. Signature parameters ride a `meta/` sidecar
+    * so the probe side can never disagree with the index. */
+  def minhashWriteIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 16, bands: Int = 8, shingleN: Int = 2,
+      nSigParts: Int = 64): Unit = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, "bands must divide k")
+    require(nSigParts > 0, "nSigParts must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    minhashSignatures(df, idCol, textCol, k, shingleN)
+      .select(bandSignatures(col("mh"), bands, rowsPerBand).as("b"),
+        col("id"), col("mh"))
+      .select(col("b.band").as("band"),
+        pmod(xxhash64(col("b.sig")), lit(nSigParts.toLong)).as("sp"),
+        col("b.sig").as("sig"), col("id"), col("mh"))
+      .write.mode("overwrite").partitionBy("band", "sp").parquet(s"$path/data")
+    Seq((k, bands, shingleN, nSigParts)).toDF("k", "bands", "shingle_n", "n_sig_parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Dedup a NEW batch against a persisted [[minhashWriteIndex]] index:
+    * emits (id_new, id_corpus, est_jaccard_e4) for every corpus match
+    * of every batch document (id_new ≠ id_corpus, est ≥ `minEst`) —
+    * identical matches to running [[minhashCandidates]] over
+    * corpus ∪ batch and keeping the batch-side pairs, without touching
+    * corpus bytes outside the probed buckets.
+    *
+    * Scale shape: the batch's DISTINCT (band, sp) keys (bounded by
+    * bands × nSigParts, NOT by batch size) collect into a STATIC
+    * partition predicate, so the index scan's PartitionFilters prune
+    * unprobed directories at file-listing time (spec-asserted); the
+    * join then BROADCASTS the batch buckets against the pruned scan —
+    * corpus-side rows never shuffle. Batch >> broadcast budget? Split
+    * it — incremental ingest batches are the small side by
+    * construction. */
+  def minhashDedupIndexed(newDf: DataFrame, idCol: String, textCol: String,
+      path: String, minEst: Double): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (k, bands, shingleN, nSigParts) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val rowsPerBand = k / bands
+    val batch = minhashSignatures(newDf, idCol, textCol, k, shingleN)
+      .select(bandSignatures(col("mh"), bands, rowsPerBand).as("b"),
+        col("id").as("id_new"), col("mh").as("mh_new"))
+      .select(col("b.band").as("band"),
+        pmod(xxhash64(col("b.sig")), lit(nSigParts.toLong)).as("sp"),
+        col("b.sig").as("sig"), col("id_new"), col("mh_new"))
+    // bounded collect: ≤ bands × nSigParts grid cells, whatever the batch size
+    val needed = batch.select(col("band"), col("sp")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val neededKeys = needed.map { case (b, s) => s"${b}_$s" }.toSeq
+    val pruned = spark.read.parquet(s"$path/data")
+      .filter(concat_ws("_", col("band"), col("sp")).isin(neededKeys: _*))
+    pruned.join(broadcast(batch), Seq("band", "sp", "sig"))
+      .filter(col("id") =!= col("id_new"))
+      .select(col("id_new"), col("id").as("id_corpus"),
+        floor(eqCountUdf(col("mh_new"), col("mh")) * 10000.0 / k).cast("long")
+          .as("est_jaccard_e4"))
+      .filter(col("est_jaccard_e4") >= (minEst * 10000).toLong)
+      .distinct()
+  }
 }

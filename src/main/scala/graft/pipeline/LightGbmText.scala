@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.pipeline.Inference.{GbdtModel, Node}
+
+/** Loader for LightGBM's PUBLIC text model format
+  * (`Booster.save_model("model.txt")` / `model_to_string()`): `Tree=N`
+  * blocks of `key=value` lines with space-separated per-node arrays —
+  * internal nodes indexed `0..num_leaves-2`, children encoded as
+  * non-negative internal indices or `-(leafIndex+1)` for leaves, leaf
+  * outputs in `leaf_value`. Loaded boosters run on all three
+  * [[Inference.GbdtModel]] paths like [[XgbJson]] ones.
+  *
+  * Decision semantics: LightGBM routes `x <= threshold` LEFT where
+  * [[Inference.Node]] routes `x < threshold` — the loader maps each
+  * threshold t to `Math.nextUp(t)`, which makes the two predicates
+  * identical for every non-NaN double (no tolerance, an exact
+  * bijection on IEEE values). `decision_type` bit 0 (categorical) is
+  * rejected; bit 1 (default-left) maps to
+  * [[Inference.Node.missingLeft]]. Leaf values are complete margin
+  * contributions in this format (any init score is already folded in),
+  * so the model bias is 0 and `margin = Σ leaf`. Multi-class
+  * (`num_class > 1`) is out of scope, as in [[XgbJson]].
+  */
+object LightGbmText {
+
+  def fromText(text: String): GbdtModel = {
+    val header = text.linesIterator.takeWhile(l => !l.startsWith("Tree="))
+      .filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    header.get("num_class").foreach(nc =>
+      require(nc.trim.toInt <= 1, s"multi-class boosters (num_class=$nc) are out of scope"))
+    val treeBlocks = text.split("\\bTree=\\d+\\s*\n").drop(1)
+    require(treeBlocks.nonEmpty, "no Tree= blocks found — not a LightGBM text model")
+    GbdtModel(treeBlocks.toSeq.map(parseTree), bias = 0.0)
+  }
+
+  private def parseTree(block: String): Array[Node] = {
+    val kv = block.linesIterator
+      .takeWhile(l => l.trim.nonEmpty && !l.startsWith("end of trees"))
+      .filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1).trim
+      }.toMap
+    def longs(key: String): Array[Long] =
+      kv.get(key).filter(_.nonEmpty).map(_.split("\\s+").map(_.toLong))
+        .getOrElse(Array.empty)
+    def doubles(key: String): Array[Double] =
+      kv.get(key).filter(_.nonEmpty).map(_.split("\\s+").map(_.toDouble))
+        .getOrElse(Array.empty)
+    val numLeaves = kv.getOrElse("num_leaves",
+      throw new IllegalArgumentException("tree block missing num_leaves")).toInt
+    val leafValue = doubles("leaf_value")
+    require(leafValue.length == numLeaves,
+      s"leaf_value has ${leafValue.length} entries, num_leaves=$numLeaves")
+    if (numLeaves == 1) return Array(Inference.leaf(leafValue(0)))
+    require(kv.getOrElse("num_cat", "0").toInt == 0,
+      "categorical splits are out of scope")
+    val splitFeature = longs("split_feature").map(_.toInt)
+    val threshold = doubles("threshold")
+    val decisionType = longs("decision_type")
+    val left = longs("left_child").map(_.toInt)
+    val right = longs("right_child").map(_.toInt)
+    val nInternal = numLeaves - 1
+    require(Seq(splitFeature.length, threshold.length, left.length, right.length)
+      .forall(_ == nInternal), "tree arrays disagree with num_leaves-1")
+    // flat layout: internal nodes first (their LightGBM indices), then
+    // leaves at nInternal + leafIndex — child refs translate directly
+    def child(c: Int): Int = if (c >= 0) c else nInternal + (-c - 1)
+    Array.tabulate(nInternal + numLeaves) { i =>
+      if (i >= nInternal) Inference.leaf(leafValue(i - nInternal))
+      else {
+        val dt = if (i < decisionType.length) decisionType(i) else 2L
+        require((dt & 1L) == 0L, s"node $i: categorical decision_type=$dt is out of scope")
+        Node(splitFeature(i), Math.nextUp(threshold(i)),
+          child(left(i)), child(right(i)), 0.0,
+          missingLeft = (dt & 2L) != 0L)
+      }
+    }
+  }
+}

@@ -633,8 +633,111 @@ object PipelineQueries extends QueryPack {
            |SELECT vec_id, CAST(floor(mg * 10000 + 0.5) AS BIGINT) AS margin_e4,
            |CAST(CASE WHEN mg > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
            |FROM m""".stripMargin
-      })
+      }),
+
+    Query(
+      "q134_lgb_load",
+      "LightGBM text-format booster inference (save_model/model_to_string — the OTHER ubiquitous public GBDT export): LightGbmText.fromText parses Tree= blocks into the same GbdtModel cascade, mapping LightGBM's x <= threshold routing onto the engine's x < threshold via nextUp(t) — an exact IEEE bijection, not a tolerance. Scores every embedding row codegen'd; oracle is the loaded model's own generated SQL (margins are sums of binary fractions, compared bit-exactly).",
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.pipeline.LightGbmText.fromText(lgbTextFixture)
+        Tables.embeddings(s, dir).select($"vec_id",
+          e4(m.margin($"embedding")).as("margin_e4"),
+          m.predict($"embedding").as("pred"))
+      },
+      Some {
+        val marginSql = graft.pipeline.LightGbmText.fromText(lgbTextFixture)
+          .toSql(i => s"CAST(embedding[${i + 1}] AS DOUBLE)")
+        s"""WITH m AS (SELECT vec_id, $marginSql AS mg FROM embeddings)
+           |SELECT vec_id, CAST(floor(mg * 10000 + 0.5) AS BIGINT) AS margin_e4,
+           |CAST(CASE WHEN mg > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+           |FROM m""".stripMargin
+      }),
+
+    Query(
+      "q135_minhash_index",
+      "Incremental fuzzy dedup against a PERSISTED MinHash LSH index — the continuous-crawl-ingest shape at 100 TB: the corpus is signed once into a parquet layout partitioned by (band, sig-hash-bucket), then a new batch (here doc_id % 5 = 0) probes it WITHOUT rescanning the corpus: the batch's bounded (band, sp) grid becomes a static PartitionFilter (directories prune at file-listing time, spec-asserted via numFiles) and the batch buckets broadcast against the pruned scan — corpus rows never shuffle. Emits every (new, corpus) match with estimated Jaccard; the oracle is the DIRECT q54-style computation restricted to batch-side pairs, proving index and direct paths agree exactly.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = java.nio.file.Files.createTempDirectory("q135_mhidx").toString
+        Dedup.minhashWriteIndex(docs, "doc_id", "text", idx,
+          k = 16, bands = 8, shingleN = 2, nSigParts = 8)
+        Dedup.minhashDedupIndexed(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", idx, minEst = 0.25)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |td AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS tok
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+              |hp AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h1,
+              |       ((('0x' || substr(md5(tok), 17, 15))::BIGINT) % 288230376151711744) AS h2 FROM td),
+              |mh AS (SELECT doc_id, j, min((h1 + j * h2) % 2305843009213693951) AS m
+              |       FROM hp, generate_series(0, 15) g(j) GROUP BY 1, 2),
+              |bands AS (SELECT doc_id, j // 2 AS band,
+              |          string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS sig
+              |          FROM mh GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id id_new, b.doc_id id_corpus
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.sig = b.sig
+              |          AND a.doc_id % 5 = 0 AND a.doc_id != b.doc_id),
+              |est AS (SELECT c.id_new, c.id_corpus,
+              |        count(*) FILTER (WHERE x.m = y.m) AS neq
+              |        FROM cand c
+              |        JOIN mh x ON x.doc_id = c.id_new
+              |        JOIN mh y ON y.doc_id = c.id_corpus AND x.j = y.j
+              |        GROUP BY 1, 2)
+              |SELECT id_new, id_corpus, CAST(floor(neq * 10000.0 / 16) AS BIGINT) AS est_jaccard_e4
+              |FROM est WHERE floor(neq * 10000.0 / 16) >= 2500""".stripMargin))
   )
+
+  /** A booster in the exact shape LightGBM `save_model("model.txt")`
+    * emits (header + Tree= blocks of key=value per-node arrays,
+    * children as internal indices or -(leaf+1)). Binary-fraction
+    * thresholds/leaves keep the q134 oracle comparison exact; tree 1's
+    * root carries the default-left decision_type bit. */
+  private[graft] val lgbTextFixture: String =
+    """tree
+      |version=v4
+      |num_class=1
+      |num_tree_per_iteration=1
+      |label_index=0
+      |max_feature_idx=63
+      |objective=binary sigmoid:1
+      |feature_names=
+      |
+      |Tree=0
+      |num_leaves=3
+      |num_cat=0
+      |split_feature=0 7
+      |split_gain=10 5
+      |threshold=0.125 -0.25
+      |decision_type=2 0
+      |left_child=1 -2
+      |right_child=-1 -3
+      |leaf_value=0.375 -0.3125 0.1875
+      |leaf_weight=10 10 10
+      |leaf_count=10 10 10
+      |internal_value=0 0
+      |internal_weight=0 0
+      |internal_count=30 20
+      |is_linear=0
+      |shrinkage=1
+      |
+      |
+      |Tree=1
+      |num_leaves=2
+      |num_cat=0
+      |split_feature=12
+      |split_gain=3
+      |threshold=0.0
+      |decision_type=0
+      |left_child=-1
+      |right_child=-2
+      |leaf_value=-0.0625 0.25
+      |shrinkage=1
+      |
+      |
+      |end of trees
+      |""".stripMargin
 
   /** A booster in the exact shape `Booster.dump_model(...,
     * dump_format="json")` emits (nested dicts, explicit

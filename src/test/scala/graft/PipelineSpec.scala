@@ -300,6 +300,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(prunedRows.forall(r => (0L to 4L).contains(r._3)))
   }
 
+  test("persisted MinHash index: incremental dedup equals the direct run; scan prunes unprobed buckets") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    Dedup.minhashWriteIndex(docs, "doc_id", "text", dir,
+      k = 16, bands = 8, shingleN = 2, nSigParts = 16)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val indexed = Dedup.minhashDedupIndexed(batch, "doc_id", "text", dir, minEst = 0.25)
+    val got = indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // direct twin: full-corpus candidates, batch-side orientation
+    val direct = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 16, bands = 8, minEst = 0.25)
+      .collect().flatMap(r => Seq(
+        (r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(1), r.getLong(0), r.getLong(2))))
+      .filter(_._1 % 5 == 0).toSet
+    assert(got.nonEmpty && got == direct,
+      s"indexed=${got.size} direct=${direct.size}")
+    // the batch's (band, sp) grid predicate must reach the scan as a
+    // PartitionFilter and prune unneeded bucket directories
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val dataScans = scans(indexed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("data")))
+    assert(dataScans.nonEmpty)
+    val filesRead = dataScans.map(_.metrics("numFiles").value).sum
+    val filesTotal = spark.read.parquet(s"$dir/data").inputFiles.length
+    assert(filesRead < filesTotal,
+      s"expected partition pruning: read $filesRead of $filesTotal files")
+    // corpus side must not shuffle: the batch is the broadcast side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("resizeImages rescales real PNGs in-JVM; undecodable payloads drop") {
     // render a 8x4 PNG with the JDK encoder
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
@@ -465,6 +507,38 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       XgbJson.fromModelJson(modelJson.replace("\"num_class\":\"0\"", "\"num_class\":\"3\"")))
     intercept[IllegalArgumentException](XgbJson.defaultFeatureIndex("petal_width"))
+  }
+
+  test("LightGbmText: text-format booster loads; <= routing is exact; paths agree") {
+    import graft.pipeline.LightGbmText
+    val m = LightGbmText.fromText(graft.queries.PipelineQueries.lgbTextFixture)
+    assert(m.trees.length == 2 && m.bias == 0.0)
+    // LightGBM routes x <= threshold LEFT; the nextUp mapping must hit
+    // the boundary exactly: f0 == 0.125 goes left, then f7 == -0.25
+    // goes left → leaf -0.3125; tree2: f12 = 0.5 > 0 → 0.25.
+    val x = Array.fill(64)(0.5); x(0) = 0.125; x(7) = -0.25
+    assert(m.score(x) == -0.3125 + 0.25)
+    x(0) = java.lang.Math.nextUp(0.125) // one ulp above → right leaf
+    assert(m.score(x) == 0.375 + 0.25)
+    // default-left bit (decision_type=2 on tree0's root): the missing f0
+    // routes LEFT into the subtree, where the missing f7 (decision_type=0)
+    // routes right → leaf 0.1875; tree1's missing f12 routes right → 0.25.
+    assert(m.score(Array.empty[Double]) == 0.1875 + 0.25)
+    // Catalyst margin == JVM scorer on random vectors
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(100)(i =>
+      (i.toLong, Array.fill(16)((rnd.nextInt(512) - 256) / 256.0).toSeq))
+    val got = rows.toDF("id", "v").repartition(4)
+      .select($"id", m.margin($"v").as("mg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, v) =>
+      assert(got(i) == m.score(v.toArray), s"row $i")
+    }
+    // guard rails: multi-class and categorical splits are rejected
+    intercept[IllegalArgumentException](LightGbmText.fromText(
+      graft.queries.PipelineQueries.lgbTextFixture.replace("num_class=1", "num_class=3")))
+    intercept[IllegalArgumentException](LightGbmText.fromText(
+      graft.queries.PipelineQueries.lgbTextFixture.replace("decision_type=2 0", "decision_type=3 0")))
   }
 
   test("GbdtBackend scores real decoded images through the batched seam") {
