@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface. The reference is batch-only (SURVEY
@@ -134,6 +134,30 @@ object EventStream {
       .withColumn("__fk", fuzzyKey(textCol, k, shingleN))
       .dropDuplicates("__fk")
       .drop("__fk")
+
+  /** Streaming ingest dedup against the FULL historical corpus via a
+    * persisted [[graft.pipeline.Dedup.minhashWriteIndex]] index: each
+    * micro-batch probes the index (static partition pruning + batch
+    * broadcast — the q135 plan) and only documents with no corpus
+    * match at `minEst` reach `sink`. This closes the lambda split
+    * documented on [[dedupStream]]: the watermark state store catches
+    * in-horizon duplicates, the index catches duplicates against
+    * EVERYTHING ingested before it was built — at per-batch cost
+    * proportional to the batch (the corpus is never rescanned), which
+    * is what makes historical near-dedup runnable inside a continuous
+    * 100 TB/day ingest. Returns the configured writer; caller sets
+    * checkpoint/trigger and starts. */
+  def indexedDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, minEst: Double)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val matched = graft.pipeline.Dedup
+        .minhashDedupIndexed(batch, idCol, textCol, indexPath, minEst)
+        .select(col("id_new")).distinct()
+      val survivors = batch.join(matched,
+        batch(idCol) === matched("id_new"), "left_anti")
+      sink(survivors, batchId)
+    }
 
   /** Batch twin of [[sessionize]] (same gap semantics, single pass) —
     * used to cross-check the stateful streaming path, mirroring the

@@ -318,6 +318,37 @@ class AdvancedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexedDedupStream: arriving micro-batches drop docs already in the persisted corpus index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // historical corpus -> persisted index
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven"),
+      (102L, "red orange yellow green blue indigo"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_stream_idx").toString
+    Dedup.minhashWriteIndex(corpus, "doc_id", "text", dir,
+      k = 16, bands = 8, shingleN = 2, nSigParts = 4)
+    // arriving stream: 201 duplicates corpus doc 100, 202 is fresh
+    val src = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.EventStream.indexedDedupStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, minEst = 0.9) {
+        (batch, _) => survivors ++= batch.collect().map(_.getLong(0))
+      }.start()
+    try {
+      src.addData((201L, "alpha beta gamma delta epsilon zeta"),
+        (202L, "totally novel content never seen anywhere"))
+      q.processAllAvailable()
+      src.addData((203L, "one two three four five six seven"))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(202L),
+        s"only the fresh doc should survive: $survivors")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization counts gap-split sessions") {
     import EventStream._
     val evs = Seq(
