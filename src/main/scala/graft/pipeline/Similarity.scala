@@ -385,6 +385,120 @@ object Similarity {
       md5Centroids(semDedupCells(n, targetOccupancy), dim), minCosE6)
   }
 
+  /** Deterministic product-quantization codebooks: `m` subspaces ×
+    * `ks` centroids × `subDim` components, each component md5-derived
+    * (52-bit → exact double, ANSI-SQL-expressible like
+    * [[md5Centroids]]) — the data-independent variant that lets a
+    * cross-engine oracle re-derive the identical quantizer. A trained
+    * drop-in (per-subspace k-means, [[ivfTopK]]'s trainer shape) only
+    * changes these arrays. */
+  def pqCodebooks(m: Int, ks: Int, subDim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(m) { s =>
+      Array.tabulate(ks) { j =>
+        Array.tabulate(subDim) { i =>
+          val hex = md.digest(s"pq_${s}_${j}_${i + 1}".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.substring(0, 13)
+          2.0 * java.lang.Long.parseLong(hex, 16).toDouble / (1L << 52).toDouble - 1.0
+        }
+      }
+    }
+  }
+
+  /** Per-(vector, subspace) squared-L2 distances to every centroid,
+    * e6-quantized to LONG inside the loop — quantize-before-sum is the
+    * engine's established exactness pattern (q119/q121): every
+    * downstream ADC sum is then exact integer arithmetic, order-free
+    * and bit-identical in any engine. */
+  private def pqDistTable(cb: Array[Array[Array[Double]]], v: Array[Double]): Array[Array[Long]] = {
+    val m = cb.length
+    Array.tabulate(m) { s =>
+      val sub = cb(s)
+      val subDim = sub(0).length
+      Array.tabulate(sub.length) { j =>
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = (if (s * subDim + i < v.length) v(s * subDim + i) else 0.0) - sub(j)(i)
+          d += x * x
+          i += 1
+        }
+        math.floor(d * 1e6 + 0.5).toLong
+      }
+    }
+  }
+
+  /** PQ-encode the corpus: `(nn_id, code: array<int>[m])` where
+    * `code(s)` is the argmin centroid of subspace `s` (ties → lowest
+    * index; argmin runs on the e6-quantized integer distances, so the
+    * choice is cross-engine exact). Map-only — the codebook rides the
+    * UDF closure; at 100 TB this is the one-time compression pass that
+    * shrinks a 64-dim float vector to `m` bytes of codes. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val cb = pqCodebooks(m, ks, dim / m)
+    val enc = udf { (v: Seq[Double]) =>
+      val dt = pqDistTable(cb, v.toArray)
+      dt.map { row =>
+        var best = 0; var bd = Long.MaxValue
+        var j = 0
+        while (j < row.length) { if (row(j) < bd) { bd = row(j); best = j }; j += 1 }
+        best
+      }
+    }
+    df.select(col(idCol).cast("long").as("nn_id"),
+      enc(widen(col(vecCol))).as("code"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation (Jégou et al.
+    * 2011): the corpus is scanned as `m`-byte codes, each query ships
+    * its own m×ks integer distance table, and a pair costs `m` table
+    * adds instead of `dim` float multiplies — the memory-bound scale
+    * path for billion-vector serving (compose with [[ivfTopK]] cells
+    * for the IVF-PQ layout). Emits `(query_id, rk, nn_id, dist_e6)`,
+    * rk 1..k by ascending quantized distance (ties → lowest id; the
+    * distance is the PQ approximation, e6-exact cross-engine).
+    *
+    * Shape: one map-only encode of the corpus, the (bounded, collected)
+    * query set's tables broadcast, per-partition tight add-loop, then a
+    * bounded-heap [[graft.functions.TopKAgg]] per query — the only
+    * shuffle is k×partitions rows per query. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, m: Int, ks: Int, dim: Int,
+      maxQueryRows: Int = 100000): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = pqCodebooks(m, ks, dim / m)
+    val qs = queries.select(col(qIdCol).cast("long").as("qid"),
+        widen(col(qVecCol)).as("qv"))
+      .as[(Long, Seq[Double])].limit(maxQueryRows + 1).collect()
+    require(qs.length <= maxQueryRows,
+      s"query set exceeds $maxQueryRows rows — split it or use the IVF path")
+    val qTables = qs.map { case (qid, qv) => (qid, pqDistTable(cb, qv.toArray)) }
+    val bc = spark.sparkContext.broadcast(qTables)
+    pqEncode(corpus, idCol, vecCol, m, ks, dim)
+      .as[(Long, Seq[Int])]
+      .flatMap { case (nnId, code) =>
+        val ca = code.toArray
+        bc.value.iterator.collect { case (qid, table) if qid != nnId =>
+          var d = 0L
+          var s = 0
+          while (s < ca.length) { d += table(s)(ca(s)); s += 1 }
+          (qid, nnId, d)
+        }
+      }
+      .toDF("query_id", "nn_id", "dist_e6")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg(-col("dist_e6"), col("nn_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nn_id"), (-col("e.score")).as("dist_e6"))
+  }
+
   /** All-pairs cosine above a threshold (quantized to e6), emitted as
     * (id_a, id_b, cos_e6) with id_a < id_b — SMALL-CORPUS exact path.
     *

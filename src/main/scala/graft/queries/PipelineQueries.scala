@@ -686,7 +686,40 @@ object PipelineQueries extends QueryPack {
               |        JOIN mh y ON y.doc_id = c.id_corpus AND x.j = y.j
               |        GROUP BY 1, 2)
               |SELECT id_new, id_corpus, CAST(floor(neq * 10000.0 / 16) AS BIGINT) AS est_jaccard_e4
-              |FROM est WHERE floor(neq * 10000.0 / 16) >= 2500""".stripMargin))
+              |FROM est WHERE floor(neq * 10000.0 / 16) >= 2500""".stripMargin)),
+
+    Query(
+      "q136_pq_topk",
+      "Product-quantization ANN top-k by asymmetric distance (Jegou et al. 2011, the memory-bound billion-vector serving path): the corpus compresses map-only to m=8 one-byte codes (argmin centroid per 8-dim subspace), each query broadcasts its own 8x16 integer distance table, and a pair costs 8 table ADDS instead of 64 float multiplies. Every distance is e6-quantized to LONG inside the per-subspace loop (quantize-before-sum, the q119 pattern), so encode argmins AND the ADC sums are exact integer arithmetic the oracle re-derives bit-identically — codebooks are md5-deterministic literals (the trained k-means variant is a drop-in array swap).",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqTopK(
+          corpus = emb, idCol = "vec_id", vecCol = "embedding",
+          queries = emb.filter($"vec_id" < 6), qIdCol = "vec_id", qVecCol = "embedding",
+          k = 5, m = 8, ks = 16, dim = 64)
+      },
+      Some {
+        val cb = Similarity.pqCodebooks(m = 8, ks = 16, subDim = 8)
+        val vals = (for {
+          s <- cb.indices; j <- cb(s).indices; i <- cb(s)(j).indices
+        } yield s"($s,$j,${i + 1},CAST(${cb(s)(j)(i)} AS DOUBLE))").mkString(",")
+        s"""WITH cb(s, j, i, v) AS (VALUES $vals),
+           |dt AS (SELECT e.vec_id, cb.s, cb.j,
+           |       CAST(floor(sum((CAST(e.embedding[cb.s*8 + cb.i] AS DOUBLE) - cb.v)
+           |                    * (CAST(e.embedding[cb.s*8 + cb.i] AS DOUBLE) - cb.v)) * 1000000 + 0.5) AS BIGINT) AS d_e6
+           |       FROM embeddings e, cb GROUP BY 1, 2, 3),
+           |enc AS (SELECT vec_id, s, j AS code FROM
+           |        (SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d_e6, j) AS rn FROM dt)
+           |        WHERE rn = 1),
+           |sc AS (SELECT qd.vec_id AS query_id, enc.vec_id AS nn_id, CAST(sum(qd.d_e6) AS BIGINT) AS dist_e6
+           |       FROM dt qd JOIN enc ON enc.s = qd.s AND enc.code = qd.j AND enc.vec_id != qd.vec_id
+           |       WHERE qd.vec_id < 6
+           |       GROUP BY 1, 2)
+           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_e6, nn_id) AS BIGINT) AS rk,
+           |       nn_id, dist_e6
+           |FROM sc QUALIFY rk <= 5""".stripMargin
+      })
   )
 
   /** A booster in the exact shape LightGBM `save_model("model.txt")`

@@ -342,6 +342,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("PQ ANN: engine equals a local ADC recompute; planted twin ranks first") {
+    val rnd = new scala.util.Random(41)
+    val dim = 32; val m = 4; val ks = 16; val sub = dim / m
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextInt(512) - 256) / 256.0f)))
+    // plant a twin of vector 7 (one component nudged a hair)
+    val twin = (999L, base(7)._2.clone()); twin._2(3) = twin._2(3) + 0.001f
+    val corpus = (base :+ twin).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 7L || $"vec_id" === 11L)
+    val got = Similarity.pqTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, m = m, ks = ks, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // the twin shares every PQ code with vector 7, so its ADC distance
+    // is the quantization residual ||q − reconstruction||² — the
+    // minimum any vector can score → rank 1
+    assert(got((7L, 1L))._1 == 999L, got.toString)
+    // local ADC twin from the SAME public codebooks — full equality
+    val cb = Similarity.pqCodebooks(m, ks, sub)
+    def table(v: Array[Double]): Array[Array[Long]] =
+      Array.tabulate(m)(s => Array.tabulate(ks) { j =>
+        var d = 0.0
+        for (i <- 0 until sub) { val x = v(s * sub + i) - cb(s)(j)(i); d += x * x }
+        math.floor(d * 1e6 + 0.5).toLong
+      })
+    val all = (base :+ twin).map { case (i, v) => (i, v.map(_.toDouble)) }
+    val codes = all.map { case (i, v) => i -> table(v).map(_.zipWithIndex.minBy(p => (p._1, p._2))._2) }.toMap
+    for (q <- Seq(7L, 11L)) {
+      val qt = table(all.find(_._1 == q).get._2)
+      val want = all.filter(_._1 != q).map { case (i, _) =>
+          (i, codes(i).zipWithIndex.map { case (c, s) => qt(s)(c) }.sum) }
+        .sortBy { case (i, d) => (d, i) }.take(3).zipWithIndex
+        .map { case ((i, d), p) => (q, (p + 1).toLong) -> (i, d) }.toMap
+      want.foreach { case (k2, v2) => assert(got(k2) == v2, s"$k2: ${got(k2)} != $v2") }
+    }
+  }
+
   test("resizeImages rescales real PNGs in-JVM; undecodable payloads drop") {
     // render a 8x4 PNG with the JDK encoder
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
