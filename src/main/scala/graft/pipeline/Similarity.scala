@@ -437,18 +437,17 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       m: Int, ks: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val cb = pqCodebooks(m, ks, dim / m)
-    val enc = udf { (v: Seq[Double]) =>
-      val dt = pqDistTable(cb, v.toArray)
-      dt.map { row =>
-        var best = 0; var bd = Long.MaxValue
-        var j = 0
-        while (j < row.length) { if (row(j) < bd) { bd = row(j); best = j }; j += 1 }
-        best
-      }
-    }
     df.select(col(idCol).cast("long").as("nn_id"),
-      enc(widen(col(vecCol))).as("code"))
+      pqEncodeUdf(pqCodebooks(m, ks, dim / m))(widen(col(vecCol))).as("code"))
+  }
+
+  private def pqEncodeUdf(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Double]) =>
+    pqDistTable(cb, v.toArray).map { row =>
+      var best = 0; var bd = Long.MaxValue
+      var j = 0
+      while (j < row.length) { if (row(j) < bd) { bd = row(j); best = j }; j += 1 }
+      best
+    }
   }
 
   /** PQ ANN top-k by asymmetric distance computation (Jégou et al.
@@ -489,6 +488,73 @@ object Similarity {
           var s = 0
           while (s < ca.length) { d += table(s)(ca(s)); s += 1 }
           (qid, nnId, d)
+        }
+      }
+      .toDF("query_id", "nn_id", "dist_e6")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg(-col("dist_e6"), col("nn_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nn_id"), (-col("e.score")).as("dist_e6"))
+  }
+
+  /** IVF-PQ: the production billion-vector serving stack (Jégou et al.
+    * 2011 §IV) — a coarse quantizer routes each vector to one of
+    * `nCells` cells ([[md5Centroids]] argmax raw-dot, the
+    * deterministic [[semDedupPairsWith]] assignment), queries probe
+    * their `nProbe` best cells, and only vectors in probed cells are
+    * ADC-scored from their `m`-byte PQ codes. Cell filtering happens
+    * BEFORE the flatMap, so unprobed cells cost one int comparison per
+    * row — and with the corpus persisted `partitionBy("cell")`
+    * ([[ivfWriteIndex]]'s layout), unprobed cells never leave disk.
+    *
+    * This is the simple (non-residual) IVF-PQ: codes quantize the raw
+    * vector, cells only route — so `nProbe = nCells` is EXACTLY
+    * [[pqTopK]] (spec-pinned equality; the residual-encoding refinement
+    * changes the codes, not the plan shape). */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, m: Int, ks: Int, dim: Int, nCells: Int, nProbe: Int,
+      maxQueryRows: Int = 100000): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(nCells > 0 && nProbe > 0 && nProbe <= nCells,
+      s"need 0 < nProbe <= nCells (got nProbe=$nProbe nCells=$nCells)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = pqCodebooks(m, ks, dim / m)
+    val cents = md5Centroids(nCells, dim)
+    val qs = queries.select(col(qIdCol).cast("long").as("qid"),
+        widen(col(qVecCol)).as("qv"))
+      .as[(Long, Seq[Double])].limit(maxQueryRows + 1).collect()
+    require(qs.length <= maxQueryRows,
+      s"query set exceeds $maxQueryRows rows — split it")
+    // per query: its nProbe best cells (by raw dot, ties to low cell)
+    // and its ADC distance table
+    val qSide = qs.map { case (qid, qv0) =>
+      val qv = qv0.toArray
+      val scored = cents.zipWithIndex.map { case (cv, ci) =>
+        var s = 0.0; var i = 0
+        val d = math.min(qv.length, cv.length)
+        while (i < d) { s += qv(i) * cv(i); i += 1 }
+        (s, ci)
+      }
+      val probed = scored.sortBy { case (s, ci) => (-s, ci) }
+        .take(nProbe).map(_._2).toSet
+      (qid, probed, pqDistTable(cb, qv))
+    }
+    val bc = spark.sparkContext.broadcast(qSide)
+    corpus.select(col(idCol).cast("long").as("nn_id"),
+        pqEncodeUdf(cb)(widen(col(vecCol))).as("code"),
+        argmaxCellUdf(cents)(widen(col(vecCol))).as("cell"))
+      .as[(Long, Seq[Int], Int)]
+      .flatMap { case (nnId, code, cell) =>
+        val ca = code.toArray
+        bc.value.iterator.collect {
+          case (qid, probed, table) if qid != nnId && probed.contains(cell) =>
+            var d = 0L
+            var s = 0
+            while (s < ca.length) { d += table(s)(ca(s)); s += 1 }
+            (qid, nnId, d)
         }
       }
       .toDF("query_id", "nn_id", "dist_e6")

@@ -699,28 +699,47 @@ object PipelineQueries extends QueryPack {
           queries = emb.filter($"vec_id" < 6), qIdCol = "vec_id", qVecCol = "embedding",
           k = 5, m = 8, ks = 16, dim = 64)
       },
-      Some {
-        val cb = Similarity.pqCodebooks(m = 8, ks = 16, subDim = 8)
-        val vals = (for {
-          s <- cb.indices; j <- cb(s).indices; i <- cb(s)(j).indices
-        } yield s"($s,$j,${i + 1},CAST(${cb(s)(j)(i)} AS DOUBLE))").mkString(",")
-        s"""WITH cb(s, j, i, v) AS (VALUES $vals),
-           |dt AS (SELECT e.vec_id, cb.s, cb.j,
-           |       CAST(floor(sum((CAST(e.embedding[cb.s*8 + cb.i] AS DOUBLE) - cb.v)
-           |                    * (CAST(e.embedding[cb.s*8 + cb.i] AS DOUBLE) - cb.v)) * 1000000 + 0.5) AS BIGINT) AS d_e6
-           |       FROM embeddings e, cb GROUP BY 1, 2, 3),
-           |enc AS (SELECT vec_id, s, j AS code FROM
-           |        (SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d_e6, j) AS rn FROM dt)
-           |        WHERE rn = 1),
-           |sc AS (SELECT qd.vec_id AS query_id, enc.vec_id AS nn_id, CAST(sum(qd.d_e6) AS BIGINT) AS dist_e6
-           |       FROM dt qd JOIN enc ON enc.s = qd.s AND enc.code = qd.j AND enc.vec_id != qd.vec_id
-           |       WHERE qd.vec_id < 6
-           |       GROUP BY 1, 2)
-           |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_e6, nn_id) AS BIGINT) AS rk,
-           |       nn_id, dist_e6
-           |FROM sc QUALIFY rk <= 5""".stripMargin
-      })
+      Some(pqOracleSql)),
+
+    Query(
+      "q137_ivfpq_topk",
+      "IVF-PQ composition (Jegou et al. 2011 SIV, the production billion-vector layout): the md5-deterministic coarse quantizer routes every vector to a cell (the q107 assignment), queries probe their nProbe best cells, and only in-cell vectors are ADC-scored from PQ codes — unprobed cells cost one int comparison per row here, zero bytes when the corpus is persisted partitionBy(cell) (the q79 index layout). Probing ALL 8 cells makes the result exactly the exhaustive PQ scan (the q79 oracle trick — this registered config shares q136's oracle bit-for-bit); nProbe < nCells is the recall/scan-fraction knob, planted-twin-pinned in PipelineSpec.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfPqTopK(
+          corpus = emb, idCol = "vec_id", vecCol = "embedding",
+          queries = emb.filter($"vec_id" < 6), qIdCol = "vec_id", qVecCol = "embedding",
+          k = 5, m = 8, ks = 16, dim = 64, nCells = 8, nProbe = 8)
+      },
+      Some(pqOracleSql))
   )
+
+  /** Shared q136/q137 oracle: the full PQ pipeline re-derived in SQL
+    * from the md5-deterministic codebook literals — integer (e6)
+    * distance tables, argmin encode, ADC sums. q137 probes all cells,
+    * which makes IVF-PQ exactly the exhaustive PQ scan. */
+  private lazy val pqOracleSql: String = {
+    val cb = Similarity.pqCodebooks(m = 8, ks = 16, subDim = 8)
+    val vals = (for {
+      s <- cb.indices; j <- cb(s).indices; i <- cb(s)(j).indices
+    } yield s"($s,$j,${i + 1},CAST(${cb(s)(j)(i)} AS DOUBLE))").mkString(",")
+    s"""WITH cb(s, j, i, v) AS (VALUES $vals),
+       |dt AS (SELECT e.vec_id, cb.s, cb.j,
+       |       CAST(floor(sum((CAST(e.embedding[cb.s*8 + cb.i] AS DOUBLE) - cb.v)
+       |                    * (CAST(e.embedding[cb.s*8 + cb.i] AS DOUBLE) - cb.v)) * 1000000 + 0.5) AS BIGINT) AS d_e6
+       |       FROM embeddings e, cb GROUP BY 1, 2, 3),
+       |enc AS (SELECT vec_id, s, j AS code FROM
+       |        (SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d_e6, j) AS rn FROM dt)
+       |        WHERE rn = 1),
+       |sc AS (SELECT qd.vec_id AS query_id, enc.vec_id AS nn_id, CAST(sum(qd.d_e6) AS BIGINT) AS dist_e6
+       |       FROM dt qd JOIN enc ON enc.s = qd.s AND enc.code = qd.j AND enc.vec_id != qd.vec_id
+       |       WHERE qd.vec_id < 6
+       |       GROUP BY 1, 2)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_e6, nn_id) AS BIGINT) AS rk,
+       |       nn_id, dist_e6
+       |FROM sc QUALIFY rk <= 5""".stripMargin
+  }
 
   /** A booster in the exact shape LightGBM `save_model("model.txt")`
     * emits (header + Tree= blocks of key=value per-node arrays,

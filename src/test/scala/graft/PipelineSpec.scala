@@ -379,6 +379,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: probing all cells equals plain PQ; nProbe=1 still finds the same-cell twin") {
+    val rnd = new scala.util.Random(43)
+    val dim = 32
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextInt(512) - 256) / 256.0f)))
+    val twin = (999L, rows(5)._2) // identical → same cell, same codes
+    val corpus = (rows :+ twin).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 5L || $"vec_id" === 17L)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, m = 4, ks = 16, dim = dim,
+      nCells = 4, nProbe = 4)
+    val plain = Similarity.pqTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, m = 4, ks = 16, dim = dim)
+    assert(key(full) == key(plain), "nProbe = nCells must equal the exhaustive PQ scan")
+    // nProbe=1: an identical twin lives in the query's own (top-1) cell
+    val narrow = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries.filter($"vec_id" === 5L), "vec_id", "embedding",
+      k = 1, m = 4, ks = 16, dim = dim, nCells = 4, nProbe = 1)
+    val top = narrow.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(top(5L) == 999L, s"same-cell twin must rank first at nProbe=1: $top")
+  }
+
   test("resizeImages rescales real PNGs in-JVM; undecodable payloads drop") {
     // render a 8x4 PNG with the JDK encoder
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
