@@ -428,6 +428,64 @@ object Similarity {
     }
   }
 
+  /** Train per-subspace PQ codebooks with k-means on the corpus —
+    * the quantizer that makes [[pqTopKWith]] production-quality (the
+    * deterministic [[pqCodebooks]] is the data-independent,
+    * oracle-portable baseline). Deterministic: seeds are a hash-ordered
+    * sample of `ks` corpus rows (ONE bounded collect, each row sliced
+    * into its m subvectors), then `iters` Lloyd steps run cluster-side
+    * (assign map-only; per-(subspace, centroid, dim) means via one
+    * posexplode aggregation; bounded m×ks×subDim collect per step).
+    * Empty clusters keep their previous centroid. */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, dim: Int, iters: Int = 2,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(iters >= 0, "iters must be >= 0")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    val prepared = corpus.select(col(idCol).cast("long").as("nn_id"),
+      widen(col(vecCol)).as("v"))
+    val seeds = prepared
+      .orderBy(xxhash64(col("nn_id"), lit(seed)), col("nn_id"))
+      .limit(ks).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ks, s"corpus has fewer than ks=$ks rows")
+    var cb = Array.tabulate(m)(s => seeds.map(v =>
+      Array.tabulate(subDim)(i => if (s * subDim + i < v.length) v(s * subDim + i) else 0.0)))
+    for (_ <- 1 to iters) {
+      val frozen = cb
+      val assignU = udf { (v: Seq[Double]) =>
+        val va = v.toArray
+        Array.tabulate(m) { s =>
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < ks) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val x = (if (s * subDim + i < va.length) va(s * subDim + i) else 0.0) - frozen(s)(j)(i)
+              d += x * x; i += 1
+            }
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          best
+        }
+      }
+      val means = prepared
+        .select(col("v"), posexplode(assignU(col("v"))).as(Seq("s", "j")))
+        .select(col("s"), col("j"),
+          posexplode(slice(col("v"), col("s") * subDim + 1, lit(subDim)))
+            .as(Seq("i", "x")))
+        .groupBy("s", "j", "i").agg(avg(col("x")).as("mu"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      cb = Array.tabulate(m)(s => Array.tabulate(ks)(j =>
+        Array.tabulate(subDim)(i => means.getOrElse((s, j, i), cb(s)(j)(i)))))
+    }
+    cb
+  }
+
   /** PQ-encode the corpus: `(nn_id, code: array<int>[m])` where
     * `code(s)` is the argmin centroid of subspace `s` (ties → lowest
     * index; argmin runs on the e6-quantized integer distances, so the
@@ -468,10 +526,20 @@ object Similarity {
       k: Int, m: Int, ks: Int, dim: Int,
       maxQueryRows: Int = 100000): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    pqTopKWith(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k,
+      pqCodebooks(m, ks, dim / m), maxQueryRows)
+  }
+
+  /** [[pqTopK]] with an explicit codebook — where a
+    * [[pqTrainCodebooks]]-trained quantizer (or any external one)
+    * drops in. */
+  def pqTopKWith(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, cb: Array[Array[Array[Double]]],
+      maxQueryRows: Int = 100000): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cb = pqCodebooks(m, ks, dim / m)
     val qs = queries.select(col(qIdCol).cast("long").as("qid"),
         widen(col(qVecCol)).as("qv"))
       .as[(Long, Seq[Double])].limit(maxQueryRows + 1).collect()
@@ -479,7 +547,8 @@ object Similarity {
       s"query set exceeds $maxQueryRows rows — split it or use the IVF path")
     val qTables = qs.map { case (qid, qv) => (qid, pqDistTable(cb, qv.toArray)) }
     val bc = spark.sparkContext.broadcast(qTables)
-    pqEncode(corpus, idCol, vecCol, m, ks, dim)
+    corpus.select(col(idCol).cast("long").as("nn_id"),
+        pqEncodeUdf(cb)(widen(col(vecCol))).as("code"))
       .as[(Long, Seq[Int])]
       .flatMap { case (nnId, code) =>
         val ca = code.toArray

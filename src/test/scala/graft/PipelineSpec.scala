@@ -379,6 +379,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pqTrainCodebooks: k-means beats the data-independent codebook; trained serving still ranks the twin first") {
+    val rnd = new scala.util.Random(47)
+    val dim = 32; val m = 4; val ks = 8; val sub = dim / m
+    val rows = Seq.tabulate(80)(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextInt(512) - 256) / 256.0f)))
+    val twin = (999L, rows(9)._2)
+    val corpus = (rows :+ twin).toDF("vec_id", "embedding")
+    val trained = Similarity.pqTrainCodebooks(corpus, "vec_id", "embedding",
+      m, ks, dim, iters = 2)
+    val baseline = Similarity.pqCodebooks(m, ks, sub)
+    // total quantization error (sum over vectors/subspaces of the min
+    // squared distance): k-means on the data must beat random md5 planes
+    def err(cb: Array[Array[Array[Double]]]): Double =
+      rows.map { case (_, v0) =>
+        val v = v0.map(_.toDouble).toArray
+        (0 until m).map { s =>
+          (0 until ks).map { j =>
+            (0 until sub).map { i =>
+              val x = v(s * sub + i) - cb(s)(j)(i); x * x
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    assert(err(trained) < err(baseline),
+      s"trained ${err(trained)} must beat baseline ${err(baseline)}")
+    // determinism: retraining yields the identical codebook
+    val again = Similarity.pqTrainCodebooks(corpus, "vec_id", "embedding",
+      m, ks, dim, iters = 2)
+    assert(trained.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
+    // serving under the trained quantizer: the identical twin ranks first
+    val got = Similarity.pqTopKWith(corpus, "vec_id", "embedding",
+        corpus.filter($"vec_id" === 9L), "vec_id", "embedding", k = 1, trained)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(9L) == 999L, got.toString)
+  }
+
   test("IVF-PQ: probing all cells equals plain PQ; nProbe=1 still finds the same-cell twin") {
     val rnd = new scala.util.Random(43)
     val dim = 32
