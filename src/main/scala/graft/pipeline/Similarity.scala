@@ -385,6 +385,34 @@ object Similarity {
       md5Centroids(semDedupCells(n, targetOccupancy), dim), minCosE6)
   }
 
+  /** Hashing-trick text embeddings (Weinberger et al. 2009, feature
+    * hashing): `embedding[b] = Σ_token sign(h₂(token))` over tokens
+    * hashing to bucket `b = h₁(token) mod dim` — the in-engine bridge
+    * from raw text to the whole ANN/dedup stack ([[bruteForceTopK]],
+    * [[cosineCandidatesAuto]], [[pqTopK]]) when no learned encoder is
+    * available. Hashes are the portable md5 pair (hex [1,15] / [17,31],
+    * the [[Dedup.hashPair]] convention) so an oracle re-derives the
+    * embedding exactly, and components are INTEGER-valued doubles, so
+    * every downstream dot product is exact in any engine. Map-only —
+    * one tight UDF loop per document, no shuffle. */
+  def hashEmbeddings(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val embU = udf { (toks: Seq[String]) =>
+      val acc = new Array[Double](dim)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      toks.foreach { t =>
+        val hx = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val b = (java.lang.Long.parseLong(hx.substring(0, 15), 16) % dim).toInt
+        val sgn = if (java.lang.Long.parseLong(hx.substring(16, 31), 16) % 2 == 0) 1.0 else -1.0
+        acc(b) += sgn
+      }
+      acc
+    }
+    df.select(col(idCol).cast("long").as("id"),
+      embU(TextAnalysis.tokens(col(textCol))).as("embedding"))
+  }
+
   /** Deterministic product-quantization codebooks: `m` subspaces ×
     * `ks` centroids × `subDim` components, each component md5-derived
     * (52-bit → exact double, ANSI-SQL-expressible like

@@ -712,7 +712,37 @@ object PipelineQueries extends QueryPack {
           queries = emb.filter($"vec_id" < 6), qIdCol = "vec_id", qVecCol = "embedding",
           k = 5, m = 8, ks = 16, dim = 64, nCells = 8, nProbe = 8)
       },
-      Some(pqOracleSql))
+      Some(pqOracleSql)),
+
+    Query(
+      "q138_hash_embed",
+      "Hashing-trick text embeddings (Weinberger et al. 2009) -> cosine top-3 neighbors: documents embed map-only into 64 signed-token-count buckets (portable md5 bucket+sign hashes, INTEGER-valued components so every dot product is exact integer arithmetic) and the first 5 docs query the broadcast brute-force top-k — the in-engine text->embedding->ANN bridge when no learned encoder is available. The oracle re-derives embedding, norms, and ranking from the same md5 hashes in sparse (doc, bucket, weight) form.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Similarity.hashEmbeddings(
+          Tables.documents(s, dir), "doc_id", "text", dim = 64)
+        Similarity.bruteForceTopK(
+          corpus = emb, idCol = "id", vecCol = "embedding",
+          queries = emb.filter($"id" < 5), qIdCol = "id", qVecCol = "embedding",
+          k = 3)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |tb AS (SELECT doc_id,
+              |       ((('0x' || substr(md5(tok), 1, 15))::BIGINT) % 64) AS b,
+              |       CASE WHEN (('0x' || substr(md5(tok), 17, 15))::BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+              |       FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+              |emb AS (SELECT doc_id, b, sum(sgn) AS w FROM tb GROUP BY 1, 2),
+              |nrm AS (SELECT doc_id, sqrt(sum(CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) AS n FROM emb GROUP BY 1),
+              |d AS (SELECT q.doc_id AS query_id, c.doc_id AS nn_id,
+              |      sum(CAST(q.w AS DOUBLE) * CAST(c.w AS DOUBLE)) AS dt
+              |      FROM emb q JOIN emb c ON q.b = c.b AND q.doc_id < 5 AND c.doc_id != q.doc_id
+              |      GROUP BY 1, 2),
+              |r AS (SELECT query_id, nn_id,
+              |      CAST(floor(dt / (nq.n * nc.n) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+              |      FROM d JOIN nrm nq ON query_id = nq.doc_id JOIN nrm nc ON nn_id = nc.doc_id)
+              |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, nn_id) AS BIGINT) AS rk,
+              |       nn_id, cos_e6
+              |FROM r QUALIFY rk <= 3""".stripMargin))
   )
 
   /** Shared q136/q137 oracle: the full PQ pipeline re-derived in SQL

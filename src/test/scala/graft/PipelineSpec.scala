@@ -379,6 +379,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hashEmbeddings: integer components; identical text embeds identically and scores cosine 1") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha beta beta gamma"),
+      (3L, "totally different words here entirely")).toDF("doc_id", "text")
+    val emb = Similarity.hashEmbeddings(docs, "doc_id", "text", dim = 16)
+    val rows = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows(1L) == rows(2L), "same text must embed identically")
+    assert(rows(1L).forall(x => x == math.rint(x)), "components must be integer-valued")
+    assert(rows(1L).exists(_ != 0.0))
+    val top = Similarity.bruteForceTopK(emb, "id", "embedding",
+        emb.filter($"id" === 1L), "id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).head
+    assert(top == ((1L, 2L, 1000000L)), s"duplicate must score exactly cos 1.0: $top")
+  }
+
   test("pqTrainCodebooks: k-means beats the data-independent codebook; trained serving still ranks the twin first") {
     val rnd = new scala.util.Random(47)
     val dim = 32; val m = 4; val ks = 8; val sub = dim / m
