@@ -125,11 +125,20 @@ object Dedup {
     * Catalyst `conv(substring(md5(s)))` formulation parses two 15-char
     * hex strings per shingle; measured ~2× the whole signature stage). */
   private def digestPair(md: java.security.MessageDigest, s: String): (Long, Long) = {
+    val p = digestPairRaw(md, s)
+    (p._1, p._2 % H2Mod)
+  }
+
+  /** [[digestPair]] without the minhash-specific 2^58 reduction —
+    * (hex chars [1,15], hex chars [17,31]) as raw 60-bit longs, the
+    * exact values of [[hashPairSql]]'s two SQL expressions. */
+  private[pipeline] def digestPairRaw(
+      md: java.security.MessageDigest, s: String): (Long, Long) = {
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var hi = 0L; var lo = 0L
     var i = 0
     while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); lo = (lo << 8) | (d(i + 8) & 0xffL); i += 1 }
-    ((hi >>> 4, (lo >>> 4) % H2Mod))
+    (hi >>> 4, lo >>> 4)
   }
 
   /** k MinHash values straight from the token array: per shingle, one

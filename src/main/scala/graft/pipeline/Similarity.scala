@@ -402,10 +402,10 @@ object Similarity {
       val acc = new Array[Double](dim)
       val md = java.security.MessageDigest.getInstance("MD5")
       toks.foreach { t =>
-        val hx = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-        val b = (java.lang.Long.parseLong(hx.substring(0, 15), 16) % dim).toInt
-        val sgn = if (java.lang.Long.parseLong(hx.substring(16, 31), 16) % 2 == 0) 1.0 else -1.0
-        acc(b) += sgn
+        // byte-arithmetic md5 pair (no hex round-trip — the digestPair
+        // lesson: string formatting cost ~2x the whole stage)
+        val (h1, h2) = Dedup.digestPairRaw(md, t)
+        acc((h1 % dim).toInt) += (if (h2 % 2 == 0) 1.0 else -1.0)
       }
       acc
     }
