@@ -332,4 +332,124 @@ class PropertySpec extends AnyFunSuite {
     }.toMap
     assert(got == local)
   }
+
+  // ---- random decision trees rendered to the PUBLIC model formats and
+  // loaded back: the loaders are checked against independent local
+  // evaluators implementing each trainer's own routing semantics ----
+
+  private sealed trait RTree
+  private case class RLeaf(v: Double) extends RTree
+  private case class RSplit(f: Int, thr: Double, missLeft: Boolean,
+      l: RTree, r: RTree) extends RTree
+
+  private def genTree(depth: Int): Gen[RTree] =
+    if (depth == 0) Gen.chooseNum(-32, 32).map(k => RLeaf(k / 32.0))
+    else Gen.frequency(
+      2 -> Gen.chooseNum(-32, 32).map(k => RLeaf(k / 32.0)),
+      3 -> (for {
+        f <- Gen.chooseNum(0, 7)
+        t <- Gen.chooseNum(-16, 16)
+        ml <- Gen.oneOf(true, false)
+        l <- genTree(depth - 1)
+        r <- genTree(depth - 1)
+      } yield RSplit(f, t / 16.0, ml, l, r)))
+
+  /** XGBoost semantics: x < thr → yes; missing → the missing branch. */
+  private def evalXgb(t: RTree, x: Array[Double]): Double = t match {
+    case RLeaf(v) => v
+    case RSplit(f, thr, ml, l, r) =>
+      val v = if (f < x.length) x(f) else Double.NaN
+      if (v.isNaN) { if (ml) evalXgb(l, x) else evalXgb(r, x) }
+      else if (v < thr) evalXgb(l, x) else evalXgb(r, x)
+  }
+
+  /** LightGBM semantics: x <= thr → left; missing → default-left bit. */
+  private def evalLgb(t: RTree, x: Array[Double]): Double = t match {
+    case RLeaf(v) => v
+    case RSplit(f, thr, ml, l, r) =>
+      val v = if (f < x.length) x(f) else Double.NaN
+      if (v.isNaN) { if (ml) evalLgb(l, x) else evalLgb(r, x) }
+      else if (v <= thr) evalLgb(l, x) else evalLgb(r, x)
+  }
+
+  private def dumpJson(t: RTree): String = {
+    var nextId = 0
+    def go(t: RTree): String = t match {
+      case RLeaf(v) =>
+        val id = nextId; nextId += 1
+        s"""{"nodeid":$id,"leaf":$v}"""
+      case RSplit(f, thr, ml, l, r) =>
+        val id = nextId; nextId += 1
+        val lj = go(l); val li = lj.split("\"nodeid\":")(1).takeWhile(_.isDigit)
+        val rj = go(r); val ri = rj.split("\"nodeid\":")(1).takeWhile(_.isDigit)
+        val miss = if (ml) li else ri
+        s"""{"nodeid":$id,"split":"f$f","split_condition":$thr,"yes":$li,"no":$ri,"missing":$miss,"children":[$lj,$rj]}"""
+    }
+    go(t)
+  }
+
+  private def lgbText(trees: Seq[RTree]): String = {
+    def block(t: RTree): String = t match {
+      case RLeaf(v) =>
+        s"num_leaves=1\nnum_cat=0\nleaf_value=$v\n"
+      case _ =>
+        // pre-order internal / leaf numbering
+        val sf = collection.mutable.ArrayBuffer.empty[Int]
+        val th = collection.mutable.ArrayBuffer.empty[Double]
+        val dt = collection.mutable.ArrayBuffer.empty[Long]
+        val lc = collection.mutable.ArrayBuffer.empty[Int]
+        val rc = collection.mutable.ArrayBuffer.empty[Int]
+        val lv = collection.mutable.ArrayBuffer.empty[Double]
+        def go(t: RTree): Int = t match { // returns encoded child ref
+          case RLeaf(v) => lv += v; -lv.length // -(leafIdx+1)
+          case RSplit(f, thr, ml, l, r) =>
+            val at = sf.length
+            sf += f; th += thr; dt += (if (ml) 2L else 0L); lc += 0; rc += 0
+            lc(at) = go(l); rc(at) = go(r)
+            at
+        }
+        go(t)
+        s"""num_leaves=${lv.length}
+           |num_cat=0
+           |split_feature=${sf.mkString(" ")}
+           |threshold=${th.mkString(" ")}
+           |decision_type=${dt.mkString(" ")}
+           |left_child=${lc.mkString(" ")}
+           |right_child=${rc.mkString(" ")}
+           |leaf_value=${lv.mkString(" ")}
+           |""".stripMargin
+    }
+    "tree\nnum_class=1\nmax_feature_idx=7\n\n" +
+      trees.zipWithIndex.map { case (t, i) => s"Tree=$i\n${block(t)}\n" }.mkString("\n") +
+      "\nend of trees\n"
+  }
+
+  test("XgbJson round-trips arbitrary rendered dump trees against the local XGBoost-semantics twin") {
+    import graft.pipeline.XgbJson
+    val forests = samples(Gen.listOfN(3, genTree(4)), 20).filter(_.nonEmpty)
+    val vecs = samples(Gen.listOfN(8, Gen.chooseNum(-20, 20).map(_ / 16.0)), 30)
+      .map(_.toArray) :+ Array.empty[Double] :+ Array(0.5) // short → missing paths
+    forests.foreach { trees =>
+      val json = trees.map(dumpJson).mkString("[", ",", "]")
+      val m = XgbJson.fromDump(json)
+      vecs.foreach { x =>
+        val want = trees.map(evalXgb(_, x)).sum
+        assert(m.score(x) == want, s"$json on ${x.toSeq}")
+      }
+    }
+  }
+
+  test("LightGbmText round-trips arbitrary rendered text models against the local LightGBM-semantics twin") {
+    import graft.pipeline.LightGbmText
+    val forests = samples(Gen.listOfN(3, genTree(4)), 20).filter(_.nonEmpty)
+    val vecs = samples(Gen.listOfN(8, Gen.chooseNum(-20, 20).map(_ / 16.0)), 30)
+      .map(_.toArray) :+ Array.empty[Double] :+ Array(0.5)
+    forests.foreach { trees =>
+      val m = LightGbmText.fromText(lgbText(trees))
+      vecs.foreach { x =>
+        val want = trees.map(evalLgb(_, x)).sum
+        assert(m.score(x) == want, s"${lgbText(trees)} on ${x.toSeq}")
+      }
+    }
+  }
 }
