@@ -293,6 +293,66 @@ object Curation {
         .cast("long").as("dup_frac_e4"))
   }
 
+  /** The CLEANING transform over [[duplicatedSpanStats]]'s machinery —
+    * Lee et al. 2022's actual output: re-emit every document with its
+    * duplicated spans REMOVED, keeping (by default) the one globally
+    * first occurrence of each duplicated k-gram (winner = minimum
+    * doc_id·10⁶+pos over the hash — the keep-one convention; pass
+    * `keepFirst = false` for C4-style drop-all). Returns
+    * (id, clean_text, n_tokens, kept_tokens); cleaned text re-joins
+    * surviving tokens with single spaces (tokenization is the span
+    * resolution, exactly as in the stats operator).
+    *
+    * Plan shape: the same map-side position shingling + one groupBy on
+    * the 60-bit hash + join-back as the stats pass; the drop-start
+    * arrays ride a per-doc aggregate, and the final token filter is an
+    * in-row HOF — `O(n_tokens × n_drop_starts)` per document, which is
+    * the right trade while duplicated spans are sparse (the normal
+    * corpus regime; a pathological everything-duplicated doc degrades
+    * gracefully to O(n²/k) in ITS OWN length only, never the corpus).
+    * Winner encoding packs (doc, pos) into one BIGINT (doc·10⁶ + pos)
+    * so the keep-one order is portable to the SQL oracle; documents of
+    * ≥10⁶ tokens are excluded from the output rather than risk an
+    * order collision (no real shard has them — split upstream if one
+    * ever does). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, keepFirst: Boolean = true): DataFrame = {
+    require(k >= 2, s"span k-gram length must be >= 2 (got $k)")
+    val toked = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+    val t = col("__t")
+    val sh =
+      when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => concat_ws(" ", (0 until k).map(j => get(t, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>"))
+    val pos = toked
+      .select(col("id"), posexplode(graft.functions.Barrier(sh)))
+      .select(col("id"), col("pos"), Dedup.hash60(col("col")).as("h"),
+        (col("id") * lit(1000000L) + col("pos")).as("ord"))
+    val winners = pos.groupBy("h")
+      .agg(count(lit(1)).as("occ"), min(col("ord")).as("winner"))
+      .filter(col("occ") >= 2)
+    val dropStarts = pos.join(winners, "h")
+      .filter(if (keepFirst) col("ord") =!= col("winner") else lit(true))
+      .groupBy("id").agg(array_sort(collect_set(col("pos"))).as("ps"))
+    toked
+      .filter(size(t) < lit(1000000))
+      .join(dropStarts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ps"), array().cast("array<int>")).as("ps"), t.as("__t"))
+      .select(col("id"),
+        concat_ws(" ", filter(
+          transform(col("__t"), (tok, i) =>
+            when(!exists(col("ps"), q => q <= i && i < q + k), tok)),
+          x => x.isNotNull)).as("clean_text"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(filter(
+          transform(col("__t"), (_, i) =>
+            when(!exists(col("ps"), q => q <= i && i < q + k), lit(1))),
+          x => x.isNotNull)).cast("long").as("kept_tokens"))
+  }
+
   // ---- corpus-LM bigram rarity signals ----
 
   /** Per-document rarity signals against the corpus's own bigram table

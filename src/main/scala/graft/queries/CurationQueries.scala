@@ -328,6 +328,31 @@ object CurationQueries extends QueryPack {
               |FROM sp GROUP BY doc_id, nt""".stripMargin)),
 
     Query(
+      "q139_span_remove",
+      "Span-level dedup CLEANING (Lee et al. 2022's actual output, on q104's machinery): every document re-emitted with its duplicated 3-gram spans REMOVED, keeping the one globally-first occurrence of each duplicated shingle (winner = min doc_id*1e6+pos over the 60-bit hash — the keep-one convention). Same map-side shingling + one hash groupBy + join-back as q104; the token filter is an in-row HOF over the per-doc sorted drop-start array. The oracle rebuilds clean_text with a NOT EXISTS coverage anti-join and compares the STRINGS exactly.",
+      (s, dir) => Curation.removeDuplicatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_tokens"), col("kept_tokens")),
+      // same 0..199 series bound as q104 (docs max 100 tokens)
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |pos AS (SELECT doc_id, i AS pos,
+              |        (('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 15))::BIGINT) AS h,
+              |        doc_id * 1000000 + i AS ord
+              |        FROM toks, generate_series(0, 199) g(i) WHERE i <= len(t) - 3),
+              |win AS (SELECT h, min(ord) AS w FROM pos GROUP BY h HAVING count(*) >= 2),
+              |dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN win ON p.h = win.h AND p.ord != win.w),
+              |tok AS (SELECT doc_id, i - 1 AS ti, t[i] AS tok FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t)),
+              |kept AS (SELECT k.doc_id, k.ti, k.tok FROM tok k
+              |         WHERE NOT EXISTS (SELECT 1 FROM dp
+              |                           WHERE dp.doc_id = k.doc_id AND dp.pos <= k.ti AND k.ti < dp.pos + 3)),
+              |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS ct, count(*) AS kt FROM kept GROUP BY 1),
+              |base AS (SELECT doc_id, len(t) AS nt FROM toks)
+              |SELECT b.doc_id, coalesce(a.ct, '') AS clean_text,
+              |CAST(b.nt AS BIGINT) AS n_tokens, CAST(coalesce(a.kt, 0) AS BIGINT) AS kept_tokens
+              |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    Query(
       "q105_rare_bigrams",
       "Corpus-LM bigram rarity (the integer-exact core of a CCNet-style quality filter): per doc, bigram count, hapax fraction (corpus frequency 1) and mean corpus frequency of its bigrams — all exact integer ratios rounded at the end, no log-space summation hazard. One groupBy on the 60-bit bigram hash, one join back, one per-doc aggregate.",
       (s, dir) => Curation.bigramRarity(Tables.documents(s, dir), "doc_id", "text")

@@ -30,13 +30,17 @@ object ProfLshScale {
       val rows = mk.count()
       println(f"$tag%-28s n=$n%7d rows=$rows%9d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    for (thrE6 <- Seq(450000L, 900000L)) {
+    val thresholds =
+      if (args.contains("c90only")) Seq(900000L) else Seq(450000L, 900000L)
+    for (thrE6 <- thresholds) {
       val c = thrE6 / 1e6
       val (bits, bands) = Similarity.lshPlan(n, c)
       println(s"lshPlan(n=$n, c=$c) -> bits=$bits bands=$bands")
       time(s"auto   c=$c")(
         Similarity.cosineCandidatesAuto(emb, "vec_id", "embedding", 64, thrE6))
-      if (thrE6 == 900000L)
+      // `autoonly` skips the known-quadratic fixed plan (at 30x+ corpora
+      // it is the hour-scale cliff this probe exists to contrast)
+      if (thrE6 == 900000L && !args.contains("autoonly"))
         time(s"fixed  c=$c b=4 L=48")(
           Similarity.cosineCandidates(emb, "vec_id", "embedding", 64, 4, 48, thrE6))
     }

@@ -32,7 +32,9 @@ object ProfSemDedupScale {
         seed = 7L, minCosE6 = 450000L).count()
       println(f"$tag%-22s n=$n%7d nCells=$cells%5d rows=$rows%9d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    time("fixed nCells", 8)
+    // `scaledonly` skips the known-quadratic fixed-8 leg (at 30x+ corpora
+    // it is the half-hour cliff this probe exists to contrast)
+    if (!args.contains("scaledonly")) time("fixed nCells", 8)
     if (scaledCells != 8) time("occupancy-scaled", scaledCells)
     spark.stop()
   }

@@ -185,6 +185,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out.contains((1L, 2L, 4L)))
   }
 
+  test("removeDuplicatedSpans: keep-one leaves the first occurrence; drop-all removes both") {
+    // 'a b c d' occurs in doc 1 (positions 0..3) and doc 2 (1..4):
+    // winner 3-grams are doc 1's, so doc 1 keeps its text and doc 2
+    // loses the copied span.
+    val df = Seq(
+      (1L, "a b c d tail"),
+      (2L, "p a b c d r"),
+      (3L, "only unique words here")).toDF("doc_id", "text")
+    val out = Curation.removeDuplicatedSpans(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("a b c d tail", 5L, 5L)))
+    assert(out(2L) == (("p r", 6L, 2L)))
+    assert(out(3L) == (("only unique words here", 4L, 4L)))
+    // keepFirst = false: C4-style drop-all — both copies go
+    val all = Curation.removeDuplicatedSpans(df, "doc_id", "text", k = 3,
+        keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "tail" && all(2L) == "p r")
+  }
+
   test("bigramRarity: hapax fraction and mean corpus count are exact") {
     val df = Seq(
       (1L, "a b a b"),   // bigrams: ab, ba, ab -> ab count 2(+1 from doc2)=3, ba 1
