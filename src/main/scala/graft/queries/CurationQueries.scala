@@ -16,6 +16,11 @@ object CurationQueries extends QueryPack {
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
 
+  /** Stopword list the q140 chain gate scores against — mirrored into
+    * the oracle as a SQL IN-list. */
+  private val chainStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val chainStopSql = chainStopwords.map(w => s"'$w'").mkString(", ")
+
   def queries: Seq[Query] = Seq(
     Query(
       "q95_decontaminate",
@@ -351,6 +356,47 @@ object CurationQueries extends QueryPack {
               |SELECT b.doc_id, coalesce(a.ct, '') AS clean_text,
               |CAST(b.nt AS BIGINT) AS n_tokens, CAST(coalesce(a.kt, 0) AS BIGINT) AS kept_tokens
               |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    Query(
+      "q140_curation_chain",
+      "End-to-end CurationPipeline sub-chain under the oracle (the composed-chain contract, not any single operator): normalize -> composite quality gate -> exact dedup, with the remaining stages configured to pass-through (minEst > 1 yields zero near-dup candidates, no benchmark corpus, LM buckets annotate but never drop) so every per-stage survivor count runCounted reports is exactly SQL-replayable. The chain is the CCNet/RefinedWeb stage ORDER; at 100 TB the same composition runs with the real knobs and writes the final frame instead of counting.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val cfg = graft.pipeline.CurationPipeline.Config(
+          stopwords = chainStopwords,
+          minQualityE4 = 3000,
+          minJaccard = 1.01, // est_jaccard <= 1.0: candidate set provably empty
+          dropLmTail = false) // LM buckets annotate; counts stay dedup-sized
+        val (_, counts) = graft.pipeline.CurationPipeline.runCounted(docs, None, cfg)
+        counts.zipWithIndex
+          .map { case ((stage, n), i) => (i.toLong, stage, n) }
+          .toDF("stage_idx", "stage", "n_docs")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              |  '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), '\\s+', ' ', 'g'))) AS norm FROM documents),
+              |t AS (SELECT doc_id, norm, list_filter(string_split(norm, ' '), x -> x != '') AS tk FROM n),
+              |q AS (SELECT doc_id, norm,
+              |  CAST(floor(((CASE WHEN len(tk) >= 5 AND len(tk) <= 1000 THEN 1.0 ELSE 0.0 END)
+              |    + (CASE WHEN len(tk) > 0
+              |            AND list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk) >= 2.0
+              |            AND list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk) <= 12.0
+              |       THEN 1.0 ELSE 0.0 END)
+              |    + least((CASE WHEN len(tk) > 0
+              |             THEN len(list_filter(tk, x -> x IN ($chainStopSql))) * 1.0 / len(tk)
+              |             ELSE 0.0 END) * 4.0, 1.0)) / 3.0 * 10000 + 0.5) AS BIGINT) AS q_e4 FROM t),
+              |qq AS (SELECT * FROM q WHERE q_e4 >= 3000),
+              |c0 AS (SELECT count(*) AS n FROM documents),
+              |c2 AS (SELECT count(*) AS n FROM qq),
+              |c3 AS (SELECT count(DISTINCT substr(md5(norm), 1, 15)) AS n FROM qq)
+              |SELECT CAST(v.i AS BIGINT) AS stage_idx, v.stage, CAST(v.n AS BIGINT) AS n_docs FROM (
+              |  SELECT 0 AS i, 'input' AS stage, (SELECT n FROM c0) AS n
+              |  UNION ALL SELECT 1, 'line_rules', (SELECT n FROM c0)
+              |  UNION ALL SELECT 2, 'quality', (SELECT n FROM c2)
+              |  UNION ALL SELECT 3, 'exact_dedup', (SELECT n FROM c3)
+              |  UNION ALL SELECT 4, 'near_dedup', (SELECT n FROM c3)
+              |  UNION ALL SELECT 5, 'decontaminated', (SELECT n FROM c3)
+              |  UNION ALL SELECT 6, 'curated', (SELECT n FROM c3)) v""".stripMargin)),
 
     Query(
       "q105_rare_bigrams",

@@ -659,6 +659,37 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Classifier.score is map-only and gates a structured stream identically to batch") {
+    import graft.pipeline.{Classifier, Curation}
+    val pos = Seq((1L, "quantum flux physics"), (2L, "flux quantum drift")).toDF("doc_id", "text")
+    val neg = Seq((3L, "the cat sat on the mat"), (4L, "mat cat the sat")).toDF("doc_id", "text")
+    val batchDocs = pos.unionByName(neg)
+    val model = Classifier.train(pos, "text", neg, "text", nBuckets = 64, iters = 30)
+    // serving is a literal-weights scan-stage Column: no Exchange anywhere
+    val plan = Classifier.score(model, batchDocs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"Classifier.score must be map-only:\n$plan")
+    // streaming twin: the same marginE6 gate filters an ingest stream
+    val dir = java.nio.file.Files.createTempDirectory("clf_stream")
+    batchDocs.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(dir.toString)
+    val q = Classifier.score(model, stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("clf_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("clf_stream_out")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = Classifier.score(model, batchDocs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.nonEmpty && got == want)
+      // and the gate form composes on a stream: filter on the margin Column
+      val gated = batchDocs.filter(Classifier.marginE6(model, col("text")) > 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gated == want.filter(_._2._1 > 0L).keySet)
+    } finally q.stop()
+  }
+
   test("Classifier.train separates planted vocabularies; training is deterministic") {
     import graft.pipeline.Classifier
     val pos = Seq.tabulate(8)(i => s"excellent prose $i with careful structure")
