@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-regression harness (CI twin of the PLANS.md manual probes):
+  * times the registry's heaviest queries at the base SF and at an
+  * R-times probe corpus (built by `scripts/make_scale_probe.py`) and
+  * classifies each time ratio, so the next bucket-occupancy-style
+  * quadratic cliff is caught by a checked-in JSON diff instead of a
+  * judge probe.
+  *
+  * Verdict rule: a query is scale-safe when its time grows no faster
+  * than its WORK, and work is lower-bounded by max(input growth,
+  * output growth). The probe corpus preserves within-replica structure
+  * exactly but (measured, PLANS.md r8) does NOT fully decorrelate
+  * synthetic embeddings at low cosine thresholds — pair-finding
+  * queries can legitimately emit up to ~116x the rows at R=10. Judging
+  * time against R alone would false-alarm every such query, so the
+  * allowed ratio is `slack * max(R, outRows_scale/outRows_base)`,
+  * with slack sized for this host's documented 2.2x contention swings.
+  * A query whose time ratio exceeds that bound is flagged SUPERLINEAR
+  * and the run exits non-zero — that is the CI signal.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (base, default /root/testdata/sf0.1),
+  * SPARK_GRAFT_SCALE_DIR (default target/sf1),
+  * SPARK_GRAFT_SCALE_R (default 10), SPARK_GRAFT_BENCH_REPS
+  * (default 2, min-of-n), SPARK_GRAFT_SCALE_OUT (default
+  * target/scale_last.json). Positional args restrict the query set.
+  */
+object BenchScale {
+  /** Heaviest registry queries by the r9 min-of-3 protocol plus every
+    * candidate-pair/index family member — the shapes where a scale
+    * cliff could hide. Map-only fixed-cost queries are deliberately
+    * absent: they cannot go quadratic. */
+  val DefaultQueries: Seq[String] = Seq(
+    "q22_combinations", "q24_nearest", "q27_candidate_pairs",
+    "q53_ngram_jaccard", "q54_minhash_lsh", "q55_simhash",
+    "q59_lsh_neardup", "q79_ivf_topk", "q80_components",
+    "q81_dedup_resolve", "q104_span_dedup", "q107_semdedup",
+    "q108_containment", "q113_winnowing", "q115_nearest_dup",
+    "q119_lm_perplexity", "q123_bpe_encode", "q127_audio_neardup",
+    "q130_dsir", "q135_minhash_index")
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/sf1")
+    val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_R", "10").toDouble
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val slack = sys.env.getOrElse("SPARK_GRAFT_SCALE_SLACK", "2.2").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    require(new java.io.File(s"$scaleDir/documents.parquet").exists(),
+      s"probe corpus missing at $scaleDir — build it with " +
+        "`python3 scripts/make_scale_probe.py` first")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scala.util.Try(spark.read.parquet(s"$baseDir/nation.parquet").count())
+
+    val only = args.toSet
+    val names =
+      (if (only.isEmpty) DefaultQueries else DefaultQueries.filter(only)) ++
+        only.diff(DefaultQueries.toSet).toSeq.sorted
+    val registry = SparkEntry.queries
+
+    // (sec min-of-reps, output rows); -1 on failure
+    def time(name: String, dir: String): (Double, Long) = {
+      var rows = -1L
+      val runs = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          rows = registry(name)(spark, dir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $name failed at $dir: ${e.getMessage}")
+          None
+        }
+      }
+      (if (runs.nonEmpty) runs.min else -1.0, rows)
+    }
+
+    val rows = names.filter(registry.contains).map { name =>
+      println(s"""{"start":${jsonStr(name)}}"""); Console.out.flush()
+      val (sBase, nBase) = time(name, baseDir)
+      val (sScale, nScale) = time(name, scaleDir)
+      val ratio = if (sBase > 0 && sScale > 0) sScale / sBase else -1.0
+      val outRatio =
+        if (nBase > 0 && nScale >= 0) nScale.toDouble / nBase else 1.0
+      val allowed = slack * math.max(r, outRatio)
+      val verdict =
+        if (ratio < 0) "ERR"
+        else if (ratio <= allowed) "OK"
+        else "SUPERLINEAR"
+      val line =
+        s"""{"query":${jsonStr(name)},"sec_base":${fmt(sBase)},"sec_scale":${fmt(sScale)},""" +
+          s""""rows_base":$nBase,"rows_scale":$nScale,"ratio":${fmt(ratio)},""" +
+          s""""allowed":${fmt(allowed)},"verdict":${jsonStr(verdict)}}"""
+      println(line); Console.out.flush()
+      (name, line, verdict)
+    }
+
+    val bad = rows.filter(_._3 != "OK").map(r => jsonStr(r._1))
+    val aggregate =
+      s"""{"metric":"scale_probe","R":${fmt(r)},"slack":${fmt(slack)},"base":${jsonStr(baseDir)},""" +
+        s""""scale":${jsonStr(scaleDir)},"reps":$reps,"flagged":${bad.mkString("[", ",", "]")},""" +
+        s""""queries":[${rows.map(_._2).mkString(",")}]}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "target/scale_last.json")
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (aggregate + "\n").getBytes("UTF-8"))
+    }
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
+    println(aggregate)
+    Console.out.flush()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
