@@ -353,6 +353,63 @@ object Curation {
           x => x.isNotNull)).cast("long").as("kept_tokens"))
   }
 
+  /** Corpus-level line deduplication — the CCNet §4.1 / RefinedWeb
+    * line-wise filter that removes boilerplate (nav bars, cookie
+    * banners, license headers) BEFORE document-level dedup: a line
+    * whose corpus-wide occurrence count reaches `minCount` is
+    * boilerplate; drop every occurrence (`keepFirst = false`, the
+    * CCNet behavior) or keep the globally-first one (`keepFirst =
+    * true`, min (doc, pos) — the q139 span convention). Empty lines
+    * are dropped unconditionally (they would otherwise all collide on
+    * one hash and dominate every count).
+    *
+    * Reference semantics: coffea has no text curation; the spec here
+    * is Wenzek et al. 2020 (CCNet) §4.1 "deduplicating ... at the
+    * line level removes important boilerplate".
+    *
+    * Plan shape (the q104/q139 inverted-index skeleton, on lines
+    * instead of k-grams): lines explode map-side with their position;
+    * corpus counts are ONE partial-aggregated groupBy on the 60-bit
+    * line hash; the join back is an equality join on that 8-byte key;
+    * reassembly is one per-doc aggregate (sorted (pos, line) collect —
+    * per-doc state bounded by doc length). Nothing corpus-quadratic;
+    * the only exchanges carry line hashes + the surviving lines.
+    * Returns (id, clean_text, n_lines, kept_lines) for every input
+    * doc (docs whose every line drops keep an empty clean_text).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2, keepFirst: Boolean = false): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
+    val lines = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode_outer(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(col("line").isNotNull && col("line") =!= "")
+      .select(col("id"), col("pos"), col("line"),
+        Dedup.hash60(col("line")).as("h"),
+        (col("id") * lit(1000000L) + col("pos")).as("ord"))
+    val stats = lines.groupBy("h")
+      .agg(count(lit(1)).as("occ"), min(col("ord")).as("winner"))
+    val keep =
+      if (keepFirst) col("occ") < minCount || col("ord") === col("winner")
+      else col("occ") < minCount
+    val rebuilt = lines.join(stats, "h")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(keep, 1L).otherwise(0L)).as("kept_lines"),
+        // collect_list skips the null branch: only kept lines survive
+        array_sort(collect_list(when(keep,
+          struct(col("pos"), col("line"))))).as("ks"))
+      .select(col("id"), col("n_lines"), col("kept_lines"),
+        array_join(transform(col("ks"), x => x("line")), "\n").as("clean_text"))
+    df.select(col(idCol).cast("long").as("id")).distinct()
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
+  }
+
   // ---- corpus-LM bigram rarity signals ----
 
   /** Per-document rarity signals against the corpus's own bigram table
@@ -660,6 +717,84 @@ object Curation {
         when(col("nll_e6") < headNllE6, "head")
           .when(col("nll_e6") < tailNllE6, "middle")
           .otherwise("tail"))
+  }
+
+  // ---- interpolated Kneser-Ney bigram LM ----
+
+  /** A trained interpolated Kneser-Ney bigram LM (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form — the smoothing family
+    * KenLM implements and CCNet's quality filter runs on). Tables are
+    * unevaluated plans bounded by vocabulary / distinct-bigram
+    * cardinality; `nDistinctBigrams`/`totalTokens` are the two scalar
+    * normalizers (one count action each at fit time). */
+  final case class KnLm(big: DataFrame, ctx: DataFrame, cont: DataFrame,
+      nDistinctBigrams: Long, totalTokens: Long, d: Double)
+
+  /** Fit the [[KnLm]] count tables:
+    *
+    *   big  (prev, tok, c2)      — raw bigram counts
+    *   ctx  (prev, c_prev, n1f)  — context total + distinct-follower
+    *                               count N1+(v,·), one groupBy OVER big
+    *   cont (tok, n1b)           — distinct-predecessor count N1+(·,w)
+    *
+    * Everything after the (tok, prev) pair stream is aggregation over
+    * already-bounded tables, so fit cost is the q119 lmTrain class:
+    * one corpus scan + vocabulary-bounded shuffles. Bigrams are NOT
+    * pruned: KN's continuation counts are exactly the singleton mass
+    * pruning would delete (the discount D absorbs it instead). */
+  def knTrain(docs: DataFrame, idCol: String, textCol: String,
+      d: Double = 0.75): KnLm = {
+    require(d > 0 && d < 1, s"absolute discount must be in (0,1) (got $d)")
+    val pos = lmTokenPairs(docs, idCol, textCol)
+    val big = pos.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy("prev")
+      .agg(sum(col("c2")).as("c_prev"), count(lit(1)).as("n1f"))
+    val cont = big.groupBy("tok").agg(count(lit(1)).as("n1b"))
+    KnLm(big, ctx, cont, big.count(), pos.count(), d)
+  }
+
+  /** Score `docs` against a trained [[KnLm]]: per-token interpolated
+    * KN probability
+    *
+    *   p(w|v) = (c(v,w) − D)/c(v) + (D·N1+(v,·)/c(v)) · p_cont(w)
+    *   p_cont(w) = N1+(·,w) / N1+(··)
+    *
+    * with p_cont alone for document-initial tokens and for contexts
+    * never seen as a `prev` (a token that only ever ends documents has
+    * no continuation distribution), and the deterministic 0.5
+    * pseudo-count floor for tokens never seen as a continuation (the
+    * [[lmScore]] OOV convention — exactly representable, both engines
+    * compute the identical ratio). Every per-token surprisal quantizes
+    * independently (floor(1e6·ln p + 0.5)) BEFORE the per-doc integer
+    * sum — the q119 cross-engine contract; all divisions/products are
+    * written in the same operand order as the SQL twin.
+    *
+    * Plan shape is [[lmScore]]'s: three (broadcast) LM joins onto the
+    * map-side token-pair stream, one per-doc aggregate. Stateless
+    * joins → stream-static composable, like lmScore. Returns
+    * (id, n_tok, nll_e6). */
+  def knScore(docs: DataFrame, idCol: String, textCol: String,
+      lm: KnLm, broadcastLm: Boolean = true): DataFrame = {
+    require(lm.nDistinctBigrams > 0, "LM has no bigrams")
+    def side(df: DataFrame) = if (broadcastLm) broadcast(df) else df
+    val scored = lmTokenPairs(docs, idCol, textCol)
+      .join(side(lm.big), Seq("prev", "tok"), "left")
+      .join(side(lm.ctx), Seq("prev"), "left")
+      .join(side(lm.cont), Seq("tok"), "left")
+    val pCont = coalesce(col("n1b").cast("double"), lit(0.5)) /
+      lit(lm.nDistinctBigrams.toDouble)
+    val term1 = when(col("c2").isNotNull,
+      (col("c2") - lit(lm.d)) / col("c_prev")).otherwise(lit(0.0))
+    val lambda = (lit(lm.d) * col("n1f")) / col("c_prev")
+    val p = when(col("prev").isNull || col("c_prev").isNull, pCont)
+      .otherwise(term1 + lambda * pCont)
+    val s = floor(log(p) * lit(1000000.0) + lit(0.5)).cast("long")
+    scored.select(col("id"), s.as("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("s")).as("ssum"))
+      .select(col("id"), col("n_tok"),
+        floor((-col("ssum")).cast("double") / col("n_tok")).cast("long").as("nll_e6"))
   }
 
   // ---- DSIR importance resampling (Xie et al. 2023) ----

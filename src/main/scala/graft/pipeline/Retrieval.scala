@@ -135,4 +135,50 @@ object Retrieval {
       .select(col("id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.tok").as("tok"), (-col("col.neg")).as("score_e4"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: each input list contributes
+    * `1/(kRrf + rank)` per document, summed across lists; documents
+    * surfacing in several retrievers outrank single-list hits without
+    * any score calibration (ranks, not scores, are fused — the whole
+    * point: BM25's unbounded scores and cosine's [-1,1] can't be added
+    * directly). The reference hybrid of this engine's [[bm25]] lexical
+    * ranking with a [[Similarity]] ANN ranking.
+    *
+    * Determinism contract: each contribution quantizes INDEPENDENTLY
+    * (`floor(1e6/(kRrf+rank) + 0.5)` — one IEEE division) before the
+    * integer sum, so the fused score is bit-stable cross-engine and
+    * under any partitioning (the q119/q124 pattern). Final order is
+    * (rrf_e6 desc, id asc).
+    *
+    * Plan/scale shape: inputs are already top-k-bounded ranked lists
+    * (≤ lists × k rows — at 100 TB the heavy work lives in the
+    * retrievers, which own their scale paths: bm25's map-side term
+    * filter, IVF's partition-pruned probes); the fuse itself is a
+    * union + one tiny groupBy + bounded-heap [[graft.functions.TopKAgg]]
+    * + a broadcast join back for the list-count diagnostic. No window,
+    * nothing corpus-sized anywhere.
+    *
+    * Inputs: each DataFrame carries (`idCol`, `rankCol`) with rank
+    * starting at 1. Returns (rank, id, rrf_e6, n_lists). */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, kRrf: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    require(k > 0, "k must be positive")
+    require(kRrf >= 0, "kRrf must be non-negative")
+    val contribs = ranked.map(_.select(
+      col(idCol).cast("long").as("id"),
+      floor(lit(1000000.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double"))
+        + lit(0.5)).cast("long").as("c_e6")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum("c_e6").as("rrf_e6"), count(lit(1)).as("n_lists"))
+    fused
+      .agg(graft.functions.TopKAgg(col("rrf_e6"), col("id"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("rrf_e6"))
+      .join(broadcast(fused.select(col("id"), col("n_lists"))), "id")
+      .select(col("rank"), col("id"), col("rrf_e6"), col("n_lists"))
+  }
 }

@@ -647,6 +647,111 @@ object CurationQueries extends QueryPack {
               |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_e6 FROM r WHERE rank <= 20""".stripMargin)),
 
     Query(
+      "q141_rrf_fusion",
+      "Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009): BM25 lexical top-50 for {hash, join, scan} fused with the exact-cosine semantic top-50 for query vector vec_id=0 (documents and embeddings share the id domain), score = sum of floor(1e6/(60+rank)+0.5) per list — each contribution quantizes independently before the integer sum, so the fused ranking is bit-stable cross-engine. The fuse is top-k-bounded (union + tiny groupBy + bounded-heap TopKAgg, no window); at 100 TB the cost lives in the constituent retrievers, which own their scale paths (bm25's map-side term filter, IVF's pruned probes).",
+      (s, dir) => {
+        import s.implicits._
+        val lex = Retrieval.bm25(
+            Tables.documents(s, dir), "doc_id", "text",
+            Seq("hash", "join", "scan"), k = 50)
+          .select(col("id"), col("rank"))
+        val emb = Tables.embeddings(s, dir)
+        val sem = Similarity.bruteForceTopK(
+            emb, "vec_id", "embedding",
+            emb.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
+          .select(col("nn_id").as("id"), col("rk").as("rank"))
+        Retrieval.rrfFuse(Seq(lex, sem), "id", "rank", k = 20)
+          .select(col("rank"), col("id").as("doc_id"), col("rrf_e6"), col("n_lists"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_len FROM toks),
+              |tc AS (SELECT doc_id, len(t) AS len, x AS tok, count(*) AS tf
+              |       FROM toks, unnest(t) u(x) WHERE x IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+              |dfreq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+              |sc AS (SELECT doc_id, CAST(floor(1000000.0
+              |         * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              |         * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len / (total_len / n_docs))))) + 0.5) AS BIGINT) AS s_e6
+              |       FROM tc JOIN dfreq USING (tok), stats),
+              |bs AS (SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6 FROM sc GROUP BY 1),
+              |lex AS (SELECT row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rank, doc_id FROM bs QUALIFY rank <= 50),
+              |nrm AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+              |        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+              |dt AS (SELECT c.vec_id AS nn_id,
+              |       sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dt
+              |       FROM embeddings q, embeddings c, generate_series(1, 64) g(i)
+              |       WHERE q.vec_id = 0 AND c.vec_id != 0 GROUP BY 1),
+              |cs AS (SELECT nn_id, CAST(floor(dt / (nq.nrm * nc.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+              |       FROM dt JOIN nrm nq ON nq.vec_id = 0 JOIN nrm nc ON nn_id = nc.vec_id),
+              |sem AS (SELECT row_number() OVER (ORDER BY cos_e6 DESC, nn_id) AS rank, nn_id FROM cs QUALIFY rank <= 50),
+              |u AS (SELECT doc_id AS id, CAST(floor(1000000.0 / (60 + rank) + 0.5) AS BIGINT) AS c FROM lex
+              |      UNION ALL
+              |      SELECT nn_id AS id, CAST(floor(1000000.0 / (60 + rank) + 0.5) AS BIGINT) AS c FROM sem),
+              |f AS (SELECT id, CAST(sum(c) AS BIGINT) AS rrf_e6, count(*) AS n_lists FROM u GROUP BY 1)
+              |SELECT CAST(rank AS BIGINT) AS rank, id AS doc_id, rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
+              |FROM (SELECT row_number() OVER (ORDER BY rrf_e6 DESC, id) AS rank, id, rrf_e6, n_lists FROM f)
+              |WHERE rank <= 20""".stripMargin)),
+
+    Query(
+      "q142_line_dedup",
+      "Corpus-level line deduplication (CCNet 4.1 / RefinedWeb boilerplate removal): injected cookie-banner/footer lines (doc_id arithmetic — both engines build the identical multi-line corpus; concat_ws skips NULL parts in both) plus any naturally-duplicated document bodies are dropped wherever their corpus-wide line count reaches 2; docs are reassembled from surviving lines in position order. The q104/q139 inverted-index skeleton on lines: one groupBy on the 60-bit line hash, one join back on that 8-byte key, one per-doc reassembly aggregate.",
+      (s, dir) => {
+        val injected = Tables.documents(s, dir).select(col("doc_id"),
+          graft.functions.Barrier(concat_ws("\n",
+            when(col("doc_id") % 2 === 0, lit("accept all cookies")),
+            col("text"),
+            when(col("doc_id") % 3 === 0, lit("all rights reserved")))).as("text2"))
+        Curation.dedupLines(injected, "doc_id", "text2", minCount = 2)
+          .select(col("id").as("doc_id"), col("clean_text"),
+            col("n_lines"), col("kept_lines"))
+      },
+      Some("""WITH inj AS (SELECT doc_id, concat_ws(chr(10),
+             |  CASE WHEN doc_id % 2 = 0 THEN 'accept all cookies' END,
+             |  text,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved' END) AS text2 FROM documents),
+             |ln AS (SELECT doc_id, i - 1 AS pos, l[i] AS line
+             |       FROM (SELECT doc_id, string_split(text2, chr(10)) AS l FROM inj), generate_series(1, 8) g(i)
+             |       WHERE i <= len(l) AND l[i] != ''),
+             |cnt AS (SELECT line, count(*) AS occ FROM ln GROUP BY 1),
+             |kept AS (SELECT doc_id, pos, line FROM ln JOIN cnt USING (line) WHERE occ < 2),
+             |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct, count(*) AS kl FROM kept GROUP BY 1),
+             |base AS (SELECT doc_id, count(*) AS nl FROM ln GROUP BY 1),
+             |ids AS (SELECT DISTINCT doc_id FROM documents)
+             |SELECT i.doc_id, coalesce(a.ct, '') AS clean_text,
+             |CAST(coalesce(b.nl, 0) AS BIGINT) AS n_lines,
+             |CAST(coalesce(a.kl, 0) AS BIGINT) AS kept_lines
+             |FROM ids i LEFT JOIN base b USING (doc_id) LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    Query(
+      "q143_kneser_ney",
+      "Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995 / Chen & Goodman 1999 — the KenLM smoothing family CCNet's quality filter runs on) trained on the corpus and scoring it: p(w|v) = (c(v,w)-D)/c(v) + (D*N1+(v,.)/c(v)) * N1+(.,w)/N1+(..), D=0.75, continuation-only for doc-initial tokens and never-seen contexts. Per-token surprisals quantize to e6 integers independently BEFORE the per-doc sum (the q119 contract); LM tables are vocabulary-bounded partial aggregates, scoring is three broadcast joins + one per-doc aggregate.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.knScore(docs, "doc_id", "text",
+            Curation.knTrain(docs, "doc_id", "text"))
+          .select(col("id").as("doc_id"), col("n_tok"), col("nll_e6"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |pairs AS (SELECT doc_id, t[i] AS tok, CASE WHEN i > 1 THEN t[i-1] END AS prev
+              |          FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t)),
+              |big AS (SELECT prev, tok, count(*) AS c2 FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2),
+              |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c_prev, count(*) AS n1f FROM big GROUP BY 1),
+              |cont AS (SELECT tok, count(*) AS n1b FROM big GROUP BY 1),
+              |tot AS (SELECT count(*) AS nbig FROM big),
+              |pr AS (SELECT p.doc_id,
+              |       CASE WHEN p.prev IS NULL OR ctx.prev IS NULL THEN coalesce(cont.n1b, 0.5) / nbig
+              |            ELSE (CASE WHEN b.c2 IS NOT NULL THEN (b.c2 - 0.75) / ctx.c_prev ELSE 0.0 END)
+              |                 + ((0.75 * ctx.n1f) / ctx.c_prev) * (coalesce(cont.n1b, 0.5) / nbig)
+              |       END AS p
+              |       FROM pairs p
+              |       LEFT JOIN big b ON p.prev = b.prev AND p.tok = b.tok
+              |       LEFT JOIN ctx ON p.prev = ctx.prev
+              |       LEFT JOIN cont ON p.tok = cont.tok, tot),
+              |sc AS (SELECT doc_id, CAST(floor(ln(p) * 1000000 + 0.5) AS BIGINT) AS s FROM pr)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              |CAST(floor((0 - sum(s)) * 1.0 / count(*)) AS BIGINT) AS nll_e6
+              |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {

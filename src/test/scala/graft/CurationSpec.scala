@@ -659,6 +659,48 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Kneser-Ney: hand-computed interpolated probabilities and fallbacks") {
+    // corpus: bigrams (a,b):2 (a,c):1; ctx a: c_prev=3, n1f=2; cont b:1 c:1; N1+(..)=2
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text")
+    val lm = Curation.knTrain(docs, "doc_id", "text")
+    assert(lm.nDistinctBigrams == 2L && lm.totalTokens == 6L)
+    val out = Curation.knScore(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def s(p: Double) = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val sA = s(0.5 / 2.0) // doc-initial 'a' never continues: 0.5-pseudo-count floor
+    val sB = s((2 - 0.75) / 3.0 + ((0.75 * 2) / 3.0) * (1.0 / 2)) // seen bigram
+    val sC = s((1 - 0.75) / 3.0 + ((0.75 * 2) / 3.0) * (1.0 / 2)) // discounted singleton
+    def nll(xs: Long*) = math.floor(-xs.sum.toDouble / xs.size).toLong
+    assert(out(1L) == ((2L, nll(sA, sB))))
+    assert(out(2L) == ((2L, nll(sA, sC))))
+    assert(out(3L) == out(1L))
+    // a context never seen as prev ('b' ends every doc) scores continuation-only
+    val probe = Seq((9L, "b c")).toDF("doc_id", "text")
+    val p = Curation.knScore(probe, "doc_id", "text", lm)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(p == ((2L, nll(s(1.0 / 2), s(1.0 / 2))))) // pcont(b), then pcont(c) under unseen ctx
+  }
+
+  test("dedupLines drops corpus-duplicated lines; keepFirst keeps the global winner") {
+    val docs = Seq(
+      (1L, "banner\nunique one\nbanner"), // banner twice in-doc + in doc 2
+      (2L, "banner\nunique two"),
+      (3L, "unique three\n\nunique four"), // empty line must vanish silently
+      (4L, "banner")).toDF("doc_id", "text") // every line drops -> empty doc
+    val out = Curation.dedupLines(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("unique one", 3L, 1L)))
+    assert(out(2L) == (("unique two", 2L, 1L)))
+    assert(out(3L) == (("unique three\nunique four", 2L, 2L)))
+    assert(out(4L) == (("", 1L, 0L)))
+    // keepFirst: the globally-first occurrence (min (doc, pos)) survives
+    val kf = Curation.dedupLines(docs, "doc_id", "text", minCount = 2, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(kf(1L) == (("banner\nunique one", 2L)), "doc 1 pos 0 is the global winner")
+    assert(kf(2L) == (("unique two", 1L)))
+    assert(kf(4L) == (("", 0L)))
+  }
+
   test("Classifier.score is map-only and gates a structured stream identically to batch") {
     import graft.pipeline.{Classifier, Curation}
     val pos = Seq((1L, "quantum flux physics"), (2L, "flux quantum drift")).toDF("doc_id", "text")

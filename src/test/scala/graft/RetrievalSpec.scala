@@ -76,4 +76,29 @@ class RetrievalSpec extends AnyFunSuite {
     val plan = top2.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"global top-k must not window:\n$plan")
   }
+
+  test("rrfFuse: exact contributions, cross-list boost, tie-break on id, no window") {
+    // list A ranks 1,2,3 -> docs 10,20,30; list B ranks 1,2 -> docs 20,40
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", "rank", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def c(rank: Long) = math.floor(1e6 / (60.0 + rank) + 0.5).toLong
+    // doc 20 appears in both lists: c(2)+c(1) beats every single-list doc
+    val want = Map(
+      10L -> (c(1), 1L), 20L -> (c(2) + c(1), 2L),
+      30L -> (c(3), 1L), 40L -> (c(2), 1L))
+    assert(out.map(r => r._2 -> ((r._3, r._4))).toMap == want)
+    assert(out.head._2 == 20L, "cross-list doc must rank first")
+    // equal fused scores (doc 10 and 40 would tie only if c(1)==c(2) — they
+    // don't; instead pin the id tie-break with two equal-rank lists)
+    val t1 = Seq((7L, 1L)).toDF("id", "rank")
+    val t2 = Seq((3L, 1L)).toDF("id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(t1, t2), "id", "rank", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tied.toSeq == Seq((1L, 3L), (2L, 7L)), "ties must break id-ascending")
+    val plan = Retrieval.rrfFuse(Seq(a, b), "id", "rank", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"fusion top-k must not window:\n$plan")
+  }
 }
