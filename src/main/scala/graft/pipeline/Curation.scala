@@ -380,34 +380,34 @@ object Curation {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 2, keepFirst: Boolean = false): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
+    // Empty lines carry ok=false instead of being filtered: split always
+    // emits >= 1 element per doc, so every input id survives to the
+    // final aggregate without a third corpus scan + distinct-ids join.
     val lines = df
       .select(col(idCol).cast("long").as("id"),
         posexplode_outer(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .filter(col("line").isNotNull && col("line") =!= "")
-      .select(col("id"), col("pos"), col("line"),
-        Dedup.hash60(col("line")).as("h"),
+      .withColumn("ok", col("line").isNotNull && col("line") =!= "")
+      .select(col("id"), col("pos"), col("line"), col("ok"),
+        when(col("ok"), Dedup.hash60(col("line"))).as("h"),
         (col("id") * lit(1000000L) + col("pos")).as("ord"))
-    val stats = lines.groupBy("h")
+    val stats = lines.filter(col("ok")).groupBy("h")
       .agg(count(lit(1)).as("occ"), min(col("ord")).as("winner"))
-    val keep =
+    val keep = col("ok") && (
       if (keepFirst) col("occ") < minCount || col("ord") === col("winner")
-      else col("occ") < minCount
-    val rebuilt = lines.join(stats, "h")
+      else col("occ") < minCount)
+    // null-h (empty-line) rows fall through the left join with occ null:
+    // keep is false for them, but the row still reaches the doc aggregate
+    lines.join(stats, Seq("h"), "left")
       .groupBy("id")
       .agg(
-        count(lit(1)).as("n_lines"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_lines"),
         sum(when(keep, 1L).otherwise(0L)).as("kept_lines"),
         // collect_list skips the null branch: only kept lines survive
         array_sort(collect_list(when(keep,
           struct(col("pos"), col("line"))))).as("ks"))
-      .select(col("id"), col("n_lines"), col("kept_lines"),
-        array_join(transform(col("ks"), x => x("line")), "\n").as("clean_text"))
-    df.select(col(idCol).cast("long").as("id")).distinct()
-      .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
+        array_join(transform(col("ks"), x => x("line")), "\n").as("clean_text"),
+        col("n_lines"), col("kept_lines"))
   }
 
   // ---- corpus-LM bigram rarity signals ----

@@ -48,21 +48,39 @@ object CurationPipeline {
       shingleN: Int = 2,
       decontamShingleN: Int = 3,
       lmMinBigramCount: Int = 2,
-      dropLmTail: Boolean = true)
+      dropLmTail: Boolean = true,
+      // Persist the multi-consumer stage boundaries (the exact-dedup
+      // survivors feed the near-dedup candidate AND resolve joins; the
+      // decontaminated survivors feed lmTrain's token count, the LM
+      // aggregates, lmThresholds' percentile, the score join — ~5
+      // replays of the whole chain prefix without a cache, measured
+      // 22.9 s vs 4.5 s at sf0.1). MEMORY_AND_DISK, so it spills
+      // rather than OOMs; at 100 TB checkpoint the dedup output to
+      // durable storage instead and feed the LM stage from that.
+      persistStages: Boolean = true)
 
   /** The composed chain. `bench` (when given) is the evaluation corpus
     * to decontaminate against. Returns the curated frame. */
   def run(docs: DataFrame, bench: Option[DataFrame], cfg: Config = Config()): DataFrame =
     stages(docs, bench, cfg).last._2
 
-  /** [[run]] plus per-stage survivor counts for diagnostics. */
+  /** [[run]] plus per-stage survivor counts for diagnostics. Each
+    * stage frame is persisted before counting: stage i+1's plan
+    * contains stage i as a prefix, so counting the raw frames would
+    * recompute the chain once per stage (O(stages²) scans — measured
+    * 20.7 s vs 6.5 s at sf0.1). Persisting truncates each count at the
+    * previous stage's cache; everything unpersists before returning
+    * (the returned frame re-plans from the source, so it stays valid
+    * after the caches drop). */
   def runCounted(docs: DataFrame, bench: Option[DataFrame],
       cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
     val st = stages(docs, bench, cfg)
-    (st.last._2, st.map { case (name, df) => (name, df.count()) })
+    val cached = st.map { case (name, df) => (name, df.persist()) }
+    try (st.last._2, cached.map { case (name, df) => (name, df.count()) })
+    finally cached.foreach(_._2.unpersist(blocking = false))
   }
 
-  private def stages(docs: DataFrame, bench: Option[DataFrame],
+  private[graft] def stages(docs: DataFrame, bench: Option[DataFrame],
       cfg: Config): Seq[(String, DataFrame)] = {
     val id = col(cfg.idCol)
 
@@ -100,7 +118,9 @@ object CurationPipeline {
       .select(fp.as("__fp"), id.cast("long").as("__id"))
       .groupBy("__fp").agg(min(col("__id")).as("__keep"))
       .select(col("__keep"))
-    val exact = quality.join(keepIds, id.cast("long") === col("__keep"), "left_semi")
+    val exact0 = quality.join(keepIds, id.cast("long") === col("__keep"), "left_semi")
+    val exact = if (cfg.persistStages) exact0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else exact0
 
     // 4. near-dedup: banded MinHash candidates → connected components →
     //    canonical winner per duplicate cluster (quality-first ordering)
@@ -112,11 +132,13 @@ object CurationPipeline {
     val nearDeduped = resolved.filter(col("keep")).drop("keep", "comp")
 
     // 5. benchmark decontamination (bloom prefilter + exact verify)
-    val decontaminated = bench match {
+    val decontaminated0 = bench match {
       case Some(b) => Curation.decontaminateBloom(nearDeduped, cfg.idCol, cfg.textCol,
         b, cfg.idCol, cfg.textCol, n = cfg.decontamShingleN)
       case None => nearDeduped
     }
+    val decontaminated = if (cfg.persistStages) decontaminated0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else decontaminated0
 
     // 6. LM-perplexity bucketing: train on the surviving corpus, cut at
     //    the CCNet tercile thresholds, optionally drop the tail. A

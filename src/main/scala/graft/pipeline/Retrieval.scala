@@ -155,9 +155,11 @@ object Retrieval {
     * (≤ lists × k rows — at 100 TB the heavy work lives in the
     * retrievers, which own their scale paths: bm25's map-side term
     * filter, IVF's partition-pruned probes); the fuse itself is a
-    * union + one tiny groupBy + bounded-heap [[graft.functions.TopKAgg]]
-    * + a broadcast join back for the list-count diagnostic. No window,
-    * nothing corpus-sized anywhere.
+    * union + one tiny groupBy + ONE bounded sorted-collect (the
+    * [[tfidfTopTerms]] pattern — collected list ≤ Σ|lists|, never
+    * corpus-sized). No window, and the fused frame is consumed ONCE:
+    * a TopKAgg + join-back formulation re-planned both retrievers
+    * twice (the whole corpus scanned again for the n_lists column).
     *
     * Inputs: each DataFrame carries (`idCol`, `rankCol`) with rank
     * starting at 1. Returns (rank, id, rrf_e6, n_lists). */
@@ -170,15 +172,14 @@ object Retrieval {
       col(idCol).cast("long").as("id"),
       floor(lit(1000000.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double"))
         + lit(0.5)).cast("long").as("c_e6")))
-    val fused = contribs.reduce(_ unionByName _)
+    contribs.reduce(_ unionByName _)
       .groupBy("id")
       .agg(sum("c_e6").as("rrf_e6"), count(lit(1)).as("n_lists"))
-    fused
-      .agg(graft.functions.TopKAgg(col("rrf_e6"), col("id"), k).as("tk"))
-      .select(posexplode(col("tk")))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("rrf_e6")).as("neg"), col("id"), col("n_lists")))), 1, k).as("top"))
+      .select(posexplode(col("top")))
       .select((col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("id"), col("col.score").as("rrf_e6"))
-      .join(broadcast(fused.select(col("id"), col("n_lists"))), "id")
-      .select(col("rank"), col("id"), col("rrf_e6"), col("n_lists"))
+        col("col.id").as("id"), (-col("col.neg")).as("rrf_e6"),
+        col("col.n_lists").as("n_lists"))
   }
 }

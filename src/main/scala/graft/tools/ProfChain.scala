@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: where does q140's runCounted time go? Times each stage
+  * count twice (cold + after persist) at SPARK_GRAFT_SF_DIR. */
+object ProfChain {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.core.Tables.documents(spark, dir)
+    docs.count()
+    val cfg = graft.pipeline.CurationPipeline.Config(
+      stopwords = Seq("the", "a", "of", "and", "to", "in", "is"),
+      minQualityE4 = 3000, minJaccard = 1.01, dropLmTail = false)
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val st = t("stages() construct")(
+      graft.pipeline.CurationPipeline.stages(docs, None, cfg))
+    st.foreach { case (name, df) => t(s"count $name")(df.count()) }
+    t("runCounted total")(
+      graft.pipeline.CurationPipeline.runCounted(docs, None, cfg))
+    spark.stop()
+  }
+}
