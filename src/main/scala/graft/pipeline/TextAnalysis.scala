@@ -250,6 +250,73 @@ object TextAnalysis {
       pass.as("pass"))
   }
 
+  /** Tunable thresholds for [[dupUnitSignals]] — the published
+    * MassiveText A1.2 repetition values (Rae et al. 2021): drop docs
+    * whose duplicate-line / duplicate-paragraph fraction exceeds 0.30,
+    * or whose duplicate-line / duplicate-paragraph CHARACTER fraction
+    * exceeds 0.20. */
+  final case class DupUnitRules(
+      maxDupLineFrac: Double = 0.30,
+      maxDupParaFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxDupParaCharFrac: Double = 0.20)
+
+  /** Within-document duplicate-line / duplicate-paragraph repetition
+    * signals — the A1.2 half of the Gopher repetition ruleset
+    * ([[gopherSignals]] covers A1.1, `Curation.repetitionStats` the
+    * n-gram signals): an occurrence is a DUPLICATE when an identical
+    * unit appeared earlier in the document (first occurrences are
+    * free), counted both by unit and by character mass. Lines split on
+    * `\n`, paragraphs on `\n\n`; blanks dropped.
+    *
+    * Pure codegen'd HOF arithmetic, map-only inside the scan (the
+    * bound-array `array_position` first-index probe is O(units²) per
+    * document — units are lines, bounded by document length, not
+    * corpus size). Ratios are single IEEE divisions of integer counts;
+    * `pass` compares the unquantized doubles (both engines compute the
+    * identical value).
+    *
+    * Fields: `n_lines, dup_line_frac, dup_line_char_frac, n_paras,
+    * dup_para_frac, dup_para_char_frac, pass`. */
+  def dupUnitSignals(text: Column, rules: DupUnitRules = DupUnitRules()): Column = {
+    import graft.core.Jagged.bindArray
+    // struct(n, dup_frac, dup_char_frac) for one unit family; the unit
+    // array AND the per-occurrence duplicate-length array are each
+    // let-bound (the first-index probe reads the unit array n times,
+    // and three aggregates read dupLens — the no-CSE hazard twice over)
+    def unitStats(unitsRaw: Column): Column =
+      bindArray(filter(unitsRaw, x => trim(x) =!= "")) { u =>
+        bindArray(transform(u, (x, i) =>
+          when(array_position(u, x) <= i, length(x)).otherwise(lit(0)))) { dupLens =>
+          val n = size(u)
+          val nDup = size(filter(dupLens, l => l > 0))
+          val dupChars = aggregate(dupLens, lit(0L), (a, l) => a + l)
+          val totChars = aggregate(u, lit(0L), (a, x) => a + length(x))
+          struct(
+            n.as("n"),
+            when(n > 0, nDup.cast("double") / n.cast("double"))
+              .otherwise(lit(0.0)).as("dup_frac"),
+            when(totChars > 0, dupChars.cast("double") / totChars.cast("double"))
+              .otherwise(lit(0.0)).as("dup_char_frac"))
+        }
+      }
+    // bind the two family structs too: each field read would otherwise
+    // re-run the whole O(units²) probe (CollapseProject duplication)
+    bindArray(unitStats(split(text, "\n"))) { l =>
+      bindArray(unitStats(split(text, "\n\n"))) { p =>
+        val pass = l("dup_frac") <= rules.maxDupLineFrac &&
+          p("dup_frac") <= rules.maxDupParaFrac &&
+          l("dup_char_frac") <= rules.maxDupLineCharFrac &&
+          p("dup_char_frac") <= rules.maxDupParaCharFrac
+        struct(l("n").as("n_lines"), l("dup_frac").as("dup_line_frac"),
+          l("dup_char_frac").as("dup_line_char_frac"), p("n").as("n_paras"),
+          p("dup_frac").as("dup_para_frac"),
+          p("dup_char_frac").as("dup_para_char_frac"),
+          pass.as("pass"))
+      }
+    }
+  }
+
   /** Portable 60-bit hash: first 15 hex chars of md5, as BIGINT —
     * reproducible in any engine with md5 (the cross-engine contract for
     * MinHash/SimHash oracles). `stream` selects an independent hash

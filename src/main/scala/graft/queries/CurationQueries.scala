@@ -752,6 +752,68 @@ object CurationQueries extends QueryPack {
               |FROM sc GROUP BY doc_id""".stripMargin)),
 
     Query(
+      "q144_dup_units",
+      "Within-document duplicate-line/paragraph repetition signals (Rae et al. 2021, MassiveText A1.2 — completes the Gopher ruleset with q96/q128/q129): an occurrence is a duplicate when an identical line/paragraph appeared earlier in the document, counted by unit and by character mass; pass = all four fractions under the published thresholds (0.30/0.30/0.20/0.20). Injected duplicate lines and paragraphs via doc_id arithmetic (identical fixture in both engines). Pure codegen'd HOF arithmetic over let-bound arrays — map-only inside the scan, O(lines^2) per doc bounded by doc length.",
+      (s, dir) => {
+        val injected = Tables.documents(s, dir).select(col("doc_id"),
+          graft.functions.Barrier(concat_ws("\n\n",
+            concat_ws("\n", col("text"), when(col("doc_id") % 3 === 0, col("text"))),
+            when(col("doc_id") % 5 === 0, col("text")),
+            when(col("doc_id") % 4 === 0, lit("footer para")),
+            when(col("doc_id") % 8 === 0, lit("footer para")))).as("t2"))
+        injected
+          .select(col("doc_id"), TextAnalysis.dupUnitSignals(col("t2")).as("g"))
+          .select(col("doc_id"),
+            col("g.n_lines").cast("long").as("n_lines"),
+            e4(col("g.dup_line_frac")).as("dup_line_e4"),
+            e4(col("g.dup_line_char_frac")).as("dup_line_char_e4"),
+            col("g.n_paras").cast("long").as("n_paras"),
+            e4(col("g.dup_para_frac")).as("dup_para_e4"),
+            e4(col("g.dup_para_char_frac")).as("dup_para_char_e4"),
+            col("g.pass").cast("long").as("pass"))
+      },
+      Some("""WITH inj AS (SELECT doc_id, concat_ws(chr(10) || chr(10),
+             |  concat_ws(chr(10), text, CASE WHEN doc_id % 3 = 0 THEN text END),
+             |  CASE WHEN doc_id % 5 = 0 THEN text END,
+             |  CASE WHEN doc_id % 4 = 0 THEN 'footer para' END,
+             |  CASE WHEN doc_id % 8 = 0 THEN 'footer para' END) AS t2 FROM documents),
+             |lu AS (SELECT doc_id, i AS o, l[i] AS unit
+             |       FROM (SELECT doc_id, string_split(t2, chr(10)) AS l FROM inj), generate_series(1, 16) g(i)
+             |       WHERE i <= len(l) AND trim(l[i]) != ''),
+             |pu AS (SELECT doc_id, i AS o, l[i] AS unit
+             |       FROM (SELECT doc_id, string_split(t2, chr(10) || chr(10)) AS l FROM inj), generate_series(1, 8) g(i)
+             |       WHERE i <= len(l) AND trim(l[i]) != ''),
+             |lf AS (SELECT doc_id, unit, min(o) AS fo FROM lu GROUP BY 1, 2),
+             |pf AS (SELECT doc_id, unit, min(o) AS fo FROM pu GROUP BY 1, 2),
+             |ls AS (SELECT l.doc_id, count(*) AS n,
+             |       coalesce(count(*) FILTER (WHERE o > fo), 0) AS ndup,
+             |       coalesce(sum(len(l.unit)) FILTER (WHERE o > fo), 0) AS dchars,
+             |       sum(len(l.unit)) AS tchars
+             |       FROM lu l JOIN lf f ON l.doc_id = f.doc_id AND l.unit = f.unit GROUP BY 1),
+             |ps AS (SELECT p.doc_id, count(*) AS n,
+             |       coalesce(count(*) FILTER (WHERE o > fo), 0) AS ndup,
+             |       coalesce(sum(len(p.unit)) FILTER (WHERE o > fo), 0) AS dchars,
+             |       sum(len(p.unit)) AS tchars
+             |       FROM pu p JOIN pf f ON p.doc_id = f.doc_id AND p.unit = f.unit GROUP BY 1),
+             |j AS (SELECT d.doc_id,
+             |      coalesce(ls.n, 0) AS nl,
+             |      CASE WHEN coalesce(ls.n, 0) > 0 THEN ls.ndup * 1.0 / ls.n ELSE 0.0 END AS dlf,
+             |      CASE WHEN coalesce(ls.tchars, 0) > 0 THEN ls.dchars * 1.0 / ls.tchars ELSE 0.0 END AS dlcf,
+             |      coalesce(ps.n, 0) AS np,
+             |      CASE WHEN coalesce(ps.n, 0) > 0 THEN ps.ndup * 1.0 / ps.n ELSE 0.0 END AS dpf,
+             |      CASE WHEN coalesce(ps.tchars, 0) > 0 THEN ps.dchars * 1.0 / ps.tchars ELSE 0.0 END AS dpcf
+             |      FROM documents d LEFT JOIN ls ON d.doc_id = ls.doc_id LEFT JOIN ps ON d.doc_id = ps.doc_id)
+             |SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+             |CAST(floor(dlf * 10000 + 0.5) AS BIGINT) AS dup_line_e4,
+             |CAST(floor(dlcf * 10000 + 0.5) AS BIGINT) AS dup_line_char_e4,
+             |CAST(np AS BIGINT) AS n_paras,
+             |CAST(floor(dpf * 10000 + 0.5) AS BIGINT) AS dup_para_e4,
+             |CAST(floor(dpcf * 10000 + 0.5) AS BIGINT) AS dup_para_char_e4,
+             |CAST(CASE WHEN dlf <= 0.30 AND dpf <= 0.30 AND dlcf <= 0.20 AND dpcf <= 0.20
+             |  THEN 1 ELSE 0 END AS BIGINT) AS pass
+             |FROM j""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL (newline-delimited JSON) interchange — the de-facto corpus
+  * format of LLM data pipelines (HF `datasets`, Dolma, RedPajama all
+  * ship/accept it). Parquet stays the engine's working format
+  * (columnar pruning, pushdown); JSONL is the import/export seam.
+  *
+  * Reference scope note: coffea's sources are ROOT/parquet
+  * (`src/coffea/nanoevents/factory.py`); JSONL belongs to the
+  * training-data extension charter (SURVEY §8.2), not reference
+  * parity.
+  *
+  * Write path: one `to_json(struct(...))` per row (codegen'd — no
+  * per-row driver work) into Spark's text sink. With `shardCol`,
+  * rows hash into `nShards` directories with a per-shard
+  * deterministic sort, so re-running the export is byte-stable
+  * (modulo file naming) — the property dataloader-side resume
+  * depends on. Column order inside each JSON object is the schema
+  * order, deterministic.
+  *
+  * Read path: `spark.read.schema(...).json` — schema-first, so the
+  * scan projects/prunes instead of inferring (inference reads the
+  * whole corpus TWICE at 100 TB; never use it there). Corrupt lines
+  * land in `_corrupt_record` under the default PERMISSIVE mode
+  * rather than failing the job.
+  */
+object Jsonl {
+
+  /** Export `df` as JSONL. Unsharded: whatever partitioning `df`
+    * carries. Sharded (`shardCol` + `nShards`): portable-hash shards
+    * with per-shard (hash, id) sort — deterministic layout. */
+  def write(df: DataFrame, path: String,
+      shardCol: Option[String] = None, nShards: Int = 1): Unit = {
+    val jsonCol = to_json(struct(df.columns.map(col).toIndexedSeq: _*))
+    shardCol match {
+      case None =>
+        df.select(jsonCol.as("value")).write.mode("overwrite").text(path)
+      case Some(c) =>
+        require(nShards > 0, "nShards must be positive")
+        df.select(jsonCol.as("value"),
+            graft.pipeline.TextAnalysis.portableHash(col(c).cast("string"), lit(0))
+              .as("__h"))
+          .withColumn("__shard", pmod(col("__h"), lit(nShards.toLong)))
+          .repartition(col("__shard"))
+          .sortWithinPartitions(col("__shard"), col("__h"), col("value"))
+          // text sink takes exactly one data column; project preserves sort
+          .select(col("__shard"), col("value"))
+          .write.mode("overwrite").partitionBy("__shard").text(path)
+    }
+  }
+
+  /** Read a JSONL corpus with an explicit schema (no inference pass). */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -659,6 +659,27 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dupUnitSignals: duplicate line/paragraph fractions, first occurrences free") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      // lines: [aa, bb, aa, aa] -> 2 dup occ (frac .5), dup chars 4/8
+      // paras: [aa\nbb, aa\naa] -> no dup paragraph
+      (1L, "aa\nbb\n\naa\naa"),
+      // lines: [x, x] dup frac .5; paras: [x, x] dup frac .5 chars 1/2
+      (2L, "x\n\nx"),
+      (3L, "clean doc")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.dupUnitSignals(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_lines"), col("g.dup_line_frac"),
+        col("g.dup_line_char_frac"), col("g.n_paras"), col("g.dup_para_frac"),
+        col("g.pass"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((4, 0.5, 0.5, 2, 0.0, false)))
+    assert(out(2L) == ((2, 0.5, 0.5, 2, 0.5, false)))
+    assert(out(3L) == ((1, 0.0, 0.0, 1, 0.0, true)))
+  }
+
   test("Kneser-Ney: hand-computed interpolated probabilities and fallbacks") {
     // corpus: bigrams (a,b):2 (a,c):1; ctx a: c_prev=3, n1f=2; cont b:1 c:1; N1+(..)=2
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text")
