@@ -119,6 +119,42 @@ object Sampling {
     df.filter(portableHash(key, salt) < thr)
   }
 
+  /** Temperature-scaled multinomial mixture weights (the multilingual
+    * balancing rule of XLM-R/mT5 and the source re-weighting of Llama
+    * pretraining): sampling probability p_i ∝ n_i^α, α ∈ (0,1], so
+    * low-resource sources up-sample relative to their share (α = 1 is
+    * proportional, α → 0 uniform). Returns one row per source:
+    * (source, n_docs, w_e6, p_e6, exp_docs_e2) where w_e6 =
+    * ⌊n^α·1e6+0.5⌋ is the quantized temperature mass, p_e6 the
+    * normalized probability, exp_docs_e2 the expected draw count for
+    * a `budget`-document epoch. Feed p into [[mixtureSample]] (exact
+    * per-source hash thresholds) to materialize the draw.
+    *
+    * Determinism contract: each source's mass quantizes INDEPENDENTLY
+    * (one `pow` then floor) before the integer normalizer sum — a raw
+    * Σ n_j^α double sum would be order-dependent; the integer sum is
+    * not. The remaining divisions are single IEEE ops mirrored
+    * operand-for-operand in the SQL twin.
+    *
+    * Plan: one partial-aggregated groupBy on the source key (bounded
+    * by #sources, corpus never shuffles row-wise) + a 1-row broadcast
+    * normalizer join — the q110 idf shape. */
+  def temperatureWeights(df: DataFrame, sourceCol: Column,
+      alpha: Double = 0.7, budget: Long = 1000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0,1] (got $alpha)")
+    require(budget > 0, "budget must be positive")
+    val w = df.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_e6",
+        floor(pow(col("n_docs"), lit(alpha)) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val ratio = col("w_e6") * lit(1.0) / col("s_e6")
+    w.crossJoin(broadcast(w.agg(sum(col("w_e6")).as("s_e6"))))
+      .select(col("source"), col("n_docs"), col("w_e6"),
+        floor(ratio * lit(1000000.0) + lit(0.5)).cast("long").as("p_e6"),
+        floor((lit(budget.toDouble) * ratio) * lit(100.0) + lit(0.5)).cast("long")
+          .as("exp_docs_e2"))
+  }
+
   /** Deterministic global corpus shuffle written as sharded parquet —
     * the training-data ORDERING step: every row gets a portable hash
     * shuffle key from (id, salt), shard = key mod `nShards`, and each

@@ -814,6 +814,19 @@ object CurationQueries extends QueryPack {
              |FROM j""".stripMargin)),
 
     Query(
+      "q145_temperature_mix",
+      "Temperature-scaled multinomial mixture weights (XLM-R/mT5 balancing, alpha=0.7): per-source sampling mass n^alpha quantized to e6 INDEPENDENTLY before the integer normalizer sum (a raw double sum over sources is order-dependent; the integer sum is not), normalized probability, and expected draws for a 1000-doc epoch. One groupBy bounded by #sources + a 1-row broadcast normalizer — the corpus never shuffles row-wise.",
+      (s, dir) => graft.pipeline.Sampling.temperatureWeights(
+        Tables.documents(s, dir), col("source"), alpha = 0.7, budget = 1000L),
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |w AS (SELECT source, n, CAST(floor(pow(n, 0.7) * 1000000 + 0.5) AS BIGINT) AS w_e6 FROM c),
+             |s AS (SELECT CAST(sum(w_e6) AS BIGINT) AS s_e6 FROM w)
+             |SELECT source, CAST(n AS BIGINT) AS n_docs, w_e6,
+             |CAST(floor((w_e6 * 1.0 / s_e6) * 1000000 + 0.5) AS BIGINT) AS p_e6,
+             |CAST(floor((1000.0 * (w_e6 * 1.0 / s_e6)) * 100 + 0.5) AS BIGINT) AS exp_docs_e2
+             |FROM w, s""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {

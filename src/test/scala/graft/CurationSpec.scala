@@ -659,6 +659,25 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("temperatureWeights: alpha=1 is proportional; alpha<1 up-samples the tail") {
+    import graft.pipeline.Sampling
+    val docs = (1L to 90L).map(i => (i, if (i <= 80) "big" else "small"))
+      .toDF("doc_id", "source")
+    def p(alpha: Double): Map[String, Long] =
+      Sampling.temperatureWeights(docs, col("source"), alpha = alpha)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val prop = p(1.0)
+    // alpha=1: p == n/N to quantization (80/90, 10/90)
+    assert(math.abs(prop("big") - 888889L) <= 1 && math.abs(prop("small") - 111111L) <= 1)
+    val temp = p(0.5)
+    assert(temp("small") > prop("small") && temp("big") < prop("big"),
+      s"alpha<1 must up-sample the small source: $temp vs $prop")
+    // expected draws scale with the budget and sum to ~budget
+    val e = Sampling.temperatureWeights(docs, col("source"), 0.5, budget = 500L)
+      .collect().map(_.getLong(4)).sum
+    assert(math.abs(e - 50000L) <= 2, s"expected draws (e2) must total ~budget: $e")
+  }
+
   test("dupUnitSignals: duplicate line/paragraph fractions, first occurrences free") {
     import graft.pipeline.TextAnalysis
     val docs = Seq(
