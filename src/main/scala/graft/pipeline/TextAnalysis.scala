@@ -317,6 +317,28 @@ object TextAnalysis {
     }
   }
 
+  /** HTML → text extraction (the WET-style step upstream of every
+    * web-corpus pipeline; trafilatura-lite): drop script/style blocks
+    * and comments, strip all tags (tags become separators, so
+    * `<p>a</p><p>b</p>` keeps the word boundary), decode the five
+    * predefined entities + `&nbsp;` (`&amp;` LAST — the classic
+    * double-decode pitfall), collapse whitespace. A codegen'd
+    * regexp_replace chain — map-only inside the scan, streaming-safe;
+    * every pattern is RE2-compatible (inline `(?is)` flags, no
+    * lookaround), so the DuckDB twin behaves identically. This is
+    * extraction, not sanitization — do not reuse it as an XSS filter. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    // entity strings contain no regex metacharacters — plain patterns
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; last
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Portable 60-bit hash: first 15 hex chars of md5, as BIGINT —
     * reproducible in any engine with md5 (the cross-engine contract for
     * MinHash/SimHash oracles). `stream` selects an independent hash

@@ -827,6 +827,39 @@ object CurationQueries extends QueryPack {
              |FROM w, s""".stripMargin)),
 
     Query(
+      "q146_html_strip",
+      "HTML-to-text extraction (the WET step upstream of web-corpus curation): script/style blocks and comments dropped, tags stripped to separators, the predefined entities + &nbsp; decoded (&amp; last — the double-decode pitfall), whitespace collapsed. Deterministic HTML wrappers built from doc_id arithmetic identically in both engines; every pattern is RE2-compatible so the DuckDB twin replays the exact chain. Pure codegen'd regexp_replace — map-only inside the scan.",
+      (s, dir) => {
+        val html = graft.functions.Barrier(concat(
+          lit("<html><head><title>t</title><style>p { color: red; }</style>"),
+          lit("<script>var x = 1 &amp;&amp; 2;</script></head><body><h1>Doc "),
+          (col("doc_id") % 7).cast("string"),
+          lit("</h1><!-- nav --><p>"), col("text"),
+          lit(" &amp; more &lt;stuff&gt;</p><div class=\"f\">&nbsp;footer&#39;s</div></body></html>")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean_text"))
+          .withColumn("n_chars", length(col("clean_text")).cast("long"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><title>t</title><style>p { color: red; }</style>'
+             |  || '<script>var x = 1 &amp;&amp; 2;</script></head><body><h1>Doc '
+             |  || CAST(doc_id % 7 AS VARCHAR)
+             |  || '</h1><!-- nav --><p>' || text
+             |  || ' &amp; more &lt;stuff&gt;</p><div class="f">&nbsp;footer&#39;s</div></body></html>' AS html
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+             |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+             |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+             |e1 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s3),
+             |e2 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM e1),
+             |e3 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM e2),
+             |e4 AS (SELECT doc_id, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM e3),
+             |e5 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM e4),
+             |e6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM e5),
+             |f AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM e6)
+             |SELECT doc_id, clean_text, CAST(len(clean_text) AS BIGINT) AS n_chars FROM f""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {

@@ -659,6 +659,26 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stripHtml: blocks/comments/tags/entities/whitespace, decode order safe") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "<script>if (x &lt; 1) alert('hi');</script>kept"),
+      (3L, "<style type=\"text/css\">body{}</style>kept too"),
+      (4L, "a<!-- hidden <b>bold</b> -->b"),
+      (5L, "&amp;lt; stays escaped-once: &amp; &lt; &gt; &quot; &#39; &nbsp;"),
+      (6L, "  already   plain  ")).toDF("id", "h")
+    val out = rows.select(col("id"), TextAnalysis.stripHtml(col("h")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello world")
+    assert(out(2L) == "kept")
+    assert(out(3L) == "kept too")
+    assert(out(4L) == "a b")
+    // &amp;lt; must decode to the TEXT "&lt;", never double-decode to "<"
+    assert(out(5L) == "&lt; stays escaped-once: & < > \" '")
+    assert(out(6L) == "already plain")
+  }
+
   test("temperatureWeights: alpha=1 is proportional; alpha<1 up-samples the tail") {
     import graft.pipeline.Sampling
     val docs = (1L to 90L).map(i => (i, if (i <= 80) "big" else "small"))
