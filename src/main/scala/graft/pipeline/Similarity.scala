@@ -71,6 +71,40 @@ object Similarity {
       .select(col("grp"), col("pos"), col("n"), col("sum_e6"),
         floor(col("sum_e6") / col("n")).cast("long").as("mean_e6"))
 
+  /** Per-label embedding outliers — the data-map / mislabel QA pass
+    * (Swayamdipta et al. 2020's cartography idea applied to embedding
+    * space): each vector's cosine to its OWN label centroid, with the
+    * `k` least-similar vectors per label surfaced as mislabel/outlier
+    * candidates. Centroids come from [[groupCentroids]] (e6-quantized
+    * integer sums — cross-engine exact), dequantized with one exact
+    * division per element; the cosine quantizes to e6 before ranking
+    * (the q56 contract). Ranking is a per-label bounded-heap
+    * [[graft.functions.TopKAgg]] on (−cos, id) — no window, shuffle ≤
+    * k×partitions per label. The centroid table is |labels|-bounded
+    * and broadcast; the corpus never shuffles row-wise. Returns
+    * (label, rank, vec_id, cos_e6), rank 1 = farthest. */
+  def labelOutliers(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cents = groupCentroids(df, labelCol, vecCol)
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_e6")))).as("cs"))
+      .select(col("grp"),
+        transform(col("cs"), x => x("mean_e6") / lit(1000000.0)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("grp"), widen(col(vecCol)).as("v"))
+    v.join(broadcast(cents), "grp")
+      .withColumn("cos_e6",
+        floor(dot(col("v"), col("cv")) / (norm(col("v")) * col("cn"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.TopKAgg(-col("cos_e6"), col("id"), k).as("tk"))
+      .select(col("grp").as("label"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("vec_id"), (-col("e.score")).as("cos_e6"))
+  }
+
   /** Brute-force top-k: for each query vector (small set, broadcast),
     * the k nearest corpus vectors by cosine. Deterministic: ranking on
     * (quantized cosine desc, corpus id asc).

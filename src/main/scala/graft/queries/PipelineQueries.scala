@@ -567,6 +567,31 @@ object PipelineQueries extends QueryPack {
              |CAST(floor(sum_e6 / n) AS BIGINT) AS mean_e6 FROM a""".stripMargin)),
 
     Query(
+      "q147_embedding_outliers",
+      "Per-label embedding outliers (the data-map / mislabel QA pass): each vector's cosine to its OWN label centroid (q125's e6-integer centroids, dequantized with one exact division per element), the 5 least-similar vectors per label surfaced as mislabel candidates. Centroid table |labels|-bounded and broadcast; ranking is a per-label bounded-heap TopKAgg on (-cos, id) — window-free, corpus never shuffles row-wise.",
+      (s, dir) => Similarity.labelOutliers(
+          Tables.embeddings(s, dir), "vec_id", "label", "embedding", k = 5)
+        .select(col("label").cast("long").as("label"), col("rank"),
+          col("vec_id"), col("cos_e6")),
+      Some("""WITH q AS (SELECT label, i - 1 AS pos,
+             |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+             |  FROM embeddings, generate_series(1, 64) g(i)),
+             |a AS (SELECT label, pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_e6
+             |      FROM q GROUP BY 1, 2),
+             |cent AS (SELECT label, pos, CAST(floor(sum_e6 / n) AS BIGINT) / 1000000.0 AS cv FROM a),
+             |cn AS (SELECT label, sqrt(sum(cv * cv)) AS cnorm FROM cent GROUP BY 1),
+             |vn AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS vnorm
+             |       FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+             |d AS (SELECT e.vec_id, e.label, sum(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.cv) AS dt
+             |      FROM embeddings e JOIN cent c ON e.label = c.label GROUP BY 1, 2),
+             |r AS (SELECT d.label, d.vec_id,
+             |      CAST(floor(dt / (vnorm * cnorm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+             |      FROM d JOIN vn USING (vec_id) JOIN cn USING (label))
+             |SELECT CAST(label AS BIGINT) AS label,
+             |CAST(row_number() OVER (PARTITION BY label ORDER BY cos_e6 ASC, vec_id) AS BIGINT) AS rank,
+             |vec_id, cos_e6 FROM r QUALIFY rank <= 5""".stripMargin)),
+
+    Query(
       "q126_audio_fingerprint",
       "Acoustic fingerprint dedup (Haitsma-Kalker energy-delta bits): per-clip 32-bit fingerprint from framed sample energies — entirely codegen'd HOFs inside the scan (frame energies, delta signs, Horner bit-pack; no UDF) — then exact dedup = ONE groupBy on the fingerprint. Samples fabricate from ASCII text (q94 convention); PcmBackend feeds real decoded PCM through the identical downstream shape. Exact integer arithmetic, cross-engine stable by construction.",
       (s, dir) => {

@@ -995,4 +995,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs((1L, 3L)) >= 1L && pairs((1L, 3L)) <= 3L)
     assert(pairs((2L, 3L)) == pairs((1L, 3L)))
   }
+
+  test("labelOutliers: a flipped vector is its label's rank-1 outlier") {
+    // label 0: three vectors near +e1, one exactly opposite
+    val rows = Seq(
+      (1L, 0L, Array(1.0f, 0.1f)), (2L, 0L, Array(1.0f, -0.1f)),
+      (3L, 0L, Array(0.9f, 0.0f)), (4L, 0L, Array(-1.0f, 0.0f)),
+      (5L, 1L, Array(0.0f, 1.0f)), (6L, 1L, Array(0.1f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = pipeline.Similarity.labelOutliers(rows, "vec_id", "label", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 1L)) == 4L, s"flipped vector must be the top outlier: $out")
+    assert(out.keySet == Set((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)))
+    // window-free plan
+    val plan = pipeline.Similarity.labelOutliers(rows, "vec_id", "label", "embedding", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-label top-k must not window:\n$plan")
+  }
 }
