@@ -319,6 +319,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus (bipartite) MinHash LSH candidates — the FUZZY
+    * decontamination prefilter (GPT-3 appendix C / Llama eval-overlap
+    * style: flag training docs NEAR-duplicating a benchmark doc, where
+    * the exact n-gram overlap of `Curation.contaminationStats` misses
+    * paraphrase-level leaks): corpus and reference band separately,
+    * candidates come from ONE equality join on (band, sig) — never a
+    * within-corpus self-join, so candidate volume is ∝ cross matches,
+    * not corpus². Estimated Jaccard = equal-signature fraction,
+    * integer-quantized (the q54 contract). Emits
+    * (id, id_ref, est_jaccard_e4), est >= minEst, distinct.
+    *
+    * At 100 TB the reference side (an eval suite) is tiny: it
+    * broadcasts (default), so the corpus never shuffles —
+    * `broadcastRef = false` flips to a shuffle join for a pathological
+    * reference corpus. */
+  def minhashCandidatesAgainst(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      k: Int, bands: Int, minEst: Double, shingleN: Int = 2,
+      broadcastRef: Boolean = true): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, "bands must divide k")
+    def banded(d: DataFrame, idc: String, tc: String, suffix: String) =
+      minhashSignatures(d, idc, tc, k, shingleN)
+        .select(col("id"), col("mh"),
+          bandSignatures(col("mh"), bands, rowsPerBand).as("b"))
+        .select(col("b.band").as("band"), col("b.sig").as("sig"),
+          col("id").as("id" + suffix), col("mh").as("mh" + suffix))
+    val c = banded(df, idCol, textCol, "")
+    val r0 = banded(ref, refIdCol, refTextCol, "_ref")
+    val r = if (broadcastRef) broadcast(r0) else r0
+    c.join(r, Seq("band", "sig"))
+      .select(col("id"), col("id_ref"),
+        eqCountUdf(col("mh"), col("mh_ref")).as("n_eq"))
+      .withColumn("est_jaccard_e4", floor(col("n_eq") * 10000.0 / k).cast("long"))
+      .filter(col("est_jaccard_e4") >= (minEst * 10000).toLong)
+      .select(col("id"), col("id_ref"), col("est_jaccard_e4"))
+      .distinct()
+  }
+
   /** SimHash near-dup pairs: block on equal chunks (Hamming ≤ 3 implies
     * a shared 16-bit chunk by pigeonhole), verify Hamming inline from
     * the bucket; giant buckets degrade to the [[bucketPairs]] star.

@@ -860,6 +860,40 @@ object CurationQueries extends QueryPack {
              |SELECT doc_id, clean_text, CAST(len(clean_text) AS BIGINT) AS n_chars FROM f""".stripMargin)),
 
     Query(
+      "q148_fuzzy_decontaminate",
+      "FUZZY decontamination (GPT-3 appendix C / Llama eval-overlap): corpus docs (source != src0) whose MinHash-estimated Jaccard against ANY benchmark doc (source = src0) reaches 0.5 — catches the paraphrase-level leaks exact n-gram overlap (q95) misses. Bipartite banding: corpus and benchmark band separately, ONE equality join on (band, sig) — no within-corpus self-join, candidate volume proportional to cross matches; the benchmark side broadcasts at 100 TB.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.minhashCandidatesAgainst(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text",
+            docs.filter(col("source") === "src0"), "doc_id", "text",
+            k = 16, bands = 8, minEst = 0.5)
+          .select(col("id").as("doc_id"), col("id_ref").as("bench_id"),
+            col("est_jaccard_e4"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+              |td AS (SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] AS tok
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+              |hp AS (SELECT doc_id, source, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h1,
+              |       ((('0x' || substr(md5(tok), 17, 15))::BIGINT) % 288230376151711744) AS h2 FROM td),
+              |mh AS (SELECT doc_id, source, j, min((h1 + j * h2) % 2305843009213693951) AS m
+              |       FROM hp, generate_series(0, 15) g(j) GROUP BY 1, 2, 3),
+              |bands AS (SELECT doc_id, source, j // 2 AS band,
+              |          string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS sig
+              |          FROM mh GROUP BY 1, 2, 3),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_c, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+              |         WHERE a.source != 'src0' AND b.source = 'src0'),
+              |est AS (SELECT c.id_c, c.id_b, count(*) FILTER (WHERE x.m = y.m) AS neq
+              |        FROM cand c
+              |        JOIN mh x ON x.doc_id = c.id_c
+              |        JOIN mh y ON y.doc_id = c.id_b AND x.j = y.j
+              |        GROUP BY 1, 2)
+              |SELECT id_c AS doc_id, id_b AS bench_id,
+              |CAST(floor(neq * 10000.0 / 16) AS BIGINT) AS est_jaccard_e4
+              |FROM est WHERE floor(neq * 10000.0 / 16) >= 5000""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {

@@ -1012,4 +1012,23 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"per-label top-k must not window:\n$plan")
   }
+
+  test("minhashCandidatesAgainst: bipartite only, near-dup flagged, no self-join") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of bench
+      (2L, "totally different words in this document here"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")  // near-dup AND dup of 1
+    ).toDF("doc_id", "text")
+    val out = pipeline.Dedup.minhashCandidatesAgainst(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        k = 16, bands = 8, minEst = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 100L)) && out.contains((3L, 100L)), s"near-dups must flag: $out")
+    assert(!out.exists(_._2 != 100L), "only cross-side pairs may appear")
+    assert(!out.contains((2L, 100L)), "disjoint doc must not flag")
+    // corpus docs 1 and 3 are identical — a self-join would pair them; the
+    // bipartite join structurally cannot
+    assert(!out.contains((1L, 3L)) && !out.contains((3L, 1L)))
+  }
 }
