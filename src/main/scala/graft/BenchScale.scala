@@ -39,7 +39,9 @@ object BenchScale {
     "q81_dedup_resolve", "q104_span_dedup", "q107_semdedup",
     "q108_containment", "q113_winnowing", "q115_nearest_dup",
     "q119_lm_perplexity", "q123_bpe_encode", "q127_audio_neardup",
-    "q130_dsir", "q135_minhash_index")
+    "q130_dsir", "q135_minhash_index",
+    "q140_curation_chain", "q142_line_dedup", "q143_kneser_ney",
+    "q148_fuzzy_decontaminate")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -719,6 +719,47 @@ object Curation {
           .otherwise("tail"))
   }
 
+  /** Fit the model artifact for [[dropBoilerplateLines]]: the 60-bit
+    * hashes of every line whose corpus-wide occurrence count reaches
+    * `minCount` — ONE hash-keyed aggregate, then a bounded collect
+    * (boilerplate vocabularies are small: nav bars, banners, license
+    * headers; the guard rejects a degenerate fit that would bloat
+    * every task's plan). */
+  def boilerplateHashes(df: DataFrame, textCol: String,
+      minCount: Long = 2, maxTable: Int = 100000): Array[Long] = {
+    require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
+    val hs = df
+      .select(explode(split(col(textCol), "\n")).as("line"))
+      .filter(col("line") =!= "")
+      .select(Dedup.hash60(col("line")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minCount)
+      .select("h").collect().map(_.getLong(0)).sorted
+    require(hs.length <= maxTable,
+      s"boilerplate table has ${hs.length} lines (> $maxTable): this corpus " +
+        "is too repetitive for a literal table — run the batch dedupLines " +
+        "pass, or probe a bloom sketch (the q120 pattern) instead")
+    hs
+  }
+
+  /** Map-only boilerplate-line removal — the ONLINE half of
+    * [[dedupLines]] (CCNet's line filter at ingest time): lines whose
+    * hash is in the fitted table drop; everything runs INSIDE the row
+    * (split → HOF filter → join), zero joins and zero aggregation, so
+    * it composes with Structured Streaming as-is (the AdvancedSpec
+    * stream twin) and costs scan-stage arithmetic at 100 TB.
+    * Membership is `array_contains` over the literal table — O(table)
+    * per line, sized for real boilerplate vocabularies (≤ ~10⁴; the
+    * [[boilerplateHashes]] guard enforces a ceiling). Above that,
+    * probe a bloom sketch literal (the q120 pattern) and accept the
+    * fpp sliver of extra drops. */
+  def dropBoilerplateLines(text: Column, boilerHashes: Array[Long]): Column =
+    graft.core.Jagged.bindArray(filter(split(text, "\n"), l => l =!= "")) { ls =>
+      array_join(
+        filter(ls, l => !array_contains(typedLit(boilerHashes.toSeq), Dedup.hash60(l))),
+        "\n")
+    }
+
   // ---- interpolated Kneser-Ney bigram LM ----
 
   /** A trained interpolated Kneser-Ney bigram LM (Kneser & Ney 1995;

@@ -659,6 +659,37 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("boilerplate filter: batch fit, map-only serve, stream == batch") {
+    val ref = Seq(
+      (1L, "cookie banner\nreal content one"),
+      (2L, "cookie banner\nreal content two"),
+      (3L, "unique stuff\ncookie banner")).toDF("doc_id", "text")
+    val hs = Curation.boilerplateHashes(ref, "text", minCount = 2)
+    assert(hs.length == 1, "only the banner repeats")
+    val batchDocs = Seq(
+      (10L, "cookie banner\nfresh doc"),
+      (11L, "no banner here")).toDF("doc_id", "text")
+    val serve = Curation.dropBoilerplateLines(col("text"), hs)
+    val batch = batchDocs.select(col("doc_id"), serve.as("clean"))
+    assert(batch.queryExecution.executedPlan.toString.indexOf("Exchange") < 0,
+      "serving must be map-only")
+    val want = batch.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(want(10L) == "fresh doc" && want(11L) == "no banner here")
+    // streaming twin
+    val dir = java.nio.file.Files.createTempDirectory("boiler_stream")
+    batchDocs.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val q = spark.readStream.schema(batchDocs.schema).parquet(dir.toString)
+      .select(col("doc_id"), serve.as("clean"))
+      .writeStream.format("memory").queryName("boiler_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("boiler_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stripHtml: blocks/comments/tags/entities/whitespace, decode order safe") {
     import graft.pipeline.TextAnalysis
     val rows = Seq(
