@@ -452,4 +452,95 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rrfFuse == local fusion twin for arbitrary ranked lists") {
+    import graft.pipeline.Retrieval
+    val listGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.pick(n, 1L to 30L).map(_.toSeq))
+    for (i <- 0 until 15) {
+      val lists = samples(listGen, 3).map(ids => ids.zipWithIndex.map {
+        case (id, r) => (id, (r + 1).toLong)
+      })
+      if (lists.nonEmpty && lists.exists(_.nonEmpty)) {
+        val dfs = lists.filter(_.nonEmpty).map(_.toDF("id", "rank"))
+        val k = 1 + i % 7
+        val got = Retrieval.rrfFuse(dfs, "id", "rank", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // local twin
+        def c(rank: Long) = math.floor(1e6 / (60.0 + rank) + 0.5).toLong
+        val contrib = lists.filter(_.nonEmpty).flatMap(_.map { case (id, r) => id -> c(r) })
+        val fused = contrib.groupBy(_._1).map { case (id, xs) =>
+          (id, xs.map(_._2).sum, xs.size.toLong) }.toSeq
+        val want = fused.sortBy { case (id, s, _) => (-s, id) }.take(k)
+          .zipWithIndex.map { case ((id, s, n), r) => (r + 1L, id, s, n) }
+        assert(got.toSeq == want, s"iteration $i")
+      }
+    }
+  }
+
+  test("dedupLines == local twin for arbitrary multi-line corpora") {
+    import graft.pipeline.Curation
+    val lineGen = Gen.oneOf("a", "b", "c", "dd", "")
+    val docGen = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, lineGen))
+    for (i <- 0 until 8) {
+      val docs = samples(docGen, 6 + i).zipWithIndex.map {
+        case (ls, id) => (id.toLong, ls.mkString("\n"))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Curation.dedupLines(df, "doc_id", "text", minCount = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      // local twin: global occurrence counts over non-empty lines
+      val all = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).zipWithIndex.filter(_._1.nonEmpty).map { case (l, p) => (id, p, l) } }
+      val occ = all.groupBy(_._3).map { case (l, xs) => l -> xs.size }
+      docs.foreach { case (id, _) =>
+        val mine = all.filter(_._1 == id)
+        val kept = mine.filter(x => occ(x._3) < 2).sortBy(_._2)
+        val want = (kept.map(_._3).mkString("\n"), mine.size.toLong, kept.size.toLong)
+        assert(got(id) == want, s"doc $id iteration $i: ${got(id)} vs $want")
+      }
+    }
+  }
+
+  test("knScore == local Kneser-Ney twin for arbitrary tiny corpora") {
+    import graft.pipeline.Curation
+    val tokGen = Gen.oneOf("u", "v", "w", "x")
+    val docGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, tokGen))
+    for (i <- 0 until 6) {
+      val docs = samples(docGen, 5 + i).zipWithIndex.map {
+        case (ts, id) => (id.toLong, ts.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val lm = Curation.knTrain(df, "doc_id", "text")
+      if (lm.nDistinctBigrams > 0) {
+        val got = Curation.knScore(df, "doc_id", "text", lm)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        // local twin
+        val pairs = docs.flatMap { case (_, t) =>
+          val ts = t.split(" ").filter(_.nonEmpty)
+          ts.zipWithIndex.map { case (w, j) => (if (j > 0) ts(j - 1) else null, w) } }
+        val big = pairs.filter(_._1 != null).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val ctx = big.groupBy(_._1._1).map { case (v, m) => v -> ((m.values.sum, m.size.toLong)) }
+        val cont = big.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+        val nbig = big.size.toDouble
+        docs.foreach { case (id, t) =>
+          val ts = t.split(" ").filter(_.nonEmpty)
+          if (ts.nonEmpty) {
+            val ss = ts.zipWithIndex.map { case (w, j) =>
+              val pcont = cont.get(w).map(_.toDouble).getOrElse(0.5) / nbig
+              val p =
+                if (j == 0 || !ctx.contains(ts(j - 1))) pcont
+                else {
+                  val (cp, n1f) = ctx(ts(j - 1))
+                  val t1 = big.get((ts(j - 1), w)).map(c2 => (c2 - 0.75) / cp).getOrElse(0.0)
+                  t1 + ((0.75 * n1f) / cp) * pcont
+                }
+              math.floor(math.log(p) * 1e6 + 0.5).toLong
+            }
+            val want = (ts.length.toLong, math.floor(-ss.sum.toDouble / ts.length).toLong)
+            assert(got(id) == want, s"doc $id iteration $i: ${got(id)} vs $want")
+          }
+        }
+      }
+    }
+  }
 }
