@@ -77,6 +77,16 @@ object GraftFunctions {
     GraftFn("graft_prefix_sum", 1,
       "graft_prefix_sum(counts) - exclusive prefix sum offsets of an int array",
       cs => graft.functions.ArrayPrefixSum(cs(0))),
+    GraftFn("graft_strip_html", 1,
+      "graft_strip_html(html) - HTML to text: drop script/style/comments, strip tags, decode entities, collapse whitespace",
+      cs => TextAnalysis.stripHtml(cs(0))),
+    GraftFn("graft_token_count", 1,
+      "graft_token_count(text) - whitespace token count (empty tokens dropped)",
+      cs => TextAnalysis.tokenCount(cs(0))),
+    GraftFn("graft_quality", 1,
+      "graft_quality(text) - composite quality score in [0,1] (length band + word-length band + stopword ratio)",
+      cs => TextAnalysis.qualityScore(cs(0),
+        Seq("the", "a", "of", "and", "to", "in", "is"))),
     GraftFn("graft_searchsorted", 2,
       // SQL literals arrive as DECIMAL — cast here because the raw
       // FunctionRegistry builder path skips implicit-cast resolution

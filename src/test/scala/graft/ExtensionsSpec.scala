@@ -33,6 +33,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_delta_phi"))
   }
 
+  test("registered SQL functions: text-curation kernels") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_strip_html('<p>Hello <b>world</b> &amp; more</p><script>x()</script>') AS clean,
+             graft_token_count('  two   words ') AS n,
+             graft_quality('the cat of the hat and a mat in it is here now') AS q
+    """).head()
+    assert(r.getString(0) == "Hello world & more")
+    assert(r.getInt(1) == 2)
+    assert(r.getDouble(2) > 0.9) // stopword-rich, in both bands
+  }
+
   test("SQL bloom pair: sketch via scalar subquery, probe keeps exactness") {
     GraftFunctions.register(spark)
     import spark.implicits._
