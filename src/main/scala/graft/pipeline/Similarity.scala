@@ -330,6 +330,18 @@ object Similarity {
     best
   }
 
+  /** Map-only coarse-cell assignment against an explicit codebook
+    * (raw-dot argmax, ties to the lowest cell — the [[semDedupPairs]]
+    * cluster step exposed on its own, for ingest pipelines that only
+    * need the routing): returns (id, cell). The codebook rides as a
+    * plan literal in the UDF closure — no join, no shuffle. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty, "codebook must be non-empty")
+    df.select(col(idCol).cast("long").as("id"),
+      argmaxCellUdf(cents)(widen(col(vecCol))).as("cell"))
+  }
+
   /** SemDeDup-style embedding dedup (Abbas et al. 2023): partition the
     * corpus into `nCells` cells with a deterministic seeded
     * random-projection codebook ([[hyperplanes]] rows, argmax dot),

@@ -894,6 +894,42 @@ object CurationQueries extends QueryPack {
               |FROM est WHERE floor(neq * 10000.0 / 16) >= 5000""".stripMargin)),
 
     Query(
+      "q149_rag_ingest",
+      "End-to-end RAG/vector-DB ingest chain as ONE lazy plan: sliding-window chunking (q122) -> hashing-trick chunk embeddings (q138) -> portable-md5-codebook cell routing (q107's cluster step via assignCells) -> per-cell occupancy (chunks + distinct source docs). Every stage is map-only until the final bounded groupBy on the cell key; at 100 TB this is the shape that writes a partitioned vector index (swap the count for ivfWriteIndex's partitionBy(cell) sink).",
+      (s, dir) => {
+        val chunks = Curation.chunkDocuments(
+            Tables.documents(s, dir), "doc_id", "text", maxTokens = 32, stride = 16)
+          .select((col("id") * 100L + col("chunk_idx")).as("cid"), col("chunk_text"))
+        val emb = Similarity.hashEmbeddings(chunks, "cid", "chunk_text", dim = 64)
+        Similarity.assignCells(emb, "id", "embedding",
+            Similarity.md5Centroids(nCells = 8, dim = 64))
+          .groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(floor(col("id") / 100L)).as("n_docs"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |ch AS (SELECT doc_id * 100 + (k - 1) AS cid,
+              |       list_slice(t, 1 + (k-1) * 16, least(1 + (k-1) * 16 + 31, len(t))) AS ct
+              |       FROM toks, generate_series(1, 50) g(k)
+              |       WHERE len(t) > 0 AND 1 + (k-1) * 16 <= len(t)),
+              |tb AS (SELECT cid,
+              |       ((('0x' || substr(md5(tok), 1, 15))::BIGINT) % 64) AS b,
+              |       CASE WHEN (('0x' || substr(md5(tok), 17, 15))::BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+              |       FROM (SELECT cid, unnest(ct) AS tok FROM ch)),
+              |emb AS (SELECT cid, b, sum(sgn) AS w FROM tb GROUP BY 1, 2),
+              |cents AS (SELECT c.c AS cell, h.j AS j,
+              |      2.0 * ((('0x' || substr(md5('sd_' || c.c || '_' || h.j), 1, 13))::BIGINT)::DOUBLE) / 4503599627370496.0 - 1.0 AS v
+              |      FROM generate_series(0, 7) c(c), generate_series(1, 64) h(j)),
+              |d AS (SELECT e.cid, c.cell, sum(CAST(e.w AS DOUBLE) * c.v) AS dt
+              |      FROM emb e JOIN cents c ON c.j = e.b + 1 GROUP BY 1, 2),
+              |a AS (SELECT cid, cell FROM
+              |      (SELECT cid, cell, row_number() OVER (PARTITION BY cid ORDER BY dt DESC, cell) AS rn FROM d)
+              |      WHERE rn = 1)
+              |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_chunks,
+              |CAST(count(DISTINCT cid // 100) AS BIGINT) AS n_docs
+              |FROM a GROUP BY cell""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {
