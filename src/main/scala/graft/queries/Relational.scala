@@ -310,6 +310,37 @@ object Relational extends QueryPack {
       },
       Some("""SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
              |count(*) AS n, CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q150_sessionize",
+      "Gap-based sessionization, declarative form (the batch twin of EventStream.sessionize's mapGroupsWithState): a session break is a >10-minute gap; break flags via lag, session ids via a running sum, then per-user session stats. The per-user window is the CANONICAL sessionization plan at scale — per-user data is bounded and the window streams it, unlike a mapGroups that materializes each user's history. All timestamp arithmetic stays in exact integer nanos (ts is nanos-epoch; a double round-trip loses sub-us bits above 2^53 and could flip a boundary gap).",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ns", $"event_id")
+        val prev = lag($"ns", 1).over(w)
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"ts".as("ns"))
+          .withColumn("br",
+            when(prev.isNull || $"ns" - prev > lit(600000000000L), 1L).otherwise(0L))
+          .withColumn("sid", sum($"br").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid").agg(count(lit(1)).as("n"))
+          .groupBy($"user_id")
+          .agg(sum($"n").as("n_events"), count(lit(1)).as("n_sessions"),
+            max($"n").as("max_session_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) * 1000 AS ns FROM events),
+             |b AS (SELECT user_id, event_id, ns,
+             |      CASE WHEN lag(ns) OVER w IS NULL OR ns - lag(ns) OVER w > 600000000000 THEN 1 ELSE 0 END AS br
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)),
+             |s AS (SELECT user_id,
+             |      sum(br) OVER (PARTITION BY user_id ORDER BY ns, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM b),
+             |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+             |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+             |CAST(count(*) AS BIGINT) AS n_sessions,
+             |CAST(max(n) AS BIGINT) AS max_session_events
+             |FROM g GROUP BY 1""".stripMargin))
   )
 }

@@ -659,6 +659,30 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("declarative sessionization (q150 shape) == mapGroups sessionizeBatch twin") {
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    val evs = (1 to 400).map { i =>
+      EventStream.Ev(rng.nextInt(12).toLong, rng.nextInt(100000).toLong, 1.0) }
+    val ds = spark.createDataset(evs)(org.apache.spark.sql.Encoders.product[EventStream.Ev])
+    val gapMs = 5000L
+    val want = EventStream.sessionizeBatch(ds, gapMs)
+      .collect().map(u => u.user_id -> ((u.n_sessions, u.n_events))).toMap
+    // the q150 window form over the same events (ties broken on ts only —
+    // duplicate (user, ts) rows merge into the same gap decision either way)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val prev = lag(col("ts_ms"), 1).over(w)
+    val got = ds.toDF()
+      .withColumn("br", when(prev.isNull || col("ts_ms") - prev > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("br")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1).toInt, r.getLong(2).toInt))).toMap
+    assert(got == want)
+  }
+
   test("boilerplate filter: batch fit, map-only serve, stream == batch") {
     val ref = Seq(
       (1L, "cookie banner\nreal content one"),
