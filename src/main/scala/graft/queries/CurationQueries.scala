@@ -930,6 +930,33 @@ object CurationQueries extends QueryPack {
               |FROM a GROUP BY cell""".stripMargin)),
 
     Query(
+      "q151_source_kl",
+      "Per-source KL divergence of the token distribution against the whole corpus — the domain-shift / mixture-drift monitor (which sources look least like the blend they feed): KL(P_s || Q) = sum_tok P ln(P/Q), each per-token term quantized to e9 INDEPENDENTLY before the integer sum (the q119 ln contract). One corpus-sized explode into a partial-aggregated (source, tok) groupBy; everything downstream is vocabulary-bounded.",
+      (s, dir) => {
+        val st = Tables.documents(s, dir)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+        val ts = st.groupBy("source").agg(sum("c_st").as("t_s"))
+        val ct = st.groupBy("tok").agg(sum("c_st").as("c_t"))
+        val tt = st.agg(sum("c_st").as("t"))
+        val p = col("c_st") * lit(1.0) / col("t_s")
+        val q = col("c_t") * lit(1.0) / col("t")
+        st.join(broadcast(ts), "source").join(ct, "tok").crossJoin(broadcast(tt))
+          .withColumn("term_e9",
+            floor(p * log(p / q) * lit(1000000000.0) + lit(0.5)).cast("long"))
+          .groupBy("source")
+          .agg(sum("c_st").as("n_tokens"), sum("term_e9").as("kl_e9"))
+      },
+      Some(s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+              |st AS (SELECT source, tok, count(*) AS c_st FROM tk GROUP BY 1, 2),
+              |ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1),
+              |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+              |tt AS (SELECT CAST(sum(c_st) AS BIGINT) AS t FROM st)
+              |SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+              |CAST(sum(CAST(floor((c_st * 1.0 / t_s) * ln((c_st * 1.0 / t_s) / (c_t * 1.0 / t)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl_e9
+              |FROM st JOIN ts USING (source) JOIN ct USING (tok), tt GROUP BY 1""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {
