@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer (Kudo 2018 — the SentencePiece "unigram"
+  * algorithm, the production alternative to [[BpeTokenizer]]): pieces
+  * carry probabilities and a word segments into the maximum-likelihood
+  * piece sequence (Viterbi), instead of replaying merge ranks.
+  *
+  * Simplifications, both documented where they bite: training is HARD
+  * EM (Viterbi counts instead of forward-backward expected counts) and
+  * pruning is probability-ranked (Kudo prunes by held-out likelihood
+  * loss). Both keep the estimator consistent on the Zipfian corpora
+  * this targets and make every step exactly reproducible.
+  *
+  * Scale design mirrors [[BpeTokenizer]] (the production-trainer
+  * shape): training never loops over the corpus — ONE distributed
+  * partial-aggregated groupBy collapses the corpus to the bounded
+  * (pre-token → count) table, and the EM loop runs driver-side over
+  * it (O(iters × words × len² × maxPieceLen) with the DP). Encoding
+  * is map-only: the piece table rides the UDF closure with a
+  * per-executor memo cache, no shuffle anywhere.
+  *
+  * Determinism: the word table is collected with a total order
+  * (count desc, word); seed selection and pruning rank with explicit
+  * (−count, piece) / (−prob, piece) orders; Viterbi ties keep the
+  * LONGEST last piece. Training the same corpus twice yields the
+  * identical model under any partitioning (the [[Classifier]]
+  * reproducibility contract, spec-pinned).
+  */
+object UnigramTokenizer {
+
+  /** A trained model: natural-log probability per piece. Every single
+    * character seen in training stays in the vocabulary (never
+    * pruned), so segmentation is total; `unkLogProb` covers characters
+    * never seen at all. */
+  final case class UnigramModel(logProb: Map[String, Double],
+      unkLogProb: Double = math.log(1e-12)) {
+    @transient lazy val maxPieceLen: Int =
+      if (logProb.isEmpty) 1 else logProb.keysIterator.map(_.length).max
+  }
+
+  /** Maximum-likelihood segmentation of one word: DP over end
+    * positions; ties prefer the longest final piece (deterministic). */
+  def viterbi(w: String, model: UnigramModel): List[String] = {
+    if (w.isEmpty) return Nil
+    val n = w.length
+    val maxLen = math.max(1, model.maxPieceLen)
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1) // start index of the piece ending here
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      // scanning j ascending = longest piece first; strict > keeps it on tie
+      while (j < i) {
+        if (best(j) > Double.NegativeInfinity) {
+          val piece = w.substring(j, i)
+          val lp = model.logProb.get(piece) match {
+            case Some(p) => p
+            case None => if (i - j == 1) model.unkLogProb else Double.NegativeInfinity
+          }
+          if (lp > Double.NegativeInfinity && best(j) + lp > best(i)) {
+            best(i) = best(j) + lp
+            back(i) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var out = List.empty[String]
+    var p = n
+    while (p > 0) { val j = back(p); out = w.substring(j, p) :: out; p = j }
+    out
+  }
+
+  /** Train on the corpus: one pre-token frequency groupBy (bounded
+    * collect), then driver-side seed + hard-EM + prune. `vocabSize`
+    * bounds the MULTI-CHARACTER piece count; single characters ride
+    * free (they guarantee totality). */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+      seedMaxLen: Int = 6, emIters: Int = 4,
+      maxVocabWords: Int = 1 << 20): UnigramModel = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    require(seedMaxLen >= 2, "seedMaxLen must be >= 2")
+    require(emIters >= 1, "emIters must be >= 1")
+    val wordCounts: Array[(String, Long)] = df
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(TextAnalysis.BpePretokenRe), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // seed: substring counts up to seedMaxLen, weighted by word count
+    val sub = collection.mutable.HashMap.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= seedMaxLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          sub.update(p, sub.getOrElse(p, 0L) + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = sub.keysIterator.filter(_.length == 1).toSeq.sorted
+    val seedMulti = sub.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(vocabSize * 3).map(_._1)
+    def toModel(counts: Iterable[(String, Long)]): UnigramModel = {
+      val total = counts.iterator.map(_._2).sum.toDouble.max(1.0)
+      UnigramModel(counts.iterator
+        .map { case (p, c) => p -> math.log(c / total) }.toMap)
+    }
+    var model = toModel((chars ++ seedMulti).map(p => p -> sub(p)))
+
+    var it = 0
+    while (it < emIters) {
+      // E (hard): Viterbi counts; M: renormalize; prune to vocabSize multis
+      val pieceCounts = collection.mutable.HashMap.empty[String, Long]
+      wordCounts.foreach { case (w, c) =>
+        viterbi(w, model).foreach(p =>
+          pieceCounts.update(p, pieceCounts.getOrElse(p, 0L) + c))
+      }
+      // single chars must survive even when currently unused
+      chars.foreach(ch =>
+        if (!pieceCounts.contains(ch)) pieceCounts.update(ch, 1L))
+      val kept = pieceCounts.iterator.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+      model = toModel(kept ++ pieceCounts.iterator.filter(_._1.length == 1))
+      it += 1
+    }
+    model
+  }
+
+  /** Map-only unigram encoding of `text` to the piece array (the
+    * [[BpeTokenizer.encode]] closure/memo shape). */
+  def encode(model: UnigramModel, text: Column): Column = {
+    val re = TextAnalysis.BpePretokenRe.r
+    val cache = collection.mutable.HashMap.empty[String, List[String]]
+    val enc = udf { (s: String) =>
+      if (s == null) null
+      else re.findAllIn(s).flatMap { w =>
+        if (cache.size > (1 << 16)) cache.clear()
+        cache.getOrElseUpdate(w, viterbi(w, model))
+      }.toArray
+    }
+    enc(text)
+  }
+
+  /** Exact token count under `model`. */
+  def tokenCount(model: UnigramModel, text: Column): Column =
+    size(encode(model, text))
+}

@@ -957,6 +957,20 @@ object CurationQueries extends QueryPack {
               |FROM st JOIN ts USING (source) JOIN ct USING (tok), tt GROUP BY 1""".stripMargin)),
 
     Query(
+      "q152_unigram_tokenize",
+      "Unigram-LM tokenization (Kudo 2018 / SentencePiece-unigram, the production alternative to BPE): model trained in-engine (one bounded pre-token groupBy + driver hard-EM, the q123 trainer shape), then map-only Viterbi encoding; per-source piece/char totals. NO SQL oracle: Viterbi segmentation is not reasonably ANSI-SQL-expressible, so this row is a rows-only check — the segmenter is property-specced (ML segmentation, round-trip totality, planted-piece learning, partitioning-invariant training) in CurationSpec instead.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.pipeline.UnigramTokenizer.train(docs, "text", vocabSize = 200)
+        docs.groupBy(col("source"))
+          .agg(
+            sum(graft.pipeline.UnigramTokenizer.tokenCount(model, col("text"))
+              .cast("long")).as("n_pieces"),
+            sum(length(col("text")).cast("long")).as("n_chars"))
+      },
+      None),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {

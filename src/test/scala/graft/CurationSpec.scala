@@ -659,6 +659,32 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("unigram tokenizer: Viterbi picks ML segmentation; round-trip; EM learns planted piece") {
+    import graft.pipeline.UnigramTokenizer
+    import graft.pipeline.UnigramTokenizer.UnigramModel
+    // ML segmentation beats char fallback when the piece is probable
+    val m = UnigramModel(Map("a" -> math.log(0.1), "b" -> math.log(0.1),
+      "ab" -> math.log(0.5)))
+    assert(UnigramTokenizer.viterbi("abab", m) == List("ab", "ab"))
+    assert(UnigramTokenizer.viterbi("aba", m) == List("ab", "a"))
+    // round-trip totality, unknown chars included
+    for (w <- Seq("abc", "zzz", "a", "", "abz"))
+      assert(UnigramTokenizer.viterbi(w, m).mkString == w)
+    // hard EM on a planted corpus learns the repeated word as one piece
+    val docs = (1 to 50).map(i => (i.toLong, "hello hello hello world"))
+      .toDF("doc_id", "text")
+    val trained = UnigramTokenizer.train(docs, "text", vocabSize = 20)
+    assert(trained.logProb.contains("hello"), s"planted piece must survive: " +
+      trained.logProb.keys.filter(_.length > 1).toSeq.sorted.mkString(","))
+    val nTok = docs.limit(1)
+      .select(UnigramTokenizer.tokenCount(trained, col("text")).as("n"))
+      .head().getInt(0)
+    assert(nTok <= 5, s"4 words must encode to <= 5 pieces, got $nTok")
+    // reproducibility: same corpus, any partitioning -> identical model
+    val again = UnigramTokenizer.train(docs.repartition(7), "text", vocabSize = 20)
+    assert(again.logProb == trained.logProb)
+  }
+
   test("declarative sessionization (q150 shape) == mapGroups sessionizeBatch twin") {
     import graft.streaming.EventStream
     import org.apache.spark.sql.expressions.Window
