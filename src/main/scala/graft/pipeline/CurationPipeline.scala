@@ -36,6 +36,14 @@ object CurationPipeline {
       // collapses the newlines they need); Gopher token rules run on the
       // normalized text alongside the composite score. Both are map-only
       // scan-stage filters — they add no stage cost beyond the row drop.
+      // HTML ingestion: strip markup FIRST (newline-preserving, so the
+      // line-level stages below still see line structure) — the WET
+      // extraction step when the input is raw web HTML.
+      stripHtmlInput: Boolean = false,
+      // Corpus-level line dedup (CCNet §4.1) between the line rules and
+      // normalization: lines duplicated >= minCount corpus-wide drop
+      // everywhere, docs losing every line drop entirely.
+      lineDedupMinCount: Option[Long] = None,
       lineRules: Option[TextAnalysis.LineRules] = None,
       gopherRules: Option[TextAnalysis.GopherRules] = None,
       // Optional trained quality classifier (FineWeb-Edu/DCLM gate):
@@ -84,15 +92,36 @@ object CurationPipeline {
       cfg: Config): Seq[(String, DataFrame)] = {
     val id = col(cfg.idCol)
 
+    // -1. HTML extraction (map-only; newline-preserving so the line
+    //     stages below still see structure)
+    val extracted =
+      if (cfg.stripHtmlInput) docs.withColumn(cfg.textCol,
+        TextAnalysis.stripHtml(col(cfg.textCol), keepNewlines = true))
+      else docs
+
     // 0. line-shape rules on the raw text (normalization folds newlines)
     val lineGated = cfg.lineRules match {
-      case Some(r) => docs.filter(
+      case Some(r) => extracted.filter(
         TextAnalysis.lineSignals(col(cfg.textCol), r).getField("pass"))
-      case None => docs
+      case None => extracted
+    }
+
+    // 0.5 corpus-level line dedup (CCNet §4.1): boilerplate lines drop
+    //     everywhere; docs losing every line drop entirely
+    val lineDeduped = cfg.lineDedupMinCount match {
+      case Some(mc) =>
+        val cleaned = Curation.dedupLines(lineGated, cfg.idCol, cfg.textCol, mc)
+          .select(col("id").as("__ldid"), col("clean_text"), col("kept_lines"))
+        lineGated
+          .join(cleaned, id.cast("long") === col("__ldid"))
+          .filter(col("kept_lines") > 0)
+          .withColumn(cfg.textCol, col("clean_text"))
+          .drop("__ldid", "clean_text", "kept_lines")
+      case None => lineGated
     }
 
     // 1. normalization (map-only): NFC + control strip + case fold
-    val normalized = lineGated.withColumn(cfg.textCol,
+    val normalized = lineDeduped.withColumn(cfg.textCol,
       TextAnalysis.normalizeText(col(cfg.textCol)))
 
     // 2. quality gate (map-only HOF arithmetic inside the scan)
@@ -170,7 +199,10 @@ object CurationPipeline {
 
     Seq(
       "input" -> docs,
-      "line_rules" -> lineGated,
+      "line_rules" -> lineGated) ++
+      (if (cfg.lineDedupMinCount.isDefined)
+        Seq("line_dedup" -> lineDeduped) else Nil) ++
+      Seq(
       "quality" -> quality,
       "exact_dedup" -> exact,
       "near_dedup" -> nearDeduped,

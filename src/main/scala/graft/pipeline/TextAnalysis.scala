@@ -326,8 +326,13 @@ object TextAnalysis {
     * regexp_replace chain — map-only inside the scan, streaming-safe;
     * every pattern is RE2-compatible (inline `(?is)` flags, no
     * lookaround), so the DuckDB twin behaves identically. This is
-    * extraction, not sanitization — do not reuse it as an XSS filter. */
-  def stripHtml(html: Column): Column = {
+    * extraction, not sanitization — do not reuse it as an XSS filter.
+    *
+    * `keepNewlines = true` collapses only horizontal whitespace and
+    * newline runs, preserving line boundaries for the downstream
+    * line-level stages ([[Curation.dedupLines]], `lineSignals`) — the
+    * [[CurationPipeline]] ingestion order. */
+  def stripHtml(html: Column, keepNewlines: Boolean = false): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
@@ -336,7 +341,12 @@ object TextAnalysis {
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; last
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
-    trim(regexp_replace(ent, "\\s+", " "))
+    if (keepNewlines)
+      // horizontal runs -> one space; newline runs (with stray spaces
+      // around them) -> one newline; then trim outer whitespace
+      regexp_replace(regexp_replace(regexp_replace(ent,
+        "[^\\S\\n]+", " "), " ?\\n[ \\n]*", "\n"), "^\\s+|\\s+$", "")
+    else trim(regexp_replace(ent, "\\s+", " "))
   }
 
   /** Portable 60-bit hash: first 15 hex chars of md5, as BIGINT —

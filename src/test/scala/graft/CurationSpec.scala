@@ -659,6 +659,28 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CurationPipeline: HTML extraction + corpus line dedup stages") {
+    import graft.pipeline.CurationPipeline
+    def mk(i: Long, body: String) =
+      (i, s"<html><body><p>subscribe to our newsletter</p>\n<p>$body</p></body></html>")
+    val docs = Seq(
+      mk(1L, "the cat sat of the mat and a dog in the yard is here"),
+      mk(2L, "a list of the things to do and to see in the town is long"),
+      (3L, "<html><body><p>subscribe to our newsletter</p></body></html>")
+    ).toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(
+      stripHtmlInput = true, lineDedupMinCount = Some(2L),
+      minQualityE4 = 0, minJaccard = 1.01, dropLmTail = false)
+    val (out, counts) = CurationPipeline.runCounted(docs, None, cfg)
+    val m = counts.toMap
+    assert(m("input") == 3 && m("line_dedup") == 2,
+      s"the all-boilerplate doc must drop at line_dedup: $counts")
+    val texts = out.select("text").collect().map(_.getString(0))
+    assert(texts.length == 2)
+    assert(texts.forall(t => !t.contains("subscribe") && !t.contains("<")),
+      s"banner and markup must be gone: ${texts.toSeq}")
+  }
+
   test("unigram tokenizer: Viterbi picks ML segmentation; round-trip; EM learns planted piece") {
     import graft.pipeline.UnigramTokenizer
     import graft.pipeline.UnigramTokenizer.UnigramModel
