@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned selection efficiency with Wilson score intervals — the
+  * tag-and-probe reporting idiom (pass fraction per kinematic bin with
+  * a frequentist interval; reference workflow: a ratio of two
+  * histograms filled from `PackedSelection` masks, e.g.
+  * coffea/hist's `plotratio(num, denom)` usage).
+  *
+  * The interval is the WILSON score (closed-form: one sqrt, fixed
+  * operand order), not Clopper-Pearson — Beta quantiles are iterative
+  * and not bit-reproducible across engines, while every step here is
+  * a single IEEE op mirrored textually in the SQL oracle. All counts
+  * are exact integers from ONE partial-aggregated groupBy (shuffle =
+  * #bins × #partitions, independent of rows); the interval math is a
+  * map-side projection over the aggregated frame.
+  */
+object Efficiency {
+
+  /** Per-bin efficiency: (bin, n, k, eff_e6, lo_e6, hi_e6), where
+    * [lo, hi] is the Wilson interval at the given z (default 1.96 ≈
+    * 95 %). Empty bins cannot occur (bins come from the data); n ≥ 1
+    * keeps every division well-defined. */
+  def wilson(df: DataFrame, bin: Column, pass: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, "z must be positive")
+    val agg = df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pass, 1L).otherwise(0L)).as("k"))
+    // operand order mirrored EXACTLY in the oracle SQL:
+    //   p    = k * 1.0 / n
+    //   z2n  = (z*z) / n
+    //   den  = 1.0 + z2n
+    //   ctr  = (p + z2n / 2.0) / den
+    //   rad  = p * (1.0 - p) / n + z2n / (4.0 * n)
+    //   half = (z * sqrt(rad)) / den
+    val p = col("k") * lit(1.0) / col("n")
+    val z2n = lit(z * z) / col("n")
+    val den = lit(1.0) + z2n
+    val ctr = (p + z2n / lit(2.0)) / den
+    val rad = p * (lit(1.0) - p) / col("n") + z2n / (lit(4.0) * col("n"))
+    val half = (lit(z) * sqrt(rad)) / den
+    def e6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+    agg.select(col("bin"), col("n"), col("k"),
+      e6(p).as("eff_e6"), e6(ctr - half).as("lo_e6"), e6(ctr + half).as("hi_e6"))
+  }
+}

@@ -326,6 +326,25 @@ object AnalysisQueries extends QueryPack {
              |CAST(floor(sum(dr) * 10000 + 0.5) AS BIGINT) AS sum_dr_e4,
              |CAST(floor(sum(dphi) * 10000 + 0.5) AS BIGINT) AS sum_dphi_e4,
              |CAST(sum(hm) AS BIGINT) AS hash_mod_sum
-             |FROM t GROUP BY l_returnflag""".stripMargin))
+             |FROM t GROUP BY l_returnflag""".stripMargin)),
+
+    Query(
+      "q153_efficiency",
+      "Binned selection efficiency with Wilson score intervals (the tag-and-probe reporting idiom: pass fraction per kinematic bin with a frequentist interval): exact integer (n, k) per l_quantity bin from ONE partial-aggregated groupBy, then the closed-form Wilson interval as a fixed-operand-order IEEE chain mirrored textually in the oracle — Clopper-Pearson's Beta quantiles are iterative and not cross-engine-exact, Wilson is one sqrt.",
+      (s, dir) => graft.core.Efficiency.wilson(
+        Tables.lineitem(s, dir),
+        floor(col("l_quantity") / 10.0).cast("long"),
+        col("l_returnflag") === "R"),
+      Some("""WITH a AS (SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin, count(*) AS n,
+             |      sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k FROM lineitem GROUP BY 1),
+             |m AS (SELECT bin, n, k, k * 1.0 / n AS p, (1.96 * 1.96) / n AS z2n FROM a),
+             |w AS (SELECT bin, n, k, p, z2n, 1.0 + z2n AS den,
+             |      (p + z2n / 2.0) / (1.0 + z2n) AS ctr,
+             |      p * (1.0 - p) / n + z2n / (4.0 * n) AS rad FROM m)
+             |SELECT bin, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             |CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS eff_e6,
+             |CAST(floor((ctr - (1.96 * sqrt(rad)) / den) * 1000000.0 + 0.5) AS BIGINT) AS lo_e6,
+             |CAST(floor((ctr + (1.96 * sqrt(rad)) / den) * 1000000.0 + 0.5) AS BIGINT) AS hi_e6
+             |FROM w""".stripMargin))
   )
 }

@@ -478,4 +478,28 @@ class CorrectionsSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).toSeq
     assert(s1 == s2 && s1.forall(_ > 0.0))
   }
+
+  test("Efficiency.wilson: exact counts, hand-computed interval, bounds sane") {
+    import graft.core.Efficiency
+    val df = ((1 to 8).map(i => (0L, true)) ++ (1 to 2).map(_ => (0L, false)) ++
+      (1 to 5).map(_ => (1L, false))).toDF("bin", "pass")
+    val out = Efficiency.wilson(df, col("bin"), col("pass"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bin 0: k=8 n=10 — replicate the exact operand order locally
+    def wilsonE6(k: Long, n: Long): (Long, Long, Long) = {
+      val p = k * 1.0 / n; val z2n = (1.96 * 1.96) / n; val den = 1.0 + z2n
+      val ctr = (p + z2n / 2.0) / den
+      val rad = p * (1.0 - p) / n + z2n / (4.0 * n)
+      val half = (1.96 * math.sqrt(rad)) / den
+      def e6(x: Double) = math.floor(x * 1000000.0 + 0.5).toLong
+      (e6(p), e6(ctr - half), e6(ctr + half))
+    }
+    val (p0, lo0, hi0) = wilsonE6(8, 10)
+    assert(out(0L) == ((10L, 8L, p0, lo0, hi0)))
+    assert(lo0 < p0 && p0 < hi0 && lo0 > 0 && hi0 < 1000000)
+    // k=0 bin: lower bound clamps near 0, upper strictly positive
+    val (p1, lo1, hi1) = wilsonE6(0, 5)
+    assert(out(1L) == ((5L, 0L, p1, lo1, hi1)) && p1 == 0L && lo1 == 0L && hi1 > 0L)
+  }
 }
