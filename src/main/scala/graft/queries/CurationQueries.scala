@@ -971,6 +971,39 @@ object CurationQueries extends QueryPack {
       None),
 
     Query(
+      "q155_relative_quality",
+      "Per-source RELATIVE quality gating (the FineWeb per-dump-threshold practice: absolute thresholds over-prune clean dumps and under-prune dirty ones — cut at each source's own quality median instead): per-source exact median of the e4 composite score, keep docs at-or-above their source's median. Exact `percentile` mirrors DuckDB quantile_cont interpolation (the q88 contract; at 100 TB swap for approx_percentile); the per-source threshold table broadcasts back — the corpus never shuffles row-wise.",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(col("source"),
+            e4(TextAnalysis.qualityScore(col("text"), chainStopwords)).as("q_e4"))
+        val thr = scored.groupBy("source")
+          .agg(expr("percentile(q_e4, 0.5D)").as("med"))
+        scored.join(broadcast(thr), "source")
+          .groupBy(col("source"), col("med"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("q_e4") >= col("med"), 1L).otherwise(0L)).as("n_keep"))
+          .select(col("source"), col("n_docs"), col("n_keep"),
+            // median of ints interpolates to k or k+0.5: ×2 is integer-exact
+            (col("med") * 2.0).cast("long").as("med_e4_x2"))
+      },
+      Some(s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
+              |q AS (SELECT source,
+              |  CAST(floor(((CASE WHEN len(tk) >= 5 AND len(tk) <= 1000 THEN 1.0 ELSE 0.0 END)
+              |    + (CASE WHEN len(tk) > 0
+              |            AND list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk) >= 2.0
+              |            AND list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk) <= 12.0
+              |       THEN 1.0 ELSE 0.0 END)
+              |    + least((CASE WHEN len(tk) > 0
+              |             THEN len(list_filter(tk, x -> x IN ($chainStopSql))) * 1.0 / len(tk)
+              |             ELSE 0.0 END) * 4.0, 1.0)) / 3.0 * 10000 + 0.5) AS BIGINT) AS q_e4 FROM t),
+              |m AS (SELECT source, quantile_cont(q_e4, 0.5) AS med FROM q GROUP BY 1)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |CAST(sum(CASE WHEN q_e4 >= med THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              |CAST(med * 2.0 AS BIGINT) AS med_e4_x2
+              |FROM q JOIN m USING (source) GROUP BY source, med""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {
