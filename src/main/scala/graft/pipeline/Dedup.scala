@@ -319,6 +319,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental EXACT dedup at ingest — the every-run production op
+    * (content-hash a new batch against the historical corpus): each
+    * new document is labeled `dup_ref` (its 60-bit content hash
+    * already exists in the reference corpus — history wins),
+    * `dup_batch` (first occurrence within the batch wins, min id), or
+    * `survivor`. Returns (id, status).
+    *
+    * Plan: reference side collapses to DISTINCT hashes (8-byte rows —
+    * at 100 TB this is the persisted fingerprint index, bucketed on h
+    * via [[graft.sources.Bucketing]] so the probe join is
+    * exchange-free); the batch side is one hash groupBy for the
+    * in-batch winner + one left join against the reference hashes.
+    * Nothing corpus-quadratic, no windows. */
+  def exactDedupAgainst(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String): DataFrame = {
+    val newFps = df.select(col(idCol).cast("long").as("id"),
+      hash60(col(textCol)).as("h"))
+    val refFps = ref.select(hash60(col(refTextCol)).as("h")).distinct()
+      .withColumn("__inref", lit(1L))
+    val winners = newFps.groupBy("h").agg(min(col("id")).as("__w"))
+    newFps.join(refFps, Seq("h"), "left")
+      .join(winners, "h")
+      .select(col("id"),
+        when(col("__inref").isNotNull, lit("dup_ref"))
+          .when(col("id") =!= col("__w"), lit("dup_batch"))
+          .otherwise(lit("survivor")).as("status"))
+  }
+
   /** Cross-corpus (bipartite) MinHash LSH candidates — the FUZZY
     * decontamination prefilter (GPT-3 appendix C / Llama eval-overlap
     * style: flag training docs NEAR-duplicating a benchmark doc, where

@@ -1004,6 +1004,48 @@ object CurationQueries extends QueryPack {
               |FROM q JOIN m USING (source) GROUP BY source, med""".stripMargin)),
 
     Query(
+      "q156_ingest_dedup",
+      "Incremental exact dedup at ingest (the every-run production op): a new batch (sources src1/src2) content-hashed against the historical corpus (all other sources) — history wins (dup_ref), then the in-batch first occurrence (dup_batch), else survivor. Reference side collapses to DISTINCT 8-byte hashes (at 100 TB: the persisted fingerprint index, bucketed so the probe join is exchange-free); batch side is one hash groupBy + one left join. Output: per-source status counts.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // planted collisions (doc_id arithmetic — identical in both
+        // engines): re-ingested historical docs -> dup_ref; duplicated
+        // batch docs -> dup_batch
+        val batch = docs.filter(col("source").isin("src1", "src2"))
+          .select(col("doc_id"), col("source"), col("text"))
+          .unionByName(docs.filter(!col("source").isin("src1", "src2"))
+            .filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 9000000L).as("doc_id"),
+              lit("src1").as("source"), col("text")))
+          .unionByName(docs.filter(col("source") === "src2")
+            .filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 9500000L).as("doc_id"),
+              lit("src2").as("source"), col("text")))
+        val hist = docs.filter(!col("source").isin("src1", "src2"))
+        Dedup.exactDedupAgainst(batch, "doc_id", "text", hist, "text")
+          .join(batch.select(col("doc_id").cast("long").as("id"), col("source")), "id")
+          .groupBy("source", "status").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH b0 AS (SELECT doc_id, source, text FROM documents WHERE source IN ('src1', 'src2')
+             |      UNION ALL
+             |      SELECT doc_id + 9000000, 'src1', text FROM documents
+             |      WHERE source NOT IN ('src1', 'src2') AND doc_id % 10 = 0
+             |      UNION ALL
+             |      SELECT doc_id + 9500000, 'src2', text FROM documents
+             |      WHERE source = 'src2' AND doc_id % 7 = 0),
+             |b AS (SELECT doc_id, source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM b0),
+             |r AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+             |      FROM documents WHERE source NOT IN ('src1', 'src2')),
+             |w AS (SELECT h, min(doc_id) AS wid FROM b GROUP BY 1),
+             |t AS (SELECT b.source,
+             |      CASE WHEN r.h IS NOT NULL THEN 'dup_ref'
+             |           WHEN b.doc_id != w.wid THEN 'dup_batch'
+             |           ELSE 'survivor' END AS status
+             |      FROM b LEFT JOIN r ON b.h = r.h JOIN w ON b.h = w.h)
+             |SELECT source, status, CAST(count(*) AS BIGINT) AS n
+             |FROM t GROUP BY 1, 2""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {
