@@ -410,6 +410,67 @@ object Curation {
         col("n_lines"), col("kept_lines"))
   }
 
+  /** Content-defined chunking stats (the LBFS/rsync CDC idea on
+    * tokens): a chunk boundary falls AFTER any token whose trailing
+    * k-gram hashes to 0 mod `mod` — boundaries depend only on LOCAL
+    * content, so two documents sharing a long block re-synchronize to
+    * the SAME chunk boundaries even when their prefixes differ
+    * (fixed-size chunking never recovers from a one-token shift; the
+    * q122 sliding windows target model context, not dedup). Expected
+    * chunk length = `mod` tokens. Per doc: chunk count, chunks whose
+    * content hash repeats corpus-wide (shared blocks), and the shared
+    * fraction.
+    *
+    * Plan shape: chunking is entirely IN-ROW (bound token array →
+    * k-gram hashes → boundary indices → chunk spans → chunk hashes,
+    * all HOFs — no shuffle); the only exchanges are the chunk-hash
+    * groupBy (8-byte keys), the join back, and the per-doc aggregate —
+    * the q104 inverted-index class. Returns
+    * (id, n_tokens, n_chunks, n_shared, shared_e4) for every doc. */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, mod: Int = 8): DataFrame = {
+    require(k >= 2, s"k-gram length must be >= 2 (got $k)")
+    require(mod >= 2, s"mod must be >= 2 (got $mod)")
+    import graft.core.Jagged.bindArray
+    val chunksCol = bindArray(TextAnalysis.tokens(col(textCol))) { ts =>
+      val n = size(ts)
+      val bndRaw = when(n >= k,
+        filter(transform(sequence(lit(0), n - k), i =>
+          when(Dedup.hash60(concat_ws(" ", slice(ts, i + 1, lit(k))))
+            % lit(mod.toLong) === 0L, i + lit(k - 1))),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<int>"))
+      bindArray(bndRaw) { bnd =>
+        val starts = concat(array(lit(0)), transform(bnd, b => b + 1))
+        val ends = concat(bnd, array(n - 1))
+        val spans = filter(zip_with(starts, ends, (s0, e0) =>
+          when(s0 <= e0, struct(s0.as("s"), e0.as("e")))), x => x.isNotNull)
+        transform(spans, sp => struct(
+          Dedup.hash60(concat_ws(" ",
+            slice(ts, sp("s") + 1, sp("e") - sp("s") + 1))).as("h"),
+          (sp("e") - sp("s") + 1).as("len")))
+      }
+    }
+    val ch = df
+      .select(col(idCol).cast("long").as("id"), posexplode(chunksCol))
+      .select(col("id"), col("col.h").as("h"), col("col.len").as("len"))
+    val cnt = ch.groupBy("h").agg(count(lit(1)).as("c"))
+    val perDoc = ch.join(cnt, "h")
+      .groupBy("id")
+      .agg(sum(col("len")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("c") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol).cast("long").as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_chunks"), lit(0L)) > 0L,
+          floor(col("n_shared") * 10000.0 / col("n_chunks") + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("shared_e4"))
+  }
+
   // ---- corpus-LM bigram rarity signals ----
 
   /** Per-document rarity signals against the corpus's own bigram table

@@ -1046,6 +1046,38 @@ object CurationQueries extends QueryPack {
              |FROM t GROUP BY 1, 2""".stripMargin)),
 
     Query(
+      "q157_cdc_chunks",
+      "Content-defined chunking stats (LBFS/rsync CDC on tokens): a boundary falls after any token whose trailing 3-gram hash is 0 mod 8, so boundaries are LOCAL — shifted near-duplicates re-synchronize to identical chunk boundaries, which fixed-size chunking never does. Per doc: chunk count, corpus-shared chunks, shared fraction. Chunking is entirely in-row (bound HOFs, zero shuffle); only the chunk-hash groupBy + join-back + per-doc aggregate shuffle (8-byte keys — the q104 class).",
+      (s, dir) => Curation.cdcChunkStats(
+          Tables.documents(s, dir), "doc_id", "text", k = 3, mod = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_chunks"),
+          col("n_shared"), col("shared_e4")),
+      // same 0..199 series bound as q104 (docs max 100 tokens)
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |pos AS (SELECT doc_id, i AS p,
+              |        (('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 15))::BIGINT) AS h
+              |        FROM toks, generate_series(0, 199) g(i) WHERE i <= len(t) - 3),
+              |bnd AS (SELECT doc_id, p + 2 AS be FROM pos WHERE h % 8 = 0),
+              |tok AS (SELECT doc_id, i - 1 AS ti, t[i] AS tk FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t)),
+              |asg AS (SELECT tok.doc_id, ti, tk,
+              |        coalesce(sum(CASE WHEN b.be IS NOT NULL THEN 1 ELSE 0 END) OVER
+              |          (PARTITION BY tok.doc_id ORDER BY ti ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+              |        FROM tok LEFT JOIN bnd b ON b.doc_id = tok.doc_id AND b.be = tok.ti),
+              |chk AS (SELECT doc_id, ci, count(*) AS clen,
+              |        (('0x' || substr(md5(string_agg(tk, ' ' ORDER BY ti)), 1, 15))::BIGINT) AS h
+              |        FROM asg GROUP BY 1, 2),
+              |cnt AS (SELECT h, count(*) AS c FROM chk GROUP BY 1),
+              |pd AS (SELECT chk.doc_id, CAST(sum(clen) AS BIGINT) AS n_tokens, count(*) AS n_chunks,
+              |       sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_shared
+              |       FROM chk JOIN cnt USING (h) GROUP BY 1)
+              |SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+              |CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+              |CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+              |CAST(CASE WHEN coalesce(n_chunks, 0) > 0
+              |  THEN floor(n_shared * 10000.0 / n_chunks + 0.5) ELSE 0 END AS BIGINT) AS shared_e4
+              |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
+    Query(
       "q128_gopher_quality",
       "Gopher quality-rule signals (Rae et al. 2021, MassiveText A1.1 repetition-free subset): per-document word-count band, mean-word-length band, alphabetic-word ratio, #/ellipsis symbol ratio, stopword hits, and the conjunction pass flag. Pure codegen'd HOF arithmetic over a Barrier-bound token array — map-only inside the scan stage, no shuffle; the pass comparisons run on the unquantized doubles (IEEE-identical in both engines), quantization only decorates the report columns.",
       (s, dir) => {

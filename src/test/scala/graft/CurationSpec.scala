@@ -659,6 +659,25 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC chunking re-synchronizes across a prefix shift; fixed-size never would") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, shared),
+      (2L, "totally different prefix words here then " + shared),
+      (3L, "unrelated content with no overlap at all whatsoever")).toDF("doc_id", "text")
+    val out = Curation.cdcChunkStats(docs, "doc_id", "text", k = 3, mod = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // boundaries are content-local: the shared block re-synchronizes and
+    // interior chunks collide across docs 1/2 despite the 7-token shift
+    assert(out(1L)._3 >= 1 && out(2L)._3 >= 1,
+      s"shifted near-dup must share CDC chunks: $out")
+    assert(out(3L)._3 == 0, s"unrelated doc must share nothing: $out")
+    // token accounting is exact
+    assert(out(1L)._1 == 34L && out(3L)._1 == 8L)
+  }
+
   test("CurationPipeline: HTML extraction + corpus line dedup stages") {
     import graft.pipeline.CurationPipeline
     def mk(i: Long, body: String) =
