@@ -362,11 +362,17 @@ object Dedup {
     * broadcasts (default), so the corpus never shuffles —
     * `broadcastRef = false` flips to a shuffle join for a pathological
     * reference corpus. */
+  /** `dedupeOutput = false` skips the final `distinct()`: a pair
+    * sharing b bands then appears up to b times — the STREAMING mode
+    * (distinct is a stateful aggregation a stream-static join can't
+    * carry; at-least-once flagging is exactly what an ingest gate
+    * needs, and the consumer's drop step is idempotent). The
+    * AdvancedSpec twin pins stream==batch at the set level. */
   def minhashCandidatesAgainst(
       df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refIdCol: String, refTextCol: String,
       k: Int, bands: Int, minEst: Double, shingleN: Int = 2,
-      broadcastRef: Boolean = true): DataFrame = {
+      broadcastRef: Boolean = true, dedupeOutput: Boolean = true): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "bands must divide k")
     def banded(d: DataFrame, idc: String, tc: String, suffix: String) =
@@ -378,13 +384,13 @@ object Dedup {
     val c = banded(df, idCol, textCol, "")
     val r0 = banded(ref, refIdCol, refTextCol, "_ref")
     val r = if (broadcastRef) broadcast(r0) else r0
-    c.join(r, Seq("band", "sig"))
+    val flagged = c.join(r, Seq("band", "sig"))
       .select(col("id"), col("id_ref"),
         eqCountUdf(col("mh"), col("mh_ref")).as("n_eq"))
       .withColumn("est_jaccard_e4", floor(col("n_eq") * 10000.0 / k).cast("long"))
       .filter(col("est_jaccard_e4") >= (minEst * 10000).toLong)
       .select(col("id"), col("id_ref"), col("est_jaccard_e4"))
-      .distinct()
+    if (dedupeOutput) flagged.distinct() else flagged
   }
 
   /** SimHash near-dup pairs: block on equal chunks (Hamming ≤ 3 implies

@@ -452,4 +452,36 @@ class AdvancedSpec extends AnyFunSuite {
     assert(Metrics.awaitReports(listener, 1, timeoutMs = 500).isEmpty,
       "detached listener must not collect")
   }
+
+  test("streaming fuzzy decontamination: stream-static banding flags match batch") {
+    import graft.pipeline.Dedup
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of bench
+      (2L, "totally different words in this document here"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta") // exact dup
+    ).toDF("doc_id", "text")
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashCandidatesAgainst(df, "doc_id", "text", bench, "doc_id", "text",
+        k = 16, bands = 8, minEst = 0.3, dedupeOutput = false)
+    val want = flags(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.map(_._1) == Set(1L, 3L))
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_decon_stream")
+    batchDocs.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(dir.toString)
+    // at-least-once mode: no distinct, so the plan is a stream-static
+    // join + map work only — runs in append mode without a watermark
+    val q = flags(stream)
+      .writeStream.format("memory").queryName("fuzzy_decon_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fuzzy_decon_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, "streamed flag SET must equal batch")
+    } finally q.stop()
+  }
 }
