@@ -84,21 +84,29 @@ object Bench {
         }
       }
       val sec = if (runs.nonEmpty) runs.min else -1.0
+      val mx = if (runs.nonEmpty) runs.max else -1.0
       val errJson = err.filter(_ => runs.isEmpty).map(jsonStr).getOrElse("null")
-      println(s"""{"query":${jsonStr(name)},"sec":${fmt(sec)},"err":$errJson}""")
+      // min AND max per query: a healthy run has max ≈ min; a contended
+      // host shows max >> min (or both inflated) — BENCH_r09's q117
+      // (74.6 s vs 4.3 s on a calm host, both reps slow) was
+      // undiagnosable from a min-only artifact.
+      println(s"""{"query":${jsonStr(name)},"sec":${fmt(sec)},"max":${fmt(mx)},"reps":${runs.length},"err":$errJson}""")
       Console.out.flush()
       // Bound accumulated relation/codegen cache state across the long
       // registry — the GC window is what plausibly starved r7 heartbeats.
       if ((i + 1) % 20 == 0) spark.catalog.clearCache()
-      (name, sec, err.isDefined && runs.isEmpty)
+      (name, sec, mx, runs.length, err.isDefined && runs.isEmpty)
     }
-    val qs = results.map { case (k, v, _) => jsonStr(k) + ":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _) => jsonStr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val ok = results.filterNot(_._3)
+    val detail = results.map { case (k, v, mx, n, _) =>
+      jsonStr(k) + s""":{"min":${fmt(v)},"max":${fmt(mx)},"reps":$n}""" }
+      .mkString("{", ",", "}")
+    val ok = results.filterNot(_._5)
     val total = ok.map(_._2).sum
-    val errs = results.filter(_._3).map(r => jsonStr(r._1)).mkString("[", ",", "]")
+    val errs = results.filter(_._5).map(r => jsonStr(r._1)).mkString("[", ",", "]")
     val aggregate =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
     // Duplicate the aggregate to a file so a machine consumer never
     // depends on stdout tail capture (BENCH_r08 lost the line to a 2 KB
     // tail window + sbt log decoration). Path override: SPARK_GRAFT_BENCH_OUT.
@@ -122,8 +130,8 @@ object Bench {
     // (the entries a perf reader wants first), plus the full-map file
     // pointer. Printed LAST so "last parseable JSON line" == this one.
     if (aggregate.length > 1800) {
-      val slow = results.filterNot(_._3).sortBy(-_._2).take(20)
-        .map { case (k, v, _) => jsonStr(k) + ":" + fmt(v) }
+      val slow = results.filterNot(_._5).sortBy(-_._2).take(20)
+        .map { case (k, v, _, _, _) => jsonStr(k) + ":" + fmt(v) }
         .mkString("{", ",", "}")
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","errors":$errs,"n_queries":${results.length},"queries_shown":"slowest20","full_queries_file":${jsonStr(outPath)}}""")
     }

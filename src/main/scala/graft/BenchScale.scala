@@ -38,10 +38,12 @@ object BenchScale {
     "q59_lsh_neardup", "q79_ivf_topk", "q80_components",
     "q81_dedup_resolve", "q104_span_dedup", "q107_semdedup",
     "q108_containment", "q113_winnowing", "q115_nearest_dup",
-    "q119_lm_perplexity", "q123_bpe_encode", "q127_audio_neardup",
+    "q117_lsh_auto", // BENCH_r09's surprise (74.6 s driver artifact) was NOT probed — never again
+    "q119_lm_perplexity", "q120_bloom_decontaminate",
+    "q123_bpe_encode", "q127_audio_neardup",
     "q130_dsir", "q135_minhash_index",
     "q140_curation_chain", "q142_line_dedup", "q143_kneser_ney",
-    "q148_fuzzy_decontaminate")
+    "q148_fuzzy_decontaminate", "q154_event_mixing")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -389,7 +389,10 @@ object Curation {
       .withColumn("ok", col("line").isNotNull && col("line") =!= "")
       .select(col("id"), col("pos"), col("line"), col("ok"),
         when(col("ok"), Dedup.hash60(col("line"))).as("h"),
-        (col("id") * lit(1000000L) + col("pos")).as("ord"))
+        // struct ordering (lexicographic on (id, pos)) — an arithmetic
+        // composite (id*1e6+pos) collides past 1e6 lines/doc, overflows
+        // Long past id~9.2e12, and inverts on negative ids
+        struct(col("id"), col("pos")).as("ord"))
     val stats = lines.filter(col("ok")).groupBy("h")
       .agg(count(lit(1)).as("occ"), min(col("ord")).as("winner"))
     val keep = col("ok") && (

@@ -68,9 +68,27 @@ object CurationPipeline {
       persistStages: Boolean = true)
 
   /** The composed chain. `bench` (when given) is the evaluation corpus
-    * to decontaminate against. Returns the curated frame. */
-  def run(docs: DataFrame, bench: Option[DataFrame], cfg: Config = Config()): DataFrame =
-    stages(docs, bench, cfg).last._2
+    * to decontaminate against. Returns the curated frame.
+    *
+    * Cache lifecycle: [[stages]] persists its multi-consumer stage
+    * boundaries so the EAGER actions inside chain construction (the
+    * LM-table aggregates and the threshold percentile) don't replay
+    * the chain prefix per action — those actions have all run by the
+    * time stages() returns, so the caches are released here before
+    * returning (unpersist on a never-persisted frame is a no-op).
+    * The returned frame re-plans from the source at its terminal
+    * action (cache substitution happens at action time, not plan
+    * construction), so it stays valid — and repeated run() calls no
+    * longer accumulate MEMORY_AND_DISK blocks for the session's
+    * lifetime. */
+  def run(docs: DataFrame, bench: Option[DataFrame], cfg: Config = Config()): DataFrame = {
+    val st = stages(docs, bench, cfg)
+    val out = st.last._2
+    // skip "input": that frame is the CALLER's — unpersisting it here
+    // would drop a cache the caller may own
+    st.filterNot(_._1 == "input").foreach(_._2.unpersist(blocking = false))
+    out
+  }
 
   /** [[run]] plus per-stage survivor counts for diagnostics. Each
     * stage frame is persisted before counting: stage i+1's plan
@@ -83,9 +101,15 @@ object CurationPipeline {
   def runCounted(docs: DataFrame, bench: Option[DataFrame],
       cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
     val st = stages(docs, bench, cfg)
-    val cached = st.map { case (name, df) => (name, df.persist()) }
+    // "input" is the caller's frame: count it but never (un)persist it —
+    // persist() would throw if the caller cached it at another level,
+    // and unpersist would drop a cache the caller may own
+    val cached = st.map { case (name, df) =>
+      (name, if (name == "input") df else df.persist())
+    }
     try (st.last._2, cached.map { case (name, df) => (name, df.count()) })
-    finally cached.foreach(_._2.unpersist(blocking = false))
+    finally cached.filterNot(_._1 == "input")
+      .foreach(_._2.unpersist(blocking = false))
   }
 
   private[graft] def stages(docs: DataFrame, bench: Option[DataFrame],

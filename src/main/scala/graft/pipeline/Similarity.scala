@@ -212,7 +212,9 @@ object Similarity {
     require(nProbe > 0 && nProbe <= cents.length,
       s"need 0 < nProbe <= ${cents.length} (got $nProbe)")
     // bounded query set (same contract as bruteForceTopK's broadcast):
-    // collect the union of probed cells for the static pruning predicate
+    // collect the union of probed cells for the static pruning predicate.
+    // GUARDED collect — at most nCells ints (the distinct is over cell
+    // ids, bounded by the index's centroid count), never O(corpus)
     val probeU = ivfProbeUdf(cents, nProbe)
     val needed = queries.select(explode(probeU(widen(col(qVecCol)))).as("cell"))
       .distinct().collect().map(_.getInt(0))

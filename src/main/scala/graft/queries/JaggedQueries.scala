@@ -31,6 +31,21 @@ object JaggedQueries extends QueryPack {
       // dataset (l_linenumber alone is NOT) — pins the array layout.
       sortFields = Seq("l_linenumber", "l_extendedprice"))
 
+  /** q154's invariant-mass expression as ONE SQL text over columns
+    * (pt|eta|phi|m)(1|2) — parsed by Spark (`expr`) AND embedded
+    * verbatim in the DuckDB oracle, so the cross-engine expression
+    * tree (pz = pt*(exp(η)−exp(−η))/2, association, operand order) is
+    * identical by construction. `greatest(..., 0.0)` clamps the 1-ulp
+    * negative radicand an exactly-back-to-back degenerate pair can
+    * produce. */
+  private val q154MassSql =
+    """sqrt(greatest(
+      |      m1*m1 + m2*m2 + 2.0 * (
+      |        sqrt(m1*m1 + pt1*pt1 + pt1*(exp(eta1)-exp(-eta1))/2*pt1*(exp(eta1)-exp(-eta1))/2) *
+      |        sqrt(m2*m2 + pt2*pt2 + pt2*(exp(eta2)-exp(-eta2))/2*pt2*(exp(eta2)-exp(-eta2))/2) -
+      |        (pt1*cos(phi1)*pt2*cos(phi2) + pt1*sin(phi1)*pt2*sin(phi2) +
+      |         pt1*(exp(eta1)-exp(-eta1))/2*pt2*(exp(eta2)-exp(-eta2))/2)), 0.0))""".stripMargin
+
   def queries: Seq[Query] = Seq(
     Query(
       "q20_jagged_build",
@@ -85,33 +100,36 @@ object JaggedQueries extends QueryPack {
 
     Query(
       "q154_event_mixing",
-      "Mixed-event combinatorial background (the event-mixing technique: pair objects from DIFFERENT events to model the combinatorial background shape under the same-event signal spectrum): same-event pairs vs pairs mixed with the adjacent event (equality join on orderkey+1 — no window, no ordering shuffle; sparse keys just reduce mixed statistics, which the estimator doesn't care about). Invariant-mass spectra binned to exact integer counts — no float aggregation anywhere; the mass chain is the q25 operand-order contract.",
+      "Mixed-event combinatorial background (the event-mixing technique: pair objects from DIFFERENT events to model the combinatorial background shape under the same-event signal spectrum): same-event pairs vs pairs mixed with the adjacent event (equality join on orderkey+1 — no window, no ordering shuffle; sparse keys just reduce mixed statistics, which the estimator doesn't care about). Invariant-mass spectra binned to exact integer counts — no float aggregation anywhere; the mass expression is built from the SAME SQL text as the oracle (expr(massSql)), so the cross-engine expression tree — pz form, parenthesization, operand order — is identical by construction.",
       (s, dir) => {
         import s.implicits._
         // pt de-degenerated with the continuous extendedprice: integral
         // quantities alone give many IDENTICAL pair masses, and a whole
         // degenerate class sitting one ulp from a bin edge flips together
         // (measured: 5-pair bin migrations from sinh libm differences)
-        def vec(q: org.apache.spark.sql.Column, ep: org.apache.spark.sql.Column,
-            d: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
-          Kinematics.ptEtaPhiM(
-            q + ep / 10000.0, d * 20.0 - 1.0, t * 40.0 - 3.0, q * 0.1)
         val li = Tables.lineitem(s, dir)
-        val a = li.select($"l_orderkey".as("o"),
-          struct($"l_linenumber", $"l_extendedprice").as("ka"),
-          vec($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax").as("va"))
-        val b = li.select($"l_orderkey".as("ob"),
-          struct($"l_linenumber", $"l_extendedprice").as("kb"),
-          vec($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax").as("vb"))
-        val same = a.join(b, a("o") === b("ob") && a("ka") < b("kb"))
-          .select(Kinematics.invariantMass($"va", $"vb").as("m"), lit(1L).as("is_same"))
-        val mixed = a.join(b, a("o") + 1 === b("ob"))
-          .select(Kinematics.invariantMass($"va", $"vb").as("m"), lit(0L).as("is_same"))
+        def v(alias: String) = li.select($"l_orderkey".as(s"o_$alias"),
+          struct($"l_linenumber", $"l_extendedprice").as(s"k_$alias"),
+          ($"l_quantity" + $"l_extendedprice" / 10000.0).as(s"pt$alias"),
+          ($"l_discount" * 20.0 - 1.0).as(s"eta$alias"),
+          ($"l_tax" * 40.0 - 3.0).as(s"phi$alias"),
+          ($"l_quantity" * 0.1).as(s"m$alias"))
+        val a = v("1"); val b = v("2")
+        val same = a.join(b, a("o_1") === b("o_2") && a("k_1") < b("k_2"))
+          .withColumn("is_same", lit(1L))
+        val mixed = a.join(b, a("o_1") + 1 === b("o_2"))
+          .withColumn("is_same", lit(0L))
         same.unionByName(mixed)
+          // one expression TEXT, parsed by both engines (q154MassSql also
+          // appears verbatim in the oracle below): identical tree ⇒ pz is
+          // pt*(exp(eta)-exp(-eta))/2 with identical association on both
+          // sides, leaving only libm ulp differences (the repo-wide risk
+          // class every float oracle already carries)
+          .withColumn("m", expr(q154MassSql))
           .groupBy(floor($"m" / 4.0).cast("long").as("bin"))
           .agg(sum($"is_same").as("n_same"), sum(lit(1L) - $"is_same").as("n_mixed"))
       },
-      Some("""WITH v AS (SELECT l_orderkey AS o, l_linenumber AS ln, l_extendedprice AS ep,
+      Some(s"""WITH v AS (SELECT l_orderkey AS o, l_linenumber AS ln, l_extendedprice AS ep,
              |  l_quantity + l_extendedprice/10000.0 AS pt, l_discount*20.0 - 1.0 AS eta,
              |  l_tax*40.0 - 3.0 AS phi, l_quantity*0.1 AS m FROM lineitem),
              |p AS (SELECT a.pt AS pt1, a.eta AS eta1, a.phi AS phi1, a.m AS m1,
@@ -120,14 +138,7 @@ object JaggedQueries extends QueryPack {
              |      UNION ALL
              |      SELECT a.pt, a.eta, a.phi, a.m, b.pt, b.eta, b.phi, b.m, 0
              |      FROM v a JOIN v b ON a.o + 1 = b.o),
-             |k AS (SELECT is_same,
-             |    sqrt(greatest(
-             |      m1*m1 + m2*m2 + 2.0 * (
-             |        sqrt(m1*m1 + pt1*pt1 + pt1*(exp(eta1)-exp(-eta1))/2*pt1*(exp(eta1)-exp(-eta1))/2) *
-             |        sqrt(m2*m2 + pt2*pt2 + pt2*(exp(eta2)-exp(-eta2))/2*pt2*(exp(eta2)-exp(-eta2))/2) -
-             |        (pt1*cos(phi1)*pt2*cos(phi2) + pt1*sin(phi1)*pt2*sin(phi2) +
-             |         pt1*(exp(eta1)-exp(-eta1))/2*pt2*(exp(eta2)-exp(-eta2))/2)), 0.0)) AS m
-             |  FROM p)
+             |k AS (SELECT is_same, $q154MassSql AS m FROM p)
              |SELECT CAST(floor(m / 4.0) AS BIGINT) AS bin,
              |CAST(sum(is_same) AS BIGINT) AS n_same,
              |CAST(sum(1 - is_same) AS BIGINT) AS n_mixed

@@ -32,7 +32,9 @@ object Jsonl {
 
   /** Export `df` as JSONL. Unsharded: whatever partitioning `df`
     * carries. Sharded (`shardCol` + `nShards`): portable-hash shards
-    * with per-shard (hash, id) sort — deterministic layout. */
+    * with a per-shard (hash, serialized-row) sort — fully
+    * deterministic layout (equal hashes tie-break on the serialized
+    * JSON, which is total even when `shardCol` values collide). */
   def write(df: DataFrame, path: String,
       shardCol: Option[String] = None, nShards: Int = 1): Unit = {
     val jsonCol = to_json(struct(df.columns.map(col).toIndexedSeq: _*))
