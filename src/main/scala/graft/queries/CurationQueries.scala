@@ -958,17 +958,16 @@ object CurationQueries extends QueryPack {
 
     Query(
       "q152_unigram_tokenize",
-      "Unigram-LM tokenization (Kudo 2018 / SentencePiece-unigram, the production alternative to BPE): model trained in-engine (one bounded pre-token groupBy + driver hard-EM, the q123 trainer shape), then map-only Viterbi encoding; per-source piece/char totals. NO SQL oracle: Viterbi segmentation is not reasonably ANSI-SQL-expressible, so this row is a rows-only check — the segmenter is property-specced (ML segmentation, round-trip totality, planted-piece learning, partitioning-invariant training) in CurationSpec instead.",
+      "Unigram-LM tokenization (Kudo 2018 / SentencePiece-unigram, the production alternative to BPE) UNDER THE ORACLE: map-only Viterbi encoding with the pinned e6-integer-quantized model (trained once by UnigramTokenizer.train on the sf0.01 corpus — provenance spec-checked; integer log-probs make every DP sum/compare exact in Double); per-source piece/char totals. The oracle replays the SAME Viterbi DP as a recursive CTE over the bounded distinct-word table (sliding-window integer state, score-then-longest-piece composite max key == the engine's strict-> longest-first tie-break), so segmentation decisions are compared exactly — the q123 merge-replay precedent extended from merge ranks to shortest path. Training itself stays property-specced (ML segmentation, totality, planted-piece learning, partitioning invariance) in CurationSpec.",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val model = graft.pipeline.UnigramTokenizer.train(docs, "text", vocabSize = 200)
         docs.groupBy(col("source"))
           .agg(
-            sum(graft.pipeline.UnigramTokenizer.tokenCount(model, col("text"))
+            sum(graft.pipeline.UnigramTokenizer.tokenCount(pinnedUnigram, col("text"))
               .cast("long")).as("n_pieces"),
             sum(length(col("text")).cast("long")).as("n_chars"))
       },
-      None),
+      Some(unigramOracle)),
 
     Query(
       "q155_relative_quality",
@@ -1303,6 +1302,102 @@ object CurationQueries extends QueryPack {
     (" c", "ustomer"), ("in", "e"), ("l", "ine"), ("a", "b"))
 
   private[graft] val pinnedBpe = BpeTokenizer.BpeModel(pinnedBpeMerges)
+
+  /** q152's pinned unigram-LM model: `UnigramTokenizer.train(
+    * documents@sf0.01, "text", vocabSize = 200)` with every log-prob
+    * quantized to an e6 INTEGER (floor(lp·1e6 + 0.5), stored as an
+    * integer-valued Double). Integer-valued scores make every Viterbi
+    * sum and comparison EXACT in both engines — the property that lets
+    * the DuckDB oracle replay the DP decision-for-decision (the
+    * [[pinnedBpe]] replay idea, applied to shortest-path instead of
+    * merge ranks). `graft.tools.PinUnigram` re-derives these literals;
+    * CurationSpec pins provenance. */
+  private[graft] val pinnedUnigramPieces: Seq[(String, Long)] = Seq(
+    (" ", -1986100L), ("a", -7347392L), ("b", -10391914L), ("c", -10391914L),
+    ("d", -10391914L), ("e", -10391914L), ("f", -10391914L), ("g", -10391914L),
+    ("h", -10391914L), ("i", -10391914L), ("j", -10391914L), ("k", -10391914L),
+    ("l", -10391914L), ("m", -10391914L), ("n", -10391914L), ("o", -10391914L),
+    ("p", -10391914L), ("q", -10391914L), ("r", -10391914L), ("s", -10391914L),
+    ("t", -10391914L), ("u", -10391914L), ("v", -10391914L), ("w", -10391914L),
+    ("y", -10391914L), (" a", -3636145L), ("er", -7256420L), ("agg", -7826965L),
+    ("big", -8782476L), ("key", -7133818L), ("mer", -3577371L), ("row", -7347392L),
+    ("the", -7173038L), (" agg", -3602942L), (" big", -3622272L), (" dup", -7133818L),
+    (" key", -3623421L), (" row", -3565369L), (" the", -3688726L), ("data", -7619325L),
+    ("fast", -7907008L), ("hash", -7501542L), ("join", -7501542L), ("line", -7619325L),
+    ("part", -7501542L), ("scan", -7619325L), ("slow", -7619325L), ("sort", -7752857L),
+    (" data", -3598448L), (" fast", -3656134L), (" hash", -3557805L), (" join", -3539672L),
+    (" line", -3596208L), (" part", -3634982L), (" scan", -3567541L), (" slow", -3587300L),
+    (" sort", -3637310L), ("batch", -7396182L), ("group", -7501542L), ("merge", -7347392L),
+    ("order", -7752857L), ("query", -7683864L), ("small", -8089329L), ("spark", -8089329L),
+    ("table", -7347392L), ("value", -7826965L), (" batch", -3570807L), (" custo", -3577371L),
+    (" group", -3634982L), (" merge", -3592858L), (" order", -3591744L), (" query", -3639644L),
+    (" small", -3569717L), (" spark", -3623421L), (" table", -3604069L), (" value", -3607457L),
+    ("column", -3552438L), ("custom", -7256420L), ("filter", -3553509L), ("stream", -3602942L),
+    ("vector", -3576274L), ("window", -3605197L))
+
+  /** floor(ln(1e-12)·1e6 + 0.5) — the quantized unk score. */
+  private[graft] val pinnedUnigramUnkE6: Long = -27631021L
+
+  private[graft] val pinnedUnigram = graft.pipeline.UnigramTokenizer.UnigramModel(
+    pinnedUnigramPieces.map { case (p, e) => p -> e.toDouble }.toMap,
+    unkLogProb = pinnedUnigramUnkE6.toDouble)
+
+  /** The oracle twin of [[graft.pipeline.UnigramTokenizer.viterbi]]
+    * under [[pinnedUnigram]]: the per-word max-likelihood DP replayed
+    * as a recursive CTE. State per (word, prefix length i) is a
+    * 6-slot sliding window (maxPieceLen = 6) of the best values at
+    * positions i−5..i, each slot one BIGINT `e = (score + 1e12)·1024 +
+    * nPieces` (score sums of e6-integer log-probs stay well above
+    * −1e12; words stay far under 1024 pieces; slot 0 = unreachable).
+    * The transition maximizes the composite key `((S)·8 + l)·1024 +
+    * np`, which orders by score THEN piece length — exactly the Scala
+    * DP's "strict > scanning longest piece first" tie-break — and
+    * decodes the winner's piece count from the low bits. Bounded work:
+    * DP rows = Σ word lengths over the DISTINCT-word table, never the
+    * corpus. */
+  private def unigramOracle: String = {
+    def sq(x: String) = x.replace("'", "''")
+    val vals = pinnedUnigramPieces
+      .map { case (p, e) => s"('${sq(p)}', ($e)::BIGINT)" }.mkString(", ")
+    val pretok = s"'${sq(graft.pipeline.TextAnalysis.BpePretokenRe)}'"
+    s"""WITH RECURSIVE
+       |pieces(p, lp) AS (VALUES $vals),
+       |pt AS (SELECT source, unnest(regexp_extract_all(text, $pretok)) AS w FROM documents),
+       |wc AS (SELECT source, w, count(*) AS c FROM pt GROUP BY 1, 2),
+       |words AS (SELECT DISTINCT w FROM wc),
+       |wl0 AS (
+       |  SELECT ws.w, g.i, h.l,
+       |         coalesce(pc.lp, CASE WHEN h.l = 1 THEN ($pinnedUnigramUnkE6)::BIGINT END) AS lp
+       |  FROM words ws
+       |  CROSS JOIN generate_series(1, 200) g(i)
+       |  CROSS JOIN generate_series(1, 6) h(l)
+       |  LEFT JOIN pieces pc ON pc.p = substr(ws.w, CAST(g.i - h.l + 1 AS INTEGER), CAST(h.l AS INTEGER))
+       |  WHERE g.i <= len(ws.w) AND h.l <= g.i),
+       |wl AS (SELECT w, i, list(struct_pack(l := l, lp := lp)) AS cands
+       |       FROM wl0 WHERE lp IS NOT NULL GROUP BY 1, 2),
+       |r(w, i, win) AS (
+       |  SELECT w, 0, [0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+       |                1024000000000000::BIGINT] FROM words
+       |  UNION ALL
+       |  SELECT st.w, st.i + 1,
+       |    list_concat(st.win[2:6], [CASE WHEN len(st.ks) = 0 THEN 0::BIGINT ELSE
+       |      (list_aggregate(st.ks, 'max') // 8192) * 1024 + list_aggregate(st.ks, 'max') % 1024 END])
+       |  FROM (SELECT r0.w, r0.i, r0.win,
+       |          list_filter(list_transform(wl.cands, cd ->
+       |            CASE WHEN r0.win[CAST(7 - cd.l AS INTEGER)] > 0 THEN
+       |              ((r0.win[CAST(7 - cd.l AS INTEGER)] // 1024 + cd.lp) * 8 + cd.l) * 1024
+       |                + r0.win[CAST(7 - cd.l AS INTEGER)] % 1024 + 1 END),
+       |            y -> y IS NOT NULL) AS ks
+       |        FROM r r0 JOIN wl ON wl.w = r0.w AND wl.i = r0.i + 1) st),
+       |np AS (SELECT r.w, r.win[6] % 1024 AS np
+       |       FROM r JOIN (SELECT w, len(w) AS n FROM words) q ON r.w = q.w AND r.i = q.n),
+       |per_src AS (SELECT wc.source, CAST(sum(wc.c * np.np) AS BIGINT) AS n_pieces
+       |            FROM wc JOIN np ON wc.w = np.w GROUP BY 1)
+       |SELECT d.source, coalesce(p.n_pieces, 0) AS n_pieces,
+       |       CAST(sum(len(d.text)) AS BIGINT) AS n_chars
+       |FROM documents d LEFT JOIN per_src p ON d.source = p.source
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** The oracle twin of [[BpeTokenizer.encode]] under [[pinnedBpe]]:
     * '|'-delimit every char of a pre-token (safe: the corpus charset is

@@ -1,0 +1,33 @@
+// Dev-only: (re)derive the pinned q152 unigram-LM tokenizer model from
+// the sf0.01 corpus and print it as Scala literals (the CurationSpec
+// provenance test asserts the committed literals equal this output).
+// Log-probs are quantized to e6 integers: integer-valued doubles make
+// every Viterbi sum/compare EXACT, which is what lets the DuckDB
+// oracle replay the DP bit-for-bit.
+// Usage: sbt "runMain graft.tools.PinUnigram [sfDir]"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object PinUnigram {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val m = graft.pipeline.UnigramTokenizer.train(docs, "text", vocabSize = 200)
+    val q = m.logProb.toSeq
+      .map { case (p, lp) => (p, math.floor(lp * 1e6 + 0.5).toLong) }
+      .sortBy { case (p, _) => (p.length, p) }
+    println(s"// ${q.size} pieces, maxPieceLen=${q.map(_._1.length).max}")
+    println(q.map { case (p, e) => s"""("${p.replace("\\", "\\\\").replace("\"", "\\\"")}", ${e}L)""" }
+      .grouped(4).map(_.mkString(", "))
+      .mkString("pinnedUnigramPieces = Seq(\n  ", ",\n  ", ")"))
+    spark.stop()
+  }
+}

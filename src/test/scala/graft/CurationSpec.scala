@@ -417,6 +417,26 @@ class CurationSpec extends AnyFunSuite {
     assert(docs.filter($"text".contains("|")).isEmpty, "oracle separator '|' occurs in corpus text")
   }
 
+  test("q152 provenance: the pinned piece table IS quantize(train()) on the sf0.01 corpus") {
+    import graft.pipeline.UnigramTokenizer
+    import graft.queries.CurationQueries
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val m = UnigramTokenizer.train(docs, "text", vocabSize = 200)
+    val q = m.logProb.toSeq
+      .map { case (p, lp) => (p, math.floor(lp * 1e6 + 0.5).toLong) }
+      .sortBy { case (p, _) => (p.length, p) }
+    assert(q == CurationQueries.pinnedUnigramPieces)
+    assert(math.floor(math.log(1e-12) * 1e6 + 0.5).toLong ==
+      CurationQueries.pinnedUnigramUnkE6)
+    // the SQL DP's packed-integer state assumes maxPieceLen = 6 (the
+    // 6-slot window) and np < 1024 per word
+    assert(CurationQueries.pinnedUnigram.maxPieceLen == 6)
+    // quantized scores are integer-valued doubles: Viterbi sums and
+    // comparisons are exact, the property the oracle replay rests on
+    CurationQueries.pinnedUnigram.logProb.values.foreach(v =>
+      assert(v == math.rint(v) && math.abs(v) < (1L << 40).toDouble))
+  }
+
   test("q123 lemma: sequential rank-order replay equals the iterative min-rank encoder") {
     // The DuckDB oracle applies merges once each, in rank order; the
     // engine iterates lowest-rank-present. Equal for any TRAINED model:
