@@ -12,17 +12,35 @@ import graft.lookup.FormulaCompiler
   * `jetmet_tools/correctionlib_adapters.py:20-318`; schema v2 is
   * public). Supported nodes: scalar, `binning` (clamp flow),
   * `multibinning` (N-dim grid, C-order flattened content, clamp flow),
-  * `category` (int/string keys + default), `formula` (TFormula).
+  * `category` (int/string keys + default), `formula` (TFormula),
+  * `formularef` (index into the correction's `generic_formulas`, with
+  * per-site parameter override), `transform` (re-evaluate `content`
+  * with one input rebound to `rule`'s value), plus top-level
+  * `compound_corrections` (sequential stacks whose per-step outputs
+  * update named inputs via `input_op` and combine via `output_op` —
+  * the JEC-level composition shape).
   *
   * Compilation happens once on the driver; the result is a single
-  * Catalyst expression per correction. All-scalar binnings collapse to
-  * a literal payload array indexed by [[BinarySearchBins]] (O(log k)
-  * per row at any table size); mixed content falls back to a per-bin
-  * when-chain. A parallel SQL renderer emits the DuckDB oracle mirror.
+  * Catalyst expression per correction (compound stacks inline each
+  * step's expression into the next step's rebound inputs — a tree, so
+  * whole-stage codegen sees one scalar expression and CSE dedups the
+  * shared subtrees). All-scalar binnings collapse to a literal payload
+  * array indexed by [[BinarySearchBins]] (O(log k) per row at any
+  * table size); mixed content falls back to a per-bin when-chain. A
+  * parallel SQL renderer emits the DuckDB oracle mirror.
   */
 object CorrectionLib {
 
-  final case class Correction(name: String, inputs: Seq[String], data: JValue)
+  final case class Correction(name: String, inputs: Seq[String], data: JValue,
+      genericFormulas: Seq[JValue] = Nil)
+
+  /** A `compound_corrections` entry (schema v2): evaluate `stack` in
+    * order; after each step, every input named in `inputsUpdate`
+    * becomes `input (inputOp) stepResult`; the final output folds the
+    * per-step results with `outputOp` ("last" keeps the final step). */
+  final case class CompoundCorrection(name: String, inputs: Seq[String],
+      inputsUpdate: Seq[String], inputOp: String, outputOp: String,
+      stack: Seq[String])
 
   /** Parse a correction-set JSON into name -> correction. */
   def parseSet(text: String): Map[String, Correction] = {
@@ -30,13 +48,94 @@ object CorrectionLib {
     (root \ "corrections").children.map { c =>
       val name = (c \ "name").values.toString
       val inputs = (c \ "inputs").children.map(i => (i \ "name").values.toString)
-      name -> Correction(name, inputs, c \ "data")
+      name -> Correction(name, inputs, c \ "data",
+        (c \ "generic_formulas").children)
     }.toMap
+  }
+
+  /** Parse the set's `compound_corrections` into name -> compound. */
+  def parseCompoundSet(text: String): Map[String, CompoundCorrection] = {
+    val root = JsonMethods.parse(text)
+    (root \ "compound_corrections").children.map { c =>
+      val name = (c \ "name").values.toString
+      name -> CompoundCorrection(
+        name,
+        (c \ "inputs").children.map(i => (i \ "name").values.toString),
+        (c \ "inputs_update").children.map(_.values.toString),
+        (c \ "input_op").values.toString,
+        (c \ "output_op").values.toString,
+        (c \ "stack").children.map(_.values.toString))
+    }.toMap
+  }
+
+  /** Compile a compound correction: fold the stack, rebinding the
+    * updated inputs after each step. Expression size grows with stack
+    * depth × reference multiplicity — fine for the 2–5-level JEC shape
+    * this models; Catalyst subexpression elimination collapses the
+    * shared step subtrees at runtime. */
+  def compileCompound(comp: CompoundCorrection,
+      corrs: Map[String, Correction], inputs: Map[String, Column]): Column = {
+    val (outs, _) = comp.stack.foldLeft((List.empty[Column], inputs)) {
+      case ((acc, in), step) =>
+        val c = corrs.getOrElse(step,
+          throw new IllegalArgumentException(s"${comp.name}: unknown stack entry '$step'"))
+        val r = compile(c, in)
+        val updated = comp.inputsUpdate.foldLeft(in) { (m, u) =>
+          m + (u -> applyOp(comp.inputOp, m(u).cast("double"), r, comp.name))
+        }
+        (r :: acc, updated)
+    }
+    foldOutputs(comp.outputOp, outs.reverse, comp.name)
+  }
+
+  /** SQL mirror of [[compileCompound]]. */
+  def compoundToSql(comp: CompoundCorrection,
+      corrs: Map[String, Correction], inputs: Map[String, String]): String = {
+    val (outs, _) = comp.stack.foldLeft((List.empty[String], inputs)) {
+      case ((acc, in), step) =>
+        val c = corrs.getOrElse(step,
+          throw new IllegalArgumentException(s"${comp.name}: unknown stack entry '$step'"))
+        val r = toSql(c, in)
+        val updated = comp.inputsUpdate.foldLeft(in) { (m, u) =>
+          m + (u -> s"(${applyOpSql(comp.inputOp, m(u), r, comp.name)})")
+        }
+        (r :: acc, updated)
+    }
+    val os = outs.reverse
+    comp.outputOp match {
+      case "last" => os.last
+      case op @ ("*" | "+" | "/") => os.reduceLeft((a, b) => s"($a $op $b)")
+      case op => throw new IllegalArgumentException(s"${comp.name}: output_op '$op' unsupported")
+    }
+  }
+
+  private def applyOp(op: String, a: Column, b: Column, ctx: String): Column = op match {
+    case "*" => a * b
+    case "+" => a + b
+    case "/" => a / b
+    case _ => throw new IllegalArgumentException(s"$ctx: input_op '$op' unsupported")
+  }
+
+  private def applyOpSql(op: String, a: String, b: String, ctx: String): String = op match {
+    case "*" | "+" | "/" => s"$a $op $b"
+    case _ => throw new IllegalArgumentException(s"$ctx: input_op '$op' unsupported")
+  }
+
+  private def foldOutputs(op: String, outs: Seq[Column], ctx: String): Column = op match {
+    case "last" => outs.last
+    case "*" => outs.reduceLeft(_ * _)
+    case "+" => outs.reduceLeft(_ + _)
+    case "/" => outs.reduceLeft(_ / _)
+    case _ => throw new IllegalArgumentException(s"$ctx: output_op '$op' unsupported")
   }
 
   /** Compile a correction against bound input columns. */
   def compile(corr: Correction, inputs: Map[String, Column]): Column = {
-    def go(node: JValue): Column = node match {
+    // `inputs` is threaded through the recursion (shadowing the outer
+    // binding) because `transform` rebinds one input for its subtree.
+    def goIn(node: JValue, inputs: Map[String, Column]): Column = {
+    def go(n: JValue): Column = goIn(n, inputs)
+    node match {
       case JDouble(v) => lit(v)
       case JInt(v) => lit(v.toDouble)
       case JLong(v) => lit(v.toDouble)
@@ -110,16 +209,44 @@ object CorrectionLib {
           }
           FormulaCompiler.compile(exprStr, params,
             (letters ++ vars.map(v => v -> inputs(v).cast("double"))).toMap)
+        case "formularef" =>
+          // index into the correction's generic_formulas; the node's
+          // parameters REPLACE the referenced formula's own
+          val idx = jNum(obj \ "index").toInt
+          require(idx >= 0 && idx < corr.genericFormulas.size,
+            s"${corr.name}: formularef index $idx out of range (${corr.genericFormulas.size} generic formulas)")
+          val params = (obj \ "parameters").children.map(jNum)
+          val f = corr.genericFormulas(idx)
+          val exprStr = (f \ "expression").values.toString
+          val vars = (f \ "variables").children.map(_.values.toString)
+          val letters = vars.zip(Seq("x", "y", "z", "t")).collect {
+            case (v, l) if !vars.contains(l) => l -> inputs(v).cast("double")
+          }
+          FormulaCompiler.compile(exprStr, params,
+            (letters ++ vars.map(v => v -> inputs(v).cast("double"))).toMap)
+        case "transform" =>
+          // evaluate `rule` under the current binding, then evaluate
+          // `content` with the named input rebound to that value (the
+          // schema's "round pt before the lookup" idiom). The rule
+          // expression is INLINED at every rebound reference — a tree,
+          // not a DAG; Catalyst CSE recovers the sharing at runtime.
+          val name = (obj \ "input").values.toString
+          require(inputs.contains(name), s"${corr.name}: unbound transform input '$name'")
+          val ruleCol = go(obj \ "rule")
+          goIn(obj \ "content", inputs + (name -> ruleCol))
         case nt => throw new IllegalArgumentException(s"${corr.name}: nodetype '$nt' unsupported")
       }
       case other => throw new IllegalArgumentException(s"${corr.name}: bad node $other")
     }
-    go(corr.data)
+    }
+    goIn(corr.data, inputs)
   }
 
   /** DuckDB SQL mirror of [[compile]] for oracle queries. */
   def toSql(corr: Correction, inputs: Map[String, String]): String = {
-    def go(node: JValue): String = node match {
+    def goIn(node: JValue, inputs: Map[String, String]): String = {
+    def go(n: JValue): String = goIn(n, inputs)
+    node match {
       case n if isNum(n) => jNum(n).toString
       case obj: JObject => (obj \ "nodetype").values.toString match {
         case "binning" =>
@@ -184,11 +311,30 @@ object CorrectionLib {
           }
           FormulaCompiler.toSql(exprStr, params,
             (letters ++ vars.map(v => v -> inputs(v))).toMap)
+        case "formularef" =>
+          val idx = jNum(obj \ "index").toInt
+          require(idx >= 0 && idx < corr.genericFormulas.size,
+            s"${corr.name}: formularef index $idx out of range")
+          val params = (obj \ "parameters").children.map(jNum)
+          val f = corr.genericFormulas(idx)
+          val exprStr = (f \ "expression").values.toString
+          val vars = (f \ "variables").children.map(_.values.toString)
+          val letters = vars.zip(Seq("x", "y", "z", "t")).collect {
+            case (v, l) if !vars.contains(l) => l -> inputs(v)
+          }
+          FormulaCompiler.toSql(exprStr, params,
+            (letters ++ vars.map(v => v -> inputs(v))).toMap)
+        case "transform" =>
+          val name = (obj \ "input").values.toString
+          require(inputs.contains(name), s"unbound transform input '$name'")
+          val ruleSql = go(obj \ "rule")
+          goIn(obj \ "content", inputs + (name -> s"($ruleSql)"))
         case nt => throw new IllegalArgumentException(s"nodetype '$nt' unsupported")
       }
       case other => throw new IllegalArgumentException(s"bad node $other")
     }
-    go(corr.data)
+    }
+    goIn(corr.data, inputs)
   }
 
   private def input(obj: JValue, inputs: Map[String, Column]): Column = {

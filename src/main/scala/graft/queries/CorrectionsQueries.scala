@@ -80,6 +80,50 @@ object CorrectionsQueries extends QueryPack {
       |     "flow": "clamp"}}
       |]}""".stripMargin)("sf2d")
 
+  // compound fixture (q158): a 2-level JEC-shaped stack. L1 is an
+  // eta-binned formularef pair over one shared generic formula
+  // ([0]+[1]*log(pt), the log-pt response shape) with per-bin
+  // parameters; L2 TRANSFORMS pt (cap at 80 — the schema's
+  // "clip before lookup" idiom) then bins on the capped value. The
+  // compound applies L1, rebinds pt *= L1, applies L2 on the
+  // corrected pt, output = L1*L2 — the correctionlib
+  // CompoundCorrection contract.
+  private val clibCompoundJson =
+    """{"schema_version": 2, "corrections": [
+      |  {"name": "L1", "version": 1,
+      |   "inputs": [{"name": "pt", "type": "real"}, {"name": "eta", "type": "real"}],
+      |   "output": {"name": "sf", "type": "real"},
+      |   "generic_formulas": [
+      |     {"nodetype": "formula", "parser": "TFormula",
+      |      "expression": "[0]+[1]*log(x)", "variables": ["pt"]}],
+      |   "data": {"nodetype": "binning", "input": "eta", "flow": "clamp",
+      |     "edges": [-3.0, 0.0, 3.0],
+      |     "content": [
+      |       {"nodetype": "formularef", "index": 0, "parameters": [1.02, 0.003]},
+      |       {"nodetype": "formularef", "index": 0, "parameters": [0.98, 0.005]}]}},
+      |  {"name": "L2", "version": 1,
+      |   "inputs": [{"name": "pt", "type": "real"}, {"name": "eta", "type": "real"}],
+      |   "output": {"name": "sf", "type": "real"},
+      |   "data": {"nodetype": "transform", "input": "pt",
+      |     "rule": {"nodetype": "formula", "parser": "TFormula",
+      |       "expression": "min(x,80.0)", "variables": ["pt"]},
+      |     "content": {"nodetype": "binning", "input": "pt", "flow": "clamp",
+      |       "edges": [0.0, 30.0, 60.0, 100.0],
+      |       "content": [1.05, 1.02, 0.99]}}}
+      |], "compound_corrections": [
+      |  {"name": "L1L2",
+      |   "inputs": [{"name": "pt", "type": "real"}, {"name": "eta", "type": "real"}],
+      |   "output": {"name": "sf", "type": "real"},
+      |   "inputs_update": ["pt"], "input_op": "*", "output_op": "*",
+      |   "stack": ["L1", "L2"]}
+      |]}""".stripMargin
+  private val clibCompoundCorrs = CorrectionLib.parseSet(clibCompoundJson)
+  private val clibCompound = CorrectionLib.parseCompoundSet(clibCompoundJson)("L1L2")
+  /** Test hook: the q158 fixture (corrections + compound). */
+  private[graft] def clibCompoundFixture
+      : (Map[String, CorrectionLib.Correction], CorrectionLib.CompoundCorrection) =
+    (clibCompoundCorrs, clibCompound)
+
   // Rochester fixture (q70): synthetic (eta × phi) M/A scale tables and
   // |eta|-binned resolution ratios in the public format's shape. The
   // closed-form scale/spread paths are pure lookups + exactly-rounded
@@ -317,6 +361,28 @@ object CorrectionsQueries extends QueryPack {
       Some {
         val wSql = CorrectionLib.toSql(clibMulti, Map(
           "abseta" -> "(l_discount * 30.0)", "pt" -> "(l_quantity * 6.0)"))
+        s"""SELECT l_returnflag, count(*) AS n,
+           |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
+           |CAST(floor(sum(l_extendedprice / 1000.0 * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      }),
+
+    Query(
+      "q158_clib_compound",
+      "correctionlib compound/formularef/transform (the remaining schema-v2 node set; lookup_tools/correctionlib_wrapper.py:4 delegates to the public spec): a 2-level JEC-shaped CompoundCorrection — L1 = eta-binned formularef pair over ONE shared generic formula ([0]+[1]*log(pt)) with per-site parameters, then pt is rebound to pt*L1 (input_op '*') and L2 caps the corrected pt via a transform node before its binning lookup; output = L1*L2. The whole stack compiles to ONE scalar Catalyst expression (CSE dedups the inlined L1 subtree), so a 100 TB scan pays zero joins for the full correction chain; the oracle is the same stack rendered by compoundToSql.",
+      (s, dir) => {
+        import s.implicits._
+        val w = CorrectionLib.compileCompound(clibCompound, clibCompoundCorrs, Map(
+          "pt" -> ($"l_quantity" * 6.0), "eta" -> ($"l_discount" * 60.0 - 3.0)))
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(w)).as("avg_w_e4"),
+            cents(sum($"l_extendedprice" / 1000.0 * w)).as("weighted_c"))
+      },
+      Some {
+        val wSql = CorrectionLib.compoundToSql(clibCompound, clibCompoundCorrs, Map(
+          "pt" -> "(l_quantity * 6.0)", "eta" -> "(l_discount * 60.0 - 3.0)"))
         s"""SELECT l_returnflag, count(*) AS n,
            |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
            |CAST(floor(sum(l_extendedprice / 1000.0 * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c

@@ -325,6 +325,91 @@ class CorrectionsSpec extends AnyFunSuite {
     assert(sql.contains("CASE") && sql.contains("ELSE 1.0"))
   }
 
+  test("CorrectionLib formularef: per-site parameters override the generic formula") {
+    val json =
+      """{"schema_version": 2, "corrections": [
+        |  {"name": "fr", "version": 1,
+        |   "inputs": [{"name": "pt", "type": "real"}],
+        |   "output": {"name": "w", "type": "real"},
+        |   "generic_formulas": [
+        |     {"nodetype": "formula", "parser": "TFormula",
+        |      "expression": "[0]+[1]*x", "variables": ["pt"]}],
+        |   "data": {"nodetype": "binning", "input": "pt", "flow": "clamp",
+        |     "edges": [0.0, 50.0, 100.0],
+        |     "content": [
+        |       {"nodetype": "formularef", "index": 0, "parameters": [1.0, 0.01]},
+        |       {"nodetype": "formularef", "index": 0, "parameters": [2.0, 0.0]}]}}]}""".stripMargin
+    val c = CorrectionLib.parseSet(json)("fr")
+    assert(c.genericFormulas.size == 1)
+    val got = Seq(10.0, 60.0).toDF("pt")
+      .select(CorrectionLib.compile(c, Map("pt" -> $"pt")).as("w"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0 + 0.01 * 10.0, 2.0))
+    // SQL mirror inlines the same overridden parameters
+    val sql = CorrectionLib.toSql(c, Map("pt" -> "pt"))
+    assert(sql.contains("0.01") && sql.contains("2.0"))
+    // out-of-range index is rejected at compile time, not at runtime
+    val bad = c.copy(genericFormulas = Nil)
+    intercept[IllegalArgumentException](CorrectionLib.compile(bad, Map("pt" -> $"pt")))
+  }
+
+  test("CorrectionLib transform: content sees the rebound input, letters included") {
+    val json =
+      """{"schema_version": 2, "corrections": [
+        |  {"name": "tr", "version": 1,
+        |   "inputs": [{"name": "pt", "type": "real"}],
+        |   "output": {"name": "w", "type": "real"},
+        |   "data": {"nodetype": "transform", "input": "pt",
+        |     "rule": {"nodetype": "formula", "parser": "TFormula",
+        |       "expression": "min(x,80.0)", "variables": ["pt"]},
+        |     "content": {"nodetype": "formula", "parser": "TFormula",
+        |       "expression": "x*2.0", "variables": ["pt"]}}}]}""".stripMargin
+    val c = CorrectionLib.parseSet(json)("tr")
+    // 200 caps to 80 before content's x*2 — an unthreaded binding
+    // would yield 400
+    val got = Seq(50.0, 200.0).toDF("pt")
+      .select(CorrectionLib.compile(c, Map("pt" -> $"pt")).as("w"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(100.0, 160.0))
+    val sql = CorrectionLib.toSql(c, Map("pt" -> "pt"))
+    assert(sql.contains("least(pt, 80.0)"))
+  }
+
+  test("CorrectionLib compound: input rebinding, output fold, op validation") {
+    import graft.queries.CorrectionsQueries
+    // the q158 fixture: L1 = formularef over eta bins, L2 = transform+bin
+    // on the L1-corrected pt. Replay the contract by hand at one point.
+    val (corrs, comp) = CorrectionsQueries.clibCompoundFixture
+    val w = CorrectionLib.compileCompound(comp, corrs,
+      Map("pt" -> $"pt", "eta" -> $"eta"))
+    val got = Seq((40.0, 1.0), (40.0, -1.0), (90.0, 1.0))
+      .toDF("pt", "eta")
+      .select(w.as("w")).collect().map(_.getDouble(0)).toSeq
+    def l1(pt: Double, eta: Double) =
+      if (eta < 0.0) 1.02 + 0.003 * math.log(pt) else 0.98 + 0.005 * math.log(pt)
+    def l2(pt: Double) = { val p = math.min(pt, 80.0)
+      if (p < 30.0) 1.05 else if (p < 60.0) 1.02 else 0.99 }
+    val want = Seq((40.0, 1.0), (40.0, -1.0), (90.0, 1.0)).map { case (pt, eta) =>
+      val r1 = l1(pt, eta); r1 * l2(pt * r1)
+    }
+    assert(got == want)
+    // unsupported ops fail fast with the compound's name in the message
+    val badIn = comp.copy(inputOp = "pow")
+    val eIn = intercept[IllegalArgumentException](
+      CorrectionLib.compileCompound(badIn, corrs, Map("pt" -> $"pt", "eta" -> $"eta")))
+    assert(eIn.getMessage.contains("L1L2"))
+    val badOut = comp.copy(outputOp = "pow")
+    intercept[IllegalArgumentException](
+      CorrectionLib.compileCompound(badOut, corrs, Map("pt" -> $"pt", "eta" -> $"eta")))
+    // output_op=last keeps only the final step's value
+    val last = comp.copy(outputOp = "last")
+    val gotLast = Seq((40.0, 1.0)).toDF("pt", "eta")
+      .select(CorrectionLib.compileCompound(last, corrs,
+        Map("pt" -> $"pt", "eta" -> $"eta")).as("w"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(gotLast == Seq(l2(40.0 * l1(40.0, 1.0))))
+  }
+
   test("DoubleCrystalBall ppf inverts cdf in all three regions") {
     val (aL, nL, aR, nR) = (1.5, 3.0, 2.0, 4.0)
     for (u <- Seq(0.01, 0.2, 0.5, 0.8, 0.99)) {
