@@ -54,6 +54,19 @@ object CurationPipeline {
       minhashBands: Int = 8,
       minJaccard: Double = 0.8,
       shingleN: Int = 2,
+      // Production ingest mode: probe a persisted Dedup.minhashWriteIndex
+      // layout FIRST — batch docs near-matching the HISTORICAL corpus
+      // drop (history wins, the q135/q156 incremental contract), and
+      // only the index survivors run in-batch near-dedup. The batch
+      // never rescans the corpus: the probe is partition-pruned to the
+      // (band, sig-bucket) cells the batch actually touches. Index
+      // maintenance (appending the batch survivors' signatures) stays
+      // with the caller — stages() is read-only by design. Caveat
+      // shared by every incremental dedup: a transitive chain
+      // batch→batch→history can keep a batch doc the full-corpus rerun
+      // would drop (spec'd on chain-free data; the full rerun remains
+      // the reconciliation path).
+      nearDedupIndexPath: Option[String] = None,
       decontamShingleN: Int = 3,
       lmMinBigramCount: Int = 2,
       dropLmTail: Boolean = true,
@@ -176,11 +189,30 @@ object CurationPipeline {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else exact0
 
     // 4. near-dedup: banded MinHash candidates → connected components →
-    //    canonical winner per duplicate cluster (quality-first ordering)
-    val cand = Dedup.minhashCandidates(exact, cfg.idCol, cfg.textCol,
+    //    canonical winner per duplicate cluster (quality-first ordering).
+    //    With an index configured, history-duplicates drop first via the
+    //    partition-pruned probe; in-batch dedup runs on the survivors.
+    val afterIndex = cfg.nearDedupIndexPath match {
+      case Some(path) =>
+        // the probe reads (k, bands, shingleN) from the index meta; they
+        // must MATCH the in-batch parameters or the two dedup legs use
+        // different similarity estimators — fail fast, not silently
+        val meta = docs.sparkSession.read.parquet(s"$path/meta").head()
+        require(meta.getInt(0) == cfg.minhashK && meta.getInt(1) == cfg.minhashBands
+            && meta.getInt(2) == cfg.shingleN,
+          s"near-dedup index at $path was built with (k=${meta.getInt(0)}, " +
+            s"bands=${meta.getInt(1)}, shingleN=${meta.getInt(2)}) but the pipeline " +
+            s"is configured (k=${cfg.minhashK}, bands=${cfg.minhashBands}, shingleN=${cfg.shingleN})")
+        val hits = Dedup.minhashDedupIndexed(exact, cfg.idCol, cfg.textCol,
+            path, cfg.minJaccard)
+          .select(col("id_new").as("__dup_id")).distinct()
+        exact.join(hits, id.cast("long") === col("__dup_id"), "left_anti")
+      case None => exact
+    }
+    val cand = Dedup.minhashCandidates(afterIndex, cfg.idCol, cfg.textCol,
       k = cfg.minhashK, bands = cfg.minhashBands, minEst = cfg.minJaccard,
       shingleN = cfg.shingleN)
-    val resolved = Components.resolveDuplicates(exact, cfg.idCol,
+    val resolved = Components.resolveDuplicates(afterIndex, cfg.idCol,
       cand, "id_a", "id_b", keepOrder = Seq((-col("quality_e4")).cast("long")))
     val nearDeduped = resolved.filter(col("keep")).drop("keep", "comp")
 

@@ -546,6 +546,47 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(r => Set("head", "middle", "tail")(r.getString(out.columns.indexOf("bucket")))))
   }
 
+  test("CurationPipeline: indexed near-dedup probe == full-corpus rerun (chain-free data)") {
+    import graft.pipeline.{CurationPipeline, Dedup}
+    val baseA = "the cat sat on the mat and the dog ran to the park with a ball in the sun today"
+    val baseB = "completely different text about quantum flux capacitors and the physics of time travel machines"
+    val baseC = "a stream of events flows into the engine and the planner picks a join order for the night"
+    val baseD = "vectors and matrices combine under careful numeric rules to keep the results stable and exact"
+    val histDocs = Seq((1L, baseA, "web"), (2L, baseB, "web"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (101L, baseA.dropRight(5) + "night", "web"), // near-dup of history 1
+      (102L, baseC, "web"),
+      (103L, baseC.dropRight(5) + "light", "web"), // in-batch near-dup of 102
+      (104L, baseD, "web"))
+      .toDF("doc_id", "text", "source")
+    val cfg = CurationPipeline.Config(minJaccard = 0.7, dropLmTail = false)
+    // history runs its own chain; its survivors feed the persisted index
+    // (the q135 layout) — production ingest never rescans this corpus
+    val hist = CurationPipeline.run(histDocs, None, cfg)
+    val path = java.nio.file.Files.createTempDirectory("cur_nearidx").toString
+    Dedup.minhashWriteIndex(hist.select("doc_id", "text"), "doc_id", "text", path,
+      k = cfg.minhashK, bands = cfg.minhashBands, shingleN = cfg.shingleN)
+    val indexed = CurationPipeline.run(batch, None,
+        cfg.copy(nearDedupIndexPath = Some(path)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the reconciliation reference: one chain over history ∪ batch
+    // (history ids sort first, so the min-id tie-break = history wins,
+    // matching the index contract on this quality-tied data)
+    val direct = CurationPipeline.run(histDocs.unionByName(batch), None, cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == direct.filter(_ >= 100L), s"indexed=$indexed direct=$direct")
+    assert(!indexed.contains(101L)) // dropped via the index probe
+    assert(indexed.contains(102L) && !indexed.contains(103L)) // in-batch leg still runs
+    assert(indexed.contains(104L))
+    // mismatched banding parameters fail fast, not silently dedup wrong
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.run(batch, None,
+        cfg.copy(nearDedupIndexPath = Some(path), minhashK = 16))
+    }
+    assert(e.getMessage.contains("built with"))
+  }
+
   test("CurationPipeline: optional Gopher/line/classifier rules drop docs at their own gates") {
     import graft.pipeline.{Classifier, CurationPipeline, TextAnalysis}
     val gate = Classifier.train(
