@@ -710,6 +710,103 @@ object Similarity {
         col("e.id").as("nn_id"), (-col("e.score")).as("dist_e6"))
   }
 
+  /** PERSIST the IVF-PQ index: the corpus compressed once to
+    * `(nn_id, code: array<int>[m])` and written `partitionBy("cell")`
+    * (the [[ivfWriteIndex]] physical layout carrying PQ codes instead
+    * of raw vectors — ~m bytes/vector on disk), plus `codebook/` and
+    * `meta/` parquet sidecars. The coarse cells are the deterministic
+    * [[md5Centroids]] router (re-derived from meta at read time; the
+    * trained-coarse variant would persist its centroids the
+    * [[ivfWriteIndex]] way). At 100 TB this is the one-time compress+
+    * route pass; [[ivfPqTopKIndexed]] then serves any bounded query
+    * set reading ONLY probed cell directories — and only code bytes,
+    * never the original vectors. */
+  def ivfPqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int, ks: Int, dim: Int, nCells: Int,
+      codebook: Option[Array[Array[Array[Double]]]] = None): Unit = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(nCells > 0, s"need nCells > 0 (got $nCells)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = codebook.getOrElse(pqCodebooks(m, ks, dim / m))
+    require(cb.length == m && cb.forall(_.length == ks),
+      s"codebook shape ${cb.length}x${cb.headOption.map(_.length).getOrElse(0)} != ${m}x$ks")
+    val cents = md5Centroids(nCells, dim)
+    corpus.select(col(idCol).cast("long").as("nn_id"),
+        pqEncodeUdf(cb)(widen(col(vecCol))).as("code"),
+        argmaxCellUdf(cents)(widen(col(vecCol))).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    (for { s <- cb.indices; j <- cb(s).indices }
+      yield (s, j, cb(s)(j).toSeq)).toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, ks, dim, nCells)).toDF("m", "ks", "dim", "n_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Serve IVF-PQ top-k from a persisted [[ivfPqWriteIndex]] index.
+    * Identical semantics to [[ivfPqTopK]] with the same parameters
+    * (spec-pinned), but (a) the probed cells of the bounded query set
+    * become a STATIC `cell IN (...)` predicate computed DRIVER-SIDE
+    * from the already-collected query vectors (no extra action), so
+    * unprobed cell directories prune at file-listing time, and (b) the
+    * corpus is already m-byte codes — the serve scan is ADC adds over
+    * ~nProbe/nCells of the code bytes, no re-encode, no vector I/O. */
+  def ivfPqTopKIndexed(queries: DataFrame, qIdCol: String, qVecCol: String,
+      path: String, k: Int, nProbe: Int,
+      maxQueryRows: Int = 100000): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, ks, dim, nCells) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    require(nProbe > 0 && nProbe <= nCells,
+      s"need 0 < nProbe <= $nCells (got $nProbe)")
+    val cb = Array.ofDim[Array[Double]](m, ks)
+    spark.read.parquet(s"$path/codebook").collect() // bounded: m×ks rows
+      .foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val cents = md5Centroids(nCells, dim)
+    val qs = queries.select(col(qIdCol).cast("long").as("qid"),
+        widen(col(qVecCol)).as("qv"))
+      .as[(Long, Seq[Double])].limit(maxQueryRows + 1).collect()
+    require(qs.length <= maxQueryRows,
+      s"query set exceeds $maxQueryRows rows — split it")
+    val qSide = qs.map { case (qid, qv0) =>
+      val qv = qv0.toArray
+      val scored = cents.zipWithIndex.map { case (cv, ci) =>
+        var s = 0.0; var i = 0
+        val d = math.min(qv.length, cv.length)
+        while (i < d) { s += qv(i) * cv(i); i += 1 }
+        (s, ci)
+      }
+      val probed = scored.sortBy { case (s, ci) => (-s, ci) }
+        .take(nProbe).map(_._2).toSet
+      (qid, probed, pqDistTable(cb, qv))
+    }
+    val needed = qSide.iterator.flatMap(_._2).toArray.distinct.sorted
+    val bc = spark.sparkContext.broadcast(qSide)
+    spark.read.parquet(s"$path/data")
+      .filter(col("cell").isin(needed.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("nn_id"), col("code"), col("cell").cast("int").as("cell"))
+      .as[(Long, Seq[Int], Int)]
+      .flatMap { case (nnId, code, cell) =>
+        val ca = code.toArray
+        bc.value.iterator.collect {
+          case (qid, probed, table) if qid != nnId && probed.contains(cell) =>
+            var d = 0L
+            var s = 0
+            while (s < ca.length) { d += table(s)(ca(s)); s += 1 }
+            (qid, nnId, d)
+        }
+      }
+      .toDF("query_id", "nn_id", "dist_e6")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg(-col("dist_e6"), col("nn_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nn_id"), (-col("e.score")).as("dist_e6"))
+  }
+
   /** All-pairs cosine above a threshold (quantized to e6), emitted as
     * (id_a, id_b, cos_e6) with id_a < id_b — SMALL-CORPUS exact path.
     *

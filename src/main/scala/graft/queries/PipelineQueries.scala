@@ -740,6 +740,21 @@ object PipelineQueries extends QueryPack {
       Some(pqOracleSql)),
 
     Query(
+      "q159_ivfpq_indexed",
+      "IVF-PQ SERVED FROM THE PERSISTED INDEX (the production ANN serve path): the corpus is compressed once to m-byte PQ codes written partitionBy(cell) with codebook+meta sidecars (ivfPqWriteIndex), then the query set's probed cells — computed driver-side from the already-collected query vectors, no extra action — become a static cell IN (...) PartitionFilter: unprobed cell directories never leave disk, and the serve scan is ADC adds over code bytes only (no re-encode, no vector I/O). Registered at nProbe = nCells, which makes the result exactly the exhaustive PQ scan — this row shares q136/q137's oracle bit-for-bit; the nProbe < nCells pruning equality (indexed == in-memory ivfPqTopK, fewer files read) is PipelineSpec-pinned.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val idx = java.nio.file.Files.createTempDirectory("q159_ivfpq").toString
+        Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", idx,
+          m = 8, ks = 16, dim = 64, nCells = 8)
+        Similarity.ivfPqTopKIndexed(
+          emb.filter($"vec_id" < 6), "vec_id", "embedding", idx,
+          k = 5, nProbe = 8)
+      },
+      Some(pqOracleSql)),
+
+    Query(
       "q138_hash_embed",
       "Hashing-trick text embeddings (Weinberger et al. 2009) -> cosine top-3 neighbors: documents embed map-only into 64 signed-token-count buckets (portable md5 bucket+sign hashes, INTEGER-valued components so every dot product is exact integer arithmetic) and the first 5 docs query the broadcast brute-force top-k — the in-engine text->embedding->ANN bridge when no learned encoder is available. The oracle re-derives embedding, norms, and ranking from the same md5 hashes in sparse (doc, bucket, weight) form.",
       (s, dir) => {

@@ -342,6 +342,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("persisted IVF-PQ index: pruned probe equals the in-memory search; unprobed cells never read") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", dir,
+      m = 8, ks = 16, dim = 64, nCells = 8)
+    val queries = emb.filter($"vec_id" < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // nProbe < nCells: the pruned on-disk serve must equal the
+    // in-memory ivfPqTopK with identical parameters
+    val indexed = Similarity.ivfPqTopKIndexed(queries, "vec_id", "embedding",
+      dir, k = 5, nProbe = 2)
+    val direct = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding",
+      k = 5, m = 8, ks = 16, dim = 64, nCells = 8, nProbe = 2)
+    assert(rows(indexed).nonEmpty && rows(indexed) == rows(direct))
+    // the static cell IN (...) predicate must prune unprobed cell
+    // directories at file-listing time
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val dataScans = scans(indexed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("data")))
+    assert(dataScans.nonEmpty)
+    val filesRead = dataScans.map(_.metrics("numFiles").value).sum
+    val filesTotal = spark.read.parquet(s"$dir/data").inputFiles.length
+    assert(filesRead < filesTotal,
+      s"expected partition pruning: read $filesRead of $filesTotal files")
+    // probing every cell recovers the exhaustive PQ scan (the q159
+    // registered configuration == the q136 oracle semantics)
+    val all = Similarity.ivfPqTopKIndexed(queries, "vec_id", "embedding",
+      dir, k = 5, nProbe = 8)
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, m = 8, ks = 16, dim = 64)
+    assert(rows(all) == rows(pq))
+  }
+
   test("PQ ANN: engine equals a local ADC recompute; planted twin ranks first") {
     val rnd = new scala.util.Random(41)
     val dim = 32; val m = 4; val ks = 16; val sub = dim / m
