@@ -27,4 +27,43 @@ object Systematics {
     explode(array(variations.map { case (n, c) =>
       struct(lit(n).as("variation"), c.as("value"))
     }: _*))
+
+  /** [[explodeVariations]] with COMMON-SUBPLAN FACTORING — the SURVEY
+    * §4 rewrite for variation families that share one heavy DAG (the
+    * JES/JER jet-correction shape: every variation re-reads the same
+    * corrected-jet collection).
+    *
+    * [[explodeVariations]] inlines each variation's full expression
+    * into the generator array, so a shared correction DAG is REPLANNED
+    * once per variation — O(N·|DAG|) plan text, and past ~20 real JES
+    * sources the generated code leaves the JIT/codegen comfort zone.
+    * Here the shared columns evaluate in ONE Project BELOW the
+    * Generate (`baseCols`, the correction DAG), and each variation is
+    * a cheap function of those ATTRIBUTES — plan size O(|DAG| + N),
+    * runtime one DAG evaluation per input row regardless of N.
+    * CollapseProject cannot re-inline through a Generate, so the
+    * factoring survives optimization (ProfSyst-verified: plan length
+    * and codegen stay flat in N; exactly one FileScan).
+    *
+    * Returns `df` plus `variation` (string) and `valueName` columns,
+    * one output row per input row per variation; `baseCols` do not
+    * appear in the output. Downstream aggregations add `variation` as
+    * a group key — every variation shares the scan AND the shuffle. */
+  def explodeVariationsFactored(df: DataFrame,
+      baseCols: Seq[(String, Column)],
+      variations: Seq[(String, Map[String, Column] => Column)],
+      valueName: String = "value"): DataFrame = {
+    require(baseCols.nonEmpty && variations.nonEmpty,
+      "need at least one base column and one variation")
+    val keep = df.columns.toSeq
+    val staged = df.select(
+      keep.map(col) ++ baseCols.map { case (n, c) => c.as(n) }: _*)
+    val refs = baseCols.map { case (n, _) => n -> col(n) }.toMap
+    staged
+      .select(col("*"), explode(array(variations.map { case (n, f) =>
+        struct(lit(n).as("variation"), f(refs).as(valueName))
+      }: _*)).as("__var"))
+      .select(keep.map(col) :+ col("__var.variation").as("variation") :+
+        col(s"__var.$valueName").as(valueName): _*)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
-import graft.core.{Jagged, SchemaBuilder, Tables}
+import graft.core.{Jagged, SchemaBuilder, Systematics, Tables}
 import graft.corrections.{Extractor, JetCorrections, LumiTools, PileupJson}
 import graft.genealogy.GenTree
 import graft.lookup.DenseLookup
@@ -249,6 +249,50 @@ object TreeLumiQueries extends QueryPack {
              |  (met_pt*sin(0.3) - dy)*(met_pt*sin(0.3) - dy))) * 100 + 0.5) AS BIGINT) AS sum_met_c,
              |count(*) AS n_events
              |FROM ev""".stripMargin)),
+
+    Query(
+      "q160_jes_long",
+      "The q63 JES family in FACTORED long format (Systematics.explodeVariationsFactored — SURVEY §4's common-subplan rewrite): the corrected-jet DAG (2 JEC levels + uncertainty formula) evaluates in ONE Project below the Generate, and each variation row (nom/jes_up/jes_down) is a cheap field-pick over that attribute — plan size O(|DAG|+N) instead of explodeVariations' O(N*|DAG|), one scan, one shuffle keyed by (variation). This is the 30-source real-JES shape: ProfSyst measures plan text and codegen flat in N while the inlined form grows linearly. Oracle: the q63 CTE chain emitted long (one row per variation).",
+      (s, dir) => {
+        import s.implicits._
+        val levels = Seq(
+          JetCorrections.JecLevel("L1", "max(0.9,[0]+[1]/(log10(x)+1))", Seq(0.95, 0.1)),
+          JetCorrections.JecLevel("L2", "min(1.1,[0]+[1]*log10(x))", Seq(0.98, 0.01)))
+        val jets = transform($"items", it => struct(
+          it("l_quantity").as("pt"),
+          (it("l_discount") * 2.0).as("eta"),
+          (it("l_tax") * 40.0 - 3.0).as("phi"),
+          (it("l_quantity") * 0.05).as("mass")))
+        val corrected = JetCorrections.correctJets(jets, levels,
+          uncFormula = Some(("min(0.2,[0]+[1]/x)", Seq(0.02, 0.5))))
+        Systematics.explodeVariationsFactored(
+            nested(s, dir, jecFields),
+            baseCols = Seq("__jets" -> corrected),
+            variations = Seq(
+              "nom" -> (r => Jagged.innerSumOf(r("__jets"), _("pt"))),
+              "jes_up" -> (r => Jagged.innerSumOf(r("__jets"), _("pt_jes_up"))),
+              "jes_down" -> (r => Jagged.innerSumOf(r("__jets"), _("pt_jes_down")))),
+            valueName = "sum_pt")
+          .groupBy($"variation")
+          .agg(count(lit(1)).as("n_events"), cents(sum($"sum_pt")).as("sum_pt_c"))
+      },
+      Some("""WITH j AS (
+             |  SELECT l_orderkey, l_quantity AS pt0,
+             |    l_quantity * greatest(0.9, 0.95 + 0.1/(log10(l_quantity) + 1)) AS pt1
+             |  FROM lineitem),
+             |c AS (SELECT l_orderkey, pt0, pt1 * least(1.1, 0.98 + 0.01*log10(pt1)) AS ptc FROM j),
+             |u AS (SELECT *, least(0.2, 0.02 + 0.5/ptc) AS unc FROM c),
+             |ev AS (SELECT l_orderkey,
+             |    sum(ptc) AS sum_pt, sum(ptc*(1+unc)) AS sum_up, sum(ptc*(1-unc)) AS sum_down
+             |  FROM u GROUP BY l_orderkey)
+             |SELECT 'nom' AS variation, count(*) AS n_events,
+             |  CAST(floor(sum(sum_pt) * 100 + 0.5) AS BIGINT) AS sum_pt_c FROM ev
+             |UNION ALL
+             |SELECT 'jes_up', count(*),
+             |  CAST(floor(sum(sum_up) * 100 + 0.5) AS BIGINT) FROM ev
+             |UNION ALL
+             |SELECT 'jes_down', count(*),
+             |  CAST(floor(sum(sum_down) * 100 + 0.5) AS BIGINT) FROM ev""".stripMargin)),
 
     Query(
       "q69_hybrid_jer",

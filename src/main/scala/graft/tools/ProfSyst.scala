@@ -54,6 +54,50 @@ object ProfSyst {
     val scans = "FileScan parquet".r
       .findAllIn(q.queryExecution.executedPlan.toString).size
     println(s"long-format FileScan count: $scans")
+
+    // ---- heavy shared DAG (the q63/q160 JES shape, r10) ----
+    // N variations that all consume ONE jet-correction DAG. Inlined
+    // explodeVariations replans the DAG per variation (O(N·|DAG|) plan
+    // text); explodeVariationsFactored stages it once below the
+    // Generate. Same result, very different plan growth.
+    import graft.corrections.JetCorrections
+    import graft.core.{Jagged, SchemaBuilder}
+    val nested = SchemaBuilder.nestRows(li, Seq("l_orderkey"), "items",
+      Seq("l_linenumber", "l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+      sortFields = Seq("l_linenumber", "l_extendedprice"))
+    val levels = Seq(
+      JetCorrections.JecLevel("L1", "max(0.9,[0]+[1]/(log10(x)+1))", Seq(0.95, 0.1)),
+      JetCorrections.JecLevel("L2", "min(1.1,[0]+[1]*log10(x))", Seq(0.98, 0.01)))
+    val jets = transform($"items", it => struct(
+      it("l_quantity").as("pt"),
+      (it("l_discount") * 2.0).as("eta"),
+      (it("l_tax") * 40.0 - 3.0).as("phi"),
+      (it("l_quantity") * 0.05).as("mass")))
+    val corrected = JetCorrections.correctJets(jets, levels,
+      uncFormula = Some(("min(0.2,[0]+[1]/x)", Seq(0.02, 0.5))))
+    // N scale factors applied to the shared corrected pt
+    def pick(jetsCol: org.apache.spark.sql.Column, i: Int) =
+      Jagged.innerSumOf(jetsCol, j => j("pt") * (lit(1.0) + lit(i) * 0.001))
+    def measure(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime(); df.count()
+      val t1 = (System.nanoTime() - t0) / 1e9
+      val t2 = System.nanoTime(); df.count()
+      val t3 = (System.nanoTime() - t2) / 1e9
+      val planLen = df.queryExecution.executedPlan.toString.length
+      val nScans = "FileScan parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+      println(f"$name%-16s n=$n%3d cold=$t1%6.2f s warm=$t3%6.2f s planLen=$planLen%9d scans=$nScans")
+    }
+    val inlined = nested.select(Systematics.explodeVariations(
+        (1 to n).map(i => s"v$i" -> pick(corrected, i))).as("v"))
+      .groupBy($"v.variation").agg(sum($"v.value"))
+    measure("jes-inlined", inlined)
+    val factored = Systematics.explodeVariationsFactored(
+        nested, Seq("__jets" -> corrected),
+        (1 to n).map(i => s"v$i" -> ((r: Map[String, org.apache.spark.sql.Column]) =>
+          pick(r("__jets"), i))), valueName = "sum_pt")
+      .groupBy($"variation").agg(sum($"sum_pt"))
+    measure("jes-factored", factored)
     spark.stop()
   }
 }
