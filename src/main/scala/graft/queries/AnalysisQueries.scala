@@ -295,6 +295,29 @@ object AnalysisQueries extends QueryPack {
       }),
 
     Query(
+      "q161_dense_hist_30k",
+      "Dense histogram at the reference's advertised axis scale (NanoEventsProcessor.py:28-31 fills a 30000-bin Regular axis x a growing StrCategory): DenseHistogramAgg ships ONE (sumw[],sumw2[]) buffer of 30002 slots per category per partition (map-side combined) — shuffle volume independent of row count, vs the sparse groupBy(bin) form's one row per (partition x occupied bin). Weights are integer-valued doubles (l_quantity), so slot sums are order-independent EXACT integers and the oracle comparison is bit-true with no quantization slack. The dense arrays explode to occupied bins only for the compact oracle row; ProfDenseHist records dense-vs-sparse shuffle volume and runtime in PLANS.md.",
+      (s, dir) => {
+        import s.implicits._
+        Histogram.fillDense(
+            Tables.lineitem(s, dir),
+            categories = Seq("rf" -> $"l_returnflag"),
+            x = $"l_extendedprice".cast("double"), weight = $"l_quantity".cast("double"),
+            lo = 0.0, hi = 110000.0, n = 30000)
+          .select($"rf", posexplode(arrays_zip($"sumw", $"sumw2")).as(Seq("bin", "z")))
+          .select($"rf", $"bin".cast("long").as("bin"),
+            $"z.sumw".cast("long").as("sumw"), $"z.sumw2".cast("long").as("sumw2"))
+          .filter($"sumw" =!= 0L)
+      },
+      Some("""SELECT l_returnflag AS rf,
+             |  CASE WHEN l_extendedprice < 0.0 THEN 0
+             |       WHEN l_extendedprice >= 110000.0 THEN 30001
+             |       ELSE 1 + CAST(floor(l_extendedprice / (110000.0 / 30000)) AS BIGINT) END AS bin,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sumw,
+             |  CAST(sum(l_quantity * l_quantity) AS BIGINT) AS sumw2
+             |FROM lineitem GROUP BY 1, 2 HAVING sum(l_quantity) != 0""".stripMargin)),
+
+    Query(
       "q114_sql_functions",
       "The registered SQL-function surface (GraftFunctions/GraftExtensions): a pure spark.sql() text query using graft_delta_phi / graft_delta_r / graft_hash60 — the FunctionRegistry path every built-in uses, so the kernels stay codegen'd with zero UDF boundary. The oracle mirrors the math (atan2-wrapped angles) and the portable md5 hash in DuckDB.",
       (s, dir) => {

@@ -1,0 +1,70 @@
+// temp dev main: dense TypedImperativeAggregate histogram vs the
+// sparse groupBy(bin) fill at the reference's 30k-bin axis scale
+// (NanoEventsProcessor.py:28-31) — records runtime and shuffle bytes
+// for PLANS.md. The dense form ships ONE 2*(n+2)-slot buffer per
+// (category, partition); the sparse form shuffles one row per
+// (partition, occupied bin).
+// Usage: sbt "runMain graft.tools.ProfDenseHist" [GRAFT_SF_DIR=…] [GRAFT_NBINS=30000]
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Histogram
+
+object ProfDenseHist {
+  def main(args: Array[String]): Unit = {
+    val par = sys.env.getOrElse("GRAFT_PAR", "16")
+    val n = sys.env.getOrElse("GRAFT_NBINS", "30000").toInt
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val li = graft.core.Tables.lineitem(spark, dir)
+
+    def shuffleBytes(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      // execute THIS QueryExecution (df.count() would plan a new one and
+      // leave these metrics untouched)
+      df.queryExecution.executedPlan.execute().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def sh(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+        case a: AdaptiveSparkPlanExec => sh(a.executedPlan)
+        case q: QueryStageExec => sh(q.plan)
+        case s: ShuffleExchangeExec => s +: s.children.flatMap(sh)
+        case other => (other.children ++ other.subqueries).flatMap(sh)
+      }
+      val bytes = sh(df.queryExecution.executedPlan)
+        .map(e => e.metrics.collect {
+          case (k, m) if k == "dataSize" || k == "shuffleBytesWritten" => m.value
+        }.sum).sum
+      (sec, bytes)
+    }
+
+    for (rep <- 1 to 3) {
+      val dense = Histogram.fillDense(li,
+        categories = Seq("rf" -> $"l_returnflag"),
+        x = $"l_extendedprice".cast("double"), weight = $"l_quantity".cast("double"),
+        lo = 0.0, hi = 110000.0, n = n)
+      val (dSec, dBytes) = shuffleBytes(dense)
+      // sparse twin: groupBy (category, bin) over the same bin math
+      val width = 110000.0 / n
+      val bin = when($"l_extendedprice" < 0.0, 0)
+        .when($"l_extendedprice" >= 110000.0, n + 1)
+        .otherwise((floor($"l_extendedprice".cast("double") / width) + 1).cast("int"))
+      val sparse = li.groupBy($"l_returnflag".as("rf"), bin.as("bin"))
+        .agg(sum($"l_quantity".cast("double")).as("sumw"),
+          sum(($"l_quantity" * $"l_quantity").cast("double")).as("sumw2"))
+      val (sSec, sBytes) = shuffleBytes(sparse)
+      println(f"rep$rep n=$n dense=${dSec}%6.2f s shuffle=${dBytes}%12d B | " +
+        f"sparse=${sSec}%6.2f s shuffle=${sBytes}%12d B")
+    }
+    spark.stop()
+  }
+}
