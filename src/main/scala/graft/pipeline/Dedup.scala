@@ -587,7 +587,17 @@ object Dedup {
     * it — incremental ingest batches are the small side by
     * construction. */
   def minhashDedupIndexed(newDf: DataFrame, idCol: String, textCol: String,
-      path: String, minEst: Double): DataFrame = {
+      path: String, minEst: Double): DataFrame =
+    minhashDedupIndexedPaths(newDf, idCol, textCol, path, minEst, Nil)
+
+  /** [[minhashDedupIndexed]] probing the base index PLUS extra data
+    * directories in the same (band, sp) partition layout — the
+    * committed per-batch deltas of the exactly-once streaming ingest
+    * ([[graft.streaming.EventStream.indexedDedupIngestStream]]). All
+    * roots share one pruned scan: the batch's (band, sp) grid
+    * predicate prunes every root's partition directories. */
+  def minhashDedupIndexedPaths(newDf: DataFrame, idCol: String, textCol: String,
+      path: String, minEst: Double, extraDataPaths: Seq[String]): DataFrame = {
     val spark = newDf.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val (k, bands, shingleN, nSigParts) =
@@ -603,7 +613,13 @@ object Dedup {
     val needed = batch.select(col("band"), col("sp")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val neededKeys = needed.map { case (b, s) => s"${b}_$s" }.toSeq
-    val pruned = spark.read.parquet(s"$path/data")
+    // one read per root (multi-root partition discovery rejects the
+    // data/ + delta/batch=N sibling layout); the grid predicate pushes
+    // through the Union into every root's partition pruning
+    val pruned = (s"$path/data" +: extraDataPaths)
+      .map(p => spark.read.parquet(p)
+        .select(col("band"), col("sp"), col("sig"), col("id"), col("mh")))
+      .reduce(_.unionByName(_))
       .filter(concat_ws("_", col("band"), col("sp")).isin(neededKeys: _*))
     pruned.join(broadcast(batch), Seq("band", "sp", "sig"))
       .filter(col("id") =!= col("id_new"))
@@ -612,5 +628,31 @@ object Dedup {
           .as("est_jaccard_e4"))
       .filter(col("est_jaccard_e4") >= (minEst * 10000).toLong)
       .distinct()
+  }
+
+  /** Append one ingest batch's signatures to a [[minhashWriteIndex]]
+    * index as an IDEMPOTENT per-batch delta: the rows land in
+    * `path/delta/batch=<id>` (same (band, sp) partition layout as the
+    * base, overwrite mode — a retried batch rewrites the same
+    * directory, never duplicates). Probe via
+    * [[minhashDedupIndexedPaths]] with the COMMITTED delta dirs; the
+    * commit protocol lives in
+    * [[graft.streaming.EventStream.indexedDedupIngestStream]]. */
+  def minhashAppendDelta(df: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long): String = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (k, bands, shingleN, nSigParts) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val rowsPerBand = k / bands
+    val dir = s"$path/delta/batch=$batchId"
+    minhashSignatures(df, idCol, textCol, k, shingleN)
+      .select(bandSignatures(col("mh"), bands, rowsPerBand).as("b"),
+        col("id"), col("mh"))
+      .select(col("b.band").as("band"),
+        pmod(xxhash64(col("b.sig")), lit(nSigParts.toLong)).as("sp"),
+        col("b.sig").as("sig"), col("id"), col("mh"))
+      .write.mode("overwrite").partitionBy("band", "sp").parquet(dir)
+    dir
   }
 }

@@ -159,6 +159,64 @@ object EventStream {
       sink(survivors, batchId)
     }
 
+  /** [[indexedDedupStream]] that also GROWS the index — the full
+    * continuous-ingest loop, with the index append EXACTLY-ONCE under
+    * micro-batch retries via the idempotent-delta + commit-log
+    * pattern:
+    *
+    *  1. probe = base index + every COMMITTED delta, excluding this
+    *     batchId's own delta (a post-commit replay must not match the
+    *     batch against itself — two in-batch near-dups would otherwise
+    *     annihilate on retry);
+    *  2. survivors go to `sink` (at-least-once; make the sink
+    *     idempotent by batchId, the standard foreachBatch contract);
+    *  3. the survivors' signatures land in `delta/batch=<id>` with
+    *     OVERWRITE (a retry rewrites the same directory byte-for-byte
+    *     — never appends twice), then the commit marker
+    *     `_graft_commits/<id>` is written LAST. A crash between 3's
+    *     write and its commit leaves an orphan directory no probe ever
+    *     reads, and the retry overwrites it; a replay of an
+    *     already-committed batch skips the write entirely.
+    *
+    * Net: the index state is exactly-once, every probe sees exactly
+    * the batches that committed before it, and batches never rescan
+    * the corpus. Compaction (folding old deltas into `data/`) is an
+    * offline [[graft.pipeline.Dedup.minhashWriteIndex]] rebuild. */
+  def indexedDedupIngestStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, minEst: Double)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val commitsDir = new org.apache.hadoop.fs.Path(s"$indexPath/_graft_commits")
+      val fs = commitsDir.getFileSystem(hconf)
+      val committed: Set[Long] =
+        if (fs.exists(commitsDir))
+          fs.listStatus(commitsDir).toSeq
+            .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption).toSet
+        else Set.empty
+      val deltas = committed.filter(_ != batchId).toSeq.sorted
+        .map(i => s"$indexPath/delta/batch=$i")
+      val matched = graft.pipeline.Dedup
+        .minhashDedupIndexedPaths(batch, idCol, textCol, indexPath, minEst, deltas)
+        .select(col("id_new")).distinct()
+      val survivors = batch.join(matched,
+        batch(idCol) === matched("id_new"), "left_anti")
+        .persist() // consumed twice below: sink + delta write
+      try {
+        sink(survivors, batchId)
+        if (!committed.contains(batchId)) {
+          graft.pipeline.Dedup.minhashAppendDelta(
+            survivors, idCol, textCol, indexPath, batchId)
+          // marker write is the commit point (created empty, atomically
+          // visible on rename-consistent filesystems)
+          val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+          fs.mkdirs(commitsDir)
+          fs.create(marker, true).close()
+        }
+      } finally survivors.unpersist(blocking = false)
+    }
+
   /** Batch twin of [[sessionize]] (same gap semantics, single pass) —
     * used to cross-check the stateful streaming path, mirroring the
     * reference's cross-backend equality axiom (SURVEY §5). */

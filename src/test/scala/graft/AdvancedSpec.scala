@@ -349,6 +349,67 @@ class AdvancedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexedDedupIngestStream: exactly-once index growth under a forced micro-batch retry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_ingest_idx").toString
+    Dedup.minhashWriteIndex(corpus, "doc_id", "text", dir,
+      k = 16, bands = 8, shingleN = 2, nSigParts = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("mh_ingest_ckpt").toString
+    val src = MemoryStream[(Long, String)]
+    val freshText = "totally novel content never seen anywhere at all"
+    @volatile var failOnce = true
+    val sunk = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    def mkQuery() = graft.streaming.EventStream.indexedDedupIngestStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, minEst = 0.9) {
+        (batch, id) =>
+          val ids = batch.collect().map(_.getLong(0)).toSet
+          if (failOnce) { failOnce = false; throw new RuntimeException("forced retry") }
+          sunk(id) = ids
+      }.option("checkpointLocation", ckpt)
+    // batch 0: 201 duplicates history, 202/203 are an IDENTICAL fresh
+    // pair (no in-batch dedup in this op — both must survive, and must
+    // KEEP surviving on the retry, proving the probe excludes its own
+    // batch's delta)
+    src.addData((201L, "alpha beta gamma delta epsilon zeta"),
+      (202L, freshText), (203L, freshText))
+    val q1 = mkQuery().start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // nothing committed on the failed attempt: the sink threw first
+    val commits = new java.io.File(s"$dir/_graft_commits")
+    assert(!commits.exists() || commits.list().isEmpty)
+    val q2 = mkQuery().start()
+    try {
+      q2.processAllAvailable() // retry of batch 0 succeeds
+      assert(sunk(0L) == Set(202L, 203L), sunk.toString)
+      // batch 1: a copy of the batch-0 survivor text must now be caught
+      // by batch 0's COMMITTED delta — the index grew
+      src.addData((301L, freshText),
+        (302L, "yet another unrelated document body entirely"))
+      q2.processAllAvailable()
+      assert(sunk(1L) == Set(302L), sunk.toString)
+    } finally q2.stop()
+    // exactly-once on disk: batch 0's delta holds its 2 survivors once
+    // (8 bands x 2 docs), and a replayed append overwrites, not appends
+    val d0 = spark.read.parquet(s"$dir/delta/batch=0")
+    assert(d0.select("id").distinct().collect().map(_.getLong(0)).toSet == Set(202L, 203L))
+    assert(d0.count() == 16L, s"got ${d0.count()}")
+    Dedup.minhashAppendDelta(
+      Seq((202L, freshText), (203L, freshText)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 0L)
+    assert(spark.read.parquet(s"$dir/delta/batch=0").count() == 16L)
+    // ignore Hadoop LocalFileSystem .crc sidecars
+    assert(commits.list().filterNot(_.startsWith(".")).toSet == Set("0", "1"))
+  }
+
   test("flatMapGroupsWithState sessionization counts gap-split sessions") {
     import EventStream._
     val evs = Seq(
