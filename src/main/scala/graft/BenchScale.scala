@@ -43,7 +43,8 @@ object BenchScale {
     "q123_bpe_encode", "q127_audio_neardup",
     "q130_dsir", "q135_minhash_index",
     "q140_curation_chain", "q142_line_dedup", "q143_kneser_ney",
-    "q148_fuzzy_decontaminate", "q154_event_mixing")
+    "q148_fuzzy_decontaminate", "q154_event_mixing",
+    "q161_dense_hist_30k", "q162_ivfpq_residual")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

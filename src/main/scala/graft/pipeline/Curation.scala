@@ -156,6 +156,36 @@ object Curation {
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
 
+  /** Canonical URL for dedup keying — the crawl-curation normalizer
+    * (two fetches of the same page routinely differ in scheme/host
+    * case, default ports, tracking parameters, parameter order,
+    * fragments, and trailing slashes; URL-keyed dedup without this
+    * undercounts duplicates badly). Rules, all pure codegen'd string
+    * ops (no UDF) and each mirrored 1:1 in the SQL oracle:
+    *  - scheme and host lowercase; leading `www.` dropped;
+    *  - default ports `:80` (http) / `:443` (https) dropped;
+    *  - fragment dropped;
+    *  - tracking parameters dropped (`utm_*`, `fbclid`, `gclid`,
+    *    `ref`); remaining query parameters SORTED bytewise;
+    *  - trailing path slash dropped (root `/` collapses to empty).
+    * Extend the tracking list per deployment; the shape (filter +
+    * sort inside one HOF chain) is the part that matters. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host0 = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = regexp_replace(path0, "/$", "")
+    val query0 = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(query0, "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") || p === ""))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", "").otherwise(concat(lit("?"), kept)))
+  }
+
   /** Keep rows whose registered domain is NOT in the blocklist — a
     * broadcast anti-join (blocklists are bounded; the corpus side never
     * shuffles). `urlCol` may be any column expression producing a URL.

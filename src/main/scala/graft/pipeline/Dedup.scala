@@ -638,6 +638,47 @@ object Dedup {
     * [[minhashDedupIndexedPaths]] with the COMMITTED delta dirs; the
     * commit protocol lives in
     * [[graft.streaming.EventStream.indexedDedupIngestStream]]. */
+  /** Fold every COMMITTED ingest delta into the base index — the
+    * offline maintenance pass that keeps probe cost at one root after
+    * a long [[graft.streaming.EventStream.indexedDedupIngestStream]]
+    * run (each committed delta adds a scan root; tens are fine,
+    * thousands are not). Rewrites `data/` as base ∪ deltas (same
+    * (band, sp) layout), swaps it in, then clears `delta/` and the
+    * commit log. NOT concurrent-safe with an active ingest stream or
+    * probe — run it between ingest sessions (the offline-compaction
+    * contract every LSM-shaped store carries). Returns the number of
+    * deltas folded. */
+  def minhashCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val commitsDir = new org.apache.hadoop.fs.Path(root, "_graft_commits")
+    val committed: Seq[Long] =
+      if (fs.exists(commitsDir))
+        fs.listStatus(commitsDir).toSeq
+          .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption).sorted
+      else Nil
+    if (committed.isEmpty) return 0
+    val roots = s"$path/data" +: committed.map(i => s"$path/delta/batch=$i")
+    val all = roots
+      .map(p => spark.read.parquet(p)
+        .select(col("band"), col("sp"), col("sig"), col("id"), col("mh")))
+      .reduce(_.unionByName(_))
+    all.write.mode("overwrite").partitionBy("band", "sp")
+      .parquet(s"$path/data_compacting")
+    val dataP = new org.apache.hadoop.fs.Path(root, "data")
+    val oldP = new org.apache.hadoop.fs.Path(root, "data_old")
+    fs.delete(oldP, true)
+    require(fs.rename(dataP, oldP), s"rename $dataP -> $oldP failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(root, "data_compacting"), dataP),
+      s"rename data_compacting -> $dataP failed")
+    fs.delete(oldP, true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "delta"), true)
+    fs.delete(commitsDir, true)
+    committed.size
+  }
+
   def minhashAppendDelta(df: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long): String = {
     val spark = df.sparkSession

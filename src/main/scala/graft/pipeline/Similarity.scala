@@ -710,6 +710,101 @@ object Similarity {
         col("e.id").as("nn_id"), (-col("e.score")).as("dist_e6"))
   }
 
+  /** RESIDUAL IVF-PQ (Jégou et al. 2011 §IV-B — the refinement the
+    * non-residual [[ivfPqTopK]]/q159 layout omits): codes quantize the
+    * residual `v − c(cell)` instead of `v`, so the m·log₂ks bits of
+    * code capacity spend on the WITHIN-cell spread rather than
+    * re-describing the coarse position — the accuracy/memory point the
+    * billion-vector deployments actually run. The price is that an ADC
+    * table now depends on the cell: each query builds ONE m×ks integer
+    * table PER PROBED CELL from `q − c(cell)` (nProbe tables/query,
+    * ~1 KB each — still broadcast-sized), and nProbe = nCells is NOT
+    * the exhaustive PQ scan (codes differ per cell), so the oracle
+    * replays the full residual pipeline rather than sharing q136's.
+    * Plan shape is unchanged from [[ivfPqTopK]]: map-only encode,
+    * broadcast query side, per-partition ADC adds, bounded-heap TopK.
+    * Every table entry e6-quantizes before the integer sum (the q136
+    * contract), so encode argmins AND distances replay exactly. */
+  def ivfPqTopKResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, m: Int, ks: Int, dim: Int, nCells: Int, nProbe: Int,
+      maxQueryRows: Int = 100000): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(nCells > 0 && nProbe > 0 && nProbe <= nCells,
+      s"need 0 < nProbe <= nCells (got nProbe=$nProbe nCells=$nCells)")
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = pqCodebooks(m, ks, dim / m)
+    val cents = md5Centroids(nCells, dim)
+    val qs = queries.select(col(qIdCol).cast("long").as("qid"),
+        widen(col(qVecCol)).as("qv"))
+      .as[(Long, Seq[Double])].limit(maxQueryRows + 1).collect()
+    require(qs.length <= maxQueryRows,
+      s"query set exceeds $maxQueryRows rows — split it")
+    def residual(v: Array[Double], cell: Int): Array[Double] = {
+      val c = cents(cell)
+      Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0.0))
+    }
+    // per query: its nProbe best cells and one residual ADC table per cell
+    val qSide = qs.map { case (qid, qv0) =>
+      val qv = qv0.toArray
+      val scored = cents.zipWithIndex.map { case (cv, ci) =>
+        var s = 0.0; var i = 0
+        val d = math.min(qv.length, cv.length)
+        while (i < d) { s += qv(i) * cv(i); i += 1 }
+        (s, ci)
+      }
+      val probed = scored.sortBy { case (s, ci) => (-s, ci) }
+        .take(nProbe).map(_._2)
+      (qid, probed.map(c => c -> pqDistTable(cb, residual(qv, c))).toMap)
+    }
+    val bc = spark.sparkContext.broadcast(qSide)
+    val encU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      // own cell by raw-dot argmax (ties → lowest index), then the
+      // code quantizes THIS cell's residual
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var ci = 0
+      while (ci < cents.length) {
+        val cv = cents(ci)
+        var s = 0.0; var i = 0
+        val d = math.min(va.length, cv.length)
+        while (i < d) { s += va(i) * cv(i); i += 1 }
+        if (s > bestDot) { bestDot = s; best = ci }
+        ci += 1
+      }
+      val code = pqDistTable(cb, residual(va, best)).map { row =>
+        var bj = 0; var bd = Long.MaxValue
+        var j = 0
+        while (j < row.length) { if (row(j) < bd) { bd = row(j); bj = j }; j += 1 }
+        bj
+      }
+      (best, code)
+    }
+    corpus.select(col(idCol).cast("long").as("nn_id"),
+        encU(widen(col(vecCol))).as("e"))
+      .select(col("nn_id"), col("e._1").as("cell"), col("e._2").as("code"))
+      .as[(Long, Int, Seq[Int])]
+      .flatMap { case (nnId, cell, code) =>
+        val ca = code.toArray
+        bc.value.iterator.collect {
+          case (qid, tables) if qid != nnId && tables.contains(cell) =>
+            val table = tables(cell)
+            var d = 0L
+            var s = 0
+            while (s < ca.length) { d += table(s)(ca(s)); s += 1 }
+            (qid, nnId, d)
+        }
+      }
+      .toDF("query_id", "nn_id", "dist_e6")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg(-col("dist_e6"), col("nn_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nn_id"), (-col("e.score")).as("dist_e6"))
+  }
+
   /** PERSIST the IVF-PQ index: the corpus compressed once to
     * `(nn_id, code: array<int>[m])` and written `partitionBy("cell")`
     * (the [[ivfWriteIndex]] physical layout carrying PQ codes instead

@@ -930,6 +930,57 @@ object CurationQueries extends QueryPack {
               |FROM a GROUP BY cell""".stripMargin)),
 
     Query(
+      "q163_url_canonical",
+      "URL canonicalization for crawl dedup keying (the step before any URL-keyed exact dedup — two fetches of one page differ in scheme/host case, www, default ports, tracking params, param order, fragments, trailing slashes): deterministic messy-URL synthesis per doc (5 docs per logical page at this SF), canonicalize with pure codegen'd string ops (lowercase scheme/host, drop :443/:80 + fragment + utm_*/fbclid/gclid/ref, SORT remaining params, strip trailing slash), report per-source raw vs canonical distinct counts — the canonical count collapses to the logical page count. Zero UDFs, zero extra shuffles beyond the aggregate; the oracle mirrors every rule 1:1 in DuckDB string/list functions.",
+      (s, dir) => {
+        val pid = col("doc_id") % 100
+        val url = concat(
+          when(col("doc_id") % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+          when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+          col("source"), lit(".com"),
+          when(col("doc_id") % 4 === 0, ":443").otherwise(""),
+          lit("/page/"), pid,
+          when(col("doc_id") % 3 === 1, "/").otherwise(""),
+          when(col("doc_id") % 5 === 0, "?utm_source=feed&b=2&a=1")
+            .when(col("doc_id") % 2 === 0, "?a=1&b=2").otherwise("?b=2&a=1"),
+          when(col("doc_id") % 7 === 0, "#frag").otherwise(""))
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), url.as("url"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("url")).as("n_raw"),
+            countDistinct(Curation.canonicalizeUrl(col("url"))).as("n_canonical"))
+      },
+      Some("""WITH u AS (SELECT source, doc_id,
+             |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+             |  source || '.com' ||
+             |  (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+             |  '/page/' || (doc_id % 100) ||
+             |  (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
+             |        WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END) ||
+             |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+             |  FROM documents),
+             |c AS (SELECT source, url,
+             |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |  regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host0,
+             |  regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+             |  regexp_extract(url, '\?([^#]*)', 1) AS q FROM u),
+             |k AS (SELECT source, url, scheme,
+             |  (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             |        WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             |        ELSE host0 END) AS host, path,
+             |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+             |    p -> NOT (regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=') OR p = ''))), '&') AS kept
+             |  FROM c)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+             |  CAST(count(DISTINCT scheme || '://' || host || path ||
+             |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)) AS BIGINT) AS n_canonical
+             |FROM k GROUP BY source""".stripMargin)),
+
+    Query(
       "q151_source_kl",
       "Per-source KL divergence of the token distribution against the whole corpus — the domain-shift / mixture-drift monitor (which sources look least like the blend they feed): KL(P_s || Q) = sum_tok P ln(P/Q), each per-token term quantized to e9 INDEPENDENTLY before the integer sum (the q119 ln contract). One corpus-sized explode into a partial-aggregated (source, tok) groupBy; everything downstream is vocabulary-bounded.",
       (s, dir) => {

@@ -755,6 +755,19 @@ object PipelineQueries extends QueryPack {
       Some(pqOracleSql)),
 
     Query(
+      "q162_ivfpq_residual",
+      "RESIDUAL IVF-PQ (Jegou et al. 2011 SIV-B, the refinement production deployments run): codes quantize v - c(cell) instead of v, spending the code bits on the within-cell spread; each query builds one integer ADC table PER PROBED CELL from its own residual (nProbe ~1KB tables per query, broadcast). Unlike the non-residual q137/q159, nProbe = nCells is NOT the exhaustive PQ scan (codes differ per cell), so the oracle replays the ENTIRE residual pipeline — md5 centroid literals, per-vector own-cell residual encode argmins, per-(query, cell) residual tables, ADC sums — all in exact e6 integers.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfPqTopKResidual(
+          corpus = emb, idCol = "vec_id", vecCol = "embedding",
+          queries = emb.filter($"vec_id" < 6), qIdCol = "vec_id", qVecCol = "embedding",
+          k = 5, m = 8, ks = 16, dim = 64, nCells = 8, nProbe = 8)
+      },
+      Some(residualPqOracleSql)),
+
+    Query(
       "q138_hash_embed",
       "Hashing-trick text embeddings (Weinberger et al. 2009) -> cosine top-3 neighbors: documents embed map-only into 64 signed-token-count buckets (portable md5 bucket+sign hashes, INTEGER-valued components so every dot product is exact integer arithmetic) and the first 5 docs query the broadcast brute-force top-k — the in-engine text->embedding->ANN bridge when no learned encoder is available. The oracle re-derives embedding, norms, and ranking from the same md5 hashes in sparse (doc, bucket, weight) form.",
       (s, dir) => {
@@ -805,6 +818,57 @@ object PipelineQueries extends QueryPack {
        |sc AS (SELECT qd.vec_id AS query_id, enc.vec_id AS nn_id, CAST(sum(qd.d_e6) AS BIGINT) AS dist_e6
        |       FROM dt qd JOIN enc ON enc.s = qd.s AND enc.code = qd.j AND enc.vec_id != qd.vec_id
        |       WHERE qd.vec_id < 6
+       |       GROUP BY 1, 2)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_e6, nn_id) AS BIGINT) AS rk,
+       |       nn_id, dist_e6
+       |FROM sc QUALIFY rk <= 5""".stripMargin
+  }
+
+  /** q162's oracle: the FULL residual IVF-PQ pipeline in SQL — cell
+    * assignment by raw-dot argmax over md5-centroid literals, encode
+    * argmins over each vector's OWN-cell residual table, per-(query,
+    * cell) residual ADC tables, integer distance sums. Operand order
+    * mirrors the Scala `(v[i] − cent[i]) − cb[i]` association; every
+    * table entry quantizes to e6 BEFORE its sum (the q136 contract). */
+  private lazy val residualPqOracleSql: String = {
+    val cb = Similarity.pqCodebooks(m = 8, ks = 16, subDim = 8)
+    val cents = Similarity.md5Centroids(nCells = 8, dim = 64)
+    val cbVals = (for {
+      s <- cb.indices; j <- cb(s).indices; i <- cb(s)(j).indices
+    } yield s"($s,$j,${i + 1},CAST(${cb(s)(j)(i)} AS DOUBLE))").mkString(",")
+    val ctVals = (for {
+      c <- cents.indices; i <- cents(c).indices
+    } yield s"($c,${i + 1},CAST(${cents(c)(i)} AS DOUBLE))").mkString(",")
+    s"""WITH cb(s, j, i, v) AS (VALUES $cbVals),
+       |ct(cell, i, v) AS (VALUES $ctVals),
+       |cd AS (SELECT e.vec_id, ct.cell, sum(CAST(e.embedding[ct.i] AS DOUBLE) * ct.v) AS dt
+       |       FROM embeddings e, ct GROUP BY 1, 2),
+       |co AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell) AS rn FROM cd)
+       |       WHERE rn = 1),
+       |rdt AS (SELECT e.vec_id, cb.s, cb.j,
+       |        CAST(floor(sum(((CAST(e.embedding[ct.i] AS DOUBLE) - ct.v) - cb.v)
+       |                     * ((CAST(e.embedding[ct.i] AS DOUBLE) - ct.v) - cb.v)) * 1000000 + 0.5) AS BIGINT) AS d_e6
+       |        FROM embeddings e
+       |        JOIN co ON co.vec_id = e.vec_id
+       |        JOIN ct ON ct.cell = co.cell
+       |        JOIN cb ON ct.i = cb.s * 8 + cb.i
+       |        GROUP BY 1, 2, 3),
+       |enc AS (SELECT vec_id, s, j AS code FROM
+       |        (SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d_e6, j) AS rn FROM rdt)
+       |        WHERE rn = 1),
+       |qdt AS (SELECT q.vec_id AS query_id, ct.cell, cb.s, cb.j,
+       |        CAST(floor(sum(((CAST(q.embedding[ct.i] AS DOUBLE) - ct.v) - cb.v)
+       |                     * ((CAST(q.embedding[ct.i] AS DOUBLE) - ct.v) - cb.v)) * 1000000 + 0.5) AS BIGINT) AS d_e6
+       |        FROM embeddings q
+       |        JOIN ct ON true
+       |        JOIN cb ON ct.i = cb.s * 8 + cb.i
+       |        WHERE q.vec_id < 6 GROUP BY 1, 2, 3, 4),
+       |sc AS (SELECT qd.query_id, enc.vec_id AS nn_id, CAST(sum(qd.d_e6) AS BIGINT) AS dist_e6
+       |       FROM enc
+       |       JOIN co ON co.vec_id = enc.vec_id
+       |       JOIN qdt qd ON qd.cell = co.cell AND qd.s = enc.s AND qd.j = enc.code
+       |       WHERE qd.query_id != enc.vec_id
        |       GROUP BY 1, 2)
        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_e6, nn_id) AS BIGINT) AS rk,
        |       nn_id, dist_e6

@@ -410,6 +410,42 @@ class AdvancedSpec extends AnyFunSuite {
     assert(commits.list().filterNot(_.startsWith(".")).toSet == Set("0", "1"))
   }
 
+  test("minhashCompactIndex: folded index probes identically; deltas and commit log cleared") {
+    import graft.pipeline.Dedup
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_compact").toString
+    Dedup.minhashWriteIndex(hist, "doc_id", "text", dir,
+      k = 16, bands = 8, shingleN = 2, nSigParts = 4)
+    // two committed ingest deltas (the indexedDedupIngestStream layout)
+    val fs = new java.io.File(s"$dir/_graft_commits"); fs.mkdirs()
+    Dedup.minhashAppendDelta(
+      Seq((10L, "fresh content batch zero entirely new")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    new java.io.File(fs, "0").createNewFile()
+    Dedup.minhashAppendDelta(
+      Seq((20L, "later content batch one also unique")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1L)
+    new java.io.File(fs, "1").createNewFile()
+    val probe = Seq(
+      (90L, "fresh content batch zero entirely new"), // dup of delta 0
+      (91L, "later content batch one also unique"),   // dup of delta 1
+      (92L, "alpha beta gamma delta epsilon zeta"),   // dup of base
+      (93L, "never seen text with no match at all")).toDF("doc_id", "text")
+    def matches(extra: Seq[String]) = Dedup.minhashDedupIndexedPaths(
+        probe, "doc_id", "text", dir, minEst = 0.9, extra)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = matches(Seq(s"$dir/delta/batch=0", s"$dir/delta/batch=1"))
+    assert(Dedup.minhashCompactIndex(spark, dir) == 2)
+    val after = matches(Nil) // single root now holds everything
+    assert(before == after && after.map(_._1) == Set(90L, 91L, 92L), s"$before vs $after")
+    assert(!new java.io.File(s"$dir/delta").exists())
+    assert(!new java.io.File(s"$dir/_graft_commits").exists())
+    // compacting an already-compact index is a no-op
+    assert(Dedup.minhashCompactIndex(spark, dir) == 0)
+  }
+
   test("flatMapGroupsWithState sessionization counts gap-split sessions") {
     import EventStream._
     val evs = Seq(

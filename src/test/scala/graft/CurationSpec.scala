@@ -546,6 +546,38 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(r => Set("head", "middle", "tail")(r.getString(out.columns.indexOf("bucket")))))
   }
 
+  test("canonicalizeUrl: case, ports, tracking params, order, fragments, slashes") {
+    import graft.pipeline.Curation
+    val cases = Seq(
+      // scheme/host case + www + default port + fragment
+      "HTTPS://WWW.Example.COM:443/a/b#frag" -> "https://example.com/a/b",
+      // http default port stripped; NON-default port kept
+      "http://example.com:80/x" -> "http://example.com/x",
+      "http://example.com:8080/x" -> "http://example.com:8080/x",
+      // tracking params dropped, remainder sorted; empty query → no '?'
+      "https://e.com/p?utm_source=f&b=2&a=1" -> "https://e.com/p?a=1&b=2",
+      "https://e.com/p?utm_campaign=x&fbclid=1&gclid=2&ref=h" -> "https://e.com/p",
+      // trailing slash dropped; root collapses
+      "https://e.com/p/" -> "https://e.com/p",
+      "https://e.com/" -> "https://e.com",
+      // https :443 on a DIFFERENT scheme untouched
+      "ftp://e.com:443/f" -> "ftp://e.com:443/f")
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl($"url").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+    // the q163 property: all synthetic variants of one page collapse
+    val variants = Seq(
+      "https://e.com/page/1?b=2&a=1",
+      "HTTPS://WWW.e.com/page/1?a=1&b=2",
+      "https://e.com:443/page/1/?utm_source=x&b=2&a=1",
+      "https://e.com/page/1?a=1&b=2#frag")
+    val n = variants.toDF("url")
+      .select(Curation.canonicalizeUrl($"url").as("c"))
+      .distinct().count()
+    assert(n == 1L)
+  }
+
   test("CurationPipeline: indexed near-dedup probe == full-corpus rerun (chain-free data)") {
     import graft.pipeline.{CurationPipeline, Dedup}
     val baseA = "the cat sat on the mat and the dog ran to the park with a ball in the sun today"

@@ -385,6 +385,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(all) == rows(pq))
   }
 
+  test("residual IVF-PQ: planted twin achieves the minimal distance; codes are cell-relative") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val twin = emb.filter($"vec_id" === 0L).withColumn("vec_id", lit(-1L))
+    val corpus = emb.unionByName(twin)
+    // nProbe=1 scores only the query's own cell, so every candidate
+    // shares ONE residual ADC table: the identical twin encodes to the
+    // query's own argmin code, whose table sum is the minimum any
+    // vector in the cell can reach — it must rank FIRST (the negative
+    // twin id wins the id-asc tie-break against other vectors sharing
+    // the coarse code on this clustered corpus)
+    val own = Similarity.ivfPqTopKResidual(corpus, "vec_id", "embedding",
+        emb.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 5, m = 8, ks = 16, dim = 64, nCells = 8, nProbe = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(own.nonEmpty && own.head._1 == -1L, s"twin not rank 1: ${own.toSeq}")
+    val twinDist = own.head._2
+    assert(twinDist == own.map(_._2).min)
+    // cross-cell ADC sums come from DIFFERENT residual tables and are
+    // not mutually bounded (with untrained md5 codebooks another cell's
+    // table can sum lower) — the all-cells run must still score the
+    // twin with the IDENTICAL own-cell distance: probing changes
+    // coverage, never scoring
+    val all = Similarity.ivfPqTopKResidual(corpus, "vec_id", "embedding",
+        emb.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 600, m = 8, ks = 16, dim = 64, nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    assert(all.get(-1L).contains(twinDist), s"twin dist drifted: ${all.get(-1L)}")
+    own.foreach { case (id, d) => assert(all.get(id).contains(d)) }
+  }
+
   test("PQ ANN: engine equals a local ADC recompute; planted twin ranks first") {
     val rnd = new scala.util.Random(41)
     val dim = 32; val m = 4; val ks = 16; val sub = dim / m
