@@ -159,6 +159,24 @@ object EventStream {
       sink(survivors, batchId)
     }
 
+  /** Streaming ANN serving from a persisted
+    * [[graft.pipeline.Similarity.ivfPqWriteIndex]] index: arriving
+    * query vectors resolve top-k per micro-batch against the static
+    * code index — each batch's probed cells prune the scan exactly as
+    * in the batch path ([[graft.pipeline.Similarity.ivfPqTopKIndexed]]
+    * is reused verbatim, the cross-backend equality axiom). This is
+    * the online half of the vector-index story: build offline (one
+    * compress+route pass), serve continuously at per-batch cost
+    * proportional to the batch's probed cells. Returns the configured
+    * writer; caller sets checkpoint/trigger and starts. */
+  def annServeStream(queries: DataFrame, qIdCol: String, qVecCol: String,
+      indexPath: String, k: Int, nProbe: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    queries.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.pipeline.Similarity.ivfPqTopKIndexed(
+        batch, qIdCol, qVecCol, indexPath, k, nProbe), batchId)
+    }
+
   /** [[indexedDedupStream]] that also GROWS the index — the full
     * continuous-ingest loop, with the index append EXACTLY-ONCE under
     * micro-batch retries via the idempotent-delta + commit-log

@@ -410,6 +410,36 @@ class AdvancedSpec extends AnyFunSuite {
     assert(commits.list().filterNot(_.startsWith(".")).toSet == Set("0", "1"))
   }
 
+  test("annServeStream: per-batch top-k equals the batch path on the same index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ann_serve").toString
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", dir,
+      m = 8, ks = 16, dim = 64, nCells = 8)
+    val qRows = emb.filter($"vec_id" < 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val src = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.EventStream.annServeStream(
+        src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir, k = 3, nProbe = 2) { (res, _) =>
+        got ++= res.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.start()
+    try {
+      src.addData(qRows.take(2).toSeq: _*)
+      q.processAllAvailable()
+      src.addData(qRows.drop(2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val direct = Similarity.ivfPqTopKIndexed(
+        emb.filter($"vec_id" < 4), "vec_id", "embedding", dir, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSet == direct.toSet)
+  }
+
   test("minhashCompactIndex: folded index probes identically; deltas and commit log cleared") {
     import graft.pipeline.Dedup
     val hist = Seq(

@@ -385,6 +385,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(all) == rows(pq))
   }
 
+  test("persisted IVF-PQ index round-trips a TRAINED codebook (sidecar, not defaults)") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val trained = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, ks = 16, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_trained").toString
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", dir,
+      m = 8, ks = 16, dim = 64, nCells = 8, codebook = Some(trained))
+    val queries = emb.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // all-cells serve from the index must equal the exhaustive PQ scan
+    // under the SAME trained codebook — proving the sidecar (not the
+    // md5 default) is what the serve path decodes with
+    val served = Similarity.ivfPqTopKIndexed(queries, "vec_id", "embedding",
+      dir, k = 5, nProbe = 8)
+    val direct = Similarity.pqTopKWith(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, trained)
+    assert(rows(served).nonEmpty && rows(served) == rows(direct))
+    // and differs from the default-codebook serve (the codebook matters)
+    val dirDefault = java.nio.file.Files.createTempDirectory("ivfpq_default").toString
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", dirDefault,
+      m = 8, ks = 16, dim = 64, nCells = 8)
+    val servedDefault = Similarity.ivfPqTopKIndexed(queries, "vec_id", "embedding",
+      dirDefault, k = 5, nProbe = 8)
+    assert(rows(servedDefault) != rows(served))
+  }
+
   test("residual IVF-PQ: planted twin achieves the minimal distance; codes are cell-relative") {
     import graft.pipeline.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
