@@ -669,6 +669,56 @@ object Curation {
     }
   }
 
+  /** Per-document contamination FRACTION against a benchmark — the
+    * GPT-3/PaLM contamination accounting (score every doc by the share
+    * of its distinct word n-grams that appear anywhere in the
+    * evaluation suite), where [[decontaminateBloom]] is the
+    * binary any-overlap gate: graded scores let a pipeline drop hard
+    * contamination (frac ≥ high), flag partial (report tables), and
+    * keep incidental single-shingle hits that a binary gate would
+    * over-remove. Emits (id, n_shingles, n_hit, frac_e4) for EVERY
+    * corpus doc (docs with no shingles at this n score 0).
+    *
+    * Plan: benchmark shingles collapse to one bounded bloom sketch
+    * (job 1) whose literal probe drops clean corpus shingles map-side;
+    * only survivors reach the exact-verify join (bloom false positives
+    * killed), so the per-doc hit count is EXACT at any fpp. The doc's
+    * total distinct-shingle count rides the same explode via a
+    * conditional aggregate — one corpus pass, one bounded shuffle of
+    * (id, flags). */
+  def contaminationFraction(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int, expectedBenchShingles: Long = 1L << 16,
+      fpp: Double = 0.01): DataFrame = {
+    val bsh = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n)
+      .select(col("s")).distinct()
+    val sketchBytes = bsh
+      .agg(graft.functions.BloomSketch.sketch(col("s"), expectedBenchShingles, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // per-doc DISTINCT-shingle totals are map-only: the size of the
+    // deduped shingle array — no join, no shuffle beyond the final agg
+    val totals = Dedup.shingleArrays(corpus, idCol, textCol, n)
+      .select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
+    val hits =
+      if (sketchBytes == null) {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("id", "n_hit")
+      } else Dedup.shingleRows(corpus, idCol, textCol, n)
+        // bloom literal probe drops clean shingles MAP-SIDE — only
+        // survivors reach the exact-verify join (the q120 plan)
+        .filter(graft.functions.BloomSketch.mightContain(sketchBytes, col("s")))
+        .join(bsh, "s")
+        .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_shingles") > 0,
+          floor(coalesce(col("n_hit"), lit(0L)) * 10000.0 / col("n_shingles")))
+          .otherwise(lit(0L)).cast("long").as("frac_e4"))
+  }
+
   // ---- LM-perplexity quality filter (CCNet-style) ----
 
   /** CCNet-style language-model quality bucketing: train a pruned

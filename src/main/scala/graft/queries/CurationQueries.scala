@@ -617,6 +617,31 @@ object CurationQueries extends QueryPack {
               |WHERE d.source != 'src0' AND b.doc_id IS NULL""".stripMargin)),
 
     Query(
+      "q164_contamination_frac",
+      "Per-document contamination FRACTION (the GPT-3/PaLM accounting: share of each doc's distinct word-3-grams appearing anywhere in the benchmark; q120's bloom gate is the binary any-overlap special case): graded scores let a pipeline drop hard contamination, flag partial, and keep incidental single-shingle hits a binary gate over-removes. Per-doc totals are MAP-ONLY (the deduped shingle array's size — no join); only bloom-sketch survivors reach the exact-verify hit join (false positives killed, so the fraction is exact at any fpp). One corpus pass + one bounded (id, counts) shuffle.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.contaminationFraction(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text",
+            docs.filter(col("source") === "src0"), "doc_id", "text",
+            n = 3)
+          .filter(col("n_hit") > 0) // compact output: the scored offenders
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+              |csh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |        FROM toks, generate_series(1, 200) g(i)
+              |        WHERE source != 'src0' AND i <= len(t) - 2),
+              |bsh AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |        FROM toks, generate_series(1, 200) g(i)
+              |        WHERE source = 'src0' AND i <= len(t) - 2),
+              |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM csh GROUP BY 1),
+              |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+              |         FROM csh c JOIN bsh USING (s) GROUP BY 1)
+              |SELECT t.doc_id AS id, t.n_shingles, h.n_hit,
+              |       CAST(floor(h.n_hit * 10000.0 / t.n_shingles) AS BIGINT) AS frac_e4
+              |FROM tot t JOIN hits h USING (doc_id)""".stripMargin)),
+
+    Query(
       "q123_bpe_encode",
       "Full BPE encoding under the oracle: every document encodes map-only with the pinned 60-merge model (trained once, deterministically, by BpeTokenizer.train on the sf0.01 corpus — provenance spec-checked); the output is the global token-frequency table. The oracle replays the SAME merges as sequential per-rank non-overlapping string replaces over a '|sym||sym|' separator encoding, which equals the engine's iterative min-rank encoder because merge k's components are always products of merges < k (rank monotonicity of any trained model — property-spec'd). Token key space is structurally capped at |charset| + numMerges symbols, so the one shuffle is a broadcast-sized partial aggregate.",
       (s, dir) =>

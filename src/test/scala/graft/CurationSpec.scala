@@ -546,6 +546,34 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(r => Set("head", "middle", "tail")(r.getString(out.columns.indexOf("bucket")))))
   }
 
+  test("contaminationFraction: graded scores, zero-shingle docs, binary-gate agreement") {
+    import graft.pipeline.Curation
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),   // partial hit
+      (2L, "completely unrelated text about nothing in particular here"),
+      (3L, "the quick brown fox jumps"),                            // fully contained
+      (4L, "hi"))                                                   // too short for 3-grams
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val got = Curation.contaminationFraction(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L)._1 == 8 && got(1L)._2 == 3 && got(1L)._3 == 3750) // 3/8 shingles
+    assert(got(2L)._2 == 0 && got(2L)._3 == 0)
+    assert(got(3L) == ((3L, 3L, 10000L))) // every shingle hits
+    assert(got(4L) == ((0L, 0L, 0L)))     // no shingles -> reported, score 0
+    // agreement with the binary gate: frac > 0 <=> bloom-contaminated
+    val binary = Curation.bloomContaminationIds(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2._3 > 0).keySet == binary)
+    // empty benchmark: every doc reports, all scores 0
+    val none = Curation.contaminationFraction(corpus, "doc_id", "text",
+        bench.filter($"doc_id" < 0), "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(none.length == 4 && none.forall(t => t._2 == 0 && t._3 == 0))
+  }
+
   test("canonicalizeUrl: case, ports, tracking params, order, fragments, slashes") {
     import graft.pipeline.Curation
     val cases = Seq(
