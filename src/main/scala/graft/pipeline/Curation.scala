@@ -679,13 +679,15 @@ object Curation {
     * over-remove. Emits (id, n_shingles, n_hit, frac_e4) for EVERY
     * corpus doc (docs with no shingles at this n score 0).
     *
-    * Plan: benchmark shingles collapse to one bounded bloom sketch
-    * (job 1) whose literal probe drops clean corpus shingles map-side;
-    * only survivors reach the exact-verify join (bloom false positives
-    * killed), so the per-doc hit count is EXACT at any fpp. The doc's
-    * total distinct-shingle count rides the same explode via a
-    * conditional aggregate — one corpus pass, one bounded shuffle of
-    * (id, flags). */
+    * Plan — ONE corpus scan: benchmark shingles collapse to one
+    * bounded bloom sketch (job 1); the corpus explodes its deduped
+    * shingle array ONCE (explode_outer, so zero-shingle docs survive)
+    * carrying the map-only per-doc total, and the join key is
+    * NULLED for bloom-misses — null keys never probe the join, so
+    * only sketch survivors reach the exact-verify equality join
+    * (false positives killed ⇒ the fraction is exact at any fpp),
+    * while every row still flows to the per-doc aggregate. The only
+    * corpus-sized exchange is the final (id, counts) aggregate. */
   def contaminationFraction(
       corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
@@ -696,26 +698,25 @@ object Curation {
     val sketchBytes = bsh
       .agg(graft.functions.BloomSketch.sketch(col("s"), expectedBenchShingles, fpp).as("bf"))
       .head().getAs[Array[Byte]](0)
-    // per-doc DISTINCT-shingle totals are map-only: the size of the
-    // deduped shingle array — no join, no shuffle beyond the final agg
-    val totals = Dedup.shingleArrays(corpus, idCol, textCol, n)
-      .select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
-    val hits =
-      if (sketchBytes == null) {
-        val spark = corpus.sparkSession
-        import spark.implicits._
-        Seq.empty[(Long, Long)].toDF("id", "n_hit")
-      } else Dedup.shingleRows(corpus, idCol, textCol, n)
-        // bloom literal probe drops clean shingles MAP-SIDE — only
-        // survivors reach the exact-verify join (the q120 plan)
-        .filter(graft.functions.BloomSketch.mightContain(sketchBytes, col("s")))
-        .join(bsh, "s")
-        .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
-    totals.join(hits, Seq("id"), "left")
-      .select(col("id"), col("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+    // one corpus scan: deduped shingle array -> per-doc total rides the
+    // outer explode; zero-shingle docs keep a null row
+    val rows = Dedup.shingleArrays(corpus, idCol, textCol, n)
+      .select(col("id"), size(col("sh")).cast("long").as("__tot"),
+        explode_outer(col("sh")).as("s"))
+    val keyed =
+      if (sketchBytes == null) rows.withColumn("__k", lit(null).cast("string"))
+      // bloom-miss shingles get a NULL join key: they never probe the
+      // exact-verify join but still flow to the per-doc aggregate
+      else rows.withColumn("__k",
+        when(graft.functions.BloomSketch.mightContain(sketchBytes, col("s")), col("s")))
+    keyed
+      .join(bsh.select(col("s").as("__k"), lit(1L).as("__hit")), Seq("__k"), "left")
+      .groupBy(col("id"))
+      .agg(max(col("__tot")).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("id"), col("n_shingles"), col("n_hit"),
         when(col("n_shingles") > 0,
-          floor(coalesce(col("n_hit"), lit(0L)) * 10000.0 / col("n_shingles")))
+          floor(col("n_hit") * 10000.0 / col("n_shingles")))
           .otherwise(lit(0L)).cast("long").as("frac_e4"))
   }
 
