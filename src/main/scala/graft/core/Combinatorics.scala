@@ -18,6 +18,15 @@ object Combinatorics {
     * as structs `{_1, _2}` in local-index order (reference use:
     * `processor/test_items/NanoEventsProcessor.py:79-82`). */
   def combinations2(arr: Column): Column =
+    graft.functions.Combinations2Expr(arr)
+
+  /** The original HOF encoding of [[combinations2]] — kept as the
+    * differential-testing twin (CoreSpec pins exact equality) and as
+    * the reference semantics the codegen expression implements. The
+    * HOF chain materializes a sliced tail copy per element plus a
+    * nested array that `flatten` re-copies; the expression emits the
+    * pair array in one pass (see [[graft.functions.Combinations2Expr]]). */
+  private[graft] def combinations2Hof(arr: Column): Column =
     flatten(transform(arr, (x, i) =>
       transform(slice(arr, i + lit(2), greatest(size(arr) - i - 1, lit(0))),
         y => struct(x.as("_1"), y.as("_2")))))

@@ -1,0 +1,56 @@
+// temp dev main: codegen'd Combinations2Expr vs the HOF encoding on
+// the q22 aggregate shape — evidence for the SURVEY §8.3 delta close.
+// Usage: sbt "runMain graft.tools.ProfComb" [GRAFT_SF_DIR=…]
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{Combinatorics, SchemaBuilder, Tables}
+
+object ProfComb {
+  def main(args: Array[String]): Unit = {
+    val par = sys.env.getOrElse("GRAFT_PAR", "16")
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nested = SchemaBuilder.nestRows(
+      Tables.lineitem(spark, dir), Seq("l_orderkey"), "items",
+      Seq("l_linenumber", "l_extendedprice", "l_returnflag", "l_quantity"),
+      sortFields = Seq("l_linenumber", "l_extendedprice"))
+    def q(pairs: org.apache.spark.sql.Column) = nested
+      .select(explode(pairs).as("p"))
+      .groupBy($"p._1.l_returnflag".as("rf1"), $"p._2.l_returnflag".as("rf2"))
+      .agg(count(lit(1)).as("n"),
+        sum($"p._1.l_quantity" * $"p._2.l_quantity").as("qq"))
+    for (rep <- 1 to 3) {
+      for ((name, c) <- Seq(
+          "expr" -> Combinatorics.combinations2($"items"),
+          "hof" -> Combinatorics.combinations2Hof($"items"))) {
+        val t0 = System.nanoTime(); q(c).count()
+        println(f"$name%-5s/$rep ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+    }
+    // high-multiplicity kernel probe: k=64 struct elements per row
+    // (the PFCands-style regime where the HOF's O(k²) slice copies bite)
+    val wide = spark.range(20000).select($"id",
+      transform(sequence(lit(0), lit(63)),
+        i => struct((i * 2).as("a"), (i * 3).cast("double").as("b"))).as("items"))
+      .persist()
+    wide.count()
+    for (rep <- 1 to 3) {
+      for ((name, c) <- Seq(
+          "expr" -> Combinatorics.combinations2($"items"),
+          "hof" -> Combinatorics.combinations2Hof($"items"))) {
+        val t0 = System.nanoTime()
+        wide.select(sum(size(c))).count()
+        println(f"wide-$name%-5s/$rep ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -49,6 +49,41 @@ class CoreSpec extends AnyFunSuite {
       Seq((1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)))
   }
 
+  test("Combinations2Expr equals the HOF encoding (nulls, empties, singletons, structs)") {
+    import graft.core.Combinatorics
+    // primitive elements incl. null elements, empty, singleton, null array
+    val prim = Seq(
+      (1L, Some(Seq[java.lang.Integer](1, 2, 3))),
+      (2L, Some(Seq[java.lang.Integer](5))),
+      (3L, Some(Seq.empty[java.lang.Integer])),
+      (4L, Some(Seq[java.lang.Integer](7, null, 9, null))),
+      (5L, Option.empty[Seq[java.lang.Integer]]))
+      .toDF("id", "xs")
+    def dump(c: org.apache.spark.sql.Column) = prim
+      .select($"id", c.as("p")).orderBy($"id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null
+        else r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (Option(p.get(0)), Option(p.get(1)))))).toSeq
+    val viaExpr = dump(Combinatorics.combinations2($"xs"))
+    val viaHof = dump(Combinatorics.combinations2Hof($"xs"))
+    assert(viaExpr == viaHof, s"$viaExpr\nvs\n$viaHof")
+    assert(viaExpr(3)._2.size == 6 && viaExpr(4)._2 == null)
+    // struct elements (the jagged q22 shape) — exact aggregate equality
+    val nested = graft.core.SchemaBuilder.nestRows(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+      Seq("l_orderkey"), "items",
+      Seq("l_linenumber", "l_extendedprice", "l_returnflag", "l_quantity"),
+      sortFields = Seq("l_linenumber", "l_extendedprice"))
+    def agg(c: org.apache.spark.sql.Column) = nested
+      .select(explode(c).as("p"))
+      .groupBy($"p._1.l_returnflag", $"p._2.l_returnflag")
+      .agg(count(lit(1)), sum($"p._1.l_quantity" * $"p._2.l_quantity"))
+      .collect().map(_.toSeq).toSet
+    assert(agg(Combinatorics.combinations2($"items")) ==
+      agg(Combinatorics.combinations2Hof($"items")))
+  }
+
   test("applyLocalIndex gathers with null for negative/OOB") {
     val df = Seq((Seq(10.0, 20.0, 30.0), Seq(2, -1, 0, 99))).toDF("t", "i")
     val r = df.select(Combinatorics.applyLocalIndex($"t", $"i").as("g")).head().getSeq[Any](0)
