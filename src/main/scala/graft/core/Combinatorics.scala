@@ -32,9 +32,14 @@ object Combinatorics {
         y => struct(x.as("_1"), y.as("_2")))))
 
   /** ak.combinations(coll, 3): unordered triples `{_1, _2, _3}` in
-    * local-index order. y sits at absolute 0-based index i+1+j, so the
-    * z-slice starts at 1-based position i+j+3. */
+    * local-index order. */
   def combinations3(arr: Column): Column =
+    graft.functions.Combinations3Expr(arr)
+
+  /** HOF twin of [[combinations3]] (differential testing — see
+    * [[combinations2Hof]]). y sits at absolute 0-based index i+1+j, so
+    * the z-slice starts at 1-based position i+j+3. */
+  private[graft] def combinations3Hof(arr: Column): Column =
     flatten(flatten(transform(arr, (x, i) =>
       transform(slice(arr, i + lit(2), greatest(size(arr) - i - 1, lit(0))), (y, j) =>
         transform(

@@ -91,3 +91,73 @@ object Combinations2Expr {
       Combinations2Expr(
         org.apache.spark.sql.graft.ColumnBridge.expression(arr)))
 }
+
+/** `ak.combinations(coll, 3)`: all unordered triples `{_1, _2, _3}`
+  * in local-index order — the k=3 sibling of [[Combinations2Expr]]
+  * (the HOF encoding nested two slices and two flattens; this is one
+  * pass, one allocation). */
+case class Combinations3Expr(child: Expression) extends UnaryExpression {
+
+  private lazy val elem: ArrayType = child.dataType.asInstanceOf[ArrayType]
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_1", elem.elementType, elem.containsNull),
+    StructField("_2", elem.elementType, elem.containsNull),
+    StructField("_3", elem.elementType, elem.containsNull))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"combinations3 needs an array input, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    Combinations3Expr.triples(arr.asInstanceOf[ArrayData], elem.elementType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("elemType", elem.elementType)
+    defineCodeGen(ctx, ev, a => s"graft.functions.Combinations3Expr.triples($a, $et)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Combinations3Expr {
+
+  def triples(arr: ArrayData, et: DataType): ArrayData = {
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    require(n <= 2578, s"combinations3 over $n elements overflows the triple index")
+    val out = new Array[Any](n * (n - 1) * (n - 2) / 6)
+    var k = 0
+    var i = 0
+    while (i < n - 2) {
+      val x = if (arr.isNullAt(i)) null else arr.get(i, et)
+      var j = i + 1
+      while (j < n - 1) {
+        val y = if (arr.isNullAt(j)) null else arr.get(j, et)
+        var l = j + 1
+        while (l < n) {
+          val z = if (arr.isNullAt(l)) null else arr.get(l, et)
+          out(k) = new GenericInternalRow(Array[Any](x, y, z)): InternalRow
+          k += 1
+          l += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(arr: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      Combinations3Expr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(arr)))
+}

@@ -82,6 +82,16 @@ class CoreSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(agg(Combinatorics.combinations2($"items")) ==
       agg(Combinatorics.combinations2Hof($"items")))
+    // triples twin: same differential contract
+    def dump3(c: org.apache.spark.sql.Column) = prim
+      .select($"id", c.as("t")).orderBy($"id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null
+        else r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (Option(p.get(0)), Option(p.get(1)), Option(p.get(2)))))).toSeq
+    val t3 = dump3(Combinatorics.combinations3($"xs"))
+    assert(t3 == dump3(Combinatorics.combinations3Hof($"xs")), t3.toString)
+    assert(t3(0)._2.size == 1 && t3(3)._2.size == 4 && t3(4)._2 == null)
   }
 
   test("applyLocalIndex gathers with null for negative/OOB") {
