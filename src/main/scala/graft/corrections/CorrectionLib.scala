@@ -195,35 +195,13 @@ object CorrectionLib {
           }
           coalesce(branches ++ default: _*)
         case "formula" =>
-          val exprStr = (obj \ "expression").values.toString
-          val vars = (obj \ "variables").children.map(_.values.toString)
-          val params = obj \ "parameters" match {
-            case JNothing | JNull => Nil
-            case p => p.children.map(jNum)
-          }
-          // TFormula positional letters alias the declared variables —
-          // but a variable literally named x/y/z/t keeps its own
-          // binding (the positional alias must not shadow it).
-          val letters = vars.zip(Seq("x", "y", "z", "t")).collect {
-            case (v, l) if !vars.contains(l) => l -> inputs(v).cast("double")
-          }
+          val (exprStr, vars, params) = formulaParts(obj)
           FormulaCompiler.compile(exprStr, params,
-            (letters ++ vars.map(v => v -> inputs(v).cast("double"))).toMap)
+            formulaBindings(vars, v => inputs(v).cast("double")))
         case "formularef" =>
-          // index into the correction's generic_formulas; the node's
-          // parameters REPLACE the referenced formula's own
-          val idx = jNum(obj \ "index").toInt
-          require(idx >= 0 && idx < corr.genericFormulas.size,
-            s"${corr.name}: formularef index $idx out of range (${corr.genericFormulas.size} generic formulas)")
-          val params = (obj \ "parameters").children.map(jNum)
-          val f = corr.genericFormulas(idx)
-          val exprStr = (f \ "expression").values.toString
-          val vars = (f \ "variables").children.map(_.values.toString)
-          val letters = vars.zip(Seq("x", "y", "z", "t")).collect {
-            case (v, l) if !vars.contains(l) => l -> inputs(v).cast("double")
-          }
+          val (exprStr, vars, params) = resolveFormulaRef(corr, obj)
           FormulaCompiler.compile(exprStr, params,
-            (letters ++ vars.map(v => v -> inputs(v).cast("double"))).toMap)
+            formulaBindings(vars, v => inputs(v).cast("double")))
         case "transform" =>
           // evaluate `rule` under the current binding, then evaluate
           // `content` with the named input rebound to that value (the
@@ -300,30 +278,11 @@ object CorrectionLib {
           }
           s"(CASE ${branches.mkString(" ")}$default END)"
         case "formula" =>
-          val exprStr = (obj \ "expression").values.toString
-          val vars = (obj \ "variables").children.map(_.values.toString)
-          val params = obj \ "parameters" match {
-            case JNothing | JNull => Nil
-            case p => p.children.map(jNum)
-          }
-          val letters = vars.zip(Seq("x", "y", "z", "t")).collect {
-            case (v, l) if !vars.contains(l) => l -> inputs(v)
-          }
-          FormulaCompiler.toSql(exprStr, params,
-            (letters ++ vars.map(v => v -> inputs(v))).toMap)
+          val (exprStr, vars, params) = formulaParts(obj)
+          FormulaCompiler.toSql(exprStr, params, formulaBindings(vars, inputs))
         case "formularef" =>
-          val idx = jNum(obj \ "index").toInt
-          require(idx >= 0 && idx < corr.genericFormulas.size,
-            s"${corr.name}: formularef index $idx out of range")
-          val params = (obj \ "parameters").children.map(jNum)
-          val f = corr.genericFormulas(idx)
-          val exprStr = (f \ "expression").values.toString
-          val vars = (f \ "variables").children.map(_.values.toString)
-          val letters = vars.zip(Seq("x", "y", "z", "t")).collect {
-            case (v, l) if !vars.contains(l) => l -> inputs(v)
-          }
-          FormulaCompiler.toSql(exprStr, params,
-            (letters ++ vars.map(v => v -> inputs(v))).toMap)
+          val (exprStr, vars, params) = resolveFormulaRef(corr, obj)
+          FormulaCompiler.toSql(exprStr, params, formulaBindings(vars, inputs))
         case "transform" =>
           val name = (obj \ "input").values.toString
           require(inputs.contains(name), s"unbound transform input '$name'")
@@ -335,6 +294,41 @@ object CorrectionLib {
     }
     }
     goIn(corr.data, inputs)
+  }
+
+  /** (expression, variables, parameters) of a `formula` node. */
+  private def formulaParts(obj: JValue): (String, Seq[String], Seq[Double]) =
+    ((obj \ "expression").values.toString,
+      (obj \ "variables").children.map(_.values.toString),
+      obj \ "parameters" match {
+        case JNothing | JNull => Nil
+        case p => p.children.map(jNum)
+      })
+
+  /** Resolve a `formularef` node: the referenced generic formula's
+    * expression/variables with the NODE's parameters (per-site
+    * override — the schema-v2 contract). */
+  private def resolveFormulaRef(corr: Correction, obj: JValue)
+      : (String, Seq[String], Seq[Double]) = {
+    val idx = jNum(obj \ "index").toInt
+    require(idx >= 0 && idx < corr.genericFormulas.size,
+      s"${corr.name}: formularef index $idx out of range (${corr.genericFormulas.size} generic formulas)")
+    val f = corr.genericFormulas(idx)
+    ((f \ "expression").values.toString,
+      (f \ "variables").children.map(_.values.toString),
+      (obj \ "parameters").children.map(jNum))
+  }
+
+  /** TFormula variable bindings, ONE implementation for formula AND
+    * formularef on BOTH renderers (the rule must never desynchronize
+    * an expression from its oracle mirror): positional letters x/y/z/t
+    * alias the declared variables, but a variable literally named
+    * x/y/z/t keeps its own binding (the alias must not shadow it). */
+  private def formulaBindings[A](vars: Seq[String], bind: String => A): Map[String, A] = {
+    val letters = vars.zip(Seq("x", "y", "z", "t")).collect {
+      case (v, l) if !vars.contains(l) => l -> bind(v)
+    }
+    (letters ++ vars.map(v => v -> bind(v))).toMap
   }
 
   private def input(obj: JValue, inputs: Map[String, Column]): Column = {

@@ -66,10 +66,12 @@ object Combinations2Expr {
   def pairs(arr: ArrayData, et: DataType): ArrayData = {
     val n = arr.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    // n(n-1)/2 must stay an Int — 65k elements is far beyond any
-    // per-event multiplicity this targets; fail loudly, never wrap
-    require(n <= 65535, s"combinations2 over $n elements overflows the pair index")
-    val out = new Array[Any](n * (n - 1) / 2)
+    // count the pairs in Long: n(n-1) already wraps Int at n=46342,
+    // inside a naive n-cap — the guard must use the REAL pair count
+    val m = n.toLong * (n - 1) / 2
+    require(m <= Int.MaxValue,
+      s"combinations2 over $n elements yields $m pairs — not materializable")
+    val out = new Array[Any](m.toInt)
     var k = 0
     var i = 0
     while (i < n - 1) {
@@ -133,8 +135,12 @@ object Combinations3Expr {
   def triples(arr: ArrayData, et: DataType): ArrayData = {
     val n = arr.numElements()
     if (n < 3) return new GenericArrayData(Array.empty[Any])
-    require(n <= 2578, s"combinations3 over $n elements overflows the triple index")
-    val out = new Array[Any](n * (n - 1) * (n - 2) / 6)
+    // Long count: n(n-1)(n-2) wraps Int from n=1292 — the guard must
+    // bound the REAL triple count, not a wrap-prone n heuristic
+    val m = n.toLong * (n - 1) * (n - 2) / 6
+    require(m <= Int.MaxValue,
+      s"combinations3 over $n elements yields $m triples — not materializable")
+    val out = new Array[Any](m.toInt)
     var k = 0
     var i = 0
     while (i < n - 2) {

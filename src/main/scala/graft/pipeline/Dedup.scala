@@ -615,8 +615,14 @@ object Dedup {
     val neededKeys = needed.map { case (b, s) => s"${b}_$s" }.toSeq
     // one read per root (multi-root partition discovery rejects the
     // data/ + delta/batch=N sibling layout); the grid predicate pushes
-    // through the Union into every root's partition pruning
-    val pruned = (s"$path/data" +: extraDataPaths)
+    // through the Union into every root's partition pruning. Roots
+    // without any data file (a missing or empty directory — e.g. a
+    // manually truncated delta) are skipped instead of failing schema
+    // inference for the whole probe.
+    val roots = (s"$path/data" +: extraDataPaths)
+      .filter(p => hasParquetData(spark, p))
+    require(roots.nonEmpty, s"index at $path has no readable data files")
+    val pruned = roots
       .map(p => spark.read.parquet(p)
         .select(col("band"), col("sp"), col("sig"), col("id"), col("mh")))
       .reduce(_.unionByName(_))
@@ -630,14 +636,23 @@ object Dedup {
       .distinct()
   }
 
-  /** Append one ingest batch's signatures to a [[minhashWriteIndex]]
-    * index as an IDEMPOTENT per-batch delta: the rows land in
-    * `path/delta/batch=<id>` (same (band, sp) partition layout as the
-    * base, overwrite mode — a retried batch rewrites the same
-    * directory, never duplicates). Probe via
-    * [[minhashDedupIndexedPaths]] with the COMMITTED delta dirs; the
-    * commit protocol lives in
-    * [[graft.streaming.EventStream.indexedDedupIngestStream]]. */
+  /** True when `p` is a directory holding at least one data file
+    * (recursing into partition subdirectories) — the guard that keeps
+    * a missing or data-less root (e.g. a truncated delta) from failing
+    * parquet schema inference for a whole multi-root probe. */
+  private def hasParquetData(spark: org.apache.spark.sql.SparkSession,
+      p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def scan(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists { st =>
+        if (st.isDirectory) scan(st.getPath)
+        else st.getLen > 0 && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")
+      }
+    fs.exists(path) && scan(path)
+  }
+
   /** Fold every COMMITTED ingest delta into the base index — the
     * offline maintenance pass that keeps probe cost at one root after
     * a long [[graft.streaming.EventStream.indexedDedupIngestStream]]
@@ -660,7 +675,8 @@ object Dedup {
           .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption).sorted
       else Nil
     if (committed.isEmpty) return 0
-    val roots = s"$path/data" +: committed.map(i => s"$path/delta/batch=$i")
+    val roots = (s"$path/data" +: committed.map(i => s"$path/delta/batch=$i"))
+      .filter(p => hasParquetData(spark, p))
     val all = roots
       .map(p => spark.read.parquet(p)
         .select(col("band"), col("sp"), col("sig"), col("id"), col("mh")))
@@ -679,6 +695,18 @@ object Dedup {
     committed.size
   }
 
+  /** Append one ingest batch's signatures to a [[minhashWriteIndex]]
+    * index as an IDEMPOTENT per-batch delta: the rows land in
+    * `path/delta/batch=<id>` (same (band, sp) partition layout as the
+    * base, overwrite mode — a retried batch rewrites the same
+    * directory, never duplicates). Callers must not append an EMPTY
+    * batch (a data-less partitioned dir breaks schema inference for
+    * anyone reading it directly; the ingest stream skips the append,
+    * and [[minhashDedupIndexedPaths]]/[[minhashCompactIndex]] skip
+    * data-less roots defensively). Probe via
+    * [[minhashDedupIndexedPaths]] with the COMMITTED delta dirs; the
+    * commit protocol lives in
+    * [[graft.streaming.EventStream.indexedDedupIngestStream]]. */
   def minhashAppendDelta(df: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long): String = {
     val spark = df.sparkSession

@@ -319,6 +319,14 @@ object Similarity {
     * bit-identical to an oracle that ranks raw dot products). Ties
     * break to the lowest cell index. */
   private def argmaxCellUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    argmaxCell(v.toArray, cents)
+  }
+
+  /** Raw-dot argmax cell (ties -> lowest index) — ONE implementation
+    * for every route/encode site: the cross-path equality specs
+    * (indexed == in-memory, encode cell == route cell) rest on these
+    * loops being bit-identical. */
+  private[pipeline] def argmaxCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestDot = Double.NegativeInfinity
     var ci = 0
     while (ci < cents.length) {
@@ -330,6 +338,20 @@ object Similarity {
       ci += 1
     }
     best
+  }
+
+  /** A query's nProbe best cells by raw dot (ties -> lowest cell) —
+    * the shared probe loop of the IVF-PQ family ([[argmaxCell]]'s
+    * bit-identity note applies equally here). */
+  private[pipeline] def probedCellsFor(qv: Array[Double],
+      cents: Array[Array[Double]], nProbe: Int): Array[Int] = {
+    val scored = cents.zipWithIndex.map { case (cv, ci) =>
+      var s = 0.0; var i = 0
+      val d = math.min(qv.length, cv.length)
+      while (i < d) { s += qv(i) * cv(i); i += 1 }
+      (s, ci)
+    }
+    scored.sortBy { case (sc, ci) => (-sc, ci) }.take(nProbe).map(_._2)
   }
 
   /** Map-only coarse-cell assignment against an explicit codebook
@@ -677,14 +699,7 @@ object Similarity {
     // and its ADC distance table
     val qSide = qs.map { case (qid, qv0) =>
       val qv = qv0.toArray
-      val scored = cents.zipWithIndex.map { case (cv, ci) =>
-        var s = 0.0; var i = 0
-        val d = math.min(qv.length, cv.length)
-        while (i < d) { s += qv(i) * cv(i); i += 1 }
-        (s, ci)
-      }
-      val probed = scored.sortBy { case (s, ci) => (-s, ci) }
-        .take(nProbe).map(_._2).toSet
+      val probed = probedCellsFor(qv, cents, nProbe).toSet
       (qid, probed, pqDistTable(cb, qv))
     }
     val bc = spark.sparkContext.broadcast(qSide)
@@ -749,31 +764,15 @@ object Similarity {
     // per query: its nProbe best cells and one residual ADC table per cell
     val qSide = qs.map { case (qid, qv0) =>
       val qv = qv0.toArray
-      val scored = cents.zipWithIndex.map { case (cv, ci) =>
-        var s = 0.0; var i = 0
-        val d = math.min(qv.length, cv.length)
-        while (i < d) { s += qv(i) * cv(i); i += 1 }
-        (s, ci)
-      }
-      val probed = scored.sortBy { case (s, ci) => (-s, ci) }
-        .take(nProbe).map(_._2)
+      val probed = probedCellsFor(qv, cents, nProbe)
       (qid, probed.map(c => c -> pqDistTable(cb, residual(qv, c))).toMap)
     }
     val bc = spark.sparkContext.broadcast(qSide)
     val encU = udf { (v: Seq[Double]) =>
       val va = v.toArray
-      // own cell by raw-dot argmax (ties → lowest index), then the
-      // code quantizes THIS cell's residual
-      var best = 0; var bestDot = Double.NegativeInfinity
-      var ci = 0
-      while (ci < cents.length) {
-        val cv = cents(ci)
-        var s = 0.0; var i = 0
-        val d = math.min(va.length, cv.length)
-        while (i < d) { s += va(i) * cv(i); i += 1 }
-        if (s > bestDot) { bestDot = s; best = ci }
-        ci += 1
-      }
+      // own cell by the SHARED raw-dot argmax (ties → lowest index),
+      // then the code quantizes THIS cell's residual
+      val best = argmaxCell(va, cents)
       val code = pqDistTable(cb, residual(va, best)).map { row =>
         var bj = 0; var bd = Long.MaxValue
         var j = 0
@@ -846,21 +845,48 @@ object Similarity {
     * unprobed cell directories prune at file-listing time, and (b) the
     * corpus is already m-byte codes — the serve scan is ADC adds over
     * ~nProbe/nCells of the code bytes, no re-encode, no vector I/O. */
+  /** Preloaded serve state of an [[ivfPqWriteIndex]] index: meta +
+    * codebook read ONCE (two driver-side jobs + a bounded collect) and
+    * reused across calls — the continuous-serving path
+    * ([[graft.streaming.EventStream.annServeStream]]) would otherwise
+    * pay those fixed reads per micro-batch. */
+  final case class IvfPqIndex(path: String, m: Int, ks: Int, dim: Int,
+      nCells: Int, codebook: Array[Array[Array[Double]]]) {
+    /** md5 router centroids (deterministic from meta — cached here). */
+    @transient lazy val centroids: Array[Array[Double]] = md5Centroids(nCells, dim)
+  }
+
+  /** Load an [[ivfPqWriteIndex]] index's serve state. */
+  def ivfPqLoadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, ks, dim, nCells) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val cb = Array.ofDim[Array[Double]](m, ks)
+    spark.read.parquet(s"$path/codebook").collect() // bounded: m×ks rows
+      .foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    IvfPqIndex(path, m, ks, dim, nCells, cb)
+  }
+
   def ivfPqTopKIndexed(queries: DataFrame, qIdCol: String, qVecCol: String,
       path: String, k: Int, nProbe: Int,
+      maxQueryRows: Int = 100000): DataFrame =
+    ivfPqTopKIndexedWith(queries, qIdCol, qVecCol,
+      ivfPqLoadIndex(queries.sparkSession, path), k, nProbe, maxQueryRows)
+
+  /** [[ivfPqTopKIndexed]] against a preloaded [[IvfPqIndex]]. */
+  def ivfPqTopKIndexedWith(queries: DataFrame, qIdCol: String, qVecCol: String,
+      index: IvfPqIndex, k: Int, nProbe: Int,
       maxQueryRows: Int = 100000): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = queries.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val (m, ks, dim, nCells) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val path = index.path
+    val nCells = index.nCells
     require(nProbe > 0 && nProbe <= nCells,
       s"need 0 < nProbe <= $nCells (got $nProbe)")
-    val cb = Array.ofDim[Array[Double]](m, ks)
-    spark.read.parquet(s"$path/codebook").collect() // bounded: m×ks rows
-      .foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-    val cents = md5Centroids(nCells, dim)
+    val cb = index.codebook
+    val cents = index.centroids
     val qs = queries.select(col(qIdCol).cast("long").as("qid"),
         widen(col(qVecCol)).as("qv"))
       .as[(Long, Seq[Double])].limit(maxQueryRows + 1).collect()
@@ -868,14 +894,7 @@ object Similarity {
       s"query set exceeds $maxQueryRows rows — split it")
     val qSide = qs.map { case (qid, qv0) =>
       val qv = qv0.toArray
-      val scored = cents.zipWithIndex.map { case (cv, ci) =>
-        var s = 0.0; var i = 0
-        val d = math.min(qv.length, cv.length)
-        while (i < d) { s += qv(i) * cv(i); i += 1 }
-        (s, ci)
-      }
-      val probed = scored.sortBy { case (s, ci) => (-s, ci) }
-        .take(nProbe).map(_._2).toSet
+      val probed = probedCellsFor(qv, cents, nProbe).toSet
       (qid, probed, pqDistTable(cb, qv))
     }
     val needed = qSide.iterator.flatMap(_._2).toArray.distinct.sorted

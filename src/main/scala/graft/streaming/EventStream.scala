@@ -171,11 +171,17 @@ object EventStream {
     * writer; caller sets checkpoint/trigger and starts. */
   def annServeStream(queries: DataFrame, qIdCol: String, qVecCol: String,
       indexPath: String, k: Int, nProbe: Int)(
-      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // meta + codebook load ONCE, outside the per-batch closure — a
+    // sub-second-trigger serve stream must not pay two driver jobs and
+    // a codebook collect per batch for immutable sidecars
+    val index = graft.pipeline.Similarity.ivfPqLoadIndex(
+      queries.sparkSession, indexPath)
     queries.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sink(graft.pipeline.Similarity.ivfPqTopKIndexed(
-        batch, qIdCol, qVecCol, indexPath, k, nProbe), batchId)
+      sink(graft.pipeline.Similarity.ivfPqTopKIndexedWith(
+        batch, qIdCol, qVecCol, index, k, nProbe), batchId)
     }
+  }
 
   /** [[indexedDedupStream]] that also GROWS the index — the full
     * continuous-ingest loop, with the index append EXACTLY-ONCE under
@@ -223,7 +229,12 @@ object EventStream {
         .persist() // consumed twice below: sink + delta write
       try {
         sink(survivors, batchId)
-        if (!committed.contains(batchId)) {
+        // zero-survivor batches write NOTHING: an empty partitionBy
+        // parquet dir has no data files and would poison every later
+        // probe ('unable to infer schema') the moment it was committed
+        // — and there are no signatures to add anyway. Replays of such
+        // a batch recompute from scratch (no state, still idempotent).
+        if (!committed.contains(batchId) && !survivors.isEmpty) {
           graft.pipeline.Dedup.minhashAppendDelta(
             survivors, idCol, textCol, indexPath, batchId)
           // marker write is the commit point (created empty, atomically

@@ -396,6 +396,18 @@ class AdvancedSpec extends AnyFunSuite {
         (302L, "yet another unrelated document body entirely"))
       q2.processAllAvailable()
       assert(sunk(1L) == Set(302L), sunk.toString)
+      // batch 2: EVERY doc duplicates history — zero survivors. The
+      // stream must write NO delta and NO commit marker (an empty
+      // partitioned parquet dir would poison every later probe with
+      // 'unable to infer schema'), and batch 3 must still work.
+      src.addData((401L, freshText),
+        (402L, "alpha beta gamma delta epsilon zeta"))
+      q2.processAllAvailable()
+      assert(sunk(2L) == Set.empty[Long], sunk.toString)
+      assert(!new java.io.File(s"$dir/delta/batch=2").exists())
+      src.addData((501L, "a genuinely fresh document after the empty batch"))
+      q2.processAllAvailable()
+      assert(sunk(3L) == Set(501L), sunk.toString)
     } finally q2.stop()
     // exactly-once on disk: batch 0's delta holds its 2 survivors once
     // (8 bands x 2 docs), and a replayed append overwrites, not appends
@@ -406,8 +418,9 @@ class AdvancedSpec extends AnyFunSuite {
       Seq((202L, freshText), (203L, freshText)).toDF("doc_id", "text"),
       "doc_id", "text", dir, batchId = 0L)
     assert(spark.read.parquet(s"$dir/delta/batch=0").count() == 16L)
-    // ignore Hadoop LocalFileSystem .crc sidecars
-    assert(commits.list().filterNot(_.startsWith(".")).toSet == Set("0", "1"))
+    // ignore Hadoop LocalFileSystem .crc sidecars; batch 2 (zero
+    // survivors) must NOT have committed
+    assert(commits.list().filterNot(_.startsWith(".")).toSet == Set("0", "1", "3"))
   }
 
   test("annServeStream: per-batch top-k equals the batch path on the same index") {
