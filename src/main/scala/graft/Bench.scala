@@ -130,10 +130,18 @@ object Bench {
     // (the entries a perf reader wants first), plus the full-map file
     // pointer. Printed LAST so "last parseable JSON line" == this one.
     if (aggregate.length > 1800) {
-      val slow = results.filterNot(_._5).sortBy(-_._2).take(20)
+      val slowest = results.filterNot(_._5).sortBy(-_._2)
+      val slow = slowest.take(20)
         .map { case (k, v, _, _, _) => jsonStr(k) + ":" + fmt(v) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","errors":$errs,"n_queries":${results.length},"queries_shown":"slowest20","full_queries_file":${jsonStr(outPath)}}""")
+      // min/max/reps for the slowest 10 ride the parseable short line
+      // too (the full map is file-only): a contended window must be
+      // diagnosable from the driver's parsed artifact alone
+      val slowDetail = slowest.take(10)
+        .map { case (k, v, mx, n, _) =>
+          jsonStr(k) + s""":{"min":${fmt(v)},"max":${fmt(mx)},"reps":$n}""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"detail10":$slowDetail,"sf":"$sfDir","errors":$errs,"n_queries":${results.length},"queries_shown":"slowest20","full_queries_file":${jsonStr(outPath)}}""")
     }
     Console.out.flush()
   }
