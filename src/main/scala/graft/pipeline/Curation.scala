@@ -156,6 +156,37 @@ object Curation {
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
 
+  /** Credential/secret detectors for CODE corpora — the BigCode/
+    * StarCoder-class redaction step, distinct from [[piiCounts]]'s
+    * natural-language PII: vendor-prefixed tokens are matched by their
+    * PUBLISHED formats (AWS `AKIA…`, GitHub `ghp_…`, Slack `xox…`,
+    * PEM private-key headers) plus a conservative assigned-secret
+    * pattern (`key=<long token>`). All RE2-portable (no lookarounds,
+    * no backrefs), codegen'd `regexp_count`/`regexp_replace` — the
+    * map-only scan-stage shape every gate in this file uses. High-
+    * entropy heuristics are deliberately absent: at 100 TB a false
+    * positive destroys data; extend the vendor list instead. */
+  private val secretPatterns: Seq[(String, String)] = Seq(
+    "aws" -> "AKIA[0-9A-Z]{16}",
+    "github" -> "ghp_[A-Za-z0-9]{36}",
+    "slack" -> "xox[baprs]-[0-9A-Za-z-]{10,}",
+    "pem" -> "-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "assigned" -> "(?i)(api_key|secret|token|password)=[A-Za-z0-9+/]{12,}")
+
+  /** Per-class secret match counts: columns `n_<class>` (see
+    * [[secretPatterns]]). */
+  def secretSignals(text: Column): Seq[Column] =
+    secretPatterns.map { case (name, re) =>
+      regexp_count(text, lit(re)).cast("long").as(s"n_$name") }
+
+  /** Text with every secret match replaced by `<CLASS>` — order
+    * matters only across overlapping classes (vendor prefixes fire
+    * before the generic assigned-secret rule, so a `token=ghp_…`
+    * redacts as GITHUB, the specific class). */
+  def redactSecrets(text: Column): Column =
+    secretPatterns.foldLeft(text) { case (t, (name, re)) =>
+      regexp_replace(t, re, s"<${name.toUpperCase}>") }
+
   /** Canonical URL for dedup keying — the crawl-curation normalizer
     * (two fetches of the same page routinely differ in scheme/host
     * case, default ports, tracking parameters, parameter order,
