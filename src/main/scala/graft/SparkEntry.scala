@@ -16,7 +16,8 @@ object SparkEntry {
     _root_.graft.queries.CorrectionsQueries,
     _root_.graft.queries.PipelineQueries,
     _root_.graft.queries.CurationQueries,
-    _root_.graft.queries.TreeLumiQueries
+    _root_.graft.queries.TreeLumiQueries,
+    _root_.graft.queries.GoldenQueries
   )
 
   private lazy val registry: Seq[Query] = {

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Query, QueryPack}
+import graft.core.{Combinatorics, Histogram, Kinematics, SchemaBuilder}
+
+/** Golden-sample parity: the engine runs on the REFERENCE'S OWN test
+  * files and must reproduce the REFERENCE'S OWN asserted numbers.
+  *
+  * The reference's canonical end-to-end analysis test
+  * (`tests/test_local_executors.py:52-100`) feeds
+  * `tests/samples/nano_dy.parquet` (dataset "ZJets") and
+  * `tests/samples/nano_dimuon.parquet` (dataset "Data") through
+  * `NanoEventsProcessor` (`src/coffea/processor/test_items/
+  * NanoEventsProcessor.py:66-87`): all muons, `ak.combinations(Muon, 2)`,
+  * 4-vector pair sum, and asserts the cutflow integers
+  *
+  *   ZJets_pt = 18, ZJets_mass = 6, Data_pt = 84, Data_mass = 66
+  *
+  * plus fills of 30000-bin pt/mass histogram axes
+  * (`NanoEventsProcessor.py:25-31`: pt Regular(30000, 0.24, 300),
+  * mass Regular(30000, 0.25, 300)).
+  *
+  * These two queries re-express that exact analysis Spark-first (pruned
+  * columnar scan → `autoSchema` zip → codegen'd `Combinations2Expr` →
+  * `Kinematics.invariantMass` → one aggregation) over the real files —
+  * the one cross-engine check the synthetic TPC-H oracle cannot provide.
+  * The DuckDB oracle replays the same analysis independently from the
+  * same files; [[GoldenParitySpec]] additionally pins the four coffea
+  * integers verbatim.
+  *
+  * Scale note: the scan is column-pruned to 4 of the file's 1,499
+  * branches (ReadSchema carries only Muon_{pt,eta,phi,mass}) and
+  * everything between scan and the final tiny aggregation is per-row
+  * array math — the identical plan shape the engine uses for NanoAOD at
+  * any number of files.
+  */
+object GoldenQueries extends QueryPack {
+
+  /** The reference's checked-in sample files (read-only input). */
+  val sampleDir = "/root/reference/tests/samples"
+  val goldenFiles: Seq[(String, String)] = Seq(
+    "ZJets" -> s"$sampleDir/nano_dy.parquet",
+    "Data" -> s"$sampleDir/nano_dimuon.parquet")
+
+  /** Pruned scan + NanoAOD zip: only the four Muon kinematics branches
+    * reach the parquet reader; `autoSchema` groups them into
+    * `Muon: array<struct<eta,mass,phi,pt>>` (fields name-sorted). */
+  def muonEvents(s: SparkSession, path: String): DataFrame =
+    SchemaBuilder.autoSchema(
+      s.read.parquet(path).select("Muon_pt", "Muon_eta", "Muon_phi", "Muon_mass"))
+
+  /** Muon structs → pt/eta/phi/mass 4-vectors (float32 branches cast to
+    * double once, so all downstream math is double on both engines). */
+  def muonVectors(muon: Column): Column =
+    transform(muon, m => Kinematics.ptEtaPhiM(
+      m("pt").cast("double"), m("eta").cast("double"),
+      m("phi").cast("double"), m("mass").cast("double")))
+
+  /** Per-event dimuon pair masses: `ak.combinations(Muon, 2)` then the
+    * invariant mass of each pair (NanoEventsProcessor.py:79-82). */
+  def pairMasses(muon: Column): Column =
+    transform(Combinatorics.combinations2(muonVectors(muon)),
+      p => Kinematics.invariantMass(p("_1"), p("_2")))
+
+  // Reference histogram axes (NanoEventsProcessor.py:28-31).
+  private val PtAxis = (0.24, 300.0, 30000)
+  private val MassAxis = (0.25, 300.0, 30000)
+
+  // DuckDB replay of the same analysis from the same files: unnest all
+  // unordered index pairs (i<j) per event via nested generate_series
+  // list comprehension, then the identical double-precision mass
+  // formula (sinh is spelled (exp(x)-exp(-x))/2 — DuckDB has no sinh).
+  private def oracleCte: String =
+    s"""WITH z AS (
+       |  SELECT 'ZJets' AS dataset, Muon_pt AS pt, Muon_eta AS eta, Muon_phi AS phi, Muon_mass AS mass
+       |  FROM read_parquet('$sampleDir/nano_dy.parquet')
+       |  UNION ALL
+       |  SELECT 'Data', Muon_pt, Muon_eta, Muon_phi, Muon_mass
+       |  FROM read_parquet('$sampleDir/nano_dimuon.parquet')
+       |),
+       |e AS (SELECT dataset, pt, eta, phi, mass, len(pt) AS n FROM z),
+       |pr0 AS (
+       |  SELECT dataset, pt, eta, phi, mass,
+       |    unnest(flatten(list_transform(generate_series(1, n-1), i ->
+       |      list_transform(generate_series(i+1, n), j -> {'a': i, 'b': j})))) AS p
+       |  FROM e
+       |),
+       |prs AS (
+       |  SELECT dataset,
+       |    CAST(pt[p.a] AS DOUBLE) AS pt1, CAST(eta[p.a] AS DOUBLE) AS eta1,
+       |    CAST(phi[p.a] AS DOUBLE) AS phi1, CAST(mass[p.a] AS DOUBLE) AS m1,
+       |    CAST(pt[p.b] AS DOUBLE) AS pt2, CAST(eta[p.b] AS DOUBLE) AS eta2,
+       |    CAST(phi[p.b] AS DOUBLE) AS phi2, CAST(mass[p.b] AS DOUBLE) AS m2
+       |  FROM pr0
+       |),
+       |pm AS (
+       |  SELECT dataset, sqrt(greatest(
+       |    m1*m1 + m2*m2 + 2.0 * (
+       |      sqrt(m1*m1 + pt1*pt1 + (pt1*(exp(eta1)-exp(-eta1))/2)*(pt1*(exp(eta1)-exp(-eta1))/2)) *
+       |      sqrt(m2*m2 + pt2*pt2 + (pt2*(exp(eta2)-exp(-eta2))/2)*(pt2*(exp(eta2)-exp(-eta2))/2)) -
+       |      (pt1*cos(phi1)*pt2*cos(phi2) + pt1*sin(phi1)*pt2*sin(phi2) +
+       |       pt1*(exp(eta1)-exp(-eta1))/2*pt2*(exp(eta2)-exp(-eta2))/2)), 0.0)) AS m
+       |  FROM prs
+       |)""".stripMargin
+
+  def queries: Seq[Query] = Seq(
+
+    Query(
+      "q166_golden_dimuon",
+      "Golden-sample parity (tests/test_local_executors.py:95-100): the reference's own nano_dy/nano_dimuon parquet through the NanoEventsProcessor analysis (all muons, combinations(2), pair invariant mass). cutflow_pt/cutflow_mass ARE coffea's asserted integers (ZJets 18/6, Data 84/66 — pinned verbatim in GoldenParitySpec); the quantized pt/mass sums pin the full float pipeline. Oracle replays the identical analysis from the identical files in DuckDB.",
+      (s, _) => {
+        val perDs = goldenFiles.map { case (ds, path) =>
+          muonEvents(s, path)
+            .select(
+              size(col("Muon")).cast("long").as("npt"),
+              pairMasses(col("Muon")).as("masses"),
+              aggregate(col("Muon"), lit(0.0),
+                (a, m) => a + m("pt").cast("double")).as("ptsum"))
+            .agg(
+              sum(col("npt")).as("cutflow_pt"),
+              sum(size(col("masses")).cast("long")).as("cutflow_mass"),
+              e4(sum(col("ptsum"))).as("sum_pt_e4"),
+              e4(sum(aggregate(col("masses"), lit(0.0), _ + _))).as("sum_mass_e4"))
+            .select(lit(ds).as("dataset"), col("cutflow_pt"),
+              col("cutflow_mass"), col("sum_pt_e4"), col("sum_mass_e4"))
+        }
+        perDs.reduce(_ unionAll _)
+      },
+      Some(
+        s"""$oracleCte,
+           |cut AS (
+           |  SELECT dataset, CAST(sum(n) AS BIGINT) AS cutflow_pt,
+           |    CAST(sum(n*(n-1)//2) AS BIGINT) AS cutflow_mass,
+           |    CAST(floor(coalesce(sum(list_sum(list_transform(pt, x -> CAST(x AS DOUBLE)))), 0) * 10000 + 0.5) AS BIGINT) AS sum_pt_e4
+           |  FROM e GROUP BY dataset)
+           |SELECT c.dataset, c.cutflow_pt, c.cutflow_mass, c.sum_pt_e4,
+           |  CAST(floor(p.s * 10000 + 0.5) AS BIGINT) AS sum_mass_e4
+           |FROM cut c JOIN (SELECT dataset, sum(m) AS s FROM pm GROUP BY dataset) p USING (dataset)""".stripMargin)),
+
+    Query(
+      "q167_golden_masshist",
+      "Golden-sample histogram parity (NanoEventsProcessor.py:25-31,84-85): the 30000-bin Regular pt (0.24,300) and dimuon-mass (0.25,300) axes filled from the reference's own sample files; output is the occupied (dataset, axis, bin) counts — the exact fills behind the asserted cutflow. Bin totals equal the cutflow integers (pinned in GoldenParitySpec).",
+      (s, _) => {
+        val perDs = goldenFiles.map { case (ds, path) =>
+          val ev = muonEvents(s, path)
+          val pt = ev.select(explode(col("Muon")).as("m"))
+            .select(lit(ds).as("dataset"), lit("pt").as("axis"),
+              Histogram.bucket(col("m.pt").cast("double"),
+                PtAxis._1, PtAxis._2, PtAxis._3).as("bin"))
+          val mass = ev.select(explode(pairMasses(col("Muon"))).as("m"))
+            .select(lit(ds).as("dataset"), lit("mass").as("axis"),
+              Histogram.bucket(col("m"),
+                MassAxis._1, MassAxis._2, MassAxis._3).as("bin"))
+          pt.unionAll(mass)
+        }
+        perDs.reduce(_ unionAll _)
+          .groupBy("dataset", "axis", "bin")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(
+        s"""$oracleCte,
+           |fills AS (
+           |  SELECT dataset, 'pt' AS axis,
+           |    ${Histogram.bucketSql("CAST(u.x AS DOUBLE)", 0.24, 300.0, 30000)} AS bin
+           |  FROM (SELECT dataset, unnest(pt) AS x FROM e) u(dataset, x)
+           |  UNION ALL
+           |  SELECT dataset, 'mass' AS axis,
+           |    ${Histogram.bucketSql("m", 0.25, 300.0, 30000)} AS bin
+           |  FROM pm)
+           |SELECT dataset, axis, bin, count(*) AS n
+           |FROM fills GROUP BY dataset, axis, bin""".stripMargin))
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.GoldenQueries
+
+/** Cross-engine parity on the REFERENCE'S OWN data and numbers.
+  *
+  * The reference asserts these integers about its own sample files
+  * (`tests/test_local_executors.py:95-100`, via the canonical dimuon
+  * processor `src/coffea/processor/test_items/NanoEventsProcessor.py:66-87`):
+  *
+  *   ZJets_pt = 18, ZJets_mass = 6   (nano_dy.parquet, 40 events)
+  *   Data_pt  = 84, Data_mass = 66   (nano_dimuon.parquet, 40 events)
+  *
+  * This spec runs the engine's own q166/q167 plans over those exact
+  * files and pins those exact numbers — the one check the synthetic
+  * TPC-H DuckDB oracle cannot provide. A physics sanity layer on top:
+  * the DY pair masses sit in the Z-boson window, as the reference's
+  * nano_dy sample is a Drell-Yan (Z→μμ) Monte Carlo.
+  */
+class GoldenParitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def available = new java.io.File(GoldenQueries.sampleDir).isDirectory
+
+  test("cutflow integers match coffea's asserted values (18/6/84/66)") {
+    assume(available, s"${GoldenQueries.sampleDir} not present")
+    val rows = SparkEntry.queries("q166_golden_dimuon")(spark, "")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("ZJets") == ((18L, 6L)), s"ZJets cutflow: ${rows("ZJets")}")
+    assert(rows("Data") == ((84L, 66L)), s"Data cutflow: ${rows("Data")}")
+  }
+
+  test("histogram fill totals equal the cutflow integers per axis") {
+    assume(available, s"${GoldenQueries.sampleDir} not present")
+    val df = SparkEntry.queries("q167_golden_masshist")(spark, "")
+    val totals = df.groupBy("dataset", "axis").agg(sum("n").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(totals(("ZJets", "pt")) == 18L)
+    assert(totals(("ZJets", "mass")) == 6L)
+    assert(totals(("Data", "pt")) == 84L)
+    assert(totals(("Data", "mass")) == 66L)
+    // no fill may land in a flow bin (all sample values sit inside both axes)
+    assert(df.filter(col("bin") === -1L || col("bin") === 30000L).count() == 0)
+  }
+
+  test("DY pair masses sit in the Z window; Data masses are finite and positive") {
+    assume(available, s"${GoldenQueries.sampleDir} not present")
+    val masses = GoldenQueries.muonEvents(spark, s"${GoldenQueries.sampleDir}/nano_dy.parquet")
+      .select(explode(GoldenQueries.pairMasses(col("Muon"))).as("m"))
+      .collect().map(_.getDouble(0))
+    assert(masses.length == 6)
+    // 5 of the 6 DY pairs sit on the Z peak; one 3-muon event contributes
+    // an off-peak 31.6 GeV combination (all pairs, no charge cut — exactly
+    // what NanoEventsProcessor computes)
+    assert(masses.count(m => m > 60.0 && m < 120.0) >= 5,
+      s"DY pair masses off the Z peak: ${masses.mkString(",")}")
+    assert(masses.forall(m => m > 0.0 && !m.isNaN))
+    val dataMasses = GoldenQueries.muonEvents(spark, s"${GoldenQueries.sampleDir}/nano_dimuon.parquet")
+      .select(explode(GoldenQueries.pairMasses(col("Muon"))).as("m"))
+      .collect().map(_.getDouble(0))
+    assert(dataMasses.length == 66)
+    assert(dataMasses.forall(m => m > 0.0 && m < 300.0 && !m.isNaN))
+  }
+
+  test("golden scan is column-pruned to the four Muon branches") {
+    assume(available, s"${GoldenQueries.sampleDir} not present")
+    val plan = GoldenQueries
+      .muonEvents(spark, s"${GoldenQueries.sampleDir}/nano_dy.parquet")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Muon_pt"))
+    // a non-Muon branch of the 1,499-column file must not reach the reader
+    assert(!plan.contains("Electron_pt") && !plan.contains("Jet_pt"))
+  }
+}
