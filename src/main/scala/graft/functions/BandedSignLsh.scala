@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Banded random-hyperplane sign-LSH signatures as ONE codegen'd
+  * expression: `bands` packed 64-bit keys, each holding `bitsPerBand`
+  * sign bits of plane·vector dot products.
+  *
+  * Replaces the former Scala UDF encoding (`Similarity.bandSigUdf`,
+  * kept as the differential-test twin), whose per-row cost under GC
+  * pressure — boxed `Seq[Double]` input unboxed element-by-element into
+  * a fresh array, plus a boxed `Array[Long]` result re-boxed by the UDF
+  * bridge — was the allocation cross-section that contended driver
+  * windows amplified into the q115/q117 bench outliers (PLANS.md r10
+  * diagnosis; r10 verdict item 2). Here the input arrives as
+  * `ArrayData` (one primitive `toDoubleArray` copy, zero boxing), the
+  * hot loop multiplies against one flat cache-friendly plane array
+  * shipped once per executor via `addReferenceObj` (never a plan
+  * literal — plan size stays O(1) in bands×dim), and the result is an
+  * `UnsafeArrayData.fromPrimitiveArray` long array (written into the
+  * output row without further conversion).
+  *
+  * Per-row allocations: exactly two primitive arrays (input copy +
+  * signature output) — down from ~4 + `dim` boxes per row.
+  *
+  * Cost model unchanged: bands × bitsPerBand × dim multiplies per row,
+  * map-only, inside WholeStageCodegen.
+  */
+case class BandedSignLshExpr(
+    child: Expression,
+    planesFlat: Array[Double],
+    dim: Int,
+    bitsPerBand: Int,
+    bands: Int) extends UnaryExpression {
+
+  require(planesFlat.length == bands * bitsPerBand * dim,
+    s"planesFlat must be bands*bitsPerBand*dim = ${bands * bitsPerBand * dim} doubles")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bandedSignLsh needs array<double>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    BandedSignLshExpr.signatures(
+      arr.asInstanceOf[ArrayData], planesFlat, dim, bitsPerBand, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("lshPlanes", planesFlat, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.BandedSignLshExpr.signatures($a, $p, $dim, $bitsPerBand, $bands)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BandedSignLshExpr {
+
+  /** Tight primitive loop; `planes` is row-major [plane][component]
+    * with stride `dim`. Vectors shorter than `dim` dot against the
+    * plane prefix (the UDF twin's `min(len, dim)` contract). */
+  def signatures(arr: ArrayData, planes: Array[Double], dim: Int,
+      bitsPerBand: Int, bands: Int): ArrayData = {
+    val v = arr.toDoubleArray()
+    val d = math.min(v.length, dim)
+    val out = new Array[Long](bands)
+    var band = 0
+    while (band < bands) {
+      var sig = 0L
+      var k = 0
+      while (k < bitsPerBand) {
+        val base = (band * bitsPerBand + k) * dim
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += v(i) * planes(base + i); i += 1 }
+        sig = (sig << 1) | (if (s > 0) 1L else 0L)
+        k += 1
+      }
+      out(band) = sig
+      band += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def apply(vec: Column, planes: Array[Array[Double]],
+      bitsPerBand: Int, bands: Int): Column = {
+    val dim = if (planes.isEmpty) 0 else planes(0).length
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BandedSignLshExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+        planes.flatten, dim, bitsPerBand, bands))
+  }
+}

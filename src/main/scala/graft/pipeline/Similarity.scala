@@ -1035,10 +1035,15 @@ object Similarity {
 
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)
 
-  /** Per-row banded sign-LSH signatures: `bands` longs, each packing
-    * `bitsPerBand` sign bits of plane dot products — map-only tight
-    * loop (bands×bitsPerBand×dim multiplies per row). */
-  private def bandSigUdf(planes: Array[Array[Double]], bitsPerBand: Int, bands: Int) =
+  /** UDF twin of [[graft.functions.BandedSignLshExpr]] — the original
+    * boxed encoding, kept ONLY for differential testing (PipelineSpec
+    * pins exact signature equality). The production path is the
+    * codegen'd expression: same bands×bitsPerBand×dim loop, but
+    * ArrayData in / UnsafeArrayData out with zero boxing — the per-row
+    * allocation cross-section this UDF paid (Seq unboxing + result
+    * re-boxing) is what contended driver windows amplified into the
+    * q115/q117 bench outliers (PLANS.md r10). */
+  private[graft] def bandSigUdf(planes: Array[Array[Double]], bitsPerBand: Int, bands: Int) =
     udf { (v: Seq[Double]) =>
       val va = v.toArray
       Array.tabulate(bands) { band =>
@@ -1097,7 +1102,8 @@ object Similarity {
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
     df.select(col(idCol).as("id"), widen(col(vecCol)).as("v"))
       .select(col("id"),
-        posexplode(bandSigUdf(planes, bitsPerBand, bands)(col("v"))).as(Seq("band", "sig")))
+        posexplode(graft.functions.BandedSignLshExpr(
+          col("v"), planes, bitsPerBand, bands)).as(Seq("band", "sig")))
   }
 
   /** Scale path for near-dup pairs: banded random-hyperplane LSH

@@ -1,0 +1,65 @@
+// temp profiling main (dev-only): codegen'd BandedSignLshExpr vs the
+// boxed bandSigUdf twin on the q117 signature workload (sf0.1
+// embeddings, lshPlan-sized bands at c=0.45) — wall time AND JVM GC
+// time per pass, since the expression's whole point is shrinking the
+// per-row allocation cross-section that contended windows amplify
+// (VERDICT r10 item 2). Usage: sbt "runMain graft.tools.ProfLshSig"
+package graft.tools
+
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+object ProfLshSig {
+
+  private def gcMs: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+
+  def main(args: Array[String]): Unit = {
+    val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val reps = sys.env.getOrElse("GRAFT_REPS", "4").toInt
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // synthetic corpus sized to make signature compute the dominant
+    // cost (sf0.1's 2k vectors finish in 40 ms — nothing to measure);
+    // deterministic per-id components, same 64-dim shape as q117
+    val nRows = sys.env.getOrElse("GRAFT_N", "200000").toLong
+    val emb = spark.range(nRows)
+      .select(col("id"), expr(
+        "transform(sequence(0, 63), i -> sin(id * 0.7 + i * 1.3))").as("v"))
+      .persist()
+    val n = emb.count()
+    val (bits, bands) = Similarity.lshPlan(n, 0.45, targetRecall = 0.9999)
+    println(s"n=$n bits=$bits bands=$bands (planes=${bands * bits} x 64)")
+    val planes = Similarity.hyperplanes(bands * bits, 64, 42L)
+
+    def run(label: String, sig: => org.apache.spark.sql.Column): Unit = {
+      // fresh DataFrame per rep — a reused plan would skip the computed
+      // shuffle map stage and time only the final reduce
+      def out = emb.select(posexplode(sig).as(Seq("band", "s")))
+        .agg(sum("s").as("cks"), count(lit(1)).as("cnt"))
+      val stats = (1 to reps).map { _ =>
+        val g0 = gcMs; val t0 = System.nanoTime()
+        val r = out.collect()(0)
+        ((System.nanoTime() - t0) / 1e9, gcMs - g0, r.getLong(0), r.getLong(1))
+      }
+      val steady = stats.drop(1)
+      println(f"$label%-6s first=${stats.head._1}%6.2f s  steady=${steady.map(_._1).min}%6.2f s  " +
+        f"gc(steady)=${steady.map(_._2).min}%4d ms  cks=${stats.head._3} cnt=${stats.head._4}")
+    }
+
+    run("expr", graft.functions.BandedSignLshExpr(col("v"), planes, bits, bands))
+    run("udf", Similarity.bandSigUdf(planes, bits, bands)(col("v")))
+    run("expr", graft.functions.BandedSignLshExpr(col("v"), planes, bits, bands))
+    spark.stop()
+  }
+}

@@ -799,6 +799,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(b((1L, 0)) == b((2L, 0)) && b((1L, 1)) == b((2L, 1)))
   }
 
+  test("BandedSignLshExpr == bandSigUdf twin (exact, incl. short/long vectors)") {
+    // random-ish deterministic vectors, one shorter and one longer than dim
+    val rows = (1L to 40L).map { id =>
+      val len = if (id == 7L) 5 else if (id == 13L) 19 else 12
+      id -> Seq.tabulate(len)(i => math.sin(id * 31.7 + i * 2.3))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val planes = Similarity.hyperplanes(6 * 8, 12, seed = 99L)
+    val expr = df.select($"vec_id",
+        graft.functions.BandedSignLshExpr($"v", planes, 8, 6).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val twin = df.select($"vec_id",
+        Similarity.bandSigUdf(planes, 8, 6)($"v").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(expr == twin)
+    assert(expr(1L).length == 6)
+  }
+
   test("lshPlan sizes bits to bucket occupancy and bands to recall") {
     import graft.pipeline.Similarity.lshPlan
     // occupancy bound: smallest b with n/2^b <= target
