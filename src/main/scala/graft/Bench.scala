@@ -29,6 +29,20 @@ import org.apache.spark.sql.SparkSession
   * pressure across a 100+ query registry.
   */
 object Bench {
+
+  /** Per-query result: min/max wall seconds plus the JVM GC-time delta
+    * (ms) observed during the min and max rep. */
+  private final case class QRes(name: String, sec: Double, mx: Double,
+      gcMin: Long, gcMax: Long, reps: Int, failed: Boolean)
+
+  /** Cumulative JVM GC time across all collector beans (process-wide;
+    * queries run sequentially, so a per-rep delta belongs to that rep). */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -73,38 +87,44 @@ object Bench {
       Console.out.flush()
       var err: Option[String] = None
       val runs = (1 to reps).flatMap { _ =>
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(((System.nanoTime() - t0) / 1e9, gcMillis - g0))
         } catch {
           case e: Throwable =>
             err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
             None
         }
       }
-      val sec = if (runs.nonEmpty) runs.min else -1.0
-      val mx = if (runs.nonEmpty) runs.max else -1.0
+      val best = if (runs.nonEmpty) runs.minBy(_._1) else (-1.0, -1L)
+      val worst = if (runs.nonEmpty) runs.maxBy(_._1) else (-1.0, -1L)
+      val (sec, gcMin) = best
+      val (mx, gcMax) = worst
       val errJson = err.filter(_ => runs.isEmpty).map(jsonStr).getOrElse("null")
       // min AND max per query: a healthy run has max ≈ min; a contended
       // host shows max >> min (or both inflated) — BENCH_r09's q117
       // (74.6 s vs 4.3 s on a calm host, both reps slow) was
-      // undiagnosable from a min-only artifact.
-      println(s"""{"query":${jsonStr(name)},"sec":${fmt(sec)},"max":${fmt(mx)},"reps":${runs.length},"err":$errJson}""")
+      // undiagnosable from a min-only artifact. gc_ms per rep (JVM GC-bean
+      // delta, r10 verdict item 7) splits the remaining ambiguity: an
+      // inflated rep with gc_ms ≈ wall is GC amplification; one with tiny
+      // gc_ms is scheduler starvation (external contention).
+      println(s"""{"query":${jsonStr(name)},"sec":${fmt(sec)},"max":${fmt(mx)},"gc_ms":$gcMin,"gc_ms_max":$gcMax,"reps":${runs.length},"err":$errJson}""")
       Console.out.flush()
       // Bound accumulated relation/codegen cache state across the long
       // registry — the GC window is what plausibly starved r7 heartbeats.
       if ((i + 1) % 20 == 0) spark.catalog.clearCache()
-      (name, sec, mx, runs.length, err.isDefined && runs.isEmpty)
+      QRes(name, sec, mx, gcMin, gcMax, runs.length, err.isDefined && runs.isEmpty)
     }
-    val qs = results.map { case (k, v, _, _, _) => jsonStr(k) + ":" + fmt(v) }
+    val qs = results.map(r => jsonStr(r.name) + ":" + fmt(r.sec))
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, v, mx, n, _) =>
-      jsonStr(k) + s""":{"min":${fmt(v)},"max":${fmt(mx)},"reps":$n}""" }
+    val detail = results.map(r =>
+      jsonStr(r.name) + s""":{"min":${fmt(r.sec)},"max":${fmt(r.mx)},"gc_ms":${r.gcMin},"gc_ms_max":${r.gcMax},"reps":${r.reps}}""")
       .mkString("{", ",", "}")
-    val ok = results.filterNot(_._5)
-    val total = ok.map(_._2).sum
-    val errs = results.filter(_._5).map(r => jsonStr(r._1)).mkString("[", ",", "]")
+    val ok = results.filterNot(_.failed)
+    val total = ok.map(_.sec).sum
+    val errs = results.filter(_.failed).map(r => jsonStr(r.name)).mkString("[", ",", "]")
     val aggregate =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
     // Duplicate the aggregate to a file so a machine consumer never
@@ -130,16 +150,16 @@ object Bench {
     // (the entries a perf reader wants first), plus the full-map file
     // pointer. Printed LAST so "last parseable JSON line" == this one.
     if (aggregate.length > 1800) {
-      val slowest = results.filterNot(_._5).sortBy(-_._2)
+      val slowest = results.filterNot(_.failed).sortBy(-_.sec)
       val slow = slowest.take(20)
-        .map { case (k, v, _, _, _) => jsonStr(k) + ":" + fmt(v) }
+        .map(r => jsonStr(r.name) + ":" + fmt(r.sec))
         .mkString("{", ",", "}")
-      // min/max/reps for the slowest 10 ride the parseable short line
+      // min/max/gc/reps for the slowest 10 ride the parseable short line
       // too (the full map is file-only): a contended window must be
       // diagnosable from the driver's parsed artifact alone
       val slowDetail = slowest.take(10)
-        .map { case (k, v, mx, n, _) =>
-          jsonStr(k) + s""":{"min":${fmt(v)},"max":${fmt(mx)},"reps":$n}""" }
+        .map(r =>
+          jsonStr(r.name) + s""":{"min":${fmt(r.sec)},"max":${fmt(r.mx)},"gc_ms":${r.gcMin},"gc_ms_max":${r.gcMax},"reps":${r.reps}}""")
         .mkString("{", ",", "}")
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"detail10":$slowDetail,"sf":"$sfDir","errors":$errs,"n_queries":${results.length},"queries_shown":"slowest20","full_queries_file":${jsonStr(outPath)}}""")
     }
