@@ -10,9 +10,13 @@ import graft.lookup.FormulaCompiler
 /** Compiler for the correctionlib JSON schema subset the reference
   * delegates to (`src/coffea/lookup_tools/correctionlib_wrapper.py:4`,
   * `jetmet_tools/correctionlib_adapters.py:20-318`; schema v2 is
-  * public). Supported nodes: scalar, `binning` (clamp flow),
-  * `multibinning` (N-dim grid, C-order flattened content, clamp flow),
-  * `category` (int/string keys + default), `formula` (TFormula),
+  * public). Supported nodes: scalar, `binning` and `multibinning`
+  * (N-dim grid, C-order flattened content) with the FULL schema-v2
+  * `flow` union — "clamp", "error" (raises at evaluation time on an
+  * out-of-range input), or an arbitrary content node evaluated for
+  * out-of-range rows — `category` (int/string keys + default),
+  * `hashprng` (deterministic data-seeded deviates; see [[Prng]] for
+  * the cross-engine-exact construction), `formula` (TFormula),
   * `formularef` (index into the correction's `generic_formulas`, with
   * per-site parameter override), `transform` (re-evaluate `content`
   * with one input rebound to `rule`'s value), plus top-level
@@ -104,7 +108,7 @@ object CorrectionLib {
     val os = outs.reverse
     comp.outputOp match {
       case "last" => os.last
-      case op @ ("*" | "+" | "/") => os.reduceLeft((a, b) => s"($a $op $b)")
+      case op @ ("*" | "+" | "/") => os.reduceLeft((a, b) => s"(($a) $op ($b))")
       case op => throw new IllegalArgumentException(s"${comp.name}: output_op '$op' unsupported")
     }
   }
@@ -116,8 +120,11 @@ object CorrectionLib {
     case _ => throw new IllegalArgumentException(s"$ctx: input_op '$op' unsupported")
   }
 
+  // operands are parenthesized individually: a caller-supplied input SQL
+  // like "pt + 1" under '*' must not re-associate (the Column renderer
+  // composes structurally and is immune — the SQL mirror must match it)
   private def applyOpSql(op: String, a: String, b: String, ctx: String): String = op match {
-    case "*" | "+" | "/" => s"$a $op $b"
+    case "*" | "+" | "/" => s"($a) $op ($b)"
     case _ => throw new IllegalArgumentException(s"$ctx: input_op '$op' unsupported")
   }
 
@@ -144,17 +151,26 @@ object CorrectionLib {
           val in = input(obj, inputs)
           val edges = (obj \ "edges").children.map(jNum)
           val content = (obj \ "content").children
-          require((obj \ "flow").values.toString == "clamp",
-            s"${corr.name}: only flow=clamp supported")
           val idx = BinarySearchBins(in.cast("double"), edges)
           // `element_at` over a literal primitive array is (wrongly)
           // non-nullable in Spark 4 — a NULL index yields 0.0, not
           // NULL. Guard on the input so NULL propagates.
-          if (content.forall(isNum))
-            when(in.isNotNull,
-              element_at(typedLit(content.map(jNum).toArray), idx + 1))
-          else
-            coalesce(content.zipWithIndex.map { case (c, i) => when(idx === i, go(c)) }: _*)
+          val core =
+            if (content.forall(isNum))
+              element_at(typedLit(content.map(jNum).toArray), idx + 1)
+            else
+              coalesce(content.zipWithIndex.map { case (c, i) => when(idx === i, go(c)) }: _*)
+          val oob = in.cast("double") < edges.head || in.cast("double") >= edges.last
+          val flowed = obj \ "flow" match {
+            case JString("clamp") | JNothing | JNull => core
+            case JString("error") =>
+              when(oob, raise_error(format_string(
+                s"correction '${corr.name}': input out of binning range [${edges.head}, ${edges.last}): %s",
+                in.cast("string"))).cast("double")).otherwise(core)
+            case flowNode =>
+              when(oob, go(flowNode).cast("double")).otherwise(core)
+          }
+          when(in.isNotNull, flowed)
         case "multibinning" =>
           // N-dim grid, flattened C-order (last input fastest):
           // flat = ((i0·n1 + i1)·n2 + i2)·…  (correctionlib schema v2)
@@ -164,8 +180,6 @@ object CorrectionLib {
           val edges = (obj \ "edges").children.map(_.children.map(jNum))
           require(ins.nonEmpty && edges.size == ins.size,
             s"${corr.name}: multibinning inputs/edges mismatch")
-          require((obj \ "flow").values.toString == "clamp",
-            s"${corr.name}: only flow=clamp supported")
           val nbins = edges.map(_.size - 1)
           val content = (obj \ "content").children
           require(content.size == nbins.product,
@@ -175,11 +189,24 @@ object CorrectionLib {
             (acc, k) => acc * nbins(k) + idxs(k)
           }
           val allSet = ins.map(_.isNotNull).reduce(_ && _)
-          if (content.forall(isNum))
-            when(allSet, element_at(typedLit(content.map(jNum).toArray), flat + 1))
-          else
-            when(allSet,
-              coalesce(content.zipWithIndex.map { case (c, i) => when(flat === i, go(c)) }: _*))
+          val core =
+            if (content.forall(isNum))
+              element_at(typedLit(content.map(jNum).toArray), flat + 1)
+            else
+              coalesce(content.zipWithIndex.map { case (c, i) => when(flat === i, go(c)) }: _*)
+          val oob = ins.zip(edges)
+            .map { case (in, e) => in < e.head || in >= e.last }
+            .reduce(_ || _)
+          val flowed = obj \ "flow" match {
+            case JString("clamp") | JNothing | JNull => core
+            case JString("error") =>
+              when(oob, raise_error(lit(
+                s"correction '${corr.name}': multibinning input out of range")).cast("double"))
+                .otherwise(core)
+            case flowNode =>
+              when(oob, go(flowNode).cast("double")).otherwise(core)
+          }
+          when(allSet, flowed)
         case "category" =>
           val in = input(obj, inputs)
           val branches = (obj \ "content").children.map { kv =>
@@ -202,6 +229,14 @@ object CorrectionLib {
           val (exprStr, vars, params) = resolveFormulaRef(corr, obj)
           FormulaCompiler.compile(exprStr, params,
             formulaBindings(vars, v => inputs(v).cast("double")))
+        case "hashprng" =>
+          val inNames = (obj \ "inputs").children.map(_.values.toString)
+          require(inNames.nonEmpty, s"${corr.name}: hashprng needs >= 1 input")
+          val ins = inNames.map(n => inputs.getOrElse(n,
+            throw new IllegalArgumentException(s"unbound input '$n'")).cast("double"))
+          val allSet = ins.map(_.isNotNull).reduce(_ && _)
+          when(allSet, Prng.deviate(
+            (obj \ "distribution").values.toString, ins, corr.name))
         case "transform" =>
           // evaluate `rule` under the current binding, then evaluate
           // `content` with the named input rebound to that value (the
@@ -239,7 +274,16 @@ object CorrectionLib {
             if (i == content.size - 1) s"ELSE ${go(c)}"
             else s"WHEN $in < ${edges(i + 1)} THEN ${go(c)}"
           }
-          s"(CASE WHEN $in IS NULL THEN NULL ${branches.mkString(" ")} END)"
+          val core = s"(CASE ${branches.mkString(" ")} END)"
+          val oob = s"($in < ${edges.head} OR $in >= ${edges.last})"
+          val flowed = obj \ "flow" match {
+            case JString("clamp") | JNothing | JNull => core
+            case JString("error") =>
+              s"(CASE WHEN $oob THEN CAST(error('input out of binning range') AS DOUBLE) ELSE $core END)"
+            case flowNode =>
+              s"(CASE WHEN $oob THEN ${go(flowNode)} ELSE $core END)"
+          }
+          s"(CASE WHEN $in IS NULL THEN NULL ELSE $flowed END)"
         case "multibinning" =>
           val inNames = (obj \ "inputs").children.map(_.values.toString)
           val ins = inNames.map(inputs)
@@ -262,7 +306,18 @@ object CorrectionLib {
           val values = content.zipWithIndex
             .map { case (c, i) => s"WHEN $i THEN ${go(c)}" }
           val anyNull = ins.map(in => s"$in IS NULL").mkString(" OR ")
-          s"(CASE WHEN $anyNull THEN NULL ELSE (CASE $flat ${values.mkString(" ")} END) END)"
+          val core = s"(CASE $flat ${values.mkString(" ")} END)"
+          val oob = ins.zip(edges)
+            .map { case (in, e) => s"$in < ${e.head} OR $in >= ${e.last}" }
+            .mkString("(", " OR ", ")")
+          val flowed = obj \ "flow" match {
+            case JString("clamp") | JNothing | JNull => core
+            case JString("error") =>
+              s"(CASE WHEN $oob THEN CAST(error('multibinning input out of range') AS DOUBLE) ELSE $core END)"
+            case flowNode =>
+              s"(CASE WHEN $oob THEN ${go(flowNode)} ELSE $core END)"
+          }
+          s"(CASE WHEN $anyNull THEN NULL ELSE $flowed END)"
         case "category" =>
           val in = inputs((obj \ "input").values.toString)
           val branches = (obj \ "content").children.map { kv =>
@@ -283,6 +338,12 @@ object CorrectionLib {
         case "formularef" =>
           val (exprStr, vars, params) = resolveFormulaRef(corr, obj)
           FormulaCompiler.toSql(exprStr, params, formulaBindings(vars, inputs))
+        case "hashprng" =>
+          val inNames = (obj \ "inputs").children.map(_.values.toString)
+          val ins = inNames.map(inputs)
+          val anyNull = ins.map(in => s"$in IS NULL").mkString(" OR ")
+          val dev = Prng.deviateSql((obj \ "distribution").values.toString, ins, corr.name)
+          s"(CASE WHEN $anyNull THEN NULL ELSE $dev END)"
         case "transform" =>
           val name = (obj \ "input").values.toString
           require(inputs.contains(name), s"unbound transform input '$name'")
@@ -329,6 +390,79 @@ object CorrectionLib {
       case (v, l) if !vars.contains(l) => l -> bind(v)
     }
     (letters ++ vars.map(v => v -> bind(v))).toMap
+  }
+
+  /** `hashprng` deviates (schema v2: deterministic pseudorandoms keyed
+    * by the listed inputs — the replay-safe smearing idiom; reference
+    * contract via `correctionlib_wrapper.py:4`).
+    *
+    * The uniform stage is a chained Hoskins "hash without sine"
+    * (p = fract(c·K); p ← p(p+A); fract(2p²)) built from +, ×, floor
+    * ONLY — every operation is IEEE-754-exact, so Spark and DuckDB (and
+    * any engine) produce BIT-IDENTICAL uniforms; no libm function whose
+    * last ulp varies by platform touches the entropy path. Each listed
+    * input folds into the state, and independent streams offset the
+    * seed by the golden ratio. The deviate is distribution-compatible
+    * with the C++ correctionlib implementation (same inputs → same
+    * distribution, deterministic across retries/partitionings) but not
+    * bit-identical to it — the C++ hash is an implementation detail the
+    * schema does not pin, and it is itself free to change between
+    * correctionlib releases. "stdnormal"/"normal" apply Box–Muller on
+    * two streams (log/cos enter only AFTER the entropy is fixed, so
+    * cross-engine drift is sub-ulp on the value, not the stream).
+    *
+    * The SQL renderer let-binds every intermediate via DuckDB list
+    * comprehensions (`[f(p) for p in [expr]][1]`), keeping the rendered
+    * text LINEAR in the number of inputs — naive substitution would
+    * duplicate the accumulated chain ~24× per hash level. */
+  private object Prng {
+    private val K = 0.1031
+    private val A = 33.33
+    private val Phi = 0.61803398874989485
+    private val Carry = 127.1
+    private val TwoPi = 6.283185307179586
+
+    private def fract(c: Column): Column = c - floor(c)
+
+    private def hash11(c: Column): Column = {
+      val p0 = fract(c * K)
+      val p1 = p0 * (p0 + lit(A))
+      fract(p1 * (p1 + p1))
+    }
+
+    /** Uniform in (0,1), stream `tag`, bit-identical across engines. */
+    def uniform(tag: Int, ins: Seq[Column]): Column = {
+      val h0: Column = lit(0.5 + tag * Phi)
+      val h = ins.foldLeft(h0)((h, x) => hash11(x + h * Carry))
+      h * lit(0.999999999) + lit(5e-10)
+    }
+
+    def uniformSql(tag: Int, ins: Seq[String]): String = {
+      // explicit DOUBLE cast: DuckDB types a bare decimal literal as
+      // DECIMAL, and the seed chain then overflows decimal multiplication
+      val h0 = s"CAST(${0.5 + tag * Phi} AS DOUBLE)"
+      val h = ins.foldLeft(h0) { (h, x) =>
+        // hash11 with let-bound c/p0/p1 (text stays linear in chain depth)
+        s"[ [ [ p1 * (p1 + p1) - floor(p1 * (p1 + p1)) for p1 in [p0 * (p0 + $A)] ][1] " +
+          s"for p0 in [c * $K - floor(c * $K)] ][1] " +
+          s"for c in [CAST($x AS DOUBLE) + ($h) * $Carry] ][1]"
+      }
+      s"(($h) * 0.999999999 + 5e-10)"
+    }
+
+    def deviate(dist: String, ins: Seq[Column], ctx: String): Column = dist match {
+      case "stdflat" => uniform(1, ins)
+      case "stdnormal" | "normal" =>
+        sqrt(lit(-2.0) * log(uniform(1, ins))) * cos(lit(TwoPi) * uniform(2, ins))
+      case d => throw new IllegalArgumentException(s"$ctx: hashprng distribution '$d' unsupported")
+    }
+
+    def deviateSql(dist: String, ins: Seq[String], ctx: String): String = dist match {
+      case "stdflat" => uniformSql(1, ins)
+      case "stdnormal" | "normal" =>
+        s"(sqrt(-2.0 * ln(${uniformSql(1, ins)})) * cos($TwoPi * ${uniformSql(2, ins)}))"
+      case d => throw new IllegalArgumentException(s"$ctx: hashprng distribution '$d' unsupported")
+    }
   }
 
   private def input(obj: JValue, inputs: Map[String, Column]): Column = {

@@ -124,6 +124,46 @@ object CorrectionsQueries extends QueryPack {
       : (Map[String, CorrectionLib.Correction], CorrectionLib.CompoundCorrection) =
     (clibCompoundCorrs, clibCompound)
 
+  // flow + hashprng fixture (q168): the schema-v2 residue closed in
+  // r11 — a binning whose `flow` is a VALUE (0.9 for out-of-range), a
+  // multibinning whose `flow` is a formula NODE evaluated for
+  // out-of-range rows, and two hashprng corrections (stdnormal smear
+  // keyed by (pt, eta); stdflat keyed by pt). The query drives pt/eta
+  // ranges that genuinely hit under- AND overflow so the flow branches
+  // are exercised under the oracle; flow="error" raises and is pinned
+  // in CorrectionsSpec instead (an oracle row cannot assert a raise).
+  private val clibFlowJson =
+    """{"schema_version": 2, "corrections": [
+      |  {"name": "sf_flow", "version": 1,
+      |   "inputs": [{"name": "pt", "type": "real"}],
+      |   "output": {"name": "sf", "type": "real"},
+      |   "data": {"nodetype": "binning", "input": "pt",
+      |     "flow": 0.9,
+      |     "edges": [10.0, 30.0, 60.0],
+      |     "content": [1.05, 0.98]}},
+      |  {"name": "sf_flow2d", "version": 1,
+      |   "inputs": [{"name": "pt", "type": "real"}, {"name": "eta", "type": "real"}],
+      |   "output": {"name": "sf", "type": "real"},
+      |   "data": {"nodetype": "multibinning", "inputs": ["pt", "eta"],
+      |     "flow": {"nodetype": "formula", "parser": "TFormula",
+      |       "expression": "0.5+0.001*x", "variables": ["pt"]},
+      |     "edges": [[10.0, 30.0, 60.0], [-2.0, 0.0, 2.0]],
+      |     "content": [1.01, 1.02, 1.03, 1.04]}},
+      |  {"name": "smear", "version": 1,
+      |   "inputs": [{"name": "pt", "type": "real"}, {"name": "eta", "type": "real"}],
+      |   "output": {"name": "z", "type": "real"},
+      |   "data": {"nodetype": "hashprng", "inputs": ["pt", "eta"],
+      |     "distribution": "stdnormal"}},
+      |  {"name": "flat", "version": 1,
+      |   "inputs": [{"name": "pt", "type": "real"}],
+      |   "output": {"name": "u", "type": "real"},
+      |   "data": {"nodetype": "hashprng", "inputs": ["pt"],
+      |     "distribution": "stdflat"}}
+      |]}""".stripMargin
+  private val clibFlowCorrs = CorrectionLib.parseSet(clibFlowJson)
+  /** Test hook: the q168 fixture. */
+  private[graft] def clibFlowFixture: Map[String, CorrectionLib.Correction] = clibFlowCorrs
+
   // Rochester fixture (q70): synthetic (eta × phi) M/A scale tables and
   // |eta|-binned resolution ratios in the public format's shape. The
   // closed-form scale/spread paths are pure lookups + exactly-rounded
@@ -386,6 +426,44 @@ object CorrectionsQueries extends QueryPack {
         s"""SELECT l_returnflag, count(*) AS n,
            |CAST(floor(avg($wSql) * 10000 + 0.5) AS BIGINT) AS avg_w_e4,
            |CAST(floor(sum(l_extendedprice / 1000.0 * $wSql) * 100 + 0.5) AS BIGINT) AS weighted_c
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      }),
+
+    Query(
+      "q168_clib_flow_prng",
+      "correctionlib schema-v2 residue (r10 verdict item 3): non-clamp `flow` (a VALUE on the 1-d binning, a formula NODE on the multibinning — both genuinely hit by under- AND overflow pt/eta here) and `hashprng` (stdnormal smear keyed by (pt,eta), stdflat keyed by pt). The hashprng uniform stage is built from +,*,floor ONLY (chained Hoskins hash) so Spark and the DuckDB oracle produce BIT-IDENTICAL streams — deterministic under retries/repartitioning by construction, no engine RNG anywhere. flow='error' raises and is pinned in CorrectionsSpec.",
+      (s, dir) => {
+        import s.implicits._
+        val pt = $"l_quantity" * 1.6      // 1.6..80: both flow sides of [10,60)
+        val eta = $"l_discount" * 40.0 - 2.0 // -2..2: hits eta overflow at 0.10
+        val w1 = CorrectionLib.compile(clibFlowCorrs("sf_flow"), Map("pt" -> pt))
+        val w2 = CorrectionLib.compile(clibFlowCorrs("sf_flow2d"),
+          Map("pt" -> pt, "eta" -> eta))
+        val z = CorrectionLib.compile(clibFlowCorrs("smear"),
+          Map("pt" -> pt, "eta" -> eta))
+        val u = CorrectionLib.compile(clibFlowCorrs("flat"), Map("pt" -> pt))
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(w1)).as("avg_w1_e4"),
+            e4(avg(w2)).as("avg_w2_e4"),
+            e4(sum(u)).as("sum_u_e4"),
+            cents(sum($"l_quantity" * (lit(1.0) + lit(0.05) * z))).as("smeared_c"))
+      },
+      Some {
+        val pt = "(l_quantity * 1.6)"
+        val eta = "(l_discount * 40.0 - 2.0)"
+        val w1 = CorrectionLib.toSql(clibFlowCorrs("sf_flow"), Map("pt" -> pt))
+        val w2 = CorrectionLib.toSql(clibFlowCorrs("sf_flow2d"),
+          Map("pt" -> pt, "eta" -> eta))
+        val z = CorrectionLib.toSql(clibFlowCorrs("smear"),
+          Map("pt" -> pt, "eta" -> eta))
+        val u = CorrectionLib.toSql(clibFlowCorrs("flat"), Map("pt" -> pt))
+        s"""SELECT l_returnflag, count(*) AS n,
+           |CAST(floor(avg($w1) * 10000 + 0.5) AS BIGINT) AS avg_w1_e4,
+           |CAST(floor(avg($w2) * 10000 + 0.5) AS BIGINT) AS avg_w2_e4,
+           |CAST(floor(sum($u) * 10000 + 0.5) AS BIGINT) AS sum_u_e4,
+           |CAST(floor(sum(l_quantity * (1.0 + 0.05 * $z)) * 100 + 0.5) AS BIGINT) AS smeared_c
            |FROM lineitem GROUP BY l_returnflag""".stripMargin
       }),
 

@@ -274,6 +274,81 @@ class CorrectionsSpec extends AnyFunSuite {
     assert(sql.contains("* 3")) // stride of the first dimension
   }
 
+  test("CorrectionLib flow: value, node, error, and clamp variants") {
+    def binning(flow: String) =
+      s"""{"schema_version": 2, "corrections": [
+         |  {"name": "b", "version": 1,
+         |   "inputs": [{"name": "pt", "type": "real"}],
+         |   "output": {"name": "w", "type": "real"},
+         |   "data": {"nodetype": "binning", "input": "pt",
+         |     "flow": $flow,
+         |     "edges": [10.0, 30.0, 60.0],
+         |     "content": [1.05, 0.98]}}]}""".stripMargin
+    def eval(flow: String, pt: Double): Option[Double] = {
+      val c = CorrectionLib.parseSet(binning(flow))("b")
+      Seq(pt).toDF("pt")
+        .select(CorrectionLib.compile(c, Map("pt" -> $"pt")).as("w"))
+        .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).head
+    }
+    // value flow: out-of-range on either side takes the value
+    assert(eval("0.9", 5.0).contains(0.9))
+    assert(eval("0.9", 99.0).contains(0.9))
+    assert(eval("0.9", 15.0).contains(1.05))
+    // node flow: out-of-range evaluates the node
+    val nodeFlow = """{"nodetype": "formula", "parser": "TFormula",
+      "expression": "0.5+0.001*x", "variables": ["pt"]}"""
+    assert(eval(nodeFlow, 100.0).contains(0.6))
+    assert(eval(nodeFlow, 40.0).contains(0.98))
+    // clamp: edge bins
+    assert(eval("\"clamp\"", 5.0).contains(1.05))
+    assert(eval("\"clamp\"", 99.0).contains(0.98))
+    // error flow: in-range fine, out-of-range raises at evaluation
+    assert(eval("\"error\"", 15.0).contains(1.05))
+    val ex = intercept[Exception](eval("\"error\"", 5.0))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("out of binning range")))
+  }
+
+  test("CorrectionLib hashprng: deterministic, input-sensitive, sane distributions") {
+    import graft.queries.CorrectionsQueries
+    val corrs = CorrectionsQueries.clibFlowFixture
+    val df = spark.range(1, 5001)
+      .select(($"id" % 97 * 0.73 + 1.0).as("pt"), ($"id" % 41 * 0.11 - 2.0).as("eta"))
+    val z = CorrectionLib.compile(corrs("smear"), Map("pt" -> $"pt", "eta" -> $"eta"))
+    val u = CorrectionLib.compile(corrs("flat"), Map("pt" -> $"pt"))
+    val out = df.select($"pt", $"eta", z.as("z"), u.as("u")).collect()
+    // determinism: recompute under a different partitioning — identical
+    val out2 = df.repartition(7).select($"pt", $"eta", z.as("z"), u.as("u"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    out.foreach(r => assert(out2((r.getDouble(0), r.getDouble(1))) == ((r.getDouble(2), r.getDouble(3)))))
+    // uniform in (0,1), roughly centered
+    val us = out.map(_.getDouble(3))
+    assert(us.forall(v => v > 0.0 && v < 1.0))
+    val uMean = us.sum / us.length
+    assert(math.abs(uMean - 0.5) < 0.05, s"stdflat mean $uMean")
+    // stdnormal: mean ~0, var ~1
+    val zs = out.map(_.getDouble(2))
+    val zMean = zs.sum / zs.length
+    val zVar = zs.map(v => (v - zMean) * (v - zMean)).sum / zs.length
+    assert(math.abs(zMean) < 0.06, s"stdnormal mean $zMean")
+    assert(math.abs(zVar - 1.0) < 0.1, s"stdnormal var $zVar")
+    // input sensitivity: every distinct (pt,eta) key gets a distinct z
+    // (id%97 x id%41 cycles → lcm(97,41)=3977 distinct keys in 5000 rows)
+    val nKeys = out.map(r => (r.getDouble(0), r.getDouble(1))).distinct.length
+    assert(zs.distinct.length == nKeys, s"${zs.distinct.length} distinct z for $nKeys keys")
+    // unknown distribution rejected
+    val bad = """{"schema_version": 2, "corrections": [
+      |  {"name": "x", "version": 1,
+      |   "inputs": [{"name": "pt", "type": "real"}],
+      |   "output": {"name": "w", "type": "real"},
+      |   "data": {"nodetype": "hashprng", "inputs": ["pt"],
+      |     "distribution": "cauchy"}}]}""".stripMargin
+    intercept[IllegalArgumentException] {
+      CorrectionLib.compile(CorrectionLib.parseSet(bad)("x"), Map("pt" -> $"pt"))
+    }
+  }
+
   test("CorrectionLib: declared variable named x beats positional alias") {
     val json =
       """{"schema_version": 2, "corrections": [
