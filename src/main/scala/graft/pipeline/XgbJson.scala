@@ -3,7 +3,7 @@ package graft.pipeline
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.pipeline.Inference.{GbdtModel, Node}
+import graft.pipeline.Inference.{GbdtModel, GbdtMulti, Node}
 
 /** Loaders for the two PUBLIC XGBoost JSON formats, so externally-trained
   * boosters run on all three [[Inference.GbdtModel]] execution paths
@@ -115,7 +115,8 @@ object XgbJson {
       case JString(s) => s.toInt
       case _ => 0
     }
-    require(numClass <= 1, s"multi-class boosters (num_class=$numClass) are out of scope")
+    require(numClass <= 1,
+      s"multi-class booster (num_class=$numClass) — load via fromModelJsonMulti")
     val objective = learner \ "objective" \ "name" match {
       case JString(s) => s
       case _ => "reg:squarederror"
@@ -169,6 +170,58 @@ object XgbJson {
       else Node(splitIdx(i), cond(i), left(i), right(i), 0.0,
         missingLeft = defaultLeft(i) != 0L)
     }
+  }
+
+  /** Multi-class `save_model("model.json")` loader (r10 verdict item 6).
+    * Tree→class assignment comes from the document's own
+    * `gradient_booster.model.tree_info` array (xgboost records class id
+    * per tree); round-robin is the fallback when absent. The stored
+    * `base_score` becomes a UNIFORM per-class margin bias — softmax and
+    * argmax are shift-invariant, so classification is unaffected either
+    * way and margin-level comparisons see exactly what xgboost adds.
+    * Vector-leaf (`multi_strategy=multi_output_tree`) stays rejected —
+    * its trees are not per-class ensembles. */
+  def fromModelJsonMulti(json: String): GbdtMulti = {
+    val root = JsonMethods.parse(json)
+    val learner = root \ "learner"
+    require(learner != JNothing, "not a save_model document: no 'learner' key")
+    val numClass = learner \ "learner_model_param" \ "num_class" match {
+      case JString(s) => s.toInt
+      case _ => 0
+    }
+    require(numClass >= 2,
+      s"num_class=$numClass is not multi-class — load via fromModelJson")
+    learner \ "gradient_booster" \ "model" \ "gbtree_model_param" \ "multi_strategy" match {
+      case JString("multi_output_tree") => throw new IllegalArgumentException(
+        "vector-leaf (multi_output_tree) boosters are out of scope")
+      case _ =>
+    }
+    val baseScore = learner \ "learner_model_param" \ "base_score" match {
+      case JString(s) => s.toDouble
+      case JDouble(d) => d
+      case _ => 0.5
+    }
+    val trees = learner \ "gradient_booster" \ "model" \ "trees" match {
+      case JArray(ts) => ts.map(flattenModelTree)
+      case other => throw new IllegalArgumentException(
+        s"no gradient_booster.model.trees array: $other")
+    }
+    require(trees.nonEmpty, "model contains no trees")
+    val treeInfo = learner \ "gradient_booster" \ "model" \ "tree_info" match {
+      case JArray(vs) if vs.nonEmpty => vs.map(v => num(v, "tree_info").toInt)
+      case _ => trees.indices.map(_ % numClass)
+    }
+    require(treeInfo.size == trees.size, "tree_info length != tree count")
+    GbdtMulti.fromInterleaved(trees, numClass, baseScore, treeInfo)
+  }
+
+  /** Multi-class dump loader: `dump_model` output carries no class
+    * metadata, so the caller supplies `numClass`; trees are assigned
+    * round-robin (xgboost's training order). */
+  def fromDumpMulti(json: String, numClass: Int, baseScoreMargin: Double = 0.0,
+      featureIndex: String => Int = defaultFeatureIndex): GbdtMulti = {
+    val m = fromDump(json, baseScoreMargin, featureIndex)
+    GbdtMulti.fromInterleaved(m.trees, numClass, baseScoreMargin, _ % numClass)
   }
 
   /** The `"f<N>"` naming xgboost uses for unnamed features (plain

@@ -680,6 +680,38 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q169_gbdt_multiclass",
+      "Multi-class GBDT inference (r10 verdict item 6 — the curation-grader shape: language-ID / FineWeb-Edu-style classifiers): a 3-class XGBoost dump (trees round-robin by class, xgboost's training order) loads via XgbJson.fromDumpMulti into GbdtMulti — one codegen'd CASE-WHEN cascade PER CLASS over the shared embedding features, argmax with lowest-index tie-break, and a max-shifted softmax for the winning probability. Margins are exact binary fractions (bit-exact vs the per-class generated SQL); only the softmax is quantized. Scores every embedding row map-only — the same zero-join 100 TB shape as q133.",
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.pipeline.XgbJson.fromDumpMulti(xgbMultiDumpFixture, numClass = 3)
+        val ms = m.margins($"embedding")
+        Tables.embeddings(s, dir).select($"vec_id",
+          m.predictClass($"embedding").as("pred"),
+          e4(ms(0)).as("m0_e4"), e4(ms(1)).as("m1_e4"), e4(ms(2)).as("m2_e4"),
+          e4(element_at(m.softmax($"embedding"),
+            (m.predictClass($"embedding") + 1).cast("int"))).as("p_e4"))
+      },
+      Some {
+        val m = graft.pipeline.XgbJson.fromDumpMulti(xgbMultiDumpFixture, numClass = 3)
+        def feat(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+        val names = Seq("m0", "m1", "m2")
+        val argmax = m.argmaxSqlOver(names)
+        s"""WITH m AS (SELECT vec_id,
+           |  ${m.toSql(feat, 0)} AS m0, ${m.toSql(feat, 1)} AS m1, ${m.toSql(feat, 2)} AS m2
+           |  FROM embeddings),
+           |p AS (SELECT vec_id, m0, m1, m2, $argmax AS pred,
+           |  greatest(m0, m1, m2) AS mx FROM m)
+           |SELECT vec_id, CAST(pred AS BIGINT) AS pred,
+           |CAST(floor(m0 * 10000 + 0.5) AS BIGINT) AS m0_e4,
+           |CAST(floor(m1 * 10000 + 0.5) AS BIGINT) AS m1_e4,
+           |CAST(floor(m2 * 10000 + 0.5) AS BIGINT) AS m2_e4,
+           |CAST(floor(exp(greatest(m0,m1,m2) - mx) /
+           |  (exp(m0 - mx) + exp(m1 - mx) + exp(m2 - mx)) * 10000 + 0.5) AS BIGINT) AS p_e4
+           |FROM p""".stripMargin
+      }),
+
+    Query(
       "q135_minhash_index",
       "Incremental fuzzy dedup against a PERSISTED MinHash LSH index — the continuous-crawl-ingest shape at 100 TB: the corpus is signed once into a parquet layout partitioned by (band, sig-hash-bucket), then a new batch (here doc_id % 5 = 0) probes it WITHOUT rescanning the corpus: the batch's bounded (band, sp) grid becomes a static PartitionFilter (directories prune at file-listing time, spec-asserted via numFiles) and the batch buckets broadcast against the pruned scan — corpus rows never shuffle. Emits every (new, corpus) match with estimated Jaccard; the oracle is the DIRECT q54-style computation restricted to batch-side pairs, proving index and direct paths agree exactly.",
       (s, dir) => {
@@ -930,6 +962,32 @@ object PipelineQueries extends QueryPack {
     * yes/no/missing). Stands in for a real exported model file —
     * binary-fraction thresholds/leaves keep the q133 oracle comparison
     * exact. */
+  // 3-class dump fixture (q169): 6 trees = 2 boosting rounds x 3
+  // classes, round-robin (tree i -> class i % 3, xgboost's dump order).
+  // Exact binary fractions throughout so per-class margins compare
+  // bit-exactly against the generated SQL.
+  private[graft] val xgbMultiDumpFixture: String = """[
+    {"nodeid":0,"depth":0,"split":"f0","split_condition":0.25,"yes":1,"no":2,"missing":2,"children":[
+      {"nodeid":1,"leaf":0.5},
+      {"nodeid":2,"leaf":-0.25}]},
+    {"nodeid":0,"depth":0,"split":"f1","split_condition":0.0,"yes":1,"no":2,"missing":2,"children":[
+      {"nodeid":1,"leaf":0.375},
+      {"nodeid":2,"leaf":-0.125}]},
+    {"nodeid":0,"depth":0,"split":"f2","split_condition":-0.125,"yes":1,"no":2,"missing":1,"children":[
+      {"nodeid":1,"leaf":0.4375},
+      {"nodeid":2,"leaf":-0.1875}]},
+    {"nodeid":0,"depth":0,"split":"f3","split_condition":0.5,"yes":1,"no":2,"missing":2,"children":[
+      {"nodeid":1,"depth":1,"split":"f0","split_condition":-0.5,"yes":3,"no":4,"missing":3,"children":[
+        {"nodeid":3,"leaf":0.28125},
+        {"nodeid":4,"leaf":-0.09375}]},
+      {"nodeid":2,"leaf":0.15625}]},
+    {"nodeid":0,"depth":0,"split":"f4","split_condition":0.125,"yes":1,"no":2,"missing":1,"children":[
+      {"nodeid":1,"leaf":-0.21875},
+      {"nodeid":2,"leaf":0.34375}]},
+    {"nodeid":0,"depth":0,"split":"f5","split_condition":-0.25,"yes":1,"no":2,"missing":2,"children":[
+      {"nodeid":1,"leaf":0.40625},
+      {"nodeid":2,"leaf":-0.03125}]}]"""
+
   private[graft] val xgbDumpFixture: String = """[
     {"nodeid":0,"depth":0,"split":"f0","split_condition":0.125,"yes":1,"no":2,"missing":1,"children":[
       {"nodeid":1,"depth":1,"split":"f7","split_condition":-0.25,"yes":3,"no":4,"missing":4,"children":[

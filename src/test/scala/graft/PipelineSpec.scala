@@ -756,6 +756,84 @@ class PipelineSpec extends AnyFunSuite {
       graft.queries.PipelineQueries.lgbTextFixture.replace("decision_type=2 0", "decision_type=3 0")))
   }
 
+  test("GbdtMulti: tree_info assignment, all paths agree, lowest-index ties") {
+    import graft.pipeline.{Inference, XgbJson, LightGbmText}
+    // save_model multi-class doc with a NON-round-robin tree_info
+    // [0,1,2,2,1,0] — the document's own assignment must win
+    def stump(f: Int, thr: Double, l: Double, r: Double) =
+      s"""{"left_children":[1,-1,-1],"right_children":[2,-1,-1],
+         |"split_indices":[$f,0,0],"split_conditions":[$thr,$l,$r],
+         |"default_left":[0,0,0]}""".stripMargin
+    val modelJson = s"""{"learner":{
+      |"learner_model_param":{"base_score":"5E-1","num_class":"3"},
+      |"objective":{"name":"multi:softprob"},
+      |"gradient_booster":{"model":{
+      |  "tree_info":[0,1,2,2,1,0],
+      |  "trees":[${stump(0, 0.0, 0.5, -0.5)},${stump(1, 0.0, 0.25, -0.25)},
+      |           ${stump(2, 0.0, 0.125, -0.125)},${stump(2, 1.0, 0.0625, -0.0625)},
+      |           ${stump(1, 1.0, 0.03125, -0.03125)},${stump(0, 1.0, 0.5, -0.5)}]}}}}""".stripMargin
+    val mm = XgbJson.fromModelJsonMulti(modelJson)
+    assert(mm.numClass == 3)
+    // class 0 owns trees 0 and 5 (tree_info), NOT 0 and 3 (round-robin):
+    // x = [0.5, 9, 9]: tree0 → -0.5 (f0 >= 0), tree5 → 0.5 (f0 < 1)
+    // → class-0 margin = bias 0.5 + 0.0
+    val x = Array(0.5, 9.0, 9.0)
+    val s0 = mm.scoreAll(x)
+    assert(s0(0) == 0.5 + (-0.5 + 0.5))
+    assert(s0(1) == 0.5 + (-0.25 - 0.03125)) // trees 1, 4
+    assert(s0(2) == 0.5 + (-0.125 - 0.0625)) // trees 2, 3
+    // Catalyst margins/predictClass == JVM on random vectors
+    val rnd = new scala.util.Random(47)
+    val rows = Seq.tabulate(80)(i => (i.toLong, Array.fill(3)((rnd.nextInt(64) - 32) / 16.0).toSeq))
+    val ms = mm.marginsWith(i => org.apache.spark.sql.functions.try_element_at($"v", lit(i + 1)))
+    val got = rows.toDF("id", "v").repartition(4)
+      .select($"id", mm.predictClass($"v").as("pc"),
+        ms(0).as("c0"), ms(1).as("c1"), ms(2).as("c2"),
+        element_at(mm.softmax($"v"), 1).as("p0"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    rows.foreach { case (i, v) =>
+      val sc = mm.scoreAll(v.toArray)
+      val (pc, c0, c1, c2, p0) = got(i)
+      assert(pc == mm.predictClassJvm(v.toArray).toLong)
+      assert(c0 == sc(0) && c1 == sc(1) && c2 == sc(2), s"row $i margins")
+      // softmax normalizes
+      val mx = sc.max
+      val want0 = math.exp(sc(0) - mx) / sc.map(m => math.exp(m - mx)).sum
+      assert(math.abs(p0 - want0) < 1e-12)
+    }
+    // tie-break: two classes with IDENTICAL margins → lowest index wins,
+    // on the Catalyst path, the JVM path, and the SQL mirror
+    val tie = Inference.GbdtMulti(Seq(
+      Inference.GbdtModel(Seq(Array(Inference.leaf(0.25))), 0.0),
+      Inference.GbdtModel(Seq(Array(Inference.leaf(0.25))), 0.0),
+      Inference.GbdtModel(Seq(Array(Inference.leaf(0.125))), 0.0)))
+    assert(tie.predictClassJvm(Array(1.0)) == 0)
+    val tiePc = Seq((1L, Seq(1.0))).toDF("id", "v")
+      .select(tie.predictClass($"v")).head().getLong(0)
+    assert(tiePc == 0L)
+    assert(tie.argmaxSqlOver(Seq("a", "b", "c")) ==
+      "(CASE WHEN a >= b AND a >= c THEN 0 WHEN b >= c THEN 1 ELSE 2 END)")
+    // LightGBM multi-class round-robin: 2 rounds x 2 classes from a
+    // synthetic doubled fixture
+    val lgb2 = {
+      val base = graft.queries.PipelineQueries.lgbTextFixture
+      val doubled = base.replace("num_class=1", "num_class=2")
+      LightGbmText.fromTextMulti(doubled)
+    }
+    assert(lgb2.numClass == 2)
+    // the single-class fixture has 2 trees → one per class round-robin
+    assert(lgb2.classes.forall(_.trees.size == 1))
+    // vector-leaf and wrong-entry-point guard rails
+    intercept[IllegalArgumentException](XgbJson.fromModelJsonMulti(
+      modelJson.replace("\"tree_info\":[0,1,2,2,1,0],",
+        "\"gbtree_model_param\":{\"multi_strategy\":\"multi_output_tree\"},\"tree_info\":[0,1,2,2,1,0],")))
+    intercept[IllegalArgumentException](XgbJson.fromModelJsonMulti(
+      modelJson.replace("\"num_class\":\"3\"", "\"num_class\":\"0\"")))
+    intercept[IllegalArgumentException](LightGbmText.fromTextMulti(
+      graft.queries.PipelineQueries.lgbTextFixture))
+  }
+
   test("GbdtBackend scores real decoded images through the batched seam") {
     import graft.pipeline.Inference
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
