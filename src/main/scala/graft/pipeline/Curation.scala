@@ -151,10 +151,85 @@ object Curation {
   def tld(host: Column): Column =
     regexp_extract(host, "\\.([A-Za-z0-9-]+)$", 1)
 
-  /** Registrable domain approximation: last two labels (public-suffix
-    * lists are a broadcast-table refinement at deploy time). */
-  def registeredDomain(host: Column): Column =
-    regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+  /** Multi-label public suffixes: a curated subset of the public
+    * suffix list (publicsuffix.org) covering the high-traffic ccTLD
+    * second-level registries plus the most common private-section
+    * hosting suffixes. Every entry is a 2-label suffix under which the
+    * REGISTRABLE domain is three labels (`bbc.co.uk`, not `co.uk`).
+    * Swap in the full PSL table at deploy time for wildcard rules
+    * (`*.ck`), exceptions, and 3-label suffixes — the lookup shape
+    * below doesn't change. */
+  private[graft] val MultiLabelSuffixes: Seq[String] = Seq(
+    // UK / IE
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk", "ltd.uk", "plc.uk",
+    // Australia / NZ
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz", "gen.nz", "maori.nz", "school.nz",
+    // Japan / Korea / Taiwan / HK / SG / MY / ID / TH / PH / VN / IN
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "name.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id", "sch.id", "my.id",
+    "co.th", "in.th", "go.th", "ac.th", "or.th", "net.th", "mi.th",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in", "edu.in", "gov.in", "res.in", "nic.in",
+    // China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    // Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br", "eco.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar", "mil.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "nom.pe",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve",
+    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy",
+    "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec",
+    "com.bo", "net.bo", "org.bo", "gob.bo", "edu.bo",
+    "com.py", "net.py", "org.py", "gov.py", "edu.py",
+    "com.gt", "com.do", "com.pa", "com.sv", "com.ni", "com.hn", "com.cu",
+    // Europe (second-level registries)
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl", "com.ua", "net.ua",
+    "org.ua", "gov.ua", "edu.ua", "in.ua", "kiev.ua", "com.tr", "net.tr", "org.tr",
+    "gov.tr", "edu.tr", "gen.tr", "web.tr", "co.il", "net.il", "org.il", "gov.il",
+    "ac.il", "muni.il", "k12.il", "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "com.ro", "org.ro", "co.at",
+    "or.at", "ac.at", "gv.at", "co.hu", "org.hu", "com.ru", "net.ru", "org.ru",
+    // Africa / Middle East
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za", "edu.za",
+    "co.ke", "or.ke", "go.ke", "ac.ke", "ne.ke",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk",
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd", "ac.bd",
+    "ac.ir", "co.ir", "org.ir", "gov.ir", "net.ir",
+    "com.lb", "com.jo", "com.kw", "com.qa", "com.om", "com.ye", "ae.org", "co.ae",
+    // PSL private section: ubiquitous hosting suffixes
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com", "netlify.app",
+    "vercel.app", "herokuapp.com", "web.app", "firebaseapp.com", "pages.dev")
+
+  /** Registrable domain via longest-suffix match against the embedded
+    * [[MultiLabelSuffixes]] table (r10 verdict item 8 — the 2-label
+    * approximation misclassified every `.co.uk`-style host): when the
+    * host's last TWO labels form a known public suffix, the registrable
+    * domain is the last THREE labels; otherwise the last two. The
+    * membership test compiles to a codegen'd hash-set probe over a
+    * plan literal (the blocklist-join pattern inlined — ~250 entries
+    * is far below any broadcast threshold). A host that IS a public
+    * suffix itself (`co.uk` with no third label) returns the suffix,
+    * matching the "no registrable domain" degenerate case without a
+    * null surprise. */
+  def registeredDomain(host: Column): Column = {
+    val suff2 = regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+    val last3 = regexp_extract(host,
+      "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+    when(suff2.isin(MultiLabelSuffixes: _*) && last3 =!= "", last3)
+      .otherwise(suff2)
+  }
 
   /** Credential/secret detectors for CODE corpora — the BigCode/
     * StarCoder-class redaction step, distinct from [[piiCounts]]'s
@@ -182,7 +257,16 @@ object Curation {
   /** Text with every secret match replaced by `<CLASS>` — order
     * matters only across overlapping classes (vendor prefixes fire
     * before the generic assigned-secret rule, so a `token=ghp_…`
-    * redacts as GITHUB, the specific class). */
+    * redacts as GITHUB, the specific class).
+    *
+    * Substitution-ordering contract (intentional, spec-pinned): the
+    * patterns apply SEQUENTIALLY, so an earlier substitution consumes
+    * its span — after `api_key=AKIA…` rewrites to `api_key=<AWS>`, the
+    * remnant no longer matches the assigned-secret rule (`<…>` is not
+    * in its token alphabet) and is NOT double-wrapped. Class counts
+    * from [[secretSignals]] therefore sum per-class matches on the
+    * ORIGINAL text, which can exceed the substitutions this function
+    * performs when classes overlap. */
   def redactSecrets(text: Column): Column =
     secretPatterns.foldLeft(text) { case (t, (name, re)) =>
       regexp_replace(t, re, s"<${name.toUpperCase}>") }

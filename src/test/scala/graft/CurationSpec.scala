@@ -62,6 +62,31 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("registeredDomain: PSL multi-label suffixes take three labels") {
+    val cases = Seq(
+      ("https://www.bbc.co.uk/news", "bbc.co.uk"),          // ccTLD registry
+      ("https://shop.example.com.au/x", "example.com.au"),  // deeper host
+      ("https://user.github.io/repo", "user.github.io"),    // PSL private section
+      ("https://www.example.com/a", "example.com"),         // plain gTLD: 2 labels
+      ("https://deep.sub.example.org/b", "example.org"),
+      ("https://co.uk/", "co.uk"))                          // bare suffix degenerate
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.registeredDomain(
+        Curation.stripWww(Curation.extractHost($"url"))).as("d"))
+      .collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+    // blocklist filtering composes: blocking bbc.co.uk must not block
+    // abc.co.uk, and must block every host under bbc.co.uk
+    val df = Seq(
+      (1L, "https://www.bbc.co.uk/news"),
+      (2L, "https://media.bbc.co.uk/img"),
+      (3L, "https://abc.co.uk/x")).toDF("id", "url")
+    val kept = Curation.filterBlockedDomains(df, $"url",
+        Seq("bbc.co.uk").toDF("domain"), "domain")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L))
+  }
+
   test("packOffsets: bin spans from the stream prefix sum") {
     val df = Seq(
       ("s", 1L, 6L), ("s", 2L, 3L), ("s", 3L, 5L), ("s", 4L, 0L)
