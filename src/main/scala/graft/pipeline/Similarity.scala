@@ -584,6 +584,31 @@ object Similarity {
     cb
   }
 
+  /** Train per-subspace PQ codebooks on RESIDUALS `v − c(cell)` (cell
+    * = the shared [[md5Centroids]] argmax router) — the quantizer that
+    * closes the r10 q162 caveat: with codebooks fitted to the pooled
+    * residual distribution, every cell's ADC table measures distance
+    * against centroids that actually cover its residuals, so
+    * cross-cell sums become mutually comparable (a far cell's best
+    * table entry approximates its TRUE distance instead of an
+    * arbitrary md5 offset) and a planted twin wins at any nProbe —
+    * the guarantee PipelineSpec pins. One map-only residual transform,
+    * then the [[pqTrainCodebooks]] Lloyd machinery unchanged. */
+  def pqTrainCodebooksResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, dim: Int, nCells: Int, iters: Int = 2,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val cents = md5Centroids(nCells, dim)
+    val residU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      val c = cents(argmaxCell(va, cents))
+      (0 until va.length).map(i => va(i) - (if (i < c.length) c(i) else 0.0))
+    }
+    pqTrainCodebooks(
+      corpus.select(col(idCol).cast("long").as("rid"),
+        residU(widen(col(vecCol))).as("rv")),
+      "rid", "rv", m, ks, dim, iters, seed)
+  }
+
   /** PQ-encode the corpus: `(nn_id, code: array<int>[m])` where
     * `code(s)` is the argmin centroid of subspace `s` (ties → lowest
     * index; argmin runs on the e6-quantized integer distances, so the
@@ -743,14 +768,20 @@ object Similarity {
   def ivfPqTopKResidual(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, m: Int, ks: Int, dim: Int, nCells: Int, nProbe: Int,
-      maxQueryRows: Int = 100000): DataFrame = {
+      maxQueryRows: Int = 100000,
+      codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(nCells > 0 && nProbe > 0 && nProbe <= nCells,
       s"need 0 < nProbe <= nCells (got nProbe=$nProbe nCells=$nCells)")
     require(k > 0, "k must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cb = pqCodebooks(m, ks, dim / m)
+    // default: the deterministic oracle-portable codebooks (q162's
+    // contract); production: [[pqTrainCodebooksResidual]] output, which
+    // makes cross-cell ADC sums mutually comparable (see its doc)
+    val cb = codebook.getOrElse(pqCodebooks(m, ks, dim / m))
+    require(cb.length == m && cb.forall(s => s.length == ks),
+      s"codebook shape must be m=$m x ks=$ks")
     val cents = md5Centroids(nCells, dim)
     val qs = queries.select(col(qIdCol).cast("long").as("qid"),
         widen(col(qVecCol)).as("qv"))

@@ -444,6 +444,43 @@ class PipelineSpec extends AnyFunSuite {
     own.foreach { case (id, d) => assert(all.get(id).contains(d)) }
   }
 
+  test("residual IVF-PQ with TRAINED residual codebooks: twin ranks first at every nProbe") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val twin = emb.filter($"vec_id" === 0L).withColumn("vec_id", lit(-1L))
+    val corpus = emb.unionByName(twin)
+    // codebooks fitted to the pooled residual distribution (the r10
+    // caveat-closer): cross-cell ADC sums are now mutually comparable,
+    // so the identical twin must rank FIRST whether we probe 1 cell,
+    // a few, or all of them — the untrained-codebook failure mode
+    // (another cell's arbitrary table summing lower) is gone
+    val cb = Similarity.pqTrainCodebooksResidual(corpus, "vec_id", "embedding",
+      m = 8, ks = 16, dim = 64, nCells = 8, iters = 2)
+    val q0 = emb.filter($"vec_id" === 0L)
+    var twinDistAtOwnCell = -1L
+    for (nProbe <- Seq(1, 2, 8)) {
+      val got = Similarity.ivfPqTopKResidual(corpus, "vec_id", "embedding",
+          q0, "vec_id", "embedding",
+          k = 5, m = 8, ks = 16, dim = 64, nCells = 8, nProbe = nProbe,
+          codebook = Some(cb))
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      assert(got.nonEmpty && got.head._1 == -1L,
+        s"nProbe=$nProbe: twin not rank 1: ${got.toSeq}")
+      // scoring is probe-invariant: the twin's own-cell distance never drifts
+      if (nProbe == 1) twinDistAtOwnCell = got.head._2
+      assert(got.head._2 == twinDistAtOwnCell, s"nProbe=$nProbe: twin dist drifted")
+    }
+    // trained codebooks quantize residuals tighter than the md5 baseline:
+    // the twin's ADC self-distance (pure quantization error) must shrink
+    val untrained = Similarity.ivfPqTopKResidual(corpus, "vec_id", "embedding",
+        q0, "vec_id", "embedding",
+        k = 1, m = 8, ks = 16, dim = 64, nCells = 8, nProbe = 1)
+      .collect()
+    assert(untrained.head.getLong(2) == -1L)
+    assert(twinDistAtOwnCell <= untrained.head.getLong(3),
+      s"trained twin dist $twinDistAtOwnCell > untrained ${untrained.head.getLong(3)}")
+  }
+
   test("PQ ANN: engine equals a local ADC recompute; planted twin ranks first") {
     val rnd = new scala.util.Random(41)
     val dim = 32; val m = 4; val ks = 16; val sub = dim / m
