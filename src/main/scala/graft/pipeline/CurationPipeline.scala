@@ -61,11 +61,14 @@ object CurationPipeline {
       // never rescans the corpus: the probe is partition-pruned to the
       // (band, sig-bucket) cells the batch actually touches. Index
       // maintenance (appending the batch survivors' signatures) stays
-      // with the caller — stages() is read-only by design. Caveat
-      // shared by every incremental dedup: a transitive chain
-      // batch→batch→history can keep a batch doc the full-corpus rerun
-      // would drop (spec'd on chain-free data; the full rerun remains
-      // the reconciliation path).
+      // with the caller — stages() is read-only by design. At-ingest
+      // caveat shared by every survivors-only incremental dedup: a
+      // transitive chain batch→batch→history can keep a batch doc the
+      // full-corpus rerun would drop. CLOSED offline in r11:
+      // Dedup.minhashIngestBatch records every doc's signatures + match
+      // edges, and Dedup.minhashReconcile's transitive closure then
+      // reproduces the full-corpus dedup EXACTLY (AdvancedSpec pins
+      // mapping equality) — run it on the maintenance cadence.
       nearDedupIndexPath: Option[String] = None,
       decontamShingleN: Int = 3,
       lmMinBigramCount: Int = 2,

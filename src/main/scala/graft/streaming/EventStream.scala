@@ -204,8 +204,14 @@ object EventStream {
     *
     * Net: the index state is exactly-once, every probe sees exactly
     * the batches that committed before it, and batches never rescan
-    * the corpus. Compaction (folding old deltas into `data/`) is an
-    * offline [[graft.pipeline.Dedup.minhashWriteIndex]] rebuild. */
+    * the corpus. Compaction (folding old deltas into `data/`) is
+    * [[graft.pipeline.Dedup.minhashCompactIndex]]. Survivors-only
+    * indexing is intentionally eager-drop: cross-batch transitive
+    * chains (new doc ≈ dropped doc ≉ any survivor) are reconciled
+    * OFFLINE by the [[graft.pipeline.Dedup.minhashIngestBatch]] +
+    * [[graft.pipeline.Dedup.minhashReconcile]] mode, which records
+    * every doc's signatures and match edges and provably reproduces
+    * the full-corpus dedup (AdvancedSpec). */
   def indexedDedupIngestStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, minEst: Double)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =

@@ -489,6 +489,51 @@ class AdvancedSpec extends AnyFunSuite {
     assert(Dedup.minhashCompactIndex(spark, dir) == 0)
   }
 
+  test("minhashIngestBatch + reconcile == full-corpus dedup EXACTLY (transitive, order-proof)") {
+    import graft.pipeline.{Components, Dedup}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val (k, bands, minEst, shingleN) = (16, 8, 0.25, 2)
+    // full-corpus reference: one candidates pass + transitive closure,
+    // canonical survivor = component min id
+    val fullMap = Components.connectedComponents(
+        Dedup.minhashCandidates(docs, "doc_id", "text", k, bands, minEst, shingleN),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    val fullSurvivors = allIds.filter(id => fullMap.getOrElse(id, id) == id)
+    assert(fullSurvivors.size < allIds.size, "fixture must contain near-dups")
+    // 3-batch reconcilable ingest from an EMPTY bootstrap index
+    val dir = java.nio.file.Files.createTempDirectory("mh_reconcile").toString
+    Dedup.minhashCreateIndex(spark, dir, k, bands, shingleN, nSigParts = 4)
+    for (b <- 0 until 3)
+      Dedup.minhashIngestBatch(docs.filter($"doc_id" % 3 === b),
+        "doc_id", "text", dir, minEst, batchId = b.toLong).count()
+    val recMap = Dedup.minhashReconcile(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // EXACT equivalence: same (id -> canonical) mapping, same survivors
+    assert(recMap == fullMap,
+      s"mapping diverged: only-rec=${(recMap.toSet -- fullMap.toSet).take(5)} " +
+        s"only-full=${(fullMap.toSet -- recMap.toSet).take(5)}")
+    val recSurvivors = allIds.filter(id => recMap.getOrElse(id, id) == id)
+    assert(recSurvivors == fullSurvivors)
+    // the rewritten index holds canonical survivors ONLY, and still probes
+    val idxIds = spark.read.parquet(s"$dir/data").select("id").as[Long]
+      .collect().toSet
+    assert(idxIds == fullSurvivors,
+      s"index ids != survivors (extra=${(idxIds -- fullSurvivors).take(5)})")
+    assert(!new java.io.File(s"$dir/delta").exists())
+    assert(!new java.io.File(s"$dir/edges").exists())
+    assert(!new java.io.File(s"$dir/_graft_commits").exists())
+    // a replayed batch is a no-op on committed state (idempotence): a
+    // fresh identical run over one batch against the reconciled index
+    // still matches its docs to canonical survivors
+    val dupProbe = docs.limit(5)
+    val m = Dedup.minhashDedupIndexed(dupProbe, "doc_id", "text", dir, minEst = 0.9)
+      .collect()
+    m.foreach(r => assert(fullSurvivors.contains(r.getLong(1))))
+  }
+
   test("flatMapGroupsWithState sessionization counts gap-split sessions") {
     import EventStream._
     val evs = Seq(
