@@ -56,6 +56,12 @@ object Systematics {
     require(baseCols.nonEmpty && variations.nonEmpty,
       "need at least one base column and one variation")
     val keep = df.columns.toSeq
+    // name-collision guard: a baseCol / output name shadowing an input
+    // column would yield silently ambiguous or duplicate output columns
+    val reserved = baseCols.map(_._1) ++ Seq("variation", valueName, "__var")
+    val clash = reserved.filter(keep.contains)
+    require(clash.isEmpty,
+      s"explodeVariationsFactored name collision with input columns: ${clash.mkString(",")}")
     val staged = df.select(
       keep.map(col) ++ baseCols.map { case (n, c) => c.as(n) }: _*)
     val refs = baseCols.map { case (n, _) => n -> col(n) }.toMap

@@ -135,8 +135,13 @@ object Combinations3Expr {
   def triples(arr: ArrayData, et: DataType): ArrayData = {
     val n = arr.numElements()
     if (n < 3) return new GenericArrayData(Array.empty[Any])
-    // Long count: n(n-1)(n-2) wraps Int from n=1292 — the guard must
-    // bound the REAL triple count, not a wrap-prone n heuristic
+    // Bound n BEFORE forming the product: n(n-1)(n-2) itself wraps Long
+    // near n≈2.1e6, which would let a wrapped m slip past the m-guard.
+    // n=2345 is the largest n with nC3 <= Int.MaxValue, so the n-check
+    // subsumes every overflow case and the m-guard stays as the exact
+    // boundary test.
+    require(n <= 2345,
+      s"combinations3 over $n elements exceeds Int.MaxValue triples — not materializable")
     val m = n.toLong * (n - 1) * (n - 2) / 6
     require(m <= Int.MaxValue,
       s"combinations3 over $n elements yields $m triples — not materializable")

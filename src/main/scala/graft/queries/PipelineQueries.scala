@@ -716,9 +716,9 @@ object PipelineQueries extends QueryPack {
       "Incremental fuzzy dedup against a PERSISTED MinHash LSH index — the continuous-crawl-ingest shape at 100 TB: the corpus is signed once into a parquet layout partitioned by (band, sig-hash-bucket), then a new batch (here doc_id % 5 = 0) probes it WITHOUT rescanning the corpus: the batch's bounded (band, sp) grid becomes a static PartitionFilter (directories prune at file-listing time, spec-asserted via numFiles) and the batch buckets broadcast against the pruned scan — corpus rows never shuffle. Emits every (new, corpus) match with estimated Jaccard; the oracle is the DIRECT q54-style computation restricted to batch-side pairs, proving index and direct paths agree exactly.",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val idx = java.nio.file.Files.createTempDirectory("q135_mhidx").toString
-        Dedup.minhashWriteIndex(docs, "doc_id", "text", idx,
-          k = 16, bands = 8, shingleN = 2, nSigParts = 8)
+        val idx = cachedIndex("q135_mhidx", dir)(p =>
+          Dedup.minhashWriteIndex(docs, "doc_id", "text", p,
+            k = 16, bands = 8, shingleN = 2, nSigParts = 8))
         Dedup.minhashDedupIndexed(
           docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", idx, minEst = 0.25)
       },
@@ -777,9 +777,9 @@ object PipelineQueries extends QueryPack {
       (s, dir) => {
         import s.implicits._
         val emb = Tables.embeddings(s, dir)
-        val idx = java.nio.file.Files.createTempDirectory("q159_ivfpq").toString
-        Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", idx,
-          m = 8, ks = 16, dim = 64, nCells = 8)
+        val idx = cachedIndex("q159_ivfpq", dir)(p =>
+          Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", p,
+            m = 8, ks = 16, dim = 64, nCells = 8))
         Similarity.ivfPqTopKIndexed(
           emb.filter($"vec_id" < 6), "vec_id", "embedding", idx,
           k = 5, nProbe = 8)
@@ -962,6 +962,27 @@ object PipelineQueries extends QueryPack {
     * yes/no/missing). Stands in for a real exported model file —
     * binary-fraction thresholds/leaves keep the q133 oracle comparison
     * exact. */
+  // Per-JVM scratch-index cache (r10 ADVICE): q135/q159 serve from a
+  // PERSISTED index; rebuilding it on every invocation folded the
+  // build cost into rows advertised as the SERVE path and leaked one
+  // temp directory per bench rep. Build once per (query, sfDir) per
+  // process, delete on JVM exit. Correctness is unchanged — the index
+  // content is a pure function of (corpus, parameters).
+  private val scratchIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedIndex(tag: String, sfDir: String)(build: String => Unit): String =
+    scratchIndexes.computeIfAbsent(s"$tag|$sfDir", _ => {
+      val p = java.nio.file.Files.createTempDirectory(tag).toString
+      build(p)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }
+      p
+    })
+
   // 3-class dump fixture (q169): 6 trees = 2 boosting rounds x 3
   // classes, round-robin (tree i -> class i % 3, xgboost's dump order).
   // Exact binary fractions throughout so per-class margins compare
