@@ -271,6 +271,121 @@ object Curation {
     secretPatterns.foldLeft(text) { case (t, (name, re)) =>
       regexp_replace(t, re, s"<${name.toUpperCase}>") }
 
+  // ---- financial-identifier PII (Luhn cards, IBAN) ----
+
+  /** Luhn mod-10 sum of a digit string (ISO/IEC 7812 — the payment-card
+    * check every PII scrubber needs to separate real card numbers from
+    * arbitrary digit runs): from the RIGHTMOST digit, double every
+    * second digit, subtract 9 when the double exceeds 9, sum. Pure
+    * codegen'd HOFs (split → transform → aggregate), mirrored 1:1 in
+    * the DuckDB oracle (q170). */
+  def luhnSum(digits: Column): Column = {
+    // Java-regex split("") emits a trailing "" under limit -1 — drop it
+    // (a null-cast empty char would poison the whole aggregate)
+    val chars = filter(split(reverse(digits), ""), _ =!= "")
+    val vals = transform(chars, (ch, i) => {
+      val d = ch.cast("int")
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(vals, lit(0), _ + _)
+  }
+
+  /** True when the digit string passes the Luhn check. */
+  def luhnValid(digits: Column): Column = luhnSum(digits) % 10 === 0
+
+  /** DuckDB twin of [[luhnSum]] (`x` is a SQL expression; pass a plain
+    * column reference — it is substituted several times). */
+  def luhnSumSql(x: String): String =
+    s"list_sum([CASE WHEN (i-1) % 2 = 1 THEN " +
+      s"CASE WHEN 2*CAST(substring(reverse($x), i, 1) AS INT) > 9 " +
+      s"THEN 2*CAST(substring(reverse($x), i, 1) AS INT) - 9 " +
+      s"ELSE 2*CAST(substring(reverse($x), i, 1) AS INT) END " +
+      s"ELSE CAST(substring(reverse($x), i, 1) AS INT) END " +
+      s"for i in generate_series(1, length($x))])"
+
+  def luhnValidSql(x: String): String = s"(${luhnSumSql(x)} % 10 = 0)"
+
+  /** Candidate payment-card numbers: contiguous 13–19-digit runs
+    * (RE2-portable, no lookarounds). Validate with [[luhnValid]] —
+    * candidates alone massively over-trigger on ids/timestamps. */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("\\b[0-9]{13,19}\\b"), lit(0))
+
+  /** Candidate IBANs: country code + 2 check digits + 11–30
+    * alphanumerics (the printable no-space form). */
+  def ibanCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"), lit(0))
+
+  /** ISO 13616 IBAN mod-97 check: move the first four characters to
+    * the end, map letters to two-digit values (A=10…Z=35), and fold
+    * the resulting digit stream mod 97 — valid iff the remainder is 1.
+    * The fold keeps the running remainder < 97, so every intermediate
+    * stays in exact integer range at any IBAN length; one
+    * `aggregate` over the character array, codegen'd. */
+  def ibanValid(iban: Column): Column = {
+    val rearranged = concat(substring(iban, 5, 34), substring(iban, 1, 4))
+    val chars = filter(split(rearranged, ""), _ =!= "")
+    aggregate(chars, lit(0L), (r, ch) => {
+      val code = ascii(ch)
+      when(code >= 65, (r * 100 + (code - 55)) % 97)
+        .otherwise((r * 10 + (code - 48)) % 97)
+    }) === 1
+  }
+
+  /** DuckDB twin of [[ibanValid]] (`x`: a plain column reference —
+    * substituted several times; the rearranged string is re-derived
+    * inline). list_reduce carries the remainder, so intermediates stay
+    * < 9700 — exact at any IBAN length, like the Column fold. */
+  def ibanValidSql(x: String): String = {
+    val re = s"(substring($x, 5) || substring($x, 1, 4))"
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(i AS BIGINT) for i in generate_series(1, length($re))]), " +
+      s"(r, i) -> CASE WHEN ascii(substring($re, CAST(i AS INT), 1)) >= 65 " +
+      s"THEN (r * 100 + ascii(substring($re, CAST(i AS INT), 1)) - 55) % 97 " +
+      s"ELSE (r * 10 + ascii(substring($re, CAST(i AS INT), 1)) - 48) % 97 END) = 1)"
+  }
+
+  /** Text with every LUHN-VALID card number and every MOD-97-VALID
+    * IBAN replaced by `<CARD>` / `<IBAN>` — validity-gated redaction
+    * (replacing raw candidate runs would mangle order ids and
+    * timestamps; the validators make false positives arithmetically
+    * unlikely). Exact-string replaces folded over the validated match
+    * lists — no second regex pass, no UDF. */
+  def redactFinancialIds(text: Column): Column = {
+    val afterCards = aggregate(
+      filter(cardCandidates(text), luhnValid(_)), text,
+      (t, m) => replace(t, m, lit("<CARD>")))
+    aggregate(
+      filter(ibanCandidates(text), ibanValid(_)), afterCards,
+      (t, m) => replace(t, m, lit("<IBAN>")))
+  }
+
+  // ---- license detection (code corpora) ----
+
+  /** SPDX license expression when the file carries the
+    * machine-readable `SPDX-License-Identifier:` tag, else "". */
+  def spdxIdentifier(text: Column): Column =
+    regexp_extract(text, "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)", 1)
+
+  /** License classification for code corpora — the StarCoder/BigCode
+    * permissive-license gate: the SPDX tag wins (machine-readable
+    * standard), else the canonical first phrase of the ubiquitous
+    * license families, else "unknown". Fixed-phrase `contains`, not
+    * fuzzy matching — at 100 TB a misclassified license is a legal
+    * problem, so only unambiguous markers classify; extend the
+    * phrase table per deployment. */
+  def licenseOf(text: Column): Column = {
+    val spdx = spdxIdentifier(text)
+    when(spdx =!= "", spdx)
+      .when(text.contains("Permission is hereby granted, free of charge"), "MIT")
+      .when(text.contains("Licensed under the Apache License"), "Apache-2.0")
+      .when(text.contains("GNU General Public License"), "GPL")
+      .when(text.contains("Redistribution and use in source and binary forms"), "BSD")
+      .when(text.contains("This is free and unencumbered software released into the public domain"), "Unlicense")
+      .otherwise("unknown")
+  }
+
   /** Canonical URL for dedup keying — the crawl-curation normalizer
     * (two fetches of the same page routinely differ in scheme/host
     * case, default ports, tracking parameters, parameter order,

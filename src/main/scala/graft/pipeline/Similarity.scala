@@ -135,6 +135,54 @@ object Similarity {
         col("e.id").as("nn_id"), col("e.score").as("cos_e6"))
   }
 
+  /** Exact squared-L2 brute-force top-k — the GROUND TRUTH for
+    * evaluating the PQ/IVF families (their ADC scores approximate
+    * squared L2, not cosine). Same broadcast-query shape as
+    * [[bruteForceTopK]]; the total distance e6-quantizes BEFORE
+    * ranking so ties and ordering replay exactly cross-engine.
+    * Emits `(query_id, rk, nn_id, dist_e6)`, rk 1..k ascending
+    * distance, ties → lowest id. */
+  def bruteForceTopKL2(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("nn_id"),
+      widen(col(vecCol)).as("v"))
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      widen(col(qVecCol)).as("qv"))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _)
+    c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("dist_e6", floor(d2 * 1e6 + 0.5).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg(-col("dist_e6"), col("nn_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nn_id"), (-col("e.score")).as("dist_e6"))
+  }
+
+  /** Recall@k evaluation harness — "measure, don't guess" for every
+    * approximate ANN path in this file: the fraction of the EXACT
+    * top-k (ground truth, e.g. [[bruteForceTopKL2]]) that the
+    * approximate result (e.g. [[ivfPqTopK]] at nProbe < nCells)
+    * recovered, per query. Both inputs use the shared
+    * `(query_id, rk, nn_id, …)` contract. One broadcast-sized join —
+    * both sides are ≤ k rows per query by construction. Emits
+    * `(query_id, n_truth, n_hit, recall_e4)`. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rk") <= k)
+      .select(col("query_id"), col("nn_id")).withColumn("__hit", lit(1L))
+    val e = exact.filter(col("rk") <= k).select(col("query_id"), col("nn_id"))
+    e.join(a, Seq("query_id", "nn_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_truth"), col("n_hit"),
+        floor(col("n_hit") * 10000.0 / col("n_truth")).cast("long").as("recall_e4"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the trained-coarse-quantizer
     * scale path beside [[lshBuckets]]' training-free one:
     *

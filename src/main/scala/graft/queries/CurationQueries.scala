@@ -222,6 +222,106 @@ object CurationQueries extends QueryPack {
              |GROUP BY tld_out""".stripMargin)),
 
     Query(
+      "q170_financial_pii",
+      "Financial-identifier PII (the PCI-grade scrubbing step beyond q97's email/IP/phone): 13-19-digit card candidates validated by the Luhn mod-10 check and IBAN candidates validated by the ISO 13616 mod-97 fold — validity-gated, because candidate digit runs over-trigger on ids/timestamps and a false redaction destroys data. Both validators are pure codegen'd HOF arithmetic (split -> transform/aggregate), mirrored 1:1 in DuckDB (list comprehension + list_reduce); redaction folds exact-string replaces over the VALIDATED matches only, and the oracle replays the byte-length delta. Corpus synthesized from doc_id arithmetic: public test numbers, every 3rd card and every 4th IBAN corrupted.",
+      (s, dir) => {
+        val cardPool = Seq("4111111111111111", "5500005555555559",
+          "378282246310005", "6011111111111117")
+        val badCards = cardPool.map(c => c.init + ((c.last - '0' + 1) % 10))
+        val ibanPool = Seq("GB82WEST12345698765432",
+          "DE89370400440532013000", "FR1420041010050500013M02606")
+        val badIbans = ibanPool.map(c => c.init + (if (c.last != '0') '0' else '1'))
+        val card = when(col("doc_id") % 3 === 0,
+            element_at(typedLit(badCards), (col("doc_id") % 4).cast("int") + 1))
+          .otherwise(element_at(typedLit(cardPool), (col("doc_id") % 4).cast("int") + 1))
+        val iban = when(col("doc_id") % 4 === 0,
+            element_at(typedLit(badIbans), (col("doc_id") % 3).cast("int") + 1))
+          .otherwise(element_at(typedLit(ibanPool), (col("doc_id") % 3).cast("int") + 1))
+        val t = concat(col("text"), lit(" pay "), card, lit(" acct "), iban)
+        val cards = Curation.cardCandidates(t)
+        val ibans = Curation.ibanCandidates(t)
+        Tables.documents(s, dir)
+          .select(col("source"), t.as("t"),
+            size(cards).cast("long").as("nc"),
+            size(filter(cards, Curation.luhnValid(_))).cast("long").as("ncv"),
+            size(ibans).cast("long").as("ni"),
+            size(filter(ibans, Curation.ibanValid(_))).cast("long").as("niv"),
+            (length(t) - length(Curation.redactFinancialIds(t))).cast("long").as("rm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("n_card_cand"), sum(col("ncv")).as("n_card_valid"),
+            sum(col("ni")).as("n_iban_cand"), sum(col("niv")).as("n_iban_valid"),
+            sum(col("rm")).as("chars_removed"))
+      },
+      Some {
+        val cardPool = Seq("4111111111111111", "5500005555555559",
+          "378282246310005", "6011111111111117")
+        val badCards = cardPool.map(c => c.init + ((c.last - '0' + 1) % 10))
+        val ibanPool = Seq("GB82WEST12345698765432",
+          "DE89370400440532013000", "FR1420041010050500013M02606")
+        val badIbans = ibanPool.map(c => c.init + (if (c.last != '0') '0' else '1'))
+        def pick(pool: Seq[String], m: Int) = pool.zipWithIndex
+          .map { case (v, i) => s"WHEN $i THEN '$v'" }.mkString(s"(CASE doc_id % $m ", " ", " END)")
+        val card = s"(CASE WHEN doc_id % 3 = 0 THEN ${pick(badCards, 4)} ELSE ${pick(cardPool, 4)} END)"
+        val iban = s"(CASE WHEN doc_id % 4 = 0 THEN ${pick(badIbans, 3)} ELSE ${pick(ibanPool, 3)} END)"
+        s"""WITH d AS (SELECT source, text || ' pay ' || $card || ' acct ' || $iban AS t FROM documents),
+           |c AS (SELECT source, t,
+           |  regexp_extract_all(t, '\\b[0-9]{13,19}\\b') AS cards,
+           |  regexp_extract_all(t, '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b') AS ibans FROM d),
+           |v AS (SELECT source, t,
+           |  len(cards) AS nc, len([x for x in cards if ${Curation.luhnValidSql("x")}]) AS ncv,
+           |  len(ibans) AS ni, len([x for x in ibans if ${Curation.ibanValidSql("x")}]) AS niv,
+           |  length(t) - length(
+           |    list_reduce(list_prepend(
+           |      list_reduce(list_prepend(t, [x for x in cards if ${Curation.luhnValidSql("x")}]),
+           |        (acc, m) -> replace(acc, m, '<CARD>')),
+           |      [x for x in ibans if ${Curation.ibanValidSql("x")}]),
+           |      (acc, m) -> replace(acc, m, '<IBAN>'))) AS rm
+           |  FROM c)
+           |SELECT source, count(*) AS n_docs,
+           |CAST(sum(nc) AS BIGINT) AS n_card_cand, CAST(sum(ncv) AS BIGINT) AS n_card_valid,
+           |CAST(sum(ni) AS BIGINT) AS n_iban_cand, CAST(sum(niv) AS BIGINT) AS n_iban_valid,
+           |CAST(sum(rm) AS BIGINT) AS chars_removed
+           |FROM v GROUP BY source""".stripMargin
+      }),
+
+    Query(
+      "q171_license_detect",
+      "License detection for code corpora (the StarCoder/BigCode permissive-license gate): the machine-readable SPDX-License-Identifier tag wins; otherwise the canonical opening phrase of the ubiquitous families (MIT/Apache-2.0/GPL/BSD/Unlicense); otherwise 'unknown'. Fixed-phrase matching only — a misclassified license at 100 TB is a legal problem, so only unambiguous markers classify. Map-only scan + per-(source, license) count; headers synthesized from doc_id arithmetic identically on both engines.",
+      (s, dir) => {
+        val header = element_at(typedLit(Seq(
+          "// SPDX-License-Identifier: MIT\n",
+          "# SPDX-License-Identifier: Apache-2.0\n",
+          "Permission is hereby granted, free of charge, to any person\n",
+          "Licensed under the Apache License, Version 2.0\n",
+          "")), (col("doc_id") % 5).cast("int") + 1)
+        val t = concat(header, col("text"))
+        Tables.documents(s, dir)
+          .select(col("source"), Curation.licenseOf(t).as("license"))
+          .groupBy("source", "license")
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH d AS (SELECT source,
+             |  (CASE doc_id % 5
+             |     WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+             |     WHEN 1 THEN '# SPDX-License-Identifier: Apache-2.0' || chr(10)
+             |     WHEN 2 THEN 'Permission is hereby granted, free of charge, to any person' || chr(10)
+             |     WHEN 3 THEN 'Licensed under the Apache License, Version 2.0' || chr(10)
+             |     ELSE '' END) || text AS t FROM documents),
+             |lic AS (SELECT source,
+             |  CASE WHEN regexp_extract(t, 'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1) != ''
+             |       THEN regexp_extract(t, 'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1)
+             |       WHEN contains(t, 'Permission is hereby granted, free of charge') THEN 'MIT'
+             |       WHEN contains(t, 'Licensed under the Apache License') THEN 'Apache-2.0'
+             |       WHEN contains(t, 'GNU General Public License') THEN 'GPL'
+             |       WHEN contains(t, 'Redistribution and use in source and binary forms') THEN 'BSD'
+             |       WHEN contains(t, 'This is free and unencumbered software released into the public domain') THEN 'Unlicense'
+             |       ELSE 'unknown' END AS license
+             |  FROM d)
+             |SELECT source, license, count(*) AS n_docs
+             |FROM lic GROUP BY source, license""".stripMargin)),
+
+    Query(
       "q99_seq_pack",
       "GPT-style sequence packing: per-source token streams laid head-to-tail (doc_id order) and cut every 2048 tokens — a per-stream BIGINT prefix sum (window), aggregated to per-source bin/straddle counts. Parallelism = streams; shard the stream key to scale.",
       (s, dir) => {

@@ -787,6 +787,25 @@ object PipelineQueries extends QueryPack {
       Some(pqOracleSql)),
 
     Query(
+      "q172_ann_recall",
+      "ANN recall@k evaluation harness ('measure, don't guess' applied to the engine's own approximations): the fraction of the EXHAUSTIVE PQ scan's top-5 that IVF-PQ at nProbe=2 of 8 cells recovers, per query — the coverage question a deployment answers to SIZE nProbe before committing a 100 TB serving config (same distance model on both sides isolates CELL-PRUNING loss from quantization loss; the quantization-vs-exact-L2 axis is the bruteForceTopKL2 ground truth, spec-measured). The oracle replays BOTH sides in SQL (shared encode/ADC CTEs, one with and one without the probed-cell restriction) and the same recall join.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter($"vec_id" < 6)
+        val exhaustive = Similarity.pqTopK(
+          corpus = emb, idCol = "vec_id", vecCol = "embedding",
+          queries = q, qIdCol = "vec_id", qVecCol = "embedding",
+          k = 5, m = 8, ks = 16, dim = 64)
+        val approx = Similarity.ivfPqTopK(
+          corpus = emb, idCol = "vec_id", vecCol = "embedding",
+          queries = q, qIdCol = "vec_id", qVecCol = "embedding",
+          k = 5, m = 8, ks = 16, dim = 64, nCells = 8, nProbe = 2)
+        Similarity.recallAtK(approx, exhaustive, k = 5)
+      },
+      Some(annRecallOracleSql)),
+
+    Query(
       "q162_ivfpq_residual",
       "RESIDUAL IVF-PQ (Jegou et al. 2011 SIV-B, the refinement production deployments run): codes quantize v - c(cell) instead of v, spending the code bits on the within-cell spread; each query builds one integer ADC table PER PROBED CELL from its own residual (nProbe ~1KB tables per query, broadcast). Unlike the non-residual q137/q159, nProbe = nCells is NOT the exhaustive PQ scan (codes differ per cell), so the oracle replays the ENTIRE residual pipeline — md5 centroid literals, per-vector own-cell residual encode argmins, per-(query, cell) residual tables, ADC sums — all in exact e6 integers.",
       (s, dir) => {
@@ -854,6 +873,59 @@ object PipelineQueries extends QueryPack {
        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_e6, nn_id) AS BIGINT) AS rk,
        |       nn_id, dist_e6
        |FROM sc QUALIFY rk <= 5""".stripMargin
+  }
+
+  /** q172's oracle: BOTH sides of the recall evaluation in SQL from
+    * SHARED encode/ADC CTEs — the exhaustive PQ top-5 (no cell
+    * restriction) and IVF-PQ at nProbe=2 (cell routing by raw-dot
+    * argmax, ADC restricted to each query's probed cells), then the
+    * same left-join recall aggregation the engine's `recallAtK`
+    * performs. */
+  private lazy val annRecallOracleSql: String = {
+    val cb = Similarity.pqCodebooks(m = 8, ks = 16, subDim = 8)
+    val cents = Similarity.md5Centroids(nCells = 8, dim = 64)
+    val cbVals = (for {
+      s <- cb.indices; j <- cb(s).indices; i <- cb(s)(j).indices
+    } yield s"($s,$j,${i + 1},CAST(${cb(s)(j)(i)} AS DOUBLE))").mkString(",")
+    val ctVals = (for {
+      c <- cents.indices; i <- cents(c).indices
+    } yield s"($c,${i + 1},CAST(${cents(c)(i)} AS DOUBLE))").mkString(",")
+    s"""WITH cb(s, j, i, v) AS (VALUES $cbVals),
+       |ct(cell, i, v) AS (VALUES $ctVals),
+       |cd AS (SELECT e.vec_id, ct.cell, sum(CAST(e.embedding[ct.i] AS DOUBLE) * ct.v) AS dt
+       |       FROM embeddings e, ct GROUP BY 1, 2),
+       |co AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell) AS rn FROM cd)
+       |       WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell) AS rn FROM cd WHERE vec_id < 6)
+       |       WHERE rn <= 2),
+       |dt AS (SELECT e.vec_id, cb.s, cb.j,
+       |       CAST(floor(sum((CAST(e.embedding[cb.s*8 + cb.i] AS DOUBLE) - cb.v)
+       |                    * (CAST(e.embedding[cb.s*8 + cb.i] AS DOUBLE) - cb.v)) * 1000000 + 0.5) AS BIGINT) AS d_e6
+       |       FROM embeddings e, cb GROUP BY 1, 2, 3),
+       |enc AS (SELECT vec_id, s, j AS code FROM
+       |        (SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d_e6, j) AS rn FROM dt)
+       |        WHERE rn = 1),
+       |sc0 AS (SELECT qd.vec_id AS query_id, enc.vec_id AS nn_id, co.cell,
+       |        CAST(sum(qd.d_e6) AS BIGINT) AS dist_e6
+       |       FROM dt qd
+       |       JOIN enc ON enc.s = qd.s AND enc.code = qd.j AND enc.vec_id != qd.vec_id
+       |       JOIN co ON co.vec_id = enc.vec_id
+       |       WHERE qd.vec_id < 6
+       |       GROUP BY 1, 2, 3),
+       |ex AS (SELECT query_id, nn_id FROM
+       |       (SELECT query_id, nn_id, row_number() OVER (PARTITION BY query_id ORDER BY dist_e6, nn_id) AS rk FROM sc0)
+       |       WHERE rk <= 5),
+       |ap AS (SELECT query_id, nn_id FROM
+       |       (SELECT s.query_id, s.nn_id, row_number() OVER (PARTITION BY s.query_id ORDER BY s.dist_e6, s.nn_id) AS rk
+       |        FROM sc0 s JOIN qp ON qp.query_id = s.query_id AND qp.cell = s.cell)
+       |       WHERE rk <= 5)
+       |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(ap.nn_id) AS BIGINT) AS n_hit,
+       |  CAST(floor(count(ap.nn_id) * 10000.0 / count(*)) AS BIGINT) AS recall_e4
+       |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.nn_id = ex.nn_id
+       |GROUP BY 1""".stripMargin
   }
 
   /** q162's oracle: the FULL residual IVF-PQ pipeline in SQL — cell

@@ -62,6 +62,48 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("Luhn + IBAN validators: known vectors; validity-gated redaction") {
+    val valid = Seq("4111111111111111", "5500005555555559",
+      "378282246310005", "6011111111111117")
+    val invalid = valid.map(c => c.init + ((c.last - '0' + 1) % 10))
+    val got = (valid ++ invalid).toDF("d")
+      .select($"d", Curation.luhnValid($"d").as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    valid.foreach(v => assert(got(v), s"$v should pass Luhn"))
+    invalid.foreach(v => assert(!got(v), s"$v should fail Luhn"))
+    val ibans = Seq("GB82WEST12345698765432" -> true,
+      "DE89370400440532013000" -> true,
+      "FR1420041010050500013M02606" -> true,
+      "GB82WEST12345698765430" -> false,
+      "DE89370400440532013001" -> false)
+    val gi = ibans.map(_._1).toDF("s")
+      .select($"s", Curation.ibanValid($"s").as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    ibans.foreach { case (s, w) => assert(gi(s) == w, s"$s") }
+    // redaction replaces ONLY validated matches; order ids survive
+    val text = "pay 4111111111111111 ref 4111111111111112 order 1234567890123 " +
+      "to GB82WEST12345698765432 not GB82WEST12345698765430"
+    val red = Seq(text).toDF("t")
+      .select(Curation.redactFinancialIds($"t")).head().getString(0)
+    assert(red == "pay <CARD> ref 4111111111111112 order 1234567890123 " +
+      "to <IBAN> not GB82WEST12345698765430")
+  }
+
+  test("licenseOf: SPDX tag wins; phrase fallbacks; unknown default") {
+    val cases = Seq(
+      ("// SPDX-License-Identifier: BSD-3-Clause\nsome code", "BSD-3-Clause"),
+      ("# SPDX-License-Identifier: MIT\nPermission is hereby granted, free of charge", "MIT"),
+      ("Permission is hereby granted, free of charge, to any person", "MIT"),
+      ("Licensed under the Apache License, Version 2.0 (the \"License\")", "Apache-2.0"),
+      ("This program is free software under the GNU General Public License v3", "GPL"),
+      ("Redistribution and use in source and binary forms, with or without", "BSD"),
+      ("This is free and unencumbered software released into the public domain.", "Unlicense"),
+      ("no license markers here", "unknown"))
+    val got = cases.map(_._1).toDF("t")
+      .select(Curation.licenseOf($"t")).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
   test("registeredDomain: PSL multi-label suffixes take three labels") {
     val cases = Seq(
       ("https://www.bbc.co.uk/news", "bbc.co.uk"),          // ccTLD registry

@@ -65,6 +65,21 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(dataMasses.forall(m => m > 0.0 && m < 300.0 && !m.isNaN))
   }
 
+  test("empty golden file (nano_dy_empty.parquet) flows through with zero counts") {
+    assume(available, s"${GoldenQueries.sampleDir} not present")
+    // the reference ships a 0-row, full-schema file precisely for the
+    // empty-partition path (skipbadfiles/empty-chunk handling in
+    // test_local_executors.py) — the whole analysis must produce
+    // empty/zero results, not throw
+    val ev = GoldenQueries.muonEvents(spark,
+      s"${GoldenQueries.sampleDir}/nano_dy_empty.parquet")
+    assert(ev.count() == 0)
+    val agg = ev.agg(
+      sum(size(col("Muon"))).as("npt"),
+      sum(size(GoldenQueries.pairMasses(col("Muon")))).as("nmass")).head()
+    assert(agg.isNullAt(0) && agg.isNullAt(1)) // SQL sum over zero rows
+  }
+
   test("golden scan is column-pruned to the four Muon branches") {
     assume(available, s"${GoldenQueries.sampleDir} not present")
     val plan = GoldenQueries

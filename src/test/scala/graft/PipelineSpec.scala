@@ -481,6 +481,46 @@ class PipelineSpec extends AnyFunSuite {
       s"trained twin dist $twinDistAtOwnCell > untrained ${untrained.head.getLong(3)}")
   }
 
+  test("recallAtK + bruteForceTopKL2: local recompute, full-probe recall 1.0") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopKL2(
+      emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+    // local ground-truth recompute (same e6 quantization, same ties)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2e6(a: Array[Double], b: Array[Double]): Long =
+      math.floor(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum * 1e6 + 0.5).toLong
+    val gotExact = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for (qid <- 0L until 4L) {
+      val want = vecs.keys.filter(_ != qid).toSeq
+        .map(id => (l2e6(vecs(qid), vecs(id)), id)).sorted.take(5)
+      want.zipWithIndex.foreach { case ((d, id), i) =>
+        assert(gotExact((qid, i + 1L)) == ((id, d)), s"q$qid rk${i + 1}")
+      }
+    }
+    // probing every cell makes IVF-PQ == exhaustive PQ; its recall vs
+    // the PQ approximation's own top-5 must then be exactly 1.0
+    val pqFull = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, m = 8, ks = 16, dim = 64,
+      nCells = 8, nProbe = 8)
+    val pqExhaustive = Similarity.pqTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, m = 8, ks = 16, dim = 64)
+    val r1 = Similarity.recallAtK(pqFull, pqExhaustive, k = 5).collect()
+    assert(r1.length == 4)
+    r1.foreach(r => assert(r.getLong(3) == 10000L,
+      s"full-probe recall must be 1.0: ${r.mkString(",")}"))
+    // hand-built frames: known partial recall with integer floor
+    val approx = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 99L))
+      .toDF("query_id", "rk", "nn_id")
+    val truth = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("query_id", "rk", "nn_id")
+    val r2 = Similarity.recallAtK(approx, truth, k = 3).head()
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((3L, 2L, 6666L)))
+  }
+
   test("PQ ANN: engine equals a local ADC recompute; planted twin ranks first") {
     val rnd = new scala.util.Random(41)
     val dim = 32; val m = 4; val ks = 16; val sub = dim / m
