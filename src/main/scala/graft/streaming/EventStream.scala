@@ -252,6 +252,25 @@ object EventStream {
       } finally survivors.unpersist(blocking = false)
     }
 
+  /** [[indexedDedupIngestStream]] in RECONCILABLE mode (r11): each
+    * micro-batch runs [[graft.pipeline.Dedup.minhashIngestBatch]] —
+    * every doc's signatures AND the batch's match edges land in the
+    * index under the same idempotent-overwrite + marker-last commit —
+    * and the PROVISIONAL survivors go to `sink`. An offline
+    * [[graft.pipeline.Dedup.minhashReconcile]] between stream sessions
+    * then reproduces the full-corpus transitive dedup EXACTLY
+    * (AdvancedSpec pins the mapping equality through this stream).
+    * Trade vs the survivors-only stream: the index grows with ALL docs
+    * (more storage, exact reconciliation) instead of survivors only
+    * (lean, eager-drop, order-dependent tail). */
+  def reconcilableDedupIngestStream(docs: DataFrame, idCol: String,
+      textCol: String, indexPath: String, minEst: Double)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.pipeline.Dedup.minhashIngestBatch(
+        batch, idCol, textCol, indexPath, minEst, batchId), batchId)
+    }
+
   /** Batch twin of [[sessionize]] (same gap semantics, single pass) —
     * used to cross-check the stateful streaming path, mirroring the
     * reference's cross-backend equality axiom (SURVEY §5). */

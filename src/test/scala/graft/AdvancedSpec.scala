@@ -349,6 +349,35 @@ class AdvancedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reconcilableDedupIngestStream: stream-ingested corpus reconciles to the exact full-corpus dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.{Components, Dedup}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(120)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (k, bands, minEst, shingleN) = (16, 8, 0.25, 2)
+    val fullMap = Components.connectedComponents(
+        Dedup.minhashCandidates(docs, "doc_id", "text", k, bands, minEst, shingleN),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("mh_rec_stream").toString
+    Dedup.minhashCreateIndex(spark, dir, k, bands, shingleN, nSigParts = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("mh_rec_ckpt").toString
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.reconcilableDedupIngestStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, minEst) {
+        (survivors, _) => survivors.count(); ()
+      }.option("checkpointLocation", ckpt).start()
+    try {
+      rows.grouped(40).foreach { g => src.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val recMap = Dedup.minhashReconcile(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recMap == fullMap,
+      s"stream-reconciled mapping diverged: ${(recMap.toSet diff fullMap.toSet).take(5)}")
+  }
+
   test("indexedDedupIngestStream: exactly-once index growth under a forced micro-batch retry") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.pipeline.Dedup
