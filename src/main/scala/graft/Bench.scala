@@ -36,8 +36,10 @@ object Bench {
       gcMin: Long, gcMax: Long, reps: Int, failed: Boolean)
 
   /** Cumulative JVM GC time across all collector beans (process-wide;
-    * queries run sequentially, so a per-rep delta belongs to that rep). */
-  private def gcMillis: Long = {
+    * queries run sequentially, so a per-rep delta belongs to that rep).
+    * Shared with the dev profiling mains (ProfLshSig) — one
+    * implementation, one semantics. */
+  private[graft] def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum

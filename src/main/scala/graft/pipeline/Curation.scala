@@ -143,9 +143,11 @@ object Curation {
   def extractHost(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
 
-  /** Host with any leading `www.` label dropped. */
+  /** Host with any leading `www.` label dropped (any case — host names
+    * are case-insensitive per RFC 4343, and mixed-case URLs are routine
+    * in crawls). */
   def stripWww(host: Column): Column =
-    regexp_replace(host, "^www\\.", "")
+    regexp_replace(host, "(?i)^www\\.", "")
 
   /** Last label of the host — the TLD. */
   def tld(host: Column): Column =
@@ -224,9 +226,13 @@ object Curation {
     * matching the "no registrable domain" degenerate case without a
     * null surprise. */
   def registeredDomain(host: Column): Column = {
-    val suff2 = regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
-    val last3 = regexp_extract(host,
-      "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+    // lowercase first: hosts are case-insensitive (RFC 4343) and the
+    // suffix table is lowercase — "BBC.CO.UK" must resolve like
+    // "bbc.co.uk", and blocklist keys must match either casing
+    val h = lower(host)
+    val suff2 = regexp_extract(h, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
+    val last3 = regexp_extract(h,
+      "([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$", 1)
     when(suff2.isin(MultiLabelSuffixes: _*) && last3 =!= "", last3)
       .otherwise(suff2)
   }

@@ -625,15 +625,7 @@ object Dedup {
     // every delta still empty) matches nothing — the first ingest batch
     // of a reconcilable loop hits exactly this
     if (roots.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id_new",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("id_corpus",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("est_jaccard_e4",
-            org.apache.spark.sql.types.LongType))))
+      return emptyLongDf(spark, "id_new", "id_corpus", "est_jaccard_e4")
     val pruned = roots
       .map(p => spark.read.parquet(p)
         .select(col("band"), col("sp"), col("sig"), col("id"), col("mh")))
@@ -674,7 +666,10 @@ object Dedup {
     * commit log. NOT concurrent-safe with an active ingest stream or
     * probe — run it between ingest sessions (the offline-compaction
     * contract every LSM-shaped store carries). Returns the number of
-    * deltas folded. */
+    * deltas folded. For a RECONCILABLE index ([[minhashIngestBatch]])
+    * use [[minhashReconcile]] instead — it compacts too, and this
+    * pass would clear the commit markers that keep the persisted
+    * canonical-closure edges readable. */
   def minhashCompactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -789,9 +784,19 @@ object Dedup {
     * Returns the batch's PROVISIONAL survivors (no history match, and
     * not matched by a smaller in-batch id) — the at-ingest signal a
     * downstream gate wants; the reconciled canonical set is the one
-    * with the exactness guarantee. */
+    * with the exactness guarantee.
+    *
+    * `maxBucket` is the in-batch candidate cap (the [[minhashCandidates]]
+    * skew guard). The exactness contract is stated AT a given cap:
+    * ingest+reconcile equals the full-corpus run with the SAME
+    * `maxBucket`, provided no band bucket exceeds it — above the cap
+    * the star degradation fires on different pair subsets in batched
+    * vs full runs (connectivity is preserved either way, but the
+    * est-threshold can then keep different edges). Size the cap above
+    * the worst expected bucket when exact parity matters. */
   def minhashIngestBatch(df: DataFrame, idCol: String, textCol: String,
-      path: String, minEst: Double, batchId: Long): DataFrame = {
+      path: String, minEst: Double, batchId: Long,
+      maxBucket: Int = 1024): DataFrame = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -806,22 +811,29 @@ object Dedup {
     val (k, bands, shingleN) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val deltas = committed.filter(_ != batchId).toSeq.sorted
       .map(i => s"$path/delta/batch=$i")
-    val history = minhashDedupIndexedPaths(df, idCol, textCol, path, minEst, deltas)
-      .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
-    val inBatch = minhashCandidates(df, idCol, textCol, k, bands, minEst, shingleN)
-      .select(col("id_a"), col("id_b"))
-    val edges = history.unionByName(inBatch).distinct().persist()
+    // one persisted leg-tagged edge frame: the probe and the in-batch
+    // candidate pass each run ONCE, then feed the provisional-survivor
+    // derivation AND the edge write without recomputation
+    val edges = minhashDedupIndexedPaths(df, idCol, textCol, path, minEst, deltas)
+      .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"),
+        lit("h").as("leg"))
+      .unionByName(
+        minhashCandidates(df, idCol, textCol, k, bands, minEst, shingleN, maxBucket)
+          .select(col("id_a"), col("id_b"), lit("b").as("leg")))
+      .persist()
     try {
       val provisional = {
-        val matchedHist = history.select(col("id_a").as("__m")).distinct()
-        val beatenInBatch = inBatch
+        val matchedHist = edges.filter(col("leg") === "h")
+          .select(col("id_a").as("__m")).distinct()
+        val beatenInBatch = edges.filter(col("leg") === "b")
           .select(greatest(col("id_a"), col("id_b")).as("__m")).distinct()
         df.join(matchedHist.unionByName(beatenInBatch).distinct(),
           df(idCol) === col("__m"), "left_anti")
       }
       if (!committed.contains(batchId)) {
         if (!edges.isEmpty)
-          edges.write.mode("overwrite").parquet(s"$path/edges/batch=$batchId")
+          edges.select(col("id_a"), col("id_b")).distinct()
+            .write.mode("overwrite").parquet(s"$path/edges/batch=$batchId")
         if (!df.isEmpty)
           minhashAppendDelta(df, idCol, textCol, path, batchId)
         val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
@@ -836,21 +848,35 @@ object Dedup {
     * transitive closure over every committed batch's persisted edges
     * ([[Components.connectedComponents]] — driver union-find under 2²²
     * edges, large/small-star above), canonical survivor = component
-    * min id. The index is then REWRITTEN to canonical survivors only
-    * (fold base + deltas, drop non-canonical ids, crash-safe swap —
-    * composing the [[minhashCompactIndex]] maintenance pass), and the
-    * edge/delta/commit state is cleared.
+    * min id. Deltas fold into `data/` (the [[minhashCompactIndex]]
+    * maintenance pass, crash-safe swap) and the per-batch edge/commit
+    * state is cleared.
     *
-    * Guarantee (AdvancedSpec): k-batch [[minhashIngestBatch]] +
-    * reconcile produces EXACTLY the survivor set of one
-    * [[minhashCandidates]]+components run over the whole corpus —
-    * batch boundaries and arrival order cannot change the result.
+    * By default (`keepAllDocs = true`) the reconciled index REMAINS
+    * exact across reconcile CYCLES: every doc's signatures stay in the
+    * folded index (a future doc that near-matches only an
+    * already-dropped doc still records that edge), and the computed
+    * mapping is re-persisted as a canonical edge batch
+    * (`edges/batch=-1`, committed like any ingest batch) so the next
+    * cycle's closure composes with this one's. Net guarantee
+    * (AdvancedSpec, including through a mid-stream reconcile): ANY
+    * interleaving of [[minhashIngestBatch]] and reconcile produces
+    * EXACTLY the mapping of one [[minhashCandidates]]+components run
+    * over the whole corpus (at the same `maxBucket` — see
+    * [[minhashIngestBatch]]).
+    *
+    * `keepAllDocs = false` is the lean END-OF-LIFE export: the index
+    * rewrites to canonical survivors only and ALL edge state clears —
+    * smaller and probe-faster, but a later chain through a dropped doc
+    * is then unrecoverable (the survivors-only streaming caveat
+    * returns); use it only when ingest for this corpus is finished.
     *
     * Returns the full (id, canonical) mapping for every id that
     * appeared in any edge (ids never matched are their own canonical
     * and are absent — the identity default). */
   def minhashReconcile(spark: org.apache.spark.sql.SparkSession,
-      path: String, checkpointDir: Option[String] = None): DataFrame = {
+      path: String, checkpointDir: Option[String] = None,
+      keepAllDocs: Boolean = true): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -863,14 +889,7 @@ object Dedup {
     val edgeRoots = committed.map(i => s"$path/edges/batch=$i")
       .filter(p => hasParquetData(spark, p))
     val mapping =
-      if (edgeRoots.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("canonical",
-              org.apache.spark.sql.types.LongType))))
+      if (edgeRoots.isEmpty) emptyLongDf(spark, "id", "canonical")
       else Components.connectedComponents(
           edgeRoots.map(p => spark.read.parquet(p)).reduce(_.unionByName(_)),
           "id_a", "id_b", checkpointDir = checkpointDir)
@@ -881,23 +900,45 @@ object Dedup {
       val dataRoots = (s"$path/data" +: committed.map(i => s"$path/delta/batch=$i"))
         .filter(p => hasParquetData(spark, p))
       if (dataRoots.nonEmpty) {
-        dataRoots
+        val folded = dataRoots
           .map(p => spark.read.parquet(p)
             .select(col("band"), col("sp"), col("sig"), col("id"), col("mh")))
           .reduce(_.unionByName(_))
-          .join(dropped.withColumnRenamed("id", "__drop"),
+        val kept =
+          if (keepAllDocs) folded
+          else folded.join(dropped.withColumnRenamed("id", "__drop"),
             col("id") === col("__drop"), "left_anti")
-          .write.mode("overwrite").partitionBy("band", "sp")
+        kept.write.mode("overwrite").partitionBy("band", "sp")
           .parquet(s"$path/data_compacting")
         swapInCompacted(fs, root)
       }
       fs.delete(new org.apache.hadoop.fs.Path(root, "delta"), true)
       fs.delete(new org.apache.hadoop.fs.Path(root, "edges"), true)
       fs.delete(commitsDir, true)
-      // mapping survives the edge-dir delete: materialize before cleanup
+      if (keepAllDocs && !mapping.isEmpty) {
+        // carry the closure into the next cycle: the mapping IS a
+        // spanning edge set of the merged components (batch id -1 can
+        // never collide with a streaming micro-batch id)
+        mapping.select(col("id").as("id_a"), col("canonical").as("id_b"))
+          .write.mode("overwrite").parquet(s"$path/edges/batch=-1")
+        fs.mkdirs(commitsDir)
+        fs.create(new org.apache.hadoop.fs.Path(commitsDir, "-1"), true).close()
+      }
+      // mapping survives the edge-dir rewrite: components checkpointed
+      // its inputs eagerly before any cleanup ran
       mapping
     } finally dropped.unpersist(blocking = false)
   }
+
+  /** All-LongType empty frame (shared by the empty-index probe and the
+    * empty-edge-set reconcile fast paths). */
+  private def emptyLongDf(spark: org.apache.spark.sql.SparkSession,
+      names: String*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(names.map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType))))
 
   def minhashAppendDelta(df: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long): String = {

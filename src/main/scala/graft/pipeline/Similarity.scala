@@ -828,8 +828,10 @@ object Similarity {
     // contract); production: [[pqTrainCodebooksResidual]] output, which
     // makes cross-cell ADC sums mutually comparable (see its doc)
     val cb = codebook.getOrElse(pqCodebooks(m, ks, dim / m))
-    require(cb.length == m && cb.forall(s => s.length == ks),
-      s"codebook shape must be m=$m x ks=$ks")
+    require(cb.length == m && cb.forall(s => s.length == ks) &&
+      cb.forall(_.forall(_.length == dim / m)),
+      s"codebook shape must be m=$m x ks=$ks x subDim=${dim / m} " +
+        "(a mismatched sub-dimension would silently zero-pad distances)")
     val cents = md5Centroids(nCells, dim)
     val qs = queries.select(col(qIdCol).cast("long").as("qid"),
         widen(col(qVecCol)).as("qv"))

@@ -137,8 +137,8 @@ object GoldenQueries extends QueryPack {
            |    CAST(floor(coalesce(sum(list_sum(list_transform(pt, x -> CAST(x AS DOUBLE)))), 0) * 10000 + 0.5) AS BIGINT) AS sum_pt_e4
            |  FROM e GROUP BY dataset)
            |SELECT c.dataset, c.cutflow_pt, c.cutflow_mass, c.sum_pt_e4,
-           |  CAST(floor(p.s * 10000 + 0.5) AS BIGINT) AS sum_mass_e4
-           |FROM cut c JOIN (SELECT dataset, sum(m) AS s FROM pm GROUP BY dataset) p USING (dataset)""".stripMargin)),
+           |  CAST(floor(coalesce(p.s, 0) * 10000 + 0.5) AS BIGINT) AS sum_mass_e4
+           |FROM cut c LEFT JOIN (SELECT dataset, sum(m) AS s FROM pm GROUP BY dataset) p USING (dataset)""".stripMargin)),
 
     Query(
       "q167_golden_masshist",

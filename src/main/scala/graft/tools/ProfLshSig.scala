@@ -6,9 +6,6 @@
 // (VERDICT r10 item 2). Usage: sbt "runMain graft.tools.ProfLshSig"
 package graft.tools
 
-import java.lang.management.ManagementFactory
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -16,9 +13,7 @@ import graft.pipeline.Similarity
 
 object ProfLshSig {
 
-  private def gcMs: Long =
-    ManagementFactory.getGarbageCollectorMXBeans.asScala
-      .map(_.getCollectionTime).filter(_ > 0).sum
+  private def gcMs: Long = graft.Bench.gcMillis
 
   def main(args: Array[String]): Unit = {
     val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)

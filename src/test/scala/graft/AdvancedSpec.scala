@@ -349,6 +349,50 @@ class AdvancedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reconcile stays EXACT across cycles: a chain through a dropped doc still merges") {
+    import graft.pipeline.{Components, Dedup}
+    // A~B and B~C but A!~C: 30-token windows over a 50-word vocabulary
+    // with 20-word overlaps — the transitive chain that crosses a
+    // reconcile boundary (B drops in cycle 1; C arrives in cycle 2 and
+    // matches ONLY B)
+    val words = (1 to 50).map(i => s"w$i")
+    def doc(lo: Int, hi: Int) = words.slice(lo - 1, hi).mkString(" ")
+    val a = (10L, doc(1, 30)); val b = (20L, doc(11, 40)); val c = (30L, doc(21, 50))
+    val all = Seq(a, b, c).toDF("doc_id", "text")
+    val (k, bands, minEst, shingleN) = (16, 8, 0.3, 2)
+    val fullMap = Components.connectedComponents(
+        Dedup.minhashCandidates(all, "doc_id", "text", k, bands, minEst, shingleN),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixture precondition: one A-B-C component WITHOUT a direct A-C edge
+    assert(fullMap == Map(10L -> 10L, 20L -> 10L, 30L -> 10L), fullMap.toString)
+    val direct = Dedup.minhashCandidates(all, "doc_id", "text", k, bands, minEst, shingleN)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!direct.contains((10L, 30L)), "fixture must have NO direct A-C edge")
+    val dir = java.nio.file.Files.createTempDirectory("mh_cycle").toString
+    Dedup.minhashCreateIndex(spark, dir, k, bands, shingleN, nSigParts = 4)
+    // cycle 1: A and B ingest; reconcile drops B (canonical A)
+    Dedup.minhashIngestBatch(Seq(a, b).toDF("doc_id", "text"),
+      "doc_id", "text", dir, minEst, batchId = 0L).count()
+    val m1 = Dedup.minhashReconcile(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == Map(10L -> 10L, 20L -> 10L))
+    // cycle 2: C ingests AFTER the reconcile — it can only match the
+    // already-dropped B, whose signatures must still be in the index
+    Dedup.minhashIngestBatch(Seq(c).toDF("doc_id", "text"),
+      "doc_id", "text", dir, minEst, batchId = 1L).count()
+    val m2 = Dedup.minhashReconcile(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == fullMap,
+      s"cross-cycle closure lost: $m2 vs $fullMap")
+    // the lean end-of-life export drops non-canonical signatures
+    val idxIds = spark.read.parquet(s"$dir/data").select("id").as[Long].collect().toSet
+    assert(idxIds == Set(10L, 20L, 30L), "keepAllDocs must retain every doc")
+    Dedup.minhashReconcile(spark, dir, keepAllDocs = false)
+    val leanIds = spark.read.parquet(s"$dir/data").select("id").as[Long].collect().toSet
+    assert(leanIds == Set(10L), s"lean export keeps canonical only: $leanIds")
+  }
+
   test("reconcilableDedupIngestStream: stream-ingested corpus reconciles to the exact full-corpus dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.pipeline.{Components, Dedup}
@@ -546,12 +590,22 @@ class AdvancedSpec extends AnyFunSuite {
         s"only-full=${(fullMap.toSet -- recMap.toSet).take(5)}")
     val recSurvivors = allIds.filter(id => recMap.getOrElse(id, id) == id)
     assert(recSurvivors == fullSurvivors)
-    // the rewritten index holds canonical survivors ONLY, and still probes
+    // default reconcile keeps EVERY doc's signatures (cross-cycle
+    // exactness) and re-persists the closure as the batch=-1 edge set;
+    // per-batch delta/edge state is folded away
     val idxIds = spark.read.parquet(s"$dir/data").select("id").as[Long]
       .collect().toSet
-    assert(idxIds == fullSurvivors,
-      s"index ids != survivors (extra=${(idxIds -- fullSurvivors).take(5)})")
+    assert(idxIds == allIds,
+      s"keepAllDocs index must hold every doc (missing=${(allIds -- idxIds).take(5)})")
     assert(!new java.io.File(s"$dir/delta").exists())
+    assert(new java.io.File(s"$dir/edges/batch=-1").exists())
+    assert(new java.io.File(s"$dir/_graft_commits/-1").exists())
+    // the lean end-of-life export drops non-canonical signatures + edges
+    Dedup.minhashReconcile(spark, dir, keepAllDocs = false)
+    val leanIds = spark.read.parquet(s"$dir/data").select("id").as[Long]
+      .collect().toSet
+    assert(leanIds == fullSurvivors,
+      s"lean index ids != survivors (extra=${(leanIds -- fullSurvivors).take(5)})")
     assert(!new java.io.File(s"$dir/edges").exists())
     assert(!new java.io.File(s"$dir/_graft_commits").exists())
     // a replayed batch is a no-op on committed state (idempotence): a

@@ -111,7 +111,8 @@ class CurationSpec extends AnyFunSuite {
       ("https://user.github.io/repo", "user.github.io"),    // PSL private section
       ("https://www.example.com/a", "example.com"),         // plain gTLD: 2 labels
       ("https://deep.sub.example.org/b", "example.org"),
-      ("https://co.uk/", "co.uk"))                          // bare suffix degenerate
+      ("https://co.uk/", "co.uk"),                          // bare suffix degenerate
+      ("https://WWW.BBC.CO.UK/News", "bbc.co.uk"))          // case-insensitive host
     val got = cases.map(_._1).toDF("url")
       .select(Curation.registeredDomain(
         Curation.stripWww(Curation.extractHost($"url"))).as("d"))
