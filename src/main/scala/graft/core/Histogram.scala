@@ -105,6 +105,41 @@ object Histogram {
       .drop("__swx", "__swxx")
   }
 
+  // ---- post-fill (UHI) manipulation — hist's h[::rebin(k)],
+  // h.project(axis), h[lo:hi:sum]: what every analysis does between
+  // fill and plot. All three are tiny aggregations over the ALREADY
+  // pre-aggregated (bins × categories) output of [[fill]] — Weight
+  // storage (sumw/sumw²/n) merges additively, so each is one groupBy
+  // over at most #occupied-bins rows, never a rescan of the data. ----
+
+  /** Merge a filled axis to factor-`k` coarser bins (hist `[::rebin(k)]`).
+    * `nBins` is the axis's fine bin count; flow bins are preserved:
+    * -1 stays -1, the overflow bin `nBins` maps to the coarse overflow
+    * `nBins/k` (`k` must divide `nBins` — hist's own rebin constraint,
+    * a ragged last bin silently changes edge semantics). */
+  def rebin(filled: DataFrame, axis: String, k: Int, nBins: Int): DataFrame = {
+    require(k > 0 && nBins % k == 0, s"rebin factor $k must divide nBins=$nBins")
+    val others = filled.columns.filterNot(c =>
+      c == axis || c == "sumw" || c == "sumw2" || c == "n").toSeq
+    val coarse = when(col(axis) < 0, lit(-1L))
+      .when(col(axis) >= nBins, lit((nBins / k).toLong))
+      .otherwise(floor(col(axis) / k).cast("long"))
+    filled.groupBy((others.map(col) :+ coarse.as(axis)): _*)
+      .agg(sum("sumw").as("sumw"), sum("sumw2").as("sumw2"), sum("n").as("n"))
+  }
+
+  /** Sum out every axis except `keep` (hist `.project(axes…)`). */
+  def project(filled: DataFrame, keep: Seq[String]): DataFrame =
+    filled.groupBy(keep.map(col): _*)
+      .agg(sum("sumw").as("sumw"), sum("sumw2").as("sumw2"), sum("n").as("n"))
+
+  /** Integrate an axis over bin range [lo, hi) and drop it (hist
+    * `h[lo:hi:sum]` — flow bins excluded unless explicitly in range). */
+  def integrate(filled: DataFrame, axis: String, lo: Long, hi: Long): DataFrame =
+    project(filled.filter(col(axis) >= lo && col(axis) < hi),
+      filled.columns.filterNot(c =>
+        c == axis || c == "sumw" || c == "sumw2" || c == "n").toSeq)
+
   /** Dense fill via the custom TypedImperativeAggregate: per category
     * group, ONE `(sumw[], sumw2[])` buffer of n+2 slots (flow bins at
     * the ends) — shuffle volume independent of row count; the right

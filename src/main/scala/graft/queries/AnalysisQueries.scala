@@ -176,6 +176,32 @@ object AnalysisQueries extends QueryPack {
               |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
     Query(
+      "q173_hist_rebin",
+      "Post-fill histogram manipulation (the UHI surface every analysis runs between fill and plot — hist's h[::rebin(k)] / h.project / h[lo:hi:sum]): a (100-bin price axis x returnflag) Weight-storage fill REBINNED by k=5 with flow bins preserved (-1 stays -1, overflow 100 maps to coarse overflow 20). Weights are integer-valued (l_quantity), so sumw AND sumw2 are order-independent exact integers — compared as BIGINTs with no quantization slack. Rebin is one groupBy over the already-aggregated occupied-bin rows, never a data rescan; project/integrate are spec-pinned on the same fill.",
+      (s, dir) => {
+        import s.implicits._
+        val filled = Histogram.fill(
+          Tables.lineitem(s, dir),
+          axes = Seq(
+            "bin" -> Histogram.bucket($"l_extendedprice" / 1000.0, 0.0, 100.0, 100),
+            "l_returnflag" -> $"l_returnflag"),
+          weight = $"l_quantity")
+        Histogram.rebin(filled, "bin", k = 5, nBins = 100)
+          .select($"l_returnflag", $"bin",
+            $"sumw".cast("long").as("sumw_l"),
+            $"sumw2".cast("long").as("sumw2_l"), $"n")
+      },
+      Some(s"""WITH f AS (SELECT l_returnflag,
+              |  ${Histogram.bucketSql("(l_extendedprice / 1000.0)", 0.0, 100.0, 100)} AS fine,
+              |  l_quantity AS w FROM lineitem)
+              |SELECT l_returnflag,
+              |  CASE WHEN fine < 0 THEN -1 WHEN fine >= 100 THEN 20 ELSE fine // 5 END AS bin,
+              |  CAST(sum(w) AS BIGINT) AS sumw_l,
+              |  CAST(sum(w * w) AS BIGINT) AS sumw2_l,
+              |  count(*) AS n
+              |FROM f GROUP BY 1, 2""".stripMargin)),
+
+    Query(
       "q86_profile_hist",
       "Profile histogram (hist Mean + WeightedMean storages): per (price-bin × returnflag), the count/mean/sample-variance of quantity, and the weighted mean/variance under w = 1−discount — merged from distributive (n, Σx, Σx²)/(Σw, Σw², Σwx, Σwx²) partials, one shuffle, map-side combine.",
       (s, dir) => {

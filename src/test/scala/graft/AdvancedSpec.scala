@@ -178,6 +178,33 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got("p3") == None)        // no right rows for key 2
   }
 
+  test("Histogram rebin/project/integrate: conservation, flow mapping, range slicing") {
+    import spark.implicits._
+    // filled rows: (cat, fine bin, sumw, sumw2, n) incl. both flow bins
+    val filled = Seq(
+      ("A", -1L, 1.0, 1.0, 1L), ("A", 0L, 2.0, 2.0, 2L), ("A", 4L, 3.0, 3.0, 3L),
+      ("A", 5L, 4.0, 4.0, 4L), ("A", 9L, 5.0, 5.0, 5L), ("A", 10L, 6.0, 6.0, 6L),
+      ("B", 7L, 7.0, 7.0, 7L))
+      .toDF("cat", "bin", "sumw", "sumw2", "n")
+    val r = Histogram.rebin(filled, "bin", k = 5, nBins = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> (x.getDouble(2), x.getLong(4))).toMap
+    // fine 0 and 4 merge into coarse 0; 5 and 9 into coarse 1; flow preserved
+    assert(r(("A", 0L)) == ((5.0, 5L)) && r(("A", 1L)) == ((9.0, 9L)))
+    assert(r(("A", -1L)) == ((1.0, 1L)) && r(("A", 2L)) == ((6.0, 6L)))
+    assert(r(("B", 1L)) == ((7.0, 7L)))
+    // conservation: total sumw/n unchanged by rebin
+    assert(r.values.map(_._1).sum == 28.0 && r.values.map(_._2).sum == 28L)
+    intercept[IllegalArgumentException](Histogram.rebin(filled, "bin", 3, 10))
+    // project to the category axis
+    val p = Histogram.project(filled, Seq("cat"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(p == Map("A" -> 21.0, "B" -> 7.0))
+    // integrate bins [4, 9): flow and out-of-range bins excluded
+    val s = Histogram.integrate(filled, "bin", 4L, 9L)
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getLong(3))).toMap
+    assert(s == Map("A" -> ((7.0, 7L)), "B" -> ((7.0, 7L))))
+  }
+
   test("fillMean/fillWeightedMean profile storages: known values, unit weights degenerate to Mean") {
     import spark.implicits._
     val df = Seq((0L, 2.0, 1.0), (0L, 4.0, 3.0), (0L, 9.0, 1.0), (1L, 5.0, 2.0))
