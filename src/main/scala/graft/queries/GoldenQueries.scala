@@ -45,12 +45,26 @@ object GoldenQueries extends QueryPack {
     "ZJets" -> s"$sampleDir/nano_dy.parquet",
     "Data" -> s"$sampleDir/nano_dimuon.parquet")
 
+  /** The same two datasets as the ORIGINAL `.root` files — read by the
+    * in-engine JVM TTree source (`graft.sources.root`), no converter. */
+  val goldenRootFiles: Seq[(String, String)] = Seq(
+    "ZJets" -> s"$sampleDir/nano_dy.root",
+    "Data" -> s"$sampleDir/nano_dimuon.root")
+
   /** Pruned scan + NanoAOD zip: only the four Muon kinematics branches
     * reach the parquet reader; `autoSchema` groups them into
     * `Muon: array<struct<eta,mass,phi,pt>>` (fields name-sorted). */
   def muonEvents(s: SparkSession, path: String): DataFrame =
     SchemaBuilder.autoSchema(
       s.read.parquet(path).select("Muon_pt", "Muon_eta", "Muon_phi", "Muon_mass"))
+
+  /** Same pruned projection straight off the `.root` file: the DSv2
+    * column pruning means only the 4 requested branches' baskets are
+    * ever read from the 1,499-branch file. */
+  def muonEventsRoot(s: SparkSession, path: String): DataFrame =
+    SchemaBuilder.autoSchema(
+      graft.sources.root.RootTables.read(s, path)
+        .select("Muon_pt", "Muon_eta", "Muon_phi", "Muon_mass"))
 
   /** Muon structs → pt/eta/phi/mass 4-vectors (float32 branches cast to
     * double once, so all downstream math is double on both engines). */
@@ -106,29 +120,31 @@ object GoldenQueries extends QueryPack {
        |  FROM prs
        |)""".stripMargin
 
+  /** The NanoEventsProcessor cutflow + quantized kinematic sums over
+    * per-dataset muon-event frames (shared by the parquet and native
+    * `.root` entry points — identical plan past the scan). */
+  private def dimuonSummary(events: Seq[(String, DataFrame)]): DataFrame =
+    events.map { case (ds, ev) =>
+      ev.select(
+          size(col("Muon")).cast("long").as("npt"),
+          pairMasses(col("Muon")).as("masses"),
+          aggregate(col("Muon"), lit(0.0),
+            (a, m) => a + m("pt").cast("double")).as("ptsum"))
+        .agg(
+          sum(col("npt")).as("cutflow_pt"),
+          sum(size(col("masses")).cast("long")).as("cutflow_mass"),
+          e4(sum(col("ptsum"))).as("sum_pt_e4"),
+          e4(sum(aggregate(col("masses"), lit(0.0), _ + _))).as("sum_mass_e4"))
+        .select(lit(ds).as("dataset"), col("cutflow_pt"),
+          col("cutflow_mass"), col("sum_pt_e4"), col("sum_mass_e4"))
+    }.reduce(_ unionAll _)
+
   def queries: Seq[Query] = Seq(
 
     Query(
       "q166_golden_dimuon",
       "Golden-sample parity (tests/test_local_executors.py:95-100): the reference's own nano_dy/nano_dimuon parquet through the NanoEventsProcessor analysis (all muons, combinations(2), pair invariant mass). cutflow_pt/cutflow_mass ARE coffea's asserted integers (ZJets 18/6, Data 84/66 — pinned verbatim in GoldenParitySpec); the quantized pt/mass sums pin the full float pipeline. Oracle replays the identical analysis from the identical files in DuckDB.",
-      (s, _) => {
-        val perDs = goldenFiles.map { case (ds, path) =>
-          muonEvents(s, path)
-            .select(
-              size(col("Muon")).cast("long").as("npt"),
-              pairMasses(col("Muon")).as("masses"),
-              aggregate(col("Muon"), lit(0.0),
-                (a, m) => a + m("pt").cast("double")).as("ptsum"))
-            .agg(
-              sum(col("npt")).as("cutflow_pt"),
-              sum(size(col("masses")).cast("long")).as("cutflow_mass"),
-              e4(sum(col("ptsum"))).as("sum_pt_e4"),
-              e4(sum(aggregate(col("masses"), lit(0.0), _ + _))).as("sum_mass_e4"))
-            .select(lit(ds).as("dataset"), col("cutflow_pt"),
-              col("cutflow_mass"), col("sum_pt_e4"), col("sum_mass_e4"))
-        }
-        perDs.reduce(_ unionAll _)
-      },
+      (s, _) => dimuonSummary(goldenFiles.map { case (ds, p) => ds -> muonEvents(s, p) }),
       Some(
         s"""$oracleCte,
            |cut AS (
@@ -171,6 +187,21 @@ object GoldenQueries extends QueryPack {
            |    ${Histogram.bucketSql("m", 0.25, 300.0, 30000)} AS bin
            |  FROM pm)
            |SELECT dataset, axis, bin, count(*) AS n
-           |FROM fills GROUP BY dataset, axis, bin""".stripMargin))
+           |FROM fills GROUP BY dataset, axis, bin""".stripMargin)),
+
+    Query(
+      "q174_root_native",
+      "Cross-FORMAT golden parity: the identical NanoEventsProcessor dimuon analysis, but Spark reads the reference's ORIGINAL nano_dy.root / nano_dimuon.root files through the in-engine JVM TTree DataSource (graft.sources.root — streamer-driven metadata, basket decode, column pruning down to 4 of 1499 branches at the byte level), with NO Python/uproot conversion step, while the DuckDB oracle replays the analysis from the checked-in parquet conversions of the same events. Equality proves the TTree byte decode end-to-end: float bit patterns, jagged offsets, counter alignment, and the asserted coffea integers (18/6/84/66) all survive the format change.",
+      (s, _) => dimuonSummary(goldenRootFiles.map { case (ds, p) => ds -> muonEventsRoot(s, p) }),
+      Some(
+        s"""$oracleCte,
+           |cut AS (
+           |  SELECT dataset, CAST(sum(n) AS BIGINT) AS cutflow_pt,
+           |    CAST(sum(n*(n-1)//2) AS BIGINT) AS cutflow_mass,
+           |    CAST(floor(coalesce(sum(list_sum(list_transform(pt, x -> CAST(x AS DOUBLE)))), 0) * 10000 + 0.5) AS BIGINT) AS sum_pt_e4
+           |  FROM e GROUP BY dataset)
+           |SELECT c.dataset, c.cutflow_pt, c.cutflow_mass, c.sum_pt_e4,
+           |  CAST(floor(coalesce(p.s, 0) * 10000 + 0.5) AS BIGINT) AS sum_mass_e4
+           |FROM cut c LEFT JOIN (SELECT dataset, sum(m) AS s FROM pm GROUP BY dataset) p USING (dataset)""".stripMargin))
   )
 }

@@ -1,0 +1,258 @@
+package graft.sources.root
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Whole-file concerns: positioned reads through the Hadoop
+  * FileSystem API (so `file:`, `hdfs:`, `s3a:` all work on a
+  * cluster), directory descent to locate a TTree key by name, and
+  * decoding of loose (on-disk TKey) baskets into entry-addressable
+  * column bytes. Executors cache parsed TreeMeta per (path, tree) —
+  * metadata is re-read once per file per JVM, exactly like parquet
+  * footers, never per partition. */
+private[root] object RootFileReader {
+
+  final class ReadAt(fs: FileSystem, val path: Path) extends AutoCloseable {
+    private val in = fs.open(path)
+    val length: Long = fs.getFileStatus(path).getLen
+    def read(pos: Long, len: Int): Array[Byte] = {
+      val out = new Array[Byte](len)
+      in.readFully(pos, out, 0, len)
+      out
+    }
+    override def close(): Unit = in.close()
+  }
+
+  def open(pathStr: String): ReadAt = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(new Configuration())
+    new ReadAt(fs, path)
+  }
+
+  private def keyAt(f: ReadAt, pos: Long): TKey = {
+    val hdr = f.read(pos, math.min(512L, f.length - pos).toInt)
+    RootKeys.parseKey(hdr, pos)
+  }
+
+  private def record(f: ReadAt, k: TKey): Array[Byte] =
+    RootCore.decompress(f.read(k.at + k.keyLen, k.nBytes - k.keyLen), k.objLen)
+
+  /** Keys of one directory, via its fSeekKeys list record. */
+  private def dirKeys(f: ReadAt, dirDataPos: Long, big: Boolean): Seq[TKey] = {
+    val d = new RootBuf(f.read(dirDataPos, 84), 0, 0)
+    val dver = d.i2()
+    d.u4(); d.u4() // datimes
+    d.i4(); d.i4() // nbyteskeys, nbytesname
+    val wide = dver > 1000 || big
+    if (wide) { d.i8(); d.i8() } else { d.i4(); d.i4() } // seekdir, seekparent
+    val seekKeys = if (wide) d.i8() else d.i4().toLong
+    if (seekKeys == 0) return Nil
+    val listKey = keyAt(f, seekKeys)
+    val data = f.read(seekKeys + listKey.keyLen, listKey.nBytes - listKey.keyLen)
+    val r = new RootBuf(data, 0, 0)
+    val n = r.i4()
+    (0 until n).map { _ =>
+      val k = RootKeys.parseKey(java.util.Arrays.copyOfRange(data, r.p, data.length), 0)
+      r.p += (k.hdrEnd - k.at).toInt
+      k.copy(at = k.seekKey) // the list stores header copies; the record lives at seekKey
+    }
+  }
+
+  /** Locate a TTree key by name ("Events" or "dir/Events"), taking the
+    * highest cycle on ties. */
+  def findTree(f: ReadAt, hdr: RootFileHeader, name: String): TKey = {
+    val big = hdr.version > 1000000
+    def descend(dirDataPos: Long, parts: List[String]): Option[TKey] = {
+      val keys = dirKeys(f, dirDataPos, big)
+      parts match {
+        case last :: Nil =>
+          keys.filter(k => k.className == "TTree" && k.name == last)
+            .sortBy(-_.cycle).headOption
+        case dir :: rest =>
+          keys.find(k => (k.className == "TDirectory" || k.className == "TDirectoryFile") && k.name == dir)
+            .flatMap(k => descend(k.seekKey + k.keyLen, rest))
+        case Nil => None
+      }
+    }
+    // Root directory data sits right after the TFile named header.
+    val rootDirPos = hdr.begin + hdr.nBytesName
+    descend(rootDirPos, name.split('/').toList.filter(_.nonEmpty))
+      .getOrElse {
+        val avail = dirKeys(f, rootDirPos, big).map(k => s"${k.className}:${k.name}").distinct
+        throw new IllegalArgumentException(
+          s"TTree '$name' not found in ${f.path}; top-level keys: ${avail.mkString(", ")}")
+      }
+  }
+
+  /** Names of all TTrees reachable from the root directory. */
+  def listTrees(f: ReadAt, hdr: RootFileHeader): Seq[String] = {
+    val big = hdr.version > 1000000
+    def walk(dirDataPos: Long, prefix: String): Seq[String] = {
+      val keys = dirKeys(f, dirDataPos, big)
+      keys.flatMap {
+        case k if k.className == "TTree" => Seq(prefix + k.name)
+        case k if k.className == "TDirectory" || k.className == "TDirectoryFile" =>
+          walk(k.seekKey + k.keyLen, prefix + k.name + "/")
+        case _ => Nil
+      }.distinct
+    }
+    walk(hdr.begin + hdr.nBytesName, "")
+  }
+
+  def readMeta(pathStr: String, tree: String): TreeMeta = {
+    val f = open(pathStr)
+    try {
+      val hdr = RootKeys.parseHeader(f.read(0, 300.min(f.length.toInt)))
+      val infoKey = keyAt(f, hdr.seekInfo)
+      val infos = RootStreamers.parse(record(f, infoKey), infoKey.keyLen)
+      val treeKey = findTree(f, hdr, tree)
+      RootTreeMeta.parse(record(f, treeKey), treeKey.keyLen, infos)
+    } finally f.close()
+  }
+
+  // -------- per-JVM TreeMeta cache (parquet-footer analog) --------
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[(String, String), TreeMeta]()
+  def cachedMeta(path: String, tree: String): TreeMeta = {
+    if (metaCache.size > 64) metaCache.clear()
+    metaCache.computeIfAbsent((path, tree), { kv: (String, String) => readMeta(kv._1, kv._2) })
+  }
+
+  /** One decoded basket: `data[dataPos + k]` is byte k of the entry
+    * payload; `offsets(i)` (when non-null) is the absolute in-buffer
+    * position of entry `entryStart + i` INCLUDING keyLen, so entry
+    * i's bytes are `data[dataPos + offsets(i) - keyLen ...)`. */
+  final case class Decoded(entryStart: Long, nev: Int, data: Array[Byte], dataPos: Int,
+      dataLen: Int, offsets: Array[Int], keyLen: Int)
+
+  def decodeLoose(f: ReadAt, ref: BasketRef): Decoded = {
+    val bytes = f.read(ref.seek, ref.bytes)
+    val key = RootKeys.parseKey(bytes, ref.seek)
+    // basket scalars live in the key region, right after the title
+    val r = new RootBuf(bytes, (key.hdrEnd - key.at).toInt, 0)
+    r.i2() // basket version
+    r.i4(); r.i4() // fBufferSize, fNevBufSize
+    val nev = r.i4()
+    val last = r.i4()
+    val payload = RootCore.decompress(
+      java.util.Arrays.copyOfRange(bytes, key.keyLen, key.nBytes), key.objLen)
+    val dataLen = last - key.keyLen
+    var offsets: Array[Int] = null
+    if (payload.length >= dataLen + 4) {
+      val o = new RootBuf(payload, dataLen, 0)
+      val n = o.i4()
+      if (n > 0 && dataLen + 4 + 4 * n <= payload.length) {
+        offsets = new Array[Int](n)
+        var i = 0; while (i < n) { offsets(i) = o.i4(); i += 1 }
+      }
+    }
+    Decoded(ref.entryStart, nev, payload, 0, dataLen, offsets, key.keyLen)
+  }
+
+  def decodeEmbedded(eb: EmbeddedBasket): Decoded =
+    Decoded(eb.entryStart, eb.nev, eb.payload, eb.keyLen, eb.last - eb.keyLen,
+      eb.offsets, eb.keyLen)
+
+  /** All baskets of `bm` overlapping [start, end), in entry order. */
+  def basketsFor(f: ReadAt, bm: BranchMeta, start: Long, end: Long): Seq[Decoded] = {
+    val loose = bm.loose.iterator
+      .filter(b => b.entryStart < end && b.entryEnd > start)
+      .map(decodeLoose(f, _))
+    val emb = bm.embedded.iterator
+      .filter(b => b.entryStart < end && b.entryStart + b.nev > start)
+      .map(decodeEmbedded)
+    (loose ++ emb).toSeq.sortBy(_.entryStart)
+  }
+
+  private def elemSize(leafCls: String): Int = leafCls match {
+    case "TLeafO" | "TLeafB" => 1
+    case "TLeafS" => 2
+    case "TLeafI" | "TLeafF" => 4
+    case "TLeafL" | "TLeafD" => 8
+    case other => throw new UnsupportedOperationException(s"leaf class $other")
+  }
+
+  /** Decoded column content for an entry range: flat primitive values
+    * plus per-entry element starts (starts(i)..starts(i+1) index into
+    * the values array). For plain scalars every entry has exactly one
+    * element. Values are widened per ROOT unsigned flags:
+    * uchar->Short, ushort->Int, uint->Long. */
+  final case class Col(starts: Array[Int], values: AnyRef, scalar: Boolean)
+
+  def readColumn(f: ReadAt, bm: BranchMeta, start: Long, end: Long): Col = {
+    require(bm.isSupported, s"branch ${bm.name}: ${bm.unsupported}")
+    val n = (end - start).toInt
+    val es = elemSize(bm.leafCls)
+    val jagged = bm.counterName != null
+    val scalar = !jagged && bm.leafLen == 1
+    val baskets = basketsFor(f, bm, start, end)
+    // element counts per entry
+    val starts = new Array[Int](n + 1)
+    if (!jagged) {
+      var i = 0; while (i <= n) { starts(i) = i * bm.leafLen; i += 1 }
+    } else {
+      baskets.foreach { d =>
+        require(d.offsets != null, s"branch ${bm.name}: jagged basket without entry offsets")
+        val lo = math.max(start, d.entryStart)
+        val hi = math.min(end, d.entryStart + d.nev)
+        var e = lo
+        while (e < hi) {
+          val k = (e - d.entryStart).toInt
+          // fEntryOffset has nev+1 slots but the final one is written
+          // unset (0); the last entry always ends at fLast.
+          val endPos = if (k + 1 < d.nev) d.offsets(k + 1) else d.keyLen + d.dataLen
+          starts((e - start).toInt + 1) = (endPos - d.offsets(k)) / es
+          e += 1
+        }
+      }
+      var i = 0
+      while (i < n) { starts(i + 1) += starts(i); i += 1 }
+    }
+    val total = starts(n)
+    // gather the raw big-endian bytes for [start, end) contiguously
+    val raw = new Array[Byte](total * es)
+    var filled = 0
+    baskets.foreach { d =>
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      if (lo < hi) {
+        val (from, len) =
+          if (!jagged) {
+            val f0 = d.dataPos + (lo - d.entryStart).toInt * bm.leafLen * es
+            (f0, (hi - lo).toInt * bm.leafLen * es)
+          } else {
+            val k0 = (lo - d.entryStart).toInt
+            val k1 = (hi - d.entryStart).toInt
+            val p0 = d.offsets(k0) - d.keyLen
+            val p1 = if (k1 < d.nev) d.offsets(k1) - d.keyLen else d.dataLen
+            (d.dataPos + p0, p1 - p0)
+          }
+        System.arraycopy(d.data, from, raw, filled, len)
+        filled += len
+      }
+    }
+    require(filled == raw.length, s"branch ${bm.name}: gathered $filled of ${raw.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val values: AnyRef = bm.leafCls match {
+      case "TLeafO" =>
+        val a = new Array[Boolean](total); var i = 0; while (i < total) { a(i) = raw(i) != 0; i += 1 }; a
+      case "TLeafB" =>
+        if (bm.unsigned) { val a = new Array[Short](total); var i = 0; while (i < total) { a(i) = (raw(i) & 0xff).toShort; i += 1 }; a }
+        else raw.clone().asInstanceOf[AnyRef]
+      case "TLeafS" =>
+        val sb = bb.asShortBuffer()
+        if (bm.unsigned) { val a = new Array[Int](total); var i = 0; while (i < total) { a(i) = sb.get(i) & 0xffff; i += 1 }; a }
+        else { val a = new Array[Short](total); sb.get(a); a }
+      case "TLeafI" =>
+        val ib = bb.asIntBuffer()
+        if (bm.unsigned) { val a = new Array[Long](total); var i = 0; while (i < total) { a(i) = ib.get(i).toLong & 0xffffffffL; i += 1 }; a }
+        else { val a = new Array[Int](total); ib.get(a); a }
+      case "TLeafL" =>
+        val a = new Array[Long](total); bb.asLongBuffer().get(a); a
+      case "TLeafF" =>
+        val a = new Array[Float](total); bb.asFloatBuffer().get(a); a
+      case "TLeafD" =>
+        val a = new Array[Double](total); bb.asDoubleBuffer().get(a); a
+    }
+    Col(starts, values, scalar)
+  }
+}

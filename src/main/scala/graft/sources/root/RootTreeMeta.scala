@@ -1,0 +1,310 @@
+package graft.sources.root
+
+import scala.collection.mutable
+
+/** A basket stored as its own TKey record elsewhere in the file. */
+private[root] final case class BasketRef(seek: Long, bytes: Int, entryStart: Long, entryEnd: Long)
+
+/** A basket embedded in the TTree metadata record itself (ROOT keeps
+  * the current write-basket in `TBranch.fBaskets` when the tree is
+  * not flushed before the file closes — e.g. the scouting sample).
+  * `payload` is the raw basket buffer (`[0, fLast)`, data starting at
+  * `keyLen`); `offsets` are absolute in-buffer entry starts
+  * (including keyLen) for jagged branches, null for fixed-size. */
+private[root] final case class EmbeddedBasket(
+    entryStart: Long, nev: Int, keyLen: Int, last: Int,
+    payload: Array[Byte], offsets: Array[Int])
+
+private[root] final case class BranchMeta(
+    name: String, title: String,
+    leafCls: String, leafLen: Int, unsigned: Boolean, counterName: String,
+    entryOffsetLen: Int, entries: Long,
+    loose: Array[BasketRef], embedded: Array[EmbeddedBasket],
+    unsupported: String) {
+  def isSupported: Boolean = unsupported == null
+}
+
+private[root] final case class TreeMeta(name: String, entries: Long, branches: Seq[BranchMeta]) {
+  lazy val byName: Map[String, BranchMeta] = branches.map(b => b.name -> b).toMap
+}
+
+/** Streamer-driven deserializer for the TTree metadata object graph
+  * (TTree -> TObjArray[TBranch] -> TObjArray[TLeaf*], embedded
+  * TBaskets, leaf-count back-references). Member order and presence
+  * come from the file's OWN TStreamerInfo catalog, so class-version
+  * drift across ROOT releases (v6.14-v6.36 in the reference samples)
+  * is absorbed without hardcoded layouts; anything we don't model is
+  * skipped via its byte-count. */
+private[root] object RootTreeMeta {
+
+  private final case class LeafRaw(name: String, cls: String, len: Int, unsigned: Boolean,
+      counterKey: Int, counterInline: LeafRaw)
+
+  private final class BranchRaw {
+    var name: String = ""
+    var title: String = ""
+    var entryOffsetLen = 0
+    var writeBasket = 0
+    var entries = 0L
+    var basketBytes: Array[Long] = Array.empty
+    var basketEntry: Array[Long] = Array.empty
+    var basketSeek: Array[Long] = Array.empty
+    val leaves = mutable.ArrayBuffer.empty[LeafRaw]
+    val embedded = mutable.ArrayBuffer.empty[EmbeddedBasket]
+    var unsupported: String = null
+  }
+
+  private final class Parse(r: RootBuf, infos: Map[String, (Int, Seq[StreamerElem])]) {
+    // object map key -> parsed leaf (for resolving fLeafCount back-refs)
+    val leavesByKey = mutable.HashMap.empty[Int, LeafRaw]
+
+    def elemsOf(cls: String): Seq[StreamerElem] =
+      infos.getOrElse(cls, throw new UnsupportedOperationException(
+        s"class $cls has no TStreamerInfo in this file"))._2
+
+    def readPrim(t: Int): Long = t match {
+      case 1 | 11 => r.u1().toLong // char / uchar
+      case 2 => r.i2().toLong
+      case 12 => r.i2().toLong & 0xffff
+      case 3 | 6 => r.i4().toLong // int / counter
+      case 13 => r.u4()
+      case 16 | 14 | 17 => r.i8() // long64 / ulong / ulong64
+      case 18 => r.u1().toLong // bool
+      case 5 => java.lang.Float.floatToRawIntBits(r.f4()).toLong
+      case 8 => java.lang.Double.doubleToRawLongBits(r.f8())
+      case other => throw new UnsupportedOperationException(s"primitive streamer type $other")
+    }
+
+    /** Skip an inline object-any member by its typeName (TArray* have
+      * no byte count, everything else carries one). */
+    def skipObjectAny(typeName: String): Unit = typeName match {
+      case "TArrayD" | "TArrayL64" => val n = r.i4(); r.p += 8 * n
+      case "TArrayF" | "TArrayI" => val n = r.i4(); r.p += 4 * n
+      case "TArrayS" => val n = r.i4(); r.p += 2 * n
+      case "TArrayC" => val n = r.i4(); r.p += n
+      case _ => val (_, e) = r.vers(); r.p = e
+    }
+
+    def skipObjPtr(): Unit = {
+      val (_, end, _) = r.objRef()
+      if (end >= 0) r.p = end
+    }
+
+    /** Read the members of `cls` in streamer order: primitives into
+      * `vals`, counted arrays into `arrs`, the TNamed base to
+      * `onNamed`, object members to `onObject` (cursor at the site). */
+    def readMembers(cls: String, vals: mutable.HashMap[String, Long],
+        arrs: mutable.HashMap[String, Array[Long]],
+        onNamed: (String, String) => Unit,
+        onObject: String => Unit): Unit = {
+      elemsOf(cls).foreach { e =>
+        e.kind match {
+          case "TStreamerBase" =>
+            if (e.name == "TNamed") { val (nm, ti) = r.tnamed(); onNamed(nm, ti) }
+            else { val (_, bend) = r.vers(); r.p = bend } // TAttLine/TAttFill/...
+          case "TStreamerBasicType" => vals.put(e.name, readPrim(e.typ))
+          case "TStreamerBasicPointer" =>
+            r.u1() // array-present flag
+            val n = vals.getOrElse(e.counter, 0L).toInt
+            val prim = e.typ - 40 // kOffsetP + primitive id
+            val a = new Array[Long](n)
+            var i = 0; while (i < n) { a(i) = readPrim(prim); i += 1 }
+            arrs.put(e.name, a)
+          case "TStreamerString" => r.tstr()
+          case "TStreamerObject" | "TStreamerObjectPointer" => onObject(e.name)
+          case "TStreamerObjectAny" => skipObjectAny(e.typeName)
+          case other => throw new UnsupportedOperationException(s"streamer element kind $other in $cls")
+        }
+      }
+    }
+
+    /** TObjArray inline: version header, TObject, name, n, lowerBound,
+      * then n object pointers handed to `each` (which must consume or
+      * ignore; the cursor is restored to each element's end). */
+    def readObjArray(each: (String, Int, Int) => Unit): Unit = {
+      val (_, e) = r.vers()
+      r.tobject(); r.tstr()
+      val n = r.i4(); r.i4()
+      var i = 0
+      while (i < n) {
+        val (cls, end, key) = r.objRef()
+        each(cls, end, key)
+        if (end >= 0) r.p = end
+        i += 1
+      }
+      r.p = e
+    }
+
+    def parseLeaf(cls: String, end: Int, key: Int): LeafRaw = {
+      val (_, _) = r.vers() // concrete TLeafX header
+      val (_, bend) = r.vers() // TLeaf base header
+      val vals = mutable.HashMap.empty[String, Long]
+      val arrs = mutable.HashMap.empty[String, Array[Long]]
+      var name = ""
+      var counterKey = 0
+      var counterInline: LeafRaw = null
+      readMembers("TLeaf", vals, arrs, (nm, _) => name = nm, {
+        case "fLeafCount" =>
+          val (ccls, cend, ckey) = r.objRef()
+          if (ccls == null && cend == -2) counterKey = ckey // back-reference
+          else if (ccls != null && cend >= 0) { // counter leaf streamed first at this site
+            counterInline = parseLeaf(ccls, cend, ckey)
+            r.p = cend
+          }
+        case _ => skipObjPtr()
+      })
+      r.p = bend
+      val leaf = LeafRaw(name, cls, math.max(vals.getOrElse("fLen", 1L).toInt, 1),
+        vals.getOrElse("fIsUnsigned", 0L) != 0, counterKey, counterInline)
+      r.p = end // skip fMinimum/fMaximum of the concrete class
+      leavesByKey.put(key, leaf)
+      leaf
+    }
+
+    /** Embedded TBasket: TKey::Streamer layout (fNbytes first, then
+      * version — mirroring the on-disk key bytes), then the basket
+      * scalars and flag-gated offsets/buffer. Flag encoding (ROOT
+      * TBasket::Streamer): %10==1 -> entry-offset array present,
+      * %10==2 -> none; ==1 or >10 -> raw buffer of fLast bytes
+      * follows; >40 -> a displacement array precedes the buffer.
+      * Validated byte-for-byte against the scouting sample. */
+    def parseEmbeddedBasket(end: Int): EmbeddedBasket = {
+      r.i4() // fNbytes (0 for in-memory baskets)
+      val kver = r.i2()
+      r.i4(); r.u4() // objlen, datime
+      val keyLen = r.i2(); r.i2() // cycle
+      if (kver > 1000) { r.i8(); r.i8() } else { r.i4(); r.i4() }
+      r.tstr(); r.tstr(); r.tstr()
+      val bver = r.i2()
+      val bufferSize = r.i4()
+      r.i4() // fNevBufSize
+      val nev = r.i4()
+      val last = r.i4()
+      val flag = r.u1()
+      var offsets: Array[Int] = null
+      var payload: Array[Byte] = null
+      if (flag != 0) {
+        if (flag % 10 != 2 && nev > 0) {
+          val n = r.i4()
+          offsets = new Array[Int](n)
+          var i = 0; while (i < n) { offsets(i) = r.i4(); i += 1 }
+          if (flag > 40) { val m = r.i4(); r.p += 4 * m } // displacement array
+        }
+        if (flag == 1 || flag > 10) {
+          val len = if (bver > 1) last else bufferSize
+          payload = java.util.Arrays.copyOfRange(r.b, r.p, r.p + len)
+        }
+      }
+      r.p = end
+      EmbeddedBasket(-1L, nev, keyLen, last, payload, offsets)
+    }
+
+    def parseBranch(end: Int): BranchRaw = {
+      val br = new BranchRaw
+      val (_, _) = r.vers() // TBranch header
+      val vals = mutable.HashMap.empty[String, Long]
+      val arrs = mutable.HashMap.empty[String, Array[Long]]
+      readMembers("TBranch", vals, arrs, (nm, ti) => { br.name = nm; br.title = ti }, {
+        case "fBranches" =>
+          readObjArray { (cls, _, _) =>
+            if (cls != null)
+              br.unsupported = s"nested sub-branches (object-split $cls) — use the converter path"
+          }
+        case "fLeaves" =>
+          readObjArray { (cls, lend, key) =>
+            if (cls != null) {
+              if (cls.startsWith("TLeaf") && cls != "TLeafElement") br.leaves += parseLeaf(cls, lend, key)
+              else br.unsupported = s"leaf class $cls — use the converter path"
+            }
+          }
+        case "fBaskets" =>
+          readObjArray { (cls, bend, _) =>
+            if (cls == "TBasket") {
+              val eb = parseEmbeddedBasket(bend)
+              if (eb.payload != null && eb.nev > 0) br.embedded += eb
+            }
+          }
+        case _ => skipObjPtr()
+      })
+      br.entryOffsetLen = vals.getOrElse("fEntryOffsetLen", 0L).toInt
+      br.writeBasket = vals.getOrElse("fWriteBasket", 0L).toInt
+      br.entries = vals.getOrElse("fEntries", 0L)
+      br.basketBytes = arrs.getOrElse("fBasketBytes", Array.empty[Long])
+      br.basketEntry = arrs.getOrElse("fBasketEntry", Array.empty[Long])
+      br.basketSeek = arrs.getOrElse("fBasketSeek", Array.empty[Long])
+      r.p = end
+      br
+    }
+  }
+
+  /** Parse the decompressed TTree record into TreeMeta. `keyLen` is
+    * the tree key's keylen (back-reference displacement base). */
+  def parse(data: Array[Byte], keyLen: Int,
+      infos: Map[String, (Int, Seq[StreamerElem])]): TreeMeta = {
+    val r = new RootBuf(data, 0, keyLen + 2)
+    val P = new Parse(r, infos)
+    val (_, _) = r.vers() // TTree header
+    val vals = mutable.HashMap.empty[String, Long]
+    val arrs = mutable.HashMap.empty[String, Array[Long]]
+    var treeName = ""
+    val rawBranches = mutable.ArrayBuffer.empty[BranchRaw]
+    P.readMembers("TTree", vals, arrs, (nm, _) => treeName = nm, {
+      case "fBranches" =>
+        P.readObjArray { (cls, bend, _) =>
+          if (cls == "TBranch") rawBranches += P.parseBranch(bend)
+          else if (cls != null) {
+            val br = new BranchRaw
+            br.name = s"<$cls>"
+            br.unsupported = s"branch class $cls — use the converter path"
+            rawBranches += br
+          }
+        }
+      case _ => P.skipObjPtr()
+    })
+    val entries = vals.getOrElse("fEntries", 0L)
+
+    val branches = rawBranches.map { br =>
+      var unsupported = br.unsupported
+      var leafCls = ""; var leafLen = 1; var unsigned = false; var counter: String = null
+      if (unsupported == null) {
+        if (br.leaves.size != 1) unsupported = s"${br.leaves.size} leaves (only single-leaf branches supported)"
+        else {
+          val l = br.leaves.head
+          leafCls = l.cls; leafLen = l.len; unsigned = l.unsigned
+          if (l.counterInline != null) counter = l.counterInline.name
+          else if (l.counterKey != 0) {
+            P.leavesByKey.get(l.counterKey) match {
+              case Some(cl) => counter = cl.name
+              case None => unsupported = s"unresolved leaf-count reference ${l.counterKey}"
+            }
+          }
+          if (leafCls == "TLeafC") unsupported = "TLeafC (per-entry strings) not supported yet"
+        }
+      }
+      // Loose baskets occupy slots [0, writeBasket) of the seek/entry
+      // arrays; fBasketEntry(writeBasket) is the sentinel end. Any
+      // embedded baskets (the unflushed write basket) follow from there.
+      val nLoose = math.max(0, math.min(br.writeBasket, br.basketSeek.length))
+      val loose = (0 until nLoose).filter(i => br.basketSeek(i) != 0L).map { i =>
+        val endE =
+          if (i + 1 < br.basketEntry.length && br.basketEntry(i + 1) > br.basketEntry(i)) br.basketEntry(i + 1)
+          else br.entries
+        BasketRef(br.basketSeek(i), br.basketBytes(i).toInt, br.basketEntry(i), endE)
+      }.toArray
+      var nextStart: Long =
+        if (loose.nonEmpty) loose.last.entryEnd
+        else if (br.basketEntry.nonEmpty) br.basketEntry(0)
+        else 0L
+      val embedded = br.embedded.map { eb =>
+        val withStart = eb.copy(entryStart = nextStart)
+        nextStart += eb.nev
+        withStart
+      }.toArray
+      if (unsupported == null && br.entries > 0 && loose.isEmpty && embedded.isEmpty)
+        unsupported = s"no readable baskets for ${br.entries} entries"
+      BranchMeta(br.name, br.title, leafCls, leafLen, unsigned, counter,
+        br.entryOffsetLen, br.entries, loose, embedded, unsupported)
+    }.toVector
+    TreeMeta(treeName, entries, branches)
+  }
+}

@@ -80,6 +80,18 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(agg.isNullAt(0) && agg.isNullAt(1)) // SQL sum over zero rows
   }
 
+  test("native .root read reproduces the asserted integers with no converter (q174)") {
+    assume(available, s"${GoldenQueries.sampleDir} not present")
+    val rows = SparkEntry.queries("q174_root_native")(spark, "")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("ZJets") == ((18L, 6L)), s"ZJets cutflow from .root: ${rows("ZJets")}")
+    assert(rows("Data") == ((84L, 66L)), s"Data cutflow from .root: ${rows("Data")}")
+    // and the full float pipeline agrees with the parquet path bit-for-bit
+    val a = SparkEntry.queries("q166_golden_dimuon")(spark, "").orderBy("dataset").collect().toSeq
+    val b = SparkEntry.queries("q174_root_native")(spark, "").orderBy("dataset").collect().toSeq
+    assert(a == b, "parquet-path and root-path golden summaries differ")
+  }
+
   test("golden scan is column-pruned to the four Muon branches") {
     assume(available, s"${GoldenQueries.sampleDir} not present")
     val plan = GoldenQueries
