@@ -51,6 +51,12 @@ object GoldenQueries extends QueryPack {
     "ZJets" -> s"$sampleDir/nano_dy.root",
     "Data" -> s"$sampleDir/nano_dimuon.root")
 
+  /** And as RNTuple files (ROOT's next-gen columnar format) — same
+    * events, read natively by the same DataSource. */
+  val goldenRntFiles: Seq[(String, String)] = Seq(
+    "ZJets" -> s"$sampleDir/nano_dy_rntuple.root",
+    "Data" -> s"$sampleDir/nano_dimuon_rntuple.root")
+
   /** Pruned scan + NanoAOD zip: only the four Muon kinematics branches
     * reach the parquet reader; `autoSchema` groups them into
     * `Muon: array<struct<eta,mass,phi,pt>>` (fields name-sorted). */
@@ -193,6 +199,21 @@ object GoldenQueries extends QueryPack {
       "q174_root_native",
       "Cross-FORMAT golden parity: the identical NanoEventsProcessor dimuon analysis, but Spark reads the reference's ORIGINAL nano_dy.root / nano_dimuon.root files through the in-engine JVM TTree DataSource (graft.sources.root — streamer-driven metadata, basket decode, column pruning down to 4 of 1499 branches at the byte level), with NO Python/uproot conversion step, while the DuckDB oracle replays the analysis from the checked-in parquet conversions of the same events. Equality proves the TTree byte decode end-to-end: float bit patterns, jagged offsets, counter alignment, and the asserted coffea integers (18/6/84/66) all survive the format change.",
       (s, _) => dimuonSummary(goldenRootFiles.map { case (ds, p) => ds -> muonEventsRoot(s, p) }),
+      Some(
+        s"""$oracleCte,
+           |cut AS (
+           |  SELECT dataset, CAST(sum(n) AS BIGINT) AS cutflow_pt,
+           |    CAST(sum(n*(n-1)//2) AS BIGINT) AS cutflow_mass,
+           |    CAST(floor(coalesce(sum(list_sum(list_transform(pt, x -> CAST(x AS DOUBLE)))), 0) * 10000 + 0.5) AS BIGINT) AS sum_pt_e4
+           |  FROM e GROUP BY dataset)
+           |SELECT c.dataset, c.cutflow_pt, c.cutflow_mass, c.sum_pt_e4,
+           |  CAST(floor(coalesce(p.s, 0) * 10000 + 0.5) AS BIGINT) AS sum_mass_e4
+           |FROM cut c LEFT JOIN (SELECT dataset, sum(m) AS s FROM pm GROUP BY dataset) p USING (dataset)""".stripMargin)),
+
+    Query(
+      "q175_rntuple_native",
+      "Cross-FORMAT golden parity #2 — RNTuple: the identical dimuon analysis with Spark reading the reference's nano_dy_rntuple.root / nano_dimuon_rntuple.root through the native RNTuple path of the same DataSource (anchor -> envelope -> page decode: byte-split floats, delta-split index columns, cluster-aligned partitions; written by ROOT v6.37 in format spec 1.0), oracle unchanged on the parquet conversions. Together with q174 this pins all three encodings of the same 80 events — TTree baskets, RNTuple pages, parquet — to one answer.",
+      (s, _) => dimuonSummary(goldenRntFiles.map { case (ds, p) => ds -> muonEventsRoot(s, p) }),
       Some(
         s"""$oracleCte,
            |cut AS (

@@ -1,0 +1,411 @@
+package graft.sources.root
+
+import scala.collection.mutable
+
+/** Native reader for ROOT's RNTuple columnar format (binary format
+  * spec 1.0.0.0, anchor class version 2 — the files the reference
+  * ships were written by ROOT v6.37). Layout knowledge is the public
+  * RNTuple Binary Format Specification: a big-endian ROOT-streamed
+  * anchor points at little-endian header/footer ENVELOPES (ROOT
+  * frame-compressed); the header carries field/column/alias-column
+  * descriptors, the footer carries cluster groups whose page-list
+  * envelopes locate every (cluster, column, page) byte range.
+  *
+  * Column encodings implemented (everything the reference samples
+  * use): Bit, (U)Int8, (Split)(U)Int16/32/64 (zigzag for signed
+  * splits), SplitReal32/64, Real32/64, Index32/64 and
+  * SplitIndex32/64 (delta+byte-split), Char. Jagged collections =
+  * index column + child data column; NanoAOD's per-branch
+  * `RVec<T>` fields are projections whose alias columns point at the
+  * shared physical collection index — resolved here so `Muon_pt`
+  * reads exactly two columns.
+  *
+  * Clusters are the scale unit (the row-group analog): partitions
+  * never split a cluster, and only the pages of requested columns
+  * are ever read.
+  */
+private[root] object RNTuple {
+
+  // ---- little-endian cursor ----
+  final class LEBuf(val b: Array[Byte], var p: Int) {
+    def u1(): Int = { val v = b(p) & 0xff; p += 1; v }
+    def u2(): Int = { val v = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8); p += 2; v }
+    def u4(): Long = {
+      val v = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) | ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      p += 4; v
+    }
+    def i4(): Int = u4().toInt
+    def u8(): Long = { val lo = u4(); val hi = u4(); (hi << 32) | lo }
+    def str(): String = {
+      val n = u4().toInt
+      val s = new String(b, p, n, java.nio.charset.StandardCharsets.UTF_8); p += n; s
+    }
+    /** list frame: returns (absolute end, item count). */
+    def listFrame(): (Int, Int) = {
+      val start = p
+      val sz = u8()
+      val span = if (sz < 0) -sz else sz
+      val n = u4().toInt
+      (start + span.toInt, n)
+    }
+    /** record frame: returns absolute end. */
+    def recordFrame(): Int = {
+      val start = p
+      val sz = u8()
+      start + math.abs(sz).toInt
+    }
+  }
+
+  // ---- descriptors ----
+  final case class Field(id: Int, parent: Int, role: Int, flags: Int, name: String, typeName: String)
+  final case class Column(id: Int, ctype: Int, bits: Int, field: Int, flags: Int, repr: Int)
+  final case class PageInfo(nElems: Int, size: Int, offset: Long)
+  /** per (cluster, physical column) page run */
+  final case class ColPages(pages: Array[PageInfo], compression: Int)
+  final case class Cluster(firstEntry: Long, nEntries: Long, byCol: Map[Int, ColPages])
+
+  final case class Anchor(seekHeader: Long, nBytesHeader: Long, lenHeader: Long,
+      seekFooter: Long, nBytesFooter: Long, lenFooter: Long)
+
+  /** One readable output column of the ntuple. `card` marks an
+    * `RNTupleCardinality` field: a scalar counter materialized from
+    * the collection's index column (offs(k) - offs(k-1)). */
+  final case class RntField(name: String, dataCol: Int, indexCol: Int, // -1 = scalar
+      ctype: Int, bits: Int, indexCtype: Int, unsupported: String, card: Boolean = false) {
+    def isSupported: Boolean = unsupported == null
+  }
+
+  final case class RntMeta(name: String, entries: Long, fields: Seq[RntField],
+      columns: Array[Column], clusters: Seq[Cluster]) {
+    lazy val byName: Map[String, RntField] = fields.map(f => f.name -> f).toMap
+  }
+
+  /** Parse the big-endian ROOT-streamed anchor record (class version
+    * >= 2): version quad, then six u64 seek/size fields + max key
+    * size + xxhash3 (unverified). */
+  def parseAnchor(data: Array[Byte]): Anchor = {
+    val r = new RootBuf(data, 0, 0)
+    val (_, _) = r.vers()
+    r.i2(); r.i2(); r.i2(); r.i2() // versionEpoch/Major/Minor/Patch
+    val seekHeader = r.i8(); val nBytesHeader = r.i8(); val lenHeader = r.i8()
+    val seekFooter = r.i8(); val nBytesFooter = r.i8(); val lenFooter = r.i8()
+    Anchor(seekHeader, nBytesHeader, lenHeader, seekFooter, nBytesFooter, lenFooter)
+  }
+
+  // column type ids from the 1.0 spec
+  val Bit = 0x00; val ByteCol = 0x01; val CharCol = 0x02
+  val Int8 = 0x03; val UInt8 = 0x04; val Int16 = 0x05; val UInt16 = 0x06
+  val Int32 = 0x07; val UInt32 = 0x08; val Int64 = 0x09; val UInt64 = 0x0A
+  val Real16 = 0x0B; val Real32 = 0x0C; val Real64 = 0x0D
+  val Index32 = 0x0E; val Index64 = 0x0F; val Switch = 0x10
+  val SplitInt16 = 0x11; val SplitUInt16 = 0x12; val SplitInt32 = 0x13; val SplitUInt32 = 0x14
+  val SplitInt64 = 0x15; val SplitUInt64 = 0x16
+  val SplitReal16 = 0x17; val SplitReal32 = 0x18; val SplitReal64 = 0x19
+  val SplitIndex32 = 0x1A; val SplitIndex64 = 0x1B
+
+  def isIndex(ct: Int): Boolean =
+    ct == Index32 || ct == Index64 || ct == SplitIndex32 || ct == SplitIndex64
+
+  private def readFieldsColumns(r: LEBuf, firstFieldId: Int, firstColId: Int):
+      (Seq[Field], Seq[Column], Seq[(Int, Int)]) = {
+    val fields = Vector.newBuilder[Field]
+    var (fend, nf) = (0, 0)
+    locally { val t = r.listFrame(); fend = t._1; nf = t._2 }
+    var i = 0
+    while (i < nf) {
+      val end = r.recordFrame()
+      r.u4(); r.u4() // field version, type version
+      val parent = r.u4().toInt
+      val role = r.u2(); val flags = r.u2()
+      val nm = r.str(); val tn = r.str(); r.str(); r.str() // alias, description
+      fields += Field(firstFieldId + i, parent, role, flags, nm, tn)
+      r.p = end
+      i += 1
+    }
+    r.p = fend
+    val columns = Vector.newBuilder[Column]
+    var (cend, ncc) = (0, 0)
+    locally { val t = r.listFrame(); cend = t._1; ncc = t._2 }
+    i = 0
+    while (i < ncc) {
+      val end = r.recordFrame()
+      val ct = r.u2(); val bits = r.u2()
+      val fid = r.u4().toInt
+      val cflags = r.u2(); val repr = r.u2()
+      columns += Column(firstColId + i, ct, bits, fid, cflags, repr)
+      r.p = end
+      i += 1
+    }
+    r.p = cend
+    val alias = Vector.newBuilder[(Int, Int)] // (physical col, field id)
+    var (aend, na) = (0, 0)
+    locally { val t = r.listFrame(); aend = t._1; na = t._2 }
+    i = 0
+    while (i < na) {
+      val end = r.recordFrame()
+      val phys = r.u4().toInt; val fid = r.u4().toInt
+      alias += ((phys, fid))
+      r.p = end
+      i += 1
+    }
+    r.p = aend
+    // extra type info list frame: skip wholesale
+    val (eend, _) = r.listFrame()
+    r.p = eend
+    (fields.result(), columns.result(), alias.result())
+  }
+
+  /** Full metadata: header + footer (+schema extension) + every
+    * cluster group's page list. `readRange(pos, nBytes, len)` returns
+    * the DECOMPRESSED bytes of a ROOT-framed region. */
+  def parseMeta(name: String, anchor: Anchor,
+      readRange: (Long, Int, Int) => Array[Byte]): RntMeta = {
+    val hdr = readRange(anchor.seekHeader, anchor.nBytesHeader.toInt, anchor.lenHeader.toInt)
+    val r = new LEBuf(hdr, 0)
+    r.u8() // envelope type+length
+    r.u8() // feature flags (single word in practice; continuation bit unsupported upstream)
+    val ntName = r.str(); r.str(); r.str()
+    val (fields0, cols0, alias0) = readFieldsColumns(r, 0, 0)
+
+    val ftr = readRange(anchor.seekFooter, anchor.nBytesFooter.toInt, anchor.lenFooter.toInt)
+    val f = new LEBuf(ftr, 0)
+    f.u8(); f.u8(); f.u8() // envelope header, feature flags, header checksum
+    // schema extension record frame: same four list frames, ids continue
+    val extEnd = f.recordFrame()
+    val (fieldsX, colsX, aliasX) = readFieldsColumns(f, fields0.size, cols0.size)
+    f.p = extEnd
+    val fields = fields0 ++ fieldsX
+    val columns = (cols0 ++ colsX).toArray
+    val alias = alias0 ++ aliasX
+
+    // cluster groups -> page list envelopes
+    val clusters = Vector.newBuilder[Cluster]
+    val (gend, ng) = f.listFrame()
+    var g = 0
+    while (g < ng) {
+      val end = f.recordFrame()
+      f.u8(); f.u8(); f.u4() // min entry, entry span, n clusters
+      val plLen = f.u8()
+      val locSize = f.i4()
+      val plOff = f.u8()
+      require(locSize >= 0, "non-standard RNTuple locators not supported")
+      clusters ++= parsePageList(readRange(plOff, locSize, plLen.toInt))
+      f.p = end
+      g += 1
+    }
+    f.p = gend
+    val clustersV = clusters.result().sortBy(_.firstEntry)
+    val entries = clustersV.lastOption.map(c => c.firstEntry + c.nEntries).getOrElse(0L)
+
+    val meta = buildFields(if (ntName.nonEmpty) ntName else name, entries, fields, columns, alias, clustersV)
+    meta
+  }
+
+  private def parsePageList(pl: Array[Byte]): Seq[Cluster] = {
+    val p = new LEBuf(pl, 0)
+    p.u8(); p.u8() // envelope header, header checksum
+    val summaries = Vector.newBuilder[(Long, Long)]
+    val (send, ns) = p.listFrame()
+    var i = 0
+    while (i < ns) {
+      val end = p.recordFrame()
+      val first = p.u8()
+      val ne = p.u8() & 0x00ffffffffffffffL // top byte = flags
+      summaries += ((first, ne))
+      p.p = end
+      i += 1
+    }
+    p.p = send
+    val out = Vector.newBuilder[Cluster]
+    val (cend, nc) = p.listFrame()
+    val sums = summaries.result()
+    require(nc == sums.size, s"page list: $nc clusters vs ${sums.size} summaries")
+    i = 0
+    while (i < nc) {
+      val (clEnd, nCol) = p.listFrame()
+      val byCol = Map.newBuilder[Int, ColPages]
+      var c = 0
+      while (c < nCol) {
+        val (pgEnd, nPg) = p.listFrame()
+        val pages = new Array[PageInfo](nPg)
+        var k = 0
+        while (k < nPg) {
+          val nel = p.i4() // negative = page carries an (external) xxhash3
+          val sz = p.i4()
+          val off = p.u8()
+          pages(k) = PageInfo(math.abs(nel), sz, off)
+          k += 1
+        }
+        p.u8() // element offset of this column in the cluster
+        val comp = p.u4().toInt
+        byCol += c -> ColPages(pages, comp)
+        c += 1
+        p.p = pgEnd
+      }
+      out += Cluster(sums(i)._1, sums(i)._2, byCol.result())
+      p.p = clEnd
+      i += 1
+    }
+    p.p = cend
+    out.result()
+  }
+
+  /** Resolve the readable output fields: top-level scalars and
+    * single-level collections of primitives (including projected
+    * RVec fields via alias columns). */
+  private def buildFields(name: String, entries: Long, fields: Seq[Field],
+      columns: Array[Column], alias: Seq[(Int, Int)], clusters: Seq[Cluster]): RntMeta = {
+    val colsByField = mutable.HashMap.empty[Int, List[Int]]
+    columns.zipWithIndex.foreach { case (c, i) =>
+      colsByField.updateWith(c.field)(o => Some(o.getOrElse(Nil) :+ i))
+    }
+    alias.foreach { case (phys, fid) =>
+      colsByField.updateWith(fid)(o => Some(o.getOrElse(Nil) :+ phys))
+    }
+    val childrenOf = mutable.HashMap.empty[Int, List[Field]]
+    fields.foreach { fl =>
+      if (fl.parent != fl.id) childrenOf.updateWith(fl.parent)(o => Some(o.getOrElse(Nil) :+ fl))
+    }
+    def primCols(fid: Int): List[Column] = colsByField.getOrElse(fid, Nil).map(columns)
+
+    val out = Vector.newBuilder[RntField]
+    val seen = mutable.HashSet.empty[String]
+    fields.filter(fl => fl.parent == fl.id).foreach { top =>
+      if (!seen.add(top.name)) ()
+      else if (top.role == 0) {
+        primCols(top.id) match {
+          case c :: Nil if !isIndex(c.ctype) && c.ctype != Switch =>
+            out += RntField(top.name, c.id, -1, c.ctype, c.bits, -1, null)
+          case idx :: Nil if isIndex(idx.ctype) && top.typeName.startsWith("ROOT::RNTupleCardinality") =>
+            val w = if (top.typeName.contains("64")) 64 else 32
+            out += RntField(top.name, -1, idx.id, 0, w, idx.ctype, null, card = true)
+          case idx :: Nil if isIndex(idx.ctype) =>
+            // std::string-like: index + char child column
+            childrenOf.getOrElse(top.id, Nil).flatMap(ch => primCols(ch.id)) match {
+              case d :: Nil if d.ctype == CharCol || d.ctype == ByteCol =>
+                out += RntField(top.name, d.id, idx.id, d.ctype, d.bits, idx.ctype, null)
+              case _ =>
+                out += RntField(top.name, -1, -1, 0, 0, -1, s"unsupported leaf layout (${top.typeName})")
+            }
+          case _ =>
+            out += RntField(top.name, -1, -1, 0, 0, -1, s"unsupported leaf layout (${top.typeName})")
+        }
+      } else if (top.role == 1) {
+        // collection: index column on the collection field, one child data column
+        val idx = primCols(top.id).filter(c => isIndex(c.ctype))
+        val kids = childrenOf.getOrElse(top.id, Nil)
+        val dataCols = kids.flatMap(ch => primCols(ch.id))
+        (idx, kids, dataCols) match {
+          case (ic :: Nil, k :: Nil, d :: Nil) if k.role == 0 && !isIndex(d.ctype) && d.ctype != Switch =>
+            out += RntField(top.name, d.id, ic.id, d.ctype, d.bits, ic.ctype, null)
+          case _ =>
+            out += RntField(top.name, -1, -1, 0, 0, -1,
+              s"unsupported collection layout (${top.typeName}) — use the converter path")
+        }
+      } else {
+        out += RntField(top.name, -1, -1, 0, 0, -1, s"record field (${top.typeName}) — use the converter path")
+      }
+    }
+    RntMeta(name, entries, out.result(), columns, clusters)
+  }
+
+  // ---- page decode ----
+
+  /** Un-byte-split: input has all byte0s, then all byte1s, ... */
+  private def unsplit(b: Array[Byte], width: Int): Array[Byte] = {
+    val n = b.length / width
+    val out = new Array[Byte](b.length)
+    var k = 0
+    while (k < width) {
+      var i = 0
+      val base = k * n
+      while (i < n) { out(i * width + k) = b(base + i); i += 1 }
+      k += 1
+    }
+    out
+  }
+
+  /** Raw little-endian bytes of all pages of `cp`, decompressed. */
+  def pageBytes(read: (Long, Int) => Array[Byte], cp: ColPages, bits: Int): Array[Byte] = {
+    val total = cp.pages.map(p => ((p.nElems.toLong * bits + 7) / 8).toInt).sum
+    val out = new Array[Byte](total)
+    var o = 0
+    cp.pages.foreach { pg =>
+      val ub = ((pg.nElems.toLong * bits + 7) / 8).toInt
+      val raw = read(pg.offset, pg.size)
+      val dec = if (pg.size == ub) raw else RootCore.decompress(raw, ub)
+      System.arraycopy(dec, 0, out, o, ub)
+      o += ub
+    }
+    out
+  }
+
+  /** Decode a column's cluster bytes into a primitive array (and for
+    * index columns, the running offsets). */
+  def decode(ctype: Int, bits: Int, bytes: Array[Byte], nElems: Int): AnyRef = {
+    val width = bits / 8
+    def le = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def leOf(b: Array[Byte]) = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ctype match {
+      case Bit =>
+        val a = new Array[Boolean](nElems)
+        var i = 0; while (i < nElems) { a(i) = ((bytes(i >> 3) >> (i & 7)) & 1) != 0; i += 1 }; a
+      case CharCol | Int8 => bytes
+      case ByteCol | UInt8 =>
+        val a = new Array[Short](nElems); var i = 0; while (i < nElems) { a(i) = (bytes(i) & 0xff).toShort; i += 1 }; a
+      case Int16 => val a = new Array[Short](nElems); le.asShortBuffer().get(a); a
+      case UInt16 =>
+        val sb = le.asShortBuffer(); val a = new Array[Int](nElems)
+        var i = 0; while (i < nElems) { a(i) = sb.get(i) & 0xffff; i += 1 }; a
+      case Int32 => val a = new Array[Int](nElems); le.asIntBuffer().get(a); a
+      case UInt32 =>
+        val ib = le.asIntBuffer(); val a = new Array[Long](nElems)
+        var i = 0; while (i < nElems) { a(i) = ib.get(i).toLong & 0xffffffffL; i += 1 }; a
+      case Int64 | UInt64 => val a = new Array[Long](nElems); le.asLongBuffer().get(a); a
+      case Real32 => val a = new Array[Float](nElems); le.asFloatBuffer().get(a); a
+      case Real64 => val a = new Array[Double](nElems); le.asDoubleBuffer().get(a); a
+      case SplitReal32 => val a = new Array[Float](nElems); leOf(unsplit(bytes, 4)).asFloatBuffer().get(a); a
+      case SplitReal64 => val a = new Array[Double](nElems); leOf(unsplit(bytes, 8)).asDoubleBuffer().get(a); a
+      case SplitUInt16 =>
+        val sb = leOf(unsplit(bytes, 2)).asShortBuffer(); val a = new Array[Int](nElems)
+        var i = 0; while (i < nElems) { a(i) = sb.get(i) & 0xffff; i += 1 }; a
+      case SplitInt16 =>
+        val sb = leOf(unsplit(bytes, 2)).asShortBuffer(); val a = new Array[Short](nElems)
+        var i = 0; while (i < nElems) { val u = sb.get(i) & 0xffff; a(i) = ((u >>> 1) ^ -(u & 1)).toShort; i += 1 }; a
+      case SplitInt32 =>
+        val ib = leOf(unsplit(bytes, 4)).asIntBuffer(); val a = new Array[Int](nElems)
+        var i = 0; while (i < nElems) { val u = ib.get(i); a(i) = (u >>> 1) ^ -(u & 1); i += 1 }; a
+      case SplitUInt32 =>
+        val ib = leOf(unsplit(bytes, 4)).asIntBuffer(); val a = new Array[Long](nElems)
+        var i = 0; while (i < nElems) { a(i) = ib.get(i).toLong & 0xffffffffL; i += 1 }; a
+      case SplitInt64 =>
+        val lb = leOf(unsplit(bytes, 8)).asLongBuffer(); val a = new Array[Long](nElems)
+        var i = 0; while (i < nElems) { val u = lb.get(i); a(i) = (u >>> 1) ^ -(u & 1L); i += 1 }; a
+      case SplitUInt64 => val a = new Array[Long](nElems); leOf(unsplit(bytes, 8)).asLongBuffer().get(a); a
+      case _ => throw new UnsupportedOperationException(s"RNTuple column type 0x${ctype.toHexString}")
+    }
+  }
+
+  /** Index column -> absolute element offsets within the cluster
+    * (length nElems; offsets(i) = end of entry i). */
+  def decodeIndex(ctype: Int, bits: Int, bytes: Array[Byte], nElems: Int): Array[Long] = {
+    val out = new Array[Long](nElems)
+    ctype match {
+      case Index32 =>
+        val ib = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN).asIntBuffer()
+        var i = 0; while (i < nElems) { out(i) = ib.get(i).toLong & 0xffffffffL; i += 1 }
+      case Index64 =>
+        java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+      case SplitIndex32 =>
+        val ib = java.nio.ByteBuffer.wrap(unsplit(bytes, 4)).order(java.nio.ByteOrder.LITTLE_ENDIAN).asIntBuffer()
+        var acc = 0L; var i = 0
+        while (i < nElems) { acc += ib.get(i).toLong & 0xffffffffL; out(i) = acc; i += 1 }
+      case SplitIndex64 =>
+        val lb = java.nio.ByteBuffer.wrap(unsplit(bytes, 8)).order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+        var acc = 0L; var i = 0
+        while (i < nElems) { acc += lb.get(i); out(i) = acc; i += 1 }
+      case _ => throw new UnsupportedOperationException(s"index column type 0x${ctype.toHexString}")
+    }
+    out
+  }
+}

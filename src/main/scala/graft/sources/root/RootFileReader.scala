@@ -84,13 +84,13 @@ private[root] object RootFileReader {
       }
   }
 
-  /** Names of all TTrees reachable from the root directory. */
+  /** Names of all TTrees and RNTuples reachable from the root directory. */
   def listTrees(f: ReadAt, hdr: RootFileHeader): Seq[String] = {
     val big = hdr.version > 1000000
     def walk(dirDataPos: Long, prefix: String): Seq[String] = {
       val keys = dirKeys(f, dirDataPos, big)
       keys.flatMap {
-        case k if k.className == "TTree" => Seq(prefix + k.name)
+        case k if k.className == "TTree" || k.className == "ROOT::RNTuple" => Seq(prefix + k.name)
         case k if k.className == "TDirectory" || k.className == "TDirectoryFile" =>
           walk(k.seekKey + k.keyLen, prefix + k.name + "/")
         case _ => Nil
@@ -110,12 +110,162 @@ private[root] object RootFileReader {
     } finally f.close()
   }
 
-  // -------- per-JVM TreeMeta cache (parquet-footer analog) --------
-  private val metaCache = new java.util.concurrent.ConcurrentHashMap[(String, String), TreeMeta]()
-  def cachedMeta(path: String, tree: String): TreeMeta = {
-    if (metaCache.size > 64) metaCache.clear()
-    metaCache.computeIfAbsent((path, tree), { kv: (String, String) => readMeta(kv._1, kv._2) })
+  /** RNTuple anchor key of `name` in the root directory, if present. */
+  private def findAnchor(f: ReadAt, hdr: RootFileHeader, name: String): Option[TKey] = {
+    val big = hdr.version > 1000000
+    def descend(dirDataPos: Long, parts: List[String]): Option[TKey] = {
+      val keys = dirKeys(f, dirDataPos, big)
+      parts match {
+        case last :: Nil =>
+          keys.filter(k => k.className == "ROOT::RNTuple" && k.name == last).sortBy(-_.cycle).headOption
+        case dir :: rest =>
+          keys.find(k => (k.className == "TDirectory" || k.className == "TDirectoryFile") && k.name == dir)
+            .flatMap(k => descend(k.seekKey + k.keyLen, rest))
+        case Nil => None
+      }
+    }
+    descend(hdr.begin + hdr.nBytesName, name.split('/').toList.filter(_.nonEmpty))
   }
+
+  def readRntMeta(f: ReadAt, anchorKey: TKey, name: String): RNTuple.RntMeta = {
+    val anchor = RNTuple.parseAnchor(record(f, anchorKey))
+    RNTuple.parseMeta(name, anchor,
+      (pos, nBytes, len) => RootCore.decompress(f.read(pos, nBytes), len))
+  }
+
+  /** Dataset metadata: the named RNTuple if one exists, else the TTree. */
+  def readAnyMeta(pathStr: String, name: String): Either[TreeMeta, RNTuple.RntMeta] = {
+    val f = open(pathStr)
+    try {
+      val hdr = RootKeys.parseHeader(f.read(0, 300.min(f.length.toInt)))
+      findAnchor(f, hdr, name) match {
+        case Some(ak) => Right(readRntMeta(f, ak, name))
+        case None =>
+          val infoKey = keyAt(f, hdr.seekInfo)
+          val infos = RootStreamers.parse(record(f, infoKey), infoKey.keyLen)
+          val treeKey = findTree(f, hdr, name)
+          Left(RootTreeMeta.parse(record(f, treeKey), treeKey.keyLen, infos))
+      }
+    } finally f.close()
+  }
+
+  // -------- per-JVM metadata cache (parquet-footer analog) --------
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Either[TreeMeta, RNTuple.RntMeta]]()
+  def cachedAnyMeta(path: String, name: String): Either[TreeMeta, RNTuple.RntMeta] = {
+    if (metaCache.size > 64) metaCache.clear()
+    metaCache.computeIfAbsent((path, name),
+      { kv: (String, String) => readAnyMeta(kv._1, kv._2) })
+  }
+  def cachedMeta(path: String, tree: String): TreeMeta =
+    cachedAnyMeta(path, tree) match {
+      case Left(t) => t
+      case Right(_) => throw new IllegalArgumentException(s"$path#$tree is an RNTuple, not a TTree")
+    }
+
+  /** Read an RNTuple field for [start, end): whole overlapping
+    * clusters are decoded (clusters are the row-group analog; the
+    * planner never splits one) and entry-sliced. */
+  def readColumnRnt(f: ReadAt, meta: RNTuple.RntMeta, rf: RNTuple.RntField,
+      start: Long, end: Long): Col = {
+    require(rf.isSupported, s"field ${rf.name}: ${rf.unsupported}")
+    val n = (end - start).toInt
+    val jagged = rf.indexCol >= 0
+    val starts = new Array[Int](n + 1)
+    val slices = Vector.newBuilder[(AnyRef, Int, Int)] // (array, from, len-elems)
+    var totalElems = 0
+    meta.clusters.foreach { cl =>
+      val cFirst = cl.firstEntry
+      val cEnd = cl.firstEntry + cl.nEntries
+      val lo = math.max(start, cFirst)
+      val hi = math.min(end, cEnd)
+      if (lo < hi) {
+        val read = (pos: Long, len: Int) => f.read(pos, len)
+        if (rf.card) {
+          val icp = cl.byCol(rf.indexCol)
+          val nIdx = icp.pages.map(_.nElems.toLong).sum.toInt
+          val offs = RNTuple.decodeIndex(rf.indexCtype, 64, RNTuple.pageBytes(read, icp, 64), nIdx)
+          val m = (hi - lo).toInt
+          val arr: AnyRef =
+            if (rf.bits == 64) {
+              val a = new Array[Long](m)
+              var j = 0
+              while (j < m) {
+                val k = (lo - cFirst).toInt + j
+                a(j) = offs(k) - (if (k == 0) 0L else offs(k - 1)); j += 1
+              }
+              a
+            } else {
+              val a = new Array[Int](m)
+              var j = 0
+              while (j < m) {
+                val k = (lo - cFirst).toInt + j
+                a(j) = (offs(k) - (if (k == 0) 0L else offs(k - 1))).toInt; j += 1
+              }
+              a
+            }
+          var e = lo
+          while (e < hi) { starts((e - start).toInt + 1) = 1; e += 1 }
+          slices += ((arr, 0, m))
+          totalElems += m
+        } else if (!jagged) {
+          val cp = cl.byCol(rf.dataCol)
+          val nel = cp.pages.map(_.nElems.toLong).sum.toInt
+          require(nel == cl.nEntries, s"${rf.name}: $nel elems for ${cl.nEntries} entries")
+          val arr = RNTuple.decode(rf.ctype, rf.bits, RNTuple.pageBytes(read, cp, rf.bits), nel)
+          var e = lo
+          while (e < hi) { starts((e - start).toInt + 1) = 1; e += 1 }
+          slices += ((arr, (lo - cFirst).toInt, (hi - lo).toInt))
+          totalElems += (hi - lo).toInt
+        } else {
+          val icp = cl.byCol(rf.indexCol)
+          val nIdx = icp.pages.map(_.nElems.toLong).sum.toInt
+          val offs = RNTuple.decodeIndex(rf.indexCtype, 64, RNTuple.pageBytes(read, icp, 64), nIdx)
+          require(nIdx == cl.nEntries, s"${rf.name}: $nIdx index elems for ${cl.nEntries} entries")
+          val cp = cl.byCol(rf.dataCol)
+          val nel = cp.pages.map(_.nElems.toLong).sum.toInt
+          val arr = RNTuple.decode(rf.ctype, rf.bits, RNTuple.pageBytes(read, cp, rf.bits), nel)
+          def entStart(k: Int): Long = if (k == 0) 0L else offs(k - 1)
+          var e = lo
+          while (e < hi) {
+            val k = (e - cFirst).toInt
+            starts((e - start).toInt + 1) = (offs(k) - entStart(k)).toInt
+            e += 1
+          }
+          val eFrom = entStart((lo - cFirst).toInt).toInt
+          val eTo = offs((hi - cFirst).toInt - 1).toInt
+          slices += ((arr, eFrom, eTo - eFrom))
+          totalElems += eTo - eFrom
+        }
+      }
+    }
+    var i = 0
+    while (i < n) { starts(i + 1) += starts(i); i += 1 }
+    require(starts(n) == totalElems, s"${rf.name}: gathered $totalElems of ${starts(n)} elements")
+    val parts = slices.result()
+    val values: AnyRef = parts match {
+      case Seq((arr, 0, len)) if len == java.lang.reflect.Array.getLength(arr) => arr
+      case _ =>
+        val comp =
+          if (parts.nonEmpty) parts.head._1.getClass.getComponentType
+          else RNTuple.decode(rf.ctype, rf.bits, Array.emptyByteArray, 0).getClass.getComponentType
+        val out = java.lang.reflect.Array.newInstance(comp, totalElems)
+        var o = 0
+        parts.foreach { case (arr, from, len) =>
+          System.arraycopy(arr, from, out, o, len); o += len
+        }
+        out
+    }
+    Col(starts, values, scalar = rf.card || rf.indexCol < 0)
+  }
+
+  /** Column bytes of `rf` (for partition size estimation). */
+  def rntFieldBytes(meta: RNTuple.RntMeta, rf: RNTuple.RntField): Long =
+    meta.clusters.map { cl =>
+      val d = cl.byCol.get(rf.dataCol).map(_.pages.map(_.size.toLong).sum).getOrElse(0L)
+      val i = if (rf.indexCol >= 0) cl.byCol.get(rf.indexCol).map(_.pages.map(_.size.toLong).sum).getOrElse(0L) else 0L
+      d + i
+    }.sum
 
   /** One decoded basket: `data[dataPos + k]` is byte k of the entry
     * payload; `offsets(i)` (when non-null) is the absolute in-buffer

@@ -44,7 +44,10 @@ final class RootDataSource extends TableProvider with DataSourceRegister {
     val paths = RootDataSource.paths(options)
     require(paths.nonEmpty, "root source: no path given")
     val tree = options.getOrDefault("tree", "Events")
-    RootDataSource.schemaFor(RootFileReader.cachedMeta(paths.head, tree))
+    RootFileReader.cachedAnyMeta(paths.head, tree) match {
+      case Left(t) => RootDataSource.schemaFor(t)
+      case Right(r) => RootDataSource.schemaForRnt(r)
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -83,6 +86,57 @@ private[root] object RootDataSource {
 
   def schemaFor(meta: TreeMeta): StructType =
     StructType(meta.branches.filter(_.isSupported).map(sparkField))
+
+  def sparkFieldRnt(rf: RNTuple.RntField): StructField = {
+    import RNTuple._
+    if (rf.card)
+      return StructField(rf.name, if (rf.bits == 64) LongType else IntegerType, nullable = false)
+    val elem: DataType = rf.ctype match {
+      case Bit => BooleanType
+      case CharCol | Int8 => ByteType
+      case ByteCol | UInt8 => ShortType
+      case Int16 | SplitInt16 => ShortType
+      case UInt16 | SplitUInt16 => IntegerType
+      case Int32 | SplitInt32 => IntegerType
+      case UInt32 | SplitUInt32 => LongType
+      case Int64 | UInt64 | SplitInt64 | SplitUInt64 => LongType
+      case Real32 | SplitReal32 => FloatType
+      case Real64 | SplitReal64 => DoubleType
+    }
+    val t =
+      if (rf.indexCol >= 0 && rf.ctype == CharCol) StringType
+      else if (rf.indexCol >= 0) ArrayType(elem, containsNull = false)
+      else elem
+    StructField(rf.name, t, nullable = false)
+  }
+
+  def schemaForRnt(meta: RNTuple.RntMeta): StructType =
+    StructType(meta.fields.filter(_.isSupported).map(sparkFieldRnt))
+
+  /** Cluster-aligned entry ranges targeting ~targetBytes of selected
+    * column data each (clusters are the row-group analog and are
+    * never split). */
+  def planRangesRnt(meta: RNTuple.RntMeta, cols: Seq[String], targetBytes: Long): Seq[(Long, Long)] = {
+    if (meta.entries == 0) return Nil
+    val sel = cols.flatMap(meta.byName.get).filter(_.isSupported)
+    val out = Seq.newBuilder[(Long, Long)]
+    var start = 0L
+    var acc = 0L
+    meta.clusters.foreach { cl =>
+      acc += sel.map { rf =>
+        val d = cl.byCol.get(rf.dataCol).map(_.pages.map(_.size.toLong).sum).getOrElse(0L)
+        val i = if (rf.indexCol >= 0)
+          cl.byCol.get(rf.indexCol).map(_.pages.map(_.size.toLong).sum).getOrElse(0L) else 0L
+        d + i
+      }.sum
+      val hi = cl.firstEntry + cl.nEntries
+      if (acc >= targetBytes || hi >= meta.entries) {
+        if (hi > start) out += ((start, hi))
+        start = hi; acc = 0L
+      }
+    }
+    out.result()
+  }
 
   /** Basket-aligned entry ranges targeting ~`targetBytes` of selected
     * compressed data each. Boundaries come from the selected branch
@@ -142,12 +196,17 @@ private[root] final class RootScan(paths: Seq[String], tree: String, required: S
   override def planInputPartitions(): Array[InputPartition] = {
     val target = SQLConf.get.filesMaxPartitionBytes
     paths.flatMap { p =>
-      val meta = RootFileReader.cachedMeta(p, tree)
-      val cols = if (required.isEmpty) meta.branches.filter(_.isSupported).take(1).map(_.name)
-                 else required.fieldNames.toSeq
-      val ranges = RootDataSource.planRanges(meta, cols, target)
-      if (ranges.isEmpty && meta.entries == 0) Nil
-      else ranges.map { case (s, e) => RootInputPartition(p, tree, s, e) }
+      val ranges = RootFileReader.cachedAnyMeta(p, tree) match {
+        case Left(meta) =>
+          val cols = if (required.isEmpty) meta.branches.filter(_.isSupported).take(1).map(_.name)
+                     else required.fieldNames.toSeq
+          RootDataSource.planRanges(meta, cols, target)
+        case Right(meta) =>
+          val cols = if (required.isEmpty) meta.fields.filter(_.isSupported).take(1).map(_.name)
+                     else required.fieldNames.toSeq
+          RootDataSource.planRangesRnt(meta, cols, target)
+      }
+      ranges.map { case (s, e) => RootInputPartition(p, tree, s, e) }
     }.toArray
   }
 
@@ -167,14 +226,23 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
   private val n = (p.end - p.start).toInt
   private var row = -1
   private lazy val cols: Array[RootFileReader.Col] = {
-    val meta = RootFileReader.cachedMeta(p.path, p.tree)
+    val any = RootFileReader.cachedAnyMeta(p.path, p.tree)
     val f = RootFileReader.open(p.path)
     try required.fields.map { sf =>
-      val bm = meta.byName.getOrElse(sf.name,
-        throw new IllegalArgumentException(s"branch ${sf.name} not in ${p.path}#${p.tree}"))
-      RootFileReader.readColumn(f, bm, p.start, p.end)
+      any match {
+        case Left(meta) =>
+          val bm = meta.byName.getOrElse(sf.name,
+            throw new IllegalArgumentException(s"branch ${sf.name} not in ${p.path}#${p.tree}"))
+          RootFileReader.readColumn(f, bm, p.start, p.end)
+        case Right(meta) =>
+          val rf = meta.byName.getOrElse(sf.name,
+            throw new IllegalArgumentException(s"field ${sf.name} not in ${p.path}#${p.tree}"))
+          RootFileReader.readColumnRnt(f, meta, rf, p.start, p.end)
+      }
     } finally f.close()
   }
+  private lazy val isString: Array[Boolean] =
+    required.fields.map(_.dataType == StringType)
 
   override def next(): Boolean = { row += 1; row < n }
 
@@ -186,7 +254,9 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
       val s = col.starts(row)
       val e = col.starts(row + 1)
       out(c) =
-        if (col.scalar) elemAt(col.values, s)
+        if (isString(c)) org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(col.values.asInstanceOf[Array[Byte]], s, e))
+        else if (col.scalar) elemAt(col.values, s)
         else arraySlice(col.values, s, e)
       c += 1
     }
@@ -222,19 +292,29 @@ object RootTables {
   def read(spark: SparkSession, path: String, tree: String = "Events"): DataFrame =
     spark.read.format("root").option("tree", tree).load(path)
 
-  /** Branch inventory of a tree, including why a branch is excluded
-    * from the schema (object-split, multi-leaf, ...). */
+  /** Branch/field inventory of a tree or ntuple, including why an
+    * entry is excluded from the schema (object-split, multi-leaf,
+    * unsupported collection layout, ...). */
   def describe(spark: SparkSession, path: String, tree: String = "Events"): DataFrame = {
     import spark.implicits._
-    val meta = RootFileReader.readMeta(path, tree)
-    meta.branches.map { b =>
-      (b.name, b.leafCls, b.counterName, b.entries, b.loose.length, b.embedded.length,
-        b.isSupported, Option(b.unsupported).getOrElse(""))
-    }.toDF("branch", "leaf_class", "counter", "entries", "loose_baskets", "embedded_baskets",
-      "supported", "reason")
+    RootFileReader.readAnyMeta(path, tree) match {
+      case Left(meta) =>
+        meta.branches.map { b =>
+          (b.name, b.leafCls, b.counterName, b.entries, b.loose.length, b.embedded.length,
+            b.isSupported, Option(b.unsupported).getOrElse(""))
+        }.toDF("branch", "leaf_class", "counter", "entries", "loose_baskets", "embedded_baskets",
+          "supported", "reason")
+      case Right(meta) =>
+        meta.fields.map { rf =>
+          (rf.name, f"rntuple:0x${rf.ctype}%02x", if (rf.indexCol >= 0) "index" else null,
+            meta.entries, meta.clusters.size, 0, rf.isSupported,
+            Option(rf.unsupported).getOrElse(""))
+        }.toDF("branch", "leaf_class", "counter", "entries", "loose_baskets", "embedded_baskets",
+          "supported", "reason")
+    }
   }
 
-  /** All TTree names in a file (recursing into directories). */
+  /** All TTree and RNTuple names in a file (recursing into directories). */
   def trees(path: String): Seq[String] = {
     val f = RootFileReader.open(path)
     try {

@@ -92,6 +92,14 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(a == b, "parquet-path and root-path golden summaries differ")
   }
 
+  test("native RNTuple read reproduces the asserted integers too (q175)") {
+    assume(available, s"${GoldenQueries.sampleDir} not present")
+    val rows = SparkEntry.queries("q175_rntuple_native")(spark, "")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("ZJets") == ((18L, 6L)), s"ZJets cutflow from RNTuple: ${rows("ZJets")}")
+    assert(rows("Data") == ((84L, 66L)), s"Data cutflow from RNTuple: ${rows("Data")}")
+  }
+
   test("golden scan is column-pruned to the four Muon branches") {
     assume(available, s"${GoldenQueries.sampleDir} not present")
     val plan = GoldenQueries

@@ -106,6 +106,28 @@ class RootSourceSpec extends AnyFunSuite {
     assert(!scanLine.contains("Electron_pt"), s"scan not pruned: $scanLine")
   }
 
+  test("RNTuple nano_dy: all 1499 columns (incl. Cardinality counters) equal the parquet") {
+    assume(available)
+    val bad = mismatches(s"$S/nano_dy_rntuple.root", s"$S/nano_dy.parquet")
+    assert(bad.isEmpty, s"mismatching columns: ${bad.take(5)}")
+  }
+
+  test("RNTuple nano_dimuon: all 1601 columns equal the parquet") {
+    assume(available)
+    assert(mismatches(s"$S/nano_dimuon_rntuple.root", s"$S/nano_dimuon.parquet").isEmpty)
+  }
+
+  test("RNTuple: empty file, unsupported-layout exclusion, and jagged consistency") {
+    assume(available)
+    val e = RootTables.read(spark, s"$S/nano_dy_empty_rntuple.root")
+    assert(e.count() == 0 && e.columns.length > 1400)
+    val d = RootTables.describe(spark, s"$S/treemaker_rntuple.root", "PreSelection")
+    val reasons = d.filter(!col("supported")).select("reason").distinct().collect().map(_.getString(0))
+    assert(reasons.exists(_.contains("LorentzVector")), s"got: ${reasons.toSeq}")
+    val pf = RootTables.read(spark, s"$S/pfnano_rntuple.root")
+    assert(pf.filter(size(col("PFCands_pt")) =!= col("nPFCands")).count() == 0)
+  }
+
   test("unsigned leaves widen (uint32 run -> long) and match parquet dtypes' values") {
     assume(available)
     val df = RootTables.read(spark, s"$S/nano_dy.root").select("run", "luminosityBlock")
