@@ -326,15 +326,134 @@ private[root] object RootFileReader {
     * the values array). For plain scalars every entry has exactly one
     * element. Values are widened per ROOT unsigned flags:
     * uchar->Short, ushort->Int, uint->Long. */
-  final case class Col(starts: Array[Int], values: AnyRef, scalar: Boolean)
+  final case class Col(starts: Array[Int], values: AnyRef, scalar: Boolean,
+      // second nesting level: starts(i)..starts(i+1) index into `inner`,
+      // and inner(k)..inner(k+1) index into `values` (array-of-array
+      // payloads and vector<string> elements)
+      inner: Array[Int] = null)
+
+  /** Per-basket entry byte range [bytePos, byteEnd) in `d.data`
+    * coordinates for entry index k (basket-local). */
+  @inline private def entryRange(d: Decoded, k: Int): (Int, Int) = {
+    val p0 = d.dataPos + d.offsets(k) - d.keyLen
+    val p1 = if (k + 1 < d.nev) d.dataPos + d.offsets(k + 1) - d.keyLen
+             else d.dataPos + d.dataLen
+    (p0, p1)
+  }
+
+  /** std::string / TLeafC payloads: each entry is a TString record
+    * (1-byte length, 255 -> +4-byte length) — concatenated into one
+    * byte array with per-entry starts. */
+  private def readStringColumn(bm: BranchMeta, baskets: Seq[Decoded],
+      start: Long, end: Long): Col = {
+    val n = (end - start).toInt
+    val starts = new Array[Int](n + 1)
+    val chunks = new Array[(Array[Byte], Int, Int)](n)
+    baskets.foreach { d =>
+      require(d.offsets != null, s"branch ${bm.name}: string basket without entry offsets")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val k = (e - d.entryStart).toInt
+        val (p0, p1) = entryRange(d, k)
+        var p = p0
+        var len = d.data(p) & 0xff
+        p += 1
+        if (len == 255) {
+          len = ((d.data(p) & 0xff) << 24) | ((d.data(p + 1) & 0xff) << 16) |
+            ((d.data(p + 2) & 0xff) << 8) | (d.data(p + 3) & 0xff)
+          p += 4
+        }
+        require(p + len <= p1, s"branch ${bm.name}: string overruns entry ($len bytes at $p, end $p1)")
+        val i = (e - start).toInt
+        starts(i + 1) = len
+        chunks(i) = (d.data, p, len)
+        e += 1
+      }
+    }
+    var i = 0
+    while (i < n) { starts(i + 1) += starts(i); i += 1 }
+    val out = new Array[Byte](starts(n))
+    i = 0
+    while (i < n) {
+      val c = chunks(i)
+      if (c != null) System.arraycopy(c._1, c._2, out, starts(i), c._3)
+      i += 1
+    }
+    Col(starts, out, scalar = false)
+  }
+
+  /** Two-level STL payloads: vector<vector<prim>> (inner vectors are
+    * bare [4-byte count][count*es bytes] after the 10-byte outer
+    * header) and vector<string> (TString elements). Walks every entry
+    * once to build outer/inner boundaries and gathers the element
+    * bytes contiguously. */
+  private def readStlComplex(bm: BranchMeta, baskets: Seq[Decoded],
+      start: Long, end: Long): Col = {
+    val n = (end - start).toInt
+    val es = if (bm.stlStrings) 1 else elemSize(bm.leafCls)
+    val starts = new Array[Int](n + 1)
+    val innerB = new scala.collection.mutable.ArrayBuffer[Int](64)
+    innerB += 0
+    val chunks = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Int, Int)](64)
+    var totalBytes = 0
+    def i4(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) | ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+    baskets.foreach { d =>
+      require(d.offsets != null, s"branch ${bm.name}: STL basket without entry offsets")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val k = (e - d.entryStart).toInt
+        val (p0, p1) = entryRange(d, k)
+        require(p1 - p0 >= bm.stlHeader, s"branch ${bm.name}: entry $e shorter than header")
+        val nOuter = i4(d.data, p0 + 6)
+        var p = p0 + bm.stlHeader
+        var o = 0
+        while (o < nOuter) {
+          if (bm.stlStrings) {
+            var len = d.data(p) & 0xff; p += 1
+            if (len == 255) { len = i4(d.data, p); p += 4 }
+            chunks += ((d.data, p, len)); totalBytes += len
+            innerB += totalBytes / es
+            p += len
+          } else {
+            val cnt = i4(d.data, p); p += 4
+            chunks += ((d.data, p, cnt * es)); totalBytes += cnt * es
+            innerB += totalBytes / es
+            p += cnt * es
+          }
+          o += 1
+        }
+        require(p == p1, s"branch ${bm.name}: entry $e walked to $p, expected $p1")
+        starts((e - start).toInt + 1) = nOuter
+        e += 1
+      }
+    }
+    var i = 0
+    while (i < n) { starts(i + 1) += starts(i); i += 1 }
+    require(starts(n) == innerB.length - 1, s"branch ${bm.name}: outer/inner boundary mismatch")
+    val raw = new Array[Byte](totalBytes)
+    var o = 0
+    chunks.foreach { case (a, from, len) => System.arraycopy(a, from, raw, o, len); o += len }
+    val values: AnyRef =
+      if (bm.stlStrings) raw
+      else decodePrim(bm, raw, totalBytes / es)
+    Col(starts, values, scalar = false, inner = innerB.toArray)
+  }
 
   def readColumn(f: ReadAt, bm: BranchMeta, start: Long, end: Long): Col = {
     require(bm.isSupported, s"branch ${bm.name}: ${bm.unsupported}")
     val n = (end - start).toInt
-    val es = elemSize(bm.leafCls)
-    val jagged = bm.counterName != null
-    val scalar = !jagged && bm.leafLen == 1
     val baskets = basketsFor(f, bm, start, end)
+    if (bm.isString) return readStringColumn(bm, baskets, start, end)
+    if (bm.stlDepth > 1 || bm.stlStrings) return readStlComplex(bm, baskets, start, end)
+    val es = elemSize(bm.leafCls)
+    val jagged = bm.jagged
+    val hdr = bm.stlHeader
+    val scalar = !jagged && bm.leafLen == 1
     // element counts per entry
     val starts = new Array[Int](n + 1)
     if (!jagged) {
@@ -350,7 +469,19 @@ private[root] object RootFileReader {
           // fEntryOffset has nev+1 slots but the final one is written
           // unset (0); the last entry always ends at fLast.
           val endPos = if (k + 1 < d.nev) d.offsets(k + 1) else d.keyLen + d.dataLen
-          starts((e - start).toInt + 1) = (endPos - d.offsets(k)) / es
+          val bytes = endPos - d.offsets(k) - hdr
+          require(bytes >= 0 && bytes % es == 0,
+            s"branch ${bm.name}: entry $e payload $bytes bytes not a multiple of $es")
+          val cnt = bytes / es
+          if (hdr > 0) {
+            // cross-check the embedded vector size (bytes 6..10 of the
+            // 10-byte byte-count+version+size header)
+            val p = d.dataPos + d.offsets(k) - d.keyLen + 6
+            val emb = ((d.data(p) & 0xff) << 24) | ((d.data(p + 1) & 0xff) << 16) |
+              ((d.data(p + 2) & 0xff) << 8) | (d.data(p + 3) & 0xff)
+            require(emb == cnt, s"branch ${bm.name}: entry $e embedded size $emb != $cnt")
+          }
+          starts((e - start).toInt + 1) = cnt
           e += 1
         }
       }
@@ -364,7 +495,18 @@ private[root] object RootFileReader {
     baskets.foreach { d =>
       val lo = math.max(start, d.entryStart)
       val hi = math.min(end, d.entryStart + d.nev)
-      if (lo < hi) {
+      if (lo < hi && hdr > 0) {
+        // STL payloads: per-entry copy, skipping each entry's header
+        var e = lo
+        while (e < hi) {
+          val k = (e - d.entryStart).toInt
+          val (p0, p1) = entryRange(d, k)
+          val len = p1 - p0 - hdr
+          System.arraycopy(d.data, p0 + hdr, raw, filled, len)
+          filled += len
+          e += 1
+        }
+      } else if (lo < hi) {
         val (from, len) =
           if (!jagged) {
             val f0 = d.dataPos + (lo - d.entryStart).toInt * bm.leafLen * es
@@ -381,13 +523,21 @@ private[root] object RootFileReader {
       }
     }
     require(filled == raw.length, s"branch ${bm.name}: gathered $filled of ${raw.length} bytes")
+    Col(starts, decodePrim(bm, raw, total), scalar)
+  }
+
+  /** Decode `total` big-endian primitives per the branch's leaf class
+    * (ROOT unsigned types widened: uchar->Short, ushort->Int,
+    * uint->Long). */
+  private def decodePrim(bm: BranchMeta, raw: Array[Byte], total: Int): AnyRef = {
     val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.BIG_ENDIAN)
-    val values: AnyRef = bm.leafCls match {
+    bm.leafCls match {
       case "TLeafO" =>
         val a = new Array[Boolean](total); var i = 0; while (i < total) { a(i) = raw(i) != 0; i += 1 }; a
       case "TLeafB" =>
         if (bm.unsigned) { val a = new Array[Short](total); var i = 0; while (i < total) { a(i) = (raw(i) & 0xff).toShort; i += 1 }; a }
-        else raw.clone().asInstanceOf[AnyRef]
+        else if (raw.length == total) raw
+        else java.util.Arrays.copyOf(raw, total).asInstanceOf[AnyRef]
       case "TLeafS" =>
         val sb = bb.asShortBuffer()
         if (bm.unsigned) { val a = new Array[Int](total); var i = 0; while (i < total) { a(i) = sb.get(i) & 0xffff; i += 1 }; a }
@@ -403,6 +553,5 @@ private[root] object RootFileReader {
       case "TLeafD" =>
         val a = new Array[Double](total); bb.asDoubleBuffer().get(a); a
     }
-    Col(starts, values, scalar)
   }
 }

@@ -71,6 +71,9 @@ private[root] object RootDataSource {
   }
 
   def sparkField(bm: BranchMeta): StructField = {
+    if (bm.isString) return StructField(bm.name, StringType, nullable = false)
+    if (bm.stlStrings)
+      return StructField(bm.name, ArrayType(StringType, containsNull = false), nullable = false)
     val elem: DataType = bm.leafCls match {
       case "TLeafO" => BooleanType
       case "TLeafB" => if (bm.unsigned) ShortType else ByteType
@@ -80,7 +83,11 @@ private[root] object RootDataSource {
       case "TLeafF" => FloatType
       case "TLeafD" => DoubleType
     }
-    val t = if (bm.counterName != null || bm.leafLen > 1) ArrayType(elem, containsNull = false) else elem
+    val t =
+      if (bm.stlStrings) ArrayType(StringType, containsNull = false)
+      else if (bm.stlDepth > 1) ArrayType(ArrayType(elem, containsNull = false), containsNull = false)
+      else if (bm.jagged || bm.leafLen > 1) ArrayType(elem, containsNull = false)
+      else elem
     StructField(bm.name, t, nullable = false)
   }
 
@@ -243,6 +250,8 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
   }
   private lazy val isString: Array[Boolean] =
     required.fields.map(_.dataType == StringType)
+  private lazy val isStringArray: Array[Boolean] =
+    required.fields.map(_.dataType == ArrayType(StringType, containsNull = false))
 
   override def next(): Boolean = { row += 1; row < n }
 
@@ -256,7 +265,25 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
       out(c) =
         if (isString(c)) org.apache.spark.unsafe.types.UTF8String.fromBytes(
           java.util.Arrays.copyOfRange(col.values.asInstanceOf[Array[Byte]], s, e))
-        else if (col.scalar) elemAt(col.values, s)
+        else if (col.inner != null && isStringArray(c)) {
+          val elems = new Array[Any](e - s)
+          var k = s
+          while (k < e) {
+            elems(k - s) = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(col.values.asInstanceOf[Array[Byte]],
+                col.inner(k), col.inner(k + 1)))
+            k += 1
+          }
+          new GenericArrayData(elems)
+        } else if (col.inner != null) {
+          val elems = new Array[Any](e - s)
+          var k = s
+          while (k < e) {
+            elems(k - s) = arraySlice(col.values, col.inner(k), col.inner(k + 1))
+            k += 1
+          }
+          new GenericArrayData(elems)
+        } else if (col.scalar) elemAt(col.values, s)
         else arraySlice(col.values, s, e)
       c += 1
     }

@@ -20,8 +20,22 @@ private[root] final case class BranchMeta(
     leafCls: String, leafLen: Int, unsigned: Boolean, counterName: String,
     entryOffsetLen: Int, entries: Long,
     loose: Array[BasketRef], embedded: Array[EmbeddedBasket],
-    unsupported: String) {
+    unsupported: String,
+    // STL payloads (TBranchElement): per-entry byte-count+version+size
+    // header to skip before the raw elements (10 for vector<prim>);
+    // strings carry a TString length prefix per entry instead.
+    // stlDepth 2 = vector<vector<prim>> (inner vectors are bare
+    // [4-byte count][data]); stlStrings = vector<string> (TString
+    // elements after the outer header).
+    stlHeader: Int = 0, isString: Boolean = false,
+    stlDepth: Int = 1, stlStrings: Boolean = false,
+    // split-container member branch (TBranchElement fType 31/41):
+    // raw per-element payload, boundaries from the entry offsets
+    rawJagged: Boolean = false) {
   def isSupported: Boolean = unsupported == null
+  /** element boundaries come from the entry-offset array rather than a
+    * counter leaf */
+  def jagged: Boolean = counterName != null || stlHeader > 0 || rawJagged
 }
 
 private[root] final case class TreeMeta(name: String, entries: Long, branches: Seq[BranchMeta]) {
@@ -52,6 +66,12 @@ private[root] object RootTreeMeta {
     val leaves = mutable.ArrayBuffer.empty[LeafRaw]
     val embedded = mutable.ArrayBuffer.empty[EmbeddedBasket]
     var unsupported: String = null
+    var className: String = null // TBranchElement only
+    var beType = 0 // TBranchElement fType
+    var beId = 0 // TBranchElement fID
+    var beStreamerType = 0 // TBranchElement fStreamerType
+    var hasSubBranches = false
+    val subs = mutable.ArrayBuffer.empty[BranchRaw]
   }
 
   private final class Parse(r: RootBuf, infos: Map[String, (Int, Seq[StreamerElem])]) {
@@ -91,17 +111,25 @@ private[root] object RootTreeMeta {
     }
 
     /** Read the members of `cls` in streamer order: primitives into
-      * `vals`, counted arrays into `arrs`, the TNamed base to
-      * `onNamed`, object members to `onObject` (cursor at the site). */
+      * `vals`, counted arrays into `arrs`, strings into `strs`, the
+      * TNamed base to `onNamed`, object members to `onObject` (cursor
+      * at the site). The TBranch/TLeaf bases of TBranchElement/
+      * TLeafElement are recursed member-wise; attribute bases are
+      * skipped by byte count. */
     def readMembers(cls: String, vals: mutable.HashMap[String, Long],
         arrs: mutable.HashMap[String, Array[Long]],
+        strs: mutable.HashMap[String, String],
         onNamed: (String, String) => Unit,
         onObject: String => Unit): Unit = {
       elemsOf(cls).foreach { e =>
         e.kind match {
           case "TStreamerBase" =>
             if (e.name == "TNamed") { val (nm, ti) = r.tnamed(); onNamed(nm, ti) }
-            else { val (_, bend) = r.vers(); r.p = bend } // TAttLine/TAttFill/...
+            else if (e.name == "TBranch" || e.name == "TLeaf") {
+              val (_, bend) = r.vers()
+              readMembers(e.name, vals, arrs, strs, onNamed, onObject)
+              r.p = bend
+            } else { val (_, bend) = r.vers(); r.p = bend } // TAttLine/TAttFill/...
           case "TStreamerBasicType" => vals.put(e.name, readPrim(e.typ))
           case "TStreamerBasicPointer" =>
             r.u1() // array-present flag
@@ -110,7 +138,7 @@ private[root] object RootTreeMeta {
             val a = new Array[Long](n)
             var i = 0; while (i < n) { a(i) = readPrim(prim); i += 1 }
             arrs.put(e.name, a)
-          case "TStreamerString" => r.tstr()
+          case "TStreamerString" => strs.put(e.name, r.tstr())
           case "TStreamerObject" | "TStreamerObjectPointer" => onObject(e.name)
           case "TStreamerObjectAny" => skipObjectAny(e.typeName)
           case other => throw new UnsupportedOperationException(s"streamer element kind $other in $cls")
@@ -140,10 +168,11 @@ private[root] object RootTreeMeta {
       val (_, bend) = r.vers() // TLeaf base header
       val vals = mutable.HashMap.empty[String, Long]
       val arrs = mutable.HashMap.empty[String, Array[Long]]
+      val strs = mutable.HashMap.empty[String, String]
       var name = ""
       var counterKey = 0
       var counterInline: LeafRaw = null
-      readMembers("TLeaf", vals, arrs, (nm, _) => name = nm, {
+      readMembers("TLeaf", vals, arrs, strs, (nm, _) => name = nm, {
         case "fLeafCount" =>
           val (ccls, cend, ckey) = r.objRef()
           if (ccls == null && cend == -2) counterKey = ckey // back-reference
@@ -199,21 +228,29 @@ private[root] object RootTreeMeta {
       EmbeddedBasket(-1L, nev, keyLen, last, payload, offsets)
     }
 
-    def parseBranch(end: Int): BranchRaw = {
+    def parseBranch(branchCls: String, end: Int): BranchRaw = {
       val br = new BranchRaw
-      val (_, _) = r.vers() // TBranch header
+      val (_, _) = r.vers() // TBranch / TBranchElement header
       val vals = mutable.HashMap.empty[String, Long]
       val arrs = mutable.HashMap.empty[String, Array[Long]]
-      readMembers("TBranch", vals, arrs, (nm, ti) => { br.name = nm; br.title = ti }, {
+      val strs = mutable.HashMap.empty[String, String]
+      var named = false
+      readMembers(branchCls, vals, arrs, strs,
+        (nm, ti) => if (!named) { br.name = nm; br.title = ti; named = true }, {
         case "fBranches" =>
-          readObjArray { (cls, _, _) =>
-            if (cls != null)
-              br.unsupported = s"nested sub-branches (object-split $cls) — use the converter path"
+          readObjArray { (cls, bend, _) =>
+            if (cls == "TBranch" || cls == "TBranchElement") {
+              br.hasSubBranches = true
+              // parse so class tags and leaf objects register for
+              // later back-references; readable sub-branches are
+              // exposed as their own columns (split containers)
+              br.subs += parseBranch(cls, bend)
+            } else if (cls != null) br.hasSubBranches = true
           }
         case "fLeaves" =>
           readObjArray { (cls, lend, key) =>
             if (cls != null) {
-              if (cls.startsWith("TLeaf") && cls != "TLeafElement") br.leaves += parseLeaf(cls, lend, key)
+              if (cls.startsWith("TLeaf")) br.leaves += parseLeaf(cls, lend, key)
               else br.unsupported = s"leaf class $cls — use the converter path"
             }
           }
@@ -232,6 +269,12 @@ private[root] object RootTreeMeta {
       br.basketBytes = arrs.getOrElse("fBasketBytes", Array.empty[Long])
       br.basketEntry = arrs.getOrElse("fBasketEntry", Array.empty[Long])
       br.basketSeek = arrs.getOrElse("fBasketSeek", Array.empty[Long])
+      if (branchCls == "TBranchElement") {
+        br.className = strs.getOrElse("fClassName", "")
+        br.beType = vals.getOrElse("fType", 0L).toInt
+        br.beId = vals.getOrElse("fID", 0L).toInt
+        br.beStreamerType = vals.getOrElse("fStreamerType", 0L).toInt
+      }
       r.p = end
       br
     }
@@ -246,12 +289,13 @@ private[root] object RootTreeMeta {
     val (_, _) = r.vers() // TTree header
     val vals = mutable.HashMap.empty[String, Long]
     val arrs = mutable.HashMap.empty[String, Array[Long]]
+    val strs = mutable.HashMap.empty[String, String]
     var treeName = ""
     val rawBranches = mutable.ArrayBuffer.empty[BranchRaw]
-    P.readMembers("TTree", vals, arrs, (nm, _) => treeName = nm, {
+    P.readMembers("TTree", vals, arrs, strs, (nm, _) => if (treeName.isEmpty) treeName = nm, {
       case "fBranches" =>
         P.readObjArray { (cls, bend, _) =>
-          if (cls == "TBranch") rawBranches += P.parseBranch(bend)
+          if (cls == "TBranch" || cls == "TBranchElement") rawBranches += P.parseBranch(cls, bend)
           else if (cls != null) {
             val br = new BranchRaw
             br.name = s"<$cls>"
@@ -263,9 +307,40 @@ private[root] object RootTreeMeta {
     })
     val entries = vals.getOrElse("fEntries", 0L)
 
-    val branches = rawBranches.map { br =>
+    // expose sub-branches of split containers as their own columns
+    // (their names are already fully qualified, e.g. "X.m_persKey")
+    def flatten(b: BranchRaw): Seq[BranchRaw] = b +: b.subs.toSeq.flatMap(flatten)
+    val allRaw = rawBranches.toSeq.flatMap(flatten)
+
+    // streamer type id -> primitive leaf class (member branches of
+    // split containers record the element type as fStreamerType)
+    val memberElem: Map[Int, (String, Boolean)] = Map(
+      1 -> ("TLeafB", false), 11 -> ("TLeafB", true),
+      2 -> ("TLeafS", false), 12 -> ("TLeafS", true),
+      3 -> ("TLeafI", false), 6 -> ("TLeafI", false), 13 -> ("TLeafI", true),
+      4 -> ("TLeafL", false), 14 -> ("TLeafL", true),
+      16 -> ("TLeafL", false), 17 -> ("TLeafL", true),
+      5 -> ("TLeafF", false), 8 -> ("TLeafD", false), 18 -> ("TLeafO", false))
+
+    // STL element types readable inside unsplit vector<T> payloads,
+    // mapped onto the primitive leaf-class vocabulary.
+    val stlElem: Map[String, (String, Boolean)] = Map(
+      "float" -> ("TLeafF", false), "double" -> ("TLeafD", false),
+      "int" -> ("TLeafI", false), "unsigned int" -> ("TLeafI", true),
+      "short" -> ("TLeafS", false), "unsigned short" -> ("TLeafS", true),
+      "char" -> ("TLeafB", false), "unsigned char" -> ("TLeafB", true),
+      "bool" -> ("TLeafO", false),
+      "long" -> ("TLeafL", false), "unsigned long" -> ("TLeafL", true),
+      "long long" -> ("TLeafL", false), "unsigned long long" -> ("TLeafL", true),
+      "Long64_t" -> ("TLeafL", false), "ULong64_t" -> ("TLeafL", true))
+
+    val branches = allRaw.map { br =>
       var unsupported = br.unsupported
       var leafCls = ""; var leafLen = 1; var unsigned = false; var counter: String = null
+      var stlHeader = 0; var isString = false; var stlDepth = 1; var stlStrings = false
+      var rawJagged = false
+      if (unsupported == null && br.hasSubBranches)
+        unsupported = s"split container (${Option(br.className).getOrElse("")}) — sub-branches exposed as columns"
       if (unsupported == null) {
         if (br.leaves.size != 1) unsupported = s"${br.leaves.size} leaves (only single-leaf branches supported)"
         else {
@@ -278,7 +353,42 @@ private[root] object RootTreeMeta {
               case None => unsupported = s"unresolved leaf-count reference ${l.counterKey}"
             }
           }
-          if (leafCls == "TLeafC") unsupported = "TLeafC (per-entry strings) not supported yet"
+          if (leafCls == "TLeafElement" && (br.beType == 31 || br.beType == 41)) {
+            // member branch of a split container: raw elements, entry
+            // boundaries from the offsets array
+            memberElem.get(br.beStreamerType) match {
+              case Some((lc, uns)) =>
+                leafCls = lc; unsigned = uns; leafLen = 1; counter = null; rawJagged = true
+              case None =>
+                unsupported = s"member streamer type ${br.beStreamerType} (${br.className}) — use the converter path"
+            }
+          } else if (leafCls == "TLeafElement") {
+            // unsplit STL payload, 10-byte per-entry header (byte
+            // count + version + size): vector<prim>,
+            // vector<vector<prim>> (inner vectors are bare
+            // [count][data]), vector<string> (TString elements), or a
+            // scalar std::string (bare TString per entry)
+            val cn = Option(br.className).getOrElse("")
+            def innerOf(s: String): String =
+              if (s.startsWith("vector<") && s.endsWith(">"))
+                s.stripPrefix("vector<").stripSuffix(">").trim else null
+            val inner = innerOf(cn)
+            val inner2 = if (inner != null) innerOf(inner) else null
+            if (br.beId != -1 || (br.beType != 0 && br.beType != -1))
+              unsupported = s"split object branch ($cn, fType=${br.beType}) — use the converter path"
+            else if (cn == "string") { leafCls = "TLeafC"; isString = true; counter = null; leafLen = 1 }
+            else if (inner != null && stlElem.contains(inner)) {
+              val (lc, uns) = stlElem(inner)
+              leafCls = lc; unsigned = uns; leafLen = 1; counter = null; stlHeader = 10
+            } else if (inner == "string") {
+              leafCls = "TLeafC"; counter = null; leafLen = 1; stlHeader = 10; stlStrings = true
+            } else if (inner2 != null && stlElem.contains(inner2)) {
+              val (lc, uns) = stlElem(inner2)
+              leafCls = lc; unsigned = uns; leafLen = 1; counter = null; stlHeader = 10; stlDepth = 2
+            } else unsupported = s"unsupported payload class ($cn) — use the converter path"
+          } else if (leafCls == "TLeafC") {
+            isString = true
+          }
         }
       }
       // Loose baskets occupy slots [0, writeBasket) of the seek/entry
@@ -302,8 +412,12 @@ private[root] object RootTreeMeta {
       }.toArray
       if (unsupported == null && br.entries > 0 && loose.isEmpty && embedded.isEmpty)
         unsupported = s"no readable baskets for ${br.entries} entries"
+      if (unsupported == null && (stlHeader > 0 || isString || rawJagged) && br.entryOffsetLen <= 0 && br.entries > 0)
+        unsupported = "variable-size payload without entry offsets"
       BranchMeta(br.name, br.title, leafCls, leafLen, unsigned, counter,
-        br.entryOffsetLen, br.entries, loose, embedded, unsupported)
+        br.entryOffsetLen, br.entries, loose, embedded, unsupported,
+        stlHeader = stlHeader, isString = isString,
+        stlDepth = stlDepth, stlStrings = stlStrings, rawJagged = rawJagged)
     }.toVector
     TreeMeta(treeName, entries, branches)
   }

@@ -78,14 +78,13 @@ class RootSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
-  test("subdirectory tree (pduneana) reads; TBranchElement branches excluded with reasons") {
+  test("subdirectory tree (pduneana) reads with every branch supported") {
     assume(available)
     val df = RootTables.read(spark, s"$S/pduneana.root", "pduneana/beamana")
     assert(df.count() == 10)
     val d = RootTables.describe(spark, s"$S/pduneana.root", "pduneana/beamana")
-    val reasons = d.filter(!col("supported")).select("reason").distinct().collect().map(_.getString(0))
-    assert(reasons.exists(_.contains("TBranchElement")))
-    assert(d.filter(col("supported")).count() > 100)
+    assert(d.filter(!col("supported")).count() == 0)
+    assert(d.filter(col("supported")).count() == 398)
   }
 
   test("trees() lists Events and Runs; Runs tree reads") {
@@ -104,6 +103,76 @@ class RootSourceSpec extends AnyFunSuite {
     // the v2 scan description carries exactly the pruned field list
     val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
     assert(!scanLine.contains("Electron_pt"), s"scan not pruned: $scanLine")
+  }
+
+  test("pduneana TBranchElement payloads: every branch readable incl. nested vectors and strings") {
+    assume(available)
+    val meta = RootTables.describe(spark, s"$S/pduneana.root", "pduneana/beamana")
+    assert(meta.filter(!col("supported")).count() == 0, "all 398 branches must be supported")
+    val d = RootTables.read(spark, s"$S/pduneana.root", "pduneana/beamana")
+    // vector<vector<double>>: values verified against a hand-decoded entry
+    // (entry 2 of reco_daughter_allTrack_dQdX_SCE: 2 tracks, first has 231
+    // hits starting 24.4137..., raw bytes decoded independently)
+    val r2 = d.select(col("reco_daughter_allTrack_dQdX_SCE")).collect()(2)
+      .getSeq[scala.collection.Seq[Double]](0)
+    assert(r2.length == 2 && r2.head.length == 231)
+    assert(math.abs(r2.head.head - 24.41373062133789) < 1e-12)
+    // scalar string + vector<string> columns exist and read
+    val s1 = d.select("true_beam_endProcess").collect().map(_.getString(0))
+    assert(s1.length == 10 && s1.forall(_ != null))
+    val s2 = d.select("reco_daughter_PFP_true_byHits_process").collect().map(_.getSeq[String](0))
+    assert(s2.length == 10)
+  }
+
+  test("PHYSLITE: split containers flatten to columns; ElementLink machinery resolves real links") {
+    assume(available)
+    val ph = RootTables.read(spark, s"$S/PHYSLITE_example.root", "CollectionTree")
+    assert(ph.count() == 100)
+    // AuxDyn vector<float> branches are first-class columns
+    assert(ph.columns.contains("AnalysisElectronsAuxDyn.pt"))
+    // split vector<ElementLink<...>> exposes m_persKey/m_persIndex member columns
+    assert(ph.columns.contains("AnalysisMuonsAuxDyn.combinedTrackParticleLink.m_persKey"))
+    // the reference's own muon-track-link invariant
+    // (tests/test_nanoevents_physlite.py:112-139): every non-null link
+    // indexes inside the linked collection, and resolving through the
+    // engine's ElementLink machinery equals direct element indexing
+    import graft.core.ElementLink
+    val links = ph.selectExpr(
+      "zip_with(`AnalysisMuonsAuxDyn.combinedTrackParticleLink.m_persKey`, " +
+        "`AnalysisMuonsAuxDyn.combinedTrackParticleLink.m_persIndex`, " +
+        "(k, i) -> struct(k as m_persKey, i as m_persIndex)) as links",
+      "`CombinedMuonTrackParticlesAuxDyn.z0` as z0")
+    val resolved = links.select(
+      ElementLink.resolve(col("z0"), col("links")).as("viaLink"),
+      col("links"), col("z0")).collect()
+    var valid = 0
+    resolved.foreach { r =>
+      val via = r.getSeq[java.lang.Float](0)
+      val ls = r.getSeq[org.apache.spark.sql.Row](1)
+      val z0 = r.getSeq[Float](2)
+      ls.indices.foreach { j =>
+        val (k, i) = (ls(j).getLong(0), ls(j).getLong(1))
+        if (k != 0L) {
+          valid += 1
+          assert(i >= 0 && i < z0.length, s"link index $i out of ${z0.length}")
+          assert(via(j) == z0(i.toInt), "link resolution must equal direct indexing")
+        } else assert(via(j) == null)
+      }
+    }
+    assert(valid > 0, "sample must contain non-null muon track links")
+  }
+
+  test("treemaker/EDM4HEP/FCC: split-object member branches read as flat jagged columns") {
+    assume(available)
+    val tm = RootTables.read(spark, s"$S/treemaker.root", "PreSelection")
+    assert(tm.columns.contains("Electrons.fCoordinates.fPt"))
+    val bad = tm.selectExpr("size(`Electrons.fCoordinates.fPt`) a", "size(`Electrons.fCoordinates.fEta`) b")
+      .filter("a != b").count()
+    assert(bad == 0)
+    val ed = RootTables.read(spark, s"$S/edm4hep.root", "events")
+    assert(ed.count() == 3 && ed.columns.length > 200)
+    val fcc = RootTables.read(spark, s"$S/test_FCC_Winter2023.root", "events")
+    assert(fcc.count() == 100 && fcc.columns.length > 200)
   }
 
   test("RNTuple nano_dy: all 1499 columns (incl. Cardinality counters) equal the parquet") {
