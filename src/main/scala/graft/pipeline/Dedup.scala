@@ -850,7 +850,10 @@ object Dedup {
     * edges, large/small-star above), canonical survivor = component
     * min id. Deltas fold into `data/` (the [[minhashCompactIndex]]
     * maintenance pass, crash-safe swap) and the per-batch edge/commit
-    * state is cleared.
+    * state is cleared — but only AFTER the closure is durably
+    * re-persisted (marker-last) as `edges/batch=-1`, so a crash at any
+    * cleanup point leaves an edge-batch set whose union closes to the
+    * same mapping.
     *
     * By default (`keepAllDocs = true`) the reconciled index REMAINS
     * exact across reconcile CYCLES: every doc's signatures stay in the
@@ -912,18 +915,32 @@ object Dedup {
           .parquet(s"$path/data_compacting")
         swapInCompacted(fs, root)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(root, "delta"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(root, "edges"), true)
-      fs.delete(commitsDir, true)
-      if (keepAllDocs && !mapping.isEmpty) {
-        // carry the closure into the next cycle: the mapping IS a
-        // spanning edge set of the merged components (batch id -1 can
-        // never collide with a streaming micro-batch id)
+      // Carry the closure into the next cycle BEFORE deleting anything:
+      // the mapping IS a spanning edge set of the merged components
+      // (batch id -1 can never collide with a streaming micro-batch id),
+      // written idempotently and committed marker-last. A crash anywhere
+      // in the cleanup below then leaves a SUPERSET of committed edge
+      // batches whose union has the same transitive closure — the next
+      // reconcile recomputes it losslessly, so accumulated match
+      // evidence is never in a deleted-but-not-yet-rewritten window.
+      val keepClosure = keepAllDocs && !mapping.isEmpty
+      if (keepClosure) {
         mapping.select(col("id").as("id_a"), col("canonical").as("id_b"))
           .write.mode("overwrite").parquet(s"$path/edges/batch=-1")
         fs.mkdirs(commitsDir)
         fs.create(new org.apache.hadoop.fs.Path(commitsDir, "-1"), true).close()
+        // now superseded: per-batch edges + markers (batch -1 excluded)
+        committed.filter(_ != -1L).foreach { i =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"edges/batch=$i"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(commitsDir, i.toString), false)
+        }
+      } else {
+        // no closure to carry (empty edge set, or end-of-life export):
+        // all edge/commit state clears, including any prior batch -1
+        fs.delete(new org.apache.hadoop.fs.Path(root, "edges"), true)
+        fs.delete(commitsDir, true)
       }
+      fs.delete(new org.apache.hadoop.fs.Path(root, "delta"), true)
       // mapping survives the edge-dir rewrite: components checkpointed
       // its inputs eagerly before any cleanup ran
       mapping

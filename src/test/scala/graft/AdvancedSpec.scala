@@ -420,6 +420,44 @@ class AdvancedSpec extends AnyFunSuite {
     assert(leanIds == Set(10L), s"lean export keeps canonical only: $leanIds")
   }
 
+  test("reconcile crash-safety: closure committed marker-last BEFORE cleanup; a mid-cleanup crash state re-reconciles to the same mapping") {
+    import graft.pipeline.Dedup
+    val words = (1 to 50).map(i => s"w$i")
+    def doc(lo: Int, hi: Int) = words.slice(lo - 1, hi).mkString(" ")
+    val a = (10L, doc(1, 30)); val b = (20L, doc(11, 40)); val c = (30L, doc(21, 50))
+    val (k, bands, minEst, shingleN) = (16, 8, 0.3, 2)
+    val dir = java.nio.file.Files.createTempDirectory("mh_crash").toString
+    Dedup.minhashCreateIndex(spark, dir, k, bands, shingleN, nSigParts = 4)
+    Dedup.minhashIngestBatch(Seq(a, b).toDF("doc_id", "text"),
+      "doc_id", "text", dir, minEst, batchId = 0L).count()
+    Dedup.minhashIngestBatch(Seq(c).toDF("doc_id", "text"),
+      "doc_id", "text", dir, minEst, batchId = 1L).count()
+    // snapshot batch 0's edge evidence + marker (to replay a partial cleanup)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val edge0 = new org.apache.hadoop.fs.Path(s"$dir/edges/batch=0")
+    val edge0Bak = new org.apache.hadoop.fs.Path(s"$dir/edge0_bak")
+    org.apache.hadoop.fs.FileUtil.copy(fs, edge0, fs, edge0Bak, false,
+      spark.sparkContext.hadoopConfiguration)
+    val m1 = Dedup.minhashReconcile(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == Map(10L -> 10L, 20L -> 10L, 30L -> 10L), m1.toString)
+    // invariant after a clean keepAllDocs reconcile: the closure is the
+    // ONLY committed edge batch, and it is durably marked
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_graft_commits"))
+      .map(_.getPath.getName).toSet
+    assert(commits == Set("-1"), s"expected only the closure marker: $commits")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/edges/batch=-1")))
+    // simulate a crash AFTER the closure commit but BEFORE cleanup
+    // finished: a superseded batch's edges + marker are still present
+    org.apache.hadoop.fs.FileUtil.copy(fs, edge0Bak, fs, edge0, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_graft_commits/0"), true).close()
+    val m2 = Dedup.minhashReconcile(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == m1, s"recovery reconcile diverged: $m2 vs $m1")
+  }
+
   test("reconcilableDedupIngestStream: stream-ingested corpus reconciles to the exact full-corpus dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.pipeline.{Components, Dedup}
