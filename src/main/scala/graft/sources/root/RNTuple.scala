@@ -24,7 +24,7 @@ import scala.collection.mutable
   * never split a cluster, and only the pages of requested columns
   * are ever read.
   */
-private[root] object RNTuple {
+private[graft] object RNTuple {
 
   // ---- little-endian cursor ----
   final class LEBuf(val b: Array[Byte], var p: Int) {
@@ -325,17 +325,60 @@ private[root] object RNTuple {
     out
   }
 
-  /** Raw little-endian bytes of all pages of `cp`, decompressed. */
-  def pageBytes(read: (Long, Int) => Array[Byte], cp: ColPages, bits: Int): Array[Byte] = {
-    val total = cp.pages.map(p => ((p.nElems.toLong * bits + 7) / 8).toInt).sum
-    val out = new Array[Byte](total)
+  /** One page's raw little-endian bytes, decompressed. */
+  private def onePageBytes(read: (Long, Int) => Array[Byte], pg: PageInfo,
+      bits: Int): Array[Byte] = {
+    val ub = ((pg.nElems.toLong * bits + 7) / 8).toInt
+    val raw = read(pg.offset, pg.size)
+    if (pg.size == ub) raw else RootCore.decompress(raw, ub)
+  }
+
+  /** Decode ALL pages of a data column into one primitive array. Each
+    * RNTuple page is an independently encoded unit — bit-packed bools
+    * are byte-padded per page, split encodings regroup bytes per page,
+    * and delta encodings restart per page — so every page MUST be
+    * decoded on its own and the results concatenated at the ELEMENT
+    * level. (Concatenating page bytes and decoding once mis-shifts a
+    * multi-page bool column whose non-final pages hold a non-multiple
+    * of 8 elements, and corrupts any multi-page split column.) */
+  def decodePages(read: (Long, Int) => Array[Byte], cp: ColPages,
+      ctype: Int, bits: Int): AnyRef = {
+    if (cp.pages.length == 1)
+      return decode(ctype, bits, onePageBytes(read, cp.pages(0), bits), cp.pages(0).nElems)
+    if (cp.pages.isEmpty) return decode(ctype, bits, Array.emptyByteArray, 0)
+    val parts = cp.pages.map(pg =>
+      decode(ctype, bits, onePageBytes(read, pg, bits), pg.nElems))
+    val total = cp.pages.map(_.nElems).sum
+    val out = java.lang.reflect.Array.newInstance(
+      parts(0).getClass.getComponentType, total)
+    var o = 0
+    parts.foreach { p =>
+      val n = java.lang.reflect.Array.getLength(p)
+      System.arraycopy(p, 0, out, o, n); o += n
+    }
+    out
+  }
+
+  /** Decode ALL pages of an index column (see [[decodePages]] for the
+    * per-page contract; delta encoding in SplitIndex columns restarts
+    * on every page, so per-page decode yields absolute offsets that
+    * concatenate directly). */
+  def decodeIndexPages(read: (Long, Int) => Array[Byte], cp: ColPages,
+      ctype: Int): Array[Long] = {
+    val bits = ctype match {
+      case Index32 | SplitIndex32 => 32
+      case Index64 | SplitIndex64 => 64
+      case _ => throw new UnsupportedOperationException(
+        s"index column type 0x${ctype.toHexString}")
+    }
+    if (cp.pages.length == 1)
+      return decodeIndex(ctype, bits, onePageBytes(read, cp.pages(0), bits), cp.pages(0).nElems)
+    if (cp.pages.isEmpty) return Array.emptyLongArray
+    val out = new Array[Long](cp.pages.map(_.nElems).sum)
     var o = 0
     cp.pages.foreach { pg =>
-      val ub = ((pg.nElems.toLong * bits + 7) / 8).toInt
-      val raw = read(pg.offset, pg.size)
-      val dec = if (pg.size == ub) raw else RootCore.decompress(raw, ub)
-      System.arraycopy(dec, 0, out, o, ub)
-      o += ub
+      val part = decodeIndex(ctype, bits, onePageBytes(read, pg, bits), pg.nElems)
+      System.arraycopy(part, 0, out, o, pg.nElems); o += pg.nElems
     }
     out
   }

@@ -183,8 +183,7 @@ private[root] object RootFileReader {
         val read = (pos: Long, len: Int) => f.read(pos, len)
         if (rf.card) {
           val icp = cl.byCol(rf.indexCol)
-          val nIdx = icp.pages.map(_.nElems.toLong).sum.toInt
-          val offs = RNTuple.decodeIndex(rf.indexCtype, 64, RNTuple.pageBytes(read, icp, 64), nIdx)
+          val offs = RNTuple.decodeIndexPages(read, icp, rf.indexCtype)
           val m = (hi - lo).toInt
           val arr: AnyRef =
             if (rf.bits == 64) {
@@ -212,7 +211,7 @@ private[root] object RootFileReader {
           val cp = cl.byCol(rf.dataCol)
           val nel = cp.pages.map(_.nElems.toLong).sum.toInt
           require(nel == cl.nEntries, s"${rf.name}: $nel elems for ${cl.nEntries} entries")
-          val arr = RNTuple.decode(rf.ctype, rf.bits, RNTuple.pageBytes(read, cp, rf.bits), nel)
+          val arr = RNTuple.decodePages(read, cp, rf.ctype, rf.bits)
           var e = lo
           while (e < hi) { starts((e - start).toInt + 1) = 1; e += 1 }
           slices += ((arr, (lo - cFirst).toInt, (hi - lo).toInt))
@@ -220,11 +219,11 @@ private[root] object RootFileReader {
         } else {
           val icp = cl.byCol(rf.indexCol)
           val nIdx = icp.pages.map(_.nElems.toLong).sum.toInt
-          val offs = RNTuple.decodeIndex(rf.indexCtype, 64, RNTuple.pageBytes(read, icp, 64), nIdx)
+          val offs = RNTuple.decodeIndexPages(read, icp, rf.indexCtype)
           require(nIdx == cl.nEntries, s"${rf.name}: $nIdx index elems for ${cl.nEntries} entries")
           val cp = cl.byCol(rf.dataCol)
           val nel = cp.pages.map(_.nElems.toLong).sum.toInt
-          val arr = RNTuple.decode(rf.ctype, rf.bits, RNTuple.pageBytes(read, cp, rf.bits), nel)
+          val arr = RNTuple.decodePages(read, cp, rf.ctype, rf.bits)
           def entStart(k: Int): Long = if (k == 0) 0L else offs(k - 1)
           var e = lo
           while (e < hi) {

@@ -62,11 +62,22 @@ final class RootDataSource extends TableProvider with DataSourceRegister {
 private[root] object RootDataSource {
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val many = Option(options.get("paths")).map { js =>
-      // minimal JSON array-of-strings parse ["a","b"]
-      js.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      // Spark's DataFrameReader encodes multi-path load() as a JSON
+      // array of strings — parse it as JSON (file paths may legally
+      // contain commas and quotes; a split-on-comma corrupts them)
+      org.json4s.jackson.JsonMethods.parse(js) match {
+        case org.json4s.JArray(vs) => vs.map {
+          case org.json4s.JString(s) => s
+          case other => throw new IllegalArgumentException(
+            s"'paths' must be a JSON array of strings, got element: $other")
+        }
+        case org.json4s.JString(s) => Seq(s)
+        case _ => throw new IllegalArgumentException(
+          s"'paths' must be a JSON array of strings: $js")
+      }
     }.getOrElse(Nil)
-    val one = Option(options.get("path")).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // the singular 'path' option is ONE path, never a comma list
+    val one = Option(options.get("path")).map(_.trim).filter(_.nonEmpty).toSeq
     (many ++ one).distinct
   }
 

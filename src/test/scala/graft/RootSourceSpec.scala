@@ -197,6 +197,56 @@ class RootSourceSpec extends AnyFunSuite {
     assert(pf.filter(size(col("PFCands_pt")) =!= col("nPFCands")).count() == 0)
   }
 
+  test("file paths containing commas read intact (no comma-splitting of path options)") {
+    assume(available)
+    val dir = java.nio.file.Files.createTempDirectory("root_comma")
+    val tgt = dir.resolve("nano,v2.root")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$S/nano_dy.root"), tgt)
+    val n = spark.read.format("root").option("tree", "Events")
+      .load(tgt.toString).count()
+    assert(n == 40, s"comma-path read returned $n rows")
+    // multi-path load() (Spark encodes it as a JSON 'paths' array) with
+    // a comma-containing member must also resolve both files
+    val n2 = spark.read.format("root").option("tree", "Events")
+      .load(tgt.toString, s"$S/nano_dy.root").count()
+    assert(n2 == 80, s"multi-path read returned $n2 rows")
+  }
+
+  test("RNTuple pages decode independently: bit-packed bools pad per page, split/delta encodings restart per page") {
+    import graft.sources.root.RNTuple
+    import graft.sources.root.RNTuple.{ColPages, PageInfo}
+    // backing "file": concatenated per-page encoded bytes; read slices it
+    def mkRead(buf: Array[Byte]) =
+      (pos: Long, len: Int) => java.util.Arrays.copyOfRange(buf, pos.toInt, pos.toInt + len)
+    // Bit column, 2 pages of 5 and 11 elems — each page byte-padded:
+    // treating the 3 bytes as one bitstream would shift page 2 by 3 bits
+    val bools = Array(true, false, true, true, false,
+      false, true, true, false, false, true, false, true, true, true, false)
+    def packBits(v: Seq[Boolean]): Array[Byte] = {
+      val b = new Array[Byte]((v.length + 7) / 8)
+      v.zipWithIndex.foreach { case (x, i) => if (x) b(i >> 3) = (b(i >> 3) | (1 << (i & 7))).toByte }
+      b
+    }
+    val p1 = packBits(bools.take(5)); val p2 = packBits(bools.drop(5))
+    val bitCp = ColPages(Array(PageInfo(5, p1.length, 0L), PageInfo(11, p2.length, p1.length.toLong)), 0)
+    val got = RNTuple.decodePages(mkRead(p1 ++ p2), bitCp, RNTuple.Bit, 1).asInstanceOf[Array[Boolean]]
+    assert(got.toSeq == bools.toSeq, s"per-page bit decode: ${got.toSeq}")
+    // SplitIndex64 column, 2 pages — delta restarts on page 2 (first
+    // element absolute) and the byte-split regrouping is per page
+    def splitBytes(vals: Seq[Long]): Array[Byte] = {
+      val n = vals.length; val out = new Array[Byte](n * 8)
+      for (i <- 0 until n; k <- 0 until 8)
+        out(k * n + i) = ((vals(i) >> (8 * k)) & 0xff).toByte
+      out
+    }
+    val offsets = Seq(3L, 5L, 9L, 14L) // pages: [3,5] then [9,14]
+    val s1 = splitBytes(Seq(3L, 2L))       // deltas within page 1
+    val s2 = splitBytes(Seq(9L, 5L))       // absolute first elem, then delta
+    val idxCp = ColPages(Array(PageInfo(2, s1.length, 0L), PageInfo(2, s2.length, s1.length.toLong)), 0)
+    val offs = RNTuple.decodeIndexPages(mkRead(s1 ++ s2), idxCp, RNTuple.SplitIndex64)
+    assert(offs.toSeq == offsets, s"per-page split/delta decode: ${offs.toSeq}")
+  }
+
   test("unsigned leaves widen (uint32 run -> long) and match parquet dtypes' values") {
     assume(available)
     val df = RootTables.read(spark, s"$S/nano_dy.root").select("run", "luminosityBlock")
