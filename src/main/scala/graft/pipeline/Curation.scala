@@ -356,15 +356,20 @@ object Curation {
     * IBAN replaced by `<CARD>` / `<IBAN>` — validity-gated redaction
     * (replacing raw candidate runs would mangle order ids and
     * timestamps; the validators make false positives arithmetically
-    * unlikely). Exact-string replaces folded over the validated match
-    * lists — no second regex pass, no UDF. */
+    * unlikely). Boundary-anchored `regexp_replace` folded over the
+    * validated match lists — the `\b` anchors replay the candidate
+    * extraction's boundaries, so a valid number appearing as a
+    * SUBSTRING of a longer digit run elsewhere in the doc (never a
+    * candidate) is left intact. Matches are pure `[0-9A-Z]` so they
+    * embed in the pattern without regex escaping; anchors are
+    * RE2-portable. */
   def redactFinancialIds(text: Column): Column = {
     val afterCards = aggregate(
       filter(cardCandidates(text), luhnValid(_)), text,
-      (t, m) => replace(t, m, lit("<CARD>")))
+      (t, m) => regexp_replace(t, concat(lit("\\b"), m, lit("\\b")), lit("<CARD>")))
     aggregate(
       filter(ibanCandidates(text), ibanValid(_)), afterCards,
-      (t, m) => replace(t, m, lit("<IBAN>")))
+      (t, m) => regexp_replace(t, concat(lit("\\b"), m, lit("\\b")), lit("<IBAN>")))
   }
 
   // ---- license detection (code corpora) ----

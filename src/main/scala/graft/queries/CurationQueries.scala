@@ -274,9 +274,9 @@ object CurationQueries extends QueryPack {
            |  length(t) - length(
            |    list_reduce(list_prepend(
            |      list_reduce(list_prepend(t, [x for x in cards if ${Curation.luhnValidSql("x")}]),
-           |        (acc, m) -> replace(acc, m, '<CARD>')),
+           |        (acc, m) -> regexp_replace(acc, '\\b' || m || '\\b', '<CARD>', 'g')),
            |      [x for x in ibans if ${Curation.ibanValidSql("x")}]),
-           |      (acc, m) -> replace(acc, m, '<IBAN>'))) AS rm
+           |      (acc, m) -> regexp_replace(acc, '\\b' || m || '\\b', '<IBAN>', 'g'))) AS rm
            |  FROM c)
            |SELECT source, count(*) AS n_docs,
            |CAST(sum(nc) AS BIGINT) AS n_card_cand, CAST(sum(ncv) AS BIGINT) AS n_card_valid,

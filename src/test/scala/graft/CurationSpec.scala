@@ -80,13 +80,16 @@ class CurationSpec extends AnyFunSuite {
       .select($"s", Curation.ibanValid($"s").as("ok"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     ibans.foreach { case (s, w) => assert(gi(s) == w, s"$s") }
-    // redaction replaces ONLY validated matches; order ids survive
+    // redaction replaces ONLY validated matches; order ids survive —
+    // including a longer digit run that CONTAINS a valid card as a
+    // substring (never a candidate; boundary-anchored replacement must
+    // not rewrite inside it)
     val text = "pay 4111111111111111 ref 4111111111111112 order 1234567890123 " +
-      "to GB82WEST12345698765432 not GB82WEST12345698765430"
+      "id 94111111111111111 to GB82WEST12345698765432 not GB82WEST12345698765430"
     val red = Seq(text).toDF("t")
       .select(Curation.redactFinancialIds($"t")).head().getString(0)
     assert(red == "pay <CARD> ref 4111111111111112 order 1234567890123 " +
-      "to <IBAN> not GB82WEST12345698765430")
+      "id 94111111111111111 to <IBAN> not GB82WEST12345698765430")
   }
 
   test("licenseOf: SPDX tag wins; phrase fallbacks; unknown default") {
