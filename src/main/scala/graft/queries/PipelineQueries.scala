@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.Tables
-import graft.pipeline.{Components, Dedup, Inference, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Components, Dedup, Inference, Multimodal, Onnx, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over documents/embeddings:
   * text statistics, language ID, exact + near dedup (fingerprint,
@@ -846,8 +846,47 @@ object PipelineQueries extends QueryPack {
               |      FROM d JOIN nrm nq ON query_id = nq.doc_id JOIN nrm nc ON nn_id = nc.doc_id)
               |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, nn_id) AS BIGINT) AS rk,
               |       nn_id, cos_e6
-              |FROM r QUALIFY rk <= 3""".stripMargin))
+              |FROM r QUALIFY rk <= 3""".stripMargin)),
+
+    Query(
+      "q176_onnx_mlp",
+      "Native ONNX inference, no runtime dependency: a 64->8->3 relu MLP is SERIALIZED to real ONNX protobuf bytes (graft's own minimal wire-format writer), parsed back by the pure-JVM protobuf reader, and lowered to a layer chain that scores every embedding row as built-in Column HOFs (zip_with dot products under a per-layer let-binding transform — built-in Catalyst expressions, zero UDF/serialization boundary, plan linear in weight count). Per (label, argmax class): row count and e4-quantized sum of the winning margin. The oracle replays the identical forward pass from the SAME parsed weights via the generated DuckDB SQL (list_prepend/list_reduce folds in the same association order -> bit-identical doubles). Closes the ml_tools neural-net leg (torch/triton wrappers) with the industry interchange format.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir)
+          .select($"label", onnxFixtureModel.columns($"embedding").as("y"))
+          .select($"label",
+            expr("array_position(y, array_max(y))").cast("long").as("cls"),
+            array_max($"y").as("mx"))
+          .groupBy($"label", $"cls")
+          .agg(count(lit(1)).as("n"), e4(sum($"mx")).as("sum_max_e4"))
+      },
+      Some {
+        val ySql = onnxFixtureModel.toSql("embedding")
+        s"""WITH y AS (SELECT label, $ySql AS y FROM embeddings),
+           |c AS (SELECT label,
+           |      CAST(list_position(y, list_aggregate(y, 'max')) AS BIGINT) AS cls,
+           |      list_aggregate(y, 'max') AS mx FROM y)
+           |SELECT label, cls, count(*) AS n,
+           |       CAST(floor(sum(mx) * 10000 + 0.5) AS BIGINT) AS sum_max_e4
+           |FROM c GROUP BY label, cls""".stripMargin
+      })
   )
+
+  /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights
+    * are exact 1/32 binary fractions, round-tripped through REAL ONNX
+    * bytes (writer -> protobuf reader) at registry-build time so the
+    * registered query exercises the full serialize/parse/lower path,
+    * not a hand-assembled layer list. */
+  private[graft] lazy val onnxFixtureModel: Onnx.OnnxMlp = {
+    val (d, h, c) = (64, 8, 3)
+    val w1 = Array.tabulate(d, h)((i, j) => (((i * 7 + j * 13) % 31) - 15) / 32.0f)
+    val b1 = Array.tabulate(h)(j => (j - 4) / 16.0f)
+    val w2 = Array.tabulate(h, c)((i, j) => (((i * 5 + j * 11) % 23) - 11) / 32.0f)
+    val b2 = Array.tabulate(c)(j => j / 32.0f)
+    Onnx.OnnxMlp.fromBytes(Onnx.OnnxWriter.mlp(
+      Seq(w1, w2), Seq(b1, b2), Seq("relu", "linear")))
+  }
 
   /** Shared q136/q137 oracle: the full PQ pipeline re-derived in SQL
     * from the md5-deterministic codebook literals — integer (e6)

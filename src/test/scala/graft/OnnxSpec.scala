@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Onnx
+import graft.pipeline.Onnx.{OnnxMlp, OnnxWriter, PbWriter}
+
+class OnnxSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mlp2: OnnxMlp = {
+    val w1 = Array(
+      Array(0.5f, -0.25f, 1.0f),
+      Array(-0.5f, 0.75f, 0.25f))
+    val b1 = Array(0.125f, -0.5f, 0.0f)
+    val w2 = Array(
+      Array(1.0f, -1.0f),
+      Array(0.5f, 0.25f),
+      Array(-0.25f, 0.5f))
+    val b2 = Array(0.0f, 0.0625f)
+    OnnxMlp.fromBytes(OnnxWriter.mlp(Seq(w1, w2), Seq(b1, b2), Seq("relu", "linear")))
+  }
+
+  test("writer -> protobuf reader round-trip: layers, dims, and scores match the hand computation") {
+    val m = mlp2
+    assert(m.layers.size == 2 && m.inputDim == 2 && m.outputDim == 2)
+    assert(m.layers(0).act == "relu" && m.layers(1).act == "linear")
+    // x = [1, 2]: lin1 = [1*0.5+2*(-0.5)+0.125, 1*(-0.25)+2*0.75-0.5, 1*1+2*0.25]
+    //           = [-0.375, 0.75, 1.5] -> relu [0, 0.75, 1.5]
+    // out = [0.75*0.5 + 1.5*(-0.25), 0.75*0.25 + 1.5*0.5 + 0.0625]
+    //     = [0.0, 1.0]
+    val y = m.score(Array(1.0f, 2.0f))
+    assert(y.toSeq == Seq(0.0f, 1.0f), y.toSeq.toString)
+  }
+
+  test("Gemm transB and MatMul+Add graphs lower to the same layers as the writer's form") {
+    // hand-build a graph: Gemm with transB=1 (weights stored (out, in))
+    def model(build: PbWriter => Unit): Array[Byte] = {
+      val w = new PbWriter
+      w.int(1, 8L)
+      w.msg(7)(build)
+      w.bytes
+    }
+    val wT = Array( // (out=2, in=3) — transposed storage
+      Array(0.5f, 0.25f, -1.0f),
+      Array(1.5f, -0.5f, 2.0f))
+    val b = Array(0.125f, -0.25f)
+    val bytesT = model { g =>
+      g.msg(1)(OnnxWriter.node("Gemm", Seq("x", "W", "B"), Seq("lin"),
+        Map("transB" -> Right(1L))))
+      g.msg(1)(OnnxWriter.node("Relu", Seq("lin"), Seq("y")))
+      g.msg(5)(OnnxWriter.tensor("W", Seq(2, 3), wT.flatten))
+      g.msg(5)(OnnxWriter.tensor("B", Seq(2), b))
+      g.msg(11)(v => { v.str(1, "x"); () })
+      g.msg(12)(v => { v.str(1, "y"); () })
+    }
+    val mT = OnnxMlp.fromBytes(bytesT)
+    assert(mT.inputDim == 3 && mT.outputDim == 2)
+    assert(mT.layers(0).w(0).toSeq == Seq(0.5f, 1.5f)) // un-transposed to (in, out)
+    val yT = mT.score(Array(1.0f, 1.0f, 1.0f))
+    // lin = [0.5+0.25-1.0+0.125, 1.5-0.5+2.0-0.25] = [-0.125, 2.75] -> relu
+    assert(yT.toSeq == Seq(0.0f, 2.75f), yT.toSeq.toString)
+    // MatMul + separate Add bias must fuse into one layer
+    val wM = Array(Array(2.0f), Array(-1.0f))
+    val bytesM = model { g =>
+      g.msg(1)(OnnxWriter.node("MatMul", Seq("x", "W"), Seq("mm")))
+      g.msg(1)(OnnxWriter.node("Add", Seq("mm", "B"), Seq("y")))
+      g.msg(5)(OnnxWriter.tensor("W", Seq(2, 1), wM.flatten))
+      g.msg(5)(OnnxWriter.tensor("B", Seq(1), Array(0.5f)))
+      g.msg(11)(v => { v.str(1, "x"); () })
+      g.msg(12)(v => { v.str(1, "y"); () })
+    }
+    val mM = OnnxMlp.fromBytes(bytesM)
+    assert(mM.layers.size == 1 && mM.layers(0).b.toSeq == Seq(0.5f))
+    assert(mM.score(Array(3.0f, 4.0f)).toSeq == Seq(2.5f)) // 6 - 4 + 0.5
+  }
+
+  test("unsupported ops and non-float tensors fail loudly") {
+    val w = new PbWriter
+    w.int(1, 8L)
+    w.msg(7) { g =>
+      g.msg(1)(OnnxWriter.node("Conv", Seq("x", "W"), Seq("y")))
+      g.msg(5)(OnnxWriter.tensor("W", Seq(1, 1), Array(1.0f)))
+      g.msg(11)(v => { v.str(1, "x"); () })
+      g.msg(12)(v => { v.str(1, "y"); () })
+    }
+    val e = intercept[IllegalArgumentException](OnnxMlp.fromBytes(w.bytes))
+    assert(e.getMessage.contains("Conv"))
+  }
+
+  test("Column HOF path == float JVM loop (double-vs-float tolerance) on real embeddings") {
+    val m = graft.queries.PipelineQueries.onnxFixtureModel
+    val rows = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(50)
+    val viaCols = rows.select($"vec_id", m.columns($"embedding").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaLoop = rows.collect().map { r =>
+      r.getLong(0) -> m.score(r.getSeq[Float](1).toArray)
+    }.toMap
+    assert(viaCols.keySet == viaLoop.keySet)
+    viaCols.foreach { case (id, yc) =>
+      val yl = viaLoop(id)
+      assert(yc.size == yl.length)
+      yc.indices.foreach(i =>
+        assert(math.abs(yc(i) - yl(i)) < 1e-4, s"vec $id dim $i: ${yc(i)} vs ${yl(i)}"))
+    }
+  }
+
+  test("OnnxBackend: model-bytes config scores float32 payload vectors through the inference seam") {
+    val w1 = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val bytes = OnnxWriter.mlp(Seq(w1), Seq(Array(0.5f, -0.5f)), Seq("relu"))
+    val backend = Onnx.OnnxBackend(bytes)
+    val payload = {
+      val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putFloat(2.0f).putFloat(-3.0f)
+      bb.array()
+    }
+    val out = backend.open()(Array(payload))
+    assert(out.length == 1 && out(0).toSeq == Seq(2.5, 0.0), out(0).toSeq.toString)
+  }
+
+  test("sigmoid/tanh/softmax/leakyrelu activations: JVM loop matches a NumPy-style reference computation") {
+    val w = Array(Array(1.0f), Array(1.0f))
+    val b = Array(0.0f)
+    def one(act: String): Float =
+      OnnxMlp.fromBytes(OnnxWriter.mlp(Seq(w), Seq(b), Seq(act)))
+        .score(Array(0.5f, -1.5f))(0) // lin = -1.0
+    assert(math.abs(one("sigmoid") - 1.0 / (1.0 + math.exp(1.0))) < 1e-6)
+    assert(math.abs(one("tanh") - math.tanh(-1.0)) < 1e-6)
+    val sm = OnnxMlp.fromBytes(OnnxWriter.mlp(
+      Seq(Array(Array(1.0f, 2.0f), Array(0.0f, 0.0f))), Seq(Array(0.0f, 0.0f)), Seq("softmax")))
+      .score(Array(1.0f, 0.0f)) // lin = [1, 2] -> softmax
+    val z = math.exp(0.0) + math.exp(1.0)
+    assert(math.abs(sm(0) - math.exp(0.0) / z) < 1e-6 && math.abs(sm(1) - math.exp(1.0) / z) < 1e-6)
+  }
+}
