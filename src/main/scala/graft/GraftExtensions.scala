@@ -126,7 +126,10 @@ object GraftFunctions {
       }),
     GraftFn("graft_bloom_contains", 2,
       "graft_bloom_contains(sketch, value) - codegen'd membership probe of value against a bloom sketch (binary literal or scalar subquery)",
-      cs => graft.functions.BloomSketch.mightContain(cs(0), cs(1))))
+      cs => graft.functions.BloomSketch.mightContain(cs(0), cs(1))),
+    GraftFn("graft_jaro_winkler", 2,
+      "graft_jaro_winkler(s1, s2) - Jaro-Winkler similarity in [0,1] (prefix scale 0.1, max 4, 0.7 boost threshold)",
+      cs => graft.functions.JaroWinkler(cs(0), cs(1))))
 
   /** Imperative registration on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler string similarity as a codegen'd expression — the
+  * fuzzy-match kernel of record linkage / entity resolution (Winkler
+  * 1990, the US Census string comparator). Spark ships `levenshtein`
+  * but nothing prefix-weighted, and entity resolution over person/org
+  * names wants exactly this metric; a Scala UDF would break the
+  * generated loop, so like Spark's own `levenshtein` the expression
+  * emits a static-method call from `doGenCode`.
+  *
+  * Standard parameterization (matching DuckDB's
+  * `jaro_winkler_similarity`, which the oracle uses as an INDEPENDENT
+  * implementation): match window `max(len1,len2)/2 - 1`,
+  * transpositions = half the out-of-order matches, prefix scale 0.1
+  * over at most 4 chars, boost applied only when the Jaro score
+  * exceeds 0.7. Comparison is per UTF-16 code unit of the decoded
+  * string (ASCII-safe; supplementary-plane text compares surrogate
+  * pairs pairwise, which every mainstream implementation also does).
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.JaroWinkler.similarity($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def similarity(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: matched chars, in order, that disagree
+    var k = 0
+    var outOfOrder = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) outOfOrder += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    // INTEGER halving of the out-of-order count (an odd count rounds
+    // DOWN) — the convention DuckDB/rapidfuzz implement; the fractional
+    // t = k/2.0 variant differs on odd counts
+    val t = (outOfOrder / 2).toDouble
+    val jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val maxPrefix = math.min(4, math.min(l1, l2))
+    while (prefix < maxPrefix && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+    jaro + 0.1 * prefix * (1.0 - jaro)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      JaroWinklerExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a.cast("string")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b.cast("string"))))
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.Tables
-import graft.pipeline.{Components, Dedup, Inference, Multimodal, Onnx, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Components, Dedup, EntityResolution, Inference, Multimodal, Onnx, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over documents/embeddings:
   * text statistics, language ID, exact + near dedup (fingerprint,
@@ -870,7 +870,55 @@ object PipelineQueries extends QueryPack {
            |SELECT label, cls, count(*) AS n,
            |       CAST(floor(sum(mx) * 10000 + 0.5) AS BIGINT) AS sum_max_e4
            |FROM c GROUP BY label, cls""".stripMargin
-      })
+      }),
+
+    Query(
+      "q177_entity_resolution",
+      "Record linkage by blocked Jaro-Winkler matching (Winkler 1990, the Census string comparator): two record sets derive from documents (B = A's names with a deterministic mid-string corruption per doc — char deletion, substitution, or adjacent swap, all AFTER the block prefix), candidate pairs are an equi-join on the 4-char name prefix (never all-pairs — the LSH-banding discipline with a maxBlock skew guard), and the codegen'd JaroWinkler expression keeps pairs >= 0.9. Per source: matches, true-entity recoveries (every corrupted twin must re-link), e4 jw mass. The oracle is a genuinely INDEPENDENT implementation: DuckDB's own jaro_winkler_similarity over the same synthesized names.",
+      (s, dir) => {
+        import s.implicits._
+        val nm = concat(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 10),
+          lit("-"), col("doc_id").cast("string"))
+        val docs = Tables.documents(s, dir)
+        val a = docs.select($"doc_id".as("id"), $"source", nm.as("name"))
+        val bname = when($"doc_id" % 3 === 0,
+            concat(substring($"name", 1, 5), substring($"name", 7, 1000)))
+          .when($"doc_id" % 3 === 1,
+            concat(substring($"name", 1, 5), lit("z"), substring($"name", 7, 1000)))
+          .otherwise(concat(substring($"name", 1, 8), substring($"name", 10, 1),
+            substring($"name", 9, 1), substring($"name", 11, 1000)))
+        val b = docs.select($"doc_id", nm.as("name"))
+          .select(($"doc_id" + 1000000L).as("id"), bname.as("name"))
+        EntityResolution.blockedMatches(
+            a.select($"id", $"name"), b, "id", "name",
+            n => substring(n, 1, 4), threshold = 0.9)
+          .join(a.select($"id".as("id_a"), $"source"), "id_a")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_match"),
+            sum(when($"id_b" - 1000000L === $"id_a", 1L).otherwise(0L)).as("n_true"),
+            sum(e4($"jw")).as("sum_jw_e4"))
+      },
+      Some("""WITH a AS (SELECT doc_id AS id_a, source,
+             |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) || '-' || CAST(doc_id AS VARCHAR) AS name
+             |  FROM documents),
+             |b0 AS (SELECT doc_id,
+             |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) || '-' || CAST(doc_id AS VARCHAR) AS name
+             |  FROM documents),
+             |b AS (SELECT doc_id + 1000000 AS id_b,
+             |  CASE doc_id % 3
+             |    WHEN 0 THEN substring(name, 1, 5) || substring(name, 7, 1000)
+             |    WHEN 1 THEN substring(name, 1, 5) || 'z' || substring(name, 7, 1000)
+             |    ELSE substring(name, 1, 8) || substring(name, 10, 1) || substring(name, 9, 1) || substring(name, 11, 1000)
+             |  END AS name FROM b0),
+             |m AS (SELECT a.id_a, a.source, b.id_b,
+             |  jaro_winkler_similarity(a.name, b.name) AS jw
+             |  FROM a JOIN b ON substring(a.name, 1, 4) = substring(b.name, 1, 4)
+             |  WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9)
+             |SELECT source, count(*) AS n_match,
+             |  CAST(sum(CASE WHEN id_b - 1000000 = id_a THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             |  CAST(sum(CAST(floor(jw * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_jw_e4
+             |FROM m GROUP BY source""".stripMargin))
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

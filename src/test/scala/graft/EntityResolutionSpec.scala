@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.JaroWinkler
+import graft.pipeline.EntityResolution
+
+class EntityResolutionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.similarity(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("JaroWinkler matches the published Winkler reference values") {
+    // canonical examples from the record-linkage literature
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "") == 1.0 && jw("a", "") == 0.0)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply
+    val plainJaro = jw("aXYZQRS", "aABCDEF") // shared 1-char prefix, low sim
+    assert(plainJaro < 0.7, s"fixture must sit below the boost threshold: $plainJaro")
+    // jaro = (1/7 + 1/7 + 1)/3 for a single matched char
+    assert(math.abs(plainJaro - (1.0 / 7 + 1.0 / 7 + 1.0) / 3) < 1e-12)
+  }
+
+  test("codegen'd expression equals the static kernel over real text") {
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", substring($"text", 1, 30).as("s1"),
+        substring($"text", 5, 30).as("s2"))
+      .limit(100)
+    val viaExpr = rows.select($"doc_id", JaroWinkler($"s1", $"s2").as("jw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.collect().foreach { r =>
+      assert(viaExpr(r.getLong(0)) == jw(r.getString(1), r.getString(2)))
+    }
+  }
+
+  test("blockedMatches links corrupted twins and the maxBlock guard drops degenerate blocks") {
+    val a = Seq(
+      (1L, "jonathan smith"), (2L, "maria garcia"), (3L, "wei chen"),
+      (4L, "fatima alhassan")).toDF("id", "name")
+    val b = Seq(
+      (11L, "jonathon smith"),  // substitution (a->o)
+      (12L, "maria garcai"),    // transposition
+      (13L, "wei chen"),        // exact
+      (14L, "completely other") // no match
+    ).toDF("id", "name")
+    val m = EntityResolution.blockedMatches(a, b, "id", "name",
+        n => substring(n, 1, 3), threshold = 0.9)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((1L, 11L), (2L, 12L), (3L, 13L)), m.toString)
+    // degenerate block key (constant) + maxBlock=2: everything drops
+    val guarded = EntityResolution.blockedMatches(a, b, "id", "name",
+      _ => lit("x"), threshold = 0.0, maxBlock = 2)
+    assert(guarded.count() == 0)
+    val over = EntityResolution.oversizedBlocks(a, "name", _ => lit("x"), maxBlock = 2)
+      .collect()
+    assert(over.length == 1 && over(0).getLong(1) == 4L)
+  }
+
+  test("SQL surface: graft_jaro_winkler registered and codegen-evaluated") {
+    graft.GraftFunctions.register(spark)
+    val v = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw")
+      .head().getDouble(0)
+    assert(math.abs(v - 0.9611111111111111) < 1e-12)
+  }
+}
