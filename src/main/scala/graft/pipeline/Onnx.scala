@@ -486,6 +486,19 @@ object Onnx {
       fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
   }
 
+  /** Export the in-engine logistic gate ([[Classifier.LogisticModel]])
+    * to real ONNX bytes: one Gemm (nBuckets → 1, weights = wE6/1e6) +
+    * Sigmoid. The feature vector is the model's bag-of-buckets COUNT
+    * vector (one slot per hash bucket — the dense view of
+    * `Curation.dsirBuckets` occurrences), so any ONNX runtime scores
+    * p = sigmoid(margin) exactly as [[Classifier.marginE6]] does up to
+    * the float32 cast of the e6 weights. */
+  def exportLogistic(m: Classifier.LogisticModel): Array[Byte] =
+    OnnxWriter.mlp(
+      Seq(Array.tabulate(m.nBuckets, 1)((i, _) => (m.wE6(i) / 1e6).toFloat)),
+      Seq(Array((m.biasE6 / 1e6).toFloat)),
+      Seq("sigmoid"))
+
   /** [[Multimodal.InferenceBackend]] adapter: the payload bytes are a
     * little-endian float32 feature vector; the handle (the parsed
     * model) is built once per executor in open(), the serializable

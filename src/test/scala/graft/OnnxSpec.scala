@@ -120,6 +120,33 @@ class OnnxSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).toSeq == Seq(2.5, 0.0), out(0).toSeq.toString)
   }
 
+  test("logistic-gate export: the ONNX round-trip scores sigmoid(marginE6/1e6) on bucket-count features") {
+    import graft.pipeline.{Classifier, Curation, Onnx}
+    val nBuckets = 32
+    // hand-built deterministic model (training is covered elsewhere)
+    val model = Classifier.LogisticModel(nBuckets, biasE6 = -125000L,
+      wE6 = Array.tabulate(nBuckets)(b => ((b % 7) - 3) * 31250L))
+    val onnx = OnnxMlp.fromBytes(Onnx.exportLogistic(model))
+    assert(onnx.inputDim == nBuckets && onnx.outputDim == 1)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(20)
+    val native = Classifier.score(model, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dense count vector per doc from the same bucket hashing
+    val counts = docs
+      .select($"doc_id", Curation.dsirBuckets($"text", nBuckets).as("b"))
+      .collect().map { r =>
+        val v = new Array[Float](nBuckets)
+        r.getSeq[Long](1).foreach(b => v(b.toInt) += 1.0f)
+        r.getLong(0) -> v
+      }.toMap
+    native.foreach { case (id, me6) =>
+      val p = onnx.score(counts(id))(0)
+      val expected = 1.0 / (1.0 + math.exp(-me6 / 1e6))
+      assert(math.abs(p - expected) < 1e-4, s"doc $id: onnx $p vs native $expected")
+    }
+  }
+
   test("sigmoid/tanh/softmax/leakyrelu activations: JVM loop matches a NumPy-style reference computation") {
     val w = Array(Array(1.0f), Array(1.0f))
     val b = Array(0.0f)
