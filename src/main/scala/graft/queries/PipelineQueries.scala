@@ -918,7 +918,59 @@ object PipelineQueries extends QueryPack {
              |SELECT source, count(*) AS n_match,
              |  CAST(sum(CASE WHEN id_b - 1000000 = id_a THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
              |  CAST(sum(CAST(floor(jw * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_jw_e4
-             |FROM m GROUP BY source""".stripMargin))
+             |FROM m GROUP BY source""".stripMargin)),
+
+    Query(
+      "q178_pagerank",
+      "Link-graph centrality for crawl curation (Page et al. 1999 — the Common-Crawl-ranked-domains signal): 5 rounds of INTEGER PageRank (e9-scaled long ranks, per-edge contribution = rank div outdegree, damping as the exact rational 17/20, dangling mass redistributed uniformly) over a deterministic synthetic link graph on documents (3 modular-arithmetic out-links per node, every 11th node dangling). Integer arithmetic makes every round bit-exact under any partitioning AND replayable externally; the driver loop truncates lineage per round so the plan stays O(1) deep. Per source: doc count, total and max rank mass. Oracle: the 5 rounds UNROLLED as chained DuckDB CTEs with // floor division.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+        val n = docs.count()
+        def link(mult: Long, add: Long) =
+          docs.filter($"doc_id" % 11 =!= 0)
+            .select($"doc_id".as("src"), (($"doc_id" * mult + add) % n).as("dst"))
+        val e = link(7, 1).unionByName(link(13, 5))
+          .unionByName(link(31, 2).filter($"src" % 5 === 0))
+        graft.pipeline.Graphs.pageRank(docs.select($"doc_id"), "doc_id",
+            e, "src", "dst", iters = 5)
+          .join(docs, col("node") === $"doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"r").as("sum_rank"), max($"r").as("max_rank"))
+      },
+      Some {
+        val iters = 5
+        val head =
+          """WITH nodes AS (SELECT doc_id AS node FROM documents),
+            |cnt AS (SELECT count(*) AS n FROM nodes),
+            |e AS (SELECT src, dst FROM (
+            |  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM cnt) AS dst FROM documents WHERE doc_id % 11 != 0
+            |  UNION SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 11 != 0
+            |  UNION SELECT doc_id, (doc_id * 31 + 2) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 11 != 0 AND doc_id % 5 = 0
+            |) WHERE src != dst),
+            |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            |tp AS (SELECT ((3 * CAST(1000000000 AS BIGINT)) // 20) // n AS t, n FROM cnt),
+            |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // (SELECT n FROM cnt) AS r FROM nodes)""".stripMargin
+        val rounds = (1 to iters).map { i =>
+          val p = i - 1
+          s"""d$i AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+             |  FROM r$p LEFT JOIN deg ON r$p.node = deg.src WHERE deg.deg IS NULL),
+             |c$i AS (SELECT e.dst AS node, CAST(sum(r$p.r // deg.deg) AS BIGINT) AS inflow
+             |  FROM r$p JOIN deg ON r$p.node = deg.src JOIN e ON e.src = r$p.node
+             |  GROUP BY e.dst),
+             |r$i AS (SELECT n0.node,
+             |  (SELECT t FROM tp) + (17 * (coalesce(c.inflow, 0) + (SELECT dang FROM d$i) // (SELECT n FROM cnt))) // 20 AS r
+             |  FROM nodes n0 LEFT JOIN c$i c ON n0.node = c.node)""".stripMargin
+        }.mkString(",\n")
+        s"""$head,
+           |$rounds
+           |SELECT d.source, count(*) AS n_docs,
+           |  CAST(sum(r$iters.r) AS BIGINT) AS sum_rank,
+           |  CAST(max(r$iters.r) AS BIGINT) AS max_rank
+           |FROM r$iters JOIN documents d ON r$iters.node = d.doc_id
+           |GROUP BY d.source""".stripMargin
+      })
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

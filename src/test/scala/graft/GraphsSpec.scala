@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Graphs
+
+class GraphsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ranksOf(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int,
+      ckpt: Option[String] = None): Map[Long, Long] =
+    Graphs.pageRank(nodes.toDF("node"), "node",
+        edges.toDF("src", "dst"), "src", "dst", iters, checkpointDir = ckpt)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("3-cycle stays uniform; rank mass is conserved up to integer shaving") {
+    val r = ranksOf(Seq(0L, 1L, 2L), Seq((0L, 1L), (1L, 2L), (2L, 0L)), iters = 10)
+    assert(r.values.toSet.size == 1, s"cycle must stay uniform: $r")
+    val total = r.values.sum
+    // each round can shave a few units per node to integer division
+    assert(total > Graphs.Base - 200 && total <= Graphs.Base, total.toString)
+  }
+
+  test("star graph: the hub out-ranks the leaves; leaves tie") {
+    // 1..4 all link to 0; 0 links back to 1 only
+    val r = ranksOf(Seq(0L, 1L, 2L, 3L, 4L),
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L)), iters = 20)
+    assert(r(0L) > r(1L) && r(1L) > r(2L), r.toString)
+    assert(r(2L) == r(3L) && r(3L) == r(4L), r.toString)
+  }
+
+  test("dangling node redistributes its mass: ranks exceed the teleport floor") {
+    // 0 -> 1, 1 dangling: without redistribution node 0 would collapse
+    // to the bare teleport share each round
+    val r = ranksOf(Seq(0L, 1L), Seq((0L, 1L)), iters = 15)
+    val teleport = ((20L - 17L) * Graphs.Base / 20L) / 2L
+    assert(r(0L) > teleport, s"dangling mass lost: $r (teleport floor $teleport)")
+    assert(r(1L) > r(0L), s"sink must out-rank its source: $r")
+  }
+
+  test("self-loops and duplicate edges are ignored; reliable checkpoint path works") {
+    val dir = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
+    val base = ranksOf(Seq(0L, 1L, 2L), Seq((0L, 1L), (1L, 2L), (2L, 0L)), iters = 5)
+    val noisy = ranksOf(Seq(0L, 1L, 2L),
+      Seq((0L, 1L), (0L, 1L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 2L)),
+      iters = 5, ckpt = Some(dir))
+    assert(base == noisy, s"$base vs $noisy")
+  }
+}
