@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Principal-component extraction over an embedding column — the
+  * decorrelation / drift-axis / whitening-seed step of an embedding
+  * pipeline (the dominant PC is the axis ANN quantizers and dedup
+  * thresholds are most sensitive to, and the first thing to monitor
+  * for representation drift).
+  *
+  * Everything is INTEGER arithmetic end to end so the result is
+  * bit-exact under any partitioning and replayable by an external
+  * engine (the same contract as [[Graphs.pageRank]] and the e6
+  * centroid/ADC family):
+  *
+  *  - elements e6-quantize independently BEFORE any sum;
+  *  - column means are `floor(sum/n)` (exact: the double quotient of
+  *    an exact long sum is ≥ 1/n from the nearest integer whenever it
+  *    is not itself integral);
+  *  - the scatter matrix S(i,j) = Σ c_i·c_j accumulates in
+  *    DECIMAL(38,0) (a long sum wraps at ~4e5 rows × (5e6)² products;
+  *    decimal is exact to 1e38 — the 100 TB margin);
+  *  - power iteration runs driver-side over the BOUNDED d×d artifact
+  *    (the codebook pattern) in BigInt, rescaling each round to e6 by
+  *    TRUNCATING division (toward zero — explicitly sign-handled so
+  *    an external floor-division engine can replay it exactly).
+  *
+  * Scale shape: one O(n·d²) map-side expansion into a partial-
+  * aggregated groupBy bounded by d² rows — the covariance cost is
+  * inherent O(n·d²) arithmetic; the shuffle is d² rows regardless of
+  * corpus size. Projection is map-only (literal vector, zip_with +
+  * fold). */
+object Decomposition {
+
+  /** Exact e6 element means of `vecCol` (length-d driver artifact).
+    * Math.floorDiv matches SQL floor(s/n) for negative sums too. */
+  def meansE6(df: DataFrame, vecCol: String): Array[Long] = {
+    val rows = df
+      .select(posexplode(e6Array(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(rows.nonEmpty, "empty input")
+    val out = new Array[Long](rows.length)
+    rows.foreach(r => out(r.getInt(0)) = Math.floorDiv(r.getLong(1), r.getLong(2)))
+    out
+  }
+
+  /** e6-quantized long array of a float/double vector (floor(x·1e6 +
+    * 0.5), the repo-wide half-up quantizer). */
+  def e6Array(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** Centered e6 array: c(i) = e6(x_i) − μ(i). */
+  def centeredE6(vec: Column, mu: Array[Long]): Column =
+    zip_with(e6Array(vec), typedLit(mu.toSeq), (x, m) => x - m)
+
+  /** Exact scatter matrix S(i,j) = Σ_rows c_i·c_j as BigInt (d×d,
+    * driver artifact). */
+  def scatterMatrix(df: DataFrame, vecCol: String, mu: Array[Long]): Array[Array[BigInt]] = {
+    val d = mu.length
+    val c = centeredE6(col(vecCol), mu)
+    val rows = df.select(c.as("c"))
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .select(col("i"), col("j"),
+        (col("ci") * col("cj")).cast("decimal(38,0)").as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("s"))
+      .collect()
+    val out = Array.fill(d, d)(BigInt(0))
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
+    out
+  }
+
+  /** Dominant eigenvector of a symmetric non-negative-definite scatter
+    * matrix by `iters` rounds of integer power iteration: v₀ = 1e6
+    * uniform; each round w = S·v (BigInt — no overflow at any scale),
+    * then v' = trunc(w·1e6 / max|w|), keeping v at e6 magnitude. The
+    * truncating rescale and the uniform start make the iteration (and
+    * the returned sign) fully deterministic. */
+  def powerIteration(s: Array[Array[BigInt]], iters: Int): Array[Long] = {
+    val d = s.length
+    require(d > 0 && s.forall(_.length == d), "square matrix required")
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    var v = Array.fill(d)(BigInt(1000000))
+    var round = 0
+    while (round < iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => s(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      require(m > 0, "zero scatter matrix — no principal direction")
+      v = w.map(x => x * 1000000 / m) // BigInt / truncates toward zero
+      round += 1
+    }
+    v.map(_.toLong)
+  }
+
+  /** Map-only projection of each row onto `v`: Σ c(i)·v(i) (long —
+    * exact: |c| ≲ 1e7, |v| ≤ 1e6, d ≤ 1e4 stays < 1e18). */
+  def projectE6(vec: Column, mu: Array[Long], v: Array[Long]): Column =
+    aggregate(zip_with(centeredE6(vec, mu), typedLit(v.toSeq), _ * _),
+      lit(0L), _ + _)
+
+  /** Convenience: fit mean + dominant PC on `df` and return the
+    * per-row projections (id, proj). */
+  def pc1Projection(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 8): (Array[Long], Array[Long], DataFrame) = {
+    val mu = meansE6(df, vecCol)
+    val v = powerIteration(scatterMatrix(df, vecCol, mu), iters)
+    (mu, v,
+      df.select(col(idCol).as("id"), projectE6(col(vecCol), mu, v).as("proj")))
+  }
+}

@@ -970,6 +970,44 @@ object PipelineQueries extends QueryPack {
            |  CAST(max(r$iters.r) AS BIGINT) AS max_rank
            |FROM r$iters JOIN documents d ON r$iters.node = d.doc_id
            |GROUP BY d.source""".stripMargin
+      }),
+
+    Query(
+      "q179_pca_power",
+      "Dominant principal component of the embedding corpus by INTEGER power iteration — the decorrelation/drift-axis step of an embedding pipeline, exact end to end: elements e6-quantize before any sum, means are floor(sum/n), the dxd scatter matrix accumulates c_i*c_j in DECIMAL(38,0) (one O(n d^2) map-side expansion into a d^2-bounded partial-aggregated groupBy — the shuffle is 4096 rows regardless of corpus size), and 8 rounds of power iteration run driver-side in BigInt over the bounded artifact with a sign-handled TRUNCATING e6 rescale. Per label: n and the exact integer sum of PC1 projections. The oracle replays EVERYTHING — quantize, center, scatter, all 8 HUGEINT rounds (trunc-div emulated by CASE sign), projection — as chained DuckDB CTEs.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val mu = graft.pipeline.Decomposition.meansE6(emb, "embedding")
+        val v = graft.pipeline.Decomposition.powerIteration(
+          graft.pipeline.Decomposition.scatterMatrix(emb, "embedding", mu), iters = 8)
+        emb.select($"label",
+            graft.pipeline.Decomposition.projectE6($"embedding", mu, v).as("proj"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"), sum($"proj").as("sum_proj"))
+      },
+      Some {
+        val iters = 8
+        val rounds = (1 to iters).map { t =>
+          val p = t - 1
+          s"""w$t AS MATERIALIZED (SELECT s.i, sum(s.s * v.v) AS w FROM s JOIN v$p v ON s.j = v.i GROUP BY s.i),
+             |m$t AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$t),
+             |v$t AS MATERIALIZED (SELECT i, CASE WHEN w >= 0 THEN (w * 1000000) // (SELECT m FROM m$t)
+             |  ELSE -((-w * 1000000) // (SELECT m FROM m$t)) END AS v FROM w$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH x AS MATERIALIZED (SELECT vec_id, label, i - 1 AS i,
+           |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xe
+           |  FROM embeddings, generate_series(1, 64) g(i)),
+           |mu AS (SELECT i, CAST(floor(sum(xe) / count(*)) AS BIGINT) AS m FROM x GROUP BY i),
+           |c AS MATERIALIZED (SELECT x.vec_id, x.label, x.i, x.xe - mu.m AS c FROM x JOIN mu ON x.i = mu.i),
+           |s AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(CAST(a.c AS HUGEINT) * b.c) AS s
+           |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           |v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM mu),
+           |$rounds,
+           |p AS (SELECT c.vec_id, c.label, CAST(sum(CAST(c.c AS HUGEINT) * v$iters.v) AS BIGINT) AS proj
+           |  FROM c JOIN v$iters ON c.i = v$iters.i GROUP BY 1, 2)
+           |SELECT label, count(*) AS n, CAST(sum(proj) AS BIGINT) AS sum_proj
+           |FROM p GROUP BY label""".stripMargin
       })
   )
 

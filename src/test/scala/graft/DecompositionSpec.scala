@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Decomposition
+
+/** Integer power-iteration PCA (q179): exactness, determinism under
+  * partitioning, and eigenvector correctness on crafted matrices. */
+class DecompositionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("e6Array quantizes half-up, incl. negatives") {
+    val out = Seq((Seq(0.1234564f, -0.1234564f, 0.9999996f)))
+      .toDF("v").select(Decomposition.e6Array($"v")).as[Seq[Long]].head()
+    // floor(x*1e6 + 0.5): half-up toward +inf for both signs
+    assert(out == Seq(123456L, -123456L, 1000000L))
+  }
+
+  test("meansE6 is floor(sum/n) exactly, negative sums included") {
+    val df = Seq(Seq(-1.0f, 2.0f), Seq(-2.0f, 3.0f), Seq(-2.0f, 3.0f))
+      .toDF("v")
+    val mu = Decomposition.meansE6(df, "v")
+    // sums: (-5e6, 8e6), n=3 → floorDiv: (-1666667, 2666666)
+    assert(mu.toSeq == Seq(Math.floorDiv(-5000000L, 3L), 8000000L / 3))
+    assert(mu(0) == -1666667L)
+  }
+
+  test("powerIteration finds the dominant axis of a diagonal matrix") {
+    val s = Array(
+      Array(BigInt(9), BigInt(0)),
+      Array(BigInt(0), BigInt(1)))
+    val v = Decomposition.powerIteration(s, iters = 8)
+    assert(v(0) == 1000000L)
+    // (1/9)^8 * 1e6 truncates to 0
+    assert(v(1) == 0L)
+  }
+
+  test("powerIteration handles negative components deterministically") {
+    // [[5,-2],[-2,1]]: λmax = 3+2√2, dominant eigenvector ∝ (1, −(√2−1))
+    // — not orthogonal to the uniform start, so iteration converges.
+    val s = Array(
+      Array(BigInt(5), BigInt(-2)),
+      Array(BigInt(-2), BigInt(1)))
+    val v = Decomposition.powerIteration(s, iters = 16)
+    assert(v(0) == 1000000L)
+    assert(math.abs(v(1) + 414214L) <= 1L, s"got ${v(1)}") // −(√2−1)·1e6
+  }
+
+  test("scatter matrix is symmetric and exact vs in-memory BigInt") {
+    val data = Seq(
+      Seq(1.5f, -2.25f, 0.125f),
+      Seq(-0.5f, 3.75f, 1.0f),
+      Seq(2.0f, 0.0f, -1.125f),
+      Seq(-3.25f, 1.5f, 0.625f))
+    val df = data.toDF("v")
+    val mu = Decomposition.meansE6(df, "v")
+    val s = Decomposition.scatterMatrix(df, "v", mu)
+    // reference computation in plain BigInt
+    val q = data.map(_.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val muRef = (0 until 3).map(i =>
+      Math.floorDiv(q.map(_(i)).sum, q.length.toLong))
+    assert(mu.toSeq == muRef)
+    val c = q.map(row => row.zip(muRef).map { case (x, m) => x - m })
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val ref = c.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+      assert(s(i)(j) == ref, s"S($i,$j)")
+      assert(s(i)(j) == s(j)(i))
+    }
+  }
+
+  test("projection is partitioning-invariant (bit-exact)") {
+    val rng = new scala.util.Random(7)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextFloat() * 4 - 2))).toDF("id", "v")
+    val (mu, v, proj1) = Decomposition.pc1Projection(df, "id", "v")
+    val proj2 = df.repartition(7)
+      .select($"id", Decomposition.projectE6($"v", mu, v).as("proj"))
+    val a = proj1.orderBy("id").as[(Long, Long)].collect().toSeq
+    val b = proj2.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(v.exists(_ != 0L))
+  }
+
+  test("pc1 separates two well-separated clusters by projection sign") {
+    val rng = new scala.util.Random(3)
+    def cluster(center: Float, n: Int, base: Int) = (0 until n).map { k =>
+      ((base + k).toLong,
+        Seq.fill(8)(center + rng.nextFloat() * 0.1f - 0.05f))
+    }
+    val df = (cluster(-2.0f, 40, 0) ++ cluster(2.0f, 40, 100)).toDF("id", "v")
+    val (_, _, proj) = Decomposition.pc1Projection(df, "id", "v")
+    val rows = proj.as[(Long, Long)].collect()
+    val lo = rows.filter(_._1 < 100).map(_._2)
+    val hi = rows.filter(_._1 >= 100).map(_._2)
+    // all of one cluster on one side, all of the other on the other
+    assert(lo.forall(_ < 0) != lo.forall(_ > 0)) // consistent side
+    assert(lo.map(_.signum).distinct.length == 1)
+    assert(hi.map(_.signum).distinct.length == 1)
+    assert(lo.head.signum == -hi.head.signum)
+  }
+}
