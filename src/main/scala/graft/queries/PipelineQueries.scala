@@ -1008,7 +1008,52 @@ object PipelineQueries extends QueryPack {
            |  FROM c JOIN v$iters ON c.i = v$iters.i GROUP BY 1, 2)
            |SELECT label, count(*) AS n, CAST(sum(proj) AS BIGINT) AS sum_proj
            |FROM p GROUP BY label""".stripMargin
-      })
+      }),
+
+    Query(
+      "q180_zorder_layout",
+      "Z-order (Morton) multi-dimensional layout clustering — the data-skipping file layout behind lakehouse OPTIMIZE ZORDER, over (l_partkey, l_suppkey, price-cents) at 16 bits/dim: per-dim min/max is ONE bounded aggregate, grid scaling is exact long arithmetic ((clamp(x)-lo)*(2^16-1) div range), the 48-bit key comes from the codegen'd BitInterleave expression (map-only, zero shuffle before the per-file aggregate), and the deterministic twin assigns files by the TOP 6 z-bits (production writes use repartitionByRange on the key instead — balanced but sampled). Output is the skipping metadata a pruning reader consults: per file, row count + min/max envelope of EVERY clustered dim, plus whether the file survives a mid-band partkey predicate — on a z-ordered layout most files prune on all three dims simultaneously. Oracle replays scaling, the 16-round bit interleave (list-comprehension sum of shifted bits), top-bits file split, and envelopes verbatim.",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"),
+          cents(col("l_extendedprice")).as("pc"))
+        val dims = Seq("pk", "sk", "pc")
+        val bds = graft.sources.ZOrder.bounds(li, dims)
+        val stats = graft.sources.ZOrder.fileStats(
+          li, dims, bits = 16, fileBits = 6, precomputed = Some(bds))
+        val (plo, phi) = bds.head
+        val lo2 = plo + (phi - plo) / 4
+        val hi2 = plo + (phi - plo) / 2
+        stats.select(
+          col("file_id"), col("n"),
+          col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
+          col("pc_min"), col("pc_max"),
+          (col("pk_max") >= lo2 && col("pk_min") <= hi2).cast("int").as("touched"))
+      },
+      Some(
+        s"""WITH src AS MATERIALIZED (SELECT CAST(l_partkey AS BIGINT) AS pk,
+           |  CAST(l_suppkey AS BIGINT) AS sk,
+           |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc FROM lineitem),
+           |b AS MATERIALIZED (SELECT min(pk) AS plo, max(pk) AS phi, min(sk) AS slo,
+           |  max(sk) AS shi, min(pc) AS rlo, max(pc) AS rhi FROM src),
+           |g AS (SELECT pk, sk, pc,
+           |  CASE WHEN phi <= plo THEN 0 ELSE ((least(greatest(pk, plo), phi) - plo) * 65535) // (phi - plo) END AS gx,
+           |  CASE WHEN shi <= slo THEN 0 ELSE ((least(greatest(sk, slo), shi) - slo) * 65535) // (shi - slo) END AS gy,
+           |  CASE WHEN rhi <= rlo THEN 0 ELSE ((least(greatest(pc, rlo), rhi) - rlo) * 65535) // (rhi - rlo) END AS gz
+           |  FROM src, b),
+           |z AS (SELECT pk, sk, pc, CAST(list_sum([
+           |    (((gx >> CAST(j AS INTEGER)) & 1) << CAST(3 * j AS INTEGER))
+           |  + (((gy >> CAST(j AS INTEGER)) & 1) << CAST(3 * j + 1 AS INTEGER))
+           |  + (((gz >> CAST(j AS INTEGER)) & 1) << CAST(3 * j + 2 AS INTEGER))
+           |  for j in range(0, 16)]) AS BIGINT) AS zv FROM g),
+           |f AS (SELECT zv >> 42 AS file_id, pk, sk, pc FROM z)
+           |SELECT file_id, CAST(count(*) AS BIGINT) AS n,
+           |  min(pk) AS pk_min, max(pk) AS pk_max, min(sk) AS sk_min, max(sk) AS sk_max,
+           |  min(pc) AS pc_min, max(pc) AS pc_max,
+           |  CAST(CASE WHEN max(pk) >= (SELECT plo + (phi - plo) // 4 FROM b)
+           |        AND min(pk) <= (SELECT plo + (phi - plo) // 2 FROM b) THEN 1 ELSE 0 END AS INTEGER) AS touched
+           |FROM f GROUP BY file_id""".stripMargin))
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

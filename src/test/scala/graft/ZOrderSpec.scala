@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.BitInterleave
+import graft.sources.ZOrder
+
+/** Z-order layout clustering (q180): interleave correctness, locality,
+  * and the pruning advantage over a hash layout. */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("interleave matches bit-math reference; deinterleave round-trips") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val d = 1 + rng.nextInt(4)
+      val bits = 1 + rng.nextInt(63 / d)
+      val vs = Array.fill(d)(rng.nextLong().abs & ((1L << bits) - 1))
+      val z = BitInterleave.interleave(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs), bits)
+      var ref = 0L
+      for (j <- 0 until bits; k <- 0 until d)
+        ref |= ((vs(k) >> j) & 1L) << (j * d + k)
+      assert(z == ref)
+      assert(BitInterleave.deinterleave(z, d, bits).toSeq == vs.toSeq)
+    }
+  }
+
+  test("interleave rejects keys wider than 63 bits") {
+    intercept[IllegalArgumentException] {
+      BitInterleave.interleave(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1L, 2L)), 32)
+    }
+  }
+
+  test("gridCoord: degenerate range collapses to 0; clamping applies") {
+    val df = Seq(-5L, 0L, 50L, 100L, 200L).toDF("x")
+    val g = df.select(
+      ZOrder.gridCoord($"x", 0L, 100L, 8).as("g"),
+      ZOrder.gridCoord($"x", 7L, 7L, 8).as("flat")).as[(Long, Long)].collect()
+    assert(g.map(_._2).forall(_ == 0L))
+    val vals = g.map(_._1)
+    assert(vals(0) == 0L && vals(1) == 0L) // clamped below
+    assert(vals(3) == 255L && vals(4) == 255L) // max and clamped above
+    assert(vals(2) == 50L * 255L / 100L)
+  }
+
+  test("zValue column equals driver-side interleave of grid coords") {
+    val rows = (0 until 500).map(i => (i.toLong, (i * 37 % 1000).toLong, (i * 91 % 513).toLong))
+    val df = rows.toDF("id", "a", "b")
+    val bds = ZOrder.bounds(df, Seq("a", "b"))
+    val got = df.select($"id", ZOrder.zValue(Seq($"a", $"b"), bds, 10).as("z"))
+      .as[(Long, Long)].collect().toMap
+    val Seq((alo, ahi), (blo, bhi)) = bds
+    rows.foreach { case (id, a, b) =>
+      val ga = (a - alo) * 1023 / (ahi - alo)
+      val gb = (b - blo) * 1023 / (bhi - blo)
+      val ref = BitInterleave.interleave(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(ga, gb)), 10)
+      assert(got(id) == ref, s"id=$id")
+    }
+  }
+
+  test("z layout prunes multi-dim box predicates far better than hash layout") {
+    val rng = new scala.util.Random(5)
+    val df = (0 until 20000)
+      .map(_ => (rng.nextInt(100000).toLong, rng.nextInt(100000).toLong))
+      .toDF("x", "y")
+    val dims = Seq("x", "y")
+    val stats = ZOrder.fileStats(df, dims, bits = 16, fileBits = 6).cache()
+    val nf = stats.count()
+    assert(nf > 16, s"expect many files, got $nf")
+    // a 10% x 10% box: a z layout should open only the files whose
+    // envelope intersects it; a hash layout would open essentially all.
+    val touched = ZOrder.filesTouched(
+      ZOrder.filesTouched(stats, "x", 40000, 50000), "y", 40000, 50000).count()
+    assert(touched.toDouble / nf < 0.30, s"touched $touched of $nf")
+    // hash-layout baseline on the same data: every file overlaps the box
+    val hashStats = df.withColumn("f", pmod(hash($"x", $"y"), lit(64)))
+      .groupBy("f").agg(min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"))
+    val hashTouched = hashStats
+      .filter($"x_max" >= 40000 && $"x_min" <= 50000 &&
+        $"y_max" >= 40000 && $"y_min" <= 50000).count()
+    assert(hashTouched > touched * 2, s"hash $hashTouched vs z $touched")
+    stats.unpersist()
+  }
+
+  test("zorderWrite produces a z-clustered parquet layout") {
+    val rng = new scala.util.Random(9)
+    val df = (0 until 8000)
+      .map(_ => (rng.nextInt(10000).toLong, rng.nextInt(10000).toLong))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    ZOrder.zorderWrite(df, Seq("x", "y"), bits = 12, nFiles = 16, path = dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 8000)
+    val perFile = back
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .as[(String, Long, Long)].collect()
+    assert(perFile.length > 4)
+    // clustered: mean x-envelope clearly narrower than the full domain
+    val meanWidth = perFile.map(r => r._3 - r._2).sum.toDouble / perFile.length
+    assert(meanWidth < 10000 * 0.8, s"mean envelope $meanWidth")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
