@@ -86,12 +86,46 @@ object Decomposition {
     var round = 0
     while (round < iters) {
       val w = Array.tabulate(d)(i => (0 until d).map(j => s(i)(j) * v(j)).sum)
-      val m = w.map(_.abs).max
-      require(m > 0, "zero scatter matrix — no principal direction")
-      v = w.map(x => x * 1000000 / m) // BigInt / truncates toward zero
+      v = rescaleE6(w)
       round += 1
     }
     v.map(_.toLong)
+  }
+
+  /** Second principal component by Gram-Schmidt-orthogonalized power
+    * iteration against a fixed `v1` (the [[powerIteration]] output):
+    * each round w = S·u is FIRST e6-rescaled and THEN projected off v1
+    * in exact integer arithmetic — o = w·(v1ᵀv1) − v1·(v1ᵀw) — and
+    * e6-rescaled again. Rescaling before the projection keeps every
+    * product under ~1e20, so an external engine can replay all eight
+    * rounds in 128-bit integers; doing the projection on the raw S·u
+    * would need ~1e39 at corpus scale. Deterministic (uniform start,
+    * truncating rescales), exact under any partitioning. */
+  def powerIterationOrtho(s: Array[Array[BigInt]], v1: Array[Long],
+      iters: Int): Array[Long] = {
+    val d = s.length
+    require(v1.length == d, "v1 dimension mismatch")
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    val v1b = v1.map(BigInt(_))
+    val v11 = v1b.map(x => x * x).sum
+    require(v11 > 0, "zero v1")
+    var u = Array.fill(d)(BigInt(1000000))
+    var round = 0
+    while (round < iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => s(i)(j) * u(j)).sum)
+      val wr = rescaleE6(w)
+      val dot = (0 until d).map(i => v1b(i) * wr(i)).sum
+      u = rescaleE6(Array.tabulate(d)(i => wr(i) * v11 - v1b(i) * dot))
+      round += 1
+    }
+    u.map(_.toLong)
+  }
+
+  /** Truncating e6 renormalization: x ↦ trunc(x·1e6 / max|x|). */
+  private def rescaleE6(w: Array[BigInt]): Array[BigInt] = {
+    val m = w.map(_.abs).max
+    require(m > 0, "zero vector in power iteration — no principal direction")
+    w.map(x => x * 1000000 / m) // BigInt / truncates toward zero
   }
 
   /** Map-only projection of each row onto `v`: Σ c(i)·v(i) (long —

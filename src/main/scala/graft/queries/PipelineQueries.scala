@@ -1053,7 +1053,74 @@ object PipelineQueries extends QueryPack {
            |  min(pc) AS pc_min, max(pc) AS pc_max,
            |  CAST(CASE WHEN max(pk) >= (SELECT plo + (phi - plo) // 4 FROM b)
            |        AND min(pk) <= (SELECT plo + (phi - plo) // 2 FROM b) THEN 1 ELSE 0 END AS INTEGER) AS touched
-           |FROM f GROUP BY file_id""".stripMargin))
+           |FROM f GROUP BY file_id""".stripMargin)),
+
+    Query(
+      "q181_pca_ortho",
+      "Second principal component by Gram-Schmidt-orthogonalized INTEGER power iteration — the 2D decorrelation grid an embedding-drift monitor watches: PC1 as in q179, then 8 more rounds where each w = S*u is e6-rescaled FIRST and then projected off v1 exactly (o = w*(v1.v1) - v1*(v1.w)) — the rescale-before-project order keeps every product under ~1e20 so the whole second iteration replays in 128-bit integers at any corpus size. Per label: n, exact PC2 projection sum, and the four (sign p1, sign p2) quadrant counts. Oracle replays BOTH iterations and the quadrant grid as one chained MATERIALIZED CTE program (trunc-div via CASE sign).",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val mu = graft.pipeline.Decomposition.meansE6(emb, "embedding")
+        val smat = graft.pipeline.Decomposition.scatterMatrix(emb, "embedding", mu)
+        val v1 = graft.pipeline.Decomposition.powerIteration(smat, iters = 8)
+        val v2 = graft.pipeline.Decomposition.powerIterationOrtho(smat, v1, iters = 8)
+        emb.select($"label",
+            graft.pipeline.Decomposition.projectE6($"embedding", mu, v1).as("p1"),
+            graft.pipeline.Decomposition.projectE6($"embedding", mu, v2).as("p2"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"), sum($"p2").as("sum_p2"),
+            sum(when($"p1" >= 0 && $"p2" >= 0, 1L).otherwise(0L)).as("q_pp"),
+            sum(when($"p1" >= 0 && $"p2" < 0, 1L).otherwise(0L)).as("q_pn"),
+            sum(when($"p1" < 0 && $"p2" >= 0, 1L).otherwise(0L)).as("q_np"),
+            sum(when($"p1" < 0 && $"p2" < 0, 1L).otherwise(0L)).as("q_nn"))
+      },
+      Some {
+        val iters = 8
+        val rounds1 = (1 to iters).map { t =>
+          val p = t - 1
+          s"""w$t AS MATERIALIZED (SELECT s.i, sum(s.s * v.v) AS w FROM s JOIN v$p v ON s.j = v.i GROUP BY s.i),
+             |m$t AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$t),
+             |v$t AS MATERIALIZED (SELECT i, CASE WHEN w >= 0 THEN (w * 1000000) // (SELECT m FROM m$t)
+             |  ELSE -((-w * 1000000) // (SELECT m FROM m$t)) END AS v FROM w$t)""".stripMargin
+        }.mkString(",\n")
+        val rounds2 = (1 to iters).map { t =>
+          val p = t - 1
+          s"""uw$t AS MATERIALIZED (SELECT s.i, sum(s.s * u.v) AS w FROM s JOIN u$p u ON s.j = u.i GROUP BY s.i),
+             |um$t AS MATERIALIZED (SELECT max(abs(w)) AS m FROM uw$t),
+             |ur$t AS MATERIALIZED (SELECT i, CASE WHEN w >= 0 THEN (w * 1000000) // (SELECT m FROM um$t)
+             |  ELSE -((-w * 1000000) // (SELECT m FROM um$t)) END AS v FROM uw$t),
+             |ud$t AS MATERIALIZED (SELECT sum(v$iters.v * ur$t.v) AS dt FROM v$iters JOIN ur$t ON v$iters.i = ur$t.i),
+             |uo$t AS MATERIALIZED (SELECT ur.i, ur.v * (SELECT s2 FROM vv) - v$iters.v * (SELECT dt FROM ud$t) AS w
+             |  FROM ur$t ur JOIN v$iters ON ur.i = v$iters.i),
+             |uom$t AS MATERIALIZED (SELECT max(abs(w)) AS m FROM uo$t),
+             |u$t AS MATERIALIZED (SELECT i, CASE WHEN w >= 0 THEN (w * 1000000) // (SELECT m FROM uom$t)
+             |  ELSE -((-w * 1000000) // (SELECT m FROM uom$t)) END AS v FROM uo$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH x AS MATERIALIZED (SELECT vec_id, label, i - 1 AS i,
+           |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xe
+           |  FROM embeddings, generate_series(1, 64) g(i)),
+           |mu AS (SELECT i, CAST(floor(sum(xe) / count(*)) AS BIGINT) AS m FROM x GROUP BY i),
+           |c AS MATERIALIZED (SELECT x.vec_id, x.label, x.i, x.xe - mu.m AS c FROM x JOIN mu ON x.i = mu.i),
+           |s AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(CAST(a.c AS HUGEINT) * b.c) AS s
+           |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           |v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM mu),
+           |$rounds1,
+           |vv AS MATERIALIZED (SELECT sum(v * v) AS s2 FROM v$iters),
+           |u0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM mu),
+           |$rounds2,
+           |p AS (SELECT c.vec_id, c.label,
+           |  CAST(sum(CAST(c.c AS HUGEINT) * v$iters.v) AS BIGINT) AS p1,
+           |  CAST(sum(CAST(c.c AS HUGEINT) * u$iters.v) AS BIGINT) AS p2
+           |  FROM c JOIN v$iters ON c.i = v$iters.i JOIN u$iters ON c.i = u$iters.i
+           |  GROUP BY 1, 2)
+           |SELECT label, count(*) AS n, CAST(sum(p2) AS BIGINT) AS sum_p2,
+           |  CAST(sum(CASE WHEN p1 >= 0 AND p2 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS q_pp,
+           |  CAST(sum(CASE WHEN p1 >= 0 AND p2 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS q_pn,
+           |  CAST(sum(CASE WHEN p1 < 0 AND p2 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS q_np,
+           |  CAST(sum(CASE WHEN p1 < 0 AND p2 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS q_nn
+           |FROM p GROUP BY label""".stripMargin
+      })
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

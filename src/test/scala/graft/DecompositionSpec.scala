@@ -47,6 +47,33 @@ class DecompositionSpec extends AnyFunSuite {
     assert(math.abs(v(1) + 414214L) <= 1L, s"got ${v(1)}") // −(√2−1)·1e6
   }
 
+  test("powerIterationOrtho finds the second axis of a diagonal matrix") {
+    val s = Array(
+      Array(BigInt(9), BigInt(0), BigInt(0)),
+      Array(BigInt(0), BigInt(4), BigInt(0)),
+      Array(BigInt(0), BigInt(0), BigInt(1)))
+    val v1 = Decomposition.powerIteration(s, iters = 16)
+    val v2 = Decomposition.powerIterationOrtho(s, v1, iters = 16)
+    // (4/9)^16·1e6 ≈ 2.3 survives truncation in v1(1); (1/9)^16 → 0
+    assert(v1(0) == 1000000L && math.abs(v1(1)) <= 3L && v1(2) == 0L)
+    assert(math.abs(v2(1)) == 1000000L, s"v2=${v2.toSeq}")
+    assert(math.abs(v2(0)) < 1000L && math.abs(v2(2)) < 1000L)
+  }
+
+  test("powerIterationOrtho output is near-orthogonal to v1 on random PSD") {
+    val rng = new scala.util.Random(13)
+    val a = Array.fill(6, 6)(BigInt(rng.nextInt(2000) - 1000))
+    // S = A·Aᵀ is symmetric PSD
+    val s = Array.tabulate(6, 6)((i, j) =>
+      (0 until 6).map(k => a(i)(k) * a(j)(k)).sum)
+    val v1 = Decomposition.powerIteration(s, iters = 12)
+    val v2 = Decomposition.powerIterationOrtho(s, v1, iters = 12)
+    val dot = (0 until 6).map(i => BigInt(v1(i)) * v2(i)).sum.abs
+    val n1 = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    val n2 = math.sqrt(v2.map(x => x.toDouble * x).sum)
+    assert(dot.toDouble / (n1 * n2) < 0.01, s"cos=${dot.toDouble / (n1 * n2)}")
+  }
+
   test("scatter matrix is symmetric and exact vs in-memory BigInt") {
     val data = Seq(
       Seq(1.5f, -2.25f, 0.125f),
