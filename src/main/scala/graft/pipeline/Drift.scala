@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring for a continuously-ingested corpus —
+  * the "did this window's data change shape" gate a training-data
+  * pipeline runs before admitting a batch (concept drift on quality
+  * scores, event values, embedding projections, …).
+  *
+  * The statistic is the exact L1 distance between per-bin proportion
+  * vectors (TVD = L1/2): values e6-quantize, bin per-GROUP equi-width
+  * over the group's [min, max] (`((clamp(v)−lo)·B) div (hi−lo+1)` —
+  * exact long arithmetic), and proportions are e6 fixed-point floor
+  * quotients, so the score is bit-identical under any partitioning and
+  * replayable externally. No KL/ln — integer end to end.
+  *
+  * Scale shape: ONE shuffle of (group, window, bin) partial-aggregated
+  * counts (bounded by |groups|·|windows|·B, independent of row count);
+  * every later aggregate/join runs on that bounded frame; per-group
+  * bounds and reference totals broadcast. The reference distribution is
+  * the whole corpus (each window ⊆ corpus, so window bins always exist
+  * in the reference frame — absent bins coalesce to 0 on both sides via
+  * the dense 0..B−1 grid). */
+object Drift {
+
+  /** Per-(group, window) exact L1 drift of `vCol` (a LONG column —
+    * pre-quantize doubles) against the group's all-window reference.
+    * Output: (group, window, n, l1_e6) with l1_e6 = Σ_b |p_wb − p_b|
+    * in e6 fixed point; TVD = l1_e6 / 2e6. */
+  def l1ByWindow(df: DataFrame, groupCol: String, winCol: String,
+      vCol: String, bins: Int = 16): DataFrame = {
+    require(bins >= 2 && bins <= 4096, "bins in [2, 4096]")
+    val base = df.select(col(groupCol).as("t"), col(winCol).cast("long").as("w"),
+      col(vCol).cast("long").as("v"))
+    val bds = base.groupBy("t").agg(min("v").as("lo"), max("v").as("hi"))
+    val binned = base.join(broadcast(bds), "t")
+      .withColumn("b", when(col("hi") <= col("lo"), lit(0L))
+        .otherwise(expr(s"((least(greatest(v, lo), hi) - lo) * $bins) div (hi - lo + 1)")))
+    val wc = binned.groupBy("t", "w", "b").agg(count(lit(1)).as("nwb"))
+    val wt = wc.groupBy("t", "w").agg(sum("nwb").as("nw"))
+    val rc = wc.groupBy("t", "b").agg(sum("nwb").as("ntb"))
+    val rt = rc.groupBy("t").agg(sum("ntb").as("nt"))
+    val grid = wt.select(col("t"), col("w"), col("nw"),
+      explode(sequence(lit(0L), lit(bins - 1L))).as("b"))
+    grid
+      .join(wc, Seq("t", "w", "b"), "left")
+      .join(rc, Seq("t", "b"), "left")
+      .join(broadcast(rt), Seq("t"))
+      .withColumn("pw", expr("(coalesce(nwb, 0) * 1000000) div nw"))
+      .withColumn("pr", expr("(coalesce(ntb, 0) * 1000000) div nt"))
+      .groupBy(col("t").as(groupCol), col("w").as(winCol))
+      .agg(max("nw").as("n"), sum(abs(col("pw") - col("pr"))).as("l1_e6"))
+  }
+}

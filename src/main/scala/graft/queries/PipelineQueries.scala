@@ -1120,7 +1120,39 @@ object PipelineQueries extends QueryPack {
            |  CAST(sum(CASE WHEN p1 < 0 AND p2 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS q_np,
            |  CAST(sum(CASE WHEN p1 < 0 AND p2 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS q_nn
            |FROM p GROUP BY label""".stripMargin
-      })
+      }),
+
+    Query(
+      "q182_drift_tvd",
+      "Distribution-drift gate for continuous ingest: per (event_type, day) the EXACT L1 distance (TVD*2) between the window's value distribution and the type's whole-corpus reference, in e6 fixed point — values e6-quantize, bin equi-width per type over [min,max] by exact long arithmetic ((clamp(v)-lo)*16 div (hi-lo+1)), proportions are e6 floor quotients, and absent bins enter as exact zeros through a dense 0..15 grid (windows are subsets of the reference so no bin exists only window-side). ONE shuffle of (type, day, bin) partial-aggregated counts bounded by |types|*|days|*16 regardless of row count; bounds and reference totals broadcast. No ln/KL anywhere: integer end to end, bit-identical under any partitioning, replayed verbatim by the oracle.",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          e4(col("value") * lit(100.0)).as("v")) // e6 of value
+        graft.pipeline.Drift.l1ByWindow(ev, "event_type", "day", "v", bins = 16)
+      },
+      Some(
+        """WITH e AS MATERIALIZED (SELECT event_type AS t, epoch_ns(ts) // 86400000000000 AS w,
+          |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
+          |bd AS MATERIALIZED (SELECT t, min(v) AS lo, max(v) AS hi FROM e GROUP BY t),
+          |bn AS (SELECT e.t, e.w,
+          |  CASE WHEN hi <= lo THEN 0 ELSE ((least(greatest(v, lo), hi) - lo) * 16) // (hi - lo + 1) END AS b
+          |  FROM e JOIN bd ON e.t = bd.t),
+          |wc AS MATERIALIZED (SELECT t, w, b, count(*) AS nwb FROM bn GROUP BY 1, 2, 3),
+          |wt AS (SELECT t, w, sum(nwb) AS nw FROM wc GROUP BY 1, 2),
+          |rc AS (SELECT t, b, sum(nwb) AS ntb FROM wc GROUP BY 1, 2),
+          |rt AS (SELECT t, sum(ntb) AS nt FROM rc GROUP BY 1),
+          |grid AS (SELECT wt.t, wt.w, wt.nw, g.b FROM wt, generate_series(0, 15) g(b)),
+          |j AS (SELECT grid.t, grid.w, grid.nw,
+          |   (coalesce(wc.nwb, 0) * 1000000) // grid.nw AS pw,
+          |   (coalesce(rc.ntb, 0) * 1000000) // rt.nt AS pr
+          | FROM grid LEFT JOIN wc ON grid.t = wc.t AND grid.w = wc.w AND grid.b = wc.b
+          |   LEFT JOIN rc ON grid.t = rc.t AND grid.b = rc.b
+          |   JOIN rt ON grid.t = rt.t)
+          |SELECT t AS event_type, w AS day, CAST(max(nw) AS BIGINT) AS n,
+          |  CAST(sum(abs(pw - pr)) AS BIGINT) AS l1_e6
+          |FROM j GROUP BY 1, 2""".stripMargin))
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

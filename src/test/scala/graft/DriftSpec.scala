@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Drift
+
+/** Exact L1 drift monitor (q182). */
+class DriftSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("single window equals its own reference: drift is exactly 0") {
+    val df = (0 until 100).map(i => ("a", 1L, (i % 17).toLong)).toDF("t", "w", "v")
+    val out = Drift.l1ByWindow(df, "t", "w", "v", bins = 8)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("a", 1L, 100L, 0L)))
+  }
+
+  test("matches a hand-computed two-window example exactly") {
+    // group g: window 1 has 4 values in low bin, window 2 has 4 in high bin
+    // bins=2 over [0, 9]: b = ((v-0)*2) div 10 → v<5 → 0, v>=5 → 1
+    val rows = Seq.fill(4)(("g", 1L, 2L)) ++ Seq.fill(4)(("g", 2L, 7L))
+    val out = Drift.l1ByWindow(rows.toDF("t", "w", "v"), "t", "w", "v", bins = 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    // reference: 4/8 per bin → pr = 500000 each. window 1: pw = (1000000, 0)
+    // l1 = |1000000-500000| + |0-500000| = 1000000; same for window 2
+    assert(out.toSeq == Seq(("g", 1L, 4L, 1000000L), ("g", 2L, 4L, 1000000L)))
+  }
+
+  test("degenerate single-value group collapses to bin 0, zero drift") {
+    val df = Seq(("c", 1L, 5L), ("c", 2L, 5L), ("c", 2L, 5L)).toDF("t", "w", "v")
+    val out = Drift.l1ByWindow(df, "t", "w", "v", bins = 16)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._4).toSeq == Seq(0L, 0L))
+  }
+
+  test("bit-identical under repartitioning") {
+    val rng = new scala.util.Random(21)
+    val rows = (0 until 5000).map(_ =>
+      (s"t${rng.nextInt(3)}", rng.nextInt(5).toLong, rng.nextInt(1000).toLong))
+    val df = rows.toDF("t", "w", "v")
+    val a = Drift.l1ByWindow(df, "t", "w", "v").orderBy("t", "w")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val b = Drift.l1ByWindow(df.repartition(13), "t", "w", "v").orderBy("t", "w")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(_._4 >= 0))
+  }
+}
