@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer) —
+  * the third member of the tokenizer family next to [[BpeTokenizer]]
+  * (merge-rank replay) and [[UnigramTokenizer]] (Viterbi): training
+  * merges the pair maximizing the LIKELIHOOD score
+  * `count(ab) / (count(a)·count(b))` instead of the raw pair count, and
+  * encoding is greedy longest-match-first with `##` continuation
+  * pieces and a whole-word `[UNK]` fallback.
+  *
+  * Scale design is the shared trainer shape: ONE distributed
+  * partial-aggregated groupBy collapses the corpus to the bounded
+  * (pre-token → count) table; the merge loop runs driver-side over it;
+  * encoding is map-only (vocab in the UDF closure, per-executor memo
+  * cache — the documented loopy-kernel exception).
+  *
+  * Determinism: the score comparison is EXACT — cross-multiplied
+  * BigInt rationals (`c₁·a₂·b₂ vs c₂·a₁·b₁`), never floating division —
+  * with a lexicographic (a, b) tie-break, so training the same corpus
+  * twice under any partitioning yields the identical vocab (the
+  * [[Classifier]] reproducibility contract). */
+object WordPieceTokenizer {
+
+  /** Trained vocab: word-initial pieces plain, continuations `##`-
+    * prefixed. `maxMatchLen` is the longest RAW (un-prefixed) span any
+    * piece can match — the greedy scan's upper bound. */
+  final case class WordPieceModel(vocab: Set[String]) {
+    @transient lazy val maxMatchLen: Int =
+      if (vocab.isEmpty) 1
+      else vocab.iterator
+        .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+  }
+
+  /** Initial unit decomposition: first char plain, rest `##`-prefixed. */
+  private def units(w: String): List[String] =
+    if (w.isEmpty) Nil
+    else w.substring(0, 1) :: w.substring(1).map(c => "##" + c).toList
+
+  /** Concatenate a merge pair: `("ab", "##cd") → "abcd"`,
+    * `("##b", "##c") → "##bc"`. */
+  private def join(a: String, b: String): String = a + b.stripPrefix("##")
+
+  private def mergeAll(syms: List[String], pair: (String, String)): List[String] =
+    syms match {
+      case a :: b :: rest if (a, b) == pair => join(a, b) :: mergeAll(rest, pair)
+      case a :: rest => a :: mergeAll(rest, pair)
+      case Nil => Nil
+    }
+
+  /** Greedy longest-match-first segmentation; `None` = unmatchable
+    * word (the caller emits one `[UNK]`). */
+  def encodeWord(w: String, model: WordPieceModel): Option[List[String]] = {
+    if (w.isEmpty) return Some(Nil)
+    val out = List.newBuilder[String]
+    var pos = 0
+    while (pos < w.length) {
+      var l = math.min(model.maxMatchLen, w.length - pos)
+      var found: String = null
+      while (l >= 1 && found == null) {
+        val cand =
+          if (pos == 0) w.substring(0, l)
+          else "##" + w.substring(pos, pos + l)
+        if (model.vocab.contains(cand)) found = cand else l -= 1
+      }
+      if (found == null) return None
+      out += found
+      pos += l
+    }
+    Some(out.result())
+  }
+
+  /** Train `numMerges` likelihood-ranked merges. The returned vocab is
+    * every initial unit of the (capped) word table plus one piece per
+    * merge. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 1 << 20): WordPieceModel = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val wordCounts: Array[(String, Long)] = df
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(TextAnalysis.BpePretokenRe), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(List[String], Long)] =
+      wordCounts.map { case (w, c) => (units(w), c) }
+    val vocab = collection.mutable.LinkedHashSet.empty[String]
+    words.foreach(_._1.foreach(vocab += _))
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val unitCounts = collection.mutable.HashMap.empty[String, Long]
+      val pairCounts = collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.foreach(u => unitCounts.update(u, unitCounts.getOrElse(u, 0L) + c))
+        syms.lazyZip(syms.tail).foreach { (a, b) =>
+          val p = (a, b); pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // maximize c/(ca·cb) — exact: c1·ca2·cb2 vs c2·ca1·cb1; tie → (a,b) asc
+        val best = pairCounts.iterator.map { case ((a, b), c) =>
+          ((a, b), BigInt(c), BigInt(unitCounts(a)) * BigInt(unitCounts(b)))
+        }.reduceLeft[((String, String), BigInt, BigInt)] {
+          case (x @ (px, cx, dx), y @ (py, cy, dy)) =>
+            val cmp = (cx * dy).compare(cy * dx)
+            if (cmp > 0) x
+            else if (cmp < 0) y
+            else if (Ordering[(String, String)].lteq(px, py)) x else y
+        }._1
+        vocab += join(best._1, best._2)
+        words = words.map { case (syms, c) => (mergeAll(syms, best), c) }
+        k += 1
+      }
+    }
+    WordPieceModel(vocab.toSet)
+  }
+
+  /** Map-only WordPiece encoding of `text`: pre-tokenize, greedy-match
+    * each pre-token, unmatchable pre-tokens become one `[UNK]`. */
+  def encode(model: WordPieceModel, text: Column): Column = {
+    val re = TextAnalysis.BpePretokenRe.r
+    val cache = collection.mutable.HashMap.empty[String, List[String]]
+    val enc = udf { (s: String) =>
+      if (s == null) null
+      else re.findAllIn(s).flatMap { w =>
+        if (cache.size > (1 << 16)) cache.clear()
+        cache.getOrElseUpdate(w,
+          encodeWord(w, model).getOrElse(List("[UNK]")))
+      }.toArray
+    }
+    enc(text)
+  }
+
+  /** Exact token count under `model` ([UNK] counts 1). */
+  def tokenCount(model: WordPieceModel, text: Column): Column =
+    size(encode(model, text))
+
+  /** Count of unmatchable pre-tokens ([UNK] emissions). */
+  def unkCount(model: WordPieceModel, text: Column): Column =
+    size(filter(encode(model, text), t => t === lit("[UNK]")))
+}

@@ -1479,11 +1479,97 @@ object CurationQueries extends QueryPack {
            |SELECT d.doc_id, CAST($pinnedLrBiasE6 + coalesce(ws, 0) AS BIGINT) AS margin_e6,
            |CAST(CASE WHEN $pinnedLrBiasE6 + coalesce(ws, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
            |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
-      }))
+      }),
+
+    Query(
+      "q183_wordpiece",
+      "WordPiece tokenization (Schuster & Nakajima 2012 — the BERT tokenizer), completing the tokenizer family next to BPE merge-rank replay (q123) and unigram Viterbi (q152): greedy longest-match-first over the pinned likelihood-trained vocab (WordPieceTokenizer.train on the sf0.01 corpus, merges ranked by EXACT cross-multiplied count(ab)/(count(a)count(b)) rationals — provenance spec-checked), ## continuation pieces, whole-word [UNK] fallback. Encoding is map-only (vocab in the UDF closure, memo cache, zero shuffle); per source: pre-token, piece, and [UNK] totals. The oracle replays the greedy scan EXACTLY: the longest vocab match per (word, position) is a static lookup table, and a recursive CTE walks each distinct word through it (bounded by distinct words x word length, never the corpus).",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        docs.groupBy(col("source")).agg(
+          sum(size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.BpePretokenRe), lit(0))).cast("long")).as("n_words"),
+          sum(graft.pipeline.WordPieceTokenizer.tokenCount(pinnedWordPiece, col("text"))
+            .cast("long")).as("n_tokens"),
+          sum(graft.pipeline.WordPieceTokenizer.unkCount(pinnedWordPiece, col("text"))
+            .cast("long")).as("n_unk"))
+      },
+      Some(wordpieceOracle)))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */
   private val gopherStops = Seq("the", "a", "and", "of", "to")
+
+  /** q183's pinned WordPiece vocab: `WordPieceTokenizer.train(
+    * documents@sf0.01, "text", numMerges = 60)` — pinned as literals
+    * because the oracle SQL must be data-independent (CurationSpec
+    * re-derives this vocab from the corpus to pin provenance —
+    * regenerate with `runMain graft.tools.PinWordPiece`). */
+  private[graft] val pinnedWordPieceVocab: Seq[String] = Seq(
+    " ", "##a", "##b", "##bi", "##big", "##bl", "##c", "##column",
+    "##cu", "##cus", "##cust", "##custo", "##custom", "##d", "##dup", "##e",
+    "##f", "##fi", "##fil", "##filt", "##g", "##h", "##i", "##in",
+    "##ind", "##j", "##jo", "##join", "##k", "##l", "##lin", "##ll",
+    "##low", "##lu", "##lumn", "##m", "##mn", "##n", "##o", "##oin",
+    "##olumn", "##oup", "##ow", "##p", "##q", "##qu", "##r", "##s",
+    "##slow", "##t", "##u", "##umn", "##up", "##v", "##w", "##wind",
+    "##window", "##y", "a", "ag", "agg", "b", "bi", "big",
+    "c", "co", "col", "colu", "colum", "column", "cu", "cus",
+    "cust", "custo", "custom", "d", "f", "fi", "fil", "g",
+    "h", "j", "join", "k", "l", "li", "lin", "m",
+    "o", "p", "q", "qu", "r", "row", "s", "slow",
+    "t", "th", "v", "w", "wi", "win", "wind", "window")
+
+  private[graft] val pinnedWordPiece =
+    graft.pipeline.WordPieceTokenizer.WordPieceModel(pinnedWordPieceVocab.toSet)
+
+  /** The oracle twin of [[graft.pipeline.WordPieceTokenizer.encodeWord]]
+    * under [[pinnedWordPiece]]: the longest vocab match at every (word,
+    * 0-based position) is a STATIC lookup (greedy choice is path-
+    * independent), so a recursive CTE just walks each distinct word
+    * through the table — match → advance by the match length, no match
+    * → the whole word collapses to one [UNK]. Bounded work: lookup rows
+    * = Σ distinct-word lengths × maxMatchLen, walk rows ≤ Σ word
+    * lengths — never the corpus. */
+  private def wordpieceOracle: String = {
+    def sq(x: String) = x.replace("'", "''")
+    val vals = pinnedWordPieceVocab.map(p => s"('${sq(p)}')").mkString(", ")
+    val maxLen = pinnedWordPiece.maxMatchLen
+    val pretok = s"'${sq(graft.pipeline.TextAnalysis.BpePretokenRe)}'"
+    s"""WITH RECURSIVE
+       |vocab(p) AS (VALUES $vals),
+       |pt AS (SELECT source, unnest(regexp_extract_all(text, $pretok)) AS w FROM documents),
+       |wc AS (SELECT source, w, count(*) AS c FROM pt GROUP BY 1, 2),
+       |words AS (SELECT DISTINCT w FROM wc),
+       |lm AS (SELECT ws.w, g.i, max(h.l) AS l
+       |       FROM words ws
+       |       CROSS JOIN generate_series(0, 199) g(i)
+       |       CROSS JOIN generate_series(1, $maxLen) h(l)
+       |       JOIN vocab v ON v.p = CASE WHEN g.i = 0
+       |         THEN substr(ws.w, 1, CAST(h.l AS INTEGER))
+       |         ELSE '##' || substr(ws.w, CAST(g.i + 1 AS INTEGER), CAST(h.l AS INTEGER)) END
+       |       WHERE g.i < len(ws.w) AND g.i + h.l <= len(ws.w)
+       |       GROUP BY 1, 2),
+       |r(w, pos, nt, unk) AS (
+       |  SELECT w, 0::BIGINT, 0::BIGINT, FALSE FROM words
+       |  UNION ALL
+       |  SELECT r.w,
+       |    CASE WHEN lm.l IS NULL THEN len(r.w) ELSE r.pos + lm.l END,
+       |    CASE WHEN lm.l IS NULL THEN 1 ELSE r.nt + 1 END,
+       |    lm.l IS NULL
+       |  FROM r LEFT JOIN lm ON lm.w = r.w AND lm.i = r.pos
+       |  WHERE r.pos < len(r.w) AND NOT r.unk),
+       |fin AS (SELECT w, nt, CASE WHEN unk THEN 1 ELSE 0 END AS u
+       |        FROM r WHERE pos >= len(w)),
+       |per_src AS (SELECT wc.source, CAST(sum(wc.c) AS BIGINT) AS n_words,
+       |            CAST(sum(wc.c * fin.nt) AS BIGINT) AS n_tokens,
+       |            CAST(sum(wc.c * fin.u) AS BIGINT) AS n_unk
+       |            FROM wc JOIN fin ON wc.w = fin.w GROUP BY 1)
+       |SELECT d.source, coalesce(p.n_words, 0) AS n_words,
+       |       coalesce(p.n_tokens, 0) AS n_tokens, coalesce(p.n_unk, 0) AS n_unk
+       |FROM (SELECT DISTINCT source FROM documents) d
+       |LEFT JOIN per_src p ON d.source = p.source""".stripMargin
+  }
 
   /** The q131 quality gate: `Classifier.train(documents@sf0.01, src0 vs
     * rest, nBuckets=256, iters=20, lr=0.5)` — pinned as literals because

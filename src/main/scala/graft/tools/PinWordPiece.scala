@@ -1,0 +1,28 @@
+// Dev-only: (re)derive the pinned q183 WordPiece vocab from the sf0.01
+// corpus and print it as Scala literals (the CurationSpec provenance
+// test asserts the committed literals equal this output).
+// Usage: sbt "runMain graft.tools.PinWordPiece [sfDir]"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object PinWordPiece {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val m = graft.pipeline.WordPieceTokenizer.train(docs, "text", numMerges = 60)
+    val vs = m.vocab.toSeq.sorted
+    println(s"// ${vs.size} pieces, maxMatchLen=${m.maxMatchLen}")
+    println(vs.map(p => s""""${p.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+      .grouped(8).map(_.mkString(", "))
+      .mkString("pinnedWordPieceVocab = Seq(\n  ", ",\n  ", ")"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.WordPieceTokenizer
+import graft.pipeline.WordPieceTokenizer.WordPieceModel
+import graft.queries.CurationQueries
+
+/** WordPiece tokenizer (q183): greedy semantics, likelihood training,
+  * determinism, pinned-vocab provenance. */
+class WordPieceSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("greedy longest-match-first with ## continuations") {
+    val m = WordPieceModel(Set("a", "ab", "##b", "##bc", "##c"))
+    assert(WordPieceTokenizer.encodeWord("ab", m).get == List("ab"))
+    assert(WordPieceTokenizer.encodeWord("abb", m).get == List("ab", "##b"))
+    // after "ab", "##bc" beats "##b"+"##c"
+    assert(WordPieceTokenizer.encodeWord("abbc", m).get == List("ab", "##bc"))
+    assert(WordPieceTokenizer.encodeWord("a", m).get == List("a"))
+    assert(WordPieceTokenizer.encodeWord("", m).get == Nil)
+  }
+
+  test("unmatchable word is [UNK] (no partial emission)") {
+    val m = WordPieceModel(Set("a", "##b"))
+    assert(WordPieceTokenizer.encodeWord("abx", m).isEmpty)
+    assert(WordPieceTokenizer.encodeWord("xab", m).isEmpty)
+    val out = spark.createDataset(Seq("ab abx"))
+      .select(WordPieceTokenizer.encode(m, col("value"))).as[Seq[String]].head()
+    // pre-tokens "ab" and " abx": " abx" has no ' '-initial piece → [UNK]
+    assert(out == Seq("a", "##b", "[UNK]"))
+  }
+
+  test("likelihood scoring prefers rare-unit pairs over raw count") {
+    // corpus: "xy" x 5, "z" fillers making x,y frequent elsewhere would
+    // change scores; here ("x","##y") is the only pair → merged first
+    val df = (Seq.fill(5)("xy") ++ Seq.fill(3)("qr")).toDF("text")
+    val m = WordPieceTokenizer.train(df, "text", numMerges = 1)
+    // pair scores: (x,##y): 5/(5·5); (q,##r): 3/(3·3) = 1/3 > 1/5 —
+    // the LESS frequent pair with rarer units wins (likelihood, not count)
+    assert(m.vocab.contains("qr"))
+    assert(!m.vocab.contains("xy"))
+  }
+
+  test("training is deterministic under repartitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = WordPieceTokenizer.train(docs, "text", numMerges = 20)
+    val b = WordPieceTokenizer.train(docs.repartition(13), "text", numMerges = 20)
+    assert(a.vocab == b.vocab)
+  }
+
+  test("q183 provenance: the pinned vocab IS train() on the sf0.01 corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val m = WordPieceTokenizer.train(docs, "text", numMerges = 60)
+    assert(m.vocab.toSeq.sorted == CurationQueries.pinnedWordPieceVocab.sorted)
+    assert(CurationQueries.pinnedWordPiece.maxMatchLen == 6)
+    // oracle charset safety: no piece contains a quote, and the corpus
+    // charset cannot produce a literal "[UNK]" collision or a '#'
+    assert(CurationQueries.pinnedWordPieceVocab.forall(p => !p.contains("'")))
+  }
+
+  test("UDF token/unk counts equal driver-side greedy on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val m = CurationQueries.pinnedWordPiece
+    val got = docs.select(
+      WordPieceTokenizer.tokenCount(m, col("text")).as("nt"),
+      WordPieceTokenizer.unkCount(m, col("text")).as("nu"),
+      col("text")).as[(Int, Int, String)].collect()
+    val re = graft.pipeline.TextAnalysis.BpePretokenRe.r
+    got.foreach { case (nt, nu, text) =>
+      val words = re.findAllIn(text).toList
+      val encs = words.map(w => WordPieceTokenizer.encodeWord(w, m))
+      val expNt = encs.map(_.map(_.length).getOrElse(1)).sum
+      val expNu = encs.count(_.isEmpty)
+      assert(nt == expNt && nu == expNu)
+    }
+  }
+}
