@@ -37,7 +37,11 @@ object Drift {
     val binned = base.join(broadcast(bds), "t")
       .withColumn("b", when(col("hi") <= col("lo"), lit(0L))
         .otherwise(expr(s"((least(greatest(v, lo), hi) - lo) * $bins) div (hi - lo + 1)")))
-    val wc = binned.groupBy("t", "w", "b").agg(count(lit(1)).as("nwb"))
+    // the ONE corpus-wide aggregate; persisted because four consumers
+    // derive from it (without the boundary each branch re-scans the
+    // corpus — 4 scans instead of 1 at 100 TB). Bounded frame:
+    // |groups|·|windows|·bins rows.
+    val wc = binned.groupBy("t", "w", "b").agg(count(lit(1)).as("nwb")).persist()
     val wt = wc.groupBy("t", "w").agg(sum("nwb").as("nw"))
     val rc = wc.groupBy("t", "b").agg(sum("nwb").as("ntb"))
     val rt = rc.groupBy("t").agg(sum("ntb").as("nt"))
@@ -51,5 +55,69 @@ object Drift {
       .withColumn("pr", expr("(coalesce(ntb, 0) * 1000000) div nt"))
       .groupBy(col("t").as(groupCol), col("w").as(winCol))
       .agg(max("nw").as("n"), sum(abs(col("pw") - col("pr"))).as("l1_e6"))
+  }
+
+  /** Bounded per-group reference artifact for the streaming monitor:
+    * binning bounds + e6 reference proportions (dense, length `bins`). */
+  final case class DriftRef(lo: Long, hi: Long, prE6: Array[Long])
+
+  /** Fit the reference distribution on a batch corpus — a
+    * |groups|·bins driver artifact (the codebook pattern): identical
+    * binning and floor-quotient proportions to [[l1ByWindow]]'s
+    * internal reference, so a stream scored against it matches the
+    * batch computation exactly. */
+  def fitReference(df: DataFrame, groupCol: String, vCol: String,
+      bins: Int = 16): Map[String, DriftRef] = {
+    val base = df.select(col(groupCol).as("t"), col(vCol).cast("long").as("v"))
+    val bds = base.groupBy("t").agg(min("v").as("lo"), max("v").as("hi"))
+    val rc = base.join(broadcast(bds), "t")
+      .withColumn("b", when(col("hi") <= col("lo"), lit(0L))
+        .otherwise(expr(s"((least(greatest(v, lo), hi) - lo) * $bins) div (hi - lo + 1)")))
+      .groupBy("t", "lo", "hi", "b").agg(count(lit(1)).as("ntb"))
+      .collect()
+    rc.groupBy(_.getString(0)).map { case (t, rows) =>
+      val nt = rows.map(_.getLong(4)).sum
+      val pr = new Array[Long](bins)
+      rows.foreach(r => pr(r.getLong(3).toInt) = r.getLong(4) * 1000000L / nt)
+      t -> DriftRef(rows.head.getLong(1), rows.head.getLong(2), pr)
+    }
+  }
+
+  /** Streaming form of [[l1ByWindow]]: watermarked tumbling-window
+    * drift against a [[fitReference]] artifact riding the plan as
+    * literal maps (no stream-side join, no second aggregation — the
+    * per-bin histogram is `bins` conditional sums inside the ONE
+    * windowed aggregate, so the query runs in append mode). Groups
+    * absent from the reference are dropped (monitor known groups).
+    * Scores are bit-identical to the batch computation on the same
+    * window (same bounds, same floor quotients). */
+  def l1Stream(events: DataFrame, tsCol: String, groupCol: String,
+      vCol: String, windowLen: String, ref: Map[String, DriftRef],
+      bins: Int = 16, watermark: String = "10 minutes"): DataFrame = {
+    require(ref.nonEmpty, "empty reference")
+    require(ref.values.forall(_.prE6.length == bins), "reference bins mismatch")
+    val loM = typedLit(ref.map { case (k, r) => k -> r.lo })
+    val hiM = typedLit(ref.map { case (k, r) => k -> r.hi })
+    val prM = typedLit(ref.map { case (k, r) => k -> r.prE6.toSeq })
+    val binned = events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__lo", element_at(loM, col(groupCol)))
+      .withColumn("__hi", element_at(hiM, col(groupCol)))
+      .filter(col("__lo").isNotNull)
+      .withColumn("__v", col(vCol).cast("long"))
+      .withColumn("__b", when(col("__hi") <= col("__lo"), lit(0L))
+        .otherwise(call_function("div",
+          (least(greatest(col("__v"), col("__lo")), col("__hi")) - col("__lo")) * lit(bins),
+          col("__hi") - col("__lo") + lit(1L))))
+    val histAggs = (0 until bins).map(i =>
+      sum(when(col("__b") === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val agged = binned
+      .groupBy(window(col(tsCol), windowLen), col(groupCol))
+      .agg(count(lit(1)).as("n"), histAggs: _*)
+    val refArr = element_at(prM, col(groupCol))
+    val l1 = (0 until bins).map(i =>
+      abs(call_function("div", col(s"__c$i") * lit(1000000L), col("n"))
+        - element_at(refArr, i + 1))).reduce(_ + _)
+    agged.select(col("window"), col(groupCol), col("n"), l1.as("l1_e6"))
   }
 }

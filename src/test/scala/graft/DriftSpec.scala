@@ -34,6 +34,44 @@ class DriftSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(0L, 0L))
   }
 
+  test("streaming drift matches batch l1ByWindow exactly on day windows") {
+    val sf = "/root/testdata/sf0.001"
+    val batchEv = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("ts div 86400000000000").as("day"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("v"))
+    val expected = Drift.l1ByWindow(batchEv, "event_type", "day", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val ref = Drift.fitReference(batchEv, "event_type", "v")
+
+    val dir = java.nio.file.Files.createTempDirectory("drift_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = graft.core.Tables.normalizeEventTs(
+        graft.streaming.EventStream.fromParquetDir(spark, dir.toString,
+          spark.read.parquet(s"$sf/events.parquet").schema))
+      .select(col("event_type"), graft.queries.nanosToTs(col("ts")).as("t"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("v"))
+    val q = Drift.l1Stream(stream, "t", "event_type", "v", "1 day", ref)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("drift_out")
+        .select(expr("unix_timestamp(window.start) div 86400").as("day"),
+          col("event_type"), col("n"), col("l1_e6"))
+        .as[(Long, String, Long, Long)].collect()
+      assert(got.nonEmpty)
+      got.foreach { case (day, t, n, l1) =>
+        assert(expected((t, day)) == ((n, l1)), s"($t, $day)")
+      }
+      assert(got.length == expected.size)
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("bit-identical under repartitioning") {
     val rng = new scala.util.Random(21)
     val rows = (0 until 5000).map(_ =>
