@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Coreset / diversity selection for data pruning: greedy k-center
+  * (Gonzalez 1985, the 2-approximation) over an embedding column — the
+  * "pick maximally-diverse exemplars" step of dataset distillation and
+  * active-learning pipelines (each center is the point farthest from
+  * everything already picked, so the selection covers the corpus with
+  * k balls of at-most-2·OPT radius).
+  *
+  * Exactness contract (the q179/q125 integer family): embeddings
+  * e6-quantize, distances are EXACT integer squared-L2 sums (≤ 2.6e16
+  * at d=64 — long-safe, HUGEINT-replayable), the seed is the minimum
+  * id (no RNG), and every argmax/argmin tie breaks on the id / lowest
+  * center index — the whole selection is bit-deterministic under any
+  * partitioning and replayable by an external engine.
+  *
+  * Scale shape: the classic k-pass trade — each round is ONE map-only
+  * scan computing the distance to the single newest center fused into
+  * a running min (the frame persists between rounds; lineage truncated
+  * per round exactly like [[Graphs.pageRank]]), plus an
+  * `orderBy(...).limit(1)` reduction (top-1 per partition, driver
+  * merges partition winners). Total O(k·n·d) arithmetic, k bounded
+  * scans, no shuffle of vectors anywhere. Assignment afterward is one
+  * more map-only pass against the k-center literal array. */
+object Coreset {
+
+  /** e6 row vector. */
+  private def e6(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** Exact squared L2 between an e6 array column and an e6 literal. */
+  private def dist2(v: Column, c: Array[Long]): Column =
+    aggregate(zip_with(v, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), _ + _)
+
+  /** Greedy k-center selection; returns (id, centerE6) in pick order
+    * (element 0 = the min-id seed). Stops early if the corpus has
+    * fewer than k distinct points only in the degenerate n < k case. */
+  def kCenters(df: DataFrame, idCol: String, vecCol: String, k: Int): Seq[(Long, Array[Long])] = {
+    require(k >= 1 && k <= 1024, "k in [1, 1024]")
+    val base = df.select(col(idCol).cast("long").as("id"), e6(col(vecCol)).as("v"))
+    val seedRow = base.orderBy("id").limit(1).collect()
+    require(seedRow.nonEmpty, "empty input")
+    def vecOf(r: org.apache.spark.sql.Row): (Long, Array[Long]) =
+      (r.getLong(0), r.getSeq[Long](1).toArray)
+    val centers = collection.mutable.ArrayBuffer(vecOf(seedRow.head))
+    var cur = base.withColumn("d", dist2(col("v"), centers.head._2)).persist()
+    var prev: DataFrame = null
+    var i = 1
+    while (i < k) {
+      val next = cur.orderBy(desc("d"), asc("id")).limit(1).collect()
+      if (next.isEmpty) i = k
+      else {
+        val c = vecOf(next.head)
+        centers += c
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = cur
+        // fuse the newest center into the running min; localCheckpoint
+        // keeps the plan O(1) deep across rounds
+        cur = cur.withColumn("d", least(col("d"), dist2(col("v"), c._2)))
+          .localCheckpoint(eager = false).persist()
+        i += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
+    centers.toSeq
+  }
+
+  /** Map-only assignment of every row to its nearest center (argmin;
+    * tie → LOWEST center index) with the exact squared distance.
+    * Output: (id, center_rank, d2). */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      centers: Seq[(Long, Array[Long])]): DataFrame = {
+    require(centers.nonEmpty, "no centers")
+    val dists = array(centers.map(c => dist2(e6(col(vecCol)), c._2)): _*)
+    df.select(col(idCol).cast("long").as("id"), dists.as("ds"))
+      .select(col("id"),
+        (array_position(col("ds"), array_min(col("ds"))) - 1L).as("center_rank"),
+        array_min(col("ds")).as("d2"))
+  }
+}

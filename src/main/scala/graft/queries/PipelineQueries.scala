@@ -1152,7 +1152,55 @@ object PipelineQueries extends QueryPack {
           |   JOIN rt ON grid.t = rt.t)
           |SELECT t AS event_type, w AS day, CAST(max(nw) AS BIGINT) AS n,
           |  CAST(sum(abs(pw - pr)) AS BIGINT) AS l1_e6
-          |FROM j GROUP BY 1, 2""".stripMargin))
+          |FROM j GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q184_kcenter_coreset",
+      "Coreset / diversity selection for data pruning: EXACT greedy k-center (Gonzalez 1985, the 2-approximation) over the embedding corpus, k=5 — e6-quantized integer squared-L2 distances, min-id seed, farthest-point argmax with id tie-break, so the selection is bit-deterministic under any partitioning. Each round is one map-only scan fusing the newest center into a running min (frame persisted, lineage truncated per round — the pageRank loop shape) plus a top-1 reduction; assignment is one more map-only pass against the k-center literal array (argmin, tie -> lowest center index). Output per center: rank, picked vec_id, population, exact squared radius. The oracle replays seed, all four farthest-point rounds, and the assignment as chained MATERIALIZED CTEs in HUGEINT.",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cs = graft.pipeline.Coreset.kCenters(emb, "vec_id", "embedding", k = 5)
+        val idMap = typedLit(cs.zipWithIndex.map { case ((id, _), j) => j.toLong -> id }.toMap)
+        graft.pipeline.Coreset.assign(emb, "vec_id", "embedding", cs)
+          .groupBy("center_rank")
+          .agg(count(lit(1)).as("n"), max("d2").as("max_d2"))
+          .select(col("center_rank"),
+            element_at(idMap, col("center_rank")).as("center_vec_id"),
+            col("n"), col("max_d2"))
+      },
+      Some {
+        val k = 5
+        val rounds = (1 until k).map { t =>
+          val p = t - 1
+          s"""p$t AS MATERIALIZED (SELECT vec_id FROM d$p ORDER BY d DESC, vec_id LIMIT 1),
+             |c$t AS MATERIALIZED (SELECT i, xe FROM x WHERE vec_id = (SELECT vec_id FROM p$t)),
+             |e$t AS MATERIALIZED (SELECT a.vec_id, sum((a.xe - c.xe) * (a.xe - c.xe)) AS d
+             |  FROM x a JOIN c$t c ON a.i = c.i GROUP BY 1),
+             |d$t AS MATERIALIZED (SELECT d.vec_id, least(d.d, e.d) AS d
+             |  FROM d$p d JOIN e$t e USING (vec_id))""".stripMargin
+        }.mkString(",\n")
+        val allE = (0 until k).map(j => s"e$j.d").mkString(", ")
+        val idxCase = (0 until k).map(j =>
+          s"WHEN e$j.d = least($allE) THEN $j").mkString(" ")
+        val joins = (1 until k).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+        val idCase = "CASE g.idx WHEN 0 THEN (SELECT min(vec_id) FROM x) " +
+          (1 until k).map(j => s"WHEN $j THEN (SELECT vec_id FROM p$j)").mkString(" ") + " END"
+        s"""WITH x AS MATERIALIZED (SELECT vec_id, i - 1 AS i,
+           |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xe
+           |  FROM embeddings, generate_series(1, 64) g(i)),
+           |c0 AS MATERIALIZED (SELECT i, xe FROM x WHERE vec_id = (SELECT min(vec_id) FROM x)),
+           |e0 AS MATERIALIZED (SELECT a.vec_id, sum((a.xe - c.xe) * (a.xe - c.xe)) AS d
+           |  FROM x a JOIN c0 c ON a.i = c.i GROUP BY 1),
+           |d0 AS MATERIALIZED (SELECT vec_id, d FROM e0),
+           |$rounds,
+           |m AS (SELECT e0.vec_id, least($allE) AS md,
+           |  CASE $idxCase END AS idx
+           |  FROM e0 $joins),
+           |g AS (SELECT idx, count(*) AS n, max(md) AS mx FROM m GROUP BY 1)
+           |SELECT CAST(g.idx AS BIGINT) AS center_rank, $idCase AS center_vec_id,
+           |  CAST(g.n AS BIGINT) AS n, CAST(g.mx AS BIGINT) AS max_d2
+           |FROM g""".stripMargin
+      })
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

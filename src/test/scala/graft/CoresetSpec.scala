@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Coreset
+
+/** Greedy k-center coreset selection (q184). */
+class CoresetSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mkDf(rows: Seq[(Long, Seq[Float])]) = rows.toDF("id", "v")
+
+  test("picks the farthest point each round on a crafted line") {
+    // points on a line: 0, 1, 10, 11, 100 — seed = id 0 (value 0)
+    val pts = Seq(0L -> Seq(0f), 1L -> Seq(1f), 2L -> Seq(10f),
+      3L -> Seq(11f), 4L -> Seq(100f))
+    val cs = Coreset.kCenters(mkDf(pts), "id", "v", k = 3)
+    // farthest from 0 is 100 (id 4); then farthest from {0,100} is 11
+    // (d 11² vs 10 at 10² — wait: min-dists are 1→1, 2→100, 3→121, so 3)
+    assert(cs.map(_._1) == Seq(0L, 4L, 3L))
+  }
+
+  test("argmax ties break to the smallest id") {
+    // two symmetric far points: ids 5 and 9 both at distance 100 from seed
+    val pts = Seq(1L -> Seq(0f, 0f), 5L -> Seq(10f, 0f), 9L -> Seq(0f, 10f))
+    val cs = Coreset.kCenters(mkDf(pts), "id", "v", k = 2)
+    assert(cs.map(_._1) == Seq(1L, 5L))
+  }
+
+  test("assignment: argmin with ties to the lowest center index") {
+    val pts = Seq(0L -> Seq(0f), 1L -> Seq(10f), 2L -> Seq(5f))
+    val cs = Coreset.kCenters(mkDf(pts), "id", "v", k = 2)
+    val asg = Coreset.assign(mkDf(pts), "id", "v", cs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // id 2 at 5.0 is equidistant (25e12) from both centers → center 0
+    assert(asg.map(r => (r._1, r._2)).toSeq ==
+      Seq((0L, 0L), (1L, 1L), (2L, 0L)))
+    assert(asg.find(_._1 == 2L).get._3 == 25000000000000L)
+  }
+
+  test("selection is bit-deterministic under repartitioning") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Coreset.kCenters(df, "vec_id", "embedding", k = 4)
+    val b = Coreset.kCenters(df.repartition(17), "vec_id", "embedding", k = 4)
+    assert(a.map(_._1) == b.map(_._1))
+    assert(a.map(_._2.toSeq) == b.map(_._2.toSeq))
+  }
+
+  test("2-approximation sanity: k-center radius covers every point") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300)
+    val cs = Coreset.kCenters(df, "vec_id", "embedding", k = 6)
+    assert(cs.length == 6)
+    val asg = Coreset.assign(df, "vec_id", "embedding", cs)
+    assert(asg.count() == 300)
+    // every point's distance to its center is <= the global farthest-
+    // point distance at selection time (monotone non-increasing radius)
+    val r = asg.agg(max("d2")).head().getLong(0)
+    assert(r >= 0)
+    // centers themselves sit at distance 0
+    val centerIds = cs.map(_._1).toSet
+    val zero = asg.filter(col("id").isin(centerIds.toSeq: _*))
+      .agg(max("d2")).head().getLong(0)
+    assert(zero == 0L)
+  }
+}
