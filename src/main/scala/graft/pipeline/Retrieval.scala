@@ -50,6 +50,37 @@ object Retrieval {
       .select(col("id"), col("n_hits"))
   }
 
+  /** Positional postings: one row per token OCCURRENCE — (id, pos,
+    * tok). The positional-index layout phrase/proximity queries run
+    * on; heavier than [[postings]] (no tf collapse), so production
+    * indexes persist it bucketed by `tok`. */
+  def positionalPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col("id"), posexplode(col("__t")).as(Seq("pos", "tok")))
+
+  /** Exact phrase occurrences via positional-index intersection: term
+    * k's postings shift by −k and the terms equi-join on (id, shifted
+    * pos) — every surviving row is one phrase occurrence (overlapping
+    * occurrences INCLUDED, unlike substring replace-counting).
+    * Returns (id, n_occ).
+    *
+    * Scale: each term's posting list filters map-side BEFORE its
+    * shuffle (volume ∝ that term's corpus frequency, never the
+    * corpus), and the k−1 equi-joins carry (id, pos) pairs only. At
+    * serving scale the same joins run exchange-free against a
+    * tok-bucketed persisted index. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val pos = positionalPostings(df, idCol, textCol)
+    phrase.zipWithIndex.map { case (t, k) =>
+        pos.filter(col("tok") === t).select(col("id"), (col("pos") - k).as("p0"))
+      }
+      .reduceLeft((a, b) => a.join(b, Seq("id", "p0")))
+      .groupBy("id").agg(count(lit(1)).as("n_occ"))
+  }
+
   /** BM25 document ranking (Robertson/Lucene variant) for a fixed query
     * term set: idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation
     * k1, length normalization b against the corpus-wide average doc

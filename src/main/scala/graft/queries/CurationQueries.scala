@@ -655,6 +655,30 @@ object CurationQueries extends QueryPack {
               |GROUP BY doc_id HAVING count(DISTINCT tok) = 3""".stripMargin)),
 
     Query(
+      "q185_phrase_search",
+      "Exact phrase search via positional-index intersection (the posting-list phrase operator of Lucene-class engines): term k's postings shift by -k and equi-join on (id, shifted pos), so every surviving row is ONE phrase occurrence — overlapping occurrences included, which substring replace-counting gets wrong ('order order order' contains TWO 'order order'). Each term's posting list filters map-side before its shuffle (volume ~ term frequency, never the corpus); at serving scale the joins run exchange-free against a tok-bucketed persisted index. Per phrase: matching docs and total occurrences. The oracle is an INDEPENDENT formulation — the definition itself, a position list-comprehension per doc — not a replay of the join plan.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        phraseSet.map { p =>
+          Retrieval.phraseSearch(docs, "doc_id", "text", p.split(' ').toSeq)
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("n_occ")), lit(0L)).as("n_occ"))
+            .select(lit(p).as("phrase"), col("n_docs"), col("n_occ"))
+        }.reduce(_ unionByName _)
+      },
+      Some(phraseSet.map { p =>
+        val terms = p.split(' ')
+        val k = terms.length
+        val conds = terms.zipWithIndex
+          .map { case (t, j) => s"t[i + $j] = '$t'" }.mkString(" AND ")
+        s"""SELECT '$p' AS phrase,
+           |  CAST(count(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_occ
+           |FROM (SELECT len([i FOR i IN range(1, len(t) - $k + 2) IF $conds]) AS c
+           |      FROM (SELECT $toksSql AS t FROM documents))""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+
+    Query(
       "q110_tfidf",
       "Top-3 TF-IDF terms per document with a RATIONAL idf (N/df — a standard idf variant that weights rare terms harder than ln(N/df); chosen because every step is integer products through single IEEE double ops, where ln is not correctly-rounded across engines). Term counts and doc frequencies are partial-aggregated groupBys; top-k is a per-doc array_sort over collected (-score, tok) structs — no window over the corpus.",
       (s, dir) => Retrieval.tfidfTopTerms(
@@ -1499,6 +1523,11 @@ object CurationQueries extends QueryPack {
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */
   private val gopherStops = Seq("the", "a", "and", "of", "to")
+
+  /** q185's query phrases (a bigram, a self-overlapping bigram, and a
+    * repeated-token trigram — the overlap cases that distinguish
+    * positional counting from substring replace-counting). */
+  private val phraseSet = Seq("hash join", "order order", "batch batch batch")
 
   /** q183's pinned WordPiece vocab: `WordPieceTokenizer.train(
     * documents@sf0.01, "text", numMerges = 60)` — pinned as literals

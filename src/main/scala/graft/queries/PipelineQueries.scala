@@ -1200,6 +1200,53 @@ object PipelineQueries extends QueryPack {
            |SELECT CAST(g.idx AS BIGINT) AS center_rank, $idCase AS center_vec_id,
            |  CAST(g.n AS BIGINT) AS n, CAST(g.mx AS BIGINT) AS max_d2
            |FROM g""".stripMargin
+      }),
+
+    Query(
+      "q186_leakage_safe_split",
+      "Leakage-safe train/eval splitting — the contamination trap the usual doc-id hash split walks into: near-duplicates straddle the split and the eval set silently scores memorization. Split by the near-dup COMPONENT instead (q80's 3-gram-Jaccard components; isolated docs are their own component), hashing the component id through the portable md5 hash so every duplicate cluster lands whole on one side. Output contrasts both methods: per (method, split) doc and component counts plus the method's straddling-component count — 0 by construction for the component split, >0 for the naive split on this corpus. Components/doc-rows shuffle once; the leakage audit is a comp-keyed aggregate of the same frame.",
+      (s, dir) => {
+        val docsFull = Tables.documents(s, dir)
+        val edges = Dedup.ngramJaccardPairs(docsFull, "doc_id", "text", n = 3, threshold = 0.03)
+        val cc = Components.connectedComponents(edges, "id_a", "id_b")
+        val withComp = docsFull.select(col("doc_id"))
+          .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+        def stats(method: String, keyCol: org.apache.spark.sql.Column) = {
+          val a = withComp.withColumn("split",
+            when(pmod(TextAnalysis.portableHash(keyCol.cast("string"), lit(0)), lit(10)) < 8,
+              lit("train")).otherwise(lit("eval")))
+          val per = a.groupBy("split")
+            .agg(count(lit(1)).as("n_docs"), countDistinct("comp").as("n_comps"))
+          val leaky = a.groupBy("comp")
+            .agg(countDistinct("split").as("ns"))
+            .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_leaky"))
+          per.crossJoin(broadcast(leaky))
+            .select(lit(method).as("method"), col("split"),
+              col("n_docs"), col("n_comps"), col("n_leaky"))
+        }
+        stats("component", col("comp")).unionByName(stats("naive", col("doc_id")))
+      },
+      Some {
+        val hc = graft.pipeline.TextAnalysis.portableHashSql("CAST(comp AS VARCHAR)", "0")
+        s"""$ccSqlPrefix,
+           |asg AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS comp FROM documents d
+           |        LEFT JOIN cc ON d.doc_id = cc.n),
+           |a AS (SELECT doc_id, comp,
+           |  CASE WHEN ($hc) % 10 < 8 THEN 'train' ELSE 'eval' END AS split_c,
+           |  CASE WHEN (${graft.pipeline.TextAnalysis.portableHashSql("CAST(doc_id AS VARCHAR)", "0")}) % 10 < 8 THEN 'train' ELSE 'eval' END AS split_n
+           |  FROM asg),
+           |pc AS (SELECT split_c AS split, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(DISTINCT comp) AS BIGINT) AS n_comps FROM a GROUP BY 1),
+           |lc AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky
+           |       FROM (SELECT comp, count(DISTINCT split_c) AS ns FROM a GROUP BY 1)),
+           |pn AS (SELECT split_n AS split, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(DISTINCT comp) AS BIGINT) AS n_comps FROM a GROUP BY 1),
+           |ln AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky
+           |       FROM (SELECT comp, count(DISTINCT split_n) AS ns FROM a GROUP BY 1))
+           |SELECT 'component' AS method, split, n_docs, n_comps, n_leaky FROM pc, lc
+           |UNION ALL
+           |SELECT 'naive' AS method, split, n_docs, n_comps, n_leaky FROM pn, ln""".stripMargin
       })
   )
 

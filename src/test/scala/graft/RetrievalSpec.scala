@@ -101,4 +101,20 @@ class RetrievalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"fusion top-k must not window:\n$plan")
   }
+
+  test("phraseSearch: positional intersection counts overlapping occurrences") {
+    val docs = Seq(
+      (1L, "the hash join beats the sort merge join"),
+      (2L, "order order order"), // two overlapping "order order"
+      (3L, "hash and join but never adjacent hash, join"),
+      (4L, "hash join hash join")).toDF("doc_id", "text")
+    def res(p: String) = Retrieval
+      .phraseSearch(docs, "doc_id", "text", p.split(' ').toSeq)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res("hash join") == Map(1L -> 1L, 4L -> 2L))
+    assert(res("order order") == Map(2L -> 2L))
+    assert(res("order order order") == Map(2L -> 1L))
+    assert(res("sort merge join") == Map(1L -> 1L))
+    assert(res("never there").isEmpty)
+  }
 }
