@@ -1,0 +1,157 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitter sketch as a mergeable Spark aggregate.
+  *
+  * The bounded-memory frequent-items summary (Misra & Gries 1982;
+  * mergeability per Agarwal et al., "Mergeable Summaries", PODS 2012):
+  * the buffer holds at most `k` (item, counter) pairs, and every
+  * counter underestimates the item's true count by at most
+  * n/(k+1) — so ANY item with true count > n/(k+1) is guaranteed a
+  * surviving entry, under arbitrary partitioning and merge order.
+  *
+  * That guarantee is the scale story: at 100 TB a token/domain/key
+  * frequency table no longer fits a shuffle (the naive
+  * `groupBy(tok).count` shuffles one row per distinct key), but this
+  * aggregate ships ONE ≤k-entry buffer per partition up a merge tree —
+  * shuffle volume independent of both corpus size and vocabulary.
+  * Downstream, an exact recount restricted to the ≤k candidates (a
+  * broadcast semi-join + a ≤k-key aggregate) turns the sketch into an
+  * EXACT heavy-hitter answer: candidates ⊇ {count > n/(k+1)} means the
+  * verified output is deterministic and partition-invariant even
+  * though the sketch contents are not.
+  *
+  * Update path: resident key → +1; free slot → insert; else the
+  * classic decrement-all (each such event burns k+1 total count, so
+  * ≤ n/(k+1) events — O(n) amortized). Merge: sum counters, then
+  * subtract the (k+1)-th largest value from all and drop the
+  * non-positives (the PODS-2012 trim, error adds across merges but
+  * stays ≤ n_total/(k+1)).
+  *
+  * Output: `array<struct<item string, lb bigint>>` sorted by
+  * (-lb, item) — `lb` is the surviving counter (a lower bound on the
+  * true count up to the global n/(k+1) slack, useful for telemetry;
+  * exactness comes from the recount stage, never from `lb`).
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+
+  require(k >= 1, s"sketch size k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("lb", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      buf.get(s) match {
+        case Some(c) => buf.update(s, c + 1L)
+        case None if buf.size < k =>
+          // copy: eval may return a view into a reused row buffer
+          buf.update(s.copy(), 1L)
+        case None =>
+          // decrement-all; drop zeros (the arriving item is dropped too)
+          val dead = mutable.ArrayBuffer.empty[UTF8String]
+          buf.keysIterator.foreach { key =>
+            val c = buf(key) - 1L
+            if (c == 0L) dead += key else buf.update(key, c)
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      a: mutable.HashMap[UTF8String, Long],
+      b: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
+    b.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
+    if (a.size > k) {
+      val counts = a.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(a.size - k - 1) // (k+1)-th largest
+      val dead = mutable.ArrayBuffer.empty[UTF8String]
+      a.keysIterator.foreach { key =>
+        val c = a(key) - cut
+        if (c <= 0L) dead += key else a.update(key, c)
+      }
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
+    val rows = buf.toArray
+      .sortBy { case (item, lb) => (-lb, item.toString) }
+      .map { case (item, lb) => InternalRow(item, lb) }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (key, c) =>
+      val bytes = key.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object MisraGriesAgg {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Column API: `misraGries(item, k)` inside `agg(...)` →
+    * `array<struct<item, lb>>`, at most k entries, sorted (-lb, item). */
+  def apply(item: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(item), k).toAggregateExpression())
+}

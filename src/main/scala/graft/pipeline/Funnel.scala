@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis over an event stream — the
+  * windowFunnel/conversion operator of event-analytics engines: for
+  * each user, walk their events in time order and greedily match the
+  * funnel's steps in sequence (step j+1 may only match strictly AFTER
+  * the event that matched step j); report how many users reach each
+  * depth and the cumulative time-to-reach.
+  *
+  * Plan shape (the one that survives 100 TB of events): the step
+  * filter prunes to funnel-relevant rows map-side BEFORE the single
+  * per-user shuffle; each user's surviving events collect into one
+  * sorted array (per-user volume is bounded — the sessionization
+  * contract) and the greedy walk is a codegen'd HOF `aggregate`, so
+  * there is no window over the corpus and no second shuffle until the
+  * bounded (≤ |steps| rows per user) reach table aggregates.
+  *
+  * Determinism: events order by (ts, event_id) — the unique id breaks
+  * timestamp ties, so the greedy walk is bit-reproducible under any
+  * partitioning. All time arithmetic stays in integer nanos.
+  */
+object Funnel {
+
+  /** Per-user greedy reach times: (user, at) where `at[j]` is the
+    * `tsCol` value of the event that matched step j (array length =
+    * depth reached, possibly empty ... users with no step-1 event but
+    * some funnel-typed events yield `at = []`). `tsCol` must be an
+    * integral type (nanos-epoch longs in this engine); `idCol` must be
+    * unique per event (tie-break). */
+  def reach(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepArr = array(steps.map(lit): _*)
+    val k = steps.length
+    events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("user"),
+        struct(col(tsCol).cast("long").as("ns"), col(idCol).as("eid"),
+          col(typeCol).as("et")).as("e"))
+      .groupBy("user")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user"),
+        aggregate(col("evs"), lit(Array.empty[Long]),
+          (at: Column, e: Column) =>
+            when(size(at) < k &&
+                e.getField("et") === element_at(stepArr, size(at) + 1),
+              concat(at, array(e.getField("ns")))).otherwise(at)).as("at"))
+  }
+
+  /** Funnel summary: one row per step with the step's name, the number
+    * of users whose greedy walk reached it, and the exact integer sum
+    * of (reach time − step-1 reach time) in the `tsCol` unit across
+    * those users (0 for step 1 by construction). */
+  def stats(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, steps: Seq[String]): DataFrame = {
+    val stepArr = array(steps.map(lit): _*)
+    reach(events, userCol, typeCol, tsCol, idCol, steps)
+      .select(posexplode(col("at")).as(Seq("p", "ns")),
+        element_at(col("at"), 1).as("ns0"))
+      .select((col("p") + 1).cast("long").as("step"),
+        (col("ns") - col("ns0")).as("lag_ns"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_users"), sum(col("lag_ns")).as("sum_lag_ns"))
+      .select(col("step"), element_at(stepArr, col("step").cast("int")).as("event_type"),
+        col("n_users"), col("sum_lag_ns"))
+  }
+}

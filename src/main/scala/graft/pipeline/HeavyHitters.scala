@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGriesAgg
+
+/** Exact heavy hitters at sketch cost — the sketch-then-verify
+  * pattern: a Misra–Gries pass (bounded ≤k-entry buffers, shuffle
+  * volume independent of corpus size AND vocabulary — see
+  * [[graft.functions.MisraGriesAgg]]) nominates candidates, and an
+  * exact recount restricted to those ≤k candidates (broadcast join +
+  * a ≤k-key aggregate) verifies them. Because every item with true
+  * count > n/(k+1) is guaranteed a sketch entry under any merge
+  * order, the verified output {item : count·(k+1) > n} is EXACT and
+  * partition-invariant — the sketch only bounds the memory, never the
+  * answer.
+  *
+  * Contrast with the naive `groupBy(item).count` + global sort: that
+  * shuffles one row per distinct item (the vocabulary of a 100 TB
+  * corpus) and then needs a total order; this makes two cheap passes
+  * over the items (callers persist the item frame when it is itself
+  * expensive to derive) with bounded state everywhere.
+  */
+object HeavyHitters {
+
+  /** One-row sketch frame: (sketch: array<struct<item,lb>>, n_total).
+    * `lb` counters are lower bounds up to n/(k+1) slack — telemetry,
+    * not truth. */
+  def sketch(df: DataFrame, itemCol: Column, k: Int): DataFrame =
+    df.select(itemCol.as("item")).filter(col("item").isNotNull)
+      .agg(MisraGriesAgg(col("item"), k).as("sketch"),
+        count(lit(1)).as("n_total"))
+
+  /** Exact items with count·(k+1) > n_total, their exact counts, and
+    * integer parts-per-million share (floor). Two passes over
+    * `df[itemCol]`. */
+  def exact(df: DataFrame, itemCol: Column, k: Int): DataFrame = {
+    val items = df.select(itemCol.as("item")).filter(col("item").isNotNull)
+    val cand = sketch(df, itemCol, k)
+      .select(explode(col("sketch")).as("c"), col("n_total"))
+      .select(col("c.item").as("item"), col("n_total"))
+    items.join(broadcast(cand), Seq("item"))
+      .groupBy(col("item"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k + 1L) > col("n_total"))
+      .select(col("item"), col("cnt"),
+        expr("cnt * 1000000 div n_total").as("share_ppm"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance for distributive
+  * aggregates — the batch face of Structured Streaming's state-store
+  * contract: keep a bounded per-key STATE table (count/sum/min/max of
+  * a long-valued measure) instead of the raw history, and fold each
+  * arriving batch into it with a state-sized merge. At 100 TB the
+  * alternative — re-aggregating the full history per refresh — rescans
+  * everything; here each refresh costs one pass over the NEW batch
+  * plus a shuffle bounded by |keys|, and the algebra (sums add, mins
+  * min, maxes max) guarantees the fold equals the full recompute
+  * exactly, in any batch order and grouping (IncrementalSpec proves
+  * it).
+  *
+  * The measure is integral by contract (quantize floats first — the
+  * engine-wide cents/e6 discipline): long sums are associative and
+  * order-free, so the equality is bit-exact, not approximate. Derived
+  * values that are NOT distributive (mean here, floor-quotient) are
+  * computed at read time by [[finish]] from the state, never
+  * maintained incrementally.
+  *
+  * State tables persist like any frame (parquet partitioned by key
+  * range); exactly-once ingest composes with the commit-marker
+  * protocol of [[Dedup.minhashIngestBatch]] — write the merged state
+  * to a staging path, marker last.
+  */
+object Incremental {
+
+  private val stateCols = Seq("cnt", "sum_v", "min_v", "max_v")
+
+  /** Aggregate one batch into state rows: (keys..., cnt, sum_v, min_v,
+    * max_v) over `valueCol` (cast to long — quantize beforehand).
+    * Null measures are ignored (count semantics); keys with only null
+    * measures still appear with cnt = 0 and null min/max, exactly as a
+    * full-history GROUP BY would report them. */
+  def state(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.select(keys.map(col) :+ col(valueCol).cast("long").as("v"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(col("v")).as("cnt"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+
+  /** Fold another state (or a new batch's [[state]]) into `acc`:
+    * union + a |keys|-bounded re-aggregate. Associative and
+    * commutative, so any fold tree gives the identical table. */
+  def merge(acc: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    acc.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+
+  /** Read-time derivations over the state: integer mean via Spark's
+    * `div` (truncates toward zero — equal to DuckDB's flooring `//`
+    * only for non-negative sums, which the engine's quantize-first
+    * discipline gives for price-like measures; null when cnt = 0).
+    * Keeps the state itself purely distributive. */
+  def finish(stateDf: DataFrame): DataFrame =
+    stateDf.withColumn("mean_floor",
+      when(col("cnt") > 0L, expr("sum_v div cnt")))
+
+  /** Convenience: fold `batches` through [[state]]+[[merge]] and
+    * [[finish]] — by the merge algebra, equal to running [[state]] on
+    * the concatenated history. */
+  def refresh(batches: Seq[DataFrame], keys: Seq[String], valueCol: String): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    finish(batches.map(state(_, keys, valueCol)).reduce(merge(_, _, keys)))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{Query, QueryPack}
 import graft.core.Tables
-import graft.pipeline.{BpeTokenizer, Classifier, Curation, Dedup, Retrieval, Similarity, TextAnalysis}
+import graft.pipeline.{BpeTokenizer, Classifier, Curation, Dedup, HeavyHitters, Retrieval, Similarity, TextAnalysis}
 
 /** Corpus-curation operators (SURVEY §8.2 extension charter):
   * benchmark decontamination, Gopher-style repetition signals, PII
@@ -677,6 +677,21 @@ object CurationQueries extends QueryPack {
            |FROM (SELECT len([i FOR i IN range(1, len(t) - $k + 2) IF $conds]) AS c
            |      FROM (SELECT $toksSql AS t FROM documents))""".stripMargin
       }.mkString("\nUNION ALL\n"))),
+
+    Query(
+      "q188_heavy_hitters",
+      "EXACT heavy hitters at sketch cost — the sketch-then-verify pattern: a Misra-Gries pass (custom TypedImperativeAggregate; <=k-entry mergeable buffers, shuffle volume independent of corpus size AND vocabulary, unlike groupBy(tok).count which shuffles the whole vocabulary at 100 TB) nominates candidates, then an exact recount restricted to those <=k candidates (broadcast join + <=k-key aggregate) verifies. Every token with true count > n/(k+1) is GUARANTEED a sketch entry under any merge order (Agarwal et al., Mergeable Summaries, PODS 2012), so the verified output {count*(k+1) > n} is exact and partition-invariant even though sketch contents are not. k=28 < the 31-token vocabulary, so merge trimming is genuinely exercised. The oracle never sees the sketch — it is the definition itself, a plain GROUP BY ... HAVING.",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        HeavyHitters.exact(toks, col("tok"), k = 28)
+      },
+      Some(s"""WITH t AS (SELECT unnest($toksSql) AS item FROM documents),
+              |n AS (SELECT count(*) AS n_total FROM t)
+              |SELECT item, CAST(count(*) AS BIGINT) AS cnt,
+              |  CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+              |FROM t, n GROUP BY item, n_total
+              |HAVING count(*) * 29 > n_total""".stripMargin)),
 
     Query(
       "q110_tfidf",

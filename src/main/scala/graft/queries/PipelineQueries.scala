@@ -1247,6 +1247,52 @@ object PipelineQueries extends QueryPack {
            |SELECT 'component' AS method, split, n_docs, n_comps, n_leaky FROM pc, lc
            |UNION ALL
            |SELECT 'naive' AS method, split, n_docs, n_comps, n_leaky FROM pn, ln""".stripMargin
+      }),
+
+    Query(
+      "q189_label_prop",
+      "Community detection by synchronous label propagation (Raghavan et al. 2007, deterministic variant: integer neighbor-label mode, ties to the smallest label, isolated nodes keep theirs) — the 'densely connected' signal link-graph curation needs where connected components only answer 'connected at all'. 5 rounds over a deterministic block-structured graph on documents (50-node blocks: ring + x7 chord intra-block, one cross-block edge per 37th node; symmetrized, deduped). The synchronous schedule + integer mode + min tie-break make every round bit-exact under any partitioning; per round two partial-aggregated shuffles (label counts, then argmax via ONE max(struct(count,-label)) aggregate — no window over the graph) with per-round lineage truncation. Per community: size and node-id checksum. Oracle: all 5 rounds UNROLLED as chained window-argmax CTEs.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val e = docs.select($"doc_id".as("src"), (base + (idx + 1) % 50).as("dst"))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx * 7 + 3) % 50).as("dst")))
+          .unionByName(docs.filter($"doc_id" % 37 === 0)
+            .select($"doc_id".as("src"), (($"doc_id" + 50) % n).as("dst")))
+        graft.pipeline.Graphs.labelPropagation(docs, "doc_id", e, "src", "dst", iters = 5)
+          .groupBy($"lab".as("comm"))
+          .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"))
+      },
+      Some {
+        val iters = 5
+        val head =
+          """WITH nodes AS (SELECT doc_id AS node FROM documents),
+            |cnt AS (SELECT count(*) AS n FROM nodes),
+            |d AS (SELECT src, dst FROM (
+            |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 50 AS dst FROM documents
+            |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) * 7 + 3) % 50 FROM documents
+            |  UNION SELECT doc_id, (doc_id + 50) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 37 = 0
+            |) WHERE src != dst),
+            |e AS (SELECT src, dst FROM d UNION SELECT dst, src FROM d),
+            |l0 AS (SELECT node, node AS lab FROM nodes)""".stripMargin
+        val rounds = (1 to iters).map { i =>
+          val p = i - 1
+          s"""c$i AS (SELECT e.src AS v, l.lab, count(*) AS c
+             |  FROM e JOIN l$p l ON e.dst = l.node GROUP BY 1, 2),
+             |b$i AS (SELECT v, min(lab) AS lab FROM (
+             |    SELECT v, lab, c, max(c) OVER (PARTITION BY v) AS mx FROM c$i)
+             |  WHERE c = mx GROUP BY v),
+             |l$i AS (SELECT l.node, coalesce(b.lab, l.lab) AS lab
+             |  FROM l$p l LEFT JOIN b$i b ON l.node = b.v)""".stripMargin
+        }.mkString(",\n")
+        s"""$head,
+           |$rounds
+           |SELECT lab AS comm, CAST(count(*) AS BIGINT) AS n_nodes,
+           |  CAST(sum(node) AS BIGINT) AS sum_node
+           |FROM l$iters GROUP BY 1""".stripMargin
       })
   )
 

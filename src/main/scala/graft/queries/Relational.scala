@@ -341,6 +341,50 @@ object Relational extends QueryPack {
              |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
              |CAST(count(*) AS BIGINT) AS n_sessions,
              |CAST(max(n) AS BIGINT) AS max_session_events
-             |FROM g GROUP BY 1""".stripMargin))
+             |FROM g GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q187_funnel",
+      "Ordered-step conversion funnel (the windowFunnel operator of event-analytics engines): per user, greedily match view->click->purchase in (ts, event_id) order — step j+1 only counts strictly AFTER the event that matched step j — then report per-step user reach and the exact integer-nanos sum of time-to-reach. Plan: the step filter prunes map-side before the ONE per-user shuffle; the greedy walk is a codegen'd HOF aggregate over each user's sorted event array (bounded per user), so no corpus-wide window and the reach table is <= |steps| rows per user. The oracle is an independent formulation — first-matching-POSITION minima via list comprehensions, not a replay of the HOF walk.",
+      (s, dir) => graft.pipeline.Funnel.stats(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id",
+        Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS ns, event_id, event_type
+             |           FROM events WHERE event_type IN ('view','click','purchase')),
+             |u AS (SELECT user_id, list(ns ORDER BY ns, event_id) AS nss,
+             |        list(event_type ORDER BY ns, event_id) AS types
+             |      FROM e GROUP BY 1),
+             |p AS (SELECT user_id, nss, types,
+             |        list_min([i FOR i IN range(1, len(types)+1) IF types[i] = 'view']) AS p1 FROM u),
+             |q AS (SELECT user_id, nss, types, p1,
+             |        list_min([i FOR i IN range(1, len(types)+1) IF types[i] = 'click' AND i > p1]) AS p2 FROM p),
+             |r AS (SELECT user_id, nss, p1, p2,
+             |        list_min([i FOR i IN range(1, len(types)+1) IF types[i] = 'purchase' AND i > p2]) AS p3 FROM q),
+             |s AS (
+             |  SELECT 1 AS step, 'view' AS event_type, CAST(0 AS BIGINT) AS lag_ns FROM r WHERE p1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT 2, 'click', nss[p2] - nss[p1] FROM r WHERE p2 IS NOT NULL
+             |  UNION ALL
+             |  SELECT 3, 'purchase', nss[p3] - nss[p1] FROM r WHERE p3 IS NOT NULL)
+             |SELECT CAST(step AS BIGINT) AS step, event_type,
+             |  CAST(count(*) AS BIGINT) AS n_users, CAST(sum(lag_ns) AS BIGINT) AS sum_lag_ns
+             |FROM s GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q190_incremental_mv",
+      "Incremental materialized-view maintenance (the batch face of the streaming state-store contract): per-priority order stats maintained as a bounded distributive STATE table (count/sum/min/max of cents-quantized totalprice) that each arriving batch folds into — one pass over the NEW batch plus a |keys|-bounded merge, never a rescan of history. Here the orders table arrives as 4 orderkey-sliced batches folded left-to-right; the merge algebra (long sums add, mins min, maxes max — integral by the engine's quantize-first discipline) makes the fold EXACTLY equal the full-history GROUP BY the oracle runs, which is the whole point: the oracle never sees the batches. Non-distributive derivations (floor mean) happen at read time from the state.",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val batches = (0 until 4).map(i =>
+          orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+            .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c")))
+        graft.pipeline.Incremental.refresh(batches, Seq("o_orderpriority"), "price_c")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v,
+             |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_v,
+             |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_v,
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // count(*) AS BIGINT) AS mean_floor
+             |FROM orders GROUP BY 1""".stripMargin))
   )
 }

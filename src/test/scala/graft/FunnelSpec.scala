@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Funnel
+
+/** Greedy ordered-step funnel (q187). */
+class FunnelSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  // (user, ts, id, type)
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("user_id", "ts", "event_id", "event_type")
+
+  private def reachMap(df: org.apache.spark.sql.DataFrame) =
+    Funnel.reach(df, "user_id", "event_type", "ts", "event_id", steps)
+      .as[(Long, Seq[Long])].collect().toMap
+
+  test("greedy walk: step j+1 must come strictly after step j's match") {
+    val df = ev(
+      // user 1: purchase before click → depth 2 only
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "purchase"), (1L, 30L, 3L, "click"),
+      // user 2: full funnel, interleaved noise types are pre-filtered
+      (2L, 10L, 4L, "view"), (2L, 15L, 5L, "view"), (2L, 20L, 6L, "click"),
+      (2L, 40L, 7L, "purchase"),
+      // user 3: click with no prior view → depth 0
+      (3L, 10L, 8L, "click"), (3L, 20L, 9L, "purchase"))
+    val r = reachMap(df)
+    assert(r(1L) == Seq(10L, 30L))
+    assert(r(2L) == Seq(10L, 20L, 40L)) // greedy: FIRST view at 10, not 15
+    assert(r(3L) == Seq.empty)
+  }
+
+  test("timestamp ties break on event_id, so the walk is deterministic") {
+    // view and click share ts=10; click's id is higher → counts as after
+    val df = ev((1L, 10L, 1L, "view"), (1L, 10L, 2L, "click"),
+      (1L, 10L, 0L, "purchase")) // purchase id 0 sorts BEFORE the view
+    val r = reachMap(df)
+    assert(r(1L) == Seq(10L, 10L)) // purchase unreached: it precedes click
+  }
+
+  test("stats: per-step reach counts and exact lag sums") {
+    val df = ev(
+      (1L, 100L, 1L, "view"), (1L, 150L, 2L, "click"), (1L, 300L, 3L, "purchase"),
+      (2L, 100L, 4L, "view"), (2L, 220L, 5L, "click"),
+      (3L, 100L, 6L, "view"))
+    val got = Funnel.stats(df, "user_id", "event_type", "ts", "event_id", steps)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "view", 3L, 0L),
+      (2L, "click", 2L, 50L + 120L),
+      (3L, "purchase", 1L, 200L)))
+  }
+
+  test("partitioning does not change the result") {
+    val rows = (0 until 50).flatMap { u =>
+      (0 until 20).map(i => (u.toLong, ((i * 7 + u) % 97).toLong,
+        (u * 100 + i).toLong, steps((i + u) % 3)))
+    }
+    val base = Funnel.stats(rows.toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "event_type", "ts", "event_id", steps)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val rep = Funnel.stats(
+      rows.toDF("user_id", "ts", "event_id", "event_type").repartition(13),
+      "user_id", "event_type", "ts", "event_id", steps)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(base == rep && base.head._3 == 50L)
+  }
+}

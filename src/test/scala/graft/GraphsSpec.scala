@@ -47,4 +47,57 @@ class GraphsSpec extends AnyFunSuite {
       iters = 5, ckpt = Some(dir))
     assert(base == noisy, s"$base vs $noisy")
   }
+
+  private def labelsOf(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] =
+    Graphs.labelPropagation(nodes.toDF("node"), "node",
+        edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelProp: two cliques with one bridge converge to two communities") {
+    val cliqueA = Seq(0L, 1L, 2L, 3L)
+    val cliqueB = Seq(10L, 11L, 12L, 13L)
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = clique(cliqueA) ++ clique(cliqueB) :+ (3L -> 10L)
+    val l = labelsOf(cliqueA ++ cliqueB, edges, iters = 6)
+    assert(cliqueA.map(l).toSet.size == 1, l.toString)
+    assert(cliqueB.map(l).toSet.size == 1, l.toString)
+    assert(l(0L) != l(11L), l.toString)
+  }
+
+  test("labelProp: one synchronous round on a path, by hand") {
+    // path 0-1-2: after 1 round, 0←{1}=1, 1←min(0,2)=0 (tie→min), 2←{1}=1
+    val l = labelsOf(Seq(0L, 1L, 2L), Seq((0L, 1L), (1L, 2L)), iters = 1)
+    assert(l == Map(0L -> 1L, 1L -> 0L, 2L -> 1L), l.toString)
+  }
+
+  test("labelProp: mode wins over min-label; isolated nodes keep their own") {
+    // round 1: 7←min(20,21,5)=5; 20←7; 21←7; 5←min(7,1)=1; 1←5
+    // round 2: 7's neighbor labels are {7,7,1} → mode 7 beats min 1
+    val l = labelsOf(Seq(1L, 5L, 7L, 20L, 21L, 99L),
+      Seq((7L, 20L), (7L, 21L), (7L, 5L), (5L, 1L)), iters = 2)
+    assert(l(7L) == 7L, l.toString)
+    assert(l(99L) == 99L, l.toString)
+  }
+
+  test("labelProp: symmetrization, self-loops and duplicate edges are hygiene'd") {
+    val base = labelsOf(Seq(0L, 1L, 2L), Seq((0L, 1L), (1L, 2L)), iters = 3)
+    val noisy = labelsOf(Seq(0L, 1L, 2L),
+      Seq((0L, 1L), (1L, 0L), (1L, 0L), (1L, 2L), (2L, 2L)), iters = 3)
+    assert(base == noisy, s"$base vs $noisy")
+  }
+
+  test("labelProp: partitioning does not change the result") {
+    val nodes = (0L until 60L)
+    val edges = nodes.flatMap(i => Seq(
+      (i, (i / 10) * 10 + (i + 1) % 10),
+      (i, (i / 10) * 10 + (i * 3 + 7) % 10))).filter(e => e._1 != e._2)
+    val a = labelsOf(nodes, edges, iters = 4)
+    val b = Graphs.labelPropagation(
+        nodes.toDF("node").repartition(17), "node",
+        edges.toDF("src", "dst").repartition(13), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

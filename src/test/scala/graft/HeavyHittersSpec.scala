@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MisraGriesAgg
+import graft.pipeline.HeavyHitters
+
+/** Misra–Gries sketch + exact sketch-then-verify heavy hitters (q188). */
+class HeavyHittersSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def sketchOf(items: Seq[String], k: Int, parts: Int = 4) =
+    items.toDF("item").repartition(parts)
+      .agg(MisraGriesAgg(col("item"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.lb"))
+      .as[(String, Long)].collect().toMap
+
+  test("sketch guarantee: every item above n/(k+1) survives, estimates are lower bounds") {
+    // 1000 items: "hot" ×400, "warm" ×150, 450 singletons
+    val items = Seq.fill(400)("hot") ++ Seq.fill(150)("warm") ++
+      (0 until 450).map(i => s"u$i")
+    val k = 5
+    val sk = sketchOf(scala.util.Random.shuffle(items), k)
+    assert(sk.size <= k)
+    // n/(k+1) = 166.7 → "hot" guaranteed; estimate within the slack
+    assert(sk.contains("hot"))
+    assert(sk("hot") <= 400L && sk("hot") >= 400L - 1000L / (k + 1))
+    sk.foreach { case (item, lb) =>
+      val truth = items.count(_ == item).toLong
+      assert(lb <= truth, s"$item lb=$lb > truth=$truth")
+    }
+  }
+
+  test("update-path decrement: vocabulary larger than k never overflows the buffer") {
+    val items = (0 until 200).flatMap(i => Seq.fill(i % 7 + 1)(s"t${i % 40}"))
+    val sk = sketchOf(items, k = 3, parts = 1)
+    assert(sk.size <= 3)
+  }
+
+  test("exact(): output is the true heavy-hitter set with exact counts, any partitioning") {
+    val items = Seq.fill(300)("a") ++ Seq.fill(200)("b") ++ Seq.fill(90)("c") ++
+      (0 until 410).map(i => s"u${i % 205}") // 205 keys ×2
+    // n=1000, k=9 → threshold n/(k+1)=100: {a, b} qualify, c (90) does not
+    val expected = Map("a" -> 300L, "b" -> 200L)
+    for (parts <- Seq(1, 3, 16)) {
+      val got = HeavyHitters
+        .exact(items.toDF("x").repartition(parts), col("x"), k = 9)
+        .select("item", "cnt").as[(String, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("exact(): share_ppm is the floor ppm; nulls ignored; empty frame yields no rows") {
+    val df = (Seq.fill(7)(Some("x")) ++ Seq.fill(2)(Some("y")) ++ Seq(None))
+      .toDF("x")
+    val got = HeavyHitters.exact(df, col("x"), k = 2)
+      .as[(String, Long, Long)].collect()
+    // n=9 non-null; threshold 9/3=3 → only x (7). ppm = 7*1e6 div 9
+    assert(got.toSeq == Seq(("x", 7L, 777777L)))
+    assert(HeavyHitters.exact(Seq.empty[String].toDF("x"), col("x"), 4)
+      .count() == 0L)
+  }
+
+  test("merge trim keeps the k largest survivors and stays a lower bound") {
+    // two partitions with disjoint-ish vocabularies force a merge trim
+    val p1 = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c")
+    val p2 = Seq.fill(45)("d") ++ Seq.fill(35)("e") ++ Seq.fill(25)("a")
+    val df = p1.map(("l", _)).toDF("p", "item")
+      .union(p2.map(("r", _)).toDF("p", "item"))
+      .repartition(2, col("p"))
+    val sk = df.agg(MisraGriesAgg(col("item"), 3).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.lb")).as[(String, Long)].collect().toMap
+    assert(sk.size <= 3)
+    val truth = Map("a" -> 75L, "b" -> 30L, "c" -> 20L, "d" -> 45L, "e" -> 35L)
+    sk.foreach { case (i, lb) => assert(lb <= truth(i)) }
+    assert(sk.contains("a")) // 75 > 205/4 → guaranteed
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Incremental
+
+/** Incremental MV maintenance (q190): fold-of-batches == full recompute. */
+class IncrementalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val keys = Seq("k")
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "cnt", "sum_v", "min_v", "max_v", "mean_floor")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+
+  test("k-batch fold equals full recompute, in any batch order") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      (s"k${rng.nextInt(9)}", rng.nextInt(10000).toLong - 3000L))
+    val full = rows.toDF("k", "v")
+    val batches = rows.grouped(137).map(_.toDF("k", "v")).toSeq
+    val expected = canon(Incremental.refresh(Seq(full), keys, "v"))
+    assert(canon(Incremental.refresh(batches, keys, "v")) == expected)
+    assert(canon(Incremental.refresh(batches.reverse, keys, "v")) == expected)
+  }
+
+  test("merge is associative: ((a+b)+c) == (a+(b+c))") {
+    val mk = (s: Seq[(String, Long)]) => Incremental.state(s.toDF("k", "v"), keys, "v")
+    val a = mk(Seq("x" -> 1L, "y" -> 5L))
+    val b = mk(Seq("x" -> 3L, "z" -> -2L))
+    val c = mk(Seq("y" -> 7L, "x" -> -1L))
+    val l = canon(Incremental.finish(
+      Incremental.merge(Incremental.merge(a, b, keys), c, keys)))
+    val r = canon(Incremental.finish(
+      Incremental.merge(a, Incremental.merge(b, c, keys), keys)))
+    assert(l == r)
+  }
+
+  test("empty batch is the identity; null measures count as absent") {
+    val a = Incremental.state(Seq("x" -> 4L, "x" -> 6L).toDF("k", "v"), keys, "v")
+    val empty = Incremental.state(Seq.empty[(String, Long)].toDF("k", "v"), keys, "v")
+    assert(canon(Incremental.finish(Incremental.merge(a, empty, keys))) ==
+      canon(Incremental.finish(a)))
+    val withNulls = Seq(("x", Some(4L)), ("x", None), ("y", None))
+      .toDF("k", "v")
+    val st = canon(Incremental.finish(Incremental.state(withNulls, keys, "v")))
+    assert(st == Seq(
+      ("x", 1L, Some(4L), Some(4L), Some(4L), Some(4L)),
+      ("y", 0L, None, None, None, None)))
+  }
+
+  test("mean_floor is exact floor division, negatives included") {
+    val st = Incremental.refresh(
+      Seq(Seq("a" -> -7L, "a" -> 2L).toDF("k", "v")), keys, "v")
+    // sum -5, cnt 2 → Spark `div` truncates toward zero: -5 div 2 = -2
+    assert(canon(st) == Seq(("a", 2L, Some(-5L), Some(-7L), Some(2L), Some(-2L))))
+  }
+}
