@@ -44,7 +44,13 @@ object BenchScale {
     "q130_dsir", "q135_minhash_index",
     "q140_curation_chain", "q142_line_dedup", "q143_kneser_ney",
     "q148_fuzzy_decontaminate", "q154_event_mixing",
-    "q161_dense_hist_30k", "q162_ivfpq_residual")
+    "q161_dense_hist_30k", "q162_ivfpq_residual",
+    // r12 shapes: blocked fuzzy join, iterative graph rounds, k·n
+    // coreset scans, posting-list intersection joins, component splits,
+    // sketch+verify double pass
+    "q177_entity_resolution", "q178_pagerank", "q184_kcenter_coreset",
+    "q185_phrase_search", "q186_leakage_safe_split", "q188_heavy_hitters",
+    "q189_label_prop")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -154,4 +154,63 @@ object Graphs {
       labels
     } finally { e.unpersist(false); () }
   }
+
+  /** Exact per-node triangle counts — the clustering/link-farm signal
+    * (a crawl ring advertises itself as abnormally triangle-dense;
+    * legitimate topical hubs are wedge-heavy but triangle-sparse).
+    * Algorithm: degree-ordered orientation (Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW
+    * 2011): orient every undirected edge from the smaller to the
+    * larger endpoint under the total order (degree, id); then each
+    * triangle has EXACTLY one apex with both edges outgoing, so one
+    * self-join of the oriented list on the apex plus one closing-edge
+    * semi-join counts each triangle once.
+    *
+    * Why that survives 100 TB where the naive adjacency self-join
+    * dies: wedge volume is Σ outdeg², and orientation caps outdeg at
+    * O(√m) even for celebrity nodes (the "last reducer" fix) — the
+    * wedge join is the only superlinear term and it is bounded by
+    * m^1.5 with NO skewed key. Returns (node, n_tri) for every node
+    * in `nodes` (0 for triangle-free). */
+  def triangles(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    // canonical undirected edge set: a < b, deduped
+    val und = dir0
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist()
+    try {
+      val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      // orient by (deg, id): u → v when (deg_u, u) < (deg_v, v)
+      val withDeg = und
+        .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), Seq("a"))
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .localCheckpoint(true) // computed once; wedge join reads it twice
+      val e1 = oriented.select(col("u"), col("v").as("v1"))
+      val e2 = oriented.select(col("u"), col("v").as("v2"))
+      val wedges = e1.join(e2, Seq("u")).filter(col("v1") < col("v2"))
+      // closing edge lives in the canonical set as (min, max) = (v1, v2)
+      val tri = wedges.join(und,
+        wedges("v1") === und("a") && wedges("v2") === und("b"))
+        .select(col("u"), col("v1"), col("v2"))
+      val perNode = tri.select(col("u").as("n"))
+        .unionAll(tri.select(col("v1").as("n")))
+        .unionAll(tri.select(col("v2").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("n_tri"))
+      val out = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+        .join(perNode, col("node") === col("n"), "left")
+        .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      // materialize before unpersisting the inputs in the finally block
+      out.localCheckpoint(true)
+    } finally { und.unpersist(false); () }
+  }
 }

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Differentially-private release of corpus statistics — the
+  * counterpart to redaction: redaction scrubs PII from the DATA,
+  * while aggregate releases (per-source counts, marginals shared
+  * outside the pipeline boundary) still leak membership unless
+  * noised. The release mechanism is the discrete Laplace (two-sided
+  * geometric) mechanism of Ghosh-Roughgarden-Sundararajan 2009, the
+  * standard integer mechanism for counting queries at sensitivity 1,
+  * TRUNCATED to a bounded support [-B, B] so it is expressible as a
+  * finite threshold table.
+  *
+  * Engineering shape: the noise CDF is precomputed at plan-build time
+  * into 2B+1 integer thresholds on a 2^60 grid (plain literals — the
+  * only transcendental, exp(-ε), runs in the driver, never in the
+  * plan), and sampling is one uniform draw compared against the
+  * threshold chain — a codegen'd CASE ladder, map-only over the
+  * |keys|-bounded aggregate, zero extra shuffles at any corpus size.
+  *
+  * Determinism seam (same contract as correctionlib's `hashprng`):
+  * the uniform is a portable 60-bit md5 hash of a caller-supplied
+  * seed column — here the release key, which makes every draw
+  * bit-replayable by an external engine (the oracle) and CONSISTENT
+  * across re-releases of the same key. A production deployment MUST
+  * fold a secret salt into the seed (the `stream`/salt argument);
+  * with a public seed the mechanism's distribution is Laplace but an
+  * adversary who knows the salt can subtract the noise. Truncation
+  * folds the tail mass (≈ p^(B+1)·2/(1+p), e.g. ~4e-5 at ε=0.5,
+  * B=20) onto ±B; account it as a δ term or enlarge B.
+  */
+object Privacy {
+
+  /** 2^60 — the uniform grid of [[TextAnalysis.portableHash]]. */
+  private val Grid: Long = 1L << 60
+
+  /** Cumulative thresholds for the truncated discrete Laplace with
+    * P(x) ∝ exp(-ε|x|), x ∈ [-b, b]: ascending (x, t) with the final
+    * threshold pinned to the full grid. A 60-bit uniform u maps to
+    * the first x with u < t. */
+  private[graft] def dlapThresholds(eps: Double, b: Int): Seq[(Int, Long)] = {
+    require(eps > 0 && b >= 1 && b <= 64, "need eps > 0, 1 <= trunc <= 64")
+    val p = math.exp(-eps)
+    val xs = -b to b
+    val w = xs.map(x => math.pow(p, math.abs(x)))
+    val total = w.sum
+    var cum = 0.0
+    val raw = xs.zip(w).map { case (x, wx) =>
+      cum += wx
+      (x, math.min(Grid, math.round(cum / total * Grid.toDouble)))
+    }
+    raw.init :+ (b, Grid)
+  }
+
+  /** Noise draw from a 60-bit uniform column (e.g.
+    * [[TextAnalysis.portableHash]]): integer in [-trunc, trunc]. */
+  def dlapFromUniform(u: Column, eps: Double, trunc: Int): Column = {
+    val th = dlapThresholds(eps, trunc)
+    th.init.foldRight(lit(th.last._1.toLong): Column) { case ((x, t), els) =>
+      when(u < lit(t), lit(x.toLong)).otherwise(els)
+    }
+  }
+
+  /** DuckDB twin of [[dlapFromUniform]] over a bound uniform
+    * expression — same driver-computed thresholds, so the two engines
+    * compare the identical literals. */
+  def dlapSqlFromUniform(uExpr: String, eps: Double, trunc: Int): String = {
+    val th = dlapThresholds(eps, trunc)
+    th.init.foldRight(s"CAST(${th.last._1} AS BIGINT)") { case ((x, t), els) =>
+      s"CASE WHEN $uExpr < $t THEN CAST($x AS BIGINT) ELSE $els END"
+    }
+  }
+
+  /** ε-DP released counts per key: group, count, add one discrete-
+    * Laplace draw seeded by (key, stream), clamp at 0 (post-
+    * processing), and suppress cells whose NOISED count falls below
+    * `releaseMin` (thresholding on the noised value is itself
+    * post-processing — thresholding on the true count would leak).
+    * One shuffle (the count), then map-only. Output: (key,
+    * noised_cnt). */
+  def noisedCounts(df: DataFrame, keyCol: Column, eps: Double,
+      trunc: Int = 20, stream: Int = 0, releaseMin: Long = 0L): DataFrame =
+    df.select(keyCol.cast("string").as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .select(col("key"),
+        greatest(lit(0L), col("true_cnt") +
+          dlapFromUniform(
+            TextAnalysis.portableHash(col("key"), lit(stream)), eps, trunc))
+          .as("noised_cnt"))
+      .filter(col("noised_cnt") >= releaseMin)
+}

@@ -680,18 +680,42 @@ object CurationQueries extends QueryPack {
 
     Query(
       "q188_heavy_hitters",
-      "EXACT heavy hitters at sketch cost — the sketch-then-verify pattern: a Misra-Gries pass (custom TypedImperativeAggregate; <=k-entry mergeable buffers, shuffle volume independent of corpus size AND vocabulary, unlike groupBy(tok).count which shuffles the whole vocabulary at 100 TB) nominates candidates, then an exact recount restricted to those <=k candidates (broadcast join + <=k-key aggregate) verifies. Every token with true count > n/(k+1) is GUARANTEED a sketch entry under any merge order (Agarwal et al., Mergeable Summaries, PODS 2012), so the verified output {count*(k+1) > n} is exact and partition-invariant even though sketch contents are not. k=28 < the 31-token vocabulary, so merge trimming is genuinely exercised. The oracle never sees the sketch — it is the definition itself, a plain GROUP BY ... HAVING.",
+      "EXACT heavy hitters at sketch cost — the sketch-then-verify pattern: a Misra-Gries pass (custom TypedImperativeAggregate; <=k-entry mergeable buffers, shuffle volume independent of corpus size AND vocabulary, unlike groupBy(tok).count which shuffles the whole vocabulary at 100 TB) nominates candidates, then an exact recount restricted to those <=k candidates (broadcast join + <=k-key aggregate) verifies. Every token with true count > n/(k+1) is GUARANTEED a sketch entry under any merge order (Agarwal et al., Mergeable Summaries, PODS 2012), so the verified output {count*(k+1) > n} is exact and partition-invariant even though sketch contents are not. k=30 < the 31-token vocabulary, so buffer eviction/trimming stays live (HeavyHittersSpec exercises heavy trims at k=3..9). The oracle never sees the sketch — it is the definition itself, a plain GROUP BY ... HAVING.",
       (s, dir) => {
         val toks = Tables.documents(s, dir)
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        HeavyHitters.exact(toks, col("tok"), k = 28)
+        HeavyHitters.exact(toks, col("tok"), k = 30)
       },
       Some(s"""WITH t AS (SELECT unnest($toksSql) AS item FROM documents),
               |n AS (SELECT count(*) AS n_total FROM t)
               |SELECT item, CAST(count(*) AS BIGINT) AS cnt,
               |  CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm
               |FROM t, n GROUP BY item, n_total
-              |HAVING count(*) * 29 > n_total""".stripMargin)),
+              |HAVING count(*) * 31 > n_total""".stripMargin)),
+
+    Query(
+      "q191_dp_release",
+      "Differentially-private marginal release (Ghosh-Roughgarden-Sundararajan 2009 discrete Laplace, truncated to [-20,20]): per-(source, length-bucket) doc counts + one integer Laplace draw at eps=0.5, clamped at 0, cells released only when the NOISED count clears 3 (thresholding on the noised value is post-processing; on the true value it would leak). The noise CDF precomputes at plan build into 41 integer thresholds on the 2^60 grid — exp() runs in the driver, never the plan — and sampling is a codegen'd CASE ladder over ONE portable-md5 uniform, map-only after the |cells|-bounded count. The seed is the cell key (the hashprng determinism seam: bit-replayable by the oracle; production folds in a secret salt via `stream`). Oracle: identical literals, identical ladder, bound uniform in a CTE.",
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir)
+          .select(concat(col("source"), lit(":"),
+            expr("length(text) div 100").cast("string")).as("cell"))
+        graft.pipeline.Privacy
+          .noisedCounts(keyed, col("cell"), eps = 0.5, trunc = 20,
+            stream = 7, releaseMin = 3L)
+          .withColumnRenamed("key", "cell")
+      },
+      Some {
+        val ladder = graft.pipeline.Privacy.dlapSqlFromUniform("u", 0.5, 20)
+        val uhash = graft.pipeline.TextAnalysis.portableHashSql("key", "7")
+        s"""WITH g AS (SELECT source || ':' || CAST(length(text) // 100 AS VARCHAR) AS key,
+           |  count(*) AS true_cnt FROM documents GROUP BY 1),
+           |b AS (SELECT key, true_cnt, $uhash AS u FROM g),
+           |r AS (SELECT key AS cell,
+           |  greatest(CAST(0 AS BIGINT), true_cnt + ($ladder)) AS noised_cnt FROM b)
+           |SELECT cell, CAST(noised_cnt AS BIGINT) AS noised_cnt
+           |FROM r WHERE noised_cnt >= 3""".stripMargin
+      }),
 
     Query(
       "q110_tfidf",

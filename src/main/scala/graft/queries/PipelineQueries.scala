@@ -1293,7 +1293,44 @@ object PipelineQueries extends QueryPack {
            |SELECT lab AS comm, CAST(count(*) AS BIGINT) AS n_nodes,
            |  CAST(sum(node) AS BIGINT) AS sum_node
            |FROM l$iters GROUP BY 1""".stripMargin
-      })
+      }),
+
+    Query(
+      "q194_triangles",
+      "Exact per-node triangle counts by degree-ordered orientation (Suri & Vassilvitskii, WWW 2011 — the link-farm/clustering signal: crawl rings are triangle-dense, legitimate hubs are wedge-heavy but triangle-sparse): orient each undirected edge from the smaller endpoint under the (degree, id) total order, so every triangle has exactly ONE apex with both edges outgoing — one oriented self-join + one closing-edge join counts each triangle once, and orientation caps out-degree at O(sqrt(m)) so wedge volume is bounded m^1.5 with no skewed key (the 'last reducer' fix the naive adjacency self-join lacks). Graph: 50-node blocks with ring + skip-2 + x7 chord intra-block edges and a cross edge per 37th node (620 triangles, every node in >= 1). Per source: triangle-count sum and max. The oracle is an INDEPENDENT formulation — id-ordered triple join, no degrees anywhere.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val e = docs.select($"doc_id".as("src"), (base + (idx + 1) % 50).as("dst"))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx + 2) % 50).as("dst")))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx * 7 + 3) % 50).as("dst")))
+          .unionByName(docs.filter($"doc_id" % 37 === 0)
+            .select($"doc_id".as("src"), (($"doc_id" + 50) % n).as("dst")))
+        graft.pipeline.Graphs.triangles(docs.select($"doc_id"), "doc_id", e, "src", "dst")
+          .join(docs, col("node") === $"doc_id")
+          .groupBy($"source")
+          .agg(sum($"n_tri").as("sum_tri"), max($"n_tri").as("max_tri"))
+      },
+      Some("""WITH nodes AS (SELECT doc_id AS node FROM documents),
+             |cnt AS (SELECT count(*) AS n FROM nodes),
+             |d AS (SELECT src, dst FROM (
+             |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 50 AS dst FROM documents
+             |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 2) % 50 FROM documents
+             |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) * 7 + 3) % 50 FROM documents
+             |  UNION SELECT doc_id, (doc_id + 50) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 37 = 0
+             |) WHERE src != dst),
+             |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM d GROUP BY 1, 2),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+             |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+             |per AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+             |pc AS (SELECT n, count(*) AS c FROM per GROUP BY 1),
+             |f AS (SELECT node, coalesce(c, 0) AS c FROM nodes LEFT JOIN pc ON node = n)
+             |SELECT d2.source, CAST(sum(c) AS BIGINT) AS sum_tri, CAST(max(c) AS BIGINT) AS max_tri
+             |FROM f JOIN documents d2 ON f.node = d2.doc_id GROUP BY 1""".stripMargin))
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

@@ -385,6 +385,69 @@ object Relational extends QueryPack {
              |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_v,
              |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_v,
              |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // count(*) AS BIGINT) AS mean_floor
-             |FROM orders GROUP BY 1""".stripMargin))
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q192_exact_quantiles",
+      "EXACT distributed quantiles (p25/p50/p75/p90/p99 of cents-quantized extendedprice) by value-domain binary search — the selection algorithm with neither a global sort (full-corpus shuffle) nor a per-group collect (percentile's memory ∝ rows) nor a sketch (approx_percentile is wrong by design for an exact gate): every round ONE map-side partial-aggregated pass over a persisted single-column projection evaluates count(x <= mid) for ALL unconverged quantiles at once, so the whole answer costs ceil(log2(domain)) ~ 24 cheap scans however many quantiles are asked. Definition pinned to DuckDB's quantile_disc (the ceil(q*n)-th smallest, measured — the oracle is exactly that function, a genuinely independent implementation).",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select(cents($"l_extendedprice").as("c"))
+        graft.pipeline.Quantiles
+          .exactQuantiles(li, "c", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+          .map { case (q, v) => (math.round(q * 100), v) }
+          .toDF("q_pct", "value")
+      },
+      Some(Seq(0.25, 0.5, 0.75, 0.9, 0.99).map { q =>
+        s"""SELECT CAST(${math.round(q * 100)} AS BIGINT) AS q_pct,
+           |  CAST(quantile_disc(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), $q) AS BIGINT) AS value
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+
+    Query(
+      "q193_group_median",
+      "Per-group EXACT median (cents-quantized totalprice by order priority) via grouped value-domain binary search: every group keeps its own (lo,hi] bracket in a |groups|-bounded driver table (codebook-sized, never corpus-sized), each round broadcast-joins the current mids and ONE partial-aggregated groupBy evaluates every group's count(x <= mid) at once — converged groups drop out. ceil(log2(widest domain)) passes TOTAL for any number of groups, where a per-group sort would shuffle the corpus and percentile() would buffer whole groups in executor memory. Same ceil(q*n)-th-smallest definition as q192; the oracle is DuckDB's own grouped quantile_disc.",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderpriority"), cents(col("o_totalprice")).as("c"))
+        graft.pipeline.Quantiles
+          .exactGroupQuantile(orders, "o_orderpriority", "c", q = 0.5)
+          .withColumnRenamed("k", "o_orderpriority")
+          .withColumnRenamed("value", "median_c")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.5) AS BIGINT) AS median_c
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q195_robust_outliers",
+      "Robust per-group outlier gate (median + MAD — the data-quality filter that, unlike mean/stddev z-scores, the outliers themselves cannot drag): per priority, EXACT median via grouped domain binary search (q193's primitive), exact MAD as a SECOND grouped search over |x - median(g)| (the median broadcasts back, map-only), then one conditional-count pass flags |x - med| > 2*MAD. Three bounded-driver-state passes total, no sort, no per-group buffering — composability is the point: the selection primitive chains into a full robust gate without any new shuffle machinery. Oracle: DuckDB's grouped quantile_disc twice plus the same count.",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderpriority"), cents(col("o_totalprice")).as("c"))
+        val med = graft.pipeline.Quantiles
+          .exactGroupQuantile(orders, "o_orderpriority", "c", 0.5)
+          .withColumnRenamed("k", "o_orderpriority")
+          .withColumnRenamed("value", "median_c")
+        val dev = orders.join(broadcast(med), Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("median_c"),
+            abs(col("c") - col("median_c")).as("dv"))
+        val mad = graft.pipeline.Quantiles
+          .exactGroupQuantile(dev, "o_orderpriority", "dv", 0.5)
+          .withColumnRenamed("k", "o_orderpriority")
+          .withColumnRenamed("value", "mad_c")
+        dev.join(broadcast(mad), Seq("o_orderpriority"))
+          .groupBy(col("o_orderpriority"))
+          .agg(min(col("median_c")).as("median_c"), min(col("mad_c")).as("mad_c"),
+            sum(when(col("dv") > lit(2L) * col("mad_c"), 1L).otherwise(0L)).as("n_outliers"))
+      },
+      Some("""WITH c AS (SELECT o_orderpriority AS p, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+             |m AS (SELECT p, quantile_disc(c, 0.5) AS med FROM c GROUP BY 1),
+             |d AS (SELECT c.p, m.med, abs(c.c - m.med) AS dv FROM c JOIN m ON c.p = m.p),
+             |md AS (SELECT p, quantile_disc(dv, 0.5) AS mad FROM d GROUP BY 1)
+             |SELECT d.p AS o_orderpriority, CAST(min(d.med) AS BIGINT) AS median_c,
+             |  CAST(min(md.mad) AS BIGINT) AS mad_c,
+             |  CAST(sum(CASE WHEN d.dv > 2 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN md ON d.p = md.p GROUP BY 1""".stripMargin))
   )
 }

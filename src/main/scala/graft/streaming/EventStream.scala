@@ -66,6 +66,66 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(fn)
   }
 
+  final case class FunnelEv(user_id: Long, ts_ms: Long, event_id: Long, event_type: String)
+  final case class FunnelSt(mTs: Long, mId: Long, at: List[Long])
+  final case class FunnelReach(user_id: Long, depth: Int, at: Seq[Long])
+
+  /** Streaming twin of [[graft.pipeline.Funnel.reach]]: the greedy
+    * ordered-step state machine as per-user `flatMapGroupsWithState`
+    * state — (last matched (ts, id), reach times), updated in (ts, id)
+    * order within each micro-batch, emitting the user's current depth
+    * per batch (Update mode) and evicting idle users on a
+    * processing-time timeout (the [[sessionize]] boundedness
+    * contract).
+    *
+    * Equality contract: identical to the batch greedy walk whenever
+    * micro-batch boundaries respect event order (every event in batch
+    * i+1 sorts after batch i's events for that user) — greedy over
+    * the concatenation then equals greedy over the global sort
+    * (FunnelSpec). A late event that sorts before the last MATCHED
+    * step arrives too late to flip an already-taken greedy decision
+    * and is ignored — streaming funnels are irrevocable by nature;
+    * the batch operator is the reconciliation pass.
+    *
+    * `idleTimeout = None` disables eviction (NoTimeout) — for tests
+    * and bounded-key replays; note ProcessingTimeTimeout makes Spark
+    * schedule no-data batches every trigger to fire timeouts, which
+    * under the default as-fast-as-possible trigger busy-loops a test
+    * harness that waits on processAllAvailable. */
+  def funnelStream(events: Dataset[FunnelEv], steps: Seq[String],
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[FunnelReach] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val stepArr = steps.toIndexedSeq
+    def fn(userId: Long, evs: Iterator[FunnelEv],
+        state: GroupState[FunnelSt]): Iterator[FunnelReach] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(FunnelReach(userId, st.at.size, st.at))
+      } else {
+        var st = state.getOption.getOrElse(FunnelSt(Long.MinValue, Long.MinValue, Nil))
+        val sorted = evs.toSeq
+          .filter(e => stepArr.contains(e.event_type))
+          .sortBy(e => (e.ts_ms, e.event_id))
+        for (e <- sorted) {
+          val depth = st.at.size
+          val after = e.ts_ms > st.mTs || (e.ts_ms == st.mTs && e.event_id > st.mId)
+          if (depth < stepArr.size && after && e.event_type == stepArr(depth))
+            st = FunnelSt(e.ts_ms, e.event_id, st.at :+ e.ts_ms)
+        }
+        state.update(st)
+        idleTimeout.foreach(state.setTimeoutDuration)
+        Iterator.single(FunnelReach(userId, st.at.size, st.at))
+      }
+    }
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fn)
+  }
+
   /** Streaming ingestion dedup on the normalized content fingerprint —
     * the streaming twin of the batch exact-dedup pass (q52): documents
     * whose [[graft.pipeline.TextAnalysis.normalizeText]] fingerprints

@@ -69,4 +69,41 @@ class FunnelSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(base == rep && base.head._3 == 50L)
   }
+
+  test("funnelStream over in-order micro-batches equals the batch greedy walk") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.FunnelEv
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[FunnelEv]
+    // NoTimeout: ProcessingTimeTimeout would schedule no-data batches
+    // every (default 0ms) trigger and processAllAvailable never settles
+    val q = EventStream.funnelStream(src.toDS(), steps, idleTimeout = None)
+      .writeStream.format("memory").queryName("funnel_out").outputMode("update").start()
+    val batch1 = Seq(
+      FunnelEv(1L, 10L, 1L, "view"), FunnelEv(1L, 20L, 2L, "purchase"),
+      FunnelEv(2L, 10L, 3L, "view"), FunnelEv(2L, 15L, 4L, "signup"))
+    val batch2 = Seq(
+      FunnelEv(1L, 30L, 5L, "click"), FunnelEv(1L, 40L, 6L, "purchase"),
+      FunnelEv(2L, 50L, 7L, "click"))
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+      // latest Update-mode row per user
+      val got = spark.table("funnel_out")
+        .groupBy("user_id").agg(max(struct(col("depth"), col("at"))).as("b"))
+        .select(col("user_id"), col("b.at"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val batchRes = Funnel.reach(
+        (batch1 ++ batch2).map(e => (e.user_id, e.ts_ms, e.event_id, e.event_type))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "event_type", "ts", "event_id", steps)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got == batchRes)
+      assert(got(1L) == Seq(10L, 30L, 40L))
+      assert(got(2L) == Seq(10L, 50L))
+    } finally q.stop()
+  }
 }

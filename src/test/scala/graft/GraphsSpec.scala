@@ -88,6 +88,44 @@ class GraphsSpec extends AnyFunSuite {
     assert(base == noisy, s"$base vs $noisy")
   }
 
+  private def triOf(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graphs.triangles(nodes.toDF("node"), "node",
+        edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangles: K4 has 4 triangles, 3 per node; stars have none") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(triOf(0L to 3L, k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(triOf(0L to 5L, star).values.forall(_ == 0L))
+  }
+
+  test("triangles: pendant nodes count zero; dup/reversed/self edges are hygiene'd") {
+    val clean = triOf(0L to 3L, Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L)))
+    assert(clean == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L))
+    val noisy = triOf(0L to 3L,
+      Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 0L), (0L, 3L), (3L, 3L), (2L, 0L)))
+    assert(noisy == clean)
+  }
+
+  test("triangles: matches brute force on a random graph (skewed hub included)") {
+    val rng = new scala.util.Random(23)
+    val nodes = (0L until 40L)
+    val rand = (0 until 180).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val hub = (1L until 30L).map(i => (39L, i)) // degree-39 hub stresses orientation
+    val edges = (rand ++ hub).filter(e => e._1 != e._2)
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val brute = nodes.map { n =>
+      n -> (for {
+        a <- nodes; b <- nodes
+        if a < b && a != n && b != n
+        if und((math.min(n, a), math.max(n, a))) &&
+          und((math.min(n, b), math.max(n, b))) && und((a, b))
+      } yield 1).size.toLong
+    }.toMap
+    assert(triOf(nodes, edges) == brute)
+  }
+
   test("labelProp: partitioning does not change the result") {
     val nodes = (0L until 60L)
     val edges = nodes.flatMap(i => Seq(

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Privacy, TextAnalysis}
+
+/** Truncated discrete-Laplace DP release (q191). */
+class PrivacySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("threshold table: ascending, symmetric weights, pinned full-grid tail") {
+    val th = Privacy.dlapThresholds(0.5, 20)
+    assert(th.map(_._1) == (-20 to 20))
+    assert(th.map(_._2) == th.map(_._2).sorted)
+    assert(th.last._2 == (1L << 60))
+    // symmetry of the pmf: mass(x) == mass(-x) up to grid rounding
+    val mass = th.map(_._2).zip(0L +: th.map(_._2).init).map { case (a, b) => a - b }
+    val m = mass.toIndexedSeq
+    (0 until 20).foreach { i =>
+      assert(math.abs(m(i) - m(m.size - 1 - i)) <= (1L << 14), s"asym at $i")
+    }
+  }
+
+  test("ladder draw: grid edges map to the extremes; median maps to 0") {
+    def draw(u: Long) = Seq(u).toDF("u")
+      .select(Privacy.dlapFromUniform(col("u"), 0.5, 20).as("x"))
+      .head().getLong(0)
+    assert(draw(0L) == -20L)
+    assert(draw((1L << 60) - 1L) == 20L)
+    assert(draw(1L << 59) == 0L) // median of a symmetric pmf
+  }
+
+  test("empirical distribution over many keys tracks the pmf") {
+    val n = 20000
+    val draws = (0 until n).map(i => s"key$i").toDF("k")
+      .select(Privacy.dlapFromUniform(
+        TextAnalysis.portableHash(col("k"), lit(3)), 0.5, 8).as("x"))
+      .groupBy("x").count().as[(Long, Long)].collect().toMap
+    val p = math.exp(-0.5)
+    val total = (-8 to 8).map(x => math.pow(p, math.abs(x))).sum
+    (-2 to 2).foreach { x =>
+      val expect = math.pow(p, math.abs(x)) / total * n
+      val got = draws.getOrElse(x.toLong, 0L).toDouble
+      assert(math.abs(got - expect) < expect * 0.15 + 30,
+        s"x=$x got=$got expect=$expect")
+    }
+  }
+
+  test("noisedCounts: deterministic, clamped at 0, noisy-threshold suppression") {
+    val df = (Seq.fill(40)("big") ++ Seq.fill(2)("tiny")).toDF("k")
+    val a = Privacy.noisedCounts(df, col("k"), eps = 0.5, stream = 7)
+      .as[(String, Long)].collect().toMap
+    val b = Privacy.noisedCounts(df.repartition(9), col("k"), eps = 0.5, stream = 7)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+    assert(a("big") >= 20L && a("big") <= 60L)
+    assert(a.values.forall(_ >= 0L))
+    // releaseMin drops any cell whose noised count is below the bar
+    val gated = Privacy.noisedCounts(df, col("k"), eps = 0.5, stream = 7,
+      releaseMin = 30L).as[(String, Long)].collect().toMap
+    assert(gated.keySet == a.filter(_._2 >= 30L).keySet)
+    // a different stream (salt) gives a different draw for some keys
+    val salted = (0 until 200).map(i => s"k$i").toDF("k")
+    val s0 = Privacy.noisedCounts(salted, col("k"), 0.5, stream = 1)
+      .as[(String, Long)].collect().toMap
+    val s1 = Privacy.noisedCounts(salted, col("k"), 0.5, stream = 2)
+      .as[(String, Long)].collect().toMap
+    assert(s0 != s1)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Quantiles
+
+/** Exact distributed quantiles by domain binary search (q192). */
+class QuantilesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def brute(xs: Seq[Long], q: Double): Long = {
+    val s = xs.sorted
+    s(math.max(1, math.ceil(q * xs.size).toInt) - 1)
+  }
+
+  test("matches the ceil(q·n)-th smallest on random data, duplicates included") {
+    val rng = new scala.util.Random(11)
+    val xs = Seq.fill(997)(rng.nextInt(500).toLong - 100L)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = Quantiles.exactQuantiles(xs.toDF("v").repartition(7), "v", qs)
+    assert(got == qs.map(q => (q, brute(xs, q))))
+  }
+
+  test("tiny edge cases: single value, all-equal, two values") {
+    assert(Quantiles.exactQuantiles(Seq(42L).toDF("v"), "v", Seq(0.5, 1.0)) ==
+      Seq(0.5 -> 42L, 1.0 -> 42L))
+    assert(Quantiles.exactQuantiles(Seq.fill(9)(7L).toDF("v"), "v", Seq(0.25)) ==
+      Seq(0.25 -> 7L))
+    // n=2: q=0.5 → ceil(1)=1st; q=0.51 → ceil(1.02)=2nd
+    assert(Quantiles.exactQuantiles(Seq(1L, 5L).toDF("v"), "v", Seq(0.5, 0.51)) ==
+      Seq(0.5 -> 1L, 0.51 -> 5L))
+  }
+
+  test("nulls are ignored; empty input yields empty output") {
+    val withNulls = Seq(Some(10L), None, Some(20L), None, Some(30L)).toDF("v")
+    assert(Quantiles.exactQuantiles(withNulls, "v", Seq(0.5)) == Seq(0.5 -> 20L))
+    assert(Quantiles.exactQuantiles(Seq.empty[Long].toDF("v"), "v", Seq(0.5)).isEmpty)
+  }
+
+  test("negative domains and extreme spreads converge") {
+    val xs = Seq(Long.MinValue / 4, -5L, 0L, 3L, Long.MaxValue / 4)
+    val got = Quantiles.exactQuantiles(xs.toDF("v"), "v", Seq(0.2, 0.6, 1.0))
+    assert(got == Seq(0.2 -> xs.sorted.head, 0.6 -> 0L, 1.0 -> xs.max))
+  }
+
+  test("grouped median matches the per-group brute force, uneven group sizes") {
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 800).map { i =>
+      val g = s"g${i % 7}"
+      (g, rng.nextInt(1 + i % 7 * 300).toLong - 50L)
+    } ++ Seq(("solo", 99L)) // 1-element group
+    val got = Quantiles
+      .exactGroupQuantile(rows.toDF("k", "v").repartition(9), "k", "v", 0.5)
+      .as[(String, Long)].collect().toMap
+    val want = rows.groupBy(_._1).map { case (k, g) => k -> brute(g.map(_._2), 0.5) }
+    assert(got == want)
+  }
+}
