@@ -448,6 +448,57 @@ object Relational extends QueryPack {
              |SELECT d.p AS o_orderpriority, CAST(min(d.med) AS BIGINT) AS median_c,
              |  CAST(min(md.mad) AS BIGINT) AS mad_c,
              |  CAST(sum(CASE WHEN d.dv > 2 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-             |FROM d JOIN md ON d.p = md.p GROUP BY 1""".stripMargin))
+             |FROM d JOIN md ON d.p = md.p GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q199_cohort_retention",
+      "Cohort retention matrix (the product-analytics staple): users are cohorted by their FIRST activity day, then each (cohort day, day offset) cell counts distinct returning users. Plan: ONE corpus shuffle total — the per-user window (min day) hash-partitions by user_id, and both the (user, day) dedup and its partial aggregate reuse that exchange because HashPartitioning(user_id) satisfies any clustering that includes user_id; the final (cohort, offset) aggregate is calendar-bounded (days x offsets), shuffle-free in volume terms. Day ids via integer `div` on exact nanos — a double division loses sub-us bits above 2^53 and could flip a day boundary.",
+      (s, dir) => {
+        import s.implicits._
+        val dayNs = 86400000000000L
+        val e = Tables.events(s, dir)
+          .select($"user_id", expr(s"ts div ${dayNs}L").as("d"))
+        val w = Window.partitionBy($"user_id")
+        e.withColumn("cohort_day", min($"d").over(w))
+          .dropDuplicates("user_id", "d", "cohort_day")
+          .groupBy($"cohort_day", ($"d" - $"cohort_day").as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH e AS (SELECT user_id, (epoch_us(ts) * 1000) // 86400000000000 AS d FROM events),
+             |f AS (SELECT user_id, min(d) AS cd FROM e GROUP BY 1),
+             |u AS (SELECT DISTINCT e.user_id, e.d, f.cd FROM e JOIN f ON e.user_id = f.user_id)
+             |SELECT cd AS cohort_day, d - cd AS day_offset, CAST(count(*) AS BIGINT) AS n_users
+             |FROM u GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q200_cusum_changepoint",
+      "CUSUM changepoint monitor (Page 1954) over the daily event-value series — the drift alarm for ingest pipelines: one-sided upper CUSUM S_i = max(0, S_{i-1} + x_i - k - slack) flags days where the cumulative excess over target k crosses threshold h. The recursion is NOT a window function, but the exact identity S_i = C_i - min(0, running_min(C_i)) (C = cumsum of the slack-adjusted series) makes it one — two running windows over the |days|-bounded DAILY aggregate, never over the raw corpus (the single-partition window is a bounded-series window by construction; the corpus pass is one partial-aggregated groupBy(day)). Target/slack/threshold derive from the data in exact integer arithmetic (k = floor-mean of daily cents, slack = k div 100, h = k div 10), and the output is the FULL S trajectory with the alarm flag — every day's statistic is hash-checked, not just the alarm set.",
+      (s, dir) => {
+        import s.implicits._
+        val dayNs = 86400000000000L
+        val daily = Tables.events(s, dir)
+          .groupBy(expr(s"ts div ${dayNs}L").as("day"))
+          .agg(cents(sum($"value")).as("x"))
+        val params = daily.agg(expr("sum(x) div count(1)").as("k")).select(
+          $"k", expr("k div 100").as("slack"), expr("k div 10").as("h"))
+        val wo = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(params))
+          .withColumn("c", sum($"x" - $"k" - $"slack").over(wo))
+          .withColumn("s_c", $"c" - least(lit(0L), min($"c").over(wo)))
+          .select($"day", $"s_c",
+            when($"s_c" > $"h", 1L).otherwise(0L).as("alarm"))
+      },
+      Some("""WITH d AS (SELECT (epoch_us(ts) * 1000) // 86400000000000 AS day,
+             |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+             |       FROM events GROUP BY 1),
+             |p AS (SELECT sum(x) // count(*) AS k FROM d),
+             |w AS (SELECT day, x, k, k // 10 AS h,
+             |         sum(x - k - k // 100) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS c
+             |       FROM d, p)
+             |SELECT day,
+             |  CAST(c - least(0, min(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s_c,
+             |  CAST(CASE WHEN c - least(0, min(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) > h
+             |       THEN 1 ELSE 0 END AS BIGINT) AS alarm
+             |FROM w""".stripMargin))
   )
 }
