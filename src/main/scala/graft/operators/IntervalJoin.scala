@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketized interval-overlap join — the non-equi join Spark would
+  * otherwise plan as a broadcast-nested-loop (all-pairs) scan.
+  *
+  * Two intervals `[start, end]` overlap iff `a.start <= b.end AND
+  * b.start <= a.end`. Writing that as a raw theta-join gives Catalyst
+  * nothing to hash on; at scale it is a cartesian product per key. The
+  * standard fix (DB2/Postgres range types, Spark range-join hints on
+  * Databricks, GeoSpark-style grid partitioning) is BUCKETIZATION:
+  * chop the value domain into fixed-width buckets, explode each
+  * interval to the buckets it covers, equi-join on (key, bucket), and
+  * re-check the exact predicate. Candidate volume is then proportional
+  * to TRUE overlap density (+ a bucket-granularity slack factor), not
+  * to |L| x |R| — the plan survives 100 TB because both sides shuffle
+  * on (key, bucket) equality like any hash join, and AQE handles
+  * bucket skew like any other hot key.
+  *
+  * Duplicate suppression is ARITHMETIC, not a distinct: a surviving
+  * pair is emitted only from the bucket containing
+  * `max(a.start, b.start)` (the first bucket where both intervals are
+  * live), so no post-join dedup shuffle exists — the classic
+  * partition-join trick from the spatial-join literature (emit only
+  * when the reference point falls in the current cell).
+  *
+  * `sequence(start div W, end div W)` is codegen'd; intervals spanning
+  * many buckets explode to `span/W + 1` rows — pick `bucketWidth` near
+  * the median interval length so the explode factor stays O(1) while
+  * short buckets don't over-pair. Degenerate (reversed) intervals are
+  * dropped (`end < start`).
+  */
+object IntervalJoin {
+
+  /** Pairs of overlapping intervals within `df` sharing `keyCols`,
+    * each unordered pair emitted exactly once (`idCol` asymmetric
+    * `<`). Columns: keyCols ++ (idCol_a, startCol_a, endCol_a, idCol_b,
+    * startCol_b, endCol_b). Inputs must be integral (day/nanos ids). */
+  def overlapSelfJoin(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val base = df
+      .filter(col(endCol) >= col(startCol))
+      .select((keyCols :+ idCol :+ startCol :+ endCol).map(col): _*)
+    val exploded = base.withColumn(
+      "__bucket",
+      explode(sequence(
+        expr(s"$startCol div ${bucketWidth}L"),
+        expr(s"$endCol div ${bucketWidth}L"))))
+    val a = exploded.select(
+      keyCols.map(col) ++ Seq(col("__bucket"),
+        col(idCol).as("__id_a"), col(startCol).as("__s_a"), col(endCol).as("__e_a")): _*)
+    val b = exploded.select(
+      keyCols.map(col) ++ Seq(col("__bucket"),
+        col(idCol).as("__id_b"), col(startCol).as("__s_b"), col(endCol).as("__e_b")): _*)
+    a.join(b, keyCols :+ "__bucket")
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(col("__s_a") <= col("__e_b") && col("__s_b") <= col("__e_a"))
+      // emit only from the first co-live bucket — arithmetic dedup
+      .filter(col("__bucket") === expr(s"greatest(__s_a, __s_b) div ${bucketWidth}L"))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("__id_a").as(s"${idCol}_a"), col("__s_a").as(s"${startCol}_a"),
+          col("__e_a").as(s"${endCol}_a"),
+          col("__id_b").as(s"${idCol}_b"), col("__s_b").as(s"${startCol}_b"),
+          col("__e_b").as(s"${endCol}_b")): _*)
+  }
+
+  /** Two-table variant: all (left, right) interval pairs sharing
+    * `keyCols` that overlap. Right-side columns get `suffix`. */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long,
+      suffix: String = "_r"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def burst(df: DataFrame, names: Seq[String]): DataFrame =
+      df.filter(col(endCol) >= col(startCol))
+        .withColumn("__bucket", explode(sequence(
+          expr(s"$startCol div ${bucketWidth}L"),
+          expr(s"$endCol div ${bucketWidth}L"))))
+        .select((names.map(col) :+ col("__bucket")): _*)
+    val l = burst(left, left.columns.toSeq)
+    val rCols = right.columns.toSeq
+    val r = burst(right, rCols).select(
+      rCols.map(c => col(c).as(if (keyCols.contains(c)) c else s"$c$suffix")) :+
+        col("__bucket"): _*)
+    val sR = s"$startCol$suffix"
+    val eR = s"$endCol$suffix"
+    l.join(r, keyCols :+ "__bucket")
+      .filter(col(startCol) <= col(eR) && col(sR) <= col(endCol))
+      .filter(col("__bucket") === expr(s"greatest($startCol, $sR) div ${bucketWidth}L"))
+      .drop("__bucket")
+  }
+}

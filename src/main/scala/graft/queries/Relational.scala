@@ -499,6 +499,32 @@ object Relational extends QueryPack {
              |  CAST(c - least(0, min(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s_c,
              |  CAST(CASE WHEN c - least(0, min(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) > h
              |       THEN 1 ELSE 0 END AS BIGINT) AS alarm
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    Query(
+      "q196_interval_overlap_join",
+      "Interval-overlap self-join via bucketization (operators.IntervalJoin) — the non-equi join shape Spark would otherwise plan as a per-key nested loop: per supplier, count pairs of shipments simultaneously in transit ([shipdate, shipdate + 1..29 days] intervals — transit time derived deterministically from the line id since the synthetic table carries no receiptdate) and their total co-transit days, the concurrency metric of logistics/session analytics. Intervals explode to 32-day buckets, pairs form on (suppkey, bucket) EQUALITY (hash join, AQE-skew-safe), the exact predicate re-checks, and each pair is emitted only from the bucket containing max(starts) — arithmetic dedup, no distinct shuffle. Candidate volume tracks true overlap density, not |L|x|R|. The oracle is the raw inequality join — the definition, not the plan.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select($"l_suppkey",
+          ($"l_orderkey" * lit(10L) + $"l_linenumber").as("iid"),
+          datediff($"l_shipdate", lit("1970-01-01").cast("date")).cast("long").as("sd"))
+          .withColumn("rd", $"sd" + (($"iid" % 29L) + 1L))
+        graft.operators.IntervalJoin
+          .overlapSelfJoin(li, Seq("l_suppkey"), "iid", "sd", "rd", bucketWidth = 32L)
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(least($"rd_a", $"rd_b") - greatest($"sd_a", $"sd_b") + 1L)
+              .as("sum_overlap_days"))
+      },
+      Some("""WITH i0 AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS iid,
+             |  date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sd
+             |  FROM lineitem),
+             |i AS (SELECT l_suppkey, iid, sd, sd + (iid % 29) + 1 AS rd FROM i0)
+             |SELECT a.l_suppkey, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(least(a.rd, b.rd) - greatest(a.sd, b.sd) + 1) AS BIGINT) AS sum_overlap_days
+             |FROM i a JOIN i b ON a.l_suppkey = b.l_suppkey AND a.iid < b.iid
+             |  AND a.sd <= b.rd AND b.sd <= a.rd
+             |GROUP BY 1""".stripMargin))
   )
 }

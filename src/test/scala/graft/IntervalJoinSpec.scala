@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IntervalJoin
+
+/** Bucketized interval-overlap join vs brute force, across bucket
+  * widths (result must be width-invariant), plus edge shapes: touching
+  * endpoints, containment, duplicates-in-bucket, degenerate reversed
+  * intervals, zero-length points. */
+class IntervalJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // (key, id, start, end)
+  private val rows = Seq(
+    ("k1", 1L, 0L, 10L),   // overlaps 2 (touching at 10), 3 (contains)
+    ("k1", 2L, 10L, 20L),  // touching counts: [0,10] x [10,20]
+    ("k1", 3L, 4L, 6L),    // contained in 1
+    ("k1", 4L, 21L, 21L),  // zero-length point, no partner
+    ("k1", 5L, 200L, 300L),// far away, crosses several buckets alone
+    ("k2", 6L, 0L, 10L),   // same span, different key — never pairs with k1
+    ("k2", 7L, 5L, 99L),   // wide: crosses many buckets; dedup must hold
+    ("k2", 8L, 98L, 98L),  // point inside 7's last bucket
+    ("k2", 9L, 50L, 40L)   // degenerate reversed — dropped
+  )
+
+  private def df = rows.toDF("k", "id", "s", "e")
+
+  private def brute: Set[(String, Long, Long)] = {
+    val valid = rows.filter { case (_, _, s, e) => e >= s }
+    (for {
+      a <- valid; b <- valid
+      if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._2)).toSet
+  }
+
+  for (w <- Seq(1L, 7L, 32L, 1000L)) {
+    test(s"overlapSelfJoin matches brute force at bucketWidth=$w") {
+      val got = IntervalJoin.overlapSelfJoin(df, Seq("k"), "id", "s", "e", w)
+        .select($"k", $"id_a", $"id_b").as[(String, Long, Long)].collect().toSet
+      assert(got == brute)
+    }
+  }
+
+  test("overlapSelfJoin emits each pair exactly once (no bucket dupes)") {
+    val out = IntervalJoin.overlapSelfJoin(df, Seq("k"), "id", "s", "e", 5L)
+      .groupBy($"k", $"id_a", $"id_b").count().filter($"count" > 1)
+    assert(out.isEmpty)
+  }
+
+  test("overlapJoin two-table variant matches brute force and keeps payloads") {
+    val left = Seq(("k1", 100L, 0L, 10L), ("k1", 101L, 30L, 40L)).toDF("k", "lid", "s", "e")
+    val right = Seq(("k1", 200L, 9L, 35L), ("k1", 201L, 41L, 50L), ("k2", 202L, 0L, 100L))
+      .toDF("k", "rid", "s", "e")
+    val got = IntervalJoin.overlapJoin(left, right, Seq("k"), "s", "e", 8L)
+      .select($"lid", $"rid_r").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 200L), (101L, 200L)))
+  }
+
+  test("negative domain: intervals straddling zero pair correctly") {
+    // integer div truncates toward zero — both -3 div 4 and 3 div 4 are 0,
+    // so buckets around the origin still co-locate overlapping intervals.
+    val d = Seq(("k", 1L, -10L, -1L), ("k", 2L, -3L, 4L), ("k", 3L, 5L, 9L))
+      .toDF("k", "id", "s", "e")
+    val got = IntervalJoin.overlapSelfJoin(d, Seq("k"), "id", "s", "e", 4L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}
