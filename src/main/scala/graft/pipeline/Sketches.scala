@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, SQL-replayable HyperLogLog (Flajolet et al. 2007) —
+  * approximate distinct counting whose every intermediate is exact
+  * integer or bit-identical IEEE arithmetic, so the sketch itself sits
+  * under the cross-engine oracle (unlike `approx_count_distinct`,
+  * whose HLL++ registers are engine-private).
+  *
+  * Shape: ONE partial-aggregated pass builds the (group, bucket) ->
+  * max-rank register table (map-side combine collapses the corpus to
+  * <= |groups| x m rows before the shuffle — the same merge-tree
+  * contract as `HeavyHitters`); the estimate is then a |groups|-bounded
+  * fold. Registers are mergeable by construction (max), so partial
+  * sketches from shards/micro-batches union + re-max losslessly — the
+  * streaming/MV composition story for free.
+  *
+  * Determinism kit:
+  *  - 60-bit portable md5 hash (`conv(substr(md5, 1, 15))` == DuckDB
+  *    `('0x' || substr)::BIGINT`), bucket = hash mod m, rank = leading
+  *    zeros of the remaining 54 bits + 1 via `bin()` string length —
+  *    `bin` drops leading zeros identically in both engines.
+  *  - The harmonic sum stays integral: sum of 2^(S - M_j) at S = 40
+  *    (ranks > S contribute 0; empty buckets contribute 2^S), max
+  *    m * 2^40 << 2^63.
+  *  - The only float op is ONE division numer / inv (both operands
+  *    exact, numer a shared literal), then e4 quantization.
+  *  - Small-range (linear-counting) correction values m*ln(m/V) depend
+  *    only on V in [1, m) — precomputed here as INTEGER e4 literals, so
+  *    no `ln` runs in either engine.
+  */
+object Sketches {
+
+  val P = 6
+  val M = 1 << P           // 64 registers
+  val Scale = 40           // harmonic-sum fixed point: 2^(Scale - rank)
+  val RMax = 55            // 54 usable bits above the bucket index, +1
+
+  /** alpha_m * m^2 * 2^Scale — the numerator of the HLL estimate in
+    * the integral fixed-point form E = numer / inv. */
+  val EstNumer: Double = {
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    alpha * M * M * math.pow(2.0, Scale)
+  }
+
+  /** Linear-counting estimates m*ln(m/V) as e4 integers, V in [1, m). */
+  val LcE4: IndexedSeq[Long] = (1 until M).map(v =>
+    math.floor(M * math.log(M.toDouble / v) * 10000.0 + 0.5).toLong)
+
+  /** Raw-estimate threshold for applying linear counting (2.5 m). */
+  val LcThreshold: Double = 2.5 * M
+
+  /** Register table: keyCols ++ (bucket, r). `value` must already be a
+    * string expression; rows with NULL value are ignored (SQL distinct
+    * semantics). One shuffle, partial-aggregated map-side. */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame = {
+    val h = conv(substring(md5(concat(value, lit("#hll"))), 1, 15), 16, 10).cast("long")
+    val w = expr(s"__h div $M")
+    df.filter(value.isNotNull)
+      .withColumn("__h", h)
+      .withColumn("bucket", pmod(col("__h"), lit(M.toLong)))
+      .withColumn("__r",
+        when(w === 0L, lit(RMax.toLong))
+          .otherwise(lit(RMax.toLong) - length(bin(w)).cast("long")))
+      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("__r")).as("r"))
+  }
+
+  /** Merge register shards (same schema as [[hllRegisters]] output) —
+    * the union of sketches is the sketch of the union. */
+  def hllMerge(shards: Seq[DataFrame], keyCols: Seq[String]): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** Per-group estimate from a register table: n_hit (non-empty
+    * registers), sum_r (register checksum), est_e4 (bias-corrected
+    * estimate, linear counting in the small range — the published HLL
+    * decision rule, quantized at e4). */
+  def hllEstimate(registers: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val lcMap = map(LcE4.zipWithIndex.flatMap {
+      case (e4v, i) => Seq(lit((i + 1).toLong), lit(e4v))
+    }: _*)
+    registers
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_hit"),
+        sum(col("r")).as("sum_r"),
+        sum(when(col("r") <= Scale,
+          expr(s"shiftleft(1L, $Scale - r)")).otherwise(0L)).as("__inv_hit"))
+      .withColumn("__v", lit(M.toLong) - col("n_hit"))
+      .withColumn("__inv", col("__inv_hit") + col("__v") * shiftleft(lit(1L), Scale))
+      .withColumn("__raw", lit(EstNumer) / col("__inv"))
+      .withColumn("est_e4",
+        when(col("__raw") <= lit(LcThreshold) && col("__v") > 0L,
+          element_at(lcMap, col("__v")))
+          .otherwise(floor(col("__raw") * lit(10000.0) + lit(0.5)).cast("long")))
+      .drop("__inv_hit", "__v", "__inv", "__raw")
+  }
+
+  /** SQL twin of the whole pipeline for oracle construction: a chain
+    * of CTE definitions (no leading WITH) ending in `hll_out` with
+    * columns keyNames ++ (n_hit, sum_r, est_e4), over `table` (an
+    * existing table or CTE), grouping by `keyNames` (columns of
+    * `table`), counting distinct `valueSql` (a string-typed SQL
+    * expression over `table`). Compose:
+    * `"WITH src AS (...), " + hllOracleCtes("src", ...) + " SELECT ..."`. */
+  def hllOracleCtes(table: String, keyNames: Seq[String], valueSql: String): String = {
+    val keys = keyNames.mkString(", ")
+    val lcCases = LcE4.zipWithIndex
+      .map { case (e4v, i) => s"WHEN ${i + 1} THEN $e4v" }.mkString(" ")
+    s"""hsrc AS (SELECT $keys, ('0x' || substr(md5($valueSql || '#hll'), 1, 15))::BIGINT AS h
+       |  FROM $table WHERE $valueSql IS NOT NULL),
+       |hreg AS (SELECT $keys, h % $M AS bucket,
+       |    max(CASE WHEN h // $M = 0 THEN $RMax
+       |        ELSE $RMax - length(bin(h // $M)) END) AS r
+       |  FROM hsrc GROUP BY ALL),
+       |hagg AS (SELECT $keys, count(*) AS n_hit, sum(r) AS sum_r,
+       |    sum(CASE WHEN r <= $Scale THEN (1::BIGINT << ($Scale - r)) ELSE 0 END) AS inv_hit
+       |  FROM hreg GROUP BY ALL),
+       |hest AS (SELECT $keys, n_hit, sum_r,
+       |    inv_hit + ($M - n_hit) * (1::BIGINT << $Scale) AS inv, $M - n_hit AS v
+       |  FROM hagg),
+       |hll_out AS (SELECT $keys, CAST(n_hit AS BIGINT) AS n_hit, CAST(sum_r AS BIGINT) AS sum_r,
+       |  CAST(CASE WHEN $EstNumer / inv <= $LcThreshold AND v > 0
+       |       THEN CASE v $lcCases END
+       |       ELSE CAST(floor($EstNumer / inv * 10000.0 + 0.5) AS BIGINT) END AS BIGINT) AS est_e4
+       |  FROM hest)""".stripMargin
+  }
+}

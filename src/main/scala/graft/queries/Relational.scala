@@ -525,6 +525,45 @@ object Relational extends QueryPack {
              |  CAST(sum(least(a.rd, b.rd) - greatest(a.sd, b.sd) + 1) AS BIGINT) AS sum_overlap_days
              |FROM i a JOIN i b ON a.l_suppkey = b.l_suppkey AND a.iid < b.iid
              |  AND a.sd <= b.rd AND b.sd <= a.rd
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q197_hll_distinct",
+      "Deterministic HyperLogLog distinct sketch (pipeline.Sketches) under the oracle — the cardinality sketch approx_count_distinct hides inside engine-private registers, rebuilt here from public primitives so EVERY intermediate is cross-engine exact: portable md5 60-bit hash, bin()-length ranks, integral 2^(S-r) harmonic sums, one shared-literal float division, integer-literal linear-counting table (no ln() in either engine). Per (event_type, metric) for three metrics — distinct active days (small range, exercises the linear-counting branch), distinct users (straddles the 2.5m threshold), distinct user-days (raw harmonic branch) — alongside the exact distinct count for error inspection. Plan: one partial-aggregated pass collapses the corpus to <= |groups| x 64 register rows map-side; registers are max-mergeable across shards/batches (hllMerge), the streaming/MV composition.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type", $"user_id", expr("ts div 86400000000000").as("d"))
+        val src = e.select($"event_type", lit("users").as("metric"),
+            $"user_id".cast("string").as("v"))
+          .unionByName(e.select($"event_type", lit("user_days").as("metric"),
+            concat($"user_id".cast("string"), lit(":"), $"d".cast("string")).as("v")))
+          .unionByName(e.select($"event_type", lit("days").as("metric"),
+            $"d".cast("string").as("v")))
+        val keys = Seq("event_type", "metric")
+        val est = graft.pipeline.Sketches.hllEstimate(
+          graft.pipeline.Sketches.hllRegisters(src, keys, col("v")), keys)
+        val exact = src.groupBy(keys.map(col): _*)
+          .agg(countDistinct($"v").as("exact_distinct"))
+        est.join(exact, keys)
+      },
+      Some {
+        val hll = graft.pipeline.Sketches.hllOracleCtes("src", Seq("event_type", "metric"), "v")
+        s"""WITH src AS (
+           |  SELECT event_type, 'users' AS metric, CAST(user_id AS VARCHAR) AS v FROM events
+           |  UNION ALL
+           |  SELECT event_type, 'user_days',
+           |    CAST(user_id AS VARCHAR) || ':' || CAST((epoch_us(ts) * 1000) // 86400000000000 AS VARCHAR)
+           |  FROM events
+           |  UNION ALL
+           |  SELECT event_type, 'days',
+           |    CAST((epoch_us(ts) * 1000) // 86400000000000 AS VARCHAR)
+           |  FROM events),
+           |$hll,
+           |x AS (SELECT event_type, metric, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+           |      FROM src GROUP BY 1, 2)
+           |SELECT h.event_type, h.metric, h.n_hit, h.sum_r, h.est_e4, x.exact_distinct
+           |FROM hll_out h JOIN x ON h.event_type = x.event_type AND h.metric = x.metric""".stripMargin
+      })
   )
 }

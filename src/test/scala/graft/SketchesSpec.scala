@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def mk(n: Int, g: String) =
+    (0 until n).map(i => (g, s"v$i")).toDF("g", "v")
+
+  test("registers are invariant to partitioning and duplication") {
+    val df = mk(500, "a")
+    val whole = Sketches.hllRegisters(df, Seq("g"), col("v"))
+      .orderBy("bucket").as[(String, Long, Long)].collect().toSeq
+    val dup = Sketches.hllRegisters(
+      df.unionByName(df).repartition(7), Seq("g"), col("v"))
+      .orderBy("bucket").as[(String, Long, Long)].collect().toSeq
+    assert(whole == dup, "HLL registers must ignore duplicates and partitioning")
+  }
+
+  test("merge of sharded sketches equals sketch of the union") {
+    val a = mk(300, "a")
+    val b = (150 until 450).map(i => ("a", s"v$i")).toDF("g", "v") // overlapping shard
+    val shards = Seq(a, b).map(Sketches.hllRegisters(_, Seq("g"), col("v")))
+    val merged = Sketches.hllEstimate(Sketches.hllMerge(shards, Seq("g")), Seq("g"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val whole = Sketches.hllEstimate(
+      Sketches.hllRegisters(a.unionByName(b), Seq("g"), col("v")), Seq("g"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("estimate tracks exact cardinality within HLL error bounds") {
+    // m=64 -> sigma ~ 1.04/8 = 13%; assert within 4 sigma
+    for (n <- Seq(40, 200, 3000)) {
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(mk(n, "a"), Seq("g"), col("v")), Seq("g"))
+        .select($"est_e4").as[Long].head() / 10000.0
+      assert(math.abs(est - n) < 0.52 * n + 10, s"n=$n est=$est")
+    }
+  }
+
+  test("null values are ignored like SQL distinct") {
+    val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y"))).toDF("g", "v")
+    val reg = Sketches.hllRegisters(df, Seq("g"), col("v"))
+    assert(reg.count() <= 2)
+  }
+
+  test("small cardinality takes the linear-counting branch exactly") {
+    val n = 5
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(mk(n, "a"), Seq("g"), col("v")), Seq("g"))
+    val row = est.select($"n_hit", $"est_e4").as[(Long, Long)].head()
+    val v = Sketches.M - row._1
+    assert(row._2 == Sketches.LcE4(v.toInt - 1),
+      "est must equal the precomputed m*ln(m/V) table entry")
+  }
+}
