@@ -180,4 +180,78 @@ object Sampling {
       .sortWithinPartitions(col("__shard"), col("__shuffle_key"))
       .write.mode("overwrite").partitionBy("__shard").parquet(path)
   }
+
+  /** Distributed prefix sum (the classic two-phase scan): global
+    * running totals of `valueCol` (long) in `orderCols` order WITHOUT
+    * a single-partition window. Phase 1 range-partitions on the order
+    * key and computes per-partition sums (collected to the driver —
+    * bounded by #partitions, the scan's recursion base); phase 2 adds
+    * each partition's exclusive offset to its local running sum. The
+    * per-partition window re-clusters by partition id, so the corpus
+    * shuffles twice (range + pid) but never concentrates: every
+    * partition sorts only its own slice. The range-partitioned frame
+    * is localCheckpoint'ed so both phases see the SAME partition
+    * assignment (range boundaries come from sampling; at cluster
+    * scale swap in a reliable checkpoint, as [[Components]] does).
+    *
+    * `orderCols` must be a total order (add a unique id tiebreak) or
+    * within-partition sums are nondeterministic. Returns (frame with
+    * `cum_incl`/`cum_excl` appended, grand total). Output values are
+    * independent of partitioning — only the ORDER defines them. */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.withColumn("__w", valueCol.cast("long"))
+      .repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partials = ranged.groupBy(col("__pid")).agg(sum(col("__w")).as("s"))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val total = partials.map(_._2).sum
+    val offsets = partials.map(_._2).scanLeft(0L)(_ + _)
+    val out = if (partials.isEmpty) {
+      ranged.withColumn("cum_incl", lit(0L)).withColumn("cum_excl", lit(0L))
+        .drop("__pid", "__w")
+    } else {
+      val offMap = map(partials.map(_._1).zip(offsets).flatMap {
+        case (pid, off) => Seq(lit(pid), lit(off))
+      }: _*)
+      val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged
+        .withColumn("cum_incl", sum(col("__w")).over(w) + element_at(offMap, col("__pid")))
+        .withColumn("cum_excl", col("cum_incl") - col("__w"))
+        .drop("__pid", "__w")
+    }
+    (out, total)
+  }
+
+  /** Exact-k weighted sampling without replacement via SYSTEMATIC
+    * (fixed-interval) selection — the dataset-mixing draw that needs
+    * no libm: order rows by a deterministic hash key, lay k equally
+    * spaced thresholds t_j = (2j+1)W/(2k) over the cumulative weight
+    * axis, and give each row one draw per threshold inside its
+    * (cum_excl, cum_incl] span. Every computation is 64-bit integer
+    * ((2k·c div W + 1) div 2 counts odd multiples — no pow/ln, so the
+    * oracle replays it bit-exactly), inclusion probability is
+    * proportional to weight, and exactly k draws come back in total
+    * (rows heavier than W/k can carry multiplicity > 1). Cost: the
+    * two-shuffle [[prefixSum]] plus a map-only filter.
+    *
+    * 2k·W must fit in a signed 64-bit int — quantize weights (or
+    * pre-aggregate) so it does; at larger magnitudes switch the g()
+    * arithmetic to decimal(38,0). */
+  def systematicSample(df: DataFrame, orderCols: Seq[Column], weightCol: Column,
+      k: Long): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val (ps, total) = prefixSum(df, orderCols, weightCol)
+    require(total > 0, "total weight must be positive")
+    require(2.0 * k * total < Long.MaxValue * 0.98,
+      s"2k*W=${2.0 * k * total} risks 64-bit overflow — quantize weights")
+    def g(c: String): Column =
+      least(lit(k), expr(s"((${2 * k}L * $c) div ${total}L + 1) div 2"))
+    ps.withColumn("multiplicity", g("cum_incl") - g("cum_excl"))
+      .filter(col("multiplicity") > 0)
+      .drop("cum_incl", "cum_excl")
+  }
 }

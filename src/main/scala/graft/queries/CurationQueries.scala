@@ -1557,7 +1557,39 @@ object CurationQueries extends QueryPack {
           sum(graft.pipeline.WordPieceTokenizer.unkCount(pinnedWordPiece, col("text"))
             .cast("long")).as("n_unk"))
       },
-      Some(wordpieceOracle)))
+      Some(wordpieceOracle)),
+
+    Query(
+      "q198_systematic_sample",
+      "Exact-k weighted sampling without replacement by SYSTEMATIC selection over a DISTRIBUTED PREFIX SUM (Sampling.prefixSum — the two-phase scan: range-partition on the hash order key, driver-fold the #partitions-bounded per-partition sums into exclusive offsets, add back map-side), the dataset-mixing draw with no libm anywhere: k=500 equally spaced thresholds over the cumulative n_chars axis, each doc drawing once per threshold inside its (cum_excl, cum_incl] span via pure 64-bit odd-multiple counting ((2kc div W + 1) div 2) — inclusion probability exactly proportional to weight, exactly k total draws, no Efraimidis-Spirakis pow(u,1/w) whose libm rounding an oracle cannot replay. The oracle recomputes the same integers from a window cumsum — same ORDER, different machinery. Per source: docs selected, draws, selected-weight mass, id checksum.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .withColumn("hk", graft.pipeline.Sampling.portableHash($"doc_id", "sys"))
+        graft.pipeline.Sampling
+          .systematicSample(docs, Seq($"hk", $"doc_id"), $"n_chars", k = 500L)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"multiplicity").as("n_draws"),
+            sum($"n_chars" * $"multiplicity").as("sel_mass"),
+            sum($"doc_id" * $"multiplicity").as("id_checksum"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sys'), 1, 15))::BIGINT AS hk
+             |  FROM documents),
+             |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w FROM d),
+             |c AS (SELECT doc_id, source, n_chars,
+             |    CAST(sum(n_chars) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ci
+             |  FROM d),
+             |m AS (SELECT doc_id, source, n_chars,
+             |    least(500, ((1000 * ci) // t.w + 1) // 2)
+             |      - least(500, ((1000 * (ci - n_chars)) // t.w + 1) // 2) AS mult
+             |  FROM c, t)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(mult) AS BIGINT) AS n_draws,
+             |  CAST(sum(n_chars * mult) AS BIGINT) AS sel_mass,
+             |  CAST(sum(doc_id * mult) AS BIGINT) AS id_checksum
+             |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin)))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Sampling
+
+class SystematicSampleSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("prefixSum matches a sequential scan in any partition layout") {
+    val rows = (1 to 997).map(i => (i.toLong, ((i * 7919) % 13 + 1).toLong))
+    val expected = rows.sortBy(_._1).scanLeft((0L, 0L, 0L)) {
+      case ((_, _, acc), (id, w)) => (id, w, acc + w)
+    }.tail.map { case (id, w, ci) => id -> (ci - w, ci) }.toMap
+    for (nPart <- Seq(1, 4, 13)) {
+      val df = rows.toDF("id", "w").repartition(nPart)
+      val (ps, total) = Sampling.prefixSum(df, Seq(col("id")), col("w"))
+      assert(total == rows.map(_._2).sum)
+      val got = ps.select($"id", $"cum_excl", $"cum_incl")
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == rows.length)
+      got.foreach { case (id, ce, ci) => assert(expected(id) == (ce, ci), s"id=$id") }
+    }
+  }
+
+  test("systematicSample draws exactly k with multiplicity ∝ weight") {
+    val rows = (1 to 300).map(i => (i.toLong, (i % 17 + 1).toLong))
+    val df = rows.toDF("id", "w")
+    for (k <- Seq(1L, 7L, 50L, 299L, 1000L)) {
+      val sel = Sampling.systematicSample(df, Seq(col("id")), col("w"), k)
+        .select($"id", $"multiplicity").as[(Long, Long)].collect()
+      assert(sel.map(_._2).sum == k, s"k=$k must draw exactly k")
+      assert(sel.forall(_._2 > 0))
+      // a row's multiplicity can exceed 1 only if its weight exceeds W/k
+      val wTot = rows.map(_._2).sum.toDouble
+      val wById = rows.toMap
+      sel.filter(_._2 > 1).foreach { case (id, m) =>
+        assert(wById(id) >= (m - 1) * wTot / k, s"id=$id overdrawn")
+      }
+    }
+  }
+
+  test("zero-weight rows are never drawn; selection is partition-invariant") {
+    val rows = (1 to 100).map(i => (i.toLong, if (i % 5 == 0) 0L else 3L))
+    val a = Sampling.systematicSample(rows.toDF("id", "w").repartition(2),
+      Seq(col("id")), col("w"), 10L).select($"id", $"multiplicity")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Sampling.systematicSample(rows.toDF("id", "w").repartition(9),
+      Seq(col("id")), col("w"), 10L).select($"id", $"multiplicity")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.forall { case (id, _) => id % 5 != 0 })
+  }
+}
