@@ -213,4 +213,70 @@ object Graphs {
       out.localCheckpoint(true)
     } finally { und.unpersist(false); () }
   }
+
+  /** k-core: the maximal subgraph where every node keeps degree >= k —
+    * the density gate between [[Components]] ("connected at all") and
+    * [[triangles]] ("locally clustered"): crawl-graph curation prunes
+    * tendrils/orphan chains by coreness, citation analyses use the
+    * 2-core to strip leaf papers. Computed by synchronous peeling:
+    * each round drops every node whose degree WITHIN the surviving
+    * subgraph is < k, until a fixpoint (classic Matula–Beck peel, run
+    * data-parallel like Quick/PKC). The synchronous schedule makes
+    * every round — and therefore the result, which is
+    * schedule-independent anyway (the k-core is unique) — bit-exact
+    * under any partitioning.
+    *
+    * Scale shape: the symmetrized edge list persists once; each round
+    * is two broadcast-or-shuffle semi-joins (restrict edges to
+    * survivors) + one partial-aggregated degree count, with lineage
+    * truncated per round (the [[pageRank]] contract). Rounds are
+    * bounded by the longest peel chain, NOT graph size; the driver
+    * early-exits when the survivor count is stable. Returns the
+    * surviving (node) set. */
+  def kCore(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxIters >= 1 && maxIters <= 500, "maxIters in [1, 500]")
+    val spark = nodes.sparkSession
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = dir0
+      .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    try {
+      var surv = truncate(nodes.select(col(nodeCol).cast("long").as("node")).distinct())
+      var nSurv = surv.count()
+      var round = 0
+      var stable = false
+      while (round < maxIters && !stable) {
+        val live = e
+          .join(surv, e("src") === surv("node"), "left_semi")
+          .join(surv.withColumnRenamed("node", "n2"),
+            col("dst") === col("n2"), "left_semi")
+        val next = live.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("node"))
+        val prev = surv
+        surv = truncate(next)
+        prev.unpersist(false)
+        val n2 = surv.count()
+        stable = n2 == nSurv
+        nSurv = n2
+        round += 1
+      }
+      surv
+    } finally { e.unpersist(false); () }
+  }
 }

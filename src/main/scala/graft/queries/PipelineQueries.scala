@@ -1330,7 +1330,54 @@ object PipelineQueries extends QueryPack {
              |pc AS (SELECT n, count(*) AS c FROM per GROUP BY 1),
              |f AS (SELECT node, coalesce(c, 0) AS c FROM nodes LEFT JOIN pc ON node = n)
              |SELECT d2.source, CAST(sum(c) AS BIGINT) AS sum_tri, CAST(max(c) AS BIGINT) AS max_tri
-             |FROM f JOIN documents d2 ON f.node = d2.doc_id GROUP BY 1""".stripMargin))
+             |FROM f JOIN documents d2 ON f.node = d2.doc_id GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q201_kcore",
+      "2-core extraction by synchronous peeling (Graphs.kCore — Matula-Beck run data-parallel): repeatedly drop nodes whose degree within the surviving subgraph is < 2 until fixpoint, the tendril/orphan-chain pruning gate between connected components ('connected at all') and triangles ('locally clustered'). Graph: 50-node blocks, ring over idx 0-44 (2-core stable) plus a pendant 5-node chain 45-49 attached at the block head — the chain unravels one node per round, so the peel takes 5 rounds and the fixpoint is reached well inside the oracle's 8 unrolled rounds (the k-core is UNIQUE, so schedule/partitioning cannot change the answer). Per round: two semi-joins restrict edges to survivors + one partial-aggregated degree count, lineage truncated; rounds bound by the longest peel chain, not graph size. Per source: surviving count and node-id checksum. Oracle: 8 peel rounds UNROLLED as chained degree-filter CTEs.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val e = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + (idx + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx >= 45 && idx <= 48)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), base.as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        graft.pipeline.Graphs
+          .kCore(docs.select($"doc_id"), "doc_id", e, "src", "dst", k = 2, maxIters = 8)
+          .join(docs, col("node") === $"doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_core"), sum($"node").as("sum_node"))
+      },
+      Some {
+        val head =
+          """WITH nodes AS (SELECT doc_id AS node FROM documents),
+            |cnt AS (SELECT count(*) AS n FROM nodes),
+            |d AS (SELECT src, dst FROM (
+            |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 45 AS dst
+            |    FROM documents WHERE doc_id % 50 < 45
+            |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 BETWEEN 45 AND 48
+            |  UNION SELECT doc_id, doc_id - (doc_id % 50) FROM documents WHERE doc_id % 50 = 45
+            |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+            |e AS (SELECT src, dst FROM d UNION SELECT dst, src FROM d),
+            |s0 AS (SELECT node FROM nodes)""".stripMargin
+        val rounds = (1 to 8).map { i =>
+          val p = i - 1
+          s"""s$i AS (SELECT e.src AS node FROM e
+             |  JOIN s$p a ON e.src = a.node JOIN s$p b ON e.dst = b.node
+             |  GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""$head,
+           |$rounds
+           |SELECT d2.source, CAST(count(*) AS BIGINT) AS n_core,
+           |  CAST(sum(node) AS BIGINT) AS sum_node
+           |FROM s8 JOIN documents d2 ON node = d2.doc_id GROUP BY 1""".stripMargin
+      })
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

@@ -138,4 +138,49 @@ class GraphsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  private def coreOf(nodes: Seq[Long], edges: Seq[(Long, Long)], k: Int): Set[Long] =
+    Graphs.kCore(nodes.toDF("node"), "node",
+      edges.toDF("src", "dst"), "src", "dst", k)
+      .collect().map(_.getLong(0)).toSet
+
+  private def bruteCore(nodes: Seq[Long], edges: Seq[(Long, Long)], k: Int): Set[Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    var surv = nodes.toSet
+    var changed = true
+    while (changed) {
+      val deg = und.filter(e => surv(e._1) && surv(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = surv.filter(n => deg.getOrElse(n, 0) >= k)
+      changed = next != surv
+      surv = next
+    }
+    surv
+  }
+
+  test("kCore matches sequential peeling on chains, rings and cliques") {
+    // ring(0-9) + pendant chain 10-14 attached at 0 + isolated 15 + triangle 16-18
+    val nodes = (0L until 19L)
+    val edges = (0L until 10L).map(i => (i, (i + 1) % 10)) ++
+      Seq((0L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)) ++
+      Seq((16L, 17L), (17L, 18L), (18L, 16L))
+    for (k <- 1 to 4)
+      assert(coreOf(nodes, edges, k) == bruteCore(nodes, edges, k), s"k=$k")
+  }
+
+  test("kCore: random graph, partitioning-invariant, matches brute force") {
+    val rng = new scala.util.Random(7)
+    val nodes = (0L until 50L)
+    val edges = (0 until 120)
+      .map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      .filter(e => e._1 != e._2)
+    for (k <- Seq(2, 3)) {
+      val expect = bruteCore(nodes, edges, k)
+      val got = Graphs.kCore(nodes.toDF("node").repartition(11), "node",
+        edges.toDF("src", "dst").repartition(5), "src", "dst", k)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"k=$k")
+    }
+  }
 }
