@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus retrieval primitives: inverted-index postings, conjunctive
@@ -212,5 +212,86 @@ object Retrieval {
       .select((col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("id"), (-col("col.neg")).as("rrf_e6"),
         col("col.n_lists").as("n_lists"))
+  }
+
+  /** Order-free integer similarity: sum of per-element e6-quantized
+    * products. Quantizing each PRODUCT (one exact double multiply +
+    * one floor per element) before the integer sum makes the metric
+    * independent of summation order — a raw float dot differs in final
+    * ulps between engines/partitionings, which a greedy argmax chain
+    * would amplify into different SELECTIONS. */
+  def simE6(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")),
+      lit(0L), _ + _)
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity-aware selection pass of retrieval
+    * and training-data curation (pick examples that are RELEVANT but
+    * not redundant): greedily take argmax of
+    * `lamNum·rel − (lamDen−lamNum)·max_{s∈selected} sim(c, s)`
+    * k times, ties to the smaller id.
+    *
+    * Input is the BOUNDED per-query candidate pool (top-n from a
+    * first-stage retriever — [[bm25]], ANN, TopKAgg): one row per
+    * (query, candidate) with an integer relevance and the candidate
+    * vector. The greedy walk then runs entirely INSIDE one row per
+    * query — candidates collect to a sorted array and k unrolled
+    * HOF `aggregate` passes pick each next winner, so a million
+    * queries re-rank in parallel with ONE shuffle (the collect) and
+    * zero driver involvement; all scores are 64-bit integer
+    * arithmetic over [[simE6]], hence bit-stable and SQL-replayable.
+    * Cost per row: O(k · n · (k + dim)) with n, k, dim all bounded.
+    *
+    * Returns (query, rk, id, rel, score) — rk is 1-based pick order,
+    * score the MMR objective at pick time. Candidate ids must be
+    * unique per query. */
+  def mmrRerank(cands: DataFrame, queryCol: String, idCol: String, relCol: String,
+      vecCol: String, k: Int, lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
+    require(k >= 1 && k <= 32, s"k in [1, 32]: $k")
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen, "lambda must be in [0,1]")
+    val selType =
+      "array<struct<rk:bigint,id:bigint,rel:bigint,score:bigint,vec:array<double>>>"
+    val bestType = "struct<id:bigint,rel:bigint,score:bigint,vec:array<double>>"
+    val grouped = cands
+      .select(col(queryCol).as("query"),
+        struct((-col(relCol).cast("long")).as("nr"), col(idCol).cast("long").as("id"),
+          transform(col(vecCol), _.cast("double")).as("vec")).as("c"))
+      .groupBy(col("query"))
+      .agg(sort_array(collect_list(col("c"))).as("cands"))
+    // Each round binds its intermediates as Barrier-pinned COLUMNS:
+    // without the fence, CollapseProject would substitute round t−1's
+    // whole selection expression into every use site of round t (best
+    // is consumed 6×, sel 3×), exploding the tree ~18^k — the planner
+    // itself runs out of heap at k=4. Bound attributes keep it O(k).
+    var df = grouped.withColumn("__sel0", expr(s"CAST(array() AS $selType)"))
+    for (t <- 1 to k) {
+      val prevSel = col(s"__sel${t - 1}")
+      val selIds = transform(prevSel, s => s("id"))
+      val best = aggregate(col("cands"), expr(s"CAST(NULL AS $bestType)"), (acc, c) => {
+        val rel = -c("nr")
+        val maxsim = when(size(prevSel) === 0, lit(0L)).otherwise(
+          aggregate(prevSel, lit(Long.MinValue),
+            (m, s0) => greatest(m, simE6(c("vec"), s0("vec")))))
+        val sc = lit(lamNum) * rel - lit(lamDen - lamNum) * maxsim
+        val cand = struct(c("id").as("id"), rel.as("rel"), sc.as("score"),
+          c("vec").as("vec"))
+        when(array_contains(selIds, c("id")), acc)
+          .when(acc.isNull || sc > acc("score") ||
+            (sc === acc("score") && c("id") < acc("id")), cand)
+          .otherwise(acc)
+      })
+      df = df.withColumn(s"__best$t", graft.functions.Barrier(best))
+      val b = col(s"__best$t")
+      df = df.withColumn(s"__sel$t",
+        graft.functions.Barrier(when(b.isNull, prevSel).otherwise(
+          concat(prevSel, array(struct(
+            lit(t.toLong).as("rk"), b("id").as("id"), b("rel").as("rel"),
+            b("score").as("score"), b("vec").as("vec")))))))
+    }
+    df.select(col("query"), explode(col(s"__sel$k")).as("s"))
+      .select(col("query"), col("s.rk").as("rk"), col("s.id").as("id"),
+        col("s.rel").as("rel"), col("s.score").as("score"))
   }
 }

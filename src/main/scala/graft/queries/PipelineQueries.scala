@@ -1377,6 +1377,63 @@ object PipelineQueries extends QueryPack {
            |SELECT d2.source, CAST(count(*) AS BIGINT) AS n_core,
            |  CAST(sum(node) AS BIGINT) AS sum_node
            |FROM s8 JOIN documents d2 ON node = d2.doc_id GROUP BY 1""".stripMargin
+      }),
+
+    Query(
+      "q202_mmr_rerank",
+      "Maximal Marginal Relevance diversified re-ranking (Carbonell & Goldstein, SIGIR 1998 — the redundancy-aware selection pass of RAG serving and training-example curation): 5 query vectors retrieve top-8 candidates each by integer relevance (bounded-heap TopKAgg, no window over the corpus), then the greedy walk picks 4 per query maximizing 7*rel - 3*max-sim-to-selected, ties to the smaller id. The walk runs entirely INSIDE one row per query — candidates collect to a sorted array, k unrolled HOF aggregates pick winners — so a million queries re-rank in parallel with one bounded shuffle and zero driver loops. All scores are 64-bit sums of per-element e6-quantized products (simE6): quantize-then-sum is summation-ORDER-FREE, which matters because a greedy argmax chain amplifies any ulp into different selections. Oracle: 4 rounds unrolled as SQL CTEs over the same integer sims — the definition, not the HOF plan.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"))
+        val c = emb.filter($"vec_id" >= 5)
+          .select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val rel = c.crossJoin(broadcast(q))
+          .select($"qid", $"cid", $"cv",
+            graft.pipeline.Retrieval.simE6($"qv", $"cv").as("rel"))
+        val winners = rel.groupBy($"qid")
+          .agg(graft.functions.TopKAgg($"rel", $"cid", 8).as("tk"))
+          .select($"qid", explode($"tk.id").as("cid"))
+        val kept = rel.join(broadcast(winners), Seq("qid", "cid"))
+        graft.pipeline.Retrieval
+          .mmrRerank(kept, "qid", "cid", "rel", "cv", k = 4)
+          .select($"query".as("query_id"), $"rk", $"id".as("cand_id"),
+            $"rel".as("rel_e6"), $"score".as("score_e6"))
+      },
+      Some {
+        val head =
+          """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+            |rel AS (SELECT qid, cid,
+            |    CAST(sum(CAST(floor(CAST(qv[t.i] AS DOUBLE) * CAST(cv[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS r
+            |  FROM q, c, (SELECT unnest(range(1, 65)) AS i) t GROUP BY 1, 2),
+            |topk AS (SELECT qid, cid, r FROM rel
+            |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY r DESC, cid) <= 8),
+            |sims AS (SELECT t1.qid, t1.cid AS ca, t2.cid AS cb,
+            |    CAST(sum(CAST(floor(CAST(c1.cv[t.i] AS DOUBLE) * CAST(c2.cv[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sim
+            |  FROM topk t1 JOIN topk t2 ON t1.qid = t2.qid AND t1.cid != t2.cid
+            |  JOIN c c1 ON c1.cid = t1.cid JOIN c c2 ON c2.cid = t2.cid,
+            |  (SELECT unnest(range(1, 65)) AS i) t
+            |  GROUP BY 1, 2, 3),
+            |sel0 AS (SELECT NULL::BIGINT AS qid, NULL::BIGINT AS cid, NULL::BIGINT AS r,
+            |  NULL::BIGINT AS sc, NULL::BIGINT AS rk WHERE false)""".stripMargin
+        val rounds = (1 to 4).map { t =>
+          val p = t - 1
+          s"""sc$t AS (SELECT k.qid, k.cid, k.r, 7 * k.r - 3 * coalesce(m.ms, 0) AS sc
+             |  FROM topk k
+             |  LEFT JOIN (SELECT s.qid, si.ca AS cid, max(si.sim) AS ms
+             |             FROM sel$p s JOIN sims si ON si.qid = s.qid AND si.cb = s.cid
+             |             GROUP BY 1, 2) m ON m.qid = k.qid AND m.cid = k.cid
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel$p s2 WHERE s2.qid = k.qid AND s2.cid = k.cid)),
+             |pick$t AS (SELECT qid, cid, r, sc, CAST($t AS BIGINT) AS rk FROM sc$t
+             |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, cid) = 1),
+             |sel$t AS (SELECT * FROM sel$p UNION ALL SELECT * FROM pick$t)""".stripMargin
+        }.mkString(",\n")
+        s"""$head,
+           |$rounds
+           |SELECT qid AS query_id, rk, cid AS cand_id, r AS rel_e6, sc AS score_e6
+           |FROM sel4""".stripMargin
       })
   )
 

@@ -117,4 +117,56 @@ class RetrievalSpec extends AnyFunSuite {
     assert(res("sort merge join") == Map(1L -> 1L))
     assert(res("never there").isEmpty)
   }
+
+  private def bruteMmr(cands: Seq[(Long, Long, Seq[Float])], k: Int,
+      lamNum: Long, lamDen: Long): Seq[(Long, Long, Long)] = {
+    def simE6(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e6 + 0.5).toLong
+      }.sum
+    var sel = Vector.empty[(Long, Long, Long, Seq[Float])] // (rk, id, score, vec)
+    val byId = cands.map(c => c._1 -> c).toMap
+    for (t <- 1 to k) {
+      val remaining = cands.filterNot(c => sel.exists(_._2 == c._1))
+      if (remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rel, vec) =>
+          val ms = if (sel.isEmpty) 0L else sel.map(s => simE6(vec, s._4)).max
+          (id, lamNum * rel - (lamDen - lamNum) * ms, vec)
+        }
+        val best = scored.minBy(s => (-s._2, s._1))
+        sel :+= ((t.toLong, best._1, best._2, best._3))
+      }
+    }
+    sel.map(s => (s._1, s._2, s._3))
+  }
+
+  test("mmrRerank matches sequential greedy MMR and diversifies") {
+    import spark.implicits._
+    // candidate 11 is a near-clone of 10 (top rel); MMR must skip it at rank 2
+    val vecs: Seq[(Long, Long, Seq[Float])] = Seq(
+      (10L, 1000L, Seq(1f, 0f, 0f, 0f)),
+      (11L, 990L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (12L, 700L, Seq(0f, 1f, 0f, 0f)),
+      (13L, 650L, Seq(0f, 0f, 1f, 0f)),
+      (14L, 600L, Seq(0.7f, 0.7f, 0f, 0f)),
+      (15L, 100L, Seq(0f, 0f, 0f, 1f)))
+    val df = vecs.map { case (id, rel, v) => (1L, id, rel, v) }
+      .toDF("q", "id", "rel", "vec")
+    val got = Retrieval.mmrRerank(df, "q", "id", "rel", "vec", k = 4)
+      .select($"rk", $"id", $"score").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val expect = bruteMmr(vecs, 4, 7L, 10L)
+    assert(got == expect)
+    assert(got.map(_._2).take(3) == Seq(10L, 12L, 13L),
+      "near-duplicate 11 must be deferred by the diversity penalty")
+  }
+
+  test("mmrRerank: k exceeding pool size returns the whole pool ranked") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 10L, Seq(1f, 0f)), (1L, 2L, 20L, Seq(0f, 1f)))
+      .toDF("q", "id", "rel", "vec")
+    val got = Retrieval.mmrRerank(df, "q", "id", "rel", "vec", k = 5)
+      .select($"rk", $"id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L)))
+  }
 }
