@@ -82,4 +82,56 @@ object Coreset {
         (array_position(col("ds"), array_min(col("ds"))) - 1L).as("center_rank"),
         array_min(col("ds")).as("d2"))
   }
+
+  /** Greedy MAXIMUM-COVERAGE selection (the (1−1/e)-approximation
+    * greedy for submodular coverage — Nemhauser et al. 1978): pick k
+    * items whose covered-unit union is largest, each round taking the
+    * item covering the most still-uncovered units (ties → smallest
+    * id). The complement of [[kCenters]] for data pruning: k-center
+    * spreads picks in EMBEDDING space, max-coverage maximizes raw
+    * SET coverage (vocabulary n-grams, observed API calls, covered
+    * test branches) — the facility-location/coverage selection of
+    * dataset-distillation pipelines.
+    *
+    * `units`: (idCol, unitCol) pairs, duplicates tolerated. Per round:
+    * one broadcast anti-join against the covered set (bounded by the
+    * units of ≤ k picked items — codebook-sized, never corpus-sized),
+    * one partial-aggregated count, one top-1 reduction; the covered
+    * set localCheckpoints per round (the [[kCenters]] contract).
+    * Stops early when everything is covered. Returns (rank, id, gain)
+    * in pick order — gain is the EXACT marginal coverage, whose
+    * monotone non-increase is the submodularity witness. */
+  def maxCoverage(units: DataFrame, idCol: String, unitCol: String, k: Int): Seq[(Long, Long, Long)] = {
+    require(k >= 1 && k <= 1000, s"k in [1, 1000]: $k")
+    val u = units
+      .select(col(idCol).cast("long").as("id"), col(unitCol).as("u"))
+      .distinct()
+      .persist()
+    try {
+      var covered: DataFrame = null
+      var selected = Vector.empty[Long]
+      val out = collection.mutable.Buffer[(Long, Long, Long)]()
+      var t = 1
+      var done = false
+      while (t <= k && !done) {
+        val uncov = if (covered == null) u
+          else u.join(broadcast(covered), Seq("u"), "left_anti")
+        val cand = if (selected.isEmpty) uncov
+          else uncov.filter(!col("id").isInCollection(selected))
+        val top = cand.groupBy("id").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("id")).limit(1).collect()
+        if (top.isEmpty) done = true // universe covered: greedy stops
+        else {
+          val id = top(0).getLong(0)
+          out += ((t.toLong, id, top(0).getLong(1)))
+          selected :+= id
+          val newCov = u.filter(col("id") === id).select("u")
+          covered = (if (covered == null) newCov
+            else covered.unionByName(newCov)).localCheckpoint(true)
+          t += 1
+        }
+      }
+      out.toSeq
+    } finally { u.unpersist(false); () }
+  }
 }

@@ -1589,7 +1589,42 @@ object CurationQueries extends QueryPack {
              |  CAST(sum(mult) AS BIGINT) AS n_draws,
              |  CAST(sum(n_chars * mult) AS BIGINT) AS sel_mass,
              |  CAST(sum(doc_id * mult) AS BIGINT) AS id_checksum
-             |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin)))
+             |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q203_max_coverage",
+      "Greedy maximum-coverage data selection (Coreset.maxCoverage — the (1-1/e) submodular greedy of Nemhauser et al. 1978, the facility-location complement of q184's k-center): pick 6 documents whose UNION of word-3gram shingles is largest, each round taking the doc covering the most still-uncovered shingles, ties to the smaller doc_id — the 'cover the vocabulary with k exemplars' pass of dataset distillation. Per round: one broadcast anti-join against the covered set (bounded by <= k docs' shingles, codebook-sized), one partial-aggregated per-doc count, one top-1 reduction; k bounded rounds, the corpus shingle frame persists once. Output (rank, doc_id, gain); the monotonically non-increasing gains are the submodularity witness. Oracle: 6 greedy rounds UNROLLED as chained NOT-IN CTEs over the same shingle definition.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val units = graft.pipeline.Dedup.shingleRows(docs, "doc_id", "text", 3)
+          .withColumnRenamed("s", "u")
+        graft.pipeline.Coreset.maxCoverage(units, "id", "u", k = 6)
+          .toDF("rank", "doc_id", "gain")
+      },
+      Some {
+        val head =
+          s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS u
+             |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 2),
+             |c1 AS (SELECT id, count(*) AS c FROM sh GROUP BY 1),
+             |p1 AS (SELECT 1 AS rk, id, c FROM c1 ORDER BY c DESC, id LIMIT 1),
+             |v1 AS (SELECT u FROM sh JOIN p1 USING (id)),
+             |s1 AS (SELECT rk, id, c FROM p1)""".stripMargin
+        val rounds = (2 to 6).map { t =>
+          val p = t - 1
+          s"""c$t AS (SELECT id, count(*) AS c FROM sh
+             |  WHERE u NOT IN (SELECT u FROM v$p) AND id NOT IN (SELECT id FROM s$p)
+             |  GROUP BY 1),
+             |p$t AS (SELECT $t AS rk, id, c FROM c$t ORDER BY c DESC, id LIMIT 1),
+             |v$t AS (SELECT u FROM v$p UNION SELECT u FROM sh JOIN p$t USING (id)),
+             |s$t AS (SELECT rk, id, c FROM s$p UNION ALL SELECT rk, id, c FROM p$t)""".stripMargin
+        }.mkString(",\n")
+        s"""$head,
+           |$rounds
+           |SELECT CAST(rk AS BIGINT) AS rank, id AS doc_id, CAST(c AS BIGINT) AS gain
+           |FROM s6""".stripMargin
+      }))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

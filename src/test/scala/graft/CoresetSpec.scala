@@ -63,4 +63,39 @@ class CoresetSpec extends AnyFunSuite {
       .agg(max("d2")).head().getLong(0)
     assert(zero == 0L)
   }
+
+  private def bruteCoverage(units: Seq[(Long, String)], k: Int): Seq[(Long, Long, Long)] = {
+    val byId = units.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var covered = Set.empty[String]
+    var sel = Vector.empty[(Long, Long, Long)]
+    for (t <- 1 to k) {
+      val cands = byId.keys.filterNot(id => sel.exists(_._2 == id))
+        .map(id => (id, (byId(id) -- covered).size.toLong))
+        .filter(_._2 > 0)
+      if (cands.nonEmpty) {
+        val (id, gain) = cands.minBy { case (i, g) => (-g, i) }
+        sel :+= ((t.toLong, id, gain))
+        covered ++= byId(id)
+      }
+    }
+    sel
+  }
+
+  test("maxCoverage matches sequential greedy; gains non-increasing") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val units = (0L until 30L).flatMap(id =>
+      (0 until rng.nextInt(12) + 1).map(_ => (id, s"u${rng.nextInt(40)}")))
+    val got = Coreset.maxCoverage(units.toDF("id", "u"), "id", "u", k = 5)
+    assert(got == bruteCoverage(units, 5))
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, "submodular gains must not increase")
+  }
+
+  test("maxCoverage stops when the universe is covered") {
+    import spark.implicits._
+    val units = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"), (3L, "a"))
+    val got = Coreset.maxCoverage(units.toDF("id", "u"), "id", "u", k = 10)
+    assert(got.map(_._2) == Seq(1L, 2L)) // {a,b} then {c}; 3 adds nothing
+    assert(got.map(_._3) == Seq(2L, 1L))
+  }
 }
