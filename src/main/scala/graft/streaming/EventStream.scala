@@ -126,6 +126,56 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fn)
   }
 
+  final case class CusumPoint(series: String, day: Long, x: Long)
+  final case class CusumSt(lastDay: Long, c: Long, minC: Long)
+  final case class CusumOut(series: String, day: Long, s_c: Long, alarm: Boolean)
+
+  /** Streaming twin of the batch CUSUM monitor (q200): per series the
+    * state is the exact pair (C, running-min C) of the window identity
+    * S_i = C_i − min(0, min_{j≤i} C_j), folded point-by-point in day
+    * order, emitting each day's statistic and alarm flag as it
+    * arrives. Parameters (k target, slack, h threshold) come from a
+    * batch fit — the [[graft.pipeline.Drift.fitReference]] persist
+    * boundary contract: streams monitor against a pinned reference,
+    * they don't re-derive it per batch.
+    *
+    * Equality contract (the [[funnelStream]] one): identical to the
+    * batch computation whenever micro-batch boundaries respect day
+    * order per series; a point at or before the series' last folded
+    * day arrives too late to change an already-emitted statistic and
+    * is DROPPED (irrevocable, like any shipped alarm) — the batch
+    * operator is the reconciliation pass. State per series is three
+    * longs; idle series evict on `idleTimeout`. */
+  def cusumStream(points: Dataset[CusumPoint], k: Long, slack: Long, h: Long,
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[CusumOut] = {
+    import points.sparkSession.implicits._
+    def fn(series: String, pts: Iterator[CusumPoint],
+        state: GroupState[CusumSt]): Iterator[CusumOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var st = state.getOption.getOrElse(CusumSt(Long.MinValue, 0L, 0L))
+        val out = collection.mutable.Buffer[CusumOut]()
+        for (p <- pts.toSeq.sortBy(_.day) if p.day > st.lastDay) {
+          val c = st.c + p.x - k - slack
+          val minC = math.min(st.minC, c)
+          st = CusumSt(p.day, c, minC)
+          val s = c - math.min(0L, minC)
+          out += CusumOut(series, p.day, s, s > h)
+        }
+        state.update(st)
+        idleTimeout.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fn)
+  }
+
   /** Streaming ingestion dedup on the normalized content fingerprint —
     * the streaming twin of the batch exact-dedup pass (q52): documents
     * whose [[graft.pipeline.TextAnalysis.normalizeText]] fingerprints

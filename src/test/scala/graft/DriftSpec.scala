@@ -72,6 +72,43 @@ class DriftSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("cusumStream over in-order micro-batches equals the batch window identity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.{CusumOut, CusumPoint}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the q200 daily series at sf0.001, with its batch-fit parameters
+    val daily = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(floor(sum(col("value")) * 100 + 0.5).cast("long").as("x"))
+      .orderBy("day").as[(Long, Long)].collect().toSeq
+    val k = daily.map(_._2).sum / daily.length
+    val (slack, h) = (k / 100, k / 10)
+    // sequential reference: the recursion itself
+    var s = 0L
+    val expect = daily.map { case (day, x) =>
+      s = math.max(0L, s + x - k - slack)
+      (day, s, s > h)
+    }
+
+    val src = MemoryStream[CusumPoint]
+    val q = EventStream.cusumStream(src.toDS(), k, slack, h, idleTimeout = None)
+      .writeStream.format("memory").queryName("cusum_out").outputMode("update").start()
+    try {
+      val (b1, b2) = daily.splitAt(daily.length / 2)
+      src.addData(b1.map { case (d, x) => CusumPoint("m", d, x) }: _*)
+      q.processAllAvailable()
+      src.addData(b2.map { case (d, x) => CusumPoint("m", d, x) }: _*)
+      // a late replay of batch 1 must be dropped, not double-folded
+      src.addData(b1.take(3).map { case (d, x) => CusumPoint("m", d, x) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("cusum_out").as[CusumOut].collect()
+        .map(o => (o.day, o.s_c, o.alarm)).sortBy(_._1).toSeq
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("bit-identical under repartitioning") {
     val rng = new scala.util.Random(21)
     val rows = (0 until 5000).map(_ =>
