@@ -50,7 +50,12 @@ object BenchScale {
     // sketch+verify double pass
     "q177_entity_resolution", "q178_pagerank", "q184_kcenter_coreset",
     "q185_phrase_search", "q186_leakage_safe_split", "q188_heavy_hitters",
-    "q189_label_prop")
+    "q189_label_prop",
+    // r12 session-2 shapes: bucketized non-equi join (explode fan-out ×
+    // pair formation), iterative peel rounds, greedy coverage rounds
+    // (anti-join vs a growing covered set), prefix-sum double shuffle
+    "q196_interval_overlap_join", "q201_kcore", "q203_max_coverage",
+    "q198_systematic_sample")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

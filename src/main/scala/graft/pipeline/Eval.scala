@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation — the metrics a curation pipeline needs
+  * before trusting a quality gate with 100 TB of keep/drop decisions.
+  * Everything is exact integer arithmetic over integer scores (the
+  * engine's margins are already e6 longs), so every metric sits under
+  * the cross-engine oracle; no libm, no float rank statistics.
+  */
+object Eval {
+
+  /** Exact ROC-AUC via the pairwise formulation
+    * AUC = (#{pos>neg} + ½·#{pos==neg}) / (n₁·n₀), computed from
+    * score-AGGREGATED counts: one partial-aggregated groupBy collapses
+    * the corpus to |distinct scores| rows, a [[Sampling.prefixSum]]
+    * scan (no single-partition window) accumulates negatives-below,
+    * and u2 = 2U folds in one bounded aggregate. Ties contribute the
+    * standard ½ — u2 stays integral by doubling. Returns ONE row:
+    * (n_pos, n_neg, u2, auc_e6) with auc_e6 = ⌊u2·10⁶ / (2·n₁·n₀)⌋.
+    *
+    * 2·n₁·n₀·10⁶ must fit in a long — beyond ~10⁸ balanced rows,
+    * switch the final division to decimal (the counts themselves are
+    * safe). `score` must be integral; `label` a boolean predicate. */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val agg = df
+      .select(score.cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("g"))
+    val (ps, _) = Sampling.prefixSum(agg, Seq(col("s")), col("g"))
+    ps.agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("g")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cum_excl") + col("g"))).as("u2"))
+      .withColumn("auc_e6",
+        expr("(u2 * 1000000L) div (2L * n_pos * n_neg)"))
+  }
+
+  /** Reliability + cumulative-gains table over `bins` equal-width
+    * integer score bins (the q182 grid rule: (s−lo)·bins div
+    * (hi−lo+1), degenerate range → bin 0): per bin the count, positive
+    * count, positive rate (e4), and the gains-curve value — the
+    * fraction of ALL positives captured at or above the bin (e4),
+    * i.e. the lift/gains chart a threshold choice reads. One corpus
+    * pass + windows over the |bins|-bounded table only. */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      bins: Int = 16): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins in [2, 10000]: $bins")
+    val s = df.select(score.cast("long").as("s"),
+      when(label, 1L).otherwise(0L).as("y"))
+    val bounds = s.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val binned = s.crossJoin(broadcast(bounds))
+      .withColumn("bin", when(col("hi") <= col("lo"), 0L)
+        .otherwise(expr(s"((s - lo) * ${bins}L) div (hi - lo + 1L)")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val wDesc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("posrate_e4", expr("(n_pos * 10000L) div n"))
+      .withColumn("__cum", sum(col("n_pos")).over(wDesc))
+      .withColumn("__tot", sum(col("n_pos")).over(wAll))
+      .withColumn("gain_e4", when(col("__tot") === 0L, lit(0L))
+        .otherwise(expr("(__cum * 10000L) div __tot")))
+      .drop("__cum", "__tot")
+  }
+}

@@ -1624,6 +1624,75 @@ object CurationQueries extends QueryPack {
            |$rounds
            |SELECT CAST(rk AS BIGINT) AS rank, id AS doc_id, CAST(c AS BIGINT) AS gain
            |FROM s6""".stripMargin
+      }),
+
+    Query(
+      "q204_roc_auc",
+      "EXACT ROC-AUC of the pinned quality classifier against its own training objective (src0 = positive): the pairwise formulation AUC = (#{pos>neg} + half the ties)/(n1*n0), computed from score-AGGREGATED counts — one partial-aggregated groupBy collapses the corpus to |distinct margins| rows, the distributed prefix sum (q198's scan primitive, no single-partition window) accumulates negatives-below-score, and u2 = 2U folds in one bounded aggregate, ties carrying the standard 1/2 via doubling. All integer; auc_e6 is one integer division. The metric every gate threshold decision reads BEFORE trusting a classifier with keep/drop at 100 TB; the oracle replays margins from the same weight literals and ranks with a window cumsum — different machinery, same integers.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = Classifier.score(pinnedLr, docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("margin_e6"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        graft.pipeline.Eval.rocAuc(scored, col("margin_e6"), col("source") === "src0")
+      },
+      Some {
+        val h = TextAnalysis.portableHashSql("t[i] || ' ' || t[i+1]", "0")
+        val wlist = pinnedLrWeightsE6.mkString("[", ", ", "]")
+        s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+           |occ AS (SELECT doc_id, $h % 256 AS b
+           |        FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+           |wt AS (SELECT $wlist AS w),
+           |ws AS (SELECT doc_id, CAST(sum(w[b + 1]) AS BIGINT) AS ws FROM occ, wt GROUP BY doc_id),
+           |sc AS (SELECT d.doc_id, CAST($pinnedLrBiasE6 + coalesce(ws, 0) AS BIGINT) AS s,
+           |       CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS y
+           |       FROM documents d LEFT JOIN ws USING (doc_id)),
+           |a AS (SELECT s, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS g
+           |      FROM sc GROUP BY 1),
+           |c AS (SELECT s, p, g, CAST(coalesce(sum(g) OVER
+           |        (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ce
+           |      FROM a),
+           |f AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(g) AS BIGINT) AS n_neg,
+           |      CAST(sum(p * (2 * ce + g)) AS BIGINT) AS u2 FROM c)
+           |SELECT n_pos, n_neg, u2,
+           |  CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6 FROM f""".stripMargin
+      }),
+
+    Query(
+      "q205_calibration_gains",
+      "Reliability + cumulative-gains table for the pinned quality classifier (the lift chart a gate-threshold decision reads): margins bucket into 16 equal-width integer bins (the q182 grid rule), per bin the count, positives, positive rate (e4), and the gains value — the fraction of ALL positives captured at or above the bin (e4, exact integer division). One corpus pass + windows over the 16-row bin table only; every number is integer-exact under the oracle.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = Classifier.score(pinnedLr, docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("margin_e6"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        graft.pipeline.Eval.calibrationBins(
+          scored, col("margin_e6"), col("source") === "src0", bins = 16)
+      },
+      Some {
+        val h = TextAnalysis.portableHashSql("t[i] || ' ' || t[i+1]", "0")
+        val wlist = pinnedLrWeightsE6.mkString("[", ", ", "]")
+        s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+           |occ AS (SELECT doc_id, $h % 256 AS b
+           |        FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+           |wt AS (SELECT $wlist AS w),
+           |ws AS (SELECT doc_id, CAST(sum(w[b + 1]) AS BIGINT) AS ws FROM occ, wt GROUP BY doc_id),
+           |sc AS (SELECT d.doc_id, CAST($pinnedLrBiasE6 + coalesce(ws, 0) AS BIGINT) AS s,
+           |       CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS y
+           |       FROM documents d LEFT JOIN ws USING (doc_id)),
+           |bd AS (SELECT min(s) AS lo, max(s) AS hi FROM sc),
+           |bn AS (SELECT CASE WHEN hi <= lo THEN 0
+           |         ELSE ((s - lo) * 16) // (hi - lo + 1) END AS bin, y
+           |       FROM sc, bd),
+           |ag AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+           |       FROM bn GROUP BY 1),
+           |cm AS (SELECT bin, n, n_pos,
+           |       CAST(sum(n_pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |       CAST(sum(n_pos) OVER () AS BIGINT) AS tot
+           |       FROM ag)
+           |SELECT bin, n, n_pos, CAST((n_pos * 10000) // n AS BIGINT) AS posrate_e4,
+           |  CAST(CASE WHEN tot = 0 THEN 0 ELSE (cum * 10000) // tot END AS BIGINT) AS gain_e4
+           |FROM cm""".stripMargin
       }))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits

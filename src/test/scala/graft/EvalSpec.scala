@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Eval
+
+class EvalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def bruteAuc(rows: Seq[(Long, Boolean)]): (Long, Long, Long) = {
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    (pos.size.toLong, neg.size.toLong, u2)
+  }
+
+  test("rocAuc matches the brute-force pairwise count, ties at half") {
+    val rng = new scala.util.Random(5)
+    // scores drawn from overlapping ranges with heavy ties
+    val rows = (0 until 400).map { _ =>
+      val y = rng.nextBoolean()
+      val s = (if (y) rng.nextInt(20) + 5 else rng.nextInt(20)).toLong
+      (s, y)
+    }
+    val (np, nn, u2) = bruteAuc(rows)
+    val got = Eval.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 == np && got._2 == nn && got._3 == u2)
+    assert(got._4 == u2 * 1000000L / (2 * np * nn))
+  }
+
+  test("rocAuc: perfect separation gives 1.0, reversed gives 0.0, constant 0.5") {
+    def auc(rows: Seq[(Long, Boolean)]): Long =
+      Eval.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .select($"auc_e6").as[Long].head()
+    val perfect = (0 until 50).map(i => (i.toLong + 100, true)) ++
+      (0 until 50).map(i => (i.toLong, false))
+    assert(auc(perfect) == 1000000L)
+    assert(auc(perfect.map { case (s, y) => (s, !y) }) == 0L)
+    assert(auc((0 until 60).map(i => (7L, i % 2 == 0))) == 500000L)
+  }
+
+  test("rocAuc is partition-invariant") {
+    val rows = (0 until 500).map(i => ((i * 13 % 37).toLong, i % 3 == 0))
+    val a = Eval.rocAuc(rows.toDF("s", "y").repartition(3), col("s"), col("y"))
+      .as[(Long, Long, Long, Long)].head()
+    val b = Eval.rocAuc(rows.toDF("s", "y").repartition(17), col("s"), col("y"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(a == b)
+  }
+
+  test("calibrationBins: monotone gains, totals add up, degenerate range") {
+    val rows = (0 until 300).map(i => (i.toLong, i >= 200))
+    val out = Eval.calibrationBins(rows.toDF("s", "y"), col("s"), col("y"), bins = 10)
+      .orderBy($"bin").as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == 300)
+    assert(out.map(_._3).sum == 100)
+    // gains read from highest bin downward must be non-decreasing as bin falls
+    val gains = out.sortBy(-_._1).map(_._5).toSeq
+    assert(gains == gains.sorted)
+    assert(gains.last == 10000L)
+    // top third of scores holds all positives: highest bins at 100% posrate
+    assert(out.last._4 == 10000L)
+    // degenerate: constant score lands everything in bin 0
+    val deg = Eval.calibrationBins(
+      Seq((5L, true), (5L, false)).toDF("s", "y"), col("s"), col("y"), bins = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(deg.length == 1 && deg.head._1 == 0L && deg.head._2 == 2L)
+  }
+}
