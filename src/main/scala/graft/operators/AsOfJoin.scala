@@ -5,35 +5,34 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** Backward as-of (point-in-time) join: for each left row, the most
-  * recent right row with `rightTs <= leftTs` on the same key — the
-  * temporal analogue of the reference's metric-space `nearest`
-  * (SURVEY §2.3 notes threshold-nearest is the closest as-of shape).
+/** As-of (point-in-time) joins: for each left row, the most recent
+  * right row at-or-before its timestamp (backward), the earliest
+  * at-or-after (forward), or whichever is nearest with a tolerance —
+  * the pandas `merge_asof` direction surface, and the temporal
+  * analogue of the reference's metric-space `nearest` (SURVEY §2.3
+  * notes threshold-nearest is the closest as-of shape).
   *
   * Implementation is the union + window trick rather than a custom
   * `SparkPlan`: tag both sides, union, and take `last(rightPayload,
   * ignoreNulls)` over a (key, time)-ordered running window; left rows
-  * then carry the latest prior right payload. ONE shuffle on the key,
-  * no range-join pair explosion, AQE-friendly — at 100 TB this behaves
-  * like any keyed window, whereas a range join degenerates on hot keys.
+  * then carry the latest prior (or, under a reversed sort, the first
+  * following) right payload. ONE shuffle on the key, no range-join
+  * pair explosion, AQE-friendly — at 100 TB this behaves like any
+  * keyed window, whereas a range join degenerates on hot keys. The
+  * nearest variant runs BOTH directional windows over the same
+  * union — same single exchange, two in-partition sorts.
   *
-  * Ties: a right row at exactly leftTs is visible (sorts before the
-  * left row). (key, ts) must be unique per side for determinism —
-  * pre-dedup otherwise.
+  * Ties: a right row at exactly leftTs is visible to both directions
+  * (distance 0). (key, ts) must be unique on the RIGHT side for
+  * determinism — pre-dedup otherwise.
   */
 object AsOfJoin {
 
-  def asofBackward(
-      left: DataFrame,
-      right: DataFrame,
-      key: Seq[String],
-      leftTs: String,
-      rightTs: String,
-      rightVals: Seq[String],
-      suffix: String = "_asof"): DataFrame = {
+  private def union(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
     val lrowType = StructType(left.schema.fields)
-    val rvType = StructType(right.select(rightVals.map(col): _*).schema.fields)
-
+    val rvCols = (rightVals :+ rightTs).distinct
+    val rvType = StructType(right.select(rvCols.map(col): _*).schema.fields)
     val lUnion = left.select(
       struct(left.columns.map(col): _*).as("__lrow") +:
         key.map(col) :+
@@ -45,17 +44,86 @@ object AsOfJoin {
         key.map(col) :+
         col(rightTs).as("__ts") :+
         lit(0).as("__side") :+
-        struct(rightVals.map(col): _*).as("__rv"): _*)
-
-    val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
+        struct(rvCols.map(col): _*).as("__rv"): _*)
     lUnion.unionByName(rUnion)
+  }
+
+  private def directional(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      suffix: String, forward: Boolean): DataFrame = {
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__side").asc)
+      else Seq(col("__ts").asc, col("__side").asc)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    union(left, right, key, leftTs, rightTs, rightVals)
       .withColumn("__last_rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
         left.columns.map(c => col("__lrow")(c).as(c)).toSeq ++
           rightVals.map(v => col("__last_rv")(v).as(s"$v$suffix")): _*)
+  }
+
+  /** Most recent right row with `rightTs <= leftTs` per key. */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      suffix: String = "_asof"): DataFrame =
+    directional(left, right, key, leftTs, rightTs, rightVals, suffix, forward = false)
+
+  /** Earliest right row with `rightTs >= leftTs` per key. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      suffix: String = "_asof"): DataFrame =
+    directional(left, right, key, leftTs, rightTs, rightVals, suffix, forward = true)
+
+  /** Nearest right row in EITHER direction, ties to the backward
+    * match, with matches farther than `tolerance` (in the ts unit;
+    * `Long.MaxValue` = unbounded) nulled out. Timestamps must be
+    * integral (nanos/epoch longs). Appends each rightVal as
+    * `<v><suffix>` plus `dt<suffix>` = matchedTs − leftTs (negative =
+    * past, 0 = simultaneous, null = no match within tolerance). */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      tolerance: Long = Long.MaxValue,
+      suffix: String = "_asof"): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be non-negative: $tolerance")
+    val base = Window.partitionBy(key.map(col): _*)
+    val wB = base.orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = base.orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dPrev = col("__ts") - col("__prev")(rightTs)
+    val dNext = col("__next")(rightTs) - col("__ts")
+    val chosePrev = col("__prev").isNotNull &&
+      (col("__next").isNull || dPrev <= dNext)
+    val chosen = when(chosePrev, col("__prev"))
+      .when(col("__next").isNotNull, col("__next"))
+    val dt = when(chosePrev, -dPrev).when(col("__next").isNotNull, dNext)
+    union(left, right, key, leftTs, rightTs, rightVals)
+      .withColumn("__prev", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__next", last(col("__rv"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn("__chosen", when(abs(dt) <= tolerance, chosen))
+      .withColumn("__dt", when(abs(dt) <= tolerance, dt))
+      .select(
+        left.columns.map(c => col("__lrow")(c).as(c)).toSeq ++
+          rightVals.map(v => col("__chosen")(v).as(s"$v$suffix")) :+
+          col("__dt").as(s"dt$suffix"): _*)
   }
 }

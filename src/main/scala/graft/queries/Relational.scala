@@ -564,6 +564,45 @@ object Relational extends QueryPack {
            |      FROM src GROUP BY 1, 2)
            |SELECT h.event_type, h.metric, h.n_hit, h.sum_r, h.est_e4, x.exact_distinct
            |FROM hll_out h JOIN x ON h.event_type = x.event_type AND h.metric = x.metric""".stripMargin
-      })
+      }),
+
+    Query(
+      "q206_asof_nearest",
+      "Nearest-direction as-of join with tolerance (the pandas merge_asof direction='nearest' surface, completing q3-q15's backward-only as-of): every purchase matches its temporally closest view by the same user within 1 hour, ties to the PAST match. Both directional scans run over ONE union + ONE keyed exchange (two in-partition sorts, no range-join pair explosion, no hot-key degeneration); the choice and tolerance gate are pure integer-nanos arithmetic. Output: purchase counts by match direction and the exact |dt| mass. The oracle is the definition — correlated max/min subqueries per purchase — not a window replay.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"ts".as("ns"), $"event_id", $"event_type")
+        val views = e.filter($"event_type" === "view")
+          .groupBy($"user_id", $"ns").agg(min($"event_id").as("vid"))
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"ns")
+        graft.operators.AsOfJoin
+          .asofNearest(purchases, views, Seq("user_id"), "ns", "ns", Seq("vid"),
+            tolerance = 3600000000000L)
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            count($"dt_asof").as("n_matched"),
+            sum(when($"dt_asof" <= 0L, 1L).otherwise(0L)).as("n_prev"),
+            sum(when($"dt_asof" > 0L, 1L).otherwise(0L)).as("n_next"),
+            coalesce(sum(abs($"dt_asof")), lit(0L)).as("sum_absdt_ns"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS ns, event_type FROM events),
+             |v AS (SELECT user_id, ns FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+             |p AS (SELECT user_id, ns FROM e WHERE event_type = 'purchase'),
+             |pv AS (SELECT p.user_id, p.ns,
+             |  (SELECT max(v.ns) FROM v WHERE v.user_id = p.user_id AND v.ns <= p.ns) AS pns,
+             |  (SELECT min(v.ns) FROM v WHERE v.user_id = p.user_id AND v.ns >= p.ns) AS nns
+             |  FROM p),
+             |ch AS (SELECT CASE WHEN pns IS NOT NULL AND (nns IS NULL OR ns - pns <= nns - ns)
+             |         THEN pns - ns
+             |         WHEN nns IS NOT NULL THEN nns - ns END AS dt0 FROM pv),
+             |g AS (SELECT CASE WHEN abs(dt0) <= 3600000000000 THEN dt0 END AS dt FROM ch)
+             |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+             |  CAST(count(dt) AS BIGINT) AS n_matched,
+             |  CAST(sum(CASE WHEN dt <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+             |  CAST(sum(CASE WHEN dt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_next,
+             |  CAST(coalesce(sum(abs(dt)), 0) AS BIGINT) AS sum_absdt_ns
+             |FROM g""".stripMargin))
   )
 }

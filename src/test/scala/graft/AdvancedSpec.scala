@@ -178,6 +178,32 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got("p3") == None)        // no right rows for key 2
   }
 
+  test("asofForward picks earliest following right row, inclusive at equal ts") {
+    val left = Seq((1L, 10L, "p1"), (1L, 16L, "p2"), (2L, 5L, "p3")).toDF("u", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (1L, 20L, 200.0)).toDF("u", "t", "v")
+    val got = graft.operators.AsOfJoin.asofForward(
+      left, right, key = Seq("u"), leftTs = "t", rightTs = "t", rightVals = Seq("v"))
+      .select($"tag", $"v_asof").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("p1") == Some(100.0)) // equal ts visible
+    assert(got("p2") == Some(200.0)) // earliest following
+    assert(got("p3") == None)
+  }
+
+  test("asofNearest chooses the closer side, ties backward, tolerance gates") {
+    val left = Seq((1L, 10L, "a"), (1L, 14L, "b"), (1L, 16L, "c"),
+      (1L, 100L, "far"), (2L, 5L, "lone")).toDF("u", "t", "tag")
+    val right = Seq((1L, 8L, 8.0), (1L, 20L, 20.0)).toDF("u", "t", "v")
+    val got = graft.operators.AsOfJoin.asofNearest(
+      left, right, Seq("u"), "t", "t", Seq("v"), tolerance = 30L)
+      .select($"tag", $"v_asof", $"dt_asof")
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got("a") == ((Some(8.0), Some(-2L))))   // past closer
+    assert(got("b") == ((Some(8.0), Some(-6L))))   // tie |6|=|6| -> backward
+    assert(got("c") == ((Some(20.0), Some(4L))))   // future closer
+    assert(got("far") == ((None, None)))           // 80 > tolerance
+    assert(got("lone") == ((None, None)))          // no right rows
+  }
+
   test("Histogram rebin/project/integrate: conservation, flow mapping, range slicing") {
     import spark.implicits._
     // filled rows: (cat, fine bin, sumw, sumw2, n) incl. both flow bins
