@@ -55,7 +55,7 @@ object BenchScale {
     // pair formation), iterative peel rounds, greedy coverage rounds
     // (anti-join vs a growing covered set), prefix-sum double shuffle
     "q196_interval_overlap_join", "q201_kcore", "q203_max_coverage",
-    "q198_systematic_sample")
+    "q198_systematic_sample", "q207_prefix_jaccard")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -460,6 +460,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard_e4"))
   }
 
+  /** Exact Jaccard-threshold similarity self-join via PREFIX FILTERING
+    * (Chaudhuri et al. ICDE 2006 / Bayardo et al. WWW 2007 "AllPairs"
+    * — the exact-threshold scale path where [[ngramJaccardPairs]]'
+    * full inverted-index join pays Σ posting² over EVERY token,
+    * stop-words included): order each doc's shingles by ascending
+    * global document frequency (rarest first — one total order for
+    * the whole corpus), keep only the first |x| − ⌈t·|x|⌉ + 1 tokens
+    * as the doc's PREFIX, and join prefixes on token equality.
+    * Guarantee: J(x,y) ≥ t ⟹ |x∩y| ≥ ⌈t·max(|x|,|y|)⌉, and the
+    * SMALLEST common token under the total order must then sit inside
+    * both prefixes — so prefix∩prefix ≠ ∅ for every qualifying pair
+    * (recall 1, exactness restored by the verify step). Candidate
+    * volume is Σ prefix-posting², concentrated on RARE tokens whose
+    * postings are short — the frequent-token posting blowup never
+    * happens.
+    *
+    * Plan: frequencies = one partial-agg groupBy; per-doc frequency-
+    * sorted arrays = one groupBy (persisted — prefix and verify both
+    * read it); candidates = prefix equi-join + distinct; verify =
+    * two id-joins back to the sorted arrays + `array_intersect`
+    * (per-pair bounded). All integer; threshold as the exact rational
+    * tNum/tDen. Returns (id_a, id_b, na, nb, inter, jaccard_e4). */
+  def prefixJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold must be in (0, 1]: $tNum/$tDen")
+    val rows = shingleRows(df, idCol, textCol, n, distinct = true)
+    val freq = rows.groupBy("s").agg(count(lit(1)).as("f"))
+    val ordered = rows.join(freq, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("os"))
+      .select(col("id"), transform(col("os"), x => x("s")).as("toks"),
+        size(col("os")).cast("long").as("nt"))
+      .localCheckpoint(true) // read by prefix AND verify
+    val prefixRows = ordered
+      .withColumn("pl", col("nt") - expr(s"($tNum * nt + $tDen - 1) div $tDen") + 1L)
+      .select(col("id"), explode(slice(col("toks"), lit(1), col("pl").cast("int"))).as("s"))
+    val cands = prefixRows.as("a")
+      .join(prefixRows.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(ordered.select(col("id").as("id_a"), col("toks").as("ta"), col("nt").as("na")), "id_a")
+      .join(ordered.select(col("id").as("id_b"), col("toks").as("tb"), col("nt").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * lit(tDen) >= lit(tNum) * (col("na") + col("nb") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("inter"),
+        floor(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")) + 0.5)
+          .cast("long").as("jaccard_e4"))
+  }
+
   /** Near-dup by n-gram CONTAINMENT — the asymmetric companion of
     * [[ngramJaccardPairs]]: containment(A in B) = |A∩B| / |A| over the
     * distinct shingle sets. Catches quote / subset duplication where a

@@ -1434,7 +1434,25 @@ object PipelineQueries extends QueryPack {
            |$rounds
            |SELECT qid AS query_id, rk, cid AS cand_id, r AS rel_e6, sc AS score_e6
            |FROM sel4""".stripMargin
-      })
+      }),
+
+    Query(
+      "q207_prefix_jaccard",
+      "EXACT Jaccard >= 0.5 similarity self-join via PREFIX FILTERING (Chaudhuri et al. 2006 / Bayardo et al. WWW 2007 AllPairs) — the exact-threshold scale path where q53's full inverted-index join pays posting^2 over EVERY token including stop-words: shingles sort by ascending global document frequency (one corpus-wide total order), each doc keeps only its first |x| - ceil(t|x|) + 1 tokens as a PREFIX, and candidates form on prefix-token equality. J(x,y) >= t forces the smallest common token into BOTH prefixes (recall 1); the verify step restores exactness with per-pair bounded array_intersect. Candidate volume concentrates on RARE tokens with short postings — the frequent-token blowup never happens. The oracle is the definitional full inverted-index join with the same integer threshold — no prefixes anywhere.",
+      (s, dir) => Dedup.prefixJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, tNum = 1L, tDen = 2L),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 2),
+              |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |com AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+              |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |        GROUP BY 1, 2)
+              |SELECT ia AS id_a, ib AS id_b, CAST(x.n AS BIGINT) AS na,
+              |  CAST(y.n AS BIGINT) AS nb, CAST(c AS BIGINT) AS inter,
+              |  CAST(floor(c * 10000.0 / (x.n + y.n - c) + 0.5) AS BIGINT) AS jaccard_e4
+              |FROM com JOIN cnt x ON ia = x.doc_id JOIN cnt y ON ib = y.doc_id
+              |WHERE c * 2 >= x.n + y.n - c""".stripMargin))
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

@@ -40,6 +40,37 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, 2L, 10000L)))
   }
 
+  test("prefixJaccardPairs: exact vs full-index join, prefix prunes candidates") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tonight"),                           // near-dup of 1
+      (3L, "the quick brown fox sits under the old tree all day long in peace"),
+      (4L, "completely different words entirely here now with nothing shared at all"),
+      (5L, base)                                          // exact dup of 1
+    ).toDF("doc_id", "text")
+    // brute-force reference over the same shingle definition, exact rationals
+    val sets = Seq(1L, 2L, 3L, 4L, 5L).map { id =>
+      val t = docs.filter($"doc_id" === id).select($"text").as[String].head()
+        .split(" ").filter(_.nonEmpty)
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    for ((tn, td) <- Seq((1L, 2L), (7L, 10L), (1L, 4L))) {
+      val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", n = 3, tn, td)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size.toLong
+        if inter * td >= tn * (sets(a).size + sets(b).size - inter)
+      } yield (a, b)).toSet
+      assert(got == expect, s"t=$tn/$td")
+    }
+    // exact dup pair present with jaccard 1
+    val at5 = Dedup.prefixJaccardPairs(docs, "doc_id", "text", n = 3, 1L, 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(at5.exists(p => p._1 == 1L && p._2 == 5L && p._6 == 10000L))
+  }
+
   test("giant identical-signature buckets cap to O(m) star pairs") {
     // 10k copies of one document: all-pairs would explode to ~50M rows
     // per band; the star cap bounds it to m-1 distinct pairs while every
