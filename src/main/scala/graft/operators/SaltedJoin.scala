@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit key salting for skewed joins and aggregations — the
+  * technique AQE's runtime skew-join covers only partially: AQE splits
+  * oversized SORT-MERGE partitions, but a hot key still concentrates
+  * (a) broadcast-ineligible hash aggregations downstream of the join
+  * and (b) any stateful/streaming stage keyed on the raw value.
+  * Salting re-randomizes the key space deterministically: the large
+  * side appends `salt = pmod(saltBy, nSalts)` (a deterministic
+  * function of a row-unique column — NEVER rand(), which breaks
+  * retry/replay determinism), the small side replicates `nSalts`
+  * times, and the join key becomes (key, salt). The result multiset
+  * is IDENTICAL to the plain join; the hot key now spreads over
+  * `nSalts` reducers.
+  *
+  * Cost model: small side inflates ×nSalts (it must remain
+  * broadcast-or-small after inflation); large side is map-only.
+  * Size nSalts ≈ hot-key rows / target-partition rows. For skewed
+  * AGGREGATIONS use [[saltedAggregate]]: partial per-(key, salt)
+  * aggregates, then a second |keys|-bounded merge — the classic
+  * two-stage combine. */
+object SaltedJoin {
+
+  /** Inner equi-join of `large` (skewed) with `small` on `keys`,
+    * salted `nSalts` ways. `saltBy` must be deterministic and
+    * row-unique-ish on the large side (an id hash). */
+  def inner(large: DataFrame, small: DataFrame, keys: Seq[String],
+      saltBy: Column, nSalts: Int): DataFrame = {
+    require(nSalts >= 1 && nSalts <= 4096, s"nSalts in [1, 4096]: $nSalts")
+    val l = large.withColumn("__salt", pmod(saltBy.cast("long"), lit(nSalts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
+    l.join(s, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Skew-safe grouped sum: per-(group, salt) partial sums, then the
+    * |groups|-bounded final merge — two shuffles, neither seeing the
+    * hot key whole. `aggs` maps output name → summable column. */
+  def saltedAggregate(df: DataFrame, groupCols: Seq[String], saltBy: Column,
+      nSalts: Int, aggs: Seq[(String, Column)]): DataFrame = {
+    require(nSalts >= 1 && nSalts <= 4096, s"nSalts in [1, 4096]: $nSalts")
+    require(aggs.nonEmpty, "need at least one aggregate")
+    val partial = df
+      .withColumn("__salt", pmod(saltBy.cast("long"), lit(nSalts.toLong)))
+      .groupBy((groupCols.map(col) :+ col("__salt")): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    partial.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
+  }
+}

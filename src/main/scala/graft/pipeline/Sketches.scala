@@ -100,6 +100,66 @@ object Sketches {
       .drop("__inv_hit", "__v", "__inv", "__raw")
   }
 
+  // ---------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan 2005) — point-frequency
+  // estimates over unbounded key spaces at fixed memory: depth
+  // independent hash rows × width counters; estimate = min over rows
+  // (always an OVERestimate, error ≤ n/width w.h.p.). Complements
+  // MisraGries (exact top-k) with arbitrary-key queries, and the
+  // registers are SUM-mergeable across shards/windows. Same
+  // determinism kit as HLL: portable md5 row hashes, integer counts.
+  // ---------------------------------------------------------------
+
+  /** 60-bit portable md5 hash of `s` — Scala twin of the Catalyst
+    * `conv(substring(md5(s), 1, 15), 16, 10)` expression (first 15 hex
+    * chars = high 60 bits of the digest). */
+  private[pipeline] def portableHashLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var hi = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+    hi >>> 4
+  }
+
+  /** CM register table: keyCols ++ (row, cbin, cnt) — one posexplode
+    * (depth rows per occurrence, map-side) into ONE partial-aggregated
+    * groupBy bounded by |groups|·depth·width. NULL values ignored. */
+  def cmRegisters(df: DataFrame, keyCols: Seq[String], value: Column,
+      depth: Int = 4, width: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 2 && width <= 65536,
+      s"depth in [1,16], width in [2,65536]: $depth, $width")
+    val hashes = array((0 until depth).map { i =>
+      pmod(conv(substring(md5(concat(value, lit(s"#cm$i"))), 1, 15), 16, 10)
+        .cast("long"), lit(width.toLong))
+    }: _*)
+    df.filter(value.isNotNull)
+      .select(keyCols.map(col) :+ posexplode(hashes): _*)
+      .select(keyCols.map(col) :+ col("pos").cast("long").as("row") :+
+        col("col").as("cbin"): _*)
+      .groupBy((keyCols.map(col) :+ col("row") :+ col("cbin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for literal `probes` against a register
+    * table: per (group, probe) the min over depth rows, missing cells
+    * counting 0. Probe cells compute driver-side with the SAME hash
+    * (codebook-sized literal frame, broadcast). */
+  def cmProbe(registers: DataFrame, keyCols: Seq[String], probes: Seq[String],
+      depth: Int = 4, width: Int = 16): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val pr = probes.flatMap(v => (0 until depth).map(i =>
+      (v, i.toLong, portableHashLocal(s"$v#cm$i") % width)))
+      .toDF("probe", "row", "cbin")
+    registers.select(keyCols.map(col): _*).distinct()
+      .crossJoin(broadcast(pr))
+      .join(registers, keyCols :+ "row" :+ "cbin", "left")
+      .groupBy((keyCols.map(col) :+ col("probe")): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** SQL twin of the whole pipeline for oracle construction: a chain
     * of CTE definitions (no leading WITH) ending in `hll_out` with
     * columns keyNames ++ (n_hit, sum_r, est_e4), over `table` (an

@@ -1693,7 +1693,42 @@ object CurationQueries extends QueryPack {
            |SELECT bin, n, n_pos, CAST((n_pos * 10000) // n AS BIGINT) AS posrate_e4,
            |  CAST(CASE WHEN tot = 0 THEN 0 ELSE (cum * 10000) // tot END AS BIGINT) AS gain_e4
            |FROM cm""".stripMargin
-      }))
+      }),
+
+    Query(
+      "q208_count_min",
+      "Count-Min sketch point-frequency estimates (Cormode & Muthukrishnan 2005) with the same auditable-determinism contract as the q197 HLL: 4 portable-md5 hash rows x 16 counters per source (width deliberately BELOW the 31-token vocabulary so collisions actually happen and min-over-rows does real work), probed for 5 tokens against the exact counts. Estimates are provably >= exact (overestimate-only, error <= n/width) — the arbitrary-key frequency query that complements q188's exact Misra-Gries top-k; registers are SUM-mergeable across shards/windows. Plan: one posexplode (depth rows per occurrence, map-side) into a |sources|x4x16-bounded partial aggregate; probes are a driver-computed literal frame (the SAME md5, Scala twin) broadcast against it.",
+      (s, dir) => {
+        import s.implicits._
+        val probes = Seq("join", "hash", "scan", "filter", "batch")
+        val toks = Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("w"))
+        val reg = graft.pipeline.Sketches.cmRegisters(toks, Seq("source"), $"w")
+        val est = graft.pipeline.Sketches.cmProbe(reg, Seq("source"), probes)
+        val exact = toks.filter($"w".isin(probes: _*))
+          .groupBy($"source", $"w".as("probe"))
+          .agg(count(lit(1)).as("exact_n"))
+        est.join(exact, Seq("source", "probe"), "left")
+          .na.fill(0L, Seq("exact_n"))
+      },
+      Some(s"""WITH toks AS (SELECT source, unnest($toksSql) AS w FROM documents),
+              |rg AS (SELECT unnest(range(0, 4)) AS i),
+              |cm AS (SELECT source, rg.i AS row,
+              |    ('0x' || substr(md5(w || '#cm' || CAST(rg.i AS VARCHAR)), 1, 15))::BIGINT % 16 AS cbin,
+              |    CAST(count(*) AS BIGINT) AS cnt
+              |  FROM toks, rg GROUP BY 1, 2, 3),
+              |pr AS (SELECT p.probe, rg.i AS row,
+              |    ('0x' || substr(md5(p.probe || '#cm' || CAST(rg.i AS VARCHAR)), 1, 15))::BIGINT % 16 AS cbin
+              |  FROM (VALUES ('join'), ('hash'), ('scan'), ('filter'), ('batch')) p(probe), rg),
+              |ks AS (SELECT DISTINCT source FROM documents),
+              |est AS (SELECT ks.source, pr.probe, CAST(min(coalesce(cm.cnt, 0)) AS BIGINT) AS est
+              |  FROM ks CROSS JOIN pr
+              |  LEFT JOIN cm ON cm.source = ks.source AND cm.row = pr.row AND cm.cbin = pr.cbin
+              |  GROUP BY 1, 2),
+              |ex AS (SELECT source, w AS probe, CAST(count(*) AS BIGINT) AS exact_n
+              |  FROM toks WHERE w IN ('join', 'hash', 'scan', 'filter', 'batch') GROUP BY 1, 2)
+              |SELECT e.source, e.probe, e.est, coalesce(x.exact_n, 0) AS exact_n
+              |FROM est e LEFT JOIN ex x ON e.source = x.source AND e.probe = x.probe""".stripMargin)))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

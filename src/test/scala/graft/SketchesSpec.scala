@@ -49,6 +49,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(reg.count() <= 2)
   }
 
+  test("count-min estimates always dominate exact counts; min tightens") {
+    val rng = new scala.util.Random(3)
+    val words = (0 until 2000).map(_ => ("g", s"w${rng.nextInt(40)}"))
+    val df = words.toDF("g", "v")
+    val reg = Sketches.cmRegisters(df, Seq("g"), col("v"), depth = 4, width = 8)
+    val probes = (0 until 40 by 3).map(i => s"w$i")
+    val est = Sketches.cmProbe(reg, Seq("g"), probes, depth = 4, width = 8)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val exact = words.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    probes.foreach { p =>
+      val e = exact.getOrElse(p, 0L)
+      assert(est(p) >= e, s"$p: CM must overestimate")
+      // n/width is the EXPECTED collision mass per row; min-over-depth
+      // concentrates but gives no hard bound — allow 2x
+      assert(est(p) <= e + 2 * 2000 / 8, s"$p: error bound 2n/width")
+    }
+  }
+
+  test("count-min registers sum-merge across shards") {
+    val a = (0 until 300).map(i => ("g", s"w${i % 11}")).toDF("g", "v")
+    val b = (0 until 200).map(i => ("g", s"w${i % 7}")).toDF("g", "v")
+    val whole = Sketches.cmRegisters(a.unionByName(b), Seq("g"), col("v"))
+      .orderBy("row", "cbin").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val merged = Sketches.cmRegisters(a, Seq("g"), col("v"))
+      .unionByName(Sketches.cmRegisters(b, Seq("g"), col("v")))
+      .groupBy(col("g"), col("row"), col("cbin"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .orderBy("row", "cbin").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(whole == merged)
+  }
+
   test("small cardinality takes the linear-counting branch exactly") {
     val n = 5
     val est = Sketches.hllEstimate(
