@@ -52,10 +52,10 @@ object Sketches {
   /** Raw-estimate threshold for applying linear counting (2.5 m). */
   val LcThreshold: Double = 2.5 * M
 
-  /** Register table: keyCols ++ (bucket, r). `value` must already be a
-    * string expression; rows with NULL value are ignored (SQL distinct
-    * semantics). One shuffle, partial-aggregated map-side. */
-  def hllRegisters(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame = {
+  /** Append the (bucket, __r) register-coordinate columns for `value`
+    * to any frame (batch or streaming) — the shared derivation of
+    * [[hllRegisters]] and the streaming register aggregate. */
+  private[graft] def withBucketRank(df: DataFrame, value: Column): DataFrame = {
     val h = conv(substring(md5(concat(value, lit("#hll"))), 1, 15), 16, 10).cast("long")
     val w = expr(s"__h div $M")
     df.filter(value.isNotNull)
@@ -64,9 +64,15 @@ object Sketches {
       .withColumn("__r",
         when(w === 0L, lit(RMax.toLong))
           .otherwise(lit(RMax.toLong) - length(bin(w)).cast("long")))
+  }
+
+  /** Register table: keyCols ++ (bucket, r). `value` must already be a
+    * string expression; rows with NULL value are ignored (SQL distinct
+    * semantics). One shuffle, partial-aggregated map-side. */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame =
+    withBucketRank(df, value)
       .groupBy((keyCols.map(col) :+ col("bucket")): _*)
       .agg(max(col("__r")).as("r"))
-  }
 
   /** Merge register shards (same schema as [[hllRegisters]] output) —
     * the union of sketches is the sketch of the union. */

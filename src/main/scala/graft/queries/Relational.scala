@@ -603,6 +603,54 @@ object Relational extends QueryPack {
              |  CAST(sum(CASE WHEN dt <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
              |  CAST(sum(CASE WHEN dt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_next,
              |  CAST(coalesce(sum(abs(dt)), 0) AS BIGINT) AS sum_absdt_ns
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    Query(
+      "q209_salted_skew_agg",
+      "Skew-safe join + aggregation via EXPLICIT deterministic key salting (operators.SaltedJoin) on a 90%-hot key: the large side appends salt = pmod(hash-stable id, 8), the 8-row dimension replicates 8 ways, the join key becomes (key, salt), and the grouped sum runs as per-(group, salt) partials + a bounded merge — no reducer ever sees the hot key whole. AQE's skew-join splits oversized SORT-MERGE partitions but does not reach broadcast-ineligible hash AGGREGATIONS downstream or stateful stages keyed on the raw value; salting re-randomizes those too, and NEVER with rand() (retry/replay determinism). The result multiset is identical to the plain join — which is exactly what the oracle runs.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select(
+          when($"l_orderkey" % 10 < 9, 0L).otherwise($"l_orderkey" % 7 + 1).as("k"),
+          cents($"l_extendedprice").as("p"), $"l_orderkey")
+        val dim = (0L to 7L).map(k => (k, if (k == 0) "hot" else s"seg$k"))
+          .toDF("k", "label")
+        val joined = graft.operators.SaltedJoin.inner(
+          li, dim, Seq("k"), saltBy = $"l_orderkey", nSalts = 8)
+        graft.operators.SaltedJoin.saltedAggregate(
+          joined, Seq("label"), $"l_orderkey", nSalts = 8,
+          Seq("n" -> count(lit(1)), "sum_p" -> sum($"p")))
+      },
+      Some("""WITH li AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+             |    ELSE l_orderkey % 7 + 1 END AS k,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p FROM lineitem),
+             |dim AS (SELECT * FROM (VALUES (0, 'hot'), (1, 'seg1'), (2, 'seg2'), (3, 'seg3'),
+             |    (4, 'seg4'), (5, 'seg5'), (6, 'seg6'), (7, 'seg7')) d(k, label))
+             |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS sum_p
+             |FROM li JOIN dim USING (k) GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q210_quantile_binning",
+      "Equal-frequency (quintile) feature binning — the ML featurization pass that equal-WIDTH bins (q205's grid) get wrong on heavy-tailed values: cut points are EXACT quintiles from the q192 value-domain binary search (ceil(q*n)-th smallest, ~24 cheap map-side passes, no sort shuffle, no percentile buffers), then binning is one map-only pass counting cuts strictly below each value. Per bin: count, min, max, sum of cents — the near-equal counts are the equal-frequency witness, the min/max the bin-boundary audit. Demonstrates the selection primitive CHAINS into featurization exactly; the oracle derives its cuts from DuckDB's own quantile_disc.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select(cents($"l_extendedprice").as("c"))
+        val cuts = graft.pipeline.Quantiles
+          .exactQuantiles(li, "c", Seq(0.2, 0.4, 0.6, 0.8)).map(_._2)
+        li.withColumn("bin", cuts.foldLeft(lit(0L)) {
+            (acc, cu) => acc + when($"c" > cu, 1L).otherwise(0L)
+          })
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"), min($"c").as("min_c"),
+            max($"c").as("max_c"), sum($"c").as("sum_c"))
+      },
+      Some("""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c FROM lineitem),
+             |q AS (SELECT quantile_disc(c, 0.2) AS q1, quantile_disc(c, 0.4) AS q2,
+             |        quantile_disc(c, 0.6) AS q3, quantile_disc(c, 0.8) AS q4 FROM c)
+             |SELECT (CASE WHEN c > q1 THEN 1 ELSE 0 END + CASE WHEN c > q2 THEN 1 ELSE 0 END
+             |      + CASE WHEN c > q3 THEN 1 ELSE 0 END + CASE WHEN c > q4 THEN 1 ELSE 0 END) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n, CAST(min(c) AS BIGINT) AS min_c,
+             |  CAST(max(c) AS BIGINT) AS max_c, CAST(sum(c) AS BIGINT) AS sum_c
+             |FROM c, q GROUP BY 1""".stripMargin))
   )
 }

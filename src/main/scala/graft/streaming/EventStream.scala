@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -175,6 +175,23 @@ object EventStream {
     points.groupByKey(_.series)
       .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fn)
   }
+
+  /** Streaming windowed HyperLogLog registers — approximate
+    * distinct-per-window at fixed state: one watermarked windowed
+    * aggregate holds ≤ |windows|×|groups|×64 max-rank registers (the
+    * [[graft.pipeline.Sketches]] derivation, shared code), emitted in
+    * append mode when the watermark closes each window. Registers from
+    * any set of windows/shards max-merge losslessly (`hllMerge`) and
+    * `hllEstimate` turns them into counts at read time — the sketch is
+    * the streaming artifact, the estimate a batch view over it. Scores
+    * are bit-identical to the batch registers on the same window. */
+  def hllRegisterStream(events: DataFrame, tsCol: String, windowLen: String,
+      keyCols: Seq[String], value: Column,
+      watermark: String = "10 minutes"): DataFrame =
+    graft.pipeline.Sketches
+      .withBucketRank(events.withWatermark(tsCol, watermark), value)
+      .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__r")).as("r"))
 
   /** Streaming ingestion dedup on the normalized content fingerprint —
     * the streaming twin of the batch exact-dedup pass (q52): documents

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SaltedJoin
+
+class SaltedJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // 95% of rows on one key — the shape that melts a single reducer
+  private val large = (1L to 2000L)
+    .map(i => (if (i % 20 != 0) 1L else i % 7 + 2, i, i * 3))
+    .toDF("k", "id", "v")
+  private val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (9L, "unmatched"))
+    .toDF("k", "label")
+
+  test("salted inner join equals the plain join multiset") {
+    val plain = large.join(small, Seq("k"))
+      .select($"k", $"id", $"v", $"label")
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    for (nSalts <- Seq(1, 4, 32)) {
+      val salted = SaltedJoin.inner(large, small, Seq("k"), $"id", nSalts)
+        .select($"k", $"id", $"v", $"label")
+        .as[(Long, Long, Long, String)].collect().sorted.toSeq
+      assert(salted == plain, s"nSalts=$nSalts")
+    }
+  }
+
+  test("saltedAggregate equals the plain grouped aggregate") {
+    val plain = large.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val salted = SaltedJoin.saltedAggregate(large, Seq("k"), $"id", 16,
+        Seq("n" -> count(lit(1)), "s" -> sum($"v")))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("salt values actually spread the hot key") {
+    val salts = large.filter($"k" === 1L)
+      .withColumn("salt", pmod($"id", lit(8L)))
+      .select($"salt").distinct().count()
+    assert(salts == 8L)
+  }
+}

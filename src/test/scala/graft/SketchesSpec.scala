@@ -80,6 +80,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(whole == merged)
   }
 
+  test("hllRegisterStream equals batch registers on closed day windows") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.core.Tables.events(spark, sf)
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"),
+        col("user_id").cast("string").as("v"))
+    val expect = graft.pipeline.Sketches
+      .hllRegisters(batch, Seq("day", "event_type"), col("v"))
+      .as[(Long, String, Long, Long)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("hll_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
+    val stream = graft.core.Tables.normalizeEventTs(
+        graft.streaming.EventStream.fromParquetDir(spark, dir.toString,
+          spark.read.parquet(s"$sf/events.parquet").schema))
+      .select(graft.queries.nanosToTs(col("ts")).as("t"), col("event_type"),
+        col("user_id").cast("string").as("v"))
+    val q = graft.streaming.EventStream
+      .hllRegisterStream(stream, "t", "1 day", Seq("event_type"), col("v"))
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hll_out")
+        .select(expr("unix_timestamp(window.start) div 86400").as("day"),
+          col("event_type"), col("bucket"), col("r"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == expect)
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("small cardinality takes the linear-counting branch exactly") {
     val n = 5
     val est = Sketches.hllEstimate(
