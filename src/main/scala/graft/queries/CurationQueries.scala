@@ -1728,7 +1728,44 @@ object CurationQueries extends QueryPack {
               |ex AS (SELECT source, w AS probe, CAST(count(*) AS BIGINT) AS exact_n
               |  FROM toks WHERE w IN ('join', 'hash', 'scan', 'filter', 'batch') GROUP BY 1, 2)
               |SELECT e.source, e.probe, e.est, coalesce(x.exact_n, 0) AS exact_n
-              |FROM est e LEFT JOIN ex x ON e.source = x.source AND e.probe = x.probe""".stripMargin)))
+              |FROM est e LEFT JOIN ex x ON e.source = x.source AND e.probe = x.probe""".stripMargin)),
+
+    Query(
+      "q214_frequent_pairs",
+      "Frequent co-occurring token pairs with lift (the association-rule / co-occurrence-mining kernel — Agrawal-Srikant apriori, level 2): pairs of tokens appearing together in >= 40% of documents, with lift = P(ab)/(P(a)P(b)) as an exact integer ratio. The APRIORI PRUNE is the scale move: only tokens individually frequent (a superset requirement of any frequent pair) enter the per-doc self-join, so pair-candidate volume is bounded by (frequent vocabulary)^2 per doc, not (vocabulary)^2 — on a heavy-tailed real vocabulary that prefilter removes almost everything before the only quadratic step. Support threshold derives from the corpus size (one scalar), shuffles carry (doc, token) distinct pairs and bounded pair keys.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val total = docs.count()
+        val minSup = total * 2 / 5
+        val dt = docs.select($"doc_id",
+          explode(array_distinct(TextAnalysis.tokens($"text"))).as("w"))
+        val sup = dt.groupBy($"w").agg(count(lit(1)).as("nw"))
+          .filter($"nw" >= minSup)
+        val dtF = dt.join(broadcast(sup.select($"w")), Seq("w"))
+        val pairs = dtF.as("a")
+          .join(dtF.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+          .groupBy(col("a.w").as("tok_a"), col("b.w").as("tok_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= minSup)
+        pairs
+          .join(broadcast(sup.select($"w".as("tok_a"), $"nw".as("na"))), Seq("tok_a"))
+          .join(broadcast(sup.select($"w".as("tok_b"), $"nw".as("nb"))), Seq("tok_b"))
+          .select($"tok_a", $"tok_b", $"n_ab",
+            expr(s"(n_ab * ${total}L * 10000L) div (na * nb)").as("lift_e4"))
+      },
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($toksSql) AS w FROM documents),
+              |tot AS (SELECT count(*) AS n FROM documents),
+              |sup AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM dt GROUP BY 1
+              |        HAVING count(*) >= (SELECT n * 2 // 5 FROM tot)),
+              |p AS (SELECT a.w AS tok_a, b.w AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+              |      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+              |      JOIN sup sa ON sa.w = a.w JOIN sup sb ON sb.w = b.w
+              |      GROUP BY 1, 2 HAVING count(*) >= (SELECT n * 2 // 5 FROM tot))
+              |SELECT p.tok_a, p.tok_b, p.n_ab,
+              |  CAST((p.n_ab * (SELECT n FROM tot) * 10000) // (sa.nw * sb.nw) AS BIGINT) AS lift_e4
+              |FROM p JOIN sup sa ON sa.w = p.tok_a JOIN sup sb ON sb.w = p.tok_b""".stripMargin)))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

@@ -1452,7 +1452,54 @@ object PipelineQueries extends QueryPack {
               |  CAST(y.n AS BIGINT) AS nb, CAST(c AS BIGINT) AS inter,
               |  CAST(floor(c * 10000.0 / (x.n + y.n - c) + 0.5) AS BIGINT) AS jaccard_e4
               |FROM com JOIN cnt x ON ia = x.doc_id JOIN cnt y ON ib = y.doc_id
-              |WHERE c * 2 >= x.n + y.n - c""".stripMargin))
+              |WHERE c * 2 >= x.n + y.n - c""".stripMargin)),
+
+    Query(
+      "q211_edit_distance_join",
+      "Blocked EDIT-DISTANCE join (EntityResolution.editDistanceMatches) — the typo-class linkage companion of q177's Jaro-Winkler: JW rewards shared prefixes, Levenshtein counts raw operations, which is what OCR/keystroke dedup wants. Same corrupted-twin fixture as q177 (deletion / substitution / adjacent swap after the block prefix — each <= 2 unit edits), candidates from the 4-char prefix block with a length-difference prefilter (||a|-|b|| is a lower bound on edit distance, pruned BEFORE the O(|a||b|) verify — the pass-join discipline), kept at distance <= 2. Spark and DuckDB both implement unit-cost Wagner-Fischer, so the verify is cross-engine exact — the oracle is DuckDB's OWN levenshtein, an independent implementation.",
+      (s, dir) => {
+        import s.implicits._
+        val nm = concat(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 10),
+          lit("-"), col("doc_id").cast("string"))
+        val docs = Tables.documents(s, dir)
+        val a = docs.select($"doc_id".as("id"), $"source", nm.as("name"))
+        val bname = when($"doc_id" % 3 === 0,
+            concat(substring($"name", 1, 5), substring($"name", 7, 1000)))
+          .when($"doc_id" % 3 === 1,
+            concat(substring($"name", 1, 5), lit("z"), substring($"name", 7, 1000)))
+          .otherwise(concat(substring($"name", 1, 8), substring($"name", 10, 1),
+            substring($"name", 9, 1), substring($"name", 11, 1000)))
+        val b = docs.select($"doc_id", nm.as("name"))
+          .select(($"doc_id" + 1000000L).as("id"), bname.as("name"))
+        EntityResolution.editDistanceMatches(
+            a.select($"id", $"name"), b, "id", "name",
+            n => substring(n, 1, 4), maxDist = 2)
+          .join(a.select($"id".as("id_a"), $"source"), "id_a")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_match"),
+            sum(when($"id_b" - 1000000L === $"id_a", 1L).otherwise(0L)).as("n_true"),
+            sum($"dist").as("sum_dist"))
+      },
+      Some("""WITH a AS (SELECT doc_id AS id_a, source,
+             |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) || '-' || CAST(doc_id AS VARCHAR) AS name
+             |  FROM documents),
+             |b0 AS (SELECT doc_id,
+             |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) || '-' || CAST(doc_id AS VARCHAR) AS name
+             |  FROM documents),
+             |b AS (SELECT doc_id + 1000000 AS id_b,
+             |  CASE doc_id % 3
+             |    WHEN 0 THEN substring(name, 1, 5) || substring(name, 7, 1000)
+             |    WHEN 1 THEN substring(name, 1, 5) || 'z' || substring(name, 7, 1000)
+             |    ELSE substring(name, 1, 8) || substring(name, 10, 1) || substring(name, 9, 1) || substring(name, 11, 1000)
+             |  END AS name FROM b0),
+             |m AS (SELECT a.id_a, a.source, b.id_b, levenshtein(a.name, b.name) AS d
+             |  FROM a JOIN b ON substring(a.name, 1, 4) = substring(b.name, 1, 4)
+             |  WHERE levenshtein(a.name, b.name) <= 2)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_match,
+             |  CAST(sum(CASE WHEN id_b - 1000000 = id_a THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             |  CAST(sum(d) AS BIGINT) AS sum_dist
+             |FROM m GROUP BY source""".stripMargin))
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

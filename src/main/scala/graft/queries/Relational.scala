@@ -651,6 +651,82 @@ object Relational extends QueryPack {
              |      + CASE WHEN c > q3 THEN 1 ELSE 0 END + CASE WHEN c > q4 THEN 1 ELSE 0 END) AS bin,
              |  CAST(count(*) AS BIGINT) AS n, CAST(min(c) AS BIGINT) AS min_c,
              |  CAST(max(c) AS BIGINT) AS max_c, CAST(sum(c) AS BIGINT) AS sum_c
-             |FROM c, q GROUP BY 1""".stripMargin))
+             |FROM c, q GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q212_grouped_ols",
+      "Per-group OLS trend line (slope/intercept of daily revenue vs day, per event type) from CLOSED-FORM integer sufficient statistics: one partial-aggregated pass collects (n, Sx, Sy, Sxy, Sxx) per group — the only shuffle, bounded by |groups| — and the line is exact integer ratios slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2), same-denominator intercept. Days re-index against the GLOBAL min day (one scalar, broadcast) so every product stays far from 2^63. The regression-as-aggregation shape: no ML library, no iterations, no float accumulation — numerator/denominator ship as exact integers alongside e6 quotients.",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+          .agg(cents(sum($"value")).as("y"))
+        val minDay = daily.agg(min($"day").as("d0"))
+        val st = daily.crossJoin(broadcast(minDay))
+          .select($"event_type", ($"day" - $"d0").as("x"), $"y")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        st.select($"event_type", $"n",
+          ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("den"),
+          ($"sy" * $"sxx" - $"sx" * $"sxy").as("icpt_num"))
+          .withColumn("slope_e6", expr("(slope_num * 1000000L) div den"))
+          .withColumn("icpt_e2", expr("(icpt_num * 100L) div den"))
+      },
+      Some("""WITH d AS (SELECT event_type, (epoch_us(ts) * 1000) // 86400000000000 AS day,
+             |    CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT min(day) AS d0 FROM d),
+             |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(day - d0) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum((day - d0) * y) AS BIGINT) AS sxy,
+             |    CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS sxx
+             |  FROM d, m GROUP BY 1)
+             |SELECT event_type, n,
+             |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+             |  CAST(n * sxx - sx * sx AS BIGINT) AS den,
+             |  CAST(sy * sxx - sx * sxy AS BIGINT) AS icpt_num,
+             |  CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS BIGINT) AS slope_e6,
+             |  CAST(((sy * sxx - sx * sxy) * 100) // (n * sxx - sx * sx) AS BIGINT) AS icpt_e2
+             |FROM st""".stripMargin)),
+
+    Query(
+      "q213_correlation",
+      "Per-group Pearson correlation (quantity vs extended price by return flag) from exact integer sufficient statistics: one bounded-shuffle pass collects (n, Sx, Sy, Sxy, Sxx, Syy) as longs, then the coefficient computes in doubles whose every input is an exact integer and whose operation ORDER is mirrored token-for-token in the oracle — long-to-double conversion, multiply, subtract and the IEEE-correctly-rounded sqrt are all deterministic, so even the float stage is bit-identical cross-engine before e6 quantization. The covariance/correlation-matrix shape of feature analysis at corpus scale: no window, no second pass, no sampling.",
+      (s, dir) => {
+        import s.implicits._
+        // whole-unit quantization: cents would push sum(y^2) past 2^63
+        // at sf0.1 (1e14 per row x 2e5 rows); units keep it ~2e15
+        val li = Tables.lineitem(s, dir).select($"l_returnflag",
+          floor($"l_quantity" + lit(0.5)).cast("long").as("x"),
+          floor($"l_extendedprice" + lit(0.5)).cast("long").as("y"))
+        val st = li.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+            sum($"y" * $"y").as("syy"))
+        val nD = $"n".cast("double")
+        val num = nD * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")
+        val dx = nD * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")
+        val dy = nD * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double")
+        st.select($"l_returnflag", $"n",
+          floor(num / (sqrt(dx) * sqrt(dy)) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("corr_e6"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+             |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+             |  FROM lineitem),
+             |st AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM li GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    * 1000000.0 + 0.5) AS BIGINT) AS corr_e6
+             |FROM st""".stripMargin))
   )
 }
