@@ -486,7 +486,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tNum: Long, tDen: Long): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0, 1]: $tNum/$tDen")
+    // shingles reduce to 64-bit hashes before any shuffle/sort/verify
+    // (the q53 idiom): frequency join, per-doc sorts, prefix postings
+    // and the intersect verify all move 8-byte longs instead of
+    // n-gram strings — same collision-risk class as ngramJaccardPairs
     val rows = shingleRows(df, idCol, textCol, n, distinct = true)
+      .select(col("id"), xxhash64(col("s")).as("s"))
     val freq = rows.groupBy("s").agg(count(lit(1)).as("f"))
     val ordered = rows.join(freq, "s")
       .groupBy("id")
