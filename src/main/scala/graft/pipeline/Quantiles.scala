@@ -102,4 +102,49 @@ object Quantiles {
       stats.map(s => s._1 -> lo(s._1)).toSeq.toDF("k", "value")
     } finally { v.unpersist(false); () }
   }
+
+  /** Per-group exact WEIGHTED q-quantile: the smallest v with
+    * cumulative weight(x ≤ v) ≥ ⌈q·W⌉ (W = the group's total weight) —
+    * the weighted-percentile of survey statistics and token-weighted
+    * corpus gates, which no built-in covers at all (`percentile`
+    * takes a frequency, not a general weight, and buffers rows).
+    * Same bracket/pass structure as [[exactGroupQuantile]] with
+    * weighted conditional sums; zero-weight rows can never be
+    * selected (the cumulative only jumps at positive weight), and
+    * negative weights are rejected. ⌈log2(domain)⌉ passes total. */
+  def exactGroupWeightedQuantile(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, q: Double): DataFrame = {
+    require(q > 0.0 && q <= 1.0, "q in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull)
+      .persist()
+    try {
+      require(v.filter(col("w") < 0).isEmpty, "weights must be non-negative")
+      val stats = v.filter(col("w") > 0).groupBy(col("k"))
+        .agg(sum(col("w")).as("tw"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .as[(String, Long, Long, Long)].collect()
+      val rank = stats.map { case (k, tw, _, _) =>
+        k -> math.max(1L, math.ceil(q * tw).toLong)
+      }.toMap
+      val lo = scala.collection.mutable.Map(stats.map(s => s._1 -> s._3): _*)
+      val hi = scala.collection.mutable.Map(stats.map(s => s._1 -> s._4): _*)
+      while (lo.keys.exists(k => lo(k) < hi(k))) {
+        val mids = lo.keys.toSeq.filter(k => lo(k) < hi(k)).sorted
+          .map(k => k -> (lo(k) + (hi(k) - lo(k)) / 2))
+        val midDf = broadcast(mids.toDF("k", "mid"))
+        val cnts = v.join(midDf, Seq("k"))
+          .groupBy(col("k"))
+          .agg(sum(when(col("v") <= col("mid"), col("w")).otherwise(0L)).as("c"))
+          .as[(String, Long)].collect().toMap
+        mids.foreach { case (k, m) =>
+          if (cnts.getOrElse(k, 0L) >= rank(k)) hi(k) = m else lo(k) = m + 1
+        }
+      }
+      stats.map(s => s._1 -> lo(s._1)).toSeq.toDF("k", "value")
+    } finally { v.unpersist(false); () }
+  }
 }

@@ -727,6 +727,32 @@ object Relational extends QueryPack {
              |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              |    * 1000000.0 + 0.5) AS BIGINT) AS corr_e6
-             |FROM st""".stripMargin))
+             |FROM st""".stripMargin)),
+
+    Query(
+      "q215_weighted_median",
+      "Per-group exact WEIGHTED median (price units weighted by quantity, per return flag — 'the price at which half the shipped VOLUME sits below'): the smallest v with cumulative weight(x <= v) >= ceil(W/2), a definition no built-in covers (percentile takes a frequency and buffers whole groups; approx sketches are approximate). Computed by the q192/q193 value-domain binary search with WEIGHTED conditional sums — |groups|-bounded driver brackets, broadcast mids, ~log2(domain) map-side passes, zero-weight rows unselectable by construction. The oracle is the definition itself: a per-value cumulative-weight window scanned for the crossing point.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select($"l_returnflag",
+          floor($"l_extendedprice" + lit(0.5)).cast("long").as("v"),
+          floor($"l_quantity" + lit(0.5)).cast("long").as("w"))
+        graft.pipeline.Quantiles
+          .exactGroupWeightedQuantile(li, "l_returnflag", "v", "w", q = 0.5)
+          .withColumnRenamed("k", "l_returnflag")
+          .withColumnRenamed("value", "wmedian")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS k,
+             |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS v,
+             |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+             |  FROM lineitem),
+             |g AS (SELECT k, v, CAST(sum(w) AS BIGINT) AS w FROM li GROUP BY 1, 2),
+             |s AS (SELECT k, v, CAST(sum(w) OVER
+             |        (PARTITION BY k ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+             |      FROM g),
+             |t AS (SELECT k, CAST(sum(w) AS BIGINT) AS tw FROM g GROUP BY 1)
+             |SELECT s.k AS l_returnflag, CAST(min(v) AS BIGINT) AS wmedian
+             |FROM s JOIN t ON s.k = t.k WHERE s.cw >= (t.tw + 1) // 2
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -193,6 +193,37 @@ object EventStream {
       .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("__r")).as("r"))
 
+  /** Stream-stream inner join on a key plus a bounded time-range
+    * condition — the attribution shape (every right event joins the
+    * left events at most `lookback` BEFORE it, e.g. views → the
+    * purchase they preceded): Spark derives state eviction from the
+    * watermarks AND the range predicate, so each side buffers only
+    * `watermark + lookback` of history per key — the contract that
+    * makes stream-stream joins runnable on an unbounded feed (an
+    * unconstrained join condition would buffer both streams forever).
+    *
+    * `left`/`right` carry (`keyCol`, `tsCol` as TimestampType, plus
+    * payloads); right-side non-key columns get `suffix`. Emission
+    * happens when BOTH watermarks pass a match — append mode, no
+    * update churn. Late rows beyond the watermark drop (the batch
+    * join is the reconciliation pass, the [[cusumStream]] contract). */
+  def streamTimeRangeJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      lookback: String, watermark: String = "10 minutes",
+      suffix: String = "_r"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.withWatermark(tsCol, watermark)
+    val r = r0.columns.foldLeft(r0) { (df, c) =>
+      if (c == keyCol) df else df.withColumnRenamed(c, s"$c$suffix")
+    }.withColumnRenamed(keyCol, s"$keyCol$suffix")
+    val tsR = col(s"$tsCol$suffix")
+    l.join(r,
+      col(keyCol) === col(s"$keyCol$suffix") &&
+        col(tsCol) <= tsR &&
+        col(tsCol) >= tsR - expr(s"INTERVAL $lookback"))
+      .drop(s"$keyCol$suffix")
+  }
+
   /** Streaming ingestion dedup on the normalized content fingerprint —
     * the streaming twin of the batch exact-dedup pass (q52): documents
     * whose [[graft.pipeline.TextAnalysis.normalizeText]] fingerprints

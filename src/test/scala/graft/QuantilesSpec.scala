@@ -55,4 +55,36 @@ class QuantilesSpec extends AnyFunSuite {
     val want = rows.groupBy(_._1).map { case (k, g) => k -> brute(g.map(_._2), 0.5) }
     assert(got == want)
   }
+
+  private def bruteWeighted(vw: Seq[(Long, Long)], q: Double): Long = {
+    val byV = vw.filter(_._2 > 0).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val total = byV.map(_._2).sum
+    val rank = math.max(1L, math.ceil(q * total).toLong)
+    var cum = 0L
+    byV.find { case (_, w) => cum += w; cum >= rank }.get._1
+  }
+
+  test("weighted grouped quantile matches brute force; zero weights unselectable") {
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 600).map { i =>
+      (s"g${i % 4}", rng.nextInt(500).toLong, rng.nextInt(10).toLong) // some weights 0
+    }
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val got = Quantiles
+        .exactGroupWeightedQuantile(rows.toDF("k", "v", "w").repartition(7),
+          "k", "v", "w", q)
+        .as[(String, Long)].collect().toMap
+      val want = rows.groupBy(_._1).view
+        .mapValues(g => bruteWeighted(g.map(t => (t._2, t._3)), q)).toMap
+      assert(got == want, s"q=$q")
+    }
+    // weight-1 everywhere degenerates to the unweighted quantile
+    val uw = rows.map(r => (r._1, r._2, 1L))
+    val a = Quantiles.exactGroupWeightedQuantile(uw.toDF("k", "v", "w"), "k", "v", "w", 0.5)
+      .as[(String, Long)].collect().toMap
+    val b = Quantiles.exactGroupQuantile(uw.map(r => (r._1, r._2)).toDF("k", "v"), "k", "v", 0.5)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
 }

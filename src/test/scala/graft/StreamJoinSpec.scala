@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streamTimeRangeJoin equals the batch range join on closed windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // views (left) attribute to purchases (right) within 10 minutes
+    val views = Seq(
+      (1L, ts(0), 100L), (1L, ts(5), 101L), (1L, ts(20), 102L),
+      (2L, ts(3), 200L), (3L, ts(1), 300L))
+    val purchases = Seq(
+      (1L, ts(8), 900L),  // catches views at 0 and 5
+      (1L, ts(25), 901L), // catches view at 20
+      (2L, ts(30), 902L)) // view at 3 is 27 min earlier: outside lookback
+
+    val vSrc = MemoryStream[(Long, Timestamp, Long)]
+    val pSrc = MemoryStream[(Long, Timestamp, Long)]
+    val vDF = vSrc.toDF.toDF("user_id", "t", "view_id")
+    val pDF = pSrc.toDF.toDF("user_id", "t", "purchase_id")
+    val q = graft.streaming.EventStream
+      .streamTimeRangeJoin(vDF, pDF, "user_id", "t",
+        lookback = "10 minutes", watermark = "0 seconds")
+      .select($"user_id", $"view_id", $"purchase_id_r")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      vSrc.addData(views: _*)
+      pSrc.addData(purchases: _*)
+      q.processAllAvailable()
+      // advance both watermarks far enough to close every match
+      vSrc.addData((9L, ts(59), 999L))
+      pSrc.addData((9L, ts(59), 998L))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .filter($"user_id" < 9L)
+        .as[(Long, Long, Long)].collect().toSet
+      val expect = (for {
+        (vu, vt, vid) <- views
+        (pu, pt, pid) <- purchases
+        if vu == pu && !vt.after(pt) &&
+          vt.getTime >= pt.getTime - 10 * 60 * 1000
+      } yield (vu, vid, pid)).toSet
+      assert(got == expect)
+      assert(expect == Set((1L, 100L, 900L), (1L, 101L, 900L), (1L, 102L, 901L)))
+    } finally q.stop()
+  }
+}
