@@ -1765,7 +1765,62 @@ object CurationQueries extends QueryPack {
               |      GROUP BY 1, 2 HAVING count(*) >= (SELECT n * 2 // 5 FROM tot))
               |SELECT p.tok_a, p.tok_b, p.n_ab,
               |  CAST((p.n_ab * (SELECT n FROM tot) * 10000) // (sa.nw * sb.nw) AS BIGINT) AS lift_e4
-              |FROM p JOIN sup sa ON sa.w = p.tok_a JOIN sup sb ON sb.w = p.tok_b""".stripMargin)))
+              |FROM p JOIN sup sa ON sa.w = p.tok_a JOIN sup sb ON sb.w = p.tok_b""".stripMargin)),
+
+    Query(
+      "q217_diversity",
+      "Lexical diversity per source — richness and the Gini-Simpson index 1 - sum(n_i(n_i-1))/(N(N-1)) as EXACT integer rationals (the probability two random token draws differ; the collapsed-vocabulary detector for templated/spammy sources): one token-count aggregate bounded by |sources| x vocabulary, numerator/denominator shipped as exact integers alongside the e6 quotient — no float accumulation anywhere.",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("w"))
+        tok.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+          .groupBy($"source")
+          .agg(sum($"c").as("n_tokens"), count(lit(1)).as("richness"),
+            sum($"c" * ($"c" - 1L)).as("coll_num"))
+          .withColumn("gini_e6",
+            expr("((n_tokens * (n_tokens - 1L) - coll_num) * 1000000L) div (n_tokens * (n_tokens - 1L))"))
+      },
+      Some(s"""WITH tok AS (SELECT source, unnest($toksSql) AS w FROM documents),
+              |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+              |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |    CAST(count(*) AS BIGINT) AS richness,
+              |    CAST(sum(c * (c - 1)) AS BIGINT) AS coll_num
+              |  FROM c GROUP BY 1)
+              |SELECT source, n_tokens, richness, coll_num,
+              |  CAST(((n_tokens * (n_tokens - 1) - coll_num) * 1000000)
+              |    // (n_tokens * (n_tokens - 1)) AS BIGINT) AS gini_e6
+              |FROM a""".stripMargin)),
+
+    Query(
+      "q218_entropy",
+      "Shannon token entropy per source (the information-density screen between q217's collision index and q119's LM perplexity): H = -sum(p ln p) computed by the ln-before-integer-sum discipline — each token's surprisal floor(1e6 ln(n_i/N) + 0.5) quantizes INDEPENDENTLY (one division, one ln, identical operation order in both engines) before the exact integer dot with counts, so the per-source entropy sum is order-free; ent_e6 = -sum/N by one integer division. Bounded |sources| x vocabulary aggregate.",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("w"))
+        val cnt = tok.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy($"source").agg(sum($"c").as("nt"))
+        cnt.join(broadcast(tot), Seq("source"))
+          .withColumn("l",
+            floor(log($"c".cast("double") / $"nt".cast("double"))
+              * lit(1000000.0) + lit(0.5)).cast("long"))
+          .groupBy($"source")
+          .agg(min($"nt").as("n_tokens"), sum($"c" * $"l").as("neg_ent_num"))
+          .withColumn("ent_e6", expr("(-neg_ent_num) div n_tokens"))
+      },
+      Some(s"""WITH tok AS (SELECT source, unnest($toksSql) AS w FROM documents),
+              |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+              |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM c GROUP BY 1),
+              |l AS (SELECT c.source, c.c, t.nt,
+              |    CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(t.nt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS l
+              |  FROM c JOIN t ON c.source = t.source),
+              |a AS (SELECT source, CAST(min(nt) AS BIGINT) AS n_tokens,
+              |    CAST(sum(c * l) AS BIGINT) AS neg_ent_num
+              |  FROM l GROUP BY 1)
+              |SELECT source, n_tokens, neg_ent_num,
+              |  CAST((-neg_ent_num) // n_tokens AS BIGINT) AS ent_e6
+              |FROM a""".stripMargin)))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

@@ -753,6 +753,104 @@ object Relational extends QueryPack {
              |t AS (SELECT k, CAST(sum(w) AS BIGINT) AS tw FROM g GROUP BY 1)
              |SELECT s.k AS l_returnflag, CAST(min(v) AS BIGINT) AS wmedian
              |FROM s JOIN t ON s.k = t.k WHERE s.cw >= (t.tw + 1) // 2
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q216_cdf_normalize",
+      "Percentile-rank (CDF) feature normalization — the rank transform that makes heavy-tailed features comparable across sources: every price maps to rank_e4 = floor-fraction of rows at or below it, computed by the two-pass shape that scales — ONE partial-aggregated groupBy collapses the corpus to |distinct values| count rows, the distributed prefix sum (q198's scan) accumulates cumulative counts with no single-partition window, and the transform joins back by value (map-side against the bounded rank table at real-world cardinalities). Per return flag: row count, rank-mass checksum, min/max rank — the per-group rank distributions differing is the point of the audit.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_returnflag", cents($"l_extendedprice").as("c"))
+        val agg = li.groupBy($"c").agg(count(lit(1)).as("cnt"))
+        val (ps, total) = graft.pipeline.Sampling.prefixSum(agg, Seq($"c"), $"cnt")
+        val ranks = ps.select($"c",
+          expr(s"(cum_incl * 10000L) div ${total}L").as("rank_e4"))
+        li.join(ranks, Seq("c"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum($"rank_e4").as("sum_rank_e4"),
+            min($"rank_e4").as("min_rank_e4"), max($"rank_e4").as("max_rank_e4"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM lineitem),
+             |a AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM a),
+             |r AS (SELECT c, CAST((CAST(sum(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |        * 10000) // (SELECT n FROM t) AS BIGINT) AS rank_e4
+             |      FROM a)
+             |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(r.rank_e4) AS BIGINT) AS sum_rank_e4,
+             |  CAST(min(r.rank_e4) AS BIGINT) AS min_rank_e4,
+             |  CAST(max(r.rank_e4) AS BIGINT) AS max_rank_e4
+             |FROM li JOIN r ON li.c = r.c GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q219_benford",
+      "Benford's-law leading-digit audit of order totals — the fraud/synthetic-data screen: observed first-digit frequencies (exact string extraction from integer cents) against the Benford expectation log10(1+1/d), which enters BOTH engines as the same precomputed e6 integer literals so no log runs anywhere. Per digit: count, observed e6 frequency (integer division), expected literal, absolute deviation — the summed deviation is the audit statistic. One partial-aggregated pass to 9 rows.",
+      (s, dir) => {
+        import s.implicits._
+        val expE6: Map[Int, Long] = (1 to 9).map(d =>
+          d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong).toMap
+        val expCol = (1 to 9).foldLeft(lit(null).cast("long")) {
+          (acc, d) => when($"digit" === d.toLong, lit(expE6(d))).otherwise(acc)
+        }
+        val o = Tables.orders(s, dir)
+          .select(substring(cents($"o_totalprice").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+        val n = o.count()
+        o.groupBy($"digit").agg(count(lit(1)).as("cnt"))
+          .withColumn("obs_e6", expr(s"(cnt * 1000000L) div ${n}L"))
+          .withColumn("exp_e6", expCol)
+          .withColumn("dev_e6", abs($"obs_e6" - $"exp_e6"))
+      },
+      Some {
+        val expVals = (1 to 9).map(d =>
+          s"($d, ${math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong})").mkString(", ")
+        s"""WITH o AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM orders),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+           |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),
+           |e(digit, exp_e6) AS (VALUES $expVals)
+           |SELECT c.digit, c.cnt, CAST((c.cnt * 1000000) // (SELECT n FROM t) AS BIGINT) AS obs_e6,
+           |  CAST(e.exp_e6 AS BIGINT) AS exp_e6,
+           |  CAST(abs((c.cnt * 1000000) // (SELECT n FROM t) - e.exp_e6) AS BIGINT) AS dev_e6
+           |FROM c JOIN e ON c.digit = e.digit""".stripMargin
+      }),
+
+    Query(
+      "q220_survival",
+      "Kaplan-Meier-style churn/survival curve over user last-activity days (retention's dual: q199 counts who RETURNS, this tracks how the at-risk population DECAYS): per day the at-risk count (users whose last activity is at or after the day — a suffix sum over the |days|-bounded churn table), the churners, and the cumulative log-survival sum of e6-quantized ln(1 - d/n) factors — the ln-before-integer-sum pattern (q119), with the final all-churn day censored (ln 0). Corpus work is ONE user_id aggregate (last activity day per user) + one bounded day aggregate; every window runs over the calendar-bounded table.",
+      (s, dir) => {
+        import s.implicits._
+        val lastDay = Tables.events(s, dir)
+          .groupBy($"user_id").agg(max(expr("ts div 86400000000000")).as("d"))
+        val churn = lastDay.groupBy($"d").agg(count(lit(1)).as("churned"))
+        val wDesc = Window.orderBy($"d".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAsc = Window.orderBy($"d".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        churn
+          .withColumn("at_risk", sum($"churned").over(wDesc))
+          .withColumn("lf",
+            when($"churned" < $"at_risk",
+              floor(log(lit(1.0) - $"churned".cast("double") / $"at_risk".cast("double"))
+                * lit(1000000.0) + lit(0.5)).cast("long")))
+          .filter($"lf".isNotNull)
+          .withColumn("cum_log_s_e6", sum($"lf").over(wAsc))
+          .select($"d", $"at_risk", $"churned", $"cum_log_s_e6")
+      },
+      Some("""WITH ld AS (SELECT user_id, max((epoch_us(ts) * 1000) // 86400000000000) AS d
+             |  FROM events GROUP BY 1),
+             |ch AS (SELECT d, CAST(count(*) AS BIGINT) AS churned FROM ld GROUP BY 1),
+             |ar AS (SELECT d, churned, CAST(sum(churned) OVER
+             |        (ORDER BY d DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk
+             |      FROM ch),
+             |lf AS (SELECT d, at_risk, churned,
+             |        CAST(floor(ln(1.0 - CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE))
+             |          * 1000000.0 + 0.5) AS BIGINT) AS lf
+             |      FROM ar WHERE churned < at_risk)
+             |SELECT d, at_risk, churned,
+             |  CAST(sum(lf) OVER (ORDER BY d ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_log_s_e6
+             |FROM lf""".stripMargin))
   )
 }
