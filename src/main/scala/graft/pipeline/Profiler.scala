@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the data-quality reconnaissance a
+  * pipeline runs before trusting a new drop: per column the row count,
+  * null count, exact distinct cardinality, and min/max rendered as
+  * strings (schema-agnostic output shape, one row per column).
+  *
+  * Everything computes in ONE aggregate job; the exact
+  * `countDistinct` per column makes Catalyst EXPAND the input ×|cols|
+  * before the partial aggregate — fine for reconnaissance-width
+  * projections, but for wide tables at 100 TB swap the distinct
+  * column to [[Sketches.hllRegisters]] (one pass, no expand, ~2%
+  * error) and keep the rest unchanged. Min/max stringification is
+  * engine-portable for integral, string, and date/timestamp columns;
+  * avoid profiling raw floating columns through the ORACLE (quantize
+  * first) because float-to-string formatting is engine-specific.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.isEmpty) df.columns.toSeq else cols
+    require(cs.nonEmpty, "nothing to profile")
+    val aggs = cs.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val entries = cs.map { c =>
+      struct(lit(c).as("column"), col("__total").as("n_rows"),
+        (col("__total") - col(s"__n_$c")).as("n_nulls"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+}

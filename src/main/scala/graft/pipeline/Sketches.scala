@@ -166,6 +166,23 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Equi-join SIZE estimate from two CM register tables over the same
+    * (depth, width, salt) layout — the sketch inner product (Alon-
+    * Matias-Szegedy / Cormode-Muthukrishnan): |A ⋈ B| = Σ_k f_A(k)·
+    * f_B(k) is estimated by min over rows of Σ_col cntA·cntB, an
+    * OVERestimate like every CM query. The optimizer-statistics
+    * primitive: pick broadcast-vs-shuffle or pre-salt a join WITHOUT
+    * scanning either input twice — registers are |groups|·d·w-bounded
+    * and sum-mergeable, so they ride along with any earlier pass.
+    * Pass the same frame twice for a self-join size (Σ f²). */
+  def cmJoinSizeEstimate(regA: DataFrame, regB: DataFrame): DataFrame = {
+    val a = regA.select(col("row"), col("cbin"), col("cnt").as("ca"))
+    val b = regB.select(col("row"), col("cbin"), col("cnt").as("cb"))
+    a.join(b, Seq("row", "cbin"))
+      .groupBy(col("row")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+  }
+
   /** SQL twin of the whole pipeline for oracle construction: a chain
     * of CTE definitions (no leading WITH) ending in `hll_out` with
     * columns keyNames ++ (n_hit, sum_r, est_e4), over `table` (an

@@ -851,6 +851,57 @@ object Relational extends QueryPack {
              |      FROM ar WHERE churned < at_risk)
              |SELECT d, at_risk, churned,
              |  CAST(sum(lf) OVER (ORDER BY d ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_log_s_e6
-             |FROM lf""".stripMargin))
+             |FROM lf""".stripMargin)),
+
+    Query(
+      "q221_column_profile",
+      "One-pass column profiling (pipeline.Profiler) — the reconnaissance a pipeline runs before trusting a new data drop: per column the row count, nulls, EXACT distinct cardinality, and min/max (stringified, schema-agnostic output). All columns profile in ONE aggregate job; the per-column countDistinct makes Catalyst expand the input x|cols| before the partial aggregate — fine at reconnaissance width, and the documented wide-table path swaps the distinct to HLL registers with everything else unchanged. Floating columns quantize before profiling (float-to-string formatting is engine-specific; integer/string/date casts are portable). The oracle recomputes each column's row independently.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+          $"o_orderpriority", cents($"o_totalprice").as("price_c"),
+          datediff($"o_orderdate", lit("1970-01-01").cast("date")).cast("long").as("order_day"))
+        graft.pipeline.Profiler.profile(o)
+      },
+      Some {
+        def one(name: String, e: String) =
+          s"""SELECT '$name' AS "column", (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+             |  CAST(count(*) - count($e) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+             |  CAST(min($e) AS VARCHAR) AS min_s, CAST(max($e) AS VARCHAR) AS max_s
+             |FROM orders""".stripMargin
+        Seq(
+          one("o_orderkey", "o_orderkey"),
+          one("o_custkey", "o_custkey"),
+          one("o_orderpriority", "o_orderpriority"),
+          one("price_c", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+          one("order_day", "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))")
+        ).mkString("\nUNION ALL\n")
+      }),
+
+    Query(
+      "q222_join_size_estimate",
+      "Join-size estimation by Count-Min inner product (the AMS/CM sketch application behind optimizer statistics): |A join B on k| = sum_k f_A(k)*f_B(k), estimated as min over hash rows of the register dot product — an overestimate like every CM query, computed WITHOUT scanning either input a second time (registers are bounded and ride along with any earlier pass). Here the self-join size of events on user_id (sum f^2, width 64 < 150 users so collisions are real) against the exact value — the decision input for broadcast-vs-shuffle-vs-salt BEFORE paying for the join.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select($"user_id".cast("string").as("v"))
+        val reg = graft.pipeline.Sketches.cmRegisters(ev, Seq.empty, $"v",
+          depth = 4, width = 64)
+        val est = graft.pipeline.Sketches.cmJoinSizeEstimate(reg, reg)
+        val exact = ev.groupBy($"v").agg(count(lit(1)).as("c"))
+          .agg(sum($"c" * $"c").as("exact"))
+        est.crossJoin(exact)
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+             |rg AS (SELECT unnest(range(0, 4)) AS i),
+             |cm AS (SELECT rg.i AS row,
+             |    ('0x' || substr(md5(v || '#cm' || CAST(rg.i AS VARCHAR)), 1, 15))::BIGINT % 64 AS cbin,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM e, rg GROUP BY 1, 2),
+             |ip AS (SELECT row, CAST(sum(cnt * cnt) AS BIGINT) AS ip FROM cm GROUP BY 1),
+             |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact
+             |       FROM (SELECT count(*) AS c FROM e GROUP BY v))
+             |SELECT CAST(min(ip) AS BIGINT) AS est, (SELECT exact FROM ex) AS exact
+             |FROM ip""".stripMargin))
   )
 }

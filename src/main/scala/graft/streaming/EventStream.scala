@@ -193,6 +193,20 @@ object EventStream {
       .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("__r")).as("r"))
 
+  /** Native session-window streaming aggregate — Spark's
+    * `session_window` (gap-based, watermark-evicted) as the
+    * declarative twin of the [[sessionize]] state machine: per
+    * (session, user) event counts emitted when the watermark closes
+    * the session. State is bounded by open sessions × watermark — the
+    * session either extends (event within `gap`) or finalizes; no
+    * per-user unbounded history. Semantics match the batch lag-based
+    * sessionization (a break is a gap STRICTLY greater than `gap`). */
+  def sessionWindowStats(events: DataFrame, tsCol: String, userCol: String,
+      gap: String, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Stream-stream inner join on a key plus a bounded time-range
     * condition — the attribution shape (every right event joins the
     * left events at most `lookback` BEFORE it, e.g. views → the

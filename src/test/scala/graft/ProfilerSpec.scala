@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Profiler
+
+class ProfilerSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("profile reports rows, nulls, distinct, min/max per column") {
+    val df = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, None, Some(10L)),
+      (3L, Some("b"), None),
+      (4L, Some("a"), Some(30L))).toDF("id", "s", "v")
+    val p = Profiler.profile(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(p("v") == ((4L, 1L, 2L, "10", "30")))
+  }
+
+  test("profile of selected columns only; empty frame") {
+    val df = Seq((1L, "x")).toDF("a", "b")
+    assert(Profiler.profile(df, Seq("a")).count() == 1)
+    val empty = spark.emptyDataFrame.withColumn("c", lit(1L)).filter(lit(false))
+    val p = Profiler.profile(empty, Seq("c")).collect()
+    assert(p.length == 1 && p.head.getLong(1) == 0L && p.head.isNullAt(4))
+  }
+
+  test("cmJoinSizeEstimate dominates the exact join size") {
+    import graft.pipeline.Sketches
+    val rng = new scala.util.Random(9)
+    val a = (0 until 1000).map(_ => ("g", s"k${rng.nextInt(30)}")).toDF("g", "v")
+    val b = (0 until 800).map(_ => ("g", s"k${rng.nextInt(50)}")).toDF("g", "v")
+    val regA = Sketches.cmRegisters(a, Seq.empty, col("v"), depth = 4, width = 16)
+    val regB = Sketches.cmRegisters(b, Seq.empty, col("v"), depth = 4, width = 16)
+    val est = Sketches.cmJoinSizeEstimate(regA, regB).head().getLong(0)
+    val exact = a.join(b, "v").count()
+    assert(est >= exact, "inner product must overestimate")
+    assert(est <= 4 * exact + 1000L * 800L / 16, "loose CM error envelope")
+  }
+}

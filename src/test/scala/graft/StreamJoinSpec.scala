@@ -55,4 +55,32 @@ class StreamJoinSpec extends AnyFunSuite {
       assert(expect == Set((1L, 100L, 900L), (1L, 101L, 900L), (1L, 102L, 901L)))
     } finally q.stop()
   }
+
+  test("sessionWindowStats matches batch gap-based sessionization") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1: events at 0,4,9 (one session: gaps <=5), then 20,24 (second)
+    // user 2: single event
+    val evs = Seq(
+      (1L, ts(0)), (1L, ts(4)), (1L, ts(9)), (1L, ts(20)), (1L, ts(24)),
+      (2L, ts(2)))
+    val src = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.EventStream
+      .sessionWindowStats(src.toDF.toDF("user_id", "t"), "t", "user_id",
+        gap = "5 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      src.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"),
+          max($"n_events").as("max_events"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(got(1L) == ((2L, 5L, 3L)))
+      assert(got(2L) == ((1L, 1L, 1L)))
+    } finally q.stop()
+  }
 }
