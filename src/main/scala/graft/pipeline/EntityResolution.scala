@@ -67,6 +67,42 @@ object EntityResolution {
       .groupBy("bk").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBlock)
 
+  /** Survivorship merge — the MDM "golden record" step AFTER matching:
+    * match pairs close transitively into clusters
+    * ([[Components.connectedComponents]]; unmatched records form
+    * singletons), then ONE golden record per cluster takes each field
+    * independently from the highest-priority row where that field is
+    * non-null (first-non-null-by-priority, the standard survivorship
+    * rule — a record missing its source still contributes its name).
+    *
+    * `orderBy` defines priority (ascending = highest first) and must
+    * be row-unique within a cluster for determinism (include the id).
+    * Per field: collect the cluster's (priority, value) pairs, sort,
+    * take the first non-null — per-cluster bounded work after one
+    * groupBy; clusters are near-dup-sized (the same boundedness
+    * argument as dedup resolution — a pathological giant cluster is a
+    * data bug the q81 star-cap diagnostics surface). Returns
+    * (comp, n_members, fieldCols...). */
+  def goldenRecords(records: DataFrame, idCol: String,
+      matches: DataFrame, aCol: String, bCol: String,
+      fieldCols: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    require(fieldCols.nonEmpty, "need at least one field to merge")
+    require(orderBy.nonEmpty, "need a priority order")
+    val comp = Components.connectedComponents(matches, aCol, bCol)
+    val withComp = records
+      .join(comp, records(idCol) === comp("node"), "left")
+      .withColumn("__comp", coalesce(col("comp"), col(idCol).cast("long")))
+      .drop("node", "comp")
+    val ord = struct(orderBy: _*)
+    val picks = fieldCols.map { f =>
+      get(filter(
+        sort_array(collect_list(struct(ord.as("o"), col(f).as("v")))),
+        x => x("v").isNotNull), lit(0))("v").as(f)
+    }
+    withComp.groupBy(col("__comp").as("comp"))
+      .agg(count(lit(1)).as("n_members"), picks: _*)
+  }
+
   /** Blocked EDIT-DISTANCE join: candidate pairs from the same block
     * key, kept when `levenshtein(a, b) <= maxDist` — the typo-class
     * linkage companion of [[blockedMatches]]' Jaro-Winkler (JW rewards

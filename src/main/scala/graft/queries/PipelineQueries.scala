@@ -1499,7 +1499,42 @@ object PipelineQueries extends QueryPack {
              |SELECT source, CAST(count(*) AS BIGINT) AS n_match,
              |  CAST(sum(CASE WHEN id_b - 1000000 = id_a THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
              |  CAST(sum(d) AS BIGINT) AS sum_dist
-             |FROM m GROUP BY source""".stripMargin))
+             |FROM m GROUP BY source""".stripMargin)),
+
+    Query(
+      "q223_golden_records",
+      "Survivorship merge into GOLDEN records (the MDM step AFTER q177/q211's matching): known twin pairs (record + its corrupted copy, which carries NO source) close into clusters via connected components, and one golden record per cluster takes each field independently from the highest-priority non-null row — the A-side name wins by id priority, the A-side source wins because the twin's is null (first-non-null-by-priority, per-field independence being the point: a record missing one field still contributes its others). Per surviving source: golden count, member mass, name-length checksum. The oracle computes what survivorship MUST produce on this fixture — every cluster is exactly {record, twin} and every golden field is the A-side value — with no clustering machinery at all.",
+      (s, dir) => {
+        import s.implicits._
+        val nm = concat(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 10),
+          lit("-"), col("doc_id").cast("string"))
+        val docs = Tables.documents(s, dir)
+        val a = docs.select($"doc_id".as("id"), nm.as("name"), $"source")
+        val bname = when($"doc_id" % 3 === 0,
+            concat(substring($"name", 1, 5), substring($"name", 7, 1000)))
+          .when($"doc_id" % 3 === 1,
+            concat(substring($"name", 1, 5), lit("z"), substring($"name", 7, 1000)))
+          .otherwise(concat(substring($"name", 1, 8), substring($"name", 10, 1),
+            substring($"name", 9, 1), substring($"name", 11, 1000)))
+        val b = docs.select($"doc_id", nm.as("name"))
+          .select(($"doc_id" + 1000000L).as("id"), bname.as("name"),
+            lit(null).cast("string").as("source"))
+        val matches = docs.select($"doc_id".as("id_a"),
+          ($"doc_id" + 1000000L).as("id_b"))
+        EntityResolution.goldenRecords(a.unionByName(b), "id",
+            matches, "id_a", "id_b", Seq("name", "source"), Seq(col("id")))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_golden"), sum($"n_members").as("sum_members"),
+            sum(length($"name")).as("sum_name_len"))
+      },
+      Some("""WITH a AS (SELECT doc_id, source,
+             |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) || '-' || CAST(doc_id AS VARCHAR) AS name
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_golden,
+             |  CAST(2 * count(*) AS BIGINT) AS sum_members,
+             |  CAST(sum(length(name)) AS BIGINT) AS sum_name_len
+             |FROM a GROUP BY 1""".stripMargin))
   )
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

@@ -69,4 +69,24 @@ class EntityResolutionSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(v - 0.9611111111111111) < 1e-12)
   }
+
+  test("goldenRecords: per-field survivorship, transitive clusters, singletons") {
+    import spark.implicits._
+    // cluster {1,2,3} via chain 1-2, 2-3; cluster {4}; singleton 5
+    val records = Seq(
+      (1L, Some("alice"), None: Option[String]),          // best name priority
+      (2L, None, Some("nyc")),                            // only one with a city
+      (3L, Some("alicia"), Some("sf")),                   // lower priority
+      (4L, Some("bob"), None),
+      (5L, None, None)).toDF("id", "name", "city")
+    val matches = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = EntityResolution.goldenRecords(records, "id",
+        matches, "id_a", "id_b", Seq("name", "city"), Seq(col("id")))
+      .collect().map(r => (r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (3L, Some("alice"), Some("nyc")),  // name from 1, city from 2 — per-field
+      (1L, Some("bob"), None),
+      (1L, None, None)))
+  }
 }
