@@ -1,9 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** EXACT distributed quantiles by value-domain binary search — the
+/** EXACT distributed quantiles by value-domain multiway search — the
   * selection algorithm that needs neither a global sort nor a
   * driver-side collect, for integral measures (the engine's
   * quantize-first discipline).
@@ -11,20 +11,47 @@ import org.apache.spark.sql.functions._
   * Definition (pinned to DuckDB's `quantile_disc`, measured): the
   * q-quantile of n values is the ceil(q·n)-th smallest — the smallest
   * v with count(x ≤ v) ≥ ceil(q·n). Each requested quantile keeps a
-  * (lo, hi] bracket over the value domain; every round ONE map-side
+  * [lo, hi] bracket over the value domain; every round ONE map-side
   * partial-aggregated pass over the persisted single-column
-  * projection evaluates `count(x ≤ mid_j)` for ALL unconverged
-  * quantiles simultaneously (conditional sums — no shuffle wider than
-  * one row), so the total cost is ⌈log2(domain range)⌉ cheap scans
-  * regardless of how many quantiles are asked for.
+  * projection evaluates `count(x ≤ p)` at Branch−1 probe points for
+  * ALL unconverged quantiles simultaneously (conditional sums — no
+  * shuffle wider than one row), so the total cost is
+  * ⌈log_Branch(domain range)⌉ cheap scans regardless of how many
+  * quantiles are asked for. The rounds are DRIVER-LOOP-latency bound,
+  * not scan bound — which is why the search is 8-ary, not binary:
+  * log₈ halves-again the round count of log₂ for a few extra codegen
+  * sums per pass (measured: the cents domain converges in ~8 rounds
+  * instead of ~24).
   *
   * Contrast at 100 TB: a global sort is a full-corpus shuffle;
   * `percentile` collects per-group buffers (memory ∝ rows);
   * `approx_percentile` is a sketch (wrong by design for a gate that
-  * asserts exact parity). log2(cents domain) ≈ 25-35 passes over a
-  * cached columnar projection is the textbook trade.
+  * asserts exact parity).
   */
 object Quantiles {
+
+  /** Probe-fan-out per round (B-ary search ⇒ B−1 probe points). */
+  val Branch = 8
+
+  /** Probe points strictly inside (lo, hi), deduped, ascending. */
+  private def probes(lo: Long, hi: Long): Seq[Long] = {
+    val w = hi - lo
+    (1 until Branch).map(i => lo + (w / Branch) * i + (w % Branch) * i / Branch)
+      .filter(p => p >= lo && p < hi).distinct
+  }
+
+  /** Bracket update: counts are (probe → count(x ≤ probe)); the target
+    * is the smallest v with count ≥ rank. Returns the new (lo, hi). */
+  private def shrink(lo: Long, hi: Long, rank: Long,
+      cnts: Seq[(Long, Long)]): (Long, Long) = {
+    val sorted = cnts.sortBy(_._1)
+    sorted.find(_._2 >= rank) match {
+      case Some((p, _)) =>
+        val below = sorted.takeWhile(_._1 < p).lastOption
+        (below.map(_._1 + 1).getOrElse(lo), p)
+      case None => (sorted.last._1 + 1, hi)
+    }
+  }
 
   /** Exact quantile values of `valueCol` (cast to long; nulls
     * ignored) at each q ∈ (0, 1]. Returns (q, value) in input order.
@@ -44,31 +71,71 @@ object Quantiles {
       val hi = Array.fill(qs.size)(mx)
       while (lo.indices.exists(j => lo(j) < hi(j))) {
         val active = lo.indices.filter(j => lo(j) < hi(j))
-        val mids = active.map(j => lo(j) + (hi(j) - lo(j)) / 2)
-        val aggs = active.zip(mids).map { case (j, m) =>
-          sum(when(col("v") <= lit(m), 1L).otherwise(0L)).as(s"c$j")
+        val plan: Seq[(Int, Seq[Long])] = active.map(j => j -> probes(lo(j), hi(j)))
+        val aggs = plan.flatMap { case (j, ps) =>
+          ps.zipWithIndex.map { case (p, i) =>
+            sum(when(col("v") <= lit(p), 1L).otherwise(0L)).as(s"c${j}_$i")
+          }
         }
         val row = v.agg(aggs.head, aggs.tail: _*).head()
-        active.zipWithIndex.foreach { case (j, i) =>
-          if (row.getLong(i) >= ranks(j)) hi(j) = mids(i)
-          else lo(j) = mids(i) + 1
+        var off = 0
+        plan.foreach { case (j, ps) =>
+          val cnts = ps.zipWithIndex.map { case (p, i) => (p, row.getLong(off + i)) }
+          off += ps.size
+          val (nl, nh) = shrink(lo(j), hi(j), ranks(j), cnts)
+          lo(j) = nl; hi(j) = nh
         }
       }
       qs.zip(lo.toSeq)
     } finally { v.unpersist(false); () }
   }
 
-  /** Per-group exact q-quantile, same definition and same pass
-    * structure: every group keeps its own (lo, hi] bracket in a
-    * |groups|-bounded driver table (the bounded-driver-artifact
-    * contract — codebook-sized, NOT corpus-sized), each round
-    * broadcast-joins the current mids and ONE partial-aggregated
-    * groupBy evaluates every group's count(x ≤ mid_g) simultaneously;
-    * converged groups drop out of the mid table. Total cost:
-    * ⌈log2(widest group's domain)⌉ passes for ANY number of groups —
+  /** Shared driver loop of the grouped variants: brackets per group,
+    * probe arrays broadcast as a (k, probes[]) table, one
+    * partial-aggregated groupBy per round evaluating every group's
+    * Branch−1 weighted conditional sums at once. */
+  private def groupedSearch(v: DataFrame, rank: Map[String, Long],
+      init: Seq[(String, Long, Long)], weight: Column): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val lo = scala.collection.mutable.Map(init.map(s => s._1 -> s._2): _*)
+    val hi = scala.collection.mutable.Map(init.map(s => s._1 -> s._3): _*)
+    while (lo.keys.exists(k => lo(k) < hi(k))) {
+      val plan = lo.keys.toSeq.filter(k => lo(k) < hi(k)).sorted
+        .map(k => k -> probes(lo(k), hi(k)))
+      // pad probe arrays to a fixed width so element_at never reads
+      // out of bounds (ANSI mode errors on array OOB); the driver only
+      // consumes the first |ps| counts per group
+      val midDf = broadcast(plan.map { case (k, ps) =>
+        (k, ps.padTo(Branch - 1, ps.last))
+      }.toDF("k", "ps"))
+      val sums = (0 until Branch - 1).map(i =>
+        sum(when(col("v") <= element_at(col("ps"), i + 1), weight)
+          .otherwise(0L)).as(s"c$i"))
+      val rows = v.join(midDf, Seq("k"))
+        .groupBy(col("k"))
+        .agg(sums.head, sums.tail: _*)
+        .collect()
+        .map(r => r.getString(0) -> (1 until Branch).map(i =>
+          if (r.isNullAt(i)) 0L else r.getLong(i))).toMap
+      plan.foreach { case (k, ps) =>
+        val cs = rows.getOrElse(k, Seq.fill(Branch - 1)(0L))
+        val cnts = ps.zipWithIndex.map { case (p, i) => (p, cs(i)) }
+        val (nl, nh) = shrink(lo(k), hi(k), rank(k), cnts)
+        lo(k) = nl; hi(k) = nh
+      }
+    }
+    init.map(s => s._1 -> lo(s._1)).toDF("k", "value")
+  }
+
+  /** Per-group exact q-quantile, same definition: every group keeps
+    * its own bracket in a |groups|-bounded driver table (the
+    * bounded-driver-artifact contract — codebook-sized, NOT
+    * corpus-sized); converged groups drop out of the probe table.
+    * ⌈log_8(widest group's domain)⌉ passes for ANY number of groups —
     * where a per-group sort would shuffle the corpus and `percentile`
-    * would buffer every group's values in memory. Returns (key,
-    * value); groups arrive from the data. */
+    * would buffer every group's values in memory. Returns (k, value);
+    * groups arrive from the data. */
   def exactGroupQuantile(df: DataFrame, keyCol: String, valueCol: String,
       q: Double): DataFrame = {
     require(q > 0.0 && q <= 1.0, "q in (0, 1]")
@@ -85,21 +152,7 @@ object Quantiles {
       val rank = stats.map { case (k, n, _, _) =>
         k -> math.max(1L, math.ceil(q * n).toLong)
       }.toMap
-      val lo = scala.collection.mutable.Map(stats.map(s => s._1 -> s._3): _*)
-      val hi = scala.collection.mutable.Map(stats.map(s => s._1 -> s._4): _*)
-      while (lo.keys.exists(k => lo(k) < hi(k))) {
-        val mids = lo.keys.toSeq.filter(k => lo(k) < hi(k)).sorted
-          .map(k => k -> (lo(k) + (hi(k) - lo(k)) / 2))
-        val midDf = broadcast(mids.toDF("k", "mid"))
-        val cnts = v.join(midDf, Seq("k"))
-          .groupBy(col("k"))
-          .agg(sum(when(col("v") <= col("mid"), 1L).otherwise(0L)).as("c"))
-          .as[(String, Long)].collect().toMap
-        mids.foreach { case (k, m) =>
-          if (cnts.getOrElse(k, 0L) >= rank(k)) hi(k) = m else lo(k) = m + 1
-        }
-      }
-      stats.map(s => s._1 -> lo(s._1)).toSeq.toDF("k", "value")
+      groupedSearch(v, rank, stats.map(s => (s._1, s._3, s._4)).toSeq, lit(1L))
     } finally { v.unpersist(false); () }
   }
 
@@ -108,10 +161,8 @@ object Quantiles {
     * the weighted-percentile of survey statistics and token-weighted
     * corpus gates, which no built-in covers at all (`percentile`
     * takes a frequency, not a general weight, and buffers rows).
-    * Same bracket/pass structure as [[exactGroupQuantile]] with
-    * weighted conditional sums; zero-weight rows can never be
-    * selected (the cumulative only jumps at positive weight), and
-    * negative weights are rejected. ⌈log2(domain)⌉ passes total. */
+    * Zero-weight rows can never be selected (the cumulative only
+    * jumps at positive weight); negative weights are rejected. */
   def exactGroupWeightedQuantile(df: DataFrame, keyCol: String, valueCol: String,
       weightCol: String, q: Double): DataFrame = {
     require(q > 0.0 && q <= 1.0, "q in (0, 1]")
@@ -130,21 +181,7 @@ object Quantiles {
       val rank = stats.map { case (k, tw, _, _) =>
         k -> math.max(1L, math.ceil(q * tw).toLong)
       }.toMap
-      val lo = scala.collection.mutable.Map(stats.map(s => s._1 -> s._3): _*)
-      val hi = scala.collection.mutable.Map(stats.map(s => s._1 -> s._4): _*)
-      while (lo.keys.exists(k => lo(k) < hi(k))) {
-        val mids = lo.keys.toSeq.filter(k => lo(k) < hi(k)).sorted
-          .map(k => k -> (lo(k) + (hi(k) - lo(k)) / 2))
-        val midDf = broadcast(mids.toDF("k", "mid"))
-        val cnts = v.join(midDf, Seq("k"))
-          .groupBy(col("k"))
-          .agg(sum(when(col("v") <= col("mid"), col("w")).otherwise(0L)).as("c"))
-          .as[(String, Long)].collect().toMap
-        mids.foreach { case (k, m) =>
-          if (cnts.getOrElse(k, 0L) >= rank(k)) hi(k) = m else lo(k) = m + 1
-        }
-      }
-      stats.map(s => s._1 -> lo(s._1)).toSeq.toDF("k", "value")
+      groupedSearch(v, rank, stats.map(s => (s._1, s._3, s._4)).toSeq, col("w"))
     } finally { v.unpersist(false); () }
   }
 }
