@@ -902,6 +902,26 @@ object Relational extends QueryPack {
              |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact
              |       FROM (SELECT count(*) AS c FROM e GROUP BY v))
              |SELECT CAST(min(ip) AS BIGINT) AS est, (SELECT exact FROM ex) AS exact
-             |FROM ip""".stripMargin))
+             |FROM ip""".stripMargin)),
+
+    Query(
+      "q224_rollup",
+      "Hierarchical subtotal aggregation via ROLLUP (the OLAP drill-path operator: leaf cells, per-returnflag subtotals, and the grand total in ONE pass): Spark expands the grouping sets BEFORE the partial aggregate, so the corpus is read once and the shuffle carries all three granularities' partials together — three separate GROUP BYs would triple-scan. NULL group markers are made explicit ('ALL') so the hash compare is unambiguous across engines; grouping_id disambiguates a genuine NULL key from a subtotal row. DuckDB runs its own native ROLLUP as the oracle.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag", $"l_linestatus", cents($"l_extendedprice").as("p"))
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), sum($"p").as("sum_p"),
+            grouping_id().as("gid"))
+          .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+            coalesce($"l_linestatus", lit("ALL")).as("ls"),
+            $"n", $"sum_p", $"gid")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_p,
+             |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
   )
 }
