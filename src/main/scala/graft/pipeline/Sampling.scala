@@ -226,6 +226,54 @@ object Sampling {
     (out, total)
   }
 
+  /** STRATIFIED exact-k weighted sampling: k draws apportioned across
+    * strata by the largest-remainder method (Hamilton apportionment —
+    * base = ⌊k·W_g/W⌋, leftover seats to the largest remainders, ties
+    * to the stratum name; exact integers, Σk_g = k ALWAYS), then each
+    * stratum runs its own systematic selection over its cumulative
+    * weight axis. The per-epoch dataloader draw that must hit source
+    * quotas EXACTLY (q102's mixture filter is probabilistic; this is
+    * the deterministic-count form).
+    *
+    * Per-stratum running weights use a window partitioned by the
+    * stratum — bounded per stratum; when ONE stratum dominates the
+    * corpus, swap in the [[prefixSum]] two-phase scan per stratum
+    * (same integers). `orderCols` must totally order rows WITHIN a
+    * stratum. Returns input rows + `multiplicity` (> 0 only). */
+  def stratifiedSystematicSample(df: DataFrame, strataCol: String,
+      orderCols: Seq[Column], weightCol: Column, k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive: $k")
+    val totals = df.groupBy(col(strataCol).as("__g"))
+      .agg(sum(weightCol.cast("long")).as("__wg"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0).sortBy(_._1)
+    require(totals.nonEmpty, "total weight must be positive")
+    val grand = totals.map(_._2).sum
+    require(2.0 * k * grand < Long.MaxValue * 0.98,
+      s"2k*W=${2.0 * k * grand} risks 64-bit overflow — quantize weights")
+    val base = totals.map { case (g, wg) => (g, wg, k * wg / grand, k * wg % grand) }
+    val leftover = (k - base.map(_._3).sum).toInt
+    val bumped = base.sortBy(t => (-t._4, t._1)).zipWithIndex
+      .map { case ((g, wg, b, _), i) => (g, wg, b + (if (i < leftover) 1L else 0L)) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val alloc = broadcast(bumped.toSeq.toDF("__g", "__wg", "__kg"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__w", weightCol.cast("long"))
+      .join(alloc, col(strataCol) === col("__g"))
+      .filter(col("__kg") > 0)
+      .withColumn("__ci", sum(col("__w")).over(w))
+      .withColumn("__g1",
+        least(col("__kg"), expr("((2L * __kg * __ci) div __wg + 1L) div 2L")))
+      .withColumn("__g0",
+        least(col("__kg"), expr("((2L * __kg * (__ci - __w)) div __wg + 1L) div 2L")))
+      .withColumn("multiplicity", col("__g1") - col("__g0"))
+      .filter(col("multiplicity") > 0)
+      .drop("__g", "__wg", "__kg", "__ci", "__g1", "__g0", "__w")
+  }
+
   /** Exact-k weighted sampling without replacement via SYSTEMATIC
     * (fixed-interval) selection — the dataset-mixing draw that needs
     * no libm: order rows by a deterministic hash key, lay k equally

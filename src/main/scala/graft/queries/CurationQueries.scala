@@ -1820,7 +1820,49 @@ object CurationQueries extends QueryPack {
               |  FROM l GROUP BY 1)
               |SELECT source, n_tokens, neg_ent_num,
               |  CAST((-neg_ent_num) // n_tokens AS BIGINT) AS ent_e6
-              |FROM a""".stripMargin)))
+              |FROM a""".stripMargin)),
+
+    Query(
+      "q226_stratified_sample",
+      "STRATIFIED exact-k weighted sampling (the per-epoch dataloader draw that must hit source quotas EXACTLY, where q102's mixture filter is probabilistic): 400 draws apportioned across sources by Hamilton largest-remainder (base floor(k*Wg/W), leftover seats to the largest remainders, ties by name — exact integers, allocations sum to k ALWAYS), then each source runs q198's systematic odd-multiple selection over its own cumulative n_chars axis in hash order. Per source: docs selected, draws (== the apportionment, which the oracle re-derives independently), selected mass, id checksum. Per-stratum windows are bounded per stratum; a dominating stratum swaps in the two-phase prefix-sum scan with the same integers.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .withColumn("hk", graft.pipeline.Sampling.portableHash($"doc_id", "strat"))
+        graft.pipeline.Sampling
+          .stratifiedSystematicSample(docs, "source",
+            Seq($"hk", $"doc_id"), $"n_chars", k = 400L)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"multiplicity").as("n_draws"),
+            sum($"n_chars" * $"multiplicity").as("sel_mass"),
+            sum($"doc_id" * $"multiplicity").as("id_checksum"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 15))::BIGINT AS hk
+             |  FROM documents),
+             |t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS wg FROM d GROUP BY 1),
+             |tt AS (SELECT CAST(sum(wg) AS BIGINT) AS w FROM t),
+             |a AS (SELECT source, wg, CAST((400 * wg) // tt.w AS BIGINT) AS base,
+             |    CAST((400 * wg) % tt.w AS BIGINT) AS rem
+             |  FROM t, tt),
+             |need AS (SELECT CAST(400 - sum(base) AS BIGINT) AS extra FROM a),
+             |r AS (SELECT source, wg, base, row_number() OVER (ORDER BY rem DESC, source) AS rn FROM a),
+             |al AS (SELECT source, wg,
+             |    base + CASE WHEN rn <= (SELECT extra FROM need) THEN 1 ELSE 0 END AS kg
+             |  FROM r),
+             |c AS (SELECT d.doc_id, d.source, d.n_chars, al.kg, al.wg,
+             |    CAST(sum(d.n_chars) OVER (PARTITION BY d.source ORDER BY d.hk, d.doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ci
+             |  FROM d JOIN al ON d.source = al.source WHERE al.kg > 0),
+             |m AS (SELECT source, doc_id, n_chars,
+             |    least(kg, ((2 * kg * ci) // wg + 1) // 2)
+             |      - least(kg, ((2 * kg * (ci - n_chars)) // wg + 1) // 2) AS mult
+             |  FROM c)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(mult) AS BIGINT) AS n_draws,
+             |  CAST(sum(n_chars * mult) AS BIGINT) AS sel_mass,
+             |  CAST(sum(doc_id * mult) AS BIGINT) AS id_checksum
+             |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin)))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

@@ -922,6 +922,27 @@ object Relational extends QueryPack {
              |  CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_p,
              |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
-             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    Query(
+      "q225_incremental_hll_mv",
+      "Incremental distinct-count materialized view from MERGEABLE HLL registers (q190's fold==recompute contract applied to a SKETCH state): the events corpus arrives as 4 event_id-sliced batches, each contributing its own register table, and the MV state is just the running max-merge — one |groups|x64-bounded merge per refresh, never a history rescan, estimates recomputed at read time from the state. Register max-merge is associative/commutative/idempotent, so the fold equals the whole-corpus sketch EXACTLY — which is what the oracle computes, never seeing the batches. The streaming face is hllRegisterStream; this is the batch/MV face of the same artifact.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type", $"event_id", $"user_id".cast("string").as("v"))
+        val shards = (0 until 4).map(i =>
+          graft.pipeline.Sketches.hllRegisters(
+            e.filter(pmod($"event_id", lit(4)) === i), Seq("event_type"), $"v"))
+        val merged = graft.pipeline.Sketches.hllMerge(shards, Seq("event_type"))
+        graft.pipeline.Sketches.hllEstimate(merged, Seq("event_type"))
+      },
+      Some {
+        val hll = graft.pipeline.Sketches.hllOracleCtes("src", Seq("event_type"), "v")
+        s"""WITH src AS (SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+           |$hll
+           |SELECT event_type, n_hit, sum_r, est_e4
+           |FROM hll_out""".stripMargin
+      })
   )
 }

@@ -41,6 +41,31 @@ class SystematicSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSystematicSample: allocations sum to k and follow Hamilton") {
+    val rows = (1 to 400).map { i =>
+      (s"s${i % 5}", i.toLong, ((i * 31) % 9 + 1).toLong)
+    }
+    val df = rows.toDF("g", "id", "w")
+    for (k <- Seq(1L, 7L, 100L, 397L)) {
+      val sel = Sampling.stratifiedSystematicSample(df, "g",
+          Seq(col("id")), col("w"), k)
+        .select($"g", $"multiplicity").as[(String, Long)].collect()
+      assert(sel.map(_._2).sum == k, s"k=$k total")
+      // per-stratum counts equal the Hamilton apportionment
+      val wg = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val grand = wg.values.sum
+      val base = wg.toSeq.map { case (g, w) => (g, k * w / grand, k * w % grand) }
+      val leftover = (k - base.map(_._2).sum).toInt
+      val expect = base.sortBy(t => (-t._3, t._1)).zipWithIndex
+        .map { case ((g, b, _), i) => g -> (b + (if (i < leftover) 1L else 0L)) }
+        .toMap
+      val got = sel.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      expect.filter(_._2 > 0).foreach { case (g, e) =>
+        assert(got.getOrElse(g, 0L) == e, s"k=$k stratum $g")
+      }
+    }
+  }
+
   test("zero-weight rows are never drawn; selection is partition-invariant") {
     val rows = (1 to 100).map(i => (i.toLong, if (i % 5 == 0) 0L else 3L))
     val a = Sampling.systematicSample(rows.toDF("id", "w").repartition(2),
