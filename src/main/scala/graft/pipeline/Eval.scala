@@ -36,7 +36,10 @@ object Eval {
         sum(col("g")).as("n_neg"),
         sum(col("p") * (lit(2L) * col("cum_excl") + col("g"))).as("u2"))
       .withColumn("auc_e6",
-        expr("(u2 * 1000000L) div (2L * n_pos * n_neg)"))
+        // one-class inputs have no pairs to rank: emit NULL rather than
+        // divide by zero (which ANSI mode turns into a job failure)
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr("(u2 * 1000000L) div (2L * n_pos * n_neg)")))
   }
 
   /** Reliability + cumulative-gains table over `bins` equal-width

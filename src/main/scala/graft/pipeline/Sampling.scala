@@ -239,7 +239,8 @@ object Sampling {
     * stratum — bounded per stratum; when ONE stratum dominates the
     * corpus, swap in the [[prefixSum]] two-phase scan per stratum
     * (same integers). `orderCols` must totally order rows WITHIN a
-    * stratum. Returns input rows + `multiplicity` (> 0 only). */
+    * stratum; `strataCol` must be string-typed (cast first). Returns
+    * input rows + `multiplicity` (> 0 only). */
   def stratifiedSystematicSample(df: DataFrame, strataCol: String,
       orderCols: Seq[Column], weightCol: Column, k: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
