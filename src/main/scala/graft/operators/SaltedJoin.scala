@@ -26,11 +26,16 @@ object SaltedJoin {
 
   /** Inner equi-join of `large` (skewed) with `small` on `keys`,
     * salted `nSalts` ways. `saltBy` must be deterministic and
-    * row-unique-ish on the large side (an id hash). */
+    * row-unique-ish on the large side (an id hash). A NULL `saltBy`
+    * value coalesces to salt 0 — every large-side row keeps a valid
+    * salt, so the identical-multiset contract holds even when the
+    * salt source has gaps (a NULL salt would otherwise silently drop
+    * rows whose join KEYS match). */
   def inner(large: DataFrame, small: DataFrame, keys: Seq[String],
       saltBy: Column, nSalts: Int): DataFrame = {
     require(nSalts >= 1 && nSalts <= 4096, s"nSalts in [1, 4096]: $nSalts")
-    val l = large.withColumn("__salt", pmod(saltBy.cast("long"), lit(nSalts.toLong)))
+    val l = large.withColumn("__salt",
+      coalesce(pmod(saltBy.cast("long"), lit(nSalts.toLong)), lit(0L)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
     l.join(s, keys :+ "__salt").drop("__salt")
@@ -44,7 +49,8 @@ object SaltedJoin {
     require(nSalts >= 1 && nSalts <= 4096, s"nSalts in [1, 4096]: $nSalts")
     require(aggs.nonEmpty, "need at least one aggregate")
     val partial = df
-      .withColumn("__salt", pmod(saltBy.cast("long"), lit(nSalts.toLong)))
+      .withColumn("__salt",
+        coalesce(pmod(saltBy.cast("long"), lit(nSalts.toLong)), lit(0L)))
       .groupBy((groupCols.map(col) :+ col("__salt")): _*)
       .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
     partial.groupBy(groupCols.map(col): _*)

@@ -125,7 +125,10 @@ object Coreset {
           val id = top(0).getLong(0)
           out += ((t.toLong, id, top(0).getLong(1)))
           selected :+= id
-          val newCov = u.filter(col("id") === id).select("u")
+          // Union only the pick's UNCOVERED units: `uncov` is already
+          // anti-joined against `covered`, so the accumulated set stays
+          // at true-union size (no duplicate growth in the broadcast).
+          val newCov = uncov.filter(col("id") === id).select("u")
           covered = (if (covered == null) newCov
             else covered.unionByName(newCov)).localCheckpoint(true)
           t += 1

@@ -276,6 +276,12 @@ object Graphs {
         nSurv = n2
         round += 1
       }
+      // An unconverged peel returns a strict SUPERSET of the k-core;
+      // letting that pass silently for exact would be wrong — fail
+      // loudly so the caller raises maxIters (rounds are bounded by
+      // the longest peel chain, not graph size).
+      if (!stable) throw new IllegalStateException(
+        s"kCore did not converge in $maxIters rounds ($nSurv survivors); raise maxIters")
       surv
     } finally { e.unpersist(false); () }
   }

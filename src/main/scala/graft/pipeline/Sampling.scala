@@ -239,13 +239,17 @@ object Sampling {
     * stratum — bounded per stratum; when ONE stratum dominates the
     * corpus, swap in the [[prefixSum]] two-phase scan per stratum
     * (same integers). `orderCols` must totally order rows WITHIN a
-    * stratum; `strataCol` must be string-typed (cast first). Returns
-    * input rows + `multiplicity` (> 0 only). */
+    * stratum; `strataCol` must be string-typed (cast first) and
+    * non-null — NULL-stratum rows are excluded from the frame before
+    * apportionment (they belong to no stratum; coalesce to a sentinel
+    * first if they should count). Returns input rows + `multiplicity`
+    * (> 0 only). */
   def stratifiedSystematicSample(df: DataFrame, strataCol: String,
       orderCols: Seq[Column], weightCol: Column, k: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive: $k")
-    val totals = df.groupBy(col(strataCol).as("__g"))
+    val totals = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("__g"))
       .agg(sum(weightCol.cast("long")).as("__wg"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .filter(_._2 > 0).sortBy(_._1)

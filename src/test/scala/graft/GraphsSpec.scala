@@ -169,6 +169,17 @@ class GraphsSpec extends AnyFunSuite {
       assert(coreOf(nodes, edges, k) == bruteCore(nodes, edges, k), s"k=$k")
   }
 
+  test("kCore fails loudly when maxIters exhausts before the peel fixpoint") {
+    // a length-6 pendant chain needs ~6 peel rounds at k=2; cap at 1
+    val nodes = (0L until 8L)
+    val edges = (0L until 7L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Graphs.kCore(nodes.toDF("node"), "node",
+        edges.toDF("src", "dst"), "src", "dst", k = 2, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("kCore: random graph, partitioning-invariant, matches brute force") {
     val rng = new scala.util.Random(7)
     val nodes = (0L until 50L)

@@ -37,6 +37,21 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("NULL saltBy rows keep a valid salt and survive the join") {
+    // matching join key, NULL salt source — must NOT be dropped
+    val withNull = large.unionByName(
+      Seq((1L, 777L, 999L)).toDF("k", "id", "v")
+        .withColumn("id", lit(null).cast("long")))
+    val plain = withNull.join(small, Seq("k")).count()
+    val salted = SaltedJoin.inner(withNull, small, Seq("k"), $"id", 8).count()
+    assert(salted == plain)
+    val aggPlain = withNull.groupBy($"k").agg(sum($"v").as("s"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val aggSalt = SaltedJoin.saltedAggregate(withNull, Seq("k"), $"id", 8,
+        Seq("s" -> sum($"v"))).as[(Long, Long)].collect().sorted.toSeq
+    assert(aggSalt == aggPlain)
+  }
+
   test("salt values actually spread the hot key") {
     val salts = large.filter($"k" === 1L)
       .withColumn("salt", pmod($"id", lit(8L)))

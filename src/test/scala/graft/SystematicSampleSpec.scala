@@ -66,6 +66,27 @@ class SystematicSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample excludes NULL strata instead of NPE-ing") {
+    val rows = (1 to 60).map(i => (if (i % 4 == 0) null else s"s${i % 3}", i.toLong, 2L))
+    val df = rows.toDF("g", "id", "w")
+    val sel = Sampling.stratifiedSystematicSample(df, "g",
+        Seq(col("id")), col("w"), 12L)
+      .select($"g", $"multiplicity").as[(String, Long)].collect()
+    assert(sel.map(_._2).sum == 12L)
+    assert(sel.forall(_._1 != null))
+    // allocations match Hamilton over NON-NULL strata only
+    val clean = rows.filter(_._1 != null)
+    val expect = Sampling.stratifiedSystematicSample(
+        clean.toDF("g", "id", "w"), "g", Seq(col("id")), col("w"), 12L)
+      .select($"g", $"id", $"multiplicity").as[(String, Long, Long)]
+      .collect().sorted.toSeq
+    val gotFull = Sampling.stratifiedSystematicSample(df, "g",
+        Seq(col("id")), col("w"), 12L)
+      .select($"g", $"id", $"multiplicity").as[(String, Long, Long)]
+      .collect().sorted.toSeq
+    assert(gotFull == expect)
+  }
+
   test("zero-weight rows are never drawn; selection is partition-invariant") {
     val rows = (1 to 100).map(i => (i.toLong, if (i % 5 == 0) 0L else 3L))
     val a = Sampling.systematicSample(rows.toDF("id", "w").repartition(2),
