@@ -212,12 +212,21 @@ object CurationPipeline {
         exact.join(hits, id.cast("long") === col("__dup_id"), "left_anti")
       case None => exact
     }
-    val cand = Dedup.minhashCandidates(afterIndex, cfg.idCol, cfg.textCol,
-      k = cfg.minhashK, bands = cfg.minhashBands, minEst = cfg.minJaccard,
-      shingleN = cfg.shingleN)
-    val resolved = Components.resolveDuplicates(afterIndex, cfg.idCol,
-      cand, "id_a", "id_b", keepOrder = Seq((-col("quality_e4")).cast("long")))
-    val nearDeduped = resolved.filter(col("keep")).drop("keep", "comp")
+    // minEst > 1.0 is the documented pass-through knob: the MinHash
+    // Jaccard ESTIMATE is bounded by 1.0 by construction, so the
+    // candidate set is provably empty — constant-fold the signature
+    // computation and LSH self-join instead of running k hashes per
+    // doc plus a band shuffle to materialize zero pairs. (The real
+    // near-dedup path is exercised by q54/q59/q117 and below when
+    // minJaccard <= 1.0.)
+    val nearDeduped = if (cfg.minJaccard > 1.0) afterIndex else {
+      val cand = Dedup.minhashCandidates(afterIndex, cfg.idCol, cfg.textCol,
+        k = cfg.minhashK, bands = cfg.minhashBands, minEst = cfg.minJaccard,
+        shingleN = cfg.shingleN)
+      val resolved = Components.resolveDuplicates(afterIndex, cfg.idCol,
+        cand, "id_a", "id_b", keepOrder = Seq((-col("quality_e4")).cast("long")))
+      resolved.filter(col("keep")).drop("keep", "comp")
+    }
 
     // 5. benchmark decontamination (bloom prefilter + exact verify)
     val decontaminated0 = bench match {
