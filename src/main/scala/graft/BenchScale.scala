@@ -55,7 +55,10 @@ object BenchScale {
     // pair formation), iterative peel rounds, greedy coverage rounds
     // (anti-join vs a growing covered set), prefix-sum double shuffle
     "q196_interval_overlap_join", "q201_kcore", "q203_max_coverage",
-    "q198_systematic_sample", "q207_prefix_jaccard")
+    "q198_systematic_sample", "q207_prefix_jaccard",
+    // r13 shapes: k-bounded sketch aggregate + pair fan-out (KMV),
+    // per-series in-row recursion fold (EWMA)
+    "q227_kmv_overlap", "q229_ewma_monitor")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

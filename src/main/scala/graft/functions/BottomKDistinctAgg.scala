@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded bottom-k DISTINCT aggregate: per group, keep the k smallest
+  * distinct long values and emit them ascending as `array<long>` — the
+  * register builder of the KMV / bottom-k distinct sketch
+  * ([[graft.pipeline.Sketches.kmvRegisters]]).
+  *
+  * Scale rationale (same contract as [[TopKAgg]]): the naive plan —
+  * `distinct` on (group, hash) then a per-group sort — shuffles every
+  * distinct value row-wise. This aggregate is map-side combined with a
+  * buffer bounded at k entries, so each partition ships at most k
+  * 8-byte values per group regardless of corpus size, and the dedup
+  * happens inside the buffer (a value above the current k-th smallest
+  * is rejected before any allocation). Buffer is a sorted primitive
+  * array (binary-search insert: O(log k) probe + O(k) shift — k is
+  * sketch-sized, ≤ a few thousand).
+  */
+case class BottomKDistinctAgg(
+    value: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BottomKDistinctAgg.SortedSet] {
+
+  require(k > 0 && k <= 65536, s"bottom-k needs k in [1, 65536] (got $k)")
+
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): BottomKDistinctAgg.SortedSet =
+    new BottomKDistinctAgg.SortedSet(k)
+
+  override def update(buf: BottomKDistinctAgg.SortedSet, input: InternalRow): BottomKDistinctAgg.SortedSet = {
+    val v = value.eval(input)
+    if (v != null) buf.offer(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: BottomKDistinctAgg.SortedSet, b: BottomKDistinctAgg.SortedSet): BottomKDistinctAgg.SortedSet = {
+    b.foreach(a.offer)
+    a
+  }
+
+  override def eval(buf: BottomKDistinctAgg.SortedSet): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: BottomKDistinctAgg.SortedSet): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): BottomKDistinctAgg.SortedSet =
+    BottomKDistinctAgg.SortedSet.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(value = newChildren(0))
+}
+
+object BottomKDistinctAgg {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Ascending sorted distinct longs, capacity-bounded at k: offers
+    * above the current maximum are rejected once full; duplicates are
+    * rejected by the binary search. Primitive array, no boxing. */
+  final class SortedSet(k: Int) {
+    private val vs = new Array[Long](k)
+    private var n = 0
+
+    def size: Int = n
+
+    def offer(v: Long): Unit = {
+      if (n == k && v >= vs(n - 1)) return
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (vs(mid) < v) lo = mid + 1 else hi = mid
+      }
+      if (lo < n && vs(lo) == v) return // already present
+      val last = if (n == k) n - 1 else n
+      var i = last
+      while (i > lo) { vs(i) = vs(i - 1); i -= 1 }
+      vs(lo) = v
+      if (n < k) n += 1
+    }
+
+    def foreach(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(vs(i)); i += 1 }
+    }
+
+    def toArray: Array[Long] = java.util.Arrays.copyOf(vs, n)
+
+    def toBytes: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * n)
+      bb.putInt(n)
+      var i = 0
+      while (i < n) { bb.putLong(vs(i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  object SortedSet {
+    def fromBytes(k: Int, bytes: Array[Byte]): SortedSet = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val m = bb.getInt()
+      val s = new SortedSet(k)
+      var i = 0
+      while (i < m) { s.offer(bb.getLong()); i += 1 }
+      s
+    }
+  }
+
+  /** Column API: `BottomKDistinctAgg(value, k)` → ascending
+    * `array<long>` of the k smallest distinct values. LongType input;
+    * NULLs ignored. */
+  def apply(value: Column, k: Int): Column =
+    ColumnBridge.column(
+      BottomKDistinctAgg(ColumnBridge.expression(value), k)
+        .toAggregateExpression())
+}

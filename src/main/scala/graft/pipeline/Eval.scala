@@ -71,4 +71,57 @@ object Eval {
         .otherwise(expr("(__cum * 10000L) div __tot")))
       .drop("__cum", "__tot")
   }
+
+  /** Graded ranking evaluation — nDCG@k + MRR per query (Järvelin &
+    * Kekäläinen 2002), the metric pair that judges the engine's OWN
+    * retrieval stack (BM25/RRF/ANN serve) before a ranking change
+    * ships. `run`: (qid, doc_id, rank) with rank 1-based; `labels`:
+    * (qid, doc_id, rel) graded integer relevance ≥ 0 (unlabeled
+    * retrieved docs count rel = 0).
+    *
+    * Determinism contract (the q119 ln discipline): each position's
+    * gain term (2^rel − 1)·ln(2) / ln(rank+1) quantizes to an e9
+    * integer INDEPENDENTLY — one multiply, one divide, identical
+    * operation order in both engines — before the per-query integer
+    * sum, so DCG is summation-order-free. IDCG re-ranks the query's
+    * OWN labels rel-descending (ties are position-exchangeable — equal
+    * rels contribute the same term multiset under any tie order), and
+    * ndcg_e6 = dcg_e9·1e6 div idcg_e9 is one integer division. MRR:
+    * rr_e6 = 1e6 div (first rank with rel ≥ relevantMin), 0 when the
+    * run never hits a relevant doc.
+    *
+    * Shape: run ⋈ labels on (qid, doc) — both run-sized, k rows per
+    * query; the IDCG window partitions by qid over the LABELS table
+    * (bounded per query by construction of any labeled eval set). */
+  def ndcgMrr(run: DataFrame, labels: DataFrame, k: Int,
+      relevantMin: Long = 2L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k in [1, 1000]: $k")
+    // (2^rel − 1)·ln(2) / ln(pos+1), e9-quantized — operand order is
+    // pinned to the oracle SQL character-for-character
+    def term(rel: String, pos: String): Column = expr(
+      s"CAST(floor(CAST(shiftleft(1L, CAST($rel AS INT)) - 1L AS DOUBLE)" +
+        s" * ln(2.0D) / ln(CAST($pos AS DOUBLE) + 1.0D)" +
+        s" * 1000000000.0D + 0.5D) AS BIGINT)")
+    val r = run.select(col("qid"), col("doc_id"), col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k)
+    val lab = labels.select(col("qid"), col("doc_id"), col("rel").cast("long").as("rel"))
+    val joined = r.join(lab, Seq("qid", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val dcg = joined.groupBy("qid").agg(
+      sum(term("rel", "rank")).as("dcg_e9"),
+      min(when(col("rel") >= relevantMin, col("rank"))).as("first_rel_rank"))
+    val ideal = lab
+      .withColumn("ipos", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("ipos") <= k)
+      .groupBy("qid")
+      .agg(sum(term("rel", "ipos")).as("idcg_e9"))
+    dcg.join(ideal, Seq("qid"), "left")
+      .withColumn("idcg_e9", coalesce(col("idcg_e9"), lit(0L)))
+      .withColumn("ndcg_e6", when(col("idcg_e9") > 0L,
+        expr("(dcg_e9 * 1000000L) div idcg_e9")).otherwise(0L))
+      .withColumn("rr_e6", when(col("first_rel_rank").isNotNull,
+        expr("1000000L div first_rel_rank")).otherwise(0L))
+      .withColumn("first_rel_rank", coalesce(col("first_rel_rank"), lit(0L)))
+  }
 }

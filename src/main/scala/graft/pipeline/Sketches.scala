@@ -119,7 +119,7 @@ object Sketches {
   /** 60-bit portable md5 hash of `s` — Scala twin of the Catalyst
     * `conv(substring(md5(s), 1, 15), 16, 10)` expression (first 15 hex
     * chars = high 60 bits of the digest). */
-  private[pipeline] def portableHashLocal(s: String): Long = {
+  private[graft] def portableHashLocal(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var hi = 0L
@@ -181,6 +181,96 @@ object Sketches {
     a.join(b, Seq("row", "cbin"))
       .groupBy(col("row")).agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min(col("ip")).as("est"))
+  }
+
+  // ---------------------------------------------------------------
+  // KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et
+  // al. 2007 "On synopses for distinct-value estimation under multiset
+  // operations") — the member of the sketch family that answers SET
+  // OVERLAP: because the k smallest hashes of A ∪ B are computable
+  // from bottom-k(A) ∪ bottom-k(B), two bounded sketches estimate
+  // |A ∪ B|, Jaccard, and |A ∩ B| directly — which HLL (union-only
+  // without inclusion–exclusion error blowup) and CM (frequencies,
+  // not sets) cannot. Registers are merge-closed (merge = union +
+  // re-truncate), so shards/micro-batches compose. Same determinism
+  // kit: 60-bit portable md5 hashes, and every estimate is a pure
+  // integer division ((k−1)·2^60 div h_k — DECIMAL(38,0)/HUGEINT for
+  // the one product that can exceed 2^63), so the sketch itself sits
+  // under the cross-engine oracle.
+  // ---------------------------------------------------------------
+
+  /** Hash domain size: hashes are the high 60 bits of md5. */
+  val KmvDomain = 1152921504606846976L // 2^60
+
+  /** KMV register table: keyCols ++ `kmv` (ascending array<long> of
+    * the k smallest distinct 60-bit hashes of `value`). One
+    * partial-aggregated pass — each partition ships ≤ k longs per
+    * group ([[graft.functions.BottomKDistinctAgg]]), the distinct
+    * happens inside the bounded buffer, never as a corpus shuffle.
+    * NULL values ignored (SQL distinct semantics). */
+  def kmvRegisters(df: DataFrame, keyCols: Seq[String], value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k in [2, 65536]: $k")
+    val h = conv(substring(md5(concat(value, lit("#kmv"))), 1, 15), 16, 10).cast("long")
+    df.filter(value.isNotNull)
+      .select((keyCols.map(col) :+ h.as("__h")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.BottomKDistinctAgg(col("__h"), k).as("kmv"))
+  }
+
+  /** Merge register shards (same keyCols ++ kmv schema): union the
+    * arrays, dedup, keep the k smallest — the sketch of the union. */
+  def kmvMerge(shards: Seq[DataFrame], keyCols: Seq[String], k: Int): DataFrame =
+    shards.reduce(_ unionByName _)
+      .select((keyCols.map(col) :+ explode(col("kmv")).as("__h")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.BottomKDistinctAgg(col("__h"), k).as("kmv"))
+
+  /** The KMV estimator as a Column over an ascending hash array `a`:
+    * exact size when the sketch never filled, else the unbiased
+    * (k−1) · 2^60 div h_k — integer division with one DECIMAL(38,0)
+    * product (h_k ≥ k−1 always, but (k−1)·2^60 itself overflows i64
+    * for k > 8). */
+  private def kmvEstCol(name: String, k: Int): Column =
+    when(size(col(name)) < k, size(col(name)).cast("long"))
+      .otherwise(expr(
+        s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($KmvDomain AS DECIMAL(38,0)))" +
+          s" div CAST(element_at(`$name`, $k) AS DECIMAL(38,0)) AS BIGINT)"))
+
+  /** Per-group distinct estimate from a register table: n_sketch
+    * (values held), est_distinct (exact below k, the KMV estimator at
+    * k and above). */
+  def kmvEstimate(registers: DataFrame, keyCols: Seq[String], k: Int): DataFrame =
+    registers.select((keyCols.map(col) :+ size(col("kmv")).cast("long").as("n_sketch") :+
+      kmvEstCol("kmv", k).as("est_distinct")): _*)
+
+  /** Pairwise set-overlap estimates between the groups of ONE register
+    * table (`groupCol` must be a single string key): for every pair
+    * a < b, the merged bottom-k of the union, the union estimate, the
+    * number of merged hashes present in BOTH sketches (K∩), and the
+    * derived Jaccard / intersection estimates — jaccard_e6 = K∩·1e6
+    * div |merged|, est_intersect = K∩·est_union div |merged| (Beyer
+    * et al. §5: K∩/k is an unbiased Jaccard estimator over the merged
+    * sketch). The register table is |groups|-bounded, so the pair
+    * join is a driver-scale nested loop — the corpus was touched only
+    * by [[kmvRegisters]]' single pass. */
+  def kmvOverlap(registers: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val a = registers.select(col(groupCol).as("source_a"), col("kmv").as("ka"))
+    val b = registers.select(col(groupCol).as("source_b"), col("kmv").as("kb"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .withColumn("__m", slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .withColumn("n_merged", size(col("__m")).cast("long"))
+      .withColumn("n_common",
+        size(array_intersect(col("__m"), array_intersect(col("ka"), col("kb"))))
+          .cast("long"))
+      .withColumn("est_union", kmvEstCol("__m", k))
+      .withColumn("jaccard_e6",
+        expr("(n_common * 1000000) div n_merged"))
+      .withColumn("est_intersect", expr(
+        "CAST((CAST(n_common AS DECIMAL(38,0)) * CAST(est_union AS DECIMAL(38,0)))" +
+          " div CAST(n_merged AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("source_a"), col("source_b"), col("n_merged"), col("n_common"),
+        col("est_union"), col("jaccard_e6"), col("est_intersect"))
   }
 
   /** SQL twin of the whole pipeline for oracle construction: a chain

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-series sequential statistics — the recursions that are neither
+  * window-expressible (unlike CUSUM's running-min identity, q200) nor
+  * aggregate-commutative, run as bounded in-row HOF folds: one shuffle
+  * groups each series, `array_sort` pins the order, and the fold
+  * evaluates inside the task with zero further exchanges. The per-task
+  * bound is the longest single SERIES, not the corpus — the same
+  * contract as every other per-entity fold in the engine (q152 Viterbi,
+  * q202 MMR). For unbounded series the identical integer step function
+  * moves into `flatMapGroupsWithState` (event-time ordered feed), where
+  * state is O(1) per series — the fold here IS that step function,
+  * batch-replayable under the oracle.
+  */
+object TimeSeries {
+
+  /** Integer EWMA monitor with α = 1/2 — the smoothing constant whose
+    * recursion stays EXACTLY replayable: s₁ = v₁, sᵢ = ⌊(sᵢ₋₁ + vᵢ)/2⌋
+    * (arithmetic shift — floor semantics in both engines), flagging
+    * every step where |vᵢ − sᵢ₋₁| > thrE BEFORE the update (the
+    * one-step-ahead residual, as a streaming monitor would see it).
+    * Values must already be e-quantized integers (the cents/e4
+    * contract); a float α would accumulate libm drift no oracle can
+    * replay, while α = 1/2 keeps the whole trajectory in ℤ.
+    *
+    * Returns one row per series: n_events, ewma (final smoothed
+    * value), n_flags, flag_ranksum (Σ of the 1-based positions that
+    * flagged — a trajectory checksum, so the oracle pins WHERE the
+    * flags fired, not just how many).
+    *
+    * `orderCols` must totally order rows within a series. */
+  def ewmaMonitor(df: DataFrame, seriesCol: String, orderCols: Seq[Column],
+      valueE: Column, thrE: Long): DataFrame = {
+    require(thrE >= 0, s"threshold must be >= 0: $thrE")
+    val ordered = df.select(
+      col(seriesCol),
+      struct((orderCols :+ valueE.cast("long").as("__v")): _*).as("__e"))
+      .groupBy(col(seriesCol))
+      .agg(array_sort(collect_list(col("__e"))).as("__es"))
+    // state: (i, s, flags, ranksum); i = 0 marks "unseeded"
+    ordered.select(
+        col(seriesCol),
+        size(col("__es")).cast("long").as("n_events"),
+        aggregate(
+          col("__es"),
+          struct(lit(0L).as("i"), lit(0L).as("s"),
+            lit(0L).as("flags"), lit(0L).as("ranksum")),
+          (acc, e) => {
+            val v = e.getField("__v")
+            val flagged = acc.getField("i") > lit(0L) &&
+              abs(v - acc.getField("s")) > lit(thrE)
+            struct(
+              (acc.getField("i") + lit(1L)).as("i"),
+              when(acc.getField("i") === lit(0L), v)
+                .otherwise(shiftright(acc.getField("s") + v, 1)).as("s"),
+              (acc.getField("flags") +
+                when(flagged, 1L).otherwise(0L)).as("flags"),
+              (acc.getField("ranksum") +
+                when(flagged, acc.getField("i") + lit(1L)).otherwise(0L)).as("ranksum"))
+          }).as("__st"))
+      .select(col(seriesCol), col("n_events"),
+        col("__st").getField("s").as("ewma"),
+        col("__st").getField("flags").as("n_flags"),
+        col("__st").getField("ranksum").as("flag_ranksum"))
+  }
+}

@@ -1862,7 +1862,95 @@ object CurationQueries extends QueryPack {
              |  CAST(sum(mult) AS BIGINT) AS n_draws,
              |  CAST(sum(n_chars * mult) AS BIGINT) AS sel_mass,
              |  CAST(sum(doc_id * mult) AS BIGINT) AS id_checksum
-             |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin)))
+             |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q227_kmv_overlap",
+      "Cross-corpus SET-OVERLAP estimation from bottom-k (KMV) distinct sketches (Beyer et al. 2007) — the sketch that answers intersections, which HLL cannot without inclusion-exclusion error blowup: per source, the 128 smallest distinct 60-bit hashes of its word-bigram vocabulary, built by ONE partial-aggregated pass whose buffer is k-bounded (BottomKDistinctAgg ships <= k longs per partition per group — the distinct never shuffles row-wise); then every source pair estimates |A union B| ((k-1)*2^60 div h_k, one DECIMAL(38,0)/HUGEINT product), Jaccard (K-intersect over the merged sketch) and |A intersect B| from the two 1-KB registers alone. 20 sources -> 190 pairs, all pair math |groups|-bounded. Every estimate is a pure integer division, so the SKETCH ITSELF sits under the oracle, not just its inputs.",
+      (s, dir) => {
+        import s.implicits._
+        val bg = Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.shingles($"text", 2)).as("w"))
+        val reg = graft.pipeline.Sketches.kmvRegisters(bg, Seq("source"), $"w", k = 128)
+        graft.pipeline.Sketches.kmvOverlap(reg, "source", k = 128)
+      },
+      Some(s"""WITH toks AS (SELECT source, $toksSql AS t FROM documents),
+              |bg AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] AS w
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+              |h AS (SELECT DISTINCT source, ('0x' || substr(md5(w || '#kmv'), 1, 15))::BIGINT AS h FROM bg),
+              |sk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              |       FROM h QUALIFY rn <= 128),
+              |sz AS (SELECT source FROM sk GROUP BY 1),
+              |p AS (SELECT a.source AS sa, b.source AS sb FROM sz a JOIN sz b ON a.source < b.source),
+              |mu AS (SELECT DISTINCT p.sa, p.sb, s.h FROM p JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+              |mg AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+              |       FROM mu QUALIFY rn <= 128),
+              |ms AS (SELECT sa, sb, max(rn) AS km, max(CASE WHEN rn = 128 THEN h END) AS hm
+              |       FROM mg GROUP BY 1, 2),
+              |cm AS (SELECT mg.sa, mg.sb, count(*) AS nc FROM mg
+              |       JOIN sk x ON x.source = mg.sa AND x.h = mg.h
+              |       JOIN sk y ON y.source = mg.sb AND y.h = mg.h
+              |       GROUP BY 1, 2),
+              |est AS (SELECT ms.sa, ms.sb, ms.km, coalesce(cm.nc, 0) AS nc,
+              |        CASE WHEN ms.km < 128 THEN ms.km
+              |             ELSE CAST((127::HUGEINT * 1152921504606846976::HUGEINT)
+              |                       // CAST(ms.hm AS HUGEINT) AS BIGINT) END AS eu
+              |        FROM ms LEFT JOIN cm ON ms.sa = cm.sa AND ms.sb = cm.sb)
+              |SELECT sa AS source_a, sb AS source_b, CAST(km AS BIGINT) AS n_merged,
+              |  CAST(nc AS BIGINT) AS n_common, CAST(eu AS BIGINT) AS est_union,
+              |  CAST((nc * 1000000) // km AS BIGINT) AS jaccard_e6,
+              |  CAST((CAST(nc AS HUGEINT) * CAST(eu AS HUGEINT)) // CAST(km AS HUGEINT) AS BIGINT) AS est_intersect
+              |FROM est""".stripMargin)),
+
+    Query(
+      "q228_ndcg",
+      "Graded ranking evaluation — nDCG@10 + MRR (Jarvelin & Kekalainen 2002) of an IMPERFECT retrieval run against graded relevance labels, the metric pair that judges the engine's OWN retrieval stack before a ranking change ships (recall@k (q172) covers ANN; this grades ORDER). Run = per query term the top-10 by term frequency in the doc's first-20-token PREFIX (the cheap first-stage retriever that scores a summary); labels = rel 0..7 graded from FULL-document tf over ALL matching docs, so the judgment both misorders the run's head and credits relevant docs the prefix retriever missed entirely — nDCG lands strictly inside (0, 1). Run ranking via bounded-heap TopKAgg, never a corpus window; each position's gain (2^rel-1)*ln(2)/ln(rank+1) quantizes to an e9 integer INDEPENDENTLY before the per-query sum (the q119 ln discipline); ndcg_e6 and rr_e6 are single integer divisions.",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq("hash", "join", "scan", "index", "filter")
+        val toked = Tables.documents(s, dir)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("t"))
+        val tf = toked
+          .select($"doc_id", slice($"t", 1, 20).as("tp"),
+            explode(filter($"t", t => t.isin(terms.map(lit): _*))).as("qid"))
+          .groupBy($"qid", $"doc_id")
+          .agg(count(lit(1)).as("tf"),
+            min(size(filter($"tp", t => t === $"qid"))).cast("long").as("tfp"))
+        val run = tf.filter($"tfp" > 0L).groupBy($"qid")
+          .agg(graft.functions.TopKAgg($"tfp", $"doc_id", 10).as("tk"))
+          .select($"qid", posexplode($"tk"))
+          .select($"qid", ($"pos" + 1).cast("long").as("rank"),
+            $"col".getField("id").as("doc_id"))
+        val labels = tf.select($"qid", $"doc_id", least($"tf", lit(7L)).as("rel"))
+        graft.pipeline.Eval.ndcgMrr(run, labels, k = 10, relevantMin = 2L)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |tf AS (SELECT x AS qid, doc_id, CAST(count(*) AS BIGINT) AS tf,
+              |       CAST(min(len(list_filter(t[1:20], y -> y = x))) AS BIGINT) AS tfp
+              |       FROM toks, unnest(t) u(x)
+              |       WHERE x IN ('hash', 'join', 'scan', 'index', 'filter') GROUP BY 1, 2),
+              |run AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY tfp DESC, doc_id) AS rank
+              |        FROM tf WHERE tfp > 0 QUALIFY rank <= 10),
+              |lab AS (SELECT qid, doc_id, least(tf, 7) AS rel FROM tf),
+              |j AS (SELECT r.qid, r.rank, coalesce(l.rel, 0) AS rel
+              |      FROM run r LEFT JOIN lab l ON r.qid = l.qid AND r.doc_id = l.doc_id),
+              |dcg AS (SELECT qid,
+              |        CAST(sum(CAST(floor(((1::BIGINT << rel) - 1) * ln(2) / ln(rank + 1.0)
+              |          * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_e9,
+              |        min(CASE WHEN rel >= 2 THEN rank END) AS frr
+              |        FROM j GROUP BY 1),
+              |il AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS ipos
+              |       FROM lab QUALIFY ipos <= 10),
+              |idcg AS (SELECT qid,
+              |         CAST(sum(CAST(floor(((1::BIGINT << rel) - 1) * ln(2) / ln(ipos + 1.0)
+              |           * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS idcg_e9
+              |         FROM il GROUP BY 1)
+              |SELECT d.qid, d.dcg_e9, coalesce(i.idcg_e9, 0) AS idcg_e9,
+              |  CAST(CASE WHEN coalesce(i.idcg_e9, 0) > 0
+              |       THEN (d.dcg_e9 * 1000000) // i.idcg_e9 ELSE 0 END AS BIGINT) AS ndcg_e6,
+              |  CAST(coalesce(d.frr, 0) AS BIGINT) AS first_rel_rank,
+              |  CAST(CASE WHEN d.frr IS NOT NULL THEN 1000000 // d.frr ELSE 0 END AS BIGINT) AS rr_e6
+              |FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid""".stripMargin)))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

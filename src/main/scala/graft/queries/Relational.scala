@@ -943,6 +943,54 @@ object Relational extends QueryPack {
            |$hll
            |SELECT event_type, n_hit, sum_r, est_e4
            |FROM hll_out""".stripMargin
-      })
+      }),
+
+    Query(
+      "q229_ewma_monitor",
+      "Per-series integer EWMA monitor (TimeSeries.ewmaMonitor, alpha = 1/2 — the smoothing constant whose recursion stays EXACTLY replayable: s_i = (s_{i-1} + v_i) >> 1, arithmetic-shift floor in both engines): each user's event-value series in (ts, event_id) order, flagging every one-step-ahead residual |v_i - s_{i-1}| > 20.00 BEFORE the update, exactly as a streaming monitor would see it. The recursion is neither window-expressible (unlike q200's CUSUM running-min identity) nor commutative, so it runs as a bounded in-row HOF fold after ONE series shuffle — the per-task bound is the longest series, never the corpus; unbounded series move the identical step function into flatMapGroupsWithState. Output pins the whole trajectory: final EWMA, flag count, and the rank-sum checksum of WHERE the flags fired. The oracle replays the recursion as a recursive CTE — all series advance in lockstep, iterations bounded by the longest series.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", cents($"value").as("v"))
+        graft.pipeline.TimeSeries.ewmaMonitor(
+          e, "user_id", Seq($"ts", $"event_id"), $"v", thrE = 2000L)
+      },
+      Some("""WITH RECURSIVE ev AS (SELECT user_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |  FROM events),
+             |n AS (SELECT user_id, CAST(max(i) AS BIGINT) AS n_events FROM ev GROUP BY 1),
+             |r AS (
+             |  SELECT user_id, CAST(1 AS BIGINT) AS i, v AS s,
+             |    CAST(0 AS BIGINT) AS flags, CAST(0 AS BIGINT) AS ranksum
+             |  FROM ev WHERE i = 1
+             |  UNION ALL
+             |  SELECT r.user_id, r.i + 1, (r.s + ev.v) >> 1,
+             |    r.flags + CASE WHEN abs(ev.v - r.s) > 2000 THEN 1 ELSE 0 END,
+             |    r.ranksum + CASE WHEN abs(ev.v - r.s) > 2000 THEN r.i + 1 ELSE 0 END
+             |  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.i = r.i + 1)
+             |SELECT n.user_id, n.n_events, CAST(r.s AS BIGINT) AS ewma,
+             |  CAST(r.flags AS BIGINT) AS n_flags, CAST(r.ranksum AS BIGINT) AS flag_ranksum
+             |FROM r JOIN n ON r.user_id = n.user_id AND r.i = n.n_events""".stripMargin)),
+
+    Query(
+      "q230_cube",
+      "Full CUBE grouping sets (completes q224's ROLLUP drill path with the cross-tab faces): leaf cells, BOTH one-dimension marginals, and the grand total in ONE scan — Spark expands the four grouping sets before the partial aggregate, so the shuffle carries all granularities' partials together where four separate GROUP BYs would quadruple-scan. Explicit 'ALL' markers + grouping_id disambiguate subtotal rows from genuine NULL keys (the q224 convention). DuckDB runs its own native CUBE as the oracle.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag", $"l_linestatus", cents($"l_extendedprice").as("p"))
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), sum($"p").as("sum_p"),
+            grouping_id().as("gid"))
+          .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+            coalesce($"l_linestatus", lit("ALL")).as("ls"),
+            $"n", $"sum_p", $"gid")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_p,
+             |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
   )
 }

@@ -70,4 +70,62 @@ class EvalSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(deg.length == 1 && deg.head._1 == 0L && deg.head._2 == 2L)
   }
+
+  private def bruteNdcg(run: Seq[(String, Long, Long)], labels: Seq[(String, Long, Long)],
+      k: Int): Map[String, (Long, Long, Long)] = {
+    val lab = labels.map { case (q, d, r) => (q, d) -> r }.toMap
+    def term(rel: Long, pos: Long): Long =
+      math.floor(((1L << rel) - 1).toDouble * math.log(2.0) / math.log(pos + 1.0)
+        * 1e9 + 0.5).toLong
+    run.groupBy(_._1).map { case (q, rows) =>
+      val dcg = rows.filter(_._3 <= k)
+        .map { case (_, d, rank) => term(lab.getOrElse((q, d), 0L), rank) }.sum
+      val ideal = labels.filter(_._1 == q).map(_._3).sortBy(-_).take(k)
+        .zipWithIndex.map { case (r, i) => term(r, i + 1L) }.sum
+      q -> (dcg, ideal, if (ideal > 0) dcg * 1000000L / ideal else 0L)
+    }
+  }
+
+  test("ndcgMrr matches a sequential computation; perfect run scores 1.0") {
+    val labels = Seq(
+      ("q1", 1L, 3L), ("q1", 2L, 2L), ("q1", 3L, 1L), ("q1", 4L, 0L), ("q1", 5L, 2L),
+      ("q2", 1L, 1L), ("q2", 6L, 3L))
+    // q1 run: misordered (rel 1 before rel 2s) + one irrelevant; q2 perfect
+    val run = Seq(
+      ("q1", 3L, 1L), ("q1", 1L, 2L), ("q1", 4L, 3L), ("q1", 2L, 4L), ("q1", 5L, 5L),
+      ("q2", 6L, 1L), ("q2", 1L, 2L))
+    val got = Eval.ndcgMrr(
+        run.toDF("qid", "doc_id", "rank"), labels.toDF("qid", "doc_id", "rel"), k = 10)
+      .select($"qid", $"dcg_e9", $"idcg_e9", $"ndcg_e6", $"first_rel_rank", $"rr_e6")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val expect = bruteNdcg(run, labels, 10)
+    assert(got("q1")._2 == expect("q1")._1 && got("q1")._3 == expect("q1")._2)
+    assert(got("q1")._4 == expect("q1")._3 && got("q1")._4 < 1000000L)
+    // q1 first rel>=2 doc is doc 1 at rank 2 -> rr = 500000
+    assert(got("q1")._5 == 2L && got("q1")._6 == 500000L)
+    // q2: ideal order retrieved -> exactly 1.0, MRR 1.0
+    assert(got("q2")._4 == 1000000L && got("q2")._6 == 1000000L)
+  }
+
+  test("ndcgMrr: unlabeled docs count rel 0; no relevant hit gives rr 0") {
+    val run = Seq(("q1", 9L, 1L), ("q1", 8L, 2L))
+    val labels = Seq(("q1", 1L, 3L)) // relevant doc never retrieved
+    val got = Eval.ndcgMrr(run.toDF("qid", "doc_id", "rank"),
+        labels.toDF("qid", "doc_id", "rel"), k = 10)
+      .select($"qid", $"dcg_e9", $"ndcg_e6", $"first_rel_rank", $"rr_e6")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got._2 == 0L && got._3 == 0L && got._4 == 0L && got._5 == 0L)
+  }
+
+  test("ndcgMrr ignores run rows beyond k") {
+    val labels = Seq(("q1", 1L, 3L), ("q1", 2L, 3L))
+    val runFull = Seq(("q1", 1L, 1L), ("q1", 2L, 2L))
+    val runPadded = runFull ++ Seq(("q1", 2L, 3L)) // beyond k=2, must not count
+    val a = Eval.ndcgMrr(runFull.toDF("qid", "doc_id", "rank"),
+      labels.toDF("qid", "doc_id", "rel"), k = 2).select($"dcg_e9").as[Long].head()
+    val b = Eval.ndcgMrr(runPadded.toDF("qid", "doc_id", "rank"),
+      labels.toDF("qid", "doc_id", "rel"), k = 2).select($"dcg_e9").as[Long].head()
+    assert(a == b)
+  }
 }

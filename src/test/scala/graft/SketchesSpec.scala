@@ -122,4 +122,70 @@ class SketchesSpec extends AnyFunSuite {
     assert(row._2 == Sketches.LcE4(v.toInt - 1),
       "est must equal the precomputed m*ln(m/V) table entry")
   }
+
+  // ---- KMV / bottom-k ----
+
+  private def kmvHash(s: String): Long = Sketches.portableHashLocal(s"$s#kmv")
+
+  test("kmv registers equal brute bottom-k distinct under any partitioning") {
+    val df = mk(700, "a").unionByName(mk(200, "a")) // duplicates
+    val expect = (0 until 700).map(i => kmvHash(s"v$i")).distinct.sorted.take(32)
+    for (nPart <- Seq(1, 7)) {
+      val got = Sketches.kmvRegisters(df.repartition(nPart), Seq("g"), col("v"), 32)
+        .select($"kmv").as[Seq[Long]].head()
+      assert(got == expect, s"nPart=$nPart")
+    }
+  }
+
+  test("kmv estimate is exact below k and within 4 sigma at and above") {
+    // below k: exact
+    val small = Sketches.kmvEstimate(
+      Sketches.kmvRegisters(mk(20, "a"), Seq("g"), col("v"), 64), Seq("g"), 64)
+      .select($"n_sketch", $"est_distinct").as[(Long, Long)].head()
+    assert(small == ((20L, 20L)))
+    // above k: sigma ~ n/sqrt(k-2); 4 sigma at k=64, n=5000 -> ~2540
+    val big = Sketches.kmvEstimate(
+      Sketches.kmvRegisters(mk(5000, "a"), Seq("g"), col("v"), 64), Seq("g"), 64)
+      .select($"est_distinct").as[Long].head()
+    assert(math.abs(big - 5000L) < 4.0 * 5000 / math.sqrt(62.0), s"est=$big")
+    // the estimator is the exact integer formula over the brute sketch
+    val hs = (0 until 5000).map(i => kmvHash(s"v$i")).distinct.sorted
+    val h64 = BigInt(hs(63))
+    assert(BigInt(big) == (BigInt(63) * BigInt(2).pow(60)) / h64)
+  }
+
+  test("kmv merge of shards equals the sketch of the union") {
+    val a = mk(300, "a")
+    val b = (150 until 450).map(i => ("a", s"v$i")).toDF("g", "v")
+    val shards = Seq(a, b).map(Sketches.kmvRegisters(_, Seq("g"), col("v"), 48))
+    val merged = Sketches.kmvMerge(shards, Seq("g"), 48)
+      .select($"kmv").as[Seq[Long]].head()
+    val whole = Sketches.kmvRegisters(a.unionByName(b), Seq("g"), col("v"), 48)
+      .select($"kmv").as[Seq[Long]].head()
+    assert(merged == whole)
+  }
+
+  test("kmvOverlap matches a sequential twin and tracks true Jaccard") {
+    // two groups sharing half their values: true J = 1/3
+    val k = 64
+    val ga = (0 until 600).map(i => ("a", s"x$i"))
+    val gb = (300 until 900).map(i => ("b", s"x$i"))
+    val reg = Sketches.kmvRegisters((ga ++ gb).toDF("g", "v"), Seq("g"), col("v"), k)
+    val got = Sketches.kmvOverlap(reg, "g", k)
+      .select($"n_merged", $"n_common", $"est_union", $"jaccard_e6", $"est_intersect")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // sequential twin
+    val ha = (0 until 600).map(i => kmvHash(s"x$i")).distinct.sorted.take(k)
+    val hb = (300 until 900).map(i => kmvHash(s"x$i")).distinct.sorted.take(k)
+    val merged = (ha ++ hb).distinct.sorted.take(k)
+    val nc = merged.count(h => ha.contains(h) && hb.contains(h)).toLong
+    val eu = if (merged.size < k) merged.size.toLong
+      else ((BigInt(k - 1) * BigInt(2).pow(60)) / BigInt(merged.last)).toLong
+    assert(got == ((merged.size.toLong, nc, eu,
+      nc * 1000000L / merged.size, (BigInt(nc) * BigInt(eu) / BigInt(merged.size)).toLong)))
+    // estimates near truth: J=1/3, |union|=900, |intersect|=300
+    assert(math.abs(got._4 - 333333L) < 150000L)
+    assert(math.abs(got._3 - 900L) < 250L)
+    assert(math.abs(got._5 - 300L) < 150L)
+  }
 }

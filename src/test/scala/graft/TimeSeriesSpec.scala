@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def bruteEwma(vs: Seq[Long], thr: Long): (Long, Long, Long) = {
+    var s = vs.head
+    var flags = 0L
+    var ranksum = 0L
+    vs.zipWithIndex.tail.foreach { case (v, i) =>
+      if (math.abs(v - s) > thr) { flags += 1; ranksum += i + 1 }
+      s = Math.floorDiv(s + v, 2)
+    }
+    (s, flags, ranksum)
+  }
+
+  test("ewmaMonitor matches the sequential recursion per series") {
+    val rng = new scala.util.Random(11)
+    val rows = for (u <- 0L until 7L; i <- 0 until (20 + u.toInt * 5)) yield
+      (u, i.toLong, rng.nextLong(4000) - 1000) // negatives included
+    for (nPart <- Seq(1, 5)) {
+      val got = TimeSeries.ewmaMonitor(
+          rows.toDF("u", "i", "v").repartition(nPart), "u",
+          Seq(col("i")), col("v"), thrE = 500L)
+        .select($"u", $"n_events", $"ewma", $"n_flags", $"flag_ranksum")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, rs) =>
+        val vs = rs.sortBy(_._2).map(_._3).toSeq
+        val (s, f, rsum) = bruteEwma(vs, 500L)
+        (u, vs.size.toLong, s, f, rsum)
+      }
+      assert(got == expect, s"nPart=$nPart")
+    }
+  }
+
+  test("ewmaMonitor: floor semantics on negative sums match arithmetic shift") {
+    // (-3 + 0) >> 1 = -2 (floor), NOT -1 (truncation)
+    val got = TimeSeries.ewmaMonitor(
+        Seq((1L, 1L, -3L), (1L, 2L, 0L)).toDF("u", "i", "v"), "u",
+        Seq(col("i")), col("v"), thrE = 1000L)
+      .select($"ewma").as[Long].head()
+    assert(got == -2L)
+  }
+
+  test("ewmaMonitor: single-event series seeds without flagging") {
+    val got = TimeSeries.ewmaMonitor(
+        Seq((1L, 1L, 42L)).toDF("u", "i", "v"), "u",
+        Seq(col("i")), col("v"), thrE = 0L)
+      .select($"n_events", $"ewma", $"n_flags").as[(Long, Long, Long)].head()
+    assert(got == ((1L, 42L, 0L)))
+  }
+}
