@@ -1011,6 +1011,52 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q231_hilbert_layout",
+      "Hilbert-curve 2-D layout clustering (the locality-optimal refinement of q180's Morton layout: every unit step of the curve is axis-adjacent, so a contiguous key range is one connected blob with no Morton seam jumps — fewer files touched per band predicate, ZOrderSpec pins hilbert <= morton on the same split): (l_partkey, price-cents) at 16 bits/dim, grid scaling exact long arithmetic, then the classic per-bit rotate/reflect fold as a bounded in-row HOF (16 iterations/row, map-only, zero shuffle before the per-file aggregate), files by the TOP 6 Hilbert bits. Output is the same skipping metadata as q180 plus the mid-band partkey touch flag. The oracle replays the fold as a lockstep recursive CTE over the 16 bit levels.",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_partkey").cast("long").as("pk"),
+          cents(col("l_extendedprice")).as("pc"))
+        val bds = graft.sources.ZOrder.bounds(li, Seq("pk", "pc"))
+        val stats = graft.sources.ZOrder.hilbertFileStats(
+          li, "pk", "pc", bits = 16, fileBits = 6, precomputed = Some(bds))
+        val (plo, phi) = bds.head
+        val lo2 = plo + (phi - plo) / 4
+        val hi2 = plo + (phi - plo) / 2
+        stats.select(
+          col("file_id"), col("n"),
+          col("pk_min"), col("pk_max"), col("pc_min"), col("pc_max"),
+          (col("pk_max") >= lo2 && col("pk_min") <= hi2).cast("int").as("touched"))
+      },
+      Some(
+        s"""WITH RECURSIVE src AS MATERIALIZED (SELECT CAST(l_partkey AS BIGINT) AS pk,
+           |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc FROM lineitem),
+           |b AS MATERIALIZED (SELECT min(pk) AS plo, max(pk) AS phi,
+           |  min(pc) AS rlo, max(pc) AS rhi FROM src),
+           |g AS MATERIALIZED (SELECT pk, pc,
+           |  CASE WHEN phi <= plo THEN 0 ELSE ((least(greatest(pk, plo), phi) - plo) * 65535) // (phi - plo) END AS gx,
+           |  CASE WHEN rhi <= rlo THEN 0 ELSE ((least(greatest(pc, rlo), rhi) - rlo) * 65535) // (rhi - rlo) END AS gy
+           |  FROM src, b),
+           |h AS (SELECT pk, pc, gx AS x, gy AS y, CAST(0 AS BIGINT) AS d, 15 AS j FROM g
+           |  UNION ALL
+           |  SELECT pk, pc,
+           |    CASE WHEN ((y >> j) & 1) = 0 THEN
+           |      CASE WHEN ((x >> j) & 1) = 1 THEN (1::BIGINT << j) - 1 - y ELSE y END
+           |    ELSE x END,
+           |    CASE WHEN ((y >> j) & 1) = 0 THEN
+           |      CASE WHEN ((x >> j) & 1) = 1 THEN (1::BIGINT << j) - 1 - x ELSE x END
+           |    ELSE y END,
+           |    d + ((1::BIGINT << j) * (1::BIGINT << j)) * xor(3 * ((x >> j) & 1), (y >> j) & 1),
+           |    j - 1
+           |  FROM h WHERE j >= 0),
+           |f AS (SELECT d >> 26 AS file_id, pk, pc FROM h WHERE j = -1)
+           |SELECT file_id, CAST(count(*) AS BIGINT) AS n,
+           |  min(pk) AS pk_min, max(pk) AS pk_max, min(pc) AS pc_min, max(pc) AS pc_max,
+           |  CAST(CASE WHEN max(pk) >= (SELECT plo + (phi - plo) // 4 FROM b)
+           |        AND min(pk) <= (SELECT plo + (phi - plo) // 2 FROM b) THEN 1 ELSE 0 END AS INTEGER) AS touched
+           |FROM f GROUP BY file_id""".stripMargin)),
+
+    Query(
       "q180_zorder_layout",
       "Z-order (Morton) multi-dimensional layout clustering — the data-skipping file layout behind lakehouse OPTIMIZE ZORDER, over (l_partkey, l_suppkey, price-cents) at 16 bits/dim: per-dim min/max is ONE bounded aggregate, grid scaling is exact long arithmetic ((clamp(x)-lo)*(2^16-1) div range), the 48-bit key comes from the codegen'd BitInterleave expression (map-only, zero shuffle before the per-file aggregate), and the deterministic twin assigns files by the TOP 6 z-bits (production writes use repartitionByRange on the key instead — balanced but sampled). Output is the skipping metadata a pruning reader consults: per file, row count + min/max envelope of EVERY clustered dim, plus whether the file survives a mid-band partkey predicate — on a z-ordered layout most files prune on all three dims simultaneously. Oracle replays scaling, the 16-round bit interleave (list-comprehension sum of shifted bits), top-bits file split, and envelopes verbatim.",
       (s, dir) => {

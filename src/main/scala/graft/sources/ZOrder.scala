@@ -107,4 +107,59 @@ object ZOrder {
     * predicate range. */
   def filesTouched(stats: DataFrame, dim: String, lo: Long, hi: Long): DataFrame =
     stats.filter(col(s"${dim}_max") >= lo && col(s"${dim}_min") <= hi)
+
+  /** Hilbert-curve index of a 2-D grid cell (Hilbert 1891; the xy2d
+    * walk of Warren, Hacker's Delight §16-1 form): strictly better
+    * range-query locality than Morton — every unit step of the curve
+    * is axis-adjacent, so a contiguous key range maps to one connected
+    * blob with no Morton "seam jumps", tightening the same per-file
+    * min/max envelopes [[fileStats]] consults (measurably fewer files
+    * touched per 2-D band predicate; the q231 output carries both
+    * layouts' touch counts side by side).
+    *
+    * Implementation: the classic per-bit rotate/reflect fold, run as a
+    * bounded in-row HOF over the `order` bit levels — map-only, zero
+    * shuffle, `order` iterations per row; all arithmetic stays in
+    * exact longs (d < 4^order ≤ 2^62). Inputs must already be grid
+    * coordinates in [0, 2^order) ([[gridCoord]]). */
+  def hilbertValue(x: Column, y: Column, order: Int): Column = {
+    require(order >= 1 && order <= 31, s"order in [1, 31]: $order")
+    val levels = array(((order - 1) to 0 by -1).map(j => lit(1L << j)): _*)
+    val init = struct(x.cast("long").as("x"), y.cast("long").as("y"),
+      lit(0L).as("d"))
+    aggregate(levels, init, (acc, s) => {
+      val ax = acc.getField("x")
+      val ay = acc.getField("y")
+      val rx = when(ax.bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+      val ry = when(ay.bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+      val d2 = acc.getField("d") + s * s * (lit(3L) * rx).bitwiseXOR(ry)
+      // rotate the frame for the next level: when ry == 0, reflect both
+      // coords iff rx == 1, then swap x <-> y; when ry == 1, unchanged
+      struct(
+        when(ry === 0L, when(rx === 1L, s - lit(1L) - ay).otherwise(ay))
+          .otherwise(ax).as("x"),
+        when(ry === 0L, when(rx === 1L, s - lit(1L) - ax).otherwise(ax))
+          .otherwise(ay).as("y"),
+        d2.as("d"))
+    }).getField("d")
+  }
+
+  /** [[fileStats]] twin on the HILBERT key for two dimensions: file id
+    * = top `fileBits` of the 2·bits-wide Hilbert index, plus the same
+    * per-file skipping envelope. */
+  def hilbertFileStats(df: DataFrame, dimX: String, dimY: String, bits: Int,
+      fileBits: Int, precomputed: Option[Seq[(Long, Long)]] = None): DataFrame = {
+    require(fileBits >= 1 && fileBits <= 2 * bits, "fileBits in [1, 2*bits]")
+    val bds = precomputed.getOrElse(bounds(df, Seq(dimX, dimY)))
+    val gx = gridCoord(col(dimX), bds(0)._1, bds(0)._2, bits)
+    val gy = gridCoord(col(dimY), bds(1)._1, bds(1)._2, bits)
+    val withFile = df.withColumn("__file",
+      shiftright(hilbertValue(gx, gy, bits), 2 * bits - fileBits))
+    withFile.groupBy(col("__file").as("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col(dimX).cast("long")).as(s"${dimX}_min"),
+        max(col(dimX).cast("long")).as(s"${dimX}_max"),
+        min(col(dimY).cast("long")).as(s"${dimY}_min"),
+        max(col(dimY).cast("long")).as(s"${dimY}_max"))
+  }
 }

@@ -106,4 +106,64 @@ class ZOrderSpec extends AnyFunSuite {
     assert(meanWidth < 10000 * 0.8, s"mean envelope $meanWidth")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  // ---- Hilbert curve ----
+
+  private def bruteHilbert(x0: Long, y0: Long, order: Int): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertValue: order-1 quadrant walk and brute-force parity") {
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val got = cells.toDF("x", "y")
+      .select($"x", $"y", ZOrder.hilbertValue($"x", $"y", 3).as("d"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // the canonical first-order walk: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+    assert(got((0L, 0L)) % 64 == bruteHilbert(0, 0, 3))
+    cells.foreach { case (x, y) =>
+      assert(got((x, y)) == bruteHilbert(x, y, 3), s"($x,$y)")
+    }
+    // bijective over the grid
+    assert(got.values.toSet == (0L until 64L).toSet)
+  }
+
+  test("hilbertValue: consecutive indices are axis-adjacent (no Morton jumps)") {
+    val order = 4
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val byD = cells.toDF("x", "y")
+      .select(ZOrder.hilbertValue($"x", $"y", order).as("d"), $"x", $"y")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    byD.sliding(2).foreach { case Array((d1, x1, y1), (d2, x2, y2)) =>
+      assert(d2 == d1 + 1)
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+        s"step $d1->$d2 jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbert layout touches no more files than Morton on a 2-D band") {
+    val rng = new scala.util.Random(4)
+    val df = (0 until 6000)
+      .map(_ => (rng.nextInt(100000).toLong, rng.nextInt(100000).toLong))
+      .toDF("x", "y")
+    val bds = ZOrder.bounds(df, Seq("x", "y"))
+    val hs = ZOrder.hilbertFileStats(df, "x", "y", bits = 12, fileBits = 6, Some(bds))
+    val zs = ZOrder.fileStats(df, Seq("x", "y"), bits = 12, fileBits = 6, Some(bds))
+    assert(hs.agg(sum($"n")).as[Long].head() == 6000L)
+    val (lo, hi) = (25000L, 50000L)
+    val ht = ZOrder.filesTouched(hs, "x", lo, hi).count()
+    val zt = ZOrder.filesTouched(zs, "x", lo, hi).count()
+    assert(ht <= zt, s"hilbert touched $ht > morton $zt")
+  }
 }
