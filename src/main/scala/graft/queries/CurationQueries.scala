@@ -1950,7 +1950,44 @@ object CurationQueries extends QueryPack {
               |       THEN (d.dcg_e9 * 1000000) // i.idcg_e9 ELSE 0 END AS BIGINT) AS ndcg_e6,
               |  CAST(coalesce(d.frr, 0) AS BIGINT) AS first_rel_rank,
               |  CAST(CASE WHEN d.frr IS NOT NULL THEN 1000000 // d.frr ELSE 0 END AS BIGINT) AS rr_e6
-              |FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid""".stripMargin)))
+              |FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid""".stripMargin)),
+
+    Query(
+      "q232_pmi_terms",
+      "Per-source discriminative vocabulary by pointwise mutual information — PMI(s,t) = ln(P(s,t)/(P(s)P(t))), the feature-selection screen that tells a mixture designer WHICH tokens make a source distinctive (q151's KL scores how much a source diverges in aggregate; this names the terms). One corpus explode into a vocabulary-bounded (source, token) groupBy; marginals fold from that table, never rescanning the corpus; the count floor (c >= 5) kills hapax-PMI noise. Each PMI quantizes independently at e9 (ONE double division of two exact <= 2^53 longs, one ln — the q119 discipline); top-10 per source via bounded-heap TopKStringAgg, never a vocabulary-wide window shipping 1e8 distinct tokens into one task at 100 TB.",
+      (s, dir) => {
+        import s.implicits._
+        val cst = Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("w"))
+          .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        val ns = cst.groupBy($"source").agg(sum($"c").as("ns"))
+        val nt = cst.groupBy($"w").agg(sum($"c").as("nt"))
+        val tot = cst.agg(sum($"c").as("nn"))
+        cst.filter($"c" >= 5L)
+          .join(broadcast(ns), Seq("source"))
+          .join(nt, Seq("w"))
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi_e9",
+            floor(log(($"c" * $"nn").cast("double") / ($"ns" * $"nt").cast("double"))
+              * lit(1000000000.0) + lit(0.5)).cast("long"))
+          .groupBy($"source")
+          .agg(graft.functions.TopKStringAgg($"pmi_e9", $"w", 10).as("tk"))
+          .select($"source", posexplode($"tk"))
+          .select($"source", ($"pos" + 1).cast("long").as("rk"),
+            $"col.id".as("token"), $"col.score".as("pmi_e9"))
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($toksSql) AS w FROM documents),
+              |cst AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+              |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cst GROUP BY 1),
+              |nt AS (SELECT w, CAST(sum(c) AS BIGINT) AS nt FROM cst GROUP BY 1),
+              |tt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cst),
+              |p AS (SELECT cst.source, cst.w,
+              |      CAST(floor(ln(CAST(cst.c * tt.nn AS DOUBLE) / CAST(ns.ns * nt.nt AS DOUBLE))
+              |        * 1000000000.0 + 0.5) AS BIGINT) AS pmi_e9
+              |      FROM cst JOIN ns USING (source) JOIN nt USING (w), tt WHERE cst.c >= 5)
+              |SELECT source, CAST(row_number() OVER (PARTITION BY source ORDER BY pmi_e9 DESC, w) AS BIGINT) AS rk,
+              |       w AS token, pmi_e9
+              |FROM p QUALIFY rk <= 10""".stripMargin)))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

@@ -176,6 +176,61 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fn)
   }
 
+  final case class EwmaPoint(series: Long, seq: Long, v: Long)
+  final case class EwmaSt(lastSeq: Long, n: Long, s: Long, flags: Long, ranksum: Long)
+  final case class EwmaOut(series: Long, seq: Long, v: Long, ewma_prev: Long,
+      flagged: Boolean, n: Long)
+
+  /** Streaming twin of [[graft.pipeline.TimeSeries.ewmaMonitor]] (the
+    * q229 batch operator): per series the state is the O(1) tuple
+    * (last seq, n, s, flags, ranksum) and each point folds the same
+    * integer step — flag when |v − s| > thrE against the PRE-update
+    * EWMA (the one-step-ahead residual), then s' = (s + v) >> 1
+    * (arithmetic-shift floor, the exact q229 recursion). Emits every
+    * point's verdict as it arrives, with the EWMA the monitor compared
+    * against.
+    *
+    * Equality contract (the [[cusumStream]] one): identical to the
+    * batch fold whenever micro-batch boundaries respect seq order per
+    * series; a point at or before the last folded seq arrives too late
+    * to change an already-emitted verdict and is DROPPED — the batch
+    * operator is the reconciliation pass. Idle series evict on
+    * `idleTimeout`. */
+  def ewmaStream(points: Dataset[EwmaPoint], thrE: Long,
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[EwmaOut] = {
+    import points.sparkSession.implicits._
+    def fn(series: Long, pts: Iterator[EwmaPoint],
+        state: GroupState[EwmaSt]): Iterator[EwmaOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var st = state.getOption.getOrElse(EwmaSt(Long.MinValue, 0L, 0L, 0L, 0L))
+        val out = collection.mutable.Buffer[EwmaOut]()
+        for (p <- pts.toSeq.sortBy(_.seq) if p.seq > st.lastSeq) {
+          if (st.n == 0L) {
+            st = EwmaSt(p.seq, 1L, p.v, 0L, 0L)
+            out += EwmaOut(series, p.seq, p.v, p.v, flagged = false, 1L)
+          } else {
+            val flagged = math.abs(p.v - st.s) > thrE
+            out += EwmaOut(series, p.seq, p.v, st.s, flagged, st.n + 1L)
+            st = EwmaSt(p.seq, st.n + 1L, (st.s + p.v) >> 1,
+              st.flags + (if (flagged) 1L else 0L),
+              st.ranksum + (if (flagged) st.n + 1L else 0L))
+          }
+        }
+        state.update(st)
+        idleTimeout.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fn)
+  }
+
   /** Streaming windowed HyperLogLog registers — approximate
     * distinct-per-window at fixed state: one watermarked windowed
     * aggregate holds ≤ |windows|×|groups|×64 max-rank registers (the

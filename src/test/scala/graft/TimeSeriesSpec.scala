@@ -54,4 +54,50 @@ class TimeSeriesSpec extends AnyFunSuite {
       .select($"n_events", $"ewma", $"n_flags").as[(Long, Long, Long)].head()
     assert(got == ((1L, 42L, 0L)))
   }
+
+  test("ewmaStream over in-order micro-batches folds the batch recursion exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.{EwmaOut, EwmaPoint}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rng = new scala.util.Random(5)
+    val series = (0L until 3L).map(u =>
+      u -> (0 until 30).map(i => (i.toLong, rng.nextLong(3000) - 500))).toMap
+    val thr = 400L
+
+    val src = MemoryStream[EwmaPoint]
+    val q = EventStream.ewmaStream(src.toDS(), thr, idleTimeout = None)
+      .writeStream.format("memory").queryName("ewma_out").outputMode("update").start()
+    try {
+      val pts = for ((u, vs) <- series.toSeq; (i, v) <- vs) yield EwmaPoint(u, i, v)
+      val (b1, b2) = pts.sortBy(p => (p.seq, p.series)).splitAt(pts.size / 2)
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      // late replay must be dropped, not double-folded
+      src.addData((b2 ++ b1.take(5)): _*)
+      q.processAllAvailable()
+      val got = spark.table("ewma_out").as[EwmaOut].collect()
+      // verdict stream equals the batch fold state trajectory
+      series.foreach { case (u, vs) =>
+        val (sFin, flags, ranksum) = bruteEwma(vs.map(_._2), thr)
+        val mine = got.filter(_.series == u)
+        assert(mine.length == vs.size, s"series $u emits once per point")
+        assert(mine.count(_.flagged) == flags, s"series $u flag count")
+        assert(mine.filter(_.flagged).map(_.n).sum == ranksum, s"series $u ranksum")
+        // replay the final EWMA from the last emitted (ewma_prev, v)
+        val last = mine.maxBy(_.seq)
+        val lastS = if (vs.size == 1) last.v else Math.floorDiv(last.ewma_prev + last.v, 2)
+        assert(lastS == sFin, s"series $u final ewma")
+      }
+      // batch operator agrees on the same data (the reconciliation pass)
+      val batch = TimeSeries.ewmaMonitor(
+          series.toSeq.flatMap { case (u, vs) => vs.map { case (i, v) => (u, i, v) } }
+            .toDF("u", "i", "v"), "u", Seq(col("i")), col("v"), thr)
+        .select($"u", $"n_flags").as[(Long, Long)].collect().toMap
+      series.keys.foreach { u =>
+        assert(batch(u) == got.filter(_.series == u).count(_.flagged).toLong)
+      }
+    } finally q.stop()
+  }
 }
