@@ -379,4 +379,56 @@ object Multimodal {
           payload.substr(i * frameSize + 1, lit(frameSize)).as("frame")))),
       (f, i) => f.isNotNull && i % everyK === 0)
   }
+
+  /** Video scene-cut detection over an ordered frame sequence — the
+    * shot-boundary pass a video-curation pipeline runs before
+    * per-scene sampling/captioning: consecutive frames whose
+    * perceptual signatures differ by more than `hammingThr` bits mark
+    * a cut. The signature is the aHash rule on the frame's own units
+    * (bit j set iff unit j exceeds the frame's integer-mean) — here
+    * over STRING frames (char codes as the fake "pixels", the
+    * [[StubBackend]] decode contract: a real pipeline swaps the frame
+    * source for decoded luma while the Spark-side shape — explode,
+    * map-only signature, one per-video window over a bounded frame
+    * count — is exactly this).
+    *
+    * `df` must carry one row per (video, frame): idCol, frameIdx
+    * (dense order), frameCol (string frame ≤ 64 units). Signature
+    * arithmetic is exact longs; the lag window partitions per video —
+    * bounded by frames-per-video, never corpus-wide. Returns per
+    * frame: sig, prev_sig, hamming, is_cut. */
+  def sceneCutFrames(df: DataFrame, idCol: String, frameIdx: String,
+      frameCol: String, hammingThr: Int): DataFrame = {
+    require(hammingThr >= 0 && hammingThr <= 64, s"hammingThr in [0, 64]: $hammingThr")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col(frameIdx))
+    df
+      .withColumn("__codes", transform(
+        sequence(lit(1), length(col(frameCol))),
+        j => ascii(col(frameCol).substr(j, lit(1))).cast("long")))
+      .withColumn("__mean",
+        expr("aggregate(__codes, 0L, (a, x) -> a + x) div size(__codes)"))
+      .withColumn("sig", expr(
+        "aggregate(sequence(1, size(__codes)), 0L," +
+          " (a, i) -> a * 2L + (CASE WHEN element_at(__codes, i) > __mean THEN 1L ELSE 0L END))"))
+      .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+      .withColumn("hamming",
+        when(col("prev_sig").isNotNull,
+          expr("bit_count(sig ^ prev_sig)").cast("long")))
+      .withColumn("is_cut",
+        col("hamming").isNotNull && col("hamming") > hammingThr)
+      .drop("__codes", "__mean")
+  }
+
+  /** Per-video scene statistics from [[sceneCutFrames]]: frame count,
+    * cut count, 1 + cuts scenes, and the frame-index checksum of WHERE
+    * the cuts fired. */
+  def sceneStats(df: DataFrame, idCol: String, frameIdx: String,
+      frameCol: String, hammingThr: Int): DataFrame =
+    sceneCutFrames(df, idCol, frameIdx, frameCol, hammingThr)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        (sum(when(col("is_cut"), 1L).otherwise(0L)) + lit(1L)).as("n_scenes"),
+        sum(when(col("is_cut"), col(frameIdx)).otherwise(0L)).as("cut_idxsum"))
 }

@@ -58,17 +58,39 @@ object Quantiles {
     * Empty input → empty result. */
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): Seq[(Double, Long)] = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), "each q in (0, 1]")
+    exactRanksOf(df, valueCol,
+      n => qs.map(q => math.max(1L, math.ceil(q * n).toLong)))
+      .map(vals => qs.zip(vals)).getOrElse(Seq.empty)
+  }
+
+  /** The k-th smallest values (1-based ranks) — the rank-explicit face
+    * of [[exactQuantiles]] for selections whose rank is NOT ⌈q·n⌉ for
+    * any safely-representable double q (split-conformal thresholds
+    * want ⌈(1−α)(n_cal+1)⌉). Ranks above n clamp to n (the conformal
+    * "threshold = +∞" case must be handled by the CALLER via
+    * [[count]]; here the max is the honest clamp). Returns values in
+    * rank order; empty input → None. */
+  def exactKthSmallest(df: DataFrame, valueCol: String, ks: Seq[Long]): Option[Seq[Long]] = {
+    require(ks.nonEmpty && ks.forall(_ >= 1L), "each rank >= 1")
+    exactRanksOf(df, valueCol, n => ks.map(k => math.min(k, n)))
+  }
+
+  /** Shared global-search loop: `mkRanks` sees n once; one map-side
+    * partial-aggregated pass per round evaluates count(x ≤ probe) for
+    * all unconverged targets at once. */
+  private def exactRanksOf(df: DataFrame, valueCol: String,
+      mkRanks: Long => Seq[Long]): Option[Seq[Long]] = {
     val v = df.select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
       .persist()
     try {
       val head = v.agg(count(col("v")), min(col("v")), max(col("v"))).head()
       val n = head.getLong(0)
-      if (n == 0L) return Seq.empty
+      if (n == 0L) return None
       val (mn, mx) = (head.getLong(1), head.getLong(2))
-      val ranks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
-      val lo = Array.fill(qs.size)(mn)
-      val hi = Array.fill(qs.size)(mx)
+      val ranks = mkRanks(n)
+      val lo = Array.fill(ranks.size)(mn)
+      val hi = Array.fill(ranks.size)(mx)
       while (lo.indices.exists(j => lo(j) < hi(j))) {
         val active = lo.indices.filter(j => lo(j) < hi(j))
         val plan: Seq[(Int, Seq[Long])] = active.map(j => j -> probes(lo(j), hi(j)))
@@ -86,7 +108,7 @@ object Quantiles {
           lo(j) = nl; hi(j) = nh
         }
       }
-      qs.zip(lo.toSeq)
+      Some(lo.toSeq)
     } finally { v.unpersist(false); () }
   }
 

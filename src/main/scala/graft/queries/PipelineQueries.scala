@@ -428,6 +428,35 @@ object PipelineQueries extends QueryPack {
              |FROM f""".stripMargin)),
 
     Query(
+      "q234_scene_cuts",
+      "Video scene-cut detection (shot-boundary pass before per-scene sampling/captioning) on q94's deterministic fake-video frames: per frame an aHash-style perceptual signature (bit j set iff unit j exceeds the frame's integer-mean — char codes standing in for decoded luma, the StubBackend contract; the Spark-side shape is the real one), then consecutive-frame Hamming distance > 8 of 32 marks a cut. Signature is a map-only exact-long HOF fold inside the scan; the lag window partitions per video and is bounded by frames-per-video, never corpus-wide. Per video: frames, cuts, scenes (= cuts + 1), and the frame-index checksum of WHERE the cuts fired.",
+      (s, dir) => {
+        import s.implicits._
+        val frames = Tables.documents(s, dir)
+          .select($"doc_id",
+            explode(Multimodal.sampleFrames($"text", frameSize = 32, everyK = 1)).as("f"))
+          .select($"doc_id", $"f.frame_idx".cast("long").as("idx"), $"f.frame".as("fr"))
+        Multimodal.sceneStats(frames, "doc_id", "idx", "fr", hammingThr = 8)
+      },
+      Some("""WITH f AS (SELECT doc_id, i AS idx, substring(text, i*32 + 1, 32) AS fr
+             |  FROM documents, generate_series(0, 499) g(i) WHERE i*32 < length(text)),
+             |c AS (SELECT doc_id, idx, list_transform(range(1, length(fr) + 1),
+             |    j -> CAST(ascii(substr(fr, CAST(j AS INTEGER), 1)) AS BIGINT)) AS codes FROM f),
+             |m AS (SELECT doc_id, idx, codes, list_sum(codes) // len(codes) AS mn FROM c),
+             |s AS (SELECT doc_id, idx, CAST(list_sum(list_transform(range(1, len(codes) + 1),
+             |    j -> CASE WHEN codes[CAST(j AS INTEGER)] > mn
+             |         THEN (1::BIGINT << CAST(len(codes) - j AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+             |  FROM m),
+             |l AS (SELECT doc_id, idx, sig, lag(sig) OVER (PARTITION BY doc_id ORDER BY idx) AS prev FROM s),
+             |h AS (SELECT doc_id, idx,
+             |  CASE WHEN prev IS NOT NULL THEN bit_count(CAST(xor(sig, prev) AS BIGINT)) END AS hm FROM l)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             |  CAST(sum(CASE WHEN hm > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             |  CAST(sum(CASE WHEN hm > 8 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes,
+             |  CAST(sum(CASE WHEN hm > 8 THEN idx ELSE 0 END) AS BIGINT) AS cut_idxsum
+             |FROM h GROUP BY 1""".stripMargin)),
+
+    Query(
       "q57_cosine_neardup",
       "Embedding-cosine near-dup pairs (threshold 0.45), small-corpus exact path: broadcast all-pairs behind a row-count guard. q59 runs the same contract through the scale path (LSH blocking, no driver collect).",
       (s, dir) => Similarity.cosinePairs(

@@ -991,6 +991,73 @@ object Relational extends QueryPack {
              |  CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_p,
              |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
-             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
+    Query(
+      "q233_conformal_gate",
+      "Split-conformal prediction threshold (Vovk et al.; the distribution-free coverage guarantee an ML quality gate ships with): calibration/test legs split by the portable hash, threshold = the ceil((1-alpha)(n_cal+1))-th smallest calibration nonconformity score — the rank-EXPLICIT selection (NOT ceil(q*n) for any safe double q, hence Quantiles.exactKthSmallest), computed in ceil(log8(domain)) conditional-count passes with no sort/collect; the rank itself stays in integers ((9(n+1)+9) div 10). Output pins the whole gate: leg sizes, the rank, the threshold, and the test-leg coverage it actually delivers (>= 90% in expectation by exchangeability).",
+      (s, dir) => {
+        import s.implicits._
+        val scored = Tables.orders(s, dir).select(
+          cents($"o_totalprice").as("sc"),
+          pmod(graft.pipeline.Sampling.portableHash($"o_orderkey", "conf"), lit(2L)).as("leg"))
+        val cal = scored.filter($"leg" === 0L)
+        val nCal = cal.count()
+        val k = (9L * (nCal + 1L) + 9L) / 10L
+        val thr = graft.pipeline.Quantiles.exactKthSmallest(cal, "sc", Seq(k)).get.head
+        scored.filter($"leg" === 1L)
+          .agg(count(lit(1)).as("n_test"),
+            sum(when($"sc" <= thr, 1L).otherwise(0L)).as("n_covered"))
+          .select(lit(nCal).as("n_cal"), lit(k).as("k_rank"),
+            lit(thr).as("threshold"), $"n_test", $"n_covered",
+            expr("(n_covered * 1000000L) div n_test").as("cover_e6"))
+      },
+      Some("""WITH s AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS sc,
+             |  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#conf'), 1, 15))::BIGINT % 2 AS leg
+             |  FROM orders),
+             |cal AS (SELECT sc FROM s WHERE leg = 0),
+             |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+             |kk AS (SELECT (9 * (n + 1) + 9) // 10 AS k, n FROM nc),
+             |th AS (SELECT sc AS t FROM
+             |  (SELECT sc, row_number() OVER (ORDER BY sc) AS rn FROM cal), kk
+             |  WHERE rn = least(kk.k, kk.n))
+             |SELECT (SELECT n FROM nc) AS n_cal, (SELECT k FROM kk) AS k_rank,
+             |  (SELECT t FROM th) AS threshold,
+             |  CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN sc <= (SELECT t FROM th) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |  CAST((sum(CASE WHEN sc <= (SELECT t FROM th) THEN 1 ELSE 0 END) * 1000000)
+             |    // count(*) AS BIGINT) AS cover_e6
+             |FROM s WHERE leg = 1""".stripMargin)),
+
+    Query(
+      "q235_winsorize",
+      "Grouped winsorization — the outlier-robust cleaning step before any mean-based statistic ships: per order priority, clip price-cents to the group's OWN exact [p5, p95] (Quantiles.exactGroupQuantile — the q192 value-domain search, ceil(log8(domain)) conditional-count passes per quantile, |groups|-bounded driver brackets, no sort/collect/percentile buffers), then one pass counts both clip tails and sums the winsorized values. The quantile table is codebook-sized and broadcast; the corpus is scanned once for the search passes and once for the clip.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+          .select($"o_orderpriority".as("p"), cents($"o_totalprice").as("c"))
+        val p05 = graft.pipeline.Quantiles.exactGroupQuantile(o, "p", "c", 0.05)
+          .withColumnRenamed("value", "lo")
+        val p95 = graft.pipeline.Quantiles.exactGroupQuantile(o, "p", "c", 0.95)
+          .withColumnRenamed("value", "hi")
+        o.join(broadcast(p05), $"p" === p05("k")).drop("k")
+          .join(broadcast(p95), $"p" === p95("k")).drop("k")
+          .groupBy($"p")
+          .agg(count(lit(1)).as("n"), min($"lo").as("p05_c"), min($"hi").as("p95_c"),
+            sum(when($"c" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when($"c" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
+            sum(least(greatest($"c", $"lo"), $"hi")).as("sum_winsorized"))
+          .withColumnRenamed("p", "o_orderpriority")
+      },
+      Some("""WITH c AS (SELECT o_orderpriority AS p,
+             |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+             |q AS (SELECT p, quantile_disc(c, 0.05) AS lo, quantile_disc(c, 0.95) AS hi
+             |      FROM c GROUP BY 1)
+             |SELECT c.p AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(q.lo) AS BIGINT) AS p05_c, CAST(min(q.hi) AS BIGINT) AS p95_c,
+             |  CAST(sum(CASE WHEN c.c < q.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             |  CAST(sum(CASE WHEN c.c > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             |  CAST(sum(least(greatest(c.c, q.lo), q.hi)) AS BIGINT) AS sum_winsorized
+             |FROM c JOIN q ON c.p = q.p GROUP BY 1""".stripMargin))
   )
 }

@@ -699,6 +699,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0, "abc"), (1L, 2, "ghi")))
   }
 
+  test("sceneCutFrames: aHash signatures + hamming cuts match a sequential twin") {
+    def sig(fr: String): Long = {
+      val codes = fr.map(_.toLong)
+      val mean = Math.floorDiv(codes.sum, codes.length)
+      codes.foldLeft(0L)((a, c) => a * 2 + (if (c > mean) 1L else 0L))
+    }
+    // video 1: AAAA, AAAB (tiny change), ZZZA-ish jump, repeat
+    val frames = Seq(
+      (1L, 0L, "aaaazzzz"), (1L, 1L, "aaaazzzy"), (1L, 2L, "zzzzaaaa"), (1L, 3L, "zzzzaaaa"),
+      (2L, 0L, "abcdefgh"))
+    val got = Multimodal.sceneCutFrames(
+        frames.toDF("id", "idx", "fr"), "id", "idx", "fr", hammingThr = 2)
+      .select($"id", $"idx", $"sig", $"hamming", $"is_cut")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    frames.foreach { case (id, idx, fr) =>
+      val row = got.find(r => r._1 == id && r._2 == idx).get
+      assert(row._3 == sig(fr), s"sig($id,$idx)")
+    }
+    // hamming vs previous, cut iff > 2
+    val bySeq = frames.filter(_._1 == 1L).sortBy(_._2).map(f => sig(f._3))
+    bySeq.sliding(2).zipWithIndex.foreach { case (Seq(p, c), i) =>
+      val hm = java.lang.Long.bitCount(p ^ c).toLong
+      val row = got.find(r => r._1 == 1L && r._2 == i + 1L).get
+      assert(row._4.contains(hm) && row._5 == (hm > 2), s"idx ${i + 1}")
+    }
+    // first frame of each video: no previous, never a cut
+    assert(got.filter(_._2 == 0L).forall(r => r._4.isEmpty && !r._5))
+    val stats = Multimodal.sceneStats(
+        frames.toDF("id", "idx", "fr"), "id", "idx", "fr", hammingThr = 2)
+      .select($"id", $"n_frames", $"n_cuts", $"n_scenes", $"cut_idxsum")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stats(1) == ((2L, 1L, 0L, 1L, 0L))) // single frame: one scene, no cuts
+    assert(stats(0)._2 == 4L && stats(0)._4 == stats(0)._3 + 1)
+  }
+
   test("PcmBackend extracts sine-wave audio features through inferFeatures") {
     // 0.1s of a 440 Hz sine at 16 kHz, amplitude 0.5, 16-bit LE PCM
     def sinePcm(freq: Double, amp: Double, sr: Int, nSamples: Int): Array[Byte] = {

@@ -87,4 +87,20 @@ class QuantilesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("exactKthSmallest: rank-explicit selection matches a sort, clamps above n") {
+    val rng = new scala.util.Random(31)
+    val vals = (0 until 501).map(_ => rng.nextLong(2000) - 700)
+    val sorted = vals.sorted
+    val df = vals.map(Tuple1(_)).toDF("v").repartition(7)
+    val ks = Seq(1L, 2L, 77L, 450L, 501L, 600L) // 600 clamps to n=501
+    val got = Quantiles.exactKthSmallest(df, "v", ks).get
+    assert(got == ks.map(k => sorted((math.min(k, 501L) - 1).toInt)))
+    // the conformal rank ceil(0.9(n+1)) = 452 for n=501, NOT ceil(0.9*501)=451
+    val kConf = (9L * (501L + 1L) + 9L) / 10L
+    assert(kConf == 452L)
+    assert(Quantiles.exactKthSmallest(df, "v", Seq(kConf)).get.head == sorted(451))
+    // empty input -> None
+    assert(Quantiles.exactKthSmallest(df.filter($"v" > 99999L), "v", Seq(1L)).isEmpty)
+  }
 }
