@@ -1040,6 +1040,83 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q236_jl_project",
+      "Johnson-Lindenstrauss random-sign projection 64 -> 16 dims (the Achlioptas 2003 database-friendly variant: entries +-1, no gaussians) — the dimensionality sketch that runs BEFORE LSH/IVF at 100 TB to cut every downstream distance computation 4x: each element e6-quantizes independently, the sign matrix derives from the portable md5 (driver-computed Scala twin of the SQL hash — the cmProbe codebook pattern, 1024 literal rows broadcast), and the projection is an exact integer dot, so the whole sketch replays under the oracle. One posexplode into a |labels|x16-bounded partial aggregate monitors per-class projected centroids (the drift face; per-vector projections never materialize).",
+      (s, dir) => {
+        import s.implicits._
+        val x = Tables.embeddings(s, dir)
+          .select($"label",
+            posexplode(graft.pipeline.Similarity.widen($"embedding")).as(Seq("p", "xd")))
+          .select($"label", ($"p" + 1).as("d"),
+            floor($"xd" * lit(1000000.0) + lit(0.5)).cast("long").as("xe"))
+        val signs = (for (d <- 1 to 64; j <- 1 to 16) yield
+          (d, j, if (graft.pipeline.Sketches.portableHashLocal(s"jl_${j}_$d") % 2 == 0) 1L else -1L))
+          .toDF("d", "j", "sgn")
+        x.join(broadcast(signs), Seq("d"))
+          .groupBy($"label", $"j")
+          .agg(sum($"sgn" * $"xe").as("proj_sum"))
+      },
+      Some("""WITH x AS (SELECT label, i AS d,
+             |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xe
+             |  FROM embeddings, generate_series(1, 64) g(i)),
+             |s AS (SELECT d, j,
+             |  CASE WHEN ('0x' || substr(md5('jl_' || j || '_' || d), 1, 15))::BIGINT % 2 = 0
+             |       THEN 1 ELSE -1 END AS sgn
+             |  FROM generate_series(1, 64) gd(d), generate_series(1, 16) gj(j))
+             |SELECT x.label, s.j, CAST(sum(s.sgn * x.xe) AS BIGINT) AS proj_sum
+             |FROM x JOIN s ON x.d = s.d GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q239_matryoshka_recall",
+      "Matryoshka-truncation evaluation (Kusupati et al. 2022 — the modern embedding-serving question: how much retrieval quality survives using only the FIRST 16 of 64 dims, which cuts index memory and distance math 4x): recall@10 of the 16-dim-prefix L2 ranking against the full-64-dim ground truth, per query. Both rankings use per-term e6-quantized squared diffs (each term ONE double subtract/multiply quantized independently before the integer sum — summation-order-free, so BOTH sides replay in SQL, unlike a raw double L2), bounded-heap TopKAgg, and the q172 recall join.",
+      (s, dir) => {
+        import s.implicits._
+        def l2e6(qv: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+          aggregate(
+            zip_with(qv, v, (x, y) =>
+              floor((x - y) * (x - y) * lit(1000000.0) + lit(0.5)).cast("long")),
+            lit(0L), _ + _)
+        def run(nDims: Int) = {
+          val emb = Tables.embeddings(s, dir)
+          val c = emb.select($"vec_id".as("nn_id"),
+            slice(graft.pipeline.Similarity.widen($"embedding"), 1, nDims).as("v"))
+          val q = emb.filter($"vec_id" < 8)
+            .select($"vec_id".as("query_id"),
+              slice(graft.pipeline.Similarity.widen($"embedding"), 1, nDims).as("qv"))
+          c.crossJoin(broadcast(q))
+            .filter($"nn_id" =!= $"query_id")
+            .withColumn("d_e6", l2e6($"qv", $"v"))
+            .groupBy($"query_id")
+            .agg(graft.functions.TopKAgg(-$"d_e6", $"nn_id", 10).as("tk"))
+            .select($"query_id", posexplode($"tk").as(Seq("pos", "e")))
+            .select($"query_id", ($"pos" + 1).cast("long").as("rk"), $"e.id".as("nn_id"))
+        }
+        graft.pipeline.Similarity.recallAtK(run(16), run(64), k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+             |t AS (SELECT q.query_id, e.vec_id AS nn_id, g.i,
+             |  CAST(floor((CAST(e.embedding[g.i] AS DOUBLE) - CAST(q.embedding[g.i] AS DOUBLE))
+             |    * (CAST(e.embedding[g.i] AS DOUBLE) - CAST(q.embedding[g.i] AS DOUBLE))
+             |    * 1000000.0 + 0.5) AS BIGINT) AS te
+             |  FROM embeddings e, q, generate_series(1, 64) g(i)
+             |  WHERE e.vec_id != q.query_id),
+             |d AS (SELECT query_id, nn_id,
+             |  CAST(sum(te) FILTER (WHERE i <= 16) AS BIGINT) AS d16,
+             |  CAST(sum(te) AS BIGINT) AS d64
+             |  FROM t GROUP BY 1, 2),
+             |r16 AS (SELECT query_id, nn_id FROM
+             |  (SELECT query_id, nn_id, row_number() OVER (PARTITION BY query_id ORDER BY d16, nn_id) AS rk FROM d)
+             |  WHERE rk <= 10),
+             |r64 AS (SELECT query_id, nn_id FROM
+             |  (SELECT query_id, nn_id, row_number() OVER (PARTITION BY query_id ORDER BY d64, nn_id) AS rk FROM d)
+             |  WHERE rk <= 10)
+             |SELECT r64.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+             |  CAST(sum(CASE WHEN r16.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  CAST(floor(sum(CASE WHEN r16.nn_id IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS recall_e4
+             |FROM r64 LEFT JOIN r16 ON r64.query_id = r16.query_id AND r64.nn_id = r16.nn_id
+             |GROUP BY 1""".stripMargin)),
+
+    Query(
       "q231_hilbert_layout",
       "Hilbert-curve 2-D layout clustering (the locality-optimal refinement of q180's Morton layout: every unit step of the curve is axis-adjacent, so a contiguous key range is one connected blob with no Morton seam jumps — fewer files touched per band predicate, ZOrderSpec pins hilbert <= morton on the same split): (l_partkey, price-cents) at 16 bits/dim, grid scaling exact long arithmetic, then the classic per-bit rotate/reflect fold as a bounded in-row HOF (16 iterations/row, map-only, zero shuffle before the per-file aggregate), files by the TOP 6 Hilbert bits. Output is the same skipping metadata as q180 plus the mid-band partkey touch flag. The oracle replays the fold as a lockstep recursive CTE over the 16 bit levels.",
       (s, dir) => {

@@ -1058,6 +1058,81 @@ object Relational extends QueryPack {
              |  CAST(sum(CASE WHEN c.c < q.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
              |  CAST(sum(CASE WHEN c.c > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
              |  CAST(sum(least(greatest(c.c, q.lo), q.hi)) AS BIGINT) AS sum_winsorized
-             |FROM c JOIN q ON c.p = q.p GROUP BY 1""".stripMargin))
+             |FROM c JOIN q ON c.p = q.p GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q237_welch_ttest",
+      "Welch two-sample t statistic per event type (the A/B experiment readout): legs split by user_id parity, the three sufficient statistics (n, sum, sum-of-squares of value cents) come from ONE partial-aggregated corpus pass — the t computation is then a fixed |event_types|-bounded scalar chain whose every double operation (two divisions, one sqrt — IEEE-exact-rounded, hence cross-engine deterministic on identical operands) is written in the IDENTICAL order in both engines, then e6-quantized once at the end. No per-row float math, no distributional tables — the alarm threshold |t| > 1.96 is the literal two-sided 5% normal cut.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir).select($"event_type",
+          pmod($"user_id", lit(2L)).as("leg"), cents($"value").as("c"))
+        val stats = e.groupBy($"event_type")
+          .agg(sum(when($"leg" === 0L, 1L).otherwise(0L)).as("n_a"),
+            sum(when($"leg" === 0L, $"c").otherwise(0L)).as("s_a"),
+            sum(when($"leg" === 0L, $"c" * $"c").otherwise(0L)).as("ss_a"),
+            sum(when($"leg" === 1L, 1L).otherwise(0L)).as("n_b"),
+            sum(when($"leg" === 1L, $"c").otherwise(0L)).as("s_b"),
+            sum(when($"leg" === 1L, $"c" * $"c").otherwise(0L)).as("ss_b"))
+        stats
+          .withColumn("t_e6", expr(
+            """CAST(floor((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              |  - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              | / sqrt((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              |         / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+              |       + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              |         / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+              | * 1000000.0 + 0.5) AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .withColumn("significant", (abs($"t_e6") > 1960000L).cast("int"))
+          .select($"event_type", $"n_a", $"n_b", $"s_a", $"s_b", $"t_e6", $"significant")
+      },
+      Some("""WITH e AS (SELECT event_type, user_id % 2 AS leg,
+             |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+             |st AS (SELECT event_type,
+             |  CAST(sum(CASE WHEN leg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(sum(CASE WHEN leg = 0 THEN c ELSE 0 END) AS BIGINT) AS s_a,
+             |  CAST(sum(CASE WHEN leg = 0 THEN c * c ELSE 0 END) AS BIGINT) AS ss_a,
+             |  CAST(sum(CASE WHEN leg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |  CAST(sum(CASE WHEN leg = 1 THEN c ELSE 0 END) AS BIGINT) AS s_b,
+             |  CAST(sum(CASE WHEN leg = 1 THEN c * c ELSE 0 END) AS BIGINT) AS ss_b
+             |  FROM e GROUP BY 1),
+             |t AS (SELECT *,
+             |  CAST(floor((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |    - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             |   / sqrt((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             |           / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |         + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             |           / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+             |   * 1000000.0 + 0.5) AS BIGINT) AS t_e6
+             |  FROM st)
+             |SELECT event_type, n_a, n_b, s_a, s_b, t_e6,
+             |  CAST(CASE WHEN abs(t_e6) > 1960000 THEN 1 ELSE 0 END AS INTEGER) AS significant
+             |FROM t""".stripMargin)),
+
+    Query(
+      "q238_markov_transitions",
+      "First-order event-type transition matrix (the Markov model behind next-action prediction and funnel-drop diagnosis): per user the event sequence in (ts, event_id) order yields (prev, next) pairs via ONE per-user lag window (bounded by events-per-user, never corpus-wide), then a |types|^2-bounded partial aggregate; row-normalized probabilities are exact integer divisions. The same pairs table feeds a stationary-distribution power iteration when chained with q178's machinery.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val pairs = Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+        pairs.groupBy($"prev_type", $"event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("row_total",
+            sum($"cnt").over(Window.partitionBy($"prev_type")))
+          .withColumn("p_e6", expr("(cnt * 1000000L) div row_total"))
+      },
+      Some("""WITH s AS (SELECT user_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS row_total FROM c GROUP BY 1)
+             |SELECT c.prev_type, c.event_type, c.cnt, r.row_total,
+             |  CAST((c.cnt * 1000000) // r.row_total AS BIGINT) AS p_e6
+             |FROM c JOIN r ON c.prev_type = r.prev_type""".stripMargin))
   )
 }
