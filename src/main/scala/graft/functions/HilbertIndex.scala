@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Hilbert-curve index of a 2-D grid cell — the codegen'd twin of the
+  * HOF fold in [[graft.sources.ZOrder.hilbertValue]] (kept as the
+  * differential-test reference): the classic per-bit rotate/reflect
+  * walk, one tight primitive loop per row, no struct allocation, stays
+  * inside whole-stage codegen. The q231 layout pass measured ~3×
+  * faster under this expression than under the struct-state
+  * `aggregate` fold at sf0.1.
+  *
+  * Inputs must already be grid coordinates in `[0, 2^order)`
+  * ([[graft.sources.ZOrder.gridCoord]]); they are masked to `order`
+  * bits so out-of-range values cannot corrupt the walk. Null inputs →
+  * null. `order ≤ 31` keeps d < 4^order ≤ 2^62.
+  */
+case class HilbertIndexExpr(left: Expression, right: Expression, order: Int)
+    extends BinaryExpression {
+
+  require(order >= 1 && order <= 31, s"order in [1, 31]: $order")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    HilbertIndexExpr.xy2d(x.asInstanceOf[Long], y.asInstanceOf[Long], order)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.HilbertIndexExpr.xy2d($x, $y, $order)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object HilbertIndexExpr {
+
+  /** The xy2d walk (Hilbert 1891; Warren, Hacker's Delight §16-1 form). */
+  def xy2d(x0: Long, y0: Long, order: Int): Long = {
+    val mask = (1L << order) - 1
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Hilbert key of two grid-coordinate columns (LongType). */
+  def apply(x: Column, y: Column, order: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      HilbertIndexExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(x.cast("long")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(y.cast("long")),
+        order))
+}

@@ -178,6 +178,64 @@ object Quantiles {
     } finally { v.unpersist(false); () }
   }
 
+  /** Per-group exact quantiles at SEVERAL q's in ONE search: all
+    * (group, q) brackets advance together, so the corpus is scanned
+    * ⌈log_8(widest domain)⌉ times TOTAL instead of once per quantile
+    * (q235's [p5, p95] winsorization: 2× fewer passes than two
+    * [[exactGroupQuantile]] calls; a 5-point summary: 5×). Each round
+    * joins the |groups|·|qs|-bounded probe table on the group key —
+    * the scan happens once, the join fans each row out only to its
+    * group's unconverged quantiles. Returns (k, q, value). */
+  def exactGroupQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), "each q in (0, 1]")
+    require(qs.distinct.size == qs.size, "duplicate q values")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .persist()
+    try {
+      val stats = v.groupBy(col("k"))
+        .agg(count(col("v")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .as[(String, Long, Long, Long)].collect()
+      val keys = for (s <- stats.toSeq; qi <- qs.indices) yield (s._1, qi)
+      val rank = stats.flatMap { case (k, n, _, _) =>
+        qs.zipWithIndex.map { case (q, qi) =>
+          (k, qi) -> math.max(1L, math.ceil(q * n).toLong)
+        }
+      }.toMap
+      val lo = scala.collection.mutable.Map(
+        keys.map(kq => kq -> stats.find(_._1 == kq._1).get._3): _*)
+      val hi = scala.collection.mutable.Map(
+        keys.map(kq => kq -> stats.find(_._1 == kq._1).get._4): _*)
+      while (keys.exists(kq => lo(kq) < hi(kq))) {
+        val plan = keys.filter(kq => lo(kq) < hi(kq)).sortBy(kq => (kq._1, kq._2))
+          .map(kq => kq -> probes(lo(kq), hi(kq)))
+        val midDf = broadcast(plan.map { case ((k, qi), ps) =>
+          (k, qi, ps.padTo(Branch - 1, ps.last))
+        }.toDF("k", "qi", "ps"))
+        val sums = (0 until Branch - 1).map(i =>
+          sum(when(col("v") <= element_at(col("ps"), i + 1), 1L)
+            .otherwise(0L)).as(s"c$i"))
+        val rows = v.join(midDf, Seq("k"))
+          .groupBy(col("k"), col("qi"))
+          .agg(sums.head, sums.tail: _*)
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> (2 until Branch + 1).map(i =>
+            if (r.isNullAt(i)) 0L else r.getLong(i))).toMap
+        plan.foreach { case (kq, ps) =>
+          val cs = rows.getOrElse(kq, Seq.fill(Branch - 1)(0L))
+          val cnts = ps.zipWithIndex.map { case (p, i) => (p, cs(i)) }
+          val (nl, nh) = shrink(lo(kq), hi(kq), rank(kq), cnts)
+          lo(kq) = nl; hi(kq) = nh
+        }
+      }
+      keys.map(kq => (kq._1, qs(kq._2), lo(kq))).toDF("k", "q", "value")
+    } finally { v.unpersist(false); () }
+  }
+
   /** Per-group exact WEIGHTED q-quantile: the smallest v with
     * cumulative weight(x ≤ v) ≥ ⌈q·W⌉ (W = the group's total weight) —
     * the weighted-percentile of survey statistics and token-weighted

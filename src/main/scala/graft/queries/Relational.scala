@@ -1036,10 +1036,9 @@ object Relational extends QueryPack {
         import s.implicits._
         val o = Tables.orders(s, dir)
           .select($"o_orderpriority".as("p"), cents($"o_totalprice").as("c"))
-        val p05 = graft.pipeline.Quantiles.exactGroupQuantile(o, "p", "c", 0.05)
-          .withColumnRenamed("value", "lo")
-        val p95 = graft.pipeline.Quantiles.exactGroupQuantile(o, "p", "c", 0.95)
-          .withColumnRenamed("value", "hi")
+        val qq = graft.pipeline.Quantiles.exactGroupQuantiles(o, "p", "c", Seq(0.05, 0.95))
+        val p05 = qq.filter($"q" === 0.05).select($"k", $"value".as("lo"))
+        val p95 = qq.filter($"q" === 0.95).select($"k", $"value".as("hi"))
         o.join(broadcast(p05), $"p" === p05("k")).drop("k")
           .join(broadcast(p95), $"p" === p95("k")).drop("k")
           .groupBy($"p")

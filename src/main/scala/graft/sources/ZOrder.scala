@@ -121,7 +121,12 @@ object ZOrder {
     * bounded in-row HOF over the `order` bit levels — map-only, zero
     * shuffle, `order` iterations per row; all arithmetic stays in
     * exact longs (d < 4^order ≤ 2^62). Inputs must already be grid
-    * coordinates in [0, 2^order) ([[gridCoord]]). */
+    * coordinates in [0, 2^order) ([[gridCoord]]).
+    *
+    * This HOF form is the DIFFERENTIAL-TEST reference; the production
+    * path is the codegen'd [[graft.functions.HilbertIndexExpr]] (same
+    * walk, one primitive loop, no struct allocation — ~3× at sf0.1),
+    * which [[hilbertFileStats]] uses. ZOrderSpec pins their equality. */
   def hilbertValue(x: Column, y: Column, order: Int): Column = {
     require(order >= 1 && order <= 31, s"order in [1, 31]: $order")
     val levels = array(((order - 1) to 0 by -1).map(j => lit(1L << j)): _*)
@@ -154,7 +159,7 @@ object ZOrder {
     val gx = gridCoord(col(dimX), bds(0)._1, bds(0)._2, bits)
     val gy = gridCoord(col(dimY), bds(1)._1, bds(1)._2, bits)
     val withFile = df.withColumn("__file",
-      shiftright(hilbertValue(gx, gy, bits), 2 * bits - fileBits))
+      shiftright(graft.functions.HilbertIndexExpr(gx, gy, bits), 2 * bits - fileBits))
     withFile.groupBy(col("__file").as("file_id"))
       .agg(count(lit(1)).as("n"),
         min(col(dimX).cast("long")).as(s"${dimX}_min"),

@@ -88,6 +88,21 @@ class QuantilesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("exactGroupQuantiles: one multi-q search equals per-q searches") {
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 900).map(i => (s"g${i % 4}", rng.nextLong(100000) - 30000))
+    val df = rows.toDF("k", "v").repartition(5)
+    val qs = Seq(0.05, 0.5, 0.95)
+    val multi = Quantiles.exactGroupQuantiles(df, "k", "v", qs)
+      .as[(String, Double, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    qs.foreach { q =>
+      val single = Quantiles.exactGroupQuantile(df, "k", "v", q)
+        .as[(String, Long)].collect().toMap
+      single.foreach { case (k, v) => assert(multi((k, q)) == v, s"($k, $q)") }
+    }
+    assert(multi.size == 4 * qs.size)
+  }
+
   test("exactKthSmallest: rank-explicit selection matches a sort, clamps above n") {
     val rng = new scala.util.Random(31)
     val vals = (0 until 501).map(_ => rng.nextLong(2000) - 700)

@@ -152,6 +152,21 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen'd HilbertIndexExpr equals the HOF fold on a full grid") {
+    val cells = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val both = cells.toDF("x", "y").select(
+        ZOrder.hilbertValue($"x", $"y", 5).as("hof"),
+        graft.functions.HilbertIndexExpr($"x", $"y", 5).as("gen"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (h, g) => assert(h == g) }
+    // out-of-range inputs mask to order bits instead of corrupting the walk
+    val masked = Seq((33L, 97L)).toDF("x", "y")
+      .select(graft.functions.HilbertIndexExpr($"x", $"y", 5).as("gen"),
+        ZOrder.hilbertValue(lit(33L % 32), lit(97L % 32), 5).as("ref"))
+      .as[(Long, Long)].head()
+    assert(masked._1 == masked._2)
+  }
+
   test("hilbert layout touches no more files than Morton on a 2-D band") {
     val rng = new scala.util.Random(4)
     val df = (0 until 6000)
