@@ -129,7 +129,36 @@ object GraftFunctions {
       cs => graft.functions.BloomSketch.mightContain(cs(0), cs(1))),
     GraftFn("graft_jaro_winkler", 2,
       "graft_jaro_winkler(s1, s2) - Jaro-Winkler similarity in [0,1] (prefix scale 0.1, max 4, 0.7 boost threshold)",
-      cs => graft.functions.JaroWinkler(cs(0), cs(1))))
+      cs => graft.functions.JaroWinkler(cs(0), cs(1))),
+    GraftFn("graft_bit_interleave", 2,
+      "graft_bit_interleave(dims, bits) - Morton z-key of an array<bigint> of grid coords (bits must be a literal)",
+      cs => graft.functions.BitInterleave(cs(0),
+        foldableInt(cs(1), "graft_bit_interleave", "bits"))),
+    GraftFn("graft_hilbert", 3,
+      "graft_hilbert(x, y, order) - 2-D Hilbert-curve index of grid coords in [0, 2^order) (order must be a literal)",
+      cs => graft.functions.HilbertIndexExpr(cs(0), cs(1),
+        foldableInt(cs(2), "graft_hilbert", "order"))))
+
+  /** Plan-time literal extraction for sizing args (the bloom_agg rule):
+    * surfaces the standard NON_FOLDABLE_ARGUMENT analysis error. */
+  private def foldableInt(c: Column, fn: String, name: String): Int = {
+    val e = ColumnBridge.resolvedExpression(c)
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$name`",
+          "paramType" -> "\"INT\""))
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$name`",
+          "paramType" -> "\"INT\""))
+    }
+  }
 
   /** Imperative registration on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

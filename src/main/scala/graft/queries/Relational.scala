@@ -1132,6 +1132,90 @@ object Relational extends QueryPack {
              |r AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS row_total FROM c GROUP BY 1)
              |SELECT c.prev_type, c.event_type, c.cnt, r.row_total,
              |  CAST((c.cnt * 1000000) // r.row_total AS BIGINT) AS p_e6
-             |FROM c JOIN r ON c.prev_type = r.prev_type""".stripMargin))
+             |FROM c JOIN r ON c.prev_type = r.prev_type""".stripMargin)),
+
+    Query(
+      "q240_scd2_history",
+      "Event-sourced SCD Type-2 dimension rebuild (the lakehouse history-table maintenance op: validity intervals from a change stream): per user, the event-type stream in (ts, event_id) order collapses CONSECUTIVE repeats into runs, each run becoming one history row [valid_from, valid_to) with the successor's timestamp as valid_to and NULL marking the current version. ONE user shuffle: the change-detection lag, the run numbering (running sum of change flags) and the valid_to lead all reuse the same per-user ordering, windows bounded by events-per-user; final output one partial aggregate. Summarized per (user bucket % 10, version ordinal) to keep the oracle frame bounded while hashing every interval via checksums.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val runs = Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("chg",
+            when(lag($"event_type", 1).over(w).isNull
+              || lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+          .withColumn("ver", sum($"chg").over(
+            Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val hist = runs.groupBy($"user_id", $"ver")
+          .agg(min($"event_type").as("etype"), min($"ts").as("valid_from"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead($"valid_from", 1).over(
+            Window.partitionBy($"user_id").orderBy($"ver")))
+        hist.groupBy(pmod($"user_id", lit(10L)).as("user_bucket"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when($"valid_to".isNull, 1L).otherwise(0L)).as("n_current"),
+            sum($"n_events").as("n_events"),
+            sum($"valid_from" % lit(1000000007L)).as("from_checksum"),
+            sum(coalesce($"valid_to", lit(0L)) % lit(1000000007L)).as("to_checksum"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS tsn, event_id, event_type FROM events),
+             |c AS (SELECT user_id, tsn, event_id, event_type,
+             |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+             |         OR lag(event_type) OVER (PARTITION BY user_id ORDER BY tsn, event_id) != event_type
+             |       THEN 1 ELSE 0 END AS chg
+             |  FROM e),
+             |r AS (SELECT user_id, tsn, event_type,
+             |  sum(chg) OVER (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS ver
+             |  FROM c),
+             |h AS (SELECT user_id, ver, min(tsn) AS valid_from, count(*) AS n_events FROM r GROUP BY 1, 2),
+             |v AS (SELECT user_id, ver, valid_from, n_events,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to FROM h)
+             |SELECT user_id % 10 AS user_bucket, CAST(count(*) AS BIGINT) AS n_versions,
+             |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+             |  CAST(sum(n_events) AS BIGINT) AS n_events,
+             |  CAST(sum(valid_from % 1000000007) AS BIGINT) AS from_checksum,
+             |  CAST(sum(coalesce(valid_to, 0) % 1000000007) AS BIGINT) AS to_checksum
+             |FROM v GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q241_attribution",
+      "Marketing-attribution credit assignment (first-touch AND last-touch in one pass): each purchase event credits the user's preceding non-purchase touch events within a 3-day lookback — last-touch takes the latest preceding touch, first-touch the earliest inside the window; both resolve as min/max(struct(ts, ...)) partial aggregates after ONE per-user pair join whose fan-out is bounded by events-per-user (the sessionized-entity contract), never a corpus cross product. Credits per channel, plus unattributed purchases (no touch in window).",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"), $"event_id".as("pid"))
+        val touches = e.filter($"event_type" =!= "purchase")
+          .select($"user_id", $"ts".as("tts"), $"event_type".as("channel"))
+        val lookback = 3L * 86400000000000L
+        val joined = purchases.join(touches, Seq("user_id"), "left")
+          .withColumn("inwin",
+            $"tts".isNotNull && $"tts" < $"pts" && $"tts" >= $"pts" - lookback)
+        val attributed = joined.groupBy($"user_id", $"pid")
+          .agg(
+            max(when($"inwin", struct($"tts", $"channel"))).as("last_t"),
+            min(when($"inwin", struct($"tts", $"channel"))).as("first_t"))
+        attributed
+          .select(
+            coalesce($"last_t.channel", lit("unattributed")).as("last_channel"),
+            coalesce($"first_t.channel", lit("unattributed")).as("first_channel"))
+          .groupBy($"last_channel", $"first_channel")
+          .agg(count(lit(1)).as("n_purchases"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS tsn, event_id, event_type FROM events),
+             |p AS (SELECT user_id, tsn AS pts, event_id AS pid FROM e WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, tsn AS tts, event_type AS channel FROM e WHERE event_type != 'purchase'),
+             |j AS (SELECT p.user_id, p.pid,
+             |  max(CASE WHEN t.tts < p.pts AND t.tts >= p.pts - 259200000000000 THEN {'tts': t.tts, 'channel': t.channel} END) AS last_t,
+             |  min(CASE WHEN t.tts < p.pts AND t.tts >= p.pts - 259200000000000 THEN {'tts': t.tts, 'channel': t.channel} END) AS first_t
+             |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+             |  GROUP BY 1, 2)
+             |SELECT coalesce(struct_extract(last_t, 'channel'), 'unattributed') AS last_channel,
+             |  coalesce(struct_extract(first_t, 'channel'), 'unattributed') AS first_channel,
+             |  CAST(count(*) AS BIGINT) AS n_purchases
+             |FROM j GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -66,6 +66,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getMessage)
   }
 
+  test("graft_hilbert and graft_bit_interleave work from SQL with literal sizing") {
+    val row = spark.sql(
+      "SELECT graft_hilbert(3L, 5L, 4) AS h, graft_bit_interleave(array(3L, 5L), 4) AS z")
+      .head()
+    assert(row.getLong(0) == graft.functions.HilbertIndexExpr.xy2d(3L, 5L, 4))
+    assert(row.getLong(1) == 0x27L) // interleave(0011, 0101) bit j*2+k
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_hilbert(3L, 5L, CAST(id AS INT)) FROM range(2)").head())
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getMessage)
+  }
+
   test("GraftExtensions injects the same vocabulary via the config path") {
     // the class must be constructible by Spark's extension loader and
     // inject every function without touching a live session
