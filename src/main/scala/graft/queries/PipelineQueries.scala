@@ -1040,6 +1040,39 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q242_robust_standardize",
+      "Robust per-dimension embedding standardization statistics (median/MAD whitening — the outlier-immune scaler fit before quantization or drift gates, where mean/std is one corrupted shard away from garbage): 64 dimension-groups run the q192 value-domain search TWICE (median, then MAD over |x - med|) via exactGroupQuantiles — ALL 64 brackets advance together, ceil(log8(domain)) conditional-count passes per stage TOTAL, no sort, no percentile buffers, |dims|-bounded driver state. Output per dim: median_e6, mad_e6, and the 3-MAD outlier count the fitted scaler would clip.",
+      (s, dir) => {
+        import s.implicits._
+        val x = Tables.embeddings(s, dir)
+          .select(posexplode(graft.pipeline.Similarity.widen($"embedding")).as(Seq("p", "xd")))
+          .select(($"p" + 1).cast("string").as("d"),
+            floor($"xd" * lit(1000000.0) + lit(0.5)).cast("long").as("xe"))
+        val med = graft.pipeline.Quantiles.exactGroupQuantiles(x, "d", "xe", Seq(0.5))
+          .select($"k", $"value".as("med"))
+        val dev = x.join(broadcast(med), $"d" === med("k")).drop("k")
+          .withColumn("dv", abs($"xe" - $"med"))
+        val mad = graft.pipeline.Quantiles.exactGroupQuantiles(dev, "d", "dv", Seq(0.5))
+          .select($"k", $"value".as("mad"))
+        dev.join(broadcast(mad), $"d" === mad("k")).drop("k")
+          .groupBy($"d".cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"), min($"med").as("median_e6"),
+            min($"mad").as("mad_e6"),
+            sum(when($"dv" > lit(3L) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+      },
+      Some("""WITH x AS (SELECT i AS dim,
+             |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xe
+             |  FROM embeddings, generate_series(1, 64) g(i)),
+             |m AS (SELECT dim, quantile_disc(xe, 0.5) AS med FROM x GROUP BY 1),
+             |d AS (SELECT x.dim, x.xe, m.med, abs(x.xe - m.med) AS dv
+             |      FROM x JOIN m ON x.dim = m.dim),
+             |md AS (SELECT dim, quantile_disc(dv, 0.5) AS mad FROM d GROUP BY 1)
+             |SELECT d.dim, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(d.med) AS BIGINT) AS median_e6, CAST(min(md.mad) AS BIGINT) AS mad_e6,
+             |  CAST(sum(CASE WHEN d.dv > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN md ON d.dim = md.dim GROUP BY 1""".stripMargin)),
+
+    Query(
       "q236_jl_project",
       "Johnson-Lindenstrauss random-sign projection 64 -> 16 dims (the Achlioptas 2003 database-friendly variant: entries +-1, no gaussians) — the dimensionality sketch that runs BEFORE LSH/IVF at 100 TB to cut every downstream distance computation 4x: each element e6-quantizes independently, the sign matrix derives from the portable md5 (driver-computed Scala twin of the SQL hash — the cmProbe codebook pattern, 1024 literal rows broadcast), and the projection is an exact integer dot, so the whole sketch replays under the oracle. One posexplode into a |labels|x16-bounded partial aggregate monitors per-class projected centroids (the drift face; per-vector projections never materialize).",
       (s, dir) => {

@@ -248,6 +248,37 @@ object EventStream {
       .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("__r")).as("r"))
 
+  /** Windowed trending-terms stream — the per-window top-k the ingest
+    * dashboard of a text pipeline watches (token bursts, scraper
+    * loops, spam campaigns): one watermarked tumbling-window aggregate
+    * whose state per (window, group) is the BOUNDED
+    * [[graft.functions.TopKStringAgg]] heap (≤ k entries, map-side
+    * combined — a windowed count + rank would hold the whole window
+    * vocabulary in state). Emitted when the watermark closes the
+    * window; ranking = (count desc, term asc), the q89 contract, so
+    * the closed window is bit-identical to the batch top-k on the same
+    * slice (spec-pinned).
+    *
+    * Two-stage shape: the inner count aggregate keys on (window,
+    * group, term) — vocabulary-bounded per window; the outer heap
+    * collapses it to k rows. Both stages ride the same watermark. */
+  def trendingTermsStream(docs: DataFrame, tsCol: String, windowLen: String,
+      keyCols: Seq[String], tokens: Column, k: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k in [1, 1000]: $k")
+    val counted = docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol) +: keyCols.map(col) :+ explode(tokens).as("__tok"): _*)
+      .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col) :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__n"))
+    counted
+      .groupBy(col("window") +: keyCols.map(col): _*)
+      .agg(graft.functions.TopKStringAgg(col("__n"), col("__tok"), k).as("tk"))
+      .select(col("window") +: keyCols.map(col) :+ posexplode(col("tk")): _*)
+      .select(col("window") +: keyCols.map(col) :+
+        (col("pos") + 1).cast("long").as("rk") :+
+        col("col.id").as("term") :+ col("col.score").as("n"): _*)
+  }
+
   /** Native session-window streaming aggregate — Spark's
     * `session_window` (gap-based, watermark-evicted) as the
     * declarative twin of the [[sessionize]] state machine: per

@@ -169,4 +169,39 @@ class RetrievalSpec extends AnyFunSuite {
       .select($"rk", $"id").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 2L), (2L, 1L)))
   }
+
+  test("trendingTermsStream: watermark-closed window equals the batch top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // window [0, 60s): term frequencies b=4, a=3, c=2, d=1 across 2 langs
+    val w0 = Seq(
+      (5L, "en", "a b b"), (20L, "en", "a b c"), (40L, "en", "a b c d"),
+      (10L, "de", "x y"), (30L, "de", "x"))
+    val late = Seq((600L, "en", "z")) // pushes the watermark past window 0
+    val src = MemoryStream[(Long, String, String)]
+    val stream = src.toDS().toDF("sec", "lang", "text")
+      .select(timestamp_seconds($"sec").as("ts"), $"lang", $"text")
+    val q = graft.streaming.EventStream.trendingTermsStream(
+        stream, "ts", "1 minute", Seq("lang"),
+        graft.pipeline.TextAnalysis.tokens($"text"), k = 3,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      src.addData(w0: _*)
+      q.processAllAvailable()
+      src.addData(late: _*)
+      q.processAllAvailable()
+      val got = spark.table("trend_out")
+        .select(expr("unix_timestamp(window.start)").as("w"),
+          $"lang", $"rk", $"term", $"n")
+        .as[(Long, String, Long, String, Long)].collect()
+        .filter(_._1 == 0L).sortBy(r => (r._2, r._3)).toSeq
+      assert(got == Seq(
+        (0L, "de", 1L, "x", 2L), (0L, "de", 2L, "y", 1L),
+        (0L, "en", 1L, "b", 4L), (0L, "en", 2L, "a", 3L), (0L, "en", 3L, "c", 2L)))
+    } finally q.stop()
+  }
 }
