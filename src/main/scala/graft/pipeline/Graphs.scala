@@ -233,6 +233,70 @@ object Graphs {
     * bounded by the longest peel chain, NOT graph size; the driver
     * early-exits when the survivor count is stable. Returns the
     * surviving (node) set. */
+  /** Multi-source BFS shortest-hop distances — the reachability /
+    * radius probe between [[Components]] ("same component at all") and
+    * weighted shortest paths (out of scope: hop counts are what link-
+    * graph audits and contamination-spread checks ask): for every seed
+    * the minimum hop count to each reachable node within `maxDepth`.
+    *
+    * Level-synchronous frontier expansion: per round ONE join of the
+    * current frontier against the (symmetrized, persisted) edge list
+    * plus one anti-join against the visited set, then a distinct —
+    * each node enters `visited` at its FIRST (hence minimal) level, so
+    * no min-aggregate is ever needed. Rounds are bounded by the
+    * eccentricity actually reached (early exit on an empty frontier),
+    * never graph size; lineage truncates per round (the [[pageRank]]
+    * contract). Frontier/visited volume ≤ |seeds|·|reachable|.
+    * Returns (seed, node, dist), dist 0 at the seed itself. */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty && seeds.size <= 1024, "1..1024 seeds")
+    require(maxDepth >= 1 && maxDepth <= 500, "maxDepth in [1, 500]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = dir0
+      .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    try {
+      var visited = truncate(
+        seeds.map(s => (s, s, 0L)).toDF("seed", "node", "dist"))
+      var frontier = visited
+      var depth = 0
+      var done = false
+      while (depth < maxDepth && !done) {
+        depth += 1
+        val expanded = frontier
+          .join(e, frontier("node") === e("src"))
+          .select(col("seed"), col("dst").as("node"), lit(depth.toLong).as("dist"))
+          .distinct()
+        val next = truncate(
+          expanded.join(visited.select(col("seed"), col("node")),
+            Seq("seed", "node"), "left_anti"))
+        done = next.isEmpty
+        if (!done) {
+          val prev = visited
+          visited = truncate(visited.unionByName(next))
+          prev.unpersist(false)
+          frontier.unpersist(false)
+          frontier = next
+        }
+      }
+      visited
+    } finally { e.unpersist(false); () }
+  }
+
   def kCore(nodes: DataFrame, nodeCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, maxIters: Int = 50,

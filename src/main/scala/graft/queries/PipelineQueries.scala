@@ -1040,6 +1040,131 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q243_bfs_distances",
+      "Multi-source BFS shortest-hop distances (Graphs.multiSourceBfs — the reachability/radius probe between components 'same component at all' and out-of-scope weighted paths): hop counts from 3 seed nodes over the q201 block graph (45-ring + 5-chain per 50-node block; seeds are block heads, so the distance profile is ring-symmetric 2,2,2,...,1-at-the-chain and other blocks stay unreachable). Level-synchronous frontier expansion: per round ONE frontier x edges join + one anti-join against visited + distinct — a node enters visited at its FIRST (minimal) level so no min-aggregate exists anywhere; rounds bound by the eccentricity reached (early exit on empty frontier), lineage truncated per round. The oracle grows the same closure as a recursive CTE and takes min(dist) per (seed, node).",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val e = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + (idx + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx >= 45 && idx <= 48)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), base.as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        graft.pipeline.Graphs
+          .multiSourceBfs(e, "src", "dst", seeds = Seq(0L, 50L, 100L), maxDepth = 30)
+          .groupBy($"seed", $"dist")
+          .agg(count(lit(1)).as("n_nodes"), sum($"node").as("node_checksum"))
+      },
+      Some("""WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM documents),
+             |cnt AS (SELECT count(*) AS n FROM nodes),
+             |d0 AS (SELECT src, dst FROM (
+             |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 45 AS dst
+             |    FROM documents WHERE doc_id % 50 < 45
+             |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 BETWEEN 45 AND 48
+             |  UNION SELECT doc_id, doc_id - (doc_id % 50) FROM documents WHERE doc_id % 50 = 45
+             |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+             |e AS (SELECT src, dst FROM d0 UNION SELECT dst, src FROM d0),
+             |b AS (
+             |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+             |  FROM (VALUES (CAST(0 AS BIGINT)), (50), (100)) s(seed)
+             |  UNION
+             |  SELECT b.seed, e.dst, b.dist + 1 FROM b JOIN e ON e.src = b.node
+             |  WHERE b.dist < 30),
+             |m AS (SELECT seed, node, min(dist) AS dist FROM b GROUP BY 1, 2)
+             |SELECT seed, dist, CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(sum(node) AS BIGINT) AS node_checksum
+             |FROM m GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q244_mutual_nn",
+      "Mutual-nearest-neighbor pairing (the MNN anchor finder of batch-effect correction and the safest near-dup MERGE rule: unlike q115's directed best-match, a pair only forms when BOTH vectors choose each other, which kills hub-induced false merges): q115's occupancy-bounded auto-LSH nearest-duplicate assignment, then one self-join on the |matched|-bounded nn table keeps (a, b) with nn(a) = b AND nn(b) = a, a < b. The oracle computes the exact all-pairs argmax on both sides (planned-recall 1.0 on this corpus, the q115 contract) and the same mutuality filter.",
+      (s, dir) => {
+        import s.implicits._
+        val nn = Similarity.nearestDuplicateAuto(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, minCosE6 = 450000L, targetRecall = 0.9999)
+        // back(nn_id = b, __back = nn(b)); joining on nn_id asks "whom
+        // does my chosen neighbor choose?"
+        val back = nn.toDF("nn_id", "__back", "__c2").drop("__c2")
+        nn.join(back, Seq("nn_id"))
+          .filter($"__back" === $"vec_id" && $"vec_id" < $"nn_id")
+          .select($"vec_id".as("id_a"), $"nn_id".as("id_b"), $"cos_e6")
+      },
+      Some("""WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+             |          FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1),
+             |d AS (SELECT a.vec_id AS vid, b.vec_id AS nid,
+             |      sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dt
+             |      FROM embeddings a, embeddings b, generate_series(1, 64) g(i)
+             |      WHERE a.vec_id != b.vec_id GROUP BY 1, 2),
+             |c AS (SELECT vid, nid,
+             |      CAST(floor(dt / (na.nrm * nb.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+             |      FROM d JOIN n na ON vid = na.vec_id JOIN n nb ON nid = nb.vec_id),
+             |r AS (SELECT vid, nid, cos_e6,
+             |      row_number() OVER (PARTITION BY vid ORDER BY cos_e6 DESC, nid) AS rn
+             |      FROM c WHERE cos_e6 >= 450000),
+             |nn AS (SELECT vid, nid, cos_e6 FROM r WHERE rn = 1)
+             |SELECT a.vid AS id_a, a.nid AS id_b, a.cos_e6
+             |FROM nn a JOIN nn b ON a.nid = b.vid AND b.nid = a.vid AND a.vid < a.nid""".stripMargin)),
+
+    Query(
+      "q245_assortativity",
+      "Degree assortativity of the q201 block graph (Newman 2002 — do high-degree nodes link to high-degree nodes? The one-number structural audit distinguishing hub-and-spoke crawls from mesh-like ones): degree table from one partial-aggregated count over the symmetrized edge list, then Pearson r over every DIRECTED edge's (deg(src), deg(dst)) — exact integer sufficient statistics (n, Sx, Sy, Sxy, Sxx, Syy) in one bounded pass, the q213 operand-order-pinned double chain, e6 quantization. Ring nodes have degree 2, the chain/attachment points 1-3, so r lands strictly negative (pendant low-degree nodes attach to the higher-degree ring).",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val d0 = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + (idx + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx >= 45 && idx <= 48)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), base.as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        val e = d0.unionByName(d0.select($"dst".as("src"), $"src".as("dst"))).distinct()
+        val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        val pairs = e
+          .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "x"), Seq("src"))
+          .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "y"), Seq("dst"))
+        val st = pairs.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        val nD = $"n".cast("double")
+        val num = nD * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")
+        val dx = nD * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")
+        val dy = nD * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double")
+        st.select($"n".as("n_directed_edges"),
+          floor(num / (sqrt(dx) * sqrt(dy)) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("assortativity_e6"))
+      },
+      Some("""WITH nodes AS (SELECT doc_id AS node FROM documents),
+             |cnt AS (SELECT count(*) AS n FROM nodes),
+             |d0 AS (SELECT src, dst FROM (
+             |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 45 AS dst
+             |    FROM documents WHERE doc_id % 50 < 45
+             |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 BETWEEN 45 AND 48
+             |  UNION SELECT doc_id, doc_id - (doc_id % 50) FROM documents WHERE doc_id % 50 = 45
+             |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+             |e AS (SELECT src, dst FROM d0 UNION SELECT dst, src FROM d0),
+             |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+             |p AS (SELECT dx.deg AS x, dy.deg AS y FROM e
+             |      JOIN dg dx ON e.src = dx.node JOIN dg dy ON e.dst = dy.node),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             |       CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+             |       CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM p)
+             |SELECT n AS n_directed_edges,
+             |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    * 1000000.0 + 0.5) AS BIGINT) AS assortativity_e6
+             |FROM st""".stripMargin)),
+
+    Query(
       "q242_robust_standardize",
       "Robust per-dimension embedding standardization statistics (median/MAD whitening — the outlier-immune scaler fit before quantization or drift gates, where mean/std is one corrupted shard away from garbage): 64 dimension-groups run the q192 value-domain search TWICE (median, then MAD over |x - med|) via exactGroupQuantiles — ALL 64 brackets advance together, ceil(log8(domain)) conditional-count passes per stage TOTAL, no sort, no percentile buffers, |dims|-bounded driver state. Output per dim: median_e6, mad_e6, and the 3-MAD outlier count the fitted scaler would clip.",
       (s, dir) => {

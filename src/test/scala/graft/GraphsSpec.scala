@@ -169,6 +169,46 @@ class GraphsSpec extends AnyFunSuite {
       assert(coreOf(nodes, edges, k) == bruteCore(nodes, edges, k), s"k=$k")
   }
 
+  private def bruteBfs(edges: Seq[(Long, Long)], seed: Long, maxDepth: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    var d = 0L
+    while (frontier.nonEmpty && d < maxDepth) {
+      d += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> d)
+    }
+    dist
+  }
+
+  test("multiSourceBfs matches sequential BFS per seed; unreachable absent") {
+    val rng = new scala.util.Random(13)
+    val edges = (0 until 60).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter(e => e._1 != e._2) ++ Seq((40L, 41L)) // separate component
+    val seeds = Seq(0L, 5L, 40L)
+    val got = Graphs.multiSourceBfs(
+        edges.toDF("src", "dst").repartition(7), "src", "dst", seeds, maxDepth = 20)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    seeds.foreach { s =>
+      assert(got(s) == bruteBfs(edges, s, 20), s"seed $s")
+    }
+    // the isolated pair is exactly {40 -> 0, 41 -> 1} from seed 40
+    assert(got(40L) == Map(40L -> 0L, 41L -> 1L))
+  }
+
+  test("multiSourceBfs: maxDepth truncates the horizon") {
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    val got = Graphs.multiSourceBfs(chain.toDF("src", "dst"), "src", "dst",
+        Seq(0L), maxDepth = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("kCore fails loudly when maxIters exhausts before the peel fixpoint") {
     // a length-6 pendant chain needs ~6 peel rounds at k=2; cap at 1
     val nodes = (0L until 8L)
