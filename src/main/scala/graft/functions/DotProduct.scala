@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dot product of two `array<double>` columns — the
+  * per-candidate-pair verify kernel of the cosine LSH family
+  * ([[graft.pipeline.Similarity.dot]]). The Scala-UDF form it replaces
+  * deserialized BOTH 64-element vectors into boxed `Seq[Double]` per
+  * pair — at millions of candidate pairs that allocation cross-section
+  * is what contended driver windows amplified into the q115/q117 GC
+  * outliers (PLANS.md r10: the same story as the banded-signature
+  * UDF). This expression reads `ArrayData` primitives in place, one
+  * tight loop, zero boxing, and stays inside whole-stage codegen.
+  *
+  * Truncates to the shorter array (the UDF's documented semantics);
+  * null elements read as 0.0; null arrays → null.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProductExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProductExpr.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object DotProductExpr {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getDouble(i)
+      val y = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** Dot product of two `array<double>` columns. */
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      DotProductExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+}

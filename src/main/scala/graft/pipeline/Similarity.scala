@@ -25,7 +25,12 @@ object Similarity {
     * engine-portable; all math downstream is double). */
   def widen(vec: Column): Column = transform(vec, _.cast("double"))
 
-  private val dotArr = udf { (a: Seq[Double], b: Seq[Double]) =>
+  /** UDF twin of [[graft.functions.DotProductExpr]] — kept ONLY for
+    * differential testing (PipelineSpec pins exact equality). The
+    * boxed Seq deserialization per candidate pair was the remaining
+    * allocation cross-section of the q115/q117 verify stage after r10
+    * moved the signatures to codegen. */
+  private[graft] val dotUdfTwin = udf { (a: Seq[Double], b: Seq[Double]) =>
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -33,8 +38,9 @@ object Similarity {
     s
   }
 
-  /** Dot product of two double-array columns (tight-loop UDF). */
-  def dot(a: Column, b: Column): Column = dotArr(a, b)
+  /** Dot product of two double-array columns (codegen'd expression —
+    * ArrayData in place, zero boxing, whole-stage codegen). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProductExpr(a, b)
 
   /** HOF-only dot product (no UDF) — for contexts where everything must
     * stay in codegen; prefer [[dot]] for large pair counts. */

@@ -699,6 +699,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0, "abc"), (1L, 2, "ghi")))
   }
 
+  test("codegen'd DotProductExpr is bit-identical to the UDF twin") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 500).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextDouble() * 2 - 1),
+        Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+        graft.functions.DotProductExpr($"a", $"b").as("gen"),
+        pipeline.Similarity.dotUdfTwin($"a", $"b").as("udf"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (g, u) =>
+      assert(java.lang.Double.doubleToRawLongBits(g)
+        == java.lang.Double.doubleToRawLongBits(u))
+    }
+    // length mismatch truncates to the shorter array (the UDF contract)
+    val short = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0))).toDF("a", "b")
+      .select(graft.functions.DotProductExpr($"a", $"b")).as[Double].head()
+    assert(short == 50.0)
+  }
+
   test("sceneCutFrames: aHash signatures + hamming cuts match a sequential twin") {
     def sig(fr: String): Long = {
       val codes = fr.map(_.toLong)
