@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Codegen'd EXACT integer dot product of two `array<int>` columns
+  * (long accumulation, order-free) — the quantized-serving core
+  * ([[graft.pipeline.Similarity.intDot]]), freed of the boxed
+  * `Seq[Int]` UDF deserialization the same way [[DotProductExpr]]
+  * freed the float verify stage. Truncates to the shorter array; null
+  * elements read as 0; null arrays → null. */
+case class IntDotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntDotProductExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IntDotProductExpr.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object IntDotProductExpr {
+
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0L else a.getInt(i).toLong
+      val y = if (b.isNullAt(i)) 0L else b.getInt(i).toLong
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** Exact integer dot of two `array<int>` columns. */
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      IntDotProductExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+}

@@ -1321,7 +1321,9 @@ object Similarity {
     transform(qvec, q =>
       when(scale > 0.0, q.cast("double") / scale).otherwise(lit(0.0)))
 
-  private val idotArr = udf { (a: Seq[Int], b: Seq[Int]) =>
+  /** UDF twin of [[graft.functions.IntDotProductExpr]] — differential
+    * testing only. */
+  private[graft] val intDotUdfTwin = udf { (a: Seq[Int], b: Seq[Int]) =>
     var s = 0L
     var i = 0
     val n = math.min(a.length, b.length)
@@ -1331,8 +1333,8 @@ object Similarity {
 
   /** Integer dot product of two int-array columns — EXACT (long
     * accumulation, order-free), the cross-engine-portable core of
-    * quantized serving. */
-  def intDot(a: Column, b: Column): Column = idotArr(a, b)
+    * quantized serving. Codegen'd ([[graft.functions.IntDotProductExpr]]). */
+  def intDot(a: Column, b: Column): Column = graft.functions.IntDotProductExpr(a, b)
 
   /** Top-k over int8-quantized vectors — the serving path after
     * [[quantizeInt8]]: cosine in the quantized domain is

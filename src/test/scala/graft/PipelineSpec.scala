@@ -718,6 +718,15 @@ class PipelineSpec extends AnyFunSuite {
     val short = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0))).toDF("a", "b")
       .select(graft.functions.DotProductExpr($"a", $"b")).as[Double].head()
     assert(short == 50.0)
+    // int twin: exact long accumulation, same truncation contract
+    val irows = (0 until 200).map { i =>
+      (Array.fill(64)(rng.nextInt(255) - 127), Array.fill(64)(rng.nextInt(255) - 127))
+    }
+    val iboth = irows.toDF("a", "b").select(
+        graft.functions.IntDotProductExpr($"a", $"b").as("gen"),
+        pipeline.Similarity.intDotUdfTwin($"a", $"b").as("udf"))
+      .as[(Long, Long)].collect()
+    iboth.foreach { case (g, u) => assert(g == u) }
   }
 
   test("sceneCutFrames: aHash signatures + hamming cuts match a sequential twin") {
