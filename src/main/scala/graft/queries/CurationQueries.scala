@@ -1865,6 +1865,76 @@ object CurationQueries extends QueryPack {
              |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin)),
 
     Query(
+      "q246_dedup_ensemble",
+      "Ensemble near-dup decision (the production dedup-gate pattern: no single signal is trusted alone — MinHash-Jaccard catches reordered boilerplate, SimHash catches small token flips, asymmetric containment catches quote/subset duplication; a pair is dropped only when >= 2 of the 3 INDEPENDENT signals agree): q54's banded MinHash (est >= 0.25), q55's SimHash (Hamming <= 3) and q108's 3-gram containment (max direction >= 0.5) pair sets union with a power-of-2 signal tag, then ONE |pairs|-bounded vote aggregate keeps the majority set with its provenance bitmask. Each leg keeps its own documented plan shape; the vote adds one bounded shuffle. The oracle replays all three legs and the same vote.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val mh = graft.pipeline.Dedup.minhashCandidates(
+            docs, "doc_id", "text", k = 16, bands = 8, minEst = 0.25)
+          .select($"id_a", $"id_b", lit(1L).as("sig"))
+        val sh = graft.pipeline.Dedup.simhashCandidates(docs, "doc_id", "text", maxDist = 3)
+          .select($"id_a", $"id_b", lit(2L).as("sig"))
+        val ct = graft.pipeline.Dedup.containmentPairs(
+            docs, "doc_id", "text", n = 3, minCont = 0.5)
+          .select($"id_a", $"id_b", lit(4L).as("sig"))
+        mh.unionByName(sh).unionByName(ct)
+          .groupBy($"id_a", $"id_b")
+          .agg(count(lit(1)).as("n_votes"), sum($"sig").as("vote_mask"))
+          .filter($"n_votes" >= 2)
+      },
+      Some(s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toksSql AS t FROM documents),
+              |td AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS tok
+              |     FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+              |hp AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h1,
+              |       ((('0x' || substr(md5(tok), 17, 15))::BIGINT) % 288230376151711744) AS h2 FROM td),
+              |mh AS MATERIALIZED (SELECT doc_id, j, min((h1 + j * h2) % 2305843009213693951) AS m
+              |     FROM hp, generate_series(0, 15) g(j) GROUP BY 1, 2),
+              |bands AS (SELECT doc_id, j // 2 AS band,
+              |          string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS sig
+              |          FROM mh GROUP BY 1, 2),
+              |cand1 AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              |est AS (SELECT c.id_a, c.id_b,
+              |        count(*) FILTER (WHERE x.m = y.m) AS neq
+              |        FROM cand1 c
+              |        JOIN mh x ON x.doc_id = c.id_a
+              |        JOIN mh y ON y.doc_id = c.id_b AND x.j = y.j
+              |        GROUP BY 1, 2),
+              |leg1 AS (SELECT id_a, id_b, 1 AS sig FROM est WHERE floor(neq * 10000.0 / 16) >= 2500),
+              |hh AS (SELECT doc_id, tok, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hv FROM td),
+              |bits AS MATERIALIZED (SELECT doc_id, i,
+              |       CASE WHEN sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              |            THEN 1 ELSE 0 END AS bit
+              |       FROM hh, generate_series(0, 63) g(i) GROUP BY 1, 2),
+              |chunks AS (SELECT doc_id, i // 16 AS ci,
+              |           CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << (i % 16)) ELSE 0 END) AS BIGINT) AS chunk
+              |           FROM bits GROUP BY 1, 2),
+              |cand2 AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              |         FROM chunks a JOIN chunks b
+              |           ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+              |ham AS (SELECT c.id_a, c.id_b,
+              |        count(*) FILTER (WHERE x.bit != y.bit) AS hamming
+              |        FROM cand2 c
+              |        JOIN bits x ON x.doc_id = c.id_a
+              |        JOIN bits y ON y.doc_id = c.id_b AND x.i = y.i
+              |        GROUP BY 1, 2),
+              |leg2 AS (SELECT id_a, id_b, 2 AS sig FROM ham WHERE hamming <= 3),
+              |sh3 AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              |      FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 2),
+              |cnt AS (SELECT doc_id, count(*) n FROM sh3 GROUP BY 1),
+              |com AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+              |        FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+              |        GROUP BY 1, 2),
+              |leg3 AS (SELECT id_a, id_b, 4 AS sig FROM com
+              |         JOIN cnt x ON id_a = x.doc_id JOIN cnt y ON id_b = y.doc_id
+              |         WHERE greatest(floor(c * 10000.0 / x.n + 0.5), floor(c * 10000.0 / y.n + 0.5)) >= 5000),
+              |u AS (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2 UNION ALL SELECT * FROM leg3)
+              |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_votes, CAST(sum(sig) AS BIGINT) AS vote_mask
+              |FROM u GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
+    Query(
       "q227_kmv_overlap",
       "Cross-corpus SET-OVERLAP estimation from bottom-k (KMV) distinct sketches (Beyer et al. 2007) — the sketch that answers intersections, which HLL cannot without inclusion-exclusion error blowup: per source, the 128 smallest distinct 60-bit hashes of its word-bigram vocabulary, built by ONE partial-aggregated pass whose buffer is k-bounded (BottomKDistinctAgg ships <= k longs per partition per group — the distinct never shuffles row-wise); then every source pair estimates |A union B| ((k-1)*2^60 div h_k, one DECIMAL(38,0)/HUGEINT product), Jaccard (K-intersect over the merged sketch) and |A intersect B| from the two 1-KB registers alone. 20 sources -> 190 pairs, all pair math |groups|-bounded. Every estimate is a pure integer division, so the SKETCH ITSELF sits under the oracle, not just its inputs.",
       (s, dir) => {
