@@ -95,4 +95,47 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(nonNull.select(UnigramTokenizer.tokenCount(uni, col("text")))
       .collect().forall(!_.isNullAt(0)))
   }
+
+  test("r13 operators survive degenerate inputs") {
+    // KMV: NULL values ignored; all-null group absent; k > |distinct| exact
+    val kmvIn = Seq(("a", "x"), ("a", null), ("a", "y"), ("b", null))
+      .toDF("g", "v")
+    val reg = Sketches.kmvRegisters(kmvIn, Seq("g"), col("v"), 16)
+    val est = Sketches.kmvEstimate(reg, Seq("g"), 16)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(est == Map("a" -> ((2L, 2L))))
+    // kmvOverlap on a single group: no pairs, no crash
+    assert(Sketches.kmvOverlap(reg, "g", 16).count() == 0L)
+
+    // ndcgMrr: empty labels table -> idcg 0, ndcg 0
+    val run1 = Seq(("q", 1L, 1L)).toDF("qid", "doc_id", "rank")
+    val lab0 = Seq.empty[(String, Long, Long)].toDF("qid", "doc_id", "rel")
+    val nd = Eval.ndcgMrr(run1, lab0, k = 5)
+      .select(col("ndcg_e6"), col("rr_e6")).as[(Long, Long)].head()
+    assert(nd == ((0L, 0L)))
+
+    // EWMA: empty frame -> empty result; zero threshold flags every move
+    assert(TimeSeries.ewmaMonitor(
+      Seq.empty[(Long, Long, Long)].toDF("u", "i", "v"),
+      "u", Seq(col("i")), col("v"), 5L).count() == 0L)
+
+    // BFS: seed with no edges is its own component at dist 0
+    val bfs = Graphs.multiSourceBfs(
+        Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", Seq(99L), maxDepth = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(bfs == Seq((99L, 99L, 0L)))
+
+    // scene cuts: empty-text videos contribute no frames, single-char frame ok
+    val frames = Seq((1L, 0L, "a"), (2L, 0L, "ab"), (2L, 1L, "zz"))
+      .toDF("id", "idx", "fr")
+    val st = Multimodal.sceneStats(frames, "id", "idx", "fr", hammingThr = 0)
+      .select(col("id"), col("n_frames")).as[(Long, Long)].collect().toMap
+    assert(st == Map(1L -> 1L, 2L -> 2L))
+
+    // hilbert: order-1 corners and masked out-of-range inputs
+    val h = Seq((0L, 0L), (1L, 0L), (3L, 2L)).toDF("x", "y")
+      .select(graft.functions.HilbertIndexExpr(col("x"), col("y"), 1))
+      .as[Long].collect().toSeq
+    assert(h == Seq(0L, 3L, 3L)) // (3,2) masks to (1,0)
+  }
 }
