@@ -233,6 +233,73 @@ object Graphs {
     * bounded by the longest peel chain, NOT graph size; the driver
     * early-exits when the survivor count is stable. Returns the
     * surviving (node) set. */
+  /** PERSONALIZED PageRank (Haveliwala 2002 / the random walk with
+    * restart): teleport AND dangling mass return to the `seeds` set
+    * only, so rank measures proximity-weighted influence FROM the
+    * seeds — the "more like these" expansion of curation (grow a
+    * trusted-domain whitelist, expand a topic crawl frontier) where
+    * global [[pageRank]] measures importance to everyone. Same
+    * integer-arithmetic contract: e9-scaled long ranks, per-edge
+    * contribution = rank div outdegree, damping as the exact rational,
+    * every sum a long sum — bit-exact under any partitioning and
+    * externally replayable. Init: Base/|S| on seeds, 0 elsewhere.
+    * Per round one shuffle + one bounded dangling scalar; lineage
+    * truncated (the [[pageRank]] contract). */
+  def personalizedPageRank(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iters: Int, dampNum: Long = 17L, dampDen: Long = 20L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 200, "iters in [1, 200]")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    require(seeds.nonEmpty && seeds.size <= 100000, "1..100000 seeds")
+    val spark = nodes.sparkSession
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val s = seeds.distinct.size.toLong
+    val isSeed = col("node").isInCollection(seeds.distinct)
+    val teleportSeed = ((dampDen - dampNum) * Base / dampDen) / s
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    try {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      var ranks = truncate(nodes.select(col(nodeCol).cast("long").as("node"))
+        .distinct()
+        .withColumn("r", when(isSeed, lit(Base / s)).otherwise(lit(0L))))
+      var round = 0
+      while (round < iters) {
+        val withDeg = ranks.join(deg, ranks("node") === deg("src"), "left")
+        val dangling = withDeg.filter(col("deg").isNull)
+          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+        val contribs = withDeg.filter(col("deg").isNotNull)
+          .select(col("node"), expr("r div deg").as("c"))
+          .join(e, col("node") === e("src"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val next = ranks.select(col("node"))
+          .join(contribs, ranks("node") === contribs("dst"), "left")
+          .select(col("node"),
+            (when(isSeed, lit(teleportSeed)).otherwise(lit(0L)) +
+              call_function("div",
+                lit(dampNum) * (coalesce(col("inflow"), lit(0L)) +
+                  when(isSeed, lit(dangling / s)).otherwise(lit(0L))),
+                lit(dampDen)))
+              .as("r"))
+        val prev = ranks
+        ranks = truncate(next)
+        prev.unpersist(false)
+        round += 1
+      }
+      ranks
+    } finally { e.unpersist(false); () }
+  }
+
   /** Multi-source BFS shortest-hop distances — the reachability /
     * radius probe between [[Components]] ("same component at all") and
     * weighted shortest paths (out of scope: hop counts are what link-

@@ -1040,6 +1040,63 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q247_personalized_pagerank",
+      "Personalized PageRank / random walk with restart (Haveliwala 2002) from 3 seed documents over q178's link graph — the 'more like these' expansion of curation (grow a trusted-domain whitelist, widen a topic crawl) where global PageRank measures importance to everyone: teleport AND dangling mass return to the seed set only, rank = proximity-weighted influence from the seeds. Same integer contract as q178 (e9 long ranks, contribution = rank div outdegree, exact 17/20 damping, long sums — bit-exact under any partitioning), init Base/|S| on seeds. 4 rounds; the oracle unrolls them as chained CTEs with the seed-conditional teleport.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+        val n = docs.count()
+        def link(mult: Long, add: Long) =
+          docs.filter($"doc_id" % 11 =!= 0)
+            .select($"doc_id".as("src"), (($"doc_id" * mult + add) % n).as("dst"))
+        val e = link(7, 1).unionByName(link(13, 5))
+          .unionByName(link(31, 2).filter($"src" % 5 === 0))
+        graft.pipeline.Graphs.personalizedPageRank(docs.select($"doc_id"), "doc_id",
+            e, "src", "dst", seeds = Seq(0L, 1L, 2L), iters = 4)
+          .join(docs, col("node") === $"doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"r" > 0L, 1L).otherwise(0L)).as("n_reached"),
+            sum($"r").as("sum_rank"), max($"r").as("max_rank"))
+      },
+      Some {
+        val iters = 4
+        val head =
+          """WITH nodes AS (SELECT doc_id AS node FROM documents),
+            |cnt AS (SELECT count(*) AS n FROM nodes),
+            |e AS (SELECT src, dst FROM (
+            |  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM cnt) AS dst FROM documents WHERE doc_id % 11 != 0
+            |  UNION SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 11 != 0
+            |  UNION SELECT doc_id, (doc_id * 31 + 2) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 11 != 0 AND doc_id % 5 = 0
+            |) WHERE src != dst),
+            |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            |tp AS (SELECT ((3 * CAST(1000000000 AS BIGINT)) // 20) // 3 AS t),
+            |r0 AS (SELECT node, CASE WHEN node IN (0, 1, 2)
+            |  THEN CAST(1000000000 AS BIGINT) // 3 ELSE CAST(0 AS BIGINT) END AS r FROM nodes)""".stripMargin
+        val rounds = (1 to iters).map { i =>
+          val p = i - 1
+          s"""d$i AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+             |  FROM r$p LEFT JOIN deg ON r$p.node = deg.src WHERE deg.deg IS NULL),
+             |c$i AS (SELECT e.dst AS node, CAST(sum(r$p.r // deg.deg) AS BIGINT) AS inflow
+             |  FROM r$p JOIN deg ON r$p.node = deg.src JOIN e ON e.src = r$p.node
+             |  GROUP BY e.dst),
+             |r$i AS (SELECT n0.node,
+             |  CASE WHEN n0.node IN (0, 1, 2) THEN (SELECT t FROM tp) ELSE 0 END
+             |  + (17 * (coalesce(c.inflow, 0)
+             |     + CASE WHEN n0.node IN (0, 1, 2) THEN (SELECT dang FROM d$i) // 3 ELSE 0 END)) // 20 AS r
+             |  FROM nodes n0 LEFT JOIN c$i c ON n0.node = c.node)""".stripMargin
+        }.mkString(",\n")
+        s"""$head,
+           |$rounds
+           |SELECT d.source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN r$iters.r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+           |  CAST(sum(r$iters.r) AS BIGINT) AS sum_rank,
+           |  CAST(max(r$iters.r) AS BIGINT) AS max_rank
+           |FROM r$iters JOIN documents d ON r$iters.node = d.doc_id
+           |GROUP BY d.source""".stripMargin
+      }),
+
+    Query(
       "q243_bfs_distances",
       "Multi-source BFS shortest-hop distances (Graphs.multiSourceBfs — the reachability/radius probe between components 'same component at all' and out-of-scope weighted paths): hop counts from 3 seed nodes over the q201 block graph (45-ring + 5-chain per 50-node block; seeds are block heads, so the distance profile is ring-symmetric 2,2,2,...,1-at-the-chain and other blocks stay unreachable). Level-synchronous frontier expansion: per round ONE frontier x edges join + one anti-join against visited + distinct — a node enters visited at its FIRST (minimal) level so no min-aggregate exists anywhere; rounds bound by the eccentricity reached (early exit on empty frontier), lineage truncated per round. The oracle grows the same closure as a recursive CTE and takes min(dist) per (seed, node).",
       (s, dir) => {

@@ -169,6 +169,38 @@ class GraphsSpec extends AnyFunSuite {
       assert(coreOf(nodes, edges, k) == bruteCore(nodes, edges, k), s"k=$k")
   }
 
+  test("personalizedPageRank with seeds = ALL nodes equals global pageRank") {
+    val rng = new scala.util.Random(19)
+    val nodes = (0L until 40L)
+    val edges = (0 until 90).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val global = Graphs.pageRank(nodes.toDF("node"), "node",
+        edges.toDF("src", "dst"), "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val ppr = Graphs.personalizedPageRank(nodes.toDF("node"), "node",
+        edges.toDF("src", "dst"), "src", "dst", nodes, iters = 4)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ppr == global)
+  }
+
+  test("personalizedPageRank: mass stays near the seeds, unreachable rank 0") {
+    // two disjoint 4-cycles; seeds only in the first
+    val c1 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val c2 = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val nodes = (Seq(0L, 1L, 2L, 3L) ++ Seq(10L, 11L, 12L, 13L)).toDF("node")
+    val r = Graphs.personalizedPageRank(nodes, "node",
+        (c1 ++ c2).toDF("src", "dst"), "src", "dst", Seq(0L), iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(10L, 11L, 12L, 13L).forall(r(_) == 0L), "other component untouched")
+    // the seed always holds at least the restart mass; every reachable
+    // node carries some (a directed cycle mid-transient is NOT
+    // monotone in distance — only reachability and the teleport floor
+    // are invariants)
+    assert(r(0L) >= (3L * Graphs.Base / 20L), "seed keeps the teleport floor")
+    assert(Seq(1L, 2L, 3L).forall(r(_) > 0L), "reachable nodes carry mass")
+    assert(r.values.sum <= Graphs.Base, "mass never exceeds Base")
+  }
+
   private def bruteBfs(edges: Seq[(Long, Long)], seed: Long, maxDepth: Int): Map[Long, Long] = {
     val adj = (edges ++ edges.map(e => (e._2, e._1)))
       .filter(e => e._1 != e._2).distinct
