@@ -57,8 +57,10 @@ object BenchScale {
     "q196_interval_overlap_join", "q201_kcore", "q203_max_coverage",
     "q198_systematic_sample", "q207_prefix_jaccard",
     // r13 shapes: k-bounded sketch aggregate + pair fan-out (KMV),
-    // per-series in-row recursion fold (EWMA)
-    "q227_kmv_overlap", "q229_ewma_monitor")
+    // per-series in-row recursion fold (EWMA), level-synchronous BFS
+    // rounds, three-leg ensemble union + vote
+    "q227_kmv_overlap", "q229_ewma_monitor",
+    "q243_bfs_distances", "q246_dedup_ensemble")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
