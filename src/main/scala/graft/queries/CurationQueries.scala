@@ -1865,6 +1865,35 @@ object CurationQueries extends QueryPack {
              |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin)),
 
     Query(
+      "q248_tokenizer_fertility",
+      "Tokenizer fertility per source (tokens per 100 chars under the pinned q123 BPE — THE tokenizer-selection metric: a high-fertility source burns context budget and skews the mixture's effective token weights away from its character weights): map-only encode inside the scan (the q123 memoized merge-loop), ONE |sources|-bounded aggregate, fertility as an exact integer ratio. Read next to q226's char-weighted sampling: the two quantify exactly how char-apportioned draws differ from token-apportioned ones.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"source",
+            size(BpeTokenizer.encode(pinnedBpe, $"text")).cast("long").as("nt"),
+            length($"text").cast("long").as("nc"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+            sum($"nc").as("n_chars"))
+          .withColumn("fertility_e4", expr("(n_tokens * 1000000L) div n_chars"))
+      },
+      Some {
+        def sq(x: String) = x.replace("'", "''")
+        val enc = pinnedBpeMerges.foldLeft("regexp_replace(tok, '(.)', '|\\1|', 'g')") {
+          case (e, (a, b)) => s"replace($e, '|${sq(a)}||${sq(b)}|', '|${sq(a + b)}|')"
+        }
+        s"""WITH pt AS (SELECT source, unnest(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +')) AS tok FROM documents),
+           |enc AS (SELECT source, len(string_split(trim($enc, '|'), '||')) AS n FROM pt),
+           |tk AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM enc GROUP BY 1),
+           |ch AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(length(text)) AS BIGINT) AS n_chars FROM documents GROUP BY 1)
+           |SELECT ch.source, ch.n_docs, tk.n_tokens, ch.n_chars,
+           |  CAST((tk.n_tokens * 1000000) // ch.n_chars AS BIGINT) AS fertility_e4
+           |FROM ch JOIN tk ON ch.source = tk.source""".stripMargin
+      }),
+
+    Query(
       "q246_dedup_ensemble",
       "Ensemble near-dup decision (the production dedup-gate pattern: no single signal is trusted alone — MinHash-Jaccard catches reordered boilerplate, SimHash catches small token flips, asymmetric containment catches quote/subset duplication; a pair is dropped only when >= 2 of the 3 INDEPENDENT signals agree): q54's banded MinHash (est >= 0.25), q55's SimHash (Hamming <= 3) and q108's 3-gram containment (max direction >= 0.5) pair sets union with a power-of-2 signal tag, then ONE |pairs|-bounded vote aggregate keeps the majority set with its provenance bitmask. Each leg keeps its own documented plan shape; the vote adds one bounded shuffle. The oracle replays all three legs and the same vote.",
       (s, dir) => {
