@@ -104,7 +104,11 @@ object Eval {
         s" * 1000000000.0D + 0.5D) AS BIGINT)")
     val r = run.select(col("qid"), col("doc_id"), col("rank").cast("long").as("rank"))
       .filter(col("rank") <= k)
+    // Labels keyed by (qid, doc_id): duplicate label rows would fan out
+    // the left join and inflate DCG/IDCG, so collapse to max(rel) —
+    // the standard qrels resolution for conflicting judgments.
     val lab = labels.select(col("qid"), col("doc_id"), col("rel").cast("long").as("rel"))
+      .groupBy("qid", "doc_id").agg(max(col("rel")).as("rel"))
     val joined = r.join(lab, Seq("qid", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0L)))
     val dcg = joined.groupBy("qid").agg(

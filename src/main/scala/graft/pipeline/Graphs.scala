@@ -214,25 +214,6 @@ object Graphs {
     } finally { und.unpersist(false); () }
   }
 
-  /** k-core: the maximal subgraph where every node keeps degree >= k —
-    * the density gate between [[Components]] ("connected at all") and
-    * [[triangles]] ("locally clustered"): crawl-graph curation prunes
-    * tendrils/orphan chains by coreness, citation analyses use the
-    * 2-core to strip leaf papers. Computed by synchronous peeling:
-    * each round drops every node whose degree WITHIN the surviving
-    * subgraph is < k, until a fixpoint (classic Matula–Beck peel, run
-    * data-parallel like Quick/PKC). The synchronous schedule makes
-    * every round — and therefore the result, which is
-    * schedule-independent anyway (the k-core is unique) — bit-exact
-    * under any partitioning.
-    *
-    * Scale shape: the symmetrized edge list persists once; each round
-    * is two broadcast-or-shuffle semi-joins (restrict edges to
-    * survivors) + one partial-aggregated degree count, with lineage
-    * truncated per round (the [[pageRank]] contract). Rounds are
-    * bounded by the longest peel chain, NOT graph size; the driver
-    * early-exits when the survivor count is stable. Returns the
-    * surviving (node) set. */
   /** PERSONALIZED PageRank (Haveliwala 2002 / the random walk with
     * restart): teleport AND dangling mass return to the `seeds` set
     * only, so rank measures proximity-weighted influence FROM the
@@ -243,8 +224,10 @@ object Graphs {
     * contribution = rank div outdegree, damping as the exact rational,
     * every sum a long sum — bit-exact under any partitioning and
     * externally replayable. Init: Base/|S| on seeds, 0 elsewhere.
-    * Per round one shuffle + one bounded dangling scalar; lineage
-    * truncated (the [[pageRank]] contract). */
+    * Per round ONE job: the dangling mass rides along as a broadcast
+    * 1-row aggregate inside the same plan the eager truncate runs (no
+    * second per-round action), and the out-degree table persists once
+    * outside the loop; lineage truncated (the [[pageRank]] contract). */
   def personalizedPageRank(nodes: DataFrame, nodeCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Seq[Long], iters: Int, dampNum: Long = 17L, dampDen: Long = 20L,
@@ -268,27 +251,31 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     try {
-      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       var ranks = truncate(nodes.select(col(nodeCol).cast("long").as("node"))
         .distinct()
         .withColumn("r", when(isSeed, lit(Base / s)).otherwise(lit(0L))))
       var round = 0
       while (round < iters) {
         val withDeg = ranks.join(deg, ranks("node") === deg("src"), "left")
-        val dangling = withDeg.filter(col("deg").isNull)
-          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+        // 1-row dangling-mass aggregate, broadcast-cross-joined into the
+        // round's plan so the eager truncate below is the round's ONLY
+        // action (the scalar never detours through the driver)
+        val danglingDf = withDeg.filter(col("deg").isNull)
+          .agg(coalesce(sum(col("r")), lit(0L)).as("__dangling"))
         val contribs = withDeg.filter(col("deg").isNotNull)
           .select(col("node"), expr("r div deg").as("c"))
           .join(e, col("node") === e("src"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
         val next = ranks.select(col("node"))
           .join(contribs, ranks("node") === contribs("dst"), "left")
+          .crossJoin(broadcast(danglingDf))
           .select(col("node"),
             (when(isSeed, lit(teleportSeed)).otherwise(lit(0L)) +
               call_function("div",
                 lit(dampNum) * (coalesce(col("inflow"), lit(0L)) +
-                  when(isSeed, lit(dangling / s)).otherwise(lit(0L))),
+                  when(isSeed, expr(s"__dangling div ${s}L")).otherwise(lit(0L))),
                 lit(dampDen)))
               .as("r"))
         val prev = ranks
@@ -297,7 +284,7 @@ object Graphs {
         round += 1
       }
       ranks
-    } finally { e.unpersist(false); () }
+    } finally { deg.unpersist(false); e.unpersist(false); () }
   }
 
   /** Multi-source BFS shortest-hop distances — the reachability /
@@ -364,6 +351,30 @@ object Graphs {
     } finally { e.unpersist(false); () }
   }
 
+  /** k-core: the maximal subgraph where every node keeps degree >= k —
+    * the density gate between [[Components]] ("connected at all") and
+    * [[triangles]] ("locally clustered"): crawl-graph curation prunes
+    * tendrils/orphan chains by coreness, citation analyses use the
+    * 2-core to strip leaf papers. Computed by synchronous peeling:
+    * each round drops every node whose degree WITHIN the surviving
+    * subgraph is < k, until a fixpoint (classic Matula–Beck peel, run
+    * data-parallel like Quick/PKC). The synchronous schedule makes
+    * every round — and therefore the result, which is
+    * schedule-independent anyway (the k-core is unique) — bit-exact
+    * under any partitioning.
+    *
+    * Scale shape: the symmetrized edge list persists once; each round
+    * is two broadcast-or-shuffle semi-joins (restrict edges to
+    * survivors) + one partial-aggregated degree count, with lineage
+    * truncated per round (the [[pageRank]] contract). Rounds are
+    * bounded by the longest peel chain, NOT graph size; the driver
+    * early-exits when the survivor count is stable. Returns the
+    * surviving (node) set.
+    *
+    * @throws IllegalStateException when `maxIters` rounds pass without
+    *   a fixpoint (since r12 — earlier versions silently returned the
+    *   unconverged SUPERSET): raise `maxIters` for long peel chains,
+    *   or catch it where a best-effort superset is acceptable. */
   def kCore(nodes: DataFrame, nodeCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, maxIters: Int = 50,

@@ -393,7 +393,10 @@ object Multimodal {
     * count — is exactly this).
     *
     * `df` must carry one row per (video, frame): idCol, frameIdx
-    * (dense order), frameCol (string frame ≤ 64 units). Signature
+    * (dense order), frameCol (string frame). Only the first 64 units
+    * enter the signature (a 64-bit hash can hold no more — longer
+    * frames are sliced, not silently wrapped; real decoders downsample
+    * to an 8×8 grid before hashing for the same reason). Signature
     * arithmetic is exact longs; the lag window partitions per video —
     * bounded by frames-per-video, never corpus-wide. Returns per
     * frame: sig, prev_sig, hamming, is_cut. */
@@ -404,7 +407,7 @@ object Multimodal {
     val w = Window.partitionBy(col(idCol)).orderBy(col(frameIdx))
     df
       .withColumn("__codes", transform(
-        sequence(lit(1), length(col(frameCol))),
+        sequence(lit(1), least(length(col(frameCol)), lit(64))),
         j => ascii(col(frameCol).substr(j, lit(1))).cast("long")))
       .withColumn("__mean",
         expr("aggregate(__codes, 0L, (a, x) -> a + x) div size(__codes)"))

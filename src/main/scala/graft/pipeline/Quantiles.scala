@@ -163,9 +163,12 @@ object Quantiles {
     require(q > 0.0 && q <= 1.0, "q in (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL group keys are dropped (the per-round equi-join on "k" can
+    // never match them); callers wanting a NULL stratum must coalesce
+    // first — same convention as stratifiedSystematicSample.
     val v = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("long").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("k").isNotNull && col("v").isNotNull)
       .persist()
     try {
       val stats = v.groupBy(col("k"))
@@ -192,14 +195,17 @@ object Quantiles {
     require(qs.distinct.size == qs.size, "duplicate q values")
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL group keys dropped for the same join-can't-match reason as
+    // exactGroupQuantile; coalesce a NULL stratum first if it matters.
     val v = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("long").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("k").isNotNull && col("v").isNotNull)
       .persist()
     try {
       val stats = v.groupBy(col("k"))
         .agg(count(col("v")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
         .as[(String, Long, Long, Long)].collect()
+      val byKey = stats.map(s => s._1 -> s).toMap
       val keys = for (s <- stats.toSeq; qi <- qs.indices) yield (s._1, qi)
       val rank = stats.flatMap { case (k, n, _, _) =>
         qs.zipWithIndex.map { case (q, qi) =>
@@ -207,9 +213,9 @@ object Quantiles {
         }
       }.toMap
       val lo = scala.collection.mutable.Map(
-        keys.map(kq => kq -> stats.find(_._1 == kq._1).get._3): _*)
+        keys.map(kq => kq -> byKey(kq._1)._3): _*)
       val hi = scala.collection.mutable.Map(
-        keys.map(kq => kq -> stats.find(_._1 == kq._1).get._4): _*)
+        keys.map(kq => kq -> byKey(kq._1)._4): _*)
       while (keys.exists(kq => lo(kq) < hi(kq))) {
         val plan = keys.filter(kq => lo(kq) < hi(kq)).sortBy(kq => (kq._1, kq._2))
           .map(kq => kq -> probes(lo(kq), hi(kq)))
@@ -251,7 +257,7 @@ object Quantiles {
     val v = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
-      .filter(col("v").isNotNull && col("w").isNotNull)
+      .filter(col("k").isNotNull && col("v").isNotNull && col("w").isNotNull)
       .persist()
     try {
       require(v.filter(col("w") < 0).isEmpty, "weights must be non-negative")
