@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** Codegen'd IVF coarse-quantizer kernels — the assign/probe hot loops
+  * of [[graft.pipeline.Similarity]]'s IVF family (nearest-centroid cell
+  * per corpus row; nProbe nearest cells per query). The Scala-UDF forms
+  * they replace deserialized every vector into a boxed `Seq[Double]`
+  * and did nCells x dim work per row through that boxing — the same
+  * allocation cross-section the r13 [[DotProductExpr]] fix removed from
+  * the verify path (q115 5.3 -> 3.1 s). These expressions read
+  * `ArrayData` primitives in place against a driver-baked flat
+  * centroid matrix (`addReferenceObj`, row-major nCells x dim) and stay
+  * inside whole-stage codegen.
+  *
+  * Semantics are bit-identical to the UDFs they replace (the
+  * cross-path equality specs rest on this): score = raw dot over
+  * min(len(v), dim) leading elements, divided by ||v|| when `normalize`
+  * (and ||v|| > 0 — the norm always over the FULL vector); argmax keeps
+  * the LOWEST index on ties (strict `>` against a running best);
+  * probe order is (score desc, cell asc). Null elements read as 0.0;
+  * a null vector yields null.
+  */
+case class IvfArgmaxExpr(child: Expression, cents: Array[Double], dim: Int,
+    normalize: Boolean) extends UnaryExpression {
+  require(dim > 0 && cents.length % dim == 0 && cents.nonEmpty,
+    s"flat centroid matrix must be a nonempty multiple of dim=$dim")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(v: Any): Any =
+    IvfCells.argmax(v.asInstanceOf[ArrayData], cents, dim, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.IvfCells.argmax($v, $ref, $dim, $normalize)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The `nProbe` nearest cells by (score desc, cell asc) — see
+  * [[IvfArgmaxExpr]] for the shared scoring contract. */
+case class IvfProbeExpr(child: Expression, cents: Array[Double], dim: Int,
+    nProbe: Int, normalize: Boolean) extends UnaryExpression {
+  require(dim > 0 && cents.length % dim == 0 && cents.nonEmpty,
+    s"flat centroid matrix must be a nonempty multiple of dim=$dim")
+  require(nProbe > 0 && nProbe <= cents.length / dim,
+    s"nProbe in [1, ${cents.length / dim}]: $nProbe")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    IvfCells.probe(v.asInstanceOf[ArrayData], cents, dim, nProbe, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.IvfCells.probe($v, $ref, $dim, $nProbe, $normalize)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IvfCells {
+
+  private def scoreAt(v: ArrayData, cents: Array[Double], dim: Int,
+      ci: Int, norm: Double): Double = {
+    val off = ci * dim
+    val d = math.min(v.numElements(), dim)
+    var s = 0.0
+    var i = 0
+    while (i < d) {
+      val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+      s += x * cents(off + i)
+      i += 1
+    }
+    // replicate the UDF's `if (n > 0) s /= n` EXACTLY (division, not a
+    // reciprocal multiply — the last ulp must match)
+    if (norm > 0) s / norm else s
+  }
+
+  private def normOf(v: ArrayData, normalize: Boolean): Double = {
+    if (!normalize) return 0.0 // scoreAt's norm-<=-0 branch skips the divide
+    var ss = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    math.sqrt(ss)
+  }
+
+  def argmax(v: ArrayData, cents: Array[Double], dim: Int,
+      normalize: Boolean): Int = {
+    val nrm = normOf(v, normalize)
+    val k = cents.length / dim
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var ci = 0
+    while (ci < k) {
+      val s = scoreAt(v, cents, dim, ci, nrm)
+      if (s > bestDot) { bestDot = s; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Top-nProbe selection under (score desc, cell asc) with a bounded
+    * insertion buffer — iterating cells ascending with strict-`>`
+    * displacement reproduces the stable full-sort order exactly. */
+  def probe(v: ArrayData, cents: Array[Double], dim: Int, nProbe: Int,
+      normalize: Boolean): ArrayData = {
+    val nrm = normOf(v, normalize)
+    val k = cents.length / dim
+    val bs = new Array[Double](nProbe)
+    val bi = new Array[Int](nProbe)
+    var m = 0
+    var ci = 0
+    while (ci < k) {
+      val s = scoreAt(v, cents, dim, ci, nrm)
+      if (m < nProbe || s > bs(m - 1)) {
+        // insertion point: below every existing entry with score >= s
+        // (equal scores keep the earlier, i.e. lower, cell first)
+        var j = if (m < nProbe) m else m - 1
+        while (j > 0 && bs(j - 1) < s) {
+          bs(j) = bs(j - 1); bi(j) = bi(j - 1); j -= 1
+        }
+        bs(j) = s; bi(j) = ci
+        if (m < nProbe) m += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bi, m))
+  }
+
+  private def flatten(cents: Array[Array[Double]]): (Array[Double], Int) = {
+    require(cents.nonEmpty, "empty centroid set")
+    val dim = cents(0).length
+    require(dim > 0 && cents.forall(_.length == dim),
+      "centroid rows must share one positive dimension")
+    (cents.flatten, dim)
+  }
+
+  /** Nearest-centroid cell of an `array<double>` column (ties -> lowest
+    * cell). `normalize` divides scores by the row's norm — it cannot
+    * change the argmax but keeps the arithmetic bit-identical to the
+    * cosine-form UDF this replaces. */
+  def argmaxCell(v: Column, cents: Array[Array[Double]],
+      normalize: Boolean): Column = {
+    val (flat, dim) = flatten(cents)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      IvfArgmaxExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v), flat, dim, normalize))
+  }
+
+  /** The nProbe nearest cells of an `array<double>` column, ordered
+    * (score desc, cell asc). */
+  def probeCells(v: Column, cents: Array[Array[Double]], nProbe: Int,
+      normalize: Boolean): Column = {
+    val (flat, dim) = flatten(cents)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      IvfProbeExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v), flat, dim, nProbe, normalize))
+  }
+}

@@ -224,7 +224,8 @@ object Similarity {
       s"need 0 < nProbe <= nCells (got nProbe=$nProbe nCells=$nCells)")
     val c0 = prepCorpus(corpus, idCol, vecCol)
     val cents = trainCentroids(c0, nCells, seed, lloydIters)
-    val assigned = c0.withColumn("cell", ivfAssignUdf(cents)(col("v")))
+    val assigned = c0.withColumn("cell",
+      graft.functions.IvfCells.argmaxCell(col("v"), cents, normalize = true))
     ivfSearch(assigned, queries, qIdCol, qVecCol, cents, k, nProbe)
   }
 
@@ -242,7 +243,8 @@ object Similarity {
     import spark.implicits._
     val c0 = prepCorpus(corpus, idCol, vecCol)
     val cents = trainCentroids(c0, nCells, seed, lloydIters)
-    c0.withColumn("cell", ivfAssignUdf(cents)(col("v")))
+    c0.withColumn("cell",
+        graft.functions.IvfCells.argmaxCell(col("v"), cents, normalize = true))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
     cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -269,8 +271,9 @@ object Similarity {
     // collect the union of probed cells for the static pruning predicate.
     // GUARDED collect — at most nCells ints (the distinct is over cell
     // ids, bounded by the index's centroid count), never O(corpus)
-    val probeU = ivfProbeUdf(cents, nProbe)
-    val needed = queries.select(explode(probeU(widen(col(qVecCol)))).as("cell"))
+    val needed = queries.select(explode(
+        graft.functions.IvfCells.probeCells(widen(col(qVecCol)), cents, nProbe,
+          normalize = true)).as("cell"))
       .distinct().collect().map(_.getInt(0))
     val pruned = spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(needed.map(Integer.valueOf): _*))
@@ -299,7 +302,7 @@ object Similarity {
     for (_ <- 1 to lloydIters) {
       val cents = centroids
       val means = c0
-        .select(ivfAssignUdf(cents)(col("v")).as("cell"),
+        .select(graft.functions.IvfCells.argmaxCell(col("v"), cents, normalize = true).as("cell"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
@@ -315,9 +318,10 @@ object Similarity {
     centroids
   }
 
-  /** Map-only argmax-cosine cell assignment; centroids are plan
-    * literals inside the UDF closure — no join, no broadcast plumbing. */
-  private def ivfAssignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+  /** Boxed-UDF twin of [[graft.functions.IvfCells.argmaxCell]]
+    * (normalize = true) — kept ONLY as the differential-test reference
+    * for the codegen'd kernel (PipelineSpec asserts bit-equality). */
+  private[pipeline] def ivfAssignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
     var best = 0; var bestDot = Double.NegativeInfinity
     val n = math.sqrt(v.map(x => x * x).sum)
     var ci = 0
@@ -333,8 +337,9 @@ object Similarity {
     best
   }
 
-  /** The query's `nProbe` nearest cells, by cosine then cell id. */
-  private def ivfProbeUdf(cents: Array[Array[Double]], nProbe: Int) = udf { (v: Seq[Double]) =>
+  /** Boxed-UDF twin of [[graft.functions.IvfCells.probeCells]]
+    * (normalize = true) — differential-test reference only. */
+  private[pipeline] def ivfProbeUdf(cents: Array[Array[Double]], nProbe: Int) = udf { (v: Seq[Double]) =>
     val n = math.sqrt(v.map(x => x * x).sum)
     cents.indices.map { ci =>
       val cv = cents(ci)
@@ -352,11 +357,11 @@ object Similarity {
   private def ivfSearch(
       assigned: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
       cents: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
-    val probeU = ivfProbeUdf(cents, nProbe)
     val probes = queries.select(col(qIdCol).cast("long").as("query_id"),
         widen(col(qVecCol)).as("qv"), norm(col(qVecCol)).as("qn"))
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(probeU(col("qv"))).as("cell"))
+        explode(graft.functions.IvfCells.probeCells(col("qv"), cents, nProbe,
+          normalize = true)).as("cell"))
     assigned.join(broadcast(probes), "cell")
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("cos_e6",
@@ -368,11 +373,9 @@ object Similarity {
         col("e.id").as("nn_id"), col("e.score").as("cos_e6"))
   }
 
-  /** Raw-dot argmax cell assignment (no norm division — the argmax is
-    * scale-invariant, and skipping the divide keeps the comparison
-    * bit-identical to an oracle that ranks raw dot products). Ties
-    * break to the lowest cell index. */
-  private def argmaxCellUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+  /** Boxed-UDF twin of [[graft.functions.IvfCells.argmaxCell]]
+    * (normalize = false, raw dot) — differential-test reference only. */
+  private[pipeline] def argmaxCellUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
     argmaxCell(v.toArray, cents)
   }
 
@@ -417,7 +420,7 @@ object Similarity {
       cents: Array[Array[Double]]): DataFrame = {
     require(cents.nonEmpty, "codebook must be non-empty")
     df.select(col(idCol).cast("long").as("id"),
-      argmaxCellUdf(cents)(widen(col(vecCol))).as("cell"))
+      graft.functions.IvfCells.argmaxCell(widen(col(vecCol)), cents, normalize = false).as("cell"))
   }
 
   /** SemDeDup-style embedding dedup (Abbas et al. 2023): partition the
@@ -453,7 +456,8 @@ object Similarity {
       cents: Array[Array[Double]], minCosE6: Long): DataFrame = {
     require(cents.nonEmpty, "codebook must be non-empty")
     val c = prepCorpus(df, idCol, vecCol)
-      .withColumn("cell", argmaxCellUdf(cents)(col("v")))
+      .withColumn("cell",
+        graft.functions.IvfCells.argmaxCell(col("v"), cents, normalize = false))
     val a = c.select(col("cell"), col("nn_id").as("id_a"),
       col("v").as("va"), col("vn").as("na"))
     val b = c.select(col("cell"), col("nn_id").as("id_b"),
@@ -784,7 +788,7 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(qSide)
     corpus.select(col(idCol).cast("long").as("nn_id"),
         pqEncodeUdf(cb)(widen(col(vecCol))).as("code"),
-        argmaxCellUdf(cents)(widen(col(vecCol))).as("cell"))
+        graft.functions.IvfCells.argmaxCell(widen(col(vecCol)), cents, normalize = false).as("cell"))
       .as[(Long, Seq[Int], Int)]
       .flatMap { case (nnId, code, cell) =>
         val ca = code.toArray
@@ -915,7 +919,7 @@ object Similarity {
     val cents = md5Centroids(nCells, dim)
     corpus.select(col(idCol).cast("long").as("nn_id"),
         pqEncodeUdf(cb)(widen(col(vecCol))).as("code"),
-        argmaxCellUdf(cents)(widen(col(vecCol))).as("cell"))
+        graft.functions.IvfCells.argmaxCell(widen(col(vecCol)), cents, normalize = false).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
     (for { s <- cb.indices; j <- cb(s).indices }
       yield (s, j, cb(s)(j).toSeq)).toDF("sub", "code", "centroid")

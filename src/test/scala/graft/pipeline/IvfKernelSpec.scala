@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential gate for the codegen'd IVF kernels: the boxed-UDF twins
+  * (ivfAssignUdf / ivfProbeUdf / argmaxCellUdf — the shapes that shipped
+  * through r13) must agree BIT-EXACTLY with [[graft.functions.IvfCells]]
+  * on adversarial vectors: near-ties, zero vectors, short rows, negative
+  * components. In the same package because the twins are
+  * private[pipeline] by design (test-reference only). */
+class IvfKernelSpec extends AnyFunSuite {
+  import graft.TestSpark._
+  import spark.implicits._
+
+  // deterministic "random" vectors: splitmix-ish integer hash per (row, dim)
+  private def vec(row: Int, d: Int): Array[Double] =
+    Array.tabulate(d) { i =>
+      val z = (row * 2654435769L + i * 40503L + 0x9e3779b97f4a7c15L)
+      ((z ^ (z >>> 31)) % 1000L).toDouble / 250.0 - 2.0
+    }
+
+  private val cents: Array[Array[Double]] =
+    Array.tabulate(7)(ci => vec(1000 + ci, 16))
+  // include: regular rows, an exact copy of a centroid (tie pressure),
+  // the zero vector, a shorter row, and sign-flipped rows
+  private val rows: Seq[(Long, Array[Double])] =
+    (0 until 40).map(r => (r.toLong, vec(r, 16))) ++ Seq(
+      (100L, cents(3).clone()),
+      (101L, Array.fill(16)(0.0)),
+      (102L, vec(7, 9)),
+      (103L, cents(5).map(-_)))
+
+  test("IvfCells.argmaxCell == boxed UDF twins (normalized and raw)") {
+    val df = rows.toDF("id", "v").persist()
+    for (normalize <- Seq(true, false)) {
+      val exprCol = graft.functions.IvfCells.argmaxCell(col("v"), cents, normalize)
+      val udfCol =
+        if (normalize) Similarity.ivfAssignUdf(cents)(col("v"))
+        else Similarity.argmaxCellUdf(cents)(col("v"))
+      val diff = df.select(col("id"), exprCol.as("a"), udfCol.as("b"))
+        .filter(col("a") =!= col("b"))
+      assert(diff.isEmpty, s"normalize=$normalize: ${diff.collect().mkString(",")}")
+    }
+    df.unpersist()
+  }
+
+  test("IvfCells.probeCells == boxed UDF twin for every nProbe") {
+    val df = rows.toDF("id", "v").persist()
+    for (nProbe <- Seq(1, 2, 3, 7)) {
+      val exprCol = graft.functions.IvfCells.probeCells(col("v"), cents, nProbe,
+        normalize = true)
+      val udfCol = Similarity.ivfProbeUdf(cents, nProbe)(col("v"))
+      val diff = df.select(col("id"), exprCol.as("a"), udfCol.as("b"))
+        .filter(col("a") =!= col("b"))
+      assert(diff.isEmpty, s"nProbe=$nProbe: ${diff.collect().mkString(",")}")
+    }
+    df.unpersist()
+  }
+
+  test("probeCells at nProbe = nCells is a permutation ordered by score") {
+    val df = rows.toDF("id", "v")
+    val all = df.select(graft.functions.IvfCells.probeCells(col("v"), cents,
+      cents.length, normalize = true).as("p"))
+      .as[Seq[Int]].collect()
+    all.foreach(p => assert(p.sorted == (0 until cents.length)))
+  }
+}
