@@ -16,6 +16,18 @@ object CurationQueries extends QueryPack {
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
 
+  /** q249's raw-WARC fixture (graft.tools.MakeWarcFixture — one gzip
+    * member per record, CC layout) + its independently-derived parquet
+    * twin for the oracle. */
+  private val warcDir = "/root/repo/src/test/resources/warc"
+
+  /** q249's stopword banks — one clear winner per fixture language. */
+  private val warcVocabs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "slow"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la"),
+    "fr" -> Seq("le", "les"))
+
   /** Stopword list the q140 chain gate scores against — mirrored into
     * the oracle as a SQL IN-list. */
   private val chainStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -2086,7 +2098,64 @@ object CurationQueries extends QueryPack {
               |      FROM cst JOIN ns USING (source) JOIN nt USING (w), tt WHERE cst.c >= 5)
               |SELECT source, CAST(row_number() OVER (PARTITION BY source ORDER BY pmi_e9 DESC, w) AS BIGINT) AS rk,
               |       w AS token, pmi_e9
-              |FROM p QUALIFY rk <= 10""".stripMargin)))
+              |FROM p QUALIFY rk <= 10""".stripMargin)),
+
+    Query(
+      "q249_warc_pipeline",
+      "Raw-WARC ingestion end-to-end: the engine's own DataSource V2 reads the Common-Crawl-layout fixture (one gzip member per record, byte-range splits resynchronized at member boundaries — graft.sources.Warc), keeps response+conversion records, drops HTTP envelope headers, strips HTML (q146 chain), language-IDs, and aggregates per (warc_type, lang). The DuckDB oracle replays the identical text chain from the INDEPENDENTLY-derived parquet twin of the same records (never from the WARC bytes), so equality proves the archive decode: gzip member walking, header parsing, Content-Length framing, payload bytes. At 100 TB this is the CC ingest shape: map-only from the scan to one lang-bounded groupBy.",
+      (s, _) => {
+        val recs = graft.sources.Warc.read(s, s"$warcDir/cc_sample.warc.gz")
+          .filter(col("warc_type").isin("response", "conversion"))
+          .select(col("warc_type"), col("content").cast("string").as("raw"))
+        val bodyPos = locate("\r\n\r\n", col("raw"))
+        val body = when(col("warc_type") === "response",
+          col("raw").substr(bodyPos + 4, length(col("raw")))).otherwise(col("raw"))
+        val toks = graft.functions.Barrier(
+          TextAnalysis.tokens(TextAnalysis.stripHtml(graft.functions.Barrier(body))))
+        recs
+          .select(col("warc_type"), toks.as("t"))
+          .select(col("warc_type"),
+            TextAnalysis.langIdFromTokens(col("t"), warcVocabs).as("lang"),
+            size(col("t")).cast("long").as("nt"),
+            (length(concat_ws(" ", col("t")))).cast("long").as("nc"))
+          .groupBy(col("warc_type"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).cast("long").as("total_tokens"),
+            sum(col("nc")).cast("long").as("total_chars"))
+      },
+      Some {
+        val scores = warcVocabs.map { case (lang, vocab) =>
+          val inList = vocab.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(tk, x -> x IN ($inList))) AS s_$lang"
+        }.mkString(",\n  ")
+        val names = warcVocabs.map(_._1)
+        val mx = s"greatest(${names.map("s_" + _).mkString(", ")})"
+        val pred = names.map(l => s"WHEN s_$l = __mx THEN '$l'").mkString(" ")
+        s"""WITH r AS (SELECT warc_type, content FROM read_parquet('$warcDir/twin.parquet/*.parquet')
+           |  WHERE warc_type IN ('response', 'conversion')),
+           |b AS (SELECT warc_type, CASE WHEN warc_type = 'response'
+           |  THEN substr(content, strpos(content, chr(13)||chr(10)||chr(13)||chr(10)) + 4)
+           |  ELSE content END AS t FROM r),
+           |s1 AS (SELECT warc_type, regexp_replace(t, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM b),
+           |s2 AS (SELECT warc_type, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+           |s3 AS (SELECT warc_type, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+           |e1 AS (SELECT warc_type, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s3),
+           |e2 AS (SELECT warc_type, regexp_replace(t, '&gt;', '>', 'g') AS t FROM e1),
+           |e3 AS (SELECT warc_type, regexp_replace(t, '&quot;', '"', 'g') AS t FROM e2),
+           |e4 AS (SELECT warc_type, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM e3),
+           |e5 AS (SELECT warc_type, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM e4),
+           |e6 AS (SELECT warc_type, regexp_replace(t, '&amp;', '&', 'g') AS t FROM e5),
+           |f AS (SELECT warc_type,
+           |  list_filter(string_split(trim(regexp_replace(t, '\\s+', ' ', 'g')), ' '), x -> x != '') AS tk
+           |  FROM e6),
+           |sc AS (SELECT warc_type, tk, $scores FROM f),
+           |p AS (SELECT warc_type, tk, CASE $pred END AS lang
+           |      FROM (SELECT *, $mx AS __mx FROM sc))
+           |SELECT warc_type, lang, count(*) AS n_docs,
+           |CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+           |CAST(sum(len(array_to_string(tk, ' '))) AS BIGINT) AS total_chars
+           |FROM p GROUP BY 1, 2""".stripMargin
+      }))
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

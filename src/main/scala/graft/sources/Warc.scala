@@ -1,0 +1,341 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import java.util.zip.Inflater
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Spark DataSource V2 for WARC/WET web archives (ISO 28500 — the
+  * format Common Crawl ships, and therefore the format every
+  * web-corpus training pipeline actually starts from):
+  * `spark.read.format("warc").load(path)` over `.warc` or `.warc.gz`.
+  *
+  * Scale design, mirroring the ROOT source's basket-alignment trick
+  * (`graft.sources.root.RootSource`):
+  *  - **gzip files split at MEMBER boundaries.** Common Crawl writes
+  *    one gzip member per record precisely so readers can split
+  *    mid-file; partitions are byte ranges sized to
+  *    `spark.sql.files.maxPartitionBytes`, and each reader owns the
+  *    members STARTING in its range — resynchronized by scanning for
+  *    the gzip magic and validating that the candidate inflates to a
+  *    `WARC/` signature, then decoded with exact compressed-offset
+  *    tracking (`Inflater.getBytesRead`), so every record is read
+  *    exactly once with no double-decompression;
+  *  - **column pruning is real**: pruning `content` skips payload
+  *    materialization entirely (headers still parse — they are the
+  *    skip index);
+  *  - uncompressed `.warc` reads as one partition per file (records
+  *    are only delimited by their own Content-Length, so a safe
+  *    mid-file resync does not exist without the gzip framing — CC
+  *    ships gzip; plain files are a dev convenience).
+  *
+  * One row per record: (path, record_offset, warc_type, record_id,
+  * target_uri, warc_date, content_type, content_length, content).
+  * `record_offset` is the byte offset of the record's gzip member
+  * (or of the record itself when uncompressed) — joinable against CDX
+  * index offsets. Malformed framing fails loudly with the offset. */
+final class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Warc.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new WarcTable(Warc.paths(new CaseInsensitiveStringMap(properties)))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object Warc {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("record_offset", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  private[sources] def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val many = Option(options.get("paths")).map { js =>
+      org.json4s.jackson.JsonMethods.parse(js) match {
+        case org.json4s.JArray(vs) => vs.map {
+          case org.json4s.JString(s) => s
+          case other => throw new IllegalArgumentException(
+            s"'paths' must be a JSON array of strings, got element: $other")
+        }
+        case org.json4s.JString(s) => Seq(s)
+        case _ => throw new IllegalArgumentException(
+          s"'paths' must be a JSON array of strings: $js")
+      }
+    }.getOrElse(Nil)
+    val one = Option(options.get("path")).map(_.trim).filter(_.nonEmpty).toSeq
+    val all = (many ++ one).distinct
+    require(all.nonEmpty, "warc source: no path given")
+    all
+  }
+
+  /** One parsed record: lower-cased WARC header map + content block. */
+  private[sources] final case class Rec(offset: Long,
+      headers: Map[String, String], content: Array[Byte])
+
+  /** Parse every WARC record in a decompressed block (one per gzip
+    * member in CC layout; many for whole-file members / plain files).
+    * `perRecordOffsets`: true for PLAIN blocks, where `offset +
+    * recStart` is a real file offset; false for gzip members, where
+    * only the member's compressed offset is meaningful (CDX joins use
+    * exactly that). */
+  private[sources] def parseRecords(b: Array[Byte], offset: Long,
+      perRecordOffsets: Boolean = false): Seq[Rec] = {
+    val out = Seq.newBuilder[Rec]
+    var i = 0
+    def line(): String = {
+      val s = i
+      while (i < b.length && b(i) != '\n') i += 1
+      val e = if (i > s && b(i - 1) == '\r') i - 1 else i
+      if (i < b.length) i += 1 // consume \n
+      new String(b, s, e - s, "UTF-8")
+    }
+    while (i < b.length) {
+      // skip inter-record CRLFs
+      while (i < b.length && (b(i) == '\r' || b(i) == '\n')) i += 1
+      if (i >= b.length) return out.result()
+      val recStart = i
+      val version = line()
+      if (!version.startsWith("WARC/")) throw new IllegalArgumentException(
+        s"malformed WARC record at block offset $offset+$recStart: '$version'")
+      var headers = Map.newBuilder[String, String]
+      var l = line()
+      while (l.nonEmpty) {
+        val c = l.indexOf(':')
+        if (c > 0) headers += l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
+        l = line()
+      }
+      val h = headers.result()
+      val len = h.getOrElse("content-length",
+        throw new IllegalArgumentException(
+          s"WARC record at $offset+$recStart has no Content-Length")).toInt
+      require(i + len <= b.length,
+        s"WARC record at $offset+$recStart: content runs past block end")
+      out += Rec(if (perRecordOffsets) offset + recStart else offset,
+        h, java.util.Arrays.copyOfRange(b, i, i + len))
+      i += len
+    }
+    out.result()
+  }
+
+  /** Read a WARC/WET file (or glob of files) as a DataFrame. */
+  def read(spark: SparkSession, path: String*): DataFrame =
+    spark.read.format("warc").load(path: _*)
+}
+
+private[sources] final class WarcTable(paths: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"warc:${paths.mkString(",")}"
+  override def schema(): StructType = Warc.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths)
+}
+
+private[sources] final class WarcScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Warc.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+  override def build(): Scan = new WarcScan(paths, required)
+}
+
+private[sources] final case class WarcInputPartition(path: String,
+    start: Long, end: Long, gz: Boolean) extends InputPartition
+
+private[sources] final class WarcScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warc [${required.fieldNames.mkString(",")}] ${paths.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val target = math.max(1L << 20, SQLConf.get.filesMaxPartitionBytes)
+    paths.flatMap { p =>
+      val len = new java.io.File(p).length()
+      val gz = p.endsWith(".gz")
+      if (len == 0) Nil
+      else if (!gz) Seq(WarcInputPartition(p, 0L, len, gz = false))
+      else (0L until len by target).map(s =>
+        WarcInputPartition(p, s, math.min(s + target, len), gz = true))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required)
+}
+
+private[sources] final class WarcReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition], required)
+}
+
+/** Exact gzip-member walker: manual header parse + raw `Inflater` so
+  * the compressed end of every member is known to the byte
+  * (`getBytesRead` + the 8-byte crc/isize trailer) — the property that
+  * makes byte-range splits exactly-once. */
+final class GzipMembers(path: String) {
+  private val raf = new java.io.RandomAccessFile(path, "r")
+  val length: Long = raf.length()
+
+  def readAt(pos: Long, n: Int): Array[Byte] = {
+    val m = math.min(n.toLong, length - pos).toInt
+    if (m <= 0) return Array.emptyByteArray
+    val b = new Array[Byte](m)
+    raf.seek(pos)
+    raf.readFully(b)
+    b
+  }
+
+  /** First valid member boundary at or after `from` (gzip magic that
+    * really inflates to a `WARC/` signature), or -1. */
+  def findMember(from: Long): Long = {
+    var base = from
+    while (base < length) {
+      val buf = readAt(base, 1 << 16)
+      var i = 0
+      while (i < buf.length) {
+        if (buf(i) == 0x1f.toByte && i + 2 < buf.length &&
+            buf(i + 1) == 0x8b.toByte && buf(i + 2) == 8 && validAt(base + i))
+          return base + i
+        i += 1
+      }
+      // re-scan overlap of 2 bytes so a magic split across buffers is seen
+      base += math.max(1, buf.length - 2)
+      if (buf.length < 3) return -1L
+    }
+    -1L
+  }
+
+  private def validAt(pos: Long): Boolean =
+    try {
+      val (out, _) = inflateMember(pos, maxOut = 16)
+      out.length >= 5 && new String(out, 0, 5, "US-ASCII") == "WARC/"
+    } catch { case _: Exception => false }
+
+  /** Inflate the member starting at `pos`; returns (decompressed
+    * bytes, offset just past the member's 8-byte trailer). `maxOut`
+    * bounds output for validation probes (0 = unbounded). */
+  def inflateMember(pos: Long, maxOut: Int = 0): (Array[Byte], Long) = {
+    // gzip header: magic(2) cm(1) flg(1) mtime(4) xfl(1) os(1) [extras]
+    val h = readAt(pos, 1 << 10)
+    require(h.length >= 10 && h(0) == 0x1f.toByte && h(1) == 0x8b.toByte && h(2) == 8,
+      s"not a gzip member at $path:$pos")
+    val flg = h(3) & 0xff
+    var off = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      val xlen = (h(off) & 0xff) | ((h(off + 1) & 0xff) << 8)
+      off += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (h(off) != 0) off += 1; off += 1 }  // FNAME
+    if ((flg & 16) != 0) { while (h(off) != 0) off += 1; off += 1 } // FCOMMENT
+    if ((flg & 2) != 0) off += 2                                    // FHCRC
+    val dataStart = pos + off
+    val inf = new Inflater(true)
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    val outBuf = new Array[Byte](1 << 16)
+    var feed = dataStart
+    try {
+      while (!inf.finished() && (maxOut == 0 || out.size() < maxOut)) {
+        if (inf.needsInput()) {
+          val chunk = readAt(feed, 1 << 16)
+          require(chunk.nonEmpty, s"truncated gzip member at $path:$pos")
+          inf.setInput(chunk)
+          feed += chunk.length
+        }
+        val n = inf.inflate(outBuf)
+        if (n > 0) out.write(outBuf, 0, n)
+      }
+      (out.toByteArray, dataStart + inf.getBytesRead + 8)
+    } finally inf.end()
+  }
+
+  def close(): Unit = raf.close()
+}
+
+private[sources] final class WarcPartitionReader(p: WarcInputPartition,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val wantContent = required.fieldNames.contains("content")
+  private var pending: Iterator[Warc.Rec] = Iterator.empty
+  private var cur: Warc.Rec = _
+  private var gz: GzipMembers = _
+  private var pos = 0L
+  private var done = false
+
+  private def init(): Unit = {
+    if (p.gz) {
+      gz = new GzipMembers(p.path)
+      pos = if (p.start == 0) 0L else gz.findMember(p.start)
+      if (pos < 0 || pos >= p.end) done = true
+    } else {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p.path))
+      pending = Warc.parseRecords(bytes, 0L, perRecordOffsets = true).iterator
+      done = true // single block; nothing more to advance
+    }
+  }
+
+  private var inited = false
+
+  override def next(): Boolean = {
+    if (!inited) { init(); inited = true }
+    while (!pending.hasNext && !done) {
+      val (block, memberEnd) = gz.inflateMember(pos)
+      pending = Warc.parseRecords(block, pos).iterator
+      pos = if (memberEnd > pos) memberEnd else p.end
+      if (pos >= p.end) done = true
+      else {
+        // next member must start exactly here in CC layout; tolerate
+        // writers that pad by resyncing on the magic
+        val probe = gz.readAt(pos, 3)
+        if (!(probe.length == 3 && probe(0) == 0x1f.toByte &&
+              probe(1) == 0x8b.toByte && probe(2) == 8)) {
+          pos = gz.findMember(pos)
+          if (pos < 0 || pos >= p.end) done = true
+        }
+      }
+    }
+    if (pending.hasNext) { cur = pending.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val h = cur.headers
+    def str(k: String): Any = h.get(k).map(UTF8String.fromString).orNull
+    val out = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      out(i) = required.fields(i).name match {
+        case "path" => UTF8String.fromString(p.path)
+        case "record_offset" => cur.offset
+        case "warc_type" => str("warc-type")
+        case "record_id" => str("warc-record-id")
+        case "target_uri" => str("warc-target-uri")
+        case "warc_date" => str("warc-date")
+        case "content_type" => str("content-type")
+        case "content_length" => cur.content.length.toLong
+        case "content" => if (wantContent) cur.content else Array.emptyByteArray
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override def close(): Unit = if (gz != null) gz.close()
+}

@@ -1,0 +1,102 @@
+package graft.tools
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic WARC fixture generator (dev tool, run once; outputs are
+  * checked in under src/test/resources/warc/). Produces:
+  *
+  *  - `cc_sample.warc.gz` — Common-Crawl layout: ONE gzip member per
+  *    record (the property that makes mid-file byte-range splits
+  *    possible), mixing warcinfo / request / response (HTTP headers +
+  *    HTML payload) / conversion (WET plain text) records across four
+  *    languages;
+  *  - `cc_sample.warc` — the identical records uncompressed;
+  *  - `twin.parquet` — the record table derived INDEPENDENTLY from the
+  *    same definitions (never by reading the WARC back), the DuckDB
+  *    oracle's input for q249.
+  *
+  * Everything is arithmetic on the record index — no clock, no RNG —
+  * so regeneration is byte-identical (gzip mtime is 0 in Java's
+  * GZIPOutputStream). */
+object MakeWarcFixture {
+
+  final case class Def(i: Int, wtype: String, uri: String, content: String)
+
+  private val banks: Seq[Seq[String]] = Seq(
+    Seq("the", "fast", "key", "and", "the", "slow", "key", "kept", "the", "fast"),
+    Seq("der", "die", "und", "merge", "der", "die", "und", "merge", "der", "und"),
+    Seq("el", "la", "data", "join", "el", "la", "data", "join", "el", "la"),
+    Seq("le", "les", "row", "sort", "le", "les", "row", "sort", "le", "les"))
+
+  def defs: Seq[Def] = (0 until 40).map { i =>
+    val uri = s"http://example-${i % 7}.test/page/$i"
+    if (i == 0)
+      Def(i, "warcinfo", null, "software: graft-warc-fixture\r\nformat: WARC File Format 1.0\r\n")
+    else if (i % 10 == 9)
+      Def(i, "request", uri,
+        s"GET /page/$i HTTP/1.1\r\nHost: example-${i % 7}.test\r\nUser-Agent: graft\r\n\r\n")
+    else {
+      val text = (banks((i / 2) % 4) :+ s"item$i").mkString(" ")
+      if (i % 2 == 0)
+        Def(i, "response", uri,
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n" +
+            s"<html><head><title>Page $i</title><style>p { margin: 0; }</style>" +
+            "<script>var a = 1 &amp;&amp; 2;</script></head>" +
+            s"<body><h1>Doc $i</h1><!-- nav --><p>$text &amp; tail$i</p></body></html>")
+      else Def(i, "conversion", uri, text + s" extra$i\n")
+    }
+  }
+
+  private def recordBytes(d: Def): Array[Byte] = {
+    val content = d.content.getBytes("UTF-8")
+    val ctype = d.wtype match {
+      case "warcinfo" => "application/warc-fields"
+      case "request" => "application/http;msgtype=request"
+      case "response" => "application/http;msgtype=response"
+      case "conversion" => "text/plain"
+    }
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: ${d.wtype}\r\n")
+    sb.append(f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-${d.i}%012d>\r\n")
+    sb.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+    if (d.uri != null) sb.append(s"WARC-Target-URI: ${d.uri}\r\n")
+    sb.append(s"Content-Type: $ctype\r\n")
+    sb.append(s"Content-Length: ${content.length}\r\n")
+    sb.append("\r\n")
+    val head = sb.toString.getBytes("UTF-8")
+    val out = new ByteArrayOutputStream()
+    out.write(head); out.write(content); out.write("\r\n\r\n".getBytes("UTF-8"))
+    out.toByteArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("src/test/resources/warc")
+    new java.io.File(dir).mkdirs()
+
+    val gz = new FileOutputStream(s"$dir/cc_sample.warc.gz")
+    val plain = new FileOutputStream(s"$dir/cc_sample.warc")
+    defs.foreach { d =>
+      val rec = recordBytes(d)
+      plain.write(rec)
+      val member = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(member)
+      g.write(rec); g.finish(); g.close()
+      gz.write(member.toByteArray)
+    }
+    gz.close(); plain.close()
+
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    defs.map(d => (d.i.toLong, d.wtype, d.uri, d.content))
+      .toDF("rec_idx", "warc_type", "uri", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/twin.parquet")
+    spark.stop()
+    println(s"wrote ${defs.size} records to $dir")
+  }
+}

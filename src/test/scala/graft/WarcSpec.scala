@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC DataSource: gz-member splitting is exactly-once, plain == gz,
+  * engine reads == the independently-derived parquet twin, and column
+  * pruning holds. Fixture: src/test/resources/warc (40 records, one
+  * gzip member each — regenerate with graft.tools.MakeWarcFixture). */
+class WarcSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val dir = "src/test/resources/warc"
+  private def keyed(df: org.apache.spark.sql.DataFrame) = df
+    .select($"record_id", $"warc_type", $"target_uri", $"warc_date",
+      $"content_type", $"content_length", $"content".cast("string").as("c"))
+    .as[(String, String, String, String, String, Long, String)]
+    .collect().sortBy(_._1)
+
+  test("gz and plain files parse to identical records; twin parity") {
+    val gz = keyed(graft.sources.Warc.read(spark, s"$dir/cc_sample.warc.gz"))
+    val pl = keyed(graft.sources.Warc.read(spark, s"$dir/cc_sample.warc"))
+    assert(gz.length == 40 && gz.toSeq == pl.toSeq)
+    // parity against the twin (derived from the defs, never read back)
+    val twin = spark.read.parquet(s"$dir/twin.parquet")
+      .select($"rec_idx", $"warc_type", $"uri", $"content")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(gz.map(_._7).toSeq == twin.map(_._4).toSeq) // record_id order == rec_idx order
+    assert(gz.map(_._2).toSeq == twin.map(_._2).toSeq)
+    assert(gz.map(r => Option(r._3)).toSeq == twin.map(r => Option(r._3)).toSeq)
+  }
+
+  test("byte-range splits are exactly-once at forced-tiny partitions") {
+    val conf = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, (1 << 20).toString) // source clamps to >= 1 MiB
+      val one = graft.sources.Warc.read(spark, s"$dir/cc_sample.warc.gz")
+        .select($"record_id").as[String].collect().sorted.toSeq
+      assert(one.length == 40 && one.distinct.length == 40)
+    } finally spark.conf.set(conf, prev)
+    // below the planner clamp: drive the member walker directly across
+    // an artificial 512-byte grid and prove exactly-once reassembly
+    val gz = new graft.sources.GzipMembers(s"$dir/cc_sample.warc.gz")
+    try {
+      val bounds = (0L until gz.length by 512L) :+ gz.length
+      val offsets = bounds.sliding(2).flatMap { case Seq(s, e) =>
+        var pos = if (s == 0) 0L else gz.findMember(s)
+        val acc = Seq.newBuilder[Long]
+        while (pos >= 0 && pos < e) {
+          acc += pos
+          pos = gz.inflateMember(pos)._2
+        }
+        acc.result()
+      }.toSeq
+      assert(offsets.length == 40 && offsets.distinct.length == 40)
+      assert(offsets == offsets.sorted)
+    } finally gz.close()
+  }
+
+  test("column pruning: content prunes away; offsets join CDX-style") {
+    val df = graft.sources.Warc.read(spark, s"$dir/cc_sample.warc.gz")
+      .select($"record_offset", $"content_length")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("record_offset") && !plan.contains("content#"),
+      s"content not pruned:\n$plan")
+    val offs = df.select($"record_offset").as[Long].collect().toSeq
+    assert(offs.length == 40 && offs.distinct.length == 40 && offs == offs.sorted)
+  }
+
+  test("malformed input fails loudly") {
+    val bad = java.nio.file.Files.createTempFile("bad", ".warc")
+    java.nio.file.Files.write(bad, "NOT A WARC\r\n\r\n".getBytes)
+    val e = intercept[Exception] {
+      graft.sources.Warc.read(spark, bad.toString).count()
+    }
+    assert(e.getMessage != null)
+  }
+}
