@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   *
   * Supported ops: Gemm (alpha/beta/transA/transB), MatMul, Add, Sub,
   * Mul, Relu, LeakyRelu, Sigmoid, Tanh, Softmax, Identity, Flatten —
-  * the standard MLP inventory. Anything else fails loudly at parse
+  * the standard MLP inventory. [[OnnxGraph]] extends the same
+  * three-way contract to the sentence-encoder DAG subset (Gather,
+  * ReduceMean pooling, LayerNormalization, residual element-wise
+  * chains). Anything else fails loudly at parse
   * time (scoring a silently-wrong graph at scale is the one outcome
   * worse than not scoring). [[OnnxWriter]] emits the same subset, so
   * in-engine models (e.g. the [[Classifier]] logistic gate) export to
@@ -471,7 +474,8 @@ object Onnx {
             // when the next linear op or the graph end arrives)
             ()
           case op => throw new IllegalArgumentException(
-            s"ONNX op '$op' unsupported (MLP subset: Gemm/MatMul/Add/Relu/LeakyRelu/Sigmoid/Tanh/Softmax/Identity/Flatten)")
+            s"ONNX op '$op' unsupported (MLP subset: Gemm/MatMul/Add/Relu/LeakyRelu/Sigmoid/Tanh/Softmax/Identity/Flatten; " +
+              "Gather/LayerNormalization/ReduceMean/residual graphs: use graft.pipeline.OnnxGraph)")
         }
         cur = n.outputs.head
       }

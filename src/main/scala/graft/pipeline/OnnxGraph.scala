@@ -1,0 +1,424 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** ONNX beyond the strict MLP chain — the DAG subset a small sentence
+  * encoder / quality-gate head actually uses: Gather (embedding
+  * lookup), ReduceMean (mean pooling over the gathered rows),
+  * LayerNormalization, residual element-wise Add/Sub/Mul between PRIOR
+  * node outputs (not just initializer biases), plus the
+  * [[Onnx.OnnxMlp]] inventory (Gemm/MatMul/activations). Anything else
+  * still fails loudly at lowering ([[Onnx]]'s contract: scoring a
+  * silently-wrong graph at scale is worse than not scoring).
+  *
+  * Values are matrices (rows x dim): the graph input enters as one row
+  * (a feature vector, or the token-id vector a Gather consumes);
+  * Gather fans it out to one row per id; ReduceMean collapses back.
+  * Rowness is tracked statically (One vs Many) so element-wise ops
+  * resolve their broadcast shape at lowering, never at runtime.
+  *
+  * Like [[Onnx.OnnxMlp]], ONE lowered program scores three ways with
+  * pinned association order everywhere (left folds; per-row binds via
+  * one-element `transform` lambdas so no subtree is ever duplicated):
+  *
+  *  1. [[OnnxGraph.columns]] — built-in Column HOFs in double
+  *     precision, the env threaded as a let-bound array of matrices;
+  *  2. [[OnnxGraph.score]] — float32 JVM loop (true ONNX numerics);
+  *  3. [[OnnxGraph.toSql]] — the DuckDB twin replaying (1)
+  *     bit-for-bit (list comprehensions as the let binder,
+  *     list_prepend/list_reduce as the left fold).
+  */
+object OnnxGraph {
+  import Onnx.{Model, Tensor}
+
+  /** Static row-count tag: One = exactly one row; Many = runtime n. */
+  private final val One = 1
+  private final val Many = -1
+
+  sealed trait GOp
+  /** Per-row dense: row · w + b (w is (in, out) row-major). */
+  final case class GDense(in: Int, w: Array[Array[Float]], b: Array[Float]) extends GOp
+  /** Per-row, per-element activation; softmax normalizes per row. */
+  final case class GAct(in: Int, act: String) extends GOp
+  /** Element-wise op; right side is a prior value slot or a constant
+    * row vector (initializer). `bOne`: the right slot is statically
+    * one-row and broadcasts over a many-row left. */
+  final case class GEltwise(a: Int, b: Either[Int, Array[Float]], op: String,
+      bOne: Boolean) extends GOp
+  final case class GLayerNorm(in: Int, gamma: Array[Float], beta: Array[Float],
+      eps: Float) extends GOp
+  /** Embedding lookup: value `idsIn` row 1 indexes `table` (V x d). */
+  final case class GGather(idsIn: Int, table: Array[Array[Float]]) extends GOp
+  /** Mean over rows (axis 0) — the pooling collapse back to one row. */
+  final case class GReduceMean(in: Int) extends GOp
+
+  /** Lower a parsed [[Onnx.Model]] to the op list. Slot 0 is the graph
+    * input; op k writes slot k+1. */
+  def fromModel(m: Model): OnnxGraph = {
+    val ops = Seq.newBuilder[GOp]
+    val slotOf = scala.collection.mutable.Map[String, Int](m.inputName -> 0)
+    val rowsOf = scala.collection.mutable.ArrayBuffer[Int](One)
+    var next = 1
+    def tensorOf(name: String): Tensor = m.initializers.getOrElse(name,
+      throw new IllegalArgumentException(s"'$name' is not an initializer — dynamic weights unsupported"))
+    def asMatrix(t: Tensor, transposed: Boolean): Array[Array[Float]] = {
+      require(t.dims.size == 2, s"'${t.name}': expected 2-D tensor, dims=${t.dims}")
+      val (r, c) = (t.dims(0), t.dims(1))
+      val out = Array.ofDim[Float](if (transposed) c else r, if (transposed) r else c)
+      var i = 0
+      while (i < r) {
+        var j = 0
+        while (j < c) {
+          if (transposed) out(j)(i) = t.data(i * c + j) else out(i)(j) = t.data(i * c + j)
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+    def slot(name: String): Int = slotOf.getOrElse(name,
+      throw new IllegalArgumentException(s"'$name' is neither a node output nor the graph input"))
+    def emit(out: String, op: GOp, rows: Int): Unit = {
+      ops += op; rowsOf += rows; slotOf(out) = next; next += 1
+    }
+    m.nodes.foreach { n =>
+      n.opType match {
+        case "Gemm" =>
+          require(n.attrI("transA", 0L) == 0L, "Gemm transA=1 unsupported")
+          require(n.attrF("alpha", 1f) == 1f && n.attrF("beta", 1f) == 1f,
+            "Gemm alpha/beta != 1 unsupported — fold them into the weights at export")
+          val in = slot(n.inputs(0))
+          val w = asMatrix(tensorOf(n.inputs(1)), transposed = n.attrI("transB", 0L) == 1L)
+          val b = if (n.inputs.size > 2) tensorOf(n.inputs(2)).data else new Array[Float](w(0).length)
+          require(b.length == w(0).length, s"Gemm bias dim ${b.length} != out dim ${w(0).length}")
+          emit(n.outputs.head, GDense(in, w, b), rowsOf(in))
+        case "MatMul" =>
+          val in = slot(n.inputs(0))
+          val w = asMatrix(tensorOf(n.inputs(1)), transposed = false)
+          emit(n.outputs.head, GDense(in, w, new Array[Float](w(0).length)), rowsOf(in))
+        case "Add" | "Sub" | "Mul" =>
+          val op = n.opType.toLowerCase
+          val a = slot(n.inputs(0))
+          val right = n.inputs(1)
+          if (m.initializers.contains(right)) {
+            val t = tensorOf(right)
+            require(t.dims.size == 1 || t.dims.count(_ > 1) <= 1,
+              s"'$right': element-wise constant must be a vector, dims=${t.dims}")
+            emit(n.outputs.head, GEltwise(a, Right(t.data), op, bOne = true), rowsOf(a))
+          } else {
+            val b = slot(right)
+            val (ra, rb) = (rowsOf(a), rowsOf(b))
+            require(ra == rb || rb == One,
+              s"${n.opType}: shape mismatch (left rows=$ra, right rows=$rb)")
+            emit(n.outputs.head, GEltwise(a, Left(b), op, bOne = rb == One && ra != One), rowsOf(a))
+          }
+        case "Relu" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "relu"), rowsOf(in))
+        case "Sigmoid" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "sigmoid"), rowsOf(in))
+        case "Tanh" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "tanh"), rowsOf(in))
+        case "Softmax" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "softmax"), rowsOf(in))
+        case "LeakyRelu" =>
+          val in = slot(n.inputs(0))
+          emit(n.outputs.head, GAct(in, s"leakyrelu:${n.attrF("alpha", 0.01f)}"), rowsOf(in))
+        case "LayerNormalization" =>
+          require(n.attrI("axis", -1L) == -1L, "LayerNormalization axis != -1 unsupported")
+          val in = slot(n.inputs(0))
+          val gamma = tensorOf(n.inputs(1)).data
+          val beta = if (n.inputs.size > 2) tensorOf(n.inputs(2)).data else new Array[Float](gamma.length)
+          emit(n.outputs.head,
+            GLayerNorm(in, gamma, beta, n.attrF("epsilon", 1e-5f)), rowsOf(in))
+        case "Gather" =>
+          require(n.attrI("axis", 0L) == 0L, "Gather axis != 0 unsupported")
+          val table = asMatrix(tensorOf(n.inputs(0)), transposed = false)
+          val ids = slot(n.inputs(1))
+          emit(n.outputs.head, GGather(ids, table), Many)
+        case "ReduceMean" =>
+          val axes = n.attrs.get("axes")
+            .map(a => if (a.ints.nonEmpty) a.ints else a.i.toSeq)
+            .getOrElse(Seq(0L))
+          require(axes == Seq(0L), s"ReduceMean axes=$axes unsupported (mean pooling is axes=[0])")
+          val in = slot(n.inputs(0))
+          emit(n.outputs.head, GReduceMean(in), One)
+        case "Identity" | "Flatten" | "Dropout" =>
+          slotOf(n.outputs.head) = slot(n.inputs(0))
+        case op => throw new IllegalArgumentException(
+          s"ONNX op '$op' unsupported (DAG subset: Gemm/MatMul/Add/Sub/Mul/activations/" +
+            "LayerNormalization/Gather/ReduceMean/Identity/Flatten/Dropout)")
+      }
+    }
+    OnnxGraph(ops.result(), slot(m.outputName))
+  }
+
+  def parse(bytes: Array[Byte]): OnnxGraph = fromModel(Onnx.parse(bytes))
+
+  /** Serialize an arbitrary node/initializer list to ONNX protobuf
+    * bytes (the [[Onnx.OnnxWriter.mlp]] envelope, generalized so DAG
+    * fixtures — Gather/LayerNormalization/residual graphs — round-trip
+    * through the same public interchange format). Build nodes with
+    * [[Onnx.OnnxWriter.node]] and tensors with
+    * [[Onnx.OnnxWriter.tensor]]. */
+  def write(nodes: Seq[Onnx.PbWriter => Unit], inits: Seq[Onnx.PbWriter => Unit],
+      inputName: String = "x", outputName: String = "y"): Array[Byte] = {
+    val w = new Onnx.PbWriter
+    w.int(1, 8L) // ir_version
+    w.msg(14)(o => { o.str(1, ""); o.int(2, 17L) }) // opset 17
+    w.msg(7) { g =>
+      g.str(2, "graft_graph")
+      nodes.foreach(n => g.msg(1)(n))
+      inits.foreach(t => g.msg(5)(t))
+      g.msg(11)(v => { v.str(1, inputName); () })
+      g.msg(12)(v => { v.str(1, outputName); () })
+    }
+    w.bytes
+  }
+}
+
+/** A lowered ONNX DAG — see [[OnnxGraph$]] for the contract. `ops(k)`
+  * writes value slot k+1; slot 0 is the input (one row). */
+final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serializable {
+  import OnnxGraph._
+
+  // ---- float32 JVM path (true ONNX numerics) ----
+
+  def score(x: Array[Float]): Array[Float] = {
+    val vals = new Array[Array[Array[Float]]](ops.size + 1)
+    vals(0) = Array(x)
+    var k = 0
+    while (k < ops.size) {
+      vals(k + 1) = ops(k) match {
+        case GDense(in, w, b) =>
+          vals(in).map { row =>
+            require(row.length == w.length, s"dense in dim ${row.length} != ${w.length}")
+            val out = new Array[Float](b.length)
+            var j = 0
+            while (j < out.length) {
+              var acc = 0.0f; var i = 0
+              while (i < row.length) { acc += row(i) * w(i)(j); i += 1 }
+              out(j) = acc + b(j); j += 1
+            }
+            out
+          }
+        case GAct(in, act) => vals(in).map(row => actRow(row.clone(), act))
+        case GEltwise(a, b, op, bOne) =>
+          val ma = vals(a)
+          val f: (Float, Float) => Float = op match {
+            case "add" => _ + _
+            case "sub" => _ - _
+            case "mul" => _ * _
+          }
+          b match {
+            case Right(v) => ma.map(row => Array.tabulate(row.length)(i => f(row(i), v(i))))
+            case Left(bs) =>
+              val mb = vals(bs)
+              if (bOne || mb.length == 1)
+                ma.map(row => Array.tabulate(row.length)(i => f(row(i), mb(0)(i))))
+              else ma.indices.toArray.map(r =>
+                Array.tabulate(ma(r).length)(i => f(ma(r)(i), mb(r)(i))))
+          }
+        case GLayerNorm(in, gamma, beta, eps) =>
+          vals(in).map { row =>
+            val d = row.length
+            var s = 0.0f; var i = 0
+            while (i < d) { s += row(i); i += 1 }
+            val mean = s / d
+            var v = 0.0f; i = 0
+            while (i < d) { val c = row(i) - mean; v += c * c; i += 1 }
+            val inv = (1.0 / math.sqrt((v / d + eps).toDouble)).toFloat
+            Array.tabulate(d)(j => (row(j) - mean) * inv * gamma(j) + beta(j))
+          }
+        case GGather(ids, table) =>
+          vals(ids)(0).map { idf =>
+            val i = idf.toInt
+            require(i >= 0 && i < table.length, s"Gather index $i out of [0, ${table.length})")
+            table(i).clone()
+          }
+        case GReduceMean(in) =>
+          val m = vals(in)
+          val d = m(0).length
+          Array(Array.tabulate(d) { j =>
+            var s = 0.0f; var r = 0
+            while (r < m.length) { s += m(r)(j); r += 1 }
+            s / m.length
+          })
+      }
+      k += 1
+    }
+    val out = vals(outSlot)
+    require(out.length == 1, s"graph output has ${out.length} rows (pool to one row)")
+    out(0)
+  }
+
+  private def actRow(v: Array[Float], act: String): Array[Float] = act match {
+    case "relu" => var i = 0; while (i < v.length) { if (v(i) < 0f) v(i) = 0f; i += 1 }; v
+    case "sigmoid" =>
+      var i = 0; while (i < v.length) { v(i) = (1.0 / (1.0 + math.exp(-v(i)))).toFloat; i += 1 }; v
+    case "tanh" => var i = 0; while (i < v.length) { v(i) = math.tanh(v(i)).toFloat; i += 1 }; v
+    case a if a.startsWith("leakyrelu:") =>
+      val alpha = a.stripPrefix("leakyrelu:").toFloat
+      var i = 0; while (i < v.length) { if (v(i) < 0f) v(i) *= alpha; i += 1 }; v
+    case "softmax" =>
+      var m = Float.NegativeInfinity
+      v.foreach(x => if (x > m) m = x)
+      var s = 0.0; var i = 0
+      while (i < v.length) { val e = math.exp((v(i) - m).toDouble); s += e; v(i) = e.toFloat; i += 1 }
+      i = 0; while (i < v.length) { v(i) = (v(i) / s).toFloat; i += 1 }
+      v
+  }
+
+  // ---- Column path (double precision, env let-binding) ----
+
+  /** Let-bind: reference `c` many times without duplicating its tree. */
+  private def bind1(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** Forward pass over an `array<float|double>` column; returns the
+    * output row as `array<double>`. The env (array of matrices) is
+    * re-bound per op, so the plan stays linear in total weight count. */
+  def columns(x: Column): Column = {
+    var env: Column = array(array(x.cast("array<double>")))
+    ops.foreach { op =>
+      val cur = env
+      env = bind1(cur)(e => concat(e, array(colOf(e, op))))
+    }
+    element_at(element_at(env, outSlot + 1), 1)
+  }
+
+  private def colOf(e: Column, op: GOp): Column = op match {
+    case GDense(in, w, b) =>
+      transform(element_at(e, in + 1), row => {
+        val neurons = b.indices.map { j =>
+          val wj = typedLit(w.map(_(j).toDouble).toSeq)
+          aggregate(zip_with(row, wj, _ * _), lit(0.0), _ + _) + lit(b(j).toDouble)
+        }
+        array(neurons: _*)
+      })
+    case GAct(in, act) =>
+      transform(element_at(e, in + 1), row => actCol(row, act))
+    case GEltwise(a, bSide, op2, bOne) =>
+      val ma = element_at(e, a + 1)
+      def f(x: Column, y: Column): Column = op2 match {
+        case "add" => x + y
+        case "sub" => x - y
+        case "mul" => x * y
+      }
+      bSide match {
+        case Right(v) =>
+          val vl = typedLit(v.map(_.toDouble).toSeq)
+          transform(ma, row => zip_with(row, vl, f))
+        case Left(bs) =>
+          val mb = element_at(e, bs + 1)
+          if (bOne) transform(ma, row => zip_with(row, element_at(mb, 1), f))
+          else zip_with(ma, mb, (ra, rb) => zip_with(ra, rb, f))
+      }
+    case GLayerNorm(in, gamma, beta, eps) =>
+      val gl = typedLit(gamma.map(_.toDouble).toSeq)
+      val bl = typedLit(beta.map(_.toDouble).toSeq)
+      transform(element_at(e, in + 1), row =>
+        bind1(aggregate(row, lit(0.0), _ + _) / size(row).cast("double")) { mean =>
+          bind1(aggregate(transform(row, v => (v - mean) * (v - mean)),
+              lit(0.0), _ + _) / size(row).cast("double")) { vr =>
+            zip_with(
+              zip_with(row, gl, (v, g) => (v - mean) / sqrt(vr + lit(eps.toDouble)) * g),
+              bl, (y, bb) => y + bb)
+          }
+        })
+    case GGather(ids, table) =>
+      val tl = typedLit(table.map(_.map(_.toDouble).toSeq).toSeq)
+      transform(element_at(element_at(e, ids + 1), 1),
+        i => element_at(tl, i.cast("int") + 1))
+    case GReduceMean(in) =>
+      bind1(element_at(e, in + 1)) { m =>
+        array(transform(sequence(lit(1), size(element_at(m, 1))), j =>
+          aggregate(transform(m, r => element_at(r, j)), lit(0.0), _ + _) /
+            size(m).cast("double")))
+      }
+  }
+
+  private def actCol(row: Column, act: String): Column = act match {
+    case "relu" => transform(row, v => greatest(v, lit(0.0)))
+    case "sigmoid" => transform(row, v => lit(1.0) / (lit(1.0) + exp(-v)))
+    case "tanh" => transform(row, v => org.apache.spark.sql.functions.tanh(v))
+    case a if a.startsWith("leakyrelu:") =>
+      val alpha = a.stripPrefix("leakyrelu:").toDouble
+      transform(row, v => when(v < 0, v * alpha).otherwise(v))
+    case "softmax" =>
+      bind1(array_max(row)) { mx =>
+        bind1(transform(row, v => exp(v - mx))) { er =>
+          bind1(aggregate(er, lit(0.0), _ + _)) { sm =>
+            transform(er, w => w / sm)
+          }
+        }
+      }
+  }
+
+  // ---- DuckDB twin ----
+
+  private def sqlLit(f: Float): String = {
+    val d = f.toDouble
+    if (d == d.floor && math.abs(d) < 1e15) s"CAST(${d.toLong} AS DOUBLE)"
+    else s"CAST(${java.lang.Double.toString(d)} AS DOUBLE)"
+  }
+  private def vecLit(v: Array[Float]): String = v.map(sqlLit).mkString("[", ", ", "]")
+
+  /** Forward pass as DuckDB SQL over a list-column expression `x` —
+    * the [[columns]] oracle twin (same binds, same fold order). */
+  def toSql(x: String): String = {
+    var cur = s"[[list_transform($x, v -> CAST(v AS DOUBLE))]]"
+    ops.foreach { op =>
+      cur = s"([list_append(env, ${sqlOf("env", op)}) for env in [$cur]][1])"
+    }
+    s"($cur[${outSlot + 1}][1])"
+  }
+
+  private def fold(items: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $items), (a, p) -> a + p)"
+
+  private def sqlOf(e: String, op: GOp): String = op match {
+    case GDense(in, w, b) =>
+      // static index expansion (the OnnxMlp renderer's convention —
+      // list_zip structs are deliberately avoided)
+      val neurons = b.indices.map { j =>
+        val prods = w.indices.map(i => s"row[${i + 1}] * ${sqlLit(w(i)(j))}")
+        s"(${fold(s"[${prods.mkString(", ")}]")} + ${sqlLit(b(j))})"
+      }
+      s"list_transform($e[${in + 1}], row -> [${neurons.mkString(", ")}])"
+    case GAct(in, act) =>
+      s"list_transform($e[${in + 1}], row -> ${actSql("row", act)})"
+    case GEltwise(a, bSide, op2, bOne) =>
+      val sym = op2 match { case "add" => "+"; case "sub" => "-"; case "mul" => "*" }
+      bSide match {
+        case Right(v) =>
+          s"([list_transform($e[${a + 1}], row -> list_transform(generate_series(1, len(row)), j -> row[j] $sym cv[j])) for cv in [${vecLit(v)}]][1])"
+        case Left(bs) if bOne =>
+          s"([list_transform($e[${a + 1}], row -> list_transform(generate_series(1, len(row)), j -> row[j] $sym bv[j])) for bv in [$e[${bs + 1}][1]]][1])"
+        case Left(bs) =>
+          s"([[list_transform(generate_series(1, len(ma)), r -> list_transform(generate_series(1, len(ma[r])), j -> ma[r][j] $sym mb[r][j])) for mb in [$e[${bs + 1}]]][1] for ma in [$e[${a + 1}]]][1])"
+      }
+    case GLayerNorm(in, gamma, beta, eps) =>
+      val core = "[" + gamma.indices.map(j =>
+        s"(row[${j + 1}] - mean) / sqrt(vr + ${sqlLit(eps)}) * ${sqlLit(gamma(j))} + ${sqlLit(beta(j))}")
+        .mkString(", ") + "]"
+      s"list_transform($e[${in + 1}], row -> " +
+        s"[[$core for vr in [${fold("list_transform(row, v -> (v - mean) * (v - mean))")} / len(row)]][1]" +
+        s" for mean in [${fold("row")} / len(row)]][1])"
+    case GGather(ids, table) =>
+      val tl = table.map(r => vecLit(r)).mkString("[", ", ", "]")
+      s"([list_transform($e[${ids + 1}][1], i -> tbl[CAST(i AS INT) + 1]) for tbl in [$tl]][1])"
+    case GReduceMean(in) =>
+      s"([[list_transform(generate_series(1, len(m[1])), j -> " +
+        s"${fold("list_transform(m, r -> r[j])")} / len(m))] for m in [$e[${in + 1}]]][1])"
+  }
+
+  private def actSql(row: String, act: String): String = act match {
+    case "relu" => s"list_transform($row, v -> greatest(v, CAST(0.0 AS DOUBLE)))"
+    case "sigmoid" => s"list_transform($row, v -> 1.0 / (1.0 + exp(-v)))"
+    case "tanh" => s"list_transform($row, v -> tanh(v))"
+    case a if a.startsWith("leakyrelu:") =>
+      val alpha = a.stripPrefix("leakyrelu:").toDouble
+      s"list_transform($row, v -> CASE WHEN v < 0 THEN v * $alpha ELSE v END)"
+    case "softmax" =>
+      s"([[[list_transform(er, w -> w / sm) for sm in [${fold("er")}]][1]" +
+        s" for er in [list_transform($row, v -> exp(v - mx))]][1]" +
+        s" for mx in [list_aggregate($row, 'max')]][1])"
+  }
+}

@@ -1901,8 +1901,64 @@ object PipelineQueries extends QueryPack {
              |SELECT source, CAST(count(*) AS BIGINT) AS n_golden,
              |  CAST(2 * count(*) AS BIGINT) AS sum_members,
              |  CAST(sum(length(name)) AS BIGINT) AS sum_name_len
-             |FROM a GROUP BY 1""".stripMargin))
+             |FROM a GROUP BY 1""".stripMargin)),
+
+    Query(
+      "q250_onnx_encoder",
+      "ONNX DAG inference one notch past the MLP chain (OnnxGraph): a Gather+ReduceMean+LayerNormalization+Gemm+Sigmoid sentence-encoder head, round-tripped through REAL ONNX bytes at registry-build time, scores every embeddings row — token ids derived from the row's own embedding values (floor-quantized, pmod 16), embedded via Gather from a pinned 16x8 table, mean-pooled, layer-normed, projected 8->4. Each output element quantizes to e6 INDEPENDENTLY before the per-(label, dim) integer sum (the q119 discipline - no order-dependent double sums). The oracle replays the identical forward pass from the SAME parsed graph via the generated DuckDB SQL (env let-binding comprehensions, list_prepend/list_reduce folds - bit-identical doubles). Scoring stays built-in Column HOFs inside the scan projection: the 100 TB batch shape.",
+      (s, dir) => {
+        import s.implicits._
+        val g = onnxEncoderGraph
+        val ids = transform(expr("slice(embedding, 1, 6)"),
+          v => pmod(floor(v.cast("double") * 4.0).cast("int"), lit(16)).cast("double"))
+        Tables.embeddings(s, dir)
+          .select($"label", g.columns(ids).as("y"))
+          .select($"label", posexplode(
+            transform($"y", v => floor(v * 1000000.0 + 0.5).cast("long"))).as(Seq("pos", "ye6")))
+          .select($"label", ($"pos" + 1).cast("long").as("dim"), $"ye6")
+          .groupBy($"label", $"dim")
+          .agg(count(lit(1)).as("n"), sum($"ye6").cast("long").as("sum_e6"))
+      },
+      Some {
+        val idsSql = "list_transform(embedding[1:6], v -> " +
+          "CAST((CAST(floor(CAST(v AS DOUBLE) * 4.0) AS INT) % 16 + 16) % 16 AS DOUBLE))"
+        val ySql = onnxEncoderGraph.toSql(idsSql)
+        s"""WITH y AS (SELECT label, $ySql AS y FROM embeddings),
+           |ex AS (SELECT label, j AS dim, CAST(floor(y[j] * 1000000.0 + 0.5) AS BIGINT) AS ye6
+           |       FROM y, generate_series(1, 4) g(j))
+           |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+           |       CAST(sum(ye6) AS BIGINT) AS sum_e6
+           |FROM ex GROUP BY 1, 2""".stripMargin
+      })
   )
+
+  /** q250's fixture: the Gather/LayerNorm/residual-era DAG — a 16x8
+    * embedding table, mean pooling, LayerNorm, an 8->4 projection and a
+    * sigmoid head, all exact small binary fractions, round-tripped
+    * through REAL ONNX bytes (OnnxGraph.write -> parse) at
+    * registry-build time. */
+  private[graft] lazy val onnxEncoderGraph: graft.pipeline.OnnxGraph = {
+    import graft.pipeline.OnnxGraph
+    val table = Array.tabulate(16, 8)((v, d) => (((v * 7 + d * 3) % 11) - 5) / 4.0f)
+    val gamma = Array.tabulate(8)(d => 1.0f + (d % 3) / 4.0f)
+    val beta = Array.tabulate(8)(d => ((d % 5) - 2) / 8.0f)
+    val w = Array.tabulate(8, 4)((i, j) => (((i * 5 + j * 7) % 13) - 6) / 8.0f)
+    val b = Array.tabulate(4)(j => (j - 1.5f) / 4.0f)
+    OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        Onnx.OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+        Onnx.OnnxWriter.node("ReduceMean", Seq("emb"), Seq("pool")),
+        Onnx.OnnxWriter.node("LayerNormalization", Seq("pool", "G", "B"), Seq("ln"),
+          Map("epsilon" -> Left(1e-5f))),
+        Onnx.OnnxWriter.node("Gemm", Seq("ln", "W", "Wb"), Seq("proj")),
+        Onnx.OnnxWriter.node("Sigmoid", Seq("proj"), Seq("y"))),
+      inits = Seq(
+        Onnx.OnnxWriter.tensor("T", Seq(16, 8), table.flatten),
+        Onnx.OnnxWriter.tensor("G", Seq(8), gamma),
+        Onnx.OnnxWriter.tensor("B", Seq(8), beta),
+        Onnx.OnnxWriter.tensor("W", Seq(8, 4), w.flatten),
+        Onnx.OnnxWriter.tensor("Wb", Seq(4), b))))
+  }
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights
     * are exact 1/32 binary fractions, round-tripped through REAL ONNX

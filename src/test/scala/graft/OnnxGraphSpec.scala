@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Onnx, OnnxGraph}
+import graft.pipeline.Onnx.OnnxWriter
+
+class OnnxGraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Gather -> ReduceMean -> LayerNorm -> Gemm -> residual Add: the
+    * sentence-encoder shape (embed, mean-pool, norm, project, skip). */
+  private def encoderBytes: Array[Byte] = OnnxGraph.write(
+    nodes = Seq(
+      OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+      OnnxWriter.node("ReduceMean", Seq("emb"), Seq("pool")),
+      OnnxWriter.node("LayerNormalization", Seq("pool", "G", "B"), Seq("ln"),
+        Map("epsilon" -> Left(0.0f))),
+      OnnxWriter.node("Gemm", Seq("ln", "W", "Wb"), Seq("proj")),
+      OnnxWriter.node("Add", Seq("proj", "ln"), Seq("y"))),
+    inits = Seq(
+      OnnxWriter.tensor("T", Seq(4, 2), Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),
+      OnnxWriter.tensor("G", Seq(2), Array(2f, 3f)),
+      OnnxWriter.tensor("B", Seq(2), Array(0.5f, -0.5f)),
+      OnnxWriter.tensor("W", Seq(2, 2), Array(1f, 0f, 0f, 1f)),
+      OnnxWriter.tensor("Wb", Seq(2), Array(0f, 0f))))
+
+  test("Gather+ReduceMean+LayerNorm+Gemm+residual round-trips and matches hand computation") {
+    val g = OnnxGraph.parse(encoderBytes)
+    // ids [2,0,2] -> rows [5,6],[1,2],[5,6] -> mean [11/3, 14/3]
+    // LN(eps=0): mean 25/6, sd 1/2 -> [-1, 1] -> *[2,3]+[0.5,-0.5] = [-1.5, 2.5]
+    // identity Gemm then residual: [-3, 5]
+    val y = g.score(Array(2f, 0f, 2f))
+    assert(y.length == 2)
+    assert(math.abs(y(0) - -3.0f) < 1e-4 && math.abs(y(1) - 5.0f) < 1e-4, y.toSeq.toString)
+  }
+
+  test("Column HOF path == float JVM loop on the encoder graph") {
+    val g = OnnxGraph.parse(encoderBytes)
+    val rows = (0 until 24).map(i =>
+      (i.toLong, Seq((i % 4).toDouble, ((i / 4) % 4).toDouble, ((i * 7) % 4).toDouble)))
+      .toDF("id", "ids")
+    val viaCols = rows.select($"id", g.columns($"ids").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.collect().foreach { r =>
+      val yl = g.score(r.getSeq[Double](1).map(_.toFloat).toArray)
+      val yc = viaCols(r.getLong(0))
+      yl.indices.foreach(i =>
+        assert(math.abs(yc(i) - yl(i)) < 1e-4, s"id ${r.getLong(0)} dim $i: ${yc(i)} vs ${yl(i)}"))
+    }
+  }
+
+  test("residual Mul between node outputs and softmax head") {
+    val bytes = OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gemm", Seq("x", "W", "Wb"), Seq("h")),
+        OnnxWriter.node("Relu", Seq("h"), Seq("r")),
+        OnnxWriter.node("Mul", Seq("r", "h"), Seq("m")),
+        OnnxWriter.node("Softmax", Seq("m"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("W", Seq(2, 2), Array(1f, -1f, 1f, 1f)),
+        OnnxWriter.tensor("Wb", Seq(2), Array(0f, 0f))))
+    val g = OnnxGraph.parse(bytes)
+    // x=[1,2]: h=[3,1], relu=[3,1], mul=[9,1], softmax=[e8/(e8+1)...]
+    val y = g.score(Array(1f, 2f))
+    val e8 = math.exp(0.0) + math.exp(-8.0)
+    assert(math.abs(y(0) - (1.0 / e8)) < 1e-5 && math.abs(y(1) - (math.exp(-8.0) / e8)) < 1e-5)
+    assert(math.abs(y.map(_.toDouble).sum - 1.0) < 1e-6)
+    // Column path agrees
+    val yc = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+      .select(g.columns($"v")).head().getSeq[Double](0)
+    y.indices.foreach(i => assert(math.abs(yc(i) - y(i)) < 1e-5))
+  }
+
+  test("unsupported ops / bad shapes fail loudly") {
+    val conv = OnnxGraph.write(
+      nodes = Seq(OnnxWriter.node("Conv", Seq("x", "W"), Seq("y"))),
+      inits = Seq(OnnxWriter.tensor("W", Seq(1, 1), Array(1f))))
+    assert(intercept[IllegalArgumentException](OnnxGraph.parse(conv))
+      .getMessage.contains("Conv"))
+    val badAxes = OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gather", Seq("T", "x"), Seq("e")),
+        OnnxWriter.node("ReduceMean", Seq("e"), Seq("y"),
+          Map("axes" -> Right(1L)))),
+      inits = Seq(OnnxWriter.tensor("T", Seq(2, 2), Array(1f, 2f, 3f, 4f))))
+    assert(intercept[IllegalArgumentException](OnnxGraph.parse(badAxes))
+      .getMessage.contains("ReduceMean"))
+    val g = OnnxGraph.parse(encoderBytes)
+    assert(intercept[IllegalArgumentException](g.score(Array(9f)))
+      .getMessage.contains("Gather index"))
+  }
+}
