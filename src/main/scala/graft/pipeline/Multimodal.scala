@@ -423,6 +423,27 @@ object Multimodal {
       .drop("__codes", "__mean")
   }
 
+  /** JVM twin of [[sceneCutFrames]]'s signature fold — shared with the
+    * streaming scene-cut state machine
+    * ([[graft.streaming.EventStream.sceneCutStream]]), which must hold
+    * the PREVIOUS frame's signature as O(1) state and therefore cannot
+    * use the Column form. Same slice-to-64, integer mean (floor div),
+    * strict `>` bit rule, and a*2+bit fold; ASCII/BMP frames only (the
+    * Column form's `ascii` reads the codepoint, `charAt` the UTF-16
+    * unit — equal on the basic plane). Empty frames fold to 0 on both
+    * paths. */
+  private[graft] def sceneSigJvm(frame: String): Long = {
+    val n = math.min(frame.length, 64)
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += frame.charAt(i).toLong; i += 1 }
+    val mean = if (n == 0) 0L else sum / n
+    var sig = 0L
+    i = 0
+    while (i < n) { sig = sig * 2L + (if (frame.charAt(i).toLong > mean) 1L else 0L); i += 1 }
+    sig
+  }
+
   /** Per-video scene statistics from [[sceneCutFrames]]: frame count,
     * cut count, 1 + cuts scenes, and the frame-index checksum of WHERE
     * the cuts fired. */

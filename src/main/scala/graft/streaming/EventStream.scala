@@ -545,4 +545,58 @@ object EventStream {
       UserSessions(uid, n, sorted.size)
     }
   }
+
+  final case class FramePoint(video: Long, idx: Long, frame: String)
+  final case class SceneSt(lastIdx: Long, prevSig: Long, has: Boolean)
+  final case class SceneCutOut(video: Long, idx: Long, sig: Long,
+      prev_sig: Option[Long], hamming: Option[Long], is_cut: Boolean)
+
+  /** Streaming twin of [[graft.pipeline.Multimodal.sceneCutFrames]]
+    * (the q234 batch operator): per video the state is the O(1) pair
+    * (last folded frame idx, previous signature) — the same contract as
+    * [[ewmaStream]]/[[cusumStream]] — and each frame computes the
+    * shared signature fold ([[graft.pipeline.Multimodal.sceneSigJvm]]),
+    * emits (sig, prev_sig, hamming, is_cut), and becomes the new
+    * previous frame. Ingest-time shot detection: cuts fire as frames
+    * arrive, no per-video window buffering.
+    *
+    * Equality contract (the [[cusumStream]] one): identical to the
+    * batch lag-window whenever micro-batch boundaries respect frame
+    * order per video; a frame at or before the last folded idx arrives
+    * too late to change an already-emitted verdict and is DROPPED — the
+    * batch operator is the reconciliation pass. Idle videos evict on
+    * `idleTimeout`. */
+  def sceneCutStream(frames: Dataset[FramePoint], hammingThr: Int,
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[SceneCutOut] = {
+    require(hammingThr >= 0 && hammingThr <= 64, s"hammingThr in [0, 64]: $hammingThr")
+    import frames.sparkSession.implicits._
+    def fn(video: Long, pts: Iterator[FramePoint],
+        state: GroupState[SceneSt]): Iterator[SceneCutOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var st = state.getOption.getOrElse(SceneSt(Long.MinValue, 0L, has = false))
+        val out = collection.mutable.Buffer[SceneCutOut]()
+        for (p <- pts.toSeq.sortBy(_.idx) if p.idx > st.lastIdx) {
+          val sig = graft.pipeline.Multimodal.sceneSigJvm(p.frame)
+          if (!st.has) out += SceneCutOut(video, p.idx, sig, None, None, is_cut = false)
+          else {
+            val ham = java.lang.Long.bitCount(sig ^ st.prevSig).toLong
+            out += SceneCutOut(video, p.idx, sig, Some(st.prevSig), Some(ham),
+              is_cut = ham > hammingThr)
+          }
+          st = SceneSt(p.idx, sig, has = true)
+        }
+        state.update(st)
+        idleTimeout.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    frames.groupByKey(_.video)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fn)
+  }
 }

@@ -765,6 +765,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats(0)._2 == 4L && stats(0)._4 == stats(0)._3 + 1)
   }
 
+  test("sceneCutStream == batch sceneCutFrames on ordered frames; late replay dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.{FramePoint, SceneCutOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val frames = Seq(
+      (1L, 0L, "aaaazzzz"), (1L, 1L, "aaaazzzy"), (1L, 2L, "zzzzaaaa"), (1L, 3L, "zzzzaaaa"),
+      (2L, 0L, "abcdefgh"), (2L, 1L, "hgfedcba"),
+      (3L, 0L, ""), (3L, 1L, "x".repeat(80))) // empty + longer-than-64 frames
+    val src = MemoryStream[FramePoint]
+    val q = EventStream.sceneCutStream(src.toDS(), hammingThr = 2, idleTimeout = None)
+      .writeStream.format("memory").queryName("scene_out").outputMode("update").start()
+    try {
+      val pts = frames.map(f => FramePoint(f._1, f._2, f._3))
+      val (b1, b2) = pts.sortBy(p => (p.idx, p.video)).splitAt(pts.size / 2)
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData((b2 ++ b1.take(3)): _*) // late replay must be dropped
+      q.processAllAvailable()
+      val got = spark.table("scene_out").as[SceneCutOut].collect()
+        .map(o => (o.video, o.idx) -> ((o.sig, o.prev_sig, o.hamming, o.is_cut))).toMap
+      assert(got.size == frames.size, "one emission per frame, replay dropped")
+      val batch = graft.pipeline.Multimodal.sceneCutFrames(
+          frames.toDF("id", "idx", "fr"), "id", "idx", "fr", hammingThr = 2)
+        .select($"id", $"idx", $"sig", $"prev_sig", $"hamming", $"is_cut")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Boolean)].collect()
+      batch.foreach { case (id, idx, sig, prev, ham, cut) =>
+        assert(got((id, idx)) == ((sig, prev, ham, cut)), s"($id, $idx)")
+      }
+    } finally q.stop()
+  }
+
   test("PcmBackend extracts sine-wave audio features through inferFeatures") {
     // 0.1s of a 440 Hz sine at 16 kHz, amplitude 0.5, 16-bit LE PCM
     def sinePcm(freq: Double, amp: Double, sr: Int, nSamples: Int): Array[Byte] = {
