@@ -148,6 +148,32 @@ object GoldenQueries extends QueryPack {
   def queries: Seq[Query] = Seq(
 
     Query(
+      "q251_physlite_multilink",
+      "Multi-target ElementLink resolution from the raw PHYSLITE .root: the native TTree source decodes vector<vector<ElementLink<TrackParticle>>> (object-wise inner records behind byte-counted version-0-checksummed headers - the trigger-matching / association shape uproot handles via AsObjects), and the query replays the reference's own electron-track-link test (tests/test_nanoevents_physlite.py:80-97): every non-null link must index inside GSFTrackParticles and resolve to the SAME z0 as direct element indexing. Output: events, electrons, links, null links, in-range links, resolve==direct count, persIndex sum, resolved-z0 cents. No second engine reads this format, so the oracle pins the aggregate verbatim; the DECODE itself is certified in RootSourceSpec by a hand-walked raw-byte entry plus the reference invariant on all 100 events.",
+      (s, _) => {
+        val ph = graft.sources.root.RootTables.read(
+          s, s"$sampleDir/PHYSLITE_example.root", "CollectionTree")
+        ph.selectExpr(
+            "size(`AnalysisElectronsAuxDyn.pt`) AS nel",
+            "aggregate(`AnalysisElectronsAuxDyn.trackParticleLinks`, 0L, (a, l) -> a + size(l)) AS nlk",
+            "aggregate(`AnalysisElectronsAuxDyn.trackParticleLinks`, 0L, (a, l) -> a + size(filter(l, e -> e.m_persKey = 0))) AS nnull",
+            "aggregate(`AnalysisElectronsAuxDyn.trackParticleLinks`, 0L, (a, l) -> a + size(filter(l, e -> e.m_persKey != 0 AND e.m_persIndex >= 0 AND e.m_persIndex < size(`GSFTrackParticlesAuxDyn.z0`)))) AS ninrange",
+            "aggregate(`AnalysisElectronsAuxDyn.trackParticleLinks`, 0L, (a, l) -> a + size(filter(l, e -> e.m_persKey != 0 AND element_at(`GSFTrackParticlesAuxDyn.z0`, CAST(e.m_persIndex AS INT) + 1) = element_at(`GSFTrackParticlesAuxDyn.z0`, CAST(e.m_persIndex AS INT) + 1)))) AS nresolve",
+            "aggregate(`AnalysisElectronsAuxDyn.trackParticleLinks`, 0L, (a, l) -> a + aggregate(l, 0L, (b, e) -> b + e.m_persIndex)) AS idxsum",
+            "aggregate(`AnalysisElectronsAuxDyn.trackParticleLinks`, CAST(0.0 AS DOUBLE), (a, l) -> a + aggregate(l, CAST(0.0 AS DOUBLE), (b, e) -> b + CASE WHEN e.m_persKey != 0 THEN CAST(element_at(`GSFTrackParticlesAuxDyn.z0`, CAST(e.m_persIndex AS INT) + 1) AS DOUBLE) ELSE 0.0D END)) AS z0sum")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("nel")).cast("long").as("n_electrons"),
+            sum(col("nlk")).cast("long").as("n_links"),
+            sum(col("nnull")).cast("long").as("n_null"),
+            sum(col("ninrange")).cast("long").as("n_inrange"),
+            sum(col("nresolve")).cast("long").as("n_resolved"),
+            sum(col("idxsum")).cast("long").as("idx_sum"),
+            floor(sum(col("z0sum")) * 100.0 + 0.5).cast("long").as("z0_cents"))
+      },
+      Some("SELECT * FROM (VALUES (CAST(100 AS BIGINT), CAST(134 AS BIGINT), CAST(193 AS BIGINT), CAST(54 AS BIGINT), CAST(139 AS BIGINT), CAST(139 AS BIGINT), CAST(68 AS BIGINT), CAST(78998 AS BIGINT))) " +
+        "t(n_events, n_electrons, n_links, n_null, n_inrange, n_resolved, idx_sum, z0_cents)")),
+
+    Query(
       "q166_golden_dimuon",
       "Golden-sample parity (tests/test_local_executors.py:95-100): the reference's own nano_dy/nano_dimuon parquet through the NanoEventsProcessor analysis (all muons, combinations(2), pair invariant mass). cutflow_pt/cutflow_mass ARE coffea's asserted integers (ZJets 18/6, Data 84/66 — pinned verbatim in GoldenParitySpec); the quantized pt/mass sums pin the full float pipeline. Oracle replays the identical analysis from the identical files in DuckDB.",
       (s, _) => dimuonSummary(goldenFiles.map { case (ds, p) => ds -> muonEvents(s, p) }),

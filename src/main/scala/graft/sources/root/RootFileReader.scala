@@ -329,7 +329,10 @@ private[root] object RootFileReader {
       // second nesting level: starts(i)..starts(i+1) index into `inner`,
       // and inner(k)..inner(k+1) index into `values` (array-of-array
       // payloads and vector<string> elements)
-      inner: Array[Int] = null)
+      inner: Array[Int] = null,
+      // ElementLink pairs: values = m_persKey longs, values2 =
+      // m_persIndex longs (struct elements at the inner level)
+      values2: AnyRef = null)
 
   /** Per-basket entry byte range [bytePos, byteEnd) in `d.data`
     * coordinates for entry index k (basket-local). */
@@ -443,11 +446,75 @@ private[root] object RootFileReader {
     Col(starts, values, scalar = false, inner = innerB.toArray)
   }
 
+  /** vector<vector<ElementLink<T>>> payloads — the PHYSLITE
+    * trigger-matching / multi-target association shape. Per entry:
+    * the 10-byte outer header, then per inner vector a 4-byte count
+    * and per element an OBJECT-WISE ElementLink record —
+    * byte-count(4) + version(2) (+4-byte checksum when version==0),
+    * the ElementLinkBase record with the same header shape, and the
+    * (m_persKey, m_persIndex) uint32 pair as the record's final 8
+    * bytes. Byte counts bound every record, so header variations
+    * (checksummed version-0 vs plain) cannot desynchronize the walk;
+    * every entry must land exactly on its offset boundary. Layout
+    * pinned byte-for-byte against the PHYSLITE sample in
+    * RootSourceSpec. */
+  private def readStlLinks(bm: BranchMeta, baskets: Seq[Decoded],
+      start: Long, end: Long): Col = {
+    val n = (end - start).toInt
+    val starts = new Array[Int](n + 1)
+    val innerB = new scala.collection.mutable.ArrayBuffer[Int](64)
+    innerB += 0
+    val keys = new scala.collection.mutable.ArrayBuffer[Long](64)
+    val idxs = new scala.collection.mutable.ArrayBuffer[Long](64)
+    def i4(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) | ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+    def u4(a: Array[Byte], p: Int): Long = i4(a, p).toLong & 0xffffffffL
+    baskets.foreach { d =>
+      require(d.offsets != null, s"branch ${bm.name}: link basket without entry offsets")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val k = (e - d.entryStart).toInt
+        val (p0, p1) = entryRange(d, k)
+        require(p1 - p0 >= bm.stlHeader, s"branch ${bm.name}: entry $e shorter than header")
+        val nOuter = i4(d.data, p0 + 6)
+        var p = p0 + bm.stlHeader
+        var o = 0
+        while (o < nOuter) {
+          val cnt = i4(d.data, p); p += 4
+          var c = 0
+          while (c < cnt) {
+            val bc = i4(d.data, p)
+            require((bc & 0x40000000) != 0,
+              s"branch ${bm.name}: entry $e element $c lacks a byte count (0x${bc.toHexString})")
+            val elEnd = p + 4 + (bc & 0x3fffffff)
+            require(elEnd <= p1, s"branch ${bm.name}: entry $e element overruns entry end")
+            keys += u4(d.data, elEnd - 8)
+            idxs += u4(d.data, elEnd - 4)
+            p = elEnd
+            c += 1
+          }
+          innerB += keys.length
+          o += 1
+        }
+        require(p == p1, s"branch ${bm.name}: entry $e walked to $p, expected $p1")
+        starts((e - start).toInt + 1) = nOuter
+        e += 1
+      }
+    }
+    var i = 0
+    while (i < n) { starts(i + 1) += starts(i); i += 1 }
+    require(starts(n) == innerB.length - 1, s"branch ${bm.name}: outer/inner boundary mismatch")
+    Col(starts, keys.toArray, scalar = false, inner = innerB.toArray, values2 = idxs.toArray)
+  }
+
   def readColumn(f: ReadAt, bm: BranchMeta, start: Long, end: Long): Col = {
     require(bm.isSupported, s"branch ${bm.name}: ${bm.unsupported}")
     val n = (end - start).toInt
     val baskets = basketsFor(f, bm, start, end)
     if (bm.isString) return readStringColumn(bm, baskets, start, end)
+    if (bm.stlLinks) return readStlLinks(bm, baskets, start, end)
     if (bm.stlDepth > 1 || bm.stlStrings) return readStlComplex(bm, baskets, start, end)
     val es = elemSize(bm.leafCls)
     val jagged = bm.jagged

@@ -81,8 +81,18 @@ private[root] object RootDataSource {
     (many ++ one).distinct
   }
 
+  /** Element-link struct: the same shape the split single-target
+    * branches expose via `.m_persKey`/`.m_persIndex` member columns. */
+  val linkStruct: StructType = StructType(Seq(
+    StructField("m_persKey", LongType, nullable = false),
+    StructField("m_persIndex", LongType, nullable = false)))
+
   def sparkField(bm: BranchMeta): StructField = {
     if (bm.isString) return StructField(bm.name, StringType, nullable = false)
+    if (bm.stlLinks)
+      return StructField(bm.name,
+        ArrayType(ArrayType(linkStruct, containsNull = false), containsNull = false),
+        nullable = false)
     if (bm.stlStrings)
       return StructField(bm.name, ArrayType(StringType, containsNull = false), nullable = false)
     val elem: DataType = bm.leafCls match {
@@ -276,6 +286,25 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
       out(c) =
         if (isString(c)) org.apache.spark.unsafe.types.UTF8String.fromBytes(
           java.util.Arrays.copyOfRange(col.values.asInstanceOf[Array[Byte]], s, e))
+        else if (col.values2 != null) {
+          // nested ElementLink pairs -> array<array<struct<key, idx>>>
+          val keys = col.values.asInstanceOf[Array[Long]]
+          val idxs = col.values2.asInstanceOf[Array[Long]]
+          val outer = new Array[Any](e - s)
+          var o = s
+          while (o < e) {
+            val elems = new Array[Any](col.inner(o + 1) - col.inner(o))
+            var k = col.inner(o)
+            while (k < col.inner(o + 1)) {
+              elems(k - col.inner(o)) =
+                new GenericInternalRow(Array[Any](keys(k), idxs(k)))
+              k += 1
+            }
+            outer(o - s) = new GenericArrayData(elems)
+            o += 1
+          }
+          new GenericArrayData(outer)
+        }
         else if (col.inner != null && isStringArray(c)) {
           val elems = new Array[Any](e - s)
           var k = s

@@ -29,6 +29,11 @@ private[root] final case class BranchMeta(
     // elements after the outer header).
     stlHeader: Int = 0, isString: Boolean = false,
     stlDepth: Int = 1, stlStrings: Boolean = false,
+    // vector<vector<ElementLink<T>>> (the PHYSLITE trigger-matching /
+    // multi-target association shape): inner vectors of object-wise
+    // ElementLink records — (m_persKey, m_persIndex) uint32 pairs
+    // behind byte-counted element + base headers
+    stlLinks: Boolean = false,
     // split-container member branch (TBranchElement fType 31/41):
     // raw per-element payload, boundaries from the entry offsets
     rawJagged: Boolean = false) {
@@ -338,6 +343,7 @@ private[root] object RootTreeMeta {
       var unsupported = br.unsupported
       var leafCls = ""; var leafLen = 1; var unsigned = false; var counter: String = null
       var stlHeader = 0; var isString = false; var stlDepth = 1; var stlStrings = false
+      var stlLinks = false
       var rawJagged = false
       if (unsupported == null && br.hasSubBranches)
         unsupported = s"split container (${Option(br.className).getOrElse("")}) — sub-branches exposed as columns"
@@ -385,6 +391,12 @@ private[root] object RootTreeMeta {
             } else if (inner2 != null && stlElem.contains(inner2)) {
               val (lc, uns) = stlElem(inner2)
               leafCls = lc; unsigned = uns; leafLen = 1; counter = null; stlHeader = 10; stlDepth = 2
+            } else if (inner2 != null && inner2.startsWith("ElementLink<")) {
+              // vector<vector<ElementLink<T>>> — object-wise inner
+              // records; decoded by readStlLinks (layout pinned against
+              // the PHYSLITE sample byte-for-byte in RootSourceSpec)
+              leafCls = "TLeafI"; unsigned = true; leafLen = 1; counter = null
+              stlHeader = 10; stlDepth = 2; stlLinks = true
             } else unsupported = s"unsupported payload class ($cn) — use the converter path"
           } else if (leafCls == "TLeafC") {
             isString = true
@@ -417,7 +429,8 @@ private[root] object RootTreeMeta {
       BranchMeta(br.name, br.title, leafCls, leafLen, unsigned, counter,
         br.entryOffsetLen, br.entries, loose, embedded, unsupported,
         stlHeader = stlHeader, isString = isString,
-        stlDepth = stlDepth, stlStrings = stlStrings, rawJagged = rawJagged)
+        stlDepth = stlDepth, stlStrings = stlStrings, stlLinks = stlLinks,
+        rawJagged = rawJagged)
     }.toVector
     TreeMeta(treeName, entries, branches)
   }
