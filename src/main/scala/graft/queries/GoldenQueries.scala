@@ -174,6 +174,42 @@ object GoldenQueries extends QueryPack {
         "t(n_events, n_electrons, n_links, n_null, n_inrange, n_resolved, idx_sum, z0_cents)")),
 
     Query(
+      "q252_root_sink_roundtrip",
+      "ROOT TTree *sink* round-trip under a fully independent oracle: lineitem nests per order into the flattenCollections shape (shared-counter jagged prices/quantities), the in-engine writer emits real ROOT files (TFile header, streamer catalog, zlib baskets with entry-offset tables, leaf-count back-references - one standalone part file per partition, the parquet-part shape), the native TTree source reads them back, and the aggregate must equal DuckDB computing directly from the SOURCE parquet - so any drift anywhere in write-or-read (float bits, offsets, counter alignment, basket boundaries) breaks the hash. Per-item cents quantization before integer sums keeps the compare order-free.",
+      (s, dir) => {
+        val nested = graft.core.SchemaBuilder.nestRows(
+          graft.core.Tables.lineitem(s, dir), key = Seq("l_orderkey"), collection = "items",
+          fields = Seq("l_linenumber", "l_extendedprice", "l_quantity"),
+          sortFields = Seq("l_linenumber"))
+        val flat = nested.select(col("l_orderkey").cast("long").as("orderkey"),
+          transform(col("items"), _("l_extendedprice")).cast("array<double>").as("prices"),
+          transform(col("items"), _("l_quantity")).cast("array<double>").as("qtys"))
+        val tmp = java.nio.file.Files.createTempDirectory("q252_root_sink").toString
+        graft.sources.root.RootWriter.write(flat, tmp, "Events",
+          counters = Map("nItems" -> Seq("prices", "qtys")), basketEntries = 2000)
+        val files = new java.io.File(tmp).listFiles()
+          .map(_.getPath).filter(_.endsWith(".root")).sorted
+        val back = files.map(f => graft.sources.root.RootTables.read(s, f, "Events"))
+          .reduce(_.unionByName(_))
+        back.select(col("orderkey"), col("nItems").cast("long").as("n"),
+            expr("aggregate(prices, 0L, (a, x) -> a + CAST(floor(x * 100 + 0.5) AS BIGINT))").as("pc"),
+            expr("aggregate(qtys, 0L, (a, x) -> a + CAST(floor(x * 100 + 0.5) AS BIGINT))").as("qc"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("n")).cast("long").as("n_items"),
+            sum(col("pc")).cast("long").as("price_cents"),
+            sum(col("qc")).cast("long").as("qty_cents"),
+            sum(col("n") * col("orderkey")).cast("long").as("wsum"))
+      },
+      Some("""WITH o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS pc,
+             |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qc
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(n) AS BIGINT) AS n_items,
+             |  CAST(sum(pc) AS BIGINT) AS price_cents, CAST(sum(qc) AS BIGINT) AS qty_cents,
+             |  CAST(sum(n * l_orderkey) AS BIGINT) AS wsum
+             |FROM o""".stripMargin)),
+
+    Query(
       "q166_golden_dimuon",
       "Golden-sample parity (tests/test_local_executors.py:95-100): the reference's own nano_dy/nano_dimuon parquet through the NanoEventsProcessor analysis (all muons, combinations(2), pair invariant mass). cutflow_pt/cutflow_mass ARE coffea's asserted integers (ZJets 18/6, Data 84/66 — pinned verbatim in GoldenParitySpec); the quantized pt/mass sums pin the full float pipeline. Oracle replays the identical analysis from the identical files in DuckDB.",
       (s, _) => dimuonSummary(goldenFiles.map { case (ds, p) => ds -> muonEvents(s, p) }),

@@ -1,0 +1,452 @@
+package graft.sources.root
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Minimal ROOT TTree *writer* — the export leg the reference gets
+  * from uproot's writable files (`schemas/base.py:136-178`
+  * `uproot_writeable`: flat branch dicts back to ROOT). Scope is the
+  * [[graft.core.SchemaBuilder.flattenCollections]] output shape: flat
+  * primitive branches plus leaf-counted jagged arrays (NanoAOD's
+  * `nMuon` / `Muon_pt[nMuon]` convention), zlib-framed baskets.
+  *
+  * The emitted bytes target the SAME public format the in-engine
+  * reader decodes — TFile header, TKey records, a root-directory key
+  * list, basket records with entry-offset tables, the TTree metadata
+  * object graph, and a TStreamerInfo catalog describing the TTree/
+  * TBranch/TLeaf layouts actually written (the reader is
+  * streamer-driven, so the file self-describes; nothing is assumed
+  * shared between writer and reader but the public format). Round-trip
+  * equality write -> native read is pinned in RootSourceSpec.
+  *
+  * Layout notes (all formats per the public ROOT spec, cross-checked
+  * against the reader's parsers in [[RootCore]]/[[RootTreeMeta]]):
+  *  - small-file variant (4-byte seeks, version 63200);
+  *  - jagged branches write fEntryOffsetLen > 0 and per-basket entry
+  *    offset tables; their TLeaf carries an fLeafCount back-reference
+  *    (buffer position + keyLen + 2 — ROOT's object-map displacement)
+  *    to the counter branch's leaf, which must be written first;
+  *  - baskets compress with one ZL frame when it helps, else raw.
+  */
+object RootWriter {
+
+  /** Big-endian byte builder with absolute patching. */
+  private final class WBuf {
+    private var b = new Array[Byte](1 << 16)
+    var p = 0
+    private def ensure(n: Int): Unit =
+      if (p + n > b.length) b = java.util.Arrays.copyOf(b, math.max(b.length * 2, p + n))
+    def u1(v: Int): this.type = { ensure(1); b(p) = v.toByte; p += 1; this }
+    def i2(v: Int): this.type = { ensure(2); b(p) = (v >> 8).toByte; b(p + 1) = v.toByte; p += 2; this }
+    def i4(v: Int): this.type = {
+      ensure(4); b(p) = (v >> 24).toByte; b(p + 1) = (v >> 16).toByte
+      b(p + 2) = (v >> 8).toByte; b(p + 3) = v.toByte; p += 4; this
+    }
+    def i8(v: Long): this.type = { i4((v >> 32).toInt); i4(v.toInt) }
+    def f4(v: Float): this.type = i4(java.lang.Float.floatToIntBits(v))
+    def f8(v: Double): this.type = i8(java.lang.Double.doubleToLongBits(v))
+    def raw(a: Array[Byte]): this.type = { ensure(a.length); System.arraycopy(a, 0, b, p, a.length); p += a.length; this }
+    def tstr(s: String): this.type = {
+      val a = s.getBytes("ISO-8859-1")
+      if (a.length >= 255) { u1(255); i4(a.length) } else u1(a.length)
+      raw(a)
+    }
+    def cstr(s: String): this.type = { raw(s.getBytes("ISO-8859-1")); u1(0) }
+    def patchI4(at: Int, v: Int): Unit = {
+      b(at) = (v >> 24).toByte; b(at + 1) = (v >> 16).toByte
+      b(at + 2) = (v >> 8).toByte; b(at + 3) = v.toByte
+    }
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(b, p)
+
+    /** Byte-counted version header: returns the bc position to close. */
+    def vers(v: Int): Int = { val at = p; i4(0); i2(v); at }
+    def close(at: Int): Unit = patchI4(at, ((p - at - 4) | 0x40000000))
+    def tobject(): this.type = { i2(1); i4(0); i4(0x03000000) }
+    def tnamed(name: String, title: String): this.type = {
+      val at = vers(1); tobject(); tstr(name); tstr(title); close(at); this
+    }
+    /** Class-tagged object site (always a new-class tag — legal, the
+      * reader re-registers duplicates). Returns the bc position (the
+      * object-map key base). */
+    def objOpen(cls: String): Int = { val at = p; i4(0); i4(-1); cstr(cls); at }
+    def objClose(at: Int): Unit = close(at)
+    /** Null object pointer. */
+    def objNull(): this.type = i4(0)
+    /** Back-reference to the object whose map key is `key`. */
+    def objBackRef(key: Int): this.type = i4(key)
+  }
+
+  private final case class LeafSpec(branch: String, leafCls: String, es: Int,
+      jagged: Boolean, counter: String)
+
+  private def leafClsFor(dt: DataType): (String, Int) = dt match {
+    case BooleanType => ("TLeafO", 1)
+    case ByteType => ("TLeafB", 1)
+    case ShortType => ("TLeafS", 2)
+    case IntegerType => ("TLeafI", 4)
+    case LongType => ("TLeafL", 8)
+    case FloatType => ("TLeafF", 4)
+    case DoubleType => ("TLeafD", 8)
+    case other => throw new IllegalArgumentException(
+      s"ROOT writer: unsupported leaf type $other (flatten structs/arrays-of-objects first)")
+  }
+
+  /** Write `rows` (with `schema`) as one .root file. Array columns in
+    * `counters` share the named counter branch (sizes must agree per
+    * row); uncovered array columns get an auto counter `n<column>`.
+    * `basketEntries` bounds entries per basket (multiple baskets
+    * exercise the reader's basket-aligned partitioning). */
+  def writeFile(path: String, tree: String, schema: StructType, rows: Iterator[Row],
+      counters: Map[String, Seq[String]] = Map.empty,
+      basketEntries: Int = 5000, compress: Boolean = true): Unit = {
+    require(basketEntries > 0)
+    val counterOf: Map[String, String] = {
+      val explicit = for ((c, cols) <- counters.toSeq; col <- cols) yield col -> c
+      val auto = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] && !explicit.exists(_._1 == f.name) =>
+          f.name -> s"n${f.name}"
+      }
+      (explicit ++ auto).toMap
+    }
+    // branch order: counters first (their leaves must stream before the
+    // jagged leaves that back-reference them), then scalars, then arrays
+    val arrayCols = schema.fields.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+    val counterNames = arrayCols.map(counterOf).distinct
+    require(counterNames.forall(c => !schema.fieldNames.contains(c)),
+      s"counter names collide with data columns: ${counterNames.mkString(",")}")
+    val scalarCols = schema.fields.filter(!_.dataType.isInstanceOf[ArrayType]).map(_.name)
+    final case class B(name: String, leafCls: String, es: Int, jagged: Boolean,
+        counter: String, src: Int) // src: -1 counter, else schema field idx
+    val branches: Seq[B] =
+      counterNames.map(c => B(c, "TLeafI", 4, jagged = false, null, -1)) ++
+        scalarCols.map { c =>
+          val i = schema.fieldIndex(c)
+          val (lc, es) = leafClsFor(schema(i).dataType)
+          B(c, lc, es, jagged = false, null, i)
+        } ++
+        arrayCols.map { c =>
+          val i = schema.fieldIndex(c)
+          val (lc, es) = leafClsFor(schema(i).dataType.asInstanceOf[ArrayType].elementType)
+          B(c, lc, es, jagged = true, counterOf(c), i)
+        }
+
+    // ---- stream rows into per-branch basket buffers ----
+    final class Acc(val b: B) {
+      val buf = new WBuf
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var nev = 0
+      val baskets = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)] // (seek, nbytes, entryStart, entryEnd)
+    }
+    val accs = branches.map(new Acc(_))
+    val out = new java.io.RandomAccessFile(path, "rw")
+    out.setLength(0)
+    var filePos = 0L
+    def emit(a: Array[Byte]): Long = { val at = filePos; out.write(a); filePos += a.length; at }
+
+    // placeholder header + TFile record; patched at the end
+    val headerAt = emit(new Array[Byte](100)) // 100-byte TFile header
+    require(headerAt == 0L)
+    val begin = 100L
+
+    // TFile named record + directory data
+    val fileName = new java.io.File(path).getName
+    val dirRec = {
+      val w = new WBuf
+      // key header written with keyLen/nBytes computed after body known
+      w.tstr(fileName); w.tstr("")
+      // TDirectory data (v5, non-wide)
+      w.i2(5); w.i4(0); w.i4(0) // version, 2 datimes
+      w.i4(0); w.i4(0) // nbyteskeys, nbytesname (patched-irrelevant to reader)
+      w.i4(begin.toInt); w.i4(0)
+      w.i4(0) // seekKeys — patched below
+      w.bytes
+    }
+    val namedLen = { val w = new WBuf; w.tstr(fileName); w.tstr(""); w.p }
+    def keyHeader(nBytes: Int, objLen: Int, keyLen: Int, seekKey: Long,
+        cls: String, name: String, title: String, extra: WBuf => Unit = _ => ()): Array[Byte] = {
+      val w = new WBuf
+      w.i4(nBytes); w.i2(4); w.i4(objLen); w.i4(0)
+      w.i2(keyLen); w.i2(1)
+      w.i4(seekKey.toInt); w.i4(begin.toInt)
+      w.tstr(cls); w.tstr(name); w.tstr(title)
+      extra(w)
+      w.bytes
+    }
+    def keyLenOf(cls: String, name: String, title: String, extraLen: Int = 0): Int =
+      keyHeader(0, 0, 0, 0L, cls, name, title).length + extraLen
+
+    val fileKeyLen = keyLenOf("TFile", fileName, "")
+    val dirRecordAt = emit(keyHeader(fileKeyLen + dirRec.length, dirRec.length,
+      fileKeyLen, begin, "TFile", fileName, "") ++ dirRec)
+    require(dirRecordAt == begin)
+    val nBytesName = fileKeyLen + namedLen
+    val dirDataPos = begin + nBytesName
+    val seekKeysPatchAt = dirDataPos + 2 + 8 + 8 + 8 // ver + datimes + nbk/nbn + seekdir/seekparent
+
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      if (!compress || raw.length < 64) return raw
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val tmp = new Array[Byte](raw.length)
+      val n = d.deflate(tmp)
+      val whole = d.finished()
+      d.end()
+      if (!whole || n + 9 >= raw.length) return raw
+      val w = new WBuf
+      w.raw("ZL".getBytes("ISO-8859-1")); w.u1(8)
+      w.u1(n & 0xff); w.u1((n >> 8) & 0xff); w.u1((n >> 16) & 0xff)
+      w.u1(raw.length & 0xff); w.u1((raw.length >> 8) & 0xff); w.u1((raw.length >> 16) & 0xff)
+      w.raw(java.util.Arrays.copyOf(tmp, n))
+      w.bytes
+    }
+
+    var entries = 0L
+    def flushBaskets(): Unit = accs.foreach { a =>
+      if (a.nev > 0) {
+        val keyLen = keyLenOf("TBasket", a.b.name, tree, extraLen = 19)
+        val dataLen = a.buf.p
+        val last = keyLen + dataLen
+        val body = new WBuf
+        body.raw(a.buf.bytes)
+        if (a.b.jagged) {
+          body.i4(a.nev)
+          a.offs.foreach(o => body.i4(o + keyLen))
+        }
+        val objLen = body.p
+        val payload = deflate(body.bytes)
+        val nBytes = keyLen + payload.length
+        val seek = filePos
+        emit(keyHeader(nBytes, objLen, keyLen, seek, "TBasket", a.b.name, tree, { w =>
+          w.i2(3) // basket version
+          w.i4(math.max(objLen + keyLen, 1024)) // fBufferSize
+          w.i4(if (a.b.jagged) 4 * (a.nev + 1) else 0) // fNevBufSize
+          w.i4(a.nev)
+          w.i4(last)
+          w.u1(0)
+        }) ++ payload)
+        val entryStart = entries - a.nev
+        a.baskets += ((seek, nBytes, entryStart, entries))
+        a.buf.p = 0
+        a.offs.clear()
+        a.nev = 0
+      }
+    }
+
+    def putPrim(w: WBuf, leafCls: String, v: Any): Unit = leafCls match {
+      case "TLeafO" => w.u1(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case "TLeafB" => w.u1(v.asInstanceOf[Byte].toInt & 0xff)
+      case "TLeafS" => w.i2(v.asInstanceOf[Short].toInt)
+      case "TLeafI" => w.i4(v.asInstanceOf[Int])
+      case "TLeafL" => w.i8(v.asInstanceOf[Long])
+      case "TLeafF" => w.f4(v.asInstanceOf[Float])
+      case "TLeafD" => w.f8(v.asInstanceOf[Double])
+    }
+
+    rows.foreach { row =>
+      // per-row counter values (validated across covered columns)
+      val sizes: Map[String, Int] = counterNames.map { c =>
+        val covered = arrayCols.filter(x => counterOf(x) == c)
+        val ns = covered.map(x => row.getSeq[Any](schema.fieldIndex(x)).size).distinct
+        require(ns.size == 1,
+          s"columns sharing counter '$c' disagree on size at entry $entries: ${covered.zip(covered.map(x => row.getSeq[Any](schema.fieldIndex(x)).size)).mkString(",")}")
+        c -> ns.head
+      }.toMap
+      accs.foreach { a =>
+        if (a.b.src == -1) { // counter branch
+          a.buf.i4(sizes(a.b.name)); a.nev += 1
+        } else if (!a.b.jagged) {
+          require(!row.isNullAt(a.b.src), s"NULL at entry $entries in ${a.b.name} (ROOT has no nulls)")
+          putPrim(a.buf, a.b.leafCls, row.get(a.b.src)); a.nev += 1
+        } else {
+          a.offs += a.buf.p
+          require(!row.isNullAt(a.b.src), s"NULL array at entry $entries in ${a.b.name}")
+          row.getSeq[Any](a.b.src).foreach(v => putPrim(a.buf, a.b.leafCls, v))
+          a.nev += 1
+        }
+      }
+      entries += 1
+      if (entries % basketEntries == 0) flushBaskets()
+    }
+    flushBaskets()
+
+    // ---- TTree metadata record ----
+    val treeKeyLen = keyLenOf("TTree", tree, tree)
+    val off = treeKeyLen + 2 // the reader's object-map displacement
+    val treeBody = {
+      val w = new WBuf
+      val leafKeys = scala.collection.mutable.HashMap.empty[String, Int] // branch -> objRef key
+      val tAt = w.vers(20)
+      w.tnamed(tree, tree)
+      w.i8(entries)
+      // fBranches inline TObjArray
+      val oAt = w.vers(3)
+      w.tobject(); w.tstr(""); w.i4(branches.size); w.i4(0)
+      accs.foreach { a =>
+        val b = a.b
+        val brAt = w.objOpen("TBranch")
+        val hAt = w.vers(13)
+        w.tnamed(b.name,
+          if (b.jagged) s"${b.name}[${b.counter}]/X" else s"${b.name}/X")
+        w.i4(if (b.jagged) 4 * (basketEntries + 1) else 0) // fEntryOffsetLen
+        w.i4(a.baskets.size) // fWriteBasket
+        w.i8(entries)
+        w.i4(a.baskets.size) // fMaxBaskets (counter)
+        w.u1(1); a.baskets.foreach(bk => w.i4(bk._2))
+        w.u1(1); a.baskets.foreach(bk => w.i8(bk._3))
+        w.u1(1); a.baskets.foreach(bk => w.i8(bk._1))
+        // fLeaves
+        val lAt = w.vers(3)
+        w.tobject(); w.tstr(""); w.i4(1); w.i4(0)
+        val leafRefAt = w.objOpen(b.leafCls)
+        leafKeys(b.name) = leafRefAt + off
+        val cAt = w.vers(1) // concrete TLeafX header
+        val bAt = w.vers(2) // TLeaf base header
+        w.tnamed(b.name, b.name)
+        w.i4(1) // fLen
+        w.u1(0) // fIsUnsigned
+        if (b.jagged) w.objBackRef(leafKeys(b.counter)) else w.objNull()
+        w.close(bAt); w.close(cAt)
+        w.objClose(leafRefAt)
+        w.close(lAt)
+        // fBranches (empty), fBaskets (empty)
+        Seq(0, 0).foreach { _ =>
+          val eAt = w.vers(3); w.tobject(); w.tstr(""); w.i4(0); w.i4(0); w.close(eAt)
+        }
+        w.close(hAt)
+        w.objClose(brAt)
+      }
+      w.close(oAt)
+      w.close(tAt)
+      w.bytes
+    }
+    val treeAt = emit(keyHeader(treeKeyLen + treeBody.length, treeBody.length,
+      treeKeyLen, filePos, "TTree", tree, tree) ++ treeBody)
+
+    // ---- TStreamerInfo catalog (TTree / TBranch / TLeaf layouts) ----
+    def streamerBody: Array[Byte] = {
+      val w = new WBuf
+      var nEls = 0
+      def countEls = nEls
+      def elem(cls: String, name: String, typ: Int, typeName: String,
+          counter: String = null): Unit = {
+        val eAt = w.objOpen(cls)
+        val cAt = w.vers(4)
+        val bAt = w.vers(4)
+        w.tnamed(name, "")
+        w.i4(typ); w.i4(0); w.i4(0); w.i4(0)
+        (0 until 5).foreach(_ => w.i4(0))
+        w.tstr(typeName)
+        w.close(bAt)
+        if (cls == "TStreamerBasicPointer") { w.i4(13); w.tstr(counter); w.tstr("TBranch") }
+        w.close(cAt)
+        w.objClose(eAt)
+      }
+      def info(cls: String, ver: Int, els: WBuf => Unit): Unit = {
+        val iAt = w.objOpen("TStreamerInfo")
+        val hAt = w.vers(9)
+        w.tnamed(cls, "")
+        w.i4(0) // checksum
+        w.i4(ver)
+        val aAt = w.objOpen("TObjArray")
+        val oAt = w.vers(3)
+        w.tobject(); w.tstr("")
+        val nAt = w.p; w.i4(0); w.i4(0) // count patched after
+        val before = countEls
+        els(w)
+        w.patchI4(nAt, countEls - before)
+        w.close(oAt); w.objClose(aAt)
+        w.close(hAt); w.objClose(iAt)
+        w.tstr("") // per-entry TList option
+      }
+      def e(cls: String, name: String, typ: Int, tn: String, counter: String = null): WBuf => Unit =
+        { _ => elem(cls, name, typ, tn, counter); nEls += 1 }
+      val lAt = w.vers(5) // TList
+      w.tobject(); w.tstr("")
+      w.i4(3) // three infos
+      info("TTree", 20, { wb =>
+        Seq(
+          e("TStreamerBase", "TNamed", 66, "TNamed"),
+          e("TStreamerBasicType", "fEntries", 16, "Long64_t"),
+          e("TStreamerObject", "fBranches", 61, "TObjArray")
+        ).foreach(_(wb))
+      })
+      info("TBranch", 13, { wb =>
+        Seq(
+          e("TStreamerBase", "TNamed", 66, "TNamed"),
+          e("TStreamerBasicType", "fEntryOffsetLen", 3, "Int_t"),
+          e("TStreamerBasicType", "fWriteBasket", 3, "Int_t"),
+          e("TStreamerBasicType", "fEntries", 16, "Long64_t"),
+          e("TStreamerBasicType", "fMaxBaskets", 6, "Int_t"),
+          e("TStreamerBasicPointer", "fBasketBytes", 43, "Int_t*", "fMaxBaskets"),
+          e("TStreamerBasicPointer", "fBasketEntry", 56, "Long64_t*", "fMaxBaskets"),
+          e("TStreamerBasicPointer", "fBasketSeek", 56, "Long64_t*", "fMaxBaskets"),
+          e("TStreamerObject", "fLeaves", 61, "TObjArray"),
+          e("TStreamerObject", "fBranches", 61, "TObjArray"),
+          e("TStreamerObject", "fBaskets", 61, "TObjArray")
+        ).foreach(_(wb))
+      })
+      info("TLeaf", 2, { wb =>
+        Seq(
+          e("TStreamerBase", "TNamed", 66, "TNamed"),
+          e("TStreamerBasicType", "fLen", 3, "Int_t"),
+          e("TStreamerBasicType", "fIsUnsigned", 18, "Bool_t"),
+          e("TStreamerObjectPointer", "fLeafCount", 64, "TLeaf*")
+        ).foreach(_(wb))
+      })
+      w.close(lAt)
+      w.bytes
+    }
+    val sBody = streamerBody
+    val sKeyLen = keyLenOf("TList", "StreamerInfo", "Doubly linked list")
+    val seekInfo = emit(keyHeader(sKeyLen + sBody.length, sBody.length,
+      sKeyLen, filePos, "TList", "StreamerInfo", "Doubly linked list") ++ sBody)
+    val nbInfo = sKeyLen + sBody.length
+
+    // ---- directory key list (the TTree key header copy) ----
+    val treeHdrCopy = keyHeader(treeKeyLen + treeBody.length, treeBody.length,
+      treeKeyLen, treeAt, "TTree", tree, tree)
+    val klBody = { val w = new WBuf; w.i4(1); w.raw(treeHdrCopy); w.bytes }
+    val klKeyLen = keyLenOf("TFile", fileName, "")
+    val seekKeys = emit(keyHeader(klKeyLen + klBody.length, klBody.length,
+      klKeyLen, filePos, "TFile", fileName, "") ++ klBody)
+
+    val end = filePos
+    // patch seekKeys into the directory record
+    out.seek(seekKeysPatchAt)
+    out.writeInt(seekKeys.toInt)
+    // final 100-byte header
+    val h = new WBuf
+    h.raw("root".getBytes("ISO-8859-1"))
+    h.i4(63200) // format version (small-file variant)
+    h.i4(begin.toInt)
+    h.i4(end.toInt) // fEND
+    h.i4(0); h.i4(0); h.i4(0) // seekFree, nbytesFree, nFree
+    h.i4(nBytesName)
+    h.u1(4) // fUnits
+    h.i4(if (compress) 101 else 0)
+    h.i4(seekInfo.toInt)
+    h.i4(nbInfo)
+    while (h.p < 100) h.u1(0)
+    out.seek(0)
+    out.write(h.bytes)
+    out.close()
+  }
+
+  /** Write a DataFrame as a directory of part-N.root files, one per
+    * partition (the distributed shape: executors write independently,
+    * like parquet part files; each part is a complete standalone ROOT
+    * file). Local-filesystem paths. */
+  def write(df: DataFrame, dir: String, tree: String,
+      counters: Map[String, Seq[String]] = Map.empty,
+      basketEntries: Int = 5000, compress: Boolean = true): Unit = {
+    val schema = df.schema
+    new java.io.File(dir).mkdirs()
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      if (rows.hasNext) {
+        writeFile(s"$dir/part-$i.root", tree, schema, rows, counters, basketEntries, compress)
+        Iterator.single(1)
+      } else Iterator.empty
+    }.count()
+    ()
+  }
+}

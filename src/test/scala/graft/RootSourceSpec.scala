@@ -229,6 +229,54 @@ class RootSourceSpec extends AnyFunSuite {
     assert(pf.filter(size(col("PFCands_pt")) =!= col("nPFCands")).count() == 0)
   }
 
+  test("RootWriter: write -> native read round-trips scalars + shared-counter jagged across baskets") {
+    import spark.implicits._
+    import graft.sources.root.RootWriter
+    val df = (0 until 403).map(i => (i.toLong, i * 1.5, i.toFloat * 0.25f, i % 3 == 0,
+      (i % 7).toShort, (i % 5).toByte, i * 13,
+      (0 until i % 5).map(j => j * 2 + i),
+      (0 until i % 5).map(j => (j + i).toDouble * 0.5),
+      (0 until i % 3).map(j => (j * i).toLong)))
+      .toDF("ev", "x", "y", "flag", "s", "b", "k", "ja", "jb", "jc")
+    val tmp = java.nio.file.Files.createTempDirectory("rootw").toString
+    // shared counter for ja/jb, auto counter for jc; 48 entries/basket
+    RootWriter.writeFile(s"$tmp/t.root", "Events", df.schema, df.collect().iterator,
+      counters = Map("n" -> Seq("ja", "jb")), basketEntries = 48)
+    val back = RootTables.read(spark, s"$tmp/t.root", "Events")
+    assert(back.columns.sorted.toSeq ==
+      Seq("b", "ev", "flag", "ja", "jb", "jc", "k", "n", "njc", "s", "x", "y"))
+    // counters equal sizes; every data column round-trips exactly
+    assert(back.filter(col("n") =!= size(col("ja")) || col("njc") =!= size(col("jc"))).count() == 0)
+    val a = back.select(df.columns.map(col): _*).orderBy("ev").collect()
+    val e = df.orderBy("ev").collect()
+    assert(a.length == e.length)
+    a.zip(e).foreach { case (x, y) =>
+      df.columns.indices.foreach { i =>
+        val (xv, yv) = (x.get(i), y.get(i))
+        val same = (xv, yv) match {
+          case (p: scala.collection.Seq[_], q: scala.collection.Seq[_]) => p.toSeq == q.toSeq
+          case _ => xv == yv
+        }
+        assert(same, s"ev ${y.get(0)} col ${df.columns(i)}: $xv != $yv")
+      }
+    }
+    // multiple baskets were really written, and the file splits on them
+    val meta = RootTables.describe(spark, s"$tmp/t.root", "Events")
+    assert(meta.filter(!col("supported")).count() == 0)
+    assert(meta.select(max(col("loose_baskets"))).head().getInt(0) >= 8)
+    // uncompressed variant round-trips too
+    RootWriter.writeFile(s"$tmp/u.root", "Events", df.schema, df.collect().iterator,
+      counters = Map("n" -> Seq("ja", "jb")), basketEntries = 500, compress = false)
+    assert(RootTables.read(spark, s"$tmp/u.root", "Events").count() == 403)
+    // distributed writer: one standalone file per partition, union reads back
+    RootWriter.write(df.repartition(3), s"$tmp/parts", "Events",
+      counters = Map("n" -> Seq("ja", "jb")))
+    val files = new java.io.File(s"$tmp/parts").listFiles().map(_.getPath).filter(_.endsWith(".root"))
+    assert(files.length == 3)
+    val total = files.map(f => RootTables.read(spark, f, "Events").count()).sum
+    assert(total == 403L)
+  }
+
   test("file paths containing commas read intact (no comma-splitting of path options)") {
     assume(available)
     val dir = java.nio.file.Files.createTempDirectory("root_comma")
