@@ -30,10 +30,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query result: min/max wall seconds plus the JVM GC-time delta
-    * (ms) observed during the min and max rep. */
+  /** Per-query result: min/max wall seconds, the JVM GC-time delta
+    * (ms) observed during the min and max rep, the highest OS load
+    * average seen across reps, and the derived contention flag. */
   private final case class QRes(name: String, sec: Double, mx: Double,
-      gcMin: Long, gcMax: Long, reps: Int, failed: Boolean)
+      gcMin: Long, gcMax: Long, load: Double, contended: Boolean,
+      reps: Int, failed: Boolean)
+
+  /** 1-minute OS load average (-1 where unsupported). Sampled after
+    * each rep: a rep inflated by NEIGHBOR processes shows load well
+    * above this JVM's core budget while its own gc_ms stays small. */
+  private def osLoad: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   /** Cumulative JVM GC time across all collector beans (process-wide;
     * queries run sequentially, so a per-rep delta belongs to that rep).
@@ -88,22 +96,33 @@ object Bench {
       println(s"""{"start":${jsonStr(name)}}""")
       Console.out.flush()
       var err: Option[String] = None
-      val runs = (1 to reps).flatMap { _ =>
+      val runs = (1 to reps).flatMap { rep =>
         val g0 = gcMillis
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          Some(((System.nanoTime() - t0) / 1e9, gcMillis - g0))
+          Some(((System.nanoTime() - t0) / 1e9, gcMillis - g0, osLoad, rep))
         } catch {
           case e: Throwable =>
             err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
             None
         }
       }
-      val best = if (runs.nonEmpty) runs.minBy(_._1) else (-1.0, -1L)
-      val worst = if (runs.nonEmpty) runs.maxBy(_._1) else (-1.0, -1L)
-      val (sec, gcMin) = best
-      val (mx, gcMax) = worst
+      val best = if (runs.nonEmpty) runs.minBy(_._1) else (-1.0, -1L, -1.0, 0)
+      val worst = if (runs.nonEmpty) runs.maxBy(_._1) else (-1.0, -1L, -1.0, 0)
+      val (sec, gcMin, _, _) = best
+      val (mx, gcMax, _, _) = worst
+      val load = if (runs.nonEmpty) runs.map(_._3).max else -1.0
+      // Contention flag (r13 verdict item 9 — retire artifact-only
+      // ambiguity): a NON-FIRST rep >2x slower than the best whose own
+      // GC covers <half of the gap is external scheduler starvation —
+      // not this workload, and not the first-rep codegen/JIT warmup
+      // min-of-n already absorbs; same verdict when the OS load runs
+      // well past this JVM's core budget during the reps.
+      val cores = Runtime.getRuntime.availableProcessors()
+      val slowLate = runs.exists(r =>
+        r._4 > 1 && r._1 > 2 * sec && (r._2 - gcMin) < 500L * (r._1 - sec))
+      val contended = runs.nonEmpty && sec > 0 && (slowLate || load > cores * 1.5)
       val errJson = err.filter(_ => runs.isEmpty).map(jsonStr).getOrElse("null")
       // min AND max per query: a healthy run has max ≈ min; a contended
       // host shows max >> min (or both inflated) — BENCH_r09's q117
@@ -112,23 +131,25 @@ object Bench {
       // delta, r10 verdict item 7) splits the remaining ambiguity: an
       // inflated rep with gc_ms ≈ wall is GC amplification; one with tiny
       // gc_ms is scheduler starvation (external contention).
-      println(s"""{"query":${jsonStr(name)},"sec":${fmt(sec)},"max":${fmt(mx)},"gc_ms":$gcMin,"gc_ms_max":$gcMax,"reps":${runs.length},"err":$errJson}""")
+      println(s"""{"query":${jsonStr(name)},"sec":${fmt(sec)},"max":${fmt(mx)},"gc_ms":$gcMin,"gc_ms_max":$gcMax,"load":${fmt(load)},"contended":$contended,"reps":${runs.length},"err":$errJson}""")
       Console.out.flush()
       // Bound accumulated relation/codegen cache state across the long
       // registry — the GC window is what plausibly starved r7 heartbeats.
       if ((i + 1) % 20 == 0) spark.catalog.clearCache()
-      QRes(name, sec, mx, gcMin, gcMax, runs.length, err.isDefined && runs.isEmpty)
+      QRes(name, sec, mx, gcMin, gcMax, load, contended,
+        runs.length, err.isDefined && runs.isEmpty)
     }
     val qs = results.map(r => jsonStr(r.name) + ":" + fmt(r.sec))
       .mkString("{", ",", "}")
     val detail = results.map(r =>
-      jsonStr(r.name) + s""":{"min":${fmt(r.sec)},"max":${fmt(r.mx)},"gc_ms":${r.gcMin},"gc_ms_max":${r.gcMax},"reps":${r.reps}}""")
+      jsonStr(r.name) + s""":{"min":${fmt(r.sec)},"max":${fmt(r.mx)},"gc_ms":${r.gcMin},"gc_ms_max":${r.gcMax},"load":${fmt(r.load)},"contended":${r.contended},"reps":${r.reps}}""")
       .mkString("{", ",", "}")
     val ok = results.filterNot(_.failed)
     val total = ok.map(_.sec).sum
     val errs = results.filter(_.failed).map(r => jsonStr(r.name)).mkString("[", ",", "]")
+    val nContended = results.count(_.contended)
     val aggregate =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"n_contended":$nContended,"sf":"$sfDir","errors":$errs}"""
     // Duplicate the aggregate to a file so a machine consumer never
     // depends on stdout tail capture (BENCH_r08 lost the line to a 2 KB
     // tail window + sbt log decoration). Path override: SPARK_GRAFT_BENCH_OUT.
@@ -161,9 +182,9 @@ object Bench {
       // diagnosable from the driver's parsed artifact alone
       val slowDetail = slowest.take(10)
         .map(r =>
-          jsonStr(r.name) + s""":{"min":${fmt(r.sec)},"max":${fmt(r.mx)},"gc_ms":${r.gcMin},"gc_ms_max":${r.gcMax},"reps":${r.reps}}""")
+          jsonStr(r.name) + s""":{"min":${fmt(r.sec)},"max":${fmt(r.mx)},"gc_ms":${r.gcMin},"gc_ms_max":${r.gcMax},"load":${fmt(r.load)},"contended":${r.contended},"reps":${r.reps}}""")
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"detail10":$slowDetail,"sf":"$sfDir","errors":$errs,"n_queries":${results.length},"queries_shown":"slowest20","full_queries_file":${jsonStr(outPath)}}""")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"detail10":$slowDetail,"n_contended":$nContended,"sf":"$sfDir","errors":$errs,"n_queries":${results.length},"queries_shown":"slowest20","full_queries_file":${jsonStr(outPath)}}""")
     }
     Console.out.flush()
   }

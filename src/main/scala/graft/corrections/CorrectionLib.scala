@@ -407,7 +407,13 @@ object CorrectionLib {
     * distribution, deterministic across retries/partitionings) but not
     * bit-identical to it — the C++ hash is an implementation detail the
     * schema does not pin, and it is itself free to change between
-    * correctionlib releases. "stdnormal"/"normal" apply Box–Muller on
+    * correctionlib releases. A value-exact port was assessed and
+    * deliberately NOT shipped: neither the upstream library nor any
+    * upstream-published smeared fixture is available in this
+    * environment to pin a port against, and an unverifiable
+    * "bit-parity" claim would be worse than this documented,
+    * SQL-replayable contract — revisit when a pinned upstream fixture
+    * can be checked in. "stdnormal"/"normal" apply Box–Muller on
     * two streams (log/cos enter only AFTER the entropy is fixed, so
     * cross-engine drift is sub-ulp on the value, not the stream).
     *
