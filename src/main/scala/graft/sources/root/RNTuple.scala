@@ -298,15 +298,58 @@ private[graft] object RNTuple {
         (idx, kids, dataCols) match {
           case (ic :: Nil, k :: Nil, d :: Nil) if k.role == 0 && !isIndex(d.ctype) && d.ctype != Switch =>
             out += RntField(top.name, d.id, ic.id, d.ctype, d.bits, ic.ctype, null)
+          case (ic :: Nil, k :: Nil, _) if k.role == 2 =>
+            // collection of RECORDS (vector<LorentzVector> et al.):
+            // RNTuple already splits the element record into one leaf
+            // column per member — flatten to dotted member columns,
+            // all jagged on the COLLECTION's index column. The element
+            // field's own name (the "_0" container convention) is
+            // skipped so names match the TTree split convention
+            // ("Electrons.fCoordinates.fPt").
+            flattenRecord(top.name, k.id, ic, out, childrenOf, primCols, top.typeName)
           case _ =>
             out += RntField(top.name, -1, -1, 0, 0, -1,
               s"unsupported collection layout (${top.typeName}) — use the converter path")
         }
+      } else if (top.role == 2) {
+        // top-level scalar record: flatten to scalar member columns
+        flattenRecord(top.name, top.id, null, out, childrenOf, primCols, top.typeName)
       } else {
         out += RntField(top.name, -1, -1, 0, 0, -1, s"record field (${top.typeName}) — use the converter path")
       }
     }
     RntMeta(name, entries, out.result(), columns, clusters)
+  }
+
+  /** Flatten a record field's leaf descendants into dotted member
+    * columns. `idx` (the owning collection's index column) makes every
+    * member jagged; null makes them scalars. Members that are not a
+    * single plain leaf column (nested collections, variants) emit a
+    * named unsupported row instead of silently vanishing. */
+  private def flattenRecord(prefix: String, fid: Int, idx: Column,
+      out: mutable.Builder[RntField, Vector[RntField]],
+      childrenOf: mutable.HashMap[Int, List[Field]],
+      primCols: Int => List[Column], typeName: String): Unit = {
+    childrenOf.getOrElse(fid, Nil).foreach { m =>
+      val name = s"$prefix.${m.name}"
+      m.role match {
+        case 0 =>
+          primCols(m.id) match {
+            case d :: Nil if !isIndex(d.ctype) && d.ctype != Switch =>
+              if (idx != null)
+                out += RntField(name, d.id, idx.id, d.ctype, d.bits, idx.ctype, null)
+              else
+                out += RntField(name, d.id, -1, d.ctype, d.bits, -1, null)
+            case _ =>
+              out += RntField(name, -1, -1, 0, 0, -1,
+                s"unsupported record member layout ($typeName) — use the converter path")
+          }
+        case 2 => flattenRecord(name, m.id, idx, out, childrenOf, primCols, typeName)
+        case _ =>
+          out += RntField(name, -1, -1, 0, 0, -1,
+            s"nested collection inside record ($typeName) — use the converter path")
+      }
+    }
   }
 
   // ---- page decode ----

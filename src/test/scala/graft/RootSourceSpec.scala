@@ -218,13 +218,28 @@ class RootSourceSpec extends AnyFunSuite {
     assert(mismatches(s"$S/nano_dimuon_rntuple.root", s"$S/nano_dimuon.parquet").isEmpty)
   }
 
-  test("RNTuple: empty file, unsupported-layout exclusion, and jagged consistency") {
+  test("RNTuple: empty file, record-element flattening, and jagged consistency") {
     assume(available)
     val e = RootTables.read(spark, s"$S/nano_dy_empty_rntuple.root")
     assert(e.count() == 0 && e.columns.length > 1400)
+    // collections of RECORDS (vector<LorentzVector>) flatten to dotted
+    // member columns jagged on the collection index — every treemaker
+    // field is now readable, and the members must equal the TTree
+    // decode of the same events EXACTLY (two formats, two decoders)
     val d = RootTables.describe(spark, s"$S/treemaker_rntuple.root", "PreSelection")
-    val reasons = d.filter(!col("supported")).select("reason").distinct().collect().map(_.getString(0))
-    assert(reasons.exists(_.contains("LorentzVector")), s"got: ${reasons.toSeq}")
+    assert(d.filter(!col("supported")).count() == 0, "all treemaker_rntuple fields supported")
+    val rnt = RootTables.read(spark, s"$S/treemaker_rntuple.root", "PreSelection")
+    val tt = RootTables.read(spark, s"$S/treemaker.root", "PreSelection")
+    val lv = rnt.columns.toSet.intersect(tt.columns.toSet)
+      .filter(_.contains("fCoordinates")).toSeq.sorted
+    assert(lv.size >= 70, s"expected the LorentzVector member columns, got ${lv.size}")
+    val a = rnt.select(lv.map(c => col(s"`$c`")): _*).collect()
+    val b = tt.select(lv.map(c => col(s"`$c`")): _*).collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      lv.indices.foreach(i => assert(x.getSeq[Double](i) == y.getSeq[Double](i),
+        s"${lv(i)} differs between RNTuple and TTree decode"))
+    }
     val pf = RootTables.read(spark, s"$S/pfnano_rntuple.root")
     assert(pf.filter(size(col("PFCands_pt")) =!= col("nPFCands")).count() == 0)
   }
