@@ -167,8 +167,22 @@ private[sources] final class WarcScan(paths: Seq[String], required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val target = math.max(1L << 20, SQLConf.get.filesMaxPartitionBytes)
-    paths.flatMap { p =>
-      val len = new java.io.File(p).length()
+    // expand directories and globs through the Hadoop FileSystem (a CC
+    // segment prefix lists thousands of .warc.gz objects)
+    val files: Seq[(String, Long)] = paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val matched: Seq[org.apache.hadoop.fs.FileStatus] =
+        Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      require(matched.nonEmpty, s"warc source: no files match '$p'")
+      matched.flatMap {
+        case d if d.isDirectory =>
+          fs.listStatus(d.getPath).toSeq.filter(f => f.isFile &&
+            (f.getPath.getName.endsWith(".warc") || f.getPath.getName.endsWith(".warc.gz")))
+        case f => Seq(f)
+      }.map(f => f.getPath.toString -> f.getLen)
+    }
+    files.flatMap { case (p, len) =>
       val gz = p.endsWith(".gz")
       if (len == 0) Nil
       else if (!gz) Seq(WarcInputPartition(p, 0L, len, gz = false))
@@ -190,17 +204,20 @@ private[sources] final class WarcReaderFactory(required: StructType)
 /** Exact gzip-member walker: manual header parse + raw `Inflater` so
   * the compressed end of every member is known to the byte
   * (`getBytesRead` + the 8-byte crc/isize trailer) — the property that
-  * makes byte-range splits exactly-once. */
+  * makes byte-range splits exactly-once. Reads go through the Hadoop
+  * FileSystem API (the ROOT source's convention), so `file:`, `hdfs:`
+  * and `s3a:` all work on a cluster. */
 final class GzipMembers(path: String) {
-  private val raf = new java.io.RandomAccessFile(path, "r")
-  val length: Long = raf.length()
+  private val hPath = new org.apache.hadoop.fs.Path(path)
+  private val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val in = fs.open(hPath)
+  val length: Long = fs.getFileStatus(hPath).getLen
 
   def readAt(pos: Long, n: Int): Array[Byte] = {
     val m = math.min(n.toLong, length - pos).toInt
     if (m <= 0) return Array.emptyByteArray
     val b = new Array[Byte](m)
-    raf.seek(pos)
-    raf.readFully(b)
+    in.readFully(pos, b, 0, m)
     b
   }
 
@@ -267,7 +284,7 @@ final class GzipMembers(path: String) {
     } finally inf.end()
   }
 
-  def close(): Unit = raf.close()
+  def close(): Unit = in.close()
 }
 
 private[sources] final class WarcPartitionReader(p: WarcInputPartition,
@@ -286,7 +303,14 @@ private[sources] final class WarcPartitionReader(p: WarcInputPartition,
       pos = if (p.start == 0) 0L else gz.findMember(p.start)
       if (pos < 0 || pos >= p.end) done = true
     } else {
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p.path))
+      val hp = new org.apache.hadoop.fs.Path(p.path)
+      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val st = fs.open(hp)
+      val bytes = try {
+        val b = new Array[Byte](p.end.toInt)
+        st.readFully(0L, b, 0, b.length)
+        b
+      } finally st.close()
       pending = Warc.parseRecords(bytes, 0L, perRecordOffsets = true).iterator
       done = true // single block; nothing more to advance
     }

@@ -69,6 +69,20 @@ class WarcSpec extends AnyFunSuite {
     assert(offs.length == 40 && offs.distinct.length == 40 && offs == offs.sorted)
   }
 
+  test("directory and glob paths expand to their .warc/.warc.gz members") {
+    val tmp = java.nio.file.Files.createTempDirectory("warcdir")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/cc_sample.warc.gz"),
+      tmp.resolve("a.warc.gz"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/cc_sample.warc.gz"),
+      tmp.resolve("b.warc.gz"))
+    java.nio.file.Files.write(tmp.resolve("ignore.txt"), "x".getBytes)
+    assert(graft.sources.Warc.read(spark, tmp.toString).count() == 80)
+    assert(graft.sources.Warc.read(spark, s"$tmp/*.warc.gz").count() == 80)
+    assert(intercept[Exception] {
+      graft.sources.Warc.read(spark, s"$tmp/missing-*.gz").count()
+    }.getMessage.contains("no files match"))
+  }
+
   test("malformed input fails loudly") {
     val bad = java.nio.file.Files.createTempFile("bad", ".warc")
     java.nio.file.Files.write(bad, "NOT A WARC\r\n\r\n".getBytes)
