@@ -86,6 +86,19 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("ndcgMrr: duplicate label rows collapse to max(rel) instead of fanning out the join") {
+    val run = Seq(("q1", 1L, 1L), ("q1", 2L, 2L)).toDF("qid", "doc_id", "rank")
+    val clean = Seq(("q1", 1L, 2L), ("q1", 2L, 1L)).toDF("qid", "doc_id", "rel")
+    // same labels with a conflicting duplicate judgment for doc 1
+    val dup = Seq(("q1", 1L, 2L), ("q1", 1L, 0L), ("q1", 2L, 1L))
+      .toDF("qid", "doc_id", "rel")
+    val a = Eval.ndcgMrr(run, clean, k = 10).select($"qid", $"ndcg_e6", $"rr_e6")
+      .as[(String, Long, Long)].collect().toSeq
+    val b = Eval.ndcgMrr(run, dup, k = 10).select($"qid", $"ndcg_e6", $"rr_e6")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(a == b, s"$a vs $b")
+  }
+
   test("ndcgMrr matches a sequential computation; perfect run scores 1.0") {
     val labels = Seq(
       ("q1", 1L, 3L), ("q1", 2L, 2L), ("q1", 3L, 1L), ("q1", 4L, 0L), ("q1", 5L, 2L),

@@ -103,6 +103,17 @@ class QuantilesSpec extends AnyFunSuite {
     assert(multi.size == 4 * qs.size)
   }
 
+  test("grouped searches drop NULL group keys (they could never join back)") {
+    val df = Seq((Some("a"), 10L), (Some("a"), 20L), (None, 999L), (None, 1L))
+      .toDF("k", "v")
+    val one = Quantiles.exactGroupQuantile(df, "k", "v", 0.5)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("a" -> 10L), s"got $one")
+    val multi = Quantiles.exactGroupQuantiles(df, "k", "v", Seq(0.5, 1.0))
+      .as[(String, Double, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(multi == Map(("a", 0.5) -> 10L, ("a", 1.0) -> 20L), s"got $multi")
+  }
+
   test("exactKthSmallest: rank-explicit selection matches a sort, clamps above n") {
     val rng = new scala.util.Random(31)
     val vals = (0 until 501).map(_ => rng.nextLong(2000) - 700)
