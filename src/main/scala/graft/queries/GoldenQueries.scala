@@ -210,6 +210,42 @@ object GoldenQueries extends QueryPack {
              |FROM o""".stripMargin)),
 
     Query(
+      "q253_rntuple_sink_roundtrip",
+      "RNTuple *sink* round-trip under the same fully independent oracle as q252: the identical nested lineitem frame is written as format-spec-1.0 RNTuple files (anchor + header/footer envelopes + per-cluster pages, Index64 offset columns restarting per cluster, one standalone part per partition), read back by the native RNTuple path of the same DataSource, and the aggregate must equal DuckDB on the SOURCE parquet. Together with q252 this pins BOTH on-disk generations of the export path to one answer - any drift in envelope framing, page encoding, or cluster-local index reconstruction breaks the hash.",
+      (s, dir) => {
+        val nested = graft.core.SchemaBuilder.nestRows(
+          graft.core.Tables.lineitem(s, dir), key = Seq("l_orderkey"), collection = "items",
+          fields = Seq("l_linenumber", "l_extendedprice", "l_quantity"),
+          sortFields = Seq("l_linenumber"))
+        val flat = nested.select(col("l_orderkey").cast("long").as("orderkey"),
+          transform(col("items"), _("l_extendedprice")).cast("array<double>").as("prices"),
+          transform(col("items"), _("l_quantity")).cast("array<double>").as("qtys"))
+        val tmp = java.nio.file.Files.createTempDirectory("q253_rnt_sink").toString
+        graft.sources.root.RNTupleWriter.write(flat, tmp, "nt", clusterEntries = 2000)
+        val files = new java.io.File(tmp).listFiles()
+          .map(_.getPath).filter(_.endsWith(".root")).sorted
+        val back = files.map(f => graft.sources.root.RootTables.read(s, f, "nt"))
+          .reduce(_.unionByName(_))
+        back.select(col("orderkey"),
+            size(col("prices")).cast("long").as("n"),
+            expr("aggregate(prices, 0L, (a, x) -> a + CAST(floor(x * 100 + 0.5) AS BIGINT))").as("pc"),
+            expr("aggregate(qtys, 0L, (a, x) -> a + CAST(floor(x * 100 + 0.5) AS BIGINT))").as("qc"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("n")).cast("long").as("n_items"),
+            sum(col("pc")).cast("long").as("price_cents"),
+            sum(col("qc")).cast("long").as("qty_cents"),
+            sum(col("n") * col("orderkey")).cast("long").as("wsum"))
+      },
+      Some("""WITH o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS pc,
+             |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qc
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(n) AS BIGINT) AS n_items,
+             |  CAST(sum(pc) AS BIGINT) AS price_cents, CAST(sum(qc) AS BIGINT) AS qty_cents,
+             |  CAST(sum(n * l_orderkey) AS BIGINT) AS wsum
+             |FROM o""".stripMargin)),
+
+    Query(
       "q166_golden_dimuon",
       "Golden-sample parity (tests/test_local_executors.py:95-100): the reference's own nano_dy/nano_dimuon parquet through the NanoEventsProcessor analysis (all muons, combinations(2), pair invariant mass). cutflow_pt/cutflow_mass ARE coffea's asserted integers (ZJets 18/6, Data 84/66 — pinned verbatim in GoldenParitySpec); the quantized pt/mass sums pin the full float pipeline. Oracle replays the identical analysis from the identical files in DuckDB.",
       (s, _) => dimuonSummary(goldenFiles.map { case (ds, p) => ds -> muonEvents(s, p) }),

@@ -1,0 +1,365 @@
+package graft.sources.root
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Minimal RNTuple *writer* — the next-gen-format twin of
+  * [[RootWriter]], so the engine both reads AND writes each of ROOT's
+  * on-disk generations. Emits format-spec-1.0 structures the in-engine
+  * reader decodes: a TFile container holding the `ROOT::RNTuple`
+  * anchor (ROOT-streamed, registered in the directory key list),
+  * header/footer envelopes with field+column descriptor list frames, a
+  * cluster-group entry pointing at a page-list envelope, and one
+  * uncompressed page per (cluster, column) in plain little-endian
+  * encodings (Bit-packed bools, Index64 offset columns that restart
+  * per cluster — exactly the per-page independence contract the
+  * reader's decodePages documents).
+  *
+  * Column shapes: primitive scalars; `std::string` (Index64 on the
+  * field + char child); single-level `std::vector<prim>` collections
+  * (Index64 on the collection + data child). That is the same surface
+  * the TTree writer exports, so either format can round-trip the
+  * flattenCollections shape. Round-trip equality write -> native read
+  * is pinned in RootSourceSpec. */
+object RNTupleWriter {
+
+  private final case class ColPlan(dfIdx: Int, name: String, kind: String, // prim|string|vector
+      ctype: Int, bits: Int)
+
+  private def ctypeFor(dt: DataType): (Int, Int) = dt match {
+    case BooleanType => (RNTuple.Bit, 1)
+    case ByteType => (RNTuple.Int8, 8)
+    case ShortType => (RNTuple.Int16, 16)
+    case IntegerType => (RNTuple.Int32, 32)
+    case LongType => (RNTuple.Int64, 64)
+    case FloatType => (RNTuple.Real32, 32)
+    case DoubleType => (RNTuple.Real64, 64)
+    case other => throw new IllegalArgumentException(
+      s"RNTuple writer: unsupported element type $other")
+  }
+
+  private def typeNameFor(dt: DataType): String = dt match {
+    case BooleanType => "bool"
+    case ByteType => "std::int8_t"
+    case ShortType => "std::int16_t"
+    case IntegerType => "std::int32_t"
+    case LongType => "std::int64_t"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case other => throw new IllegalArgumentException(s"no RNTuple type name for $other")
+  }
+
+  /** Little-endian byte builder (envelopes/frames/pages are LE; the
+    * TFile container around them stays big-endian via [[WBuf]]). */
+  private final class LWBuf {
+    private var b = new Array[Byte](1 << 16)
+    var p = 0
+    private def ensure(n: Int): Unit =
+      if (p + n > b.length) b = java.util.Arrays.copyOf(b, math.max(b.length * 2, p + n))
+    def u1(v: Int): this.type = { ensure(1); b(p) = v.toByte; p += 1; this }
+    def u2(v: Int): this.type = { ensure(2); b(p) = v.toByte; b(p + 1) = (v >> 8).toByte; p += 2; this }
+    def u4(v: Long): this.type = {
+      ensure(4); var i = 0
+      while (i < 4) { b(p + i) = (v >> (8 * i)).toByte; i += 1 }
+      p += 4; this
+    }
+    def u8(v: Long): this.type = {
+      ensure(8); var i = 0
+      while (i < 8) { b(p + i) = (v >> (8 * i)).toByte; i += 1 }
+      p += 8; this
+    }
+    def f4(v: Float): this.type = u4(java.lang.Float.floatToIntBits(v).toLong & 0xffffffffL)
+    def f8(v: Double): this.type = u8(java.lang.Double.doubleToLongBits(v))
+    def str(s: String): this.type = {
+      val a = s.getBytes("UTF-8"); u4(a.length.toLong); raw(a)
+    }
+    def raw(a: Array[Byte]): this.type = { ensure(a.length); System.arraycopy(a, 0, b, p, a.length); p += a.length; this }
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(b, p)
+    private def patchU8(at: Int, v: Long): Unit = {
+      var i = 0; while (i < 8) { b(at + i) = (v >> (8 * i)).toByte; i += 1 }
+    }
+    /** Open a frame (size u8 counted FROM the size field). */
+    def frameOpen(): Int = { val at = p; u8(0); at }
+    def frameClose(at: Int): Unit = patchU8(at, (p - at).toLong)
+    def listFrame(n: Int)(body: => Unit): Unit = {
+      val at = frameOpen(); u4(n.toLong); body; frameClose(at)
+    }
+  }
+
+  /** Write `rows` (with `schema`) as one .root file holding an RNTuple
+    * named `name`. `clusterEntries` bounds entries per cluster
+    * (multiple clusters exercise the reader's cluster-aligned
+    * partitioning and the per-cluster restart of index columns). */
+  def writeFile(path: String, name: String, schema: StructType, rows: Iterator[Row],
+      clusterEntries: Int = 5000): Unit = {
+    require(clusterEntries > 0)
+
+    // ---- descriptor plan: fields (parent == self for tops) + columns ----
+    final case class F(name: String, parent: Int, role: Int, typeName: String)
+    val fields = scala.collection.mutable.ArrayBuffer.empty[F]
+    val cols = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)] // (ctype, bits, fieldId)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[ColPlan] // one per df column, in col order
+    schema.fields.zipWithIndex.foreach { case (sf, i) =>
+      val fid = fields.size
+      sf.dataType match {
+        case StringType =>
+          fields += F(sf.name, fid, 0, "std::string")
+          fields += F("_0", fid, 0, "char")
+          cols += ((RNTuple.Index64, 64, fid))
+          cols += ((RNTuple.CharCol, 8, fid + 1))
+          plans += ColPlan(i, sf.name, "string", RNTuple.CharCol, 8)
+        case ArrayType(et, _) =>
+          val (ct, bits) = ctypeFor(et)
+          fields += F(sf.name, fid, 1, s"std::vector<${typeNameFor(et)}>")
+          fields += F("_0", fid, 0, typeNameFor(et))
+          cols += ((RNTuple.Index64, 64, fid))
+          cols += ((ct, bits, fid + 1))
+          plans += ColPlan(i, sf.name, "vector", ct, bits)
+        case dt =>
+          val (ct, bits) = ctypeFor(dt)
+          fields += F(sf.name, fid, 0, typeNameFor(dt))
+          cols += ((ct, bits, fid))
+          plans += ColPlan(i, sf.name, "prim", ct, bits)
+      }
+    }
+
+    val out = new java.io.RandomAccessFile(path, "rw")
+    out.setLength(0)
+    var filePos = 0L
+    def emit(a: Array[Byte]): Long = { val at = filePos; out.write(a); filePos += a.length; at }
+
+    emit(new Array[Byte](100))
+    val begin = 100L
+    val fileName = new java.io.File(path).getName
+    def keyHeader(nBytes: Int, objLen: Int, keyLen: Int, seekKey: Long,
+        cls: String, nm: String, title: String): Array[Byte] = {
+      val w = new WBuf
+      w.i4(nBytes); w.i2(4); w.i4(objLen); w.i4(0)
+      w.i2(keyLen); w.i2(1)
+      w.i4(seekKey.toInt); w.i4(begin.toInt)
+      w.tstr(cls); w.tstr(nm); w.tstr(title)
+      w.bytes
+    }
+    def keyLenOf(cls: String, nm: String, title: String): Int =
+      keyHeader(0, 0, 0, 0L, cls, nm, title).length
+
+    val fileKeyLen = keyLenOf("TFile", fileName, "")
+    val namedLen = { val w = new WBuf; w.tstr(fileName); w.tstr(""); w.p }
+    val dirRec = {
+      val w = new WBuf
+      w.tstr(fileName); w.tstr("")
+      w.i2(5); w.i4(0); w.i4(0)
+      w.i4(0); w.i4(0)
+      w.i4(begin.toInt); w.i4(0)
+      w.i4(0) // seekKeys, patched
+      w.bytes
+    }
+    emit(keyHeader(fileKeyLen + dirRec.length, dirRec.length, fileKeyLen,
+      begin, "TFile", fileName, "") ++ dirRec)
+    val nBytesName = fileKeyLen + namedLen
+    val seekKeysPatchAt = begin + nBytesName + 26
+
+    // ---- stream rows into per-cluster page buffers ----
+    // per physical column: element buffer for the CURRENT cluster
+    final class PageAcc(val ctype: Int, val bits: Int) {
+      val buf = new LWBuf
+      var nElems = 0
+      var bitPend = 0; var bitCount = 0 // Bit packing state
+      def putBit(v: Boolean): Unit = {
+        if (v) bitPend |= 1 << (bitCount & 7)
+        bitCount += 1
+        if ((bitCount & 7) == 0) { buf.u1(bitPend); bitPend = 0 }
+        nElems += 1
+      }
+      def flushBits(): Unit = if ((bitCount & 7) != 0) { buf.u1(bitPend); bitPend = 0; bitCount = 0 }
+      def reset(): Unit = { buf.p = 0; nElems = 0; bitPend = 0; bitCount = 0 }
+    }
+    val accs: Array[PageAcc] = cols.map { case (ct, bits, _) => new PageAcc(ct, bits) }.toArray
+    // clusters: (firstEntry, nEntries, pages per column: (nel, size, offset))
+    val clusters = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[(Int, Int, Long)])]
+    var entries = 0L
+    var clusterStart = 0L
+
+    def putPrim(a: PageAcc, v: Any): Unit = a.ctype match {
+      case RNTuple.Bit => a.putBit(v.asInstanceOf[Boolean])
+      case RNTuple.Int8 => a.buf.u1(v.asInstanceOf[Byte].toInt & 0xff); a.nElems += 1
+      case RNTuple.Int16 => a.buf.u2(v.asInstanceOf[Short].toInt & 0xffff); a.nElems += 1
+      case RNTuple.Int32 => a.buf.u4(v.asInstanceOf[Int].toLong & 0xffffffffL); a.nElems += 1
+      case RNTuple.Int64 => a.buf.u8(v.asInstanceOf[Long]); a.nElems += 1
+      case RNTuple.Real32 => a.buf.f4(v.asInstanceOf[Float]); a.nElems += 1
+      case RNTuple.Real64 => a.buf.f8(v.asInstanceOf[Double]); a.nElems += 1
+    }
+
+    def flushCluster(): Unit = if (entries > clusterStart) {
+      val pages = accs.map { a =>
+        a.flushBits()
+        val bytes = a.buf.bytes
+        val off = emit(bytes)
+        (a.nElems, bytes.length, off)
+      }
+      clusters += ((clusterStart, entries - clusterStart, pages))
+      accs.foreach(_.reset())
+      clusterStart = entries
+    }
+
+    rows.foreach { row =>
+      var c = 0
+      plans.foreach { pl =>
+        pl.kind match {
+          case "prim" =>
+            require(!row.isNullAt(pl.dfIdx), s"NULL at entry $entries in ${pl.name}")
+            putPrim(accs(c), row.get(pl.dfIdx)); c += 1
+          case "string" =>
+            require(!row.isNullAt(pl.dfIdx), s"NULL at entry $entries in ${pl.name}")
+            val bytes = row.getString(pl.dfIdx).getBytes("UTF-8")
+            val data = accs(c + 1)
+            data.buf.raw(bytes); data.nElems += bytes.length
+            val idx = accs(c)
+            idx.buf.u8(data.nElems.toLong); idx.nElems += 1
+            c += 2
+          case "vector" =>
+            require(!row.isNullAt(pl.dfIdx), s"NULL array at entry $entries in ${pl.name}")
+            val data = accs(c + 1)
+            row.getSeq[Any](pl.dfIdx).foreach(v => putPrim(data, v))
+            val idx = accs(c)
+            idx.buf.u8(data.nElems.toLong); idx.nElems += 1
+            c += 2
+        }
+      }
+      entries += 1
+      if (entries - clusterStart >= clusterEntries) flushCluster()
+    }
+    flushCluster()
+
+    // ---- page-list envelope (one cluster group over all clusters) ----
+    val pageList = {
+      val w = new LWBuf
+      w.u8(3L | (0L << 16)); w.u8(0L) // envelope header word, header checksum
+      w.listFrame(clusters.size) {
+        clusters.foreach { case (first, ne, _) =>
+          val at = w.frameOpen(); w.u8(first); w.u8(ne); w.frameClose(at)
+        }
+      }
+      w.listFrame(clusters.size) {
+        clusters.foreach { case (_, _, pages) =>
+          w.listFrame(pages.length) {
+            pages.foreach { case (nel, size, off) =>
+              // the per-column page frame CONTAINS the page entries AND
+              // the element-offset/compression suffix (the reader reads
+              // both before jumping to the frame end)
+              w.listFrame(1) {
+                w.u4(nel.toLong); w.u4(size.toLong); w.u8(off)
+                w.u8(0L) // element offset of the column in the cluster
+                w.u4(0L) // compression (uncompressed)
+              }
+            }
+          }
+        }
+      }
+      w.bytes
+    }
+    val plOff = emit(pageList)
+
+    // ---- header envelope ----
+    val headerEnv = {
+      val w = new LWBuf
+      w.u8(1L); w.u8(0L) // envelope header word, feature flags
+      w.str(name); w.str(""); w.str("graft")
+      w.listFrame(fields.size) {
+        fields.foreach { f =>
+          val at = w.frameOpen()
+          w.u4(0L); w.u4(0L) // field version, type version
+          w.u4(f.parent.toLong)
+          w.u2(f.role); w.u2(0)
+          w.str(f.name); w.str(f.typeName); w.str(""); w.str("")
+          w.frameClose(at)
+        }
+      }
+      w.listFrame(cols.size) {
+        cols.foreach { case (ct, bits, fid) =>
+          val at = w.frameOpen()
+          w.u2(ct); w.u2(bits); w.u4(fid.toLong); w.u2(0); w.u2(0)
+          w.frameClose(at)
+        }
+      }
+      w.listFrame(0) {} // alias columns
+      w.listFrame(0) {} // extra type info
+      w.bytes
+    }
+    val hdrOff = emit(headerEnv)
+
+    // ---- footer envelope ----
+    val footerEnv = {
+      val w = new LWBuf
+      w.u8(2L); w.u8(0L); w.u8(0L) // envelope header, feature flags, header checksum
+      // schema-extension record frame: the four (empty) list frames
+      val ext = w.frameOpen()
+      w.listFrame(0) {}; w.listFrame(0) {}; w.listFrame(0) {}; w.listFrame(0) {}
+      w.frameClose(ext)
+      w.listFrame(1) { // cluster groups
+        val at = w.frameOpen()
+        w.u8(0L); w.u8(entries); w.u4(clusters.size.toLong)
+        w.u8(pageList.length.toLong) // page-list envelope length
+        w.u4(pageList.length.toLong) // locator size (uncompressed)
+        w.u8(plOff)
+        w.frameClose(at)
+      }
+      w.bytes
+    }
+    val ftrOff = emit(footerEnv)
+
+    // ---- anchor (ROOT-streamed, big-endian, TKey'd + key-listed) ----
+    val anchorBody = {
+      val w = new WBuf
+      val at = w.vers(2)
+      w.i2(1); w.i2(0); w.i2(0); w.i2(0) // version epoch/major/minor/patch
+      w.i8(hdrOff); w.i8(headerEnv.length.toLong); w.i8(headerEnv.length.toLong)
+      w.i8(ftrOff); w.i8(footerEnv.length.toLong); w.i8(footerEnv.length.toLong)
+      w.i8(0L); w.i8(0L) // max key size, checksum (unread)
+      w.close(at)
+      w.bytes
+    }
+    val aKeyLen = keyLenOf("ROOT::RNTuple", name, "")
+    val anchorAt = emit(keyHeader(aKeyLen + anchorBody.length, anchorBody.length,
+      aKeyLen, filePos, "ROOT::RNTuple", name, "") ++ anchorBody)
+
+    // ---- directory key list + patches ----
+    val anchorHdrCopy = keyHeader(aKeyLen + anchorBody.length, anchorBody.length,
+      aKeyLen, anchorAt, "ROOT::RNTuple", name, "")
+    val klBody = { val w = new WBuf; w.i4(1); w.raw(anchorHdrCopy); w.bytes }
+    val klKeyLen = keyLenOf("TFile", fileName, "")
+    val seekKeys = emit(keyHeader(klKeyLen + klBody.length, klBody.length,
+      klKeyLen, filePos, "TFile", fileName, "") ++ klBody)
+    val end = filePos
+    out.seek(seekKeysPatchAt)
+    out.writeInt(seekKeys.toInt)
+    val h = new WBuf
+    h.raw("root".getBytes("ISO-8859-1"))
+    h.i4(63200)
+    h.i4(begin.toInt)
+    h.i4(end.toInt)
+    h.i4(0); h.i4(0); h.i4(0)
+    h.i4(nBytesName)
+    h.u1(4)
+    h.i4(0) // compression (pages written raw)
+    h.i4(0); h.i4(0) // seekInfo/nbInfo: no streamer catalog needed (anchor path)
+    while (h.p < 100) h.u1(0)
+    out.seek(0)
+    out.write(h.bytes)
+    out.close()
+  }
+
+  /** Distributed face: one standalone part-N.root per partition. */
+  def write(df: DataFrame, dir: String, name: String,
+      clusterEntries: Int = 5000): Unit = {
+    val schema = df.schema
+    new java.io.File(dir).mkdirs()
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      if (rows.hasNext) {
+        writeFile(s"$dir/part-$i.root", name, schema, rows, clusterEntries)
+        Iterator.single(1)
+      } else Iterator.empty
+    }.count()
+    ()
+  }
+}

@@ -3,6 +3,53 @@ package graft.sources.root
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
+/** Big-endian byte builder with absolute patching — shared by the
+  * TTree and RNTuple writers. */
+private[root] final class WBuf {
+  private var b = new Array[Byte](1 << 16)
+  var p = 0
+  private def ensure(n: Int): Unit =
+    if (p + n > b.length) b = java.util.Arrays.copyOf(b, math.max(b.length * 2, p + n))
+  def u1(v: Int): this.type = { ensure(1); b(p) = v.toByte; p += 1; this }
+  def i2(v: Int): this.type = { ensure(2); b(p) = (v >> 8).toByte; b(p + 1) = v.toByte; p += 2; this }
+  def i4(v: Int): this.type = {
+    ensure(4); b(p) = (v >> 24).toByte; b(p + 1) = (v >> 16).toByte
+    b(p + 2) = (v >> 8).toByte; b(p + 3) = v.toByte; p += 4; this
+  }
+  def i8(v: Long): this.type = { i4((v >> 32).toInt); i4(v.toInt) }
+  def f4(v: Float): this.type = i4(java.lang.Float.floatToIntBits(v))
+  def f8(v: Double): this.type = i8(java.lang.Double.doubleToLongBits(v))
+  def raw(a: Array[Byte]): this.type = { ensure(a.length); System.arraycopy(a, 0, b, p, a.length); p += a.length; this }
+  def tstr(s: String): this.type = {
+    val a = s.getBytes("ISO-8859-1")
+    if (a.length >= 255) { u1(255); i4(a.length) } else u1(a.length)
+    raw(a)
+  }
+  def cstr(s: String): this.type = { raw(s.getBytes("ISO-8859-1")); u1(0) }
+  def patchI4(at: Int, v: Int): Unit = {
+    b(at) = (v >> 24).toByte; b(at + 1) = (v >> 16).toByte
+    b(at + 2) = (v >> 8).toByte; b(at + 3) = v.toByte
+  }
+  def bytes: Array[Byte] = java.util.Arrays.copyOf(b, p)
+
+  /** Byte-counted version header: returns the bc position to close. */
+  def vers(v: Int): Int = { val at = p; i4(0); i2(v); at }
+  def close(at: Int): Unit = patchI4(at, ((p - at - 4) | 0x40000000))
+  def tobject(): this.type = { i2(1); i4(0); i4(0x03000000) }
+  def tnamed(name: String, title: String): this.type = {
+    val at = vers(1); tobject(); tstr(name); tstr(title); close(at); this
+  }
+  /** Class-tagged object site (always a new-class tag — legal, the
+    * reader re-registers duplicates). Returns the bc position (the
+    * object-map key base). */
+  def objOpen(cls: String): Int = { val at = p; i4(0); i4(-1); cstr(cls); at }
+  def objClose(at: Int): Unit = close(at)
+  /** Null object pointer. */
+  def objNull(): this.type = i4(0)
+  /** Back-reference to the object whose map key is `key`. */
+  def objBackRef(key: Int): this.type = i4(key)
+}
+
 /** Minimal ROOT TTree *writer* — the export leg the reference gets
   * from uproot's writable files (`schemas/base.py:136-178`
   * `uproot_writeable`: flat branch dicts back to ROOT). Scope is the
@@ -29,52 +76,6 @@ import org.apache.spark.sql.types._
   *  - baskets compress with one ZL frame when it helps, else raw.
   */
 object RootWriter {
-
-  /** Big-endian byte builder with absolute patching. */
-  private final class WBuf {
-    private var b = new Array[Byte](1 << 16)
-    var p = 0
-    private def ensure(n: Int): Unit =
-      if (p + n > b.length) b = java.util.Arrays.copyOf(b, math.max(b.length * 2, p + n))
-    def u1(v: Int): this.type = { ensure(1); b(p) = v.toByte; p += 1; this }
-    def i2(v: Int): this.type = { ensure(2); b(p) = (v >> 8).toByte; b(p + 1) = v.toByte; p += 2; this }
-    def i4(v: Int): this.type = {
-      ensure(4); b(p) = (v >> 24).toByte; b(p + 1) = (v >> 16).toByte
-      b(p + 2) = (v >> 8).toByte; b(p + 3) = v.toByte; p += 4; this
-    }
-    def i8(v: Long): this.type = { i4((v >> 32).toInt); i4(v.toInt) }
-    def f4(v: Float): this.type = i4(java.lang.Float.floatToIntBits(v))
-    def f8(v: Double): this.type = i8(java.lang.Double.doubleToLongBits(v))
-    def raw(a: Array[Byte]): this.type = { ensure(a.length); System.arraycopy(a, 0, b, p, a.length); p += a.length; this }
-    def tstr(s: String): this.type = {
-      val a = s.getBytes("ISO-8859-1")
-      if (a.length >= 255) { u1(255); i4(a.length) } else u1(a.length)
-      raw(a)
-    }
-    def cstr(s: String): this.type = { raw(s.getBytes("ISO-8859-1")); u1(0) }
-    def patchI4(at: Int, v: Int): Unit = {
-      b(at) = (v >> 24).toByte; b(at + 1) = (v >> 16).toByte
-      b(at + 2) = (v >> 8).toByte; b(at + 3) = v.toByte
-    }
-    def bytes: Array[Byte] = java.util.Arrays.copyOf(b, p)
-
-    /** Byte-counted version header: returns the bc position to close. */
-    def vers(v: Int): Int = { val at = p; i4(0); i2(v); at }
-    def close(at: Int): Unit = patchI4(at, ((p - at - 4) | 0x40000000))
-    def tobject(): this.type = { i2(1); i4(0); i4(0x03000000) }
-    def tnamed(name: String, title: String): this.type = {
-      val at = vers(1); tobject(); tstr(name); tstr(title); close(at); this
-    }
-    /** Class-tagged object site (always a new-class tag — legal, the
-      * reader re-registers duplicates). Returns the bc position (the
-      * object-map key base). */
-    def objOpen(cls: String): Int = { val at = p; i4(0); i4(-1); cstr(cls); at }
-    def objClose(at: Int): Unit = close(at)
-    /** Null object pointer. */
-    def objNull(): this.type = i4(0)
-    /** Back-reference to the object whose map key is `key`. */
-    def objBackRef(key: Int): this.type = i4(key)
-  }
 
   private final case class LeafSpec(branch: String, leafCls: String, es: Int,
       jagged: Boolean, counter: String)

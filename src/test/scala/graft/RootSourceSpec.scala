@@ -292,6 +292,43 @@ class RootSourceSpec extends AnyFunSuite {
     assert(total == 403L)
   }
 
+  test("RNTupleWriter: write -> native read round-trips all shapes across clusters") {
+    import spark.implicits._
+    import graft.sources.root.RNTupleWriter
+    val df = (0 until 317).map(i => (i.toLong, i * 1.5, i.toFloat * 0.25f, i % 3 == 0,
+      (i % 7).toShort, (i % 5).toByte, i * 13, s"doc-$i-${"x" * (i % 9)}",
+      (0 until i % 5).map(j => j * 2 + i),
+      (0 until i % 3).map(j => (j * i).toDouble * 0.5)))
+      .toDF("ev", "x", "y", "flag", "s", "b", "k", "name", "ja", "jb")
+    val tmp = java.nio.file.Files.createTempDirectory("rntw").toString
+    RNTupleWriter.writeFile(s"$tmp/t.root", "nt", df.schema, df.collect().iterator,
+      clusterEntries = 48) // 7 clusters: index columns restart per cluster
+    val back = RootTables.read(spark, s"$tmp/t.root", "nt")
+    assert(back.columns.toSeq == df.columns.toSeq)
+    val a = back.orderBy("ev").collect()
+    val e = df.orderBy("ev").collect()
+    assert(a.length == e.length)
+    a.zip(e).foreach { case (x, y) =>
+      df.columns.indices.foreach { i =>
+        val (xv, yv) = (x.get(i), y.get(i))
+        val same = (xv, yv) match {
+          case (p: scala.collection.Seq[_], q: scala.collection.Seq[_]) => p.toSeq == q.toSeq
+          case _ => xv == yv
+        }
+        assert(same, s"ev ${y.get(0)} col ${df.columns(i)}: $xv != $yv")
+      }
+    }
+    // the reader sees real clusters (partition-alignment units)
+    val meta = RootTables.describe(spark, s"$tmp/t.root", "nt")
+    assert(meta.filter(!col("supported")).count() == 0)
+    assert(meta.select(max(col("loose_baskets"))).head().getInt(0) == 7)
+    // distributed writer: one standalone part per partition
+    RNTupleWriter.write(df.repartition(3), s"$tmp/parts", "nt")
+    val files = new java.io.File(s"$tmp/parts").listFiles().map(_.getPath).filter(_.endsWith(".root"))
+    assert(files.length == 3)
+    assert(files.map(f => RootTables.read(spark, f, "nt").count()).sum == 317L)
+  }
+
   test("file paths containing commas read intact (no comma-splitting of path options)") {
     assume(available)
     val dir = java.nio.file.Files.createTempDirectory("root_comma")
