@@ -329,6 +329,20 @@ class RootSourceSpec extends AnyFunSuite {
     assert(files.map(f => RootTables.read(spark, f, "nt").count()).sum == 317L)
   }
 
+  test("writers: zero-row inputs produce readable empty files") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Seq[Double])].toDF("ev", "ja")
+    val tmp = java.nio.file.Files.createTempDirectory("empty_w").toString
+    graft.sources.root.RootWriter.writeFile(s"$tmp/t.root", "Events",
+      df.schema, Iterator.empty)
+    val t = RootTables.read(spark, s"$tmp/t.root", "Events")
+    assert(t.count() == 0 && t.columns.contains("ja"))
+    graft.sources.root.RNTupleWriter.writeFile(s"$tmp/n.root", "nt",
+      df.schema, Iterator.empty)
+    val n = RootTables.read(spark, s"$tmp/n.root", "nt")
+    assert(n.count() == 0 && n.columns.toSeq == Seq("ev", "ja"))
+  }
+
   test("file paths containing commas read intact (no comma-splitting of path options)") {
     assume(available)
     val dir = java.nio.file.Files.createTempDirectory("root_comma")
