@@ -61,8 +61,8 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     try {
-      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       val teleport = ((dampDen - dampNum) * Base / dampDen) / n
       var ranks = truncate(nodes.select(col(nodeCol).cast("long").as("node"))
         .distinct()
@@ -70,18 +70,21 @@ object Graphs {
       var round = 0
       while (round < iters) {
         val withDeg = ranks.join(deg, ranks("node") === deg("src"), "left")
-        // dangling mass: one bounded scalar per round (a single long)
-        val dangling = withDeg.filter(col("deg").isNull)
-          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+        // dangling mass rides as a broadcast 1-row aggregate inside the
+        // round's plan, so the eager truncate below is the round's ONLY
+        // action (the personalizedPageRank contract)
+        val danglingDf = withDeg.filter(col("deg").isNull)
+          .agg(coalesce(sum(col("r")), lit(0L)).as("__dangling"))
         val contribs = withDeg.filter(col("deg").isNotNull)
           .select(col("node"), expr("r div deg").as("c")) // integer div: exact
           .join(e, col("node") === e("src"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
         val next = ranks.select(col("node"))
           .join(contribs, ranks("node") === contribs("dst"), "left")
+          .crossJoin(broadcast(danglingDf))
           .select(col("node"),
             (lit(teleport) +
-              expr(s"($dampNum * (coalesce(inflow, 0L) + ${dangling / n}L)) div $dampDen"))
+              expr(s"($dampNum * (coalesce(inflow, 0L) + (__dangling div ${n}L))) div $dampDen"))
               .as("r"))
         val prev = ranks
         ranks = truncate(next)
@@ -89,7 +92,7 @@ object Graphs {
         round += 1
       }
       ranks
-    } finally { e.unpersist(false); () }
+    } finally { deg.unpersist(false); e.unpersist(false); () }
   }
 
   /** Synchronous label-propagation community detection (Raghavan et
