@@ -327,9 +327,16 @@ object Graphs {
       .distinct()
       .persist()
     try {
-      var visited = truncate(
-        seeds.map(s => (s, s, 0L)).toDF("seed", "node", "dist"))
-      var frontier = visited
+      val init = truncate(seeds.map(s => (s, s, 0L)).toDF("seed", "node", "dist"))
+      // BFS invariant: a depth-(d+1) candidate can only collide with
+      // depths d-1 and d (a node at depth <= d-2 adjacent to a depth-d
+      // node would itself have depth <= d-1) — so the per-round
+      // anti-join needs only the LAST TWO frontiers, never the whole
+      // visited set, and each round runs ONE eager truncate. The full
+      // result unions the per-depth checkpoints once at the end.
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](init)
+      var prevFrontier: DataFrame = null
+      var frontier = init
       var depth = 0
       var done = false
       while (depth < maxDepth && !done) {
@@ -338,19 +345,23 @@ object Graphs {
           .join(e, frontier("node") === e("src"))
           .select(col("seed"), col("dst").as("node"), lit(depth.toLong).as("dist"))
           .distinct()
+        // two SEPARATE anti-joins (not one union): each right side is a
+        // single materialized frame with stats, so both stay broadcast
+        // when thin — a union would fall back to a shuffle join
+        val lessFrontier = expanded.join(
+          frontier.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
         val next = truncate(
-          expanded.join(visited.select(col("seed"), col("node")),
-            Seq("seed", "node"), "left_anti"))
+          if (prevFrontier == null) lessFrontier
+          else lessFrontier.join(
+            prevFrontier.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti"))
         done = next.isEmpty
         if (!done) {
-          val prev = visited
-          visited = truncate(visited.unionByName(next))
-          prev.unpersist(false)
-          frontier.unpersist(false)
+          levels += next
+          prevFrontier = frontier
           frontier = next
         }
       }
-      visited
+      truncate(levels.reduce(_.unionByName(_)))
     } finally { e.unpersist(false); () }
   }
 
