@@ -136,6 +136,51 @@ object Warc {
   /** Read a WARC/WET file (or glob of files) as a DataFrame. */
   def read(spark: SparkSession, path: String*): DataFrame =
     spark.read.format("warc").load(path: _*)
+
+  /** Write (target_uri, content) rows back out as WET conversion
+    * records — the interchange loop of a curation pipeline (read CC,
+    * filter/clean, re-ship the survivors as WARC). One gzip member per
+    * record (so outputs re-split exactly like inputs) and one
+    * standalone part file per partition. `content` may be string or
+    * binary; record ids are deterministic from (part, ordinal). */
+  def write(df: DataFrame, dir: String,
+      uriCol: String = "target_uri", contentCol: String = "content",
+      date: String = "2026-01-01T00:00:00Z"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(uriCol).cast("string").as("u"),
+      col(contentCol).cast("binary").as("c"))
+    new java.io.File(dir).mkdirs()
+    rows.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val out = new java.io.FileOutputStream(s"$dir/part-$i.warc.gz")
+        var k = 0L
+        it.foreach { r =>
+          val content = Option(r.getAs[Array[Byte]]("c")).getOrElse(Array.emptyByteArray)
+          val uri = r.getAs[String]("u")
+          val sb = new StringBuilder
+          sb.append("WARC/1.0\r\n")
+          sb.append("WARC-Type: conversion\r\n")
+          sb.append(f"WARC-Record-ID: <urn:graft:$i%05d-$k%012d>\r\n")
+          sb.append(s"WARC-Date: $date\r\n")
+          if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
+          sb.append("Content-Type: text/plain\r\n")
+          sb.append(s"Content-Length: ${content.length}\r\n\r\n")
+          val member = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(member)
+          g.write(sb.toString.getBytes("UTF-8"))
+          g.write(content)
+          g.write("\r\n\r\n".getBytes("UTF-8"))
+          g.finish(); g.close()
+          out.write(member.toByteArray)
+          k += 1
+        }
+        out.close()
+        Iterator.single(1)
+      }
+    }.count()
+    ()
+  }
 }
 
 private[sources] final class WarcTable(paths: Seq[String])
