@@ -381,6 +381,19 @@ object RootTables {
     }
   }
 
+  /** Unified sink: write a DataFrame as ROOT files in either on-disk
+    * generation — `format = "ttree"` ([[RootWriter]]: zlib baskets,
+    * leaf-counted jagged branches) or `"rntuple"` ([[RNTupleWriter]]:
+    * spec-1.0 envelopes/pages). One standalone part file per partition
+    * either way; both read back through [[read]]. */
+  def write(df: DataFrame, dir: String, tree: String = "Events",
+      format: String = "ttree"): Unit = format match {
+    case "ttree" => RootWriter.write(df, dir, tree)
+    case "rntuple" => RNTupleWriter.write(df, dir, tree)
+    case other => throw new IllegalArgumentException(
+      s"ROOT sink format '$other' (ttree | rntuple)")
+  }
+
   /** All TTree and RNTuple names in a file (recursing into directories). */
   def trees(path: String): Seq[String] = {
     val f = RootFileReader.open(path)

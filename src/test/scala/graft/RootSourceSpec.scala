@@ -329,6 +329,23 @@ class RootSourceSpec extends AnyFunSuite {
     assert(files.map(f => RootTables.read(spark, f, "nt").count()).sum == 317L)
   }
 
+  test("RootTables.write: unified sink dispatches to either generation") {
+    import spark.implicits._
+    val df = (0 until 9).map(i => (i.toLong, (0 until i % 3).map(_.toDouble)))
+      .toDF("ev", "ja")
+    val tmp = java.nio.file.Files.createTempDirectory("sink").toString
+    RootTables.write(df, s"$tmp/t", "Events", format = "ttree")
+    RootTables.write(df, s"$tmp/n", "Events", format = "rntuple")
+    Seq(s"$tmp/t", s"$tmp/n").foreach { d =>
+      val n = new java.io.File(d).listFiles().filter(_.getName.endsWith(".root"))
+        .map(f => RootTables.read(spark, f.getPath, "Events").count()).sum
+      assert(n == 9L, d)
+    }
+    assert(intercept[IllegalArgumentException](
+      RootTables.write(df, s"$tmp/x", "Events", format = "parquet"))
+      .getMessage.contains("ttree | rntuple"))
+  }
+
   test("writers: zero-row inputs produce readable empty files") {
     import spark.implicits._
     val df = Seq.empty[(Long, Seq[Double])].toDF("ev", "ja")
