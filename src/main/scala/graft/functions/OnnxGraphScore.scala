@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+import graft.pipeline.OnnxGraph
+
+/** Whole-graph ONNX forward pass as ONE codegen'd expression over
+  * `ArrayData` — the serving shape for [[OnnxGraph]]s past a handful of
+  * ops. The generic [[OnnxGraph.columns]] HOF tower is kept for its
+  * plan-level transparency, but it costs O(ops) nested lambda scopes:
+  * a 30+-op attention block exceeds the analyzer's fixpoint budget and
+  * every element evaluates through CodegenFallback interpretation. This
+  * expression evaluates [[OnnxGraph.scoreDouble]] — the double-
+  * precision twin whose folds and association orders match `columns`
+  * and `toSql` EXACTLY (OnnxGraphSpec asserts zero-diff equality) — so
+  * swapping it into a query changes nothing the oracle can observe.
+  * The graph rides into generated code via `addReferenceObj`: weights
+  * are broadcast once per executor with the plan, never per row.
+  */
+case class OnnxGraphScoreExpr(child: Expression, graph: OnnxGraph)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    OnnxGraphScore.eval(v.asInstanceOf[ArrayData], graph)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("onnxGraph", graph, classOf[OnnxGraph].getName)
+    defineCodeGen(ctx, ev, v => s"graft.functions.OnnxGraphScore.eval($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object OnnxGraphScore {
+  def eval(v: ArrayData, graph: OnnxGraph): ArrayData =
+    new GenericArrayData(graph.scoreDouble(v.toDoubleArray()))
+
+  /** Score an `array<float|double>` column; returns `array<double>`. */
+  def apply(graph: OnnxGraph, x: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(OnnxGraphScoreExpr(
+      ColumnBridge.expression(x.cast("array<double>")), graph))
+  }
+}

@@ -121,12 +121,17 @@ object Onnx {
     def attrF(n: String, dflt: Float): Float = attrs.get(n).flatMap(_.f).getOrElse(dflt)
     def attrI(n: String, dflt: Long): Long = attrs.get(n).flatMap(_.i).getOrElse(dflt)
   }
-  /** Initializer tensor: row-major float payload + dims. */
+  /** Initializer tensor: row-major float payload + dims. INT32/INT64
+    * initializers (Reshape shapes, Slice bounds, Gather index tables)
+    * are converted to floats at parse — their values are small exact
+    * integers by construction. */
   final case class Tensor(name: String, dims: Seq[Int], data: Array[Float])
   final case class Model(nodes: Seq[Node], initializers: Map[String, Tensor],
       inputName: String, outputName: String)
 
   private val FloatType = 1
+  private val Int32Type = 6
+  private val Int64Type = 7
 
   def parse(bytes: Array[Byte]): Model = {
     var graph: PbReader = null
@@ -203,16 +208,26 @@ object Onnx {
       case (2, 0) => dtype = r.readVarint().toInt
       case (4, 2) => val p = r.readBytesView(); while (p.hasMore) fdata += java.lang.Float.intBitsToFloat(p.readFixed32())
       case (4, 5) => fdata += java.lang.Float.intBitsToFloat(r.readFixed32())
+      case (5, 2) => val p = r.readBytesView(); while (p.hasMore) fdata += p.readVarint().toInt.toFloat
+      case (5, 0) => fdata += r.readVarint().toInt.toFloat
+      case (7, 2) => val p = r.readBytesView(); while (p.hasMore) fdata += p.readVarint().toFloat
+      case (7, 0) => fdata += r.readVarint().toFloat
       case (8, 2) => name = r.readString()
       case (9, 2) => raw = r.readBytes()
       case (_, w) => r.skip(w)
     }
-    require(dtype == FloatType, s"initializer '$name': only float32 tensors supported (data_type=$dtype)")
+    require(dtype == FloatType || dtype == Int32Type || dtype == Int64Type,
+      s"initializer '$name': only float32/int32/int64 tensors supported (data_type=$dtype)")
     val data =
       if (raw != null) {
         val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val a = new Array[Float](raw.length / 4)
-        bb.asFloatBuffer().get(a); a
+        dtype match {
+          case FloatType =>
+            val a = new Array[Float](raw.length / 4)
+            bb.asFloatBuffer().get(a); a
+          case Int32Type => Array.tabulate(raw.length / 4)(i => bb.getInt(i * 4).toFloat)
+          case Int64Type => Array.tabulate(raw.length / 8)(i => bb.getLong(i * 8).toFloat)
+        }
       } else fdata.result().toArray
     Tensor(name, dims.result(), data)
   }
@@ -228,8 +243,19 @@ object Onnx {
       w.str(8, name).raw(9, bb.array())
     }
 
+    /** INT64 initializer (Reshape shapes, Slice starts/ends/axes). */
+    def tensor64(name: String, dims: Seq[Int], data: Array[Long]): PbWriter => Unit = { w =>
+      dims.foreach(d => w.int(1, d.toLong))
+      w.int(2, Int64Type.toLong)
+      val bb = java.nio.ByteBuffer.allocate(data.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      data.foreach(bb.putLong)
+      w.str(8, name).raw(9, bb.array())
+    }
+
     def node(op: String, ins: Seq[String], outs: Seq[String],
-        attrs: Map[String, Either[Float, Long]] = Map.empty): PbWriter => Unit = { w =>
+        attrs: Map[String, Either[Float, Long]] = Map.empty,
+        intLists: Map[String, Seq[Long]] = Map.empty,
+        strs: Map[String, String] = Map.empty): PbWriter => Unit = { w =>
       ins.foreach(w.str(1, _)); outs.foreach(w.str(2, _)); w.str(4, op)
       attrs.foreach { case (n, v) =>
         w.msg(5) { a =>
@@ -239,6 +265,12 @@ object Onnx {
             case Right(i) => a.int(3, i); a.int(20, 2L) // type INT
           }
         }
+      }
+      intLists.foreach { case (n, vs) =>
+        w.msg(5) { a => a.str(1, n); vs.foreach(a.int(8, _)); a.int(20, 7L) } // type INTS
+      }
+      strs.foreach { case (n, s) =>
+        w.msg(5) { a => a.str(1, n); a.str(4, s); a.int(20, 3L) } // type STRING
       }
     }
 

@@ -6,11 +6,19 @@ import org.apache.spark.sql.functions._
 /** ONNX beyond the strict MLP chain — the DAG subset a small sentence
   * encoder / quality-gate head actually uses: Gather (embedding
   * lookup), ReduceMean (mean pooling over the gathered rows),
-  * LayerNormalization, residual element-wise Add/Sub/Mul between PRIOR
-  * node outputs (not just initializer biases), plus the
-  * [[Onnx.OnnxMlp]] inventory (Gemm/MatMul/activations). Anything else
+  * LayerNormalization, residual element-wise Add/Sub/Mul/Div between
+  * PRIOR node outputs (not just initializer biases), plus the
+  * [[Onnx.OnnxMlp]] inventory (Gemm/MatMul/activations) — and the
+  * self-attention ops a MiniLM-class encoder block lowers to:
+  * runtime x runtime MatMul (Q·Kᵀ scores, probs·V context), 2-D
+  * Transpose, Slice/Concat head split/merge on the feature axis,
+  * row-major Reshape, scalar-broadcast Div (1/√dₕ scaling), additive
+  * masks (vector or full-matrix initializers entering as constant
+  * value slots) feeding a per-row Softmax, and Erf/Gelu. Anything else
   * still fails loudly at lowering ([[Onnx]]'s contract: scoring a
-  * silently-wrong graph at scale is worse than not scoring).
+  * silently-wrong graph at scale is worse than not scoring) — the
+  * reference instead wraps full runtimes
+  * (`ml_tools/torch_wrapper.py:14`, `triton_wrapper.py:19`).
   *
   * Values are matrices (rows x dim): the graph input enters as one row
   * (a feature vector, or the token-id vector a Gather consumes);
@@ -41,9 +49,10 @@ object OnnxGraph {
   final case class GDense(in: Int, w: Array[Array[Float]], b: Array[Float]) extends GOp
   /** Per-row, per-element activation; softmax normalizes per row. */
   final case class GAct(in: Int, act: String) extends GOp
-  /** Element-wise op; right side is a prior value slot or a constant
-    * row vector (initializer). `bOne`: the right slot is statically
-    * one-row and broadcasts over a many-row left. */
+  /** Element-wise op (add/sub/mul/div); right side is a prior value
+    * slot or a constant row vector (initializer; length 1 = scalar
+    * broadcast over every element). `bOne`: the right slot is
+    * statically one-row and broadcasts over a many-row left. */
   final case class GEltwise(a: Int, b: Either[Int, Array[Float]], op: String,
       bOne: Boolean) extends GOp
   final case class GLayerNorm(in: Int, gamma: Array[Float], beta: Array[Float],
@@ -52,13 +61,31 @@ object OnnxGraph {
   final case class GGather(idsIn: Int, table: Array[Array[Float]]) extends GOp
   /** Mean over rows (axis 0) — the pooling collapse back to one row. */
   final case class GReduceMean(in: Int) extends GOp
+  /** A 2-D initializer entering the dataflow as a constant value slot
+    * (attention masks, positional tables referenced by Add/MatMul). */
+  final case class GConst(m: Array[Array[Float]]) extends GOp
+  /** Runtime x runtime matrix product: (n x k) · (k x m) -> (n x m) —
+    * the Q·Kᵀ score and probs·V context steps of attention. */
+  final case class GMatMul(a: Int, b: Int) extends GOp
+  /** 2-D transpose (perm = [1, 0]). */
+  final case class GTranspose(in: Int) extends GOp
+  /** Column range [start, end) on the feature axis — head split. */
+  final case class GSliceCols(in: Int, start: Int, end: Int) extends GOp
+  /** Row-wise concat on the feature axis — head merge. */
+  final case class GConcatCols(ins: Seq[Int]) extends GOp
+  /** Row-major re-chunk to `cols` columns (Reshape with batch=1:
+    * (n, h·dₕ) -> (n·h, dₕ) and back). */
+  final case class GReshape(in: Int, cols: Int) extends GOp
 
   /** Lower a parsed [[Onnx.Model]] to the op list. Slot 0 is the graph
     * input; op k writes slot k+1. */
   def fromModel(m: Model): OnnxGraph = {
-    val ops = Seq.newBuilder[GOp]
+    val ops = scala.collection.mutable.ArrayBuffer[GOp]()
     val slotOf = scala.collection.mutable.Map[String, Int](m.inputName -> 0)
     val rowsOf = scala.collection.mutable.ArrayBuffer[Int](One)
+    // static column count per slot where derivable (-1 = runtime-only;
+    // the graph input's width is unknown until execution)
+    val colsOf = scala.collection.mutable.ArrayBuffer[Int](-1)
     var next = 1
     def tensorOf(name: String): Tensor = m.initializers.getOrElse(name,
       throw new IllegalArgumentException(s"'$name' is not an initializer — dynamic weights unsupported"))
@@ -79,9 +106,21 @@ object OnnxGraph {
     }
     def slot(name: String): Int = slotOf.getOrElse(name,
       throw new IllegalArgumentException(s"'$name' is neither a node output nor the graph input"))
-    def emit(out: String, op: GOp, rows: Int): Unit = {
-      ops += op; rowsOf += rows; slotOf(out) = next; next += 1
+    def emit(out: String, op: GOp, rows: Int, cols: Int): Unit = {
+      ops += op; rowsOf += rows; colsOf += cols; slotOf(out) = next; next += 1
     }
+    // Resolve a dataflow input: a prior node output, the graph input,
+    // or a 2-D initializer materialized once as a constant slot
+    // (attention masks / positional tables referenced by Add/MatMul).
+    def valueSlot(name: String): Int = slotOf.get(name) match {
+      case Some(s) => s
+      case None =>
+        val mat = asMatrix(tensorOf(name), transposed = false)
+        val s = next
+        emit(name, GConst(mat), if (mat.length == 1) One else Many, mat(0).length)
+        s
+    }
+    def intsOf(name: String): Seq[Long] = tensorOf(name).data.map(_.toLong).toSeq
     m.nodes.foreach { n =>
       n.opType match {
         case "Gemm" =>
@@ -92,61 +131,128 @@ object OnnxGraph {
           val w = asMatrix(tensorOf(n.inputs(1)), transposed = n.attrI("transB", 0L) == 1L)
           val b = if (n.inputs.size > 2) tensorOf(n.inputs(2)).data else new Array[Float](w(0).length)
           require(b.length == w(0).length, s"Gemm bias dim ${b.length} != out dim ${w(0).length}")
-          emit(n.outputs.head, GDense(in, w, b), rowsOf(in))
-        case "MatMul" =>
+          emit(n.outputs.head, GDense(in, w, b), rowsOf(in), w(0).length)
+        case "MatMul" if m.initializers.contains(n.inputs(1)) =>
           val in = slot(n.inputs(0))
           val w = asMatrix(tensorOf(n.inputs(1)), transposed = false)
-          emit(n.outputs.head, GDense(in, w, new Array[Float](w(0).length)), rowsOf(in))
-        case "Add" | "Sub" | "Mul" =>
+          emit(n.outputs.head, GDense(in, w, new Array[Float](w(0).length)), rowsOf(in), w(0).length)
+        case "MatMul" => // runtime x runtime: Q·Kᵀ scores, probs·V context
+          val a = valueSlot(n.inputs(0))
+          val b = valueSlot(n.inputs(1))
+          emit(n.outputs.head, GMatMul(a, b), rowsOf(a), colsOf(b))
+        case "Add" | "Sub" | "Mul" | "Div" =>
           val op = n.opType.toLowerCase
           val a = slot(n.inputs(0))
           val right = n.inputs(1)
-          if (m.initializers.contains(right)) {
-            val t = tensorOf(right)
-            require(t.dims.size == 1 || t.dims.count(_ > 1) <= 1,
-              s"'$right': element-wise constant must be a vector, dims=${t.dims}")
-            emit(n.outputs.head, GEltwise(a, Right(t.data), op, bOne = true), rowsOf(a))
+          val rightIsVec = m.initializers.get(right)
+            .exists(t => t.dims.size == 1 || t.dims.count(_ > 1) <= 1)
+          if (rightIsVec) {
+            // vector (per-row broadcast) or scalar (per-element) constant
+            emit(n.outputs.head, GEltwise(a, Right(tensorOf(right).data), op, bOne = true),
+              rowsOf(a), colsOf(a))
           } else {
-            val b = slot(right)
+            val b = valueSlot(right) // prior output OR 2-D constant (additive mask)
             val (ra, rb) = (rowsOf(a), rowsOf(b))
             require(ra == rb || rb == One,
               s"${n.opType}: shape mismatch (left rows=$ra, right rows=$rb)")
-            emit(n.outputs.head, GEltwise(a, Left(b), op, bOne = rb == One && ra != One), rowsOf(a))
+            emit(n.outputs.head, GEltwise(a, Left(b), op, bOne = rb == One && ra != One),
+              rowsOf(a), colsOf(a))
           }
-        case "Relu" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "relu"), rowsOf(in))
-        case "Sigmoid" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "sigmoid"), rowsOf(in))
-        case "Tanh" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "tanh"), rowsOf(in))
-        case "Softmax" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "softmax"), rowsOf(in))
+        case "Relu" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "relu"), rowsOf(in), colsOf(in))
+        case "Sigmoid" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "sigmoid"), rowsOf(in), colsOf(in))
+        case "Tanh" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "tanh"), rowsOf(in), colsOf(in))
+        case "Erf" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "erf"), rowsOf(in), colsOf(in))
+        case "Gelu" =>
+          val approx = n.attrs.get("approximate").flatMap(_.s).getOrElse("none")
+          require(approx == "none", s"Gelu approximate='$approx' unsupported (exact erf form only)")
+          val in = slot(n.inputs(0))
+          emit(n.outputs.head, GAct(in, "gelu"), rowsOf(in), colsOf(in))
+        case "Softmax" =>
+          val ax = n.attrI("axis", -1L)
+          require(ax == -1L || ax == 1L, s"Softmax axis=$ax unsupported (per-row only)")
+          val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "softmax"), rowsOf(in), colsOf(in))
         case "LeakyRelu" =>
           val in = slot(n.inputs(0))
-          emit(n.outputs.head, GAct(in, s"leakyrelu:${n.attrF("alpha", 0.01f)}"), rowsOf(in))
+          emit(n.outputs.head, GAct(in, s"leakyrelu:${n.attrF("alpha", 0.01f)}"), rowsOf(in), colsOf(in))
         case "LayerNormalization" =>
           require(n.attrI("axis", -1L) == -1L, "LayerNormalization axis != -1 unsupported")
           val in = slot(n.inputs(0))
           val gamma = tensorOf(n.inputs(1)).data
           val beta = if (n.inputs.size > 2) tensorOf(n.inputs(2)).data else new Array[Float](gamma.length)
           emit(n.outputs.head,
-            GLayerNorm(in, gamma, beta, n.attrF("epsilon", 1e-5f)), rowsOf(in))
+            GLayerNorm(in, gamma, beta, n.attrF("epsilon", 1e-5f)), rowsOf(in), gamma.length)
         case "Gather" =>
           require(n.attrI("axis", 0L) == 0L, "Gather axis != 0 unsupported")
           val table = asMatrix(tensorOf(n.inputs(0)), transposed = false)
           val ids = slot(n.inputs(1))
-          emit(n.outputs.head, GGather(ids, table), Many)
+          emit(n.outputs.head, GGather(ids, table), Many, table(0).length)
         case "ReduceMean" =>
           val axes = n.attrs.get("axes")
             .map(a => if (a.ints.nonEmpty) a.ints else a.i.toSeq)
             .getOrElse(Seq(0L))
           require(axes == Seq(0L), s"ReduceMean axes=$axes unsupported (mean pooling is axes=[0])")
           val in = slot(n.inputs(0))
-          emit(n.outputs.head, GReduceMean(in), One)
+          emit(n.outputs.head, GReduceMean(in), One, colsOf(in))
+        case "Transpose" =>
+          val perm = n.attrs.get("perm").map(_.ints).getOrElse(Seq(1L, 0L))
+          require(perm == Seq(1L, 0L), s"Transpose perm=$perm unsupported (2-D swap only)")
+          val in = valueSlot(n.inputs(0))
+          // rows of the transpose = static cols of the input; its cols
+          // (the input's runtime row count) are runtime-only
+          emit(n.outputs.head, GTranspose(in), if (colsOf(in) == 1) One else Many, -1)
+        case "Slice" =>
+          // opset-13 input form (starts/ends/axes/steps as INT64
+          // initializers) or opset-1 attribute form
+          val (starts, ends, axes, steps) =
+            if (n.inputs.size > 1)
+              (intsOf(n.inputs(1)), intsOf(n.inputs(2)),
+                if (n.inputs.size > 3) intsOf(n.inputs(3)) else Seq(1L),
+                if (n.inputs.size > 4) intsOf(n.inputs(4)) else Seq(1L))
+            else
+              (n.attrs.get("starts").map(_.ints).getOrElse(Seq.empty),
+                n.attrs.get("ends").map(_.ints).getOrElse(Seq.empty),
+                n.attrs.get("axes").map(_.ints).getOrElse(Seq(1L)), Seq(1L))
+          require(starts.size == 1 && ends.size == 1 && axes == Seq(1L) && steps == Seq(1L),
+            s"Slice starts=$starts ends=$ends axes=$axes steps=$steps unsupported " +
+              "(single feature-axis range, step 1 — the head-split shape)")
+          val in = valueSlot(n.inputs(0))
+          val d = colsOf(in)
+          def resolve(i: Long): Int =
+            if (i < 0) { require(d > 0, s"Slice index $i needs a static width"); (d + i).toInt }
+            else if (d > 0) math.min(i, d.toLong).toInt
+            else { require(i < Int.MaxValue, "Slice end INT64_MAX needs a static width"); i.toInt }
+          val (s0, e0) = (resolve(starts.head), resolve(ends.head))
+          require(s0 >= 0 && e0 > s0, s"Slice empty/invalid range [$s0, $e0)")
+          emit(n.outputs.head, GSliceCols(in, s0, e0), rowsOf(in), e0 - s0)
+        case "Concat" =>
+          val ax = n.attrI("axis", -1L)
+          require(ax == -1L || ax == 1L, s"Concat axis=$ax unsupported (feature axis only)")
+          val ins = n.inputs.map(valueSlot)
+          require(ins.map(rowsOf).distinct.size == 1,
+            s"Concat: inputs disagree on static rowness")
+          val cols = ins.map(colsOf)
+          emit(n.outputs.head, GConcatCols(ins),
+            rowsOf(ins.head), if (cols.forall(_ > 0)) cols.sum else -1)
+        case "Reshape" =>
+          val shape = intsOf(n.inputs(1))
+          require(shape.size == 2 && shape(1) > 0,
+            s"Reshape shape=$shape unsupported (2-D (rows, cols) with explicit cols — " +
+              "the batch=1 row-major head re-chunk; 3/4-D multihead tensors are out of subset)")
+          val in = valueSlot(n.inputs(0))
+          val cols = shape(1).toInt
+          if (colsOf(in) > 0 && rowsOf(in) == One)
+            require(colsOf(in) % cols == 0, s"Reshape: ${colsOf(in)} not divisible by $cols")
+          emit(n.outputs.head, GReshape(in, cols),
+            if (rowsOf(in) == One && colsOf(in) == cols) One else Many, cols)
         case "Identity" | "Flatten" | "Dropout" =>
           slotOf(n.outputs.head) = slot(n.inputs(0))
         case op => throw new IllegalArgumentException(
-          s"ONNX op '$op' unsupported (DAG subset: Gemm/MatMul/Add/Sub/Mul/activations/" +
-            "LayerNormalization/Gather/ReduceMean/Identity/Flatten/Dropout)")
+          s"ONNX op '$op' unsupported (DAG subset: Gemm/MatMul/Add/Sub/Mul/Div/activations/" +
+            "Erf/Gelu/LayerNormalization/Gather/ReduceMean/Transpose/Slice/Concat/Reshape/" +
+            "Identity/Flatten/Dropout)")
       }
     }
-    OnnxGraph(ops.result(), slot(m.outputName))
+    OnnxGraph(ops.toSeq, slot(m.outputName))
   }
 
   def parse(bytes: Array[Byte]): OnnxGraph = fromModel(Onnx.parse(bytes))
@@ -205,16 +311,49 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
             case "add" => _ + _
             case "sub" => _ - _
             case "mul" => _ * _
+            case "div" => _ / _
           }
           b match {
+            case Right(v) if v.length == 1 => // scalar broadcast (1/√dₕ scaling)
+              ma.map(row => Array.tabulate(row.length)(i => f(row(i), v(0))))
             case Right(v) => ma.map(row => Array.tabulate(row.length)(i => f(row(i), v(i))))
             case Left(bs) =>
               val mb = vals(bs)
               if (bOne || mb.length == 1)
                 ma.map(row => Array.tabulate(row.length)(i => f(row(i), mb(0)(i))))
-              else ma.indices.toArray.map(r =>
-                Array.tabulate(ma(r).length)(i => f(ma(r)(i), mb(r)(i))))
+              else {
+                require(mb.length == ma.length,
+                  s"eltwise '$op': ${ma.length} vs ${mb.length} rows")
+                ma.indices.toArray.map(r =>
+                  Array.tabulate(ma(r).length)(i => f(ma(r)(i), mb(r)(i))))
+              }
           }
+        case GConst(mat) => mat.map(_.clone())
+        case GMatMul(a, b) =>
+          val (ma, mb) = (vals(a), vals(b))
+          ma.map { row =>
+            require(row.length == mb.length, s"MatMul inner dim ${row.length} != ${mb.length}")
+            val out = new Array[Float](mb(0).length)
+            var j = 0
+            while (j < out.length) {
+              var acc = 0.0f; var i = 0
+              while (i < row.length) { acc += row(i) * mb(i)(j); i += 1 }
+              out(j) = acc; j += 1
+            }
+            out
+          }
+        case GTranspose(in) =>
+          val mi = vals(in)
+          Array.tabulate(mi(0).length, mi.length)((j, r) => mi(r)(j))
+        case GSliceCols(in, s, t) =>
+          vals(in).map(row => java.util.Arrays.copyOfRange(row, s, math.min(t, row.length)))
+        case GConcatCols(ins) =>
+          val ms = ins.map(vals(_))
+          Array.tabulate(ms.head.length)(r => ms.toArray.flatMap(_(r)))
+        case GReshape(in, cols) =>
+          val flat = vals(in).flatten
+          require(flat.length % cols == 0, s"Reshape: ${flat.length} elements % $cols != 0")
+          flat.grouped(cols).map(_.toArray).toArray
         case GLayerNorm(in, gamma, beta, eps) =>
           vals(in).map { row =>
             val d = row.length
@@ -263,6 +402,158 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
       while (i < v.length) { val e = math.exp((v(i) - m).toDouble); s += e; v(i) = e.toFloat; i += 1 }
       i = 0; while (i < v.length) { v(i) = (v(i) / s).toFloat; i += 1 }
       v
+    case "erf" =>
+      var i = 0; while (i < v.length) { v(i) = erfD(v(i).toDouble).toFloat; i += 1 }; v
+    case "gelu" =>
+      var i = 0
+      while (i < v.length) {
+        val x = v(i).toDouble
+        v(i) = (0.5 * x * (1.0 + erfD(x * 0.7071067811865476))).toFloat; i += 1
+      }
+      v
+  }
+
+  // ---- double JVM path: the Column/DuckDB semantics evaluated
+  // natively. Bit-identical to [[columns]] and [[toSql]] — every fold,
+  // every association order, every literal matches (the parity spec
+  // asserts EXACT equality against the HOF path). This is what
+  // [[graft.functions.OnnxGraphScoreExpr]] evaluates inside whole-stage
+  // codegen: one expression node instead of an O(ops)-deep HOF tower,
+  // so a 30+-op attention block neither blows the analyzer's fixpoint
+  // budget nor pays CodegenFallback per-element interpretation. ----
+
+  def scoreDouble(x: Array[Double]): Array[Double] = {
+    val vals = new Array[Array[Array[Double]]](ops.size + 1)
+    vals(0) = Array(x)
+    var k = 0
+    while (k < ops.size) {
+      vals(k + 1) = ops(k) match {
+        case GDense(in, w, b) =>
+          vals(in).map { row =>
+            Array.tabulate(b.length) { j =>
+              var acc = 0.0; var i = 0
+              while (i < row.length) { acc += row(i) * w(i)(j).toDouble; i += 1 }
+              acc + b(j).toDouble
+            }
+          }
+        case GAct(in, act) => vals(in).map(row => actRowD(row, act))
+        case GEltwise(a, b, op, bOne) =>
+          val ma = vals(a)
+          val f: (Double, Double) => Double = op match {
+            case "add" => _ + _
+            case "sub" => _ - _
+            case "mul" => _ * _
+            case "div" => _ / _
+          }
+          b match {
+            case Right(v) if v.length == 1 =>
+              val c = v(0).toDouble
+              ma.map(row => row.map(f(_, c)))
+            case Right(v) =>
+              ma.map(row => Array.tabulate(row.length)(i => f(row(i), v(i).toDouble)))
+            case Left(bs) =>
+              val mb = vals(bs)
+              if (bOne || mb.length == 1)
+                ma.map(row => Array.tabulate(row.length)(i => f(row(i), mb(0)(i))))
+              else ma.indices.toArray.map(r =>
+                Array.tabulate(ma(r).length)(i => f(ma(r)(i), mb(r)(i))))
+          }
+        case GLayerNorm(in, gamma, beta, eps) =>
+          vals(in).map { row =>
+            val d = row.length.toDouble
+            var s = 0.0; var i = 0
+            while (i < row.length) { s += row(i); i += 1 }
+            val mean = s / d
+            var v = 0.0; i = 0
+            while (i < row.length) { val c = row(i) - mean; v += c * c; i += 1 }
+            val vr = v / d
+            Array.tabulate(row.length)(j =>
+              (row(j) - mean) / math.sqrt(vr + eps.toDouble) * gamma(j).toDouble + beta(j).toDouble)
+          }
+        case GGather(ids, table) =>
+          vals(ids)(0).map { idd =>
+            val i = idd.toInt
+            require(i >= 0 && i < table.length, s"Gather index $i out of [0, ${table.length})")
+            table(i).map(_.toDouble)
+          }
+        case GReduceMean(in) =>
+          val m = vals(in)
+          Array(Array.tabulate(m(0).length) { j =>
+            var s = 0.0; var r = 0
+            while (r < m.length) { s += m(r)(j); r += 1 }
+            s / m.length
+          })
+        case GConst(mat) => mat.map(_.map(_.toDouble))
+        case GMatMul(a, b) =>
+          val (ma, mb) = (vals(a), vals(b))
+          ma.map { row =>
+            Array.tabulate(mb(0).length) { j =>
+              var acc = 0.0; var i = 0
+              while (i < row.length) { acc += row(i) * mb(i)(j); i += 1 }
+              acc
+            }
+          }
+        case GTranspose(in) =>
+          val mi = vals(in)
+          Array.tabulate(mi(0).length, mi.length)((j, r) => mi(r)(j))
+        case GSliceCols(in, s, t) =>
+          vals(in).map(row => java.util.Arrays.copyOfRange(row, s, math.min(t, row.length)))
+        case GConcatCols(ins) =>
+          val ms = ins.map(vals(_))
+          Array.tabulate(ms.head.length)(r => ms.toArray.flatMap(_(r)))
+        case GReshape(in, cols) =>
+          val flat = vals(in).flatten
+          flat.grouped(cols).map(_.toArray).toArray
+      }
+      k += 1
+    }
+    val out = vals(outSlot)
+    require(out.length == 1, s"graph output has ${out.length} rows (pool to one row)")
+    out(0)
+  }
+
+  // NB: Spark's Exp/Tanh expressions call java.lang.StrictMath (SPARK-
+  // 39178 platform determinism) — scoreDouble must too, or the
+  // bit-parity contract with [[columns]] breaks by an ulp.
+  private def actRowD(row: Array[Double], act: String): Array[Double] = act match {
+    case "relu" => row.map(v => math.max(v, 0.0))
+    case "sigmoid" => row.map(v => 1.0 / (1.0 + StrictMath.exp(-v)))
+    case "tanh" => row.map(StrictMath.tanh)
+    case a if a.startsWith("leakyrelu:") =>
+      val alpha = a.stripPrefix("leakyrelu:").toDouble
+      row.map(v => if (v < 0) v * alpha else v)
+    case "softmax" =>
+      var mx = Double.NegativeInfinity
+      row.foreach(v => if (v > mx) mx = v)
+      val er = row.map(v => StrictMath.exp(v - mx))
+      var sm = 0.0; var i = 0
+      while (i < er.length) { sm += er(i); i += 1 }
+      er.map(_ / sm)
+    case "erf" => row.map(erfDStrict)
+    case "gelu" => row.map(x => 0.5 * x * (1.0 + erfDStrict(x * 0.7071067811865476)))
+  }
+
+  /** [[erfD]] with StrictMath.exp — the scoreDouble leg of the parity
+    * contract (see actRowD note). */
+  private def erfDStrict(x: Double): Double = {
+    val ax = math.abs(x)
+    val t = 1.0 / (1.0 + 0.3275911 * ax)
+    val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t
+    val y = 1.0 - poly * StrictMath.exp(-(ax * ax))
+    if (x < 0) -y else y
+  }
+
+  /** erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7) — the SAME
+    * double-precision Horner polynomial the Column and DuckDB paths
+    * evaluate, so all three agree to float32 resolution. */
+  private def erfD(x: Double): Double = {
+    val ax = math.abs(x)
+    val t = 1.0 / (1.0 + 0.3275911 * ax)
+    val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t
+    val y = 1.0 - poly * math.exp(-(ax * ax))
+    if (x < 0) -y else y
   }
 
   // ---- Column path (double precision, env let-binding) ----
@@ -300,8 +591,11 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
         case "add" => x + y
         case "sub" => x - y
         case "mul" => x * y
+        case "div" => x / y
       }
       bSide match {
+        case Right(v) if v.length == 1 =>
+          transform(ma, row => transform(row, x => f(x, lit(v(0).toDouble))))
         case Right(v) =>
           val vl = typedLit(v.map(_.toDouble).toSeq)
           transform(ma, row => zip_with(row, vl, f))
@@ -309,6 +603,28 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
           val mb = element_at(e, bs + 1)
           if (bOne) transform(ma, row => zip_with(row, element_at(mb, 1), f))
           else zip_with(ma, mb, (ra, rb) => zip_with(ra, rb, f))
+      }
+    case GConst(m) =>
+      typedLit(m.map(_.map(_.toDouble).toSeq).toSeq)
+    case GMatMul(a, b) =>
+      val mb = element_at(e, b + 1)
+      transform(element_at(e, a + 1), row =>
+        transform(sequence(lit(1), size(element_at(mb, 1))), j =>
+          aggregate(zip_with(row, transform(mb, r => element_at(r, j)), _ * _),
+            lit(0.0), _ + _)))
+    case GTranspose(in) =>
+      val m = element_at(e, in + 1)
+      transform(sequence(lit(1), size(element_at(m, 1))), j =>
+        transform(m, r => element_at(r, j)))
+    case GSliceCols(in, s, t) =>
+      transform(element_at(e, in + 1), row => slice(row, s + 1, t - s))
+    case GConcatCols(ins) =>
+      ins.map(i => element_at(e, i + 1))
+        .reduce((x, y) => zip_with(x, y, (ra, rb) => concat(ra, rb)))
+    case GReshape(in, cols) =>
+      bind1(flatten(element_at(e, in + 1))) { flat =>
+        transform(sequence(lit(0), floor(size(flat) / lit(cols)).cast("int") - 1),
+          r => slice(flat, r * cols + 1, lit(cols)))
       }
     case GLayerNorm(in, gamma, beta, eps) =>
       val gl = typedLit(gamma.map(_.toDouble).toSeq)
@@ -349,7 +665,23 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
           }
         }
       }
+    case "erf" => transform(row, v => erfCol(v))
+    case "gelu" =>
+      transform(row, v => lit(0.5) * v * (lit(1.0) + erfCol(v * lit(0.7071067811865476))))
   }
+
+  /** A&S 7.1.26 erf — term-for-term the [[toSql]] rendering (same
+    * Horner order, same double literals) so the oracle replays it. */
+  private def erfCol(x: Column): Column =
+    bind1(abs(x)) { ax =>
+      bind1(lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)) { t =>
+        bind1(lit(1.0) - ((((lit(1.061405429) * t - lit(1.453152027)) * t
+            + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t *
+            exp(-(ax * ax))) { y =>
+          when(x < 0, -y).otherwise(y)
+        }
+      }
+    }
 
   // ---- DuckDB twin ----
 
@@ -385,8 +717,10 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
     case GAct(in, act) =>
       s"list_transform($e[${in + 1}], row -> ${actSql("row", act)})"
     case GEltwise(a, bSide, op2, bOne) =>
-      val sym = op2 match { case "add" => "+"; case "sub" => "-"; case "mul" => "*" }
+      val sym = op2 match { case "add" => "+"; case "sub" => "-"; case "mul" => "*"; case "div" => "/" }
       bSide match {
+        case Right(v) if v.length == 1 =>
+          s"list_transform($e[${a + 1}], row -> list_transform(row, x -> x $sym ${sqlLit(v(0))}))"
         case Right(v) =>
           s"([list_transform($e[${a + 1}], row -> list_transform(generate_series(1, len(row)), j -> row[j] $sym cv[j])) for cv in [${vecLit(v)}]][1])"
         case Left(bs) if bOne =>
@@ -407,6 +741,24 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
     case GReduceMean(in) =>
       s"([[list_transform(generate_series(1, len(m[1])), j -> " +
         s"${fold("list_transform(m, r -> r[j])")} / len(m))] for m in [$e[${in + 1}]]][1])"
+    case GConst(m) =>
+      m.map(vecLit).mkString("[", ", ", "]")
+    case GMatMul(a, b) =>
+      s"list_transform($e[${a + 1}], row -> " +
+        s"list_transform(generate_series(1, len($e[${b + 1}][1])), j -> " +
+        s"${fold(s"list_transform(generate_series(1, len(row)), k -> row[k] * $e[${b + 1}][k][j])")}))"
+    case GTranspose(in) =>
+      s"list_transform(generate_series(1, len($e[${in + 1}][1])), j -> " +
+        s"list_transform($e[${in + 1}], r -> r[j]))"
+    case GSliceCols(in, s, t) =>
+      s"list_transform($e[${in + 1}], row -> row[${s + 1}:$t])"
+    case GConcatCols(ins) =>
+      val parts = ins.map(i => s"$e[${i + 1}][r]").mkString(" || ")
+      s"list_transform(generate_series(1, len($e[${ins.head + 1}])), r -> $parts)"
+    case GReshape(in, cols) =>
+      s"([list_transform(generate_series(0, CAST(len(flat) // $cols AS INT) - 1), " +
+        s"r -> flat[r * $cols + 1 : r * $cols + $cols]) " +
+        s"for flat in [flatten($e[${in + 1}])]][1])"
   }
 
   private def actSql(row: String, act: String): String = act match {
@@ -420,5 +772,18 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
       s"([[[list_transform(er, w -> w / sm) for sm in [${fold("er")}]][1]" +
         s" for er in [list_transform($row, v -> exp(v - mx))]][1]" +
         s" for mx in [list_aggregate($row, 'max')]][1])"
+    case "erf" => s"list_transform($row, v -> ${erfSql("v")})"
+    case "gelu" =>
+      s"list_transform($row, v -> 0.5 * v * (1.0 + ${erfSql("(v * 0.7071067811865476)")}))"
   }
+
+  /** The [[erfCol]] twin: same binds, same Horner order, same double
+    * literals (DuckDB DECIMAL literals convert to the identical
+    * nearest doubles). */
+  private def erfSql(x: String): String =
+    s"([[[ (CASE WHEN $x < 0 THEN -y ELSE y END)" +
+      s" for y in [1.0 - ((((1.061405429 * t - 1.453152027) * t" +
+      s" + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t * exp(-(ax * ax))]][1]" +
+      s" for t in [1.0 / (1.0 + 0.3275911 * ax)]][1]" +
+      s" for ax in [abs($x)]][1])"
 }

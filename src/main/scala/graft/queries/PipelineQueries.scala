@@ -1929,6 +1929,48 @@ object PipelineQueries extends QueryPack {
            |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
            |       CAST(sum(ye6) AS BIGINT) AS sum_e6
            |FROM ex GROUP BY 1, 2""".stripMargin
+      }),
+
+    Query(
+      "q254_onnx_attention",
+      "ONNX SELF-ATTENTION inference (the r14 gap: MiniLM-class encoder blocks, not just " +
+        "Gather/pool DAGs): a full transformer block round-tripped through REAL ONNX bytes - " +
+        "Gather embeds 6 token ids (derived from each embeddings row, floor-quantized pmod 8), " +
+        "Q/K/V Gemms, TWO heads split by feature-axis Slice (INT64 starts/ends initializers), " +
+        "per head Q.K^T via runtime-x-runtime MatMul + Transpose, 1/sqrt(d_h) scalar Div, an " +
+        "additive padding mask zeroing the last two positions, per-row Softmax, probs.V, Concat " +
+        "head merge, output Gemm, residual Add, LayerNorm, a Gelu (exact-erf) FFN with second " +
+        "residual + LayerNorm, ReduceMean pooling, and a row-major Reshape (1x4 -> 2x2) with a " +
+        "final mean - every attention op the subset lowers, in one oracle-checked pass. The " +
+        "Spark side scores through graft.functions.OnnxGraphScoreExpr - ONE codegen'd expression " +
+        "whose double evaluation is proven BIT-IDENTICAL to the Column-HOF tower (OnnxGraphSpec) " +
+        "- so weights ship once per executor inside the plan and the scan stays whole-stage: the " +
+        "100 TB serving shape. The oracle replays the identical forward pass from the SAME " +
+        "parsed graph via generated DuckDB SQL (comprehension let-binds, list_prepend/" +
+        "list_reduce folds). Outputs e6-quantize per element before integer sums.",
+      (s, dir) => {
+        import s.implicits._
+        val g = onnxAttentionGraph
+        val ids = transform(expr("slice(embedding, 1, 6)"),
+          v => pmod(floor(v.cast("double") * 4.0).cast("int"), lit(8)).cast("double"))
+        Tables.embeddings(s, dir)
+          .select($"label", graft.functions.OnnxGraphScore(g, ids).as("y"))
+          .select($"label", posexplode(
+            transform($"y", v => floor(v * 1000000.0 + 0.5).cast("long"))).as(Seq("pos", "ye6")))
+          .select($"label", ($"pos" + 1).cast("long").as("dim"), $"ye6")
+          .groupBy($"label", $"dim")
+          .agg(count(lit(1)).as("n"), sum($"ye6").cast("long").as("sum_e6"))
+      },
+      Some {
+        val idsSql = "list_transform(embedding[1:6], v -> " +
+          "CAST((CAST(floor(CAST(v AS DOUBLE) * 4.0) AS INT) % 8 + 8) % 8 AS DOUBLE))"
+        val ySql = onnxAttentionGraph.toSql(idsSql)
+        s"""WITH y AS (SELECT label, $ySql AS y FROM embeddings),
+           |ex AS (SELECT label, j AS dim, CAST(floor(y[j] * 1000000.0 + 0.5) AS BIGINT) AS ye6
+           |       FROM y, generate_series(1, 2) g(j))
+           |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+           |       CAST(sum(ye6) AS BIGINT) AS sum_e6
+           |FROM ex GROUP BY 1, 2""".stripMargin
       })
   )
 
@@ -1958,6 +2000,81 @@ object PipelineQueries extends QueryPack {
         Onnx.OnnxWriter.tensor("B", Seq(8), beta),
         Onnx.OnnxWriter.tensor("W", Seq(8, 4), w.flatten),
         Onnx.OnnxWriter.tensor("Wb", Seq(4), b))))
+  }
+
+  /** q254's fixture: one MiniLM-style transformer block (vocab 8, d=4,
+    * two heads of d_h=2 decomposed via Slice/Concat, padding mask over
+    * the last 2 of 6 positions, Gelu FFN, twin residual+LayerNorm,
+    * mean pooling, final 1x4->2x2 Reshape + mean), all weights exact
+    * binary fractions, round-tripped through REAL ONNX bytes at
+    * registry-build time. Reference behavior: full-runtime wrappers
+    * (`ml_tools/torch_wrapper.py:14`); here the block lowers natively. */
+  private[graft] lazy val onnxAttentionGraph: graft.pipeline.OnnxGraph = {
+    import graft.pipeline.OnnxGraph
+    import Onnx.OnnxWriter
+    val d = 4
+    val table = Array.tabulate(8, d)((v, j) => (((v * 5 + j * 3) % 9) - 4) / 8.0f)
+    def mat(n: Int, m: Int, salt: Int) =
+      Array.tabulate(n, m)((i, j) => (((i * 7 + j * 11 + salt * 5) % 13) - 6) / 16.0f)
+    def vec(n: Int, salt: Int) = Array.tabulate(n)(j => ((j * 3 + salt) % 5 - 2) / 8.0f)
+    def headOps(h: Int): Seq[Onnx.PbWriter => Unit] = Seq(
+      OnnxWriter.node("Slice", Seq("q", s"st$h", s"en$h", "ax1", "step1"), Seq(s"q$h")),
+      OnnxWriter.node("Slice", Seq("k", s"st$h", s"en$h", "ax1", "step1"), Seq(s"k$h")),
+      OnnxWriter.node("Slice", Seq("v", s"st$h", s"en$h", "ax1", "step1"), Seq(s"v$h")),
+      OnnxWriter.node("Transpose", Seq(s"k$h"), Seq(s"kt$h"), intLists = Map("perm" -> Seq(1L, 0L))),
+      OnnxWriter.node("MatMul", Seq(s"q$h", s"kt$h"), Seq(s"s$h")),
+      OnnxWriter.node("Div", Seq(s"s$h", "sqrtDh"), Seq(s"sc$h")),
+      OnnxWriter.node("Add", Seq(s"sc$h", "mask"), Seq(s"m$h")),
+      OnnxWriter.node("Softmax", Seq(s"m$h"), Seq(s"p$h"), Map("axis" -> Right(-1L))),
+      OnnxWriter.node("MatMul", Seq(s"p$h", s"v$h"), Seq(s"c$h")))
+    OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wq", "bq"), Seq("q")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wk", "bk"), Seq("k")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wv", "bv"), Seq("v"))) ++
+        headOps(0) ++ headOps(1) ++ Seq(
+        OnnxWriter.node("Concat", Seq("c0", "c1"), Seq("ctx"), Map("axis" -> Right(-1L))),
+        OnnxWriter.node("Gemm", Seq("ctx", "Wo", "bo"), Seq("attn")),
+        OnnxWriter.node("Add", Seq("attn", "emb"), Seq("res1")),
+        OnnxWriter.node("LayerNormalization", Seq("res1", "G1", "B1"), Seq("ln1"),
+          Map("epsilon" -> Left(1e-5f))),
+        OnnxWriter.node("Gemm", Seq("ln1", "W1", "b1"), Seq("f1")),
+        OnnxWriter.node("Gelu", Seq("f1"), Seq("g1"), strs = Map("approximate" -> "none")),
+        OnnxWriter.node("Gemm", Seq("g1", "W2", "b2"), Seq("f2")),
+        OnnxWriter.node("Add", Seq("f2", "ln1"), Seq("res2")),
+        OnnxWriter.node("LayerNormalization", Seq("res2", "G2", "B2"), Seq("ln2"),
+          Map("epsilon" -> Left(1e-5f))),
+        OnnxWriter.node("ReduceMean", Seq("ln2"), Seq("pool")),
+        OnnxWriter.node("Reshape", Seq("pool", "shape2"), Seq("rs")),
+        OnnxWriter.node("ReduceMean", Seq("rs"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("T", Seq(8, d), table.flatten),
+        OnnxWriter.tensor("Wq", Seq(d, d), mat(d, d, 1).flatten),
+        OnnxWriter.tensor("bq", Seq(d), vec(d, 1)),
+        OnnxWriter.tensor("Wk", Seq(d, d), mat(d, d, 2).flatten),
+        OnnxWriter.tensor("bk", Seq(d), vec(d, 2)),
+        OnnxWriter.tensor("Wv", Seq(d, d), mat(d, d, 3).flatten),
+        OnnxWriter.tensor("bv", Seq(d), vec(d, 3)),
+        OnnxWriter.tensor("sqrtDh", Seq(1), Array(1.4142135f)),
+        OnnxWriter.tensor("mask", Seq(6), Array(0f, 0f, 0f, 0f, -10000f, -10000f)),
+        OnnxWriter.tensor64("st0", Seq(1), Array(0L)),
+        OnnxWriter.tensor64("en0", Seq(1), Array(2L)),
+        OnnxWriter.tensor64("st1", Seq(1), Array(2L)),
+        OnnxWriter.tensor64("en1", Seq(1), Array(4L)),
+        OnnxWriter.tensor64("ax1", Seq(1), Array(1L)),
+        OnnxWriter.tensor64("step1", Seq(1), Array(1L)),
+        OnnxWriter.tensor64("shape2", Seq(2), Array(2L, 2L)),
+        OnnxWriter.tensor("Wo", Seq(d, d), mat(d, d, 4).flatten),
+        OnnxWriter.tensor("bo", Seq(d), vec(d, 4)),
+        OnnxWriter.tensor("G1", Seq(d), Array.tabulate(d)(j => 1.0f + (j % 2) / 4.0f)),
+        OnnxWriter.tensor("B1", Seq(d), vec(d, 5)),
+        OnnxWriter.tensor("W1", Seq(d, 8), mat(d, 8, 6).flatten),
+        OnnxWriter.tensor("b1", Seq(8), vec(8, 6)),
+        OnnxWriter.tensor("W2", Seq(8, d), mat(8, d, 7).flatten),
+        OnnxWriter.tensor("b2", Seq(d), vec(d, 7)),
+        OnnxWriter.tensor("G2", Seq(d), Array.tabulate(d)(j => 1.0f - (j % 3) / 8.0f)),
+        OnnxWriter.tensor("B2", Seq(d), vec(d, 8)))))
   }
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

@@ -73,6 +73,222 @@ class OnnxGraphSpec extends AnyFunSuite {
     y.indices.foreach(i => assert(math.abs(yc(i) - y(i)) < 1e-5))
   }
 
+  /** One MiniLM-style transformer block over 5 tokens, d=4, two heads
+    * of dₕ=2 decomposed via Slice/Concat (the per-head export shape):
+    * Gather -> Q/K/V Gemms -> per head (Slice, Q·Kᵀ via runtime
+    * MatMul + Transpose, 1/√dₕ Div, additive padding mask, Softmax,
+    * probs·V) -> Concat -> output Gemm -> residual -> LayerNorm ->
+    * Gelu FFN -> residual -> LayerNorm -> ReduceMean pooling. */
+  private def attentionBytes: Array[Byte] = {
+    val d = 4
+    val table = Array.tabulate(8, d)((v, j) => (((v * 5 + j * 3) % 9) - 4) / 4.0f)
+    def mat(n: Int, m: Int, salt: Int) =
+      Array.tabulate(n, m)((i, j) => (((i * 7 + j * 11 + salt) % 13) - 6) / 8.0f)
+    def vec(n: Int, salt: Int) = Array.tabulate(n)(j => ((j * 3 + salt) % 5 - 2) / 8.0f)
+    def headOps(h: Int): Seq[Onnx.PbWriter => Unit] = Seq(
+      OnnxWriter.node("Slice", Seq("q", s"st$h", s"en$h", "ax1", "step1"), Seq(s"q$h")),
+      OnnxWriter.node("Slice", Seq("k", s"st$h", s"en$h", "ax1", "step1"), Seq(s"k$h")),
+      OnnxWriter.node("Slice", Seq("v", s"st$h", s"en$h", "ax1", "step1"), Seq(s"v$h")),
+      OnnxWriter.node("Transpose", Seq(s"k$h"), Seq(s"kt$h"), intLists = Map("perm" -> Seq(1L, 0L))),
+      OnnxWriter.node("MatMul", Seq(s"q$h", s"kt$h"), Seq(s"s$h")),
+      OnnxWriter.node("Div", Seq(s"s$h", "sqrtDh"), Seq(s"sc$h")),
+      OnnxWriter.node("Add", Seq(s"sc$h", "mask"), Seq(s"m$h")),
+      OnnxWriter.node("Softmax", Seq(s"m$h"), Seq(s"p$h"), Map("axis" -> Right(-1L))),
+      OnnxWriter.node("MatMul", Seq(s"p$h", s"v$h"), Seq(s"c$h")))
+    OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wq", "bq"), Seq("q")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wk", "bk"), Seq("k")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wv", "bv"), Seq("v"))) ++
+        headOps(0) ++ headOps(1) ++ Seq(
+        OnnxWriter.node("Concat", Seq("c0", "c1"), Seq("ctx"), Map("axis" -> Right(-1L))),
+        OnnxWriter.node("Gemm", Seq("ctx", "Wo", "bo"), Seq("attn")),
+        OnnxWriter.node("Add", Seq("attn", "emb"), Seq("res1")),
+        OnnxWriter.node("LayerNormalization", Seq("res1", "G1", "B1"), Seq("ln1"),
+          Map("epsilon" -> Left(1e-5f))),
+        OnnxWriter.node("Gemm", Seq("ln1", "W1", "b1"), Seq("f1")),
+        OnnxWriter.node("Gelu", Seq("f1"), Seq("g1"), strs = Map("approximate" -> "none")),
+        OnnxWriter.node("Gemm", Seq("g1", "W2", "b2"), Seq("f2")),
+        OnnxWriter.node("Add", Seq("f2", "ln1"), Seq("res2")),
+        OnnxWriter.node("LayerNormalization", Seq("res2", "G2", "B2"), Seq("ln2"),
+          Map("epsilon" -> Left(1e-5f))),
+        OnnxWriter.node("ReduceMean", Seq("ln2"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("T", Seq(8, d), table.flatten),
+        OnnxWriter.tensor("Wq", Seq(d, d), mat(d, d, 1).flatten),
+        OnnxWriter.tensor("bq", Seq(d), vec(d, 1)),
+        OnnxWriter.tensor("Wk", Seq(d, d), mat(d, d, 2).flatten),
+        OnnxWriter.tensor("bk", Seq(d), vec(d, 2)),
+        OnnxWriter.tensor("Wv", Seq(d, d), mat(d, d, 3).flatten),
+        OnnxWriter.tensor("bv", Seq(d), vec(d, 3)),
+        OnnxWriter.tensor("sqrtDh", Seq(1), Array(math.sqrt(2.0).toFloat)),
+        OnnxWriter.tensor("mask", Seq(5), Array(0f, 0f, 0f, -10000f, -10000f)),
+        OnnxWriter.tensor64("st0", Seq(1), Array(0L)), OnnxWriter.tensor64("en0", Seq(1), Array(2L)),
+        OnnxWriter.tensor64("st1", Seq(1), Array(2L)), OnnxWriter.tensor64("en1", Seq(1), Array(4L)),
+        OnnxWriter.tensor64("ax1", Seq(1), Array(1L)), OnnxWriter.tensor64("step1", Seq(1), Array(1L)),
+        OnnxWriter.tensor("Wo", Seq(d, d), mat(d, d, 4).flatten),
+        OnnxWriter.tensor("bo", Seq(d), vec(d, 4)),
+        OnnxWriter.tensor("G1", Seq(d), Array.tabulate(d)(j => 1.0f + (j % 2) / 4.0f)),
+        OnnxWriter.tensor("B1", Seq(d), vec(d, 5)),
+        OnnxWriter.tensor("W1", Seq(d, 8), mat(d, 8, 6).flatten),
+        OnnxWriter.tensor("b1", Seq(8), vec(8, 6)),
+        OnnxWriter.tensor("W2", Seq(8, d), mat(8, d, 7).flatten),
+        OnnxWriter.tensor("b2", Seq(d), vec(d, 7)),
+        OnnxWriter.tensor("G2", Seq(d), Array.tabulate(d)(j => 1.0f - (j % 3) / 8.0f)),
+        OnnxWriter.tensor("B2", Seq(d), vec(d, 8))))
+  }
+
+  test("single-head attention matches hand computation (identity weights)") {
+    // T = I2; ids [0,1] -> Q=K=V=emb=I2; scores = I2; softmax rows
+    // [e,1]/(e+1) pattern; ctx = probs (V = I); mean-pool -> [1/2, 1/2]
+    val bytes = OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+        OnnxWriter.node("Transpose", Seq("emb"), Seq("kt")),
+        OnnxWriter.node("MatMul", Seq("emb", "kt"), Seq("s")),
+        OnnxWriter.node("Softmax", Seq("s"), Seq("p")),
+        OnnxWriter.node("MatMul", Seq("p", "emb"), Seq("ctx")),
+        OnnxWriter.node("ReduceMean", Seq("ctx"), Seq("y"))),
+      inits = Seq(OnnxWriter.tensor("T", Seq(2, 2), Array(1f, 0f, 0f, 1f))))
+    val g = OnnxGraph.parse(bytes)
+    val y = g.score(Array(0f, 1f))
+    assert(y.length == 2)
+    assert(math.abs(y(0) - 0.5f) < 1e-6 && math.abs(y(1) - 0.5f) < 1e-6, y.toSeq.toString)
+    val yc = Seq(Tuple1(Seq(0.0, 1.0))).toDF("v").select(g.columns($"v")).head().getSeq[Double](0)
+    assert(math.abs(yc(0) - 0.5) < 1e-12 && math.abs(yc(1) - 0.5) < 1e-12)
+  }
+
+  test("erf activation matches the A&S reference values") {
+    val bytes = OnnxGraph.write(
+      nodes = Seq(OnnxWriter.node("Erf", Seq("x"), Seq("y"))), inits = Seq.empty)
+    val g = OnnxGraph.parse(bytes)
+    val y = g.score(Array(0.5f, -1.0f, 0f, 2.0f))
+    assert(math.abs(y(0) - 0.5204999f) < 2e-7, y(0).toString)
+    assert(math.abs(y(1) - -0.8427008f) < 2e-7, y(1).toString)
+    assert(math.abs(y(2)) < 1e-7)
+    assert(math.abs(y(3) - 0.9953223f) < 2e-7, y(3).toString)
+  }
+
+  test("two-head masked attention block: HOF == codegen expr == scoreDouble == float loop") {
+    val g = OnnxGraph.parse(attentionBytes)
+    val rows = (0 until 24).map(i =>
+      (i.toLong, Seq((i % 8).toDouble, ((i / 3) % 8).toDouble, ((i * 5) % 8).toDouble,
+        ((i * 3 + 1) % 8).toDouble, ((i + 5) % 8).toDouble)))
+      .toDF("id", "ids")
+    val viaCols = rows.select($"id", g.columns($"ids").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExpr = rows.select($"id", graft.functions.OnnxGraphScore(g, $"ids").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.collect().foreach { r =>
+      val ids = r.getSeq[Double](1)
+      val yl = g.score(ids.map(_.toFloat).toArray)
+      val yd = g.scoreDouble(ids.toArray)
+      val yc = viaCols(r.getLong(0))
+      val ye = viaExpr(r.getLong(0))
+      assert(yc.size == 4 && yl.length == 4)
+      // the three double paths are BIT-identical (same folds, same
+      // association order) — this is what lets a query swap the HOF
+      // tower for the codegen expression without the oracle noticing
+      yd.indices.foreach { i =>
+        assert(yc(i) == yd(i), s"id ${r.getLong(0)} dim $i: HOF ${yc(i)} != scoreDouble ${yd(i)}")
+        assert(ye(i) == yd(i), s"id ${r.getLong(0)} dim $i: expr ${ye(i)} != scoreDouble ${yd(i)}")
+      }
+      // and the float32 loop agrees to float resolution
+      yl.indices.foreach(i =>
+        assert(math.abs(yd(i) - yl(i)) < 1e-3, s"id ${r.getLong(0)} dim $i: ${yd(i)} vs ${yl(i)}"))
+    }
+  }
+
+  test("scoreDouble bit-matches the HOF path on the Gather/LayerNorm encoder too") {
+    val g = OnnxGraph.parse(encoderBytes)
+    val rows = (0 until 16).map(i =>
+      (i.toLong, Seq((i % 4).toDouble, ((i / 4) % 4).toDouble, ((i * 7) % 4).toDouble)))
+      .toDF("id", "ids")
+    val viaCols = rows.select($"id", g.columns($"ids").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.collect().foreach { r =>
+      val yd = g.scoreDouble(r.getSeq[Double](1).toArray)
+      val yc = viaCols(r.getLong(0))
+      yd.indices.foreach(i => assert(yc(i) == yd(i), s"id ${r.getLong(0)} dim $i"))
+    }
+  }
+
+  test("causal-mask matrix initializer enters as a constant slot") {
+    // 3 tokens, causal: position i attends to j <= i. With T = I3 and
+    // identity Q/K/V the context row i is the mean of one-hot rows
+    // 0..i reweighted by softmax over {1 at j==i, 0 else, -1e4 masked}.
+    val neg = -10000f
+    val bytes = OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+        OnnxWriter.node("Transpose", Seq("emb"), Seq("kt")),
+        OnnxWriter.node("MatMul", Seq("emb", "kt"), Seq("s")),
+        OnnxWriter.node("Add", Seq("s", "M"), Seq("sm")),
+        OnnxWriter.node("Softmax", Seq("sm"), Seq("p")),
+        OnnxWriter.node("MatMul", Seq("p", "emb"), Seq("ctx")),
+        OnnxWriter.node("ReduceMean", Seq("ctx"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("T", Seq(3, 3), Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f)),
+        OnnxWriter.tensor("M", Seq(3, 3),
+          Array(0f, neg, neg, 0f, 0f, neg, 0f, 0f, 0f))))
+    val g = OnnxGraph.parse(bytes)
+    val y = g.score(Array(0f, 1f, 2f))
+    // row 0 attends only to itself -> [1,0,0]; row 1: softmax([1,1]) ->
+    // [.5,.5,0] over tokens 0,1 gives e/(e+1) at self; exact values:
+    val e1 = math.exp(1.0)
+    val p10 = 1.0 / (e1 + 1.0); val p11 = e1 / (e1 + 1.0)
+    val p2 = Array(1.0 / (e1 + 2.0), 1.0 / (e1 + 2.0), e1 / (e1 + 2.0))
+    val exp0 = (1.0 + p10 + p2(0)) / 3.0
+    val exp1 = (p11 + p2(1)) / 3.0
+    val exp2 = p2(2) / 3.0
+    assert(math.abs(y(0) - exp0) < 1e-6 && math.abs(y(1) - exp1) < 1e-6 &&
+      math.abs(y(2) - exp2) < 1e-6, y.toSeq.toString)
+    val yc = Seq(Tuple1(Seq(0.0, 1.0, 2.0))).toDF("v").select(g.columns($"v")).head().getSeq[Double](0)
+    y.indices.foreach(i => assert(math.abs(yc(i) - y(i)) < 1e-6))
+  }
+
+  test("Reshape re-chunks row-major and round-trips through ONNX bytes") {
+    // Gather 2 rows of 4 -> Reshape (-1, 2) = 4 rows of 2 -> ReduceMean
+    val bytes = OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+        OnnxWriter.node("Reshape", Seq("emb", "shape"), Seq("r")),
+        OnnxWriter.node("ReduceMean", Seq("r"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("T", Seq(2, 4), Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),
+        OnnxWriter.tensor64("shape", Seq(2), Array(-1L, 2L))))
+    val g = OnnxGraph.parse(bytes)
+    val y = g.score(Array(1f, 0f))
+    // rows: [5,6],[7,8],[1,2],[3,4] -> mean [4, 5]
+    assert(y.toSeq == Seq(4f, 5f), y.toSeq.toString)
+    val yc = Seq(Tuple1(Seq(1.0, 0.0))).toDF("v").select(g.columns($"v")).head().getSeq[Double](0)
+    assert(yc == Seq(4.0, 5.0), yc.toString)
+  }
+
+  test("attention-subset bad shapes fail loudly") {
+    def oneNode(n: Onnx.PbWriter => Unit, inits: Seq[Onnx.PbWriter => Unit]) =
+      intercept[IllegalArgumentException](OnnxGraph.parse(OnnxGraph.write(Seq(n), inits)))
+    assert(oneNode(OnnxWriter.node("Transpose", Seq("x"), Seq("y"),
+        intLists = Map("perm" -> Seq(2L, 0L, 1L))), Seq.empty)
+      .getMessage.contains("Transpose"))
+    assert(oneNode(OnnxWriter.node("Reshape", Seq("x", "shape"), Seq("y")),
+        Seq(OnnxWriter.tensor64("shape", Seq(3), Array(1L, 2L, 3L))))
+      .getMessage.contains("Reshape"))
+    assert(oneNode(OnnxWriter.node("Slice", Seq("x", "st", "en", "ax", "sp"), Seq("y")),
+        Seq(OnnxWriter.tensor64("st", Seq(1), Array(0L)),
+          OnnxWriter.tensor64("en", Seq(1), Array(2L)),
+          OnnxWriter.tensor64("ax", Seq(1), Array(0L)),
+          OnnxWriter.tensor64("sp", Seq(1), Array(1L))))
+      .getMessage.contains("Slice"))
+    assert(oneNode(OnnxWriter.node("Gelu", Seq("x"), Seq("y"),
+        strs = Map("approximate" -> "tanh")), Seq.empty)
+      .getMessage.contains("Gelu"))
+    assert(oneNode(OnnxWriter.node("Softmax", Seq("x"), Seq("y"),
+        Map("axis" -> Right(0L))), Seq.empty)
+      .getMessage.contains("Softmax"))
+  }
+
   test("unsupported ops / bad shapes fail loudly") {
     val conv = OnnxGraph.write(
       nodes = Seq(OnnxWriter.node("Conv", Seq("x", "W"), Seq("y"))),

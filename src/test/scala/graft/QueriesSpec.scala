@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // deep OnnxGraph HOF towers resolve one lambda scope per
+      // analyzer iteration; a 30+-op attention block needs > 100
+      .config("spark.sql.analyzer.maxIterations", "400")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
