@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream, OutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+
+/** Task-commit protocol for the engine's part-file sinks (ROOT TTree,
+  * RNTuple, WARC): every part file is written through the Hadoop
+  * `FileSystem` API to a HIDDEN task-attempt temp name and RENAMED to
+  * its final name only when complete. This is what makes the writers
+  * cluster-safe — the r14 `new FileOutputStream(local path)` shape
+  * meant `hdfs:`/`s3a:` destinations could not work at all, and a
+  * speculative or retried task could leave a duplicate or truncated
+  * `part-i` behind. Now:
+  *
+  *  - concurrent attempts of the same task write DISTINCT temp names
+  *    (stage/partition/taskAttemptId), so they never clobber each
+  *    other mid-write;
+  *  - the winner renames into place; a loser whose rename fails
+  *    deletes its temp and verifies a winner exists (attempts of one
+  *    task write identical bytes, so either winning is correct);
+  *  - a task that dies mid-write leaves only a DOT-prefixed temp,
+  *    which Spark's file readers (and this engine's own sources)
+  *    ignore as hidden;
+  *  - any failure path deletes the temp best-effort before rethrowing.
+  *
+  * Sinks that must SEEK while writing (ROOT headers are back-patched
+  * at offset 0) build the part in executor-local scratch first and
+  * upload; sequential sinks (WARC) stream straight into `fs.create`.
+  */
+object PartCommit {
+
+  /** Minimal serializable Hadoop conf (the session's conf must reach
+    * executors; `Configuration` itself is not `Serializable`). */
+  final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  def conf(df: org.apache.spark.sql.DataFrame): SerializableHadoopConf =
+    new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  /** Create the destination directory up front (driver side), so an
+    * empty frame still yields an empty sink directory. */
+  def prepareDir(dir: String, conf: Configuration): Unit = {
+    val p = new Path(dir)
+    p.getFileSystem(conf).mkdirs(p)
+    ()
+  }
+
+  private def attemptTag(): String = Option(TaskContext.get())
+    .map(tc => s"${tc.stageId}-${tc.partitionId}-${tc.taskAttemptId}")
+    .getOrElse("driver")
+
+  /** Commit `tmp` as `dest`. Rename-if-absent is atomic on HDFS and
+    * local filesystems; when it reports failure (a sibling attempt
+    * already committed), drop the temp and accept the winner. */
+  private def commitTmp(fs: FileSystem, tmp: Path, dest: Path): Unit = {
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(dest))
+        throw new IOException(s"commit of $dest failed: rename refused and no winner present")
+    }
+  }
+
+  /** Seek-requiring sinks: build the part in executor-local scratch
+    * (`writeLocal` may open it with RandomAccessFile), then upload to
+    * the attempt temp and rename. */
+  def committed(dir: String, fileName: String, conf: Configuration)
+      (writeLocal: java.io.File => Unit): Unit = {
+    val local = java.io.File.createTempFile("graft-part-", ".scratch")
+    try {
+      writeLocal(local)
+      val dirPath = new Path(dir)
+      val fs = dirPath.getFileSystem(conf)
+      fs.mkdirs(dirPath)
+      val tmp = new Path(dirPath, s".$fileName.${attemptTag()}.tmp")
+      try {
+        fs.copyFromLocalFile(false, true, new Path(local.toURI), tmp)
+        commitTmp(fs, tmp, new Path(dirPath, fileName))
+      } catch {
+        case e: Throwable =>
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+          throw e
+      }
+    } finally {
+      local.delete()
+      ()
+    }
+  }
+
+  /** Sequential sinks: stream straight into the attempt temp on the
+    * destination filesystem, then rename. */
+  def committedStream(dir: String, fileName: String, conf: Configuration)
+      (write: OutputStream => Unit): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    fs.mkdirs(dirPath)
+    val tmp = new Path(dirPath, s".$fileName.${attemptTag()}.tmp")
+    try {
+      val out = fs.create(tmp, true)
+      try write(out) finally out.close()
+      commitTmp(fs, tmp, new Path(dirPath, fileName))
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        throw e
+    }
+  }
+}

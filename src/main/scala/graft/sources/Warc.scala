@@ -84,18 +84,28 @@ object Warc {
     all
   }
 
-  /** One parsed record: lower-cased WARC header map + content block. */
+  /** One parsed record: lower-cased WARC header map + content block.
+    * `len` is the header-declared Content-Length; `content` is empty
+    * (never copied) when the scan pruned the content column. */
   private[sources] final case class Rec(offset: Long,
-      headers: Map[String, String], content: Array[Byte])
+      headers: Map[String, String], content: Array[Byte], len: Int)
+
+  /** Test instrumentation: payload arrays copied by [[parseRecords]]
+    * since JVM start — WarcSpec asserts a content-pruned scan leaves
+    * this untouched (local mode shares the JVM with executors). */
+  private[graft] val payloadCopies = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Parse every WARC record in a decompressed block (one per gzip
     * member in CC layout; many for whole-file members / plain files).
     * `perRecordOffsets`: true for PLAIN blocks, where `offset +
     * recStart` is a real file offset; false for gzip members, where
     * only the member's compressed offset is meaningful (CDX joins use
-    * exactly that). */
+    * exactly that). `wantContent = false` (a content-pruned scan)
+    * skips the per-record payload copy entirely — decompression is
+    * inherent to the gzip framing, but retaining ~99% of a CC
+    * segment's bytes on a header-only scan is not. */
   private[sources] def parseRecords(b: Array[Byte], offset: Long,
-      perRecordOffsets: Boolean = false): Seq[Rec] = {
+      perRecordOffsets: Boolean = false, wantContent: Boolean = true): Seq[Rec] = {
     val out = Seq.newBuilder[Rec]
     var i = 0
     def line(): String = {
@@ -126,8 +136,12 @@ object Warc {
           s"WARC record at $offset+$recStart has no Content-Length")).toInt
       require(i + len <= b.length,
         s"WARC record at $offset+$recStart: content runs past block end")
-      out += Rec(if (perRecordOffsets) offset + recStart else offset,
-        h, java.util.Arrays.copyOfRange(b, i, i + len))
+      val content =
+        if (wantContent) {
+          payloadCopies.incrementAndGet()
+          java.util.Arrays.copyOfRange(b, i, i + len)
+        } else Array.emptyByteArray
+      out += Rec(if (perRecordOffsets) offset + recStart else offset, h, content, len)
       i += len
     }
     out.result()
@@ -142,40 +156,45 @@ object Warc {
     * filter/clean, re-ship the survivors as WARC). One gzip member per
     * record (so outputs re-split exactly like inputs) and one
     * standalone part file per partition. `content` may be string or
-    * binary; record ids are deterministic from (part, ordinal). */
+    * binary; record ids are deterministic from (part, ordinal). Parts
+    * go through [[PartCommit]] (Hadoop FileSystem + task-attempt temp
+    * + atomic rename), so `hdfs:`/`s3a:` destinations work and a
+    * retried or speculative task can never leave a duplicate or
+    * truncated part behind. */
   def write(df: DataFrame, dir: String,
       uriCol: String = "target_uri", contentCol: String = "content",
       date: String = "2026-01-01T00:00:00Z"): Unit = {
     import org.apache.spark.sql.functions.col
     val rows = df.select(col(uriCol).cast("string").as("u"),
       col(contentCol).cast("binary").as("c"))
-    new java.io.File(dir).mkdirs()
+    val sconf = PartCommit.conf(df)
+    PartCommit.prepareDir(dir, sconf.value)
     rows.rdd.mapPartitionsWithIndex { (i, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val out = new java.io.FileOutputStream(s"$dir/part-$i.warc.gz")
-        var k = 0L
-        it.foreach { r =>
-          val content = Option(r.getAs[Array[Byte]]("c")).getOrElse(Array.emptyByteArray)
-          val uri = r.getAs[String]("u")
-          val sb = new StringBuilder
-          sb.append("WARC/1.0\r\n")
-          sb.append("WARC-Type: conversion\r\n")
-          sb.append(f"WARC-Record-ID: <urn:graft:$i%05d-$k%012d>\r\n")
-          sb.append(s"WARC-Date: $date\r\n")
-          if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
-          sb.append("Content-Type: text/plain\r\n")
-          sb.append(s"Content-Length: ${content.length}\r\n\r\n")
-          val member = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(member)
-          g.write(sb.toString.getBytes("UTF-8"))
-          g.write(content)
-          g.write("\r\n\r\n".getBytes("UTF-8"))
-          g.finish(); g.close()
-          out.write(member.toByteArray)
-          k += 1
+        PartCommit.committedStream(dir, s"part-$i.warc.gz", sconf.value) { out =>
+          var k = 0L
+          it.foreach { r =>
+            val content = Option(r.getAs[Array[Byte]]("c")).getOrElse(Array.emptyByteArray)
+            val uri = r.getAs[String]("u")
+            val sb = new StringBuilder
+            sb.append("WARC/1.0\r\n")
+            sb.append("WARC-Type: conversion\r\n")
+            sb.append(f"WARC-Record-ID: <urn:graft:$i%05d-$k%012d>\r\n")
+            sb.append(s"WARC-Date: $date\r\n")
+            if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
+            sb.append("Content-Type: text/plain\r\n")
+            sb.append(s"Content-Length: ${content.length}\r\n\r\n")
+            val member = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(member)
+            g.write(sb.toString.getBytes("UTF-8"))
+            g.write(content)
+            g.write("\r\n\r\n".getBytes("UTF-8"))
+            g.finish(); g.close()
+            out.write(member.toByteArray)
+            k += 1
+          }
         }
-        out.close()
         Iterator.single(1)
       }
     }.count()
@@ -348,6 +367,13 @@ private[sources] final class WarcPartitionReader(p: WarcInputPartition,
       pos = if (p.start == 0) 0L else gz.findMember(p.start)
       if (pos < 0 || pos >= p.end) done = true
     } else {
+      // plain .warc is a dev convenience read as ONE in-memory block
+      // (no safe mid-file resync exists without gzip framing) — fail
+      // loudly before the Int cast can overflow into a negative size
+      require(p.end <= (1L << 30),
+        s"plain .warc '${p.path}' is ${p.end} bytes (> 1 GiB): the uncompressed path " +
+          "reads whole-file blocks and cannot split safely — gzip the archive " +
+          "(one member per record, the Common Crawl layout) for ranged reads")
       val hp = new org.apache.hadoop.fs.Path(p.path)
       val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val st = fs.open(hp)
@@ -356,7 +382,8 @@ private[sources] final class WarcPartitionReader(p: WarcInputPartition,
         st.readFully(0L, b, 0, b.length)
         b
       } finally st.close()
-      pending = Warc.parseRecords(bytes, 0L, perRecordOffsets = true).iterator
+      pending = Warc.parseRecords(bytes, 0L, perRecordOffsets = true,
+        wantContent = wantContent).iterator
       done = true // single block; nothing more to advance
     }
   }
@@ -367,7 +394,7 @@ private[sources] final class WarcPartitionReader(p: WarcInputPartition,
     if (!inited) { init(); inited = true }
     while (!pending.hasNext && !done) {
       val (block, memberEnd) = gz.inflateMember(pos)
-      pending = Warc.parseRecords(block, pos).iterator
+      pending = Warc.parseRecords(block, pos, wantContent = wantContent).iterator
       pos = if (memberEnd > pos) memberEnd else p.end
       if (pos >= p.end) done = true
       else {
@@ -398,8 +425,8 @@ private[sources] final class WarcPartitionReader(p: WarcInputPartition,
         case "target_uri" => str("warc-target-uri")
         case "warc_date" => str("warc-date")
         case "content_type" => str("content-type")
-        case "content_length" => cur.content.length.toLong
-        case "content" => if (wantContent) cur.content else Array.emptyByteArray
+        case "content_length" => cur.len.toLong
+        case "content" => cur.content
       }
       i += 1
     }

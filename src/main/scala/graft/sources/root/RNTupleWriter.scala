@@ -91,7 +91,7 @@ object RNTupleWriter {
     * (multiple clusters exercise the reader's cluster-aligned
     * partitioning and the per-cluster restart of index columns). */
   def writeFile(path: String, name: String, schema: StructType, rows: Iterator[Row],
-      clusterEntries: Int = 5000): Unit = {
+      clusterEntries: Int = 5000, embedName: Option[String] = None): Unit = {
     require(clusterEntries > 0)
 
     // ---- descriptor plan: fields (parent == self for tops) + columns ----
@@ -130,7 +130,8 @@ object RNTupleWriter {
 
     emit(new Array[Byte](100))
     val begin = 100L
-    val fileName = new java.io.File(path).getName
+    // see RootWriter: the committed part name, never the scratch name
+    val fileName = embedName.getOrElse(new java.io.File(path).getName)
     def keyHeader(nBytes: Int, objLen: Int, keyLen: Int, seekKey: Long,
         cls: String, nm: String, title: String): Array[Byte] = {
       val w = new WBuf
@@ -349,14 +350,21 @@ object RNTupleWriter {
     out.close()
   }
 
-  /** Distributed face: one standalone part-N.root per partition. */
+  /** Distributed face: one standalone part-N.root per partition,
+    * committed through [[graft.sources.PartCommit]] (local scratch for
+    * the seek-heavy build, Hadoop FS upload, task-attempt temp +
+    * atomic rename) — cluster-safe on `hdfs:`/`s3a:`, retry-proof. */
   def write(df: DataFrame, dir: String, name: String,
       clusterEntries: Int = 5000): Unit = {
     val schema = df.schema
-    new java.io.File(dir).mkdirs()
+    val sconf = graft.sources.PartCommit.conf(df)
+    graft.sources.PartCommit.prepareDir(dir, sconf.value)
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (rows.hasNext) {
-        writeFile(s"$dir/part-$i.root", name, schema, rows, clusterEntries)
+        graft.sources.PartCommit.committed(dir, s"part-$i.root", sconf.value) { local =>
+          writeFile(local.getPath, name, schema, rows, clusterEntries,
+            embedName = Some(s"part-$i.root"))
+        }
         Iterator.single(1)
       } else Iterator.empty
     }.count()

@@ -99,7 +99,8 @@ object RootWriter {
     * exercise the reader's basket-aligned partitioning). */
   def writeFile(path: String, tree: String, schema: StructType, rows: Iterator[Row],
       counters: Map[String, Seq[String]] = Map.empty,
-      basketEntries: Int = 5000, compress: Boolean = true): Unit = {
+      basketEntries: Int = 5000, compress: Boolean = true,
+      embedName: Option[String] = None): Unit = {
     require(basketEntries > 0)
     val counterOf: Map[String, String] = {
       val explicit = for ((c, cols) <- counters.toSeq; col <- cols) yield col -> c
@@ -149,8 +150,12 @@ object RootWriter {
     require(headerAt == 0L)
     val begin = 100L
 
-    // TFile named record + directory data
-    val fileName = new java.io.File(path).getName
+    // TFile named record + directory data. The embedded name defaults
+    // to the path's basename; the distributed write() overrides it
+    // with the COMMITTED part name (the build happens in random-named
+    // executor scratch, which must not leak into the bytes — retried
+    // attempts have to produce identical files).
+    val fileName = embedName.getOrElse(new java.io.File(path).getName)
     val dirRec = {
       val w = new WBuf
       // key header written with keyLen/nBytes computed after body known
@@ -436,15 +441,24 @@ object RootWriter {
   /** Write a DataFrame as a directory of part-N.root files, one per
     * partition (the distributed shape: executors write independently,
     * like parquet part files; each part is a complete standalone ROOT
-    * file). Local-filesystem paths. */
+    * file). Each part builds in executor-local scratch (the TFile
+    * header is back-patched at offset 0, which needs a seekable
+    * stream) and commits through [[graft.sources.PartCommit]] —
+    * Hadoop FileSystem upload to a task-attempt temp + atomic rename —
+    * so `file:`/`hdfs:`/`s3a:` destinations all work and a retried or
+    * speculative task can never leave a duplicate/truncated part. */
   def write(df: DataFrame, dir: String, tree: String,
       counters: Map[String, Seq[String]] = Map.empty,
       basketEntries: Int = 5000, compress: Boolean = true): Unit = {
     val schema = df.schema
-    new java.io.File(dir).mkdirs()
+    val sconf = graft.sources.PartCommit.conf(df)
+    graft.sources.PartCommit.prepareDir(dir, sconf.value)
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (rows.hasNext) {
-        writeFile(s"$dir/part-$i.root", tree, schema, rows, counters, basketEntries, compress)
+        graft.sources.PartCommit.committed(dir, s"part-$i.root", sconf.value) { local =>
+          writeFile(local.getPath, tree, schema, rows, counters, basketEntries, compress,
+            embedName = Some(s"part-$i.root"))
+        }
         Iterator.single(1)
       } else Iterator.empty
     }.count()

@@ -105,6 +105,85 @@ class WarcSpec extends AnyFunSuite {
     } finally gz.close()
   }
 
+  test("content-pruned scan copies NO payload arrays; content scan does") {
+    val counter = graft.sources.Warc.payloadCopies
+    // header-only scan: decompression is inherent, payload copies are not
+    val before = counter.get()
+    val lens = graft.sources.Warc.read(spark, s"$dir/cc_sample.warc.gz")
+      .select($"record_offset", $"content_length").as[(Long, Long)].collect()
+    assert(lens.length == 40 && counter.get() == before,
+      s"pruned scan copied ${counter.get() - before} payloads")
+    // content_length still reports the header-declared length
+    assert(lens.map(_._2).forall(_ > 0))
+    // a scan that DOES read content copies exactly one array per record
+    // (collect, not count — count() would prune content away too)
+    val before2 = counter.get()
+    assert(graft.sources.Warc.read(spark, s"$dir/cc_sample.warc.gz")
+      .select(length($"content".cast("string"))).as[Int].collect().length == 40)
+    assert(counter.get() - before2 == 40, s"expected 40 copies, got ${counter.get() - before2}")
+  }
+
+  test("oversized plain .warc fails loudly instead of overflowing the Int slurp") {
+    val big = java.nio.file.Files.createTempFile("huge", ".warc")
+    val raf = new java.io.RandomAccessFile(big.toFile, "rw")
+    try raf.setLength((1L << 30) + 1) finally raf.close() // sparse — no real disk
+    val e = intercept[Exception] {
+      graft.sources.Warc.read(spark, big.toString).count()
+    }
+    assert(e.getMessage.contains("1 GiB") || Option(e.getCause).exists(_.getMessage.contains("1 GiB")),
+      s"wrong failure: ${e.getMessage}")
+    java.nio.file.Files.delete(big)
+  }
+
+  test("PartCommit: file: URIs work; a retried task leaves ONE clean part") {
+    import graft.sources.PartCommit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = java.nio.file.Files.createTempDirectory("commit").toString
+    // explicit file: URI destination (the cluster-safe path contract)
+    val uri = s"file:$out/sink"
+    def attempt(): Unit = PartCommit.committedStream(uri, "part-0.warc.gz", conf) { os =>
+      os.write("payload".getBytes("UTF-8"))
+    }
+    attempt(); attempt() // first attempt commits; the "retry" defers to the winner
+    // Hadoop's checksummed local FS adds hidden .crc sidecars — hidden
+    // (dot-prefixed) names are ignored by every reader; what matters is
+    // ONE visible part and ZERO temp files
+    def listing() = new java.io.File(s"$out/sink").listFiles().map(_.getName).toSeq.sorted
+    assert(listing().filterNot(_.startsWith(".")) == Seq("part-0.warc.gz"),
+      s"expected one clean part, got ${listing()}")
+    assert(listing().forall(!_.endsWith(".tmp")), s"temp leaked: ${listing()}")
+    // a failure mid-write leaves NO visible part and NO temp
+    val e = intercept[RuntimeException] {
+      PartCommit.committedStream(uri, "part-1.warc.gz", conf) { _ =>
+        throw new RuntimeException("task died mid-write")
+      }
+    }
+    assert(e.getMessage.contains("mid-write"))
+    assert(listing().filterNot(_.startsWith(".")) == Seq("part-0.warc.gz"),
+      s"failure leaked files: ${listing()}")
+    assert(listing().forall(!_.endsWith(".tmp")), s"temp leaked: ${listing()}")
+    // the seek-scratch variant commits the same way
+    PartCommit.committed(uri, "part-2.bin", conf) { local =>
+      val raf = new java.io.RandomAccessFile(local, "rw")
+      try { raf.write("tail".getBytes); raf.seek(0); raf.write('T') } finally raf.close()
+    }
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/sink/part-2.bin"))
+    assert(new String(bytes, "UTF-8") == "Tail")
+  }
+
+  test("Warc.write to a file: URI commits hidden-temp-free parts") {
+    val src = graft.sources.Warc.read(spark, s"$dir/cc_sample.warc.gz")
+      .filter($"warc_type" === "conversion")
+      .select($"target_uri", $"content".cast("string").as("content"))
+    val out = java.nio.file.Files.createTempDirectory("wet_uri").toString
+    graft.sources.Warc.write(src.repartition(2), s"file:$out/wet")
+    val names = new java.io.File(s"$out/wet").listFiles().map(_.getName).toSeq.sorted
+      .filterNot(_.startsWith(".")) // checksummed local FS .crc sidecars
+    assert(names.forall(_.endsWith(".warc.gz")) && names.nonEmpty, names.toString)
+    assert(graft.sources.Warc.read(spark, s"$out/wet").count() == src.count())
+  }
+
   test("malformed input fails loudly") {
     val bad = java.nio.file.Files.createTempFile("bad", ".warc")
     java.nio.file.Files.write(bad, "NOT A WARC\r\n\r\n".getBytes)
