@@ -28,8 +28,36 @@ import org.apache.spark.sql.types._
   */
 object TreeMakerSchema {
 
-  def assemble(df: DataFrame): DataFrame = {
-    val (merged, nests) = mergeExtensions(zipSplitVectors(df))
+  def assemble(df: DataFrame): DataFrame =
+    nestFold(mergeExtensions(zipSplitVectors(df)))
+
+  /** The native-ROOT face: `RootTables.read` of a TreeMaker TTree (or
+    * its RNTuple twin's member columns re-zipped) already delivers the
+    * split-object parents assembled as `array<struct<fPt,fEta,fPhi,
+    * fE>>` / `array<struct<fX,fY,fZ>>`. Rename the components to the
+    * scikit-hep vector names (`treemaker.py:66-101`), drop the now-
+    * redundant dotted member columns, and run the same extension merge
+    * + subcollection nesting as [[assemble]] — the full TreeMakerSchema
+    * pass straight off the .root file, no conversion step. */
+  def assembleNative(df: DataFrame): DataFrame = {
+    val renamed = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case ArrayType(st: StructType, _) if st.fieldNames.toSet == Set("fPt", "fEta", "fPhi", "fE") =>
+          d.withColumn(f.name, transform(col(s"`${f.name}`"), m => struct(
+            m("fPt").as("pt"), m("fEta").as("eta"), m("fPhi").as("phi"), m("fE").as("energy"))))
+        case ArrayType(st: StructType, _) if st.fieldNames.toSet == Set("fX", "fY", "fZ") =>
+          d.withColumn(f.name, transform(col(s"`${f.name}`"), m => struct(
+            m("fX").as("x"), m("fY").as("y"), m("fZ").as("z"))))
+        case _ => d
+      }
+    }
+    val members = renamed.columns.filter(_.contains(".fCoordinates."))
+    nestFold(mergeExtensions(renamed.drop(members.toIndexedSeq: _*)))
+  }
+
+  /** Step 3: nest declared subcollections by their per-element counts. */
+  private def nestFold(mn: (DataFrame, Seq[(String, String, String, String)])): DataFrame = {
+    val (merged, nests) = mn
     nests.foldLeft(merged) { case (d, (cname, subcol, countField, subName)) =>
       val st = elementStruct(d, cname)
       val seg = Combinatorics.segmentedByCounts(

@@ -87,7 +87,21 @@ private[root] object RootDataSource {
     StructField("m_persKey", LongType, nullable = false),
     StructField("m_persIndex", LongType, nullable = false)))
 
-  def sparkField(bm: BranchMeta): StructField = {
+  private def primElem(bm: BranchMeta): DataType = bm.leafCls match {
+    case "TLeafO" => BooleanType
+    case "TLeafB" => if (bm.unsigned) ShortType else ByteType
+    case "TLeafS" => if (bm.unsigned) IntegerType else ShortType
+    case "TLeafI" => if (bm.unsigned) LongType else IntegerType
+    case "TLeafL" => LongType // uint64 stays signed-long; HEP event ids fit
+    case "TLeafF" => FloatType
+    case "TLeafD" => DoubleType
+  }
+
+  def sparkField(bm: BranchMeta, byName: Map[String, BranchMeta] = Map.empty): StructField = {
+    if (bm.assembleFrom.nonEmpty) // split-object parent: zip of members
+      return StructField(bm.name, ArrayType(StructType(bm.assembleFrom.map {
+        case (fn, mn) => StructField(fn, primElem(byName(mn)), nullable = false)
+      }), containsNull = false), nullable = false)
     if (bm.isString) return StructField(bm.name, StringType, nullable = false)
     if (bm.stlLinks)
       return StructField(bm.name,
@@ -95,15 +109,7 @@ private[root] object RootDataSource {
         nullable = false)
     if (bm.stlStrings)
       return StructField(bm.name, ArrayType(StringType, containsNull = false), nullable = false)
-    val elem: DataType = bm.leafCls match {
-      case "TLeafO" => BooleanType
-      case "TLeafB" => if (bm.unsigned) ShortType else ByteType
-      case "TLeafS" => if (bm.unsigned) IntegerType else ShortType
-      case "TLeafI" => if (bm.unsigned) LongType else IntegerType
-      case "TLeafL" => LongType // uint64 stays signed-long; HEP event ids fit
-      case "TLeafF" => FloatType
-      case "TLeafD" => DoubleType
-    }
+    val elem: DataType = primElem(bm)
     val t =
       if (bm.stlStrings) ArrayType(StringType, containsNull = false)
       else if (bm.stlDepth > 1) ArrayType(ArrayType(elem, containsNull = false), containsNull = false)
@@ -113,7 +119,7 @@ private[root] object RootDataSource {
   }
 
   def schemaFor(meta: TreeMeta): StructType =
-    StructType(meta.branches.filter(_.isSupported).map(sparkField))
+    StructType(meta.branches.filter(_.isSupported).map(b => sparkField(b, meta.byName)))
 
   def sparkFieldRnt(rf: RNTuple.RntField): StructField = {
     import RNTuple._
@@ -171,7 +177,12 @@ private[root] object RootDataSource {
     * with the most baskets (the finest natural splitter). */
   def planRanges(meta: TreeMeta, cols: Seq[String], targetBytes: Long): Seq[(Long, Long)] = {
     if (meta.entries == 0) return Nil
-    val sel = cols.flatMap(meta.byName.get).filter(_.isSupported)
+    // assembled parents size (and split) by their MEMBER branches —
+    // the parent's own baskets are empty bookkeeping
+    val sel = cols.flatMap(meta.byName.get).filter(_.isSupported).flatMap { b =>
+      if (b.assembleFrom.nonEmpty) b.assembleFrom.flatMap(m => meta.byName.get(m._2))
+      else Seq(b)
+    }
     val selBytes = math.max(1L, sel.map(b => b.loose.map(_.bytes.toLong).sum).sum)
     val splitter = sel.filter(_.loose.length > 1).sortBy(-_.loose.length).headOption
     val bounds: Seq[Long] = splitter match {
@@ -253,20 +264,31 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
     extends PartitionReader[InternalRow] {
   private val n = (p.end - p.start).toInt
   private var row = -1
-  private lazy val cols: Array[RootFileReader.Col] = {
+  // cols(c) for plain fields; asm(c) holds the MEMBER columns of an
+  // assembled split-object parent (array<struct> zipped at read time)
+  private lazy val (cols, asm): (Array[RootFileReader.Col], Array[Array[RootFileReader.Col]]) = {
     val any = RootFileReader.cachedAnyMeta(p.path, p.tree)
     val f = RootFileReader.open(p.path)
-    try required.fields.map { sf =>
-      any match {
-        case Left(meta) =>
-          val bm = meta.byName.getOrElse(sf.name,
-            throw new IllegalArgumentException(s"branch ${sf.name} not in ${p.path}#${p.tree}"))
-          RootFileReader.readColumn(f, bm, p.start, p.end)
-        case Right(meta) =>
-          val rf = meta.byName.getOrElse(sf.name,
-            throw new IllegalArgumentException(s"field ${sf.name} not in ${p.path}#${p.tree}"))
-          RootFileReader.readColumnRnt(f, meta, rf, p.start, p.end)
+    val single = new Array[RootFileReader.Col](required.length)
+    val members = new Array[Array[RootFileReader.Col]](required.length)
+    try {
+      required.fields.zipWithIndex.foreach { case (sf, i) =>
+        any match {
+          case Left(meta) =>
+            val bm = meta.byName.getOrElse(sf.name,
+              throw new IllegalArgumentException(s"branch ${sf.name} not in ${p.path}#${p.tree}"))
+            if (bm.assembleFrom.nonEmpty)
+              members(i) = bm.assembleFrom.map { case (_, mn) =>
+                RootFileReader.readColumn(f, meta.byName(mn), p.start, p.end)
+              }.toArray
+            else single(i) = RootFileReader.readColumn(f, bm, p.start, p.end)
+          case Right(meta) =>
+            val rf = meta.byName.getOrElse(sf.name,
+              throw new IllegalArgumentException(s"field ${sf.name} not in ${p.path}#${p.tree}"))
+            single(i) = RootFileReader.readColumnRnt(f, meta, rf, p.start, p.end)
+        }
       }
+      (single, members)
     } finally f.close()
   }
   private lazy val isString: Array[Boolean] =
@@ -280,6 +302,29 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
     val out = new Array[Any](cols.length)
     var c = 0
     while (c < cols.length) {
+      if (asm(c) != null) {
+        // split-object parent: one struct per element, fields from the
+        // member columns (their per-entry counts must agree)
+        val ms = asm(c)
+        val s0 = ms(0).starts(row); val cnt = ms(0).starts(row + 1) - s0
+        var m = 1
+        while (m < ms.length) {
+          require(ms(m).starts(row + 1) - ms(m).starts(row) == cnt,
+            s"${required.fields(c).name}: member element counts disagree at entry ${p.start + row}")
+          m += 1
+        }
+        val elems = new Array[Any](cnt)
+        var i = 0
+        while (i < cnt) {
+          val vals = new Array[Any](ms.length)
+          m = 0
+          while (m < ms.length) { vals(m) = elemAt(ms(m).values, ms(m).starts(row) + i); m += 1 }
+          elems(i) = new GenericInternalRow(vals)
+          i += 1
+        }
+        out(c) = new GenericArrayData(elems)
+        c += 1
+      } else {
       val col = cols(c)
       val s = col.starts(row)
       val e = col.starts(row + 1)
@@ -326,6 +371,7 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
         } else if (col.scalar) elemAt(col.values, s)
         else arraySlice(col.values, s, e)
       c += 1
+      }
     }
     new GenericInternalRow(out)
   }

@@ -36,7 +36,14 @@ private[root] final case class BranchMeta(
     stlLinks: Boolean = false,
     // split-container member branch (TBranchElement fType 31/41):
     // raw per-element payload, boundaries from the entry offsets
-    rawJagged: Boolean = false) {
+    rawJagged: Boolean = false,
+    // split-container PARENT whose element objects reassemble from its
+    // member sub-branches (vector<LorentzVector> etc. — the parent's
+    // own baskets carry no payload, the members are the columns):
+    // (struct field name, member branch name), exposed as
+    // array<struct<...>> exactly like the reference's TreeMakerSchema
+    // zip (`schemas/treemaker.py`: fPt/fEta/fPhi/fE -> one collection)
+    assembleFrom: Seq[(String, String)] = Nil) {
   def isSupported: Boolean = unsupported == null
   /** element boundaries come from the entry-offset array rather than a
     * counter leaf */
@@ -432,6 +439,31 @@ private[root] object RootTreeMeta {
         stlDepth = stlDepth, stlStrings = stlStrings, stlLinks = stlLinks,
         rawJagged = rawJagged)
     }.toVector
-    TreeMeta(treeName, entries, branches)
+
+    // Second pass: a split-container parent whose LEAF member
+    // sub-branches are all readable raw-jagged primitives reassembles
+    // as array<struct<members>> — the element-object view of
+    // vector<LorentzVector>/vector<XYZPoint> collections (treemaker's
+    // 19 object branches). No new bytes are decoded: the parent's own
+    // baskets are empty bookkeeping; assembly zips the member columns
+    // the way the reference's TreeMakerSchema does. Struct fields take
+    // the member's last path segment (fPt, fEta, ...), falling back to
+    // the full relative path when segments collide.
+    val parentNames = allRaw.filter(_.hasSubBranches).map(_.name).toSet
+    val assembled = branches.map { b =>
+      if (b.unsupported != null && b.unsupported.startsWith("split container")) {
+        val prefix = b.name + "."
+        val leaves = branches.filter(m =>
+          m.name.startsWith(prefix) && !parentNames.contains(m.name))
+        if (leaves.nonEmpty && leaves.forall(m => m.isSupported && m.rawJagged)) {
+          val rel = leaves.map(_.name.substring(prefix.length))
+          val shorts = rel.map(nm => nm.substring(nm.lastIndexOf('.') + 1))
+          val fields = if (shorts.distinct.size == shorts.size) shorts
+                       else rel.map(_.replace('.', '_'))
+          b.copy(unsupported = null, assembleFrom = fields.zip(leaves.map(_.name)))
+        } else b
+      } else b
+    }
+    TreeMeta(treeName, entries, assembled)
   }
 }

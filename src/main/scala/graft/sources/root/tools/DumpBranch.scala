@@ -1,0 +1,40 @@
+package graft.sources.root.tools
+
+import graft.sources.root._
+
+/** Dev CLI: hex-dump the first decoded basket of a branch — the tool
+  * used to pin new TBranchElement layouts against raw bytes before
+  * writing a decoder. Usage:
+  * runMain graft.sources.root.tools.DumpBranch <file> <tree> <branch> [nbytes]
+  */
+object DumpBranch {
+  def main(args: Array[String]): Unit = {
+    val (path, tree, branch) = (args(0), args(1), args(2))
+    val n = if (args.length > 3) args(3).toInt else 256
+    val meta = RootFileReader.readMeta(path, tree)
+    val bm = meta.branches.find(_.name == branch)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no branch '$branch'; have: ${meta.branches.map(_.name).take(30).mkString(", ")}"))
+    println(s"branch=${bm.name} title=${bm.title} leafCls=${bm.leafCls} " +
+      s"stlHeader=${bm.stlHeader} rawJagged=${bm.rawJagged} " +
+      s"entryOffsetLen=${bm.entryOffsetLen} unsupported=${bm.unsupported}")
+    val f = RootFileReader.open(path)
+    try {
+      val ds = RootFileReader.basketsFor(f, bm, 0L, math.min(meta.entries, 4L))
+      ds.take(1).foreach { d =>
+        println(s"basket entryStart=${d.entryStart} nev=${d.nev} dataPos=${d.dataPos} " +
+          s"dataLen=${d.dataLen} offsets=${Option(d.offsets).map(_.take(8).mkString(",")).getOrElse("-")}")
+        val lim = math.min(n, d.dataLen)
+        (0 until lim by 16).foreach { r =>
+          val bytes = (r until math.min(r + 16, lim)).map(i =>
+            f"${d.data(d.dataPos + i) & 0xff}%02x").mkString(" ")
+          val ascii = (r until math.min(r + 16, lim)).map { i =>
+            val c = d.data(d.dataPos + i) & 0xff
+            if (c >= 32 && c < 127) c.toChar else '.'
+          }.mkString
+          println(f"$r%6d  $bytes%-48s  $ascii")
+        }
+      }
+    } finally f.close()
+  }
+}

@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev CLI: dump a ROOT file's column support map
+  * (`RootTables.describe`) — which branches the native reader decodes
+  * and which still fall back, with their streamer type strings.
+  * Usage: runMain graft.tools.DescribeRoot <file.root> <tree> [all]
+  */
+object DescribeRoot {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]").appName("describe-root")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = graft.sources.root.RootTables.describe(spark, args(0),
+      if (args.length > 1) args(1) else "Events")
+    val shown = if (args.contains("all")) d else d.filter(!col("supported"))
+    shown.show(2000, false)
+    println(s"supported=${d.filter(col("supported")).count()} total=${d.count()}")
+    spark.stop()
+  }
+}

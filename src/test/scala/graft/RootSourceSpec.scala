@@ -207,6 +207,78 @@ class RootSourceSpec extends AnyFunSuite {
     assert(fcc.count() == 100 && fcc.columns.length > 200)
   }
 
+  test("treemaker split-object parents assemble as array<struct> — 410/410 supported") {
+    assume(available)
+    val d = RootTables.describe(spark, s"$S/treemaker.root", "PreSelection")
+    assert(d.filter(!col("supported")).count() == 0,
+      "every treemaker TTree branch (incl. the 19 vector<LorentzVector/Vector3D> parents) decodes")
+    val tm = RootTables.read(spark, s"$S/treemaker.root", "PreSelection")
+    // the element-object view: one struct per element, fields = member
+    // last segments (the reference's TreeMakerSchema zip)
+    val et = tm.schema("Electrons").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(et.fieldNames.toSeq == Seq("fPt", "fEta", "fPhi", "fE"), et.fieldNames.toSeq.toString)
+    // parity: the assembled structs equal the member columns, all 19
+    val parents = Seq("Electrons", "GenElectrons", "GenJets", "GenJetsAK8", "GenMuons",
+      "GenParticles", "GenTaus", "GenVertices", "Jets", "JetsAK8", "JetsAK8_subjets",
+      "Muons", "Photons", "PrimaryVertices", "TAPElectronTracks", "TAPMuonTracks",
+      "TAPPionTracks", "Tracks", "Tracks_referencePoint")
+    parents.foreach { pnm =>
+      val fieldNames = tm.schema(pnm).dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      val memberCols = fieldNames.map(fn => s"$pnm.fCoordinates.$fn")
+        .filter(tm.columns.contains)
+      assume(memberCols.size == fieldNames.size || memberCols.isEmpty)
+      val zipped = if (memberCols.nonEmpty) memberCols else
+        fieldNames.map(fn => tm.columns.find(c => c.startsWith(s"$pnm.") && c.endsWith(s".$fn")).get)
+      val rows = tm.select(col(s"`$pnm`").as("p"),
+        org.apache.spark.sql.functions.arrays_zip(zipped.map(c => col(s"`$c`")): _*).as("z"))
+        .collect()
+      rows.foreach { r =>
+        val p = r.getSeq[org.apache.spark.sql.Row](0)
+        val z = r.getSeq[org.apache.spark.sql.Row](1)
+        assert(p.size == z.size, s"$pnm: ${p.size} vs ${z.size}")
+        p.zip(z).foreach { case (a, b) =>
+          fieldNames.indices.foreach(i =>
+            assert(a.getDouble(i) == b.getDouble(i), s"$pnm field ${fieldNames(i)}"))
+        }
+      }
+    }
+    // and the assembled collection sizes agree with the RNTuple twin's
+    // member columns (two formats, two decoders)
+    val rnt = RootTables.read(spark, s"$S/treemaker_rntuple.root", "PreSelection")
+    val aSizes = tm.select(size(col("Jets")).as("n")).collect().map(_.getInt(0)).toSeq
+    val bSizes = rnt.select(size(col("`Jets.fCoordinates.fPt`")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(aSizes == bSizes)
+  }
+
+  test("TreeMakerSchema runs NATIVELY off the .root file (q92's pass, no conversion)") {
+    assume(available)
+    val raw = RootTables.read(spark, s"$S/treemaker.root", "PreSelection")
+    val ev = graft.core.TreeMakerSchema.assembleNative(raw)
+    // the zipped collections carry scikit-hep names + merged extensions
+    val jt = ev.schema("Jets").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(Seq("pt", "eta", "phi", "energy").forall(jt.fieldNames.contains), jt.fieldNames.toSeq.toString)
+    assert(!ev.columns.exists(_.contains(".fCoordinates.")), "member columns folded away")
+    // HT parity: assembled pt sums == the raw member column sums
+    val a = ev.select(org.apache.spark.sql.functions.aggregate(
+      col("Jets"), lit(0.0), (acc, j) => acc + j("pt")).as("ht")).collect().map(_.getDouble(0))
+    val b = raw.select(org.apache.spark.sql.functions.aggregate(
+      col("`Jets.fCoordinates.fPt`"), lit(0.0), _ + _).as("ht")).collect().map(_.getDouble(0))
+    assert(a.toSeq == b.toSeq)
+    // subcollection nesting off the real counts branch, when present
+    if (raw.columns.contains("JetsAK8_subjetsCounts")) {
+      val nested = ev.select(
+        org.apache.spark.sql.functions.aggregate(col("JetsAK8"), lit(0L),
+          (acc, j) => acc + size(j("subjets"))).as("n1")).collect().map(_.getLong(0))
+      val flatN = raw.select(size(col("JetsAK8_subjets")).cast("long").as("n"))
+        .collect().map(_.getLong(0))
+      assert(nested.toSeq == flatN.toSeq, "nested subjet totals == flat collection sizes")
+    }
+  }
+
   test("RNTuple nano_dy: all 1499 columns (incl. Cardinality counters) equal the parquet") {
     assume(available)
     val bad = mismatches(s"$S/nano_dy_rntuple.root", s"$S/nano_dy.parquet")
