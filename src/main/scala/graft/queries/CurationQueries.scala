@@ -2103,26 +2103,12 @@ object CurationQueries extends QueryPack {
     Query(
       "q249_warc_pipeline",
       "Raw-WARC ingestion end-to-end: the engine's own DataSource V2 reads the Common-Crawl-layout fixture (one gzip member per record, byte-range splits resynchronized at member boundaries — graft.sources.Warc), keeps response+conversion records, drops HTTP envelope headers, strips HTML (q146 chain), language-IDs, and aggregates per (warc_type, lang). The DuckDB oracle replays the identical text chain from the INDEPENDENTLY-derived parquet twin of the same records (never from the WARC bytes), so equality proves the archive decode: gzip member walking, header parsing, Content-Length framing, payload bytes. At 100 TB this is the CC ingest shape: map-only from the scan to one lang-bounded groupBy.",
-      (s, _) => {
-        val recs = graft.sources.Warc.read(s, s"$warcDir/cc_sample.warc.gz")
-          .filter(col("warc_type").isin("response", "conversion"))
-          .select(col("warc_type"), col("content").cast("string").as("raw"))
-        val bodyPos = locate("\r\n\r\n", col("raw"))
-        val body = when(col("warc_type") === "response",
-          col("raw").substr(bodyPos + 4, length(col("raw")))).otherwise(col("raw"))
-        val toks = graft.functions.Barrier(
-          TextAnalysis.tokens(TextAnalysis.stripHtml(graft.functions.Barrier(body))))
-        recs
-          .select(col("warc_type"), toks.as("t"))
-          .select(col("warc_type"),
-            TextAnalysis.langIdFromTokens(col("t"), warcVocabs).as("lang"),
-            size(col("t")).cast("long").as("nt"),
-            (length(concat_ws(" ", col("t")))).cast("long").as("nc"))
+      (s, _) =>
+        warcChainRecords(graft.sources.Warc.read(s, s"$warcDir/cc_sample.warc.gz"))
           .groupBy(col("warc_type"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("nt")).cast("long").as("total_tokens"),
-            sum(col("nc")).cast("long").as("total_chars"))
-      },
+            sum(col("nc")).cast("long").as("total_chars")),
       Some {
         val scores = warcVocabs.map { case (lang, vocab) =>
           val inList = vocab.map(w => s"'$w'").mkString(", ")
@@ -2156,6 +2142,28 @@ object CurationQueries extends QueryPack {
            |CAST(sum(len(array_to_string(tk, ' '))) AS BIGINT) AS total_chars
            |FROM p GROUP BY 1, 2""".stripMargin
       }))
+
+  /** q249's per-record stage chain (keep response+conversion, drop the
+    * HTTP envelope, strip HTML, tokenize, language-ID) — STATELESS
+    * map-only, so the identical code runs over the batch scan and over
+    * [[graft.sources.Warc.readStream]] micro-batches (WarcStreamSpec
+    * pins stream == batch through this exact method). */
+  private[graft] def warcChainRecords(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val recs = src
+      .filter(col("warc_type").isin("response", "conversion"))
+      .select(col("warc_type"), col("content").cast("string").as("raw"))
+    val bodyPos = locate("\r\n\r\n", col("raw"))
+    val body = when(col("warc_type") === "response",
+      col("raw").substr(bodyPos + 4, length(col("raw")))).otherwise(col("raw"))
+    val toks = graft.functions.Barrier(
+      TextAnalysis.tokens(TextAnalysis.stripHtml(graft.functions.Barrier(body))))
+    recs
+      .select(col("warc_type"), toks.as("t"))
+      .select(col("warc_type"),
+        TextAnalysis.langIdFromTokens(col("t"), warcVocabs).as("lang"),
+        size(col("t")).cast("long").as("nt"),
+        (length(concat_ws(" ", col("t")))).cast("long").as("nc"))
+  }
 
   /** Stopword list for [[TextAnalysis.gopherSignals]]'s minimum-hits
     * rule (q128) — must match the IN-list literal in the oracle SQL. */

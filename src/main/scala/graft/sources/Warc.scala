@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -151,6 +152,55 @@ object Warc {
   def read(spark: SparkSession, path: String*): DataFrame =
     spark.read.format("warc").load(path: _*)
 
+  /** Stream a WARC/WET directory: each micro-batch picks up archive
+    * files that appeared since the last committed offset — the
+    * continuous-crawl ingest shape (a CC segment prefix fills with
+    * `.warc.gz` objects as the crawl publishes them). Downstream, the
+    * same curation/dedup stages run incrementally (the incremental
+    * dedup family was built exactly for this seam). */
+  def readStream(spark: SparkSession, path: String*): DataFrame =
+    spark.readStream.format("warc")
+      .option("paths",
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.JArray(path.toList.map(org.json4s.JString(_)))))
+      .load()
+
+  /** Expand directories/globs into (path, length) through the Hadoop
+    * FileSystem. `requireNonEmpty` is off on the streaming path — an
+    * empty directory just means "no files yet". Archive files are
+    * immutable once published (the CC contract), so identity by path
+    * is sufficient for streaming offsets; lengths ride along for the
+    * byte-range splits. */
+  private[sources] def listFiles(paths: Seq[String],
+      requireNonEmpty: Boolean = true): Seq[(String, Long)] =
+    paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val matched: Seq[org.apache.hadoop.fs.FileStatus] =
+        Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      require(matched.nonEmpty || !requireNonEmpty, s"warc source: no files match '$p'")
+      matched.flatMap {
+        case d if d.isDirectory =>
+          fs.listStatus(d.getPath).toSeq.filter(f => f.isFile &&
+            (f.getPath.getName.endsWith(".warc") || f.getPath.getName.endsWith(".warc.gz")))
+        case f => Seq(f)
+      }.map(f => f.getPath.toString -> f.getLen)
+    }
+
+  /** Byte-range partitions over listed files: gzip archives split at
+    * `spark.sql.files.maxPartitionBytes` ranges (readers resync to
+    * member boundaries), plain `.warc` stays whole-file. */
+  private[sources] def splitFiles(files: Seq[(String, Long)]): Array[InputPartition] = {
+    val target = math.max(1L << 20, SQLConf.get.filesMaxPartitionBytes)
+    files.flatMap { case (p, len) =>
+      val gz = p.endsWith(".gz")
+      if (len == 0) Nil
+      else if (!gz) Seq(WarcInputPartition(p, 0L, len, gz = false))
+      else (0L until len by target).map(s =>
+        WarcInputPartition(p, s, math.min(s + target, len), gz = true))
+    }.toArray
+  }
+
   /** Write (target_uri, content) rows back out as WET conversion
     * records — the interchange loop of a curation pipeline (read CC,
     * filter/clean, re-ship the survivors as WARC). One gzip member per
@@ -207,7 +257,7 @@ private[sources] final class WarcTable(paths: Seq[String])
   override def name(): String = s"warc:${paths.mkString(",")}"
   override def schema(): StructType = Warc.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths)
 }
@@ -219,7 +269,7 @@ private[sources] final class WarcScanBuilder(paths: Seq[String])
   override def build(): Scan = new WarcScan(paths, required)
 }
 
-private[sources] final case class WarcInputPartition(path: String,
+private[graft] final case class WarcInputPartition(path: String,
     start: Long, end: Long, gz: Boolean) extends InputPartition
 
 private[sources] final class WarcScan(paths: Seq[String], required: StructType)
@@ -229,34 +279,78 @@ private[sources] final class WarcScan(paths: Seq[String], required: StructType)
   override def description(): String =
     s"warc [${required.fieldNames.mkString(",")}] ${paths.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val target = math.max(1L << 20, SQLConf.get.filesMaxPartitionBytes)
+  override def planInputPartitions(): Array[InputPartition] =
     // expand directories and globs through the Hadoop FileSystem (a CC
     // segment prefix lists thousands of .warc.gz objects)
-    val files: Seq[(String, Long)] = paths.flatMap { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val matched: Seq[org.apache.hadoop.fs.FileStatus] =
-        Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
-      require(matched.nonEmpty, s"warc source: no files match '$p'")
-      matched.flatMap {
-        case d if d.isDirectory =>
-          fs.listStatus(d.getPath).toSeq.filter(f => f.isFile &&
-            (f.getPath.getName.endsWith(".warc") || f.getPath.getName.endsWith(".warc.gz")))
-        case f => Seq(f)
-      }.map(f => f.getPath.toString -> f.getLen)
+    Warc.splitFiles(Warc.listFiles(paths))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WarcMicroBatchStream(paths, required)
+}
+
+/** Streaming offset = the set of archive files already ingested
+  * (path → length). Archives are immutable once published (the CC
+  * contract: a segment fills with new `.warc.gz` objects; existing
+  * ones never change), so "new since the last offset" is exactly the
+  * path-set difference — each file is ingested in exactly one
+  * micro-batch, and a restart from the checkpointed offset re-plans
+  * precisely the not-yet-committed files. */
+private[graft] final case class WarcStreamOffset(files: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      files.toSeq.sortBy(_._1).map { case (p, l) => ("path" -> p) ~ ("len" -> l) })
+  }
+}
+
+private[graft] object WarcStreamOffset {
+  def fromJson(s: String): WarcStreamOffset = WarcStreamOffset(
+    org.json4s.jackson.JsonMethods.parse(s) match {
+      case org.json4s.JArray(vs) => vs.map { v =>
+        val o = v.asInstanceOf[org.json4s.JObject].obj.toMap
+        o("path").asInstanceOf[org.json4s.JString].s ->
+          o("len").asInstanceOf[org.json4s.JInt].num.longValue
+      }.toMap
+      case other => throw new IllegalArgumentException(s"bad warc offset: $other")
+    })
+}
+
+/** Micro-batch face of the WARC source: `latestOffset` snapshots the
+  * directory listing, a batch reads the files in (start, end] via the
+  * same member-aligned byte-range partitions and exactly-once reader
+  * as the batch scan. Grown files fail loudly rather than silently
+  * re-reading (archives must be published whole — write-then-rename,
+  * which [[PartCommit]] sinks and CC's own publishing both do). */
+private[graft] final class WarcMicroBatchStream(paths: Seq[String], required: StructType)
+    extends MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = WarcStreamOffset(Map.empty)
+  override def deserializeOffset(json: String): Offset = WarcStreamOffset.fromJson(json)
+  override def latestOffset(): Offset =
+    WarcStreamOffset(Warc.listFiles(paths, requireNonEmpty = false).toMap)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcStreamOffset].files
+    val now = end.asInstanceOf[WarcStreamOffset].files
+    seen.foreach { case (p, l) =>
+      now.get(p).filter(_ != l).foreach { nl =>
+        throw new IllegalStateException(
+          s"warc stream: '$p' changed length $l -> $nl after ingest; archives must be " +
+            "published immutably (write to a temp name, then rename into the watched dir)")
+      }
     }
-    files.flatMap { case (p, len) =>
-      val gz = p.endsWith(".gz")
-      if (len == 0) Nil
-      else if (!gz) Seq(WarcInputPartition(p, 0L, len, gz = false))
-      else (0L until len by target).map(s =>
-        WarcInputPartition(p, s, math.min(s + target, len), gz = true))
-    }.toArray
+    Warc.splitFiles(now.toSeq.filterNot { case (p, _) => seen.contains(p) }.sortBy(_._1))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] final class WarcReaderFactory(required: StructType)

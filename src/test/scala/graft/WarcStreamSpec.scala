@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming face of the WARC source (graft.sources.Warc.readStream):
+  * a watched directory fills with immutable `.warc.gz` archives (the
+  * continuous-crawl shape — a CC segment prefix as the crawl
+  * publishes), each micro-batch ingests exactly the files that
+  * appeared since the last offset, and the q249 curation chain runs
+  * UNCHANGED over the stream — stream survivors must equal the batch
+  * chain on the same files. */
+class WarcStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val dir = "src/test/resources/warc"
+  private type ChainRow = (String, String, Long, Long)
+
+  private def chainRows(df: org.apache.spark.sql.DataFrame): Seq[ChainRow] =
+    df.as[ChainRow].collect().sorted.toSeq
+
+  test("micro-batches ingest new archives exactly once; stream chain == batch chain") {
+    val tmp = java.nio.file.Files.createTempDirectory("warcstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/cc_sample.warc.gz"),
+      tmp.resolve("seg-00000.warc.gz"))
+
+    val stream = graft.sources.Warc.readStream(spark, tmp.toString)
+    assert(stream.isStreaming, "readStream must produce a streaming frame")
+    val chained = graft.queries.CurationQueries.warcChainRecords(stream)
+    val q = chained.writeStream.format("memory")
+      .queryName("warc_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterOne = spark.table("warc_stream").count()
+      assert(afterOne > 0, "first micro-batch must ingest the seed archive")
+
+      // a second archive is published (write temp, then rename — the
+      // immutable-publish contract); only IT may appear in later batches
+      val tmpName = tmp.resolve(".seg-00001.warc.gz.inprogress")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/cc_sample.warc.gz"), tmpName)
+      java.nio.file.Files.move(tmpName, tmp.resolve("seg-00001.warc.gz"))
+      q.processAllAvailable()
+      val afterTwo = spark.table("warc_stream").count()
+      assert(afterTwo == 2 * afterOne,
+        s"second batch must add exactly the new file: $afterOne -> $afterTwo")
+
+      // an idle tick ingests nothing (no files appeared)
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() == afterTwo, "idle tick must be a no-op")
+
+      // stream survivors == the batch q249 chain over the same files,
+      // row for row (the chain is the SAME method on both sides)
+      val streamed = chainRows(spark.table("warc_stream"))
+      val batch = chainRows(graft.queries.CurationQueries.warcChainRecords(
+        graft.sources.Warc.read(spark, tmp.toString)))
+      assert(streamed == batch, s"stream drifted from batch: ${streamed.size} vs ${batch.size}")
+
+      // and the aggregated shape matches q249's batch aggregate
+      val aggStream = spark.table("warc_stream")
+        .groupBy($"warc_type", $"lang").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().sorted.toSeq
+      val aggBatch = graft.queries.CurationQueries.warcChainRecords(
+          graft.sources.Warc.read(spark, tmp.toString))
+        .groupBy($"warc_type", $"lang").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().sorted.toSeq
+      assert(aggStream == aggBatch)
+    } finally q.stop()
+  }
+
+  test("offsets serialize round-trip; a grown archive fails loudly") {
+    import graft.sources.{WarcMicroBatchStream, WarcStreamOffset}
+    val off = WarcStreamOffset(Map("file:/a/x.warc.gz" -> 123L, "file:/a/y.warc.gz" -> 9L))
+    assert(WarcStreamOffset.fromJson(off.json()) == off)
+    assert(WarcStreamOffset.fromJson(WarcStreamOffset(Map.empty).json()).files.isEmpty)
+
+    val ms = new WarcMicroBatchStream(Seq("/nonexistent"), graft.sources.Warc.schema)
+    // path-set difference: only the new file plans partitions
+    val parts = ms.planInputPartitions(
+      WarcStreamOffset(Map("file:/a/x.warc.gz" -> 123L)),
+      WarcStreamOffset(Map("file:/a/x.warc.gz" -> 123L, "file:/a/y.warc.gz" -> (2L << 20))))
+    assert(parts.nonEmpty && parts.forall(
+      _.asInstanceOf[graft.sources.WarcInputPartition].path.endsWith("y.warc.gz")))
+    // in-place mutation of an already-ingested archive is a contract
+    // violation, not a silent re-read
+    val e = intercept[IllegalStateException] {
+      ms.planInputPartitions(
+        WarcStreamOffset(Map("file:/a/x.warc.gz" -> 123L)),
+        WarcStreamOffset(Map("file:/a/x.warc.gz" -> 456L)))
+    }
+    assert(e.getMessage.contains("immutably"))
+  }
+
+  test("empty watched directory streams zero rows without erroring") {
+    val tmp = java.nio.file.Files.createTempDirectory("warcstream_empty")
+    val q = graft.sources.Warc.readStream(spark, tmp.toString)
+      .select($"record_id").writeStream.format("memory")
+      .queryName("warc_stream_empty").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream_empty").count() == 0)
+    } finally q.stop()
+  }
+}
