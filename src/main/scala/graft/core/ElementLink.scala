@@ -36,4 +36,13 @@ object ElementLink {
       }
       coalesce(branches: _*)
     })
+
+  /** Nested `vector<vector<ElementLink>>` dispatch — the
+    * trigger-matching / association shape (`physlite.py:73-100` applied
+    * at `axis=2`, e.g. one link LIST per electron). Each inner list
+    * resolves through the same key→collection dispatch as
+    * [[resolveMultiple]]; the whole gather stays a single array
+    * expression inside the scan stage — zero shuffle at any scale. */
+  def resolveNested(targets: Seq[(Long, Column)], nestedLinks: Column): Column =
+    transform(nestedLinks, inner => resolveMultiple(targets, inner))
 }

@@ -174,6 +174,54 @@ object GoldenQueries extends QueryPack {
         "t(n_events, n_electrons, n_links, n_null, n_inrange, n_resolved, idx_sum, z0_cents)")),
 
     Query(
+      "q255_physlite_multilink_dispatch",
+      "PHYSLITE multi-target link dispatch through the collection map (methods/physlite.py:25-35 _hash_to_target_name + :73-100 _element_link_multiple): the natively-decoded vector<vector<ElementLink>> truth parentLinks columns resolve through ElementLink.resolveNested with SIX registered target collections (TruthPhotons/Muons/Neutrinos/Taus/Electrons/Bottom - every map entry whose pdgId/e members exist in the sample), each m_persKey selecting its collection and gathering {pdgId, e} at m_persIndex. Physics pins the dispatch: a TruthElectron parent dispatched to TruthTaus must BE a tau (|pdgId|=15), one dispatched to TruthBottom a b quark (|pdgId|=5), and TruthMuon parents likewise - a wrong branch or off-by-one gather breaks the family counts, the signed pdg sum, and the summed parent energy. The whole resolve is one nested array expression inside the scan stage: zero shuffle at any event count, dispatch cost ~ links x registered targets (a per-row coalesce, not a join). No second engine reads this format, so the oracle pins the aggregate verbatim; the nested decode itself is certified in RootSourceSpec.",
+      (s, _) => {
+        import graft.core.ElementLink
+        val ph = graft.sources.root.RootTables.read(
+          s, s"$sampleDir/PHYSLITE_example.root", "CollectionTree")
+        // the reference's MetaData/EventFormat hash -> collection table
+        // (physlite.py:25-35), restricted to collections whose pdgId/e
+        // members are present in this sample's 1494 branches
+        def elems(c: String) = expr(
+          s"transform(`${c}AuxDyn.pdgId`, (p, i) -> struct(" +
+          s"CAST(p AS BIGINT) AS pdg, CAST(element_at(`${c}AuxDyn.e`, i+1) AS DOUBLE) AS e))")
+        val targets = Seq(
+          13267281L -> elems("TruthPhotons"), 342174277L -> elems("TruthMuons"),
+          368360608L -> elems("TruthNeutrinos"), 375408000L -> elems("TruthTaus"),
+          394100163L -> elems("TruthElectrons"), 779635413L -> elems("TruthBottom"))
+        def keyed(linkCol: String) = {
+          val resolved = ElementLink.resolveNested(targets, col(linkCol))
+          zip_with(col(linkCol), resolved, (li, ri) =>
+            zip_with(li, ri, (l, r) => struct(l("m_persKey").as("k"),
+              r("pdg").as("pdg"), r("e").as("e"))))
+        }
+        ph.select(
+            flatten(keyed("`TruthElectronsAuxDyn.parentLinks`")).as("el"),
+            flatten(keyed("`TruthMuonsAuxDyn.parentLinks`")).as("mu"))
+          .selectExpr(
+            "size(el) AS el_links",
+            "size(filter(el, x -> x.pdg IS NOT NULL)) AS el_resolved",
+            "size(filter(el, x -> x.k = 375408000 AND abs(x.pdg) = 15)) AS el_tau_ok",
+            "size(filter(el, x -> x.k = 779635413 AND abs(x.pdg) = 5)) AS el_bot_ok",
+            "aggregate(el, 0L, (a, x) -> a + coalesce(x.pdg, 0L)) AS el_pdg_sum",
+            "aggregate(el, CAST(0.0 AS DOUBLE), (a, x) -> a + coalesce(x.e, 0.0D)) AS el_e",
+            "size(mu) AS mu_links",
+            "size(filter(mu, x -> x.k = 779635413 AND abs(x.pdg) = 5)) AS mu_bot_ok")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("el_links")).cast("long").as("el_links"),
+            sum(col("el_resolved")).cast("long").as("el_resolved"),
+            sum(col("el_tau_ok")).cast("long").as("el_tau_ok"),
+            sum(col("el_bot_ok")).cast("long").as("el_bot_ok"),
+            sum(col("el_pdg_sum")).cast("long").as("el_pdg_sum"),
+            floor(sum(col("el_e")) / 1000.0 + 0.5).cast("long").as("el_e_gev"),
+            sum(col("mu_links")).cast("long").as("mu_links"),
+            sum(col("mu_bot_ok")).cast("long").as("mu_bot_ok"))
+      },
+      Some("SELECT * FROM (VALUES (CAST(100 AS BIGINT), CAST(93 AS BIGINT), CAST(93 AS BIGINT), CAST(1 AS BIGINT), CAST(92 AS BIGINT), CAST(-65 AS BIGINT), CAST(29563 AS BIGINT), CAST(32 AS BIGINT), CAST(32 AS BIGINT))) " +
+        "t(n_events, el_links, el_resolved, el_tau_ok, el_bot_ok, el_pdg_sum, el_e_gev, mu_links, mu_bot_ok)")),
+
+    Query(
       "q252_root_sink_roundtrip",
       "ROOT TTree *sink* round-trip under a fully independent oracle: lineitem nests per order into the flattenCollections shape (shared-counter jagged prices/quantities), the in-engine writer emits real ROOT files (TFile header, streamer catalog, zlib baskets with entry-offset tables, leaf-count back-references - one standalone part file per partition, the parquet-part shape), the native TTree source reads them back, and the aggregate must equal DuckDB computing directly from the SOURCE parquet - so any drift anywhere in write-or-read (float bits, offsets, counter alignment, basket boundaries) breaks the hash. Per-item cents quantization before integer sums keeps the compare order-free.",
       (s, dir) => {
