@@ -222,6 +222,42 @@ object GoldenQueries extends QueryPack {
         "t(n_events, el_links, el_resolved, el_tau_ok, el_bot_ok, el_pdg_sum, el_e_gev, mu_links, mu_bot_ok)")),
 
     Query(
+      "q256_physlite_split_members",
+      "PHYSLITE fType=0 split-object members decoded natively from the raw .root - the static aux data uproot reads via the parent class's streamer description (nanoevents reads these through the same branches): large-R jet kinematics (JetAuxContainer_v1.pt/m bare vectors), constituent links (nested ElementLinks) and weights (nested floats), trigger configuration words through TWO independent decode paths (the split TrigDecisionAuxInfo member xTrigDecisionAux.smk and the synthesized bare-struct member TrigConfKeys.m_smk - smk_agree pins them equal eventwise), the vector<uint> trigger-accept words (tav), the MEMBERWISE vector<ElementLink> MET association (jetLink: one 0xFFFFFFFF sentinel per event plus small real jet indexes), depth-3 vector<vector<vector<uint64>>> overlap indices, and the scalar ElementLink hardScatterVertexLink (key 0x37d14597). Every number crosses at least two decode paths or is hand-pinned from raw basket bytes in RootSourceSpec. The whole read is one pruned columnar scan - 13 of 1497 branches, zero shuffle at any event count. No second engine reads this format, so the oracle pins the aggregate verbatim.",
+      (s, _) => {
+        val ph = graft.sources.root.RootTables.read(
+          s, s"$sampleDir/PHYSLITE_example.root", "CollectionTree")
+        ph.selectExpr(
+            "size(`AntiKt10UFOCSSKJetsAux.pt`) AS njet",
+            "CAST(aggregate(`AntiKt10UFOCSSKJetsAux.pt`, 0.0D, (a,x) -> a + CAST(x AS DOUBLE)) AS DOUBLE) AS ptsum",
+            "CAST(aggregate(`AntiKt10UFOCSSKJetsAux.m`, 0.0D, (a,x) -> a + CAST(x AS DOUBLE)) AS DOUBLE) AS msum",
+            "aggregate(`AntiKt10UFOCSSKJetsAux.constituentLinks`, 0L, (a,l) -> a + size(l)) AS nconst",
+            "CAST(aggregate(`AntiKt10UFOCSSKJetsAux.constituentWeights`, 0.0D, (a,w) -> a + aggregate(w, 0.0D, (b,x) -> b + CAST(x AS DOUBLE))) AS DOUBLE) AS wsum",
+            "CASE WHEN `xTrigDecisionAux.smk` = `TrigConfKeys.m_smk` THEN 1L ELSE 0L END AS smk_agree",
+            "aggregate(`xTrigDecisionAux.tav`, 0L, (a,x) -> a + CAST(x AS BIGINT)) % 1000000 AS tavmod",
+            "size(`METAssoc_AnalysisMETAux.jetLink`) AS njl",
+            "size(filter(`METAssoc_AnalysisMETAux.jetLink`, l -> l.m_persIndex = 4294967295)) AS nsent",
+            "aggregate(filter(`METAssoc_AnalysisMETAux.jetLink`, l -> l.m_persIndex != 4294967295), 0L, (a,l) -> a + l.m_persIndex) AS jlidx",
+            "aggregate(`METAssoc_AnalysisMETAux.overlapIndices`, 0L, (a,m) -> a + aggregate(m, 0L, (b,i) -> b + size(i))) AS novli",
+            "CASE WHEN `EventInfoAuxDyn.hardScatterVertexLink`.m_persKey = 936461719 THEN 1L ELSE 0L END AS hsv_ok")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("njet")).cast("long").as("n_jets"),
+            floor(sum(col("ptsum")) / 1000.0 + 0.5).cast("long").as("pt_gev"),
+            floor(sum(col("msum")) / 1000.0 + 0.5).cast("long").as("m_gev"),
+            sum(col("nconst")).cast("long").as("n_const"),
+            floor(sum(col("wsum")) * 100.0 + 0.5).cast("long").as("w_cents"),
+            sum(col("smk_agree")).cast("long").as("smk_agree"),
+            sum(col("tavmod")).cast("long").as("tav_mod_sum"),
+            sum(col("njl")).cast("long").as("n_jetlinks"),
+            sum(col("nsent")).cast("long").as("n_sentinels"),
+            sum(col("jlidx")).cast("long").as("jl_idx_sum"),
+            sum(col("novli")).cast("long").as("n_overlap_inner"),
+            sum(col("hsv_ok")).cast("long").as("hsv_ok"))
+      },
+      Some("SELECT * FROM (VALUES (CAST(100 AS BIGINT), CAST(203 AS BIGINT), CAST(22432 AS BIGINT), CAST(6377 AS BIGINT), CAST(4044 AS BIGINT), CAST(404400 AS BIGINT), CAST(100 AS BIGINT), CAST(49467693 AS BIGINT), CAST(981 AS BIGINT), CAST(100 AS BIGINT), CAST(4332 AS BIGINT), CAST(224 AS BIGINT), CAST(100 AS BIGINT))) " +
+        "t(n_events, n_jets, pt_gev, m_gev, n_const, w_cents, smk_agree, tav_mod_sum, n_jetlinks, n_sentinels, jl_idx_sum, n_overlap_inner, hsv_ok)")),
+
+    Query(
       "q252_root_sink_roundtrip",
       "ROOT TTree *sink* round-trip under a fully independent oracle: lineitem nests per order into the flattenCollections shape (shared-counter jagged prices/quantities), the in-engine writer emits real ROOT files (TFile header, streamer catalog, zlib baskets with entry-offset tables, leaf-count back-references - one standalone part file per partition, the parquet-part shape), the native TTree source reads them back, and the aggregate must equal DuckDB computing directly from the SOURCE parquet - so any drift anywhere in write-or-read (float bits, offsets, counter alignment, basket boundaries) breaks the hash. Per-item cents quantization before integer sums keeps the compare order-free.",
       (s, dir) => {

@@ -332,7 +332,11 @@ private[root] object RootFileReader {
       inner: Array[Int] = null,
       // ElementLink pairs: values = m_persKey longs, values2 =
       // m_persIndex longs (struct elements at the inner level)
-      values2: AnyRef = null)
+      values2: AnyRef = null,
+      // third nesting level (vector<vector<vector<prim>>>): inner(k)..
+      // inner(k+1) index into `inner2`, and inner2(j)..inner2(j+1)
+      // index into `values`
+      inner2: Array[Int] = null)
 
   /** Per-basket entry byte range [bytePos, byteEnd) in `d.data`
     * coordinates for entry index k (basket-local). */
@@ -446,6 +450,64 @@ private[root] object RootFileReader {
     Col(starts, values, scalar = false, inner = innerB.toArray)
   }
 
+  /** vector<vector<vector<prim>>> payloads (PHYSLITE METAssoc
+    * overlapIndices/overlapTypes): the 10-byte outer header carries
+    * the middle-vector count, then each middle vector is a bare
+    * [count] of bare inner vectors [count][data]. Every entry must
+    * walk exactly to its offset boundary. */
+  private def readStlDepth3(bm: BranchMeta, baskets: Seq[Decoded],
+      start: Long, end: Long): Col = {
+    val n = (end - start).toInt
+    val es = elemSize(bm.leafCls)
+    val starts = new Array[Int](n + 1)
+    val innerB = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val inner2B = new scala.collection.mutable.ArrayBuffer[Int](64)
+    innerB += 0
+    inner2B += 0
+    val chunks = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Int, Int)](64)
+    var totalBytes = 0
+    def i4(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) | ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+    baskets.foreach { d =>
+      require(d.offsets != null, s"branch ${bm.name}: STL basket without entry offsets")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val k = (e - d.entryStart).toInt
+        val (p0, p1) = entryRange(d, k)
+        require(p1 - p0 >= bm.stlHeader, s"branch ${bm.name}: entry $e shorter than header")
+        val nMid = i4(d.data, p0 + 6)
+        var p = p0 + bm.stlHeader
+        var m = 0
+        while (m < nMid) {
+          val nInner = i4(d.data, p); p += 4
+          var o = 0
+          while (o < nInner) {
+            val cnt = i4(d.data, p); p += 4
+            chunks += ((d.data, p, cnt * es)); totalBytes += cnt * es
+            inner2B += totalBytes / es
+            p += cnt * es
+            o += 1
+          }
+          innerB += inner2B.length - 1
+          m += 1
+        }
+        require(p == p1, s"branch ${bm.name}: entry $e walked to $p, expected $p1")
+        starts((e - start).toInt + 1) = nMid
+        e += 1
+      }
+    }
+    var i = 0
+    while (i < n) { starts(i + 1) += starts(i); i += 1 }
+    require(starts(n) == innerB.length - 1, s"branch ${bm.name}: middle boundary mismatch")
+    val raw = new Array[Byte](totalBytes)
+    var o = 0
+    chunks.foreach { case (a, from, len) => System.arraycopy(a, from, raw, o, len); o += len }
+    Col(starts, decodePrim(bm, raw, totalBytes / es), scalar = false,
+      inner = innerB.toArray, inner2 = inner2B.toArray)
+  }
+
   /** vector<vector<ElementLink<T>>> payloads — the PHYSLITE
     * trigger-matching / multi-target association shape. Per entry:
     * the 10-byte outer header, then per inner vector a 4-byte count
@@ -509,12 +571,235 @@ private[root] object RootFileReader {
     Col(starts, keys.toArray, scalar = false, inner = innerB.toArray, values2 = idxs.toArray)
   }
 
+  /** vector<ElementLink<T>> payloads (single-depth associations, e.g.
+    * PHYSLITE METAssoc jetLink): one STL record per entry — byte count,
+    * then either MEMBERWISE streaming (version | 0x4000: class version
+    * (+4-byte checksum when 0), count, then ALL m_persKey words
+    * followed by ALL m_persIndex words) or object-wise per-element
+    * link records (same walk as the nested shape). The byte count must
+    * span the entry exactly, so a layout drift fails loudly rather
+    * than desynchronizing. */
+  private def readStlLinks1(bm: BranchMeta, baskets: Seq[Decoded],
+      start: Long, end: Long): Col = {
+    val n = (end - start).toInt
+    val starts = new Array[Int](n + 1)
+    val keys = new scala.collection.mutable.ArrayBuffer[Long](64)
+    val idxs = new scala.collection.mutable.ArrayBuffer[Long](64)
+    def i4(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) | ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+    def u4(a: Array[Byte], p: Int): Long = i4(a, p).toLong & 0xffffffffL
+    def u2(a: Array[Byte], p: Int): Int = ((a(p) & 0xff) << 8) | (a(p + 1) & 0xff)
+    baskets.foreach { d =>
+      require(d.offsets != null, s"branch ${bm.name}: link basket without entry offsets")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val k = (e - d.entryStart).toInt
+        val (p0, p1) = entryRange(d, k)
+        val bc = i4(d.data, p0)
+        require((bc & 0x40000000) != 0,
+          s"branch ${bm.name}: entry $e lacks a byte count (0x${bc.toHexString})")
+        require(p0 + 4 + (bc & 0x3fffffff) == p1,
+          s"branch ${bm.name}: entry $e record does not span the entry")
+        val ver = u2(d.data, p0 + 4)
+        var p = p0 + 6
+        var cnt = 0
+        if ((ver & 0x4000) != 0) {
+          val clsVer = u2(d.data, p); p += 2
+          if (clsVer == 0) p += 4 // version-0 checksum
+          cnt = i4(d.data, p); p += 4
+          var c = 0
+          while (c < cnt) { keys += u4(d.data, p + 4 * c); c += 1 }
+          p += 4 * cnt
+          c = 0
+          while (c < cnt) { idxs += u4(d.data, p + 4 * c); c += 1 }
+          p += 4 * cnt
+        } else {
+          cnt = i4(d.data, p); p += 4
+          var c = 0
+          while (c < cnt) {
+            val ebc = i4(d.data, p)
+            require((ebc & 0x40000000) != 0,
+              s"branch ${bm.name}: entry $e element $c lacks a byte count")
+            val elEnd = p + 4 + (ebc & 0x3fffffff)
+            require(elEnd <= p1, s"branch ${bm.name}: entry $e element overruns entry end")
+            keys += u4(d.data, elEnd - 8)
+            idxs += u4(d.data, elEnd - 4)
+            p = elEnd
+            c += 1
+          }
+        }
+        require(p == p1, s"branch ${bm.name}: entry $e walked to $p, expected $p1")
+        starts((e - start).toInt + 1) = cnt
+        e += 1
+      }
+    }
+    var i = 0
+    while (i < n) { starts(i + 1) += starts(i); i += 1 }
+    Col(starts, keys.toArray, scalar = false, inner = null, values2 = idxs.toArray)
+  }
+
+  /** A single ElementLink member per entry (e.g. PHYSLITE
+    * hardScatterVertexLink): one object-wise byte-counted link record —
+    * version (+checksum when 0), the ElementLinkBase record, and the
+    * (m_persKey, m_persIndex) uint32 pair as the final 8 bytes. */
+  private def readScalarLink(bm: BranchMeta, baskets: Seq[Decoded],
+      start: Long, end: Long): Col = {
+    val n = (end - start).toInt
+    val keys = new Array[Long](n)
+    val idxs = new Array[Long](n)
+    def i4(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) | ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+    def u4(a: Array[Byte], p: Int): Long = i4(a, p).toLong & 0xffffffffL
+    baskets.foreach { d =>
+      require(d.offsets != null, s"branch ${bm.name}: link basket without entry offsets")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val (p0, p1) = entryRange(d, (e - d.entryStart).toInt)
+        val bc = i4(d.data, p0)
+        require((bc & 0x40000000) != 0,
+          s"branch ${bm.name}: entry $e lacks a byte count (0x${bc.toHexString})")
+        require(p0 + 4 + (bc & 0x3fffffff) == p1,
+          s"branch ${bm.name}: entry $e link record does not span the entry")
+        keys((e - start).toInt) = u4(d.data, p1 - 8)
+        idxs((e - start).toInt) = u4(d.data, p1 - 4)
+        e += 1
+      }
+    }
+    val starts = new Array[Int](n + 1)
+    var i = 0
+    while (i <= n) { starts(i) = i; i += 1 }
+    Col(starts, keys, scalar = true, values2 = idxs)
+  }
+
+  /** Synthesized member of a bare fixed-size struct branch
+    * (TrigConfKeys.smk etc.): every entry is one `fixedStride`-byte
+    * record with this member at `fixedOffset`. */
+  private def readFixedStructMember(bm: BranchMeta, baskets: Seq[Decoded],
+      start: Long, end: Long): Col = {
+    val n = (end - start).toInt
+    val es = elemSize(bm.leafCls)
+    val raw = new Array[Byte](n * es)
+    baskets.foreach { d =>
+      require(d.dataLen == d.nev * bm.fixedStride,
+        s"branch ${bm.name}: basket ${d.dataLen} bytes != ${d.nev} entries x ${bm.fixedStride}")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val p = d.dataPos + (e - d.entryStart).toInt * bm.fixedStride + bm.fixedOffset
+        System.arraycopy(d.data, p, raw, (e - start).toInt * es, es)
+        e += 1
+      }
+    }
+    val starts = new Array[Int](n + 1)
+    var i = 0
+    while (i <= n) { starts(i) = i; i += 1 }
+    Col(starts, decodePrim(bm, raw, n), scalar = true)
+  }
+
+  /** Per-entry element counts of an xAOD interface DataVector branch.
+    * The only persistent payload of these containers is a memberwise
+    * header plus the element COUNT — the element objects themselves
+    * persist zero bytes (their data lives in the Aux/AuxDyn columns).
+    * Layout per entry: [byte count][version | kStreamedMemberWise
+    * (0x4000)][element class version (+ 4-byte checksum when 0)]
+    * [count], consuming the entry EXACTLY. Any entry whose elements DO
+    * persist bytes (e.g. egammaClusters' CaloCluster sampling words)
+    * throws — an "empty interface" claim can never silently swallow
+    * data. Validation surface for RootSourceSpec, which cross-pins the
+    * counts against the AuxDyn collection sizes. */
+  def interfaceElementCounts(f: ReadAt, bm: BranchMeta, start: Long, end: Long): Array[Long] = {
+    val n = (end - start).toInt
+    val out = new Array[Long](n)
+    def i4(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) | ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+    def u2(a: Array[Byte], p: Int): Int = ((a(p) & 0xff) << 8) | (a(p + 1) & 0xff)
+    basketsFor(f, bm, start, end).foreach { d =>
+      require(d.offsets != null, s"branch ${bm.name}: interface basket without entry offsets")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val (p0, p1) = entryRange(d, (e - d.entryStart).toInt)
+        val bc = i4(d.data, p0)
+        require((bc & 0x40000000) != 0, s"branch ${bm.name}: entry $e lacks a byte count")
+        require(p0 + 4 + (bc & 0x3fffffff) == p1,
+          s"branch ${bm.name}: entry $e record does not span the entry")
+        val ver = u2(d.data, p0 + 4)
+        require((ver & 0x4000) != 0,
+          s"branch ${bm.name}: entry $e is not memberwise-streamed (version 0x${ver.toHexString})")
+        var p = p0 + 6
+        val clsVer = u2(d.data, p); p += 2
+        if (clsVer == 0) p += 4 // version-0 checksum
+        val cnt = i4(d.data, p); p += 4
+        require(p == p1,
+          s"branch ${bm.name}: entry $e persists ${p1 - p} element byte(s) for $cnt element(s) — " +
+            "not an empty interface container")
+        out((e - start).toInt) = cnt.toLong
+        e += 1
+      }
+    }
+    out
+  }
+
+  /** Validate that every entry of a branch is nested class HEADERS
+    * only — byte-counted records carrying a version (+ checksum when
+    * version 0) and sub-records, with zero member bytes anywhere. This
+    * is the persistent shape of split base-class records
+    * (`FooAux.xAOD::AuxContainerBase`) and aux-backed interface
+    * objects (EventInfo, xTrigDecision): exactly the "empty records"
+    * the reference's schema skips (physlite.py:85-87). Returns the
+    * number of entries validated; throws on the first payload byte. */
+  def headerOnlyEntries(f: ReadAt, bm: BranchMeta, start: Long, end: Long): Long = {
+    def i4(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) | ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+    def u2(a: Array[Byte], p: Int): Int = ((a(p) & 0xff) << 8) | (a(p + 1) & 0xff)
+    var validated = 0L
+    // one byte-counted record at p: version (+checksum when 0), then
+    // only sub-records until the byte count is exhausted
+    def record(a: Array[Byte], p: Int, entryEnd: Int, e: Long): Int = {
+      val bc = i4(a, p)
+      require((bc & 0x40000000) != 0, s"branch ${bm.name}: entry $e non-record byte at $p")
+      val recEnd = p + 4 + (bc & 0x3fffffff)
+      require(recEnd <= entryEnd, s"branch ${bm.name}: entry $e record overruns entry")
+      val ver = u2(a, p + 4)
+      var q = p + 6
+      if (ver == 0) q += 4 // version-0 checksum
+      while (q < recEnd) q = record(a, q, recEnd, e)
+      require(q == recEnd, s"branch ${bm.name}: entry $e record walked past its byte count")
+      recEnd
+    }
+    basketsFor(f, bm, start, end).foreach { d =>
+      require(d.offsets != null, s"branch ${bm.name}: basket without entry offsets")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val (p0, p1) = entryRange(d, (e - d.entryStart).toInt)
+        var p = p0
+        while (p < p1) p = record(d.data, p, p1, e)
+        require(p == p1, s"branch ${bm.name}: entry $e trailing bytes")
+        validated += 1
+        e += 1
+      }
+    }
+    validated
+  }
+
   def readColumn(f: ReadAt, bm: BranchMeta, start: Long, end: Long): Col = {
     require(bm.isSupported, s"branch ${bm.name}: ${bm.unsupported}")
     val n = (end - start).toInt
     val baskets = basketsFor(f, bm, start, end)
     if (bm.isString) return readStringColumn(bm, baskets, start, end)
     if (bm.stlLinks) return readStlLinks(bm, baskets, start, end)
+    if (bm.stlLinks1) return readStlLinks1(bm, baskets, start, end)
+    if (bm.scalarLink) return readScalarLink(bm, baskets, start, end)
+    if (bm.fixedStride > 0) return readFixedStructMember(bm, baskets, start, end)
+    if (bm.stlDepth == 3) return readStlDepth3(bm, baskets, start, end)
     if (bm.stlDepth > 1 || bm.stlStrings) return readStlComplex(bm, baskets, start, end)
     val es = elemSize(bm.leafCls)
     val jagged = bm.jagged

@@ -107,11 +107,17 @@ private[root] object RootDataSource {
       return StructField(bm.name,
         ArrayType(ArrayType(linkStruct, containsNull = false), containsNull = false),
         nullable = false)
+    if (bm.stlLinks1)
+      return StructField(bm.name, ArrayType(linkStruct, containsNull = false), nullable = false)
+    if (bm.scalarLink)
+      return StructField(bm.name, linkStruct, nullable = false)
     if (bm.stlStrings)
       return StructField(bm.name, ArrayType(StringType, containsNull = false), nullable = false)
     val elem: DataType = primElem(bm)
     val t =
       if (bm.stlStrings) ArrayType(StringType, containsNull = false)
+      else if (bm.stlDepth == 3)
+        ArrayType(ArrayType(ArrayType(elem, containsNull = false), containsNull = false), containsNull = false)
       else if (bm.stlDepth > 1) ArrayType(ArrayType(elem, containsNull = false), containsNull = false)
       else if (bm.jagged || bm.leafLen > 1) ArrayType(elem, containsNull = false)
       else elem
@@ -331,6 +337,24 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
       out(c) =
         if (isString(c)) org.apache.spark.unsafe.types.UTF8String.fromBytes(
           java.util.Arrays.copyOfRange(col.values.asInstanceOf[Array[Byte]], s, e))
+        else if (col.values2 != null && col.scalar) {
+          // one ElementLink per entry -> struct<key, idx>
+          new GenericInternalRow(Array[Any](
+            col.values.asInstanceOf[Array[Long]](s),
+            col.values2.asInstanceOf[Array[Long]](s)))
+        }
+        else if (col.values2 != null && col.inner == null) {
+          // single-depth ElementLink pairs -> array<struct<key, idx>>
+          val keys = col.values.asInstanceOf[Array[Long]]
+          val idxs = col.values2.asInstanceOf[Array[Long]]
+          val elems = new Array[Any](e - s)
+          var k = s
+          while (k < e) {
+            elems(k - s) = new GenericInternalRow(Array[Any](keys(k), idxs(k)))
+            k += 1
+          }
+          new GenericArrayData(elems)
+        }
         else if (col.values2 != null) {
           // nested ElementLink pairs -> array<array<struct<key, idx>>>
           val keys = col.values.asInstanceOf[Array[Long]]
@@ -349,6 +373,22 @@ private[root] final class RootPartitionReader(p: RootInputPartition, required: S
             o += 1
           }
           new GenericArrayData(outer)
+        }
+        else if (col.inner2 != null) {
+          // triple nesting -> array<array<array<prim>>>
+          val mids = new Array[Any](e - s)
+          var m = s
+          while (m < e) {
+            val inners = new Array[Any](col.inner(m + 1) - col.inner(m))
+            var k = col.inner(m)
+            while (k < col.inner(m + 1)) {
+              inners(k - col.inner(m)) = arraySlice(col.values, col.inner2(k), col.inner2(k + 1))
+              k += 1
+            }
+            mids(m - s) = new GenericArrayData(inners)
+            m += 1
+          }
+          new GenericArrayData(mids)
         }
         else if (col.inner != null && isStringArray(c)) {
           val elems = new Array[Any](e - s)
@@ -438,6 +478,33 @@ object RootTables {
     case "rntuple" => RNTupleWriter.write(df, dir, tree)
     case other => throw new IllegalArgumentException(
       s"ROOT sink format '$other' (ttree | rntuple)")
+  }
+
+  /** Validation surface for hidden xAOD interface DataVector branches
+    * (the ones classified "interface container"): per-entry element
+    * counts decoded from the memberwise header, throwing if any entry
+    * persists element bytes. RootSourceSpec cross-pins these counts
+    * against the corresponding AuxDyn collection sizes. */
+  def interfaceCounts(path: String, tree: String, branch: String): Array[Long] = {
+    val meta = RootFileReader.cachedMeta(path, tree)
+    val bm = meta.byName.getOrElse(branch,
+      throw new IllegalArgumentException(s"branch $branch not in $path#$tree"))
+    val f = RootFileReader.open(path)
+    try RootFileReader.interfaceElementCounts(f, bm, 0L, meta.entries)
+    finally f.close()
+  }
+
+  /** Validation surface for hidden base-class / aux-backed interface
+    * object branches: proves every entry is nested class headers only
+    * (zero payload bytes) — the records the reference's schema skips.
+    * Returns the number of entries validated; throws on any payload. */
+  def headerOnlyEntries(path: String, tree: String, branch: String): Long = {
+    val meta = RootFileReader.cachedMeta(path, tree)
+    val bm = meta.byName.getOrElse(branch,
+      throw new IllegalArgumentException(s"branch $branch not in $path#$tree"))
+    val f = RootFileReader.open(path)
+    try RootFileReader.headerOnlyEntries(f, bm, 0L, meta.entries)
+    finally f.close()
   }
 
   /** All TTree and RNTuple names in a file (recursing into directories). */

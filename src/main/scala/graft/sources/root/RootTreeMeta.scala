@@ -37,6 +37,21 @@ private[root] final case class BranchMeta(
     // split-container member branch (TBranchElement fType 31/41):
     // raw per-element payload, boundaries from the entry offsets
     rawJagged: Boolean = false,
+    // vector<ElementLink<T>> (single-depth association, e.g. PHYSLITE
+    // METAssoc jetLink/objectLinks): per entry one STL record, either
+    // MEMBERWISE (version | 0x4000: all keys then all indexes) or
+    // object-wise (per-element byte-counted link records)
+    stlLinks1: Boolean = false,
+    // a single ElementLink member per entry (object-wise record) ->
+    // struct<m_persKey, m_persIndex>
+    scalarLink: Boolean = false,
+    // bare fixed-size member of a split object (fType=0, e.g.
+    // xTrigDecisionAux.smk): raw big-endian values with no per-entry
+    // header — decoded exactly like a plain primitive leaf. ALSO used
+    // for synthesized members of a bare fixed-size STRUCT branch
+    // (TrigConfKeys.smk): `fixedStride`/`fixedOffset` pick the member
+    // out of each entry's fixed-width record.
+    fixedStride: Int = 0, fixedOffset: Int = 0,
     // split-container PARENT whose element objects reassemble from its
     // member sub-branches (vector<LorentzVector> etc. — the parent's
     // own baskets carry no payload, the members are the columns):
@@ -344,7 +359,25 @@ private[root] object RootTreeMeta {
       "bool" -> ("TLeafO", false),
       "long" -> ("TLeafL", false), "unsigned long" -> ("TLeafL", true),
       "long long" -> ("TLeafL", false), "unsigned long long" -> ("TLeafL", true),
-      "Long64_t" -> ("TLeafL", false), "ULong64_t" -> ("TLeafL", true))
+      "Long64_t" -> ("TLeafL", false), "ULong64_t" -> ("TLeafL", true),
+      // ROOT / cstdint typedef spellings seen in xAOD streamers
+      "Float_t" -> ("TLeafF", false), "Double_t" -> ("TLeafD", false),
+      "Int_t" -> ("TLeafI", false), "UInt_t" -> ("TLeafI", true),
+      "int32_t" -> ("TLeafI", false), "uint32_t" -> ("TLeafI", true),
+      "Short_t" -> ("TLeafS", false), "UShort_t" -> ("TLeafS", true),
+      "int16_t" -> ("TLeafS", false), "uint16_t" -> ("TLeafS", true),
+      "Char_t" -> ("TLeafB", false), "UChar_t" -> ("TLeafB", true),
+      "int8_t" -> ("TLeafB", false), "uint8_t" -> ("TLeafB", true),
+      "Bool_t" -> ("TLeafO", false),
+      "int64_t" -> ("TLeafL", false), "uint64_t" -> ("TLeafL", true))
+
+    val leafSize: Map[String, Int] = Map(
+      "TLeafO" -> 1, "TLeafB" -> 1, "TLeafS" -> 2,
+      "TLeafI" -> 4, "TLeafF" -> 4, "TLeafL" -> 8, "TLeafD" -> 8)
+
+    // member branches synthesized from bare fixed-size STRUCT branches
+    // (TrigConfKeys.smk etc.) — appended to the branch list after the map
+    val synth = mutable.ArrayBuffer.empty[BranchMeta]
 
     val branches = allRaw.map { br =>
       var unsupported = br.unsupported
@@ -352,6 +385,8 @@ private[root] object RootTreeMeta {
       var stlHeader = 0; var isString = false; var stlDepth = 1; var stlStrings = false
       var stlLinks = false
       var rawJagged = false
+      var stlLinks1 = false
+      var scalarLink = false
       if (unsupported == null && br.hasSubBranches)
         unsupported = s"split container (${Option(br.className).getOrElse("")}) — sub-branches exposed as columns"
       if (unsupported == null) {
@@ -380,31 +415,159 @@ private[root] object RootTreeMeta {
             // count + version + size): vector<prim>,
             // vector<vector<prim>> (inner vectors are bare
             // [count][data]), vector<string> (TString elements), or a
-            // scalar std::string (bare TString per entry)
+            // scalar std::string (bare TString per entry). The same
+            // routing serves fType=0 MEMBERS of object-split
+            // containers (xAOD static aux members like JetsAux.pt,
+            // trigger words, MET association vectors): their declared
+            // type comes from the parent class's own streamer
+            // description, and their payloads use the identical
+            // layouts (scalars are written bare).
             val cn = Option(br.className).getOrElse("")
             def innerOf(s: String): String =
               if (s.startsWith("vector<") && s.endsWith(">"))
                 s.stripPrefix("vector<").stripSuffix(">").trim else null
-            val inner = innerOf(cn)
-            val inner2 = if (inner != null) innerOf(inner) else null
-            if (br.beId != -1 || (br.beType != 0 && br.beType != -1))
+            // route a resolved C++ type name onto the decode paths;
+            // false = no native path for this type
+            def route(tn: String): Boolean = {
+              val inner = innerOf(tn)
+              val inner2 = if (inner != null) innerOf(inner) else null
+              val inner3 = if (inner2 != null) innerOf(inner2) else null
+              if (tn == "string") { leafCls = "TLeafC"; isString = true; counter = null; leafLen = 1; true }
+              else if (stlElem.contains(tn)) {
+                // bare scalar member (no per-entry header) — decodes
+                // exactly like a plain primitive leaf branch
+                val (lc, uns) = stlElem(tn)
+                leafCls = lc; unsigned = uns; leafLen = 1; counter = null; true
+              } else if (inner != null && stlElem.contains(inner)) {
+                val (lc, uns) = stlElem(inner)
+                leafCls = lc; unsigned = uns; leafLen = 1; counter = null; stlHeader = 10; true
+              } else if (inner == "string") {
+                leafCls = "TLeafC"; counter = null; leafLen = 1; stlHeader = 10; stlStrings = true; true
+              } else if (inner2 != null && stlElem.contains(inner2)) {
+                val (lc, uns) = stlElem(inner2)
+                leafCls = lc; unsigned = uns; leafLen = 1; counter = null; stlHeader = 10; stlDepth = 2; true
+              } else if (inner3 != null && stlElem.contains(inner3)) {
+                // vector<vector<vector<prim>>> (METAssoc overlap
+                // indices/types): bare middle + inner vectors behind
+                // the outer header; decoded by readStlDepth3
+                val (lc, uns) = stlElem(inner3)
+                leafCls = lc; unsigned = uns; leafLen = 1; counter = null; stlHeader = 10; stlDepth = 3; true
+              } else if (inner2 != null && inner2.startsWith("ElementLink<")) {
+                // vector<vector<ElementLink<T>>> — object-wise inner
+                // records; decoded by readStlLinks (layout pinned against
+                // the PHYSLITE sample byte-for-byte in RootSourceSpec)
+                leafCls = "TLeafI"; unsigned = true; leafLen = 1; counter = null
+                stlHeader = 10; stlDepth = 2; stlLinks = true; true
+              } else if (inner != null && inner.startsWith("ElementLink<")) {
+                // vector<ElementLink<T>> — one STL record per entry,
+                // memberwise (all keys then all indexes) or object-wise;
+                // decoded by readStlLinks1
+                leafCls = "TLeafI"; unsigned = true; leafLen = 1; counter = null
+                stlLinks1 = true; true
+              } else if (tn.startsWith("ElementLink<")) {
+                // a single ElementLink member (e.g. PHYSLITE
+                // hardScatterVertexLink): one object-wise link record
+                // per entry -> struct<m_persKey, m_persIndex>
+                leafCls = "TLeafI"; unsigned = true; leafLen = 1; counter = null
+                scalarLink = true; true
+              } else false
+            }
+            if (br.beId >= 0 && br.beType == 0) {
+              // fType=0 member of an object-split container: the
+              // parent's TStreamerInfo names this member and declares
+              // its type (base classes are walked for inherited
+              // members). Base-class sub-branches carry only nested
+              // class headers — the reference's schema skips exactly
+              // these ("skip empty records", physlite.py:85-87).
+              val member = br.name.substring(br.name.lastIndexOf('.') + 1)
+              def lookup(cls: String): Option[StreamerElem] =
+                infos.get(cls).flatMap { case (_, es) =>
+                  es.find(_.name == member).orElse(
+                    es.filter(_.kind == "TStreamerBase").view.flatMap(b => lookup(b.name)).headOption)
+                }
+              lookup(cn) match {
+                case Some(e) if e.kind == "TStreamerBase" =>
+                  unsupported = s"base-class record ($member): nested class headers only, no payload — " +
+                    "hidden like the reference's skip-empty-records rule (validated in RootSourceSpec)"
+                case Some(e) if route(e.typeName) => ()
+                case Some(e) =>
+                  unsupported = s"split-object member type ${e.typeName} ($cn.$member) — use the converter path"
+                case None if cn.startsWith("ElementLink<") && route(cn) =>
+                  // a split dynamic member that is ITSELF an
+                  // ElementLink object: the fType=0 remainder branch
+                  // carries the whole object-wise link record
+                  ()
+                case None =>
+                  unsupported = s"split object branch ($cn, fType=${br.beType}, member '$member' not in streamers) — use the converter path"
+              }
+            } else if (br.beId < -1 && br.beType == 0)
+              // the master branch of an object-split container (name
+              // ends in "."): carries only the UN-split remainder —
+              // the nested base-class headers. The reference's schema
+              // skips exactly these records (physlite.py:85-87).
+              unsupported = s"split-object base record ($cn): nested class headers only, no payload — " +
+                "hidden like the reference's skip-empty-records rule (validated in RootSourceSpec)"
+            else if (br.beId != -1 || (br.beType != 0 && br.beType != -1))
               unsupported = s"split object branch ($cn, fType=${br.beType}) — use the converter path"
-            else if (cn == "string") { leafCls = "TLeafC"; isString = true; counter = null; leafLen = 1 }
-            else if (inner != null && stlElem.contains(inner)) {
-              val (lc, uns) = stlElem(inner)
-              leafCls = lc; unsigned = uns; leafLen = 1; counter = null; stlHeader = 10
-            } else if (inner == "string") {
-              leafCls = "TLeafC"; counter = null; leafLen = 1; stlHeader = 10; stlStrings = true
-            } else if (inner2 != null && stlElem.contains(inner2)) {
-              val (lc, uns) = stlElem(inner2)
-              leafCls = lc; unsigned = uns; leafLen = 1; counter = null; stlHeader = 10; stlDepth = 2
-            } else if (inner2 != null && inner2.startsWith("ElementLink<")) {
-              // vector<vector<ElementLink<T>>> — object-wise inner
-              // records; decoded by readStlLinks (layout pinned against
-              // the PHYSLITE sample byte-for-byte in RootSourceSpec)
-              leafCls = "TLeafI"; unsigned = true; leafLen = 1; counter = null
-              stlHeader = 10; stlDepth = 2; stlLinks = true
-            } else unsupported = s"unsupported payload class ($cn) — use the converter path"
+            else if (route(cn)) ()
+            else if (cn.startsWith("DataVector<") || {
+              // DataVector SUBCLASSES (MissingETContainer_v1 etc.)
+              // stream the same memberwise count-only payload — their
+              // streamer is a single container-proxy element
+              // (TStreamerSTL "This"), or a base chain reaching one.
+              // Routable STL types were dispatched above, so a proxy
+              // here IS an xAOD container class.
+              def isDv(cls: String): Boolean =
+                cls.startsWith("DataVector<") || infos.get(cls).exists { case (_, es) =>
+                  es.exists(e => e.kind == "TStreamerSTL" && e.name == "This") ||
+                  es.exists(e => e.kind == "TStreamerBase" && isDv(e.name))
+                }
+              isDv(cn)
+            })
+              // xAOD interface container: elements persist NOTHING
+              // (all data lives in the Aux/AuxDyn columns); the
+              // payload is a memberwise header + element count, and
+              // the reference's schema never exposes it. Hidden;
+              // count decode cross-pinned against the AuxDyn sizes in
+              // RootSourceSpec (interfaceElementCounts).
+              unsupported = s"interface container ($cn): persistent payload is the element count only " +
+                "(data lives in Aux/AuxDyn) — hidden like the reference's skip-empty-records rule"
+            else if (infos.get(cn).exists(_._2.nonEmpty) &&
+                infos(cn)._2.forall(e => stlElem.contains(e.typeName) && e.kind.startsWith("TStreamerBasic"))) {
+              // bare fixed-size struct (e.g. xAOD::TrigConfKeys_v1:
+              // three uint32 words, streamed with no headers at all):
+              // expose each member as its own synthesized scalar
+              // column "<branch>.<member>" picking bytes
+              // [fixedOffset, fixedOffset+size) out of every
+              // fixed-width entry record
+              val elems = infos(cn)._2
+              val stride = elems.map(e => leafSize(stlElem(e.typeName)._1)).sum
+              var off = 0
+              elems.foreach { e =>
+                val (lc, uns) = stlElem(e.typeName)
+                synth += BranchMeta(s"${br.name}.${e.name}", br.title, lc, 1, uns, null,
+                  0, br.entries,
+                  // members read the PARENT branch's baskets
+                  (0 until math.max(0, math.min(br.writeBasket, br.basketSeek.length)))
+                    .filter(i => br.basketSeek(i) != 0L).map { i =>
+                      val endE =
+                        if (i + 1 < br.basketEntry.length && br.basketEntry(i + 1) > br.basketEntry(i)) br.basketEntry(i + 1)
+                        else br.entries
+                      BasketRef(br.basketSeek(i), br.basketBytes(i).toInt, br.basketEntry(i), endE)
+                    }.toArray,
+                  Array.empty, null, fixedStride = stride, fixedOffset = off)
+                off += leafSize(lc)
+              }
+              unsupported = s"bare fixed-size struct ($cn) — members exposed as ${br.name}.*"
+            } else if (infos.get(cn).exists { case (_, es) =>
+                es.nonEmpty && es.forall(_.kind == "TStreamerBase") })
+              // the class persists NOTHING of its own (all elements are
+              // base classes, ultimately SG::AuxElement): EventInfo,
+              // EventShape, TrigDecision — the aux-backed interface
+              // objects whose data lives in the Aux/AuxDyn columns
+              unsupported = s"aux-backed interface object ($cn): persistent payload is nested class " +
+                "headers only (data lives in Aux/AuxDyn) — hidden like the reference's skip-empty-records rule"
+            else unsupported = s"unsupported payload class ($cn) — use the converter path"
           } else if (leafCls == "TLeafC") {
             isString = true
           }
@@ -431,14 +594,15 @@ private[root] object RootTreeMeta {
       }.toArray
       if (unsupported == null && br.entries > 0 && loose.isEmpty && embedded.isEmpty)
         unsupported = s"no readable baskets for ${br.entries} entries"
-      if (unsupported == null && (stlHeader > 0 || isString || rawJagged) && br.entryOffsetLen <= 0 && br.entries > 0)
+      if (unsupported == null && (stlHeader > 0 || isString || rawJagged || stlLinks1 || scalarLink) &&
+          br.entryOffsetLen <= 0 && br.entries > 0)
         unsupported = "variable-size payload without entry offsets"
       BranchMeta(br.name, br.title, leafCls, leafLen, unsigned, counter,
         br.entryOffsetLen, br.entries, loose, embedded, unsupported,
         stlHeader = stlHeader, isString = isString,
         stlDepth = stlDepth, stlStrings = stlStrings, stlLinks = stlLinks,
-        rawJagged = rawJagged)
-    }.toVector
+        rawJagged = rawJagged, stlLinks1 = stlLinks1, scalarLink = scalarLink)
+    }.toVector ++ synth
 
     // Second pass: a split-container parent whose LEAF member
     // sub-branches are all readable raw-jagged primitives reassembles

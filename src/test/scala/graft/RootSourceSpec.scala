@@ -194,6 +194,114 @@ class RootSourceSpec extends AnyFunSuite {
     assert(d.filter(col("supported")).count() >= 900L)
   }
 
+  test("PHYSLITE: fType=0 split-object members decode natively (static aux, trigger words, MET assoc)") {
+    assume(available)
+    val ph = RootTables.read(spark, s"$S/PHYSLITE_example.root", "CollectionTree")
+    // hand-decoded entry 0 of AntiKt10UFOCSSKJetsAux.pt (raw basket
+    // bytes: [byte count 10][version 9][count 1][0x479929a0]):
+    val firstPt = ph.selectExpr("element_at(`AntiKt10UFOCSSKJetsAux.pt`, 1)").head().getFloat(0)
+    assert(firstPt == 78419.25f)
+    // static aux kinematics agree in shape with the depth-2 links and
+    // weights members — three DIFFERENT decode paths (bare vector,
+    // nested links, nested floats) must report identical jet counts,
+    // and constituent weights sum to exactly 1.0 per constituent here
+    val jets = ph.selectExpr(
+      "size(`AntiKt10UFOCSSKJetsAux.pt`) = size(`AntiKt10UFOCSSKJetsAux.constituentLinks`) AND " +
+        "size(`AntiKt10UFOCSSKJetsAux.pt`) = size(`AntiKt10UFOCSSKJetsAux.constituentWeights`) AS sz_ok",
+      "aggregate(`AntiKt10UFOCSSKJetsAux.constituentLinks`, 0L, (a,l) -> a + size(l)) AS nconst",
+      "CAST(aggregate(`AntiKt10UFOCSSKJetsAux.constituentWeights`, 0.0D, (a,w) -> a + aggregate(w, 0.0D, (b,x) -> b + CAST(x AS DOUBLE))) AS DOUBLE) AS wsum")
+      .agg(sum(when(col("sz_ok"), 0).otherwise(1)).as("bad"),
+        sum(col("nconst")).as("nconst"), sum(col("wsum")).as("wsum")).head()
+    assert(jets.getLong(0) == 0L)
+    assert(jets.getLong(1) == 4044L && math.abs(jets.getDouble(2) - 4044.0) < 1e-6)
+    // bare scalar members: the trigger super-master key decodes
+    // identically through TWO independent paths — the split
+    // TrigDecisionAuxInfo member branch and the synthesized bare-struct
+    // member of the unsplit TrigConfKeys branch (hand-pinned 2282)
+    val keys = ph.selectExpr("`xTrigDecisionAux.smk`", "`TrigConfKeys.m_smk`",
+        "`TrigConfKeys.m_l1psk`", "`TrigConfKeys.m_hltpsk`").distinct().collect()
+    assert(keys.length == 1 && keys(0).getLong(0) == 2282L && keys(0).getLong(1) == 2282L &&
+      keys(0).getLong(2) == 107L && keys(0).getLong(3) == 325L)
+    // memberwise vector<ElementLink> (jetLink), depth-2 floats (calpx)
+    // and depth-3 overlapIndices agree on the association count per
+    // event; jetLink carries exactly one 0xFFFFFFFF sentinel per event
+    // (the Misc term) and small real indexes otherwise
+    val met = ph.selectExpr(
+      "size(`METAssoc_AnalysisMETAux.jetLink`) = size(`METAssoc_AnalysisMETAux.calpx`) AND " +
+        "size(`METAssoc_AnalysisMETAux.jetLink`) = size(`METAssoc_AnalysisMETAux.overlapIndices`) AS sz_ok",
+      "size(filter(`METAssoc_AnalysisMETAux.jetLink`, l -> l.m_persIndex = 4294967295)) AS nsent",
+      "aggregate(filter(`METAssoc_AnalysisMETAux.jetLink`, l -> l.m_persIndex != 4294967295), 0L, (a,l) -> a + l.m_persIndex) AS idxsum")
+      .agg(sum(when(col("sz_ok"), 0).otherwise(1)).as("bad"),
+        sum(col("nsent")).as("nsent"), sum(col("idxsum")).as("idxsum")).head()
+    assert(met.getLong(0) == 0L && met.getLong(1) == 100L && met.getLong(2) == 4332L)
+    // scalar ElementLink member (hand-pinned: key 0x37d14597, index 0)
+    val hsv = ph.selectExpr("`EventInfoAuxDyn.hardScatterVertexLink`").distinct().collect()
+    assert(hsv.length == 1 && hsv(0).getStruct(0).getLong(0) == 936461719L)
+    // native coverage after the split-member + hidden-record work
+    val d = RootTables.describe(spark, s"$S/PHYSLITE_example.root", "CollectionTree")
+    assert(d.filter(col("supported")).count() >= 1005L)
+  }
+
+  test("PHYSLITE: hidden interface containers and base records are VALIDATED empty, not assumed") {
+    assume(available)
+    val p = s"$S/PHYSLITE_example.root"
+    val d = RootTables.describe(spark, p, "CollectionTree").collect()
+      .map(r => r.getString(0) -> r.getString(7))
+    // every interface DataVector's memberwise count decodes and
+    // cross-pins against its AuxDyn collection sizes (the element
+    // objects persist zero bytes — data lives in the aux columns)
+    val ph = RootTables.read(spark, p, "CollectionTree")
+    def sizes(c: String): Array[Long] =
+      ph.selectExpr(s"size(`$c`)").collect().map(_.getInt(0).toLong)
+    for ((ifc, aux) <- Seq(
+        "TruthTaus" -> "TruthTausAuxDyn.px", "TruthBottom" -> "TruthBottomAuxDyn.px",
+        "TruthElectrons" -> "TruthElectronsAuxDyn.px", "TruthMuons" -> "TruthMuonsAuxDyn.px",
+        "AnalysisJets" -> "AnalysisJetsAuxDyn.pt",
+        "AnalysisElectrons" -> "AnalysisElectronsAuxDyn.pt",
+        "GSFTrackParticles" -> "GSFTrackParticlesAuxDyn.z0")) {
+      assert(RootTables.interfaceCounts(p, "CollectionTree", ifc).toSeq == sizes(aux).toSeq,
+        s"$ifc interface count must equal size($aux) on every event")
+    }
+    // every hidden trigger-match container's element count cross-pins
+    // against the outer size of its AuxDyn.TrigMatchedObjects nested
+    // links (an entirely different decode path). NOTE: this corrects
+    // the r14 record — the TrigComposite containers are NOT all empty;
+    // they carry real per-event match counts, and it is the element
+    // PAYLOAD that persists zero bytes (interfaceCounts proves both).
+    val trigMatch = d.collect { case (n, r) if r.startsWith("interface container (DataVector<xAOD::TrigComposite") => n }
+    assert(trigMatch.length == 194)
+    val cols = ph.columns.toSet
+    val (twinned, bare) = trigMatch.partition(n => cols.contains(s"${n}AuxDyn.TrigMatchedObjects"))
+    assert(twinned.length > 150, s"most chains must carry an AuxDyn twin (got ${twinned.length})")
+    val auxSizes = ph.selectExpr(twinned.map(n =>
+      s"size(`${n}AuxDyn.TrigMatchedObjects`) AS `$n`").toIndexedSeq: _*).collect()
+    var totalMatches = 0L
+    twinned.zipWithIndex.foreach { case (n, i) =>
+      val counts = RootTables.interfaceCounts(p, "CollectionTree", n)
+      totalMatches += counts.sum
+      assert(counts.toSeq == auxSizes.map(_.getInt(i).toLong).toSeq,
+        s"$n interface count must equal size(${n}AuxDyn.TrigMatchedObjects) on every event")
+    }
+    assert(totalMatches > 1000L, s"sample must carry a real match population (got $totalMatches)")
+    // chains without an AuxDyn twin still must decode as payload-free
+    bare.foreach(n => RootTables.interfaceCounts(p, "CollectionTree", n))
+    // egammaClusters is the ONE container whose elements DO persist
+    // bytes (CaloCluster sampling words): the count decode must refuse
+    // loudly instead of mis-reporting it as empty
+    val e = intercept[IllegalArgumentException] {
+      RootTables.interfaceCounts(p, "CollectionTree", "egammaClusters")
+    }
+    assert(e.getMessage.contains("not an empty interface container"))
+    // every hidden base record / aux-backed interface object walks as
+    // nested class headers with ZERO payload bytes
+    val headerOnly = d.collect {
+      case (n, r) if r.startsWith("split-object base record") ||
+        r.startsWith("base-class record") || r.startsWith("aux-backed interface object") => n
+    }
+    assert(headerOnly.length >= 240)
+    assert(headerOnly.forall(n => RootTables.headerOnlyEntries(p, "CollectionTree", n) == 100L))
+  }
+
   test("treemaker/EDM4HEP/FCC: split-object member branches read as flat jagged columns") {
     assume(available)
     val tm = RootTables.read(spark, s"$S/treemaker.root", "PreSelection")
