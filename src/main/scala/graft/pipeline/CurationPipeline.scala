@@ -119,11 +119,14 @@ object CurationPipeline {
     val st = stages(docs, bench, cfg)
     // "input" is the caller's frame: count it but never (un)persist it —
     // persist() would throw if the caller cached it at another level,
-    // and unpersist would drop a cache the caller may own
+    // and unpersist would drop a cache the caller may own. "__"-named
+    // entries are cache-only plumbing (already persisted inside
+    // stages()): never counted, but unpersisted with the rest.
     val cached = st.map { case (name, df) =>
-      (name, if (name == "input") df else df.persist())
+      (name, if (name == "input" || name.startsWith("__")) df else df.persist())
     }
-    try (st.last._2, cached.map { case (name, df) => (name, df.count()) })
+    try (st.last._2, cached.filterNot(_._1.startsWith("__"))
+      .map { case (name, df) => (name, df.count()) })
     finally cached.filterNot(_._1 == "input")
       .foreach(_._2.unpersist(blocking = false))
   }
@@ -244,14 +247,27 @@ object CurationPipeline {
     //    rather than crash, so upstream counts still flow.
     val lm = Curation.lmTrain(decontaminated, cfg.idCol, cfg.textCol,
       cfg.lmMinBigramCount)
+    // per-doc nll is read by TWO consumers (the threshold percentile
+    // action here, and the bucket join in every later action on the
+    // curated frame): persist it, or the LM-score pipeline (token
+    // explode + two LM joins + per-doc aggregate) recomputes per
+    // action — the dominant cost of a counted chain run (q140 A/B in
+    // PLANS.md round 15). Registered in the stage list under a "__"
+    // name: cache-only, never counted, unpersisted with the rest.
+    var lmCache: Option[DataFrame] = None
     val bucketed = if (lm.totalTokens == 0) {
       decontaminated
         .withColumn("nll_e6", lit(null).cast("long"))
         .withColumn("bucket", lit("tail"))
     } else {
-      val nll = Curation.lmScore(decontaminated, cfg.idCol, cfg.textCol, lm,
+      val nll0 = Curation.lmScore(decontaminated, cfg.idCol, cfg.textCol, lm,
         headNllE6 = 0L, tailNllE6 = Long.MaxValue)
         .select(col("id").as("__lmid"), col("nll_e6"))
+      val nll = if (cfg.persistStages) {
+        val c = nll0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lmCache = Some(c)
+        c
+      } else nll0
       val (headT, tailT) = Curation.lmThresholds(nll)
       decontaminated
         .join(nll, id.cast("long") === col("__lmid"), "left")
@@ -274,7 +290,8 @@ object CurationPipeline {
       "quality" -> quality,
       "exact_dedup" -> exact,
       "near_dedup" -> nearDeduped,
-      "decontaminated" -> decontaminated,
-      "curated" -> curated)
+      "decontaminated" -> decontaminated) ++
+      lmCache.map("__lm_nll" -> _).toSeq ++
+      Seq("curated" -> curated)
   }
 }

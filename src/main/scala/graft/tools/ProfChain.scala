@@ -26,11 +26,17 @@ object ProfChain {
       println(f"[prof] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    val st = t("stages() construct")(
-      graft.pipeline.CurationPipeline.stages(docs, None, cfg))
-    st.foreach { case (name, df) => t(s"count $name")(df.count()) }
-    t("runCounted total")(
-      graft.pipeline.CurationPipeline.runCounted(docs, None, cfg))
+    if (args.contains("cold")) {
+      // the bench path: one cold runCounted, nothing pre-warmed
+      t("runCounted COLD")(
+        graft.pipeline.CurationPipeline.runCounted(docs, None, cfg))
+    } else {
+      val st = t("stages() construct")(
+        graft.pipeline.CurationPipeline.stages(docs, None, cfg))
+      st.foreach { case (name, df) => t(s"count $name")(df.count()) }
+      t("runCounted total")(
+        graft.pipeline.CurationPipeline.runCounted(docs, None, cfg))
+    }
     spark.stop()
   }
 }
