@@ -195,9 +195,12 @@ private[root] object RootKeys {
   }
 }
 
-/** One member of a class layout, as recorded by TStreamerInfo. */
+/** One member of a class layout, as recorded by TStreamerInfo.
+  * `arrayLen` > 0 marks a fixed-size C-array member (float[21]
+  * covariance triangles etc. — streamer type kOffsetL + prim). */
 private[root] final case class StreamerElem(
-    kind: String, name: String, typ: Int, typeName: String, counter: String)
+    kind: String, name: String, typ: Int, typeName: String, counter: String,
+    arrayLen: Int = 0)
 
 private[root] object RootStreamers {
   /** Parse the file's streamer catalog (the TList of TStreamerInfo at
@@ -229,7 +232,8 @@ private[root] object RootStreamers {
           val (_, _) = r.vers() // concrete element class header
           val (_, bend) = r.vers() // TStreamerElement base header
           val (enm, _) = r.tnamed()
-          val etype = r.i4(); r.i4(); r.i4(); r.i4() // type, size, arrayLen, arrayDim
+          val etype = r.i4(); r.i4() // type, size
+          val arrayLen = r.i4(); r.i4() // arrayLen, arrayDim
           var m = 0; while (m < 5) { r.i4(); m += 1 } // maxIndex[5]
           val etn = r.tstr()
           r.p = bend
@@ -238,7 +242,7 @@ private[root] object RootStreamers {
             r.i4(); counter = r.tstr(); r.tstr() // counterVersion, counterName, counterClass
           }
           r.p = ecend
-          elems += StreamerElem(ec, enm, etype, etn, counter)
+          elems += StreamerElem(ec, enm, etype, etn, counter, arrayLen)
           j += 1
         }
         r.p = oend

@@ -874,7 +874,25 @@ private[root] object RootFileReader {
       }
     }
     require(filled == raw.length, s"branch ${bm.name}: gathered $filled of ${raw.length} bytes")
-    Col(starts, decodePrim(bm, raw, total), scalar)
+    val values = decodePrim(bm, raw, total)
+    if (bm.rawJagged && bm.leafLen > 1) {
+      // fixed-size C-array member (covMatrix float[21] etc.): regroup
+      // the flat prims as array<array<prim>> — starts in ELEMENTS,
+      // regular leafLen-stride inner boundaries
+      val el = new Array[Int](n + 1)
+      var i = 0
+      while (i <= n) {
+        require(starts(i) % bm.leafLen == 0,
+          s"branch ${bm.name}: boundary ${starts(i)} not a multiple of C-array length ${bm.leafLen}")
+        el(i) = starts(i) / bm.leafLen
+        i += 1
+      }
+      val inner = new Array[Int](el(n) + 1)
+      i = 0
+      while (i <= el(n)) { inner(i) = i * bm.leafLen; i += 1 }
+      return Col(el, values, scalar = false, inner = inner)
+    }
+    Col(starts, values, scalar)
   }
 
   /** Decode `total` big-endian primitives per the branch's leaf class

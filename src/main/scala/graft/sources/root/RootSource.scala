@@ -115,7 +115,10 @@ private[root] object RootDataSource {
       return StructField(bm.name, ArrayType(StringType, containsNull = false), nullable = false)
     val elem: DataType = primElem(bm)
     val t =
-      if (bm.stlStrings) ArrayType(StringType, containsNull = false)
+      if (bm.rawJagged && bm.leafLen > 1)
+        // fixed-size C-array member of a split container
+        ArrayType(ArrayType(elem, containsNull = false), containsNull = false)
+      else if (bm.stlStrings) ArrayType(StringType, containsNull = false)
       else if (bm.stlDepth == 3)
         ArrayType(ArrayType(ArrayType(elem, containsNull = false), containsNull = false), containsNull = false)
       else if (bm.stlDepth > 1) ArrayType(ArrayType(elem, containsNull = false), containsNull = false)

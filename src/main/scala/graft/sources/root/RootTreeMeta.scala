@@ -403,10 +403,33 @@ private[root] object RootTreeMeta {
           }
           if (leafCls == "TLeafElement" && (br.beType == 31 || br.beType == 41)) {
             // member branch of a split container: raw elements, entry
-            // boundaries from the offsets array
+            // boundaries from the offsets array. Streamer types 21-38
+            // (kOffsetL + prim) are fixed-size C-ARRAY members (e.g.
+            // edm4hep covMatrix float[21] triangles): each element
+            // contributes arrayLen prims, exposed array<array<prim>>;
+            // the length comes from the parent class's own streamer.
             memberElem.get(br.beStreamerType) match {
               case Some((lc, uns)) =>
                 leafCls = lc; unsigned = uns; leafLen = 1; counter = null; rawJagged = true
+              case None if br.beStreamerType > 20 && br.beStreamerType <= 38 &&
+                  memberElem.contains(br.beStreamerType - 20) =>
+                // branch names carry the dimension suffix ("values[6]");
+                // the streamer element is named without it
+                val member = br.name.substring(br.name.lastIndexOf('.') + 1)
+                  .replaceAll("\\[\\d+\\]$", "")
+                def lookupLen(cls: String): Option[Int] =
+                  infos.get(cls).flatMap { case (_, es) =>
+                    es.find(e => e.name == member && e.arrayLen > 0).map(_.arrayLen).orElse(
+                      es.filter(_.kind == "TStreamerBase").view.flatMap(b => lookupLen(b.name)).headOption)
+                  }
+                lookupLen(Option(br.className).getOrElse("")) match {
+                  case Some(len) =>
+                    val (lc, uns) = memberElem(br.beStreamerType - 20)
+                    leafCls = lc; unsigned = uns; leafLen = len; counter = null; rawJagged = true
+                  case None =>
+                    unsupported = s"C-array member without a streamer length " +
+                      s"(type ${br.beStreamerType}, ${br.className}.$member) — use the converter path"
+                }
               case None =>
                 unsupported = s"member streamer type ${br.beStreamerType} (${br.className}) — use the converter path"
             }
@@ -515,13 +538,19 @@ private[root] object RootTreeMeta {
               // stream the same memberwise count-only payload — their
               // streamer is a single container-proxy element
               // (TStreamerSTL "This"), or a base chain reaching one.
-              // Routable STL types were dispatched above, so a proxy
-              // here IS an xAOD container class.
+              // Plain STL spellings (vector<...> etc.) are NEVER
+              // interface containers — they carry real element bytes;
+              // unroutable ones must stay loudly unsupported.
+              def stlSpelled(cls: String): Boolean =
+                cls.startsWith("vector<") || cls.startsWith("pair<") ||
+                cls.startsWith("map<") || cls.startsWith("set<") ||
+                cls.startsWith("unordered_")
               def isDv(cls: String): Boolean =
-                cls.startsWith("DataVector<") || infos.get(cls).exists { case (_, es) =>
-                  es.exists(e => e.kind == "TStreamerSTL" && e.name == "This") ||
-                  es.exists(e => e.kind == "TStreamerBase" && isDv(e.name))
-                }
+                cls.startsWith("DataVector<") || (!stlSpelled(cls) &&
+                  infos.get(cls).exists { case (_, es) =>
+                    es.exists(e => e.kind == "TStreamerSTL" && e.name == "This") ||
+                    es.exists(e => e.kind == "TStreamerBase" && isDv(e.name))
+                  })
               isDv(cn)
             })
               // xAOD interface container: elements persist NOTHING
@@ -619,7 +648,7 @@ private[root] object RootTreeMeta {
         val prefix = b.name + "."
         val leaves = branches.filter(m =>
           m.name.startsWith(prefix) && !parentNames.contains(m.name))
-        if (leaves.nonEmpty && leaves.forall(m => m.isSupported && m.rawJagged)) {
+        if (leaves.nonEmpty && leaves.forall(m => m.isSupported && m.rawJagged && m.leafLen == 1)) {
           val rel = leaves.map(_.name.substring(prefix.length))
           val shorts = rel.map(nm => nm.substring(nm.lastIndexOf('.') + 1))
           val fields = if (shorts.distinct.size == shorts.size) shorts

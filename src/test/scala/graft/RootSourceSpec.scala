@@ -302,6 +302,41 @@ class RootSourceSpec extends AnyFunSuite {
     assert(headerOnly.forall(n => RootTables.headerOnlyEntries(p, "CollectionTree", n) == 100L))
   }
 
+  test("EDM4HEP/FCC: fixed-size C-array members (covMatrix) decode to the reference's own asserted values") {
+    assume(available)
+    // the reference's FCC test asserts the full 21-float covMatrix of
+    // the trackState whose D0 = 0.0003872188972309232
+    // (tests/test_nanoevents_fcc_edm4hep1.py:225-266, get_tracks)
+    val expected = Seq(1.7015145203913562e-05, -9.489050398769905e-07,
+      7.143341917981161e-08, 1.5243341528262122e-12, -1.8112620507170635e-13,
+      2.9262629340877973e-15, -2.0860079885665073e-08, 1.1119254406111168e-09,
+      1.4423419056330822e-11, 5.319845513440669e-06, 1.4412778748251753e-09,
+      -7.614676250655705e-11, -1.1035737211215202e-12, -6.439618971398886e-08,
+      4.636626194098881e-09, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val df = RootTables.read(spark, s"$S/p8_ee_WW_ecm240_edm4hep.root", "events")
+    val hits = df.selectExpr(
+      "explode(filter(zip_with(`_EFlowTrack_trackStates.D0`, " +
+        "`_EFlowTrack_trackStates.covMatrix.values[21]`, (d, c) -> struct(d AS d0, c AS cov)), " +
+        "x -> abs(CAST(x.d0 AS DOUBLE) - 0.0003872188972309232) < 1e-12)) AS h")
+      .selectExpr("transform(h.cov, v -> CAST(v AS DOUBLE)) AS cov").collect()
+    assert(hits.length == 1, "exactly one trackState carries the asserted D0")
+    assert(hits(0).getSeq[Double](0) == expected)
+    // C-array shape law across the file: element counts equal the
+    // sibling scalar member's, every inner array is exactly 21 long
+    val bad = df.selectExpr(
+      "size(`_EFlowTrack_trackStates.D0`) != size(`_EFlowTrack_trackStates.covMatrix.values[21]`) " +
+        "OR exists(`_EFlowTrack_trackStates.covMatrix.values[21]`, c -> size(c) != 21) AS b")
+      .filter(col("b")).count()
+    assert(bad == 0)
+    // the int[2]/double[2] variants (GeneratorPdfInfo) on edm4hep.root
+    val ed = RootTables.read(spark, s"$S/edm4hep.root", "events")
+    val pdf = ed.selectExpr(
+      "exists(`GeneratorPdfInfoCollection.partonId[2]`, a -> size(a) != 2) AS badp",
+      "exists(`GeneratorPdfInfoCollection.x[2]`, a -> size(a) != 2) AS badx")
+      .filter(col("badp") || col("badx")).count()
+    assert(pdf == 0)
+  }
+
   test("treemaker/EDM4HEP/FCC: split-object member branches read as flat jagged columns") {
     assume(available)
     val tm = RootTables.read(spark, s"$S/treemaker.root", "PreSelection")
