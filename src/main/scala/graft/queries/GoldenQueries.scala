@@ -258,6 +258,30 @@ object GoldenQueries extends QueryPack {
         "t(n_events, n_jets, pt_gev, m_gev, n_const, w_cents, smk_agree, tav_mod_sum, n_jetlinks, n_sentinels, jl_idx_sum, n_overlap_inner, hsv_ok)")),
 
     Query(
+      "q257_edm4hep_cov_arrays",
+      "EDM4HEP fixed-size C-array members decoded natively from the raw .root (streamer types kOffsetL+prim - the covMatrix float[21] lower-triangle covariance of every FCC track state, length taken from the parent class's own TStreamerInfo element): counts pin covMatrix presence on EVERY track state (287 states x 21 values = 6027), physics pins the decode - all six diagonal variances (triangle positions 1,3,6,10,15,21) are non-negative on every state (1722 = 287 x 6), and the e9-quantized |omega| and leading-variance sums pin the float payloads. RootSourceSpec additionally matches one full 21-float matrix VERBATIM against the values the reference's own FCC test asserts (tests/test_nanoevents_fcc_edm4hep1.py). One pruned columnar scan, zero shuffle; no second engine reads this format, so the oracle pins the aggregate verbatim.",
+      (s, _) => {
+        val df = graft.sources.root.RootTables.read(
+          s, s"$sampleDir/p8_ee_WW_ecm240_edm4hep.root", "events")
+        df.selectExpr(
+            "size(`_EFlowTrack_trackStates.D0`) AS nts",
+            "size(`_EFlowTrack_trackStates.covMatrix.values[21]`) AS ncov",
+            "aggregate(`_EFlowTrack_trackStates.covMatrix.values[21]`, 0L, (a,c) -> a + size(c)) AS nvals",
+            "aggregate(`_EFlowTrack_trackStates.covMatrix.values[21]`, 0L, (a,c) -> a + size(filter(array(element_at(c,1),element_at(c,3),element_at(c,6),element_at(c,10),element_at(c,15),element_at(c,21)), v -> CAST(v AS DOUBLE) >= 0.0))) AS ndiag_ok",
+            "CAST(aggregate(`_EFlowTrack_trackStates.omega`, 0.0D, (a,v) -> a + abs(CAST(v AS DOUBLE))) AS DOUBLE) AS omsum",
+            "CAST(aggregate(`_EFlowTrack_trackStates.covMatrix.values[21]`, 0.0D, (a,c) -> a + CAST(element_at(c,1) AS DOUBLE)) AS DOUBLE) AS d0var")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("nts")).cast("long").as("n_states"),
+            sum(col("ncov")).cast("long").as("n_cov"),
+            sum(col("nvals")).cast("long").as("n_vals"),
+            sum(col("ndiag_ok")).cast("long").as("n_diag_nonneg"),
+            floor(sum(col("omsum")) * 1e9 + 0.5).cast("long").as("omega_e9"),
+            floor(sum(col("d0var")) * 1e9 + 0.5).cast("long").as("d0var_e9"))
+      },
+      Some("SELECT * FROM (VALUES (CAST(10 AS BIGINT), CAST(287 AS BIGINT), CAST(287 AS BIGINT), CAST(6027 AS BIGINT), CAST(1722 AS BIGINT), CAST(232453710 AS BIGINT), CAST(30999600040 AS BIGINT))) " +
+        "t(n_events, n_states, n_cov, n_vals, n_diag_nonneg, omega_e9, d0var_e9)")),
+
+    Query(
       "q252_root_sink_roundtrip",
       "ROOT TTree *sink* round-trip under a fully independent oracle: lineitem nests per order into the flattenCollections shape (shared-counter jagged prices/quantities), the in-engine writer emits real ROOT files (TFile header, streamer catalog, zlib baskets with entry-offset tables, leaf-count back-references - one standalone part file per partition, the parquet-part shape), the native TTree source reads them back, and the aggregate must equal DuckDB computing directly from the SOURCE parquet - so any drift anywhere in write-or-read (float bits, offsets, counter alignment, basket boundaries) breaks the hash. Per-item cents quantization before integer sums keeps the compare order-free.",
       (s, dir) => {
