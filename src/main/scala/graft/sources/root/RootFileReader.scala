@@ -17,7 +17,12 @@ private[root] object RootFileReader {
     val length: Long = fs.getFileStatus(path).getLen
     def read(pos: Long, len: Int): Array[Byte] = {
       val out = new Array[Byte](len)
-      in.readFully(pos, out, 0, len)
+      try in.readFully(pos, out, 0, len)
+      catch {
+        case e: java.io.EOFException => throw new java.io.EOFException(
+          s"$path: truncated ROOT file — needed [$pos, ${pos + len}) of $length bytes " +
+            s"(${e.getMessage})")
+      }
       out
     }
     override def close(): Unit = in.close()
