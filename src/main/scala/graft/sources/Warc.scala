@@ -297,7 +297,13 @@ private[sources] final class WarcScan(paths: Seq[String], required: StructType)
   * ones never change), so "new since the last offset" is exactly the
   * path-set difference — each file is ingested in exactly one
   * micro-batch, and a restart from the checkpointed offset re-plans
-  * precisely the not-yet-committed files. */
+  * precisely the not-yet-committed files.
+  *
+  * Scale note: the offset grows with the watched file count (~60 B per
+  * archive — the same shape as Spark's own FileStreamSource log, which
+  * this deliberately mirrors). A CC segment holds O(10^4) archives →
+  * sub-MB offsets; for continuous multi-segment ingest, watch one
+  * query per segment prefix rather than a whole crawl root. */
 private[graft] final case class WarcStreamOffset(files: Map[String, Long])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
