@@ -583,7 +583,12 @@ private[root] object RootFileReader {
     * followed by ALL m_persIndex words) or object-wise per-element
     * link records (same walk as the nested shape). The byte count must
     * span the entry exactly, so a layout drift fails loudly rather
-    * than desynchronizing. */
+    * than desynchronizing. The memberwise arm is sample-pinned
+    * (RootSourceSpec: jetLink sentinels + real index sums vs calpx
+    * sizes); the object-wise arm reuses the record walk that the
+    * nested shape pins byte-for-byte, and walk-validates every entry
+    * (byte-count spans + exact consumption) — no sample exercises it
+    * yet, so drift surfaces as a loud failure, never silent data. */
   private def readStlLinks1(bm: BranchMeta, baskets: Seq[Decoded],
       start: Long, end: Long): Col = {
     val n = (end - start).toInt

@@ -91,6 +91,38 @@ class WarcStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("immutably"))
   }
 
+  test("restart from the checkpointed offset re-plans only not-yet-committed archives") {
+    val tmp = java.nio.file.Files.createTempDirectory("warcstream_restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("warcstream_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("warcstream_out").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/cc_sample.warc.gz"),
+      tmp.resolve("seg-00000.warc.gz"))
+    def startQuery() = graft.sources.Warc.readStream(spark, tmp.toString)
+      .select($"record_id", $"warc_type")
+      .writeStream.format("parquet").option("checkpointLocation", ckpt)
+      .option("path", out).outputMode("append").start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterOne = spark.read.parquet(out).count()
+    assert(afterOne > 0)
+
+    // a second archive publishes while NO query is running; the
+    // restarted query must ingest exactly it — never re-reading the
+    // committed first archive (exactly-once across restarts)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/cc_sample.warc.gz"),
+      tmp.resolve("seg-00001.warc.gz"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val afterTwo = spark.read.parquet(out).count()
+    assert(afterTwo == 2 * afterOne,
+      s"restart must add exactly the new archive: $afterOne -> $afterTwo")
+    // per-record exactly-once, not just counts
+    val dup = spark.read.parquet(out)
+      .groupBy($"record_id").count().filter($"count" > 2).count()
+    assert(dup == 0, "no record may appear more than once per source archive")
+  }
+
   test("empty watched directory streams zero rows without erroring") {
     val tmp = java.nio.file.Files.createTempDirectory("warcstream_empty")
     val q = graft.sources.Warc.readStream(spark, tmp.toString)
