@@ -223,7 +223,7 @@ object GoldenQueries extends QueryPack {
 
     Query(
       "q256_physlite_split_members",
-      "PHYSLITE fType=0 split-object members decoded natively from the raw .root - the static aux data uproot reads via the parent class's streamer description (nanoevents reads these through the same branches): large-R jet kinematics (JetAuxContainer_v1.pt/m bare vectors), constituent links (nested ElementLinks) and weights (nested floats), trigger configuration words through TWO independent decode paths (the split TrigDecisionAuxInfo member xTrigDecisionAux.smk and the synthesized bare-struct member TrigConfKeys.m_smk - smk_agree pins them equal eventwise), the vector<uint> trigger-accept words (tav), the MEMBERWISE vector<ElementLink> MET association (jetLink: one 0xFFFFFFFF sentinel per event plus small real jet indexes), depth-3 vector<vector<vector<uint64>>> overlap indices, and the scalar ElementLink hardScatterVertexLink (key 0x37d14597). Every number crosses at least two decode paths or is hand-pinned from raw basket bytes in RootSourceSpec. The whole read is one pruned columnar scan - 13 of 1497 branches, zero shuffle at any event count. No second engine reads this format, so the oracle pins the aggregate verbatim.",
+      "PHYSLITE fType=0 split-object members decoded natively from the raw .root - the static aux data uproot reads via the parent class's streamer description (nanoevents reads these through the same branches): large-R jet kinematics (JetAuxContainer_v1.pt/m bare vectors), constituent links (nested ElementLinks) and weights (nested floats), trigger configuration words through TWO independent decode paths (the split TrigDecisionAuxInfo member xTrigDecisionAux.smk and the synthesized bare-struct member TrigConfKeys.m_smk - smk_agree pins them equal eventwise), the vector<uint> trigger-accept words (tav), the MEMBERWISE vector<ElementLink> MET association (jetLink: one 0xFFFFFFFF sentinel per event plus small real jet indexes), depth-3 vector<vector<vector<uint64>>> overlap indices, and the scalar ElementLink hardScatterVertexLink (key 0x37d14597). Every number crosses at least two decode paths or is hand-pinned from raw basket bytes in RootSourceSpec. The whole read is one pruned columnar scan - 10 of 1497 branches (verified in the formatted plan), zero shuffle at any event count. No second engine reads this format, so the oracle pins the aggregate verbatim.",
       (s, _) => {
         val ph = graft.sources.root.RootTables.read(
           s, s"$sampleDir/PHYSLITE_example.root", "CollectionTree")

@@ -693,6 +693,7 @@ private[root] object RootFileReader {
     val n = (end - start).toInt
     val es = elemSize(bm.leafCls)
     val raw = new Array[Byte](n * es)
+    var covered = 0L
     baskets.foreach { d =>
       require(d.dataLen == d.nev * bm.fixedStride,
         s"branch ${bm.name}: basket ${d.dataLen} bytes != ${d.nev} entries x ${bm.fixedStride}")
@@ -704,7 +705,12 @@ private[root] object RootFileReader {
         System.arraycopy(d.data, p, raw, (e - start).toInt * es, es)
         e += 1
       }
+      covered += math.max(0L, hi - lo)
     }
+    // synthesized members bypass the "no readable baskets" meta check —
+    // a coverage gap must fail loudly, never decode as zeros
+    require(covered == n,
+      s"branch ${bm.name}: baskets cover $covered of $n requested entries")
     val starts = new Array[Int](n + 1)
     var i = 0
     while (i <= n) { starts(i) = i; i += 1 }
