@@ -200,6 +200,111 @@ class OnnxGraphSpec extends AnyFunSuite {
     }
   }
 
+  /** A MiniLM-SHAPED stack: `nBlocks` full transformer blocks chained
+    * (each: 2-head masked attention, Gelu FFN, twin residual +
+    * LayerNorm), embeddings in, mean-pool out — the multi-LAYER shape
+    * real sentence encoders ship. Weight salts differ per block so a
+    * block-order bug cannot cancel. */
+  private def stackBytes(nBlocks: Int): Array[Byte] = {
+    val d = 4
+    val table = Array.tabulate(8, d)((v, j) => (((v * 5 + j * 3) % 9) - 4) / 4.0f)
+    def mat(n: Int, m: Int, salt: Int) =
+      Array.tabulate(n, m)((i, j) => (((i * 7 + j * 11 + salt) % 13) - 6) / 8.0f)
+    def vec(n: Int, salt: Int) = Array.tabulate(n)(j => ((j * 3 + salt) % 5 - 2) / 8.0f)
+    def block(b: Int, in: String, out: String): (Seq[Onnx.PbWriter => Unit], Seq[Onnx.PbWriter => Unit]) = {
+      val s = b * 10
+      def headOps(h: Int): Seq[Onnx.PbWriter => Unit] = Seq(
+        OnnxWriter.node("Slice", Seq(s"q$b", s"st$h", s"en$h", "ax1", "step1"), Seq(s"q$b$h")),
+        OnnxWriter.node("Slice", Seq(s"k$b", s"st$h", s"en$h", "ax1", "step1"), Seq(s"k$b$h")),
+        OnnxWriter.node("Slice", Seq(s"v$b", s"st$h", s"en$h", "ax1", "step1"), Seq(s"v$b$h")),
+        OnnxWriter.node("Transpose", Seq(s"k$b$h"), Seq(s"kt$b$h"), intLists = Map("perm" -> Seq(1L, 0L))),
+        OnnxWriter.node("MatMul", Seq(s"q$b$h", s"kt$b$h"), Seq(s"s$b$h")),
+        OnnxWriter.node("Div", Seq(s"s$b$h", "sqrtDh"), Seq(s"sc$b$h")),
+        OnnxWriter.node("Add", Seq(s"sc$b$h", "mask"), Seq(s"m$b$h")),
+        OnnxWriter.node("Softmax", Seq(s"m$b$h"), Seq(s"p$b$h"), Map("axis" -> Right(-1L))),
+        OnnxWriter.node("MatMul", Seq(s"p$b$h", s"v$b$h"), Seq(s"c$b$h")))
+      val nodes = Seq(
+        OnnxWriter.node("Gemm", Seq(in, s"Wq$b", s"bq$b"), Seq(s"q$b")),
+        OnnxWriter.node("Gemm", Seq(in, s"Wk$b", s"bk$b"), Seq(s"k$b")),
+        OnnxWriter.node("Gemm", Seq(in, s"Wv$b", s"bv$b"), Seq(s"v$b"))) ++
+        headOps(0) ++ headOps(1) ++ Seq(
+        OnnxWriter.node("Concat", Seq(s"c${b}0", s"c${b}1"), Seq(s"ctx$b"), Map("axis" -> Right(-1L))),
+        OnnxWriter.node("Gemm", Seq(s"ctx$b", s"Wo$b", s"bo$b"), Seq(s"attn$b")),
+        OnnxWriter.node("Add", Seq(s"attn$b", in), Seq(s"r1$b")),
+        OnnxWriter.node("LayerNormalization", Seq(s"r1$b", s"G1$b", s"B1$b"), Seq(s"n1$b"),
+          Map("epsilon" -> Left(1e-5f))),
+        OnnxWriter.node("Gemm", Seq(s"n1$b", s"W1$b", s"b1$b"), Seq(s"f1$b")),
+        OnnxWriter.node("Gelu", Seq(s"f1$b"), Seq(s"g1$b"), strs = Map("approximate" -> "none")),
+        OnnxWriter.node("Gemm", Seq(s"g1$b", s"W2$b", s"b2$b"), Seq(s"f2$b")),
+        OnnxWriter.node("Add", Seq(s"f2$b", s"n1$b"), Seq(s"r2$b")),
+        OnnxWriter.node("LayerNormalization", Seq(s"r2$b", s"G2$b", s"B2$b"), Seq(out),
+          Map("epsilon" -> Left(1e-5f))))
+      val inits = Seq(
+        OnnxWriter.tensor(s"Wq$b", Seq(d, d), mat(d, d, s + 1).flatten),
+        OnnxWriter.tensor(s"bq$b", Seq(d), vec(d, s + 1)),
+        OnnxWriter.tensor(s"Wk$b", Seq(d, d), mat(d, d, s + 2).flatten),
+        OnnxWriter.tensor(s"bk$b", Seq(d), vec(d, s + 2)),
+        OnnxWriter.tensor(s"Wv$b", Seq(d, d), mat(d, d, s + 3).flatten),
+        OnnxWriter.tensor(s"bv$b", Seq(d), vec(d, s + 3)),
+        OnnxWriter.tensor(s"Wo$b", Seq(d, d), mat(d, d, s + 4).flatten),
+        OnnxWriter.tensor(s"bo$b", Seq(d), vec(d, s + 4)),
+        OnnxWriter.tensor(s"G1$b", Seq(d), Array.tabulate(d)(j => 1.0f + ((j + b) % 2) / 4.0f)),
+        OnnxWriter.tensor(s"B1$b", Seq(d), vec(d, s + 5)),
+        OnnxWriter.tensor(s"W1$b", Seq(d, 8), mat(d, 8, s + 6).flatten),
+        OnnxWriter.tensor(s"b1$b", Seq(8), vec(8, s + 6)),
+        OnnxWriter.tensor(s"W2$b", Seq(8, d), mat(8, d, s + 7).flatten),
+        OnnxWriter.tensor(s"b2$b", Seq(d), vec(d, s + 7)),
+        OnnxWriter.tensor(s"G2$b", Seq(d), Array.tabulate(d)(j => 1.0f - ((j + b) % 3) / 8.0f)),
+        OnnxWriter.tensor(s"B2$b", Seq(d), vec(d, s + 8)))
+      (nodes, inits)
+    }
+    val blocks = (0 until nBlocks).map(b =>
+      block(b, if (b == 0) "emb" else s"h$b", if (b == nBlocks - 1) "hTop" else s"h${b + 1}"))
+    OnnxGraph.write(
+      nodes = Seq(OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb"))) ++
+        blocks.flatMap(_._1) :+
+        OnnxWriter.node("ReduceMean", Seq("hTop"), Seq("y")),
+      inits = Seq(
+        OnnxWriter.tensor("T", Seq(8, d), table.flatten),
+        OnnxWriter.tensor("sqrtDh", Seq(1), Array(math.sqrt(2.0).toFloat)),
+        OnnxWriter.tensor("mask", Seq(5), Array(0f, 0f, 0f, -10000f, -10000f)),
+        OnnxWriter.tensor64("st0", Seq(1), Array(0L)), OnnxWriter.tensor64("en0", Seq(1), Array(2L)),
+        OnnxWriter.tensor64("st1", Seq(1), Array(2L)), OnnxWriter.tensor64("en1", Seq(1), Array(4L)),
+        OnnxWriter.tensor64("ax1", Seq(1), Array(1L)), OnnxWriter.tensor64("step1", Seq(1), Array(1L))) ++
+        blocks.flatMap(_._2))
+  }
+
+  test("TWO chained transformer blocks (multi-layer MiniLM shape) lower with full path parity") {
+    val g = OnnxGraph.parse(stackBytes(2))
+    val g1 = OnnxGraph.parse(stackBytes(1))
+    val rows = (0 until 16).map(i =>
+      (i.toLong, Seq((i % 8).toDouble, ((i / 3) % 8).toDouble, ((i * 5) % 8).toDouble,
+        ((i * 3 + 1) % 8).toDouble, ((i + 5) % 8).toDouble)))
+      .toDF("id", "ids")
+    val viaCols = rows.select($"id", g.columns($"ids").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExpr = rows.select($"id", graft.functions.OnnxGraphScore(g, $"ids").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    var diverged = false
+    rows.collect().foreach { r =>
+      val ids = r.getSeq[Double](1)
+      val yd = g.scoreDouble(ids.toArray)
+      val yl = g.score(ids.map(_.toFloat).toArray)
+      val yc = viaCols(r.getLong(0))
+      val ye = viaExpr(r.getLong(0))
+      assert(yc.size == 4)
+      yd.indices.foreach { i =>
+        assert(yc(i) == yd(i), s"id ${r.getLong(0)} dim $i: HOF ${yc(i)} != scoreDouble ${yd(i)}")
+        assert(ye(i) == yd(i), s"id ${r.getLong(0)} dim $i: expr ${ye(i)} != scoreDouble ${yd(i)}")
+        assert(math.abs(yd(i) - yl(i)) < 1e-3)
+      }
+      // depth matters: block 2 must actually transform block 1's output
+      if (g1.scoreDouble(ids.toArray).zip(yd).exists { case (a, b) => math.abs(a - b) > 1e-6 })
+        diverged = true
+    }
+    assert(diverged, "the second block must change the pooled output")
+  }
+
   test("scoreDouble bit-matches the HOF path on the Gather/LayerNorm encoder too") {
     val g = OnnxGraph.parse(encoderBytes)
     val rows = (0 until 16).map(i =>
