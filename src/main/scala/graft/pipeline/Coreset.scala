@@ -129,8 +129,11 @@ object Coreset {
           // anti-joined against `covered`, so the accumulated set stays
           // at true-union size (no duplicate growth in the broadcast).
           val newCov = uncov.filter(col("id") === id).select("u")
+          // lazy truncate: the plan collapses to a LogicalRDD now, and
+          // the materialization rides inside the NEXT round's top-1 job
+          // (or never runs, on the last pick) — one action per round
           covered = (if (covered == null) newCov
-            else covered.unionByName(newCov)).localCheckpoint(true)
+            else covered.unionByName(newCov)).localCheckpoint(false)
           t += 1
         }
       }

@@ -318,6 +318,18 @@ object Graphs {
     }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // Lineage truncation AND the emptiness probe in ONE single-stage
+    // job: a lazy checkpoint already rewrites the plan to a LogicalRDD
+    // immediately (materialization is deferred), and counting the
+    // INTERNAL rdd sums per-partition sizes on the driver — no
+    // aggregate exchange, no second take-job. (Dataset.count() here
+    // would plan a 2-stage partial/final aggregate over the LogicalRDD
+    // — measured slower per round than eager-truncate-then-isEmpty;
+    // toRdd.count() beats both.) The reliable-checkpoint path keeps
+    // the eager contract (its write happens at end-of-job either way).
+    def truncateCounted(df: DataFrame): (DataFrame, Long) =
+      if (checkpointDir.isDefined) { val t = df.checkpoint(true); (t, t.count()) }
+      else { val t = df.localCheckpoint(false); (t, t.queryExecution.toRdd.count()) }
 
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -350,11 +362,11 @@ object Graphs {
         // when thin — a union would fall back to a shuffle join
         val lessFrontier = expanded.join(
           frontier.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
-        val next = truncate(
+        val (next, nNext) = truncateCounted(
           if (prevFrontier == null) lessFrontier
           else lessFrontier.join(
             prevFrontier.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti"))
-        done = next.isEmpty
+        done = nNext == 0L
         if (!done) {
           levels += next
           prevFrontier = frontier
@@ -400,8 +412,13 @@ object Graphs {
       val sc = spark.sparkContext
       if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
     }
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // one single-stage action per round: lazy localCheckpoint truncates
+    // the plan immediately, the internal-rdd count materializes it AND
+    // yields the survivor count (the multiSourceBfs contract — see the
+    // note there on why NOT Dataset.count); reliable path stays eager
+    def truncateCounted(df: DataFrame): (DataFrame, Long) =
+      if (checkpointDir.isDefined) { val t = df.checkpoint(true); (t, t.count()) }
+      else { val t = df.localCheckpoint(false); (t, t.queryExecution.toRdd.count()) }
 
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -411,8 +428,8 @@ object Graphs {
       .distinct()
       .persist()
     try {
-      var surv = truncate(nodes.select(col(nodeCol).cast("long").as("node")).distinct())
-      var nSurv = surv.count()
+      var (surv, nSurv) = truncateCounted(
+        nodes.select(col(nodeCol).cast("long").as("node")).distinct())
       var round = 0
       var stable = false
       while (round < maxIters && !stable) {
@@ -425,9 +442,9 @@ object Graphs {
           .filter(col("deg") >= k)
           .select(col("node"))
         val prev = surv
-        surv = truncate(next)
+        val (s2, n2) = truncateCounted(next)
+        surv = s2
         prev.unpersist(false)
-        val n2 = surv.count()
         stable = n2 == nSurv
         nSurv = n2
         round += 1

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * shuffle wider than one row), so the total cost is
   * ⌈log_Branch(domain range)⌉ cheap scans regardless of how many
   * quantiles are asked for. The rounds are DRIVER-LOOP-latency bound,
-  * not scan bound — which is why the search is 8-ary, not binary:
-  * log₈ halves-again the round count of log₂ for a few extra codegen
-  * sums per pass (measured: the cents domain converges in ~8 rounds
-  * instead of ~24).
+  * not scan bound — which is why the search is 32-ary, not binary: the
+  * per-row work per pass is Branch−1 trivial comparisons but each pass
+  * costs a full scheduler round trip, so total time ∝ log_B(domain)
+  * falls as B rises until the aggregate buffer width matters
+  * (measured: 8-ary converged the cents domain in ~8 rounds vs ~24
+  * binary; 32-ary reaches the same bracket in ~5).
   *
   * Contrast at 100 TB: a global sort is a full-corpus shuffle;
   * `percentile` collects per-group buffers (memory ∝ rows);
@@ -31,12 +33,21 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** Probe-fan-out per round (B-ary search ⇒ B−1 probe points). */
-  val Branch = 8
+  val Branch = 32
+
+  /** Codegen guardrail: one aggregate row of more than ~3 Branch-widths
+    * of conditional sums compiles slower than the scans it saves
+    * (measured: 5 quantiles x 31 probes = 155 sum(when) columns took
+    * the ungrouped search from 2.3 s to 10 s at sf0.1 — the per-round
+    * generated function dominates). The ungrouped search divides this
+    * budget across its active targets; the grouped search is already
+    * per-group-bounded at Branch−1 columns. */
+  private val ProbeColumnBudget = 48
 
   /** Probe points strictly inside (lo, hi), deduped, ascending. */
-  private def probes(lo: Long, hi: Long): Seq[Long] = {
+  private def probes(lo: Long, hi: Long, branch: Int = Branch): Seq[Long] = {
     val w = hi - lo
-    (1 until Branch).map(i => lo + (w / Branch) * i + (w % Branch) * i / Branch)
+    (1 until branch).map(i => lo + (w / branch) * i + (w % branch) * i / branch)
       .filter(p => p >= lo && p < hi).distinct
   }
 
@@ -93,7 +104,8 @@ object Quantiles {
       val hi = Array.fill(ranks.size)(mx)
       while (lo.indices.exists(j => lo(j) < hi(j))) {
         val active = lo.indices.filter(j => lo(j) < hi(j))
-        val plan: Seq[(Int, Seq[Long])] = active.map(j => j -> probes(lo(j), hi(j)))
+        val branch = math.max(2, math.min(Branch, 1 + ProbeColumnBudget / active.size))
+        val plan: Seq[(Int, Seq[Long])] = active.map(j => j -> probes(lo(j), hi(j), branch))
         val aggs = plan.flatMap { case (j, ps) =>
           ps.zipWithIndex.map { case (p, i) =>
             sum(when(col("v") <= lit(p), 1L).otherwise(0L)).as(s"c${j}_$i")

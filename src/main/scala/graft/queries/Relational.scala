@@ -995,7 +995,7 @@ object Relational extends QueryPack {
 
     Query(
       "q233_conformal_gate",
-      "Split-conformal prediction threshold (Vovk et al.; the distribution-free coverage guarantee an ML quality gate ships with): calibration/test legs split by the portable hash, threshold = the ceil((1-alpha)(n_cal+1))-th smallest calibration nonconformity score — the rank-EXPLICIT selection (NOT ceil(q*n) for any safe double q, hence Quantiles.exactKthSmallest), computed in ceil(log8(domain)) conditional-count passes with no sort/collect; the rank itself stays in integers ((9(n+1)+9) div 10). Output pins the whole gate: leg sizes, the rank, the threshold, and the test-leg coverage it actually delivers (>= 90% in expectation by exchangeability).",
+      "Split-conformal prediction threshold (Vovk et al.; the distribution-free coverage guarantee an ML quality gate ships with): calibration/test legs split by the portable hash, threshold = the ceil((1-alpha)(n_cal+1))-th smallest calibration nonconformity score — the rank-EXPLICIT selection (NOT ceil(q*n) for any safe double q, hence Quantiles.exactKthSmallest), computed in ceil(log32(domain)) conditional-count passes with no sort/collect; the rank itself stays in integers ((9(n+1)+9) div 10). Output pins the whole gate: leg sizes, the rank, the threshold, and the test-leg coverage it actually delivers (>= 90% in expectation by exchangeability).",
       (s, dir) => {
         import s.implicits._
         val scored = Tables.orders(s, dir).select(
@@ -1031,7 +1031,7 @@ object Relational extends QueryPack {
 
     Query(
       "q235_winsorize",
-      "Grouped winsorization — the outlier-robust cleaning step before any mean-based statistic ships: per order priority, clip price-cents to the group's OWN exact [p5, p95] (Quantiles.exactGroupQuantile — the q192 value-domain search, ceil(log8(domain)) conditional-count passes per quantile, |groups|-bounded driver brackets, no sort/collect/percentile buffers), then one pass counts both clip tails and sums the winsorized values. The quantile table is codebook-sized and broadcast; the corpus is scanned once for the search passes and once for the clip.",
+      "Grouped winsorization — the outlier-robust cleaning step before any mean-based statistic ships: per order priority, clip price-cents to the group's OWN exact [p5, p95] (Quantiles.exactGroupQuantile — the q192 value-domain search, ceil(log32(domain)) conditional-count passes per quantile, |groups|-bounded driver brackets, no sort/collect/percentile buffers), then one pass counts both clip tails and sums the winsorized values. The quantile table is codebook-sized and broadcast; the corpus is scanned once for the search passes and once for the clip.",
       (s, dir) => {
         import s.implicits._
         val o = Tables.orders(s, dir)
