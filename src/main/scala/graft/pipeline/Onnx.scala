@@ -115,7 +115,8 @@ object Onnx {
   // ---- ONNX model subset (field numbers from the public onnx.proto3) ----
 
   final case class Attr(name: String, f: Option[Float], i: Option[Long],
-      s: Option[String], floats: Seq[Float], ints: Seq[Long])
+      s: Option[String], floats: Seq[Float], ints: Seq[Long],
+      t: Option[Tensor] = None)
   final case class Node(opType: String, inputs: Seq[String], outputs: Seq[String],
       attrs: Map[String, Attr]) {
     def attrF(n: String, dflt: Float): Float = attrs.get(n).flatMap(_.f).getOrElse(dflt)
@@ -182,20 +183,21 @@ object Onnx {
 
   private def parseAttr(r: PbReader): Attr = {
     var name = ""; var f: Option[Float] = None; var i: Option[Long] = None
-    var s: Option[String] = None
+    var s: Option[String] = None; var t: Option[Tensor] = None
     val fs = Seq.newBuilder[Float]; val is = Seq.newBuilder[Long]
     while (r.hasMore) r.readTag() match {
       case (1, 2) => name = r.readString()
       case (2, 5) => f = Some(java.lang.Float.intBitsToFloat(r.readFixed32()))
       case (3, 0) => i = Some(r.readVarint())
       case (4, 2) => s = Some(r.readString())
+      case (5, 2) => t = Some(parseTensor(r.readBytesView())) // Constant payloads
       case (7, 2) => val p = r.readBytesView(); while (p.hasMore) fs += java.lang.Float.intBitsToFloat(p.readFixed32())
       case (7, 5) => fs += java.lang.Float.intBitsToFloat(r.readFixed32())
       case (8, 2) => val p = r.readBytesView(); while (p.hasMore) is += p.readVarint()
       case (8, 0) => is += r.readVarint()
       case (_, w) => r.skip(w)
     }
-    Attr(name, f, i, s, fs.result(), is.result())
+    Attr(name, f, i, s, fs.result(), is.result(), t)
   }
 
   private def parseTensor(r: PbReader): Tensor = {
@@ -255,7 +257,8 @@ object Onnx {
     def node(op: String, ins: Seq[String], outs: Seq[String],
         attrs: Map[String, Either[Float, Long]] = Map.empty,
         intLists: Map[String, Seq[Long]] = Map.empty,
-        strs: Map[String, String] = Map.empty): PbWriter => Unit = { w =>
+        strs: Map[String, String] = Map.empty,
+        tensors: Map[String, (Seq[Int], Array[Float])] = Map.empty): PbWriter => Unit = { w =>
       ins.foreach(w.str(1, _)); outs.foreach(w.str(2, _)); w.str(4, op)
       attrs.foreach { case (n, v) =>
         w.msg(5) { a =>
@@ -271,6 +274,9 @@ object Onnx {
       }
       strs.foreach { case (n, s) =>
         w.msg(5) { a => a.str(1, n); a.str(4, s); a.int(20, 3L) } // type STRING
+      }
+      tensors.foreach { case (n, (dims, data)) => // Constant `value` payloads
+        w.msg(5) { a => a.str(1, n); a.msg(5)(tensor("", dims, data)); a.int(20, 4L) } // type TENSOR
       }
     }
 

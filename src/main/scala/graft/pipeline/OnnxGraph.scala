@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * [[Onnx.OnnxMlp]] inventory (Gemm/MatMul/activations) — and the
   * self-attention ops a MiniLM-class encoder block lowers to:
   * runtime x runtime MatMul (Q·Kᵀ scores, probs·V context), 2-D
-  * Transpose, Slice/Concat head split/merge on the feature axis,
+  * Transpose, Slice/Split/Concat head split/merge on the feature axis,
   * row-major Reshape, scalar-broadcast Div (1/√dₕ scaling), additive
   * masks (vector or full-matrix initializers entering as constant
-  * value slots) feeding a per-row Softmax, and Erf/Gelu. Anything else
+  * value slots) feeding a per-row Softmax, and Erf/Gelu — plus the
+  * element-wise tail real exports sprinkle between blocks: Sqrt, Exp,
+  * Log, Abs, Neg, Pow (2 / 0.5 / small integer), Clip, variadic
+  * Min/Max (left-assoc chains), float-int Cast (toward-zero trunc),
+  * Constant nodes (scalar / vector / matrix `value` tensors), and
+  * ReduceSum. Anything else
   * still fails loudly at lowering ([[Onnx]]'s contract: scoring a
   * silently-wrong graph at scale is worse than not scoring) — the
   * reference instead wraps full runtimes
@@ -61,6 +66,8 @@ object OnnxGraph {
   final case class GGather(idsIn: Int, table: Array[Array[Float]]) extends GOp
   /** Mean over rows (axis 0) — the pooling collapse back to one row. */
   final case class GReduceMean(in: Int) extends GOp
+  /** Sum over rows (axis 0) — [[GReduceMean]] without the divide. */
+  final case class GReduceSum(in: Int) extends GOp
   /** A 2-D initializer entering the dataflow as a constant value slot
     * (attention masks, positional tables referenced by Add/MatMul). */
   final case class GConst(m: Array[Array[Float]]) extends GOp
@@ -121,6 +128,24 @@ object OnnxGraph {
         s
     }
     def intsOf(name: String): Seq[Long] = tensorOf(name).data.map(_.toLong).toSeq
+    // Shared eltwise lowering (Add/Sub/Mul/Div/Min/Max): the right side
+    // is a 1-D/scalar initializer (per-row or per-element broadcast), a
+    // prior value slot, or a 2-D constant (additive mask).
+    def emitEltwise(a: Int, right: String, op: String, out: String): Unit = {
+      val rightIsVec = m.initializers.get(right)
+        .exists(t => t.dims.size == 1 || t.dims.count(_ > 1) <= 1)
+      if (rightIsVec) {
+        emit(out, GEltwise(a, Right(tensorOf(right).data), op, bOne = true),
+          rowsOf(a), colsOf(a))
+      } else {
+        val b = valueSlot(right)
+        val (ra, rb) = (rowsOf(a), rowsOf(b))
+        require(ra == rb || rb == One,
+          s"$op: shape mismatch (left rows=$ra, right rows=$rb)")
+        emit(out, GEltwise(a, Left(b), op, bOne = rb == One && ra != One),
+          rowsOf(a), colsOf(a))
+      }
+    }
     m.nodes.foreach { n =>
       n.opType match {
         case "Gemm" =>
@@ -141,22 +166,17 @@ object OnnxGraph {
           val b = valueSlot(n.inputs(1))
           emit(n.outputs.head, GMatMul(a, b), rowsOf(a), colsOf(b))
         case "Add" | "Sub" | "Mul" | "Div" =>
-          val op = n.opType.toLowerCase
-          val a = slot(n.inputs(0))
-          val right = n.inputs(1)
-          val rightIsVec = m.initializers.get(right)
-            .exists(t => t.dims.size == 1 || t.dims.count(_ > 1) <= 1)
-          if (rightIsVec) {
-            // vector (per-row broadcast) or scalar (per-element) constant
-            emit(n.outputs.head, GEltwise(a, Right(tensorOf(right).data), op, bOne = true),
-              rowsOf(a), colsOf(a))
-          } else {
-            val b = valueSlot(right) // prior output OR 2-D constant (additive mask)
-            val (ra, rb) = (rowsOf(a), rowsOf(b))
-            require(ra == rb || rb == One,
-              s"${n.opType}: shape mismatch (left rows=$ra, right rows=$rb)")
-            emit(n.outputs.head, GEltwise(a, Left(b), op, bOne = rb == One && ra != One),
-              rowsOf(a), colsOf(a))
+          emitEltwise(slot(n.inputs(0)), n.inputs(1), n.opType.toLowerCase, n.outputs.head)
+        case "Min" | "Max" =>
+          // variadic: left-assoc chain of pairwise eltwise ops, so the
+          // association order is pinned across all three paths
+          require(n.inputs.size >= 2, s"${n.opType} needs >= 2 inputs")
+          var acc = valueSlot(n.inputs(0))
+          n.inputs.tail.zipWithIndex.foreach { case (rhs, i) =>
+            val out = if (i == n.inputs.size - 2) n.outputs.head
+              else s"${n.outputs.head}__chain$i"
+            emitEltwise(acc, rhs, n.opType.toLowerCase, out)
+            acc = slotOf(out)
           }
         case "Relu" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "relu"), rowsOf(in), colsOf(in))
         case "Sigmoid" => val in = slot(n.inputs(0)); emit(n.outputs.head, GAct(in, "sigmoid"), rowsOf(in), colsOf(in))
@@ -167,6 +187,88 @@ object OnnxGraph {
           require(approx == "none", s"Gelu approximate='$approx' unsupported (exact erf form only)")
           val in = slot(n.inputs(0))
           emit(n.outputs.head, GAct(in, "gelu"), rowsOf(in), colsOf(in))
+        case "Sqrt" | "Exp" | "Log" | "Abs" | "Neg" =>
+          val in = slot(n.inputs(0))
+          emit(n.outputs.head, GAct(in, n.opType.toLowerCase), rowsOf(in), colsOf(in))
+        case "Clip" =>
+          // opset-11+: bounds as optional scalar-initializer inputs;
+          // opset-6: `min`/`max` attributes. Missing side = unbounded.
+          def boundOf(idx: Int, attr: String, dflt: Float): Float =
+            if (n.inputs.size > idx && n.inputs(idx).nonEmpty) {
+              val t = tensorOf(n.inputs(idx))
+              require(t.data.length == 1, s"Clip $attr must be a scalar")
+              t.data(0)
+            } else n.attrF(attr, dflt)
+          val mn = boundOf(1, "min", Float.NegativeInfinity)
+          val mx = boundOf(2, "max", Float.PositiveInfinity)
+          require(mn <= mx, s"Clip: min $mn > max $mx")
+          val in = slot(n.inputs(0))
+          emit(n.outputs.head, GAct(in, s"clip:$mn:$mx"), rowsOf(in), colsOf(in))
+        case "Pow" =>
+          val in = slot(n.inputs(0))
+          val pT = tensorOf(n.inputs(1))
+          require(pT.data.length == 1, "Pow exponent must be a scalar initializer")
+          val p = pT.data(0)
+          val act =
+            if (p == 2f) "pow2"
+            else if (p == 0.5f) "sqrt" // pow(x, .5) == sqrt(x) except x = -0.0
+            else if (p == p.floor && p >= 1f && p <= 8f) s"powi:${p.toInt}"
+            else throw new IllegalArgumentException(
+              s"Pow exponent $p unsupported (2, 0.5, or integer 1..8 — fold others at export)")
+          emit(n.outputs.head, GAct(in, act), rowsOf(in), colsOf(in))
+        case "Cast" =>
+          val in = slot(n.inputs(0))
+          n.attrI("to", 0L) match {
+            // float/double: values already carried as f32 (JVM) / f64
+            // (Column+SQL) — a pure alias, no op emitted
+            case 1L | 11L => slotOf(n.outputs.head) = in
+            // int32/int64/uint32/uint64: ONNX truncates toward zero
+            case 6L | 7L | 12L | 13L =>
+              emit(n.outputs.head, GAct(in, "trunc"), rowsOf(in), colsOf(in))
+            case t => throw new IllegalArgumentException(
+              s"Cast to=$t unsupported (float/double/int32/int64 only)")
+          }
+        case "Constant" =>
+          val t = n.attrs.get("value").flatMap(_.t).getOrElse(
+            throw new IllegalArgumentException(
+              "Constant: only the `value` tensor attribute form is supported"))
+          val mat: Array[Array[Float]] =
+            if (t.dims.isEmpty || t.dims == Seq(1)) Array(Array(t.data(0)))
+            else if (t.dims.size == 1) Array(t.data)
+            else asMatrix(t, transposed = false)
+          emit(n.outputs.head, GConst(mat),
+            if (mat.length == 1) One else Many, mat(0).length)
+        case "Split" =>
+          val ax = n.attrI("axis", 0L)
+          require(ax == 1L || ax == -1L, s"Split axis=$ax unsupported (feature axis only)")
+          val in = valueSlot(n.inputs(0))
+          val d = colsOf(in)
+          val sizes: Seq[Int] =
+            if (n.inputs.size > 1) intsOf(n.inputs(1)).map(_.toInt) // opset-13 `split` input
+            else n.attrs.get("split").map(_.ints.map(_.toInt)).getOrElse {
+              require(d > 0, "Split without explicit sizes needs a static width")
+              require(d % n.outputs.size == 0,
+                s"Split: width $d not divisible into ${n.outputs.size} equal parts")
+              Seq.fill(n.outputs.size)(d / n.outputs.size)
+            }
+          require(sizes.size == n.outputs.size,
+            s"Split: ${sizes.size} sizes for ${n.outputs.size} outputs")
+          require(sizes.forall(_ > 0), s"Split: zero-width part in $sizes")
+          require(d < 0 || sizes.sum == d, s"Split sizes $sizes don't sum to width $d")
+          var off = 0
+          n.outputs.zip(sizes).foreach { case (out, sz) =>
+            emit(out, GSliceCols(in, off, off + sz), rowsOf(in), sz)
+            off += sz
+          }
+        case "ReduceSum" =>
+          val axes =
+            if (n.inputs.size > 1) intsOf(n.inputs(1)) // opset-13 `axes` input
+            else n.attrs.get("axes")
+              .map(a => if (a.ints.nonEmpty) a.ints else a.i.toSeq)
+              .getOrElse(Seq(0L))
+          require(axes == Seq(0L), s"ReduceSum axes=$axes unsupported (row collapse is axes=[0])")
+          val in = slot(n.inputs(0))
+          emit(n.outputs.head, GReduceSum(in), One, colsOf(in))
         case "Softmax" =>
           val ax = n.attrI("axis", -1L)
           require(ax == -1L || ax == 1L, s"Softmax axis=$ax unsupported (per-row only)")
@@ -187,9 +289,11 @@ object OnnxGraph {
           val ids = slot(n.inputs(1))
           emit(n.outputs.head, GGather(ids, table), Many, table(0).length)
         case "ReduceMean" =>
-          val axes = n.attrs.get("axes")
-            .map(a => if (a.ints.nonEmpty) a.ints else a.i.toSeq)
-            .getOrElse(Seq(0L))
+          val axes =
+            if (n.inputs.size > 1) intsOf(n.inputs(1)) // opset-18 `axes` input
+            else n.attrs.get("axes")
+              .map(a => if (a.ints.nonEmpty) a.ints else a.i.toSeq)
+              .getOrElse(Seq(0L))
           require(axes == Seq(0L), s"ReduceMean axes=$axes unsupported (mean pooling is axes=[0])")
           val in = slot(n.inputs(0))
           emit(n.outputs.head, GReduceMean(in), One, colsOf(in))
@@ -247,9 +351,10 @@ object OnnxGraph {
         case "Identity" | "Flatten" | "Dropout" =>
           slotOf(n.outputs.head) = slot(n.inputs(0))
         case op => throw new IllegalArgumentException(
-          s"ONNX op '$op' unsupported (DAG subset: Gemm/MatMul/Add/Sub/Mul/Div/activations/" +
-            "Erf/Gelu/LayerNormalization/Gather/ReduceMean/Transpose/Slice/Concat/Reshape/" +
-            "Identity/Flatten/Dropout)")
+          s"ONNX op '$op' unsupported (DAG subset: Gemm/MatMul/Add/Sub/Mul/Div/Min/Max/" +
+            "activations/Erf/Gelu/Sqrt/Exp/Log/Abs/Neg/Pow/Clip/Cast/Constant/" +
+            "LayerNormalization/Gather/ReduceMean/ReduceSum/Transpose/Slice/Split/Concat/" +
+            "Reshape/Identity/Flatten/Dropout)")
       }
     }
     OnnxGraph(ops.toSeq, slot(m.outputName))
@@ -312,6 +417,8 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
             case "sub" => _ - _
             case "mul" => _ * _
             case "div" => _ / _
+            case "min" => math.min(_, _)
+            case "max" => math.max(_, _)
           }
           b match {
             case Right(v) if v.length == 1 => // scalar broadcast (1/√dₕ scaling)
@@ -379,6 +486,13 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
             while (r < m.length) { s += m(r)(j); r += 1 }
             s / m.length
           })
+        case GReduceSum(in) =>
+          val m = vals(in)
+          Array(Array.tabulate(m(0).length) { j =>
+            var s = 0.0f; var r = 0
+            while (r < m.length) { s += m(r)(j); r += 1 }
+            s
+          })
       }
       k += 1
     }
@@ -409,6 +523,30 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
       while (i < v.length) {
         val x = v(i).toDouble
         v(i) = (0.5 * x * (1.0 + erfD(x * 0.7071067811865476))).toFloat; i += 1
+      }
+      v
+    case "sqrt" => var i = 0; while (i < v.length) { v(i) = math.sqrt(v(i).toDouble).toFloat; i += 1 }; v
+    case "exp" => var i = 0; while (i < v.length) { v(i) = math.exp(v(i).toDouble).toFloat; i += 1 }; v
+    case "log" => var i = 0; while (i < v.length) { v(i) = math.log(v(i).toDouble).toFloat; i += 1 }; v
+    case "abs" => var i = 0; while (i < v.length) { v(i) = math.abs(v(i)); i += 1 }; v
+    case "neg" => var i = 0; while (i < v.length) { v(i) = -v(i); i += 1 }; v
+    case "trunc" => var i = 0; while (i < v.length) { v(i) = v(i).toLong.toFloat; i += 1 }; v
+    case "pow2" => var i = 0; while (i < v.length) { v(i) = v(i) * v(i); i += 1 }; v
+    case a if a.startsWith("powi:") =>
+      val p = a.stripPrefix("powi:").toInt
+      var i = 0
+      while (i < v.length) {
+        var r = v(i); var k = 1
+        while (k < p) { r *= v(i); k += 1 } // left-assoc: the pinned order
+        v(i) = r; i += 1
+      }
+      v
+    case a if a.startsWith("clip:") =>
+      val Array(mn, mx) = a.stripPrefix("clip:").split(':').map(_.toFloat)
+      var i = 0
+      while (i < v.length) {
+        if (v(i) < mn) v(i) = mn else if (v(i) > mx) v(i) = mx
+        i += 1
       }
       v
   }
@@ -444,6 +582,8 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
             case "sub" => _ - _
             case "mul" => _ * _
             case "div" => _ / _
+            case "min" => math.min(_, _)
+            case "max" => math.max(_, _)
           }
           b match {
             case Right(v) if v.length == 1 =>
@@ -482,6 +622,13 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
             var s = 0.0; var r = 0
             while (r < m.length) { s += m(r)(j); r += 1 }
             s / m.length
+          })
+        case GReduceSum(in) =>
+          val m = vals(in)
+          Array(Array.tabulate(m(0).length) { j =>
+            var s = 0.0; var r = 0
+            while (r < m.length) { s += m(r)(j); r += 1 }
+            s
           })
         case GConst(mat) => mat.map(_.map(_.toDouble))
         case GMatMul(a, b) =>
@@ -531,6 +678,23 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
       er.map(_ / sm)
     case "erf" => row.map(erfDStrict)
     case "gelu" => row.map(x => 0.5 * x * (1.0 + erfDStrict(x * 0.7071067811865476)))
+    case "sqrt" => row.map(math.sqrt) // IEEE-exact: no StrictMath needed
+    case "exp" => row.map(StrictMath.exp)
+    case "log" => row.map(StrictMath.log)
+    case "abs" => row.map(math.abs)
+    case "neg" => row.map(v => -v)
+    case "trunc" => row.map(v => v.toLong.toDouble)
+    case "pow2" => row.map(v => v * v)
+    case a if a.startsWith("powi:") =>
+      val p = a.stripPrefix("powi:").toInt
+      row.map { v =>
+        var r = v; var k = 1
+        while (k < p) { r *= v; k += 1 } // left-assoc: the pinned order
+        r
+      }
+    case a if a.startsWith("clip:") =>
+      val Array(mn, mx) = a.stripPrefix("clip:").split(':').map(_.toDouble)
+      row.map(v => if (v < mn) mn else if (v > mx) mx else v)
   }
 
   /** [[erfD]] with StrictMath.exp — the scoreDouble leg of the parity
@@ -592,6 +756,8 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
         case "sub" => x - y
         case "mul" => x * y
         case "div" => x / y
+        case "min" => least(x, y)
+        case "max" => greatest(x, y)
       }
       bSide match {
         case Right(v) if v.length == 1 =>
@@ -648,6 +814,11 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
           aggregate(transform(m, r => element_at(r, j)), lit(0.0), _ + _) /
             size(m).cast("double")))
       }
+    case GReduceSum(in) =>
+      bind1(element_at(e, in + 1)) { m =>
+        array(transform(sequence(lit(1), size(element_at(m, 1))), j =>
+          aggregate(transform(m, r => element_at(r, j)), lit(0.0), _ + _)))
+      }
   }
 
   private def actCol(row: Column, act: String): Column = act match {
@@ -668,6 +839,24 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
     case "erf" => transform(row, v => erfCol(v))
     case "gelu" =>
       transform(row, v => lit(0.5) * v * (lit(1.0) + erfCol(v * lit(0.7071067811865476))))
+    case "sqrt" => transform(row, v => sqrt(v))
+    case "exp" => transform(row, v => exp(v))
+    case "log" => transform(row, v => log(v)) // natural log (ln in the SQL twin)
+    case "abs" => transform(row, v => abs(v))
+    case "neg" => transform(row, v => -v)
+    case "trunc" =>
+      // toward-zero truncation: floor/ceil return LONG, widened back
+      transform(row, v => when(v < 0, ceil(v)).otherwise(floor(v)).cast("double"))
+    case "pow2" => transform(row, v => v * v)
+    case a if a.startsWith("powi:") =>
+      val p = a.stripPrefix("powi:").toInt
+      transform(row, v => (2 to p).foldLeft(v)((acc, _) => acc * v)) // left-assoc
+    case a if a.startsWith("clip:") =>
+      val Array(mn, mx) = a.stripPrefix("clip:").split(':').map(_.toDouble)
+      transform(row, v => {
+        val lo = if (mn.isNegInfinity) v else greatest(v, lit(mn))
+        if (mx.isPosInfinity) lo else least(lo, lit(mx))
+      })
   }
 
   /** A&S 7.1.26 erf — term-for-term the [[toSql]] rendering (same
@@ -717,16 +906,23 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
     case GAct(in, act) =>
       s"list_transform($e[${in + 1}], row -> ${actSql("row", act)})"
     case GEltwise(a, bSide, op2, bOne) =>
-      val sym = op2 match { case "add" => "+"; case "sub" => "-"; case "mul" => "*"; case "div" => "/" }
+      def bin(l: String, r: String): String = op2 match {
+        case "add" => s"$l + $r"
+        case "sub" => s"$l - $r"
+        case "mul" => s"$l * $r"
+        case "div" => s"$l / $r"
+        case "min" => s"least($l, $r)"
+        case "max" => s"greatest($l, $r)"
+      }
       bSide match {
         case Right(v) if v.length == 1 =>
-          s"list_transform($e[${a + 1}], row -> list_transform(row, x -> x $sym ${sqlLit(v(0))}))"
+          s"list_transform($e[${a + 1}], row -> list_transform(row, x -> ${bin("x", sqlLit(v(0)))}))"
         case Right(v) =>
-          s"([list_transform($e[${a + 1}], row -> list_transform(generate_series(1, len(row)), j -> row[j] $sym cv[j])) for cv in [${vecLit(v)}]][1])"
+          s"([list_transform($e[${a + 1}], row -> list_transform(generate_series(1, len(row)), j -> ${bin("row[j]", "cv[j]")})) for cv in [${vecLit(v)}]][1])"
         case Left(bs) if bOne =>
-          s"([list_transform($e[${a + 1}], row -> list_transform(generate_series(1, len(row)), j -> row[j] $sym bv[j])) for bv in [$e[${bs + 1}][1]]][1])"
+          s"([list_transform($e[${a + 1}], row -> list_transform(generate_series(1, len(row)), j -> ${bin("row[j]", "bv[j]")})) for bv in [$e[${bs + 1}][1]]][1])"
         case Left(bs) =>
-          s"([[list_transform(generate_series(1, len(ma)), r -> list_transform(generate_series(1, len(ma[r])), j -> ma[r][j] $sym mb[r][j])) for mb in [$e[${bs + 1}]]][1] for ma in [$e[${a + 1}]]][1])"
+          s"([[list_transform(generate_series(1, len(ma)), r -> list_transform(generate_series(1, len(ma[r])), j -> ${bin("ma[r][j]", "mb[r][j]")})) for mb in [$e[${bs + 1}]]][1] for ma in [$e[${a + 1}]]][1])"
       }
     case GLayerNorm(in, gamma, beta, eps) =>
       val core = "[" + gamma.indices.map(j =>
@@ -741,6 +937,9 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
     case GReduceMean(in) =>
       s"([[list_transform(generate_series(1, len(m[1])), j -> " +
         s"${fold("list_transform(m, r -> r[j])")} / len(m))] for m in [$e[${in + 1}]]][1])"
+    case GReduceSum(in) =>
+      s"([[list_transform(generate_series(1, len(m[1])), j -> " +
+        s"${fold("list_transform(m, r -> r[j])")})] for m in [$e[${in + 1}]]][1])"
     case GConst(m) =>
       m.map(vecLit).mkString("[", ", ", "]")
     case GMatMul(a, b) =>
@@ -775,6 +974,26 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
     case "erf" => s"list_transform($row, v -> ${erfSql("v")})"
     case "gelu" =>
       s"list_transform($row, v -> 0.5 * v * (1.0 + ${erfSql("(v * 0.7071067811865476)")}))"
+    case "sqrt" => s"list_transform($row, v -> sqrt(v))"
+    case "exp" => s"list_transform($row, v -> exp(v))"
+    // DuckDB's log() is base-10; ln() is the natural-log twin of
+    // Spark's log()
+    case "log" => s"list_transform($row, v -> ln(v))"
+    case "abs" => s"list_transform($row, v -> abs(v))"
+    case "neg" => s"list_transform($row, v -> -v)"
+    // toward-zero trunc through BIGINT: matches the Column path's
+    // ceil/floor LONG round trip bit-for-bit (|v| < 2^63 domain)
+    case "trunc" => s"list_transform($row, v -> CAST(CAST(trunc(v) AS BIGINT) AS DOUBLE))"
+    case "pow2" => s"list_transform($row, v -> v * v)"
+    case a if a.startsWith("powi:") =>
+      val p = a.stripPrefix("powi:").toInt
+      val chain = Seq.fill(p)("v").mkString(" * ") // left-assoc in SQL too
+      s"list_transform($row, v -> $chain)"
+    case a if a.startsWith("clip:") =>
+      val Array(mn, mx) = a.stripPrefix("clip:").split(':').map(_.toDouble)
+      val lo = if (mn.isNegInfinity) "v" else s"greatest(v, ${java.lang.Double.toString(mn)})"
+      val full = if (mx.isPosInfinity) lo else s"least($lo, ${java.lang.Double.toString(mx)})"
+      s"list_transform($row, v -> $full)"
   }
 
   /** The [[erfCol]] twin: same binds, same Horner order, same double

@@ -412,4 +412,110 @@ class OnnxGraphSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](g.score(Array(9f)))
       .getMessage.contains("Gather index"))
   }
+
+  /** Cast/Clip/Split/Min/Max/Sqrt/Exp/Log/Neg/Abs/Pow/Constant/
+    * ReduceSum — the element-wise tail ops of real exports, chained so
+    * every one is on the output path. */
+  private def tailOpsBytes: Array[Byte] = OnnxGraph.write(
+    nodes = Seq(
+      OnnxWriter.node("Cast", Seq("x"), Seq("xi"), Map("to" -> Right(7L))),
+      OnnxWriter.node("Gather", Seq("T", "xi"), Seq("emb")),
+      OnnxWriter.node("Clip", Seq("emb", "cmin", "cmax"), Seq("cl")),
+      OnnxWriter.node("Split", Seq("cl"), Seq("h1", "h2"), Map("axis" -> Right(1L))),
+      OnnxWriter.node("Min", Seq("h1", "h2"), Seq("mn")),
+      OnnxWriter.node("Max", Seq("h1", "h2"), Seq("mx")),
+      OnnxWriter.node("Sub", Seq("mx", "mn"), Seq("d0")),
+      OnnxWriter.node("Sqrt", Seq("d0"), Seq("sq")),
+      OnnxWriter.node("Concat", Seq("sq", "mn"), Seq("cc"), Map("axis" -> Right(1L))),
+      OnnxWriter.node("Constant", Seq(), Seq("cst"),
+        tensors = Map("value" -> (Seq(1, 4), Array(0.1f, 0.2f, 0.3f, 0.4f)))),
+      OnnxWriter.node("Mul", Seq("cc", "cst"), Seq("ml")),
+      OnnxWriter.node("Exp", Seq("ml"), Seq("ex")),
+      OnnxWriter.node("Log", Seq("ex"), Seq("lg")),
+      OnnxWriter.node("Neg", Seq("lg"), Seq("ng")),
+      OnnxWriter.node("Abs", Seq("ng"), Seq("ab")),
+      OnnxWriter.node("Pow", Seq("ab", "p3"), Seq("pw")),
+      OnnxWriter.node("ReduceSum", Seq("pw"), Seq("y"), intLists = Map("axes" -> Seq(0L)))),
+    inits = Seq(
+      OnnxWriter.tensor("T", Seq(4, 4),
+        Array(-1f, 0.25f, 2f, -0.5f, 0.5f, 1f, -2f, 0.75f,
+          0f, -0.25f, 1.5f, 0.3f, 0.8f, -1.5f, 0.6f, -0.1f)),
+      OnnxWriter.tensor("cmin", Seq(1), Array(-0.6f)),
+      OnnxWriter.tensor("cmax", Seq(1), Array(0.9f)),
+      OnnxWriter.tensor("p3", Seq(1), Array(3f))))
+
+  test("element-wise tail ops (Cast/Clip/Split/Min/Max/Sqrt/Pow/Constant/ReduceSum) hand-check") {
+    val g = OnnxGraph.parse(tailOpsBytes)
+    // ids [1.7] -> trunc 1 -> row [0.5, 1, -2, 0.75] -> clip [0.5, 0.9, -0.6, 0.75]
+    // split h1=[0.5, 0.9] h2=[-0.6, 0.75]; mn=[-0.6, 0.75] mx=[0.5, 0.9]
+    // d0=[1.1, 0.15]; sq=[sqrt(1.1), sqrt(.15)]; cc=[sq, -0.6, 0.75]
+    // ml = cc * [0.1, 0.2, 0.3, 0.4]; y = (|-(ln(exp(ml)))|)^3, one row
+    val y = g.score(Array(1.7f))
+    assert(y.length == 4)
+    val cc = Array(math.sqrt(1.1), math.sqrt(0.15), -0.6, 0.75)
+    val w = Array(0.1, 0.2, 0.3, 0.4)
+    y.indices.foreach { i =>
+      val m = cc(i) * w(i)
+      val exp = math.pow(math.abs(m), 3)
+      assert(math.abs(y(i) - exp) < 1e-4, s"dim $i: ${y(i)} vs $exp")
+    }
+  }
+
+  test("tail ops: HOF == codegen expr == scoreDouble, float loop to tolerance") {
+    val g = OnnxGraph.parse(tailOpsBytes)
+    val rows = (0 until 16).map(i => (i.toLong, Seq((i % 4).toDouble + 0.3)))
+      .toDF("id", "ids")
+    val viaCols = rows.select($"id", g.columns($"ids").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExpr = rows.select($"id", graft.functions.OnnxGraphScore(g, $"ids").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.collect().foreach { r =>
+      val ids = r.getSeq[Double](1)
+      val yd = g.scoreDouble(ids.toArray)
+      val yl = g.score(ids.map(_.toFloat).toArray)
+      val yc = viaCols(r.getLong(0))
+      val ye = viaExpr(r.getLong(0))
+      yd.indices.foreach { i =>
+        assert(yc(i) == yd(i), s"id ${r.getLong(0)} dim $i: HOF ${yc(i)} != scoreDouble ${yd(i)}")
+        assert(ye(i) == yd(i), s"id ${r.getLong(0)} dim $i: expr ${ye(i)} != scoreDouble ${yd(i)}")
+        assert(math.abs(yd(i) - yl(i)) < 1e-3, s"id ${r.getLong(0)} dim $i: ${yd(i)} vs f32 ${yl(i)}")
+      }
+    }
+  }
+
+  test("variadic Min chains left-assoc; Cast to float aliases; new-op bad forms fail loudly") {
+    // 3-input Min == Min(Min(a, b), c)
+    val bytes = OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gemm", Seq("x", "W", "Wb"), Seq("a")),
+        OnnxWriter.node("Neg", Seq("x"), Seq("b")),
+        OnnxWriter.node("Cast", Seq("x"), Seq("c"), Map("to" -> Right(1L))),
+        OnnxWriter.node("Min", Seq("a", "b", "c"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("W", Seq(3, 3),
+          Array(0f, 1f, 0f, 0f, 0f, 1f, 1f, 0f, 0f)),
+        OnnxWriter.tensor("Wb", Seq(3), Array(0.5f, -0.5f, 0f))))
+    val g = OnnxGraph.parse(bytes)
+    val x = Array(0.25f, -1f, 2f)
+    // out_j = Σ_i x_i·W(i)(j) + b_j with W rows [0,1,0],[0,0,1],[1,0,0]
+    val a = Array(x(2) + 0.5f, x(0) - 0.5f, x(1))
+    val y = g.score(x)
+    y.indices.foreach { i =>
+      val exp = math.min(math.min(a(i), -x(i)), x(i))
+      assert(math.abs(y(i) - exp) < 1e-6, s"dim $i: ${y(i)} vs $exp")
+    }
+    def bad(n: Onnx.PbWriter => Unit, inits: Seq[Onnx.PbWriter => Unit]) =
+      intercept[IllegalArgumentException](OnnxGraph.parse(OnnxGraph.write(Seq(n), inits)))
+    assert(bad(OnnxWriter.node("Pow", Seq("x", "p"), Seq("y")),
+        Seq(OnnxWriter.tensor("p", Seq(1), Array(2.5f))))
+      .getMessage.contains("Pow"))
+    assert(bad(OnnxWriter.node("Cast", Seq("x"), Seq("y"), Map("to" -> Right(10L))), Seq.empty)
+      .getMessage.contains("Cast"))
+    assert(bad(OnnxWriter.node("Split", Seq("x"), Seq("a", "b"),
+        Map("axis" -> Right(0L))), Seq.empty)
+      .getMessage.contains("Split"))
+    assert(bad(OnnxWriter.node("ReduceSum", Seq("x"), Seq("y"),
+        intLists = Map("axes" -> Seq(1L))), Seq.empty)
+      .getMessage.contains("ReduceSum"))
+  }
 }
