@@ -1971,6 +1971,45 @@ object PipelineQueries extends QueryPack {
            |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
            |       CAST(sum(ye6) AS BIGINT) AS sum_e6
            |FROM ex GROUP BY 1, 2""".stripMargin
+      }),
+
+    Query(
+      "q258_onnx_tailops",
+      "ONNX element-wise TAIL ops (the between-blocks inventory real exports carry around " +
+        "their attention cores): Cast (float->int64 toward-zero trunc on the token ids), " +
+        "Gather, Clip (opset-11 scalar-initializer bounds), feature-axis Split into halves, " +
+        "variadic Min/Max, Sub, Sqrt, Concat, a Constant node's 1x4 value tensor entering the " +
+        "dataflow, broadcast Mul, Pow 3 (left-assoc integer chain), Abs, Exp, Log, Neg, and a " +
+        "ReduceSum row collapse - every op added past the q254 attention subset, chained so " +
+        "each is on the output path, round-tripped through REAL ONNX bytes at registry-build " +
+        "time. Serving runs graft.functions.OnnxGraphScoreExpr (one codegen'd expression, " +
+        "weights shipped once per executor with the plan - the 100 TB scan shape), whose " +
+        "double evaluation is bit-identical to the Column-HOF tower and to the generated " +
+        "DuckDB replay the oracle runs (OnnxGraphSpec pins all three). Outputs e6-quantize " +
+        "per element before integer sums.",
+      (s, dir) => {
+        import s.implicits._
+        val g = onnxTailOpsGraph
+        val ids = transform(expr("slice(embedding, 1, 6)"),
+          v => pmod(floor(v.cast("double") * 4.0).cast("int"), lit(8)).cast("double"))
+        Tables.embeddings(s, dir)
+          .select($"label", graft.functions.OnnxGraphScore(g, ids).as("y"))
+          .select($"label", posexplode(
+            transform($"y", v => floor(v * 1000000.0 + 0.5).cast("long"))).as(Seq("pos", "ye6")))
+          .select($"label", ($"pos" + 1).cast("long").as("dim"), $"ye6")
+          .groupBy($"label", $"dim")
+          .agg(count(lit(1)).as("n"), sum($"ye6").cast("long").as("sum_e6"))
+      },
+      Some {
+        val idsSql = "list_transform(embedding[1:6], v -> " +
+          "CAST((CAST(floor(CAST(v AS DOUBLE) * 4.0) AS INT) % 8 + 8) % 8 AS DOUBLE))"
+        val ySql = onnxTailOpsGraph.toSql(idsSql)
+        s"""WITH y AS (SELECT label, $ySql AS y FROM embeddings),
+           |ex AS (SELECT label, j AS dim, CAST(floor(y[j] * 1000000.0 + 0.5) AS BIGINT) AS ye6
+           |       FROM y, generate_series(1, 4) g(j))
+           |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+           |       CAST(sum(ye6) AS BIGINT) AS sum_e6
+           |FROM ex GROUP BY 1, 2""".stripMargin
       })
   )
 
@@ -2075,6 +2114,45 @@ object PipelineQueries extends QueryPack {
         OnnxWriter.tensor("b2", Seq(d), vec(d, 7)),
         OnnxWriter.tensor("G2", Seq(d), Array.tabulate(d)(j => 1.0f - (j % 3) / 8.0f)),
         OnnxWriter.tensor("B2", Seq(d), vec(d, 8)))))
+  }
+
+  /** q258's fixture: the element-wise tail-op chain — Cast'd ids embed
+    * via Gather (8x4 table), Clip to [-0.5, 0.5], Split into halves,
+    * Max−Min spread per position, Sqrt, Concat back with the min half,
+    * a Constant 1x4 weight row entering as a node, broadcast Mul, Pow
+    * 3, Abs, Exp∘Log∘Neg, and a ReduceSum collapse — all exact small
+    * binary fractions, round-tripped through REAL ONNX bytes at
+    * registry-build time. */
+  private[graft] lazy val onnxTailOpsGraph: graft.pipeline.OnnxGraph = {
+    import graft.pipeline.OnnxGraph
+    import Onnx.OnnxWriter
+    val table = Array.tabulate(8, 4)((v, j) => (((v * 7 + j * 5) % 11) - 5) / 8.0f)
+    OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Cast", Seq("x"), Seq("xi"), Map("to" -> Right(7L))),
+        OnnxWriter.node("Gather", Seq("T", "xi"), Seq("emb")),
+        OnnxWriter.node("Clip", Seq("emb", "cmin", "cmax"), Seq("cl")),
+        OnnxWriter.node("Split", Seq("cl"), Seq("h1", "h2"), Map("axis" -> Right(1L))),
+        OnnxWriter.node("Max", Seq("h1", "h2"), Seq("mx")),
+        OnnxWriter.node("Min", Seq("h1", "h2"), Seq("mn")),
+        OnnxWriter.node("Sub", Seq("mx", "mn"), Seq("d0")),
+        OnnxWriter.node("Sqrt", Seq("d0"), Seq("sq")),
+        OnnxWriter.node("Concat", Seq("sq", "mn"), Seq("cc"), Map("axis" -> Right(1L))),
+        OnnxWriter.node("Constant", Seq(), Seq("cst"),
+          tensors = Map("value" -> (Seq(1, 4), Array(0.25f, 0.5f, 0.75f, 1.0f)))),
+        OnnxWriter.node("Mul", Seq("cc", "cst"), Seq("ml")),
+        OnnxWriter.node("Pow", Seq("ml", "p3"), Seq("pw")),
+        OnnxWriter.node("Abs", Seq("pw"), Seq("ab")),
+        OnnxWriter.node("Exp", Seq("ab"), Seq("ex")),
+        OnnxWriter.node("Log", Seq("ex"), Seq("lg")),
+        OnnxWriter.node("Neg", Seq("lg"), Seq("ng")),
+        OnnxWriter.node("ReduceSum", Seq("ng"), Seq("y"),
+          intLists = Map("axes" -> Seq(0L)))),
+      inits = Seq(
+        OnnxWriter.tensor("T", Seq(8, 4), table.flatten),
+        OnnxWriter.tensor("cmin", Seq(1), Array(-0.5f)),
+        OnnxWriter.tensor("cmax", Seq(1), Array(0.5f)),
+        OnnxWriter.tensor("p3", Seq(1), Array(3f)))))
   }
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights
