@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -14,38 +16,73 @@ import graft.pipeline.OnnxGraph
   * plan-level transparency, but it costs O(ops) nested lambda scopes:
   * a 30+-op attention block exceeds the analyzer's fixpoint budget and
   * every element evaluates through CodegenFallback interpretation. This
-  * expression evaluates [[OnnxGraph.scoreDouble]] — the double-
+  * expression evaluates [[OnnxGraph.scoreDoubleAll]] — the double-
   * precision twin whose folds and association orders match `columns`
   * and `toSql` EXACTLY (OnnxGraphSpec asserts zero-diff equality) — so
   * swapping it into a query changes nothing the oracle can observe.
   * The graph rides into generated code via `addReferenceObj`: weights
   * are broadcast once per executor with the plan, never per row.
-  */
-case class OnnxGraphScoreExpr(child: Expression, graph: OnnxGraph)
-    extends UnaryExpression {
+  * One child per graph input (ids + attention-mask multi-input graphs
+  * take their columns in declaration order). */
+case class OnnxGraphScoreExpr(children: Seq[Expression], graph: OnnxGraph)
+    extends Expression {
+  require(children.size == graph.nInputs,
+    s"graph takes ${graph.nInputs} inputs, got ${children.size} columns")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
 
-  override protected def nullSafeEval(v: Any): Any =
-    OnnxGraphScore.eval(v.asInstanceOf[ArrayData], graph)
+  override def eval(input: InternalRow): Any = {
+    val arrs = new Array[ArrayData](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arrs(i) = v.asInstanceOf[ArrayData]
+      i += 1
+    }
+    OnnxGraphScore.evalAll(arrs, graph)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("onnxGraph", graph, classOf[OnnxGraph].getName)
-    defineCodeGen(ctx, ev, v => s"graft.functions.OnnxGraphScore.eval($v, $ref)")
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("onnxInputs")
+    val childChecks = evals.map(e =>
+      code"""${e.code}
+            |if (${e.isNull}) { ${ev.isNull} = true; }""".stripMargin)
+    val fills = evals.zipWithIndex.map { case (e, i) =>
+      s"$arr[$i] = ${e.value};"
+    }.mkString("\n")
+    ev.copy(code =
+      code"""boolean ${ev.isNull} = false;
+            |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+            |${childChecks.reduce(_ + _)}
+            |if (!${ev.isNull}) {
+            |  org.apache.spark.sql.catalyst.util.ArrayData[] $arr =
+            |    new org.apache.spark.sql.catalyst.util.ArrayData[${children.size}];
+            |  $fills
+            |  ${ev.value} = graft.functions.OnnxGraphScore.evalAll($arr, $ref);
+            |}""".stripMargin)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
 }
 
 object OnnxGraphScore {
   def eval(v: ArrayData, graph: OnnxGraph): ArrayData =
     new GenericArrayData(graph.scoreDouble(v.toDoubleArray()))
 
-  /** Score an `array<float|double>` column; returns `array<double>`. */
-  def apply(graph: OnnxGraph, x: Column): Column = {
+  def evalAll(vs: Array[ArrayData], graph: OnnxGraph): ArrayData =
+    new GenericArrayData(graph.scoreDoubleAll(vs.map(_.toDoubleArray())))
+
+  /** Score `array<float|double>` columns (one per graph input, in
+    * declaration order); returns `array<double>`. */
+  def apply(graph: OnnxGraph, xs: Column*): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(OnnxGraphScoreExpr(
-      ColumnBridge.expression(x.cast("array<double>")), graph))
+      xs.map(x => ColumnBridge.expression(x.cast("array<double>"))), graph))
   }
 }

@@ -127,8 +127,14 @@ object Onnx {
     * are converted to floats at parse — their values are small exact
     * integers by construction. */
   final case class Tensor(name: String, dims: Seq[Int], data: Array[Float])
+  /** `inputNames`: the graph's REAL inputs in declaration order (1–4;
+    * multi-input is the ids+attention-mask serving interface of real
+    * encoder exports). `inputName` keeps the single-input view for the
+    * MLP chain lowerer. */
   final case class Model(nodes: Seq[Node], initializers: Map[String, Tensor],
-      inputName: String, outputName: String)
+      inputNames: Seq[String], outputName: String) {
+    def inputName: String = inputNames.head
+  }
 
   private val FloatType = 1
   private val Int32Type = 6
@@ -154,9 +160,10 @@ object Onnx {
     }
     val initNames = inits.result().keySet
     val realInputs = inputs.filterNot(initNames) // initializers may be re-listed as graph inputs (IR < 4)
-    require(realInputs.size == 1, s"expected exactly one graph input, got $realInputs")
+    require(realInputs.nonEmpty && realInputs.size <= 4,
+      s"expected 1..4 graph inputs, got $realInputs")
     require(outputs.size == 1, s"expected exactly one graph output, got $outputs")
-    Model(nodes.result(), inits.result(), realInputs.head, outputs.head)
+    Model(nodes.result(), inits.result(), realInputs, outputs.head)
   }
 
   private def parseValueInfoName(r: PbReader): String = {
@@ -453,6 +460,8 @@ object Onnx {
       * list in graph order, fusing (Gemm|MatMul[+Add]) with a following
       * activation; Flatten/Identity pass through. */
     def fromModel(m: Model): OnnxMlp = {
+      require(m.inputNames.size == 1,
+        s"MLP chain expects one graph input, got ${m.inputNames} — use OnnxGraph for multi-input DAGs")
       val layers = Seq.newBuilder[Layer]
       var pendingLin: Option[(Array[Array[Float]], Array[Float])] = None
       var cur = m.inputName

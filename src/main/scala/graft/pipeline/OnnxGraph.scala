@@ -84,16 +84,19 @@ object OnnxGraph {
     * (n, h·dₕ) -> (n·h, dₕ) and back). */
   final case class GReshape(in: Int, cols: Int) extends GOp
 
-  /** Lower a parsed [[Onnx.Model]] to the op list. Slot 0 is the graph
-    * input; op k writes slot k+1. */
+  /** Lower a parsed [[Onnx.Model]] to the op list. Slots 0..nInputs−1
+    * are the graph inputs in declaration order (the ids+attention-mask
+    * serving interface of real encoder exports); op k writes slot
+    * k+nInputs. */
   def fromModel(m: Model): OnnxGraph = {
+    val nIn = m.inputNames.size
     val ops = scala.collection.mutable.ArrayBuffer[GOp]()
-    val slotOf = scala.collection.mutable.Map[String, Int](m.inputName -> 0)
-    val rowsOf = scala.collection.mutable.ArrayBuffer[Int](One)
+    val slotOf = scala.collection.mutable.Map[String, Int](m.inputNames.zipWithIndex: _*)
+    val rowsOf = scala.collection.mutable.ArrayBuffer.fill(nIn)(One)
     // static column count per slot where derivable (-1 = runtime-only;
-    // the graph input's width is unknown until execution)
-    val colsOf = scala.collection.mutable.ArrayBuffer[Int](-1)
-    var next = 1
+    // a graph input's width is unknown until execution)
+    val colsOf = scala.collection.mutable.ArrayBuffer.fill(nIn)(-1)
+    var next = nIn
     def tensorOf(name: String): Tensor = m.initializers.getOrElse(name,
       throw new IllegalArgumentException(s"'$name' is not an initializer — dynamic weights unsupported"))
     def asMatrix(t: Tensor, transposed: Boolean): Array[Array[Float]] = {
@@ -357,7 +360,7 @@ object OnnxGraph {
             "Reshape/Identity/Flatten/Dropout)")
       }
     }
-    OnnxGraph(ops.toSeq, slot(m.outputName))
+    OnnxGraph(ops.toSeq, slot(m.outputName), nIn)
   }
 
   def parse(bytes: Array[Byte]): OnnxGraph = fromModel(Onnx.parse(bytes))
@@ -369,7 +372,8 @@ object OnnxGraph {
     * [[Onnx.OnnxWriter.node]] and tensors with
     * [[Onnx.OnnxWriter.tensor]]. */
   def write(nodes: Seq[Onnx.PbWriter => Unit], inits: Seq[Onnx.PbWriter => Unit],
-      inputName: String = "x", outputName: String = "y"): Array[Byte] = {
+      inputName: String = "x", outputName: String = "y",
+      extraInputs: Seq[String] = Seq.empty): Array[Byte] = {
     val w = new Onnx.PbWriter
     w.int(1, 8L) // ir_version
     w.msg(14)(o => { o.str(1, ""); o.int(2, 17L) }) // opset 17
@@ -377,26 +381,36 @@ object OnnxGraph {
       g.str(2, "graft_graph")
       nodes.foreach(n => g.msg(1)(n))
       inits.foreach(t => g.msg(5)(t))
-      g.msg(11)(v => { v.str(1, inputName); () })
+      (inputName +: extraInputs).foreach(in => g.msg(11)(v => { v.str(1, in); () }))
       g.msg(12)(v => { v.str(1, outputName); () })
     }
     w.bytes
   }
 }
 
-/** A lowered ONNX DAG — see [[OnnxGraph$]] for the contract. `ops(k)`
-  * writes value slot k+1; slot 0 is the input (one row). */
-final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serializable {
+/** A lowered ONNX DAG — see [[OnnxGraph$]] for the contract. Slots
+  * 0..nInputs−1 are the graph inputs (one row each); `ops(k)` writes
+  * value slot k+nInputs. */
+final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
+    nInputs: Int = 1) extends Serializable {
   import OnnxGraph._
 
   // ---- float32 JVM path (true ONNX numerics) ----
 
   def score(x: Array[Float]): Array[Float] = {
-    val vals = new Array[Array[Array[Float]]](ops.size + 1)
-    vals(0) = Array(x)
+    require(nInputs == 1, s"graph takes $nInputs inputs — use scoreAll")
+    scoreAll(Array(x))
+  }
+
+  /** Multi-input float32 forward pass: `xs(i)` feeds input slot i. */
+  def scoreAll(xs: Array[Array[Float]]): Array[Float] = {
+    require(xs.length == nInputs, s"got ${xs.length} inputs, graph takes $nInputs")
+    val vals = new Array[Array[Array[Float]]](ops.size + nInputs)
     var k = 0
+    while (k < nInputs) { vals(k) = Array(xs(k)); k += 1 }
+    k = 0
     while (k < ops.size) {
-      vals(k + 1) = ops(k) match {
+      vals(k + nInputs) = ops(k) match {
         case GDense(in, w, b) =>
           vals(in).map { row =>
             require(row.length == w.length, s"dense in dim ${row.length} != ${w.length}")
@@ -561,11 +575,19 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
   // budget nor pays CodegenFallback per-element interpretation. ----
 
   def scoreDouble(x: Array[Double]): Array[Double] = {
-    val vals = new Array[Array[Array[Double]]](ops.size + 1)
-    vals(0) = Array(x)
+    require(nInputs == 1, s"graph takes $nInputs inputs — use scoreDoubleAll")
+    scoreDoubleAll(Array(x))
+  }
+
+  /** Multi-input double forward pass: `xs(i)` feeds input slot i. */
+  def scoreDoubleAll(xs: Array[Array[Double]]): Array[Double] = {
+    require(xs.length == nInputs, s"got ${xs.length} inputs, graph takes $nInputs")
+    val vals = new Array[Array[Array[Double]]](ops.size + nInputs)
     var k = 0
+    while (k < nInputs) { vals(k) = Array(xs(k)); k += 1 }
+    k = 0
     while (k < ops.size) {
-      vals(k + 1) = ops(k) match {
+      vals(k + nInputs) = ops(k) match {
         case GDense(in, w, b) =>
           vals(in).map { row =>
             Array.tabulate(b.length) { j =>
@@ -730,7 +752,14 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
     * output row as `array<double>`. The env (array of matrices) is
     * re-bound per op, so the plan stays linear in total weight count. */
   def columns(x: Column): Column = {
-    var env: Column = array(array(x.cast("array<double>")))
+    require(nInputs == 1, s"graph takes $nInputs inputs — use columnsAll")
+    columnsAll(Seq(x))
+  }
+
+  /** Multi-input Column forward pass: `xs(i)` feeds input slot i. */
+  def columnsAll(xs: Seq[Column]): Column = {
+    require(xs.size == nInputs, s"got ${xs.size} input columns, graph takes $nInputs")
+    var env: Column = array(xs.map(x => array(x.cast("array<double>"))): _*)
     ops.foreach { op =>
       val cur = env
       env = bind1(cur)(e => concat(e, array(colOf(e, op))))
@@ -884,7 +913,15 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int) extends Serial
   /** Forward pass as DuckDB SQL over a list-column expression `x` —
     * the [[columns]] oracle twin (same binds, same fold order). */
   def toSql(x: String): String = {
-    var cur = s"[[list_transform($x, v -> CAST(v AS DOUBLE))]]"
+    require(nInputs == 1, s"graph takes $nInputs inputs — use toSqlAll")
+    toSqlAll(Seq(x))
+  }
+
+  /** Multi-input DuckDB twin: `xs(i)` feeds input slot i. */
+  def toSqlAll(xs: Seq[String]): String = {
+    require(xs.size == nInputs, s"got ${xs.size} input expressions, graph takes $nInputs")
+    var cur = xs.map(x => s"[list_transform($x, v -> CAST(v AS DOUBLE))]")
+      .mkString("[", ", ", "]")
     ops.foreach { op =>
       cur = s"([list_append(env, ${sqlOf("env", op)}) for env in [$cur]][1])"
     }

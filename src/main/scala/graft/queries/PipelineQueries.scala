@@ -2010,6 +2010,47 @@ object PipelineQueries extends QueryPack {
            |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
            |       CAST(sum(ye6) AS BIGINT) AS sum_e6
            |FROM ex GROUP BY 1, 2""".stripMargin
+      }),
+
+    Query(
+      "q259_onnx_masked_input",
+      "MULTI-INPUT ONNX graph — the ids + attention_mask serving interface real encoder " +
+        "exports ship (two graph INPUTS, not an initializer mask): slot 0 takes 6 token ids, " +
+        "slot 1 an additive mask row derived from the row's own embedding tail (positions " +
+        "where |e| > 0.5 are padded out with -10000), and the graph runs Gather -> Q/K/V " +
+        "Gemms -> Q.K^T -> mask Add (One-row broadcast over the score matrix) -> Softmax -> " +
+        "probs.V -> mean pool. Serving scores both columns through the N-ary " +
+        "OnnxGraphScoreExpr (one codegen'd expression, both inputs null-checked, weights " +
+        "shipped once per executor); the oracle replays the identical two-input forward pass " +
+        "via OnnxGraph.toSqlAll. Row-dependent masks mean the attention distribution itself " +
+        "varies per row - the shape a fixed-weight single-input graph cannot express.",
+      (s, dir) => {
+        import s.implicits._
+        val g = onnxMaskedInputGraph
+        val ids = transform(expr("slice(embedding, 1, 6)"),
+          v => pmod(floor(v.cast("double") * 4.0).cast("int"), lit(8)).cast("double"))
+        val mask = transform(expr("slice(embedding, 7, 6)"),
+          v => when(abs(v.cast("double")) > 0.5, lit(-10000.0)).otherwise(lit(0.0)))
+        Tables.embeddings(s, dir)
+          .select($"label", graft.functions.OnnxGraphScore(g, ids, mask).as("y"))
+          .select($"label", posexplode(
+            transform($"y", v => floor(v * 1000000.0 + 0.5).cast("long"))).as(Seq("pos", "ye6")))
+          .select($"label", ($"pos" + 1).cast("long").as("dim"), $"ye6")
+          .groupBy($"label", $"dim")
+          .agg(count(lit(1)).as("n"), sum($"ye6").cast("long").as("sum_e6"))
+      },
+      Some {
+        val idsSql = "list_transform(embedding[1:6], v -> " +
+          "CAST((CAST(floor(CAST(v AS DOUBLE) * 4.0) AS INT) % 8 + 8) % 8 AS DOUBLE))"
+        val maskSql = "list_transform(embedding[7:12], v -> " +
+          "CASE WHEN abs(CAST(v AS DOUBLE)) > 0.5 THEN -10000.0 ELSE 0.0 END)"
+        val ySql = onnxMaskedInputGraph.toSqlAll(Seq(idsSql, maskSql))
+        s"""WITH y AS (SELECT label, $ySql AS y FROM embeddings),
+           |ex AS (SELECT label, j AS dim, CAST(floor(y[j] * 1000000.0 + 0.5) AS BIGINT) AS ye6
+           |       FROM y, generate_series(1, 4) g(j))
+           |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+           |       CAST(sum(ye6) AS BIGINT) AS sum_e6
+           |FROM ex GROUP BY 1, 2""".stripMargin
       })
   )
 
@@ -2153,6 +2194,41 @@ object PipelineQueries extends QueryPack {
         OnnxWriter.tensor("cmin", Seq(1), Array(-0.5f)),
         OnnxWriter.tensor("cmax", Seq(1), Array(0.5f)),
         OnnxWriter.tensor("p3", Seq(1), Array(3f)))))
+  }
+
+  /** q259's fixture: a TWO-INPUT graph — slot 0 token ids, slot 1 an
+    * additive attention-mask row (the real-export serving interface) —
+    * single-head attention over an 8x4 table, mask Added to the Q·Kᵀ
+    * scores before Softmax, mean-pooled out. */
+  private[graft] lazy val onnxMaskedInputGraph: graft.pipeline.OnnxGraph = {
+    import graft.pipeline.OnnxGraph
+    import Onnx.OnnxWriter
+    val d = 4
+    def mat(salt: Int) =
+      Array.tabulate(d, d)((i, j) => (((i * 7 + j * 11 + salt * 5) % 13) - 6) / 16.0f)
+    def vec(salt: Int) = Array.tabulate(d)(j => ((j * 3 + salt) % 5 - 2) / 8.0f)
+    OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wq", "bq"), Seq("q")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wk", "bk"), Seq("k")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wv", "bv"), Seq("v")),
+        OnnxWriter.node("Transpose", Seq("k"), Seq("kt"), intLists = Map("perm" -> Seq(1L, 0L))),
+        OnnxWriter.node("MatMul", Seq("q", "kt"), Seq("s")),
+        OnnxWriter.node("Add", Seq("s", "m"), Seq("sm")),
+        OnnxWriter.node("Softmax", Seq("sm"), Seq("p"), Map("axis" -> Right(-1L))),
+        OnnxWriter.node("MatMul", Seq("p", "v"), Seq("ctx")),
+        OnnxWriter.node("ReduceMean", Seq("ctx"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("T", Seq(8, d),
+          Array.tabulate(8, d)((v, j) => (((v * 5 + j * 3) % 9) - 4) / 8.0f).flatten),
+        OnnxWriter.tensor("Wq", Seq(d, d), mat(1).flatten),
+        OnnxWriter.tensor("bq", Seq(d), vec(1)),
+        OnnxWriter.tensor("Wk", Seq(d, d), mat(2).flatten),
+        OnnxWriter.tensor("bk", Seq(d), vec(2)),
+        OnnxWriter.tensor("Wv", Seq(d, d), mat(3).flatten),
+        OnnxWriter.tensor("bv", Seq(d), vec(3))),
+      extraInputs = Seq("m")))
   }
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

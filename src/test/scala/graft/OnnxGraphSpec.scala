@@ -518,4 +518,80 @@ class OnnxGraphSpec extends AnyFunSuite {
         intLists = Map("axes" -> Seq(1L))), Seq.empty)
       .getMessage.contains("ReduceSum"))
   }
+
+  /** Two graph INPUTS — token ids + an additive attention mask, the
+    * real HF export serving interface: Gather embeds slot 0's ids,
+    * single-head attention scores add slot 1's mask row before
+    * Softmax, probs·V context mean-pools out. */
+  private def maskedInputBytes: Array[Byte] = OnnxGraph.write(
+    nodes = Seq(
+      OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+      OnnxWriter.node("Gemm", Seq("emb", "Wq", "bq"), Seq("q")),
+      OnnxWriter.node("Gemm", Seq("emb", "Wk", "bk"), Seq("k")),
+      OnnxWriter.node("Gemm", Seq("emb", "Wv", "bv"), Seq("v")),
+      OnnxWriter.node("Transpose", Seq("k"), Seq("kt"), intLists = Map("perm" -> Seq(1L, 0L))),
+      OnnxWriter.node("MatMul", Seq("q", "kt"), Seq("s")),
+      OnnxWriter.node("Add", Seq("s", "m"), Seq("sm")),
+      OnnxWriter.node("Softmax", Seq("sm"), Seq("p"), Map("axis" -> Right(-1L))),
+      OnnxWriter.node("MatMul", Seq("p", "v"), Seq("ctx")),
+      OnnxWriter.node("ReduceMean", Seq("ctx"), Seq("y"))),
+    inits = {
+      val d = 4
+      def mat(salt: Int) =
+        Array.tabulate(d, d)((i, j) => (((i * 7 + j * 11 + salt * 5) % 13) - 6) / 16.0f)
+      def vec(salt: Int) = Array.tabulate(d)(j => ((j * 3 + salt) % 5 - 2) / 8.0f)
+      Seq(
+        OnnxWriter.tensor("T", Seq(8, d),
+          Array.tabulate(8, d)((v, j) => (((v * 5 + j * 3) % 9) - 4) / 8.0f).flatten),
+        OnnxWriter.tensor("Wq", Seq(d, d), mat(1).flatten),
+        OnnxWriter.tensor("bq", Seq(d), vec(1)),
+        OnnxWriter.tensor("Wk", Seq(d, d), mat(2).flatten),
+        OnnxWriter.tensor("bk", Seq(d), vec(2)),
+        OnnxWriter.tensor("Wv", Seq(d, d), mat(3).flatten),
+        OnnxWriter.tensor("bv", Seq(d), vec(3)))
+    },
+    extraInputs = Seq("m"))
+
+  test("two-input graph (ids + attention-mask input): all paths agree, mask matters") {
+    val g = OnnxGraph.parse(maskedInputBytes)
+    assert(g.nInputs == 2)
+    val ids = Array(2.0, 5.0, 1.0, 7.0)
+    val open = Array(0.0, 0.0, 0.0, 0.0)
+    val padded = Array(0.0, 0.0, -10000.0, -10000.0)
+    // mask changes the answer (attention actually reads slot 1)
+    val yOpen = g.scoreDoubleAll(Array(ids, open))
+    val yPad = g.scoreDoubleAll(Array(ids, padded))
+    assert(yOpen.toSeq != yPad.toSeq)
+    // padded-out positions stop contributing: compare against a
+    // 2-token graph run — context rows differ only via softmax mass,
+    // so check the f32/f64 cross-path parity instead of absolutes
+    val rows = (0 until 12).map { i =>
+      (i.toLong, Seq((i % 8).toDouble, ((i * 3 + 1) % 8).toDouble,
+        ((i + 5) % 8).toDouble, ((i * 5) % 8).toDouble),
+        Seq(0.0, 0.0, if (i % 2 == 0) -10000.0 else 0.0, 0.0))
+    }.toDF("id", "ids", "mask")
+    val viaCols = rows.select($"id", g.columnsAll(Seq($"ids", $"mask")).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExpr = rows.select($"id",
+        graft.functions.OnnxGraphScore(g, $"ids", $"mask").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.collect().foreach { r =>
+      val ids = r.getSeq[Double](1); val mk = r.getSeq[Double](2)
+      val yd = g.scoreDoubleAll(Array(ids.toArray, mk.toArray))
+      val yl = g.scoreAll(Array(ids.map(_.toFloat).toArray, mk.map(_.toFloat).toArray))
+      val yc = viaCols(r.getLong(0))
+      val ye = viaExpr(r.getLong(0))
+      yd.indices.foreach { i =>
+        assert(yc(i) == yd(i), s"id ${r.getLong(0)} dim $i: HOF ${yc(i)} != scoreDouble ${yd(i)}")
+        assert(ye(i) == yd(i), s"id ${r.getLong(0)} dim $i: expr ${ye(i)} != scoreDouble ${yd(i)}")
+        assert(math.abs(yd(i) - yl(i)) < 1e-3, s"id ${r.getLong(0)} dim $i: ${yd(i)} vs f32 ${yl(i)}")
+      }
+    }
+    // arity misuse fails loudly everywhere
+    assert(intercept[IllegalArgumentException](g.score(Array(1f))).getMessage.contains("inputs"))
+    assert(intercept[IllegalArgumentException](g.columns(lit(Seq(1.0)))).getMessage.contains("inputs"))
+    assert(intercept[IllegalArgumentException](g.toSql("x")).getMessage.contains("inputs"))
+    assert(intercept[IllegalArgumentException](
+      g.scoreDoubleAll(Array(ids))).getMessage.contains("inputs"))
+  }
 }
