@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
   * shuffle wider than one row), so the total cost is
   * ⌈log_Branch(domain range)⌉ cheap scans regardless of how many
   * quantiles are asked for. The rounds are DRIVER-LOOP-latency bound,
-  * not scan bound — which is why the search is 32-ary, not binary: the
-  * per-row work per pass is Branch−1 trivial comparisons but each pass
-  * costs a full scheduler round trip, so total time ∝ log_B(domain)
-  * falls as B rises until the aggregate buffer width matters
-  * (measured: 8-ary converged the cents domain in ~8 rounds vs ~24
-  * binary; 32-ary reaches the same bracket in ~5).
+  * not scan bound — so the UNGROUPED search is 32-ary (probes baked
+  * into comparison literals: wider fan-out is per-row free, bounded
+  * only by the codegen column budget below), while the GROUPED
+  * searches stay 8-ary (their probes arrive per row through
+  * `element_at` on a joined array, so per-row work scales with the
+  * fan-out — see [[GroupBranch]]).
   *
   * Contrast at 100 TB: a global sort is a full-corpus shuffle;
   * `percentile` collects per-group buffers (memory ∝ rows);
@@ -40,9 +40,18 @@ object Quantiles {
     * (measured: 5 quantiles x 31 probes = 155 sum(when) columns took
     * the ungrouped search from 2.3 s to 10 s at sf0.1 — the per-round
     * generated function dominates). The ungrouped search divides this
-    * budget across its active targets; the grouped search is already
-    * per-group-bounded at Branch−1 columns. */
+    * budget across its active targets. */
   private val ProbeColumnBudget = 48
+
+  /** The GROUPED searches stay 8-ary: their conditional sums read the
+    * probe points through per-row `element_at` on the joined probe
+    * array (not compile-time literals), so per-row work scales with
+    * the fan-out — 31 probes cost ~4x the scan compute of 7 while
+    * rounds shrink only 0.6x (measured: q195's chained median+MAD
+    * searches went 2.7 -> 4.9 s at 32-ary; 8-ary restores it). The
+    * ungrouped search bakes probes into literals, where wider fan-out
+    * is per-row free and only the codegen budget above binds. */
+  private val GroupBranch = 8
 
   /** Probe points strictly inside (lo, hi), deduped, ascending. */
   private def probes(lo: Long, hi: Long, branch: Int = Branch): Seq[Long] = {
@@ -136,24 +145,24 @@ object Quantiles {
     val hi = scala.collection.mutable.Map(init.map(s => s._1 -> s._3): _*)
     while (lo.keys.exists(k => lo(k) < hi(k))) {
       val plan = lo.keys.toSeq.filter(k => lo(k) < hi(k)).sorted
-        .map(k => k -> probes(lo(k), hi(k)))
+        .map(k => k -> probes(lo(k), hi(k), GroupBranch))
       // pad probe arrays to a fixed width so element_at never reads
       // out of bounds (ANSI mode errors on array OOB); the driver only
       // consumes the first |ps| counts per group
       val midDf = broadcast(plan.map { case (k, ps) =>
-        (k, ps.padTo(Branch - 1, ps.last))
+        (k, ps.padTo(GroupBranch - 1, ps.last))
       }.toDF("k", "ps"))
-      val sums = (0 until Branch - 1).map(i =>
+      val sums = (0 until GroupBranch - 1).map(i =>
         sum(when(col("v") <= element_at(col("ps"), i + 1), weight)
           .otherwise(0L)).as(s"c$i"))
       val rows = v.join(midDf, Seq("k"))
         .groupBy(col("k"))
         .agg(sums.head, sums.tail: _*)
         .collect()
-        .map(r => r.getString(0) -> (1 until Branch).map(i =>
+        .map(r => r.getString(0) -> (1 until GroupBranch).map(i =>
           if (r.isNullAt(i)) 0L else r.getLong(i))).toMap
       plan.foreach { case (k, ps) =>
-        val cs = rows.getOrElse(k, Seq.fill(Branch - 1)(0L))
+        val cs = rows.getOrElse(k, Seq.fill(GroupBranch - 1)(0L))
         val cnts = ps.zipWithIndex.map { case (p, i) => (p, cs(i)) }
         val (nl, nh) = shrink(lo(k), hi(k), rank(k), cnts)
         lo(k) = nl; hi(k) = nh
@@ -230,21 +239,21 @@ object Quantiles {
         keys.map(kq => kq -> byKey(kq._1)._4): _*)
       while (keys.exists(kq => lo(kq) < hi(kq))) {
         val plan = keys.filter(kq => lo(kq) < hi(kq)).sortBy(kq => (kq._1, kq._2))
-          .map(kq => kq -> probes(lo(kq), hi(kq)))
+          .map(kq => kq -> probes(lo(kq), hi(kq), GroupBranch))
         val midDf = broadcast(plan.map { case ((k, qi), ps) =>
-          (k, qi, ps.padTo(Branch - 1, ps.last))
+          (k, qi, ps.padTo(GroupBranch - 1, ps.last))
         }.toDF("k", "qi", "ps"))
-        val sums = (0 until Branch - 1).map(i =>
+        val sums = (0 until GroupBranch - 1).map(i =>
           sum(when(col("v") <= element_at(col("ps"), i + 1), 1L)
             .otherwise(0L)).as(s"c$i"))
         val rows = v.join(midDf, Seq("k"))
           .groupBy(col("k"), col("qi"))
           .agg(sums.head, sums.tail: _*)
           .collect()
-          .map(r => (r.getString(0), r.getInt(1)) -> (2 until Branch + 1).map(i =>
+          .map(r => (r.getString(0), r.getInt(1)) -> (2 until GroupBranch + 1).map(i =>
             if (r.isNullAt(i)) 0L else r.getLong(i))).toMap
         plan.foreach { case (kq, ps) =>
-          val cs = rows.getOrElse(kq, Seq.fill(Branch - 1)(0L))
+          val cs = rows.getOrElse(kq, Seq.fill(GroupBranch - 1)(0L))
           val cnts = ps.zipWithIndex.map { case (p, i) => (p, cs(i)) }
           val (nl, nh) = shrink(lo(kq), hi(kq), rank(kq), cnts)
           lo(kq) = nl; hi(kq) = nh

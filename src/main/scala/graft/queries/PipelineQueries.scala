@@ -1223,7 +1223,7 @@ object PipelineQueries extends QueryPack {
 
     Query(
       "q242_robust_standardize",
-      "Robust per-dimension embedding standardization statistics (median/MAD whitening — the outlier-immune scaler fit before quantization or drift gates, where mean/std is one corrupted shard away from garbage): 64 dimension-groups run the q192 value-domain search TWICE (median, then MAD over |x - med|) via exactGroupQuantiles — ALL 64 brackets advance together, ceil(log32(domain)) conditional-count passes per stage TOTAL, no sort, no percentile buffers, |dims|-bounded driver state. Output per dim: median_e6, mad_e6, and the 3-MAD outlier count the fitted scaler would clip.",
+      "Robust per-dimension embedding standardization statistics (median/MAD whitening — the outlier-immune scaler fit before quantization or drift gates, where mean/std is one corrupted shard away from garbage): 64 dimension-groups run the q192 value-domain search TWICE (median, then MAD over |x - med|) via exactGroupQuantiles — ALL 64 brackets advance together, ceil(log8(domain)) conditional-count passes per stage TOTAL, no sort, no percentile buffers, |dims|-bounded driver state. Output per dim: median_e6, mad_e6, and the 3-MAD outlier count the fitted scaler would clip.",
       (s, dir) => {
         import s.implicits._
         val x = Tables.embeddings(s, dir)

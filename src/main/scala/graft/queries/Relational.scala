@@ -1031,7 +1031,7 @@ object Relational extends QueryPack {
 
     Query(
       "q235_winsorize",
-      "Grouped winsorization — the outlier-robust cleaning step before any mean-based statistic ships: per order priority, clip price-cents to the group's OWN exact [p5, p95] (Quantiles.exactGroupQuantile — the q192 value-domain search, ceil(log32(domain)) conditional-count passes per quantile, |groups|-bounded driver brackets, no sort/collect/percentile buffers), then one pass counts both clip tails and sums the winsorized values. The quantile table is codebook-sized and broadcast; the corpus is scanned once for the search passes and once for the clip.",
+      "Grouped winsorization — the outlier-robust cleaning step before any mean-based statistic ships: per order priority, clip price-cents to the group's OWN exact [p5, p95] (Quantiles.exactGroupQuantile — the q192 value-domain search, ceil(log8(domain)) conditional-count passes per quantile, |groups|-bounded driver brackets, no sort/collect/percentile buffers), then one pass counts both clip tails and sums the winsorized values. The quantile table is codebook-sized and broadcast; the corpus is scanned once for the search passes and once for the clip.",
       (s, dir) => {
         import s.implicits._
         val o = Tables.orders(s, dir)
