@@ -2051,6 +2051,55 @@ object PipelineQueries extends QueryPack {
            |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
            |       CAST(sum(ye6) AS BIGINT) AS sum_e6
            |FROM ex GROUP BY 1, 2""".stripMargin
+      }),
+
+    Query(
+      "q260_encoder_gate",
+      "Transformer quality gate INSIDE the curation scan — the modern replacement for " +
+        "feature-engineered classifiers (q131): each document's first 6 whitespace tokens " +
+        "hash (portable md5) into the encoder vocabulary, SHORT documents pad out through the " +
+        "additive attention-mask INPUT (-10000 on absent positions - the mask finally doing " +
+        "its real job: variable-length text through a fixed-shape graph), and the two-input " +
+        "attention encoder scores every row through one codegen'd expression in the scan " +
+        "projection - no UDF, no shuffle before the gate. Survivors are score_e6 > 0; output " +
+        "per source: doc count, pass count, passed-score mass. The oracle re-derives ids, " +
+        "mask, AND the full forward pass in DuckDB (toSqlAll) from the raw text.",
+      (s, dir) => {
+        import s.implicits._
+        val g = onnxMaskedInputGraph
+        val toks = slice(graft.pipeline.TextAnalysis.tokens($"text"), 1, 6)
+        val ids = transform(sequence(lit(1), lit(6)), i =>
+          when(i <= size(toks),
+            pmod(conv(substring(md5(element_at(toks, i)), 1, 15), 16, 10).cast("long"),
+              lit(8L)).cast("double"))
+          .otherwise(lit(0.0)))
+        val mask = transform(sequence(lit(1), lit(6)), i =>
+          when(i <= size(toks), lit(0.0)).otherwise(lit(-10000.0)))
+        Tables.documents(s, dir)
+          .select($"source", graft.functions.OnnxGraphScore(g, ids, mask).as("y"))
+          .select($"source", floor(element_at($"y", 1) * 1000000.0 + 0.5).cast("long").as("s_e6"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"s_e6" > 0L, 1L).otherwise(0L)).as("n_pass"),
+            sum(when($"s_e6" > 0L, $"s_e6").otherwise(0L)).as("sum_pass_e6"))
+      },
+      Some {
+        val ySql = onnxMaskedInputGraph.toSqlAll(Seq("ids", "mask"))
+        s"""WITH t AS (SELECT source,
+           |    list_filter(string_split(text, ' '), x -> x != '')[1:6] AS tk FROM documents),
+           |im AS (SELECT source,
+           |    list_transform(generate_series(1, 6), i -> CASE WHEN i <= len(tk)
+           |      THEN CAST((('0x' || substr(md5(tk[i]), 1, 15))::BIGINT % 8 + 8) % 8 AS DOUBLE)
+           |      ELSE 0.0 END) AS ids,
+           |    list_transform(generate_series(1, 6), i -> CASE WHEN i <= len(tk)
+           |      THEN 0.0 ELSE -10000.0 END) AS mask
+           |  FROM t),
+           |y AS (SELECT source, $ySql AS y FROM im),
+           |sc AS (SELECT source, CAST(floor(y[1] * 1000000.0 + 0.5) AS BIGINT) AS s_e6 FROM y)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN s_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |  CAST(sum(CASE WHEN s_e6 > 0 THEN s_e6 ELSE 0 END) AS BIGINT) AS sum_pass_e6
+           |FROM sc GROUP BY 1""".stripMargin
       })
   )
 
