@@ -587,6 +587,16 @@ class OnnxGraphSpec extends AnyFunSuite {
         assert(math.abs(yd(i) - yl(i)) < 1e-3, s"id ${r.getLong(0)} dim $i: ${yd(i)} vs f32 ${yl(i)}")
       }
     }
+    // the N-ary expression must COMPILE in generated code, not ride the
+    // silent interpreted fallback: re-run one batch with fallback off
+    // (a codegen bug then throws instead of degrading)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val strict = rows.limit(4)
+        .select($"id", graft.functions.OnnxGraphScore(g, $"ids", $"mask").as("y"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      strict.foreach { case (id, y) => assert(y == viaExpr(id), s"strict-codegen mismatch id $id") }
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
     // arity misuse fails loudly everywhere
     assert(intercept[IllegalArgumentException](g.score(Array(1f))).getMessage.contains("inputs"))
     assert(intercept[IllegalArgumentException](g.columns(lit(Seq(1.0)))).getMessage.contains("inputs"))
