@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transformer quality gate as ONE stateless column bundle — the q260
+  * shape, factored so the IDENTICAL code runs batch and Structured
+  * Streaming (the `Warc.warcChainRecords` discipline: stream == batch
+  * by construction, spec'd anyway): the first `maxTokens` whitespace
+  * tokens hash (portable md5 — the cross-engine convention) into the
+  * graph's embedding vocabulary, documents SHORTER than the window pad
+  * out through the ADDITIVE attention-mask graph input (-10000 on
+  * absent positions — variable-length text through a fixed-shape
+  * graph), and the two-input [[OnnxGraph]] scores inside the scan
+  * projection via the codegen'd N-ary
+  * [[graft.functions.OnnxGraphScoreExpr]] — no UDF, no state, no
+  * shuffle before the gate. The 100 TB shape: weights ship once per
+  * executor with the plan; each row costs one fixed-size forward pass.
+  *
+  * Reference behavior: LLM-curation quality gates increasingly run
+  * small encoder classifiers where the reference wraps full runtimes
+  * (`ml_tools/torch_wrapper.py:14`); here the block lowers natively.
+  */
+object EncoderGate {
+
+  /** Adds `score_e6` (the graph's first output element, e6-quantized
+    * with the floor(x·1e6 + 0.5) discipline) and `pass`
+    * (score_e6 >= minScoreE6). `graph` must take (ids, mask). */
+  def score(docs: DataFrame, textCol: String, graph: OnnxGraph,
+      vocab: Int, maxTokens: Int = 6, minScoreE6: Long = 1L): DataFrame = {
+    require(graph.nInputs == 2, s"gate graph takes (ids, mask) — got ${graph.nInputs} inputs")
+    require(vocab > 0 && maxTokens > 0, "vocab and maxTokens must be positive")
+    val toks = slice(TextAnalysis.tokens(col(textCol)), 1, maxTokens)
+    val ids = transform(sequence(lit(1), lit(maxTokens)), i =>
+      when(i <= size(toks),
+        pmod(conv(substring(md5(element_at(toks, i)), 1, 15), 16, 10).cast("long"),
+          lit(vocab.toLong)).cast("double"))
+      .otherwise(lit(0.0)))
+    val mask = transform(sequence(lit(1), lit(maxTokens)), i =>
+      when(i <= size(toks), lit(0.0)).otherwise(lit(-10000.0)))
+    docs
+      .withColumn("score_e6",
+        floor(element_at(graft.functions.OnnxGraphScore(graph, ids, mask), 1)
+          * 1000000.0 + 0.5).cast("long"))
+      .withColumn("pass", col("score_e6") >= minScoreE6)
+  }
+}

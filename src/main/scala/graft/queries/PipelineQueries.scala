@@ -2066,22 +2066,14 @@ object PipelineQueries extends QueryPack {
         "mask, AND the full forward pass in DuckDB (toSqlAll) from the raw text.",
       (s, dir) => {
         import s.implicits._
-        val g = onnxMaskedInputGraph
-        val toks = slice(graft.pipeline.TextAnalysis.tokens($"text"), 1, 6)
-        val ids = transform(sequence(lit(1), lit(6)), i =>
-          when(i <= size(toks),
-            pmod(conv(substring(md5(element_at(toks, i)), 1, 15), 16, 10).cast("long"),
-              lit(8L)).cast("double"))
-          .otherwise(lit(0.0)))
-        val mask = transform(sequence(lit(1), lit(6)), i =>
-          when(i <= size(toks), lit(0.0)).otherwise(lit(-10000.0)))
-        Tables.documents(s, dir)
-          .select($"source", graft.functions.OnnxGraphScore(g, ids, mask).as("y"))
-          .select($"source", floor(element_at($"y", 1) * 1000000.0 + 0.5).cast("long").as("s_e6"))
+        // the SAME stateless column bundle EventStream.encoderGateStream
+        // applies at ingest time (stream == batch by construction)
+        graft.pipeline.EncoderGate
+          .score(Tables.documents(s, dir), "text", onnxMaskedInputGraph, vocab = 8)
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
-            sum(when($"s_e6" > 0L, 1L).otherwise(0L)).as("n_pass"),
-            sum(when($"s_e6" > 0L, $"s_e6").otherwise(0L)).as("sum_pass_e6"))
+            sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
+            sum(when($"pass", $"score_e6").otherwise(0L)).as("sum_pass_e6"))
       },
       Some {
         val ySql = onnxMaskedInputGraph.toSqlAll(Seq("ids", "mask"))

@@ -599,4 +599,17 @@ object EventStream {
     frames.groupByKey(_.video)
       .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fn)
   }
+
+  /** Streaming face of [[graft.pipeline.EncoderGate]] — the
+    * transformer quality gate applied at INGEST time: a stateless
+    * scan-projection score (ids + pad-mask through the two-input
+    * ONNX graph, one codegen'd expression), survivors stream on.
+    * Stream == batch by construction (no state, no watermark, no
+    * reordering sensitivity) — AdvancedSpec pins it anyway. */
+  def encoderGateStream(docs: DataFrame, textCol: String,
+      graph: graft.pipeline.OnnxGraph, vocab: Int, maxTokens: Int = 6,
+      minScoreE6: Long = 1L): DataFrame =
+    graft.pipeline.EncoderGate
+      .score(docs, textCol, graph, vocab, maxTokens, minScoreE6)
+      .filter(col("pass"))
 }

@@ -843,4 +843,40 @@ class AdvancedSpec extends AnyFunSuite {
       assert(got == want, "streamed flag SET must equal batch")
     } finally q.stop()
   }
+
+  test("encoderGateStream == batch EncoderGate on the same docs (scores AND survivor set)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val g = graft.queries.PipelineQueries.onnxMaskedInputGraph
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // > window: full mask open
+      (2L, "one two"),                                       // short: 4 positions pad out
+      (3L, ""),                                              // empty: all-pad softmax
+      (4L, "red orange yellow green blue indigo"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta")) // dup of 1: same score
+    val batch = graft.pipeline.EncoderGate
+      .score(docs.toDF("doc_id", "text"), "text", g, vocab = 8)
+      .select($"doc_id", $"score_e6", $"pass")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(batch.map(_._1) == Set(1L, 2L, 3L, 4L, 5L))
+    // dup docs score identically; the gate is deterministic
+    assert(batch.find(_._1 == 1L).get._2 == batch.find(_._1 == 5L).get._2)
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.encoderGateStream(
+        src.toDF().toDF("doc_id", "text"), "text", g, vocab = 8)
+      .select($"doc_id", $"score_e6")
+      .writeStream.format("memory").queryName("enc_gate_out")
+      .outputMode("append").start()
+    try {
+      src.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("enc_gate_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantSurvivors = batch.filter(_._3).map(t => (t._1, t._2))
+      assert(got == wantSurvivors,
+        s"stream survivors+scores must equal batch: $got vs $wantSurvivors")
+    } finally q.stop()
+  }
 }
