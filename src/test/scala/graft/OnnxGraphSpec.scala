@@ -519,6 +519,49 @@ class OnnxGraphSpec extends AnyFunSuite {
       .getMessage.contains("ReduceSum"))
   }
 
+  test("tail-op alternate forms: opset-13 Split sizes, attr Clip, Pow .5, Cast int32, vector Min") {
+    val bytes = OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Cast", Seq("x"), Seq("xi"), Map("to" -> Right(6L))), // int32 trunc
+        OnnxWriter.node("Clip", Seq("xi"), Seq("cl"),
+          Map("min" -> Left(-2f), "max" -> Left(3f))), // opset-6 attribute form
+        OnnxWriter.node("Split", Seq("cl", "sz"), Seq("h1", "h2")), // axis attr absent -> 0? no: must set
+        OnnxWriter.node("Min", Seq("h2", "vmin"), Seq("mn")), // initializer-vector right side
+        OnnxWriter.node("Pow", Seq("mn", "ph"), Seq("y"))), // p = 0.5 -> sqrt
+      inits = Seq(
+        OnnxWriter.tensor64("sz", Seq(2), Array(1L, 3L)),
+        OnnxWriter.tensor("vmin", Seq(3), Array(0.5f, 1.5f, 2.5f)),
+        OnnxWriter.tensor("ph", Seq(1), Array(0.5f))))
+    // Split without an axis attribute defaults to 0 and must fail loudly
+    val e = intercept[IllegalArgumentException](OnnxGraph.parse(bytes))
+    assert(e.getMessage.contains("Split"))
+    val bytes2 = OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Cast", Seq("x"), Seq("xi"), Map("to" -> Right(6L))),
+        OnnxWriter.node("Clip", Seq("xi"), Seq("cl"),
+          Map("min" -> Left(-2f), "max" -> Left(3f))),
+        OnnxWriter.node("Split", Seq("cl", "sz"), Seq("h1", "h2"), Map("axis" -> Right(1L))),
+        OnnxWriter.node("Min", Seq("h2", "vmin"), Seq("mn")),
+        OnnxWriter.node("Pow", Seq("mn", "ph"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor64("sz", Seq(2), Array(1L, 3L)),
+        OnnxWriter.tensor("vmin", Seq(3), Array(0.5f, 1.5f, 2.5f)),
+        OnnxWriter.tensor("ph", Seq(1), Array(0.5f))))
+    val g = OnnxGraph.parse(bytes2)
+    // x = [-3.7, 1.9, 2.4, 9.1] -> trunc [-3, 1, 2, 9] -> clip [-2, 1, 2, 3]
+    // split sizes [1, 3]: h2 = [1, 2, 3]; min with [0.5, 1.5, 2.5] ->
+    // [0.5, 1.5, 2.5]; sqrt -> [~0.7071, ~1.2247, ~1.5811]
+    val y = g.score(Array(-3.7f, 1.9f, 2.4f, 9.1f))
+    val exp = Array(math.sqrt(0.5), math.sqrt(1.5), math.sqrt(2.5))
+    assert(y.length == 3)
+    y.indices.foreach(i => assert(math.abs(y(i) - exp(i)) < 1e-6, s"dim $i: ${y(i)}"))
+    // double/HOF parity holds through the alternate forms too
+    val yd = g.scoreDouble(Array(-3.7, 1.9, 2.4, 9.1))
+    val yc = Seq(Seq(-3.7, 1.9, 2.4, 9.1)).toDF("v")
+      .select(g.columns($"v")).head().getSeq[Double](0)
+    yd.indices.foreach(i => assert(yc(i) == yd(i), s"dim $i: ${yc(i)} vs ${yd(i)}"))
+  }
+
   /** Two graph INPUTS — token ids + an additive attention mask, the
     * real HF export serving interface: Gather embeds slot 0's ids,
     * single-head attention scores add slot 1's mask row before
