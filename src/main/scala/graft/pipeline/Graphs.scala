@@ -290,11 +290,77 @@ object Graphs {
     } finally { deg.unpersist(false); e.unpersist(false); () }
   }
 
+  /** Bounded-horizon WEIGHTED shortest paths — the weighted companion
+    * [[multiSourceBfs]] leaves out (hop counts there, integer costs
+    * here): for every seed the minimum total edge weight to each node
+    * reachable within `maxHops` edges. Level-synchronous Bellman–Ford
+    * DP — d_k(v) = min(d_{k−1}(v), min over in-edges (u,v) of
+    * d_{k−1}(u) + w(u,v)) — run exactly `maxHops` rounds, so the
+    * result is the EXACT minimum over walks of ≤ maxHops edges, which
+    * for the required NON-NEGATIVE weights equals the minimum over
+    * simple paths within the horizon (dropping a cycle from a walk
+    * never raises cost or hop count). The bounded horizon is the
+    * honest distributed contract: unbounded Dijkstra needs a
+    * sequential priority queue, while the DP is one relaxation join +
+    * one partial-aggregated min per round with rounds fixed up front
+    * — no convergence probe, no frontier bookkeeping.
+    *
+    * Edges are DIRECTED as given (symmetrize first for an undirected
+    * read); parallel edges collapse to their minimum weight; negative
+    * weights are rejected loudly (a negative cycle inside the horizon
+    * would make "shortest" walk-dependent). All arithmetic is long —
+    * bit-exact under any partitioning and externally replayable by an
+    * unrolled SQL DP. Returns (seed, node, cost), cost 0 at the seed.
+    *
+    * Scale shape: the weighted edge list persists once; per round ONE
+    * shuffle (the min groupBy over the relaxed union, partial-agg'd
+    * map-side) with lineage truncated per round (the [[pageRank]]
+    * contract); state volume ≤ |seeds|·|reachable within maxHops|. */
+  def boundedSssp(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: Seq[Long], maxHops: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty && seeds.size <= 1024, "1..1024 seeds")
+    require(maxHops >= 1 && maxHops <= 100, "maxHops in [1, 100]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist()
+    try {
+      require(e.filter(col("w") < 0).isEmpty,
+        "boundedSssp requires non-negative weights")
+      var dist = truncate(seeds.map(s => (s, s, 0L)).toDF("seed", "node", "cost"))
+      var hop = 0
+      while (hop < maxHops) {
+        val relaxed = dist
+          .join(e, dist("node") === e("src"))
+          .select(col("seed"), col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+        val prev = dist
+        dist = truncate(dist.unionByName(relaxed)
+          .groupBy(col("seed"), col("node"))
+          .agg(min(col("cost")).as("cost")))
+        prev.unpersist(false)
+        hop += 1
+      }
+      dist
+    } finally { e.unpersist(false); () }
+  }
+
   /** Multi-source BFS shortest-hop distances — the reachability /
     * radius probe between [[Components]] ("same component at all") and
-    * weighted shortest paths (out of scope: hop counts are what link-
-    * graph audits and contamination-spread checks ask): for every seed
-    * the minimum hop count to each reachable node within `maxDepth`.
+    * weighted shortest paths ([[boundedSssp]]: hop counts are what
+    * link-graph audits and contamination-spread checks ask): for every
+    * seed the minimum hop count to each reachable node within
+    * `maxDepth`.
     *
     * Level-synchronous frontier expansion: per round ONE join of the
     * current frontier against the (symmetrized, persisted) edge list

@@ -2092,6 +2092,66 @@ object PipelineQueries extends QueryPack {
            |  CAST(sum(CASE WHEN s_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
            |  CAST(sum(CASE WHEN s_e6 > 0 THEN s_e6 ELSE 0 END) AS BIGINT) AS sum_pass_e6
            |FROM sc GROUP BY 1""".stripMargin
+      }),
+
+    Query(
+      "q261_bounded_sssp",
+      "Bounded-horizon WEIGHTED shortest paths (Graphs.boundedSssp — the weighted companion " +
+        "q243's BFS left out): minimum total edge weight from 3 seed nodes within 4 hops over " +
+        "the q243 block graph, symmetrized, with deterministic integer weights " +
+        "(src + dst) % 7 + 1 (symmetric by construction). Level-synchronous Bellman-Ford DP: " +
+        "exactly maxHops rounds, each ONE relaxation join + one partial-aggregated min groupBy " +
+        "with lineage truncated - no convergence probe, no priority queue, state bounded by " +
+        "|seeds| x |reachable within 4|. Non-negative weights make the <= 4-hop WALK minimum " +
+        "equal the simple-path minimum (dropping a cycle never raises cost or hops) - which is " +
+        "exactly what the oracle's UNROLLED 4-stage DP computes, one CTE per relaxation round, " +
+        "no recursive walk enumeration anywhere. Output: (seed, cost) histogram with node " +
+        "checksums.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val d0 = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + (idx + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx >= 45 && idx <= 48)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), base.as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        val e = d0.unionByName(d0.select($"dst".as("src"), $"src".as("dst")))
+          .withColumn("w", pmod($"src" + $"dst", lit(7L)) + 1L)
+        graft.pipeline.Graphs
+          .boundedSssp(e, "src", "dst", "w", seeds = Seq(0L, 50L, 100L), maxHops = 4)
+          .groupBy($"seed", $"cost")
+          .agg(count(lit(1)).as("n_nodes"), sum($"node").as("node_checksum"))
+      },
+      Some {
+        val relax = (k: Int) =>
+          s"""s$k AS (SELECT seed, node, min(cost) AS cost FROM (
+             |  SELECT seed, node, cost FROM s${k - 1}
+             |  UNION ALL
+             |  SELECT p.seed, e.dst, p.cost + e.w FROM s${k - 1} p JOIN e ON e.src = p.node
+             |) GROUP BY 1, 2)"""
+        s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+           |d0 AS (SELECT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 45 AS dst
+           |    FROM documents WHERE doc_id % 50 < 45
+           |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 BETWEEN 45 AND 48
+           |  UNION SELECT doc_id, doc_id - (doc_id % 50) FROM documents WHERE doc_id % 50 = 45
+           |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+           |e AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM
+           |  (SELECT src, dst FROM d0 UNION ALL SELECT dst, src FROM d0)),
+           |s0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS cost
+           |  FROM (VALUES (CAST(0 AS BIGINT)), (50), (100)) s(seed)),
+           |${relax(1)},
+           |${relax(2)},
+           |${relax(3)},
+           |${relax(4)}
+           |SELECT seed, cost, CAST(count(*) AS BIGINT) AS n_nodes,
+           |  CAST(sum(node) AS BIGINT) AS node_checksum
+           |FROM s4 GROUP BY 1, 2""".stripMargin
       })
   )
 

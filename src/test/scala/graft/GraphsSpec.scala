@@ -266,4 +266,51 @@ class GraphsSpec extends AnyFunSuite {
       assert(got == expect, s"k=$k")
     }
   }
+
+  test("boundedSssp: horizon truncation, shortcut-vs-chain, parallel-edge min, by hand") {
+    // 0 -> 1 -> 2 (weights 1, 1) and a direct 0 -> 2 shortcut at 5;
+    // parallel duplicate of the shortcut at 4 must win the min-collapse
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 5L), (0L, 2L, 4L))
+      .toDF("src", "dst", "w")
+    def run(hops: Int) = Graphs.boundedSssp(e, "src", "dst", "w", Seq(0L), hops)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(run(1) == Map(0L -> 0L, 1L -> 1L, 2L -> 4L)) // shortcut only, min of 4/5
+    assert(run(2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L)) // chain beats shortcut
+    // directed as given: nothing reaches back to 0
+    val back = Graphs.boundedSssp(e, "src", "dst", "w", Seq(2L), 3)
+      .as[(Long, Long, Long)].collect()
+    assert(back.toSeq == Seq((2L, 2L, 0L)))
+  }
+
+  test("boundedSssp matches a brute-force Bellman-Ford DP on a random weighted digraph") {
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 140)
+      .map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong, rng.nextInt(9).toLong))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 7L, 33L)
+    val maxHops = 5
+    // driver DP twin: d_k = relax(d_{k-1}) with parallel-edge min
+    val minW = edges.groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._3).min }
+    def brute(seed: Long): Map[Long, Long] = {
+      var d = Map(seed -> 0L)
+      for (_ <- 1 to maxHops) {
+        val relaxed = for (((u, v), w) <- minW.toSeq; du <- d.get(u)) yield v -> (du + w)
+        d = (d.toSeq ++ relaxed).groupBy(_._1).map { case (n, cs) => n -> cs.map(_._2).min }
+      }
+      d
+    }
+    val got = Graphs.boundedSssp(edges.toDF("src", "dst", "w").repartition(7),
+        "src", "dst", "w", seeds, maxHops)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(r => r._2 -> r._3).toMap }
+    seeds.foreach(s => assert(got(s) == brute(s), s"seed $s"))
+  }
+
+  test("boundedSssp rejects negative weights loudly") {
+    val e = Seq((0L, 1L, -1L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.boundedSssp(e, "src", "dst", "w", Seq(0L), 2)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
 }
