@@ -355,6 +355,81 @@ object Graphs {
     } finally { e.unpersist(false); () }
   }
 
+  /** HyperBall neighborhood function (Boldi & Vigna, "In-Core
+    * Computation of Geometric Centralities with HyperBall", 2013 — the
+    * published algorithm behind the Common-Crawl ranked-domain lists):
+    * for every node, the HLL sketch of its ball B_k = {u : a path
+    * u→…→node of ≤ k edges exists}, grown one radius per round by
+    * merging each node's registers into its out-neighbors' — register
+    * MAX-merge is exactly set union under the sketch, so the whole
+    * all-sources neighborhood function costs |V|·64 register rows per
+    * round instead of the |V|² of exact all-pairs BFS. Harmonic
+    * centrality, effective diameter and distance distributions are
+    * downstream arithmetic over the returned (node, radius, est_e4)
+    * profile.
+    *
+    * Determinism: the [[Sketches]] md5 register kit — the SAME
+    * registers on every run and engine, so the (by design approximate)
+    * estimate is EXACTLY replayable by an unrolled SQL twin; q197
+    * pins the register+estimate algebra cross-engine. Registers only
+    * grow, and the raw harmonic-mean estimator is monotone in them;
+    * the linear-counting handoff can still step non-monotonically, so
+    * harmonic accumulation downstream clamps deltas at 0.
+    *
+    * Scale shape: the edge list persists once; per round ONE
+    * partial-aggregated max-merge shuffle of |V|·64 register rows with
+    * lineage truncated (the [[pageRank]] contract); per-radius
+    * estimates are lazy projections over each round's truncated
+    * register table. Returns (node, radius, n_hit, sum_r, est_e4) for
+    * radius 0..maxRadius; edges are DIRECTED as given (symmetrize
+    * first for an undirected read; for classic harmonic centrality
+    * over in-distances, pass the edges reversed). */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRadius: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(maxRadius >= 1 && maxRadius <= 100, "maxRadius in [1, 100]")
+    val spark = edges.sparkSession
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+      var regs = truncate(Sketches.hllRegisters(
+        nodes, Seq("node"), col("node").cast("string")))
+      // each radius's |V|-row estimate is truncated EAGERLY before its
+      // register snapshot is dropped (a localCheckpointed table cannot
+      // recompute once unpersisted), so the returned union references
+      // only self-contained estimate frames
+      def estAt(k: Long): DataFrame = truncate(
+        Sketches.hllEstimate(regs, Seq("node")).withColumn("radius", lit(k)))
+      val perRadius = scala.collection.mutable.ArrayBuffer[DataFrame](estAt(0L))
+      var k = 0
+      while (k < maxRadius) {
+        k += 1
+        val flowed = regs.join(e, regs("node") === e("src"))
+          .select(col("dst").as("node"), col("bucket"), col("r"))
+        val prev = regs
+        regs = truncate(flowed.unionByName(prev.select(col("node"), col("bucket"), col("r")))
+          .groupBy(col("node"), col("bucket"))
+          .agg(max(col("r")).as("r")))
+        prev.unpersist(false)
+        perRadius += estAt(k.toLong)
+      }
+      regs.unpersist(false)
+      perRadius.reduce(_ unionByName _)
+        .select(col("node"), col("radius"), col("n_hit"), col("sum_r"), col("est_e4"))
+    } finally { e.unpersist(false); () }
+  }
+
   /** Multi-source BFS shortest-hop distances — the reachability /
     * radius probe between [[Components]] ("same component at all") and
     * weighted shortest paths ([[boundedSssp]]: hop counts are what

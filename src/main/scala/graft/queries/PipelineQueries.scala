@@ -2152,6 +2152,98 @@ object PipelineQueries extends QueryPack {
            |SELECT seed, cost, CAST(count(*) AS BIGINT) AS n_nodes,
            |  CAST(sum(node) AS BIGINT) AS node_checksum
            |FROM s4 GROUP BY 1, 2""".stripMargin
+      }),
+
+    Query(
+      "q262_harmonic_centrality",
+      "HyperBall harmonic centrality (Graphs.hyperBall — Boldi & Vigna 2013, the published " +
+        "algorithm behind the Common-Crawl ranked-domain lists): every node grows the " +
+        "deterministic-HLL sketch of its in-ball (register MAX-merge along edges = set union " +
+        "under the sketch), |V| x 64 register rows per round instead of all-pairs BFS, over " +
+        "the DIRECTED q243 block graph for 4 radii; harmonic mass H(v) = sum over k of " +
+        "max(0, |B_k| - |B_k-1|)/k accumulates in exact integers (deltas x (12 div k) - " +
+        "12 = lcm(1..4), so every division is exact; the linear-counting handoff's possible " +
+        "non-monotone step clamps at 0). The oracle replays the ENTIRE construction - md5 " +
+        "registers, 4 unrolled max-merge rounds, the e4 estimate algebra (shared constants " +
+        "with q197's cross-engine-pinned HLL), lag deltas, the same integer harmonic sum - " +
+        "and the top-20 (h desc, node) agree bit-for-bit. Output: the 20 most central nodes.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val d0 = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + (idx + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx >= 45 && idx <= 48)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), base.as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        val prof = graft.pipeline.Graphs.hyperBall(d0, "src", "dst", maxRadius = 4)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"node").orderBy($"radius")
+        prof
+          .withColumn("prev", lag($"est_e4", 1).over(w))
+          .filter($"radius" >= 1L)
+          .withColumn("contrib",
+            greatest($"est_e4" - $"prev", lit(0L)) * expr("12 div radius"))
+          .groupBy($"node")
+          .agg(sum($"contrib").as("h_12e4"))
+          .orderBy(desc("h_12e4"), asc("node"))
+          .limit(20)
+      },
+      Some {
+        import graft.pipeline.Sketches
+        val m = Sketches.M; val sc = Sketches.Scale; val rm = Sketches.RMax
+        val lcCases = Sketches.LcE4.zipWithIndex
+          .map { case (e4v, i) => s"WHEN ${i + 1} THEN $e4v" }.mkString(" ")
+        val inv = s"(inv_hit + ($m - n_hit) * (1::BIGINT << $sc))"
+        def rgK(k: Int) =
+          s"""rg$k AS (SELECT node, bucket, max(r) AS r FROM (
+             |  SELECT e.dst AS node, g.bucket, g.r FROM rg${k - 1} g JOIN d0 e ON e.src = g.node
+             |  UNION ALL SELECT node, bucket, r FROM rg${k - 1}) GROUP BY 1, 2)"""
+        def estK(k: Int) =
+          s"""a$k AS (SELECT node, count(*) AS n_hit,
+             |  sum(CASE WHEN r <= $sc THEN (1::BIGINT << ($sc - r)) ELSE 0 END) AS inv_hit
+             |  FROM rg$k GROUP BY 1),
+             |e$k AS (SELECT node, CAST($k AS BIGINT) AS radius,
+             |  CASE WHEN ${Sketches.EstNumer} / $inv <= ${Sketches.LcThreshold} AND $m - n_hit > 0
+             |    THEN CASE ($m - n_hit) $lcCases END
+             |    ELSE CAST(floor(${Sketches.EstNumer} / $inv * 10000.0 + 0.5) AS BIGINT) END AS est_e4
+             |  FROM a$k)"""
+        s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+           |d0 AS (SELECT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 45 AS dst
+           |    FROM documents WHERE doc_id % 50 < 45
+           |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 BETWEEN 45 AND 48
+           |  UNION SELECT doc_id, doc_id - (doc_id % 50) FROM documents WHERE doc_id % 50 = 45
+           |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+           |nodes AS (SELECT DISTINCT node FROM
+           |  (SELECT src AS node FROM d0 UNION ALL SELECT dst FROM d0)),
+           |rg0 AS (SELECT node, h % $m AS bucket,
+           |    max(CASE WHEN h // $m = 0 THEN $rm ELSE $rm - length(bin(h // $m)) END) AS r
+           |  FROM (SELECT node,
+           |    ('0x' || substr(md5(CAST(node AS VARCHAR) || '#hll'), 1, 15))::BIGINT AS h
+           |    FROM nodes)
+           |  GROUP BY 1, 2),
+           |${rgK(1)},
+           |${rgK(2)},
+           |${rgK(3)},
+           |${rgK(4)},
+           |${estK(0)},
+           |${estK(1)},
+           |${estK(2)},
+           |${estK(3)},
+           |${estK(4)},
+           |prof AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4),
+           |d AS (SELECT node, radius, est_e4,
+           |    lag(est_e4) OVER (PARTITION BY node ORDER BY radius) AS prev FROM prof)
+           |SELECT node,
+           |  CAST(sum(greatest(est_e4 - prev, 0) * (12 // radius)) AS BIGINT) AS h_12e4
+           |FROM d WHERE radius >= 1 GROUP BY 1
+           |ORDER BY h_12e4 DESC, node LIMIT 20""".stripMargin
       })
   )
 

@@ -313,4 +313,53 @@ class GraphsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("non-negative"))
   }
+
+  test("hyperBall: estimates replay EXACTLY from a driver BFS + register twin") {
+    import graft.pipeline.Sketches
+    // directed path 0 -> 1 -> 2 -> 3 with a 0 -> 2 shortcut: the ball
+    // of node v is its in-reachability set within the radius
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L))
+    val maxR = 3
+    val got = Graphs.hyperBall(edges.toDF("src", "dst"), "src", "dst", maxR)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // driver twin: exact in-balls by reversed BFS, then the identical
+    // register + estimate algebra from the public Sketches constants
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val inN = edges.groupBy(_._2).map { case (v, es) => v -> es.map(_._1).toSet }
+    def ball(v: Long, k: Int): Set[Long] = {
+      var b = Set(v)
+      for (_ <- 1 to k) b = b ++ b.flatMap(u => inN.getOrElse(u, Set.empty))
+      b
+    }
+    def estOf(members: Set[Long]): (Long, Long, Long) = {
+      val m = Sketches.M
+      val regs = members.toSeq
+        .map(v => Sketches.portableHashLocal(s"$v#hll"))
+        .map { h =>
+          val w = h / m
+          (h % m) -> (if (w == 0L) Sketches.RMax.toLong
+            else Sketches.RMax.toLong - (64 - java.lang.Long.numberOfLeadingZeros(w)))
+        }
+        .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+      val nHit = regs.size.toLong
+      val sumR = regs.values.sum
+      val invHit = regs.values.filter(_ <= Sketches.Scale)
+        .map(r => 1L << (Sketches.Scale - r)).sum
+      val v = m - nHit
+      val inv = invHit + v * (1L << Sketches.Scale)
+      val raw = Sketches.EstNumer / inv
+      val est = if (raw <= Sketches.LcThreshold && v > 0) Sketches.LcE4((v - 1).toInt)
+        else math.floor(raw * 10000.0 + 0.5).toLong
+      (nHit, sumR, est)
+    }
+    for (v <- nodes; k <- 0 to maxR) {
+      val want = estOf(ball(v, k))
+      assert(got((v, k)) == want, s"node $v radius $k: ${got((v, k))} vs $want")
+    }
+    // shape sanity: ball growth is monotone in n_hit; node 0 never grows
+    assert(got((0L, 0L)) == got((0L, 3L)))
+    assert(got((3L, 3L))._1 >= got((3L, 1L))._1)
+  }
 }
