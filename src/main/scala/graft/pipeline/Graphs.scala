@@ -599,4 +599,139 @@ object Graphs {
       surv
     } finally { e.unpersist(false); () }
   }
+
+  /** Deterministic uniform random-walk corpus (the sampling stage of
+    * DeepWalk, Perozzi et al. 2014 / node2vec with p=q=1, Grover &
+    * Leskovec 2016): `walksPerNode` walks of `walkLength` steps from
+    * every source node of `edges`, each step choosing a neighbor by
+    * an engine-portable hash draw instead of `rand()` — at 100 TB the
+    * walk corpus must be reproducible across re-runs, cluster sizes
+    * and partial re-processing, exactly like [[Sampling]]'s split
+    * contract. Step t from node u picks neighbor rank
+    * `portableHash(start#walk#t, salt) % outdeg(u)` in the
+    * `dst`-sorted adjacency. Walks stop early at a dangling node
+    * (no out-edges) — symmetrize first if every walk must run full
+    * length.
+    *
+    * Returns (start, walk, step, node) for steps 0..walkLength, one
+    * row per visited position — the (context, center) pair stream a
+    * skip-gram trainer consumes after windowing.
+    *
+    * Scale shape: the ranked adjacency (one `row_number`+`count`
+    * window keyed by src — the only wide sort, sized |E|) persists
+    * once; each step is ONE equi-join against it (node = src, with
+    * the hash-drawn rank checked in the join residual), broadcast-able
+    * when the graph is small and a hash join otherwise. The unrolled
+    * steps stay declarative joins — no per-step driver round — and
+    * one terminal action materializes the corpus (lineage truncated,
+    * adjacency cache released). State is |V| x walksPerNode rows per
+    * step, never paths (the caller re-assembles by (start, walk,
+    * step)). */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int, walkLength: Int, salt: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64, "walksPerNode in [1, 64]")
+    require(walkLength >= 1 && walkLength <= 16,
+      s"walkLength in [1, 16] (unrolled plan — depth is the bound): $walkLength")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"src").orderBy($"dst")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+    val adj = dir0
+      .withColumn("rank", row_number().over(w).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(wAll))
+      .persist()
+    try {
+      val starts = adj.select($"src".as("start")).distinct()
+      val walkIds = (0 until walksPerNode).map(_.toLong).toDF("walk")
+      var frontier = starts.crossJoin(broadcast(walkIds))
+        .select($"start", $"walk", lit(0L).as("step"), $"start".as("node"))
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+      for (t <- 1 to walkLength) {
+        // dataset aliases: frontier derives from adj after step 1, so
+        // unqualified columns would be ambiguous in the self-join
+        val f = frontier.as("f")
+        val a = adj.as("a")
+        val h = TextAnalysis.portableHash(
+          concat_ws("#", col("f.start"), col("f.walk"), lit(t.toLong)), lit(salt))
+        val next = f
+          .join(a, col("f.node") === col("a.src") && col("a.rank") === pmod(h, col("a.deg")))
+          .select(col("f.start").as("start"), col("f.walk").as("walk"),
+            lit(t.toLong).as("step"), col("a.dst").as("node"))
+        levels += next
+        frontier = next
+      }
+      truncate(levels.reduce(_.unionByName(_)))
+    } finally { adj.unpersist(false); () }
+  }
+
+  /** Neighborhood link-prediction scores (Liben-Nowell & Kleinberg
+    * 2003) for every non-adjacent pair sharing >= 1 neighbor in the
+    * symmetrized graph: common-neighbor count, resource-allocation
+    * index (Zhou et al. 2009 — Adamic-Adar's 1/deg sibling, kept in
+    * EXACT integers as sum of `1e8 div deg(z)` so the score is
+    * bit-identical under any partitioning and in any engine; 1/log
+    * would hang the hash compare on the engines' last-ulp `ln`), and
+    * neighborhood Jaccard as e4 integer division. The standard
+    * candidate generator for graph-based entity resolution and
+    * crawl-frontier scoring.
+    *
+    * Scale shape: wedges form on the shared-neighbor EQUI-join
+    * (e(z,a) x e(z,b), a < b) — volume is sum_z deg(z)^2, so hubs
+    * above `maxDegree` are dropped from the wedge midpoint role
+    * first (the star-cap every production LSH/blocking stage applies;
+    * a 1M-degree hub would otherwise emit 10^12 wedges while carrying
+    * ~zero link signal). One partial-aggregated groupBy(a, b)
+    * collapses wedges; degree joins broadcast. Existing edges leave
+    * via one anti-join. One terminal action materializes the scores
+    * (lineage truncated, caches released). */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 10000,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = dir0
+      .unionByName(dir0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist()
+    try {
+      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val mid = e.join(deg, e("src") === deg("node"))
+        .filter($"deg" <= maxDegree)
+        .select($"src".as("z"), $"dst".as("nbr"), $"deg".as("zdeg"))
+      val wedges = mid.select($"z", $"nbr".as("a"), $"zdeg")
+        .join(mid.select($"z", $"nbr".as("b")), Seq("z"))
+        .filter($"a" < $"b")
+      val scored = wedges.groupBy($"a", $"b")
+        .agg(count(lit(1)).as("cn"),
+          sum(expr("100000000 div zdeg")).as("ra_e8"))
+      val nonEdges = scored.join(
+        e.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"), "left_anti")
+      truncate(nonEdges
+        .join(deg.select($"node".as("a"), $"deg".as("deg_a")), Seq("a"))
+        .join(deg.select($"node".as("b"), $"deg".as("deg_b")), Seq("b"))
+        .select($"a", $"b", $"cn", $"ra_e8",
+          expr("(cn * 10000) div (deg_a + deg_b - cn)").as("jaccard_e4")))
+    } finally { e.unpersist(false); () }
+  }
 }

@@ -2244,7 +2244,114 @@ object PipelineQueries extends QueryPack {
            |  CAST(sum(greatest(est_e4 - prev, 0) * (12 // radius)) AS BIGINT) AS h_12e4
            |FROM d WHERE radius >= 1 GROUP BY 1
            |ORDER BY h_12e4 DESC, node LIMIT 20""".stripMargin
-      })
+      }),
+
+    Query(
+      "q263_random_walks",
+      "Deterministic random-walk corpus (Graphs.randomWalks — the sampling stage of DeepWalk / " +
+        "node2vec p=q=1, the input a skip-gram embedding trainer consumes): 2 walks of 4 steps " +
+        "from every node of the symmetrized q243 block graph, each step drawing the neighbor " +
+        "rank from the engine-portable md5 hash of (start#walk#step#salt) mod outdeg in the " +
+        "dst-sorted adjacency — rand() would make the corpus unreproducible across re-runs and " +
+        "cluster sizes. The ranked adjacency is ONE row_number window; every step is one " +
+        "equi-join against it with the drawn rank in the join residual, no per-step driver " +
+        "round. Output: every visited (start, walk, step, node) position, hash-checked row for " +
+        "row — the oracle replays the identical adjacency ranking and all 4 hash draws.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val d0 = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + (idx + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx >= 45 && idx <= 48)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), base.as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        val e = d0.unionByName(d0.select($"dst".as("src"), $"src".as("dst")))
+        graft.pipeline.Graphs
+          .randomWalks(e, "src", "dst", walksPerNode = 2, walkLength = 4, salt = "rw15")
+      },
+      Some {
+        def step(t: Int) =
+          s"""s$t AS (SELECT p.start, p.walk, CAST($t AS BIGINT) AS step, a.dst AS node
+             |  FROM s${t - 1} p JOIN adj a ON a.src = p.node
+             |   AND a.rank = (('0x' || substr(md5(CAST(p.start AS VARCHAR) || '#' ||
+             |     CAST(p.walk AS VARCHAR) || '#$t#rw15'), 1, 15))::BIGINT) % a.deg)"""
+        s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+           |d0 AS (SELECT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 45 AS dst
+           |    FROM documents WHERE doc_id % 50 < 45
+           |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 BETWEEN 45 AND 48
+           |  UNION SELECT doc_id, doc_id - (doc_id % 50) FROM documents WHERE doc_id % 50 = 45
+           |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+           |e AS (SELECT DISTINCT src, dst FROM
+           |  (SELECT src, dst FROM d0 UNION ALL SELECT dst, src FROM d0) WHERE src != dst),
+           |adj AS (SELECT src, dst,
+           |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rank,
+           |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e),
+           |s0 AS (SELECT s.src AS start, w.walk, CAST(0 AS BIGINT) AS step, s.src AS node
+           |  FROM (SELECT DISTINCT src FROM adj) s,
+           |       (VALUES (CAST(0 AS BIGINT)), (1)) w(walk)),
+           |${step(1)},
+           |${step(2)},
+           |${step(3)},
+           |${step(4)}
+           |SELECT start, walk, step, node FROM s0
+           |UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4""".stripMargin
+      }),
+
+    Query(
+      "q264_link_prediction",
+      "Neighborhood link-prediction scores (Graphs.linkPrediction — Liben-Nowell & Kleinberg " +
+        "2003, the candidate generator of graph-based entity resolution and crawl-frontier " +
+        "scoring) over q194's triangle-rich block graph: for every NON-adjacent pair sharing " +
+        ">= 1 neighbor, the common-neighbor count, the resource-allocation index (Zhou 2009) " +
+        "as the EXACT integer sum of 1e8 div deg(z) — 1/log Adamic-Adar would hang the hash " +
+        "compare on the engines' last-ulp ln — and neighborhood Jaccard as e4 integer " +
+        "division. Wedges form on the shared-neighbor equi-join with hub midpoints capped " +
+        "(the star-cap bound), one partial-aggregated groupBy collapses them, existing edges " +
+        "anti-join out. Output: the 40 strongest candidates by (ra_e8, a, b).",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val e = docs.select($"doc_id".as("src"), (base + (idx + 1) % 50).as("dst"))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx + 2) % 50).as("dst")))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx * 7 + 3) % 50).as("dst")))
+          .unionByName(docs.filter($"doc_id" % 37 === 0)
+            .select($"doc_id".as("src"), (($"doc_id" + 50) % n).as("dst")))
+        graft.pipeline.Graphs.linkPrediction(e, "src", "dst", maxDegree = 1000)
+          .orderBy(desc("ra_e8"), asc("a"), asc("b"))
+          .limit(40)
+      },
+      Some("""WITH cnt AS (SELECT count(*) AS n FROM documents),
+             |d AS (SELECT src, dst FROM (
+             |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 50 AS dst FROM documents
+             |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 2) % 50 FROM documents
+             |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) * 7 + 3) % 50 FROM documents
+             |  UNION SELECT doc_id, (doc_id + 50) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 37 = 0
+             |) WHERE src != dst),
+             |e AS (SELECT DISTINCT src, dst FROM
+             |  (SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d)),
+             |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+             |wedge AS (SELECT e1.dst AS a, e2.dst AS b, g.deg AS zdeg
+             |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+             |  JOIN deg g ON g.node = e1.src WHERE g.deg <= 1000),
+             |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+             |    CAST(sum(100000000 // zdeg) AS BIGINT) AS ra_e8
+             |  FROM wedge GROUP BY 1, 2),
+             |ne AS (SELECT sc.* FROM sc LEFT JOIN e ON e.src = sc.a AND e.dst = sc.b
+             |  WHERE e.src IS NULL)
+             |SELECT ne.a, ne.b, ne.cn, ne.ra_e8,
+             |  CAST((ne.cn * 10000) // (da.deg + db.deg - ne.cn) AS BIGINT) AS jaccard_e4
+             |FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
+             |ORDER BY ne.ra_e8 DESC, ne.a, ne.b LIMIT 40""".stripMargin))
   )
 
   /** q250's fixture: the Gather/LayerNorm/residual-era DAG — a 16x8

@@ -362,4 +362,74 @@ class GraphsSpec extends AnyFunSuite {
     assert(got((0L, 0L)) == got((0L, 3L)))
     assert(got((3L, 3L))._1 >= got((3L, 1L))._1)
   }
+
+  test("randomWalks: every position replays from a driver hash-draw twin; dangling stops") {
+    import graft.pipeline.Sketches
+    // 4 is dangling (5 -> 4, no out-edges): walks stop there early
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L), (5L, 4L))
+    val (walks, len, salt) = (3, 4, "twalk")
+    val got = Graphs.randomWalks(edges.toDF("src", "dst"), "src", "dst", walks, len, salt)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // driver twin: dst-sorted ranked adjacency + the identical md5 draw
+    val adj = edges.distinct.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).distinct.sorted
+    }
+    var want = Map.empty[(Long, Long, Long), Long]
+    for (start <- adj.keys; w <- 0 until walks) {
+      var node = start
+      want += ((start, w.toLong, 0L) -> node)
+      var t = 1
+      var alive = true
+      while (t <= len && alive) {
+        adj.get(node) match {
+          case Some(nbrs) =>
+            val h = Sketches.portableHashLocal(s"$start#$w#$t#$salt")
+            node = nbrs((h % nbrs.size).toInt)
+            want += ((start, w.toLong, t.toLong) -> node)
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    assert(got == want, s"${got.toSeq.sorted.take(8)} vs ${want.toSeq.sorted.take(8)}")
+    // walks from 5 stop at step 1 (node 4 is dangling)
+    assert(got.contains((5L, 0L, 1L)) && !got.contains((5L, 0L, 2L)))
+    // step-0 positions exist only for nodes WITH out-edges
+    assert(!got.keys.exists(_._1 == 4L))
+    // determinism: a second run is bit-identical
+    val again = Graphs.randomWalks(edges.toDF("src", "dst"), "src", "dst", walks, len, salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(again == got)
+  }
+
+  test("linkPrediction: scores replay from a brute-force twin; star-cap drops hub wedges") {
+    // square 0-1-2-3-0 plus chord 0-2: candidate pairs are (1,3)
+    // through {0, 2}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+    val got = Graphs.linkPrediction(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // brute-force twin over the symmetrized neighbor sets
+    val und = edges.flatMap(e => Seq(e, (e._2, e._1))).distinct
+    val nbrs = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val nodes = nbrs.keys.toSeq.sorted
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && !nbrs(a).contains(b)
+      common = nbrs(a) & nbrs(b) if common.nonEmpty
+    } yield {
+      val ra = common.toSeq.map(z => 100000000L / nbrs(z).size).sum
+      val j = common.size * 10000L / (nbrs(a).size + nbrs(b).size - common.size)
+      (a, b) -> ((common.size.toLong, ra, j))
+    }).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got.contains((1L, 3L)) && got((1L, 3L))._1 == 2L)
+    // star-cap: with maxDegree 2, node 0 (degree 3) and node 2
+    // (degree 3) stop mediating — no candidate survives
+    val capped = Graphs.linkPrediction(edges.toDF("src", "dst"), "src", "dst", maxDegree = 2)
+      .count()
+    assert(capped == 0L, s"degree-capped wedges must vanish: $capped")
+  }
 }
