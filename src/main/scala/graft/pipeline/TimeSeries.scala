@@ -66,4 +66,43 @@ object TimeSeries {
         col("__st").getField("flags").as("n_flags"),
         col("__st").getField("ranksum").as("flag_ranksum"))
   }
+
+  /** Seasonal-baseline anomaly gate — the time-of-day/day-of-week
+    * profile monitor every ingest pipeline runs before trusting a new
+    * batch (traffic at 3am is NOT anomalous because it is below the
+    * daily mean; it is anomalous when it deviates from the 3am
+    * baseline). Each row is compared against its own seasonal CELL
+    * (`cellCols`, e.g. (event_type, hour-of-day)): flagged when
+    * |v − mean_cell| > k·stddev_cell, evaluated in EXACT integer
+    * arithmetic so the gate is bit-identical under any partitioning
+    * and in any engine — the k-sigma test cross-multiplies to
+    * (v·n − Σv)² > k²·(n·Σv² − (Σv)²) over e-quantized values, carried
+    * in decimal(38,0) (the sums would overflow a long at corpus
+    * scale; 38 digits cover 1e12 rows of e2 values with room). A
+    * single-member cell never flags (both sides are 0).
+    *
+    * Scale shape: one partial-aggregated groupBy over the seasonal
+    * cells (cardinality = the seasonality arity — bounded by
+    * definition, e.g. 5 types x 24 hours), broadcast back onto the
+    * scan: the corpus is read ONCE, map-side, no row-level shuffle
+    * anywhere. Returns the input columns plus (n_cell, is_anomaly). */
+  def seasonalAnomaly(df: DataFrame, cellCols: Seq[String], valueE: Column,
+      k: Int): DataFrame = {
+    require(cellCols.nonEmpty, "need at least one seasonal cell column")
+    require(k >= 1 && k <= 100, s"k in [1, 100]: $k")
+    val dec = "decimal(38,0)"
+    val v = valueE.cast("long")
+    val cells = df.groupBy(cellCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(v).cast(dec).as("__s"),
+        sum(v.cast(dec) * v.cast(dec)).as("__ss"))
+    val joined = df.join(broadcast(cells), cellCols)
+    val lhs = v.cast(dec) * col("__n") - col("__s")
+    val rhs = lit(k.toLong * k).cast(dec) *
+      (col("__n") * col("__ss") - col("__s") * col("__s"))
+    joined
+      .withColumn("n_cell", col("__n").cast("long"))
+      .withColumn("is_anomaly", (lhs * lhs > rhs).cast("long"))
+      .drop("__n", "__s", "__ss")
+  }
 }

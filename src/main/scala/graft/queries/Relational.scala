@@ -1216,6 +1216,46 @@ object Relational extends QueryPack {
              |SELECT coalesce(struct_extract(last_t, 'channel'), 'unattributed') AS last_channel,
              |  coalesce(struct_extract(first_t, 'channel'), 'unattributed') AS first_channel,
              |  CAST(count(*) AS BIGINT) AS n_purchases
-             |FROM j GROUP BY 1, 2""".stripMargin))
+             |FROM j GROUP BY 1, 2""".stripMargin)),
+
+    Query(
+      "q265_seasonal_anomaly",
+      "Seasonal-baseline anomaly gate (TimeSeries.seasonalAnomaly — the time-of-day profile " +
+        "monitor ingest pipelines run before trusting a batch: 3am traffic is anomalous " +
+        "against the 3am baseline, not the daily mean): each event's cents value against its " +
+        "(event_type, hour-of-day) cell, flagged when |v - mean| > 3 sigma via the EXACT " +
+        "cross-multiplied integer test (v*n - S)^2 > 9*(n*SS - S^2) in decimal(38,0) — no " +
+        "float mean/stddev, so the gate is bit-identical under any partitioning and engine, " +
+        "and single-member cells never flag. One bounded groupBy over the 120 seasonal cells " +
+        "broadcast back onto the scan: the corpus is read once, map-side, zero row shuffles. " +
+        "Output: per cell, event count, anomaly count and the anomalous-id checksum.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .withColumn("hr", expr("(ts div 3600000000000) % 24"))
+          .withColumn("vc", cents($"value"))
+        graft.pipeline.TimeSeries
+          .seasonalAnomaly(ev, Seq("event_type", "hr"), $"vc", k = 3)
+          .groupBy($"event_type", $"hr")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"is_anomaly").as("n_anom"),
+            sum(when($"is_anomaly" === 1L, $"event_id").otherwise(0L)).as("anom_id_sum"))
+      },
+      Some("""WITH v AS (SELECT event_id, event_type,
+             |    ((epoch_us(ts) * 1000) // 3600000000000) % 24 AS hr,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events),
+             |c AS (SELECT event_type, hr, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(vc) AS HUGEINT) AS s,
+             |    sum(CAST(vc AS HUGEINT) * vc) AS ss
+             |  FROM v GROUP BY 1, 2),
+             |f AS (SELECT v.*, c.n,
+             |    CASE WHEN (CAST(v.vc AS HUGEINT) * c.n - c.s) * (CAST(v.vc AS HUGEINT) * c.n - c.s)
+             |      > 9 * (c.n * c.ss - c.s * c.s) THEN 1 ELSE 0 END AS is_anomaly
+             |  FROM v JOIN c ON c.event_type = v.event_type AND c.hr = v.hr)
+             |SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(is_anomaly) AS BIGINT) AS n_anom,
+             |  CAST(sum(CASE WHEN is_anomaly = 1 THEN event_id ELSE 0 END) AS BIGINT) AS anom_id_sum
+             |FROM f GROUP BY 1, 2""".stripMargin))
   )
 }

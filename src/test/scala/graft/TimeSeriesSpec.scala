@@ -100,4 +100,35 @@ class TimeSeriesSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("seasonalAnomaly: flags replay from a brute k-sigma twin; edge cells never flag") {
+    val rng = new scala.util.Random(7)
+    // two cells: cell "a" tight around 100 with one wild point, cell
+    // "b" a single member (must never flag), cell "c" constant
+    val rows =
+      (0 until 40).map(i => (i.toLong, "a", 100L + rng.nextLong(11) - 5)) ++
+        Seq((100L, "a", 5000L), (200L, "b", 777L)) ++
+        (0 until 10).map(i => (300L + i, "c", 42L))
+    for (nPart <- Seq(1, 7)) {
+      val df = rows.toDF("id", "cell", "v").repartition(nPart)
+      val got = TimeSeries.seasonalAnomaly(df, Seq("cell"), col("v"), k = 3)
+        .select($"id", $"n_cell", $"is_anomaly")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // brute twin: per cell, exact integer cross-multiplied k-sigma
+      val byCell = rows.groupBy(_._2)
+      val want = rows.map { case (id, cell, v) =>
+        val vs = byCell(cell).map(_._3)
+        val (n, s) = (BigInt(vs.size), BigInt(vs.sum))
+        val ss = vs.map(x => BigInt(x) * x).sum
+        val lhs = BigInt(v) * n - s
+        id -> ((vs.size.toLong,
+          if (lhs * lhs > 9 * (n * ss - s * s)) 1L else 0L))
+      }.toMap
+      assert(got == want, s"nPart=$nPart")
+      assert(got(100L)._2 == 1L, "the wild point must flag")
+      assert(got(200L)._2 == 0L, "a single-member cell must never flag")
+      assert((300L until 310L).forall(got(_)._2 == 0L), "constant cell never flags")
+      assert(got.values.count(_._2 == 1L) >= 1)
+    }
+  }
 }
