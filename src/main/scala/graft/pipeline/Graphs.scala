@@ -734,4 +734,116 @@ object Graphs {
           expr("(cn * 10000) div (deg_a + deg_b - cn)").as("jaccard_e4")))
     } finally { e.unpersist(false); () }
   }
+
+  /** Pivot-sampled betweenness centrality (Brandes 2001 accumulation,
+    * Brandes & Pich 2007 pivot sampling, bounded horizon à la
+    * k-betweenness) over the SYMMETRIZED graph — the broker/bridge
+    * signal the other centralities miss: PageRank and harmonic rank
+    * WELL-CONNECTED nodes, betweenness ranks nodes that shortest
+    * paths must PASS THROUGH (the cut vertices a crawl-graph
+    * curation wants to keep even when their own degree is low).
+    * Exact all-pairs Brandes is O(|V|·|E|) — the published estimator
+    * runs the two Brandes phases from a fixed pivot set only, and the
+    * horizon bound caps both phases at `maxDepth` rounds.
+    *
+    * Like [[pageRank]], the dependency accumulation is defined in
+    * INTEGER arithmetic so the result is bit-exact under any
+    * partitioning and replayable by an external engine: with σ the
+    * shortest-path counts from the forward BFS,
+    * δ_d(v) = Σ_{(v,w)∈E, w at depth d+1} σ_v·(Base + δ(w)) div σ_w
+    * — each edge contribution one long division (rounds down at most
+    * one e9-unit per successor edge vs the float recursion), every
+    * sum order-free. Returns (node, bc_e9): Σ over pivots of δ(node),
+    * nodes with zero accumulated dependency absent; divide by |pivots|
+    * ·Base for the per-pivot estimate. Magnitude contract:
+    * |ball(pivot)|·Base·σ_max must fit a long — holds for any bounded
+    * horizon on bounded-degree graphs; the driver does NOT check σ
+    * overflow (σ is path COUNTS — astronomically branching graphs
+    * need a smaller maxDepth).
+    *
+    * Scale shape: the symmetrized edge list persists once; the
+    * forward phase is [[multiSourceBfs]]'s contract (per round one
+    * expand join + one partial-aggregated σ sum, anti-join against
+    * only the LAST TWO frontiers — valid because the graph is
+    * symmetrized), the backward phase one join + one
+    * partial-aggregated sum per round, both lineage-truncated; state
+    * is |pivots| × (ball size) rows per level, never paths. 2·maxDepth
+    * driver rounds total. */
+  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
+      pivots: Seq[Long], maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(pivots.nonEmpty && pivots.size <= 1024, "1..1024 pivots")
+    require(maxDepth >= 1 && maxDepth <= 32, "maxDepth in [1, 32]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    def truncateCounted(df: DataFrame): (DataFrame, Long) =
+      if (checkpointDir.isDefined) { val t = df.checkpoint(true); (t, t.count()) }
+      else { val t = df.localCheckpoint(false); (t, t.queryExecution.toRdd.count()) }
+
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = dir0
+      .unionByName(dir0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist()
+    try {
+      // ---- forward: levels(d) = (pivot, node, sigma) at depth d ----
+      val init = truncate(pivots.map(p => (p, p, 1L)).toDF("pivot", "node", "sigma"))
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](init)
+      var prevFrontier: DataFrame = null
+      var frontier = init
+      var depth = 0
+      var done = false
+      while (depth < maxDepth && !done) {
+        depth += 1
+        val expanded = frontier
+          .join(e, frontier("node") === e("src"))
+          .groupBy(col("pivot"), col("dst").as("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+        val lessFrontier = expanded.join(
+          frontier.select(col("pivot"), col("node")), Seq("pivot", "node"), "left_anti")
+        val (next, nNext) = truncateCounted(
+          if (prevFrontier == null) lessFrontier
+          else lessFrontier.join(
+            prevFrontier.select(col("pivot"), col("node")), Seq("pivot", "node"), "left_anti"))
+        done = nNext == 0L
+        if (!done) {
+          levels += next
+          prevFrontier = frontier
+          frontier = next
+        }
+      }
+      // ---- backward: deltas per level, deepest first ----
+      val horizon = levels.size - 1
+      var deltas = levels(horizon).withColumn("delta", lit(0L))
+      val acc = scala.collection.mutable.ArrayBuffer[DataFrame](deltas)
+      for (d <- (horizon - 1) to 1 by -1) {
+        val v = levels(d).select($"pivot", $"node".as("vnode"), $"sigma".as("vsig"))
+        val w = deltas.select($"pivot", $"node".as("wnode"),
+          $"sigma".as("wsig"), $"delta".as("wdelta"))
+        val contrib = v
+          .join(e, $"vnode" === e("src"))
+          .join(w, Seq("pivot")).where($"dst" === $"wnode")
+          .groupBy($"pivot", $"vnode")
+          .agg(sum(expr(s"vsig * ($Base + wdelta) div wsig")).as("dd"))
+        deltas = truncate(levels(d)
+          .join(contrib.select($"pivot", $"vnode".as("node"), $"dd"),
+            Seq("pivot", "node"), "left")
+          .withColumn("delta", coalesce($"dd", lit(0L)))
+          .select($"pivot", $"node", $"sigma", $"delta"))
+        acc += deltas
+      }
+      truncate(acc.reduce(_.unionByName(_))
+        .groupBy($"node")
+        .agg(sum($"delta").as("bc_e9"))
+        .filter($"bc_e9" > 0L))
+    } finally { e.unpersist(false); () }
+  }
 }

@@ -2351,7 +2351,79 @@ object PipelineQueries extends QueryPack {
              |SELECT ne.a, ne.b, ne.cn, ne.ra_e8,
              |  CAST((ne.cn * 10000) // (da.deg + db.deg - ne.cn) AS BIGINT) AS jaccard_e4
              |FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
-             |ORDER BY ne.ra_e8 DESC, ne.a, ne.b LIMIT 40""".stripMargin))
+             |ORDER BY ne.ra_e8 DESC, ne.a, ne.b LIMIT 40""".stripMargin)),
+
+    Query(
+      "q266_betweenness",
+      "Pivot-sampled betweenness centrality (Graphs.betweenness — Brandes 2001 accumulation " +
+        "from a Brandes-Pich 2007 pivot set, horizon-bounded): the broker signal PageRank and " +
+        "harmonic centrality miss — nodes shortest paths must PASS THROUGH — over the q243 " +
+        "block graph from 3 pivots within 4 hops. Both Brandes phases run level-synchronous " +
+        "(forward: sigma path-count sums with the two-frontier anti-join, valid on the " +
+        "symmetrized graph; backward: the dependency recursion delta_d(v) = sum over " +
+        "successors w of sigma_v*(1e9 + delta(w)) div sigma_w in EXACT long arithmetic — the " +
+        "float recursion would differ in the last ulp between shuffle orders). The oracle " +
+        "UNROLLS all 8 rounds: 4 sigma CTEs with NOT-EXISTS frontier exclusion, 4 dependency " +
+        "CTEs deepest-first, same integer divisions. Output: every node with positive " +
+        "accumulated dependency, exact to the e9 unit.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val d0 = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + (idx + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx >= 45 && idx <= 48)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), base.as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        graft.pipeline.Graphs
+          .betweenness(d0, "src", "dst", pivots = Seq(0L, 70L, 145L), maxDepth = 4)
+      },
+      Some {
+        def fwd(k: Int) = {
+          val prevEx = if (k >= 2)
+            s""" AND NOT EXISTS (SELECT 1 FROM f${k - 2} q
+               |    WHERE q.pv = x.pv AND q.node = x.node)""" else ""
+          s"""x$k AS (SELECT p.pv, e.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+             |  FROM f${k - 1} p JOIN e ON e.src = p.node GROUP BY 1, 2),
+             |f$k AS (SELECT x.pv, x.node, x.sigma FROM x$k x
+             |  WHERE NOT EXISTS (SELECT 1 FROM f${k - 1} q
+             |    WHERE q.pv = x.pv AND q.node = x.node)$prevEx)"""
+        }
+        def bwd(k: Int) =
+          s"""d$k AS (SELECT v.pv, v.node, v.sigma, CAST(coalesce(c.dd, 0) AS BIGINT) AS delta
+             |  FROM f$k v LEFT JOIN (
+             |    SELECT v2.pv, v2.node, sum(v2.sigma * (1000000000 + w.delta) // w.sigma) AS dd
+             |    FROM f$k v2 JOIN e ON e.src = v2.node
+             |    JOIN d${k + 1} w ON w.pv = v2.pv AND w.node = e.dst
+             |    GROUP BY 1, 2) c ON c.pv = v.pv AND c.node = v.node)"""
+        s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+           |d0e AS (SELECT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 45 AS dst
+           |    FROM documents WHERE doc_id % 50 < 45
+           |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 BETWEEN 45 AND 48
+           |  UNION SELECT doc_id, doc_id - (doc_id % 50) FROM documents WHERE doc_id % 50 = 45
+           |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+           |e AS (SELECT DISTINCT src, dst FROM
+           |  (SELECT src, dst FROM d0e UNION ALL SELECT dst, src FROM d0e)),
+           |f0 AS (SELECT pv, pv AS node, CAST(1 AS BIGINT) AS sigma
+           |  FROM (VALUES (CAST(0 AS BIGINT)), (70), (145)) p(pv)),
+           |${fwd(1)},
+           |${fwd(2)},
+           |${fwd(3)},
+           |${fwd(4)},
+           |d4 AS (SELECT pv, node, sigma, CAST(0 AS BIGINT) AS delta FROM f4),
+           |${bwd(3)},
+           |${bwd(2)},
+           |${bwd(1)}
+           |SELECT node, CAST(sum(delta) AS BIGINT) AS bc_e9 FROM (
+           |  SELECT node, delta FROM d1 UNION ALL SELECT node, delta FROM d2
+           |  UNION ALL SELECT node, delta FROM d3 UNION ALL SELECT node, delta FROM d4)
+           |GROUP BY 1 HAVING sum(delta) > 0""".stripMargin
+      })
   )
 
   /** q250's fixture: the Gather/LayerNorm/residual-era DAG — a 16x8

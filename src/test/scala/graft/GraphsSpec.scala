@@ -432,4 +432,62 @@ class GraphsSpec extends AnyFunSuite {
       .count()
     assert(capped == 0L, s"degree-capped wedges must vanish: $capped")
   }
+
+  /** Driver twin of Graphs.betweenness: same symmetrization, BFS sigma
+    * counts, and INTEGER dependency recursion. */
+  private def bruteBetweenness(edges: Seq[(Long, Long)], pivots: Seq[Long],
+      maxDepth: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, (e._2, e._1))).distinct
+    val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val bc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (p <- pivots) {
+      var levels = Vector(Map(p -> 1L))
+      var done = false
+      while (levels.size <= maxDepth && !done) {
+        val seen = levels.takeRight(2).flatMap(_.keys).toSet
+        val next = levels.last.toSeq
+          .flatMap { case (u, s) => adj.getOrElse(u, Nil).map(_ -> s) }
+          .filterNot(x => seen.contains(x._1) ||
+            levels.dropRight(2).exists(_.contains(x._1)))
+          .groupBy(_._1).map { case (v, ss) => v -> ss.map(_._2).sum }
+        if (next.isEmpty) done = true else levels :+= next
+      }
+      var delta = levels.last.map { case (v, _) => v -> 0L }
+      for (d <- (levels.size - 2) to 1 by -1) {
+        val wSig = levels(d + 1)
+        delta = levels(d).map { case (v, sv) =>
+          v -> adj.getOrElse(v, Nil)
+            .filter(wSig.contains)
+            .map(w => sv * (Graphs.Base + delta(w)) / wSig(w))
+            .sum
+        }
+        delta.foreach { case (v, dl) => bc(v) += dl }
+      }
+    }
+    bc.toMap.filter(_._2 > 0)
+  }
+
+  test("betweenness: path, diamond, and a random graph replay the exact integer Brandes twin") {
+    def run(edges: Seq[(Long, Long)], pivots: Seq[Long], depth: Int): Map[Long, Long] =
+      Graphs.betweenness(edges.toDF("src", "dst"), "src", "dst", pivots, depth)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val B = Graphs.Base
+    // path 0-1-2-3-4 from pivot 0: classic 3B/2B/B ramp
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(run(path, Seq(0L), 4) == Map(1L -> 3 * B, 2L -> 2 * B, 3L -> B))
+    // bounded horizon truncates the ramp
+    assert(run(path, Seq(0L), 2) == Map(1L -> B))
+    // diamond 0-1-3, 0-2-3: sigma(3) = 2 splits the dependency
+    val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+    assert(run(diamond, Seq(0L), 4) == Map(1L -> B / 2, 2L -> B / 2))
+    assert(run(diamond, Seq(0L), 4) == bruteBetweenness(diamond, Seq(0L), 4))
+    // multiple pivots sum; twin agrees on a random graph
+    val rng = new scala.util.Random(3)
+    val rand = Seq.fill(60)((rng.nextLong(20), rng.nextLong(20))).filter(e => e._1 != e._2)
+    val pivots = Seq(0L, 5L, 11L)
+    val got = run(rand, pivots, 4)
+    assert(got == bruteBetweenness(rand, pivots, 4), "random-graph twin")
+    assert(got.nonEmpty)
+  }
 }
