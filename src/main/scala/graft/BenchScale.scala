@@ -60,7 +60,10 @@ object BenchScale {
     // per-series in-row recursion fold (EWMA), level-synchronous BFS
     // rounds, three-leg ensemble union + vote
     "q227_kmv_overlap", "q229_ewma_monitor",
-    "q243_bfs_distances", "q246_dedup_ensemble")
+    "q243_bfs_distances", "q246_dedup_ensemble",
+    // r15 continuation shapes: per-step walk joins, wedge fan-out +
+    // anti-join, 2·D Brandes rounds (σ sums + dependency joins)
+    "q263_random_walks", "q264_link_prediction", "q266_betweenness")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

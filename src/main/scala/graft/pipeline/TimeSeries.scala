@@ -87,22 +87,44 @@ object TimeSeries {
     * scan: the corpus is read ONCE, map-side, no row-level shuffle
     * anywhere. Returns the input columns plus (n_cell, is_anomaly). */
   def seasonalAnomaly(df: DataFrame, cellCols: Seq[String], valueE: Column,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    scoreSeasonal(df, cellCols, valueE, k, seasonalProfile(df, cellCols, valueE))
+
+  private val Dec = "decimal(38,0)"
+
+  /** The seasonal-cell profile (n, Σv, Σv²) — a bounded dimension
+    * table (cardinality = the seasonality arity), trained batch-side
+    * and broadcast into [[scoreSeasonal]]. Persist it to score later
+    * batches or a live stream against a FROZEN baseline (the monitor
+    * deployment shape: profile from last week's accepted data, gate
+    * on today's). */
+  def seasonalProfile(df: DataFrame, cellCols: Seq[String], valueE: Column): DataFrame = {
     require(cellCols.nonEmpty, "need at least one seasonal cell column")
-    require(k >= 1 && k <= 100, s"k in [1, 100]: $k")
-    val dec = "decimal(38,0)"
     val v = valueE.cast("long")
-    val cells = df.groupBy(cellCols.map(col): _*)
-      .agg(count(lit(1)).cast(dec).as("__n"),
-        sum(v).cast(dec).as("__s"),
-        sum(v.cast(dec) * v.cast(dec)).as("__ss"))
-    val joined = df.join(broadcast(cells), cellCols)
-    val lhs = v.cast(dec) * col("__n") - col("__s")
-    val rhs = lit(k.toLong * k).cast(dec) *
+    df.groupBy(cellCols.map(col): _*)
+      .agg(count(lit(1)).cast(Dec).as("__n"),
+        sum(v).cast(Dec).as("__s"),
+        sum(v.cast(Dec) * v.cast(Dec)).as("__ss"))
+  }
+
+  /** Score rows against an EXISTING profile — stateless, map-only
+    * (broadcast join + projection), so it runs unchanged over a
+    * streaming DataFrame (stream-static join). Rows whose cell is
+    * absent from the profile get n_cell = 0 and never flag (no
+    * baseline, no verdict — the caller routes unseen cells
+    * separately). */
+  def scoreSeasonal(df: DataFrame, cellCols: Seq[String], valueE: Column,
+      k: Int, profile: DataFrame): DataFrame = {
+    require(k >= 1 && k <= 100, s"k in [1, 100]: $k")
+    val v = valueE.cast("long")
+    val joined = df.join(broadcast(profile), cellCols, "left")
+    val lhs = v.cast(Dec) * col("__n") - col("__s")
+    val rhs = lit(k.toLong * k).cast(Dec) *
       (col("__n") * col("__ss") - col("__s") * col("__s"))
     joined
-      .withColumn("n_cell", col("__n").cast("long"))
-      .withColumn("is_anomaly", (lhs * lhs > rhs).cast("long"))
+      .withColumn("n_cell", coalesce(col("__n").cast("long"), lit(0L)))
+      .withColumn("is_anomaly",
+        coalesce((lhs * lhs > rhs).cast("long"), lit(0L)))
       .drop("__n", "__s", "__ss")
   }
 }

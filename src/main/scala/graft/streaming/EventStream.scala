@@ -612,4 +612,19 @@ object EventStream {
     graft.pipeline.EncoderGate
       .score(docs, textCol, graph, vocab, maxTokens, minScoreE6)
       .filter(col("pass"))
+
+  /** Streaming face of [[graft.pipeline.TimeSeries.seasonalAnomaly]] —
+    * live events gated against a FROZEN seasonal profile (trained
+    * batch-side via `TimeSeries.seasonalProfile` on accepted history,
+    * broadcast as the static side of a stream-static join). Stateless
+    * and map-only, so stream == batch against the same profile by
+    * construction (no state, no watermark, no reordering
+    * sensitivity); cells unseen in the profile pass through with
+    * n_cell = 0 and never flag. This is the deployment shape of the
+    * monitor: the profile updates on a slow cadence (re-broadcast per
+    * restart or via a periodically refreshed static table), scoring
+    * never blocks the stream. */
+  def seasonalAnomalyStream(events: DataFrame, cellCols: Seq[String],
+      valueE: Column, k: Int, profile: DataFrame): DataFrame =
+    graft.pipeline.TimeSeries.scoreSeasonal(events, cellCols, valueE, k, profile)
 }

@@ -879,4 +879,39 @@ class AdvancedSpec extends AnyFunSuite {
         s"stream survivors+scores must equal batch: $got vs $wantSurvivors")
     } finally q.stop()
   }
+
+  test("seasonalAnomalyStream == batch scoring against the same frozen profile") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.TimeSeries
+    val rng = new scala.util.Random(13)
+    val hist = (0 until 50).map(i => (i.toLong, i % 3, 200L + rng.nextLong(21) - 10))
+    val profile = TimeSeries.seasonalProfile(
+      hist.toDF("id", "cell", "v"), Seq("cell"), col("v")).persist()
+    // live batch: two wild points, one unseen cell (9)
+    val live = Seq((100L, 0, 205L), (101L, 1, 9000L), (102L, 2, -4000L), (103L, 9, 1L))
+    val want = TimeSeries.scoreSeasonal(
+        live.toDF("id", "cell", "v"), Seq("cell"), col("v"), k = 3, profile)
+      .select($"id", $"n_cell", $"is_anomaly")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.find(_._1 == 101L).get._3 == 1L, "high wild point flags")
+    assert(want.find(_._1 == 102L).get._3 == 1L, "low wild point flags")
+    assert(want.find(_._1 == 100L).get._3 == 0L, "in-profile point passes")
+    assert(want.find(_._1 == 103L).get == ((103L, 0L, 0L)), "unseen cell: n 0, never flags")
+    val src = MemoryStream[(Long, Int, Long)]
+    val q = graft.streaming.EventStream.seasonalAnomalyStream(
+        src.toDF().toDF("id", "cell", "v"), Seq("cell"), col("v"), k = 3, profile)
+      .select($"id", $"n_cell", $"is_anomaly")
+      .writeStream.format("memory").queryName("season_out")
+      .outputMode("append").start()
+    try {
+      src.addData(live.take(2): _*)
+      q.processAllAvailable()
+      src.addData(live.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("season_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"stream verdicts must equal batch: $got vs $want")
+    } finally { q.stop(); profile.unpersist(); () }
+  }
 }
