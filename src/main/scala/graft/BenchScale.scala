@@ -63,7 +63,8 @@ object BenchScale {
     "q243_bfs_distances", "q246_dedup_ensemble",
     // r15 continuation shapes: per-step walk joins, wedge fan-out +
     // anti-join, 2·D Brandes rounds (σ sums + dependency joins)
-    "q263_random_walks", "q264_link_prediction", "q266_betweenness")
+    "q263_random_walks", "q264_link_prediction", "q266_betweenness",
+    "q267_node2vec_walks")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

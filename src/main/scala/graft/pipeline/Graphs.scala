@@ -675,6 +675,98 @@ object Graphs {
     } finally { adj.unpersist(false); () }
   }
 
+  /** Second-order BIASED random walks — full node2vec (Grover &
+    * Leskovec 2016): the transition out of `node` remembers `prev` and
+    * weights each candidate x by wRet (x = prev — the 1/p return
+    * term), wIn (x adjacent to prev — BFS-ish locality, the 1/q=1
+    * term), or wOut (everything else — DFS-ish exploration, 1/q).
+    * Integer weights keep the draw EXACT: candidate picked where the
+    * portable hash mod the group's weight total lands in its
+    * cumulative-weight slot — reproducible across re-runs, cluster
+    * sizes and engines, like [[randomWalks]] (identical corpus at
+    * wRet = wIn = wOut = 1 — unit slots make the draw h mod deg — and
+    * cheaper by one join and one window per step). Step 1 has no `prev` and draws uniformly. Zero-weight
+    * candidates are excluded; a node whose every candidate has weight
+    * 0 (or no out-edges) ends the walk early.
+    *
+    * Scale shape: the dst-sorted adjacency persists once; each step is
+    * the candidate equi-join (fan-out = deg), one LEFT membership
+    * probe against the same adjacency on (prev, x), and one
+    * cumulative-weight window PARTITIONED BY (start, walk) — group
+    * size = one node's degree, so the window never concentrates. The
+    * walk state is (prev, node) per walk — O(1), never the path. */
+  def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int, walkLength: Int,
+      wRet: Int, wIn: Int, wOut: Int, salt: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64, "walksPerNode in [1, 64]")
+    require(walkLength >= 1 && walkLength <= 16,
+      s"walkLength in [1, 16] (unrolled plan — depth is the bound): $walkLength")
+    require(wRet >= 0 && wIn >= 0 && wOut >= 0 && wRet + wIn + wOut > 0,
+      s"weights must be >= 0, not all 0: ($wRet, $wIn, $wOut)")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val dir0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"src").orderBy($"dst")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+    val adj = dir0
+      .withColumn("rank", row_number().over(w).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(wAll))
+      .persist()
+    try {
+      def draw(t: Int) = TextAnalysis.portableHash(
+        concat_ws("#", col("start"), col("walk"), lit(t.toLong)), lit(salt))
+      val starts = adj.select($"src".as("start")).distinct()
+      val walkIds = (0 until walksPerNode).map(_.toLong).toDF("walk")
+      val s0 = starts.crossJoin(broadcast(walkIds))
+        .select($"start", $"walk", lit(0L).as("step"), $"start".as("node"))
+      // step 1: uniform rank draw (no prev yet) — the randomWalks move
+      val f1 = s0.as("f")
+        .join(adj.as("a"), col("f.node") === col("a.src") &&
+          col("a.rank") === pmod(TextAnalysis.portableHash(
+            concat_ws("#", col("f.start"), col("f.walk"), lit(1L)), lit(salt)),
+            col("a.deg")))
+        .select(col("f.start").as("start"), col("f.walk").as("walk"),
+          col("f.node").as("prev"), col("a.dst").as("node"))
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
+        s0, f1.select($"start", $"walk", lit(1L).as("step"), $"node"))
+      var frontier = f1
+      for (t <- 2 to walkLength) {
+        val cands = frontier.as("f")
+          .join(adj.as("a"), col("f.node") === col("a.src"))
+          .join(adj.as("m"),
+            col("m.src") === col("f.prev") && col("m.dst") === col("a.dst"), "left")
+          .select(col("f.start").as("start"), col("f.walk").as("walk"),
+            col("f.node").as("cur"), col("a.dst").as("x"),
+            when(col("a.dst") === col("f.prev"), lit(wRet.toLong))
+              .when(col("m.dst").isNotNull, lit(wIn.toLong))
+              .otherwise(lit(wOut.toLong)).as("cw"))
+          .filter($"cw" > 0L)
+        val grp = org.apache.spark.sql.expressions.Window.partitionBy($"start", $"walk")
+        val cum = grp.orderBy($"x")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val picked = cands
+          .withColumn("cum", sum($"cw").over(cum))
+          .withColumn("tot", sum($"cw").over(grp))
+          .withColumn("r", pmod(draw(t), $"tot"))
+          .filter($"r" >= $"cum" - $"cw" && $"r" < $"cum")
+          .select($"start", $"walk", $"cur".as("prev"), $"x".as("node"))
+        levels += picked.select($"start", $"walk", lit(t.toLong).as("step"), $"node")
+        frontier = picked
+      }
+      truncate(levels.reduce(_.unionByName(_)))
+    } finally { adj.unpersist(false); () }
+  }
+
   /** Neighborhood link-prediction scores (Liben-Nowell & Kleinberg
     * 2003) for every non-adjacent pair sharing >= 1 neighbor in the
     * symmetrized graph: common-neighbor count, resource-allocation

@@ -2305,6 +2305,78 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q267_node2vec_walks",
+      "Second-order biased walk corpus (Graphs.biasedWalks — FULL node2vec, Grover & Leskovec " +
+        "2016; q263's uniform walks are its wRet=wIn=wOut special case): 2 walks x 3 steps " +
+        "from every node of the symmetrized q243 block graph with (wRet, wIn, wOut) = " +
+        "(1, 2, 4) — the transition remembers the previous node and weights return / " +
+        "triangle-closing / exploring candidates differently, drawn EXACTLY by the portable " +
+        "md5 hash mod the cumulative integer weight total (no float transition probabilities " +
+        "anywhere). Per step: one candidate equi-join (fan-out = degree), one LEFT membership " +
+        "probe on (prev, x), one cumulative-weight window partitioned per WALK (group size = " +
+        "one node's degree — never concentrates). The oracle replays adjacency, both uniform " +
+        "and biased draws, and every cumulative slot; all positions hash-checked row for row.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val d0 = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + (idx + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx >= 45 && idx <= 48)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), base.as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        val e = d0.unionByName(d0.select($"dst".as("src"), $"src".as("dst")))
+        graft.pipeline.Graphs.biasedWalks(e, "src", "dst",
+          walksPerNode = 2, walkLength = 3, wRet = 1, wIn = 2, wOut = 4, salt = "bw15")
+      },
+      Some {
+        def h(t: Int) =
+          s"""(('0x' || substr(md5(CAST(start AS VARCHAR) || '#' ||
+             |  CAST(walk AS VARCHAR) || '#$t#bw15'), 1, 15))::BIGINT)"""
+        def biased(t: Int) =
+          s"""c$t AS (SELECT f.start, f.walk, f.prev, f.node AS cur, a.dst AS x,
+             |    CAST(CASE WHEN a.dst = f.prev THEN 1
+             |      WHEN m.dst IS NOT NULL THEN 2 ELSE 4 END AS BIGINT) AS cw
+             |  FROM s${t - 1} f JOIN adj a ON a.src = f.node
+             |  LEFT JOIN adj m ON m.src = f.prev AND m.dst = a.dst),
+             |w$t AS (SELECT *,
+             |    sum(cw) OVER (PARTITION BY start, walk ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(cw) OVER (PARTITION BY start, walk) AS tot
+             |  FROM c$t WHERE cw > 0),
+             |s$t AS (SELECT start, walk, cur AS prev, x AS node FROM w$t
+             |  WHERE (${h(t)} % tot) >= cum - cw AND (${h(t)} % tot) < cum)"""
+        s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+           |d0 AS (SELECT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 45 AS dst
+           |    FROM documents WHERE doc_id % 50 < 45
+           |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 BETWEEN 45 AND 48
+           |  UNION SELECT doc_id, doc_id - (doc_id % 50) FROM documents WHERE doc_id % 50 = 45
+           |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+           |e AS (SELECT DISTINCT src, dst FROM
+           |  (SELECT src, dst FROM d0 UNION ALL SELECT dst, src FROM d0) WHERE src != dst),
+           |adj AS (SELECT src, dst,
+           |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rank,
+           |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e),
+           |s0 AS (SELECT s.src AS start, w.walk, s.src AS node
+           |  FROM (SELECT DISTINCT src FROM adj) s,
+           |       (VALUES (CAST(0 AS BIGINT)), (1)) w(walk)),
+           |s1 AS (SELECT p.start, p.walk, p.node AS prev, a.dst AS node
+           |  FROM s0 p JOIN adj a ON a.src = p.node
+           |   AND a.rank = (('0x' || substr(md5(CAST(p.start AS VARCHAR) || '#' ||
+           |     CAST(p.walk AS VARCHAR) || '#1#bw15'), 1, 15))::BIGINT) % a.deg),
+           |${biased(2)},
+           |${biased(3)}
+           |SELECT start, walk, CAST(0 AS BIGINT) AS step, node FROM s0
+           |UNION ALL SELECT start, walk, 1, node FROM s1
+           |UNION ALL SELECT start, walk, 2, node FROM s2
+           |UNION ALL SELECT start, walk, 3, node FROM s3""".stripMargin
+      }),
+
+    Query(
       "q264_link_prediction",
       "Neighborhood link-prediction scores (Graphs.linkPrediction — Liben-Nowell & Kleinberg " +
         "2003, the candidate generator of graph-based entity resolution and crawl-frontier " +

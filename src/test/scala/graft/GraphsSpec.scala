@@ -433,6 +433,73 @@ class GraphsSpec extends AnyFunSuite {
     assert(capped == 0L, s"degree-capped wedges must vanish: $capped")
   }
 
+  test("biasedWalks: node2vec draws replay from a driver twin; uniform weights degrade to randomWalks") {
+    import graft.pipeline.Sketches
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (1L, 2L), (2L, 1L),
+      (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L), (4L, 0L), (0L, 4L))
+    val (walks, len, salt) = (2, 5, "tbias")
+    val (wr, wi, wo) = (1L, 3L, 6L)
+    val got = Graphs.biasedWalks(edges.toDF("src", "dst"), "src", "dst",
+        walks, len, wr.toInt, wi.toInt, wo.toInt, salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // driver twin: sorted adjacency, uniform step 1, biased steps 2+
+    val adj = edges.distinct.groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).distinct.sorted }
+    var want = Map.empty[(Long, Long, Long), Long]
+    for (start <- adj.keys; wk <- 0 until walks) {
+      var prev = start
+      var node = start
+      want += ((start, wk.toLong, 0L) -> start)
+      var alive = adj.contains(start)
+      if (alive) {
+        val h1 = Sketches.portableHashLocal(s"$start#$wk#1#$salt")
+        node = adj(start)((h1 % adj(start).size).toInt)
+        want += ((start, wk.toLong, 1L) -> node)
+      }
+      var t = 2
+      while (t <= len && alive) {
+        adj.get(node) match {
+          case Some(nbrs) =>
+            val ws = nbrs.map { x =>
+              if (x == prev) wr
+              else if (adj.getOrElse(prev, Nil).contains(x)) wi else wo
+            }
+            val tot = ws.sum
+            if (tot == 0) alive = false
+            else {
+              val r = Sketches.portableHashLocal(s"$start#$wk#$t#$salt") % tot
+              val cum = ws.scanLeft(0L)(_ + _).tail
+              val pick = cum.indexWhere(r < _)
+              prev = node
+              node = nbrs(pick)
+              want += ((start, wk.toLong, t.toLong) -> node)
+            }
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    assert(got == want, s"${got.toSeq.sorted.take(6)} vs ${want.toSeq.sorted.take(6)}")
+    // unit weights make the bias vanish EXACTLY: slot width 1 means
+    // the draw is h % deg, the randomWalks rank pick (w > 1 widens the
+    // slots, so h % (deg*w) / w is a DIFFERENT fair draw)
+    val flat = Graphs.biasedWalks(edges.toDF("src", "dst"), "src", "dst",
+        walks, len, 1, 1, 1, salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val uni = Graphs.randomWalks(edges.toDF("src", "dst"), "src", "dst", walks, len, salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(flat == uni, "uniform-weight biasedWalks must equal randomWalks")
+    // wIn = wOut = 0 on the 2-node path: every step's only nonzero
+    // candidate is the return edge — the walk must bounce 7,8,7,8,...
+    val bounce = Graphs.biasedWalks(
+        Seq((7L, 8L), (8L, 7L)).toDF("src", "dst"), "src", "dst",
+        1, 4, 1, 0, 0, salt)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val wantBounce = (for (s <- Seq(7L, 8L); t <- 0L to 4L) yield
+      (s, t) -> (if (t % 2 == 0) s else 15L - s)).toMap
+    assert(bounce == wantBounce, s"$bounce")
+  }
+
   /** Driver twin of Graphs.betweenness: same symmetrization, BFS sigma
     * counts, and INTEGER dependency recursion. */
   private def bruteBetweenness(edges: Seq[(Long, Long)], pivots: Seq[Long],
