@@ -128,4 +128,43 @@ object Eval {
         expr("1000000L div first_rel_rank")).otherwise(0L))
       .withColumn("first_rel_rank", coalesce(col("first_rel_rank"), lit(0L)))
   }
+
+  /** Spearman rank correlation per group between two TOTAL orders —
+    * the monotone-association test that Pearson (q213) misses when the
+    * relationship is nonlinear, and the rank-agreement metric between
+    * two retrieval rankers. Orders are made total by the caller's
+    * tie-break columns (no averaged tie ranks — averaged ranks are
+    * fractional and engine-fragile; a deterministic tiebreak keeps
+    * every rank an exact integer), so Σd² is an exact long and
+    * ρ = 1 − 6Σd²/(n(n²−1)) evaluates through the operand-order-PINNED
+    * double chain (the q213 Pearson contract: identical IEEE ops in
+    * identical order are bit-identical cross-engine), e6-quantized.
+    * Groups beyond ~2·10⁶ rows push Σd² past 2⁵³ exactness — split the
+    * series first (the monitor runs per bounded group by
+    * construction).
+    *
+    * Ordering-vs-time is the classic monotone DRIFT probe (the
+    * Mann-Kendall use case): ρ(rank-by-time, rank-by-value) near ±1
+    * means the metric trends; near 0, stationary.
+    *
+    * Scale shape: two window ranks over the SAME group partitioning —
+    * one exchange, two in-partition sorts — then one partial-aggregated
+    * groupBy. Group size bounds the sort, never the corpus. */
+  def spearman(df: DataFrame, groupCol: String,
+      orderA: Seq[Column], orderB: Seq[Column]): DataFrame = {
+    require(orderA.nonEmpty && orderB.nonEmpty, "need ordering columns")
+    val g = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__ra", row_number().over(g.orderBy(orderA: _*)).cast("long"))
+      .withColumn("__rb", row_number().over(g.orderBy(orderB: _*)).cast("long"))
+      .withColumn("__d", col("__ra") - col("__rb"))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__d") * col("__d")).as("sum_d2"))
+      .withColumn("rho_e6",
+        when(col("n") > 1L, expr(
+          "CAST(floor((1.0D - 6.0D * CAST(sum_d2 AS DOUBLE) / (CAST(n AS DOUBLE)" +
+            " * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0D)))" +
+            " * 1000000.0D + 0.5D) AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
 }

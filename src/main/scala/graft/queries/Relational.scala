@@ -1219,6 +1219,35 @@ object Relational extends QueryPack {
              |FROM j GROUP BY 1, 2""".stripMargin)),
 
     Query(
+      "q268_spearman_drift",
+      "Spearman rank correlation as the monotone-drift probe (Eval.spearman — the Mann-Kendall " +
+        "use case: rho between time order and value order near +-1 means the metric trends, " +
+        "near 0 stationary; the nonlinear association Pearson q213 misses): per event_type, " +
+        "rank-by-(ts, id) vs rank-by-(value desc, id) — deterministic tiebreaks keep every " +
+        "rank an exact integer (averaged tie ranks are fractional and engine-fragile), so " +
+        "sum d^2 is exact and rho evaluates through the operand-order-PINNED double chain " +
+        "(the q213 contract), e6-quantized. Two window ranks over ONE exchange (same " +
+        "partitioning), one bounded aggregate.",
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Eval.spearman(Tables.events(s, dir), "event_type",
+          orderA = Seq($"ts", $"event_id"),
+          orderB = Seq($"value".desc, $"event_id"))
+      },
+      Some("""WITH r AS (SELECT event_type,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS ra,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rb
+             |  FROM events),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+             |  FROM r GROUP BY 1)
+             |SELECT event_type, n, sum_d2,
+             |  CASE WHEN n > 1 THEN CAST(floor((1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) / (CAST(n AS DOUBLE)
+             |    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
+             |    * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS rho_e6
+             |FROM a""".stripMargin)),
+
+    Query(
       "q265_seasonal_anomaly",
       "Seasonal-baseline anomaly gate (TimeSeries.seasonalAnomaly — the time-of-day profile " +
         "monitor ingest pipelines run before trusting a batch: 3am traffic is anomalous " +

@@ -141,4 +141,31 @@ class EvalSpec extends AnyFunSuite {
       labels.toDF("qid", "doc_id", "rel"), k = 2).select($"dcg_e9").as[Long].head()
     assert(a == b)
   }
+
+  test("spearman: +1 on monotone, -1 on reversed, brute twin on random series") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long, Long)] =
+      Eval.spearman(rows.toDF("g", "t", "v"), "g",
+          orderA = Seq(col("t"), col("v")), orderB = Seq(col("v"), col("t")))
+        .select($"g", $"n", $"sum_d2", $"rho_e6")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val mono = (0L until 30L).map(i => ("up", i, 100L + 2 * i))
+    val rev = (0L until 30L).map(i => ("down", i, 1000L - 3 * i))
+    val rng = new scala.util.Random(5)
+    val rand = (0L until 41L).map(i => ("r", i, rng.nextLong(1000)))
+    val got = run(mono ++ rev ++ rand)
+    assert(got("up") == ((30L, 0L, 1000000L)), got("up").toString)
+    assert(got("down")._3 == -1000000L, got("down").toString)
+    // brute twin: rank by (t,v) vs (v,t) totally ordered
+    val ra = rand.sortBy(r => (r._2, r._3)).map(_._2).zipWithIndex.toMap
+    val rb = rand.sortBy(r => (r._3, r._2)).map(_._2).zipWithIndex.toMap
+    val d2 = rand.map(r => { val d = ra(r._2).toLong - rb(r._2); d * d }).sum
+    val n = rand.size.toDouble
+    val wantRho = math.floor(
+      (1.0 - 6.0 * d2.toDouble / (n * (n * n - 1.0))) * 1e6 + 0.5).toLong
+    assert(got("r") == ((rand.size.toLong, d2, wantRho)), got("r").toString)
+    // singleton group: rho pinned to 0, not NaN
+    assert(run(Seq(("one", 1L, 1L)))("one") == ((1L, 0L, 0L)))
+  }
 }
