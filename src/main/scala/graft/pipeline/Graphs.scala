@@ -827,6 +827,80 @@ object Graphs {
     } finally { e.unpersist(false); () }
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED graph
+    * — the centrality pair PageRank collapses: an authority is pointed
+    * AT by good hubs, a hub points TO good authorities (directory
+    * pages vs content pages; in corpus curation, aggregator domains vs
+    * primary sources). The mutual recursion runs synchronously:
+    * a(v) = Σ_{u→v} h(u), h(v) = Σ_{v→w} a(w), each half-step
+    * max-normalized back to the e9 scale in EXACT arithmetic —
+    * x·Base div max, the product carried in decimal(38,0) so the
+    * normalization is bit-identical under any partitioning and
+    * replayable externally (the float L2 normalization of the paper
+    * is summation-order-fragile; max-normalization is the standard
+    * power-iteration-safe substitute and keeps every score an
+    * integer in [0, Base]).
+    *
+    * Scale shape: the distinct edge list persists once; each round is
+    * two partial-aggregated shuffles (inflow to authorities, outflow
+    * to hubs) with the max as an in-plan broadcast 1-row aggregate
+    * (the [[pageRank]] dangling-mass contract — one action per
+    * half-step), lineage truncated per round. Returns (node, hub_e9,
+    * auth_e9) after `iters` rounds. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 100, "iters in [1, 100]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    try {
+      val nodes = e.select($"src".as("node"))
+        .unionByName(e.select($"dst".as("node"))).distinct().persist()
+      try {
+        // x·Base div max in decimal(38,0): exact floor, never overflows
+        // (n·Base·Base needs < 38 digits for any realistic n)
+        def normalize(df: DataFrame, c: String): DataFrame = {
+          val m = df.agg(max(col(c)).as("__m"))
+          df.crossJoin(broadcast(m))
+            .select($"node",
+              when($"__m" > 0L, expr(
+                s"(CAST($c AS DECIMAL(38,0)) * ${Base}L) div CAST(__m AS DECIMAL(38,0))"))
+                .otherwise(0L).as(c))
+        }
+        var hub = truncate(nodes.withColumn("h", lit(Base)))
+        var auth: DataFrame = nodes.withColumn("a", lit(0L))
+        for (_ <- 1 to iters) {
+          val aRaw = e.join(hub, e("src") === hub("node"))
+            .groupBy(e("dst").as("node")).agg(sum($"h").as("a"))
+          val aAll = nodes.join(aRaw, Seq("node"), "left")
+            .withColumn("a", coalesce($"a", lit(0L)))
+          val prevA = auth
+          auth = truncate(normalize(aAll, "a"))
+          val hRaw = e.join(auth, e("dst") === auth("node"))
+            .groupBy(e("src").as("node")).agg(sum($"a").as("h"))
+          val hAll = nodes.join(hRaw, Seq("node"), "left")
+            .withColumn("h", coalesce($"h", lit(0L)))
+          val prevH = hub
+          hub = truncate(normalize(hAll, "h"))
+          prevA.unpersist(false)
+          prevH.unpersist(false)
+        }
+        hub.join(auth, Seq("node"))
+          .select($"node", $"h".as("hub_e9"), $"a".as("auth_e9"))
+      } finally { nodes.unpersist(false); () }
+    } finally { e.unpersist(false); () }
+  }
+
   /** Pivot-sampled betweenness centrality (Brandes 2001 accumulation,
     * Brandes & Pich 2007 pivot sampling, bounded horizon à la
     * k-betweenness) over the SYMMETRIZED graph — the broker/bridge

@@ -2426,6 +2426,65 @@ object PipelineQueries extends QueryPack {
              |ORDER BY ne.ra_e8 DESC, ne.a, ne.b LIMIT 40""".stripMargin)),
 
     Query(
+      "q269_hits",
+      "HITS hubs & authorities (Graphs.hits — Kleinberg 1999) over the DIRECTED q194 block " +
+        "graph, 3 synchronous rounds: the centrality PAIR PageRank collapses (aggregator " +
+        "domains score as hubs, primary sources as authorities). Each half-step max-" +
+        "normalizes back to the e9 scale in EXACT arithmetic — x*Base div max with the " +
+        "product in decimal(38,0) — because the paper's float L2 normalization is summation-" +
+        "order-fragile; every score stays an integer in [0, Base] bit-identical under any " +
+        "partitioning. Per round: two partial-aggregated shuffles with the max as an in-plan " +
+        "broadcast 1-row aggregate (the q178 dangling-mass contract). The oracle unrolls all " +
+        "6 half-steps in HUGEINT. Output: every node's (hub_e9, auth_e9).",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val e = docs.select($"doc_id".as("src"), (base + (idx + 1) % 50).as("dst"))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx + 2) % 50).as("dst")))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx * 7 + 3) % 50).as("dst")))
+          .unionByName(docs.filter($"doc_id" % 37 === 0)
+            .select($"doc_id".as("src"), (($"doc_id" + 50) % n).as("dst")))
+        graft.pipeline.Graphs.hits(e, "src", "dst", iters = 3)
+      },
+      Some {
+        def round(k: Int) =
+          s"""ar$k AS (SELECT e.dst AS node, sum(h.h) AS a
+             |  FROM e JOIN hn${k - 1} h ON h.node = e.src GROUP BY 1),
+             |aa$k AS (SELECT n.node, coalesce(ar.a, 0) AS a
+             |  FROM nodes n LEFT JOIN ar$k ar ON ar.node = n.node),
+             |am$k AS (SELECT max(a) AS m FROM aa$k),
+             |an$k AS (SELECT node, CAST(CASE WHEN m > 0
+             |    THEN (CAST(a AS HUGEINT) * 1000000000) // m ELSE 0 END AS BIGINT) AS a
+             |  FROM aa$k, am$k),
+             |hr$k AS (SELECT e.src AS node, sum(an.a) AS h
+             |  FROM e JOIN an$k an ON an.node = e.dst GROUP BY 1),
+             |ha$k AS (SELECT n.node, coalesce(hr.h, 0) AS h
+             |  FROM nodes n LEFT JOIN hr$k hr ON hr.node = n.node),
+             |hm$k AS (SELECT max(h) AS m FROM ha$k),
+             |hn$k AS (SELECT node, CAST(CASE WHEN m > 0
+             |    THEN (CAST(h AS HUGEINT) * 1000000000) // m ELSE 0 END AS BIGINT) AS h
+             |  FROM ha$k, hm$k)"""
+        s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+           |e AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 50 AS dst FROM documents
+           |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 2) % 50 FROM documents
+           |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) * 7 + 3) % 50 FROM documents
+           |  UNION SELECT doc_id, (doc_id + 50) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 37 = 0
+           |) WHERE src != dst),
+           |nodes AS (SELECT DISTINCT node FROM
+           |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |hn0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM nodes),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT h.node, h.h AS hub_e9, a.a AS auth_e9
+           |FROM hn3 h JOIN an3 a ON a.node = h.node""".stripMargin
+      }),
+
+    Query(
       "q266_betweenness",
       "Pivot-sampled betweenness centrality (Graphs.betweenness — Brandes 2001 accumulation " +
         "from a Brandes-Pich 2007 pivot set, horizon-bounded): the broker signal PageRank and " +

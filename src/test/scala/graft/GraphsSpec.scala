@@ -500,6 +500,52 @@ class GraphsSpec extends AnyFunSuite {
     assert(bounce == wantBounce, s"$bounce")
   }
 
+  /** Driver twin of Graphs.hits: same init, BigInt sums, exact
+    * max-normalization each half-step. */
+  private def bruteHits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val B = Graphs.Base
+    val e = edges.filter(x => x._1 != x._2).distinct
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
+    var h = nodes.map(_ -> B).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ar = nodes.map(v => v -> e.filter(_._2 == v).map(x => BigInt(h(x._1))).sum).toMap
+      val am = ar.values.max
+      a = nodes.map(v => v -> (if (am > 0) (ar(v) * B / am).toLong else 0L)).toMap
+      val hr = nodes.map(v => v -> e.filter(_._1 == v).map(x => BigInt(a(x._2))).sum).toMap
+      val hm = hr.values.max
+      h = nodes.map(v => v -> (if (hm > 0) (hr(v) * B / hm).toLong else 0L)).toMap
+    }
+    nodes.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  test("hits: star and bipartite shapes by hand; random digraph replays the BigInt twin") {
+    def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+      Graphs.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val B = Graphs.Base
+    // pure star 1..4 -> 0: node 0 is the unit authority with zero hub
+    // score; the pointers are unit hubs with zero authority
+    val star = (1L to 4L).map(i => (i, 0L))
+    val s = run(star, 2)
+    assert(s(0L) == ((0L, B)), s.toString)
+    (1L to 4L).foreach(i => assert(s(i) == ((B, 0L)), s.toString))
+    // 0 -> 2; 1 -> 2, 1 -> 3: node 1 out-hubs node 0 (it finds both
+    // authorities), node 2 out-authorities node 3
+    val bip = Seq((0L, 2L), (1L, 2L), (1L, 3L))
+    val b = run(bip, 3)
+    assert(b(1L)._1 == B && b(0L)._1 < B, b.toString)
+    assert(b(2L)._2 == B && b(3L)._2 < B, b.toString)
+    assert(run(bip, 3) == bruteHits(bip, 3))
+    // random digraph: exact twin replay, partitioning-independent
+    val rng = new scala.util.Random(17)
+    val rand = Seq.fill(70)((rng.nextLong(25), rng.nextLong(25))).filter(x => x._1 != x._2)
+    assert(run(rand, 3) == bruteHits(rand, 3))
+    val repart = Graphs.hits(rand.toDF("src", "dst").repartition(13), "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(repart == bruteHits(rand, 3))
+  }
+
   /** Driver twin of Graphs.betweenness: same symmetrization, BFS sigma
     * counts, and INTEGER dependency recursion. */
   private def bruteBetweenness(edges: Seq[(Long, Long)], pivots: Seq[Long],
