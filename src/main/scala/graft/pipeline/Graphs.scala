@@ -95,6 +95,78 @@ object Graphs {
     } finally { deg.unpersist(false); e.unpersist(false); () }
   }
 
+  /** Edge-WEIGHTED integer PageRank — the variant a real domain-link
+    * graph needs: a domain linking another 10 000 times is not ten
+    * thousand distinct endorsements, but it is more than one, and the
+    * crawl-graph aggregation naturally produces (src, dst, count)
+    * multiplicities. Contribution is r(u)·w(u,v) div W(u) per edge
+    * (W(u) = Σ out-weights, the product carried in decimal(38,0) so
+    * arbitrary long weights cannot overflow), teleport/damping/
+    * dangling exactly as [[pageRank]] — and with UNIFORM weights the
+    * result is bit-identical to it (⌊r·c/(c·deg)⌋ = ⌊r/deg⌋), so the
+    * unweighted op is the special case, spec-pinned. Parallel edges
+    * SUM their weights (the multiplicity semantics); non-positive
+    * weights are dropped (a zero-weight edge is a non-edge).
+    *
+    * Scale shape identical to [[pageRank]]: weighted out-degree table
+    * and summed edge list persist once, one partial-aggregated
+    * shuffle per round, dangling mass as an in-plan broadcast 1-row
+    * aggregate, lineage truncated per round. */
+  def weightedPageRank(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iters: Int, dampNum: Long = 17L, dampDen: Long = 20L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 200, "iters in [1, 200]")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    val spark = nodes.sparkSession
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val n = nodes.select(col(nodeCol)).distinct().count()
+    require(n > 0, "empty node set")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst") && col("w") > 0L)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .persist()
+    val wt = e.groupBy("src").agg(sum(col("w")).as("wtot")).persist()
+    try {
+      val teleport = ((dampDen - dampNum) * Base / dampDen) / n
+      var ranks = truncate(nodes.select(col(nodeCol).cast("long").as("node"))
+        .distinct()
+        .withColumn("r", lit(Base / n)))
+      var round = 0
+      while (round < iters) {
+        val withW = ranks.join(wt, ranks("node") === wt("src"), "left")
+        val danglingDf = withW.filter(col("wtot").isNull)
+          .agg(coalesce(sum(col("r")), lit(0L)).as("__dangling"))
+        val contribs = withW.filter(col("wtot").isNotNull)
+          .select(col("node"), col("r"), col("wtot")) // drop wt's src before the e self-join
+          .join(e, col("node") === e("src"))
+          .select(col("dst"),
+            expr("(CAST(r AS DECIMAL(38,0)) * w) div wtot").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val next = ranks.select(col("node"))
+          .join(contribs, ranks("node") === contribs("dst"), "left")
+          .crossJoin(broadcast(danglingDf))
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"($dampNum * (coalesce(inflow, 0L) + (__dangling div ${n}L))) div $dampDen"))
+              .as("r"))
+        val prev = ranks
+        ranks = truncate(next)
+        prev.unpersist(false)
+        round += 1
+      }
+      ranks
+    } finally { wt.unpersist(false); e.unpersist(false); () }
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007, the deterministic synchronous variant): labels start as
     * node ids; each round every node adopts the MOST FREQUENT label

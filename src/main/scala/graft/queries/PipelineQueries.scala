@@ -1097,6 +1097,72 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q270_weighted_pagerank",
+      "Edge-WEIGHTED integer PageRank (Graphs.weightedPageRank — the multiplicity semantics a " +
+        "real domain-link graph needs: the crawl aggregation produces (src, dst, count) " +
+        "rows, and 10000 links from one domain are more than one endorsement but not 10000 " +
+        "distinct ones) over q247's link graph with deterministic weights (src*3 + dst) % 9 " +
+        "+ 1: contribution r(u)*w(u,v) div W(u) per edge, product in decimal(38,0), teleport/" +
+        "damping/dangling exactly as q178, 4 rounds — uniform weights collapse to the " +
+        "unweighted op bit-for-bit (spec-pinned), so this is the strict generalization. The " +
+        "oracle unrolls the rounds as chained CTEs with per-edge HUGEINT division. Output: " +
+        "per-source rank aggregates.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+        val n = docs.count()
+        def link(mult: Long, add: Long) =
+          docs.filter($"doc_id" % 11 =!= 0)
+            .select($"doc_id".as("src"), (($"doc_id" * mult + add) % n).as("dst"))
+        val e = link(7, 1).unionByName(link(13, 5))
+          .unionByName(link(31, 2).filter($"src" % 5 === 0))
+          .distinct()
+          .withColumn("w", pmod($"src" * 3 + $"dst", lit(9L)) + 1L)
+        graft.pipeline.Graphs.weightedPageRank(docs.select($"doc_id"), "doc_id",
+            e, "src", "dst", "w", iters = 4)
+          .join(docs, col("node") === $"doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"r").as("sum_rank"), max($"r").as("max_rank"), min($"r").as("min_rank"))
+      },
+      Some {
+        val iters = 4
+        val head =
+          """WITH nodes AS (SELECT doc_id AS node FROM documents),
+            |cnt AS (SELECT count(*) AS n FROM nodes),
+            |e AS (SELECT src, dst, (src * 3 + dst) % 9 + 1 AS w FROM (
+            |  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM cnt) AS dst FROM documents WHERE doc_id % 11 != 0
+            |  UNION SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 11 != 0
+            |  UNION SELECT doc_id, (doc_id * 31 + 2) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 11 != 0 AND doc_id % 5 = 0
+            |) WHERE src != dst),
+            |wt AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot FROM e GROUP BY src),
+            |tp AS (SELECT ((3 * CAST(1000000000 AS BIGINT)) // 20) // (SELECT n FROM cnt) AS t),
+            |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // (SELECT n FROM cnt) AS r FROM nodes)""".stripMargin
+        val rounds = (1 to iters).map { i =>
+          val p = i - 1
+          s"""d$i AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+             |  FROM r$p LEFT JOIN wt ON r$p.node = wt.src WHERE wt.wtot IS NULL),
+             |c$i AS (SELECT e.dst AS node,
+             |  CAST(sum((CAST(r$p.r AS HUGEINT) * e.w) // wt.wtot) AS BIGINT) AS inflow
+             |  FROM r$p JOIN wt ON r$p.node = wt.src JOIN e ON e.src = r$p.node
+             |  GROUP BY e.dst),
+             |r$i AS (SELECT n0.node,
+             |  (SELECT t FROM tp)
+             |  + (17 * (coalesce(c.inflow, 0)
+             |     + (SELECT dang FROM d$i) // (SELECT n FROM cnt))) // 20 AS r
+             |  FROM nodes n0 LEFT JOIN c$i c ON n0.node = c.node)""".stripMargin
+        }.mkString(",\n")
+        s"""$head,
+           |$rounds
+           |SELECT d.source, count(*) AS n_docs,
+           |  CAST(sum(r$iters.r) AS BIGINT) AS sum_rank,
+           |  CAST(max(r$iters.r) AS BIGINT) AS max_rank,
+           |  CAST(min(r$iters.r) AS BIGINT) AS min_rank
+           |FROM r$iters JOIN documents d ON r$iters.node = d.doc_id
+           |GROUP BY d.source""".stripMargin
+      }),
+
+    Query(
       "q243_bfs_distances",
       "Multi-source BFS shortest-hop distances (Graphs.multiSourceBfs — the reachability/radius probe between components 'same component at all' and out-of-scope weighted paths): hop counts from 3 seed nodes over the q201 block graph (45-ring + 5-chain per 50-node block; seeds are block heads, so the distance profile is ring-symmetric 2,2,2,...,1-at-the-chain and other blocks stay unreachable). Level-synchronous frontier expansion: per round ONE frontier x edges join + one anti-join against visited + distinct — a node enters visited at its FIRST (minimal) level so no min-aggregate exists anywhere; rounds bound by the eccentricity reached (early exit on empty frontier), lineage truncated per round. The oracle grows the same closure as a recursive CTE and takes min(dist) per (seed, node).",
       (s, dir) => {

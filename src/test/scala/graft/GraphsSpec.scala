@@ -500,6 +500,48 @@ class GraphsSpec extends AnyFunSuite {
     assert(bounce == wantBounce, s"$bounce")
   }
 
+  test("weightedPageRank: uniform weights == pageRank bit-for-bit; skew and multiplicity behave") {
+    def wranks(edges: Seq[(Long, Long, Long)], nodes: Seq[Long], iters: Int): Map[Long, Long] =
+      Graphs.weightedPageRank(nodes.toDF("node"), "node",
+          edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val plain = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 1L))
+    // uniform weights: floor(r*c/(c*deg)) = floor(r/deg) — exact collapse
+    val uw = wranks(plain.map { case (a, b) => (a, b, 7L) }, nodes, 6)
+    val pr = Graphs.pageRank(nodes.toDF("node"), "node",
+        plain.toDF("src", "dst"), "src", "dst", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uw == pr, s"$uw vs $pr")
+    // parallel edges SUM their weights
+    val summed = wranks(Seq((0L, 1L, 5L), (0L, 2L, 1L)), Seq(0L, 1L, 2L), 4)
+    val parallel = wranks(Seq((0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 1L)), Seq(0L, 1L, 2L), 4)
+    assert(summed == parallel, s"$summed vs $parallel")
+    // the heavier edge carries more rank; zero/negative weights are non-edges
+    assert(summed(1L) > summed(2L), summed.toString)
+    val noW = wranks(Seq((0L, 1L, 5L), (0L, 2L, 0L), (0L, 3L, -4L)), nodes, 3)
+    val only1 = wranks(Seq((0L, 1L, 5L)), nodes, 3)
+    assert(noW == only1, s"$noW vs $only1")
+    // BigInt brute twin on a random weighted digraph
+    val rng = new scala.util.Random(29)
+    val wed = Seq.fill(50)((rng.nextLong(12), rng.nextLong(12), rng.nextLong(20) + 1))
+      .filter(x => x._1 != x._2)
+      .groupBy(x => (x._1, x._2)).map { case ((a, b), xs) => (a, b, xs.map(_._3).sum) }.toSeq
+    val vs = (0L until 12L)
+    val got = wranks(wed, vs, 5)
+    val wtot = wed.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val B = Graphs.Base
+    val tp = ((20L - 17L) * B / 20L) / vs.size
+    var r = vs.map(_ -> B / vs.size).toMap
+    for (_ <- 1 to 5) {
+      val dang = vs.filterNot(wtot.contains).map(r).sum
+      val inflow = vs.map(v => v -> wed.filter(_._2 == v)
+        .map(e => (BigInt(r(e._1)) * e._3 / wtot(e._1)).toLong).sum).toMap
+      r = vs.map(v => v -> (tp + 17L * (inflow(v) + dang / vs.size) / 20L)).toMap
+    }
+    assert(got == r.toMap, s"$got vs $r")
+  }
+
   /** Driver twin of Graphs.hits: same init, BigInt sums, exact
     * max-normalization each half-step. */
   private def bruteHits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
