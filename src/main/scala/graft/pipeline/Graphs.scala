@@ -899,6 +899,80 @@ object Graphs {
     } finally { e.unpersist(false); () }
   }
 
+  /** k-truss (Cohen 2008): the maximal subgraph whose every EDGE sits
+    * in >= k−2 triangles within the subgraph — the community-strength
+    * gate between [[kCore]] (degree pressure) and [[triangles]] (raw
+    * local counts): a link farm survives the k-core by volume but its
+    * edges close few triangles, so the truss peels it. Synchronous
+    * edge peeling to a fixpoint: each round re-counts per-edge support
+    * inside the surviving edge set (one id-ordered triangle
+    * enumeration — e1(a,b)⋈e2(a,c),b<c⋈e3(b,c), each triangle
+    * crediting its three edges) and drops edges below k−2. The
+    * synchronous schedule makes every round — and the unique fixpoint
+    * — bit-exact under any partitioning.
+    *
+    * Scale shape: per round one self-join pair bounded by wedge
+    * volume (the q194 orientation bound applies to the id-ordered
+    * form on bounded-degree graphs; star-cap upstream if hubs are
+    * possible), one partial-aggregated support count, one broadcast-
+    * or-shuffle anti-filter; rounds bounded by the peel depth, driver
+    * early-exits on a stable edge count, lineage truncated per round
+    * (the [[kCore]] contract, including the loud non-convergence
+    * failure — a silent superset would be wrong).
+    *
+    * Returns the surviving undirected edges (a, b), a < b.
+    *
+    * @throws IllegalStateException when `maxIters` rounds pass without
+    *   a fixpoint. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(maxIters >= 1 && maxIters <= 500, "maxIters in [1, 500]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def truncateCounted(df: DataFrame): (DataFrame, Long) =
+      if (checkpointDir.isDefined) { val t = df.checkpoint(true); (t, t.count()) }
+      else { val t = df.localCheckpoint(false); (t, t.queryExecution.toRdd.count()) }
+
+    val und0 = edges
+      .select(col(srcCol).cast("long").as("s0"), col(dstCol).cast("long").as("d0"))
+      .filter($"s0" =!= $"d0")
+      .select(least($"s0", $"d0").as("a"), greatest($"s0", $"d0").as("b"))
+      .distinct()
+    var (und, nEdges) = truncateCounted(und0)
+    var round = 0
+    var stable = k <= 2 // the 2-truss is the graph itself (0 triangles needed)
+    while (round < maxIters && !stable) {
+      // id-ordered triangle enumeration over the SURVIVING edges
+      val e1 = und.select($"a".as("x"), $"b".as("y"))
+      val e2 = und.select($"a".as("x"), $"b".as("z"))
+      val e3 = und.select($"a".as("y2"), $"b".as("z2"))
+      val tri = e1.join(e2, Seq("x")).filter($"z" > $"y")
+        .join(e3, $"y2" === $"y" && $"z2" === $"z")
+        .select($"x", $"y", $"z")
+      val support = tri.select($"x".as("a"), $"y".as("b"))
+        .unionByName(tri.select($"x".as("a"), $"z".as("b")))
+        .unionByName(tri.select($"y".as("a"), $"z".as("b")))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+      val next = und.join(support, Seq("a", "b"), "left")
+        .filter(coalesce($"sup", lit(0L)) >= (k - 2).toLong)
+        .select($"a", $"b")
+      val (u2, n2) = truncateCounted(next)
+      und = u2
+      stable = n2 == nEdges
+      nEdges = n2
+      round += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"kTruss did not converge in $maxIters rounds ($nEdges edges); raise maxIters")
+    und
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED graph
     * — the centrality pair PageRank collapses: an authority is pointed
     * AT by good hubs, a hub points TO good authorities (directory

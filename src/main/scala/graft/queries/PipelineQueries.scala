@@ -2492,6 +2492,59 @@ object PipelineQueries extends QueryPack {
              |ORDER BY ne.ra_e8 DESC, ne.a, ne.b LIMIT 40""".stripMargin)),
 
     Query(
+      "q271_ktruss",
+      "k-truss community-strength gate (Graphs.kTruss — Cohen 2008): the maximal subgraph " +
+        "whose every EDGE closes >= k-2 triangles within it, the filter between k-core " +
+        "(degree pressure — a link farm survives by volume) and raw triangle counts. k = 4 " +
+        "over q194's triangle-rich block graph: synchronous edge peeling to the unique " +
+        "fixpoint, each round one id-ordered triangle enumeration (e1(a,b) x e2(a,c) x " +
+        "e3(b,c)) crediting each triangle's three edges + one partial-aggregated support " +
+        "count + one filter, lineage truncated, loud failure if unconverged. The oracle " +
+        "unrolls 10 peel rounds (no-ops past the fixpoint) with the identical enumeration. " +
+        "Output: surviving-edge count and id checksum per 50-node block.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val e = docs.select($"doc_id".as("src"), (base + (idx + 1) % 50).as("dst"))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx + 2) % 50).as("dst")))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx * 7 + 3) % 50).as("dst")))
+          .unionByName(docs.filter($"doc_id" % 37 === 0)
+            .select($"doc_id".as("src"), (($"doc_id" + 50) % n).as("dst")))
+        graft.pipeline.Graphs.kTruss(e, "src", "dst", k = 4)
+          .groupBy(($"a" - ($"a" % 50)).as("block"))
+          .agg(count(lit(1)).as("n_edges"),
+            sum($"a" * 7 + $"b").as("edge_checksum"))
+      },
+      Some {
+        val rounds = (1 to 10).map { i =>
+          val p = i - 1
+          s"""t$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM s$p e1 JOIN s$p e2 ON e2.a = e1.a AND e2.b > e1.b
+             |  JOIN s$p e3 ON e3.a = e1.b AND e3.b = e2.b),
+             |c$i AS (SELECT a, b, count(*) AS sup FROM (
+             |  SELECT x AS a, y AS b FROM t$i UNION ALL SELECT x, z FROM t$i
+             |  UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2),
+             |s$i AS MATERIALIZED (SELECT s.a, s.b FROM s$p s
+             |  JOIN c$i c ON c.a = s.a AND c.b = s.b WHERE c.sup >= 2)"""
+        }.mkString(",\n")
+        s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+           |d AS (SELECT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 50 AS dst FROM documents
+           |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 2) % 50 FROM documents
+           |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) * 7 + 3) % 50 FROM documents
+           |  UNION SELECT doc_id, (doc_id + 50) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 37 = 0
+           |) WHERE src != dst),
+           |s0 AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM d GROUP BY 1, 2),
+           |$rounds
+           |SELECT (a - (a % 50)) AS block, CAST(count(*) AS BIGINT) AS n_edges,
+           |  CAST(sum(a * 7 + b) AS BIGINT) AS edge_checksum
+           |FROM s10 GROUP BY 1""".stripMargin
+      }),
+
+    Query(
       "q269_hits",
       "HITS hubs & authorities (Graphs.hits — Kleinberg 1999) over the DIRECTED q194 block " +
         "graph, 3 synchronous rounds: the centrality PAIR PageRank collapses (aggregator " +

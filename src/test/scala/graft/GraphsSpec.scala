@@ -542,6 +542,49 @@ class GraphsSpec extends AnyFunSuite {
     assert(got == r.toMap, s"$got vs $r")
   }
 
+  /** Driver twin of Graphs.kTruss: same canonicalization and
+    * synchronous support-peel to fixpoint. */
+  private def bruteTruss(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    if (k <= 2) return und
+    var stable = false
+    while (!stable) {
+      // support(a,b) = common neighbors of a and b within the
+      // surviving edge set
+      val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+      val next = und.filter { case (a, b) =>
+        (nbrs(a) & nbrs(b)).size >= k - 2
+      }
+      stable = next == und
+      und = next
+    }
+    und
+  }
+
+  test("kTruss: K4, cascade peel, pendant strip; random graph replays the peel twin") {
+    def run(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] =
+      Graphs.kTruss(edges.toDF("src", "dst"), "src", "dst", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(run(k4, 4) == k4.toSet, "K4 is its own 4-truss")
+    assert(run(k4, 5).isEmpty, "K4 has no 5-truss")
+    // triangle + pendant: the 3-truss strips the pendant edge
+    val triPend = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 9L))
+    assert(run(triPend, 3) == Set((0L, 1L), (1L, 2L), (0L, 2L)))
+    // two triangles sharing an edge: the 4-truss peels in a CASCADE
+    // (outer edges first, then the shared edge loses its support)
+    val bowtie = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(run(bowtie, 4).isEmpty, "cascade must empty the bowtie")
+    assert(run(bowtie, 3) == bowtie.toSet)
+    // random graph, both k values, against the sequential twin
+    val rng = new scala.util.Random(41)
+    val rand = Seq.fill(120)((rng.nextLong(18), rng.nextLong(18))).filter(e => e._1 != e._2)
+    for (k <- Seq(3, 4, 5))
+      assert(run(rand, k) == bruteTruss(rand, k), s"k=$k")
+  }
+
   /** Driver twin of Graphs.hits: same init, BigInt sums, exact
     * max-normalization each half-step. */
   private def bruteHits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
