@@ -2492,6 +2492,94 @@ object PipelineQueries extends QueryPack {
              |ORDER BY ne.ra_e8 DESC, ne.a, ne.b LIMIT 40""".stripMargin)),
 
     Query(
+      "q272_effective_diameter",
+      "Neighborhood function + effective diameter (Graphs.hyperBall — THE published HyperBall " +
+        "use, Boldi & Vigna 2013/Palmer ANF 2002: 'within how many hops are 90% of reachable " +
+        "pairs?', the small-world audit of a crawl graph): N(k) = sum over nodes of the " +
+        "k-ball sketch estimate over the DIRECTED q243 block graph for 6 radii, all in the " +
+        "e4 integers the register kit pins cross-engine; a radius passes when N(k)*10 >= " +
+        "9*N(max), the 90th-percentile flag whose first set radius IS the effective " +
+        "diameter. |V| x 64 register rows per round — never all-pairs BFS. The oracle " +
+        "replays registers, all 6 MATERIALIZED max-merge rounds and the estimate algebra. " +
+        "Output: (radius, nf_e4, pass).",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val d0 = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + (idx + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx >= 45 && idx <= 48)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), base.as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        val nf = graft.pipeline.Graphs.hyperBall(d0, "src", "dst", maxRadius = 6)
+          .groupBy($"radius").agg(sum($"est_e4").as("nf_e4"))
+        val last = nf.agg(max(struct($"radius", $"nf_e4")).as("m"))
+          .select($"m.nf_e4".as("nf_last"))
+        nf.crossJoin(broadcast(last))
+          .select($"radius", $"nf_e4",
+            when($"nf_e4" * 10L >= $"nf_last" * 9L, 1L).otherwise(0L).as("pass"))
+      },
+      Some {
+        import graft.pipeline.Sketches
+        val m = Sketches.M; val sc = Sketches.Scale; val rm = Sketches.RMax
+        val lcCases = Sketches.LcE4.zipWithIndex
+          .map { case (e4v, i) => s"WHEN ${i + 1} THEN $e4v" }.mkString(" ")
+        val inv = s"(inv_hit + ($m - n_hit) * (1::BIGINT << $sc))"
+        def rgK(k: Int) =
+          s"""rg$k AS MATERIALIZED (SELECT node, bucket, max(r) AS r FROM (
+             |  SELECT e.dst AS node, g.bucket, g.r FROM rg${k - 1} g JOIN d0 e ON e.src = g.node
+             |  UNION ALL SELECT node, bucket, r FROM rg${k - 1}) GROUP BY 1, 2)"""
+        def estK(k: Int) =
+          s"""a$k AS (SELECT node, count(*) AS n_hit,
+             |  sum(CASE WHEN r <= $sc THEN (1::BIGINT << ($sc - r)) ELSE 0 END) AS inv_hit
+             |  FROM rg$k GROUP BY 1),
+             |e$k AS (SELECT CAST($k AS BIGINT) AS radius,
+             |  CAST(sum(CASE WHEN ${Sketches.EstNumer} / $inv <= ${Sketches.LcThreshold} AND $m - n_hit > 0
+             |    THEN CASE ($m - n_hit) $lcCases END
+             |    ELSE CAST(floor(${Sketches.EstNumer} / $inv * 10000.0 + 0.5) AS BIGINT) END) AS BIGINT) AS nf_e4
+             |  FROM a$k)"""
+        s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+           |d0 AS (SELECT src, dst FROM (
+           |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 45 AS dst
+           |    FROM documents WHERE doc_id % 50 < 45
+           |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 BETWEEN 45 AND 48
+           |  UNION SELECT doc_id, doc_id - (doc_id % 50) FROM documents WHERE doc_id % 50 = 45
+           |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+           |nodes AS (SELECT DISTINCT node FROM
+           |  (SELECT src AS node FROM d0 UNION ALL SELECT dst FROM d0)),
+           |rg0 AS MATERIALIZED (SELECT node, h % $m AS bucket,
+           |    max(CASE WHEN h // $m = 0 THEN $rm ELSE $rm - length(bin(h // $m)) END) AS r
+           |  FROM (SELECT node,
+           |    ('0x' || substr(md5(CAST(node AS VARCHAR) || '#hll'), 1, 15))::BIGINT AS h
+           |    FROM nodes)
+           |  GROUP BY 1, 2),
+           |${rgK(1)},
+           |${rgK(2)},
+           |${rgK(3)},
+           |${rgK(4)},
+           |${rgK(5)},
+           |${rgK(6)},
+           |${estK(0)},
+           |${estK(1)},
+           |${estK(2)},
+           |${estK(3)},
+           |${estK(4)},
+           |${estK(5)},
+           |${estK(6)},
+           |nf AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+           |  UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6),
+           |lastnf AS (SELECT nf_e4 AS nf_last FROM nf ORDER BY radius DESC LIMIT 1)
+           |SELECT radius, nf.nf_e4,
+           |  CAST(CASE WHEN nf.nf_e4 * 10 >= l.nf_last * 9 THEN 1 ELSE 0 END AS BIGINT) AS pass
+           |FROM nf, lastnf l""".stripMargin
+      }),
+
+    Query(
       "q271_ktruss",
       "k-truss community-strength gate (Graphs.kTruss — Cohen 2008): the maximal subgraph " +
         "whose every EDGE closes >= k-2 triangles within it, the filter between k-core " +
