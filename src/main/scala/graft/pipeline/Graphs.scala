@@ -230,6 +230,53 @@ object Graphs {
     } finally { e.unpersist(false); () }
   }
 
+  /** Newman modularity (Newman & Girvan 2004) of a node labeling over
+    * the undirected simple graph — the acceptance test for
+    * [[labelPropagation]]'s output (a labeling can always be produced;
+    * Q says whether it beats random edge placement: Q ≈ 0 is noise,
+    * Q ≳ 0.3 is real community structure). Q = Σ_c [e_c/m − (d_c/2m)²]
+    * evaluated as the exact integer rational
+    * q_num = Σ_c (4m·e_c − d_c²) over q_den = 4m² (longs — fine to
+    * m ≈ 1.5·10⁹ edges; lift to decimal beyond), with q_e6 through the
+    * operand-order-pinned double chain. Unlabeled nodes are an error
+    * by construction (inner join) — label every node first.
+    *
+    * Scale shape: one canonical-edge distinct, two broadcast-or-hash
+    * label joins, two partial-aggregated groupBys over the COMMUNITY
+    * key (cardinality = #communities), one bounded final sum. No
+    * windows, no iteration. Returns ONE row (m_edges, q_num, q_den,
+    * q_e6). */
+  def modularity(labels: DataFrame, nodeCol: String, labCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(labCol).cast("long").as("lab"))
+    val und = edges
+      .select(col(srcCol).cast("long").as("s0"), col(dstCol).cast("long").as("d0"))
+      .filter($"s0" =!= $"d0")
+      .select(least($"s0", $"d0").as("a"), greatest($"s0", $"d0").as("b"))
+      .distinct()
+    val labeled = und
+      .join(lab.select($"node".as("a"), $"lab".as("la")), Seq("a"))
+      .join(lab.select($"node".as("b"), $"lab".as("lb")), Seq("b"))
+    val intra = labeled.filter($"la" === $"lb")
+      .groupBy($"la".as("comm")).agg(count(lit(1)).as("ec"))
+    val degSum = labeled.select($"la".as("lab"))
+      .unionByName(labeled.select($"lb".as("lab")))
+      .groupBy($"lab".as("comm")).agg(count(lit(1)).as("dc"))
+    val mDf = und.agg(count(lit(1)).as("m"))
+    degSum.join(intra, Seq("comm"), "left")
+      .withColumn("ec", coalesce($"ec", lit(0L)))
+      .crossJoin(broadcast(mDf))
+      .agg(max($"m").as("m_edges"),
+        sum(lit(4L) * $"m" * $"ec" - $"dc" * $"dc").as("q_num"),
+        max(lit(4L) * $"m" * $"m").as("q_den"))
+      .withColumn("q_e6", expr(
+        "CAST(floor(CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE)" +
+          " * 1000000.0D + 0.5D) AS BIGINT)"))
+  }
+
   /** Exact per-node triangle counts — the clustering/link-farm signal
     * (a crawl ring advertises itself as abnormally triangle-dense;
     * legitimate topical hubs are wedge-heavy but triangle-sparse).

@@ -1729,6 +1729,90 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q273_modularity",
+      "Newman modularity of the q189 label-propagation communities (Graphs.modularity — " +
+        "Newman & Girvan 2004, the acceptance test community detection needs: a labeling " +
+        "always exists, Q says whether it beats random edge placement; ~0 noise, >= 0.3 real " +
+        "structure): Q = sum_c [e_c/m - (d_c/2m)^2] as the EXACT integer rational q_num = " +
+        "sum(4m*e_c - d_c^2) over q_den = 4m^2, q_e6 through the pinned double chain. One " +
+        "canonical-edge distinct, two label joins, two community-cardinality aggregates — no " +
+        "windows, no iteration. Two labelings scored side by side, and the test DOES ITS " +
+        "JOB: synchronous label prop fragments this ring-dominated graph into ~114 " +
+        "micro-communities (its documented pathology) and scores ~0, while the ground-truth " +
+        "50-node blocks score strongly positive — exactly the accept/reject signal. Oracle " +
+        "replays q189's 5 unrolled rounds AND the modularity algebra for both labelings.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val e = docs.select($"doc_id".as("src"), (base + (idx + 1) % 50).as("dst"))
+          .unionByName(docs.select($"doc_id".as("src"), (base + (idx * 7 + 3) % 50).as("dst")))
+          .unionByName(docs.filter($"doc_id" % 37 === 0)
+            .select($"doc_id".as("src"), (($"doc_id" + 50) % n).as("dst")))
+        val labs = graft.pipeline.Graphs.labelPropagation(docs, "doc_id", e, "src", "dst", iters = 5)
+        val truth = docs.select($"doc_id".as("node"), ($"doc_id" - idx).as("lab"))
+        graft.pipeline.Graphs.modularity(labs, "node", "lab", e, "src", "dst")
+          .withColumn("labeling", lit("labelprop"))
+          .unionByName(graft.pipeline.Graphs.modularity(truth, "node", "lab", e, "src", "dst")
+            .withColumn("labeling", lit("truth_blocks")))
+      },
+      Some {
+        val iters = 5
+        val head =
+          """WITH nodes AS (SELECT doc_id AS node FROM documents),
+            |cnt AS (SELECT count(*) AS n FROM nodes),
+            |d AS (SELECT src, dst FROM (
+            |  SELECT doc_id AS src, (doc_id - (doc_id % 50)) + ((doc_id % 50) + 1) % 50 AS dst FROM documents
+            |  UNION SELECT doc_id, (doc_id - (doc_id % 50)) + ((doc_id % 50) * 7 + 3) % 50 FROM documents
+            |  UNION SELECT doc_id, (doc_id + 50) % (SELECT n FROM cnt) FROM documents WHERE doc_id % 37 = 0
+            |) WHERE src != dst),
+            |e AS (SELECT src, dst FROM d UNION SELECT dst, src FROM d),
+            |l0 AS (SELECT node, node AS lab FROM nodes)""".stripMargin
+        val rounds = (1 to iters).map { i =>
+          val p = i - 1
+          s"""c$i AS (SELECT e.src AS v, l.lab, count(*) AS c
+             |  FROM e JOIN l$p l ON e.dst = l.node GROUP BY 1, 2),
+             |b$i AS (SELECT v, min(lab) AS lab FROM (
+             |    SELECT v, lab, c, max(c) OVER (PARTITION BY v) AS mx FROM c$i)
+             |  WHERE c = mx GROUP BY v),
+             |l$i AS (SELECT l.node, coalesce(b.lab, l.lab) AS lab
+             |  FROM l$p l LEFT JOIN b$i b ON l.node = b.v)""".stripMargin
+        }.mkString(",\n")
+        s"""$head,
+           |$rounds,
+           |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM d GROUP BY 1, 2),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+           |lb AS (SELECT u.a, u.b, la.lab AS la, lbb.lab AS lbl
+           |  FROM und u JOIN l$iters la ON la.node = u.a JOIN l$iters lbb ON lbb.node = u.b),
+           |ec AS (SELECT la AS comm, CAST(count(*) AS BIGINT) AS ec FROM lb WHERE la = lbl GROUP BY 1),
+           |dc AS (SELECT comm, CAST(count(*) AS BIGINT) AS dc FROM (
+           |  SELECT la AS comm FROM lb UNION ALL SELECT lbl FROM lb) GROUP BY 1),
+           |terms AS (SELECT dc.comm, coalesce(ec.ec, 0) AS ec, dc.dc
+           |  FROM dc LEFT JOIN ec ON ec.comm = dc.comm),
+           |lt AS (SELECT u.a, u.b, (u.a - (u.a % 50)) AS la, (u.b - (u.b % 50)) AS lbl FROM und u),
+           |ect AS (SELECT la AS comm, CAST(count(*) AS BIGINT) AS ec FROM lt WHERE la = lbl GROUP BY 1),
+           |dct AS (SELECT comm, CAST(count(*) AS BIGINT) AS dc FROM (
+           |  SELECT la AS comm FROM lt UNION ALL SELECT lbl FROM lt) GROUP BY 1),
+           |termst AS (SELECT dct.comm, coalesce(ect.ec, 0) AS ec, dct.dc
+           |  FROM dct LEFT JOIN ect ON ect.comm = dct.comm),
+           |score AS (
+           |  SELECT 'labelprop' AS labeling,
+           |    CAST(sum(4 * (SELECT m FROM m) * ec - dc * dc) AS BIGINT) AS q_num FROM terms
+           |  UNION ALL
+           |  SELECT 'truth_blocks',
+           |    CAST(sum(4 * (SELECT m FROM m) * ec - dc * dc) AS BIGINT) FROM termst)
+           |SELECT (SELECT m FROM m) AS m_edges, q_num,
+           |  CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS BIGINT) AS q_den,
+           |  CAST(floor(CAST(q_num AS DOUBLE)
+           |    / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE)
+           |    * 1000000.0 + 0.5) AS BIGINT) AS q_e6,
+           |  labeling
+           |FROM score""".stripMargin
+      }),
+
+    Query(
       "q194_triangles",
       "Exact per-node triangle counts by degree-ordered orientation (Suri & Vassilvitskii, WWW 2011 — the link-farm/clustering signal: crawl rings are triangle-dense, legitimate hubs are wedge-heavy but triangle-sparse): orient each undirected edge from the smaller endpoint under the (degree, id) total order, so every triangle has exactly ONE apex with both edges outgoing — one oriented self-join + one closing-edge join counts each triangle once, and orientation caps out-degree at O(sqrt(m)) so wedge volume is bounded m^1.5 with no skewed key (the 'last reducer' fix the naive adjacency self-join lacks). Graph: 50-node blocks with ring + skip-2 + x7 chord intra-block edges and a cross edge per 37th node (620 triangles, every node in >= 1). Per source: triangle-count sum and max. The oracle is an INDEPENDENT formulation — id-ordered triple join, no degrees anywhere.",
       (s, dir) => {

@@ -542,6 +542,35 @@ class GraphsSpec extends AnyFunSuite {
     assert(got == r.toMap, s"$got vs $r")
   }
 
+  test("modularity: textbook values on cliques; brute twin on random labelings") {
+    def run(labels: Seq[(Long, Long)], edges: Seq[(Long, Long)]): (Long, Long, Long, Long) =
+      Graphs.modularity(labels.toDF("node", "lab"), "node", "lab",
+          edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // two disjoint K3s, perfectly labeled: Q = 2*(3/6 - (6/12)^2) = 1/2
+    val twoK3 = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val perfect = Seq(0L, 1L, 2L).map(_ -> 0L) ++ Seq(10L, 11L, 12L).map(_ -> 1L)
+    assert(run(perfect, twoK3) == ((6L, 4L * 6 * 6 - 2 * 36, 144L, 500000L)))
+    // one label for everything: Q = m/m - (2m/2m)^2 = 0 exactly
+    val allOne = (Seq(0L, 1L, 2L, 10L, 11L, 12L)).map(_ -> 7L)
+    val z = run(allOne, twoK3)
+    assert(z._2 == 0L && z._4 == 0L, z.toString)
+    // brute twin on a random graph with random labels
+    val rng = new scala.util.Random(53)
+    val rand = Seq.fill(80)((rng.nextLong(16), rng.nextLong(16))).filter(e => e._1 != e._2)
+    val labs = (0L until 16L).map(v => v -> rng.nextLong(4))
+    val und = rand.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val m = und.size.toLong
+    val lmap = labs.toMap
+    val ecs = und.filter { case (a, b) => lmap(a) == lmap(b) }
+      .groupBy(e => lmap(e._1)).view.mapValues(_.size.toLong).toMap
+    val dcs = und.flatMap { case (a, b) => Seq(lmap(a), lmap(b)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val num = dcs.map { case (c, dc) => 4 * m * ecs.getOrElse(c, 0L) - dc * dc }.sum
+    val got = run(labs, rand)
+    assert(got._1 == m && got._2 == num && got._3 == 4 * m * m, s"$got")
+  }
+
   /** Driver twin of Graphs.kTruss: same canonicalization and
     * synchronous support-peel to fixpoint. */
   private def bruteTruss(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
