@@ -167,5 +167,12 @@ class EvalSpec extends AnyFunSuite {
     assert(got("r") == ((rand.size.toLong, d2, wantRho)), got("r").toString)
     // singleton group: rho pinned to 0, not NaN
     assert(run(Seq(("one", 1L, 1L)))("one") == ((1L, 0L, 0L)))
+    // plan pin: both window ranks share ONE exchange (same group
+    // partitioning — two sorts, one shuffle)
+    val plan = Eval.spearman((mono ++ rand).toDF("g", "t", "v"), "g",
+        Seq(col("t"), col("v")), Seq(col("v"), col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"window ranks must reuse the group exchange:\n$plan")
   }
 }

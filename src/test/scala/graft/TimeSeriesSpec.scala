@@ -130,5 +130,13 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert((300L until 310L).forall(got(_)._2 == 0L), "constant cell never flags")
       assert(got.values.count(_._2 == 1L) >= 1)
     }
+    // plan pin: the cell profile joins back as a BROADCAST (the corpus
+    // is read once, map-side — no row-level shuffle joins the scan)
+    val plan = TimeSeries.seasonalAnomaly(
+        rows.toDF("id", "cell", "v"), Seq("cell"), col("v"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"profile join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "no row-level shuffle join")
   }
 }
