@@ -198,6 +198,79 @@ object PipelineQueries extends QueryPack {
               |FROM est WHERE floor(neq * 10000.0 / 16) >= 2500""".stripMargin)),
 
     Query(
+      "q274_lsh_calibration",
+      "Dedup-gate calibration: precision/recall of the q54 banded-MinHash candidate set " +
+        "against EXACT 2-gram Jaccard ground truth at the same 0.25 threshold — the " +
+        "measurement every production dedup runs before trusting (k, bands, minEst) with " +
+        "drop decisions at 100 TB (bands trade recall for candidate volume; the estimator " +
+        "quantizes Jaccard at 1/k). Same shingle basis on both sides (word 2-grams), so the " +
+        "gap measured is the LSH approximation, nothing else. TP/FP/FN via two anti-joins + " +
+        "one semi-join on the bounded pair sets; precision/recall as exact e4 integer " +
+        "divisions. The oracle replays BOTH pipelines (16 md5 minhashes + banding; exact " +
+        "inverted-index Jaccard) and the same set algebra. Output: one row of counts + " +
+        "precision_e4 + recall_e4.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val cand = graft.pipeline.Dedup
+          .minhashCandidates(docs, "doc_id", "text", k = 16, bands = 8, minEst = 0.25)
+          .select($"id_a", $"id_b")
+        val truth = graft.pipeline.Dedup
+          .ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.25)
+          .select($"id_a", $"id_b")
+        val tp = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("tp"))
+        val fp = cand.join(truth, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("fp"))
+        val fn = truth.join(cand, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("fn"))
+        tp.crossJoin(fp).crossJoin(fn)
+          .select($"tp", $"fp", $"fn",
+            ($"tp" + $"fp").as("n_cand"), ($"tp" + $"fn").as("n_truth"),
+            expr("CASE WHEN tp + fp > 0 THEN (tp * 10000) div (tp + fp) ELSE 0 END")
+              .as("precision_e4"),
+            expr("CASE WHEN tp + fn > 0 THEN (tp * 10000) div (tp + fn) ELSE 0 END")
+              .as("recall_e4"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |td AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS tok
+              |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
+              |hp AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h1,
+              |       ((('0x' || substr(md5(tok), 17, 15))::BIGINT) % 288230376151711744) AS h2 FROM td),
+              |mh AS (SELECT doc_id, j, min((h1 + j * h2) % 2305843009213693951) AS m
+              |       FROM hp, generate_series(0, 15) g(j) GROUP BY 1, 2),
+              |bands AS (SELECT doc_id, j // 2 AS band,
+              |          string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS sig
+              |          FROM mh GROUP BY 1, 2),
+              |cand0 AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              |est AS (SELECT c.id_a, c.id_b,
+              |        count(*) FILTER (WHERE x.m = y.m) AS neq
+              |        FROM cand0 c
+              |        JOIN mh x ON x.doc_id = c.id_a
+              |        JOIN mh y ON y.doc_id = c.id_b AND x.j = y.j
+              |        GROUP BY 1, 2),
+              |cand AS (SELECT id_a, id_b FROM est WHERE floor(neq * 10000.0 / 16) >= 2500),
+              |cnt2 AS (SELECT doc_id, count(*) n FROM td GROUP BY 1),
+              |com2 AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+              |        FROM td a JOIN td b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |        GROUP BY 1, 2),
+              |truth AS (SELECT id_a, id_b
+              |  FROM com2 JOIN cnt2 x ON id_a = x.doc_id JOIN cnt2 y ON id_b = y.doc_id
+              |  WHERE floor(c * 10000.0 / (x.n + y.n - c) + 0.5) >= 2500),
+              |tpq AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM cand
+              |  WHERE EXISTS (SELECT 1 FROM truth t WHERE t.id_a = cand.id_a AND t.id_b = cand.id_b)),
+              |fpq AS (SELECT CAST(count(*) AS BIGINT) AS fp FROM cand
+              |  WHERE NOT EXISTS (SELECT 1 FROM truth t WHERE t.id_a = cand.id_a AND t.id_b = cand.id_b)),
+              |fnq AS (SELECT CAST(count(*) AS BIGINT) AS fn FROM truth
+              |  WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.id_a = truth.id_a AND c.id_b = truth.id_b))
+              |SELECT tp, fp, fn, tp + fp AS n_cand, tp + fn AS n_truth,
+              |  CAST(CASE WHEN tp + fp > 0 THEN (tp * 10000) // (tp + fp) ELSE 0 END AS BIGINT) AS precision_e4,
+              |  CAST(CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn) ELSE 0 END AS BIGINT) AS recall_e4
+              |FROM tpq, fpq, fnq""".stripMargin)),
+
+    Query(
       "q55_simhash",
       "SimHash near-dup: 64-bit sign-vector fingerprint in 4×16-bit chunks; Hamming ≤ 3 implies a shared chunk (pigeonhole) → chunk equality is the blocking key, then exact Hamming verify.",
       (s, dir) => Dedup.simhashCandidates(
