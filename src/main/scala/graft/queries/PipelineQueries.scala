@@ -198,6 +198,34 @@ object PipelineQueries extends QueryPack {
               |FROM est WHERE floor(neq * 10000.0 / 16) >= 2500""".stripMargin)),
 
     Query(
+      "q275_parquet_layout",
+      "Parquet layout audit (sources.ParquetLayout — footer-only row-group/column-chunk " +
+        "geometry, the governance scan behind 100 TB layout decisions: row groups vs " +
+        "maxPartitionBytes, storage-dominating columns, compaction debris): per column of " +
+        "the lineitem table, chunk count, value count and compressed/uncompressed bytes, " +
+        "summed from the SAME Thrift footers any engine reads — O(files) metadata fetches " +
+        "distributed map-only over executors, never a data page. The oracle is DuckDB's own " +
+        "parquet_metadata() over the same file (correctness contract runs at sf0.01 — the " +
+        "oracle pins that path literally, like the golden-file oracles do).",
+      (s, dir) => {
+        import s.implicits._
+        graft.sources.ParquetLayout
+          .columnChunkStats(s, s"$dir/lineitem.parquet")
+          .groupBy($"column_name")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum($"num_values").as("sum_values"),
+            sum($"compressed_bytes").as("compressed"),
+            sum($"uncompressed_bytes").as("uncompressed"))
+      },
+      Some("""SELECT path_in_schema AS column_name,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(num_values) AS BIGINT) AS sum_values,
+             |  CAST(sum(total_compressed_size) AS BIGINT) AS compressed,
+             |  CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed
+             |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+             |GROUP BY 1""".stripMargin)),
+
+    Query(
       "q274_lsh_calibration",
       "Dedup-gate calibration: precision/recall of the q54 banded-MinHash candidate set " +
         "against EXACT 2-gram Jaccard ground truth at the same 0.25 threshold — the " +

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ParquetLayout
+
+class ParquetLayoutSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("columnChunkStats: footer geometry matches what was written") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_layout").toString
+    val n = 1000L
+    (0L until n).toDF("id")
+      .withColumn("payload", concat(lit("row-"), col("id")))
+      .repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val stats = ParquetLayout.columnChunkStats(spark, dir)
+    val perCol = stats.groupBy($"column_name")
+      .agg(sum($"num_values").as("v"), countDistinct($"file").as("nf"),
+        sum($"compressed_bytes").as("c"), sum($"uncompressed_bytes").as("u"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(perCol.keySet == Set("id", "payload"))
+    // every column chunk accounts for every row, across all part files
+    assert(perCol("id")._1 == n && perCol("payload")._1 == n, perCol.toString)
+    assert(perCol("id")._2 == 3L, "three part files audited")
+    assert(perCol.values.forall(t => t._3 > 0 && t._4 > 0))
+    // footer-only read: single-file form agrees with the directory scan
+    val one = stats.select($"file").distinct().as[String].collect().head
+    val single = ParquetLayout.columnChunkStats(spark, one)
+      .agg(sum($"num_values")).as[Long].head()
+    val dirPart = stats.filter($"file" === one)
+      .agg(sum($"num_values")).as[Long].head()
+    assert(single == dirPart)
+  }
+}
