@@ -129,6 +129,39 @@ object Eval {
       .withColumn("first_rel_rank", coalesce(col("first_rel_rank"), lit(0L)))
   }
 
+  /** Cohen's kappa (Cohen 1960) between two categorical labelings of
+    * the same rows — the chance-corrected agreement score data-quality
+    * teams run between annotators, and between FILTER GATES before
+    * composing them (two gates that agree no better than chance are
+    * independent signals worth both keeping; kappa near 1 means the
+    * second gate is redundant). κ = (p_o − p_e)/(1 − p_e) with
+    * p_e from the marginals, evaluated as the integer rational
+    * (n·agree − pe) / (n² − pe): agreement and marginal products are
+    * exact longs (fine to n ≈ 3·10⁹; lift to decimal beyond), the
+    * final ratio through the pinned double chain, e6. κ = 0 when the
+    * denominator degenerates (both labelers constant).
+    *
+    * Scale shape: ONE partial-aggregated groupBy over the label-pair
+    * cells (cardinality = |A|·|B| categories), then category-bounded
+    * arithmetic — the corpus is read once, map-side. Returns one row
+    * (n, n_agree, pe_num, kappa_e6). */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.cast("long").as("la"), b.cast("long").as("lb"))
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      sum(when(col("la") === col("lb"), col("c")).otherwise(0L)).as("n_agree"))
+    val na = cells.groupBy(col("la").as("cat")).agg(sum(col("c")).as("na"))
+    val nb = cells.groupBy(col("lb").as("cat")).agg(sum(col("c")).as("nb"))
+    val pe = na.join(nb, Seq("cat"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    tot.crossJoin(pe)
+      .select(col("n"), col("n_agree"), col("pe_num"),
+        expr("CASE WHEN CAST(n AS DOUBLE) * n - pe_num > 0.0D THEN" +
+          " CAST(floor((CAST(n AS DOUBLE) * n_agree - pe_num)" +
+          " / (CAST(n AS DOUBLE) * n - pe_num) * 1000000.0D + 0.5D) AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END").as("kappa_e6"))
+  }
+
   /** Spearman rank correlation per group between two TOTAL orders —
     * the monotone-association test that Pearson (q213) misses when the
     * relationship is nonlinear, and the rank-agreement metric between

@@ -1466,6 +1466,72 @@ object CurationQueries extends QueryPack {
              |FROM sig""".stripMargin)),
 
     Query(
+      "q276_gate_agreement",
+      "Inter-gate agreement (Eval.cohenKappa — Cohen 1960, the chance-corrected score " +
+        "data-quality teams run between annotators and between FILTER GATES before composing " +
+        "them: kappa ~0 means independent signals worth both keeping, ~1 means the second " +
+        "gate is redundant): the q128 Gopher token gate vs the q129 line-shape gate on the " +
+        "same documents. kappa = (n*agree - pe)/(n^2 - pe) — agreement and marginal products " +
+        "exact longs from ONE label-pair cell aggregate (|A|x|B| rows), the ratio through " +
+        "the pinned double chain. The oracle replays BOTH gate formulations AND the kappa " +
+        "algebra. Output: one row (n, n_agree, pe_num, kappa_e6).",
+      (s, dir) => {
+        val g = TextAnalysis.gopherSignals(col("__t"), gopherStops)
+        val injected = Tables.documents(s, dir).withColumn("text2",
+          graft.functions.Barrier(concat_ws("\n",
+            when(col("doc_id") % 3 === 0, lit("- injected bullet")),
+            col("text"),
+            when(col("doc_id") % 4 === 0, lit("to be continued...")),
+            when(col("doc_id") % 5 === 0, lit("* second bullet")),
+            when(col("doc_id") % 6 === 0, lit("if (x) { return y; }")))))
+        val flags = injected
+          .select(col("doc_id"),
+            graft.functions.Barrier(TextAnalysis.tokens(col("text"))).as("__t"),
+            TextAnalysis.lineSignals(col("text2")).as("l"))
+          .select(g.getField("pass").cast("long").as("gopher_pass"),
+            col("l.pass").cast("long").as("line_pass"))
+        graft.pipeline.Eval.cohenKappa(flags, col("gopher_pass"), col("line_pass"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |gsig AS (SELECT doc_id, len(t) AS n,
+              |  CASE WHEN len(t) > 0 THEN list_aggregate(list_transform(t, x -> len(x)), 'sum') * 1.0 / len(t) ELSE 0.0 END AS ml,
+              |  CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(t) ELSE 0.0 END AS ar,
+              |  CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> contains(x, '#') OR contains(x, '...'))) * 1.0 / len(t) ELSE 0.0 END AS sr,
+              |  len(list_filter(t, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS sh
+              |  FROM toks),
+              |gp AS (SELECT doc_id, CASE WHEN n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+              |  AND ar >= 0.8 AND sr <= 0.1 AND sh >= 2 THEN 1 ELSE 0 END AS la FROM gsig),
+              |inj AS (SELECT doc_id, concat_ws(chr(10),
+              |  CASE WHEN doc_id % 3 = 0 THEN '- injected bullet' END,
+              |  text,
+              |  CASE WHEN doc_id % 4 = 0 THEN 'to be continued...' END,
+              |  CASE WHEN doc_id % 5 = 0 THEN '* second bullet' END,
+              |  CASE WHEN doc_id % 6 = 0 THEN 'if (x) { return y; }' END) AS text2
+              |  FROM documents),
+              |ln AS (SELECT doc_id, list_filter(string_split(text2, chr(10)), l -> trim(l) != '') AS ls FROM inj),
+              |lsig AS (SELECT doc_id, len(ls) AS n,
+              |  CASE WHEN len(ls) > 0 THEN len(list_filter(ls, l -> starts_with(trim(l), '- ')
+              |    OR starts_with(trim(l), '* ') OR starts_with(trim(l), chr(8226)))) * 1.0 / len(ls) ELSE 0.0 END AS br,
+              |  CASE WHEN len(ls) > 0 THEN len(list_filter(ls, l -> ends_with(trim(l), '...'))) * 1.0 / len(ls) ELSE 0.0 END AS er,
+              |  CASE WHEN len(list_filter(ls, l -> contains(l, '{') OR contains(l, '}'))) > 0 THEN 1 ELSE 0 END AS hc
+              |  FROM ln),
+              |lp AS (SELECT doc_id, CASE WHEN n > 0 AND br <= 0.9 AND er <= 0.3 AND hc = 0 THEN 1 ELSE 0 END AS lb FROM lsig),
+              |pairs AS (SELECT gp.la, lp.lb FROM gp JOIN lp ON lp.doc_id = gp.doc_id),
+              |cells AS (SELECT la, lb, count(*) AS c FROM pairs GROUP BY 1, 2),
+              |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+              |  CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT) AS n_agree FROM cells),
+              |na AS (SELECT la AS cat, CAST(sum(c) AS BIGINT) AS na FROM cells GROUP BY 1),
+              |nb AS (SELECT lb AS cat, CAST(sum(c) AS BIGINT) AS nb FROM cells GROUP BY 1),
+              |pe AS (SELECT CAST(coalesce(sum(na.na * nb.nb), 0) AS BIGINT) AS pe_num
+              |  FROM na JOIN nb ON nb.cat = na.cat)
+              |SELECT n, n_agree, pe_num,
+              |  CAST(CASE WHEN CAST(n AS DOUBLE) * n - pe_num > 0.0 THEN
+              |    floor((CAST(n AS DOUBLE) * n_agree - pe_num)
+              |      / (CAST(n AS DOUBLE) * n - pe_num) * 1000000.0 + 0.5)
+              |    ELSE 0 END AS BIGINT) AS kappa_e6
+              |FROM tot, pe""".stripMargin)),
+
+    Query(
       "q130_dsir",
       "DSIR importance resampling (Xie et al. 2023): top-20 corpus docs (source != src0) by hashed-bigram log importance ratio against the target distribution (source = src0). Feature hashing is map-only (portable md5 buckets, mod 256); both distributions are nBuckets-bounded partial aggregates; the <= nBuckets score table broadcast-joins onto the occurrence stream; per-bucket ln ratios quantize to e6 integers BEFORE the per-doc sum (the q119/q124 contract); global top-k is the bounded-heap TopKAgg, window-free.",
       (s, dir) => {

@@ -175,4 +175,29 @@ class EvalSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
       s"window ranks must reuse the group exchange:\n$plan")
   }
+
+  test("cohenKappa: poles, degenerate labelers, and a brute marginal twin") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(Long, Long)]): (Long, Long, Long, Long) =
+      Eval.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // perfect agreement with varied marginals: kappa = 1
+    val perfect = Seq(0L, 1L, 2L, 0L, 1L, 0L).map(x => (x, x))
+    assert(run(perfect)._4 == 1000000L)
+    // systematic disagreement on a balanced binary task: kappa = -1
+    val flipped = (0 until 10).map(i => ((i % 2).toLong, (1 - i % 2).toLong))
+    assert(run(flipped)._4 == -1000000L)
+    // both labelers constant: denominator degenerates, kappa pinned 0
+    assert(run(Seq.fill(5)((3L, 3L)))._4 == 0L)
+    // brute twin on random labels
+    val rng = new scala.util.Random(61)
+    val rand = Seq.fill(200)((rng.nextLong(3), rng.nextLong(3)))
+    val n = rand.size.toLong
+    val agree = rand.count(x => x._1 == x._2).toLong
+    val pe = (0L until 3L).map(c =>
+      rand.count(_._1 == c).toLong * rand.count(_._2 == c)).sum
+    val want = math.floor(
+      (n.toDouble * agree - pe) / (n.toDouble * n - pe) * 1e6 + 0.5).toLong
+    assert(run(rand) == ((n, agree, pe, want)))
+  }
 }
