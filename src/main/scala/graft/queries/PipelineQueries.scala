@@ -226,6 +226,33 @@ object PipelineQueries extends QueryPack {
              |GROUP BY 1""".stripMargin)),
 
     Query(
+      "q277_compaction_plan",
+      "Small-files compaction plan (ParquetLayout.compactionPlan — the OPTIMIZE bin-pack " +
+        "planner every lake format runs over directories that accrete tiny part files): " +
+        "roll the sf directory's parquet files, in deterministic name order, into groups of " +
+        "~256 KB compressed payload — group = running-total-BEFORE div target, the " +
+        "cumulative-roll approximation production compactors use (an oversized file gets " +
+        "its own group, never split). Sizes come from the q275 footer audit: O(files) " +
+        "metadata reads, zero data pages; the name-order window runs over #files rows — " +
+        "metadata scale. Oracle: DuckDB parquet_metadata() glob + the same roll algebra.",
+      (s, dir) => {
+        import s.implicits._
+        graft.sources.ParquetLayout
+          .compactionPlan(s, dir, targetBytes = 262144L)
+      },
+      Some("""WITH sz AS (SELECT regexp_extract(file_name, '([^/]+)$', 1) AS fname,
+             |    CAST(sum(total_compressed_size) AS BIGINT) AS bytes
+             |  FROM parquet_metadata('/root/testdata/sf0.01/*.parquet') GROUP BY 1),
+             |rolled AS (SELECT fname, bytes,
+             |    CAST(coalesce(sum(bytes) OVER (ORDER BY fname
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+             |  FROM sz)
+             |SELECT before // 262144 AS grp, CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+             |  string_agg(fname, ',' ORDER BY fname) AS files
+             |FROM rolled GROUP BY 1""".stripMargin)),
+
+    Query(
       "q274_lsh_calibration",
       "Dedup-gate calibration: precision/recall of the q54 banded-MinHash candidate set " +
         "against EXACT 2-gram Jaccard ground truth at the same 0.25 threshold — the " +

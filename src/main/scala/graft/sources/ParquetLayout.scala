@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
 
@@ -54,5 +55,37 @@ object ParquetLayout {
       }
       .toDF("file", "row_group", "column_name",
         "num_values", "compressed_bytes", "uncompressed_bytes")
+  }
+
+  /** Small-files compaction plan — the OPTIMIZE/bin-pack planner every
+    * table format runs over lakes that accrete tiny part files: roll
+    * the directory's files, in deterministic name order, into groups
+    * of ≈ `targetBytes` compressed payload (group boundary = running
+    * total BEFORE the file, integer-divided by the target — the
+    * cumulative-roll approximation production compactors use; a file
+    * larger than the target gets its own group, never split). Sizing
+    * comes from [[columnChunkStats]] footers, so the plan costs
+    * O(files) metadata reads and zero data pages; executing it is a
+    * per-group read→write.
+    *
+    * The name-order window runs over #files rows — metadata scale; at
+    * millions of files swap in [[graft.pipeline.Sampling.prefixSum]].
+    * Returns (grp, n_files, sum_bytes, files) with `files` a sorted
+    * comma-joined basename list. */
+  def compactionPlan(spark: SparkSession, path: String, targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val sizes = columnChunkStats(spark, path)
+      .withColumn("fname", regexp_extract(col("file"), "([^/]+)$", 1))
+      .groupBy($"fname").agg(sum($"compressed_bytes").as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"fname")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sizes
+      .withColumn("before", coalesce(sum($"bytes").over(w), lit(0L)))
+      .withColumn("grp", expr(s"before div ${targetBytes}L"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("sum_bytes"),
+        array_join(sort_array(collect_list($"fname")), ",").as("files"))
   }
 }

@@ -34,4 +34,38 @@ class ParquetLayoutSpec extends AnyFunSuite {
       .agg(sum($"num_values")).as[Long].head()
     assert(single == dirPart)
   }
+
+  test("compactionPlan: name-ordered roll, oversized file isolated, groups cover all files") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_plan").toString
+    // three differently-sized tables as separate parquet "files"
+    (0L until 20L).toDF("id").coalesce(1).write.parquet(s"$dir/t_small")
+    (0L until 20000L).toDF("id")
+      .withColumn("pad", concat(lit("x"), col("id")))
+      .coalesce(1).write.parquet(s"$dir/t_big")
+    // flatten the part files into one directory with stable names
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val flat = java.nio.file.Files.createTempDirectory("pq_flat").toString
+    for ((sub, name) <- Seq("t_small" -> "a_small.parquet", "t_big" -> "b_big.parquet")) {
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$flat/$name"))
+    }
+    val sizes = ParquetLayout.columnChunkStats(spark, flat)
+      .groupBy($"file").agg(sum($"compressed_bytes").as("b"))
+      .collect().map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    // boundary = running total BEFORE a file: with target == a_small's
+    // size, b_big's before (= a_small) reaches the target and opens a
+    // new group; a group may exceed the target by one trailing file
+    // (the documented roll semantic), so the target must sit between
+    val target = sizes("a_small.parquet")
+    val plan = ParquetLayout.compactionPlan(spark, flat, target)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(plan.values.map(_._1).sum == 2L, s"all files planned: $plan")
+    assert(plan(0L)._3 == "a_small.parquet", plan.toString)
+    assert(plan.keys.count(_ > 0L) == 1 &&
+      plan.filter(_._1 > 0L).values.head._3 == "b_big.parquet", plan.toString)
+    assert(plan.values.map(_._2).sum == sizes.values.sum)
+  }
 }
