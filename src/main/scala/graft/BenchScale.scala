@@ -64,7 +64,8 @@ object BenchScale {
     // r15 continuation shapes: per-step walk joins, wedge fan-out +
     // anti-join, 2·D Brandes rounds (σ sums + dependency joins)
     "q263_random_walks", "q264_link_prediction", "q266_betweenness",
-    "q267_node2vec_walks", "q269_hits", "q271_ktruss")
+    "q267_node2vec_walks", "q269_hits", "q271_ktruss",
+    "q274_lsh_calibration")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

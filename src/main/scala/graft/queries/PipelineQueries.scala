@@ -258,15 +258,18 @@ object PipelineQueries extends QueryPack {
         "against EXACT 2-gram Jaccard ground truth at the same 0.25 threshold — the " +
         "measurement every production dedup runs before trusting (k, bands, minEst) with " +
         "drop decisions at 100 TB (bands trade recall for candidate volume; the estimator " +
-        "quantizes Jaccard at 1/k). Same shingle basis on both sides (word 2-grams), so the " +
-        "gap measured is the LSH approximation, nothing else. TP/FP/FN via two anti-joins + " +
-        "one semi-join on the bounded pair sets; precision/recall as exact e4 integer " +
-        "divisions. The oracle replays BOTH pipelines (16 md5 minhashes + banding; exact " +
-        "inverted-index Jaccard) and the same set algebra. Output: one row of counts + " +
-        "precision_e4 + recall_e4.",
+        "quantizes Jaccard at 1/k). Run on a 30% deterministic hash SAMPLE of the corpus — " +
+        "exactly how production calibrates (exact ground truth is quadratic in documents; " +
+        "the sample makes calibration cost corpus-size-independent while P/R estimates stay " +
+        "unbiased). Same shingle basis on both sides (word 2-grams), so the gap measured is " +
+        "the LSH approximation, nothing else. TP/FP/FN via two anti-joins + one semi-join " +
+        "on the bounded pair sets; precision/recall as exact e4 integer divisions. The " +
+        "oracle replays the sample draw, BOTH pipelines (16 md5 minhashes + banding; exact " +
+        "inverted-index Jaccard) and the same set algebra.",
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
+          .filter(graft.pipeline.Sampling.hashBucket($"doc_id", "cal15") < 3000L)
         val cand = graft.pipeline.Dedup
           .minhashCandidates(docs, "doc_id", "text", k = 16, bands = 8, minEst = 0.25)
           .select($"id_a", $"id_b")
@@ -287,7 +290,9 @@ object PipelineQueries extends QueryPack {
             expr("CASE WHEN tp + fn > 0 THEN (tp * 10000) div (tp + fn) ELSE 0 END")
               .as("recall_e4"))
       },
-      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      Some(s"""WITH sampled AS (SELECT * FROM documents
+              |  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cal15'), 1, 15))::BIGINT) % 10000 < 3000),
+              |toks AS (SELECT doc_id, $toksSql AS t FROM sampled),
               |td AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS tok
               |       FROM toks, generate_series(1, 200) g(i) WHERE i <= len(t) - 1),
               |hp AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h1,
