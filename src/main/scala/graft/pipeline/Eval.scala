@@ -129,6 +129,30 @@ object Eval {
       .withColumn("first_rel_rank", coalesce(col("first_rel_rank"), lit(0L)))
   }
 
+  /** Gini coefficient of a BOUNDED set of non-negative shares — the
+    * concentration audit for a training mix (is one source/domain/
+    * language dominating the token budget?): 0 = perfectly even,
+    * →1 = one share holds everything. Computed by the sorted-rank
+    * identity G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over exact longs,
+    * the final ratio through the pinned double chain, e6.
+    *
+    * The input must already be the AGGREGATED share table (one row
+    * per source — bounded by construction); the single-partition rank
+    * window is over that bounded set, never the corpus. Returns one
+    * row (n_shares, total, gini_e6). */
+  def gini(df: DataFrame, value: Column, tieBreak: Column): DataFrame = {
+    val ranked = df.select(value.cast("long").as("x"), tieBreak.as("tb"))
+      .withColumn("i", row_number().over(Window.orderBy(col("x"), col("tb"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n_shares"),
+        sum(col("x")).as("total"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("n_shares"), col("total"),
+        when(col("total") > 0L, expr(
+          "CAST(floor((2.0D * ix - (CAST(n_shares AS DOUBLE) + 1.0D) * total)" +
+            " / (CAST(n_shares AS DOUBLE) * total) * 1000000.0D + 0.5D) AS BIGINT)"))
+          .otherwise(lit(0L)).as("gini_e6"))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two categorical labelings of
     * the same rows — the chance-corrected agreement score data-quality
     * teams run between annotators, and between FILTER GATES before

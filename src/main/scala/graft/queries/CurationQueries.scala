@@ -1466,6 +1466,31 @@ object CurationQueries extends QueryPack {
              |FROM sig""".stripMargin)),
 
     Query(
+      "q278_mix_concentration",
+      "Training-mix concentration audit (Eval.gini — is one source dominating the token " +
+        "budget?): Gini coefficient over the per-source character totals, by the sorted-rank " +
+        "identity G = (2*sum i*x_(i) - (n+1)*sum x) / (n*sum x) in exact longs, the ratio " +
+        "through the pinned double chain. The rank window runs over the AGGREGATED share " +
+        "table (|sources| rows — bounded by construction), never the corpus: the corpus pass " +
+        "is one partial-aggregated groupBy. 0 = perfectly even mix, ->1 = one source holds " +
+        "everything. Output: one row (n_shares, total, gini_e6).",
+      (s, dir) => {
+        val shares = Tables.documents(s, dir)
+          .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+        graft.pipeline.Eval.gini(shares, col("chars"), col("source"))
+      },
+      Some("""WITH shares AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+             |  FROM documents GROUP BY 1),
+             |ranked AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
+             |  FROM shares),
+             |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_shares,
+             |  CAST(sum(x) AS BIGINT) AS total, CAST(sum(i * x) AS BIGINT) AS ix FROM ranked)
+             |SELECT n_shares, total,
+             |  CAST(CASE WHEN total > 0 THEN floor((2.0 * ix - (CAST(n_shares AS DOUBLE) + 1.0) * total)
+             |    / (CAST(n_shares AS DOUBLE) * total) * 1000000.0 + 0.5) ELSE 0 END AS BIGINT) AS gini_e6
+             |FROM agg""".stripMargin)),
+
+    Query(
       "q276_gate_agreement",
       "Inter-gate agreement (Eval.cohenKappa — Cohen 1960, the chance-corrected score " +
         "data-quality teams run between annotators and between FILTER GATES before composing " +

@@ -200,4 +200,28 @@ class EvalSpec extends AnyFunSuite {
       (n.toDouble * agree - pe) / (n.toDouble * n - pe) * 1e6 + 0.5).toLong
     assert(run(rand) == ((n, agree, pe, want)))
   }
+
+  test("gini: textbook poles and a brute sorted-rank twin") {
+    import org.apache.spark.sql.functions.col
+    def run(xs: Seq[Long]): (Long, Long, Long) =
+      Eval.gini(xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("x", "id"),
+          col("x"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    // perfectly even: G = 0
+    assert(run(Seq.fill(8)(100L)) == ((8L, 800L, 0L)))
+    // one share holds everything: G = (n-1)/n
+    val solo = run(Seq(0L, 0L, 0L, 1000L))
+    assert(solo == ((4L, 1000L, 750000L)), solo.toString)
+    // all-zero shares degenerate to 0, not NaN
+    assert(run(Seq(0L, 0L))._3 == 0L)
+    // brute twin on random shares
+    val rng = new scala.util.Random(71)
+    val xs = Seq.fill(30)(rng.nextLong(500))
+    val sorted = xs.sorted
+    val n = sorted.size.toDouble
+    val tot = sorted.sum.toDouble
+    val ix = sorted.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val want = math.floor((2.0 * ix - (n + 1.0) * tot) / (n * tot) * 1e6 + 0.5).toLong
+    assert(run(xs)._3 == want)
+  }
 }
