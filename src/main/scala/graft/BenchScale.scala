@@ -65,7 +65,13 @@ object BenchScale {
     // anti-join, 2·D Brandes rounds (σ sums + dependency joins)
     "q263_random_walks", "q264_link_prediction", "q266_betweenness",
     "q267_node2vec_walks", "q269_hits", "q271_ktruss",
-    "q274_lsh_calibration")
+    "q274_lsh_calibration",
+    // r16: the grouped-quantile family (VERDICT r15 item 1) — driver-
+    // loop-latency-bound value-domain searches whose round count, not
+    // scan cost, is the scale variable; the sketch-seeded brackets and
+    // enumeration finisher must stay round-flat at 10x
+    "q192_exact_quantiles", "q193_group_median", "q195_robust_outliers",
+    "q242_robust_standardize")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

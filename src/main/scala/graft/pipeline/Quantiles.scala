@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** EXACT distributed quantiles by value-domain multiway search — the
@@ -13,22 +13,39 @@ import org.apache.spark.sql.functions._
   * v with count(x ≤ v) ≥ ceil(q·n). Each requested quantile keeps a
   * [lo, hi] bracket over the value domain; every round ONE map-side
   * partial-aggregated pass over the persisted single-column
-  * projection evaluates `count(x ≤ p)` at Branch−1 probe points for
-  * ALL unconverged quantiles simultaneously (conditional sums — no
-  * shuffle wider than one row), so the total cost is
-  * ⌈log_Branch(domain range)⌉ cheap scans regardless of how many
-  * quantiles are asked for. The rounds are DRIVER-LOOP-latency bound,
-  * not scan bound — so the UNGROUPED search is 32-ary (probes baked
-  * into comparison literals: wider fan-out is per-row free, bounded
-  * only by the codegen column budget below), while the GROUPED
-  * searches stay 8-ary (their probes arrive per row through
-  * `element_at` on a joined array, so per-row work scales with the
-  * fan-out — see [[GroupBranch]]).
+  * projection evaluates `count(x ≤ p)` at a handful of probe points
+  * for ALL unconverged quantiles simultaneously (conditional sums —
+  * no shuffle wider than one row).
+  *
+  * Two r16 accelerations — the search is DRIVER-LOOP-latency bound,
+  * so both attack the ROUND COUNT and the PER-ROUND JOB SHAPE, never
+  * exactness (the bracket logic is correct for ANY probe placement;
+  * probes are guesses, the measured counts are the truth):
+  *
+  *  1. SKETCH-SEEDED BRACKETS. The stats pass that already computes
+  *     (count, min, max) per target also computes
+  *     `percentile_approx(v, [q−ε, q, q+ε], 10000)` (GK sketch, rank
+  *     error ≤ n/10000). Those three values become the FIRST round's
+  *     probe points, so one round collapses the bracket from the full
+  *     value domain to the inter-sketch gap (a few rank-ε of values)
+  *     — ⌈log_B(domain)⌉ ≈ 8 uniform rounds become 1 seeded + ~2
+  *     cleanup rounds. If the sketch is off (weighted search seeds
+  *     from the unweighted sketch), later rounds fall back to uniform
+  *     probes over the narrowed bracket — slower, never wrong.
+  *
+  *  2. LITERAL GROUPED PROBES. When the active (group × quantile)
+  *     count fits [[ProbeColumnBudget]], the grouped round is ONE
+  *     global partial aggregate of `sum(when(k = 'g' AND v ≤ lit(p),
+  *     w))` columns — probes baked into codegen literals, no
+  *     broadcast join, no groupBy shuffle, no per-row `element_at`.
+  *     Only above the budget (q242's 64 dims) does the round use the
+  *     broadcast probe-array join + groupBy path, whose driver state
+  *     stays |groups|-bounded at any group count.
   *
   * Contrast at 100 TB: a global sort is a full-corpus shuffle;
   * `percentile` collects per-group buffers (memory ∝ rows);
-  * `approx_percentile` is a sketch (wrong by design for a gate that
-  * asserts exact parity).
+  * `approx_percentile` ALONE is a sketch (wrong by design for a gate
+  * that asserts exact parity — here it only aims the exact search).
   */
 object Quantiles {
 
@@ -39,19 +56,27 @@ object Quantiles {
     * of conditional sums compiles slower than the scans it saves
     * (measured: 5 quantiles x 31 probes = 155 sum(when) columns took
     * the ungrouped search from 2.3 s to 10 s at sf0.1 — the per-round
-    * generated function dominates). The ungrouped search divides this
-    * budget across its active targets. */
+    * generated function dominates). Both the ungrouped search and the
+    * literal grouped path divide this budget across active targets. */
   private val ProbeColumnBudget = 48
 
-  /** The GROUPED searches stay 8-ary: their conditional sums read the
-    * probe points through per-row `element_at` on the joined probe
-    * array (not compile-time literals), so per-row work scales with
-    * the fan-out — 31 probes cost ~4x the scan compute of 7 while
-    * rounds shrink only 0.6x (measured: q195's chained median+MAD
-    * searches went 2.7 -> 4.9 s at 32-ary; 8-ary restores it). The
-    * ungrouped search bakes probes into literals, where wider fan-out
-    * is per-row free and only the codegen budget above binds. */
+  /** Fan-out of the ABOVE-budget grouped path, where probes arrive
+    * per row through `element_at` on a joined array and per-row work
+    * scales with the fan-out — 31 probes cost ~4x the scan compute of
+    * 7 while rounds shrink only 0.6x (measured on q195's chained
+    * median+MAD searches). */
   private val GroupBranch = 8
+
+  /** GK-sketch accuracy for bracket seeding: rank error ≤ n/10000. */
+  private val SeedAccuracy = 10000
+
+  /** Seeding fractions for a target fraction q: the sketch values at
+    * q−ε and q+ε bracket the true quantile's value with margin 2× the
+    * sketch's guaranteed rank error. */
+  private def seedFracs(q: Double): Seq[Double] = {
+    val eps = 2.0 / SeedAccuracy
+    Seq(math.max(0.0, q - eps), math.min(1.0, q), math.min(1.0, q + eps))
+  }
 
   /** Probe points strictly inside (lo, hi), deduped, ascending. */
   private def probes(lo: Long, hi: Long, branch: Int = Branch): Seq[Long] = {
@@ -60,17 +85,94 @@ object Quantiles {
       .filter(p => p >= lo && p < hi).distinct
   }
 
+  /** First-round probes: the sketch seeds clipped into [lo, hi),
+    * falling back to uniform spacing when none survive the clip. */
+  private def seedOrUniform(seed: Seq[Long], lo: Long, hi: Long,
+      branch: Int): Seq[Long] = {
+    val sp = seed.filter(p => p >= lo && p < hi).distinct.sorted
+    if (sp.nonEmpty) sp else probes(lo, hi, branch)
+  }
+
   /** Bracket update: counts are (probe → count(x ≤ probe)); the target
-    * is the smallest v with count ≥ rank. Returns the new (lo, hi). */
-  private def shrink(lo: Long, hi: Long, rank: Long,
-      cnts: Seq[(Long, Long)]): (Long, Long) = {
+    * is the smallest v with count ≥ rank. Returns the new
+    * (lo, hi, countBelowLo) — the third element keeps the exact
+    * count(x < lo) invariant the enumeration finisher needs. */
+  private def shrink(lo: Long, hi: Long, rank: Long, below: Long,
+      cnts: Seq[(Long, Long)]): (Long, Long, Long) = {
     val sorted = cnts.sortBy(_._1)
     sorted.find(_._2 >= rank) match {
       case Some((p, _)) =>
-        val below = sorted.takeWhile(_._1 < p).lastOption
-        (below.map(_._1 + 1).getOrElse(lo), p)
-      case None => (sorted.last._1 + 1, hi)
+        val b = sorted.takeWhile(_._1 < p).lastOption
+        (b.map(_._1 + 1).getOrElse(lo), p, b.map(_._2).getOrElse(below))
+      case None => (sorted.last._1 + 1, hi, sorted.last._2)
     }
+  }
+
+  /** Driver-size cap of the enumeration finisher's collect (~1 MB of
+    * (group, value, weight) rows — the bounded-driver-artifact
+    * contract made explicit). */
+  private val MaxEnum = 65536
+
+  /** ENUMERATION FINISHER: one job that replaces every remaining
+    * binary round once brackets are narrow (which the sketch seeds
+    * make true after round 1) — per-value weight totals inside each
+    * active bracket, collected and walked cumulatively on the driver
+    * against the tracked count-below-lo. Returns None (caller falls
+    * back to a probe round) when the candidate set exceeds [[MaxEnum]]
+    * — the `limit` makes the guard itself a cheap truncated job, so a
+    * bad-seed wide bracket costs one small scan, never an unbounded
+    * collect. Spans may carry duplicate keys (multi-q); the histogram
+    * is computed per group over the span union. */
+  private def bracketHistograms(v: DataFrame, weight: Column,
+      spans: Seq[(String, Long, Long)]): Option[Map[String, Seq[(Long, Long)]]] = {
+    // Merge only OVERLAPPING spans per group (multi-q at far-apart
+    // quantiles — p5+p95 — must NOT union into one range spanning the
+    // middle 90% of the corpus); disjoint spans also keep the join
+    // path double-count-free (each row matches at most one span).
+    val byK: Seq[(String, Long, Long)] = spans.groupBy(_._1).toSeq.flatMap {
+      case (k, ss) =>
+        val sorted = ss.map(s => (s._2, s._3)).sortBy(_._1)
+        sorted.tail.foldLeft(List(sorted.head)) { case (acc, (l, h)) =>
+          val (cl, ch) = acc.head
+          if (l <= ch + 1) (cl, math.max(ch, h)) :: acc.tail
+          else (l, h) :: acc
+        }.reverse.map { case (l, h) => (k, l, h) }
+    }
+    val base =
+      if (byK.size <= ProbeColumnBudget)
+        v.filter(byK.map { case (k, l, h) =>
+          col("k") === lit(k) && col("v") >= lit(l) && col("v") <= lit(h)
+        }.reduce(_ || _))
+      else {
+        val spark = v.sparkSession
+        import spark.implicits._
+        val b = broadcast(byK.toDF("k", "blo", "bhi"))
+        v.join(b, Seq("k")).filter(col("v") >= col("blo") && col("v") <= col("bhi"))
+      }
+    val rows = base.groupBy(col("k"), col("v"))
+      .agg(sum(weight).as("w")).limit(MaxEnum + 1).collect()
+    if (rows.length > MaxEnum) None
+    else Some(rows.groupBy(_.getString(0)).map { case (k, rs) =>
+      k -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    })
+  }
+
+  /** Walk one group's in-bracket histogram from the tracked
+    * count-below: the answer is the smallest value whose cumulative
+    * reaches rank (guaranteed inside [lo, hi] by the bracket
+    * invariant count(x ≤ hi) ≥ rank). */
+  private def walk(hist: Seq[(Long, Long)], lo: Long, hi: Long,
+      below: Long, rank: Long): Long = {
+    var cum = below
+    var ans = hi
+    var found = false
+    hist.foreach { case (vv, w) =>
+      if (!found && vv >= lo && vv <= hi) {
+        cum += w
+        if (cum >= rank) { ans = vv; found = true }
+      }
+    }
+    ans
   }
 
   /** Exact quantile values of `valueCol` (cast to long; nulls
@@ -97,7 +199,8 @@ object Quantiles {
 
   /** Shared global-search loop: `mkRanks` sees n once; one map-side
     * partial-aggregated pass per round evaluates count(x ≤ probe) for
-    * all unconverged targets at once. */
+    * all unconverged targets at once. One sketch pass after the stats
+    * pass seeds every target's first-round probes. */
   private def exactRanksOf(df: DataFrame, valueCol: String,
       mkRanks: Long => Seq[Long]): Option[Seq[Long]] = {
     val v = df.select(col(valueCol).cast("long").as("v"))
@@ -109,63 +212,141 @@ object Quantiles {
       if (n == 0L) return None
       val (mn, mx) = (head.getLong(1), head.getLong(2))
       val ranks = mkRanks(n)
+      val fracs = ranks.flatMap(r => seedFracs(r.toDouble / n))
+      val seedRow = v.agg(percentile_approx(col("v"),
+        array(fracs.map(lit): _*), lit(SeedAccuracy))).head()
+      val seedVals = seedRow.getSeq[Long](0)
+      val seeds: Seq[Seq[Long]] =
+        ranks.indices.map(j => seedVals.slice(3 * j, 3 * j + 3))
       val lo = Array.fill(ranks.size)(mn)
       val hi = Array.fill(ranks.size)(mx)
+      val below = Array.fill(ranks.size)(0L)
+      var first = true
       while (lo.indices.exists(j => lo(j) < hi(j))) {
         val active = lo.indices.filter(j => lo(j) < hi(j))
-        val branch = math.max(2, math.min(Branch, 1 + ProbeColumnBudget / active.size))
-        val plan: Seq[(Int, Seq[Long])] = active.map(j => j -> probes(lo(j), hi(j), branch))
-        val aggs = plan.flatMap { case (j, ps) =>
-          ps.zipWithIndex.map { case (p, i) =>
-            sum(when(col("v") <= lit(p), 1L).otherwise(0L)).as(s"c${j}_$i")
+        var done = false
+        if (!first) {
+          // enumeration finish: per-value counts over the bracket union
+          val cond = active.map(j =>
+            col("v") >= lit(lo(j)) && col("v") <= lit(hi(j))).reduce(_ || _)
+          val rows = v.filter(cond).groupBy(col("v"))
+            .agg(count(lit(1L)).as("w")).limit(MaxEnum + 1).collect()
+          if (rows.length <= MaxEnum) {
+            val hist = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+            active.foreach { j =>
+              val ans = walk(hist, lo(j), hi(j), below(j), ranks(j))
+              lo(j) = ans; hi(j) = ans
+            }
+            done = true
           }
         }
-        val row = v.agg(aggs.head, aggs.tail: _*).head()
-        var off = 0
-        plan.foreach { case (j, ps) =>
-          val cnts = ps.zipWithIndex.map { case (p, i) => (p, row.getLong(off + i)) }
-          off += ps.size
-          val (nl, nh) = shrink(lo(j), hi(j), ranks(j), cnts)
-          lo(j) = nl; hi(j) = nh
+        if (!done) {
+          val branch = math.max(2, math.min(Branch, 1 + ProbeColumnBudget / active.size))
+          val plan: Seq[(Int, Seq[Long])] = active.map(j => j ->
+            (if (first) seedOrUniform(seeds(j), lo(j), hi(j), branch)
+             else probes(lo(j), hi(j), branch)))
+          val aggs = plan.flatMap { case (j, ps) =>
+            ps.zipWithIndex.map { case (p, i) =>
+              sum(when(col("v") <= lit(p), 1L).otherwise(0L)).as(s"c${j}_$i")
+            }
+          }
+          val row = v.agg(aggs.head, aggs.tail: _*).head()
+          var off = 0
+          plan.foreach { case (j, ps) =>
+            val cnts = ps.zipWithIndex.map { case (p, i) => (p, row.getLong(off + i)) }
+            off += ps.size
+            val (nl, nh, nb) = shrink(lo(j), hi(j), ranks(j), below(j), cnts)
+            lo(j) = nl; hi(j) = nh; below(j) = nb
+          }
         }
+        first = false
       }
       Some(lo.toSeq)
     } finally { v.unpersist(false); () }
   }
 
-  /** Shared driver loop of the grouped variants: brackets per group,
-    * probe arrays broadcast as a (k, probes[]) table, one
-    * partial-aggregated groupBy per round evaluating every group's
-    * Branch−1 weighted conditional sums at once. */
+  /** Shared driver loop of the grouped variants: brackets per group in
+    * a |groups|-bounded driver table, one partial-aggregated pass per
+    * round. Under [[ProbeColumnBudget]] active groups the round is a
+    * literal-probe global aggregate (no join, no groupBy shuffle);
+    * above it, a broadcast probe-array join + groupBy. `seed` carries
+    * each group's sketch values for the first round. */
   private def groupedSearch(v: DataFrame, rank: Map[String, Long],
-      init: Seq[(String, Long, Long)], weight: Column): DataFrame = {
+      init: Seq[(String, Long, Long)], weight: Column,
+      seed: Map[String, Seq[Long]]): DataFrame = {
     val spark = v.sparkSession
     import spark.implicits._
     val lo = scala.collection.mutable.Map(init.map(s => s._1 -> s._2): _*)
     val hi = scala.collection.mutable.Map(init.map(s => s._1 -> s._3): _*)
+    val below = scala.collection.mutable.Map(init.map(s => s._1 -> 0L): _*)
+    var first = true
     while (lo.keys.exists(k => lo(k) < hi(k))) {
-      val plan = lo.keys.toSeq.filter(k => lo(k) < hi(k)).sorted
-        .map(k => k -> probes(lo(k), hi(k), GroupBranch))
-      // pad probe arrays to a fixed width so element_at never reads
-      // out of bounds (ANSI mode errors on array OOB); the driver only
-      // consumes the first |ps| counts per group
-      val midDf = broadcast(plan.map { case (k, ps) =>
-        (k, ps.padTo(GroupBranch - 1, ps.last))
-      }.toDF("k", "ps"))
-      val sums = (0 until GroupBranch - 1).map(i =>
-        sum(when(col("v") <= element_at(col("ps"), i + 1), weight)
-          .otherwise(0L)).as(s"c$i"))
-      val rows = v.join(midDf, Seq("k"))
-        .groupBy(col("k"))
-        .agg(sums.head, sums.tail: _*)
-        .collect()
-        .map(r => r.getString(0) -> (1 until GroupBranch).map(i =>
-          if (r.isNullAt(i)) 0L else r.getLong(i))).toMap
-      plan.foreach { case (k, ps) =>
-        val cs = rows.getOrElse(k, Seq.fill(GroupBranch - 1)(0L))
-        val cnts = ps.zipWithIndex.map { case (p, i) => (p, cs(i)) }
-        val (nl, nh) = shrink(lo(k), hi(k), rank(k), cnts)
-        lo(k) = nl; hi(k) = nh
+      val active = lo.keys.toSeq.filter(k => lo(k) < hi(k)).sorted
+      val enumDone = !first && {
+        bracketHistograms(v, weight, active.map(k => (k, lo(k), hi(k)))) match {
+          case Some(h) =>
+            active.foreach { k =>
+              val ans = walk(h.getOrElse(k, Seq.empty), lo(k), hi(k),
+                below(k), rank(k))
+              lo(k) = ans; hi(k) = ans
+            }
+            true
+          case None => false
+        }
+      }
+      if (enumDone) { first = false }
+      else {
+      val literal = active.size <= ProbeColumnBudget
+      val branch =
+        if (literal) math.max(2, math.min(Branch, 1 + ProbeColumnBudget / active.size))
+        else GroupBranch
+      val plan = active.map(k => k ->
+        (if (first) seedOrUniform(seed.getOrElse(k, Nil), lo(k), hi(k), branch)
+         else probes(lo(k), hi(k), branch)))
+      first = false
+      val counts: Map[String, Seq[(Long, Long)]] =
+        if (literal) {
+          val aggs = plan.flatMap { case (k, ps) =>
+            ps.zipWithIndex.map { case (p, i) =>
+              sum(when(col("k") === lit(k) && col("v") <= lit(p), weight)
+                .otherwise(0L)).as(s"c_${k}_$i")
+            }
+          }
+          val row = v.agg(aggs.head, aggs.tail: _*).head()
+          var off = 0
+          plan.map { case (k, ps) =>
+            val cs = ps.zipWithIndex.map { case (p, i) =>
+              (p, if (row.isNullAt(off + i)) 0L else row.getLong(off + i))
+            }
+            off += ps.size
+            k -> cs
+          }.toMap
+        } else {
+          // pad probe arrays to one fixed width so element_at never
+          // reads out of bounds (ANSI errors on array OOB); the driver
+          // only consumes the first |ps| counts per group
+          val width = plan.map(_._2.size).max
+          val midDf = broadcast(plan.map { case (k, ps) =>
+            (k, ps.padTo(width, ps.last))
+          }.toDF("k", "ps"))
+          val sums = (0 until width).map(i =>
+            sum(when(col("v") <= element_at(col("ps"), i + 1), weight)
+              .otherwise(0L)).as(s"c$i"))
+          val rows = v.join(midDf, Seq("k"))
+            .groupBy(col("k"))
+            .agg(sums.head, sums.tail: _*)
+            .collect()
+            .map(r => r.getString(0) -> (1 to width).map(i =>
+              if (r.isNullAt(i)) 0L else r.getLong(i))).toMap
+          plan.map { case (k, ps) =>
+            val cs = rows.getOrElse(k, Seq.fill(width)(0L))
+            k -> ps.zipWithIndex.map { case (p, i) => (p, cs(i)) }
+          }.toMap
+        }
+      plan.foreach { case (k, _) =>
+        val (nl, nh, nb) = shrink(lo(k), hi(k), rank(k), below(k), counts(k))
+        lo(k) = nl; hi(k) = nh; below(k) = nb
+      }
       }
     }
     init.map(s => s._1 -> lo(s._1)).toDF("k", "value")
@@ -174,16 +355,15 @@ object Quantiles {
   /** Per-group exact q-quantile, same definition: every group keeps
     * its own bracket in a |groups|-bounded driver table (the
     * bounded-driver-artifact contract — codebook-sized, NOT
-    * corpus-sized); converged groups drop out of the probe table.
-    * ⌈log_8(widest group's domain)⌉ passes for ANY number of groups —
-    * where a per-group sort would shuffle the corpus and `percentile`
-    * would buffer every group's values in memory. Returns (k, value);
-    * groups arrive from the data. */
+    * corpus-sized); converged groups drop out of the probe plan.
+    * Sketch-seeded + literal-probed under the budget: 1 + ~2 passes
+    * for ANY number of groups — where a per-group sort would shuffle
+    * the corpus and `percentile` would buffer every group's values in
+    * memory. Returns (k, value); groups arrive from the data. */
   def exactGroupQuantile(df: DataFrame, keyCol: String, valueCol: String,
       q: Double): DataFrame = {
     require(q > 0.0 && q <= 1.0, "q in (0, 1]")
     val spark = df.sparkSession
-    import spark.implicits._
     // NULL group keys are dropped (the per-round equi-join on "k" can
     // never match them); callers wanting a NULL stratum must coalesce
     // first — same convention as stratifiedSystematicSample.
@@ -193,23 +373,29 @@ object Quantiles {
       .persist()
     try {
       val stats = v.groupBy(col("k"))
-        .agg(count(col("v")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
-        .as[(String, Long, Long, Long)].collect()
-      val rank = stats.map { case (k, n, _, _) =>
-        k -> math.max(1L, math.ceil(q * n).toLong)
+        .agg(count(col("v")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"),
+          percentile_approx(col("v"), array(seedFracs(q).map(lit): _*),
+            lit(SeedAccuracy)).as("sk"))
+        .collect()
+      val rank = stats.map { r =>
+        r.getString(0) -> math.max(1L, math.ceil(q * r.getLong(1)).toLong)
       }.toMap
-      groupedSearch(v, rank, stats.map(s => (s._1, s._3, s._4)).toSeq, lit(1L))
+      val seed = stats.map(r => r.getString(0) -> r.getSeq[Long](4)).toMap
+      groupedSearch(v, rank,
+        stats.map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq,
+        lit(1L), seed)
     } finally { v.unpersist(false); () }
   }
 
   /** Per-group exact quantiles at SEVERAL q's in ONE search: all
     * (group, q) brackets advance together, so the corpus is scanned
-    * ⌈log_8(widest domain)⌉ times TOTAL instead of once per quantile
-    * (q235's [p5, p95] winsorization: 2× fewer passes than two
-    * [[exactGroupQuantile]] calls; a 5-point summary: 5×). Each round
-    * joins the |groups|·|qs|-bounded probe table on the group key —
-    * the scan happens once, the join fans each row out only to its
-    * group's unconverged quantiles. Returns (k, q, value). */
+    * once per ROUND instead of once per quantile (q235's [p5, p95]
+    * winsorization: 2× fewer passes than two [[exactGroupQuantile]]
+    * calls; a 5-point summary: 5×). Below the probe budget each round
+    * is one literal-probe aggregate; above it, each round joins the
+    * |groups|·|qs|-bounded probe table on the group key — the scan
+    * happens once, the join fans each row out only to its group's
+    * unconverged quantiles. Returns (k, q, value). */
   def exactGroupQuantiles(df: DataFrame, keyCol: String, valueCol: String,
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), "each q in (0, 1]")
@@ -223,40 +409,90 @@ object Quantiles {
       .filter(col("k").isNotNull && col("v").isNotNull)
       .persist()
     try {
+      val fracs = qs.flatMap(seedFracs)
       val stats = v.groupBy(col("k"))
-        .agg(count(col("v")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
-        .as[(String, Long, Long, Long)].collect()
-      val byKey = stats.map(s => s._1 -> s).toMap
-      val keys = for (s <- stats.toSeq; qi <- qs.indices) yield (s._1, qi)
-      val rank = stats.flatMap { case (k, n, _, _) =>
-        qs.zipWithIndex.map { case (q, qi) =>
-          (k, qi) -> math.max(1L, math.ceil(q * n).toLong)
-        }
+        .agg(count(col("v")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"),
+          percentile_approx(col("v"), array(fracs.map(lit): _*),
+            lit(SeedAccuracy)).as("sk"))
+        .collect()
+      val byKey = stats.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getSeq[Long](4))).toMap
+      val keys = for (r <- stats.toSeq; qi <- qs.indices) yield (r.getString(0), qi)
+      val rank = keys.map { case (k, qi) =>
+        (k, qi) -> math.max(1L, math.ceil(qs(qi) * byKey(k)._1).toLong)
       }.toMap
-      val lo = scala.collection.mutable.Map(
-        keys.map(kq => kq -> byKey(kq._1)._3): _*)
-      val hi = scala.collection.mutable.Map(
-        keys.map(kq => kq -> byKey(kq._1)._4): _*)
+      val seeds = keys.map { case (k, qi) =>
+        (k, qi) -> byKey(k)._4.slice(3 * qi, 3 * qi + 3)
+      }.toMap
+      val lo = scala.collection.mutable.Map(keys.map(kq => kq -> byKey(kq._1)._2): _*)
+      val hi = scala.collection.mutable.Map(keys.map(kq => kq -> byKey(kq._1)._3): _*)
+      val below = scala.collection.mutable.Map(keys.map(kq => kq -> 0L): _*)
+      var first = true
       while (keys.exists(kq => lo(kq) < hi(kq))) {
-        val plan = keys.filter(kq => lo(kq) < hi(kq)).sortBy(kq => (kq._1, kq._2))
-          .map(kq => kq -> probes(lo(kq), hi(kq), GroupBranch))
-        val midDf = broadcast(plan.map { case ((k, qi), ps) =>
-          (k, qi, ps.padTo(GroupBranch - 1, ps.last))
-        }.toDF("k", "qi", "ps"))
-        val sums = (0 until GroupBranch - 1).map(i =>
-          sum(when(col("v") <= element_at(col("ps"), i + 1), 1L)
-            .otherwise(0L)).as(s"c$i"))
-        val rows = v.join(midDf, Seq("k"))
-          .groupBy(col("k"), col("qi"))
-          .agg(sums.head, sums.tail: _*)
-          .collect()
-          .map(r => (r.getString(0), r.getInt(1)) -> (2 until GroupBranch + 1).map(i =>
-            if (r.isNullAt(i)) 0L else r.getLong(i))).toMap
-        plan.foreach { case (kq, ps) =>
-          val cs = rows.getOrElse(kq, Seq.fill(GroupBranch - 1)(0L))
-          val cnts = ps.zipWithIndex.map { case (p, i) => (p, cs(i)) }
-          val (nl, nh) = shrink(lo(kq), hi(kq), rank(kq), cnts)
-          lo(kq) = nl; hi(kq) = nh
+        val active = keys.filter(kq => lo(kq) < hi(kq)).sortBy(kq => (kq._1, kq._2))
+        val enumDone = !first && {
+          bracketHistograms(v, lit(1L),
+            active.map(kq => (kq._1, lo(kq), hi(kq)))) match {
+            case Some(h) =>
+              active.foreach { kq =>
+                val ans = walk(h.getOrElse(kq._1, Seq.empty), lo(kq), hi(kq),
+                  below(kq), rank(kq))
+                lo(kq) = ans; hi(kq) = ans
+              }
+              true
+            case None => false
+          }
+        }
+        if (enumDone) { first = false }
+        else {
+        val literal = active.size <= ProbeColumnBudget
+        val branch =
+          if (literal) math.max(2, math.min(Branch, 1 + ProbeColumnBudget / active.size))
+          else GroupBranch
+        val plan = active.map(kq => kq ->
+          (if (first) seedOrUniform(seeds(kq), lo(kq), hi(kq), branch)
+           else probes(lo(kq), hi(kq), branch)))
+        first = false
+        val counts: Map[(String, Int), Seq[(Long, Long)]] =
+          if (literal) {
+            val aggs = plan.flatMap { case ((k, qi), ps) =>
+              ps.zipWithIndex.map { case (p, i) =>
+                sum(when(col("k") === lit(k) && col("v") <= lit(p), 1L)
+                  .otherwise(0L)).as(s"c_${k}_${qi}_$i")
+              }
+            }
+            val row = v.agg(aggs.head, aggs.tail: _*).head()
+            var off = 0
+            plan.map { case (kq, ps) =>
+              val cs = ps.zipWithIndex.map { case (p, i) =>
+                (p, if (row.isNullAt(off + i)) 0L else row.getLong(off + i))
+              }
+              off += ps.size
+              kq -> cs
+            }.toMap
+          } else {
+            val width = plan.map(_._2.size).max
+            val midDf = broadcast(plan.map { case ((k, qi), ps) =>
+              (k, qi, ps.padTo(width, ps.last))
+            }.toDF("k", "qi", "ps"))
+            val sums = (0 until width).map(i =>
+              sum(when(col("v") <= element_at(col("ps"), i + 1), 1L)
+                .otherwise(0L)).as(s"c$i"))
+            val rows = v.join(midDf, Seq("k"))
+              .groupBy(col("k"), col("qi"))
+              .agg(sums.head, sums.tail: _*)
+              .collect()
+              .map(r => (r.getString(0), r.getInt(1)) -> (2 until width + 2).map(i =>
+                if (r.isNullAt(i)) 0L else r.getLong(i))).toMap
+            plan.map { case (kq, ps) =>
+              val cs = rows.getOrElse(kq, Seq.fill(width)(0L))
+              kq -> ps.zipWithIndex.map { case (p, i) => (p, cs(i)) }
+            }.toMap
+          }
+        plan.foreach { case (kq, _) =>
+          val (nl, nh, nb) = shrink(lo(kq), hi(kq), rank(kq), below(kq), counts(kq))
+          lo(kq) = nl; hi(kq) = nh; below(kq) = nb
+        }
         }
       }
       keys.map(kq => (kq._1, qs(kq._2), lo(kq))).toDF("k", "q", "value")
@@ -269,12 +505,15 @@ object Quantiles {
     * corpus gates, which no built-in covers at all (`percentile`
     * takes a frequency, not a general weight, and buffers rows).
     * Zero-weight rows can never be selected (the cumulative only
-    * jumps at positive weight); negative weights are rejected. */
+    * jumps at positive weight); negative weights are rejected. The
+    * first round seeds from the UNWEIGHTED sketch — a heuristic aim
+    * that costs nothing when the weights skew it off target (later
+    * rounds go uniform over the narrowed bracket) and saves ~6 rounds
+    * when, as usual, weights and values are weakly correlated. */
   def exactGroupWeightedQuantile(df: DataFrame, keyCol: String, valueCol: String,
       weightCol: String, q: Double): DataFrame = {
     require(q > 0.0 && q <= 1.0, "q in (0, 1]")
     val spark = df.sparkSession
-    import spark.implicits._
     val v = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
@@ -283,12 +522,17 @@ object Quantiles {
     try {
       require(v.filter(col("w") < 0).isEmpty, "weights must be non-negative")
       val stats = v.filter(col("w") > 0).groupBy(col("k"))
-        .agg(sum(col("w")).as("tw"), min(col("v")).as("mn"), max(col("v")).as("mx"))
-        .as[(String, Long, Long, Long)].collect()
-      val rank = stats.map { case (k, tw, _, _) =>
-        k -> math.max(1L, math.ceil(q * tw).toLong)
+        .agg(sum(col("w")).as("tw"), min(col("v")).as("mn"), max(col("v")).as("mx"),
+          percentile_approx(col("v"), array(seedFracs(q).map(lit): _*),
+            lit(SeedAccuracy)).as("sk"))
+        .collect()
+      val rank = stats.map { r =>
+        r.getString(0) -> math.max(1L, math.ceil(q * r.getLong(1)).toLong)
       }.toMap
-      groupedSearch(v, rank, stats.map(s => (s._1, s._3, s._4)).toSeq, col("w"))
+      val seed = stats.map(r => r.getString(0) -> r.getSeq[Long](4)).toMap
+      groupedSearch(v, rank,
+        stats.map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq,
+        col("w"), seed)
     } finally { v.unpersist(false); () }
   }
 }

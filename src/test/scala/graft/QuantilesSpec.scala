@@ -114,6 +114,40 @@ class QuantilesSpec extends AnyFunSuite {
     assert(multi == Map(("a", 0.5) -> 10L, ("a", 1.0) -> 20L), s"got $multi")
   }
 
+  test("r16 paths: >48 groups (join rounds), skewed weights (sketch seeds miss), " +
+      "sparse wide domain (enumeration finisher over a huge value range)") {
+    // 60 groups exceeds the 48-column literal budget -> broadcast
+    // probe-array join path, with the seeded first round
+    val rng = new scala.util.Random(43)
+    val many = (0 until 3000).map(i => (s"g${i % 60}", rng.nextInt(10000).toLong))
+    val gotMany = Quantiles
+      .exactGroupQuantile(many.toDF("k", "v").repartition(11), "k", "v", 0.75)
+      .as[(String, Long)].collect().toMap
+    val wantMany = many.groupBy(_._1).map { case (k, g) => k -> brute(g.map(_._2), 0.75) }
+    assert(gotMany == wantMany)
+    // weights anti-correlated with values: the UNWEIGHTED sketch seeds
+    // aim far from the weighted quantile — correctness must come from
+    // the measured counts, not the seed placement
+    val skew = (0 until 500).map { i =>
+      val v = rng.nextInt(1000).toLong
+      ("g", v, if (v < 100) 1000L else 1L) // mass concentrated at small v
+    }
+    val gotSkew = Quantiles
+      .exactGroupWeightedQuantile(skew.toDF("k", "v", "w"), "k", "v", "w", 0.5)
+      .as[(String, Long)].collect().toMap
+    assert(gotSkew("g") == bruteWeighted(skew.map(t => (t._2, t._3)), 0.5))
+    // sparse values across a huge domain: only a handful of distinct
+    // values inside any bracket, so the enumeration finisher must end
+    // the search even though hi-lo stays astronomically wide
+    val sparse = Seq(Long.MinValue / 2, -1L, 0L, 7L, Long.MaxValue / 3,
+      Long.MaxValue / 2).zipWithIndex.map { case (v, i) => (s"s${i % 2}", v) }
+    val gotSparse = Quantiles
+      .exactGroupQuantile(sparse.toDF("k", "v"), "k", "v", 0.5)
+      .as[(String, Long)].collect().toMap
+    val wantSparse = sparse.groupBy(_._1).map { case (k, g) => k -> brute(g.map(_._2), 0.5) }
+    assert(gotSparse == wantSparse)
+  }
+
   test("exactKthSmallest: rank-explicit selection matches a sort, clamps above n") {
     val rng = new scala.util.Random(31)
     val vals = (0 until 501).map(_ => rng.nextLong(2000) - 700)
