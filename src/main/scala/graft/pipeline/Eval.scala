@@ -170,7 +170,17 @@ object Eval {
     * arithmetic — the corpus is read once, map-side. Returns one row
     * (n, n_agree, pe_num, kappa_e6). */
   def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val cells = df.select(a.cast("long").as("la"), b.cast("long").as("lb"))
+    // Labels compare as STRINGS (equality-faithful for any one type —
+    // ints, bools, annotator category names alike); the former
+    // cast("long") turned non-numeric categoricals into NULLs that
+    // fell out of the marginal join and the la===lb agreement,
+    // yielding a plausible-looking but wrong kappa (r15 advice). NULL
+    // labels fail loudly for the same reason — silence would skew p_e.
+    def enc(c: Column, side: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"cohenKappa: NULL label in $side — map missing labels to an " +
+          "explicit category first"))).otherwise(c.cast("string"))
+    val cells = df.select(enc(a, "a").as("la"), enc(b, "b").as("lb"))
       .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("c"))
     val tot = cells.agg(sum(col("c")).as("n"),
       sum(when(col("la") === col("lb"), col("c")).otherwise(0L)).as("n_agree"))

@@ -238,8 +238,12 @@ object Graphs {
     * evaluated as the exact integer rational
     * q_num = Σ_c (4m·e_c − d_c²) over q_den = 4m² (longs — fine to
     * m ≈ 1.5·10⁹ edges; lift to decimal beyond), with q_e6 through the
-    * operand-order-pinned double chain. Unlabeled nodes are an error
-    * by construction (inner join) — label every node first.
+    * operand-order-pinned double chain. Unlabeled edge endpoints are
+    * an ERROR, enforced by an anti-join count up front (r15 advice:
+    * the inner join alone would silently drop those edges while m
+    * still counted them — a quietly inconsistent Q, labeled-subgraph
+    * e_c/d_c over full-graph 4m², is worse than a loud failure on an
+    * audit metric).
     *
     * Scale shape: one canonical-edge distinct, two broadcast-or-hash
     * label joins, two partial-aggregated groupBys over the COMMUNITY
@@ -257,6 +261,14 @@ object Graphs {
       .filter($"s0" =!= $"d0")
       .select(least($"s0", $"d0").as("a"), greatest($"s0", $"d0").as("b"))
       .distinct()
+    val missing = und.select($"a".as("node")).unionByName(und.select($"b".as("node")))
+      .distinct()
+      .join(lab.select($"node"), Seq("node"), "left_anti")
+      .count()
+    require(missing == 0L,
+      s"modularity: $missing edge-endpoint node(s) carry no label — " +
+        "label every node first (a partial labeling would silently yield " +
+        "labeled-subgraph e_c/d_c over full-graph 4m^2)")
     val labeled = und
       .join(lab.select($"node".as("a"), $"lab".as("la")), Seq("a"))
       .join(lab.select($"node".as("b"), $"lab".as("lb")), Seq("b"))

@@ -121,10 +121,20 @@ object TimeSeries {
     val lhs = v.cast(Dec) * col("__n") - col("__s")
     val rhs = lit(k.toLong * k).cast(Dec) *
       (col("__n") * col("__ss") - col("__s") * col("__s"))
+    // Only an ABSENT cell may score 0 by contract. A present cell
+    // whose comparison comes back NULL is decimal(38,0) overflow in
+    // lhs² or n·SS−S² (squaring doubles digit count — 38 digits do
+    // NOT survive it at extreme n·value): those rows are exactly the
+    // likeliest true anomalies, so the gate fails loudly instead of
+    // coalescing them to "not anomalous" (r15 advice).
     joined
       .withColumn("n_cell", coalesce(col("__n").cast("long"), lit(0L)))
       .withColumn("is_anomaly",
-        coalesce((lhs * lhs > rhs).cast("long"), lit(0L)))
+        when(col("__n").isNull, lit(0L))
+          .otherwise(coalesce((lhs * lhs > rhs).cast("long"),
+            raise_error(lit("scoreSeasonal: decimal(38,0) overflow in the " +
+              "deviation test (value/n magnitudes too large) — rescale the " +
+              "measure before profiling")))))
       .drop("__n", "__s", "__ss")
   }
 }

@@ -24,22 +24,38 @@ object ParquetLayout {
 
   /** One row per (file, row-group, column chunk): value count and
     * compressed/uncompressed byte sizes. `path` is a single `.parquet`
-    * file or a directory of part files. */
+    * file, or a directory walked RECURSIVELY (partitioned layouts'
+    * `k=v/` subdirectories included). The session's Hadoop
+    * configuration rides to the executors as a serialized key-value
+    * snapshot (Configuration itself is not Serializable) so
+    * filesystem credentials/endpoints set on the driver — S3A, ABFS —
+    * govern the executor-side footer reads too; a fresh
+    * `new Configuration()` there would silently drop them (r15
+    * advice). */
   def columnChunkStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
-      else Seq(path)
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true) // recursive: partitioned dirs audit too
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            buf += st.getPath.toString
+        }
+        buf.toSeq.sorted
+      } else Seq(path)
     require(files.nonEmpty, s"no parquet files under $path")
+    val confEntries: Array[(String, String)] =
+      conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
     spark.createDataset(files)
       .repartition(math.min(files.size, 64))
       .flatMap { f =>
-        val c = new Configuration()
+        val c = new Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(f), c)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -62,9 +78,13 @@ object ParquetLayout {
     * the directory's files, in deterministic name order, into groups
     * of ≈ `targetBytes` compressed payload (group boundary = running
     * total BEFORE the file, integer-divided by the target — the
-    * cumulative-roll approximation production compactors use; a file
-    * larger than the target gets its own group, never split). Sizing
-    * comes from [[columnChunkStats]] footers, so the plan costs
+    * cumulative-roll approximation production compactors use). An
+    * oversized file is never SPLIT, but under cumulative-roll it may
+    * still share its group with the small files that preceded it in
+    * name order (its own running total started inside their bucket) —
+    * the group sizes are approximate by design, exactness would need
+    * the NP-hard bin pack. Sizing comes from [[columnChunkStats]]
+    * footers, so the plan costs
     * O(files) metadata reads and zero data pages; executing it is a
     * per-group read→write.
     *

@@ -201,6 +201,33 @@ class EvalSpec extends AnyFunSuite {
     assert(run(rand) == ((n, agree, pe, want)))
   }
 
+  test("cohenKappa: non-numeric categorical labels (the annotator case) and NULLs") {
+    import org.apache.spark.sql.functions.col
+    // string annotator labels must score exactly like their integer
+    // recoding did — the r15 advice bug was cast("long") nulling them
+    val cats = Seq(("spam", "spam"), ("ham", "spam"), ("spam", "ham"),
+      ("ham", "ham"), ("ham", "ham"), ("unsure", "unsure"))
+    val gotCat = Eval.cohenKappa(cats.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val codes = Map("spam" -> 0L, "ham" -> 1L, "unsure" -> 2L)
+    val coded = cats.map { case (x, y) => (codes(x), codes(y)) }
+    val n = coded.size.toLong
+    val agree = coded.count(x => x._1 == x._2).toLong
+    val pe = codes.values.map(c =>
+      coded.count(_._1 == c).toLong * coded.count(_._2 == c)).sum
+    val want = math.floor(
+      (n.toDouble * agree - pe) / (n.toDouble * n - pe) * 1e6 + 0.5).toLong
+    assert(gotCat == ((n, agree, pe, want)), gotCat.toString)
+    // NULL labels fail loudly instead of silently skewing p_e
+    val ex = intercept[Exception] {
+      Eval.cohenKappa(Seq((Some("a"), Some("a")), (None, Some("b")))
+        .toDF("a", "b"), col("a"), col("b")).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).mkString("|")
+    assert(msgs.contains("NULL label"), msgs)
+  }
+
   test("gini: textbook poles and a brute sorted-rank twin") {
     import org.apache.spark.sql.functions.col
     def run(xs: Seq[Long]): (Long, Long, Long) =

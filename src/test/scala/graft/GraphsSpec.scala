@@ -569,6 +569,13 @@ class GraphsSpec extends AnyFunSuite {
     val num = dcs.map { case (c, dc) => 4 * m * ecs.getOrElse(c, 0L) - dc * dc }.sum
     val got = run(labs, rand)
     assert(got._1 == m && got._2 == num && got._3 == 4 * m * m, s"$got")
+    // partial labeling is a LOUD error (r15 advice: the inner join
+    // would otherwise silently drop edges while m counted them)
+    val partial = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 1L, 11L -> 1L) // 12 missing
+    val ex = intercept[IllegalArgumentException] {
+      run(partial, twoK3)
+    }
+    assert(ex.getMessage.contains("no label"), ex.getMessage)
   }
 
   /** Driver twin of Graphs.kTruss: same canonicalization and

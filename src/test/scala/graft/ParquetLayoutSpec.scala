@@ -68,4 +68,19 @@ class ParquetLayoutSpec extends AnyFunSuite {
       plan.filter(_._1 > 0L).values.head._3 == "b_big.parquet", plan.toString)
     assert(plan.values.map(_._2).sum == sizes.values.sum)
   }
+
+  test("columnChunkStats walks partitioned directories recursively (r15 advice)") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_part").toString
+    (0L until 600L).toDF("id")
+      .withColumn("k", (col("id") % 3).cast("int"))
+      .write.partitionBy("k").mode("overwrite").parquet(dir)
+    val stats = ParquetLayout.columnChunkStats(spark, dir)
+    // every k=*/ subdirectory's files are audited, all rows accounted
+    val total = stats.filter($"column_name" === "id")
+      .agg(sum($"num_values")).as[Long].head()
+    assert(total == 600L, s"got $total")
+    val dirs = stats.select($"file").distinct().as[String].collect()
+      .map(_.split('/').takeRight(2).head).toSet
+    assert(dirs == Set("k=0", "k=1", "k=2"), dirs.toString)
+  }
 }

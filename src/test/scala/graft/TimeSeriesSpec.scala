@@ -139,4 +139,36 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"profile join must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), "no row-level shuffle join")
   }
+
+  test("scoreSeasonal: decimal overflow in the deviation test fails loudly " +
+      "(r15 advice: the old coalesce scored the most extreme deviations 0)") {
+    // lhs = v*n - S ~ 1e19 for this cell, so lhs^2 ~ 1e38 overflows
+    // decimal(38,0) -> the comparison is NULL -> must raise, not pass
+    val base = (0 until 10000).map(i => (i.toLong, "x", 1L))
+    val profile = TimeSeries.seasonalProfile(base.toDF("id", "cell", "v"),
+      Seq("cell"), col("v"))
+    val wild = Seq((1L, "x", 2000000000000000L)).toDF("id", "cell", "v")
+    val ex = intercept[Exception] {
+      TimeSeries.scoreSeasonal(wild, Seq("cell"), col("v"), k = 3, profile)
+        .collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).mkString("|")
+    // ANSI sessions throw NUMERIC_VALUE_OUT_OF_RANGE at the multiply;
+    // non-ANSI sessions hit the raise_error guard — loud either way
+    assert(msgs.contains("overflow") || msgs.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+      msgs)
+    // an in-range wild point still flags (the raise is overflow-only)
+    val ok = TimeSeries.scoreSeasonal(
+        Seq((1L, "x", 5000L)).toDF("id", "cell", "v"),
+        Seq("cell"), col("v"), k = 3, profile)
+      .select($"is_anomaly").collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(1L))
+    // unseen cells still score 0 with n_cell 0 (absent != overflow)
+    val unseen = TimeSeries.scoreSeasonal(
+        Seq((9L, "nope", 5L)).toDF("id", "cell", "v"),
+        Seq("cell"), col("v"), k = 3, profile)
+      .select($"n_cell", $"is_anomaly").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(unseen.toSeq == Seq((0L, 0L)))
+  }
 }
