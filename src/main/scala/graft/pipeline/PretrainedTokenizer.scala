@@ -1,0 +1,224 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Loader + encoder for PRETRAINED WordPiece tokenizers in the two
+  * interchange formats every published BERT-family checkpoint ships —
+  * `vocab.txt` (one piece per line, line number = id) and the
+  * `tokenizer.json` bundle (model.vocab map + unk/continuation/cap
+  * fields) — so a curation gate scores documents with the EXACT ids
+  * the upstream model was trained on, not a hash sketch of them.
+  * Counterpart of [[WordPieceTokenizer]] (which TRAINS a vocab from
+  * the corpus); this one replays someone else's.
+  *
+  * The encode pipeline is the published BERT reference algorithm
+  * (Devlin et al. 2018; reference mirrors the same stack behind
+  * `ml_tools/torch_wrapper.py:14` wrappers):
+  * BasicTokenizer — clean control chars, space-pad CJK ideographs,
+  * optionally lowercase + NFD-strip combining marks, split every
+  * punctuation char into its own token — then greedy
+  * longest-match-first WordPiece with the continuation prefix, a
+  * whole-word unk fallback, and the `max_input_chars_per_word` cap.
+  *
+  * Scale shape: tokenization is MAP-ONLY — the vocab rides the UDF
+  * closure once per executor with a per-word memo cache (the
+  * documented loopy-kernel exception, same as
+  * [[WordPieceTokenizer.encode]]); everything downstream of the ids
+  * is ordinary codegen'd column algebra. Determinism: greedy
+  * longest-match is path-independent, so the per-(word, position)
+  * longest match is a static table — which is exactly what the
+  * oracle SQL replays with a recursive CTE (q279/q280).
+  */
+object PretrainedTokenizer {
+
+  /** A loaded WordPiece vocabulary. `ids` maps piece → id verbatim
+    * from the file; `unk`/`contPrefix`/`maxInputChars` follow the
+    * HF `tokenizer.json` field names; `doLowerCase` is the
+    * BasicTokenizer switch (BERT-uncased true, cased false). */
+  final case class HfWordPiece(ids: Map[String, Int], unk: String,
+      contPrefix: String, maxInputChars: Int, doLowerCase: Boolean)
+      extends Serializable {
+    require(ids.nonEmpty, "empty vocabulary")
+    require(ids.contains(unk), s"unk token '$unk' not in vocabulary")
+    @transient lazy val maxMatchLen: Int =
+      ids.keysIterator.map(p =>
+        if (p.startsWith(contPrefix)) p.length - contPrefix.length
+        else p.length).max
+    def idOf(piece: String): Int = ids(piece)
+  }
+
+  /** `vocab.txt` (the BERT checkpoint format): one piece per line,
+    * id = 0-based line number; blank trailing lines ignored. */
+  def fromVocabTxt(text: String, unk: String = "[UNK]",
+      doLowerCase: Boolean = true): HfWordPiece = {
+    val lines = text.split("\n", -1).toSeq.map(_.stripSuffix("\r"))
+    val pieces = if (lines.nonEmpty && lines.last.isEmpty) lines.init else lines
+    HfWordPiece(pieces.zipWithIndex.toMap, unk, "##", 100, doLowerCase)
+  }
+
+  /** HF `tokenizer.json`: reads `model.{vocab, unk_token,
+    * continuing_subword_prefix, max_input_chars_per_word}` and the
+    * `normalizer.lowercase` switch (BertNormalizer; absent → true,
+    * matching HF's default). Only `model.type == "WordPiece"` loads —
+    * BPE/Unigram bundles fail loudly rather than mis-tokenize. */
+  def fromTokenizerJson(json: String): HfWordPiece = {
+    val root = JsonMethods.parse(json)
+    val model = root \ "model"
+    (model \ "type") match {
+      case JString("WordPiece") => ()
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json model.type must be WordPiece, got $other")
+    }
+    val vocab = (model \ "vocab") match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(v)) => k -> v.toInt
+        case (k, v) => throw new IllegalArgumentException(s"non-int id for '$k': $v")
+      }.toMap
+      case other => throw new IllegalArgumentException(s"model.vocab not an object: $other")
+    }
+    val unk = (model \ "unk_token") match {
+      case JString(s) => s; case _ => "[UNK]"
+    }
+    val prefix = (model \ "continuing_subword_prefix") match {
+      case JString(s) => s; case _ => "##"
+    }
+    val cap = (model \ "max_input_chars_per_word") match {
+      case JInt(n) => n.toInt; case _ => 100
+    }
+    val lower = (root \ "normalizer" \ "lowercase") match {
+      case JBool(b) => b; case _ => true
+    }
+    HfWordPiece(vocab, unk, prefix, cap, lower)
+  }
+
+  // ---- BasicTokenizer (the published BERT reference pipeline) ----
+
+  private def isWhitespace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+      Character.getType(c) == Character.SPACE_SEPARATOR
+
+  private def isControl(c: Char): Boolean =
+    !(c == '\t' || c == '\n' || c == '\r') && {
+      val t = Character.getType(c)
+      t == Character.CONTROL || t == Character.FORMAT
+    }
+
+  private def isPunctuation(c: Char): Boolean = {
+    val cp = c.toInt
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
+        val t = Character.getType(c)
+        t == Character.DASH_PUNCTUATION || t == Character.START_PUNCTUATION ||
+          t == Character.END_PUNCTUATION || t == Character.CONNECTOR_PUNCTUATION ||
+          t == Character.OTHER_PUNCTUATION || t == Character.INITIAL_QUOTE_PUNCTUATION ||
+          t == Character.FINAL_QUOTE_PUNCTUATION
+      }
+  }
+
+  /** CJK ideograph blocks the reference implementation space-pads. */
+  private def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+      (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
+      (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F)
+
+  /** Clean + CJK-pad + whitespace-split + (lower & strip accents) +
+    * punctuation-split: the BERT BasicTokenizer verbatim. */
+  def basicTokenize(s: String, doLowerCase: Boolean): List[String] = {
+    if (s == null) return Nil
+    val cleaned = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (cp == 0 || cp == 0xFFFD || (n == 1 && isControl(s.charAt(i)))) ()
+      else if (isCjk(cp)) { cleaned += ' '; cleaned.appendAll(s.substring(i, i + n)); cleaned += ' ' }
+      else if (n == 1 && isWhitespace(s.charAt(i))) cleaned += ' '
+      else cleaned.appendAll(s.substring(i, i + n))
+      i += n
+    }
+    cleaned.toString.split(' ').iterator.filter(_.nonEmpty).flatMap { tok0 =>
+      val tok =
+        if (!doLowerCase) tok0
+        else java.text.Normalizer.normalize(tok0.toLowerCase, java.text.Normalizer.Form.NFD)
+          .filter(c => Character.getType(c) != Character.NON_SPACING_MARK)
+      // split every punctuation char into its own token
+      val out = List.newBuilder[String]
+      val cur = new StringBuilder
+      tok.foreach { c =>
+        if (isPunctuation(c)) {
+          if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+          out += c.toString
+        } else cur += c
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.result()
+    }.toList
+  }
+
+  /** Greedy longest-match-first WordPiece of ONE basic token: the
+    * `max_input_chars_per_word` cap and any unmatchable position both
+    * collapse the whole word to `unk` (the published fallback). */
+  def wordpieceWord(w: String, m: HfWordPiece): List[String] = {
+    if (w.isEmpty) return Nil
+    if (w.length > m.maxInputChars) return List(m.unk)
+    val out = List.newBuilder[String]
+    var pos = 0
+    while (pos < w.length) {
+      var l = math.min(m.maxMatchLen, w.length - pos)
+      var found: String = null
+      while (l >= 1 && found == null) {
+        val cand =
+          if (pos == 0) w.substring(0, l)
+          else m.contPrefix + w.substring(pos, pos + l)
+        if (m.ids.contains(cand)) found = cand else l -= 1
+      }
+      if (found == null) return List(m.unk)
+      out += found
+      pos += found.length - (if (pos == 0) 0 else m.contPrefix.length)
+    }
+    out.result()
+  }
+
+  /** Full pipeline: basic tokenize, then WordPiece each token. */
+  def tokenize(s: String, m: HfWordPiece): List[String] =
+    basicTokenize(s, m.doLowerCase).flatMap(wordpieceWord(_, m))
+
+  /** Token ids, optionally wrapped `[CLS] … [SEP]` (both must then be
+    * in the vocab — the ids are the checkpoint's own). */
+  def encodeIds(s: String, m: HfWordPiece, addSpecials: Boolean = false): List[Int] = {
+    val body = tokenize(s, m).map(m.idOf)
+    if (!addSpecials) body
+    else m.idOf("[CLS]") :: body ::: List(m.idOf("[SEP]"))
+  }
+
+  /** Column face: WordPiece id array of `text` (map-only; vocab in
+    * the closure, per-word memo — the loopy-kernel exception). */
+  def encodeIdsCol(m: HfWordPiece, text: Column): Column = {
+    val cache = collection.mutable.HashMap.empty[String, List[Int]]
+    val enc = udf { (s: String) =>
+      if (s == null) null
+      else basicTokenize(s, m.doLowerCase).flatMap { w =>
+        if (cache.size > (1 << 16)) cache.clear()
+        cache.getOrElseUpdate(w, wordpieceWord(w, m).map(m.idOf))
+      }.toArray
+    }
+    enc(text)
+  }
+
+  /** Column face: piece strings (for token-level audits). */
+  def tokenizeCol(m: HfWordPiece, text: Column): Column = {
+    val cache = collection.mutable.HashMap.empty[String, List[String]]
+    val enc = udf { (s: String) =>
+      if (s == null) null
+      else basicTokenize(s, m.doLowerCase).flatMap { w =>
+        if (cache.size > (1 << 16)) cache.clear()
+        cache.getOrElseUpdate(w, wordpieceWord(w, m))
+      }.toArray
+    }
+    enc(text)
+  }
+}

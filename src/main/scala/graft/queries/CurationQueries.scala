@@ -2192,6 +2192,56 @@ object CurationQueries extends QueryPack {
               |FROM p QUALIFY rk <= 10""".stripMargin)),
 
     Query(
+      "q279_pretrained_wordpiece",
+      "PRETRAINED-tokenizer replay (PretrainedTokenizer — r15 verdict item 2): the pinned " +
+        "BERT-layout vocab ([PAD]/[UNK]/[CLS]/[SEP] at ids 0-3 + real wordpieces, loaded " +
+        "through the same fromVocabTxt path a downloaded checkpoint's vocab.txt takes) drives " +
+        "the published BERT pipeline — BasicTokenizer then greedy longest-match WordPiece with " +
+        "whole-word [UNK] fallback — and the per-source stats carry the CHECKPOINT'S OWN ids " +
+        "(id_checksum = sum of token ids), not a hash sketch: q183 trains a vocab, this query " +
+        "replays someone else's. Map-only (vocab in the closure, per-word memo, zero shuffle " +
+        "before the bounded groupBy). The oracle replays greedy matching EXACTLY: the longest " +
+        "vocab match per (word, position) is a static lookup (greedy is path-independent), a " +
+        "recursive CTE walks each DISTINCT word through it accumulating piece counts and id " +
+        "sums — bounded by distinct words x word length, never the corpus.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = graft.pipeline.PretrainedTokenizer.encodeIdsCol(pinnedHf, col("text"))
+        Tables.documents(s, dir)
+          .select(col("source"),
+            size(filter(split(col("text"), " "), x => x =!= lit(""))).cast("long").as("nw"),
+            ids.as("ids"))
+          .groupBy($"source")
+          .agg(sum($"nw").as("n_words"),
+            sum(size($"ids")).cast("long").as("n_tokens"),
+            sum(size(filter($"ids", i => i === lit(1)))).cast("long").as("n_unk"),
+            sum(aggregate($"ids", lit(0L), (acc, x) => acc + x)).as("id_checksum"))
+      },
+      Some {
+        s"""WITH RECURSIVE
+           |$hfVocabWalkCtes,
+           |r(w, pos, nt, sid) AS (
+           |  SELECT w, 0::BIGINT, 0::BIGINT, 0::BIGINT FROM words
+           |  UNION ALL
+           |  SELECT r.w, r.pos + lm.l, r.nt + 1, r.sid + lm.id
+           |  FROM r JOIN lm ON lm.w = r.w AND lm.i = r.pos),
+           |term AS (SELECT w, nt, sid FROM r WHERE pos = len(w)),
+           |encw AS (SELECT ws.w, coalesce(t.nt, 1) AS nt, coalesce(t.sid, 1) AS sid,
+           |                CASE WHEN t.w IS NULL THEN 1 ELSE 0 END AS unk
+           |         FROM words ws LEFT JOIN term t ON t.w = ws.w),
+           |per_src AS (SELECT wc.source, CAST(sum(wc.c) AS BIGINT) AS n_words,
+           |    CAST(sum(wc.c * e.nt) AS BIGINT) AS n_tokens,
+           |    CAST(sum(wc.c * e.unk) AS BIGINT) AS n_unk,
+           |    CAST(sum(wc.c * e.sid) AS BIGINT) AS id_checksum
+           |  FROM wc JOIN encw e ON e.w = wc.w GROUP BY 1)
+           |SELECT d.source, coalesce(p.n_words, 0) AS n_words,
+           |  coalesce(p.n_tokens, 0) AS n_tokens, coalesce(p.n_unk, 0) AS n_unk,
+           |  coalesce(p.id_checksum, 0) AS id_checksum
+           |FROM (SELECT DISTINCT source FROM documents) d
+           |LEFT JOIN per_src p USING (source)""".stripMargin
+      }),
+
+    Query(
       "q249_warc_pipeline",
       "Raw-WARC ingestion end-to-end: the engine's own DataSource V2 reads the Common-Crawl-layout fixture (one gzip member per record, byte-range splits resynchronized at member boundaries — graft.sources.Warc), keeps response+conversion records, drops HTTP envelope headers, strips HTML (q146 chain), language-IDs, and aggregates per (warc_type, lang). The DuckDB oracle replays the identical text chain from the INDEPENDENTLY-derived parquet twin of the same records (never from the WARC bytes), so equality proves the archive decode: gzip member walking, header parsing, Content-Length framing, payload bytes. At 100 TB this is the CC ingest shape: map-only from the scan to one lang-bounded groupBy.",
       (s, _) =>
@@ -2506,5 +2556,51 @@ object CurationQueries extends QueryPack {
        |tk AS (SELECT unnest(string_split(trim(s, '|'), '||')) AS token FROM enc)
        |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tk
        |GROUP BY 1 ORDER BY cnt DESC, token""".stripMargin
+  }
+
+  /** q279/q280's pinned PRETRAINED vocab, in the real BERT checkpoint
+    * layout ([PAD]/[UNK]/[CLS]/[SEP] at ids 0–3, then word-initial and
+    * `##`-continuation pieces; id = vocab.txt line number). The pieces
+    * split every corpus word except `dup` (the pinned [UNK] witness);
+    * loaded through [[graft.pipeline.PretrainedTokenizer.fromVocabTxt]]
+    * — the same code path a downloaded checkpoint's vocab.txt takes. */
+  private[graft] val pinnedHfVocabLines: Seq[String] = Seq(
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]",
+    "a", "the", "join", "table", "data", "row", "key", "fast", "big",
+    "cust", "##omer", "wind", "##ow", "col", "##umn",
+    "ha", "##sh", "sc", "##an", "filt", "##er",
+    "ord", "str", "##eam", "gr", "##oup", "ba", "##tch",
+    "sl", "sm", "##all", "li", "##ne", "so", "##rt",
+    "me", "##rge", "ve", "##ctor", "agg", "sp", "##ark",
+    "qu", "##ery", "pa")
+
+  private[graft] lazy val pinnedHf: graft.pipeline.PretrainedTokenizer.HfWordPiece =
+    graft.pipeline.PretrainedTokenizer.fromVocabTxt(pinnedHfVocabLines.mkString("\n"))
+
+  /** Shared CTE prefix of the q279/q280 oracles: the pinned vocab as
+    * (piece, id) literals, the per-(word, position) LONGEST-match
+    * table (greedy choice is path-independent, so it is static), and
+    * the word tables. Basic tokenization replays as a space split —
+    * valid because the documents corpus charset is [a-z ] (no case,
+    * accents, punctuation, or CJK; provenance spec-checked in
+    * PretrainedTokenizerSpec). */
+  private[graft] def hfVocabWalkCtes: String = {
+    def sq(x: String) = x.replace("'", "''")
+    val vals = pinnedHfVocabLines.zipWithIndex
+      .map { case (p, i) => s"('${sq(p)}', $i)" }.mkString(", ")
+    val maxLen = pinnedHf.maxMatchLen
+    s"""vocab(p, id) AS (VALUES $vals),
+       |pt AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+       |wc AS (SELECT source, w, count(*) AS c FROM pt GROUP BY 1, 2),
+       |words AS (SELECT DISTINCT w FROM wc),
+       |lm AS (SELECT ws.w, g.i, max(h.l) AS l, arg_max(v.id, h.l) AS id
+       |       FROM words ws
+       |       CROSS JOIN generate_series(0, 63) g(i)
+       |       CROSS JOIN generate_series(1, $maxLen) h(l)
+       |       JOIN vocab v ON v.p = CASE WHEN g.i = 0
+       |         THEN substr(ws.w, 1, CAST(h.l AS INTEGER))
+       |         ELSE '##' || substr(ws.w, CAST(g.i + 1 AS INTEGER), CAST(h.l AS INTEGER)) END
+       |       WHERE g.i < len(ws.w) AND g.i + h.l <= len(ws.w)
+       |       GROUP BY 1, 2)""".stripMargin
   }
 }

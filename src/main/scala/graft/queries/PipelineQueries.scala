@@ -2378,6 +2378,63 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q280_encoder_vocab_gate",
+      "Encoder gate over a REAL pretrained vocabulary (EncoderGate.scoreWithVocab — closing " +
+        "r15 verdict item 2): token ids come from the pinned BERT-layout vocab.txt via the " +
+        "published BasicTokenizer + greedy WordPiece pipeline (PretrainedTokenizer), NOT an " +
+        "md5 hash sketch, so a graph holding an exported encoder's weights reproduces the " +
+        "upstream model's scores on the same text. First 6 wordpiece ids feed the 64-row " +
+        "embedding + masked-attention graph ([PAD]=0 padding through the additive -10000 " +
+        "mask); tokenization is the one map-only UDF, the forward pass stays the codegen'd " +
+        "N-ary expression, no shuffle before the gate. The oracle re-derives the IDS (greedy " +
+        "walk as a recursive CTE over distinct words, flattened per document in word order) " +
+        "AND the full forward pass (toSqlAll) in DuckDB from the raw text.",
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.EncoderGate
+          .scoreWithVocab(Tables.documents(s, dir), "text", onnxVocabGateGraph,
+            CurationQueries.pinnedHf, maxTokens = 6)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
+            sum(when($"pass", $"score_e6").otherwise(0L)).as("sum_pass_e6"))
+      },
+      Some {
+        val ySql = onnxVocabGateGraph.toSqlAll(Seq("ids", "mask"))
+        s"""WITH RECURSIVE
+           |${CurationQueries.hfVocabWalkCtes},
+           |rw(w, pos, ids) AS (
+           |  SELECT w, 0::BIGINT, CAST([] AS BIGINT[]) FROM words
+           |  UNION ALL
+           |  SELECT r.w, r.pos + lm.l, list_append(r.ids, CAST(lm.id AS BIGINT))
+           |  FROM rw r JOIN lm ON lm.w = r.w AND lm.i = r.pos),
+           |term AS (SELECT w, ids FROM rw WHERE pos = len(w)),
+           |encw AS (SELECT ws.w, coalesce(t.ids, [CAST(1 AS BIGINT)]) AS ids
+           |         FROM words ws LEFT JOIN term t ON t.w = ws.w),
+           |tw AS (SELECT doc_id, source, unnest(tk) AS w, unnest(range(1, len(tk) + 1)) AS ord
+           |       FROM (SELECT doc_id, source,
+           |             list_filter(string_split(text, ' '), x -> x != '')[1:6] AS tk
+           |             FROM documents)),
+           |ti AS (SELECT t.doc_id, t.source, flatten(list(e.ids ORDER BY t.ord)) AS aid
+           |       FROM tw t JOIN encw e ON e.w = t.w GROUP BY 1, 2),
+           |ti2 AS (SELECT d.doc_id, d.source,
+           |        coalesce(ti.aid, CAST([] AS BIGINT[]))[1:6] AS a6
+           |        FROM documents d LEFT JOIN ti ON ti.doc_id = d.doc_id),
+           |im AS (SELECT doc_id, source,
+           |    list_transform(generate_series(1, 6), i -> CASE WHEN i <= len(a6)
+           |      THEN CAST(a6[i] AS DOUBLE) ELSE 0.0 END) AS ids,
+           |    list_transform(generate_series(1, 6), i -> CASE WHEN i <= len(a6)
+           |      THEN 0.0 ELSE -10000.0 END) AS mask
+           |  FROM ti2),
+           |y AS (SELECT source, $ySql AS y FROM im),
+           |sc AS (SELECT source, CAST(floor(y[1] * 1000000.0 + 0.5) AS BIGINT) AS s_e6 FROM y)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN s_e6 >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |  CAST(sum(CASE WHEN s_e6 >= 1 THEN s_e6 ELSE 0 END) AS BIGINT) AS sum_pass_e6
+           |FROM sc GROUP BY 1""".stripMargin
+      }),
+
+    Query(
       "q261_bounded_sssp",
       "Bounded-horizon WEIGHTED shortest paths (Graphs.boundedSssp — the weighted companion " +
         "q243's BFS left out): minimum total edge weight from 3 seed nodes within 4 hops over " +
@@ -3149,6 +3206,40 @@ object PipelineQueries extends QueryPack {
       inits = Seq(
         OnnxWriter.tensor("T", Seq(8, d),
           Array.tabulate(8, d)((v, j) => (((v * 5 + j * 3) % 9) - 4) / 8.0f).flatten),
+        OnnxWriter.tensor("Wq", Seq(d, d), mat(1).flatten),
+        OnnxWriter.tensor("bq", Seq(d), vec(1)),
+        OnnxWriter.tensor("Wk", Seq(d, d), mat(2).flatten),
+        OnnxWriter.tensor("bk", Seq(d), vec(2)),
+        OnnxWriter.tensor("Wv", Seq(d, d), mat(3).flatten),
+        OnnxWriter.tensor("bv", Seq(d), vec(3))),
+      extraInputs = Seq("m")))
+  }
+
+  /** q280's fixture: the q259 two-input masked-attention gate with a
+    * 64-row embedding table, sized for [[CurationQueries.pinnedHf]]'s
+    * real-vocab ids (max id 48) instead of an 8-bucket hash space. */
+  private[graft] lazy val onnxVocabGateGraph: graft.pipeline.OnnxGraph = {
+    import graft.pipeline.OnnxGraph
+    import Onnx.OnnxWriter
+    val d = 4
+    def mat(salt: Int) =
+      Array.tabulate(d, d)((i, j) => (((i * 7 + j * 11 + salt * 5) % 13) - 6) / 16.0f)
+    def vec(salt: Int) = Array.tabulate(d)(j => ((j * 3 + salt) % 5 - 2) / 8.0f)
+    OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wq", "bq"), Seq("q")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wk", "bk"), Seq("k")),
+        OnnxWriter.node("Gemm", Seq("emb", "Wv", "bv"), Seq("v")),
+        OnnxWriter.node("Transpose", Seq("k"), Seq("kt"), intLists = Map("perm" -> Seq(1L, 0L))),
+        OnnxWriter.node("MatMul", Seq("q", "kt"), Seq("s")),
+        OnnxWriter.node("Add", Seq("s", "m"), Seq("sm")),
+        OnnxWriter.node("Softmax", Seq("sm"), Seq("p"), Map("axis" -> Right(-1L))),
+        OnnxWriter.node("MatMul", Seq("p", "v"), Seq("ctx")),
+        OnnxWriter.node("ReduceMean", Seq("ctx"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("T", Seq(64, d),
+          Array.tabulate(64, d)((v, j) => (((v * 5 + j * 3) % 9) - 4) / 8.0f).flatten),
         OnnxWriter.tensor("Wq", Seq(d, d), mat(1).flatten),
         OnnxWriter.tensor("bq", Seq(d), vec(1)),
         OnnxWriter.tensor("Wk", Seq(d, d), mat(2).flatten),

@@ -880,6 +880,37 @@ class AdvancedSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scoreWithVocab: real-vocab ids reproduce the driver JVM forward pass " +
+      "(pad, truncate, [UNK], empty)") {
+    val g = graft.queries.PipelineQueries.onnxVocabGateGraph
+    val tok = graft.queries.CurationQueries.pinnedHf
+    val docs = Seq(
+      (1L, "customer window join dup"),      // splits + one [UNK]; 6 pieces hit the window
+      (2L, "a the"),                          // short: pads with [PAD]=0 + -10000 mask
+      (3L, ""),                               // empty: all-pad
+      (4L, "hash scan filter order stream group batch")) // truncates at 6 ids
+    val got = graft.pipeline.EncoderGate
+      .scoreWithVocab(docs.toDF("doc_id", "text"), "text", g, tok, maxTokens = 6)
+      .select($"doc_id", $"score_e6")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver twin: tokenize + pad on the JVM, score with scoreDoubleAll
+    val want = docs.map { case (id, text) =>
+      val ids0 = graft.pipeline.PretrainedTokenizer.encodeIds(text, tok).take(6)
+      val ids = Array.tabulate(6)(i => if (i < ids0.size) ids0(i).toDouble else 0.0)
+      val mask = Array.tabulate(6)(i => if (i < ids0.size) 0.0 else -10000.0)
+      val y = g.scoreDoubleAll(Array(ids, mask))
+      id -> math.floor(y(0) * 1000000.0 + 0.5).toLong
+    }.toMap
+    assert(got == want, s"$got vs $want")
+    // provenance of the pinned vocab's [UNK] witness
+    assert(graft.pipeline.PretrainedTokenizer.tokenize("customer window join dup", tok) ==
+      List("cust", "##omer", "wind", "##ow", "join", "[UNK]"))
+    // the oracle's space-split basic tokenization is valid: corpus charset is [a-z ]
+    val bad = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(!col("text").rlike("^[a-z ]*$")).count()
+    assert(bad == 0L, "documents corpus must stay [a-z ] for the q279/q280 oracle replay")
+  }
+
   test("seasonalAnomalyStream == batch scoring against the same frozen profile") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
