@@ -132,7 +132,8 @@ object Onnx {
     * encoder exports). `inputName` keeps the single-input view for the
     * MLP chain lowerer. */
   final case class Model(nodes: Seq[Node], initializers: Map[String, Tensor],
-      inputNames: Seq[String], outputName: String) {
+      inputNames: Seq[String], outputName: String,
+      inputDims: Map[String, Seq[Int]] = Map.empty) {
     def inputName: String = inputNames.head
   }
 
@@ -150,29 +151,57 @@ object Onnx {
     require(graph != null, "not an ONNX ModelProto: no graph field")
     val nodes = Seq.newBuilder[Node]
     val inits = Map.newBuilder[String, Tensor]
-    var inputs = List.empty[String]; var outputs = List.empty[String]
+    var inputs = List.empty[(String, Seq[Int])]; var outputs = List.empty[String]
     while (graph.hasMore) graph.readTag() match {
       case (1, 2) => nodes += parseNode(graph.readBytesView())
       case (5, 2) => val t = parseTensor(graph.readBytesView()); inits += t.name -> t
-      case (11, 2) => inputs :+= parseValueInfoName(graph.readBytesView())
-      case (12, 2) => outputs :+= parseValueInfoName(graph.readBytesView())
+      case (11, 2) => inputs :+= parseValueInfo(graph.readBytesView())
+      case (12, 2) => outputs :+= parseValueInfo(graph.readBytesView())._1
       case (_, w) => graph.skip(w)
     }
     val initNames = inits.result().keySet
-    val realInputs = inputs.filterNot(initNames) // initializers may be re-listed as graph inputs (IR < 4)
+    val realInputs = inputs.filterNot(i => initNames(i._1)) // initializers may be re-listed as graph inputs (IR < 4)
     require(realInputs.nonEmpty && realInputs.size <= 4,
-      s"expected 1..4 graph inputs, got $realInputs")
+      s"expected 1..4 graph inputs, got ${realInputs.map(_._1)}")
     require(outputs.size == 1, s"expected exactly one graph output, got $outputs")
-    Model(nodes.result(), inits.result(), realInputs, outputs.head)
+    Model(nodes.result(), inits.result(), realInputs.map(_._1), outputs.head,
+      realInputs.filter(_._2.nonEmpty).toMap)
   }
 
-  private def parseValueInfoName(r: PbReader): String = {
+  /** ValueInfoProto: name + the declared static tensor shape (empty
+    * where absent or symbolic). The 4-D (1, C, H, W) declared shape is
+    * what tells the CNN lowerer an input is an NCHW image. */
+  private def parseValueInfo(r: PbReader): (String, Seq[Int]) = {
     var name = ""
+    val dims = Seq.newBuilder[Int]
     while (r.hasMore) r.readTag() match {
       case (1, 2) => name = r.readString()
+      case (2, 2) => // TypeProto
+        val tp = r.readBytesView()
+        while (tp.hasMore) tp.readTag() match {
+          case (1, 2) => // tensor_type
+            val tt = tp.readBytesView()
+            while (tt.hasMore) tt.readTag() match {
+              case (2, 2) => // shape: TensorShapeProto
+                val sh = tt.readBytesView()
+                while (sh.hasMore) sh.readTag() match {
+                  case (1, 2) => // dim
+                    val d = sh.readBytesView()
+                    var v = -1L
+                    while (d.hasMore) d.readTag() match {
+                      case (1, 0) => v = d.readVarint()
+                      case (_, w) => d.skip(w)
+                    }
+                    dims += v.toInt // symbolic dims (dim_param) record -1
+                  case (_, w) => sh.skip(w)
+                }
+              case (_, w) => tt.skip(w)
+            }
+          case (_, w) => tp.skip(w)
+        }
       case (_, w) => r.skip(w)
     }
-    name
+    (name, dims.result())
   }
 
   private def parseNode(r: PbReader): Node = {

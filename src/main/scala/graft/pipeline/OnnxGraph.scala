@@ -19,7 +19,16 @@ import org.apache.spark.sql.functions._
   * Log, Abs, Neg, Pow (2 / 0.5 / small integer), Clip, variadic
   * Min/Max (left-assoc chains), float-int Cast (toward-zero trunc),
   * Constant nodes (scalar / vector / matrix `value` tensors), and
-  * ReduceSum. Anything else
+  * ReduceSum — plus (r16) the CNN head subset: Conv (group 1,
+  * dilation 1, kernels to 7x7, stride/zero-pad, the window geometry
+  * resolved STATICALLY at lowering from the (1, C, H, W) input shape
+  * declared in value_info), MaxPool (padded cells never win),
+  * GlobalAveragePool (lowers to the row-collapse ReduceMean), and
+  * Flatten back to one NCHW row before an FC head. Images flow as
+  * NCHW-flat rows and live internally as (H·W, C) matrices; the
+  * static-expansion budgets (H·W ≤ 256, ≤ 65536 terms per Conv) keep
+  * the generated Column/SQL code bounded — feature-extraction heads,
+  * not ResNets, which is what a curation gate runs. Anything else
   * still fails loudly at lowering ([[Onnx]]'s contract: scoring a
   * silently-wrong graph at scale is worse than not scoring) — the
   * reference instead wraps full runtimes
@@ -83,6 +92,47 @@ object OnnxGraph {
   /** Row-major re-chunk to `cols` columns (Reshape with batch=1:
     * (n, h·dₕ) -> (n·h, dₕ) and back). */
   final case class GReshape(in: Int, cols: Int) extends GOp
+  /** NCHW-flat input row (batch 1) -> the (H·W, C) spatial matrix the
+    * CNN ops run over: out[h·W+w][c] = in[c·H·W + h·W + w]. Emitted
+    * automatically when a Conv/MaxPool consumes a graph input declared
+    * (1, C, H, W). */
+  final case class GNchwToRows(in: Int, c: Int, hw: Int) extends GOp
+  /** (H·W, C) spatial matrix -> one NCHW-flat row — the CNN Flatten
+    * before an FC head: out[c·HW + r] = in[r][c]. */
+  final case class GRowsToNchw(in: Int, c: Int, hw: Int) extends GOp
+  /** 2-D convolution over the (H·W, Cin) spatial value. `win(r)` lists
+    * output position r's VALID window cells as (inputRow, kernelCell)
+    * pairs (kernelCell = ki·kw+kj; zero-padded cells are simply absent
+    * — zero contributes nothing); `wgt(m)(kernelCell·cin + c)`;
+    * per-output-channel bias. Pinned term order per (r, m): win order,
+    * channel within cell — a left fold, + bias last (the GDense
+    * convention), identical in all three paths. */
+  final case class GConv(in: Int, wgt: Array[Array[Float]], bias: Array[Float],
+      cin: Int, win: Array[Array[(Int, Int)]]) extends GOp
+  /** 2-D max pool, same spatial convention: out[r][c] = max over
+    * `win(r)`'s input rows (padded cells never win — ONNX's −inf
+    * semantics; lowering requires every window non-empty). */
+  final case class GMaxPool(in: Int, win: Array[Array[Int]]) extends GOp
+
+  /** Static conv/pool output geometry: ONNX floor convention. Returns
+    * (hOut, wOut, validCells) where validCells(r) = the in-bounds
+    * (inputRow, kernelCell) pairs of output position r. */
+  private def spatialWin(h: Int, w: Int, kh: Int, kw: Int, sh: Int, sw: Int,
+      pt: Int, pl: Int, pb: Int, pr: Int): (Int, Int, Array[Array[(Int, Int)]]) = {
+    val hOut = (h + pt + pb - kh) / sh + 1
+    val wOut = (w + pl + pr - kw) / sw + 1
+    require(hOut >= 1 && wOut >= 1,
+      s"conv/pool output empty: in ${h}x$w kernel ${kh}x$kw stride ${sh}x$sw pads ($pt,$pl,$pb,$pr)")
+    val cells = Array.tabulate(hOut * wOut) { r =>
+      val (oh, ow) = (r / wOut, r % wOut)
+      (for {
+        ki <- 0 until kh; kj <- 0 until kw
+        ih = oh * sh - pt + ki; iw = ow * sw - pl + kj
+        if ih >= 0 && ih < h && iw >= 0 && iw < w
+      } yield (ih * w + iw, ki * kw + kj)).toArray
+    }
+    (hOut, wOut, cells)
+  }
 
   /** Lower a parsed [[Onnx.Model]] to the op list. Slots 0..nInputs−1
     * are the graph inputs in declaration order (the ids+attention-mask
@@ -116,8 +166,18 @@ object OnnxGraph {
     }
     def slot(name: String): Int = slotOf.getOrElse(name,
       throw new IllegalArgumentException(s"'$name' is neither a node output nor the graph input"))
+    // slot -> (H, W) of a (H·W, C) CNN value; declared here so emit can
+    // propagate it through shape-preserving per-element ops (Relu
+    // between Conv and MaxPool must not lose the spatial shape)
+    val spatial = scala.collection.mutable.Map[Int, (Int, Int)]()
     def emit(out: String, op: GOp, rows: Int, cols: Int): Unit = {
-      ops += op; rowsOf += rows; colsOf += cols; slotOf(out) = next; next += 1
+      ops += op; rowsOf += rows; colsOf += cols; slotOf(out) = next
+      (op match {
+        case GAct(in, _) => spatial.get(in)
+        case GEltwise(a, _, _, _) => spatial.get(a)
+        case _ => None
+      }).foreach(spatial(next) = _)
+      next += 1
     }
     // Resolve a dataflow input: a prior node output, the graph input,
     // or a 2-D initializer materialized once as a constant slot
@@ -131,6 +191,40 @@ object OnnxGraph {
         s
     }
     def intsOf(name: String): Seq[Long] = tensorOf(name).data.map(_.toLong).toSeq
+    // ---- CNN spatial tracking: a graph input declared (1, C, H, W)
+    // converts lazily (once) from its NCHW-flat serving row via
+    // GNchwToRows the first time a spatial op consumes it.
+    val convertedInput = scala.collection.mutable.Map[Int, Int]()
+    val SpatialCap = 256 // H·W bound: the static Column/SQL expansion budget
+    def spatialSlot(name: String): Int = {
+      val s = slot(name)
+      if (spatial.contains(s)) s
+      else convertedInput.getOrElse(s, {
+        val dims = m.inputDims.getOrElse(name, Seq.empty)
+        require(s < nIn && dims.size == 4 && dims.head == 1 && dims.forall(_ > 0),
+          s"'$name' has no spatial shape — CNN ops need a (1, C, H, W) " +
+            "declared graph input or a prior Conv/MaxPool output")
+        val Seq(_, c, h, w) = dims
+        require(h * w <= SpatialCap,
+          s"image ${h}x$w exceeds the ${SpatialCap}-position static-expansion budget " +
+            "(bigger images need the runtime wrappers the reference uses)")
+        val out = next
+        emit(s"${name}__spatial", GNchwToRows(s, c, h * w), Many, c)
+        spatial(out) = (h, w)
+        convertedInput(s) = out // convert once; non-spatial consumers keep the flat row
+        out
+      })
+    }
+    def pads4(n2: Onnx.Node): (Int, Int, Int, Int) = {
+      val ps = n2.attrs.get("pads").map(_.ints.map(_.toInt)).getOrElse(Seq(0, 0, 0, 0))
+      require(ps.size == 4 && ps.forall(_ >= 0), s"pads=$ps unsupported (2-D [t,l,b,r])")
+      (ps(0), ps(1), ps(2), ps(3))
+    }
+    def strides2(n2: Onnx.Node): (Int, Int) = {
+      val st = n2.attrs.get("strides").map(_.ints.map(_.toInt)).getOrElse(Seq(1, 1))
+      require(st.size == 2 && st.forall(_ >= 1), s"strides=$st unsupported (2-D)")
+      (st(0), st(1))
+    }
     // Shared eltwise lowering (Add/Sub/Mul/Div/Min/Max): the right side
     // is a 1-D/scalar initializer (per-row or per-element broadcast), a
     // prior value slot, or a 2-D constant (additive mask).
@@ -351,13 +445,87 @@ object OnnxGraph {
             require(colsOf(in) % cols == 0, s"Reshape: ${colsOf(in)} not divisible by $cols")
           emit(n.outputs.head, GReshape(in, cols),
             if (rowsOf(in) == One && colsOf(in) == cols) One else Many, cols)
-        case "Identity" | "Flatten" | "Dropout" =>
+        case "Conv" =>
+          require(n.attrI("group", 1L) == 1L, "Conv group != 1 unsupported")
+          require(n.attrs.get("dilations").map(_.ints).forall(_.forall(_ == 1L)),
+            "Conv dilations != 1 unsupported")
+          require(n.attrs.get("auto_pad").flatMap(_.s).forall(s => s == "NOTSET"),
+            "Conv auto_pad unsupported — export with explicit pads")
+          val in = spatialSlot(n.inputs(0))
+          val (h, w) = spatial(in)
+          val wt = tensorOf(n.inputs(1))
+          require(wt.dims.size == 4, s"Conv weight dims=${wt.dims} (want (M, C, kH, kW))")
+          val Seq(cout, cinW, kh, kw) = wt.dims
+          require(kh >= 1 && kh <= 7 && kw >= 1 && kw <= 7,
+            s"Conv kernel ${kh}x$kw unsupported (1..7 per axis)")
+          n.attrs.get("kernel_shape").map(_.ints).foreach(ks =>
+            require(ks == Seq(kh.toLong, kw.toLong),
+              s"Conv kernel_shape=$ks != weight ${kh}x$kw"))
+          require(colsOf(in) == cinW,
+            s"Conv: input has ${colsOf(in)} channels, weight expects $cinW")
+          val (sh, sw) = strides2(n)
+          val (pt, pl, pb, pr) = pads4(n)
+          val (hOut, wOut, win) = spatialWin(h, w, kh, kw, sh, sw, pt, pl, pb, pr)
+          val maxCells = win.map(_.length).max
+          require(hOut * wOut * cout * maxCells * cinW <= 65536,
+            s"Conv static expansion ${hOut * wOut}x${cout}x${maxCells * cinW} exceeds " +
+              "the 65536-term budget (bigger heads need the runtime wrappers the reference uses)")
+          // weight layout: wgt(m)(kernelCell·cin + c)
+          val wgt = Array.tabulate(cout, kh * kw * cinW) { (mo, i) =>
+            val (cell, c) = (i / cinW, i % cinW)
+            val (ki, kj) = (cell / kw, cell % kw)
+            wt.data(((mo * cinW + c) * kh + ki) * kw + kj)
+          }
+          val bias =
+            if (n.inputs.size > 2) tensorOf(n.inputs(2)).data else new Array[Float](cout)
+          require(bias.length == cout, s"Conv bias dim ${bias.length} != $cout channels")
+          val out = next
+          emit(n.outputs.head, GConv(in, wgt, bias, cinW, win), Many, cout)
+          spatial(out) = (hOut, wOut)
+        case "MaxPool" =>
+          require(n.attrI("ceil_mode", 0L) == 0L, "MaxPool ceil_mode=1 unsupported")
+          require(n.attrs.get("dilations").map(_.ints).forall(_.forall(_ == 1L)),
+            "MaxPool dilations != 1 unsupported")
+          require(n.attrs.get("auto_pad").flatMap(_.s).forall(s => s == "NOTSET"),
+            "MaxPool auto_pad unsupported — export with explicit pads")
+          val ks = n.attrs.get("kernel_shape").map(_.ints.map(_.toInt)).getOrElse(
+            throw new IllegalArgumentException("MaxPool needs kernel_shape"))
+          require(ks.size == 2 && ks.forall(k => k >= 1 && k <= 7),
+            s"MaxPool kernel $ks unsupported (2-D, 1..7)")
+          val in = spatialSlot(n.inputs(0))
+          val (h, w) = spatial(in)
+          val (sh, sw) = strides2(n)
+          val (pt, pl, pb, pr) = pads4(n)
+          require(pt < ks(0) && pb < ks(0) && pl < ks(1) && pr < ks(1),
+            "MaxPool pads must be smaller than the kernel (every window needs a real cell)")
+          val (hOut, wOut, win0) = spatialWin(h, w, ks(0), ks(1), sh, sw, pt, pl, pb, pr)
+          val win = win0.map(_.map(_._1))
+          require(win.forall(_.nonEmpty), "MaxPool produced an empty window")
+          val out = next
+          emit(n.outputs.head, GMaxPool(in, win), Many, colsOf(in))
+          spatial(out) = (hOut, wOut)
+        case "GlobalAveragePool" =>
+          // mean over all spatial positions per channel == the existing
+          // row-collapse ReduceMean over the (H·W, C) value
+          val in = spatialSlot(n.inputs(0))
+          emit(n.outputs.head, GReduceMean(in), One, colsOf(in))
+        case "Flatten" =>
+          require(n.attrI("axis", 1L) == 1L, "Flatten axis != 1 unsupported (batch=1)")
+          val in = slot(n.inputs(0))
+          if (rowsOf(in) == One) slotOf(n.outputs.head) = in // already one row
+          else {
+            val (h, w) = spatial.getOrElse(in, throw new IllegalArgumentException(
+              "Flatten on a multi-row value without a spatial shape — " +
+                "pool first, or keep the value one-row"))
+            emit(n.outputs.head, GRowsToNchw(in, colsOf(in), h * w), One, colsOf(in) * h * w)
+          }
+        case "Identity" | "Dropout" =>
           slotOf(n.outputs.head) = slot(n.inputs(0))
         case op => throw new IllegalArgumentException(
           s"ONNX op '$op' unsupported (DAG subset: Gemm/MatMul/Add/Sub/Mul/Div/Min/Max/" +
             "activations/Erf/Gelu/Sqrt/Exp/Log/Abs/Neg/Pow/Clip/Cast/Constant/" +
             "LayerNormalization/Gather/ReduceMean/ReduceSum/Transpose/Slice/Split/Concat/" +
-            "Reshape/Identity/Flatten/Dropout)")
+            "Reshape/Conv/MaxPool/GlobalAveragePool/Identity/Flatten/Dropout)")
       }
     }
     OnnxGraph(ops.toSeq, slot(m.outputName), nIn)
@@ -373,7 +541,8 @@ object OnnxGraph {
     * [[Onnx.OnnxWriter.tensor]]. */
   def write(nodes: Seq[Onnx.PbWriter => Unit], inits: Seq[Onnx.PbWriter => Unit],
       inputName: String = "x", outputName: String = "y",
-      extraInputs: Seq[String] = Seq.empty): Array[Byte] = {
+      extraInputs: Seq[String] = Seq.empty,
+      inputDims: Map[String, Seq[Long]] = Map.empty): Array[Byte] = {
     val w = new Onnx.PbWriter
     w.int(1, 8L) // ir_version
     w.msg(14)(o => { o.str(1, ""); o.int(2, 17L) }) // opset 17
@@ -381,7 +550,19 @@ object OnnxGraph {
       g.str(2, "graft_graph")
       nodes.foreach(n => g.msg(1)(n))
       inits.foreach(t => g.msg(5)(t))
-      (inputName +: extraInputs).foreach(in => g.msg(11)(v => { v.str(1, in); () }))
+      (inputName +: extraInputs).foreach { in =>
+        g.msg(11) { v =>
+          v.str(1, in)
+          // declared static shape (CNN inputs): type.tensor_type.shape
+          inputDims.get(in).foreach { ds =>
+            v.msg(2)(tp => tp.msg(1) { tt =>
+              tt.int(1, 1L) // elem_type FLOAT
+              tt.msg(2)(sh => ds.foreach(d => sh.msg(1)(dm => { dm.int(1, d); () })))
+            })
+          }
+          ()
+        }
+      }
       g.msg(12)(v => { v.str(1, outputName); () })
     }
     w.bytes
@@ -507,6 +688,42 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
             while (r < m.length) { s += m(r)(j); r += 1 }
             s
           })
+        case GNchwToRows(in, c, hw) =>
+          val row = vals(in)(0)
+          require(row.length == c * hw, s"NCHW input has ${row.length} elements, want ${c * hw}")
+          Array.tabulate(hw, c)((r, ch) => row(ch * hw + r))
+        case GRowsToNchw(in, c, hw) =>
+          val m = vals(in)
+          Array(Array.tabulate(c * hw)(i => m(i % hw)(i / hw)))
+        case GConv(in, wgt, bias, cin, win) =>
+          val m = vals(in)
+          win.map { cells =>
+            Array.tabulate(bias.length) { o =>
+              var acc = 0.0f
+              var ci = 0
+              while (ci < cells.length) {
+                val (row, cell) = cells(ci)
+                var c = 0
+                while (c < cin) { acc += m(row)(c) * wgt(o)(cell * cin + c); c += 1 }
+                ci += 1
+              }
+              acc + bias(o)
+            }
+          }
+        case GMaxPool(in, win) =>
+          val m = vals(in)
+          win.map { cells =>
+            Array.tabulate(m(0).length) { c =>
+              var mx = m(cells(0))(c)
+              var i = 1
+              while (i < cells.length) {
+                val v = m(cells(i))(c)
+                if (v > mx) mx = v
+                i += 1
+              }
+              mx
+            }
+          }
       }
       k += 1
     }
@@ -673,6 +890,39 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
         case GReshape(in, cols) =>
           val flat = vals(in).flatten
           flat.grouped(cols).map(_.toArray).toArray
+        case GNchwToRows(in, c, hw) =>
+          val row = vals(in)(0)
+          require(row.length == c * hw, s"NCHW input has ${row.length} elements, want ${c * hw}")
+          Array.tabulate(hw, c)((r, ch) => row(ch * hw + r))
+        case GRowsToNchw(in, c, hw) =>
+          val m = vals(in)
+          Array(Array.tabulate(c * hw)(i => m(i % hw)(i / hw)))
+        case GConv(in, wgt, bias, cin, win) =>
+          val m = vals(in)
+          win.map { cells =>
+            Array.tabulate(bias.length) { o =>
+              // left fold from 0.0, bias last — the GDense/Column/SQL order
+              var acc = 0.0
+              var ci = 0
+              while (ci < cells.length) {
+                val (row, cell) = cells(ci)
+                var c = 0
+                while (c < cin) { acc += m(row)(c) * wgt(o)(cell * cin + c).toDouble; c += 1 }
+                ci += 1
+              }
+              acc + bias(o).toDouble
+            }
+          }
+        case GMaxPool(in, win) =>
+          val m = vals(in)
+          win.map { cells =>
+            Array.tabulate(m(0).length) { c =>
+              var mx = m(cells(0))(c)
+              var i = 1
+              while (i < cells.length) { mx = math.max(mx, m(cells(i))(c)); i += 1 }
+              mx
+            }
+          }
       }
       k += 1
     }
@@ -848,6 +1098,42 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
         array(transform(sequence(lit(1), size(element_at(m, 1))), j =>
           aggregate(transform(m, r => element_at(r, j)), lit(0.0), _ + _)))
       }
+    case GNchwToRows(in, c, hw) =>
+      bind1(element_at(element_at(e, in + 1), 1)) { row =>
+        array((0 until hw).map(r =>
+          array((0 until c).map(ch => element_at(row, ch * hw + r + 1)): _*)): _*)
+      }
+    case GRowsToNchw(in, c, hw) =>
+      bind1(element_at(e, in + 1)) { m =>
+        array(array((0 until c * hw).map(i =>
+          element_at(element_at(m, i % hw + 1), i / hw + 1)): _*))
+      }
+    case GConv(in, wgt, bias, cin, win) =>
+      bind1(element_at(e, in + 1)) { m =>
+        array(win.map { cells =>
+          // xr: the window's values, cell-major / channel-within — then
+          // each output channel is the GDense zip-fold + bias
+          bind1(flatten(array(cells.map { case (row, _) =>
+            element_at(m, row + 1)
+          }: _*))) { xr =>
+            array(bias.indices.map { o =>
+              val wo = typedLit(cells.flatMap { case (_, cell) =>
+                (0 until cin).map(c => wgt(o)(cell * cin + c).toDouble)
+              }.toSeq)
+              aggregate(zip_with(xr, wo, _ * _), lit(0.0), _ + _) + lit(bias(o).toDouble)
+            }: _*)
+          }
+        }: _*)
+      }
+    case GMaxPool(in, win) =>
+      bind1(element_at(e, in + 1)) { m =>
+        array(win.map { cells =>
+          transform(sequence(lit(1), size(element_at(m, 1))), c => {
+            val vs = cells.map(row => element_at(element_at(m, row + 1), c))
+            if (vs.length == 1) vs.head else greatest(vs: _*)
+          })
+        }: _*)
+      }
   }
 
   private def actCol(row: Column, act: String): Column = act match {
@@ -995,6 +1281,34 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
       s"([list_transform(generate_series(0, CAST(len(flat) // $cols AS INT) - 1), " +
         s"r -> flat[r * $cols + 1 : r * $cols + $cols]) " +
         s"for flat in [flatten($e[${in + 1}])]][1])"
+    case GNchwToRows(in, c, hw) =>
+      val rows = (0 until hw).map(r =>
+        "[" + (0 until c).map(ch => s"row[${ch * hw + r + 1}]").mkString(", ") + "]")
+      s"([[${rows.mkString(", ")}] for row in [$e[${in + 1}][1]]][1])"
+    case GRowsToNchw(in, c, hw) =>
+      val elems = (0 until c * hw).map(i => s"m[${i % hw + 1}][${i / hw + 1}]")
+      s"([[[${elems.mkString(", ")}]] for m in [$e[${in + 1}]]][1])"
+    case GConv(in, wgt, bias, cin, win) =>
+      val rows = win.map { cells =>
+        val gather = cells.map { case (row, _) => s"m[${row + 1}]" }.mkString(" || ")
+        val neurons = bias.indices.map { o =>
+          val ws = cells.flatMap { case (_, cell) =>
+            (0 until cin).map(c => wgt(o)(cell * cin + c))
+          }
+          val prods = ws.zipWithIndex.map { case (wv, i) => s"xr[${i + 1}] * ${sqlLit(wv)}" }
+          s"(${fold(s"[${prods.mkString(", ")}]")} + ${sqlLit(bias(o))})"
+        }
+        s"[[${neurons.mkString(", ")}] for xr in [$gather]][1]"
+      }
+      s"([[${rows.mkString(", ")}] for m in [$e[${in + 1}]]][1])"
+    case GMaxPool(in, win) =>
+      val rows = win.map { cells =>
+        val body =
+          if (cells.length == 1) s"m[${cells(0) + 1}][c]"
+          else s"greatest(${cells.map(row => s"m[${row + 1}][c]").mkString(", ")})"
+        s"list_transform(generate_series(1, len(m[1])), c -> $body)"
+      }
+      s"([[${rows.mkString(", ")}] for m in [$e[${in + 1}]]][1])"
   }
 
   private def actSql(row: String, act: String): String = act match {

@@ -2435,6 +2435,47 @@ object PipelineQueries extends QueryPack {
       }),
 
     Query(
+      "q281_cnn_image_gate",
+      "CNN inference INSIDE the scan (r15 verdict item 3 — the ONNX conv subset): each " +
+        "document fabricates a deterministic 6x6 grayscale 'image' from its first 36 char " +
+        "codes (the q58/q94 stub-decode convention; a real image decoder feeds the identical " +
+        "downstream shape), serves it NCHW-flat to the lowered Conv(3x3, pad 1) -> Relu -> " +
+        "MaxPool(2x2, s2) -> Conv(1x1) -> Relu -> GlobalAveragePool -> Flatten -> Gemm graph " +
+        "- REAL ONNX bytes with the (1,1,6,6) input shape declared in value_info, scored by " +
+        "the codegen'd N-ary expression (no UDF, weights ship once per executor, the window " +
+        "geometry is static at lowering). Per source: docs, class-1 passes, passed-score " +
+        "mass. The oracle re-derives the image AND the full conv/pool/gemm forward pass in " +
+        "DuckDB (toSql) from the raw text.",
+      (s, dir) => {
+        import s.implicits._
+        val img = transform(sequence(lit(1), lit(36)), i =>
+          when(i <= length($"text"),
+            ascii($"text".substr(i, lit(1))).cast("double") / lit(64.0))
+            .otherwise(lit(0.0)))
+        Tables.documents(s, dir)
+          .withColumn("score_e6",
+            floor(element_at(graft.functions.OnnxGraphScore(onnxCnnGraph, img), 2)
+              * 1000000.0 + 0.5).cast("long"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"score_e6" >= 1L, 1L).otherwise(0L)).as("n_pass"),
+            sum(when($"score_e6" >= 1L, $"score_e6").otherwise(0L)).as("sum_pass_e6"))
+      },
+      Some {
+        val ySql = onnxCnnGraph.toSql("img")
+        s"""WITH im AS (SELECT source,
+           |    list_transform(generate_series(1, 36), i -> CASE WHEN i <= len(text)
+           |      THEN ord(substr(text, CAST(i AS INTEGER), 1)) / 64.0 ELSE 0.0 END) AS img
+           |  FROM documents),
+           |y AS (SELECT source, $ySql AS y FROM im),
+           |sc AS (SELECT source, CAST(floor(y[2] * 1000000.0 + 0.5) AS BIGINT) AS s_e6 FROM y)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN s_e6 >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |  CAST(sum(CASE WHEN s_e6 >= 1 THEN s_e6 ELSE 0 END) AS BIGINT) AS sum_pass_e6
+           |FROM sc GROUP BY 1""".stripMargin
+      }),
+
+    Query(
       "q261_bounded_sssp",
       "Bounded-horizon WEIGHTED shortest paths (Graphs.boundedSssp — the weighted companion " +
         "q243's BFS left out): minimum total edge weight from 3 seed nodes within 4 hops over " +
@@ -3247,6 +3288,45 @@ object PipelineQueries extends QueryPack {
         OnnxWriter.tensor("Wv", Seq(d, d), mat(3).flatten),
         OnnxWriter.tensor("bv", Seq(d), vec(3))),
       extraInputs = Seq("m")))
+  }
+
+  /** q281's fixture: a small CNN over a (1, 1, 6, 6) NCHW image —
+    * Conv 1→3ch 3x3 pad 1, Relu, MaxPool 2x2 stride 2, Conv 3→4ch 1x1,
+    * Relu, GlobalAveragePool, Flatten, Gemm 4→2 — exact 1/16 binary-
+    * fraction weights, round-tripped through REAL ONNX bytes with the
+    * input shape declared in value_info (what tells the lowerer the
+    * serving row is an NCHW image). */
+  private[graft] lazy val onnxCnnGraph: graft.pipeline.OnnxGraph = {
+    import graft.pipeline.OnnxGraph
+    import Onnx.OnnxWriter
+    val w1 = Array.tabulate(3 * 1 * 3 * 3)(i => ((i * 7) % 11 - 5) / 16.0f)
+    val b1 = Array(0.125f, -0.25f, 0.0625f)
+    val w2 = Array.tabulate(4 * 3 * 1 * 1)(i => ((i * 5) % 9 - 4) / 16.0f)
+    val b2 = Array(0.5f, -0.5f, 0.25f, 0f)
+    val w3 = Array.tabulate(4 * 2)(i => ((i * 3) % 7 - 3) / 16.0f)
+    val b3 = Array(0.0625f, -0.125f)
+    OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Conv", Seq("x", "W1", "B1"), Seq("c1"),
+          intLists = Map("kernel_shape" -> Seq(3L, 3L), "strides" -> Seq(1L, 1L),
+            "pads" -> Seq(1L, 1L, 1L, 1L))),
+        OnnxWriter.node("Relu", Seq("c1"), Seq("r1")),
+        OnnxWriter.node("MaxPool", Seq("r1"), Seq("p1"),
+          intLists = Map("kernel_shape" -> Seq(2L, 2L), "strides" -> Seq(2L, 2L))),
+        OnnxWriter.node("Conv", Seq("p1", "W2", "B2"), Seq("c2"),
+          intLists = Map("kernel_shape" -> Seq(1L, 1L))),
+        OnnxWriter.node("Relu", Seq("c2"), Seq("r2")),
+        OnnxWriter.node("GlobalAveragePool", Seq("r2"), Seq("gap")),
+        OnnxWriter.node("Flatten", Seq("gap"), Seq("fl"), Map("axis" -> Right(1L))),
+        OnnxWriter.node("Gemm", Seq("fl", "W3", "B3"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("W1", Seq(3, 1, 3, 3), w1),
+        OnnxWriter.tensor("B1", Seq(3), b1),
+        OnnxWriter.tensor("W2", Seq(4, 3, 1, 1), w2),
+        OnnxWriter.tensor("B2", Seq(4), b2),
+        OnnxWriter.tensor("W3", Seq(4, 2), w3),
+        OnnxWriter.tensor("B3", Seq(2), b3)),
+      inputDims = Map("x" -> Seq(1L, 1L, 6L, 6L))))
   }
 
   /** q176's fixture: a deterministic 64->8->3 relu MLP whose weights

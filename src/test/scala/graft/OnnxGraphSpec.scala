@@ -647,4 +647,189 @@ class OnnxGraphSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       g.scoreDoubleAll(Array(ids))).getMessage.contains("inputs"))
   }
+
+  // ---- r16: the CNN subset (Conv / MaxPool / GlobalAveragePool /
+  // Flatten) — NCHW-flat serving row, (H·W, C) internal value ----
+
+  /** Deterministic small-CNN bytes: (1,2,4,4) input declared in the
+    * model's value_info, Conv 2→3ch 3x3 pad 1, Relu, MaxPool 2x2
+    * stride 2, Conv 3→4ch 1x1, GlobalAveragePool, Flatten, Gemm 4→2. */
+  private def cnnBytes: Array[Byte] = {
+    val w1 = Array.tabulate(3 * 2 * 3 * 3)(i => ((i * 7) % 11 - 5) / 8.0f)
+    val b1 = Array(0.125f, -0.25f, 0.0625f)
+    val w2 = Array.tabulate(4 * 3 * 1 * 1)(i => ((i * 5) % 9 - 4) / 4.0f)
+    val b2 = Array(0.5f, -0.5f, 0.25f, 0f)
+    val w3 = Array.tabulate(4 * 2)(i => ((i * 3) % 7 - 3) / 8.0f)
+    val b3 = Array(0.1f, -0.2f)
+    OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Conv", Seq("x", "W1", "B1"), Seq("c1"),
+          intLists = Map("kernel_shape" -> Seq(3L, 3L), "strides" -> Seq(1L, 1L),
+            "pads" -> Seq(1L, 1L, 1L, 1L))),
+        OnnxWriter.node("Relu", Seq("c1"), Seq("r1")),
+        OnnxWriter.node("MaxPool", Seq("r1"), Seq("p1"),
+          intLists = Map("kernel_shape" -> Seq(2L, 2L), "strides" -> Seq(2L, 2L))),
+        OnnxWriter.node("Conv", Seq("p1", "W2", "B2"), Seq("c2"),
+          intLists = Map("kernel_shape" -> Seq(1L, 1L))),
+        OnnxWriter.node("GlobalAveragePool", Seq("c2"), Seq("gap")),
+        OnnxWriter.node("Flatten", Seq("gap"), Seq("fl"), Map("axis" -> Right(1L))),
+        OnnxWriter.node("Gemm", Seq("fl", "W3", "B3"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("W1", Seq(3, 2, 3, 3), w1),
+        OnnxWriter.tensor("B1", Seq(3), b1),
+        OnnxWriter.tensor("W2", Seq(4, 3, 1, 1), w2),
+        OnnxWriter.tensor("B2", Seq(4), b2),
+        OnnxWriter.tensor("W3", Seq(4, 2), w3),
+        OnnxWriter.tensor("B3", Seq(2), b3)),
+      inputDims = Map("x" -> Seq(1L, 2L, 4L, 4L)))
+  }
+
+  /** Brute NCHW conv/pool reference, independent of the engine's
+    * (H·W, C) value layout — pins SEMANTICS, not just self-parity. */
+  private def bruteConv(x: Array[Array[Array[Double]]], // (C)(H)(W)
+      w: Array[Double], cout: Int, cin: Int, kh: Int, kw: Int,
+      b: Array[Double], sh: Int, sw: Int, pt: Int, pl: Int): Array[Array[Array[Double]]] = {
+    val (h, ww) = (x(0).length, x(0)(0).length)
+    val hOut = (h + 2 * pt - kh) / sh + 1 // symmetric pads in these fixtures
+    val wOut = (ww + 2 * pl - kw) / sw + 1
+    Array.tabulate(cout, hOut, wOut) { (m, oh, ow) =>
+      var acc = 0.0
+      for (c <- 0 until cin; ki <- 0 until kh; kj <- 0 until kw) {
+        val (ih, iw) = (oh * sh - pt + ki, ow * sw - pl + kj)
+        if (ih >= 0 && ih < h && iw >= 0 && iw < ww)
+          acc += x(c)(ih)(iw) * w(((m * cin + c) * kh + ki) * kw + kj)
+      }
+      acc + b(m)
+    }
+  }
+
+  test("Conv semantics: engine matches a brute NCHW reference (3x3 pad 1, 1x1 stride 2)") {
+    val img = Array.tabulate(2, 4, 4)((c, h, w) => (c * 16 + h * 4 + w + 1) / 8.0)
+    val flat = img.flatten.flatMap(_.toSeq) // NCHW-flat serving row
+    // 3x3 pad 1 stride 1
+    val w1 = Array.tabulate(3 * 2 * 3 * 3)(i => ((i * 7) % 11 - 5) / 8.0)
+    val b1 = Array(0.125, -0.25, 0.0625)
+    val g1 = OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Conv", Seq("x", "W1", "B1"), Seq("c1"),
+          intLists = Map("kernel_shape" -> Seq(3L, 3L), "pads" -> Seq(1L, 1L, 1L, 1L))),
+        OnnxWriter.node("GlobalAveragePool", Seq("c1"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("W1", Seq(3, 2, 3, 3), w1.map(_.toFloat)),
+        OnnxWriter.tensor("B1", Seq(3), b1.map(_.toFloat))),
+      inputDims = Map("x" -> Seq(1L, 2L, 4L, 4L))))
+    val want1 = bruteConv(img, w1, 3, 2, 3, 3, b1, 1, 1, 1, 1)
+      .map(ch => ch.flatten.sum / 16.0)
+    val got1 = g1.scoreDouble(flat)
+    want1.indices.foreach(i => assert(math.abs(got1(i) - want1(i)) < 1e-12, s"ch $i"))
+    // 1x1 stride 2, no pad
+    val w2 = Array.tabulate(2 * 2)(i => (i + 1) / 4.0)
+    val g2 = OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Conv", Seq("x", "W2"), Seq("c1"), // no bias input
+          intLists = Map("kernel_shape" -> Seq(1L, 1L), "strides" -> Seq(2L, 2L))),
+        OnnxWriter.node("GlobalAveragePool", Seq("c1"), Seq("y"))),
+      inits = Seq(OnnxWriter.tensor("W2", Seq(2, 2, 1, 1), w2.map(_.toFloat))),
+      inputDims = Map("x" -> Seq(1L, 2L, 4L, 4L))))
+    val want2 = bruteConv(img, w2, 2, 2, 1, 1, Array(0.0, 0.0), 2, 2, 0, 0)
+      .map(ch => ch.flatten.sum / 4.0)
+    val got2 = g2.scoreDouble(flat)
+    want2.indices.foreach(i => assert(math.abs(got2(i) - want2(i)) < 1e-12, s"ch $i"))
+  }
+
+  test("MaxPool semantics: brute reference incl. truncated pad-1 windows") {
+    val img = Array.tabulate(1, 4, 4)((_, h, w) => ((h * 7 + w * 3) % 11 - 5).toDouble)
+    val flat = img.flatten.flatMap(_.toSeq)
+    val g = OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("MaxPool", Seq("x"), Seq("p"),
+          intLists = Map("kernel_shape" -> Seq(3L, 3L), "strides" -> Seq(2L, 2L),
+            "pads" -> Seq(1L, 1L, 1L, 1L))),
+        OnnxWriter.node("GlobalAveragePool", Seq("p"), Seq("y"))),
+      inits = Seq.empty,
+      inputDims = Map("x" -> Seq(1L, 1L, 4L, 4L))))
+    val pooled = for (oh <- 0 until 2; ow <- 0 until 2) yield (
+      for {
+        ki <- 0 until 3; kj <- 0 until 3
+        ih = oh * 2 - 1 + ki; iw = ow * 2 - 1 + kj
+        if ih >= 0 && ih < 4 && iw >= 0 && iw < 4
+      } yield img(0)(ih)(iw)).max
+    val want = pooled.sum / 4.0
+    assert(math.abs(g.scoreDouble(flat)(0) - want) < 1e-12)
+  }
+
+  test("small CNN: HOF == codegen expr == scoreDouble == float loop, real ONNX bytes") {
+    val g = OnnxGraph.parse(cnnBytes)
+    val rows = (0 until 12).map { i =>
+      (i.toLong, (0 until 32).map(j => (((i * 13 + j * 7) % 17) - 8) / 8.0).toSeq)
+    }.toDF("id", "img")
+    val viaCols = rows.select($"id", g.columns($"img").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExpr = rows.select($"id", graft.functions.OnnxGraphScore(g, $"img").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.collect().foreach { r =>
+      val img = r.getSeq[Double](1).toArray
+      val yd = g.scoreDouble(img)
+      val yf = g.score(img.map(_.toFloat))
+      val (yc, ye) = (viaCols(r.getLong(0)), viaExpr(r.getLong(0)))
+      assert(yd.length == 2)
+      yd.indices.foreach { i =>
+        assert(yc(i) == yd(i), s"id ${r.getLong(0)} dim $i: HOF ${yc(i)} != scoreDouble ${yd(i)}")
+        assert(ye(i) == yd(i), s"id ${r.getLong(0)} dim $i: expr ${ye(i)} != scoreDouble ${yd(i)}")
+        assert(math.abs(yf(i) - yd(i)) < 1e-4, s"float drift dim $i")
+      }
+    }
+  }
+
+  test("CNN Flatten before an FC head (GRowsToNchw) and loud failures beyond the subset") {
+    // Conv -> Flatten -> Gemm: the flatten must restore NCHW order
+    val w1 = Array.tabulate(2 * 1 * 1 * 1)(i => (i + 1).toFloat)       // 1x1: ch0 = x, ch1 = 2x
+    val w3 = Array.tabulate(2 * 9 * 1)(i => if (i < 9) 1f else 0.5f)   // sum ch0 + 0.5 sum ch1
+    val g = OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Conv", Seq("x", "W1"), Seq("c1"),
+          intLists = Map("kernel_shape" -> Seq(1L, 1L))),
+        OnnxWriter.node("Flatten", Seq("c1"), Seq("fl"), Map("axis" -> Right(1L))),
+        OnnxWriter.node("Gemm", Seq("fl", "W3"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("W1", Seq(2, 1, 1, 1), w1),
+        OnnxWriter.tensor("W3", Seq(18, 1), w3)),
+      inputDims = Map("x" -> Seq(1L, 1L, 3L, 3L))))
+    val xs = Array.tabulate(9)(i => (i + 1).toDouble)
+    // y = sum(x) + 0.5 * sum(2x) = 2 * sum(x) = 90
+    assert(g.scoreDouble(xs)(0) == 90.0)
+    // unsupported shapes fail loudly at LOWERING, never score wrong
+    def conv(extra: Map[String, Seq[Long]], attrs: Map[String, Either[Float, Long]] = Map.empty,
+        dims: Map[String, Seq[Long]] = Map("x" -> Seq(1L, 1L, 3L, 3L))) =
+      OnnxGraph.parse(OnnxGraph.write(
+        nodes = Seq(
+          OnnxWriter.node("Conv", Seq("x", "W1"), Seq("c1"), attrs,
+            intLists = Map("kernel_shape" -> Seq(1L, 1L)) ++ extra),
+          OnnxWriter.node("GlobalAveragePool", Seq("c1"), Seq("y"))),
+        inits = Seq(OnnxWriter.tensor("W1", Seq(2, 1, 1, 1), w1)),
+        inputDims = dims))
+    assert(intercept[IllegalArgumentException](
+      conv(Map.empty, Map("group" -> Right(2L)))).getMessage.contains("group"))
+    assert(intercept[IllegalArgumentException](
+      conv(Map("dilations" -> Seq(2L, 2L)))).getMessage.contains("dilations"))
+    assert(intercept[IllegalArgumentException](
+      conv(Map.empty, dims = Map.empty)).getMessage.contains("spatial"))
+    // MaxPool pads must leave every window a real cell
+    assert(intercept[IllegalArgumentException](OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("MaxPool", Seq("x"), Seq("p"),
+          intLists = Map("kernel_shape" -> Seq(2L, 2L), "pads" -> Seq(2L, 0L, 0L, 0L))),
+        OnnxWriter.node("GlobalAveragePool", Seq("p"), Seq("y"))),
+      inits = Seq.empty,
+      inputDims = Map("x" -> Seq(1L, 1L, 4L, 4L))))).getMessage.contains("pads"))
+    // Flatten on a multi-row value without spatial shape is loud
+    assert(intercept[IllegalArgumentException](OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("Gather", Seq("T", "x"), Seq("emb")),
+        OnnxWriter.node("Flatten", Seq("emb"), Seq("fl"), Map("axis" -> Right(1L))),
+        OnnxWriter.node("Gemm", Seq("fl", "W"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("T", Seq(4, 2), Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),
+        OnnxWriter.tensor("W", Seq(2, 1), Array(1f, 1f)))))).getMessage.contains("spatial"))
+  }
 }
