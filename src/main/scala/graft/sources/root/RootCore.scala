@@ -230,6 +230,10 @@ private[root] object RootStreamers {
         while (j < nObj) {
           val (ec, ecend, _) = r.objRef()
           val (_, _) = r.vers() // concrete element class header
+          // TStreamerSTLstring nests one layer deeper than every other
+          // element kind (STLstring -> STL -> element): consume the
+          // intermediate TStreamerSTL header or the names read garbage
+          if (ec == "TStreamerSTLstring") { val (_, _) = r.vers(); () }
           val (_, bend) = r.vers() // TStreamerElement base header
           val (enm, _) = r.tnamed()
           val etype = r.i4(); r.i4() // type, size

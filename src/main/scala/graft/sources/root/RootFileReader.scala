@@ -34,12 +34,12 @@ private[root] object RootFileReader {
     new ReadAt(fs, path)
   }
 
-  private def keyAt(f: ReadAt, pos: Long): TKey = {
+  private[root] def keyAt(f: ReadAt, pos: Long): TKey = {
     val hdr = f.read(pos, math.min(512L, f.length - pos).toInt)
     RootKeys.parseKey(hdr, pos)
   }
 
-  private def record(f: ReadAt, k: TKey): Array[Byte] =
+  private[root] def record(f: ReadAt, k: TKey): Array[Byte] =
     RootCore.decompress(f.read(k.at + k.keyLen, k.nBytes - k.keyLen), k.objLen)
 
   /** Keys of one directory, via its fSeekKeys list record. */
@@ -395,11 +395,49 @@ private[root] object RootFileReader {
     Col(starts, out, scalar = false)
   }
 
+  /** Memberwise STL container of a ZERO-PAYLOAD element class
+    * (vector<edm4hep::RecoParticleRefData>): per entry
+    * [byte count = 8][version | 0x4000][element version][count] and
+    * nothing else — the count IS the data (the refs live in companion
+    * branches). Loud on any other shape: a class that DOES persist
+    * member bytes must never be mis-read as a bare count. */
+  private def readStlEmptyCount(bm: BranchMeta, baskets: Seq[Decoded],
+      start: Long, end: Long): Col = {
+    val n = (end - start).toInt
+    val out = new Array[Int](n)
+    def i4(a: Array[Byte], p: Int): Int =
+      ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) | ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+    baskets.foreach { d =>
+      require(d.offsets != null, s"branch ${bm.name}: STL basket without entry offsets")
+      val lo = math.max(start, d.entryStart)
+      val hi = math.min(end, d.entryStart + d.nev)
+      var e = lo
+      while (e < hi) {
+        val k = (e - d.entryStart).toInt
+        val (p0, p1) = entryRange(d, k)
+        require(p1 - p0 == 12,
+          s"branch ${bm.name}: entry $e has ${p1 - p0} bytes — not the 12-byte " +
+            "memberwise count record of a zero-payload element class")
+        val bc = i4(d.data, p0) & 0x3fffffff
+        require(bc == 8, s"branch ${bm.name}: entry $e byte count $bc != 8")
+        val vers = ((d.data(p0 + 4) & 0xff) << 8) | (d.data(p0 + 5) & 0xff)
+        require((vers & 0x4000) != 0,
+          s"branch ${bm.name}: entry $e not memberwise (version 0x${vers.toHexString})")
+        out((e - start).toInt) = i4(d.data, p0 + 8)
+        e += 1
+      }
+    }
+    Col(Array.tabulate(n + 1)(identity), out, scalar = true)
+  }
+
   /** Two-level STL payloads: vector<vector<prim>> (inner vectors are
     * bare [4-byte count][count*es bytes] after the 10-byte outer
     * header) and vector<string> (TString elements). Walks every entry
     * once to build outer/inner boundaries and gathers the element
-    * bytes contiguously. */
+    * bytes contiguously. A 6-byte header (stlHeader = 6) marks the
+    * SPLIT-MEMBER string variant (pair<string,string>.first): no
+    * embedded count — strings self-delimit, so the walk runs to the
+    * entry's byte end and the count is whatever it finds. */
   private def readStlComplex(bm: BranchMeta, baskets: Seq[Decoded],
       start: Long, end: Long): Col = {
     val n = (end - start).toInt
@@ -420,10 +458,13 @@ private[root] object RootFileReader {
         val k = (e - d.entryStart).toInt
         val (p0, p1) = entryRange(d, k)
         require(p1 - p0 >= bm.stlHeader, s"branch ${bm.name}: entry $e shorter than header")
-        val nOuter = i4(d.data, p0 + 6)
+        val implicitN = bm.stlHeader == 6 // split-member strings: count implied
+        if (implicitN) require(bm.stlStrings,
+          s"branch ${bm.name}: implicit-count walk is only valid for self-delimiting strings")
+        val nOuter = if (implicitN) Int.MaxValue else i4(d.data, p0 + 6)
         var p = p0 + bm.stlHeader
         var o = 0
-        while (o < nOuter) {
+        while (o < nOuter && !(implicitN && p >= p1)) {
           if (bm.stlStrings) {
             var len = d.data(p) & 0xff; p += 1
             if (len == 255) { len = i4(d.data, p); p += 4 }
@@ -439,7 +480,7 @@ private[root] object RootFileReader {
           o += 1
         }
         require(p == p1, s"branch ${bm.name}: entry $e walked to $p, expected $p1")
-        starts((e - start).toInt + 1) = nOuter
+        starts((e - start).toInt + 1) = o
         e += 1
       }
     }
@@ -811,6 +852,7 @@ private[root] object RootFileReader {
     val n = (end - start).toInt
     val baskets = basketsFor(f, bm, start, end)
     if (bm.isString) return readStringColumn(bm, baskets, start, end)
+    if (bm.stlEmptyCount) return readStlEmptyCount(bm, baskets, start, end)
     if (bm.stlLinks) return readStlLinks(bm, baskets, start, end)
     if (bm.stlLinks1) return readStlLinks1(bm, baskets, start, end)
     if (bm.scalarLink) return readScalarLink(bm, baskets, start, end)

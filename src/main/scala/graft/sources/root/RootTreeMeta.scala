@@ -29,6 +29,12 @@ private[root] final case class BranchMeta(
     // elements after the outer header).
     stlHeader: Int = 0, isString: Boolean = false,
     stlDepth: Int = 1, stlStrings: Boolean = false,
+    // memberwise STL container of a ZERO-PAYLOAD element class (podio
+    // ref collections — vector<edm4hep::RecoParticleRefData>): the
+    // persistent payload is [byte count][memberwise version][element
+    // version][count] per entry; the count IS the data (refs live in
+    // companion branches), exposed as a scalar int column
+    stlEmptyCount: Boolean = false,
     // vector<vector<ElementLink<T>>> (the PHYSLITE trigger-matching /
     // multi-target association shape): inner vectors of object-wise
     // ElementLink records — (m_persKey, m_persIndex) uint32 pairs
@@ -383,6 +389,7 @@ private[root] object RootTreeMeta {
       var unsupported = br.unsupported
       var leafCls = ""; var leafLen = 1; var unsigned = false; var counter: String = null
       var stlHeader = 0; var isString = false; var stlDepth = 1; var stlStrings = false
+      var stlEmptyCount = false
       var stlLinks = false
       var rawJagged = false
       var stlLinks1 = false
@@ -431,7 +438,24 @@ private[root] object RootTreeMeta {
                       s"(type ${br.beStreamerType}, ${br.className}.$member) — use the converter path"
                 }
               case None =>
-                unsupported = s"member streamer type ${br.beStreamerType} (${br.className}) — use the converter path"
+                // string member of a split STL-of-struct container
+                // (pair<string,string> detDescrTags): the parent class's
+                // streamer declares the member TStreamerSTLstring; per
+                // entry [byte count][version], then the member's strings
+                // back-to-back — the element count is implied by the
+                // entry's byte span (strings self-delimit). Layout pinned
+                // byte-for-byte against a RootWriter-synthesized
+                // NON-EMPTY twin in RootSourceSpec (the PHYSLITE sample's
+                // detDescrTags are all empty).
+                val member = br.name.substring(br.name.lastIndexOf('.') + 1)
+                val stlStringMember = infos.get(Option(br.className).getOrElse(""))
+                  .exists(_._2.exists(e =>
+                    e.name == member && e.kind == "TStreamerSTLstring"))
+                if (stlStringMember) {
+                  leafCls = "TLeafC"; leafLen = 1; counter = null
+                  stlHeader = 6; stlStrings = true
+                } else
+                  unsupported = s"member streamer type ${br.beStreamerType} (${br.className}) — use the converter path"
             }
           } else if (leafCls == "TLeafElement") {
             // unsplit STL payload, 10-byte per-entry header (byte
@@ -493,6 +517,16 @@ private[root] object RootTreeMeta {
                 // per entry -> struct<m_persKey, m_persIndex>
                 leafCls = "TLeafI"; unsigned = true; leafLen = 1; counter = null
                 scalarLink = true; true
+              } else if (inner != null && infos.get(inner).exists(_._2.isEmpty)) {
+                // container of a ZERO-PAYLOAD element class (podio ref
+                // collections: vector<edm4hep::RecoParticleRefData> —
+                // the class's streamer declares no members; the refs
+                // live in companion branches): the persistent payload
+                // is the memberwise header + element count, exposed as
+                // the count. Layout pinned against a RootWriter-
+                // synthesized NON-EMPTY twin in RootSourceSpec.
+                leafCls = "TLeafI"; unsigned = false; leafLen = 1; counter = null
+                stlEmptyCount = true; true
               } else false
             }
             if (br.beId >= 0 && br.beType == 0) {
@@ -623,13 +657,15 @@ private[root] object RootTreeMeta {
       }.toArray
       if (unsupported == null && br.entries > 0 && loose.isEmpty && embedded.isEmpty)
         unsupported = s"no readable baskets for ${br.entries} entries"
-      if (unsupported == null && (stlHeader > 0 || isString || rawJagged || stlLinks1 || scalarLink) &&
+      if (unsupported == null && (stlHeader > 0 || isString || rawJagged || stlLinks1 ||
+          scalarLink || stlEmptyCount) &&
           br.entryOffsetLen <= 0 && br.entries > 0)
         unsupported = "variable-size payload without entry offsets"
       BranchMeta(br.name, br.title, leafCls, leafLen, unsigned, counter,
         br.entryOffsetLen, br.entries, loose, embedded, unsupported,
         stlHeader = stlHeader, isString = isString,
-        stlDepth = stlDepth, stlStrings = stlStrings, stlLinks = stlLinks,
+        stlDepth = stlDepth, stlStrings = stlStrings, stlEmptyCount = stlEmptyCount,
+        stlLinks = stlLinks,
         rawJagged = rawJagged, stlLinks1 = stlLinks1, scalarLink = scalarLink)
     }.toVector ++ synth
 

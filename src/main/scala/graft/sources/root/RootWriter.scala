@@ -438,6 +438,253 @@ object RootWriter {
     out.close()
   }
 
+  /** One raw TBranchElement fixture branch: each entry's payload blob
+    * is written verbatim behind an entry-offset table, with the branch
+    * carrying the given fClassName/fType/fID/fStreamerType — the
+    * fields [[RootTreeMeta]]'s classifier dispatches on. */
+  final case class RawElemBranch(name: String, className: String, beType: Int,
+      beStreamerType: Int, beId: Int, payloads: Seq[Array[Byte]])
+
+  /** A class layout for the fixture file's streamer catalog:
+    * (kind, name, typ, typeName) per member — how a real file
+    * self-describes pair<string,string> or a zero-member podio ref
+    * class. */
+  final case class RawClassInfo(name: String, version: Int,
+      elems: Seq[(String, String, Int, String)])
+
+  /** Dev-fixture writer: a TTree of RAW TBranchElement branches with
+    * caller-built per-entry payload bytes and a caller-extended
+    * streamer catalog. This is how the decode of layouts that the real
+    * samples only carry EMPTY (pair<string,string> detDescrTags,
+    * podio RecoParticleRefData ref collections) gets pinned against
+    * NON-EMPTY payloads (RootSourceSpec): the reader is streamer-driven
+    * end to end, so a written file that self-describes the same class
+    * layout exercises the identical decode path as ATLAS/FCC bytes.
+    * Mirrors [[writeFile]]'s envelope (header/keys/baskets/catalog). */
+  def writeRawElements(path: String, tree: String, branches: Seq[RawElemBranch],
+      classInfos: Seq[RawClassInfo] = Seq.empty): Unit = {
+    require(branches.nonEmpty)
+    val entries = branches.head.payloads.size.toLong
+    require(branches.forall(_.payloads.size.toLong == entries),
+      "all branches must carry the same entry count")
+    val out = new java.io.RandomAccessFile(path, "rw")
+    out.setLength(0)
+    var filePos = 0L
+    def emit(a: Array[Byte]): Long = { val at = filePos; out.write(a); filePos += a.length; at }
+    val headerAt = emit(new Array[Byte](100))
+    require(headerAt == 0L)
+    val begin = 100L
+    val fileName = new java.io.File(path).getName
+    val dirRec = {
+      val w = new WBuf
+      w.tstr(fileName); w.tstr("")
+      w.i2(5); w.i4(0); w.i4(0)
+      w.i4(0); w.i4(0)
+      w.i4(begin.toInt); w.i4(0)
+      w.i4(0)
+      w.bytes
+    }
+    val namedLen = { val w = new WBuf; w.tstr(fileName); w.tstr(""); w.p }
+    def keyHeader(nBytes: Int, objLen: Int, keyLen: Int, seekKey: Long,
+        cls: String, name: String, title: String, extra: WBuf => Unit = _ => ()): Array[Byte] = {
+      val w = new WBuf
+      w.i4(nBytes); w.i2(4); w.i4(objLen); w.i4(0)
+      w.i2(keyLen); w.i2(1)
+      w.i4(seekKey.toInt); w.i4(begin.toInt)
+      w.tstr(cls); w.tstr(name); w.tstr(title)
+      extra(w)
+      w.bytes
+    }
+    def keyLenOf(cls: String, name: String, title: String, extraLen: Int = 0): Int =
+      keyHeader(0, 0, 0, 0L, cls, name, title).length + extraLen
+    val fileKeyLen = keyLenOf("TFile", fileName, "")
+    emit(keyHeader(fileKeyLen + dirRec.length, dirRec.length,
+      fileKeyLen, begin, "TFile", fileName, "") ++ dirRec)
+    val nBytesName = fileKeyLen + namedLen
+    val dirDataPos = begin + nBytesName
+    val seekKeysPatchAt = dirDataPos + 2 + 8 + 8 + 8
+
+    // one basket per branch: every entry's blob verbatim + offsets
+    final case class Written(seek: Long, nBytes: Int)
+    val written = branches.map { b =>
+      val keyLen = keyLenOf("TBasket", b.name, tree, extraLen = 19)
+      val body = new WBuf
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      b.payloads.foreach { p => offs += body.p; body.raw(p) }
+      val dataLen = body.p
+      val last = keyLen + dataLen
+      body.i4(b.payloads.size)
+      offs.foreach(o => body.i4(o + keyLen))
+      val objLen = body.p
+      val seek = filePos
+      val nBytes = keyLen + objLen
+      emit(keyHeader(nBytes, objLen, keyLen, seek, "TBasket", b.name, tree, { w =>
+        w.i2(3)
+        w.i4(math.max(objLen + keyLen, 1024))
+        w.i4(4 * (b.payloads.size + 1)) // fNevBufSize (offsets present)
+        w.i4(b.payloads.size)
+        w.i4(last)
+        w.u1(0)
+      }) ++ body.bytes)
+      Written(seek, nBytes)
+    }
+
+    // ---- TTree metadata: TBranchElement records with TLeafElement ----
+    val treeKeyLen = keyLenOf("TTree", tree, tree)
+    val treeBody = {
+      val w = new WBuf
+      val tAt = w.vers(20)
+      w.tnamed(tree, tree)
+      w.i8(entries)
+      val oAt = w.vers(3)
+      w.tobject(); w.tstr(""); w.i4(branches.size); w.i4(0)
+      branches.zip(written).foreach { case (b, wr) =>
+        val brAt = w.objOpen("TBranchElement")
+        val hAt = w.vers(10)
+        // TBranch base (the reader recurses it member-wise)
+        val baseAt = w.vers(13)
+        w.tnamed(b.name, b.name)
+        w.i4(4 * (b.payloads.size + 1)) // fEntryOffsetLen
+        w.i4(1) // fWriteBasket
+        w.i8(entries)
+        w.i4(1) // fMaxBaskets
+        w.u1(1); w.i4(wr.nBytes)
+        w.u1(1); w.i8(0L)
+        w.u1(1); w.i8(wr.seek)
+        val lAt = w.vers(3)
+        w.tobject(); w.tstr(""); w.i4(1); w.i4(0)
+        val leafAt = w.objOpen("TLeafElement")
+        val cAt = w.vers(1)
+        val bAt = w.vers(2)
+        w.tnamed(b.name, b.name)
+        w.i4(1); w.u1(0)
+        w.objNull()
+        w.close(bAt); w.close(cAt)
+        w.objClose(leafAt)
+        w.close(lAt)
+        Seq(0, 0).foreach { _ => // fBranches, fBaskets empty
+          val eAt = w.vers(3); w.tobject(); w.tstr(""); w.i4(0); w.i4(0); w.close(eAt)
+        }
+        w.close(baseAt)
+        // TBranchElement's own members
+        w.tstr(b.className)
+        w.i4(b.beType); w.i4(b.beId); w.i4(b.beStreamerType)
+        w.close(hAt)
+        w.objClose(brAt)
+      }
+      w.close(oAt)
+      w.close(tAt)
+      w.bytes
+    }
+    val treeAt = emit(keyHeader(treeKeyLen + treeBody.length, treeBody.length,
+      treeKeyLen, filePos, "TTree", tree, tree) ++ treeBody)
+
+    // ---- streamer catalog: TTree/TBranch/TLeaf + TBranchElement/
+    // TLeafElement + the caller's class layouts ----
+    val sBody = {
+      val w = new WBuf
+      def elem(cls: String, name: String, typ: Int, typeName: String,
+          counter: String = null): Unit = {
+        val eAt = w.objOpen(cls)
+        val cAt = w.vers(4)
+        // TStreamerSTLstring nests one layer deeper (STLstring -> STL
+        // -> element) — exactly what the reader consumes
+        val sAt = if (cls == "TStreamerSTLstring") w.vers(3) else -1
+        val bAt = w.vers(4)
+        w.tnamed(name, "")
+        w.i4(typ); w.i4(0); w.i4(0); w.i4(0)
+        (0 until 5).foreach(_ => w.i4(0))
+        w.tstr(typeName)
+        w.close(bAt)
+        if (sAt >= 0) w.close(sAt)
+        if (cls == "TStreamerBasicPointer") { w.i4(13); w.tstr(counter); w.tstr("TBranch") }
+        w.close(cAt)
+        w.objClose(eAt)
+      }
+      def info(cls: String, ver: Int, els: Seq[(String, String, Int, String)]): Unit = {
+        val iAt = w.objOpen("TStreamerInfo")
+        val hAt = w.vers(9)
+        w.tnamed(cls, "")
+        w.i4(0); w.i4(ver)
+        val aAt = w.objOpen("TObjArray")
+        val oAt = w.vers(3)
+        w.tobject(); w.tstr("")
+        w.i4(els.size); w.i4(0)
+        els.foreach { case (k, n, t, tn) =>
+          elem(k, n, t, tn, counter = if (k == "TStreamerBasicPointer") "fMaxBaskets" else null)
+        }
+        w.close(oAt); w.objClose(aAt)
+        w.close(hAt); w.objClose(iAt)
+        w.tstr("")
+      }
+      val lAt = w.vers(5)
+      w.tobject(); w.tstr("")
+      w.i4(5 + classInfos.size)
+      info("TTree", 20, Seq(
+        ("TStreamerBase", "TNamed", 66, "TNamed"),
+        ("TStreamerBasicType", "fEntries", 16, "Long64_t"),
+        ("TStreamerObject", "fBranches", 61, "TObjArray")))
+      info("TBranch", 13, Seq(
+        ("TStreamerBase", "TNamed", 66, "TNamed"),
+        ("TStreamerBasicType", "fEntryOffsetLen", 3, "Int_t"),
+        ("TStreamerBasicType", "fWriteBasket", 3, "Int_t"),
+        ("TStreamerBasicType", "fEntries", 16, "Long64_t"),
+        ("TStreamerBasicType", "fMaxBaskets", 6, "Int_t"),
+        ("TStreamerBasicPointer", "fBasketBytes", 43, "Int_t*"),
+        ("TStreamerBasicPointer", "fBasketEntry", 56, "Long64_t*"),
+        ("TStreamerBasicPointer", "fBasketSeek", 56, "Long64_t*"),
+        ("TStreamerObject", "fLeaves", 61, "TObjArray"),
+        ("TStreamerObject", "fBranches", 61, "TObjArray"),
+        ("TStreamerObject", "fBaskets", 61, "TObjArray")))
+      info("TLeaf", 2, Seq(
+        ("TStreamerBase", "TNamed", 66, "TNamed"),
+        ("TStreamerBasicType", "fLen", 3, "Int_t"),
+        ("TStreamerBasicType", "fIsUnsigned", 18, "Bool_t"),
+        ("TStreamerObjectPointer", "fLeafCount", 64, "TLeaf*")))
+      info("TBranchElement", 10, Seq(
+        ("TStreamerBase", "TBranch", 0, "TBranch"),
+        ("TStreamerString", "fClassName", 65, "TString"),
+        ("TStreamerBasicType", "fType", 3, "Int_t"),
+        ("TStreamerBasicType", "fID", 3, "Int_t"),
+        ("TStreamerBasicType", "fStreamerType", 3, "Int_t")))
+      info("TLeafElement", 1, Seq(
+        ("TStreamerBase", "TLeaf", 0, "TLeaf")))
+      classInfos.foreach(ci => info(ci.name, ci.version, ci.elems))
+      w.close(lAt)
+      w.bytes
+    }
+    val sKeyLen = keyLenOf("TList", "StreamerInfo", "Doubly linked list")
+    val seekInfo = emit(keyHeader(sKeyLen + sBody.length, sBody.length,
+      sKeyLen, filePos, "TList", "StreamerInfo", "Doubly linked list") ++ sBody)
+    val nbInfo = sKeyLen + sBody.length
+
+    val treeHdrCopy = keyHeader(treeKeyLen + treeBody.length, treeBody.length,
+      treeKeyLen, treeAt, "TTree", tree, tree)
+    val klBody = { val w = new WBuf; w.i4(1); w.raw(treeHdrCopy); w.bytes }
+    val klKeyLen = keyLenOf("TFile", fileName, "")
+    val seekKeys = emit(keyHeader(klKeyLen + klBody.length, klBody.length,
+      klKeyLen, filePos, "TFile", fileName, "") ++ klBody)
+
+    val end = filePos
+    out.seek(seekKeysPatchAt)
+    out.writeInt(seekKeys.toInt)
+    val h = new WBuf
+    h.raw("root".getBytes("ISO-8859-1"))
+    h.i4(63200)
+    h.i4(begin.toInt)
+    h.i4(end.toInt)
+    h.i4(0); h.i4(0); h.i4(0)
+    h.i4(nBytesName)
+    h.u1(4)
+    h.i4(0)
+    h.i4(seekInfo.toInt)
+    h.i4(nbInfo)
+    while (h.p < 100) h.u1(0)
+    out.seek(0)
+    out.write(h.bytes)
+    out.close()
+  }
+
   /** Write a DataFrame as a directory of part-N.root files, one per
     * partition (the distributed shape: executors write independently,
     * like parquet part files; each part is a complete standalone ROOT

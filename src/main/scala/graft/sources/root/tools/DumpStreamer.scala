@@ -1,0 +1,26 @@
+package graft.sources.root.tools
+
+import graft.sources.root._
+
+/** Dev CLI: print a class's TStreamerInfo members — the tool used to
+  * pin member layouts before writing a decoder. Usage:
+  * runMain graft.sources.root.tools.DumpStreamer <file> [classSubstring]
+  */
+object DumpStreamer {
+  def main(args: Array[String]): Unit = {
+    val path = args(0)
+    val filter = if (args.length > 1) args(1) else ""
+    val f = RootFileReader.open(path)
+    try {
+      val hdr = RootKeys.parseHeader(f.read(0, 300.min(f.length.toInt)))
+      val infoKey = RootFileReader.keyAt(f, hdr.seekInfo)
+      val infos = RootStreamers.parse(RootFileReader.record(f, infoKey), infoKey.keyLen)
+      infos.toSeq.filter(_._1.contains(filter)).foreach { case (cls, (v, es)) =>
+        println(s"== $cls (version $v, ${es.size} members)")
+        es.foreach(e => println(
+          s"  ${e.kind} name=${e.name} typ=${e.typ} typeName=${e.typeName} " +
+            s"counter=${e.counter} arrayLen=${e.arrayLen}"))
+      }
+    } finally f.close()
+  }
+}

@@ -239,7 +239,86 @@ class RootSourceSpec extends AnyFunSuite {
     assert(hsv.length == 1 && hsv(0).getStruct(0).getLong(0) == 936461719L)
     // native coverage after the split-member + hidden-record work
     val d = RootTables.describe(spark, s"$S/PHYSLITE_example.root", "CollectionTree")
-    assert(d.filter(col("supported")).count() >= 1005L)
+    assert(d.filter(col("supported")).count() >= 1007L)
+  }
+
+  test("pair<string,string> split members and zero-payload ref collections: " +
+      "decode pinned on RootWriter-synthesized NON-EMPTY twins (r15 verdict item 4)") {
+    import graft.sources.root.RootWriter
+    val dir = java.nio.file.Files.createTempDirectory("root_raw").toString
+    def be4(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be2(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    // --- pair<string,string> member branches (detDescrTags layout):
+    // per entry [byte count][version 9] then the member's strings
+    def strPayload(ss: Seq[String]): Array[Byte] = {
+      val body = ss.flatMap { s =>
+        val b = s.getBytes("ISO-8859-1")
+        if (b.length >= 255) (Array[Byte](255.toByte) ++ be4(b.length) ++ b).toSeq
+        else (Array[Byte](b.length.toByte) ++ b).toSeq
+      }.toArray
+      be4((2 + body.length) | 0x40000000) ++ be2(9) ++ body
+    }
+    val long = "x" * 300 // exercises the 255+4-byte string length form
+    val firsts = Seq(Seq("sim", "geo"), Seq.empty[String], Seq("a"), Seq(long))
+    val seconds = Seq(Seq("v1", "v2"), Seq.empty[String], Seq(""), Seq("y"))
+    val pairPath = s"$dir/pairs.root"
+    RootWriter.writeRawElements(pairPath, "t", Seq(
+      RootWriter.RawElemBranch("tags.first", "pair<string,string>", 31, 300, 0,
+        firsts.map(strPayload)),
+      RootWriter.RawElemBranch("tags.second", "pair<string,string>", 31, 300, 1,
+        seconds.map(strPayload))),
+      classInfos = Seq(RootWriter.RawClassInfo("pair<string,string>", 1, Seq(
+        ("TStreamerSTLstring", "first", 365, "string"),
+        ("TStreamerSTLstring", "second", 365, "string")))))
+    val pairs = RootTables.read(spark, pairPath, "t")
+      .select(col("`tags.first`"), col("`tags.second`"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    assert(pairs.map(_._1).toSeq == firsts, pairs.map(_._1).toSeq.toString)
+    assert(pairs.map(_._2).toSeq == seconds)
+    // the REAL PHYSLITE branches route through the same decode and are
+    // all-empty on this sample (now PINNED, not excluded)
+    assume(available)
+    val ph = RootTables.read(spark, s"$S/PHYSLITE_example.root", "CollectionTree")
+    val dd = ph.select(col("`EventInfoAuxDyn.detDescrTags.first`").as("f"),
+        col("`EventInfoAuxDyn.detDescrTags.second`").as("s"))
+      .agg(sum(size(col("f"))).as("nf"), sum(size(col("s"))).as("ns")).head()
+    assert(dd.getLong(0) == 0L && dd.getLong(1) == 0L,
+      "sample detDescrTags must decode as present-but-empty string lists")
+    // --- zero-payload ref collections (podio RecoParticleRefData):
+    // per entry [byte count 8][memberwise version][elem version][count]
+    def refPayload(n: Int): Array[Byte] =
+      be4(8 | 0x40000000) ++ be2(0x4009) ++ be2(1) ++ be4(n)
+    val counts = Seq(0, 1, 3, 7)
+    val refPath = s"$dir/refs.root"
+    RootWriter.writeRawElements(refPath, "t", Seq(
+      RootWriter.RawElemBranch("Electron", "vector<edm4hep::RecoParticleRefData>",
+        0, -1, -1, counts.map(refPayload))),
+      classInfos = Seq(RootWriter.RawClassInfo("edm4hep::RecoParticleRefData", 1, Seq.empty)))
+    val got = RootTables.read(spark, refPath, "t")
+      .select(col("Electron")).collect().map(_.getInt(0)).toSeq
+    assert(got == counts, got.toString)
+    // a ref entry that DOES carry member bytes must fail loudly, never
+    // mis-read as a bare count
+    val badPath = s"$dir/bad_refs.root"
+    RootWriter.writeRawElements(badPath, "t", Seq(
+      RootWriter.RawElemBranch("Electron", "vector<edm4hep::RecoParticleRefData>",
+        0, -1, -1, Seq(refPayload(1) ++ be4(42)))),
+      classInfos = Seq(RootWriter.RawClassInfo("edm4hep::RecoParticleRefData", 1, Seq.empty)))
+    val ex = intercept[Exception] {
+      RootTables.read(spark, badPath, "t").select(col("Electron")).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).mkString("|")
+    assert(msgs.contains("12-byte") || msgs.contains("byte count"), msgs)
+    // the REAL Spring2021 ref collections decode through the same path
+    val fcc = RootTables.read(spark, s"$S/test_FCC_Spring2021.root", "events")
+    val refCols = Seq("Electron", "Muon", "AllMuon", "Photon")
+    assert(refCols.forall(fcc.columns.contains),
+      s"Spring2021 ref collections must be columns now: ${fcc.columns.filter(refCols.contains).toSeq}")
+    val sums = fcc.select(refCols.map(c => sum(col(c)).as(c)): _*).head()
+    refCols.indices.foreach(i => assert(sums.getLong(i) >= 0L))
+    assert(refCols.indices.map(sums.getLong).sum > 0L,
+      "the sample must carry a real ref population somewhere")
   }
 
   test("PHYSLITE: hidden interface containers and base records are VALIDATED empty, not assumed") {
