@@ -724,4 +724,73 @@ class GraphsSpec extends AnyFunSuite {
     assert(got == bruteBetweenness(rand, pivots, 4), "random-graph twin")
     assert(got.nonEmpty)
   }
+
+  test("power-law hub graph (r15 verdict item 5): hits/betweenness/kTruss/" +
+      "weightedPageRank stay exact AND bounded when one hub holds deg >> sqrt(m)") {
+    // hub 0 -> spokes 1..1200 plus a ring 1..1200 and a K6 at 2000..2005:
+    // m ~ 2.4k, sqrt(m) ~ 49, hub degree 1200 — the 'last reducer' shape
+    // the block-modular probes never stress. The guards under test: the
+    // degree-ordered orientation caps wedge volume (kTruss), the
+    // normalization max broadcasts (hits), lineage-truncated rounds
+    // don't balloon on the dense frontier (betweenness), and the
+    // weighted out-mass aggregates map-side (weightedPageRank).
+    val n = 1200L
+    val hub = (1L to n).map(i => (0L, i))
+    val ring = (1L to n).map(i => (i, if (i == n) 1L else i + 1))
+    val clique = for (a <- 2000L to 2005L; b <- (a + 1) to 2005L) yield (a, b)
+    val edges = hub ++ ring ++ clique
+    val nodes = (0L to n) ++ (2000L to 2005L)
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 120.0, s"$tag took ${sec}s on the hub graph — last-reducer blowup")
+      r
+    }
+    // hits: the hub is the sole max-authority; twin replays exactly
+    val h = timed("hits") {
+      Graphs.hits(edges.toDF("src", "dst"), "src", "dst", 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    assert(h == bruteHits(edges, 2))
+    assert(h(0L)._1 == Graphs.Base, "the out-hub must carry the unit hub score")
+    // kTruss(3): exactly the K6 survives (ring+star are triangle-free
+    // except spoke-ring-hub triangles: hub-i, hub-i+1, i-i+1 ARE
+    // triangles — each edge there sits in <= 2 triangles, so k=4 peels
+    // them; K6 edges sit in 4)
+    val t4 = timed("kTruss") {
+      Graphs.kTruss(edges.toDF("src", "dst"), "src", "dst", k = 4, maxIters = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(t4 == bruteTruss(edges, 4))
+    assert(t4 == clique.toSet, s"only the K6 is 4-truss: $t4")
+    // betweenness from the hub and one spoke: exact integer twin
+    val pivots = Seq(0L, 7L)
+    val bc = timed("betweenness") {
+      Graphs.betweenness(edges.toDF("src", "dst"), "src", "dst", pivots, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(bc == bruteBetweenness(edges, pivots, 3))
+    // weightedPageRank: skewed weights on the skewed graph, twin-exact
+    val wed = edges.map { case (a, b) => (a, b, (a + b) % 7 + 1) }
+    val got = timed("weightedPageRank") {
+      Graphs.weightedPageRank(nodes.toDF("node"), "node",
+          wed.toDF("src", "dst", "w"), "src", "dst", "w", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val wtot = wed.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val B = Graphs.Base
+    val tp = ((20L - 17L) * B / 20L) / nodes.size
+    var r = nodes.map(_ -> B / nodes.size).toMap
+    for (_ <- 1 to 3) {
+      val dang = nodes.filterNot(wtot.contains).map(r).sum
+      val byDst = wed.groupBy(_._2)
+      val inflow = nodes.map(v => v -> byDst.getOrElse(v, Nil)
+        .map(e => (BigInt(r(e._1)) * e._3 / wtot(e._1)).toLong).sum).toMap
+      r = nodes.map(v => v -> (tp + 17L * (inflow(v) + dang / nodes.size) / 20L)).toMap
+    }
+    assert(got == r.toMap)
+    // nothing points INTO the hub: spokes (fed by hub + ring) out-rank it
+    assert(got(7L) > got(0L), s"spoke must out-rank the source-only hub: $got")
+  }
 }
