@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * dilation 1, kernels to 7x7, stride/zero-pad, the window geometry
   * resolved STATICALLY at lowering from the (1, C, H, W) input shape
   * declared in value_info), MaxPool (padded cells never win),
-  * GlobalAveragePool (lowers to the row-collapse ReduceMean), and
+  * AveragePool (valid-cell mean, count_include_pad=0),
+  * GlobalAveragePool (lowers to the row-collapse ReduceMean),
+  * inference-mode BatchNormalization (folded at lowering to the
+  * per-channel affine y = x·γ/√(σ²+ε) + (β − μ·γ/√(σ²+ε)) — two
+  * eltwise ops, exactly the constants an exporter would bake), and
   * Flatten back to one NCHW row before an FC head. Images flow as
   * NCHW-flat rows and live internally as (H·W, C) matrices; the
   * static-expansion budgets (H·W ≤ 256, ≤ 65536 terms per Conv) keep
@@ -113,6 +117,10 @@ object OnnxGraph {
     * `win(r)`'s input rows (padded cells never win — ONNX's −inf
     * semantics; lowering requires every window non-empty). */
   final case class GMaxPool(in: Int, win: Array[Array[Int]]) extends GOp
+  /** 2-D average pool (count_include_pad = 0, the ONNX default): the
+    * left-fold sum over `win(r)`'s VALID input rows divided by their
+    * count — padded cells neither add nor count. */
+  final case class GAvgPool(in: Int, win: Array[Array[Int]]) extends GOp
 
   /** Static conv/pool output geometry: ONNX floor convention. Returns
     * (hOut, wOut, validCells) where validCells(r) = the in-bounds
@@ -482,28 +490,65 @@ object OnnxGraph {
           val out = next
           emit(n.outputs.head, GConv(in, wgt, bias, cinW, win), Many, cout)
           spatial(out) = (hOut, wOut)
-        case "MaxPool" =>
-          require(n.attrI("ceil_mode", 0L) == 0L, "MaxPool ceil_mode=1 unsupported")
+        case "MaxPool" | "AveragePool" =>
+          val op = n.opType
+          require(n.attrI("ceil_mode", 0L) == 0L, s"$op ceil_mode=1 unsupported")
           require(n.attrs.get("dilations").map(_.ints).forall(_.forall(_ == 1L)),
-            "MaxPool dilations != 1 unsupported")
+            s"$op dilations != 1 unsupported")
           require(n.attrs.get("auto_pad").flatMap(_.s).forall(s => s == "NOTSET"),
-            "MaxPool auto_pad unsupported — export with explicit pads")
+            s"$op auto_pad unsupported — export with explicit pads")
+          if (op == "AveragePool")
+            require(n.attrI("count_include_pad", 0L) == 0L,
+              "AveragePool count_include_pad=1 unsupported (valid-cell mean only)")
           val ks = n.attrs.get("kernel_shape").map(_.ints.map(_.toInt)).getOrElse(
-            throw new IllegalArgumentException("MaxPool needs kernel_shape"))
+            throw new IllegalArgumentException(s"$op needs kernel_shape"))
           require(ks.size == 2 && ks.forall(k => k >= 1 && k <= 7),
-            s"MaxPool kernel $ks unsupported (2-D, 1..7)")
+            s"$op kernel $ks unsupported (2-D, 1..7)")
           val in = spatialSlot(n.inputs(0))
           val (h, w) = spatial(in)
           val (sh, sw) = strides2(n)
           val (pt, pl, pb, pr) = pads4(n)
           require(pt < ks(0) && pb < ks(0) && pl < ks(1) && pr < ks(1),
-            "MaxPool pads must be smaller than the kernel (every window needs a real cell)")
+            s"$op pads must be smaller than the kernel (every window needs a real cell)")
           val (hOut, wOut, win0) = spatialWin(h, w, ks(0), ks(1), sh, sw, pt, pl, pb, pr)
           val win = win0.map(_.map(_._1))
-          require(win.forall(_.nonEmpty), "MaxPool produced an empty window")
+          require(win.forall(_.nonEmpty), s"$op produced an empty window")
           val out = next
-          emit(n.outputs.head, GMaxPool(in, win), Many, colsOf(in))
+          emit(n.outputs.head,
+            if (op == "MaxPool") GMaxPool(in, win) else GAvgPool(in, win),
+            Many, colsOf(in))
           spatial(out) = (hOut, wOut)
+        case "BatchNormalization" =>
+          // inference-mode BN folds to a per-channel affine at lowering:
+          // a = gamma / sqrt(var + eps), b = beta − mean·a (float32
+          // folding — the same constants an exporter would bake), then
+          // y = x·a + b as two per-column eltwise ops over the (H·W, C)
+          // value. Train-mode outputs (>1) are out of subset.
+          require(n.outputs.size == 1, "BatchNormalization train-mode outputs unsupported")
+          // over a CNN value the affine is per CHANNEL — convert a 4-D
+          // input to its (H·W, C) spatial form first; after a pool/
+          // flatten/dense the value is already per-feature
+          val in =
+            if (spatial.contains(slot(n.inputs(0))) ||
+                m.inputDims.get(n.inputs(0)).exists(_.size == 4))
+              spatialSlot(n.inputs(0))
+            else slot(n.inputs(0))
+          val eps = n.attrF("epsilon", 1e-5f)
+          val gamma = tensorOf(n.inputs(1)).data
+          val beta = tensorOf(n.inputs(2)).data
+          val mean = tensorOf(n.inputs(3)).data
+          val varr = tensorOf(n.inputs(4)).data
+          require(Seq(beta, mean, varr).forall(_.length == gamma.length),
+            "BatchNormalization parameter lengths disagree")
+          require(colsOf(in) < 0 || colsOf(in) == gamma.length,
+            s"BatchNormalization: ${gamma.length} channels for a ${colsOf(in)}-wide value")
+          val a = Array.tabulate(gamma.length)(c =>
+            (gamma(c) / math.sqrt((varr(c) + eps).toDouble)).toFloat)
+          val b = Array.tabulate(gamma.length)(c => beta(c) - mean(c) * a(c))
+          emit(s"${n.outputs.head}__bnScale", GEltwise(in, Right(a), "mul", bOne = true),
+            rowsOf(in), colsOf(in))
+          emit(n.outputs.head, GEltwise(slotOf(s"${n.outputs.head}__bnScale"), Right(b),
+            "add", bOne = true), rowsOf(in), colsOf(in))
         case "GlobalAveragePool" =>
           // mean over all spatial positions per channel == the existing
           // row-collapse ReduceMean over the (H·W, C) value
@@ -525,7 +570,8 @@ object OnnxGraph {
           s"ONNX op '$op' unsupported (DAG subset: Gemm/MatMul/Add/Sub/Mul/Div/Min/Max/" +
             "activations/Erf/Gelu/Sqrt/Exp/Log/Abs/Neg/Pow/Clip/Cast/Constant/" +
             "LayerNormalization/Gather/ReduceMean/ReduceSum/Transpose/Slice/Split/Concat/" +
-            "Reshape/Conv/MaxPool/GlobalAveragePool/Identity/Flatten/Dropout)")
+            "Reshape/Conv/MaxPool/AveragePool/GlobalAveragePool/BatchNormalization/" +
+            "Identity/Flatten/Dropout)")
       }
     }
     OnnxGraph(ops.toSeq, slot(m.outputName), nIn)
@@ -722,6 +768,15 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
                 i += 1
               }
               mx
+            }
+          }
+        case GAvgPool(in, win) =>
+          val m = vals(in)
+          win.map { cells =>
+            Array.tabulate(m(0).length) { c =>
+              var s = 0.0f; var i = 0
+              while (i < cells.length) { s += m(cells(i))(c); i += 1 }
+              s / cells.length
             }
           }
       }
@@ -921,6 +976,16 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
               var i = 1
               while (i < cells.length) { mx = math.max(mx, m(cells(i))(c)); i += 1 }
               mx
+            }
+          }
+        case GAvgPool(in, win) =>
+          val m = vals(in)
+          win.map { cells =>
+            Array.tabulate(m(0).length) { c =>
+              // left fold from 0.0, then ONE divide — the Column/SQL order
+              var s = 0.0; var i = 0
+              while (i < cells.length) { s += m(cells(i))(c); i += 1 }
+              s / cells.length
             }
           }
       }
@@ -1134,6 +1199,15 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
           })
         }: _*)
       }
+    case GAvgPool(in, win) =>
+      bind1(element_at(e, in + 1)) { m =>
+        array(win.map { cells =>
+          transform(sequence(lit(1), size(element_at(m, 1))), c =>
+            aggregate(array(cells.map(row =>
+              element_at(element_at(m, row + 1), c)): _*), lit(0.0), _ + _) /
+              lit(cells.length.toDouble))
+        }: _*)
+      }
   }
 
   private def actCol(row: Column, act: String): Column = act match {
@@ -1307,6 +1381,13 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
           if (cells.length == 1) s"m[${cells(0) + 1}][c]"
           else s"greatest(${cells.map(row => s"m[${row + 1}][c]").mkString(", ")})"
         s"list_transform(generate_series(1, len(m[1])), c -> $body)"
+      }
+      s"([[${rows.mkString(", ")}] for m in [$e[${in + 1}]]][1])"
+    case GAvgPool(in, win) =>
+      val rows = win.map { cells =>
+        val items = cells.map(row => s"m[${row + 1}][c]").mkString(", ")
+        s"list_transform(generate_series(1, len(m[1])), c -> " +
+          s"${fold(s"[$items]")} / CAST(${cells.length} AS DOUBLE))"
       }
       s"([[${rows.mkString(", ")}] for m in [$e[${in + 1}]]][1])"
   }

@@ -781,6 +781,75 @@ class OnnxGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("BatchNormalization folds to the per-channel affine; AveragePool is the " +
+      "valid-cell mean (count_include_pad=0) — brute twins + path parity") {
+    val img = Array.tabulate(2, 4, 4)((c, h, w) => (c * 16 + h * 4 + w + 1) / 8.0)
+    val flat = img.flatten.flatMap(_.toSeq)
+    val (gamma, beta) = (Array(0.5f, 2.0f), Array(0.25f, -1.0f))
+    val (mean, varr) = (Array(1.0f, 3.0f), Array(4.0f, 0.25f))
+    val eps = 1e-5f
+    val g = OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("BatchNormalization", Seq("x2", "G", "B", "M", "V"), Seq("bn"),
+          Map("epsilon" -> Left(eps))),
+        OnnxWriter.node("AveragePool", Seq("bn"), Seq("p"),
+          intLists = Map("kernel_shape" -> Seq(3L, 3L), "strides" -> Seq(2L, 2L),
+            "pads" -> Seq(1L, 1L, 1L, 1L))),
+        OnnxWriter.node("GlobalAveragePool", Seq("p"), Seq("y"))),
+      inits = Seq(
+        OnnxWriter.tensor("G", Seq(2), gamma), OnnxWriter.tensor("B", Seq(2), beta),
+        OnnxWriter.tensor("M", Seq(2), mean), OnnxWriter.tensor("V", Seq(2), varr)),
+      inputName = "x2",
+      inputDims = Map("x2" -> Seq(1L, 2L, 4L, 4L))))
+    // brute: fold BN constants exactly like the lowering (float32 a/b),
+    // then the valid-cell window mean, then the global mean
+    val a = Array.tabulate(2)(c => (gamma(c) / math.sqrt((varr(c) + eps).toDouble)).toFloat)
+    val b = Array.tabulate(2)(c => beta(c) - mean(c) * a(c))
+    val bn = Array.tabulate(2, 4, 4)((c, h, w) => img(c)(h)(w) * a(c) + b(c))
+    val want = (0 until 2).map { c =>
+      val pooled = for (oh <- 0 until 2; ow <- 0 until 2) yield {
+        val cells = for {
+          ki <- 0 until 3; kj <- 0 until 3
+          ih = oh * 2 - 1 + ki; iw = ow * 2 - 1 + kj
+          if ih >= 0 && ih < 4 && iw >= 0 && iw < 4
+        } yield bn(c)(ih)(iw)
+        cells.sum / cells.length
+      }
+      pooled.sum / 4.0
+    }
+    val got = g.scoreDouble(flat)
+    want.indices.foreach(i => assert(math.abs(got(i) - want(i)) < 1e-9, s"ch $i"))
+    // tri-path parity on the same graph
+    val rows = Seq((1L, flat.toSeq), (2L, flat.reverse.toSeq)).toDF("id", "img")
+    val viaCols = rows.select($"id", g.columns($"img").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExpr = rows.select($"id", graft.functions.OnnxGraphScore(g, $"img").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.collect().foreach { r =>
+      val yd = g.scoreDouble(r.getSeq[Double](1).toArray)
+      assert(viaCols(r.getLong(0)).toArray.sameElements(yd))
+      assert(viaExpr(r.getLong(0)).toArray.sameElements(yd))
+    }
+    // loud failures: count_include_pad=1, train-mode outputs
+    assert(intercept[IllegalArgumentException](OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("AveragePool", Seq("x2"), Seq("y"),
+          Map("count_include_pad" -> Right(1L)),
+          intLists = Map("kernel_shape" -> Seq(2L, 2L)))),
+      inits = Seq.empty, inputName = "x2",
+      inputDims = Map("x2" -> Seq(1L, 2L, 4L, 4L)))))
+      .getMessage.contains("count_include_pad"))
+    assert(intercept[IllegalArgumentException](OnnxGraph.parse(OnnxGraph.write(
+      nodes = Seq(
+        OnnxWriter.node("BatchNormalization", Seq("x2", "G", "B", "M", "V"),
+          Seq("y", "rm", "rv"))),
+      inits = Seq(
+        OnnxWriter.tensor("G", Seq(2), gamma), OnnxWriter.tensor("B", Seq(2), beta),
+        OnnxWriter.tensor("M", Seq(2), mean), OnnxWriter.tensor("V", Seq(2), varr)),
+      inputName = "x2", inputDims = Map("x2" -> Seq(1L, 2L, 4L, 4L)))))
+      .getMessage.contains("train-mode"))
+  }
+
   test("CNN Flatten before an FC head (GRowsToNchw) and loud failures beyond the subset") {
     // Conv -> Flatten -> Gemm: the flatten must restore NCHW order
     val w1 = Array.tabulate(2 * 1 * 1 * 1)(i => (i + 1).toFloat)       // 1x1: ch0 = x, ch1 = 2x
