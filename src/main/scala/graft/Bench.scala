@@ -29,11 +29,13 @@ import org.apache.spark.sql.SparkSession
   * pressure across a 100+ query registry.
   *
   * Adjudication reruns (r15 verdict item 6): a query whose non-first
-  * reps spread past 1.5x of its min, or whose window started at OS
-  * load > 4, gets up to two extra reps before its number is recorded —
-  * a single hot scheduler window on this shared box must not cost a
-  * query its per-round history. `"rerun"` per query and `"n_rerun"`
-  * in the aggregate record how many numbers were re-earned.
+  * reps spread past 1.5x of its min (and by more than 0.5 s — micro-
+  * query jitter is not a hot window), or whose window started at OS
+  * load beyond the session's own thread budget (someone ELSE's work),
+  * gets up to two extra reps before its number is recorded — a single
+  * hot scheduler window on this shared box must not cost a query its
+  * per-round history. `"rerun"` per query and `"n_rerun"` in the
+  * aggregate record how many numbers were re-earned.
   */
 object Bench {
 
@@ -126,13 +128,23 @@ object Bench {
       // contended window from costing a round its per-query history.
       // The rerun count rides the artifact so the judge can see which
       // numbers were re-earned.
+      // absolute floor: a 0.2s-vs-0.35s micro-query spread is scheduler
+      // noise, not a hot window — adjudication is for queries whose
+      // HISTORY a bad number would distort (measured: without the
+      // floor 66 of 270 sub-second queries re-ran for nothing)
       def spreadBad(rs: Seq[(Double, Long, Double, Int)]): Boolean = {
         val mn = rs.map(_._1).min
-        rs.exists(r => r._4 > 1 && r._1 > 1.5 * mn)
+        rs.exists(r => r._4 > 1 && r._1 > 1.5 * mn && r._1 - mn > 0.5)
       }
+      // the load trigger scales with the SESSION's thread budget: on
+      // local[32] the bench itself keeps the 1-min average above any
+      // fixed constant (measured: a flat >4 re-ran 80 of 270 queries
+      // on a calm box), so only load well past what this session can
+      // generate — genuinely someone else's work — adjudicates
+      val loadBudget = math.max(6.0, 1.5 * cpus.toInt)
       var rerun = 0
       while (rerun < 2 && runs.nonEmpty && err.isEmpty &&
-          (spreadBad(runs) || (rerun == 0 && loadStart > 4.0))) {
+          (spreadBad(runs) || (rerun == 0 && loadStart > loadBudget))) {
         rerun += 1
         runs = runs ++ oneRep(reps + rerun)
       }
