@@ -141,7 +141,10 @@ object Bench {
       // fixed constant (measured: a flat >4 re-ran 80 of 270 queries
       // on a calm box), so only load well past what this session can
       // generate — genuinely someone else's work — adjudicates
-      val loadBudget = math.max(6.0, 1.5 * cpus.toInt)
+      // cpus can be any local[...] token ("*"): fall back to the
+      // machine's cores rather than crash the bench on a parse failure
+      val loadBudget = math.max(6.0, 1.5 * scala.util.Try(cpus.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors()))
       var rerun = 0
       while (rerun < 2 && runs.nonEmpty && err.isEmpty &&
           (spreadBad(runs) || (rerun == 0 && loadStart > loadBudget))) {

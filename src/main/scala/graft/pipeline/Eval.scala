@@ -174,12 +174,18 @@ object Eval {
     // ints, bools, annotator category names alike); the former
     // cast("long") turned non-numeric categoricals into NULLs that
     // fell out of the marginal join and the la===lb agreement,
-    // yielding a plausible-looking but wrong kappa (r15 advice). NULL
-    // labels fail loudly for the same reason — silence would skew p_e.
-    def enc(c: Column, side: String): Column =
+    // yielding a plausible-looking but wrong kappa (r15 advice).
+    // NUMERIC columns normalize through double first so an int rater
+    // still agrees with a double rater ("1" vs "1.0" must not read as
+    // disagreement). NULL labels fail loudly — silence would skew p_e.
+    def enc(c: Column, side: String): Column = {
+      val isNum = df.select(c).schema.head.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val s = if (isNum) c.cast("double").cast("string") else c.cast("string")
       when(c.isNull, raise_error(lit(
         s"cohenKappa: NULL label in $side — map missing labels to an " +
-          "explicit category first"))).otherwise(c.cast("string"))
+          "explicit category first"))).otherwise(s)
+    }
     val cells = df.select(enc(a, "a").as("la"), enc(b, "b").as("lb"))
       .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("c"))
     val tot = cells.agg(sum(col("c")).as("n"),

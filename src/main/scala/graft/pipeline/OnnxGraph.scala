@@ -127,8 +127,11 @@ object OnnxGraph {
     * (inputRow, kernelCell) pairs of output position r. */
   private def spatialWin(h: Int, w: Int, kh: Int, kw: Int, sh: Int, sw: Int,
       pt: Int, pl: Int, pb: Int, pr: Int): (Int, Int, Array[Array[(Int, Int)]]) = {
-    val hOut = (h + pt + pb - kh) / sh + 1
-    val wOut = (w + pl + pr - kw) / sw + 1
+    // floorDiv, not Scala's truncation toward zero: a negative
+    // h+pads−kernel must yield 0 output positions (then fail the
+    // require below), never a phantom 1
+    val hOut = Math.floorDiv(h + pt + pb - kh, sh) + 1
+    val wOut = Math.floorDiv(w + pl + pr - kw, sw) + 1
     require(hOut >= 1 && wOut >= 1,
       s"conv/pool output empty: in ${h}x$w kernel ${kh}x$kw stride ${sh}x$sw pads ($pt,$pl,$pb,$pr)")
     val cells = Array.tabulate(hOut * wOut) { r =>
@@ -473,7 +476,15 @@ object OnnxGraph {
             s"Conv: input has ${colsOf(in)} channels, weight expects $cinW")
           val (sh, sw) = strides2(n)
           val (pt, pl, pb, pr) = pads4(n)
+          // pads >= kernel would make corner windows EMPTY: the eval
+          // paths would return bias (correct ONNX zero-pad semantics)
+          // but the static Column/SQL expansions have no zero-term
+          // rendering — parity demands the loud fail here
+          require(pt < kh && pb < kh && pl < kw && pr < kw,
+            s"Conv pads ($pt,$pl,$pb,$pr) must be smaller than the ${kh}x$kw kernel " +
+              "(an empty window is outside the subset)")
           val (hOut, wOut, win) = spatialWin(h, w, kh, kw, sh, sw, pt, pl, pb, pr)
+          require(win.forall(_.nonEmpty), "Conv produced an empty window")
           val maxCells = win.map(_.length).max
           require(hOut * wOut * cout * maxCells * cinW <= 65536,
             s"Conv static expansion ${hOut * wOut}x${cout}x${maxCells * cinW} exceeds " +

@@ -85,11 +85,19 @@ object Quantiles {
       .filter(p => p >= lo && p < hi).distinct
   }
 
-  /** First-round probes: the sketch seeds clipped into [lo, hi),
-    * falling back to uniform spacing when none survive the clip. */
+  /** First-round probes: the sketch seeds clipped into [lo, hi) and
+    * capped at `maxProbes` (the per-target allowance the probe budget
+    * already derived — a 3-seed round over 48 targets must not emit
+    * 144 codegen columns): over-cap keeps the middle (q) estimate
+    * alone, or the bracketing pair. Falls back to uniform spacing
+    * when no seed survives the clip. */
   private def seedOrUniform(seed: Seq[Long], lo: Long, hi: Long,
-      branch: Int): Seq[Long] = {
-    val sp = seed.filter(p => p >= lo && p < hi).distinct.sorted
+      branch: Int, maxProbes: Int): Seq[Long] = {
+    val sp0 = seed.filter(p => p >= lo && p < hi).distinct.sorted
+    val sp =
+      if (sp0.size <= maxProbes) sp0
+      else if (maxProbes <= 1) Seq(sp0(sp0.size / 2))
+      else Seq(sp0.head, sp0.last)
     if (sp.nonEmpty) sp else probes(lo, hi, branch)
   }
 
@@ -134,7 +142,9 @@ object Quantiles {
         val sorted = ss.map(s => (s._2, s._3)).sortBy(_._1)
         sorted.tail.foldLeft(List(sorted.head)) { case (acc, (l, h)) =>
           val (cl, ch) = acc.head
-          if (l <= ch + 1) (cl, math.max(ch, h)) :: acc.tail
+          // ch+1 would wrap at Long.MaxValue — treat a max-valued hi as
+          // absorbing (everything overlaps it)
+          if (ch == Long.MaxValue || l <= ch + 1) (cl, math.max(ch, h)) :: acc.tail
           else (l, h) :: acc
         }.reverse.map { case (l, h) => (k, l, h) }
     }
@@ -243,7 +253,7 @@ object Quantiles {
         if (!done) {
           val branch = math.max(2, math.min(Branch, 1 + ProbeColumnBudget / active.size))
           val plan: Seq[(Int, Seq[Long])] = active.map(j => j ->
-            (if (first) seedOrUniform(seeds(j), lo(j), hi(j), branch)
+            (if (first) seedOrUniform(seeds(j), lo(j), hi(j), branch, branch - 1)
              else probes(lo(j), hi(j), branch)))
           val aggs = plan.flatMap { case (j, ps) =>
             ps.zipWithIndex.map { case (p, i) =>
@@ -301,7 +311,7 @@ object Quantiles {
         if (literal) math.max(2, math.min(Branch, 1 + ProbeColumnBudget / active.size))
         else GroupBranch
       val plan = active.map(k => k ->
-        (if (first) seedOrUniform(seed.getOrElse(k, Nil), lo(k), hi(k), branch)
+        (if (first) seedOrUniform(seed.getOrElse(k, Nil), lo(k), hi(k), branch, branch - 1)
          else probes(lo(k), hi(k), branch)))
       first = false
       val counts: Map[String, Seq[(Long, Long)]] =
@@ -363,7 +373,6 @@ object Quantiles {
   def exactGroupQuantile(df: DataFrame, keyCol: String, valueCol: String,
       q: Double): DataFrame = {
     require(q > 0.0 && q <= 1.0, "q in (0, 1]")
-    val spark = df.sparkSession
     // NULL group keys are dropped (the per-round equi-join on "k" can
     // never match them); callers wanting a NULL stratum must coalesce
     // first — same convention as stratifiedSystematicSample.
@@ -450,7 +459,7 @@ object Quantiles {
           if (literal) math.max(2, math.min(Branch, 1 + ProbeColumnBudget / active.size))
           else GroupBranch
         val plan = active.map(kq => kq ->
-          (if (first) seedOrUniform(seeds(kq), lo(kq), hi(kq), branch)
+          (if (first) seedOrUniform(seeds(kq), lo(kq), hi(kq), branch, branch - 1)
            else probes(lo(kq), hi(kq), branch)))
         first = false
         val counts: Map[(String, Int), Seq[(Long, Long)]] =
@@ -513,7 +522,6 @@ object Quantiles {
   def exactGroupWeightedQuantile(df: DataFrame, keyCol: String, valueCol: String,
       weightCol: String, q: Double): DataFrame = {
     require(q > 0.0 && q <= 1.0, "q in (0, 1]")
-    val spark = df.sparkSession
     val v = df.select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))

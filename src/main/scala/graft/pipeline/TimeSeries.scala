@@ -130,7 +130,7 @@ object TimeSeries {
     joined
       .withColumn("n_cell", coalesce(col("__n").cast("long"), lit(0L)))
       .withColumn("is_anomaly",
-        when(col("__n").isNull, lit(0L))
+        when(col("__n").isNull || v.isNull, lit(0L)) // absent cell / NULL measure: no verdict
           .otherwise(coalesce((lhs * lhs > rhs).cast("long"),
             raise_error(lit("scoreSeasonal: decimal(38,0) overflow in the " +
               "deviation test (value/n magnitudes too large) — rescale the " +

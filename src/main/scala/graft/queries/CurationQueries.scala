@@ -2583,7 +2583,10 @@ object CurationQueries extends QueryPack {
     * the word tables. Basic tokenization replays as a space split —
     * valid because the documents corpus charset is [a-z ] (no case,
     * accents, punctuation, or CJK; provenance spec-checked in
-    * PretrainedTokenizerSpec). */
+    * PretrainedTokenizerSpec). The position series runs 0..99 to match
+    * the tokenizer's max_input_chars_per_word = 100 exactly: a word of
+    * 100 chars walks fully on both sides, 101+ collapses to [UNK] on
+    * both (the engine by the cap, the oracle by a stuck walk). */
   private[graft] def hfVocabWalkCtes: String = {
     def sq(x: String) = x.replace("'", "''")
     val vals = pinnedHfVocabLines.zipWithIndex
@@ -2595,7 +2598,7 @@ object CurationQueries extends QueryPack {
        |words AS (SELECT DISTINCT w FROM wc),
        |lm AS (SELECT ws.w, g.i, max(h.l) AS l, arg_max(v.id, h.l) AS id
        |       FROM words ws
-       |       CROSS JOIN generate_series(0, 63) g(i)
+       |       CROSS JOIN generate_series(0, 99) g(i)
        |       CROSS JOIN generate_series(1, $maxLen) h(l)
        |       JOIN vocab v ON v.p = CASE WHEN g.i = 0
        |         THEN substr(ws.w, 1, CAST(h.l AS INTEGER))

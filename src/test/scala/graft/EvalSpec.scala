@@ -226,6 +226,13 @@ class EvalSpec extends AnyFunSuite {
     val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
       .map(e => String.valueOf(e.getMessage)).mkString("|")
     assert(msgs.contains("NULL label"), msgs)
+    // mixed NUMERIC rater types still agree: int 1 vs double 1.0 is
+    // agreement, not the "1" != "1.0" string artifact
+    val mixed = Eval.cohenKappa(
+        Seq((1, 1.0), (0, 0.0), (1, 1.0), (0, 1.0)).toDF("a", "b"),
+        col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(mixed == ((4L, 3L)), s"n/agree: $mixed")
   }
 
   test("gini: textbook poles and a brute sorted-rank twin") {

@@ -883,6 +883,10 @@ class OnnxGraphSpec extends AnyFunSuite {
       conv(Map("dilations" -> Seq(2L, 2L)))).getMessage.contains("dilations"))
     assert(intercept[IllegalArgumentException](
       conv(Map.empty, dims = Map.empty)).getMessage.contains("spatial"))
+    // Conv pads >= kernel would make empty corner windows whose three
+    // paths diverge (bias vs analysis error vs SQL NULL) — loud instead
+    assert(intercept[IllegalArgumentException](
+      conv(Map("pads" -> Seq(1L, 1L, 1L, 1L)))).getMessage.contains("pads"))
     // MaxPool pads must leave every window a real cell
     assert(intercept[IllegalArgumentException](OnnxGraph.parse(OnnxGraph.write(
       nodes = Seq(

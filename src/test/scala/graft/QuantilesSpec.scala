@@ -148,6 +148,17 @@ class QuantilesSpec extends AnyFunSuite {
     assert(gotSparse == wantSparse)
   }
 
+  test("seed cap: 17..48 groups ride the literal path with truncated seeds " +
+      "(3 per target would blow the codegen budget) — still exact") {
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 3000).map(i => (s"g${i % 30}", rng.nextInt(100000).toLong))
+    val got = Quantiles
+      .exactGroupQuantile(rows.toDF("k", "v").repartition(7), "k", "v", 0.9)
+      .as[(String, Long)].collect().toMap
+    val want = rows.groupBy(_._1).map { case (k, g) => k -> brute(g.map(_._2), 0.9) }
+    assert(got == want)
+  }
+
   test("exactKthSmallest: rank-explicit selection matches a sort, clamps above n") {
     val rng = new scala.util.Random(31)
     val vals = (0 until 501).map(_ => rng.nextLong(2000) - 700)

@@ -170,5 +170,15 @@ class TimeSeriesSpec extends AnyFunSuite {
         Seq("cell"), col("v"), k = 3, profile)
       .select($"n_cell", $"is_anomaly").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(unseen.toSeq == Seq((0L, 0L)))
+    // a NULL measure in a PRESENT cell is "no verdict" (0), never the
+    // overflow raise — one null row must not abort a batch/stream
+    val nullV = TimeSeries.scoreSeasonal(
+        Seq((5L, "x", Option.empty[Long]), (6L, "x", Some(1L)))
+          .toDF("id", "cell", "v"),
+        Seq("cell"), col("v"), k = 3, profile)
+      .select($"id", $"n_cell", $"is_anomaly").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(nullV(5L) == ((10000L, 0L)), nullV.toString)
+    assert(nullV(6L)._1 == 10000L)
   }
 }
