@@ -85,8 +85,10 @@ object BpeTokenizer {
   }
 
   /** Encode one pre-token: repeatedly merge the present pair with the
-    * lowest rank until none remains (the GPT-2 application order). */
-  private def encodeWord(w: String, ranks: Map[(String, String), Int]): List[String] = {
+    * lowest rank until none remains (the GPT-2 application order).
+    * Shared with [[PretrainedTokenizer.Gpt2Bpe]] — a checkpoint's
+    * merges.txt drives the IDENTICAL kernel over byte-mapped chars. */
+  private[pipeline] def encodeWord(w: String, ranks: Map[(String, String), Int]): List[String] = {
     var syms = w.map(_.toString).toList
     var done = syms.lengthCompare(2) < 0
     while (!done) {

@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** Loader + encoder for PRETRAINED WordPiece tokenizers in the two
-  * interchange formats every published BERT-family checkpoint ships —
-  * `vocab.txt` (one piece per line, line number = id) and the
-  * `tokenizer.json` bundle (model.vocab map + unk/continuation/cap
-  * fields) — so a curation gate scores documents with the EXACT ids
-  * the upstream model was trained on, not a hash sketch of them.
-  * Counterpart of [[WordPieceTokenizer]] (which TRAINS a vocab from
-  * the corpus); this one replays someone else's.
+/** Loader + encoder for PRETRAINED tokenizers in the interchange
+  * formats published checkpoints ship — the BERT family's `vocab.txt`
+  * (one piece per line, line number = id) and `tokenizer.json` bundle
+  * (model.vocab map + unk/continuation/cap fields), and the GPT-2
+  * family's `vocab.json` + `merges.txt` byte-level BPE pair — so a
+  * curation gate scores documents with the EXACT ids the upstream
+  * model was trained on, not a hash sketch of them. Counterpart of
+  * [[WordPieceTokenizer]]/[[BpeTokenizer]] (which TRAIN vocabularies
+  * from the corpus); this one replays someone else's.
   *
   * The encode pipeline is the published BERT reference algorithm
   * (Devlin et al. 2018; reference mirrors the same stack behind
@@ -204,6 +205,94 @@ object PretrainedTokenizer {
       else basicTokenize(s, m.doLowerCase).flatMap { w =>
         if (cache.size > (1 << 16)) cache.clear()
         cache.getOrElseUpdate(w, wordpieceWord(w, m).map(m.idOf))
+      }.toArray
+    }
+    enc(text)
+  }
+
+  // ---- GPT-2-family byte-level BPE checkpoints ----
+
+  /** A loaded GPT-2-format checkpoint: `vocab.json` (piece → id) +
+    * `merges.txt` (rank-ordered pairs). No unk token exists in this
+    * family — the 256 byte-mapped base symbols cover every input, so a
+    * piece missing from the vocab means a BROKEN checkpoint and fails
+    * loudly at encode. */
+  final case class Gpt2Bpe(ids: Map[String, Int],
+      merges: Seq[(String, String)]) extends Serializable {
+    require(ids.nonEmpty, "empty vocabulary")
+    require(merges.nonEmpty, "empty merge list")
+    @transient lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    def idOf(piece: String): Int = ids.getOrElse(piece,
+      throw new IllegalArgumentException(
+        s"piece '$piece' missing from vocab.json — broken checkpoint " +
+          "(byte-level BPE has no unk; the byte alphabet must be complete)"))
+  }
+
+  /** GPT-2's published bytes_to_unicode table: printable/latin bytes
+    * map to themselves, the rest shift into 256+k — a bijection that
+    * makes every byte a visible character ('Ġ' = the mapped space). */
+  val Gpt2ByteToUnicode: Array[Char] = {
+    val direct = (33 to 126) ++ (161 to 172) ++ (174 to 255)
+    val table = new Array[Char](256)
+    var shift = 0
+    (0 until 256).foreach { b =>
+      if (direct.contains(b)) table(b) = b.toChar
+      else { table(b) = (256 + shift).toChar; shift += 1 }
+    }
+    table
+  }
+
+  /** Load `vocab.json` + `merges.txt` (the GPT-2/RoBERTa/CLIP
+    * interchange pair). merges.txt may open with a `#version:` header;
+    * each following line is "left right" in rank order. */
+  def fromGpt2(vocabJson: String, mergesTxt: String): Gpt2Bpe = {
+    val vocab = JsonMethods.parse(vocabJson) match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(v)) => k -> v.toInt
+        case (k, v) => throw new IllegalArgumentException(s"non-int id for '$k': $v")
+      }.toMap
+      case other => throw new IllegalArgumentException(s"vocab.json not an object: $other")
+    }
+    val merges = mergesTxt.split("\n", -1).toSeq.map(_.stripSuffix("\r").trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
+      .map { l =>
+        val sp = l.split(' ')
+        require(sp.length == 2, s"malformed merges.txt line: '$l'")
+        (sp(0), sp(1))
+      }
+    Gpt2Bpe(vocab, merges)
+  }
+
+  /** Encode one string to GPT-2 pieces: pre-tokenize, byte-map each
+    * pre-token through [[Gpt2ByteToUnicode]] (UTF-8 bytes — ASCII
+    * space becomes 'Ġ'), then the SAME min-rank merge kernel the
+    * in-engine trainer uses ([[BpeTokenizer.encodeWord]]). */
+  def gpt2Tokenize(s: String, m: Gpt2Bpe): List[String] = {
+    if (s == null) return Nil
+    val re = TextAnalysis.BpePretokenRe.r
+    re.findAllIn(s).toList.flatMap { w =>
+      val mapped = new String(w.getBytes("UTF-8").map(b => Gpt2ByteToUnicode(b & 0xff)))
+      BpeTokenizer.encodeWord(mapped, m.ranks)
+    }
+  }
+
+  /** Token ids of `s` under the checkpoint. */
+  def gpt2EncodeIds(s: String, m: Gpt2Bpe): List[Int] =
+    gpt2Tokenize(s, m).map(m.idOf)
+
+  /** Column face: GPT-2 id array of `text` (map-only; checkpoint in
+    * the closure, per-pre-token memo — the loopy-kernel exception). */
+  def gpt2EncodeIdsCol(m: Gpt2Bpe, text: Column): Column = {
+    val re = TextAnalysis.BpePretokenRe.r
+    val cache = collection.mutable.HashMap.empty[String, List[Int]]
+    val enc = udf { (s: String) =>
+      if (s == null) null
+      else re.findAllIn(s).flatMap { w =>
+        if (cache.size > (1 << 16)) cache.clear()
+        cache.getOrElseUpdate(w, {
+          val mapped = new String(w.getBytes("UTF-8").map(b => Gpt2ByteToUnicode(b & 0xff)))
+          BpeTokenizer.encodeWord(mapped, m.ranks).map(m.idOf)
+        })
       }.toArray
     }
     enc(text)

@@ -2242,6 +2242,51 @@ object CurationQueries extends QueryPack {
       }),
 
     Query(
+      "q282_gpt2_pretrained",
+      "GPT-2-family pretrained tokenizer replay (PretrainedTokenizer.fromGpt2 — the byte-level " +
+        "BPE sibling of q279's WordPiece loader): a pinned vocab.json + merges.txt checkpoint " +
+        "(real interchange bytes incl. the #version header) drives GPT-2's published pipeline " +
+        "— pre-tokenize, map UTF-8 bytes through bytes_to_unicode (space becomes 'Ġ' — the " +
+        "leading-space-carrying tokens that make this family detokenization-lossless), then " +
+        "the min-rank merge loop, the SAME kernel the in-engine BPE trainer uses. Per-source " +
+        "token totals carry the CHECKPOINT'S OWN ids; no unk exists (the byte alphabet is " +
+        "complete by construction; a missing piece fails loudly as a broken checkpoint). " +
+        "Map-only. The oracle replays byte-map + merges as sequential per-rank replaces " +
+        "(exact by the q123 rank-monotonicity argument) and joins the vocab literal for ids.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = graft.pipeline.PretrainedTokenizer.gpt2EncodeIdsCol(pinnedGpt2, col("text"))
+        Tables.documents(s, dir)
+          .select(col("source"), ids.as("ids"))
+          .groupBy($"source")
+          .agg(sum(size($"ids")).cast("long").as("n_tokens"),
+            sum(aggregate($"ids", lit(0L), (a, x) => a + x)).as("id_checksum"))
+      },
+      Some {
+        def sq(x: String) = x.replace("'", "''")
+        val enc = pinnedGpt2Merges.foldLeft(
+          "regexp_replace(replace(tok, ' ', 'Ġ'), '(.)', '|\\1|', 'g')") {
+          case (e, (a, b)) => s"replace($e, '|${sq(a)}||${sq(b)}|', '|${sq(a + b)}|')"
+        }
+        val bases = ('a' to 'z').map(_.toString) :+ "Ġ"
+        val vocabVals = (bases ++ pinnedGpt2Merges.map { case (a, b) => a + b })
+          .zipWithIndex.map { case (p, i) => s"('${sq(p)}', $i)" }.mkString(", ")
+        s"""WITH pt AS (SELECT source,
+           |    unnest(regexp_extract_all(text, '${sq(graft.pipeline.TextAnalysis.BpePretokenRe)}')) AS tok
+           |  FROM documents),
+           |enc AS (SELECT source, $enc AS s FROM pt),
+           |tk AS (SELECT source, unnest(string_split(trim(s, '|'), '||')) AS piece FROM enc),
+           |vocab(piece, id) AS (VALUES $vocabVals),
+           |per_src AS (SELECT tk.source, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    CAST(sum(v.id) AS BIGINT) AS id_checksum
+           |  FROM tk JOIN vocab v USING (piece) GROUP BY 1)
+           |SELECT d.source, coalesce(p.n_tokens, 0) AS n_tokens,
+           |  coalesce(p.id_checksum, 0) AS id_checksum
+           |FROM (SELECT DISTINCT source FROM documents) d
+           |LEFT JOIN per_src p USING (source)""".stripMargin
+      }),
+
+    Query(
       "q249_warc_pipeline",
       "Raw-WARC ingestion end-to-end: the engine's own DataSource V2 reads the Common-Crawl-layout fixture (one gzip member per record, byte-range splits resynchronized at member boundaries — graft.sources.Warc), keeps response+conversion records, drops HTTP envelope headers, strips HTML (q146 chain), language-IDs, and aggregates per (warc_type, lang). The DuckDB oracle replays the identical text chain from the INDEPENDENTLY-derived parquet twin of the same records (never from the WARC bytes), so equality proves the archive decode: gzip member walking, header parsing, Content-Length framing, payload bytes. At 100 TB this is the CC ingest shape: map-only from the scan to one lang-bounded groupBy.",
       (s, _) =>
@@ -2576,6 +2621,29 @@ object CurationQueries extends QueryPack {
 
   private[graft] lazy val pinnedHf: graft.pipeline.PretrainedTokenizer.HfWordPiece =
     graft.pipeline.PretrainedTokenizer.fromVocabTxt(pinnedHfVocabLines.mkString("\n"))
+
+  /** q282's pinned GPT-2-FORMAT checkpoint: a real `merges.txt` (with
+    * its `#version` header) + `vocab.json`, loaded through the same
+    * [[graft.pipeline.PretrainedTokenizer.fromGpt2]] path a downloaded
+    * GPT-2/RoBERTa checkpoint takes. Rank order obeys the training
+    * invariant (each merge's operands exist from bases/earlier merges),
+    * which is what licenses the oracle's sequential per-rank replace
+    * replay (the q123 monotonicity argument). */
+  private[graft] val pinnedGpt2Merges: Seq[(String, String)] = Seq(
+    "j" -> "o", "jo" -> "i", "joi" -> "n", "Ġ" -> "join",
+    "h" -> "a", "s" -> "h", "ha" -> "sh", "Ġ" -> "hash",
+    "t" -> "a", "b" -> "l", "ta" -> "bl", "tabl" -> "e", "Ġ" -> "table",
+    "Ġ" -> "a")
+
+  private[graft] lazy val pinnedGpt2: graft.pipeline.PretrainedTokenizer.Gpt2Bpe = {
+    val bases = ('a' to 'z').map(_.toString) :+ "Ġ"
+    val pieces = bases ++ pinnedGpt2Merges.map { case (a, b) => a + b }
+    val vocabJson = pieces.zipWithIndex
+      .map { case (p, i) => s""""$p": $i""" }.mkString("{", ", ", "}")
+    val mergesTxt = "#version: 0.2\n" +
+      pinnedGpt2Merges.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n"
+    graft.pipeline.PretrainedTokenizer.fromGpt2(vocabJson, mergesTxt)
+  }
 
   /** Shared CTE prefix of the q279/q280 oracles: the pinned vocab as
     * (piece, id) literals, the per-(word, position) LONGEST-match
