@@ -298,6 +298,112 @@ object PretrainedTokenizer {
     enc(text)
   }
 
+  // ---- SentencePiece-Unigram checkpoints (HF tokenizer.json) ----
+
+  /** A loaded Unigram checkpoint: the Viterbi model (piece → natural-
+    * log prob) plus the checkpoint's own piece ids (vocab order). */
+  final case class UnigramCheckpoint(model: UnigramTokenizer.UnigramModel,
+      ids: Map[String, Int]) extends Serializable
+
+  /** HF `tokenizer.json`, Unigram variant: `model.vocab` is an array
+    * of [piece, logprob] pairs (vocab order = id), SentencePiece's
+    * `▁` (U+2581) marking word starts. Pieces with an INTERNAL ▁
+    * (spanning a word boundary) are outside the per-word Viterbi
+    * subset and fail loudly at load. */
+  def fromUnigramJson(json: String): UnigramCheckpoint = {
+    val root = JsonMethods.parse(json)
+    (root \ "model" \ "type") match {
+      case JString("Unigram") => ()
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json model.type must be Unigram, got $other")
+    }
+    val entries: Seq[(String, Double)] = (root \ "model" \ "vocab") match {
+      case JArray(items) => items.map {
+        case JArray(JString(p) :: v :: Nil) => p -> (v match {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case other => throw new IllegalArgumentException(s"non-numeric logprob for '$p': $other")
+        })
+        case other => throw new IllegalArgumentException(s"vocab entry not [piece, logprob]: $other")
+      }
+      case other => throw new IllegalArgumentException(s"model.vocab not an array: $other")
+    }
+    require(entries.nonEmpty, "empty vocabulary")
+    entries.foreach { case (p, _) =>
+      require(!p.drop(1).contains('▁'),
+        s"piece '$p' carries an internal ▁ (spans a word boundary) — outside the per-word Viterbi subset")
+    }
+    UnigramCheckpoint(
+      UnigramTokenizer.UnigramModel(entries.toMap),
+      entries.map(_._1).zipWithIndex.toMap)
+  }
+
+  /** Metaspace map of one pre-token: SentencePiece writes word-leading
+    * whitespace as ▁ (the pre-token regex keeps at most one leading
+    * space, so this is exactly the HF Metaspace pre_tokenizer over
+    * space-separated text). */
+  def metaspace(w: String): String = w.replace(' ', '▁')
+
+  /** Pieces of `s` under the checkpoint: pre-tokenize, metaspace-map,
+    * Viterbi each pre-token independently (exact because no piece may
+    * span a word boundary — enforced at load). */
+  def unigramTokenize(s: String, c: UnigramCheckpoint): List[String] = {
+    if (s == null) return Nil
+    val re = TextAnalysis.BpePretokenRe.r
+    re.findAllIn(s).toList.flatMap(w =>
+      UnigramTokenizer.viterbi(metaspace(w), c.model))
+  }
+
+  /** Token ids under the checkpoint — unknown single chars (covered by
+    * the model's unk score during Viterbi) carry id −1, the caller's
+    * sentinel to map or drop. */
+  def unigramEncodeIds(s: String, c: UnigramCheckpoint): List[Int] =
+    unigramTokenize(s, c).map(p => c.ids.getOrElse(p, -1))
+
+  /** Column face: struct<n_pieces, score> of `text` under the
+    * checkpoint — piece count plus the total Viterbi log-likelihood,
+    * rounded to a long (EXACT when the checkpoint's scores are
+    * integer-valued, the pinned-checkpoint discipline that makes the
+    * DP oracle-replayable; see q152/q283). The corpus-level sum is the
+    * tokenizer-LM quality audit: which source the checkpoint models
+    * worst. */
+  def unigramStatsCol(c: UnigramCheckpoint, text: Column): Column = {
+    val re = TextAnalysis.BpePretokenRe.r
+    val cache = collection.mutable.HashMap.empty[String, (Int, Double)]
+    val enc = udf { (s: String) =>
+      if (s == null) null
+      else {
+        var n = 0
+        var score = 0.0
+        re.findAllIn(s).foreach { w =>
+          if (cache.size > (1 << 16)) cache.clear()
+          val (wn, ws) = cache.getOrElseUpdate(w, {
+            val ps = UnigramTokenizer.viterbi(metaspace(w), c.model)
+            (ps.size, ps.map(p => c.model.logProb.getOrElse(p, c.model.unkLogProb)).sum)
+          })
+          n += wn; score += ws
+        }
+        (n, math.floor(score + 0.5).toLong)
+      }
+    }
+    enc(text)
+  }
+
+  /** Column face: piece array of `text` under the checkpoint
+    * (map-only; the loopy-kernel exception, memo per pre-token). */
+  def unigramTokenizeCol(c: UnigramCheckpoint, text: Column): Column = {
+    val re = TextAnalysis.BpePretokenRe.r
+    val cache = collection.mutable.HashMap.empty[String, List[String]]
+    val enc = udf { (s: String) =>
+      if (s == null) null
+      else re.findAllIn(s).flatMap { w =>
+        if (cache.size > (1 << 16)) cache.clear()
+        cache.getOrElseUpdate(w, UnigramTokenizer.viterbi(metaspace(w), c.model))
+      }.toArray
+    }
+    enc(text)
+  }
+
   /** Column face: piece strings (for token-level audits). */
   def tokenizeCol(m: HfWordPiece, text: Column): Column = {
     val cache = collection.mutable.HashMap.empty[String, List[String]]

@@ -2287,6 +2287,41 @@ object CurationQueries extends QueryPack {
       }),
 
     Query(
+      "q283_unigram_pretrained",
+      "SentencePiece-Unigram pretrained checkpoint replay (PretrainedTokenizer.fromUnigramJson " +
+        "— completing the loader trilogy: WordPiece q279, byte-level BPE q282, Unigram here): " +
+        "the HF tokenizer.json Unigram interchange ([piece, logprob] vocab array, ▁ word " +
+        "markers, internal-▁ pieces loud-failed as out of the per-word subset) drives the " +
+        "SAME Viterbi kernel the in-engine trainer uses, over Metaspace-mapped pre-tokens. Per " +
+        "source: piece totals AND the total Viterbi log-likelihood (e6-exact by the q152 " +
+        "integer-score discipline) — the tokenizer-LM quality audit: which source the " +
+        "checkpoint models worst. Map-only. The oracle replays the DP as the q152 recursive " +
+        "sliding-window CTE, score AND count decoded from the packed key, over ▁-mapped " +
+        "words.",
+      (s, dir) => {
+        import s.implicits._
+        val st = graft.pipeline.PretrainedTokenizer.unigramStatsCol(pinnedSp, col("text"))
+        Tables.documents(s, dir)
+          .select(col("source"), st.as("st"))
+          .groupBy($"source")
+          .agg(sum($"st._1").cast("long").as("n_pieces"),
+            sum($"st._2").as("ll_e6"))
+      },
+      Some {
+        unigramDpCtes(
+          pinnedUnigramPieces.map { case (p, e) => (p.replace(" ", "▁"), e) },
+          pinnedUnigramUnkE6, meta = true) +
+          s""",
+             |per_src AS (SELECT wc.source, CAST(sum(wc.c * np.np) AS BIGINT) AS n_pieces,
+             |    CAST(sum(wc.c * np.sc) AS BIGINT) AS ll_e6
+             |  FROM wc JOIN np ON wc.w = np.w GROUP BY 1)
+             |SELECT d.source, coalesce(p.n_pieces, 0) AS n_pieces,
+             |  coalesce(p.ll_e6, 0) AS ll_e6
+             |FROM (SELECT DISTINCT source FROM documents) d
+             |LEFT JOIN per_src p USING (source)""".stripMargin
+      }),
+
+    Query(
       "q249_warc_pipeline",
       "Raw-WARC ingestion end-to-end: the engine's own DataSource V2 reads the Common-Crawl-layout fixture (one gzip member per record, byte-range splits resynchronized at member boundaries — graft.sources.Warc), keeps response+conversion records, drops HTTP envelope headers, strips HTML (q146 chain), language-IDs, and aggregates per (warc_type, lang). The DuckDB oracle replays the identical text chain from the INDEPENDENTLY-derived parquet twin of the same records (never from the WARC bytes), so equality proves the archive decode: gzip member walking, header parsing, Content-Length framing, payload bytes. At 100 TB this is the CC ingest shape: map-only from the scan to one lang-bounded groupBy.",
       (s, _) =>
@@ -2541,14 +2576,32 @@ object CurationQueries extends QueryPack {
     * decodes the winner's piece count from the low bits. Bounded work:
     * DP rows = Σ word lengths over the DISTINCT-word table, never the
     * corpus. */
-  private def unigramOracle: String = {
+  private def unigramOracle: String =
+    unigramDpCtes(pinnedUnigramPieces, pinnedUnigramUnkE6, meta = false) +
+      s""",
+       |per_src AS (SELECT wc.source, CAST(sum(wc.c * np.np) AS BIGINT) AS n_pieces
+       |            FROM wc JOIN np ON wc.w = np.w GROUP BY 1)
+       |SELECT d.source, coalesce(p.n_pieces, 0) AS n_pieces,
+       |       CAST(sum(len(d.text)) AS BIGINT) AS n_chars
+       |FROM documents d LEFT JOIN per_src p ON d.source = p.source
+       |GROUP BY 1, 2""".stripMargin
+
+  /** The parameterized DP prefix shared by q152 and q283's oracles:
+    * pieces/unk as literals, optional metaspace word mapping (space ->
+    * U+2581), the sliding-window Viterbi recursion, and the terminal
+    * `np` CTE exposing each word's piece count AND total score
+    * (decoded from the packed key: score_e6 = key // 1024 - 1e12). */
+  private def unigramDpCtes(pcs: Seq[(String, Long)], unkE6: Long,
+      meta: Boolean): String = {
     def sq(x: String) = x.replace("'", "''")
-    val vals = pinnedUnigramPieces
-      .map { case (p, e) => s"('${sq(p)}', ($e)::BIGINT)" }.mkString(", ")
+    require(pcs.forall(_._1.length <= 6), "DP window is sized for pieces <= 6 chars")
+    val vals = pcs.map { case (p, e) => s"('${sq(p)}', ($e)::BIGINT)" }.mkString(", ")
     val pretok = s"'${sq(graft.pipeline.TextAnalysis.BpePretokenRe)}'"
+    val tokExpr = if (meta) "replace(tok, ' ', '\u2581')" else "tok"
     s"""WITH RECURSIVE
        |pieces(p, lp) AS (VALUES $vals),
-       |pt AS (SELECT source, unnest(regexp_extract_all(text, $pretok)) AS w FROM documents),
+       |pt AS (SELECT source, $tokExpr AS w FROM
+       |       (SELECT source, unnest(regexp_extract_all(text, $pretok)) AS tok FROM documents)),
        |wc AS (SELECT source, w, count(*) AS c FROM pt GROUP BY 1, 2),
        |words AS (SELECT DISTINCT w FROM wc),
        |wl0 AS (
@@ -2575,14 +2628,9 @@ object CurationQueries extends QueryPack {
        |                + r0.win[CAST(7 - cd.l AS INTEGER)] % 1024 + 1 END),
        |            y -> y IS NOT NULL) AS ks
        |        FROM r r0 JOIN wl ON wl.w = r0.w AND wl.i = r0.i + 1) st),
-       |np AS (SELECT r.w, r.win[6] % 1024 AS np
-       |       FROM r JOIN (SELECT w, len(w) AS n FROM words) q ON r.w = q.w AND r.i = q.n),
-       |per_src AS (SELECT wc.source, CAST(sum(wc.c * np.np) AS BIGINT) AS n_pieces
-       |            FROM wc JOIN np ON wc.w = np.w GROUP BY 1)
-       |SELECT d.source, coalesce(p.n_pieces, 0) AS n_pieces,
-       |       CAST(sum(len(d.text)) AS BIGINT) AS n_chars
-       |FROM documents d LEFT JOIN per_src p ON d.source = p.source
-       |GROUP BY 1, 2""".stripMargin
+       |np AS (SELECT r.w, r.win[6] % 1024 AS np,
+       |              r.win[6] // 1024 - 1000000000000 AS sc
+       |       FROM r JOIN (SELECT w, len(w) AS n FROM words) q ON r.w = q.w AND r.i = q.n)""".stripMargin
   }
 
   /** The oracle twin of [[BpeTokenizer.encode]] under [[pinnedBpe]]:
@@ -2621,6 +2669,24 @@ object CurationQueries extends QueryPack {
 
   private[graft] lazy val pinnedHf: graft.pipeline.PretrainedTokenizer.HfWordPiece =
     graft.pipeline.PretrainedTokenizer.fromVocabTxt(pinnedHfVocabLines.mkString("\n"))
+
+  /** q283's pinned SentencePiece-Unigram checkpoint: the q152 vocabulary
+    * re-expressed in the HF tokenizer.json Unigram interchange (pieces
+    * carry ▁ word markers instead of spaces; logprobs are the natural-
+    * log doubles a real checkpoint ships), loaded through
+    * [[graft.pipeline.PretrainedTokenizer.fromUnigramJson]] and then
+    * e6-quantized (the q152 exact-DP discipline: integer-valued scores
+    * make every Viterbi sum and comparison exact in both engines). */
+  private[graft] lazy val pinnedSp: graft.pipeline.PretrainedTokenizer.UnigramCheckpoint = {
+    val entries = pinnedUnigramPieces.map { case (p, e) =>
+      s"""["${p.replace(" ", "▁")}", ${e.toDouble / 1e6}]"""
+    }.mkString("[", ", ", "]")
+    val json = s"""{"model": {"type": "Unigram", "unk_id": 0, "vocab": $entries}}"""
+    val c = graft.pipeline.PretrainedTokenizer.fromUnigramJson(json)
+    c.copy(model = graft.pipeline.UnigramTokenizer.UnigramModel(
+      c.model.logProb.map { case (p, v) => p -> math.floor(v * 1e6 + 0.5) },
+      unkLogProb = pinnedUnigramUnkE6.toDouble))
+  }
 
   /** q282's pinned GPT-2-FORMAT checkpoint: a real `merges.txt` (with
     * its `#version` header) + `vocab.json`, loaded through the same
