@@ -62,6 +62,14 @@ object EncoderGate {
       padId: Int = 0, minScoreE6: Long = 1L): DataFrame = {
     require(graph.nInputs == 2, s"gate graph takes (ids, mask) — got ${graph.nInputs} inputs")
     require(maxTokens > 0, "maxTokens must be positive")
+    // the documented coverage contract, enforced at construction: the
+    // graph's embedding table must cover every id the checkpoint can emit
+    graph.minGatherRows.foreach { rows =>
+      val maxId = math.max(tok.ids.values.max, padId)
+      require(maxId < rows,
+        s"vocabulary max id $maxId >= the graph's smallest Gather table ($rows rows) — " +
+          "the embedding cannot cover this checkpoint's ids")
+    }
     val toks = slice(PretrainedTokenizer.encodeIdsCol(tok, col(textCol)), 1, maxTokens)
     val ids = transform(sequence(lit(1), lit(maxTokens)), i =>
       when(i <= size(toks), element_at(toks, i).cast("double"))

@@ -633,6 +633,14 @@ final case class OnnxGraph(ops: Seq[OnnxGraph.GOp], outSlot: Int,
     nInputs: Int = 1) extends Serializable {
   import OnnxGraph._
 
+  /** Rows of the smallest Gather (embedding) table in the graph — the
+    * id-coverage bound a vocabulary-fed caller must respect (None if
+    * the graph has no Gather). Lets gates fail at CONSTRUCTION when a
+    * checkpoint's ids overrun the embedding, instead of as a per-row
+    * index error deep inside query execution. */
+  def minGatherRows: Option[Int] =
+    ops.collect { case GGather(_, table) => table.length }.reduceOption(_ min _)
+
   // ---- float32 JVM path (true ONNX numerics) ----
 
   def score(x: Array[Float]): Array[Float] = {

@@ -144,7 +144,11 @@ object PretrainedTokenizer {
     cleaned.toString.split(' ').iterator.filter(_.nonEmpty).flatMap { tok0 =>
       val tok =
         if (!doLowerCase) tok0
-        else java.text.Normalizer.normalize(tok0.toLowerCase, java.text.Normalizer.Form.NFD)
+        // Locale.ROOT: the HF reference lowercases locale-independently
+        // ('I' -> 'i' even under tr/az default locales, where bare
+        // toLowerCase would yield U+0131 and diverge from the vocab)
+        else java.text.Normalizer.normalize(tok0.toLowerCase(java.util.Locale.ROOT),
+          java.text.Normalizer.Form.NFD)
           .filter(c => Character.getType(c) != Character.NON_SPACING_MARK)
       // split every punctuation char into its own token
       val out = List.newBuilder[String]
@@ -212,6 +216,30 @@ object PretrainedTokenizer {
 
   // ---- GPT-2-family byte-level BPE checkpoints ----
 
+  /** GPT-2's PUBLISHED pre-tokenizer pattern (openai/gpt-2
+    * `encoder.py`: contraction suffixes, optionally-space-prefixed
+    * letter/digit runs, punctuation runs, the trailing-whitespace
+    * lookahead that leaves the last space of a run to prefix the next
+    * word). Used verbatim in every PRETRAINED-checkpoint path (these
+    * run in JVM UDFs, where full Java regex — `\p{L}`, lookahead — is
+    * available), so a downloaded checkpoint yields the upstream ids on
+    * non-ASCII text too ('café' is ONE letter-run, not letters+punct).
+    * `(?U)` makes `\s` match Unicode whitespace like the upstream
+    * Python `regex` module. [[TextAnalysis.BpePretokenRe]] remains the
+    * deliberately ASCII-simplified RE2-portable PROXY for corpus
+    * accounting and the in-engine trainers — different contract. */
+  val Gpt2PretokenRe: String =
+    "(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** RE2-safe twin of [[Gpt2PretokenRe]] for DuckDB oracle replay
+    * (RE2 has no lookahead): identical tokens except on runs of >= 2
+    * whitespace characters, where the greedy final `\s+` keeps the
+    * whole run instead of leaving its last space to the next word.
+    * Oracles pair it with corpora free of multi-whitespace runs (the
+    * driver corpus is; see q282/q283). ASCII `\s` on both engines. */
+  val Gpt2PretokenReRe2: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
   /** A loaded GPT-2-format checkpoint: `vocab.json` (piece → id) +
     * `merges.txt` (rank-ordered pairs). No unk token exists in this
     * family — the 256 byte-mapped base symbols cover every input, so a
@@ -222,6 +250,7 @@ object PretrainedTokenizer {
     require(ids.nonEmpty, "empty vocabulary")
     require(merges.nonEmpty, "empty merge list")
     @transient lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    @transient lazy val idToPiece: Map[Int, String] = ids.map(_.swap)
     def idOf(piece: String): Int = ids.getOrElse(piece,
       throw new IllegalArgumentException(
         s"piece '$piece' missing from vocab.json — broken checkpoint " +
@@ -269,7 +298,7 @@ object PretrainedTokenizer {
     * in-engine trainer uses ([[BpeTokenizer.encodeWord]]). */
   def gpt2Tokenize(s: String, m: Gpt2Bpe): List[String] = {
     if (s == null) return Nil
-    val re = TextAnalysis.BpePretokenRe.r
+    val re = Gpt2PretokenRe.r
     re.findAllIn(s).toList.flatMap { w =>
       val mapped = new String(w.getBytes("UTF-8").map(b => Gpt2ByteToUnicode(b & 0xff)))
       BpeTokenizer.encodeWord(mapped, m.ranks)
@@ -283,7 +312,7 @@ object PretrainedTokenizer {
   /** Column face: GPT-2 id array of `text` (map-only; checkpoint in
     * the closure, per-pre-token memo — the loopy-kernel exception). */
   def gpt2EncodeIdsCol(m: Gpt2Bpe, text: Column): Column = {
-    val re = TextAnalysis.BpePretokenRe.r
+    val re = Gpt2PretokenRe.r
     val cache = collection.mutable.HashMap.empty[String, List[Int]]
     val enc = udf { (s: String) =>
       if (s == null) null
@@ -296,6 +325,43 @@ object PretrainedTokenizer {
       }.toArray
     }
     enc(text)
+  }
+
+  /** Inverse of [[Gpt2ByteToUnicode]]: mapped char → original byte.
+    * Total over exactly the 256 mapped code points; anything else in a
+    * piece means a non-byte-level vocabulary and fails loudly. */
+  private lazy val Gpt2UnicodeToByte: Map[Char, Byte] =
+    Gpt2ByteToUnicode.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** Detokenize GPT-2 ids → the original text. Byte-level BPE is
+    * detokenization-LOSSLESS by construction: the published pattern
+    * tiles the input (every char lands in some pre-token), the byte
+    * map is a bijection, and merges only re-partition the byte-symbol
+    * sequence — so `gpt2Decode(gpt2EncodeIds(s)) == s` for EVERY
+    * string (property-spec'd in PretrainedTokenizerSpec). This is the
+    * corpus-reconstruction audit face: re-materialize text from stored
+    * id arrays and diff against the source. */
+  def gpt2Decode(ids: Seq[Int], m: Gpt2Bpe): String = {
+    val pieceOf = m.idToPiece
+    val bytes = Array.newBuilder[Byte]
+    ids.foreach { id =>
+      val piece = pieceOf.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"id $id missing from vocab.json — not this checkpoint's output"))
+      piece.foreach { c =>
+        bytes += Gpt2UnicodeToByte.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"piece '$piece' contains non-byte-mapped char U+${c.toInt.toHexString} — " +
+              "not a byte-level BPE vocabulary"))
+      }
+    }
+    new String(bytes.result(), "UTF-8")
+  }
+
+  /** Column face of [[gpt2Decode]]: `ids: array<int>` → text. */
+  def gpt2DecodeCol(m: Gpt2Bpe, ids: Column): Column = {
+    val dec = udf { (xs: Seq[Int]) => if (xs == null) null else gpt2Decode(xs, m) }
+    dec(ids)
   }
 
   // ---- SentencePiece-Unigram checkpoints (HF tokenizer.json) ----
@@ -349,7 +415,7 @@ object PretrainedTokenizer {
     * span a word boundary — enforced at load). */
   def unigramTokenize(s: String, c: UnigramCheckpoint): List[String] = {
     if (s == null) return Nil
-    val re = TextAnalysis.BpePretokenRe.r
+    val re = Gpt2PretokenRe.r
     re.findAllIn(s).toList.flatMap(w =>
       UnigramTokenizer.viterbi(metaspace(w), c.model))
   }
@@ -368,7 +434,7 @@ object PretrainedTokenizer {
     * tokenizer-LM quality audit: which source the checkpoint models
     * worst. */
   def unigramStatsCol(c: UnigramCheckpoint, text: Column): Column = {
-    val re = TextAnalysis.BpePretokenRe.r
+    val re = Gpt2PretokenRe.r
     val cache = collection.mutable.HashMap.empty[String, (Int, Double)]
     val enc = udf { (s: String) =>
       if (s == null) null
@@ -392,7 +458,7 @@ object PretrainedTokenizer {
   /** Column face: piece array of `text` under the checkpoint
     * (map-only; the loopy-kernel exception, memo per pre-token). */
   def unigramTokenizeCol(c: UnigramCheckpoint, text: Column): Column = {
-    val re = TextAnalysis.BpePretokenRe.r
+    val re = Gpt2PretokenRe.r
     val cache = collection.mutable.HashMap.empty[String, List[String]]
     val enc = udf { (s: String) =>
       if (s == null) null

@@ -2272,7 +2272,7 @@ object CurationQueries extends QueryPack {
         val vocabVals = (bases ++ pinnedGpt2Merges.map { case (a, b) => a + b })
           .zipWithIndex.map { case (p, i) => s"('${sq(p)}', $i)" }.mkString(", ")
         s"""WITH pt AS (SELECT source,
-           |    unnest(regexp_extract_all(text, '${sq(graft.pipeline.TextAnalysis.BpePretokenRe)}')) AS tok
+           |    unnest(regexp_extract_all(text, '${sq(graft.pipeline.PretrainedTokenizer.Gpt2PretokenReRe2)}')) AS tok
            |  FROM documents),
            |enc AS (SELECT source, $enc AS s FROM pt),
            |tk AS (SELECT source, unnest(string_split(trim(s, '|'), '||')) AS piece FROM enc),
@@ -2596,7 +2596,13 @@ object CurationQueries extends QueryPack {
     def sq(x: String) = x.replace("'", "''")
     require(pcs.forall(_._1.length <= 6), "DP window is sized for pieces <= 6 chars")
     val vals = pcs.map { case (p, e) => s"('${sq(p)}', ($e)::BIGINT)" }.mkString(", ")
-    val pretok = s"'${sq(graft.pipeline.TextAnalysis.BpePretokenRe)}'"
+    // meta = the PRETRAINED (q283) face: pre-tokenize with the RE2-safe
+    // twin of GPT-2's published pattern (what the engine's checkpoint
+    // paths use); meta=false = the in-engine trainer's (q152) own
+    // ASCII-portable convention
+    val pretok =
+      if (meta) s"'${sq(graft.pipeline.PretrainedTokenizer.Gpt2PretokenReRe2)}'"
+      else s"'${sq(graft.pipeline.TextAnalysis.BpePretokenRe)}'"
     val tokExpr = if (meta) "replace(tok, ' ', '\u2581')" else "tok"
     s"""WITH RECURSIVE
        |pieces(p, lp) AS (VALUES $vals),
