@@ -254,4 +254,68 @@ object Extractor {
         parseSections(name, text)
       else Map(name -> parseJmeTxt(name, text))
     }.toMap)
+
+  // ---- ROOT-histogram payloads (the reference extractor's DEFAULT
+  // `.root` path: `lookup_tools/root_converters.py:20-55`, registry
+  // default at `extractor.py:20` — the most common SF format) ----
+
+  /** A decoded dense payload: C-ordered values + per-axis edges, the
+    * exact (value, edges) pair `convert_histo_root_file` hands to
+    * `dense_lookup`. */
+  final case class DensePayload(values: Array[Double], edges: Seq[Array[Double]]) {
+    def dims: Int = edges.length
+  }
+
+  /** `convert_histo_root_file` twin: every TH1x/TH2x/TH3x key in the
+    * file becomes a dense payload under its directory path, plus a
+    * `<name>_error` twin carrying √variances — loaded ONCE driver-side
+    * through the engine's own byte-level decoder
+    * ([[graft.sources.root.RootHistogram]]), then plan-baked as
+    * literals like every other correction payload. */
+  def rootHistoPayloads(path: String): Map[String, DensePayload] =
+    graft.sources.root.RootHistogram.readAll(path).flatMap { h =>
+      Seq(h.name -> DensePayload(h.values, h.edges),
+        (h.name + "_error") -> DensePayload(h.errors, h.edges))
+    }.toMap
+
+  /** One payload by name, loud when absent (the reference's
+    * "Weights named X not in file!" contract). */
+  def rootHistoPayload(path: String, name: String): DensePayload = {
+    val all = rootHistoPayloads(path)
+    all.getOrElse(name, throw new IllegalArgumentException(
+      s"""Weights named "$name" not in $path! (have ${all.keys.toSeq.sorted.mkString(", ")})"""))
+  }
+
+  /** Evaluate a dense payload at `inputs` (one Column per axis):
+    * searchsorted + clip per axis over plan-literal edges, exactly
+    * `dense_lookup.__call__`. */
+  def denseColumn(p: DensePayload, inputs: Seq[Column]): Column = {
+    require(inputs.length == p.dims, s"payload takes ${p.dims} inputs, got ${inputs.length}")
+    val result = p.dims match {
+      case 1 => graft.lookup.DenseLookup.lookup1d(
+        inputs(0), p.edges(0).toSeq, p.values.toSeq)
+      case 2 => graft.lookup.DenseLookup.lookup2d(
+        inputs(0), inputs(1), p.edges(0).toSeq, p.edges(1).toSeq, p.values.toSeq)
+      case 3 => graft.lookup.DenseLookup.lookup3d(
+        inputs(0), inputs(1), inputs(2),
+        p.edges(0).toSeq, p.edges(1).toSeq, p.edges(2).toSeq, p.values.toSeq)
+      case d => throw new UnsupportedOperationException(s"$d-dim dense payload")
+    }
+    guardBins(inputs, result)
+  }
+
+  /** DuckDB twin of [[denseColumn]] for oracle queries. */
+  def denseSql(p: DensePayload, inputs: Seq[String]): String = {
+    require(inputs.length == p.dims, s"payload takes ${p.dims} inputs, got ${inputs.length}")
+    p.dims match {
+      case 1 => graft.lookup.DenseLookup.lookup1dSql(
+        inputs(0), p.edges(0).toSeq, p.values.toSeq)
+      case 2 => graft.lookup.DenseLookup.lookup2dSql(
+        inputs(0), inputs(1), p.edges(0).toSeq, p.edges(1).toSeq, p.values.toSeq)
+      case 3 => graft.lookup.DenseLookup.lookup3dSql(
+        inputs(0), inputs(1), inputs(2),
+        p.edges(0).toSeq, p.edges(1).toSeq, p.edges(2).toSeq, p.values.toSeq)
+      case d => throw new UnsupportedOperationException(s"$d-dim dense payload")
+    }
+  }
 }

@@ -85,6 +85,33 @@ object DenseLookup {
     s"(CASE $cases ELSE ${lookup1dSql(y, yEdges, rows(0))} END)"
   }
 
+  /** 3-D lookup over a C-ordered (x-major) payload:
+    * `values(((ix*ny)+iy)*nz + iz)` — the TH3 correction-map shape. */
+  def lookup3d(
+      x: Column, y: Column, z: Column,
+      xEdges: Seq[Double], yEdges: Seq[Double], zEdges: Seq[Double],
+      values: Seq[Double]): Column = {
+    val ny = yEdges.length - 1
+    val nz = zEdges.length - 1
+    require(values.length == (xEdges.length - 1) * ny * nz, "C-ordered (nx*ny*nz) payload")
+    get(lit(values.toArray),
+      (binIndexFast(x, xEdges) * ny + binIndexFast(y, yEdges)) * nz + binIndexFast(z, zEdges))
+  }
+
+  /** DuckDB twin of [[lookup3d]]: a nested-CASE per axis would cube, so
+    * index a list literal with the linearized bin id (1-based). */
+  def lookup3dSql(
+      x: String, y: String, z: String,
+      xEdges: Seq[Double], yEdges: Seq[Double], zEdges: Seq[Double],
+      values: Seq[Double]): String = {
+    val ny = yEdges.length - 1
+    val nz = zEdges.length - 1
+    require(values.length == (xEdges.length - 1) * ny * nz, "C-ordered (nx*ny*nz) payload")
+    s"(([${values.mkString(", ")}])[" +
+      s"(${binIndexSql(x, xEdges)} * $ny + ${binIndexSql(y, yEdges)}) * $nz + " +
+      s"${binIndexSql(z, zEdges)} + 1])"
+  }
+
   /** `dense_evaluated_lookup` (reference `lookup_tools/
     * dense_evaluated_lookup.py:31`): a binned lookup whose per-bin
     * payload is a FORMULA evaluated at a second input — when-chain on

@@ -18,6 +18,14 @@ object CorrectionsQueries extends QueryPack {
   private val sizeEdges = Seq(1.0, 10.0, 20.0, 35.0, 50.0)
   private val sizeSF = Seq(1.10, 0.95, 1.02, 0.90)
 
+  // The reference's REAL electron-ID SF map (read-only fixture), decoded
+  // once driver-side by the engine's own TH2F byte decoder; values
+  // cross-pinned against the reference's 62 asserted lookup outputs in
+  // RootHistogramSpec.
+  private val histoFixture = "/root/reference/tests/samples/testSF2d.histo.root"
+  private lazy val sfHisto = Extractor.rootHistoPayload(histoFixture, "scalefactors_Tight_Electron")
+  private lazy val sfHistoErr = Extractor.rootHistoPayload(histoFixture, "scalefactors_Tight_Electron_error")
+
   private val jecFormula = "max(0.85,[0]+[1]/(log10(x)+[2]))"
   private val jecParams = Seq(0.9, 0.3, 1.5)
   private val jecSql = "greatest(0.85, 0.9 + 0.3/(log10(l_quantity) + 1.5))"
@@ -637,6 +645,44 @@ object CorrectionsQueries extends QueryPack {
            |CAST(floor(avg(ks) * 10000 + 0.5) AS BIGINT) AS avg_ksmear_e4,
            |CAST(floor(sum(pt * ks) * 100 + 0.5) AS BIGINT) AS smeared_pt_c
            |FROM z GROUP BY l_returnflag""".stripMargin
+      }),
+
+    Query(
+      "q284_root_histo_sf",
+      "ROOT-histogram correction payloads (root_converters.py:20-55 — the reference " +
+        "extractor's DEFAULT .root path, the first thing tests/test_lookup_tools.py:98-133 " +
+        "exercises): the engine's own byte-level TH2F decode (sources.root.RootHistogram — " +
+        "streamer-version-checked prefix walk, byte-count tail skips, flow-cell strip, " +
+        "Sumw2 -> sqrt-variance _error twin) loads the reference's REAL " +
+        "testSF2d.histo.root fixture once driver-side; the 2-D (eta, pt) dense lookup and " +
+        "its _error twin then ride the plan as literals (searchsorted+clip per axis, zero " +
+        "joins, zero per-executor I/O). Lineitem columns map onto the axis ranges with " +
+        "deliberate under/overflow to exercise the clip. The decoded payload is " +
+        "cross-pinned in RootHistogramSpec against the reference's own 62 asserted lookup " +
+        "outputs (test_lookup_tools.py:26, make_expected_lookup.py values, seed-42 inputs).",
+      (s, dir) => {
+        import s.implicits._
+        val eta = $"l_discount" * 60.0 - 3.0 // [-3, 3]: +-3 clips to the +-2.5 edge bins
+        val pt = $"l_quantity" + 5.0 // [6, 55]: <10 clips to the first pt bin
+        val sf = Extractor.denseColumn(sfHisto, Seq(eta, pt))
+        val err = Extractor.denseColumn(sfHistoErr, Seq(eta, pt))
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            e4(avg(sf)).as("avg_sf_e4"),
+            cents(sum($"l_extendedprice" * sf)).as("weighted_price_c"),
+            e4(avg(err)).as("avg_err_e4"))
+      },
+      Some {
+        val eta = "(l_discount * 60.0 - 3.0)"
+        val pt = "(l_quantity + 5.0)"
+        val sf = Extractor.denseSql(sfHisto, Seq(eta, pt))
+        val err = Extractor.denseSql(sfHistoErr, Seq(eta, pt))
+        s"""SELECT l_returnflag, count(*) AS n,
+           |CAST(floor(avg($sf) * 10000 + 0.5) AS BIGINT) AS avg_sf_e4,
+           |CAST(floor(sum(l_extendedprice * $sf) * 100 + 0.5) AS BIGINT) AS weighted_price_c,
+           |CAST(floor(avg($err) * 10000 + 0.5) AS BIGINT) AS avg_err_e4
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
       })
   )
 }

@@ -43,7 +43,7 @@ private[root] object RootFileReader {
     RootCore.decompress(f.read(k.at + k.keyLen, k.nBytes - k.keyLen), k.objLen)
 
   /** Keys of one directory, via its fSeekKeys list record. */
-  private def dirKeys(f: ReadAt, dirDataPos: Long, big: Boolean): Seq[TKey] = {
+  private[root] def dirKeys(f: ReadAt, dirDataPos: Long, big: Boolean): Seq[TKey] = {
     val d = new RootBuf(f.read(dirDataPos, 84), 0, 0)
     val dver = d.i2()
     d.u4(); d.u4() // datimes

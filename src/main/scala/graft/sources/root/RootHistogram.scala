@@ -1,0 +1,189 @@
+package graft.sources.root
+
+/** Keyed TH1/TH2/TH3 histogram decode — the payload format behind the
+  * reference extractor's DEFAULT `.root` path (reference
+  * `lookup_tools/root_converters.py:20-55`: every TH1D/TH1F/TH2D/TH2F/
+  * TH3D/TH3F key in the file becomes a `dense_lookup` of (values,
+  * edges) plus a `<name>_error` twin of √variances). This is the most
+  * common scale-factor payload in the wild (e.g. the electron-ID SF
+  * map `tests/samples/testSF2d.histo.root`, the first thing
+  * `tests/test_lookup_tools.py:98-133` exercises).
+  *
+  * DECODE, not a framework port: the byte layout is walked directly
+  * with the same [[RootBuf]] primitives as the TTree reader, using the
+  * version-header byte counts to skip every member the lookup does not
+  * need (attribute bases, contour/option/function tails) — so the
+  * decoder is insensitive to the tail-member schema evolution between
+  * TH1 versions (v8 adds fBinStatErrOpt, v9 fStatOverflows, both
+  * behind the byte-count skip).
+  *
+  * Conventions (matching uproot/the reference converter):
+  *  - `values` excludes the under/overflow cells ROOT stores
+  *    (fNcells = Π(nᵢ+2)) and is C-ORDERED over (nx[, ny[, nz]]) — the
+  *    row-major flattening `dense_lookup` consumes. ROOT's storage is
+  *    x-fastest (`cell = ix + (nx+2)·(iy + (ny+2)·iz)`); the re-index
+  *    happens here, once, at load.
+  *  - `variances` = fSumw2 inner cells when the histogram carries a
+  *    filled Sumw2 array, else the bin contents themselves (Poisson —
+  *    uproot's `variances()` fallback).
+  *  - per-axis `edges` come from fXbins when variable-width (fN =
+  *    nbins+1) else are synthesized uniform from [fXmin, fXmax].
+  *
+  * Scale shape: correction payloads are small (10s–1000s of bins) and
+  * load ONCE on the driver; downstream they ride the plan as literals
+  * through [[graft.lookup.DenseLookup]] — no per-executor file I/O.
+  */
+object RootHistogram {
+
+  /** One decoded histogram: flow-stripped C-ordered values/variances +
+    * per-axis edges (see object doc for conventions). */
+  final case class Histo(
+      name: String, cls: String,
+      edges: Seq[Array[Double]],
+      values: Array[Double],
+      variances: Array[Double]) {
+    def dims: Int = edges.length
+    def nBins: Seq[Int] = edges.map(_.length - 1)
+    /** √variances — the reference's `<name>_error` payload. */
+    def errors: Array[Double] = variances.map(math.sqrt)
+  }
+
+  private val Hist1 = Set("TH1F", "TH1D")
+  private val Hist2 = Set("TH2F", "TH2D")
+  private val Hist3 = Set("TH3F", "TH3D")
+  val HistClasses: Set[String] = Hist1 ++ Hist2 ++ Hist3
+
+  /** All TH1x/TH2x/TH3x keys reachable from the file's root directory,
+    * keyed by slash-joined directory path (cycle dropped, highest
+    * cycle wins — the reference's `killcycle` semantics). */
+  def readAll(pathStr: String): Seq[Histo] = {
+    val f = RootFileReader.open(pathStr)
+    try {
+      val hdr = RootKeys.parseHeader(f.read(0, math.min(300L, f.length).toInt))
+      val big = hdr.version > 1000000
+      def walk(dirDataPos: Long, prefix: String): Seq[Histo] = {
+        val keys = RootFileReader.dirKeys(f, dirDataPos, big)
+        val histos = keys.filter(k => HistClasses(k.className))
+          .groupBy(_.name).map { case (_, ks) => ks.maxBy(_.cycle) }.toSeq
+          .sortBy(_.at)
+          .map { k => decode(RootFileReader.record(f, k), k.className, prefix + k.name) }
+        val nested = keys
+          .filter(k => k.className == "TDirectory" || k.className == "TDirectoryFile")
+          .flatMap(k => walk(k.seekKey + k.keyLen, prefix + k.name + "/"))
+        histos ++ nested
+      }
+      walk(hdr.begin + hdr.nBytesName, "")
+    } finally f.close()
+  }
+
+  /** One histogram by path ("name" or "dir/name"), loud when absent —
+    * mirroring the reference extractor's "Weights named X not in
+    * file!" contract. */
+  def read(pathStr: String, name: String): Histo = {
+    val all = readAll(pathStr)
+    all.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"histogram '$name' not in $pathStr; available: ${all.map(_.name).mkString(", ")}"))
+  }
+
+  // ---- byte-level decode ----
+
+  /** TAxis: name/title + attribute base skipped, then the prefix that
+    * has been layout-stable since ROOT 3 (fNbins, fXmin, fXmax,
+    * fXbins); everything after rides the byte-count skip. */
+  private def axis(r: RootBuf): Array[Double] = {
+    val (av, aEnd) = r.vers()
+    require(av >= 5, s"TAxis streamer version $av predates the pinned prefix layout")
+    r.tnamed()
+    val (_, attEnd) = r.vers(); r.p = attEnd // TAttAxis
+    val nBins = r.i4()
+    require(nBins > 0 && nBins < (1 << 24), s"implausible TAxis fNbins $nBins")
+    val xMin = r.f8(); val xMax = r.f8()
+    val nXb = r.i4() // TArrayD fXbins: fN then data, no version header
+    val edges =
+      if (nXb == 0) Array.tabulate(nBins + 1)(i => xMin + i * (xMax - xMin) / nBins)
+      else {
+        require(nXb == nBins + 1, s"TAxis fXbins has $nXb entries for $nBins bins")
+        Array.fill(nXb)(r.f8())
+      }
+    r.p = aEnd
+    edges
+  }
+
+  /** TH1 base: axes + fNcells + fSumw2; the attribute bases and the
+    * whole post-fSumw2 tail (fOption/fFunctions/fBuffer/v8+ enums) are
+    * byte-count-skipped. Returns (nCells, axis edges, sumw2). */
+  private def th1Base(r: RootBuf): (Int, Seq[Array[Double]], Array[Double]) = {
+    val (v, end) = r.vers()
+    require(v >= 5, s"TH1 streamer version $v predates the pinned prefix layout")
+    r.tnamed()
+    var b = 0
+    while (b < 3) { val (_, e) = r.vers(); r.p = e; b += 1 } // TAttLine/Fill/Marker
+    val nCells = r.i4()
+    require(nCells > 0 && nCells < (1 << 28), s"implausible TH1 fNcells $nCells")
+    val ax = Seq(axis(r), axis(r), axis(r))
+    r.i2(); r.i2() // fBarOffset, fBarWidth
+    var d = 0
+    while (d < 8) { r.f8(); d += 1 } // fEntries..fNormFactor
+    val nContour = r.i4(); r.p += 8 * nContour // fContour TArrayD
+    val nSumw2 = r.i4()
+    require(nSumw2 == 0 || nSumw2 == nCells,
+      s"TH1 fSumw2 has $nSumw2 entries for $nCells cells")
+    val sumw2 = Array.fill(nSumw2)(r.f8())
+    r.p = end
+    (nCells, ax, sumw2)
+  }
+
+  private[root] def decode(data: Array[Byte], cls: String, name: String): Histo = {
+    val r = new RootBuf(data, 0, 0)
+    val (_, _) = r.vers() // concrete-class wrapper (TH1F/TH2F/...)
+    val (nCells, ax, sumw2) = cls match {
+      case c if Hist1(c) => th1Base(r)
+      case c if Hist2(c) =>
+        val (_, e2) = r.vers() // TH2 base: TH1 + 4 trailing doubles
+        val t = th1Base(r); r.p = e2; t
+      case c if Hist3(c) =>
+        val (_, e3) = r.vers() // TH3 base: TH1 + TAtt3D + 7 trailing doubles
+        val t = th1Base(r); r.p = e3; t
+      case other => throw new UnsupportedOperationException(s"$other is not a decodable histogram")
+    }
+    // trailing TArrayF/TArrayD base: fN then the cell contents
+    val nArr = r.i4()
+    require(nArr == nCells, s"$cls contents array has $nArr entries for fNcells $nCells")
+    val wide = cls.endsWith("D")
+    val cells = if (wide) Array.fill(nArr)(r.f8()) else Array.fill(nArr)(r.f4().toDouble)
+
+    val dims = if (Hist1(cls)) 1 else if (Hist2(cls)) 2 else 3
+    val Seq(xe, ye, ze) = ax
+    val (nx, ny, nz) =
+      (xe.length - 1, if (dims >= 2) ye.length - 1 else 1, if (dims == 3) ze.length - 1 else 1)
+    require(nCells == (nx + 2) * (if (dims >= 2) ny + 2 else 1) * (if (dims == 3) nz + 2 else 1),
+      s"$cls fNcells $nCells != flow-padded axis product for ($nx, $ny, $nz)")
+    // ROOT cell = ix + (nx+2)·(iy + (ny+2)·iz), flow at 0 and n+1 →
+    // C-ordered inner block (x-major), the dense_lookup convention
+    def inner(a: Array[Double]): Array[Double] = {
+      val out = new Array[Double](nx * ny * nz)
+      var ix = 0
+      while (ix < nx) {
+        var iy = 0
+        while (iy < ny) {
+          var iz = 0
+          while (iz < nz) {
+            val cell = dims match {
+              case 1 => ix + 1
+              case 2 => (ix + 1) + (nx + 2) * (iy + 1)
+              case _ => (ix + 1) + (nx + 2) * ((iy + 1) + (ny + 2) * (iz + 1))
+            }
+            out(((ix * ny) + iy) * nz + iz) = a(cell)
+            iz += 1
+          }
+          iy += 1
+        }
+        ix += 1
+      }
+      out
+    }
+    val values = inner(cells)
+    val variances = if (sumw2.isEmpty) values.clone() else inner(sumw2)
+    Histo(name, cls, ax.take(dims), values, variances)
+  }
+}

@@ -1,0 +1,23 @@
+package graft.sources.root.tools
+
+import graft.sources.root.RootHistogram
+
+/** Dev CLI: decode and print every keyed TH1/TH2/TH3 in a ROOT file —
+  * the byte-probe used to pin [[RootHistogram]] against reference
+  * fixtures. Usage:
+  * runMain graft.sources.root.tools.DumpHisto <file> [nameSubstring]
+  */
+object DumpHisto {
+  def main(args: Array[String]): Unit = {
+    val path = args(0)
+    val filter = if (args.length > 1) args(1) else ""
+    RootHistogram.readAll(path).filter(_.name.contains(filter)).foreach { h =>
+      println(s"== ${h.name} (${h.cls}) dims=${h.dims} nBins=${h.nBins.mkString("x")}")
+      h.edges.zip(Seq("x", "y", "z")).foreach { case (e, a) =>
+        println(s"  ${a}Edges: ${e.mkString(", ")}")
+      }
+      println(s"  values: ${h.values.mkString(", ")}")
+      println(s"  errors: ${h.errors.take(12).mkString(", ")}${if (h.errors.length > 12) " ..." else ""}")
+    }
+  }
+}

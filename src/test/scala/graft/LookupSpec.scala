@@ -45,6 +45,21 @@ class LookupSpec extends AnyFunSuite {
     assert(v == 21.0)
   }
 
+  test("DenseLookup 3d C-order indexing + DuckDB-twin shape") {
+    // values encode (ix, iy, iz) as 100·ix + 10·iy + iz over 2x3x2 bins
+    val xE = Seq(0.0, 1.0, 2.0); val yE = Seq(0.0, 1.0, 2.0, 3.0); val zE = Seq(0.0, 5.0, 10.0)
+    val vals = for (ix <- 0 until 2; iy <- 0 until 3; iz <- 0 until 2)
+      yield 100.0 * ix + 10.0 * iy + iz
+    val df = Seq((0.5, 2.5, 7.0), (1.5, 0.0, 0.0), (-9.0, 99.0, 9.9), (1.0, 1.0, 5.0))
+      .toDF("x", "y", "z")
+    val got = df.select(DenseLookup.lookup3d($"x", $"y", $"z", xE, yE, zE, vals))
+      .collect().map(_.getDouble(0)).toSeq
+    // clip below/above on every axis; exact edges bin rightward
+    assert(got == Seq(21.0, 100.0, 21.0, 111.0))
+    val sql = DenseLookup.lookup3dSql("x", "y", "z", xE, yE, zE, vals)
+    assert(sql.contains("* 3") && sql.contains("* 2") && sql.contains("+ 1]"))
+  }
+
   test("BinarySearchBins custom expression matches the when-chain binIndex") {
     val edges = Seq(1.0, 10.0, 20.0, 35.0, 50.0, 80.0, 120.0)
     val df = spark.range(0, 2000).select(($"id" * 0.07 - 5.0).as("x"))

@@ -1,0 +1,221 @@
+package graft.sources.root
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Keyed TH1/TH2/TH3 decode ([[RootHistogram]]) pinned two ways:
+  *
+  *  1. the reference's REAL `testSF2d.histo.root` fixture,
+  *     cross-checked against the reference's OWN 62 asserted lookup
+  *     outputs (`tests/test_lookup_tools.py:26` — the
+  *     make_expected_lookup.py values — at the seed-42
+  *     `dummy_jagged_eta_pt` inputs, regenerated verbatim);
+  *  2. WBuf-synthesized NON-EMPTY twins (the r16 discipline for byte
+  *     layouts the real samples don't exercise): TH1D with a filled
+  *     Sumw2, a TH3F whose cell values encode their own (ix, iy, iz)
+  *     so the x-fastest→C-order re-index is self-checking, and the
+  *     Poisson variances fallback for an empty Sumw2.
+  */
+class RootHistogramSpec extends AnyFunSuite {
+
+  private val fixture = "/root/reference/tests/samples/testSF2d.histo.root"
+
+  /** dense_lookup clip semantics, driver-side: # inner edges <= x,
+    * clamped — the same rule DenseLookup.binIndex compiles. */
+  private def binIdx(x: Double, edges: Array[Double]): Int = {
+    val k = edges.length - 1
+    val n = edges.slice(1, k).count(_ <= x)
+    math.min(n, k - 1)
+  }
+
+  // dummy_jagged_eta_pt(): np.random.seed(42); counts=exponential(2,50).astype(int);
+  // eta=uniform(-3,3,62); pt=expo(10)+expo(10) — regenerated with numpy, pinned.
+  private val testEta = Seq(2.817507766587351, 1.6507969401666873, 2.6369936493851345,
+    2.3689641025658927, 0.5873998728665111, 2.531245410138701, -2.4690449876884832,
+    -1.8241028254851288, -2.7286362665367716, -1.048018015420414, -0.6679362618631082,
+    -1.3719058093566245, 1.972425054911576, -0.8594800398384645, -1.3143929418757154,
+    0.25617649894949057, -2.154454650151424, 1.813181884524238, -2.552696137921375,
+    2.9213216196031038, 1.633468615779945, -1.8077059107949656, -2.9668672972583856,
+    1.8927685707290047, 1.2411440630857022, 1.3740430082459234, 1.6276220801156747,
+    -2.555732089595458, -0.8492056287343646, -2.3047856428492217, 2.178620555253561,
+    0.7397887609653475, -1.0146118508841049, -2.6186498982838584, -1.1341060697060268,
+    -1.0489000678395177, 1.3776370700283849, 0.8253448281312785, 2.3232764554579592,
+    -0.16671044902830445, -2.28243452437019, 1.2794687233379705, 1.5647102917013846,
+    0.3676631854169772, 1.6258030797273655, -0.03722642181365554, 0.13639697629196412,
+    -0.434753889848702, -2.8474852395354286, -2.3526514380401733, -2.8114248858795943,
+    0.8184624675826822, -1.11386411354204, 0.051424146988216624, 2.445398843556558,
+    -1.5042466251067503, -0.5377024617862216, 1.533306831258292, -1.6272110070502652,
+    -2.538120541027242, -1.2614912825173918, -2.0326722764759735)
+
+  private val testPt = Seq(36.91074427428317, 18.424913030237033, 21.7770671808825,
+    25.404784315019146, 43.883127585448634, 3.54439889797918, 26.47945839230733,
+    8.955441870031684, 42.3353868845429, 43.62576356447225, 6.810580864798074,
+    11.953548991677653, 19.581708187786028, 13.671900534351224, 24.58109136832891,
+    22.482220173177364, 1.0470254965659138, 29.899993845330787, 28.470477485670983,
+    12.538372577587092, 5.417269013569707, 8.414761956740763, 41.575865524182674,
+    26.644811519887266, 29.125853751567654, 27.27649168811758, 14.792851925346673,
+    36.55689864487784, 34.58304079224809, 25.782917951697108, 16.201532254294367,
+    3.671700656900412, 4.42246577817031, 11.267468650557634, 9.455665080343902,
+    8.738354489338375, 8.485489335193241, 15.039412076651821, 34.44302433224589,
+    5.278104194501015, 14.019481498840086, 9.430958685264422, 46.37671891533344,
+    16.495023652255167, 21.639288246000614, 33.25843703702864, 13.431464605055682,
+    21.427932340795735, 5.568798607127145, 14.589200549387915, 13.119979749964694,
+    10.4708545361477, 37.06938564974547, 23.03032291286321, 26.128655049159196,
+    12.037664923440397, 16.25455012482745, 15.92213728983354, 19.920076369089337,
+    6.95020380900164, 9.34845479874727, 15.385859501207614)
+
+  // _testSF2d_expected_output (tests/test_lookup_tools.py:26), verbatim.
+  private val expected = Seq(0.90780139, 0.82748538, 0.86332178, 0.86332178, 0.97981155,
+    0.79701495, 0.88245934, 0.82857144, 0.91884059, 0.97466666, 0.94072163, 1.00775194,
+    0.82748538, 1.00775194, 0.97203946, 0.98199672, 0.80655736, 0.90893763, 0.88245934,
+    0.79701495, 0.82748538, 0.82857144, 0.91884059, 0.90893763, 0.97520661, 0.97520661,
+    0.82748538, 0.91884059, 0.97203946, 0.88245934, 0.79701495, 0.9458763, 1.00775194,
+    0.80655736, 1.00775194, 1.00775194, 0.98976982, 0.98976982, 0.86332178, 0.94072163,
+    0.80655736, 0.98976982, 0.96638656, 0.9458763, 0.90893763, 0.9529984, 0.9458763,
+    0.9529984, 0.80655736, 0.80655736, 0.80655736, 0.98976982, 0.97466666, 0.98199672,
+    0.86332178, 1.03286386, 0.94072163, 1.03398061, 0.82857144, 0.80655736, 1.00775194,
+    0.80655736)
+
+  test("testSF2d fixture: TH2F decode matches the reference's own 62 asserted outputs") {
+    val h = RootHistogram.read(fixture, "scalefactors_Tight_Electron")
+    assert(h.cls == "TH2F" && h.dims == 2)
+    assert(h.nBins == Seq(10, 6))
+    // the CMS electron-SF axis layout: variable |eta| edges, pt 10..500
+    assert(h.edges(0).toSeq == Seq(-2.5, -2.0, -1.566, -1.444, -0.8, 0.0,
+      0.8, 1.444, 1.566, 2.0, 2.5))
+    assert(h.edges(1).toSeq == Seq(10.0, 20.0, 35.0, 50.0, 90.0, 150.0, 500.0))
+    assert(h.values.length == 60 && h.variances.length == 60)
+    // evaluate the dense lookup at the reference test's (eta, pt)
+    // pairs: every one of the 62 published outputs must reproduce
+    val ny = 6
+    testEta.lazyZip(testPt).lazyZip(expected).foreach { (eta, pt, want) =>
+      val got = h.values(binIdx(eta, h.edges(0)) * ny + binIdx(pt, h.edges(1)))
+      assert(math.abs(got - want) < 1e-7, s"lookup($eta, $pt): got $got want $want")
+    }
+    // the _error twin: sqrt of a REAL Sumw2 (present in this fixture),
+    // strictly positive and much smaller than the values
+    val errs = h.errors
+    assert(errs.length == 60 && errs.forall(e => e > 0 && e < 0.2))
+    assert(errs.zip(h.variances).forall { case (e, v) => math.abs(e * e - v) < 1e-12 })
+  }
+
+  test("readAll lists the fixture's single histogram; read is loud on absent names") {
+    val all = RootHistogram.readAll(fixture)
+    assert(all.map(_.name) == Seq("scalefactors_Tight_Electron"))
+    val ex = intercept[IllegalArgumentException] {
+      RootHistogram.read(fixture, "asdfgh")
+    }
+    assert(ex.getMessage.contains("asdfgh") &&
+      ex.getMessage.contains("scalefactors_Tight_Electron"))
+  }
+
+  // ---- WBuf-synthesized twins for layouts the fixture doesn't carry ----
+
+  private def axisBytes(w: WBuf, name: String, nBins: Int, xMin: Double, xMax: Double,
+      varEdges: Seq[Double] = Nil): Unit = {
+    val at = w.vers(10)
+    w.tnamed(name, name)
+    val att = w.vers(4); w.close(att) // TAttAxis, empty — decoder byte-count-skips
+    w.i4(nBins); w.f8(xMin); w.f8(xMax)
+    w.i4(varEdges.length); varEdges.foreach(w.f8)
+    w.close(at)
+  }
+
+  /** Compose a TH1/TH2/TH3 record exactly as ROOT streams it (the
+    * decoder's input is the decompressed key record). `cells` is the
+    * FLOW-PADDED x-fastest array; sumw2 likewise or empty. */
+  private def histoBytes(cls: String, name: String,
+      axes: Seq[(Int, Double, Double, Seq[Double])],
+      cells: Array[Double], sumw2: Array[Double]): Array[Byte] = {
+    val dims = axes.length
+    val w = new WBuf
+    val outer = w.vers(3) // concrete-class wrapper
+    val baseEnd = if (dims == 1) -1 else w.vers(if (dims == 2) 4 else 4)
+    // TH1 base
+    val h1 = w.vers(8)
+    w.tnamed(name, name)
+    (0 until 3).foreach { _ => val a = w.vers(2); w.close(a) } // TAttLine/Fill/Marker
+    w.i4(cells.length)
+    val padded = axes.padTo(3, (1, 0.0, 1.0, Seq.empty[Double]))
+    padded.zipWithIndex.foreach { case ((nb, lo, hi, ve), i) =>
+      axisBytes(w, Seq("xaxis", "yaxis", "zaxis")(i), nb, lo, hi, ve)
+    }
+    w.i2(0); w.i2(1000) // fBarOffset, fBarWidth
+    Seq.fill(8)(0.5).foreach(w.f8) // fEntries..fNormFactor
+    w.i4(0) // fContour: empty TArrayD
+    w.i4(sumw2.length); sumw2.foreach(w.f8)
+    w.tstr("") // fOption (inside the byte-count skip, harmless)
+    w.close(h1)
+    if (dims >= 2) {
+      // TH2/TH3 trailing doubles (decoder byte-count-skips them)
+      Seq.fill(if (dims == 2) 4 else 7)(0.25).foreach(w.f8)
+      w.close(baseEnd)
+    }
+    // trailing TArray base: fN + contents, no version header
+    w.i4(cells.length)
+    if (cls.endsWith("D")) cells.foreach(w.f8) else cells.foreach(c => w.f4(c.toFloat))
+    w.close(outer)
+    w.bytes
+  }
+
+  test("synthesized TH1D: variable edges, filled Sumw2, flow strip") {
+    // 3 bins, variable edges; flow-padded cells [uf, b1, b2, b3, of]
+    val cells = Array(99.0, 10.0, 20.0, 30.0, 77.0)
+    val sumw2 = Array(9.0, 1.0, 4.0, 9.0, 7.0)
+    val b = histoBytes("TH1D", "syn1", Seq((3, 0.0, 6.0, Seq(0.0, 1.0, 3.0, 6.0))),
+      cells, sumw2)
+    val h = RootHistogram.decode(b, "TH1D", "syn1")
+    assert(h.dims == 1 && h.nBins == Seq(3))
+    assert(h.edges(0).toSeq == Seq(0.0, 1.0, 3.0, 6.0))
+    assert(h.values.toSeq == Seq(10.0, 20.0, 30.0)) // flow cells stripped
+    assert(h.variances.toSeq == Seq(1.0, 4.0, 9.0))
+    assert(h.errors.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("synthesized TH1F with EMPTY Sumw2: Poisson variances fallback (uproot semantics)") {
+    val cells = Array(0.0, 4.0, 9.0, 0.0)
+    val b = histoBytes("TH1F", "syn2", Seq((2, 0.0, 2.0, Nil)), cells, Array.empty)
+    val h = RootHistogram.decode(b, "TH1F", "syn2")
+    assert(h.edges(0).toSeq == Seq(0.0, 1.0, 2.0)) // uniform synthesis
+    assert(h.values.toSeq == Seq(4.0, 9.0))
+    assert(h.variances.toSeq == Seq(4.0, 9.0)) // = contents
+    assert(h.errors.toSeq == Seq(2.0, 3.0))
+  }
+
+  test("synthesized TH3F: x-fastest ROOT cells re-index to C-order, self-checking values") {
+    val (nx, ny, nz) = (2, 3, 4)
+    // cell value encodes its own inner coordinate: 100·ix + 10·iy + iz
+    // (flow cells get a sentinel that must never appear in the output)
+    val cells = new Array[Double]((nx + 2) * (ny + 2) * (nz + 2))
+    java.util.Arrays.fill(cells, -1.0)
+    for (ix <- 0 until nx; iy <- 0 until ny; iz <- 0 until nz)
+      cells((ix + 1) + (nx + 2) * ((iy + 1) + (ny + 2) * (iz + 1))) =
+        100.0 * ix + 10.0 * iy + iz
+    val b = histoBytes("TH3F", "syn3",
+      Seq((nx, 0.0, 2.0, Nil), (ny, 0.0, 3.0, Seq(0.0, 1.0, 2.5, 3.0)), (nz, 0.0, 4.0, Nil)),
+      cells, Array.empty)
+    val h = RootHistogram.decode(b, "TH3F", "syn3")
+    assert(h.dims == 3 && h.nBins == Seq(2, 3, 4))
+    assert(h.edges(1).toSeq == Seq(0.0, 1.0, 2.5, 3.0))
+    assert(h.values.length == 24 && !h.values.contains(-1.0))
+    for (ix <- 0 until nx; iy <- 0 until ny; iz <- 0 until nz)
+      assert(h.values(((ix * ny) + iy) * nz + iz) == 100.0 * ix + 10.0 * iy + iz,
+        s"($ix,$iy,$iz)")
+  }
+
+  test("loud failures: pre-v5 TH1 version, fNcells/axis mismatch") {
+    val cells = Array(0.0, 1.0, 0.0)
+    val ok = histoBytes("TH1F", "v", Seq((1, 0.0, 1.0, Nil)), cells, Array.empty)
+    // corrupt the TH1 base version (first vers is the wrapper: 4-byte
+    // count + 2-byte version; TH1 base version sits 6 bytes in)
+    val bad = ok.clone()
+    bad(6 + 4) = 0; bad(6 + 5) = 2 // TH1 v2
+    assert(intercept[IllegalArgumentException] {
+      RootHistogram.decode(bad, "TH1F", "v")
+    }.getMessage.contains("version"))
+    // cells shorter than the flow-padded axis product
+    val short = histoBytes("TH1F", "v", Seq((4, 0.0, 1.0, Nil)), cells, Array.empty)
+    assert(intercept[IllegalArgumentException] {
+      RootHistogram.decode(short, "TH1F", "v")
+    }.getMessage.contains("fNcells"))
+  }
+}
