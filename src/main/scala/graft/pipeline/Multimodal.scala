@@ -217,6 +217,71 @@ object Multimodal {
       }
   }
 
+  final case class ImageTensor(media_id: Long, pixels: Array[Double],
+      orig_width: Int, orig_height: Int)
+
+  /** Decode + bilinear-resize each image payload to a FIXED (c, h, w)
+    * NCHW tensor in [0, 1] — the step between an opaque binary column
+    * and a lowered vision graph. This is the REAL-decoder face of the
+    * q281 CNN gate (whose registry query fabricates pixels from char
+    * codes so the DuckDB oracle can see them; binary payloads take
+    * this seam instead and assert JVM-path parity, the q58/q127
+    * precedent). c=1 emits the integer Rec.601 luma plane; c=3 emits
+    * R,G,B planes, each /255.
+    *
+    * Scale shape: identical to [[resizeImages]] — per-partition
+    * executor decode, no driver round-trip, output rows are exactly
+    * c·h·w doubles ready for [[graft.functions.OnnxGraphScore]].
+    * Undecodable payloads DROP (count the delta to monitor). */
+  def imageToNchw(
+      df: DataFrame, idCol: String, bytesCol: String,
+      channels: Int, height: Int, width: Int): Dataset[ImageTensor] = {
+    require(channels == 1 || channels == 3, s"1 (luma) or 3 (RGB) channels, got $channels")
+    require(width > 0 && height > 0, s"bad target ${width}x$height")
+    implicit val enc = Encoders.product[ImageTensor]
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val img =
+              if (bytes == null) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val rs = new java.awt.image.BufferedImage(
+                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = rs.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, width, height, null)
+              g.dispose()
+              val out = new Array[Double](channels * height * width)
+              var y = 0
+              while (y < height) {
+                var x = 0
+                while (x < width) {
+                  val rgb = rs.getRGB(x, y)
+                  val cr = (rgb >> 16) & 0xff; val cg = (rgb >> 8) & 0xff; val cb = rgb & 0xff
+                  if (channels == 1)
+                    out(y * width + x) = ((cr * 299 + cg * 587 + cb * 114) / 1000) / 255.0
+                  else {
+                    out(y * width + x) = cr / 255.0
+                    out(height * width + y * width + x) = cg / 255.0
+                    out(2 * height * width + y * width + x) = cb / 255.0
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Some(ImageTensor(id, out, img.getWidth, img.getHeight))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+  }
+
   final case class ImageHash(media_id: Long, sig: Array[Long])
 
   /** 64-bit perceptual average-hash (aHash) per image: decode

@@ -1436,4 +1436,54 @@ class PipelineSpec extends AnyFunSuite {
     // bipartite join structurally cannot
     assert(!out.contains((1L, 3L)) && !out.contains((3L, 1L)))
   }
+
+  test("REAL PNG bytes -> imageToNchw decode seam -> lowered CNN gate: " +
+      "Column path parity with the JVM scorer (r16 verdict item 5)") {
+    // deterministic real PNGs, three shapes (resize must engage) + one
+    // uniform-gray whose decoded tensor is hand-checkable
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val imgs = Seq(
+      1L -> png(6, 6, (x, y) => ((x * 40) << 16) | ((y * 40) << 8) | (x * y * 7 % 256)),
+      2L -> png(8, 10, (x, y) => ((x * y * 13 % 256) << 16) | ((x * 29 % 256) << 8) | (y * 23 % 256)),
+      3L -> png(17, 5, (x, y) => ((x * 11 + y * 3) % 256) * 0x010101),
+      4L -> png(4, 4, (_, _) => 0x808080)) // uniform gray 128
+    val df = (imgs :+ (9L -> Array[Byte](1, 2, 3))) // corrupted payload
+      .toDF("media_id", "img")
+    val tensors = graft.pipeline.Multimodal.imageToNchw(
+      df, "media_id", "img", channels = 1, height = 6, width = 6)
+    // undecodable payload DROPS; original dims recorded
+    val byId = tensors.collect().map(t => t.media_id -> t).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L))
+    assert(byId(3L).orig_width == 17 && byId(3L).orig_height == 5)
+    assert(byId.values.forall(t => t.pixels.length == 36 &&
+      t.pixels.forall(p => p >= 0.0 && p <= 1.0)))
+    // uniform gray: bilinear resize of a constant image is constant,
+    // integer Rec.601 luma of (128,128,128) is 128 exactly
+    assert(byId(4L).pixels.forall(_ == 128 / 255.0))
+    // the gate: SAME lowered Conv graph as q281 (real ONNX bytes),
+    // scored in the scan projection by the codegen'd N-ary expression
+    val g = graft.queries.PipelineQueries.onnxCnnGraph
+    val scored = tensors.toDF()
+      .select($"media_id",
+        graft.functions.OnnxGraphScore(g, $"pixels").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // JVM scorer on the identical tensors: float32 forward pass
+    byId.foreach { case (id, t) =>
+      val want = g.scoreAll(Array(t.pixels.map(_.toFloat)))
+      val got = scored(id)
+      assert(got.length == want.length)
+      want.zip(got).foreach { case (w, gv) =>
+        assert(math.abs(w - gv) < 1e-5, s"media $id: jvm $w vs column $gv")
+      }
+    }
+    // the gate discriminates: not all images score identically
+    assert(scored.values.map(_.head).toSet.size > 1)
+  }
 }
