@@ -286,6 +286,58 @@ object Extractor {
       s"""Weights named "$name" not in $path! (have ${all.keys.toSeq.sorted.mkString(", ")})"""))
   }
 
+  /** Evaluator over dense `.root` payloads — the handle
+    * [[addWeightSets]] builds. */
+  final class DenseEvaluator(payloads: Map[String, DensePayload]) {
+    def keys: Set[String] = payloads.keySet
+    def apply(name: String): DensePayload = payloads.getOrElse(name,
+      throw new NoSuchElementException(
+        s"no lookup '$name'; have ${payloads.keys.toSeq.sorted.mkString(", ")}"))
+    /** Column evaluation straight off the handle. */
+    def lookup(name: String, inputs: Column*): Column =
+      denseColumn(apply(name), inputs)
+  }
+
+  /** The reference extractor's `add_weight_sets` grammar
+    * (`extractor.py:96-133`), `.root` face: each description line is
+    * `"<local name> <name> <weights file>"`; `#`-prefixed lines are
+    * comments; `<local> * <file>` imports every payload under
+    * `<local>`-prefixed names (`* * <file>` under their own names).
+    * Error messages mirror the reference verbatim — they are PINNED by
+    * `tests/test_lookup_tools.py:100-118` and user code matches on
+    * them. Text payloads keep the [[evaluator]] face (the txt parsers
+    * take payload STRINGS, not paths — the driver-side-parsers
+    * discipline); this face exists because `.root` histogram files are
+    * binary and the registry default. */
+  def addWeightSets(descs: Seq[String]): DenseEvaluator = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, DensePayload]
+    def add(local: String, p: DensePayload): Unit = {
+      require(!out.contains(local), s"""weights name "$local" already defined""")
+      out(local) = p
+    }
+    descs.foreach { desc =>
+      if (desc.nonEmpty && desc.charAt(0) == '#') () // comment line
+      else {
+        val parts = desc.trim.split(" ")
+        if (parts.length != 3) throw new IllegalArgumentException(
+          s""""$desc" not formatted as "<local name> <name> <weights file>"""")
+        val Array(local, name, file) = parts
+        require(file.endsWith(".root"),
+          s"$file: only .root histogram payloads on this face (txt/json/csv take evaluator())")
+        val all = rootHistoPayloads(file)
+        if (name == "*") {
+          all.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            add(if (local == "*") k else local + k, v)
+          }
+        } else {
+          add(local, all.getOrElse(name, throw new IllegalArgumentException(
+            s"""Weights named "$name" not in $file!""")))
+        }
+      }
+    }
+    new DenseEvaluator(out.toMap)
+  }
+
   /** Evaluate a dense payload at `inputs` (one Column per axis):
     * searchsorted + clip per axis over plan-literal edges, exactly
     * `dense_lookup.__call__`. */

@@ -683,6 +683,55 @@ object CorrectionsQueries extends QueryPack {
            |CAST(floor(sum(l_extendedprice * $sf) * 100 + 0.5) AS BIGINT) AS weighted_price_c,
            |CAST(floor(avg($err) * 10000 + 0.5) AS BIGINT) AS avg_err_e4
            |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      }),
+
+    Query(
+      "q285_histo_root_sink",
+      "ROOT-histogram *sink* round-trip under a fully independent oracle (the output leg " +
+        "of the histogram story — reference users save analysis histograms to .root for " +
+        "downstream fitting; q252/q253's discipline applied to keyed objects): a weighted " +
+        "1-D histogram of l_quantity (sum of l_discount per bin, Sumw2 = sum of squares) " +
+        "aggregates in the engine, lands driver-side (bounded: nbins rows), is WRITTEN as " +
+        "a real TH1D file (RootHistogram.writeFile - full member layout at pinned streamer " +
+        "versions, flow pad, TFile envelope), read BACK through the same Extractor face " +
+        "corrections consume (values + sqrt-Sumw2 _error twin), and emitted per bin. The " +
+        "oracle recomputes the histogram directly from the SOURCE parquet - any drift in " +
+        "write-or-read (f8 bits, flow padding, axis edges, key framing) breaks the hash.",
+      (s, dir) => {
+        import s.implicits._
+        val edges = (0 to 10).map(_ * 5.0)
+        val bin = DenseLookup.binIndex($"l_quantity", edges)
+        val agg = Tables.lineitem(s, dir)
+          .groupBy(bin.as("bin"))
+          .agg(sum($"l_discount").as("w"),
+            sum($"l_discount" * $"l_discount").as("w2"))
+          .collect()
+        val values = new Array[Double](10)
+        val vars = new Array[Double](10)
+        agg.foreach { r =>
+          values(r.getInt(0)) = r.getDouble(1); vars(r.getInt(0)) = r.getDouble(2)
+        }
+        val tmp = java.nio.file.Files.createTempFile("q285_histo", ".root")
+        try {
+          graft.sources.root.RootHistogram.writeFile(tmp.toString,
+            Seq(graft.sources.root.RootHistogram.Histo(
+              "qty_w", "TH1D", Seq(edges.toArray), values, vars)))
+          val back = Extractor.rootHistoPayload(tmp.toString, "qty_w")
+          val backErr = Extractor.rootHistoPayload(tmp.toString, "qty_w_error")
+          def e6(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+          (0 until 10).map(i => (i, e6(back.values(i)), e6(backErr.values(i))))
+            .toDF("bin", "w_e6", "err_e6")
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      },
+      Some {
+        val binSql = DenseLookup.binIndexSql("l_quantity", (0 to 10).map(_ * 5.0))
+        s"""WITH g AS (SELECT $binSql AS bin, sum(l_discount) AS w,
+           |    sum(l_discount * l_discount) AS w2
+           |  FROM lineitem GROUP BY 1)
+           |SELECT gs.i AS bin,
+           |  CAST(floor(coalesce(g.w, 0) * 1000000 + 0.5) AS BIGINT) AS w_e6,
+           |  CAST(floor(sqrt(coalesce(g.w2, 0)) * 1000000 + 0.5) AS BIGINT) AS err_e6
+           |FROM generate_series(0, 9) gs(i) LEFT JOIN g ON g.bin = gs.i""".stripMargin
       })
   )
 }

@@ -85,6 +85,197 @@ object RootHistogram {
       s"histogram '$name' not in $pathStr; available: ${all.map(_.name).mkString(", ")}"))
   }
 
+  // ---- write leg: engine results → a real ROOT histogram file ----
+
+  /** Serialize one [[Histo]] as the keyed TH1D/TH2D/TH3D record (class
+    * by dims — double-precision, engine values are doubles). FULL
+    * member layout at the pinned streamer versions (TH1 v8, TAxis v10,
+    * TH2 v4, TH3 v6), not just the prefix [[decode]] walks, so
+    * external readers (uproot's built-in TH models, ROOT's compiled
+    * classes) parse the file too. Flow cells are written as 0 —
+    * engine aggregations clamp rather than overflow. */
+  private[root] def recordBytes(h: Histo): Array[Byte] = {
+    val w = new WBuf
+    val dims = h.dims
+    def attBase(nShorts: Int, trailF4: Boolean = false): Unit = {
+      val at = w.vers(2)
+      (0 until nShorts).foreach(_ => w.i2(1))
+      if (trailF4) w.f4(1.0f)
+      w.close(at)
+    }
+    def axisRec(name: String, edges: Array[Double]): Unit = {
+      val at = w.vers(10)
+      w.tnamed(name, "")
+      // TAttAxis v4
+      val aa = w.vers(4)
+      w.i4(510); w.i2(1); w.i2(1); w.i2(42)
+      w.f4(0.005f); w.f4(0.035f); w.f4(0.03f); w.f4(1.0f); w.f4(0.035f)
+      w.i2(1); w.i2(42)
+      w.close(aa)
+      val nb = edges.length - 1
+      w.i4(nb); w.f8(edges.head); w.f8(edges.last)
+      // always write explicit fXbins — exact for non-uniform edges and
+      // harmless for uniform ones (readers prefer fXbins when fN > 0)
+      w.i4(edges.length); edges.foreach(w.f8)
+      w.i4(0); w.i4(0) // fFirst, fLast
+      w.i2(0) // fBits2 (unsigned short)
+      w.u1(0) // fTimeDisplay
+      w.tstr("") // fTimeFormat
+      w.i4(0); w.i4(0) // fLabels, fModLabs: null pointers
+      w.close(at)
+    }
+    val padded = h.edges.padTo(3, Array(0.0, 1.0))
+    val (nx, ny, nz) = (h.nBins.head,
+      if (dims >= 2) h.nBins(1) else 1, if (dims == 3) h.nBins(2) else 1)
+    val nCells = (nx + 2) * (if (dims >= 2) ny + 2 else 1) * (if (dims == 3) nz + 2 else 1)
+    require(h.values.length == nx * ny * nz && h.variances.length == nx * ny * nz,
+      s"${h.name}: ${h.values.length} values / ${h.variances.length} variances " +
+        s"for ($nx, $ny, $nz) bins")
+    def flowPad(inner: Array[Double]): Array[Double] = {
+      val out = new Array[Double](nCells)
+      var ix = 0
+      while (ix < nx) {
+        var iy = 0
+        while (iy < ny) {
+          var iz = 0
+          while (iz < nz) {
+            val cell = dims match {
+              case 1 => ix + 1
+              case 2 => (ix + 1) + (nx + 2) * (iy + 1)
+              case _ => (ix + 1) + (nx + 2) * ((iy + 1) + (ny + 2) * (iz + 1))
+            }
+            out(cell) = inner(((ix * ny) + iy) * nz + iz)
+            iz += 1
+          }
+          iy += 1
+        }
+        ix += 1
+      }
+      out
+    }
+    val cells = flowPad(h.values)
+    val sumw2 = flowPad(h.variances)
+
+    val outer = w.vers(3) // concrete-class wrapper
+    val baseAt = if (dims == 1) -1 else w.vers(if (dims == 2) 4 else 6)
+    // TH1 base, v8
+    val h1 = w.vers(8)
+    w.tnamed(h.name.split('/').last, h.name)
+    attBase(3); attBase(2); attBase(2, trailF4 = true) // TAttLine/Fill/Marker
+    w.i4(nCells)
+    axisRec("xaxis", padded(0)); axisRec("yaxis", padded(1)); axisRec("zaxis", padded(2))
+    w.i2(0); w.i2(1000) // fBarOffset, fBarWidth
+    val total = h.values.sum
+    w.f8(total); w.f8(total); w.f8(h.variances.sum) // fEntries, fTsumw, fTsumw2
+    w.f8(0); w.f8(0); w.f8(-1111); w.f8(-1111); w.f8(0) // fTsumwx..fNormFactor
+    w.i4(0) // fContour: empty TArrayD
+    w.i4(nCells); sumw2.foreach(w.f8) // fSumw2
+    w.tstr("") // fOption
+    w.i4(0) // fFunctions: null TList*
+    w.i4(0); w.u1(0) // fBufferSize, fBuffer (absent)
+    w.i4(0) // fBinStatErrOpt (v8 tail)
+    w.close(h1)
+    if (dims == 2) { w.f8(1.0); w.f8(0); w.f8(0); w.f8(0); w.close(baseAt) }
+    else if (dims == 3) {
+      val a3 = w.vers(1); w.close(a3) // TAtt3D base, empty
+      (0 until 7).foreach(_ => w.f8(0))
+      w.close(baseAt)
+    }
+    w.i4(nCells); cells.foreach(w.f8) // TArrayD base
+    w.close(outer)
+    w.bytes
+  }
+
+  /** Class name [[recordBytes]] serializes `h` as. */
+  private def clsOf(h: Histo): String = Seq("TH1D", "TH2D", "TH3D")(h.dims - 1)
+
+  /** Write `histos` as a REAL single-directory ROOT file — the output
+    * leg of the histogram story (reference users save analysis
+    * histograms to `.root` for downstream fitting/plotting; the same
+    * file feeds back through [[readAll]] and the reference's own
+    * converters). Envelope mirrors `RootWriter.writeFile`: 100-byte
+    * header, TFile named record, one uncompressed key per histogram,
+    * StreamerInfo key (empty list — TH payloads carry their layout in
+    * class versions, which uproot/ROOT's built-in models read), key
+    * list, patched header. Atomic commit is the caller's concern (the
+    * part-file writers' rename discipline). */
+  def writeFile(path: String, histos: Seq[Histo]): Unit = {
+    require(histos.nonEmpty, "no histograms to write")
+    require(histos.map(_.name).distinct.size == histos.size, "duplicate histogram names")
+    val out = new java.io.RandomAccessFile(path, "rw")
+    out.setLength(0)
+    var filePos = 0L
+    def emit(a: Array[Byte]): Long = { val at = filePos; out.write(a); filePos += a.length; at }
+    emit(new Array[Byte](100))
+    val begin = 100L
+    val fileName = new java.io.File(path).getName
+    def keyHeader(nBytes: Int, objLen: Int, keyLen: Int, seekKey: Long,
+        cls: String, name: String, title: String): Array[Byte] = {
+      val w = new WBuf
+      w.i4(nBytes); w.i2(4); w.i4(objLen); w.i4(0)
+      w.i2(keyLen); w.i2(1)
+      w.i4(seekKey.toInt); w.i4(begin.toInt)
+      w.tstr(cls); w.tstr(name); w.tstr(title)
+      w.bytes
+    }
+    def keyLenOf(cls: String, name: String, title: String): Int =
+      keyHeader(0, 0, 0, 0L, cls, name, title).length
+    val namedLen = { val w = new WBuf; w.tstr(fileName); w.tstr(""); w.p }
+    val dirRec = {
+      val w = new WBuf
+      w.tstr(fileName); w.tstr("")
+      w.i2(5); w.i4(0); w.i4(0)
+      w.i4(0); w.i4(0)
+      w.i4(begin.toInt); w.i4(0)
+      w.i4(0) // seekKeys — patched below
+      w.bytes
+    }
+    val fileKeyLen = keyLenOf("TFile", fileName, "")
+    emit(keyHeader(fileKeyLen + dirRec.length, dirRec.length, fileKeyLen,
+      begin, "TFile", fileName, "") ++ dirRec)
+    val nBytesName = fileKeyLen + namedLen
+    val seekKeysPatchAt = begin + nBytesName + 2 + 8 + 8 + 8
+
+    val hKeys = histos.map { h =>
+      val body = recordBytes(h)
+      val cls = clsOf(h)
+      val name = h.name.split('/').last
+      val keyLen = keyLenOf(cls, name, h.name)
+      val at = emit(keyHeader(keyLen + body.length, body.length, keyLen,
+        filePos, cls, name, h.name) ++ body)
+      keyHeader(keyLen + body.length, body.length, keyLen, at, cls, name, h.name)
+    }
+    // StreamerInfo: structurally valid empty TList
+    val sBody = { val w = new WBuf
+      val at = w.vers(5); w.tobject(); w.tstr(""); w.i4(0); w.close(at); w.bytes }
+    val sKeyLen = keyLenOf("TList", "StreamerInfo", "Doubly linked list")
+    val seekInfo = emit(keyHeader(sKeyLen + sBody.length, sBody.length, sKeyLen,
+      filePos, "TList", "StreamerInfo", "Doubly linked list") ++ sBody)
+    val nbInfo = sKeyLen + sBody.length
+    val klBody = { val w = new WBuf; w.i4(hKeys.size); hKeys.foreach(w.raw); w.bytes }
+    val klKeyLen = keyLenOf("TFile", fileName, "")
+    val seekKeys = emit(keyHeader(klKeyLen + klBody.length, klBody.length, klKeyLen,
+      filePos, "TFile", fileName, "") ++ klBody)
+    val end = filePos
+    out.seek(seekKeysPatchAt)
+    out.writeInt(seekKeys.toInt)
+    val hdr = new WBuf
+    hdr.raw("root".getBytes("ISO-8859-1"))
+    hdr.i4(63200)
+    hdr.i4(begin.toInt)
+    hdr.i4(end.toInt)
+    hdr.i4(0); hdr.i4(0); hdr.i4(0)
+    hdr.i4(nBytesName)
+    hdr.u1(4)
+    hdr.i4(0) // uncompressed
+    hdr.i4(seekInfo.toInt)
+    hdr.i4(nbInfo)
+    while (hdr.p < 100) hdr.u1(0)
+    out.seek(0)
+    out.write(hdr.bytes)
+    out.close()
+  }
+
   // ---- byte-level decode ----
 
   /** TAxis: name/title + attribute base skipped, then the prefix that

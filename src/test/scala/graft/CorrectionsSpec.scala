@@ -662,4 +662,41 @@ class CorrectionsSpec extends AnyFunSuite {
     val (p1, lo1, hi1) = wilsonE6(0, 5)
     assert(out(1L) == ((5L, 0L, p1, lo1, hi1)) && p1 == 0L && lo1 == 0L && hi1 > 0L)
   }
+
+  test("add_weight_sets grammar (.root face): comments, wildcard, prefix import, " +
+      "reference-verbatim error messages (test_lookup_tools.py:100-118)") {
+    val f = "/root/reference/tests/samples/testSF2d.histo.root"
+    // comment lines skip (the reference's first exception-test case)
+    assert(Extractor.addWeightSets(Seq(s"#testSF2d asdfgh $f")).keys.isEmpty)
+    // malformed: not 3 space-separated fields — message pinned verbatim
+    val malformed = s"testSF2d testSF2d asdfgh $f"
+    assert(intercept[IllegalArgumentException] {
+      Extractor.addWeightSets(Seq(malformed))
+    }.getMessage ==
+      s""""$malformed" not formatted as "<local name> <name> <weights file>"""")
+    // missing name — message pinned verbatim
+    assert(intercept[IllegalArgumentException] {
+      Extractor.addWeightSets(Seq(s"testSF2d asdfgh $f"))
+    }.getMessage == s"""Weights named "asdfgh" not in $f!""")
+    // the reference test's real import line
+    val ev = Extractor.addWeightSets(Seq(s"testSF2d scalefactors_Tight_Electron $f"))
+    assert(ev.keys == Set("testSF2d") && ev("testSF2d").dims == 2)
+    // wildcard import: payloads + _error twins under their own names
+    val all = Extractor.addWeightSets(Seq(s"* * $f"))
+    assert(all.keys == Set("scalefactors_Tight_Electron", "scalefactors_Tight_Electron_error"))
+    // prefix-wildcard: "<prefix> * <file>"
+    val pre = Extractor.addWeightSets(Seq(s"egm_ * $f"))
+    assert(pre.keys == Set("egm_scalefactors_Tight_Electron",
+      "egm_scalefactors_Tight_Electron_error"))
+    // duplicate local name is loud
+    assert(intercept[IllegalArgumentException] {
+      Extractor.addWeightSets(Seq(
+        s"x scalefactors_Tight_Electron $f", s"x scalefactors_Tight_Electron $f"))
+    }.getMessage.contains("already defined"))
+    // evaluator lookup Column face: clip bin (eta 0.1, pt 15) = a real cell
+    val v = Seq((0.1, 15.0)).toDF("eta", "pt")
+      .select(ev.lookup("testSF2d", col("eta"), col("pt"))).head().getDouble(0)
+    val h = graft.sources.root.RootHistogram.read(f, "scalefactors_Tight_Electron")
+    assert(math.abs(v - h.values(5 * 6 + 0)) < 1e-12) // eta bin 5, pt bin 0
+  }
 }

@@ -202,6 +202,33 @@ class RootHistogramSpec extends AnyFunSuite {
         s"($ix,$iy,$iz)")
   }
 
+  test("write leg: TH1D/TH2D/TH3D file round-trip — writeFile -> readAll is the identity") {
+    import RootHistogram.Histo
+    val h1 = Histo("counts", "TH1D", Seq(Array(0.0, 1.0, 3.0, 6.0)),
+      Array(10.0, 20.5, 30.25), Array(1.0, 4.0, 2.25))
+    val h2 = Histo("sf2d", "TH2D",
+      Seq(Array(-2.5, 0.0, 2.5), Array(10.0, 50.0, 150.0, 500.0)),
+      Array.tabulate(6)(i => 0.9 + i * 0.01), Array.tabulate(6)(i => 1e-4 * (i + 1)))
+    val h3 = Histo("eff3d", "TH3D",
+      Seq(Array(0.0, 1.0, 2.0), Array(0.0, 1.0, 2.0, 3.0), Array(0.0, 1.0, 2.0)),
+      Array.tabulate(12)(i => i * 1.5), Array.tabulate(12)(i => i * 0.5))
+    val tmp = java.nio.file.Files.createTempFile("histowrite", ".root")
+    try {
+      RootHistogram.writeFile(tmp.toString, Seq(h1, h2, h3))
+      val back = RootHistogram.readAll(tmp.toString)
+      assert(back.map(_.name) == Seq("counts", "sf2d", "eff3d"))
+      assert(back.map(_.cls) == Seq("TH1D", "TH2D", "TH3D"))
+      Seq(h1, h2, h3).zip(back).foreach { case (a, b) =>
+        assert(a.edges.map(_.toSeq) == b.edges.map(_.toSeq), a.name)
+        assert(a.values.toSeq == b.values.toSeq, a.name) // f8: bit-exact
+        assert(a.variances.toSeq == b.variances.toSeq, a.name)
+      }
+      // the written file also feeds the Extractor face, _error twin included
+      val pl = graft.corrections.Extractor.rootHistoPayload(tmp.toString, "sf2d_error")
+      assert(pl.dims == 2 && pl.values.toSeq == h2.errors.toSeq)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("loud failures: pre-v5 TH1 version, fNcells/axis mismatch") {
     val cells = Array(0.0, 1.0, 0.0)
     val ok = histoBytes("TH1F", "v", Seq((1, 0.0, 1.0, Nil)), cells, Array.empty)
