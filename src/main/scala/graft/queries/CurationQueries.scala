@@ -2322,6 +2322,50 @@ object CurationQueries extends QueryPack {
       }),
 
     Query(
+      "q286_gpt2_roundtrip_audit",
+      "Corpus-reconstruction audit over the pinned GPT-2 checkpoint (the r16 verdict's " +
+        "detokenization ask made a first-class operator): every document encodes to the " +
+        "checkpoint's ids and DECODES BACK (PretrainedTokenizer.gpt2Decode — inverse vocab, " +
+        "inverse bytes_to_unicode, UTF-8 reassembly); per source: docs, exact round-trips " +
+        "(losslessness is structural — the published pattern tiles the input, the byte map " +
+        "is a bijection, merges only re-partition — and property-spec'd over arbitrary " +
+        "UTF-8), reconstructed-char totals, and token totals. This is the audit a stored-" +
+        "ids corpus needs before deleting source text. Map-only, two UDF passes in one " +
+        "scan. The oracle pins the structural invariants (round-trips == docs, chars == " +
+        "source chars) and replays the token count via the q282 sequential-replace encode.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = graft.pipeline.PretrainedTokenizer.gpt2EncodeIdsCol(pinnedGpt2, col("text"))
+        Tables.documents(s, dir)
+          .select(col("source"), col("text"), ids.as("ids"))
+          .withColumn("back",
+            graft.pipeline.PretrainedTokenizer.gpt2DecodeCol(pinnedGpt2, col("ids")))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"back" === $"text", 1L).otherwise(0L)).as("n_roundtrip"),
+            sum(length($"back")).cast("long").as("n_chars"),
+            sum(size($"ids")).cast("long").as("n_tokens"))
+      },
+      Some {
+        def sq(x: String) = x.replace("'", "''")
+        val enc = pinnedGpt2Merges.foldLeft(
+          "regexp_replace(replace(tok, ' ', 'Ġ'), '(.)', '|\\1|', 'g')") {
+          case (e, (a, b)) => s"replace($e, '|${sq(a)}||${sq(b)}|', '|${sq(a + b)}|')"
+        }
+        s"""WITH pt AS (SELECT source,
+           |    unnest(regexp_extract_all(text, '${sq(graft.pipeline.PretrainedTokenizer.Gpt2PretokenReRe2)}')) AS tok
+           |  FROM documents),
+           |tk AS (SELECT source, len(string_split(trim($enc, '|'), '||')) AS n FROM pt),
+           |per_src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM tk GROUP BY 1)
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_roundtrip,
+           |  CAST(sum(len(d.text)) AS BIGINT) AS n_chars,
+           |  coalesce(max(p.n_tokens), 0) AS n_tokens
+           |FROM documents d LEFT JOIN per_src p ON d.source = p.source
+           |GROUP BY d.source""".stripMargin
+      }),
+
+    Query(
       "q249_warc_pipeline",
       "Raw-WARC ingestion end-to-end: the engine's own DataSource V2 reads the Common-Crawl-layout fixture (one gzip member per record, byte-range splits resynchronized at member boundaries — graft.sources.Warc), keeps response+conversion records, drops HTTP envelope headers, strips HTML (q146 chain), language-IDs, and aggregates per (warc_type, lang). The DuckDB oracle replays the identical text chain from the INDEPENDENTLY-derived parquet twin of the same records (never from the WARC bytes), so equality proves the archive decode: gzip member walking, header parsing, Content-Length framing, payload bytes. At 100 TB this is the CC ingest shape: map-only from the scan to one lang-bounded groupBy.",
       (s, _) =>
