@@ -7,7 +7,7 @@ corresponding oracle SQL from oracle_sql.json in DuckDB over the same
 sf parquet tables, canonicalizes both frames (columns sorted by name,
 rows sorted by all columns) and diffs values exactly.
 
-Usage: oracle_check.py <sfDir> <outDir> [query ...]
+Usage: oracle_check.py <sfDir> <outDir> [--json artifact.json] [query ...]
 """
 import json, sys, glob
 import duckdb
@@ -33,19 +33,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
+    json_out = None
+    if "--json" in rest:
+        i = rest.index("--json")
+        json_out = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    only = set(rest)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    report = {}
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            report[name] = {"ok": False}
             n_bad += 1
             continue
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
@@ -53,14 +61,17 @@ def main():
             exp = canon(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            report[name] = {"ok": False}
             n_bad += 1
             continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            report[name] = {"ok": False}
             n_bad += 1
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            report[name] = {"ok": False}
             n_bad += 1
             continue
         bad_cols = []
@@ -78,6 +89,7 @@ def main():
                 bad_cols.append(c)
         if bad_cols:
             print(f"FAIL {name}: value mismatch in {bad_cols}")
+            report[name] = {"ok": False}
             for c in bad_cols[:2]:
                 m = got[c] != exp[c]
                 print("  got:", got[m][c].head(3).tolist(),
@@ -86,7 +98,12 @@ def main():
         else:
             print(f"OK   {name} ({len(got)} rows)")
             n_ok += 1
+            report[name] = {"ok": True, "rows": len(got)}
     print(f"== {n_ok} ok, {n_bad} failed ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"n_ok": n_ok, "n_fail": n_bad,
+                       "queries": report}, f, indent=1, sort_keys=True)
     sys.exit(1 if n_bad else 0)
 
 
