@@ -88,8 +88,16 @@ object BpeTokenizer {
     * lowest rank until none remains (the GPT-2 application order).
     * Shared with [[PretrainedTokenizer.Gpt2Bpe]] — a checkpoint's
     * merges.txt drives the IDENTICAL kernel over byte-mapped chars. */
-  private[pipeline] def encodeWord(w: String, ranks: Map[(String, String), Int]): List[String] = {
-    var syms = w.map(_.toString).toList
+  private[pipeline] def encodeWord(w: String, ranks: Map[(String, String), Int]): List[String] =
+    encodeSymbols(w.map(_.toString).toList, ranks)
+
+  /** The same min-rank merge loop over an EXPLICIT initial symbol
+    * list — the SentencePiece-BPE face, whose initial symbols are
+    * Unicode CODE POINTS (a surrogate pair is one symbol), not UTF-16
+    * chars ([[PretrainedTokenizer.SpBpe]]). */
+  private[pipeline] def encodeSymbols(init: List[String],
+      ranks: Map[(String, String), Int]): List[String] = {
+    var syms = init
     var done = syms.lengthCompare(2) < 0
     while (!done) {
       val present = syms.lazyZip(syms.tail).map((a, b) => (a, b))

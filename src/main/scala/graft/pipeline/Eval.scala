@@ -202,6 +202,247 @@ object Eval {
           " ELSE CAST(0 AS BIGINT) END").as("kappa_e6"))
   }
 
+  /** Clipped match count of candidate grams against reference grams,
+    * computed IN-ROW by the occurrence-index identity: the i-th
+    * occurrence (0-based, counted by an index-bounded scan — no
+    * per-element slice allocation) of gram g in the candidate matches
+    * iff i < cnt_ref(g) — so Σ_g min(cnt_cand, cnt_ref) needs no
+    * per-gram map, only O(L²) bounded comparisons. `cg`/`rg` MUST be
+    * attribute references (materialized by a prior projection): HOF
+    * bodies evaluate interpreted with no common-subexpression
+    * elimination, so an inlined expression here would recompute per
+    * outer element — the O(L³) cliff the staged selects below exist
+    * to avoid. Shared by [[corpusBleu]] and [[chrF]]. */
+  private def clippedCount(cg: Column, rg: Column): Column =
+    size(filter(cg, (g, i) =>
+      size(filter(cg, (x, k) => k < i && x === g)) <
+        size(filter(rg, x => x === g)))).cast("long")
+
+  /** Corpus BLEU (Papineni et al. 2002) between a candidate and a
+    * reference token column — the generated-text fidelity metric a
+    * distillation / corpus-reconstruction / MT-augmentation pipeline
+    * reads before trusting synthetic data at 100 TB. Per group (e.g.
+    * source): the INTEGER sufficient statistics — candidate/reference
+    * token totals and, for n = 1..maxN, the clipped n-gram match count
+    * Σ_g min(cnt_cand(g), cnt_ref(g)) and the n-gram total — plus
+    * bleu_e6 = BP · exp(Σ ln pₙ / N) through ONE pinned double chain
+    * evaluated on those integers (the q228 ln discipline: identical
+    * IEEE ops in identical order cross-engine), 0 when any pₙ = 0
+    * (unsmoothed BLEU, the sacrebleu default).
+    *
+    * Scale shape: MAP-ONLY per row — in-row clipping via
+    * [[clippedCount]] over gram arrays each MATERIALIZED once by a
+    * staged projection (multi-referenced non-cheap aliases survive
+    * CollapseProject, so nothing re-evaluates inside the lambdas) —
+    * then one partial-aggregated groupBy over |groups| rows. No n-gram
+    * shuffle: at 100 TB the exchange carries 2 + 2·maxN longs per
+    * group, nothing else. */
+  def corpusBleu(df: DataFrame, candToks: Column, refToks: Column,
+      groupCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN in [1, 8]: $maxN")
+    val Sep = "\u0001"
+    def ngrams(toks: Column, n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => array_join(slice(toks, i, lit(n)), Sep)))
+        .otherwise(array().cast("array<string>"))
+    val toks = df.select(col(groupCol).as("g"),
+      candToks.as("ca"), refToks.as("rf"))
+    val grams = toks.select(
+      (col("g") +:
+        size(col("ca")).cast("long").as("cl") +:
+        size(col("rf")).cast("long").as("rl") +:
+        (1 to maxN).flatMap(n => Seq(
+          ngrams(col("ca"), n).as(s"cg$n"),
+          ngrams(col("rf"), n).as(s"rg$n")))): _*)
+    val perRow = grams.select(
+      (col("g") +: col("cl") +: col("rl") +:
+        (1 to maxN).flatMap(n => Seq(
+          clippedCount(col(s"cg$n"), col(s"rg$n")).as(s"clip$n"),
+          size(col(s"cg$n")).cast("long").as(s"tot$n")))): _*)
+    val agg = perRow.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        (Seq(sum(col("cl")).as("c_len"), sum(col("rl")).as("r_len")) ++
+          (1 to maxN).flatMap(n => Seq(
+            sum(col(s"clip$n")).as(s"clip$n"),
+            sum(col(s"tot$n")).as(s"tot$n")))): _*)
+    val anyZero = (Seq("c_len = 0", "r_len = 0") ++
+      (1 to maxN).flatMap(n => Seq(s"clip$n = 0", s"tot$n = 0"))).mkString(" OR ")
+    val lnSum = (1 to maxN)
+      .map(n => s"ln(CAST(clip$n AS DOUBLE) / CAST(tot$n AS DOUBLE))")
+      .mkString(" + ")
+    agg.withColumn("bleu_e6", expr(
+      s"CASE WHEN $anyZero THEN CAST(0 AS BIGINT) ELSE " +
+        "CAST(floor((CASE WHEN c_len >= r_len THEN CAST(1.0 AS DOUBLE) " +
+        "ELSE exp(CAST(1.0 AS DOUBLE) - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END)" +
+        s" * exp(($lnSum) / CAST($maxN AS DOUBLE))" +
+        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END"))
+  }
+
+  /** chrF (Popović 2015, β = 2 — the chrF2 sacrebleu ships) between a
+    * candidate and a reference STRING column — the character-level
+    * member of the standard MT-eval triple (BLEU's word n-grams miss
+    * morphology; chrF's char n-grams see "sorted"≈"sorting"). All
+    * whitespace is removed (the chrF convention), then for n = 1..maxN
+    * the clipped char-n-gram matches and both totals accumulate per
+    * group as exact longs; chrf2_e6 evaluates
+    * (1+β²)·P̄·R̄ / (β²·P̄+R̄) with P̄/R̄ the over-orders means (an
+    * order with an empty denominator contributes 0 and still divides
+    * by maxN — the convention is part of the operator contract) in ONE
+    * pinned double chain. Same 100 TB shape as [[corpusBleu]] and the
+    * same staged-projection discipline: the stripped strings and every
+    * gram array materialize exactly once per row (inlining the
+    * regexp_replace into the clip lambdas would make it O(L³) —
+    * measured, the r17 q290 incident). */
+  def chrF(df: DataFrame, cand: Column, ref: Column,
+      groupCol: String, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN in [1, 8]: $maxN")
+    def ngrams(s: Column, n: Int): Column =
+      when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - n + 1), i => s.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    val strs = df.select(col(groupCol).as("g"),
+      regexp_replace(cand, "\\s", "").as("cs"),
+      regexp_replace(ref, "\\s", "").as("rs"))
+    val grams = strs.select(
+      (col("g") +:
+        length(col("cs")).cast("long").as("cl") +:
+        length(col("rs")).cast("long").as("rl") +:
+        (1 to maxN).flatMap(n => Seq(
+          ngrams(col("cs"), n).as(s"cg$n"),
+          ngrams(col("rs"), n).as(s"rg$n")))): _*)
+    val perRow = grams.select(
+      (col("g") +: col("cl") +: col("rl") +:
+        (1 to maxN).flatMap(n => Seq(
+          clippedCount(col(s"cg$n"), col(s"rg$n")).as(s"clip$n"),
+          size(col(s"cg$n")).cast("long").as(s"totc$n"),
+          size(col(s"rg$n")).cast("long").as(s"totr$n")))): _*)
+    val agg = perRow.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        (Seq(sum(col("cl")).as("c_chars"), sum(col("rl")).as("r_chars")) ++
+          (1 to maxN).flatMap(n => Seq(
+            sum(col(s"clip$n")).as(s"clip$n"),
+            sum(col(s"totc$n")).as(s"totc$n"),
+            sum(col(s"totr$n")).as(s"totr$n")))): _*)
+    def avgOf(tot: String): String = "(" + (1 to maxN).map(n =>
+      s"(CASE WHEN $tot$n = 0 THEN CAST(0.0 AS DOUBLE) " +
+        s"ELSE CAST(clip$n AS DOUBLE) / CAST($tot$n AS DOUBLE) END)")
+      .mkString(" + ") + s") / CAST($maxN AS DOUBLE)"
+    agg.withColumn("chrf2_e6", expr(
+      s"CASE WHEN CAST(4.0 AS DOUBLE) * (${avgOf("totc")}) + (${avgOf("totr")}) = CAST(0.0 AS DOUBLE)" +
+        " THEN CAST(0 AS BIGINT) ELSE " +
+        s"CAST(floor(CAST(5.0 AS DOUBLE) * (${avgOf("totc")}) * (${avgOf("totr")})" +
+        s" / (CAST(4.0 AS DOUBLE) * (${avgOf("totc")}) + (${avgOf("totr")}))" +
+        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END"))
+  }
+
+  /** ROUGE-L (Lin 2004) between a candidate and a reference token
+    * column over the first `cap` tokens of each side — the
+    * longest-common-subsequence fidelity metric summarization /
+    * reconstruction audits read (order-sensitive where BLEU's bag of
+    * n-grams is not). Per group: n_pairs, Σ LCS, Σ candidate len,
+    * Σ reference len, and the micro-averaged F1 — with β = 1,
+    * P = L/C and R = L/R̂ collapse to f1_e6 = 2·L·10⁶ div (C + R̂) —
+    * ENTIRELY integer, no doubles anywhere.
+    *
+    * LCS runs BIT-PARALLEL (Allison & Dix 1986): the reference side
+    * packs into one machine word (cap ≤ 62 keeps every intermediate
+    * inside a non-overflowing long — bit `cap`+1 is the highest the
+    * (V<<1)|1 borrow chain can touch), and each candidate token does
+    * V ← x & ¬(x − ((V≪1)|1)) with x = V | M[t], where M[t] is the
+    * in-row match mask; LCS = popcount(V). O(cap²) bit-ops per row —
+    * fixed work, in-row, zero shuffle before the |groups|-bounded
+    * aggregate; the window cap is the documented bounded-eval
+    * contract (and this corpus' docs fit one word anyway). Verified
+    * against the classic O(mn) DP in EvalSpec. */
+  def rougeL(df: DataFrame, candToks: Column, refToks: Column,
+      groupCol: String, cap: Int = 60): DataFrame = {
+    require(cap >= 1 && cap <= 62, s"cap in [1, 62]: $cap")
+    val ca = slice(candToks, 1, cap)
+    val rf = slice(refToks, 1, cap)
+    // match mask of candidate token t over the reference positions
+    def maskOf(t: Column): Column = aggregate(
+      transform(rf, (rt, j) =>
+        when(rt === t, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+    val v = aggregate(ca, lit(0L), (vAcc, t) => {
+      val x = vAcc.bitwiseOR(maskOf(t))
+      val y = shiftleft(vAcc, 1).bitwiseOR(lit(1L))
+      x.bitwiseAND((x - y).bitwiseXOR(lit(-1L)))
+    })
+    val perRow = df.select(col(groupCol).as("g"),
+      call_function("bit_count", v).cast("long").as("lcs"),
+      size(ca).cast("long").as("cl"), size(rf).cast("long").as("rl"))
+    perRow.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("lcs")).as("lcs_len"),
+        sum(col("cl")).as("c_len"), sum(col("rl")).as("r_len"))
+      .withColumn("f1_e6", when(col("c_len") + col("r_len") > 0L,
+        expr("(lcs_len * 2000000L) div (c_len + r_len)")).otherwise(0L))
+  }
+
+  /** Token-level Word Error Rate over the first `cap` tokens of each
+    * side — the ASR/OCR/transcription-pipeline eval metric, and the
+    * edit-similarity the entity-resolution family (q177/q211) uses
+    * lifted to token sequences: WER = Levenshtein(ref, cand) / |ref|.
+    * Per group: n_pairs, Σ distance, Σ candidate len, Σ reference len,
+    * wer_e6 = Σd·10⁶ div Σ|ref| — entirely integer.
+    *
+    * The distance runs BIT-PARALLEL (Myers 1999): the reference packs
+    * into one machine word as match masks and each candidate token
+    * updates the (Pv, Mv) delta vectors with ~10 word ops —
+    * Xh = (((Eq&Pv)+Pv)⊕Pv)|Eq, the horizontal/vertical carry chain —
+    * tracking the exact distance at the pattern boundary bit. cap ≤ 62
+    * keeps the (Eq&Pv)+Pv addition inside a non-overflowing long (both
+    * operands < 2⁶²). O(cap²) bit-ops per row, in-row, zero shuffle
+    * before the |groups|-bounded aggregate. Verified against the
+    * classic O(mn) DP in EvalSpec; the q291 oracle is DuckDB's OWN
+    * independent C levenshtein over a token→byte encoding. */
+  def wer(df: DataFrame, candToks: Column, refToks: Column,
+      groupCol: String, cap: Int = 62): DataFrame = {
+    require(cap >= 1 && cap <= 62, s"cap in [1, 62]: $cap")
+    val ca = slice(candToks, 1, cap)
+    val rf = slice(refToks, 1, cap)
+    def maskOf(t: Column): Column = aggregate(
+      transform(rf, (rt, j) =>
+        when(rt === t, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+    def not_(c: Column): Column = c.bitwiseXOR(lit(-1L))
+    val mMask = call_function("shiftleft", lit(1L), size(rf)) - lit(1L)
+    val hBit = call_function("shiftleft", lit(1L), size(rf) - lit(1))
+    val init = struct(mMask.as("pv"), lit(0L).as("mv"),
+      size(rf).cast("long").as("sc"))
+    val fold = aggregate(ca, init, (acc, t) => {
+      val pv = acc.getField("pv")
+      val mv = acc.getField("mv")
+      val sc = acc.getField("sc")
+      val eq = maskOf(t)
+      val xv = eq.bitwiseOR(mv)
+      val xh = (eq.bitwiseAND(pv) + pv).bitwiseXOR(pv).bitwiseOR(eq)
+      val ph = mv.bitwiseOR(not_(xh.bitwiseOR(pv)))
+      val mh = pv.bitwiseAND(xh)
+      val sc2 = sc +
+        when(ph.bitwiseAND(hBit) =!= 0L, 1L).otherwise(0L) -
+        when(mh.bitwiseAND(hBit) =!= 0L, 1L).otherwise(0L)
+      val ph2 = shiftleft(ph, 1).bitwiseOR(lit(1L))
+      val mh2 = shiftleft(mh, 1)
+      struct(
+        mh2.bitwiseOR(not_(xv.bitwiseOR(ph2))).bitwiseAND(mMask).as("pv"),
+        ph2.bitwiseAND(xv).bitwiseAND(mMask).as("mv"),
+        sc2.as("sc"))
+    })
+    // empty reference degenerates the word machinery (hBit would shift
+    // by −1): the distance is just the candidate length
+    val dist = when(size(rf) === 0, size(ca).cast("long"))
+      .otherwise(fold.getField("sc"))
+    val perRow = df.select(col(groupCol).as("g"), dist.as("dist"),
+      size(ca).cast("long").as("cl"), size(rf).cast("long").as("rl"))
+    perRow.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dist")).as("dist_sum"),
+        sum(col("cl")).as("c_len"), sum(col("rl")).as("r_len"))
+      .withColumn("wer_e6", when(col("r_len") > 0L,
+        expr("(dist_sum * 1000000L) div r_len")).otherwise(0L))
+  }
+
   /** Spearman rank correlation per group between two TOTAL orders —
     * the monotone-association test that Pearson (q213) misses when the
     * relationship is nonlinear, and the rank-agreement metric between

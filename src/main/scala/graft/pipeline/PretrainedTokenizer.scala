@@ -470,6 +470,170 @@ object PretrainedTokenizer {
     enc(text)
   }
 
+  // ---- SentencePiece-BPE byte-fallback checkpoints (the Llama family) ----
+
+  /** A loaded SentencePiece-BPE checkpoint (HF `tokenizer.json`,
+    * `model.type = "BPE"` with `byte_fallback` — the Llama/Mistral
+    * interchange): vocab map, rank-ordered merges, the byte-fallback
+    * flag, and whether the normalizer prepends a sequence-initial ▁
+    * (Llama's `Prepend` step — without honoring it a downloaded
+    * checkpoint's first-word ids would differ from upstream). Unlike
+    * the GPT-2 family there is no byte ALPHABET at the bottom — the
+    * initial symbols are Unicode code points; coverage comes from the
+    * `<0xNN>` byte pieces an unknown code point falls back to. */
+  final case class SpBpe(ids: Map[String, Int], merges: Seq[(String, String)],
+      byteFallback: Boolean, prependSpace: Boolean) extends Serializable {
+    require(ids.nonEmpty, "empty vocabulary")
+    require(merges.nonEmpty, "empty merge list")
+    @transient lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    /** `<0xNN>` piece ids (uppercase hex, the SentencePiece spelling),
+      * −1 where the checkpoint lacks the byte. */
+    @transient lazy val byteIds: Array[Int] =
+      Array.tabulate(256)(b => ids.getOrElse(f"<0x$b%02X>", -1))
+  }
+
+  /** Load the BPE variant of HF `tokenizer.json`. `model.vocab` is a
+    * piece → id map; `model.merges` entries are either "left right"
+    * strings (the common serialization) or [left, right] arrays (the
+    * tokenizers ≥ 0.20 one); `model.byte_fallback` defaults false; the
+    * prepend flag is read from the normalizer tree (a `Prepend` step,
+    * alone or inside a `Sequence`). Non-BPE bundles fail loudly —
+    * `fromTokenizerJson`/`fromUnigramJson` own the other families. */
+  def fromSpBpeJson(json: String): SpBpe = {
+    val root = JsonMethods.parse(json)
+    (root \ "model" \ "type") match {
+      case JString("BPE") => ()
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json model.type must be BPE for this loader, got $other")
+    }
+    val vocab = (root \ "model" \ "vocab") match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(v)) => k -> v.toInt
+        case (k, v) => throw new IllegalArgumentException(s"non-int id for '$k': $v")
+      }.toMap
+      case other => throw new IllegalArgumentException(s"model.vocab not an object: $other")
+    }
+    val merges = (root \ "model" \ "merges") match {
+      case JArray(items) => items.map {
+        case JString(l) =>
+          val sp = l.split(' ')
+          require(sp.length == 2, s"malformed merge '$l'")
+          (sp(0), sp(1))
+        case JArray(JString(a) :: JString(b) :: Nil) => (a, b)
+        case other => throw new IllegalArgumentException(s"malformed merge entry: $other")
+      }
+      case other => throw new IllegalArgumentException(s"model.merges not an array: $other")
+    }
+    val byteFallback = (root \ "model" \ "byte_fallback") match {
+      case JBool(b) => b
+      case _ => false
+    }
+    def hasPrepend(v: JValue): Boolean = v match {
+      case JObject(fields) =>
+        fields.exists { case (k, x) =>
+          (k == "type" && x == JString("Prepend")) || hasPrepend(x) }
+      case JArray(items) => items.exists(hasPrepend)
+      case _ => false
+    }
+    SpBpe(vocab, merges, byteFallback, hasPrepend(root \ "normalizer"))
+  }
+
+  /** Metaspace pre-tokens of `s`: (optional sequence-initial ▁ per the
+    * normalizer) + every space mapped to ▁, split BEFORE each ▁ — so
+    * punctuation stays attached to its word (SentencePiece splits on
+    * whitespace ONLY; the GPT-2 pattern does not apply here) and
+    * non-space whitespace rides INSIDE a pre-token, where — absent
+    * from any real SP vocab — it byte-falls-back exactly like
+    * upstream (a '\n' becomes `<0x0A>`). */
+  private[graft] def spBpePretokens(s: String, m: SpBpe): Array[String] = {
+    val mapped = (if (m.prependSpace) "▁" else "") + s.replace(' ', '▁')
+    if (mapped.isEmpty) Array.empty else mapped.split("(?=▁)")
+  }
+
+  /** One pre-token → pieces: split to CODE-POINT symbols (a surrogate
+    * pair is one symbol), then the same min-rank merge kernel the
+    * trainer and the GPT-2 loader use. */
+  private[graft] def spBpeWord(w: String, m: SpBpe): List[String] = {
+    val syms = List.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms += w.substring(i, i + n)
+      i += n
+    }
+    BpeTokenizer.encodeSymbols(syms.result(), m.ranks)
+  }
+
+  /** Token ids of `s`: vocab id per piece; a single-code-point piece
+    * missing from the vocab byte-falls-back to its UTF-8 `<0xNN>`
+    * pieces (requiring `byte_fallback` AND the byte pieces — absence
+    * of either is a broken checkpoint and fails loudly, as does a
+    * missing MULTI-symbol piece, which a valid checkpoint cannot
+    * produce since merges derive from the vocab). */
+  def spBpeEncodeIds(s: String, m: SpBpe): List[Int] = {
+    if (s == null) return Nil
+    spBpePretokens(s, m).toList.flatMap(w => spBpeWord(w, m)).flatMap { p =>
+      m.ids.get(p) match {
+        case Some(id) => List(id)
+        case None => spBpeFallbackIds(p, m)
+      }
+    }
+  }
+
+  /** Byte-fallback ids of an out-of-vocab piece (single code point by
+    * the merge invariant — a missing multi-symbol piece is a broken
+    * checkpoint). */
+  private def spBpeFallbackIds(p: String, m: SpBpe): List[Int] = {
+    if (p.codePointCount(0, p.length) != 1) throw new IllegalArgumentException(
+      s"merged piece '$p' missing from vocab — broken checkpoint " +
+        "(every merge product of a valid SentencePiece-BPE vocab is a vocab entry)")
+    if (!m.byteFallback) throw new IllegalArgumentException(
+      s"symbol '$p' not in vocab and byte_fallback is off — broken checkpoint")
+    p.getBytes("UTF-8").toList.map { b =>
+      val id = m.byteIds(b & 0xff)
+      if (id < 0) throw new IllegalArgumentException(
+        f"byte piece <0x${b & 0xff}%02X> missing from vocab — broken checkpoint")
+      id
+    }
+  }
+
+  /** Column face: struct<ids: array<int>, n_fallback: int> — the id
+    * array plus how many of its entries came through byte fallback
+    * (the out-of-alphabet audit a multilingual mix monitors: rising
+    * fallback share means the checkpoint's alphabet no longer covers
+    * the corpus). Map-only; checkpoint in the closure, per-pre-token
+    * memo (the documented loopy-kernel exception). */
+  def spBpeEncodeCol(m: SpBpe, text: Column): Column = {
+    val cache = collection.mutable.HashMap.empty[String, (Array[Int], Int)]
+    val enc = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val ids = Array.newBuilder[Int]
+        var nFallback = 0
+        spBpePretokens(s, m).foreach { w =>
+          if (cache.size > (1 << 16)) cache.clear()
+          val (wIds, wFb) = cache.getOrElseUpdate(w, {
+            var fb = 0
+            val out = spBpeWord(w, m).flatMap { p =>
+              m.ids.get(p) match {
+                case Some(id) => List(id)
+                case None =>
+                  val byteIds = spBpeFallbackIds(p, m)
+                  fb += byteIds.size
+                  byteIds
+              }
+            }
+            (out.toArray, fb)
+          })
+          ids ++= wIds; nFallback += wFb
+        }
+        (ids.result(), nFallback)
+      }
+    }
+    enc(text)
+  }
+
   /** Column face: piece strings (for token-level audits). */
   def tokenizeCol(m: HfWordPiece, text: Column): Column = {
     val cache = collection.mutable.HashMap.empty[String, List[String]]

@@ -2366,6 +2366,264 @@ object CurationQueries extends QueryPack {
       }),
 
     Query(
+      "q287_corpus_bleu",
+      "Corpus BLEU (Papineni 2002, unsmoothed sacrebleu semantics) of a simulated lossy " +
+        "reconstruction against its source — the generated-text fidelity audit a distillation " +
+        "or corpus-reconstruction pipeline (q286's family) reads before trusting synthetic " +
+        "data: candidate = the document with every 7th token dropped and every 11th token " +
+        "corrupted (deterministic index arithmetic, both engines derive the identical pair " +
+        "in-row — deletions exercise the brevity penalty, corruptions the n-gram precisions). " +
+        "Per source: the INTEGER sufficient statistics (clipped n-gram matches via the " +
+        "occurrence-index identity — the i-th occurrence of g in the candidate matches iff " +
+        "i < cnt_ref(g) — and n-gram totals, n = 1..4) plus bleu_e6 = BP·exp(Σ ln pₙ/4) " +
+        "through ONE pinned double chain on those integers. MAP-ONLY clipping (O(L²) in-row " +
+        "array ops, L ≤ 100 here), then a 20-row groupBy: at 100 TB the exchange carries ten " +
+        "longs per source, never an n-gram.",
+      (s, dir) => {
+        val rf = filter(split(col("text"), " "), x => x =!= "")
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), rf.as("rf"))
+          .withColumn("ca", filter(
+            transform(col("rf"), (t, i) =>
+              when(i % 11 === 5, concat(t, lit("#"))).otherwise(t)),
+            (t, i) => i % 7 =!= 6))
+        graft.pipeline.Eval.corpusBleu(docs, col("ca"), col("rf"), "source")
+      },
+      Some {
+        def gramCtes(n: Int): String =
+          s"""g$n AS (SELECT source,
+             |  list_transform(generate_series(1, len(ca)-$n+1), i -> array_to_string(list_slice(ca, i, i+$n-1), chr(1))) AS cg,
+             |  list_transform(generate_series(1, len(rf)-$n+1), i -> array_to_string(list_slice(rf, i, i+$n-1), chr(1))) AS rg
+             |  FROM pair),
+             |c$n AS (SELECT source, len(cg) AS tot,
+             |  len(list_filter(cg, (g, i) -> len(list_filter(list_slice(cg, 1, i-1), x -> x = g)) < len(list_filter(rg, x -> x = g)))) AS clip
+             |  FROM g$n),
+             |a$n AS (SELECT source, CAST(sum(clip) AS BIGINT) AS clip$n, CAST(sum(tot) AS BIGINT) AS tot$n FROM c$n GROUP BY 1)""".stripMargin
+        val lnSum = (1 to 4)
+          .map(n => s"ln(CAST(clip$n AS DOUBLE) / CAST(tot$n AS DOUBLE))")
+          .mkString(" + ")
+        val anyZero = (Seq("c_len = 0", "r_len = 0") ++
+          (1 to 4).flatMap(n => Seq(s"clip$n = 0", s"tot$n = 0"))).mkString(" OR ")
+        s"""WITH toks AS (SELECT doc_id, source, $toksSql AS rf FROM documents),
+           |pair AS (SELECT source, rf,
+           |  list_filter(list_transform(rf, (t, i) -> CASE WHEN (i-1) % 11 = 5 THEN t || '#' ELSE t END),
+           |              (t, i) -> (i-1) % 7 != 6) AS ca FROM toks),
+           |lens AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(len(ca)) AS BIGINT) AS c_len,
+           |  CAST(sum(len(rf)) AS BIGINT) AS r_len FROM pair GROUP BY 1),
+           |${(1 to 4).map(gramCtes).mkString(",\n")},
+           |j AS (SELECT * FROM lens JOIN a1 USING (source) JOIN a2 USING (source) JOIN a3 USING (source) JOIN a4 USING (source))
+           |SELECT source, n_pairs, c_len, r_len, clip1, tot1, clip2, tot2, clip3, tot3, clip4, tot4,
+           |  CASE WHEN $anyZero THEN CAST(0 AS BIGINT) ELSE
+           |    CAST(floor((CASE WHEN c_len >= r_len THEN CAST(1.0 AS DOUBLE) ELSE exp(CAST(1.0 AS DOUBLE) - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END)
+           |      * exp(($lnSum) / CAST(4 AS DOUBLE))
+           |      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS bleu_e6
+           |FROM j""".stripMargin
+      }),
+
+    Query(
+      "q288_rouge_l",
+      "ROUGE-L (Lin 2004) of the same lossy-reconstruction pair as q287 over the first 60 " +
+        "tokens of each side — the ORDER-SENSITIVE fidelity metric (BLEU's n-gram bags can't " +
+        "see transpositions; LCS can): per source n_pairs, Σ LCS, candidate/reference token " +
+        "totals, and the micro-averaged F1, which at β = 1 collapses to the ENTIRELY-integer " +
+        "f1_e6 = 2·ΣLCS·10⁶ div (ΣC + ΣR) — no doubles anywhere. The engine runs LCS " +
+        "BIT-PARALLEL (Allison-Dix 1986): the reference window packs into ONE machine word " +
+        "and each candidate token is three boolean ops and a borrow-propagating subtraction " +
+        "(V ← x & ¬(x−((V≪1)|1)), x = V|M[t]), popcount at the end — O(cap²) bit-ops per row, " +
+        "in-row, zero shuffle before the 20-row aggregate (the 100 TB shape: fixed work per " +
+        "row inside the scan). The oracle replays the CLASSIC O(mn) grid instead — a " +
+        "recursive CTE carries the DP row as a list, each step rebuilt by the running-max " +
+        "identity dp[i][j] = max_{k≤j} max(dp[i−1][k], match_k) (exact because dp is monotone " +
+        "with unit steps) — so two genuinely different LCS algorithms must meet on every sum.",
+      (s, dir) => {
+        val rf = filter(split(col("text"), " "), x => x =!= "")
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), rf.as("rf"))
+          .withColumn("ca", filter(
+            transform(col("rf"), (t, i) =>
+              when(i % 11 === 5, concat(t, lit("#"))).otherwise(t)),
+            (t, i) => i % 7 =!= 6))
+        graft.pipeline.Eval.rougeL(docs, col("ca"), col("rf"), "source", cap = 60)
+      },
+      Some {
+        s"""WITH RECURSIVE toks AS (SELECT doc_id, source, $toksSql AS rf0 FROM documents),
+           |pair AS (SELECT doc_id, source,
+           |  list_slice(list_filter(list_transform(rf0, (t, i) -> CASE WHEN (i-1) % 11 = 5 THEN t || '#' ELSE t END),
+           |              (t, i) -> (i-1) % 7 != 6), 1, 60) AS ca,
+           |  list_slice(rf0, 1, 60) AS rf FROM toks),
+           |dp(doc_id, i, row) AS (
+           |  SELECT doc_id, 0, list_transform(rf, x -> 0) FROM pair
+           |  UNION ALL
+           |  SELECT dp.doc_id, dp.i + 1,
+           |    list_transform(generate_series(1, len(p.rf)), j -> list_max(list_slice(
+           |      list_transform(generate_series(1, len(p.rf)), k -> greatest(dp.row[k],
+           |        CASE WHEN p.rf[k] = p.ca[dp.i + 1] THEN coalesce(dp.row[k - 1], 0) + 1 ELSE 0 END)),
+           |      1, j)))
+           |  FROM dp JOIN pair p USING (doc_id) WHERE dp.i < len(p.ca)),
+           |fin AS (SELECT p.doc_id, p.source, len(p.ca) AS cl, len(p.rf) AS rl,
+           |  CASE WHEN len(p.rf) = 0 OR len(p.ca) = 0 THEN 0 ELSE coalesce(d.row[len(p.rf)], 0) END AS lcs
+           |  FROM pair p JOIN dp d ON d.doc_id = p.doc_id AND d.i = len(p.ca)),
+           |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(lcs) AS BIGINT) AS lcs_len,
+           |  CAST(sum(cl) AS BIGINT) AS c_len, CAST(sum(rl) AS BIGINT) AS r_len FROM fin GROUP BY 1)
+           |SELECT source, n_pairs, lcs_len, c_len, r_len,
+           |  CAST(CASE WHEN c_len + r_len > 0 THEN (lcs_len * 2000000) // (c_len + r_len) ELSE 0 END AS BIGINT) AS f1_e6
+           |FROM ag""".stripMargin
+      }),
+
+    Query(
+      "q290_chrf",
+      "chrF2 (Popović 2015, β = 2 — the sacrebleu default) of the q287 lossy-reconstruction " +
+        "pair — the CHARACTER-level member of the standard MT-eval triple: BLEU's word " +
+        "n-grams score a corrupted token zero, chrF still credits its surviving characters " +
+        "(morphology-robust, tokenization-free). All whitespace removed per the chrF " +
+        "convention; per source the exact-long clipped char-n-gram matches and both totals " +
+        "for n = 1..6, then chrf2_e6 = 5·P̄·R̄/(4·P̄+R̄) over the order-averaged precision/" +
+        "recall in ONE pinned double chain (empty orders contribute 0 and still divide by 6 — " +
+        "part of the operator contract). Same 100 TB shape as q287: in-row clipping via the " +
+        "occurrence-index identity, a 20-row exchange of twenty longs. The oracle deliberately " +
+        "flips formulations: unnest-and-COUNT per (doc, gram, side), Σ least(cc, cr) — the " +
+        "multiset-min definition itself — so the in-row identity is proven against the " +
+        "textbook form.",
+      (s, dir) => {
+        val rf = filter(split(col("text"), " "), x => x =!= "")
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("text"), rf.as("rf"))
+          .withColumn("ca", filter(
+            transform(col("rf"), (t, i) =>
+              when(i % 11 === 5, concat(t, lit("#"))).otherwise(t)),
+            (t, i) => i % 7 =!= 6))
+        graft.pipeline.Eval.chrF(docs,
+          array_join(col("ca"), " "), col("text"), "source")
+      },
+      Some {
+        def orderCte(n: Int): String =
+          s"""u$n AS (SELECT doc_id, source, 'c' AS side, unnest(list_transform(generate_series(1, len(cs)-$n+1), i -> substr(cs, i, $n))) AS g FROM pr
+             |  UNION ALL SELECT doc_id, source, 'r', unnest(list_transform(generate_series(1, len(rs)-$n+1), i -> substr(rs, i, $n))) FROM pr),
+             |cnt$n AS (SELECT doc_id, source, g,
+             |    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+             |    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr
+             |  FROM u$n GROUP BY 1, 2, 3),
+             |a$n AS (SELECT source, CAST(sum(least(cc, cr)) AS BIGINT) AS clip$n,
+             |    CAST(sum(cc) AS BIGINT) AS totc$n, CAST(sum(cr) AS BIGINT) AS totr$n
+             |  FROM cnt$n GROUP BY 1)""".stripMargin
+        def avg(tot: String): String = "(" + (1 to 6).map(n =>
+          s"(CASE WHEN $tot$n = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(clip$n AS DOUBLE) / CAST($tot$n AS DOUBLE) END)")
+          .mkString(" + ") + ") / CAST(6 AS DOUBLE)"
+        s"""WITH toks AS (SELECT doc_id, source, $toksSql AS rf FROM documents),
+           |pr AS (SELECT doc_id, source,
+           |  array_to_string(list_filter(list_transform(rf, (t, i) -> CASE WHEN (i-1) % 11 = 5 THEN t || '#' ELSE t END),
+           |              (t, i) -> (i-1) % 7 != 6), '') AS cs,
+           |  array_to_string(rf, '') AS rs FROM toks),
+           |lens AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(len(cs)) AS BIGINT) AS c_chars,
+           |  CAST(sum(len(rs)) AS BIGINT) AS r_chars FROM pr GROUP BY 1),
+           |${(1 to 6).map(orderCte).mkString(",\n")},
+           |j AS (SELECT * FROM lens JOIN a1 USING (source) JOIN a2 USING (source) JOIN a3 USING (source)
+           |  JOIN a4 USING (source) JOIN a5 USING (source) JOIN a6 USING (source))
+           |SELECT source, n_pairs, c_chars, r_chars,
+           |  clip1, totc1, totr1, clip2, totc2, totr2, clip3, totc3, totr3,
+           |  clip4, totc4, totr4, clip5, totc5, totr5, clip6, totc6, totr6,
+           |  CASE WHEN CAST(4.0 AS DOUBLE) * (${avg("totc")}) + (${avg("totr")}) = CAST(0.0 AS DOUBLE) THEN CAST(0 AS BIGINT) ELSE
+           |    CAST(floor(CAST(5.0 AS DOUBLE) * (${avg("totc")}) * (${avg("totr")}) / (CAST(4.0 AS DOUBLE) * (${avg("totc")}) + (${avg("totr")}))
+           |      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS chrf2_e6
+           |FROM j""".stripMargin
+      }),
+
+    Query(
+      "q291_wer",
+      "Token-level Word Error Rate of the q287 lossy-reconstruction pair over the first 62 " +
+        "tokens of each side — the ASR/OCR eval metric, completing the fidelity quartet " +
+        "(BLEU precision bags, ROUGE-L order, chrF characters, WER exact edit operations): " +
+        "per source n_pairs, Σ Levenshtein distance, token totals, and the entirely-integer " +
+        "wer_e6 = Σd·10⁶ div Σ|ref|. The engine runs Myers' 1999 BIT-PARALLEL edit distance " +
+        "— the reference window packs into ONE machine word and each candidate token is ~10 " +
+        "word ops on the (Pv, Mv) delta vectors, exact distance tracked at the boundary bit " +
+        "— in-row, zero shuffle before the 20-row aggregate. The oracle could not be more " +
+        "independent: each doc's token sequence encodes to a BYTE string through a dense " +
+        "vocab rank (62 distinct tokens fit single-byte codepoints, which DuckDB's levenshtein " +
+        "— an unrelated C implementation of the classic DP — measures byte-wise), so the " +
+        "bit-parallel scores must match a stock library function it shares zero code with.",
+      (s, dir) => {
+        val rf = filter(split(col("text"), " "), x => x =!= "")
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), rf.as("rf"))
+          .withColumn("ca", filter(
+            transform(col("rf"), (t, i) =>
+              when(i % 11 === 5, concat(t, lit("#"))).otherwise(t)),
+            (t, i) => i % 7 =!= 6))
+        graft.pipeline.Eval.wer(docs, col("ca"), col("rf"), "source", cap = 62)
+      },
+      Some {
+        s"""WITH toks AS (SELECT doc_id, source, $toksSql AS rf0 FROM documents),
+           |pr AS (SELECT doc_id, source,
+           |  list_slice(list_filter(list_transform(rf0, (t, i) -> CASE WHEN (i-1) % 11 = 5 THEN t || '#' ELSE t END),
+           |              (t, i) -> (i-1) % 7 != 6), 1, 62) AS ca,
+           |  list_slice(rf0, 1, 62) AS rf FROM toks),
+           |vocab AS (SELECT t, row_number() OVER (ORDER BY t) AS tid FROM
+           |  (SELECT DISTINCT unnest(ca) AS t FROM pr UNION SELECT DISTINCT unnest(rf) FROM pr)),
+           |ec AS (SELECT p.doc_id, coalesce(string_agg(chr(32 + CAST(v.tid AS INTEGER)), '' ORDER BY u.i), '') AS cs
+           |  FROM pr p LEFT JOIN (SELECT doc_id, unnest(ca) AS t, generate_subscripts(ca, 1) AS i FROM pr) u USING (doc_id)
+           |  LEFT JOIN vocab v USING (t) GROUP BY 1),
+           |er AS (SELECT p.doc_id, coalesce(string_agg(chr(32 + CAST(v.tid AS INTEGER)), '' ORDER BY u.i), '') AS rs
+           |  FROM pr p LEFT JOIN (SELECT doc_id, unnest(rf) AS t, generate_subscripts(rf, 1) AS i FROM pr) u USING (doc_id)
+           |  LEFT JOIN vocab v USING (t) GROUP BY 1),
+           |d AS (SELECT p.doc_id, p.source, len(p.ca) AS cl, len(p.rf) AS rl,
+           |  CAST(levenshtein(er.rs, ec.cs) AS BIGINT) AS dist
+           |  FROM pr p JOIN ec USING (doc_id) JOIN er USING (doc_id)),
+           |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(dist) AS BIGINT) AS dist_sum,
+           |  CAST(sum(cl) AS BIGINT) AS c_len, CAST(sum(rl) AS BIGINT) AS r_len FROM d GROUP BY 1)
+           |SELECT source, n_pairs, dist_sum, c_len, r_len,
+           |  CAST(CASE WHEN r_len > 0 THEN (dist_sum * 1000000) // r_len ELSE 0 END AS BIGINT) AS wer_e6
+           |FROM ag""".stripMargin
+      }),
+
+    Query(
+      "q289_spbpe_pretrained",
+      "SentencePiece-BPE byte-fallback pretrained checkpoint replay (PretrainedTokenizer" +
+        ".fromSpBpeJson — the LLAMA-family interchange, completing the loader QUARTET: " +
+        "WordPiece q279, byte-level BPE q282, Unigram q283, SP-BPE here): a pinned Llama-shaped " +
+        "tokenizer.json (model.type BPE, byte_fallback true, the full <0x00>..<0xFF> byte " +
+        "alphabet at ids 0..255, ▁-aware merges, a Prepend-▁ normalizer the loader must honor " +
+        "or first-word ids diverge from upstream) drives Metaspace pre-tokenization — " +
+        "whitespace-only splits, unlike GPT-2's pattern — then the SAME min-rank merge kernel, " +
+        "over CODE-POINT initial symbols. The letter 'q' is deliberately absent from the base " +
+        "alphabet, so the corpus' own rarest letter exercises the byte-fallback path (871 " +
+        "<0x71> emissions at sf0.01) under the oracle; per source: token totals, the fallback " +
+        "count (the out-of-alphabet audit a multilingual mix monitors), and the checkpoint's " +
+        "OWN id checksum. Map-only. The oracle replays merges as sequential per-rank replaces " +
+        "(the q123 rank-monotonicity argument) and resolves fallback pieces by joining the " +
+        "vocab literal on the '<0x'||hex(byte)||'>' spelling.",
+      (s, dir) => {
+        import s.implicits._
+        val st = graft.pipeline.PretrainedTokenizer.spBpeEncodeCol(pinnedSpBpe, col("text"))
+        Tables.documents(s, dir)
+          .select(col("source"), st.as("st"))
+          .groupBy($"source")
+          .agg(sum(size($"st._1")).cast("long").as("n_tokens"),
+            sum($"st._2").cast("long").as("n_fallback"),
+            sum(aggregate($"st._1", lit(0L), (a, x) => a + x)).as("id_checksum"))
+      },
+      Some {
+        def sq(x: String) = x.replace("'", "''")
+        val enc = pinnedSpBpeMerges.foldLeft(
+          "regexp_replace(w, '(.)', '|\\1|', 'g')") {
+          case (e, (a, b)) => s"replace($e, '|${sq(a)}||${sq(b)}|', '|${sq(a + b)}|')"
+        }
+        val vocabVals = pinnedSpBpePieces.zipWithIndex
+          .map { case (p, i) => s"('${sq(p)}', $i)" }.mkString(", ")
+        s"""WITH pt AS (SELECT source, '▁' || unnest(string_split(text, ' ')) AS w FROM documents),
+           |enc AS (SELECT source, $enc AS s FROM pt),
+           |tk AS (SELECT source, unnest(string_split(trim(s, '|'), '||')) AS piece FROM enc),
+           |vocab(piece, id) AS (VALUES $vocabVals),
+           |rs AS (SELECT tk.source, v.id AS vid, bv.id AS bid
+           |       FROM tk LEFT JOIN vocab v USING (piece)
+           |       LEFT JOIN vocab bv ON bv.piece = '<0x' || upper(to_hex(ascii(tk.piece))) || '>')
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback,
+           |  CAST(sum(coalesce(vid, bid)) AS BIGINT) AS id_checksum
+           |FROM rs GROUP BY 1""".stripMargin
+      }),
+
+    Query(
       "q249_warc_pipeline",
       "Raw-WARC ingestion end-to-end: the engine's own DataSource V2 reads the Common-Crawl-layout fixture (one gzip member per record, byte-range splits resynchronized at member boundaries — graft.sources.Warc), keeps response+conversion records, drops HTTP envelope headers, strips HTML (q146 chain), language-IDs, and aggregates per (warc_type, lang). The DuckDB oracle replays the identical text chain from the INDEPENDENTLY-derived parquet twin of the same records (never from the WARC bytes), so equality proves the archive decode: gzip member walking, header parsing, Content-Length framing, payload bytes. At 100 TB this is the CC ingest shape: map-only from the scan to one lang-bounded groupBy.",
       (s, _) =>
@@ -2759,6 +3017,42 @@ object CurationQueries extends QueryPack {
     val mergesTxt = "#version: 0.2\n" +
       pinnedGpt2Merges.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n"
     graft.pipeline.PretrainedTokenizer.fromGpt2(vocabJson, mergesTxt)
+  }
+
+  /** q289's pinned SentencePiece-BPE merges (rank order, training
+    * invariant: every operand exists from bases or earlier merges —
+    * which licenses the oracle's sequential per-rank replace replay). */
+  private[graft] val pinnedSpBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "▁" -> "the",
+    "j" -> "o", "jo" -> "i", "joi" -> "n", "▁" -> "join",
+    "s" -> "o", "so" -> "r", "sor" -> "t", "▁" -> "sort",
+    "d" -> "a", "da" -> "t", "dat" -> "a", "▁" -> "data")
+
+  /** q289's vocab in id order: the full <0x00>..<0xFF> byte alphabet
+    * first (ids 0..255, the Llama layout), then the base symbols with
+    * 'q' DELIBERATELY absent (the corpus' rarest letter must travel
+    * the byte-fallback path), then the merge products. */
+  private[graft] val pinnedSpBpePieces: Seq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>") ++
+      ("▁" +: ('a' to 'z').filter(_ != 'q').map(_.toString)) ++
+      pinnedSpBpeMerges.map { case (a, b) => a + b }
+
+  /** q289's pinned checkpoint, loaded through the SAME
+    * [[graft.pipeline.PretrainedTokenizer.fromSpBpeJson]] path a
+    * downloaded Llama/Mistral `tokenizer.json` takes — including the
+    * Prepend-▁ normalizer the loader must detect. */
+  private[graft] lazy val pinnedSpBpe: graft.pipeline.PretrainedTokenizer.SpBpe = {
+    val vocabJson = pinnedSpBpePieces.zipWithIndex
+      .map { case (p, i) => s""""$p": $i""" }.mkString("{", ", ", "}")
+    val mergesJson = pinnedSpBpeMerges
+      .map { case (a, b) => s""""$a $b"""" }.mkString("[", ", ", "]")
+    val json =
+      s"""{"normalizer": {"type": "Sequence", "normalizers": [
+         |  {"type": "Prepend", "prepend": "▁"},
+         |  {"type": "Replace", "pattern": {"String": " "}, "content": "▁"}]},
+         | "model": {"type": "BPE", "byte_fallback": true,
+         |  "vocab": $vocabJson, "merges": $mergesJson}}""".stripMargin
+    graft.pipeline.PretrainedTokenizer.fromSpBpeJson(json)
   }
 
   /** Shared CTE prefix of the q279/q280 oracles: the pinned vocab as

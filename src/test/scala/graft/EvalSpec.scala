@@ -258,4 +258,162 @@ class EvalSpec extends AnyFunSuite {
     val want = math.floor((2.0 * ix - (n + 1.0) * tot) / (n * tot) * 1e6 + 0.5).toLong
     assert(run(xs)._3 == want)
   }
+
+  private def bruteLcs(a: Seq[String], b: Seq[String]): Long = {
+    val n = b.length
+    var prev = Array.fill(n + 1)(0)
+    for (x <- a) {
+      val cur = Array.fill(n + 1)(0)
+      for (j <- 1 to n)
+        cur(j) = if (b(j - 1) == x) prev(j - 1) + 1
+        else math.max(prev(j), cur(j - 1))
+      prev = cur
+    }
+    prev(n).toLong
+  }
+
+  test("rougeL: bit-parallel LCS equals the classic DP grid on random pairs") {
+    val rng = new scala.util.Random(17)
+    // small alphabet forces heavy repeats — the regime where a wrong
+    // borrow chain would first diverge; lengths hit the cap boundary
+    val rows = (0 until 300).map { i =>
+      val la = rng.nextInt(63)
+      val lb = rng.nextInt(63)
+      (i.toLong,
+        Seq.fill(la)("t" + rng.nextInt(4)),
+        Seq.fill(lb)("t" + rng.nextInt(4)))
+    }
+    val got = Eval.rougeL(rows.toDF("id", "ca", "rf"), col("ca"), col("rf"), "id", cap = 62)
+      .select(col("id"), col("lcs_len")).as[(Long, Long)].collect().toMap
+    for ((id, ca, rf) <- rows)
+      assert(got(id) == bruteLcs(ca, rf), s"row $id: ${ca.mkString(",")} vs ${rf.mkString(",")}")
+  }
+
+  test("rougeL: identity, disjoint, empty, and cap edges") {
+    def one(ca: Seq[String], rf: Seq[String], cap: Int = 60): (Long, Long, Long, Long) =
+      Eval.rougeL(Seq((1L, ca, rf)).toDF("id", "ca", "rf"), col("ca"), col("rf"), "id", cap)
+        .select(col("lcs_len"), col("c_len"), col("r_len"), col("f1_e6"))
+        .as[(Long, Long, Long, Long)].head()
+    val xs = (0 until 40).map("w" + _)
+    assert(one(xs, xs) == ((40L, 40L, 40L, 1000000L)))
+    assert(one(xs, xs.map(_ + "z")) == ((0L, 40L, 40L, 0L)))
+    assert(one(Nil, xs) == ((0L, 0L, 40L, 0L)))
+    assert(one(Nil, Nil) == ((0L, 0L, 0L, 0L)))
+    // truncation: only the first cap tokens participate on both sides
+    val long = (0 until 80).map("w" + _)
+    assert(one(long, long, cap = 62) == ((62L, 62L, 62L, 1000000L)))
+    // a transposition LCS sees but n-gram bags would not
+    assert(one(Seq("a", "b", "c", "d"), Seq("a", "c", "b", "d"))._1 == 3L)
+  }
+
+  test("corpusBleu: clipped counts match the multiset-min definition") {
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        Seq.fill(rng.nextInt(30))("t" + rng.nextInt(3)),
+        Seq.fill(rng.nextInt(30))("t" + rng.nextInt(3)))
+    }
+    val got = Eval.corpusBleu(rows.toDF("id", "ca", "rf"), col("ca"), col("rf"), "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, ca, rf) <- rows; n <- 1 to 4) {
+      val cg = ca.sliding(n).filter(_.size == n).toSeq
+      val rg = rf.sliding(n).filter(_.size == n).toSeq.groupBy(identity).map { case (g, o) => (g, o.size) }
+      val clip = cg.groupBy(identity)
+        .map { case (g, o) => math.min(o.size, rg.getOrElse(g, 0)) }.sum.toLong
+      val r = got(id)
+      assert(r.getAs[Long](s"clip$n") == clip, s"row $id n=$n")
+      assert(r.getAs[Long](s"tot$n") == cg.size.toLong, s"row $id n=$n tot")
+    }
+  }
+
+  private def bruteLev(a: Seq[String], b: Seq[String]): Long = {
+    val n = b.length
+    var prev = (0 to n).toArray
+    for ((x, i) <- a.zipWithIndex) {
+      val cur = Array.fill(n + 1)(0)
+      cur(0) = i + 1
+      for (j <- 1 to n)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (b(j - 1) == x) 0 else 1))
+      prev = cur
+    }
+    prev(n).toLong
+  }
+
+  test("wer: Myers bit-parallel distance equals the classic DP on random pairs") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 300).map { i =>
+      (i.toLong,
+        Seq.fill(rng.nextInt(63))("t" + rng.nextInt(4)),
+        Seq.fill(rng.nextInt(63))("t" + rng.nextInt(4)))
+    }
+    // dist(ref, cand): pattern is the REFERENCE side
+    val got = Eval.wer(rows.toDF("id", "ca", "rf"), col("ca"), col("rf"), "id", cap = 62)
+      .select(col("id"), col("dist_sum")).as[(Long, Long)].collect().toMap
+    for ((id, ca, rf) <- rows)
+      assert(got(id) == bruteLev(rf, ca), s"row $id")
+  }
+
+  test("wer: identity, pure deletion/insertion/substitution, empty-ref and cap edges") {
+    def one(ca: Seq[String], rf: Seq[String]): (Long, Long) =
+      Eval.wer(Seq((1L, ca, rf)).toDF("id", "ca", "rf"), col("ca"), col("rf"), "id", cap = 62)
+        .select(col("dist_sum"), col("wer_e6")).as[(Long, Long)].head()
+    val xs = (0 until 40).map("w" + _)
+    assert(one(xs, xs) == ((0L, 0L)))
+    assert(one(xs.take(30), xs) == ((10L, 250000L)))          // deletions
+    assert(one(xs ++ Seq("a", "b"), xs) == ((2L, 50000L)))    // insertions
+    assert(one(xs.updated(5, "zz"), xs)._1 == 1L)             // substitution
+    assert(one(xs, Nil) == ((40L, 0L)))                       // empty ref: d = |cand|, rate pinned 0
+    assert(one(Nil, Nil) == ((0L, 0L)))
+    // beyond the cap both sides truncate identically
+    val long = (0 until 80).map("w" + _)
+    assert(one(long, long) == ((0L, 0L)))
+  }
+
+  test("chrF: stats match brute multiset-min; identity = 1e6; whitespace stripped; empty edges") {
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 120).map { i =>
+      (i.toLong,
+        Seq.fill(rng.nextInt(40))(('a' + rng.nextInt(3)).toChar).mkString,
+        Seq.fill(rng.nextInt(40))(('a' + rng.nextInt(3)).toChar).mkString)
+    }
+    val got = Eval.chrF(rows.toDF("id", "ca", "rf"), col("ca"), col("rf"), "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, cs, rs) <- rows; n <- 1 to 6) {
+      val cg = cs.sliding(n).filter(_.length == n).toSeq
+      val rg = rs.sliding(n).filter(_.length == n).toSeq
+        .groupBy(identity).map { case (g, o) => (g, o.size) }
+      val clip = cg.groupBy(identity)
+        .map { case (g, o) => math.min(o.size, rg.getOrElse(g, 0)) }.sum.toLong
+      val r = got(id)
+      assert(r.getAs[Long](s"clip$n") == clip, s"row $id n=$n")
+      assert(r.getAs[Long](s"totc$n") == cg.size.toLong, s"row $id n=$n")
+      assert(r.getAs[Long](s"totr$n") == rs.sliding(n).count(_.length == n).toLong, s"row $id n=$n")
+    }
+    def one(ca: String, rf: String): Long =
+      Eval.chrF(Seq((1L, ca, rf)).toDF("id", "ca", "rf"), col("ca"), col("rf"), "id")
+        .select(col("chrf2_e6")).as[Long].head()
+    assert(one("the fast sort", "the fast sort") == 1000000L)
+    // whitespace is invisible to chrF
+    assert(one("thefastsort", "the fast sort") == 1000000L)
+    assert(one("", "abc") == 0L)
+    assert(one("", "") == 0L)
+    // character credit survives a corrupted token: chrF > 0 where
+    // every word 4-gram bag would be empty
+    assert(one("sorx", "sort") > 0L)
+  }
+
+  test("corpusBleu: identity pair scores 1e6; deletions pay the brevity penalty; any pn=0 zeroes") {
+    def one(ca: Seq[String], rf: Seq[String]): Long =
+      Eval.corpusBleu(Seq((1L, ca, rf)).toDF("id", "ca", "rf"), col("ca"), col("rf"), "id")
+        .select(col("bleu_e6")).as[Long].head()
+    val xs = (0 until 32).map("w" + _)
+    assert(one(xs, xs) == 1000000L)
+    // candidate = first half of reference: p_n = 1 for all n, so
+    // BLEU = BP exactly = exp(1 - 32/16)
+    assert(one(xs.take(16), xs) == math.floor(math.exp(1.0 - 2.0) * 1e6 + 0.5).toLong)
+    // too short for any 4-gram match => unsmoothed BLEU is 0
+    assert(one(xs.take(3), xs) == 0L)
+    assert(one(Nil, xs) == 0L)
+  }
 }

@@ -199,7 +199,7 @@ class PretrainedTokenizerSpec extends AnyFunSuite {
     val samples = Seq(
       "join the queue", " café, dös & 博推!", "tabs\tand\nnewlines\r\n",
       "a   b  c", "emoji 🙂 and combining é́", "", " ", "   ",
-      "ASCII only.", "ünïcödé éverywhére", "null byte")
+      "ASCII only.", "ünïcödé éverywhére", "null\u0000byte")
     samples.foreach { s =>
       assert(gpt2Decode(gpt2EncodeIds(s, m), m) == s, s"round-trip: '$s'")
     }
@@ -243,5 +243,105 @@ class PretrainedTokenizerSpec extends AnyFunSuite {
       assert(pieces == PretrainedTokenizer.tokenize(t, m0), t)
       assert(ids == PretrainedTokenizer.encodeIds(t, m0), t)
     }
+  }
+
+  // ---- SentencePiece-BPE byte-fallback (the Llama family, q289) ----
+
+  private def spBpeJson(byteFallback: Boolean = true, prepend: Boolean = true,
+      mergesAsArrays: Boolean = false, dropBytes: Boolean = false): String = {
+    val merges = Seq("t h", "th e", "\u2581 the")
+    val mergeJson =
+      if (mergesAsArrays) merges.map { m =>
+        val Array(a, b) = m.split(' '); s"""["$a", "$b"]"""
+      }.mkString("[", ", ", "]")
+      else merges.map(m => s""""$m"""").mkString("[", ", ", "]")
+    val bytes = if (dropBytes) Nil else (0 until 256).map(b => f"<0x$b%02X>")
+    val pieces = bytes ++ Seq("\u2581", "t", "h", "e", "o", "r", "y", "th", "the", "\u2581the")
+    val vocab = pieces.zipWithIndex.map { case (pc, i) => s""""$pc": $i""" }.mkString("{", ", ", "}")
+    val norm = if (prepend)
+      """"normalizer": {"type": "Sequence", "normalizers": [{"type": "Prepend", "prepend": "\u2581"}]},"""
+    else ""
+    s"""{$norm "model": {"type": "BPE", "byte_fallback": $byteFallback, "vocab": $vocab, "merges": $mergeJson}}"""
+  }
+
+  test("fromSpBpeJson: loads both merge serializations, reads byte_fallback and the Prepend normalizer") {
+    val m = PretrainedTokenizer.fromSpBpeJson(spBpeJson())
+    assert(m.byteFallback && m.prependSpace)
+    assert(m.merges == Seq("t" -> "h", "th" -> "e", "\u2581" -> "the"))
+    val m2 = PretrainedTokenizer.fromSpBpeJson(spBpeJson(mergesAsArrays = true, prepend = false))
+    assert(m2.merges == m.merges && !m2.prependSpace)
+    val e = intercept[IllegalArgumentException] {
+      PretrainedTokenizer.fromSpBpeJson("""{"model": {"type": "Unigram", "vocab": [], "merges": []}}""")
+    }
+    assert(e.getMessage.contains("model.type"))
+  }
+
+  test("spBpe: Metaspace + prepend + merges produce the checkpoint's ids; whitespace-only splits") {
+    val m = PretrainedTokenizer.fromSpBpeJson(spBpeJson())
+    def id(p: String): Int = m.ids(p)
+    // "the theory" -> [\u2581the] ++ [\u2581the, o, r, y]
+    assert(PretrainedTokenizer.spBpeEncodeIds("the theory", m) ==
+      List(id("\u2581the"), id("\u2581the"), id("o"), id("r"), id("y")))
+    // no prepend: first word carries no \u2581 and 't','h','e' merge to "the"
+    val m2 = PretrainedTokenizer.fromSpBpeJson(spBpeJson(prepend = false))
+    assert(PretrainedTokenizer.spBpeEncodeIds("the", m2) == List(id("the")))
+    // punctuation stays attached to the word (no GPT-2-style split):
+    // "the." -> symbols ..., '.' falls back to <0x2E>
+    assert(PretrainedTokenizer.spBpeEncodeIds("the.", m) ==
+      List(id("\u2581the"), id("<0x2E>")))
+  }
+
+  test("spBpe byte fallback: multi-byte UTF-8, surrogate pairs, and raw newlines") {
+    val m = PretrainedTokenizer.fromSpBpeJson(spBpeJson())
+    // e-acute: 2 UTF-8 bytes
+    assert(PretrainedTokenizer.spBpeEncodeIds("\u00e9", m) ==
+      List(m.ids("\u2581"), m.ids("<0xC3>"), m.ids("<0xA9>")))
+    // an astral-plane emoji is ONE symbol (code point), 4 fallback bytes
+    assert(PretrainedTokenizer.spBpeEncodeIds("\ud83c\udf89", m) ==
+      List(m.ids("\u2581"), m.ids("<0xF0>"), m.ids("<0x9F>"), m.ids("<0x8E>"), m.ids("<0x89>")))
+    // a newline rides INSIDE the pre-token and byte-falls-back like upstream
+    assert(PretrainedTokenizer.spBpeEncodeIds("t\nt", m) ==
+      List(m.ids("\u2581"), m.ids("t"), m.ids("<0x0A>"), m.ids("t")))
+  }
+
+  test("spBpe loud-fail contract: fallback off, byte pieces missing") {
+    val noFb = PretrainedTokenizer.fromSpBpeJson(spBpeJson(byteFallback = false))
+    val e1 = intercept[IllegalArgumentException] {
+      PretrainedTokenizer.spBpeEncodeIds("q", noFb)
+    }
+    assert(e1.getMessage.contains("byte_fallback is off"))
+    val noBytes = PretrainedTokenizer.fromSpBpeJson(spBpeJson(dropBytes = true))
+    val e2 = intercept[IllegalArgumentException] {
+      PretrainedTokenizer.spBpeEncodeIds("q", noBytes)
+    }
+    assert(e2.getMessage.contains("missing from vocab"))
+  }
+
+  test("spBpeEncodeCol: struct parity with the driver encode + exact fallback count") {
+    val m = PretrainedTokenizer.fromSpBpeJson(spBpeJson())
+    val texts = Seq("the theory", "the.", "t\nt", "", "hey there")
+    val got = texts.toDF("t")
+      .select(PretrainedTokenizer.spBpeEncodeCol(m, col("t")).as("st"))
+      .select(col("st._1"), col("st._2")).as[(Seq[Int], Int)].collect()
+    texts.zip(got).foreach { case (t, (ids, nFb)) =>
+      val want = PretrainedTokenizer.spBpeEncodeIds(t, m)
+      assert(ids == want, t)
+      // nFallback = total ids emitted through byte fallback = all ids
+      // minus the pieces the vocab resolved directly
+      val inVocab = PretrainedTokenizer.spBpePretokens(t, m)
+        .flatMap(w => PretrainedTokenizer.spBpeWord(w, m))
+        .count(p => m.ids.contains(p))
+      assert(nFb == want.size - inVocab, t)
+    }
+  }
+
+  test("q289 pinned checkpoint: 'q' byte-falls-back to <0x71>, merges hit, prepend honored") {
+    val m = graft.queries.CurationQueries.pinnedSpBpe
+    assert(m.byteFallback && m.prependSpace)
+    val ids = PretrainedTokenizer.spBpeEncodeIds("quick sort", m)
+    // \u2581quick -> [\u2581, <0x71>, u, i, c, k]; \u2581sort merges whole
+    assert(ids == List(m.ids("\u2581"), m.ids("<0x71>"), m.ids("u"),
+      m.ids("i"), m.ids("c"), m.ids("k"), m.ids("\u2581sort")))
+    assert(m.ids("<0x71>") == 0x71) // byte alphabet occupies ids 0..255
   }
 }
