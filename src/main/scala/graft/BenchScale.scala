@@ -66,6 +66,8 @@ object BenchScale {
     "q263_random_walks", "q264_link_prediction", "q266_betweenness",
     "q267_node2vec_walks", "q269_hits", "q271_ktruss",
     "q274_lsh_calibration",
+    // r17 shapes: multi-phase SCC (trim rounds + size-gated finisher)
+    "q292_scc",
     // r16: the grouped-quantile family (VERDICT r15 item 1) — driver-
     // loop-latency-bound value-domain searches whose round count, not
     // scan cost, is the scale variable; the sketch-seeded brackets and

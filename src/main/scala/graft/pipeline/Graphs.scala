@@ -1217,4 +1217,306 @@ object Graphs {
         .filter($"bc_e9" > 0L))
     } finally { e.unpersist(false); () }
   }
+
+  /** Directed STRONGLY-connected components — the missing sibling of
+    * [[Components]] (which answers undirected "touching at all"):
+    * link graphs, citation networks and dedup-provenance chains are
+    * DIRECTED, and the questions that matter there ("which pages form
+    * a mutually-reachable core", "is this reference cycle real") are
+    * SCC questions. FW-Trim with forward-min coloring (the
+    * Orzan 2004 / McLendon FB-Trim family, run data-parallel):
+    *
+    * per outer round over the unassigned subgraph —
+    *  1. TRIM: iteratively peel nodes with zero in- or zero
+    *     out-degree within the live subgraph (each is provably a
+    *     singleton SCC; kills tendrils/chains before any propagation);
+    *  2. COLOR: propagate c(v) = min id that reaches v (forward
+    *     min-label to fixpoint — rounds bounded by the live
+    *     subgraph's longest shortest-path, NOT graph size);
+    *  3. CONFIRM: backward BFS from every root (c(r) = r)
+    *     simultaneously, restricted to SAME-color nodes — sound
+    *     because SCC(r) lies entirely inside color r (any cycle
+    *     through v and r is mutually reachable with both), so the
+    *     witness path never needs to leave the color class. Reached
+    *     nodes are DONE: scc = their color.
+    * Unconfirmed nodes recolor next outer round (their SCC root was
+    * not their color's root). Every loop is round-bounded and fails
+    * LOUDLY on non-convergence — an unfinished assignment is a wrong
+    * partition, never a silent best-effort.
+    *
+    * ENDGAME: every distributed round pays ~300 ms of fixed
+    * stage/broadcast latency regardless of data (measured,
+    * tools/ProfScc — 16 batches ≈ 13 s on a 5000-node residue), so
+    * once trim shrinks the live subgraph below `driverFinish` nodes
+    * (and a measured 8× edge bound), the method collects it and
+    * finishes with iterative Tarjan in milliseconds — the same
+    * size-gated driver-finisher discipline as the quantile
+    * enumeration cap. The distributed color/confirm path stays
+    * primary (GraphsSpec exercises it with driverFinish = 0) and is
+    * what a 100 TB graph runs until its residual core fits.
+    *
+    * Scale shape: the live edge set persists per outer round; every
+    * inner round is semi-joins + one partial-aggregated min or a
+    * frontier equi-join, lineage truncated per round (the [[pageRank]]
+    * contract). State is one long per node (its color), never paths
+    * or closures. Returns (node, scc) with scc = min member id.
+    *
+    * @throws IllegalStateException when trim/color/confirm budgets or
+    *   `maxOuter` pass without convergence. */
+  def scc(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 100, maxOuter: Int = 10,
+      driverFinish: Long = 100000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 500, "maxRounds in [1, 500]")
+    require(maxOuter >= 1 && maxOuter <= 100, "maxOuter in [1, 100]")
+    require(driverFinish >= 0L, "driverFinish must be >= 0")
+    val spark = nodes.sparkSession
+    checkpointDir.foreach { d =>
+      val sc = spark.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    // ADAPTIVE parallelism: the per-round state here is node-sized —
+    // when the live set is small the dominant cost is STAGE/TASK
+    // latency, not data, so collapse each materialized frame to one
+    // partition (the driver KNOWS nLive, so this is a measured branch,
+    // not a guess; a 100 TB frontier keeps its natural partitioning).
+    // One of three levers (with batched propagation steps and
+    // shallow-lineage reuse) that halved the sf0.1 wall time.
+    val SmallState = 100000L
+    var nLiveEst = Long.MaxValue
+    def tight(df: DataFrame): DataFrame =
+      if (nLiveEst <= SmallState) df.coalesce(1) else df
+    def truncateCounted(df0: DataFrame): (DataFrame, Long) = {
+      val df = tight(df0)
+      if (checkpointDir.isDefined) { val t = df.checkpoint(true); (t, t.count()) }
+      else { val t = df.localCheckpoint(false); (t, t.queryExecution.toRdd.count()) }
+    }
+    def truncate(df0: DataFrame): DataFrame = {
+      val df = tight(df0)
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    }
+    // propagation steps folded into each materialized plan — see the
+    // coloring note
+    val Unroll = 2
+
+    // Iterated self-derived unions (reached ∪ frontier, the assigned
+    // reduce) trip Spark's Union constraint-rewrite on shared lineage
+    // (UnionBase.rewriteConstraints: "key not found" on an alias child
+    // attr) — constraint propagation buys nothing for these tiny
+    // frontier plans, so switch it off for the duration of the
+    // computation and restore after. Every frame this method RETURNS
+    // is a materialized LogicalRDD, so callers are unaffected.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val assigned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var (live, nLive) = truncateCounted(
+      nodes.select(col(nodeCol).cast("long").as("node")).distinct())
+    nLiveEst = nLive
+    var outer = 0
+    while (nLive > 0L && outer < maxOuter) {
+      outer += 1
+      // live edge set for this outer round
+      var e = e0
+        .join(live, e0("src") === live("node"), "left_semi")
+        .join(live.withColumnRenamed("node", "n2"),
+          col("dst") === col("n2"), "left_semi").persist()
+      try {
+        // -- 1. trim tendrils: no in-edge or no out-edge => singleton
+        var trimmed = false
+        var tr = 0
+        while (!trimmed && nLive > 0L) {
+          tr += 1
+          if (tr > maxRounds) throw new IllegalStateException(
+            s"scc: trim did not converge in $maxRounds rounds")
+          val keep = live
+            .join(e, live("node") === e("src"), "left_semi")
+            .join(e.select(col("dst").as("d2")), col("node") === col("d2"), "left_semi")
+          val (k2, nKeep) = truncateCounted(keep)
+          if (nKeep == nLive) trimmed = true
+          else {
+            assigned += live.join(k2, Seq("node"), "left_anti")
+              .select(col("node"), col("node").as("scc"))
+            live = k2; nLive = nKeep; nLiveEst = nLive
+            val ePrev = e
+            e = e.join(live, e("src") === live("node"), "left_semi")
+              .join(live.withColumnRenamed("node", "n2"),
+                col("dst") === col("n2"), "left_semi").persist()
+            ePrev.unpersist(false)
+          }
+        }
+        // -- 1b. size-gated driver finisher: iterative peels pay
+        // ~300 ms of fixed stage/broadcast latency PER ROUND, so once
+        // trim has shrunk the live subgraph below `driverFinish` nodes
+        // (HARD-gated on the measured node AND edge counts — never a
+        // guess), finish with one bounded collect + iterative Tarjan.
+        // This is the endgame move every production SCC does (the
+        // distributed color/confirm rounds below remain the primary
+        // path and are exercised directly in GraphsSpec with
+        // driverFinish = 0): a 100 TB web graph runs distributed peels
+        // until the residual core fits, then stops paying round
+        // latency. Collect volume is bounded by construction:
+        // nLive ≤ driverFinish nodes and, checked first, live edges
+        // ≤ 8× that (else the distributed path continues this outer
+        // round and trims further before re-testing).
+        if (nLive > 0L && nLive <= driverFinish &&
+            e.queryExecution.toRdd.count() <= 8L * driverFinish) {
+          val eArr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val vArr = live.collect().map(_.getLong(0))
+          assigned += spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              tarjanScc(vArr, eArr).toSeq, 1).map {
+                case (v, c) => org.apache.spark.sql.Row(v, c) },
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("node",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("scc",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+          nLive = 0L
+        }
+        if (nLive > 0L) {
+          // -- 2. forward-min coloring to fixpoint. Rounds are cheap
+          // plans but EXPENSIVE actions (driver latency dominates the
+          // tiny frontier data), so UNROLL `Unroll` propagation steps
+          // into each materialized plan: one truncate + one change
+          // count per batch instead of per step. Monotone fixpoint: a
+          // whole batch with zero changes is stable.
+          var colors = live.select(col("node"), col("node").as("c"))
+          var stable = false
+          var cr = 0
+          while (!stable) {
+            cr += Unroll
+            if (cr > maxRounds + Unroll) throw new IllegalStateException(
+              s"scc: coloring did not converge in $maxRounds rounds")
+            var nxt = colors
+            for (_ <- 1 to Unroll) {
+              val minIn = e
+                .join(nxt, e("src") === nxt("node"))
+                .groupBy(col("dst").as("node2")).agg(min(col("c")).as("cin"))
+              nxt = nxt.join(minIn, col("node") === col("node2"), "left")
+                .select(col("node"),
+                  least(col("c"), coalesce(col("cin"), col("c"))).as("c"))
+            }
+            val joined = nxt.alias("n")
+              .join(colors.alias("o"), Seq("node"))
+              .select(col("node"), col("n.c").as("c"),
+                (col("n.c") =!= col("o.c")).as("chg"))
+            val (j2, _) = truncateCounted(joined)
+            val nChanged = j2.filter(col("chg")).queryExecution.toRdd.count()
+            colors = j2.select(col("node"), col("c"))
+            stable = nChanged == 0L
+          }
+          // -- 3. backward confirmation from all roots at once,
+          //       restricted to same-color endpoints
+          val ec = e
+            .join(colors.select(col("node").as("src"), col("c").as("cs")), Seq("src"))
+            .join(colors.select(col("node").as("dst"), col("c").as("cd")), Seq("dst"))
+            .filter(col("cs") === col("cd"))
+            .select(col("src"), col("dst"), col("cs").as("c"))
+          var frontier = colors.filter(col("node") === col("c"))
+            .select(col("node"), col("c"))
+          var reached = frontier
+          var nFrontier = 1L
+          var br = 0
+          while (nFrontier > 0L) {
+            br += Unroll
+            if (br > maxRounds + Unroll) throw new IllegalStateException(
+              s"scc: backward confirmation did not converge in $maxRounds rounds")
+            // same batching: expand Unroll hops in ONE plan (interior
+            // hops skip the anti-join — re-expanding an already-reached
+            // node is redundant work on a tiny frontier, not an error —
+            // then one anti-join + truncate closes the batch)
+            var f = frontier
+            var batch = f
+            for (_ <- 1 to Unroll) {
+              f = ec.alias("e")
+                .join(f.alias("f"),
+                  col("e.dst") === col("f.node") && col("e.c") === col("f.c"))
+                .select(col("e.src").as("node"), col("e.c").as("c"))
+                .distinct()
+              batch = batch.toDF("node", "c").unionByName(f.toDF("node", "c"))
+            }
+            val (nf, n) = truncateCounted(batch.distinct()
+              .join(reached, Seq("node"), "left_anti"))
+            frontier = nf; nFrontier = n
+            if (n > 0L) reached =
+              reached.toDF("node", "c").unionByName(nf.toDF("node", "c"))
+          }
+          assigned += truncate(reached.select(col("node"), col("c").as("scc")))
+          val (l2, n2) = truncateCounted(live.join(reached, Seq("node"), "left_anti"))
+          live = l2; nLive = n2; nLiveEst = nLive
+        }
+      } finally { e.unpersist(false); () }
+    }
+    if (nLive > 0L) throw new IllegalStateException(
+      s"scc: $nLive nodes unassigned after $maxOuter outer rounds; raise maxOuter")
+    if (assigned.isEmpty) live.select(col("node"), col("node").as("scc"))
+    else truncate(assigned.map(_.toDF("node", "scc")).reduce(_.unionByName(_)))
+    } finally {
+      cpPrev match {
+        case Some(v) => spark.conf.set(cpKey, v)
+        case None => spark.conf.unset(cpKey)
+      }
+    }
+  }
+
+  /** Iterative (explicit-stack) Tarjan over a collected subgraph —
+    * the [[scc]] driver finisher. Returns node → SCC id with the id
+    * normalized to the MINIMUM member (the scc contract), matching
+    * what the distributed color/confirm rounds produce. */
+  private[graft] def tarjanScc(vs: Array[Long],
+      es: Array[(Long, Long)]): Map[Long, Long] = {
+    val idx = vs.zipWithIndex.toMap
+    val n = vs.length
+    val adj = Array.fill(n)(List.empty[Int])
+    es.foreach { case (a, b) =>
+      for (i <- idx.get(a); j <- idx.get(b)) adj(i) ::= j }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val stack = new scala.collection.mutable.ArrayBuffer[Int]
+    var counter = 0
+    val comp = Array.fill(n)(-1L)
+    // explicit DFS stack of (vertex, remaining-neighbors) frames
+    for (root <- 0 until n if index(root) < 0) {
+      var frames = List((root, adj(root)))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack(root) = true
+      while (frames.nonEmpty) {
+        val (v, rest) = frames.head
+        rest match {
+          case w :: tail =>
+            frames = (v, tail) :: frames.tail
+            if (index(w) < 0) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack(w) = true
+              frames = (w, adj(w)) :: frames
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          case Nil =>
+            frames = frames.tail
+            frames.headOption.foreach { case (p, _) =>
+              low(p) = math.min(low(p), low(v)) }
+            if (low(v) == index(v)) {
+              var members = List.empty[Int]
+              var done = false
+              while (!done) {
+                val w = stack.remove(stack.length - 1)
+                onStack(w) = false
+                members ::= w
+                done = w == v
+              }
+              val cid = members.map(vs).min
+              members.foreach(m => comp(m) = cid)
+            }
+        }
+      }
+    }
+    vs.indices.map(i => vs(i) -> comp(i)).toMap
+  }
 }

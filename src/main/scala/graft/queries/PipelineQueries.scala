@@ -1337,6 +1337,70 @@ object PipelineQueries extends QueryPack {
              |FROM m GROUP BY 1, 2""".stripMargin)),
 
     Query(
+      "q292_scc",
+      "Directed STRONGLY-connected components (Graphs.scc — the missing sibling of q80's " +
+        "undirected components: link graphs and citation/provenance chains are directed, and " +
+        "'mutually-reachable core' is an SCC question): FW-Trim with forward-min coloring " +
+        "(Orzan 2004 family) over a chorded-ring fixture — per 50-node block a DIRECTED " +
+        "45-cycle with +7/+19 chords (one 45-node SCC with ~5-hop diameter, so coloring " +
+        "converges in a handful of rounds where a bare 45-cycle would need 44) feeding a " +
+        "short tail (45->46) plus three isolated nodes (trim fodder: zero in- or out-degree " +
+        "nodes peel as singleton SCCs before any propagation, in 3 synchronous rounds). Trim -> color to fixpoint -> backward confirmation " +
+        "from all roots AT ONCE restricted to same-color endpoints (sound: SCC(r) lies " +
+        "entirely inside color r); every loop round-bounded and LOUD on non-convergence. " +
+        "Expected structure per block: one 45-SCC rooted at the block base + 5 singletons. " +
+        "The oracle computes the textbook definition instead - the full recursive-CTE " +
+        "reachability closure, mutual pairs, scc = min mutual id - so the multi-round " +
+        "distributed peel must match brute-force transitive closure exactly.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val n = docs.count()
+        val idx = $"doc_id" % 50
+        val base = $"doc_id" - idx
+        val e = docs.filter(idx < 45)
+          .select($"doc_id".as("src"), (base + ($"doc_id" % 50 + 1) % 45).as("dst"))
+          .unionByName(docs.filter(idx < 45)
+            .select($"doc_id".as("src"), (base + ($"doc_id" % 50 + 7) % 45).as("dst")))
+          .unionByName(docs.filter(idx < 45)
+            .select($"doc_id".as("src"), (base + ($"doc_id" % 50 + 19) % 45).as("dst")))
+          .unionByName(docs.filter(idx === 45)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+          .unionByName(docs.filter(idx === 3)
+            .select($"doc_id".as("src"), (base + 45).as("dst")))
+          .filter($"dst" < n && $"src" =!= $"dst")
+        graft.pipeline.Graphs.scc(docs, "doc_id", e, "src", "dst",
+            maxRounds = 60, maxOuter = 5)
+          .groupBy($"scc").agg(count(lit(1)).as("sz"))
+          .groupBy($"sz".as("scc_size"))
+          .agg(count(lit(1)).as("n_sccs"), sum($"scc").as("scc_id_checksum"))
+      },
+      Some("""WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM documents),
+             |cnt AS (SELECT count(*) AS n FROM nodes),
+             |e AS (SELECT src, dst FROM (
+             |  SELECT doc_id AS src, (doc_id - doc_id % 50) + (doc_id % 50 + 1) % 45 AS dst
+             |    FROM documents WHERE doc_id % 50 < 45
+             |  UNION SELECT doc_id, (doc_id - doc_id % 50) + (doc_id % 50 + 7) % 45
+             |    FROM documents WHERE doc_id % 50 < 45
+             |  UNION SELECT doc_id, (doc_id - doc_id % 50) + (doc_id % 50 + 19) % 45
+             |    FROM documents WHERE doc_id % 50 < 45
+             |  UNION SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 50 = 45
+             |  UNION SELECT doc_id, (doc_id - doc_id % 50) + 45 FROM documents WHERE doc_id % 50 = 3
+             |) WHERE src != dst AND dst < (SELECT n FROM cnt)),
+             |r(a, b) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+             |p AS (SELECT r1.a AS v, r1.b AS u FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a),
+             |sid AS (SELECT n.node AS node,
+             |    CAST(least(n.node, coalesce(min(p.u), n.node)) AS BIGINT) AS scc
+             |  FROM nodes n LEFT JOIN p ON p.v = n.node GROUP BY n.node),
+             |sz AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size FROM sid GROUP BY 1)
+             |SELECT scc_size, CAST(count(*) AS BIGINT) AS n_sccs,
+             |  CAST(sum(scc) AS BIGINT) AS scc_id_checksum
+             |FROM sz GROUP BY 1""".stripMargin)),
+
+    Query(
       "q244_mutual_nn",
       "Mutual-nearest-neighbor pairing (the MNN anchor finder of batch-effect correction and the safest near-dup MERGE rule: unlike q115's directed best-match, a pair only forms when BOTH vectors choose each other, which kills hub-induced false merges): q115's occupancy-bounded auto-LSH nearest-duplicate assignment, then one self-join on the |matched|-bounded nn table keeps (a, b) with nn(a) = b AND nn(b) = a, a < b. The oracle computes the exact all-pairs argmax on both sides (planned-recall 1.0 on this corpus, the q115 contract) and the same mutuality filter.",
       (s, dir) => {

@@ -1,0 +1,115 @@
+package graft.tools
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Phase-level profiler behind the [[graft.pipeline.Graphs.scc]]
+  * driver-finisher decision (r17): replicates the distributed
+  * trim/color/confirm rounds with per-phase wall timings. Recorded
+  * run at sf0.1 (5000 nodes, 16k edges): init+persist ~1.3 s, trim
+  * 3 rounds ~1.3 s, color 5 batches ~4.1 s, backward 5 batches
+  * ~4.5 s — every batch 0.6-1.3 s of stage/broadcast latency on
+  * trivial data, which is why the sized-down endgame collects. */
+object ProfScc {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val docs = graft.core.Tables.documents(spark, dir).select($"doc_id")
+    val n = docs.count()
+    val idx = $"doc_id" % 50
+    val base = $"doc_id" - idx
+    val edges = docs.filter(idx < 45).select($"doc_id".as("src"), (base + ($"doc_id" % 50 + 1) % 45).as("dst"))
+      .unionByName(docs.filter(idx < 45).select($"doc_id".as("src"), (base + ($"doc_id" % 50 + 7) % 45).as("dst")))
+      .unionByName(docs.filter(idx < 45).select($"doc_id".as("src"), (base + ($"doc_id" % 50 + 19) % 45).as("dst")))
+      .unionByName(docs.filter(idx === 45).select($"doc_id".as("src"), ($"doc_id" + 1).as("dst")))
+      .unionByName(docs.filter(idx === 3).select($"doc_id".as("src"), (base + 45).as("dst")))
+      .filter($"dst" < n && $"src" =!= $"dst")
+
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    def tc(df: DataFrame): (DataFrame, Long) = {
+      val t = df.coalesce(1).localCheckpoint(false); (t, t.queryExecution.toRdd.count())
+    }
+    def tr(df: DataFrame): DataFrame = df.coalesce(1).localCheckpoint(true)
+    var last = System.nanoTime()
+    def lap(tag: String): Unit = {
+      val now = System.nanoTime(); println(f"$tag%-24s ${(now-last)/1e6}%8.0f ms"); last = now
+    }
+    for (rep <- 1 to 2) {
+      println(s"== rep $rep")
+      last = System.nanoTime()
+      val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      var (live, nLive) = tc(docs.select(col("doc_id").cast("long").as("node")).distinct())
+      lap("init live")
+      var e = e0.join(live, e0("src") === live("node"), "left_semi")
+        .join(live.withColumnRenamed("node", "n2"), col("dst") === col("n2"), "left_semi").persist()
+      e.count(); lap("edge persist")
+      // trim
+      var trimmed = false
+      while (!trimmed && nLive > 0) {
+        val keep = live.join(e, live("node") === e("src"), "left_semi")
+          .join(e.select(col("dst").as("d2")), col("node") === col("d2"), "left_semi")
+        val (k2, nKeep) = tc(keep)
+        if (nKeep == nLive) trimmed = true
+        else { live = k2; nLive = nKeep
+          val ep = e
+          e = e.join(live, e("src") === live("node"), "left_semi")
+            .join(live.withColumnRenamed("node", "n2"), col("dst") === col("n2"), "left_semi").persist()
+          e.count(); ep.unpersist(false) }
+        lap(s"trim round (n=$nLive)")
+      }
+      // color
+      var colors = live.select(col("node"), col("node").as("c"))
+      var stable = false
+      var batch = 0
+      while (!stable) {
+        batch += 1
+        var nxt = colors
+        for (_ <- 1 to 2) {
+          val minIn = e.join(nxt, e("src") === nxt("node"))
+            .groupBy(col("dst").as("node2")).agg(min(col("c")).as("cin"))
+          nxt = nxt.join(minIn, col("node") === col("node2"), "left")
+            .select(col("node"), least(col("c"), coalesce(col("cin"), col("c"))).as("c"))
+        }
+        val joined = nxt.alias("nn").join(colors.alias("o"), Seq("node"))
+          .select(col("node"), col("nn.c").as("c"), (col("nn.c") =!= col("o.c")).as("chg"))
+        val (j2, _) = tc(joined)
+        val nChanged = j2.filter(col("chg")).queryExecution.toRdd.count()
+        colors = j2.select(col("node"), col("c"))
+        stable = nChanged == 0
+        lap(s"color batch $batch chg=$nChanged")
+      }
+      // backward
+      val ec = e.join(colors.select(col("node").as("src"), col("c").as("cs")), Seq("src"))
+        .join(colors.select(col("node").as("dst"), col("c").as("cd")), Seq("dst"))
+        .filter(col("cs") === col("cd")).select(col("src"), col("dst"), col("cs").as("c")).persist()
+      ec.count(); lap("ec persist")
+      var frontier = colors.filter(col("node") === col("c")).select(col("node"), col("c"))
+      var reached = frontier
+      var nf = 1L
+      var bb = 0
+      while (nf > 0) {
+        bb += 1
+        var f = frontier
+        var acc = f
+        for (_ <- 1 to 2) {
+          f = ec.alias("e").join(f.alias("f"), col("e.dst") === col("f.node") && col("e.c") === col("f.c"))
+            .select(col("e.src").as("node"), col("e.c").as("c")).distinct()
+          acc = acc.toDF("node", "c").unionByName(f.toDF("node", "c"))
+        }
+        val (nfd, nn) = tc(acc.distinct().join(reached, Seq("node"), "left_anti"))
+        frontier = nfd; nf = nn
+        if (nn > 0) reached = reached.toDF("node", "c").unionByName(nfd.toDF("node", "c"))
+        lap(s"backward batch $bb new=$nn")
+      }
+      val out = reached.count(); lap(s"finish reached=$out")
+      e.unpersist(false); ec.unpersist(false)
+    }
+    spark.stop()
+  }
+}

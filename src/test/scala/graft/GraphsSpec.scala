@@ -793,4 +793,89 @@ class GraphsSpec extends AnyFunSuite {
     // nothing points INTO the hub: spokes (fed by hub + ring) out-rank it
     assert(got(7L) > got(0L), s"spoke must out-rank the source-only hub: $got")
   }
+
+  /** Brute SCC partition via Floyd-Warshall reachability. */
+  private def bruteScc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.size
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    nodes.map { v =>
+      val i = idx(v)
+      val mutual = nodes.filter(u => u == v ||
+        (reach(i)(idx(u)) && reach(idx(u))(i)))
+      v -> mutual.min
+    }.toMap
+  }
+
+  private def runScc(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      maxOuter: Int = 20, driverFinish: Long = 0L): Map[Long, Long] =
+    Graphs.scc(nodes.toDF("node"), "node",
+        edges.toDF("src", "dst"), "src", "dst", maxRounds = 100,
+        maxOuter = maxOuter, driverFinish = driverFinish)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("scc matches brute-force transitive closure on random directed graphs — BOTH paths") {
+    val rng = new scala.util.Random(13)
+    for (trial <- 0 until 4) {
+      val n = 18 + rng.nextInt(10)
+      val nodes = (0L until n.toLong)
+      val edges = Seq.fill(2 * n)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
+      val want = bruteScc(nodes, edges)
+      // driverFinish = 0 forces the distributed color/confirm rounds
+      assert(runScc(nodes, edges) == want, s"distributed, trial $trial: $edges")
+      // default gate takes the collect + iterative-Tarjan finisher
+      assert(runScc(nodes, edges, driverFinish = 1000000L) == want,
+        s"finisher, trial $trial: $edges")
+    }
+  }
+
+  test("tarjanScc matches brute closure directly on dense random graphs") {
+    val rng = new scala.util.Random(99)
+    for (trial <- 0 until 20) {
+      val n = 2 + rng.nextInt(30)
+      val vs = (0L until n.toLong).toArray
+      val es = Seq.fill(3 * n)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
+      assert(Graphs.tarjanScc(vs, es.toArray) == bruteScc(vs.toSeq, es),
+        s"trial $trial: $es")
+    }
+  }
+
+  test("scc poles: DAG all-singleton, disjoint cycles, figure-eight merges") {
+    // pure DAG: trim alone resolves everything as singletons
+    val chain = (0L until 8L).sliding(2).map(p => (p(0), p(1))).toSeq
+    assert(runScc(0L until 8L, chain) == (0L until 8L).map(v => v -> v).toMap)
+    // two disjoint directed cycles -> two SCCs rooted at their minima
+    val c1 = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L)
+    val c2 = Seq(5L -> 6L, 6L -> 7L, 7L -> 5L)
+    assert(runScc(0L until 8L, c1 ++ c2) == Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+    // two cycles sharing a node fuse into ONE SCC (the multi-outer
+    // path: the second ring's nodes recolor after round one only if
+    // unconfirmed — sharing means everything confirms at once)
+    val fig8 = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L, 3L -> 4L, 4L -> 2L)
+    assert(runScc(0L until 5L, fig8).values.toSet == Set(0L))
+    // one-way bridge between cycles does NOT fuse them
+    val bridged = c1 ++ c2 ++ Seq(2L -> 5L)
+    val got = runScc(0L until 8L, bridged)
+    assert(got(5L) == 5L && got(0L) == 0L && got(6L) == 5L)
+  }
+
+  test("scc: nested-SCC chain needs the outer peel and converges loudly") {
+    // ring A (0-2) points into ring B (3-5); B's color is A's root, so
+    // B confirms only on outer round 2 after A peels away
+    val e = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 0L -> 3L,
+      3L -> 4L, 4L -> 5L, 5L -> 3L)
+    assert(runScc(0L until 6L, e) == Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // with maxOuter = 1 the same graph must fail LOUDLY, not return a
+    // partial partition
+    val err = intercept[IllegalStateException] { runScc(0L until 6L, e, maxOuter = 1) }
+    assert(err.getMessage.contains("unassigned"))
+  }
 }
