@@ -80,6 +80,99 @@ object Privacy {
     * post-processing — thresholding on the true count would leak).
     * One shuffle (the count), then map-only. Output: (key,
     * noised_cnt). */
+  /** k-anonymity + l-diversity audit over explicit quasi-identifier
+    * columns (Sweeney 2002; Machanavajjhala 2007) — the release-gate
+    * check BEFORE a dataset (or a per-group statistics table) leaves
+    * the pipeline boundary: an equivalence class (unique quasi-id
+    * combination) smaller than k re-identifies its members by
+    * linkage, and a class whose SENSITIVE attribute takes fewer than
+    * l values leaks it even at k. Returns ONE row of exact integers:
+    * (n_rows, n_classes, k_min, rows_below_k, classes_below_k,
+    * l_min, classes_below_l).
+    *
+    * Scale shape: one partial-aggregated groupBy to the class table
+    * (bounded by the quasi-id domain), one bounded aggregate over it.
+    * l uses exact count_distinct per class — sensitive-attribute
+    * domains are small by definition (that is what makes them
+    * sensitive categories); a high-cardinality column there is a
+    * modeling error, not a sketching opportunity. */
+  def anonymityAudit(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+      k: Long, l: Long = 2L): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1L && l >= 1L, "k and l must be >= 1")
+    val classes = df
+      .groupBy(quasi: _*)
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(sensitive).as("nsens"))
+    classes.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("cnt")).as("k_min"),
+      sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as("rows_below_k"),
+      sum(when(col("cnt") < k, 1L).otherwise(0L)).as("classes_below_k"),
+      min(col("nsens")).as("l_min"),
+      sum(when(col("nsens") < l, 1L).otherwise(0L)).as("classes_below_l"))
+  }
+
+  /** Global-recoding generalization ladder for ONE numeric
+    * quasi-identifier: evaluate the k-anonymity the release would
+    * have at each candidate bucket `width` (coarser buckets = larger
+    * classes = higher k) and mark the NARROWEST width that reaches
+    * the target k — the classic width-ladder special case of
+    * full-domain generalization (Samarati 2001), which is how a
+    * release pipeline picks "round account balance to the nearest
+    * $2000" instead of guessing. `numeric` must already be an exact
+    * integer column (cents); callers with negative values shift it
+    * non-negative first — integer division on negatives floors in
+    * one engine and truncates in another, so the operator REQUIRES
+    * non-negativity rather than silently diverging.
+    *
+    * Scale shape: ONE pass — every (row × width) pair materializes
+    * through GROUPING SETS (a single shuffle keyed by the grouped
+    * bucket columns), then a |widths|-bounded aggregate and a window
+    * over the rung table. Returns one row per width: (width,
+    * n_classes, k_min, rows_below_k, meets_k, chosen). */
+  def generalizationLadder(df: DataFrame, baseQuasi: Seq[Column],
+      numeric: Column, widths: Seq[Long], k: Long): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0L), "widths must be positive")
+    require(widths.distinct.size == widths.size, "widths must be distinct")
+    require(k >= 1L, "k must be >= 1")
+    val guarded = when(numeric < 0L, raise_error(lit(
+      "generalizationLadder: negative numeric quasi-id — shift it " +
+        "non-negative first (cross-engine integer division disagrees " +
+        "below zero)"))).otherwise(numeric)
+    val qNames = baseQuasi.indices.map(i => s"__q$i")
+    val withBuckets = df
+      .select((baseQuasi.zipWithIndex.map { case (c, i) => c.as(s"__q$i") } :+
+        guarded.cast("long").as("__num")): _*)
+      .select((qNames.map(col) ++
+        widths.map(w => expr(s"__num div ${w}L").as(s"__b_$w"))): _*)
+    val sets = widths.map(w => qNames.map(col) :+ col(s"__b_$w"))
+    // identify the rung inside the aggregate (grouping() markers only
+    // exist there): exactly one __b_w is grouped per set — encode it
+    // as the width value
+    val widthOf = widths.foldLeft(lit(-1L)) { (acc, w) =>
+      when(grouping(col(s"__b_$w")) === 0, lit(w)).otherwise(acc)
+    }
+    val grouped = withBuckets
+      .groupingSets(sets.map(_.toSeq),
+        (qNames.map(col) ++ widths.map(w => col(s"__b_$w"))): _*)
+      .agg(count(lit(1)).as("cnt"), widthOf.as("width"))
+    val rungs = grouped
+      .select(col("width"), col("cnt"))
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("cnt")).as("k_min"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as("rows_below_k"))
+      .withColumn("meets_k", col("k_min") >= k)
+    val wChosen = org.apache.spark.sql.expressions.Window
+      .orderBy(col("width")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    rungs
+      .withColumn("chosen", col("meets_k") &&
+        coalesce(max(when(col("meets_k"), 1L).otherwise(0L)).over(wChosen), lit(0L)) === 0L)
+  }
+
   def noisedCounts(df: DataFrame, keyCol: Column, eps: Double,
       trunc: Int = 20, stream: Int = 0, releaseMin: Long = 0L): DataFrame =
     df.select(keyCol.cast("string").as("key"))

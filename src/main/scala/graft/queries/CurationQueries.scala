@@ -2471,6 +2471,91 @@ object CurationQueries extends QueryPack {
       }),
 
     Query(
+      "q293_k_anonymity",
+      "k-anonymity + l-diversity release audit (Privacy.anonymityAudit — Sweeney 2002 / " +
+        "Machanavajjhala 2007; the gate BEFORE a per-group statistics table leaves the " +
+        "pipeline boundary, complementing q191's DP noise: k counts linkage re-identification " +
+        "risk, l counts sensitive-attribute leakage WITHIN a surviving class): equivalence " +
+        "classes over the quasi-identifiers (nation, market segment, account balance rounded " +
+        "to $1000 — shifted non-negative in cents first, because integer division on " +
+        "negatives floors in DuckDB and truncates in Spark), sensitive attribute = the " +
+        "balance band. ONE row of exact integers: rows, classes, min class size, rows and " +
+        "classes below k=3, min distinct sensitive values, classes below l=2. One " +
+        "partial-aggregated groupBy to the bounded class table + one bounded fold — the " +
+        "corpus never shuffles row-wise twice.",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val cents = floor(col("c_acctbal") * 100.0 + 0.5).cast("long") + 200000L
+        graft.pipeline.Privacy.anonymityAudit(cust,
+          Seq(col("c_nationkey"), col("c_mktsegment"),
+            call_function("div", cents, lit(100000L)).as("bal_k")),
+          sensitive = call_function("div", cents, lit(250000L)),
+          k = 3L, l = 2L)
+      },
+      Some {
+        """WITH b AS (SELECT c_nationkey, c_mktsegment,
+          |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 200000 AS num FROM customer),
+          |cl AS (SELECT c_nationkey, c_mktsegment, num // 100000 AS bal_k,
+          |    CAST(count(*) AS BIGINT) AS cnt,
+          |    CAST(count(DISTINCT num // 250000) AS BIGINT) AS nsens
+          |  FROM b GROUP BY 1, 2, 3)
+          |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+          |  CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(min(cnt) AS BIGINT) AS k_min,
+          |  CAST(sum(CASE WHEN cnt < 3 THEN cnt ELSE 0 END) AS BIGINT) AS rows_below_k,
+          |  CAST(sum(CASE WHEN cnt < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+          |  CAST(min(nsens) AS BIGINT) AS l_min,
+          |  CAST(sum(CASE WHEN nsens < 2 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l
+          |FROM cl""".stripMargin
+      }),
+
+    Query(
+      "q294_generalization_ladder",
+      "Global-recoding generalization ladder (Privacy.generalizationLadder — the Samarati " +
+        "2001 width-ladder: HOW COARSE must the balance column get before the release is " +
+        "k-anonymous?): for each candidate bucket width ($500, $2000, $5000, $12000 in " +
+        "cents) the k-anonymity the release would have, all four rungs in ONE pass — every " +
+        "(row x width) pair materializes through GROUPING SETS, a single shuffle keyed by " +
+        "the grouped bucket columns, then a 4-row aggregate; the narrowest width meeting " +
+        "k >= 3 is marked chosen via a window over the bounded rung table. The oracle " +
+        "replays the identical GROUPING SETS in DuckDB with grouping() decoding the rung.",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val cents = floor(col("c_acctbal") * 100.0 + 0.5).cast("long") + 200000L
+        graft.pipeline.Privacy.generalizationLadder(cust,
+            Seq(col("c_nationkey"), col("c_mktsegment")),
+            numeric = cents,
+            widths = Seq(50000L, 200000L, 500000L, 1200000L), k = 3L)
+          .select(col("width"), col("n_classes"), col("k_min"),
+            col("rows_below_k"),
+            col("meets_k").cast("long").as("meets_k"),
+            col("chosen").cast("long").as("chosen"))
+      },
+      Some {
+        """WITH b AS (SELECT c_nationkey AS q0, c_mktsegment AS q1,
+          |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 200000 AS num FROM customer),
+          |g AS (SELECT q0, q1, num // 50000 AS b1, num // 200000 AS b2,
+          |    num // 500000 AS b3, num // 1200000 AS b4 FROM b),
+          |cl AS (SELECT q0, q1, b1, b2, b3, b4,
+          |    GROUPING(b1) AS g1, GROUPING(b2) AS g2, GROUPING(b3) AS g3, GROUPING(b4) AS g4,
+          |    CAST(count(*) AS BIGINT) AS cnt
+          |  FROM g GROUP BY GROUPING SETS ((q0, q1, b1), (q0, q1, b2), (q0, q1, b3), (q0, q1, b4))),
+          |r AS (SELECT CASE WHEN g1 = 0 THEN 50000 WHEN g2 = 0 THEN 200000
+          |    WHEN g3 = 0 THEN 500000 ELSE 1200000 END AS width, cnt FROM cl),
+          |rs AS (SELECT width, CAST(count(*) AS BIGINT) AS n_classes,
+          |    CAST(min(cnt) AS BIGINT) AS k_min,
+          |    CAST(sum(CASE WHEN cnt < 3 THEN cnt ELSE 0 END) AS BIGINT) AS rows_below_k
+          |  FROM r GROUP BY 1),
+          |mk AS (SELECT *, CASE WHEN k_min >= 3 THEN 1 ELSE 0 END AS meets_k FROM rs)
+          |SELECT CAST(width AS BIGINT) AS width, n_classes, k_min, rows_below_k,
+          |  CAST(meets_k AS BIGINT) AS meets_k,
+          |  CAST(CASE WHEN meets_k = 1 AND coalesce(max(meets_k) OVER
+          |    (ORDER BY width ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0
+          |    THEN 1 ELSE 0 END AS BIGINT) AS chosen
+          |FROM mk""".stripMargin
+      }),
+
+    Query(
       "q290_chrf",
       "chrF2 (Popović 2015, β = 2 — the sacrebleu default) of the q287 lossy-reconstruction " +
         "pair — the CHARACTER-level member of the standard MT-eval triple: BLEU's word " +

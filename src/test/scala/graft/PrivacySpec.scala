@@ -68,4 +68,65 @@ class PrivacySpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(s0 != s1)
   }
+
+  test("anonymityAudit: hand-computed classes, k and l on a tiny release") {
+    // classes: (a,1)x3 {s:1,2}, (a,2)x1 {s:9}, (b,1)x2 {s:5,5}
+    val df = Seq(
+      ("a", 1, 1), ("a", 1, 2), ("a", 1, 1),
+      ("a", 2, 9),
+      ("b", 1, 5), ("b", 1, 5)).toDF("q1", "q2", "s")
+    val r = Privacy.anonymityAudit(df, Seq(col("q1"), col("q2")), col("s"),
+        k = 2L, l = 2L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    // (n_rows, n_classes, k_min, rows_below_k, classes_below_k, l_min, classes_below_l)
+    assert(r == ((6L, 3L, 1L, 1L, 1L, 1L, 2L)), r.toString)
+  }
+
+  test("generalizationLadder: coarser widths are monotone, chosen is the narrowest passing rung") {
+    // numeric spread over [0, 999]; base quasi constant -> classes are
+    // pure buckets: width 100 -> ~10 classes of 10, width 1000 -> 1 of 100
+    val df = (0 until 100).map(i => ("g", i * 10L)).toDF("q", "x")
+    val r = Privacy.generalizationLadder(df, Seq(col("q")), col("x"),
+        widths = Seq(100L, 250L, 1000L), k = 20L)
+      .orderBy(col("width"))
+      .select(col("width"), col("k_min"), col("meets_k"), col("chosen"))
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(r.map(_._1) == Seq(100L, 250L, 1000L))
+    // k_min: width 100 -> 10 per bucket; 250 -> 25; 1000 -> 100
+    assert(r.map(_._2) == Seq(10L, 25L, 100L), r.toString)
+    assert(r.map(_._3) == Seq(false, true, true))
+    assert(r.map(_._4) == Seq(false, true, false))
+  }
+
+  test("generalizationLadder: grouping-sets pass equals independent per-width groupBys") {
+    val rng = new scala.util.Random(31)
+    val df = (0 until 400).map(_ =>
+      (("s" + rng.nextInt(3)), rng.nextInt(5), rng.nextInt(10000).toLong))
+      .toDF("q1", "q2", "x")
+    val widths = Seq(500L, 2000L, 10000L)
+    val got = Privacy.generalizationLadder(df, Seq(col("q1"), col("q2")), col("x"),
+        widths, k = 4L)
+      .select(col("width"), col("n_classes"), col("k_min"), col("rows_below_k"))
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    for (w <- widths) {
+      val classes = df.groupBy(col("q1"), col("q2"),
+          expr(s"x div ${w}L").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val want = classes.agg(count(lit(1)), min(col("cnt")),
+          sum(when(col("cnt") < 4L, col("cnt")).otherwise(0L)))
+        .as[(Long, Long, Long)].head()
+      assert(got(w) == want, s"width $w")
+    }
+  }
+
+  test("generalizationLadder: negative numeric quasi-id fails loudly") {
+    val df = Seq(("g", -5L), ("g", 10L)).toDF("q", "x")
+    val e = intercept[Exception] {
+      Privacy.generalizationLadder(df, Seq(col("q")), col("x"),
+        widths = Seq(10L), k = 1L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-negative") ||
+      e.getCause != null && e.getCause.getMessage.contains("non-negative"),
+      s"unexpected: $e")
+  }
 }
