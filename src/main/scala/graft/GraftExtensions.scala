@@ -87,6 +87,12 @@ object GraftFunctions {
       "graft_quality(text) - composite quality score in [0,1] (length band + word-length band + stopword ratio)",
       cs => TextAnalysis.qualityScore(cs(0),
         Seq("the", "a", "of", "and", "to", "in", "is"))),
+    GraftFn("graft_token_lcs", 2,
+      "graft_token_lcs(cand, ref) - longest common subsequence length of two array<string> token sequences over their first 62 tokens (bit-parallel, codegen'd)",
+      cs => graft.functions.SeqBitKernels.lcsCol(cs(0), cs(1), 62)),
+    GraftFn("graft_token_levenshtein", 2,
+      "graft_token_levenshtein(cand, ref) - token-level edit distance (ref is the pattern side) over the first 62 tokens (Myers bit-parallel, codegen'd)",
+      cs => graft.functions.SeqBitKernels.levenshteinCol(cs(0), cs(1), 62)),
     GraftFn("graft_searchsorted", 2,
       // SQL literals arrive as DECIMAL — cast here because the raw
       // FunctionRegistry builder path skips implicit-cast resolution

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bit-parallel token-sequence kernels as codegen'd expressions — the
+  * native-Expression upgrade of the [[graft.pipeline.Eval]] fidelity
+  * metrics (the `DotProductExpr` discipline: a HOF chain evaluates
+  * interpreted per lambda element; a static-method call from
+  * `doGenCode` stays inside the generated loop with zero boxing).
+  *
+  * Both kernels pack the REFERENCE window into one machine word —
+  * `cap` ≤ 62 tokens — and process each candidate token in a handful
+  * of 64-bit ops:
+  *  - LCS (Allison & Dix 1986): V ← x & ¬(x − ((V≪1)|1)), x = V|M[t];
+  *    LCS = popcount(V).
+  *  - Levenshtein (Myers 1999): the (Pv, Mv) delta-vector update with
+  *    the (((Eq&Pv)+Pv)⊕Pv)|Eq carry chain, distance tracked at the
+  *    boundary bit.
+  * Match masks are built by direct `UTF8String.equals` over the
+  * in-place array elements (no decode, no allocation beyond the one
+  * reference-token array per row). NULL tokens never match — and for
+  * the edit distance count as a substitution like any other mismatch.
+  * Verified against classic O(mn) DP grids in EvalSpec.
+  */
+object SeqBitKernels {
+
+  /** LCS length over the first `cap` tokens of each side. */
+  def lcs(ca: ArrayData, rf: ArrayData, cap: Int): Long = {
+    val m = math.min(rf.numElements(), cap)
+    val n = math.min(ca.numElements(), cap)
+    if (m == 0 || n == 0) return 0L
+    val refToks = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) {
+      refToks(j) = if (rf.isNullAt(j)) null else rf.getUTF8String(j)
+      j += 1
+    }
+    var v = 0L
+    var i = 0
+    while (i < n) {
+      val t = if (ca.isNullAt(i)) null else ca.getUTF8String(i)
+      var mask = 0L
+      if (t != null) {
+        var k = 0
+        while (k < m) {
+          val r = refToks(k)
+          if (r != null && r.equals(t)) mask |= 1L << k
+          k += 1
+        }
+      }
+      val x = v | mask
+      v = x & ~(x - ((v << 1) | 1L))
+      i += 1
+    }
+    java.lang.Long.bitCount(v).toLong
+  }
+
+  /** Levenshtein distance(ref, cand) over the first `cap` tokens of
+    * each side (pattern = reference, per the WER convention). */
+  def levenshtein(ca: ArrayData, rf: ArrayData, cap: Int): Long = {
+    val m = math.min(rf.numElements(), cap)
+    val n = math.min(ca.numElements(), cap)
+    if (m == 0) return n.toLong
+    val refToks = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) {
+      refToks(j) = if (rf.isNullAt(j)) null else rf.getUTF8String(j)
+      j += 1
+    }
+    val mMask = (1L << m) - 1L
+    val hBit = 1L << (m - 1)
+    var pv = mMask
+    var mv = 0L
+    var score = m.toLong
+    var i = 0
+    while (i < n) {
+      val t = if (ca.isNullAt(i)) null else ca.getUTF8String(i)
+      var eq = 0L
+      if (t != null) {
+        var k = 0
+        while (k < m) {
+          val r = refToks(k)
+          if (r != null && r.equals(t)) eq |= 1L << k
+          k += 1
+        }
+      }
+      val xv = eq | mv
+      val xh = (((eq & pv) + pv) ^ pv) | eq
+      var ph = mv | ~(xh | pv)
+      var mh = pv & xh
+      if ((ph & hBit) != 0L) score += 1L
+      if ((mh & hBit) != 0L) score -= 1L
+      ph = (ph << 1) | 1L
+      mh = mh << 1
+      pv = (mh | ~(xv | ph)) & mMask
+      mv = (ph & xv) & mMask
+      i += 1
+    }
+    score
+  }
+
+  private def checkCap(cap: Int): Unit =
+    require(cap >= 1 && cap <= 62, s"cap in [1, 62]: $cap")
+
+  /** Column face: LCS of two `array<string>` columns. */
+  def lcsCol(cand: Column, ref: Column, cap: Int): Column = {
+    checkCap(cap)
+    org.apache.spark.sql.graft.ColumnBridge.column(TokenLcsExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(cand),
+      org.apache.spark.sql.graft.ColumnBridge.expression(ref), cap))
+  }
+
+  /** Column face: Levenshtein(ref, cand) of two `array<string>`
+    * columns. */
+  def levenshteinCol(cand: Column, ref: Column, cap: Int): Column = {
+    checkCap(cap)
+    org.apache.spark.sql.graft.ColumnBridge.column(TokenLevenshteinExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(cand),
+      org.apache.spark.sql.graft.ColumnBridge.expression(ref), cap))
+  }
+}
+
+case class TokenLcsExpr(left: Expression, right: Expression, cap: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SeqBitKernels.lcs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], cap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SeqBitKernels.lcs($a, $b, $cap)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class TokenLevenshteinExpr(left: Expression, right: Expression, cap: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SeqBitKernels.levenshtein(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], cap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SeqBitKernels.levenshtein($a, $b, $cap)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -353,26 +353,19 @@ object Eval {
     * in-row match mask; LCS = popcount(V). O(cap²) bit-ops per row —
     * fixed work, in-row, zero shuffle before the |groups|-bounded
     * aggregate; the window cap is the documented bounded-eval
-    * contract (and this corpus' docs fit one word anyway). Verified
-    * against the classic O(mn) DP in EvalSpec. */
+    * contract (and this corpus' docs fit one word anyway). The kernel
+    * is a CODEGEN'D native expression ([[graft.functions
+    * .SeqBitKernels]], r17 — the DotProductExpr discipline: the whole
+    * per-row computation stays inside the generated loop, no
+    * interpreted HOF lambdas). Verified against the classic O(mn) DP
+    * in EvalSpec. */
   def rougeL(df: DataFrame, candToks: Column, refToks: Column,
       groupCol: String, cap: Int = 60): DataFrame = {
     require(cap >= 1 && cap <= 62, s"cap in [1, 62]: $cap")
-    val ca = slice(candToks, 1, cap)
-    val rf = slice(refToks, 1, cap)
-    // match mask of candidate token t over the reference positions
-    def maskOf(t: Column): Column = aggregate(
-      transform(rf, (rt, j) =>
-        when(rt === t, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-    val v = aggregate(ca, lit(0L), (vAcc, t) => {
-      val x = vAcc.bitwiseOR(maskOf(t))
-      val y = shiftleft(vAcc, 1).bitwiseOR(lit(1L))
-      x.bitwiseAND((x - y).bitwiseXOR(lit(-1L)))
-    })
     val perRow = df.select(col(groupCol).as("g"),
-      call_function("bit_count", v).cast("long").as("lcs"),
-      size(ca).cast("long").as("cl"), size(rf).cast("long").as("rl"))
+      graft.functions.SeqBitKernels.lcsCol(candToks, refToks, cap).as("lcs"),
+      least(size(candToks).cast("long"), lit(cap.toLong)).as("cl"),
+      least(size(refToks).cast("long"), lit(cap.toLong)).as("rl"))
     perRow.groupBy(col("g").as(groupCol))
       .agg(count(lit(1)).as("n_pairs"), sum(col("lcs")).as("lcs_len"),
         sum(col("cl")).as("c_len"), sum(col("rl")).as("r_len"))
@@ -394,48 +387,17 @@ object Eval {
     * tracking the exact distance at the pattern boundary bit. cap ≤ 62
     * keeps the (Eq&Pv)+Pv addition inside a non-overflowing long (both
     * operands < 2⁶²). O(cap²) bit-ops per row, in-row, zero shuffle
-    * before the |groups|-bounded aggregate. Verified against the
-    * classic O(mn) DP in EvalSpec; the q291 oracle is DuckDB's OWN
+    * before the |groups|-bounded aggregate; codegen'd native
+    * expression like [[rougeL]]'s. Verified against the classic
+    * O(mn) DP in EvalSpec; the q291 oracle is DuckDB's OWN
     * independent C levenshtein over a token→byte encoding. */
   def wer(df: DataFrame, candToks: Column, refToks: Column,
       groupCol: String, cap: Int = 62): DataFrame = {
     require(cap >= 1 && cap <= 62, s"cap in [1, 62]: $cap")
-    val ca = slice(candToks, 1, cap)
-    val rf = slice(refToks, 1, cap)
-    def maskOf(t: Column): Column = aggregate(
-      transform(rf, (rt, j) =>
-        when(rt === t, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-    def not_(c: Column): Column = c.bitwiseXOR(lit(-1L))
-    val mMask = call_function("shiftleft", lit(1L), size(rf)) - lit(1L)
-    val hBit = call_function("shiftleft", lit(1L), size(rf) - lit(1))
-    val init = struct(mMask.as("pv"), lit(0L).as("mv"),
-      size(rf).cast("long").as("sc"))
-    val fold = aggregate(ca, init, (acc, t) => {
-      val pv = acc.getField("pv")
-      val mv = acc.getField("mv")
-      val sc = acc.getField("sc")
-      val eq = maskOf(t)
-      val xv = eq.bitwiseOR(mv)
-      val xh = (eq.bitwiseAND(pv) + pv).bitwiseXOR(pv).bitwiseOR(eq)
-      val ph = mv.bitwiseOR(not_(xh.bitwiseOR(pv)))
-      val mh = pv.bitwiseAND(xh)
-      val sc2 = sc +
-        when(ph.bitwiseAND(hBit) =!= 0L, 1L).otherwise(0L) -
-        when(mh.bitwiseAND(hBit) =!= 0L, 1L).otherwise(0L)
-      val ph2 = shiftleft(ph, 1).bitwiseOR(lit(1L))
-      val mh2 = shiftleft(mh, 1)
-      struct(
-        mh2.bitwiseOR(not_(xv.bitwiseOR(ph2))).bitwiseAND(mMask).as("pv"),
-        ph2.bitwiseAND(xv).bitwiseAND(mMask).as("mv"),
-        sc2.as("sc"))
-    })
-    // empty reference degenerates the word machinery (hBit would shift
-    // by −1): the distance is just the candidate length
-    val dist = when(size(rf) === 0, size(ca).cast("long"))
-      .otherwise(fold.getField("sc"))
-    val perRow = df.select(col(groupCol).as("g"), dist.as("dist"),
-      size(ca).cast("long").as("cl"), size(rf).cast("long").as("rl"))
+    val perRow = df.select(col(groupCol).as("g"),
+      graft.functions.SeqBitKernels.levenshteinCol(candToks, refToks, cap).as("dist"),
+      least(size(candToks).cast("long"), lit(cap.toLong)).as("cl"),
+      least(size(refToks).cast("long"), lit(cap.toLong)).as("rl"))
     perRow.groupBy(col("g").as(groupCol))
       .agg(count(lit(1)).as("n_pairs"), sum(col("dist")).as("dist_sum"),
         sum(col("cl")).as("c_len"), sum(col("rl")).as("r_len"))

@@ -77,6 +77,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getMessage)
   }
 
+  test("graft_token_lcs / graft_token_levenshtein: SQL face of the bit-parallel kernels") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_token_lcs(array('a','b','c','d'), array('a','c','b','d')) AS lcs,
+        |       graft_token_levenshtein(array('a','x','c'), array('a','b','c')) AS lev,
+        |       graft_token_lcs(array(), array('a')) AS lcs0,
+        |       graft_token_levenshtein(array('a','b'), array()) AS lev0
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == 3L)  // transposition: LCS sees a,b,d or a,c,d
+    assert(r.getLong(1) == 1L)  // one substitution
+    assert(r.getLong(2) == 0L)
+    assert(r.getLong(3) == 2L)  // empty reference: distance = |cand|
+  }
+
   test("GraftExtensions injects the same vocabulary via the config path") {
     // the class must be constructible by Spark's extension loader and
     // inject every function without touching a live session
