@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting for training-data curation.
@@ -153,6 +154,83 @@ object Sampling {
         floor(ratio * lit(1000000.0) + lit(0.5)).cast("long").as("p_e6"),
         floor((lit(budget.toDouble) * ratio) * lit(100.0) + lit(0.5)).cast("long")
           .as("exp_docs_e2"))
+  }
+
+  /** Epoch-capped WATERFILLING allocation — the step between "what mix
+    * do we WANT" ([[temperatureWeights]], DSIR, a hand-tuned target)
+    * and "what can we actually HAVE": a target weight w_s per source,
+    * an availability avail_s, a repetition cap of `epochs` passes
+    * (repeating a small source beyond a few epochs measurably hurts —
+    * the Muennighoff 2023 data-constrained scaling result every mix
+    * design respects), and a total token `budget`. The allocation is
+    * x_s = min(λ·w_s, epochs·avail_s) with λ chosen so Σx = budget —
+    * classic waterfilling, computed EXACTLY in integers by the
+    * sorted-prefix closed form: ascending by cap_s/w_s, a source is
+    * capped while cap_k·RemW_k ≤ RemB_k·w_k (cross-multiplied longs —
+    * no division anywhere in the decision), where RemB/RemW are the
+    * budget and weight mass left after the capped prefix; every
+    * uncapped source then takes (RemB*·w_s) div RemW* (truncation
+    * leaves at most |sources| tokens unallocated — documented, never
+    * over-allocated). The capped set is forced PREFIX-monotone by a
+    * running conjunction, so integer edge cases cannot interleave
+    * capped/uncapped.
+    *
+    * Returns one row per source: (source, avail, w, cap, allocated,
+    * capped, epochs_e6 = allocated·10⁶ div avail). Scale shape: the
+    * input is already the |sources|-bounded stats table; the sort
+    * window runs over that bounded set, never a corpus. Overflow
+    * domain: cap·Wtot and budget·Wtot must fit a long — with e6
+    * weights that holds to ~9·10⁶ sources × 10⁶-token availabilities;
+    * lift to decimal beyond. */
+  def waterfillAllocation(stats: DataFrame, srcCol: Column,
+      availCol: Column, weightCol: Column,
+      epochs: Long, budget: Long): DataFrame = {
+    require(epochs >= 1L && epochs <= 1000L, s"epochs in [1, 1000]: $epochs")
+    require(budget >= 0L, "budget must be >= 0")
+    val base = stats.select(srcCol.as("source"),
+      availCol.cast("long").as("avail"), weightCol.cast("long").as("w"))
+      .select(col("source"), col("avail"),
+        when(col("w") < 0L || col("avail") < 0L, raise_error(lit(
+          "waterfillAllocation: negative weight or availability")))
+          .otherwise(col("w")).as("w"))
+      .withColumn("cap", col("avail") * lit(epochs))
+      // w = 0 orders last and allocates 0 — a source the target
+      // excludes never draws even with budget to spare (explicit
+      // branch: ANSI mode raises on division by zero even for
+      // doubles, and the capped test degenerates at zero weight)
+      .withColumn("ratio", when(col("w") === 0L, lit(Double.MaxValue))
+        .otherwise(col("cap").cast("double") / col("w").cast("double")))
+    val ord = Window.orderBy(col("ratio"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pre = base
+      .withColumn("c_excl", coalesce(sum(col("cap")).over(ord), lit(0L)))
+      .withColumn("w_excl", coalesce(sum(col("w")).over(ord), lit(0L)))
+      .withColumn("w_tot", sum(col("w")).over(all))
+      .withColumn("raw_capped",
+        col("cap") * (col("w_tot") - col("w_excl")) <=
+          (lit(budget) - col("c_excl")) * col("w"))
+      .withColumn("capped",
+        min(when(col("raw_capped"), 1L).otherwise(0L))
+          .over(Window.orderBy(col("ratio"), col("source"))
+            .rowsBetween(Window.unboundedPreceding, 0)) === 1L &&
+          col("w") > 0L)
+    val closed = pre
+      .withColumn("rem_b", lit(budget) -
+        coalesce(sum(when(col("capped"), col("cap"))).over(all), lit(0L)))
+      .withColumn("rem_w", col("w_tot") -
+        coalesce(sum(when(col("capped"), col("w"))).over(all), lit(0L)))
+    closed.select(col("source"), col("avail"), col("w"), col("cap"),
+        when(col("w") === 0L, lit(0L))
+          .when(col("capped"), col("cap"))
+          .when(col("rem_w") > 0L,
+            // defensive clamp: raw_capped is prefix-monotone in exact
+            // rationals, but the cap is the invariant either way
+            least(expr("(rem_b * w) div rem_w"), col("cap")))
+          .otherwise(lit(0L)).as("allocated"),
+        when(col("capped"), 1L).otherwise(0L).as("capped"))
+      .withColumn("epochs_e6", when(col("avail") > 0L,
+        expr("(allocated * 1000000L) div avail")).otherwise(0L))
   }
 
   /** Deterministic global corpus shuffle written as sharded parquet —

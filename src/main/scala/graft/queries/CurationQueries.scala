@@ -2471,6 +2471,56 @@ object CurationQueries extends QueryPack {
       }),
 
     Query(
+      "q295_mix_waterfill",
+      "Epoch-capped WATERFILLING mix allocation (Sampling.waterfillAllocation — the step " +
+        "between q145's 'what mix do we WANT' and what the corpus can HAVE under the " +
+        "Muennighoff 2023 repetition constraint): uniform target weights, a 1-epoch cap per " +
+        "source, and a budget of 39/40 of the total character mass, so the waterline lands " +
+        "INSIDE the availability spread — smaller sources exhaust (capped, epochs_e6 = 1e6) " +
+        "and the excess redistributes to larger ones. Computed by the EXACT sorted-prefix " +
+        "closed form: ascending cap/w, the capped test is cross-multiplied longs (no " +
+        "division in any decision), the capped set forced prefix-monotone by a running " +
+        "conjunction, uncapped sources take (RemB·w) div RemW. Windows run over the 20-row " +
+        "source table only — the corpus contributes one partial-aggregated groupBy.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val total = docs.agg(sum($"n_chars").cast("long")).head.getLong(0)
+        val stats = docs.groupBy($"source")
+          .agg(sum($"n_chars").cast("long").as("avail"))
+        graft.pipeline.Sampling.waterfillAllocation(stats,
+          col("source"), col("avail"), lit(1000000L),
+          epochs = 1L, budget = 39L * total / 40L)
+      },
+      Some(
+        """WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail FROM documents GROUP BY 1),
+          |bu AS (SELECT (39 * CAST(sum(n_chars) AS BIGINT)) // 40 AS budget FROM documents),
+          |p AS (SELECT source, avail, CAST(1000000 AS BIGINT) AS w, avail AS cap,
+          |    CAST(avail AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ratio FROM a),
+          |t AS (SELECT *,
+          |    CAST(coalesce(sum(cap) OVER (ORDER BY ratio, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_excl,
+          |    CAST(coalesce(sum(w) OVER (ORDER BY ratio, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_excl,
+          |    CAST(sum(w) OVER () AS BIGINT) AS w_tot
+          |  FROM p),
+          |rc AS (SELECT *, CASE WHEN cap * (w_tot - w_excl) <= ((SELECT budget FROM bu) - c_excl) * w
+          |    THEN 1 ELSE 0 END AS raw_capped FROM t),
+          |cp AS (SELECT *, min(raw_capped) OVER (ORDER BY ratio, source ROWS UNBOUNDED PRECEDING) AS capped FROM rc),
+          |cl AS (SELECT *,
+          |    (SELECT budget FROM bu) - CAST(coalesce(sum(CASE WHEN capped = 1 THEN cap END) OVER (), 0) AS BIGINT) AS rem_b,
+          |    w_tot - CAST(coalesce(sum(CASE WHEN capped = 1 THEN w END) OVER (), 0) AS BIGINT) AS rem_w
+          |  FROM cp)
+          |SELECT source, avail, w, cap,
+          |  CAST(CASE WHEN capped = 1 THEN cap
+          |    WHEN rem_w > 0 THEN least((rem_b * w) // rem_w, cap)
+          |    ELSE 0 END AS BIGINT) AS allocated,
+          |  CAST(capped AS BIGINT) AS capped,
+          |  CAST(CASE WHEN avail > 0 THEN
+          |    (CASE WHEN capped = 1 THEN cap
+          |      WHEN rem_w > 0 THEN least((rem_b * w) // rem_w, cap)
+          |      ELSE 0 END * 1000000) // avail ELSE 0 END AS BIGINT) AS epochs_e6
+          |FROM cl""".stripMargin)),
+
+    Query(
       "q293_k_anonymity",
       "k-anonymity + l-diversity release audit (Privacy.anonymityAudit — Sweeney 2002 / " +
         "Machanavajjhala 2007; the gate BEFORE a per-group statistics table leaves the " +

@@ -98,4 +98,59 @@ class SystematicSampleSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.forall { case (id, _) => id % 5 != 0 })
   }
+
+  private def waterfill(rows: Seq[(String, Long, Long)], epochs: Long,
+      budget: Long): Map[String, (Long, Long)] =
+    Sampling.waterfillAllocation(rows.toDF("s", "a", "w"),
+        col("s"), col("a"), col("w"), epochs, budget)
+      .select(col("source"), col("allocated"), col("capped"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("waterfillAllocation: poles — ample budget caps all, tiny budget caps none") {
+    val rows = Seq(("a", 100L, 10L), ("b", 300L, 10L), ("c", 600L, 10L))
+    // budget >= sum caps: everyone takes cap
+    val full = waterfill(rows, epochs = 2L, budget = 10000L)
+    assert(full == Map("a" -> ((200L, 1L)), "b" -> ((600L, 1L)), "c" -> ((1200L, 1L))))
+    // budget far below the smallest fair share: nobody caps, pure w-split
+    val tiny = waterfill(rows, epochs = 2L, budget = 90L)
+    assert(tiny == Map("a" -> ((30L, 0L)), "b" -> ((30L, 0L)), "c" -> ((30L, 0L))))
+    // zero-weight source never draws, even with spare budget
+    val zw = waterfill(Seq(("a", 100L, 1L), ("z", 100L, 0L)), 1L, 150L)
+    assert(zw("z") == ((0L, 1L)) || zw("z") == ((0L, 0L)), zw.toString)
+    assert(zw("a")._1 == 100L, zw.toString)
+  }
+
+  test("waterfillAllocation: waterline lands mid-spread — capped prefix + redistributed rest") {
+    // equal weights; caps 100/300/600; budget 700: a caps (100),
+    // remaining 600 splits over b,c evenly (300 each) -> b ALSO caps
+    // at 300, c takes 300 of its 600
+    val got = waterfill(Seq(("a", 100L, 10L), ("b", 300L, 10L), ("c", 600L, 10L)),
+      epochs = 1L, budget = 700L)
+    assert(got("a") == ((100L, 1L)), got.toString)
+    assert(got("b") == ((300L, 1L)), got.toString)
+    assert(got("c") == ((300L, 0L)), got.toString)
+    // total never exceeds budget; truncation may shave at most |sources|
+    val rng = new scala.util.Random(47)
+    for (_ <- 0 until 20) {
+      val rows = (0 until 8).map(i =>
+        (s"s$i", 50L + rng.nextInt(500).toLong, 1L + rng.nextInt(9).toLong))
+      val b = 200L + rng.nextInt(3000).toLong
+      val alloc = waterfill(rows, epochs = 2L, budget = b)
+      val total = alloc.values.map(_._1).sum
+      val capSum = rows.map(r => r._2 * 2L).sum
+      assert(total <= math.min(b, capSum), s"$rows b=$b -> $alloc")
+      assert(total >= math.min(b, capSum) - rows.size, s"undershoot: $rows b=$b -> $alloc")
+      // every allocation respects its cap
+      rows.foreach { case (n, a, _) =>
+        assert(alloc(n)._1 <= a * 2L, s"$n over cap in $alloc") }
+    }
+  }
+
+  test("waterfillAllocation: negative inputs fail loudly") {
+    val e = intercept[Exception] {
+      waterfill(Seq(("a", -5L, 1L)), 1L, 10L)
+    }
+    assert((e.getMessage != null && e.getMessage.contains("negative")) ||
+      (e.getCause != null && e.getCause.getMessage.contains("negative")), e.toString)
+  }
 }
