@@ -202,21 +202,18 @@ object Eval {
           " ELSE CAST(0 AS BIGINT) END").as("kappa_e6"))
   }
 
-  /** Clipped match count of candidate grams against reference grams,
-    * computed IN-ROW by the occurrence-index identity: the i-th
-    * occurrence (0-based, counted by an index-bounded scan — no
-    * per-element slice allocation) of gram g in the candidate matches
-    * iff i < cnt_ref(g) — so Σ_g min(cnt_cand, cnt_ref) needs no
-    * per-gram map, only O(L²) bounded comparisons. `cg`/`rg` MUST be
-    * attribute references (materialized by a prior projection): HOF
-    * bodies evaluate interpreted with no common-subexpression
-    * elimination, so an inlined expression here would recompute per
-    * outer element — the O(L³) cliff the staged selects below exist
-    * to avoid. Shared by [[corpusBleu]] and [[chrF]]. */
+  /** Clipped match count of candidate grams against reference grams —
+    * Σ_g min(cnt_cand, cnt_ref), the BLEU/chrF numerator — via the
+    * CODEGEN'D O(|cand|+|ref|) hash kernel
+    * ([[graft.functions.SeqBitKernels.clippedCount]]; r17 — replaced
+    * the O(L²) interpreted occurrence-index HOF scan, which at real
+    * 10⁴-gram document lengths is the difference between a scan-stage
+    * metric and a bottleneck). The staged-projection discipline below
+    * still applies to the gram ARRAYS (they are multi-referenced).
+    * Shared by [[corpusBleu]] and [[chrF]]; EvalSpec proves it
+    * against brute multiset-min counts. */
   private def clippedCount(cg: Column, rg: Column): Column =
-    size(filter(cg, (g, i) =>
-      size(filter(cg, (x, k) => k < i && x === g)) <
-        size(filter(rg, x => x === g)))).cast("long")
+    graft.functions.SeqBitKernels.clippedCountCol(cg, rg)
 
   /** Corpus BLEU (Papineni et al. 2002) between a candidate and a
     * reference token column — the generated-text fidelity metric a

@@ -2471,6 +2471,41 @@ object CurationQueries extends QueryPack {
       }),
 
     Query(
+      "q296_orc_interchange",
+      "ORC interchange leg (closing the columnar-format triangle next to parquet and the " +
+        "JSONL/WARC/ROOT sinks): documents — including a NESTED array<string> token column " +
+        "and a lang partition spec — write as zlib ORC through Spark's native DataSource, " +
+        "read back (partition-column recovery included), and aggregate per source. The " +
+        "oracle never touches ORC (DuckDB cannot read it): it recomputes the identical " +
+        "aggregate from the source-of-truth parquet, so equality proves the ROUND TRIP — " +
+        "schema mapping, nested encoding, partition pruning layout, compression — exactly " +
+        "the q252/q253 sink-oracle discipline. At 100 TB this is the interchange shape: " +
+        "one columnar write partitioned on a low-cardinality key, zero extra shuffles " +
+        "beyond the partitionBy exchange.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            filter(split(col("text"), " "), x => x =!= "").as("toks"))
+        val tmp = java.nio.file.Files.createTempDirectory("q296_orc").toString
+        docs.write.mode("overwrite").format("orc")
+          .option("compression", "zlib").partitionBy("lang").save(tmp)
+        val back = s.read.format("orc").load(tmp)
+        back.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          sum(size(col("toks"))).cast("long").as("n_tokens"),
+          countDistinct(col("lang")).cast("long").as("n_langs"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+      },
+      Some(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+          |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+          |FROM documents GROUP BY 1""".stripMargin)),
+
+    Query(
       "q295_mix_waterfill",
       "Epoch-capped WATERFILLING mix allocation (Sampling.waterfillAllocation — the step " +
         "between q145's 'what mix do we WANT' and what the corpus can HAVE under the " +
