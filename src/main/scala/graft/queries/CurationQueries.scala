@@ -2506,6 +2506,48 @@ object CurationQueries extends QueryPack {
           |FROM documents GROUP BY 1""".stripMargin)),
 
     Query(
+      "q297_csv_interchange",
+      "CSV interchange with a BYTE-LEVEL cross-engine oracle (stronger than q296's " +
+        "recompute-from-parquet: here DuckDB's OWN read_csv parses the exact files Spark " +
+        "wrote, so RFC-4180 quoting semantics are PROVEN, not assumed): every row carries a " +
+        "deliberately hostile field — embedded comma, embedded double quote, embedded " +
+        "NEWLINE — Spark writes with quote-doubling escape (escape = quote, the RFC " +
+        "convention DuckDB parses natively), reads its own files back under multiLine, and " +
+        "aggregates per source; the oracle aggregates DuckDB's independent parse of the " +
+        "same bytes (fixed path target/q297_csv, rewritten mode=overwrite by each Verify " +
+        "run — the oracle always follows the run that just wrote it). Quote-count and " +
+        "newline-count checksums make any quoting drift arithmetic, not cosmetic.",
+      (s, dir) => {
+        val out = "/root/repo/target/q297_csv"
+        val gnarly = concat(lit("v,\""), substring(col("text"), 1, 20),
+          lit("\"\n"), col("source"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), gnarly.as("g"))
+          .write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(out)
+        val back = s.read
+          .option("header", "true").option("multiLine", "true").option("escape", "\"")
+          .csv(out)
+        back.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id").cast("long")).as("id_checksum"),
+          sum(length(col("g"))).cast("long").as("g_chars"),
+          sum(length(col("g")) - length(regexp_replace(col("g"), "\"", "")))
+            .cast("long").as("n_quotes"),
+          sum(length(col("g")) - length(regexp_replace(col("g"), "\n", "")))
+            .cast("long").as("n_newlines"))
+      },
+      Some(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+          |  CAST(sum(len(g)) AS BIGINT) AS g_chars,
+          |  CAST(sum(len(g) - len(replace(g, '"', ''))) AS BIGINT) AS n_quotes,
+          |  CAST(sum(len(g) - len(replace(g, chr(10), ''))) AS BIGINT) AS n_newlines
+          |FROM read_csv('/root/repo/target/q297_csv/*.csv', header=true, quote='"', escape='"')
+          |GROUP BY 1""".stripMargin)),
+
+    Query(
       "q295_mix_waterfill",
       "Epoch-capped WATERFILLING mix allocation (Sampling.waterfillAllocation — the step " +
         "between q145's 'what mix do we WANT' and what the corpus can HAVE under the " +
