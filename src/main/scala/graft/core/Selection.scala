@@ -127,7 +127,10 @@ final case class PackedSelection(cuts: Seq[(String, Column)]) {
       struct(lit(i.toLong).as("stage_idx"), lit(n).as("stage"),
         coalesce(c, lit(false)).as("pass"))
     }: _*)
-    val rows = df.select(
+    // the per-event stage explode multiplies the map work #stages-fold —
+    // spread a layout-starved scan first (guide §2.5; no-op on healthy
+    // inputs)
+    val rows = graft.core.Tables.respreadIfStarved(df).select(
       explode(filter(stageArr, s => s("pass"))).as("s"),
       Histogram.bucket(v, lo, hi, nBins).as("__bin"), weight.as("__w"))
     Histogram.fill(rows,

@@ -25,6 +25,70 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** (rowGroups, rows) per parquet file — footer-only, driver-side,
+    * cached per (path, mtime) so a 286-query bench pays one footer read
+    * per table per session, not per query. */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Int, Long)]()
+
+  /** Re-spread a frame whose PARQUET LAYOUT caps its scan parallelism
+    * below the session's (optimization guide §2.5 "input skew — one
+    * huge unsplittable file ... repartition immediately after the
+    * read"). Called at the entry of CPU-HEAVY kernels only — a cheap
+    * scan→agg query must not pay the extra exchange, which is why this
+    * is not folded into [[load]].
+    *
+    * A parquet file written as one giant row group cannot be split:
+    * Spark plans size-based splits, but every split whose range misses
+    * the row-group midpoint reads NOTHING, so the decode plus the whole
+    * downstream map chain (shingling, hashing, vector math) runs on ONE
+    * task while the rest of the cluster idles. The trigger is derived
+    * from the frame's own file relations (row-group count vs
+    * `defaultParallelism`), never a tuned constant: when the plan's
+    * scans already have at least `par/2` FILES the branch short-circuits
+    * without touching a footer (each file is ≥ 1 row group), so at
+    * production scale this costs one integer compare; it fires exactly
+    * on degenerate layouts, where the respread shuffle is bounded by
+    * the (small, by construction) input itself. Round-robin keeps sizes
+    * even; `sortBeforeRepartition` (default on) keeps the assignment
+    * deterministic under retries. Frames whose footers count fewer than
+    * `4·par` rows stay as-is — broadcast-sized inputs would only gain
+    * an exchange in front of every broadcast. Frames with no file
+    * relation leaves (in-memory seeds, checkpointed rounds) are
+    * returned unchanged. */
+  def respreadIfStarved(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    // a frame that already re-spread (caller or an enclosing kernel)
+    // must not pay a second exchange
+    if (df.queryExecution.analyzed.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+        case _ => false
+      }) return df
+    val rels = df.queryExecution.analyzed.collectLeaves().collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (rels.isEmpty) return df
+    val files = rels.flatMap(_.location.inputFiles)
+    if (files.size * 2 >= par) return df // enough files => enough splits
+    val conf = spark.sessionState.newHadoopConf()
+    val (rowGroups, rows) = files.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        layoutCache.computeIfAbsent((st.getPath.toString, st.getModificationTime), _ => {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (reader.getRowGroups.size, reader.getRecordCount)
+          finally reader.close()
+        })
+      } catch { case scala.util.control.NonFatal(_) => (Int.MaxValue / 4096, 0L) }
+    }.foldLeft((0, 0L)) { case ((g, r), (g2, r2)) => (g + g2, r + r2) }
+    if (rowGroups * 2 < par && rows >= 4L * par) df.repartition(par) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -46,7 +46,9 @@ object IntervalJoin {
       endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val base = df
+    // per-bucket pair formation is the cost — spread a layout-starved
+    // scan first (guide §2.5; no-op on healthy inputs)
+    val base = graft.core.Tables.respreadIfStarved(df)
       .filter(col(endCol) >= col(startCol))
       .select((keyCols :+ idCol :+ startCol :+ endCol).map(col): _*)
     val exploded = base.withColumn(

@@ -131,8 +131,12 @@ object CurationPipeline {
       .foreach(_._2.unpersist(blocking = false))
   }
 
-  private[graft] def stages(docs: DataFrame, bench: Option[DataFrame],
+  private[graft] def stages(docs0: DataFrame, bench: Option[DataFrame],
       cfg: Config): Seq[(String, DataFrame)] = {
+    // the map-only stages (normalize/quality/fingerprint) are the chain's
+    // dominant per-row cost — spread a layout-starved scan first (guide
+    // §2.5; no-op on healthy inputs). Counts are partition-independent.
+    val docs = graft.core.Tables.respreadIfStarved(docs0)
     val id = col(cfg.idCol)
 
     // -1. HTML extraction (map-only; newline-preserving so the line
@@ -282,7 +286,7 @@ object CurationPipeline {
       if (cfg.dropLmTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
 
     Seq(
-      "input" -> docs,
+      "input" -> docs0, // count the raw scan, not the respread
       "line_rules" -> lineGated) ++
       (if (cfg.lineDedupMinCount.isDefined)
         Seq("line_dedup" -> lineDeduped) else Nil) ++

@@ -60,7 +60,10 @@ object Decomposition {
   def scatterMatrix(df: DataFrame, vecCol: String, mu: Array[Long]): Array[Array[BigInt]] = {
     val d = mu.length
     val c = centeredE6(col(vecCol), mu)
-    val rows = df.select(c.as("c"))
+    // O(n·d²) pair expansion is the cost — spread a layout-starved scan
+    // first (guide §2.5; no-op on healthy inputs). The (i,j) partial
+    // aggregate is partitioning-independent (integer sums).
+    val rows = graft.core.Tables.respreadIfStarved(df).select(c.as("c"))
       .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
       .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
       .select(col("i"), col("j"),

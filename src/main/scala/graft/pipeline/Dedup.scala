@@ -82,7 +82,10 @@ object Dedup {
     */
   def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int,
       distinct: Boolean = true): DataFrame = {
-    val toked = df.select(col(idCol).as("id"),
+    // md5 per (doc, position) is the dominant cost of every shingle
+    // consumer — spread a layout-starved scan first (guide §2.5; no-op
+    // on healthy inputs, see Tables.respreadIfStarved)
+    val toked = graft.core.Tables.respreadIfStarved(df).select(col(idCol).as("id"),
       graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
     val t = col("__t")
     val raw =

@@ -281,8 +281,11 @@ object Similarity {
   }
 
   private def prepCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
-    corpus.select(col(idCol).cast("long").as("nn_id"),
-      widen(col(vecCol)).as("v"), norm(col(vecCol)).as("vn"))
+    // dim-wide dot products downstream are the cost — spread a
+    // layout-starved scan first (guide §2.5; no-op on healthy inputs)
+    graft.core.Tables.respreadIfStarved(corpus)
+      .select(col(idCol).cast("long").as("nn_id"),
+        widen(col(vecCol)).as("v"), norm(col(vecCol)).as("vn"))
 
   /** Spherical k-means quantizer: deterministic hash-ordered seed
     * sample (ONE bounded collect of nCells rows), then `lloydIters`
@@ -1232,9 +1235,12 @@ object Similarity {
   def cosineCandidates(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, bitsPerBand: Int, bands: Int, minCosE6: Long,
       seed: Long = 42L, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val prepared = df.select(col(idCol).cast("long").as("id"),
+    // plane-dot signatures + verify dot products dominate — spread a
+    // layout-starved scan first (guide §2.5; no-op on healthy inputs)
+    val src = graft.core.Tables.respreadIfStarved(df)
+    val prepared = src.select(col(idCol).cast("long").as("id"),
       widen(col(vecCol)).as("v"), norm(col(vecCol)).as("n"))
-    val keys = lshBuckets(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+    val keys = lshBuckets(src.select(col(idCol).cast("long").as(idCol), col(vecCol)),
       idCol, vecCol, bitsPerBand, bands, dim, seed)
       .hint("shuffle_hash")
     // skew guard (off by default — zero plan change at MaxValue): a flood

@@ -212,7 +212,9 @@ object Sketches {
       k: Int): DataFrame = {
     require(k >= 2 && k <= 65536, s"k in [2, 65536]: $k")
     val h = conv(substring(md5(concat(value, lit("#kmv"))), 1, 15), 16, 10).cast("long")
-    df.filter(value.isNotNull)
+    // the md5 per value row is the cost — spread a layout-starved scan
+    // first (guide §2.5; no-op on healthy inputs)
+    graft.core.Tables.respreadIfStarved(df.filter(value.isNotNull))
       .select((keyCols.map(col) :+ h.as("__h")): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(graft.functions.BottomKDistinctAgg(col("__h"), k).as("kmv"))

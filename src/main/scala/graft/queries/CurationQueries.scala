@@ -2071,7 +2071,9 @@ object CurationQueries extends QueryPack {
       "Cross-corpus SET-OVERLAP estimation from bottom-k (KMV) distinct sketches (Beyer et al. 2007) — the sketch that answers intersections, which HLL cannot without inclusion-exclusion error blowup: per source, the 128 smallest distinct 60-bit hashes of its word-bigram vocabulary, built by ONE partial-aggregated pass whose buffer is k-bounded (BottomKDistinctAgg ships <= k longs per partition per group — the distinct never shuffles row-wise); then every source pair estimates |A union B| ((k-1)*2^60 div h_k, one DECIMAL(38,0)/HUGEINT product), Jaccard (K-intersect over the merged sketch) and |A intersect B| from the two 1-KB registers alone. 20 sources -> 190 pairs, all pair math |groups|-bounded. Every estimate is a pure integer division, so the SKETCH ITSELF sits under the oracle, not just its inputs.",
       (s, dir) => {
         import s.implicits._
-        val bg = Tables.documents(s, dir)
+        // respread BEFORE the shingle explode: the bigram construction
+        // itself is the dominant map cost on a layout-starved scan
+        val bg = Tables.respreadIfStarved(Tables.documents(s, dir))
           .select($"source", explode(TextAnalysis.shingles($"text", 2)).as("w"))
         val reg = graft.pipeline.Sketches.kmvRegisters(bg, Seq("source"), $"w", k = 128)
         graft.pipeline.Sketches.kmvOverlap(reg, "source", k = 128)

@@ -1,0 +1,33 @@
+// dev-only: write .explain("formatted") for registered queries to files —
+// the judge-facing plan artifacts (plans/r17/<query>_<suffix>.txt).
+// Usage: sbt "runMain graft.tools.PlanDump <outDir> <suffix> q53 q108 ..."
+// Env: GRAFT_PAR (cores), GRAFT_SF_DIR (default sf0.1).
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for (name <- args.drop(2)) {
+      val q = graft.SparkEntry.queries(name)(spark, dir)
+      val txt = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+        txt.getBytes("UTF-8"))
+      println(s"wrote $outDir/${name}_$suffix.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,97 @@
+// temp profiling main (dev-only): run named queries once and report the
+// job/stage/task/shuffle anatomy via a SparkListener — the fastest way to
+// tell a round-latency-bound query (many tiny jobs) from a stage-heavy one
+// (few jobs, big shuffles). Usage:
+//   sbt "runMain graft.tools.ProfJobs q243_bfs_distances q140_curation_chain"
+// Env: GRAFT_PAR (cores), GRAFT_SF_DIR (default sf0.1), GRAFT_REPS (default 1).
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+object ProfJobs {
+  private final class Agg extends SparkListener {
+    val jobs = new AtomicInteger
+    val stages = new AtomicInteger
+    val tasks = new AtomicInteger
+    val shufWrite = new AtomicLong
+    val shufReadB = new AtomicLong
+    val fetchWaitMs = new AtomicLong
+    val taskMs = new AtomicLong
+    val gcMs = new AtomicLong
+    // (stageName, nTasks, sumRunMs, wallMs) per completed stage
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long)]()
+    override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      val info = s.stageInfo
+      val run = if (info.taskMetrics != null) info.taskMetrics.executorRunTime else -1L
+      val wall = (for (a <- info.completionTime; b <- info.submissionTime) yield a - b).getOrElse(-1L)
+      stageRows.add((info.name.takeWhile(_ != '\n').take(60), info.numTasks, run, wall))
+      ()
+    }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = t.taskMetrics
+      if (m != null) {
+        taskMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        if (m.shuffleWriteMetrics != null)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        if (m.shuffleReadMetrics != null) {
+          shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+        }
+      }
+      ()
+    }
+    def reset(): Unit = {
+      jobs.set(0); stages.set(0); tasks.set(0)
+      shufWrite.set(0); shufReadB.set(0); fetchWaitMs.set(0); taskMs.set(0); gcMs.set(0)
+      stageRows.clear()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val par = sys.env.getOrElse("GRAFT_PAR", Runtime.getRuntime.availableProcessors.toString)
+    val reps = sys.env.getOrElse("GRAFT_REPS", "1").toInt
+    val spark = SparkSession.builder().master(s"local[$par]")
+      .config("spark.sql.shuffle.partitions", par)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val agg = new Agg
+    spark.sparkContext.addSparkListener(agg)
+    val qs = graft.SparkEntry.queries
+    spark.read.parquet(s"$dir/lineitem.parquet").count() // session warmup
+    println(f"${"query"}%-30s ${"sec"}%7s ${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s " +
+      f"${"shW_MB"}%8s ${"shR_MB"}%8s ${"fetch_ms"}%8s ${"task_s"}%7s ${"gc_ms"}%6s")
+    for (name <- args; r <- 1 to reps) {
+      // settle the (async) listener queue from the previous query before
+      // resetting — no public flush API, a short sleep is fine for dev use
+      Thread.sleep(400)
+      agg.reset()
+      val t0 = System.nanoTime()
+      val n = qs(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400)
+      println(f"$name%-30s $sec%7.2f ${agg.jobs.get}%5d ${agg.stages.get}%5d " +
+        f"${agg.tasks.get}%6d ${agg.shufWrite.get / 1e6}%8.1f ${agg.shufReadB.get / 1e6}%8.1f " +
+        f"${agg.fetchWaitMs.get}%8d ${agg.taskMs.get / 1e3}%7.1f ${agg.gcMs.get}%6d rows=$n")
+      if (sys.env.contains("GRAFT_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        val rows = agg.stageRows.asScala.toSeq
+        rows.groupBy(_._1).map { case (nm, rs) =>
+          (nm, rs.size, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
+        }.toSeq.sortBy(-_._4).take(15).foreach { case (nm, cnt, nt, run, wall) =>
+          println(f"    $nm%-60s x$cnt%-4d tasks=$nt%-5d runMs=$run%-7d wallMs=$wall%-6d")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
