@@ -106,7 +106,11 @@ object Classifier {
     * task). Composes with Structured Streaming. */
   def score(model: LogisticModel, df: DataFrame,
       idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
+    // the per-doc tokenize + bucket-hash + weight fold is the cost —
+    // spread a layout-starved scan first (guide §2.5; no-op on healthy
+    // inputs)
+    graft.core.Tables.respreadIfStarved(df)
+      .select(col(idCol).cast("long").as("id"),
         marginE6(model, col(textCol)).as("margin_e6"))
       .withColumn("pred", (col("margin_e6") > 0L).cast("long"))
 

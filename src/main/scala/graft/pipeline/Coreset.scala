@@ -103,10 +103,14 @@ object Coreset {
     * monotone non-increase is the submodularity witness. */
   def maxCoverage(units: DataFrame, idCol: String, unitCol: String, k: Int): Seq[(Long, Long, Long)] = {
     require(k >= 1 && k <= 1000, s"k in [1, 1000]: $k")
+    // localCheckpoint (not persist): AQE-sized partitions — a persisted
+    // plan pins the static shuffle partition count and every greedy
+    // round's anti-join + count over a small universe then pays that
+    // many tiny tasks (Graphs.multiSourceBfs rationale)
     val u = units
       .select(col(idCol).cast("long").as("id"), col(unitCol).as("u"))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     try {
       var covered: DataFrame = null
       var selected = Vector.empty[Long]

@@ -1268,7 +1268,10 @@ object Curation {
       "nBuckets must be in (0, 4M] — the score table collects to the driver")
     require(smoothing > 0, "smoothing must be positive (unseen buckets need mass)")
     def dist(df: DataFrame, c: String): (Map[Long, Long], Long) = {
-      val m = df.select(explode(dsirBuckets(col(c), nBuckets)).as("b"))
+      // tokenize + bucket-hash per doc dominates — spread a layout-
+      // starved scan first (guide §2.5; no-op on healthy inputs)
+      val m = graft.core.Tables.respreadIfStarved(df)
+        .select(explode(dsirBuckets(col(c), nBuckets)).as("b"))
         .groupBy("b").agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       (m, m.valuesIterator.sum)
@@ -1332,9 +1335,12 @@ object Curation {
     * plan. Composes with Structured Streaming unchanged. */
   def dsirScore(model: DsirModel, df: DataFrame,
       idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-      bucketTableSum(0L, model.scoreE6,
-        dsirBuckets(col(textCol), model.nBuckets)).as("dsir_e6"))
+    // per-doc tokenize + bucket-hash + table fold is the cost — spread a
+    // layout-starved scan first (guide §2.5; no-op on healthy inputs)
+    graft.core.Tables.respreadIfStarved(df)
+      .select(col(idCol).cast("long").as("id"),
+        bucketTableSum(0L, model.scoreE6,
+          dsirBuckets(col(textCol), model.nBuckets)).as("dsir_e6"))
 
   /** [[dsirFit]] + [[dsirScore]] in one call (EAGER — fit runs its two
     * bounded jobs immediately). Returns `(id, dsir_e6)`. */

@@ -256,11 +256,15 @@ object Graphs {
     import spark.implicits._
     val lab = labels.select(col(nodeCol).cast("long").as("node"),
       col(labCol).cast("long").as("lab"))
+    // checkpoint: read by the missing-label probe (an action), the
+    // label join and the m-count — without it the canonical edge set
+    // recomputes three times (AQE-sized partitions, see multiSourceBfs)
     val und = edges
       .select(col(srcCol).cast("long").as("s0"), col(dstCol).cast("long").as("d0"))
       .filter($"s0" =!= $"d0")
       .select(least($"s0", $"d0").as("a"), greatest($"s0", $"d0").as("b"))
       .distinct()
+      .localCheckpoint(true)
     val missing = und.select($"a".as("node")).unionByName(und.select($"b".as("node")))
       .distinct()
       .join(lab.select($"node"), Seq("node"), "left_anti")
@@ -311,11 +315,13 @@ object Graphs {
     val dir0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    // canonical undirected edge set: a < b, deduped
+    // canonical undirected edge set: a < b, deduped. localCheckpoint
+    // (not persist): AQE-sized partitions — see multiSourceBfs; read by
+    // the degree count, the orientation join and the triangle-closing join
     val und = dir0
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     try {
       val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -606,10 +612,15 @@ object Graphs {
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val e = dir0
+    // truncate (not persist): the checkpoint materializes through AQE, so
+    // the stored partition count follows the edge list's BYTES — a
+    // persisted plan pins the static shuffle partition count
+    // (canChangeCachedPlanOutputPartitioning=false default), and every
+    // per-round scan of a small graph then pays that many tiny tasks
+    // (measured: the per-task agg/sort buffer setup dominated BFS rounds)
+    val e = truncate(dir0
       .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist()
+      .distinct())
     try {
       val init = truncate(seeds.map(s => (s, s, 0L)).toDF("seed", "node", "dist"))
       // BFS invariant: a depth-(d+1) candidate can only collide with
@@ -631,7 +642,11 @@ object Graphs {
           .distinct()
         // two SEPARATE anti-joins (not one union): each right side is a
         // single materialized frame with stats, so both stay broadcast
-        // when thin — a union would fall back to a shuffle join
+        // when thin — a union would fall back to a shuffle join.
+        // (A 2-level unroll per materialization was tried in the r17
+        // optimization round and measured SLOWER: the in-plan second
+        // level re-plans as extra adaptive stage jobs, costing more in
+        // per-job latency than the halved checkpoint count saved.)
         val lessFrontier = expanded.join(
           frontier.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
         val (next, nNext) = truncateCounted(
@@ -691,14 +706,17 @@ object Graphs {
     def truncateCounted(df: DataFrame): (DataFrame, Long) =
       if (checkpointDir.isDefined) { val t = df.checkpoint(true); (t, t.count()) }
       else { val t = df.localCheckpoint(false); (t, t.queryExecution.toRdd.count()) }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val e = dir0
+    // truncate (not persist): AQE-sized checkpoint partitions — see
+    // multiSourceBfs; every peel round scans this list twice
+    val e = truncate(dir0
       .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist()
+      .distinct())
     try {
       var (surv, nSurv) = truncateCounted(
         nodes.select(col(nodeCol).cast("long").as("node")).distinct())
@@ -1063,14 +1081,16 @@ object Graphs {
     }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    val e = edges
+    // truncate (not persist) for both shared frames: AQE-sized
+    // checkpoint partitions — see multiSourceBfs; each of the 2·iters
+    // half-steps scans both
+    val e = truncate(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist()
+      .distinct())
     try {
-      val nodes = e.select($"src".as("node"))
-        .unionByName(e.select($"dst".as("node"))).distinct().persist()
+      val nodes = truncate(e.select($"src".as("node"))
+        .unionByName(e.select($"dst".as("node"))).distinct())
       try {
         // x·Base div max in decimal(38,0): exact floor, never overflows
         // (n·Base·Base needs < 38 digits for any realistic n)

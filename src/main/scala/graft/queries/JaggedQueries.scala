@@ -107,7 +107,9 @@ object JaggedQueries extends QueryPack {
         // quantities alone give many IDENTICAL pair masses, and a whole
         // degenerate class sitting one ulp from a bin edge flips together
         // (measured: 5-pair bin migrations from sinh libm differences)
-        val li = Tables.lineitem(s, dir)
+        // ~3M joined pairs each pay exp/sinh mass math — spread the
+        // layout-starved scan so pair formation parallelizes (guide §2.5)
+        val li = Tables.respreadIfStarved(Tables.lineitem(s, dir))
         def v(alias: String) = li.select($"l_orderkey".as(s"o_$alias"),
           struct($"l_linenumber", $"l_extendedprice").as(s"k_$alias"),
           ($"l_quantity" + $"l_extendedprice" / 10000.0).as(s"pt$alias"),

@@ -270,12 +270,15 @@ object PipelineQueries extends QueryPack {
         import s.implicits._
         val docs = Tables.documents(s, dir)
           .filter(graft.pipeline.Sampling.hashBucket($"doc_id", "cal15") < 3000L)
+        // both pair sets are read by two of the three set-algebra legs —
+        // checkpoint each ONCE or the full minhash / inverted-index
+        // pipelines replay per leg (bounded frames: sampled pair sets)
         val cand = graft.pipeline.Dedup
           .minhashCandidates(docs, "doc_id", "text", k = 16, bands = 8, minEst = 0.25)
-          .select($"id_a", $"id_b")
+          .select($"id_a", $"id_b").localCheckpoint(true)
         val truth = graft.pipeline.Dedup
           .ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.25)
-          .select($"id_a", $"id_b")
+          .select($"id_a", $"id_b").localCheckpoint(true)
         val tp = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
           .agg(count(lit(1)).as("tp"))
         val fp = cand.join(truth, Seq("id_a", "id_b"), "left_anti")
