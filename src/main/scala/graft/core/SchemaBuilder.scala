@@ -128,7 +128,21 @@ object SchemaBuilder {
     val laidOut =
       if (ordered == fields) sorted
       else transform(sorted, x => struct(fields.map(f => x(f).as(f)): _*))
-    val nested = df.groupBy(key.map(col): _*)
+    // Layout-starved inputs (guide §2.5 — Tables.respreadIfStarved's
+    // trigger) get a user repartition ON THE NEST KEY first: the groupBy
+    // reuses that exchange (same key), and because a user-specified
+    // repartition is exempt from AQE coalescing, the nest aggregate AND
+    // every downstream per-row HOF consumer keep core-count parallelism
+    // instead of collapsing to the 1–2 partitions the nested bytes
+    // suggest (nested work is compute-dense: bytes mislead the
+    // byte-based coalesce). On healthy inputs the branch is dead and
+    // AQE stays in charge.
+    val src0 = Tables.respreadIfStarved(df)
+    val src =
+      if (src0 eq df) df
+      else df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        key.map(col): _*)
+    val nested = src.groupBy(key.map(col): _*)
       .agg(collect_list(item).as("__unsorted"))
       .withColumn(collection, laidOut)
       .drop("__unsorted")

@@ -52,7 +52,10 @@ object Curation {
     val cs = Dedup.shingleArrays(corpus, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("s"))
-    val bs0 = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n)
+    // bench side: a filter-derived slice is already tiny — the footer-row
+    // respread trigger would overcount and pay a useless exchange
+    val bs0 = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n,
+        respread = false)
       .select(col("s")).distinct()
     val bs = if (broadcastBench) broadcast(bs0) else bs0
     cs.join(bs, "s")
@@ -889,8 +892,13 @@ object Curation {
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int, expectedBenchShingles: Long = 1L << 16,
       fpp: Double = 0.01): DataFrame = {
-    val bsh = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n)
-      .select(col("s")).distinct()
+    // benchmark side: no respread (a filter-derived slice of a big file
+    // is already tiny — the footer-row trigger would overcount), and
+    // checkpoint ONCE: the distinct shingle set feeds both the sketch
+    // action and the exact-verify join (was recomputed per consumer)
+    val bsh = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n,
+        respread = false)
+      .select(col("s")).distinct().localCheckpoint(true)
     // Job 1: the benchmark collapses to one bounded sketch row.
     val sketchBytes = bsh
       .agg(graft.functions.BloomSketch.sketch(col("s"), expectedBenchShingles, fpp).as("bf"))
@@ -934,8 +942,10 @@ object Curation {
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int, expectedBenchShingles: Long = 1L << 16,
       fpp: Double = 0.01): DataFrame = {
-    val bsh = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n)
-      .select(col("s")).distinct()
+    // bench side: no respread + one checkpoint — see bloomContaminationIds
+    val bsh = Dedup.shingleRows(bench, benchIdCol, benchTextCol, n,
+        respread = false)
+      .select(col("s")).distinct().localCheckpoint(true)
     val sketchBytes = bsh
       .agg(graft.functions.BloomSketch.sketch(col("s"), expectedBenchShingles, fpp).as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -1041,7 +1051,13 @@ object Curation {
     val big = pos.filter(col("prev").isNotNull)
       .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minBigramCount)
-    BigramLm(uni, big, pos.count())
+    // total tokens = Σ per-doc token-array size: identical to
+    // pos.count() (the size>0 filter cannot change a sum of sizes) but
+    // map-only — no zip_with struct build, no row explosion
+    val total = docs
+      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("t")).head().getLong(0)
+    BigramLm(uni, big, total)
   }
 
   /** CCNet threshold trainer: the head/tail nll cut points as corpus

@@ -125,8 +125,17 @@ object CurationPipeline {
     val cached = st.map { case (name, df) =>
       (name, if (name == "input" || name.startsWith("__")) df else df.persist())
     }
+    // pass-through stages return the SAME frame object (e.g. near-dedup
+    // with minJaccard > 1, decontamination with no benchmark): count it
+    // once, not once per stage name — identity memo, never value-based
+    val memo = new java.util.IdentityHashMap[DataFrame, java.lang.Long]()
+    def countOnce(df: DataFrame): Long = {
+      val hit = memo.get(df)
+      if (hit != null) hit.longValue()
+      else { val n = df.count(); memo.put(df, n); n }
+    }
     try (st.last._2, cached.filterNot(_._1.startsWith("__"))
-      .map { case (name, df) => (name, df.count()) })
+      .map { case (name, df) => (name, countOnce(df)) })
     finally cached.filterNot(_._1 == "input")
       .foreach(_._2.unpersist(blocking = false))
   }

@@ -81,11 +81,15 @@ object Dedup {
     * with null-safe `get` (no per-shingle `slice` array copies).
     */
   def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int,
-      distinct: Boolean = true): DataFrame = {
+      distinct: Boolean = true, respread: Boolean = true): DataFrame = {
     // md5 per (doc, position) is the dominant cost of every shingle
     // consumer — spread a layout-starved scan first (guide §2.5; no-op
-    // on healthy inputs, see Tables.respreadIfStarved)
-    val toked = graft.core.Tables.respreadIfStarved(df).select(col(idCol).as("id"),
+    // on healthy inputs, see Tables.respreadIfStarved). `respread=false`
+    // opts out for small SLICES of a big file (e.g. a benchmark split):
+    // the footer-row trigger sees the whole file and would pay an
+    // exchange for a frame a filter already made tiny.
+    val src = if (respread) graft.core.Tables.respreadIfStarved(df) else df
+    val toked = src.select(col(idCol).as("id"),
       graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
     val t = col("__t")
     val raw =
@@ -103,8 +107,8 @@ object Dedup {
   /** (id, s) shingle rows — [[shingleArrays]] exploded (inverted-index
     * layout for equality joins on the shingle). */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
-      distinct: Boolean = true): DataFrame =
-    shingleArrays(df, idCol, textCol, n, distinct)
+      distinct: Boolean = true, respread: Boolean = true): DataFrame =
+    shingleArrays(df, idCol, textCol, n, distinct, respread)
       .select(col("id"), explode(col("sh")).as("s"))
 
   /** (id, h1, h2) hash rows over the shingles — md5 runs exactly once

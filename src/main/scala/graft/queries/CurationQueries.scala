@@ -1804,7 +1804,9 @@ object CurationQueries extends QueryPack {
       (s, dir) => {
         import s.implicits._
         val probes = Seq("join", "hash", "scan", "filter", "batch")
-        val toks = Tables.documents(s, dir)
+        // respread before the token explode: the register build AND the
+        // exact-count leg both replay this map work (guide §2.5)
+        val toks = Tables.respreadIfStarved(Tables.documents(s, dir))
           .select($"source", explode(TextAnalysis.tokens($"text")).as("w"))
         val reg = graft.pipeline.Sketches.cmRegisters(toks, Seq("source"), $"w")
         val est = graft.pipeline.Sketches.cmProbe(reg, Seq("source"), probes)
@@ -1841,7 +1843,9 @@ object CurationQueries extends QueryPack {
         val docs = Tables.documents(s, dir)
         val total = docs.count()
         val minSup = total * 2 / 5
-        val dt = docs.select($"doc_id",
+        // respread before the distinct-token explode: support counting
+        // and both self-join sides replay this map work (guide §2.5)
+        val dt = Tables.respreadIfStarved(docs).select($"doc_id",
           explode(array_distinct(TextAnalysis.tokens($"text"))).as("w"))
         val sup = dt.groupBy($"w").agg(count(lit(1)).as("nw"))
           .filter($"nw" >= minSup)

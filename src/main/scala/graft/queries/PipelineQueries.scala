@@ -70,7 +70,9 @@ object PipelineQueries extends QueryPack {
       "Heuristic language ID (stopword-hit argmax with deterministic tie order) vs the labeled lang column — a confusion matrix.",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        // respread: per-doc tokenize + per-vocabulary scoring is the
+        // cost and runs inside a layout-starved scan (guide §2.5)
+        Tables.respreadIfStarved(Tables.documents(s, dir))
           // barrier: tokenize once per row, not once per vocabulary
           .select($"lang", graft.functions.Barrier(TextAnalysis.tokens($"text")).as("__t"))
           .select($"lang", TextAnalysis.langIdFromTokens($"__t", langVocabs).as("pred_lang"))
@@ -761,7 +763,9 @@ object PipelineQueries extends QueryPack {
       "Acoustic fingerprint dedup (Haitsma-Kalker energy-delta bits): per-clip 32-bit fingerprint from framed sample energies — entirely codegen'd HOFs inside the scan (frame energies, delta signs, Horner bit-pack; no UDF) — then exact dedup = ONE groupBy on the fingerprint. Samples fabricate from ASCII text (q94 convention); PcmBackend feeds real decoded PCM through the identical downstream shape. Exact integer arithmetic, cross-engine stable by construction.",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        // respread: the framed-energy HOF chain is the cost and runs
+        // inside a layout-starved scan (guide §2.5)
+        Tables.respreadIfStarved(Tables.documents(s, dir))
           .select($"doc_id",
             Multimodal.audioFingerprint(Multimodal.textPcm($"text")).as("fp"))
           .groupBy($"fp")
@@ -787,7 +791,8 @@ object PipelineQueries extends QueryPack {
       (s, dir) => {
         import s.implicits._
         Multimodal.audioNearDup(
-          Tables.documents(s, dir), "doc_id", Multimodal.textPcm($"text"))
+          Tables.respreadIfStarved(Tables.documents(s, dir)),
+          "doc_id", Multimodal.textPcm($"text"))
       },
       Some("""WITH s AS (SELECT doc_id, i, ascii(substring(text, i, 1)) AS c
              |           FROM documents, generate_series(1, 228) g(i) WHERE i <= length(text)),
