@@ -56,12 +56,13 @@ object Graphs {
 
     val n = nodes.select(col(nodeCol)).distinct().count()
     require(n > 0, "empty node set")
-    val e = edges
+    // truncate (not persist): AQE-sized checkpoint partitions — see
+    // multiSourceBfs; every round joins both frames
+    val e = truncate(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+      .distinct())
+    val deg = truncate(e.groupBy("src").agg(count(lit(1)).as("deg")))
     try {
       val teleport = ((dampDen - dampNum) * Base / dampDen) / n
       var ranks = truncate(nodes.select(col(nodeCol).cast("long").as("node"))
@@ -128,13 +129,13 @@ object Graphs {
 
     val n = nodes.select(col(nodeCol)).distinct().count()
     require(n > 0, "empty node set")
-    val e = edges
+    // truncate (not persist) — see pageRank
+    val e = truncate(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
       .filter(col("src") =!= col("dst") && col("w") > 0L)
-      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .persist()
-    val wt = e.groupBy("src").agg(sum(col("w")).as("wtot")).persist()
+      .groupBy("src", "dst").agg(sum(col("w")).as("w")))
+    val wt = truncate(e.groupBy("src").agg(sum(col("w")).as("wtot")))
     try {
       val teleport = ((dampDen - dampNum) * Base / dampDen) / n
       var ranks = truncate(nodes.select(col(nodeCol).cast("long").as("node"))
@@ -202,6 +203,10 @@ object Graphs {
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
+    // persist (NOT truncate): label-frequency rounds are compute-dense
+    // per edge row — the static-partition cache keeps them parallel
+    // (truncate A/B measured +0.35 s; the AQE-sized byte-based coalesce
+    // under-parallelizes this kernel)
     val e = dir0
       .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -386,12 +391,12 @@ object Graphs {
     val s = seeds.distinct.size.toLong
     val isSeed = col("node").isInCollection(seeds.distinct)
     val teleportSeed = ((dampDen - dampNum) * Base / dampDen) / s
-    val e = edges
+    // truncate (not persist) — see pageRank
+    val e = truncate(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+      .distinct())
+    val deg = truncate(e.groupBy("src").agg(count(lit(1)).as("deg")))
     try {
       var ranks = truncate(nodes.select(col(nodeCol).cast("long").as("node"))
         .distinct()
@@ -466,6 +471,9 @@ object Graphs {
     }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // persist (NOT truncate): relax rounds stay parallel on the static-
+    // partition cache (truncate A/B measured +0.19 s — labelPropagation
+    // rationale)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
@@ -531,11 +539,11 @@ object Graphs {
     }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    val e = edges
+    // truncate (not persist) — see multiSourceBfs
+    val e = truncate(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist()
+      .distinct())
     try {
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
@@ -796,10 +804,11 @@ object Graphs {
       .distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"src").orderBy($"dst")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"src")
-    val adj = dir0
+    // truncate (not persist): AQE-sized checkpoint partitions — see
+    // multiSourceBfs; the unrolled walk plan scans this once per step
+    val adj = truncate(dir0
       .withColumn("rank", row_number().over(w).cast("long") - 1L)
-      .withColumn("deg", count(lit(1)).over(wAll))
-      .persist()
+      .withColumn("deg", count(lit(1)).over(wAll)))
     try {
       val starts = adj.select($"src".as("start")).distinct()
       val walkIds = (0 until walksPerNode).map(_.toLong).toDF("walk")
@@ -867,10 +876,11 @@ object Graphs {
       .distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"src").orderBy($"dst")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"src")
-    val adj = dir0
+    // truncate (not persist): AQE-sized checkpoint partitions — see
+    // multiSourceBfs; the unrolled walk plan scans this once per step
+    val adj = truncate(dir0
       .withColumn("rank", row_number().over(w).cast("long") - 1L)
-      .withColumn("deg", count(lit(1)).over(wAll))
-      .persist()
+      .withColumn("deg", count(lit(1)).over(wAll)))
     try {
       def draw(t: Int) = TextAnalysis.portableHash(
         concat_ws("#", col("start"), col("walk"), lit(t.toLong)), lit(salt))
@@ -951,10 +961,10 @@ object Graphs {
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val e = dir0
+    // truncate (not persist) — see multiSourceBfs
+    val e = truncate(dir0
       .unionByName(dir0.select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
-      .persist()
+      .distinct())
     try {
       val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
       val mid = e.join(deg, e("src") === deg("node"))
@@ -1180,6 +1190,10 @@ object Graphs {
     val dir0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
+    // persist (NOT truncate): the sigma/delta accumulations are
+    // compute-dense per edge row — the static-partition cache keeps
+    // them parallel (truncate A/B measured +0.46 s; labelPropagation
+    // rationale)
     val e = dir0
       .unionByName(dir0.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
@@ -1343,10 +1357,12 @@ object Graphs {
     while (nLive > 0L && outer < maxOuter) {
       outer += 1
       // live edge set for this outer round
-      var e = e0
+      // truncate (not persist): AQE-sized checkpoint partitions — see
+      // multiSourceBfs; trim/color rounds scan this repeatedly
+      var e = truncate(e0
         .join(live, e0("src") === live("node"), "left_semi")
         .join(live.withColumnRenamed("node", "n2"),
-          col("dst") === col("n2"), "left_semi").persist()
+          col("dst") === col("n2"), "left_semi"))
       try {
         // -- 1. trim tendrils: no in-edge or no out-edge => singleton
         var trimmed = false
@@ -1365,9 +1381,9 @@ object Graphs {
               .select(col("node"), col("node").as("scc"))
             live = k2; nLive = nKeep; nLiveEst = nLive
             val ePrev = e
-            e = e.join(live, e("src") === live("node"), "left_semi")
+            e = truncate(e.join(live, e("src") === live("node"), "left_semi")
               .join(live.withColumnRenamed("node", "n2"),
-                col("dst") === col("n2"), "left_semi").persist()
+                col("dst") === col("n2"), "left_semi"))
             ePrev.unpersist(false)
           }
         }
