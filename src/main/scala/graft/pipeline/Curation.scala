@@ -534,8 +534,11 @@ object Curation {
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"span k-gram length must be >= 2 (got $k)")
-    val toked = df.select(col(idCol).as("id"),
-      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+    // respread: the positional shingling + md5 runs TWICE (the dup-hash
+    // aggregate and the join-back) over a layout-starved scan (guide §2.5)
+    val toked = graft.core.Tables.respreadIfStarved(df)
+      .select(col(idCol).as("id"),
+        graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
     val t = col("__t")
     val sh =
       when(size(t) >= k,
@@ -592,8 +595,10 @@ object Curation {
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, keepFirst: Boolean = true): DataFrame = {
     require(k >= 2, s"span k-gram length must be >= 2 (got $k)")
-    val toked = df.select(col(idCol).cast("long").as("id"),
-      graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
+    // respread — duplicatedSpanStats rationale (same double map pass)
+    val toked = graft.core.Tables.respreadIfStarved(df)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.Barrier(TextAnalysis.tokens(col(textCol))).as("__t"))
     val t = col("__t")
     val sh =
       when(size(t) >= k,
