@@ -114,7 +114,8 @@ object SchemaBuilder {
       collection: String,
       fields: Seq[String],
       sortFields: Seq[String],
-      mixin: Option[String] = None): DataFrame = {
+      mixin: Option[String] = None,
+      respreadStarved: Boolean = false): DataFrame = {
     // collect_list order is nondeterministic (shuffle arrival order) —
     // sortFields must be unique per group to pin the array layout.
     // Building the struct with sortFields FIRST lets sort_array's native
@@ -128,16 +129,18 @@ object SchemaBuilder {
     val laidOut =
       if (ordered == fields) sorted
       else transform(sorted, x => struct(fields.map(f => x(f).as(f)): _*))
-    // Layout-starved inputs (guide §2.5 — Tables.respreadIfStarved's
-    // trigger) get a user repartition ON THE NEST KEY first: the groupBy
-    // reuses that exchange (same key), and because a user-specified
-    // repartition is exempt from AQE coalescing, the nest aggregate AND
-    // every downstream per-row HOF consumer keep core-count parallelism
-    // instead of collapsing to the 1–2 partitions the nested bytes
-    // suggest (nested work is compute-dense: bytes mislead the
-    // byte-based coalesce). On healthy inputs the branch is dead and
-    // AQE stays in charge.
-    val src0 = Tables.respreadIfStarved(df)
+    // With `respreadStarved`, layout-starved inputs (guide §2.5 —
+    // Tables.respreadIfStarved's trigger) get a user repartition ON THE
+    // NEST KEY first: the groupBy reuses that exchange (same key), and
+    // because a user-specified repartition is exempt from AQE
+    // coalescing, the nest aggregate AND every downstream per-row HOF
+    // consumer keep core-count parallelism instead of collapsing to the
+    // 1–2 partitions the nested bytes suggest (nested work is
+    // compute-dense: bytes mislead the byte-based coalesce). Opt-in
+    // because LIGHT nest consumers measured +0.2–0.3 s under the pinned
+    // partition count (q63/q69/q72/q93) — only callers whose post-nest
+    // work is heavy enable it. On healthy inputs the branch is dead.
+    val src0 = if (respreadStarved) Tables.respreadIfStarved(df) else df
     val src =
       if (src0 eq df) df
       else df.repartition(df.sparkSession.sparkContext.defaultParallelism,

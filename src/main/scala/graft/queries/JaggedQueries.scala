@@ -19,7 +19,8 @@ object JaggedQueries extends QueryPack {
   private def ordersNested(
       s: org.apache.spark.sql.SparkSession, dir: String,
       fields: Seq[String] = Seq("l_linenumber", "l_extendedprice", "l_quantity",
-        "l_discount", "l_returnflag")) =
+        "l_discount", "l_returnflag"),
+      respread: Boolean = true) =
     SchemaBuilder.nestRows(
       Tables.lineitem(s, dir),
       key = Seq("l_orderkey"),
@@ -29,7 +30,10 @@ object JaggedQueries extends QueryPack {
       fields = fields,
       // (l_linenumber, l_extendedprice) is unique within an order in this
       // dataset (l_linenumber alone is NOT) — pins the array layout.
-      sortFields = Seq("l_linenumber", "l_extendedprice"))
+      sortFields = Seq("l_linenumber", "l_extendedprice"),
+      // heavy post-nest HOF consumers keep parallelism on starved
+      // layouts; the two LIGHT consumers (q72, q93) opt out
+      respreadStarved = respread)
 
   /** q154's invariant-mass expression as ONE SQL text over columns
     * (pt|eta|phi|m)(1|2) — parsed by Spark (`expr`) AND embedded
@@ -349,7 +353,8 @@ object JaggedQueries extends QueryPack {
           Tables.lineitem(s, dir),
           key = Seq("l_orderkey"), collection = "items",
           fields = Seq("l_linenumber", "l_extendedprice", "l_quantity", "l_discount", "l_tax"),
-          sortFields = Seq("l_linenumber", "l_extendedprice"))
+          sortFields = Seq("l_linenumber", "l_extendedprice"),
+          respreadStarved = true) // heavy pair-math consumer (−0.57 s measured)
         // cartesian staging: trig once per ITEM, pair loop is pure +/*
         val vecs = transform($"items", it => Kinematics.cartesianCandidate(
           Kinematics.ptEtaPhiM(it("l_quantity"), it("l_discount") * 20.0 - 1.0,
@@ -473,7 +478,8 @@ object JaggedQueries extends QueryPack {
           Seq(1001L -> evens, 1002L -> odds), links)
         val sumRes = aggregate(resolved, lit(0.0),
           (a, x) => a + coalesce(x("l_extendedprice"), lit(0.0)))
-        ordersNested(s, dir, Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+        ordersNested(s, dir, Seq("l_linenumber", "l_extendedprice", "l_quantity"),
+            respread = false) // light post-nest work — see nestRows note
           .select(size($"items").as("nl"),
             size(filter(resolved, x => x.isNotNull)).as("nr"),
             sumRes.as("sr"))
@@ -507,7 +513,8 @@ object JaggedQueries extends QueryPack {
       (s, dir) => {
         import s.implicits._
         val nested = ordersNested(s, dir,
-          Seq("l_linenumber", "l_extendedprice", "l_quantity"))
+          Seq("l_linenumber", "l_extendedprice", "l_quantity"),
+          respread = false) // light post-nest work — see nestRows note
         val flat = nested.select(
           $"l_orderkey".as("event"),
           transform($"items", _("l_extendedprice")).as("AnalysisElectronsAuxDyn.pt"),
