@@ -21,12 +21,17 @@ object TreeLumiQueries extends QueryPack {
   /** Nest only the fields a query touches — the collect_list shuffle
     * carries exactly the projected struct, so field lists are per-query
     * (verified via Explain: 7-col vs 3-col shuffle payloads). */
-  private def nested(s: SparkSession, dir: String, fields: Seq[String]): DataFrame =
+  private def nested(s: SparkSession, dir: String, fields: Seq[String],
+      respread: Boolean = false): DataFrame =
     SchemaBuilder.nestRows(
       Tables.lineitem(s, dir),
       key = Seq("l_orderkey"), collection = "items",
       fields = fields,
-      sortFields = Seq("l_linenumber", "l_extendedprice"))
+      sortFields = Seq("l_linenumber", "l_extendedprice"),
+      // heavy post-nest consumers (the gentree walks) opt in; the
+      // JEC/JER correction nests measured +0.2-0.3 s under the pinned
+      // partition count and stay off — see SchemaBuilder.nestRows
+      respreadStarved = respread)
 
   // pileup fixture (q91): parsed from the reference JSON shape; covers
   // runs 100-102 x lumis 0-3 (lumi 4 intentionally unmatched).
@@ -70,7 +75,7 @@ object TreeLumiQueries extends QueryPack {
         val parents = transform(sequence(lit(0), size($"items") - 1),
           i => when(i === 0, lit(-1)).otherwise(floor((i - 1) / 2).cast("int")))
         val pdg = transform($"items", it => ascii(it("l_returnflag")))
-        nested(s, dir, treeFields)
+        nested(s, dir, treeFields, respread = true)
           .select($"l_orderkey",
             posexplode(GenTree.distinctParentCol(parents, pdg)).as(Seq("idx", "dp")))
           .select($"l_orderkey", $"idx".cast("long").as("idx"), $"dp".cast("long").as("dp"))
@@ -106,7 +111,7 @@ object TreeLumiQueries extends QueryPack {
         import s.implicits._
         val parents = transform(sequence(lit(0), size($"items") - 1),
           i => when(i === 0, lit(-1)).otherwise(floor((i - 1) / 2).cast("int")))
-        nested(s, dir, treeFields)
+        nested(s, dir, treeFields, respread = true)
           .select(explode(GenTree.childrenCol(parents)).as("kids"))
           .groupBy(size($"kids").cast("long").as("n_children"))
           .agg(count(lit(1)).as("n_items"))
@@ -126,7 +131,7 @@ object TreeLumiQueries extends QueryPack {
         val parents = transform(sequence(lit(0), size($"items") - 1),
           i => when(i === 0, lit(-1)).otherwise(floor((i - 1) / 2).cast("int")))
         val pdg = transform($"items", it => ascii(it("l_returnflag")))
-        nested(s, dir, treeFields)
+        nested(s, dir, treeFields, respread = true)
           .select($"l_orderkey",
             posexplode(GenTree.distinctChildrenDeepCol(parents, pdg)).as(Seq("idx", "dc")))
           .select($"l_orderkey", $"idx".cast("long").as("idx"),
