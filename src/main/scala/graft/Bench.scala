@@ -107,6 +107,11 @@ object Bench {
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Self-evidencing core-count contract (r17 verdict item 2): the
+    // aggregate lines carry the session's ACTUAL core budget so a
+    // scaling probe can tell "honored but overhead-bound" from
+    // "ignored" without guessing from load averages.
+    val defaultPar = spark.sparkContext.defaultParallelism
     // session warmup: scheduler + codegen + parquet footer caches
     // (guarded — a bad SF dir must still produce the JSON line)
     scala.util.Try(spark.read.parquet(s"$sfDir/nation.parquet").count())
@@ -243,7 +248,7 @@ object Bench {
     val nRerun = results.count(_.rerun > 0)
     val nHistory = results.count(_.histOutlier)
     val aggregate =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"n_contended":$nContended,"n_rerun":$nRerun,"n_history":$nHistory,"sf":"$sfDir","errors":$errs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"n_contended":$nContended,"n_rerun":$nRerun,"n_history":$nHistory,"cpus":${jsonStr(cpus)},"default_parallelism":$defaultPar,"sf":"$sfDir","errors":$errs}"""
     // Duplicate the aggregate to a file so a machine consumer never
     // depends on stdout tail capture (BENCH_r08 lost the line to a 2 KB
     // tail window + sbt log decoration). Path override: SPARK_GRAFT_BENCH_OUT.
@@ -281,7 +286,7 @@ object Bench {
           .map(r =>
             jsonStr(r.name) + s""":{"min":${fmt(r.sec)},"max":${fmt(r.mx)},"gc_ms":${r.gcMin},"load":${fmt(r.load)},"contended":${r.contended},"rerun":${r.rerun},"hist_out":${r.histOutlier}}""")
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"detail":$slowDetail,"n_contended":$nContended,"n_rerun":$nRerun,"n_history":$nHistory,"sf":"$sfDir","errors":$errs,"n_queries":${results.length},"queries_shown":"slowest$nSlow","full_queries_file":${jsonStr(outPath)}}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"detail":$slowDetail,"n_contended":$nContended,"n_rerun":$nRerun,"n_history":$nHistory,"cpus":${jsonStr(cpus)},"default_parallelism":$defaultPar,"sf":"$sfDir","errors":$errs,"n_queries":${results.length},"queries_shown":"slowest$nSlow","full_queries_file":${jsonStr(outPath)}}"""
       }
       // budget 1500 bytes: under every tail window observed (2000) with
       // headroom for the driver's own line decoration

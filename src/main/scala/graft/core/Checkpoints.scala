@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Eager storage-block release for (local)checkpointed frames.
+  *
+  * `Dataset.unpersist` is a NO-OP on a checkpointed frame (its blocks
+  * belong to the materialized RDD, not the cache manager), so the
+  * iterative kernels' per-round snapshots were only reclaimed when the
+  * ContextCleaner GC'd the RDD — bounded within one query at bench
+  * scale, but monotone storage growth across a long 100 TB run (r17
+  * verdict item 7 / advice). This frees the blocks the moment a round
+  * retires its predecessor.
+  *
+  * SAFETY: a released checkpoint cannot recompute — callers must only
+  * release frames nothing references anymore. The root-match guard
+  * (the analyzed plan must BE the checkpoint's LogicalRDD, not merely
+  * contain one) makes a release of a derived/lazy frame a no-op
+  * instead of freeing some upstream checkpoint it still references.
+  */
+object Checkpoints {
+
+  /** Free the blocks of `df` if (and only if) `df` itself is a
+    * materialized checkpoint (plan root = LogicalRDD). Safe no-op on
+    * anything else, including never-checkpointed and derived frames. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+}

@@ -78,12 +78,18 @@ object Tables {
       try {
         val p = new org.apache.hadoop.fs.Path(f)
         val st = p.getFileSystem(conf).getFileStatus(p)
-        layoutCache.computeIfAbsent((st.getPath.toString, st.getModificationTime), _ => {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try (reader.getRowGroups.size, reader.getRecordCount)
-          finally reader.close()
-        })
+        layoutCache.computeIfAbsent((st.getPath.toString, st.getModificationTime), _ =>
+          // footer failure caches the conservative sentinel too (r17
+          // advice): an unreadable file costs ONE attempt per session,
+          // not one per kernel entry
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try (reader.getRowGroups.size, reader.getRecordCount)
+            finally reader.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => (Int.MaxValue / 4096, 0L)
+          })
       } catch { case scala.util.control.NonFatal(_) => (Int.MaxValue / 4096, 0L) }
     }.foldLeft((0, 0L)) { case ((g, r), (g2, r2)) => (g + g2, r + r2) }
     if (rowGroups * 2 < par && rows >= 4L * par) df.repartition(par) else df

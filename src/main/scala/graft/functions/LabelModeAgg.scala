@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Deterministic integer MODE aggregate: the most frequent long value
+  * per group, ties broken to the SMALLEST value — exactly the
+  * `groupBy(g, v).count` → `groupBy(g).max(struct(count, -v))` pair
+  * collapsed into ONE aggregate (optimization guide §2.4 "remove
+  * shuffles outright": the two-step form pays an exchange on (g, v)
+  * AND an exchange on g per invocation; this pays only the exchange
+  * on g).
+  *
+  * Scale rationale (the labelPropagation round): per node the buffer
+  * holds one (label → count) entry per DISTINCT neighbor label — the
+  * same cardinality the two-step form shuffles as (node, label, count)
+  * rows, but map-side combined into per-partition maps, so the single
+  * shuffle ships each partition's partial maps instead of one row per
+  * (partition × node × label). Buffer memory per group is bounded by
+  * the node's distinct-neighbor-label count (≤ degree), never the
+  * corpus.
+  *
+  * Determinism: counts are exact longs; the (count desc, value asc)
+  * argmax is order-free — bit-identical under any partitioning,
+  * matching the max(struct(c, -lab)) contract (values above
+  * Long.MinValue, which that form already required).
+  */
+case class LabelModeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true // empty group (never via groupBy)
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] =
+    scala.collection.mutable.LongMap.empty[Long]
+
+  override def update(buf: scala.collection.mutable.LongMap[Long],
+      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val k = v.asInstanceOf[Long]
+      buf.update(k, buf.getOrElse(k, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(a: scala.collection.mutable.LongMap[Long],
+      b: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
+    b.foreachEntry((k, c) => a.update(k, a.getOrElse(k, 0L) + c))
+    a
+  }
+
+  override def eval(buf: scala.collection.mutable.LongMap[Long]): Any =
+    if (buf.isEmpty) null
+    else {
+      var bestV = 0L
+      var bestC = -1L
+      buf.foreachEntry { (k, c) =>
+        if (c > bestC || (c == bestC && k < bestV)) { bestV = k; bestC = c }
+      }
+      bestV
+    }
+
+  override def serialize(buf: scala.collection.mutable.LongMap[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreachEntry { (k, c) => bb.putLong(k); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.LongMap[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < n) { m.update(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LabelModeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LabelModeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object LabelModeAgg {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Column API: `longMode(v)` → the most frequent long, ties to the
+    * smallest. Use inside `agg(...)`. */
+  def apply(v: Column): Column =
+    ColumnBridge.column(LabelModeAgg(ColumnBridge.expression(v))
+      .toAggregateExpression())
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Element-wise MAX over fixed-length long arrays — the register
+  * max-merge of a DENSE HLL sketch row (one `array<long>[m]` per key
+  * instead of one row per occupied (key, bucket) register).
+  *
+  * Scale rationale (the hyperBall round, optimization guide §2.3
+  * "shuffle fewer bytes"): the sparse register form shuffles up to m
+  * (node, bucket, r) ROWS per node per round through a groupBy on
+  * (node, bucket) — row overhead dominates for 64 8-byte payloads.
+  * This aggregate ships ONE m-slot buffer per node per partition
+  * (map-side combined) through a groupBy on node alone, so the merge
+  * shuffle carries |V| compact rows and the per-radius estimate
+  * becomes a map-only projection with NO shuffle at all.
+  *
+  * Determinism: max is order-free — registers are bit-identical under
+  * any partitioning, so the (by design approximate) estimate stays
+  * EXACTLY replayable by the unrolled SQL twin. Empty slots are 0
+  * (real ranks are >= 1 by construction). Null arrays are ignored;
+  * arrays must have exactly m elements.
+  */
+case class RegisterMaxAgg(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(m > 0 && m <= 65536, s"register count in [1, 65536]: $m")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](m)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == m,
+        s"register array must have $m slots, got ${arr.numElements()}")
+      var i = 0
+      while (i < m) {
+        val r = arr.getLong(i)
+        if (r > buf(i)) buf(i) = r
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RegisterMaxAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RegisterMaxAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object RegisterMaxAgg {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Column API: `registerMax(regs, m)` → element-wise max of m-slot
+    * long arrays. Use inside `agg(...)`. */
+  def apply(regs: Column, m: Int): Column =
+    ColumnBridge.column(RegisterMaxAgg(ColumnBridge.expression(regs), m)
+      .toAggregateExpression())
+}

@@ -1052,16 +1052,25 @@ object Curation {
       minBigramCount: Int = 2): BigramLm = {
     require(minBigramCount >= 1, "minBigramCount must be >= 1")
     val pos = lmTokenPairs(docs, idCol, textCol)
+    // MATERIALIZE the vocabulary-bounded count tables (r18, guide §5 —
+    // they are small by construction, while the plan behind them
+    // re-tokenizes and re-explodes the whole corpus): lmScore builds
+    // up to three broadcasts from them (uni, the renamed prev-side
+    // uni, big), which as lazy plans cost one full corpus pass EACH.
+    // Checkpointed, those broadcasts read codebook-sized tables.
     val uni = pos.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val big = pos.filter(col("prev").isNotNull)
       .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minBigramCount)
-    // total tokens = Σ per-doc token-array size: identical to
-    // pos.count() (the size>0 filter cannot change a sum of sizes) but
-    // map-only — no zip_with struct build, no row explosion
-    val total = docs
-      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"))
-      .agg(coalesce(sum(col("__n")), lit(0L)).as("t")).head().getLong(0)
+      .localCheckpoint(true)
+    // total tokens = Σ unigram counts (every (id, tok, prev) row counts
+    // exactly once — identical to pos.count(), and to the former
+    // Σ size(tokens) map pass, with no ANSI size(null) caveat): a
+    // codebook-sized fold over the materialized table instead of one
+    // more pass over the corpus.
+    val total = uni
+      .agg(coalesce(sum(col("c")), lit(0L)).as("t")).head().getLong(0)
     BigramLm(uni, big, total)
   }
 

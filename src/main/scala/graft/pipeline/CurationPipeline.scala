@@ -100,9 +100,10 @@ object CurationPipeline {
   def run(docs: DataFrame, bench: Option[DataFrame], cfg: Config = Config()): DataFrame = {
     val st = stages(docs, bench, cfg)
     val out = st.last._2
-    // skip "input": that frame is the CALLER's — unpersisting it here
-    // would drop a cache the caller may own
-    st.filterNot(_._1 == "input").foreach(_._2.unpersist(blocking = false))
+    // skip "input" (by name AND identity): that frame is the CALLER's —
+    // unpersisting it here would drop a cache the caller may own
+    st.filterNot { case (name, df) => name == "input" || (df eq st.head._2) }
+      .foreach(_._2.unpersist(blocking = false))
     out
   }
 
@@ -122,8 +123,10 @@ object CurationPipeline {
     // and unpersist would drop a cache the caller may own. "__"-named
     // entries are cache-only plumbing (already persisted inside
     // stages()): never counted, but unpersisted with the rest.
+    val inputDf = st.head._2
     val cached = st.map { case (name, df) =>
-      (name, if (name == "input" || name.startsWith("__")) df else df.persist())
+      (name, if (name == "input" || name.startsWith("__") || (df eq inputDf)) df
+        else df.persist())
     }
     // pass-through stages return the SAME frame object (e.g. near-dedup
     // with minJaccard > 1, decontamination with no benchmark): count it
@@ -136,7 +139,8 @@ object CurationPipeline {
     }
     try (st.last._2, cached.filterNot(_._1.startsWith("__"))
       .map { case (name, df) => (name, countOnce(df)) })
-    finally cached.filterNot(_._1 == "input")
+    finally cached
+      .filterNot { case (name, df) => name == "input" || (df eq inputDf) }
       .foreach(_._2.unpersist(blocking = false))
   }
 
@@ -296,7 +300,13 @@ object CurationPipeline {
 
     Seq(
       "input" -> docs0, // count the raw scan, not the respread
-      "line_rules" -> lineGated) ++
+      // with no line rules and no HTML strip the stage is a row-
+      // preserving pass-through of the input: report the INPUT frame
+      // so runCounted's identity memo reuses its count instead of
+      // paying a second full raw scan for a provably equal number
+      // (map-only text rewrites cannot change a count)
+      "line_rules" -> (if (cfg.lineRules.isDefined || cfg.stripHtmlInput) lineGated
+        else docs0)) ++
       (if (cfg.lineDedupMinCount.isDefined)
         Seq("line_dedup" -> lineDeduped) else Nil) ++
       Seq(

@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints
+
 /** Link-graph analytics for corpus curation — PageRank (Page et al.
   * 1999) over a URL/domain link graph is the classic crawl-quality
   * signal (Common Crawl curation ranks domains by centrality before
@@ -89,11 +91,11 @@ object Graphs {
               .as("r"))
         val prev = ranks
         ranks = truncate(next)
-        prev.unpersist(false)
+        Checkpoints.release(prev) // retired round snapshot
         round += 1
       }
       ranks
-    } finally { deg.unpersist(false); e.unpersist(false); () }
+    } finally { Checkpoints.release(deg); Checkpoints.release(e); () }
   }
 
   /** Edge-WEIGHTED integer PageRank — the variant a real domain-link
@@ -161,11 +163,11 @@ object Graphs {
               .as("r"))
         val prev = ranks
         ranks = truncate(next)
-        prev.unpersist(false)
+        Checkpoints.release(prev) // retired round snapshot
         round += 1
       }
       ranks
-    } finally { wt.unpersist(false); e.unpersist(false); () }
+    } finally { Checkpoints.release(wt); Checkpoints.release(e); () }
   }
 
   /** Synchronous label-propagation community detection (Raghavan et
@@ -217,18 +219,20 @@ object Graphs {
         .withColumn("lab", col("node")))
       var round = 0
       while (round < iters) {
-        val counts = e.join(labels, e("dst") === labels("node"))
-          .groupBy(e("src").as("v"), col("lab"))
-          .agg(count(lit(1)).as("c"))
-        val best = counts
-          .groupBy("v")
-          .agg(max(struct(col("c").as("c"), (-col("lab")).as("nl"))).as("b"))
-          .select(col("v"), (-col("b.nl")).as("blab"))
+        // ONE shuffle per round (r17 verdict item 1): the per-(node,
+        // label) count THEN per-node argmax pair paid an exchange on
+        // (v, lab) AND an exchange on v every round; the typed mode
+        // aggregate (map-side-combined label→count maps, argmax with
+        // the same count-desc/label-asc tie-break) produces the
+        // per-node mode directly off the single exchange on v.
+        val best = e.join(labels, e("dst") === labels("node"))
+          .groupBy(e("src").as("v"))
+          .agg(graft.functions.LabelModeAgg(col("lab")).as("blab"))
         val next = labels.join(best, labels("node") === best("v"), "left")
           .select(col("node"), coalesce(col("blab"), col("lab")).as("lab"))
         val prev = labels
         labels = truncate(next)
-        prev.unpersist(false)
+        Checkpoints.release(prev) // retired round snapshot: free its blocks now
         round += 1
       }
       labels
@@ -354,9 +358,11 @@ object Graphs {
       val out = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
         .join(perNode, col("node") === col("n"), "left")
         .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-      // materialize before unpersisting the inputs in the finally block
-      out.localCheckpoint(true)
-    } finally { und.unpersist(false); () }
+      // materialize before releasing the inputs
+      val res = out.localCheckpoint(true)
+      Checkpoints.release(oriented) // wedge inputs are dead once res exists
+      res
+    } finally { Checkpoints.release(und); () }
   }
 
   /** PERSONALIZED PageRank (Haveliwala 2002 / the random walk with
@@ -425,11 +431,11 @@ object Graphs {
               .as("r"))
         val prev = ranks
         ranks = truncate(next)
-        prev.unpersist(false)
+        Checkpoints.release(prev) // retired round snapshot
         round += 1
       }
       ranks
-    } finally { deg.unpersist(false); e.unpersist(false); () }
+    } finally { Checkpoints.release(deg); Checkpoints.release(e); () }
   }
 
   /** Bounded-horizon WEIGHTED shortest paths — the weighted companion
@@ -493,7 +499,7 @@ object Graphs {
         dist = truncate(dist.unionByName(relaxed)
           .groupBy(col("seed"), col("node"))
           .agg(min(col("cost")).as("cost")))
-        prev.unpersist(false)
+        Checkpoints.release(prev) // retired round snapshot
         hop += 1
       }
       dist
@@ -548,31 +554,36 @@ object Graphs {
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
         .distinct()
-      var regs = truncate(Sketches.hllRegisters(
+      // DENSE register rows (r18, guide §2.3 "shuffle fewer bytes"):
+      // one array<long>[M] per node instead of up to M (node, bucket,
+      // r) rows — the per-round max-merge becomes ONE groupBy(node)
+      // exchange of |V| compact rows (was a groupBy(node, bucket) of
+      // |V|·occupied rows), and each radius estimate is a map-only
+      // projection with NO shuffle (was a groupBy per radius).
+      var regs = truncate(Sketches.hllDenseRegisters(
         nodes, Seq("node"), col("node").cast("string")))
       // each radius's |V|-row estimate is truncated EAGERLY before its
       // register snapshot is dropped (a localCheckpointed table cannot
       // recompute once unpersisted), so the returned union references
       // only self-contained estimate frames
       def estAt(k: Long): DataFrame = truncate(
-        Sketches.hllEstimate(regs, Seq("node")).withColumn("radius", lit(k)))
+        Sketches.hllEstimateDense(regs).withColumn("radius", lit(k)))
       val perRadius = scala.collection.mutable.ArrayBuffer[DataFrame](estAt(0L))
       var k = 0
       while (k < maxRadius) {
         k += 1
         val flowed = regs.join(e, regs("node") === e("src"))
-          .select(col("dst").as("node"), col("bucket"), col("r"))
+          .select(col("dst").as("node"), col("regs"))
         val prev = regs
-        regs = truncate(flowed.unionByName(prev.select(col("node"), col("bucket"), col("r")))
-          .groupBy(col("node"), col("bucket"))
-          .agg(max(col("r")).as("r")))
-        prev.unpersist(false)
+        regs = truncate(Sketches.denseRegisterMax(Seq("node"),
+          flowed.unionByName(prev.select(col("node"), col("regs")))))
+        Checkpoints.release(prev) // retired round snapshot
         perRadius += estAt(k.toLong)
       }
-      regs.unpersist(false)
+      Checkpoints.release(regs) // last radius snapshot: estimates are self-contained
       perRadius.reduce(_ unionByName _)
         .select(col("node"), col("radius"), col("n_hit"), col("sum_r"), col("est_e4"))
-    } finally { e.unpersist(false); () }
+    } finally { Checkpoints.release(e); () }
   }
 
   /** Multi-source BFS shortest-hop distances — the reachability /
@@ -666,10 +677,13 @@ object Graphs {
           levels += next
           prevFrontier = frontier
           frontier = next
-        }
+        } else Checkpoints.release(next) // empty probe frontier: dead
       }
-      truncate(levels.reduce(_.unionByName(_)))
-    } finally { e.unpersist(false); () }
+      val out = truncate(levels.reduce(_.unionByName(_)))
+      // the union is materialized: every per-depth snapshot is dead
+      levels.foreach(Checkpoints.release)
+      out
+    } finally { Checkpoints.release(e); () }
   }
 
   /** k-core: the maximal subgraph where every node keeps degree >= k —
@@ -742,7 +756,7 @@ object Graphs {
         val prev = surv
         val (s2, n2) = truncateCounted(next)
         surv = s2
-        prev.unpersist(false)
+        Checkpoints.release(prev) // retired round snapshot
         stable = n2 == nSurv
         nSurv = n2
         round += 1
@@ -754,7 +768,7 @@ object Graphs {
       if (!stable) throw new IllegalStateException(
         s"kCore did not converge in $maxIters rounds ($nSurv survivors); raise maxIters")
       surv
-    } finally { e.unpersist(false); () }
+    } finally { Checkpoints.release(e); () }
   }
 
   /** Deterministic uniform random-walk corpus (the sampling stage of
@@ -830,7 +844,7 @@ object Graphs {
         frontier = next
       }
       truncate(levels.reduce(_.unionByName(_)))
-    } finally { adj.unpersist(false); () }
+    } finally { Checkpoints.release(adj); () }
   }
 
   /** Second-order BIASED random walks — full node2vec (Grover &
@@ -923,7 +937,7 @@ object Graphs {
         frontier = picked
       }
       truncate(levels.reduce(_.unionByName(_)))
-    } finally { adj.unpersist(false); () }
+    } finally { Checkpoints.release(adj); () }
   }
 
   /** Neighborhood link-prediction scores (Liben-Nowell & Kleinberg
@@ -983,7 +997,7 @@ object Graphs {
         .join(deg.select($"node".as("b"), $"deg".as("deg_b")), Seq("b"))
         .select($"a", $"b", $"cn", $"ra_e8",
           expr("(cn * 10000) div (deg_a + deg_b - cn)").as("jaccard_e4")))
-    } finally { e.unpersist(false); () }
+    } finally { Checkpoints.release(e); () }
   }
 
   /** k-truss (Cohen 2008): the maximal subgraph whose every EDGE sits
@@ -1127,13 +1141,13 @@ object Graphs {
             .withColumn("h", coalesce($"h", lit(0L)))
           val prevH = hub
           hub = truncate(normalize(hAll, "h"))
-          prevA.unpersist(false)
-          prevH.unpersist(false)
+          Checkpoints.release(prevA) // retired half-step snapshots
+          Checkpoints.release(prevH)
         }
         hub.join(auth, Seq("node"))
           .select($"node", $"h".as("hub_e9"), $"a".as("auth_e9"))
-      } finally { nodes.unpersist(false); () }
-    } finally { e.unpersist(false); () }
+      } finally { Checkpoints.release(nodes); () }
+    } finally { Checkpoints.release(e); () }
   }
 
   /** Pivot-sampled betweenness centrality (Brandes 2001 accumulation,
@@ -1245,10 +1259,14 @@ object Graphs {
           .select($"pivot", $"node", $"sigma", $"delta"))
         acc += deltas
       }
-      truncate(acc.reduce(_.unionByName(_))
+      val res = truncate(acc.reduce(_.unionByName(_))
         .groupBy($"node")
         .agg(sum($"delta").as("bc_e9"))
         .filter($"bc_e9" > 0L))
+      // terminal truncate materialized: every sigma/delta snapshot is dead
+      levels.foreach(Checkpoints.release)
+      acc.foreach(Checkpoints.release)
+      res
     } finally { e.unpersist(false); () }
   }
 
@@ -1384,7 +1402,7 @@ object Graphs {
             e = truncate(e.join(live, e("src") === live("node"), "left_semi")
               .join(live.withColumnRenamed("node", "n2"),
                 col("dst") === col("n2"), "left_semi"))
-            ePrev.unpersist(false)
+            Checkpoints.release(ePrev) // retired live-edge snapshot
           }
         }
         // -- 1b. size-gated driver finisher: iterative peels pay
@@ -1488,7 +1506,7 @@ object Graphs {
           val (l2, n2) = truncateCounted(live.join(reached, Seq("node"), "left_anti"))
           live = l2; nLive = n2; nLiveEst = nLive
         }
-      } finally { e.unpersist(false); () }
+      } finally { Checkpoints.release(e); () }
     }
     if (nLive > 0L) throw new IllegalStateException(
       s"scc: $nLive nodes unassigned after $maxOuter outer rounds; raise maxOuter")

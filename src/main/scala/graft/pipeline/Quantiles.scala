@@ -167,6 +167,113 @@ object Quantiles {
     })
   }
 
+  /** SEEDED-ENUMERATION first round (r18, guide §2 "fewer, fatter
+    * jobs"): instead of a seeded PROBE round followed by the
+    * enumeration finisher (two passes), enumerate the seed brackets
+    * directly in ONE pass that also computes the missing
+    * count-below-lo exactly — every row at or below its group's
+    * covered region maps either to its own value (inside a span) or
+    * to the nearest span's `lo − 1` SENTINEL bucket (below/between
+    * spans), so the cumulative weight at ANY bucket is the exact
+    * count(x ≤ bucket). When a target's crossing bucket is a real
+    * in-span value the search is DONE; when it is a sentinel (the
+    * sketch bracket missed — e.g. weighted search seeded from the
+    * unweighted sketch) the target's bracket still shrinks exactly
+    * and the normal probe flow continues. Sentinels can never collide
+    * with real values (merged spans are separated by ≥ 1 value).
+    *
+    * Targets: (tid, key, seedLo, seedHi, rank, curLo, curHi), one per
+    * active (group × quantile), all assumed at below = 0 (round 1).
+    * Returns None when the candidate region exceeds [[MaxEnum]] or a
+    * clipped span is empty — the caller falls back to the probe flow.
+    * Per tid: Left(answer) or Right((newLo, newHi, newBelow)). */
+  private def seededEnumRound(v: DataFrame, weight: Column,
+      targets: Seq[(Int, String, Long, Long, Long, Long, Long)])
+      : Option[Map[Int, Either[Long, (Long, Long, Long)]]] = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val spans0 = targets.map { case (tid, k, slo0, shi0, _, lo, hi) =>
+      (tid, k, math.max(slo0, lo), math.min(shi0, hi))
+    }
+    if (spans0.exists { case (_, _, slo, shi) => slo > shi }) return None
+    // merge overlapping/adjacent spans per key; the surviving gaps are
+    // >= 1 value wide, which keeps sentinel values (span lo − 1) out of
+    // every span
+    val merged: Map[String, Seq[(Long, Long)]] = spans0.groupBy(_._2).map {
+      case (k, ss) =>
+        val sorted = ss.map(s => (s._3, s._4)).sortBy(_._1)
+        k -> sorted.tail.foldLeft(List(sorted.head)) { case (acc, (l, h)) =>
+          val (cl, ch) = acc.head
+          if (ch == Long.MaxValue || l <= ch + 1) (cl, math.max(ch, h)) :: acc.tail
+          else (l, h) :: acc
+        }.reverse
+    }
+    // (key, lo, hi, prev span's hi as exclusive floor, isFirst): each
+    // row at or below the covered region matches exactly one slot
+    val spanRows: Seq[(String, Long, Long, Long, Boolean)] = merged.toSeq.flatMap {
+      case (k, ss) => ss.zipWithIndex.map { case ((l, h), i) =>
+        (k, l, h, if (i == 0) 0L else ss(i - 1)._2, i == 0)
+      }
+    }
+    // sentinel mapping: in-span rows keep v, below-span rows collapse
+    // to lo − 1 (guarded against Long.MinValue wrap; no row can sit
+    // below a MinValue lo, so mapping it to v is equivalent)
+    val rows =
+      if (spanRows.size <= ProbeColumnBudget) {
+        // fold in reverse so the FIRST matching span wins
+        val chain = spanRows.sortBy(s => (s._1, s._2)).reverse.foldLeft(
+          lit(null).cast("long")) { case (els, (k, l, h, pf, first)) =>
+          val inSlot = col("k") === lit(k) && col("v") <= lit(h) &&
+            (if (first) lit(true) else col("v") > lit(pf))
+          val mapped = if (l == Long.MinValue) col("v")
+            else greatest(col("v"), lit(l - 1))
+          when(inSlot, mapped).otherwise(els)
+        }
+        v.select(col("k"), chain.as("mv"), weight.as("w"))
+          .filter(col("mv").isNotNull)
+          .groupBy(col("k"), col("mv")).agg(sum(col("w")).as("w"))
+          .limit(MaxEnum + 1).collect()
+      } else {
+        val b = broadcast(spanRows.toDF("k", "blo", "bhi", "pfloor", "pfirst"))
+        v.join(b, Seq("k"))
+          .filter(col("v") <= col("bhi") && (col("pfirst") || col("v") > col("pfloor")))
+          .select(col("k"),
+            when(col("blo") === lit(Long.MinValue), col("v"))
+              .otherwise(greatest(col("v"), col("blo") - 1L)).as("mv"),
+            weight.as("w"))
+          .groupBy(col("k"), col("mv")).agg(sum(col("w")).as("w"))
+          .limit(MaxEnum + 1).collect()
+      }
+    if (rows.length > MaxEnum) return None
+    val hist: Map[String, Seq[(Long, Long)]] = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq
+      }
+    Some(targets.map { case (tid, k, _, _, rank, lo, hi) =>
+      val hs = hist.getOrElse(k, Seq.empty)
+      val spans = merged(k)
+      def isReal(x: Long) = spans.exists { case (l, h) => x >= l && x <= h }
+      var cum = 0L
+      var prev = Option.empty[Long]
+      var res = Option.empty[Either[Long, (Long, Long, Long)]]
+      hs.foreach { case (mv, w) =>
+        if (res.isEmpty) {
+          if (cum + w >= rank) {
+            res = Some(
+              if (isReal(mv)) Left(mv) // exact: count jumps only at present values
+              else Right((prev.map(_ + 1L).getOrElse(lo), mv,
+                prev.map(_ => cum).getOrElse(0L))))
+          } else { cum += w; prev = Some(mv) }
+        }
+      }
+      // cum never reached rank inside the covered region: the answer is
+      // strictly above the last enumerated point — exact shrink
+      tid -> res.getOrElse(
+        Right((prev.map(_ + 1L).getOrElse(lo), hi, cum)))
+    }.toMap)
+  }
+
   /** Walk one group's in-bracket histogram from the tracked
     * count-below: the answer is the smallest value whose cumulative
     * reaches rank (guaranteed inside [lo, hi] by the bracket
@@ -191,7 +298,8 @@ object Quantiles {
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): Seq[(Double, Long)] = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), "each q in (0, 1]")
     exactRanksOf(df, valueCol,
-      n => qs.map(q => math.max(1L, math.ceil(q * n).toLong)))
+      n => qs.map(q => math.max(1L, math.ceil(q * n).toLong)),
+      fracsHint = Some(qs.flatMap(seedFracs)))
       .map(vals => qs.zip(vals)).getOrElse(Seq.empty)
   }
 
@@ -212,26 +320,60 @@ object Quantiles {
     * all unconverged targets at once. One sketch pass after the stats
     * pass seeds every target's first-round probes. */
   private def exactRanksOf(df: DataFrame, valueCol: String,
-      mkRanks: Long => Seq[Long]): Option[Seq[Long]] = {
+      mkRanks: Long => Seq[Long],
+      fracsHint: Option[Seq[Double]] = None): Option[Seq[Long]] = {
     val v = df.select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
       .persist()
     try {
-      val head = v.agg(count(col("v")), min(col("v")), max(col("v"))).head()
+      // When the seed FRACTIONS are known without n (exactQuantiles:
+      // ceil(q·n)/n differs from q by < 1/n, and seeds are aim, never
+      // correctness), the sketch rides the stats pass — one action
+      // instead of two (r18, guide §2 "fewer, fatter jobs").
+      val head = fracsHint match {
+        case Some(fr) => v.agg(count(col("v")), min(col("v")), max(col("v")),
+          percentile_approx(col("v"), array(fr.map(lit): _*),
+            lit(SeedAccuracy))).head()
+        case None => v.agg(count(col("v")), min(col("v")), max(col("v"))).head()
+      }
       val n = head.getLong(0)
       if (n == 0L) return None
       val (mn, mx) = (head.getLong(1), head.getLong(2))
       val ranks = mkRanks(n)
-      val fracs = ranks.flatMap(r => seedFracs(r.toDouble / n))
-      val seedRow = v.agg(percentile_approx(col("v"),
-        array(fracs.map(lit): _*), lit(SeedAccuracy))).head()
-      val seedVals = seedRow.getSeq[Long](0)
+      val seedVals = fracsHint match {
+        case Some(_) => head.getSeq[Long](3)
+        case None =>
+          val fracs = ranks.flatMap(r => seedFracs(r.toDouble / n))
+          v.agg(percentile_approx(col("v"),
+            array(fracs.map(lit): _*), lit(SeedAccuracy))).head().getSeq[Long](0)
+      }
       val seeds: Seq[Seq[Long]] =
         ranks.indices.map(j => seedVals.slice(3 * j, 3 * j + 3))
       val lo = Array.fill(ranks.size)(mn)
       val hi = Array.fill(ranks.size)(mx)
       val below = Array.fill(ranks.size)(0L)
       var first = true
+      // r18 seeded-enumeration first round: one pass typically finishes
+      // the whole search (see seededEnumRound); a miss shrinks exactly
+      // and the probe flow below continues
+      locally {
+        val active = lo.indices.filter(j => lo(j) < hi(j))
+        val tgts = active.flatMap { j =>
+          val s = seeds(j).sorted
+          if (s.isEmpty) None else Some((j, "", s.head, s.last, ranks(j), lo(j), hi(j)))
+        }
+        if (active.nonEmpty && tgts.size == active.size) {
+          seededEnumRound(v.withColumn("k", lit("")), lit(1L), tgts).foreach { res =>
+            tgts.foreach { case (j, _, _, _, _, _, _) =>
+              res(j) match {
+                case Left(ans) => lo(j) = ans; hi(j) = ans
+                case Right((nl, nh, nb)) => lo(j) = nl; hi(j) = nh; below(j) = nb
+              }
+            }
+            first = false
+          }
+        }
+      }
       while (lo.indices.exists(j => lo(j) < hi(j))) {
         val active = lo.indices.filter(j => lo(j) < hi(j))
         var done = false
@@ -290,6 +432,25 @@ object Quantiles {
     val hi = scala.collection.mutable.Map(init.map(s => s._1 -> s._3): _*)
     val below = scala.collection.mutable.Map(init.map(s => s._1 -> 0L): _*)
     var first = true
+    // r18 seeded-enumeration first round (see seededEnumRound)
+    locally {
+      val active = lo.keys.toSeq.filter(k => lo(k) < hi(k)).sorted
+      val tgts = active.zipWithIndex.flatMap { case (k, i) =>
+        val s = seed.getOrElse(k, Nil).sorted
+        if (s.isEmpty) None else Some((i, k, s.head, s.last, rank(k), lo(k), hi(k)))
+      }
+      if (active.nonEmpty && tgts.size == active.size) {
+        seededEnumRound(v, weight, tgts).foreach { res =>
+          tgts.foreach { case (i, k, _, _, _, _, _) =>
+            res(i) match {
+              case Left(ans) => lo(k) = ans; hi(k) = ans
+              case Right((nl, nh, nb)) => lo(k) = nl; hi(k) = nh; below(k) = nb
+            }
+          }
+          first = false
+        }
+      }
+    }
     while (lo.keys.exists(k => lo(k) < hi(k))) {
       val active = lo.keys.toSeq.filter(k => lo(k) < hi(k)).sorted
       val enumDone = !first && {
@@ -437,6 +598,26 @@ object Quantiles {
       val hi = scala.collection.mutable.Map(keys.map(kq => kq -> byKey(kq._1)._3): _*)
       val below = scala.collection.mutable.Map(keys.map(kq => kq -> 0L): _*)
       var first = true
+      // r18 seeded-enumeration first round (see seededEnumRound)
+      locally {
+        val active = keys.filter(kq => lo(kq) < hi(kq))
+        val tgts = active.zipWithIndex.flatMap { case (kq, i) =>
+          val s = seeds(kq).sorted
+          if (s.isEmpty) None
+          else Some((i, kq._1, s.head, s.last, rank(kq), lo(kq), hi(kq)))
+        }
+        if (active.nonEmpty && tgts.size == active.size) {
+          seededEnumRound(v, lit(1L), tgts).foreach { res =>
+            active.zipWithIndex.foreach { case (kq, i) =>
+              res(i) match {
+                case Left(ans) => lo(kq) = ans; hi(kq) = ans
+                case Right((nl, nh, nb)) => lo(kq) = nl; hi(kq) = nh; below(kq) = nb
+              }
+            }
+            first = false
+          }
+        }
+      }
       while (keys.exists(kq => lo(kq) < hi(kq))) {
         val active = keys.filter(kq => lo(kq) < hi(kq)).sortBy(kq => (kq._1, kq._2))
         val enumDone = !first && {
@@ -528,12 +709,23 @@ object Quantiles {
       .filter(col("k").isNotNull && col("v").isNotNull && col("w").isNotNull)
       .persist()
     try {
-      require(v.filter(col("w") < 0).isEmpty, "weights must be non-negative")
-      val stats = v.filter(col("w") > 0).groupBy(col("k"))
-        .agg(sum(col("w")).as("tw"), min(col("v")).as("mn"), max(col("v")).as("mx"),
-          percentile_approx(col("v"), array(seedFracs(q).map(lit): _*),
-            lit(SeedAccuracy)).as("sk"))
+      // the non-negativity check rides the stats pass (min(w) per
+      // group) instead of its own full scan — one action fewer (r18);
+      // conditional aggregates over w > 0 reproduce the old
+      // filter-first stats exactly (groups with no positive weight
+      // surface with a NULL total and are dropped, as the filter
+      // dropped them)
+      val stats0 = v.groupBy(col("k"))
+        .agg(sum(when(col("w") > 0, col("w"))).as("tw"),
+          min(when(col("w") > 0, col("v"))).as("mn"),
+          max(when(col("w") > 0, col("v"))).as("mx"),
+          percentile_approx(when(col("w") > 0, col("v")),
+            array(seedFracs(q).map(lit): _*), lit(SeedAccuracy)).as("sk"),
+          min(col("w")).as("wmin"))
         .collect()
+      require(stats0.forall(r => r.getLong(5) >= 0L),
+        "weights must be non-negative")
+      val stats = stats0.filter(r => !r.isNullAt(1))
       val rank = stats.map { r =>
         r.getString(0) -> math.max(1L, math.ceil(q * r.getLong(1)).toLong)
       }.toMap

@@ -1843,9 +1843,12 @@ object CurationQueries extends QueryPack {
         val docs = Tables.documents(s, dir)
         val total = docs.count()
         val minSup = total * 2 / 5
-        // respread before the distinct-token explode: support counting
-        // and both self-join sides replay this map work (guide §2.5)
-        val dt = Tables.respreadIfStarved(docs).select($"doc_id",
+        // NO respread here (r17 regression, reverted per the r17
+        // verdict): the support aggregate and both self-join sides
+        // consume the EXPLODED rows, which the groupBy/join exchanges
+        // already spread — an extra round-robin exchange in front is
+        // pure cost (0.75 s -> 0.91-1.83 s measured)
+        val dt = docs.select($"doc_id",
           explode(array_distinct(TextAnalysis.tokens($"text"))).as("w"))
         val sup = dt.groupBy($"w").agg(count(lit(1)).as("nw"))
           .filter($"nw" >= minSup)

@@ -878,4 +878,41 @@ class GraphsSpec extends AnyFunSuite {
     val err = intercept[IllegalStateException] { runScc(0L until 6L, e, maxOuter = 1) }
     assert(err.getMessage.contains("unassigned"))
   }
+
+  test("LabelModeAgg equals the two-aggregate count+argmax form") {
+    // r18: the single-shuffle labelPropagation round must reproduce the
+    // old groupBy(v, lab).count -> groupBy(v).max(struct(c, -lab))
+    // argmax exactly, including the count-desc/label-asc tie-break,
+    // across partitionings (exercising update AND merge paths).
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map(_ => (rnd.nextInt(40).toLong,
+      rnd.nextInt(12).toLong - 3L)).toDF("v", "lab").repartition(9)
+    val twoStep = rows.groupBy($"v", $"lab").agg(count(lit(1)).as("c"))
+      .groupBy($"v")
+      .agg(max(struct($"c".as("c"), (-$"lab").as("nl"))).as("b"))
+      .select($"v", (-$"b.nl").as("blab"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneStep = rows.groupBy($"v")
+      .agg(graft.functions.LabelModeAgg($"lab").as("blab"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneStep == twoStep)
+  }
+
+  test("iterative kernels release retired checkpoint blocks eagerly") {
+    // r18 hygiene (r17 verdict item 7): a long pageRank run must not
+    // accumulate one localCheckpoint RDD per round — retired snapshots
+    // free their blocks the moment the next round lands.
+    val sc = spark.sparkContext
+    val nodes = (0L until 60L).toDF("node")
+    val edges = (0L until 60L).map(i => (i, (i + 1) % 60)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.size
+    val r = Graphs.pageRank(nodes, "node", edges, "src", "dst", iters = 12)
+    r.count()
+    val during = sc.getPersistentRDDs.size
+    // live state: the returned ranks frame (plus at most transient
+    // entries whose cleanup is in flight) — NOT 12 rounds + edge/deg
+    assert(during - before <= 3,
+      s"checkpoint blocks leak: $before -> $during persistent RDDs")
+    graft.core.Checkpoints.release(r)
+  }
 }
