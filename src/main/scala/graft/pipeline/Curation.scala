@@ -1052,25 +1052,33 @@ object Curation {
       minBigramCount: Int = 2): BigramLm = {
     require(minBigramCount >= 1, "minBigramCount must be >= 1")
     val pos = lmTokenPairs(docs, idCol, textCol)
-    // MATERIALIZE the vocabulary-bounded count tables (r18, guide §5 —
-    // they are small by construction, while the plan behind them
-    // re-tokenizes and re-explodes the whole corpus): lmScore builds
-    // up to three broadcasts from them (uni, the renamed prev-side
-    // uni, big), which as lazy plans cost one full corpus pass EACH.
-    // Checkpointed, those broadcasts read codebook-sized tables.
+    // Tables stay LAZY plans. Two r18 A/Bs restructured them and both
+    // measured SLOWER at bench scale: (a) eager localCheckpoints of
+    // uni/big (saving lmScore's prev-side broadcast one re-tokenize
+    // pass) cost q119 0.58 -> 1.19 and q121 0.41 -> 1.04 — the extra
+    // eager actions' fixed latency plus the checkpoint write outweigh
+    // a cheap tokenize pass on a train+score-once query; (b) a
+    // MEMORY_AND_DISK cache of the token-pair stream raised q140's
+    // executor CPU 82.5 -> 103.5 task-seconds (building/reading a
+    // |tokens|-row string cache costs more than re-tokenizing the
+    // cached docs). At 100 TB persist/checkpoint the TABLES at the
+    // caller (the BigramLm doc already says so) where a corpus pass
+    // actually dominates.
     val uni = pos.groupBy("tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
     val big = pos.filter(col("prev").isNotNull)
       .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minBigramCount)
-      .localCheckpoint(true)
-    // total tokens = Σ unigram counts (every (id, tok, prev) row counts
-    // exactly once — identical to pos.count(), and to the former
-    // Σ size(tokens) map pass, with no ANSI size(null) caveat): a
-    // codebook-sized fold over the materialized table instead of one
-    // more pass over the corpus.
-    val total = uni
-      .agg(coalesce(sum(col("c")), lit(0L)).as("t")).head().getLong(0)
+    // total tokens = Σ per-doc token-array size: identical to
+    // pos.count() (the size>0 filter cannot change a sum of sizes) but
+    // map-only — no zip_with struct build, no row explosion. The
+    // greatest(..., 0) pins the null-text case to 0 under BOTH ANSI
+    // (size(null) = null) and legacy (size(null) = -1) sizeOfNull
+    // semantics, so the pos.count() identity holds regardless of
+    // session conf (r17 advice).
+    val total = docs
+      .select(greatest(size(TextAnalysis.tokens(col(textCol))), lit(0))
+        .cast("long").as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("t")).head().getLong(0)
     BigramLm(uni, big, total)
   }
 

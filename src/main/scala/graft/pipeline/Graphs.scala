@@ -554,29 +554,33 @@ object Graphs {
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
         .distinct()
-      // DENSE register rows (r18, guide §2.3 "shuffle fewer bytes"):
-      // one array<long>[M] per node instead of up to M (node, bucket,
-      // r) rows — the per-round max-merge becomes ONE groupBy(node)
-      // exchange of |V| compact rows (was a groupBy(node, bucket) of
-      // |V|·occupied rows), and each radius estimate is a map-only
-      // projection with NO shuffle (was a groupBy per radius).
-      var regs = truncate(Sketches.hllDenseRegisters(
+      // SPARSE (node, bucket, r) register rows — an r18 A/B packed
+      // them as one array<long>[64] per node (one groupBy(node)
+      // exchange of |V| compact rows, map-only estimates) in BOTH a
+      // typed-aggregate and a declarative 64-column-max form, and both
+      // measured SLOWER at bench scale (q272 2.33 -> 2.61 -> 2.87;
+      // the typed form hits ObjectHashAggregate's 128-group sort
+      // fallback, the declarative form pays interpreted HOF estimate
+      // folds and 64-slot rows through the join fan-out while balls
+      // are still small). The sparse rows stay.
+      var regs = truncate(Sketches.hllRegisters(
         nodes, Seq("node"), col("node").cast("string")))
       // each radius's |V|-row estimate is truncated EAGERLY before its
       // register snapshot is dropped (a localCheckpointed table cannot
       // recompute once unpersisted), so the returned union references
       // only self-contained estimate frames
       def estAt(k: Long): DataFrame = truncate(
-        Sketches.hllEstimateDense(regs).withColumn("radius", lit(k)))
+        Sketches.hllEstimate(regs, Seq("node")).withColumn("radius", lit(k)))
       val perRadius = scala.collection.mutable.ArrayBuffer[DataFrame](estAt(0L))
       var k = 0
       while (k < maxRadius) {
         k += 1
         val flowed = regs.join(e, regs("node") === e("src"))
-          .select(col("dst").as("node"), col("regs"))
+          .select(col("dst").as("node"), col("bucket"), col("r"))
         val prev = regs
-        regs = truncate(Sketches.denseRegisterMax(Seq("node"),
-          flowed.unionByName(prev.select(col("node"), col("regs")))))
+        regs = truncate(flowed.unionByName(prev.select(col("node"), col("bucket"), col("r")))
+          .groupBy(col("node"), col("bucket"))
+          .agg(max(col("r")).as("r")))
         Checkpoints.release(prev) // retired round snapshot
         perRadius += estAt(k.toLong)
       }

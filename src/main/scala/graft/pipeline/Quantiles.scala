@@ -78,6 +78,20 @@ object Quantiles {
     Seq(math.max(0.0, q - eps), math.min(1.0, q), math.min(1.0, q + eps))
   }
 
+  /** WEIGHTED-search seeding fractions: the sketch is over VALUES
+    * (percentile_approx takes no weights), so the weighted target
+    * rank deviates from the unweighted one by O(√n · cv(w)) ranks —
+    * far past seedFracs' ±2·10⁻⁴ window (measured: q215's bracket
+    * missed every run, costing the full probe-round fallback). A ±1%
+    * rank window covers that deviation with wide margin while staying
+    * trivially enumerable (2% of a group's distinct values, MaxEnum-
+    * capped); the window is aim, never correctness — a miss still
+    * falls back exactly. */
+  private def seedFracsWeighted(q: Double): Seq[Double] = {
+    val eps = 0.01
+    Seq(math.max(0.0, q - eps), math.min(1.0, q), math.min(1.0, q + eps))
+  }
+
   /** Probe points strictly inside (lo, hi), deduped, ascending. */
   private def probes(lo: Long, hi: Long, branch: Int = Branch): Seq[Long] = {
     val w = hi - lo
@@ -720,7 +734,7 @@ object Quantiles {
           min(when(col("w") > 0, col("v"))).as("mn"),
           max(when(col("w") > 0, col("v"))).as("mx"),
           percentile_approx(when(col("w") > 0, col("v")),
-            array(seedFracs(q).map(lit): _*), lit(SeedAccuracy)).as("sk"),
+            array(seedFracsWeighted(q).map(lit): _*), lit(SeedAccuracy)).as("sk"),
           min(col("w")).as("wmin"))
         .collect()
       require(stats0.forall(r => r.getLong(5) >= 0L),

@@ -74,61 +74,6 @@ object Sketches {
       .groupBy((keyCols.map(col) :+ col("bucket")): _*)
       .agg(max(col("__r")).as("r"))
 
-  /** DENSE register table: keyCols ++ `regs` = array<long>[M], slot b
-    * holding the max rank of the group's values hashing to bucket b,
-    * 0 = empty (real ranks are >= 1 by construction). The SAME
-    * registers as [[hllRegisters]], packed one row per group: merge
-    * shuffles then carry |groups| compact rows instead of up to
-    * |groups|·M (bucket, r) rows, and the estimate becomes a map-only
-    * projection ([[hllEstimateDense]]) — the iterative-sketch shape
-    * (hyperBall) where every round re-shuffles the register table. */
-  def hllDenseRegisters(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame =
-    denseRegisterMax(keyCols,
-      withBucketRank(df, value)
-        .withColumn("regs", expr(
-          s"transform(sequence(0, ${M - 1}), i -> CASE WHEN i = bucket THEN __r ELSE 0L END)")))
-
-  /** Element-wise register max-merge as a DECLARATIVE M-column max
-    * aggregate over a (keyCols..., regs: array<long>[M]) frame —
-    * whole-stage-codegen HashAggregate with primitive long buffers,
-    * spill-safe at ANY per-task group count (a typed object aggregate
-    * falls back to sort-based aggregation past
-    * spark.sql.objectHashAggregate.sortBased.fallbackThreshold = 128
-    * groups, measured +0.4 s on the q272 merge rounds). */
-  def denseRegisterMax(keyCols: Seq[String], df: DataFrame): DataFrame = {
-    val maxes = (0 until M).map(i =>
-      max(element_at(col("regs"), i + 1)).as(s"__r$i"))
-    df.groupBy(keyCols.map(col): _*)
-      .agg(maxes.head, maxes.tail: _*)
-      .select((keyCols.map(col) :+
-        array((0 until M).map(i => col(s"__r$i")): _*).as("regs")): _*)
-  }
-
-  /** Per-group estimate from a DENSE register table — bit-identical
-    * algebra to [[hllEstimate]] (exact long folds, the single float
-    * division, the same linear-counting literals), but map-only: no
-    * groupBy, no shuffle. */
-  def hllEstimateDense(registers: DataFrame): DataFrame = {
-    val lcMap = map(LcE4.zipWithIndex.flatMap {
-      case (e4v, i) => Seq(lit((i + 1).toLong), lit(e4v))
-    }: _*)
-    registers
-      .withColumn("n_hit", expr(
-        "aggregate(regs, 0L, (a, x) -> a + CASE WHEN x > 0L THEN 1L ELSE 0L END)"))
-      .withColumn("sum_r", expr("aggregate(regs, 0L, (a, x) -> a + x)"))
-      .withColumn("__inv_hit", expr(
-        s"aggregate(regs, 0L, (a, x) -> a + CASE WHEN x > 0L AND x <= $Scale" +
-          s" THEN shiftleft(1L, $Scale - x) ELSE 0L END)"))
-      .withColumn("__v", lit(M.toLong) - col("n_hit"))
-      .withColumn("__inv", col("__inv_hit") + col("__v") * shiftleft(lit(1L), Scale))
-      .withColumn("__raw", lit(EstNumer) / col("__inv"))
-      .withColumn("est_e4",
-        when(col("__raw") <= lit(LcThreshold) && col("__v") > 0L,
-          element_at(lcMap, col("__v")))
-          .otherwise(floor(col("__raw") * lit(10000.0) + lit(0.5)).cast("long")))
-      .drop("regs", "__inv_hit", "__v", "__inv", "__raw")
-  }
-
   /** Merge register shards (same schema as [[hllRegisters]] output) —
     * the union of sketches is the sketch of the union. */
   def hllMerge(shards: Seq[DataFrame], keyCols: Seq[String]): DataFrame =

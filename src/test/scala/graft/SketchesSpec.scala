@@ -189,40 +189,4 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(got._5 - 300L) < 150L)
   }
 
-  test("dense registers/estimate are bit-identical to the sparse kit") {
-    // r18: hyperBall's dense register rows (one array[M] per key) must
-    // reproduce the sparse (key, bucket, r) table and its estimate
-    // EXACTLY — same registers, same n_hit/sum_r/est_e4, across
-    // partitionings (exercising RegisterMaxAgg's update AND merge).
-    val df = (0 until 700).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
-      .repartition(7)
-    val sparse = Sketches.hllRegisters(df, Seq("g"), col("v"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val dense = Sketches.hllDenseRegisters(df, Seq("g"), col("v"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    assert(dense.keySet == sparse.keys.map(_._1).toSet)
-    for ((g, regs) <- dense; b <- 0 until Sketches.M)
-      assert(regs(b) == sparse.getOrElse((g, b.toLong), 0L),
-        s"register mismatch at ($g, $b)")
-    val estSparse = Sketches.hllEstimate(
-        Sketches.hllRegisters(df, Seq("g"), col("v")), Seq("g"))
-      .as[(String, Long, Long, Long)].collect().toSet
-    val estDense = Sketches.hllEstimateDense(
-        Sketches.hllDenseRegisters(df, Seq("g"), col("v")))
-      .as[(String, Long, Long, Long)].collect().toSet
-    assert(estSparse == estDense)
-  }
-
-  test("RegisterMaxAgg is element-wise max with 0-empty slots") {
-    val m = Sketches.M
-    val rows = Seq(
-      ("a", (0 until m).map(i => if (i == 3) 7L else 0L)),
-      ("a", (0 until m).map(i => if (i == 3) 5L else if (i == 9) 2L else 0L)),
-      ("b", (0 until m).map(_ => 0L)))
-    val got = rows.toDF("k", "regs").repartition(5)
-      .groupBy($"k").agg(graft.functions.RegisterMaxAgg($"regs", m).as("regs"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    assert(got("a")(3) == 7L && got("a")(9) == 2L && got("a").sum == 9L)
-    assert(got("b").sum == 0L)
-  }
 }
